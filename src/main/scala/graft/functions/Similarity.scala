@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+/** Ratcliff/Obershelp sequence similarity — the metric behind the
+  * reference's fuzzy importer matching
+  * (/root/reference/src/importer_standarizer.py:63-64 uses Python
+  * difflib.SequenceMatcher.ratio()). ratio = 2*M / (|a|+|b|) where M is
+  * the total size of matching blocks found by recursively taking the
+  * longest common substring and recursing on both sides.
+  *
+  * Implemented as plain Scala (driver-usable for header matching) plus a
+  * registered UDF for distributed scoring. O(|a|*|b|) per call — fine for
+  * short names; at 100 TB scale pair this with blocking (FuzzyJoin
+  * .bestMatchBlocked) so the quadratic scorer only sees banded candidates.
+  */
+object Similarity {
+
+  /** Longest matching block in a[alo,ahi) x b[blo,bhi); ties resolved to
+    * the earliest position in a, then b (difflib-compatible). */
+  private def longestMatch(
+      a: CharSequence, b: CharSequence,
+      alo: Int, ahi: Int, blo: Int, bhi: Int): (Int, Int, Int) = {
+    var besti = alo; var bestj = blo; var bestSize = 0
+    val width = bhi - blo
+    var prev = new Array[Int](width)
+    var cur = new Array[Int](width)
+    var i = alo
+    while (i < ahi) {
+      java.util.Arrays.fill(cur, 0)
+      var j = blo
+      while (j < bhi) {
+        if (a.charAt(i) == b.charAt(j)) {
+          val k = (if (j > blo) prev(j - 1 - blo) else 0) + 1
+          cur(j - blo) = k
+          if (k > bestSize) { besti = i - k + 1; bestj = j - k + 1; bestSize = k }
+        }
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    (besti, bestj, bestSize)
+  }
+
+  private def matchCount(
+      a: CharSequence, b: CharSequence,
+      alo: Int, ahi: Int, blo: Int, bhi: Int): Int = {
+    if (alo >= ahi || blo >= bhi) return 0
+    val (i, j, k) = longestMatch(a, b, alo, ahi, blo, bhi)
+    if (k == 0) 0
+    else k + matchCount(a, b, alo, i, blo, j) + matchCount(a, b, i + k, ahi, j + k, bhi)
+  }
+
+  /** 2*M/(|a|+|b|) in [0,1]; 1.0 for two empty strings, 0.0 if either null. */
+  def ratio(a: String, b: String): Double = {
+    if (a == null || b == null) return 0.0
+    val total = a.length + b.length
+    if (total == 0) return 1.0
+    2.0 * matchCount(a, b, 0, a.length, 0, b.length) / total
+  }
+
+  /** Variant of [[ratio]] that first drops the reference's junk chars
+    * (space, tab, dot, dash — /root/reference/src/importer_standarizer.py:167). */
+  def ratioIgnoringJunk(a: String, b: String): Double = {
+    def strip(s: String) = if (s == null) null else s.filterNot(c => c == ' ' || c == '\t' || c == '.' || c == '-')
+    ratio(strip(a), strip(b))
+  }
+
+  val similarityUdf = udf(ratio _)
+
+  def similarity_ratio(a: Column, b: Column): Column = similarityUdf(a, b)
+
+  /** Register `similarity_ratio(a, b)` for SQL use. */
+  def register(spark: SparkSession): Unit =
+    spark.udf.register("similarity_ratio", ratio _)
+}
