@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Similarity, TextFunctions}
+
+/** J2: fuzzy best-match (similarity top-1) join — the Spark-native form of
+  * /root/reference/src/importer_standarizer.py:52-105.
+  *
+  * Shape: distinct probe names × broadcast candidate catalog → score with
+  * the Ratcliff/Obershelp UDF → top-1 per probe via window argmax with a
+  * deterministic tie-break on catalog position (NumPy argmax takes the
+  * first index; importer_standarizer.py:68).
+  *
+  * Scale: the broadcast nested-loop is right for a ≤thousands-row catalog
+  * (it is O(U×C) scoring but fully partition-parallel on U and never
+  * shuffles the fact table). For catalogs that don't broadcast,
+  * [[bestMatchBlocked]] bands both sides by (first char, length bucket)
+  * of the normalized name so the quadratic scorer only sees same-band
+  * candidates — the standard blocking trade (recall loss only for pairs
+  * whose normalized forms differ in first char or by >1 length bucket,
+  * which at threshold 0.6+ is a negligible sliver).
+  */
+object FuzzyJoin {
+
+  /** Attach a stable position column reflecting current row order.
+    * Intended for small dimension catalogs (coalesced to 1 partition so
+    * monotonically_increasing_id enumerates file order). */
+  def withPosition(df: DataFrame, posCol: String = "_cat_pos"): DataFrame =
+    df.coalesce(1).withColumn(posCol, monotonically_increasing_id())
+
+  /** Top-1 candidate per probe row. Output: probe columns + candidate
+    * columns + `score`. Rows below `threshold` are dropped when
+    * `minScore` is inclusive (`>=`, new-path) or exclusive (`>`, old-path
+    * importer_standarizer.py:172). */
+  /** Default scorer: R/O ratio over reference-normalized names (F15). */
+  def normalizedRatio(probe: Column, cand: Column): Column =
+    Similarity.similarity_ratio(
+      coalesce(TextFunctions.normalizeName(probe), lit("")),
+      coalesce(TextFunctions.normalizeName(cand), lit("")))
+
+  def bestMatch(
+      probes: DataFrame,
+      probeCol: String,
+      catalog: DataFrame,
+      candCol: String,
+      threshold: Double,
+      inclusive: Boolean = true,
+      scorer: (Column, Column) => Column = normalizedRatio,
+      posCol: String = "_cat_pos"): DataFrame = {
+    val cat = if (catalog.columns.contains(posCol)) catalog else withPosition(catalog, posCol)
+    val scored = probes
+      .crossJoin(broadcast(cat))
+      .withColumn("score", scorer(col(probeCol), col(candCol)))
+    val w = Window.partitionBy(col(probeCol))
+      .orderBy(col("score").desc, col(posCol).asc)
+    val top1 = scored
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn", posCol)
+    val keep = if (inclusive) col("score") >= threshold else col("score") > threshold
+    top1.where(keep)
+  }
+
+  /** Banded variant: probes and candidates join on a blocking key
+    * (first char + coarse length bucket of the normalized string) instead
+    * of a cross join, so neither side needs to broadcast. */
+  def bestMatchBlocked(
+      probes: DataFrame,
+      probeCol: String,
+      catalog: DataFrame,
+      candCol: String,
+      threshold: Double,
+      lengthBucket: Int = 4,
+      posCol: String = "_cat_pos"): DataFrame = {
+    val cat = if (catalog.columns.contains(posCol)) catalog else withPosition(catalog, posCol)
+    def bandKeys(c: Column): Column = {
+      val n = TextFunctions.normalizeName(c)
+      val b = floor(length(n) / lengthBucket)
+      // neighbor buckets too: a candidate one bucket away can still clear
+      // a high similarity threshold
+      array(
+        concat_ws("#", substring(n, 1, 1), (b - 1).cast("string")),
+        concat_ws("#", substring(n, 1, 1), b.cast("string")),
+        concat_ws("#", substring(n, 1, 1), (b + 1).cast("string")))
+    }
+    val p = probes.withColumn("_band", explode(array_distinct(bandKeys(col(probeCol)))))
+    val c = cat.withColumn("_band",
+      concat_ws("#",
+        substring(TextFunctions.normalizeName(col(candCol)), 1, 1),
+        floor(length(TextFunctions.normalizeName(col(candCol))) / lengthBucket).cast("string")))
+    val scored = p.join(c, Seq("_band"))
+      .withColumn("score", Similarity.similarity_ratio(
+        TextFunctions.normalizeName(col(probeCol)),
+        TextFunctions.normalizeName(col(candCol))))
+    val w = Window.partitionBy(col(probeCol))
+      .orderBy(col("score").desc, col(posCol).asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col("score") >= threshold)
+      .drop("_rn", "_band", posCol)
+  }
+}
+
+/** J2+J1 composed: full importer standardization
+  * (/root/reference/src/importer_standarizer.py:128-148 new path;
+  * :152-180 legacy path used by the pipeline). */
+object ImporterStandardizer {
+
+  sealed trait Variant
+  /** New path: normalized names, plain ratio, accept `>= threshold`. */
+  case object Normalized extends Variant
+  /** Legacy path (the one pipeline_transformation imports): raw names,
+    * junk chars `\t . space -`, accept `> threshold` strictly. Junk
+    * handling approximates difflib's isjunk by stripping junk chars
+    * before scoring. */
+  case object Legacy extends Variant
+
+  case class Result(standardized: DataFrame, notFound: DataFrame)
+
+  /** catalog schema: COD_IMP, NOMBRE_EMP, RUT (+extra cols ignored). */
+  def standardize(
+      df: DataFrame,
+      catalog: DataFrame,
+      threshold: Double = 0.6,
+      variant: Variant = Legacy,
+      nameCol: String = "IMPORTADOR"): Result = {
+    val names = df.select(nameCol).where(col(nameCol).isNotNull).distinct()
+    val cat = FuzzyJoin.withPosition(
+      catalog.select("COD_IMP", "NOMBRE_EMP", "RUT"))
+    val matched = variant match {
+      case Normalized =>
+        FuzzyJoin.bestMatch(names, nameCol, cat, "NOMBRE_EMP",
+          threshold, inclusive = true)
+      case Legacy =>
+        FuzzyJoin.bestMatch(names, nameCol, cat, "NOMBRE_EMP",
+          threshold, inclusive = false,
+          scorer = (p, c) => Similarity.similarity_ratio(
+            coalesce(stripJunk(p), lit("")), coalesce(stripJunk(c), lit(""))))
+    }
+    val mapping = matched.select(
+      col(nameCol),
+      col("NOMBRE_EMP").as("IMPORTADOR_STD"),
+      col("RUT"),
+      col("COD_IMP").as("IMP_COD"))
+    // J1: broadcast left enrichment + coalesce-back
+    val joined = df.join(broadcast(mapping), Seq(nameCol), "left")
+      .withColumn(nameCol, coalesce(col("IMPORTADOR_STD"), col(nameCol)))
+      .drop("IMPORTADOR_STD")
+    // not_found = distinct names with no accepted match (left_anti)
+    val notFound = names.join(mapping.select(nameCol), Seq(nameCol), "left_anti")
+    Result(joined, notFound)
+  }
+
+  private def stripJunk(c: Column): Column =
+    regexp_replace(c, "[\\t\\. \\-]+", "")
+}

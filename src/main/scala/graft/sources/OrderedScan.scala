@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Sources and sinks for the homologation pipeline (SURVEY §2 S3/S4/S7/S8).
+  *
+  * The reference's semantics are file-order-dependent (ffill W1, the
+  * `maxrow+2` header slice P1), so scans attach an explicit `_row_idx`
+  * reflecting input order. `zipWithIndex` over the scan RDD enumerates
+  * rows in split-offset order — i.e. file order — and stays distributed
+  * (one pass, no shuffle; the index is computed from per-partition counts).
+  */
+object OrderedScan {
+
+  val RowIdx = "_row_idx"
+
+  /** S3-equivalent: read a headerless all-string grid (the driver-side
+    * XLS→CSV conversion product; there is no offline Excel DataSource) as
+    * `_c0.._cN` StringType columns plus `_row_idx` in file order. */
+  def csvGrid(spark: SparkSession, path: String, delimiter: String = ","): DataFrame = {
+    val raw = spark.read
+      .option("header", "false")
+      .option("delimiter", delimiter)
+      .option("nullValue", "")
+      .csv(path)
+    attachRowIndex(raw)
+  }
+
+  /** S4: catalog CSV with header + explicit schema honoring. */
+  def csvCatalog(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.map(r.schema).getOrElse(r.option("inferSchema", "true")).csv(path)
+  }
+
+  /** Attach `_row_idx` preserving the DataFrame's current row order.
+    * Distributed: RDD zipWithIndex (two narrow passes, no shuffle). */
+  def attachRowIndex(df: DataFrame, idxCol: String = RowIdx): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(idxCol, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** In-memory grid (rows of nullable strings) → ordered DataFrame; used
+    * by tests and the driver-side sheet converter. */
+  def fromGrid(spark: SparkSession, rows: Seq[Seq[String]], nCols: Int): DataFrame = {
+    val schema = StructType(
+      (0 until nCols).map(i => StructField(s"_c$i", StringType, nullable = true)) :+
+        StructField(RowIdx, LongType, nullable = false))
+    val data = rows.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq((0 until nCols).map(c => if (c < r.size) r(c) else null) :+ i.toLong)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data.toSeq, 1), schema)
+  }
+
+  /** S7/S8: single-file CSV sink (the reference publishes one CSV). The
+    * coalesce(1) is inherent to the single-file contract — large outputs
+    * should instead keep natural partitioning and fan out. */
+  def writeSingleCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", header.toString)
+      .csv(path)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ImporterStandardizer
+import graft.sources.OrderedScan
+
+/** J1/J2/F14/F15: fuzzy importer standardization against the real master
+  * catalog (/root/reference/data/processed/bd-importadores.csv). */
+class ImporterStandardizerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val catalog = OrderedScan.csvCatalog(
+    spark, "/root/reference/data/processed/bd-importadores.csv")
+
+  test("exact, junk-variant, and garbage names standardize as expected") {
+    val df = Seq(
+      ("Astara Chile SPA", 1),       // exact → accepted
+      ("Astara. Chile - SPA", 2),    // junk chars only → strip → exact
+      ("BYD  Chile\tSPA", 3),        // tabs/spaces → exact after strip
+      ("zzzz qqqq vvvv", 4)          // garbage → not found, name kept
+    ).toDF("IMPORTADOR", "id")
+    val r = ImporterStandardizer.standardize(df, catalog,
+      threshold = 0.6, variant = ImporterStandardizer.Legacy)
+    val out = r.standardized.orderBy("id")
+      .select("IMPORTADOR", "RUT", "IMP_COD").collect()
+
+    assert(out(0).getString(0) == "Astara Chile SPA")
+    assert(out(0).getString(1) == "96.861.240-9")
+    assert(out(0).getString(2) == "ASTA968612409")
+    assert(out(1).getString(0) == "Astara Chile SPA")
+    assert(out(2).getString(0) == "BYD Chile SPA")
+    assert(out(3).getString(0) == "zzzz qqqq vvvv")
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2))
+
+    val nf = r.notFound.as[String].collect().toSet
+    assert(nf == Set("zzzz qqqq vvvv"))
+  }
+
+  test("new-path variant accepts at exactly the threshold (inclusive)") {
+    val df = Seq(("Astara Chile SPA", 1)).toDF("IMPORTADOR", "id")
+    val r = ImporterStandardizer.standardize(df, catalog,
+      threshold = 1.0, variant = ImporterStandardizer.Normalized)
+    assert(r.notFound.count() == 0) // score 1.0 >= 1.0 accepted
+    val r2 = ImporterStandardizer.standardize(df, catalog,
+      threshold = 1.0, variant = ImporterStandardizer.Legacy)
+    assert(r2.notFound.count() == 1) // legacy is strict >
+  }
+
+  test("plan uses broadcast joins, not a shuffled fact join") {
+    val df = Seq(("Astara Chile SPA", 1)).toDF("IMPORTADOR", "id")
+    val r = ImporterStandardizer.standardize(df, catalog)
+    val plan = r.standardized.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}

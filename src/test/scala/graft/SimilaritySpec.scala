@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Similarity
+
+/** F14: Ratcliff/Obershelp parity with Python difflib.SequenceMatcher
+  * (golden values computed with CPython difflib) + metric properties
+  * (seeded random strings — deterministic). */
+class SimilaritySpec extends AnyFunSuite {
+
+  private val golden = Seq(
+    ("DERCO S.A.", "DERCO", 0.6666666666666666),
+    ("KAUFMANN", "KAUFMAN SA", 0.7777777777777778),
+    ("PORSCHE CHILE", "PORSCHECHILESPA", 0.8571428571428571),
+    ("ABCD", "ABCD", 1.0),
+    ("", "", 1.0),
+    ("A", "", 0.0),
+    ("GILDEMEISTER", "GILDEMEISTERSPA", 0.8888888888888888),
+    ("SALFA", "SALAZAR", 0.6666666666666666),
+    ("ABCDEF", "DEFABC", 0.5))
+
+  test("matches difflib golden ratios") {
+    golden.foreach { case (a, b, expected) =>
+      assert(math.abs(Similarity.ratio(a, b) - expected) < 1e-12, s"ratio($a, $b)")
+    }
+  }
+
+  test("null-safe") {
+    assert(Similarity.ratio(null, "x") == 0.0)
+    assert(Similarity.ratio("x", null) == 0.0)
+  }
+
+  test("property: range, identity, symmetry") {
+    val rnd = new scala.util.Random(42)
+    def randStr(): String =
+      (0 until rnd.nextInt(13)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    (1 to 500).foreach { _ =>
+      val a = randStr(); val b = randStr()
+      val r = Similarity.ratio(a, b)
+      assert(r >= 0.0 && r <= 1.0)
+      assert(Similarity.ratio(a, a) == 1.0)
+      // like difflib, the metric is not exactly symmetric (tie-break
+      // asymmetry in block selection); but it can only differ slightly
+      assert(math.abs(r - Similarity.ratio(b, a)) < 0.25)
+    }
+  }
+}
