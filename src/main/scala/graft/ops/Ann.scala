@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteTopK]]: exact cosine top-k with the candidate side broadcast
+  *    — the correctness baseline, right whenever candidates fit in a
+  *    broadcast (dims × rows × 4B; ~1 GB per 4M×64d). Scoring is a pure
+  *    `zip_with`/`aggregate` expression — no UDF, stays in codegen.
+  *  - [[lshTopK]]: random-hyperplane LSH. Both sides hash to sign-bit
+  *    bucket keys (L tables × H bits, seeded/deterministic); candidates
+  *    come from an equi-JOIN on the bucket key, then exact cosine rerank.
+  *    Shuffle ∝ rows × L — the 100 TB path; recall tunes with L and H.
+  */
+object Ann {
+
+  /** Cosine similarity between two float-array columns as one expression.
+    * Arrays are cast to double FIRST so every product is a double×double
+    * (bit-identical to a DuckDB DOUBLE[] oracle); the fold accumulates in
+    * index order. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>"); val bd = b.cast("array<double>")
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Exact top-k neighbors for each query row, candidates broadcast.
+    * Output: (qid, nid, score rank-rounded) — self-matches excluded. */
+  def bruteTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("_qv"))
+    val c = candidates.select(col(idCol).as("nid"), col(vecCol).as("_cv"))
+    val scored = q.join(broadcast(c), col("qid") =!= col("nid"))
+      .withColumn("score", round(cosine(col("_qv"), col("_cv")), 4) + 0.0)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "nid", "score")
+  }
+
+  /** Deterministic random hyperplanes: L tables × H planes × dims. */
+  private def hyperplanes(dims: Int, tables: Int, bits: Int, seed: Long): Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Array.fill(dims)(rnd.nextGaussian())))
+  }
+
+  /** Bucket key per (table, vector): sign bits of the H hyperplane dots. */
+  private def bucketKeys(vec: Column, planes: Seq[Seq[Array[Double]]]): Column = {
+    val keys = planes.zipWithIndex.map { case (tbl, t) =>
+      val bits = tbl.zipWithIndex.map { case (p, i) =>
+        val planeLit = array(p.map(lit): _*)
+        val d = aggregate(zip_with(vec, planeLit, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+        when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      struct(lit(t).as("tbl"), bits.as("bits"))
+    }
+    array(keys: _*)
+  }
+
+  /** LSH-bucketed approximate top-k: same output shape as [[bruteTopK]].
+    * A query only meets candidates sharing ≥1 bucket in ≥1 table.
+    * Defaults (16 tables × 4 bits) are tuned for weakly-clustered
+    * embeddings (neighbor cosine ≈ 0.3–0.5 ⇒ per-bit collision ≈ 0.6 ⇒
+    * recall ≈ 0.9); corpora with tight clusters can raise `bits` for
+    * much stronger pruning at the same recall. */
+  def lshTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      tables: Int = 16,
+      bits: Int = 4,
+      dims: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dims, tables, bits, seed)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("_qv"))
+      .withColumn("bk", explode(bucketKeys(col("_qv"), planes)))
+    val c = candidates.select(col(idCol).as("nid"), col(vecCol).as("_cv"))
+      .withColumn("bk", explode(bucketKeys(col("_cv"), planes)))
+    val cands = q.join(c, q("bk") === c("bk") && col("qid") =!= col("nid"))
+      .select("qid", "_qv", "nid", "_cv").distinct()
+    val scored = cands.withColumn("score", round(cosine(col("_qv"), col("_cv")), 4) + 0.0)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "nid", "score")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH buckets
+    * (a < b, distinct) — never all-pairs. */
+  def embeddingNearDups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.99,
+      tables: Int = 8,
+      bits: Int = 8,
+      dims: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dims, tables, bits, seed)
+    val e = df.select(col(idCol), col(vecCol).as("_v"))
+      .withColumn("bk", explode(bucketKeys(col("_v"), planes)))
+    val a = e.select(col("bk"), col(idCol).as("a"), col("_v").as("_va"))
+    val b = e.select(col("bk"), col(idCol).as("b"), col("_v").as("_vb"))
+    a.join(b, Seq("bk"))
+      .where(col("a") < col("b"))
+      .select("a", "b", "_va", "_vb").distinct()
+      .withColumn("score", cosine(col("_va"), col("_vb")))
+      .where(col("score") >= threshold)
+      .select(col("a"), col("b"), (round(col("score"), 4) + 0.0).as("score"))
+  }
+}

@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed bucketed
+  * from day one: no stage materializes all-pairs. Candidate generation is
+  * always a JOIN ON A BLOCKING KEY (LSH band bucket / simhash band), so
+  * the quadratic blowup is confined to same-bucket collisions — the
+  * standard MinHash-LSH / SimHash construction that holds at 100 TB
+  * (shuffle volume ∝ corpus size × bands, never corpus²).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the minimum id per key group; one hash-aggregate
+    * shuffle on the key (map-side partial agg applies). */
+  def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signatures: k independent permutations approximated with
+    * seeded xxhash64. One explode + one groupBy; signature is an array
+    * column so downstream banding is pure array slicing. */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      shingleSize: Int = 3): DataFrame =
+    minHashSignaturesBy(df, idCol,
+      TextAnalysis.charShingles(col(textCol), shingleSize), numHashes)
+
+  /** Signature core over an arbitrary shingle-array expression. */
+  def minHashSignaturesBy(
+      df: DataFrame,
+      idCol: String,
+      shingles: Column,
+      numHashes: Int): DataFrame = {
+    val sh = df.select(col(idCol), explode(shingles).as("_sh"))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("_sh"))).as(s"_mh_$i"))
+    sh.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"_mh_$i")): _*).as("minhash"))
+  }
+
+  /** LSH banding: signature → (band index, band hash) rows. Pairs sharing
+    * any band bucket are candidates. bands × rowsPerBand must equal the
+    * signature length. */
+  def lshBands(
+      signatures: DataFrame,
+      idCol: String,
+      bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand)).as("sig"))
+    }
+    signatures.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** Candidate pairs from shared band buckets (a < b, distinct). The
+    * self-join shuffles on (band, sig) — co-located, no cross product. */
+  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col("band"), col("sig"), col(idCol).as("a"))
+    val b = bandsDf.select(col("band"), col("sig"), col(idCol).as("b"))
+    a.join(b, Seq("band", "sig"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Full MinHash-LSH near-dedup: signatures → bands → candidates →
+    * exact-Jaccard verification on shingle sets, keep pairs ≥ threshold. */
+  def minHashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      jaccardThreshold: Double = 0.8): DataFrame =
+    minHashNearDupsBy(df, idCol,
+      TextAnalysis.charShingles(col(textCol), shingleSize),
+      numHashes, bands, jaccardThreshold)
+
+  /** Word-shingle variant — far more discriminative on shared-vocabulary
+    * corpora than char n-grams (measured cross-doc max ≈ 0.02 vs 0.68 on
+    * the synthetic fixture). */
+  def minHashNearDupsWords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleWords: Int = 3,
+      jaccardThreshold: Double = 0.8): DataFrame =
+    minHashNearDupsBy(df, idCol,
+      TextAnalysis.wordShingles(col(textCol), shingleWords),
+      numHashes, bands, jaccardThreshold)
+
+  def minHashNearDupsBy(
+      df: DataFrame,
+      idCol: String,
+      shingleExpr: Column,
+      numHashes: Int,
+      bands: Int,
+      jaccardThreshold: Double): DataFrame =
+    nearDupSizes(df, idCol, shingleExpr, numHashes, bands)
+      .withColumn("jaccard", col("i_size").cast("double") / col("u_size"))
+      .where(col("jaccard") >= jaccardThreshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Candidate pairs with exact intersection/union SIZES (ints — lets
+    * callers threshold with exact integer arithmetic, no float compare). */
+  def nearDupSizes(
+      df: DataFrame,
+      idCol: String,
+      shingleExpr: Column,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = minHashSignaturesBy(df, idCol, shingleExpr, numHashes)
+    val cands = candidatePairs(lshBands(sigs, idCol, bands, numHashes / bands), idCol)
+    val shingles = df.select(col(idCol), shingleExpr.as("_sh"))
+    cands
+      .join(shingles.select(col(idCol).as("a"), col("_sh").as("_sha")), Seq("a"))
+      .join(shingles.select(col(idCol).as("b"), col("_sh").as("_shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("_sha"), col("_shb"))).as("i_size"),
+        (size(col("_sha")) + size(col("_shb")) -
+          size(array_intersect(col("_sha"), col("_shb")))).as("u_size"))
+  }
+
+  /** 64-bit SimHash over token hashes: per-bit majority vote of token
+    * hash bits, computed as 64 conditional sums in one aggregate (wide
+    * but single-pass and codegen-friendly). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("_tok"))
+      .withColumn("_h", xxhash64(col("_tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("_h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b_$j"))
+    val summed = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 64).map(j =>
+      when(col(s"_b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    summed.select(col(idCol), hash.as("simhash"))
+  }
+
+  private def popcount64(c: Column): Column = {
+    // SWAR popcount as Catalyst expressions (no UDF)
+    val m1 = lit(0x5555555555555555L); val m2 = lit(0x3333333333333333L)
+    val m4 = lit(0x0f0f0f0f0f0f0f0fL); val h01 = lit(0x0101010101010101L)
+    val x1 = c - shiftright(c, 1).bitwiseAND(m1)
+    val x2 = x1.bitwiseAND(m2) + shiftright(x1, 2).bitwiseAND(m2)
+    val x3 = (x2 + shiftright(x2, 4)).bitwiseAND(m4)
+    shiftright(x3 * h01, 56).bitwiseAND(lit(0x7fL))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit chunks
+    * (any pair within Hamming distance ≤ 3 of the full hash must agree
+    * exactly on at least one chunk — pigeonhole), bucket-join on chunks,
+    * verify true Hamming distance. */
+  def simHashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(df, idCol, textCol)
+    val chunks = (0 until 4).map(i =>
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("sig")))
+    val banded = sh.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val a = banded.select(col("band"), col("sig"), col(idCol).as("a"), col("simhash").as("_ha"))
+    val b = banded.select(col("band"), col("sig"), col(idCol).as("b"), col("simhash").as("_hb"))
+    a.join(b, Seq("band", "sig"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        popcount64(expr("_ha ^ _hb")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard between explicit pairs (e.g. consecutive ids) —
+    * the verification primitive exposed standalone. */
+  def ngramJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairWith: Column => Column,
+      n: Int = 3): DataFrame = {
+    val g = df.select(col(idCol).as("a"),
+      TextAnalysis.charShingles(col(textCol), n).as("_ga"))
+    val h = df.select(col(idCol).as("b"),
+      TextAnalysis.charShingles(col(textCol), n).as("_gb"))
+    g.join(h, h("b") === pairWith(g("a")))
+      .select(col("a"), col("b"),
+        round(size(array_intersect(col("_ga"), col("_gb"))).cast("double") /
+          size(array_union(col("_ga"), col("_gb"))), 6).as("jaccard"))
+  }
+}

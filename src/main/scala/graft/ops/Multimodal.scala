@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video travel as opaque
+  * `binary` columns with typed metadata, processed in batched
+  * per-partition passes (the Scala analogue of `mapInPandas`). The Spark
+  * side — schema, partitioning, batch iteration, feature schema — is
+  * real and tested; the actual codec calls are STUBBED with a
+  * deterministic fake (this container has no image/audio libraries), at
+  * the single clearly-marked point below.
+  */
+object Multimodal {
+
+  /** A media row: payload + typed metadata. */
+  case class MediaRow(
+      media_id: Long,
+      kind: String,           // "image" | "audio" | "video"
+      bytes: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int)
+
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      checksum: Long,
+      features: Array[Float]) // decoder-derived embedding
+
+  /** ===== STUB: deterministic fake decoder =====
+    * Real deployments replace this with an image/audio codec (JNI or
+    * external service). The fake derives a 16-dim byte-histogram feature
+    * — deterministic, content-sensitive, schema-identical to a real
+    * decoder's output, so every downstream stage exercises the true
+    * code path. */
+  private[ops] def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
+    val n = math.max(bytes.length, 1).toFloat
+    hist.map(_ / n)
+  }
+
+  /** Batched feature extraction: one pass per partition, constant memory
+    * per batch — scales with partition count, never collects. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        var crc = 0L
+        r.bytes.foreach(b => crc = crc * 31 + (b & 0xff))
+        MediaFeatures(r.media_id, r.kind, r.bytes.length, crc, decodeStub(r.bytes))
+      }
+    }
+  }
+
+  /** "Resize": deterministic byte-domain downsample keeping every k-th
+    * byte (stands in for a pixel resample; plumbing-faithful). */
+  def resample(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = r.bytes.indices.collect { case i if i % factor == 0 => r.bytes(i) }.toArray
+        r.copy(bytes = out, width = math.max(r.width / factor, 1),
+          height = math.max(r.height / factor, 1))
+      }
+    }
+  }
+
+  /** "Frame sampling" for video-kind rows: split payload into fixed-size
+    * frames, emit every strideth frame as its own row (explode shape). */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int, stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      r.bytes.grouped(frameSize).zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .map { case (frame, i) => (r.media_id, i, frame) }
+    }.toDF("media_id", "frame_no", "frame_bytes")
+  }
+
+  /** Build a deterministic media table from the documents fixture (text
+    * bytes as payload) — the harness input for the multimodal path. */
+  def mediaFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      (col("doc_id") % 640 + 32).cast("int").as("width"),
+      (col("doc_id") % 480 + 32).cast("int").as("height"),
+      lit(16000).as("sample_rate"))
+      .as[MediaRow]
+  }
+
+  /** End-to-end multimodal profile: media table → batched decode →
+    * per-kind feature aggregate; the driver-surface query. */
+  def profile(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val feats = extractFeatures(mediaFromDocuments(spark, documents))
+    feats.toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+      .orderBy("media_id")
+  }
+}

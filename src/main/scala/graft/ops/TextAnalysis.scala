@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All pure
+  * Catalyst expressions (no UDFs) so they stay inside whole-stage codegen
+  * and scale linearly with a parquet scan — at 100 TB these run as a
+  * single map-only stage with full column pruning.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text (empty input → empty array). */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword segmentation: split on word/number/punct boundaries
+    * (a deterministic stand-in for a learned tokenizer's pre-tokenizer). */
+  def subwordTokens(c: Column): Column = {
+    val pretok = regexp_replace(c, "([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])", " $1 ")
+    when(length(trim(pretok)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(pretok), "\\s+"))
+  }
+
+  /** Fraction of characters matching `charClass` (regex class body). */
+  def charClassRatio(c: Column, charClass: String): Column =
+    when(length(c) === 0, 0.0).otherwise(
+      length(regexp_replace(c, s"[^$charClass]", "")).cast("double") / length(c))
+
+  def punctRatio(c: Column): Column = charClassRatio(c, "\\p{Punct}")
+  def digitRatio(c: Column): Column = charClassRatio(c, "0-9")
+  def upperRatio(c: Column): Column = charClassRatio(c, "A-Z")
+
+  private val enStop = Seq("the", "and", "of", "to", "in", "is", "a", "for")
+  private val esStop = Seq("el", "la", "de", "que", "y", "en", "los", "del")
+  private val deStop = Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein")
+  private val frStop = Seq("le", "les", "des", "est", "une", "dans", "pour", "que")
+
+  private def stopHits(c: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(c, lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  /** Ratio of stopword hits (any language) to token count — a classic
+    * natural-language-vs-noise signal. */
+  def stopwordRatio(c: Column): Column = {
+    val lc = lower(c)
+    val hits = stopHits(lc, enStop) + stopHits(lc, esStop) +
+      stopHits(lc, deStop) + stopHits(lc, frStop)
+    when(tokenCount(c) === 0, 0.0)
+      .otherwise(hits.cast("double") / tokenCount(c))
+  }
+
+  /** Composite document quality score in [0,1]: length band + punct +
+    * digit + stopword signals, the usual pre-training heuristic filter
+    * shape. Deterministic and codegen-friendly. */
+  def qualityScore(c: Column): Column = {
+    val n = tokenCount(c)
+    val lengthOk = when(n.between(5, 100000), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(c) < 0.3, 1.0).otherwise(0.0)
+    val digitOk = when(digitRatio(c) < 0.3, 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(c) > 0.01, 1.0).otherwise(0.0)
+    round((lengthOk + punctOk + digitOk + stopOk) / 4.0, 2)
+  }
+
+  /** N-gram-heuristic language ID over stopword evidence; deterministic
+    * tie-break by declaration order (en, es, de, fr, unknown). */
+  def langIdHeuristic(c: Column): Column = {
+    val lc = lower(c)
+    val en = stopHits(lc, enStop); val es = stopHits(lc, esStop)
+    val de = stopHits(lc, deStop); val fr = stopHits(lc, frStop)
+    val mx = greatest(en, es, de, fr)
+    when(mx === 0, "unknown")
+      .when(en === mx, "en")
+      .when(es === mx, "es")
+      .when(de === mx, "de")
+      .otherwise("fr")
+  }
+
+  /** Document fingerprint: truncated SHA-256 over whitespace-normalized
+    * lowercase text — stable under reflow, oracle-checkable. */
+  def fingerprint(c: Column, len: Int = 16): Column =
+    substring(sha2(regexp_replace(lower(c), "\\s+", " "), 256), 1, len)
+
+  /** Rolling polynomial hash (Rabin–Karp shape) of the normalized text —
+    * the incremental-dedup fingerprint; pure expression via aggregate()
+    * over the character codes. */
+  def rollingHash(c: Column, base: Long = 1000003L): Column = {
+    val norm = regexp_replace(lower(c), "\\s+", " ")
+    val codes = transform(sequence(lit(1), length(norm)),
+      i => ascii(norm.substr(i, lit(1))).cast("long"))
+    aggregate(codes, lit(0L), (acc, x) => acc * lit(base) + x)
+  }
+
+  /** Character shingles (n-grams) of the normalized text, distinct. */
+  def charShingles(c: Column, n: Int = 3): Column = {
+    val norm = regexp_replace(lower(c), "\\s+", " ")
+    array_distinct(
+      when(length(norm) < n, array(norm))
+        .otherwise(transform(
+          sequence(lit(0), length(norm) - n),
+          i => norm.substr(i + lit(1), lit(n)))))
+  }
+
+  /** Word shingles (n-token windows joined by space). */
+  def wordShingles(c: Column, n: Int = 3): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+  }
+
+  /** documents-table profile: one row per doc with the full signal set. */
+  def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    df.select(
+      col("doc_id"),
+      length(c).as("n_chars"),
+      tokenCount(c).as("n_tokens"),
+      size(subwordTokens(c)).as("n_subwords"),
+      round(punctRatio(c), 6).as("punct_ratio"),
+      round(digitRatio(c), 6).as("digit_ratio"),
+      round(stopwordRatio(c), 6).as("stopword_ratio"),
+      qualityScore(c).as("quality"),
+      langIdHeuristic(c).as("lang_pred"),
+      fingerprint(c).as("fp"))
+  }
+}

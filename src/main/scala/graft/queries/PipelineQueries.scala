@@ -3,10 +3,12 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.ImporterStandardizer
+import graft.engine.Tables
+import graft.ops.{Ann, Dedup, ImporterStandardizer, Multimodal, TextAnalysis}
 import graft.pipeline.Homologation
 import graft.schema.HeaderRules
 import graft.sources.OrderedScan
+import graft.streaming.EventsStream
 
 /** Queries exercising the homologation pipeline and (see DedupQueries /
   * AnnQueries / TextQueries) the LLM-training-data operators. Keys join
@@ -45,8 +47,186 @@ object PipelineQueries {
         Homologation.pipeline(demoGrid(s), new HeaderRules(), catalog)
       Homologation.publishProjection(r.standardized)
         .orderBy("MARCA")
-    })
+    }),
+
+    // ---- dedup family ------------------------------------------------
+    // Exact dedup: keep-first per key, one partial-agg shuffle.
+    "p02_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(Tables(s, dir, "documents"), "doc_id", Seq("lang", "source"))
+        .orderBy("lang", "source")),
+
+    // MinHash-LSH near-dedup against the corpus's REAL planted near-dups
+    // (the fixture contains ~25 pairs at word-3-shingle Jaccard ≥ 0.9);
+    // the DuckDB oracle computes exact all-pairs ground truth, so this
+    // gate checks LSH recall AND the verify stage. Integer threshold
+    // (5·i ≥ 4·u ⇔ J ≥ 0.8) keeps the compare float-free.
+    "p03_dedup_minhash" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      Dedup.nearDupSizes(docs, "doc_id",
+          TextAnalysis.wordShingles(col("text"), 3), numHashes = 64, bands = 16)
+        .where(col("i_size") * 5 >= col("u_size") * 4)
+        .orderBy("a", "b")
+    }),
+
+    // SimHash planted-recall gate: union the corpus with exact copies
+    // (doc_id + 100000) and check the banded Hamming-0 pipeline recovers
+    // every planted pair (restricted to planted pairs — the corpus's own
+    // near-dups legitimately also collide and are covered by DedupSpec).
+    "p04_dedup_simhash" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.simHashNearDups(planted, "doc_id", "text", maxHamming = 0)
+        .where(col("b") === col("a") + 100000)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    }),
+
+    // Exact n-gram Jaccard between consecutive docs — int-valued
+    // intersection/union sizes (no float hazard in the gate).
+    "p05_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val g = docs.select(col("doc_id").as("a"),
+        TextAnalysis.charShingles(col("text"), 3).as("_ga"))
+      val h = docs.select(col("doc_id").as("b"),
+        TextAnalysis.charShingles(col("text"), 3).as("_gb"))
+      g.join(h, h("b") === g("a") + 1)
+        .select(col("a"), col("b"),
+          size(array_intersect(col("_ga"), col("_gb"))).as("i_size"),
+          size(array_union(col("_ga"), col("_gb"))).as("u_size"))
+        .orderBy("a")
+    }),
+
+    // Embedding near-dup pairs via hyperplane-LSH buckets on a planted
+    // corpus (vec_id + 100000 copies); identical vectors share every
+    // bucket, so recall on the planted pairs is exact.
+    "p06_embedding_neardup" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.union(e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Ann.embeddingNearDups(planted, "vec_id", "embedding", threshold = 0.999)
+        .orderBy("a", "b")
+    }),
+
+    // ---- similarity search -------------------------------------------
+    // Brute-force cosine top-3 (broadcast candidates) for query ids < 50.
+    "p07_ann_brute" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Ann.bruteTopK(e.where(col("vec_id") < 50), e, "vec_id", "embedding", k = 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // LSH-bucketed approximate top-3 — the 100 TB path; rows-only gate,
+    // recall vs brute force is pinned in AnnSpec.
+    "p08_ann_lsh" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Ann.lshTopK(e.where(col("vec_id") < 50), e, "vec_id", "embedding", k = 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- text analysis -----------------------------------------------
+    "p09_text_stats" -> ((s, dir) => {
+      val c = col("text")
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        length(c).as("n_chars_calc"),
+        TextAnalysis.tokenCount(c).as("n_tokens"),
+        round(TextAnalysis.punctRatio(c), 6).as("punct_r"),
+        round(TextAnalysis.digitRatio(c), 6).as("digit_r"))
+        .orderBy("doc_id")
+    }),
+
+    "p10_langid" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "p11_fingerprint" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Rolling-hash + quality profile — engine-specific (rows-only gate,
+    // pinned in TextAnalysisSpec).
+    "p12_text_profile" -> ((s, dir) =>
+      TextAnalysis.profile(Tables(s, dir, "documents"))
+        .withColumn("rolling", TextAnalysis.rollingHash(col("fp")))
+        .orderBy("doc_id")),
+
+    // ---- multimodal plumbing (decode STUBBED, plumbing real) ----------
+    "p13_multimodal" -> ((s, dir) =>
+      Multimodal.profile(s, Tables(s, dir, "documents"))),
+
+    // ---- events / streaming-as-batch ---------------------------------
+    "p14_events_window" -> ((s, dir) =>
+      EventsStream.tumblingCounts(Tables(s, dir, "events"))
+        .orderBy("w_start", "event_type")),
+
+    "p15_sessionize" -> ((s, dir) =>
+      EventsStream.sessionize(Tables(s, dir, "events"))
+        .orderBy("s_start", "user_id")),
+
+    "p16_dedup_first_per_user" -> ((s, dir) =>
+      EventsStream.dedupFirstPerUser(Tables(s, dir, "events"))
+        .orderBy("user_id", "event_type"))
   )
 
-  val oracleSql: Map[String, String] = Map()
+  private val langCase: String = {
+    def hits(words: Seq[String]) =
+      s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+    val en = hits(Seq("the", "and", "of", "to", "in", "is", "a", "for"))
+    val es = hits(Seq("el", "la", "de", "que", "y", "en", "los", "del"))
+    val de = hits(Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"))
+    val fr = hits(Seq("le", "les", "des", "est", "une", "dans", "pour", "que"))
+    s"""WITH s AS (SELECT doc_id, $en AS en, $es AS es, $de AS de, $fr AS fr FROM documents)
+       SELECT doc_id, CASE WHEN greatest(en, es, de, fr) = 0 THEN 'unknown'
+         WHEN en = greatest(en, es, de, fr) THEN 'en'
+         WHEN es = greatest(en, es, de, fr) THEN 'es'
+         WHEN de = greatest(en, es, de, fr) THEN 'de'
+         ELSE 'fr' END AS lang_pred FROM s ORDER BY doc_id"""
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "p02_dedup_exact" ->
+      "SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY lang, source ORDER BY lang, source",
+    "p03_dedup_minhash" -> (
+      "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
+        "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
+        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, len(gs) AS n FROM t) " +
+        "SELECT i.a, i.b, CAST(i.i_size AS INT) AS i_size, CAST(sa.n + sb.n - i.i_size AS INT) AS u_size " +
+        "FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
+        "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size) ORDER BY a, b"),
+    "p04_dedup_simhash" ->
+      "SELECT doc_id AS a, doc_id + 100000 AS b, CAST(0 AS BIGINT) AS hamming FROM documents WHERE length(trim(text)) > 0 ORDER BY a, b",
+    "p05_ngram_jaccard" -> (
+      "WITH g AS (SELECT doc_id, list_distinct([substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), i + 1, 3) " +
+        "FOR i IN range(length(regexp_replace(lower(text), '\\s+', ' ', 'g')) - 2)]) AS gs FROM documents) " +
+        "SELECT a.doc_id AS a, b.doc_id AS b, " +
+        "len(list_intersect(a.gs, b.gs)) AS i_size, " +
+        "len(list_distinct(list_concat(a.gs, b.gs))) AS u_size " +
+        "FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 ORDER BY a"),
+    "p06_embedding_neardup" ->
+      "SELECT vec_id AS a, vec_id + 100000 AS b, CAST(1.0 AS DOUBLE) AS score FROM embeddings ORDER BY a, b",
+    "p07_ann_brute" -> (
+      "WITH scored AS (SELECT q.vec_id AS qid, c.vec_id AS nid, " +
+        "ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) + 0.0 AS score " +
+        "FROM embeddings q JOIN embeddings c ON q.vec_id < 50 AND q.vec_id <> c.vec_id), " +
+        "ranked AS (SELECT qid, nid, score, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM scored) " +
+        "SELECT qid, CAST(rank AS INT) AS rank, nid, score FROM ranked WHERE rank <= 3 ORDER BY qid, rank"),
+    "p09_text_stats" -> (
+      "SELECT doc_id, length(text) AS n_chars_calc, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens, " +
+        "ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_r, " +
+        "ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS digit_r " +
+        "FROM documents ORDER BY doc_id"),
+    "p10_langid" -> langCase,
+    "p11_fingerprint" ->
+      "SELECT doc_id, substring(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fp FROM documents ORDER BY doc_id",
+    "p14_events_window" -> (
+      "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start, event_type, " +
+        "COUNT(*) AS n, ROUND(SUM(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
+    "p16_dedup_first_per_user" ->
+      "SELECT user_id, event_type, MIN(event_id) AS first_event, COUNT(*) AS n FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"
+  )
 }

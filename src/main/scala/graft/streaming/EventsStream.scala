@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming surface over the events table (SURVEY §2.10
+  * phase 2). Transformations are defined once as batch-agnostic
+  * `DataFrame => DataFrame` so the SAME code runs in a batch query (the
+  * oracle-checkable path) and under `readStream` with watermarks (the
+  * production path, exercised in EventsStreamSpec via the memory sink).
+  */
+object EventsStream {
+
+  /** Tumbling-window aggregate per event type. With a streaming source
+    * the preceding `withWatermark` bounds state; in batch it is a plain
+    * window-bucket groupBy. */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Streaming dedup shape: first event per (user_id, event_type) within
+    * the watermark horizon. Batch equivalent: min per group. */
+  def dedupFirstPerUser(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n"))
+
+  /** Session windows per user (30 min gap): streaming-native
+    * session_window, also valid in batch. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Attach the production streaming wrapper: watermark + the same
+    * transform. `events` must be a streaming DataFrame (readStream). */
+  def streamingTumbling(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    tumblingCounts(events.withWatermark("ts", watermark))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.ops.Ann
+
+/** Similarity search: brute-force exactness, LSH recall, plan shape. */
+class AnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables(spark, dir, "embeddings")
+
+  test("cosine of identical vectors is 1.0; orthogonal is 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 0f), Array(-1f, 0f))).toDF("a", "b")
+    val out = df.select(round(Ann.cosine(col("a"), col("b")), 6)).as[Double].collect()
+    assert(out.toSeq == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("bruteTopK returns k neighbors per query, self excluded, rank ordered") {
+    val out = Ann.bruteTopK(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 3)
+      .orderBy("qid", "rank").collect()
+    assert(out.length == 15)
+    out.foreach { r =>
+      assert(r.getAs[Long]("qid") != r.getAs[Long]("nid"))
+      assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 3)
+    }
+    // scores non-increasing within a query
+    out.grouped(3).foreach { g =>
+      val s = g.map(_.getAs[Double]("score"))
+      assert(s.sameElements(s.sorted.reverse))
+    }
+  }
+
+  test("LSH top-k recall vs brute force is high on the fixture") {
+    val k = 3
+    val queries = emb.where(col("vec_id") < 50)
+    val brute = Ann.bruteTopK(queries, emb, "vec_id", "embedding", k)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(queries, emb, "vec_id", "embedding", k,
+      tables = 16, bits = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.6, s"LSH recall $recall too low")
+  }
+
+  test("LSH path has no cartesian product and no broadcast of the big side") {
+    val plan = Ann.lshTopK(emb, emb, "vec_id", "embedding", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("embeddingNearDups finds planted duplicates") {
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .union(emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val pairs = Ann.embeddingNearDups(planted, "vec_id", "embedding", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = emb.select("vec_id").collect().map(_.getLong(0))
+      .map(i => (i, i + 10000)).toSet
+    assert(expected.subsetOf(pairs))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Dedup family: exact, MinHash-LSH, SimHash — correctness on planted
+  * near-dups + scale-shape assertions (no cartesian products). */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near-dup of 1
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again tonight"), // exact dup of 1
+    (5L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps min id per key") {
+    val out = Dedup.exactDedup(base, "doc_id", Seq("text"))
+      .orderBy("keep_id").select("keep_id", "n_dups")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L), (5L, 1L)))
+  }
+
+  test("minhash LSH finds exact and near dup pairs, not unrelated ones") {
+    val pairs = Dedup.minHashNearDupsWords(base, "doc_id", "text",
+      numHashes = 64, bands = 16, jaccardThreshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup, jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near dups
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L || a == 5L || b == 5L })
+  }
+
+  test("minhash signature is deterministic and 64-wide") {
+    val sig = Dedup.minHashSignatures(base, "doc_id", "text")
+      .where($"doc_id" === 1L).select("minhash").first().getSeq[Long](0)
+    val sig2 = Dedup.minHashSignatures(base, "doc_id", "text")
+      .where($"doc_id" === 4L).select("minhash").first().getSeq[Long](0)
+    assert(sig.size == 64)
+    assert(sig == sig2) // identical text → identical signature
+  }
+
+  test("simhash: identical text → hamming 0; near-dup → small; different → large") {
+    val sh = Dedup.simHash(base, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) <= 12)
+    assert(ham(sh(1L), sh(3L)) > 12)
+  }
+
+  test("simHashNearDups at hamming 0 finds the exact pair via bands") {
+    val pairs = Dedup.simHashNearDups(base, "doc_id", "text", maxHamming = 0)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("LSH pipelines contain no cartesian product") {
+    val plan = Dedup.minHashNearDupsWords(base, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val plan2 = Dedup.simHashNearDups(base, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("CartesianProduct"), plan2)
+  }
+
+  test("ngramJaccard computes exact char-3-gram similarity for id pairs") {
+    val df = Seq((1L, "abcabc"), (2L, "abcabc"), (3L, "zzzzzz")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(df, "doc_id", "text", a => a + 1)
+      .orderBy("a").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0), (2L, 3L, 0.0)))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.streaming.EventsStream
+
+/** Structured Streaming surface: the SAME transforms run in batch (oracle
+  * path, p14–p16) and as a real streaming query with watermarks here. */
+class EventsStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling aggregate over file source matches batch result") {
+    val batchEvents = Tables(spark, dir, "events")
+    val expected = EventsStream.tumblingCounts(batchEvents)
+      .orderBy("w_start", "event_type").collect()
+
+    // stream the same parquet through readStream with a watermark; the
+    // ts column arrives as nanos-long (same legacy read), converted in
+    // the same way as Tables does.
+    // readStream needs a directory source; stage the single parquet file
+    val stage = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamRaw = spark.readStream.schema(schema).parquet(stage.toString)
+    val stream = streamRaw.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    val q = EventsStream.streamingTumbling(stream, watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("agg_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // append mode only emits windows the watermark has closed; every
+    // emitted row must match the batch result exactly
+    val got = spark.table("agg_out").orderBy("w_start", "event_type").collect()
+    assert(got.nonEmpty, "stream emitted no closed windows")
+    val expectedSet = expected.map(_.toSeq).toSet
+    got.foreach(r => assert(expectedSet.contains(r.toSeq), s"row $r not in batch result"))
+    spark.sql("DROP TABLE IF EXISTS agg_out")
+  }
+
+  test("sessionize groups events within the gap") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(min: Int) = new java.sql.Timestamp(ts0.getTime + min * 60000L)
+    val ev = Seq(
+      (1L, t(0), 10.0), (1L, t(10), 5.0),   // session 1 (gap 30m)
+      (1L, t(90), 2.0),                      // session 2
+      (2L, t(0), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val out = EventsStream.sessionize(ev).orderBy("user_id", "s_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(0).getAs[Double]("session_value") == 15.0)
+  }
+}

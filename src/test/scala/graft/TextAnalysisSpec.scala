@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextAnalysis
+
+/** Text-analysis signals: tokens, ratios, lang-id, fingerprints. */
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token counts: whitespace and subword") {
+    val df = Seq("hello world", "  a  b   c ", "", "can't stop-me v2.0").toDF("t")
+    val out = df.select(
+      TextAnalysis.tokenCount($"t"),
+      size(TextAnalysis.subwordTokens($"t"))).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(out(0) == ((2, 2)))
+    assert(out(1) == ((3, 3)))
+    assert(out(2) == ((0, 0)))
+    // can't → can ' t ; stop-me → stop - me ; v2.0 → v 2 . 0
+    assert(out(3) == ((3, 10)))
+  }
+
+  test("char-class ratios") {
+    val df = Seq("ab!?12").toDF("t")
+    val r = df.select(
+      TextAnalysis.punctRatio($"t"), TextAnalysis.digitRatio($"t"),
+      TextAnalysis.upperRatio($"t")).first()
+    assert(math.abs(r.getDouble(0) - 2.0 / 6) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 2.0 / 6) < 1e-9)
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  test("language id picks the dominant stopword language") {
+    val df = Seq(
+      "the cat and the dog went to the store",
+      "el perro y la casa de los vecinos en madrid",
+      "der hund und die katze ist nicht hier mit ein",
+      "xyzzy plugh qwerty").toDF("t")
+    val out = df.select(TextAnalysis.langIdHeuristic($"t")).as[String].collect()
+    assert(out.toSeq == Seq("en", "es", "de", "unknown"))
+  }
+
+  test("quality score rewards natural text, punishes noise") {
+    val good = "the quick brown fox jumps over the lazy dog and runs away to the hills"
+    val noise = "!!!! #### 1234 5678 $$$$"
+    val df = Seq(good, noise).toDF("t")
+    val out = df.select(TextAnalysis.qualityScore($"t")).as[Double].collect()
+    assert(out(0) == 1.0)
+    assert(out(1) <= 0.5)
+  }
+
+  test("fingerprint is whitespace-reflow stable; rolling hash deterministic") {
+    val df = Seq(("a  b\tc", 1), ("a b c", 2), ("a b d", 3)).toDF("t", "id")
+    val fps = df.select(TextAnalysis.fingerprint($"t")).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+    val rh = df.select(TextAnalysis.rollingHash($"t")).as[Long].collect()
+    assert(rh(0) == rh(1))
+    assert(rh(0) != rh(2))
+  }
+
+  test("shingles: char and word") {
+    val df = Seq("abcd efg").toDF("t")
+    val ch = df.select(TextAnalysis.charShingles($"t", 3)).first().getSeq[String](0)
+    assert(ch.contains("abc") && ch.contains("d e") && ch.size == 6)
+    val df2 = Seq("w1 w2 w3 w4").toDF("t")
+    val ws = df2.select(TextAnalysis.wordShingles($"t", 3)).first().getSeq[String](0)
+    assert(ws.toSet == Set("w1 w2 w3", "w2 w3 w4"))
+  }
+}
