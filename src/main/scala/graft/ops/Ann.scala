@@ -83,12 +83,15 @@ object Ann {
       dims: Int = 64,
       seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dims, tables, bits, seed)
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("_qv"))
-      .withColumn("bk", explode(bucketKeys(col("_qv"), planes)))
-    val c = candidates.select(col(idCol).as("nid"), col(vecCol).as("_cv"))
-      .withColumn("bk", explode(bucketKeys(col("_cv"), planes)))
-    val cands = q.join(c, q("bk") === c("bk") && col("qid") =!= col("nid"))
-      .select("qid", "_qv", "nid", "_cv").distinct()
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("_qv"))
+    val cv = candidates.select(col(idCol).as("nid"), col(vecCol).as("_cv"))
+    val q = qv.withColumn("bk", explode(bucketKeys(col("_qv"), planes))).select("qid", "bk")
+    val c = cv.withColumn("bk", explode(bucketKeys(col("_cv"), planes))).select("nid", "bk")
+    // dedupe on slim (qid, nid) FIRST — shuffling full vectors through a
+    // distinct over bucket duplicates would move |vec| × L bytes per row
+    val pairs = q.join(c, q("bk") === c("bk") && col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val cands = pairs.join(qv, Seq("qid")).join(cv, Seq("nid"))
     val scored = cands.withColumn("score", round(cosine(col("_qv"), col("_cv")), 4) + 0.0)
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -98,23 +101,31 @@ object Ann {
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH buckets
     * (a < b, distinct) — never all-pairs. */
+  /** High thresholds permit MANY bits: at cosine ≥ 0.99 a true pair
+    * agrees on a 16-bit bucket with p ≈ 0.98^16 ≈ 0.72 per table, so 8
+    * tables miss with p ≈ 3e-5 — while random pairs land in near-
+    * singleton buckets and the candidate set stays ~linear. */
   def embeddingNearDups(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double = 0.99,
       tables: Int = 8,
-      bits: Int = 8,
+      bits: Int = 16,
       dims: Int = 64,
       seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dims, tables, bits, seed)
-    val e = df.select(col(idCol), col(vecCol).as("_v"))
-      .withColumn("bk", explode(bucketKeys(col("_v"), planes)))
-    val a = e.select(col("bk"), col(idCol).as("a"), col("_v").as("_va"))
-    val b = e.select(col("bk"), col(idCol).as("b"), col("_v").as("_vb"))
-    a.join(b, Seq("bk"))
+    val vecs = df.select(col(idCol), col(vecCol).as("_v"))
+    val e = vecs.withColumn("bk", explode(bucketKeys(col("_v"), planes)))
+      .select(col(idCol), col("bk"))
+    val a = e.select(col("bk"), col(idCol).as("a"))
+    val b = e.select(col("bk"), col(idCol).as("b"))
+    val pairs = a.join(b, Seq("bk"))
       .where(col("a") < col("b"))
-      .select("a", "b", "_va", "_vb").distinct()
+      .select("a", "b").distinct()
+    pairs
+      .join(vecs.select(col(idCol).as("a"), col("_v").as("_va")), Seq("a"))
+      .join(vecs.select(col(idCol).as("b"), col("_v").as("_vb")), Seq("b"))
       .withColumn("score", cosine(col("_va"), col("_vb")))
       .where(col("score") >= threshold)
       .select(col("a"), col("b"), (round(col("score"), 4) + 0.0).as("score"))

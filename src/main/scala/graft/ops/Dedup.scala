@@ -30,18 +30,19 @@ object Dedup {
     minHashSignaturesBy(df, idCol,
       TextAnalysis.charShingles(col(textCol), shingleSize), numHashes)
 
-  /** Signature core over an arbitrary shingle-array expression. */
+  /** Signature core over an arbitrary shingle-array expression. MAP-ONLY:
+    * each of the k minhashes is an array_min over a per-seed rehash of
+    * the row's shingle array — no explode, no groupBy, no shuffle (the
+    * explode+groupBy formulation shuffles |corpus|×|shingles| rows; this
+    * one shuffles nothing and reads each shingle from memory k times). */
   def minHashSignaturesBy(
       df: DataFrame,
       idCol: String,
       shingles: Column,
       numHashes: Int): DataFrame = {
-    val sh = df.select(col(idCol), explode(shingles).as("_sh"))
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("_sh"))).as(s"_mh_$i"))
-    sh.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"_mh_$i")): _*).as("minhash"))
+    val sig = array((0 until numHashes).map(i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*)
+    df.select(col(idCol), sig.as("minhash"))
   }
 
   /** LSH banding: signature → (band index, band hash) rows. Pairs sharing
@@ -72,6 +73,18 @@ object Dedup {
 
   /** Full MinHash-LSH near-dedup: signatures → bands → candidates →
     * exact-Jaccard verification on shingle sets, keep pairs ≥ threshold. */
+  /** Materialize char shingles as `_sh`: normalization is hoisted into
+    * its own projection so the shingle lambda reads an attribute —
+    * embedding it would re-run the regex once per shingle (O(L²)). */
+  def withCharShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.withColumn("_norm", TextAnalysis.normText(col(textCol)))
+      .select(col(idCol), TextAnalysis.charShinglesRaw(col("_norm"), n).as("_sh"))
+
+  /** Materialize word shingles as `_sh` (tokens hoisted likewise). */
+  def withWordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol), TextAnalysis.wordShinglesRaw(col("_toks"), n).as("_sh"))
+
   def minHashNearDups(
       df: DataFrame,
       idCol: String,
@@ -80,9 +93,9 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 3,
       jaccardThreshold: Double = 0.8): DataFrame =
-    minHashNearDupsBy(df, idCol,
-      TextAnalysis.charShingles(col(textCol), shingleSize),
-      numHashes, bands, jaccardThreshold)
+    minHashNearDupsShingled(
+      withCharShingles(df, idCol, textCol, shingleSize),
+      idCol, numHashes, bands, jaccardThreshold)
 
   /** Word-shingle variant — far more discriminative on shared-vocabulary
     * corpora than char n-grams (measured cross-doc max ≈ 0.02 vs 0.68 on
@@ -95,37 +108,37 @@ object Dedup {
       bands: Int = 16,
       shingleWords: Int = 3,
       jaccardThreshold: Double = 0.8): DataFrame =
-    minHashNearDupsBy(df, idCol,
-      TextAnalysis.wordShingles(col(textCol), shingleWords),
-      numHashes, bands, jaccardThreshold)
+    minHashNearDupsShingled(
+      withWordShingles(df, idCol, textCol, shingleWords),
+      idCol, numHashes, bands, jaccardThreshold)
 
-  def minHashNearDupsBy(
-      df: DataFrame,
+  def minHashNearDupsShingled(
+      shingled: DataFrame,
       idCol: String,
-      shingleExpr: Column,
       numHashes: Int,
       bands: Int,
       jaccardThreshold: Double): DataFrame =
-    nearDupSizes(df, idCol, shingleExpr, numHashes, bands)
+    nearDupSizesShingled(shingled, idCol, numHashes, bands)
       .withColumn("jaccard", col("i_size").cast("double") / col("u_size"))
       .where(col("jaccard") >= jaccardThreshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
 
   /** Candidate pairs with exact intersection/union SIZES (ints — lets
-    * callers threshold with exact integer arithmetic, no float compare). */
-  def nearDupSizes(
-      df: DataFrame,
+    * callers threshold with exact integer arithmetic, no float compare).
+    * Input: (id, `_sh` shingle array) from [[withCharShingles]] /
+    * [[withWordShingles]]. */
+  def nearDupSizesShingled(
+      shingled: DataFrame,
       idCol: String,
-      shingleExpr: Column,
       numHashes: Int,
       bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = minHashSignaturesBy(df, idCol, shingleExpr, numHashes)
+    val cached = shingled
+    val sigs = minHashSignaturesBy(cached, idCol, col("_sh"), numHashes)
     val cands = candidatePairs(lshBands(sigs, idCol, bands, numHashes / bands), idCol)
-    val shingles = df.select(col(idCol), shingleExpr.as("_sh"))
     cands
-      .join(shingles.select(col(idCol).as("a"), col("_sh").as("_sha")), Seq("a"))
-      .join(shingles.select(col(idCol).as("b"), col("_sh").as("_shb")), Seq("b"))
+      .join(cached.select(col(idCol).as("a"), col("_sh").as("_sha")), Seq("a"))
+      .join(cached.select(col(idCol).as("b"), col("_sh").as("_shb")), Seq("b"))
       .select(col("a"), col("b"),
         size(array_intersect(col("_sha"), col("_shb"))).as("i_size"),
         (size(col("_sha")) + size(col("_shb")) -
@@ -191,10 +204,9 @@ object Dedup {
       textCol: String,
       pairWith: Column => Column,
       n: Int = 3): DataFrame = {
-    val g = df.select(col(idCol).as("a"),
-      TextAnalysis.charShingles(col(textCol), n).as("_ga"))
-    val h = df.select(col(idCol).as("b"),
-      TextAnalysis.charShingles(col(textCol), n).as("_gb"))
+    val shingled = withCharShingles(df, idCol, textCol, n)
+    val g = shingled.select(col(idCol).as("a"), col("_sh").as("_ga"))
+    val h = shingled.select(col(idCol).as("b"), col("_sh").as("_gb"))
     g.join(h, h("b") === pairWith(g("a")))
       .select(col("a"), col("b"),
         round(size(array_intersect(col("_ga"), col("_gb"))).cast("double") /

@@ -94,25 +94,37 @@ object TextAnalysis {
     aggregate(codes, lit(0L), (acc, x) => acc * lit(base) + x)
   }
 
-  /** Character shingles (n-grams) of the normalized text, distinct. */
-  def charShingles(c: Column, n: Int = 3): Column = {
-    val norm = regexp_replace(lower(c), "\\s+", " ")
+  /** Whitespace-collapsed lowercase normalization (shingle input). */
+  def normText(c: Column): Column = regexp_replace(lower(c), "\\s+", " ")
+
+  /** Character shingles over an ALREADY-MATERIALIZED normalized column.
+    * The lambda body must reference a plain attribute: any expression
+    * embedded here re-evaluates once PER ELEMENT (an O(L²) regex trap —
+    * measured 6× on the sf0.1 bench before hoisting). */
+  def charShinglesRaw(norm: Column, n: Int = 3): Column =
     array_distinct(
       when(length(norm) < n, array(norm))
         .otherwise(transform(
           sequence(lit(0), length(norm) - n),
           i => norm.substr(i + lit(1), lit(n)))))
-  }
 
-  /** Word shingles (n-token windows joined by space). */
-  def wordShingles(c: Column, n: Int = 3): Column = {
-    val toks = tokens(c)
+  /** Convenience form for small inputs; prefer materializing
+    * [[normText]] with withColumn and calling [[charShinglesRaw]] in
+    * anything data-sized. */
+  def charShingles(c: Column, n: Int = 3): Column =
+    charShinglesRaw(normText(c), n)
+
+  /** Word shingles over an already-materialized token-array column. */
+  def wordShinglesRaw(toks: Column, n: Int = 3): Column =
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
         .otherwise(transform(
           sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
-  }
+
+  /** Convenience form; prefer materializing [[tokens]] first at scale. */
+  def wordShingles(c: Column, n: Int = 3): Column =
+    wordShinglesRaw(tokens(c), n)
 
   /** documents-table profile: one row per doc with the full signal set. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {

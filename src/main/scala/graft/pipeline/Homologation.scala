@@ -63,7 +63,7 @@ object Homologation {
       rules: HeaderRules,
       catalog: DataFrame,
       mode: CompatMode = CompatMode.Reference): ImporterStandardizer.Result = {
-    val df = transformHeaders(grid, rules)
+    val staged = transformHeaders(grid, rules)
       .transform(Stages.transformDatetime(_))
       .transform(Stages.transformCategoryCols(_, categoryColumns))
       .transform(Stages.transformCombustible(_))
@@ -73,7 +73,11 @@ object Homologation {
       .transform(Stages.rendEquiv(_, mode = mode))
       .transform(Stages.co2Equiv(_))
       .transform(Stages.gasesEmissions(_))
-      .transform(Stages.bevZeroAndImpute(_))
+      // imputation needs a second pass (global means); persist the staged
+      // table so neither the mean agg nor the final action re-runs the
+      // whole header+transform chain
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = Stages.bevZeroAndImpute(staged)
     ImporterStandardizer.standardize(df, catalog)
   }
 

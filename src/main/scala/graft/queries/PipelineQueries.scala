@@ -62,8 +62,9 @@ object PipelineQueries {
     // (5·i ≥ 4·u ⇔ J ≥ 0.8) keeps the compare float-free.
     "p03_dedup_minhash" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").select("doc_id", "text")
-      Dedup.nearDupSizes(docs, "doc_id",
-          TextAnalysis.wordShingles(col("text"), 3), numHashes = 64, bands = 16)
+      Dedup.nearDupSizesShingled(
+          Dedup.withWordShingles(docs, "doc_id", "text", 3),
+          "doc_id", numHashes = 64, bands = 16)
         .where(col("i_size") * 5 >= col("u_size") * 4)
         .orderBy("a", "b")
     }),
@@ -85,10 +86,9 @@ object PipelineQueries {
     // intersection/union sizes (no float hazard in the gate).
     "p05_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val g = docs.select(col("doc_id").as("a"),
-        TextAnalysis.charShingles(col("text"), 3).as("_ga"))
-      val h = docs.select(col("doc_id").as("b"),
-        TextAnalysis.charShingles(col("text"), 3).as("_gb"))
+      val shingled = Dedup.withCharShingles(docs, "doc_id", "text", 3)
+      val g = shingled.select(col("doc_id").as("a"), col("_sh").as("_ga"))
+      val h = shingled.select(col("doc_id").as("b"), col("_sh").as("_gb"))
       g.join(h, h("b") === g("a") + 1)
         .select(col("a"), col("b"),
           size(array_intersect(col("_ga"), col("_gb"))).as("i_size"),
