@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static JVM entry points for codegen — generated code calls these
+  * directly, so the expressions below stay inside whole-stage codegen
+  * with no ScalaUDF closure serialization or Option boxing on the path. */
+object ExprKernels {
+  def unaccent(s: UTF8String): UTF8String =
+    UTF8String.fromString(TextFunctions.unaccentStr(s.toString))
+
+  def similarity(a: UTF8String, b: UTF8String): Double =
+    Similarity.ratio(a.toString, b.toString)
+}
+
+/** `unaccent(str)`: accent folding as a native Catalyst expression (F6).
+  * null-in → null-out; codegen emits a static call. */
+case class UnaccentExpression(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.unaccent(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.unaccent($c)")
+  override protected def withNewChildInternal(newChild: Expression): UnaccentExpression =
+    copy(child = newChild)
+  override def prettyName: String = "unaccent"
+}
+
+/** `similarity_ratio(a, b)`: Ratcliff/Obershelp ratio as a native
+  * expression (F14) — the fuzzy-join scorer without UDF overhead. */
+case class SimilarityExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.similarity(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.similarity($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SimilarityExpression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "similarity_ratio"
+}
+
+/** Column-level entry points + SQL registration. */
+object GraftFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def unaccent_native(c: Column): Column = column(UnaccentExpression(expression(c)))
+  def similarity_native(a: Column, b: Column): Column =
+    column(SimilarityExpression(expression(a), expression(b)))
+
+  private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "unaccent" -> (exprs => UnaccentExpression(exprs.head)),
+    "similarity_ratio" -> (exprs => SimilarityExpression(exprs(0), exprs(1))))
+
+  /** Register both functions on an existing session (SQL-callable). */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}
+
+/** Session-extension hook: `SparkSession.builder()
+  * .withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) injects the
+  * engine's native functions into every session — the idiomatic
+  * packaging for a Spark-native library's custom expressions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("unaccent"),
+      new ExpressionInfo(classOf[UnaccentExpression].getName, "unaccent"),
+      (exprs: Seq[Expression]) => UnaccentExpression(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("similarity_ratio"),
+      new ExpressionInfo(classOf[SimilarityExpression].getName, "similarity_ratio"),
+      (exprs: Seq[Expression]) => SimilarityExpression(exprs(0), exprs(1))))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Similarity, TextFunctions}
+import graft.functions.{GraftFunctions, Similarity, TextFunctions}
 
 /** J2: fuzzy best-match (similarity top-1) join — the Spark-native form of
   * /root/reference/src/importer_standarizer.py:52-105.
@@ -35,9 +35,10 @@ object FuzzyJoin {
     * columns + `score`. Rows below `threshold` are dropped when
     * `minScore` is inclusive (`>=`, new-path) or exclusive (`>`, old-path
     * importer_standarizer.py:172). */
-  /** Default scorer: R/O ratio over reference-normalized names (F15). */
+  /** Default scorer: R/O ratio over reference-normalized names (F15),
+    * using the native codegen expression (no ScalaUDF on the hot path). */
   def normalizedRatio(probe: Column, cand: Column): Column =
-    Similarity.similarity_ratio(
+    GraftFunctions.similarity_native(
       coalesce(TextFunctions.normalizeName(probe), lit("")),
       coalesce(TextFunctions.normalizeName(cand), lit("")))
 
@@ -136,7 +137,7 @@ object ImporterStandardizer {
       case Legacy =>
         FuzzyJoin.bestMatch(names, nameCol, cat, "NOMBRE_EMP",
           threshold, inclusive = false,
-          scorer = (p, c) => Similarity.similarity_ratio(
+          scorer = (p, c) => GraftFunctions.similarity_native(
             coalesce(stripJunk(p), lit("")), coalesce(stripJunk(c), lit(""))))
     }
     val mapping = matched.select(

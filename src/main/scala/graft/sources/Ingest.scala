@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+/** EP1: driver-side ingestion (SURVEY §2 S1/S2/S6/S9 —
+  * /root/reference/src/extraction.py:45-211). Not a distributed scan:
+  * one HTTP page fetch + one file download that LANDS a file for
+  * `spark.read`, with an object-store backup/restore ladder around it.
+  *
+  * Transport and blob store are interfaces: production wires a JDK
+  * HttpClient and a `gs://`-backed store (Hadoop GCS connector or client
+  * SDK); tests (and this zero-egress container) use fakes. The ladder
+  * semantics — backup on success with failures swallowed, restore on
+  * download failure, abort only when both fail — mirror
+  * extraction.py:180-211 exactly.
+  */
+object Ingest {
+
+  trait Transport { def get(url: String): Array[Byte] }
+
+  /** Production transport (JDK built-in; no extra deps). */
+  final class JdkHttpTransport(verifyTls: Boolean = true) extends Transport {
+    def get(url: String): Array[Byte] = {
+      val client = java.net.http.HttpClient.newBuilder().build()
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      require(resp.statusCode() / 100 == 2, s"GET $url -> ${resp.statusCode()}")
+      resp.body()
+    }
+  }
+
+  /** Object-store surface (S6/S9). Production: GCS bucket via the Hadoop
+    * `gs://` connector or client SDK; tests: [[LocalDirStore]]. */
+  trait BlobStore {
+    def upload(local: Path, name: String): Unit
+    def download(name: String, dest: Path): Unit
+    def list(prefix: String): Seq[String]
+  }
+
+  final class LocalDirStore(root: Path) extends BlobStore {
+    def upload(local: Path, name: String): Unit = {
+      val t = root.resolve(name)
+      if (t.getParent != null) Files.createDirectories(t.getParent)
+      Files.copy(local, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def download(name: String, dest: Path): Unit = {
+      val s = root.resolve(name)
+      require(Files.exists(s), s"blob $name not found; available: ${list("")}")
+      if (dest.getParent != null) Files.createDirectories(dest.getParent)
+      Files.copy(s, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def list(prefix: String): Seq[String] = {
+      if (!Files.exists(root)) return Nil
+      val it = Files.walk(root).iterator()
+      val out = scala.collection.mutable.Buffer.empty[String]
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.isRegularFile(p)) {
+          val rel = root.relativize(p).toString
+          if (rel.startsWith(prefix)) out += rel
+        }
+      }
+      out.toSeq
+    }
+  }
+
+  /** S1 anchor detection: the reference locates `<a id="brxe-dqzlqf">` on
+    * the landing page and follows its href (extraction.py:67-70).
+    * Attribute order is not guaranteed — match both. */
+  def findAnchorHref(html: String, anchorId: String): Option[String] = {
+    val p1 = ("""<a\b[^>]*\bid\s*=\s*["']""" + java.util.regex.Pattern.quote(anchorId) +
+      """["'][^>]*\bhref\s*=\s*["']([^"']+)["']""").r
+    val p2 = ("""<a\b[^>]*\bhref\s*=\s*["']([^"']+)["'][^>]*\bid\s*=\s*["']""" +
+      java.util.regex.Pattern.quote(anchorId) + """["']""").r
+    p1.findFirstMatchIn(html).map(_.group(1))
+      .orElse(p2.findFirstMatchIn(html).map(_.group(1)))
+  }
+
+  /** S1+S2: fetch landing page, resolve the anchor, download the file to
+    * `destDir/<name>.<filetype>`. */
+  def extractFrom3cv(
+      transport: Transport,
+      pageUrl: String,
+      anchorId: String,
+      destDir: Path,
+      name: String,
+      filetype: String): Path = {
+    val html = new String(transport.get(pageUrl), java.nio.charset.StandardCharsets.UTF_8)
+    val href = findAnchorHref(html, anchorId).getOrElse(
+      throw new IllegalStateException(s"anchor id=$anchorId not found on $pageUrl"))
+    val bytes = transport.get(href)
+    Files.createDirectories(destDir)
+    val out = destDir.resolve(s"$name.$filetype")
+    Files.write(out, bytes)
+    out
+  }
+
+  /** The full EP1 ladder (extraction.py:180-211): extract fresh; on
+    * success refresh the backup (upload failure only logged); on failure
+    * restore the last backup; abort only if both fail. */
+  def ingestWithBackup(
+      transport: Transport,
+      store: BlobStore,
+      pageUrl: String,
+      anchorId: String,
+      destDir: Path,
+      name: String,
+      filetype: String,
+      backupPrefix: String = "data/raw/"): Path = {
+    val fileName = s"$name.$filetype"
+    try {
+      val landed = extractFrom3cv(transport, pageUrl, anchorId, destDir, name, filetype)
+      try store.upload(landed, backupPrefix + fileName)
+      catch { case e: Exception =>
+        System.err.println(s"[ingest] backup upload failed (ignored): ${e.getMessage}")
+      }
+      landed
+    } catch {
+      case primary: Exception =>
+        System.err.println(s"[ingest] extraction failed (${primary.getMessage}); restoring backup")
+        val dest = destDir.resolve(fileName)
+        store.download(backupPrefix + fileName, dest) // throws if also missing
+        dest
+    }
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftFunctions, Similarity, TextFunctions}
+
+/** Native Catalyst expressions: parity with the driver-side kernels,
+  * null handling, SQL registration, and codegen (no ScalaUDF nodes). */
+class ExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("unaccent expression folds accents; null-safe") {
+    val df = Seq(Some("Canción Eléctrica ÑU"), None).toDF("t")
+    val out = df.select(GraftFunctions.unaccent_native($"t")).collect()
+    assert(out(0).getString(0) == "Cancion Electrica NU")
+    assert(out(1).isNullAt(0))
+  }
+
+  test("similarity expression matches driver-side ratio") {
+    val pairs = Seq(("DERCO S.A.", "DERCO"), ("KAUFMANN", "KAUFMAN SA"), ("", ""))
+    val out = pairs.toDF("a", "b")
+      .select(GraftFunctions.similarity_native($"a", $"b")).as[Double].collect()
+    pairs.zip(out).foreach { case ((a, b), got) =>
+      assert(math.abs(got - Similarity.ratio(a, b)) < 1e-12)
+    }
+  }
+
+  test("SQL registration via GraftFunctions.register and extensions builder") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT unaccent('Homologación') AS u, ROUND(similarity_ratio('abc', 'abd'), 4) AS s")
+      .first()
+    assert(r.getString(0) == "Homologacion")
+    assert(math.abs(r.getDouble(1) - 0.6667) < 1e-9)
+  }
+
+  test("expressions run inside whole-stage codegen, no ScalaUDF") {
+    // literals would constant-fold to a LocalTableScan (also fine); use a
+    // real scan so the projection must execute under codegen
+    val df = graft.engine.Tables(spark, "/root/testdata/sf0.001", "customer")
+      .select(GraftFunctions.similarity_native(col("c_name"), col("c_mktsegment")).as("s"),
+        GraftFunctions.unaccent_native(col("c_name")).as("u"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen span
+    assert(plan.contains("*(1) Project"), plan)
+    assert(df.collect().length == 150)
+  }
+}
