@@ -166,7 +166,19 @@ object PipelineQueries {
 
     "p16_dedup_first_per_user" -> ((s, dir) =>
       EventsStream.dedupFirstPerUser(Tables(s, dir, "events"))
-        .orderBy("user_id", "event_type"))
+        .orderBy("user_id", "event_type")),
+
+    // W1 at scale: the partition-parallel BLOCKED forward-fill over a
+    // global file order, hash-checked against DuckDB's single global
+    // window — proves the two-pass carry algorithm is semantics-identical
+    // while every wide stage stays parallel.
+    "p17_ffill_blocked" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .withColumn("_src", nullif(col("event_type"), lit("noop")))
+      graft.ops.Ffill.ffillBlocked(ev, "event_id", Seq("_src"), blockSize = 512)
+        .select(col("event_id"), col("_src").as("ff"))
+        .orderBy("event_id")
+    })
   )
 
   private val langCase: String = {
@@ -227,6 +239,8 @@ object PipelineQueries {
       "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start, event_type, " +
         "COUNT(*) AS n, ROUND(SUM(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
     "p16_dedup_first_per_user" ->
-      "SELECT user_id, event_type, MIN(event_id) AS first_event, COUNT(*) AS n FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"
+      "SELECT user_id, event_type, MIN(event_id) AS first_event, COUNT(*) AS n FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type",
+    "p17_ffill_blocked" ->
+      "SELECT event_id, LAST_VALUE(NULLIF(event_type, 'noop') IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff FROM events ORDER BY event_id"
   )
 }

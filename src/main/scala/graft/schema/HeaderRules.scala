@@ -7,7 +7,7 @@ import java.security.MessageDigest
 import scala.collection.mutable
 import scala.util.matching.Regex
 
-import graft.functions.TextFunctions
+import graft.functions.{Similarity, TextFunctions}
 import graft.ops.CompatMode
 
 /** Rule-based header standardizer (SURVEY §2 F13, F17–F22) — driver-side
@@ -207,6 +207,24 @@ class HeaderRules(
     * (header_standarizer_ruler.py:396). */
   def batchStandardize(headers: Seq[String]): Map[String, String] =
     headers.map(hd => hd -> standardizeHeader(hd)).toMap
+
+  /** J3: fuzzy schema-match lookup (transform_headers.py:120-129) — when
+    * a header's hash is unknown, try similarity ≥ `threshold` against
+    * every registered ORIGINAL name (junk chars space/newline stripped,
+    * like the reference's SequenceMatcher junk set) and reuse that
+    * standard name. Driver-side: ≤hundreds × hundreds of short strings.
+    * The reference's interactive console fallback (F25) is replaced by
+    * returning None — callers fail fast with a report, keeping runs
+    * headless (SURVEY §7 hard-part 5). */
+  def fuzzyLookup(header: String, threshold: Double = 0.9): Option[String] = {
+    def strip(s: String) = s.filterNot(c => c == ' ' || c == '\n')
+    val candidates = for {
+      (std, (origs, _)) <- mappings.toSeq
+      orig <- origs
+    } yield (std, Similarity.ratio(strip(header), strip(orig)))
+    candidates.sortBy { case (std, score) => (-score, std) }
+      .headOption.collect { case (std, score) if score > threshold => std }
+  }
 }
 
 /** S5/S10/S11: the persistent JSON mapping store

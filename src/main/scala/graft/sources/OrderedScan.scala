@@ -54,6 +54,18 @@ object OrderedScan {
     spark.createDataFrame(spark.sparkContext.parallelize(data.toSeq, 1), schema)
   }
 
+  /** S3/U1 table-level: stack per-sheet grids (each already carrying
+    * `_row_idx`) into one table with a `_sheet` partition column; row
+    * order stays (sheet, row) via a composite index. The reference reads
+    * N sheets and keeps a list (transform_pipeline.py:23-30) — the union
+    * is the Spark-native shape for processing all of them at once. */
+  def unionSheets(sheets: Seq[DataFrame], idxCol: String = RowIdx): DataFrame = {
+    require(sheets.nonEmpty)
+    sheets.zipWithIndex.map { case (df, i) =>
+      df.withColumn("_sheet", lit(i))
+    }.reduce(_ unionByName _)
+  }
+
   /** S7/S8: single-file CSV sink (the reference publishes one CSV). The
     * coalesce(1) is inherent to the single-file contract — large outputs
     * should instead keep natural partitioning and fan out. */

@@ -55,6 +55,16 @@ class HeaderRulesSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"${diffs.size} mismatches:\n${diffs.mkString("\n")}")
   }
 
+  test("fuzzy lookup (J3) reuses a registered name for a drifted header") {
+    val rules = new HeaderRules()
+    rules.standardizeHeader("CO2 combinado (g/km)")
+    // drifted re-publication of the same header: extra whitespace/newline
+    assert(rules.fuzzyLookup("CO2  combinado\n(g/km)", threshold = 0.9)
+      .contains(rules.standardizeHeader("CO2 combinado (g/km)")))
+    // unrelated header finds nothing → caller fails fast (F25 replacement)
+    assert(rules.fuzzyLookup("Totally different header", threshold = 0.9).isEmpty)
+  }
+
   test("mapping store round-trips JSON and exports CSV") {
     val rules = new HeaderRules()
     rules.standardizeHeader("CO2 combinado (g/km)")

@@ -48,6 +48,28 @@ class ImporterStandardizerSpec extends AnyFunSuite {
     assert(r2.notFound.count() == 1) // legacy is strict >
   }
 
+  test("blocked fuzzy join agrees with the broadcast cross join on the catalog") {
+    import graft.ops.FuzzyJoin
+    val probes = Seq("Astara Chile SPA", "BYD Chile SPA", "Automotores Gildemeister SPA")
+      .toDF("name")
+    val direct = FuzzyJoin.bestMatch(probes, "name", catalog, "NOMBRE_EMP", 0.6)
+      .select("name", "NOMBRE_EMP").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val blocked = FuzzyJoin.bestMatchBlocked(probes, "name", catalog, "NOMBRE_EMP", 0.6)
+      .select("name", "NOMBRE_EMP").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(direct == blocked)
+    assert(direct.size == 3)
+  }
+
+  test("union of per-sheet grids stacks with a _sheet column") {
+    import graft.sources.OrderedScan
+    val s0 = OrderedScan.fromGrid(spark, Seq(Seq("a", "b")), 2)
+    val s1 = OrderedScan.fromGrid(spark, Seq(Seq("c", "d"), Seq("e", "f")), 2)
+    val u = OrderedScan.unionSheets(Seq(s0, s1))
+    assert(u.count() == 3)
+    assert(u.where("_sheet = 1").count() == 2)
+    assert(u.columns.contains("_row_idx"))
+  }
+
   test("plan uses broadcast joins, not a shuffled fact join") {
     val df = Seq(("Astara Chile SPA", 1)).toDF("IMPORTADOR", "id")
     val r = ImporterStandardizer.standardize(df, catalog)
