@@ -112,14 +112,19 @@ object Stages {
   // ------------------------------------------------------------------
 
   /** PROPULSION → source rend column (transform_pipeline.py:100-108).
-    * Reference mode keeps the misspelled key `"vehiculos hibrido con
-    * recarga exterior"` (quirk a: the real category value `"vehiculos
-    * hibridos con recarga exterior"` never matches it); Intended mode
-    * maps the correctly-spelled value too. */
+    * Quirk a, as the DATA resolves it (verified against the reference's
+    * committed tmp/datos_tmp.csv): the real corpus uses the SINGULAR
+    * `"vehiculos hibrido con recarga exterior"` — so the map key the
+    * survey flagged as misspelled matches production rows, while
+    * transform_categoria's PLURAL mask is the one that misses (204 rows
+    * with empty CATEGORIA_PROPULSION in the reference output). Both
+    * modes therefore keep the singular key; Intended additionally maps
+    * the plural spelling. */
   private def propRendSource(mode: CompatMode): Map[String, String] = {
     val base = Map(
       "combustion" -> "MIXTO_REND_COMBUSTIBLE_KML",
       "vehiculo electrico" -> "REND_EV_VH_KMKWH",
+      "vehiculos hibrido con recarga exterior" -> "COMB_REND_WLTC_KML",
       "electrico hibrido con recarga exterior" -> "COMB_REND_WLTC_KML",
       "vehiculos hibridos sin recarga exterior" -> "MIXTO_REND_COMBUSTIBLE_KML",
       "vehiculos celda de hidrogeno" -> "REND_LOW_H2_KG_100_KM_FCEV_VH_CELDA",

@@ -66,11 +66,14 @@ class StagesSpec extends AnyFunSuite {
     assert(rend("vehiculo electrico", "electrico", CompatMode.Reference).contains(43.0))
   }
 
-  test("rendEquiv quirk a: misspelled PHEV key never matches in Reference mode") {
-    val phev = "vehiculos hibridos con recarga exterior"
-    assert(rend(phev, "gasolina", CompatMode.Reference).isEmpty)
-    assert(rend(phev, "gasolina", CompatMode.Intended).contains(20.0))
-    // the correctly-spelled alternate phrasing matches in both modes
+  test("rendEquiv quirk a: plural PHEV phrasing matches only in Intended mode") {
+    val plural = "vehiculos hibridos con recarga exterior"
+    assert(rend(plural, "gasolina", CompatMode.Reference).isEmpty)
+    assert(rend(plural, "gasolina", CompatMode.Intended).contains(20.0))
+    // the singular phrasing — what the production data actually contains
+    // (see tmp/datos_tmp.csv) — matches in BOTH modes
+    assert(rend("vehiculos hibrido con recarga exterior", "gasolina",
+      CompatMode.Reference).contains(20.0))
     assert(rend("electrico hibrido con recarga exterior", "gasolina",
       CompatMode.Reference).contains(20.0))
   }
