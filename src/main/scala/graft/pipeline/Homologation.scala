@@ -22,15 +22,22 @@ object Homologation {
     "PROPULSION", "COMBUSTIBLE", "CATEGORIA_VH", "IMPORTADOR",
     "MARCA", "MODELO", "EMIS_NORMA", "TIPO_CARROCERIA")
 
-  /** The 35 published columns (load_to_gcp.py:30-42). The reference lists
+  /** The 35 published columns, in order (load_to_gcp.py:30-42; header of
+    * data/processed/datos3cv_2013-2026.csv). The reference lists
     * EMISION_NPS_KM_EU_KM twice — Spark forbids duplicate output names,
-    * so we publish it once (documented deviation, SURVEY §2 S8). */
+    * so we publish it once (documented deviation, SURVEY §2 S8),
+    * yielding 34 distinct columns. */
   val publishedColumns: Seq[String] = Seq(
-    "FECHA_HOML", "AÑO", "MARCA", "MODELO", "IMPORTADOR", "IMP_COD", "RUT",
-    "TIPO_CARROCERIA", "CATEGORIA_VH", "PROPULSION", "CATEGORIA_PROPULSION",
-    "COMBUSTIBLE", "TIPO_LDV", "PESO_BRUTO_VH_KG", "REND_EQUIV_KML",
-    "EMIS_CO2_EQUIV", "N2O_GKM", "MP_GKM", "NP", "HCHO_MGKM", "HC_GKM",
-    "HC_NOX_GKM", "HCNM_GKM", "NMOG_NOX_GKM", "NOX_GKM", "NMOG_GKM", "CO_GKM")
+    "MARCA", "MODELO", "CODIGO_INFORME_TECNICO", "FECHA_HOML", "FOOT_PRINT_MT2",
+    "AÑO", "TIPO_LDV", "CATEGORIA_PROPULSION", "RUT", "IMP_COD", "EMIS_NORMA",
+    "CATEGORIA_VH", "PESO_BRUTO_VH_KG", "TRANSMISION",
+    "EMIS_CO2_EQUIV", "REND_EQUIV_KML",
+    "N2O_EMISION_EPA", "MP_EMISION_EPA_MASA_PARTICULAS_GKM", "HCHO_EMISION_EPA_MGKM",
+    "HC_EMISION_EPA_GKM", "HCNM_EMISION_EPA_GKM", "NMOG_NOX_EMISION_EPA",
+    "NOX_EMISION_EPA_GKM", "NMOG_EMISION_EPA_GKM", "CO_EMISION_EPA_GKM",
+    "HCHO_EMISION_EU_MGKM", "EMISION_NPS_KM_EU_KM", "HC_NOX_EMISION_EU_GKM",
+    "NMOG_EMISION_EU_GKM", "HCNM_EMISION_EU_GKM", "CO_EMISION_EU_GKM",
+    "MP_EMISION_MASA_PARTICULAS_EU_GKM", "NOX_EMISION_EU_GKM", "HC_EMISION_EU_GKM")
 
   /** transform_headers (transform_pipeline.py:153-179): identify the
     * multi-row header block, standardize names through the memoized rules

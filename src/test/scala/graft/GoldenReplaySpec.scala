@@ -81,4 +81,14 @@ class GoldenReplaySpec extends AnyFunSuite {
     val bad = report.filter(_._2 != 0)
     assert(bad.isEmpty, s"mismatching cells per column: ${bad.mkString(", ")}")
   }
+
+  test("publish projection matches the published CSV header (dup folded)") {
+    val published = "/root/reference/data/processed/datos3cv_2013-2026.csv"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(published)))
+    val header = scala.io.Source.fromFile(published, "UTF-8")
+      .getLines().next().split(",").toSeq
+    assert(header.length == 35)
+    // our order = reference order with the duplicated column kept once
+    assert(graft.pipeline.Homologation.publishedColumns == header.distinct)
+  }
 }

@@ -94,7 +94,7 @@ class HomologationSpec extends AnyFunSuite {
 
     // publish projection keeps declared order & present columns only
     val pub = Homologation.publishProjection(df)
-    assert(pub.columns.head == "FECHA_HOML")
+    assert(pub.columns.head == "MARCA")
     assert(!pub.columns.contains("_row_idx"))
     assert(Homologation.yearRange(df) == (2013, 2014))
   }
