@@ -28,6 +28,11 @@ object Bench {
       sys.exit(1)
     }
 
+    // session warmup: run the flagship once so JVM/codegen/scheduler
+    // warmup is not charged to whichever query happens to run first
+    try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+
     var failed = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

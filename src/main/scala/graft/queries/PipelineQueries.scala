@@ -168,6 +168,33 @@ object PipelineQueries {
       EventsStream.dedupFirstPerUser(Tables(s, dir, "events"))
         .orderBy("user_id", "event_type")),
 
+    // CompatMode.Intended: the same pipeline with the reference's quirks
+    // resolved to evidently-intended semantics (plural PHEV phrasing
+    // mapped, hidrogeno spelled right, no gasolina/hibrido column
+    // overwrite). Rows-only; divergence from p01 is exactly the quirk set.
+    "p18_hom_pipeline_intended" -> ((s, _) => {
+      val catalog = OrderedScan.csvCatalog(
+        s, "/root/reference/data/processed/bd-importadores.csv")
+      val r = Homologation.pipeline(demoGrid(s), new HeaderRules(),
+        catalog, mode = graft.ops.CompatMode.Intended)
+      Homologation.publishProjection(r.standardized).orderBy("MARCA")
+    }),
+
+    // Salted-join skew pattern: revenue per order-priority where the fact
+    // side joins a tiny non-broadcast dimension through (key, salt) —
+    // result must equal the plain join (rows-only gate; equality pinned
+    // in SkewJoinSpec).
+    "p19_salted_join" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val prio = orders.select("o_orderpriority").distinct()
+        .withColumn("prio_rank", length(col("o_orderpriority")))
+      graft.ops.SkewJoin.saltedJoin(orders, prio,
+          Seq("o_orderpriority"), col("o_orderkey"), salts = 8)
+        .groupBy("o_orderpriority", "prio_rank")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+        .orderBy("o_orderpriority")
+    }),
+
     // W1 at scale: the partition-parallel BLOCKED forward-fill over a
     // global file order, hash-checked against DuckDB's single global
     // window — proves the two-pass carry algorithm is semantics-identical
@@ -241,6 +268,8 @@ object PipelineQueries {
     "p16_dedup_first_per_user" ->
       "SELECT user_id, event_type, MIN(event_id) AS first_event, COUNT(*) AS n FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type",
     "p17_ffill_blocked" ->
-      "SELECT event_id, LAST_VALUE(NULLIF(event_type, 'noop') IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff FROM events ORDER BY event_id"
+      "SELECT event_id, LAST_VALUE(NULLIF(event_type, 'noop') IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff FROM events ORDER BY event_id",
+    "p19_salted_join" ->
+      "SELECT o_orderpriority, CAST(length(o_orderpriority) AS INT) AS prio_rank, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev FROM orders GROUP BY 1, 2 ORDER BY 1"
   )
 }
