@@ -126,19 +126,43 @@ object TextAnalysis {
   def wordShingles(c: Column, n: Int = 3): Column =
     wordShinglesRaw(tokens(c), n)
 
-  /** documents-table profile: one row per doc with the full signal set. */
+  /** documents-table profile: one row per doc with the full signal set.
+    * The four per-language stopword scans are materialized ONCE and the
+    * derived signals (ratio, quality, lang) read the attributes — the
+    * naive composition re-ran 12 regexp_extract_all passes per row. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)
-    df.select(
+    val hoisted = df
+      .withColumn("_lc", lower(c))
+      .withColumn("_en", stopHits(col("_lc"), enStop))
+      .withColumn("_es", stopHits(col("_lc"), esStop))
+      .withColumn("_de", stopHits(col("_lc"), deStop))
+      .withColumn("_fr", stopHits(col("_lc"), frStop))
+      .withColumn("_ntok", tokenCount(c))
+    val hitsTotal = col("_en") + col("_es") + col("_de") + col("_fr")
+    val stopRatio = when(col("_ntok") === 0, 0.0)
+      .otherwise(hitsTotal.cast("double") / col("_ntok"))
+    val quality = round((
+      when(col("_ntok").between(5, 100000), 1.0).otherwise(0.0) +
+      when(punctRatio(c) < 0.3, 1.0).otherwise(0.0) +
+      when(digitRatio(c) < 0.3, 1.0).otherwise(0.0) +
+      when(stopRatio > 0.01, 1.0).otherwise(0.0)) / 4.0, 2)
+    val mx = greatest(col("_en"), col("_es"), col("_de"), col("_fr"))
+    val lang = when(mx === 0, "unknown")
+      .when(col("_en") === mx, "en")
+      .when(col("_es") === mx, "es")
+      .when(col("_de") === mx, "de")
+      .otherwise("fr")
+    hoisted.select(
       col("doc_id"),
       length(c).as("n_chars"),
-      tokenCount(c).as("n_tokens"),
+      col("_ntok").as("n_tokens"),
       size(subwordTokens(c)).as("n_subwords"),
       round(punctRatio(c), 6).as("punct_ratio"),
       round(digitRatio(c), 6).as("digit_ratio"),
-      round(stopwordRatio(c), 6).as("stopword_ratio"),
-      qualityScore(c).as("quality"),
-      langIdHeuristic(c).as("lang_pred"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      quality.as("quality"),
+      lang.as("lang_pred"),
       fingerprint(c).as("fp"))
   }
 }
