@@ -43,4 +43,13 @@ object EventsStream {
     * transform. `events` must be a streaming DataFrame (readStream). */
   def streamingTumbling(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     tumblingCounts(events.withWatermark("ts", watermark))
+
+  /** Streaming exactly-once-per-key dedup: watermark-bounded
+    * dropDuplicates — state for a key is dropped once the watermark
+    * passes it, so state size is bounded by the horizon, not the stream. */
+  def streamingDedup(
+      events: DataFrame,
+      keys: Seq[String] = Seq("user_id", "event_type"),
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(keys)
 }

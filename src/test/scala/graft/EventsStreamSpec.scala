@@ -45,6 +45,28 @@ class EventsStreamSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS agg_out")
   }
 
+  test("streaming dropDuplicates emits one row per key, matching batch distinct") {
+    val stage = java.nio.file.Files.createTempDirectory("events_dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    val q = EventsStream.streamingDedup(stream)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_out")
+    val expected = Tables(spark, dir, "events")
+      .select("user_id", "event_type").distinct().count()
+    assert(got.count() == expected)
+    assert(got.select("user_id", "event_type").distinct().count() == expected)
+    spark.sql("DROP TABLE IF EXISTS dedup_out")
+  }
+
   test("sessionize groups events within the gap") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
