@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native shingling + MinHash kernels. The higher-order formulations
+  * (`transform(sequence(...), i => substr...)`, 64× `array_min(transform
+  * (...))`) are interpreted per element; these do the identical set
+  * construction / hashing in tight loops. Set semantics match
+  * `array_distinct` (first-occurrence order) so downstream
+  * array_intersect/array_union sizes are unchanged. */
+
+/** Distinct character n-grams of the (already-normalized) input string;
+  * inputs shorter than n yield the whole string, like the composed form. */
+case class CharShinglesExpression(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.length < n) return new GenericArrayData(Array[Any](UTF8String.fromString(s)))
+    val seen = new java.util.LinkedHashSet[String](s.length * 2)
+    var i = 0
+    val last = s.length - n
+    while (i <= last) { seen.add(s.substring(i, i + n)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "char_shingles"
+}
+
+/** Distinct n-token shingles (tokens joined by one space) of a token
+  * array; fewer than n tokens yield the space-joined whole. */
+case class WordShinglesExpression(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    if (m < n) seen.add(toks.mkString(" "))
+    else {
+      var j = 0
+      val last = m - n
+      while (j <= last) {
+        val sb = new java.lang.StringBuilder()
+        var k = 0
+        while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(j + k)); k += 1 }
+        seen.add(sb.toString); j += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); var j2 = 0
+    while (it.hasNext) { out(j2) = UTF8String.fromString(it.next()); j2 += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}
+
+/** k MinHash values over a shingle array in ONE pass (shingles outer,
+  * seeds inner, XXH64 over the raw UTF-8 bytes). */
+case class MinHashSignatureExpression(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      val base = s.getBaseObject; val off = s.getBaseOffset; val len = s.numBytes
+      var k = 0
+      while (k < numHashes) {
+        val h = XXH64.hashUnsafeBytes(base, off, len, k)
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}
+
+object ShingleFunctions {
+  def char_shingles(norm: Column, n: Int): Column =
+    column(CharShinglesExpression(expression(norm), n))
+  def word_shingles(tokens: Column, n: Int): Column =
+    column(WordShinglesExpression(expression(tokens), n))
+  def minhash_signature(shingles: Column, k: Int): Column =
+    column(MinHashSignatureExpression(expression(shingles), k))
+}

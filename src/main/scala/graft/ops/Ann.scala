@@ -18,11 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity between two float-array columns as one expression.
-    * Arrays are cast to double FIRST so every product is a double×double
-    * (bit-identical to a DuckDB DOUBLE[] oracle); the fold accumulates in
-    * index order. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity via the native kernel expression: identical
+    * left-to-right double accumulation to the zip_with/aggregate
+    * formulation AND DuckDB's list_cosine_similarity, but a single tight
+    * loop instead of interpreted higher-order expression trees. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_sim(a, b)
+
+  /** The composed higher-order-function formulation, kept as the
+    * cross-check baseline for the kernel (AnnSpec pins bit-equality). */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>"); val bd = b.cast("array<double>")
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
@@ -48,23 +53,16 @@ object Ann {
   }
 
   /** Deterministic random hyperplanes: L tables × H planes × dims. */
-  private def hyperplanes(dims: Int, tables: Int, bits: Int, seed: Long): Seq[Seq[Array[Double]]] = {
+  private def hyperplanes(dims: Int, tables: Int, bits: Int, seed: Long): Seq[Seq[Seq[Double]]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(tables)(Seq.fill(bits)(Array.fill(dims)(rnd.nextGaussian())))
+    Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dims)(rnd.nextGaussian())))
   }
 
-  /** Bucket key per (table, vector): sign bits of the H hyperplane dots. */
-  private def bucketKeys(vec: Column, planes: Seq[Seq[Array[Double]]]): Column = {
-    val keys = planes.zipWithIndex.map { case (tbl, t) =>
-      val bits = tbl.zipWithIndex.map { case (p, i) =>
-        val planeLit = array(p.map(lit): _*)
-        val d = aggregate(zip_with(vec, planeLit, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-        when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-      struct(lit(t).as("tbl"), bits.as("bits"))
-    }
-    array(keys: _*)
-  }
+  /** Bucket keys per vector — one long per table, `(table<<48)|signBits`,
+    * computed in one native-kernel pass (the per-plane higher-order
+    * formulation walked tables×bits interpreted expression trees). */
+  private def bucketKeys(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.VectorFunctions.hyperplane_buckets(vec, planes)
 
   /** LSH-bucketed approximate top-k: same output shape as [[bruteTopK]].
     * A query only meets candidates sharing ≥1 bucket in ≥1 table.

@@ -30,20 +30,17 @@ object Dedup {
     minHashSignaturesBy(df, idCol,
       TextAnalysis.charShingles(col(textCol), shingleSize), numHashes)
 
-  /** Signature core over an arbitrary shingle-array expression. MAP-ONLY:
-    * each of the k minhashes is an array_min over a per-seed rehash of
-    * the row's shingle array — no explode, no groupBy, no shuffle (the
-    * explode+groupBy formulation shuffles |corpus|×|shingles| rows; this
-    * one shuffles nothing and reads each shingle from memory k times). */
+  /** Signature core over an arbitrary shingle-array expression. MAP-ONLY
+    * (no explode/groupBy shuffle) AND kernel-native: all k mins in one
+    * pass over the shingle bytes (the k× array_min(transform(...)) form
+    * walks interpreted expression trees per element). */
   def minHashSignaturesBy(
       df: DataFrame,
       idCol: String,
       shingles: Column,
-      numHashes: Int): DataFrame = {
-    val sig = array((0 until numHashes).map(i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*)
-    df.select(col(idCol), sig.as("minhash"))
-  }
+      numHashes: Int): DataFrame =
+    df.select(col(idCol),
+      graft.functions.ShingleFunctions.minhash_signature(shingles, numHashes).as("minhash"))
 
   /** LSH banding: signature → (band index, band hash) rows. Pairs sharing
     * any band bucket are candidates. bands × rowsPerBand must equal the
@@ -73,17 +70,19 @@ object Dedup {
 
   /** Full MinHash-LSH near-dedup: signatures → bands → candidates →
     * exact-Jaccard verification on shingle sets, keep pairs ≥ threshold. */
-  /** Materialize char shingles as `_sh`: normalization is hoisted into
-    * its own projection so the shingle lambda reads an attribute —
-    * embedding it would re-run the regex once per shingle (O(L²)). */
+  /** Materialize char shingles as `_sh` via the native kernel (the
+    * higher-order form is interpreted per element; normalization is
+    * still hoisted so the regex runs once per row). */
   def withCharShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.withColumn("_norm", TextAnalysis.normText(col(textCol)))
-      .select(col(idCol), TextAnalysis.charShinglesRaw(col("_norm"), n).as("_sh"))
+      .select(col(idCol),
+        graft.functions.ShingleFunctions.char_shingles(col("_norm"), n).as("_sh"))
 
-  /** Materialize word shingles as `_sh` (tokens hoisted likewise). */
+  /** Materialize word shingles as `_sh` (native kernel over hoisted tokens). */
   def withWordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
-      .select(col(idCol), TextAnalysis.wordShinglesRaw(col("_toks"), n).as("_sh"))
+      .select(col(idCol),
+        graft.functions.ShingleFunctions.word_shingles(col("_toks"), n).as("_sh"))
 
   def minHashNearDups(
       df: DataFrame,

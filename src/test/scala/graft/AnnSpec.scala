@@ -23,6 +23,16 @@ class AnnSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1.0, 0.0, -1.0))
   }
 
+  test("native cosine kernel is bit-identical to the higher-order formulation") {
+    val emb2 = emb.limit(50)
+    val a = emb2.select(col("vec_id").as("ai"), col("embedding").as("av"))
+    val b = emb2.select(col("vec_id").as("bi"), col("embedding").as("bv"))
+    val both = a.crossJoin(b).where(col("ai") < col("bi"))
+      .select(Ann.cosine(col("av"), col("bv")).as("k"),
+        Ann.cosineHof(col("av"), col("bv")).as("h"))
+    assert(both.where(col("k") =!= col("h")).count() == 0)
+  }
+
   test("bruteTopK returns k neighbors per query, self excluded, rank ordered") {
     val out = Ann.bruteTopK(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 3)
       .orderBy("qid", "rank").collect()
