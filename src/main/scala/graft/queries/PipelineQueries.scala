@@ -122,6 +122,16 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
+    // IVF ANN — the data-adaptive scale path (rows-only; recall vs brute
+    // pinned in IvfSpec).
+    "p20_ann_ivf" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val model = graft.ops.Ivf.train(e, "vec_id", "embedding", k = 16)
+      graft.ops.Ivf.topK(e.where(col("vec_id") < 50), e, "vec_id", "embedding",
+          model, k = 3, nProbe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     // ---- text analysis -----------------------------------------------
     "p09_text_stats" -> ((s, dir) => {
       val c = col("text")

@@ -52,4 +52,30 @@ object EventsStream {
       keys: Seq[String] = Seq("user_id", "event_type"),
       watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+  case class UserEvent(user_id: Long, event_id: Long, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double, max_event: Long)
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user running
+    * aggregate emitted on every trigger — the arbitrary-state shape for
+    * logic windows/watermarks can't express. Works identically over a
+    * batch-derived Dataset in tests and a streaming one in production. */
+  def runningUserStats(
+      events: org.apache.spark.sql.Dataset[UserEvent]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0, -1L))
+          val next = rows.foldLeft(prev)((acc, e) => UserRunning(
+            user, acc.n_events + 1, acc.total_value + e.value,
+            math.max(acc.max_event, e.event_id)))
+          state.update(next)
+          Iterator(next)
+      }
+      .toDF()
+  }
 }

@@ -67,6 +67,35 @@ class EventsStreamSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS dedup_out")
   }
 
+  test("flatMapGroupsWithState running stats match a batch aggregate") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("events_state")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(stage.toString)
+      .selectExpr("user_id", "event_id", "value")
+      .as[EventsStream.UserEvent]
+    val q = EventsStream.runningUserStats(stream)
+      .writeStream.outputMode("append").format("memory").queryName("state_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // final state per user (last emitted row) must equal the batch agg
+    val got = spark.table("state_out")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"),
+        org.apache.spark.sql.functions.max("max_event").as("max_event"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count("*").as("n_events"),
+        org.apache.spark.sql.functions.max("event_id").as("max_event"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    spark.sql("DROP TABLE IF EXISTS state_out")
+  }
+
   test("sessionize groups events within the gap") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
