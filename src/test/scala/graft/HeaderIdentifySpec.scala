@@ -42,6 +42,21 @@ class HeaderIdentifySpec extends AnyFunSuite {
     assert(r.names.toMap == Map(0 -> "x A", 1 -> "y A", 2 -> "u B", 3 -> "v B"))
   }
 
+  test("three-level hierarchy forward-fills levels 1 and 2 within groups") {
+    val grid = Seq(
+      Seq("A", N, N, N),
+      Seq("x", "y", N, N),
+      Seq("m", N, "n", N),
+      Seq(N, N, N, "deep"),
+      Seq("d", "d", "d", "d"))
+    // firstValid=[0,1,2,3] → clean levels=[0,1,2], maxrow=2
+    val r = HeaderIdentify.identify(grid)
+    assert(r.maxrow == 2)
+    // within group A: level1 ffills x→y→y, level2 ffills m→m→n;
+    // flattened deepest-first = "l2 l1 l0"
+    assert(r.names.toMap == Map(0 -> "m x A", 1 -> "m y A", 2 -> "n y A"))
+  }
+
   test("single header row degrades gracefully (reference would crash)") {
     val grid = Seq(
       Seq("h1", "h2"),
