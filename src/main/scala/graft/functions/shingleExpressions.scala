@@ -95,6 +95,37 @@ case class MinHashSignatureExpression(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_signature"
 }
 
+/** 64-bit SimHash over a token array: per-bit majority vote of XXH64
+  * token hashes, multiplicity-preserving — one pass, map-only (the
+  * explode + 64-conditional-sums groupBy formulation shuffles
+  * |corpus|×|tokens| rows). */
+case class SimHashExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "simhash"
+}
+
 object ShingleFunctions {
   def char_shingles(norm: Column, n: Int): Column =
     column(CharShinglesExpression(expression(norm), n))
@@ -102,4 +133,6 @@ object ShingleFunctions {
     column(WordShinglesExpression(expression(tokens), n))
   def minhash_signature(shingles: Column, k: Int): Column =
     column(MinHashSignatureExpression(expression(shingles), k))
+  def simhash(tokens: Column): Column =
+    column(SimHashExpression(expression(tokens)))
 }

@@ -144,21 +144,15 @@ object Dedup {
           size(array_intersect(col("_sha"), col("_shb")))).as("u_size"))
   }
 
-  /** 64-bit SimHash over token hashes: per-bit majority vote of token
-    * hash bits, computed as 64 conditional sums in one aggregate (wide
-    * but single-pass and codegen-friendly). */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("_tok"))
-      .withColumn("_h", xxhash64(col("_tok")))
-    val bitSums = (0 until 64).map(j =>
-      sum(when(shiftright(col("_h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b_$j"))
-    val summed = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until 64).map(j =>
-      when(col(s"_b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    summed.select(col(idCol), hash.as("simhash"))
-  }
+  /** 64-bit SimHash: per-bit majority vote of token hashes, one native-
+    * kernel pass per row — map-only, no explode/groupBy shuffle. Docs
+    * with no tokens are excluded (matching the previous explode-based
+    * shape, which never emitted a row for them). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+      .where(size(col("_toks")) > 0)
+      .select(col(idCol),
+        graft.functions.ShingleFunctions.simhash(col("_toks")).as("simhash"))
 
   private def popcount64(c: Column): Column = {
     // SWAR popcount as Catalyst expressions (no UDF)

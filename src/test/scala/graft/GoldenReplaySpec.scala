@@ -82,6 +82,30 @@ class GoldenReplaySpec extends AnyFunSuite {
     assert(bad.isEmpty, s"mismatching cells per column: ${bad.mkString(", ")}")
   }
 
+  test("importer standardization replay matches recorded RUT/IMP_COD enrichment") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(tmpCsv)))
+    val raw = spark.read.option("header", "true")
+      .option("quote", "\"").option("escape", "\"").csv(tmpCsv)
+      .withColumnRenamed("_c0", "_row_idx")
+    val recorded = raw.select(col("_row_idx"),
+      col("IMPORTADOR").as("r_IMPORTADOR"), col("RUT").as("r_RUT"),
+      col("IMP_COD").as("r_IMP_COD"))
+    val catalog = graft.sources.OrderedScan.csvCatalog(
+      spark, "/root/reference/data/processed/bd-importadores.csv")
+    val replayed = graft.ops.ImporterStandardizer
+      .standardize(raw.drop("RUT", "IMP_COD"), catalog)
+      .standardized.select("_row_idx", "IMPORTADOR", "RUT", "IMP_COD")
+
+    val joined = replayed.join(recorded, "_row_idx")
+    def neq(a: String, b: String) =
+      !(col(a).isNull && col(b).isNull) &&
+        (col(a).isNull || col(b).isNull || col(a) =!= col(b))
+    val bad = joined.where(
+      neq("IMPORTADOR", "r_IMPORTADOR") || neq("RUT", "r_RUT") ||
+        neq("IMP_COD", "r_IMP_COD")).count()
+    assert(bad == 0, s"$bad rows diverge from the recorded importer enrichment")
+  }
+
   test("publish projection matches the published CSV header (dup folded)") {
     val published = "/root/reference/data/processed/datos3cv_2013-2026.csv"
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(published)))
