@@ -40,6 +40,18 @@ object TextFunctions {
   def normalizeName(c: Column): Column =
     upper(regexp_replace(c, "[\\t.\\-\\s]+", ""))
 
+  /** F18's distributed form (SURVEY §2.8): per-word dictionary mapping as
+    * pure array expressions — `transform` over split tokens with an
+    * `element_at(map_literal, w)` lookup, rejoined. The driver-side
+    * HeaderRules path covers header names; this form is for applying the
+    * same abbreviation dictionaries to a DATA column at scale. */
+  def applyWordMap(c: Column, mapping: Map[String, String]): Column = {
+    val m = map(mapping.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    array_join(
+      transform(split(c, "\\s+"), w => coalesce(element_at(m, w), w)),
+      " ")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("unaccent", unaccentStr _)
   }

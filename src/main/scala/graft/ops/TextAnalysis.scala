@@ -142,26 +142,31 @@ object TextAnalysis {
     val hitsTotal = col("_en") + col("_es") + col("_de") + col("_fr")
     val stopRatio = when(col("_ntok") === 0, 0.0)
       .otherwise(hitsTotal.cast("double") / col("_ntok"))
-    val quality = round((
-      when(col("_ntok").between(5, 100000), 1.0).otherwise(0.0) +
-      when(punctRatio(c) < 0.3, 1.0).otherwise(0.0) +
-      when(digitRatio(c) < 0.3, 1.0).otherwise(0.0) +
-      when(stopRatio > 0.01, 1.0).otherwise(0.0)) / 4.0, 2)
     val mx = greatest(col("_en"), col("_es"), col("_de"), col("_fr"))
     val lang = when(mx === 0, "unknown")
       .when(col("_en") === mx, "en")
       .when(col("_es") === mx, "es")
       .when(col("_de") === mx, "de")
       .otherwise("fr")
-    hoisted.select(
+    val st = hoisted.withColumn("_st",
+      graft.functions.TextStatsFunctions.text_stats(c))
+    def ratio(n: Column): Column =
+      when(col("_st.n_chars") === 0, 0.0)
+        .otherwise(n.cast("double") / col("_st.n_chars"))
+    val qualityFused = round((
+      when(col("_ntok").between(5, 100000), 1.0).otherwise(0.0) +
+      when(ratio(col("_st.n_punct")) < 0.3, 1.0).otherwise(0.0) +
+      when(ratio(col("_st.n_digit")) < 0.3, 1.0).otherwise(0.0) +
+      when(stopRatio > 0.01, 1.0).otherwise(0.0)) / 4.0, 2)
+    st.select(
       col("doc_id"),
-      length(c).as("n_chars"),
+      col("_st.n_chars").as("n_chars"),
       col("_ntok").as("n_tokens"),
-      size(subwordTokens(c)).as("n_subwords"),
-      round(punctRatio(c), 6).as("punct_ratio"),
-      round(digitRatio(c), 6).as("digit_ratio"),
+      col("_st.n_subwords").as("n_subwords"),
+      round(ratio(col("_st.n_punct")), 6).as("punct_ratio"),
+      round(ratio(col("_st.n_digit")), 6).as("digit_ratio"),
       round(stopRatio, 6).as("stopword_ratio"),
-      quality.as("quality"),
+      qualityFused.as("quality"),
       lang.as("lang_pred"),
       fingerprint(c).as("fp"))
   }

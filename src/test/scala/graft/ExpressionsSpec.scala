@@ -36,6 +36,32 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 0.6667) < 1e-9)
   }
 
+  test("text_stats kernel matches the regex-composed signals") {
+    import graft.ops.TextAnalysis
+    val df = Seq("Hola! 2 Cats & 1 perro v2.0", "", "ñandú á 12").toDF("t")
+    val got = df.select(
+      graft.functions.TextStatsFunctions.text_stats(col("t")).as("st"),
+      length(regexp_replace(col("t"), "[^\\p{Punct}]", "")).as("p"),
+      length(regexp_replace(col("t"), "[^0-9]", "")).as("d"),
+      length(regexp_replace(col("t"), "[^A-Z]", "")).as("u"),
+      size(TextAnalysis.subwordTokens(col("t"))).as("sw")).collect()
+    got.foreach { r =>
+      val st = r.getStruct(0)
+      assert(st.getInt(0) == r.getInt(1), "punct")
+      assert(st.getInt(1) == r.getInt(2), "digit")
+      assert(st.getInt(2) == r.getInt(3), "upper")
+      assert(st.getInt(3) == r.getInt(4), "subwords")
+    }
+  }
+
+  test("distributed word-map abbreviation (F18 scale form)") {
+    val df = Seq("ministerio de transportes y telecomunicaciones").toDF("t")
+    val out = df.select(TextFunctions.applyWordMap(col("t"),
+      Map("ministerio" -> "mtt", "transportes" -> "mtt",
+        "telecomunicaciones" -> "mtt"))).first().getString(0)
+    assert(out == "mtt de mtt y mtt")
+  }
+
   test("expressions run inside whole-stage codegen, no ScalaUDF") {
     // literals would constant-fold to a LocalTableScan (also fine); use a
     // real scan so the projection must execute under codegen
