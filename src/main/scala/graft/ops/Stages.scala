@@ -30,11 +30,13 @@ object Stages {
     when(c === sentinel, lit(null)).otherwise(c)
 
   /** F4: string→double with coerce-to-null on garbage
-    * (pd.to_numeric(errors="coerce"), transform_pipeline.py:52,123). */
-  def tryDouble(c: Column): Column = expr(s"try_cast(${c.toString} as double)")
+    * (pd.to_numeric(errors="coerce"), transform_pipeline.py:52,123).
+    * try_cast is ANSI-mode-independent, so the stage behaves identically
+    * under a caller-provided ANSI session. */
+  def tryDouble(c: Column): Column = c.try_cast("double")
 
   private def tryDoubleOf(name: String): Column =
-    expr(s"try_cast(nullif(`$name`, '-') as double)")
+    nullif(col(name), lit("-")).try_cast("double")
 
   /** transform_datetime (transform_pipeline.py:34-43): `'-'`→NULL, ffill
     * over file order, cast to date, derive AÑO. Requires `orderCol` (the

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression pins: the physical shapes the engine promises
+  * (pushdown, partial aggregation, top-k without a full sort, windows
+  * with a single hash-partition exchange) must survive refactors. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: filters reach the parquet scan") {
+    val p = plan("q01_scan_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), IsNotNull(o_totalprice), EqualTo(o_orderstatus,F)")
+      || p.contains("EqualTo(o_orderstatus,F)"), p)
+    // only the 3 referenced columns are read
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"), p)
+  }
+
+  test("q12: map-side partial aggregation before the exchange") {
+    val p = plan("q12_groupby")
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0)
+    // plan prints top-down: final agg, exchange, partial agg, scan —
+    // there must be a HashAggregate BELOW the exchange too
+    assert(p.indexOf("HashAggregate", firstExchange) > firstExchange, p)
+  }
+
+  test("q14: top-k plans as TakeOrderedAndProject, no global sort") {
+    val p = plan("q14_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q07: dimension join broadcasts, never sort-merges") {
+    val p = plan("q07_left_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("no query plans a cartesian product except the declared broadcast NL scorers") {
+    val allowNl = Set("q08_fuzzy_top1", "p01_hom_pipeline", "p07_ann_brute",
+      "p18_hom_pipeline_intended")
+    SparkEntry.queries.keys.filterNot(allowNl).foreach { name =>
+      val p = try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+        catch { case _: Throwable => "" }
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+}

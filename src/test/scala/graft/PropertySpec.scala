@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Ffill
+import graft.schema.HeaderRules
+
+/** SURVEY §5 property suite (seeded-random, deterministic): ffill
+  * idempotence and prefix stability, snake_case output alphabet, hash
+  * determinism. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+
+  test("ffill is idempotent") {
+    val data = (0 until 2000).map(i =>
+      (i.toLong, if (rnd.nextInt(4) == 0) Some(s"v$i") else None))
+    val df = data.toDF("idx", "v").repartition(5)
+    val once = Ffill.ffillBlocked(df, "idx", Seq("v"), blockSize = 128)
+    val twice = Ffill.ffillBlocked(once, "idx", Seq("v"), blockSize = 128)
+    assert(once.orderBy("idx").collect().map(_.toSeq)
+      .sameElements(twice.orderBy("idx").collect().map(_.toSeq)))
+  }
+
+  test("ffill prefix stability: appending rows never changes earlier fills") {
+    val base = (0 until 500).map(i =>
+      (i.toLong, if (rnd.nextInt(3) == 0) Some(s"x$i") else None))
+    val extended = base ++ Seq((500L, Some("tail")), (501L, None))
+    val a = Ffill.ffillBlocked(base.toDF("idx", "v"), "idx", Seq("v"), 64)
+      .orderBy("idx").collect().map(_.toSeq)
+    val b = Ffill.ffillBlocked(extended.toDF("idx", "v"), "idx", Seq("v"), 64)
+      .orderBy("idx").collect().map(_.toSeq).take(500)
+    assert(a.sameElements(b))
+  }
+
+  test("snake_case renders only [A-Z0-9_] or a COL_ hash fallback") {
+    val rules = new HeaderRules()
+    val alphabet = "^[A-Z0-9_]+$".r
+    val chars = "abcdefghijklmnopqrstuvwxyzáéíóúñ ()/.*°-_,0123456789 "
+    (1 to 200).foreach { _ =>
+      val len = 1 + rnd.nextInt(40)
+      val header = (0 until len).map(_ => chars.charAt(rnd.nextInt(chars.length))).mkString
+      val name = rules.generateStandardName(header)
+      assert(alphabet.findFirstIn(name).isDefined, s"'$header' -> '$name'")
+    }
+  }
+
+  test("hash keys are deterministic and prefix-stable") {
+    val rules = new HeaderRules()
+    assert(rules.computeHash("CO2 combinado (g/km)") ==
+      rules.computeHash("CO2 combinado (g/km)"))
+    assert(rules.computeHash("a") != rules.computeHash("b"))
+    assert(rules.computeHash("x").length == 12)
+  }
+}
