@@ -81,5 +81,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("similarity_ratio"),
       new ExpressionInfo(classOf[SimilarityExpression].getName, "similarity_ratio"),
       (exprs: Seq[Expression]) => SimilarityExpression(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => SimilarityLengthPruning)
   }
 }

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Add, And, Cast, Expression, GreaterThanOrEqual, Least, Length, Literal, Multiply}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.types.DoubleType
+
+/** Optimizer rule: prune cheap before scoring expensive.
+  *
+  * For a predicate `similarity_ratio(a, b) >= t` (t a positive literal),
+  * Ratcliff/Obershelp gives a NECESSARY condition from lengths alone:
+  * ratio = 2M/(|a|+|b|) and M ≤ min(|a|,|b|), so
+  * `2·min(|a|,|b|) >= t·(|a|+|b|)` must hold for any match. The rule
+  * conjoins that O(1) guard AHEAD of the O(|a|·|b|) scorer, so
+  * short-circuit evaluation skips the quadratic kernel for every pair the
+  * lengths already rule out — the classic length-banding prune, applied
+  * automatically and soundly (no recall loss; rows failing the guard can
+  * never pass the original predicate).
+  */
+object SimilarityLengthPruning extends Rule[LogicalPlan] {
+  private val applied = TreeNodeTag[Boolean]("graft.similarityLengthPruned")
+
+  private def guard(a: Expression, b: Expression, t: Double): Expression = {
+    val la = Length(a); val lb = Length(b)
+    GreaterThanOrEqual(
+      Multiply(Literal(2.0), Cast(Least(Seq(la, lb)), DoubleType)),
+      Multiply(Literal(t), Cast(Add(la, lb), DoubleType)))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) if f.getTagValue(applied).isEmpty =>
+      var changed = false
+      val newCond = cond.transformUp {
+        case ge @ GreaterThanOrEqual(SimilarityExpression(a, b), Literal(t: Double, DoubleType))
+            if t > 0.0 =>
+          changed = true
+          And(guard(a, b, t), ge)
+      }
+      if (changed) {
+        val nf = Filter(newCond, child)
+        nf.setTagValue(applied, true)
+        nf
+      } else f
+  }
+}
+
+/** Install the engine's optimizer rules on an existing session (the
+  * extensions path below covers fresh sessions). */
+object GraftOptimizations {
+  def install(spark: SparkSession): Unit = {
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.contains(SimilarityLengthPruning))
+      spark.experimental.extraOptimizations = existing :+ SimilarityLengthPruning
+  }
+}
