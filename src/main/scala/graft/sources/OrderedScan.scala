@@ -24,8 +24,19 @@ object OrderedScan {
       .option("header", "false")
       .option("delimiter", delimiter)
       .option("nullValue", "")
+      // header cells in the 3CV workbook contain embedded newlines;
+      // multiLine keeps them inside one logical row (sheet grids are
+      // driver-converted and modest, so the single-split read is fine)
+      .option("multiLine", "true")
       .csv(path)
-    attachRowIndex(raw)
+    // CRLF grids: the multiLine parser leaves the '\r' inside the final
+    // cell of each record, which silently turns empty cells non-null and
+    // wrecks header-level detection — strip it and re-null empties
+    val cleaned = raw.select(raw.columns.map { c =>
+      val v = regexp_replace(col(c), "\r$", "")
+      when(length(v) === 0, lit(null)).otherwise(v).as(c)
+    }: _*)
+    attachRowIndex(cleaned)
   }
 
   /** S4: catalog CSV with header + explicit schema honoring. */
