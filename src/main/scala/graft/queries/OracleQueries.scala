@@ -164,7 +164,21 @@ object OracleQueries {
         .select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), col("pos"),
           (round(col("col").cast("double"), 4) + 0.0).as("x")) // +0.0 folds -0.0 to 0.0
-        .orderBy("vec_id", "pos"))
+        .orderBy("vec_id", "pos")),
+
+    // Q19 — left anti join (the not_found complement shape, SURVEY §2.3).
+    "q19_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    // Q20 — left semi join (EXISTS).
+    "q20_semi_join" -> ((s, dir) => {
+      val su = t(s, dir, "supplier"); val li = t(s, dir, "lineitem")
+      su.join(li, su("s_suppkey") === li("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name").orderBy("s_suppkey")
+    })
   )
 
   /** DuckDB 1.0 dialect oracles (no WITH ORDINALITY; regexp_replace needs
@@ -205,6 +219,10 @@ object OracleQueries {
     "q17_dispatch" ->
       "SELECT l_orderkey, l_linenumber, CAST(ROUND(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * 0.87 WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * 8.60 ELSE CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(21,4)) END, 2) AS DOUBLE) AS equiv FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q18_explode" ->
-      "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, ROUND(CAST(unnest(embedding) AS DOUBLE), 4) + 0.0 AS x FROM embeddings ORDER BY vec_id, pos"
+      "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, ROUND(CAST(unnest(embedding) AS DOUBLE), 4) + 0.0 AS x FROM embeddings ORDER BY vec_id, pos",
+    "q19_anti_join" ->
+      "SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey",
+    "q20_semi_join" ->
+      "SELECT s_suppkey, s_name FROM supplier s WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey) ORDER BY s_suppkey"
   )
 }
