@@ -132,6 +132,29 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Per-label embedding centroids (the class-prototype op): mean vector
+    // per label via posexplode + groupBy — partial aggregation applies,
+    // one shuffle of (label, pos) pairs.
+    "p21_label_centroid" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy("label", "pos")
+        .agg((round(avg(col("col").cast("double")), 6) + 0.0).as("c"))
+        .orderBy("label", "pos")),
+
+    // Cross-table similarity: top-2 neighbors by embedding cosine for
+    // query ids < 10, enriched with the neighbor document's metadata —
+    // the "find similar documents" product query.
+    "p22_doc_similarity" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val docs = Tables(s, dir, "documents").select(
+        col("doc_id").as("nid"), col("lang"), col("source"))
+      Ann.bruteTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 2)
+        .join(broadcast(docs), Seq("nid"))
+        .select("qid", "rank", "nid", "score", "lang", "source")
+        .orderBy("qid", "rank")
+    }),
+
     // ---- text analysis -----------------------------------------------
     "p09_text_stats" -> ((s, dir) => {
       val c = col("text")
@@ -280,6 +303,16 @@ object PipelineQueries {
     "p17_ffill_blocked" ->
       "SELECT event_id, LAST_VALUE(NULLIF(event_type, 'noop') IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff FROM events ORDER BY event_id",
     "p19_salted_join" ->
-      "SELECT o_orderpriority, CAST(length(o_orderpriority) AS INT) AS prio_rank, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev FROM orders GROUP BY 1, 2 ORDER BY 1"
+      "SELECT o_orderpriority, CAST(length(o_orderpriority) AS INT) AS prio_rank, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev FROM orders GROUP BY 1, 2 ORDER BY 1",
+    "p21_label_centroid" -> (
+      "WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) " +
+        "SELECT label, pos, ROUND(AVG(x), 6) + 0.0 AS c FROM e GROUP BY 1, 2 ORDER BY label, pos"),
+    "p22_doc_similarity" -> (
+      "WITH scored AS (SELECT q.vec_id AS qid, c.vec_id AS nid, " +
+        "ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) + 0.0 AS score " +
+        "FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id), " +
+        "ranked AS (SELECT qid, nid, score, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM scored) " +
+        "SELECT r.qid, CAST(r.rank AS INT) AS rank, r.nid, r.score, d.lang, d.source " +
+        "FROM ranked r JOIN documents d ON d.doc_id = r.nid WHERE r.rank <= 2 ORDER BY r.qid, r.rank")
   )
 }
