@@ -47,15 +47,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Epoch-nanos long → microsecond timestamp. MUST be integral division:
+    * a double divide carries only 52 mantissa bits, and epoch nanos
+    * (~1.7e18) exceed 2^53, so `(ts / 1000.0).toLong` can land 1 µs off
+    * (e.g. 1700000000000000896 ns → 1700000000000001 µs instead of
+    * 1700000000000000; pinned in StagesSpec). */
+  def nanosToTimestampMicros(nanosCol: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr(s"`$nanosCol` div 1000"))
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as a long
     // (spark.sql.legacy.parquet.nanosAsLong); surface it as a proper
     // microsecond timestamp so date/window functions apply.
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      df.withColumn("ts", nanosToTimestampMicros("ts"))
     else df
   }
 

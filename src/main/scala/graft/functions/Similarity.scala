@@ -14,13 +14,32 @@ import org.apache.spark.sql.functions.udf
   * registered UDF for distributed scoring. O(|a|*|b|) per call — fine for
   * short names; at 100 TB scale pair this with blocking (FuzzyJoin
   * .bestMatchBlocked) so the quadratic scorer only sees banded candidates.
+  *
+  * Sequence elements are Unicode CODE POINTS, exactly like Python 3
+  * strings under difflib (a supplementary-plane char is one element, not
+  * a surrogate pair) — and the same unit Catalyst's `Length` counts, so
+  * [[SimilarityLengthPruning]]'s length guard is sound for all inputs.
   */
 object Similarity {
+
+  /** Code points of `s`; fast 1:1 path for BMP-only strings (the common
+    * case for the header/importer corpora). */
+  private def codePoints(s: String): Array[Int] = {
+    val n = s.length
+    var i = 0
+    while (i < n && !Character.isHighSurrogate(s.charAt(i))) i += 1
+    if (i == n) {
+      val out = new Array[Int](n)
+      var j = 0
+      while (j < n) { out(j) = s.charAt(j); j += 1 }
+      out
+    } else s.codePoints().toArray
+  }
 
   /** Longest matching block in a[alo,ahi) x b[blo,bhi); ties resolved to
     * the earliest position in a, then b (difflib-compatible). */
   private def longestMatch(
-      a: CharSequence, b: CharSequence,
+      a: Array[Int], b: Array[Int],
       alo: Int, ahi: Int, blo: Int, bhi: Int): (Int, Int, Int) = {
     var besti = alo; var bestj = blo; var bestSize = 0
     val width = bhi - blo
@@ -31,7 +50,7 @@ object Similarity {
       java.util.Arrays.fill(cur, 0)
       var j = blo
       while (j < bhi) {
-        if (a.charAt(i) == b.charAt(j)) {
+        if (a(i) == b(j)) {
           val k = (if (j > blo) prev(j - 1 - blo) else 0) + 1
           cur(j - blo) = k
           if (k > bestSize) { besti = i - k + 1; bestj = j - k + 1; bestSize = k }
@@ -45,7 +64,7 @@ object Similarity {
   }
 
   private def matchCount(
-      a: CharSequence, b: CharSequence,
+      a: Array[Int], b: Array[Int],
       alo: Int, ahi: Int, blo: Int, bhi: Int): Int = {
     if (alo >= ahi || blo >= bhi) return 0
     val (i, j, k) = longestMatch(a, b, alo, ahi, blo, bhi)
@@ -53,12 +72,14 @@ object Similarity {
     else k + matchCount(a, b, alo, i, blo, j) + matchCount(a, b, i + k, ahi, j + k, bhi)
   }
 
-  /** 2*M/(|a|+|b|) in [0,1]; 1.0 for two empty strings, 0.0 if either null. */
+  /** 2*M/(|a|+|b|) in [0,1] over code-point counts; 1.0 for two empty
+    * strings, 0.0 if either null. */
   def ratio(a: String, b: String): Double = {
     if (a == null || b == null) return 0.0
-    val total = a.length + b.length
+    val ca = codePoints(a); val cb = codePoints(b)
+    val total = ca.length + cb.length
     if (total == 0) return 1.0
-    2.0 * matchCount(a, b, 0, a.length, 0, b.length) / total
+    2.0 * matchCount(ca, cb, 0, ca.length, 0, cb.length) / total
   }
 
   /** Variant of [[ratio]] that first drops the reference's junk chars

@@ -18,6 +18,11 @@ import org.apache.spark.sql.types.DoubleType
   * lengths already rule out — the classic length-banding prune, applied
   * automatically and soundly (no recall loss; rows failing the guard can
   * never pass the original predicate).
+  *
+  * Unit soundness: Catalyst `Length` counts code points, and
+  * `Similarity.ratio` measures sequences of code points too, so the guard
+  * and the scorer always agree — including on supplementary-plane input
+  * (OptimizerRuleSpec pins this with an emoji pair at t=0.8).
   */
 object SimilarityLengthPruning extends Rule[LogicalPlan] {
   private val applied = TreeNodeTag[Boolean]("graft.similarityLengthPruned")

@@ -52,15 +52,19 @@ object FuzzyJoin {
       scorer: (Column, Column) => Column = normalizedRatio,
       posCol: String = "_cat_pos"): DataFrame = {
     val cat = if (catalog.columns.contains(posCol)) catalog else withPosition(catalog, posCol)
+    // top-1 per probe ROW, not per probe value: partition the argmax
+    // window by an attached unique id so duplicate probe rows each keep
+    // their match instead of being silently collapsed to one
     val scored = probes
+      .withColumn("_probe_id", monotonically_increasing_id())
       .crossJoin(broadcast(cat))
       .withColumn("score", scorer(col(probeCol), col(candCol)))
-    val w = Window.partitionBy(col(probeCol))
+    val w = Window.partitionBy(col("_probe_id"))
       .orderBy(col("score").desc, col(posCol).asc)
     val top1 = scored
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
-      .drop("_rn", posCol)
+      .drop("_rn", posCol, "_probe_id")
     val keep = if (inclusive) col("score") >= threshold else col("score") > threshold
     top1.where(keep)
   }
@@ -87,7 +91,9 @@ object FuzzyJoin {
         concat_ws("#", substring(n, 1, 1), b.cast("string")),
         concat_ws("#", substring(n, 1, 1), (b + 1).cast("string")))
     }
-    val p = probes.withColumn("_band", explode(array_distinct(bandKeys(col(probeCol)))))
+    val p = probes
+      .withColumn("_probe_id", monotonically_increasing_id())
+      .withColumn("_band", explode(array_distinct(bandKeys(col(probeCol)))))
     val c = cat.withColumn("_band",
       concat_ws("#",
         substring(TextFunctions.normalizeName(col(candCol)), 1, 1),
@@ -96,11 +102,11 @@ object FuzzyJoin {
       .withColumn("score", Similarity.similarity_ratio(
         TextFunctions.normalizeName(col(probeCol)),
         TextFunctions.normalizeName(col(candCol))))
-    val w = Window.partitionBy(col(probeCol))
+    val w = Window.partitionBy(col("_probe_id"))
       .orderBy(col("score").desc, col(posCol).asc)
     scored.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1 && col("score") >= threshold)
-      .drop("_rn", "_band", posCol)
+      .drop("_rn", "_band", posCol, "_probe_id")
   }
 }
 
@@ -118,7 +124,13 @@ object ImporterStandardizer {
     * before scoring. */
   case object Legacy extends Variant
 
-  case class Result(standardized: DataFrame, notFound: DataFrame)
+  /** `release()` frees any cache the producing pipeline holds on the
+    * lineage — call it after the terminal action on `standardized` so
+    * cached blocks don't accumulate across grids in a long session. */
+  case class Result(
+      standardized: DataFrame,
+      notFound: DataFrame,
+      release: () => Unit = () => ())
 
   /** catalog schema: COD_IMP, NOMBRE_EMP, RUT (+extra cols ignored). */
   def standardize(

@@ -64,13 +64,22 @@ object Homologation {
   }
 
   /** pipeline_transformation (transform_pipeline.py:218-251). `catalog`
-    * is the importer master table (bd-importadores). */
+    * is the importer master table (bd-importadores).
+    *
+    * `cache=true` persists the staged table so the imputation-mean agg
+    * and the caller's terminal action share one computation of the
+    * header+transform chain; the cache is owned by the returned
+    * `Result.release()` — call it after the terminal action (cached
+    * blocks otherwise accumulate across grids in a long-lived session).
+    * `cache=false` skips the persist entirely (right for tiny demo grids
+    * and for one-shot runs where recompute beats disk-backed caching). */
   def pipeline(
       grid: DataFrame,
       rules: HeaderRules,
       catalog: DataFrame,
-      mode: CompatMode = CompatMode.Reference): ImporterStandardizer.Result = {
-    val staged = transformHeaders(grid, rules)
+      mode: CompatMode = CompatMode.Reference,
+      cache: Boolean = true): ImporterStandardizer.Result = {
+    val chain = transformHeaders(grid, rules)
       .transform(Stages.transformDatetime(_))
       .transform(Stages.transformCategoryCols(_, categoryColumns))
       .transform(Stages.transformCombustible(_))
@@ -80,12 +89,12 @@ object Homologation {
       .transform(Stages.rendEquiv(_, mode = mode))
       .transform(Stages.co2Equiv(_))
       .transform(Stages.gasesEmissions(_))
-      // imputation needs a second pass (global means); persist the staged
-      // table so neither the mean agg nor the final action re-runs the
-      // whole header+transform chain
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val staged =
+      if (cache) chain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else chain
     val df = Stages.bevZeroAndImpute(staged)
-    ImporterStandardizer.standardize(df, catalog)
+    val r = ImporterStandardizer.standardize(df, catalog)
+    if (cache) r.copy(release = () => { staged.unpersist(); () }) else r
   }
 
   /** EP3 publish projection: present published columns only, in order

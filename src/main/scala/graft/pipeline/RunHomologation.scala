@@ -54,6 +54,7 @@ object RunHomologation {
       notFound.foreach(n => System.err.println(s"  - $n"))
     }
     println(s"""{"published":"$outPath","rows":${published.count()},"years":[$y0,$y1],"importers_not_found":${notFound.length}}""")
+    result.release() // free the pipeline's staging cache (terminal actions done)
     if (!preExisting) spark.stop()
   }
 }

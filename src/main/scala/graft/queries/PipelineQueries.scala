@@ -44,7 +44,8 @@ object PipelineQueries {
       val catalog = OrderedScan.csvCatalog(
         s, "/root/reference/data/processed/bd-importadores.csv")
       val r: ImporterStandardizer.Result =
-        Homologation.pipeline(demoGrid(s), new HeaderRules(), catalog)
+        Homologation.pipeline(demoGrid(s), new HeaderRules(), catalog,
+          cache = false) // 3-row demo: persist setup costs more than recompute
       Homologation.publishProjection(r.standardized)
         .orderBy("MARCA")
     }),
@@ -209,7 +210,7 @@ object PipelineQueries {
       val catalog = OrderedScan.csvCatalog(
         s, "/root/reference/data/processed/bd-importadores.csv")
       val r = Homologation.pipeline(demoGrid(s), new HeaderRules(),
-        catalog, mode = graft.ops.CompatMode.Intended)
+        catalog, mode = graft.ops.CompatMode.Intended, cache = false)
       Homologation.publishProjection(r.standardized).orderBy("MARCA")
     }),
 

@@ -18,10 +18,29 @@ object Ingest {
 
   trait Transport { def get(url: String): Array[Byte] }
 
-  /** Production transport (JDK built-in; no extra deps). */
+  /** Production transport (JDK built-in; no extra deps). Follows
+    * redirects like the reference's `requests.get` does (a 301 on the
+    * landing page must not abort the scrape), and `verifyTls = false`
+    * installs a trust-all context — the JDK analogue of the reference's
+    * `verify=False` escape hatch (extraction.py uses requests defaults;
+    * keep this `true` outside broken-proxy environments). */
   final class JdkHttpTransport(verifyTls: Boolean = true) extends Transport {
+    private val client: java.net.http.HttpClient = {
+      val b = java.net.http.HttpClient.newBuilder()
+        .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      if (!verifyTls) {
+        val trustAll: javax.net.ssl.X509TrustManager = new javax.net.ssl.X509TrustManager {
+          def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+          def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+          def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+        }
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        ctx.init(null, Array[javax.net.ssl.TrustManager](trustAll), new java.security.SecureRandom())
+        b.sslContext(ctx)
+      }
+      b.build()
+    }
     def get(url: String): Array[Byte] = {
-      val client = java.net.http.HttpClient.newBuilder().build()
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
       val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
       require(resp.statusCode() / 100 == 2, s"GET $url -> ${resp.statusCode()}")

@@ -97,5 +97,30 @@ class HomologationSpec extends AnyFunSuite {
     assert(pub.columns.head == "MARCA")
     assert(!pub.columns.contains("_row_idx"))
     assert(Homologation.yearRange(df) == (2013, 2014))
+    result.release()
+  }
+
+  test("Result.release() frees the staging cache; cache=false never persists") {
+    // distinct grid (extra data row) so the CacheManager can't alias this
+    // plan to one cached by another test
+    val grid = OrderedScan.fromGrid(spark, rawGrid :+
+      Seq("FORD", "FOCUS", "Astara. Chile - SPA", "Combustión", "GASOLINA",
+        "2015-02-02", "1400", "14.0", "-", "130", "0.4", N), 12)
+    val catalog = OrderedScan.csvCatalog(
+      spark, "/root/reference/data/processed/bd-importadores.csv")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val result = Homologation.pipeline(grid, new HeaderRules(), catalog)
+    assert(result.standardized.count() == 4)
+    assert(spark.sparkContext.getPersistentRDDs.size > before, "staged table should be cached")
+    result.release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before, "release must unpersist")
+
+    val grid2 = OrderedScan.fromGrid(spark, rawGrid :+
+      Seq("FORD", "FIESTA", "Astara. Chile - SPA", "Combustión", "GASOLINA",
+        "2015-03-03", "1300", "16.0", "-", "110", "0.3", N), 12)
+    val r2 = Homologation.pipeline(grid2, new HeaderRules(), catalog, cache = false)
+    assert(r2.standardized.count() == 4)
+    assert(spark.sparkContext.getPersistentRDDs.size == before, "cache=false must not persist")
+    r2.release() // no-op
   }
 }

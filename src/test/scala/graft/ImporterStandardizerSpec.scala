@@ -60,6 +60,17 @@ class ImporterStandardizerSpec extends AnyFunSuite {
     assert(direct.size == 3)
   }
 
+  test("bestMatch keeps duplicate probe rows (top-1 per ROW, not per value)") {
+    import graft.ops.FuzzyJoin
+    val probes = Seq(
+      ("Astara Chile SPA", 1), ("Astara Chile SPA", 2), ("BYD Chile SPA", 3)
+    ).toDF("name", "id")
+    val out = FuzzyJoin.bestMatch(probes, "name", catalog, "NOMBRE_EMP", 0.6)
+    assert(out.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // both duplicates matched the same catalog row
+    assert(out.where($"id".isin(1, 2)).select("NOMBRE_EMP").distinct().count() == 1)
+  }
+
   test("union of per-sheet grids stacks with a _sheet column") {
     import graft.sources.OrderedScan
     val s0 = OrderedScan.fromGrid(spark, Seq(Seq("a", "b")), 2)

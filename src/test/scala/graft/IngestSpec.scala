@@ -59,4 +59,28 @@ class IngestSpec extends AnyFunSuite {
         "https://example.test/page", "brxe-dqzlqf", dest, "dataRawHom", "xls")
     }
   }
+
+  test("JdkHttpTransport follows a 301 redirect (loopback server)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    server.createContext("/old", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        ex.getResponseHeaders.add("Location", s"$base/new")
+        ex.sendResponseHeaders(301, -1); ex.close()
+      }
+    })
+    server.createContext("/new", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val body = "after-redirect".getBytes
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val got = new Ingest.JdkHttpTransport().get(s"$base/old")
+      assert(new String(got) == "after-redirect")
+    } finally server.stop(0)
+  }
 }

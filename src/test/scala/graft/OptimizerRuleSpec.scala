@@ -48,4 +48,20 @@ class OptimizerRuleSpec extends AnyFunSuite {
     assert(withRule == without)
     assert(withRule.nonEmpty)
   }
+
+  test("supplementary-plane pair at t=0.8: guard and scorer count the same unit") {
+    GraftOptimizations.install(spark)
+    // parquet-backed so the rule (not constant folding) does the pruning
+    val dir = java.nio.file.Files.createTempDirectory("graft-astral").toString
+    Seq(("😀😀😀😀a", "😀😀😀😀b"), ("😀", "😀a"), ("abcd", "abce"))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val withRule = df.where(GraftFunctions.similarity_native($"a", $"b") >= 0.8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // ground truth straight from the driver-side kernel, no plan involved
+    val expected = df.collect().map(r => (r.getString(0), r.getString(1)))
+      .filter { case (a, b) => graft.functions.Similarity.ratio(a, b) >= 0.8 }.toSet
+    assert(withRule == expected)
+    assert(withRule.contains(("😀😀😀😀a", "😀😀😀😀b")), "astral pair must survive pruning")
+  }
 }

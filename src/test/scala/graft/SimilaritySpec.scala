@@ -26,6 +26,15 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("elements are code points, like Python 3 strings (astral parity)") {
+    // golden values from CPython difflib on the same strings: a
+    // supplementary-plane char is ONE element, not a UTF-16 surrogate pair
+    assert(math.abs(Similarity.ratio("😀", "😀a") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(Similarity.ratio("😀😀😀😀a", "😀😀😀😀b") - 0.8) < 1e-12)
+    assert(math.abs(Similarity.ratio("𝕏ray", "Xray") - 0.75) < 1e-12)
+    assert(Similarity.ratio("😀😀😀", "😀😀😀") == 1.0)
+  }
+
   test("null-safe") {
     assert(Similarity.ratio(null, "x") == 0.0)
     assert(Similarity.ratio("x", null) == 0.0)
