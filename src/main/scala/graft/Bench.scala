@@ -6,8 +6,19 @@ import org.apache.spark.sql.SparkSession
   * scale factor and prints ONE JSON line. Full evaluation is forced with
   * the `noop` datasource (every column materialized — a `.count()` would
   * let Catalyst prune the projection and time a near-empty scan). Failed
-  * queries are reported as value -1, never as a fake timing. */
+  * queries are reported as value -1, never as a fake timing.
+  *
+  * Reports the per-query MEDIAN of ≥3 iterations (SPARK_GRAFT_BENCH_ITERS
+  * to override): a single shared local[32] JVM shows 10–20× per-query
+  * swings from GC/compilation interference, and min-of-2 let one lucky or
+  * unlucky run decide the round-over-round comparison. */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,9 +44,7 @@ object Bench {
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
-    // two timed iterations per query, min reported: the second run reuses
-    // compiled codegen, which is what a warm production session sees
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     var failed = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iterations).flatMap { _ =>
@@ -50,7 +59,7 @@ object Bench {
         }
       }
       if (times.isEmpty) failed += 1
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      name -> (if (times.isEmpty) -1.0 else median(times))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

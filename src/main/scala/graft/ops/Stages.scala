@@ -66,12 +66,21 @@ object Stages {
     filled.withColumn(column, tryDouble(col(column)))
   }
 
+  /** Replace `targets` in place via one `select` projection. A
+    * per-column `withColumn` fold adds one Project (and one full
+    * analyzer pass) per column — on the ~100-derived-column pipeline
+    * that driver-side plan-compile tax dominated small-grid latency. */
+  private def replaceColumns(df: DataFrame, targets: Set[String])(
+      f: String => Column): DataFrame =
+    if (targets.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map(c =>
+      if (targets(c)) f(c).as(c) else col(c)): _*)
+
   /** transform_category_cols (transform_pipeline.py:55-66): NULL→"",
-    * lower, unaccent, trim — for each present column. */
+    * lower, unaccent, trim — for each present column (one projection). */
   def transformCategoryCols(df: DataFrame, columns: Seq[String]): DataFrame =
-    columns.filter(df.columns.contains).foldLeft(df) { (d, c) =>
-      d.withColumn(c, TextFunctions.normalizeCategory(coalesce(col(c), lit(""))))
-    }
+    replaceColumns(df, columns.filter(df.columns.contains).toSet)(c =>
+      TextFunctions.normalizeCategory(coalesce(col(c), lit(""))))
 
   /** transform_combustible (transform_pipeline.py:68-74): lower+unaccent,
     * empty→"electrico". */
@@ -173,7 +182,7 @@ object Stages {
       case CompatMode.Intended  => Seq("gasolina/glp", "gasolina/gnc")
     }
     val touched = (props.values.toSeq :+ glpCol).distinct.filter(df.columns.contains)
-    val withNumeric = touched.foldLeft(df)((d, c) => d.withColumn(c, tryDoubleOf(c)))
+    val withNumeric = replaceColumns(df, touched.toSet)(tryDoubleOf)
 
     val srcVal: Column = {
       val byProp = props.filter { case (_, c) => df.columns.contains(c) }
@@ -208,8 +217,7 @@ object Stages {
       "gasolina/hibrido" -> "CO2_PHEV_REND_PONDERADO_VH_GKM",
       "hidrogeno" -> "EMIS_CO2_GKM")
     val present = mapping.filter { case (_, c) => df.columns.contains(c) }
-    val withNumeric = present.map(_._2).distinct.foldLeft(df)((d, c) =>
-      d.withColumn(c, tryDoubleOf(c)))
+    val withNumeric = replaceColumns(df, present.map(_._2).toSet)(tryDoubleOf)
     val value = present.foldLeft(lit(null).cast("double")) {
       case (acc, (comb, c)) => when(col("COMBUSTIBLE") === comb, col(c)).otherwise(acc)
     }
@@ -232,15 +240,18 @@ object Stages {
       "NOX_GKM" -> Seq("NOX_EMISION_EPA_GKM", "NOX_EMISION_EU_GKM"),
       "NMOG_GKM" -> Seq("NMOG_EMISION_EPA_GKM", "NMOG_EMISION_EU_GKM"),
       "CO_GKM" -> Seq("CO_EMISION_EPA_GKM", "CO_EMISION_EU_GKM"))
-    gases.foldLeft(df) { case (d, (newcol, listcols)) =>
-      val used = listcols.filter(d.columns.contains)
-      if (used.isEmpty) d
-      else {
-        val numeric = used.foldLeft(d)((dd, c) => dd.withColumn(c, tryDouble(col(c))))
-        val sum = used.map(c => coalesce(col(c), lit(0.0))).reduce(_ + _)
-        numeric.withColumn(newcol, sum / lit(used.size.toDouble))
-      }
+    val present = gases
+      .map { case (newcol, listcols) => (newcol, listcols.filter(df.columns.contains)) }
+      .filter(_._2.nonEmpty)
+    if (present.isEmpty) return df
+    // two projections total (convert sources in place, append the gas
+    // means) instead of one Project per converted column per gas
+    val converted = replaceColumns(df, present.flatMap(_._2).toSet)(c => tryDouble(col(c)))
+    val gasCols = present.map { case (newcol, used) =>
+      val sum = used.map(c => coalesce(col(c), lit(0.0))).reduce(_ + _)
+      (sum / lit(used.size.toDouble)).as(newcol)
     }
+    converted.select(converted.columns.toIndexedSeq.map(col) ++ gasCols: _*)
   }
 
   /** A1 + BEV zeroing (transform_pipeline.py:243-245): zero CO₂ for BEVs,
