@@ -56,6 +56,49 @@ object Ingest {
     def list(prefix: String): Seq[String]
   }
 
+  /** Production object store: any Hadoop-FileSystem scheme — `gs://`
+    * (GCS connector), `s3a://`, `hdfs://`, `file://`. This is the
+    * idiomatic wiring for a Spark library: the cluster's Hadoop
+    * configuration already carries the bucket credentials, so
+    * `new HadoopFsStore("gs://bucket/backups", spark.sparkContext
+    * .hadoopConfiguration)` is the whole production setup. Exercised in
+    * this offline sandbox through the `file://` scheme (IngestSpec). */
+  final class HadoopFsStore(
+      root: String,
+      conf: org.apache.hadoop.conf.Configuration) extends BlobStore {
+    import org.apache.hadoop.fs.{Path => HPath}
+    private val rootPath = new HPath(root)
+    private def fs = rootPath.getFileSystem(conf)
+
+    def upload(local: Path, name: String): Unit =
+      fs.copyFromLocalFile(false /*delSrc*/, true /*overwrite*/,
+        new HPath(local.toUri), new HPath(rootPath, name))
+
+    def download(name: String, dest: Path): Unit = {
+      val src = new HPath(rootPath, name)
+      require(fs.exists(src), s"blob $name not found; available: ${list("")}")
+      if (dest.getParent != null) Files.createDirectories(dest.getParent)
+      // raw local target: skip the .crc sidecar ChecksumFileSystem writes
+      fs.copyToLocalFile(false, src, new HPath(dest.toUri), true /*useRawLocalFileSystem*/)
+    }
+
+    def list(prefix: String): Seq[String] = {
+      if (!fs.exists(rootPath)) return Nil
+      val rootUri = fs.makeQualified(rootPath).toUri.getPath.stripSuffix("/")
+      val it = fs.listFiles(rootPath, true)
+      val out = scala.collection.mutable.Buffer.empty[String]
+      while (it.hasNext) {
+        val rel = it.next().getPath.toUri.getPath
+          .stripPrefix(rootUri).stripPrefix("/")
+        // Hadoop convention: dot/underscore files are metadata (e.g. the
+        // .crc sidecars ChecksumFileSystem writes under file://)
+        val hidden = rel.split('/').exists(s => s.startsWith(".") || s.startsWith("_"))
+        if (rel.startsWith(prefix) && !hidden) out += rel
+      }
+      out.toSeq
+    }
+  }
+
   final class LocalDirStore(root: Path) extends BlobStore {
     def upload(local: Path, name: String): Unit = {
       val t = root.resolve(name)

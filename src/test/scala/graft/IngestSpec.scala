@@ -60,6 +60,28 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("HadoopFsStore round-trips through a FileSystem scheme (file://)") {
+    val root = Files.createTempDirectory("hfs-store")
+    val store = new Ingest.HadoopFsStore(
+      s"file://$root", new org.apache.hadoop.conf.Configuration())
+    val src = Files.createTempFile("blob", ".xls")
+    Files.write(src, "PAYLOAD".getBytes)
+    store.upload(src, "data/raw/dataRawHom.xls")
+    assert(store.list("data/raw/") == Seq("data/raw/dataRawHom.xls"))
+    assert(store.list("other/") == Nil)
+    val dest = Files.createTempDirectory("hfs-dest").resolve("restored.xls")
+    store.download("data/raw/dataRawHom.xls", dest)
+    assert(new String(Files.readAllBytes(dest)) == "PAYLOAD")
+    assert(!Files.exists(dest.resolveSibling(".restored.xls.crc")), "no checksum sidecar")
+    intercept[IllegalArgumentException](store.download("missing.bin", dest))
+
+    // the full backup/restore ladder works over the FileSystem store too
+    val landed = Ingest.ingestWithBackup(new FakeTransport(fail = true), store,
+      "https://example.test/page", "brxe-dqzlqf",
+      Files.createTempDirectory("hfs-land"), "dataRawHom", "xls")
+    assert(new String(Files.readAllBytes(landed)) == "PAYLOAD")
+  }
+
   test("JdkHttpTransport follows a 301 redirect (loopback server)") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
