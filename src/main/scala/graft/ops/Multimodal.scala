@@ -96,12 +96,16 @@ object Multimodal {
   }
 
   /** End-to-end multimodal profile: media table → batched decode →
-    * per-kind feature aggregate; the driver-surface query. */
+    * per-row feature digest; the driver-surface query. The feature is
+    * surfaced as the INTEGER bucket-0 byte count (recovered exactly from
+    * the float histogram: count = ratio × n, exact below 2^24) so the
+    * DuckDB oracle compares integers, not float32 round-offs. */
   def profile(spark: SparkSession, documents: DataFrame): DataFrame = {
     val feats = extractFeatures(mediaFromDocuments(spark, documents))
     feats.toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
-        round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+        round(element_at(col("features"), 1).cast("double") *
+          greatest(col("n_bytes"), lit(1))).cast("long").as("f0_count"))
       .orderBy("media_id")
   }
 }

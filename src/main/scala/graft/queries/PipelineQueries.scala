@@ -225,6 +225,10 @@ object PipelineQueries {
         .orderBy("doc_id")),
 
     // ---- multimodal plumbing (decode STUBBED, plumbing real) ----------
+    // Oracled: payload/checksum/feature are deterministic functions of
+    // the text bytes, so DuckDB replays the stub decode exactly (the
+    // corpus is ASCII, so per-char code points ARE the payload bytes —
+    // the oracle would rightly go red if that ever changed).
     "p13_multimodal" -> ((s, dir) =>
       Multimodal.profile(s, Tables(s, dir, "documents"))),
 
@@ -382,7 +386,35 @@ object PipelineQueries {
   private def goldenCsvSql(name: String): String =
     s"SELECT * FROM read_csv('/root/repo/src/test/resources/golden/${name}_expected.csv', header=true) ORDER BY MARCA"
 
+  /** p13 oracle: replay the deterministic stub decode — Java-wraparound
+    * checksum via the HUGEINT fold, histogram bucket 0 as an integer
+    * count. `unicode(c)` per char equals the UTF-8 byte only because the
+    * corpus is ASCII (verified at every SF); strlen() is the byte length
+    * either way. */
+  private val multimodalSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id,
+      |    (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |    strlen(text) AS n_bytes,
+      |    [CAST(unicode(c) AS HUGEINT) FOR c IN string_split(text, '')] AS codes
+      |  FROM documents),
+      |r AS (
+      |  SELECT *,
+      |    CASE WHEN n_bytes = 0 THEN CAST(0 AS HUGEINT)
+      |         ELSE list_reduce(codes,
+      |                (acc, x) -> (acc * 31 + x) % CAST(18446744073709551616 AS HUGEINT))
+      |    END AS crcu,
+      |    len(list_filter(codes, c -> c < 16)) AS h0
+      |  FROM b)
+      |SELECT media_id, kind, CAST(n_bytes AS INT) AS n_bytes,
+      |  CAST(CASE WHEN crcu >= CAST(9223372036854775808 AS HUGEINT)
+      |            THEN crcu - CAST(18446744073709551616 AS HUGEINT)
+      |            ELSE crcu END AS BIGINT) AS checksum,
+      |  CAST(h0 AS BIGINT) AS f0_count
+      |FROM r ORDER BY media_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "p13_multimodal" -> multimodalSql,
     "p01_hom_pipeline" -> goldenCsvSql("p01_hom_pipeline"),
     "p18_hom_pipeline_intended" -> goldenCsvSql("p18_hom_pipeline_intended"),
     "p08_ann_lsh" -> annRecallSql,
