@@ -232,6 +232,32 @@ object PipelineQueries {
     "p13_multimodal" -> ((s, dir) =>
       Multimodal.profile(s, Tables(s, dir, "documents"))),
 
+    // ---- corpus curation ----------------------------------------------
+    // Content-addressed train/val/test split: first hex nibble of the
+    // normalized-text SHA-256 — duplicates always co-locate, stable under
+    // reshuffles/reruns, no RNG.
+    "p23_content_split" -> ((s, dir) =>
+      graft.ops.CorpusOps.withSplit(Tables(s, dir, "documents"))
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
+    // Per-language exact token-length quantiles (the cutoff-selection
+    // profile); exact percentile so DuckDB's quantile_cont matches.
+    "p24_length_quantiles" -> ((s, dir) =>
+      graft.ops.CorpusOps.lengthQuantiles(Tables(s, dir, "documents"))),
+
+    // Sequence packing (concat-and-chunk): global running token offsets
+    // via the blocked two-pass prefix sum — blockSize 128 forces the
+    // cross-block carry path even at sf0.01.
+    "p25_pack_sequences" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Packing.packSequences(docs, "doc_id", "n_tokens",
+          maxLen = 2048, blockSize = 128)
+        .orderBy("doc_id")
+    }),
+
     // ---- events / streaming-as-batch ---------------------------------
     "p14_events_window" -> ((s, dir) =>
       EventsStream.tumblingCounts(Tables(s, dir, "events"))
@@ -413,8 +439,29 @@ object PipelineQueries {
       |  CAST(h0 AS BIGINT) AS f0_count
       |FROM r ORDER BY media_id""".stripMargin
 
+  private val nTokensSql: String =
+    "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"
+
   val oracleSql: Map[String, String] = Map(
     "p13_multimodal" -> multimodalSql,
+    "p23_content_split" -> (
+      "SELECT doc_id, CASE substring(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 1) " +
+        "WHEN 'e' THEN 'val' WHEN 'f' THEN 'test' ELSE 'train' END AS split " +
+        "FROM documents ORDER BY doc_id"),
+    "p24_length_quantiles" -> (
+      s"WITH t AS (SELECT lang, $nTokensSql AS n FROM documents) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "ROUND(quantile_cont(n, 0.5), 4) + 0.0 AS p50, " +
+        "ROUND(quantile_cont(n, 0.9), 4) + 0.0 AS p90, " +
+        "ROUND(quantile_cont(n, 0.99), 4) + 0.0 AS p99 " +
+        "FROM t GROUP BY lang ORDER BY lang"),
+    "p25_pack_sequences" -> (
+      s"WITH t AS (SELECT doc_id, $nTokensSql AS n_tokens FROM documents), " +
+        "o AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM t) " +
+        "SELECT doc_id, n_tokens, start_offset, " +
+        "CAST(floor(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT) AS seq_id, " +
+        "start_offset % 2048 AS offset_in_seq FROM o ORDER BY doc_id"),
     "p01_hom_pipeline" -> goldenCsvSql("p01_hom_pipeline"),
     "p18_hom_pipeline_intended" -> goldenCsvSql("p18_hom_pipeline_intended"),
     "p08_ann_lsh" -> annRecallSql,
