@@ -44,6 +44,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("p23: split reads only the two referenced columns") {
+    val p = plan("p23_content_split")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("p25: block bases broadcast back; the op never range-shuffles the data") {
+    import org.apache.spark.sql.functions._
+    // the OP's plan, without the gate's presentation orderBy
+    val docs = graft.engine.Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val p = graft.ops.Packing.packSequences(docs, "doc_id", "n_tokens", 2048, 128)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the data-sized side must not be globally sorted into one range —
+    // only the tiny per-block summary may see a single-partition window
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("no query plans a cartesian product except the declared broadcast NL scorers") {
     val allowNl = Set("q08_fuzzy_top1", "p01_hom_pipeline", "p07_ann_brute",
       "p18_hom_pipeline_intended")
