@@ -47,14 +47,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Epoch-nanos long → microsecond timestamp. MUST be integral division:
-    * a double divide carries only 52 mantissa bits, and epoch nanos
-    * (~1.7e18) exceed 2^53, so `(ts / 1000.0).toLong` can land 1 µs off
-    * (e.g. 1700000000000000896 ns → 1700000000000001 µs instead of
-    * 1700000000000000; pinned in StagesSpec). */
+  /** Epoch-nanos long → microsecond timestamp. MUST be integral: a double
+    * divide carries only 52 mantissa bits, and epoch nanos (~1.7e18)
+    * exceed 2^53, so `(ts / 1000.0).toLong` can land 1 µs off (e.g.
+    * 1700000000000000896 ns → 1700000000000001 µs instead of
+    * 1700000000000000). And it must be FLOOR division, not `div`'s
+    * truncation, so pre-1970 nanos round toward -∞ like every ns→µs
+    * timestamp conversion does. Pinned in SessionSpec. */
   def nanosToTimestampMicros(nanosCol: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr(s"`$nanosCol` div 1000"))
+      org.apache.spark.sql.functions.expr(
+        s"(`$nanosCol` div 1000) - (CASE WHEN `$nanosCol` < 0 AND `$nanosCol` % 1000 != 0 THEN 1 ELSE 0 END)"))
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")

@@ -17,7 +17,8 @@ object CorpusOps {
     * removal it prevents eval leakage; and the split is stable across
     * reshuffles, repartitions, and reruns (no RNG, no row order). */
   def contentSplit(textCol: Column, valNibble: String = "e", testNibble: String = "f"): Column = {
-    val nib = substring(TextAnalysis.fingerprint(textCol, 1), 1, 1)
+    val nib = TextAnalysis.fingerprint(textCol, 1) // already the first hex char
+
     when(nib === valNibble, "val")
       .when(nib === testNibble, "test")
       .otherwise("train")

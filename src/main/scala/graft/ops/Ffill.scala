@@ -54,7 +54,9 @@ object Ffill {
       cols: Seq[String],
       blockSize: Long = 1L << 20): DataFrame = {
     val blk = "_ffill_blk"
-    val withBlk = df.withColumn(blk, floor(col(orderCol) / lit(blockSize)))
+    // integral division — floor(double) misassigns blocks past 2^53
+    // (monotonically_increasing_id puts partition bits in the high bits)
+    val withBlk = df.withColumn(blk, expr(s"`$orderCol` div $blockSize"))
 
     val wIn = Window.partitionBy(col(blk)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -52,21 +52,27 @@ object FuzzyJoin {
       scorer: (Column, Column) => Column = normalizedRatio,
       posCol: String = "_cat_pos"): DataFrame = {
     val cat = if (catalog.columns.contains(posCol)) catalog else withPosition(catalog, posCol)
-    // top-1 per probe ROW, not per probe value: partition the argmax
-    // window by an attached unique id so duplicate probe rows each keep
-    // their match instead of being silently collapsed to one
-    val scored = probes
-      .withColumn("_probe_id", monotonically_increasing_id())
+    // Top-1 per probe ROW without any row id: score DISTINCT probe
+    // values (duplicate rows share their value's best match by
+    // definition), then join the value→match mapping back to the rows.
+    // No monotonically_increasing_id — ids assigned on a data-sized side
+    // are not stable under partial stage retry — and the quadratic
+    // scorer runs once per distinct value, not once per row.
+    val values = probes.select(col(probeCol)).distinct()
+    val scored = values
       .crossJoin(broadcast(cat))
       .withColumn("score", scorer(col(probeCol), col(candCol)))
-    val w = Window.partitionBy(col("_probe_id"))
+    val w = Window.partitionBy(col(probeCol))
       .orderBy(col("score").desc, col(posCol).asc)
-    val top1 = scored
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_rn", posCol, "_probe_id")
     val keep = if (inclusive) col("score") >= threshold else col("score") > threshold
-    top1.where(keep)
+    val best = scored
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && keep)
+      .drop("_rn", posCol)
+      .withColumnRenamed(probeCol, "_probe_val")
+    probes
+      .join(best, col(probeCol) <=> col("_probe_val")) // null-safe: null probes keep their match
+      .drop("_probe_val")
   }
 
   /** Banded variant: probes and candidates join on a blocking key
@@ -91,8 +97,9 @@ object FuzzyJoin {
         concat_ws("#", substring(n, 1, 1), b.cast("string")),
         concat_ws("#", substring(n, 1, 1), (b + 1).cast("string")))
     }
-    val p = probes
-      .withColumn("_probe_id", monotonically_increasing_id())
+    // same distinct-values → band join → argmax → join-back shape as
+    // bestMatch (see there for why no row ids)
+    val p = probes.select(col(probeCol)).distinct()
       .withColumn("_band", explode(array_distinct(bandKeys(col(probeCol)))))
     val c = cat.withColumn("_band",
       concat_ws("#",
@@ -102,11 +109,15 @@ object FuzzyJoin {
       .withColumn("score", Similarity.similarity_ratio(
         TextFunctions.normalizeName(col(probeCol)),
         TextFunctions.normalizeName(col(candCol))))
-    val w = Window.partitionBy(col("_probe_id"))
+    val w = Window.partitionBy(col(probeCol))
       .orderBy(col("score").desc, col(posCol).asc)
-    scored.withColumn("_rn", row_number().over(w))
+    val best = scored.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1 && col("score") >= threshold)
-      .drop("_rn", "_band", posCol, "_probe_id")
+      .drop("_rn", "_band", posCol)
+      .withColumnRenamed(probeCol, "_probe_val")
+    probes
+      .join(best, col(probeCol) <=> col("_probe_val"))
+      .drop("_probe_val")
   }
 }
 

@@ -29,7 +29,10 @@ object Packing {
       maxLen: Long,
       blockSize: Long = 1L << 20): DataFrame = {
     val blk = "_pack_blk"
-    val withBlk = df.withColumn(blk, floor(col(orderCol) / lit(blockSize)))
+    // integral division: orderCol can exceed 2^53 (e.g. ids from
+    // monotonically_increasing_id carry partition bits in the high
+    // bits), where floor(double) misassigns blocks
+    val withBlk = df.withColumn(blk, expr(s"`$orderCol` div $blockSize"))
 
     // pass 1 (parallel): local exclusive prefix sum within each block
     val wIn = Window.partitionBy(col(blk)).orderBy(col(orderCol))
@@ -48,7 +51,7 @@ object Packing {
       .withColumn("start_offset", col("_base") + col("_local_off"))
       .select(
         col(orderCol), col(tokensCol), col("start_offset"),
-        floor(col("start_offset") / lit(maxLen)).cast("long").as("seq_id"),
+        expr(s"start_offset div $maxLen").as("seq_id"),
         (col("start_offset") % lit(maxLen)).as("offset_in_seq"))
   }
 
@@ -63,7 +66,7 @@ object Packing {
     df.withColumn("start_offset", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
       .select(
         col(orderCol), col(tokensCol), col("start_offset"),
-        floor(col("start_offset") / lit(maxLen)).cast("long").as("seq_id"),
+        expr(s"start_offset div $maxLen").as("seq_id"),
         (col("start_offset") % lit(maxLen)).as("offset_in_seq"))
   }
 }

@@ -244,14 +244,22 @@ object Stages {
       .map { case (newcol, listcols) => (newcol, listcols.filter(df.columns.contains)) }
       .filter(_._2.nonEmpty)
     if (present.isEmpty) return df
-    // two projections total (convert sources in place, append the gas
+    // two projections total (convert sources in place, add the gas
     // means) instead of one Project per converted column per gas
     val converted = replaceColumns(df, present.flatMap(_._2).toSet)(c => tryDouble(col(c)))
-    val gasCols = present.map { case (newcol, used) =>
+    def gasCol(newcol: String, used: Seq[String]): Column = {
       val sum = used.map(c => coalesce(col(c), lit(0.0))).reduce(_ + _)
       (sum / lit(used.size.toDouble)).as(newcol)
     }
-    converted.select(converted.columns.toIndexedSeq.map(col) ++ gasCols: _*)
+    // a gas target already present in the input is REPLACED in place
+    // (withColumn semantics), never emitted twice
+    val gasMap = present.toMap
+    val existing = converted.columns.toIndexedSeq.map(c =>
+      gasMap.get(c).map(gasCol(c, _)).getOrElse(col(c)))
+    val appended = present.collect {
+      case (n, used) if !converted.columns.contains(n) => gasCol(n, used)
+    }
+    converted.select(existing ++ appended: _*)
   }
 
   /** A1 + BEV zeroing (transform_pipeline.py:243-245): zero CO₂ for BEVs,

@@ -430,7 +430,8 @@ object PipelineQueries {
       |         ELSE list_reduce(codes,
       |                (acc, x) -> (acc * 31 + x) % CAST(18446744073709551616 AS HUGEINT))
       |    END AS crcu,
-      |    len(list_filter(codes, c -> c < 16)) AS h0
+      |    CASE WHEN n_bytes = 0 THEN 0
+      |         ELSE len(list_filter(codes, c -> c < 16)) END AS h0
       |  FROM b)
       |SELECT media_id, kind, CAST(n_bytes AS INT) AS n_bytes,
       |  CAST(CASE WHEN crcu >= CAST(9223372036854775808 AS HUGEINT)
@@ -460,7 +461,7 @@ object PipelineQueries {
         "o AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM t) " +
         "SELECT doc_id, n_tokens, start_offset, " +
-        "CAST(floor(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT) AS seq_id, " +
+        "CAST(start_offset // 2048 AS BIGINT) AS seq_id, " +
         "start_offset % 2048 AS offset_in_seq FROM o ORDER BY doc_id"),
     "p01_hom_pipeline" -> goldenCsvSql("p01_hom_pipeline"),
     "p18_hom_pipeline_intended" -> goldenCsvSql("p18_hom_pipeline_intended"),

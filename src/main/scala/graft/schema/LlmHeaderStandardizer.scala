@@ -43,8 +43,11 @@ object LlmHeaderStandardizer {
     * become '_') → collapse/strip '_' runs. */
   def cleanResponse(raw: String): String = {
     var s = raw.trim.toUpperCase
-    s = s.split('\n').head
-    s = s.split(':').lastOption.getOrElse("").trim
+    s = s.split("\n", -1).head
+    // limit -1: Python's split keeps trailing empties, so a completion
+    // ending in ':' (prompt-terminator echo) yields "" → hash fallback,
+    // not the literal word before the colon
+    s = s.split(":", -1).last.trim
     s = s.map(c => if (Character.isLetterOrDigit(c) || c == '_') c else '_')
     s.split('_').filter(_.nonEmpty).mkString("_")
   }

@@ -37,6 +37,12 @@ object Ingest {
         val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
         ctx.init(null, Array[javax.net.ssl.TrustManager](trustAll), new java.security.SecureRandom())
         b.sslContext(ctx)
+        // A permissive trust manager alone is NOT enough: the JDK client
+        // still performs HTTPS endpoint identification (hostname check),
+        // which is exactly what a broken intercepting proxy fails. The
+        // JDK's only switch is this JVM-GLOBAL property, and it is read
+        // at client construction — so it must be set before build().
+        System.setProperty("jdk.internal.httpclient.disableHostnameVerification", "true")
       }
       b.build()
     }

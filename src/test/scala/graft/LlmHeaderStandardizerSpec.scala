@@ -27,6 +27,10 @@ class LlmHeaderStandardizerSpec extends AnyFunSuite {
     assert(cleanResponse("\"MARCA\"") == "MARCA")
     assert(cleanResponse("a: b: PESO__BRUTO__VH ") == "PESO_BRUTO_VH")
     assert(cleanResponse("") == "")
+    // prompt-terminator echo: text after the LAST colon is empty → must
+    // clean to "" (→ hash fallback), like Python's split()[-1]
+    assert(cleanResponse("Salida:") == "")
+    assert(cleanResponse("SALIDA: MARCA:") == "")
   }
 
   test("memoizes by hash: the model is consulted once per distinct header") {

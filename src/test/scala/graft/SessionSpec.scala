@@ -20,11 +20,13 @@ class SessionSpec extends AnyFunSuite {
     assert((hazard.toDouble / 1000.0).toLong != hazard / 1000L)
 
     val nanos = Seq(hazard, 0L, 999L, 1000L, 1001L,
-      1699999999999999999L, 1700000000000001024L)
+      1699999999999999999L, 1700000000000001024L,
+      // pre-1970: conversion must FLOOR (round toward -∞), not truncate
+      -1L, -999L, -1000L, -1001L, -1500L)
     val got = nanos.toDF("ts")
       .withColumn("ts", Tables.nanosToTimestampMicros("ts"))
       .select(unix_micros(col("ts"))).as[Long].collect().toSeq
-    assert(got == nanos.map(_ / 1000L))
+    assert(got == nanos.map(n => Math.floorDiv(n, 1000L)))
   }
 
   test("events table surfaces ts as a microsecond timestamp") {
