@@ -258,6 +258,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // As-of join (attribution): each purchase picks up the user's most
+    // recent click at or before it. Right side pre-aggregated per
+    // (user, ts) so ties are deterministic; timestamps compared and
+    // emitted at microsecond precision on both engines. Oracle uses
+    // DuckDB's native ASOF LEFT JOIN against our union-window form.
+    "p26_asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+      graft.ops.AsofJoin.asofJoin(purchases, clicks,
+          byCols = Seq("user_id"), tsCol = "ts", payloadCols = Seq("click_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          col("asof_click_value").as("last_click_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- events / streaming-as-batch ---------------------------------
     "p14_events_window" -> ((s, dir) =>
       EventsStream.tumblingCounts(Tables(s, dir, "events"))
@@ -445,6 +464,17 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "p13_multimodal" -> multimodalSql,
+    "p26_asof_join" -> (
+      // truncate to microseconds BEFORE comparing/grouping so the ASOF
+      // inequality runs at the same precision Spark's timestamps carry
+      "WITH p AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, MAX(value) AS click_value " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +
+        "SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value, " +
+        "c.click_value AS last_click_value " +
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts " +
+        "ORDER BY p.event_id"),
     "p23_content_split" -> (
       "SELECT doc_id, CASE substring(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 1) " +
         "WHEN 'e' THEN 'val' WHEN 'f' THEN 'test' ELSE 'train' END AS split " +
