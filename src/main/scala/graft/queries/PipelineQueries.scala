@@ -246,6 +246,16 @@ object PipelineQueries {
     "p24_length_quantiles" -> ((s, dir) =>
       graft.ops.CorpusOps.lengthQuantiles(Tables(s, dir, "documents"))),
 
+    // Vocabulary top-20 (map-side-combined token counts + top-k).
+    "p27_vocab_topk" -> ((s, dir) =>
+      graft.ops.CorpusOps.vocabTopK(Tables(s, dir, "documents"), k = 20)),
+
+    // Per-document top term by tf, ties by rarer df then token — the
+    // tf·idf shape with integer-only ranking (no float argmax hazard).
+    "p28_top_term" -> ((s, dir) =>
+      graft.ops.CorpusOps.topTermPerDoc(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // Sequence packing (concat-and-chunk): global running token offsets
     // via the blocked two-pass prefix sum — blockSize 128 forces the
     // cross-block carry path even at sf0.01.
@@ -486,6 +496,20 @@ object PipelineQueries {
         "ROUND(quantile_cont(n, 0.9), 4) + 0.0 AS p90, " +
         "ROUND(quantile_cont(n, 0.99), 4) + 0.0 AS p99 " +
         "FROM t GROUP BY lang ORDER BY lang"),
+    "p27_vocab_topk" -> (
+      "WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
+        "FROM documents WHERE length(trim(text)) > 0) " +
+        "SELECT token, COUNT(*) AS n FROM t WHERE token <> '' " +
+        "GROUP BY token ORDER BY n DESC, token ASC LIMIT 20"),
+    "p28_top_term" -> (
+      "WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2), " +
+        "df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, " +
+        "ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rn " +
+        "FROM tf JOIN df USING (token)) " +
+        "SELECT doc_id, token AS top_term, tf, df FROM r WHERE rn = 1 ORDER BY doc_id"),
     "p25_pack_sequences" -> (
       s"WITH t AS (SELECT doc_id, $nTokensSql AS n_tokens FROM documents), " +
         "o AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id " +
