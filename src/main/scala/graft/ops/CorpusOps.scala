@@ -59,6 +59,89 @@ object CorpusOps {
       .select(col(idCol), col("token").as("top_term"), col("tf"), col("df"))
   }
 
+  /** Per-group quota sampling, RNG-FREE: keep at most `quota` docs per
+    * group, picked by content-fingerprint order (SHA-256 is uniform, so
+    * ordering by it IS a uniform pseudo-random draw — but deterministic,
+    * reproducible across reruns/reshuffles, and content-addressed like
+    * [[contentSplit]]). The domain-balancing cap every web-scale corpus
+    * applies before training. One shuffle on the group key; groups larger
+    * than a partition rely on the window sort spill — for pathological
+    * single-domain skew compose with the salted-join/top-k pattern. */
+  def quotaSample(
+      docs: DataFrame,
+      quota: Int,
+      groupCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("_fp"), col(idCol)) // id tiebreak: total order even on dup content
+    docs
+      .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("pick_rank", row_number().over(w))
+      .where(col("pick_rank") <= quota)
+      .select(col(idCol), col(groupCol), col("pick_rank"))
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing ≥1 word n-gram
+    * with any benchmark/eval doc (the standard pre-training hygiene pass —
+    * eval text must not leak into training data). The benchmark gram set
+    * is tiny next to the corpus, so it is BROADCAST and the corpus side
+    * never shuffles its text: the only shuffle is the per-doc hit
+    * aggregation on (doc, gram) matches. Emits contamination evidence —
+    * distinct shared grams and distinct benchmark docs hit — so the caller
+    * can threshold or anti-join the flagged ids away. */
+  def contamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    def grams(df: DataFrame, as: String): DataFrame = df
+      .withColumn("_toks", TextAnalysis.tokens(lower(col(textCol))))
+      .select(col(idCol).as(as),
+        explode(TextAnalysis.wordShinglesRaw(col("_toks"), n)).as("g"))
+      .where(col("g") =!= "")
+    grams(corpus, idCol)
+      .join(broadcast(grams(bench, "bench_id")), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  /** Gopher-style repetition signals per document, INTEGER-valued (the
+    * published filters threshold fractions like top-2-gram/total; emitting
+    * the numerator/denominator counts keeps the gate float-free —
+    * `top_token_n / n_tokens` is the fraction). Explode → two-level
+    * aggregation: the (doc, term) shuffle gets map-side partial
+    * aggregation, and the second agg collapses to one row per doc — at
+    * 100 TB this is the same shape as word-count, the canonical scalable
+    * job. Docs with no tokens are excluded (no denominator). */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("_t"))
+      .where(size(col("_t")) > 0)
+    // non-distinct word bigrams (repetition signal needs multiplicity)
+    val grams = toks.select(col(idCol), col("_t"),
+      when(size(col("_t")) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(col("_t")) - 2),
+          i => concat_ws(" ", slice(col("_t"), i + lit(1), lit(2))))).as("_g"))
+    val tf = grams.select(col(idCol), explode(col("_t")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
+    val tokStats = tf.groupBy(col(idCol)).agg(
+      sum("n").as("n_tokens"),
+      count(lit(1)).as("n_distinct_tokens"),
+      max("n").as("top_token_n"))
+    val gf = grams.select(col(idCol), explode(col("_g")).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("n"))
+    val gramStats = gf.groupBy(col(idCol)).agg(
+      sum("n").as("n_bigrams"),
+      count(lit(1)).as("n_distinct_bigrams"),
+      max("n").as("top_bigram_n"))
+    tokStats.join(gramStats, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams", "n_distinct_bigrams", "top_bigram_n"))
+  }
+
   /** Per-group EXACT token-length quantiles (p50/p90/p99) + count — the
     * distribution profile behind length-cutoff filters. Exact
     * `percentile` (not approx) so results are oracle-checkable; at 100 TB

@@ -189,6 +189,58 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS into dedup CLUSTERS (a~b, b~c ⇒ {a,b,c} is one
+    * group with one canonical survivor). Iterative min-label propagation:
+    * each round every node takes the min label among itself and its
+    * neighbors; converges in ≤ diameter rounds (near-dup graphs are
+    * star/clique-shaped, so 2–3 rounds in practice; `maxIter` guards
+    * adversarial chains). Each round is one co-partitioned join + one
+    * partial-agg shuffle on the node id — never materializes anything
+    * bigger than the edge list — and `localCheckpoint` truncates the
+    * iterative lineage so plan analysis stays O(1) per round (on a real
+    * cluster with unreliable executors, point `spark.checkpoint.dir` at
+    * durable storage and swap in `checkpoint`).
+    *
+    * Returns (id, component) for every endpoint, component = min id
+    * reachable. Input columns `a`, `b`; orientation irrelevant.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("component"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIter) {
+        val msgs = sym.join(labels.select(col("id").as("src"), col("component")), Seq("src"))
+          .select(col("dst").as("id"), col("component"))
+        val next = labels.union(msgs)
+          .groupBy("id").agg(min("component").as("component"))
+          .localCheckpoint(true)
+        changed = next.join(labels.select(col("id"), col("component").as("_old")), Seq("id"))
+          .where(col("component") < col("_old")).count()
+        labels = next
+        it += 1
+      }
+      labels
+    } finally sym.unpersist()
+  }
+
+  /** Cluster summary for a near-dup pair list: every clustered doc with
+    * its component (= canonical keep id, the cluster min) and the cluster
+    * size. Docs in no pair are implicitly their own singleton cluster and
+    * are not emitted. */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val sizes = comps.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, Seq("component"))
+      .select(col("id"), col("component"), col("cluster_size"))
+  }
+
   /** Exact n-gram Jaccard between explicit pairs (e.g. consecutive ids) —
     * the verification primitive exposed standalone. */
   def ngramJaccard(

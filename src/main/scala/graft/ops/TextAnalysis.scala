@@ -94,6 +94,38 @@ object TextAnalysis {
     aggregate(codes, lit(0L), (acc, x) => acc * lit(base) + x)
   }
 
+  // PII patterns in the Java/RE2-common syntax subset (bounded repeats,
+  // ASCII \b, no lookaround) so the DuckDB oracle replays them verbatim.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  private val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def emailCount(c: Column): Column = size(regexp_extract_all(c, lit(emailRe), lit(0)))
+  def phoneCount(c: Column): Column = size(regexp_extract_all(c, lit(phoneRe), lit(0)))
+  def ipCount(c: Column): Column = size(regexp_extract_all(c, lit(ipRe), lit(0)))
+
+  /** PII scrubbing for training corpora: emails, intl-format phone
+    * numbers, and IPv4 literals replaced with typed placeholder tokens.
+    * Pure regexp_replace chain — map-only, codegen'd, linear scan at any
+    * scale. Email runs first so its digits/dots can't be re-matched as an
+    * IP fragment; the placeholders contain no PII-matchable characters. */
+  def piiRedact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]"),
+      ipRe, "[IP]")
+
+  /** Per-doc PII profile: match counts (pre-redaction) + redacted text. */
+  def piiStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    df.select(col(idCol),
+      emailCount(c).as("n_emails"),
+      phoneCount(c).as("n_phones"),
+      ipCount(c).as("n_ips"),
+      piiRedact(c).as("redacted"))
+  }
+
   /** Whitespace-collapsed lowercase normalization (shingle input). */
   def normText(c: Column): Column = regexp_replace(lower(c), "\\s+", " ")
 

@@ -123,6 +123,21 @@ object PipelineQueries {
         .orderBy("a")
     }),
 
+    // Pairs → CLUSTERS: connected components (min-label propagation) over
+    // the p03 near-dup pairs, emitting each clustered doc with its
+    // canonical keep id and cluster size. Oracle recomputes exact
+    // all-pairs ground truth and closes it with a recursive CTE — checks
+    // LSH recall AND the distributed component algorithm.
+    "p29_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val pairs = Dedup.nearDupSizesShingled(
+          Dedup.withWordShingles(docs, "doc_id", "text", 3),
+          "doc_id", numHashes = 64, bands = 16)
+        .where(col("i_size") * 5 >= col("u_size") * 4)
+        .select("a", "b")
+      Dedup.dedupClusters(pairs).orderBy("id")
+    }),
+
     // Embedding near-dup pairs via hyperplane-LSH buckets on a planted
     // corpus (vec_id + 100000 copies); identical vectors share every
     // bucket, so recall on the planted pairs is exact.
@@ -245,6 +260,48 @@ object PipelineQueries {
     // profile); exact percentile so DuckDB's quantile_cont matches.
     "p24_length_quantiles" -> ((s, dir) =>
       graft.ops.CorpusOps.lengthQuantiles(Tables(s, dir, "documents"))),
+
+    // Gopher-style repetition signals (top-token / top-bigram counts) —
+    // integer numerator/denominator pairs so the fraction thresholds are
+    // float-free; word-count-shaped two-level aggregation.
+    "p30_repetition" -> ((s, dir) =>
+      graft.ops.CorpusOps.repetitionStats(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // Decontamination sweep: corpus docs sharing word 3-grams with the
+    // held-out "benchmark" slice (doc_id % 97 == 0) — broadcast bench
+    // grams, one hit-agg shuffle.
+    "p31_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.ops.CorpusOps.contamination(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction over text with deterministically-injected PII (the
+    // synthetic corpus has none, so both engines append the same email /
+    // phone / IP per doc_id — counts and the redacted text then carry
+    // real signal). Map-only regexp chain.
+    "p32_pii_redact" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val injected = d.withColumn("text", concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+          .otherwise(lit(""))))
+      TextAnalysis.piiStats(injected).orderBy("doc_id")
+    }),
+
+    // RNG-free per-source quota sampling: ≤30 docs per source by
+    // content-fingerprint order — the domain-balancing cap.
+    "p33_quota_sample" -> ((s, dir) =>
+      graft.ops.CorpusOps.quotaSample(Tables(s, dir, "documents"), quota = 30)
+        .orderBy("source", "pick_rank")),
 
     // Vocabulary top-20 (map-side-combined token counts + top-k).
     "p27_vocab_topk" -> ((s, dir) =>
@@ -496,6 +553,53 @@ object PipelineQueries {
         "ROUND(quantile_cont(n, 0.9), 4) + 0.0 AS p90, " +
         "ROUND(quantile_cont(n, 0.99), 4) + 0.0 AS p99 " +
         "FROM t GROUP BY lang ORDER BY lang"),
+    "p32_pii_redact" -> (
+      "WITH inj AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example' || " +
+        "CASE WHEN doc_id % 2 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END AS text " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(text, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones, " +
+        "CAST(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT) AS n_ips, " +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), " +
+        "'\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'), " +
+        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g') AS redacted " +
+        "FROM inj ORDER BY doc_id"),
+    "p33_quota_sample" -> (
+      "WITH f AS (SELECT doc_id, source, " +
+        "substring(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fp FROM documents), " +
+        "r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY fp, doc_id) AS pick_rank FROM f) " +
+        "SELECT doc_id, source, CAST(pick_rank AS INT) AS pick_rank FROM r " +
+        "WHERE pick_rank <= 30 ORDER BY source, pick_rank"),
+    "p31_decontaminate" -> (
+      "WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
+        "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
+        "c AS (SELECT doc_id, g FROM e WHERE doc_id % 97 <> 0 AND g <> ''), " +
+        "b AS (SELECT doc_id AS bench_id, g FROM e WHERE doc_id % 97 = 0 AND g <> '') " +
+        "SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared_grams, " +
+        "COUNT(DISTINCT b.bench_id) AS n_bench_docs " +
+        "FROM c JOIN b USING (g) GROUP BY 1 ORDER BY doc_id"),
+    "p30_repetition" -> (
+      "WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "t AS (SELECT doc_id, unnest(toks) AS tok FROM tk), " +
+        "tf AS (SELECT doc_id, tok, COUNT(*) AS n FROM t GROUP BY 1, 2), " +
+        "ts AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct_tokens, " +
+        "MAX(n) AS top_token_n FROM tf GROUP BY 1), " +
+        "g0 AS (SELECT doc_id, [toks[i+1] || ' ' || toks[i+2] FOR i IN range(len(toks) - 1)] AS gs FROM tk), " +
+        "ge AS (SELECT doc_id, unnest(gs) AS g FROM g0), " +
+        "gf AS (SELECT doc_id, g, COUNT(*) AS n FROM ge GROUP BY 1, 2), " +
+        "gst AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams, COUNT(*) AS n_distinct_bigrams, " +
+        "MAX(n) AS top_bigram_n FROM gf GROUP BY 1) " +
+        "SELECT ts.doc_id, ts.n_tokens, ts.n_distinct_tokens, ts.top_token_n, " +
+        "COALESCE(gst.n_bigrams, 0) AS n_bigrams, " +
+        "COALESCE(gst.n_distinct_bigrams, 0) AS n_distinct_bigrams, " +
+        "COALESCE(gst.top_bigram_n, 0) AS top_bigram_n " +
+        "FROM ts LEFT JOIN gst USING (doc_id) ORDER BY doc_id"),
     "p27_vocab_topk" -> (
       "WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
         "FROM documents WHERE length(trim(text)) > 0) " +
@@ -537,6 +641,22 @@ object PipelineQueries {
         "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size) ORDER BY a, b"),
     "p04_dedup_simhash" ->
       "SELECT doc_id AS a, doc_id + 100000 AS b, CAST(0 AS BIGINT) AS hamming FROM documents WHERE length(trim(text)) > 0 ORDER BY a, b",
+    "p29_dedup_clusters" -> (
+      "WITH RECURSIVE tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
+        "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
+        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
+        "p AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
+        "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)), " +
+        "ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
+        "nd AS (SELECT DISTINCT a AS id FROM ed), " +
+        "reach AS (SELECT id, id AS r FROM nd " +
+        "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
+        "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id), " +
+        "sz AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component) " +
+        "SELECT comp.id, comp.component, sz.cluster_size FROM comp JOIN sz USING (component) ORDER BY id"),
     "p05_ngram_jaccard" -> (
       "WITH g AS (SELECT doc_id, list_distinct([substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), i + 1, 3) " +
         "FOR i IN range(length(regexp_replace(lower(text), '\\s+', ' ', 'g')) - 2)]) AS gs FROM documents) " +

@@ -66,6 +66,50 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(blocked.toSeq == global.toSeq)
   }
 
+  test("repetitionStats: hand-computed counts, single-token and empty docs") {
+    val df = Seq(
+      (1L, "a b a b a"),       // toks: a×3 b×2; bigrams: "a b"×2 "b a"×2
+      (2L, "solo"),            // 1 token, 0 bigrams
+      (3L, "   "),             // no tokens → excluded
+      (4L, "x x x x")          // toks: x×4; bigrams: "x x"×3
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.repetitionStats(df).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 2L, 3L, 4L, 2L, 2L),
+      (2L, 1L, 1L, 1L, 0L, 0L, 0L),
+      (4L, 4L, 1L, 4L, 3L, 1L, 3L)))
+  }
+
+  test("contamination: flags shared word-3-grams only; bench side broadcast") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),          // shares 2 grams with bench
+      (2L, "nothing common here whatsoever"),  // clean
+      (3L, "x alpha beta gamma y")             // shares 1 gram
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val df = CorpusOps.contamination(corpus, bench)
+    val out = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1L), (3L, 1L, 1L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("quotaSample caps each group, deterministic across reruns") {
+    val d = docs
+    val out = CorpusOps.quotaSample(d, quota = 5)
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ <= 5))
+    assert(out.agg(max("pick_rank")).first().getInt(0) <= 5)
+    val a = out.orderBy("source", "pick_rank").collect().map(_.toSeq)
+    val b = CorpusOps.quotaSample(d.repartition(7), quota = 5)
+      .orderBy("source", "pick_rank").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq) // content-addressed: stable under reshuffle
+  }
+
   test("packing invariants: offsets contiguous, seq ids monotone, in-range") {
     val t = docs.select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))

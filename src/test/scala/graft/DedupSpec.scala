@@ -68,6 +68,33 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan2.contains("CartesianProduct"), plan2)
   }
 
+  test("connectedComponents: chain collapses to min label across rounds") {
+    // path 1-2-3-...-8 needs multiple propagation rounds (diameter 7)
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps.keySet == (1L to 8L).toSet)
+    assert(comps.values.toSet == Set(1L))
+  }
+
+  test("connectedComponents: disjoint cliques stay disjoint; orientation-free") {
+    val edges = Seq((2L, 1L), (3L, 1L), (2L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("a", "b")
+    val comps = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+    assert(comps(20L) == 20L) // self-loop = singleton
+  }
+
+  test("dedupClusters emits component + cluster size per clustered doc") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val out = Dedup.dedupClusters(pairs).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (8L, 7L, 2L)))
+  }
+
   test("ngramJaccard computes exact char-3-gram similarity for id pairs") {
     val df = Seq((1L, "abcabc"), (2L, "abcabc"), (3L, "zzzzzz")).toDF("doc_id", "text")
     val out = Dedup.ngramJaccard(df, "doc_id", "text", a => a + 1)

@@ -70,4 +70,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     val ws = df2.select(TextAnalysis.wordShingles($"t", 3)).first().getSeq[String](0)
     assert(ws.toSet == Set("w1 w2 w3", "w2 w3 w4"))
   }
+
+  test("piiRedact scrubs emails, phones, IPs; counts match; clean text untouched") {
+    val df = Seq(
+      (1L, "mail a.b+c@sub.example.org then call +56-555-1234 from 192.168.1.10 ok"),
+      (2L, "no pii here, just text with numbers 12 and a dot."),
+      (3L, "two mails x@y.io and z@w.co")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiStats(df).orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 1 && out(0).getInt(2) == 1 && out(0).getInt(3) == 1)
+    assert(out(0).getString(4) == "mail [EMAIL] then call [PHONE] from [IP] ok")
+    assert(out(1).getInt(1) == 0 && out(1).getInt(2) == 0 && out(1).getInt(3) == 0)
+    assert(out(1).getString(4) == "no pii here, just text with numbers 12 and a dot.")
+    assert(out(2).getInt(1) == 2)
+    assert(out(2).getString(4) == "two mails [EMAIL] and [EMAIL]")
+  }
 }
