@@ -68,6 +68,36 @@ case class WordShinglesExpression(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** MULTIPLICITY-PRESERVING word n-grams (strict: fewer than n tokens →
+  * empty array) — repetition statistics need duplicate grams, which the
+  * set-semantics [[WordShinglesExpression]] collapses. Same tight-loop
+  * rationale: the `transform(sequence(...), i => ...)` form is
+  * interpreted per element (measured 3× slower at sf0.1). */
+case class WordNgramsExpression(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    val out = new Array[Any](m - n + 1)
+    var j = 0
+    val last = m - n
+    while (j <= last) {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(j + k)); k += 1 }
+      out(j) = UTF8String.fromString(sb.toString); j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "word_ngrams"
+}
+
 /** k MinHash values over a shingle array in ONE pass (shingles outer,
   * seeds inner, XXH64 over the raw UTF-8 bytes). */
 case class MinHashSignatureExpression(child: Expression, numHashes: Int)
@@ -131,6 +161,8 @@ object ShingleFunctions {
     column(CharShinglesExpression(expression(norm), n))
   def word_shingles(tokens: Column, n: Int): Column =
     column(WordShinglesExpression(expression(tokens), n))
+  def word_ngrams(tokens: Column, n: Int): Column =
+    column(WordNgramsExpression(expression(tokens), n))
   def minhash_signature(shingles: Column, k: Int): Column =
     column(MinHashSignatureExpression(expression(shingles), k))
   def simhash(tokens: Column): Column =

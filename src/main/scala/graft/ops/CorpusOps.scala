@@ -121,11 +121,11 @@ object CorpusOps {
     val toks = docs
       .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("_t"))
       .where(size(col("_t")) > 0)
-    // non-distinct word bigrams (repetition signal needs multiplicity)
+    // non-distinct word bigrams (repetition signal needs multiplicity);
+    // native kernel — the higher-order transform form is interpreted per
+    // element (measured ~3× slower at sf0.1)
     val grams = toks.select(col(idCol), col("_t"),
-      when(size(col("_t")) < 2, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(col("_t")) - 2),
-          i => concat_ws(" ", slice(col("_t"), i + lit(1), lit(2))))).as("_g"))
+      graft.functions.ShingleFunctions.word_ngrams(col("_t"), 2).as("_g"))
     val tf = grams.select(col(idCol), explode(col("_t")).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
     val tokStats = tf.groupBy(col(idCol)).agg(

@@ -27,6 +27,19 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("word_ngrams kernel: multiplicity kept, strict on short input") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b")),
+      (2L, Seq("solo")),
+      (3L, Seq.empty[String])
+    ).toDF("id", "toks")
+    val out = df.orderBy("id")
+      .select(graft.functions.ShingleFunctions.word_ngrams($"toks", 2))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b", "b a", "a b")) // duplicates preserved, in order
+    assert(out(1).isEmpty && out(2).isEmpty)   // strict: < n tokens → empty
+  }
+
   test("SQL registration via GraftFunctions.register and extensions builder") {
     GraftFunctions.register(spark)
     val r = spark.sql(
