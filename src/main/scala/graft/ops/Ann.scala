@@ -128,4 +128,29 @@ object Ann {
       .where(col("score") >= threshold)
       .select(col("a"), col("b"), (round(col("score"), 4) + 0.0).as("score"))
   }
+
+  /** Symmetric per-vector int8 quantization — the storage-scale move for
+    * embedding columns (4× smaller than float32, 8× than float64; at
+    * 100 TB the scan-bytes win usually dominates the recall loss for
+    * candidate generation, with float rerank on the survivors).
+    * `q = floor(x·127/max|x| + 0.5)` (round-half-up: exact, identical
+    * IEEE doubles on any engine — `round()` half-even vs half-up varies
+    * by engine, floor does not). Zero vectors quantize to zeros. The max
+    * is HOISTED to a column first: referencing a subexpression inside the
+    * lambda would re-evaluate it per element (O(d²)). Emitted exploded
+    * (id, pos, q, scale) — flat integer rows, dequant is `q · scale`. */
+  def quantizeInt8(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = df
+      .withColumn("_dv", col(vecCol).cast("array<double>"))
+      .withColumn("_mx", array_max(transform(col("_dv"), x => abs(x))))
+      .withColumn("_q",
+        when(col("_mx") === 0.0, transform(col("_dv"), _ => lit(0L)))
+          .otherwise(transform(col("_dv"),
+            x => floor(x * lit(127.0) / col("_mx") + lit(0.5)))))
+    q.select(col(idCol), (col("_mx") / 127.0).as("scale"), posexplode(col("_q")))
+      .select(col(idCol), col("pos"), col("col").as("q"), col("scale"))
+  }
 }

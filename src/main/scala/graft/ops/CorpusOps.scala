@@ -83,6 +83,34 @@ object CorpusOps {
       .select(col(idCol), col(groupCol), col("pick_rank"))
   }
 
+  /** LEAKAGE-SAFE split: like [[contentSplit]], but near-duplicate docs
+    * land in the same split — otherwise a train doc's near-copy sits in
+    * test and inflates eval. Composition: connected components over the
+    * near-dup pairs pick a canonical representative per cluster, every
+    * member inherits the REPRESENTATIVE's content split, singletons keep
+    * their own. The components join is on doc id (slim), the split needs
+    * only the representative's fingerprint — one broadcast-size join per
+    * cluster member at realistic dup rates. */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      nearDupPairs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      outCol: String = "split"): DataFrame = {
+    val comps = Dedup.connectedComponents(nearDupPairs)
+    val repSplit = docs
+      .join(comps.select(col("component")).distinct()
+        .withColumnRenamed("component", idCol), Seq(idCol), "left_semi")
+      .select(col(idCol).as("component"),
+        contentSplit(col(textCol)).as("_rep_split"))
+    docs
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(repSplit, Seq("component"), "left")
+      .withColumn(outCol,
+        coalesce(col("_rep_split"), contentSplit(col(textCol))))
+      .drop("component", "_rep_split")
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing ≥1 word n-gram
     * with any benchmark/eval doc (the standard pre-training hygiene pass —
     * eval text must not leak into training data). The benchmark gram set

@@ -189,6 +189,52 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Incremental ingestion dedup: classify each doc of a NEW batch
+    * against an EXISTING corpus — `exact` (identical normalized content
+    * fingerprint), `near` (word-shingle Jaccard ≥ jNum/jDen via an LSH
+    * band join), else `new` — with the minimum matching corpus id as
+    * evidence. The production shape for continuous crawls: candidate
+    * generation is batch×corpus through shared band buckets only (never
+    * batch² or corpus², and the big corpus is touched once per batch);
+    * at steady state persist the corpus signatures/bands and this is a
+    * delta join. */
+  def incrementalDedup(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleWords: Int = 3,
+      jNum: Int = 4,
+      jDen: Int = 5): DataFrame = {
+    val bs = withWordShingles(batch, idCol, textCol, shingleWords)
+    val cs = withWordShingles(corpus, idCol, textCol, shingleWords)
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val exact = batch.select(col(idCol), fp.as("_fp"))
+      .join(corpus.select(col(idCol).as("_cid"), fp.as("_fp")), Seq("_fp"))
+      .groupBy(col(idCol)).agg(min("_cid").as("exact_id"))
+    val rows = numHashes / bands
+    val bb = lshBands(minHashSignaturesBy(bs, idCol, col("_sh"), numHashes), idCol, bands, rows)
+      .select(col("band"), col("sig"), col(idCol).as("bid"))
+    val cb = lshBands(minHashSignaturesBy(cs, idCol, col("_sh"), numHashes), idCol, bands, rows)
+      .select(col("band"), col("sig"), col(idCol).as("cid"))
+    val isize = size(array_intersect(col("_sb"), col("_sc")))
+    val near = bb.join(cb, Seq("band", "sig")).select("bid", "cid").distinct()
+      .join(bs.select(col(idCol).as("bid"), col("_sh").as("_sb")), Seq("bid"))
+      .join(cs.select(col(idCol).as("cid"), col("_sh").as("_sc")), Seq("cid"))
+      .where(isize * jDen >= (size(col("_sb")) + size(col("_sc")) - isize) * jNum)
+      .groupBy("bid").agg(min("cid").as("near_id"))
+    batch.select(col(idCol))
+      .join(exact, Seq(idCol), "left")
+      .join(near.withColumnRenamed("bid", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("exact_id").isNotNull, "exact")
+          .when(col("near_id").isNotNull, "near")
+          .otherwise("new").as("status"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"))
+  }
+
   /** Connected components over an undirected pair list — the step that
     * turns near-dup PAIRS into dedup CLUSTERS (a~b, b~c ⇒ {a,b,c} is one
     * group with one canonical survivor). Iterative min-label propagation:

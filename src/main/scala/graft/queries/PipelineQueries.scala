@@ -185,6 +185,11 @@ object PipelineQueries {
         minHitsPerQuery = 1, minTotalHits = 135)
     }),
 
+    // Int8 embedding quantization (exploded rows; scale = max|x|/127).
+    "p36_quantize_int8" -> ((s, dir) =>
+      Ann.quantizeInt8(Tables(s, dir, "embeddings"))
+        .orderBy("vec_id", "pos")),
+
     // Per-label embedding centroids (the class-prototype op): mean vector
     // per label via posexplode + groupBy — partial aggregation applies,
     // one shuffle of (label, pos) pairs.
@@ -276,6 +281,33 @@ object PipelineQueries {
       graft.ops.CorpusOps.contamination(
           docs.where(col("doc_id") % 97 =!= 0),
           docs.where(col("doc_id") % 97 === 0))
+        .orderBy("doc_id")
+    }),
+
+    // Incremental ingestion dedup: batch (doc_id%5==0, plus planted exact
+    // copies of corpus docs) classified against the corpus as
+    // exact/near/new with min matching corpus id as evidence.
+    "p35_incremental_dedup" -> ((s, dir) => {
+      val all = Tables(s, dir, "documents").select("doc_id", "text")
+      val corpus = all.where(col("doc_id") % 5 =!= 0)
+      val batch = all.where(col("doc_id") % 5 === 0)
+        .union(corpus.where(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.incrementalDedup(batch, corpus).orderBy("doc_id")
+    }),
+
+    // Leakage-safe split: near-dup clusters (p03 pairs → components)
+    // co-locate in train/val/test via the cluster representative's
+    // content split; singletons fall back to their own.
+    "p34_leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.nearDupSizesShingled(
+          Dedup.withWordShingles(docs.select("doc_id", "text"), "doc_id", "text", 3),
+          "doc_id", numHashes = 64, bands = 16)
+        .where(col("i_size") * 5 >= col("u_size") * 4)
+        .select("a", "b")
+      graft.ops.CorpusOps.leakageSafeSplit(docs, pairs)
+        .select("doc_id", "split")
         .orderBy("doc_id")
     }),
 
@@ -553,6 +585,52 @@ object PipelineQueries {
         "ROUND(quantile_cont(n, 0.9), 4) + 0.0 AS p90, " +
         "ROUND(quantile_cont(n, 0.99), 4) + 0.0 AS p99 " +
         "FROM t GROUP BY lang ORDER BY lang"),
+    "p35_incremental_dedup" -> (
+      "WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1), " +
+        "c AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0), " +
+        "fb AS (SELECT doc_id, substring(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fp FROM b), " +
+        "fc AS (SELECT doc_id, substring(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fp FROM c), " +
+        "ex AS (SELECT fb.doc_id, MIN(fc.doc_id) AS exact_id FROM fb JOIN fc USING (fp) GROUP BY 1), " +
+        "tb AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM b), " +
+        "gb AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tb), " +
+        "eb AS (SELECT doc_id, unnest(gs) AS g FROM gb), " +
+        "tc AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM c), " +
+        "gc AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tc), " +
+        "ec AS (SELECT doc_id, unnest(gs) AS g FROM gc), " +
+        "iv AS (SELECT eb.doc_id AS bid, ec.doc_id AS cid, COUNT(*) AS i FROM eb JOIN ec USING (g) GROUP BY 1, 2), " +
+        "sb AS (SELECT doc_id, len(gs) AS n FROM gb), " +
+        "sc AS (SELECT doc_id, len(gs) AS n FROM gc), " +
+        "nr AS (SELECT bid, MIN(cid) AS near_id FROM iv " +
+        "JOIN sb ON sb.doc_id = iv.bid JOIN sc ON sc.doc_id = iv.cid " +
+        "WHERE 5 * iv.i >= 4 * (sb.n + sc.n - iv.i) GROUP BY 1) " +
+        "SELECT b.doc_id, CASE WHEN ex.exact_id IS NOT NULL THEN 'exact' " +
+        "WHEN nr.near_id IS NOT NULL THEN 'near' ELSE 'new' END AS status, " +
+        "COALESCE(ex.exact_id, nr.near_id) AS match_id " +
+        "FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id LEFT JOIN nr ON nr.bid = b.doc_id " +
+        "ORDER BY b.doc_id"),
+    "p34_leakage_safe_split" -> (
+      "WITH RECURSIVE tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
+        "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
+        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
+        "p AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
+        "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)), " +
+        "ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
+        "nd AS (SELECT DISTINCT a AS id FROM ed), " +
+        "reach AS (SELECT id, id AS r FROM nd " +
+        "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
+        "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id), " +
+        "sp AS (SELECT doc_id, CASE substring(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 1) " +
+        "WHEN 'e' THEN 'val' WHEN 'f' THEN 'test' ELSE 'train' END AS own_split FROM documents) " +
+        "SELECT d.doc_id, COALESCE(rep.own_split, d.own_split) AS split " +
+        "FROM sp d LEFT JOIN comp ON comp.id = d.doc_id " +
+        "LEFT JOIN sp rep ON rep.doc_id = comp.component " +
+        "ORDER BY d.doc_id"),
     "p32_pii_redact" -> (
       "WITH inj AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example' || " +
         "CASE WHEN doc_id % 2 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
@@ -690,6 +768,13 @@ object PipelineQueries {
       "SELECT event_id, LAST_VALUE(NULLIF(event_type, 'noop') IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff FROM events ORDER BY event_id",
     "p19_salted_join" ->
       "SELECT o_orderpriority, CAST(length(o_orderpriority) AS INT) AS prio_rank, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev FROM orders GROUP BY 1, 2 ORDER BY 1",
+    "p36_quantize_int8" -> (
+      "WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "m AS (SELECT vec_id, v, list_max([abs(x) FOR x IN v]) AS mx FROM d), " +
+        "u AS (SELECT vec_id, mx, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM m) " +
+        "SELECT vec_id, pos, " +
+        "CASE WHEN mx = 0 THEN 0 ELSE CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT) END AS q, " +
+        "mx / 127.0 AS scale FROM u ORDER BY vec_id, pos"),
     "p21_label_centroid" -> (
       "WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) " +
         "SELECT label, pos, ROUND(AVG(x), 6) + 0.0 AS c FROM e GROUP BY 1, 2 ORDER BY label, pos"),

@@ -75,4 +75,18 @@ class AnnSpec extends AnyFunSuite {
       .map(i => (i, i + 10000)).toSet
     assert(expected.subsetOf(pairs))
   }
+
+  test("quantizeInt8: hand-computed values, zero-vector safe, |q| <= 127") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.quantizeInt8(df).orderBy("vec_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq(127L, -63L, 32L, 0L))
+    assert(out.filter(_._1 == 2L).map(_._3).forall(_ == 0L))
+    assert(math.abs(out.head._4 - 1.0 / 127.0) < 1e-15)
+    assert(out.forall(r => math.abs(r._3) <= 127))
+  }
 }

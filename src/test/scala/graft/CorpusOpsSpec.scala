@@ -110,6 +110,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq) // content-addressed: stable under reshuffle
   }
 
+  test("leakageSafeSplit: cluster members inherit the representative's split") {
+    val d = Seq(
+      (1L, "first piece of content"),
+      (5L, "first piece of content slightly changed"), // near-dup of 1
+      (9L, "totally separate content")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 5L)).toDF("a", "b")
+    val out = CorpusOps.leakageSafeSplit(d, pairs)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val own = CorpusOps.withSplit(d).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == own(1L)) // representative keeps its own split
+    assert(out(5L) == own(1L)) // member inherits it (even if own differs)
+    assert(out(9L) == own(9L)) // singleton falls back to own
+  }
+
   test("packing invariants: offsets contiguous, seq ids monotone, in-range") {
     val t = docs.select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))

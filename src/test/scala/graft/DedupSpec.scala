@@ -95,6 +95,23 @@ class DedupSpec extends AnyFunSuite {
       (7L, 7L, 2L), (8L, 7L, 2L)))
   }
 
+  test("incrementalDedup classifies exact / near / new against a corpus") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (11L, "completely different content about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again tonight"), // exact of 10
+      (101L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near of 10
+      (102L, "entirely novel text that matches nothing in the existing corpus at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, corpus, jNum = 1, jDen = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (100L, "exact", 10L), (101L, "near", 10L), (102L, "new", -1L)))
+  }
+
   test("ngramJaccard computes exact char-3-gram similarity for id pairs") {
     val df = Seq((1L, "abcabc"), (2L, "abcabc"), (3L, "zzzzzz")).toDF("doc_id", "text")
     val out = Dedup.ngramJaccard(df, "doc_id", "text", a => a + 1)
