@@ -67,17 +67,34 @@ object CorpusOps {
     * applies before training. One shuffle on the group key; groups larger
     * than a partition rely on the window sort spill — for pathological
     * single-domain skew compose with the salted-join/top-k pattern. */
+  /** `salts > 1` adds a two-phase pre-prune for pathological single-group
+    * skew: rank within (group, salt) first and keep each bucket's local
+    * top-`quota` — a provable superset of the global top-`quota` (any
+    * globally-kept row is within its bucket's first `quota` in the same
+    * order) — so the final per-group window sorts ≤ salts·quota rows per
+    * group instead of the whole group. Result is identical (spec-pinned). */
   def quotaSample(
       docs: DataFrame,
       quota: Int,
       groupCol: String = "source",
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      salts: Int = 1): DataFrame = {
+    val withFp = docs.withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+    val pruned =
+      if (salts <= 1) withFp
+      else {
+        val wLocal = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol), pmod(xxhash64(col("_fp"), col(idCol)), lit(salts)))
+          .orderBy(col("_fp"), col(idCol))
+        withFp.withColumn("_lr", row_number().over(wLocal))
+          .where(col("_lr") <= quota)
+          .drop("_lr")
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("_fp"), col(idCol)) // id tiebreak: total order even on dup content
-    docs
-      .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+    pruned
       .withColumn("pick_rank", row_number().over(w))
       .where(col("pick_rank") <= quota)
       .select(col(idCol), col(groupCol), col("pick_rank"))

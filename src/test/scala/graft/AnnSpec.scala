@@ -89,4 +89,12 @@ class AnnSpec extends AnyFunSuite {
     assert(math.abs(out.head._4 - 1.0 / 127.0) < 1e-15)
     assert(out.forall(r => math.abs(r._3) <= 127))
   }
+
+  test("quantizeInt8 dequant error is bounded by scale/2 on the fixture") {
+    val orig = emb.select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("pos"), col("col").as("x"))
+    val bad = Ann.quantizeInt8(emb).join(orig, Seq("vec_id", "pos"))
+      .where(abs(col("q") * col("scale") - col("x")) > col("scale") / 2 + 1e-12)
+    assert(bad.count() == 0)
+  }
 }

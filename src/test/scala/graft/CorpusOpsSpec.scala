@@ -110,6 +110,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq) // content-addressed: stable under reshuffle
   }
 
+  test("quotaSample: salted two-phase pre-prune is result-identical") {
+    val a = CorpusOps.quotaSample(docs, quota = 7)
+      .orderBy("source", "pick_rank").collect().map(_.toSeq)
+    val b = CorpusOps.quotaSample(docs, quota = 7, salts = 4)
+      .orderBy("source", "pick_rank").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("quotaSample plan: one hash shuffle on the group key, no global range sort") {
+    val p = CorpusOps.quotaSample(docs, quota = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("leakageSafeSplit: cluster members inherit the representative's split") {
     val d = Seq(
       (1L, "first piece of content"),
