@@ -385,6 +385,17 @@ object PipelineQueries {
       EventsStream.sessionize(Tables(s, dir, "events"))
         .orderBy("s_start", "user_id")),
 
+    // Sliding (overlapping) windows — each event lands in two 1h/30min
+    // windows; oracle expands the two window starts per event.
+    "p37_sliding_window" -> ((s, dir) =>
+      EventsStream.slidingCounts(Tables(s, dir, "events"))
+        .orderBy("w_start", "event_type")),
+
+    // Day-over-day retention on slim distinct (day, user) pairs.
+    "p38_retention" -> ((s, dir) =>
+      EventsStream.dailyRetention(Tables(s, dir, "events"))
+        .orderBy("day")),
+
     "p16_dedup_first_per_user" -> ((s, dir) =>
       EventsStream.dedupFirstPerUser(Tables(s, dir, "events"))
         .orderBy("user_id", "event_type")),
@@ -764,6 +775,20 @@ object PipelineQueries {
         "COUNT(*) AS n, ROUND(SUM(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
     "p16_dedup_first_per_user" ->
       "SELECT user_id, event_type, MIN(event_id) AS first_event, COUNT(*) AS n FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type",
+    "p37_sliding_window" -> (
+      "WITH w AS (SELECT event_type, value, unnest([" +
+        "time_bucket(INTERVAL '30 minutes', ts), " +
+        "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws FROM events) " +
+        "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, " +
+        "COUNT(*) AS n, ROUND(SUM(value), 2) AS total " +
+        "FROM w GROUP BY 1, 2 ORDER BY w_start, event_type"),
+    "p38_retention" -> (
+      "WITH a AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), " +
+        "r AS (SELECT a.day, COUNT(*) AS n_returning FROM a " +
+        "JOIN a p ON p.user_id = a.user_id AND p.day = a.day - 1 GROUP BY 1) " +
+        "SELECT strftime(a.day, '%Y-%m-%d') AS day, COUNT(*) AS n_active, " +
+        "COALESCE(ANY_VALUE(r.n_returning), 0) AS n_returning " +
+        "FROM a LEFT JOIN r ON r.day = a.day GROUP BY a.day ORDER BY day"),
     "p17_ffill_blocked" ->
       "SELECT event_id, LAST_VALUE(NULLIF(event_type, 'noop') IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff FROM events ORDER BY event_id",
     "p19_salted_join" ->

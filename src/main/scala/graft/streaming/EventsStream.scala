@@ -22,6 +22,42 @@ object EventsStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"), col("total"))
 
+  /** SLIDING-window aggregate (overlapping windows — each event lands in
+    * windowLen/slide windows): the moving-average/rate shape. Same
+    * watermark story as [[tumblingCounts]]; in batch, Spark expands each
+    * row into its windows before the groupBy, so shuffle volume is
+    * rows × (windowLen/slide). */
+  def slidingCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Day-over-day retention: per day, distinct active users and how many
+    * were also active the previous day — the engagement metric every
+    * event pipeline reports. Two shuffles: the (day, user) distinct and
+    * the self-join on (user, day-1); both partial-aggregate first, and
+    * the self-join is on the already-distinct slim pairs, never raw
+    * events. */
+  def dailyRetention(events: DataFrame): DataFrame = {
+    val active = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val returning = active
+      .join(active.select(date_add(col("day"), 1).as("day"), col("user_id")),
+        Seq("day", "user_id"), "left_semi")
+      .groupBy("day").agg(count(lit(1)).as("n_returning"))
+    active.groupBy("day").agg(count(lit(1)).as("n_active"))
+      .join(returning, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_active"), coalesce(col("n_returning"), lit(0L)).as("n_returning"))
+  }
+
   /** Streaming dedup shape: first event per (user_id, event_type) within
     * the watermark horizon. Batch equivalent: min per group. */
   def dedupFirstPerUser(events: DataFrame): DataFrame =

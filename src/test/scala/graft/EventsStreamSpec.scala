@@ -30,7 +30,7 @@ class EventsStreamSpec extends AnyFunSuite {
     val streamRaw = spark.readStream.schema(schema).parquet(stage.toString)
     val stream = streamRaw.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
     val q = EventsStream.streamingTumbling(stream, watermark = "10 minutes")
       .writeStream.outputMode("append").format("memory").queryName("agg_out")
       .trigger(Trigger.AvailableNow()).start()
@@ -45,6 +45,51 @@ class EventsStreamSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS agg_out")
   }
 
+  test("streaming sliding windows match batch; each event in two windows") {
+    val batchEvents = Tables(spark, dir, "events")
+    val expected = EventsStream.slidingCounts(batchEvents)
+      .orderBy("w_start", "event_type").collect()
+    // overlap invariant: total n across windows = 2 × event count
+    val nTotal = expected.map(_.getLong(2)).sum
+    assert(nTotal == 2 * batchEvents.count())
+
+    val stage = java.nio.file.Files.createTempDirectory("events_slide")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val q = EventsStream.slidingCounts(stream.withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("append").format("memory").queryName("slide_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("slide_out").orderBy("w_start", "event_type").collect()
+    assert(got.nonEmpty, "stream emitted no closed windows")
+    val expectedSet = expected.map(_.toSeq).toSet
+    got.foreach(r => assert(expectedSet.contains(r.toSeq), s"row $r not in batch result"))
+    spark.sql("DROP TABLE IF EXISTS slide_out")
+  }
+
+  test("dailyRetention: hand-computed day-over-day returning users") {
+    import spark.implicits._
+    val ev = Seq(
+      ("2024-01-01 10:00:00", 1L), ("2024-01-01 11:00:00", 2L),
+      ("2024-01-02 09:00:00", 1L), ("2024-01-02 09:30:00", 3L),
+      ("2024-01-03 08:00:00", 1L), ("2024-01-03 08:10:00", 3L),
+      ("2024-01-03 09:00:00", 4L)
+    ).toDF("ts_s", "user_id")
+      .select(org.apache.spark.sql.functions.to_timestamp($"ts_s").as("ts"), $"user_id")
+    val out = EventsStream.dailyRetention(ev).orderBy("day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 2L, 0L),   // 1,2 active; no prior day
+      ("2024-01-02", 2L, 1L),   // 1,3 active; 1 returning
+      ("2024-01-03", 3L, 2L)))  // 1,3,4 active; 1,3 returning
+  }
+
   test("streaming dropDuplicates emits one row per key, matching batch distinct") {
     val stage = java.nio.file.Files.createTempDirectory("events_dedup")
     java.nio.file.Files.copy(
@@ -54,7 +99,7 @@ class EventsStreamSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     val q = EventsStream.streamingDedup(stream)
       .writeStream.outputMode("append").format("memory").queryName("dedup_out")
       .trigger(Trigger.AvailableNow()).start()
