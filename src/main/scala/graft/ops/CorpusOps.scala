@@ -100,6 +100,42 @@ object CorpusOps {
       .select(col(idCol), col(groupCol), col("pick_rank"))
   }
 
+  /** Source-weighted mixing (domain up/down-sampling): emit ⌊w⌋ copies
+    * of every doc from a source with weight w, plus one more decided by
+    * a DETERMINISTIC content-hash draw with probability frac(w) — the
+    * epoch-mix every pretraining run applies ("wiki ×2.5, web ×0.5").
+    * The draw compares the first 8 hex chars of the content fingerprint
+    * against a fixed-width hex threshold (lexicographic = numeric for
+    * fixed-width lowercase hex), so the expansion is RNG-free,
+    * reshuffle-stable, and exactly reproducible on any engine. Map-only:
+    * a literal CASE tree per source plus one explode — no shuffle at all
+    * until whatever consumes the mix. */
+  def mixSources(
+      docs: DataFrame,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0,
+      groupCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0.0),
+      "weights must be non-negative")
+    def hexThreshold(w: Double): String =
+      f"${math.floor((w - math.floor(w)) * math.pow(16, 8)).toLong}%08x"
+    val base = weights.foldLeft(lit(math.floor(defaultWeight).toInt)) {
+      case (acc, (s, w)) =>
+        when(col(groupCol) === s, lit(math.floor(w).toInt)).otherwise(acc)
+    }
+    val th = weights.foldLeft(lit(hexThreshold(defaultWeight))) {
+      case (acc, (s, w)) => when(col(groupCol) === s, lit(hexThreshold(w))).otherwise(acc)
+    }
+    val fp8 = substring(TextAnalysis.fingerprint(col(textCol)), 1, 8)
+    docs
+      .withColumn("_n", base + when(fp8 < th, 1).otherwise(0))
+      .where(col("_n") > 0)
+      .select(col(idCol), col(groupCol),
+        explode(sequence(lit(1), col("_n"))).as("copy"))
+  }
+
   /** LEAKAGE-SAFE split: like [[contentSplit]], but near-duplicate docs
     * land in the same split — otherwise a train doc's near-copy sits in
     * test and inflates eval. Composition: connected components over the

@@ -311,6 +311,13 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Source-weighted mixing: src0 ×2.5, src1 ×0.5, rest ×1 — the
+    // content-hash draw makes the fractional part deterministic.
+    "p39_mix_sources" -> ((s, dir) =>
+      graft.ops.CorpusOps.mixSources(Tables(s, dir, "documents"),
+          Map("src0" -> 2.5, "src1" -> 0.5))
+        .orderBy("doc_id", "copy")),
+
     // PII redaction over text with deterministically-injected PII (the
     // synthetic corpus has none, so both engines append the same email /
     // phone / IP per doc_id — counts and the redacted text then carry
@@ -642,6 +649,15 @@ object PipelineQueries {
         "FROM sp d LEFT JOIN comp ON comp.id = d.doc_id " +
         "LEFT JOIN sp rep ON rep.doc_id = comp.component " +
         "ORDER BY d.doc_id"),
+    "p39_mix_sources" -> (
+      "WITH d AS (SELECT doc_id, source, " +
+        "substring(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 8) AS fp8 FROM documents), " +
+        "n AS (SELECT doc_id, source, " +
+        "CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END + " +
+        "CASE WHEN fp8 < (CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN '80000000' " +
+        "ELSE '00000000' END) THEN 1 ELSE 0 END AS nc FROM d) " +
+        "SELECT doc_id, source, unnest(range(1, nc + 1)) AS copy FROM n WHERE nc > 0 " +
+        "ORDER BY doc_id, copy"),
     "p32_pii_redact" -> (
       "WITH inj AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example' || " +
         "CASE WHEN doc_id % 2 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +

@@ -125,6 +125,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("mixSources: integer weights exact, zero drops, fractional in bounds") {
+    val base = CorpusOps.mixSources(docs, Map.empty)
+    assert(base.count() == docs.count()) // default ×1: identity
+    val mixed = CorpusOps.mixSources(docs,
+      Map("src0" -> 3.0, "src1" -> 0.0, "src2" -> 2.5))
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 3 * orig("src0"))
+    assert(!bySrc.contains("src1"))
+    assert(bySrc("src2") >= 2 * orig("src2") && bySrc("src2") <= 3 * orig("src2"))
+    val again = CorpusOps.mixSources(docs.repartition(5),
+      Map("src0" -> 3.0, "src1" -> 0.0, "src2" -> 2.5)).count()
+    assert(again == mixed.count()) // content-hash draw: reshuffle-stable
+  }
+
   test("leakageSafeSplit: cluster members inherit the representative's split") {
     val d = Seq(
       (1L, "first piece of content"),
