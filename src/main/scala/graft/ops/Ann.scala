@@ -129,6 +129,27 @@ object Ann {
       .select(col("a"), col("b"), (round(col("score"), 4) + 0.0).as("score"))
   }
 
+  /** L2 normalization — pre-normalizing the corpus turns every cosine
+    * into a plain dot product (one multiply-add per dim instead of three
+    * accumulators per pair), the standard write-once/score-many trade at
+    * scale. Norm is HOISTED; zero vectors pass through as zeros. Emitted
+    * exploded (id, pos, v) with round-6 values for engine-portable
+    * comparison. */
+  def l2Normalize(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val n = df
+      .withColumn("_dv", col(vecCol).cast("array<double>"))
+      .withColumn("_norm",
+        sqrt(aggregate(col("_dv"), lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("_nv",
+        when(col("_norm") === 0.0, col("_dv"))
+          .otherwise(transform(col("_dv"), x => x / col("_norm"))))
+    n.select(col(idCol), posexplode(col("_nv")))
+      .select(col(idCol), col("pos"), (round(col("col"), 6) + 0.0).as("v"))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage-scale move for
     * embedding columns (4× smaller than float32, 8× than float64; at
     * 100 TB the scan-bytes win usually dominates the recall loss for

@@ -185,6 +185,11 @@ object PipelineQueries {
         minHitsPerQuery = 1, minTotalHits = 135)
     }),
 
+    // L2 normalization (exploded rows, round-6) — cosine becomes dot.
+    "p40_l2_normalize" -> ((s, dir) =>
+      Ann.l2Normalize(Tables(s, dir, "embeddings"))
+        .orderBy("vec_id", "pos")),
+
     // Int8 embedding quantization (exploded rows; scale = max|x|/127).
     "p36_quantize_int8" -> ((s, dir) =>
       Ann.quantizeInt8(Tables(s, dir, "embeddings"))
@@ -809,6 +814,12 @@ object PipelineQueries {
       "SELECT event_id, LAST_VALUE(NULLIF(event_type, 'noop') IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff FROM events ORDER BY event_id",
     "p19_salted_join" ->
       "SELECT o_orderpriority, CAST(length(o_orderpriority) AS INT) AS prio_rank, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev FROM orders GROUP BY 1, 2 ORDER BY 1",
+    "p40_l2_normalize" -> (
+      "WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "m AS (SELECT vec_id, v, sqrt(list_reduce([x * x FOR x IN v], (a, b) -> a + b)) AS nrm FROM d), " +
+        "u AS (SELECT vec_id, nrm, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM m) " +
+        "SELECT vec_id, pos, ROUND(CASE WHEN nrm = 0 THEN x ELSE x / nrm END, 6) + 0.0 AS v " +
+        "FROM u ORDER BY vec_id, pos"),
     "p36_quantize_int8" -> (
       "WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "m AS (SELECT vec_id, v, list_max([abs(x) FOR x IN v]) AS mx FROM d), " +

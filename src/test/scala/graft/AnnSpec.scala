@@ -90,6 +90,16 @@ class AnnSpec extends AnyFunSuite {
     assert(out.forall(r => math.abs(r._3) <= 127))
   }
 
+  test("l2Normalize: unit norm on the fixture, zero vector passes through") {
+    import spark.implicits._
+    val norms = Ann.l2Normalize(emb)
+      .groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))
+      .where(abs(col("n2") - 1.0) > 1e-4)
+    assert(norms.count() == 0)
+    val z = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Ann.l2Normalize(z).agg(sum(abs(col("v")))).first().getDouble(0) == 0.0)
+  }
+
   test("quantizeInt8 dequant error is bounded by scale/2 on the fixture") {
     val orig = emb.select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
       .select(col("vec_id"), col("pos"), col("col").as("x"))
