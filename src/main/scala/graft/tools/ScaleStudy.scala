@@ -1,0 +1,150 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.ops.{AsofJoin, CorpusOps, Dedup, Ffill, TextAnalysis}
+import graft.streaming.EventsStream
+
+/** Scaling study: times the headline operators at 1×/4×/20× the sf0.1
+  * corpus (and 1×/10× events) to measure how wall time grows with rows —
+  * the local stand-in for "would this hold at 100 TB?". Scaled copies
+  * are built by unioning id-offset replicas with ~15 unique suffix
+  * tokens per copy so replicas are NOT near-dups of each other (keeps
+  * the dedup candidate volume realistic instead of k-clique worst-case).
+  * `runMain graft.tools.ScaleStudy [sfDir]` — prints one line per
+  * (op, scale) with rows and seconds.
+  */
+object ScaleStudy {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def scaledDocs(base: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      if (i == 0) base.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      else {
+        // 15 copy-unique suffix tokens push word-3-shingle Jaccard vs the
+        // original well below the 0.8 near-dup threshold
+        val suffix = concat_ws(" ", (0 until 15).map(j =>
+          concat(lit(s"zq${i}x${j}y"), col("doc_id"))): _*)
+        base.select(
+          (col("doc_id") + i * 10000000L).as("doc_id"),
+          concat(col("text"), lit(" "), suffix).as("text"),
+          col("lang"), col("source"))
+      }
+    }.reduce(_ union _)
+
+  private def scaledEvents(base: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      if (i == 0) base
+      else base
+        .withColumn("event_id", col("event_id") + i * 100000000L)
+        .withColumn("user_id", col("user_id") + i * 1000000L)
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 40} DAYS"))
+    }.reduce(_ union _)
+
+  private def sink(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val baseDocs = Tables(spark, sfDir, "documents")
+    val baseEvents = Tables(spark, sfDir, "events")
+
+    // materialize scaled inputs to parquet so every measured op reads
+    // from storage like a real job (not from an in-memory union plan)
+    val root = "/tmp/graft_scale"
+    for (k <- Seq(1, 4, 20)) {
+      val p = s"$root/docs_x$k"
+      if (!new java.io.File(p).exists())
+        scaledDocs(baseDocs, k).repartition(cpus.toInt).write.mode("overwrite").parquet(p)
+    }
+    for (k <- Seq(1, 10)) {
+      val p = s"$root/events_x$k"
+      if (!new java.io.File(p).exists())
+        scaledEvents(baseEvents, k).repartition(cpus.toInt).write.mode("overwrite").parquet(p)
+    }
+
+    def report(op: String, k: Int, rows: Long, sec: Double): Unit =
+      println(f"[scale] $op%-22s x$k%-3d rows=$rows%-9d ${sec}%8.2f s")
+
+    for (k <- Seq(1, 4, 20)) {
+      val docs = spark.read.parquet(s"$root/docs_x$k")
+      val nDocs = docs.count()
+
+      // near-dup pair generation + integer-threshold verify
+      val (nPairs, tPairs) = time {
+        Dedup.nearDupSizesShingled(
+            Dedup.withWordShingles(docs.select("doc_id", "text"), "doc_id", "text", 3),
+            "doc_id", numHashes = 64, bands = 16)
+          .where(col("i_size") * 5 >= col("u_size") * 4)
+          .count()
+      }
+      report("neardup_pairs", k, nDocs, tPairs)
+
+      // pairs -> clusters (iterative components)
+      val pairs = Dedup.nearDupSizesShingled(
+          Dedup.withWordShingles(docs.select("doc_id", "text"), "doc_id", "text", 3),
+          "doc_id", numHashes = 64, bands = 16)
+        .where(col("i_size") * 5 >= col("u_size") * 4)
+        .select("a", "b")
+      val (_, tClust) = time(sink(Dedup.dedupClusters(pairs)))
+      report(s"dedup_clusters(${nPairs}p)", k, nDocs, tClust)
+
+      val (_, tRep) = time(sink(CorpusOps.repetitionStats(docs)))
+      report("repetition_stats", k, nDocs, tRep)
+
+      val (_, tProf) = time(sink(TextAnalysis.profile(docs)))
+      report("text_profile", k, nDocs, tProf)
+
+      val (_, tQuota) = time(sink(CorpusOps.quotaSample(docs, quota = 30)))
+      report("quota_sample", k, nDocs, tQuota)
+
+      val (_, tSplit) = time(sink(CorpusOps.withSplit(docs)))
+      report("content_split", k, nDocs, tSplit)
+    }
+
+    for (k <- Seq(1, 10)) {
+      val ev = spark.read.parquet(s"$root/events_x$k")
+        .withColumn("ts", to_timestamp(col("ts")))
+      val nEv = ev.count()
+
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+      val (_, tAsof) = time(sink(AsofJoin.asofJoin(purchases, clicks,
+        Seq("user_id"), "ts", Seq("click_value"))))
+      report("asof_join", k, nEv, tAsof)
+
+      val withSrc = ev.withColumn("_src", nullif(col("event_type"), lit("noop")))
+      val (_, tFfill) = time(sink(
+        Ffill.ffillBlocked(withSrc, "event_id", Seq("_src"), blockSize = 4096)))
+      report("ffill_blocked", k, nEv, tFfill)
+
+      val (_, tSess) = time(sink(EventsStream.sessionize(ev)))
+      report("sessionize", k, nEv, tSess)
+
+      val (_, tRet) = time(sink(EventsStream.dailyRetention(ev)))
+      report("daily_retention", k, nEv, tRet)
+    }
+    spark.stop()
+  }
+}
