@@ -408,6 +408,11 @@ object PipelineQueries {
       EventsStream.dailyRetention(Tables(s, dir, "events"))
         .orderBy("day")),
 
+    // Conversion funnel (first click → purchase within 1h), one shuffle.
+    "p41_funnel" -> ((s, dir) =>
+      EventsStream.funnel(Tables(s, dir, "events"))
+        .orderBy("day")),
+
     "p16_dedup_first_per_user" -> ((s, dir) =>
       EventsStream.dedupFirstPerUser(Tables(s, dir, "events"))
         .orderBy("user_id", "event_type")),
@@ -796,6 +801,17 @@ object PipelineQueries {
         "COUNT(*) AS n, ROUND(SUM(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
     "p16_dedup_first_per_user" ->
       "SELECT user_id, event_type, MIN(event_id) AS first_event, COUNT(*) AS n FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type",
+    "p41_funnel" -> (
+      "WITH f AS (SELECT user_id, ts, event_type, " +
+        "MIN(CASE WHEN event_type = 'click' THEN ts END) OVER (PARTITION BY user_id) AS t0 " +
+        "FROM events), " +
+        "u AS (SELECT user_id, MIN(t0) AS t0, " +
+        "MAX(CASE WHEN event_type = 'purchase' AND ts >= t0 " +
+        "AND ts <= t0 + INTERVAL '1 hour' THEN 1 ELSE 0 END) AS conv " +
+        "FROM f WHERE t0 IS NOT NULL GROUP BY user_id) " +
+        "SELECT strftime(CAST(t0 AS DATE), '%Y-%m-%d') AS day, " +
+        "COUNT(*) AS n_entered, CAST(SUM(conv) AS BIGINT) AS n_converted " +
+        "FROM u GROUP BY CAST(t0 AS DATE) ORDER BY day"),
     "p37_sliding_window" -> (
       "WITH w AS (SELECT event_type, value, unnest([" +
         "time_bucket(INTERVAL '30 minutes', ts), " +

@@ -62,6 +62,35 @@ object EventsStream {
         col("n_active"), col("n_returning"))
   }
 
+  /** Conversion funnel: a user ENTERS at their first `fromType` event
+    * and CONVERTS if any `toType` event lands within `horizon` of it
+    * (inclusive). Single-shuffle formulation: both the entry time and
+    * the conversion flag are per-user window aggregates over one
+    * hash-partition by user — the follow-up groupBy(user) reuses that
+    * partitioning (no second data-sized shuffle), and the day rollup
+    * aggregates ≤ |users| slim rows. */
+  def funnel(
+      events: DataFrame,
+      fromType: String = "click",
+      toType: String = "purchase",
+      horizon: String = "1 hour"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    events
+      .withColumn("_t0",
+        min(when(col("event_type") === fromType, col("ts"))).over(w))
+      .where(col("_t0").isNotNull)
+      .withColumn("_c",
+        max(when(col("event_type") === toType &&
+          col("ts") >= col("_t0") &&
+          col("ts") <= col("_t0") + expr(s"INTERVAL $horizon"), 1L)
+          .otherwise(0L)).over(w))
+      .groupBy("user_id").agg(min("_t0").as("t0"), max("_c").as("conv"))
+      .groupBy(to_date(col("t0")).as("day"))
+      .agg(count(lit(1)).as("n_entered"), sum("conv").as("n_converted"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_entered"), col("n_converted"))
+  }
+
   /** Streaming dedup shape: first event per (user_id, event_type) within
     * the watermark horizon. Batch equivalent: min per group. */
   def dedupFirstPerUser(events: DataFrame): DataFrame =

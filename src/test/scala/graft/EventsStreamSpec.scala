@@ -90,6 +90,27 @@ class EventsStreamSpec extends AnyFunSuite {
       ("2024-01-03", 3L, 2L)))  // 1,3,4 active; 1,3 returning
   }
 
+  test("funnel: hand-computed entries and conversions within the horizon") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: click 10:00, purchase 10:30 → converted
+      ("2024-01-01 10:00:00", 1L, "click"), ("2024-01-01 10:30:00", 1L, "purchase"),
+      // user 2: click 10:00, purchase 11:30 → outside 1h, not converted
+      ("2024-01-01 10:00:00", 2L, "click"), ("2024-01-01 11:30:00", 2L, "purchase"),
+      // user 3: purchase BEFORE first click → not converted
+      ("2024-01-02 09:00:00", 3L, "purchase"), ("2024-01-02 09:30:00", 3L, "click"),
+      // user 4: purchase exactly at t0 + 1h → boundary inclusive, converted
+      ("2024-01-02 08:00:00", 4L, "click"), ("2024-01-02 09:00:00", 4L, "purchase"),
+      // user 5: no click → never enters the funnel
+      ("2024-01-02 12:00:00", 5L, "purchase")
+    ).toDF("ts_s", "user_id", "event_type")
+      .select(org.apache.spark.sql.functions.to_timestamp($"ts_s").as("ts"),
+        $"user_id", $"event_type")
+    val out = EventsStream.funnel(ev).orderBy("day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("2024-01-01", 2L, 1L), ("2024-01-02", 2L, 1L)))
+  }
+
   test("streaming dropDuplicates emits one row per key, matching batch distinct") {
     val stage = java.nio.file.Files.createTempDirectory("events_dedup")
     java.nio.file.Files.copy(

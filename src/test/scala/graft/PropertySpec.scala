@@ -35,6 +35,31 @@ class PropertySpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("connectedComponents matches driver-side union-find on random graphs") {
+    import graft.ops.Dedup
+    (1 to 5).foreach { trial =>
+      val n = 5 + rnd.nextInt(20)
+      val edges = (0 until (3 + rnd.nextInt(25))).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map { v =>
+        // canonical label: min node id in the component among touched nodes
+        val r = find(v.toInt)
+        v -> nodes.filter(u => find(u.toInt) == r).min
+      }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: edges=$edges")
+    }
+  }
+
   test("snake_case renders only [A-Z0-9_] or a COL_ hash fallback") {
     val rules = new HeaderRules()
     val alphabet = "^[A-Z0-9_]+$".r
