@@ -16,6 +16,18 @@ object ExprKernels {
 
   def similarity(a: UTF8String, b: UTF8String): Double =
     Similarity.ratio(a.toString, b.toString)
+
+  def nfcClean(s: UTF8String): UTF8String = {
+    val n = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(n.length)
+    var i = 0
+    while (i < n.length) {
+      val c = n.charAt(i)
+      if (!Character.isISOControl(c)) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 /** `unaccent(str)`: accent folding as a native Catalyst expression (F6).
@@ -46,6 +58,23 @@ case class SimilarityExpression(left: Expression, right: Expression)
   override def prettyName: String = "similarity_ratio"
 }
 
+/** `nfc_clean(str)`: Unicode NFC composition + ISO-control strip (C0 +
+  * C1, exactly `Character.isISOControl`) — canonical text cleanup before
+  * fingerprinting/shingling so byte-different but canonically-equal
+  * inputs dedup together. Matches DuckDB's
+  * `regexp_replace(nfc_normalize(s), '[controls]', '', 'g')`. */
+case class NfcCleanExpression(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.nfcClean(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.nfcClean($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcCleanExpression =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_clean"
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -53,10 +82,12 @@ object GraftFunctions {
   def unaccent_native(c: Column): Column = column(UnaccentExpression(expression(c)))
   def similarity_native(a: Column, b: Column): Column =
     column(SimilarityExpression(expression(a), expression(b)))
+  def nfc_clean(c: Column): Column = column(NfcCleanExpression(expression(c)))
 
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "unaccent" -> (exprs => UnaccentExpression(exprs.head)),
-    "similarity_ratio" -> (exprs => SimilarityExpression(exprs(0), exprs(1))))
+    "similarity_ratio" -> (exprs => SimilarityExpression(exprs(0), exprs(1))),
+    "nfc_clean" -> (exprs => NfcCleanExpression(exprs.head)))
 
   /** Register both functions on an existing session (SQL-callable). */
   def register(spark: SparkSession): Unit =

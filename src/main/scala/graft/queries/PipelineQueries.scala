@@ -413,6 +413,35 @@ object PipelineQueries {
       EventsStream.funnel(Tables(s, dir, "events"))
         .orderBy("day")),
 
+    // Unicode canonicalization: NFC compose + ISO-control strip via the
+    // native nfc_clean kernel, over text with injected combining marks
+    // and a control char (the ASCII corpus alone would be a no-op).
+    "p42_nfc_clean" -> ((s, dir) => {
+      // e + U+0301 combining acute (NFC composes to e-acute) + a BEL control
+      val injected = concat(col("text"), lit(" caf"),
+        lit("e\u0301"), lit("\u0007end"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        length(injected).as("n_before"),
+        graft.functions.GraftFunctions.nfc_clean(injected).as("cleaned"))
+        .withColumn("n_after", length(col("cleaned")))
+        .orderBy("doc_id")
+    }),
+
+    // Point-in-interval join via bucketized equi-join (no nested loop):
+    // 90-minute windows anchored at every 487th event.
+    "p43_interval_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val iv = ev.where(col("event_id") % 487 === 0)
+        .select(col("event_id").as("iid"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 90 MINUTES")).as("w_end"))
+      graft.ops.RangeJoin.intervalJoin(
+          ev.select("event_id", "ts", "value"), "ts", iv, "w_start", "w_end")
+        .groupBy("iid")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("iid")
+    }),
+
     "p16_dedup_first_per_user" -> ((s, dir) =>
       EventsStream.dedupFirstPerUser(Tables(s, dir, "events"))
         .orderBy("user_id", "event_type")),
@@ -801,6 +830,21 @@ object PipelineQueries {
         "COUNT(*) AS n, ROUND(SUM(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
     "p16_dedup_first_per_user" ->
       "SELECT user_id, event_type, MIN(event_id) AS first_event, COUNT(*) AS n FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type",
+    "p42_nfc_clean" -> (
+      "WITH inj AS (SELECT doc_id, text || ' caf' || chr(101) || chr(769) || chr(7) || 'end' AS t " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(length(t) AS INT) AS n_before, " +
+        "regexp_replace(nfc_normalize(t), '[\\x{00}-\\x{1f}\\x{7f}-\\x{9f}]', '', 'g') AS cleaned, " +
+        "CAST(length(regexp_replace(nfc_normalize(t), '[\\x{00}-\\x{1f}\\x{7f}-\\x{9f}]', '', 'g')) AS INT) AS n_after " +
+        "FROM inj ORDER BY doc_id"),
+    "p43_interval_join" -> (
+      "WITH iv AS (SELECT event_id AS iid, date_trunc('microseconds', ts) AS w_start, " +
+        "date_trunc('microseconds', ts) + INTERVAL '90 minutes' AS w_end " +
+        "FROM events WHERE event_id % 487 = 0) " +
+        "SELECT iv.iid, COUNT(*) AS n, ROUND(SUM(e.value), 2) AS total " +
+        "FROM iv JOIN events e ON date_trunc('microseconds', e.ts) >= iv.w_start " +
+        "AND date_trunc('microseconds', e.ts) <= iv.w_end " +
+        "GROUP BY 1 ORDER BY iid"),
     "p41_funnel" -> (
       "WITH f AS (SELECT user_id, ts, event_type, " +
         "MIN(CASE WHEN event_type = 'click' THEN ts END) OVER (PARTITION BY user_id) AS t0 " +

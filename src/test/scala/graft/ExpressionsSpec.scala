@@ -27,6 +27,22 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("nfc_clean composes combining marks and strips ISO controls; null-safe") {
+    val df = Seq(
+      Some("cafe\u0301 x\u0007\u0000"), // decomposed e-acute + BEL + NUL
+      Some("plain ascii"),
+      None).toDF("t")
+    val out = df.select(graft.functions.GraftFunctions.nfc_clean($"t")).collect()
+    assert(out(0).getString(0) == "caf\u00e9 x")
+    assert(out(1).getString(0) == "plain ascii")
+    assert(out(2).isNullAt(0))
+    // composed output is shorter in code points than the decomposed input
+    val lens = df.limit(1).select(
+      length($"t"),
+      length(graft.functions.GraftFunctions.nfc_clean($"t"))).first()
+    assert(lens.getInt(0) == lens.getInt(1) + 3) // compose -1, BEL -1, NUL -1
+  }
+
   test("word_ngrams kernel: multiplicity kept, strict on short input") {
     val df = Seq(
       (1L, Seq("a", "b", "a", "b")),
