@@ -428,6 +428,37 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Snapshot diff (incremental ETL): new snapshot drops doc_id%13==0,
+    // rewrites text for %17==0, adds %11==0 under +500000 ids.
+    "p44_snapshot_diff" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val newSnap = d.where(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .union(d.where(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 500000))
+      graft.ops.SnapshotDiff.diff(d, newSnap, "doc_id",
+          Seq("text", "lang", "source", "n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Pivot: per-user event counts spread over the five known types.
+    "p45_pivot" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("user_id")),
+
+    // Rollup: (lang, source) with subtotal and grand-total rows.
+    "p46_rollup" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))),
+
     // Point-in-interval join via bucketized equi-join (no nested loop):
     // 90-minute windows anchored at every 487th event.
     "p43_interval_join" -> ((s, dir) => {
@@ -830,6 +861,29 @@ object PipelineQueries {
         "COUNT(*) AS n, ROUND(SUM(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
     "p16_dedup_first_per_user" ->
       "SELECT user_id, event_type, MIN(event_id) AS first_event, COUNT(*) AS n FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type",
+    "p44_snapshot_diff" -> (
+      "WITH o AS (SELECT doc_id, sha256(text || chr(1) || lang || chr(1) || source || chr(1) || CAST(n_chars AS VARCHAR)) AS fp FROM documents), " +
+        "n0 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text, " +
+        "lang, source, n_chars FROM documents WHERE doc_id % 13 <> 0 " +
+        "UNION ALL SELECT doc_id + 500000, text, lang, source, n_chars FROM documents WHERE doc_id % 11 = 0), " +
+        "n AS (SELECT doc_id, sha256(text || chr(1) || lang || chr(1) || source || chr(1) || CAST(n_chars AS VARCHAR)) AS fp FROM n0), " +
+        "j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN o.fp IS NULL THEN 'added' WHEN n.fp IS NULL THEN 'removed' " +
+        "WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS status " +
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) " +
+        "SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id"),
+    "p45_pivot" -> (
+      "SELECT user_id, " +
+        "COUNT(*) FILTER (event_type = 'click') AS \"click\", " +
+        "COUNT(*) FILTER (event_type = 'error') AS \"error\", " +
+        "COUNT(*) FILTER (event_type = 'purchase') AS \"purchase\", " +
+        "COUNT(*) FILTER (event_type = 'signup') AS \"signup\", " +
+        "COUNT(*) FILTER (event_type = 'view') AS \"view\" " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "p46_rollup" -> (
+      "SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
+        "FROM documents GROUP BY ROLLUP(lang, source) " +
+        "ORDER BY lang NULLS FIRST, source NULLS FIRST"),
     "p42_nfc_clean" -> (
       "WITH inj AS (SELECT doc_id, text || ' caf' || chr(101) || chr(769) || chr(7) || 'end' AS t " +
         "FROM documents) " +

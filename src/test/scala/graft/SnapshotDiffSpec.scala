@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SnapshotDiff
+
+/** Snapshot diff semantics: added/removed/changed classification, the
+  * concat-boundary non-collision, and unchanged suppression. */
+class SnapshotDiffSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("classifies added, removed, changed; drops unchanged by default") {
+    val old = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("id", "u", "v")
+    val neu = Seq((2L, "b", "y"), (3L, "c", "CHANGED"), (4L, "d", "w"))
+      .toDF("id", "u", "v")
+    val out = SnapshotDiff.diff(old, neu, "id", Seq("u", "v"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+    val all = SnapshotDiff.diff(old, neu, "id", Seq("u", "v"), keepUnchanged = true)
+    assert(all.where($"status" === "unchanged").count() == 1)
+  }
+
+  test("column boundaries don't collide: (ab, c) differs from (a, bc)") {
+    val old = Seq((1L, "ab", "c")).toDF("id", "u", "v")
+    val neu = Seq((1L, "a", "bc")).toDF("id", "u", "v")
+    val out = SnapshotDiff.diff(old, neu, "id", Seq("u", "v")).collect()
+    assert(out.length == 1 && out(0).getString(1) == "changed")
+  }
+
+  test("null content compares equal to itself, not to empty-vs-missing swaps") {
+    val old = Seq((1L, Option.empty[String], Some("v"))).toDF("id", "u", "v")
+    val neu1 = Seq((1L, Option.empty[String], Some("v"))).toDF("id", "u", "v")
+    assert(SnapshotDiff.diff(old, neu1, "id", Seq("u", "v")).count() == 0)
+  }
+}
