@@ -119,6 +119,17 @@ object ScaleStudy {
 
       val (_, tSplit) = time(sink(CorpusOps.withSplit(docs)))
       report("content_split", k, nDocs, tSplit)
+
+      val (_, tMix) = time(sink(CorpusOps.mixSources(docs,
+        Map("src0" -> 2.5, "src1" -> 0.5))))
+      report("mix_sources", k, nDocs, tMix)
+
+      val newSnap = docs.where(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val (_, tDiff) = time(sink(graft.ops.SnapshotDiff.diff(
+        docs, newSnap, "doc_id", Seq("text", "lang", "source"))))
+      report("snapshot_diff", k, nDocs, tDiff)
     }
 
     for (k <- Seq(1, 10)) {
@@ -144,6 +155,16 @@ object ScaleStudy {
 
       val (_, tRet) = time(sink(EventsStream.dailyRetention(ev)))
       report("daily_retention", k, nEv, tRet)
+
+      val (_, tFun) = time(sink(EventsStream.funnel(ev)))
+      report("funnel", k, nEv, tFun)
+
+      val iv = ev.where(col("event_id") % 487 === 0)
+        .select(col("event_id").as("iid"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 90 MINUTES")).as("w_end"))
+      val (_, tIv) = time(sink(graft.ops.RangeJoin.intervalJoin(
+        ev.select("event_id", "ts", "value"), "ts", iv, "w_start", "w_end")))
+      report("interval_join", k, nEv, tIv)
     }
     spark.stop()
   }

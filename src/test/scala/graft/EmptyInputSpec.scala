@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Ann, CorpusOps, Dedup, RangeJoin, SnapshotDiff, TextAnalysis}
+import graft.streaming.EventsStream
+
+/** Hardening: every operator must return an EMPTY result on empty input
+  * — not throw, not return a phantom row. Empty partitions are routine
+  * at scale (filters that eliminate a source, fresh ingestion dates). */
+class EmptyInputSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val noDocs =
+    Seq.empty[(Long, String, String, String)].toDF("doc_id", "text", "lang", "source")
+  private lazy val noEvents =
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+  private lazy val noVecs =
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+  private lazy val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+
+  test("dedup family on empty input") {
+    assert(Dedup.exactDedup(noDocs, "doc_id", Seq("lang")).count() == 0)
+    assert(Dedup.minHashNearDupsWords(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simHashNearDups(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.connectedComponents(noPairs).count() == 0)
+    assert(Dedup.dedupClusters(noPairs).count() == 0)
+    assert(Dedup.incrementalDedup(noDocs, noDocs).count() == 0)
+  }
+
+  test("corpus ops on empty input") {
+    assert(CorpusOps.withSplit(noDocs).count() == 0)
+    assert(CorpusOps.repetitionStats(noDocs).count() == 0)
+    assert(CorpusOps.contamination(noDocs, noDocs).count() == 0)
+    assert(CorpusOps.quotaSample(noDocs, 5).count() == 0)
+    assert(CorpusOps.quotaSample(noDocs, 5, salts = 4).count() == 0)
+    assert(CorpusOps.leakageSafeSplit(noDocs, noPairs).count() == 0)
+    assert(CorpusOps.mixSources(noDocs, Map("a" -> 2.5)).count() == 0)
+    assert(CorpusOps.vocabTopK(noDocs, 5).count() == 0)
+    assert(CorpusOps.topTermPerDoc(noDocs).count() == 0)
+    assert(CorpusOps.lengthQuantiles(noDocs).count() == 0)
+    assert(TextAnalysis.profile(noDocs).count() == 0)
+    assert(TextAnalysis.piiStats(noDocs).count() == 0)
+  }
+
+  test("embedding ops on empty input") {
+    assert(Ann.bruteTopK(noVecs, noVecs, "vec_id", "embedding", 3).count() == 0)
+    assert(Ann.embeddingNearDups(noVecs, "vec_id", "embedding").count() == 0)
+    assert(Ann.quantizeInt8(noVecs).count() == 0)
+    assert(Ann.l2Normalize(noVecs).count() == 0)
+  }
+
+  test("event ops on empty input") {
+    assert(EventsStream.tumblingCounts(noEvents).count() == 0)
+    assert(EventsStream.slidingCounts(noEvents).count() == 0)
+    assert(EventsStream.sessionize(noEvents).count() == 0)
+    assert(EventsStream.dailyRetention(noEvents).count() == 0)
+    assert(EventsStream.funnel(noEvents).count() == 0)
+    assert(RangeJoin.intervalJoin(noEvents, "ts",
+      noEvents.select(col("event_id").as("iid"), col("ts").as("w_start"),
+        col("ts").as("w_end")), "w_start", "w_end").count() == 0)
+    assert(SnapshotDiff.diff(noDocs, noDocs, "doc_id", Seq("text")).count() == 0)
+  }
+}
