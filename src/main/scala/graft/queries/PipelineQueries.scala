@@ -428,6 +428,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // END-TO-END curation: near-dup cluster → canonical survivor →
+    // quality cutoff → content split → pack the train split. One lazy
+    // chain through five operators — the actual shape of a training-data
+    // job, and the proof they compose.
+    "p47_curation_e2e" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.nearDupSizesShingled(
+          Dedup.withWordShingles(docs.select("doc_id", "text"), "doc_id", "text", 3),
+          "doc_id", numHashes = 64, bands = 16)
+        .where(col("i_size") * 5 >= col("u_size") * 4)
+        .select("a", "b")
+      val comps = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val kept = docs
+        .join(comps, Seq("doc_id"), "left")
+        .where(col("component").isNull || col("component") === col("doc_id"))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .where(col("n_tokens") >= 5)
+        .withColumn("split", graft.ops.CorpusOps.contentSplit(col("text")))
+      graft.ops.Packing.packSequences(
+          kept.where(col("split") === "train").select("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", maxLen = 2048, blockSize = 128)
+        .orderBy("doc_id")
+    }),
+
     // Snapshot diff (incremental ETL): new snapshot drops doc_id%13==0,
     // rewrites text for %17==0, adds %11==0 under +500000 ids.
     "p44_snapshot_diff" -> ((s, dir) => {
@@ -861,6 +886,34 @@ object PipelineQueries {
         "COUNT(*) AS n, ROUND(SUM(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
     "p16_dedup_first_per_user" ->
       "SELECT user_id, event_type, MIN(event_id) AS first_event, COUNT(*) AS n FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type",
+    "p47_curation_e2e" -> (
+      "WITH RECURSIVE tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
+        "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
+        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
+        "p AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
+        "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)), " +
+        "ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
+        "nd AS (SELECT DISTINCT a AS id FROM ed), " +
+        "reach AS (SELECT id, id AS r FROM nd " +
+        "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
+        "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id), " +
+        "kept AS (SELECT d.doc_id, d.text, " +
+        "CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS BIGINT) AS n_tokens " +
+        "FROM documents d LEFT JOIN comp ON comp.id = d.doc_id " +
+        "WHERE (comp.component IS NULL OR comp.component = d.doc_id)), " +
+        "q AS (SELECT doc_id, n_tokens, " +
+        "CASE substring(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 1) " +
+        "WHEN 'e' THEN 'val' WHEN 'f' THEN 'test' ELSE 'train' END AS split " +
+        "FROM kept WHERE n_tokens >= 5), " +
+        "tr AS (SELECT doc_id, n_tokens FROM q WHERE split = 'train'), " +
+        "o AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM tr) " +
+        "SELECT doc_id, n_tokens, start_offset, " +
+        "CAST(start_offset // 2048 AS BIGINT) AS seq_id, " +
+        "start_offset % 2048 AS offset_in_seq FROM o ORDER BY doc_id"),
     "p44_snapshot_diff" -> (
       "WITH o AS (SELECT doc_id, sha256(text || chr(1) || lang || chr(1) || source || chr(1) || CAST(n_chars AS VARCHAR)) AS fp FROM documents), " +
         "n0 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text, " +
