@@ -90,6 +90,34 @@ class EventsStreamSpec extends AnyFunSuite {
       ("2024-01-03", 3L, 2L)))  // 1,3,4 active; 1,3 returning
   }
 
+  test("foreachBatch incremental dedup over a document stream matches batch") {
+    import org.apache.spark.sql.DataFrame
+    val docDir = "/root/testdata/sf0.001/documents.parquet"
+    val all = spark.read.parquet(docDir)
+    val corpus = all.where(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0)
+    val batchMode = graft.ops.Dedup.incrementalDedup(
+      all.where(org.apache.spark.sql.functions.col("doc_id") % 5 === 0), corpus)
+      .collect().map(_.toSeq).toSet
+
+    val stage = java.nio.file.Files.createTempDirectory("docs_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(docDir),
+      stage.resolve("documents.parquet"))
+    val got = scala.collection.mutable.Set[Seq[Any]]()
+    val q = spark.readStream.schema(all.schema).parquet(stage.toString)
+      .where(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= graft.ops.Dedup.incrementalDedup(batch, corpus)
+            .collect().map(_.toSeq)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(got.toSet == batchMode)
+  }
+
   test("funnel: hand-computed entries and conversions within the horizon") {
     import spark.implicits._
     val ev = Seq(

@@ -38,4 +38,13 @@ class IvfSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("train clamps k to the sample size on tiny input and still answers") {
+    val tiny = emb.limit(5)
+    val model = Ivf.train(tiny, "vec_id", "embedding", k = 16)
+    assert(model.centroids.length <= 5)
+    val out = Ivf.topK(tiny, tiny, "vec_id", "embedding", model, k = 2,
+      nProbe = model.centroids.length)
+    assert(out.count() > 0)
+  }
 }
