@@ -46,7 +46,11 @@ case class WordShinglesExpression(child: Expression, n: Int)
     val m = arr.numElements()
     val toks = new Array[String](m)
     var i = 0
-    while (i < m) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    while (i < m) {
+      val u = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      toks(i) = if (u == null) "" else u.toString // null element ≡ empty token
+      i += 1
+    }
     val seen = new java.util.LinkedHashSet[String](m * 2)
     if (m < n) seen.add(toks.mkString(" "))
     else {
@@ -82,7 +86,11 @@ case class WordNgramsExpression(child: Expression, n: Int)
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val toks = new Array[String](m)
     var i = 0
-    while (i < m) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    while (i < m) {
+      val u = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      toks(i) = if (u == null) "" else u.toString // null element ≡ empty token
+      i += 1
+    }
     val out = new Array[Any](m - n + 1)
     var j = 0
     val last = m - n

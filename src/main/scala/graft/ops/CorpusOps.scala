@@ -151,13 +151,20 @@ object CorpusOps {
       textCol: String = "text",
       outCol: String = "split"): DataFrame = {
     val comps = Dedup.connectedComponents(nearDupPairs)
-    val repSplit = docs
-      .join(comps.select(col("component")).distinct()
-        .withColumnRenamed("component", idCol), Seq(idCol), "left_semi")
-      .select(col(idCol).as("component"),
-        contentSplit(col(textCol)).as("_rep_split"))
-    docs
-      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumnRenamed("id", idCol)
+    val withComp = docs.join(comps, Seq(idCol), "left")
+    // representative = min cluster member PRESENT IN docs (the component
+    // min itself may have been quality-filtered away upstream — falling
+    // back to per-member splits there would scatter the cluster, which
+    // is exactly the leakage this op exists to prevent)
+    val reps = withComp.where(col("component").isNotNull)
+      .groupBy("component").agg(min(col(idCol)).as("_rep_id"))
+    val repSplit = reps.join(
+        docs.select(col(idCol).as("_rep_id"),
+          contentSplit(col(textCol)).as("_rep_split")),
+        Seq("_rep_id"))
+      .select(col("component"), col("_rep_split"))
+    withComp
       .join(repSplit, Seq("component"), "left")
       .withColumn(outCol,
         coalesce(col("_rep_split"), contentSplit(col(textCol))))

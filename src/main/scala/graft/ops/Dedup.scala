@@ -214,8 +214,12 @@ object Dedup {
     val exact = batch.select(col(idCol), fp.as("_fp"))
       .join(corpus.select(col(idCol).as("_cid"), fp.as("_fp")), Seq("_fp"))
       .groupBy(col(idCol)).agg(min("_cid").as("exact_id"))
+    // steady-state crawl batches are dominated by re-fetched exact dups:
+    // anti-join them out before the signature/band/verify work their
+    // (unused) near_id would cost
+    val bsNew = bs.join(exact.select(col(idCol)), Seq(idCol), "left_anti")
     val rows = numHashes / bands
-    val bb = lshBands(minHashSignaturesBy(bs, idCol, col("_sh"), numHashes), idCol, bands, rows)
+    val bb = lshBands(minHashSignaturesBy(bsNew, idCol, col("_sh"), numHashes), idCol, bands, rows)
       .select(col("band"), col("sig"), col(idCol).as("bid"))
     val cb = lshBands(minHashSignaturesBy(cs, idCol, col("_sh"), numHashes), idCol, bands, rows)
       .select(col("band"), col("sig"), col(idCol).as("cid"))
@@ -251,7 +255,7 @@ object Dedup {
     * Returns (id, component) for every endpoint, component = min id
     * reachable. Input columns `a`, `b`; orientation irrelevant.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -272,6 +276,12 @@ object Dedup {
         labels = next
         it += 1
       }
+      // silent non-convergence would hand callers WRONG labels (one
+      // component reported as several) — refuse instead
+      if (changed > 0) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — the graph diameter exceeds " +
+          s"maxIter; raise maxIter (propagation needs ~diameter rounds)")
       labels
     } finally sym.unpersist()
   }

@@ -24,11 +24,12 @@ object RangeJoin {
       bucketSeconds: Long = 3600L): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val bm = bucketSeconds * 1000000L
-    val p = points.withColumn("_bk", expr(s"unix_micros($tsCol) div $bm"))
+    // backtick-quoted so column names with spaces/dots resolve; `div`
+    // (integral, truncating) is monotone, which is all bucketing needs
+    def bucket(c: String) = expr(s"unix_micros(`$c`) div $bm")
+    val p = points.withColumn("_bk", bucket(tsCol))
     val iv = intervals
-      .withColumn("_bk", explode(sequence(
-        expr(s"unix_micros($startCol) div $bm"),
-        expr(s"unix_micros($endCol) div $bm"))))
+      .withColumn("_bk", explode(sequence(bucket(startCol), bucket(endCol))))
     p.join(iv, Seq("_bk"))
       .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_bk")

@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotDiff {
 
-  /** Fingerprint of the content columns (unit-separator-joined, so
-    * ("ab","c") never collides with ("a","bc")); null-safe. */
+  /** Fingerprint of the content columns. Each value is length-prefixed
+    * (len:value) and NULL encodes as a bare marker - column boundaries
+    * cannot shift even when a value contains the separator, and NULL vs
+    * empty string is a real change, not a collision. */
   private def fp(contentCols: Seq[String]) =
-    sha2(concat_ws("\u0001",
-      contentCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*), 256)
+    sha2(concat_ws("\u0001", contentCols.map { c =>
+      val s = col(c).cast("string")
+      when(s.isNull, lit("n"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }: _*), 256)
 
   def diff(
       oldSnap: DataFrame,

@@ -915,11 +915,11 @@ object PipelineQueries {
         "CAST(start_offset // 2048 AS BIGINT) AS seq_id, " +
         "start_offset % 2048 AS offset_in_seq FROM o ORDER BY doc_id"),
     "p44_snapshot_diff" -> (
-      "WITH o AS (SELECT doc_id, sha256(text || chr(1) || lang || chr(1) || source || chr(1) || CAST(n_chars AS VARCHAR)) AS fp FROM documents), " +
+      "WITH o AS (SELECT doc_id, sha256(CAST(length(text) AS VARCHAR) || ':' || text || chr(1) || CAST(length(lang) AS VARCHAR) || ':' || lang || chr(1) || CAST(length(source) AS VARCHAR) || ':' || source || chr(1) || CAST(length(CAST(n_chars AS VARCHAR)) AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR)) AS fp FROM documents), " +
         "n0 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text, " +
         "lang, source, n_chars FROM documents WHERE doc_id % 13 <> 0 " +
         "UNION ALL SELECT doc_id + 500000, text, lang, source, n_chars FROM documents WHERE doc_id % 11 = 0), " +
-        "n AS (SELECT doc_id, sha256(text || chr(1) || lang || chr(1) || source || chr(1) || CAST(n_chars AS VARCHAR)) AS fp FROM n0), " +
+        "n AS (SELECT doc_id, sha256(CAST(length(text) AS VARCHAR) || ':' || text || chr(1) || CAST(length(lang) AS VARCHAR) || ':' || lang || chr(1) || CAST(length(source) AS VARCHAR) || ':' || source || chr(1) || CAST(length(CAST(n_chars AS VARCHAR)) AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR)) AS fp FROM n0), " +
         "j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, " +
         "CASE WHEN o.fp IS NULL THEN 'added' WHEN n.fp IS NULL THEN 'removed' " +
         "WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS status " +

@@ -159,6 +159,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(9L) == own(9L)) // singleton falls back to own
   }
 
+  test("leakageSafeSplit: cluster stays coherent when the min member was filtered out") {
+    // cluster {1,5,9} from the pairs, but doc 1 (the component min) was
+    // quality-filtered before splitting — 5 and 9 must still agree
+    val d = Seq(
+      (5L, "first piece of content slightly changed"),
+      (9L, "first piece of content changed some more")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 5L), (1L, 9L)).toDF("a", "b")
+    val out = CorpusOps.leakageSafeSplit(d, pairs)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val own = CorpusOps.withSplit(d).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(5L) == out(9L))     // coherent
+    assert(out(5L) == own(5L))     // rep = min PRESENT member (5)
+  }
+
   test("packing invariants: offsets contiguous, seq ids monotone, in-range") {
     val t = docs.select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))

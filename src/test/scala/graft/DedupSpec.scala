@@ -87,6 +87,14 @@ class DedupSpec extends AnyFunSuite {
     assert(comps(20L) == 20L) // self-loop = singleton
   }
 
+  test("connectedComponents refuses to return non-converged labels") {
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("a", "b") // diameter 9
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dedupClusters emits component + cluster size per clustered doc") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
     val out = Dedup.dedupClusters(pairs).orderBy("id")

@@ -54,6 +54,11 @@ class ExpressionsSpec extends AnyFunSuite {
       .collect().map(_.getSeq[String](0))
     assert(out(0) == Seq("a b", "b a", "a b")) // duplicates preserved, in order
     assert(out(1).isEmpty && out(2).isEmpty)   // strict: < n tokens → empty
+    // null elements are treated as empty tokens, never NPE
+    val withNull = Seq(Tuple1(Seq[String]("a", null, "b"))).toDF("toks")
+      .select(graft.functions.ShingleFunctions.word_ngrams($"toks", 2))
+      .first().getSeq[String](0)
+    assert(withNull == Seq("a ", " b"))
   }
 
   test("SQL registration via GraftFunctions.register and extensions builder") {

@@ -29,9 +29,19 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getString(1) == "changed")
   }
 
-  test("null content compares equal to itself, not to empty-vs-missing swaps") {
+  test("null content compares equal to itself; NULL vs empty IS a change") {
     val old = Seq((1L, Option.empty[String], Some("v"))).toDF("id", "u", "v")
-    val neu1 = Seq((1L, Option.empty[String], Some("v"))).toDF("id", "u", "v")
-    assert(SnapshotDiff.diff(old, neu1, "id", Seq("u", "v")).count() == 0)
+    val same = Seq((1L, Option.empty[String], Some("v"))).toDF("id", "u", "v")
+    assert(SnapshotDiff.diff(old, same, "id", Seq("u", "v")).count() == 0)
+    val emptied = Seq((1L, Some(""), Some("v"))).toDF("id", "u", "v")
+    val out = SnapshotDiff.diff(old, emptied, "id", Seq("u", "v")).collect()
+    assert(out.length == 1 && out(0).getString(1) == "changed")
+  }
+
+  test("content containing the separator byte cannot shift across boundaries") {
+    val old = Seq((1L, "a\u0001b", "c")).toDF("id", "u", "v")
+    val neu = Seq((1L, "a", "b\u0001c")).toDF("id", "u", "v")
+    val out = SnapshotDiff.diff(old, neu, "id", Seq("u", "v")).collect()
+    assert(out.length == 1 && out(0).getString(1) == "changed")
   }
 }
