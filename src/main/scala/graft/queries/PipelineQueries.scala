@@ -468,6 +468,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Set operations (SURVEY §2.7): INTERSECT / EXCEPT over the distinct
+    // doc-length sets of two sources, tagged and unioned.
+    "p48_set_ops" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val a = d.where(col("source") === "src0").select("n_chars").distinct()
+      val b = d.where(col("source") === "src1").select("n_chars").distinct()
+      a.intersect(b).withColumn("op", lit("intersect"))
+        .union(a.except(b).withColumn("op", lit("except")))
+        .orderBy("op", "n_chars")
+    }),
+
     // Pivot: per-user event counts spread over the five known types.
     "p45_pivot" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -925,6 +936,13 @@ object PipelineQueries {
         "WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS status " +
         "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) " +
         "SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id"),
+    "p48_set_ops" -> (
+      "WITH a AS (SELECT DISTINCT n_chars FROM documents WHERE source = 'src0'), " +
+        "b AS (SELECT DISTINCT n_chars FROM documents WHERE source = 'src1') " +
+        "SELECT n_chars, 'intersect' AS op FROM (SELECT n_chars FROM a INTERSECT SELECT n_chars FROM b) " +
+        "UNION ALL " +
+        "SELECT n_chars, 'except' AS op FROM (SELECT n_chars FROM a EXCEPT SELECT n_chars FROM b) " +
+        "ORDER BY op, n_chars"),
     "p45_pivot" -> (
       "SELECT user_id, " +
         "COUNT(*) FILTER (event_type = 'click') AS \"click\", " +
