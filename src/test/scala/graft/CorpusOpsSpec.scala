@@ -125,6 +125,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("vocabTopK: counts and deterministic tie-break, hand-computed") {
+    val d = Seq((1L, "b a b"), (2L, "a c B")).toDF("doc_id", "text")
+    val out = CorpusOps.vocabTopK(d, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // lowercased: a×2 b×3 c×1 → top-2 = (b,3), (a,2)
+    assert(out.toSeq == Seq(("b", 3L), ("a", 2L)))
+    val tied = Seq((1L, "x y")).toDF("doc_id", "text")
+    val t = CorpusOps.vocabTopK(tied, k = 1).first()
+    assert(t.getString(0) == "x") // count tie broken alphabetically
+  }
+
+  test("topTermPerDoc: tf argmax with df and alphabetic tie-breaks") {
+    val d = Seq(
+      (1L, "a a b"),    // tf: a=2 → top a
+      (2L, "b c"),      // tf tie; df(b)=2 > df(c)=... b in docs 1,2; c in 2,3 → df both 2 → alpha: b
+      (3L, "c c a")     // top c
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.topTermPerDoc(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("mixSources: integer weights exact, zero drops, fractional in bounds") {
     val base = CorpusOps.mixSources(docs, Map.empty)
     assert(base.count() == docs.count()) // default ×1: identity

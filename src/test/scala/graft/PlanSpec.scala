@@ -63,6 +63,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("pivot with an explicit value list scans the source exactly once") {
+    val p = SparkEntry.queries("p45_pivot")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
   test("no query plans a cartesian product except the declared broadcast NL scorers") {
     val allowNl = Set("q08_fuzzy_top1", "p01_hom_pipeline", "p07_ann_brute",
       "p18_hom_pipeline_intended")
