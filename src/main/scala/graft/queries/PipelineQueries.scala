@@ -468,6 +468,36 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Sketch aggregations — the 100 TB path for distinct counts and
+    // quantiles (HLL++ / KLL instead of exact shuffles). Gated like the
+    // ANN recall scorecards: the output ENCODES closeness to the exact
+    // value computed in-query, so the constant-true oracle is a
+    // quantitative error-bound assertion.
+    "p49_approx_distinct" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(approx_count_distinct("doc_id").as("approx"),
+          countDistinct("doc_id").as("exact"))
+        .select(col("source"),
+          (abs(col("approx") - col("exact")) <= col("exact") * 0.05)
+            .as("within_5pct"))
+        .orderBy("source")),
+
+    "p50_approx_quantiles" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("_n", TextAnalysis.tokenCount(col("text")).cast("double"))
+        .groupBy("lang")
+        .agg(expr("percentile_approx(_n, 0.5)").as("ap50"),
+          expr("percentile(_n, 0.5D)").as("ep50"),
+          expr("percentile_approx(_n, 0.9)").as("ap90"),
+          expr("percentile(_n, 0.9D)").as("ep90"))
+        .select(col("lang"),
+          (abs(col("ap50") - col("ep50")) <= greatest(col("ep50") * 0.05, lit(1.0)))
+            .as("p50_ok"),
+          (abs(col("ap90") - col("ep90")) <= greatest(col("ep90") * 0.05, lit(1.0)))
+            .as("p90_ok"))
+        .orderBy("lang")),
+
     // Set operations (SURVEY §2.7): INTERSECT / EXCEPT over the distinct
     // doc-length sets of two sources, tagged and unioned.
     "p48_set_ops" -> ((s, dir) => {
@@ -936,6 +966,10 @@ object PipelineQueries {
         "WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS status " +
         "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) " +
         "SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id"),
+    "p49_approx_distinct" ->
+      "SELECT source, true AS within_5pct FROM (SELECT DISTINCT source FROM documents) ORDER BY source",
+    "p50_approx_quantiles" ->
+      "SELECT lang, true AS p50_ok, true AS p90_ok FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang",
     "p48_set_ops" -> (
       "WITH a AS (SELECT DISTINCT n_chars FROM documents WHERE source = 'src0'), " +
         "b AS (SELECT DISTINCT n_chars FROM documents WHERE source = 'src1') " +
