@@ -498,6 +498,13 @@ object PipelineQueries {
             .as("p90_ok"))
         .orderBy("lang")),
 
+    // Cube: all 2^2 grouping combinations (rollup's big sibling).
+    "p51_cube" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))),
+
     // Set operations (SURVEY §2.7): INTERSECT / EXCEPT over the distinct
     // doc-length sets of two sources, tagged and unioned.
     "p48_set_ops" -> ((s, dir) => {
@@ -970,6 +977,10 @@ object PipelineQueries {
       "SELECT source, true AS within_5pct FROM (SELECT DISTINCT source FROM documents) ORDER BY source",
     "p50_approx_quantiles" ->
       "SELECT lang, true AS p50_ok, true AS p90_ok FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang",
+    "p51_cube" -> (
+      "SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
+        "FROM documents GROUP BY CUBE(lang, source) " +
+        "ORDER BY lang NULLS FIRST, source NULLS FIRST"),
     "p48_set_ops" -> (
       "WITH a AS (SELECT DISTINCT n_chars FROM documents WHERE source = 'src0'), " +
         "b AS (SELECT DISTINCT n_chars FROM documents WHERE source = 'src1') " +
