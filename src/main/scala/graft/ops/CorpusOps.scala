@@ -230,6 +230,32 @@ object CorpusOps {
       .na.fill(0L, Seq("n_bigrams", "n_distinct_bigrams", "top_bigram_n"))
   }
 
+  /** Decile (or any-quantile) bucket assignment WITHOUT a global sort:
+    * `ntile` needs a total order (single-partition window at scale);
+    * instead compute the 9 exact cut points in one tiny aggregate,
+    * collect the bounded scalar row to the driver (same precedent as the
+    * imputation means), and bin map-only with a literal comparison
+    * ladder. bucket = 1 + #cuts ≤ value, so ties go to the upper bucket
+    * deterministically on any engine. */
+  def lengthDeciles(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val withN = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("double").as("n_tokens"))
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val cuts = withN
+      .agg(expr(s"percentile(n_tokens, array(${qs.mkString("D,")}D))").as("c"))
+      .first().getSeq[Double](0)
+    val bucket = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col("n_tokens") >= c, 1).otherwise(0)
+    }
+    withN.select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+      bucket.as("decile"))
+  }
+
   /** Per-group EXACT token-length quantiles (p50/p90/p99) + count — the
     * distribution profile behind length-cutoff filters. Exact
     * `percentile` (not approx) so results are oracle-checkable; at 100 TB

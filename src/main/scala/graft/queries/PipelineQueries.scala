@@ -347,6 +347,12 @@ object PipelineQueries {
       graft.ops.CorpusOps.quotaSample(Tables(s, dir, "documents"), quota = 30)
         .orderBy("source", "pick_rank")),
 
+    // Decile binning via driver-collected exact cut points — the
+    // map-only replacement for a global-sort ntile.
+    "p52_length_deciles" -> ((s, dir) =>
+      graft.ops.CorpusOps.lengthDeciles(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // Vocabulary top-20 (map-side-combined token counts + top-k).
     "p27_vocab_topk" -> ((s, dir) =>
       graft.ops.CorpusOps.vocabTopK(Tables(s, dir, "documents"), k = 20)),
@@ -973,6 +979,12 @@ object PipelineQueries {
         "WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS status " +
         "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) " +
         "SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id"),
+    "p52_length_deciles" -> (
+      s"WITH t AS (SELECT doc_id, CAST($nTokensSql AS DOUBLE) AS n FROM documents), " +
+        "c AS (SELECT quantile_cont(n, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM t) " +
+        "SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens, " +
+        "CAST(1 + len(list_filter(c.cuts, x -> x <= t.n)) AS INT) AS decile " +
+        "FROM t, c ORDER BY t.doc_id"),
     "p49_approx_distinct" ->
       "SELECT source, true AS within_5pct FROM (SELECT DISTINCT source FROM documents) ORDER BY source",
     "p50_approx_quantiles" ->

@@ -147,6 +147,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("lengthDeciles: balanced buckets on uniform lengths, ties go up") {
+    val d = (1L to 100L).map(i => (i, ("w " * i.toInt).trim)).toDF("doc_id", "text")
+    val out = CorpusOps.lengthDeciles(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.forall(r => r._3 >= 1 && r._3 <= 10))
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.size == 10 && sizes.values.forall(n => n >= 9 && n <= 11))
+    // monotone: longer docs never land in a lower bucket
+    val byLen = out.sortBy(_._2).map(_._3)
+    assert(byLen.sameElements(byLen.sorted))
+  }
+
   test("mixSources: integer weights exact, zero drops, fractional in bounds") {
     val base = CorpusOps.mixSources(docs, Map.empty)
     assert(base.count() == docs.count()) // default ×1: identity
