@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Add, And, Cast, Expression, GreaterThanOrEqual, Least, Length, Literal, Multiply}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.types.DoubleType
@@ -34,20 +34,38 @@ object SimilarityLengthPruning extends Rule[LogicalPlan] {
       Multiply(Literal(t), Cast(Add(la, lb), DoubleType)))
   }
 
+  private def prune(cond: Expression): Option[Expression] = {
+    var changed = false
+    val newCond = cond.transformUp {
+      case ge @ GreaterThanOrEqual(SimilarityExpression(a, b), Literal(t: Double, DoubleType))
+          if t > 0.0 =>
+        changed = true
+        And(guard(a, b, t), ge)
+    }
+    if (changed) Some(newCond) else None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) if f.getTagValue(applied).isEmpty =>
-      var changed = false
-      val newCond = cond.transformUp {
-        case ge @ GreaterThanOrEqual(SimilarityExpression(a, b), Literal(t: Double, DoubleType))
-            if t > 0.0 =>
-          changed = true
-          And(guard(a, b, t), ge)
+      prune(cond) match {
+        case Some(newCond) =>
+          val nf = Filter(newCond, child)
+          nf.setTagValue(applied, true)
+          nf
+        case None => f
       }
-      if (changed) {
-        val nf = Filter(newCond, child)
-        nf.setTagValue(applied, true)
-        nf
-      } else f
+    // Predicate pushdown may fold `similarity >= t` into a join condition
+    // (e.g. the banded fuzzy join's pre-window threshold) — guard it there
+    // too: the non-equi part of a join condition runs per matched pair,
+    // which is exactly where the O(1) length check pays.
+    case j: Join if j.getTagValue(applied).isEmpty && j.condition.isDefined =>
+      prune(j.condition.get) match {
+        case Some(newCond) =>
+          val nj = j.copy(condition = Some(newCond))
+          nj.setTagValue(applied, true)
+          nj
+        case None => j
+      }
   }
 }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftFunctions, Similarity, TextFunctions}
+import graft.functions.{GraftFunctions, TextFunctions}
 
 /** J2: fuzzy best-match (similarity top-1) join — the Spark-native form of
   * /root/reference/src/importer_standarizer.py:52-105.
@@ -105,14 +105,21 @@ object FuzzyJoin {
       concat_ws("#",
         substring(TextFunctions.normalizeName(col(candCol)), 1, 1),
         floor(length(TextFunctions.normalizeName(col(candCol))) / lengthBucket).cast("string")))
+    // Native codegen scorer (same kernel as bestMatch) + a pre-window
+    // threshold filter: dropping sub-threshold pairs BEFORE the argmax is
+    // result-identical (a probe's max either clears the threshold and
+    // survives the filter, or the probe is dropped by the post-window
+    // keep anyway) and it exposes `similarity_ratio(..) >= t` directly in
+    // a Filter, where SimilarityLengthPruning conjoins its O(1) length
+    // guard ahead of the O(|a|·|b|) kernel — the filter above the Window
+    // only sees the `score` attribute and can never be pruned.
     val scored = p.join(c, Seq("_band"))
-      .withColumn("score", Similarity.similarity_ratio(
-        TextFunctions.normalizeName(col(probeCol)),
-        TextFunctions.normalizeName(col(candCol))))
+      .withColumn("score", normalizedRatio(col(probeCol), col(candCol)))
+      .where(col("score") >= threshold)
     val w = Window.partitionBy(col(probeCol))
       .orderBy(col("score").desc, col(posCol).asc)
     val best = scored.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1 && col("score") >= threshold)
+      .where(col("_rn") === 1)
       .drop("_rn", "_band", posCol)
       .withColumnRenamed(probeCol, "_probe_val")
     probes

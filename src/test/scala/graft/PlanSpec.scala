@@ -69,6 +69,22 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("blocked fuzzy join: native kernel (no ScalaUDF) and the length-prune guard fire") {
+    import org.apache.spark.sql.functions._
+    val probes = graft.engine.Tables(spark, dir, "customer")
+      .select(col("c_name").as("name"))
+    val catalog = graft.engine.Tables(spark, dir, "supplier")
+      .select(col("s_name").as("NOMBRE_EMP"))
+    val q = graft.ops.FuzzyJoin.bestMatchBlocked(probes, "name", catalog, "NOMBRE_EMP", 0.6)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(!physical.contains("ScalaUDF"), physical)
+    // SimilarityLengthPruning (installed by GraftSession) conjoined its
+    // O(1) length guard ahead of the quadratic scorer
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("least("), optimized)
+    assert(optimized.contains("similarity_ratio"), optimized)
+  }
+
   test("no query plans a cartesian product except the declared broadcast NL scorers") {
     val allowNl = Set("q08_fuzzy_top1", "p01_hom_pipeline", "p07_ann_brute",
       "p18_hom_pipeline_intended")
