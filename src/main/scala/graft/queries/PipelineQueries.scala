@@ -37,26 +37,23 @@ object PipelineQueries {
       "2014-06-10", "2000", "-", "5.0", "-", "-", N)), 12)
 
   /** Recall scorecard for an ANN path vs the exact result: one row per
-    * query with `q_ok` (kept ≥ minHitsPerQuery of its exact top-k) and
-    * `global_ok` (total hits ≥ minTotalHits). All-true output is what the
-    * constant-valued DuckDB oracle asserts — a quantitative recall gate
-    * without needing the oracle to reproduce the approximate index. */
+    * query with its HIT COUNT (how many of its exact top-k the approx
+    * index kept, 0..k) plus the global total. The DuckDB oracle pins the
+    * exact integer numerators (seeded index + fixed corpus ⇒
+    * deterministic), so ANY recall drift — not just a threshold breach —
+    * hash-fails the gate, without the oracle reproducing the index. */
   private def annRecall(
       queries: DataFrame,
       approx: DataFrame,
-      exact: DataFrame,
-      minHitsPerQuery: Int,
-      minTotalHits: Int): DataFrame = {
+      exact: DataFrame): DataFrame = {
     val hits = approx.join(exact.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
-      .groupBy("qid").agg(count(lit(1)).as("_hits"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
     queries.select(col("vec_id").as("qid"))
       .join(hits, Seq("qid"), "left")
-      .withColumn("_hits", coalesce(col("_hits"), lit(0L)))
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
       // global window over the per-query scorecard only (≤ #queries rows)
-      .withColumn("_total", sum(col("_hits")).over(Window.partitionBy()))
-      .select(col("qid"),
-        (col("_hits") >= minHitsPerQuery).as("q_ok"),
-        (col("_total") >= minTotalHits).as("global_ok"))
+      .withColumn("total_hits", sum(col("hits")).over(Window.partitionBy()))
+      .select("qid", "hits", "total_hits")
       .orderBy("qid")
   }
 
@@ -166,8 +163,7 @@ object PipelineQueries {
       val q = e.where(col("vec_id") < 50)
       annRecall(q,
         Ann.lshTopK(q, e, "vec_id", "embedding", k = 3),
-        Ann.bruteTopK(q, e, "vec_id", "embedding", k = 3),
-        minHitsPerQuery = 1, minTotalHits = 135)
+        Ann.bruteTopK(q, e, "vec_id", "embedding", k = 3))
     }),
 
     // IVF ANN — the data-adaptive scale path, gated the same way. This
@@ -181,8 +177,7 @@ object PipelineQueries {
       val model = graft.ops.Ivf.train(e, "vec_id", "embedding", k = 16)
       annRecall(q,
         graft.ops.Ivf.topK(q, e, "vec_id", "embedding", model, k = 3, nProbe = 12),
-        Ann.bruteTopK(q, e, "vec_id", "embedding", k = 3),
-        minHitsPerQuery = 1, minTotalHits = 135)
+        Ann.bruteTopK(q, e, "vec_id", "embedding", k = 3))
     }),
 
     // L2 normalization (exploded rows, round-6) — cosine becomes dot.
@@ -686,11 +681,29 @@ object PipelineQueries {
       |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
       |FROM g GROUP BY user_id, sid ORDER BY s_start, user_id""".stripMargin
 
-  /** p08/p20 oracle: the recall scorecard must be all-true for all 50
-    * query ids — asserts per-query and global recall without the oracle
-    * reproducing the approximate index. */
-  private val annRecallSql: String =
-    "SELECT vec_id AS qid, true AS q_ok, true AS global_ok FROM embeddings WHERE vec_id < 50 ORDER BY qid"
+  /** p08/p20 oracle: the per-query recall NUMERATORS, pinned as integer
+    * constants. Seeded hyperplanes / seeded k-means sample + the fixed
+    * sf0.01 corpus (the driver's gate scale) make the approximate index
+    * deterministic, so the expected hit counts are data, not policy — any
+    * recall drift (a seed change, a bucketing bug, an index regression)
+    * hash-fails instead of sliding under a boolean threshold. */
+  private def annRecallSql(hits: Seq[Int]): String = {
+    val total = hits.sum
+    val vals = hits.zipWithIndex.map { case (h, q) => s"($q,$h)" }.mkString(", ")
+    s"SELECT CAST(q AS BIGINT) AS qid, CAST(h AS BIGINT) AS hits, " +
+      s"CAST($total AS BIGINT) AS total_hits FROM (VALUES $vals) v(q, h) ORDER BY qid"
+  }
+
+  /** Measured at sf0.01: LSH 16×4 keeps 139/150 of the exact top-3
+    * (recall 0.927); IVF k=16 nProbe=12 keeps 145/150 (0.967). */
+  private val lshHits = Seq(
+    3, 3, 3, 2, 3, 2, 3, 3, 3, 3, 3, 2, 2, 3, 1, 3, 3, 3, 3, 3,
+    3, 3, 2, 3, 3, 3, 3, 3, 3, 2, 3, 3, 3, 3, 2, 3, 3, 3, 3, 2,
+    3, 3, 3, 2, 3, 3, 3, 3, 3, 3)
+  private val ivfHits = Seq(
+    3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 2, 3,
+    3, 3, 3, 3, 3, 3, 2, 3, 3, 3, 3, 3, 3, 2, 3, 3, 3, 3, 3, 3,
+    3, 3, 3, 3, 2, 2, 3, 3, 3, 3)
 
   /** p01/p18 oracle: the committed golden expectation (values derived and
     * pinned row-by-row in HomologationSpec / GoldenReplaySpec). */
@@ -877,8 +890,8 @@ object PipelineQueries {
         "start_offset % 2048 AS offset_in_seq FROM o ORDER BY doc_id"),
     "p01_hom_pipeline" -> goldenCsvSql("p01_hom_pipeline"),
     "p18_hom_pipeline_intended" -> goldenCsvSql("p18_hom_pipeline_intended"),
-    "p08_ann_lsh" -> annRecallSql,
-    "p20_ann_ivf" -> annRecallSql,
+    "p08_ann_lsh" -> annRecallSql(lshHits),
+    "p20_ann_ivf" -> annRecallSql(ivfHits),
     "p12_text_profile" -> profileSql,
     "p15_sessionize" -> sessionizeSql,
     "p02_dedup_exact" ->
