@@ -268,12 +268,19 @@ object Dedup {
       while (changed > 0 && it < maxIter) {
         val msgs = sym.join(labels.select(col("id").as("src"), col("component")), Seq("src"))
           .select(col("dst").as("id"), col("component"))
-        val next = labels.union(msgs)
-          .groupBy("id").agg(min("component").as("component"))
+        // carry each node's OWN (previous) label through the same
+        // aggregation that computes the new min, so convergence needs no
+        // separate join-with-old-labels job per round — the changed count
+        // is a trivial scan of the just-checkpointed blocks
+        val next = labels.select(col("id"), col("component"), lit(true).as("_own"))
+          .union(msgs.select(col("id"), col("component"), lit(false).as("_own")))
+          .groupBy("id").agg(
+            min("component").as("component"),
+            min(when(col("_own"), col("component"))).as("_prev"))
+          .select(col("id"), col("component"), (col("component") < col("_prev")).as("_changed"))
           .localCheckpoint(true)
-        changed = next.join(labels.select(col("id"), col("component").as("_old")), Seq("id"))
-          .where(col("component") < col("_old")).count()
-        labels = next
+        changed = next.where(col("_changed")).count()
+        labels = next.select("id", "component")
         it += 1
       }
       // silent non-convergence would hand callers WRONG labels (one
