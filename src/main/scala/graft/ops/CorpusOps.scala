@@ -256,22 +256,33 @@ object CorpusOps {
       bucket.as("decile"))
   }
 
-  /** Per-group EXACT token-length quantiles (p50/p90/p99) + count — the
-    * distribution profile behind length-cutoff filters. Exact
-    * `percentile` (not approx) so results are oracle-checkable; at 100 TB
-    * swap in `percentile_approx` for a single-pass sketch when exactness
-    * isn't required (same call shape). */
+  /** Per-group token-length quantiles (p50/p90/p99) + count — the
+    * distribution profile behind length-cutoff filters.
+    *
+    * `approx = false` (default): exact `percentile` — oracle-checkable,
+    * but the aggregation buffers every group's values. `approx = true`:
+    * `percentile_approx` (KLL-style sketch, bounded memory, single pass)
+    * — the 100 TB path; rank error ≤ 1/`accuracy`, gated within 5% of
+    * exact by p53 and CorpusOpsSpec. Same output shape either way. */
   def lengthQuantiles(
       docs: DataFrame,
       groupCol: String = "lang",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text",
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    def q(p: Double): Column = {
+      val e = if (approx) expr(s"percentile_approx(_n, ${p}D, $accuracy)")
+              else expr(s"percentile(_n, ${p}D)")
+      round(e.cast("double"), 4) + 0.0
+    }
     docs
       .withColumn("_n", TextAnalysis.tokenCount(col(textCol)))
       .groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n_docs"),
-        (round(expr("percentile(_n, 0.5D)"), 4) + 0.0).as("p50"),
-        (round(expr("percentile(_n, 0.9D)"), 4) + 0.0).as("p90"),
-        (round(expr("percentile(_n, 0.99D)"), 4) + 0.0).as("p99"))
+        q(0.5).as("p50"),
+        q(0.9).as("p90"),
+        q(0.99).as("p99"))
       .orderBy(groupCol)
+  }
 }

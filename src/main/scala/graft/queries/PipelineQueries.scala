@@ -266,6 +266,28 @@ object PipelineQueries {
     "p24_length_quantiles" -> ((s, dir) =>
       graft.ops.CorpusOps.lengthQuantiles(Tables(s, dir, "documents"))),
 
+    // The sketch path of the SAME operator (percentile_approx), gated
+    // like p49/p50: the output encodes closeness to the exact quantiles
+    // computed in-query, so the constant-true oracle is a quantitative
+    // ≤5% (or ≤1 token) error-bound assertion on the 100 TB path.
+    "p53_quantiles_approx" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val a = graft.ops.CorpusOps.lengthQuantiles(docs, approx = true)
+        .select(col("lang"), col("n_docs"),
+          col("p50").as("a50"), col("p90").as("a90"), col("p99").as("a99"))
+      val e = graft.ops.CorpusOps.lengthQuantiles(docs)
+        .select(col("lang"), col("n_docs").as("_en"),
+          col("p50").as("e50"), col("p90").as("e90"), col("p99").as("e99"))
+      def ok(ac: org.apache.spark.sql.Column, ec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        abs(ac - ec) <= greatest(ec * 0.05, lit(1.0))
+      a.join(e, Seq("lang"))
+        .select(col("lang"), (col("n_docs") === col("_en")).as("n_ok"),
+          ok(col("a50"), col("e50")).as("p50_ok"),
+          ok(col("a90"), col("e90")).as("p90_ok"),
+          ok(col("a99"), col("e99")).as("p99_ok"))
+        .orderBy("lang")
+    }),
+
     // Gopher-style repetition signals (top-token / top-bigram counts) —
     // integer numerator/denominator pairs so the fraction thresholds are
     // float-free; word-count-shaped two-level aggregation.
@@ -1002,6 +1024,8 @@ object PipelineQueries {
       "SELECT source, true AS within_5pct FROM (SELECT DISTINCT source FROM documents) ORDER BY source",
     "p50_approx_quantiles" ->
       "SELECT lang, true AS p50_ok, true AS p90_ok FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang",
+    "p53_quantiles_approx" ->
+      "SELECT lang, true AS n_ok, true AS p50_ok, true AS p90_ok, true AS p99_ok FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang",
     "p51_cube" -> (
       "SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents GROUP BY CUBE(lang, source) " +

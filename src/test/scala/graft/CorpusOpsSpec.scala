@@ -34,6 +34,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(counts("train") > counts.getOrElse("test", 0L))
   }
 
+  test("approx quantile path stays within 5% (or 1 token) of exact per group") {
+    val exact = CorpusOps.lengthQuantiles(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = CorpusOps.lengthQuantiles(docs, approx = true).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (lang, (n, e50, e90, e99)) =>
+      val (an, a50, a90, a99) = approx(lang)
+      assert(an == n, s"$lang n_docs")
+      Seq(("p50", a50, e50), ("p90", a90, e90), ("p99", a99, e99)).foreach {
+        case (label, a, e) =>
+          assert(math.abs(a - e) <= math.max(e * 0.05, 1.0), s"$lang $label: approx=$a exact=$e")
+      }
+    }
+  }
+
   test("length quantiles match a driver-side sorted computation") {
     val got = CorpusOps.lengthQuantiles(docs).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
