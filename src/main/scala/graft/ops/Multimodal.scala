@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed in batched
   * per-partition passes (the Scala analogue of `mapInPandas`). The Spark
   * side — schema, partitioning, batch iteration, feature schema — is
-  * real and tested; the actual codec calls are STUBBED with a
-  * deterministic fake (this container has no image/audio libraries), at
-  * the single clearly-marked point below.
+  * real and tested. Codecs plug in behind [[Multimodal.MediaDecoder]]:
+  * [[Multimodal.ImageIoDecoder]] is a REAL image decoder (JDK
+  * `javax.imageio`, PNG/BMP/GIF); audio/video remain a clearly-marked
+  * deterministic STUB (this container has no audio/video libraries).
   */
 object Multimodal {
 
@@ -29,12 +30,57 @@ object Multimodal {
       checksum: Long,
       features: Array[Float]) // decoder-derived embedding
 
+  /** The codec seam: the ONE point a real deployment swaps for JNI/native
+    * codecs. Implementations are objects (serialize as a class reference,
+    * no closure-captured state shipped per task). */
+  trait MediaDecoder extends Serializable {
+    def decode(kind: String, bytes: Array[Byte]): Array[Float]
+  }
+
   /** ===== STUB: deterministic fake decoder =====
-    * Real deployments replace this with an image/audio codec (JNI or
-    * external service). The fake derives a 16-dim byte-histogram feature
-    * — deterministic, content-sensitive, schema-identical to a real
-    * decoder's output, so every downstream stage exercises the true
-    * code path. */
+    * For audio/video (this container has no codecs) and as the default.
+    * The fake derives a 16-dim byte-histogram feature — deterministic,
+    * content-sensitive, schema-identical to a real decoder's output, so
+    * every downstream stage exercises the true code path. */
+  object StubDecoder extends MediaDecoder {
+    override def decode(kind: String, bytes: Array[Byte]): Array[Float] = decodeStub(bytes)
+  }
+
+  /** REAL image decode via the JDK's built-in `javax.imageio` (PNG, BMP,
+    * GIF — no external codecs required, works offline): features =
+    * [width, height, 16-bin luminance histogram (normalized)]. Non-image
+    * kinds and undecodable payloads fall back to the stub, so mixed-kind
+    * corpora run one code path. Decode happens inside the same batched
+    * per-partition pass — the executor-side shape a JNI codec needs. */
+  object ImageIoDecoder extends MediaDecoder {
+    // never spill decode scratch to executor-local disk
+    javax.imageio.ImageIO.setUseCache(false)
+
+    override def decode(kind: String, bytes: Array[Byte]): Array[Float] = {
+      if (kind != "image") return StubDecoder.decode(kind, bytes)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return StubDecoder.decode(kind, bytes)
+      val w = img.getWidth; val h = img.getHeight
+      val hist = new Array[Float](16)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // integer Rec.601 luma; >>4 buckets 0..255 into 16 bins
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          hist(lum >> 4) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(w * h, 1).toFloat
+      Array(w.toFloat, h.toFloat) ++ hist.map(_ / n)
+    }
+  }
+
   private[ops] def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     var i = 0
@@ -45,13 +91,16 @@ object Multimodal {
 
   /** Batched feature extraction: one pass per partition, constant memory
     * per batch — scales with partition count, never collects. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(
+      media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         var crc = 0L
         r.bytes.foreach(b => crc = crc * 31 + (b & 0xff))
-        MediaFeatures(r.media_id, r.kind, r.bytes.length, crc, decodeStub(r.bytes))
+        MediaFeatures(r.media_id, r.kind, r.bytes.length, crc,
+          decoder.decode(r.kind, r.bytes))
       }
     }
   }

@@ -31,6 +31,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.n_bytes > 0 && f1.checksum != 0L)
   }
 
+  /** Render a half-black / half-white RGB image and encode via ImageIO. */
+  private def makeImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"no $format writer")
+    out.toByteArray
+  }
+
+  test("ImageIoDecoder decodes real PNG and BMP: width, height, luminance histogram") {
+    import spark.implicits._
+    for (format <- Seq("png", "bmp")) {
+      val bytes = makeImage(40, 20, format)
+      val rows = Seq(Multimodal.MediaRow(1L, "image", bytes, 0, 0, 0)).toDS()
+      val f = Multimodal.extractFeatures(rows, Multimodal.ImageIoDecoder).head()
+      assert(f.features.length == 18, format)
+      assert(f.features(0) == 40f && f.features(1) == 20f, s"$format decoded dims")
+      val hist = f.features.drop(2)
+      // half the pixels are black (luma 0 → bin 0), half white (255 → bin 15)
+      assert(math.abs(hist(0) - 0.5f) < 1e-6, s"$format black bin")
+      assert(math.abs(hist(15) - 0.5f) < 1e-6, s"$format white bin")
+      assert(hist.slice(1, 15).forall(_ == 0f), format)
+    }
+  }
+
+  test("ImageIoDecoder falls back to the stub for non-image kinds and junk bytes") {
+    import spark.implicits._
+    val junk = "not an image".getBytes("UTF-8")
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", junk, 0, 0, 16000),
+      Multimodal.MediaRow(2L, "image", junk, 0, 0, 0)).toDS()
+    val fs = Multimodal.extractFeatures(rows, Multimodal.ImageIoDecoder)
+      .collect().sortBy(_.media_id)
+    val stub = Multimodal.StubDecoder.decode("audio", junk)
+    assert(fs(0).features.toSeq == stub.toSeq) // non-image kind → stub
+    assert(fs(1).features.toSeq == stub.toSeq) // undecodable image → stub
+  }
+
   test("resample shrinks payload by the factor") {
     val before = media.filter(_.media_id == 0).head().bytes.length
     val after = Multimodal.resample(media, 4).filter(_.media_id == 0).head().bytes.length
