@@ -118,6 +118,51 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(got.toSet == batchMode)
   }
 
+  test("foreachBatch incremental dedup recovers from its checkpoint across a restart") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = all.where(col("doc_id") % 5 =!= 0)
+    val batchDocs = all.where(col("doc_id") % 5 === 0)
+    val half1 = batchDocs.where(col("doc_id") % 10 === 0)
+    val half2 = batchDocs.where(col("doc_id") % 10 =!= 0)
+    val expected = graft.ops.Dedup.incrementalDedup(batchDocs, corpus)
+      .collect().map(_.toSeq).toSet
+    val expected1 = graft.ops.Dedup.incrementalDedup(half1, corpus)
+      .collect().map(_.toSeq).toSet
+
+    val stage = java.nio.file.Files.createTempDirectory("docs_restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("docs_restart_ckpt").toString
+    // a BUFFER, not a set: re-processed rows after a bad recovery would
+    // show up as extra emissions and fail the count assertion below
+    val emitted = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    def runUntilDrained(): Unit = {
+      val q = spark.readStream.schema(all.schema).parquet(stage)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          emitted.synchronized {
+            emitted ++= graft.ops.Dedup.incrementalDedup(batch, corpus)
+              .collect().map(_.toSeq)
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    half1.write.mode("append").parquet(stage)
+    runUntilDrained() // processes half1, then the query STOPS (simulated kill)
+    assert(emitted.nonEmpty && emitted.toSet == expected1)
+    val afterFirst = emitted.size
+
+    half2.write.mode("append").parquet(stage)
+    runUntilDrained() // fresh query, same checkpoint dir → resumes after half1
+    assert(emitted.toSet == expected, "end state after restart must equal one batch run")
+    assert(emitted.size == afterFirst + (expected.size - expected1.size),
+      s"restart re-processed already-committed files (${emitted.size} emissions)")
+  }
+
   test("funnel: hand-computed entries and conversions within the horizon") {
     import spark.implicits._
     val ev = Seq(
