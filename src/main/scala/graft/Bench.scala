@@ -61,9 +61,32 @@ object Bench {
       if (times.isEmpty) failed += 1
       name -> (if (times.isEmpty) -1.0 else median(times))
     }
+    // Scaled tier: the ~10 headline data-shaped operators at ×SCALE docs
+    // / ×(SCALE/2) events (defaults 20/10, matching SCALING.md's study) —
+    // the sf0.1 suite is plan-overhead-dominated (median query ~0.4 s),
+    // so THIS is the signal that catches a real plan regression.
+    // SPARK_GRAFT_BENCH_SCALE=0 disables.
+    val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "20").toInt
+    val scaledJson = if (scale <= 1) "" else {
+      try {
+        val evScale = math.max(scale / 2, 1)
+        val docsPath = graft.tools.ScaleData.materialize(spark, sfDir, "documents", scale, cpus.toInt)
+        val eventsPath = graft.tools.ScaleData.materialize(spark, sfDir, "events", evScale, cpus.toInt)
+        val ops = graft.tools.ScaledOps.run(spark, docsPath, eventsPath)
+        failed += ops.count(_._2 < 0)
+        val opsJson = ops.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        s""","scaled":{"docs_x":$scale,"events_x":$evScale,"ops":$opsJson}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] scaled tier failed: ${e.getMessage}")
+          failed += 1
+          ""
+      }
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"iterations":$iterations,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"iterations":$iterations,"sf":"$sfDir"$scaledJson}""")
     spark.stop()
     if (failed > 0) sys.exit(2)
   }

@@ -16,15 +16,13 @@ import graft.streaming.EventsStream
   * `runMain graft.tools.ScaleStudy [sfDir]` — prints one line per
   * (op, scale) with rows and seconds.
   */
-object ScaleStudy {
+/** Scaled-corpus builders shared by [[ScaleStudy]] and `graft.Bench`'s
+  * scaled tier: id-offset replicas of the sf tables, materialized to
+  * parquet (keyed by sf dir name + scale) so measured ops read from
+  * storage like a real job. */
+object ScaleData {
 
-  private def time[A](f: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val r = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
-
-  private def scaledDocs(base: DataFrame, k: Int): DataFrame =
+  def scaledDocs(base: DataFrame, k: Int): DataFrame =
     (0 until k).map { i =>
       if (i == 0) base.select(col("doc_id"), col("text"), col("lang"), col("source"))
       else {
@@ -39,7 +37,7 @@ object ScaleStudy {
       }
     }.reduce(_ union _)
 
-  private def scaledEvents(base: DataFrame, k: Int): DataFrame =
+  def scaledEvents(base: DataFrame, k: Int): DataFrame =
     (0 until k).map { i =>
       if (i == 0) base
       else base
@@ -47,6 +45,77 @@ object ScaleStudy {
         .withColumn("user_id", col("user_id") + i * 1000000L)
         .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 40} DAYS"))
     }.reduce(_ union _)
+
+  /** Materialize the ×k table under /tmp (idempotent per sf+scale);
+    * returns the parquet path. */
+  def materialize(
+      spark: SparkSession, sfDir: String, table: String, k: Int,
+      parts: Int): String = {
+    val sfName = new java.io.File(sfDir).getName
+    val path = s"/tmp/graft_scale/${sfName}_${table}_x$k"
+    if (!new java.io.File(path).exists()) {
+      val base = Tables(spark, sfDir, table)
+      val scaled = if (table == "documents") scaledDocs(base, k) else scaledEvents(base, k)
+      scaled.repartition(parts).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+}
+
+/** The headline data-shaped operators, run ONCE each against the
+  * materialized ×k tables — `graft.Bench`'s scaled tier. One iteration
+  * (not median-of-3): at ×20/×10 rows these are data-dominated, which is
+  * the whole point; the sf0.1 suite covers plan-overhead stability. */
+object ScaledOps {
+
+  def run(spark: SparkSession, docsPath: String, eventsPath: String): Seq[(String, Double)] = {
+    def sink(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
+    def time(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      try { f; name -> (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench-scaled] $name FAILED: ${e.getMessage}")
+          name -> -1.0
+      }
+    }
+    val docs = spark.read.parquet(docsPath)
+    val ev = spark.read.parquet(eventsPath)
+    def pairs = Dedup.nearDupSizesShingled(
+        Dedup.withWordShingles(docs.select("doc_id", "text"), "doc_id", "text", 3),
+        "doc_id", numHashes = 64, bands = 16)
+      .where(col("i_size") * 5 >= col("u_size") * 4)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+    Seq(
+      time("neardup_pairs") { sink(pairs) },
+      time("dedup_clusters") { sink(Dedup.dedupClusters(pairs.select("a", "b"))) },
+      time("pack_sequences") { sink(graft.ops.Packing.packSequences(
+        docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", 2048, 128)) },
+      time("text_profile") { sink(TextAnalysis.profile(docs)) },
+      time("quota_sample") { sink(CorpusOps.quotaSample(docs, quota = 30)) },
+      time("ffill_blocked") { sink(Ffill.ffillBlocked(
+        ev.withColumn("_src", nullif(col("event_type"), lit("noop"))),
+        "event_id", Seq("_src"), blockSize = 4096)) },
+      time("sessionize") { sink(EventsStream.sessionize(ev)) },
+      time("daily_retention") { sink(EventsStream.dailyRetention(ev)) },
+      time("funnel") { sink(EventsStream.funnel(ev)) },
+      time("asof_join") { sink(AsofJoin.asofJoin(purchases, clicks,
+        Seq("user_id"), "ts", Seq("click_value"))) })
+  }
+}
+
+object ScaleStudy {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
 
   private def sink(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
@@ -65,28 +134,18 @@ object ScaleStudy {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val baseDocs = Tables(spark, sfDir, "documents")
-    val baseEvents = Tables(spark, sfDir, "events")
-
     // materialize scaled inputs to parquet so every measured op reads
     // from storage like a real job (not from an in-memory union plan)
-    val root = "/tmp/graft_scale"
-    for (k <- Seq(1, 4, 20)) {
-      val p = s"$root/docs_x$k"
-      if (!new java.io.File(p).exists())
-        scaledDocs(baseDocs, k).repartition(cpus.toInt).write.mode("overwrite").parquet(p)
-    }
-    for (k <- Seq(1, 10)) {
-      val p = s"$root/events_x$k"
-      if (!new java.io.File(p).exists())
-        scaledEvents(baseEvents, k).repartition(cpus.toInt).write.mode("overwrite").parquet(p)
-    }
+    val docPaths = Seq(1, 4, 20).map(k =>
+      k -> ScaleData.materialize(spark, sfDir, "documents", k, cpus.toInt)).toMap
+    val eventPaths = Seq(1, 10).map(k =>
+      k -> ScaleData.materialize(spark, sfDir, "events", k, cpus.toInt)).toMap
 
     def report(op: String, k: Int, rows: Long, sec: Double): Unit =
       println(f"[scale] $op%-22s x$k%-3d rows=$rows%-9d ${sec}%8.2f s")
 
     for (k <- Seq(1, 4, 20)) {
-      val docs = spark.read.parquet(s"$root/docs_x$k")
+      val docs = spark.read.parquet(docPaths(k))
       val nDocs = docs.count()
 
       // near-dup pair generation + integer-threshold verify
@@ -133,7 +192,7 @@ object ScaleStudy {
     }
 
     for (k <- Seq(1, 10)) {
-      val ev = spark.read.parquet(s"$root/events_x$k")
+      val ev = spark.read.parquet(eventPaths(k))
         .withColumn("ts", to_timestamp(col("ts")))
       val nEv = ev.count()
 
