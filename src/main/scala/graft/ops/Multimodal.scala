@@ -58,9 +58,12 @@ object Multimodal {
 
     override def decode(kind: String, bytes: Array[Byte]): Array[Float] = {
       if (kind != "image") return StubDecoder.decode(kind, bytes)
+      // NonFatal, not just IOException: hostile/malformed image bytes can
+      // surface RuntimeExceptions from codec plugins (IndexOutOfBounds,
+      // IllegalArgument…) and a mixed-kind corpus must not kill the task
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return StubDecoder.decode(kind, bytes)
       val w = img.getWidth; val h = img.getHeight
       val hist = new Array[Float](16)

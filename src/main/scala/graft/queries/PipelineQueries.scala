@@ -717,7 +717,15 @@ object PipelineQueries {
   }
 
   /** Measured at sf0.01: LSH 16×4 keeps 139/150 of the exact top-3
-    * (recall 0.927); IVF k=16 nProbe=12 keeps 145/150 (0.967). */
+    * (recall 0.927); IVF k=16 nProbe=12 keeps 145/150 (0.967).
+    *
+    * VALID ONLY for the driver's gate corpus — /root/testdata/sf0.01
+    * embeddings with qids exactly 0..49 and the index defaults above. If
+    * the gate ever runs at another SF, the embeddings are regenerated, or
+    * an index default changes, re-measure instead of debugging a phantom
+    * hash failure:
+    *   sbt "runMain graft.tools.RecallPin /root/testdata/sf0.01"
+    * prints both Seq literals to paste here. */
   private val lshHits = Seq(
     3, 3, 3, 2, 3, 2, 3, 3, 3, 3, 3, 2, 2, 3, 1, 3, 3, 3, 3, 3,
     3, 3, 2, 3, 3, 3, 3, 3, 3, 2, 3, 3, 3, 3, 2, 3, 3, 3, 3, 2,

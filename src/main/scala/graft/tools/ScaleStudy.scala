@@ -47,13 +47,16 @@ object ScaleData {
     }.reduce(_ union _)
 
   /** Materialize the ×k table under /tmp (idempotent per sf+scale);
-    * returns the parquet path. */
+    * returns the parquet path. A bare directory is NOT proof of a
+    * complete write (a run killed mid-write leaves partial parquet that
+    * every later bench would silently read) — only the `_SUCCESS` marker
+    * is; anything without it is rewritten. */
   def materialize(
       spark: SparkSession, sfDir: String, table: String, k: Int,
       parts: Int): String = {
     val sfName = new java.io.File(sfDir).getName
     val path = s"/tmp/graft_scale/${sfName}_${table}_x$k"
-    if (!new java.io.File(path).exists()) {
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
       val base = Tables(spark, sfDir, table)
       val scaled = if (table == "documents") scaledDocs(base, k) else scaledEvents(base, k)
       scaled.repartition(parts).write.mode("overwrite").parquet(path)

@@ -13,6 +13,14 @@ class EventsStreamSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  // awaitTermination's boolean must be ASSERTED: on a timeout the query is
+  // still running while the test reads shared state, turning a slow
+  // environment into a confusing downstream failure. stop() in the finally
+  // so a timed-out query can't leak into the next test either.
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try assert(q.awaitTermination(120000), "stream did not drain in 120s")
+    finally q.stop()
+
   test("streaming tumbling aggregate over file source matches batch result") {
     val batchEvents = Tables(spark, dir, "events")
     val expected = EventsStream.tumblingCounts(batchEvents)
@@ -34,7 +42,7 @@ class EventsStreamSpec extends AnyFunSuite {
     val q = EventsStream.streamingTumbling(stream, watermark = "10 minutes")
       .writeStream.outputMode("append").format("memory").queryName("agg_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    drain(q)
 
     // append mode only emits windows the watermark has closed; every
     // emitted row must match the batch result exactly
@@ -65,7 +73,7 @@ class EventsStreamSpec extends AnyFunSuite {
     val q = EventsStream.slidingCounts(stream.withWatermark("ts", "10 minutes"))
       .writeStream.outputMode("append").format("memory").queryName("slide_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    drain(q)
     val got = spark.table("slide_out").orderBy("w_start", "event_type").collect()
     assert(got.nonEmpty, "stream emitted no closed windows")
     val expectedSet = expected.map(_.toSeq).toSet
@@ -114,7 +122,7 @@ class EventsStreamSpec extends AnyFunSuite {
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    drain(q)
     assert(got.toSet == batchMode)
   }
 
@@ -148,7 +156,7 @@ class EventsStreamSpec extends AnyFunSuite {
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      drain(q)
     }
 
     half1.write.mode("append").parquet(stage)
@@ -197,7 +205,7 @@ class EventsStreamSpec extends AnyFunSuite {
     val q = EventsStream.streamingDedup(stream)
       .writeStream.outputMode("append").format("memory").queryName("dedup_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    drain(q)
     val got = spark.table("dedup_out")
     val expected = Tables(spark, dir, "events")
       .select("user_id", "event_type").distinct().count()
@@ -219,7 +227,7 @@ class EventsStreamSpec extends AnyFunSuite {
     val q = EventsStream.runningUserStats(stream)
       .writeStream.outputMode("append").format("memory").queryName("state_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    drain(q)
     // final state per user (last emitted row) must equal the batch agg
     val got = spark.table("state_out")
       .groupBy("user_id")
