@@ -164,6 +164,66 @@ case class SimHashExpression(child: Expression)
   override def prettyName: String = "simhash"
 }
 
+/** Per-shingle XXH64 hashes, SORTED ascending and deduplicated — the slim
+  * verify payload for candidate pairs: set intersection/union sizes come
+  * from an O(n) merge over 8-byte longs instead of `array_intersect` over
+  * whole shingle strings (and the pair joins shuffle ~8 bytes per shingle
+  * instead of the string). Sizes are exact modulo 64-bit hash collisions
+  * (~n²/2⁶⁴ per document — negligible even at 100 TB). Seed 7 keeps these
+  * hashes independent of the MinHash seeds 0..k-1 and SimHash's 42. */
+case class SortedShingleHashesExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      hs(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 7L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // input shingle arrays are already distinct; dedupe only collapses
+    // intra-document hash collisions so the merge can count set-wise
+    var n = 0
+    var j = 0
+    while (j < m) {
+      if (j == 0 || hs(j) != hs(j - 1)) { hs(n) = hs(j); n += 1 }
+      j += 1
+    }
+    val out = new Array[Any](n)
+    var k = 0
+    while (k < n) { out(k) = java.lang.Long.valueOf(hs(k)); k += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "sorted_shingle_hashes"
+}
+
+/** |A ∩ B| of two SORTED distinct long arrays via a single merge pass. */
+case class SortedIntersectSizeExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    java.lang.Integer.valueOf(n)
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression) =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_intersect_size"
+}
+
 object ShingleFunctions {
   def char_shingles(norm: Column, n: Int): Column =
     column(CharShinglesExpression(expression(norm), n))
@@ -173,6 +233,10 @@ object ShingleFunctions {
     column(WordNgramsExpression(expression(tokens), n))
   def minhash_signature(shingles: Column, k: Int): Column =
     column(MinHashSignatureExpression(expression(shingles), k))
+  def sorted_shingle_hashes(shingles: Column): Column =
+    column(SortedShingleHashesExpression(expression(shingles)))
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    column(SortedIntersectSizeExpression(expression(a), expression(b)))
   def simhash(tokens: Column): Column =
     column(SimHashExpression(expression(tokens)))
 }

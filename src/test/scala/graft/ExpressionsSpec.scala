@@ -61,6 +61,36 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(withNull == Seq("a ", " b"))
   }
 
+  test("sorted hash intersect == array_intersect set sizes on string shingles") {
+    // the hashed verify path must reproduce the exact set sizes the
+    // string-array form computed (modulo 64-bit collisions, absent here)
+    val docs = Seq(
+      (1L, Seq("the cat sat", "cat sat on", "sat on mat")),
+      (2L, Seq("cat sat on", "sat on mat", "on mat now")),   // 2 shared with 1
+      (3L, Seq("zz yy xx", "aa bb cc")),                     // 0 shared
+      (4L, Seq[String]())                                    // empty set
+    ).toDF("id", "sh")
+    val hashed = docs.select($"id", $"sh",
+      graft.functions.ShingleFunctions.sorted_shingle_hashes($"sh").as("hs"))
+    val a = hashed.select($"id".as("a"), $"sh".as("sa"), $"hs".as("ha"))
+    val b = hashed.select($"id".as("b"), $"sh".as("sb"), $"hs".as("hb"))
+    val out = a.join(b, $"a" < $"b")
+      .select($"a", $"b",
+        size(array_intersect($"sa", $"sb")).as("want_i"),
+        graft.functions.ShingleFunctions.sorted_intersect_size($"ha", $"hb").as("got_i"),
+        (size($"sa") + size($"sb")).as("want_ab"),
+        (size($"ha") + size($"hb")).as("got_ab"))
+      .collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      assert(r.getInt(2) == r.getInt(3), s"i_size mismatch on ${r.getLong(0)}-${r.getLong(1)}")
+      assert(r.getInt(4) == r.getInt(5), s"set-size mismatch on ${r.getLong(0)}-${r.getLong(1)}")
+    }
+    // hashes come out sorted and distinct
+    val hs = hashed.where($"id" === 1L).select($"hs").first().getSeq[Long](0)
+    assert(hs == hs.sorted && hs.distinct == hs)
+  }
+
   test("SQL registration via GraftFunctions.register and extensions builder") {
     GraftFunctions.register(spark)
     val r = spark.sql(
