@@ -66,7 +66,19 @@ object Bench {
       spark.stop()
       sys.exit(1)
     }
+    // Between queries: reap leaked storage. localCheckpoint RDDs (e.g.
+    // connected components' per-round labels) stay persisted until the
+    // ContextCleaner notices their DataFrame was GC'd — across 73 queries
+    // × 3 iterations in one 8-16g JVM the leftovers evict working memory
+    // and turn late queries into spill-bound outliers (round 5 measured
+    // p29 at 56 s in-suite vs 2.3 s isolated; the ops were never slow,
+    // the JVM was). Not timed: a real cluster job gets a fresh app.
+    def reapBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     val results = selected.map { case (name, fn) =>
+      reapBlocks()
       val times = (1 to iterations).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -91,6 +103,7 @@ object Bench {
       // not throw after every query already ran and lose the JSON line
       val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "20").toInt
       if (scale <= 1) "" else {
+        reapBlocks()
         val evScale = math.max(scale / 2, 1)
         val docsPath = graft.tools.ScaleData.materialize(spark, sfDir, "documents", scale, cpus.toInt)
         val eventsPath = graft.tools.ScaleData.materialize(spark, sfDir, "events", evScale, cpus.toInt)

@@ -74,6 +74,10 @@ object ScaledOps {
   def run(spark: SparkSession, docsPath: String, eventsPath: String): Seq[(String, Double)] = {
     def sink(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
     def time(name: String)(f: => Unit): (String, Double) = {
+      // same block hygiene as Bench's per-query loop: leftovers from the
+      // previous op must not bill this one (untimed)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
       val t0 = System.nanoTime()
       try { f; name -> (System.nanoTime() - t0) / 1e9 }
       catch {
