@@ -40,6 +40,77 @@ object CorpusOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** BM25 retrieval: rank documents against a (small, constant) query
+    * string — Lucene-style idf = ln(1 + (N−df+0.5)/(df+0.5)), k1/b term
+    * saturation and length normalization. Shape at 100 TB: tokens are
+    * FILTERED to the query's terms before the (doc, term) aggregation,
+    * so the tf shuffle is ∝ matching postings, never the corpus token
+    * count; per-term df and the two corpus scalars (N, total length)
+    * ride the same filtered aggregates; top-k is TakeOrderedAndProject
+    * (no global sort). The double-valued score is used only to ORDER —
+    * emitted columns are integers, so results are engine-portable (exact
+    * ties, e.g. duplicate docs, break on doc_id).
+    *
+    * Returns top-`k` rows: (rank, doc_id, n_terms = distinct query terms
+    * present, total_tf = summed occurrences). */
+  def bm25TopK(
+      docs: DataFrame,
+      query: String,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val queryTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(queryTerms.nonEmpty, "query must contain at least one term")
+    val lens = docs.select(col(idCol),
+      TextAnalysis.tokenCount(lower(col(textCol))).cast("long").as("_len"))
+    // corpus scalars: two longs, driver-bounded by construction
+    val Array(nDocs, sumLen) = lens
+      .agg(count(lit(1)), sum(col("_len"))).collect()(0) match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    val avgLen = sumLen.toDouble / nDocs
+    val tf = docs.select(col(idCol),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("_tok"))
+      .where(col("_tok").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("_tok")).agg(count(lit(1)).as("_tf"))
+    // df per query term: bounded by the query size — a driver literal,
+    // which keeps the per-doc score ONE fixed-order expression (a float
+    // sum(termScore) aggregate would sum in data order; permuted
+    // duplicate docs then differ in the last ulp and cross-engine ranks
+    // flip — with literals, equal ingredients give bit-equal scores)
+    val dfByTerm = tf.groupBy("_tok").agg(count(lit(1)).as("_df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // pivot to one integer tf column per query term (absent → 0)
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("_tok") === t, col("_tf")).otherwise(0L)).as(s"_tf$i")
+    }
+    val perDoc = tf.groupBy(col(idCol)).agg(tfCols.head, tfCols.tail: _*)
+      .join(lens, Seq(idCol))
+    def idf(df: Long): Double =
+      math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+    val termScores = queryTerms.zipWithIndex.map { case (t, i) =>
+      val tfc = col(s"_tf$i").cast("double")
+      when(col(s"_tf$i") > 0,
+        lit(idf(dfByTerm.getOrElse(t, 0L))) * (tfc * lit(k1 + 1.0)) /
+          (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * col("_len") / lit(avgLen))))
+        .otherwise(lit(0.0))
+    }
+    val nTerms = queryTerms.indices
+      .map(i => when(col(s"_tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    val totalTf = queryTerms.indices.map(i => col(s"_tf$i")).reduce(_ + _)
+    perDoc
+      .withColumn("_score", termScores.reduce(_ + _)) // fixed left-to-right order
+      .withColumn("n_terms", nTerms)
+      .withColumn("total_tf", totalTf)
+      .orderBy(col("_score").desc, col(idCol).asc).limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("_score").desc, col(idCol).asc)))
+      .select(col("rank"), col(idCol), col("n_terms"), col("total_tf"))
+  }
+
   /** Per-document top term: highest term frequency, ties broken by rarer
     * corpus document frequency, then alphabetically — INTEGER-only
     * ranking (a float tf·idf score invites cross-engine argmax flips; df

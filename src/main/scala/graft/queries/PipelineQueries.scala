@@ -288,6 +288,35 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // BM25 retrieval against a constant query. The double score only
+    // ORDERS; emitted columns are integers, and the score is one
+    // fixed-operand-order expression per doc (see CorpusOps.bm25TopK) so
+    // exact ties (duplicate docs) break on doc_id identically in both
+    // engines.
+    "p54_bm25" -> ((s, dir) =>
+      graft.ops.CorpusOps.bm25TopK(Tables(s, dir, "documents"),
+        query = "hash join spark", k = 20)),
+
+    // Typed extraction from the semi-structured props JSON column
+    // (from_json with declared schema — codegen'd, map-only) + integer
+    // stats per event type.
+    "p55_json_props" -> ((s, dir) =>
+      graft.ops.EventsOps.parseProps(Tables(s, dir, "events"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("prop_k")).as("n_parsed"),
+          sum(col("prop_k")).as("sum_k"),
+          min(col("prop_k")).as("min_k"),
+          max(col("prop_k")).as("max_k"))
+        .orderBy("event_type")),
+
+    // 3-sigma outlier counts per event type in EXACT decimal arithmetic
+    // (no float sums → reproducible under any aggregation order, any
+    // engine).
+    "p56_outliers" -> ((s, dir) =>
+      graft.ops.EventsOps.valueOutliers(Tables(s, dir, "events"))
+        .orderBy("event_type")),
+
     // Gopher-style repetition signals (top-token / top-bigram counts) —
     // integer numerator/denominator pairs so the fraction thresholds are
     // float-free; word-count-shaped two-level aggregation.
@@ -771,6 +800,42 @@ object PipelineQueries {
   private val nTokensSql: String =
     "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)"
 
+  /** p54's oracle: BM25 with the exact operand order and constants of
+    * `CorpusOps.bm25TopK(query = "hash join spark", k = 20)`. Every
+    * float constant is CAST from the same decimal literal the Scala side
+    * uses; k1+1 is the same IEEE addition, not the literal 2.2 (whose
+    * nearest double differs from 1.2+1.0 by one ulp). */
+  private val bm25Sql: String = {
+    val terms = Seq("hash", "join", "spark")
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val piv = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(COALESCE(SUM(CASE WHEN tok = '$t' THEN tf END), 0) AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val termScores = terms.zipWithIndex.map { case (t, i) =>
+      val dfSub = s"(SELECT df FROM dfq WHERE tok = '$t')"
+      val idf = s"ln(${d("1")} + (${d(s"c.n - $dfSub")} + ${d("0.5")}) / (${d(dfSub)} + ${d("0.5")}))"
+      val denom = s"${d(s"p.tf$i")} + ${d("1.2")} * (${d("0.25")} + " +
+        s"(${d("0.75")} * ${d("l.len")}) / (${d("c.slen")} / ${d("c.n")}))"
+      s"(CASE WHEN p.tf$i > 0 THEN $idf * (${d(s"p.tf$i")} * (${d("1.2")} + ${d("1")})) / ($denom) " +
+        s"ELSE ${d("0")} END)"
+    }.mkString(" + ")
+    val nTerms = terms.indices.map(i => s"CASE WHEN p.tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val totalTf = terms.indices.map(i => s"p.tf$i").mkString(" + ")
+    s"WITH lens AS (SELECT doc_id, $nTokensSql AS len FROM documents), " +
+      "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len) AS BIGINT) AS slen FROM lens), " +
+      "t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok " +
+      "FROM documents WHERE length(trim(text)) > 0), " +
+      s"tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM t " +
+      s"WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2), " +
+      "dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+      s"piv AS (SELECT doc_id, $piv FROM tf GROUP BY doc_id), " +
+      s"scored AS (SELECT p.doc_id, $termScores AS score, " +
+      s"CAST($nTerms AS BIGINT) AS n_terms, CAST($totalTf AS BIGINT) AS total_tf " +
+      "FROM piv p JOIN lens l USING (doc_id) CROSS JOIN c) " +
+      "SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS \"rank\", " +
+      "doc_id, n_terms, total_tf FROM scored ORDER BY score DESC, doc_id LIMIT 20"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "p13_multimodal" -> multimodalSql,
     "p26_asof_join" -> (
@@ -1034,6 +1099,27 @@ object PipelineQueries {
       "SELECT lang, true AS p50_ok, true AS p90_ok FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang",
     "p53_quantiles_approx" ->
       "SELECT lang, true AS n_ok, true AS p50_ok, true AS p90_ok, true AS p99_ok FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang",
+    // BM25: every float constant is CAST from the same decimal literal
+    // the Scala side uses (1.2, 0.75 → bit-identical doubles), k1+1 is
+    // the SAME IEEE addition, and the per-term score is the same
+    // fixed-operand-order expression — the only cross-engine wobble left
+    // is ln()'s last ulp, which would need two distinct docs within
+    // ~1e-15 relative score to flip a rank.
+    "p54_bm25" -> bm25Sql,
+    "p55_json_props" -> (
+      "WITH e AS (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) " +
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(k) AS BIGINT) AS n_parsed, " +
+        "CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k " +
+        "FROM e GROUP BY event_type ORDER BY event_type"),
+    // HUGEINT mirrors Spark's DECIMAL(38,0): identical exact integer
+    // arithmetic, so the outlier inequality can never disagree
+    "p56_outliers" -> (
+      "WITH r AS (SELECT event_type AS g, CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS v FROM events), " +
+        "st AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, SUM(v) AS s, SUM(v*v) AS q FROM r GROUP BY g) " +
+        "SELECT r.g AS event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(CASE WHEN st.n >= 2 AND (r.v * st.n - st.s) * (r.v * st.n - st.s) * (st.n - 1) " +
+        "> 9 * st.n * (st.n * st.q - st.s * st.s) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+        "FROM r JOIN st ON r.g = st.g GROUP BY r.g ORDER BY r.g"),
     "p51_cube" -> (
       "SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents GROUP BY CUBE(lang, source) " +

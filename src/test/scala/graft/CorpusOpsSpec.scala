@@ -244,4 +244,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(r.getLong(2) == r.getLong(1) / 512)
     }
   }
+
+  test("bm25TopK: multi-term match with a rare term outranks high-tf common term") {
+    // N=3, df(a)=2, df(b)=1. d2 matches both terms (incl. the rare b):
+    // score ~= idf_a + idf_b ~= 0.47 + 0.98; d1 matches only common a:
+    // idf_a * 6.6/4.2 ~= 0.74. Clear margin, no float hazard.
+    val docs = Seq(
+      (1L, "a a a x"),
+      (2L, "a b x y"),
+      (3L, "x y z w")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.bm25TopK(docs, query = "a b", k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1, 2L, 2L, 2L),   // rank 1: d2, both terms, tf 1+1
+      (2, 1L, 1L, 3L)))  // rank 2: d1, one term, tf 3; d3 never matches
+  }
+
+  test("bm25TopK: duplicate docs tie exactly and break on doc_id") {
+    val docs = Seq(
+      (10L, "a b c"), (7L, "a b c"), (5L, "z z z")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.bm25TopK(docs, query = "a b", k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1, 7L), (2, 10L)))
+  }
 }

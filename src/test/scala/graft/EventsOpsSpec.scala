@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.EventsOps
+
+class EventsOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("parseProps extracts typed k; malformed / missing come out null") {
+    val ev = Seq(
+      (1L, """{"k": 42}"""),
+      (2L, """{"k": 7, "other": "x"}"""),
+      (3L, """not json at all"""),
+      (4L, """{"no_k": 1}"""),
+      (5L, null.asInstanceOf[String])
+    ).toDF("event_id", "props")
+    val out = EventsOps.parseProps(ev).orderBy("event_id")
+      .select("prop_k").collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out.toSeq == Seq(Some(42L), Some(7L), None, None, None))
+  }
+
+  test("valueOutliers: hand-computed 3-sigma counts, exact arithmetic") {
+    // group "a": 19 ones + one 100 → mean 5.95, sample σ ≈ 22.14,
+    // z(100) ≈ 4.25 → exactly one outlier; the ones are z ≈ 0.22.
+    // group "b": constant values → σ = 0 → no outliers.
+    // group "c": singleton → n < 2 → no outliers by definition.
+    val rows =
+      Seq.fill(19)(("a", 1.0)) ++ Seq(("a", 100.0)) ++
+        Seq(("b", 5.0), ("b", 5.0), ("b", 5.0)) ++
+        Seq(("c", 123.456))
+    val out = EventsOps.valueOutliers(
+        rows.toDF("event_type", "value"), "event_type", "value")
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 20L, 1L), ("b", 3L, 0L), ("c", 1L, 0L)))
+  }
+
+  test("valueOutliers boundary: z just under 3 is not an outlier") {
+    // 10 points: nine 1.0 and one 100.0 → z(100) ≈ 2.846 < 3 → zero
+    // outliers even though the point looks extreme (small-n ceiling)
+    val rows = Seq.fill(9)(("g", 1.0)) ++ Seq(("g", 100.0))
+    val out = EventsOps.valueOutliers(rows.toDF("event_type", "value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("g", 10L, 0L)))
+  }
+}
