@@ -313,6 +313,32 @@ object Dedup {
       .select(col("id"), col("component"), col("cluster_size"))
   }
 
+  /** Canonical survivor per near-dup cluster by QUALITY — production
+    * dedup keeps the best copy, not the smallest id. `quality` supplies
+    * (idCol, scoreCol); the keeper is the cluster's argmax score with id
+    * ascending as the deterministic tie-break (exact duplicates have
+    * equal scores). One window + one aggregate, both keyed on the
+    * component — the second reuses the first's partitioning, and only
+    * CLUSTERED rows (≪ corpus) ever enter. Returns one row per cluster:
+    * (component, cluster_size, keep_id, keep_score). */
+  def keepBest(
+      pairs: DataFrame,
+      quality: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val scored = comps.join(
+      quality.select(col(idCol).cast("long").as("id"), col(scoreCol).as("_score")),
+      Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col("_score").desc, col("id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(when(col("_rn") === 1, col("id"))).as("keep_id"),
+        max(when(col("_rn") === 1, col("_score"))).as("keep_score"))
+  }
+
   /** Exact n-gram Jaccard between explicit pairs (e.g. consecutive ids) —
     * the verification primitive exposed standalone. */
   def ngramJaccard(

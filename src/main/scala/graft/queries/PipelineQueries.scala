@@ -135,6 +135,19 @@ object PipelineQueries {
       Dedup.dedupClusters(pairs).orderBy("id")
     }),
 
+    // Quality-argmax survivor per near-dup cluster (production dedup
+    // keeps the best copy, not the smallest id) — n_chars as the
+    // quality score, id-ascending tie-break.
+    "p57_keep_best" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.nearDupSizesShingled(
+          Dedup.withWordShingles(docs.select("doc_id", "text"), "doc_id", "text", 3),
+          "doc_id", numHashes = 64, bands = 16)
+        .where(col("i_size") * 5 >= col("u_size") * 4)
+        .select("a", "b")
+      Dedup.keepBest(pairs, docs, "doc_id", "n_chars").orderBy("component")
+    }),
+
     // Embedding near-dup pairs via hyperplane-LSH buckets on a planted
     // corpus (vec_id + 100000 copies); identical vectors share every
     // bucket, so recall on the planted pairs is exact.
@@ -1019,6 +1032,29 @@ object PipelineQueries {
         "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id), " +
         "sz AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component) " +
         "SELECT comp.id, comp.component, sz.cluster_size FROM comp JOIN sz USING (component) ORDER BY id"),
+    // same exact ground-truth graph as p29, then argmax(n_chars) per
+    // component with id-ascending tie-break
+    "p57_keep_best" -> (
+      "WITH RECURSIVE tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
+        "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
+        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
+        "p AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
+        "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)), " +
+        "ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
+        "nd AS (SELECT DISTINCT a AS id FROM ed), " +
+        "reach AS (SELECT id, id AS r FROM nd " +
+        "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
+        "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id), " +
+        "ranked AS (SELECT comp.id, comp.component, d.n_chars, " +
+        "ROW_NUMBER() OVER (PARTITION BY comp.component ORDER BY d.n_chars DESC, comp.id ASC) AS rn " +
+        "FROM comp JOIN documents d ON d.doc_id = comp.id) " +
+        "SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size, " +
+        "CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS keep_id, " +
+        "CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keep_score " +
+        "FROM ranked GROUP BY component ORDER BY component"),
     "p05_ngram_jaccard" -> (
       "WITH g AS (SELECT doc_id, list_distinct([substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), i + 1, 3) " +
         "FOR i IN range(length(regexp_replace(lower(text), '\\s+', ' ', 'g')) - 2)]) AS gs FROM documents) " +

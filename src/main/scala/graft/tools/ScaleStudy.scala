@@ -112,7 +112,11 @@ object ScaledOps {
       time("daily_retention") { sink(EventsStream.dailyRetention(ev)) },
       time("funnel") { sink(EventsStream.funnel(ev)) },
       time("asof_join") { sink(AsofJoin.asofJoin(purchases, clicks,
-        Seq("user_id"), "ts", Seq("click_value"))) })
+        Seq("user_id"), "ts", Seq("click_value"))) },
+      time("bm25") { sink(CorpusOps.bm25TopK(docs, "hash join spark", 20)) },
+      time("json_outliers") { sink(graft.ops.EventsOps.valueOutliers(
+        graft.ops.EventsOps.parseProps(ev)
+          .withColumn("value", col("prop_k").cast("double")))) })
   }
 }
 

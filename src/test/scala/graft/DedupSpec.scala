@@ -103,6 +103,19 @@ class DedupSpec extends AnyFunSuite {
       (7L, 7L, 2L), (8L, 7L, 2L)))
   }
 
+  test("keepBest keeps the quality argmax per cluster, id tie-break") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val quality = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L), // cluster {1,2,3}: 2 wins on score
+      (7L, 5L), (8L, 5L),              // cluster {7,8}: tie → min id 7
+      (9L, 1000L)                      // unclustered: never emitted
+    ).toDF("doc_id", "n_chars")
+    val out = Dedup.keepBest(pairs, quality, "doc_id", "n_chars")
+      .orderBy("component")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 3L, 2L, 99L), (7L, 2L, 7L, 5L)))
+  }
+
   test("incrementalDedup classifies exact / near / new against a corpus") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog again and again tonight"),

@@ -243,6 +243,33 @@ class EventsStreamSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS state_out")
   }
 
+  test("streaming sessionize (session_window + watermark) matches batch") {
+    val batchEvents = Tables(spark, dir, "events")
+    val expected = EventsStream.sessionize(batchEvents)
+      .orderBy("s_start", "user_id").collect()
+
+    val stage = java.nio.file.Files.createTempDirectory("events_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val q = EventsStream.sessionize(stream.withWatermark("ts", "1 hour"))
+      .writeStream.outputMode("append").format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    drain(q)
+    // append mode only emits sessions the watermark closed; every
+    // emitted session must exist verbatim in the batch result
+    val got = spark.table("sess_out").orderBy("s_start", "user_id").collect()
+    assert(got.nonEmpty, "stream emitted no closed sessions")
+    val expectedSet = expected.map(_.toSeq).toSet
+    got.foreach(r => assert(expectedSet.contains(r.toSeq), s"session $r not in batch result"))
+    spark.sql("DROP TABLE IF EXISTS sess_out")
+  }
+
   test("sessionize groups events within the gap") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
