@@ -29,7 +29,11 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
-  private def s3(v: Double): String = f"$v%.3f"
+  // Locale.ROOT: the f-interpolator uses the default locale, and a
+  // comma-decimal locale (de_DE) would render the one machine-parsed
+  // JSON line invalid.
+  private def s3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

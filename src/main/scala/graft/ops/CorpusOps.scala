@@ -66,10 +66,10 @@ object CorpusOps {
     val lens = docs.select(col(idCol),
       TextAnalysis.tokenCount(lower(col(textCol))).cast("long").as("_len"))
     // corpus scalars: two longs, driver-bounded by construction
-    val Array(nDocs, sumLen) = lens
-      .agg(count(lit(1)), sum(col("_len"))).collect()(0) match {
-        case r => Array(r.getLong(0), r.getLong(1))
-      }
+    val head = lens.agg(count(lit(1)), sum(col("_len"))).collect()(0)
+    val nDocs = head.getLong(0)
+    require(nDocs > 0, "bm25TopK: corpus is empty — nothing to rank")
+    val sumLen = head.getLong(1) // non-null: nDocs > 0 and _len is never null
     val avgLen = sumLen.toDouble / nDocs
     val tf = docs.select(col(idCol),
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("_tok"))
@@ -105,9 +105,11 @@ object CorpusOps {
       .withColumn("n_terms", nTerms)
       .withColumn("total_tf", totalTf)
       .orderBy(col("_score").desc, col(idCol).asc).limit(k)
+      // rank over the ≤ k surviving rows only; partitionBy(lit(0)) = the
+      // same single-partition execution, minus the global-window warning
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("_score").desc, col(idCol).asc)))
+          .partitionBy(lit(0)).orderBy(col("_score").desc, col(idCol).asc)))
       .select(col("rank"), col(idCol), col("n_terms"), col("total_tf"))
   }
 

@@ -320,7 +320,12 @@ object Dedup {
     * equal scores). One window + one aggregate, both keyed on the
     * component — the second reuses the first's partitioning, and only
     * CLUSTERED rows (≪ corpus) ever enter. Returns one row per cluster:
-    * (component, cluster_size, keep_id, keep_score). */
+    * (component, cluster_size, keep_id, keep_score).
+    *
+    * `quality` MUST cover every id appearing in `pairs`: a clustered id
+    * with no score row (or a NULL score) fails the job loudly — an inner
+    * join would instead silently shrink `cluster_size` (diverging from
+    * `dedupClusters` on the same pairs) or drop whole clusters. */
   def keepBest(
       pairs: DataFrame,
       quality: DataFrame,
@@ -328,8 +333,13 @@ object Dedup {
       scoreCol: String): DataFrame = {
     val comps = connectedComponents(pairs)
     val scored = comps.join(
-      quality.select(col(idCol).cast("long").as("id"), col(scoreCol).as("_score")),
-      Seq("id"))
+        quality.select(col(idCol).cast("long").as("id"), col(scoreCol).as("_score")),
+        Seq("id"), "left")
+      .withColumn("_score",
+        when(col("_score").isNull,
+          raise_error(concat(
+            lit("keepBest: no quality score for clustered id "), col("id"))))
+          .otherwise(col("_score")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component").orderBy(col("_score").desc, col("id").asc)
     scored.withColumn("_rn", row_number().over(w))

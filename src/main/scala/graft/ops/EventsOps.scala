@@ -1,8 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import java.math.{BigDecimal => JBigDecimal}
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DecimalType, LongType, StructField, StructType}
 
 /** Event-log ETL operators: semi-structured payload extraction and
   * robust (exact-arithmetic) outlier statistics. */
@@ -19,41 +21,104 @@ object EventsOps {
       .drop("_p")
   }
 
+  /** ceil(sqrt(x)) for non-negative BigInt, exact (Newton + adjust). */
+  private def isqrtCeil(x: BigInt): BigInt = {
+    require(x >= 0)
+    if (x == 0) BigInt(0)
+    else {
+      var r = BigInt(1) << ((x.bitLength + 1) / 2) // >= sqrt(x)
+      var prev = BigInt(-1)
+      while (r != prev) { prev = r; r = (r + x / r) >> 1 } // floor sqrt
+      while (r * r < x) r += 1
+      r
+    }
+  }
+
   /** Per-group 3-sigma outlier counts over a double measure, computed in
-    * EXACT integer/decimal arithmetic so the result is reproducible on
-    * any engine and any aggregation order (float sums are
-    * order-dependent; a distributed re-run could otherwise flip a
-    * boundary row). The measure is fixed to 6 decimal places (exact for
-    * the source data), then everything is integer:
+    * EXACT integer arithmetic so the result is reproducible on any
+    * engine and any aggregation order (float sums are order-dependent; a
+    * distributed re-run could otherwise flip a boundary row). The
+    * measure is fixed to 6 decimal places (exact for the source data),
+    * then everything is integer:
     *
     *   outlier  ⇔  (x−μ)² > 9σ²
-    *            ⇔  ((x·n − s)² · (n−1)  >  9 · n · (n·q − s²))     [·n²(n−1)]
+    *            ⇔  (x·n − s)² · (n−1)  >  9 · n · (n·q − s²)     [·n²(n−1)]
+    *            ⇔  |x·n − s|  ≥  T,   T = ceil(√(⌊9n(nq−s²)/(n−1)⌋ + 1))
     *
-    * with s = Σx, q = Σx² in scaled-integer units — all DECIMAL(38,0),
-    * no division, no doubles. Sample variance (n−1); groups with n < 2
-    * report 0 outliers. Two shuffles: the stats partial-agg and the
-    * broadcast join of 5-row group stats back onto the rows. */
+    * with s = Σx, q = Σx² in 1e-6-unit integers. The threshold form is
+    * what makes this safe at scale: the naive per-row inequality has
+    * both sides ~n³·max(x)², which blows past DECIMAL(38,0) around
+    * n^1.5·max|x|·1e6 ≳ 5e18 and (non-ANSI) silently NULLs — counting
+    * boundary rows as "not outliers" while an exact engine errors. Here
+    * T is computed ONCE PER GROUP on the driver in arbitrary-precision
+    * BigInt (the group-stats table is tiny — one row per group, already
+    * the broadcast side), and the distributed per-row test |x·n − s| ≥ T
+    * is only ~n·max|x|·1e6, exact through n·max|x| < 1e32. Every residual
+    * overflow is LOUD, never a silent misclassification: the 1e-6
+    * fixed-point cast (|x| ≥ 1e12), the s/q aggregation
+    * (n·(max|x|·1e6)² ≥ 1e38), and the per-row product all raise.
+    * Sample variance (n−1); groups with n < 2 report 0 outliers; NULL
+    * measures count toward n but are never outliers. Two shuffles: the
+    * stats partial-agg and the broadcast join of the per-group
+    * thresholds back onto the rows. */
   def valueOutliers(
       ev: DataFrame,
       groupCol: String = "event_type",
       valueCol: String = "value"): DataFrame = {
+    val spark = ev.sparkSession
     // 1e-6-unit integer value: DOUBLE → DECIMAL(18,6) is an exact
     // half-up rounding of the binary value on both Spark and DuckDB
     // (binary doubles are never exact ties at 6 decimals)
     val v6 = (col(valueCol).cast("decimal(18,6)") * lit(1000000L))
       .cast("decimal(38,0)")
-    val rows = ev.select(col(groupCol).as("g"), v6.as("v"))
+    val rows = ev.select(col(groupCol).as("g"),
+      when(col(valueCol).isNotNull && v6.isNull,
+        raise_error(lit("valueOutliers: |value| >= 1e12 overflows the " +
+          "exact DECIMAL(18,6) fixed-point domain"))).otherwise(v6).as("v"))
     val stats = rows.groupBy("g").agg(
       count(lit(1)).cast("decimal(38,0)").as("n"),
+      count(col("v")).as("nv"),
       sum(col("v")).cast("decimal(38,0)").as("s"),
       sum((col("v") * col("v")).cast("decimal(38,0)")).cast("decimal(38,0)").as("q"))
-    val d = (col("v") * col("n") - col("s")).cast("decimal(38,0)")
-    val lhs = (d * d).cast("decimal(38,0)") * (col("n") - lit(1)).cast("decimal(38,0)")
-    val rhs = lit(9).cast("decimal(38,0)") * col("n") *
-      (col("n") * col("q") - (col("s") * col("s")).cast("decimal(38,0)"))
-    rows.join(broadcast(stats), Seq("g"))
-      .withColumn("_out",
-        when(col("n") < 2, lit(false)).otherwise(lhs > rhs))
+    // Exact per-group threshold on the driver: one tiny row per group.
+    val thr = stats.collect().map { r =>
+      val g = r.get(0)
+      val n = BigInt(r.getDecimal(1).toBigInteger)
+      val nv = r.getLong(2)
+      if (nv > 0 && (r.isNullAt(3) || r.isNullAt(4)))
+        throw new IllegalStateException(
+          s"valueOutliers: DECIMAL(38,0) overflow aggregating group '$g' " +
+            s"(n=$n): n·(max|value|·1e6)² exceeds 1e38")
+      if (n < 2 || nv == 0) Row(g, null, null)
+      else {
+        val s = BigInt(r.getDecimal(3).toBigInteger)
+        val q = BigInt(r.getDecimal(4).toBigInteger)
+        val a = 9 * n * (n * q - s * s) // ≥ 0 (Cauchy–Schwarz, n ≥ nv)
+        val t = isqrtCeil(a / (n - 1) + 1)
+        if (t.bitLength > 126)
+          throw new IllegalStateException(
+            s"valueOutliers: threshold for group '$g' exceeds the exact " +
+              "DECIMAL(38,0) per-row comparison domain")
+        Row(g, new JBigDecimal(s.bigInteger), new JBigDecimal(t.bigInteger))
+      }
+    }
+    val gType = ev.schema(groupCol).dataType
+    val thrDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(thr.toSeq, 1),
+      StructType(Seq(
+        StructField("g", gType),
+        StructField("bs", DecimalType(38, 0)),
+        StructField("bt", DecimalType(38, 0)))))
+    val statsN = stats.select(col("g"), col("n"))
+    val d = col("v") * col("n") - col("bs")
+    val out = when(col("bt").isNull || col("v").isNull, lit(false))
+      .when(col("v").isNotNull && d.isNull,
+        raise_error(lit("valueOutliers: DECIMAL(38,0) overflow in the " +
+          "per-row test — n·|value|·1e6 exceeds 1e38")).cast(BooleanType))
+      .otherwise(abs(d) >= col("bt"))
+    rows.join(broadcast(statsN), Seq("g"))
+      .join(broadcast(thrDf), Seq("g"))
+      .withColumn("_out", out)
       .groupBy("g")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("_out"), 1L).otherwise(0L)).as("n_outliers"))

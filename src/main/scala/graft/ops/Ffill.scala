@@ -71,8 +71,10 @@ object Ffill {
 
     // Cascade across blocks: carry(blk) = last non-null among all blocks
     // strictly before blk. The summary has (#rows / blockSize) rows — a
-    // global window here is a few thousand rows at 100 TB, not a bottleneck.
-    val wCarry = Window.orderBy(col(blk))
+    // few thousand rows at 100 TB, not a bottleneck. partitionBy(lit(0))
+    // is the same one-partition execution as a bare orderBy window but
+    // declares the boundedness (no spurious global-window warning).
+    val wCarry = Window.partitionBy(lit(0)).orderBy(col(blk))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = cols.foldLeft(blockSummary)((d, c) =>
       d.withColumn(s"_carry_$c", last(col(s"_last_$c"), ignoreNulls = true).over(wCarry)))

@@ -1142,8 +1142,15 @@ object PipelineQueries {
     // is ln()'s last ulp, which would need two distinct docs within
     // ~1e-15 relative score to flip a rank.
     "p54_bm25" -> bm25Sql,
+    // Mirrors from_json's null-on-unparseable contract regardless of
+    // corpus contents: malformed JSON, a missing key, a non-integral or
+    // string-typed k, or a value beyond BIGINT all yield NULL on the
+    // Spark side — a bare json_extract + CAST would instead raise on
+    // malformed JSON and coerce '7.5'/"7" on DuckDB.
     "p55_json_props" -> (
-      "WITH e AS (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) " +
+      "WITH e AS (SELECT event_type, CASE WHEN json_valid(props) " +
+        "AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT') " +
+        "THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k FROM events) " +
         "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(k) AS BIGINT) AS n_parsed, " +
         "CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k " +
         "FROM e GROUP BY event_type ORDER BY event_type"),

@@ -46,4 +46,35 @@ class EventsOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq(("g", 10L, 0L)))
   }
+
+  test("valueOutliers: NULL measures count toward n_rows, never outliers") {
+    val rows = (Seq.fill(19)(("a", Some(1.0))) ++
+      Seq(("a", Some(100.0)), ("a", None), ("a", None))).map {
+      case (g, v) => (g, v.map(Double.box).orNull)
+    }
+    val out = EventsOps.valueOutliers(rows.toDF("event_type", "value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // n = 22 (nulls included) shifts the sample stats vs the 20-row case,
+    // but 100.0 is still the lone >3σ point and nulls are never outliers
+    assert(out.toSeq == Seq(("a", 22L, 1L)))
+  }
+
+  test("valueOutliers overflows LOUDLY, never a silent wrong answer") {
+    // |value| ≥ 1e12 breaks the DECIMAL(18,6) fixed-point cast → raise
+    val tooBig = Seq(("g", 2.0e12), ("g", 1.0))
+    val e1 = intercept[Exception] {
+      EventsOps.valueOutliers(tooBig.toDF("event_type", "value")).collect()
+    }
+    assert(e1.toString.contains("valueOutliers") ||
+      Option(e1.getCause).exists(_.toString.contains("valueOutliers")))
+    // Σv² past DECIMAL(38,0): 400 rows of 5e11 (v6=5e17, v6²=2.5e35,
+    // Σ=1e38) → the driver-side aggregation guard must throw, not
+    // classify every boundary row as "not an outlier"
+    val aggOver = Seq.fill(400)(("g", 5.0e11)) ++ Seq(("g", 1.0))
+    val e2 = intercept[Exception] {
+      EventsOps.valueOutliers(aggOver.toDF("event_type", "value")).collect()
+    }
+    assert(e2.toString.contains("overflow") ||
+      Option(e2.getCause).exists(_.toString.contains("overflow")))
+  }
 }
