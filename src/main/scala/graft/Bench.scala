@@ -48,6 +48,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Every in-repo unpartitioned window runs over a bounded input (block
+    // summaries, top-k survivors, ≤10-row header grids) — the WindowExec
+    // warning is a false positive there, and dozens of repeats threaten
+    // the 2,000-char stdout tail this main's JSON line must survive in.
+    // Plan hygiene is enforced by PlanSpec, not log lines.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     if (SparkEntry.queries.isEmpty) {
       System.err.println("[bench] FATAL: SparkEntry.queries is empty — nothing to measure")

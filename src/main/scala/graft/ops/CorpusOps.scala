@@ -63,37 +63,41 @@ object CorpusOps {
       b: Double = 0.75): DataFrame = {
     val queryTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(queryTerms.nonEmpty, "query must contain at least one term")
-    val lens = docs.select(col(idCol),
-      TextAnalysis.tokenCount(lower(col(textCol))).cast("long").as("_len"))
-    // corpus scalars: two longs, driver-bounded by construction
-    val head = lens.agg(count(lit(1)), sum(col("_len"))).collect()(0)
-    val nDocs = head.getLong(0)
-    require(nDocs > 0, "bm25TopK: corpus is empty — nothing to rank")
-    val sumLen = head.getLong(1) // non-null: nDocs > 0 and _len is never null
-    val avgLen = sumLen.toDouble / nDocs
-    val tf = docs.select(col(idCol),
-        explode(TextAnalysis.tokens(lower(col(textCol)))).as("_tok"))
-      .where(col("_tok").isin(queryTerms: _*))
-      .groupBy(col(idCol), col("_tok")).agg(count(lit(1)).as("_tf"))
-    // df per query term: bounded by the query size — a driver literal,
-    // which keeps the per-doc score ONE fixed-order expression (a float
+    // ONE map-only pass builds (doc, len, tf per query term) straight off
+    // the token array — no explode (corpus-token-count row blowup), no
+    // (doc, term) aggregation shuffle, and crucially no data-sized
+    // lens ⋈ tf join (the old shape sort-merge-joined two corpus-sized
+    // sides). Per-term count = size(toks) − size(array_remove(toks, t)):
+    // both collection expressions are whole-stage-codegen'd, unlike a
+    // higher-order filter(λ) whose per-element lambda stays interpreted.
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      (size(col("_toks")) - size(array_remove(col("_toks"), lit(t))))
+        .cast("long").as(s"_tf$i")
+    }
+    val perDoc = docs
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("_toks"))
+      .select(col(idCol) +: size(col("_toks")).cast("long").as("_len") +: tfCols: _*)
+    // corpus scalars + per-term document frequency in ONE tiny aggregate
+    // (driver-bounded: 2 + #terms longs). df as a driver literal keeps
+    // the per-doc score ONE fixed-order expression (a float
     // sum(termScore) aggregate would sum in data order; permuted
     // duplicate docs then differ in the last ulp and cross-engine ranks
-    // flip — with literals, equal ingredients give bit-equal scores)
-    val dfByTerm = tf.groupBy("_tok").agg(count(lit(1)).as("_df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // pivot to one integer tf column per query term (absent → 0)
-    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("_tok") === t, col("_tf")).otherwise(0L)).as(s"_tf$i")
-    }
-    val perDoc = tf.groupBy(col(idCol)).agg(tfCols.head, tfCols.tail: _*)
-      .join(lens, Seq(idCol))
+    // flip — with literals, equal ingredients give bit-equal scores).
+    val statAggs = count(lit(1)).as("_n") +: sum(col("_len")).as("_slen") +:
+      queryTerms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
+    val st = perDoc.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val nDocs = st.getLong(0)
+    require(nDocs > 0, "bm25TopK: corpus is empty — nothing to rank")
+    val sumLen = st.getLong(1) // non-null: nDocs > 0 and _len is never null
+    val avgLen = sumLen.toDouble / nDocs
+    val dfByIdx = queryTerms.indices.map(i => st.getLong(2 + i))
     def idf(df: Long): Double =
       math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
-    val termScores = queryTerms.zipWithIndex.map { case (t, i) =>
+    val termScores = queryTerms.zipWithIndex.map { case (_, i) =>
       val tfc = col(s"_tf$i").cast("double")
       when(col(s"_tf$i") > 0,
-        lit(idf(dfByTerm.getOrElse(t, 0L))) * (tfc * lit(k1 + 1.0)) /
+        lit(idf(dfByIdx(i))) * (tfc * lit(k1 + 1.0)) /
           (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * col("_len") / lit(avgLen))))
         .otherwise(lit(0.0))
     }
@@ -101,15 +105,16 @@ object CorpusOps {
       .map(i => when(col(s"_tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
     val totalTf = queryTerms.indices.map(i => col(s"_tf$i")).reduce(_ + _)
     perDoc
+      .where(totalTf > 0) // only docs containing ≥1 query term are ranked
       .withColumn("_score", termScores.reduce(_ + _)) // fixed left-to-right order
       .withColumn("n_terms", nTerms)
       .withColumn("total_tf", totalTf)
       .orderBy(col("_score").desc, col(idCol).asc).limit(k)
-      // rank over the ≤ k surviving rows only; partitionBy(lit(0)) = the
-      // same single-partition execution, minus the global-window warning
+      // rank over the ≤ k surviving rows only — the global window here is
+      // bounded by construction, never data-sized
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(0)).orderBy(col("_score").desc, col(idCol).asc)))
+          .orderBy(col("_score").desc, col(idCol).asc)))
       .select(col("rank"), col(idCol), col("n_terms"), col("total_tf"))
   }
 

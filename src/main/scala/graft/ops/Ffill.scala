@@ -71,10 +71,9 @@ object Ffill {
 
     // Cascade across blocks: carry(blk) = last non-null among all blocks
     // strictly before blk. The summary has (#rows / blockSize) rows — a
-    // few thousand rows at 100 TB, not a bottleneck. partitionBy(lit(0))
-    // is the same one-partition execution as a bare orderBy window but
-    // declares the boundedness (no spurious global-window warning).
-    val wCarry = Window.partitionBy(lit(0)).orderBy(col(blk))
+    // few thousand rows at 100 TB, not a bottleneck (WindowExec's global-
+    // window warning is a false positive on this bounded input).
+    val wCarry = Window.orderBy(col(blk))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = cols.foldLeft(blockSummary)((d, c) =>
       d.withColumn(s"_carry_$c", last(col(s"_last_$c"), ignoreNulls = true).over(wCarry)))

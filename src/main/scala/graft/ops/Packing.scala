@@ -41,12 +41,12 @@ object Packing {
       coalesce(sum(col(tokensCol)).over(wIn), lit(0L)))
 
     // pass 2: block base offsets — single-partition window over block
-    // SUMMARIES only (#rows / blockSize rows). partitionBy(lit(0)) is the
-    // same one-partition execution as a bare orderBy window but declares
-    // the boundedness (and keeps WindowExec's global-window warning for
-    // the cases that are actually data-sized).
+    // SUMMARIES only (#rows / blockSize rows; WindowExec's global-window
+    // warning is a false positive here — the input is bounded, not data-
+    // sized). A constant partition key doesn't help: Catalyst folds
+    // foldable partition expressions right back out.
     val sums = withBlk.groupBy(col(blk)).agg(sum(col(tokensCol)).as("_blk_sum"))
-    val wCarry = Window.partitionBy(lit(0)).orderBy(col(blk))
+    val wCarry = Window.orderBy(col(blk))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bases = sums
       .withColumn("_base", coalesce(sum(col("_blk_sum")).over(wCarry), lit(0L)))
