@@ -27,6 +27,38 @@ object CorpusOps {
   def withSplit(df: DataFrame, textCol: String = "text", outCol: String = "split"): DataFrame =
     df.withColumn(outCol, contentSplit(col(textCol)))
 
+  /** Fixed-size token-window chunking with stride — the pretraining
+    * context-window splitter: chunk `i` of a document covers tokens
+    * `[i·stride, i·stride + chunkSize)`, so consecutive chunks overlap by
+    * `chunkSize − stride` tokens. Map-only at any scale: tokenize, a
+    * generated per-doc chunk-index sequence, and an array slice — the
+    * only row growth is the ~len/stride output chunks (never
+    * corpus-token rows), and no shuffle at all. Chunk content is pinned
+    * by an md5 of the space-joined tokens (hex, engine-portable).
+    * Token-less docs (empty/whitespace/NULL text) emit no chunks.
+    * Returns (idCol, chunk_id, chunk_len, chunk_md5). */
+  def chunkTokens(
+      docs: DataFrame,
+      chunkSize: Int,
+      stride: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val chunk = slice(col("_toks"),
+      (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize))
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) > 0)
+      // last chunk start = the largest multiple of stride < len
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0L),
+          expr(s"(size(_toks) - 1) div $stride"))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        size(chunk).cast("long").as("chunk_len"),
+        md5(concat_ws(" ", chunk)).as("chunk_md5"))
+  }
+
   /** Global vocabulary top-k: most frequent lowercase whitespace tokens.
     * Explode → partial-agg count (map-side combine keeps the shuffle at
     * |vocab|, not |corpus tokens|) → TakeOrderedAndProject. Deterministic

@@ -21,6 +21,37 @@ object EventsOps {
       .drop("_p")
   }
 
+  /** Per-key rolling statistics over a bounded ROWS frame (the `frame−1`
+    * preceding rows + current), ordered by (orderCol, tieCol) — the tie
+    * column makes the order TOTAL, so the frame contents are unique and
+    * the result reproducible on any engine and any physical row order.
+    * The measure is summed in DECIMAL(18,6) (exact for the source data):
+    * float rolling sums differ in the last ulp across engines and
+    * re-runs. One shuffle on the partition key; frames never cross
+    * partitions, so parallelism at 100 TB = #keys and the per-row frame
+    * update is O(1) (Spark's sliding-ROWS WindowExec adds/removes one
+    * row at a time — never re-sums the frame).
+    * Returns (tieCol, keyCol, roll_n, roll_sum, roll_min, roll_max). */
+  def rollingStats(
+      ev: DataFrame,
+      frame: Int = 5,
+      keyCol: String = "user_id",
+      orderCol: String = "ts",
+      tieCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    require(frame > 0, s"frame must be positive, got $frame")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(-(frame - 1), 0)
+    ev.select(col(keyCol), col(orderCol), col(tieCol),
+        col(valueCol).cast("decimal(18,6)").as("_v"))
+      .select(col(tieCol), col(keyCol),
+        count(lit(1)).over(w).as("roll_n"),
+        sum(col("_v")).over(w).as("roll_sum"),
+        min(col("_v")).over(w).as("roll_min"),
+        max(col("_v")).over(w).as("roll_max"))
+  }
+
   /** ceil(sqrt(x)) for non-negative BigInt, exact (Newton + adjust). */
   private def isqrtCeil(x: BigInt): BigInt = {
     require(x >= 0)

@@ -148,6 +148,19 @@ object PipelineQueries {
       Dedup.keepBest(pairs, docs, "doc_id", "n_chars").orderBy("component")
     }),
 
+    // Pretraining context-window chunker: 64-token windows at stride 48
+    // (16-token overlap), map-only, content pinned by per-chunk md5.
+    "p58_chunk_tokens" -> ((s, dir) =>
+      graft.ops.CorpusOps.chunkTokens(Tables(s, dir, "documents"),
+          chunkSize = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")),
+
+    // Bounded sliding ROWS frame per user (last 5 events), exact decimal
+    // sums — the window shape the time-bucket gates (p14/p37) don't cover.
+    "p59_rolling_stats" -> ((s, dir) =>
+      graft.ops.EventsOps.rollingStats(Tables(s, dir, "events"), frame = 5)
+        .orderBy("event_id")),
+
     // Embedding near-dup pairs via hyperplane-LSH buckets on a planted
     // corpus (vec_id + 100000 copies); identical vectors share every
     // bucket, so recall on the planted pairs is exact.
@@ -1163,6 +1176,27 @@ object PipelineQueries {
         "CAST(SUM(CASE WHEN st.n >= 2 AND (r.v * st.n - st.s) * (r.v * st.n - st.s) * (st.n - 1) " +
         "> 9 * st.n * (st.n * st.q - st.s * st.s) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
         "FROM r JOIN st ON r.g = st.g GROUP BY r.g ORDER BY r.g"),
+    // list_slice truncates past the end exactly like Spark's slice;
+    // generate_series is inclusive on both ends like Spark's sequence
+    "p58_chunk_tokens" -> (
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "c AS (SELECT doc_id, toks, unnest(generate_series(0, (len(toks) - 1) // 48)) AS chunk_id FROM t) " +
+        "SELECT doc_id, chunk_id, " +
+        "CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT) AS chunk_len, " +
+        "md5(array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')) AS chunk_md5 " +
+        "FROM c ORDER BY doc_id, chunk_id"),
+    // ts truncated to microseconds BEFORE ordering (Spark timestamps are
+    // micro-precision) so frame membership agrees; event_id makes the
+    // order total; DECIMAL sums are exact on both engines
+    "p59_rolling_stats" -> (
+      "SELECT event_id, user_id, CAST(COUNT(*) OVER w AS BIGINT) AS roll_n, " +
+        "SUM(CAST(value AS DECIMAL(18,6))) OVER w AS roll_sum, " +
+        "MIN(CAST(value AS DECIMAL(18,6))) OVER w AS roll_min, " +
+        "MAX(CAST(value AS DECIMAL(18,6))) OVER w AS roll_max " +
+        "FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id " +
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
     "p51_cube" -> (
       "SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents GROUP BY CUBE(lang, source) " +

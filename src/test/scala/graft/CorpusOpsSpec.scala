@@ -269,4 +269,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(out.toSeq == Seq((1, 7L), (2, 10L)))
   }
+
+  test("chunkTokens: strided windows, truncated tail, empty docs skipped") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b c d e f g h"),               // 8 tokens
+      (3L, "   "),                           // whitespace-only → no chunks
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.chunkTokens(docs, chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1: starts 0,3,6,9 → lens 4,4,4,1; doc 2: starts 0,3,6 → 4,4,2
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq == Seq(
+      (1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (1L, 3L, 1L),
+      (2L, 0L, 4L), (2L, 1L, 4L), (2L, 2L, 2L),
+      (4L, 0L, 1L)))
+    val md5OfFirst = java.security.MessageDigest.getInstance("MD5")
+      .digest("t0 t1 t2 t3".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.head._4 == md5OfFirst)
+  }
+
+  test("chunkTokens: stride == chunkSize is an exact partition, no overlap") {
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val out = CorpusOps.chunkTokens(docs, chunkSize = 4, stride = 4)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 4L), (1L, 4L)))
+  }
 }

@@ -59,6 +59,31 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 22L, 1L)))
   }
 
+  test("rollingStats: per-key bounded frame, exact decimal sums, total order") {
+    val ev = Seq(
+      // user 1: values 1,2,3,4 in ts order; frame 3
+      (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1.5),
+      (2L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 2.5),
+      (3L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 3.0),
+      (4L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:04"), 4.0),
+      // user 2: two events at the SAME ts — event_id breaks the tie
+      (6L, 2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), 10.0),
+      (5L, 2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), 20.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventsOps.rollingStats(ev, frame = 3)
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getDecimal(3).doubleValue(), r.getDecimal(4).doubleValue(),
+        r.getDecimal(5).doubleValue()))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1.5, 1.5, 1.5),
+      (2L, 2L, 4.0, 1.5, 2.5),
+      (3L, 3L, 7.0, 1.5, 3.0),
+      (4L, 3L, 9.5, 2.5, 4.0), // frame slid: 1.5 dropped out
+      (5L, 1L, 20.0, 20.0, 20.0), // id 5 FIRST within the tie
+      (6L, 2L, 30.0, 10.0, 20.0)))
+  }
+
   test("valueOutliers overflows LOUDLY, never a silent wrong answer") {
     // |value| ≥ 1e12 breaks the DECIMAL(18,6) fixed-point cast → raise
     val tooBig = Seq(("g", 2.0e12), ("g", 1.0))
