@@ -167,8 +167,12 @@ object OracleQueries {
         .orderBy("vec_id", "pos")),
 
     // Q19 — left anti join (the not_found complement shape, SURVEY §2.3).
+    // right side restricted to urgent orders so the complement is
+    // non-empty at every sf — an all-keys-match anti join verifies an
+    // empty result, i.e. nothing
     "q19_anti_join" -> ((s, dir) => {
-      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey").orderBy("c_custkey")
     }),
@@ -221,7 +225,8 @@ object OracleQueries {
     "q18_explode" ->
       "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, ROUND(CAST(unnest(embedding) AS DOUBLE), 4) + 0.0 AS x FROM embeddings ORDER BY vec_id, pos",
     "q19_anti_join" ->
-      "SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey",
+      ("SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT') ORDER BY c_custkey"),
     "q20_semi_join" ->
       "SELECT s_suppkey, s_name FROM supplier s WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey) ORDER BY s_suppkey"
   )

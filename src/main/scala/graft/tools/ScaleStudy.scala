@@ -65,26 +65,38 @@ object ScaleData {
   }
 }
 
-/** The headline data-shaped operators, run ONCE each against the
-  * materialized ×k tables — `graft.Bench`'s scaled tier. One iteration
-  * (not median-of-3): at ×20/×10 rows these are data-dominated, which is
-  * the whole point; the sf0.1 suite covers plan-overhead stability. */
+/** The headline data-shaped operators against the materialized ×k
+  * tables — `graft.Bench`'s scaled tier. Per-op MEDIAN of
+  * SPARK_GRAFT_BENCH_SCALE_ITERS (default 3) iterations: the first
+  * execution of a plan pays codegen compilation + C2 JIT of the
+  * generated classes, which a 100 TB job amortizes over hours — a
+  * single-shot number conflates that fixed cost with the data-shaped
+  * cost this tier exists to measure (round-6 single shots showed ops
+  * at 5-10× their steady state). */
 object ScaledOps {
 
   def run(spark: SparkSession, docsPath: String, eventsPath: String): Seq[(String, Double)] = {
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_ITERS", "3").toInt
     def sink(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     def time(name: String)(f: => Unit): (String, Double) = {
       // same block hygiene as Bench's per-query loop: leftovers from the
       // previous op must not bill this one (untimed)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      System.gc()
-      val t0 = System.nanoTime()
-      try { f; name -> (System.nanoTime() - t0) / 1e9 }
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench-scaled] $name FAILED: ${e.getMessage}")
-          name -> -1.0
+      val times = (1 to iters).flatMap { _ =>
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        System.gc()
+        val t0 = System.nanoTime()
+        try { f; Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench-scaled] $name FAILED: ${e.getMessage}")
+            None
+        }
       }
+      name -> (if (times.isEmpty) -1.0 else median(times))
     }
     val docs = spark.read.parquet(docsPath)
     val ev = spark.read.parquet(eventsPath)
@@ -116,7 +128,9 @@ object ScaledOps {
       time("bm25") { sink(CorpusOps.bm25TopK(docs, "hash join spark", 20)) },
       time("json_outliers") { sink(graft.ops.EventsOps.valueOutliers(
         graft.ops.EventsOps.parseProps(ev)
-          .withColumn("value", col("prop_k").cast("double")))) })
+          .withColumn("value", col("prop_k").cast("double")))) },
+      time("chunk_tokens") { sink(CorpusOps.chunkTokens(docs, 64, 48)) },
+      time("rolling_stats") { sink(graft.ops.EventsOps.rollingStats(ev, frame = 5)) })
   }
 }
 
