@@ -366,6 +366,89 @@ object CorpusOps {
       bucket.as("decile"))
   }
 
+  /** Equal-width histogram over a numeric column: two tiny passes (one
+    * scalar min/max aggregate collected to the driver — the imputation
+    * precedent — then a map-only bin assignment + partial-agg count).
+    * `bin = min(floor((v − lo)/width), bins−1)` so `hi` lands in the last
+    * bucket; all bucket arithmetic is IEEE double over exact integer
+    * inputs, bit-identical on any engine. Empty input → empty result. */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins > 0, "histogram: bins must be positive")
+    val v = col(valueCol).cast("double")
+    val row = df.agg(min(v).as("lo"), max(v).as("hi")).first()
+    val out =
+      if (row.isNullAt(0)) df.limit(0).select(lit(0L).as("bin"), lit(0L).as("n"))
+      else {
+        val lo = row.getDouble(0)
+        val width = (row.getDouble(1) - lo) / bins
+        val bin =
+          if (width == 0) lit(0L)
+          else least(floor((v - lit(lo)) / lit(width)).cast("long"), lit(bins - 1L))
+        df.groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+      }
+    out.orderBy("bin")
+  }
+
+  /** Per-group top-k rows by a score column, id-ascending tie-break —
+    * the "best k docs per source" shape. One hash shuffle on the group
+    * key; the window sorts within each group only (never a global
+    * order). For pathological giant groups, `salts > 1` adds the same
+    * two-phase pre-prune as [[quotaSample]]: a salted local top-k first,
+    * so the final per-group sort sees ≤ salts·k rows. */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      k: Int,
+      idCol: String = "doc_id",
+      salts: Int = 1): DataFrame = {
+    require(k > 0, "topKPerGroup: k must be positive")
+    val gs = groupCols.map(col)
+    val pruned =
+      if (salts <= 1) df
+      else {
+        val wLocal = org.apache.spark.sql.expressions.Window
+          .partitionBy(gs :+ pmod(xxhash64(col(idCol)), lit(salts)): _*)
+          .orderBy(col(scoreCol).desc, col(idCol).asc)
+        df.withColumn("_lr", row_number().over(wLocal))
+          .where(col("_lr") <= k)
+          .drop("_lr")
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    pruned.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Weighted sampling WITHOUT RNG: sequential Poisson sampling
+    * (Ohlsson) — per-row priority ξ = u/w where u is a 44-bit integer
+    * drawn from the content fingerprint and w > 0 the weight; the n
+    * smallest ξ form an approximate probability-proportional-to-size
+    * sample. Deterministic, reshuffle-stable, and engine-portable: ξ is
+    * ONE double division of exact integers (IEEE-identical everywhere —
+    * no pow/log whose libm rounding could differ across engines).
+    * Global top-n = TakeOrdered (per-partition heads, never a full
+    * sort). Non-positive or NULL weights raise. */
+  def weightedSample(
+      docs: DataFrame,
+      n: Int,
+      weightCol: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n > 0, "weightedSample: n must be positive")
+    val u = conv(substring(TextAnalysis.fingerprint(col(textCol), 16), 1, 11), 16, 10)
+      .cast("long")
+    val w = col(weightCol).cast("double")
+    val xi = when(col(weightCol).isNull || w <= 0.0,
+        raise_error(concat(lit("weightedSample: non-positive weight for id "),
+          col(idCol).cast("string"))))
+      .otherwise(u.cast("double") / w)
+    docs
+      .select(col(idCol), col(weightCol), xi.as("xi"))
+      .orderBy(col("xi").asc, col(idCol).asc)
+      .limit(n)
+  }
+
   /** Per-group token-length quantiles (p50/p90/p99) + count — the
     * distribution profile behind length-cutoff filters.
     *

@@ -41,4 +41,28 @@ object SnapshotDiff {
     (if (keepUnchanged) joined else joined.where(col("status") =!= "unchanged"))
       .select(col(keyCol), col("status"))
   }
+
+  /** Apply a change set to a base snapshot — the CDC merge / upsert
+    * primitive closing the incremental-ETL loop that [[diff]] opens:
+    * `applyDiff(old, diff(old,new) ⋈ payload) == new`. `changes` carries
+    * (key, status, payload columns); `added`/`changed` keys are inserted
+    * with their payload, `removed` keys are dropped, and base rows whose
+    * key is absent from `changes` pass through untouched. One
+    * key-partitioned anti join + a union — the change set is the small
+    * side at 100 TB (often broadcast-able; left to AQE since "small" is
+    * a runtime property), and base payloads never reshuffle wider than
+    * the join key. Unknown status values raise rather than silently
+    * dropping rows. */
+  def applyDiff(base: DataFrame, changes: DataFrame, keyCol: String): DataFrame = {
+    val checked = changes.withColumn("status",
+      when(col("status").isin("added", "removed", "changed"), col("status"))
+        .otherwise(raise_error(concat(lit("applyDiff: unknown status "),
+          col("status")))))
+    val kept = base.join(checked.select(keyCol), Seq(keyCol), "left_anti")
+    val upserts = checked
+      .where(col("status").isin("added", "changed"))
+      .drop("status")
+      .select(base.columns.map(col).toIndexedSeq: _*)
+    kept.unionByName(upserts)
+  }
 }

@@ -161,6 +161,47 @@ object PipelineQueries {
       graft.ops.EventsOps.rollingStats(Tables(s, dir, "events"), frame = 5)
         .orderBy("event_id")),
 
+    // Equal-width histogram: one scalar min/max pass + a map-only bin
+    // ladder; all bucket arithmetic IEEE-double over exact integers.
+    "p60_histogram" -> ((s, dir) =>
+      graft.ops.CorpusOps.histogram(Tables(s, dir, "documents"), "n_chars", 12)),
+
+    // Per-group top-k by score (window within group only, never global).
+    "p61_topk_per_group" -> ((s, dir) =>
+      graft.ops.CorpusOps.topKPerGroup(Tables(s, dir, "documents"),
+          Seq("lang", "source"), "n_chars", k = 3)
+        .select("doc_id", "lang", "source", "n_chars", "rk")
+        .orderBy("lang", "source", "rk")),
+
+    // RNG-free weighted sampling (sequential Poisson): ξ = u/w from the
+    // content fingerprint; global top-n via TakeOrdered.
+    "p62_weighted_sample" -> ((s, dir) =>
+      graft.ops.CorpusOps.weightedSample(Tables(s, dir, "documents"),
+        n = 100, weightCol = "n_chars")),
+
+    // CDC round trip: perturb documents into a "yesterday" snapshot
+    // (drop %13 keys → added, upper-case %7 texts → changed, inject
+    // shifted keys → removed), diff old vs new, join payloads, apply —
+    // the merged result must equal the original table bit-for-bit, so
+    // the oracle is simply `SELECT * FROM documents`.
+    "p63_cdc_merge" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val content = Seq("text", "lang", "source", "n_chars")
+      val changed = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("text", upper(col("text")))
+      val extra = docs.where(pmod(col("doc_id"), lit(17)) === 3)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      val old = docs
+        .where(pmod(col("doc_id"), lit(13)) =!= 0)
+        .where(pmod(col("doc_id"), lit(7)) =!= 0)
+        .unionByName(changed).unionByName(extra)
+      val diff = graft.ops.SnapshotDiff.diff(old, docs, "doc_id", content)
+      val changes = diff.join(docs, Seq("doc_id"), "left")
+      graft.ops.SnapshotDiff.applyDiff(old, changes, "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Embedding near-dup pairs via hyperplane-LSH buckets on a planted
     // corpus (vec_id + 100000 copies); identical vectors share every
     // bucket, so recall on the planted pairs is exact.
@@ -1197,6 +1238,31 @@ object PipelineQueries {
         "FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id " +
         "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    // bucket arithmetic is the same IEEE double expression on both
+    // engines; LEAST folds the max value into the last bucket
+    "p60_histogram" -> (
+      "WITH mm AS (SELECT MIN(CAST(n_chars AS DOUBLE)) AS lo, " +
+        "(MAX(CAST(n_chars AS DOUBLE)) - MIN(CAST(n_chars AS DOUBLE))) / 12 AS width FROM documents) " +
+        "SELECT LEAST(CAST(FLOOR((CAST(n_chars AS DOUBLE) - mm.lo) / mm.width) AS BIGINT), 11) AS bin, " +
+        "COUNT(*) AS n FROM documents, mm GROUP BY bin ORDER BY bin"),
+    "p61_topk_per_group" -> (
+      "SELECT doc_id, lang, source, n_chars, CAST(rk AS INT) AS rk FROM (" +
+        "SELECT doc_id, lang, source, n_chars, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY n_chars DESC, doc_id ASC) AS rk " +
+        "FROM documents) WHERE rk <= 3 ORDER BY lang, source, rk"),
+    // u = first 11 hex chars of the content sha as a 44-bit integer
+    // (hex fold via shifts — exact); ξ = u/w is one IEEE double division
+    "p62_weighted_sample" -> (
+      "WITH f AS (SELECT doc_id, n_chars, " +
+        "substring(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 11) AS h FROM documents), " +
+        "u AS (SELECT doc_id, n_chars, CAST(list_sum(list_transform(generate_series(1, 11), " +
+        "i -> CAST(strpos('0123456789abcdef', substring(h, CAST(i AS INT), 1)) - 1 AS BIGINT) " +
+        "* (CAST(1 AS BIGINT) << CAST(4 * (11 - i) AS INT)))) AS BIGINT) AS m FROM f) " +
+        "SELECT doc_id, n_chars, CAST(m AS DOUBLE) / CAST(n_chars AS DOUBLE) AS xi " +
+        "FROM u ORDER BY xi ASC, doc_id ASC LIMIT 100"),
+    // the CDC loop closes exactly: applyDiff(old, diff(old,new)) == new
+    "p63_cdc_merge" -> (
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"),
     "p51_cube" -> (
       "SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents GROUP BY CUBE(lang, source) " +

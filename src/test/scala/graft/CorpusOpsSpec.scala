@@ -297,4 +297,58 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((0L, 4L), (1L, 4L)))
   }
+
+  test("histogram: hand-computed bins, max lands in the last bucket") {
+    val df = Seq(0L, 1L, 2L, 5L, 9L, 10L).toDF("v")
+    // lo=0, hi=10, 5 bins of width 2: [0,2)→{0,1}, [2,4)→{2}, [4,6)→{5},
+    // [8,10]→{9,10} (max folded into the last bucket)
+    val out = CorpusOps.histogram(df, "v", 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 4L -> 2L))
+  }
+
+  test("histogram: degenerate single-value domain and empty input") {
+    val same = Seq(7L, 7L, 7L).toDF("v")
+    val out = CorpusOps.histogram(same, "v", 4).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 0L && out(0).getLong(1) == 3L)
+    assert(CorpusOps.histogram(same.where(lit(false)), "v", 4).count() == 0)
+  }
+
+  test("topKPerGroup: score-desc with id tie-break; salted pre-prune identical") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 5L),
+      (5L, "b", 1L)).toDF("doc_id", "g", "score")
+    val out = CorpusOps.topKPerGroup(df, Seq("g"), "score", k = 2)
+      .orderBy("g", "rk")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3)))
+    // ties on 30 break id-ascending: doc 2 before doc 3
+    assert(out.toSeq == Seq(("a", 2L, 1), ("a", 3L, 2), ("b", 5L, 1)))
+    val salted = CorpusOps.topKPerGroup(df, Seq("g"), "score", k = 2, salts = 4)
+      .orderBy("g", "rk")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3)))
+    assert(salted.toSeq == out.toSeq)
+  }
+
+  test("weightedSample: deterministic, reshuffle-stable, weight-monotone on dup content") {
+    val df = Seq(
+      (1L, "same text", 10L), (2L, "same text", 1000L),
+      (3L, "other doc", 50L), (4L, "tercero", 7L)).toDF("doc_id", "text", "w")
+    val out = CorpusOps.weightedSample(df, n = 4, weightCol = "w", textCol = "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // identical content ⇒ identical u, so the heavier duplicate has the
+    // strictly smaller priority ξ = u/w (PPS bias in the right direction)
+    val xi = out.toMap
+    assert(xi(2L) < xi(1L))
+    val again = CorpusOps.weightedSample(df.repartition(7), n = 4, weightCol = "w",
+      textCol = "text").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(again.toSeq == out.toSeq)
+  }
+
+  test("weightedSample: non-positive weight raises loudly") {
+    val df = Seq((1L, "texto", 0L)).toDF("doc_id", "text", "w")
+    val e = intercept[Exception] {
+      CorpusOps.weightedSample(df, n = 1, weightCol = "w", textCol = "text").collect()
+    }
+    assert(e.getMessage.contains("non-positive weight"))
+  }
 }

@@ -44,4 +44,25 @@ class SnapshotDiffSpec extends AnyFunSuite {
     val out = SnapshotDiff.diff(old, neu, "id", Seq("u", "v")).collect()
     assert(out.length == 1 && out(0).getString(1) == "changed")
   }
+
+  test("applyDiff closes the CDC loop: applyDiff(old, diff ⋈ payload) == new") {
+    val old = Seq((1L, "keep", "x"), (2L, "stale", "y"), (3L, "gone", "z"))
+      .toDF("id", "u", "v")
+    val neu = Seq((1L, "keep", "x"), (2L, "fresh", "y"), (4L, "born", "w"))
+      .toDF("id", "u", "v")
+    val d = SnapshotDiff.diff(old, neu, "id", Seq("u", "v"))
+    val changes = d.join(neu, Seq("id"), "left")
+    val merged = SnapshotDiff.applyDiff(old, changes, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(merged.toSeq == Seq((1L, "keep", "x"), (2L, "fresh", "y"), (4L, "born", "w")))
+  }
+
+  test("applyDiff: unknown change status raises instead of dropping rows") {
+    val old = Seq((1L, "a", "b")).toDF("id", "u", "v")
+    val changes = Seq((1L, "mangled", "a", "b")).toDF("id", "status", "u", "v")
+    val e = intercept[Exception] {
+      SnapshotDiff.applyDiff(old, changes, "id").collect()
+    }
+    assert(e.getMessage.contains("unknown status"))
+  }
 }
