@@ -202,6 +202,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Distributed Lloyd's k-means, 2 deterministic iterations from the
+    // k-smallest-id seeds: integer micro-unit distances, floor(sum/n)
+    // centroid updates — the oracle replays the exact trajectory, so
+    // (cluster, dist²) pin every assignment AND the centroids.
+    "p64_kmeans" -> ((s, dir) =>
+      graft.ops.Clustering.kmeans(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 4, iters = 2)
+        .orderBy("vec_id")),
+
     // Embedding near-dup pairs via hyperplane-LSH buckets on a planted
     // corpus (vec_id + 100000 copies); identical vectors share every
     // bucket, so recall on the planted pairs is exact.
@@ -1263,6 +1272,33 @@ object PipelineQueries {
     // the CDC loop closes exactly: applyDiff(old, diff(old,new)) == new
     "p63_cdc_merge" -> (
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"),
+    // full 2-iteration Lloyd replay: BIGINT micro-unit distances (SUM
+    // cast back down from DuckDB's HUGEINT), floor(sum/n) centroid
+    // update — the identical IEEE division Spark's driver performs
+    "p64_kmeans" -> (
+      "WITH q AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq FROM embeddings), " +
+        "qd AS (SELECT vec_id, CAST(generate_subscripts(xq, 1) AS INT) AS pos, unnest(xq) AS x FROM q), " +
+        "seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, xq " +
+        "FROM q ORDER BY vec_id LIMIT 4), " +
+        "cd0 AS (SELECT cid, CAST(generate_subscripts(xq, 1) AS INT) AS pos, unnest(xq) AS c FROM seeds), " +
+        "a0 AS (SELECT vec_id, cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d " +
+        "FROM qd JOIN cd0 USING (pos) GROUP BY vec_id, cid), " +
+        "g0 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a0) WHERE rn = 1), " +
+        "cd1 AS (SELECT cid, pos, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c " +
+        "FROM qd JOIN g0 USING (vec_id) GROUP BY cid, pos), " +
+        "a1 AS (SELECT vec_id, cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d " +
+        "FROM qd JOIN cd1 USING (pos) GROUP BY vec_id, cid), " +
+        "g1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a1) WHERE rn = 1), " +
+        "cd2 AS (SELECT cid, pos, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c " +
+        "FROM qd JOIN g1 USING (vec_id) GROUP BY cid, pos), " +
+        "a2 AS (SELECT vec_id, cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d " +
+        "FROM qd JOIN cd2 USING (pos) GROUP BY vec_id, cid) " +
+        "SELECT vec_id, cid AS cluster, d AS dist2 FROM (SELECT vec_id, cid, d, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a2) " +
+        "WHERE rn = 1 ORDER BY vec_id"),
     "p51_cube" -> (
       "SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents GROUP BY CUBE(lang, source) " +

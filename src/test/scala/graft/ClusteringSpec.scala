@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Clustering
+
+/** Deterministic fixed-point k-means: hand-planted clusters, empty-cluster
+  * centroid retention, reshuffle stability. */
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("two planted clusters separate after one iteration from co-located seeds") {
+    // seeds are ids 1 and 2 — both in the left blob; the right blob must
+    // still pull centroid 1 over by the mean update
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)), (3L, Array(0.0f, 0.1f)),
+      (4L, Array(10.0f, 10.0f)), (5L, Array(10.1f, 10.0f)), (6L, Array(10.0f, 10.1f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 3)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(Set(out(4L), out(5L), out(6L)).size == 1)
+    assert(out(1L) != out(4L))
+  }
+
+  test("duplicate seeds: the starved cluster keeps its centroid, run stays total") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.0f, 0.0f)), (3L, Array(5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    // seeds = ids 1,2 (identical): every point ties to cid 0 first, so
+    // cluster 1 is empty each round and must survive with its seed centroid
+    val out = Clustering.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .orderBy("vec_id").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getInt(1)).forall(c => c == 0 || c == 1))
+  }
+
+  test("assignment and dist2 are exact and reshuffle-stable") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)),
+      (3L, Array(-1.0f, 0.5f)), (4L, Array(2.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val a = Clustering.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b = Clustering.kmeans(vecs.repartition(5), "vec_id", "embedding", k = 2, iters = 2)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq)
+    // dist2 of a point equal to an integral centroid is exactly 0
+    val exact = Clustering.kmeans(vecs.limit(2), "vec_id", "embedding", k = 2, iters = 1)
+      .orderBy("vec_id").collect()
+    assert(exact.forall(_.getLong(2) == 0L))
+  }
+}
