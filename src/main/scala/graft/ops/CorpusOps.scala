@@ -366,6 +366,61 @@ object CorpusOps {
       bucket.as("decile"))
   }
 
+  /** CCNet-style LM quality score, INTEGER-EXACT: per-document mean
+    * bigram surprisal in whole bits under an add-one-smoothed bigram
+    * model trained on the corpus itself. Per bigram instance the
+    * surprisal is `⌊log₂((c₁+V)/(c₁₂+1))⌋` — computed with pure integer
+    * arithmetic (binary bit lengths + one shift-compare), so per-doc
+    * sums are order-independent and bit-identical on any engine; no
+    * libm log whose last-ulp rounding could differ across runtimes.
+    * (c₁₂ = corpus count of the bigram, c₁ = count of its left context,
+    * V = corpus vocabulary size.)
+    *
+    * Scale shape: tokenize + pair map-only; the model is ONE partial
+    * aggregate at |bigram vocab| (map-side combined, never corpus-token
+    * rows); scoring is two equi-joins on bounded model keys + one
+    * per-doc aggregate. High avg_bits ⇒ improbable text (noise/garble),
+    * low ⇒ repetitive boilerplate — the standard perplexity-filter
+    * signal, coarse-grained to whole bits for exactness.
+    * Docs with < 2 tokens emit no row. */
+  def bigramSurprisal(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val base = docs.select(col(idCol), toks.as("_t")).where(size(col("_t")) >= 2)
+    // consecutive pairs: zip the array with itself shifted by one
+    val pairs = base.select(col(idCol),
+      explode(zip_with(
+        slice(col("_t"), lit(1), size(col("_t")) - 1),
+        slice(col("_t"), lit(2), size(col("_t")) - 1),
+        (a, b) => struct(a.as("l"), concat_ws("\u0001", a, b).as("bg"))))
+        .as("_p"))
+      .select(col(idCol), col("_p.l").as("l"), col("_p.bg").as("bg"))
+
+    val model = pairs.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val lefts = pairs.groupBy("l").agg(count(lit(1)).as("c1"))
+    val vRow = docs.select(explode(toks).as("_tok"))
+      .agg(countDistinct(col("_tok"))).first()
+    val v = if (vRow.isNullAt(0)) 0L else vRow.getLong(0)
+
+    // ⌊log₂(a/b)⌋ for ints 1 ≤ b ≤ a: bit-length gap, minus one when the
+    // shifted divisor overshoots — exact, overflow-free (a ≤ tokens+V)
+    pairs
+      .join(model, Seq("bg"), "left").na.fill(0L, Seq("c12"))
+      .join(lefts, Seq("l"), "left").na.fill(0L, Seq("c1"))
+      .withColumn("_a", col("c1") + lit(v))
+      .withColumn("_b", col("c12") + lit(1L))
+      .withColumn("_k0", (length(bin(col("_a"))) - length(bin(col("_b")))).cast("int"))
+      .withColumn("_bits",
+        when(col("_a") < expr("shiftleft(_b, _k0)"), col("_k0") - 1)
+          .otherwise(col("_k0")).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("_bits").as("bits"))
+      .withColumn("avg_bits",
+        col("bits").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   /** Equal-width histogram over a numeric column: two tiny passes (one
     * scalar min/max aggregate collected to the driver — the imputation
     * precedent — then a map-only bin assignment + partial-agg count).

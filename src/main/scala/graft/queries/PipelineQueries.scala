@@ -211,6 +211,13 @@ object PipelineQueries {
           "vec_id", "embedding", k = 4, iters = 2)
         .orderBy("vec_id")),
 
+    // Perplexity-style quality filter with zero float hazard: per-doc
+    // mean bigram surprisal in whole bits (integer bit-length log2)
+    // under an add-one bigram model trained on the corpus itself.
+    "p65_bigram_surprisal" -> ((s, dir) =>
+      graft.ops.CorpusOps.bigramSurprisal(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // Embedding near-dup pairs via hyperplane-LSH buckets on a planted
     // corpus (vec_id + 100000 copies); identical vectors share every
     // bucket, so recall on the planted pairs is exact.
@@ -1299,6 +1306,26 @@ object PipelineQueries {
         "SELECT vec_id, cid AS cluster, d AS dist2 FROM (SELECT vec_id, cid, d, " +
         "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a2) " +
         "WHERE rn = 1 ORDER BY vec_id"),
+    // integer-exact ⌊log2((c1+V)/(c12+1))⌋ via binary bit lengths + one
+    // shift-compare — the same arithmetic Spark runs, no libm log
+    "p65_bigram_surprisal" -> (
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "bi AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i " +
+        "FROM t WHERE len(toks) >= 2), " +
+        "bp AS (SELECT doc_id, toks[CAST(i AS INT)] AS l, " +
+        "toks[CAST(i AS INT)] || chr(1) || toks[CAST(i AS INT) + 1] AS bg FROM bi), " +
+        "model AS (SELECT bg, COUNT(*) AS c12 FROM bp GROUP BY bg), " +
+        "lf AS (SELECT l, COUNT(*) AS c1 FROM bp GROUP BY l), " +
+        "v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)), " +
+        "sc AS (SELECT doc_id, c1 + v.v AS a, c12 + 1 AS b " +
+        "FROM bp JOIN model USING (bg) JOIN lf USING (l), v), " +
+        "k AS (SELECT doc_id, CASE WHEN a < (b << (length(bin(a)) - length(bin(b)))) " +
+        "THEN length(bin(a)) - length(bin(b)) - 1 " +
+        "ELSE length(bin(a)) - length(bin(b)) END AS bits FROM sc) " +
+        "SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(bits) AS BIGINT) AS bits, " +
+        "CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bits " +
+        "FROM k GROUP BY doc_id ORDER BY doc_id"),
     "p51_cube" -> (
       "SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents GROUP BY CUBE(lang, source) " +

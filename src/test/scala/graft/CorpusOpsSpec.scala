@@ -344,6 +344,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("bigramSurprisal: hand-computed bits, short docs excluded") {
+    val df = Seq(
+      (1L, "a b a b"), // bigrams ab, ba, ab
+      (2L, "a b"),     // bigram ab
+      (3L, "c")        // single token → no row
+    ).toDF("doc_id", "text")
+    // model: c12(ab)=3, c12(ba)=1; c1(a)=3, c1(b)=1; V=3 (a,b,c)
+    // ab: ⌊log2((3+3)/(3+1))⌋ = ⌊log2(1.5)⌋ = 0
+    // ba: ⌊log2((1+3)/(1+1))⌋ = ⌊log2(2)⌋ = 1
+    val out = CorpusOps.bigramSurprisal(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 3L, 1L, 1.0 / 3.0), (2L, 1L, 0L, 0.0)))
+  }
+
+  test("bigramSurprisal: rare continuations cost more bits than common ones") {
+    val common = Seq.fill(20)("the cat sat").mkString(" ")
+    val df = (Seq((1L, common), (2L, "cat zzz qqq www"))).toDF("doc_id", "text")
+    val out = CorpusOps.bigramSurprisal(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(2L) > out(1L))
+  }
+
   test("weightedSample: non-positive weight raises loudly") {
     val df = Seq((1L, "texto", 0L)).toDF("doc_id", "text", "w")
     val e = intercept[Exception] {
