@@ -119,7 +119,8 @@ object Bench {
         val evScale = math.max(scale / 2, 1)
         val docsPath = graft.tools.ScaleData.materialize(spark, sfDir, "documents", scale, cpus.toInt)
         val eventsPath = graft.tools.ScaleData.materialize(spark, sfDir, "events", evScale, cpus.toInt)
-        val ops = graft.tools.ScaledOps.run(spark, docsPath, eventsPath)
+        val embPath = graft.tools.ScaleData.materialize(spark, sfDir, "embeddings", scale, cpus.toInt)
+        val ops = graft.tools.ScaledOps.run(spark, docsPath, eventsPath, embPath)
         failed += ops.count(_._2 < 0)
         val opsJson = ops.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
         s""","scaled":{"docs_x":$scale,"events_x":$evScale,"ops":$opsJson}"""

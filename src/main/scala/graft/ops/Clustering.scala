@@ -1,7 +1,14 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed Lloyd's k-means over an embedding column, DETERMINISTIC
   * and engine-portable by construction:
@@ -18,33 +25,26 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (the reason this is the 100 TB layout): vectors never
   * leave the executors — per iteration the data-sized work is ONE
-  * map-only codegen'd argmin (k literal centroids folded into the
+  * map-only argmin kernel (k literal centroids folded into the
   * expression, no join) plus ONE partial aggregate shuffling
   * k·dim·partitions pre-combined rows; only the k·dim centroid sums
   * (kilobytes) ever reach the driver, the same bounded-collect
-  * precedent as [[Ivf]]'s quantizer. Empty clusters keep their previous
-  * centroid. */
+  * precedent as [[Ivf]]'s quantizer. The quantized vectors persist
+  * (memory-and-disk) across iterations — the standard iterative-ML
+  * trade: one materialization instead of `iters` source re-scans.
+  * The assignment is [[NearestCentroidExpression]], a tight pre-compiled
+  * long loop over k×dim: the per-iteration plan carries new centroid
+  * literals, and a kernel costs nothing to "recompile" where a
+  * zip_with/aggregate expression tree pays a fresh janino pass every
+  * iteration. Empty clusters keep their previous centroid. */
 object Clustering {
 
   /** Exact BIGINT micro-unit quantization of a float/double vector. */
   def quantized(vecCol: Column): Column =
     transform(vecCol, e => floor(e.cast("double") * lit(1000000.0d)).cast("long"))
 
-  /** Σ (xᵢ−cᵢ)² against a literal centroid — exact BIGINT. */
-  private def dist2(xq: Column, c: Array[Long]): Column =
-    aggregate(
-      zip_with(xq, array(c.map(lit).toIndexedSeq: _*), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, v) => acc + v)
-
-  /** All k distances as one array; argmin =
-    * `array_position(d, array_min(d)) − 1` — first match, so exact-tie
-    * distances break to the smaller cluster id (integer equality, no
-    * float hazard). */
-  private def distArray(xq: Column, cents: Seq[Array[Long]]): Column =
-    array(cents.map(dist2(xq, _)): _*)
-
-  private def argmin(d: Column): Column =
-    (array_position(d, array_min(d)) - 1).cast("int")
+  private def nearest(xq: Column, cents: Seq[Array[Long]]): Column =
+    toCol(NearestCentroidExpression(toExpr(xq), cents.map(_.toSeq)))
 
   /** Returns (idCol, cluster, dist2) after `iters` Lloyd iterations
     * from the k-smallest-id seeds. */
@@ -57,6 +57,7 @@ object Clustering {
     require(k > 0, "kmeans: k must be positive")
     require(iters > 0, "kmeans: need at least one iteration")
     val q = vecs.select(col(idCol).as("_id"), quantized(col(vecCol)).as("_xq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     var cents: Seq[Array[Long]] = q.orderBy("_id").limit(k).collect()
       .map(_.getSeq[Long](1).toArray).toSeq
@@ -65,7 +66,7 @@ object Clustering {
 
     for (_ <- 1 to iters) {
       val sums = q
-        .select(argmin(distArray(col("_xq"), cents)).as("_cid"),
+        .select(nearest(col("_xq"), cents)("cid").as("_cid"),
           posexplode(col("_xq")).as(Seq("_pos", "_x")))
         .groupBy("_cid", "_pos")
         .agg(sum("_x").as("_s"), count(lit(1)).as("_n"))
@@ -84,9 +85,51 @@ object Clustering {
       }
     }
 
-    q.withColumn("_d", distArray(col("_xq"), cents))
+    // the iterations (eager collects) are what the cache exists for; the
+    // final assignment recomputes the map-only lineage once so we can
+    // release the blocks before handing back a lazy result
+    q.unpersist(blocking = false)
+    q.withColumn("_a", nearest(col("_xq"), cents))
       .select(col("_id").as(idCol),
-        argmin(col("_d")).as("cluster"),
-        array_min(col("_d")).as("dist2"))
+        col("_a")("cid").as("cluster"),
+        col("_a")("dist2").as("dist2"))
   }
+}
+
+/** Kernel: (nearest centroid id, exact squared L2 distance) for a
+  * quantized BIGINT vector against k literal centroids — one tight
+  * pre-compiled long loop over k×dim per row (no per-row array
+  * allocation, nothing for janino to recompile when the centroid
+  * literals change between iterations). Strict `<` keeps the smallest
+  * cluster id on exact-tie distances — integer equality, no float
+  * hazard. */
+case class NearestCentroidExpression(
+    child: Expression,
+    centroids: Seq[Seq[Long]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", IntegerType, nullable = false),
+    StructField("dist2", LongType, nullable = false)))
+  private lazy val cents: Array[Array[Long]] = centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dims = arr.numElements()
+    var bestC = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(dims, cent.length)
+      var d = 0L
+      var j = 0
+      while (j < n) { val t = arr.getLong(j) - cent(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; bestC = c }
+      c += 1
+    }
+    InternalRow(bestC, bestD)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroid"
 }

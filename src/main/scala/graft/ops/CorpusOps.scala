@@ -399,7 +399,11 @@ object CorpusOps {
       .select(col(idCol), col("_p.l").as("l"), col("_p.bg").as("bg"))
 
     val model = pairs.groupBy("bg").agg(count(lit(1)).as("c12"))
-    val lefts = pairs.groupBy("l").agg(count(lit(1)).as("c1"))
+    // c1 = Σ c12 over the left context — folded from the vocab-sized
+    // model, NOT a second corpus-sized aggregation
+    val lefts = model
+      .groupBy(substring_index(col("bg"), "\u0001", 1).as("l"))
+      .agg(sum("c12").as("c1"))
     val vRow = docs.select(explode(toks).as("_tok"))
       .agg(countDistinct(col("_tok"))).first()
     val v = if (vRow.isNullAt(0)) 0L else vRow.getLong(0)
@@ -494,8 +498,10 @@ object CorpusOps {
     val u = conv(substring(TextAnalysis.fingerprint(col(textCol), 16), 1, 11), 16, 10)
       .cast("long")
     val w = col(weightCol).cast("double")
-    val xi = when(col(weightCol).isNull || w <= 0.0,
-        raise_error(concat(lit("weightedSample: non-positive weight for id "),
+    // NULL text would make ξ NULL, and NULL ordering diverges across
+    // engines (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST) — raise
+    val xi = when(col(weightCol).isNull || w <= 0.0 || col(textCol).isNull,
+        raise_error(concat(lit("weightedSample: NULL text or non-positive weight for id "),
           col(idCol).cast("string"))))
       .otherwise(u.cast("double") / w)
     docs

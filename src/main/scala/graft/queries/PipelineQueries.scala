@@ -218,6 +218,18 @@ object PipelineQueries {
       graft.ops.CorpusOps.bigramSurprisal(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Stream-stream interval join shape (batch run of the same plan):
+    // clicks attribute to a purchase of the same user within the hour.
+    "p66_click_attribution" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      EventsStream.clickAttribution(clicks, purchases, "1 hour")
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // Embedding near-dup pairs via hyperplane-LSH buckets on a planted
     // corpus (vec_id + 100000 copies); identical vectors share every
     // bucket, so recall on the planted pairs is exact.
@@ -1326,6 +1338,14 @@ object PipelineQueries {
         "SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(bits) AS BIGINT) AS bits, " +
         "CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bits " +
         "FROM k GROUP BY doc_id ORDER BY doc_id"),
+    "p66_click_attribution" -> (
+      "SELECT p.event_id AS purchase_id, c.event_id AS click_id " +
+        "FROM (SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id FROM events " +
+        "WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id FROM events " +
+        "WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR " +
+        "ORDER BY purchase_id, click_id"),
     "p51_cube" -> (
       "SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents GROUP BY CUBE(lang, source) " +

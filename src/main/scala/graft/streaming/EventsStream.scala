@@ -122,6 +122,25 @@ object EventsStream {
       watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(keys)
 
+  /** Stream-stream interval join (click→purchase attribution): each
+    * purchase pairs with the same user's clicks in the `horizon` before
+    * it. Works identically over batch frames and over two watermarked
+    * streams — in streaming, the time-range predicate is exactly what
+    * lets Spark BOUND the join state (a click older than
+    * `watermark + horizon` can never match a future purchase and is
+    * evicted), so state size follows the horizon, not the stream.
+    * Inputs must carry (user_id, click_ts/click_id) and
+    * (user_id, purchase_ts/purchase_id). */
+  def clickAttribution(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "1 hour"): DataFrame =
+    clicks.join(purchases,
+      clicks("user_id") === purchases("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("click_id"))
+
   case class UserEvent(user_id: Long, event_id: Long, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double, max_event: Long)
 

@@ -37,6 +37,12 @@ object ScaleData {
       }
     }.reduce(_ union _)
 
+  def scaledEmbeddings(base: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      if (i == 0) base.select(col("vec_id"), col("embedding"))
+      else base.select((col("vec_id") + i * 10000000L).as("vec_id"), col("embedding"))
+    }.reduce(_ union _)
+
   def scaledEvents(base: DataFrame, k: Int): DataFrame =
     (0 until k).map { i =>
       if (i == 0) base
@@ -58,7 +64,11 @@ object ScaleData {
     val path = s"/tmp/graft_scale/${sfName}_${table}_x$k"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       val base = Tables(spark, sfDir, table)
-      val scaled = if (table == "documents") scaledDocs(base, k) else scaledEvents(base, k)
+      val scaled = table match {
+        case "documents"  => scaledDocs(base, k)
+        case "embeddings" => scaledEmbeddings(base, k)
+        case _            => scaledEvents(base, k)
+      }
       scaled.repartition(parts).write.mode("overwrite").parquet(path)
     }
     path
@@ -75,7 +85,11 @@ object ScaleData {
   * at 5-10× their steady state). */
 object ScaledOps {
 
-  def run(spark: SparkSession, docsPath: String, eventsPath: String): Seq[(String, Double)] = {
+  def run(
+      spark: SparkSession,
+      docsPath: String,
+      eventsPath: String,
+      embPath: String): Seq[(String, Double)] = {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_ITERS", "3").toInt
     def sink(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
     def median(xs: Seq[Double]): Double = {
@@ -130,7 +144,13 @@ object ScaledOps {
         graft.ops.EventsOps.parseProps(ev)
           .withColumn("value", col("prop_k").cast("double")))) },
       time("chunk_tokens") { sink(CorpusOps.chunkTokens(docs, 64, 48)) },
-      time("rolling_stats") { sink(graft.ops.EventsOps.rollingStats(ev, frame = 5)) })
+      time("rolling_stats") { sink(graft.ops.EventsOps.rollingStats(ev, frame = 5)) },
+      time("bigram_surprisal") { sink(CorpusOps.bigramSurprisal(docs)) },
+      time("topk_per_group") { sink(CorpusOps.topKPerGroup(
+        docs.withColumn("n_chars", length(col("text"))),
+        Seq("lang", "source"), "n_chars", k = 3)) },
+      time("kmeans") { sink(graft.ops.Clustering.kmeans(
+        spark.read.parquet(embPath), "vec_id", "embedding", k = 8, iters = 2)) })
   }
 }
 

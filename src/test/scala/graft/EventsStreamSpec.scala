@@ -284,4 +284,43 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("n_events") == 2)
     assert(out(0).getAs[Double]("session_value") == 15.0)
   }
+
+  test("stream-stream interval join matches the batch join exactly") {
+    import org.apache.spark.sql.functions._
+    val batch = Tables(spark, dir, "events")
+    def side(tpe: String, tsName: String, idName: String) = batch
+      .where(col("event_type") === tpe)
+      .select(col("user_id"), col("ts").as(tsName), col("event_id").as(idName))
+    val expected = EventsStream.clickAttribution(
+        side("click", "click_ts", "click_id"),
+        side("purchase", "purchase_ts", "purchase_id"), "1 hour")
+      .orderBy("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(expected.nonEmpty, "batch join produced no pairs — test data too sparse")
+
+    val stage = java.nio.file.Files.createTempDirectory("events_ssjoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def streamSide(tpe: String, tsName: String, idName: String) = spark.readStream
+      .schema(schema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .where(col("event_type") === tpe)
+      .select(col("user_id"), col("ts").as(tsName), col("event_id").as(idName))
+      // both sides watermarked: with the range predicate this is what
+      // bounds the join state to the horizon
+      .withWatermark(tsName, "10 minutes")
+    val q = EventsStream.clickAttribution(
+        streamSide("click", "click_ts", "click_id"),
+        streamSide("purchase", "purchase_ts", "purchase_id"), "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("ssjoin_out")
+      .trigger(Trigger.AvailableNow()).start()
+    drain(q)
+
+    val got = spark.table("ssjoin_out").orderBy("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == expected.toSeq)
+    spark.sql("DROP TABLE IF EXISTS ssjoin_out")
+  }
 }
