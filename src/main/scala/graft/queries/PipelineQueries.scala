@@ -197,7 +197,10 @@ object PipelineQueries {
         .where(pmod(col("doc_id"), lit(7)) =!= 0)
         .unionByName(changed).unionByName(extra)
       val diff = graft.ops.SnapshotDiff.diff(old, docs, "doc_id", content)
-      val changes = diff.join(docs, Seq("doc_id"), "left")
+      // real CDC consumes a MATERIALIZED change set; without this the
+      // anti join pushed through old's union recomputes the whole diff
+      // subtree once per branch (plan-audited: zero ReusedExchange)
+      val changes = diff.join(docs, Seq("doc_id"), "left").localCheckpoint()
       graft.ops.SnapshotDiff.applyDiff(old, changes, "doc_id")
         .orderBy("doc_id")
     }),

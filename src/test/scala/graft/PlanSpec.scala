@@ -85,6 +85,20 @@ class PlanSpec extends AnyFunSuite {
     assert(optimized.contains("similarity_ratio"), optimized)
   }
 
+  test("p62: weighted sample is one TakeOrderedAndProject, never a global sort") {
+    val p = plan("p62_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("p61: per-group top-k gets a partial WindowGroupLimit below the exchange") {
+    val p = plan("p61_topk_per_group")
+    val firstExchange = p.indexOf("Exchange")
+    // rank-limit pushdown: a WindowGroupLimit must run map-side (below
+    // the hash exchange) so giant groups prune before shuffling
+    assert(p.indexOf("WindowGroupLimit", firstExchange) > firstExchange, p)
+  }
+
   test("no query plans a cartesian product except the declared broadcast NL scorers") {
     val allowNl = Set("q08_fuzzy_top1", "p01_hom_pipeline", "p07_ann_brute",
       "p18_hom_pipeline_intended")
