@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Top principal component by FIXED-POINT power iteration — the
+  * embedding post-processing shape (whitening / dominant-direction
+  * projection), deterministic and engine-portable end to end:
+  *
+  *   - vectors quantize to BIGINT micro-units ([[Clustering.quantized]]);
+  *     the mean is `floor(sum/n)` per dimension (kmeans precedent), so
+  *     centered vectors are exact integers;
+  *   - the covariance accumulation Σ xcᵢ·xcⱼ is the ONLY data-sized
+  *     work: one map-only pair expansion + one partial aggregate down
+  *     to dim² cells, summed in DECIMAL(38,0) so the distributed sum is
+  *     exact and order-independent at any row count;
+  *   - power iterations run on the DRIVER over the collected dim²
+  *     matrix (bounded, kilobytes) in BigInt — exact, overflow-free;
+  *     each iterate renormalizes by a truncating division by 2^k
+  *     (k = bitLength(max|w|) − 10), and BigInt `/` truncates toward
+  *     zero exactly like DuckDB's `//`, so the trajectory replays
+  *     bit-for-bit in SQL;
+  *   - the final projection is a map-only exact-integer dot product
+  *     against the literal direction.
+  *
+  * v₀ = (1,…,1); convergence is not the point of the gate — the pinned
+  * trajectory is. Dimensions are expected bounded (an embedding width,
+  * ≤ a few thousand): the pair expansion is dim² per row; for extreme
+  * widths swap in a vectorized ImperativeAggregate. */
+object Pca {
+
+  /** Returns (idCol, proj): each vector's exact integer projection onto
+    * the `iters`-step power-iteration estimate of the top principal
+    * direction of the quantized, centered corpus. */
+  def pcaTop1(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int = 2): DataFrame = {
+    require(iters > 0, "pcaTop1: need at least one iteration")
+    val q = vecs.select(col(idCol).as("_id"), Clustering.quantized(col(vecCol)).as("_xq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // per-dimension floor(sum/n) mean — exact ints after centering
+    val dimSums = q.select(posexplode(col("_xq")).as(Seq("_i", "_x")))
+      .groupBy("_i").agg(sum("_x").as("_s"), count(lit(1)).as("_n"))
+      .collect()
+    require(dimSums.nonEmpty, "pcaTop1: empty input")
+    val dim = dimSums.length
+    val mu = new Array[Long](dim)
+    dimSums.foreach { r =>
+      mu(r.getInt(0)) = math.floor(r.getLong(1).toDouble / r.getLong(2)).toLong
+    }
+    val muLit = array(mu.map(lit).toIndexedSeq: _*)
+    def centered(xq: Column): Column = zip_with(xq, muLit, (x, m) => x - m)
+
+    // covariance cells: map-only dim² pair expansion, DECIMAL(38,0) sums
+    val pairs = q
+      .withColumn("_xc", centered(col("_xq")))
+      .select(explode(flatten(transform(col("_xc"), (xi, i) =>
+        transform(col("_xc"), (xj, j) =>
+          struct(i.as("i"), j.as("j"),
+            (xi * xj).cast("decimal(38,0)").as("p")))))).as("_c"))
+      .select(col("_c")("i").as("i"), col("_c")("j").as("j"), col("_c")("p").as("p"))
+    val covRows = pairs.groupBy("i", "j").agg(sum("p").as("c")).collect()
+    val cov = Array.ofDim[BigInt](dim, dim)
+    covRows.foreach { r =>
+      cov(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger)
+    }
+
+    // driver power iterations in BigInt; BigInt `/` truncates toward
+    // zero — the same semantics as DuckDB's `//`
+    var v = Array.fill(dim)(BigInt(1))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(BigInt(0))((acc, j) => acc + cov(i)(j) * v(j)))
+      val m = w.map(_.abs).max
+      val k = if (m == 0) 0 else math.max(m.bitLength - 10, 0)
+      v = w.map(_ / (BigInt(1) << k))
+    }
+    val vLit = array(v.map(x => lit(x.toLong)).toIndexedSeq: _*)
+
+    q.unpersist(blocking = false)
+    q.select(col("_id").as(idCol),
+      aggregate(
+        zip_with(centered(col("_xq")), vLit, (x, d) => x * d),
+        lit(0L), (acc, t) => acc + t).as("proj"))
+  }
+}

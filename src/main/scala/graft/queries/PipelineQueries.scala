@@ -221,6 +221,13 @@ object PipelineQueries {
       graft.ops.CorpusOps.bigramSurprisal(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // PCA top component by fixed-point power iteration: exact integer
+    // covariance (DECIMAL sums), BigInt driver iterations whose
+    // truncating division replays as DuckDB `//`, map-only projection.
+    "p67_pca_top1" -> ((s, dir) =>
+      graft.ops.Pca.pcaTop1(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")),
+
     // Stream-stream interval join shape (batch run of the same plan):
     // clicks attribute to a purchase of the same user within the hour.
     "p66_click_attribution" -> ((s, dir) => {
@@ -1341,6 +1348,26 @@ object PipelineQueries {
         "SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(bits) AS BIGINT) AS bits, " +
         "CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bits " +
         "FROM k GROUP BY doc_id ORDER BY doc_id"),
+    // full replay of the fixed-point power iteration: HUGEINT covariance,
+    // truncating `//` normalization (= Scala BigInt division), v0 = 1s
+    "p67_pca_top1" -> (
+      "WITH q AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq FROM embeddings), " +
+        "qd AS (SELECT vec_id, CAST(generate_subscripts(xq, 1) AS INT) AS i, unnest(xq) AS x FROM q), " +
+        "mu AS (SELECT i, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m FROM qd GROUP BY i), " +
+        "xc AS (SELECT vec_id, qd.i, x - m AS v FROM qd JOIN mu USING (i)), " +
+        "cov AS (SELECT a.i AS i, b.i AS j, CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT) AS c " +
+        "FROM xc a JOIN xc b USING (vec_id) GROUP BY a.i, b.i), " +
+        "w1 AS (SELECT i, CAST(SUM(c) AS HUGEINT) AS w FROM cov GROUP BY i), " +
+        "k1 AS (SELECT CASE WHEN MAX(abs(w)) = 0 THEN 0 " +
+        "ELSE GREATEST(length(bin(MAX(abs(w)))) - 10, 0) END AS k FROM w1), " +
+        "v1 AS (SELECT i, w // (CAST(1 AS HUGEINT) << (SELECT k FROM k1)) AS v FROM w1), " +
+        "w2 AS (SELECT cov.i, CAST(SUM(c * v1.v) AS HUGEINT) AS w FROM cov JOIN v1 ON cov.j = v1.i GROUP BY cov.i), " +
+        "k2 AS (SELECT CASE WHEN MAX(abs(w)) = 0 THEN 0 " +
+        "ELSE GREATEST(length(bin(MAX(abs(w)))) - 10, 0) END AS k FROM w2), " +
+        "v2 AS (SELECT i, w // (CAST(1 AS HUGEINT) << (SELECT k FROM k2)) AS v FROM w2) " +
+        "SELECT xc.vec_id, CAST(SUM(xc.v * v2.v) AS BIGINT) AS proj " +
+        "FROM xc JOIN v2 USING (i) GROUP BY xc.vec_id ORDER BY vec_id"),
     "p66_click_attribution" -> (
       "SELECT p.event_id AS purchase_id, c.event_id AS click_id " +
         "FROM (SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id FROM events " +
