@@ -64,4 +64,26 @@ class EmptyInputSpec extends AnyFunSuite {
         col("ts").as("w_end")), "w_start", "w_end").count() == 0)
     assert(SnapshotDiff.diff(noDocs, noDocs, "doc_id", Seq("text")).count() == 0)
   }
+
+  test("round-7 additions on empty input") {
+    assert(CorpusOps.histogram(noDocs, "doc_id", 5).count() == 0)
+    assert(CorpusOps.topKPerGroup(noDocs, Seq("lang"), "doc_id", 3).count() == 0)
+    assert(CorpusOps.weightedSample(noDocs, 10, "doc_id").count() == 0)
+    assert(CorpusOps.bigramSurprisal(noDocs).count() == 0)
+    val noChanges = Seq.empty[(Long, String, String, String, String)]
+      .toDF("doc_id", "status", "text", "lang", "source")
+    assert(SnapshotDiff.applyDiff(noDocs, noChanges, "doc_id").count() == 0)
+    assert(EventsStream.clickAttribution(
+      noEvents.select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id")),
+      noEvents.select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id")))
+      .count() == 0)
+    // kmeans/pca need at least one vector by contract — they must raise
+    // loudly, not return phantom rows
+    intercept[IllegalArgumentException] {
+      graft.ops.Clustering.kmeans(noVecs, "vec_id", "embedding", k = 2, iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Pca.pcaTop1(noVecs, "vec_id", "embedding")
+    }
+  }
 }
