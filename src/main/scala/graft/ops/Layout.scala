@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: Z-order (Morton) clustering for
+  * multi-dimensional file pruning. Sorting/range-partitioning a table
+  * by the interleaved key co-locates rows that are close in BOTH
+  * dimensions, so min/max file statistics prune scans filtered on
+  * either column — the standard lakehouse layout optimization for
+  * "filter on a OR on b" workloads that a single-column sort can't
+  * serve.
+  *
+  * The z-value is pure integer arithmetic (per-dimension equal-width
+  * bucketing to 2^bits ranks — the histogram formula — then bit
+  * interleaving with literal shifts), bit-identical on any engine. */
+object Layout {
+
+  /** Interleave the low `bits` of a (odd positions) and b (even):
+    * a folded chain of shift/mask terms, fully codegen'd. Inputs must
+    * already be bucket ranks in [0, 2^bits). */
+  def interleaveBits(a: Column, b: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, "interleaveBits: 1..31 bits per dimension")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
+
+  /** Equal-width rank of `v` in [lo, hi] to [0, 2^bits): the histogram
+    * bucket formula — IEEE double arithmetic over exact bounds, then
+    * clamped into range. */
+  private def rank(v: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val buckets = 1L << bits
+    if (hi == lo) lit(0L)
+    else {
+      val width = (hi - lo) / buckets
+      least(floor((v.cast("double") - lit(lo)) / lit(width)).cast("long"), lit(buckets - 1))
+    }
+  }
+
+  /** (idCol, zv): the Z-order key for every row over two numeric
+    * columns, `bits` bucket bits per dimension. One scalar min/max
+    * pass, then map-only. */
+  def zOrderKey(
+      df: DataFrame,
+      idCol: String,
+      colA: String,
+      colB: String,
+      bits: Int = 16): DataFrame = {
+    val a = col(colA).cast("double")
+    val b = col(colB).cast("double")
+    val r = df.agg(min(a), max(a), min(b), max(b)).first()
+    require(!r.isNullAt(0), "zOrderKey: empty input or all-NULL dimensions")
+    df.select(col(idCol),
+      interleaveBits(
+        rank(a, r.getDouble(0), r.getDouble(1), bits),
+        rank(b, r.getDouble(2), r.getDouble(3), bits),
+        bits).as("zv"))
+  }
+
+  /** Re-layout `df` clustered by the Z-curve over (colA, colB): range
+    * partition + in-partition sort on the z-key, ready for a writer
+    * whose per-file min/max stats then prune on EITHER column. */
+  def clusterByZ(
+      df: DataFrame,
+      idCol: String,
+      colA: String,
+      colB: String,
+      parts: Int,
+      bits: Int = 16): DataFrame = {
+    val keyed = df.join(zOrderKey(df, idCol, colA, colB, bits), Seq(idCol))
+    keyed.repartitionByRange(parts, col("zv")).sortWithinPartitions("zv")
+  }
+}

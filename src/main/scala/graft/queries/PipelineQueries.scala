@@ -221,6 +221,13 @@ object PipelineQueries {
       graft.ops.CorpusOps.bigramSurprisal(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Z-order (Morton) layout key over two dimensions: equal-width
+    // ranks + bit interleave, pure integer arithmetic.
+    "p68_zorder" -> ((s, dir) =>
+      graft.ops.Layout.zOrderKey(Tables(s, dir, "documents"),
+          "doc_id", "n_chars", "doc_id", bits = 16)
+        .orderBy("doc_id")),
+
     // PCA top component by fixed-point power iteration: exact integer
     // covariance (DECIMAL sums), BigInt driver iterations whose
     // truncating division replays as DuckDB `//`, map-only projection.
@@ -630,10 +637,12 @@ object PipelineQueries {
     // ANN recall scorecards: the output ENCODES closeness to the exact
     // value computed in-query, so the constant-true oracle is a
     // quantitative error-bound assertion.
+    // rsd = 0.01 makes the 5% gate a 5-sigma bound; the default 0.05
+    // would make it ~1-sigma — a coin flip per group at other SFs
     "p49_approx_distinct" -> ((s, dir) =>
       Tables(s, dir, "documents")
         .groupBy("source")
-        .agg(approx_count_distinct("doc_id").as("approx"),
+        .agg(approx_count_distinct(col("doc_id"), 0.01).as("approx"),
           countDistinct("doc_id").as("exact"))
         .select(col("source"),
           (abs(col("approx") - col("exact")) <= col("exact") * 0.05)
@@ -1348,6 +1357,21 @@ object PipelineQueries {
         "SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(bits) AS BIGINT) AS bits, " +
         "CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bits " +
         "FROM k GROUP BY doc_id ORDER BY doc_id"),
+    // same rank + interleave arithmetic (bits are disjoint, so SUM of
+    // the shifted terms is the bitwise OR)
+    "p68_zorder" -> (
+      "WITH mm AS (SELECT MIN(CAST(n_chars AS DOUBLE)) AS alo, " +
+        "(MAX(CAST(n_chars AS DOUBLE)) - MIN(CAST(n_chars AS DOUBLE))) / 65536 AS aw, " +
+        "MIN(CAST(doc_id AS DOUBLE)) AS blo, " +
+        "(MAX(CAST(doc_id AS DOUBLE)) - MIN(CAST(doc_id AS DOUBLE))) / 65536 AS bw FROM documents), " +
+        "r AS (SELECT doc_id, " +
+        "LEAST(CAST(FLOOR((CAST(n_chars AS DOUBLE) - mm.alo) / mm.aw) AS BIGINT), 65535) AS ra, " +
+        "LEAST(CAST(FLOOR((CAST(doc_id AS DOUBLE) - mm.blo) / mm.bw) AS BIGINT), 65535) AS rb " +
+        "FROM documents, mm) " +
+        "SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 15), i -> " +
+        "(((ra >> CAST(i AS INT)) & 1) << CAST(2 * i + 1 AS INT)) + " +
+        "(((rb >> CAST(i AS INT)) & 1) << CAST(2 * i AS INT)))) AS BIGINT) AS zv " +
+        "FROM r ORDER BY doc_id"),
     // full replay of the fixed-point power iteration: HUGEINT covariance,
     // truncating `//` normalization (= Scala BigInt division), v0 = 1s
     "p67_pca_top1" -> (

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Layout
+
+/** Z-order layout: exact interleave arithmetic, locality, and the
+  * range-partitioned physical shape. */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("interleaveBits: hand-computed Morton codes") {
+    // a=0b101, b=0b011 → z = a1b1 a0b0 interleaved from bit 2 down:
+    // bits of a at odd positions (5,3,1), b at even (4,2,0):
+    // a=101 → 1<<5 | 0<<3 | 1<<1 = 34; b=011 → 0<<4 | 1<<2 | 1<<0 = 5; z=39
+    val df = Seq((5L, 3L)).toDF("a", "b")
+    val z = df.select(Layout.interleaveBits(col("a"), col("b"), 3).as("z"))
+      .head().getLong(0)
+    assert(z == 39L)
+    // corners: (0,0) → 0; (2^4-1, 2^4-1) → 2^8-1
+    val corners = Seq((0L, 0L), (15L, 15L)).toDF("a", "b")
+      .select(Layout.interleaveBits(col("a"), col("b"), 4).as("z"))
+      .collect().map(_.getLong(0))
+    assert(corners.toSeq == Seq(0L, 255L))
+  }
+
+  test("z-order locality beats single-column sort for the off-axis dimension") {
+    // grid of points: after z-clustering into 4 ranges, each range's
+    // b-extent must be far below the full domain (a b-filter prunes),
+    // which a pure a-sort cannot achieve (every a-run spans all of b)
+    val pts = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong * 32 + b, a.toLong, b.toLong))
+      .toDF("id", "a", "b")
+    val keyed = Layout.zOrderKey(pts, "id", "a", "b", bits = 5)
+      .join(pts, Seq("id"))
+    val ranges = keyed.withColumn("bucket", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy("zv")))
+      .groupBy("bucket").agg((max("b") - min("b")).as("b_span"), (max("a") - min("a")).as("a_span"))
+      .collect()
+    // each z-bucket covers about half the b-domain (two quadrant rows),
+    // never the whole of it — single-column a-sort buckets span all 32
+    assert(ranges.forall(_.getAs[Long]("b_span") <= 16), ranges.mkString(","))
+  }
+
+  test("clusterByZ plans a range partition + in-partition sort on zv") {
+    val pts = (0 until 64).map(i => (i.toLong, i.toLong % 8, i.toLong / 8))
+      .toDF("id", "a", "b")
+    val p = Layout.clusterByZ(pts, "id", "a", "b", parts = 4, bits = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning(zv"), p)
+    assert(p.contains("Sort [zv"), p)
+  }
+}
