@@ -53,6 +53,53 @@ object EventsOps {
   }
 
   /** ceil(sqrt(x)) for non-negative BigInt, exact (Newton + adjust). */
+  /** Linear interpolation of NULL gaps per key — the time-series
+    * feature-pipeline companion to forward fill: a missing value
+    * between known neighbors (vₚ @ tₚ, vₙ @ tₙ) becomes
+    * `vₚ + ⌊(vₙ−vₚ)·(t−tₚ) / (tₙ−tₚ)⌋` in integer micro-units.
+    * INTEGER-EXACT cross-engine: values quantize to micro-units
+    * (⌊v·10⁶⌋), time weights are whole seconds, and the one division is
+    * IEEE-double-then-floor over products bounded far under 2^53
+    * (requires |v| ≤ ~10⁶ and gap spans ≤ ~250 years — raise-checked
+    * cheaply by the magnitude guard on the product). Leading/trailing
+    * NULLs (no neighbor on one side) stay NULL.
+    *
+    * One shuffle: both neighbor windows ride the same (key, order)
+    * partitioning. Returns (key, tieCol, v_interp) with v_interp in
+    * micro-units. */
+  def interpolateLinear(
+      ev: DataFrame,
+      keyCol: String = "user_id",
+      orderCol: String = "ts",
+      tieCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
+    val before = base.rowsBetween(Window.unboundedPreceding, -1)
+    val after = base.rowsBetween(1, Window.unboundedFollowing)
+    val vq = floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long")
+    val tSec = floor(unix_micros(col(orderCol)).cast("double") / lit(1000000.0d)).cast("long")
+    val known = struct(vq.as("v"), tSec.as("t"))
+    val withNbrs = ev.select(col(keyCol), col(orderCol), col(tieCol),
+        vq.as("_v"), tSec.as("_t"),
+        when(col(valueCol).isNotNull, known).as("_k"))
+      .withColumn("_p", last(col("_k"), ignoreNulls = true).over(before))
+      .withColumn("_n", first(col("_k"), ignoreNulls = true).over(after))
+    val dv = col("_n")("v") - col("_p")("v")
+    val dt = col("_n")("t") - col("_p")("t")
+    val dte = col("_t") - col("_p")("t")
+    val prod = dv * dte
+    val interp = when(dt === 0, col("_p")("v")) // same-second neighbors
+      .otherwise(
+        when(abs(prod) >= lit(1L << 53),
+          raise_error(lit("interpolateLinear: |dv*dt| exceeds exact double range")))
+          .otherwise(col("_p")("v") + floor(prod.cast("double") / dt.cast("double")).cast("long")))
+    withNbrs.select(col(keyCol), col(tieCol),
+      when(col("_v").isNotNull, col("_v"))
+        .when(col("_p").isNotNull && col("_n").isNotNull, interp)
+        .as("v_interp"))
+  }
+
   private def isqrtCeil(x: BigInt): BigInt = {
     require(x >= 0)
     if (x == 0) BigInt(0)

@@ -221,6 +221,16 @@ object PipelineQueries {
       graft.ops.CorpusOps.bigramSurprisal(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Linear interpolation of injected NULL gaps per user — exact
+    // integer micro-units, seconds-resolution weights, one shuffle.
+    "p69_interpolate" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events").withColumn("value",
+        when(pmod(col("event_id"), lit(5)) === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+      graft.ops.EventsOps.interpolateLinear(ev)
+        .orderBy("user_id", "event_id")
+    }),
+
     // Z-order (Morton) layout key over two dimensions: equal-width
     // ranks + bit interleave, pure integer arithmetic.
     "p68_zorder" -> ((s, dir) =>
@@ -1357,6 +1367,27 @@ object PipelineQueries {
         "SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(bits) AS BIGINT) AS bits, " +
         "CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bits " +
         "FROM k GROUP BY doc_id ORDER BY doc_id"),
+    // neighbor structs via IGNORE NULLS windows; the interpolation is
+    // the identical floor(double) arithmetic over exact integers
+    "p69_interpolate" -> (
+      "WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, " +
+        "CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value FROM events), " +
+        "q AS (SELECT user_id, ts, event_id, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS t FROM e), " +
+        "w AS (SELECT user_id, event_id, v, t, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN struct_pack(v := v, t := t) END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN struct_pack(v := v, t := t) END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n FROM q) " +
+        "SELECT user_id, event_id, " +
+        "CASE WHEN v IS NOT NULL THEN v " +
+        "WHEN p IS NOT NULL AND n IS NOT NULL THEN " +
+        "CASE WHEN n.t = p.t THEN p.v " +
+        "ELSE p.v + CAST(FLOOR(CAST((n.v - p.v) * (t - p.t) AS DOUBLE) / (n.t - p.t)) AS BIGINT) END " +
+        "END AS v_interp FROM w ORDER BY user_id, event_id"),
     // same rank + interleave arithmetic (bits are disjoint, so SUM of
     // the shifted terms is the bitwise OR)
     "p68_zorder" -> (

@@ -102,4 +102,41 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(e2.toString.contains("overflow") ||
       Option(e2.getCause).exists(_.toString.contains("overflow")))
   }
+
+  test("interpolateLinear: hand-computed gap fill, edges stay NULL") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, ts(0), 1L, Some(10.0)),
+      (1L, ts(10), 2L, Option.empty[Double]), // halfway → 15.0
+      (1L, ts(20), 3L, Some(20.0)),
+      (1L, ts(25), 4L, Option.empty[Double]), // trailing → NULL
+      (2L, ts(0), 5L, Option.empty[Double]),  // leading → NULL
+      (2L, ts(5), 6L, Some(7.5)),
+      (2L, ts(8), 7L, Option.empty[Double]),  // 3/5 of 7.5→10.0 gap: 9.0
+      (2L, ts(10), 8L, Some(10.0))
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = EventsOps.interpolateLinear(ev).orderBy("event_id").collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out(1L) == Some(10000000L))
+    assert(out(2L) == Some(15000000L))
+    assert(out(4L) == None)
+    assert(out(5L) == None)
+    assert(out(7L) == Some(9000000L))
+  }
+
+  test("interpolateLinear: floor on non-exact thirds, same-second neighbors") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, ts(0), 1L, Some(0.0)),
+      (1L, ts(1), 2L, Option.empty[Double]), // 1/3 of 1.0 → floor(333333.33)
+      (1L, ts(3), 3L, Some(1.0)),
+      (2L, ts(5), 4L, Some(2.0)),
+      (2L, ts(5), 5L, Option.empty[Double]), // same-second neighbors → prev
+      (2L, ts(5), 6L, Some(4.0))
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = EventsOps.interpolateLinear(ev).orderBy("event_id").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(2L) == 333333L)
+    assert(out(5L) == 2000000L)
+  }
 }
