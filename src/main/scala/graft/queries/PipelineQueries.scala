@@ -857,36 +857,52 @@ object PipelineQueries {
       |FROM g GROUP BY user_id, sid ORDER BY s_start, user_id""".stripMargin
 
   /** p08/p20 oracle: the per-query recall NUMERATORS, pinned as integer
-    * constants. Seeded hyperplanes / seeded k-means sample + the fixed
-    * sf0.01 corpus (the driver's gate scale) make the approximate index
-    * deterministic, so the expected hit counts are data, not policy — any
-    * recall drift (a seed change, a bucketing bug, an index regression)
-    * hash-fails instead of sliding under a boolean threshold. */
-  private def annRecallSql(hits: Seq[Int]): String = {
-    val total = hits.sum
-    val vals = hits.zipWithIndex.map { case (h, q) => s"($q,$h)" }.mkString(", ")
-    s"SELECT CAST(q AS BIGINT) AS qid, CAST(h AS BIGINT) AS hits, " +
-      s"CAST($total AS BIGINT) AS total_hits FROM (VALUES $vals) v(q, h) ORDER BY qid"
+    * constants PER CORPUS (selected on `COUNT(*) FROM embeddings`, the
+    * one corpus property the oracle can see). Seeded hyperplanes /
+    * seeded k-means sample + the fixed test corpora make the
+    * approximate index deterministic, so the expected hit counts are
+    * data, not policy — any recall drift (a seed change, a bucketing
+    * bug, an index regression) hash-fails instead of sliding under a
+    * boolean threshold. */
+  private def annRecallSql(tiers: Map[Int, Seq[Int]]): String = {
+    val branches = tiers.toSeq.sortBy(_._1).map { case (n, hits) =>
+      val vals = hits.zipWithIndex.map { case (h, q) => s"($q,$h)" }.mkString(", ")
+      s"SELECT CAST(q AS BIGINT) AS qid, CAST(h AS BIGINT) AS hits, " +
+        s"CAST(${hits.sum} AS BIGINT) AS total_hits FROM (VALUES $vals) v(q, h) " +
+        s"WHERE (SELECT COUNT(*) FROM embeddings) = $n"
+    }
+    branches.mkString("", " UNION ALL ", " ORDER BY qid")
   }
 
-  /** Measured at sf0.01: LSH 16×4 keeps 139/150 of the exact top-3
-    * (recall 0.927); IVF k=16 nProbe=12 keeps 145/150 (0.967).
+  /** Measured per corpus: at sf0.01 (500 vecs) LSH 16×4 keeps 139/150
+    * of the exact top-3 (recall 0.927) and IVF k=16 nProbe=12 keeps
+    * 145/150 (0.967); at sf0.1 (2000 vecs) LSH keeps 140/150 (0.933),
+    * IVF 142/150 (0.947).
     *
-    * VALID ONLY for the driver's gate corpus — /root/testdata/sf0.01
-    * embeddings with qids exactly 0..49 and the index defaults above. If
-    * the gate ever runs at another SF, the embeddings are regenerated, or
-    * an index default changes, re-measure instead of debugging a phantom
-    * hash failure:
-    *   sbt "runMain graft.tools.RecallPin /root/testdata/sf0.01"
+    * VALID ONLY for those exact corpora, qids 0..49, and the index
+    * defaults above. If the embeddings are regenerated or an index
+    * default changes, re-measure instead of debugging a phantom hash
+    * failure:
+    *   sbt "runMain graft.tools.RecallPin <sfDir>"
     * prints both Seq literals to paste here. */
-  private val lshHits = Seq(
-    3, 3, 3, 2, 3, 2, 3, 3, 3, 3, 3, 2, 2, 3, 1, 3, 3, 3, 3, 3,
-    3, 3, 2, 3, 3, 3, 3, 3, 3, 2, 3, 3, 3, 3, 2, 3, 3, 3, 3, 2,
-    3, 3, 3, 2, 3, 3, 3, 3, 3, 3)
-  private val ivfHits = Seq(
-    3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 2, 3,
-    3, 3, 3, 3, 3, 3, 2, 3, 3, 3, 3, 3, 3, 2, 3, 3, 3, 3, 3, 3,
-    3, 3, 3, 3, 2, 2, 3, 3, 3, 3)
+  private val lshHits: Map[Int, Seq[Int]] = Map(
+    500 -> Seq(
+      3, 3, 3, 2, 3, 2, 3, 3, 3, 3, 3, 2, 2, 3, 1, 3, 3, 3, 3, 3,
+      3, 3, 2, 3, 3, 3, 3, 3, 3, 2, 3, 3, 3, 3, 2, 3, 3, 3, 3, 2,
+      3, 3, 3, 2, 3, 3, 3, 3, 3, 3),
+    2000 -> Seq(
+      3, 3, 2, 3, 2, 3, 1, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 2, 3,
+      3, 3, 2, 3, 3, 3, 2, 3, 3, 3, 3, 3, 3, 3, 2, 2, 3, 3, 3, 3,
+      3, 3, 3, 3, 3, 3, 3, 2, 3, 3))
+  private val ivfHits: Map[Int, Seq[Int]] = Map(
+    500 -> Seq(
+      3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 2, 3,
+      3, 3, 3, 3, 3, 3, 2, 3, 3, 3, 3, 3, 3, 2, 3, 3, 3, 3, 3, 3,
+      3, 3, 3, 3, 2, 2, 3, 3, 3, 3),
+    2000 -> Seq(
+      3, 3, 3, 3, 3, 3, 2, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3,
+      2, 3, 3, 3, 3, 3, 2, 3, 3, 3, 3, 3, 3, 2, 3, 2, 2, 3, 3, 3,
+      3, 3, 3, 3, 3, 3, 3, 2, 3, 2))
 
   /** p01/p18 oracle: the committed golden expectation (values derived and
     * pinned row-by-row in HomologationSpec / GoldenReplaySpec). */

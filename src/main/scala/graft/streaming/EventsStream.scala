@@ -134,12 +134,18 @@ object EventsStream {
   def clickAttribution(
       clicks: DataFrame,
       purchases: DataFrame,
-      horizon: String = "1 hour"): DataFrame =
-    clicks.join(purchases,
-      clicks("user_id") === purchases("user_id") &&
+      horizon: String = "1 hour"): DataFrame = {
+    // rename the key per side: both inputs often derive from the same
+    // frame (one events table filtered twice), and self-join column
+    // resolution must not depend on dataset-id disambiguation
+    val c = clicks.select(col("user_id").as("_cu"), col("click_ts"), col("click_id"))
+    val p = purchases.select(col("user_id").as("_pu"), col("purchase_ts"), col("purchase_id"))
+    c.join(p,
+      col("_cu") === col("_pu") &&
         col("click_ts") <= col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
       .select(col("purchase_id"), col("click_id"))
+  }
 
   case class UserEvent(user_id: Long, event_id: Long, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double, max_event: Long)

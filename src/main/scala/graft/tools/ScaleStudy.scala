@@ -150,7 +150,14 @@ object ScaledOps {
         docs.withColumn("n_chars", length(col("text"))),
         Seq("lang", "source"), "n_chars", k = 3)) },
       time("kmeans") { sink(graft.ops.Clustering.kmeans(
-        spark.read.parquet(embPath), "vec_id", "embedding", k = 8, iters = 2)) })
+        spark.read.parquet(embPath), "vec_id", "embedding", k = 8, iters = 2)) },
+      time("pca_top1") { sink(graft.ops.Pca.pcaTop1(
+        spark.read.parquet(embPath), "vec_id", "embedding")) },
+      time("interpolate") { sink(graft.ops.EventsOps.interpolateLinear(
+        ev.withColumn("value", when(pmod(col("event_id"), lit(5)) === 0,
+          lit(null).cast("double")).otherwise(col("value"))))) },
+      time("zorder") { sink(graft.ops.Layout.zOrderKey(
+        docs.withColumn("n_chars", length(col("text"))), "doc_id", "n_chars", "doc_id")) })
   }
 }
 
