@@ -79,4 +79,58 @@ class PropertySpec extends AnyFunSuite {
     assert(rules.computeHash("a") != rules.computeHash("b"))
     assert(rules.computeHash("x").length == 12)
   }
+
+  test("histogram partitions the input: bucket counts sum to row count, bins in range") {
+    import graft.ops.CorpusOps
+    (1 to 3).foreach { _ =>
+      val n = 50 + rnd.nextInt(500)
+      val bins = 2 + rnd.nextInt(20)
+      val vals = (0 until n).map(_ => rnd.nextInt(10000).toLong)
+      val out = CorpusOps.histogram(vals.toDF("v"), "v", bins).collect()
+      assert(out.map(_.getLong(1)).sum == n)
+      assert(out.forall(r => r.getLong(0) >= 0 && r.getLong(0) < bins))
+    }
+  }
+
+  test("weightedSample: scaling all weights never changes the selection") {
+    import graft.ops.CorpusOps
+    val docs = (0 until 300).map(i =>
+      (i.toLong, s"doc body $i ${rnd.nextInt(1000)}", 1L + rnd.nextInt(99))).toDF("doc_id", "text", "w")
+    val a = CorpusOps.weightedSample(docs, 40, "w").collect().map(_.getLong(0))
+    val scaled = docs.selectExpr("doc_id", "text", "w * 7 AS w")
+    val b = CorpusOps.weightedSample(scaled, 40, "w").collect().map(_.getLong(0))
+    // ξ = u/w: a uniform weight rescale rescales every priority equally
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("interpolateLinear: filled values always lie within the neighbor envelope") {
+    import graft.ops.EventsOps
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = (0 until 400).map { i =>
+      (1L + i % 3, ts(i.toLong * 7), i.toLong,
+        if (rnd.nextInt(3) == 0) Option.empty[Double] else Some(rnd.nextDouble() * 100))
+    }.toDF("user_id", "ts", "event_id", "value")
+    val src = ev.collect().map(r => r.getLong(2) ->
+      (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val out = EventsOps.interpolateLinear(ev).collect()
+    out.foreach { r =>
+      val id = r.getLong(1)
+      if (!r.isNullAt(2) && src(id).isEmpty) {
+        // interpolated: must be within [min, max] micro-units of SOME pair
+        // of observed values (coarse envelope: global min/max suffices)
+        val known = src.values.flatten.map(v => math.floor(v * 1e6).toLong)
+        assert(r.getLong(2) >= known.min && r.getLong(2) <= known.max,
+          s"event $id interpolated outside the observed envelope")
+      }
+    }
+  }
+
+  test("zOrderKey is injective on distinct rank pairs") {
+    import graft.ops.Layout
+    import org.apache.spark.sql.functions._
+    val pts = (for (a <- 0 until 64; b <- 0 until 64)
+      yield (a.toLong * 64 + b, a.toLong, b.toLong)).toDF("id", "a", "b")
+    val z = Layout.zOrderKey(pts, "id", "a", "b", bits = 6)
+    assert(z.select(countDistinct(col("zv"))).head().getLong(0) == 64L * 64L)
+  }
 }
