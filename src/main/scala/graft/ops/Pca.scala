@@ -55,18 +55,22 @@ object Pca {
     val muLit = array(mu.map(lit).toIndexedSeq: _*)
     def centered(xq: Column): Column = zip_with(xq, muLit, (x, m) => x - m)
 
-    // covariance cells: map-only dim² pair expansion, DECIMAL(38,0) sums
+    // covariance cells: map-only pair expansion of the UPPER TRIANGLE
+    // only (the matrix is symmetric — mirror on the driver), summed in
+    // DECIMAL(38,0)
     val pairs = q
       .withColumn("_xc", centered(col("_xq")))
       .select(explode(flatten(transform(col("_xc"), (xi, i) =>
-        transform(col("_xc"), (xj, j) =>
-          struct(i.as("i"), j.as("j"),
+        transform(slice(col("_xc"), i + 1, lit(dim) - i), (xj, jj) =>
+          struct(i.as("i"), (i + jj).as("j"),
             (xi * xj).cast("decimal(38,0)").as("p")))))).as("_c"))
       .select(col("_c")("i").as("i"), col("_c")("j").as("j"), col("_c")("p").as("p"))
     val covRows = pairs.groupBy("i", "j").agg(sum("p").as("c")).collect()
     val cov = Array.ofDim[BigInt](dim, dim)
     covRows.foreach { r =>
-      cov(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger)
+      val v = BigInt(r.getDecimal(2).toBigInteger)
+      cov(r.getInt(0))(r.getInt(1)) = v
+      cov(r.getInt(1))(r.getInt(0)) = v
     }
 
     // driver power iterations in BigInt; BigInt `/` truncates toward
