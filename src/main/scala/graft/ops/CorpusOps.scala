@@ -366,6 +366,30 @@ object CorpusOps {
       bucket.as("decile"))
   }
 
+  /** Heavy hitters via the [[graft.functions.MisraGriesAgg]] native
+    * aggregate: at most `capacity` counters per partition, mergeable
+    * partials, ONE pass — the bounded-memory companion to the exact
+    * [[vocabTopK]] (which shuffles the full vocabulary). Counts are
+    * exact whenever the live vocabulary fits `capacity`; otherwise they
+    * are lower bounds within n/(capacity+1) (standard MG guarantee). */
+  def heavyHitters(
+      docs: DataFrame,
+      capacity: Int,
+      k: Int,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val toks = docs
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
+      .where(col("t") =!= "")
+    toks
+      .agg(toCol(graft.functions.MisraGriesAgg(toExpr(col("t")), capacity)
+        .toAggregateExpression()).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e")("token").as("token"), col("e")("cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** CCNet-style LM quality score, INTEGER-EXACT: per-document mean
     * bigram surprisal in whole bits under an add-one-smoothed bigram
     * model trained on the corpus itself. Per bigram instance the

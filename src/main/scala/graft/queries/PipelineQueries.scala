@@ -221,6 +221,15 @@ object PipelineQueries {
       graft.ops.CorpusOps.bigramSurprisal(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Heavy hitters via the native Misra-Gries aggregate. capacity 64 >
+    // live vocab ⇒ no decrement ever fires ⇒ counts are exact and
+    // partition-order-independent, so the oracle is the exact top-10;
+    // eviction behavior is spec-pinned (it is legitimately order-
+    // dependent and would not hash).
+    "p70_heavy_hitters" -> ((s, dir) =>
+      graft.ops.CorpusOps.heavyHitters(Tables(s, dir, "documents"),
+        capacity = 64, k = 10)),
+
     // Linear interpolation of injected NULL gaps per user — exact
     // integer micro-units, seconds-resolution weights, one shuffle.
     "p69_interpolate" -> ((s, dir) => {
@@ -1383,6 +1392,11 @@ object PipelineQueries {
         "SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(bits) AS BIGINT) AS bits, " +
         "CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bits " +
         "FROM k GROUP BY doc_id ORDER BY doc_id"),
+    // in the no-eviction regime the sketch must equal the exact top-10
+    "p70_heavy_hitters" -> (
+      "SELECT tok AS token, COUNT(*) AS cnt FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok " +
+        "FROM documents WHERE length(trim(text)) > 0) WHERE tok != '' " +
+        "GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 10"),
     // neighbor structs via IGNORE NULLS windows; the interpolation is
     // the identical floor(double) arithmetic over exact integers
     "p69_interpolate" -> (
