@@ -87,7 +87,9 @@ object GraftFunctions {
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "unaccent" -> (exprs => UnaccentExpression(exprs.head)),
     "similarity_ratio" -> (exprs => SimilarityExpression(exprs(0), exprs(1))),
-    "nfc_clean" -> (exprs => NfcCleanExpression(exprs.head)))
+    "nfc_clean" -> (exprs => NfcCleanExpression(exprs.head)),
+    "misra_gries" -> (exprs => MisraGriesAgg(exprs(0),
+      exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()))
 
   /** Register both functions on an existing session (SQL-callable). */
   def register(spark: SparkSession): Unit =
@@ -112,6 +114,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("similarity_ratio"),
       new ExpressionInfo(classOf[SimilarityExpression].getName, "similarity_ratio"),
       (exprs: Seq[Expression]) => SimilarityExpression(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
     ext.injectOptimizerRule(_ => SimilarityLengthPruning)
   }
 }

@@ -98,6 +98,11 @@ class ExpressionsSpec extends AnyFunSuite {
       .first()
     assert(r.getString(0) == "Homologacion")
     assert(math.abs(r.getDouble(1) - 0.6667) < 1e-9)
+    // the native aggregate is SQL-callable too
+    val hh = spark.sql(
+      "SELECT misra_gries(t, 4) AS hh FROM VALUES ('a'),('a'),('b') AS v(t)")
+      .first().getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.map(r2 => (r2.getString(0), r2.getLong(1))) == Seq(("a", 2L), ("b", 1L)))
   }
 
   test("text_stats kernel matches the regex-composed signals") {
