@@ -53,6 +53,32 @@ object EventsOps {
   }
 
   /** ceil(sqrt(x)) for non-negative BigInt, exact (Newton + adjust). */
+  /** Per-group winsorization (outlier capping): clamp each value into
+    * its group's [lo, hi] exact-percentile envelope — the standard
+    * robust-preprocessing step before training-statistics aggregation.
+    * One percentile aggregate down to |groups| rows (AQE broadcasts the
+    * bounds back), then a map-only clamp; output in floor micro-units
+    * so the gate hashes integers (the clamp bound is the engines'
+    * identical IEEE linear interpolation; original values pass through
+    * exactly). For 100 TB swap the exact percentile for
+    * `percentile_approx` exactly as `CorpusOps.lengthQuantiles` does. */
+  def winsorize(
+      ev: DataFrame,
+      groupCol: String = "event_type",
+      idCol: String = "event_id",
+      valueCol: String = "value",
+      lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "winsorize: need 0 <= lo < hi <= 1")
+    val bounds = ev.groupBy(groupCol).agg(
+      expr(s"percentile($valueCol, ${lo}D)").as("_plo"),
+      expr(s"percentile($valueCol, ${hi}D)").as("_phi"))
+    ev.join(bounds, Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        floor(least(greatest(col(valueCol), col("_plo")), col("_phi")) * lit(1000000.0d))
+          .cast("long").as("v_w"))
+  }
+
   /** Linear interpolation of NULL gaps per key — the time-series
     * feature-pipeline companion to forward fill: a missing value
     * between known neighbors (vₚ @ tₚ, vₙ @ tₙ) becomes

@@ -221,6 +221,11 @@ object PipelineQueries {
       graft.ops.CorpusOps.bigramSurprisal(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Per-group winsorization at the exact [p05, p95] envelope.
+    "p71_winsorize" -> ((s, dir) =>
+      graft.ops.EventsOps.winsorize(Tables(s, dir, "events"))
+        .orderBy("event_id")),
+
     // Heavy hitters via the native Misra-Gries aggregate. capacity 64 >
     // live vocab ⇒ no decrement ever fires ⇒ counts are exact and
     // partition-order-independent, so the oracle is the exact top-10;
@@ -1392,6 +1397,14 @@ object PipelineQueries {
         "SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(bits) AS BIGINT) AS bits, " +
         "CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bits " +
         "FROM k GROUP BY doc_id ORDER BY doc_id"),
+    // quantile_cont is the same linear interpolation as Spark's exact
+    // percentile (the p24 precedent); originals pass through exactly
+    "p71_winsorize" -> (
+      "WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS plo, " +
+        "quantile_cont(value, 0.95) AS phi FROM events GROUP BY event_type) " +
+        "SELECT event_id, e.event_type, " +
+        "CAST(FLOOR(LEAST(GREATEST(value, plo), phi) * 1000000) AS BIGINT) AS v_w " +
+        "FROM events e JOIN b USING (event_type) ORDER BY event_id"),
     // in the no-eviction regime the sketch must equal the exact top-10
     "p70_heavy_hitters" -> (
       "SELECT tok AS token, COUNT(*) AS cnt FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok " +

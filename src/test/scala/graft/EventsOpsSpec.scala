@@ -103,6 +103,20 @@ class EventsOpsSpec extends AnyFunSuite {
       Option(e2.getCause).exists(_.toString.contains("overflow")))
   }
 
+  test("winsorize: clamps to the exact per-group percentile envelope") {
+    // group g: values 1..10 → p05 = 1.45, p95 = 9.55 (linear interp);
+    // 1 clamps up to 1.45, 10 clamps down to 9.55, 5 passes through
+    val ev = (1 to 10).map(i => (i.toLong, "g", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val out = EventsOps.winsorize(ev).orderBy("event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 1450000L)
+    assert(out(5L) == 5000000L)
+    assert(out(10L) == 9549999L || out(10L) == 9550000L) // 9.55 is not exact in binary
+    // interior values are untouched micro-units
+    assert(out(7L) == 7000000L)
+  }
+
   test("interpolateLinear: hand-computed gap fill, edges stay NULL") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val ev = Seq(
