@@ -53,6 +53,40 @@ object SnapshotDiff {
     * a runtime property), and base payloads never reshuffle wider than
     * the join key. Unknown status values raise rather than silently
     * dropping rows. */
+  /** SCD type-2 apply — history-preserving CDC: each key's lineage is a
+    * run of versioned rows `(payload, valid_from, valid_to)` with the
+    * live version open (`valid_to` NULL). Applying a change batch at
+    * `batchId` closes the open row of every changed/removed key and
+    * appends a fresh open row for every added/changed key. Same scale
+    * shape as [[applyDiff]]: ONE key-partitioned join against the
+    * (small) change set + a union — history payloads never reshuffle
+    * more than the join key, closed rows pass through untouched.
+    * `history` must carry `valid_from`/`valid_to` BIGINT columns;
+    * bootstrap from an empty history (zero rows) works — everything
+    * inserts. */
+  def scd2Apply(
+      history: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      batchId: Long): DataFrame = {
+    val affected = changes
+      .where(col("status").isin("changed", "removed", "added"))
+      .select(col(keyCol), lit(true).as("_hit"))
+    val payloadCols = history.columns.filterNot(Seq("valid_from", "valid_to").contains)
+    val closed = history.join(affected, Seq(keyCol), "left")
+      .withColumn("valid_to",
+        when(col("valid_to").isNull && col("_hit"), lit(batchId))
+          .otherwise(col("valid_to")))
+      .drop("_hit")
+    val inserts = changes
+      .where(col("status").isin("added", "changed"))
+      .drop("status")
+      .select(payloadCols.map(col).toIndexedSeq: _*)
+      .withColumn("valid_from", lit(batchId))
+      .withColumn("valid_to", lit(null).cast("long"))
+    closed.unionByName(inserts)
+  }
+
   def applyDiff(base: DataFrame, changes: DataFrame, keyCol: String): DataFrame = {
     val checked = changes.withColumn("status",
       when(col("status").isin("added", "removed", "changed"), col("status"))

@@ -221,6 +221,34 @@ object PipelineQueries {
       graft.ops.CorpusOps.bigramSurprisal(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // SCD type-2 history: bootstrap batch 1 from an empty history, then
+    // apply the p63 perturbation as batch 2 — closed + open rows pin
+    // the whole lineage, and the oracle reconstructs it from the
+    // perturbation rules alone.
+    "p72_scd2_history" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val content = Seq("text", "lang", "source", "n_chars")
+      val emptyHist = docs.limit(0)
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      val d1 = graft.ops.SnapshotDiff.diff(docs.limit(0), docs, "doc_id", content)
+      val c1 = d1.join(docs, Seq("doc_id"), "left").localCheckpoint()
+      val h1 = graft.ops.SnapshotDiff.scd2Apply(emptyHist, c1, "doc_id", batchId = 1L)
+      val changed = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("text", upper(col("text")))
+      val extra = docs.where(pmod(col("doc_id"), lit(17)) === 3)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      val snap2 = docs
+        .where(pmod(col("doc_id"), lit(13)) =!= 0)
+        .where(pmod(col("doc_id"), lit(7)) =!= 0)
+        .unionByName(changed).unionByName(extra)
+      val d2 = graft.ops.SnapshotDiff.diff(docs, snap2, "doc_id", content)
+      val c2 = d2.join(snap2, Seq("doc_id"), "left").localCheckpoint()
+      graft.ops.SnapshotDiff.scd2Apply(h1, c2, "doc_id", batchId = 2L)
+        .orderBy("doc_id", "valid_from")
+    }),
+
     // Per-group winsorization at the exact [p05, p95] envelope.
     "p71_winsorize" -> ((s, dir) =>
       graft.ops.EventsOps.winsorize(Tables(s, dir, "events"))
@@ -1397,6 +1425,23 @@ object PipelineQueries {
         "SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(bits) AS BIGINT) AS bits, " +
         "CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bits " +
         "FROM k GROUP BY doc_id ORDER BY doc_id"),
+    // lineage reconstructed from the perturbation rules: v1 rows close
+    // at 2 iff the key is removed (%13, unless kept via the %7 changed
+    // branch) or genuinely changed (upper(text) differs); v2 rows are
+    // the changed upper-cased payloads + the shifted added keys
+    "p72_scd2_history" -> (
+      "SELECT * FROM (" +
+        "SELECT doc_id, text, lang, source, n_chars, CAST(1 AS BIGINT) AS valid_from, " +
+        "CASE WHEN (doc_id % 13 = 0 AND doc_id % 7 != 0) " +
+        "OR (doc_id % 7 = 0 AND upper(text) != text) THEN CAST(2 AS BIGINT) END AS valid_to " +
+        "FROM documents " +
+        "UNION ALL " +
+        "SELECT doc_id, upper(text), lang, source, n_chars, CAST(2 AS BIGINT), CAST(NULL AS BIGINT) " +
+        "FROM documents WHERE doc_id % 7 = 0 AND upper(text) != text " +
+        "UNION ALL " +
+        "SELECT doc_id + 1000000, text, lang, source, n_chars, CAST(2 AS BIGINT), CAST(NULL AS BIGINT) " +
+        "FROM documents WHERE doc_id % 17 = 3" +
+        ") ORDER BY doc_id, valid_from"),
     // quantile_cont is the same linear interpolation as Spark's exact
     // percentile (the p24 precedent); originals pass through exactly
     "p71_winsorize" -> (

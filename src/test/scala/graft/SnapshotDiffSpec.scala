@@ -57,6 +57,31 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(merged.toSeq == Seq((1L, "keep", "x"), (2L, "fresh", "y"), (4L, "born", "w")))
   }
 
+  test("scd2Apply: bootstrap, close-and-insert on change, close on remove") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "u")
+    val empty = v1.limit(0)
+      .withColumn("valid_from", org.apache.spark.sql.functions.lit(0L))
+      .withColumn("valid_to",
+        org.apache.spark.sql.functions.lit(null).cast("long"))
+    val c1 = SnapshotDiff.diff(v1.limit(0), v1, "id", Seq("u"))
+      .join(v1, Seq("id"), "left")
+    val h1 = SnapshotDiff.scd2Apply(empty, c1, "id", batchId = 1L)
+    // batch 2: id 2 changes, id 3 removed, id 4 added
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "u")
+    val c2 = SnapshotDiff.diff(v1, v2, "id", Seq("u"))
+      .join(v2, Seq("id"), "left")
+    val h2 = SnapshotDiff.scd2Apply(h1, c2, "id", batchId = 2L)
+      .orderBy("id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(h2.toSeq == Seq(
+      (1L, "a", 1L, -1L),            // untouched, still open
+      (2L, "b", 1L, 2L),             // closed at batch 2
+      (2L, "B", 2L, -1L),            // new open version
+      (3L, "c", 1L, 2L),             // removed: closed, no successor
+      (4L, "d", 2L, -1L)))           // added in batch 2
+  }
+
   test("applyDiff: unknown change status raises instead of dropping rows") {
     val old = Seq((1L, "a", "b")).toDF("id", "u", "v")
     val changes = Seq((1L, "mangled", "a", "b")).toDF("id", "status", "u", "v")
