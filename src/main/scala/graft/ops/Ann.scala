@@ -174,4 +174,37 @@ object Ann {
     q.select(col(idCol), (col("_mx") / 127.0).as("scale"), posexplode(col("_q")))
       .select(col(idCol), col("pos"), col("col").as("q"), col("scale"))
   }
+
+  /** Deterministic Johnson–Lindenstrauss sign projection to `r`
+    * dimensions: out_k = Σᵢ s(k,i)·xqᵢ over micro-unit-quantized
+    * components, with s(k,i) ∈ {+1,−1} the high bit of a multiplicative
+    * integer hash of (k,i) — no RNG, no stored projection matrix, pure
+    * exact BIGINT arithmetic any engine replays. Map-only at any scale
+    * (row growth = the r output components). Pairwise distances are
+    * preserved in expectation within the JL bound; scale by 1/√r
+    * downstream when magnitudes matter. Returns (idCol, k, c) rows. */
+  def randomProjection(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      r: Int): DataFrame = {
+    require(r > 0, "randomProjection: r must be positive")
+    val xq = graft.ops.Clustering.quantized(col(vecCol))
+    val comps = (0 until r).map { k =>
+      aggregate(
+        transform(xq, (x, i) => {
+          // bit 31 of the low 32 bits of a multiplicative hash — the
+          // well-mixed middle; a plain parity of k+i would be a
+          // degenerate checkerboard
+          val bit = shiftright(
+            pmod((lit(k.toLong) * lit(1000003L) + i.cast("long")) * lit(2654435761L),
+              lit(4294967296L)), 31)
+          when(bit === 0, x).otherwise(-x)
+        }),
+        lit(0L), (acc, v) => acc + v)
+    }
+    vecs.select(col(idCol),
+        posexplode(array(comps.toIndexedSeq: _*)).as(Seq("k", "c")))
+      .select(col(idCol), col("k"), col("c"))
+  }
 }

@@ -424,7 +424,10 @@ object CorpusOps {
 
     val model = pairs.groupBy("bg").agg(count(lit(1)).as("c12"))
     // c1 = Σ c12 over the left context — folded from the vocab-sized
-    // model, NOT a second corpus-sized aggregation
+    // model, NOT a second corpus-sized aggregation. (Catalyst does not
+    // reuse the model subplan across the two consumers, so the plan
+    // shows the tokenize+model aggregate twice — map-only + vocab-sized
+    // shuffle each; at extreme scale materialize `model` explicitly.)
     val lefts = model
       .groupBy(substring_index(col("bg"), "\u0001", 1).as("l"))
       .agg(sum("c12").as("c1"))

@@ -221,6 +221,12 @@ object PipelineQueries {
       graft.ops.CorpusOps.bigramSurprisal(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Deterministic JL sign projection to 8 dims — exact BIGINT, no RNG.
+    "p73_random_projection" -> ((s, dir) =>
+      graft.ops.Ann.randomProjection(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", r = 8)
+        .orderBy("vec_id", "k")),
+
     // SCD type-2 history: bootstrap batch 1 from an empty history, then
     // apply the p63 perturbation as batch 2 — closed + open rows pin
     // the whole lineage, and the oracle reconstructs it from the
@@ -1425,6 +1431,16 @@ object PipelineQueries {
         "SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(bits) AS BIGINT) AS bits, " +
         "CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bits " +
         "FROM k GROUP BY doc_id ORDER BY doc_id"),
+    // generate_subscripts is 1-based — shift to Spark's 0-based index
+    "p73_random_projection" -> (
+      "WITH q AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq FROM embeddings), " +
+        "qd AS (SELECT vec_id, CAST(generate_subscripts(xq, 1) - 1 AS BIGINT) AS i, unnest(xq) AS x FROM q), " +
+        "g AS (SELECT vec_id, k, i, x FROM qd, (SELECT unnest(generate_series(0, 7)) AS k)) " +
+        "SELECT vec_id, CAST(k AS INT) AS k, CAST(SUM(CASE WHEN " +
+        "(((k * 1000003 + i) * 2654435761) % 4294967296) >> 31 = 0 " +
+        "THEN x ELSE -x END) AS BIGINT) AS c " +
+        "FROM g GROUP BY vec_id, k ORDER BY vec_id, k"),
     // lineage reconstructed from the perturbation rules: v1 rows close
     // at 2 iff the key is removed (%13, unless kept via the %7 changed
     // branch) or genuinely changed (upper(text) differs); v2 rows are

@@ -107,4 +107,26 @@ class AnnSpec extends AnyFunSuite {
       .where(abs(col("q") * col("scale") - col("x")) > col("scale") / 2 + 1e-12)
     assert(bad.count() == 0)
   }
+
+  test("randomProjection: hand-checked signs, deterministic across repartition") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = Ann.randomProjection(vecs, "vec_id", "embedding", r = 2)
+      .orderBy("k").collect().map(r => (r.getInt(1), r.getLong(2)))
+    // k=0: hash bit of (0,0) is 0 (+x0), of (0,1) is 1 (2654435761 has
+    // bit 31 set) (−x1) → 1e6 − 2e6 = −1e6
+    assert(out(0) == (0, -1000000L))
+    // reference arithmetic for every (k,i)
+    def sign(k: Long, i: Long): Long =
+      if ((((k * 1000003L + i) * 2654435761L) % 4294967296L) >> 31 == 0) 1 else -1
+    assert(out(1)._2 == sign(1, 0) * 1000000L + sign(1, 1) * 2000000L)
+
+    val many = (0 until 50).map(i => (i.toLong, Array.fill(8)(i * 0.1f + 0.01f)))
+      .toDF("vec_id", "embedding")
+    val a = Ann.randomProjection(many, "vec_id", "embedding", 4)
+      .orderBy("vec_id", "k").collect().map(_.toSeq)
+    val b = Ann.randomProjection(many.repartition(7), "vec_id", "embedding", 4)
+      .orderBy("vec_id", "k").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
 }
