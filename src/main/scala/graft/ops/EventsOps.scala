@@ -53,6 +53,32 @@ object EventsOps {
   }
 
   /** ceil(sqrt(x)) for non-negative BigInt, exact (Newton + adjust). */
+  /** Temporal train/eval split with a leakage gap — the time-series
+    * analogue of the content split: rows at or before the cutoff are
+    * `train`, rows after `cutoff + gap` are `eval`, and rows inside the
+    * gap are `dropped` (they could leak near-future information into
+    * training). The cutoff is the exact `trainFrac` percentile of epoch
+    * SECONDS (integer comparisons thereafter — no float boundary
+    * hazard); one scalar percentile aggregate, then a map-only label.
+    * Swap percentile_approx at 100 TB exactly as lengthQuantiles does. */
+  def temporalSplit(
+      ev: DataFrame,
+      tsCol: String = "ts",
+      trainFrac: Double = 0.8,
+      gapSeconds: Long = 3600L): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1, "temporalSplit: need 0 < trainFrac < 1")
+    require(gapSeconds >= 0, "temporalSplit: gap must be non-negative")
+    val tSec = floor(unix_micros(col(tsCol)).cast("double") / lit(1000000.0d)).cast("long")
+    val cutRow = ev.select(tSec.as("_t"))
+      .agg(expr(s"CAST(floor(percentile(_t, ${trainFrac}D)) AS LONG)")).first()
+    require(!cutRow.isNullAt(0), "temporalSplit: empty input")
+    val cut = cutRow.getLong(0)
+    ev.withColumn("split",
+      when(tSec <= cut, "train")
+        .when(tSec > cut + gapSeconds, "eval")
+        .otherwise("dropped"))
+  }
+
   /** Per-group winsorization (outlier capping): clamp each value into
     * its group's [lo, hi] exact-percentile envelope — the standard
     * robust-preprocessing step before training-statistics aggregation.

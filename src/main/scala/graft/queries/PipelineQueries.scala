@@ -221,6 +221,12 @@ object PipelineQueries {
       graft.ops.CorpusOps.bigramSurprisal(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Leakage-gapped temporal split at the exact p80 time cutoff.
+    "p74_temporal_split" -> ((s, dir) =>
+      graft.ops.EventsOps.temporalSplit(Tables(s, dir, "events"))
+        .select("event_id", "split")
+        .orderBy("event_id")),
+
     // Deterministic JL sign projection to 8 dims — exact BIGINT, no RNG.
     "p73_random_projection" -> ((s, dir) =>
       graft.ops.Ann.randomProjection(Tables(s, dir, "embeddings"),
@@ -1431,6 +1437,15 @@ object PipelineQueries {
         "SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(bits) AS BIGINT) AS bits, " +
         "CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bits " +
         "FROM k GROUP BY doc_id ORDER BY doc_id"),
+    // integer-second cutoff: quantile_cont interpolation + FLOOR, then
+    // pure integer comparisons — no float boundary hazard
+    "p74_temporal_split" -> (
+      "WITH t AS (SELECT event_id, CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) " +
+        "/ 1000000) AS BIGINT) AS tsec FROM events), " +
+        "c AS (SELECT CAST(FLOOR(quantile_cont(tsec, 0.8)) AS BIGINT) AS cut FROM t) " +
+        "SELECT event_id, CASE WHEN tsec <= cut THEN 'train' " +
+        "WHEN tsec > cut + 3600 THEN 'eval' ELSE 'dropped' END AS split " +
+        "FROM t, c ORDER BY event_id"),
     // generate_subscripts is 1-based — shift to Spark's 0-based index
     "p73_random_projection" -> (
       "WITH q AS (SELECT vec_id, list_transform(embedding, " +

@@ -103,6 +103,23 @@ class EventsOpsSpec extends AnyFunSuite {
       Option(e2.getCause).exists(_.toString.contains("overflow")))
   }
 
+  test("temporalSplit: gap rows dropped, boundaries exact, no eval before train ends") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // 10 events at t = 0..9000s step 1000; p80 cutoff = 7200s
+    // (7000 + 0.2·1000 interpolated, floored); gap 1500s: 8000 falls
+    // inside (7200, 8700] → dropped; 9000 > 8700 → eval
+    val ev = (0 until 10).map(i => (i.toLong, ts(i * 1000L), 1L, "e", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventsOps.temporalSplit(ev, trainFrac = 0.8, gapSeconds = 1500L)
+      .select("event_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0 to 7).forall(i => out(i.toLong) == "train"))
+    assert(out(8L) == "dropped")
+    assert(out(9L) == "eval")
+    // leakage invariant: max train time + gap < min eval time
+    assert(7000L + 1500L < 9000L)
+  }
+
   test("winsorize: clamps to the exact per-group percentile envelope") {
     // group g: values 1..10 → p05 = 1.45, p95 = 9.55 (linear interp);
     // 1 clamps up to 1.45, 10 clamps down to 9.55, 5 passes through
