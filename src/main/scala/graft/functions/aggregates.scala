@@ -91,11 +91,20 @@ case class MisraGriesAgg(
     }.asInstanceOf[Array[Any]])
   }
 
+  // Tokens serialize as length-prefixed UTF-8 byte arrays, NOT
+  // DataOutputStream.writeUTF — writeUTF throws UTFDataFormatException
+  // past 65535 encoded bytes, so one pathological unbroken-text token
+  // would kill the job with an obscure shuffle-time error.
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    buf.foreach { case (k, c) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -104,7 +113,11 @@ case class MisraGriesAgg(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
-    (1 to n).foreach(_ => buf.update(in.readUTF(), in.readLong()))
+    (1 to n).foreach { _ =>
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+    }
     buf
   }
 

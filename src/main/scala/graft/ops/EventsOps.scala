@@ -25,13 +25,18 @@ object EventsOps {
     * preceding rows + current), ordered by (orderCol, tieCol) — the tie
     * column makes the order TOTAL, so the frame contents are unique and
     * the result reproducible on any engine and any physical row order.
-    * The measure is summed in DECIMAL(18,6) (exact for the source data):
-    * float rolling sums differ in the last ulp across engines and
-    * re-runs. One shuffle on the partition key; frames never cross
-    * partitions, so parallelism at 100 TB = #keys and the per-row frame
-    * update is O(1) (Spark's sliding-ROWS WindowExec adds/removes one
-    * row at a time — never re-sums the frame).
-    * Returns (tieCol, keyCol, roll_n, roll_sum, roll_min, roll_max). */
+    * The measure is quantized to BIGINT micro-units (`floor(v·1e6)` —
+    * double multiply + floor are identical IEEE ops on every engine)
+    * BEFORE the window: integer frame sums are exact and, unlike
+    * DECIMAL window sums, carry no engine-dependent result precision
+    * (Spark widens SUM(DECIMAL(18,6)) to DECIMAL(28,6), DuckDB to
+    * DECIMAL(38,6) — rendering of the two can diverge downstream).
+    * One shuffle on the partition key; frames never cross partitions,
+    * so parallelism at 100 TB = #keys and the per-row frame update is
+    * O(1) (Spark's sliding-ROWS WindowExec adds/removes one row at a
+    * time — never re-sums the frame).
+    * Returns (tieCol, keyCol, roll_n, roll_sum, roll_min, roll_max)
+    * with the roll_* measures in micro-units. */
   def rollingStats(
       ev: DataFrame,
       frame: Int = 5,
@@ -44,7 +49,7 @@ object EventsOps {
       .partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
       .rowsBetween(-(frame - 1), 0)
     ev.select(col(keyCol), col(orderCol), col(tieCol),
-        col(valueCol).cast("decimal(18,6)").as("_v"))
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
       .select(col(tieCol), col(keyCol),
         count(lit(1)).over(w).as("roll_n"),
         sum(col("_v")).over(w).as("roll_sum"),
@@ -52,7 +57,6 @@ object EventsOps {
         max(col("_v")).over(w).as("roll_max"))
   }
 
-  /** ceil(sqrt(x)) for non-negative BigInt, exact (Newton + adjust). */
   /** Temporal train/eval split with a leakage gap — the time-series
     * analogue of the content split: rows at or before the cutoff are
     * `train`, rows after `cutoff + gap` are `eval`, and rows inside the
@@ -140,7 +144,11 @@ object EventsOps {
     val dv = col("_n")("v") - col("_p")("v")
     val dt = col("_n")("t") - col("_p")("t")
     val dte = col("_t") - col("_p")("t")
-    val prod = dv * dte
+    // DECIMAL(38,0) holds ANY long×long product exactly (|prod| < 2^126
+    // ≈ 8.5e37 < 10^38), so the magnitude guard below sees the true
+    // value — a LongType product would wrap past 2^63 and could land
+    // back UNDER the 2^53 check, silently corrupting v_interp
+    val prod = dv.cast(DecimalType(19, 0)) * dte.cast(DecimalType(19, 0))
     val interp = when(dt === 0, col("_p")("v")) // same-second neighbors
       .otherwise(
         when(abs(prod) >= lit(1L << 53),
@@ -152,6 +160,7 @@ object EventsOps {
         .as("v_interp"))
   }
 
+  /** ceil(sqrt(x)) for non-negative BigInt, exact (Newton + adjust). */
   private def isqrtCeil(x: BigInt): BigInt = {
     require(x >= 0)
     if (x == 0) BigInt(0)
@@ -219,7 +228,7 @@ object EventsOps {
         throw new IllegalStateException(
           s"valueOutliers: DECIMAL(38,0) overflow aggregating group '$g' " +
             s"(n=$n): n·(max|value|·1e6)² exceeds 1e38")
-      if (n < 2 || nv == 0) Row(g, null, null)
+      if (n < 2 || nv == 0) Row(g, new JBigDecimal(n.bigInteger), null, null)
       else {
         val s = BigInt(r.getDecimal(3).toBigInteger)
         val q = BigInt(r.getDecimal(4).toBigInteger)
@@ -229,25 +238,27 @@ object EventsOps {
           throw new IllegalStateException(
             s"valueOutliers: threshold for group '$g' exceeds the exact " +
               "DECIMAL(38,0) per-row comparison domain")
-        Row(g, new JBigDecimal(s.bigInteger), new JBigDecimal(t.bigInteger))
+        Row(g, new JBigDecimal(n.bigInteger),
+          new JBigDecimal(s.bigInteger), new JBigDecimal(t.bigInteger))
       }
     }
+    // n rides in thrDf (it is already on the driver per group) — joining
+    // the stats aggregate back would re-run the corpus-sized stats pass
     val gType = ev.schema(groupCol).dataType
     val thrDf = spark.createDataFrame(
       spark.sparkContext.parallelize(thr.toSeq, 1),
       StructType(Seq(
         StructField("g", gType),
+        StructField("n", DecimalType(38, 0)),
         StructField("bs", DecimalType(38, 0)),
         StructField("bt", DecimalType(38, 0)))))
-    val statsN = stats.select(col("g"), col("n"))
     val d = col("v") * col("n") - col("bs")
     val out = when(col("bt").isNull || col("v").isNull, lit(false))
       .when(col("v").isNotNull && d.isNull,
         raise_error(lit("valueOutliers: DECIMAL(38,0) overflow in the " +
           "per-row test — n·|value|·1e6 exceeds 1e38")).cast(BooleanType))
       .otherwise(abs(d) >= col("bt"))
-    rows.join(broadcast(statsN), Seq("g"))
-      .join(broadcast(thrDf), Seq("g"))
+    rows.join(broadcast(thrDf), Seq("g"))
       .withColumn("_out", out)
       .groupBy("g")
       .agg(count(lit(1)).as("n_rows"),

@@ -42,17 +42,6 @@ object SnapshotDiff {
       .select(col(keyCol), col("status"))
   }
 
-  /** Apply a change set to a base snapshot — the CDC merge / upsert
-    * primitive closing the incremental-ETL loop that [[diff]] opens:
-    * `applyDiff(old, diff(old,new) ⋈ payload) == new`. `changes` carries
-    * (key, status, payload columns); `added`/`changed` keys are inserted
-    * with their payload, `removed` keys are dropped, and base rows whose
-    * key is absent from `changes` pass through untouched. One
-    * key-partitioned anti join + a union — the change set is the small
-    * side at 100 TB (often broadcast-able; left to AQE since "small" is
-    * a runtime property), and base payloads never reshuffle wider than
-    * the join key. Unknown status values raise rather than silently
-    * dropping rows. */
   /** SCD type-2 apply — history-preserving CDC: each key's lineage is a
     * run of versioned rows `(payload, valid_from, valid_to)` with the
     * live version open (`valid_to` NULL). Applying a change batch at
@@ -87,6 +76,17 @@ object SnapshotDiff {
     closed.unionByName(inserts)
   }
 
+  /** Apply a change set to a base snapshot — the CDC merge / upsert
+    * primitive closing the incremental-ETL loop that [[diff]] opens:
+    * `applyDiff(old, diff(old,new) ⋈ payload) == new`. `changes` carries
+    * (key, status, payload columns); `added`/`changed` keys are inserted
+    * with their payload, `removed` keys are dropped, and base rows whose
+    * key is absent from `changes` pass through untouched. One
+    * key-partitioned anti join + a union — the change set is the small
+    * side at 100 TB (often broadcast-able; left to AQE since "small" is
+    * a runtime property), and base payloads never reshuffle wider than
+    * the join key. Unknown status values raise rather than silently
+    * dropping rows. */
   def applyDiff(base: DataFrame, changes: DataFrame, keyCol: String): DataFrame = {
     val checked = changes.withColumn("status",
       when(col("status").isin("added", "removed", "changed"), col("status"))

@@ -1356,13 +1356,18 @@ object PipelineQueries {
         "FROM c ORDER BY doc_id, chunk_id"),
     // ts truncated to microseconds BEFORE ordering (Spark timestamps are
     // micro-precision) so frame membership agrees; event_id makes the
-    // order total; DECIMAL sums are exact on both engines
+    // order total; value quantized to BIGINT micro-units before the
+    // window (floor(v*1e6) is the identical IEEE op on both engines),
+    // so the frame sums are plain integers — no DECIMAL result-type /
+    // rendering wobble (Spark DECIMAL(28,6) vs DuckDB DECIMAL(38,6))
     "p59_rolling_stats" -> (
-      "SELECT event_id, user_id, CAST(COUNT(*) OVER w AS BIGINT) AS roll_n, " +
-        "SUM(CAST(value AS DECIMAL(18,6))) OVER w AS roll_sum, " +
-        "MIN(CAST(value AS DECIMAL(18,6))) OVER w AS roll_min, " +
-        "MAX(CAST(value AS DECIMAL(18,6))) OVER w AS roll_max " +
-        "FROM events " +
+      "WITH q AS (SELECT event_id, user_id, ts, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v FROM events) " +
+        "SELECT event_id, user_id, CAST(COUNT(*) OVER w AS BIGINT) AS roll_n, " +
+        "CAST(SUM(v) OVER w AS BIGINT) AS roll_sum, " +
+        "MIN(v) OVER w AS roll_min, " +
+        "MAX(v) OVER w AS roll_max " +
+        "FROM q " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id " +
         "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
     // bucket arithmetic is the same IEEE double expression on both
@@ -1392,7 +1397,12 @@ object PipelineQueries {
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"),
     // full 2-iteration Lloyd replay: BIGINT micro-unit distances (SUM
     // cast back down from DuckDB's HUGEINT), floor(sum/n) centroid
-    // update — the identical IEEE division Spark's driver performs
+    // update — the identical IEEE division Spark's driver performs.
+    // Each cdN is built by LEFT JOIN + COALESCE over the PREVIOUS
+    // centroid table, so a cluster that empties keeps its prior
+    // centroid — the same rule as Clustering.kmeans (case None =>
+    // cents(c)); without it an emptied cluster silently vanishes from
+    // the oracle's next assignment round
     "p64_kmeans" -> (
       "WITH q AS (SELECT vec_id, list_transform(embedding, " +
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq FROM embeddings), " +
@@ -1404,14 +1414,18 @@ object PipelineQueries {
         "FROM qd JOIN cd0 USING (pos) GROUP BY vec_id, cid), " +
         "g0 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
         "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a0) WHERE rn = 1), " +
-        "cd1 AS (SELECT cid, pos, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c " +
+        "u1 AS (SELECT cid, pos, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c " +
         "FROM qd JOIN g0 USING (vec_id) GROUP BY cid, pos), " +
+        "cd1 AS (SELECT cd0.cid, cd0.pos, COALESCE(u1.c, cd0.c) AS c " +
+        "FROM cd0 LEFT JOIN u1 ON u1.cid = cd0.cid AND u1.pos = cd0.pos), " +
         "a1 AS (SELECT vec_id, cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d " +
         "FROM qd JOIN cd1 USING (pos) GROUP BY vec_id, cid), " +
         "g1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
         "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a1) WHERE rn = 1), " +
-        "cd2 AS (SELECT cid, pos, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c " +
+        "u2 AS (SELECT cid, pos, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c " +
         "FROM qd JOIN g1 USING (vec_id) GROUP BY cid, pos), " +
+        "cd2 AS (SELECT cd1.cid, cd1.pos, COALESCE(u2.c, cd1.c) AS c " +
+        "FROM cd1 LEFT JOIN u2 ON u2.cid = cd1.cid AND u2.pos = cd1.pos), " +
         "a2 AS (SELECT vec_id, cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d " +
         "FROM qd JOIN cd2 USING (pos) GROUP BY vec_id, cid) " +
         "SELECT vec_id, cid AS cluster, d AS dist2 FROM (SELECT vec_id, cid, d, " +

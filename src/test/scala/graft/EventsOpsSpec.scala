@@ -59,7 +59,7 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 22L, 1L)))
   }
 
-  test("rollingStats: per-key bounded frame, exact decimal sums, total order") {
+  test("rollingStats: per-key bounded frame, micro-unit integer sums, total order") {
     val ev = Seq(
       // user 1: values 1,2,3,4 in ts order; frame 3
       (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1.5),
@@ -73,15 +73,15 @@ class EventsOpsSpec extends AnyFunSuite {
     val out = EventsOps.rollingStats(ev, frame = 3)
       .orderBy("event_id")
       .collect().map(r => (r.getLong(0), r.getLong(2),
-        r.getDecimal(3).doubleValue(), r.getDecimal(4).doubleValue(),
-        r.getDecimal(5).doubleValue()))
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // roll_* are BIGINT micro-units: floor(value*1e6)
     assert(out.toSeq == Seq(
-      (1L, 1L, 1.5, 1.5, 1.5),
-      (2L, 2L, 4.0, 1.5, 2.5),
-      (3L, 3L, 7.0, 1.5, 3.0),
-      (4L, 3L, 9.5, 2.5, 4.0), // frame slid: 1.5 dropped out
-      (5L, 1L, 20.0, 20.0, 20.0), // id 5 FIRST within the tie
-      (6L, 2L, 30.0, 10.0, 20.0)))
+      (1L, 1L, 1500000L, 1500000L, 1500000L),
+      (2L, 2L, 4000000L, 1500000L, 2500000L),
+      (3L, 3L, 7000000L, 1500000L, 3000000L),
+      (4L, 3L, 9500000L, 2500000L, 4000000L), // frame slid: 1.5 dropped out
+      (5L, 1L, 20000000L, 20000000L, 20000000L), // id 5 FIRST within the tie
+      (6L, 2L, 30000000L, 10000000L, 20000000L)))
   }
 
   test("valueOutliers overflows LOUDLY, never a silent wrong answer") {
