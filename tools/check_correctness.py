@@ -2,8 +2,16 @@
 """Local replica of the driver's correctness gate: for each query dumped by
 graft.Verify, run its oracle SQL in DuckDB over the same parquet tables and
 compare rows / schema / value-hash (columns sorted by name, values rendered
-canonically). Usage: check_correctness.py <sfDir> <verifyOutDir>"""
+canonically). Usage: check_correctness.py <sfDir> <verifyOutDir>
+
+Also flags RENDER-WOBBLE: a DECIMAL value whose scale-preserving string
+(str(Decimal)) disagrees with its %.6f float rendering is sensitive to
+whether a checker environment materializes the column as Decimal objects
+or float64 (pandas/duckdb version dependent) — such a gate can hash green
+locally and red on the driver (the round-7 p59 lesson). Wobbly gates are
+listed loudly so they get quantized to integers BEFORE the driver runs."""
 import sys, json, glob, hashlib
+from decimal import Decimal
 import duckdb
 import pandas as pd
 
@@ -30,6 +38,21 @@ def canon(df):
         lines.append("|".join(parts))
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()
 
+def decimal_wobble_cols(df, side):
+    """Columns holding Decimal values whose two plausible renderings —
+    scale-preserving str() vs %.6f of the float64 a different checker
+    env would coerce to — disagree somewhere. Sampled per column."""
+    wobbly = []
+    for c in df.columns:
+        col = df[c]
+        if col.dtype != object:
+            continue
+        for v in col.head(1000):
+            if isinstance(v, Decimal) and str(v) != f"{float(v):.6f}":
+                wobbly.append(f"{side}:{c}")
+                break
+    return wobbly
+
 results = {}
 for name, sql in sorted(oracle.items()):
     try:
@@ -43,6 +66,9 @@ for name, sql in sorted(oracle.items()):
         h = canon(spark_df) == canon(duck_df) if rows and schema else False
         results[name] = {"rows_match": rows, "schema_match": schema, "hash_match": h,
                          "n_spark": len(spark_df), "n_duck": len(duck_df)}
+        wob = decimal_wobble_cols(spark_df, "spark") + decimal_wobble_cols(duck_df, "duck")
+        if wob:
+            results[name]["decimal_render_wobble"] = wob
         if not h and rows and schema:
             s, d = spark_df[sorted(spark_df.columns)], duck_df[sorted(duck_df.columns)]
             for i in range(min(len(s), len(d))):
@@ -56,3 +82,11 @@ for name, sql in sorted(oracle.items()):
 ok = sum(1 for r in results.values() if r.get("hash_match"))
 print(json.dumps(results, indent=1, default=str))
 print(f"\n{ok}/{len(results)} hash-match")
+wobbly = {n: r["decimal_render_wobble"] for n, r in results.items()
+          if r.get("decimal_render_wobble")}
+if wobbly:
+    print(f"RENDER-WOBBLE WARNING: {len(wobbly)} gate(s) emit DECIMAL values "
+          "whose str()/%.6f renderings disagree — can hash green here and red "
+          "in the driver's env. Quantize to BIGINT micro-units:")
+    for n, cols in sorted(wobbly.items()):
+        print(f"  {n}: {', '.join(cols)}")
