@@ -130,3 +130,165 @@ case class MisraGriesAgg(
     copy(child = newChildren.head)
   override def prettyName: String = "misra_gries"
 }
+
+/** Mutable per-partition Gram-matrix buffer: the upper triangle of
+  * Σ x·xᵀ over long vectors, each cell an EXACT signed 128-bit
+  * accumulator split into (hi, lo) word arrays. `dim = -1` marks a
+  * buffer that has seen no rows yet (empty partitions merge as
+  * identity). */
+final class GramBuffer(var dim: Int, var hi: Array[Long], var lo: Array[Long])
+
+/** Gram / scatter matrix of a long-vector column as a native Catalyst
+  * aggregate — the 100 TB covariance path: each partition folds its rows
+  * into ONE dim(dim+1)/2-cell triangle (update is a tight primitive-long
+  * loop: `Math.multiplyHigh` + 64→128-bit carry add, no allocation, no
+  * BigInt), partials merge cellwise, and only #partitions × triangle
+  * cells ever shuffle — the input rows never leave the map side. This
+  * replaces the earlier per-row dim² pair-explode, which materialized
+  * ~dim²/2 intermediate rows PER INPUT ROW (at dim 1024: ~524k rows per
+  * vector — a scale-killer the plan audit rightly flagged).
+  *
+  * Exactness: a signed 128-bit accumulator cannot wrap — each product of
+  * two longs is < 2^126 in magnitude and n adds reach 2^127 only past
+  * n·max|x|² ≈ 1.7e38 rows·units², where [[eval]] raises LOUDLY (the
+  * valueOutliers precedent) instead of silently truncating. Output is
+  * the flat row-major upper triangle (i ≤ j) as DECIMAL(38,0): exact,
+  * order-independent, and bit-identical to a DuckDB HUGEINT sum.
+  * Ragged input vectors raise rather than mis-index cells. */
+case class GramMatrixAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[GramBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(DecimalType(38, 0), containsNull = false)
+
+  override def createAggregationBuffer(): GramBuffer =
+    new GramBuffer(-1, null, null)
+
+  // 128-bit += (addHi, addLo); index t. Two's-complement carry: the low
+  // word sum wraps iff it is unsigned-smaller than either operand.
+  // Signed 128-bit overflow (result sign differs from both operands')
+  // RAISES — a wrapped accumulator between 2^127 and the eval() decimal
+  // bound would otherwise read back as a small in-range value.
+  @inline private def add128(b: GramBuffer, t: Int, addHi: Long, addLo: Long): Unit = {
+    val oldHi = b.hi(t)
+    val newLo = b.lo(t) + addLo
+    val carry = if (java.lang.Long.compareUnsigned(newLo, addLo) < 0) 1L else 0L
+    val newHi = oldHi + addHi + carry
+    if (((oldHi ^ newHi) & (addHi ^ newHi)) < 0)
+      throw new IllegalStateException(
+        "gram_matrix: 128-bit accumulator overflow (n·max|x|² past 2^127) " +
+          "— rescale the input")
+    b.lo(t) = newLo
+    b.hi(t) = newHi
+  }
+
+  override def update(buf: GramBuffer, input: InternalRow): GramBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[ArrayData].toLongArray()
+      val d = x.length
+      if (buf.dim < 0) {
+        buf.dim = d
+        val cells = d * (d + 1) / 2
+        buf.hi = new Array[Long](cells)
+        buf.lo = new Array[Long](cells)
+      } else if (buf.dim != d)
+        throw new IllegalStateException(
+          s"gram_matrix: ragged vectors (dim ${buf.dim} vs $d)")
+      var i = 0
+      var t = 0
+      while (i < d) {
+        val xi = x(i)
+        var j = i
+        while (j < d) {
+          add128(buf, t, Math.multiplyHigh(xi, x(j)), xi * x(j))
+          j += 1
+          t += 1
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: GramBuffer, other: GramBuffer): GramBuffer = {
+    if (other.dim < 0) buf
+    else if (buf.dim < 0) {
+      // adopt the (freshly deserialized, never reused) partial wholesale
+      buf.dim = other.dim; buf.hi = other.hi; buf.lo = other.lo
+      buf
+    } else {
+      if (buf.dim != other.dim)
+        throw new IllegalStateException(
+          s"gram_matrix: merging buffers of dim ${buf.dim} vs ${other.dim}")
+      var t = 0
+      while (t < buf.lo.length) {
+        add128(buf, t, other.hi(t), other.lo(t))
+        t += 1
+      }
+      buf
+    }
+  }
+
+  private val decMax = BigInt(10).pow(38)
+
+  override def eval(buf: GramBuffer): Any = {
+    if (buf.dim < 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](buf.lo.length)
+      var t = 0
+      while (t < buf.lo.length) {
+        val v = (BigInt(buf.hi(t)) << 64) + (BigInt(buf.lo(t)) & ((BigInt(1) << 64) - 1))
+        if (v.abs >= decMax)
+          throw new IllegalStateException(
+            "gram_matrix: cell exceeds the exact DECIMAL(38,0) domain " +
+              "(n·max|x|² past 1e38) — rescale the input")
+        out(t) = Decimal(scala.math.BigDecimal(v), 38, 0)
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def serialize(buf: GramBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.dim)
+    if (buf.dim >= 0) {
+      var t = 0
+      while (t < buf.lo.length) {
+        out.writeLong(buf.hi(t)); out.writeLong(buf.lo(t)); t += 1
+      }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): GramBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val d = in.readInt()
+    if (d < 0) new GramBuffer(-1, null, null)
+    else {
+      val cells = d * (d + 1) / 2
+      val hi = new Array[Long](cells)
+      val lo = new Array[Long](cells)
+      var t = 0
+      while (t < cells) { hi(t) = in.readLong(); lo(t) = in.readLong(); t += 1 }
+      new GramBuffer(d, hi, lo)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramMatrixAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramMatrixAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "gram_matrix"
+}

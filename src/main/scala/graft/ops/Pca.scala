@@ -12,9 +12,12 @@ import org.apache.spark.storage.StorageLevel
   *     the mean is `floor(sum/n)` per dimension (kmeans precedent), so
   *     centered vectors are exact integers;
   *   - the covariance accumulation Σ xcᵢ·xcⱼ is the ONLY data-sized
-  *     work: one map-only pair expansion + one partial aggregate down
-  *     to dim² cells, summed in DECIMAL(38,0) so the distributed sum is
-  *     exact and order-independent at any row count;
+  *     work: ONE pass of [[graft.functions.GramMatrixAgg]] — each
+  *     partition folds its rows into a single dim(dim+1)/2-cell
+  *     128-bit triangle buffer (primitive-long multiply-accumulate, no
+  *     intermediate rows) and only #partitions triangles shuffle; the
+  *     integer sums are exact and order-independent at any row count
+  *     and any embedding width;
   *   - power iterations run on the DRIVER over the collected dim²
   *     matrix (bounded, kilobytes) in BigInt — exact, overflow-free;
   *     each iterate renormalizes by a truncating division by 2^k
@@ -25,9 +28,7 @@ import org.apache.spark.storage.StorageLevel
   *     against the literal direction.
   *
   * v₀ = (1,…,1); convergence is not the point of the gate — the pinned
-  * trajectory is. Dimensions are expected bounded (an embedding width,
-  * ≤ a few thousand): the pair expansion is dim² per row; for extreme
-  * widths swap in a vectorized ImperativeAggregate. */
+  * trajectory is. */
 object Pca {
 
   /** Returns (idCol, proj): each vector's exact integer projection onto
@@ -55,22 +56,24 @@ object Pca {
     val muLit = array(mu.map(lit).toIndexedSeq: _*)
     def centered(xq: Column): Column = zip_with(xq, muLit, (x, m) => x - m)
 
-    // covariance cells: map-only pair expansion of the UPPER TRIANGLE
-    // only (the matrix is symmetric — mirror on the driver), summed in
-    // DECIMAL(38,0)
-    val pairs = q
+    // covariance cells: one Gram-matrix aggregate over the centered
+    // vectors (the matrix is symmetric — the aggregate carries the flat
+    // row-major upper triangle; mirror on the driver)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val cells = q
       .withColumn("_xc", centered(col("_xq")))
-      .select(explode(flatten(transform(col("_xc"), (xi, i) =>
-        transform(slice(col("_xc"), i + 1, lit(dim) - i), (xj, jj) =>
-          struct(i.as("i"), (i + jj).as("j"),
-            (xi * xj).cast("decimal(38,0)").as("p")))))).as("_c"))
-      .select(col("_c")("i").as("i"), col("_c")("j").as("j"), col("_c")("p").as("p"))
-    val covRows = pairs.groupBy("i", "j").agg(sum("p").as("c")).collect()
+      .agg(toCol(graft.functions.GramMatrixAgg(toExpr(col("_xc")))
+        .toAggregateExpression()).as("g"))
+      .first().getSeq[java.math.BigDecimal](0)
+    require(cells.length == dim * (dim + 1) / 2,
+      s"pcaTop1: expected ${dim * (dim + 1) / 2} gram cells, got ${cells.length}")
     val cov = Array.ofDim[BigInt](dim, dim)
-    covRows.foreach { r =>
-      val v = BigInt(r.getDecimal(2).toBigInteger)
-      cov(r.getInt(0))(r.getInt(1)) = v
-      cov(r.getInt(1))(r.getInt(0)) = v
+    var t = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val v = BigInt(cells(t).toBigInteger)
+      cov(i)(j) = v
+      cov(j)(i) = v
+      t += 1
     }
 
     // driver power iterations in BigInt; BigInt `/` truncates toward
