@@ -58,14 +58,19 @@ object Dedup {
       .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
   }
 
-  /** Candidate pairs from shared band buckets (a < b, distinct). The
-    * self-join shuffles on (band, sig) — co-located, no cross product. */
+  /** Candidate pairs from shared band buckets (a < b), with the number
+    * of agreeing bands threaded through as `n_bands` — the groupBy that
+    * dedups multi-band collisions (formerly a `.distinct()`) counts them
+    * for free, and the count is a per-pair signature-agreement signal
+    * callers can use to rank or (accepting a recall trade-off) prefilter
+    * candidates. The self-join shuffles on (band, sig) — co-located, no
+    * cross product. */
   def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
     val a = bandsDf.select(col("band"), col("sig"), col(idCol).as("a"))
     val b = bandsDf.select(col("band"), col("sig"), col(idCol).as("b"))
     a.join(b, Seq("band", "sig"))
       .where(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
   }
 
   /** Full MinHash-LSH near-dedup: signatures → bands → candidates →
@@ -125,15 +130,32 @@ object Dedup {
   /** Candidate pairs with exact intersection/union SIZES (ints — lets
     * callers threshold with exact integer arithmetic, no float compare).
     * Input: (id, `_sh` shingle array) from [[withCharShingles]] /
-    * [[withWordShingles]]. */
+    * [[withWordShingles]].
+    *
+    * `sizeRatioPrefilter = Some((n, d))` applies the EXACT necessary
+    * condition for Jaccard ≥ n/d before the expensive verify: i_size ≤
+    * min(|A|,|B|) and u_size ≥ max(|A|,|B|), so J ≥ n/d forces
+    * d·min(|A|,|B|) ≥ n·max(|A|,|B|). Checking it costs two joins of ONE
+    * long per doc, and every pair it drops skips the two array-payload
+    * joins and the sorted-merge — the candidate-∝ bottleneck at the
+    * scaled tier. LOSSLESS for callers that post-filter at n/d (the
+    * surviving set provably contains every pair with J ≥ n/d that
+    * banding surfaced); callers that keep sub-threshold candidate sizes
+    * must leave it None. */
   def nearDupSizesShingled(
       shingled: DataFrame,
       idCol: String,
       numHashes: Int,
-      bands: Int): DataFrame = {
+      bands: Int,
+      sizeRatioPrefilter: Option[(Int, Int)] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    sizeRatioPrefilter.foreach { case (n, d) =>
+      require(n > 0 && d > 0 && n <= d,
+        s"sizeRatioPrefilter must be a Jaccard ratio in (0,1], got $n/$d")
+    }
     val sigs = minHashSignaturesBy(shingled, idCol, col("_sh"), numHashes)
-    val cands = candidatePairs(lshBands(sigs, idCol, bands, numHashes / bands), idCol)
+    val allCands = candidatePairs(lshBands(sigs, idCol, bands, numHashes / bands), idCol)
+      .select("a", "b")
     // verify on SORTED per-shingle hashes, not the string arrays: the two
     // payload joins shuffle 8 bytes per shingle instead of the shingle
     // text, and each candidate costs one O(n) merge instead of
@@ -141,6 +163,16 @@ object Dedup {
     // at the ×20 scaled tier). Sizes are exact modulo 64-bit collisions.
     val hashed = shingled.select(col(idCol),
       graft.functions.ShingleFunctions.sorted_shingle_hashes(col("_sh")).as("_hs"))
+    val cands = sizeRatioPrefilter match {
+      case None => allCands
+      case Some((n, d)) =>
+        val sizes = hashed.select(col(idCol), size(col("_hs")).cast("long").as("_n"))
+        allCands
+          .join(sizes.select(col(idCol).as("a"), col("_n").as("_na")), Seq("a"))
+          .join(sizes.select(col(idCol).as("b"), col("_n").as("_nb")), Seq("b"))
+          .where(least(col("_na"), col("_nb")) * d >= greatest(col("_na"), col("_nb")) * n)
+          .select("a", "b")
+    }
     cands
       .join(hashed.select(col(idCol).as("a"), col("_hs").as("_ha")), Seq("a"))
       .join(hashed.select(col(idCol).as("b"), col("_hs").as("_hb")), Seq("b"))
@@ -230,12 +262,20 @@ object Dedup {
     val cb = lshBands(minHashSignaturesBy(cs, idCol, col("_sh"), numHashes), idCol, bands, rows)
       .select(col("band"), col("sig"), col(idCol).as("cid"))
     // same hashed-payload verify as nearDupSizesShingled: slim long
-    // arrays through the joins, one merge-intersect per candidate
+    // arrays through the joins, one merge-intersect per candidate; the
+    // size-ratio prefilter (exact J ≥ jNum/jDen necessary condition —
+    // see nearDupSizesShingled) drops candidates before the array joins
     val sh = graft.functions.ShingleFunctions.sorted_shingle_hashes(col("_sh"))
     val isize = graft.functions.ShingleFunctions.sorted_intersect_size(col("_sb"), col("_sc"))
+    val bH = bs.select(col(idCol).as("bid"), sh.as("_sb"))
+    val cH = cs.select(col(idCol).as("cid"), sh.as("_sc"))
     val near = bb.join(cb, Seq("band", "sig")).select("bid", "cid").distinct()
-      .join(bs.select(col(idCol).as("bid"), sh.as("_sb")), Seq("bid"))
-      .join(cs.select(col(idCol).as("cid"), sh.as("_sc")), Seq("cid"))
+      .join(bH.select(col("bid"), size(col("_sb")).cast("long").as("_zb")), Seq("bid"))
+      .join(cH.select(col("cid"), size(col("_sc")).cast("long").as("_zc")), Seq("cid"))
+      .where(least(col("_zb"), col("_zc")) * jDen >= greatest(col("_zb"), col("_zc")) * jNum)
+      .select("bid", "cid")
+      .join(bH, Seq("bid"))
+      .join(cH, Seq("cid"))
       .where(isize * jDen >= (size(col("_sb")) + size(col("_sc")) - isize) * jNum)
       .groupBy("bid").agg(min("cid").as("near_id"))
     batch.select(col(idCol))

@@ -57,6 +57,29 @@ object PipelineQueries {
       .orderBy("qid")
   }
 
+  /** The word-3-shingle MinHash-LSH pair list at J ≥ 4/5 — the shared
+    * front half of FIVE gates (p03/p29/p34/p47/p57). Memoized per
+    * (session, sf dir) and persisted so a sequential Verify run computes
+    * the signatures/band-join/verify once instead of five times; if the
+    * blocks are evicted (Bench unpersists between queries so each
+    * query's timing stays honest) the lineage just recomputes. The
+    * size-ratio prefilter is the exact J ≥ 4/5 necessary condition —
+    * lossless here because every consumer post-filters at 4/5. */
+  private val pairsMemo =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
+  private def nearDupPairs45(s: SparkSession, dir: String): DataFrame =
+    pairsMemo.synchronized {
+      pairsMemo.getOrElseUpdate((s, dir), {
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        Dedup.nearDupSizesShingled(
+            Dedup.withWordShingles(docs, "doc_id", "text", 3),
+            "doc_id", numHashes = 64, bands = 16,
+            sizeRatioPrefilter = Some((4, 5)))
+          .where(col("i_size") * 5 >= col("u_size") * 4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EP2/EP3 end-to-end: header identify + rules standardizer + typed
     // stages + fuzzy importer join + publish projection. The multi-stage
@@ -84,14 +107,8 @@ object PipelineQueries {
     // the DuckDB oracle computes exact all-pairs ground truth, so this
     // gate checks LSH recall AND the verify stage. Integer threshold
     // (5·i ≥ 4·u ⇔ J ≥ 0.8) keeps the compare float-free.
-    "p03_dedup_minhash" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents").select("doc_id", "text")
-      Dedup.nearDupSizesShingled(
-          Dedup.withWordShingles(docs, "doc_id", "text", 3),
-          "doc_id", numHashes = 64, bands = 16)
-        .where(col("i_size") * 5 >= col("u_size") * 4)
-        .orderBy("a", "b")
-    }),
+    "p03_dedup_minhash" -> ((s, dir) =>
+      nearDupPairs45(s, dir).orderBy("a", "b")),
 
     // SimHash planted-recall gate: union the corpus with exact copies
     // (doc_id + 100000) and check the banded Hamming-0 pipeline recovers
@@ -125,28 +142,15 @@ object PipelineQueries {
     // canonical keep id and cluster size. Oracle recomputes exact
     // all-pairs ground truth and closes it with a recursive CTE — checks
     // LSH recall AND the distributed component algorithm.
-    "p29_dedup_clusters" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents").select("doc_id", "text")
-      val pairs = Dedup.nearDupSizesShingled(
-          Dedup.withWordShingles(docs, "doc_id", "text", 3),
-          "doc_id", numHashes = 64, bands = 16)
-        .where(col("i_size") * 5 >= col("u_size") * 4)
-        .select("a", "b")
-      Dedup.dedupClusters(pairs).orderBy("id")
-    }),
+    "p29_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(nearDupPairs45(s, dir).select("a", "b")).orderBy("id")),
 
     // Quality-argmax survivor per near-dup cluster (production dedup
     // keeps the best copy, not the smallest id) — n_chars as the
     // quality score, id-ascending tie-break.
-    "p57_keep_best" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val pairs = Dedup.nearDupSizesShingled(
-          Dedup.withWordShingles(docs.select("doc_id", "text"), "doc_id", "text", 3),
-          "doc_id", numHashes = 64, bands = 16)
-        .where(col("i_size") * 5 >= col("u_size") * 4)
-        .select("a", "b")
-      Dedup.keepBest(pairs, docs, "doc_id", "n_chars").orderBy("component")
-    }),
+    "p57_keep_best" -> ((s, dir) =>
+      Dedup.keepBest(nearDupPairs45(s, dir).select("a", "b"),
+        Tables(s, dir, "documents"), "doc_id", "n_chars").orderBy("component")),
 
     // Pretraining context-window chunker: 64-token windows at stride 48
     // (16-token overlap), map-only, content pinned by per-chunk md5.
@@ -528,12 +532,7 @@ object PipelineQueries {
     // content split; singletons fall back to their own.
     "p34_leakage_safe_split" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val pairs = Dedup.nearDupSizesShingled(
-          Dedup.withWordShingles(docs.select("doc_id", "text"), "doc_id", "text", 3),
-          "doc_id", numHashes = 64, bands = 16)
-        .where(col("i_size") * 5 >= col("u_size") * 4)
-        .select("a", "b")
-      graft.ops.CorpusOps.leakageSafeSplit(docs, pairs)
+      graft.ops.CorpusOps.leakageSafeSplit(docs, nearDupPairs45(s, dir).select("a", "b"))
         .select("doc_id", "split")
         .orderBy("doc_id")
     }),
@@ -662,12 +661,7 @@ object PipelineQueries {
     // job, and the proof they compose.
     "p47_curation_e2e" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val pairs = Dedup.nearDupSizesShingled(
-          Dedup.withWordShingles(docs.select("doc_id", "text"), "doc_id", "text", 3),
-          "doc_id", numHashes = 64, bands = 16)
-        .where(col("i_size") * 5 >= col("u_size") * 4)
-        .select("a", "b")
-      val comps = Dedup.connectedComponents(pairs)
+      val comps = Dedup.connectedComponents(nearDupPairs45(s, dir).select("a", "b"))
         .withColumnRenamed("id", "doc_id")
       val kept = docs
         .join(comps, Seq("doc_id"), "left")

@@ -116,7 +116,7 @@ object ScaledOps {
     val ev = spark.read.parquet(eventsPath)
     def pairs = Dedup.nearDupSizesShingled(
         Dedup.withWordShingles(docs.select("doc_id", "text"), "doc_id", "text", 3),
-        "doc_id", numHashes = 64, bands = 16)
+        "doc_id", numHashes = 64, bands = 16, sizeRatioPrefilter = Some((4, 5)))
       .where(col("i_size") * 5 >= col("u_size") * 4)
     val purchases = ev.where(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts", "value")
@@ -204,7 +204,7 @@ object ScaleStudy {
       val (nPairs, tPairs) = time {
         Dedup.nearDupSizesShingled(
             Dedup.withWordShingles(docs.select("doc_id", "text"), "doc_id", "text", 3),
-            "doc_id", numHashes = 64, bands = 16)
+            "doc_id", numHashes = 64, bands = 16, sizeRatioPrefilter = Some((4, 5)))
           .where(col("i_size") * 5 >= col("u_size") * 4)
           .count()
       }
@@ -213,7 +213,7 @@ object ScaleStudy {
       // pairs -> clusters (iterative components)
       val pairs = Dedup.nearDupSizesShingled(
           Dedup.withWordShingles(docs.select("doc_id", "text"), "doc_id", "text", 3),
-          "doc_id", numHashes = 64, bands = 16)
+          "doc_id", numHashes = 64, bands = 16, sizeRatioPrefilter = Some((4, 5)))
         .where(col("i_size") * 5 >= col("u_size") * 4)
         .select("a", "b")
       val (_, tClust) = time(sink(Dedup.dedupClusters(pairs)))
