@@ -696,12 +696,18 @@ object PipelineQueries {
     // value computed in-query, so the constant-true oracle is a
     // quantitative error-bound assertion.
     // rsd = 0.01 makes the 5% gate a 5-sigma bound; the default 0.05
-    // would make it ~1-sigma — a coin flip per group at other SFs
+    // would make it ~1-sigma — a coin flip per group at other SFs.
+    // Both sides aggregate a pre-distinct (source, doc_id) projection:
+    // the HLL sketch is duplicate-insensitive (same registers, same
+    // estimate), the exact side becomes a plain count, and the plan is
+    // one partial-agg'd distinct instead of the Expand-doubled
+    // mixed-distinct aggregate (the round-7 6.7x gate regression)
     "p49_approx_distinct" -> ((s, dir) =>
       Tables(s, dir, "documents")
+        .select("source", "doc_id").distinct()
         .groupBy("source")
         .agg(approx_count_distinct(col("doc_id"), 0.01).as("approx"),
-          countDistinct("doc_id").as("exact"))
+          count(col("doc_id")).as("exact"))
         .select(col("source"),
           (abs(col("approx") - col("exact")) <= col("exact") * 0.05)
             .as("within_5pct"))
