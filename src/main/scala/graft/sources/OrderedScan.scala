@@ -16,8 +16,17 @@ object OrderedScan {
 
   val RowIdx = "_row_idx"
 
-  /** S3-equivalent: read a headerless all-string grid (the driver-side
-    * XLS→CSV conversion product; there is no offline Excel DataSource) as
+  /** S3: the real binary workbook — every requested sheet parsed from
+    * BIFF8 by [[XlsGrid]] into an all-string ordered grid, the exact
+    * shape `pd.read_excel(sheet_name=[0..n), dtype=str)` hands the
+    * reference (transform_pipeline.py:23-30 `read_xls_files`). */
+  def xlsSheets(spark: SparkSession, path: String, numSheets: Int = 2): Seq[DataFrame] =
+    XlsGrid.readSheets(path).take(numSheets).map { case (_, grid) =>
+      fromGrid(spark, grid, grid.headOption.map(_.length).getOrElse(0))
+    }
+
+  /** S3-fallback: read a headerless all-string grid (a pre-converted
+    * CSV of a sheet; [[xlsSheets]] reads the binary workbook directly) as
     * `_c0.._cN` StringType columns plus `_row_idx` in file order. */
   def csvGrid(spark: SparkSession, path: String, delimiter: String = ","): DataFrame = {
     val raw = spark.read
