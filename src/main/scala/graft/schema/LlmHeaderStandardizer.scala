@@ -17,8 +17,51 @@ package graft.schema
   */
 object LlmHeaderStandardizer {
 
-  /** Text-generation seam: prompt in, raw completion out. */
+  /** Text-generation seam: prompt in, raw completion out.
+    *
+    * Model-environment contract: production supplies an implementation
+    * backed by whatever serving stack the deployment has (an HTTP
+    * endpoint, a JNI-bound local model — the reference loads a local
+    * seq2seq model in-process, header_standarizer_llm.py:64-70); this
+    * library deliberately ships no ML runtime. [[OfflineTextGenerator]]
+    * is the batteries-included default for demos, tests, and air-gapped
+    * runs. */
   trait TextGenerator { def generate(prompt: String): String }
+
+  /** Deterministic offline [[TextGenerator]]: executes the prompt's own
+    * instruction ("4-6 palabras en español, snake_case, sin tildes,
+    * uppercase") as a template instead of sampling a model — unaccent,
+    * drop Spanish function words, abbreviate the domain terms the
+    * few-shot examples demonstrate, cap at 6 tokens. Same header in,
+    * same name out, forever: exactly the property the memoized mapping
+    * store wants, and the reference itself notes the deterministic
+    * rules path is MORE reliable than the model
+    * (header_standarizer_ruler.py:48-49). */
+  object OfflineTextGenerator extends TextGenerator {
+    private val stop = Set("DE", "DEL", "LA", "EL", "LOS", "LAS", "EN",
+      "Y", "A", "O", "U", "POR", "CON", "PARA", "AL", "UN", "UNA")
+    // the abbreviations the few-shot examples teach the model
+    private val abbrev = Map(
+      "HIBRIDO" -> "HIB", "EXTERIOR" -> "EXT", "RECARGA" -> "RECARGA",
+      "DECRETO" -> "DS", "SUPREMO" -> "")
+
+    def generate(prompt: String): String = {
+      // the header under generation is the LAST quoted Entrada
+      val entrada = "(?s).*Entrada: \"([^\"]*)\"\\s*\\n\\s*Salida:\\s*$".r
+      val header = prompt match {
+        case entrada(h) => h
+        case _ => prompt // free-form use: treat the whole input as the header
+      }
+      val un = java.text.Normalizer.normalize(header, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}", "")
+      val words = un.toUpperCase
+        .map(c => if (Character.isLetterOrDigit(c)) c else ' ')
+        .split("\\s+").filter(_.nonEmpty)
+        .filterNot(stop)
+        .map(w => abbrev.getOrElse(w, w)).filter(_.nonEmpty)
+      words.take(6).mkString("_")
+    }
+  }
 
   /** Few-shot prompt (header_standarizer_llm.py:109-125). */
   def promptFor(header: String): String =

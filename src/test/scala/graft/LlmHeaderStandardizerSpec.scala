@@ -59,4 +59,26 @@ class LlmHeaderStandardizerSpec extends AnyFunSuite {
     MappingStore.load(path, reloaded)
     assert(reloaded.standardizeHeader("Encabezado dos") == "MISMO_NOMBRE_1")
   }
+
+  test("offline generator: deterministic template execution of the prompt") {
+    import LlmHeaderStandardizer.OfflineTextGenerator
+    val std = new LlmHeaderStandardizer(OfflineTextGenerator)
+    // unaccent + stopword drop + uppercase + snake_case
+    assert(std.standardizeHeader("Emisiones de CO2 combinado (g/km)")
+      == "EMISIONES_CO2_COMBINADO_G_KM")
+    assert(std.standardizeHeader("Fecha de Homologación") == "FECHA_HOMOLOGACION")
+    // 6-word cap — the prompt's "4-6 palabras"
+    assert(std.standardizeHeader(
+      "Rendimiento Eléctrico (km/kwh) Vehículo Eléctrico Puro Adicional Extra")
+      == "RENDIMIENTO_ELECTRICO_KM_KWH_VEHICULO_ELECTRICO")
+    // the few-shot abbreviations apply
+    assert(std.standardizeHeader("Ciclo WLTC Híbrido Recarga Exterior CO2 CS")
+      == "CICLO_WLTC_HIB_RECARGA_EXT_CO2")
+    // same header, same name — the property the memo store depends on
+    assert(OfflineTextGenerator.generate(
+      LlmHeaderStandardizer.promptFor("P.B.V. (kg)")) ==
+      OfflineTextGenerator.generate(LlmHeaderStandardizer.promptFor("P.B.V. (kg)")))
+    // empty / symbol-only headers clean to "" → col_<hash8> fallback
+    assert(std.standardizeHeader("¿¿??").startsWith("col_"))
+  }
 }
