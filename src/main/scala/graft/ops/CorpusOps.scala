@@ -436,16 +436,24 @@ object CorpusOps {
     val v = if (vRow.isNullAt(0)) 0L else vRow.getLong(0)
 
     // ⌊log₂(a/b)⌋ for ints 1 ≤ b ≤ a: bit-length gap, minus one when the
-    // shifted divisor overshoots — exact, overflow-free (a ≤ tokens+V)
-    pairs
-      .join(model, Seq("bg"), "left").na.fill(0L, Seq("c12"))
-      .join(lefts, Seq("l"), "left").na.fill(0L, Seq("c1"))
+    // shifted divisor overshoots — exact, overflow-free (a ≤ tokens+V).
+    // The surprisal depends only on the BIGRAM, so fold it into the
+    // vocab-sized model first (model ⋈ lefts is vocab ⋈ vocab) and join
+    // the corpus-sized instance stream ONCE — instance rows take one
+    // shuffle on bg plus the per-doc aggregate, instead of back-to-back
+    // bg- and l-keyed shuffles with the bit math run per instance.
+    val bgBits = model
+      .withColumn("l", substring_index(col("bg"), "\u0001", 1))
+      .join(lefts, Seq("l"))
       .withColumn("_a", col("c1") + lit(v))
       .withColumn("_b", col("c12") + lit(1L))
       .withColumn("_k0", (length(bin(col("_a"))) - length(bin(col("_b")))).cast("int"))
       .withColumn("_bits",
         when(col("_a") < expr("shiftleft(_b, _k0)"), col("_k0") - 1)
           .otherwise(col("_k0")).cast("long"))
+      .select("bg", "_bits")
+    pairs.select(col(idCol), col("bg"))
+      .join(bgBits, Seq("bg"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum("_bits").as("bits"))
       .withColumn("avg_bits",
