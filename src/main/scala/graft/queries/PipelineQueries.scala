@@ -152,6 +152,13 @@ object PipelineQueries {
       Dedup.keepBest(nearDupPairs45(s, dir).select("a", "b"),
         Tables(s, dir, "documents"), "doc_id", "n_chars").orderBy("component")),
 
+    // Span-level dedup (Lee et al.): maximal token spans whose 20-token
+    // windows repeat anywhere in the corpus — catches verbatim
+    // cross-document boilerplate that doc-level near-dedup cannot.
+    "p75_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(Tables(s, dir, "documents"), n = 20)
+        .orderBy("doc_id", "span_start")),
+
     // Pretraining context-window chunker: 64-token windows at stride 48
     // (16-token overlap), map-only, content pinned by per-chunk md5.
     "p58_chunk_tokens" -> ((s, dir) =>
@@ -1354,6 +1361,21 @@ object PipelineQueries {
         "CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT) AS chunk_len, " +
         "md5(array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')) AS chunk_md5 " +
         "FROM c ORDER BY doc_id, chunk_id"),
+    // window md5 = md5 of the space-joined token window, identical to
+    // Spark's md5(word_ngrams(...)); islands of consecutive hit
+    // positions via the same pos - row_number() trick
+    "p75_repeated_spans" -> (
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "w AS (SELECT doc_id, CAST(i AS INT) AS pos, " +
+        "md5(array_to_string(list_slice(toks, CAST(i AS INT) + 1, CAST(i AS INT) + 20), ' ')) AS wh " +
+        "FROM t, unnest(generate_series(0, len(toks) - 20)) AS u(i) WHERE len(toks) >= 20), " +
+        "r AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(*) >= 2), " +
+        "m AS (SELECT doc_id, pos FROM w JOIN r USING (wh)), " +
+        "isl AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g " +
+        "FROM m) " +
+        "SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 20 AS span_end, " +
+        "COUNT(*) AS n_windows FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start"),
     // ts truncated to microseconds BEFORE ordering (Spark timestamps are
     // micro-precision) so frame membership agrees; event_id makes the
     // order total; value quantized to BIGINT micro-units before the

@@ -139,4 +139,42 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("a").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq((1L, 2L, 1.0), (2L, 3L, 0.0)))
   }
+
+  test("repeatedSpans: maximal cross-doc repeated windows, planted boilerplate") {
+    // a shared 6-token license block inside otherwise-unique docs
+    val block = "licensed under the apache license version"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $block delta epsilon zeta"),
+      (2L, s"one two $block three four five six seven"),
+      (3L, "totally unrelated words that repeat nothing from anywhere else here"),
+      // a doc REPEATING the block internally — within-doc repeats count
+      (4L, s"$block pad1 pad2 $block")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, n = 4)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // doc 1: block at tokens 3..8 → windows 3,4,5 (4-grams inside the
+    // 6-token block) → span [3, 9)
+    // doc 2: block at tokens 2..7 → span [2, 8)
+    // doc 4: block twice (0..5 and 8..13) → spans [0,6) and [8,14)
+    assert(out.toSeq == Seq(
+      (1L, 3, 9, 3L),
+      (2L, 2, 8, 3L),
+      (4L, 0, 6, 3L),
+      (4L, 8, 14, 3L)))
+  }
+
+  test("repeatedSpans merges overlapping repeats into one maximal span") {
+    // two docs identical over a long prefix: every window inside repeats
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared unique1 tail1"),
+      (2L, s"$shared unique2 tail2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, n = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // windows 0..6 of the 10-token shared prefix repeat → one span [0,10)
+    assert(out.toSeq == Seq((1L, 0, 10, 7L), (2L, 0, 10, 7L)))
+  }
 }
