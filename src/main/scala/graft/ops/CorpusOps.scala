@@ -460,6 +460,53 @@ object CorpusOps {
         col("bits").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** INTEGER-EXACT TF-IDF keyword extraction: the top-`k` terms per
+    * document ranked by `tf · ⌊log₂(N/df)⌋` — document tagging /
+    * topic-feature extraction for curation, deterministic and
+    * engine-portable end to end. The idf is coarse-grained to whole
+    * bits with the same binary-bit-length construction as
+    * [[bigramSurprisal]] (no libm log whose last ulp could reorder
+    * ranks across engines), the score is a plain integer product, and
+    * ties break on the term string — so ranks are total and replayable
+    * anywhere.
+    *
+    * Scale shape: tokenize+explode map-only; (doc, term, tf) is one
+    * partial-agg shuffle (map-side combine collapses within-doc
+    * repeats); df folds off that aggregate at vocab size; N is a scalar;
+    * the idf join keys on the term at vocab size; top-k is one
+    * per-document window over each doc's DISTINCT terms (bounded by doc
+    * length, never corpus-wide). Stopword-heavy terms self-suppress:
+    * df = N ⇒ idf_bits = 0 ⇒ score 0.
+    * Returns (idCol, rank, term, tf, idf_bits). */
+  def tfidfKeywords(
+      docs: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"tfidfKeywords: k must be positive, got $k")
+    val terms = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .where(col("term") =!= "")
+    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N = docs contributing terms — a map-only count, no distinct shuffle
+    val nRow = docs
+      .where(size(TextAnalysis.tokens(lower(col(textCol)))) > 0).count()
+    val idf = df
+      .withColumn("_k0", (length(bin(lit(nRow))) - length(bin(col("df")))).cast("int"))
+      .withColumn("idf_bits",
+        when(lit(nRow) < expr("shiftleft(df, _k0)"), col("_k0") - 1)
+          .otherwise(col("_k0")).cast("long"))
+      .select("term", "idf_bits")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy((col("tf") * col("idf_bits")).desc, col("term").asc)
+    tf.join(idf, Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("idf_bits"))
+  }
+
   /** Equal-width histogram over a numeric column: two tiny passes (one
     * scalar min/max aggregate collected to the driver — the imputation
     * precedent — then a map-only bin assignment + partial-agg count).

@@ -152,6 +152,13 @@ object PipelineQueries {
       Dedup.keepBest(nearDupPairs45(s, dir).select("a", "b"),
         Tables(s, dir, "documents"), "doc_id", "n_chars").orderBy("component")),
 
+    // Integer-exact TF-IDF keywords: top-5 terms per doc by
+    // tf·⌊log₂(N/df)⌋ — whole-bit idf (no libm), term-ascending
+    // tie-break, total order.
+    "p76_tfidf_keywords" -> ((s, dir) =>
+      graft.ops.CorpusOps.tfidfKeywords(Tables(s, dir, "documents"), k = 5)
+        .orderBy("doc_id", "rank")),
+
     // Span-level dedup (Lee et al.): maximal token spans whose 20-token
     // windows repeat anywhere in the corpus — catches verbatim
     // cross-document boilerplate that doc-level near-dedup cannot.
@@ -1361,6 +1368,24 @@ object PipelineQueries {
         "CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT) AS chunk_len, " +
         "md5(array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')) AS chunk_md5 " +
         "FROM c ORDER BY doc_id, chunk_id"),
+    // same whole-bit ⌊log₂(N/df)⌋ via binary bit lengths as p65; the
+    // rank ordering is an integer product + term tie-break, so the
+    // replay is total-ordered and libm-free on both engines
+    "p76_tfidf_keywords" -> (
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "term AS (SELECT doc_id, unnest(toks) AS term FROM t), " +
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM term GROUP BY doc_id, term), " +
+        "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
+        "n AS (SELECT COUNT(*) AS n FROM t), " +
+        "idf AS (SELECT term, CAST(CASE WHEN n.n < (df << (length(bin(n.n)) - length(bin(df)))) " +
+        "THEN length(bin(n.n)) - length(bin(df)) - 1 " +
+        "ELSE length(bin(n.n)) - length(bin(df)) END AS BIGINT) AS idf_bits FROM dfq, n), " +
+        "r AS (SELECT doc_id, term, tf, idf_bits, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf * idf_bits DESC, term ASC) AS rank " +
+        "FROM tf JOIN idf USING (term)) " +
+        "SELECT doc_id, CAST(rank AS INT) AS rank, term, CAST(tf AS BIGINT) AS tf, idf_bits " +
+        "FROM r WHERE rank <= 5 ORDER BY doc_id, rank"),
     // window md5 = md5 of the space-joined token window, identical to
     // Spark's md5(word_ngrams(...)); islands of consecutive hit
     // positions via the same pos - row_number() trick

@@ -373,4 +373,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("non-positive weight"))
   }
+
+  test("tfidfKeywords: hand-computed ranks, whole-bit idf, stopword suppression") {
+    // N = 4 docs; "the" in all 4 → idf_bits = floor(log2(4/4)) = 0 →
+    // score 0 regardless of tf; "zebra" in 1 → floor(log2(4)) = 2;
+    // "cat" in 2 → floor(log2(2)) = 1; "dog" in 3 → floor(log2(4/3)) = 0
+    val docs = Seq(
+      (1L, "the the the zebra cat dog"),
+      (2L, "the cat dog"),
+      (3L, "the dog"),
+      (4L, "the")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.tfidfKeywords(docs, k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      // doc 1: zebra 1·2=2 wins; cat 1·1=1 second (dog and the score 0)
+      (1L, 1, "zebra", 1L, 2L), (1L, 2, "cat", 1L, 1L),
+      // doc 2: cat 1 wins; dog/the tie at 0 → "dog" < "the" alphabetically
+      (2L, 1, "cat", 1L, 1L), (2L, 2, "dog", 1L, 0L),
+      // doc 3: all score 0 → alphabetical
+      (3L, 1, "dog", 1L, 0L), (3L, 2, "the", 1L, 0L),
+      (4L, 1, "the", 1L, 0L)))
+  }
 }
