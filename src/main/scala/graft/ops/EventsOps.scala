@@ -57,6 +57,41 @@ object EventsOps {
         max(col("_v")).over(w).as("roll_max"))
   }
 
+  /** Per-key TIME-RANGE rolling statistics: for every event, the
+    * count/sum/min/max of the key's events inside `[t − windowSeconds,
+    * t]` — the wall-clock sibling of [[rollingStats]]' row-count frame,
+    * and a different window class entirely (a RANGE frame's membership
+    * is defined by the ORDER value, so same-timestamp events all see
+    * each other and no tie-break is needed for frame CONTENTS; the
+    * output is keyed by event id, so no output-order hazard either).
+    * Times are integer epoch seconds and the measure is BIGINT
+    * micro-units — frame membership and sums are exact integer
+    * arithmetic on any engine. One shuffle on the key; Spark's
+    * WindowExec advances both frame edges monotonically per partition
+    * (O(1) amortized per row), so the shape holds at 100 TB exactly
+    * like the ROWS variant.
+    * Returns (tieCol, keyCol, win_n, win_sum, win_min, win_max). */
+  def rollingRange(
+      ev: DataFrame,
+      windowSeconds: Long = 3600L,
+      keyCol: String = "user_id",
+      orderCol: String = "ts",
+      tieCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    require(windowSeconds >= 0, s"windowSeconds must be non-negative, got $windowSeconds")
+    val tSec = floor(unix_micros(col(orderCol)).cast("double") / lit(1000000.0d)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_t"))
+      .rangeBetween(-windowSeconds, 0)
+    ev.select(col(keyCol), col(tieCol), tSec.as("_t"),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+      .select(col(tieCol), col(keyCol),
+        count(lit(1)).over(w).as("win_n"),
+        sum(col("_v")).over(w).as("win_sum"),
+        min(col("_v")).over(w).as("win_min"),
+        max(col("_v")).over(w).as("win_max"))
+  }
+
   /** Temporal train/eval split with a leakage gap — the time-series
     * analogue of the content split: rows at or before the cutoff are
     * `train`, rows after `cutoff + gap` are `eval`, and rows inside the

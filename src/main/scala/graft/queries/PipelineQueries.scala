@@ -179,6 +179,13 @@ object PipelineQueries {
       graft.ops.EventsOps.rollingStats(Tables(s, dir, "events"), frame = 5)
         .orderBy("event_id")),
 
+    // TIME-RANGE frame per user (events in the trailing hour) — RANGE
+    // membership is value-defined (ties all see each other), a different
+    // window class than p59's ROWS frame.
+    "p77_rolling_range" -> ((s, dir) =>
+      graft.ops.EventsOps.rollingRange(Tables(s, dir, "events"), windowSeconds = 3600L)
+        .orderBy("event_id")),
+
     // Equal-width histogram: one scalar min/max pass + a map-only bin
     // ladder; all bucket arithmetic IEEE-double over exact integers.
     "p60_histogram" -> ((s, dir) =>
@@ -1417,6 +1424,18 @@ object PipelineQueries {
         "FROM q " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id " +
         "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    // RANGE frame over integer epoch seconds + BIGINT micro-unit
+    // measures — frame membership and sums are pure integer arithmetic
+    "p77_rolling_range" -> (
+      "WITH q AS (SELECT event_id, user_id, " +
+        "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) AS t, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v FROM events) " +
+        "SELECT event_id, user_id, CAST(COUNT(*) OVER w AS BIGINT) AS win_n, " +
+        "CAST(SUM(v) OVER w AS BIGINT) AS win_sum, " +
+        "MIN(v) OVER w AS win_min, MAX(v) OVER w AS win_max " +
+        "FROM q " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY t RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
     // bucket arithmetic is the same IEEE double expression on both
     // engines; LEAST folds the max value into the last bucket
     "p60_histogram" -> (

@@ -84,6 +84,28 @@ class EventsOpsSpec extends AnyFunSuite {
       (6L, 2L, 30000000L, 10000000L, 20000000L)))
   }
 
+  test("rollingRange: time-defined frame, same-second ties see each other") {
+    val ev = Seq(
+      // user 1: t=0, 30, 100; window 60s
+      (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (2L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 2.0),
+      (3L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:40"), 4.0),
+      // user 2: two events at the SAME second — RANGE frames include
+      // both for both rows (value-defined membership, unlike ROWS)
+      (4L, 2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), 10.0),
+      (5L, 2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), 20.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventsOps.rollingRange(ev, windowSeconds = 60L)
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1000000L),          // alone
+      (2L, 2L, 3000000L),          // t=30 sees t=0
+      (3L, 1L, 4000000L),          // t=100: t=30 is 70s back — outside
+      (4L, 2L, 30000000L),         // both same-second rows in frame
+      (5L, 2L, 30000000L)))
+  }
+
   test("valueOutliers overflows LOUDLY, never a silent wrong answer") {
     // |value| ≥ 1e12 breaks the DECIMAL(18,6) fixed-point cast → raise
     val tooBig = Seq(("g", 2.0e12), ("g", 1.0))
