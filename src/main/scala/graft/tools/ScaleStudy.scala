@@ -145,6 +145,9 @@ object ScaledOps {
           .withColumn("value", col("prop_k").cast("double")))) },
       time("chunk_tokens") { sink(CorpusOps.chunkTokens(docs, 64, 48)) },
       time("rolling_stats") { sink(graft.ops.EventsOps.rollingStats(ev, frame = 5)) },
+      time("rolling_range") { sink(graft.ops.EventsOps.rollingRange(ev, windowSeconds = 3600L)) },
+      time("repeated_spans") { sink(Dedup.repeatedSpans(docs, n = 20)) },
+      time("tfidf_keywords") { sink(CorpusOps.tfidfKeywords(docs, k = 5)) },
       time("bigram_surprisal") { sink(CorpusOps.bigramSurprisal(docs)) },
       time("topk_per_group") { sink(CorpusOps.topKPerGroup(
         docs.withColumn("n_chars", length(col("text"))),
