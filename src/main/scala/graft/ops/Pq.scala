@@ -171,6 +171,89 @@ object Pq {
         .select("qid", "rank", "nid", "score")
     }
   }
+
+  /** IVF-PQ: the composed billion-scale index — [[Ivf]] cells prune the
+    * corpus to the query's `nProbe` nearest cells, PQ-ADC scores ONLY
+    * cell members from codes, and the exact refine stage reranks the
+    * bounded shortlist. The scan cost at 100 TB: cell assignment is one
+    * map-only kernel pass at index-build time, per query the ADC touches
+    * ~corpus·(nProbe/cells) code rows via the cell equi-join, and float
+    * vectors are fetched for ≤ queries × refine rows. Output shape =
+    * [[Ann.bruteTopK]]. */
+  def ivfPqTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      ivfModel: Ivf.Model,
+      pqModel: Model,
+      k: Int,
+      nProbe: Int = 4,
+      refine: Int = 32,
+      maxQueries: Int = 4096): DataFrame = {
+    require(refine >= k, s"pq.ivfPqTopK: refine=$refine must be >= k=$k")
+    val qRows = queries.select(col(idCol), col(vecCol)).collect()
+    require(qRows.length <= maxQueries,
+      s"pq.ivfPqTopK: ${qRows.length} queries exceed maxQueries=$maxQueries")
+    require(qRows.nonEmpty, "pq.ivfPqTopK: empty query set")
+    // driver-side probe of each query's nProbe cells (centroids are tiny)
+    val qCells: Map[Long, Seq[Int]] = qRows.map { r =>
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      val dists = ivfModel.centroids.zipWithIndex.map { case (cent, i) =>
+        var d = 0.0; var j = 0
+        val n = math.min(qv.length, cent.length)
+        while (j < n) { val t = qv(j) - cent(j); d += t * t; j += 1 }
+        (d, i)
+      }
+      r.getLong(0) -> dists.sortBy(identity).take(nProbe).map(_._2).toSeq
+    }.toMap
+    val sub = pqModel.subDim
+    val qids = qRows.map(_.getLong(0))
+    val luts: Array[Array[Array[Double]]] = qRows.map { r =>
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      Array.tabulate(pqModel.m) { j =>
+        Array.tabulate(pqModel.k) { c =>
+          val cent = pqModel.codebooks(j)(c)
+          var d = 0.0; var t = 0
+          while (t < sub && j * sub + t < qv.length) {
+            val x = qv(j * sub + t) - cent(t); d += x * x; t += 1
+          }
+          d
+        }
+      }
+    }
+    // index side: one kernel pass assigns the cell AND the codes
+    val indexed = candidates.select(col(idCol).as("nid"),
+      element_at(Ivf.probeCells(col(vecCol), ivfModel, 1), 1).as("_cell"),
+      encode(col(vecCol), pqModel).as("codes"))
+    // ADC over members of probed cells only: the broadcast (qid, cell)
+    // probe list fans each member row out to EXACTLY the queries probing
+    // its cell, and the binary kernel scores one (codes, qid) pair by
+    // LUT lookup — work = Σ_cell |members| × |queries probing the cell|,
+    // the true IVF-PQ scan cost, not |survivors| × |all queries|
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val probePairs = qCells.toSeq
+      .flatMap { case (qid, cells) => cells.map(c => (qid, c)) }
+      .toDF("qid", "_cell")
+    val scored = indexed
+      .join(broadcast(probePairs), Seq("_cell"))
+      .select(col("qid"), col("nid"),
+        (round(-toCol(PqAdcOneExpression(toExpr(col("codes")), toExpr(col("qid")),
+          qids.toSeq, luts.map(_.map(_.toSeq).toSeq).toSeq)), 4) + 0.0).as("score"))
+      .where(col("qid") =!= col("nid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+    val shortlist = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= refine)
+      .select("qid", "nid")
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("_qv"))
+    val cv = candidates.select(col(idCol).as("nid"), col(vecCol).as("_cv"))
+    shortlist.join(qv, Seq("qid")).join(cv, Seq("nid"))
+      .withColumn("score", round(Ann.cosine(col("_qv"), col("_cv")), 4) + 0.0)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "nid", "score")
+  }
 }
 
 /** Kernel: PQ codes for a float/double vector — argmin per subspace
@@ -218,6 +301,38 @@ case class PqEncodeExpression(
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "pq_encode"
+}
+
+/** Kernel: ADC distance of one (codes, qid) pair — the per-row LUT is
+  * found by qid in the literal batch; `m` adds per row. Used by the
+  * IVF-PQ path, where the cell join already decided which queries see
+  * which rows. */
+case class PqAdcOneExpression(
+    left: Expression,
+    right: Expression,
+    qids: Seq[Long],
+    luts: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  private lazy val lutByQid: java.util.HashMap[Long, Array[Array[Double]]] = {
+    val m = new java.util.HashMap[Long, Array[Array[Double]]]()
+    qids.zip(luts).foreach { case (q, l) => m.put(q, l.map(_.toArray).toArray) }
+    m
+  }
+  override protected def nullSafeEval(codesAny: Any, qidAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData].toIntArray()
+    val lut = lutByQid.get(qidAny.asInstanceOf[Long])
+    if (lut == null)
+      throw new IllegalStateException(s"pq_adc_one: unknown qid $qidAny")
+    var d = 0.0
+    var j = 0
+    while (j < codes.length && j < lut.length) { d += lut(j)(codes(j)); j += 1 }
+    d
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_adc_one"
 }
 
 /** Kernel: ADC distances of one code row against EVERY query LUT —

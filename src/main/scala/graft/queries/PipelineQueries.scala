@@ -395,6 +395,20 @@ object PipelineQueries {
         Ann.bruteTopK(q, e, "vec_id", "embedding", k = 3))
     }),
 
+    // IVF-PQ composition — the billion-scale index: cells prune the
+    // scan, codes feed the ADC, exact refine reranks the shortlist.
+    // Same worst-case corpus ⇒ same generous nProbe as p20.
+    "p79_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 50)
+      val ivfM = graft.ops.Ivf.train(e, "vec_id", "embedding", k = 16)
+      val pqM = graft.ops.Pq.train(e, "vec_id", "embedding", m = 8, k = 256)
+      annRecall(q,
+        graft.ops.Pq.ivfPqTopK(q, e, "vec_id", "embedding", ivfM, pqM,
+          k = 3, nProbe = 12, refine = 32),
+        Ann.bruteTopK(q, e, "vec_id", "embedding", k = 3))
+    }),
+
     // L2 normalization (exploded rows, round-6) — cosine becomes dot.
     "p40_l2_normalize" -> ((s, dir) =>
       Ann.l2Normalize(Tables(s, dir, "embeddings"))
@@ -1006,6 +1020,18 @@ object PipelineQueries {
       3, 3, 2, 3, 3, 3, 3, 3, 3, 2, 3, 2, 3, 3, 3, 2, 3, 3, 3, 2,
       3, 3, 3, 2, 3, 3, 1, 2, 1, 2, 3, 3, 2, 3, 3, 2, 3, 3, 3, 2,
       2, 2, 3, 3, 2, 2, 3, 3, 3, 2))
+  /** IVF-PQ (k=16 cells nProbe=12, PQ m=8 k=256, refine=32): 142/150
+    * (0.947) at sf0.01, 126/150 (0.84) at sf0.1 — ≤ the PQ-flat numbers
+    * by exactly the neighbors living in unprobed cells, as expected. */
+  private val ivfPqHits: Map[Int, Seq[Int]] = Map(
+    500 -> Seq(
+      3, 3, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 2, 3,
+      3, 3, 3, 3, 3, 3, 2, 3, 2, 3, 3, 3, 3, 2, 3, 3, 3, 3, 3, 3,
+      3, 3, 3, 3, 2, 2, 3, 3, 3, 3),
+    2000 -> Seq(
+      3, 3, 2, 3, 3, 3, 2, 3, 3, 2, 3, 2, 3, 3, 3, 2, 3, 3, 3, 2,
+      2, 3, 3, 2, 3, 3, 1, 2, 1, 2, 3, 3, 2, 2, 3, 1, 2, 3, 3, 2,
+      2, 3, 3, 3, 3, 2, 3, 2, 3, 2))
 
   /** p01/p18 oracle: the committed golden expectation (values derived and
     * pinned row-by-row in HomologationSpec / GoldenReplaySpec). */
@@ -1231,6 +1257,7 @@ object PipelineQueries {
     "p08_ann_lsh" -> annRecallSql(lshHits),
     "p20_ann_ivf" -> annRecallSql(ivfHits),
     "p78_ann_pq" -> annRecallSql(pqHits),
+    "p79_ann_ivfpq" -> annRecallSql(ivfPqHits),
     "p12_text_profile" -> profileSql,
     "p15_sessionize" -> sessionizeSql,
     "p02_dedup_exact" ->

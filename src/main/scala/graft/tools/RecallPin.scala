@@ -24,7 +24,7 @@ object RecallPin {
     spark.sparkContext.setLogLevel("WARN")
     try {
       for ((gate, name) <- Seq("p08_ann_lsh" -> "lshHits", "p20_ann_ivf" -> "ivfHits",
-          "p78_ann_pq" -> "pqHits")) {
+          "p78_ann_pq" -> "pqHits", "p79_ann_ivfpq" -> "ivfPqHits")) {
         val rows = graft.queries.PipelineQueries.queries(gate)(spark, sfDir)
           .select("qid", "hits").collect()
           .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)

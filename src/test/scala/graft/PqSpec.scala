@@ -66,6 +66,20 @@ class PqSpec extends AnyFunSuite {
     assert(refined.toSeq == brute.toSeq) // refine window covers the cluster
   }
 
+  test("ivfPqTopK: cell-pruned scan still recovers planted clusters") {
+    val df = clustered(20)
+    val ivfM = graft.ops.Ivf.train(df, "vec_id", "embedding", k = 4, iters = 4)
+    val pqM = Pq.train(df, "vec_id", "embedding", m = 4, k = 8, iters = 4)
+    val q = df.where(col("vec_id").isin(0L, 20L, 40L))
+    val out = Pq.ivfPqTopK(q, df, "vec_id", "embedding", ivfM, pqM,
+        k = 5, nProbe = 2, refine = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.groupBy(_._1).forall(_._2.length == 5))
+    out.foreach { case (qid, nid) =>
+      assert(qid / 20 == nid / 20, s"query $qid got cross-cluster neighbor $nid")
+    }
+  }
+
   test("guards: m must divide dim; refine must cover k; bounded queries") {
     val df = clustered(5)
     val e1 = intercept[IllegalArgumentException] {
