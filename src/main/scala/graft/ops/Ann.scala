@@ -129,6 +129,71 @@ object Ann {
       .select(col("a"), col("b"), (round(col("score"), 4) + 0.0).as("score"))
   }
 
+  /** Hard-negative mining for embedding-model training: per anchor, the
+    * top-`k` candidates whose (rank-rounded) cosine falls INSIDE
+    * `[simLo, simHi)` — similar enough that the contrastive loss learns
+    * from them, below the near-duplicate band where a "negative" is
+    * probably a mislabeled positive. The band test runs on the SAME
+    * round-4 score the rank uses, so membership and order are
+    * engine-portable. This exact variant broadcasts the candidate side
+    * ([[bruteTopK]]'s envelope — right whenever candidates fit a
+    * broadcast); for corpus-scale mining use [[hardNegativesLsh]].
+    * Output: (qid, rank, nid, score). */
+  def hardNegatives(
+      anchors: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      simLo: Double,
+      simHi: Double,
+      k: Int): DataFrame = {
+    require(simLo < simHi, s"hardNegatives: need simLo < simHi, got [$simLo, $simHi)")
+    val q = anchors.select(col(idCol).as("qid"), col(vecCol).as("_qv"))
+    val c = candidates.select(col(idCol).as("nid"), col(vecCol).as("_cv"))
+    val scored = q.join(broadcast(c), col("qid") =!= col("nid"))
+      .withColumn("score", round(cosine(col("_qv"), col("_cv")), 4) + 0.0)
+      .where(col("score") >= simLo && col("score") < simHi)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "nid", "score")
+  }
+
+  /** LSH-bucketed hard-negative mining — the corpus-scale path: anchors
+    * only meet candidates sharing a hyperplane bucket, then the same
+    * band + rank as [[hardNegatives]]. Mid-similarity recall is
+    * inherently partial at high `bits` (bucket agreement falls with
+    * angle); FEWER bits per table than the near-dup setting widens the
+    * candidate band. Shuffle ∝ rows × tables, never all-pairs. */
+  def hardNegativesLsh(
+      anchors: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      simLo: Double,
+      simHi: Double,
+      k: Int,
+      tables: Int = 16,
+      bits: Int = 2,
+      dims: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    require(simLo < simHi, s"hardNegativesLsh: need simLo < simHi, got [$simLo, $simHi)")
+    val planes = hyperplanes(dims, tables, bits, seed)
+    val qv = anchors.select(col(idCol).as("qid"), col(vecCol).as("_qv"))
+    val cv = candidates.select(col(idCol).as("nid"), col(vecCol).as("_cv"))
+    val q = qv.withColumn("bk", explode(bucketKeys(col("_qv"), planes))).select("qid", "bk")
+    val c = cv.withColumn("bk", explode(bucketKeys(col("_cv"), planes))).select("nid", "bk")
+    val pairs = q.join(c, q("bk") === c("bk") && col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val scored = pairs.join(qv, Seq("qid")).join(cv, Seq("nid"))
+      .withColumn("score", round(cosine(col("_qv"), col("_cv")), 4) + 0.0)
+      .where(col("score") >= simLo && col("score") < simHi)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "nid", "score")
+  }
+
   /** L2 normalization — pre-normalizing the corpus turns every cosine
     * into a plain dot product (one multiply-add per dim instead of three
     * accumulators per pair), the standard write-once/score-many trade at

@@ -409,6 +409,17 @@ object PipelineQueries {
         Ann.bruteTopK(q, e, "vec_id", "embedding", k = 3))
     }),
 
+    // Hard-negative mining (contrastive-training data prep): per anchor,
+    // top-5 candidates inside the cosine band [0.2, 0.5) — hard but
+    // below the probably-a-positive zone. Fully independent DuckDB
+    // all-pairs oracle (not a pinned scorecard).
+    "p80_hard_negatives" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Ann.hardNegatives(e.where(col("vec_id") < 50), e,
+          "vec_id", "embedding", simLo = 0.2, simHi = 0.5, k = 5)
+        .orderBy("qid", "rank")
+    }),
+
     // L2 normalization (exploded rows, round-6) — cosine becomes dot.
     "p40_l2_normalize" -> ((s, dir) =>
       Ann.l2Normalize(Tables(s, dir, "embeddings"))
@@ -1328,6 +1339,15 @@ object PipelineQueries {
         "FROM embeddings q JOIN embeddings c ON q.vec_id < 50 AND q.vec_id <> c.vec_id), " +
         "ranked AS (SELECT qid, nid, score, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM scored) " +
         "SELECT qid, CAST(rank AS INT) AS rank, nid, score FROM ranked WHERE rank <= 3 ORDER BY qid, rank"),
+    // band test on the same ROUND(...,4)+0.0 score the rank uses (the
+    // proven p07 cross-engine cosine recipe)
+    "p80_hard_negatives" -> (
+      "WITH scored AS (SELECT q.vec_id AS qid, c.vec_id AS nid, " +
+        "ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) + 0.0 AS score " +
+        "FROM embeddings q JOIN embeddings c ON q.vec_id < 50 AND q.vec_id <> c.vec_id), " +
+        "banded AS (SELECT * FROM scored WHERE score >= 0.2 AND score < 0.5), " +
+        "ranked AS (SELECT qid, nid, score, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM banded) " +
+        "SELECT qid, CAST(rank AS INT) AS rank, nid, score FROM ranked WHERE rank <= 5 ORDER BY qid, rank"),
     "p09_text_stats" -> (
       "SELECT doc_id, length(text) AS n_chars_calc, " +
         "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens, " +

@@ -129,4 +129,29 @@ class AnnSpec extends AnyFunSuite {
       .orderBy("vec_id", "k").collect().map(_.toSeq)
     assert(a.sameElements(b))
   }
+
+  test("hardNegatives: band membership exact, near-dups and easy negatives excluded") {
+    import spark.implicits._
+    // planted cosines against anchor (1,0): id 2 → 1.0 (dup, above band),
+    // id 3 → cos 45° ≈ 0.7071 (above band), id 4 → cos 60° = 0.5
+    // (EXCLUSIVE upper bound — excluded), id 5 → ≈ 0.3090 (in band),
+    // id 6 → 0.0 (below band)
+    def v(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val vecs = Seq(
+      (1L, v(0)), (2L, v(0)), (3L, v(45)), (4L, v(60)), (5L, v(72)), (6L, v(90))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.hardNegatives(vecs.where(col("vec_id") === 1L), vecs,
+        "vec_id", "embedding", simLo = 0.2, simHi = 0.5, k = 5)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1, 5L, 0.309)))
+    // LSH variant returns a SUBSET of the exact band (never invents)
+    val exact = Ann.hardNegatives(vecs, vecs, "vec_id", "embedding", 0.2, 0.5, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Ann.hardNegativesLsh(vecs, vecs, "vec_id", "embedding", 0.2, 0.5, 5,
+        dims = 2).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(lsh.subsetOf(exact))
+  }
 }
