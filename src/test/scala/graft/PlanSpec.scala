@@ -99,6 +99,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.indexOf("WindowGroupLimit", firstExchange) > firstExchange, p)
   }
 
+  test("p49: pre-distinct aggregate plans WITHOUT an Expand") {
+    // the round-8 fix: the mixed distinct/non-distinct aggregate planned
+    // an Expand that doubled the input through the first agg phase
+    val p = plan("p49_approx_distinct")
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("p75: repeated spans reads only (doc_id, text); counts partial-agg map-side") {
+    val p = plan("p75_repeated_spans")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    val firstExchange = p.indexOf("Exchange")
+    assert(p.indexOf("HashAggregate", firstExchange) > firstExchange, p)
+  }
+
+  test("p78/p79: PQ scoring runs in the native kernels, never a ScalaUDF") {
+    val p78 = plan("p78_ann_pq")
+    assert(p78.contains("pq_adc") && p78.contains("pq_encode"), p78)
+    assert(!p78.contains("ScalaUDF"), p78)
+    val p79 = plan("p79_ann_ivfpq")
+    assert(p79.contains("pq_adc_one"), p79)
+    assert(!p79.contains("ScalaUDF"), p79)
+  }
+
+  test("rolling windows (ROWS and RANGE): ONE hash exchange, no range shuffle") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.engine.Tables(spark, dir, "events")
+    for (df <- Seq(
+        graft.ops.EventsOps.rollingStats(ev, frame = 5),
+        graft.ops.EventsOps.rollingRange(ev, windowSeconds = 3600L))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+      assert(!p.contains("Exchange rangepartitioning"), p)
+    }
+  }
+
   test("no query plans a cartesian product except the declared broadcast NL scorers") {
     val allowNl = Set("q08_fuzzy_top1", "p01_hom_pipeline", "p07_ann_brute",
       "p18_hom_pipeline_intended")
