@@ -35,6 +35,12 @@ object Bench {
   private def s3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  // per-query entries use 2 decimals: at 101 gates the one-line JSON
+  // budget (2,000-char stdout tail − sbt epilogue) is ~1,925 chars and
+  // every digit counts; BENCH_DETAIL.json keeps full precision
+  private def s2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -134,7 +140,7 @@ object Bench {
 
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // short keys (unique `pNN`/`qNN` prefix) keep the line inside the tail
-    val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + s3(v) }
+    val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + s2(v) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$shortQs,"failed":$failed,"iterations":$iterations,"sf":"$sfDir","detail":"BENCH_DETAIL.json"$scaledJson}"""
     // full-name, full-precision report for humans/the judge

@@ -460,6 +460,38 @@ object CorpusOps {
         col("bits").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** Per-source corpus DATASHEET — the "data card" summary a curation
+    * run publishes (Datasheets for Datasets): document and token
+    * volumes, language diversity, near-duplicate participation, and the
+    * token-length envelope, one row per source. Composes the near-dup
+    * pair list a dedup pass already produced. All-integer output
+    * (counts, floor'd median) — engine-portable with no float in the
+    * hash. One pass over docs + a broadcast-sized join of dup doc ids;
+    * the percentile swaps to percentile_approx at 100 TB exactly like
+    * lengthQuantiles. */
+  def datasheet(
+      docs: DataFrame,
+      nearDupPairs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source",
+      langCol: String = "lang"): DataFrame = {
+    val dupIds = nearDupPairs
+      .select(explode(array(col("a"), col("b"))).as(idCol)).distinct()
+      .withColumn("_dup", lit(1L))
+    docs
+      .withColumn("_nt", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .join(dupIds, Seq(idCol), "left")
+      .groupBy(sourceCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        countDistinct(col(langCol)).as("n_langs"),
+        sum(when(col("_dup").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"),
+        expr("CAST(floor(percentile(_nt, 0.5D)) AS LONG)").as("p50_tokens"),
+        max(col("_nt")).as("max_tokens"))
+  }
+
   /** INTEGER-EXACT TF-IDF keyword extraction: the top-`k` terms per
     * document ranked by `tf · ⌊log₂(N/df)⌋` — document tagging /
     * topic-feature extraction for curation, deterministic and

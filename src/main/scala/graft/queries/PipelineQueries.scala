@@ -152,6 +152,14 @@ object PipelineQueries {
       Dedup.keepBest(nearDupPairs45(s, dir).select("a", "b"),
         Tables(s, dir, "documents"), "doc_id", "n_chars").orderBy("component")),
 
+    // Per-source data card: volumes, language diversity, near-dup
+    // participation (composes the shared J>=4/5 pair list), token
+    // envelope — all-integer output.
+    "p81_corpus_datasheet" -> ((s, dir) =>
+      graft.ops.CorpusOps.datasheet(Tables(s, dir, "documents"),
+          nearDupPairs45(s, dir).select("a", "b"))
+        .orderBy("source")),
+
     // Integer-exact TF-IDF keywords: top-5 terms per doc by
     // tf·⌊log₂(N/df)⌋ — whole-bit idf (no libm), term-ascending
     // tie-break, total order.
@@ -1451,6 +1459,29 @@ object PipelineQueries {
         "CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT) AS chunk_len, " +
         "md5(array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')) AS chunk_md5 " +
         "FROM c ORDER BY doc_id, chunk_id"),
+    // dup membership from the p03 exact all-pairs ground truth; token
+    // stats via the p09 tokenizer replay; floor(quantile_cont) = the
+    // same (a+b)/2-of-exact-integers both engines compute
+    "p81_corpus_datasheet" -> (
+      "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
+        "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
+        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
+        "pr AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
+        "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)), " +
+        "dup AS (SELECT DISTINCT doc_id FROM (SELECT a AS doc_id FROM pr UNION ALL SELECT b FROM pr)), " +
+        "d AS (SELECT doc_id, source, lang, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt " +
+        "FROM documents) " +
+        "SELECT d.source, COUNT(*) AS n_docs, CAST(SUM(d.nt) AS BIGINT) AS n_tokens, " +
+        "CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs, " +
+        "CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, " +
+        "CAST(floor(quantile_cont(d.nt, 0.5)) AS BIGINT) AS p50_tokens, " +
+        "CAST(MAX(d.nt) AS BIGINT) AS max_tokens " +
+        "FROM d LEFT JOIN dup ON dup.doc_id = d.doc_id " +
+        "GROUP BY d.source ORDER BY d.source"),
     // same whole-bit ⌊log₂(N/df)⌋ via binary bit lengths as p65; the
     // rank ordering is an integer product + term tie-break, so the
     // replay is total-ordered and libm-free on both engines

@@ -374,6 +374,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-positive weight"))
   }
 
+  test("datasheet: hand-computed per-source card, dup membership from pairs") {
+    val docs = Seq(
+      (1L, "one two three four", "en", "web"),
+      (2L, "one two three four five six", "en", "web"),
+      (3L, "uno dos", "es", "web"),
+      (4L, "alpha beta gamma", "en", "books")
+    ).toDF("doc_id", "text", "lang", "source")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val out = CorpusOps.datasheet(docs, pairs)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      ("books", 1L, 3L, 1L, 0L, 3L, 3L),
+      // web: 3 docs, 4+6+2=12 tokens, 2 langs, docs 1+2 in the pair,
+      // median of (2,4,6) = 4
+      ("web", 3L, 12L, 2L, 2L, 4L, 6L)))
+  }
+
   test("tfidfKeywords: hand-computed ranks, whole-bit idf, stopword suppression") {
     // N = 4 docs; "the" in all 4 → idf_bits = floor(log2(4/4)) = 0 →
     // score 0 regardless of tf; "zebra" in 1 → floor(log2(4)) = 2;
