@@ -94,6 +94,49 @@ object Clustering {
         col("_a")("cid").as("cluster"),
         col("_a")("dist2").as("dist2"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = cluster the embedding space, then prune
+    * within-cluster pairs above a cosine threshold — the clusters bound
+    * the quadratic so the corpus never sees an all-pairs join.
+    *
+    * Composition: [[kmeans]] assigns every vector; a per-cluster
+    * self-join (a < b) scores candidate pairs with the rank-rounded
+    * cosine recipe ([[Ann.cosine]] round-4 — the proven engine-portable
+    * score); a row is pruned when ANY smaller-id member of its cluster
+    * sits at or above `tau`, and `dup_of` names the smallest such id.
+    *
+    * Scale shape: the only data-sized shuffles are the k-means kernel
+    * passes and one hash partition by cluster id; pair work is
+    * Σ|cluster|² — SemDeDup's own design point (pick k so clusters are
+    * ~√n). Keeps the SMALLEST id per duplicate set (deterministic, no
+    * RNG); the paper's farthest-from-centroid keeper is a one-line
+    * ORDER BY swap on the same plan.
+    *
+    * Output: (idCol, cluster, keep, dup_of?) — `dup_of` NULL on kept
+    * rows. */
+  def semDeDup(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      tau: Double): DataFrame = {
+    val assign = kmeans(vecs, idCol, vecCol, k, iters)
+      .select(col(idCol).as("_sid"), col("cluster"))
+    val v = vecs.select(col(idCol).as("_sid"), col(vecCol).as("_vec"))
+      .join(assign, Seq("_sid"))
+    val a = v.select(col("cluster"), col("_sid").as("_a"), col("_vec").as("_va"))
+    val b = v.select(col("cluster"), col("_sid").as("_b"), col("_vec").as("_vb"))
+    val pruned = a.join(b, Seq("cluster"))
+      .where(col("_a") < col("_b"))
+      .where(round(Ann.cosine(col("_va"), col("_vb")), 4) >= tau)
+      .groupBy(col("_b"))
+      .agg(min(col("_a")).as("dup_of"))
+    v.join(pruned, col("_sid") === col("_b"), "left")
+      .select(col("_sid").as(idCol), col("cluster"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+  }
 }
 
 /** Kernel: (nearest centroid id, exact squared L2 distance) for a

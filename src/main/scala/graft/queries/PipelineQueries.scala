@@ -247,6 +247,25 @@ object PipelineQueries {
           "vec_id", "embedding", k = 4, iters = 2)
         .orderBy("vec_id")),
 
+    // SemDeDup (Abbas et al.): cluster, then prune within-cluster
+    // cosine >= 0.9. The corpus's natural pair cosines top out ~0.5, so
+    // the gate plants a scale-perturbed twin per vector (x · (1+2⁻¹⁰),
+    // id+100000 — cosine exactly 1.0 at round-4): every twin must be
+    // pruned back to its original, nothing else may be.
+    "p82_semdedup" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val base = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val twins = e.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * lit(1.0009765625d)).as("embedding"))
+      graft.ops.Clustering.semDeDup(base.unionAll(twins),
+          "vec_id", "embedding", k = 4, iters = 2, tau = 0.9)
+        .select(col("vec_id"), col("cluster"),
+          col("keep").cast("int").as("keep"), col("dup_of"))
+        .orderBy("vec_id")
+    }),
+
     // Perplexity-style quality filter with zero float hazard: per-doc
     // mean bigram surprisal in whole bits (integer bit-length log2)
     // under an add-one bigram model trained on the corpus itself.
@@ -1604,6 +1623,46 @@ object PipelineQueries {
         "SELECT vec_id, cid AS cluster, d AS dist2 FROM (SELECT vec_id, cid, d, " +
         "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a2) " +
         "WHERE rn = 1 ORDER BY vec_id"),
+    // SemDeDup = the p64 Lloyd chain over the twin-planted corpus, then
+    // within-cluster pairs on the proven round-4 cosine recipe; prune =
+    // smallest in-cluster neighbor at tau=0.9. keep emitted as INT (the
+    // gate type set has no boolean precedent).
+    "p82_semdedup" -> (
+      "WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
+        "UNION ALL SELECT vec_id + 100000, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE) * 1.0009765625) FROM embeddings), " +
+        "q AS (SELECT vec_id, list_transform(v, " +
+        "x -> CAST(floor(x * 1000000) AS BIGINT)) AS xq FROM corpus), " +
+        "qd AS (SELECT vec_id, CAST(generate_subscripts(xq, 1) AS INT) AS pos, unnest(xq) AS x FROM q), " +
+        "seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, xq " +
+        "FROM q ORDER BY vec_id LIMIT 4), " +
+        "cd0 AS (SELECT cid, CAST(generate_subscripts(xq, 1) AS INT) AS pos, unnest(xq) AS c FROM seeds), " +
+        "a0 AS (SELECT vec_id, cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d " +
+        "FROM qd JOIN cd0 USING (pos) GROUP BY vec_id, cid), " +
+        "g0 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a0) WHERE rn = 1), " +
+        "u1 AS (SELECT cid, pos, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c " +
+        "FROM qd JOIN g0 USING (vec_id) GROUP BY cid, pos), " +
+        "cd1 AS (SELECT cd0.cid, cd0.pos, COALESCE(u1.c, cd0.c) AS c " +
+        "FROM cd0 LEFT JOIN u1 ON u1.cid = cd0.cid AND u1.pos = cd0.pos), " +
+        "a1 AS (SELECT vec_id, cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d " +
+        "FROM qd JOIN cd1 USING (pos) GROUP BY vec_id, cid), " +
+        "g1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a1) WHERE rn = 1), " +
+        "u2 AS (SELECT cid, pos, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c " +
+        "FROM qd JOIN g1 USING (vec_id) GROUP BY cid, pos), " +
+        "cd2 AS (SELECT cd1.cid, cd1.pos, COALESCE(u2.c, cd1.c) AS c " +
+        "FROM cd1 LEFT JOIN u2 ON u2.cid = cd1.cid AND u2.pos = cd1.pos), " +
+        "a2 AS (SELECT vec_id, cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d " +
+        "FROM qd JOIN cd2 USING (pos) GROUP BY vec_id, cid), " +
+        "g2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a2) WHERE rn = 1), " +
+        "m AS (SELECT corpus.vec_id, corpus.v, g2.cid FROM corpus JOIN g2 USING (vec_id)), " +
+        "pr AS (SELECT b.vec_id AS bid, MIN(a.vec_id) AS dup_of " +
+        "FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+        "WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.9 GROUP BY b.vec_id) " +
+        "SELECT m.vec_id, m.cid AS cluster, CAST(pr.dup_of IS NULL AS INT) AS keep, pr.dup_of " +
+        "FROM m LEFT JOIN pr ON m.vec_id = pr.bid ORDER BY m.vec_id"),
     // integer-exact ⌊log2((c1+V)/(c12+1))⌋ via binary bit lengths + one
     // shift-compare — the same arithmetic Spark runs, no libm log
     "p65_bigram_surprisal" -> (

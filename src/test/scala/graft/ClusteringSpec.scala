@@ -52,4 +52,39 @@ class ClusteringSpec extends AnyFunSuite {
       .orderBy("vec_id").collect()
     assert(exact.forall(_.getLong(2) == 0L))
   }
+
+  test("semDeDup prunes the within-cluster near-copy, keeps cross-cluster and sub-threshold rows") {
+    // two well-separated blobs; id 2 is a scaled copy of id 1 (cosine 1),
+    // id 3 is orthogonal-ish in the same blob region but below tau once
+    // clustered with 1 and 2; ids 10/11 form the other cluster, dissimilar
+    // to each other (cosine 0 — both kept)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f)),  // scaled copy of 1 -> pruned, dup_of 1
+      (10L, Array(0.0f, 50.0f, 0.0f)),
+      (11L, Array(0.0f, 0.0f, 50.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.semDeDup(vecs, "vec_id", "embedding",
+        k = 2, iters = 2, tau = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(out(1L) == (true, -1L))
+    assert(out(2L) == (false, 1L)) // pruned back to the smallest-id twin
+    assert(out(10L)._1 && out(11L)._1) // same cluster, cosine 0 < tau
+    assert(out.size == 4)
+  }
+
+  test("semDeDup transitive set keeps exactly the smallest id") {
+    val vecs = Seq(
+      (5L, Array(1.0f, 1.0f)), (6L, Array(2.0f, 2.0f)), (7L, Array(3.0f, 3.0f)),
+      (8L, Array(-4.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.semDeDup(vecs, "vec_id", "embedding",
+        k = 2, iters = 1, tau = 0.9)
+      .orderBy("vec_id").collect()
+    val kept = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(kept.contains(5L) && !kept.contains(6L) && !kept.contains(7L))
+    out.filter(!_.getBoolean(2)).foreach(r => assert(r.getLong(3) == 5L))
+  }
 }
