@@ -460,6 +460,76 @@ object CorpusOps {
         col("bits").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    * score each document by how much likelier its tokens are under a
+    * TARGET domain's unigram distribution than under the RAW corpus
+    * distribution — the importance weight used to resample a raw crawl
+    * toward a target domain before pretraining. Positive bits = "looks
+    * like the target"; the selection step is a plain ORDER BY / quota
+    * on `avg_bits`.
+    *
+    * Integer-exact and engine-portable: the per-token log-likelihood
+    * ratio log₂(p̂_t(w)/p̂_r(w)) under add-one smoothing is scored in
+    * WHOLE BITS as
+    *   (bitlen(c_t+1) + bitlen(N_r+V)) − (bitlen(c_r+1) + bitlen(N_t+V))
+    * — each term an exact ⌊log₂⌋+1 via integer bit length, SUMMED
+    * rather than multiplied, so nothing overflows at any corpus size
+    * (the pairwise products would pass 2⁶³ on a 100 TB corpus). DSIR is
+    * itself an estimator; whole-bit resolution keeps the ranking
+    * deterministic across engines, which is what a reproducible
+    * curation run needs.
+    *
+    * Features are the paper's n-grams — unigrams AND adjacent bigrams
+    * (exact strings here; the paper hashes them only to bound feature-
+    * table memory, and the hash would be the same one-line `xxhash64 %
+    * 2²⁰` on both count tables if the vocab ever outgrew an executor).
+    *
+    * Scale shape: both count tables are feature-vocab-sized; the
+    * per-feature bits fold into that table once, and the corpus-sized
+    * instance stream shuffles ONCE on feature (broadcast the bits table
+    * when the vocab is bounded) plus the per-doc aggregate. The three
+    * scalars (N_t, N_r, V) are a bounded driver collect off the
+    * vocab-sized aggregate — same envelope as [[bigramSurprisal]]'s V. */
+  def dsirWeights(
+      docs: DataFrame,
+      targetSource: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val base = docs.select(col(idCol), col(srcCol), toks.as("_t"))
+    // unigrams ++ adjacent bigrams, one explode over the concatenation
+    val feats = concat(
+      col("_t"),
+      zip_with(
+        slice(col("_t"), lit(1), greatest(size(col("_t")) - 1, lit(0))),
+        slice(col("_t"), lit(2), greatest(size(col("_t")) - 1, lit(0))),
+        (a, b) => concat_ws("\u0001", a, b)))
+    val inst = base.select(col(idCol), col(srcCol), explode(feats).as("f"))
+    val raw = inst.groupBy("f").agg(count(lit(1)).as("_cr"))
+    val tgt = inst.where(col(srcCol) === targetSource)
+      .groupBy("f").agg(count(lit(1)).as("_ct"))
+
+    val totals = raw.agg(sum("_cr"), count(lit(1))).first()
+    val nR = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    val vSize = totals.getLong(1)
+    val tRow = tgt.agg(sum("_ct")).first()
+    val nT = if (tRow.isNullAt(0)) 0L else tRow.getLong(0)
+
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    val bits = raw.join(tgt, Seq("f"), "left")
+      .withColumn("_bits",
+        bitlen(coalesce(col("_ct"), lit(0L)) + 1L) + bitlen(lit(nR + vSize)) -
+          bitlen(col("_cr") + 1L) - bitlen(lit(nT + vSize)))
+      .select("f", "_bits")
+    inst.select(col(idCol), col("f"))
+      .join(bits, Seq("f"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum("_bits").as("bits"))
+      .withColumn("avg_bits",
+        col("bits").cast("double") / col("n_feats").cast("double"))
+  }
+
   /** Per-source corpus DATASHEET — the "data card" summary a curation
     * run publishes (Datasheets for Datasets): document and token
     * volumes, language diversity, near-duplicate participation, and the

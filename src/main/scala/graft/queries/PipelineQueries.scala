@@ -273,6 +273,14 @@ object PipelineQueries {
       graft.ops.CorpusOps.bigramSurprisal(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // DSIR importance weights: rank every doc by whole-bit unigram
+    // log-likelihood ratio against the src0 "target domain" — the
+    // resample-toward-target signal, integer-exact (bit-length log2,
+    // no products, no libm).
+    "p83_dsir_weights" -> ((s, dir) =>
+      graft.ops.CorpusOps.dsirWeights(Tables(s, dir, "documents"), "src0")
+        .orderBy("doc_id")),
+
     // Leakage-gapped temporal split at the exact p80 time cutoff.
     "p74_temporal_split" -> ((s, dir) =>
       graft.ops.EventsOps.temporalSplit(Tables(s, dir, "events"))
@@ -1683,6 +1691,28 @@ object PipelineQueries {
         "SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(bits) AS BIGINT) AS bits, " +
         "CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bits " +
         "FROM k GROUP BY doc_id ORDER BY doc_id"),
+    // DSIR whole-bit unigram LLR vs the src0 target: per-token
+    // (bitlen(ct+1)+bitlen(Nr+V)) - (bitlen(cr+1)+bitlen(Nt+V)),
+    // summed per doc — pure integer bit lengths, no products
+    "p83_dsir_weights" -> (
+      "WITH t AS (SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS toks " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "uni AS (SELECT doc_id, source, unnest(toks) AS f FROM t), " +
+        "bi AS (SELECT doc_id, source, toks[CAST(i AS INT)] || chr(1) || toks[CAST(i AS INT) + 1] AS f " +
+        "FROM (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 1)) AS i " +
+        "FROM t WHERE len(toks) >= 2)), " +
+        "i AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), " +
+        "raw AS (SELECT f, COUNT(*) AS cr FROM i GROUP BY f), " +
+        "tgt AS (SELECT f, COUNT(*) AS ct FROM i WHERE source = 'src0' GROUP BY f), " +
+        "n AS (SELECT (SELECT SUM(cr) FROM raw) AS nr, " +
+        "(SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt, " +
+        "(SELECT COUNT(*) FROM raw) AS v), " +
+        "b AS (SELECT raw.f, (length(bin(COALESCE(ct, 0) + 1)) + length(bin(nr + v))) " +
+        "- (length(bin(cr + 1)) + length(bin(nt + v))) AS bits " +
+        "FROM raw LEFT JOIN tgt USING (f), n) " +
+        "SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(bits) AS BIGINT) AS bits, " +
+        "CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bits " +
+        "FROM i JOIN b USING (f) GROUP BY doc_id ORDER BY doc_id"),
     // integer-second cutoff: quantile_cont interpolation + FLOOR, then
     // pure integer comparisons — no float boundary hazard
     "p74_temporal_split" -> (

