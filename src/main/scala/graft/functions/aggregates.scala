@@ -292,3 +292,133 @@ case class GramMatrixAgg(
     copy(child = newChildren.head)
   override def prettyName: String = "gram_matrix"
 }
+
+/** Shared Count-Min hashing: row `i`'s bucket for a token is an
+  * FNV-1a-64 fold of the token's UTF-8 bytes from a per-row seeded
+  * basis, reduced mod `width`. Pure integer ops on fixed constants —
+  * deterministic across JVMs, partitions, and engines. */
+object CmsHash {
+  private val FnvPrime = 0x100000001b3L
+  private val FnvBasis = 0xcbf29ce484222325L
+  // distinct per-row bases via a golden-ratio odd-constant scramble
+  def bucket(bytes: Array[Byte], row: Int, width: Int): Int = {
+    var h = FnvBasis ^ (0x9e3779b97f4a7c15L * (row + 1))
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= FnvPrime; i += 1 }
+    val m = (h % width).toInt
+    if (m < 0) m + width else m
+  }
+}
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) as a native Catalyst
+  * aggregate — the fixed-memory, MERGEABLE frequency table for token
+  * streams where even the vocabulary doesn't fit: each partition folds
+  * its tokens into a depth×width long grid, partials merge by
+  * element-wise addition (the sketch is a linear transform of the
+  * input), and point queries read `min_i grid[i][h_i(token)]` via
+  * [[CmsEstimateExpression]].
+  *
+  * Guarantees: estimates never undercount, and overcount each token by
+  * at most e·N/width with probability 1 − e^(−depth) (N = total
+  * updates, recoverable from the sketch itself as the sum of any one
+  * row — no second pass). Memory is depth·width·8 bytes regardless of
+  * corpus size: the 100 TB shuffle is #partitions × one grid, vs a
+  * vocab-sized exact aggregation. */
+case class CountMinAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+  require(depth > 0 && depth <= 16, "count_min: depth must be in [1,16]")
+  require(width > 0, "count_min: width must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      var r = 0
+      while (r < depth) {
+        buf(r * width + CmsHash.bucket(bytes, r, width)) += 1L
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(Long.box).asInstanceOf[Array[Any]])
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    var i = 0
+    while (i < buf.length) { out.writeLong(buf(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new Array[Long](n)
+    var i = 0
+    while (i < n) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "count_min"
+}
+
+/** Point query against a [[CountMinAgg]] sketch: min over the depth
+  * rows of the token's buckets. Evaluated on the handful of probe rows
+  * only — interpreted eval is fine here. */
+case class CmsEstimateExpression(
+    sketch: Expression,
+    token: Expression,
+    depth: Int,
+    width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def left: Expression = sketch
+  override def right: Expression = token
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(sk: Any, tok: Any): Any = {
+    val grid = sk.asInstanceOf[ArrayData]
+    val bytes = tok.asInstanceOf[UTF8String].getBytes
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = grid.getLong(r * width + CmsHash.bucket(bytes, r, width))
+      if (c < best) best = c
+      r += 1
+    }
+    best
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(sketch = l, token = r)
+  override def prettyName: String = "cms_estimate"
+}

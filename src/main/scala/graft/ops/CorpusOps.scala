@@ -390,6 +390,49 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Count-Min sketch scorecard: build a [[graft.functions.CountMinAgg]]
+    * frequency sketch over the token stream, then audit its point
+    * estimates against exact counts for the `probeK` most frequent
+    * tokens. Emits per probe token `(token, exact_cnt, ok_lower,
+    * ok_upper)`: `ok_lower` = the estimate never undercounts (a CMS
+    * structural guarantee — must ALWAYS be 1), `ok_upper` = the
+    * overcount stays within 8·N/width (comfortably inside the e·N/width
+    * Markov bound at depth 4; checked as the integer cross-product
+    * `(est − exact)·width ≤ 8·N`, division-free). N is read back from
+    * the sketch itself (row-0 sum) — no second corpus pass.
+    *
+    * Same self-certifying gate shape as the HLL/quantile scorecards
+    * (p49/p50): the bound is asserted in-query; the oracle re-derives
+    * the exact counts and pins the flags at 1. Scale: the sketch is
+    * depth·width longs per partition regardless of corpus size; the
+    * exact side is the vocab-sized aggregate the sketch exists to
+    * replace — affordable here because the probe list is tiny, and the
+    * audit's point is precisely to compare the two. */
+  def cmsTokenScorecard(
+      docs: DataFrame,
+      depth: Int = 4,
+      width: Int = 2048,
+      probeK: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val toks = docs
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
+      .where(col("t") =!= "")
+    val sk = toks.agg(toCol(graft.functions.CountMinAgg(toExpr(col("t")), depth, width)
+      .toAggregateExpression()).as("sk"))
+    val exact = toks.groupBy("t").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("t").asc).limit(probeK)
+    exact.crossJoin(broadcast(sk))
+      .withColumn("_n",
+        aggregate(slice(col("sk"), 1, width), lit(0L), (a, x) => a + x))
+      .withColumn("_est", toCol(graft.functions.CmsEstimateExpression(
+        toExpr(col("sk")), toExpr(col("t")), depth, width)))
+      .select(col("t").as("token"), col("exact_cnt"),
+        (col("_est") >= col("exact_cnt")).cast("int").as("ok_lower"),
+        ((col("_est") - col("exact_cnt")) * lit(width.toLong) <= lit(8L) * col("_n"))
+          .cast("int").as("ok_upper"))
+  }
+
   /** CCNet-style LM quality score, INTEGER-EXACT: per-document mean
     * bigram surprisal in whole bits under an add-one-smoothed bigram
     * model trained on the corpus itself. Per bigram instance the

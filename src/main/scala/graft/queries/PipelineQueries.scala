@@ -335,6 +335,14 @@ object PipelineQueries {
       graft.ops.CorpusOps.heavyHitters(Tables(s, dir, "documents"),
         capacity = 64, k = 10)),
 
+    // Count-Min sketch audit: estimates for the 20 hottest tokens must
+    // never undercount and overcount within 8N/width — flags asserted
+    // in-query (p49 scorecard precedent), exact counts re-derived by
+    // the oracle.
+    "p84_count_min" -> ((s, dir) =>
+      graft.ops.CorpusOps.cmsTokenScorecard(Tables(s, dir, "documents"))
+        .orderBy(col("exact_cnt").desc, col("token").asc)),
+
     // Linear interpolation of injected NULL gaps per user — exact
     // integer micro-units, seconds-resolution weights, one shuffle.
     "p69_interpolate" -> ((s, dir) => {
@@ -1762,6 +1770,14 @@ object PipelineQueries {
       "SELECT tok AS token, COUNT(*) AS cnt FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok " +
         "FROM documents WHERE length(trim(text)) > 0) WHERE tok != '' " +
         "GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 10"),
+    // exact top-20 counts; the sketch's bound flags are pinned at 1
+    // (self-certifying scorecard — the flags are computed in-query on
+    // the Spark side, the oracle certifies the exact counts)
+    "p84_count_min" -> (
+      "SELECT tok AS token, COUNT(*) AS exact_cnt, 1 AS ok_lower, 1 AS ok_upper " +
+        "FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok " +
+        "FROM documents WHERE length(trim(text)) > 0) WHERE tok != '' " +
+        "GROUP BY tok ORDER BY exact_cnt DESC, token ASC LIMIT 20"),
     // neighbor structs via IGNORE NULLS windows; the interpolation is
     // the identical floor(double) arithmetic over exact integers
     "p69_interpolate" -> (
