@@ -210,6 +210,68 @@ object CorpusOps {
       .select(col(idCol), col(groupCol), col("pick_rank"))
   }
 
+  /** Temperature-rebalanced source sampling — the multilingual/mixture
+    * rule (mT5, XLM-R, LLaMA data recipes): sample source `s`
+    * proportionally to `n_s^α` with α = 1/2, flattening the source
+    * distribution so head domains stop drowning the tail. Everything is
+    * INTEGER-EXACT and engine-portable:
+    *
+    *  - `n_s^(1/2)` = integer sqrt: `floor(sqrt(double))` then a ±1
+    *    correction against the exact square — right even if libm sqrt
+    *    rounds the wrong way at a boundary;
+    *  - the total budget `T = ⌊N/budgetDenom⌋` is apportioned by
+    *    LARGEST REMAINDER (floor shares, then +1 to the biggest
+    *    `T·w_s mod W` remainders, source-ascending tie-break) — exact
+    *    integer arithmetic, Σ quotas = T always;
+    *  - each source's picks are its content-fingerprint-smallest docs
+    *    ([[quotaSample]]'s RNG-free draw), capped at `n_s` (a tail
+    *    source whose boosted share exceeds its size contributes all it
+    *    has; epoch-style with-replacement repeat is [[mixSources]]'
+    *    job).
+    *
+    * Scale shape: quotas live on a #sources-row table (the one global
+    * window there is bounded by construction); the corpus pays one
+    * fingerprint map pass and one partition-by-source rank. */
+  def temperatureSample(
+      docs: DataFrame,
+      budgetDenom: Int = 2,
+      groupCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgetDenom > 0, "temperatureSample: budgetDenom must be positive")
+    val s = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val w0 = floor(sqrt(col("_n").cast("double"))).cast("long")
+    val sw = s.withColumn("_w",
+      w0 + when((w0 + 1) * (w0 + 1) <= col("_n"), 1L).otherwise(0L)
+        - when(w0 * w0 > col("_n"), 1L).otherwise(0L))
+    val g = sw.agg(sum("_w").as("_wt"),
+      expr(s"sum(_n) div $budgetDenom").as("_t"))
+    val q0 = sw.crossJoin(broadcast(g))
+      .withColumn("_base", expr("_t * _w div _wt"))
+      .withColumn("_rem", expr("(_t * _w) % _wt"))
+    // bounded global window: one row per source
+    val byRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_rem").desc, col(groupCol).asc)
+    val quotas = q0
+      .withColumn("_extras", col("_t") - sum("_base").over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("_quota", least(
+        col("_base") + when(row_number().over(byRem) <= col("_extras"), 1L)
+          .otherwise(0L),
+        col("_n")))
+      .select(col(groupCol), col("_quota"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("_fp"), col(idCol))
+    docs
+      .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("rk", row_number().over(rankW).cast("long"))
+      .join(broadcast(quotas), Seq(groupCol))
+      .where(col("rk") <= col("_quota"))
+      .select(col(idCol), col(groupCol), col("rk"))
+  }
+
   /** Source-weighted mixing (domain up/down-sampling): emit ⌊w⌋ copies
     * of every doc from a source with weight w, plus one more decided by
     * a DETERMINISTIC content-hash draw with probability frac(w) — the
@@ -388,6 +450,43 @@ object CorpusOps {
       .select(col("e")("token").as("token"), col("e")("cnt").as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
+  }
+
+  /** Cross-document n-gram novelty: per document, how many of its
+    * DISTINCT word n-grams appear in at least one OTHER document —
+    * near 0 novelty flags boilerplate/templated text that doc-level
+    * near-dedup misses (the doc as a whole is unique, every phrase in
+    * it is not). Complements [[Dedup.repeatedSpans]]: this is the
+    * cheap corpus-wide score, that is the span-precise cut list.
+    *
+    * Sub-n-token docs fall back to their whole text as a single gram
+    * (the p47 convention), so every document gets a score. Because the
+    * per-doc gram sets are DISTINCT, a gram's document frequency is
+    * exactly its row count in the exploded stream — one gram-keyed
+    * aggregate, one gram-keyed join back, one per-doc aggregate; all
+    * counts integer, the ratio one double division of exact small ints.
+    * Returns (idCol, n_grams, n_shared, novelty = 1 − shared/total). */
+  def ngramNovelty(
+      docs: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n > 0, "ngramNovelty: n must be positive")
+    val grams = docs
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("_t"))
+      .select(col(idCol),
+        when(size(col("_t")) < n, array(concat_ws(" ", col("_t"))))
+          .otherwise(graft.functions.ShingleFunctions.word_shingles(col("_t"), n))
+          .as("_gs"))
+    val e = grams.select(col(idCol), explode(col("_gs")).as("g"))
+    val df = e.groupBy("g").agg(count(lit(1)).as("_dfg"))
+    e.join(df, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_dfg") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty",
+        (col("n_grams") - col("n_shared")).cast("double") /
+          col("n_grams").cast("double"))
   }
 
   /** Count-Min sketch scorecard: build a [[graft.functions.CountMinAgg]]

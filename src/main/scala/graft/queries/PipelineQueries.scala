@@ -607,6 +607,12 @@ object PipelineQueries {
       graft.ops.CorpusOps.repetitionStats(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Cross-doc 3-gram novelty: share of each doc's distinct grams that
+    // occur in no other doc — the corpus-wide boilerplate score.
+    "p86_ngram_novelty" -> ((s, dir) =>
+      graft.ops.CorpusOps.ngramNovelty(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // Decontamination sweep: corpus docs sharing word 3-grams with the
     // held-out "benchmark" slice (doc_id % 97 == 0) — broadcast bench
     // grams, one hit-agg shuffle.
@@ -670,6 +676,13 @@ object PipelineQueries {
     "p33_quota_sample" -> ((s, dir) =>
       graft.ops.CorpusOps.quotaSample(Tables(s, dir, "documents"), quota = 30)
         .orderBy("source", "pick_rank")),
+
+    // Temperature-rebalanced mixture (n_s^(1/2) shares, exact integer
+    // sqrt + largest-remainder apportionment of a half-corpus budget,
+    // fingerprint-smallest picks per source).
+    "p85_temperature_sample" -> ((s, dir) =>
+      graft.ops.CorpusOps.temperatureSample(Tables(s, dir, "documents"))
+        .orderBy("source", "rk")),
 
     // Decile binning via driver-collected exact cut points — the
     // map-only replacement for a global-sort ntile.
@@ -1258,6 +1271,23 @@ object PipelineQueries {
         "r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY fp, doc_id) AS pick_rank FROM f) " +
         "SELECT doc_id, source, CAST(pick_rank AS INT) AS pick_rank FROM r " +
         "WHERE pick_rank <= 30 ORDER BY source, pick_rank"),
+    // integer sqrt with the ±1 exact-square correction, then
+    // largest-remainder apportionment — all // and % on BIGINT
+    "p85_temperature_sample" -> (
+      "WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source), " +
+        "w0 AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w0 FROM s), " +
+        "w AS (SELECT source, n, w0 + (CASE WHEN (w0+1)*(w0+1) <= n THEN 1 ELSE 0 END) " +
+        "- (CASE WHEN w0*w0 > n THEN 1 ELSE 0 END) AS w FROM w0), " +
+        "g AS (SELECT SUM(w) AS wt, SUM(n) // 2 AS t FROM w), " +
+        "q0 AS (SELECT source, n, w, (t * w) // wt AS base, (t * w) % wt AS rem, t FROM w, g), " +
+        "ex AS (SELECT MAX(t) - SUM(base) AS extras FROM q0), " +
+        "q AS (SELECT source, LEAST(base + (CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) " +
+        "<= extras THEN 1 ELSE 0 END), n) AS quota FROM q0, ex), " +
+        "f AS (SELECT doc_id, source, " +
+        "substring(sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fp FROM documents), " +
+        "r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY fp, doc_id) AS rk FROM f) " +
+        "SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk FROM r JOIN q USING (source) " +
+        "WHERE r.rk <= q.quota ORDER BY source, rk"),
     "p31_decontaminate" -> (
       "WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
         "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
@@ -1268,6 +1298,18 @@ object PipelineQueries {
         "SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared_grams, " +
         "COUNT(DISTINCT b.bench_id) AS n_bench_docs " +
         "FROM c JOIN b USING (g) GROUP BY 1 ORDER BY doc_id"),
+    // distinct-gram doc frequency = row count of the exploded stream;
+    // sub-3-token docs fall back to the whole text as one gram (p47)
+    "p86_ngram_novelty" -> (
+      "WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
+        "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
+        "d AS (SELECT g, COUNT(*) AS dfg FROM e GROUP BY g) " +
+        "SELECT doc_id, COUNT(*) AS n_grams, " +
+        "CAST(SUM(CASE WHEN dfg >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, " +
+        "CAST(COUNT(*) - SUM(CASE WHEN dfg >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty " +
+        "FROM e JOIN d USING (g) GROUP BY doc_id ORDER BY doc_id"),
     "p30_repetition" -> (
       "WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks " +
         "FROM documents WHERE length(trim(text)) > 0), " +

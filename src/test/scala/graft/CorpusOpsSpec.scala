@@ -416,6 +416,45 @@ class CorpusOpsSpec extends AnyFunSuite {
       (4L, 1, "the", 1L, 0L)))
   }
 
+  test("ngramNovelty: shared-gram fractions by hand, with the sub-n fallback") {
+    val docs = Seq(
+      (1L, "x y z w"), // grams {x y z, y z w} — first shared with doc 2
+      (2L, "x y z"),   // exactly 3 tokens: one gram, shared
+      (3L, "q")        // sub-3: whole text is the gram, unique
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.ngramNovelty(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 0.5),
+      (2L, 1L, 1L, 0.0),
+      (3L, 1L, 0L, 1.0)))
+  }
+
+  test("temperatureSample: sqrt shares + largest remainder, by hand") {
+    // A:9 B:4 C:1 -> w = 3,2,1 (W=6), N=14, T=7
+    // base = 3,2,1 (rem 3,2,1), extras = 1 -> A gets it
+    // quotas: A=4 B=2 C=1 — the head source's 64% of the corpus becomes
+    // 57% of the sample, the tail's 7% becomes 14%
+    val docs = ((1 to 9).map(i => (i.toLong, s"a doc $i", "A")) ++
+      (10 to 13).map(i => (i.toLong, s"b doc $i", "B")) ++
+      Seq((14L, "c doc", "C"))).toDF("doc_id", "text", "source")
+    val out = CorpusOps.temperatureSample(docs)
+      .collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(out == Map("A" -> 4, "B" -> 2, "C" -> 1))
+  }
+
+  test("temperatureSample caps a boosted tail source at its size") {
+    // A:100 B:1 -> w = 10,1 (W=11), N=101, T=50
+    // base A=45 (rem 5), B=4 (rem 6); extras=1 -> B wins the extra -> 5,
+    // capped at n_B=1. No redistribution (documented policy).
+    val docs = ((1 to 100).map(i => (i.toLong, s"a doc $i", "A")) ++
+      Seq((101L, "b doc", "B"))).toDF("doc_id", "text", "source")
+    val out = CorpusOps.temperatureSample(docs)
+      .collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(out == Map("A" -> 45, "B" -> 1))
+  }
+
   test("dsirWeights: whole-bit uni+bigram LLR against the target source, by hand") {
     // target "tgt": doc 1 feats {a, b, a•b}; raw adds doc 2 {a, c, a•c}
     // Nt=3, Nr=6, V=5 ⇒ bitlen(Nr+V)=bitlen(11)=4, bitlen(Nt+V)=bitlen(8)=4
