@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native shingling + MinHash kernels. The higher-order formulations
@@ -239,4 +240,97 @@ object ShingleFunctions {
     column(SortedIntersectSizeExpression(expression(a), expression(b)))
   def simhash(tokens: Column): Column =
     column(SimHashExpression(expression(tokens)))
+  def rolling_window_hashes(tokens: Column, n: Int): Column =
+    column(RollingWindowHashesExpression(expression(tokens), n))
+  def term_counts(tokens: Column): Column =
+    column(TermCountsExpression(expression(tokens)))
+}
+
+/** Per-document term frequencies as a MAP-ONLY kernel: token array →
+  * sorted array<struct<term, tf>>. A document's tokens live in one row,
+  * so its term histogram needs no shuffle at all — `groupBy(doc, term)`
+  * hash-partitions every corpus token to compute a fact that was
+  * already partition-local. Term-ascending order makes the output a
+  * deterministic value (and downstream explodes reshuffle-stable).
+  * Empty tokens are dropped (the tokenizer's artifact, not a term). */
+case class TermCountsExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val counts = new java.util.TreeMap[String, Long]()
+    var i = 0
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      if (s != null && s.numBytes > 0) {
+        val t = s.toString
+        val c = counts.get(t)
+        counts.put(t, if (c == null) 1L else c + 1L)
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "term_counts"
+}
+
+/** 64-bit hash of every n-token window of a token array in ONE O(len)
+  * pass: each token hashes once (XXH64 of its UTF-8 bytes, seed 11 —
+  * independent of the MinHash/SimHash/sorted-hash seeds), windows
+  * combine as the degree-(n−1) polynomial Σ th(i+k)·B^(n−1−k) mod 2⁶⁴
+  * and slide in O(1): h' = (h − th(i)·Bⁿ⁻¹)·B + th(i+n). Replaces
+  * "materialize the n-token gram string, then hash it" — O(n) bytes
+  * copied + hashed PER POSITION — as the repeated-window key; downstream
+  * keys are 8-byte longs instead of md5 strings. Collisions: window
+  * hashes are polynomial mixes of strongly-hashed tokens, so distinct
+  * windows collide with ~m²/2⁶⁴ probability corpus-wide (the
+  * [[SortedShingleHashesExpression]] envelope — negligible and
+  * deterministic). Strict: fewer than n tokens → empty array. */
+case class RollingWindowHashesExpression(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "rolling_window_hashes: n must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private val B = 0x100000001b3L // odd ⇒ invertible mod 2⁶⁴
+  private lazy val bPow: Long = { // B^(n-1) mod 2⁶⁴
+    var p = 1L; var i = 1; while (i < n) { p *= B; i += 1 }; p
+  }
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      th(i) = if (s == null) 0L
+        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 11L)
+      i += 1
+    }
+    val out = new Array[Any](m - n + 1)
+    var h = 0L
+    var k = 0
+    while (k < n) { h = h * B + th(k); k += 1 }
+    out(0) = java.lang.Long.valueOf(h)
+    var j = 1
+    while (j <= m - n) {
+      h = (h - th(j - 1) * bPow) * B + th(j + n - 1)
+      out(j) = java.lang.Long.valueOf(h)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "rolling_window_hashes"
 }

@@ -564,16 +564,25 @@ object CorpusOps {
         .as("_p"))
       .select(col(idCol), col("_p.l").as("l"), col("_p.bg").as("bg"))
 
+    // The model is PERSISTED (vocab-sized — the one cache this op
+    // keeps): three consumers need it (left-context sums, the vocabulary
+    // size, and the per-bigram bit table), and Catalyst materializes
+    // each subplan independently — uncached that is three full corpus
+    // tokenize+aggregate passes. Cached, the corpus is read exactly
+    // twice: once to build the model, once for the final instance join.
     val model = pairs.groupBy("bg").agg(count(lit(1)).as("c12"))
-    // c1 = Σ c12 over the left context — folded from the vocab-sized
-    // model, NOT a second corpus-sized aggregation. (Catalyst does not
-    // reuse the model subplan across the two consumers, so the plan
-    // shows the tokenize+model aggregate twice — map-only + vocab-sized
-    // shuffle each; at extreme scale materialize `model` explicitly.)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lefts = model
       .groupBy(substring_index(col("bg"), "\u0001", 1).as("l"))
       .agg(sum("c12").as("c1"))
-    val vRow = docs.select(explode(toks).as("_tok"))
+    // V = distinct tokens across the model's bigram slots — vocab-sized
+    // work off the cache. (Identical to the corpus unigram vocabulary
+    // except for docs with exactly ONE token, which contribute no bigram
+    // and no longer vote for V — the model's own training vocabulary is
+    // the cleaner add-V smoothing set anyway.)
+    val vRow = model.select(explode(array(
+        substring_index(col("bg"), "\u0001", 1),
+        substring_index(col("bg"), "\u0001", -1))).as("_tok"))
       .agg(countDistinct(col("_tok"))).first()
     val v = if (vRow.isNullAt(0)) 0L else vRow.getLong(0)
 
@@ -595,7 +604,11 @@ object CorpusOps {
           .otherwise(col("_k0")).cast("long"))
       .select("bg", "_bits")
     pairs.select(col(idCol), col("bg"))
-      .join(bgBits, Seq("bg"))
+      // explicit: the vocab-sized bits table is ALWAYS the build side.
+      // Left to estimates, Spark has broadcast the corpus-sized instance
+      // stream here (the file-based size guess undercounts the explode,
+      // while the cached model's stats are unknown at planning time).
+      .join(broadcast(bgBits), Seq("bg"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum("_bits").as("bits"))
       .withColumn("avg_bits",
@@ -728,10 +741,17 @@ object CorpusOps {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(k > 0, s"tfidfKeywords: k must be positive, got $k")
-    val terms = docs
-      .select(col(idCol), explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
-      .where(col("term") =!= "")
-    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    // tf is MAP-ONLY: a doc's tokens live in one row, so its term
+    // histogram never needs the corpus-wide groupBy(doc, term) shuffle —
+    // the term_counts kernel folds it in place and explode emits the
+    // (doc, term, tf) stream pre-grouped. The only corpus-sized shuffle
+    // left is the per-doc top-k window; df is a vocab-sized partial
+    // aggregate and idf rides back in a BROADCAST (vocab tables fit —
+    // and if one ever didn't, this join is the line to flip to shuffle).
+    val tf = docs
+      .select(col(idCol), explode(graft.functions.ShingleFunctions.term_counts(
+        TextAnalysis.tokens(lower(col(textCol))))).as("_e"))
+      .select(col(idCol), col("_e")("term").as("term"), col("_e")("tf").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // N = docs contributing terms — a map-only count, no distinct shuffle
     val nRow = docs
@@ -745,7 +765,7 @@ object CorpusOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy((col("tf") * col("idf_bits")).desc, col("term").asc)
-    tf.join(idf, Seq("term"))
+    tf.join(broadcast(idf), Seq("term"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("idf_bits"))

@@ -415,14 +415,20 @@ object Dedup {
     *
     * Distributed shape — the Spark substitute for the paper's
     * single-machine suffix array: one map-only pass emits each document's
-    * position-indexed `n`-gram windows via the [[graft.functions]]
-    * `word_ngrams` kernel, hashed to md5 immediately (the window TEXT
-    * never shuffles); repeated window hashes are one |windows|-input,
-    * |distinct-windows|-output partial aggregate; marking is an equi-join
-    * back on the hash; and runs of consecutive hit positions fold into
-    * maximal spans with the classic `pos − row_number()` island trick —
-    * one per-document window over hit rows only (≪ corpus). All work is
-    * ∝ corpus token count, never quadratic.
+    * position-indexed window hashes via the O(len) rolling-hash kernel
+    * ([[graft.functions.RollingWindowHashesExpression]] — each token
+    * hashed once, windows slide in O(1); neither the window text NOR an
+    * md5 string is ever materialized, the shuffle key is 8 bytes);
+    * occurrences group in ONE corpus-sized aggregate that carries the
+    * (doc, pos) list per window hash — the ≥ `minCount` filter then
+    * explodes hit positions only (no second corpus shuffle, no join
+    * back, no recompute of the scan); and runs of consecutive hit
+    * positions fold into maximal spans with the classic
+    * `pos − row_number()` island trick — one per-document window over
+    * hit rows only (≪ corpus). All work is ∝ corpus token count, never
+    * quadratic. (A corpus-wide mega-repeated window makes one big
+    * occurrence list; lists are bounded by that window's own repeat
+    * count, the same envelope as the old join-back's hit rows.)
     *
     * Returns (idCol, span_start, span_end, n_windows): token-index span
     * [span_start, span_end) whose every length-`n` window repeats,
@@ -439,15 +445,17 @@ object Dedup {
     require(minCount >= 2, s"repeatedSpans: minCount < 2 marks every window, got $minCount")
     val w = docs
       .select(col(idCol),
-        posexplode(graft.functions.ShingleFunctions.word_ngrams(
-          TextAnalysis.tokens(col(textCol)), n)).as(Seq("pos", "_g")))
-      .select(col(idCol), col("pos"), md5(col("_g")).as("_wh"))
-    val rep = w.groupBy("_wh").agg(count(lit(1)).as("_c"))
-      .where(col("_c") >= minCount).select("_wh")
+        posexplode(graft.functions.ShingleFunctions.rolling_window_hashes(
+          TextAnalysis.tokens(col(textCol)), n)).as(Seq("pos", "_wh")))
+    val hits = w
+      .groupBy("_wh")
+      .agg(collect_list(struct(col(idCol), col("pos"))).as("_occ"))
+      .where(size(col("_occ")) >= minCount)
+      .select(explode(col("_occ")).as("_o"))
+      .select(col("_o")(idCol).as(idCol), col("_o")("pos").as("pos"))
     val wdw = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
-    w.join(rep, Seq("_wh"))
-      .select(col(idCol), col("pos"))
+    hits
       .withColumn("_grp", col("pos") - row_number().over(wdw))
       .groupBy(col(idCol), col("_grp"))
       .agg(min("pos").as("span_start"),

@@ -1732,7 +1732,7 @@ object PipelineQueries {
         "toks[CAST(i AS INT)] || chr(1) || toks[CAST(i AS INT) + 1] AS bg FROM bi), " +
         "model AS (SELECT bg, COUNT(*) AS c12 FROM bp GROUP BY bg), " +
         "lf AS (SELECT l, COUNT(*) AS c1 FROM bp GROUP BY l), " +
-        "v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)), " +
+        "v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t WHERE len(toks) >= 2)), " +
         "sc AS (SELECT doc_id, c1 + v.v AS a, c12 + 1 AS b " +
         "FROM bp JOIN model USING (bg) JOIN lf USING (l), v), " +
         "k AS (SELECT doc_id, CASE WHEN a < (b << (length(bin(a)) - length(bin(b)))) " +

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.TextAnalysis
+import graft.ops.Dedup
 
 /** Throwaway measurement harness (not part of the library surface). */
 object Scratch {
@@ -27,16 +27,11 @@ object Scratch {
     def sink(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    val slim = docs.select(col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-    time("tokenCount only")(sink(slim))
-    time("pack as-called")(sink(graft.ops.Packing.packSequences(
-      slim, "doc_id", "n_tokens", 2048, 128)))
-    val p = slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("persist slim")(p.count(): Unit)
-    time("pack persisted input")(sink(graft.ops.Packing.packSequences(
-      p, "doc_id", "n_tokens", 2048, 128)))
-    time("text_profile")(sink(TextAnalysis.profile(docs)))
+    (1 to 3).foreach { i =>
+      time(s"repeated_spans#$i") { sink(Dedup.repeatedSpans(docs, n = 20)) }
+      time(s"tfidf_keywords#$i") { sink(graft.ops.CorpusOps.tfidfKeywords(docs, k = 5)) }
+      time(s"bigram_surprisal#$i") { sink(graft.ops.CorpusOps.bigramSurprisal(docs)) }
+    }
     spark.stop()
   }
 }

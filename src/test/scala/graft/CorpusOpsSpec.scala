@@ -348,14 +348,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "a b a b"), // bigrams ab, ba, ab
       (2L, "a b"),     // bigram ab
-      (3L, "c")        // single token → no row
+      (3L, "c")        // single token → no row, and no vote for V
     ).toDF("doc_id", "text")
-    // model: c12(ab)=3, c12(ba)=1; c1(a)=3, c1(b)=1; V=3 (a,b,c)
-    // ab: ⌊log2((3+3)/(3+1))⌋ = ⌊log2(1.5)⌋ = 0
-    // ba: ⌊log2((1+3)/(1+1))⌋ = ⌊log2(2)⌋ = 1
+    // model: c12(ab)=3, c12(ba)=1; c1(a)=3, c1(b)=1; V=2 (a,b — the
+    // model's own vocabulary; doc 3's lone "c" trains no bigram)
+    // ab: ⌊log2((3+2)/(3+1))⌋ = ⌊log2(1.25)⌋ = 0
+    // ba: ⌊log2((1+2)/(1+1))⌋ = ⌊log2(1.5)⌋ = 0
     val out = CorpusOps.bigramSurprisal(df).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(out.toSeq == Seq((1L, 3L, 1L, 1.0 / 3.0), (2L, 1L, 0L, 0.0)))
+    assert(out.toSeq == Seq((1L, 3L, 0L, 0.0), (2L, 1L, 0L, 0.0)))
+  }
+
+  test("bigramSurprisal: V counts right-slot-only tokens (sentence-final words)") {
+    // "z" only ever appears as a bigram RIGHT slot; V must still count it
+    val df = Seq((1L, "a z"), (2L, "a b")).toDF("doc_id", "text")
+    // model: c12(az)=1, c12(ab)=1; c1(a)=2; V=3 (a, z, b)
+    // az: ⌊log2((2+3)/(1+1))⌋ = ⌊log2(2.5)⌋ = 1; same for ab
+    val out = CorpusOps.bigramSurprisal(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L)))
   }
 
   test("bigramSurprisal: rare continuations cost more bits than common ones") {

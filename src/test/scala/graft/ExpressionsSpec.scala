@@ -131,6 +131,46 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(out == "mtt de mtt y mtt")
   }
 
+  test("rolling_window_hashes: O(1) slide equals fresh Horner start at every position") {
+    import graft.functions.ShingleFunctions.rolling_window_hashes
+    val toks = Seq("the", "quick", "brown", "fox", "jumps", "over", "the", "lazy", "dog",
+      "the", "quick", "brown", "fox")
+    val n = 3
+    // full-array hashes come from the O(1) slide ...
+    val slid = Seq(toks).toDF("t")
+      .select(rolling_window_hashes(col("t"), n).as("h"))
+      .first().getSeq[Long](0)
+    // ... each window alone re-derives its hash by the fresh Horner loop
+    val fresh = toks.sliding(n).map { w =>
+      Seq(w).toDF("t").select(rolling_window_hashes(col("t"), n).as("h"))
+        .first().getSeq[Long](0).head
+    }.toSeq
+    assert(slid == fresh)
+    // the repeated "the quick brown" / "quick brown fox" windows collide
+    // exactly (same content), nothing else does on this input
+    assert(slid(0) == slid(9) && slid(1) == slid(10))
+    assert(slid.distinct.length == slid.length - 2)
+  }
+
+  test("rolling_window_hashes: fewer than n tokens is empty, cross-row determinism") {
+    import graft.functions.ShingleFunctions.rolling_window_hashes
+    val out = Seq(Seq("a", "b"), Seq("x", "a", "b"), Seq("a", "b", "x"))
+      .toDF("t").select(rolling_window_hashes(col("t"), 3).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    assert(out(0).isEmpty)
+    assert(out(1).length == 1 && out(2).length == 1 && out(1) != out(2))
+  }
+
+  test("term_counts: sorted histogram, empties dropped") {
+    import graft.functions.ShingleFunctions.term_counts
+    val out = Seq(Seq("b", "a", "b", "", "c", "b")).toDF("t")
+      .select(term_counts(col("t")).as("tc"))
+      .select(explode(col("tc")).as("e"))
+      .select(col("e")("term"), col("e")("tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 1L), ("b", 3L), ("c", 1L)))
+  }
+
   test("expressions run inside whole-stage codegen, no ScalaUDF") {
     // literals would constant-fold to a LocalTableScan (also fine); use a
     // real scan so the projection must execute under codegen
