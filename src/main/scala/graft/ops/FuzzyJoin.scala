@@ -126,6 +126,43 @@ object FuzzyJoin {
       .join(best, col(probeCol) <=> col("_probe_val"))
       .drop("_probe_val")
   }
+
+  /** Edit-distance-1 similarity SELF-join via the deletion-neighborhood
+    * (SymSpell) blocking rule: two strings are within Levenshtein
+    * distance 1 **iff** they share a member of {s} ∪ {s minus one char}
+    * — substitution ⇒ same deletion at the edit position, insert/delete
+    * ⇒ the longer string's deletion equals the shorter string itself.
+    * So candidates come from an EQUI-join on the ≤ len+1 generated
+    * variants — exact recall, never an all-pairs or theta join — then
+    * one `levenshtein` verify per distinct candidate pair discards the
+    * false positives (deletions at different positions landing equal).
+    *
+    * Scale: row growth is the variant factor (≈ string length);
+    * the join shuffles 8-byte ids + short variant strings; candidate
+    * count is data-dependent but each true pair plus the same-variant
+    * coincidences only — the entity-resolution classic for typo-level
+    * matching where a similarity threshold join would go quadratic.
+    * Returns (a, b, dist ≤ 1), a < b on `idCol`, exact-duplicate
+    * strings included at dist 0. */
+  def editNeighbors(
+      df: DataFrame,
+      idCol: String,
+      strCol: String): DataFrame = {
+    val s = df.select(col(idCol).as("_eid"), col(strCol).as("_es"))
+    val variants = s.select(col("_eid"), col("_es"),
+      explode(concat(array(col("_es")),
+        expr("transform(sequence(1, length(_es)), " +
+          "i -> concat(substring(_es, 1, i - 1), substring(_es, i + 1, length(_es))))")))
+        .as("_v"))
+    val a = variants.select(col("_v"), col("_eid").as("a"), col("_es").as("_sa"))
+    val b = variants.select(col("_v"), col("_eid").as("b"), col("_es").as("_sb"))
+    a.join(b, Seq("_v"))
+      .where(col("a") < col("b"))
+      .select("a", "b", "_sa", "_sb").distinct()
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
+      .where(col("dist") <= 1)
+      .select(col("a"), col("b"), col("dist"))
+  }
 }
 
 /** J2+J1 composed: full importer standardization
@@ -186,4 +223,5 @@ object ImporterStandardizer {
 
   private def stripJunk(c: Column): Column =
     regexp_replace(c, "[\\t\\. \\-]+", "")
+
 }

@@ -892,6 +892,14 @@ object PipelineQueries {
         .orderBy("iid")
     }),
 
+    // Edit-distance-1 self-join via SymSpell deletion-neighborhood
+    // blocking — exact recall with an equi-join, verified by one
+    // levenshtein per candidate; the oracle brute-forces all pairs.
+    "p87_edit_neighbors" -> ((s, dir) =>
+      graft.ops.FuzzyJoin.editNeighbors(Tables(s, dir, "supplier"),
+          "s_suppkey", "s_name")
+        .orderBy("a", "b")),
+
     "p16_dedup_first_per_user" -> ((s, dir) =>
       EventsStream.dedupFirstPerUser(Tables(s, dir, "events"))
         .orderBy("user_id", "event_type")),
@@ -1812,6 +1820,13 @@ object PipelineQueries {
       "SELECT tok AS token, COUNT(*) AS cnt FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok " +
         "FROM documents WHERE length(trim(text)) > 0) WHERE tok != '' " +
         "GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 10"),
+    // all-pairs brute force (supplier is dimension-sized); Spark's
+    // deletion-neighborhood join must reproduce it exactly
+    "p87_edit_neighbors" -> (
+      "SELECT a.s_suppkey AS a, b.s_suppkey AS b, " +
+        "CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist " +
+        "FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey " +
+        "WHERE levenshtein(a.s_name, b.s_name) <= 1 ORDER BY a, b"),
     // exact top-20 counts; the sketch's bound flags are pinned at 1
     // (self-certifying scorecard — the flags are computed in-query on
     // the Spark side, the oracle certifies the exact counts)
