@@ -93,4 +93,17 @@ object OrderedScan {
     df.coalesce(1).write.mode("overwrite")
       .option("header", header.toString)
       .csv(path)
+
+  /** Columnar interchange beyond parquet: ORC round-trip (Spark's other
+    * built-in columnar format — common when handing curated corpora to
+    * Hive/Trino estates). Snappy + dictionary encoding by default;
+    * schema, NULLs, nested arrays and timestamps all survive — pinned by
+    * OrcRoundTripSpec. Natural partitioning (one file per task), never
+    * coalesce(1): the single-file contract is CSV-publish's, not a
+    * columnar handoff's. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }
