@@ -463,4 +463,39 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
+
+  /** APPLY a [[repeatedSpans]] cut list: drop every token whose position
+    * falls inside a span, emit the surviving text's size and md5 — the
+    * step that turns the span report into a cleaned corpus (Lee et al.'s
+    * actual dedup, not just its diagnosis).
+    *
+    * Shape: the span list aggregates to ≤ a few structs per affected doc
+    * (spans are merged maximal islands, disjoint by construction), joins
+    * back on the doc id, and the cut itself is a higher-order filter
+    * over the token array — map-only after one doc-keyed shuffle of the
+    * (tiny) span side. Docs without tokens emit nothing (mirrors the
+    * span scan); docs whose every token is cut emit `md5("")`.
+    * Returns (idCol, n_tokens, n_cut, clean_md5). */
+  def applySpanCuts(
+      docs: DataFrame,
+      spans: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spanList = spans
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) > 0)
+      .join(spanList, Seq(idCol), "left")
+      .withColumn("_spans",
+        coalesce(col("_spans"), array().cast("array<struct<span_start:int,span_end:int>>")))
+      .withColumn("_kept", expr(
+        "filter(transform(sequence(0L, size(_toks) - 1), i -> struct(i AS i, _toks[CAST(i AS INT)] AS tok)), " +
+          "x -> NOT exists(_spans, s -> x.i >= s.span_start AND x.i < s.span_end))"))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_cut"),
+        md5(concat_ws(" ", expr("transform(_kept, x -> x.tok)"))).as("clean_md5"))
+  }
 }

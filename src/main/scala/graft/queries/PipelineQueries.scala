@@ -174,6 +174,14 @@ object PipelineQueries {
       Dedup.repeatedSpans(Tables(s, dir, "documents"), n = 20)
         .orderBy("doc_id", "span_start")),
 
+    // Apply the span cut list: cleaned-corpus sizes + md5 per doc — the
+    // report-to-cleaned-text step, content pinned end to end.
+    "p88_apply_span_cuts" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.applySpanCuts(docs, Dedup.repeatedSpans(docs, n = 20))
+        .orderBy("doc_id")
+    }),
+
     // Pretraining context-window chunker: 64-token windows at stride 48
     // (16-token overlap), map-only, content pinned by per-chunk md5.
     "p58_chunk_tokens" -> ((s, dir) =>
@@ -1600,6 +1608,27 @@ object PipelineQueries {
         "FROM m) " +
         "SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 20 AS span_end, " +
         "COUNT(*) AS n_windows FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start"),
+    // p75's span derivation, then an anti-EXISTS over token positions;
+    // fully-cut docs pin md5('') via the COALESCE
+    "p88_apply_span_cuts" -> (
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "w AS (SELECT doc_id, CAST(i AS INT) AS pos, " +
+        "md5(array_to_string(list_slice(toks, CAST(i AS INT) + 1, CAST(i AS INT) + 20), ' ')) AS wh " +
+        "FROM t, unnest(generate_series(0, len(toks) - 20)) AS u(i) WHERE len(toks) >= 20), " +
+        "r AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(*) >= 2), " +
+        "m AS (SELECT doc_id, pos FROM w JOIN r USING (wh)), " +
+        "isl AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g " +
+        "FROM m), " +
+        "sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 20 AS e FROM isl GROUP BY doc_id, g), " +
+        "tp AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) AS INT) - 1 AS i, unnest(toks) AS tok FROM t), " +
+        "kept AS (SELECT tp.doc_id, tp.i, tp.tok FROM tp WHERE NOT EXISTS " +
+        "(SELECT 1 FROM sp WHERE sp.doc_id = tp.doc_id AND tp.i >= sp.s AND tp.i < sp.e)) " +
+        "SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens, " +
+        "CAST(len(t.toks) - COUNT(kept.i) AS BIGINT) AS n_cut, " +
+        "md5(COALESCE(string_agg(kept.tok, ' ' ORDER BY kept.i), '')) AS clean_md5 " +
+        "FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id " +
+        "GROUP BY t.doc_id, len(t.toks) ORDER BY t.doc_id"),
     // ts truncated to microseconds BEFORE ordering (Spark timestamps are
     // micro-precision) so frame membership agrees; event_id makes the
     // order total; value quantized to BIGINT micro-units before the

@@ -177,4 +177,31 @@ class DedupSpec extends AnyFunSuite {
     // windows 0..6 of the 10-token shared prefix repeat → one span [0,10)
     assert(out.toSeq == Seq((1L, 0, 10, 7L), (2L, 0, 10, 7L)))
   }
+
+  test("applySpanCuts removes exactly the spanned tokens, pins the cleaned md5") {
+    val docs = Seq(
+      (1L, "x1 x2 p q r y1"),    // "p q r" repeats → span [2,5)
+      (2L, "z1 p q r z2 z3"),    // span [1,4)
+      (3L, "u1 u2 u3")           // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.applySpanCuts(docs, Dedup.repeatedSpans(docs, n = 3))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def m(s: String): String =
+      spark.sql(s"SELECT md5('$s')").first().getString(0)
+    assert(out.toSeq == Seq(
+      (1L, 6L, 3L, m("x1 x2 y1")),
+      (2L, 6L, 3L, m("z1 z2 z3")),
+      (3L, 3L, 0L, m("u1 u2 u3"))))
+  }
+
+  test("applySpanCuts: a fully-covered doc keeps md5 of the empty string") {
+    val docs = Seq((1L, "p q r"), (2L, "p q r")).toDF("doc_id", "text")
+    val out = Dedup.applySpanCuts(docs, Dedup.repeatedSpans(docs, n = 3))
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(r.getLong(2) == 3L)
+      assert(r.getString(3) == "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+    }
+  }
 }
