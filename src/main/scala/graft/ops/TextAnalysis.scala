@@ -126,6 +126,46 @@ object TextAnalysis {
       piiRedact(c).as("redacted"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, §2.2): the
+    * in-document half of web-corpus curation — drop lines that are too
+    * short to be prose, and drop whole pages containing boilerplate /
+    * code markers. (The cross-document half — repeated-span removal —
+    * is [[Dedup.repeatedSpans]] / [[Dedup.applySpanCuts]].)
+    *
+    * Rules, all local to one row (map-only, codegen higher-order
+    * filters, no shuffle at any scale):
+    *  - a line survives iff it has ≥ `minLineWords` whitespace tokens
+    *    and (when `requireTerminalPunct`) ends in `.!?"'`;
+    *  - the whole doc is dropped iff its lowercase text contains any
+    *    `banned` phrase (C4 uses policy/code markers).
+    *
+    * Returns (idCol, n_lines, n_kept, dropped∈{0,1}, clean_md5) where
+    * clean_md5 pins the kept lines rejoined with `\n` (NULL for dropped
+    * docs — nothing survives). */
+  def c4LineClean(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minLineWords: Int = 3,
+      requireTerminalPunct: Boolean = false,
+      banned: Seq[String] = Seq("lorem ipsum", "javascript required", "{")): DataFrame = {
+    require(banned.nonEmpty, "c4LineClean: banned phrase list must be non-empty")
+    val lines = transform(split(col(textCol), "\n"), l => trim(l))
+    val keepLine: Column => Column = l => {
+      val enough = size(tokens(l)) >= minLineWords
+      if (requireTerminalPunct) enough && l.rlike("[.!?\"']$") else enough
+    }
+    val kept = filter(lines, keepLine)
+    val dropped = banned.map(b => lower(col(textCol)).contains(lit(b))).reduce(_ || _)
+    docs.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      when(dropped, lit(0L)).otherwise(size(kept).cast("long")).as("n_kept"),
+      dropped.cast("int").as("dropped"),
+      when(dropped, lit(null).cast("string"))
+        .otherwise(md5(array_join(kept, "\n"))).as("clean_md5"))
+  }
+
   /** Whitespace-collapsed lowercase normalization (shingle input). */
   def normText(c: Column): Column = regexp_replace(lower(c), "\\s+", " ")
 

@@ -182,6 +182,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // C4-style line-level cleaning over planted multi-line pages: the
+    // corpus's flat texts are re-lined into 8-token lines plus a planted
+    // too-short line ("xx", always cut) and, on every 5th doc, a planted
+    // "lorem ipsum" boilerplate line (drops the whole page).
+    "p89_c4_line_clean" -> ((s, dir) => {
+      val withToks = Tables(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("_toks"))
+      val planted = withToks.select(col("doc_id"),
+        concat(
+          concat_ws("\n",
+            transform(
+              sequence(lit(0), ceil(size(col("_toks")) / lit(8.0)).cast("int") - 1),
+              i => array_join(slice(col("_toks"), i * lit(8) + lit(1), lit(8)), " "))),
+          lit("\nxx"),
+          when(col("doc_id") % 5 === 0, lit("\nthis page uses lorem ipsum filler"))
+            .otherwise(lit(""))).as("text"))
+      graft.ops.TextAnalysis.c4LineClean(planted).orderBy("doc_id")
+    }),
+
     // Pretraining context-window chunker: 64-token windows at stride 48
     // (16-token overlap), map-only, content pinned by per-chunk md5.
     "p58_chunk_tokens" -> ((s, dir) =>
@@ -1629,6 +1648,27 @@ object PipelineQueries {
         "md5(COALESCE(string_agg(kept.tok, ' ' ORDER BY kept.i), '')) AS clean_md5 " +
         "FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id " +
         "GROUP BY t.doc_id, len(t.toks) ORDER BY t.doc_id"),
+    // Same 8-token re-lining + plants as the Spark side, then the C4
+    // rules: line survives at >= 3 words; any 'lorem ipsum'/'javascript
+    // required'/'{' page drops whole (clean_md5 NULL, n_kept 0).
+    "p89_c4_line_clean" -> (
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "p AS (SELECT doc_id, array_to_string(list_transform(" +
+        "generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1), " +
+        "i -> array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')), chr(10)) " +
+        "|| chr(10) || 'xx' " +
+        "|| CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'this page uses lorem ipsum filler' ELSE '' END AS text " +
+        "FROM t), " +
+        "k AS (SELECT doc_id, text, lines, list_filter(lines, x -> " +
+        "CASE WHEN trim(x) = '' THEN 0 ELSE len(string_split_regex(x, '\\s+')) END >= 3) AS kept " +
+        "FROM (SELECT doc_id, text, list_transform(string_split(text, chr(10)), x -> trim(x)) AS lines FROM p)), " +
+        "d AS (SELECT *, (contains(lower(text), 'lorem ipsum') OR " +
+        "contains(lower(text), 'javascript required') OR contains(lower(text), '{')) AS dropped FROM k) " +
+        "SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, " +
+        "CAST(CASE WHEN dropped THEN 0 ELSE len(kept) END AS BIGINT) AS n_kept, " +
+        "CAST(dropped AS INT) AS dropped, " +
+        "CASE WHEN dropped THEN NULL ELSE md5(array_to_string(kept, chr(10))) END AS clean_md5 " +
+        "FROM d ORDER BY doc_id"),
     // ts truncated to microseconds BEFORE ordering (Spark timestamps are
     // micro-precision) so frame membership agrees; event_id makes the
     // order total; value quantized to BIGINT micro-units before the

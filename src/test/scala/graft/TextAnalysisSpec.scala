@@ -85,4 +85,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2).getInt(1) == 2)
     assert(out(2).getString(4) == "two mails [EMAIL] and [EMAIL]")
   }
+
+  test("c4LineClean keeps prose lines, cuts short ones, drops banned pages") {
+    val df = Seq(
+      (1L, "one two three\nxx\nfour five six seven"), // "xx" cut, 2 kept
+      (2L, "good line here\nsome Lorem Ipsum filler\nmore text here"), // page drop
+      (3L, "a b\nc d") // every line too short -> kept 0, md5("")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineClean(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4)))
+    def m(s: String): String = spark.sql(s"SELECT md5('$s')").first().getString(0)
+    assert(out(0) == ((1L, 3L, 2L, 0, m("one two three\\nfour five six seven"))))
+    assert(out(1) == ((2L, 3L, 0L, 1, null)))
+    assert(out(2) == ((3L, 2L, 0L, 0, m(""))))
+  }
+
+  test("c4LineClean terminal-punctuation rule cuts unpunctuated lines") {
+    val df = Seq((1L, "this line ends well.\nthis line does not end")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineClean(df, requireTerminalPunct = true).first()
+    assert(out.getLong(1) == 2L && out.getLong(2) == 1L)
+  }
 }
