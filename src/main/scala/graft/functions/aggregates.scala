@@ -422,3 +422,98 @@ case class CmsEstimateExpression(
     copy(sketch = l, token = r)
   override def prettyName: String = "cms_estimate"
 }
+
+/** Bloom filter as a native Catalyst aggregate — the fixed-memory,
+  * MERGEABLE set membership structure for decontamination at corpus
+  * scale: the benchmark/eval side can't be joined against 100 TB of
+  * corpus fingerprints, but a one-pass fold of the corpus into an
+  * m-bit filter (partials merge by OR — 8 KB per partition at m=2¹⁶,
+  * 1 MB at m=2²³) broadcasts to any probe site for O(1) membership.
+  *
+  * Bit positions are `k` disjoint `hexChars`-wide windows of the
+  * child's sha256 HEX string (child must be `sha2(x, 256)` — lowercase
+  * 64-hex), each parsed as an integer in [0, 16^hexChars). Windowing
+  * the hex keeps the construction ENGINE-PORTABLE: an external checker
+  * reproduces the exact bit set with string ops alone (`substr(hex)`),
+  * no 64-bit hash arithmetic required. No false negatives ever; false
+  * positive rate ≈ (1 − e^(−kn/m))^k, deterministic for a fixed corpus.
+  */
+case class BloomFilterAgg(
+    child: Expression,
+    hexChars: Int,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+  require(hexChars >= 2 && hexChars <= 8, "bloom: hexChars must be in [2,8]")
+  require(k >= 1 && hexChars * k <= 64, "bloom: k windows must fit in 64 hex chars")
+
+  private val mBits = 1 << (4 * hexChars)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](mBits >> 6)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val hex = v.asInstanceOf[UTF8String].toString
+      require(hex.length >= hexChars * k,
+        s"bloom: child must be a sha2 hex string (got length ${hex.length})")
+      var j = 0
+      while (j < k) {
+        var idx = 0
+        var c = hexChars * j
+        val end = c + hexChars
+        while (c < end) {
+          val d = Character.digit(hex.charAt(c), 16)
+          require(d >= 0, s"bloom: non-hex char '${hex.charAt(c)}' in child value")
+          idx = (idx << 4) | d
+          c += 1
+        }
+        buf(idx >>> 6) |= 1L << (idx & 63)
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) |= other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(Long.box).asInstanceOf[Array[Any]])
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    var i = 0
+    while (i < buf.length) { out.writeLong(buf(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new Array[Long](n)
+    var i = 0
+    while (i < n) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomFilterAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomFilterAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "bloom_build"
+}

@@ -885,4 +885,45 @@ object CorpusOps {
         q(0.99).as("p99"))
       .orderBy(groupCol)
   }
+
+  /** Bloom-filter decontamination — membership of each probe document's
+    * content fingerprint in the corpus, answered by a one-pass mergeable
+    * [[graft.functions.BloomFilterAgg]] fold instead of a join. At
+    * 100 TB the exact corpus-side join is the thing you cannot afford;
+    * the filter is built in a single map-side-combined pass (8 KB
+    * partials ORed at m=2^16; size the m knob to the corpus), broadcast
+    * once, and probed with pure column arithmetic. The `exact_hit`
+    * column is the gate-scale audit of the filter's answers (no false
+    * negatives, measurable false positives); production keeps only
+    * `bloom_hit`.
+    *
+    * Returns probeIdCols ++ (bloom_hit, exact_hit) as 0/1 ints. */
+  def bloomDecontam(
+      corpus: DataFrame,
+      probes: DataFrame,
+      probeIdCols: Seq[String],
+      textCol: String = "text",
+      hexChars: Int = 4,
+      k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    def hexC = sha2(TextAnalysis.normText(col(textCol)), 256)
+    val bf = corpus.select(hexC.as("_hx"))
+      .agg(toCol(graft.functions.BloomFilterAgg(toExpr(col("_hx")), hexChars, k)
+        .toAggregateExpression()).as("_bf"))
+    val exact = corpus.select(hexC.as("_cx")).distinct()
+    val windows = (0 until k).map(j =>
+      conv(substring(col("_hx"), 1 + hexChars * j, hexChars), 16, 10)
+        .cast("long").as(s"_w$j"))
+    val withW = probes
+      .select(probeIdCols.map(col) :+ hexC.as("_hx"): _*)
+      .select((probeIdCols.map(col) :+ col("_hx")) ++ windows: _*)
+    val hit = expr((0 until k).map(j =>
+      s"((shiftrightunsigned(element_at(_bf, CAST(_w$j div 64 AS INT) + 1), " +
+        s"CAST(_w$j % 64 AS INT)) & 1) = 1)").mkString(" AND "))
+    withW.crossJoin(broadcast(bf))
+      .join(broadcast(exact), col("_hx") === col("_cx"), "left")
+      .select(probeIdCols.map(col)
+        :+ hit.cast("int").as("bloom_hit")
+        :+ col("_cx").isNotNull.cast("int").as("exact_hit"): _*)
+  }
 }

@@ -201,6 +201,21 @@ object PipelineQueries {
       graft.ops.TextAnalysis.c4LineClean(planted).orderBy("doc_id")
     }),
 
+    // Bloom-filter decontamination: corpus folded once into a 2^16-bit
+    // mergeable filter, probed by every 7th doc verbatim (member) and
+    // perturbed (' zzz' appended — non-member; any bloom_hit=1 with
+    // exact_hit=0 is a real, deterministic false positive on display).
+    "p90_bloom_decontam" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val base = docs.where(col("doc_id") % 7 === 0)
+      val probes = base
+        .select(col("doc_id").as("query_id"), lit(0).as("perturbed"), col("text"))
+        .unionAll(base.select(col("doc_id").as("query_id"), lit(1).as("perturbed"),
+          concat(col("text"), lit(" zzz")).as("text")))
+      graft.ops.CorpusOps.bloomDecontam(docs, probes, Seq("query_id", "perturbed"))
+        .orderBy("query_id", "perturbed")
+    }),
+
     // Pretraining context-window chunker: 64-token windows at stride 48
     // (16-token overlap), map-only, content pinned by per-chunk md5.
     "p58_chunk_tokens" -> ((s, dir) =>
@@ -1669,6 +1684,23 @@ object PipelineQueries {
         "CAST(dropped AS INT) AS dropped, " +
         "CASE WHEN dropped THEN NULL ELSE md5(array_to_string(kept, chr(10))) END AS clean_md5 " +
         "FROM d ORDER BY doc_id"),
+    // The filter's bit set is exactly the DISTINCT set of 4-hex-char
+    // sha256 windows over the corpus (string-window construction — no
+    // bit arithmetic needed to replicate it); membership = all 4 probe
+    // windows present. exact_hit = full-hash membership.
+    "p90_bloom_decontam" -> (
+      "WITH hsrc AS (SELECT sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS hx FROM documents), " +
+        "bits AS (SELECT DISTINCT substr(hx, 1 + 4 * t.j, 4) AS w FROM hsrc, " +
+        "(SELECT unnest([0, 1, 2, 3]) AS j) t), " +
+        "pr AS (SELECT doc_id AS query_id, 0 AS perturbed, text FROM documents WHERE doc_id % 7 = 0 " +
+        "UNION ALL SELECT doc_id, 1, text || ' zzz' FROM documents WHERE doc_id % 7 = 0), " +
+        "ph AS (SELECT query_id, perturbed, " +
+        "sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS hx FROM pr) " +
+        "SELECT query_id, perturbed, " +
+        "CAST((substr(hx, 1, 4) IN (SELECT w FROM bits) AND substr(hx, 5, 4) IN (SELECT w FROM bits) " +
+        "AND substr(hx, 9, 4) IN (SELECT w FROM bits) AND substr(hx, 13, 4) IN (SELECT w FROM bits)) AS INT) AS bloom_hit, " +
+        "CAST(hx IN (SELECT hx FROM hsrc) AS INT) AS exact_hit " +
+        "FROM ph ORDER BY query_id, perturbed"),
     // ts truncated to microseconds BEFORE ordering (Spark timestamps are
     // micro-precision) so frame membership agrees; event_id makes the
     // order total; value quantized to BIGINT micro-units before the
