@@ -216,6 +216,14 @@ object PipelineQueries {
         .orderBy("query_id", "perturbed")
     }),
 
+    // TextRank keywords: per-doc PageRank over the adjacent-word
+    // co-occurrence graph, 2 damped iterations in exact integer
+    // micro-units, top-3 words per doc (score desc, word asc).
+    "p91_textrank" -> ((s, dir) =>
+      graft.ops.CorpusOps.textrankKeywords(Tables(s, dir, "documents"),
+          k = 3, iters = 2)
+        .orderBy("doc_id", "rank")),
+
     // Pretraining context-window chunker: 64-token windows at stride 48
     // (16-token overlap), map-only, content pinned by per-chunk md5.
     "p58_chunk_tokens" -> ((s, dir) =>
@@ -1701,6 +1709,33 @@ object PipelineQueries {
         "AND substr(hx, 9, 4) IN (SELECT w FROM bits) AND substr(hx, 13, 4) IN (SELECT w FROM bits)) AS INT) AS bloom_hit, " +
         "CAST(hx IN (SELECT hx FROM hsrc) AS INT) AS exact_hit " +
         "FROM ph ORDER BY query_id, perturbed"),
+    // The same integral-arithmetic PageRank unrolled twice: adjacent
+    // pairs via a positional self-join, symmetric edge counts, and
+    // r' = 150000 + (850 * SUM (r*cnt)//wdeg) // 1000 per round ('//'
+    // = 'div': both truncate, all terms non-negative).
+    "p91_textrank" -> (
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents " +
+        "WHERE len(string_split_regex(trim(text), '\\s+')) >= 2), " +
+        "tp AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) AS INT) AS i, unnest(toks) AS w FROM t), " +
+        "ad AS (SELECT a.doc_id, a.w AS x, b.w AS y FROM tp a JOIN tp b " +
+        "ON b.doc_id = a.doc_id AND b.i = a.i + 1 WHERE a.w <> b.w), " +
+        "e AS (SELECT doc_id, src, dst, COUNT(*) AS cnt FROM " +
+        "(SELECT doc_id, x AS src, y AS dst FROM ad UNION ALL SELECT doc_id, y, x FROM ad) " +
+        "GROUP BY doc_id, src, dst), " +
+        "wd AS (SELECT doc_id, src, SUM(cnt) AS wdeg FROM e GROUP BY doc_id, src), " +
+        "n AS (SELECT DISTINCT doc_id, unnest(toks) AS word FROM t), " +
+        "c1 AS (SELECT e.doc_id, e.dst AS word, SUM((1000000 * cnt) // wdeg) AS s " +
+        "FROM e JOIN wd USING (doc_id, src) GROUP BY e.doc_id, e.dst), " +
+        "r1 AS (SELECT n.doc_id, n.word, CAST(150000 + (850 * COALESCE(c1.s, 0)) // 1000 AS BIGINT) AS r " +
+        "FROM n LEFT JOIN c1 USING (doc_id, word)), " +
+        "c2 AS (SELECT e.doc_id, e.dst AS word, SUM((r1.r * e.cnt) // wdeg) AS s " +
+        "FROM e JOIN wd USING (doc_id, src) " +
+        "JOIN r1 ON r1.doc_id = e.doc_id AND r1.word = e.src GROUP BY e.doc_id, e.dst), " +
+        "r2 AS (SELECT n.doc_id, n.word, CAST(150000 + (850 * COALESCE(c2.s, 0)) // 1000 AS BIGINT) AS r " +
+        "FROM n LEFT JOIN c2 USING (doc_id, word)) " +
+        "SELECT doc_id, rank, word, r AS score FROM (SELECT doc_id, word, r, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY r DESC, word) AS INT) AS rank FROM r2) " +
+        "WHERE rank <= 3 ORDER BY doc_id, rank"),
     // ts truncated to microseconds BEFORE ordering (Spark timestamps are
     // micro-precision) so frame membership agrees; event_id makes the
     // order total; value quantized to BIGINT micro-units before the

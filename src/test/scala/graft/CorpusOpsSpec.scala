@@ -491,4 +491,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("textrankKeywords: hand-computed two-iteration scores on a tiny graph") {
+    // "a b a b c": edges a<->b (cnt 3 each way), b<->c (cnt 1);
+    // wdeg a=3 b=4 c=1. Two exact integral-damped rounds give
+    // a=1329375, b=1127500, c=543125 (worked in the op's doc terms).
+    val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val out = CorpusOps.textrankKeywords(docs, k = 3, iters = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(out == Seq((1, "a", 1329375L), (2, "b", 1127500L), (3, "c", 543125L)))
+  }
+
+  test("textrankKeywords: all-repeated-word doc gets the damping floor") {
+    val docs = Seq((1L, "x x x")).toDF("doc_id", "text")
+    val out = CorpusOps.textrankKeywords(docs).collect()
+    assert(out.length == 1 && out(0).getString(2) == "x" && out(0).getLong(3) == 150000L)
+  }
 }
