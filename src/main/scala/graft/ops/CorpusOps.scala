@@ -979,4 +979,35 @@ object CorpusOps {
       .where(col("rank") <= k)
       .select(id, col("rank"), col("word"), col("score"))
   }
+
+  /** Deterministic training-epoch shuffle: assign every document a
+    * shard and an intra-shard position that look random but are a pure
+    * function of (epoch, content) — the data-ordering step of a
+    * pretraining run. Re-running any epoch reproduces its permutation
+    * exactly (restart-safe, no RNG state to persist), different epochs
+    * give unrelated permutations, and identical-content docs stay
+    * adjacent (id tie-break) so dedup-adjacent batching is stable.
+    *
+    * Shard = (first hex digit of sha256("epoch<e>|" ++ norm text)) mod
+    * nShards — requires nShards | 16 so the digit maps uniformly.
+    * Position = rank of the full hash within the shard. Map-only plus
+    * one per-shard window; at cluster scale swap the window for the
+    * blocked two-pass rank (the [[graft.ops.Packing]] prefix-sum
+    * shape) and write shards as separate files. */
+  def epochShuffle(
+      docs: DataFrame,
+      epoch: Int,
+      nShards: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(nShards > 0 && 16 % nShards == 0, "epochShuffle: nShards must divide 16")
+    val hx = sha2(concat(lit(s"epoch$epoch|"), TextAnalysis.normText(col(textCol))), 256)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_hx"), col(idCol))
+    docs.select(col(idCol), hx.as("_hx"))
+      .withColumn("shard",
+        pmod(conv(substring(col("_hx"), 1, 1), 16, 10).cast("int"), lit(nShards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

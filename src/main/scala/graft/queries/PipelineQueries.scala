@@ -224,6 +224,14 @@ object PipelineQueries {
           k = 3, iters = 2)
         .orderBy("doc_id", "rank")),
 
+    // Deterministic epoch-3 shuffle into 8 shards: shard + intra-shard
+    // position as a pure function of (epoch, content) — restart-safe
+    // training data ordering, no RNG state.
+    "p92_epoch_shuffle" -> ((s, dir) =>
+      graft.ops.CorpusOps.epochShuffle(Tables(s, dir, "documents"),
+          epoch = 3, nShards = 8)
+        .orderBy("doc_id")),
+
     // Pretraining context-window chunker: 64-token windows at stride 48
     // (16-token overlap), map-only, content pinned by per-chunk md5.
     "p58_chunk_tokens" -> ((s, dir) =>
@@ -1736,6 +1744,15 @@ object PipelineQueries {
         "SELECT doc_id, rank, word, r AS score FROM (SELECT doc_id, word, r, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY r DESC, word) AS INT) AS rank FROM r2) " +
         "WHERE rank <= 3 ORDER BY doc_id, rank"),
+    // shard = first-hex-digit value (via strpos on the digit alphabet)
+    // mod 8; pos = hash rank within shard, doc_id tie-break.
+    "p92_epoch_shuffle" -> (
+      "WITH h AS (SELECT doc_id, sha256('epoch3|' || " +
+        "regexp_replace(lower(text), '\\s+', ' ', 'g')) AS hx FROM documents), " +
+        "s AS (SELECT doc_id, hx, CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8 AS INT) AS shard FROM h) " +
+        "SELECT doc_id, shard, CAST(ROW_NUMBER() OVER " +
+        "(PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos " +
+        "FROM s ORDER BY doc_id"),
     // ts truncated to microseconds BEFORE ordering (Spark timestamps are
     // micro-precision) so frame membership agrees; event_id makes the
     // order total; value quantized to BIGINT micro-units before the

@@ -492,6 +492,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("epochShuffle: a bijective, reshuffle-stable, epoch-keyed permutation") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val e1 = CorpusOps.epochShuffle(docs, epoch = 1, nShards = 4)
+    val n = docs.count()
+    // bijection: every doc appears once, positions within a shard are 1..size
+    assert(e1.count() == n && e1.select("doc_id").distinct().count() == n)
+    val contiguous = e1.groupBy("shard")
+      .agg(count(lit(1)).as("sz"), max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+      .where(col("mx") =!= col("sz") || col("mn") =!= 1)
+    assert(contiguous.count() == 0)
+    // partition layout of the input cannot change the assignment
+    val shuffled = CorpusOps.epochShuffle(docs.repartition(7), epoch = 1, nShards = 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(e1.orderBy("doc_id").collect().toSeq == shuffled)
+    // a different epoch produces a different permutation
+    val e2 = CorpusOps.epochShuffle(docs, epoch = 2, nShards = 4)
+    val same = e1.as("a").join(e2.as("b"), "doc_id")
+      .where(col("a.shard") === col("b.shard") && col("a.pos") === col("b.pos"))
+    assert(same.count() < n)
+  }
+
   test("textrankKeywords: hand-computed two-iteration scores on a tiny graph") {
     // "a b a b c": edges a<->b (cnt 3 each way), b<->c (cnt 1);
     // wdeg a=3 b=4 c=1. Two exact integral-damped rounds give
