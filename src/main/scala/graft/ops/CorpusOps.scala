@@ -1010,4 +1010,68 @@ object CorpusOps {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col(idCol), col("shard"), col("pos"))
   }
+
+  /** BPE merge learning (Sennrich et al. 2016) — the tokenizer-training
+    * kernel, distributed: count corpus word frequencies once (the only
+    * corpus-sized pass; afterwards everything is vocab-sized), then per
+    * merge round pick the globally most frequent adjacent symbol pair
+    * and fuse it. Each round is one vocab-sized pair-count shuffle plus
+    * a ONE-ROW driver fetch (the argmax — inherently sequential, same
+    * in every real BPE trainer); production trainers run ~30k rounds on
+    * exactly this loop shape.
+    *
+    * Merge application is ENGINE-PORTABLE by construction: symbols live
+    * in a sentinel-spaced string (" a b c ") and a merge is two
+    * leftmost-non-overlapping `replace` passes of " l r " → " lr "
+    * (the second pass catches occurrences whose leading space the first
+    * pass consumed). For every non-self pair (l ≠ r) this provably
+    * equals the textbook left-to-right scan — merging cannot create a
+    * fresh (l, r) adjacency — and self-pair runs ≥ 5 (where the two
+    * rules can differ) are documented out of scope.
+    *
+    * Returns nMerges rows: (rank, lsym, rsym, cnt) — the learned merge
+    * table, tie-broken (cnt desc, lsym, rsym). */
+  def bpeMerges(
+      docs: DataFrame,
+      nMerges: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 16, "bpeMerges: nMerges must be in [1,16]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    // filter() drops the empty strings Java's split-by-empty-regex can
+    // emit at the boundaries (DuckDB's string_split(w, '') never does)
+    var enc = words.select(col("wc"),
+      concat(lit(" "),
+        array_join(filter(split(col("w"), ""), x => x =!= ""), " "),
+        lit(" ")).as("enc"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val syms = enc.select(col("wc"), split(trim(col("enc")), " ").as("syms"))
+      val top = syms
+        .select(col("wc"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .groupBy(col("p")("0").as("l"), col("p")("1").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()(0) // bounded: ONE row per round
+      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((rank, l, r, c))
+      val pat = lit(s" $l $r ")
+      val rep = lit(s" $l$r ")
+      val next = enc
+        .select(col("wc"), replace(replace(col("enc"), pat, rep), pat, rep).as("enc"))
+        .persist()
+      next.count() // materialize before releasing the previous round
+      enc.unpersist()
+      enc = next
+    }
+    enc.unpersist()
+    merges.toSeq.toDF("rank", "lsym", "rsym", "cnt")
+  }
 }

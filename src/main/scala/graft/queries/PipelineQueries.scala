@@ -232,6 +232,12 @@ object PipelineQueries {
           epoch = 3, nShards = 8)
         .orderBy("doc_id")),
 
+    // BPE tokenizer training, first 3 merge rounds: globally most
+    // frequent adjacent symbol pair per round, fused and re-counted.
+    "p93_bpe_merges" -> ((s, dir) =>
+      graft.ops.CorpusOps.bpeMerges(Tables(s, dir, "documents"), nMerges = 3)
+        .orderBy("rank")),
+
     // Pretraining context-window chunker: 64-token windows at stride 48
     // (16-token overlap), map-only, content pinned by per-chunk md5.
     "p58_chunk_tokens" -> ((s, dir) =>
@@ -1753,6 +1759,34 @@ object PipelineQueries {
         "SELECT doc_id, shard, CAST(ROW_NUMBER() OVER " +
         "(PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos " +
         "FROM s ORDER BY doc_id"),
+    // Three unrolled BPE rounds: pair counts via positional self-join
+    // per word, argmax by (cnt desc, l, r), two-pass sentinel replace —
+    // the same engine-portable application rule as the Spark side.
+    "p93_bpe_merges" -> (
+      "WITH w AS (SELECT w, COUNT(*) AS wc FROM (SELECT unnest(" +
+        "string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents) WHERE w <> '' GROUP BY w), " +
+        "e0 AS (SELECT w, wc, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS enc FROM w), " +
+        "s0 AS (SELECT w, wc, string_split(trim(enc), ' ') AS syms FROM e0), " +
+        "x0 AS (SELECT w, wc, CAST(generate_subscripts(syms, 1) AS INT) AS i, unnest(syms) AS s FROM s0), " +
+        "t1 AS (SELECT a.s AS l, b.s AS r, CAST(SUM(a.wc) AS BIGINT) AS cnt FROM x0 a JOIN x0 b " +
+        "ON b.w = a.w AND b.i = a.i + 1 GROUP BY a.s, b.s ORDER BY cnt DESC, l, r LIMIT 1), " +
+        "e1 AS (SELECT w, wc, replace(replace(enc, " +
+        "(SELECT ' ' || l || ' ' || r || ' ' FROM t1), (SELECT ' ' || l || r || ' ' FROM t1)), " +
+        "(SELECT ' ' || l || ' ' || r || ' ' FROM t1), (SELECT ' ' || l || r || ' ' FROM t1)) AS enc FROM e0), " +
+        "s1 AS (SELECT w, wc, string_split(trim(enc), ' ') AS syms FROM e1), " +
+        "x1 AS (SELECT w, wc, CAST(generate_subscripts(syms, 1) AS INT) AS i, unnest(syms) AS s FROM s1), " +
+        "t2 AS (SELECT a.s AS l, b.s AS r, CAST(SUM(a.wc) AS BIGINT) AS cnt FROM x1 a JOIN x1 b " +
+        "ON b.w = a.w AND b.i = a.i + 1 GROUP BY a.s, b.s ORDER BY cnt DESC, l, r LIMIT 1), " +
+        "e2 AS (SELECT w, wc, replace(replace(enc, " +
+        "(SELECT ' ' || l || ' ' || r || ' ' FROM t2), (SELECT ' ' || l || r || ' ' FROM t2)), " +
+        "(SELECT ' ' || l || ' ' || r || ' ' FROM t2), (SELECT ' ' || l || r || ' ' FROM t2)) AS enc FROM e1), " +
+        "s2 AS (SELECT w, wc, string_split(trim(enc), ' ') AS syms FROM e2), " +
+        "x2 AS (SELECT w, wc, CAST(generate_subscripts(syms, 1) AS INT) AS i, unnest(syms) AS s FROM s2), " +
+        "t3 AS (SELECT a.s AS l, b.s AS r, CAST(SUM(a.wc) AS BIGINT) AS cnt FROM x2 a JOIN x2 b " +
+        "ON b.w = a.w AND b.i = a.i + 1 GROUP BY a.s, b.s ORDER BY cnt DESC, l, r LIMIT 1) " +
+        "SELECT 1 AS rank, l AS lsym, r AS rsym, cnt FROM t1 " +
+        "UNION ALL SELECT 2, l, r, cnt FROM t2 " +
+        "UNION ALL SELECT 3, l, r, cnt FROM t3 ORDER BY rank"),
     // ts truncated to microseconds BEFORE ordering (Spark timestamps are
     // micro-precision) so frame membership agrees; event_id makes the
     // order total; value quantized to BIGINT micro-units before the

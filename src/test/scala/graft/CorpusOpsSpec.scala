@@ -513,6 +513,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(same.count() < n)
   }
 
+  test("bpeMerges learns the classic merges on the Sennrich toy corpus") {
+    // words: low x3, lower x2, newest x1.
+    // round 1: (l,o)=5 ties (o,w)=5 -> l asc -> merge (l,o)
+    // round 2: (lo,w)=5 -> merge (lo,w)
+    // round 3: (low,e)=2 ties (e,r)=2 -> "e" < "low" -> merge (e,r)
+    val docs = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
+    val out = CorpusOps.bpeMerges(docs, nMerges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(out == Seq((1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "e", "r", 2L)))
+  }
+
+  test("bpeMerges two-pass replace fuses boundary-sharing occurrences (l != r)") {
+    // "ababab...": pair (a,b) everywhere; one pass of sentinel replace
+    // misses every second occurrence, the second pass recovers them.
+    val docs = Seq((1L, "ababab ababab")).toDF("doc_id", "text")
+    val out = CorpusOps.bpeMerges(docs, nMerges = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // round 1: (a,b)=6, (b,a)=4 -> merge (a,b); round 2: every word is
+    // "ab ab ab" (full fusion proves pass 2 ran) -> (ab,ab)=4
+    assert(out == Seq((1, "a", "b", 6L), (2, "ab", "ab", 4L)))
+  }
+
   test("textrankKeywords: hand-computed two-iteration scores on a tiny graph") {
     // "a b a b c": edges a<->b (cnt 3 each way), b<->c (cnt 1);
     // wdeg a=3 b=4 c=1. Two exact integral-damped rounds give

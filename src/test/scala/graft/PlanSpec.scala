@@ -134,6 +134,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("p89: line cleaning is map-only — zero exchanges in the op's plan") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables(spark, dir, "documents")
+    val p = graft.ops.TextAnalysis.c4LineClean(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("p90: bloom probe broadcasts the filter and the audit set, never sort-merges") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables(spark, dir, "documents")
+    val probes = docs.limit(5).select(col("doc_id").as("qid"), col("text"))
+    val p = graft.ops.CorpusOps.bloomDecontam(docs, probes, Seq("qid"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("p92: epoch shuffle is one hash exchange (the per-shard window), no range shuffle") {
+    val docs = graft.engine.Tables(spark, dir, "documents")
+    val p = graft.ops.CorpusOps.epochShuffle(docs, epoch = 1, nShards = 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("no query plans a cartesian product except the declared broadcast NL scorers") {
     val allowNl = Set("q08_fuzzy_top1", "p01_hom_pipeline", "p07_ann_brute",
       "p18_hom_pipeline_intended")
