@@ -1074,4 +1074,35 @@ object CorpusOps {
     enc.unpersist()
     merges.toSeq.toDF("rank", "lsym", "rsym", "cnt")
   }
+
+  /** Out-of-vocabulary rate per document against a fixed token budget:
+    * the vocab is the top `vocabSize` corpus tokens (count desc, token
+    * asc — total order), and each doc reports how much of its token
+    * mass falls outside it. The tokenizer-coverage health metric for a
+    * corpus/vocab pairing; rate in exact micro-units (`div`, no float).
+    *
+    * Shapes: one corpus token count (map-side combined), vocab via
+    * TakeOrdered (never a global sort), broadcast membership join,
+    * per-doc count — all safe at any corpus size since the vocab is
+    * bounded by construction. */
+  def oovRate(
+      docs: DataFrame,
+      vocabSize: Int = 200,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(vocabSize >= 1, "oovRate: vocabSize must be >= 1")
+    val toks = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
+      .where(col("t") =!= "")
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc)
+      .limit(vocabSize)
+      .select(col("t"), lit(1).as("_in"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        expr("(n_oov * 1000000) div n_tokens").as("oov_micro"))
+  }
 }

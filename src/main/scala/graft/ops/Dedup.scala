@@ -498,4 +498,33 @@ object Dedup {
         (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_cut"),
         md5(concat_ws(" ", expr("transform(_kept, x -> x.tok)"))).as("clean_md5"))
   }
+
+  /** Suffix→prefix continuation detection: find ordered doc pairs
+    * (a, b) where a's last `n` tokens equal b's first `n` tokens — the
+    * split-page/truncated-scrape reassembly signal (web extractors
+    * routinely cut one logical document into consecutive records;
+    * doc-level near-dedup never links the halves because they barely
+    * overlap). One map-only pass computes each doc's two boundary keys;
+    * candidates come from a single equi-join on the key — never
+    * all-pairs. A hot boilerplate boundary (same footer everywhere)
+    * becomes a skewed join key at scale: salt it or pre-filter keys
+    * with count > threshold (both shapes exist in [[graft.ops.SkewJoin]]).
+    * Returns (a, b) with a ≠ b, exact token-sequence equality. */
+  def continuationPairs(
+      docs: DataFrame,
+      n: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, "continuationPairs: n must be >= 1")
+    val base = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) >= n)
+    val pre = base.select(col(idCol).as("b"),
+      array_join(slice(col("_toks"), lit(1), lit(n)), " ").as("_k"))
+    val suf = base.select(col(idCol).as("a"),
+      array_join(slice(col("_toks"), size(col("_toks")) - lit(n) + 1, lit(n)), " ").as("_k"))
+    suf.join(pre, Seq("_k"))
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"))
+  }
 }

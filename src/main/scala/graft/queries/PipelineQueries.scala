@@ -238,6 +238,32 @@ object PipelineQueries {
       graft.ops.CorpusOps.bpeMerges(Tables(s, dir, "documents"), nMerges = 3)
         .orderBy("rank")),
 
+    // Tokenizer-coverage health: per-doc out-of-vocabulary token mass
+    // against the top-200 corpus vocab, rate in exact micro-units.
+    "p94_oov_rate" -> ((s, dir) =>
+      graft.ops.CorpusOps.oovRate(Tables(s, dir, "documents"), vocabSize = 200)
+        .orderBy("doc_id")),
+
+    // Split-page reassembly: docs are split in half around a shared
+    // 10-token boundary (every 4th doc; planted ids +200000/+300000),
+    // then continuationPairs must link each half to its continuation
+    // via the suffix==prefix equi-join (plus any natural matches —
+    // deterministic either way).
+    "p95_continuation" -> ((s, dir) => {
+      val withToks = Tables(s, dir, "documents")
+        .where(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("_toks"))
+        .where(size(col("_toks")) >= 12)
+      val m = expr("(size(_toks) - 10) div 2").cast("int")
+      val halves = withToks
+        .select((col("doc_id") + 200000).as("doc_id"),
+          array_join(slice(col("_toks"), lit(1), m + lit(10)), " ").as("text"))
+        .unionAll(withToks.select((col("doc_id") + 300000).as("doc_id"),
+          array_join(slice(col("_toks"), m + lit(1), size(col("_toks")) - m), " ").as("text")))
+      graft.ops.Dedup.continuationPairs(halves, n = 10)
+        .orderBy("a", "b")
+    }),
+
     // Pretraining context-window chunker: 64-token windows at stride 48
     // (16-token overlap), map-only, content pinned by per-chunk md5.
     "p58_chunk_tokens" -> ((s, dir) =>
@@ -1787,6 +1813,30 @@ object PipelineQueries {
         "SELECT 1 AS rank, l AS lsym, r AS rsym, cnt FROM t1 " +
         "UNION ALL SELECT 2, l, r, cnt FROM t2 " +
         "UNION ALL SELECT 3, l, r, cnt FROM t3 ORDER BY rank"),
+    // vocab = top-200 by (count desc, token asc); per-doc OOV mass via
+    // a left join against it; rate = (n_oov * 1e6) // n_tokens.
+    "p94_oov_rate" -> (
+      "WITH tk AS (SELECT doc_id, t FROM (SELECT doc_id, unnest(" +
+        "string_split_regex(trim(lower(text)), '\\s+')) AS t FROM documents) WHERE t <> ''), " +
+        "v AS (SELECT t AS vt FROM (SELECT t, COUNT(*) AS c FROM tk GROUP BY t) " +
+        "ORDER BY c DESC, t LIMIT 200) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "CAST((SUM(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS oov_micro " +
+        "FROM tk LEFT JOIN v ON v.vt = tk.t GROUP BY doc_id ORDER BY doc_id"),
+    // Same halving construction, then the suffix==prefix equi-join.
+    "p95_continuation" -> (
+      "WITH t AS (SELECT doc_id, toks FROM (SELECT doc_id, " +
+        "string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE doc_id % 4 = 0) " +
+        "WHERE len(toks) >= 12), " +
+        "h AS (SELECT doc_id + 200000 AS doc_id, " +
+        "array_to_string(list_slice(toks, 1, ((len(toks) - 10) // 2) + 10), ' ') AS text FROM t " +
+        "UNION ALL SELECT doc_id + 300000, " +
+        "array_to_string(list_slice(toks, ((len(toks) - 10) // 2) + 1, len(toks)), ' ') FROM t), " +
+        "k AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM h), " +
+        "pre AS (SELECT doc_id AS b, array_to_string(list_slice(toks, 1, 10), ' ') AS bk FROM k WHERE len(toks) >= 10), " +
+        "suf AS (SELECT doc_id AS a, array_to_string(list_slice(toks, len(toks) - 9, len(toks)), ' ') AS bk FROM k WHERE len(toks) >= 10) " +
+        "SELECT a, b FROM suf JOIN pre USING (bk) WHERE a <> b ORDER BY a, b"),
     // ts truncated to microseconds BEFORE ordering (Spark timestamps are
     // micro-precision) so frame membership agrees; event_id makes the
     // order total; value quantized to BIGINT micro-units before the

@@ -513,6 +513,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(same.count() < n)
   }
 
+  test("oovRate: vocab cutoff is exact and tie-broken; rate in micro-units") {
+    // counts: a=3, b=2, c=1, d=1 -> vocabSize=3 keeps {a, b, c} (c beats
+    // d on the token tie-break at equal count)
+    val docs = Seq((1L, "a a a b b c"), (2L, "c d")).toDF("doc_id", "text")
+    val out = CorpusOps.oovRate(docs, vocabSize = 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 6L, 0L, 0L), (2L, 2L, 1L, 500000L)))
+  }
+
   test("bpeMerges learns the classic merges on the Sennrich toy corpus") {
     // words: low x3, lower x2, newest x1.
     // round 1: (l,o)=5 ties (o,w)=5 -> l asc -> merge (l,o)

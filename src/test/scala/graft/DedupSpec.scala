@@ -195,6 +195,18 @@ class DedupSpec extends AnyFunSuite {
       (3L, 3L, 0L, m("u1 u2 u3"))))
   }
 
+  test("continuationPairs links suffix->prefix halves, ignores partial overlap") {
+    val docs = Seq(
+      (1L, "h1 h2 s1 s2 s3"),   // suffix (s1 s2 s3) == doc 2's prefix
+      (2L, "s1 s2 s3 t1 t2"),
+      (3L, "x1 s2 s3 y1 y2"),   // only 2 of 3 boundary tokens match: no pair
+      (4L, "q1 q2")             // shorter than n: excluded entirely
+    ).toDF("doc_id", "text")
+    val out = Dedup.continuationPairs(docs, n = 3).orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L)))
+  }
+
   test("applySpanCuts: a fully-covered doc keeps md5 of the empty string") {
     val docs = Seq((1L, "p q r"), (2L, "p q r")).toDF("doc_id", "text")
     val out = Dedup.applySpanCuts(docs, Dedup.repeatedSpans(docs, n = 3))
