@@ -160,7 +160,15 @@ object ScaledOps {
         ev.withColumn("value", when(pmod(col("event_id"), lit(5)) === 0,
           lit(null).cast("double")).otherwise(col("value"))))) },
       time("zorder") { sink(graft.ops.Layout.zOrderKey(
-        docs.withColumn("n_chars", length(col("text"))), "doc_id", "n_chars", "doc_id")) })
+        docs.withColumn("n_chars", length(col("text"))), "doc_id", "n_chars", "doc_id")) },
+      time("textrank") { sink(CorpusOps.textrankKeywords(docs, k = 3, iters = 2)) },
+      time("bloom_decontam") { sink(CorpusOps.bloomDecontam(docs,
+        docs.limit(2000).select(col("doc_id").as("qid"), col("text")), Seq("qid"))) },
+      time("bpe_merges") { sink(CorpusOps.bpeMerges(docs, nMerges = 3)) },
+      time("apply_span_cuts") { sink(Dedup.applySpanCuts(docs,
+        Dedup.repeatedSpans(docs, n = 20))) },
+      time("continuation") { sink(Dedup.continuationPairs(docs, n = 10)) },
+      time("epoch_shuffle") { sink(CorpusOps.epochShuffle(docs, epoch = 1, nShards = 16)) })
   }
 }
 
