@@ -527,4 +527,28 @@ object Dedup {
       .where(col("a") =!= col("b"))
       .select(col("a"), col("b"))
   }
+
+  /** Cross-source duplication matrix — the datasheet view of a pair
+    * list: for every unordered source pair, how many near-dup pairs
+    * cross it (diagonal = within-source duplication). High off-diagonal
+    * counts mean one source is a scrape/mirror of another, the signal
+    * for source-level dedup ordering and for leakage audits between
+    * train mixtures. Two id-keyed equi-joins of the (small, derived)
+    * pair list against the doc→source projection, then a
+    * |sources|²-bounded aggregate — broadcast the pair list when it
+    * fits. Returns (source_a ≤ source_b, n_pairs). */
+  def crossSourceMatrix(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      groupCol: String = "source"): DataFrame = {
+    val g = docs.select(col(idCol), col(groupCol))
+    pairs.select(col("a"), col("b"))
+      .join(g.withColumnRenamed(idCol, "a").withColumnRenamed(groupCol, "_ga"), Seq("a"))
+      .join(g.withColumnRenamed(idCol, "b").withColumnRenamed(groupCol, "_gb"), Seq("b"))
+      .select(least(col("_ga"), col("_gb")).as("source_a"),
+        greatest(col("_ga"), col("_gb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -264,6 +264,12 @@ object PipelineQueries {
         .orderBy("a", "b")
     }),
 
+    // Cross-source duplication matrix over the shared J >= 4/5 pair
+    // list: which sources mirror which (diagonal = within-source dups).
+    "p96_cross_source_dups" -> ((s, dir) =>
+      Dedup.crossSourceMatrix(nearDupPairs45(s, dir), Tables(s, dir, "documents"))
+        .orderBy("source_a", "source_b")),
+
     // Pretraining context-window chunker: 64-token windows at stride 48
     // (16-token overlap), map-only, content pinned by per-chunk md5.
     "p58_chunk_tokens" -> ((s, dir) =>
@@ -1468,6 +1474,21 @@ object PipelineQueries {
         "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size) ORDER BY a, b"),
     "p04_dedup_simhash" ->
       "SELECT doc_id AS a, doc_id + 100000 AS b, CAST(0 AS BIGINT) AS hamming FROM documents WHERE length(trim(text)) > 0 ORDER BY a, b",
+    // p03's exact all-pairs truth, then source lookups + an unordered
+    // (least, greatest) source-pair rollup.
+    "p96_cross_source_dups" -> (
+      "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
+        "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
+        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
+        "p AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
+        "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)) " +
+        "SELECT least(da.source, db.source) AS source_a, greatest(da.source, db.source) AS source_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p " +
+        "JOIN documents da ON da.doc_id = p.a JOIN documents db ON db.doc_id = p.b " +
+        "GROUP BY 1, 2 ORDER BY source_a, source_b"),
     "p29_dedup_clusters" -> (
       "WITH RECURSIVE tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
         "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +

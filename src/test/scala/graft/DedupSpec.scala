@@ -195,6 +195,17 @@ class DedupSpec extends AnyFunSuite {
       (3L, 3L, 0L, m("u1 u2 u3"))))
   }
 
+  test("crossSourceMatrix rolls pairs up to unordered source pairs") {
+    val docs = Seq((1L, "s1"), (2L, "s2"), (3L, "s1"), (4L, "s2"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L)).toDF("a", "b")
+    val out = Dedup.crossSourceMatrix(pairs, docs)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // (1,2)=s1/s2, (2,3)=s2/s1 -> both normalize to (s1,s2); (1,3)=s1/s1; (2,4)=s2/s2
+    assert(out == Seq(("s1", "s1", 1L), ("s1", "s2", 2L), ("s2", "s2", 1L)))
+  }
+
   test("continuationPairs links suffix->prefix halves, ignores partial overlap") {
     val docs = Seq(
       (1L, "h1 h2 s1 s2 s3"),   // suffix (s1 s2 s3) == doc 2's prefix
