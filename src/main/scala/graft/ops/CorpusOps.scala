@@ -1083,4 +1083,46 @@ object CorpusOps {
       .select(col(idCol), col("n_tokens"), col("n_oov"),
         expr("(n_oov * 1000000) div n_tokens").as("oov_micro"))
   }
+
+  /** Data selection under a token budget: take documents in quality
+    * order (desc, id tie-break) while the running token total stays
+    * within `budget` — the "best data first" mixture-construction step
+    * (quality-pruned pretraining sets, budgeted fine-tune mixes). A doc
+    * is selected iff the tokens BEFORE it plus its own fit the budget
+    * (strict: never overshoots).
+    *
+    * The running total is a global prefix sum in quality order — the
+    * naive window serializes the corpus through one task, so this
+    * reuses the [[Packing]] two-pass shape with QUALITY-RANGE blocks:
+    * `blk = -(quality div bucketWidth)` gives blocks that partition the
+    * sort order exactly (equal-quality rows share a block; blocks are
+    * mutually ordered), per-block prefix sums run parallel, and only
+    * the |range/bucketWidth| block summaries see a global window.
+    * Returns (idCol, quality, tokens, cum_tokens) for selected rows. */
+  def selectUnderBudget(
+      docs: DataFrame,
+      budget: Long,
+      idCol: String = "doc_id",
+      qualityCol: String = "quality",
+      tokensCol: String = "n_tokens",
+      bucketWidth: Long = 1024L): DataFrame = {
+    require(budget >= 0 && bucketWidth > 0, "selectUnderBudget: bad budget/bucketWidth")
+    import org.apache.spark.sql.expressions.Window
+    val blk = expr(s"-(`$qualityCol` div $bucketWidth)")
+    val withBlk = docs
+      .select(col(idCol), col(qualityCol), col(tokensCol), blk.as("_blk"))
+    val wIn = Window.partitionBy(col("_blk"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = withBlk.withColumn("_local_off",
+      coalesce(sum(col(tokensCol)).over(wIn), lit(0L)))
+    val sums = withBlk.groupBy(col("_blk")).agg(sum(col(tokensCol)).as("_s"))
+    val wCarry = Window.orderBy(col("_blk")).rowsBetween(Window.unboundedPreceding, -1)
+    val bases = sums.withColumn("_base", coalesce(sum(col("_s")).over(wCarry), lit(0L)))
+      .select(col("_blk"), col("_base"))
+    within.join(broadcast(bases), Seq("_blk"))
+      .withColumn("cum_tokens", col("_base") + col("_local_off") + col(tokensCol))
+      .where(col("cum_tokens") <= budget)
+      .select(col(idCol), col(qualityCol), col(tokensCol), col("cum_tokens"))
+  }
 }

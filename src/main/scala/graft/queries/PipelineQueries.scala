@@ -270,6 +270,21 @@ object PipelineQueries {
       Dedup.crossSourceMatrix(nearDupPairs45(s, dir), Tables(s, dir, "documents"))
         .orderBy("source_a", "source_b")),
 
+    // Token-budget data selection: best-quality-first (lexical
+    // diversity in micro-units) until a third of the corpus's tokens
+    // are spent; running total via the blocked two-pass prefix sum.
+    "p97_budget_select" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("_toks"))
+        .where(size(col("_toks")) > 0)
+        .select(col("doc_id"),
+          expr("(CAST(size(array_distinct(_toks)) AS BIGINT) * 1000000) div size(_toks)")
+            .as("quality"),
+          size(col("_toks")).cast("long").as("n_tokens"))
+      val budget = base.agg(sum("n_tokens")).first().getLong(0) / 3
+      graft.ops.CorpusOps.selectUnderBudget(base, budget).orderBy("doc_id")
+    }),
+
     // Pretraining context-window chunker: 64-token windows at stride 48
     // (16-token overlap), map-only, content pinned by per-chunk md5.
     "p58_chunk_tokens" -> ((s, dir) =>
@@ -1858,6 +1873,17 @@ object PipelineQueries {
         "pre AS (SELECT doc_id AS b, array_to_string(list_slice(toks, 1, 10), ' ') AS bk FROM k WHERE len(toks) >= 10), " +
         "suf AS (SELECT doc_id AS a, array_to_string(list_slice(toks, len(toks) - 9, len(toks)), ' ') AS bk FROM k WHERE len(toks) >= 10) " +
         "SELECT a, b FROM suf JOIN pre USING (bk) WHERE a <> b ORDER BY a, b"),
+    // One global cumsum in (quality desc, doc_id) order; strict budget
+    // cut at SUM(n_tokens)//3.
+    "p97_budget_select" -> (
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents " +
+        "WHERE length(trim(text)) > 0), " +
+        "q AS (SELECT doc_id, (CAST(len(list_distinct(toks)) AS BIGINT) * 1000000) // len(toks) AS quality, " +
+        "CAST(len(toks) AS BIGINT) AS n_tokens FROM t), " +
+        "c AS (SELECT doc_id, quality, n_tokens, SUM(n_tokens) OVER " +
+        "(ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM q) " +
+        "SELECT doc_id, quality, n_tokens, CAST(cum AS BIGINT) AS cum_tokens FROM c " +
+        "WHERE cum <= (SELECT SUM(n_tokens) // 3 FROM q) ORDER BY doc_id"),
     // ts truncated to microseconds BEFORE ordering (Spark timestamps are
     // micro-precision) so frame membership agrees; event_id makes the
     // order total; value quantized to BIGINT micro-units before the

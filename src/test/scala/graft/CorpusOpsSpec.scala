@@ -513,6 +513,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(same.count() < n)
   }
 
+  test("selectUnderBudget: strict greedy cut, bit-equal to the global-window reference") {
+    val docs = Seq(
+      (1L, 900000L, 40L), (2L, 800000L, 50L), (3L, 800000L, 30L),
+      (4L, 700000L, 60L), (5L, 100000L, 10L)
+    ).toDF("doc_id", "quality", "n_tokens")
+    // order: 1(40) 2(90) 3(120) 4(180) 5(190); budget 120 -> {1,2,3}
+    val got = CorpusOps.selectUnderBudget(docs, budget = 120L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 40L), (2L, 90L), (3L, 120L)))
+    // budget 119 excludes doc 3 (strict: never overshoots)
+    assert(CorpusOps.selectUnderBudget(docs, budget = 119L).count() == 2)
+    // blocked two-pass == one global window, any bucket width
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ref = docs.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= 150L)
+      .select("doc_id", "quality", "n_tokens", "cum_tokens")
+      .orderBy("doc_id").collect().toSeq
+    for (bw <- Seq(1L, 7L, 1024L, 1000000L)) {
+      val blocked = CorpusOps.selectUnderBudget(docs, 150L, bucketWidth = bw)
+        .orderBy("doc_id").collect().toSeq
+      assert(blocked == ref, s"bucketWidth=$bw")
+    }
+  }
+
   test("oovRate: vocab cutoff is exact and tie-broken; rate in micro-units") {
     // counts: a=3, b=2, c=1, d=1 -> vocabSize=3 keeps {a, b, c} (c beats
     // d on the token tie-break at equal count)
