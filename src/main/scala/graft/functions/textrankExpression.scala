@@ -40,6 +40,12 @@ case class TextRankExpression(child: Expression, k: Int, iters: Int)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
+    // overflow envelope: score mass is bounded by n·10^6 (the damped
+    // update conserves-then-shrinks total mass), edge counts by n, so
+    // r(src)·cnt ≤ n²·10^6 — safe in Long up to n = 3·10^6 tokens.
+    // Past that, raise loudly rather than wrap silently.
+    require(n <= 3000000,
+      s"textrank: document has $n tokens (> 3e6) — integer score envelope would overflow")
     // word interning: id by first occurrence
     val idOf = mutable.HashMap.empty[String, Int]
     val words = mutable.ArrayBuffer.empty[String]

@@ -1028,26 +1028,36 @@ object CorpusOps {
         lit(" ")).as("enc"))
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (rank <- 1 to nMerges) {
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
       val syms = enc.select(col("wc"), split(trim(col("enc")), " ").as("syms"))
-      val top = syms
+      val topRows = syms
         .select(col("wc"), explode(arrays_zip(
           slice(col("syms"), lit(1), size(col("syms")) - 1),
           slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
         .groupBy(col("p")("0").as("l"), col("p")("1").as("r"))
         .agg(sum(col("wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()(0) // bounded: ONE row per round
-      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
-      merges += ((rank, l, r, c))
-      val pat = lit(s" $l $r ")
-      val rep = lit(s" $l$r ")
-      val next = enc
-        .select(col("wc"), replace(replace(col("enc"), pat, rep), pat, rep).as("enc"))
-        .persist()
-      next.count() // materialize before releasing the previous round
-      enc.unpersist()
-      enc = next
+        .limit(1).collect() // bounded: ONE row per round
+      if (topRows.isEmpty) {
+        // no adjacent pair left anywhere (empty corpus, or every word
+        // fully fused): a shorter merge table, not a crash
+        exhausted = true
+      } else {
+        val top = topRows(0)
+        val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((rank, l, r, c))
+        val pat = lit(s" $l $r ")
+        val rep = lit(s" $l$r ")
+        val next = enc
+          .select(col("wc"), replace(replace(col("enc"), pat, rep), pat, rep).as("enc"))
+          .persist()
+        next.count() // materialize before releasing the previous round
+        enc.unpersist()
+        enc = next
+        rank += 1
+      }
     }
     enc.unpersist()
     merges.toSeq.toDF("rank", "lsym", "rsym", "cnt")

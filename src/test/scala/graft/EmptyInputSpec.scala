@@ -86,4 +86,26 @@ class EmptyInputSpec extends AnyFunSuite {
       graft.ops.Pca.pcaTop1(noVecs, "vec_id", "embedding")
     }
   }
+
+  test("round-9 additions on empty input") {
+    val noSpans = Seq.empty[(Long, Int, Int, Long)]
+      .toDF("doc_id", "span_start", "span_end", "n_windows")
+    assert(Dedup.applySpanCuts(noDocs, noSpans).count() == 0)
+    assert(TextAnalysis.c4LineClean(noDocs).count() == 0)
+    assert(CorpusOps.bloomDecontam(noDocs,
+      noDocs.select(col("doc_id").as("qid"), col("text")), Seq("qid")).count() == 0)
+    assert(CorpusOps.textrankKeywords(noDocs).count() == 0)
+    assert(CorpusOps.epochShuffle(noDocs, epoch = 1).count() == 0)
+    // BPE on a pair-less corpus: a shorter (here empty) merge table,
+    // never a crash mid-round
+    assert(CorpusOps.bpeMerges(noDocs, nMerges = 2).count() == 0)
+    assert(CorpusOps.bpeMerges(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), nMerges = 2).count() == 0)
+    assert(CorpusOps.oovRate(noDocs).count() == 0)
+    assert(Dedup.continuationPairs(noDocs).count() == 0)
+    assert(Dedup.crossSourceMatrix(noPairs, noDocs).count() == 0)
+    assert(CorpusOps.selectUnderBudget(
+      Seq.empty[(Long, Long, Long)].toDF("doc_id", "quality", "n_tokens"),
+      budget = 100L).count() == 0)
+  }
 }
