@@ -551,4 +551,32 @@ object Dedup {
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** MinHash-LSH parameter planning from first principles: with `b`
+    * bands of `r` rows (b·r = numHashes), a pair at Jaccard `s` becomes
+    * a candidate with probability `1 − (1 − s^r)^b` (the S-curve). The
+    * plan picks the SMALLEST band count — fewest candidate pairs, i.e.
+    * cheapest verify stage — whose recall AT the dedup threshold still
+    * meets `minRecall`. Falls back to (numHashes, 1) — every hash its
+    * own band, maximal recall — when no divisor reaches the target.
+    *
+    * For the engine's shipped config (64 hashes, J ≥ 0.8, recall 0.99)
+    * this derives bands = 16, rows = 4 — the parameters
+    * [[nearDupSizesShingled]] ships with (recall at 0.8 ≈ 0.9998).
+    * Returns (bands, rowsPerBand, recallAtThreshold). */
+  def lshPlan(
+      threshold: Double,
+      numHashes: Int,
+      minRecall: Double = 0.99): (Int, Int, Double) = {
+    require(threshold > 0 && threshold < 1, "lshPlan: threshold must be in (0,1)")
+    require(numHashes >= 1, "lshPlan: numHashes must be >= 1")
+    require(minRecall > 0 && minRecall < 1, "lshPlan: minRecall must be in (0,1)")
+    def recallAt(b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(threshold, r), b)
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    divisors
+      .map(b => (b, numHashes / b, recallAt(b, numHashes / b)))
+      .find(_._3 >= minRecall)
+      .getOrElse((numHashes, 1, recallAt(numHashes, 1)))
+  }
 }

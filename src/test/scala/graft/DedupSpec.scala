@@ -195,6 +195,17 @@ class DedupSpec extends AnyFunSuite {
       (3L, 3L, 0L, m("u1 u2 u3"))))
   }
 
+  test("lshPlan derives the shipped band config and degrades sanely") {
+    // 64 hashes, J >= 0.8, recall 0.99 -> the engine's shipped (16, 4)
+    val (b, r, rec) = Dedup.lshPlan(0.8, 64)
+    assert(b == 16 && r == 4 && rec > 0.999)
+    // stricter threshold still lands on 16 bands (8 bands gives 0.9888)
+    assert(Dedup.lshPlan(0.9, 64)._1 == 16)
+    // an unreachable recall target falls back to one hash per band
+    val (b2, r2, _) = Dedup.lshPlan(0.01, 4, minRecall = 0.999)
+    assert(b2 == 4 && r2 == 1)
+  }
+
   test("crossSourceMatrix rolls pairs up to unordered source pairs") {
     val docs = Seq((1L, "s1"), (2L, "s2"), (3L, "s1"), (4L, "s2"))
       .toDF("doc_id", "source")
