@@ -1135,4 +1135,53 @@ object CorpusOps {
       .where(col("cum_tokens") <= budget)
       .select(col(idCol), col(qualityCol), col(tokensCol), col("cum_tokens"))
   }
+
+  /** Cross-document boilerplate LINE removal (the RefinedWeb/CCNet
+    * corpus-frequency rule): a trimmed line appearing in at least
+    * `minDocFreq` DISTINCT documents is template text — nav bars,
+    * cookie banners, footers repeat across pages; prose doesn't — and
+    * is cut from EVERY document, order of the survivors preserved.
+    * Complements [[TextAnalysis.c4LineClean]] (per-row heuristics —
+    * needs only the line) with the statistic that needs the corpus.
+    *
+    * Shape at 100 TB: distinct (line, doc) pairs feed one partial-agg
+    * shuffle into the line→doc-frequency table; `df ≥ minDocFreq`
+    * leaves only genuinely repeated template lines — a tiny relation by
+    * construction — which broadcasts back as the membership probe, so
+    * document text crosses the wire exactly once (the reassembly
+    * groupBy, this operator's second and final shuffle). Lines key the
+    * frequency table as raw strings here for oracle parity; at
+    * petabyte scale key it on a 16-byte line fingerprint and keep the
+    * string only on the probe side.
+    *
+    * Returns (idCol, n_lines, n_kept, clean_md5) where clean_md5 pins
+    * the kept lines rejoined with `\n` (md5("") when every line was
+    * boilerplate — loud, never NULL). */
+  def boilerplateLines(
+      docs: DataFrame,
+      minDocFreq: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDocFreq >= 2, "boilerplateLines: minDocFreq must be >= 2")
+    val lined = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+      .withColumn("_line", trim(col("_line")))
+    val template = lined.select(col(idCol), col("_line")).distinct()
+      .groupBy("_line").agg(count(lit(1)).as("_df"))
+      .where(col("_df") >= minDocFreq)
+      .select(col("_line"), lit(true).as("_bp"))
+    lined.join(broadcast(template), Seq("_line"), "left")
+      .withColumn("_bp", coalesce(col("_bp"), lit(false)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_bp"), 0L).otherwise(1L)).as("n_kept"),
+        sort_array(collect_list(struct(col("_pos"), col("_bp"), col("_line")))).as("_ls"))
+      .select(col(idCol), col("n_lines"), col("n_kept"),
+        md5(array_join(
+          transform(
+            filter(col("_ls"), s => !s.getField("_bp")),
+            s => s.getField("_line")),
+          "\n")).as("clean_md5"))
+  }
 }

@@ -300,4 +300,54 @@ object EventsOps {
         sum(when(col("_out"), 1L).otherwise(0L)).as("n_outliers"))
       .select(col("g").as(groupCol), col("n_rows"), col("n_outliers"))
   }
+
+  /** Per-key exponentially-weighted moving average with decay ½,
+    * truncated to the last `frame` rows — the smoothing sibling of
+    * [[rollingStats]]' flat frame. Row at lag k (k = 0 newest) gets
+    * weight 2^(m−1−k) over the m = min(rows-so-far, frame) frame rows,
+    * normalized by Σ = 2^m − 1 — i.e. pandas' `ewm(alpha=.5,
+    * adjust=True)` on a bounded window, but in INTEGER arithmetic:
+    * values quantize to micro-units, the weighted sum is a sum of
+    * integer·power-of-two products, and the single normalizing division
+    * is IEEE-double-then-floor guarded to the exact range (|num| <
+    * 2^52 keeps the quotient's ulp below the minimum distance, 1/Σ,
+    * from any representable quotient to an integer boundary — floor
+    * cannot straddle, on any engine).
+    *
+    * The frame is expressed as `frame` LAG columns over ONE window
+    * partitioning (no collect_list, no lambda fold) — a single shuffle
+    * on the key, O(frame) state per row, engine-portable because lag /
+    * row_number / CASE exist everywhere SQL does. Returns (tieCol,
+    * keyCol, m, ewma_micro). */
+  def ewmaSmooth(
+      ev: DataFrame,
+      frame: Int = 8,
+      keyCol: String = "user_id",
+      orderCol: String = "ts",
+      tieCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    require(frame >= 1 && frame <= 16, s"ewmaSmooth: need 1 <= frame <= 16, got $frame")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
+    val base = ev.select(col(keyCol), col(orderCol), col(tieCol),
+      floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+    val m = least(row_number().over(w), lit(frame))
+    // Σ_{k<m} v_{t−k}·2^(m−1−k): every term is lag·2^e with e ≤ 15 —
+    // DECIMAL(38,0) so a large value cannot wrap the long product
+    // before the range guard sees it (same rule as interpolateLinear)
+    val num = (0 until frame).map { k =>
+      when(lit(k) < m,
+        lag(col("_v"), k).over(w).cast(DecimalType(38, 0)) *
+          pow(lit(2.0d), (m - 1 - lit(k)).cast("double")).cast(DecimalType(38, 0)))
+        .otherwise(lit(0).cast(DecimalType(38, 0)))
+    }.reduce(_ + _)
+    val denom = pow(lit(2.0d), m.cast("double")).cast("long") - lit(1L)
+    base.select(col(tieCol), col(keyCol), m.as("m"), num.as("_num"), denom.as("_den"))
+      .select(col(tieCol), col(keyCol), col("m"),
+        when(abs(col("_num")) >= lit(1L << 52).cast(DecimalType(38, 0)),
+          raise_error(lit("ewmaSmooth: |weighted sum| exceeds exact double range")))
+          .otherwise(
+            floor(col("_num").cast("double") / col("_den").cast("double")).cast("long"))
+          .as("ewma_micro"))
+  }
 }

@@ -242,4 +242,38 @@ object TextAnalysis {
       lang.as("lang_pred"),
       fingerprint(c).as("fp"))
   }
+
+  /** Intra-document line dedup: keep only the FIRST occurrence of each
+    * distinct trimmed line within a document (scraped pages repeat
+    * their own headers / menus / pagination blocks; a second copy adds
+    * tokens, not information). The cross-document sibling is
+    * [[CorpusOps.boilerplateLines]] — that one needs the corpus; this
+    * is a pure per-row rewrite: map-only, zero shuffle at any scale.
+    *
+    * A line at 0-based position `i` survives iff `array_position`
+    * (1-based first-occurrence index) says `i` IS the first occurrence.
+    * That scan is O(L²) in the LINE count of one document — fine for
+    * real pages (hundreds of lines); for pathological million-line rows
+    * use the exploded form (posexplode → min(pos) per (doc, line) →
+    * reassemble), which trades the quadratic row-local scan for the
+    * shuffle this version avoids.
+    *
+    * Returns (idCol, n_lines, n_kept, clean_md5); clean_md5 pins the
+    * kept lines rejoined with `\n`. */
+  def dedupLinesWithin(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = transform(split(col(textCol), "\n"), l => trim(l))
+    docs
+      .select(col(idCol), lines.as("_lines"))
+      .select(col(idCol), col("_lines"),
+        filter(col("_lines"),
+          (l, i) => array_position(col("_lines"), l) === (i + lit(1)).cast("long")).as("_kept"))
+      .select(
+        col(idCol),
+        size(col("_lines")).cast("long").as("n_lines"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        md5(array_join(col("_kept"), "\n")).as("clean_md5"))
+  }
 }

@@ -285,6 +285,53 @@ object PipelineQueries {
       graft.ops.CorpusOps.selectUnderBudget(base, budget).orderBy("doc_id")
     }),
 
+    // Cross-document boilerplate removal over planted multi-line pages:
+    // every page gets a universal newsletter footer (df = all docs) and
+    // every 3rd page a copyright line (df ≈ n/3) — both cross the
+    // minDocFreq=3 bar and are cut; prose lines survive unless the
+    // corpus's planted exact-duplicate docs push them over the bar too
+    // (deterministic either way, in both engines).
+    "p98_boilerplate_lines" -> ((s, dir) => {
+      val withToks = Tables(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("_toks"))
+        .where(size(col("_toks")) > 0)
+      val planted = withToks.select(col("doc_id"),
+        concat(
+          concat_ws("\n",
+            transform(
+              sequence(lit(0), ceil(size(col("_toks")) / lit(8.0)).cast("int") - 1),
+              i => array_join(slice(col("_toks"), i * lit(8) + lit(1), lit(8)), " "))),
+          lit("\nsubscribe to our newsletter today"),
+          when(col("doc_id") % 3 === 0, lit("\ncopyright acme corporation"))
+            .otherwise(lit(""))).as("text"))
+      graft.ops.CorpusOps.boilerplateLines(planted, minDocFreq = 3).orderBy("doc_id")
+    }),
+
+    // Intra-document line dedup over pages planted with their own first
+    // line repeated plus a doubled "xx" marker — the map-only
+    // first-occurrence filter keeps one copy of each.
+    "p99_line_dedup" -> ((s, dir) => {
+      val withToks = Tables(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("_toks"))
+        .where(size(col("_toks")) > 0)
+      val lined = withToks.select(col("doc_id"),
+        transform(
+          sequence(lit(0), ceil(size(col("_toks")) / lit(6.0)).cast("int") - 1),
+          i => array_join(slice(col("_toks"), i * lit(6) + lit(1), lit(6)), " ")).as("_ls"))
+      val planted = lined.select(col("doc_id"),
+        array_join(
+          concat(col("_ls"), slice(col("_ls"), 1, 1), array(lit("xx"), lit("xx"))),
+          "\n").as("text"))
+      graft.ops.TextAnalysis.dedupLinesWithin(planted).orderBy("doc_id")
+    }),
+
+    // Exponentially-weighted moving average (decay ½, 8-row truncated
+    // frame) per user — lag-column formulation, integer-exact
+    // micro-units, one shuffle.
+    "p100_ewma" -> ((s, dir) =>
+      graft.ops.EventsOps.ewmaSmooth(Tables(s, dir, "events"), frame = 8)
+        .orderBy("event_id")),
+
     // Pretraining context-window chunker: 64-token windows at stride 48
     // (16-token overlap), map-only, content pinned by per-chunk md5.
     "p58_chunk_tokens" -> ((s, dir) =>
@@ -1884,6 +1931,60 @@ object PipelineQueries {
         "(ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM q) " +
         "SELECT doc_id, quality, n_tokens, CAST(cum AS BIGINT) AS cum_tokens FROM c " +
         "WHERE cum <= (SELECT SUM(n_tokens) // 3 FROM q) ORDER BY doc_id"),
+    // Same planting as the Spark gate; boilerplate = lines in >= 3
+    // DISTINCT docs; md5 of kept lines COALESCEd to '' so a fully
+    // boilerplate page (exact-dup triplets) hashes like Spark's empty
+    // array_join, not NULL
+    "p98_boilerplate_lines" -> (
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents " +
+        "WHERE length(trim(text)) > 0), " +
+        "p AS (SELECT doc_id, array_to_string(list_transform(" +
+        "generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1), " +
+        "i -> array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')), chr(10)) " +
+        "|| chr(10) || 'subscribe to our newsletter today' " +
+        "|| CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'copyright acme corporation' ELSE '' END AS text " +
+        "FROM t), " +
+        "l AS (SELECT doc_id, generate_subscripts(lines, 1) AS ord, unnest(lines) AS line " +
+        "FROM (SELECT doc_id, list_transform(string_split(text, chr(10)), x -> trim(x)) AS lines FROM p)), " +
+        "bp AS (SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY line) WHERE df >= 3), " +
+        "f AS (SELECT doc_id, ord, line, line IN (SELECT line FROM bp) AS is_bp FROM l) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+        "CAST(SUM(CASE WHEN is_bp THEN 0 ELSE 1 END) AS BIGINT) AS n_kept, " +
+        "md5(COALESCE(array_to_string(list(line ORDER BY ord) FILTER (WHERE NOT is_bp), chr(10)), '')) AS clean_md5 " +
+        "FROM f GROUP BY doc_id ORDER BY doc_id"),
+    // first-occurrence filter == ord = MIN(ord) per (doc, line)
+    "p99_line_dedup" -> (
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents " +
+        "WHERE length(trim(text)) > 0), " +
+        "s AS (SELECT doc_id, list_transform(" +
+        "generate_series(0, CAST(ceil(len(toks) / 6.0) AS INT) - 1), " +
+        "i -> array_to_string(list_slice(toks, i * 6 + 1, i * 6 + 6), ' ')) AS ls FROM t), " +
+        "p AS (SELECT doc_id, array_to_string(" +
+        "list_concat(list_concat(ls, list_slice(ls, 1, 1)), ['xx', 'xx']), chr(10)) AS text FROM s), " +
+        "l AS (SELECT doc_id, generate_subscripts(lines, 1) AS ord, unnest(lines) AS line " +
+        "FROM (SELECT doc_id, list_transform(string_split(text, chr(10)), x -> trim(x)) AS lines FROM p)), " +
+        "f AS (SELECT doc_id, ord, line, MIN(ord) OVER (PARTITION BY doc_id, line) AS ford FROM l) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+        "CAST(SUM(CASE WHEN ord = ford THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "md5(COALESCE(array_to_string(list(line ORDER BY ord) FILTER (WHERE ord = ford), chr(10)), '')) AS clean_md5 " +
+        "FROM f GROUP BY doc_id ORDER BY doc_id"),
+    // lag-column EWM replay: weight 2^(m-1-k) for lag k over the
+    // m-row frame, denominator 2^m - 1; the one division is the same
+    // IEEE double op on both engines with |num| raise-guarded to the
+    // floor-safe range on the Spark side
+    "p100_ewma" -> (
+      "WITH q AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS t, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v FROM events), " +
+        "w AS (SELECT event_id, user_id, CAST(LEAST(ROW_NUMBER() OVER win, 8) AS INT) AS m, " +
+        (0 until 8).map(k => s"lag(v, $k) OVER win AS l$k").mkString(", ") +
+        " FROM q WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id)) " +
+        "SELECT event_id, user_id, m, " +
+        "CAST(floor(CAST((" +
+        (0 until 8).map(k =>
+          s"CASE WHEN $k < m THEN l$k * CAST(power(2, m - 1 - $k) AS BIGINT) ELSE 0 END")
+          .mkString(" + ") +
+        ") AS DOUBLE) / (CAST(power(2, m) AS BIGINT) - 1)) AS BIGINT) AS ewma_micro " +
+        "FROM w ORDER BY event_id"),
     // ts truncated to microseconds BEFORE ordering (Spark timestamps are
     // micro-precision) so frame membership agrees; event_id makes the
     // order total; value quantized to BIGINT micro-units before the

@@ -177,6 +177,47 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(out(7L) == Some(9000000L))
   }
 
+  test("ewmaSmooth: hand-computed half-decay weights, growing frame") {
+    val ev = Seq(
+      (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1.0),
+      (2L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 2.0),
+      (3L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 3.0),
+      // user 2: constant series — EWMA must reproduce it exactly
+      (4L, 2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 7.25),
+      (5L, 2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 7.25)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventsOps.ewmaSmooth(ev, frame = 8)
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    // weight 2^(m-1-k) for lag k, denominator 2^m - 1, micro-units:
+    //   id 1 (m=1): 1e6
+    //   id 2 (m=2): (2e6·2 + 1e6)/3   = 1666666 (floor)
+    //   id 3 (m=3): (3e6·4 + 2e6·2 + 1e6)/7 = 2428571 (floor)
+    assert(out.toSeq == Seq(
+      (1L, 1, 1000000L),
+      (2L, 2, 1666666L),
+      (3L, 3, 2428571L),
+      (4L, 1, 7250000L),
+      (5L, 2, 7250000L)))
+  }
+
+  test("ewmaSmooth: frame truncation matches a driver-side fold on a long series") {
+    val frame = 4
+    val values = (1 to 20).map(i => ((i * 37) % 11 + 0.5) * (if (i % 3 == 0) -1 else 1))
+    val ev = values.zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1L, new java.sql.Timestamp(1700000000000L + i * 1000L), v)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val got = EventsOps.ewmaSmooth(ev, frame = frame).orderBy("event_id")
+      .collect().map(r => r.getLong(3))
+    val micro = values.map(v => math.floor(v * 1e6).toLong)
+    val want = micro.indices.map { t =>
+      val m = math.min(t + 1, frame)
+      val num = (0 until m).map(k => BigInt(micro(t - k)) << (m - 1 - k)).sum
+      math.floor(num.toDouble / ((1L << m) - 1)).toLong
+    }
+    assert(got.toSeq == want)
+  }
+
   test("interpolateLinear: floor on non-exact thirds, same-second neighbors") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val ev = Seq(

@@ -160,6 +160,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("p98: template lines broadcast back; doc text never sort-merges") {
+    val docs = graft.engine.Tables(spark, dir, "documents")
+    val p = graft.ops.CorpusOps.boilerplateLines(docs)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("p99: intra-doc line dedup is map-only — zero exchanges") {
+    val docs = graft.engine.Tables(spark, dir, "documents")
+    val p = graft.ops.TextAnalysis.dedupLinesWithin(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("p100: EWMA is ONE hash exchange (the key window), no range shuffle") {
+    val ev = graft.engine.Tables(spark, dir, "events")
+    val p = graft.ops.EventsOps.ewmaSmooth(ev, frame = 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("no query plans a cartesian product except the declared broadcast NL scorers") {
     val allowNl = Set("q08_fuzzy_top1", "p01_hom_pipeline", "p07_ann_brute",
       "p18_hom_pipeline_intended")
