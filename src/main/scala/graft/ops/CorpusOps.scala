@@ -1184,4 +1184,51 @@ object CorpusOps {
             s => s.getField("_line")),
           "\n")).as("clean_md5"))
   }
+
+  /** Benchmark-contamination SPAN localization: the exact token ranges
+    * of each corpus document that overlap any benchmark text as a
+    * contiguous `n`-gram match — [[contamination]] says WHICH docs
+    * leaked; this says WHERE, and its output is a [[Dedup.repeatedSpans]]
+    * -shaped cut list (span_start inclusive, span_end exclusive, token
+    * coordinates), so [[Dedup.applySpanCuts]] surgically removes the
+    * leaked spans instead of dropping whole documents — the GPT-3/Pile
+    * decontamination playbook.
+    *
+    * Shape at 100 TB: benchmark n-grams are DISTINCT and BROADCAST
+    * (benchmarks are small by definition — that asymmetry is the whole
+    * design); corpus-side positional n-grams are map-only (native
+    * `word_ngrams` kernel + posexplode), the probe is a broadcast
+    * left-semi join, and only MATCHED positions — rare by construction —
+    * reach the one per-doc shuffle that merges adjacent hits into
+    * maximal islands (`pos − row_number` grouping, exactly
+    * repeatedSpans' merge).
+    *
+    * Returns (idCol, span_start, span_end, n_windows). */
+  def contaminationSpans(
+      corpus: DataFrame,
+      bench: DataFrame,
+      n: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"contaminationSpans: n must be >= 1, got $n")
+    def toks(df: DataFrame) =
+      TextAnalysis.tokens(lower(df.col(textCol)))
+    val benchGrams = bench
+      .select(explode(graft.functions.ShingleFunctions.word_ngrams(toks(bench), n)).as("g"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol),
+        posexplode(graft.functions.ShingleFunctions.word_ngrams(toks(corpus), n))
+          .as(Seq("pos", "g")))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+    val wdw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    hits
+      .withColumn("_grp", col("pos") - row_number().over(wdw))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(n)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
 }

@@ -332,6 +332,23 @@ object PipelineQueries {
       graft.ops.EventsOps.ewmaSmooth(Tables(s, dir, "events"), frame = 8)
         .orderBy("event_id")),
 
+    // Contamination span localization: a planted "benchmark" (the middle
+    // 16 tokens of every 7th doc) is located back in the corpus as exact
+    // 8-gram islands — token-coordinate spans ready for applySpanCuts.
+    // Near-dup copies of the sampled docs legitimately match too
+    // (deterministic in both engines).
+    "p101_contam_spans" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toksDf = docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.tokens(lower(col("text"))).as("_toks"))
+      val bench = toksDf
+        .where(col("doc_id") % 7 === 0 && size(col("_toks")) >= 24)
+        .select(expr("slice(_toks, ((size(_toks) - 16) div 2) + 1, 16)").as("_mid"))
+        .select(array_join(col("_mid"), " ").as("text"))
+      graft.ops.CorpusOps.contaminationSpans(docs, bench, n = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // Pretraining context-window chunker: 64-token windows at stride 48
     // (16-token overlap), map-only, content pinned by per-chunk md5.
     "p58_chunk_tokens" -> ((s, dir) =>
@@ -1985,6 +2002,23 @@ object PipelineQueries {
           .mkString(" + ") +
         ") AS DOUBLE) / (CAST(power(2, m) AS BIGINT) - 1)) AS BIGINT) AS ewma_micro " +
         "FROM w ORDER BY event_id"),
+    // benchmark = middle-16-token slice of every 7th doc; hit positions
+    // merge into maximal islands via the pos - ROW_NUMBER() trick
+    // (adjacent hits share a group key); span_end exclusive, +n tokens
+    "p101_contam_spans" -> (
+      "WITH c AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents " +
+        "WHERE length(trim(text)) > 0), " +
+        "bsrc AS (SELECT toks FROM c WHERE doc_id % 7 = 0 AND len(toks) >= 24), " +
+        "bt AS (SELECT list_slice(toks, ((len(toks) - 16) // 2) + 1, ((len(toks) - 16) // 2) + 16) AS toks FROM bsrc), " +
+        "bg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(toks) - 7), " +
+        "i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS g FROM bt WHERE len(toks) >= 8), " +
+        "cg AS (SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos, unnest(gs) AS g FROM " +
+        "(SELECT doc_id, list_transform(generate_series(1, len(toks) - 7), " +
+        "i -> array_to_string(list_slice(toks, i, i + 7), ' ')) AS gs FROM c WHERE len(toks) >= 8)), " +
+        "h AS (SELECT doc_id, pos FROM cg WHERE g IN (SELECT g FROM bg)), " +
+        "i AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM h) " +
+        "SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start, CAST(MAX(pos) + 8 AS INT) AS span_end, " +
+        "COUNT(*) AS n_windows FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start"),
     // ts truncated to microseconds BEFORE ordering (Spark timestamps are
     // micro-precision) so frame membership agrees; event_id makes the
     // order total; value quantized to BIGINT micro-units before the

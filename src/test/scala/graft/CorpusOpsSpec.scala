@@ -113,6 +113,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("contaminationSpans: maximal islands at exact token coordinates") {
+    // doc 1: tokens 0..9; bench covers tokens 2..7 ("c2 c3 c4 c5 c6 c7")
+    // → with n=3, matching gram starts are 2,3,4,5 → one island [2, 8)
+    val corpus = Seq(
+      (1L, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+      (2L, "no overlap in this document at all"),
+      // doc 3: two separated copies of a bench gram → TWO islands
+      (3L, "c2 c3 c4 z1 z2 z3 z4 c2 c3 c4")
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "c2 c3 c4 c5 c6 c7")).toDF("doc_id", "text")
+    val out = CorpusOps.contaminationSpans(corpus, bench, n = 3)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2, 8, 4L),
+      (3L, 0, 3, 1L),
+      (3L, 7, 10, 1L)))
+  }
+
+  test("contaminationSpans feed applySpanCuts: leaked tokens surgically removed") {
+    val corpus = Seq((1L, "keep0 keep1 bad0 bad1 bad2 keep2")).toDF("doc_id", "text")
+    val bench = Seq((9L, "bad0 bad1 bad2")).toDF("doc_id", "text")
+    val spans = CorpusOps.contaminationSpans(corpus, bench, n = 3)
+    val cleaned = graft.ops.Dedup.applySpanCuts(corpus, spans).collect()(0)
+    assert(cleaned.getLong(1) == 6L && cleaned.getLong(2) == 3L)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("keep0 keep1 keep2".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(cleaned.getString(3) == md5)
+  }
+
+  test("contaminationSpans: bench shorter than n contributes nothing") {
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b")).toDF("doc_id", "text")
+    assert(CorpusOps.contaminationSpans(corpus, bench, n = 3).isEmpty)
+  }
+
   test("quotaSample caps each group, deterministic across reruns") {
     val d = docs
     val out = CorpusOps.quotaSample(d, quota = 5)
