@@ -137,6 +137,37 @@ object Clustering {
       .select(col("_sid").as(idCol), col("cluster"),
         col("dup_of").isNull.as("keep"), col("dup_of"))
   }
+
+  /** Cluster-balanced (diversity) sampling: [[kmeans]] partitions the
+    * embedding space, then each cluster contributes its `quota` most
+    * REPRESENTATIVE members — centroid-proximal first (`dist2` asc, id
+    * tie-break), the prototype-selection recipe — so the sample spans
+    * every region of the space instead of letting the dominant mode
+    * swamp it (the failure of uniform sampling on skewed corpora).
+    * Deterministic end to end: integer distances, no RNG.
+    *
+    * Scale shape: clustering is the [[kmeans]] kernel (vectors never
+    * leave executors); the quota cut is ONE window partitioned by
+    * cluster — a partial `WindowGroupLimit` prunes to quota rows per
+    * partition map-side before the exchange, so the shuffle carries
+    * ~k·quota survivors, not the corpus.
+    *
+    * Returns (idCol, cluster, dist2, rk ∈ 1..quota). */
+  def clusterQuotaSample(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      quota: Int): DataFrame = {
+    require(quota > 0, "clusterQuotaSample: quota must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("dist2").asc, col(idCol).asc)
+    kmeans(vecs, idCol, vecCol, k, iters)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= quota)
+      .select(col(idCol), col("cluster"), col("dist2"), col("rk"))
+  }
 }
 
 /** Kernel: (nearest centroid id, exact squared L2 distance) for a

@@ -422,6 +422,27 @@ object PipelineQueries {
           "vec_id", "embedding", k = 4, iters = 2)
         .orderBy("vec_id")),
 
+    // Cluster-balanced diversity sampling: the p64 Lloyd partition, then
+    // each cluster's 100 centroid-proximal members (dist2 asc, id
+    // tie-break) — the sample spans every region of the space.
+    "p102_cluster_sample" -> ((s, dir) =>
+      graft.ops.Clustering.clusterQuotaSample(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 4, iters = 2, quota = 100)
+        .orderBy("cluster", "rk")),
+
+    // Hierarchical corpus profile in ONE pass: ROLLUP (source, lang)
+    // gives per-(source, lang), per-source, and grand totals from a
+    // single Expand+aggregate — no union of three groupBys, no triple
+    // scan; gid disambiguates subtotal rows from data NULLs.
+    "p103_rollup_profile" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .rollup(col("source"), col("lang"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(col("gid"), col("source"), col("lang"), col("n_docs"), col("sum_chars"))
+        .orderBy("gid", "source", "lang")),
+
     // SemDeDup (Abbas et al.): cluster, then prune within-cluster
     // cosine >= 0.9. The corpus's natural pair cosines top out ~0.5, so
     // the gate plants a scale-perturbed twin per vector (x · (1+2⁻¹⁰),
@@ -1324,6 +1345,42 @@ object PipelineQueries {
     * float constant is CAST from the same decimal literal the Scala side
     * uses; k1+1 is the same IEEE addition, not the literal 2.2 (whose
     * nearest double differs from 1.2+1.0 by one ulp). */
+  /** p64/p102's shared oracle prefix: the full 2-iteration Lloyd replay
+    * over `embeddings` (k = 4, k-smallest-id seeds), ending at the CTE
+    * `a2` = every (vec_id, cid) squared distance after the second
+    * centroid update. BIGINT micro-unit distances (SUM cast back down
+    * from DuckDB's HUGEINT), floor(sum/n) centroid update — the
+    * identical IEEE division Spark's driver performs. Each cdN is built
+    * by LEFT JOIN + COALESCE over the PREVIOUS centroid table, so a
+    * cluster that empties keeps its prior centroid — the same rule as
+    * Clustering.kmeans (case None => cents(c)). Append a final SELECT
+    * directly, or lead with ", name AS (...)" for more CTEs. */
+  private val kmeansLloydA2Sql: String =
+    "WITH q AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq FROM embeddings), " +
+      "qd AS (SELECT vec_id, CAST(generate_subscripts(xq, 1) AS INT) AS pos, unnest(xq) AS x FROM q), " +
+      "seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, xq " +
+      "FROM q ORDER BY vec_id LIMIT 4), " +
+      "cd0 AS (SELECT cid, CAST(generate_subscripts(xq, 1) AS INT) AS pos, unnest(xq) AS c FROM seeds), " +
+      "a0 AS (SELECT vec_id, cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d " +
+      "FROM qd JOIN cd0 USING (pos) GROUP BY vec_id, cid), " +
+      "g0 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a0) WHERE rn = 1), " +
+      "u1 AS (SELECT cid, pos, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c " +
+      "FROM qd JOIN g0 USING (vec_id) GROUP BY cid, pos), " +
+      "cd1 AS (SELECT cd0.cid, cd0.pos, COALESCE(u1.c, cd0.c) AS c " +
+      "FROM cd0 LEFT JOIN u1 ON u1.cid = cd0.cid AND u1.pos = cd0.pos), " +
+      "a1 AS (SELECT vec_id, cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d " +
+      "FROM qd JOIN cd1 USING (pos) GROUP BY vec_id, cid), " +
+      "g1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a1) WHERE rn = 1), " +
+      "u2 AS (SELECT cid, pos, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c " +
+      "FROM qd JOIN g1 USING (vec_id) GROUP BY cid, pos), " +
+      "cd2 AS (SELECT cd1.cid, cd1.pos, COALESCE(u2.c, cd1.c) AS c " +
+      "FROM cd1 LEFT JOIN u2 ON u2.cid = cd1.cid AND u2.pos = cd1.pos), " +
+      "a2 AS (SELECT vec_id, cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d " +
+      "FROM qd JOIN cd2 USING (pos) GROUP BY vec_id, cid) "
+
   private val bm25Sql: String = {
     val terms = Seq("hash", "join", "spark")
     def d(x: String) = s"CAST($x AS DOUBLE)"
@@ -2080,34 +2137,26 @@ object PipelineQueries {
     // centroid — the same rule as Clustering.kmeans (case None =>
     // cents(c)); without it an emptied cluster silently vanishes from
     // the oracle's next assignment round
-    "p64_kmeans" -> (
-      "WITH q AS (SELECT vec_id, list_transform(embedding, " +
-        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq FROM embeddings), " +
-        "qd AS (SELECT vec_id, CAST(generate_subscripts(xq, 1) AS INT) AS pos, unnest(xq) AS x FROM q), " +
-        "seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, xq " +
-        "FROM q ORDER BY vec_id LIMIT 4), " +
-        "cd0 AS (SELECT cid, CAST(generate_subscripts(xq, 1) AS INT) AS pos, unnest(xq) AS c FROM seeds), " +
-        "a0 AS (SELECT vec_id, cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d " +
-        "FROM qd JOIN cd0 USING (pos) GROUP BY vec_id, cid), " +
-        "g0 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
-        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a0) WHERE rn = 1), " +
-        "u1 AS (SELECT cid, pos, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c " +
-        "FROM qd JOIN g0 USING (vec_id) GROUP BY cid, pos), " +
-        "cd1 AS (SELECT cd0.cid, cd0.pos, COALESCE(u1.c, cd0.c) AS c " +
-        "FROM cd0 LEFT JOIN u1 ON u1.cid = cd0.cid AND u1.pos = cd0.pos), " +
-        "a1 AS (SELECT vec_id, cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d " +
-        "FROM qd JOIN cd1 USING (pos) GROUP BY vec_id, cid), " +
-        "g1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
-        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a1) WHERE rn = 1), " +
-        "u2 AS (SELECT cid, pos, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c " +
-        "FROM qd JOIN g1 USING (vec_id) GROUP BY cid, pos), " +
-        "cd2 AS (SELECT cd1.cid, cd1.pos, COALESCE(u2.c, cd1.c) AS c " +
-        "FROM cd1 LEFT JOIN u2 ON u2.cid = cd1.cid AND u2.pos = cd1.pos), " +
-        "a2 AS (SELECT vec_id, cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d " +
-        "FROM qd JOIN cd2 USING (pos) GROUP BY vec_id, cid) " +
-        "SELECT vec_id, cid AS cluster, d AS dist2 FROM (SELECT vec_id, cid, d, " +
+    "p64_kmeans" -> (kmeansLloydA2Sql +
+      "SELECT vec_id, cid AS cluster, d AS dist2 FROM (SELECT vec_id, cid, d, " +
         "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a2) " +
         "WHERE rn = 1 ORDER BY vec_id"),
+    // the same 2-iteration Lloyd replay, then each cluster's 100
+    // centroid-proximal members (dist2 asc, id tie-break) — the
+    // diversity-sampling quota cut
+    "p102_cluster_sample" -> (kmeansLloydA2Sql +
+      ", asg AS (SELECT vec_id, cid, d FROM (SELECT vec_id, cid, d, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a2) WHERE rn = 1) " +
+        "SELECT vec_id, cid AS cluster, d AS dist2, CAST(rk AS INT) AS rk FROM " +
+        "(SELECT vec_id, cid, d, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d, vec_id) AS rk FROM asg) " +
+        "WHERE rk <= 100 ORDER BY cluster, rk"),
+    // gid bit semantics (GROUPING of the rollup columns) match Spark's
+    // grouping_id(); subtotal rows sort after data rows within each gid
+    // tier because the aggregated-out column is uniformly NULL there
+    "p103_rollup_profile" -> (
+      "SELECT CAST(GROUPING(source, lang) AS INT) AS gid, source, lang, " +
+        "COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY ROLLUP (source, lang) ORDER BY gid, source, lang"),
     // SemDeDup = the p64 Lloyd chain over the twin-planted corpus, then
     // within-cluster pairs on the proven round-4 cosine recipe; prune =
     // smallest in-cluster neighbor at tau=0.9. keep emitted as INT (the

@@ -87,4 +87,35 @@ class ClusteringSpec extends AnyFunSuite {
     assert(kept.contains(5L) && !kept.contains(6L) && !kept.contains(7L))
     out.filter(!_.getBoolean(2)).foreach(r => assert(r.getLong(3) == 5L))
   }
+
+  test("clusterQuotaSample: quota per cluster, centroid-proximal first") {
+    // two tight planted clusters around (0,0) and (100,100); quota 2
+    // must take the 2 CLOSEST members of each, ranked by exact dist2
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 2.0f)),
+      (4L, Array(3.0f, 0.0f)),
+      (10L, Array(100.0f, 100.0f)), (11L, Array(101.0f, 100.0f)),
+      (12L, Array(100.0f, 103.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.clusterQuotaSample(vecs, "vec_id", "embedding",
+        k = 2, iters = 2, quota = 2)
+      .orderBy("cluster", "rk").collect()
+      .map(r => (r.getLong(0), r.getInt(3)))
+    assert(out.length == 4)
+    val byCluster = out.grouped(2).toSeq
+    // each cluster contributes exactly rk 1, 2; the far members (4, 12)
+    // are cut; which planted group gets which cluster id is seed-defined
+    assert(byCluster.forall(g => g.map(_._2).toSeq == Seq(1, 2)))
+    val chosen = out.map(_._1).toSet
+    assert(!chosen.contains(4L) && !chosen.contains(12L))
+  }
+
+  test("clusterQuotaSample is reshuffle-stable (no RNG anywhere)") {
+    val base = graft.engine.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = Clustering.clusterQuotaSample(base, "vec_id", "embedding", k = 3, iters = 2, quota = 10)
+      .orderBy("cluster", "rk").collect().map(_.toSeq).toSeq
+    val b = Clustering.clusterQuotaSample(base.repartition(7), "vec_id", "embedding", k = 3, iters = 2, quota = 10)
+      .orderBy("cluster", "rk").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }

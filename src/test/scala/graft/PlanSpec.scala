@@ -183,6 +183,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("p102: quota cut gets a partial WindowGroupLimit below the exchange") {
+    val p = plan("p102_cluster_sample")
+    val firstLimit = p.indexOf("WindowGroupLimit")
+    assert(firstLimit >= 0, p)
+    // partial mode prunes map-side: a second WindowGroupLimit below the
+    // exchange (same contract as the p61 top-k pin)
+    assert(p.indexOf("WindowGroupLimit", firstLimit + 1) > firstLimit, p)
+  }
+
+  test("p103: ROLLUP is one scan — a single Expand feeding one aggregation pair") {
+    val p = plan("p103_rollup_profile")
+    assert("Expand".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Union"), p)
+  }
+
   test("no query plans a cartesian product except the declared broadcast NL scorers") {
     val allowNl = Set("q08_fuzzy_top1", "p01_hom_pipeline", "p07_ann_brute",
       "p18_hom_pipeline_intended")
