@@ -319,6 +319,54 @@ object EventsOps {
     * on the key, O(frame) state per row, engine-portable because lag /
     * row_number / CASE exist everywhere SQL does. Returns (tieCol,
     * keyCol, m, ewma_micro). */
+  /** Per-day active-user counts with a trailing-window distinct (DAU +
+    * WAU-style): for every day that has events, how many distinct users
+    * were active that day, and how many were active in the trailing
+    * `windowDays` (inclusive). COUNT DISTINCT over a sliding frame is
+    * the classic scale trap — windowed `count_distinct` doesn't exist,
+    * and a day×user self-join explodes. This uses the contribution-
+    * interval identity instead: a user's activity on day p covers days
+    * `[p, p + W − 1]` until their next active day — so each DISTINCT
+    * (user, day) pair expands to AT MOST W contribution rows (lead()
+    * caps the interval, preventing double counting), and the trailing
+    * distinct count is a plain SUM per day.
+    *
+    * Shape at 100 TB: one partial-agg distinct on (user, day) — the
+    * only corpus-sized shuffle; the lead() window rides the same hash
+    * partitioning (user key); the ≤W-fold expansion happens AFTER
+    * dedup, on the slim pair list; final groupBy(day) aggregates
+    * ≤W·|pairs| rows down to |days|. Days are integer epoch-days —
+    * exact everywhere. Only days with events are reported (a zero-event
+    * day inside someone's window is a calendar join away, kept out of
+    * the operator).
+    * Returns (day, dau, wau), ordered by nothing — callers sort. */
+  def rollingActiveUsers(
+      ev: DataFrame,
+      windowDays: Int = 7,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, s"rollingActiveUsers: need windowDays >= 1, got $windowDays")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("day"))
+    val pairs = ev
+      .select(col(userCol),
+        expr(s"(unix_micros(`$tsCol`) div 1000000) div 86400").as("day"))
+      .distinct()
+    val contrib = pairs
+      .withColumn("_nxt", lead(col("day"), 1).over(w))
+      .select(col(userCol),
+        explode(sequence(col("day"),
+          least(col("day") + lit(windowDays - 1),
+            coalesce(col("_nxt") - 1, col("day") + lit(windowDays - 1))))).as("_d"))
+    val wau = contrib.groupBy(col("_d").as("day"))
+      .agg(count(lit(1)).as("wau"))
+    val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+    // contribution days with no events (inside someone's trailing window
+    // only) drop out here — the report covers observed days exactly
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"))
+  }
+
   def ewmaSmooth(
       ev: DataFrame,
       frame: Int = 8,

@@ -332,6 +332,13 @@ object PipelineQueries {
       graft.ops.EventsOps.ewmaSmooth(Tables(s, dir, "events"), frame = 8)
         .orderBy("event_id")),
 
+    // Trailing-window distinct active users (DAU/WAU) via contribution
+    // intervals — each distinct (user, day) covers ≤7 days capped by the
+    // user's next activity, so the windowed distinct is a plain SUM.
+    "p104_active_users" -> ((s, dir) =>
+      graft.ops.EventsOps.rollingActiveUsers(Tables(s, dir, "events"), windowDays = 7)
+        .orderBy("day")),
+
     // Contamination span localization: a planted "benchmark" (the middle
     // 16 tokens of every 7th doc) is located back in the corpus as exact
     // 8-gram islands — token-coordinate spans ready for applySpanCuts.
@@ -2059,6 +2066,18 @@ object PipelineQueries {
           .mkString(" + ") +
         ") AS DOUBLE) / (CAST(power(2, m) AS BIGINT) - 1)) AS BIGINT) AS ewma_micro " +
         "FROM w ORDER BY event_id"),
+    // the contribution-interval identity: user's day p covers
+    // [p, p+6] capped at the next active day, so the trailing distinct
+    // count is a SUM — no windowed count_distinct, no day×user join
+    "p104_active_users" -> (
+      "WITH p AS (SELECT DISTINCT user_id, " +
+        "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) // 86400 AS day " +
+        "FROM events), " +
+        "n AS (SELECT user_id, day, lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt FROM p), " +
+        "c AS (SELECT user_id, unnest(generate_series(day, LEAST(day + 6, COALESCE(nxt - 1, day + 6)))) AS d FROM n), " +
+        "w AS (SELECT d AS day, COUNT(*) AS wau FROM c GROUP BY d), " +
+        "a AS (SELECT day, COUNT(*) AS dau FROM p GROUP BY day) " +
+        "SELECT a.day, a.dau, w.wau FROM a JOIN w USING (day) ORDER BY day"),
     // benchmark = middle-16-token slice of every 7th doc; hit positions
     // merge into maximal islands via the pos - ROW_NUMBER() trick
     // (adjacent hits share a group key); span_end exclusive, +n tokens

@@ -108,4 +108,15 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq.empty[(Long, Long, Long)].toDF("doc_id", "quality", "n_tokens"),
       budget = 100L).count() == 0)
   }
+
+  test("this round's additions on empty input") {
+    assert(CorpusOps.boilerplateLines(noDocs).count() == 0)
+    assert(TextAnalysis.dedupLinesWithin(noDocs).count() == 0)
+    assert(graft.ops.EventsOps.ewmaSmooth(noEvents).count() == 0)
+    // empty on EITHER side of the contamination probe
+    assert(CorpusOps.contaminationSpans(noDocs, noDocs).count() == 0)
+    val someDocs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    assert(CorpusOps.contaminationSpans(someDocs, noDocs).count() == 0)
+    assert(CorpusOps.contaminationSpans(noDocs, someDocs).count() == 0)
+  }
 }

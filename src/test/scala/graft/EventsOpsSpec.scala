@@ -177,6 +177,39 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(out(7L) == Some(9000000L))
   }
 
+  test("rollingActiveUsers: trailing distinct via contribution intervals") {
+    def ts(day: Long, off: Long = 3600L) = new java.sql.Timestamp((day * 86400L + off) * 1000L)
+    val ev = Seq(
+      // u1 active days 0, 2, 10 (two events day 0 — dedup must fold them)
+      (1L, 1L, ts(0)), (2L, 1L, ts(0, 7200L)), (3L, 1L, ts(2)), (4L, 1L, ts(10)),
+      // u2 active day 2 only
+      (5L, 2L, ts(2))
+    ).toDF("event_id", "user_id", "ts")
+    val out = EventsOps.rollingActiveUsers(ev, windowDays = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // day 2 window {0,1,2}: u1 (active 0 and 2) counted ONCE, u2 once;
+    // day 10 window {8,9,10}: only u1
+    assert(out.toSeq == Seq((0L, 1L, 1L), (2L, 2L, 2L), (10L, 1L, 1L)))
+  }
+
+  test("rollingActiveUsers matches a brute-force distinct per observed day") {
+    val ev = graft.engine.Tables(spark, "/root/testdata/sf0.001", "events")
+    val w = 7
+    val got = EventsOps.rollingActiveUsers(ev, windowDays = w)
+      .orderBy("day").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = ev.select(col("user_id"),
+        expr("(unix_micros(ts) div 1000000) div 86400").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = pairs.map(_._2).distinct.sorted
+    val want = days.map { d =>
+      val dau = pairs.count(_._2 == d).toLong
+      val wau = pairs.filter(p => p._2 > d - w && p._2 <= d).map(_._1).distinct.length.toLong
+      (d, dau, wau)
+    }
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("ewmaSmooth: hand-computed half-decay weights, growing frame") {
     val ev = Seq(
       (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1.0),
