@@ -1063,6 +1063,56 @@ object CorpusOps {
     merges.toSeq.toDF("rank", "lsym", "rsym", "cnt")
   }
 
+  /** APPLY a learned [[bpeMerges]] table: re-encode every document with
+    * the merge rules and report tokenizer-fit statistics — words,
+    * pre-merge symbols (chars), post-merge BPE tokens, and the
+    * chars-per-token compression ratio in exact micro-units (the
+    * standard "how well does this tokenizer fit this corpus" health
+    * metric; a domain shift shows up as a compression drop before it
+    * shows up in loss curves).
+    *
+    * The merge table is driver-sized by contract (≤16 learned rows
+    * here; a production 30k-merge table is still kilobytes), so each
+    * merge folds into the SAME engine-portable double-`replace` the
+    * trainer used — the whole encode is ONE static expression tree per
+    * row: map-only, codegen'd, zero shuffle at any corpus size. The
+    * alternative (encode the distinct-word table, join back) trades
+    * map-side recompute for two corpus shuffles — the right swap only
+    * when merges number in the tens of thousands; documented, not
+    * default. Docs without tokens emit nothing (mirrors [[oovRate]]).
+    *
+    * Returns (idCol, n_words, n_sym, n_bpe, compression_micro). */
+  def bpeEncodeStats(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(merges.nonEmpty && merges.length <= 64,
+      s"bpeEncodeStats: need 1..64 merges, got ${merges.length}")
+    def sentinel(t: Column): Column =
+      concat(lit(" "),
+        array_join(filter(split(t, ""), x => x =!= ""), " "), lit(" "))
+    def applied(t: Column): Column = merges.foldLeft(sentinel(t)) {
+      case (s, (l, r)) =>
+        val pat = lit(s" $l $r ")
+        val rep = lit(s" $l$r ")
+        replace(replace(s, pat, rep), pat, rep)
+    }
+    val nSym: Column => Column = t => size(filter(split(t, ""), x => x =!= ""))
+    val nBpe: Column => Column = t => size(split(trim(applied(t)), " "))
+    def summed(f: Column => Column): Column =
+      aggregate(transform(col("_toks"), f),
+        lit(0L), (acc, x) => acc + x.cast("long"))
+    docs
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("_toks"))
+      .where(size(col("_toks")) > 0)
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_words"),
+        summed(nSym).as("n_sym"),
+        summed(nBpe).as("n_bpe"))
+      .withColumn("compression_micro", expr("(n_sym * 1000000) div n_bpe"))
+  }
+
   /** Out-of-vocabulary rate per document against a fixed token budget:
     * the vocab is the top `vocabSize` corpus tokens (count desc, token
     * asc — total order), and each doc reports how much of its token

@@ -238,6 +238,18 @@ object PipelineQueries {
       graft.ops.CorpusOps.bpeMerges(Tables(s, dir, "documents"), nMerges = 3)
         .orderBy("rank")),
 
+    // Apply the learned merge table back to the corpus: per-doc BPE
+    // token counts + chars-per-token compression in micro-units. The
+    // 3-row merge table folds into a static replace chain — the encode
+    // itself is map-only.
+    "p105_bpe_encode" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val m = graft.ops.CorpusOps.bpeMerges(docs, nMerges = 3)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.CorpusOps.bpeEncodeStats(docs, m).orderBy("doc_id")
+    }),
+
     // Tokenizer-coverage health: per-doc out-of-vocabulary token mass
     // against the top-200 corpus vocab, rate in exact micro-units.
     "p94_oov_rate" -> ((s, dir) =>
@@ -1388,6 +1400,35 @@ object PipelineQueries {
       "a2 AS (SELECT vec_id, cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS d " +
       "FROM qd JOIN cd2 USING (pos) GROUP BY vec_id, cid) "
 
+  /** p93/p105's shared oracle prefix: 3 BPE merge-learning rounds over
+    * the corpus word table, ending at CTEs t1/t2/t3 (each round's
+    * winning (l, r, cnt)) with e0..e2 the per-round word encodings.
+    * The merge application inside each round is the same leftmost-
+    * non-overlapping double-`replace` the Scala trainer uses. Append a
+    * final SELECT directly, or lead with ", name AS (...)". */
+  private val bpeLearn3Sql: String =
+    "WITH w AS (SELECT w, COUNT(*) AS wc FROM (SELECT unnest(" +
+      "string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents) WHERE w <> '' GROUP BY w), " +
+      "e0 AS (SELECT w, wc, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS enc FROM w), " +
+      "s0 AS (SELECT w, wc, string_split(trim(enc), ' ') AS syms FROM e0), " +
+      "x0 AS (SELECT w, wc, CAST(generate_subscripts(syms, 1) AS INT) AS i, unnest(syms) AS s FROM s0), " +
+      "t1 AS (SELECT a.s AS l, b.s AS r, CAST(SUM(a.wc) AS BIGINT) AS cnt FROM x0 a JOIN x0 b " +
+      "ON b.w = a.w AND b.i = a.i + 1 GROUP BY a.s, b.s ORDER BY cnt DESC, l, r LIMIT 1), " +
+      "e1 AS (SELECT w, wc, replace(replace(enc, " +
+      "(SELECT ' ' || l || ' ' || r || ' ' FROM t1), (SELECT ' ' || l || r || ' ' FROM t1)), " +
+      "(SELECT ' ' || l || ' ' || r || ' ' FROM t1), (SELECT ' ' || l || r || ' ' FROM t1)) AS enc FROM e0), " +
+      "s1 AS (SELECT w, wc, string_split(trim(enc), ' ') AS syms FROM e1), " +
+      "x1 AS (SELECT w, wc, CAST(generate_subscripts(syms, 1) AS INT) AS i, unnest(syms) AS s FROM s1), " +
+      "t2 AS (SELECT a.s AS l, b.s AS r, CAST(SUM(a.wc) AS BIGINT) AS cnt FROM x1 a JOIN x1 b " +
+      "ON b.w = a.w AND b.i = a.i + 1 GROUP BY a.s, b.s ORDER BY cnt DESC, l, r LIMIT 1), " +
+      "e2 AS (SELECT w, wc, replace(replace(enc, " +
+      "(SELECT ' ' || l || ' ' || r || ' ' FROM t2), (SELECT ' ' || l || r || ' ' FROM t2)), " +
+      "(SELECT ' ' || l || ' ' || r || ' ' FROM t2), (SELECT ' ' || l || r || ' ' FROM t2)) AS enc FROM e1), " +
+      "s2 AS (SELECT w, wc, string_split(trim(enc), ' ') AS syms FROM e2), " +
+      "x2 AS (SELECT w, wc, CAST(generate_subscripts(syms, 1) AS INT) AS i, unnest(syms) AS s FROM s2), " +
+      "t3 AS (SELECT a.s AS l, b.s AS r, CAST(SUM(a.wc) AS BIGINT) AS cnt FROM x2 a JOIN x2 b " +
+      "ON b.w = a.w AND b.i = a.i + 1 GROUP BY a.s, b.s ORDER BY cnt DESC, l, r LIMIT 1) "
+
   private val bm25Sql: String = {
     val terms = Seq("hash", "join", "spark")
     def d(x: String) = s"CAST($x AS DOUBLE)"
@@ -1952,31 +1993,31 @@ object PipelineQueries {
     // Three unrolled BPE rounds: pair counts via positional self-join
     // per word, argmax by (cnt desc, l, r), two-pass sentinel replace —
     // the same engine-portable application rule as the Spark side.
-    "p93_bpe_merges" -> (
-      "WITH w AS (SELECT w, COUNT(*) AS wc FROM (SELECT unnest(" +
-        "string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents) WHERE w <> '' GROUP BY w), " +
-        "e0 AS (SELECT w, wc, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS enc FROM w), " +
-        "s0 AS (SELECT w, wc, string_split(trim(enc), ' ') AS syms FROM e0), " +
-        "x0 AS (SELECT w, wc, CAST(generate_subscripts(syms, 1) AS INT) AS i, unnest(syms) AS s FROM s0), " +
-        "t1 AS (SELECT a.s AS l, b.s AS r, CAST(SUM(a.wc) AS BIGINT) AS cnt FROM x0 a JOIN x0 b " +
-        "ON b.w = a.w AND b.i = a.i + 1 GROUP BY a.s, b.s ORDER BY cnt DESC, l, r LIMIT 1), " +
-        "e1 AS (SELECT w, wc, replace(replace(enc, " +
-        "(SELECT ' ' || l || ' ' || r || ' ' FROM t1), (SELECT ' ' || l || r || ' ' FROM t1)), " +
-        "(SELECT ' ' || l || ' ' || r || ' ' FROM t1), (SELECT ' ' || l || r || ' ' FROM t1)) AS enc FROM e0), " +
-        "s1 AS (SELECT w, wc, string_split(trim(enc), ' ') AS syms FROM e1), " +
-        "x1 AS (SELECT w, wc, CAST(generate_subscripts(syms, 1) AS INT) AS i, unnest(syms) AS s FROM s1), " +
-        "t2 AS (SELECT a.s AS l, b.s AS r, CAST(SUM(a.wc) AS BIGINT) AS cnt FROM x1 a JOIN x1 b " +
-        "ON b.w = a.w AND b.i = a.i + 1 GROUP BY a.s, b.s ORDER BY cnt DESC, l, r LIMIT 1), " +
-        "e2 AS (SELECT w, wc, replace(replace(enc, " +
-        "(SELECT ' ' || l || ' ' || r || ' ' FROM t2), (SELECT ' ' || l || r || ' ' FROM t2)), " +
-        "(SELECT ' ' || l || ' ' || r || ' ' FROM t2), (SELECT ' ' || l || r || ' ' FROM t2)) AS enc FROM e1), " +
-        "s2 AS (SELECT w, wc, string_split(trim(enc), ' ') AS syms FROM e2), " +
-        "x2 AS (SELECT w, wc, CAST(generate_subscripts(syms, 1) AS INT) AS i, unnest(syms) AS s FROM s2), " +
-        "t3 AS (SELECT a.s AS l, b.s AS r, CAST(SUM(a.wc) AS BIGINT) AS cnt FROM x2 a JOIN x2 b " +
-        "ON b.w = a.w AND b.i = a.i + 1 GROUP BY a.s, b.s ORDER BY cnt DESC, l, r LIMIT 1) " +
-        "SELECT 1 AS rank, l AS lsym, r AS rsym, cnt FROM t1 " +
+    "p93_bpe_merges" -> (bpeLearn3Sql +
+      "SELECT 1 AS rank, l AS lsym, r AS rsym, cnt FROM t1 " +
         "UNION ALL SELECT 2, l, r, cnt FROM t2 " +
         "UNION ALL SELECT 3, l, r, cnt FROM t3 ORDER BY rank"),
+    // re-learn the 3 merges (t1..t3), then re-encode every DOCUMENT
+    // token with the same double-replace per rank; compression =
+    // chars-per-BPE-token in exact micro-units
+    "p105_bpe_encode" -> (bpeLearn3Sql +
+      ", dt AS (SELECT doc_id, t FROM (SELECT doc_id, unnest(" +
+        "string_split_regex(trim(lower(text)), '\\s+')) AS t FROM documents) WHERE t <> ''), " +
+        "b0 AS (SELECT doc_id, CAST(len(string_split(t, '')) AS BIGINT) AS nsym, " +
+        "' ' || array_to_string(string_split(t, ''), ' ') || ' ' AS enc FROM dt), " +
+        "b1 AS (SELECT doc_id, nsym, replace(replace(enc, " +
+        "(SELECT ' ' || l || ' ' || r || ' ' FROM t1), (SELECT ' ' || l || r || ' ' FROM t1)), " +
+        "(SELECT ' ' || l || ' ' || r || ' ' FROM t1), (SELECT ' ' || l || r || ' ' FROM t1)) AS enc FROM b0), " +
+        "b2 AS (SELECT doc_id, nsym, replace(replace(enc, " +
+        "(SELECT ' ' || l || ' ' || r || ' ' FROM t2), (SELECT ' ' || l || r || ' ' FROM t2)), " +
+        "(SELECT ' ' || l || ' ' || r || ' ' FROM t2), (SELECT ' ' || l || r || ' ' FROM t2)) AS enc FROM b1), " +
+        "b3 AS (SELECT doc_id, nsym, replace(replace(enc, " +
+        "(SELECT ' ' || l || ' ' || r || ' ' FROM t3), (SELECT ' ' || l || r || ' ' FROM t3)), " +
+        "(SELECT ' ' || l || ' ' || r || ' ' FROM t3), (SELECT ' ' || l || r || ' ' FROM t3)) AS enc FROM b2) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(nsym) AS BIGINT) AS n_sym, " +
+        "CAST(SUM(len(string_split(trim(enc), ' '))) AS BIGINT) AS n_bpe, " +
+        "CAST((SUM(nsym) * 1000000) // SUM(len(string_split(trim(enc), ' '))) AS BIGINT) AS compression_micro " +
+        "FROM b3 GROUP BY doc_id ORDER BY doc_id"),
     // vocab = top-200 by (count desc, token asc); per-doc OOV mass via
     // a left join against it; rate = (n_oov * 1e6) // n_tokens.
     "p94_oov_rate" -> (

@@ -609,6 +609,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == Seq((1, "a", "b", 6L), (2, "ab", "ab", 4L)))
   }
 
+  test("bpeEncodeStats: learned merges applied back, hand-computed compression") {
+    // Sennrich corpus merges: (l,o), (lo,w), (e,r).
+    // "low" -> "low" after (l,o)+(lo,w): 1 token from 3 chars
+    // "lower" -> "low e r" -> (e,r) -> "low er": 2 tokens from 5 chars
+    // "newest" -> "n e w e s t": only (e,r)? no "e r" adjacency -> 6
+    val docs = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val out = CorpusOps.bpeEncodeStats(docs, merges).collect()(0)
+    // n_words 6; n_sym = 3*3 + 5*2 + 6 = 25; n_bpe = 1*3 + 2*2 + 6 = 13
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) == ((6L, 25L, 13L)))
+    assert(out.getLong(4) == 25L * 1000000L / 13L)
+  }
+
+  test("bpeEncodeStats is map-only once the merge table is in hand") {
+    val docs = graft.engine.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val p = CorpusOps.bpeEncodeStats(docs, Seq(("e", "r")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("textrankKeywords: hand-computed two-iteration scores on a tiny graph") {
     // "a b a b c": edges a<->b (cnt 3 each way), b<->c (cnt 1);
     // wdeg a=3 b=4 c=1. Two exact integral-damped rounds give
