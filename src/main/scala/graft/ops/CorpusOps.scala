@@ -1186,6 +1186,36 @@ object CorpusOps {
       .select(col(idCol), col(qualityCol), col(tokensCol), col("cum_tokens"))
   }
 
+  /** Per-group percentile-rank calibration in exact micro-units: maps a
+    * score to its within-group rank position `((rk−1)·10⁶) div (n−1)`
+    * (0 = group minimum, 10⁶ = maximum; singleton groups pin 0). The
+    * data-mixing normalizer: raw quality scores are NOT comparable
+    * across sources (each source has its own score distribution), so a
+    * single global cutoff over- or under-prunes whole sources —
+    * calibrating to per-source percentiles first makes "keep the top
+    * 30%" mean the same thing everywhere. Integer `div` end to end —
+    * no float percent_rank wobble in gates or reruns; ties break by id
+    * (total order, reshuffle-stable).
+    *
+    * Shape: ONE hash shuffle on the group; rank and group count ride
+    * the same window partitioning. Returns the input columns plus
+    * `pct_micro`. */
+  def groupPercentileRank(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("pct_micro",
+        when(col("_n") === 1, 0L)
+          .otherwise(expr("((_rk - 1) * CAST(1000000 AS BIGINT)) div (_n - 1)")))
+      .drop("_rk", "_n")
+  }
+
   /** Cross-document boilerplate LINE removal (the RefinedWeb/CCNet
     * corpus-frequency rule): a trimmed line appearing in at least
     * `minDocFreq` DISTINCT documents is template text — nav bars,

@@ -344,6 +344,21 @@ object PipelineQueries {
       graft.ops.EventsOps.ewmaSmooth(Tables(s, dir, "events"), frame = 8)
         .orderBy("event_id")),
 
+    // Per-source quality calibration: lexical-diversity quality (the
+    // p97 measure) mapped to its within-source percentile rank in
+    // integer micro-units — the cross-source-comparable cutoff scale.
+    "p106_quality_calibrate" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.ops.TextAnalysis.tokens(col("text")).as("_toks"))
+        .where(size(col("_toks")) > 0)
+        .select(col("doc_id"), col("source"),
+          expr("(CAST(size(array_distinct(_toks)) AS BIGINT) * 1000000) div size(_toks)")
+            .as("quality"))
+      graft.ops.CorpusOps.groupPercentileRank(base, "source", "quality")
+        .orderBy("doc_id")
+    }),
+
     // Trailing-window distinct active users (DAU/WAU) via contribution
     // intervals — each distinct (user, day) covers ≤7 days capped by the
     // user's next activity, so the windowed distinct is a plain SUM.
@@ -2107,6 +2122,18 @@ object PipelineQueries {
           .mkString(" + ") +
         ") AS DOUBLE) / (CAST(power(2, m) AS BIGINT) - 1)) AS BIGINT) AS ewma_micro " +
         "FROM w ORDER BY event_id"),
+    // integer percentile rank ((rk-1)*1e6)//(n-1), ties by doc_id
+    "p106_quality_calibrate" -> (
+      "WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents " +
+        "WHERE length(trim(text)) > 0), " +
+        "q AS (SELECT doc_id, source, " +
+        "(CAST(len(list_distinct(toks)) AS BIGINT) * 1000000) // len(toks) AS quality FROM t), " +
+        "r AS (SELECT doc_id, source, quality, " +
+        "ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rk, " +
+        "COUNT(*) OVER (PARTITION BY source) AS n FROM q) " +
+        "SELECT doc_id, source, quality, " +
+        "CASE WHEN n = 1 THEN 0 ELSE ((rk - 1) * CAST(1000000 AS BIGINT)) // (n - 1) END AS pct_micro " +
+        "FROM r ORDER BY doc_id"),
     // the contribution-interval identity: user's day p covers
     // [p, p+6] capped at the next active day, so the trailing distinct
     // count is a SUM — no windowed count_distinct, no day×user join

@@ -609,6 +609,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == Seq((1, "a", "b", 6L), (2, "ab", "ab", 4L)))
   }
 
+  test("groupPercentileRank: integer percentile per group, singleton pins 0") {
+    val d = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "b", 99L)
+    ).toDF("doc_id", "source", "quality")
+    val out = CorpusOps.groupPercentileRank(d, "source", "quality")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // group a (n=4): order 10(1) < 20(3) < 30(id 2) < 30(id 4) →
+    // rk 1..4 → pct 0, 333333, 666666, 1000000; ties split by doc_id
+    assert(out(1L) == 0L)
+    assert(out(3L) == 333333L)
+    assert(out(2L) == 666666L)
+    assert(out(4L) == 1000000L)
+    assert(out(5L) == 0L) // singleton group
+  }
+
+  test("groupPercentileRank is reshuffle-stable") {
+    val d = docs.select(col("doc_id"), col("source"), col("n_chars").as("quality"))
+    val a = CorpusOps.groupPercentileRank(d, "source", "quality")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = CorpusOps.groupPercentileRank(d.repartition(11), "source", "quality")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("bpeEncodeStats: learned merges applied back, hand-computed compression") {
     // Sennrich corpus merges: (l,o), (lo,w), (e,r).
     // "low" -> "low" after (l,o)+(lo,w): 1 token from 3 chars
