@@ -22,6 +22,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parquet TIMESTAMP(isAdjustedToUTC=false) loads as TIMESTAMP_LTZ
+      // (wall clock = session UTC ⇒ same epoch micros DuckDB sees), not
+      // TIMESTAMP_NTZ — unix_micros & friends require LTZ, and every
+      // oracle compares epoch values under UTC
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
@@ -38,6 +43,7 @@ object GraftSession {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     graft.functions.GraftOptimizations.install(spark)
     spark
   }
@@ -61,14 +67,40 @@ object Tables {
       org.apache.spark.sql.functions.expr(
         s"(`$nanosCol` div 1000) - (CASE WHEN `$nanosCol` < 0 AND `$nanosCol` % 1000 != 0 THEN 1 ELSE 0 END)"))
 
+  /** Normalize an events-shaped frame's `ts` to TIMESTAMP_LTZ whatever
+    * the parquet encoding was: legacy nanos-long → micros timestamp,
+    * TIMESTAMP_NTZ → LTZ cast (wall clock = session UTC, identical
+    * epoch micros), already-LTZ → untouched. Works on streaming
+    * DataFrames too (pure column expressions). */
+  def normalizeEventsTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(tsCol, nanosToTimestampMicros(tsCol))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol,
+          df(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as a long
     // (spark.sql.legacy.parquet.nanosAsLong); surface it as a proper
     // microsecond timestamp so date/window functions apply.
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", nanosToTimestampMicros("ts"))
-    else df
+    val tsFixed =
+      if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", nanosToTimestampMicros("ts"))
+      else df
+    // Defensive: if this session was created without our parquet confs
+    // (inferTimestampNTZ left on), naive parquet timestamps arrive as
+    // TIMESTAMP_NTZ — cast to LTZ (wall clock = session UTC, identical
+    // epoch micros) so unix_micros/window paths behave the same.
+    tsFixed.schema.fields.foldLeft(tsFixed) { (d, f) =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        d.withColumn(f.name,
+          d(f.name).cast(org.apache.spark.sql.types.TimestampType))
+      else d
+    }
   }
 
   /** Register every table as a temp view named after the file. */

@@ -26,9 +26,9 @@ class EventsStreamSpec extends AnyFunSuite {
     val expected = EventsStream.tumblingCounts(batchEvents)
       .orderBy("w_start", "event_type").collect()
 
-    // stream the same parquet through readStream with a watermark; the
-    // ts column arrives as nanos-long (same legacy read), converted in
-    // the same way as Tables does.
+    // stream the same parquet through readStream with a watermark; ts is
+    // normalized to TIMESTAMP_LTZ exactly as the batch Tables loader
+    // does, whatever the parquet encoding (nanos-long / NTZ / LTZ).
     // readStream needs a directory source; stage the single parquet file
     val stage = java.nio.file.Files.createTempDirectory("events_stream")
     java.nio.file.Files.copy(
@@ -36,9 +36,7 @@ class EventsStreamSpec extends AnyFunSuite {
       stage.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val streamRaw = spark.readStream.schema(schema).parquet(stage.toString)
-    val stream = streamRaw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val stream = Tables.normalizeEventsTs(streamRaw)
     val q = EventsStream.streamingTumbling(stream, watermark = "10 minutes")
       .writeStream.outputMode("append").format("memory").queryName("agg_out")
       .trigger(Trigger.AvailableNow()).start()
@@ -67,9 +65,7 @@ class EventsStreamSpec extends AnyFunSuite {
       stage.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      .transform(Tables.normalizeEventsTs(_))
     val q = EventsStream.slidingCounts(stream.withWatermark("ts", "10 minutes"))
       .writeStream.outputMode("append").format("memory").queryName("slide_out")
       .trigger(Trigger.AvailableNow()).start()
@@ -199,9 +195,7 @@ class EventsStreamSpec extends AnyFunSuite {
       stage.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      .transform(Tables.normalizeEventsTs(_))
     val q = EventsStream.streamingDedup(stream)
       .writeStream.outputMode("append").format("memory").queryName("dedup_out")
       .trigger(Trigger.AvailableNow()).start()
@@ -254,9 +248,7 @@ class EventsStreamSpec extends AnyFunSuite {
       stage.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      .transform(Tables.normalizeEventsTs(_))
     val q = EventsStream.sessionize(stream.withWatermark("ts", "1 hour"))
       .writeStream.outputMode("append").format("memory").queryName("sess_out")
       .trigger(Trigger.AvailableNow()).start()
@@ -305,7 +297,7 @@ class EventsStreamSpec extends AnyFunSuite {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def streamSide(tpe: String, tsName: String, idName: String) = spark.readStream
       .schema(schema).parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventsTs(_))
       .where(col("event_type") === tpe)
       .select(col("user_id"), col("ts").as(tsName), col("event_id").as(idName))
       // both sides watermarked: with the range predicate this is what
