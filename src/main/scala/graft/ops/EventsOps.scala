@@ -398,4 +398,101 @@ object EventsOps {
             floor(col("_num").cast("double") / col("_den").cast("double")).cast("long"))
           .as("ewma_micro"))
   }
+
+  /** Per-key UNION length of TTL intervals — each event opens the
+    * interval `[t, t+ttl)` in epoch seconds and overlaps must not
+    * double-count (true "active seconds" per user under a session TTL,
+    * versus [[rollingActiveUsers]]' distinct-user counting and
+    * sessionize's gap-splitting).
+    *
+    * Classic sweep-line, but expressed as ONE window + ONE aggregate on
+    * the same key (the exchange is reused — a single shuffle end to
+    * end): with events sorted by t, each row's novel contribution is
+    * `max(0, (t+ttl) − max(pmax, t))` where `pmax` is the running max
+    * end over all STRICTLY EARLIER rows; summing contributions gives the
+    * union length exactly. Duplicate timestamps need no pre-dedup: among
+    * tied rows one contributes and the rest see `pmax ≥ t+ttl` → 0, and
+    * the SUM is invariant to which engine breaks the tie — only
+    * aggregated outputs are exposed, so the result is deterministic
+    * cross-engine even though per-row contributions are not.
+    *
+    * All arithmetic is integer seconds (BIGINT) — no float boundary.
+    * At 100 TB: parallelism = #keys, per-row frame update O(1), and no
+    * interval explosion (contrast the generate_series contribution
+    * trick, which is bounded by windowDays — this one is O(n) for any
+    * ttl).
+    *
+    * Returns (keyCol, n_events, covered_seconds, span_seconds). */
+  /** Per-key least-squares trend (drift detection over a metric stream):
+    * OLS slope of `value` against time, INTEGER-EXACT cross-engine.
+    *
+    * `slope = (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²)` over t = epoch seconds
+    * and y = micro-units. Numerator and denominator are computed in
+    * DECIMAL(38,0) (DuckDB: HUGEINT) — integer arithmetic has no
+    * catastrophic cancellation, so no mean-centering pass is needed and
+    * the whole op is ONE aggregate, one shuffle, no window. Magnitude
+    * envelope (documented, raise-free): |n·Σty| ≤ 1e30 at 1e7 rows/key
+    * with |y| ≤ 1e9 micro — far inside both engines' 38-digit integers.
+    *
+    * The reported slope is micro-units PER DAY, reduced by integral
+    * division forced to truncate TOWARD ZERO on both engines (Spark
+    * `div` truncates; DuckDB `//` floors — so both sides divide
+    * non-negative magnitudes and re-sign, making the results
+    * bit-identical for negative slopes too). Keys whose denominator is
+    * zero (single sample or all samples in one second) report NULL.
+    *
+    * Returns (keyCol, n, t_span_seconds, slope_day_micro). */
+  def groupTrend(
+      ev: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val d = DecimalType(38, 0)
+    val base = ev.where(col(valueCol).isNotNull)
+      .select(col(keyCol),
+        expr(s"unix_micros(`$tsCol`) div 1000000").as("_t"),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_y"))
+    val agg = base.groupBy(keyCol).agg(
+      count(lit(1)).as("n"),
+      (max(col("_t")) - min(col("_t"))).as("t_span_seconds"),
+      sum(col("_t").cast(DecimalType(12, 0))).cast(d).as("_st"),
+      sum(col("_y").cast(DecimalType(20, 0))).cast(d).as("_sy"),
+      sum(col("_t").cast(DecimalType(12, 0)) * col("_y").cast(DecimalType(20, 0)))
+        .cast(d).as("_sty"),
+      sum(col("_t").cast(DecimalType(12, 0)) * col("_t").cast(DecimalType(12, 0)))
+        .cast(d).as("_stt"))
+    val n = col("n").cast(DecimalType(10, 0))
+    val num = n * col("_sty") - col("_st") * col("_sy")
+    val den = n * col("_stt") - col("_st") * col("_st")
+    agg.select(col(keyCol), col("n"), col("t_span_seconds"),
+        num.as("_num"), den.as("_den"),
+        (abs(num) * lit(86400).cast(DecimalType(6, 0))).as("_numday"))
+      .selectExpr(s"`$keyCol`", "n", "t_span_seconds",
+        "CASE WHEN _den = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(CASE WHEN _num >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+          "CAST(_numday div _den AS BIGINT) END AS slope_day_micro")
+  }
+
+  def intervalCoverage(
+      ev: DataFrame,
+      ttlSeconds: Long = 300L,
+      keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(ttlSeconds > 0, s"intervalCoverage: need ttlSeconds > 0, got $ttlSeconds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ev.select(col(keyCol),
+        expr(s"unix_micros(`$tsCol`) div 1000000").as("_t"))
+      .withColumn("_pmax", max(col("_t") + lit(ttlSeconds)).over(w))
+      .withColumn("_add",
+        when(col("_pmax").isNull, lit(ttlSeconds))
+          .otherwise(greatest(lit(0L),
+            col("_t") + lit(ttlSeconds) - greatest(col("_pmax"), col("_t")))))
+      .groupBy(keyCol)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("_add")).as("covered_seconds"),
+        (max(col("_t")) + lit(ttlSeconds) - min(col("_t"))).as("span_seconds"))
+  }
 }

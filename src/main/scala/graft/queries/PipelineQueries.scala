@@ -366,6 +366,20 @@ object PipelineQueries {
       graft.ops.EventsOps.rollingActiveUsers(Tables(s, dir, "events"), windowDays = 7)
         .orderBy("day")),
 
+    // Per-user union length of 300-second TTL intervals (true "active
+    // seconds" — overlaps never double-count): sweep-line as one window
+    // + one reused-exchange aggregate, integer seconds throughout.
+    "p107_interval_union" -> ((s, dir) =>
+      graft.ops.EventsOps.intervalCoverage(Tables(s, dir, "events"), ttlSeconds = 300L)
+        .orderBy("user_id")),
+
+    // Per-user OLS value-drift slope in micro-units/day — numerator and
+    // denominator exact DECIMAL(38,0)/HUGEINT integers (no centering
+    // pass needed), truncation-toward-zero forced on both engines.
+    "p108_group_trend" -> ((s, dir) =>
+      graft.ops.EventsOps.groupTrend(Tables(s, dir, "events"))
+        .orderBy("user_id")),
+
     // Contamination span localization: a planted "benchmark" (the middle
     // 16 tokens of every 7th doc) is located back in the corpus as exact
     // 8-gram islands — token-coordinate spans ready for applySpanCuts.
@@ -2146,6 +2160,45 @@ object PipelineQueries {
         "w AS (SELECT d AS day, COUNT(*) AS wau FROM c GROUP BY d), " +
         "a AS (SELECT day, COUNT(*) AS dau FROM p GROUP BY day) " +
         "SELECT a.day, a.dau, w.wau FROM a JOIN w USING (day) ORDER BY day"),
+    // sweep-line union length: per-row novel contribution vs the running
+    // max end over STRICTLY earlier rows; tie order between equal
+    // timestamps shifts which row contributes but never the SUM, so the
+    // aggregated output is engine-independent
+    "p107_interval_union" -> (
+      "WITH q AS (SELECT user_id, " +
+        "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) AS t " +
+        "FROM events), " +
+        "w AS (SELECT user_id, t, MAX(t + 300) OVER " +
+        "(PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax " +
+        "FROM q) " +
+        "SELECT user_id, COUNT(*) AS n_events, " +
+        "CAST(SUM(CASE WHEN pmax IS NULL THEN 300 " +
+        "ELSE GREATEST(0, t + 300 - GREATEST(pmax, t)) END) AS BIGINT) AS covered_seconds, " +
+        "MAX(t) + 300 - MIN(t) AS span_seconds " +
+        "FROM w GROUP BY user_id ORDER BY user_id"),
+    // OLS slope per key: num/den in HUGEINT (Spark: DECIMAL(38,0)),
+    // |num·86400| // den divides non-negative magnitudes then re-signs —
+    // DuckDB // floors while Spark div truncates, identical only on
+    // non-negative operands
+    "p108_group_trend" -> (
+      "WITH q AS (SELECT user_id, " +
+        "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) AS t, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS y " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "a AS (SELECT user_id, COUNT(*) AS n, MAX(t) - MIN(t) AS t_span_seconds, " +
+        "CAST(SUM(CAST(t AS HUGEINT)) AS HUGEINT) AS st, " +
+        "CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy, " +
+        "CAST(SUM(CAST(t AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sty, " +
+        "CAST(SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS HUGEINT) AS stt " +
+        "FROM q GROUP BY user_id), " +
+        "b AS (SELECT user_id, n, t_span_seconds, " +
+        "CAST(n AS HUGEINT) * sty - st * sy AS num, " +
+        "CAST(n AS HUGEINT) * stt - st * st AS den FROM a) " +
+        "SELECT user_id, n, t_span_seconds, " +
+        "CASE WHEN den = 0 THEN CAST(NULL AS BIGINT) " +
+        "ELSE CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        "CAST((abs(num) * 86400) // den AS BIGINT) END AS slope_day_micro " +
+        "FROM b ORDER BY user_id"),
     // benchmark = middle-16-token slice of every 7th doc; hit positions
     // merge into maximal islands via the pos - ROW_NUMBER() trick
     // (adjacent hits share a group key); span_end exclusive, +n tokens

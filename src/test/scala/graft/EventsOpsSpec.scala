@@ -266,4 +266,63 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(out(2L) == 333333L)
     assert(out(5L) == 2000000L)
   }
+
+  test("intervalCoverage: hand-computed union of overlapping TTL intervals") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: [0,10) ∪ [5,15) ∪ [30,40)  → 15 + 10 = 25 covered, span 40
+    // user 2: duplicate timestamps [7,17)×3 → 10 covered, 3 events
+    // user 3: chain [0,10) ∪ [10,20) touching, no gap → 20 covered
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(5)), (1L, ts(30)),
+      (2L, ts(7)), (2L, ts(7)), (2L, ts(7)),
+      (3L, ts(0)), (3L, ts(10))
+    ).toDF("user_id", "ts")
+    val out = EventsOps.intervalCoverage(ev, ttlSeconds = 10L)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 25L, 40L),
+      (2L, 3L, 10L, 10L),
+      (3L, 2L, 20L, 20L)))
+  }
+
+  test("groupTrend: exact slopes, toward-zero truncation, zero-variance NULL") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, ts(0), Some(0.0)), (1L, ts(86400), Some(1.0)),     // +1e6 µ/day exact
+      (2L, ts(0), Some(1.0)), (2L, ts(86400), Some(0.0)),     // −1e6 µ/day exact
+      (3L, ts(0), Some(0.0)), (3L, ts(7), Some(0.000001)),    // 86400/7 → trunc 12342
+      (4L, ts(0), Some(0.000001)), (4L, ts(7), Some(0.0)),    // negative trunc toward 0
+      (5L, ts(5), Some(1.0)), (5L, ts(5), Some(2.0)),         // den = 0 → NULL
+      (6L, ts(9), Some(3.0)),                                  // single point → NULL
+      (7L, ts(0), Some(1.0)), (7L, ts(10), None), (7L, ts(20), Some(1.0)) // nulls skipped
+    ).map { case (u, t, v) => (u, t, v.map(Double.box).orNull) }
+      .toDF("user_id", "ts", "value")
+    val out = EventsOps.groupTrend(ev).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.toSeq == Seq(
+      (1L, 2L, Some(1000000L)),
+      (2L, 2L, Some(-1000000L)),
+      (3L, 2L, Some(12342L)),
+      (4L, 2L, Some(-12342L)),
+      (5L, 2L, None),
+      (6L, 1L, None),
+      (7L, 2L, Some(0L))))
+  }
+
+  test("intervalCoverage invariants vs a brute-force second-set union") {
+    val rnd = new scala.util.Random(7)
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rows = Seq.fill(300)((rnd.nextInt(4).toLong + 1, ts(rnd.nextInt(500).toLong)))
+    val ttl = 17L
+    val got = EventsOps.intervalCoverage(rows.toDF("user_id", "ts"), ttlSeconds = ttl)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = rows.groupBy(_._1).map { case (u, rs) =>
+      val starts = rs.map(_._2.getTime / 1000L)
+      val covered = starts.flatMap(t => t until t + ttl).toSet.size.toLong
+      u -> (rs.size.toLong, covered, starts.max + ttl - starts.min)
+    }
+    assert(got == want)
+  }
 }
