@@ -423,6 +423,57 @@ object EventsOps {
     * ttl).
     *
     * Returns (keyCol, n_events, covered_seconds, span_seconds). */
+  /** Per-group ROBUST outliers via median absolute deviation — the
+    * heavy-tail-safe sibling of [[valueOutliers]] (whose mean/σ test a
+    * single extreme value can mask). Flags rows with
+    * `|v − median| > k · MAD` in integer micro-units.
+    *
+    * Both medians are the LOWER median — the value at rank
+    * `(n+1) div 2` of the (v, id)-sorted group — selected by rank, not
+    * averaged, so the statistic is an integer an engine either matches
+    * exactly or not at all (no even-count interpolation hazard). Rank
+    * ties share a value, so the SELECTED VALUE is order-independent.
+    * `MAD = 0` (over half the group at the median) degenerates to
+    * flagging every `dev > 0` row — the standard modified-z caveat,
+    * kept deterministic rather than special-cased.
+    *
+    * Shape: two window passes + a small per-group join, all on the
+    * group key (one shuffle, exchange reused). Parallelism = #groups —
+    * like winsorize, for few massive groups at 100 TB swap the exact
+    * rank selection for percentile_approx and keep the flag rule.
+    *
+    * Returns flagged rows (idCol, groupCol, v_micro, med, mad, dev). */
+  def madOutliers(
+      ev: DataFrame,
+      groupCol: String = "event_type",
+      idCol: String = "event_id",
+      valueCol: String = "value",
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"madOutliers: need k >= 1, got $k")
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    def lowerMedian(df: DataFrame, vc: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col(vc), col("id"))
+      df.select(col("g"), col(vc),
+          row_number().over(w).as("_rn"), count(lit(1)).over(byG).as("_n"))
+        .where(col("_rn") === expr("(_n + 1) div 2"))
+        .select(col("g"), col(vc).as("_m"))
+    }
+    val rows = ev.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(idCol).as("id"),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("v"))
+    val med = lowerMedian(rows, "v").withColumnRenamed("_m", "med")
+    val withDev = rows.join(med, Seq("g"))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = lowerMedian(
+      withDev.select(col("g"), col("id"), col("dev")), "dev")
+      .withColumnRenamed("_m", "mad")
+    withDev.join(mad, Seq("g"))
+      .where(col("dev") > lit(k.toLong) * col("mad"))
+      .select(col("id").as(idCol), col("g").as(groupCol),
+        col("v").as("v_micro"), col("med"), col("mad"), col("dev"))
+  }
+
   /** Per-key least-squares trend (drift detection over a metric stream):
     * OLS slope of `value` against time, INTEGER-EXACT cross-engine.
     *

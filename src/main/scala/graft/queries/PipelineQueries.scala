@@ -380,6 +380,13 @@ object PipelineQueries {
       graft.ops.EventsOps.groupTrend(Tables(s, dir, "events"))
         .orderBy("user_id")),
 
+    // Robust per-group outliers: |v − median| > 3·MAD in integer
+    // micro-units, both medians rank-selected (lower median) so the
+    // statistic is an exact integer on any engine.
+    "p109_mad_outliers" -> ((s, dir) =>
+      graft.ops.EventsOps.madOutliers(Tables(s, dir, "events"), k = 3)
+        .orderBy("event_id")),
+
     // Contamination span localization: a planted "benchmark" (the middle
     // 16 tokens of every 7th doc) is located back in the corpus as exact
     // 8-gram islands — token-coordinate spans ready for applySpanCuts.
@@ -2199,6 +2206,23 @@ object PipelineQueries {
         "ELSE CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
         "CAST((abs(num) * 86400) // den AS BIGINT) END AS slope_day_micro " +
         "FROM b ORDER BY user_id"),
+    // lower median by rank ((n+1)//2 of the (v,id)-sorted group) for
+    // both the median and the MAD — integer-exact, no even-count
+    // interpolation; flag rule dev > 3*mad
+    "p109_mad_outliers" -> (
+      "WITH q AS (SELECT event_id AS id, event_type AS g, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "r AS (SELECT g, v, id, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY g) AS n FROM q), " +
+        "m AS (SELECT g, v AS med FROM r WHERE rn = (n + 1) // 2), " +
+        "d AS (SELECT q.id, q.g, q.v, m.med, abs(q.v - m.med) AS dev FROM q JOIN m USING (g)), " +
+        "r2 AS (SELECT g, dev, id, ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev, id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY g) AS n FROM d), " +
+        "m2 AS (SELECT g, dev AS mad FROM r2 WHERE rn = (n + 1) // 2) " +
+        "SELECT d.id AS event_id, d.g AS event_type, d.v AS v_micro, " +
+        "d.med, m2.mad, d.dev " +
+        "FROM d JOIN m2 USING (g) WHERE d.dev > 3 * m2.mad ORDER BY event_id"),
     // benchmark = middle-16-token slice of every 7th doc; hit positions
     // merge into maximal islands via the pos - ROW_NUMBER() trick
     // (adjacent hits share a group key); span_end exclusive, +n tokens

@@ -311,6 +311,24 @@ class EventsOpsSpec extends AnyFunSuite {
       (7L, 2L, Some(0L))))
   }
 
+  test("madOutliers: hand-computed medians, MAD=0 degenerate, robust flag") {
+    // "a": [10,12,14,16,100] → med 14, devs [4,2,0,2,86], MAD 2 → only
+    //   100 flagged (dev 86 > 6); the mean/σ test would be dragged by 100
+    // "b": 1..7 → med 4, MAD 2 → nothing beats dev > 6
+    // "c": [1,1,1,1,10] → MAD 0 degenerate → the 10 flagged (dev > 0)
+    val rows =
+      Seq(("a", 1L, 10.0), ("a", 2L, 12.0), ("a", 3L, 14.0), ("a", 4L, 16.0), ("a", 5L, 100.0)) ++
+        (1 to 7).map(i => ("b", 10L + i, i.toDouble)) ++
+        Seq(("c", 21L, 1.0), ("c", 22L, 1.0), ("c", 23L, 1.0), ("c", 24L, 1.0), ("c", 25L, 10.0))
+    val out = EventsOps.madOutliers(
+        rows.toDF("event_type", "event_id", "value"), k = 3)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (5L, "a", 100000000L, 14000000L, 2000000L),
+      (25L, "c", 10000000L, 1000000L, 0L)))
+  }
+
   test("intervalCoverage invariants vs a brute-force second-set union") {
     val rnd = new scala.util.Random(7)
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
