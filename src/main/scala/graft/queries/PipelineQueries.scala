@@ -387,6 +387,23 @@ object PipelineQueries {
       graft.ops.EventsOps.madOutliers(Tables(s, dir, "events"), k = 3)
         .orderBy("event_id")),
 
+    // Nearest-in-time join (either direction, equidistant tie → the
+    // earlier row): purchases aligned to their closest click per user.
+    // Both directional passes ride one shuffle (reused exchange).
+    "p110_asof_nearest" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+      graft.ops.AsofJoin.asofNearest(purchases, clicks,
+          byCols = Seq("user_id"), tsCol = "ts", payloadCols = Seq("click_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          col("near_click_value"), col("near_dt_us"), col("near_dir"))
+        .orderBy("event_id")
+    }),
+
     // Contamination span localization: a planted "benchmark" (the middle
     // 16 tokens of every 7th doc) is located back in the corpus as exact
     // 8-gram islands — token-coordinate spans ready for applySpanCuts.
@@ -2223,6 +2240,32 @@ object PipelineQueries {
         "SELECT d.id AS event_id, d.g AS event_type, d.v AS v_micro, " +
         "d.med, m2.mad, d.dev " +
         "FROM d JOIN m2 USING (g) WHERE d.dev > 3 * m2.mad ORDER BY event_id"),
+    // union-window nearest: ascending pass carries the last click
+    // at-or-before, descending pass the first at-or-after (ROWS frames,
+    // side-ordered so clicks sort before purchases at equal ts on both
+    // passes); equidistant tie chooses backward
+    "p110_asof_nearest" -> (
+      "WITH p AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, MAX(value) AS click_value " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
+        "u AS (SELECT event_id, user_id, ts, value, 1 AS side, " +
+        "CAST(NULL AS DOUBLE) AS pay, CAST(NULL AS TIMESTAMP) AS rts FROM p " +
+        "UNION ALL SELECT NULL, user_id, ts, NULL, 0, click_value, ts FROM c), " +
+        "w AS (SELECT *, " +
+        "last_value(pay IGNORE NULLS) OVER wb AS bpay, last_value(rts IGNORE NULLS) OVER wb AS bts, " +
+        "last_value(pay IGNORE NULLS) OVER wf AS fpay, last_value(rts IGNORE NULLS) OVER wf AS fts " +
+        "FROM u WINDOW " +
+        "wb AS (PARTITION BY user_id ORDER BY ts ASC, side ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wf AS (PARTITION BY user_id ORDER BY ts DESC, side ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, " +
+        "CASE WHEN bts IS NOT NULL AND (fts IS NULL OR epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts)) " +
+        "THEN bpay WHEN fts IS NOT NULL THEN fpay END AS near_click_value, " +
+        "CASE WHEN bts IS NOT NULL AND (fts IS NULL OR epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts)) " +
+        "THEN epoch_us(ts) - epoch_us(bts) WHEN fts IS NOT NULL THEN epoch_us(fts) - epoch_us(ts) END AS near_dt_us, " +
+        "CAST(CASE WHEN bts IS NOT NULL AND (fts IS NULL OR epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts)) " +
+        "THEN -1 WHEN fts IS NOT NULL THEN 1 END AS INT) AS near_dir " +
+        "FROM w WHERE side = 1 ORDER BY event_id"),
     // benchmark = middle-16-token slice of every 7th doc; hit positions
     // merge into maximal islands via the pos - ROW_NUMBER() trick
     // (adjacent hits share a group key); span_end exclusive, +n tokens

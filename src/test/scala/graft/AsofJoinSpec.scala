@@ -47,4 +47,34 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("asofNearest: closer side wins, equidistant tie takes the earlier row") {
+    val r2 = Seq(
+      ("u1", 8L, 0.5), ("u1", 10L, 1.0), ("u1", 15L, 2.0),
+      ("u2", 50L, 9.0)
+    ).toDF("user", "ts", "v")
+    val out = AsofJoin.asofNearest(left, r2, Seq("user"), "ts", Seq("v"))
+      .orderBy("id").collect()
+    def row(i: Int): (Option[Double], Option[Long], Option[Int]) = {
+      def opt[T](n: String, get: Int => T): Option[T] = {
+        val idx = out(i).fieldIndex(n)
+        if (out(i).isNullAt(idx)) None else Some(get(idx))
+      }
+      (opt("near_v", out(i).getDouble), opt("near_dt_us", out(i).getLong),
+        opt("near_dir", out(i).getInt))
+    }
+    assert(row(0) == (Some(1.0), Some(0L), Some(-1)), "exact hit is backward dt=0")
+    assert(row(1) == (Some(2.0), Some(5L), Some(-1)), "only backward exists")
+    assert(row(2) == (Some(0.5), Some(1L), Some(-1)),
+      "ts=9 equidistant to 8 and 10 → earlier (backward) wins")
+    assert(row(3) == (Some(9.0), Some(45L), Some(1)), "only forward exists")
+    assert(row(4) == (None, None, None), "key absent from right side")
+  }
+
+  test("asofNearest plan: both directional passes ride one hash shuffle") {
+    val p = AsofJoin.asofNearest(left, right, Seq("user"), "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
 }
