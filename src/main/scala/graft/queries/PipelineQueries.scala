@@ -387,6 +387,12 @@ object PipelineQueries {
       graft.ops.EventsOps.madOutliers(Tables(s, dir, "events"), k = 3)
         .orderBy("event_id")),
 
+    // Join-key skew report over the orders fact table's customer key:
+    // top-20 heavy keys with ppm share, skew multiple and the salt
+    // factor saltedJoin would want. Partial-agg shuffle + TakeOrdered.
+    "p111_skew_report" -> ((s, dir) =>
+      graft.ops.SkewJoin.keySkewReport(Tables(s, dir, "orders"), "o_custkey", topK = 20)),
+
     // Nearest-in-time join (either direction, equidistant tie → the
     // earlier row): purchases aligned to their closest click per user.
     // Both directional passes ride one shuffle (reused exchange).
@@ -2240,6 +2246,15 @@ object PipelineQueries {
         "SELECT d.id AS event_id, d.g AS event_type, d.v AS v_micro, " +
         "d.med, m2.mad, d.dev " +
         "FROM d JOIN m2 USING (g) WHERE d.dev > 3 * m2.mad ORDER BY event_id"),
+    // all-integer skew arithmetic in HUGEINT; cnt ties break on key
+    "p111_skew_report" -> (
+      "WITH c AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(cnt) AS HUGEINT) AS total, CAST(COUNT(*) AS HUGEINT) AS n_keys FROM c) " +
+        "SELECT key, cnt, " +
+        "CAST(CAST(cnt AS HUGEINT) * 1000000 // total AS BIGINT) AS ppm, " +
+        "CAST(CAST(cnt AS HUGEINT) * n_keys * 1000000 // total AS BIGINT) AS skew_x_micro, " +
+        "CAST((CAST(cnt AS HUGEINT) * n_keys + total - 1) // total AS BIGINT) AS salt_factor " +
+        "FROM c, t ORDER BY cnt DESC, key LIMIT 20"),
     // union-window nearest: ascending pass carries the last click
     // at-or-before, descending pass the first at-or-after (ROWS frames,
     // side-ordered so clicks sort before purchases at equal ts on both

@@ -32,4 +32,23 @@ class SkewJoinSpec extends AnyFunSuite {
       .select("_salt").distinct().count()
     assert(spread > 1)
   }
+
+  test("keySkewReport: hand-computed shares, salt = skew multiple rounded up") {
+    import spark.implicits._
+    // a×6, b×2, c×2 → total 10, 3 keys, mean 10/3
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c")).toDF("k")
+    val out = SkewJoin.keySkewReport(df, "k", topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("a", 6L, 600000L, 1800000L, 2L),
+      ("b", 2L, 200000L, 600000L, 1L))) // cnt tie b/c breaks on key
+  }
+
+  test("keySkewReport plan: TakeOrdered top-k, no global sort") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i % 7).toString).toDF("k")
+    val p = SkewJoin.keySkewReport(df, "k", topK = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
