@@ -537,6 +537,64 @@ object Dedup {
     * pair list against the doc→source projection, then a
     * |sources|²-bounded aggregate — broadcast the pair list when it
     * fits. Returns (source_a ≤ source_b, n_pairs). */
+  /** Set-CONTAINMENT join (prefix filtering, the PPJoin family): every
+    * DIRECTED pair (a → b) whose distinct word-shingle overlap covers at
+    * least `thresholdMicro` ppm of A's shingles — the detector for a
+    * document embedded verbatim inside a larger one, which Jaccard
+    * near-dedup is structurally blind to (a 100-line file quoted inside
+    * a 10,000-line one has J ≈ 0.01 but containment 1.0, so MinHash-LSH
+    * banding on J never surfaces it).
+    *
+    * Prefix-filter soundness: order A's grams by ascending GLOBAL
+    * document frequency (ties by gram); if B shares none of A's first
+    * `⌊|A|·(1−θ)⌋ + 1` grams then `|A∩B| ≤ |A| − ⌊|A|(1−θ)⌋ − 1 <
+    * θ·|A|`, so probing only prefixes against the full inverted gram
+    * index finds every qualifying pair — no recall loss. Rarity-first
+    * ordering makes the candidate volume `Σ_g prefix_df(g)·df(g)`,
+    * dominated by RARE grams; a stop-gram cap on df (drop grams above a
+    * df ceiling from the index side) is the standard 100 TB relief
+    * valve if a corpus has mega-frequent boilerplate shingles.
+    * Verification reuses the sorted-hash merge kernel (8-byte payloads,
+    * O(n) per candidate). All integer arithmetic.
+    *
+    * Returns directed (a, b, i_size, size_a, size_b, cont_micro ≥ θ). */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      thresholdMicro: Long = 900000L): DataFrame = {
+    require(thresholdMicro > 0 && thresholdMicro <= 1000000L,
+      s"containmentPairs: threshold must be ppm in (0, 1e6], got $thresholdMicro")
+    val sh = withWordShingles(docs, idCol, textCol, shingleSize)
+    val grams = sh.select(col(idCol), explode(col("_sh")).as("_g"))
+    val dfreq = grams.groupBy("_g").agg(count(lit(1)).as("_df"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_df"), col("_g"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val prefix = grams.join(dfreq, Seq("_g"))
+      .select(col(idCol), col("_g"),
+        row_number().over(wp).as("_rn"), count(lit(1)).over(wn).as("_n"))
+      .where(col("_rn") <= expr(s"(_n * ${1000000L - thresholdMicro}) div 1000000") + 1)
+      .select(col(idCol).as("a"), col("_g"))
+    val cands = prefix
+      .join(grams.select(col(idCol).as("b"), col("_g")), Seq("_g"))
+      .where(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val hashed = sh.select(col(idCol),
+      graft.functions.ShingleFunctions.sorted_shingle_hashes(col("_sh")).as("_hs"))
+    cands
+      .join(hashed.select(col(idCol).as("a"), col("_hs").as("_ha")), Seq("a"))
+      .join(hashed.select(col(idCol).as("b"), col("_hs").as("_hb")), Seq("b"))
+      .withColumn("i_size",
+        graft.functions.ShingleFunctions.sorted_intersect_size(col("_ha"), col("_hb")))
+      .select(col("a"), col("b"), col("i_size"),
+        size(col("_ha")).as("size_a"), size(col("_hb")).as("size_b"))
+      .where(col("i_size").cast("long") * lit(1000000L) >=
+        lit(thresholdMicro) * col("size_a").cast("long"))
+      .withColumn("cont_micro", expr("(CAST(i_size AS BIGINT) * 1000000) div size_a"))
+  }
+
   def crossSourceMatrix(
       pairs: DataFrame,
       docs: DataFrame,

@@ -387,6 +387,14 @@ object PipelineQueries {
       graft.ops.EventsOps.madOutliers(Tables(s, dir, "events"), k = 3)
         .orderBy("event_id")),
 
+    // Directed set-containment pairs (doc embedded in a larger doc):
+    // prefix-filtered probe against the inverted gram index, verified on
+    // sorted shingle hashes; Jaccard-LSH can't see these pairs.
+    "p112_containment" -> ((s, dir) =>
+      graft.ops.Dedup.containmentPairs(Tables(s, dir, "documents"),
+          shingleSize = 3, thresholdMicro = 900000L)
+        .orderBy("a", "b")),
+
     // Join-key skew report over the orders fact table's customer key:
     // top-20 heavy keys with ppm share, skew multiple and the salt
     // factor saltedJoin would want. Partial-agg shuffle + TakeOrdered.
@@ -2246,6 +2254,22 @@ object PipelineQueries {
         "SELECT d.id AS event_id, d.g AS event_type, d.v AS v_micro, " +
         "d.med, m2.mad, d.dev " +
         "FROM d JOIN m2 USING (g) WHERE d.dev > 3 * m2.mad ORDER BY event_id"),
+    // exact all-DIRECTED-pairs truth over the p03 word-shingle recipe;
+    // integer cross-multiply threshold, cont in ppm by integer division
+    "p112_containment" -> (
+      "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
+        "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
+        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a " +
+        "JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, len(gs) AS n FROM t) " +
+        "SELECT i.a, i.b, CAST(i.i_size AS INT) AS i_size, " +
+        "CAST(sa.n AS INT) AS size_a, CAST(sb.n AS INT) AS size_b, " +
+        "CAST((CAST(i.i_size AS BIGINT) * 1000000) // sa.n AS BIGINT) AS cont_micro " +
+        "FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
+        "WHERE CAST(i.i_size AS BIGINT) * 1000000 >= 900000 * CAST(sa.n AS BIGINT) " +
+        "ORDER BY a, b"),
     // all-integer skew arithmetic in HUGEINT; cnt ties break on key
     "p111_skew_report" -> (
       "WITH c AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1), " +

@@ -238,4 +238,23 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getString(3) == "d41d8cd98f00b204e9800998ecf8427e") // md5("")
     }
   }
+
+  test("containmentPairs finds low-Jaccard embeddings Jaccard-LSH cannot") {
+    val small = (1 to 10).map(i => s"w$i").mkString(" ")            // 8 shingles
+    val big = small + " " + (11 to 20).map(i => s"x$i").mkString(" ") // 18 shingles
+    val docs = Seq(
+      (1L, small), (2L, big),            // 1 ⊂ 2: J = 8/18 ≈ 0.44, cont(1→2) = 1
+      (3L, "alpha beta gamma delta"),    // unrelated
+      (4L, "same same2 same3 same4 same5"), (5L, "same same2 same3 same4 same5")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, thresholdMicro = 900000L)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 8, 8, 1000000L),   // embedded doc: full containment
+      (4L, 5L, 3, 3, 1000000L),   // identical pair, both directions
+      (5L, 4L, 3, 3, 1000000L)))
+    // the reverse direction 2→1 is correctly absent (8/18 < 0.9)
+    assert(!out.exists(t => t._1 == 2L && t._2 == 1L))
+  }
 }
