@@ -399,6 +399,52 @@ object EventsOps {
           .as("ewma_micro"))
   }
 
+  /** Per-key CHANGE-POINT localization via the CUSUM split statistic —
+    * [[groupTrend]] says a key drifts; this says WHERE it broke. For
+    * the key's (t, id)-ordered series the statistic at position i is
+    * `S_i = n·Σ_{j≤i} y_j − i·Σy` (the classic cumulative deviation
+    * from the key mean, scaled by n to stay in INTEGER arithmetic —
+    * no rational mean ever materializes); the reported change point is
+    * the position maximizing |S_i|, earliest position on ties.
+    *
+    * Both passes (running cumsum, then argmax selection) ride the same
+    * key partitioning — one shuffle, a second per-partition sort only.
+    * Envelope: |S| ≤ n²·max|y| ≤ 1e23 at 1e7 rows/key with values to
+    * 1e3 — inside DECIMAL(38,0)/HUGEINT; the reported magnitude is
+    * `|S| div n ≤ n·max|y|` which fits BIGINT (and is the mean-scaled
+    * statistic you'd threshold anyway).
+    *
+    * Returns (keyCol, n, cp_index 1-based, cp_<tieCol>, cusum_div_n). */
+  def changePoint(
+      ev: DataFrame,
+      keyCol: String = "user_id",
+      orderCol: String = "ts",
+      tieCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    val d = DecimalType(38, 0)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val base = ev.where(col(valueCol).isNotNull)
+      .select(col(keyCol), col(orderCol), col(tieCol),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_y"))
+      .select(col(keyCol), col(tieCol),
+        row_number().over(wRun).as("_i"),
+        sum(col("_y")).over(wRun).as("_cum"),
+        count(lit(1)).over(wAll).as("n"),
+        sum(col("_y")).over(wAll).as("_tot"))
+      .withColumn("_sab",
+        abs(col("_cum").cast(d) * col("n").cast(DecimalType(10, 0)) -
+          col("_i").cast(DecimalType(10, 0)) * col("_tot").cast(d)))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_sab").desc, col("_i").asc)
+    base.withColumn("_rk", row_number().over(wPick))
+      .where(col("_rk") === 1)
+      .selectExpr(s"`$keyCol`", "n", "_i AS cp_index",
+        s"`$tieCol` AS cp_$tieCol", "CAST(_sab div n AS BIGINT) AS cusum_div_n")
+  }
+
   /** Per-key UNION length of TTL intervals — each event opens the
     * interval `[t, t+ttl)` in epoch seconds and overlaps must not
     * double-count (true "active seconds" per user under a session TTL,

@@ -380,6 +380,13 @@ object PipelineQueries {
       graft.ops.EventsOps.groupTrend(Tables(s, dir, "events"))
         .orderBy("user_id")),
 
+    // CUSUM change-point per user: the position maximizing the scaled
+    // cumulative deviation |n·cum_i − i·total| — integer throughout,
+    // earliest index on ties; magnitude reported as |S| div n.
+    "p113_changepoint" -> ((s, dir) =>
+      graft.ops.EventsOps.changePoint(Tables(s, dir, "events"))
+        .orderBy("user_id")),
+
     // Robust per-group outliers: |v − median| > 3·MAD in integer
     // micro-units, both medians rank-selected (lower median) so the
     // statistic is an exact integer on any engine.
@@ -2237,6 +2244,23 @@ object PipelineQueries {
         "ELSE CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
         "CAST((abs(num) * 86400) // den AS BIGINT) END AS slope_day_micro " +
         "FROM b ORDER BY user_id"),
+    // scaled CUSUM in HUGEINT; argmax row by (|S| desc, i asc) rank
+    "p113_changepoint" -> (
+      "WITH q AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS y " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "w AS (SELECT user_id, event_id, " +
+        "ROW_NUMBER() OVER win AS i, " +
+        "SUM(y) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "COUNT(*) OVER (PARTITION BY user_id) AS n, " +
+        "SUM(y) OVER (PARTITION BY user_id) AS tot " +
+        "FROM q WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT user_id, event_id, i, n, " +
+        "abs(CAST(cum AS HUGEINT) * n - CAST(i AS HUGEINT) * tot) AS sab FROM w), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sab DESC, i ASC) AS rk FROM s) " +
+        "SELECT user_id, n, CAST(i AS INT) AS cp_index, event_id AS cp_event_id, " +
+        "CAST(sab // n AS BIGINT) AS cusum_div_n " +
+        "FROM r WHERE rk = 1 ORDER BY user_id"),
     // lower median by rank ((n+1)//2 of the (v,id)-sorted group) for
     // both the median and the MAD — integer-exact, no even-count
     // interpolation; flag rule dev > 3*mad

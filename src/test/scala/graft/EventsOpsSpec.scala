@@ -329,6 +329,22 @@ class EventsOpsSpec extends AnyFunSuite {
       (25L, "c", 10000000L, 1000000L, 0L)))
   }
 
+  test("changePoint: CUSUM argmax lands on the level shift, ties take earliest") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // step 0→10 after 3 samples: |S| peaks at i=3 (last pre-shift row)
+      (1L, ts(1), 1L, 0.0), (1L, ts(2), 2L, 0.0), (1L, ts(3), 3L, 0.0),
+      (1L, ts(4), 4L, 10.0), (1L, ts(5), 5L, 10.0), (1L, ts(6), 6L, 10.0),
+      // constant series: every S = 0 → earliest index wins
+      (2L, ts(1), 7L, 5.0), (2L, ts(2), 8L, 5.0), (2L, ts(3), 9L, 5.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = EventsOps.changePoint(ev).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 3, 3L, 15000000L), // |S|=9e7, /n=1.5e7 µ — shift located
+      (2L, 3L, 1, 7L, 0L)))
+  }
+
   test("intervalCoverage invariants vs a brute-force second-set union") {
     val rnd = new scala.util.Random(7)
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
