@@ -399,6 +399,35 @@ object EventsOps {
           .as("ewma_micro"))
   }
 
+  /** Global top-k behavioral MOTIFS: the most frequent consecutive
+    * event-type transitions across all keys' (t, id)-ordered streams —
+    * the first diagnostic you run on a clickstream ("what do users do
+    * right after X?") and the input to Markov-chain session models.
+    *
+    * Shape: one key-partitioned lag window emits each transition
+    * (map-ish — the only shuffle moves (key, type) pairs, never
+    * payloads), then a partial-agg count on the (from, to) pair —
+    * |types|²-bounded output — and a TakeOrdered top-k. Ties break on
+    * the pair for determinism. Transitions never cross keys. */
+  def transitionMotifs(
+      ev: DataFrame,
+      topK: Int = 20,
+      keyCol: String = "user_id",
+      orderCol: String = "ts",
+      tieCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(topK > 0, s"transitionMotifs: need topK > 0, got $topK")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
+    ev.select(col(keyCol), col(orderCol), col(tieCol), col(typeCol))
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .where(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("etype_from"), col(typeCol).as("etype_to"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("etype_from").asc, col("etype_to").asc)
+      .limit(topK)
+  }
+
   /** Per-key CHANGE-POINT localization via the CUSUM split statistic —
     * [[groupTrend]] says a key drifts; this says WHERE it broke. For
     * the key's (t, id)-ordered series the statistic at position i is

@@ -380,6 +380,12 @@ object PipelineQueries {
       graft.ops.EventsOps.groupTrend(Tables(s, dir, "events"))
         .orderBy("user_id")),
 
+    // Top-20 event-type transition motifs across all user streams:
+    // lag window on the key shuffle → |types|²-bounded pair counts →
+    // TakeOrdered; pair tie-break for determinism.
+    "p114_transition_motifs" -> ((s, dir) =>
+      graft.ops.EventsOps.transitionMotifs(Tables(s, dir, "events"), topK = 20)),
+
     // CUSUM change-point per user: the position maximizing the scaled
     // cumulative deviation |n·cum_i − i·total| — integer throughout,
     // earliest index on ties; magnitude reported as |S| div n.
@@ -2244,6 +2250,15 @@ object PipelineQueries {
         "ELSE CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
         "CAST((abs(num) * 86400) // den AS BIGINT) END AS slope_day_micro " +
         "FROM b ORDER BY user_id"),
+    // per-user lag over the total (ts, event_id) order, global pair
+    // counts, deterministic (cnt desc, pair asc) top-20
+    "p114_transition_motifs" -> (
+      "WITH q AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type FROM events), " +
+        "t AS (SELECT user_id, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM q) " +
+        "SELECT prev AS etype_from, event_type AS etype_to, COUNT(*) AS cnt " +
+        "FROM t WHERE prev IS NOT NULL GROUP BY 1, 2 " +
+        "ORDER BY cnt DESC, etype_from, etype_to LIMIT 20"),
     // scaled CUSUM in HUGEINT; argmax row by (|S| desc, i asc) rank
     "p113_changepoint" -> (
       "WITH q AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, " +

@@ -329,6 +329,20 @@ class EventsOpsSpec extends AnyFunSuite {
       (25L, "c", 10000000L, 1000000L, 0L)))
   }
 
+  test("transitionMotifs: per-key consecutive pairs only, deterministic top-k") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, ts(1), 1L, "view"), (1L, ts(2), 2L, "click"), (1L, ts(3), 3L, "buy"),
+      (2L, ts(1), 4L, "view"), (2L, ts(2), 5L, "click"),
+      (3L, ts(1), 6L, "view"), (3L, ts(2), 7L, "click"),
+      (4L, ts(9), 8L, "buy") // singleton stream emits no transition
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventsOps.transitionMotifs(ev, topK = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // view→click ×3; click→buy ×1; buy never precedes anything cross-key
+    assert(out.toSeq == Seq(("view", "click", 3L), ("click", "buy", 1L)))
+  }
+
   test("changePoint: CUSUM argmax lands on the level shift, ties take earliest") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val ev = Seq(
