@@ -399,6 +399,51 @@ object EventsOps {
           .as("ewma_micro"))
   }
 
+  /** Per-user CONVERSION LATENCY with decile bucketing: seconds from
+    * the user's first `fromType` event to their first `toType` event
+    * at-or-after it (users without that ordered pair drop out), plus
+    * the exact-percentile decile of each latency — the funnel gate
+    * (p41) counts WHO converts; this measures HOW FAST.
+    *
+    * One shuffle: the first-`fromType` timestamp rides a key window,
+    * the qualifying `toType` minimum reuses the same partitioning, and
+    * the decile cuts are one scalar exact-percentile aggregate mapped
+    * back (the `lengthDeciles` recipe — swap percentile_approx at
+    * 100 TB, same note). Latencies are integer epoch-second deltas.
+    *
+    * Returns (keyCol, latency_s, decile 1..buckets). */
+  def conversionLatency(
+      ev: DataFrame,
+      fromType: String = "view",
+      toType: String = "purchase",
+      buckets: Int = 10,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(buckets >= 2, s"conversionLatency: need >= 2 buckets, got $buckets")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val lat = ev
+      .select(col(keyCol), col(typeCol),
+        expr(s"unix_micros(`$tsCol`) div 1000000").as("_t"))
+      .withColumn("_fv",
+        min(when(col(typeCol) === fromType, col("_t"))).over(wAll))
+      .where(col(typeCol) === toType && col("_fv").isNotNull &&
+        col("_t") >= col("_fv"))
+      .groupBy(keyCol)
+      .agg((min(col("_t")) - first(col("_fv")).cast("long")).as("latency_s"))
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val cutsRow = lat
+      .agg(expr(s"percentile(CAST(latency_s AS DOUBLE), array(${qs.mkString("D,")}D))"))
+      .first()
+    // zero converters: empty output, any cut list works
+    val cuts =
+      if (cutsRow.isNullAt(0)) Seq.empty[Double] else cutsRow.getSeq[Double](0)
+    val bucket = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col("latency_s").cast("double") >= c, 1).otherwise(0)
+    }
+    lat.select(col(keyCol), col("latency_s"), bucket.as("decile"))
+  }
+
   /** Global top-k behavioral MOTIFS: the most frequent consecutive
     * event-type transitions across all keys' (t, id)-ordered streams —
     * the first diagnostic you run on a clickstream ("what do users do

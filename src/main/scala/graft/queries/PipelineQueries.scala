@@ -380,6 +380,13 @@ object PipelineQueries {
       graft.ops.EventsOps.groupTrend(Tables(s, dir, "events"))
         .orderBy("user_id")),
 
+    // First-view → first-subsequent-purchase latency per user with
+    // exact-percentile decile bucketing (the p52 decile recipe on an
+    // integer-seconds measure).
+    "p115_conversion_latency" -> ((s, dir) =>
+      graft.ops.EventsOps.conversionLatency(Tables(s, dir, "events"))
+        .orderBy("user_id")),
+
     // Top-20 event-type transition motifs across all user streams:
     // lag window on the key shuffle → |types|²-bounded pair counts →
     // TakeOrdered; pair tie-break for determinism.
@@ -2250,6 +2257,21 @@ object PipelineQueries {
         "ELSE CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
         "CAST((abs(num) * 86400) // den AS BIGINT) END AS slope_day_micro " +
         "FROM b ORDER BY user_id"),
+    // quantile_cont cuts ≡ Spark exact percentile (the p52-proven
+    // recipe); latency in integer epoch-second deltas
+    "p115_conversion_latency" -> (
+      "WITH q AS (SELECT user_id, event_type, " +
+        "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) AS t " +
+        "FROM events), " +
+        "f AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN t END) AS fv FROM q GROUP BY 1), " +
+        "l AS (SELECT q.user_id, MIN(q.t) - ANY_VALUE(f.fv) AS latency_s FROM q " +
+        "JOIN f ON f.user_id = q.user_id " +
+        "WHERE q.event_type = 'purchase' AND f.fv IS NOT NULL AND q.t >= f.fv GROUP BY 1), " +
+        "c AS (SELECT quantile_cont(CAST(latency_s AS DOUBLE), " +
+        "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM l) " +
+        "SELECT l.user_id, l.latency_s, " +
+        "CAST(1 + len(list_filter(c.cuts, x -> x <= CAST(l.latency_s AS DOUBLE))) AS INT) AS decile " +
+        "FROM l, c ORDER BY l.user_id"),
     // per-user lag over the total (ts, event_id) order, global pair
     // counts, deterministic (cnt desc, pair asc) top-20
     "p114_transition_motifs" -> (

@@ -329,6 +329,22 @@ class EventsOpsSpec extends AnyFunSuite {
       (25L, "c", 10000000L, 1000000L, 0L)))
   }
 
+  test("conversionLatency: first-view→first-later-purchase, ordered-pair gating") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, ts(0), "view"), (1L, ts(100), "purchase"), (1L, ts(200), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(50), "purchase"),
+      (3L, ts(10), "purchase"),                      // never viewed → out
+      (4L, ts(5), "purchase"), (4L, ts(10), "view"), // purchase precedes → out
+      (5L, ts(7), "view"), (5L, ts(7), "purchase")   // same second → latency 0
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventsOps.conversionLatency(ev, buckets = 2)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // latencies: u1=100, u2=50, u5=0; median 50 → deciles 2,2,1
+    assert(out.toSeq == Seq((1L, 100L, 2), (2L, 50L, 2), (5L, 0L, 1)))
+  }
+
   test("transitionMotifs: per-key consecutive pairs only, deterministic top-k") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val ev = Seq(
