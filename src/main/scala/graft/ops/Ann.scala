@@ -52,6 +52,39 @@ object Ann {
       .select("qid", "rank", "nid", "score")
   }
 
+  /** LABEL-NOISE detection by k-NN neighbor voting (Confident-Learning
+    * style screen): for each query vector, how many of its `k` nearest
+    * candidates (exact cosine, the [[bruteTopK]] ranking) carry the
+    * SAME label — a query whose neighborhood out-votes its own label is
+    * a mislabel/ambiguity suspect worth auditing before training.
+    *
+    * Voting arithmetic is pure integers (counts and ppm by integral
+    * division); the only float is the proven round-4 cosine ranking.
+    * Scale path: swap [[bruteTopK]] for [[lshTopK]]/IVF — the voting
+    * stage is agnostic to how neighbors were found.
+    *
+    * Returns (qid, label, n_agree, agree_ppm, suspect) where suspect
+    * means strict minority agreement (`2·n_agree < k`). */
+  def labelAgreement(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"labelAgreement: need k >= 1, got $k")
+    val nn = bruteTopK(queries, candidates, idCol, vecCol, k)
+    val qLab = queries.select(col(idCol).as("qid"), col(labelCol).as("_ql"))
+    val nLab = candidates.select(col(idCol).as("nid"), col(labelCol).as("_nl"))
+    nn.join(broadcast(nLab), Seq("nid"))
+      .join(qLab, Seq("qid"))
+      .groupBy(col("qid"), col("_ql").as("label"))
+      .agg(sum(when(col("_nl") === col("_ql"), 1L).otherwise(0L)).as("n_agree"))
+      .selectExpr("qid", "label", "n_agree",
+        s"CAST(n_agree * 1000000 div $k AS BIGINT) AS agree_ppm",
+        s"2 * n_agree < $k AS suspect")
+  }
+
   /** Deterministic random hyperplanes: L tables × H planes × dims. */
   private def hyperplanes(dims: Int, tables: Int, bits: Int, seed: Long): Seq[Seq[Seq[Double]]] = {
     val rnd = new scala.util.Random(seed)

@@ -380,6 +380,16 @@ object PipelineQueries {
       graft.ops.EventsOps.groupTrend(Tables(s, dir, "events"))
         .orderBy("user_id")),
 
+    // Label-noise screen: 5-NN neighbor vote per query embedding;
+    // integer vote counts over the proven round-4 cosine ranking,
+    // suspect = strict minority agreement.
+    "p116_label_agreement" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.ops.Ann.labelAgreement(e.where(col("vec_id") < 200), e,
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("qid")
+    }),
+
     // First-view → first-subsequent-purchase latency per user with
     // exact-percentile decile bucketing (the p52 decile recipe on an
     // integer-seconds measure).
@@ -2257,6 +2267,17 @@ object PipelineQueries {
         "ELSE CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
         "CAST((abs(num) * 86400) // den AS BIGINT) END AS slope_day_micro " +
         "FROM b ORDER BY user_id"),
+    // the p07 round-4 cosine ranking recipe + integer neighbor votes
+    "p116_label_agreement" -> (
+      "WITH scored AS (SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS nid, c.label AS nl, " +
+        "ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) + 0.0 AS score " +
+        "FROM embeddings q JOIN embeddings c ON q.vec_id < 200 AND q.vec_id <> c.vec_id), " +
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM scored) " +
+        "SELECT qid, ql AS label, " +
+        "CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_agree, " +
+        "CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) * 1000000 // 5 AS BIGINT) AS agree_ppm, " +
+        "2 * SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) < 5 AS suspect " +
+        "FROM ranked WHERE rank <= 5 GROUP BY qid, ql ORDER BY qid"),
     // quantile_cont cuts ≡ Spark exact percentile (the p52-proven
     // recipe); latency in integer epoch-second deltas
     "p115_conversion_latency" -> (

@@ -154,4 +154,22 @@ class AnnSpec extends AnyFunSuite {
         dims = 2).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(lsh.subsetOf(exact))
   }
+
+  test("labelAgreement: planted mislabel is out-voted by its neighborhood") {
+    import spark.implicits._
+    // tight cluster of label 0 with one label-1 point planted inside it,
+    // plus a genuinely isolated label-1 point
+    val vecs = Seq(
+      (1L, Array(1.00f, 0.00f), 0), (2L, Array(0.99f, 0.01f), 0),
+      (3L, Array(0.98f, 0.02f), 0), (4L, Array(0.97f, 0.03f), 0),
+      (5L, Array(0.96f, 0.04f), 1), // mislabeled: sits inside cluster 0
+      (6L, Array(0.00f, 1.00f), 1)  // isolated
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ann.labelAgreement(vecs, vecs, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(5L) == (0L, true), "planted mislabel: zero agreeing neighbors")
+    assert(out(6L)._2, "isolated point is a suspect too")
+    Seq(1L, 2L, 3L, 4L).foreach(id =>
+      assert(!out(id)._2, s"clean cluster member $id must not be flagged"))
+  }
 }
