@@ -399,6 +399,42 @@ object EventsOps {
           .as("ewma_micro"))
   }
 
+  /** COHORT RETENTION MATRIX — the product-analytics staple p38's
+    * day-over-day counts don't give you: users grouped by their signup
+    * WEEK (first `signupType` event), tracked by weeks-since-signup.
+    * Cell (cohort_week, age_weeks) counts distinct users of that cohort
+    * active in that week; `retained_ppm` normalizes by the cohort's
+    * age-0 size (which always exists — the signup event itself is
+    * week-0 activity).
+    *
+    * Slim by construction: the distinct (user, week) projection is the
+    * only corpus-sized shuffle; the matrix is |cohorts|·|ages| rows and
+    * its age-0 normalizer joins back broadcast. All-integer week/age
+    * arithmetic (epoch days div 7).
+    *
+    * Returns (cohort_week, age_weeks, n_users, retained_ppm). */
+  def cohortMatrix(
+      ev: DataFrame,
+      signupType: String = "signup",
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val wk = expr(s"((unix_micros(`$tsCol`) div 1000000) div 86400) div 7")
+    val weeks = ev.select(col(keyCol), col(typeCol), wk.as("_wk"))
+    val cohorts = weeks.where(col(typeCol) === signupType)
+      .groupBy(keyCol).agg(min(col("_wk")).as("_cw"))
+    val matrix = weeks.join(cohorts, Seq(keyCol))
+      .where(col("_wk") >= col("_cw"))
+      .select(col(keyCol), col("_cw"), col("_wk")).distinct()
+      .groupBy(col("_cw").as("cohort_week"), (col("_wk") - col("_cw")).as("age_weeks"))
+      .agg(count(lit(1)).as("n_users"))
+    val base = matrix.where(col("age_weeks") === 0)
+      .select(col("cohort_week"), col("n_users").as("_size"))
+    matrix.join(broadcast(base), Seq("cohort_week"))
+      .selectExpr("cohort_week", "age_weeks", "n_users",
+        "CAST(n_users * 1000000 div _size AS BIGINT) AS retained_ppm")
+  }
+
   /** Per-user CONVERSION LATENCY with decile bucketing: seconds from
     * the user's first `fromType` event to their first `toType` event
     * at-or-after it (users without that ordered pair drop out), plus

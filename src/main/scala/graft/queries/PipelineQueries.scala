@@ -380,6 +380,13 @@ object PipelineQueries {
       graft.ops.EventsOps.groupTrend(Tables(s, dir, "events"))
         .orderBy("user_id")),
 
+    // Signup-week cohort × weeks-since-signup retention matrix with
+    // age-0 normalization; the only corpus-sized shuffle is the slim
+    // distinct (user, week) projection.
+    "p117_cohort_matrix" -> ((s, dir) =>
+      graft.ops.EventsOps.cohortMatrix(Tables(s, dir, "events"))
+        .orderBy("cohort_week", "age_weeks")),
+
     // Label-noise screen: 5-NN neighbor vote per query embedding;
     // integer vote counts over the proven round-4 cosine ranking,
     // suspect = strict minority agreement.
@@ -2267,6 +2274,19 @@ object PipelineQueries {
         "ELSE CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
         "CAST((abs(num) * 86400) // den AS BIGINT) END AS slope_day_micro " +
         "FROM b ORDER BY user_id"),
+    // all-integer week arithmetic; age-0 cell always exists (signup
+    // event is week-0 activity), so the normalizer join never drops rows
+    "p117_cohort_matrix" -> (
+      "WITH q AS (SELECT user_id, event_type, " +
+        "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) " +
+        "// 86400 // 7 AS wk FROM events), " +
+        "c AS (SELECT user_id, MIN(wk) AS cw FROM q WHERE event_type = 'signup' GROUP BY 1), " +
+        "a AS (SELECT DISTINCT q.user_id, c.cw, q.wk FROM q JOIN c USING (user_id) WHERE q.wk >= c.cw), " +
+        "m AS (SELECT cw AS cohort_week, wk - cw AS age_weeks, COUNT(*) AS n_users FROM a GROUP BY 1, 2), " +
+        "z AS (SELECT cohort_week, n_users AS sz FROM m WHERE age_weeks = 0) " +
+        "SELECT m.cohort_week, m.age_weeks, m.n_users, " +
+        "CAST(m.n_users * 1000000 // z.sz AS BIGINT) AS retained_ppm " +
+        "FROM m JOIN z USING (cohort_week) ORDER BY cohort_week, age_weeks"),
     // the p07 round-4 cosine ranking recipe + integer neighbor votes
     "p116_label_agreement" -> (
       "WITH scored AS (SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS nid, c.label AS nl, " +

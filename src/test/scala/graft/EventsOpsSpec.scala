@@ -329,6 +329,29 @@ class EventsOpsSpec extends AnyFunSuite {
       (25L, "c", 10000000L, 1000000L, 0L)))
   }
 
+  test("cohortMatrix: week cohorts, age-0 normalizer, pre-signup activity ignored") {
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
+    val ev = Seq(
+      // cohort week 0: u1 signs up day 0, active weeks 0 and 2
+      (1L, ts(0), "signup"), (1L, ts(1), "click"), (1L, ts(15), "view"),
+      // cohort week 0: u2 signs up day 3, never seen again
+      (2L, ts(3), "signup"),
+      // cohort week 1: u3 signs up day 8, active week 2; its day-2
+      // pre-signup click must NOT create a negative age cell
+      (3L, ts(2), "click"), (3L, ts(8), "signup"), (3L, ts(14), "view"),
+      // no signup at all → excluded entirely
+      (4L, ts(0), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventsOps.cohortMatrix(ev)
+      .orderBy("cohort_week", "age_weeks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L, 1000000L), // u1+u2 week 0
+      (0L, 2L, 1L, 500000L),  // only u1 returns (50%)
+      (1L, 0L, 1L, 1000000L), // u3
+      (1L, 1L, 1L, 1000000L)))// u3 week 2 = age 1
+  }
+
   test("conversionLatency: first-view→first-later-purchase, ordered-pair gating") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val ev = Seq(
