@@ -399,6 +399,53 @@ object EventsOps {
           .as("ewma_micro"))
   }
 
+  /** SESSION JOURNEY MOTIFS: the most common opening event-type paths
+    * ("view>click>purchase") across gap-delimited sessions — the
+    * session-level sibling of [[transitionMotifs]]' single transitions,
+    * and the table a funnel designer reads first.
+    *
+    * Sessions are gap-based (a new session starts after `gapSeconds`
+    * of silence — the batch twin of session_window), the path is the
+    * first `pathLen` event types in (t, id) order joined with '>', and
+    * paths count globally into a TakeOrdered top-k (path tie-break).
+    * Everything rides ONE key shuffle (session cumsum, in-session rank)
+    * + a |paths|-bounded partial agg; collect_list order is repaired by
+    * array_sort on the rank-keyed structs, so the path string is
+    * deterministic on any engine.
+    *
+    * Returns (path, n_sessions). */
+  def journeyMotifs(
+      ev: DataFrame,
+      gapSeconds: Long = 1800L,
+      pathLen: Int = 3,
+      topK: Int = 20,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(pathLen >= 1 && topK >= 1,
+      s"journeyMotifs: need pathLen/topK >= 1, got $pathLen/$topK")
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_t"), col(tieCol))
+    val base = ev.select(col(keyCol), col(tieCol), col(typeCol).as("_et"),
+        expr(s"unix_micros(`$tsCol`) div 1000000").as("_t"))
+      .withColumn("_new",
+        when(lag(col("_t"), 1).over(wu).isNull ||
+          col("_t") - lag(col("_t"), 1).over(wu) > gapSeconds, 1L).otherwise(0L))
+      .withColumn("_sess", sum(col("_new")).over(
+        wu.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("_sess")).orderBy(col("_t"), col(tieCol))
+    base.withColumn("_rn", row_number().over(ws))
+      .where(col("_rn") <= pathLen)
+      .groupBy(col(keyCol), col("_sess"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(_rn, _et))), x -> x._et), '>')")
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+  }
+
   /** COHORT RETENTION MATRIX — the product-analytics staple p38's
     * day-over-day counts don't give you: users grouped by their signup
     * WEEK (first `signupType` event), tracked by weeks-since-signup.

@@ -380,6 +380,12 @@ object PipelineQueries {
       graft.ops.EventsOps.groupTrend(Tables(s, dir, "events"))
         .orderBy("user_id")),
 
+    // Top-20 session-opening paths (gap-delimited sessions, first 3
+    // event types joined '>'): the funnel designer's first table.
+    "p118_journey_motifs" -> ((s, dir) =>
+      graft.ops.EventsOps.journeyMotifs(Tables(s, dir, "events"),
+        gapSeconds = 1800L, pathLen = 3, topK = 20)),
+
     // Signup-week cohort × weeks-since-signup retention matrix with
     // age-0 normalization; the only corpus-sized shuffle is the slim
     // distinct (user, week) projection.
@@ -2274,6 +2280,21 @@ object PipelineQueries {
         "ELSE CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
         "CAST((abs(num) * 86400) // den AS BIGINT) END AS slope_day_micro " +
         "FROM b ORDER BY user_id"),
+    // gap-cumsum sessions; string_agg ORDER BY rn ≡ Spark's
+    // array_sort-repaired collect_list; (cnt desc, path) top-20
+    "p118_journey_motifs" -> (
+      "WITH q AS (SELECT user_id, event_id, event_type, " +
+        "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) AS t " +
+        "FROM events), " +
+        "s AS (SELECT *, CASE WHEN lag(t) OVER win IS NULL OR t - lag(t) OVER win > 1800 " +
+        "THEN 1 ELSE 0 END AS nw FROM q WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "c AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM s), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess ORDER BY t, event_id) AS rn FROM c), " +
+        "p AS (SELECT user_id, sess, string_agg(event_type, '>' ORDER BY rn) AS path " +
+        "FROM r WHERE rn <= 3 GROUP BY 1, 2) " +
+        "SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1 " +
+        "ORDER BY n_sessions DESC, path LIMIT 20"),
     // all-integer week arithmetic; age-0 cell always exists (signup
     // event is week-0 activity), so the normalizer join never drops rows
     "p117_cohort_matrix" -> (

@@ -329,6 +329,21 @@ class EventsOpsSpec extends AnyFunSuite {
       (25L, "c", 10000000L, 1000000L, 0L)))
   }
 
+  test("journeyMotifs: gap splits sessions, path truncates, deterministic top-k") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // u1 session 1: v>c>b(+extra truncated); session 2 after the gap: v>c
+      (1L, ts(0), 1L, "v"), (1L, ts(10), 2L, "c"), (1L, ts(20), 3L, "b"),
+      (1L, ts(30), 4L, "x"),
+      (1L, ts(5000), 5L, "v"), (1L, ts(5010), 6L, "c"),
+      // u2: one session v>c
+      (2L, ts(0), 7L, "v"), (2L, ts(100), 8L, "c")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventsOps.journeyMotifs(ev, gapSeconds = 1800L, pathLen = 3, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("v>c", 2L), ("v>c>b", 1L)))
+  }
+
   test("cohortMatrix: week cohorts, age-0 normalizer, pre-signup activity ignored") {
     def ts(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
     val ev = Seq(
