@@ -207,4 +207,35 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
     }
   }
+
+  test("p107/p113: sweep-line and CUSUM ride ONE key exchange (window+agg reuse)") {
+    val ev = graft.engine.Tables(spark, dir, "events")
+    Seq(
+      graft.ops.EventsOps.intervalCoverage(ev, ttlSeconds = 300L),
+      graft.ops.EventsOps.changePoint(ev)
+    ).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+      assert(!p.contains("Exchange rangepartitioning"), p)
+    }
+  }
+
+  test("p108: group trend is one partial-agg exchange, no window") {
+    val ev = graft.engine.Tables(spark, dir, "events")
+    val p = graft.ops.EventsOps.groupTrend(ev)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Window"), p)
+    // partial aggregation runs map-side below the exchange
+    assert(p.indexOf("HashAggregate") >= 0 &&
+      p.indexOf("HashAggregate", p.indexOf("Exchange")) > 0, p)
+  }
+
+  test("p114/p118: motif top-k plans TakeOrdered, never a global sort") {
+    Seq("p114_transition_motifs", "p118_journey_motifs").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"), s"$name: $p")
+      assert(!p.contains("Exchange rangepartitioning"), s"$name: $p")
+    }
+  }
 }
