@@ -15,10 +15,18 @@ import org.apache.spark.sql.SparkSession
   *
   * The printed line must fit the harness's 2,000-char stdout tail (sbt's
   * own `[success] ...` epilogue eats ~75 of those) or the whole run is
-  * unparseable — rounds 4 and 5 were lost exactly this way. So the line
-  * uses the short unique query prefix (`p29`, `q08`) and 3-decimal
-  * seconds, and the full-name full-precision report goes to
-  * BENCH_DETAIL.json (committed) instead.
+  * unparseable — rounds 4, 5 AND 8 were lost exactly this way (round 8:
+  * 138 per-query entries + the scaled-ops map pushed past the tail and
+  * the driver recorded `parsed: null`). So the line now carries only the
+  * aggregate fields plus the SLOWEST queries (short prefix keys,
+  * 2-decimal seconds; SPARK_GRAFT_BENCH_TOPQ to resize, default 12) and
+  * a scaled-tier SUMMARY — the full-name full-precision per-query and
+  * per-scaled-op report lives in BENCH_DETAIL.json (committed).
+  *
+  * `/proc/loadavg` is sampled before and after and emitted as
+  * `load_before`/`load_after`: round 8's scaled-tier "regression" was
+  * ~2× ambient machine load, invisible in the artifact — now the bench
+  * is self-identifying about a loaded box.
   *
   * SPARK_GRAFT_BENCH_ONLY=<substring>[,<substring>...] restricts the run
   * to matching query names — the local iteration loop for one operator. */
@@ -41,8 +49,17 @@ object Bench {
   private def s2(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
+  // 1-minute loadavg (first /proc/loadavg field); -1 when unreadable
+  // (non-Linux dev box) — never throws after the queries already ran
+  private def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadBefore = loadAvg()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -117,11 +134,14 @@ object Bench {
     // the sf0.1 suite is plan-overhead-dominated (median query ~0.4 s),
     // so THIS is the signal that catches a real plan regression.
     // SPARK_GRAFT_BENCH_SCALE=0 disables.
-    val scaledJson = if (only.nonEmpty) "" else try {
+    // scaledOps non-empty ⇒ the tier ran; summary + full map are derived
+    // from the same Seq so line and detail can never disagree
+    var scaledMeta = ""
+    val scaledOps: Seq[(String, Double)] = if (only.nonEmpty) Seq.empty else try {
       // env parse inside the try: a malformed SPARK_GRAFT_BENCH_SCALE must
       // not throw after every query already ran and lose the JSON line
       val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "20").toInt
-      if (scale <= 1) "" else {
+      if (scale <= 1) Seq.empty else {
         reapBlocks()
         val evScale = math.max(scale / 2, 1)
         val docsPath = graft.tools.ScaleData.materialize(spark, sfDir, "documents", scale, cpus.toInt)
@@ -129,24 +149,39 @@ object Bench {
         val embPath = graft.tools.ScaleData.materialize(spark, sfDir, "embeddings", scale, cpus.toInt)
         val ops = graft.tools.ScaledOps.run(spark, docsPath, eventsPath, embPath)
         failed += ops.count(_._2 < 0)
-        val opsJson = ops.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
-        s""","scaled":{"docs_x":$scale,"events_x":$evScale,"ops":$opsJson}"""
+        scaledMeta = s""""docs_x":$scale,"events_x":$evScale,"""
+        ops
       }
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] scaled tier failed: ${e.getMessage}")
         failed += 1
-        ""
+        Seq.empty
+    }
+    // the line gets the tier's total + op count; the detail file gets the map
+    val scaledLineJson = if (scaledOps.isEmpty) "" else {
+      val t = scaledOps.collect { case (k, v) if v >= 0 && !k.endsWith("_pct") => v }.sum
+      s""","scaled":{$scaledMeta"total":${s3(t)},"n_ops":${scaledOps.length}}"""
+    }
+    val scaledDetailJson = if (scaledOps.isEmpty) "" else {
+      val opsJson = scaledOps.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
+      s""","scaled":{$scaledMeta"ops":$opsJson}"""
     }
 
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // short keys (unique `pNN`/`qNN` prefix) keep the line inside the tail
-    val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + s2(v) }
+    val loadAfter = loadAvg()
+    val loadJson = s""","load_before":${s2(loadBefore)},"load_after":${s2(loadAfter)}"""
+    // the line carries only the slowest queries (failures first, value
+    // -1) — short prefix keys, 2 decimals; everything is in the detail
+    val topQ = try sys.env.getOrElse("SPARK_GRAFT_BENCH_TOPQ", "12").toInt catch { case _: Throwable => 12 }
+    val shortQs = results.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
+      .take(topQ)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + s2(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$shortQs,"failed":$failed,"iterations":$iterations,"sf":"$sfDir","detail":"BENCH_DETAIL.json"$scaledJson}"""
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.length},"queries":$shortQs,"failed":$failed,"iterations":$iterations,"sf":"$sfDir","detail":"BENCH_DETAIL.json"$loadJson$scaledLineJson}"""
     // full-name, full-precision report for humans/the judge
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"iterations":$iterations,"sf":"$sfDir"$scaledJson}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$fullQs,"failed":$failed,"iterations":$iterations,"sf":"$sfDir"$loadJson$scaledDetailJson}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.println(detail) finally w.close()

@@ -677,8 +677,13 @@ object CorpusOps {
         bitlen(coalesce(col("_ct"), lit(0L)) + 1L) + bitlen(lit(nR + vSize)) -
           bitlen(col("_cr") + 1L) - bitlen(lit(nT + vSize)))
       .select("f", "_bits")
+    // Explicit broadcast: the bits table is vocab-bounded by construction
+    // (one row per distinct feature), and the corpus-sized instance
+    // stream's join key is a unigram — "the" is a massively hot key, so a
+    // shuffled join would be skew-bound at 100 TB. Broadcasting removes
+    // the shuffle AND the skew question in one move.
     inst.select(col(idCol), col("f"))
-      .join(bits, Seq("f"))
+      .join(broadcast(bits), Seq("f"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum("_bits").as("bits"))
       .withColumn("avg_bits",

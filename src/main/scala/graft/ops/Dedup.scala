@@ -414,21 +414,26 @@ object Dedup {
     * (J ≥ 0.8 on whole docs) cannot see.
     *
     * Distributed shape — the Spark substitute for the paper's
-    * single-machine suffix array: one map-only pass emits each document's
+    * single-machine suffix array: a map-only pass emits each document's
     * position-indexed window hashes via the O(len) rolling-hash kernel
     * ([[graft.functions.RollingWindowHashesExpression]] — each token
     * hashed once, windows slide in O(1); neither the window text NOR an
-    * md5 string is ever materialized, the shuffle key is 8 bytes);
-    * occurrences group in ONE corpus-sized aggregate that carries the
-    * (doc, pos) list per window hash — the ≥ `minCount` filter then
-    * explodes hit positions only (no second corpus shuffle, no join
-    * back, no recompute of the scan); and runs of consecutive hit
-    * positions fold into maximal spans with the classic
-    * `pos − row_number()` island trick — one per-document window over
-    * hit rows only (≪ corpus). All work is ∝ corpus token count, never
-    * quadratic. (A corpus-wide mega-repeated window makes one big
-    * occurrence list; lists are bounded by that window's own repeat
-    * count, the same envelope as the old join-back's hit rows.)
+    * md5 string is ever materialized, the shuffle key is 8 bytes).
+    * Window-hash document frequencies come from a COUNT-ONLY aggregate
+    * (partial map-side combine, one long per hash — the
+    * [[graft.ops.CorpusOps.boilerplateLines]] df-table recipe); hashes
+    * with count ≥ `minCount` then LEFT-SEMI join back onto a second
+    * map-only emission of the (doc, pos, hash) stream to keep hit
+    * positions only. No per-hash occurrence array ever exists: a
+    * ubiquitous boilerplate window (license header, nav footer) that
+    * repeats 10⁷ times across 100 TB contributes 10⁷ spread-out probe
+    * rows — AQE's skew-join split handles the hot key — instead of one
+    * multi-GB `collect_list` row pinned to a single executor (the shape
+    * this replaced). Runs of consecutive hit positions fold into maximal
+    * spans with the classic `pos − row_number()` island trick — one
+    * per-document window over hit rows only (≪ corpus). All work is
+    * ∝ corpus token count, never quadratic; the corpus is scanned twice,
+    * both passes map-only, trading one cheap re-scan for the OOM hazard.
     *
     * Returns (idCol, span_start, span_end, n_windows): token-index span
     * [span_start, span_end) whose every length-`n` window repeats,
@@ -447,12 +452,18 @@ object Dedup {
       .select(col(idCol),
         posexplode(graft.functions.ShingleFunctions.rolling_window_hashes(
           TextAnalysis.tokens(col(textCol)), n)).as(Seq("pos", "_wh")))
-    val hits = w
+    // Df table first (count only, partial-agg), then semi-join the hot
+    // hashes back onto the exploded stream: no per-hash occurrence array
+    // is ever built, so a 10⁷-occurrence boilerplate window cannot pin a
+    // multi-GB row to one executor.
+    val hot = w
       .groupBy("_wh")
-      .agg(collect_list(struct(col(idCol), col("pos"))).as("_occ"))
-      .where(size(col("_occ")) >= minCount)
-      .select(explode(col("_occ")).as("_o"))
-      .select(col("_o")(idCol).as(idCol), col("_o")("pos").as("pos"))
+      .agg(count(lit(1)).as("_cnt"))
+      .where(col("_cnt") >= minCount)
+      .select("_wh")
+    val hits = w
+      .join(hot, Seq("_wh"), "left_semi")
+      .select(col(idCol), col("pos"))
     val wdw = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     hits
@@ -528,15 +539,6 @@ object Dedup {
       .select(col("a"), col("b"))
   }
 
-  /** Cross-source duplication matrix — the datasheet view of a pair
-    * list: for every unordered source pair, how many near-dup pairs
-    * cross it (diagonal = within-source duplication). High off-diagonal
-    * counts mean one source is a scrape/mirror of another, the signal
-    * for source-level dedup ordering and for leakage audits between
-    * train mixtures. Two id-keyed equi-joins of the (small, derived)
-    * pair list against the doc→source projection, then a
-    * |sources|²-bounded aggregate — broadcast the pair list when it
-    * fits. Returns (source_a ≤ source_b, n_pairs). */
   /** Set-CONTAINMENT join (prefix filtering, the PPJoin family): every
     * DIRECTED pair (a → b) whose distinct word-shingle overlap covers at
     * least `thresholdMicro` ppm of A's shingles — the detector for a
@@ -595,6 +597,15 @@ object Dedup {
       .withColumn("cont_micro", expr("(CAST(i_size AS BIGINT) * 1000000) div size_a"))
   }
 
+  /** Cross-source duplication matrix — the datasheet view of a pair
+    * list: for every unordered source pair, how many near-dup pairs
+    * cross it (diagonal = within-source duplication). High off-diagonal
+    * counts mean one source is a scrape/mirror of another, the signal
+    * for source-level dedup ordering and for leakage audits between
+    * train mixtures. Two id-keyed equi-joins of the (small, derived)
+    * pair list against the doc→source projection, then a
+    * |sources|²-bounded aggregate — broadcast the pair list when it
+    * fits. Returns (source_a ≤ source_b, n_pairs). */
   def crossSourceMatrix(
       pairs: DataFrame,
       docs: DataFrame,

@@ -10,6 +10,14 @@ import org.apache.spark.sql.types.{BooleanType, DecimalType, LongType, StructFie
   * robust (exact-arithmetic) outlier statistics. */
 object EventsOps {
 
+  /** Epoch seconds as `floor(unix_micros/1e6)` — the floor(double) idiom
+    * every op here shares so results match the DuckDB oracles'
+    * `floor(epoch_us/1e6)` for pre-1970 timestamps too (a truncating
+    * `div` rounds toward zero, off by one second for negative epochs).
+    * Exact: |unix_micros| < 2⁵³ for ±285 years around 1970. */
+  private def epochSec(tsCol: String): org.apache.spark.sql.Column =
+    floor(unix_micros(col(tsCol)).cast("double") / lit(1000000.0d)).cast("long")
+
   /** Extract typed fields from the semi-structured `props` JSON column
     * with a declared schema (`from_json` is codegen'd and map-only — at
     * 100 TB the parse cost is the scan itself; never regex a JSON blob).
@@ -428,7 +436,7 @@ object EventsOps {
     val wu = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col("_t"), col(tieCol))
     val base = ev.select(col(keyCol), col(tieCol), col(typeCol).as("_et"),
-        expr(s"unix_micros(`$tsCol`) div 1000000").as("_t"))
+        epochSec(tsCol).as("_t"))
       .withColumn("_new",
         when(lag(col("_t"), 1).over(wu).isNull ||
           col("_t") - lag(col("_t"), 1).over(wu) > gapSeconds, 1L).otherwise(0L))
@@ -466,7 +474,10 @@ object EventsOps {
       keyCol: String = "user_id",
       tsCol: String = "ts",
       typeCol: String = "event_type"): DataFrame = {
-    val wk = expr(s"((unix_micros(`$tsCol`) div 1000000) div 86400) div 7")
+    // floor division at every stage (epoch sec → day → week), mirroring
+    // the oracle's `//`; `div` would truncate toward zero pre-1970
+    val wk = floor(floor(epochSec(tsCol).cast("double") / lit(86400.0d)) / lit(7.0d))
+      .cast("long")
     val weeks = ev.select(col(keyCol), col(typeCol), wk.as("_wk"))
     val cohorts = weeks.where(col(typeCol) === signupType)
       .groupBy(keyCol).agg(min(col("_wk")).as("_cw"))
@@ -490,9 +501,13 @@ object EventsOps {
     *
     * One shuffle: the first-`fromType` timestamp rides a key window,
     * the qualifying `toType` minimum reuses the same partitioning, and
-    * the decile cuts are one scalar exact-percentile aggregate mapped
-    * back (the `lengthDeciles` recipe — swap percentile_approx at
-    * 100 TB, same note). Latencies are integer epoch-second deltas.
+    * the decile cuts are one scalar exact-percentile aggregate
+    * broadcast-cross-joined back onto the latency rows (the
+    * `lengthDeciles` recipe — swap percentile_approx at 100 TB, same
+    * note). Fully LAZY — no driver action at construction time; the
+    * 1-row cut list rides the plan, and AQE reuses the latency
+    * aggregate's exchange rather than recomputing it. Latencies are
+    * integer epoch-second deltas.
     *
     * Returns (keyCol, latency_s, decile 1..buckets). */
   def conversionLatency(
@@ -507,7 +522,7 @@ object EventsOps {
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
     val lat = ev
       .select(col(keyCol), col(typeCol),
-        expr(s"unix_micros(`$tsCol`) div 1000000").as("_t"))
+        epochSec(tsCol).as("_t"))
       .withColumn("_fv",
         min(when(col(typeCol) === fromType, col("_t"))).over(wAll))
       .where(col(typeCol) === toType && col("_fv").isNotNull &&
@@ -515,16 +530,16 @@ object EventsOps {
       .groupBy(keyCol)
       .agg((min(col("_t")) - first(col("_fv")).cast("long")).as("latency_s"))
     val qs = (1 until buckets).map(_.toDouble / buckets)
-    val cutsRow = lat
-      .agg(expr(s"percentile(CAST(latency_s AS DOUBLE), array(${qs.mkString("D,")}D))"))
-      .first()
-    // zero converters: empty output, any cut list works
-    val cuts =
-      if (cutsRow.isNullAt(0)) Seq.empty[Double] else cutsRow.getSeq[Double](0)
-    val bucket = cuts.foldLeft(lit(1)) { (acc, c) =>
-      acc + when(col("latency_s").cast("double") >= c, 1).otherwise(0)
-    }
-    lat.select(col(keyCol), col("latency_s"), bucket.as("decile"))
+    // 1-row cut list stays IN the plan (no .first() at construction) and
+    // broadcast-cross-joins back — zero converters: lat is empty, so the
+    // cross join is empty too
+    val cuts = lat
+      .agg(expr(s"percentile(CAST(latency_s AS DOUBLE), array(${qs.mkString("D,")}D))")
+        .as("_cuts"))
+    lat.crossJoin(broadcast(cuts))
+      .select(col(keyCol), col("latency_s"),
+        (lit(1) + size(filter(col("_cuts"),
+          c => c <= col("latency_s").cast("double")))).as("decile"))
   }
 
   /** Global top-k behavioral MOTIFS: the most frequent consecutive
@@ -602,30 +617,6 @@ object EventsOps {
         s"`$tieCol` AS cp_$tieCol", "CAST(_sab div n AS BIGINT) AS cusum_div_n")
   }
 
-  /** Per-key UNION length of TTL intervals — each event opens the
-    * interval `[t, t+ttl)` in epoch seconds and overlaps must not
-    * double-count (true "active seconds" per user under a session TTL,
-    * versus [[rollingActiveUsers]]' distinct-user counting and
-    * sessionize's gap-splitting).
-    *
-    * Classic sweep-line, but expressed as ONE window + ONE aggregate on
-    * the same key (the exchange is reused — a single shuffle end to
-    * end): with events sorted by t, each row's novel contribution is
-    * `max(0, (t+ttl) − max(pmax, t))` where `pmax` is the running max
-    * end over all STRICTLY EARLIER rows; summing contributions gives the
-    * union length exactly. Duplicate timestamps need no pre-dedup: among
-    * tied rows one contributes and the rest see `pmax ≥ t+ttl` → 0, and
-    * the SUM is invariant to which engine breaks the tie — only
-    * aggregated outputs are exposed, so the result is deterministic
-    * cross-engine even though per-row contributions are not.
-    *
-    * All arithmetic is integer seconds (BIGINT) — no float boundary.
-    * At 100 TB: parallelism = #keys, per-row frame update O(1), and no
-    * interval explosion (contrast the generate_series contribution
-    * trick, which is bounded by windowDays — this one is O(n) for any
-    * ttl).
-    *
-    * Returns (keyCol, n_events, covered_seconds, span_seconds). */
   /** Per-group ROBUST outliers via median absolute deviation — the
     * heavy-tail-safe sibling of [[valueOutliers]] (whose mean/σ test a
     * single extreme value can mask). Flags rows with
@@ -704,7 +695,7 @@ object EventsOps {
     val d = DecimalType(38, 0)
     val base = ev.where(col(valueCol).isNotNull)
       .select(col(keyCol),
-        expr(s"unix_micros(`$tsCol`) div 1000000").as("_t"),
+        epochSec(tsCol).as("_t"),
         floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_y"))
     val agg = base.groupBy(keyCol).agg(
       count(lit(1)).as("n"),
@@ -727,6 +718,30 @@ object EventsOps {
           "CAST(_numday div _den AS BIGINT) END AS slope_day_micro")
   }
 
+  /** Per-key UNION length of TTL intervals — each event opens the
+    * interval `[t, t+ttl)` in epoch seconds and overlaps must not
+    * double-count (true "active seconds" per user under a session TTL,
+    * versus [[rollingActiveUsers]]' distinct-user counting and
+    * sessionize's gap-splitting).
+    *
+    * Classic sweep-line, but expressed as ONE window + ONE aggregate on
+    * the same key (the exchange is reused — a single shuffle end to
+    * end): with events sorted by t, each row's novel contribution is
+    * `max(0, (t+ttl) − max(pmax, t))` where `pmax` is the running max
+    * end over all STRICTLY EARLIER rows; summing contributions gives the
+    * union length exactly. Duplicate timestamps need no pre-dedup: among
+    * tied rows one contributes and the rest see `pmax ≥ t+ttl` → 0, and
+    * the SUM is invariant to which engine breaks the tie — only
+    * aggregated outputs are exposed, so the result is deterministic
+    * cross-engine even though per-row contributions are not.
+    *
+    * All arithmetic is integer seconds (BIGINT) — no float boundary.
+    * At 100 TB: parallelism = #keys, per-row frame update O(1), and no
+    * interval explosion (contrast the generate_series contribution
+    * trick, which is bounded by windowDays — this one is O(n) for any
+    * ttl).
+    *
+    * Returns (keyCol, n_events, covered_seconds, span_seconds). */
   def intervalCoverage(
       ev: DataFrame,
       ttlSeconds: Long = 300L,
@@ -737,7 +752,7 @@ object EventsOps {
       .partitionBy(col(keyCol)).orderBy(col("_t"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     ev.select(col(keyCol),
-        expr(s"unix_micros(`$tsCol`) div 1000000").as("_t"))
+        epochSec(tsCol).as("_t"))
       .withColumn("_pmax", max(col("_t") + lit(ttlSeconds)).over(w))
       .withColumn("_add",
         when(col("_pmax").isNull, lit(ttlSeconds))

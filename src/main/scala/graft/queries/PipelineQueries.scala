@@ -80,6 +80,21 @@ object PipelineQueries {
       })
     }
 
+  /** The learned 3-round BPE merge table — shared front half of p93
+    * (report the table) and p105 (fold it into the map-only encode).
+    * Same recipe as [[nearDupPairs45]]: memoized per (session, sf dir)
+    * and persisted so a sequential Verify run trains once, not twice;
+    * the table is 3 rows, so the persist is a formality — the win is
+    * skipping the iterative count/argmax/fuse training rounds. */
+  private val bpeMemo =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
+  private def bpeMerges3(s: SparkSession, dir: String): DataFrame =
+    bpeMemo.synchronized {
+      bpeMemo.getOrElseUpdate((s, dir),
+        graft.ops.CorpusOps.bpeMerges(Tables(s, dir, "documents"), nMerges = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EP2/EP3 end-to-end: header identify + rules standardizer + typed
     // stages + fuzzy importer join + publish projection. The multi-stage
@@ -235,8 +250,7 @@ object PipelineQueries {
     // BPE tokenizer training, first 3 merge rounds: globally most
     // frequent adjacent symbol pair per round, fused and re-counted.
     "p93_bpe_merges" -> ((s, dir) =>
-      graft.ops.CorpusOps.bpeMerges(Tables(s, dir, "documents"), nMerges = 3)
-        .orderBy("rank")),
+      bpeMerges3(s, dir).orderBy("rank")),
 
     // Apply the learned merge table back to the corpus: per-doc BPE
     // token counts + chars-per-token compression in micro-units. The
@@ -244,7 +258,7 @@ object PipelineQueries {
     // itself is map-only.
     "p105_bpe_encode" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val m = graft.ops.CorpusOps.bpeMerges(docs, nMerges = 3)
+      val m = bpeMerges3(s, dir)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.ops.CorpusOps.bpeEncodeStats(docs, m).orderBy("doc_id")

@@ -168,8 +168,43 @@ object ScaledOps {
       time("apply_span_cuts") { sink(Dedup.applySpanCuts(docs,
         Dedup.repeatedSpans(docs, n = 20))) },
       time("continuation") { sink(Dedup.continuationPairs(docs, n = 10)) },
-      time("epoch_shuffle") { sink(CorpusOps.epochShuffle(docs, epoch = 1, nShards = 16)) })
+      time("epoch_shuffle") { sink(CorpusOps.epochShuffle(docs, epoch = 1, nShards = 16)) },
+      // billion-scale ANN headline at ×k: full train+search pipeline
+      // (IVF coarse cells + PQ codebooks + ADC scan + exact refine),
+      // the p79 gate's exact shape at scaled row count
+      time("containment") { sink(Dedup.containmentPairs(docs,
+        shingleSize = 3, thresholdMicro = 900000L)) },
+      time("ann_ivfpq") { sink(ivfPqPipeline(spark.read.parquet(embPath), k = 3)) },
+      annIvfPqRecall(spark.read.parquet(embPath)))
   }
+
+  private def ivfPqPipeline(emb: DataFrame, k: Int): DataFrame = {
+    val q = emb.where(col("vec_id") < 50)
+    val ivfM = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 16)
+    val pqM = graft.ops.Pq.train(emb, "vec_id", "embedding", m = 8, k = 256)
+    graft.ops.Pq.ivfPqTopK(q, emb, "vec_id", "embedding", ivfM, pqM,
+      k = k, nProbe = 12, refine = 32)
+  }
+
+  /** Recall scorecard at scale — NOT a timing (the `_pct` suffix keeps it
+    * out of the scaled-tier total): percentage of the exact brute-force
+    * top-3 the IVF-PQ path recovers over 50 queries at the ×k corpus.
+    * The ×k replicas duplicate vectors verbatim, so exact top-3 is
+    * dominated by cosine-1.0 twins — an index that loses those is
+    * broken, which is exactly what this entry watches for. */
+  private def annIvfPqRecall(emb: DataFrame): (String, Double) =
+    try {
+      val q = emb.where(col("vec_id") < 50)
+      val approx = ivfPqPipeline(emb, k = 3)
+      val exact = graft.ops.Ann.bruteTopK(q, emb, "vec_id", "embedding", k = 3)
+      val total = exact.count()
+      val hits = approx.join(exact.select("qid", "nid"), Seq("qid", "nid"), "left_semi").count()
+      "ann_ivfpq_recall_pct" -> (if (total == 0) -1.0 else hits * 100.0 / total)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench-scaled] ann_ivfpq_recall_pct FAILED: ${e.getMessage}")
+        "ann_ivfpq_recall_pct" -> -1.0
+    }
 }
 
 object ScaleStudy {

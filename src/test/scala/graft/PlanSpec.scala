@@ -111,6 +111,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
     val firstExchange = p.indexOf("Exchange")
     assert(p.indexOf("HashAggregate", firstExchange) > firstExchange, p)
+    // round-9 pin: the hot-hash side is a count-only df table semi-joined
+    // back onto the stream — NO aggregate may build a per-hash occurrence
+    // array (the 100 TB OOM shape this replaced)
+    assert(!p.contains("collect_list"), p)
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("LeftSemi"), p)
   }
 
   test("p78/p79: PQ scoring runs in the native kernels, never a ScalaUDF") {
