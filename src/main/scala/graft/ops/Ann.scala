@@ -73,10 +73,53 @@ object Ann {
       labelCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 1, s"labelAgreement: need k >= 1, got $k")
-    val nn = bruteTopK(queries, candidates, idCol, vecCol, k)
+    // broadcast of the candidate labels is sound here: brute's envelope
+    // already requires the candidate SIDE (vectors, strictly larger) to
+    // fit a broadcast
+    labelVote(bruteTopK(queries, candidates, idCol, vecCol, k),
+      queries, candidates, idCol, labelCol, k, broadcastLabels = true)
+  }
+
+  /** [[labelAgreement]] with neighbors from [[lshTopK]] instead of the
+    * broadcast brute scorer — the 100 TB form of the screen (shuffle
+    * ∝ rows × tables, no broadcast of the candidate side anywhere).
+    * The voting stage is shared code, so swapping the neighbor source
+    * provably cannot change the vote arithmetic. A query that LSH
+    * leaves with fewer than `k` candidates still divides by `k`
+    * (missing neighbors read as disagreement — conservative for a
+    * noise screen); one with NO candidates drops out. */
+  def labelAgreementLsh(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int = 5,
+      tables: Int = 16,
+      bits: Int = 4,
+      dims: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"labelAgreementLsh: need k >= 1, got $k")
+    labelVote(lshTopK(queries, candidates, idCol, vecCol, k, tables, bits, dims, seed),
+      queries, candidates, idCol, labelCol, k, broadcastLabels = false)
+  }
+
+  /** The shared voting stage: join neighbor labels onto a (qid, nid)
+    * top-k list and count per-query agreement — agnostic to how the
+    * neighbors were found. `broadcastLabels` only when the caller's own
+    * envelope already bounds the candidate side. */
+  private def labelVote(
+      nn: DataFrame,
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      labelCol: String,
+      k: Int,
+      broadcastLabels: Boolean): DataFrame = {
     val qLab = queries.select(col(idCol).as("qid"), col(labelCol).as("_ql"))
-    val nLab = candidates.select(col(idCol).as("nid"), col(labelCol).as("_nl"))
-    nn.join(broadcast(nLab), Seq("nid"))
+    val nLabRaw = candidates.select(col(idCol).as("nid"), col(labelCol).as("_nl"))
+    val nLab = if (broadcastLabels) broadcast(nLabRaw) else nLabRaw
+    nn.join(nLab, Seq("nid"))
       .join(qLab, Seq("qid"))
       .groupBy(col("qid"), col("_ql").as("label"))
       .agg(sum(when(col("_nl") === col("_ql"), 1L).otherwise(0L)).as("n_agree"))

@@ -417,6 +417,27 @@ object PipelineQueries {
         .orderBy("qid")
     }),
 
+    // The same screen with LSH-sourced neighbors — the 100 TB swap p116's
+    // scaladoc documents, gated for voting-stage equivalence. Planted
+    // fixture: 10 one-hot clusters × 20 IDENTICAL vectors (identical ⇒
+    // every LSH table buckets them together ⇒ the bucketed candidate set
+    // contains the full exact neighborhood by construction, recall 1 with
+    // no pinned numerators); first member of each cluster carries a wrong
+    // label, so the vote must flag exactly those 10 as suspects. The
+    // oracle is the clean all-pairs vote — hash equality IS the proof
+    // that swapping brute→LSH left the voting arithmetic untouched.
+    "p119_label_agreement_lsh" -> ((s, _) => {
+      val base = s.range(200).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), i -> CASE WHEN i = CAST(id div 20 AS INT) " +
+          "THEN CAST(1.0 AS FLOAT) ELSE CAST(0.0 AS FLOAT) END)").as("embedding"),
+        expr("CASE WHEN id % 20 = 0 THEN (id div 20 + 1) % 10 ELSE id div 20 END")
+          .as("label"))
+      graft.ops.Ann.labelAgreementLsh(base, base,
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("qid")
+    }),
+
     // First-view → first-subsequent-purchase latency per user with
     // exact-percentile decile bucketing (the p52 decile recipe on an
     // integer-seconds measure).
@@ -2327,6 +2348,23 @@ object PipelineQueries {
       "WITH scored AS (SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS nid, c.label AS nl, " +
         "ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) + 0.0 AS score " +
         "FROM embeddings q JOIN embeddings c ON q.vec_id < 200 AND q.vec_id <> c.vec_id), " +
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM scored) " +
+        "SELECT qid, ql AS label, " +
+        "CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_agree, " +
+        "CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) * 1000000 // 5 AS BIGINT) AS agree_ppm, " +
+        "2 * SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) < 5 AS suspect " +
+        "FROM ranked WHERE rank <= 5 GROUP BY qid, ql ORDER BY qid"),
+    // p116's vote over the planted one-hot-cluster fixture; the oracle
+    // is EXACT all-pairs — LSH recall on identical vectors is 1 by
+    // construction, so no pinned numerators are needed
+    "p119_label_agreement_lsh" -> (
+      "WITH v AS (SELECT id AS vec_id, " +
+        "[CASE WHEN i = CAST(id // 20 AS INT) THEN 1.0 ELSE 0.0 END FOR i IN range(64)] AS emb, " +
+        "CASE WHEN id % 20 = 0 THEN (id // 20 + 1) % 10 ELSE id // 20 END AS label " +
+        "FROM range(200) t(id)), " +
+        "scored AS (SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS nid, c.label AS nl, " +
+        "ROUND(list_cosine_similarity(q.emb, c.emb), 4) + 0.0 AS score " +
+        "FROM v q JOIN v c ON q.vec_id <> c.vec_id), " +
         "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM scored) " +
         "SELECT qid, ql AS label, " +
         "CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_agree, " +

@@ -172,4 +172,25 @@ class AnnSpec extends AnyFunSuite {
     Seq(1L, 2L, 3L, 4L).foreach(id =>
       assert(!out(id)._2, s"clean cluster member $id must not be flagged"))
   }
+
+  test("labelAgreementLsh ≡ labelAgreement on the planted one-hot clusters") {
+    // p119's fixture: identical vectors share every LSH bucket, so the
+    // bucketed candidate set contains the full exact neighborhood —
+    // row-for-row equality proves the brute→LSH swap only changes the
+    // neighbor SOURCE, never the voting arithmetic
+    val base = spark.range(200).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), i -> CASE WHEN i = CAST(id div 20 AS INT) " +
+        "THEN CAST(1.0 AS FLOAT) ELSE CAST(0.0 AS FLOAT) END)").as("embedding"),
+      expr("CASE WHEN id % 20 = 0 THEN (id div 20 + 1) % 10 ELSE id div 20 END")
+        .as("label"))
+    val brute = Ann.labelAgreement(base, base, "vec_id", "embedding", "label", k = 5)
+    val lsh = Ann.labelAgreementLsh(base, base, "vec_id", "embedding", "label", k = 5)
+    assert(brute.exceptAll(lsh).isEmpty && lsh.exceptAll(brute).isEmpty)
+    // and the vote itself lands where planted: exactly the 10 first-of-
+    // cluster mislabels are suspects
+    val suspects = lsh.where(col("suspect")).select("qid")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(suspects == (0L until 200L by 20L).toSeq)
+  }
 }
