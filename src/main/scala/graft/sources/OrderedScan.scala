@@ -16,14 +16,25 @@ object OrderedScan {
 
   val RowIdx = "_row_idx"
 
-  /** S3: the real binary workbook — every requested sheet parsed from
-    * BIFF8 by [[XlsGrid]] into an all-string ordered grid, the exact
-    * shape `pd.read_excel(sheet_name=[0..n), dtype=str)` hands the
-    * reference (transform_pipeline.py:23-30 `read_xls_files`). */
-  def xlsSheets(spark: SparkSession, path: String, numSheets: Int = 2): Seq[DataFrame] =
-    XlsGrid.readSheets(path).take(numSheets).map { case (_, grid) =>
+  /** S3: the real binary workbook — every requested sheet parsed into an
+    * all-string ordered grid, the exact shape
+    * `pd.read_excel(sheet_name=[0..n), dtype=str)` hands the reference
+    * (transform_pipeline.py:23-30 `read_xls_files`). Dispatches on the
+    * container magic the way pandas does: OLE2 (`D0 CF 11 E0`) →
+    * [[XlsGrid]] BIFF8, ZIP (`PK`) → [[XlsxGrid]] OOXML — the upstream
+    * site flipping formats cannot break ingestion. */
+  def xlsSheets(spark: SparkSession, path: String, numSheets: Int = 2): Seq[DataFrame] = {
+    val magic = {
+      val in = new java.io.FileInputStream(path)
+      try { val b = new Array[Byte](4); in.read(b); b } finally in.close()
+    }
+    val sheets =
+      if (magic.take(2).sameElements(Array[Byte]('P', 'K'))) XlsxGrid.readSheets(path)
+      else XlsGrid.readSheets(path)
+    sheets.take(numSheets).map { case (_, grid) =>
       fromGrid(spark, grid, grid.headOption.map(_.length).getOrElse(0))
     }
+  }
 
   /** S3-fallback: read a headerless all-string grid (a pre-converted
     * CSV of a sheet; [[xlsSheets]] reads the binary workbook directly) as
