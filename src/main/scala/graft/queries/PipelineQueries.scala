@@ -1177,12 +1177,18 @@ object PipelineQueries {
     // the HLL sketch is duplicate-insensitive (same registers, same
     // estimate), the exact side becomes a plain count, and the plan is
     // one partial-agg'd distinct instead of the Expand-doubled
-    // mixed-distinct aggregate (the round-7 6.7x gate regression)
+    // mixed-distinct aggregate (the round-7 6.7x gate regression).
+    // rsd 0.02, not 0.01: the scorecard budget is 5%, so σ = 2% is
+    // comfortable (max observed error 4.0% across all sf tiers,
+    // deterministic on fixed data) — and the rsd-0.01 sketch declares
+    // 2731 agg-buffer words, which bloats the generated aggregate past
+    // JIT-friendly size (measured 0.62 s vs 0.13 s at rsd 0.05 on the
+    // same 50k rows; the gate dropped 1.22 → ~0.4 s)
     "p49_approx_distinct" -> ((s, dir) =>
       Tables(s, dir, "documents")
         .select("source", "doc_id").distinct()
         .groupBy("source")
-        .agg(approx_count_distinct(col("doc_id"), 0.01).as("approx"),
+        .agg(approx_count_distinct(col("doc_id"), 0.02).as("approx"),
           count(col("doc_id")).as("exact"))
         .select(col("source"),
           (abs(col("approx") - col("exact")) <= col("exact") * 0.05)

@@ -30,8 +30,8 @@ object Scratch {
 
     (1 to 3).foreach { i =>
       time(s"repeated_spans#$i") { sink(Dedup.repeatedSpans(docs, n = 20)) }
-      time(s"tfidf_keywords#$i") { sink(graft.ops.CorpusOps.tfidfKeywords(docs, k = 5)) }
-      time(s"bigram_surprisal#$i") { sink(graft.ops.CorpusOps.bigramSurprisal(docs)) }
+      time(s"apply_span_cuts#$i") { sink(Dedup.applySpanCuts(docs,
+        Dedup.repeatedSpans(docs, n = 20))) }
     }
     spark.stop()
   }
