@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-governance screens a training-data pipeline runs before a
+  * corpus ships: re-identification risk (k-anonymity over
+  * quasi-identifier combinations) and distribution drift between
+  * corpus snapshots (population stability index). Complements the
+  * content-level screens ([[TextAnalysis.piiProfile]] redacts PII
+  * inside text; this audits the STRUCTURED columns around it). */
+object Governance {
+
+  /** K-ANONYMITY audit: every quasi-identifier equivalence class whose
+    * row count is below `k` — the classes whose members a linkage
+    * attack can single out, the standard pre-release re-identification
+    * screen (Sweeney's k-anonymity). This REPORTS violations
+    * (suppression/generalization is a policy decision for the caller);
+    * `n_rows` tells the cost of suppressing the class outright.
+    *
+    * Shape: one partial-agg count shuffle on the QI tuple — map-side
+    * combine absorbs duplicate tuples, the violation filter runs on the
+    * |classes|-bounded aggregate, and nothing resembling a row-level
+    * join or window exists. At 100 TB parallelism = #classes; a
+    * heavily-duplicated QI tuple is exactly the class the filter
+    * discards earliest. All-integer output.
+    *
+    * Returns (qiCols..., n_rows) for classes with n_rows < k. */
+  def kAnonymityAudit(
+      df: DataFrame,
+      qiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymityAudit: need at least one quasi-identifier")
+    require(k >= 2, s"kAnonymityAudit: k < 2 flags nothing, got $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") < k)
+  }
+
+  /** POPULATION STABILITY INDEX between a reference and a current
+    * snapshot of one numeric column, over caller-fixed bucket edges:
+    * `PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)` — the drift tripwire that
+    * tells a recurring curation run "this month's corpus is not last
+    * month's distribution" (PSI > 0.2 is the conventional alarm).
+    *
+    * Buckets are closed-open `[lo, hi)` over `edges` plus two unbounded
+    * tail buckets — edges are DATA, passed in, so the report is
+    * reproducible across runs and engines (deriving edges from
+    * quantiles of the reference is one `approx_quantile` call away and
+    * deliberately out of this operator). Empty buckets are
+    * Laplace-smoothed by half a count on BOTH sides before
+    * normalization, the standard guard that keeps ln finite without
+    * ever zeroing a real contribution.
+    *
+    * Float policy: the only non-integer step is the final
+    * `(p−q)·ln(p/q)` with FIXED operand order, reported round-6 (+0.0
+    * to fold −0.0) — the [[CorpusOps.bm25TopK]] cross-engine contract:
+    * the last-ulp wobble of ln would need two snapshots within ~1e-15
+    * relative PSI to flip a rendered digit.
+    *
+    * Shape: one partial-agg count per side on the bucket id (map-side
+    * combine collapses each partition to ≤ |edges|+2 rows), a
+    * |buckets|-sized outer join, and scalar totals broadcast back —
+    * corpus-sized data is touched exactly twice, map-only.
+    *
+    * Returns (bucket, ref_n, cur_n, psi_term) per bucket, bucket-
+    * ordered; `SUM(psi_term)` is the index. */
+  def psiDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
+      s"psiDrift: edges must be non-empty, sorted, distinct — got $edges")
+    def bucketOf(c: Column): Column =
+      edges.foldLeft(lit(0))((acc, e) => acc + when(c >= e, 1).otherwise(0))
+    def sideCounts(df: DataFrame, as: String): DataFrame =
+      df.where(col(valueCol).isNotNull)
+        .groupBy(bucketOf(col(valueCol).cast("double")).as("bucket"))
+        .agg(count(lit(1)).as(as))
+    val joined = sideCounts(ref, "ref_n")
+      .join(sideCounts(cur, "cur_n"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    // scalar totals ride the plan as a 1-row broadcast cross join (the
+    // conversionLatency recipe) — construction stays lazy, no .first()
+    val totals = joined.agg(
+      sum(col("ref_n")).as("_rt"), sum(col("cur_n")).as("_ct"),
+      count(lit(1)).as("_nb"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("ref_n"), col("cur_n"), {
+        // half-count smoothing on both sides, SAME denominator form:
+        // p = (n + 0.5) / (total + 0.5·buckets)
+        val p = (col("ref_n").cast("double") + lit(0.5)) /
+          (col("_rt").cast("double") + lit(0.5) * col("_nb").cast("double"))
+        val q = (col("cur_n").cast("double") + lit(0.5)) /
+          (col("_ct").cast("double") + lit(0.5) * col("_nb").cast("double"))
+        (round((p - q) * log(p / q), 6) + 0.0).as("psi_term")
+      })
+      .orderBy("bucket")
+  }
+}

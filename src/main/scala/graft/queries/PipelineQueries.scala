@@ -445,6 +445,33 @@ object PipelineQueries {
       graft.ops.EventsOps.conversionLatency(Tables(s, dir, "events"))
         .orderBy("user_id")),
 
+    // Re-identification screen: quasi-identifier classes (event_type,
+    // epoch-week, 50-unit value bin) with fewer than 5 rows — one
+    // partial-agg count shuffle, violation filter on the class table.
+    // NULLS FIRST on the sort keys matches Spark's asc default.
+    "p120_k_anonymity" -> ((s, dir) =>
+      graft.ops.Governance.kAnonymityAudit(
+        Tables(s, dir, "events").select(
+          col("event_type"),
+          floor(floor(floor(unix_micros(col("ts")).cast("double") / lit(1000000.0d)) /
+            lit(86400.0d)) / lit(7.0d)).cast("long").as("week"),
+          floor(col("value").cast("double") / lit(50.0d)).cast("long").as("vbin")),
+        Seq("event_type", "week", "vbin"), k = 5)
+        .orderBy(col("event_type"), col("week"), col("vbin"))),
+
+    // Distribution-drift tripwire: PSI between the even- and odd-id
+    // halves of the events value stream over fixed bucket edges in the
+    // value domain — count tables per side, |buckets| outer join,
+    // smoothed (p−q)·ln(p/q) per bucket round-6 (the bm25 float
+    // contract).
+    "p121_psi_drift" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      graft.ops.Governance.psiDrift(
+        ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 === 1),
+        "value", Seq(5.0, 20.0, 50.0, 100.0, 200.0))
+    }),
+
     // Top-20 event-type transition motifs across all user streams:
     // lag window on the key shuffle → |types|²-bounded pair counts →
     // TakeOrdered; pair tie-break for determinism.
@@ -2360,6 +2387,34 @@ object PipelineQueries {
         "CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) * 1000000 // 5 AS BIGINT) AS agree_ppm, " +
         "2 * SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) < 5 AS suspect " +
         "FROM ranked WHERE rank <= 5 GROUP BY qid, ql ORDER BY qid"),
+    // QI classes below k; NULLS FIRST mirrors Spark's asc default
+    "p120_k_anonymity" -> (
+      "WITH q AS (SELECT event_type, " +
+        "CAST(floor(floor(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) / 86400) / 7) AS BIGINT) AS week, " +
+        "CAST(floor(CAST(value AS DOUBLE) / 50) AS BIGINT) AS vbin FROM events) " +
+        "SELECT event_type, week, vbin, COUNT(*) AS n_rows FROM q " +
+        "GROUP BY 1, 2, 3 HAVING COUNT(*) < 5 " +
+        "ORDER BY event_type, week NULLS FIRST, vbin NULLS FIRST"),
+    // same additive >=-edge bucket chain, half-count smoothing with the
+    // SAME denominator form, fixed (p−q)·ln(p/q) operand order round-6
+    "p121_psi_drift" -> (
+      "WITH v AS (SELECT event_id, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL), " +
+        "b AS (SELECT event_id, (CASE WHEN v >= 5.0 THEN 1 ELSE 0 END) + (CASE WHEN v >= 20.0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN v >= 50.0 THEN 1 ELSE 0 END) + (CASE WHEN v >= 100.0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN v >= 200.0 THEN 1 ELSE 0 END) AS bucket FROM v), " +
+        "r AS (SELECT bucket, COUNT(*) AS ref_n FROM b WHERE event_id % 2 = 0 GROUP BY 1), " +
+        "c AS (SELECT bucket, COUNT(*) AS cur_n FROM b WHERE event_id % 2 = 1 GROUP BY 1), " +
+        "j AS (SELECT COALESCE(r.bucket, c.bucket) AS bucket, " +
+        "COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n " +
+        "FROM r FULL OUTER JOIN c ON r.bucket = c.bucket), " +
+        "t AS (SELECT CAST(SUM(ref_n) AS DOUBLE) AS rt, CAST(SUM(cur_n) AS DOUBLE) AS ct, " +
+        "CAST(COUNT(*) AS DOUBLE) AS nb FROM j) " +
+        "SELECT j.bucket, j.ref_n, j.cur_n, " +
+        "ROUND(((CAST(j.ref_n AS DOUBLE) + 0.5) / (t.rt + 0.5 * t.nb) - " +
+        "(CAST(j.cur_n AS DOUBLE) + 0.5) / (t.ct + 0.5 * t.nb)) * " +
+        "ln(((CAST(j.ref_n AS DOUBLE) + 0.5) / (t.rt + 0.5 * t.nb)) / " +
+        "((CAST(j.cur_n AS DOUBLE) + 0.5) / (t.ct + 0.5 * t.nb))), 6) + 0.0 AS psi_term " +
+        "FROM j, t ORDER BY j.bucket"),
     // p116's vote over the planted one-hot-cluster fixture; the oracle
     // is EXACT all-pairs — LSH recall on identical vectors is 1 by
     // construction, so no pinned numerators are needed

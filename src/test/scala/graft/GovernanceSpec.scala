@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Governance
+
+/** Governance screens: k-anonymity violation reporting and PSI drift
+  * (bucket assignment, half-count smoothing, join-coalesce of one-sided
+  * buckets). */
+class GovernanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("kAnonymityAudit reports exactly the classes below k, with sizes") {
+    import spark.implicits._
+    val rows = Seq.fill(5)(("a", 1L)) ++ Seq.fill(2)(("b", 1L)) ++ Seq(("b", 2L))
+    val out = Governance.kAnonymityAudit(
+        rows.toDF("qi1", "qi2"), Seq("qi1", "qi2"), k = 3)
+      .orderBy("qi1", "qi2").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("b", 1L, 2L), ("b", 2L, 1L)))
+  }
+
+  test("psiDrift of a snapshot against itself is zero in every bucket") {
+    import spark.implicits._
+    val df = Seq(0.1, 0.6, -0.3, 1.4, 0.6).toDF("value")
+    val out = Governance.psiDrift(df, df, "value", Seq(0.0, 0.5, 1.0)).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(3) == 0.0, r))
+  }
+
+  test("psiDrift: buckets, one-sided coalesce, smoothing match the formula") {
+    import spark.implicits._
+    val ref = Seq(0.1, 0.6, 0.6).toDF("value")
+    val cur = Seq(0.1, -0.7).toDF("value")
+    val out = Governance.psiDrift(ref, cur, "value", Seq(0.0, 0.5))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // buckets: <0 → 0, [0,0.5) → 1, ≥0.5 → 2; bucket 0 exists only on
+    // the cur side and must be coalesced in with ref_n = 0
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((0, 0L, 1L), (1, 1L, 1L), (2, 2L, 0L)))
+    def term(rn: Long, cn: Long): Double = {
+      val p = (rn + 0.5) / (3 + 0.5 * 3)
+      val q = (cn + 0.5) / (2 + 0.5 * 3)
+      BigDecimal((p - q) * math.log(p / q))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    }
+    out.foreach { case (_, rn, cn, got) => assert(got == term(rn, cn), (rn, cn)) }
+    // and a drifted pair is asymmetric in sign but positive in sum
+    assert(out.map(_._4).sum > 0.0)
+  }
+}

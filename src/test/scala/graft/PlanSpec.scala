@@ -119,6 +119,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("p83: the vocab-bounded DSIR bits table broadcasts onto the instance stream") {
+    // round-9 pin: the corpus-tokens × vocab join must be a broadcast —
+    // shuffled, its key is a unigram ("the" = massive skew at 100 TB)
+    val p = plan("p83_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("p120: k-anonymity audit is one partial-agg count — no window, no join") {
+    val p = plan("p120_k_anonymity")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // exactly one hash exchange, with the map-side partial count BELOW it
+    // (printed after it in the top-down tree)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    val hashIdx = p.indexOf("Exchange hashpartitioning")
+    assert(p.indexOf("partial_count", hashIdx) > hashIdx, p)
+  }
+
   test("p78/p79: PQ scoring runs in the native kernels, never a ScalaUDF") {
     val p78 = plan("p78_ann_pq")
     assert(p78.contains("pq_adc") && p78.contains("pq_encode"), p78)
