@@ -37,6 +37,57 @@ object Governance {
       .where(col("n_rows") < k)
   }
 
+  /** COHEN'S KAPPA between two label columns — the inter-annotator
+    * agreement statistic a labeled-data QC step reports before anyone
+    * trains on the labels (raw percent agreement over-credits
+    * imbalanced label sets; kappa subtracts the chance-agreement
+    * floor).
+    *
+    * INTEGER-EXACT via the rational form: with N rows, A agreeing rows,
+    * and P = Σ_label n_a(label)·n_b(label) the joint marginal product,
+    *
+    *   κ = (A/N − P/N²) / (1 − P/N²) = (A·N − P) / (N² − P)
+    *
+    * — numerator and denominator are plain BIGINT products (DECIMAL(38)
+    * here so N up to ~10⁹ with ppm scaling cannot wrap), reported as
+    * `kappa_ppm` by integral division with the [[EventsOps.groupTrend]]
+    * re-sign recipe (truncate-toward-zero on both engines; κ can be
+    * negative). N² = P (chance agreement 1 — a single marginal class on
+    * both sides) reports NULL, the statistic's own undefined case.
+    *
+    * Shape: one count aggregate for (N, A) + two label-vocab-sized
+    * marginal counts joined on the label value, all folded to scalars
+    * that meet in a 1-row broadcast cross join — corpus data is
+    * touched twice, map-only, nothing row-scaled ever joins.
+    * NULL labels count as a real label value on both sides (two NULLs
+    * agree), matching the SQL `IS NOT DISTINCT FROM` the oracle uses.
+    *
+    * Returns one row (n, n_agree, kappa_ppm). */
+  def cohenKappa(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(38, 0)
+    val base = df.select(col(aCol).as("_a"), col(bCol).as("_b"))
+    val totals = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("_a") <=> col("_b"), 1L).otherwise(0L)).as("n_agree"))
+    val na = base.groupBy(col("_a").as("_l")).agg(count(lit(1)).as("_na"))
+    val nb = base.groupBy(col("_b").as("_lb")).agg(count(lit(1)).as("_nb"))
+    val pe = na.join(nb, col("_l") <=> col("_lb"))
+      .agg(coalesce(sum(col("_na").cast(d) * col("_nb").cast(d)), lit(0).cast(d)).as("_p"))
+    totals.crossJoin(broadcast(pe))
+      .selectExpr("n", "n_agree",
+        // the groupTrend re-sign recipe: divide non-negative magnitudes,
+        // re-apply the sign — Spark div truncates, DuckDB // floors, and
+        // only non-negative operands make them agree for negative kappa
+        "CASE WHEN CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) - _p = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(CASE WHEN CAST(n_agree AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) - _p >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+          "CAST(abs(CAST(n_agree AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) - _p) * 1000000 div " +
+          "(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) - _p) AS BIGINT) END AS kappa_ppm")
+  }
+
   /** POPULATION STABILITY INDEX between a reference and a current
     * snapshot of one numeric column, over caller-fixed bucket edges:
     * `PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)` — the drift tripwire that

@@ -459,6 +459,18 @@ object PipelineQueries {
         Seq("event_type", "week", "vbin"), k = 5)
         .orderBy(col("event_type"), col("week"), col("vbin"))),
 
+    // Inter-annotator agreement on the embeddings labels vs a planted
+    // second annotator (every 17th row relabeled to a class outside the
+    // real domain): integer-exact kappa via (A·N − P)/(N² − P) in
+    // DECIMAL(38,0), ppm by re-signed integral division.
+    "p122_cohen_kappa" -> ((s, dir) =>
+      graft.ops.Governance.cohenKappa(
+        Tables(s, dir, "embeddings").select(
+          col("label").as("a"),
+          when(col("vec_id") % 17 === 0, col("label") + 1000)
+            .otherwise(col("label")).as("b")),
+        "a", "b")),
+
     // Distribution-drift tripwire: PSI between the even- and odd-id
     // halves of the events value stream over fixed bucket edges in the
     // value domain — count tables per side, |buckets| outer join,
@@ -2387,6 +2399,19 @@ object PipelineQueries {
         "CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) * 1000000 // 5 AS BIGINT) AS agree_ppm, " +
         "2 * SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) < 5 AS suspect " +
         "FROM ranked WHERE rank <= 5 GROUP BY qid, ql ORDER BY qid"),
+    // exact rational kappa, HUGEINT ≡ DECIMAL(38,0), re-signed // ≡ div
+    "p122_cohen_kappa" -> (
+      "WITH q AS (SELECT label AS a, CASE WHEN vec_id % 17 = 0 THEN label + 1000 ELSE label END AS b FROM embeddings), " +
+        "t AS (SELECT COUNT(*) AS n, SUM(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END) AS n_agree FROM q), " +
+        "ma AS (SELECT a AS l, COUNT(*) AS na FROM q GROUP BY 1), " +
+        "mb AS (SELECT b AS l, COUNT(*) AS nb FROM q GROUP BY 1), " +
+        "p AS (SELECT COALESCE(SUM(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)), 0) AS p " +
+        "FROM ma JOIN mb ON ma.l IS NOT DISTINCT FROM mb.l) " +
+        "SELECT t.n, CAST(t.n_agree AS BIGINT) AS n_agree, " +
+        "CASE WHEN CAST(t.n AS HUGEINT) * t.n - p.p = 0 THEN CAST(NULL AS BIGINT) " +
+        "ELSE CAST(CASE WHEN CAST(t.n_agree AS HUGEINT) * t.n - p.p >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        "CAST(abs(CAST(t.n_agree AS HUGEINT) * t.n - p.p) * 1000000 // (CAST(t.n AS HUGEINT) * t.n - p.p) AS BIGINT) END AS kappa_ppm " +
+        "FROM t, p"),
     // QI classes below k; NULLS FIRST mirrors Spark's asc default
     "p120_k_anonymity" -> (
       "WITH q AS (SELECT event_type, " +

@@ -21,6 +21,21 @@ class GovernanceSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("b", 1L, 2L), ("b", 2L, 1L)))
   }
 
+  test("cohenKappa: hand-computed rational kappa, perfect/negative/undefined cases") {
+    import spark.implicits._
+    def kappa(pairs: Seq[(String, String)]): Option[Long] = {
+      val r = graft.ops.Governance.cohenKappa(pairs.toDF("a", "b"), "a", "b").head()
+      if (r.isNullAt(2)) None else Some(r.getLong(2))
+    }
+    // N=4, A=3, na=(x:2,y:2), nb=(x:1,y:3) → P=8, κ=(12−8)/(16−8)=0.5
+    assert(kappa(Seq(("x", "x"), ("x", "y"), ("y", "y"), ("y", "y"))) == Some(500000L))
+    assert(kappa(Seq(("x", "x"), ("y", "y"))) == Some(1000000L))
+    // full systematic disagreement on balanced marginals → κ = −1
+    assert(kappa(Seq(("x", "y"), ("y", "x"))) == Some(-1000000L))
+    // one class on both sides: chance agreement 1, κ undefined
+    assert(kappa(Seq(("x", "x"), ("x", "x"))) == None)
+  }
+
   test("psiDrift of a snapshot against itself is zero in every bucket") {
     import spark.implicits._
     val df = Seq(0.1, 0.6, -0.3, 1.4, 0.6).toDF("value")
