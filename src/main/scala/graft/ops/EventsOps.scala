@@ -358,7 +358,9 @@ object EventsOps {
       .partitionBy(col(userCol)).orderBy(col("day"))
     val pairs = ev
       .select(col(userCol),
-        expr(s"(unix_micros(`$tsCol`) div 1000000) div 86400").as("day"))
+        // floor at both stages (the oracle's `//`), not truncating div —
+        // pre-1970 parity, same as every other epoch derivation here
+        floor(epochSec(tsCol).cast("double") / lit(86400.0d)).cast("long").as("day"))
       .distinct()
     val contrib = pairs
       .withColumn("_nxt", lead(col("day"), 1).over(w))
