@@ -116,6 +116,42 @@ object TextAnalysis {
         phoneRe, "[PHONE]"),
       ipRe, "[IP]")
 
+  /** HTML → text extraction — the first transform every web-scraped
+    * corpus runs (the trafilatura/jusText step reduced to its portable
+    * core): drop script/style payloads and comments, strip tags, decode
+    * the six universal entities, collapse whitespace. Pure
+    * regexp_replace/replace chain — map-only, codegen'd, linear at any
+    * scale — in the Java/RE2-COMMON regex subset (inline (?is) flags,
+    * lazy repeats, alternation; no lookaround, no backreferences) so the
+    * DuckDB oracle replays the chain verbatim.
+    *
+    * Decode order is part of the contract: `&amp;` decodes LAST, so
+    * `&amp;lt;` yields the literal text `&lt;` (single decode, the
+    * HTML-correct reading) instead of `<`. A mismatched
+    * `<script>…</style>` pair strips as one block — same on both
+    * engines, and a page broken that badly is boilerplate anyway. */
+  def htmlText(c: Column): Column = {
+    val noBlock = regexp_replace(c,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(noBlock, "(?s)<!--.*?-->", " ")
+    val noTag = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTag) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Per-doc HTML extraction report: cleaned text + size delta. */
+  def htmlExtract(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      htmlCol: String = "html"): DataFrame =
+    df.select(col(idCol),
+      length(col(htmlCol)).cast("long").as("n_raw"),
+      htmlText(col(htmlCol)).as("text"))
+      .withColumn("n_text", length(col("text")).cast("long"))
+
   /** Per-doc PII profile: match counts (pre-redaction) + redacted text. */
   def piiStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val c = col(textCol)

@@ -459,6 +459,25 @@ object PipelineQueries {
         Seq("event_type", "week", "vbin"), k = 5)
         .orderBy(col("event_type"), col("week"), col("vbin"))),
 
+    // HTML→text extraction over a deterministic HTML wrapping of each
+    // document (script/style payloads, comments, tags, the six
+    // universal entities, whitespace collapse) — the regex chain is in
+    // the Java/RE2-common subset so the oracle replays it verbatim.
+    "p123_html_extract" -> ((s, dir) =>
+      graft.ops.TextAnalysis.htmlExtract(
+        Tables(s, dir, "documents").select(col("doc_id"),
+          concat(
+            lit("<html><head><title>T</title><style>p{c:1}</style>" +
+              "<script type=\"text/javascript\">var a = 1 < 2; // &amp;</script>" +
+              "</head><body><h1>Doc &amp; no. "),
+            col("doc_id"),
+            lit("</h1><p class=\"main\">"),
+            col("text"),
+            lit(" &lt;tag&gt; &#39;q&#39;&nbsp;end</p><!-- comment --></body></html>"))
+            .as("html")),
+        "doc_id", "html")
+        .orderBy("doc_id")),
+
     // Inter-annotator agreement on the embeddings labels vs a planted
     // second annotator (every 17th row relabeled to a class outside the
     // real domain): integer-exact kappa via (A·N − P)/(N² − P) in
@@ -2399,6 +2418,23 @@ object PipelineQueries {
         "CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) * 1000000 // 5 AS BIGINT) AS agree_ppm, " +
         "2 * SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) < 5 AS suspect " +
         "FROM ranked WHERE rank <= 5 GROUP BY qid, ql ORDER BY qid"),
+    // same html build, same strip/decode chain (RE2 ≡ Java on this
+    // subset), same decode order with &amp; last
+    "p123_html_extract" -> (
+      "WITH h AS (SELECT doc_id, '<html><head><title>T</title><style>p{c:1}</style>" +
+        "<script type=\"text/javascript\">var a = 1 < 2; // &amp;</script>" +
+        "</head><body><h1>Doc &amp; no. ' || doc_id || '</h1><p class=\"main\">' || text || " +
+        "' &lt;tag&gt; &#39;q&#39;&nbsp;end</p><!-- comment --></body></html>' AS html FROM documents), " +
+        "s1 AS (SELECT doc_id, LENGTH(html) AS n_raw, " +
+        "regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h), " +
+        "s2 AS (SELECT doc_id, n_raw, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1), " +
+        "s3 AS (SELECT doc_id, n_raw, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s2), " +
+        "s4 AS (SELECT doc_id, n_raw, " +
+        "replace(replace(replace(replace(replace(replace(t, " +
+        "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', CHR(39)), '&amp;', '&') AS t FROM s3) " +
+        "SELECT doc_id, n_raw, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text, " +
+        "LENGTH(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS n_text " +
+        "FROM s4 ORDER BY doc_id"),
     // exact rational kappa, HUGEINT ≡ DECIMAL(38,0), re-signed // ≡ div
     "p122_cohen_kappa" -> (
       "WITH q AS (SELECT label AS a, CASE WHEN vec_id % 17 = 0 THEN label + 1000 ELSE label END AS b FROM embeddings), " +

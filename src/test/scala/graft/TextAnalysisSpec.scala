@@ -10,6 +10,21 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("htmlText: blocks, comments, tags, entity order, whitespace collapse") {
+    val html =
+      "<html><head><style>p{c:1}</style><script>if (1<2) document.x('&amp;');</script>" +
+        "</head><body>\n<h1 class=\"t\">A &amp; B</h1>\n" +
+        "<p>x &lt;y&gt;&nbsp;z &amp;lt; &#39;q&#39;</p><!-- note\nnote --></body></html>"
+    val out = Seq(html).toDF("h")
+      .select(TextAnalysis.htmlText($"h")).as[String].head()
+    // &amp; decodes LAST: `&amp;lt;` reads as the literal text `&lt;`,
+    // never double-decodes to `<`
+    assert(out == "A & B x <y> z &lt; 'q'")
+    val edge = Seq("no markup at all", "<p></p>", "  a  ").toDF("h")
+      .select(TextAnalysis.htmlText($"h")).as[String].collect()
+    assert(edge.toSeq == Seq("no markup at all", "", "a"))
+  }
+
   test("token counts: whitespace and subword") {
     val df = Seq("hello world", "  a  b   c ", "", "can't stop-me v2.0").toDF("t")
     val out = df.select(
