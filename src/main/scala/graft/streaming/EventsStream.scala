@@ -147,6 +147,19 @@ object EventsStream {
       .select(col("purchase_id"), col("click_id"))
   }
 
+  /** Stream-STATIC enrichment join: every micro-batch joins the bounded
+    * dimension table BROADCAST — the standard shape for decorating an
+    * event stream with reference data. Unlike a stream-stream join it
+    * keeps NO join state (the static side is re-resolved per batch, so
+    * a dimension refresh on disk is picked up batch-over-batch), and
+    * LEFT join keeps events whose key has no dimension row yet — an
+    * enrichment must never drop facts. Identical over batch frames. */
+  def enrichStatic(
+      events: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   case class UserEvent(user_id: Long, event_id: Long, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double, max_event: Long)
 

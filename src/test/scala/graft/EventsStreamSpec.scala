@@ -315,4 +315,35 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(got.toSeq == expected.toSeq)
     spark.sql("DROP TABLE IF EXISTS ssjoin_out")
   }
+
+  test("stream-static broadcast enrichment matches batch; unmatched keys survive") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val batch = Tables(spark, dir, "events")
+    // dimension covers SOME event types only — the left join must keep
+    // the rest with a null tier
+    val dim = Seq(("click", "engage"), ("purchase", "convert")).toDF("event_type", "tier")
+    val expected = EventsStream.enrichStatic(batch, dim, Seq("event_type"))
+      .select("event_id", "tier").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(expected.exists(_._2.isEmpty), "need uncovered event types for the test to bite")
+
+    val stage = java.nio.file.Files.createTempDirectory("events_enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(stage.toString)
+      .transform(Tables.normalizeEventsTs(_))
+    val q = EventsStream.enrichStatic(stream, dim, Seq("event_type"))
+      .select("event_id", "tier")
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow()).start()
+    drain(q)
+
+    val got = spark.table("enrich_out").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(got.toSeq == expected.toSeq)
+    spark.sql("DROP TABLE IF EXISTS enrich_out")
+  }
 }
