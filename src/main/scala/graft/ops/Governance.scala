@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Data-governance screens a training-data pipeline runs before a
   * corpus ships: re-identification risk (k-anonymity over
-  * quasi-identifier combinations) and distribution drift between
-  * corpus snapshots (population stability index). Complements the
-  * content-level screens ([[TextAnalysis.piiProfile]] redacts PII
-  * inside text; this audits the STRUCTURED columns around it). */
+  * quasi-identifier combinations), distribution drift between corpus
+  * snapshots (population stability index), data-contract drift (null
+  * profiles), and label quality (Cohen's kappa). Complements the
+  * content-level screens ([[TextAnalysis.piiStats]] redacts PII inside
+  * text; this audits the STRUCTURED columns around it). */
 object Governance {
 
   /** K-ANONYMITY audit: every quasi-identifier equivalence class whose
@@ -36,6 +37,43 @@ object Governance {
       .agg(count(lit(1)).as("n_rows"))
       .where(col("n_rows") < k)
   }
+
+  /** NULL-PROFILE of named columns: one row per column with its null
+    * count and ppm rate — the per-snapshot half of a data contract.
+    * ONE aggregate pass over the data however many columns are profiled
+    * (each column contributes one conditional-sum aggregate; the row
+    * count is shared), then a map-only explode of the single result row
+    * into the per-column report. All-integer (ppm by integral division;
+    * empty input reports NULL rates, not a division error). */
+  def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "nullProfile: need at least one column")
+    val aggs = count(lit(1)).as("_n") +:
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("_n"), explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(s"_null_$c").as("n_nulls"))): _*)).as("_e"))
+      .select(col("_e.col_name").as("col_name"),
+        col("_n").as("n_rows"),
+        coalesce(col("_e.n_nulls"), lit(0L)).as("n_nulls"))
+      .selectExpr("col_name", "n_rows", "n_nulls",
+        "CASE WHEN n_rows = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE n_nulls * 1000000 div n_rows END AS null_ppm")
+  }
+
+  /** NULL-profile DRIFT between two snapshots — the data-contract
+    * tripwire ("the upstream export started nulling `value`") that PSI's
+    * value-distribution lens cannot see, because a null row simply
+    * leaves the histogram. One [[nullProfile]] pass per side, joined on
+    * the |cols|-bounded column name. `drift_ppm` is signed
+    * (cur − ref); both sides empty ⇒ NULL rates propagate as NULL
+    * drift. Returns (col_name, ref_null_ppm, cur_null_ppm, drift_ppm),
+    * column-ordered. */
+  def nullDrift(ref: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame =
+    nullProfile(ref, cols).select(col("col_name"), col("null_ppm").as("ref_null_ppm"))
+      .join(nullProfile(cur, cols).select(col("col_name"), col("null_ppm").as("cur_null_ppm")),
+        Seq("col_name"))
+      .withColumn("drift_ppm", col("cur_null_ppm") - col("ref_null_ppm"))
+      .orderBy("col_name")
 
   /** COHEN'S KAPPA between two label columns — the inter-annotator
     * agreement statistic a labeled-data QC step reports before anyone

@@ -459,6 +459,21 @@ object PipelineQueries {
         Seq("event_type", "week", "vbin"), k = 5)
         .orderBy(col("event_type"), col("week"), col("vbin"))),
 
+    // Data-contract drift: null-rate profile of three columns between
+    // the events table and a copy with planted nulls (value on id%7,
+    // props on id%11) — one aggregate pass per side, |cols| join.
+    "p124_null_drift" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val cur = ev
+        .withColumn("value",
+          when(col("event_id") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("value")))
+        .withColumn("props",
+          when(col("event_id") % 11 === 0, lit(null).cast("string"))
+            .otherwise(col("props")))
+      graft.ops.Governance.nullDrift(ev, cur, Seq("event_type", "value", "props"))
+    }),
+
     // HTML→text extraction over a deterministic HTML wrapping of each
     // document (script/style payloads, comments, tags, the six
     // universal entities, whitespace collapse) — the regex chain is in
@@ -2418,6 +2433,22 @@ object PipelineQueries {
         "CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) * 1000000 // 5 AS BIGINT) AS agree_ppm, " +
         "2 * SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) < 5 AS suspect " +
         "FROM ranked WHERE rank <= 5 GROUP BY qid, ql ORDER BY qid"),
+    // per-side UNION-ALL null profile ≡ Spark's one-agg + explode;
+    // ppm computed per side then subtracted, both integral
+    "p124_null_drift" -> (
+      "WITH r AS (" +
+        "SELECT 'event_type' AS col_name, COUNT(*) AS n, SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nn FROM events " +
+        "UNION ALL SELECT 'value', COUNT(*), SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) FROM events " +
+        "UNION ALL SELECT 'props', COUNT(*), SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) FROM events), " +
+        "c AS (" +
+        "SELECT 'event_type' AS col_name, COUNT(*) AS n, SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nn FROM events " +
+        "UNION ALL SELECT 'value', COUNT(*), SUM(CASE WHEN event_id % 7 = 0 OR value IS NULL THEN 1 ELSE 0 END) FROM events " +
+        "UNION ALL SELECT 'props', COUNT(*), SUM(CASE WHEN event_id % 11 = 0 OR props IS NULL THEN 1 ELSE 0 END) FROM events) " +
+        "SELECT r.col_name, " +
+        "CAST(r.nn * 1000000 // r.n AS BIGINT) AS ref_null_ppm, " +
+        "CAST(c.nn * 1000000 // c.n AS BIGINT) AS cur_null_ppm, " +
+        "CAST(c.nn * 1000000 // c.n AS BIGINT) - CAST(r.nn * 1000000 // r.n AS BIGINT) AS drift_ppm " +
+        "FROM r JOIN c USING (col_name) ORDER BY col_name"),
     // same html build, same strip/decode chain (RE2 ≡ Java on this
     // subset), same decode order with &amp; last
     "p123_html_extract" -> (

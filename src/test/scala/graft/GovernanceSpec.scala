@@ -21,6 +21,23 @@ class GovernanceSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("b", 1L, 2L), ("b", 2L, 1L)))
   }
 
+  test("nullProfile/nullDrift: planted nulls, ppm rates, signed drift") {
+    import spark.implicits._
+    val ref = Seq((Option(1), Option("a")), (None, Option("b")),
+      (Option(3), None), (Option(4), Option("d"))).toDF("x", "y")
+    val prof = graft.ops.Governance.nullProfile(ref, Seq("x", "y"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(prof.toSeq == Seq(("x", 4L, 1L, 250000L), ("y", 4L, 1L, 250000L)))
+    val cur = Seq((Option(1), Option("a")), (None, Option("b")),
+      (None, Option("c")), (None, Option("d"))).toDF("x", "y")
+    val drift = graft.ops.Governance.nullDrift(ref, cur, Seq("x", "y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // x: 250000 → 750000 (+500000); y: 250000 → 0 (−250000, signed)
+    assert(drift.toSeq == Seq(("x", 250000L, 750000L, 500000L),
+      ("y", 250000L, 0L, -250000L)))
+  }
+
   test("cohenKappa: hand-computed rational kappa, perfect/negative/undefined cases") {
     import spark.implicits._
     def kappa(pairs: Seq[(String, String)]): Option[Long] = {
