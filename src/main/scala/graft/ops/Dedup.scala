@@ -585,7 +585,18 @@ object Dedup {
       .select("a", "b").distinct()
     val hashed = sh.select(col(idCol),
       graft.functions.ShingleFunctions.sorted_shingle_hashes(col("_sh")).as("_hs"))
-    cands
+    // LOSSLESS size prefilter before any array payload moves: containment
+    // ≥ θ needs |A∩B| ≥ θ·|A| and |A∩B| ≤ |B|, so |B| ≥ θ·|A| — prune
+    // candidates on two longs (the near-dup size-ratio recipe) so only
+    // survivors shuffle the hashed-shingle arrays into the merge verify
+    val sizes = hashed.select(col(idCol), size(col("_hs")).as("_n"))
+    val sized = cands
+      .join(sizes.select(col(idCol).as("a"), col("_n").as("_na")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("_n").as("_nb")), Seq("b"))
+      .where(col("_nb").cast("long") * lit(1000000L) >=
+        lit(thresholdMicro) * col("_na").cast("long"))
+      .select("a", "b")
+    sized
       .join(hashed.select(col(idCol).as("a"), col("_hs").as("_ha")), Seq("a"))
       .join(hashed.select(col(idCol).as("b"), col("_hs").as("_hb")), Seq("b"))
       .withColumn("i_size",
