@@ -1316,4 +1316,60 @@ object CorpusOps {
         count(lit(1)).as("n_windows"))
       .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
+
+  /** SPAN-CORRUPTION mask planning (the T5 / span-denoising data-prep
+    * step): pick mask-span start positions DETERMINISTICALLY — position
+    * `p` of doc `d` starts a span iff
+    * `(d·2654435761 + p·40503) mod 10⁶ < densityPpm`, a multiplicative
+    * integer hash any engine replays exactly, so the same corpus always
+    * yields the same masking plan (reproducible pre-training runs, no
+    * RNG state to ship) — then merge overlapping/touching fixed-length
+    * spans `[p, p+spanLen)` into maximal islands and clip at the doc
+    * end. Consumers: the span list feeds [[graft.ops.Dedup.applySpanCuts]]
+    * to materialize the input side, and sentinel insertion is a map-only
+    * transform over the same list.
+    *
+    * Shape: one map-only pass emits each doc's selected positions (the
+    * position stream never shuffles — selection is a per-row predicate);
+    * the merge is ONE per-doc window + ONE aggregate on the same key
+    * (exchange reused, the intervalCoverage sweep recipe, islands via
+    * strictly-greater gap test on the running max end). Work ∝ selected
+    * positions ≈ densityPpm × corpus tokens — at 100 TB parallelism is
+    * #docs and nothing global exists.
+    *
+    * Returns (idCol, span_start, span_end, n_starts), one row per
+    * merged span; docs with no selected position emit nothing. */
+  def spanCorruptionPlan(
+      docs: DataFrame,
+      densityPpm: Long = 150000L,
+      spanLen: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(densityPpm > 0 && densityPpm <= 1000000L,
+      s"spanCorruptionPlan: density must be ppm in (0, 1e6], got $densityPpm")
+    require(spanLen >= 1, s"spanCorruptionPlan: spanLen must be >= 1, got $spanLen")
+    val starts = docs
+      .select(col(idCol), TextAnalysis.tokenCount(col(textCol)).cast("long").as("_n"))
+      .where(col("_n") > 0)
+      .select(col(idCol), col("_n"),
+        explode(sequence(lit(0L), col("_n") - 1L)).as("p"))
+      .where(pmod(col(idCol).cast("long") * lit(2654435761L) + col("p") * lit(40503L),
+        lit(1000000L)) < densityPpm)
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("p"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("p"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    starts
+      .withColumn("_pmax", max(col("p") + lit(spanLen.toLong)).over(wPrev))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col("p") > col("_pmax"), 1L).otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(wRun))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("p")).as("span_start"),
+        least(max(col("p")) + lit(spanLen.toLong), first(col("_n"))).as("span_end"),
+        count(lit(1)).as("n_starts"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_starts"))
+  }
 }

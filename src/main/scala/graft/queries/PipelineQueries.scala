@@ -459,6 +459,14 @@ object PipelineQueries {
         Seq("event_type", "week", "vbin"), k = 5)
         .orderBy(col("event_type"), col("week"), col("vbin"))),
 
+    // T5-style span-corruption mask plan: hash-selected start positions
+    // (reproducible, RNG-free), fixed-length spans merged into maximal
+    // islands via the per-doc sweep window, clipped at doc end.
+    "p125_span_corruption" -> ((s, dir) =>
+      graft.ops.CorpusOps.spanCorruptionPlan(Tables(s, dir, "documents"),
+          densityPpm = 150000L, spanLen = 3)
+        .orderBy("doc_id", "span_start")),
+
     // Data-contract drift: null-rate profile of three columns between
     // the events table and a copy with planted nulls (value on id%7,
     // props on id%11) — one aggregate pass per side, |cols| join.
@@ -2433,6 +2441,22 @@ object PipelineQueries {
         "CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) * 1000000 // 5 AS BIGINT) AS agree_ppm, " +
         "2 * SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) < 5 AS suspect " +
         "FROM ranked WHERE rank <= 5 GROUP BY qid, ql ORDER BY qid"),
+    // same multiplicative hash selection, same island merge (strictly-
+    // greater gap test on the running max end), same doc-end clip
+    "p125_span_corruption" -> (
+      "WITH tk AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n FROM documents), " +
+        "pos AS (SELECT doc_id, n, unnest(range(n)) AS p FROM tk WHERE n > 0), " +
+        "sel AS (SELECT doc_id, n, p FROM pos " +
+        "WHERE (doc_id * 2654435761 + p * 40503) % 1000000 < 150000), " +
+        "w AS (SELECT doc_id, n, p, MAX(p + 3) OVER " +
+        "(PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM sel), " +
+        "s AS (SELECT *, CASE WHEN pmax IS NULL OR p > pmax THEN 1 ELSE 0 END AS nw FROM w), " +
+        "c AS (SELECT *, SUM(nw) OVER (PARTITION BY doc_id ORDER BY p " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM s) " +
+        "SELECT doc_id, MIN(p) AS span_start, " +
+        "LEAST(MAX(p) + 3, ANY_VALUE(n)) AS span_end, COUNT(*) AS n_starts " +
+        "FROM c GROUP BY doc_id, isl ORDER BY doc_id, span_start"),
     // per-side UNION-ALL null profile ≡ Spark's one-agg + explode;
     // ppm computed per side then subtracted, both integral
     "p124_null_drift" -> (

@@ -670,4 +670,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     val out = CorpusOps.textrankKeywords(docs).collect()
     assert(out.length == 1 && out(0).getString(2) == "x" && out(0).getLong(3) == 150000L)
   }
+
+  test("spanCorruptionPlan: hash selection replayed by hand, islands merged, end clipped") {
+    val docs = Seq((7L, ("tok " * 40).trim)).toDF("doc_id", "text") // 40 tokens
+    // replay the op's selection rule in plain Scala
+    val sel = (0L until 40L).filter(p => (7L * 2654435761L + p * 40503L) % 1000000L < 300000L)
+    assert(sel.nonEmpty, "fixture must select at least one start")
+    // merge [p, p+5) islands the same way, clip at 40
+    val expected = sel.foldLeft(Vector.empty[(Long, Long, Long)]) { case (acc, p) =>
+      acc.lastOption match {
+        case Some((s, e, c)) if p <= e => acc.init :+ ((s, math.min(p + 5, 40L), c + 1))
+        case _ => acc :+ ((p, math.min(p + 5, 40L), 1L))
+      }
+    }
+    val got = CorpusOps.spanCorruptionPlan(docs, densityPpm = 300000L, spanLen = 5)
+      .orderBy("span_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // full density: every position selected → exactly one span [0, n)
+    val all = CorpusOps.spanCorruptionPlan(docs, densityPpm = 1000000L, spanLen = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(all == Seq((0L, 40L, 40L)))
+  }
 }
