@@ -1372,4 +1372,56 @@ object CorpusOps {
         count(lit(1)).as("n_starts"))
       .select(col(idCol), col("span_start"), col("span_end"), col("n_starts"))
   }
+
+  /** MATERIALIZE a [[spanCorruptionPlan]] into the T5 denoising pair:
+    * the input sequence replaces each masked span with its ordinal
+    * sentinel `<extra_id_k>` (spans sorted by start), the target
+    * sequence is each sentinel followed by the tokens it hides — the
+    * actual (input, target) example layout span-denoising pre-training
+    * consumes. Emitted as md5 fingerprints of the space-joined
+    * sequences plus token accounting, the engine-portable comparison
+    * form (the [[graft.ops.Dedup.applySpanCuts]] contract).
+    *
+    * Shape: the span list aggregates to a few structs per doc (spans
+    * are merged maximal islands, disjoint by construction), joins back
+    * on the doc id — the tiny side — and both sequences build as
+    * higher-order array expressions: map-only after one doc-keyed
+    * shuffle of the span side. Docs without spans pass through with the
+    * original text fingerprint and an empty target.
+    *
+    * Returns (idCol, n_tokens, n_spans, n_masked, input_md5,
+    * target_md5). */
+  def spanDenoisePairs(
+      docs: DataFrame,
+      plan: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = plan
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("span_start"), col("span_end")))).as("_ss"))
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) > 0)
+      .join(spans, Seq(idCol), "left")
+      .withColumn("_ss", coalesce(col("_ss"),
+        expr("CAST(array() AS ARRAY<STRUCT<span_start: BIGINT, span_end: BIGINT>>)")))
+      .withColumn("_starts", expr("transform(_ss, s -> s.span_start)"))
+      .withColumn("_input", expr(
+        "flatten(transform(sequence(0L, size(_toks) - 1L), i -> " +
+          "CASE WHEN array_position(_starts, i) > 0 " +
+          "THEN array(concat('<extra_id_', CAST(array_position(_starts, i) - 1 AS STRING), '>')) " +
+          "WHEN exists(_ss, s -> i >= s.span_start AND i < s.span_end) " +
+          "THEN CAST(array() AS ARRAY<STRING>) " +
+          "ELSE array(_toks[CAST(i AS INT)]) END))"))
+      .withColumn("_target", expr(
+        "flatten(transform(_ss, (s, k) -> " +
+          "concat(array(concat('<extra_id_', CAST(k AS STRING), '>')), " +
+          "slice(_toks, CAST(s.span_start AS INT) + 1, CAST(s.span_end - s.span_start AS INT)))))"))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(col("_ss")).cast("long").as("n_spans"),
+        expr("aggregate(_ss, 0L, (acc, s) -> acc + s.span_end - s.span_start)").as("n_masked"),
+        md5(concat_ws(" ", col("_input"))).as("input_md5"),
+        md5(concat_ws(" ", col("_target"))).as("target_md5"))
+  }
 }

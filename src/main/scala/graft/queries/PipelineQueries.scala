@@ -467,6 +467,17 @@ object PipelineQueries {
           densityPpm = 150000L, spanLen = 3)
         .orderBy("doc_id", "span_start")),
 
+    // The materialized T5 pair: sentinel-substituted input and
+    // sentinel+hidden-tokens target, fingerprinted md5 per doc — the
+    // plan (p125) actually applied.
+    "p126_span_denoise" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.ops.CorpusOps.spanDenoisePairs(docs,
+        graft.ops.CorpusOps.spanCorruptionPlan(docs,
+          densityPpm = 150000L, spanLen = 3))
+        .orderBy("doc_id")
+    }),
+
     // Data-contract drift: null-rate profile of three columns between
     // the events table and a copy with planted nulls (value on id%7,
     // props on id%11) — one aggregate pass per side, |cols| join.
@@ -2441,6 +2452,43 @@ object PipelineQueries {
         "CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) * 1000000 // 5 AS BIGINT) AS agree_ppm, " +
         "2 * SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) < 5 AS suspect " +
         "FROM ranked WHERE rank <= 5 GROUP BY qid, ql ORDER BY qid"),
+    // p125's plan rebuilt, then list-comprehension pair assembly:
+    // sentinel ordinals from sorted span position, 1-based DuckDB list
+    // slice ≡ Spark slice(start+1, len), md5 of space-joined sequences
+    "p126_span_denoise" -> (
+      "WITH tk2 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks, " +
+        "len(string_split_regex(trim(text), '\\s+')) AS n FROM documents WHERE trim(text) <> ''), " +
+        "pos AS (SELECT doc_id, n, unnest(range(n)) AS p FROM tk2), " +
+        "sel AS (SELECT doc_id, n, p FROM pos " +
+        "WHERE (doc_id * 2654435761 + p * 40503) % 1000000 < 150000), " +
+        "w AS (SELECT doc_id, n, p, MAX(p + 3) OVER " +
+        "(PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM sel), " +
+        "s AS (SELECT *, CASE WHEN pmax IS NULL OR p > pmax THEN 1 ELSE 0 END AS nw FROM w), " +
+        "c AS (SELECT *, SUM(nw) OVER (PARTITION BY doc_id ORDER BY p " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM s), " +
+        "sp AS (SELECT doc_id, MIN(p) AS ss, LEAST(MAX(p) + 3, ANY_VALUE(n)) AS se " +
+        "FROM c GROUP BY doc_id, isl), " +
+        "ag AS (SELECT doc_id, list({'ss': ss, 'se': se} ORDER BY ss) AS spans FROM sp GROUP BY doc_id), " +
+        "j AS (SELECT t.doc_id, t.toks, t.n, " +
+        "COALESCE(a.spans, CAST([] AS STRUCT(ss BIGINT, se BIGINT)[])) AS spans " +
+        "FROM tk2 t LEFT JOIN ag a USING (doc_id)), " +
+        "b AS (SELECT doc_id, toks, n, spans, [x.ss FOR x IN spans] AS starts FROM j), " +
+        "built AS (SELECT doc_id, n, spans, " +
+        "flatten([CASE WHEN COALESCE(list_position(starts, p), 0) > 0 " +
+        "THEN ['<extra_id_' || CAST(list_position(starts, p) - 1 AS VARCHAR) || '>'] " +
+        "WHEN len(list_filter(spans, x -> p >= x.ss AND p < x.se)) > 0 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE [toks[CAST(p AS INT) + 1]] END FOR p IN range(n)]) AS input, " +
+        "flatten([['<extra_id_' || CAST(k AS VARCHAR) || '>'] || " +
+        "toks[CAST(spans[k + 1].ss AS INT) + 1 : CAST(spans[k + 1].se AS INT)] " +
+        "FOR k IN range(len(spans))]) AS target FROM b) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(len(spans) AS BIGINT) AS n_spans, " +
+        "CAST(COALESCE(list_sum([x.se - x.ss FOR x IN spans]), 0) AS BIGINT) AS n_masked, " +
+        // array_to_string of an EMPTY list is NULL in DuckDB; Spark's
+        // concat_ws gives '' — coalesce so the no-span doc fingerprints
+        // md5('') on both engines
+        "md5(COALESCE(array_to_string(input, ' '), '')) AS input_md5, " +
+        "md5(COALESCE(array_to_string(target, ' '), '')) AS target_md5 " +
+        "FROM built ORDER BY doc_id"),
     // same multiplicative hash selection, same island merge (strictly-
     // greater gap test on the running max end), same doc-end clip
     "p125_span_corruption" -> (

@@ -692,4 +692,20 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(all == Seq((0L, 40L, 40L)))
   }
+
+  test("spanDenoisePairs: hand-built sentinel input/target, span-less pass-through") {
+    import org.apache.spark.sql.functions.md5
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y z")).toDF("doc_id", "text")
+    val plan = Seq((1L, 1L, 3L), (1L, 6L, 8L)).toDF("doc_id", "span_start", "span_end")
+    val out = CorpusOps.spanDenoisePairs(docs, plan).orderBy("doc_id").collect()
+    def m(s: String) = Seq(s).toDF("s").select(md5($"s")).head().getString(0)
+    val r1 = out(0)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == (8L, 2L, 4L))
+    assert(r1.getString(4) == m("a <extra_id_0> d e f <extra_id_1>"))
+    assert(r1.getString(5) == m("<extra_id_0> b c <extra_id_1> g h"))
+    // doc 2 has no plan rows: input is the original text, target empty
+    val r2 = out(1)
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == (3L, 0L, 0L))
+    assert(r2.getString(4) == m("x y z") && r2.getString(5) == m(""))
+  }
 }
