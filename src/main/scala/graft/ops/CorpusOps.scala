@@ -1424,4 +1424,66 @@ object CorpusOps {
         md5(concat_ws(" ", col("_input"))).as("input_md5"),
         md5(concat_ws(" ", col("_target"))).as("target_md5"))
   }
+
+  /** WINDOWED CO-OCCURRENCE LIFT: for token pairs appearing within
+    * ±`window` positions of each other, how much MORE often than
+    * independence predicts — the integer-exact cousin of PMI
+    * (`lift = PMI's ratio before the log`; ranking by lift ≡ ranking
+    * by PMI, and staying in ratio space keeps the output a pure
+    * integer, so the oracle can't drift in the mantissa). The
+    * collocation table word2vec/GloVe-style pipelines build first.
+    *
+    * Counting model: tokens are lowercased whitespace tokens; a
+    * co-occurrence is a position pair (t[i], t[j]) with
+    * `0 < j − i ≤ window`, keyed UNORDERED as (min, max) by string
+    * sort. With `c(t)` the plain occurrence counts and `N = Σ c(t)`,
+    * `lift_ppm = c_ab·N·10⁶ div (c_a·c_b)` — every pair shares the
+    * same global normalizer, so the ORDERING equals true lift/PMI
+    * ordering exactly, which is all a collocation table is consumed
+    * for.
+    *
+    * Shape: explode to (doc, pos, tok) once; the pair stream is a
+    * self-join ON THE DOC KEY with the position band predicate —
+    * per-doc cost O(len·window), linear in corpus size for fixed
+    * window (never all-pairs). Token counts are a second partial agg
+    * on the same exploded projection; the joins after counting are
+    * vocab- and |pairs|-bounded. `minPairCount` prunes the hapax tail
+    * BEFORE the count joins. At 100 TB, the band self-join is the
+    * textbook sort-merge-per-doc case and hot boilerplate tokens
+    * inflate c(t), not the join — no skew hazard beyond AQE's reach.
+    *
+    * Returns (tok_a, tok_b, n_ab, n_a, n_b, lift_ppm) with
+    * tok_a < tok_b, ordered by (n_ab desc, tok_a, tok_b), top
+    * `topK`. */
+  def cooccurLift(
+      docs: DataFrame,
+      window: Int = 3,
+      minPairCount: Long = 5L,
+      topK: Int = 50,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"cooccurLift: need window >= 1, got $window")
+    val toks = docs.select(col(idCol).as("_doc"),
+        posexplode(TextAnalysis.tokens(lower(col(textCol)))).as(Seq("_p", "_t")))
+    val n = toks.agg(count(lit(1)).as("_n"))
+    val cnt = toks.groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+    val pairs = toks.as("x")
+      .join(toks.as("y"),
+        col("x._doc") === col("y._doc") &&
+          col("y._p") > col("x._p") &&
+          col("y._p") <= col("x._p") + window)
+      .select(least(col("x._t"), col("y._t")).as("tok_a"),
+        greatest(col("x._t"), col("y._t")).as("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairCount)
+    pairs
+      .join(cnt.select(col("_t").as("tok_a"), col("_c").as("n_a")), Seq("tok_a"))
+      .join(cnt.select(col("_t").as("tok_b"), col("_c").as("n_b")), Seq("tok_b"))
+      .crossJoin(n)
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("n_ab * _n * 1000000 div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("n_ab").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+  }
 }

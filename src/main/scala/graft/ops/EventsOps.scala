@@ -766,4 +766,149 @@ object EventsOps {
         sum(col("_add")).as("covered_seconds"),
         (max(col("_t")) + lit(ttlSeconds) - min(col("_t"))).as("span_seconds"))
   }
+
+  /** GAP-BASED SESSIONIZATION, the standalone session table: a new
+    * session opens after `gapSeconds` of per-user silence — the batch
+    * twin of Structured Streaming's session_window, exposed as its own
+    * op (the [[journeyMotifs]] / [[conversionLatency]] family computes
+    * sessions internally; downstream consumers — funnel tools, ad
+    * billing, engagement dashboards — want the session table itself).
+    *
+    * Everything rides ONE user-key exchange: the gap flag (lag), the
+    * session cumsum and the per-session aggregate all share the
+    * (user, t, tie) sort. Session ids are 1-based per user in time
+    * order — deterministic under the tie-broken total order, and
+    * stable across engines (no global sequence — a global id would
+    * serialize the job at 100 TB; (user, session_id) is the natural
+    * composite key).
+    *
+    * Returns (keyCol, session_id, n_events, start_t, end_t,
+    * duration_seconds) in epoch seconds. */
+  def sessionize(
+      ev: DataFrame,
+      gapSeconds: Long = 1800L,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    require(gapSeconds > 0, s"sessionize: need gapSeconds > 0, got $gapSeconds")
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_t"), col(tieCol))
+    ev.select(col(keyCol), col(tieCol), epochSec(tsCol).as("_t"))
+      .withColumn("_new",
+        when(lag(col("_t"), 1).over(wu).isNull ||
+          col("_t") - lag(col("_t"), 1).over(wu) > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_new")).over(
+        wu.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("_t")).as("start_t"),
+        max(col("_t")).as("end_t"),
+        (max(col("_t")) - min(col("_t"))).as("duration_seconds"))
+  }
+
+  /** ORDERED FUNNEL: how many users completed step 1, then step 2
+    * STRICTLY LATER, then step 3 strictly later than that, … — the
+    * product-analytics conversion table ([[conversionLatency]] measures
+    * the time between two fixed steps; this counts survivors through an
+    * arbitrary ordered chain).
+    *
+    * Step semantics: a user's step-i time is the EARLIEST epoch second
+    * of a `steps(i)`-typed event strictly after their step-(i−1) time
+    * (second granularity — two events inside the same second don't
+    * order, matching the timestamp's actual resolution; no tie-break
+    * column is consulted, so the step times are pure MINs and exactly
+    * reproducible on any engine).
+    *
+    * Shape: one filtered per-user MIN aggregate per step, each joining
+    * the previous step's (user, time) table — all k aggregates and
+    * joins key on the user column, so the single user-key exchange is
+    * reused end to end and every join side after step 1 is
+    * #users-bounded, not corpus-bounded. k is pipeline-author-sized
+    * (3–6), so the k-pass loop is a static plan, not a driver loop over
+    * data. At 100 TB the cost is the first filtered scan; AQE turns the
+    * later #users-sized joins into broadcasts.
+    *
+    * Returns one row per step, in step order: (step (1-based),
+    * event_type, n_users, conv_ppm) where conv_ppm is
+    * `n_users·10⁶ div step-1's n_users` (integer; 10⁶ for step 1). */
+  def funnelSteps(
+      ev: DataFrame,
+      steps: Seq[String],
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps: need at least one step")
+    val base = ev.select(col(keyCol).as("_u"), col(typeCol).as("_et"),
+      epochSec(tsCol).as("_t"))
+    // reached(i): (user, step-i time) — the survivors after step i
+    val reached = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (st, _)) =>
+        val mine = base.where(col("_et") === lit(st))
+        val gated = prev match {
+          case None => mine
+          case Some(p) =>
+            mine.join(p.select(col("_u"), col("_mt").as("_pt")), Seq("_u"))
+              .where(col("_t") > col("_pt"))
+        }
+        Some(gated.groupBy(col("_u")).agg(min(col("_t")).as("_mt")))
+    }.flatten
+    val counts = reached.zip(steps).zipWithIndex.map { case ((df, st), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(st).as("event_type"), col("n_users"))
+    }.reduce(_.union(_))
+    val first = counts.where(col("step") === 1L)
+      .select(col("n_users").as("_n1"))
+    counts.crossJoin(first)
+      .select(col("step"), col("event_type"), col("n_users"),
+        when(col("_n1") === 0L, lit(0L))
+          .otherwise(expr("n_users * 1000000 div _n1")).as("conv_ppm"))
+      .orderBy("step")
+  }
+
+  /** LAST-TOUCH ATTRIBUTION: credit each conversion event to the most
+    * recent PRECEDING touch event of the same user — the marketing
+    * counterpart of [[funnelSteps]] (the funnel counts survivors; this
+    * answers "which touch type gets the credit per conversion").
+    *
+    * The carried touch is the running LAST non-null touch tag over the
+    * user's stream in total (epoch-second, tieCol) order — Spark's
+    * `last(_, ignoreNulls)` over a rows-unbounded-preceding frame ≡
+    * DuckDB's `last_value(_ IGNORE NULLS)`, both O(1) per row. A
+    * conversion row's own tag is NULL (a conversion is not a touch), so
+    * the frame including the current row is safe, and a conversion with
+    * no preceding touch credits `"direct"`. Everything rides one
+    * user-key shuffle + a |touch types|-bounded partial agg; shares are
+    * integer ppm of total conversions.
+    *
+    * Returns (touch_type, n_conversions, share_ppm) ordered by
+    * (n_conversions desc, touch_type). */
+  def lastTouchAttribution(
+      ev: DataFrame,
+      convType: String = "purchase",
+      touchTypes: Seq[String] = Seq("view", "click"),
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(touchTypes.nonEmpty, "lastTouchAttribution: need touch types")
+    require(!touchTypes.contains(convType),
+      s"lastTouchAttribution: conversion '$convType' cannot also be a touch")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_t"), col(tieCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tagged = ev.select(col(keyCol), col(tieCol), col(typeCol).as("_et"),
+        epochSec(tsCol).as("_t"))
+      .where(col("_et").isin(convType +: touchTypes: _*))
+      .withColumn("_touch",
+        when(col("_et").isin(touchTypes: _*), col("_et")))
+    val credited = tagged
+      .withColumn("_last", last(col("_touch"), ignoreNulls = true).over(w))
+      .where(col("_et") === lit(convType))
+      .select(coalesce(col("_last"), lit("direct")).as("touch_type"))
+    credited.groupBy("touch_type")
+      .agg(count(lit(1)).as("n_conversions"))
+      .withColumn("share_ppm", expr(
+        "n_conversions * 1000000 div sum(n_conversions) OVER ()"))
+      .orderBy(col("n_conversions").desc, col("touch_type"))
+  }
 }

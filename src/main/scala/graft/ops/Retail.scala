@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order/basket analytics: association rules over line items and
+  * customer-value segmentation — the classic retail pair to the
+  * behavioral ops in [[EventsOps]]. All outputs are integer-exact
+  * (counts + ppm ratios by integer division), so a SQL oracle matches
+  * bit-for-bit. */
+object Retail {
+
+  /** MARKET-BASKET LIFT (association-rule mining, the support /
+    * confidence / lift triple of Agrawal-Srikant Apriori at pair
+    * depth): for every unordered item pair bought together in at least
+    * `minPairCount` baskets, how much MORE often they co-occur than
+    * independence predicts.
+    *
+    * Baskets are the distinct (basket, item) projection; pairs come
+    * from a self-equi-join ON THE BASKET KEY with `item_a < item_b`
+    * (each basket contributes C(|basket|, 2) pairs — never an
+    * all-pairs item join). Basket size bounds the blow-up: order
+    * baskets are naturally small (TPC-H ≤ 7 lines); for 100 TB retail
+    * data with pathological mega-baskets, cap basket size upstream
+    * (drop or sample baskets over ~10³ items — a mega-basket is
+    * signal-free for pair mining anyway) and let AQE split any
+    * residual hot basket key. Item counts ride a second partial agg on
+    * the same projection; both joins after it are |items|- and
+    * |pairs|-bounded.
+    *
+    * Integer contract: `support_ppm = c_ab·10⁶ div N`,
+    * `confidence_ppm = c_ab·10⁶ div c_a` (directional a→b),
+    * `lift_ppm = c_ab·N·10⁶ div (c_a·c_b)` — lift > 10⁶ means
+    * positively associated. Counts fit HUGEINT/BIGINT ranges:
+    * c_ab·N·10⁶ < 2⁶³ up to ~3·10⁶ baskets with c_ab ≤ N; beyond
+    * that widen to DECIMAL(38,0) like the CUSUM op.
+    *
+    * Returns (item_a, item_b, n_ab, n_a, n_b, support_ppm,
+    * confidence_ppm, lift_ppm) with item_a < item_b, ordered by
+    * (n_ab desc, item_a, item_b). */
+  def basketLift(
+      lines: DataFrame,
+      basketCol: String = "l_orderkey",
+      itemCol: String = "l_partkey",
+      minPairCount: Long = 2L): DataFrame = {
+    require(minPairCount >= 1, s"basketLift: need minPairCount >= 1, got $minPairCount")
+    val items = lines.select(col(basketCol).as("_b"), col(itemCol).as("_i")).distinct()
+    val nBaskets = items.select(col("_b")).distinct()
+      .agg(count(lit(1)).as("_n"))
+    val itemCnt = items.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
+    val pairs = items.as("x")
+      .join(items.as("y"), col("x._b") === col("y._b") && col("x._i") < col("y._i"))
+      .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairCount)
+    pairs
+      .join(itemCnt.select(col("_i").as("item_a"), col("_c").as("n_a")), Seq("item_a"))
+      .join(itemCnt.select(col("_i").as("item_b"), col("_c").as("n_b")), Seq("item_b"))
+      .crossJoin(nBaskets)
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("n_ab * 1000000 div _n").as("support_ppm"),
+        expr("n_ab * 1000000 div n_a").as("confidence_ppm"),
+        expr("n_ab * _n * 1000000 div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+  }
+
+  /** RFM SEGMENTATION: score every customer 1–4 on Recency (days since
+    * their last order, relative to the dataset's global last order
+    * date), Frequency (order count) and Monetary (lifetime spend), by
+    * quartile — the classic customer-value grid, integer end to end.
+    *
+    * Quartiles are `ntile(4)` over a TOTAL order (metric, then
+    * customer key as tie-break) — ntile's bucket boundaries depend
+    * only on row rank and n, so with the tie-broken total order the
+    * assignment is engine-independent even where metric values tie.
+    * Recency orders ASCENDING days (most recent first ⇒ score 1 =
+    * best recency quartile); frequency and monetary order DESCENDING
+    * (score 1 = top spenders/most orders). Spend is BIGINT cents
+    * (`floor(price·100)` per order, summed — floor before sum, so the
+    * sum is an exact integer on any engine). Order dates are epoch
+    * DAYS by the shared floor(double) idiom (timestamp column, second
+    * resolution — the day boundary is UTC midnight).
+    *
+    * Shape: one partial agg on the customer key, a 1-row global-max
+    * cross join, then three ntile windows over the #customers-sized
+    * aggregate — corpus-scale work is the first agg only; the window
+    * input is customer-bounded. The un-partitioned ntile windows
+    * single-task at extreme customer counts — beyond ~10⁸ customers
+    * swap ntile for a percentile_approx cut table (same scores, two
+    * passes), as the scaladoc'd quantile ops do.
+    *
+    * Returns (custkey, recency_days, n_orders, spend_cents, r, f, m,
+    * rfm — e.g. "1-4-2") ordered by custkey. */
+  def rfmSegments(
+      orders: DataFrame,
+      custCol: String = "o_custkey",
+      dateCol: String = "o_orderdate",
+      priceCol: String = "o_totalprice"): DataFrame = {
+    val perCust = orders.select(col(custCol).as("custkey"),
+        floor(floor(unix_micros(col(dateCol)).cast("double") / lit(1000000.0d)) /
+          lit(86400.0d)).cast("long").as("_d"),
+        floor(col(priceCol).cast("double") * lit(100.0d)).cast("long").as("_cents"))
+      .groupBy(col("custkey"))
+      .agg(max(col("_d")).as("_last"),
+        count(lit(1)).as("n_orders"),
+        sum(col("_cents")).as("spend_cents"))
+    val globalLast = perCust.agg(max(col("_last")).as("_gmax"))
+    perCust.crossJoin(globalLast)
+      .withColumn("recency_days", col("_gmax") - col("_last"))
+      .withColumn("r", ntile(4).over(
+        Window.orderBy(col("recency_days").asc, col("custkey").asc)))
+      .withColumn("f", ntile(4).over(
+        Window.orderBy(col("n_orders").desc, col("custkey").asc)))
+      .withColumn("m", ntile(4).over(
+        Window.orderBy(col("spend_cents").desc, col("custkey").asc)))
+      .select(col("custkey"), col("recency_days"), col("n_orders"),
+        col("spend_cents"), col("r").cast("long").as("r"),
+        col("f").cast("long").as("f"), col("m").cast("long").as("m"),
+        concat_ws("-", col("r"), col("f"), col("m")).as("rfm"))
+      .orderBy("custkey")
+  }
+}

@@ -512,6 +512,73 @@ object PipelineQueries {
         "doc_id", "html")
         .orderBy("doc_id")),
 
+    // Ordered funnel view→click→purchase: per-step strictly-later MIN
+    // chaining on one reused user-key exchange; integer ppm conversion
+    // against the step-1 cohort.
+    "p127_funnel" -> ((s, dir) =>
+      graft.ops.EventsOps.funnelSteps(Tables(s, dir, "events"),
+        Seq("view", "click", "purchase"))),
+
+    // Last-touch attribution: running ignore-nulls last over the
+    // (t, event_id)-ordered user stream credits each purchase to its
+    // most recent view/click (or 'direct'); shares in integer ppm.
+    "p128_attribution" -> ((s, dir) =>
+      graft.ops.EventsOps.lastTouchAttribution(Tables(s, dir, "events"),
+        convType = "purchase", touchTypes = Seq("view", "click"))),
+
+    // Market-basket pair mining over order baskets: basket-keyed
+    // self-join (never all-pairs items), support/confidence/lift in
+    // integer ppm, hapax pairs pruned before the count joins.
+    "p129_basket_lift" -> ((s, dir) =>
+      graft.ops.Retail.basketLift(Tables(s, dir, "lineitem"),
+        minPairCount = 2L)),
+
+    // RFM customer segmentation: one customer-key partial agg, then
+    // three tie-broken ntile(4) windows over the customer-bounded
+    // aggregate; spend in exact BIGINT cents.
+    "p130_rfm" -> ((s, dir) =>
+      graft.ops.Retail.rfmSegments(Tables(s, dir, "orders"))),
+
+    // Fixed-point PageRank (3 iterations, damping 0.85) over the
+    // part→supplier→nation link graph — BIGINT micro-unit scores, the
+    // Pregel shuffle pair statically unrolled.
+    "p131_pagerank" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      val sn = Tables(s, dir, "supplier").select(
+        concat(lit("s"), col("s_suppkey")).as("src"),
+        concat(lit("n"), col("s_nationkey")).as("dst"))
+      graft.ops.Graph.pageRank(li.union(sn), iters = 3)
+    }),
+
+    // Windowed co-occurrence lift (±3 tokens): doc-keyed band
+    // self-join over the posexploded token stream, unordered pair
+    // keying, integer-ppm lift — the collocation table.
+    "p132_cooccur_lift" -> ((s, dir) =>
+      graft.ops.CorpusOps.cooccurLift(Tables(s, dir, "documents"),
+        window = 3, minPairCount = 5L, topK = 50)),
+
+    // Standalone gap-based session table (30-min silence): one
+    // user-key exchange shared by the lag flag, session cumsum and
+    // per-session aggregate; epoch-second integers end to end.
+    "p133_sessionize" -> ((s, dir) =>
+      graft.ops.EventsOps.sessionize(Tables(s, dir, "events"),
+        gapSeconds = 1800L)
+        .orderBy("user_id", "session_id")),
+
+    // Per-node triangle counts on the co-purchase graph (parts sharing
+    // an order): degree-ordered orientation caps wedge enumeration at
+    // O(m^1.5) — the plan that survives power-law hubs.
+    "p134_triangles" -> ((s, dir) => {
+      val pairs = Tables(s, dir, "lineitem").as("x")
+        .join(Tables(s, dir, "lineitem").as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.ops.Graph.triangleCount(pairs)
+    }),
+
     // Inter-annotator agreement on the embeddings labels vs a planted
     // second annotator (every 17th row relabeled to a class outside the
     // real domain): integer-exact kappa via (A·N − P)/(N² − P) in
@@ -2539,6 +2606,149 @@ object PipelineQueries {
         "LENGTH(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS n_text " +
         "FROM s4 ORDER BY doc_id"),
     // exact rational kappa, HUGEINT ≡ DECIMAL(38,0), re-signed // ≡ div
+    // per-step MIN chaining with strictly-later gating; step-1 cohort
+    // is the ppm denominator
+    "p127_funnel" -> (
+      "WITH e AS (SELECT user_id, event_type, " +
+        "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) AS t " +
+        "FROM events), " +
+        "s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e JOIN s1 USING (user_id) " +
+        "WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, MIN(e.t) AS t3 FROM e JOIN s2 USING (user_id) " +
+        "WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1), " +
+        "c AS (SELECT 1 AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS n_users " +
+        "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) " +
+        "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)) " +
+        "SELECT CAST(step AS BIGINT) AS step, event_type, CAST(n_users AS BIGINT) AS n_users, " +
+        "CAST(CASE WHEN (SELECT COUNT(*) FROM s1) = 0 THEN 0 " +
+        "ELSE n_users * 1000000 // (SELECT COUNT(*) FROM s1) END AS BIGINT) AS conv_ppm " +
+        "FROM c ORDER BY step"),
+    // DuckDB's last_value IGNORE NULLS over the same total order ≡
+    // Spark's last(_, ignoreNulls); purchase rows tag NULL so the
+    // current-row frame is safe
+    "p128_attribution" -> (
+      "WITH e AS (SELECT user_id, event_id, event_type, " +
+        "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) AS t " +
+        "FROM events WHERE event_type IN ('purchase', 'view', 'click')), " +
+        "g AS (SELECT *, CASE WHEN event_type IN ('view', 'click') THEN event_type END AS touch FROM e), " +
+        "l AS (SELECT *, last_value(touch IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastt FROM g), " +
+        "c AS (SELECT COALESCE(lastt, 'direct') AS touch_type, COUNT(*) AS n_conversions " +
+        "FROM l WHERE event_type = 'purchase' GROUP BY 1) " +
+        "SELECT touch_type, CAST(n_conversions AS BIGINT) AS n_conversions, " +
+        "CAST(n_conversions * 1000000 // SUM(n_conversions) OVER () AS BIGINT) AS share_ppm " +
+        "FROM c ORDER BY n_conversions DESC, touch_type"),
+    // basket-keyed pair self-join on the distinct projection; all three
+    // ratios by BIGINT integral division
+    "p129_basket_lift" -> (
+      "WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem), " +
+        "nb AS (SELECT COUNT(DISTINCT b) AS n FROM items), " +
+        "cnt AS (SELECT i, COUNT(*) AS c FROM items GROUP BY 1), " +
+        "p AS (SELECT x.i AS item_a, y.i AS item_b, COUNT(*) AS n_ab FROM items x " +
+        "JOIN items y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2 HAVING COUNT(*) >= 2) " +
+        "SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab, " +
+        "CAST(ca.c AS BIGINT) AS n_a, CAST(cb.c AS BIGINT) AS n_b, " +
+        "CAST(n_ab * 1000000 // nb.n AS BIGINT) AS support_ppm, " +
+        "CAST(n_ab * 1000000 // ca.c AS BIGINT) AS confidence_ppm, " +
+        "CAST(n_ab * nb.n * 1000000 // (ca.c * cb.c) AS BIGINT) AS lift_ppm " +
+        "FROM p JOIN cnt ca ON ca.i = p.item_a JOIN cnt cb ON cb.i = p.item_b, nb " +
+        "ORDER BY n_ab DESC, item_a, item_b"),
+    // ntile bucket boundaries depend only on (rank, n): identical on
+    // both engines under the tie-broken total order
+    "p130_rfm" -> (
+      "WITH pc AS (SELECT o_custkey AS custkey, " +
+        "MAX(CAST(floor(CAST(epoch_us(date_trunc('microseconds', o_orderdate)) AS DOUBLE) / 1000000) AS BIGINT) // 86400) AS last_d, " +
+        "COUNT(*) AS n_orders, " +
+        "SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS spend_cents " +
+        "FROM orders GROUP BY 1), " +
+        "g AS (SELECT MAX(last_d) AS gmax FROM pc), " +
+        "r AS (SELECT pc.custkey, pc.n_orders, pc.spend_cents, g.gmax - pc.last_d AS recency_days, " +
+        "ntile(4) OVER (ORDER BY g.gmax - pc.last_d ASC, pc.custkey ASC) AS r, " +
+        "ntile(4) OVER (ORDER BY pc.n_orders DESC, pc.custkey ASC) AS f, " +
+        "ntile(4) OVER (ORDER BY pc.spend_cents DESC, pc.custkey ASC) AS m " +
+        "FROM pc, g) " +
+        "SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days, " +
+        "CAST(n_orders AS BIGINT) AS n_orders, CAST(spend_cents AS BIGINT) AS spend_cents, " +
+        "CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m, " +
+        "CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR) || '-' || CAST(m AS VARCHAR) AS rfm " +
+        "FROM r ORDER BY custkey"),
+    // three synchronous power iterations unrolled; every contribution
+    // is a BIGINT integral division, so sums are order-free exact
+    "p131_pagerank" -> (
+      "WITH e AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS s, " +
+        "'s' || CAST(l_suppkey AS VARCHAR) AS d FROM lineitem " +
+        "UNION SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR), " +
+        "'n' || CAST(s_nationkey AS VARCHAR) FROM supplier), " +
+        "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e), " +
+        "od AS (SELECT s AS node, COUNT(*) AS outdeg FROM e GROUP BY 1), " +
+        "ind AS (SELECT d AS node, COUNT(*) AS indeg FROM e GROUP BY 1), " +
+        "s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS sc FROM nodes), " +
+        "i1 AS (SELECT e.d AS node, CAST(SUM(s0.sc * 850000 // (1000000 * od.outdeg)) AS BIGINT) AS inb " +
+        "FROM s0 JOIN od USING (node) JOIN e ON e.s = s0.node GROUP BY 1), " +
+        "s1 AS (SELECT n.node, CAST(150000 + COALESCE(i1.inb, 0) AS BIGINT) AS sc " +
+        "FROM nodes n LEFT JOIN i1 ON i1.node = n.node), " +
+        "i2 AS (SELECT e.d AS node, CAST(SUM(s1.sc * 850000 // (1000000 * od.outdeg)) AS BIGINT) AS inb " +
+        "FROM s1 JOIN od USING (node) JOIN e ON e.s = s1.node GROUP BY 1), " +
+        "s2 AS (SELECT n.node, CAST(150000 + COALESCE(i2.inb, 0) AS BIGINT) AS sc " +
+        "FROM nodes n LEFT JOIN i2 ON i2.node = n.node), " +
+        "i3 AS (SELECT e.d AS node, CAST(SUM(s2.sc * 850000 // (1000000 * od.outdeg)) AS BIGINT) AS inb " +
+        "FROM s2 JOIN od USING (node) JOIN e ON e.s = s2.node GROUP BY 1), " +
+        "s3 AS (SELECT n.node, CAST(150000 + COALESCE(i3.inb, 0) AS BIGINT) AS sc " +
+        "FROM nodes n LEFT JOIN i3 ON i3.node = n.node) " +
+        "SELECT s3.node AS node, s3.sc AS score_micro, " +
+        "CAST(COALESCE(ind.indeg, 0) AS BIGINT) AS in_deg, " +
+        "CAST(COALESCE(od.outdeg, 0) AS BIGINT) AS out_deg " +
+        "FROM s3 LEFT JOIN ind ON ind.node = s3.node LEFT JOIN od ON od.node = s3.node " +
+        "ORDER BY score_micro DESC, s3.node"),
+    // p126's toks/pos recipe, band self-join on (doc, pos), unordered
+    // pair keying via least/greatest
+    "p132_cooccur_lift" -> (
+      "WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks, " +
+        "len(string_split_regex(trim(lower(text)), '\\s+')) AS n FROM documents WHERE trim(text) <> ''), " +
+        "t AS (SELECT doc_id, p, toks[CAST(p AS INT) + 1] AS tok " +
+        "FROM (SELECT doc_id, toks, unnest(range(n)) AS p FROM tk)), " +
+        "nt AS (SELECT COUNT(*) AS n FROM t), " +
+        "cnt AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1), " +
+        "pr AS (SELECT LEAST(x.tok, y.tok) AS tok_a, GREATEST(x.tok, y.tok) AS tok_b, COUNT(*) AS n_ab " +
+        "FROM t x JOIN t y ON x.doc_id = y.doc_id AND y.p > x.p AND y.p <= x.p + 3 " +
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 5) " +
+        "SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab, " +
+        "CAST(ca.c AS BIGINT) AS n_a, CAST(cb.c AS BIGINT) AS n_b, " +
+        "CAST(n_ab * nt.n * 1000000 // (ca.c * cb.c) AS BIGINT) AS lift_ppm " +
+        "FROM pr JOIN cnt ca ON ca.tok = pr.tok_a JOIN cnt cb ON cb.tok = pr.tok_b, nt " +
+        "ORDER BY n_ab DESC, tok_a, tok_b LIMIT 50"),
+    // p118's gap-cumsum session CTE, aggregated to the session table
+    "p133_sessionize" -> (
+      "WITH q AS (SELECT user_id, event_id, " +
+        "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) AS t " +
+        "FROM events), " +
+        "s AS (SELECT *, CASE WHEN lag(t) OVER win IS NULL OR t - lag(t) OVER win > 1800 " +
+        "THEN 1 ELSE 0 END AS nw FROM q WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "c AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM s) " +
+        "SELECT user_id, CAST(sess AS BIGINT) AS session_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "MIN(t) AS start_t, MAX(t) AS end_t, MAX(t) - MIN(t) AS duration_seconds " +
+        "FROM c GROUP BY user_id, sess ORDER BY user_id, session_id"),
+    // degree-ordered orientation via row comparisons; each triangle
+    // closes exactly once as (a→b, a→c, b→c)
+    "p134_triangles" -> (
+      "WITH pr AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b FROM lineitem x " +
+        "JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey), " +
+        "deg AS (SELECT n, COUNT(*) AS d FROM " +
+        "(SELECT a AS n FROM pr UNION ALL SELECT b FROM pr) GROUP BY 1), " +
+        "o AS (SELECT CASE WHEN (da.d, p.a) < (db.d, p.b) THEN p.a ELSE p.b END AS src, " +
+        "CASE WHEN (da.d, p.a) < (db.d, p.b) THEN p.b ELSE p.a END AS dst, " +
+        "CASE WHEN (da.d, p.a) < (db.d, p.b) THEN db.d ELSE da.d END AS dd " +
+        "FROM pr p JOIN deg da ON da.n = p.a JOIN deg db ON db.n = p.b), " +
+        "w AS (SELECT x.src AS a, x.dst AS b, y.dst AS c FROM o x " +
+        "JOIN o y ON x.src = y.src AND (x.dd, x.dst) < (y.dd, y.dst)), " +
+        "t AS (SELECT w.a, w.b, w.c FROM w JOIN o e ON e.src = w.b AND e.dst = w.c), " +
+        "pn AS (SELECT node, COUNT(*) AS n_triangles FROM " +
+        "(SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t) GROUP BY 1) " +
+        "SELECT node, CAST(n_triangles AS BIGINT) AS n_triangles, " +
+        "CAST(SUM(n_triangles) OVER () // 3 AS BIGINT) AS n_total " +
+        "FROM pn ORDER BY n_triangles DESC, node"),
     "p122_cohen_kappa" -> (
       "WITH q AS (SELECT label AS a, CASE WHEN vec_id % 17 = 0 THEN label + 1000 ELSE label END AS b FROM embeddings), " +
         "t AS (SELECT COUNT(*) AS n, SUM(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END) AS n_agree FROM q), " +

@@ -708,4 +708,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == (3L, 0L, 0L))
     assert(r2.getString(4) == m("x y z") && r2.getString(5) == m(""))
   }
+
+  test("cooccurLift: hand-computed windowed pair counts and integer lift") {
+    // doc1 "a b a b"  (window 1): pairs (a,b),(a,b),(a,b) → ab×3
+    // doc2 "b c"      : (b,c)×1 — below minPairCount 2 → pruned
+    // counts: a=2 b=3 c=1, N=6. lift(ab) = 3·6·1e6 // (2·3) = 3000000
+    val docs = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = CorpusOps.cooccurLift(docs, window = 1, minPairCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(("a", "b", 3L, 2L, 3L, 3000000L)))
+  }
+
+  test("cooccurLift: window bounds — distance window+1 never pairs") {
+    // "x y z": window 2 pairs (x,y),(x,z),(y,z); window 1 drops (x,z)
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val w2 = CorpusOps.cooccurLift(docs, window = 2, minPairCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val w1 = CorpusOps.cooccurLift(docs, window = 1, minPairCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(w2 == Set(("x", "y"), ("x", "z"), ("y", "z")))
+    assert(w1 == Set(("x", "y"), ("y", "z")))
+  }
 }

@@ -1,0 +1,206 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{EventsOps, Graph, Retail}
+
+/** Hand-computed fixtures for the round-9 analytics ops: ordered
+  * funnel, last-touch attribution, basket lift, RFM segmentation and
+  * fixed-point PageRank. */
+class RetailGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnelSteps: strictly-later chaining and ppm vs step-1 cohort") {
+    // u1: view@1 click@2 purchase@3 → completes all three.
+    // u2: click@1 view@2 click@5 purchase@4 → view@2, later click@5,
+    //     but no purchase after 5 → stops at step 2.
+    // u3: view@1 only → stops at step 1.
+    // u4: click@1 purchase@2, no view → never enters.
+    val ev = Seq(
+      (1L, 1L, "view", "2024-01-01 00:00:01"),
+      (2L, 1L, "click", "2024-01-01 00:00:02"),
+      (3L, 1L, "purchase", "2024-01-01 00:00:03"),
+      (4L, 2L, "click", "2024-01-01 00:00:01"),
+      (5L, 2L, "view", "2024-01-01 00:00:02"),
+      (6L, 2L, "purchase", "2024-01-01 00:00:04"),
+      (7L, 2L, "click", "2024-01-01 00:00:05"),
+      (8L, 3L, "view", "2024-01-01 00:00:01"),
+      (9L, 4L, "click", "2024-01-01 00:00:01"),
+      (10L, 4L, "purchase", "2024-01-01 00:00:02")
+    ).map { case (id, u, et, t) => (id, u, et, ts(t)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.funnelSteps(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "view", 3L, 1000000L),
+      (2L, "click", 2L, 666666L),
+      (3L, "purchase", 1L, 333333L)))
+  }
+
+  test("funnelSteps: same-second events do not chain (strict order)") {
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-01-01 00:00:01")),
+      (2L, 1L, "click", ts("2024-01-01 00:00:01"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.funnelSteps(ev, Seq("view", "click"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 0L)))
+  }
+
+  test("lastTouchAttribution: nearest preceding touch wins; no touch = direct") {
+    // u1: view@1 click@2 purchase@3 → click. purchase@4 → click again
+    //     (touch carry persists). u2: purchase@1 with no touch → direct.
+    // u3: view@1 purchase@2 → view.
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-01-01 00:00:01")),
+      (2L, 1L, "click", ts("2024-01-01 00:00:02")),
+      (3L, 1L, "purchase", ts("2024-01-01 00:00:03")),
+      (4L, 1L, "purchase", ts("2024-01-01 00:00:04")),
+      (5L, 2L, "purchase", ts("2024-01-01 00:00:01")),
+      (6L, 3L, "view", ts("2024-01-01 00:00:01")),
+      (7L, 3L, "purchase", ts("2024-01-01 00:00:02")),
+      (8L, 3L, "error", ts("2024-01-01 00:00:01"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.lastTouchAttribution(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("click", 2L, 500000L), ("direct", 1L, 250000L), ("view", 1L, 250000L)))
+  }
+
+  test("lastTouchAttribution: same-second tie resolved by tie column") {
+    // touch and conversion share the second; event_id orders them —
+    // touch id 1 < purchase id 2 ⇒ the touch precedes and is credited.
+    val ev = Seq(
+      (1L, 1L, "click", ts("2024-01-01 00:00:01")),
+      (2L, 1L, "purchase", ts("2024-01-01 00:00:01"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.lastTouchAttribution(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("click", 1L)))
+  }
+
+  test("basketLift: hand-computed support/confidence/lift") {
+    // baskets: {A,B,C}, {A,B}, {A}, {B,C} → N=4; c(A)=3 c(B)=3 c(C)=2
+    // pairs: AB×2, AC×1, BC×2 → minPairCount=2 keeps AB, BC.
+    // AB: support 2e6/4=500000, conf 2e6/3=666666, lift 2*4e6/(3*3)=888888
+    // BC: support 500000, conf 666666, lift 2*4e6/(3*2)=1333333
+    val lines = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (2L, "B"), // dup line folds in distinct
+      (3L, "A"),
+      (4L, "B"), (4L, "C")
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Retail.basketLift(lines, minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq == Seq(
+      ("A", "B", 2L, 500000L, 666666L, 888888L),
+      ("B", "C", 2L, 500000L, 666666L, 1333333L)))
+  }
+
+  test("rfmSegments: quartile scores on an 8-customer fixture") {
+    // 8 customers, single orders, distinct dates and prices:
+    // recency ranks 1..8 → ntile(4) buckets (1,1),(2,2),(3,3),(4,4).
+    val orders = (1 to 8).map { i =>
+      (i.toLong, ts(f"2024-01-0$i 00:00:00"), i * 100.0 + 0.5)
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Retail.rfmSegments(orders)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getString(7)))
+    // cust 8 ordered last (most recent: recency 0 → r=1) and spent most
+    // (m=1); frequency all tie at 1 → tie-break by custkey: cust 1-2
+    // f=1, 3-4 f=2, 5-6 f=3, 7-8 f=4.
+    assert(out.toSeq == Seq(
+      (1L, 7L, 4L, 1L, 4L, "4-1-4"),
+      (2L, 6L, 4L, 1L, 4L, "4-1-4"),
+      (3L, 5L, 3L, 2L, 3L, "3-2-3"),
+      (4L, 4L, 3L, 2L, 3L, "3-2-3"),
+      (5L, 3L, 2L, 3L, 2L, "2-3-2"),
+      (6L, 2L, 2L, 3L, 2L, "2-3-2"),
+      (7L, 1L, 1L, 4L, 1L, "1-4-1"),
+      (8L, 0L, 1L, 4L, 1L, "1-4-1")))
+  }
+
+  test("pageRank: hand-computed 1-iteration scores on a 3-node chain") {
+    // a→b, a→c, b→c. outdeg a=2, b=1. After 1 iter:
+    // a: 150000 (no in-edges)
+    // b: 150000 + (1e6*85e4)//(1e6*2) = 150000+425000 = 575000
+    // c: 150000 + 425000 + (1e6*85e4)//(1e6*1) = 150000+425000+850000 = 1425000
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val out = Graph.pageRank(e, iters = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("c", 1425000L, 2L, 0L), ("b", 575000L, 1L, 1L), ("a", 150000L, 0L, 2L)))
+  }
+
+  test("pageRank: iteration 2 uses iteration-1 scores (chain fixture)") {
+    // iter2: b gets (150000*85e4)//(2e6) = 63750 → 213750;
+    // c gets 63750 + (575000*85e4)//1e6 = 63750+488750 → 702500.
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val out = Graph.pageRank(e, iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("c", 702500L), ("b", 213750L), ("a", 150000L)))
+  }
+
+  test("pageRank: duplicate edges fold; dangling nodes keep receiving") {
+    val e = Seq(("a", "b"), ("a", "b")).toDF("src", "dst")
+    val out = Graph.pageRank(e, iters = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("b", 1000000L, 1L, 0L), ("a", 150000L, 0L, 1L)))
+  }
+
+  test("sessionize: gap split, per-user 1-based ids, durations") {
+    // u1: events at 0s, 10s, 2000s → sessions {0,10} (dur 10) and
+    // {2000} (dur 0). u2: single event → one singleton session.
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-01 00:00:10")),
+      (3L, 1L, ts("2024-01-01 00:33:20")),
+      (4L, 2L, ts("2024-01-01 00:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = EventsOps.sessionize(ev, gapSeconds = 1800L)
+      .orderBy("user_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(out.toSeq == Seq((1L, 1L, 2L, 10L), (1L, 2L, 1L, 0L), (2L, 1L, 1L, 0L)))
+  }
+
+  test("sessionize: gap exactly == gapSeconds stays in-session") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-01 00:30:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = EventsOps.sessionize(ev, gapSeconds = 1800L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("triangleCount: K4 has 4 triangles, every node in 3") {
+    val e = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"))
+      .toDF("src", "dst")
+    val out = Graph.triangleCount(e)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 3L, 4L), ("b", 3L, 4L), ("c", 3L, 4L), ("d", 3L, 4L)))
+  }
+
+  test("triangleCount: triangle + pendant edge; dups/self-loops/reversals fold") {
+    // triangle a-b-c plus pendant c-d; noise: self loop, duplicate and
+    // reversed edges must not change counts
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("c", "d"),
+        ("d", "d"), ("a", "b"))
+      .toDF("src", "dst")
+    val out = Graph.triangleCount(e)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 1L, 1L)))
+  }
+
+  test("triangleCount: square (4-cycle) has no triangles") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")).toDF("src", "dst")
+    assert(Graph.triangleCount(e).count() == 0L)
+  }
+}
