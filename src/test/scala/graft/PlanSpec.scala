@@ -262,4 +262,43 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Exchange rangepartitioning"), s"$name: $p")
     }
   }
+
+  test("p129/p132: pair self-joins are equi-joins; only the 1-row global " +
+    "normalizer rides a broadcast NL") {
+    Seq("p129_basket_lift", "p132_cooccur_lift").foreach { name =>
+      val p = plan(name)
+      // the corpus-sized self-join keys on the basket/doc column — an
+      // all-pairs NL here would be quadratic at 100 TB
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"), s"$name: $p")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, s"$name: $p")
+    }
+  }
+
+  test("p131/p134: iterative graph state is cache-pinned; joins stay equi") {
+    Seq("p131_pagerank", "p134_triangles").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("InMemoryTableScan"),
+        s"$name: loop-invariant edge state must be persisted\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name: $p")
+    }
+  }
+
+  test("p127/p130: funnel and RFM partial-agg below their first exchange") {
+    Seq("p127_funnel", "p130_rfm").foreach { name =>
+      val p = plan(name)
+      val firstExchange = p.indexOf("Exchange")
+      assert(firstExchange >= 0 && p.indexOf("HashAggregate", firstExchange) > 0,
+        s"$name: $p")
+    }
+  }
+
+  test("p133: session table is ONE key exchange (window + agg reuse)") {
+    val ev = graft.engine.Tables(spark, dir, "events")
+    val p = graft.ops.EventsOps.sessionize(ev)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
 }
