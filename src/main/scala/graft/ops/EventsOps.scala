@@ -767,6 +767,122 @@ object EventsOps {
         (max(col("_t")) + lit(ttlSeconds) - min(col("_t"))).as("span_seconds"))
   }
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV drift statistic, integer-exact —
+    * the nonparametric sibling of [[graft.ops.Governance.psiDrift]]:
+    * PSI needs author-chosen bucket edges and reports a smoothed
+    * divergence; KS is binless and its statistic here is an exact
+    * rational, so the gate can't wobble in a float mantissa.
+    *
+    * `D = max_v |F_a(v) − F_b(v)|` over the MERGED distinct quantized
+    * values (micro-units): per-side count tables, a full outer join on
+    * the value, running cumulative counts, and the max of the
+    * cross-multiplied difference `|cumA·n_b − cumB·n_a|` — all in
+    * DECIMAL(38,0), division last. `ks_ppm = D_num·10⁶ div (n_a·n_b)`.
+    *
+    * Shape: two partial-agg count shuffles (corpus-sized input, value-
+    * bounded output) + ONE unpartitioned window over the merged
+    * DISTINCT-value table — bounded by value cardinality, not row
+    * count. For a continuous measure at 100 TB, quantize coarser
+    * first (the micro-unit floor is already a quantization; widen it)
+    * or run the blocked two-pass prefix-sum (the ffillBlocked carry
+    * recipe) — the statistic is unchanged for any quantization both
+    * sides share.
+    *
+    * Returns ONE row: (n_a, n_b, n_values, ks_ppm). Empty side →
+    * ks_ppm NULL (undefined, never a fake 0). */
+  def ksDrift(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String = "value"): DataFrame = {
+    val d = DecimalType(38, 0)
+    def side(df: DataFrame, cn: String): DataFrame = df
+      .where(col(valueCol).isNotNull)
+      .select(floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+      .groupBy("_v").agg(count(lit(1)).as(cn))
+    val merged = side(a, "_ca").join(side(b, "_cb"), Seq("_v"), "full_outer")
+      .select(col("_v"),
+        coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    merged
+      .select(
+        sum(col("_ca")).over(wCum).as("_cumA"),
+        sum(col("_cb")).over(wCum).as("_cumB"),
+        sum(col("_ca")).over(wAll).as("_na"),
+        sum(col("_cb")).over(wAll).as("_nb"))
+      .select(col("_na"), col("_nb"),
+        abs(col("_cumA").cast(d) * col("_nb").cast(d) -
+          col("_cumB").cast(d) * col("_na").cast(d)).as("_dn"))
+      .groupBy(col("_na").as("n_a"), col("_nb").as("n_b"))
+      .agg(count(lit(1)).as("n_values"), max(col("_dn")).as("_dmax"))
+      .select(col("n_a"), col("n_b"), col("n_values"),
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast("long"))
+          .otherwise(expr("CAST(_dmax * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+          .as("ks_ppm"))
+  }
+
+  /** PER-GROUP CONCENTRATION REPORT — Gini coefficient and
+    * Herfindahl–Hirschman index of how a measure distributes over
+    * contributors (is purchase revenue a long tail or three whales?),
+    * both as exact integer ppm. The fairness/selection-bias screen a
+    * curation pipeline runs next to the PSI/KS drift tripwires.
+    *
+    * Contributors are (group, contributor) SUMS of the micro-quantized
+    * measure (floor before sum — exact on any engine; negative
+    * contributor totals are rejected, Gini is undefined there). With
+    * per-group sorted contributions x_1 ≤ … ≤ x_n (value then
+    * contributor id — ties don't affect either statistic),
+    * `gini_ppm = (2·Σ i·x_i − (n+1)·S)·10⁶ div (n·S)` and
+    * `hhi_ppm = (Σ x_i²)·10⁶ div S²`, both in DECIMAL(38,0) with the
+    * division last; S = 0 → NULL (undefined, never fake-0).
+    *
+    * Shape: one (group, contributor) partial agg, then one group-key
+    * window + final agg sharing the same exchange. Parallelism =
+    * #groups; a group's contributor list sorts within its partition —
+    * for few massive groups swap the exact rank for a quantile sketch
+    * like the winsorize scaladoc prescribes.
+    *
+    * Returns (groupCol, n_contributors, total_micro, gini_ppm,
+    * hhi_ppm). */
+  def concentration(
+      ev: DataFrame,
+      groupCol: String = "event_type",
+      contributorCol: String = "user_id",
+      valueCol: String = "value"): DataFrame = {
+    val d = DecimalType(38, 0)
+    val sums = ev.where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(contributorCol),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_x"))
+      .groupBy(col(groupCol), col(contributorCol))
+      .agg(sum(col("_x")).as("_x"))
+      .withColumn("_x",
+        when(col("_x") < 0L, raise_error(concat(
+          lit("concentration: negative contributor total for group "),
+          col(groupCol).cast("string")))).otherwise(col("_x")))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_x"), col(contributorCol))
+    sums
+      .select(col(groupCol), col("_x"),
+        row_number().over(wRank).cast("long").as("_i"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_contributors"),
+        sum(col("_x")).as("total_micro"),
+        sum(col("_i").cast(d) * col("_x").cast(d)).as("_w"),
+        sum(col("_x").cast(d) * col("_x").cast(d)).as("_q"))
+      .select(col(groupCol), col("n_contributors"), col("total_micro"),
+        when(col("total_micro") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((2 * _w - (n_contributors + 1) * CAST(total_micro AS DECIMAL(38,0))) * 1000000 " +
+              "div (CAST(n_contributors AS DECIMAL(38,0)) * total_micro) AS BIGINT)"))
+          .as("gini_ppm"),
+        when(col("total_micro") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(_q * 1000000 div (CAST(total_micro AS DECIMAL(38,0)) * total_micro) AS BIGINT)"))
+          .as("hhi_ppm"))
+  }
+
   /** GAP-BASED SESSIONIZATION, the standalone session table: a new
     * session opens after `gapSeconds` of per-user silence — the batch
     * twin of Structured Streaming's session_window, exposed as its own

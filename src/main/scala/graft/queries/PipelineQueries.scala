@@ -579,6 +579,22 @@ object PipelineQueries {
       graft.ops.Graph.triangleCount(pairs)
     }),
 
+    // Two-sample KS drift between the even- and odd-id halves of the
+    // value stream: binless, exact-rational D in DECIMAL(38,0),
+    // division last — the nonparametric sibling of the PSI gate.
+    "p135_ks_drift" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      graft.ops.EventsOps.ksDrift(
+        ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 === 1))
+    }),
+
+    // Per-event-type Gini + HHI of per-user value concentration:
+    // exact integer ppm, DECIMAL(38,0) cross-products, division last.
+    "p136_concentration" -> ((s, dir) =>
+      graft.ops.EventsOps.concentration(Tables(s, dir, "events"))
+        .orderBy("event_type")),
+
     // Inter-annotator agreement on the embeddings labels vs a planted
     // second annotator (every 17th row relabeled to a class outside the
     // real domain): integer-exact kappa via (A·N − P)/(N² − P) in
@@ -2749,6 +2765,41 @@ object PipelineQueries {
         "SELECT node, CAST(n_triangles AS BIGINT) AS n_triangles, " +
         "CAST(SUM(n_triangles) OVER () // 3 AS BIGINT) AS n_total " +
         "FROM pn ORDER BY n_triangles DESC, node"),
+    // merged distinct-value cumulatives, HUGEINT cross-products ≡
+    // DECIMAL(38,0), // ≡ div on the non-negative numerator
+    "p135_ks_drift" -> (
+      "WITH qa AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE value IS NOT NULL AND event_id % 2 = 0), " +
+        "qb AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE value IS NOT NULL AND event_id % 2 = 1), " +
+        "ta AS (SELECT v, COUNT(*) AS na FROM qa GROUP BY 1), " +
+        "tb AS (SELECT v, COUNT(*) AS nb FROM qb GROUP BY 1), " +
+        "m AS (SELECT COALESCE(ta.v, tb.v) AS v, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb " +
+        "FROM ta FULL OUTER JOIN tb ON ta.v = tb.v), " +
+        "c AS (SELECT v, SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca, " +
+        "SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb, " +
+        "SUM(na) OVER () AS sa, SUM(nb) OVER () AS sb FROM m) " +
+        "SELECT CAST(sa AS BIGINT) AS n_a, CAST(sb AS BIGINT) AS n_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_values, " +
+        "CASE WHEN sa = 0 OR sb = 0 THEN NULL ELSE " +
+        "CAST(MAX(abs(CAST(ca AS HUGEINT) * sb - CAST(cb AS HUGEINT) * sa)) * 1000000 " +
+        "// (CAST(sa AS HUGEINT) * sb) AS BIGINT) END AS ks_ppm " +
+        "FROM c GROUP BY sa, sb"),
+    // per-group sorted-rank cross products in HUGEINT; gini numerator
+    // non-negative by Chebyshev's sum inequality so // ≡ div
+    "p136_concentration" -> (
+      "WITH s AS (SELECT event_type, user_id, " +
+        "SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)) AS x " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i FROM s), " +
+        "g AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS t, " +
+        "SUM(CAST(i AS HUGEINT) * x) AS w, SUM(CAST(x AS HUGEINT) * x) AS q FROM r GROUP BY 1) " +
+        "SELECT event_type, CAST(n AS BIGINT) AS n_contributors, CAST(t AS BIGINT) AS total_micro, " +
+        "CASE WHEN t = 0 THEN NULL ELSE " +
+        "CAST((2 * w - (n + 1) * CAST(t AS HUGEINT)) * 1000000 // (CAST(n AS HUGEINT) * t) AS BIGINT) END AS gini_ppm, " +
+        "CASE WHEN t = 0 THEN NULL ELSE " +
+        "CAST(q * 1000000 // (CAST(t AS HUGEINT) * t) AS BIGINT) END AS hhi_ppm " +
+        "FROM g ORDER BY event_type"),
     "p122_cohen_kappa" -> (
       "WITH q AS (SELECT label AS a, CASE WHEN vec_id % 17 = 0 THEN label + 1000 ELSE label END AS b FROM embeddings), " +
         "t AS (SELECT COUNT(*) AS n, SUM(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END) AS n_agree FROM q), " +

@@ -203,4 +203,49 @@ class RetailGraphSpec extends AnyFunSuite {
     val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")).toDF("src", "dst")
     assert(Graph.triangleCount(e).count() == 0L)
   }
+
+  test("ksDrift: hand-computed exact D on a 4-value merge") {
+    // a = {1,2,3}, b = {3,4}: cumA·nb − cumB·na over merged values =
+    // 2, 4, 3, 0 → D_num 4 → ks = 4e6 // 6 = 666666
+    val a = Seq(1.0, 2.0, 3.0).toDF("value")
+    val b = Seq(3.0, 4.0).toDF("value")
+    val out = EventsOps.ksDrift(a, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((3L, 2L, 4L, 666666L)))
+  }
+
+  test("ksDrift: identical samples have zero drift; disjoint have 1e6") {
+    val a = Seq(1.0, 2.0).toDF("value")
+    assert(EventsOps.ksDrift(a, a).collect()(0).getLong(3) == 0L)
+    val b = Seq(5.0, 6.0).toDF("value")
+    assert(EventsOps.ksDrift(a, b).collect()(0).getLong(3) == 1000000L)
+  }
+
+  test("concentration: hand-computed Gini and HHI per group") {
+    // g: contributor sums 1,1,2,4 (micro ×1e6): S=8e6, W=25e6 →
+    // gini (50−40)e6·1e6//32e6 = 312500; HHI 22e12·1e6//64e12 = 343750
+    // h: two equal contributors → gini 0, HHI 500000
+    val ev = Seq(
+      ("g", 1L, 1.0), ("g", 2L, 1.0), ("g", 3L, 2.0),
+      ("g", 4L, 1.5), ("g", 4L, 2.5),
+      ("h", 1L, 1.0), ("h", 2L, 1.0)
+    ).toDF("event_type", "user_id", "value")
+    val out = EventsOps.concentration(ev).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("g", 4L, 8000000L, 312500L, 343750L),
+      ("h", 2L, 2000000L, 0L, 500000L)))
+  }
+
+  test("concentration: zero total is NULL, never a fake 0") {
+    val ev = Seq(("z", 1L, 0.0)).toDF("event_type", "user_id", "value")
+    val r = EventsOps.concentration(ev).collect()(0)
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("concentration: negative contributor total raises, not silently skews") {
+    val ev = Seq(("n", 1L, -5.0), ("n", 2L, 1.0)).toDF("event_type", "user_id", "value")
+    intercept[Exception] { EventsOps.concentration(ev).collect() }
+  }
 }
