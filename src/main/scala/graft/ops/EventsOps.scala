@@ -944,6 +944,12 @@ object EventsOps {
     * data. At 100 TB the cost is the first filtered scan; AQE turns the
     * later #users-sized joins into broadcasts.
     *
+    * `maxGapSeconds` (None = unbounded) additionally requires each
+    * step to land within that many seconds of the PREVIOUS step's
+    * time — the "click within an hour of the view" marketing contract.
+    * The bound composes with the same MIN semantics: the earliest
+    * in-window event is the step time.
+    *
     * Returns one row per step, in step order: (step (1-based),
     * event_type, n_users, conv_ppm) where conv_ppm is
     * `n_users·10⁶ div step-1's n_users` (integer; 10⁶ for step 1). */
@@ -952,8 +958,11 @@ object EventsOps {
       steps: Seq[String],
       keyCol: String = "user_id",
       tsCol: String = "ts",
-      typeCol: String = "event_type"): DataFrame = {
+      typeCol: String = "event_type",
+      maxGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnelSteps: need at least one step")
+    require(maxGapSeconds.forall(_ > 0),
+      s"funnelSteps: maxGapSeconds must be positive, got $maxGapSeconds")
     val base = ev.select(col(keyCol).as("_u"), col(typeCol).as("_et"),
       epochSec(tsCol).as("_t"))
     // reached(i): (user, step-i time) — the survivors after step i
@@ -963,8 +972,9 @@ object EventsOps {
         val gated = prev match {
           case None => mine
           case Some(p) =>
-            mine.join(p.select(col("_u"), col("_mt").as("_pt")), Seq("_u"))
+            val joined = mine.join(p.select(col("_u"), col("_mt").as("_pt")), Seq("_u"))
               .where(col("_t") > col("_pt"))
+            maxGapSeconds.fold(joined)(g => joined.where(col("_t") <= col("_pt") + g))
         }
         Some(gated.groupBy(col("_u")).agg(min(col("_t")).as("_mt")))
     }.flatten
@@ -996,6 +1006,12 @@ object EventsOps {
     * user-key shuffle + a |touch types|-bounded partial agg; shares are
     * integer ppm of total conversions.
     *
+    * `firstTouch = true` credits the EARLIEST preceding touch instead
+    * (Spark `first(_, ignoreNulls)` ≡ DuckDB `first_value IGNORE
+    * NULLS` over the same frame) — the acquisition-channel view of the
+    * same stream; everything else, including the 'direct' fallback,
+    * is unchanged.
+    *
     * Returns (touch_type, n_conversions, share_ppm) ordered by
     * (n_conversions desc, touch_type). */
   def lastTouchAttribution(
@@ -1005,7 +1021,8 @@ object EventsOps {
       keyCol: String = "user_id",
       tsCol: String = "ts",
       tieCol: String = "event_id",
-      typeCol: String = "event_type"): DataFrame = {
+      typeCol: String = "event_type",
+      firstTouch: Boolean = false): DataFrame = {
     require(touchTypes.nonEmpty, "lastTouchAttribution: need touch types")
     require(!touchTypes.contains(convType),
       s"lastTouchAttribution: conversion '$convType' cannot also be a touch")
@@ -1017,8 +1034,11 @@ object EventsOps {
       .where(col("_et").isin(convType +: touchTypes: _*))
       .withColumn("_touch",
         when(col("_et").isin(touchTypes: _*), col("_et")))
+    val carried =
+      if (firstTouch) first(col("_touch"), ignoreNulls = true).over(w)
+      else last(col("_touch"), ignoreNulls = true).over(w)
     val credited = tagged
-      .withColumn("_last", last(col("_touch"), ignoreNulls = true).over(w))
+      .withColumn("_last", carried)
       .where(col("_et") === lit(convType))
       .select(coalesce(col("_last"), lit("direct")).as("touch_type"))
     credited.groupBy("touch_type")

@@ -65,6 +65,42 @@ object Retail {
       .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
   }
 
+  /** CO-PURCHASE RECOMMENDATIONS: for every item, the top-`k` other
+    * items by association lift — [[basketLift]]'s pair table turned
+    * DIRECTIONAL (each unordered pair feeds both directions, with
+    * confidence re-based on the direction's antecedent) and cut to a
+    * per-item top-k. The "customers who bought X also bought" table.
+    *
+    * Ranking is (lift desc, n_ab desc, rec asc) — fully tie-broken, so
+    * the cut is deterministic on any engine. The window runs over the
+    * |pairs|-bounded directional table (never the basket stream), and
+    * the rank cut gets Spark's partial WindowGroupLimit below the
+    * exchange — each map task pre-prunes to its local top-k.
+    *
+    * Returns (item, rec, n_ab, confidence_ppm, lift_ppm, rank ≤ k)
+    * ordered by (item, rank). */
+  def itemRecs(
+      lines: DataFrame,
+      basketCol: String = "l_orderkey",
+      itemCol: String = "l_partkey",
+      minPairCount: Long = 2L,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"itemRecs: need k >= 1, got $k")
+    val pairs = basketLift(lines, basketCol, itemCol, minPairCount)
+    val directional = pairs.select(
+        col("item_a").as("item"), col("item_b").as("rec"), col("n_ab"),
+        expr("n_ab * 1000000 div n_a").as("confidence_ppm"), col("lift_ppm"))
+      .union(pairs.select(
+        col("item_b").as("item"), col("item_a").as("rec"), col("n_ab"),
+        expr("n_ab * 1000000 div n_b").as("confidence_ppm"), col("lift_ppm")))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("lift_ppm").desc, col("n_ab").desc, col("rec").asc)
+    directional
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy("item", "rank")
+  }
+
   /** RFM SEGMENTATION: score every customer 1–4 on Recency (days since
     * their last order, relative to the dataset's global last order
     * date), Frequency (order count) and Monetary (lifetime spend), by

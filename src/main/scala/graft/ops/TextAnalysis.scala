@@ -312,4 +312,44 @@ object TextAnalysis {
         size(col("_kept")).cast("long").as("n_kept"),
         md5(array_join(col("_kept"), "\n")).as("clean_md5"))
   }
+
+  /** FLESCH-STYLE READABILITY, fixed-point and engine-exact: the
+    * document-difficulty signal curation pipelines bucket by (simple
+    * text for early curriculum, dense text flagged for review) —
+    * deterministic counting stand-ins for the classic formula's two
+    * linguistic inputs, both replayable as the same regex on any
+    * RE2/Java-common engine.
+    *
+    * Counts per doc: words = whitespace tokens; sentences = runs of
+    * `[.!?]+` (floored at 1 — headline-style docs have no terminator);
+    * syllable groups = vowel runs `[aeiouy]+` of the lowercased text
+    * (the standard heuristic syllable proxy). Score in MILLI-points,
+    * integral division only:
+    * `flesch_milli = 206835 − (1015·W) div S − (84600·Y) div W`
+    * (Flesch's 206.835 − 1.015·W/S − 84.6·Y/W, ×1000). Each division
+    * has positive operands; the result may be negative (dense legalese
+    * goes below zero in real Flesch too). Docs with zero words emit
+    * nothing (no degenerate division, mirrors the tokens() contract).
+    *
+    * Map-only: two regexp scans + the token split per row, no shuffle
+    * at all — at 100 TB this is the parquet scan's cost.
+    *
+    * Returns (idCol, n_words, n_sentences, n_syllable_groups,
+    * flesch_milli). */
+  def readability(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    docs
+      .select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_words"),
+        greatest(size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")), lit(1))
+          .cast("long").as("n_sentences"),
+        size(expr(s"regexp_extract_all(lower($textCol), '[aeiouy]+', 0)"))
+          .cast("long").as("n_syllable_groups"))
+      .where(col("n_words") > 0L)
+      .withColumn("flesch_milli",
+        lit(206835L) - expr("1015 * n_words div n_sentences") -
+          expr("84600 * n_syllable_groups div n_words"))
+  }
 }

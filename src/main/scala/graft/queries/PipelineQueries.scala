@@ -579,6 +579,32 @@ object PipelineQueries {
       graft.ops.Graph.triangleCount(pairs)
     }),
 
+    // The funnel under a 1-hour per-step window: same strictly-later
+    // MIN chaining with the gap bound conjoined into the step gate.
+    "p137_funnel_windowed" -> ((s, dir) =>
+      graft.ops.EventsOps.funnelSteps(Tables(s, dir, "events"),
+        Seq("view", "click", "purchase"), maxGapSeconds = Some(3600L))),
+
+    // First-touch attribution: the acquisition-channel view — same
+    // stream and frame as p128 with first() carrying the credit.
+    "p138_first_touch" -> ((s, dir) =>
+      graft.ops.EventsOps.lastTouchAttribution(Tables(s, dir, "events"),
+        convType = "purchase", touchTypes = Seq("view", "click"),
+        firstTouch = true)),
+
+    // "Bought X, also bought": the basket pair table symmetrized and
+    // cut per item to top-3 by (lift, n_ab, rec) — partial
+    // WindowGroupLimit prunes map-side.
+    "p139_item_recs" -> ((s, dir) =>
+      graft.ops.Retail.itemRecs(Tables(s, dir, "lineitem"),
+        minPairCount = 2L, k = 3)),
+
+    // Fixed-point Flesch readability: map-only regex counting, milli
+    // points by integral division.
+    "p140_readability" -> ((s, dir) =>
+      graft.ops.TextAnalysis.readability(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // Two-sample KS drift between the even- and odd-id halves of the
     // value stream: binless, exact-rational D in DECIMAL(38,0),
     // division last — the nonparametric sibling of the PSI gate.
@@ -2765,6 +2791,68 @@ object PipelineQueries {
         "SELECT node, CAST(n_triangles AS BIGINT) AS n_triangles, " +
         "CAST(SUM(n_triangles) OVER () // 3 AS BIGINT) AS n_total " +
         "FROM pn ORDER BY n_triangles DESC, node"),
+    // p127's chain with the 3600-second window conjoined per step
+    "p137_funnel_windowed" -> (
+      "WITH e AS (SELECT user_id, event_type, " +
+        "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) AS t " +
+        "FROM events), " +
+        "s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e JOIN s1 USING (user_id) " +
+        "WHERE e.event_type = 'click' AND e.t > s1.t1 AND e.t <= s1.t1 + 3600 GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, MIN(e.t) AS t3 FROM e JOIN s2 USING (user_id) " +
+        "WHERE e.event_type = 'purchase' AND e.t > s2.t2 AND e.t <= s2.t2 + 3600 GROUP BY 1), " +
+        "c AS (SELECT 1 AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS n_users " +
+        "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) " +
+        "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)) " +
+        "SELECT CAST(step AS BIGINT) AS step, event_type, CAST(n_users AS BIGINT) AS n_users, " +
+        "CAST(CASE WHEN (SELECT COUNT(*) FROM s1) = 0 THEN 0 " +
+        "ELSE n_users * 1000000 // (SELECT COUNT(*) FROM s1) END AS BIGINT) AS conv_ppm " +
+        "FROM c ORDER BY step"),
+    // p128 with first_value carrying the credit
+    "p138_first_touch" -> (
+      "WITH e AS (SELECT user_id, event_id, event_type, " +
+        "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) AS t " +
+        "FROM events WHERE event_type IN ('purchase', 'view', 'click')), " +
+        "g AS (SELECT *, CASE WHEN event_type IN ('view', 'click') THEN event_type END AS touch FROM e), " +
+        "l AS (SELECT *, first_value(touch IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS firstt FROM g), " +
+        "c AS (SELECT COALESCE(firstt, 'direct') AS touch_type, COUNT(*) AS n_conversions " +
+        "FROM l WHERE event_type = 'purchase' GROUP BY 1) " +
+        "SELECT touch_type, CAST(n_conversions AS BIGINT) AS n_conversions, " +
+        "CAST(n_conversions * 1000000 // SUM(n_conversions) OVER () AS BIGINT) AS share_ppm " +
+        "FROM c ORDER BY n_conversions DESC, touch_type"),
+    // p129's pair CTE symmetrized + per-item rank cut
+    "p139_item_recs" -> (
+      "WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem), " +
+        "nb AS (SELECT COUNT(DISTINCT b) AS n FROM items), " +
+        "cnt AS (SELECT i, COUNT(*) AS c FROM items GROUP BY 1), " +
+        "p AS (SELECT x.i AS item_a, y.i AS item_b, COUNT(*) AS n_ab FROM items x " +
+        "JOIN items y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2 HAVING COUNT(*) >= 2), " +
+        "j AS (SELECT item_a, item_b, n_ab, ca.c AS n_a, cb.c AS n_b, " +
+        "CAST(n_ab * nb.n * 1000000 // (ca.c * cb.c) AS BIGINT) AS lift_ppm " +
+        "FROM p JOIN cnt ca ON ca.i = p.item_a JOIN cnt cb ON cb.i = p.item_b, nb), " +
+        "d AS (SELECT item_a AS item, item_b AS rec, n_ab, " +
+        "CAST(n_ab * 1000000 // n_a AS BIGINT) AS confidence_ppm, lift_ppm FROM j " +
+        "UNION ALL SELECT item_b, item_a, n_ab, " +
+        "CAST(n_ab * 1000000 // n_b AS BIGINT), lift_ppm FROM j), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY item " +
+        "ORDER BY lift_ppm DESC, n_ab DESC, rec ASC) AS rank FROM d) " +
+        "SELECT item, rec, CAST(n_ab AS BIGINT) AS n_ab, confidence_ppm, lift_ppm, " +
+        "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3 ORDER BY item, rank"),
+    // identical regex counting; milli-points by // with positive
+    // operands per division
+    "p140_readability" -> (
+      "WITH c AS (SELECT doc_id, " +
+        "len(string_split_regex(trim(text), '\\s+')) AS n_words, " +
+        "GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences, " +
+        "len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllable_groups " +
+        "FROM documents WHERE trim(text) <> '') " +
+        "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, " +
+        "CAST(n_sentences AS BIGINT) AS n_sentences, " +
+        "CAST(n_syllable_groups AS BIGINT) AS n_syllable_groups, " +
+        "CAST(206835 - 1015 * n_words // n_sentences " +
+        "- 84600 * n_syllable_groups // n_words AS BIGINT) AS flesch_milli " +
+        "FROM c ORDER BY doc_id"),
     // merged distinct-value cumulatives, HUGEINT cross-products ≡
     // DECIMAL(38,0), // ≡ div on the non-negative numerator
     "p135_ks_drift" -> (

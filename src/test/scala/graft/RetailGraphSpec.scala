@@ -248,4 +248,67 @@ class RetailGraphSpec extends AnyFunSuite {
     val ev = Seq(("n", 1L, -5.0), ("n", 2L, 1.0)).toDF("event_type", "user_id", "value")
     intercept[Exception] { EventsOps.concentration(ev).collect() }
   }
+
+  test("funnelSteps maxGap: step outside the window does not count") {
+    // u1 clicks 10s after view (in window); u2 clicks 2h after (out)
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "click", ts("2024-01-01 00:00:10")),
+      (3L, 2L, "view", ts("2024-01-01 00:00:00")),
+      (4L, 2L, "click", ts("2024-01-01 02:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.funnelSteps(ev, Seq("view", "click"),
+        maxGapSeconds = Some(3600L))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L)))
+    // boundary: exactly maxGap is IN the window
+    val out2 = EventsOps.funnelSteps(ev, Seq("view", "click"),
+        maxGapSeconds = Some(7200L))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out2.toSeq == Seq((1L, 2L), (2L, 2L)))
+  }
+
+  test("first-touch attribution credits the earliest touch") {
+    // view@1 then click@2 then purchase@3: last-touch credits click,
+    // first-touch credits view
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-01-01 00:00:01")),
+      (2L, 1L, "click", ts("2024-01-01 00:00:02")),
+      (3L, 1L, "purchase", ts("2024-01-01 00:00:03"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val lastT = EventsOps.lastTouchAttribution(ev).collect()(0).getString(0)
+    val firstT = EventsOps.lastTouchAttribution(ev, firstTouch = true)
+      .collect()(0).getString(0)
+    assert(lastT == "click" && firstT == "view")
+  }
+
+  test("itemRecs: symmetrized directions, lift-ranked, per-item cut") {
+    // baskets from the basketLift fixture: pairs AB (lift 888888) and
+    // BC (lift 1333333). A recommends B; B recommends C (higher lift)
+    // then A; C recommends B.
+    val lines = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"),
+      (4L, "B"), (4L, "C")
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Retail.itemRecs(lines, minPairCount = 2L, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("A", "B", 1L), ("B", "C", 1L), ("B", "A", 2L), ("C", "B", 1L)))
+  }
+
+  test("readability: hand-computed Flesch milli-points") {
+    // "The cat sat." → W=3, S=1, Y: e,a,a → 3 groups.
+    // flesch = 206835 − 1015·3//1 − 84600·3//3 = 206835−3045−84600 = 119190
+    // doc 2: no terminator → S floored at 1; "go" W=1 Y=1 →
+    // 206835 − 1015 − 84600 = 121220
+    val docs = Seq((1L, "The cat sat."), (2L, "go"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.readability(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 3L, 119190L), (2L, 1L, 1L, 1L, 121220L)))
+  }
 }
