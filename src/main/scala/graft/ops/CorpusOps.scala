@@ -1425,6 +1425,54 @@ object CorpusOps {
         md5(concat_ws(" ", col("_target"))).as("target_md5"))
   }
 
+  /** FIM (fill-in-the-middle) TRANSFORMATION, PSM order — the
+    * code-LLM training prep (Bavarian et al., "Efficient Training of
+    * Language Models to Fill in the Middle"): split each document at
+    * two cut points into prefix/middle/suffix and re-serialize as
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M`, teaching the
+    * model to infill. The sibling of [[spanCorruptionPlan]]'s T5
+    * masking, with the same reproducibility contract: cuts come from
+    * multiplicative hashes of the doc id — RNG-FREE, so every run,
+    * every engine, and the oracle agree on the exact split.
+    *
+    * Cut rule for an n-token doc (n ≥ 3): `c1 = 1 + (id·40503 + 7)
+    * mod (n−2)`, `c2 = c1 + 1 + (id·69069 + 13) mod (n−c1−1)` —
+    * 0 < c1 < c2 < n always, so all three parts are non-empty.
+    * Multiplier magnitudes keep id·m inside BIGINT for any realistic
+    * id (no overflow-wrap divergence between engines). Docs shorter
+    * than 3 tokens pass through untransformed (fim_md5 of the raw
+    * token stream, c1 = c2 = 0) — the paper's "FIM rate" knob decides
+    * upstream which docs enter at all.
+    *
+    * Map-only: split + two hashes + three slices per row, no shuffle —
+    * at 100 TB this is the scan.
+    *
+    * Returns (idCol, n_tokens, c1, c2, fim_md5). */
+  def fimTransform(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) > 0)
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .withColumn("_c1",
+        when(col("_n") < 3L, lit(0L))
+          .otherwise(lit(1L) + pmod(col(idCol).cast("long") * 40503L + 7L, col("_n") - 2L)))
+      .withColumn("_c2",
+        when(col("_n") < 3L, lit(0L))
+          .otherwise(col("_c1") + 1L +
+            pmod(col(idCol).cast("long") * 69069L + 13L, col("_n") - col("_c1") - 1L)))
+      .withColumn("_fim",
+        when(col("_n") < 3L, concat_ws(" ", col("_toks")))
+          .otherwise(concat_ws(" ",
+            expr("concat(array('<fim_prefix>'), slice(_toks, 1, CAST(_c1 AS INT)), " +
+              "array('<fim_suffix>'), slice(_toks, CAST(_c2 AS INT) + 1, CAST(_n - _c2 AS INT)), " +
+              "array('<fim_middle>'), slice(_toks, CAST(_c1 AS INT) + 1, CAST(_c2 - _c1 AS INT)))"))))
+      .select(col(idCol), col("_n").as("n_tokens"), col("_c1").as("c1"),
+        col("_c2").as("c2"), md5(col("_fim")).as("fim_md5"))
+  }
+
   /** WINDOWED CO-OCCURRENCE LIFT: for token pairs appearing within
     * ±`window` positions of each other, how much MORE often than
     * independence predicts — the integer-exact cousin of PMI

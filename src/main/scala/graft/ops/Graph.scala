@@ -40,6 +40,10 @@ object Graph {
     * measured 3× the whole query at 3 iterations). MEMORY_AND_DISK:
     * eviction degrades to recompute, never OOM.
     *
+    * `seeds` switches to PERSONALIZED PageRank (topic-sensitive,
+    * Haveliwala 2002): initial and restart mass confined to the seed
+    * node set, scores = link-proximity to the seeds. None = global.
+    *
     * Returns (node, score_micro, in_deg, out_deg) ordered by
     * (score_micro desc, node). */
   def pageRank(
@@ -47,21 +51,34 @@ object Graph {
       iters: Int = 3,
       dampingPpm: Long = 850000L,
       srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst",
+      seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"pageRank: need iters >= 1, got $iters")
     require(dampingPpm > 0 && dampingPpm < 1000000L,
       s"pageRank: damping must be ppm in (0, 1e6), got $dampingPpm")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e0 = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d")).distinct()
     val e = if (iters > 1) e0.persist(lvl) else e0
+    // PERSONALIZED variant (topic-sensitive PageRank, Haveliwala):
+    // `seeds` (a 1-column node set) confines both the initial mass AND
+    // the per-iteration restart mass to the seed set — scores become
+    // "proximity to the seeds through links". None = uniform/global.
     val nodes0 = e.select(col("_s").as("node"))
       .union(e.select(col("_d").as("node"))).distinct()
-    val nodes = if (iters > 1) nodes0.persist(lvl) else nodes0
+    val nodes1 = seeds match {
+      case None => nodes0.select(col("node"), lit(1L).as("_seed"))
+      case Some(sd) =>
+        val s1 = sd.select(col(sd.columns.head).as("node")).distinct()
+        nodes0.join(s1.select(col("node"), lit(1L).as("_seed")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("_seed"), lit(0L)).as("_seed"))
+    }
+    val nodes = if (iters > 1) nodes1.persist(lvl) else nodes1
     val outDeg0 = e.groupBy(col("_s").as("node")).agg(count(lit(1)).as("out_deg"))
     val outDeg = if (iters > 1) outDeg0.persist(lvl) else outDeg0
     val inDeg = e.groupBy(col("_d").as("node")).agg(count(lit(1)).as("in_deg"))
-    val base = lit(1000000L - dampingPpm)
-    var scores = nodes.select(col("node"), lit(1000000L).as("score_micro"))
+    val base = (lit(1000000L) - lit(dampingPpm)) * col("_seed")
+    var scores = nodes.select(col("node"),
+      (lit(1000000L) * col("_seed")).as("score_micro"))
     for (_ <- 1 to iters) {
       val inbound = scores
         .join(outDeg, Seq("node"))

@@ -84,9 +84,14 @@ object Retail {
       basketCol: String = "l_orderkey",
       itemCol: String = "l_partkey",
       minPairCount: Long = 2L,
-      k: Int = 3): DataFrame = {
+      k: Int = 3): DataFrame =
+    itemRecsFromPairs(basketLift(lines, basketCol, itemCol, minPairCount), k)
+
+  /** [[itemRecs]] over an ALREADY-COMPUTED [[basketLift]] pair table —
+    * the composition seam: a session that publishes both the pair
+    * report and the rec table computes the basket join once. */
+  def itemRecsFromPairs(pairs: DataFrame, k: Int = 3): DataFrame = {
     require(k >= 1, s"itemRecs: need k >= 1, got $k")
-    val pairs = basketLift(lines, basketCol, itemCol, minPairCount)
     val directional = pairs.select(
         col("item_a").as("item"), col("item_b").as("rec"), col("n_ab"),
         expr("n_ab * 1000000 div n_a").as("confidence_ppm"), col("lift_ppm"))

@@ -95,6 +95,20 @@ object PipelineQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** The minPairCount ≥ 2 basket-lift pair table — shared front half of
+    * p129 (the pair report) and p139 (per-item recs). Same recipe as
+    * [[nearDupPairs45]]/[[bpeMerges3]]: memoized per (session, sf dir)
+    * and persisted so a sequential Verify run does the basket self-join
+    * once, not twice. */
+  private val basketMemo =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
+  private def basketPairs2(s: SparkSession, dir: String): DataFrame =
+    basketMemo.synchronized {
+      basketMemo.getOrElseUpdate((s, dir),
+        graft.ops.Retail.basketLift(Tables(s, dir, "lineitem"), minPairCount = 2L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EP2/EP3 end-to-end: header identify + rules standardizer + typed
     // stages + fuzzy importer join + publish projection. The multi-stage
@@ -529,9 +543,7 @@ object PipelineQueries {
     // Market-basket pair mining over order baskets: basket-keyed
     // self-join (never all-pairs items), support/confidence/lift in
     // integer ppm, hapax pairs pruned before the count joins.
-    "p129_basket_lift" -> ((s, dir) =>
-      graft.ops.Retail.basketLift(Tables(s, dir, "lineitem"),
-        minPairCount = 2L)),
+    "p129_basket_lift" -> ((s, dir) => basketPairs2(s, dir)),
 
     // RFM customer segmentation: one customer-key partial agg, then
     // three tie-broken ntile(4) windows over the customer-bounded
@@ -579,6 +591,27 @@ object PipelineQueries {
       graft.ops.Graph.triangleCount(pairs)
     }),
 
+    // FIM (fill-in-the-middle) PSM transformation: RNG-free hash cuts,
+    // sentinel re-serialization, md5 fingerprint — map-only.
+    "p141_fim" -> ((s, dir) =>
+      graft.ops.CorpusOps.fimTransform(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // Personalized PageRank seeded at every 50th part: restart mass
+    // confined to the seeds, same integer fixed-point loop as p131.
+    "p142_ppr" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      val sn = Tables(s, dir, "supplier").select(
+        concat(lit("s"), col("s_suppkey")).as("src"),
+        concat(lit("n"), col("s_nationkey")).as("dst"))
+      val seeds = Tables(s, dir, "part")
+        .where(col("p_partkey") % 50 === 0)
+        .select(concat(lit("p"), col("p_partkey")).as("node"))
+      graft.ops.Graph.pageRank(li.union(sn), iters = 3, seeds = Some(seeds))
+    }),
+
     // The funnel under a 1-hour per-step window: same strictly-later
     // MIN chaining with the gap bound conjoined into the step gate.
     "p137_funnel_windowed" -> ((s, dir) =>
@@ -596,8 +629,7 @@ object PipelineQueries {
     // cut per item to top-3 by (lift, n_ab, rec) — partial
     // WindowGroupLimit prunes map-side.
     "p139_item_recs" -> ((s, dir) =>
-      graft.ops.Retail.itemRecs(Tables(s, dir, "lineitem"),
-        minPairCount = 2L, k = 3)),
+      graft.ops.Retail.itemRecsFromPairs(basketPairs2(s, dir), k = 3)),
 
     // Fixed-point Flesch readability: map-only regex counting, milli
     // points by integral division.
@@ -2791,6 +2823,52 @@ object PipelineQueries {
         "SELECT node, CAST(n_triangles AS BIGINT) AS n_triangles, " +
         "CAST(SUM(n_triangles) OVER () // 3 AS BIGINT) AS n_total " +
         "FROM pn ORDER BY n_triangles DESC, node"),
+    // identical hash-cut arithmetic; DuckDB 1-based list slices ≡
+    // Spark slice(start+1, len); list concat re-serializes PSM order
+    "p141_fim" -> (
+      "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks, " +
+        "len(string_split_regex(trim(text), '\\s+')) AS n FROM documents WHERE trim(text) <> ''), " +
+        "c AS (SELECT doc_id, toks, n, " +
+        "CASE WHEN n < 3 THEN 0 ELSE 1 + (doc_id * 40503 + 7) % (n - 2) END AS c1 FROM tk), " +
+        "c2t AS (SELECT doc_id, toks, n, c1, " +
+        "CASE WHEN n < 3 THEN 0 ELSE c1 + 1 + (doc_id * 69069 + 13) % (n - c1 - 1) END AS c2 FROM c), " +
+        "f AS (SELECT doc_id, n, c1, c2, " +
+        "CASE WHEN n < 3 THEN array_to_string(toks, ' ') " +
+        "ELSE array_to_string(['<fim_prefix>'] || toks[1:c1] || ['<fim_suffix>'] || " +
+        "toks[(c2 + 1):n] || ['<fim_middle>'] || toks[(c1 + 1):c2], ' ') END AS fim FROM c2t) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(c1 AS BIGINT) AS c1, " +
+        "CAST(c2 AS BIGINT) AS c2, md5(fim) AS fim_md5 FROM f ORDER BY doc_id"),
+    // p131's unrolled loop with initial + restart mass gated by the
+    // seed flag (topic-sensitive PageRank)
+    "p142_ppr" -> (
+      "WITH e AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS s, " +
+        "'s' || CAST(l_suppkey AS VARCHAR) AS d FROM lineitem " +
+        "UNION SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR), " +
+        "'n' || CAST(s_nationkey AS VARCHAR) FROM supplier), " +
+        "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e), " +
+        "sd AS (SELECT 'p' || CAST(p_partkey AS VARCHAR) AS node FROM part WHERE p_partkey % 50 = 0), " +
+        "nf AS (SELECT n.node, CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS seed " +
+        "FROM nodes n LEFT JOIN sd ON sd.node = n.node), " +
+        "od AS (SELECT s AS node, COUNT(*) AS outdeg FROM e GROUP BY 1), " +
+        "ind AS (SELECT d AS node, COUNT(*) AS indeg FROM e GROUP BY 1), " +
+        "s0 AS (SELECT node, CAST(1000000 * seed AS BIGINT) AS sc FROM nf), " +
+        "i1 AS (SELECT e.d AS node, CAST(SUM(s0.sc * 850000 // (1000000 * od.outdeg)) AS BIGINT) AS inb " +
+        "FROM s0 JOIN od USING (node) JOIN e ON e.s = s0.node GROUP BY 1), " +
+        "s1 AS (SELECT n.node, CAST(150000 * n.seed + COALESCE(i1.inb, 0) AS BIGINT) AS sc " +
+        "FROM nf n LEFT JOIN i1 ON i1.node = n.node), " +
+        "i2 AS (SELECT e.d AS node, CAST(SUM(s1.sc * 850000 // (1000000 * od.outdeg)) AS BIGINT) AS inb " +
+        "FROM s1 JOIN od USING (node) JOIN e ON e.s = s1.node GROUP BY 1), " +
+        "s2 AS (SELECT n.node, CAST(150000 * n.seed + COALESCE(i2.inb, 0) AS BIGINT) AS sc " +
+        "FROM nf n LEFT JOIN i2 ON i2.node = n.node), " +
+        "i3 AS (SELECT e.d AS node, CAST(SUM(s2.sc * 850000 // (1000000 * od.outdeg)) AS BIGINT) AS inb " +
+        "FROM s2 JOIN od USING (node) JOIN e ON e.s = s2.node GROUP BY 1), " +
+        "s3 AS (SELECT n.node, CAST(150000 * n.seed + COALESCE(i3.inb, 0) AS BIGINT) AS sc " +
+        "FROM nf n LEFT JOIN i3 ON i3.node = n.node) " +
+        "SELECT s3.node AS node, s3.sc AS score_micro, " +
+        "CAST(COALESCE(ind.indeg, 0) AS BIGINT) AS in_deg, " +
+        "CAST(COALESCE(od.outdeg, 0) AS BIGINT) AS out_deg " +
+        "FROM s3 LEFT JOIN ind ON ind.node = s3.node LEFT JOIN od ON od.node = s3.node " +
+        "ORDER BY score_micro DESC, s3.node"),
     // p127's chain with the 3600-second window conjoined per step
     "p137_funnel_windowed" -> (
       "WITH e AS (SELECT user_id, event_type, " +

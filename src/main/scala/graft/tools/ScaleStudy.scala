@@ -175,7 +175,39 @@ object ScaledOps {
       time("containment") { sink(Dedup.containmentPairs(docs,
         shingleSize = 3, thresholdMicro = 900000L)) },
       time("ann_ivfpq") { sink(ivfPqPipeline(spark.read.parquet(embPath), k = 3)) },
+      // iterative graph tier over the token co-occurrence graph of the
+      // scaled corpus (±2 window, pairs seen ≥5×): real power-law
+      // degrees — "the" is a hub — so these exercise exactly the
+      // persist + orientation machinery the 100 TB story rests on
+      time("pagerank") { sink(graft.ops.Graph.pageRank(
+        tokenEdges(docs), iters = 3)) },
+      time("triangles") { sink(graft.ops.Graph.triangleCount(
+        tokenEdges(docs))) },
       annIvfPqRecall(spark.read.parquet(embPath)))
+  }
+
+  /** Token co-occurrence edges (the cooccurLift pair recipe without the
+    * top-k cut): undirected (min,max)-keyed word pairs within ±2
+    * positions occurring ≥ 5 times corpus-wide. Tokens above a 10k
+    * occurrence ceiling are dropped BEFORE pairing — the stop-gram
+    * relief valve (standard collocation practice; a stopword hub adds
+    * O(df²) wedges and no signal, and this keeps the triangle tier's
+    * m^1.5 bound honest instead of hub-degenerate). */
+  private def tokenEdges(docs: DataFrame): DataFrame = {
+    val raw = docs.select(col("doc_id").as("_doc"),
+      posexplode(TextAnalysis.tokens(lower(col("text")))).as(Seq("_p", "_t")))
+    val keep = raw.groupBy("_t").agg(count(lit(1)).as("_c"))
+      .where(col("_c") <= 10000L).select("_t")
+    val toks = raw.join(keep, Seq("_t"), "left_semi")
+    toks.as("x")
+      .join(toks.as("y"),
+        col("x._doc") === col("y._doc") &&
+          col("y._p") > col("x._p") && col("y._p") <= col("x._p") + 2)
+      .select(least(col("x._t"), col("y._t")).as("src"),
+        greatest(col("x._t"), col("y._t")).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("_n"))
+      .where(col("_n") >= 5L)
+      .select("src", "dst")
   }
 
   private def ivfPqPipeline(emb: DataFrame, k: Int): DataFrame = {

