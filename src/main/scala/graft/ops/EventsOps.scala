@@ -883,6 +883,71 @@ object EventsOps {
           .as("hhi_ppm"))
   }
 
+  /** 2×2 CHI-SQUARE A/B TEST, integer-exact — the experimentation
+    * readout (did variant B convert better, and is the difference
+    * real?) with the statistic as an exact rational, never a float:
+    * `χ² = N·(ad−bc)² / (n_a·n_b·(a+c)·(b+d))` over the contingency
+    * table (a,b = variant A successes/failures; c,d = B's). Emitted in
+    * micro-points by DECIMAL(38,0) integral division, so the oracle
+    * replays it bit-for-bit; the `significant` flag compares against
+    * the p<0.05 critical value 3.841459 (χ², 1 df). Degenerate margins
+    * (all success or all failure) → NULL statistic, never a fake 0.
+    *
+    * Exactly two variants are REQUIRED — a third (or a lone) variant
+    * raises rather than silently picking two. Variant A is the
+    * lexicographically smaller label, pinned in the output.
+    *
+    * Shape: one partial-agg count pass on the variant key (2-row
+    * result), a 1-row bounds cross join, a scalar fold — corpus-scale
+    * work is the first scan only. DECIMAL(38,0) headroom: the cross
+    * term (ad−bc)² caps at N⁴ — exact through N ≈ 10⁹ units; beyond
+    * that, test on a fixed-ratio subsample (the statistic scales
+    * linearly in N, the DECISION is made long before 10⁹).
+    *
+    * Returns ONE row: (variant_a, variant_b, n_a, x_a, n_b, x_b,
+    * conv_a_ppm, conv_b_ppm, chi2_micro, significant). */
+  def abTestChi2(
+      units: DataFrame,
+      variantCol: String = "variant",
+      successCol: String = "success"): DataFrame = {
+    val d = DecimalType(38, 0)
+    val counts = units
+      .select(col(variantCol).cast("string").as("_g"),
+        col(successCol).cast("boolean").as("_s"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("_s"), 1L).otherwise(0L)).as("_x"))
+    val bounds = counts.agg(
+      count(lit(1)).as("_k"), min(col("_g")).as("_ga"), max(col("_g")).as("_gb"))
+    counts.crossJoin(bounds)
+      .groupBy(col("_k"), col("_ga"), col("_gb"))
+      .agg(
+        max(when(col("_g") === col("_ga"), col("_n"))).as("n_a"),
+        max(when(col("_g") === col("_ga"), col("_x"))).as("x_a"),
+        max(when(col("_g") === col("_gb"), col("_n"))).as("n_b"),
+        max(when(col("_g") === col("_gb"), col("_x"))).as("x_b"))
+      // the guard is folded into an OUTPUT column — a free-standing
+      // guard column would be pruned unevaluated by the optimizer
+      .select(
+        when(col("_k") =!= 2L, raise_error(concat(
+          lit("abTestChi2: need exactly 2 variants, got "), col("_k"))))
+          .otherwise(col("_ga")).as("variant_a"),
+        col("_gb").as("variant_b"),
+        col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        expr("x_a * 1000000 div n_a").as("conv_a_ppm"),
+        expr("x_b * 1000000 div n_b").as("conv_b_ppm"),
+        expr(
+          "CASE WHEN (x_a + x_b) = 0 OR (n_a - x_a + n_b - x_b) = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE CAST((CAST(n_a AS DECIMAL(38,0)) + n_b) * " +
+            "(CAST(x_a AS DECIMAL(38,0)) * (n_b - x_b) - CAST(x_b AS DECIMAL(38,0)) * (n_a - x_a)) * " +
+            "(CAST(x_a AS DECIMAL(38,0)) * (n_b - x_b) - CAST(x_b AS DECIMAL(38,0)) * (n_a - x_a)) * 1000000 " +
+            "div (CAST(n_a AS DECIMAL(38,0)) * n_b * (x_a + x_b) * (n_a - x_a + n_b - x_b)) AS BIGINT) END")
+          .as("chi2_micro"))
+      .withColumn("significant",
+        when(col("chi2_micro").isNull, lit(null).cast("boolean"))
+          .otherwise(col("chi2_micro") >= 3841459L))
+  }
+
   /** GAP-BASED SESSIONIZATION, the standalone session table: a new
     * session opens after `gapSeconds` of per-user silence — the batch
     * twin of Structured Streaming's session_window, exposed as its own

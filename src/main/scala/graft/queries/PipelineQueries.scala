@@ -591,6 +591,17 @@ object PipelineQueries {
       graft.ops.Graph.triangleCount(pairs)
     }),
 
+    // 2×2 chi-square A/B readout: per-user conversion units (even vs
+    // odd user id), exact-rational statistic in micro-points.
+    "p143_ab_test" -> ((s, dir) =>
+      graft.ops.EventsOps.abTestChi2(
+        Tables(s, dir, "events").groupBy(col("user_id"))
+          .agg(max(col("event_type") === "purchase").as("success"))
+          .select(
+            when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))
+              .as("variant"),
+            col("success")))),
+
     // FIM (fill-in-the-middle) PSM transformation: RNG-free hash cuts,
     // sentinel re-serialization, md5 fingerprint — map-only.
     "p141_fim" -> ((s, dir) =>
@@ -2823,6 +2834,29 @@ object PipelineQueries {
         "SELECT node, CAST(n_triangles AS BIGINT) AS n_triangles, " +
         "CAST(SUM(n_triangles) OVER () // 3 AS BIGINT) AS n_total " +
         "FROM pn ORDER BY n_triangles DESC, node"),
+    // HUGEINT ≡ DECIMAL(38,0); (ad−bc)² ≥ 0 so // ≡ div; 3.841459 =
+    // χ²(1df) p<0.05 critical value
+    "p143_ab_test" -> (
+      "WITH u AS (SELECT user_id, CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g, " +
+        "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s FROM events GROUP BY 1), " +
+        "c AS (SELECT g, COUNT(*) AS n, SUM(s) AS x FROM u GROUP BY 1), " +
+        "b AS (SELECT MIN(g) AS ga, MAX(g) AS gb FROM c), " +
+        "r AS (SELECT ANY_VALUE(ga) AS ga, ANY_VALUE(gb) AS gb, " +
+        "MAX(CASE WHEN g = ga THEN n END) AS n_a, MAX(CASE WHEN g = ga THEN x END) AS x_a, " +
+        "MAX(CASE WHEN g = gb THEN n END) AS n_b, MAX(CASE WHEN g = gb THEN x END) AS x_b FROM c, b), " +
+        "f AS (SELECT ga, gb, n_a, x_a, n_b, x_b, " +
+        "CASE WHEN (x_a + x_b) = 0 OR (n_a - x_a + n_b - x_b) = 0 THEN NULL ELSE " +
+        "CAST((CAST(n_a AS HUGEINT) + n_b) * " +
+        "(CAST(x_a AS HUGEINT) * (n_b - x_b) - CAST(x_b AS HUGEINT) * (n_a - x_a)) * " +
+        "(CAST(x_a AS HUGEINT) * (n_b - x_b) - CAST(x_b AS HUGEINT) * (n_a - x_a)) * 1000000 " +
+        "// (CAST(n_a AS HUGEINT) * n_b * (x_a + x_b) * (n_a - x_a + n_b - x_b)) AS BIGINT) END AS chi2 " +
+        "FROM r) " +
+        "SELECT ga AS variant_a, gb AS variant_b, CAST(n_a AS BIGINT) AS n_a, " +
+        "CAST(x_a AS BIGINT) AS x_a, CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b, " +
+        "CAST(x_a * 1000000 // n_a AS BIGINT) AS conv_a_ppm, " +
+        "CAST(x_b * 1000000 // n_b AS BIGINT) AS conv_b_ppm, " +
+        "chi2 AS chi2_micro, " +
+        "CASE WHEN chi2 IS NULL THEN NULL ELSE chi2 >= 3841459 END AS significant FROM f"),
     // identical hash-cut arithmetic; DuckDB 1-based list slices ≡
     // Spark slice(start+1, len); list concat re-serializes PSM order
     "p141_fim" -> (

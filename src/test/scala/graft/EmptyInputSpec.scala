@@ -119,4 +119,28 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(CorpusOps.contaminationSpans(someDocs, noDocs).count() == 0)
     assert(CorpusOps.contaminationSpans(noDocs, someDocs).count() == 0)
   }
+
+  test("analytics/graph batch on empty input") {
+    import graft.ops.{EventsOps, Graph, Retail}
+    val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    val noLines = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+    val noOrders = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    // funnel is a REPORT: empty input yields the step rows with zero
+    // counts (a funnel with no users is still a funnel), never a throw
+    val f = EventsOps.funnelSteps(noEvents, Seq("view", "click")).collect()
+    assert(f.map(r => (r.getLong(0), r.getLong(2))).toSeq == Seq((1L, 0L), (2L, 0L)))
+    assert(EventsOps.lastTouchAttribution(noEvents).count() == 0)
+    assert(EventsOps.sessionize(noEvents).count() == 0)
+    assert(EventsOps.ksDrift(noEvents, noEvents).count() == 0)
+    assert(EventsOps.concentration(noEvents).count() == 0)
+    assert(Graph.pageRank(noEdges).count() == 0)
+    assert(Graph.triangleCount(noEdges).count() == 0)
+    assert(Retail.basketLift(noLines).count() == 0)
+    assert(Retail.itemRecs(noLines).count() == 0)
+    assert(Retail.rfmSegments(noOrders).count() == 0)
+    assert(CorpusOps.cooccurLift(noDocs).count() == 0)
+    assert(CorpusOps.fimTransform(noDocs).count() == 0)
+    assert(TextAnalysis.readability(noDocs).count() == 0)
+  }
 }

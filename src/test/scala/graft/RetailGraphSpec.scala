@@ -336,6 +336,31 @@ class RetailGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("abTestChi2: hand-computed statistic, significance threshold") {
+    // 4/10 vs 8/10: χ² = 20·(8−48)²·1e6 / (10·10·12·8) = 3.333333 —
+    // under the 3.841459 critical value
+    def units(xa: Int, na: Int, xb: Int, nb: Int) =
+      ((1 to na).map(i => ("A", i <= xa)) ++ (1 to nb).map(i => ("B", i <= xb)))
+        .toDF("variant", "success")
+    val r1 = EventsOps.abTestChi2(units(4, 10, 8, 10)).collect()(0)
+    assert((r1.getString(0), r1.getString(1)) == ("A", "B"))
+    assert((r1.getLong(2), r1.getLong(3), r1.getLong(4), r1.getLong(5)) ==
+      (10L, 4L, 10L, 8L))
+    assert((r1.getLong(6), r1.getLong(7)) == (400000L, 800000L))
+    assert(r1.getLong(8) == 3333333L && !r1.getBoolean(9))
+    // 10/100 vs 30/100: χ² = 12.5 — significant
+    val r2 = EventsOps.abTestChi2(units(10, 100, 30, 100)).collect()(0)
+    assert(r2.getLong(8) == 12500000L && r2.getBoolean(9))
+  }
+
+  test("abTestChi2: degenerate margins NULL; wrong variant count raises") {
+    val zeros = Seq(("A", false), ("B", false)).toDF("variant", "success")
+    val r = EventsOps.abTestChi2(zeros).collect()(0)
+    assert(r.isNullAt(8) && r.isNullAt(9))
+    val three = Seq(("A", true), ("B", false), ("C", true)).toDF("variant", "success")
+    intercept[Exception] { EventsOps.abTestChi2(three).collect() }
+  }
+
   test("readability: hand-computed Flesch milli-points") {
     // "The cat sat." → W=3, S=1, Y: e,a,a → 3 groups.
     // flesch = 206835 − 1015·3//1 − 84600·3//3 = 206835−3045−84600 = 119190
