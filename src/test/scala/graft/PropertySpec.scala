@@ -133,4 +133,57 @@ class PropertySpec extends AnyFunSuite {
     val z = Layout.zOrderKey(pts, "id", "a", "b", bits = 6)
     assert(z.select(countDistinct(col("zv"))).head().getLong(0) == 64L * 64L)
   }
+
+  test("triangleCount is invariant to edge direction, duplicates, and order") {
+    import graft.ops.Graph
+    // random graph on 30 nodes; a shuffled copy with random flips and
+    // duplicated edges must count the identical triangles
+    val edges = (0 until 120).map { _ =>
+      (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}")
+    }
+    val noisy = rnd.shuffle(edges.map { case (a, b) =>
+      if (rnd.nextBoolean()) (b, a) else (a, b)
+    } ++ edges.take(30))
+    val base = Graph.triangleCount(edges.toDF("src", "dst"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val again = Graph.triangleCount(noisy.toDF("src", "dst"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(base == again)
+  }
+
+  test("pageRank conserves bounded mass: every score in [0, N·1e6]") {
+    import graft.ops.Graph
+    val edges = (0 until 200).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+    }.filter(e => e._1 != e._2)
+    val out = Graph.pageRank(edges.toDF("src", "dst"), iters = 3).collect()
+    val n = out.length.toLong
+    // leaky fixed-point: total never exceeds the uniform start mass,
+    // and no node goes negative or above the whole graph's mass
+    assert(out.map(_.getLong(1)).sum <= n * 1000000L)
+    out.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) <= n * 1000000L))
+  }
+
+  test("funnel counts are monotonically non-increasing down the steps") {
+    import graft.ops.EventsOps
+    val ev = (0 until 600).map { i =>
+      (i.toLong, rnd.nextInt(50).toLong,
+        Seq("view", "click", "purchase", "error")(rnd.nextInt(4)),
+        java.sql.Timestamp.valueOf(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val counts = EventsOps.funnelSteps(ev, Seq("view", "click", "purchase"))
+      .collect().map(_.getLong(2))
+    assert(counts.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("basketLift pair counts never exceed either item's basket count") {
+    import graft.ops.Retail
+    val lines = (0 until 400).map { _ =>
+      (rnd.nextInt(60).toLong, s"i${rnd.nextInt(25)}")
+    }.toDF("l_orderkey", "l_partkey")
+    Retail.basketLift(lines, minPairCount = 1L).collect().foreach { r =>
+      val (nab, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nab <= na && nab <= nb && nab >= 1L)
+    }
+  }
 }
