@@ -883,6 +883,75 @@ object EventsOps {
           .as("hhi_ppm"))
   }
 
+  /** USER SURVIVAL TABLE (retention curve): for each observed lifetime
+    * day d, how many users stayed active AT LEAST d days and what
+    * fraction of the cohort that is — the curve behind "day-7 / day-30
+    * retention", integer-exact (no Kaplan-Meier float products: with
+    * full observation windows the survival function IS the descending
+    * cumulative of the lifetime histogram).
+    *
+    * Lifetime = floor-days between a user's first and last event
+    * (single-event users: lifetime 0 — everyone appears in the d = 0
+    * row, so surviving_ppm starts at 10⁶ by construction). One
+    * user-key partial agg (corpus-scale work), a lifetime-day
+    * histogram, and a DESCENDING cumulative window over the
+    * |distinct lifetimes|-bounded table.
+    *
+    * Returns (lifetime_days, n_users_exact, n_surviving,
+    * surviving_ppm) ordered by lifetime_days — `n_users_exact` died on
+    * exactly that day, `n_surviving` lived ≥ it. */
+  def survivalTable(
+      ev: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val life = ev.select(col(keyCol), epochSec(tsCol).as("_t"))
+      .groupBy(col(keyCol))
+      .agg(floor((max(col("_t")) - min(col("_t"))).cast("double") / lit(86400.0d))
+        .cast("long").as("lifetime_days"))
+    val hist = life.groupBy("lifetime_days").agg(count(lit(1)).as("n_users_exact"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lifetime_days").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    hist
+      .withColumn("n_surviving", sum(col("n_users_exact")).over(wDesc))
+      .withColumn("surviving_ppm",
+        expr("n_surviving * 1000000 div sum(n_users_exact) OVER ()"))
+      .select("lifetime_days", "n_users_exact", "n_surviving", "surviving_ppm")
+      .orderBy("lifetime_days")
+  }
+
+  /** AUDIENCE OVERLAP MATRIX: Jaccard similarity of the user sets
+    * behind every pair of event types — "how much of the clicker
+    * audience also purchases", the segmentation planner's first
+    * table. Integer ppm; |∪| = |A| + |B| − |A∩B|, so one distinct
+    * projection feeds everything.
+    *
+    * Shape: distinct (type, user) once (the only corpus-sized
+    * shuffle), type totals by partial agg, pair intersections via a
+    * USER-keyed self-join (per-user cost C(#types, 2) — type
+    * cardinality is author-sized, so this is linear in users).
+    *
+    * Returns (type_a, type_b, n_a, n_b, n_both, jaccard_ppm) with
+    * type_a < type_b, ordered by (jaccard_ppm desc, type_a, type_b). */
+  def audienceOverlap(
+      ev: DataFrame,
+      typeCol: String = "event_type",
+      keyCol: String = "user_id"): DataFrame = {
+    val tu = ev.select(col(typeCol).as("_ty"), col(keyCol).as("_u")).distinct()
+    val totals = tu.groupBy("_ty").agg(count(lit(1)).as("_n"))
+    val inter = tu.as("x")
+      .join(tu.as("y"), col("x._u") === col("y._u") && col("x._ty") < col("y._ty"))
+      .groupBy(col("x._ty").as("type_a"), col("y._ty").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(totals.select(col("_ty").as("type_a"), col("_n").as("n_a")), Seq("type_a"))
+      .join(totals.select(col("_ty").as("type_b"), col("_n").as("n_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        expr("n_both * 1000000 div (n_a + n_b - n_both)").as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("type_a"), col("type_b"))
+  }
+
   /** 2×2 CHI-SQUARE A/B TEST, integer-exact — the experimentation
     * readout (did variant B convert better, and is the difference
     * real?) with the statistic as an exact rational, never a float:

@@ -98,6 +98,42 @@ object Graph {
       .orderBy(col("score_micro").desc, col("node"))
   }
 
+  /** BFS DEPTHS from a seed set, `maxDepth` synchronous frontier
+    * rounds — "how many hops is every page from the seed list", the
+    * crawl-frontier / link-spam-distance signal ([[pageRank]] scores
+    * proximity by mass; this gives the exact hop count).
+    *
+    * Each round relaxes one hop: `depth'(v) = min(depth(v),
+    * min_{u→v} depth(u) + 1)` — a MIN aggregate per round, so the
+    * result is deterministic regardless of join order or tie
+    * structure. Unreached nodes (within `maxDepth` hops) are absent
+    * from the output, not sentinel-valued. Like the PageRank loop the
+    * rounds unroll statically and the edge set persists (every round
+    * probes it); unlike PageRank each round's frontier table only
+    * GROWS to #reachable-nodes, never corpus-sized.
+    *
+    * Returns (node, depth) ordered by (depth, node). */
+  def bfsDepths(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxDepth: Int = 3,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(maxDepth >= 1, s"bfsDepths: need maxDepth >= 1, got $maxDepth")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d")).distinct()
+    val e = if (maxDepth > 1) e0.persist(lvl) else e0
+    var depths = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .select(col("node"), lit(0L).as("depth"))
+    for (_ <- 1 to maxDepth) {
+      val next = depths.join(e, col("node") === col("_s"))
+        .select(col("_d").as("node"), (col("depth") + 1L).as("depth"))
+      depths = depths.union(next)
+        .groupBy("node").agg(min(col("depth")).as("depth"))
+    }
+    depths.orderBy("depth", "node")
+  }
+
   /** PER-NODE TRIANGLE COUNTS over an UNDIRECTED graph — the local
     * clustering signal (spam farms and boilerplate link rings are
     * triangle-dense; organic link neighborhoods are sparse), and the

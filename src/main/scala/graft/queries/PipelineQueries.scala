@@ -591,6 +591,31 @@ object PipelineQueries {
       graft.ops.Graph.triangleCount(pairs)
     }),
 
+    // Survival/retention curve: descending cumulative of the lifetime-
+    // day histogram; integer ppm of the full cohort.
+    "p144_survival" -> ((s, dir) =>
+      graft.ops.EventsOps.survivalTable(Tables(s, dir, "events"))),
+
+    // BFS hop depths over the part→supplier→nation graph from the p142
+    // seed set: min-aggregate frontier rounds, statically unrolled.
+    "p145_bfs" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      val sn = Tables(s, dir, "supplier").select(
+        concat(lit("s"), col("s_suppkey")).as("src"),
+        concat(lit("n"), col("s_nationkey")).as("dst"))
+      val seeds = Tables(s, dir, "part")
+        .where(col("p_partkey") % 50 === 0)
+        .select(concat(lit("p"), col("p_partkey")).as("node"))
+      graft.ops.Graph.bfsDepths(li.union(sn), seeds, maxDepth = 3)
+    }),
+
+    // Audience-overlap Jaccard matrix over event-type user sets: one
+    // distinct projection, user-keyed pair self-join, integer ppm.
+    "p146_audience_overlap" -> ((s, dir) =>
+      graft.ops.EventsOps.audienceOverlap(Tables(s, dir, "events"))),
+
     // 2×2 chi-square A/B readout: per-user conversion units (even vs
     // odd user id), exact-rational statistic in micro-points.
     "p143_ab_test" -> ((s, dir) =>
@@ -2834,6 +2859,47 @@ object PipelineQueries {
         "SELECT node, CAST(n_triangles AS BIGINT) AS n_triangles, " +
         "CAST(SUM(n_triangles) OVER () // 3 AS BIGINT) AS n_total " +
         "FROM pn ORDER BY n_triangles DESC, node"),
+    // lifetime histogram + descending cumulative window
+    "p144_survival" -> (
+      "WITH q AS (SELECT user_id, " +
+        "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) AS t " +
+        "FROM events), " +
+        "l AS (SELECT user_id, CAST(floor(CAST(MAX(t) - MIN(t) AS DOUBLE) / 86400) AS BIGINT) AS d " +
+        "FROM q GROUP BY 1), " +
+        "h AS (SELECT d AS lifetime_days, COUNT(*) AS n_users_exact FROM l GROUP BY 1), " +
+        "c AS (SELECT lifetime_days, n_users_exact, " +
+        "SUM(n_users_exact) OVER (ORDER BY lifetime_days DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_surviving, " +
+        "SUM(n_users_exact) OVER () AS tot FROM h) " +
+        "SELECT lifetime_days, CAST(n_users_exact AS BIGINT) AS n_users_exact, " +
+        "CAST(n_surviving AS BIGINT) AS n_surviving, " +
+        "CAST(n_surviving * 1000000 // tot AS BIGINT) AS surviving_ppm " +
+        "FROM c ORDER BY lifetime_days"),
+    // three min-frontier rounds unrolled; seeds enter at depth 0
+    "p145_bfs" -> (
+      "WITH e AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS s, " +
+        "'s' || CAST(l_suppkey AS VARCHAR) AS d FROM lineitem " +
+        "UNION SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR), " +
+        "'n' || CAST(s_nationkey AS VARCHAR) FROM supplier), " +
+        "d0 AS (SELECT DISTINCT 'p' || CAST(p_partkey AS VARCHAR) AS node, 0 AS depth " +
+        "FROM part WHERE p_partkey % 50 = 0), " +
+        "d1 AS (SELECT node, MIN(depth) AS depth FROM (SELECT node, depth FROM d0 " +
+        "UNION ALL SELECT e.d, d0.depth + 1 FROM d0 JOIN e ON e.s = d0.node) GROUP BY 1), " +
+        "d2 AS (SELECT node, MIN(depth) AS depth FROM (SELECT node, depth FROM d1 " +
+        "UNION ALL SELECT e.d, d1.depth + 1 FROM d1 JOIN e ON e.s = d1.node) GROUP BY 1), " +
+        "d3 AS (SELECT node, MIN(depth) AS depth FROM (SELECT node, depth FROM d2 " +
+        "UNION ALL SELECT e.d, d2.depth + 1 FROM d2 JOIN e ON e.s = d2.node) GROUP BY 1) " +
+        "SELECT node, CAST(depth AS BIGINT) AS depth FROM d3 ORDER BY depth, node"),
+    // distinct (type,user) projection + user-keyed pair self-join
+    "p146_audience_overlap" -> (
+      "WITH tu AS (SELECT DISTINCT event_type AS ty, user_id AS u FROM events), " +
+        "t AS (SELECT ty, COUNT(*) AS n FROM tu GROUP BY 1), " +
+        "i AS (SELECT x.ty AS type_a, y.ty AS type_b, COUNT(*) AS n_both FROM tu x " +
+        "JOIN tu y ON x.u = y.u AND x.ty < y.ty GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b, " +
+        "CAST(n_both AS BIGINT) AS n_both, " +
+        "CAST(n_both * 1000000 // (ta.n + tb.n - n_both) AS BIGINT) AS jaccard_ppm " +
+        "FROM i JOIN t ta ON ta.ty = i.type_a JOIN t tb ON tb.ty = i.type_b " +
+        "ORDER BY jaccard_ppm DESC, type_a, type_b"),
     // HUGEINT ≡ DECIMAL(38,0); (ad−bc)² ≥ 0 so // ≡ div; 3.841459 =
     // χ²(1df) p<0.05 critical value
     "p143_ab_test" -> (

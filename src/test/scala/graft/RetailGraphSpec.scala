@@ -361,6 +361,48 @@ class RetailGraphSpec extends AnyFunSuite {
     intercept[Exception] { EventsOps.abTestChi2(three).collect() }
   }
 
+  test("survivalTable: descending cumulative of lifetime histogram") {
+    // u1 lifetime 0, u2 lifetime 1 (36h span), u3 lifetime 3
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 2L, ts("2024-01-01 00:00:00")), (3L, 2L, ts("2024-01-02 12:00:00")),
+      (4L, 3L, ts("2024-01-01 00:00:00")), (5L, 3L, ts("2024-01-04 00:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = EventsOps.survivalTable(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 3L, 1000000L), (1L, 1L, 2L, 666666L), (3L, 1L, 1L, 333333L)))
+  }
+
+  test("bfsDepths: min over multiple paths; horizon cuts unreached") {
+    // a→b, b→c, a→c, c→d, d→e from seed a: c reached at depth 1 via
+    // the direct edge, e beyond maxDepth 3
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val out = Graph.bfsDepths(e, Seq("a").toDF("node"), maxDepth = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 0L), ("b", 1L), ("c", 1L), ("d", 2L), ("e", 3L)))
+  }
+
+  test("bfsDepths: isolated seed still reports depth 0") {
+    val e = Seq(("x", "y")).toDF("src", "dst")
+    val out = Graph.bfsDepths(e, Seq("lonely").toDF("node"), maxDepth = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("lonely", 0L)))
+  }
+
+  test("audienceOverlap: hand-computed Jaccard; zero-overlap pairs absent") {
+    val ev = Seq(
+      ("X", 1L), ("X", 2L), ("X", 3L), ("X", 3L),
+      ("Y", 2L), ("Y", 3L),
+      ("Z", 4L)
+    ).toDF("event_type", "user_id")
+    val out = EventsOps.audienceOverlap(ev)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(("X", "Y", 3L, 2L, 2L, 666666L)))
+  }
+
   test("readability: hand-computed Flesch milli-points") {
     // "The cat sat." → W=3, S=1, Y: e,a,a → 3 groups.
     // flesch = 206835 − 1015·3//1 − 84600·3//3 = 206835−3045−84600 = 119190
