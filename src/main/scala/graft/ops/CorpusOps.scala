@@ -1425,6 +1425,41 @@ object CorpusOps {
         md5(concat_ws(" ", col("_target"))).as("target_md5"))
   }
 
+  /** TYPE-TOKEN RATIO per source — the corpus-linguistics lexical-
+    * diversity screen (template-generated or scraped-boilerplate
+    * sources have pathologically LOW TTR; a healthy natural-language
+    * source sits far higher at comparable volume), plus the hapax
+    * share (vocabulary seen exactly once — the long-tail health
+    * signal). Integer ppm.
+    *
+    * Shape: one (source, token) count table (partial agg on the
+    * exploded stream — the only corpus-sized shuffle), then a
+    * vocab-bounded per-source fold. NOTE the classic caveat, kept in
+    * the output rather than corrected: raw TTR falls with volume, so
+    * compare sources at similar n_tokens (that's why n_tokens is a
+    * column, not a footnote).
+    *
+    * Returns (source, n_tokens, n_types, n_hapax, ttr_ppm,
+    * hapax_ppm) ordered by source. */
+  def typeTokenRatio(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("_t"))
+      .groupBy(col("source"), col("_t"))
+      .agg(count(lit(1)).as("_c"))
+    counts.groupBy("source")
+      .agg(sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
+      .orderBy("source")
+  }
+
   /** FIM (fill-in-the-middle) TRANSFORMATION, PSM order — the
     * code-LLM training prep (Bavarian et al., "Efficient Training of
     * Language Models to Fill in the Middle"): split each document at

@@ -883,6 +883,114 @@ object EventsOps {
           .as("hhi_ppm"))
   }
 
+  /** INTER-ARRIVAL GAP DECILES per event type — the traffic-shape
+    * fingerprint (bursty bot traffic vs organic Poisson-ish arrivals
+    * separate cleanly in the gap distribution's tails). Gaps are
+    * consecutive-event differences in the (t, tie) total order;
+    * deciles are exact tie-broken `ntile(10)` over (gap, tie) — the
+    * [[conversionLatency]] recipe — with per-decile count/min/max in
+    * integer seconds.
+    *
+    * One type-key exchange shared by the lag and the decile windows;
+    * the decile aggregate is a second partial agg on the same key.
+    * Types with a single event emit nothing (no gaps exist).
+    *
+    * Returns (typeCol, decile 1–10, n, min_gap, max_gap) ordered by
+    * (typeCol, decile). */
+  def interArrivalDeciles(
+      ev: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(typeCol)).orderBy(col("_t"), col(tieCol))
+    val gaps = ev.select(col(typeCol), col(tieCol), epochSec(tsCol).as("_t"))
+      .withColumn("_gap", col("_t") - lag(col("_t"), 1).over(wSeq))
+      .where(col("_gap").isNotNull)
+    val wTile = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(typeCol)).orderBy(col("_gap"), col(tieCol))
+    gaps
+      .withColumn("decile", ntile(10).over(wTile).cast("long"))
+      .groupBy(col(typeCol), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("_gap")).as("min_gap"),
+        max(col("_gap")).as("max_gap"))
+      .orderBy(typeCol, "decile")
+  }
+
+  /** PEAK CONCURRENCY per event type: the maximum number of
+    * simultaneously-open TTL sessions (each event holds a session open
+    * `ttlSeconds`) and the earliest second it is reached — the
+    * capacity-planning number ([[intervalCoverage]] integrates the
+    * same intervals; this takes their max overlap).
+    *
+    * Classic sweep line: ±1 boundary deltas, running sum in
+    * (time, delta) order — closes sort BEFORE opens at the same second
+    * (half-open [t, t+ttl) intervals), making the peak well-defined
+    * under ties; the max and its earliest time come from a second
+    * window pass on the same key exchange. Parallelism = #types; for
+    * one global key at 100 TB, the blocked two-pass prefix-sum
+    * (ffillBlocked's carry recipe) replaces the single-key window.
+    *
+    * Returns (typeCol, peak_concurrent, at_t) ordered by typeCol. */
+  def peakConcurrency(
+      ev: DataFrame,
+      ttlSeconds: Long = 300L,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(ttlSeconds > 0, s"peakConcurrency: need ttlSeconds > 0, got $ttlSeconds")
+    val pts = ev.select(col(typeCol), epochSec(tsCol).as("_t"))
+    val deltas = pts.select(col(typeCol), col("_t"), lit(1L).as("_d"))
+      .union(pts.select(col(typeCol), (col("_t") + ttlSeconds).as("_t"),
+        lit(-1L).as("_d")))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(typeCol)).orderBy(col("_t"), col("_d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    deltas
+      .withColumn("_run", sum(col("_d")).over(wRun))
+      .withColumn("_pk", max(col("_run")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(typeCol))))
+      .groupBy(col(typeCol))
+      .agg(max(col("_run")).as("peak_concurrent"),
+        min(when(col("_run") === col("_pk"), col("_t"))).as("at_t"))
+      .orderBy(typeCol)
+  }
+
+  /** DUPLICATE-TRANSACTION SCREEN: rows where the SAME key repeats the
+    * SAME quantized value within `windowSeconds` of its previous
+    * occurrence — the double-charge / double-fire detector (retry
+    * storms and at-least-once pipelines both produce it). Exact, not
+    * fuzzy: the partition key is (key, value_micro), so only true
+    * value repeats are candidates and the stream never self-joins.
+    *
+    * One (key, value) exchange; lag over the (t, tie) total order
+    * gives the previous occurrence; the flag is a map-side filter.
+    *
+    * Returns flagged rows (keyCol, tieCol, prev_+tieCol, v_micro,
+    * gap_seconds ≤ windowSeconds) ordered by (keyCol, tieCol). */
+  def duplicateTransactions(
+      ev: DataFrame,
+      windowSeconds: Long = 60L,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    require(windowSeconds > 0,
+      s"duplicateTransactions: need windowSeconds > 0, got $windowSeconds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("_v")).orderBy(col("_t"), col(tieCol))
+    ev.where(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tieCol),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"),
+        epochSec(tsCol).as("_t"))
+      .withColumn("_pt", lag(col("_t"), 1).over(w))
+      .withColumn("_pid", lag(col(tieCol), 1).over(w))
+      .where(col("_pt").isNotNull && col("_t") - col("_pt") <= windowSeconds)
+      .select(col(keyCol), col(tieCol), col("_pid").as(s"prev_$tieCol"),
+        col("_v").as("v_micro"), (col("_t") - col("_pt")).as("gap_seconds"))
+      .orderBy(keyCol, tieCol)
+  }
+
   /** USER SURVIVAL TABLE (retention curve): for each observed lifetime
     * day d, how many users stayed active AT LEAST d days and what
     * fraction of the cohort that is — the curve behind "day-7 / day-30

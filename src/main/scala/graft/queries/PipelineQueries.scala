@@ -591,6 +591,30 @@ object PipelineQueries {
       graft.ops.Graph.triangleCount(pairs)
     }),
 
+    // Per-source lexical diversity: type-token ratio + hapax share
+    // from one (source, token) count table.
+    "p147_ttr" -> ((s, dir) =>
+      graft.ops.CorpusOps.typeTokenRatio(Tables(s, dir, "documents"))),
+
+    // Traffic-shape fingerprint: exact tie-broken gap deciles per
+    // event type over the (t, event_id) total order.
+    "p148_interarrival" -> ((s, dir) =>
+      graft.ops.EventsOps.interArrivalDeciles(Tables(s, dir, "events"))),
+
+    // Capacity number: sweep-line peak of simultaneously-open 5-minute
+    // sessions per type, closes before opens at the same second.
+    "p149_peak_concurrency" -> ((s, dir) =>
+      graft.ops.EventsOps.peakConcurrency(Tables(s, dir, "events"),
+        ttlSeconds = 300L)),
+
+    // Double-fire screen on 10-unit value buckets within an hour:
+    // (key, value) partition, lag flag — the stream never self-joins.
+    "p150_dup_txn" -> ((s, dir) =>
+      graft.ops.EventsOps.duplicateTransactions(
+        Tables(s, dir, "events")
+          .withColumn("value", floor(col("value") / 10.0d)),
+        windowSeconds = 3600L)),
+
     // Survival/retention curve: descending cumulative of the lifetime-
     // day histogram; integer ppm of the full cohort.
     "p144_survival" -> ((s, dir) =>
@@ -2859,6 +2883,55 @@ object PipelineQueries {
         "SELECT node, CAST(n_triangles AS BIGINT) AS n_triangles, " +
         "CAST(SUM(n_triangles) OVER () // 3 AS BIGINT) AS n_total " +
         "FROM pn ORDER BY n_triangles DESC, node"),
+    // one (source, token) count table feeds all five measures
+    "p147_ttr" -> (
+      "WITH tk AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "c AS (SELECT source, t, COUNT(*) AS c FROM tk GROUP BY 1, 2) " +
+        "SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_types, " +
+        "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, " +
+        "CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm, " +
+        "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS hapax_ppm " +
+        "FROM c GROUP BY source ORDER BY source"),
+    // lag gaps + tie-broken ntile(10), both on the type key
+    "p148_interarrival" -> (
+      "WITH q AS (SELECT event_type, event_id, " +
+        "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) AS t " +
+        "FROM events), " +
+        "g AS (SELECT event_type, event_id, t - lag(t) OVER " +
+        "(PARTITION BY event_type ORDER BY t, event_id) AS gap FROM q), " +
+        "d AS (SELECT event_type, gap, ntile(10) OVER " +
+        "(PARTITION BY event_type ORDER BY gap, event_id) AS decile FROM g WHERE gap IS NOT NULL) " +
+        "SELECT event_type, CAST(decile AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "MIN(gap) AS min_gap, MAX(gap) AS max_gap " +
+        "FROM d GROUP BY 1, 2 ORDER BY event_type, decile"),
+    // ±1 sweep line; closes order before opens at a tied second, the
+    // peak and its earliest time are tie-order-invariant
+    "p149_peak_concurrency" -> (
+      "WITH q AS (SELECT event_type, " +
+        "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) AS t " +
+        "FROM events), " +
+        "d AS (SELECT event_type, t, CAST(1 AS BIGINT) AS dd FROM q " +
+        "UNION ALL SELECT event_type, t + 300, -1 FROM q), " +
+        "r AS (SELECT event_type, t, SUM(dd) OVER (PARTITION BY event_type ORDER BY t, dd " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM d), " +
+        "m AS (SELECT event_type, MAX(run) AS pk FROM r GROUP BY 1) " +
+        "SELECT r.event_type, CAST(ANY_VALUE(m.pk) AS BIGINT) AS peak_concurrent, " +
+        "MIN(CASE WHEN r.run = m.pk THEN r.t END) AS at_t " +
+        "FROM r JOIN m USING (event_type) GROUP BY 1 ORDER BY 1"),
+    // (user, value-bucket) partition + lag flag; micro-quantized after
+    // the 10-unit bucketing so the key is integer-exact
+    "p150_dup_txn" -> (
+      "WITH q AS (SELECT user_id, event_id, " +
+        "CAST(floor(floor(CAST(value AS DOUBLE) / 10) * 1000000) AS BIGINT) AS v, " +
+        "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) AS t " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "g AS (SELECT user_id, event_id, v, t, " +
+        "lag(t) OVER win AS pt, lag(event_id) OVER win AS pid FROM q " +
+        "WINDOW win AS (PARTITION BY user_id, v ORDER BY t, event_id)) " +
+        "SELECT user_id, event_id, pid AS prev_event_id, v AS v_micro, " +
+        "t - pt AS gap_seconds FROM g WHERE pt IS NOT NULL AND t - pt <= 3600 " +
+        "ORDER BY user_id, event_id"),
     // lifetime histogram + descending cumulative window
     "p144_survival" -> (
       "WITH q AS (SELECT user_id, " +

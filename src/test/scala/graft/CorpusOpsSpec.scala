@@ -720,6 +720,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", "b", 3L, 2L, 3L, 3000000L)))
   }
 
+  test("typeTokenRatio: hand-computed types, hapax and ppm ratios") {
+    // source s: tokens a b a c → 4 tokens, 3 types, hapax {b, c}
+    val docs = Seq((1L, "a b a", "s"), (2L, "c", "s"), (3L, "z z", "t"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.typeTokenRatio(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("s", 4L, 3L, 2L, 750000L, 666666L),
+      ("t", 2L, 1L, 0L, 500000L, 0L)))
+  }
+
   test("cooccurLift: window bounds — distance window+1 never pairs") {
     // "x y z": window 2 pairs (x,y),(x,z),(y,z); window 1 drops (x,z)
     val docs = Seq((1L, "x y z")).toDF("doc_id", "text")

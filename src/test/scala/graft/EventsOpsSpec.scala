@@ -427,4 +427,44 @@ class EventsOpsSpec extends AnyFunSuite {
     }
     assert(got == want)
   }
+
+  private def tsAt(sec: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(1704067200000L + sec * 1000L) // 2024-01-01 UTC
+
+  test("interArrivalDeciles: gaps in total order, one tile per gap at n=3") {
+    val ev = Seq(
+      (1L, "x", tsAt(0L)), (2L, "x", tsAt(10L)), (3L, "x", tsAt(30L)),
+      (4L, "x", tsAt(100L)), (5L, "solo", tsAt(0L))
+    ).toDF("event_id", "event_type", "ts")
+    val out = EventsOps.interArrivalDeciles(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // gaps 10, 20, 70 land in tiles 1..3; single-event type emits nothing
+    assert(out.toSeq == Seq(
+      ("x", 1L, 1L, 10L, 10L), ("x", 2L, 1L, 20L, 20L), ("x", 3L, 1L, 70L, 70L)))
+  }
+
+  test("peakConcurrency: overlap peak with earliest time; closes beat opens on ties") {
+    val ev = Seq(
+      (1L, "x", tsAt(0L)), (2L, "x", tsAt(100L)), (3L, "x", tsAt(600L)),
+      (4L, "y", tsAt(0L)), (5L, "y", tsAt(300L)) // touching half-open intervals
+    ).toDF("event_id", "event_type", "ts")
+    val out = EventsOps.peakConcurrency(ev, ttlSeconds = 300L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("x", 2L, 1704067200L + 100L), ("y", 1L, 1704067200L)))
+  }
+
+  test("duplicateTransactions: same key+value within window flags, others pass") {
+    val ev = Seq(
+      (1L, 1L, 5.0, tsAt(0L)),
+      (2L, 1L, 5.0, tsAt(30L)),   // dup of event 1, gap 30
+      (3L, 1L, 5.0, tsAt(200L)),  // 170s after event 2 — outside 60s
+      (4L, 1L, 7.0, tsAt(31L)),   // different value
+      (5L, 2L, 5.0, tsAt(31L))    // different user
+    ).toDF("event_id", "user_id", "value", "ts")
+    val out = EventsOps.duplicateTransactions(ev, windowSeconds = 60L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 2L, 1L, 30L)))
+  }
 }
