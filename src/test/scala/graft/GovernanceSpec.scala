@@ -21,6 +21,36 @@ class GovernanceSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("b", 1L, 2L), ("b", 2L, 1L)))
   }
 
+  test("benfordScreen: digits from decimal strings, all 9 rows, exact chi2") {
+    import spark.implicits._
+    // micro magnitudes: 1.0→1, 2.5→2, 0.19→1, 0.000001→1 (m=1), 9.0→9;
+    // 0.0 excluded (m=0)
+    val df = Seq(1.0, 2.5, 0.19, 0.000001, 9.0, 0.0).toDF("v")
+    val out = Governance.benfordScreen(df, "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val nObs = Map(1 -> 3L, 2 -> 1L, 9 -> 1L).withDefaultValue(0L)
+    val n = 5L
+    // independent arithmetic path: BigInt re-derivation of the scaled chi2
+    val chi2 = (1 to 9).map { dgt =>
+      val o = BigInt(nObs(dgt)) * 1000000
+      val e = BigInt(benford(dgt - 1)) * n
+      (o - e) * (o - e) / e
+    }.sum.toLong
+    val expected = (1 to 9).map { dgt =>
+      (dgt, nObs(dgt), nObs(dgt) * 1000000L / n, benford(dgt - 1), chi2)
+    }
+    assert(out.toSeq == expected)
+  }
+
+  test("benfordScreen: no qualifying values yields 9 rows of zero obs, NULL ppm/chi2") {
+    import spark.implicits._
+    val out = Governance.benfordScreen(Seq(0.0, 0.0).toDF("v"), "v").collect()
+    assert(out.length == 9)
+    assert(out.forall(r => r.getLong(1) == 0L && r.isNullAt(2) && r.isNullAt(4)))
+  }
+
   test("nullProfile/nullDrift: planted nulls, ppm rates, signed drift") {
     import spark.implicits._
     val ref = Seq((Option(1), Option("a")), (None, Option("b")),

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Stats
+
+/** Pareto frontier (dominance semantics incl. duplicate survival) and
+  * the exact correlation matrix (perfect/anti/constant columns). */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("paretoFrontier: keeps the frontier, keeps exact duplicates, drops both dominance cases") {
+    import spark.implicits._
+    // (id, x minimize, y maximize)
+    val pts = Seq(
+      (1L, 10L, 5L), (2L, 10L, 5L), // exact duplicates — neither dominates, BOTH kept
+      (3L, 10L, 4L),                // dominated same-x (y strictly below the x=10 max)
+      (4L, 20L, 5L),                // dominated by x=10,y=5 (cheaper, same y)
+      (5L, 20L, 6L),                // kept: more y than anything cheaper
+      (6L, 30L, 6L),                // dominated by (20, 6): cheaper, same y
+      (7L, 5L, 1L),                 // kept: cheapest overall
+      (8L, 30L, 7L)                 // kept: global max y
+    ).toDF("id", "x", "y")
+    val out = Stats.paretoFrontier(pts, "x", "y")
+      .orderBy("x", "id").select("id").as[Long].collect()
+    assert(out.toSeq == Seq(7L, 1L, 2L, 5L, 8L))
+  }
+
+  test("paretoFrontier: empty input yields empty frontier") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("id", "x", "y")
+    assert(Stats.paretoFrontier(empty, "x", "y").count() == 0L)
+  }
+
+  test("correlationMatrix: perfect, anti, and mixed pairs are exact; constant column is NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, 2.0, -1.0, 7.0),
+      (2.0, 4.0, -2.0, 7.0),
+      (3.0, 6.0, -3.0, 7.0),
+      (4.0, 8.0, -4.0, 7.0)
+    ).toDF("x", "y", "z", "w")
+    val out = Stats.correlationMatrix(df, Seq("x", "y", "z", "w"))
+      .orderBy("col_a", "col_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // sorted cols: w, x, y, z → pairs in that order
+    assert(out.toSeq == Seq(
+      ("w", "x", 4L, None), ("w", "y", 4L, None), ("w", "z", 4L, None),
+      ("x", "y", 4L, Some(1.0)), ("x", "z", 4L, Some(-1.0)),
+      ("y", "z", 4L, Some(-1.0))))
+  }
+
+  test("correlationMatrix: rows with any NULL are excluded from every pair (shared n)") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), Some(1.0), Some(5.0)),
+      (Some(2.0), Some(2.0), None), // listwise-deleted everywhere
+      (Some(3.0), Some(3.0), Some(1.0))
+    ).toDF("a", "b", "c")
+    val out = Stats.correlationMatrix(df, Seq("a", "b", "c"))
+      .orderBy("col_a", "col_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, Some(1.0)), ("a", "c", 2L, Some(-1.0)),
+      ("b", "c", 2L, Some(-1.0))))
+  }
+}
