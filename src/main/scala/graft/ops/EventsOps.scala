@@ -1357,4 +1357,152 @@ object EventsOps {
               expr("CAST(abs(_num) * 1000000 div _den AS BIGINT)")).as("acf_ppm"))
       .orderBy(keyCol, "lag")
   }
+
+  /** First-order MARKOV next-event predictor with in-corpus accuracy:
+    * per from-type, the argmax next type (count desc, type asc
+    * tie-break) and how often that prediction is right — the one-table
+    * answer to "what happens after X, and how predictable is it?" and
+    * the evaluation [[transitionMotifs]] (raw top-k pairs) doesn't do.
+    *
+    * Shape: one key-partitioned lag window emits transitions (the
+    * transitionMotifs stream — only (key, type) pairs shuffle), a
+    * partial-agg count on the |types|²-bounded (from, to) pair, and the
+    * argmax folds over that bounded table via min(struct(−n, to)) — no
+    * second corpus pass, no window over data rows. Transitions never
+    * cross keys. Integer-exact ppm.
+    *
+    * Returns (from_type, predicted, n_transitions, n_hits, hit_ppm). */
+  def markovNext(
+      ev: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_t"), col(tieCol))
+    val pairs = ev
+      .select(col(keyCol), col(tieCol), col(typeCol).as("_from"),
+        unix_micros(col(tsCol)).as("_t"))
+      .withColumn("_to", lead(col("_from"), 1).over(w))
+      .where(col("_to").isNotNull)
+      .groupBy(col("_from"), col("_to"))
+      .agg(count(lit(1)).as("_n"))
+    pairs.groupBy(col("_from").as("from_type"))
+      .agg(
+        min(struct((-col("_n")).as("_neg"), col("_to").as("_t2"))).as("_best"),
+        sum(col("_n")).as("n_transitions"))
+      .select(col("from_type"), col("_best._t2").as("predicted"),
+        col("n_transitions"),
+        (-col("_best._neg")).as("n_hits"))
+      .withColumn("hit_ppm", expr("CAST(n_hits * 1000000 div n_transitions AS BIGINT)"))
+      .orderBy("from_type")
+  }
+
+  /** Per-key SHANNON ENTROPY of the event-type mix — the behavioral-
+    * diversity score (0 = one-note bots, ln(|types|) = uniform
+    * explorers) that segments users beyond raw counts.
+    *
+    * Float policy: each term −(c/n)·ln(c/n) is computed per (key, type)
+    * row with FIXED operand order (the [[Governance.psiDrift]]
+    * contract), then micro-quantized `floor(term·1e6)` to BIGINT
+    * BEFORE the per-key sum — so the only order-sensitive step (the
+    * sum) runs on exact integers and the result is invariant to
+    * aggregation order cross-engine. Entropy is in nats, micro-points.
+    *
+    * Shape: one partial-agg count on (key, type), the per-key total as
+    * a key window REUSING that exchange, and the final per-key sum on
+    * the same key. At 100 TB parallelism = #keys; nothing row-sized
+    * survives the first aggregate.
+    *
+    * Returns (keyCol, n_events, n_types, entropy_micro). */
+  def typeEntropy(
+      ev: DataFrame,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    ev.select(col(keyCol), col(typeCol))
+      .groupBy(col(keyCol), col(typeCol))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_n", sum(col("_c")).over(wKey))
+      .withColumn("_p", col("_c").cast("double") / col("_n").cast("double"))
+      .withColumn("_tm",
+        floor((-col("_p") * log(col("_p"))) * lit(1000000.0d)).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(max(col("_n")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("_tm")).as("entropy_micro"))
+      .orderBy(keyCol)
+  }
+
+  /** CROSS-CORRELATION between two event types' hourly volumes at lags
+    * −`maxLag`..+`maxLag` hours — the lead/lag discovery tool ("views
+    * foreshadow purchases by how long?") that [[acfByKey]]'s
+    * self-correlation can't answer. Positive lag correlates a's volume
+    * at hour h with b's at h+lag (a LEADS b when positive lags win).
+    *
+    * Series are the DENSE hour grid [min h, max h] over both types
+    * with structural zeros — skipping empty hours would silently
+    * correlate only busy times. The grid is hours-bounded (a year is
+    * 8,760 rows), built from one 1-row min/max aggregate via
+    * sequence(); every per-lag moment pass runs on grid-sized tables.
+    * Pearson arithmetic is the [[Stats.correlationMatrix]] contract:
+    * integer counts, exact DECIMAL(38,0) moments, float only at
+    * num/sqrt(d1·d2), round-6 (+0.0 folds −0.0).
+    *
+    * Shape: ONE corpus pass (filtered count per (type, hour) —
+    * partial-agg'd), then everything is grid×lags-sized. Hour ids are
+    * floor(epoch_s/3600), exact for pre-1970 too.
+    *
+    * Returns (lag, n_hours, corr); corr NULL when either series is
+    * constant over the aligned window. */
+  def crossCorrelation(
+      ev: DataFrame,
+      typeA: String = "view",
+      typeB: String = "purchase",
+      maxLag: Int = 2,
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(maxLag >= 0, s"crossCorrelation: need maxLag >= 0, got $maxLag")
+    val d = DecimalType(38, 0)
+    val hc = floor(epochSec(tsCol).cast("double") / lit(3600.0d)).cast("long")
+    val counts = ev
+      .where(col(typeCol).isin(typeA, typeB))
+      .groupBy(hc.as("_h"), col(typeCol).as("_ty"))
+      .agg(count(lit(1)).as("_c"))
+    val bounds = counts.agg(min(col("_h")).as("_lo"), max(col("_h")).as("_hi"))
+    val grid = bounds
+      .select(explode(sequence(col("_lo"), col("_hi"))).as("_h"))
+      .join(counts.where(col("_ty") === typeA).select(col("_h"), col("_c").as("_a")),
+        Seq("_h"), "left")
+      .join(counts.where(col("_ty") === typeB).select(col("_h"), col("_c").as("_b")),
+        Seq("_h"), "left")
+      .select(col("_h"),
+        coalesce(col("_a"), lit(0L)).as("_a"), coalesce(col("_b"), lit(0L)).as("_b"))
+    val lags = (-maxLag to maxLag).map(l =>
+      struct(lit(l).as("lag")))
+    val g2 = grid.select(col("_h").as("_h2"), col("_b").as("_b2"))
+    grid
+      .crossJoin(broadcast(
+        grid.sparkSession.range(1).select(
+          explode(array(lags: _*)).as("_l")).select(col("_l.lag").as("lag"))))
+      .join(g2, col("_h2") === col("_h") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("_a").cast(d)).as("_sa"), sum(col("_b2").cast(d)).as("_sb"),
+        sum(col("_a").cast(d) * col("_a").cast(d)).as("_ssa"),
+        sum(col("_b2").cast(d) * col("_b2").cast(d)).as("_ssb"),
+        sum(col("_a").cast(d) * col("_b2").cast(d)).as("_sab"))
+      .select(col("lag"), col("n_hours"), {
+        val n = col("n_hours").cast(d)
+        val num = n * col("_sab") - col("_sa") * col("_sb")
+        val d1 = n * col("_ssa") - col("_sa") * col("_sa")
+        val d2 = n * col("_ssb") - col("_sb") * col("_sb")
+        when(d1 === 0 || d2 === 0, lit(null).cast("double"))
+          .otherwise(round(num.cast("double") /
+            sqrt(d1.cast("double") * d2.cast("double")), 6) + lit(0.0d))
+          .as("corr")
+      })
+      .orderBy("lag")
+  }
 }

@@ -190,6 +190,49 @@ object Governance {
       .orderBy("bucket")
   }
 
+  /** CARDINALITY PROFILE: per audited column — row count, non-null
+    * count, exact distinct count, and the modal value with its share —
+    * the first page of any data-profiling report and the input to
+    * "should this column be a join key / a dictionary / dropped"
+    * decisions. Values are profiled through their canonical STRING
+    * rendering so one tidy frame covers heterogeneous column types.
+    *
+    * Shape: per column, ONE partial-agg count on the value (map-side
+    * combine collapses each partition to ≤ |distinct| rows — the
+    * boilerplateLines df-table recipe), then every statistic folds
+    * over that value-bounded table in a second |distinct|-sized
+    * aggregate: n_rows = Σn (null group included), n_distinct = count
+    * of non-null groups, and the mode via min(struct(−n, v)) — count
+    * desc, value asc tie-break, no sort. Columns scan independently
+    * (column-pruned parquet reads); nothing row-sized survives any
+    * first aggregate. Integer-exact.
+    *
+    * Returns one row per column: (col_name, n_rows, n_nonnull,
+    * n_distinct, top_value, top_n, top_ppm) — top_* NULL for an
+    * all-NULL column; top_ppm is the share of NON-NULL rows. */
+  def cardinalityProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cardinalityProfile: need at least one column")
+    val profiles = cols.map { c =>
+      df.select(col(c).cast("string").as("_v"))
+        .groupBy(col("_v"))
+        .agg(count(lit(1)).as("_n"))
+        .agg(
+          coalesce(sum(col("_n")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("_v").isNotNull, col("_n"))), lit(0L)).as("n_nonnull"),
+          count(col("_v")).as("n_distinct"),
+          min(when(col("_v").isNotNull,
+            struct((-col("_n")).as("_neg"), col("_v").as("_val")))).as("_best"))
+        .select(
+          lit(c).as("col_name"), col("n_rows"), col("n_nonnull"), col("n_distinct"),
+          col("_best._val").as("top_value"),
+          (-col("_best._neg")).as("top_n"),
+          when(col("n_nonnull") === 0, lit(null).cast("long"))
+            .otherwise(expr("CAST((0 - _best._neg) * 1000000 div n_nonnull AS BIGINT)"))
+            .as("top_ppm"))
+    }
+    profiles.reduce(_.unionByName(_)).orderBy("col_name")
+  }
+
   /** BENFORD first-significant-digit screen over a positive numeric
     * column — the classic fabricated-numbers tripwire (invoices,
     * expense lines, vote tallies): natural multi-scale magnitudes put

@@ -1573,17 +1573,33 @@ object PipelineQueries {
     "p152_acf" -> ((s, dir) =>
       graft.ops.EventsOps.acfByKey(Tables(s, dir, "events"), maxLag = 3)),
 
-    // Spark-native PIVOT with an EXPLICIT value list (two-pass pivot
-    // value inference is a scan you don't pay twice at 100 TB, and an
-    // explicit list keeps the schema plan-stable): user-cohort ×
-    // event-type count matrix, absent cells structural zeros.
-    "p153_pivot" -> ((s, dir) =>
-      Tables(s, dir, "events")
-        .groupBy((col("user_id") % 100).as("cohort"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(count(lit(1)))
-        .na.fill(0L)
-        .orderBy("cohort")),
+    // First-order Markov next-event predictor + in-corpus accuracy:
+    // per from-type argmax over the |types|²-bounded transition table
+    // (count desc, type asc), hit rate in exact ppm.
+    "p153_markov_next" -> ((s, dir) =>
+      graft.ops.EventsOps.markovNext(Tables(s, dir, "events"))),
+
+    // Per-user Shannon entropy of the event-type mix: per-row float
+    // terms micro-quantized BEFORE the per-key sum, so aggregation
+    // order can't leak into the result.
+    "p157_type_entropy" -> ((s, dir) =>
+      graft.ops.EventsOps.typeEntropy(Tables(s, dir, "events"))),
+
+    // Column profiling one-pager: exact distinct + modal value/share
+    // per column via per-column df tables (no row-sized second pass).
+    // value is micro-quantized to BIGINT before profiling: the profile
+    // renders values as strings, and double→string formatting is the
+    // one cross-engine hazard integers don't have.
+    "p158_cardinality_profile" -> ((s, dir) =>
+      graft.ops.Governance.cardinalityProfile(
+        Tables(s, dir, "events").withColumn("value",
+          floor(col("value").cast("double") * lit(1000000.0d)).cast("long")),
+        Seq("event_type", "user_id", "value"))),
+
+    // Lead/lag discovery: Pearson between view and purchase hourly
+    // volumes on the dense zero-filled hour grid at lags −2..+2.
+    "p159_cross_correlation" -> ((s, dir) =>
+      graft.ops.EventsOps.crossCorrelation(Tables(s, dir, "events"))),
 
     // Spark-native UNPIVOT (melt) of the lineitem measure columns to
     // tidy (key, metric, value_micro) rows — micro-quantized BEFORE the
@@ -3206,15 +3222,72 @@ object PipelineQueries {
         "CASE WHEN den = 0 OR n_pairs = 0 THEN NULL ELSE " +
         "CAST((CASE WHEN num >= 0 THEN 1 ELSE -1 END) * (abs(num) * 1000000 // den) AS BIGINT) END AS acf_ppm " +
         "FROM g ORDER BY event_type, lag"),
-    // conditional aggregation ≡ Spark's explicit-value pivot
-    "p153_pivot" -> (
-      "SELECT user_id % 100 AS cohort, " +
-        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, " +
-        "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, " +
-        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, " +
-        "CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, " +
-        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view " +
-        "FROM events GROUP BY 1 ORDER BY cohort"),
+    // per-from argmax over the transition table: ROW_NUMBER (n desc,
+    // type asc) ≡ Spark's min(struct(−n, to)); n ≥ 0 so // ≡ div
+    "p153_markov_next" -> (
+      "WITH b AS (SELECT user_id, event_id, event_type AS f, epoch_us(ts) AS t FROM events), " +
+        "l AS (SELECT f, LEAD(f, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nxt FROM b), " +
+        "p AS (SELECT f, nxt, COUNT(*) AS n FROM l WHERE nxt IS NOT NULL GROUP BY 1, 2), " +
+        "g AS (SELECT f, nxt, n, SUM(n) OVER (PARTITION BY f) AS tot, " +
+        "ROW_NUMBER() OVER (PARTITION BY f ORDER BY n DESC, nxt) AS rn FROM p) " +
+        "SELECT f AS from_type, nxt AS predicted, CAST(tot AS BIGINT) AS n_transitions, " +
+        "CAST(n AS BIGINT) AS n_hits, CAST(n * 1000000 // tot AS BIGINT) AS hit_ppm " +
+        "FROM g WHERE rn = 1 ORDER BY from_type"),
+    // per-row float term micro-quantized BEFORE the sum — the integer
+    // sum is aggregation-order-invariant; ln matched per the psiDrift
+    // float policy
+    "p157_type_entropy" -> (
+      "WITH c AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT user_id, c, SUM(c) OVER (PARTITION BY user_id) AS n FROM c), " +
+        "q AS (SELECT user_id, n, CAST(floor((-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000) AS BIGINT) AS tm FROM t) " +
+        "SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events, CAST(COUNT(*) AS BIGINT) AS n_types, " +
+        "CAST(SUM(tm) AS BIGINT) AS entropy_micro FROM q GROUP BY user_id ORDER BY user_id"),
+    // one df table per column; mode = ORDER BY n DESC, v LIMIT 1 ≡
+    // Spark's min(struct(−n, v)); value profiled micro-quantized
+    "p158_cardinality_profile" -> (
+      "WITH e1 AS (SELECT CAST(event_type AS VARCHAR) AS v FROM events), " +
+        "g1 AS (SELECT v, COUNT(*) AS n FROM e1 GROUP BY 1), " +
+        "s1 AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows, " +
+        "CAST(COALESCE(SUM(CASE WHEN v IS NOT NULL THEN n END), 0) AS BIGINT) AS n_nonnull, CAST(COUNT(v) AS BIGINT) AS n_distinct FROM g1), " +
+        "m1 AS (SELECT v, n FROM g1 WHERE v IS NOT NULL ORDER BY n DESC, v LIMIT 1), " +
+        "e2 AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events), " +
+        "g2 AS (SELECT v, COUNT(*) AS n FROM e2 GROUP BY 1), " +
+        "s2 AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows, " +
+        "CAST(COALESCE(SUM(CASE WHEN v IS NOT NULL THEN n END), 0) AS BIGINT) AS n_nonnull, CAST(COUNT(v) AS BIGINT) AS n_distinct FROM g2), " +
+        "m2 AS (SELECT v, n FROM g2 WHERE v IS NOT NULL ORDER BY n DESC, v LIMIT 1), " +
+        "e3 AS (SELECT CAST(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR) AS v FROM events), " +
+        "g3 AS (SELECT v, COUNT(*) AS n FROM e3 GROUP BY 1), " +
+        "s3 AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows, " +
+        "CAST(COALESCE(SUM(CASE WHEN v IS NOT NULL THEN n END), 0) AS BIGINT) AS n_nonnull, CAST(COUNT(v) AS BIGINT) AS n_distinct FROM g3), " +
+        "m3 AS (SELECT v, n FROM g3 WHERE v IS NOT NULL ORDER BY n DESC, v LIMIT 1) " +
+        "SELECT 'event_type' AS col_name, n_rows, n_nonnull, n_distinct, m1.v AS top_value, " +
+        "CAST(m1.n AS BIGINT) AS top_n, CAST(m1.n * 1000000 // n_nonnull AS BIGINT) AS top_ppm FROM s1 LEFT JOIN m1 ON TRUE " +
+        "UNION ALL SELECT 'user_id', n_rows, n_nonnull, n_distinct, m2.v, CAST(m2.n AS BIGINT), " +
+        "CAST(m2.n * 1000000 // n_nonnull AS BIGINT) FROM s2 LEFT JOIN m2 ON TRUE " +
+        "UNION ALL SELECT 'value', n_rows, n_nonnull, n_distinct, m3.v, CAST(m3.n AS BIGINT), " +
+        "CAST(m3.n * 1000000 // n_nonnull AS BIGINT) FROM s3 LEFT JOIN m3 ON TRUE " +
+        "ORDER BY col_name"),
+    // dense zero-filled hour grid; exact HUGEINT moments per lag;
+    // float only at num/sqrt(d1·d2), round-6 + 0.0
+    "p159_cross_correlation" -> (
+      "WITH c AS (SELECT CAST(floor(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) / 3600.0) AS BIGINT) AS h, " +
+        "event_type AS ty, COUNT(*) AS c FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2), " +
+        "bnd AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM c), " +
+        "gs AS (SELECT unnest(generate_series(lo, hi)) AS h FROM bnd), " +
+        "g AS (SELECT gs.h, COALESCE(av.c, 0) AS a, COALESCE(pv.c, 0) AS b2 FROM gs " +
+        "LEFT JOIN (SELECT h, c FROM c WHERE ty = 'view') av ON av.h = gs.h " +
+        "LEFT JOIN (SELECT h, c FROM c WHERE ty = 'purchase') pv ON pv.h = gs.h), " +
+        "lg AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag), " +
+        "j AS (SELECT lg.lag, x.a, y.b2 FROM g x JOIN lg ON TRUE JOIN g y ON y.h = x.h + lg.lag), " +
+        "m AS (SELECT lag, COUNT(*) AS n, SUM(CAST(a AS HUGEINT)) AS sa, SUM(CAST(b2 AS HUGEINT)) AS sb, " +
+        "SUM(CAST(a AS HUGEINT) * a) AS ssa, SUM(CAST(b2 AS HUGEINT) * b2) AS ssb, " +
+        "SUM(CAST(a AS HUGEINT) * b2) AS sab FROM j GROUP BY 1) " +
+        "SELECT lag, CAST(n AS BIGINT) AS n_hours, " +
+        "CASE WHEN (CAST(n AS HUGEINT) * ssa - sa * sa) = 0 OR (CAST(n AS HUGEINT) * ssb - sb * sb) = 0 THEN NULL " +
+        "ELSE round(CAST(CAST(n AS HUGEINT) * sab - sa * sb AS DOUBLE) / " +
+        "sqrt(CAST(CAST(n AS HUGEINT) * ssa - sa * sa AS DOUBLE) * CAST(CAST(n AS HUGEINT) * ssb - sb * sb AS DOUBLE)), 6) + 0.0 END AS corr " +
+        "FROM m ORDER BY lag"),
     // UNION ALL melt ≡ Spark unpivot; quantization BEFORE the melt
     "p154_unpivot" -> (
       "WITH q AS (SELECT l_orderkey, l_linenumber, " +

@@ -489,4 +489,58 @@ class EventsOpsSpec extends AnyFunSuite {
       ("b", 1, 3L, None), ("b", 2, 2L, None), ("b", 3, 1L, None),
       ("c", 1, 1L, Some(-500000L)), ("c", 2, 0L, None), ("c", 3, 0L, None)))
   }
+
+  test("markovNext: per-from argmax with asc tie-break, exact hit rates") {
+    import spark.implicits._
+    def tsAt(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1: view→click→view→purchase
+      (1L, 1L, "view", tsAt(1)), (2L, 1L, "click", tsAt(2)),
+      (3L, 1L, "view", tsAt(3)), (4L, 1L, "purchase", tsAt(4)),
+      // user 2: view→click
+      (5L, 2L, "view", tsAt(1)), (6L, 2L, "click", tsAt(2)),
+      // user 3: click→purchase — ties click's next {view:1, purchase:1}
+      (7L, 3L, "click", tsAt(1)), (8L, 3L, "purchase", tsAt(2))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.markovNext(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("click", "purchase", 2L, 1L, 500000L), // tie broken to the asc type
+      ("view", "click", 3L, 2L, 666666L)))
+  }
+
+  test("typeEntropy: uniform mix sums quantized terms; single-type user is zero") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view"), (1L, "view"), (1L, "click"), (1L, "click"),
+      (2L, "view"), (2L, "view"), (2L, "view")
+    ).toDF("user_id", "event_type")
+    val out = EventsOps.typeEntropy(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // user 1: two p=0.5 terms, each floor(0.34657359…·1e6) = 346573
+    assert(out.toSeq == Seq((1L, 4L, 2L, 693146L), (2L, 3L, 1L, 0L)))
+  }
+
+  test("crossCorrelation: planted one-hour lead is exactly 1.0 at lag +1") {
+    import spark.implicits._
+    def at(h: Int, i: Int) = new java.sql.Timestamp((h * 3600L + i) * 1000L)
+    val views = for (h <- 0 to 3; i <- 1 to (h + 1))
+      yield ((h * 10 + i).toLong, "view", at(h, i))
+    // purchase volume = view volume one hour EARLIER, plus an off-trend
+    // hour 0 so lag 0 is NOT also perfectly linear
+    val purch = (for (h <- 1 to 3; i <- 1 to h)
+      yield ((1000 + h * 10 + i).toLong, "purchase", at(h, i))) ++
+      Seq((2000L, "purchase", at(0, 1)), (2001L, "purchase", at(0, 2)),
+        (2002L, "purchase", at(0, 3)), (2003L, "purchase", at(0, 4)),
+        (2004L, "purchase", at(0, 5)))
+    val ev = (views ++ purch).toDF("event_id", "event_type", "ts")
+    val byLag = EventsOps.crossCorrelation(ev, maxLag = 2).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    // dense grid is hours 0..3 → pair counts 4, 3, 2 by |lag|
+    assert(byLag(0)._1 == 4L && byLag(1)._1 == 3L && byLag(-2)._1 == 2L)
+    // a leads b by one hour: views at h are purchases at h+1 exactly
+    assert(byLag(1)._2.contains(1.0))
+    assert(!byLag(0)._2.contains(1.0))
+  }
 }

@@ -21,6 +21,25 @@ class GovernanceSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("b", 1L, 2L), ("b", 2L, 1L)))
   }
 
+  test("cardinalityProfile: counts, exact distinct, modal value with asc tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), 1, Option.empty[Int]),
+      (Option("a"), 1, None),
+      (Option("b"), 1, None),
+      (None, 2, None)
+    ).toDF("s", "i", "c")
+    val out = Governance.cardinalityProfile(df, Seq("s", "i", "c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getString(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    assert(out.toSeq == Seq(
+      ("c", 4L, 0L, 0L, None, None, None),
+      ("i", 4L, 4L, 2L, Some("1"), Some(3L), Some(750000L)),
+      ("s", 4L, 3L, 2L, Some("a"), Some(2L), Some(666666L))))
+  }
+
   test("benfordScreen: digits from decimal strings, all 9 rows, exact chi2") {
     import spark.implicits._
     // micro magnitudes: 1.0→1, 2.5→2, 0.19→1, 0.000001→1 (m=1), 9.0→9;
