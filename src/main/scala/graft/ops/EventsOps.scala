@@ -1431,7 +1431,6 @@ object EventsOps {
       .agg(max(col("_n")).as("n_events"),
         count(lit(1)).as("n_types"),
         sum(col("_tm")).as("entropy_micro"))
-      .orderBy(keyCol)
   }
 
   /** CROSS-CORRELATION between two event types' hourly volumes at lags

@@ -1583,7 +1583,8 @@ object PipelineQueries {
     // terms micro-quantized BEFORE the per-key sum, so aggregation
     // order can't leak into the result.
     "p157_type_entropy" -> ((s, dir) =>
-      graft.ops.EventsOps.typeEntropy(Tables(s, dir, "events"))),
+      graft.ops.EventsOps.typeEntropy(Tables(s, dir, "events"))
+        .orderBy("user_id")),
 
     // Column profiling one-pager: exact distinct + modal value/share
     // per column via per-column df tables (no row-sized second pass).

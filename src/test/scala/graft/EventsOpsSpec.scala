@@ -515,7 +515,7 @@ class EventsOpsSpec extends AnyFunSuite {
       (1L, "view"), (1L, "view"), (1L, "click"), (1L, "click"),
       (2L, "view"), (2L, "view"), (2L, "view")
     ).toDF("user_id", "event_type")
-    val out = EventsOps.typeEntropy(ev).collect()
+    val out = EventsOps.typeEntropy(ev).orderBy("user_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // user 1: two p=0.5 terms, each floor(0.34657359…·1e6) = 346573
     assert(out.toSeq == Seq((1L, 4L, 2L, 693146L), (2L, 3L, 1L, 0L)))

@@ -301,4 +301,52 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
+
+  test("p156: correlation matrix is ONE aggregate pass — no join, partial agg map-side") {
+    val li = graft.engine.Tables(spark, dir, "lineitem")
+    val p = graft.ops.Stats.correlationMatrix(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstExchange >= 0 && p.indexOf("HashAggregate", firstExchange) > 0, p)
+  }
+
+  test("p155: pareto frontier joins back via broadcast; the corpus is never range-shuffled") {
+    import org.apache.spark.sql.functions._
+    val pt = graft.engine.Tables(spark, dir, "part").select(col("p_partkey"),
+      floor(col("p_retailprice").cast("double") * lit(1000000.0d))
+        .cast("long").as("price_micro"), col("p_size"))
+    val p = graft.ops.Stats.paretoFrontier(pt, "price_micro", "p_size")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("p152/p157: ACF and entropy broadcast their bounded side and stay on hash exchanges") {
+    val ev = graft.engine.Tables(spark, dir, "events")
+    val acf = graft.ops.EventsOps.acfByKey(ev, maxLag = 3)
+      .queryExecution.executedPlan.toString
+    assert(acf.contains("BroadcastHashJoin"), acf) // key moments broadcast back
+    val ent = graft.ops.EventsOps.typeEntropy(ev)
+      .queryExecution.executedPlan.toString
+    // (key,type) agg + key window + key agg — never more than two key
+    // exchanges, no range shuffle anywhere
+    assert("Exchange hashpartitioning".r.findAllIn(ent).length <= 2, ent)
+    assert(!ent.contains("Exchange rangepartitioning"), ent)
+  }
+
+  test("p151/p158: digit screen and profile partial-agg below their first exchange") {
+    val li = graft.engine.Tables(spark, dir, "lineitem")
+    val ev = graft.engine.Tables(spark, dir, "events")
+    Seq(
+      graft.ops.Governance.benfordScreen(li, "l_extendedprice"),
+      graft.ops.Governance.cardinalityProfile(ev, Seq("event_type", "user_id"))
+    ).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      val firstExchange = p.indexOf("Exchange")
+      assert(firstExchange >= 0 && p.indexOf("HashAggregate", firstExchange) > 0, p)
+    }
+  }
 }
