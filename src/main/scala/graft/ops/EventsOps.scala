@@ -1433,6 +1433,130 @@ object EventsOps {
         sum(col("_tm")).as("entropy_micro"))
   }
 
+  /** HOUR-OF-WEEK seasonality profile per key: the 168-slot load shape
+    * ("Mondays 9am run 3.2× the weekly average") that capacity plans
+    * and anomaly baselines start from. index_ppm is the slot's share
+    * of the key's volume scaled by 168 — exactly 1,000,000 means "an
+    * average hour".
+    *
+    * Integer-exact: the slot is pmod(hour_id, 168) on the floored epoch
+    * hour (exact pre-1970 too), counts are integers, and the index is
+    * one `div` against the key total (both non-negative). Shape: ONE
+    * partial-agg count on the (key, slot) pair — ≤ 168·|keys| rows
+    * leave the map side — and the key total rides a key window over
+    * that bounded table. Slots with zero events are absent (their
+    * index is structurally 0; emitting 168·|keys| zero rows is the
+    * consumer's cross join, not a corpus pass).
+    *
+    * Returns (keyCol, hour_of_week, n, index_ppm), slot-ordered. */
+  def seasonalProfile(
+      ev: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val slot = pmod(floor(epochSec(tsCol).cast("double") / lit(3600.0d)).cast("long"),
+      lit(168L))
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    ev.groupBy(col(keyCol), slot.as("hour_of_week"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_tot", sum(col("n")).over(wKey))
+      .select(col(keyCol), col("hour_of_week"), col("n"),
+        expr("CAST(n * 168 * 1000000 div _tot AS BIGINT)").as("index_ppm"))
+      .orderBy(keyCol, "hour_of_week")
+  }
+
+  /** SEASONAL-NAIVE BACKTEST per key: score the one-week-ago forecast
+    * (ŷ_h = y_{h−168}) against the one-hour-ago naive (ŷ_h = y_{h−1})
+    * over the key's hourly volume series — the MASE-style "is there
+    * real weekly seasonality worth modeling?" answer, computed entirely
+    * in-engine. mase_ppm < 1,000,000 means the weekly pattern beats
+    * persistence.
+    *
+    * Series are the DENSE per-key hour grid (zero-filled — skipping
+    * quiet hours would score forecasts only when traffic happened);
+    * the grid is calendar-bounded (8,760 rows/key-year) and built from
+    * one 1-row-per-key min/max aggregate via sequence(). Errors are
+    * integer |count − count| sums; the final ratio is one re-signed-
+    * free div (both sums ≥ 0). Both lags come from ONE key window.
+    * Eval hours are those with BOTH references in-grid (h ≥ lo+168).
+    *
+    * Returns (keyCol, n_eval, sae_seasonal, sae_naive, mase_ppm);
+    * mase_ppm NULL when the naive error is zero (constant series). */
+  def seasonalNaiveMase(
+      ev: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val hcol = floor(epochSec(tsCol).cast("double") / lit(3600.0d)).cast("long")
+    val counts = ev.groupBy(col(keyCol), hcol.as("_h")).agg(count(lit(1)).as("_c"))
+    val bounds = counts.groupBy(col(keyCol))
+      .agg(min(col("_h")).as("_lo"), max(col("_h")).as("_hi"))
+    val grid = bounds
+      .select(col(keyCol), explode(sequence(col("_lo"), col("_hi"))).as("_h"))
+      .join(counts, Seq(keyCol.toString, "_h"), "left")
+      .select(col(keyCol), col("_h"), coalesce(col("_c"), lit(0L)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_h"))
+    grid
+      .withColumn("_lag1", lag(col("_c"), 1).over(w))
+      .withColumn("_lag168", lag(col("_c"), 168).over(w))
+      .where(col("_lag168").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("_c") - col("_lag168"))).as("sae_seasonal"),
+        sum(abs(col("_c") - col("_lag1"))).as("sae_naive"))
+      .select(col(keyCol), col("n_eval"), col("sae_seasonal"), col("sae_naive"),
+        when(col("sae_naive") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(sae_seasonal * 1000000 div sae_naive AS BIGINT)"))
+          .as("mase_ppm"))
+      .orderBy(keyCol)
+  }
+
+  /** LORENZ CURVE by user decile per key: rank each key's users by
+    * their total spend (asc, user-id tie-break), cut into ntile(10),
+    * and report each decile's cumulative share — the "bottom 80% of
+    * users carry 12% of revenue" readout that [[concentration]]'s
+    * scalar Gini summarizes. Cumulative by construction: decile 10 is
+    * exactly 1,000,000.
+    *
+    * Integer-exact: per-user totals are micro-quantized sums, decile
+    * sums are DECIMAL(38,0), and shares divide last (all operands
+    * non-negative). ntile ties are impossible — the rank order
+    * (total, user) is a total order. Shape: one (key, user) partial
+    * agg, one key window pair (ntile + running sum) on the
+    * users-bounded table, one (key, decile) agg reusing the key
+    * exchange. Returns (keyCol, decile, n_users, decile_micro,
+    * cum_share_ppm). */
+  def lorenzDeciles(
+      ev: DataFrame,
+      buckets: Int = 10,
+      keyCol: String = "event_type",
+      userCol: String = "user_id",
+      valueCol: String = "value"): DataFrame = {
+    require(buckets >= 2, s"lorenzDeciles: need >= 2 buckets, got $buckets")
+    val d = DecimalType(38, 0)
+    val perUser = ev
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(userCol))
+      .agg(sum(floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long"))
+        .as("_v"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_v"), col(userCol))
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("decile"))
+    perUser
+      .withColumn("decile", ntile(buckets).over(wRank))
+      .groupBy(col(keyCol), col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("_v").cast(d)).as("_dv"))
+      .withColumn("_tot", sum(col("_dv")).over(wKey))
+      .withColumn("_cum", sum(col("_dv")).over(wCum))
+      .select(col(keyCol), col("decile"), col("n_users"),
+        col("_dv").cast("long").as("decile_micro"),
+        when(col("_tot") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(_cum * 1000000 div _tot AS BIGINT)"))
+          .as("cum_share_ppm"))
+      .orderBy(keyCol, "decile")
+  }
+
   /** CROSS-CORRELATION between two event types' hourly volumes at lags
     * −`maxLag`..+`maxLag` hours — the lead/lag discovery tool ("views
     * foreshadow purchases by how long?") that [[acfByKey]]'s

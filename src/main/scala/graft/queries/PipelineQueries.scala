@@ -1602,6 +1602,21 @@ object PipelineQueries {
     "p159_cross_correlation" -> ((s, dir) =>
       graft.ops.EventsOps.crossCorrelation(Tables(s, dir, "events"))),
 
+    // 168-slot hour-of-week load shape per type; index 1e6 = an
+    // average hour. One (key, slot) partial agg; slot table bounded.
+    "p160_seasonality" -> ((s, dir) =>
+      graft.ops.EventsOps.seasonalProfile(Tables(s, dir, "events"))),
+
+    // Seasonal-naive vs persistence backtest on the dense per-type
+    // hourly grid: integer SAE sums, MASE in ppm.
+    "p161_seasonal_mase" -> ((s, dir) =>
+      graft.ops.EventsOps.seasonalNaiveMase(Tables(s, dir, "events"))),
+
+    // Lorenz curve by spend decile per type — the distributional
+    // readout behind p136's scalar Gini; decile 10 is exactly 1e6.
+    "p162_lorenz" -> ((s, dir) =>
+      graft.ops.EventsOps.lorenzDeciles(Tables(s, dir, "events"))),
+
     // Spark-native UNPIVOT (melt) of the lineitem measure columns to
     // tidy (key, metric, value_micro) rows — micro-quantized BEFORE the
     // melt so the long table is BIGINT-exact and 4× narrower than a
@@ -3269,6 +3284,49 @@ object PipelineQueries {
         "UNION ALL SELECT 'value', n_rows, n_nonnull, n_distinct, m3.v, CAST(m3.n AS BIGINT), " +
         "CAST(m3.n * 1000000 // n_nonnull AS BIGINT) FROM s3 LEFT JOIN m3 ON TRUE " +
         "ORDER BY col_name"),
+    // pmod slot ≡ ((h % 168) + 168) % 168; counts non-negative so
+    // // ≡ div
+    "p160_seasonality" -> (
+      "WITH h AS (SELECT event_type, " +
+        "((CAST(floor(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) / 3600.0) AS BIGINT) % 168) + 168) % 168 AS hour_of_week " +
+        "FROM events), " +
+        "c AS (SELECT event_type, hour_of_week, COUNT(*) AS n FROM h GROUP BY 1, 2), " +
+        "t AS (SELECT *, SUM(n) OVER (PARTITION BY event_type) AS tot FROM c) " +
+        "SELECT event_type, hour_of_week, CAST(n AS BIGINT) AS n, " +
+        "CAST(n * 168 * 1000000 // tot AS BIGINT) AS index_ppm " +
+        "FROM t ORDER BY event_type, hour_of_week"),
+    // dense per-key grid; both lags from one window; SAE sums are
+    // non-negative integers
+    "p161_seasonal_mase" -> (
+      "WITH c AS (SELECT event_type AS k, " +
+        "CAST(floor(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) / 3600.0) AS BIGINT) AS h, " +
+        "COUNT(*) AS c FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT k, MIN(h) AS lo, MAX(h) AS hi FROM c GROUP BY 1), " +
+        "g0 AS (SELECT k, unnest(generate_series(lo, hi)) AS h FROM b), " +
+        "g AS (SELECT g0.k, g0.h, COALESCE(c.c, 0) AS c FROM g0 " +
+        "LEFT JOIN c ON c.k = g0.k AND c.h = g0.h), " +
+        "l AS (SELECT k, c, LAG(c, 1) OVER w AS l1, LAG(c, 168) OVER w AS l168 " +
+        "FROM g WINDOW w AS (PARTITION BY k ORDER BY h)), " +
+        "e AS (SELECT k, COUNT(*) AS n_eval, SUM(abs(c - l168)) AS sae_seasonal, " +
+        "SUM(abs(c - l1)) AS sae_naive FROM l WHERE l168 IS NOT NULL GROUP BY 1) " +
+        "SELECT k AS event_type, CAST(n_eval AS BIGINT) AS n_eval, " +
+        "CAST(sae_seasonal AS BIGINT) AS sae_seasonal, CAST(sae_naive AS BIGINT) AS sae_naive, " +
+        "CASE WHEN sae_naive = 0 THEN NULL ELSE CAST(sae_seasonal * 1000000 // sae_naive AS BIGINT) END AS mase_ppm " +
+        "FROM e ORDER BY event_type"),
+    // ntile over the (total, user) total order — no ties possible;
+    // HUGEINT decile sums, division last
+    "p162_lorenz" -> (
+      "WITH u AS (SELECT event_type, user_id, " +
+        "SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)) AS v " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), " +
+        "r AS (SELECT *, NTILE(10) OVER (PARTITION BY event_type ORDER BY v, user_id) AS decile FROM u), " +
+        "d AS (SELECT event_type, decile, COUNT(*) AS n_users, SUM(CAST(v AS HUGEINT)) AS dv FROM r GROUP BY 1, 2), " +
+        "t AS (SELECT *, SUM(dv) OVER (PARTITION BY event_type) AS tot, " +
+        "SUM(dv) OVER (PARTITION BY event_type ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) " +
+        "SELECT event_type, decile, CAST(n_users AS BIGINT) AS n_users, " +
+        "CAST(dv AS BIGINT) AS decile_micro, " +
+        "CASE WHEN tot = 0 THEN NULL ELSE CAST(cum * 1000000 // tot AS BIGINT) END AS cum_share_ppm " +
+        "FROM t ORDER BY event_type, decile"),
     // dense zero-filled hour grid; exact HUGEINT moments per lag;
     // float only at num/sqrt(d1·d2), round-6 + 0.0
     "p159_cross_correlation" -> (

@@ -490,6 +490,48 @@ class EventsOpsSpec extends AnyFunSuite {
       ("c", 1, 1L, Some(-500000L)), ("c", 2, 0L, None), ("c", 3, 0L, None)))
   }
 
+  test("seasonalProfile: slots fold mod 168, index scales share by 168") {
+    import spark.implicits._
+    def atHour(h: Long, i: Int) = new java.sql.Timestamp((h * 3600L + i) * 1000L)
+    val ev = Seq(
+      (1L, "a", atHour(0, 1)), (2L, "a", atHour(0, 2)), // slot 0 ×2
+      (3L, "a", atHour(1, 1)),                          // slot 1
+      (4L, "a", atHour(169, 1))                         // next week's hour 1 → slot 1
+    ).toDF("event_id", "event_type", "ts")
+    val out = EventsOps.seasonalProfile(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // both slots hold half the volume → index = 0.5 · 168 = 84×
+    assert(out.toSeq == Seq(("a", 0L, 2L, 84000000L), ("a", 1L, 2L, 84000000L)))
+  }
+
+  test("seasonalNaiveMase: zero-filled grid, both lags, hand-computed SAE ratio") {
+    import spark.implicits._
+    def atHour(h: Long, i: Int) = new java.sql.Timestamp((h * 3600L + i) * 1000L)
+    val ev =
+      (1 to 2).map(i => (i.toLong, "a", atHour(0, i))) ++      // c_0 = 2
+        (1 to 5).map(i => (10L + i, "a", atHour(168, i))) ++   // c_168 = 5
+        (1 to 3).map(i => (20L + i, "a", atHour(170, i)))      // c_170 = 3 (169 empty)
+    val out = EventsOps.seasonalNaiveMase(ev.toDF("event_id", "event_type", "ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    // eval hours 168..170: seasonal errors |5−2|+|0−0|+|3−0| = 6;
+    // naive errors |5−0|+|0−5|+|3−0| = 13
+    assert(out.toSeq == Seq(("a", 3L, 6L, 13L, Some(461538L))))
+  }
+
+  test("lorenzDeciles: asc spend buckets, cumulative shares, top bucket exactly 1e6") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "x", 0.5), (1L, "x", 0.5), // user 1 totals 1.0
+      (2L, "x", 2.0), (3L, "x", 3.0), (4L, "x", 4.0)
+    ).toDF("user_id", "event_type", "value")
+    val out = EventsOps.lorenzDeciles(ev, buckets = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // bottom bucket = users 1,2 (3e6 of 10e6 → 30%); top cumulative = 100%
+    assert(out.toSeq == Seq(
+      ("x", 1, 2L, 3000000L, 300000L), ("x", 2, 2L, 7000000L, 1000000L)))
+  }
+
   test("markovNext: per-from argmax with asc tie-break, exact hit rates") {
     import spark.implicits._
     def tsAt(s: Long) = new java.sql.Timestamp(s * 1000L)
