@@ -190,6 +190,99 @@ object Governance {
       .orderBy("bucket")
   }
 
+  /** REFERENTIAL-INTEGRITY audit: orphan rate of a child table's
+    * foreign-key column against the parent's key set — the "can I
+    * actually join these?" check every pipeline should run before its
+    * first inner join silently drops rows. NULL FKs are counted
+    * separately (a NULL is a missing link, not an orphan).
+    *
+    * Shape: one partial-agg count on the child FK (value-bounded df
+    * table), one distinct projection of the parent key, and a
+    * key-table-sized LEFT join — the child table itself is touched
+    * once, map-side-combined; the parent side is its key cardinality.
+    * At 100 TB both sides of the join are key-sized, not row-sized.
+    *
+    * Returns ONE row: (relation, n_child, n_null_fk, n_orphan,
+    * orphan_ppm) — orphan_ppm over non-NULL FK rows, NULL when there
+    * are none. */
+  def refIntegrity(
+      child: DataFrame,
+      parent: DataFrame,
+      fkCol: String,
+      pkCol: String,
+      relation: String): DataFrame = {
+    val fkCounts = child
+      .groupBy(col(fkCol).as("_fk"))
+      .agg(count(lit(1)).as("_n"))
+    val pk = parent.select(col(pkCol).as("_pk")).distinct()
+    fkCounts
+      .join(pk, col("_fk") === col("_pk"), "left")
+      .agg(
+        coalesce(sum(col("_n")), lit(0L)).as("n_child"),
+        coalesce(sum(when(col("_fk").isNull, col("_n"))), lit(0L)).as("n_null_fk"),
+        coalesce(sum(when(col("_fk").isNotNull && col("_pk").isNull, col("_n"))),
+          lit(0L)).as("n_orphan"))
+      .select(lit(relation).as("relation"), col("n_child"), col("n_null_fk"),
+        col("n_orphan"),
+        when(col("n_child") - col("n_null_fk") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(n_orphan * 1000000 div (n_child - n_null_fk) AS BIGINT)"))
+          .as("orphan_ppm"))
+  }
+
+  /** FUNCTIONAL-DEPENDENCY check: does `detCol` determine `depCol`?
+    * Reports the determinant values that map to MORE than one distinct
+    * dependent value — the discovery step behind normalization,
+    * dictionary extraction, and "is this column safe to drop after a
+    * join" decisions. NULL dependents count as one distinct value
+    * (two rows (k, NULL) and (k, 'x') are a real violation).
+    *
+    * Shape: one exact distinct on the (det, dep) PAIR (partial-agg'd,
+    * pair-cardinality-bounded), then a count per det over that bounded
+    * table — nothing row-sized past the first aggregate. Returns ONE
+    * row: (determinant, dependent, n_keys, n_violating_keys,
+    * fd_holds). */
+  def fdCheck(
+      df: DataFrame,
+      detCol: String,
+      depCol: String): DataFrame = {
+    val perKey = df
+      .select(col(detCol).as("_det"), col(depCol).as("_dep"))
+      .distinct()
+      .groupBy(col("_det"))
+      .agg(count(lit(1)).as("_nv"))
+    perKey.agg(
+        count(lit(1)).as("n_keys"),
+        coalesce(sum(when(col("_nv") > 1, 1L)), lit(0L)).as("n_violating_keys"))
+      .select(lit(detCol).as("determinant"), lit(depCol).as("dependent"),
+        col("n_keys"), col("n_violating_keys"),
+        (col("n_violating_keys") === 0).as("fd_holds"))
+  }
+
+  /** COMPOSITE-KEY uniqueness audit: is `keyCols` a primary key? —
+    * duplicate-group count, worst multiplicity, and the dup rate the
+    * dedup stage will face. The one-query answer to "can this tuple be
+    * my merge key".
+    *
+    * Shape: one partial-agg count on the key tuple; every statistic
+    * folds over the key-cardinality-bounded table. Returns ONE row:
+    * (key_cols, n_rows, n_keys, n_dup_rows, max_multiplicity,
+    * dup_ppm). */
+  def keyUniqueness(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyUniqueness: need at least one key column")
+    val g = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
+    g.agg(
+        coalesce(sum(col("_n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        coalesce(sum(when(col("_n") > 1, col("_n") - 1)), lit(0L)).as("n_dup_rows"),
+        coalesce(max(col("_n")), lit(0L)).as("max_multiplicity"))
+      .select(lit(keyCols.mkString(",")).as("key_cols"),
+        col("n_rows"), col("n_keys"), col("n_dup_rows"), col("max_multiplicity"),
+        when(col("n_rows") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(n_dup_rows * 1000000 div n_rows AS BIGINT)"))
+          .as("dup_ppm"))
+  }
+
   /** CARDINALITY PROFILE: per audited column — row count, non-null
     * count, exact distinct count, and the modal value with its share —
     * the first page of any data-profiling report and the input to

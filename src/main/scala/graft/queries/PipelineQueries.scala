@@ -1617,6 +1617,44 @@ object PipelineQueries {
     "p162_lorenz" -> ((s, dir) =>
       graft.ops.EventsOps.lorenzDeciles(Tables(s, dir, "events"))),
 
+    // Referential-integrity audit over three star-schema FK edges:
+    // both join sides key-sized, child tables touched once.
+    "p163_ref_integrity" -> ((s, dir) => {
+      val g = graft.ops.Governance
+      g.refIntegrity(Tables(s, dir, "lineitem"), Tables(s, dir, "orders"),
+          "l_orderkey", "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionByName(g.refIntegrity(Tables(s, dir, "orders"),
+          Tables(s, dir, "customer"), "o_custkey", "c_custkey",
+          "orders.o_custkey->customer"))
+        .unionByName(g.refIntegrity(Tables(s, dir, "lineitem"),
+          Tables(s, dir, "part"), "l_partkey", "p_partkey",
+          "lineitem.l_partkey->part"))
+        .orderBy("relation")
+    }),
+
+    // Functional-dependency discovery: a held FD (part key → name)
+    // next to violated ones — the normalization/profiling primitive.
+    "p164_fd_check" -> ((s, dir) => {
+      val g = graft.ops.Governance
+      g.fdCheck(Tables(s, dir, "part"), "p_partkey", "p_name")
+        .unionByName(g.fdCheck(Tables(s, dir, "orders"),
+          "o_custkey", "o_orderpriority"))
+        .unionByName(g.fdCheck(Tables(s, dir, "lineitem"),
+          "l_orderkey", "l_suppkey"))
+        .orderBy("determinant")
+    }),
+
+    // Composite-key uniqueness: the real PK vs a tuple that isn't —
+    // dup-group stats off one key-tuple partial agg.
+    "p165_key_uniqueness" -> ((s, dir) => {
+      val g = graft.ops.Governance
+      g.keyUniqueness(Tables(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber"))
+        .unionByName(g.keyUniqueness(Tables(s, dir, "events"),
+          Seq("user_id", "event_type")))
+        .orderBy("key_cols")
+    }),
+
     // Spark-native UNPIVOT (melt) of the lineitem measure columns to
     // tidy (key, metric, value_micro) rows — micro-quantized BEFORE the
     // melt so the long table is BIGINT-exact and 4× narrower than a
@@ -3284,6 +3322,57 @@ object PipelineQueries {
         "UNION ALL SELECT 'value', n_rows, n_nonnull, n_distinct, m3.v, CAST(m3.n AS BIGINT), " +
         "CAST(m3.n * 1000000 // n_nonnull AS BIGINT) FROM s3 LEFT JOIN m3 ON TRUE " +
         "ORDER BY col_name"),
+    // per-relation orphan rates over FK df tables; all counts
+    // non-negative
+    "p163_ref_integrity" -> (
+      "WITH r1 AS (SELECT 'lineitem.l_orderkey->orders' AS relation, " +
+        "COUNT(*) AS n_child, " +
+        "SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null_fk, " +
+        "SUM(CASE WHEN l_orderkey IS NOT NULL AND o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphan " +
+        "FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l_orderkey = o_orderkey), " +
+        "r2 AS (SELECT 'orders.o_custkey->customer', COUNT(*), " +
+        "SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), " +
+        "SUM(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL THEN 1 ELSE 0 END) " +
+        "FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o_custkey = c_custkey), " +
+        "r3 AS (SELECT 'lineitem.l_partkey->part', COUNT(*), " +
+        "SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END), " +
+        "SUM(CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NULL THEN 1 ELSE 0 END) " +
+        "FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p ON l_partkey = p_partkey), " +
+        "u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3) " +
+        "SELECT relation, CAST(n_child AS BIGINT) AS n_child, " +
+        "CAST(n_null_fk AS BIGINT) AS n_null_fk, CAST(n_orphan AS BIGINT) AS n_orphan, " +
+        "CASE WHEN n_child - n_null_fk = 0 THEN NULL " +
+        "ELSE CAST(n_orphan * 1000000 // (n_child - n_null_fk) AS BIGINT) END AS orphan_ppm " +
+        "FROM u ORDER BY relation"),
+    // distinct (det, dep) pairs then per-det fan-out; NULL dep is one
+    // distinct value
+    "p164_fd_check" -> (
+      "WITH f1 AS (SELECT COUNT(*) AS n_keys, " +
+        "SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS n_viol FROM " +
+        "(SELECT p_partkey, COUNT(*) AS nv FROM (SELECT DISTINCT p_partkey, p_name FROM part) GROUP BY 1)), " +
+        "f2 AS (SELECT COUNT(*), SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) FROM " +
+        "(SELECT o_custkey, COUNT(*) AS nv FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders) GROUP BY 1)), " +
+        "f3 AS (SELECT COUNT(*), SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) FROM " +
+        "(SELECT l_orderkey, COUNT(*) AS nv FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) GROUP BY 1)), " +
+        "u AS (SELECT 'p_partkey' AS determinant, 'p_name' AS dependent, * FROM f1 " +
+        "UNION ALL SELECT 'o_custkey', 'o_orderpriority', * FROM f2 " +
+        "UNION ALL SELECT 'l_orderkey', 'l_suppkey', * FROM f3) " +
+        "SELECT determinant, dependent, CAST(n_keys AS BIGINT) AS n_keys, " +
+        "CAST(n_viol AS BIGINT) AS n_violating_keys, n_viol = 0 AS fd_holds " +
+        "FROM u ORDER BY determinant"),
+    // key-tuple df table; dup rows = surplus beyond one per key
+    "p165_key_uniqueness" -> (
+      "WITH k1 AS (SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, " +
+        "SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_dup, MAX(n) AS mx FROM " +
+        "(SELECT l_orderkey, l_linenumber, COUNT(*) AS n FROM lineitem GROUP BY 1, 2)), " +
+        "k2 AS (SELECT COUNT(*), SUM(n), SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), MAX(n) FROM " +
+        "(SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)), " +
+        "u AS (SELECT 'l_orderkey,l_linenumber' AS key_cols, * FROM k1 " +
+        "UNION ALL SELECT 'user_id,event_type', * FROM k2) " +
+        "SELECT key_cols, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_keys AS BIGINT) AS n_keys, " +
+        "CAST(n_dup AS BIGINT) AS n_dup_rows, CAST(mx AS BIGINT) AS max_multiplicity, " +
+        "CASE WHEN n_rows = 0 THEN NULL ELSE CAST(n_dup * 1000000 // n_rows AS BIGINT) END AS dup_ppm " +
+        "FROM u ORDER BY key_cols"),
     // pmod slot ≡ ((h % 168) + 168) % 168; counts non-negative so
     // // ≡ div
     "p160_seasonality" -> (

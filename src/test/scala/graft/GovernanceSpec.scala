@@ -21,6 +21,46 @@ class GovernanceSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("b", 1L, 2L), ("b", 2L, 1L)))
   }
 
+  test("refIntegrity: orphans vs NULL FKs split, ppm over non-NULL only") {
+    import spark.implicits._
+    val child = Seq(Option(1L), Option(1L), Option(2L), Option(99L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Governance.refIntegrity(child, parent, "fk", "pk", "c->p")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // 5 child rows, 1 NULL FK, 1 orphan (99) of 4 non-NULL → 250000 ppm
+    assert(out.toSeq == Seq(("c->p", 5L, 1L, 1L, 250000L)))
+  }
+
+  test("fdCheck: held and violated dependencies; NULL dependent is a distinct value") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("a")), (1L, Option("a")), // key 1 determines "a"
+      (2L, Option("b")), (2L, Option("c")), // key 2 violates
+      (3L, Option("d")), (3L, None)         // NULL vs "d" is a real violation
+    ).toDF("k", "v")
+    val out = Governance.fdCheck(df, "k", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(("k", "v", 3L, 2L, false)))
+    val held = Governance.fdCheck(df.where(col("k") === 1L), "k", "v").collect()
+    assert(held.head.getLong(3) == 0L && held.head.getBoolean(4))
+  }
+
+  test("keyUniqueness: dup surplus, max multiplicity, empty input") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k1", "k2")
+    val out = Governance.keyUniqueness(df, Seq("k1", "k2")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // 5 rows over 3 keys; (1,a)×3 contributes 2 surplus rows → 400000 ppm
+    assert(out.toSeq == Seq(("k1,k2", 5L, 3L, 2L, 3L, 400000L)))
+    val empty = Governance.keyUniqueness(
+      Seq.empty[(Long, String)].toDF("k1", "k2"), Seq("k1", "k2")).collect()
+    assert(empty.head.getLong(1) == 0L && empty.head.isNullAt(5))
+  }
+
   test("cardinalityProfile: counts, exact distinct, modal value with asc tie-break") {
     import spark.implicits._
     val df = Seq(
