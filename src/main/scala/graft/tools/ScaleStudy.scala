@@ -169,6 +169,14 @@ object ScaledOps {
         Dedup.repeatedSpans(docs, n = 20))) },
       time("continuation") { sink(Dedup.continuationPairs(docs, n = 10)) },
       time("epoch_shuffle") { sink(CorpusOps.epochShuffle(docs, epoch = 1, nShards = 16)) },
+      // round-9 stats wave at scale: the three corpus-sized shapes
+      // (key window + broadcast moments; users-bounded ntile ladder;
+      // partial-agg + key window) — the grid/bounded ops (MASE,
+      // cross-corr, Benford, profile) are calendar-/key-sized and
+      // can't regress with row count
+      time("acf") { sink(graft.ops.EventsOps.acfByKey(ev, maxLag = 3)) },
+      time("lorenz") { sink(graft.ops.EventsOps.lorenzDeciles(ev)) },
+      time("type_entropy") { sink(graft.ops.EventsOps.typeEntropy(ev)) },
       // billion-scale ANN headline at ×k: full train+search pipeline
       // (IVF coarse cells + PQ codebooks + ADC scan + exact refine),
       // the p79 gate's exact shape at scaled row count
