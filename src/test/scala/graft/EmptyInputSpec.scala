@@ -143,4 +143,35 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(CorpusOps.fimTransform(noDocs).count() == 0)
     assert(TextAnalysis.readability(noDocs).count() == 0)
   }
+
+  test("stats/profiling wave on empty input") {
+    import graft.ops.{EventsOps, Governance, Stats}
+    val noXY = Seq.empty[(Long, Long, Long)].toDF("id", "x", "y")
+    assert(Stats.paretoFrontier(noXY, "x", "y").count() == 0)
+    // moment aggregates over zero rows: every pair present, corr NULL
+    val corr = Stats.correlationMatrix(
+      Seq.empty[(Double, Double)].toDF("a", "b"), Seq("a", "b")).collect()
+    assert(corr.length == 1 && corr.head.getLong(2) == 0L && corr.head.isNullAt(3))
+    // Benford is a REPORT: 9 digit rows with zero counts, NULL ppm
+    assert(Governance.benfordScreen(noEvents, "value").count() == 9)
+    // profile is a REPORT: one row per audited column even with no rows
+    val prof = Governance.cardinalityProfile(noEvents, Seq("event_type")).collect()
+    assert(prof.length == 1 && prof.head.getLong(1) == 0L)
+    assert(EventsOps.acfByKey(noEvents).count() == 0)
+    assert(EventsOps.markovNext(noEvents).count() == 0)
+    assert(EventsOps.typeEntropy(noEvents).count() == 0)
+    assert(EventsOps.crossCorrelation(noEvents).count() == 0)
+    assert(EventsOps.seasonalProfile(noEvents).count() == 0)
+    assert(EventsOps.seasonalNaiveMase(noEvents).count() == 0)
+    assert(EventsOps.lorenzDeciles(noEvents).count() == 0)
+    // audits are REPORTS: one row, zero counts, NULL rates
+    val noFk = Seq.empty[(Long, Long)].toDF("fk", "x")
+    val noPk = Seq.empty[(Long, Long)].toDF("pk", "y")
+    val ri = Governance.refIntegrity(noFk, noPk, "fk", "pk", "r").collect()
+    assert(ri.length == 1 && ri.head.getLong(1) == 0L && ri.head.isNullAt(4))
+    val fd = Governance.fdCheck(noFk, "fk", "x").collect()
+    assert(fd.length == 1 && fd.head.getLong(2) == 0L && fd.head.getBoolean(4))
+    val ku = Governance.keyUniqueness(noFk, Seq("fk")).collect()
+    assert(ku.length == 1 && ku.head.getLong(1) == 0L && ku.head.isNullAt(5))
+  }
 }

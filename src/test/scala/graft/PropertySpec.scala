@@ -186,4 +186,50 @@ class PropertySpec extends AnyFunSuite {
       assert(nab <= na && nab <= nb && nab >= 1L)
     }
   }
+
+  test("paretoFrontier matches brute-force dominance on random point sets") {
+    import graft.ops.Stats
+    def dominates(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 <= b._1 && a._2 >= b._2 && (a._1 < b._1 || a._2 > b._2)
+    (1 to 5).foreach { trial =>
+      val pts = (0 until (20 + rnd.nextInt(60))).map(i =>
+        (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      val kept = Stats.paretoFrontier(pts.toDF("id", "x", "y"), "x", "y")
+        .collect().map(r => r.getAs[Long]("id")).toSet
+      val byId = pts.map(p => p._1 -> ((p._2, p._3))).toMap
+      pts.foreach { case (id, x, y) =>
+        val dominated = pts.exists(o => o._1 != id && dominates((o._2, o._3), (x, y)))
+        assert(kept.contains(id) == !dominated,
+          s"trial $trial id=$id ($x,$y) dominated=$dominated kept=${kept.contains(id)}")
+      }
+    }
+  }
+
+  test("markovNext hit counts: hits <= transitions, argmax is a real observed pair") {
+    import graft.ops.EventsOps
+    val ev = (0 until 600).map { i =>
+      (i.toLong, rnd.nextInt(30).toLong,
+        Seq("view", "click", "purchase", "error")(rnd.nextInt(4)),
+        java.sql.Timestamp.valueOf(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    EventsOps.markovNext(ev).collect().foreach { r =>
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+    }
+  }
+
+  test("lorenzDeciles: cumulative shares are monotone and close at exactly 1e6") {
+    import graft.ops.EventsOps
+    val ev = (0 until 500).map { i =>
+      (i.toLong, rnd.nextInt(40).toLong,
+        Seq("view", "click")(rnd.nextInt(2)), rnd.nextDouble() * 100.0)
+    }.toDF("event_id", "user_id", "event_type", "value")
+    val rows = EventsOps.lorenzDeciles(ev, buckets = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(4)))
+    rows.groupBy(_._1).values.foreach { g =>
+      val shares = g.sortBy(_._2).map(_._3)
+      assert(shares.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      assert(shares.last == 1000000L)
+    }
+  }
 }
