@@ -1433,6 +1433,78 @@ object EventsOps {
         sum(col("_tm")).as("entropy_micro"))
   }
 
+  /** LONGEST ACTIVITY STREAK per key: the maximum run of CONSECUTIVE
+    * active days — the engagement metric behind "7-day streak" product
+    * mechanics and a sharper habit signal than raw active-day counts
+    * (30 scattered days ≠ a 30-day streak).
+    *
+    * Integer-exact: day = floor(epoch_s/86400) (floor idiom, exact
+    * pre-1970), the distinct (key, day) projection is a partial-agg
+    * dedup, and the classic day − row_number() island fold runs on the
+    * active-day table (≤ lifetime days per key, ≪ events). One key
+    * exchange: the distinct, the island window, and both aggregates
+    * all ride the key (or key-prefix) partitioning.
+    *
+    * Returns (keyCol, n_active_days, longest_streak, n_streaks). */
+  def activityStreaks(
+      ev: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val day = floor(epochSec(tsCol).cast("double") / lit(86400.0d)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_d"))
+    ev.select(col(keyCol), day.as("_d"))
+      .distinct()
+      .withColumn("_isl", col("_d") - row_number().over(w))
+      .groupBy(col(keyCol), col("_isl"))
+      .agg(count(lit(1)).as("_len"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_len")).as("n_active_days"),
+        max(col("_len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+  }
+
+  /** WEEK-OVER-WEEK growth per key on the DENSE week grid: volume per
+    * epoch week with the previous calendar week as the base — the
+    * default growth readout of any activity dashboard. Zero-filled
+    * weeks are real (a silent week IS a −100% move and the next active
+    * week's base); growth is NULL only for the first grid week and
+    * when the base is zero (±∞).
+    *
+    * Integer-exact: week = floor(day/7) on floored epoch days, counts
+    * are integers, growth_ppm is the re-signed magnitude div (the
+    * [[Governance.cohenKappa]] recipe — Spark div truncates, DuckDB
+    * // floors, they agree on non-negatives). The grid is
+    * calendar-bounded per key; everything past the first partial-agg
+    * count is weeks-sized.
+    *
+    * Returns (keyCol, week, n, growth_ppm), week-ordered. */
+  def wowGrowth(
+      ev: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val wk = floor(floor(epochSec(tsCol).cast("double") / lit(86400.0d))
+      .cast("double") / lit(7.0d)).cast("long")
+    val counts = ev.groupBy(col(keyCol), wk.as("week")).agg(count(lit(1)).as("n"))
+    val bounds = counts.groupBy(col(keyCol))
+      .agg(min(col("week")).as("_lo"), max(col("week")).as("_hi"))
+    val grid = bounds
+      .select(col(keyCol), explode(sequence(col("_lo"), col("_hi"))).as("week"))
+      .join(counts, Seq(keyCol, "week"), "left")
+      .select(col(keyCol), col("week"), coalesce(col("n"), lit(0L)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("week"))
+    grid
+      .withColumn("_prev", lag(col("n"), 1).over(w))
+      .select(col(keyCol), col("week"), col("n"),
+        when(col("_prev").isNull || col("_prev") === 0, lit(null).cast("long"))
+          .otherwise(
+            when(col("n") >= col("_prev"), lit(1L)).otherwise(lit(-1L)) *
+              expr("CAST(abs(n - _prev) * 1000000 div _prev AS BIGINT)"))
+          .as("growth_ppm"))
+      .orderBy(keyCol, "week")
+  }
+
   /** HOUR-OF-WEEK seasonality profile per key: the 168-slot load shape
     * ("Mondays 9am run 3.2× the weekly average") that capacity plans
     * and anomaly baselines start from. index_ppm is the slot's share

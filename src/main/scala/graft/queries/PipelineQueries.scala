@@ -1617,6 +1617,17 @@ object PipelineQueries {
     "p162_lorenz" -> ((s, dir) =>
       graft.ops.EventsOps.lorenzDeciles(Tables(s, dir, "events"))),
 
+    // Longest consecutive-active-day streak per user: distinct-day
+    // islands on one key exchange.
+    "p166_streaks" -> ((s, dir) =>
+      graft.ops.EventsOps.activityStreaks(Tables(s, dir, "events"))
+        .orderBy("user_id")),
+
+    // Week-over-week growth per type on the dense week grid; silent
+    // weeks are real zeros, re-signed ppm vs the previous week.
+    "p167_wow_growth" -> ((s, dir) =>
+      graft.ops.EventsOps.wowGrowth(Tables(s, dir, "events"))),
+
     // Referential-integrity audit over three star-schema FK edges:
     // both join sides key-sized, child tables touched once.
     "p163_ref_integrity" -> ((s, dir) => {
@@ -3322,6 +3333,32 @@ object PipelineQueries {
         "UNION ALL SELECT 'value', n_rows, n_nonnull, n_distinct, m3.v, CAST(m3.n AS BIGINT), " +
         "CAST(m3.n * 1000000 // n_nonnull AS BIGINT) FROM s3 LEFT JOIN m3 ON TRUE " +
         "ORDER BY col_name"),
+    // distinct-day islands: day − ROW_NUMBER() ≡ Spark's fold; streak
+    // stats fold over the active-day table
+    "p166_streaks" -> (
+      "WITH d AS (SELECT DISTINCT user_id, " +
+        "CAST(floor(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) / 86400.0) AS BIGINT) AS d " +
+        "FROM events), " +
+        "i AS (SELECT user_id, d, d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS isl FROM d), " +
+        "s AS (SELECT user_id, isl, COUNT(*) AS len FROM i GROUP BY 1, 2) " +
+        "SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days, " +
+        "CAST(MAX(len) AS BIGINT) AS longest_streak, CAST(COUNT(*) AS BIGINT) AS n_streaks " +
+        "FROM s GROUP BY user_id ORDER BY user_id"),
+    // dense week grid; re-signed // on non-negative magnitudes; zero
+    // base ⇒ NULL
+    "p167_wow_growth" -> (
+      "WITH c AS (SELECT event_type AS k, " +
+        "CAST(floor(floor(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) / 86400.0) / 7.0) AS BIGINT) AS week, " +
+        "COUNT(*) AS n FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT k, MIN(week) AS lo, MAX(week) AS hi FROM c GROUP BY 1), " +
+        "g0 AS (SELECT k, unnest(generate_series(lo, hi)) AS week FROM b), " +
+        "g AS (SELECT g0.k, g0.week, COALESCE(c.n, 0) AS n FROM g0 " +
+        "LEFT JOIN c ON c.k = g0.k AND c.week = g0.week), " +
+        "l AS (SELECT k, week, n, LAG(n, 1) OVER (PARTITION BY k ORDER BY week) AS prev FROM g) " +
+        "SELECT k AS event_type, week, CAST(n AS BIGINT) AS n, " +
+        "CASE WHEN prev IS NULL OR prev = 0 THEN NULL ELSE " +
+        "CAST((CASE WHEN n >= prev THEN 1 ELSE -1 END) * (abs(n - prev) * 1000000 // prev) AS BIGINT) END AS growth_ppm " +
+        "FROM l ORDER BY event_type, week"),
     // per-relation orphan rates over FK df tables; all counts
     // non-negative
     "p163_ref_integrity" -> (

@@ -490,6 +490,37 @@ class EventsOpsSpec extends AnyFunSuite {
       ("c", 1, 1L, Some(-500000L)), ("c", 2, 0L, None), ("c", 3, 0L, None)))
   }
 
+  test("activityStreaks: islands over distinct days; same-day repeats collapse") {
+    import spark.implicits._
+    def atDay(d: Long, s: Int) = new java.sql.Timestamp((d * 86400L + s) * 1000L)
+    val ev = Seq(
+      (1L, 1L, atDay(10, 1)), (2L, 1L, atDay(10, 2)), // same day ×2
+      (3L, 1L, atDay(11, 1)), (4L, 1L, atDay(12, 1)), // 10-12 = streak of 3
+      (5L, 1L, atDay(20, 1)),                         // isolated day
+      (6L, 2L, atDay(5, 1))
+    ).toDF("event_id", "user_id", "ts")
+    val out = EventsOps.activityStreaks(ev).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 4L, 3L, 2L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("wowGrowth: dense weeks, signed ppm, zero base and first week NULL") {
+    import spark.implicits._
+    def atWeek(w: Long, i: Int) = new java.sql.Timestamp((w * 7L * 86400L + i) * 1000L)
+    val ev =
+      (1 to 4).map(i => (i.toLong, "a", atWeek(0, i))) ++  // week 0: 4
+        (1 to 2).map(i => (10L + i, "a", atWeek(1, i))) ++ // week 1: 2 (−50%)
+        Seq((20L, "a", atWeek(3, 1)))                      // week 2 silent, week 3: 1
+    val out = EventsOps.wowGrowth(ev.toDF("event_id", "event_type", "ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.toSeq == Seq(
+      ("a", 0L, 4L, None),               // no base week
+      ("a", 1L, 2L, Some(-500000L)),     // halved
+      ("a", 2L, 0L, Some(-1000000L)),    // silent week is a real −100%
+      ("a", 3L, 1L, None)))              // zero base → NULL
+  }
+
   test("seasonalProfile: slots fold mod 168, index scales share by 168") {
     import spark.implicits._
     def atHour(h: Long, i: Int) = new java.sql.Timestamp((h * 3600L + i) * 1000L)
