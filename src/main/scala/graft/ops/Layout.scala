@@ -73,4 +73,29 @@ object Layout {
     val keyed = df.join(zOrderKey(df, idCol, colA, colB, bits), Seq(idCol))
     keyed.repartitionByRange(parts, col("zv")).sortWithinPartitions("zv")
   }
+
+  /** HIVE-PARTITIONED parquet write by a derived UTC date column — the
+    * single most load-bearing 100 TB layout decision: a date-filtered
+    * scan then reads ONLY the matching directories (plan shows
+    * `PartitionFilters`, and the filter never touches row data). One
+    * `repartition` on the partition column before the write keeps it to
+    * one file per date per shuffle partition instead of
+    * #tasks × #dates tiny files — the small-files failure mode that
+    * kills listing-time at scale.
+    *
+    * The date string is `date_format(ts, 'yyyy-MM-dd')` under the
+    * session's UTC timezone (GraftSession pins it), so layout is
+    * reproducible across writers. Readers get the pruning for free:
+    * `spark.read.parquet(path).where(col("dt") === "2024-01-02")` —
+    * LayoutSpec pins the pruned-scan plan shape. */
+  def writeDatePartitioned(
+      df: DataFrame,
+      path: String,
+      tsCol: String = "ts",
+      dateCol: String = "dt"): Unit =
+    df.withColumn(dateCol, date_format(col(tsCol), "yyyy-MM-dd"))
+      .repartition(col(dateCol))
+      .write.mode("overwrite")
+      .partitionBy(dateCol)
+      .parquet(path)
 }

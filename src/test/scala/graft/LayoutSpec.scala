@@ -51,4 +51,35 @@ class LayoutSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning(zv"), p)
     assert(p.contains("Sort [zv"), p)
   }
+
+  test("writeDatePartitioned: date-filtered reads prune to the matching directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dtpart").toString
+    val ev = (0 until 300).map { i =>
+      (i.toLong, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+          (i % 3) * 86400000L + i * 1000L), i * 1.0)
+    }.toDF("event_id", "ts", "value")
+    Layout.writeDatePartitioned(ev, dir)
+    // three date directories exist
+    val dts = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("dt=")).sorted
+    assert(dts.toSeq == Seq("dt=2024-01-01", "dt=2024-01-02", "dt=2024-01-03"))
+    val read = spark.read.parquet(dir)
+      .where(org.apache.spark.sql.functions.col("dt") === "2024-01-02")
+    // the partition filter prunes directories — it is a PartitionFilter,
+    // never a data filter, and only one of three partitions survives
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"), plan)
+    assert(read.count() == 100L)
+    val scanned = read.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.headOption.contains(1), s"expected 1 pruned partition, got $scanned")
+    // small-files guard: the repartition keeps it to ONE file per date
+    dts.foreach { d =>
+      val files = new java.io.File(s"$dir/$d").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"$d has $files files")
+    }
+  }
 }
