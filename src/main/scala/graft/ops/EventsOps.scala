@@ -1433,6 +1433,51 @@ object EventsOps {
         sum(col("_tm")).as("entropy_micro"))
   }
 
+  /** QUANTILE NORMALIZATION: map every `fromKey` row's value onto the
+    * `toKey` distribution by rank — the batch-effect correction that
+    * makes two sources' scores comparable ("a 90th-percentile click
+    * value IS a 90th-percentile purchase value after mapping"), the
+    * sibling of [[graft.ops.CorpusOps.groupPercentileRank]] that
+    * returns VALUES, not ranks.
+    *
+    * Integer-exact: ranks come from row_number over the tie-free
+    * (value, id) order; the mid-rank percentile (2r−1)/(2n_A) maps to
+    * the target's empirical quantile index ⌈pct·n_B⌉ computed as ONE
+    * ceiling division ((2r−1)·n_B + 2n_A − 1) div (2n_A) — exact
+    * rationals end to end, clamped to ≥ 1; the mapped value is B's
+    * value at that rank via an equi-join on the index. Values are
+    * micro-quantized BIGINT.
+    *
+    * Shape: one window per side (each partitioned on the constant key
+    * — a single series; the documented blocked two-pass rank swap
+    * applies at 100 TB), scalar counts broadcast-cross-joined (lazy),
+    * and one shuffle equi-join on the rank index. Returns
+    * (idCol, value_micro, rank_a, norm_micro). */
+  def quantileNormalize(
+      ev: DataFrame,
+      fromKey: String,
+      toKey: String,
+      keyCol: String = "event_type",
+      valueCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    val q = floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long")
+    def side(k: String) = ev
+      .where(col(keyCol) === k && col(valueCol).isNotNull)
+      .select(col(idCol).as("_id"), q.as("_v"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_v"), col("_id"))
+    val a = side(fromKey).withColumn("_r", row_number().over(w))
+    val b = side(toKey).withColumn("_r", row_number().over(w))
+      .select(col("_r").as("_rb"), col("_v").as("_bv"))
+    val na = a.agg(count(lit(1)).as("_na"))
+    val nb = b.agg(count(lit(1)).as("_nb"))
+    a.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .withColumn("_idx", greatest(lit(1L), expr(
+        "CAST(((2 * _r - 1) * _nb + 2 * _na - 1) div (2 * _na) AS BIGINT)")))
+      .join(b, col("_idx") === col("_rb"))
+      .select(col("_id").as(idCol), col("_v").as("value_micro"),
+        col("_r").as("rank_a"), col("_bv").as("norm_micro"))
+  }
+
   /** LONGEST ACTIVITY STREAK per key: the maximum run of CONSECUTIVE
     * active days — the engagement metric behind "7-day streak" product
     * mechanics and a sharper habit signal than raw active-day counts

@@ -190,6 +190,28 @@ object Governance {
       .orderBy("bucket")
   }
 
+  /** NULL-PATTERN mining: row counts per missingness COMBINATION over
+    * the audited columns — the step beyond [[nullProfile]]'s per-column
+    * rates: "value and props are always missing TOGETHER" (one upstream
+    * join failed) reads completely differently from independent holes,
+    * and the pattern table is what imputation strategy and
+    * listwise-deletion cost estimates are decided on.
+    *
+    * Shape: ONE partial-agg count on the boolean mask tuple — at most
+    * 2^|cols| groups leave the map side — and the share denominator
+    * rides a window over that bounded table. Integer-exact.
+    *
+    * Returns (has_<col>..., n_rows, share_ppm), most-common first
+    * (ties broken by the mask columns ascending). */
+  def nullPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "nullPatterns: need at least one column")
+    df.groupBy(cols.map(c => col(c).isNotNull.as(s"has_$c")): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("share_ppm",
+        expr("CAST(n_rows * 1000000 div sum(n_rows) OVER () AS BIGINT)"))
+      .orderBy(col("n_rows").desc +: cols.map(c => col(s"has_$c").asc): _*)
+  }
+
   /** REFERENTIAL-INTEGRITY audit: orphan rate of a child table's
     * foreign-key column against the parent's key set — the "can I
     * actually join these?" check every pipeline should run before its

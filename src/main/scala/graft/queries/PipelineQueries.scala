@@ -1628,6 +1628,24 @@ object PipelineQueries {
     "p167_wow_growth" -> ((s, dir) =>
       graft.ops.EventsOps.wowGrowth(Tables(s, dir, "events"))),
 
+    // Missingness-combination mining over PLANTED null structure
+    // (small values and every 7th props): one mask-tuple partial agg.
+    "p168_null_patterns" -> ((s, dir) =>
+      graft.ops.Governance.nullPatterns(
+        Tables(s, dir, "events")
+          .withColumn("value",
+            when(col("value") < 5.0, lit(null)).otherwise(col("value")))
+          .withColumn("props",
+            when(col("event_id") % 7 === 0, lit(null)).otherwise(col("props"))),
+        Seq("user_id", "value", "props"))),
+
+    // Quantile-normalize click values onto the purchase distribution:
+    // exact mid-rank → ceiling-division index → rank equi-join.
+    "p169_quantile_normalize" -> ((s, dir) =>
+      graft.ops.EventsOps.quantileNormalize(
+        Tables(s, dir, "events"), "click", "purchase")
+        .orderBy("event_id")),
+
     // Referential-integrity audit over three star-schema FK edges:
     // both join sides key-sized, child tables touched once.
     "p163_ref_integrity" -> ((s, dir) => {
@@ -3333,6 +3351,30 @@ object PipelineQueries {
         "UNION ALL SELECT 'value', n_rows, n_nonnull, n_distinct, m3.v, CAST(m3.n AS BIGINT), " +
         "CAST(m3.n * 1000000 // n_nonnull AS BIGINT) FROM s3 LEFT JOIN m3 ON TRUE " +
         "ORDER BY col_name"),
+    // mask-tuple groups; NULL < 5.0 is NULL → stays NULL either way
+    "p168_null_patterns" -> (
+      "WITH e AS (SELECT user_id, CASE WHEN value < 5.0 THEN NULL ELSE value END AS value, " +
+        "CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS props FROM events), " +
+        "g AS (SELECT user_id IS NOT NULL AS has_user_id, value IS NOT NULL AS has_value, " +
+        "props IS NOT NULL AS has_props, COUNT(*) AS n_rows FROM e GROUP BY 1, 2, 3) " +
+        "SELECT has_user_id, has_value, has_props, CAST(n_rows AS BIGINT) AS n_rows, " +
+        "CAST(n_rows * 1000000 // SUM(n_rows) OVER () AS BIGINT) AS share_ppm " +
+        "FROM g ORDER BY n_rows DESC, has_user_id, has_value, has_props"),
+    // mid-rank (2r−1)/(2nA) → ceil((2r−1)·nB / (2nA)) via one integer
+    // ceiling division; all operands positive so // ≡ div
+    "p169_quantile_normalize" -> (
+      "WITH a AS (SELECT event_id AS id, CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE event_type = 'click' AND value IS NOT NULL), " +
+        "b AS (SELECT event_id AS id, CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE event_type = 'purchase' AND value IS NOT NULL), " +
+        "ar AS (SELECT id, v, ROW_NUMBER() OVER (ORDER BY v, id) AS r FROM a), " +
+        "br AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, id) AS r FROM b), " +
+        "n AS (SELECT (SELECT COUNT(*) FROM a) AS na, (SELECT COUNT(*) FROM b) AS nb), " +
+        "ai AS (SELECT ar.id, ar.v, ar.r, " +
+        "GREATEST(1, ((2 * ar.r - 1) * n.nb + 2 * n.na - 1) // (2 * n.na)) AS idx " +
+        "FROM ar CROSS JOIN n) " +
+        "SELECT ai.id AS event_id, ai.v AS value_micro, CAST(ai.r AS BIGINT) AS rank_a, " +
+        "br.v AS norm_micro FROM ai JOIN br ON br.r = ai.idx ORDER BY event_id"),
     // distinct-day islands: day − ROW_NUMBER() ≡ Spark's fold; streak
     // stats fold over the active-day table
     "p166_streaks" -> (

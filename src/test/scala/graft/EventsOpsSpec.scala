@@ -490,6 +490,22 @@ class EventsOpsSpec extends AnyFunSuite {
       ("c", 1, 1L, Some(-500000L)), ("c", 2, 0L, None), ("c", 3, 0L, None)))
   }
 
+  test("quantileNormalize: rank-matched values; extremes map to extremes") {
+    import spark.implicits._
+    // A = click values 10,20,30,40 (n=4); B = purchase values 1,2,3 (n=3)
+    // mid-rank pcts 1/8,3/8,5/8,7/8 → ceil(pct·3) = 1,2,2,3
+    val ev = Seq(
+      (1L, "click", 10.0), (2L, "click", 20.0), (3L, "click", 30.0), (4L, "click", 40.0),
+      (11L, "purchase", 1.0), (12L, "purchase", 2.0), (13L, "purchase", 3.0)
+    ).toDF("event_id", "event_type", "value")
+    val out = EventsOps.quantileNormalize(ev, "click", "purchase")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 10000000L, 1000000L), (2L, 20000000L, 2000000L),
+      (3L, 30000000L, 2000000L), (4L, 40000000L, 3000000L)))
+  }
+
   test("activityStreaks: islands over distinct days; same-day repeats collapse") {
     import spark.implicits._
     def atDay(d: Long, s: Int) = new java.sql.Timestamp((d * 86400L + s) * 1000L)

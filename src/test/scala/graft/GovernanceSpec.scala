@@ -21,6 +21,19 @@ class GovernanceSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("b", 1L, 2L), ("b", 2L, 1L)))
   }
 
+  test("nullPatterns: combinations counted, most-common first, shares sum to ~1e6") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1), Option("a")), (Option(2), Option("b")), (Option(3), Option("c")),
+      (Option(4), None), (None, None)
+    ).toDF("x", "y")
+    val out = Governance.nullPatterns(df, Seq("x", "y")).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (true, true, 3L, 600000L), (false, false, 1L, 200000L),
+      (true, false, 1L, 200000L)))
+  }
+
   test("refIntegrity: orphans vs NULL FKs split, ppm over non-NULL only") {
     import spark.implicits._
     val child = Seq(Option(1L), Option(1L), Option(2L), Option(99L), None)
