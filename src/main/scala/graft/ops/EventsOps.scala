@@ -1433,6 +1433,127 @@ object EventsOps {
         sum(col("_tm")).as("entropy_micro"))
   }
 
+  /** TRIMMED MEAN per key: the mean of the middle (1 − 2·trim) of each
+    * key's values — the robust location estimate dashboards should use
+    * where a plain AVG is one fat-finger away from nonsense, and the
+    * aggregate sibling of [[winsorize]] (which clamps rows; this trims
+    * and averages).
+    *
+    * Exact trim rule: with n values ranked (value, tie) ascending, keep
+    * ranks in (⌊n·trim_ppm/1e6⌋, n − ⌊n·trim_ppm/1e6⌋] — the low and
+    * high cut counts are equal and the kept count is never zero for
+    * trim < 50%. Integer-exact: micro-quantized sums, one final div.
+    *
+    * Shape: one key window (rank) + one aggregate on the SAME key
+    * exchange. Returns (keyCol, n, n_kept, mean_micro, trimmed_mean_micro)
+    * — the untrimmed mean rides along for the "how much did outliers
+    * move it" readout. */
+  def trimmedMean(
+      ev: DataFrame,
+      trimPpm: Long = 50000L,
+      keyCol: String = "event_type",
+      valueCol: String = "value",
+      tieCol: String = "event_id"): DataFrame = {
+    require(trimPpm >= 0 && trimPpm < 500000L,
+      s"trimmedMean: trim must be in [0, 0.5) as ppm, got $trimPpm")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_v"), col(tieCol))
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    ev.where(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tieCol),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+      .withColumn("_r", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wKey))
+      .withColumn("_cut", expr(s"CAST(_n * $trimPpm div 1000000 AS BIGINT)"))
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("_n")).as("n"),
+        sum(when(col("_r") > col("_cut") && col("_r") <= col("_n") - col("_cut"), 1L))
+          .as("n_kept"),
+        sum(col("_v")).as("_sum_all"),
+        sum(when(col("_r") > col("_cut") && col("_r") <= col("_n") - col("_cut"),
+          col("_v"))).as("_sum_kept"))
+      .select(col(keyCol), col("n"), col("n_kept"),
+        expr("CAST(CASE WHEN _sum_all >= 0 THEN 1 ELSE -1 END * (abs(_sum_all) div n) AS BIGINT)")
+          .as("mean_micro"),
+        expr("CAST(CASE WHEN _sum_kept >= 0 THEN 1 ELSE -1 END * (abs(_sum_kept) div n_kept) AS BIGINT)")
+          .as("trimmed_mean_micro"))
+      .orderBy(keyCol)
+  }
+
+  /** MANN–WHITNEY U rank-sum test between two keys' value
+    * distributions — the nonparametric "is A stochastically larger
+    * than B" answer that needs no normality assumption, completing the
+    * in-engine test kit (χ² p143 for proportions, KS p135 for shape,
+    * this for location).
+    *
+    * Tie handling is the textbook average-rank rule computed EXACTLY:
+    * ranks are scaled ×2 (the average of a tied run's min/max rank is
+    * a half-integer, so 2·rank is always an integer — min_rank +
+    * max_rank per tied value, via one value-keyed count table and a
+    * running sum over it). U_a then comes from the ×2 rank sum with
+    * one final halving division; U_a + U_b = n_a·n_b is asserted by
+    * construction. The z statistic (tie-corrected variance) is the
+    * declared float tail: one sqrt, round-3.
+    *
+    * Shape: one partial-agg count on (value, side) — the tied-rank
+    * ladder is value-cardinality-bounded — and every statistic folds
+    * over that bounded table; corpus rows are touched once. Returns
+    * ONE row: (key_a, key_b, n_a, n_b, u2_a, u2_b, z). */
+  def mannWhitneyU(
+      ev: DataFrame,
+      keyA: String,
+      keyB: String,
+      keyCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val d = DecimalType(38, 0)
+    val counts = ev
+      .where(col(valueCol).isNotNull && col(keyCol).isin(keyA, keyB))
+      .select(floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long")
+        .as("_v"), col(keyCol).as("_k"))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_k") === keyA, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_k") === keyB, 1L).otherwise(0L)).as("_cb"))
+      .withColumn("_t", col("_ca") + col("_cb"))
+    val wv = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // 2·avg_rank of a tied run = 2·before + t + 1 (min+max rank)
+    val ranked = counts
+      .withColumn("_before", coalesce(sum(col("_t")).over(wv), lit(0L)))
+      .withColumn("_r2", lit(2L) * col("_before") + col("_t") + lit(1L))
+    ranked.agg(
+        sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"),
+        coalesce(sum(col("_ca").cast(d) * col("_r2").cast(d)), lit(0).cast(d))
+          .as("_ra2"),
+        coalesce(sum(col("_t").cast(d) * col("_t").cast(d) * col("_t").cast(d) -
+          col("_t").cast(d)), lit(0).cast(d)).as("_tie3"))
+      // 2·U_a = 2·R_a − n_a(n_a+1) = _ra2 − n_a(n_a+1): U itself is a
+      // half-integer when the cross-side tie count is odd, so the ×2
+      // scale is the exact integer form; 2U_a + 2U_b = 2·n_a·n_b
+      .select(lit(keyA).as("key_a"), lit(keyB).as("key_b"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        expr("CAST(_ra2 - CAST(coalesce(n_a, 0) AS DECIMAL(38,0)) * (coalesce(n_a, 0) + 1) AS BIGINT)")
+          .as("u2_a"),
+        col("_tie3"))
+      .withColumn("u2_b", expr("CAST(2 * n_a * n_b - u2_a AS BIGINT)"))
+      .select(col("key_a"), col("key_b"), col("n_a"), col("n_b"), col("u2_a"),
+        col("u2_b"), {
+          // z = (U_a − n_a·n_b/2) / sqrt(var), tie-corrected var =
+          // n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))); float tail, round-3
+          val na = col("n_a").cast("double")
+          val nb = col("n_b").cast("double")
+          val n = na + nb
+          val variance = na * nb / lit(12.0d) *
+            ((n + 1) - col("_tie3").cast("double") / (n * (n - 1)))
+          when(col("n_a") === 0 || col("n_b") === 0 || variance <= 0,
+            lit(null).cast("double"))
+            .otherwise(round((col("u2_a").cast("double") / lit(2.0d) -
+              na * nb / lit(2.0d)) / sqrt(variance), 3) + lit(0.0d))
+            .as("z")
+        })
+  }
+
   /** QUANTILE NORMALIZATION: map every `fromKey` row's value onto the
     * `toKey` distribution by rank — the batch-effect correction that
     * makes two sources' scores comparable ("a 90th-percentile click

@@ -190,6 +190,77 @@ object Governance {
       .orderBy("bucket")
   }
 
+  /** CRAMÉR'S V — the 0..1 association strength between two
+    * categorical columns (the r×c generalization of the 2×2 χ² gate):
+    * the profiling answer to "is `source` just `lang` in disguise?"
+    * before anyone joins, stratifies, or drops a column. NULL is a
+    * real category on both axes (an association carried by
+    * missingness is still an association).
+    *
+    * Exactness: the contingency table, margins, and n are integers;
+    * each cell's χ² term is the exact scaled rational
+    * ((o·n − rᵢ·cⱼ)²·1e6) div (rᵢ·cⱼ·n) in DECIMAL(38,0) (numerators
+    * are squares, so truncating div ≡ floor), summed to chi2_micro.
+    * V = sqrt(χ²/(n·min(r−1, c−1))) is the declared float tail,
+    * round-6.
+    *
+    * Shape: ONE partial-agg count on the (a, b) pair; margins and
+    * totals are aggregates/windows over that cells-bounded table —
+    * corpus rows are touched once. Returns ONE row:
+    * (col_a, col_b, n, r, c, chi2_micro, cramers_v); V NULL when
+    * either axis has a single category. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(38, 0)
+    val cells = df
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val wa = org.apache.spark.sql.expressions.Window.partitionBy(col("_a"))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("_b"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    cells
+      .withColumn("_ri", sum(col("_o")).over(wa))
+      .withColumn("_cj", sum(col("_o")).over(wb))
+      .withColumn("_n", sum(col("_o")).over(wAll))
+      .withColumn("_term", {
+        val dev = col("_o").cast(d) * col("_n").cast(d) -
+          col("_ri").cast(d) * col("_cj").cast(d)
+        dev * dev * lit(1000000L).cast(d)
+      })
+      .agg(
+        max(col("_n")).as("n"),
+        // count_distinct skips NULL, but NULL is a category here —
+        // add the null group back explicitly on each axis
+        (count_distinct(col("_a")) +
+          max(when(col("_a").isNull, 1L).otherwise(0L))).as("r"),
+        (count_distinct(col("_b")) +
+          max(when(col("_b").isNull, 1L).otherwise(0L))).as("c"),
+        sum(expr(
+          "CAST(_term div (CAST(_ri AS DECIMAL(38,0)) * _cj * _n) AS DECIMAL(38,0))"))
+          .as("_chi2_obs"),
+        // ABSENT cells (o = 0) contribute (0−e)²/e = e each; their
+        // total is n − Σ_observed e, so no r×c enumeration is needed —
+        // omitting them is the classic sparse-contingency χ² bug
+        sum(expr(
+          "CAST((CAST(_ri AS DECIMAL(38,0)) * _cj * 1000000) div _n AS DECIMAL(38,0))"))
+          .as("_e_obs_micro"))
+      .select(lit(aCol).as("col_a"), lit(bCol).as("col_b"),
+        col("n"), col("r"), col("c"),
+        (col("_chi2_obs") +
+          (col("n").cast(DecimalType(38, 0)) * lit(1000000L).cast(DecimalType(38, 0)) -
+            col("_e_obs_micro"))).cast("long").as("chi2_micro"))
+      .select(col("col_a"), col("col_b"),
+        col("n"), col("r"), col("c"), col("chi2_micro"), {
+          val dof = least(col("r"), col("c")).cast("double") - lit(1.0d)
+          when(col("r") < 2 || col("c") < 2, lit(null).cast("double"))
+            .otherwise(round(sqrt(col("chi2_micro").cast("double") / lit(1.0e6d) /
+              (col("n").cast("double") * dof)), 6) + lit(0.0d))
+            .as("cramers_v")
+        })
+  }
+
   /** NULL-PATTERN mining: row counts per missingness COMBINATION over
     * the audited columns — the step beyond [[nullProfile]]'s per-column
     * rates: "value and props are always missing TOGETHER" (one upstream

@@ -1628,6 +1628,25 @@ object PipelineQueries {
     "p167_wow_growth" -> ((s, dir) =>
       graft.ops.EventsOps.wowGrowth(Tables(s, dir, "events"))),
 
+    // Robust location per type: mean of the middle 90% (5% trimmed
+    // each side by exact rank cuts) next to the raw mean.
+    "p170_trimmed_mean" -> ((s, dir) =>
+      graft.ops.EventsOps.trimmedMean(Tables(s, dir, "events"),
+        trimPpm = 50000L)),
+
+    // Nonparametric location test: Mann-Whitney rank-sum between view
+    // and purchase values, exact ×2-scaled tie-average ranks.
+    "p171_mann_whitney" -> ((s, dir) =>
+      graft.ops.EventsOps.mannWhitneyU(Tables(s, dir, "events"),
+        "view", "purchase")),
+
+    // Categorical association: Cramér's V between event type and a
+    // 5-way user cohort; exact scaled chi-square cells.
+    "p172_cramers_v" -> ((s, dir) =>
+      graft.ops.Governance.cramersV(
+        Tables(s, dir, "events").withColumn("cohort", col("user_id") % 5),
+        "event_type", "cohort")),
+
     // Missingness-combination mining over PLANTED null structure
     // (small values and every 7th props): one mask-tuple partial agg.
     "p168_null_patterns" -> ((s, dir) =>
@@ -3351,6 +3370,60 @@ object PipelineQueries {
         "UNION ALL SELECT 'value', n_rows, n_nonnull, n_distinct, m3.v, CAST(m3.n AS BIGINT), " +
         "CAST(m3.n * 1000000 // n_nonnull AS BIGINT) FROM s3 LEFT JOIN m3 ON TRUE " +
         "ORDER BY col_name"),
+    // exact rank cuts; re-signed // on non-negative magnitudes
+    "p170_trimmed_mean" -> (
+      "WITH b AS (SELECT event_type AS k, event_id AS tie, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "r AS (SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v, tie) AS r, " +
+        "COUNT(*) OVER (PARTITION BY k) AS n FROM b), " +
+        "c AS (SELECT *, CAST(n * 50000 // 1000000 AS BIGINT) AS cut FROM r), " +
+        "g AS (SELECT k, MAX(n) AS n, SUM(CASE WHEN r > cut AND r <= n - cut THEN 1 END) AS n_kept, " +
+        "SUM(v) AS sall, SUM(CASE WHEN r > cut AND r <= n - cut THEN v END) AS skept FROM c GROUP BY 1) " +
+        "SELECT k AS event_type, CAST(n AS BIGINT) AS n, CAST(n_kept AS BIGINT) AS n_kept, " +
+        "CAST((CASE WHEN sall >= 0 THEN 1 ELSE -1 END) * (abs(sall) // n) AS BIGINT) AS mean_micro, " +
+        "CAST((CASE WHEN skept >= 0 THEN 1 ELSE -1 END) * (abs(skept) // n_kept) AS BIGINT) AS trimmed_mean_micro " +
+        "FROM g ORDER BY event_type"),
+    // ×2-scaled tie-average ranks stay integer; z is the declared
+    // float tail with IDENTICAL operand order
+    "p171_mann_whitney" -> (
+      "WITH q AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v, event_type AS k " +
+        "FROM events WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')), " +
+        "c AS (SELECT v, SUM(CASE WHEN k = 'view' THEN 1 ELSE 0 END) AS ca, " +
+        "SUM(CASE WHEN k = 'purchase' THEN 1 ELSE 0 END) AS cb FROM q GROUP BY 1), " +
+        "t AS (SELECT *, ca + cb AS t, COALESCE(SUM(ca + cb) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf FROM c), " +
+        "r AS (SELECT *, 2 * bf + t + 1 AS r2 FROM t), " +
+        "m AS (SELECT COALESCE(SUM(ca), 0) AS na, COALESCE(SUM(cb), 0) AS nb, " +
+        "COALESCE(SUM(CAST(ca AS HUGEINT) * r2), 0) AS ra2, " +
+        "COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0) AS tie3 FROM r) " +
+        "SELECT 'view' AS key_a, 'purchase' AS key_b, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CAST(ra2 - CAST(na AS HUGEINT) * (na + 1) AS BIGINT) AS u2_a, " +
+        "CAST(2 * CAST(na AS HUGEINT) * nb - (ra2 - CAST(na AS HUGEINT) * (na + 1)) AS BIGINT) AS u2_b, " +
+        "CASE WHEN na = 0 OR nb = 0 OR " +
+        "(na + nb + 1) - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)) <= 0 THEN NULL ELSE " +
+        "round((CAST(ra2 - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) / 2 - CAST(na AS DOUBLE) * nb / 2) / " +
+        "sqrt(CAST(na AS DOUBLE) * nb / 12 * ((na + nb + 1) - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 3) + 0.0 END AS z " +
+        "FROM m"),
+    // exact scaled chi-square cells ((o·n − ri·cj)²·1e6 // (ri·cj·n));
+    // V float tail with identical order
+    "p172_cramers_v" -> (
+      "WITH e AS (SELECT event_type AS a, user_id % 5 AS b FROM events), " +
+        "cells AS (SELECT a, b, COUNT(*) AS o FROM e GROUP BY 1, 2), " +
+        "m AS (SELECT *, SUM(o) OVER (PARTITION BY a) AS ri, SUM(o) OVER (PARTITION BY b) AS cj, " +
+        "SUM(o) OVER () AS n FROM cells), " +
+        "s AS (SELECT MAX(n) AS n, " +
+        "COUNT(DISTINCT a) + MAX(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS r, " +
+        "COUNT(DISTINCT b) + MAX(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS c, " +
+        "SUM((CAST(o AS HUGEINT) * n - CAST(ri AS HUGEINT) * cj) * " +
+        "(CAST(o AS HUGEINT) * n - CAST(ri AS HUGEINT) * cj) * 1000000 // " +
+        "(CAST(ri AS HUGEINT) * cj * n)) " +
+        "+ (CAST(MAX(n) AS HUGEINT) * 1000000 - SUM(CAST(ri AS HUGEINT) * cj * 1000000 // n)) AS chi2 FROM m) " +
+        "SELECT 'event_type' AS col_a, 'cohort' AS col_b, CAST(n AS BIGINT) AS n, " +
+        "CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c, CAST(chi2 AS BIGINT) AS chi2_micro, " +
+        "CASE WHEN r < 2 OR c < 2 THEN NULL ELSE " +
+        "round(sqrt(CAST(chi2 AS DOUBLE) / 1000000.0 / (CAST(n AS DOUBLE) * (LEAST(r, c) - 1.0))), 6) + 0.0 END AS cramers_v " +
+        "FROM s"),
     // mask-tuple groups; NULL < 5.0 is NULL → stays NULL either way
     "p168_null_patterns" -> (
       "WITH e AS (SELECT user_id, CASE WHEN value < 5.0 THEN NULL ELSE value END AS value, " +

@@ -490,6 +490,30 @@ class EventsOpsSpec extends AnyFunSuite {
       ("c", 1, 1L, Some(-500000L)), ("c", 2, 0L, None), ("c", 3, 0L, None)))
   }
 
+  test("trimmedMean: outlier trimmed by exact rank cuts; raw mean rides along") {
+    import spark.implicits._
+    val ev = ((1 to 10).map(i => (i.toLong, "a", i.toDouble)) :+
+      (11L, "a", 1000.0)).toDF("event_id", "event_type", "value")
+    val out = EventsOps.trimmedMean(ev, trimPpm = 100000L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // n=11, cut=1: drop value 1 and value 1000, keep 2..10 → mean 6
+    assert(out.toSeq == Seq(("a", 11L, 9L, 95909090L, 6000000L)))
+  }
+
+  test("mannWhitneyU: hand-computed tie-average ranks, U halves, z") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", 1.0), (2L, "view", 2.0), (3L, "view", 2.0),
+      (11L, "purchase", 2.0), (12L, "purchase", 3.0)
+    ).toDF("event_id", "event_type", "value")
+    val r = EventsOps.mannWhitneyU(ev, "view", "purchase").collect().head
+    // ranks over {1, 2,2,2, 3}: R_view = 1 + 3 + 3 = 7 → 2U_a = 14 − 12 = 2
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((3L, 2L, 2L, 10L)))
+    // z = (1 − 3)/sqrt(0.5·(6 − 24/20)) = −1.291 at round-3
+    assert(r.getDouble(6) == -1.291)
+  }
+
   test("quantileNormalize: rank-matched values; extremes map to extremes") {
     import spark.implicits._
     // A = click values 10,20,30,40 (n=4); B = purchase values 1,2,3 (n=3)

@@ -21,6 +21,24 @@ class GovernanceSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("b", 1L, 2L), ("b", 2L, 1L)))
   }
 
+  test("cramersV: perfect association is 1.0 (absent cells counted), independence near 0") {
+    import spark.implicits._
+    // a == b: the 2×2 table is diagonal — V must be exactly 1, which
+    // requires the ABSENT off-diagonal cells' (0−e)²/e = e mass
+    val perfect = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")).toDF("a", "b")
+    val p = Governance.cramersV(perfect, "a", "b").collect().head
+    assert(p.getLong(2) == 4L && p.getLong(3) == 2L && p.getLong(4) == 2L)
+    assert(p.getLong(5) == 4000000L, s"chi2_micro = ${p.getLong(5)}") // chi2 = n = 4
+    assert(p.getDouble(6) == 1.0)
+    // balanced independence: every cell at its expectation → V = 0
+    val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")).toDF("a", "b")
+    val i = Governance.cramersV(indep, "a", "b").collect().head
+    assert(i.getLong(5) == 0L && i.getDouble(6) == 0.0)
+    // single-category axis → V undefined
+    val one = Seq(("x", "u"), ("x", "v")).toDF("a", "b")
+    assert(Governance.cramersV(one, "a", "b").collect().head.isNullAt(6))
+  }
+
   test("nullPatterns: combinations counted, most-common first, shares sum to ~1e6") {
     import spark.implicits._
     val df = Seq(
