@@ -1433,6 +1433,47 @@ object EventsOps {
         sum(col("_tm")).as("entropy_micro"))
   }
 
+  /** WILSON SCORE INTERVAL per key for a binary outcome — the error
+    * bars every conversion dashboard should draw: unlike the normal
+    * approximation it never leaves [0, 1] and stays honest at small n
+    * or extreme rates. Outcome = "the key's user did `convType` at
+    * least once".
+    *
+    * Shape: one (key, user) partial agg (users-bounded), one key agg
+    * on its exchange. The interval itself is the declared float tail
+    * (one sqrt; z = 1.96 literal on both engines; round-6, +0.0) over
+    * exact integer n and x — the [[Governance.psiDrift]] float
+    * policy; n, x, and rate_ppm stay integer-exact.
+    *
+    * Returns per cohort (user id mod `cohorts`): (cohort, n_users,
+    * n_converted, rate_ppm, wilson_lo, wilson_hi). */
+  def wilsonInterval(
+      ev: DataFrame,
+      convType: String = "purchase",
+      cohorts: Int = 10,
+      userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(cohorts >= 1, s"wilsonInterval: need >= 1 cohorts, got $cohorts")
+    val perUser = ev
+      .groupBy((col(userCol) % cohorts).as("cohort"), col(userCol).as("_u"))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L)).as("_conv"))
+    val n = col("n_users").cast("double")
+    val p = col("n_converted").cast("double") / n
+    val z = lit(1.96d)
+    val z2 = z * z
+    val center = p + z2 / (lit(2.0d) * n)
+    val spread = z * sqrt((p * (lit(1.0d) - p) + z2 / (lit(4.0d) * n)) / n)
+    val denom = lit(1.0d) + z2 / n
+    perUser
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"), sum(col("_conv")).as("n_converted"))
+      .select(col("cohort"), col("n_users"), col("n_converted"),
+        expr("CAST(n_converted * 1000000 div n_users AS BIGINT)").as("rate_ppm"),
+        (round((center - spread) / denom, 6) + lit(0.0d)).as("wilson_lo"),
+        (round((center + spread) / denom, 6) + lit(0.0d)).as("wilson_hi"))
+      .orderBy("cohort")
+  }
+
   /** TRIMMED MEAN per key: the mean of the middle (1 − 2·trim) of each
     * key's values — the robust location estimate dashboards should use
     * where a plain AVG is one fat-finger away from nonsense, and the

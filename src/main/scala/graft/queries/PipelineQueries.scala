@@ -1628,6 +1628,11 @@ object PipelineQueries {
     "p167_wow_growth" -> ((s, dir) =>
       graft.ops.EventsOps.wowGrowth(Tables(s, dir, "events"))),
 
+    // Conversion-rate error bars: Wilson score interval per 10-way
+    // user cohort — never leaves [0,1], honest at small n.
+    "p173_wilson_ci" -> ((s, dir) =>
+      graft.ops.EventsOps.wilsonInterval(Tables(s, dir, "events"))),
+
     // Robust location per type: mean of the middle 90% (5% trimmed
     // each side by exact rank cuts) next to the raw mean.
     "p170_trimmed_mean" -> ((s, dir) =>
@@ -3370,6 +3375,22 @@ object PipelineQueries {
         "UNION ALL SELECT 'value', n_rows, n_nonnull, n_distinct, m3.v, CAST(m3.n AS BIGINT), " +
         "CAST(m3.n * 1000000 // n_nonnull AS BIGINT) FROM s3 LEFT JOIN m3 ON TRUE " +
         "ORDER BY col_name"),
+    // Wilson bounds with IDENTICAL float operand order; z = 1.96
+    // literal on both sides; n, x, rate stay integer
+    "p173_wilson_ci" -> (
+      "WITH u AS (SELECT user_id % 10 AS cohort, user_id, " +
+        "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv " +
+        "FROM events GROUP BY 1, 2), " +
+        "g AS (SELECT cohort, COUNT(*) AS n_users, SUM(conv) AS n_converted FROM u GROUP BY 1) " +
+        "SELECT cohort, CAST(n_users AS BIGINT) AS n_users, CAST(n_converted AS BIGINT) AS n_converted, " +
+        "CAST(n_converted * 1000000 // n_users AS BIGINT) AS rate_ppm, " +
+        "round(((CAST(n_converted AS DOUBLE) / n_users + 1.96 * 1.96 / (2.0 * n_users)) - " +
+        "1.96 * sqrt(((CAST(n_converted AS DOUBLE) / n_users) * (1.0 - CAST(n_converted AS DOUBLE) / n_users) + " +
+        "1.96 * 1.96 / (4.0 * n_users)) / n_users)) / (1.0 + 1.96 * 1.96 / n_users), 6) + 0.0 AS wilson_lo, " +
+        "round(((CAST(n_converted AS DOUBLE) / n_users + 1.96 * 1.96 / (2.0 * n_users)) + " +
+        "1.96 * sqrt(((CAST(n_converted AS DOUBLE) / n_users) * (1.0 - CAST(n_converted AS DOUBLE) / n_users) + " +
+        "1.96 * 1.96 / (4.0 * n_users)) / n_users)) / (1.0 + 1.96 * 1.96 / n_users), 6) + 0.0 AS wilson_hi " +
+        "FROM g ORDER BY cohort"),
     // exact rank cuts; re-signed // on non-negative magnitudes
     "p170_trimmed_mean" -> (
       "WITH b AS (SELECT event_type AS k, event_id AS tie, " +

@@ -490,6 +490,25 @@ class EventsOpsSpec extends AnyFunSuite {
       ("c", 1, 1L, Some(-500000L)), ("c", 2, 0L, None), ("c", 3, 0L, None)))
   }
 
+  test("wilsonInterval: bounds bracket the rate inside [0,1]; certain outcomes stay honest") {
+    import spark.implicits._
+    // cohort 0: users 0,10 → one converts; cohort 1: user 1 never converts
+    val ev = Seq(
+      (0L, "purchase"), (0L, "view"), (10L, "view"),
+      (1L, "view"), (1L, "click")
+    ).toDF("user_id", "event_type")
+    val out = EventsOps.wilsonInterval(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val c0 = out.find(_._1 == 0L).get
+    assert(c0._2 == 2L && c0._3 == 1L && c0._4 == 500000L)
+    assert(c0._5 > 0.0 && c0._5 < 0.5 && c0._6 > 0.5 && c0._6 < 1.0)
+    val c1 = out.find(_._1 == 1L).get
+    // zero conversions: the lower bound collapses to 0 (within the
+    // round-6 grid), the upper does not
+    assert(c1._3 == 0L && math.abs(c1._5) <= 1e-6 && c1._6 > 0.0 && c1._6 < 1.0)
+  }
+
   test("trimmedMean: outlier trimmed by exact rank cuts; raw mean rides along") {
     import spark.implicits._
     val ev = ((1 to 10).map(i => (i.toLong, "a", i.toDouble)) :+
