@@ -99,4 +99,40 @@ object SnapshotDiff {
       .select(base.columns.map(col).toIndexedSeq: _*)
     kept.unionByName(upserts)
   }
+
+  /** Per-key ADDITIVE aggregate state from raw events — the unit an
+    * incremental pipeline checkpoints: (key, n, sum_micro, min_micro,
+    * max_micro). Values micro-quantize to BIGINT; one partial-agg
+    * shuffle. NULL values are excluded everywhere (they contribute no
+    * state). */
+  def aggState(
+      ev: DataFrame,
+      keyCol: String = "event_type",
+      valueCol: String = "value"): DataFrame =
+    ev.where(col(valueCol).isNotNull)
+      .select(col(keyCol),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("sum_micro"),
+        min(col("_v")).as("min_micro"), max(col("_v")).as("max_micro"))
+
+  /** MERGE two [[aggState]] checkpoints — incremental view maintenance:
+    * `merge(state(batch₁), state(batch₂)) == state(batch₁ ∪ batch₂)`,
+    * the invariant the p174 gate proves against a full DuckDB
+    * recompute. Counts/sums add; min/max take the null-safe envelope;
+    * keys present on one side pass through. One key-table-sized FULL
+    * OUTER join — state is key-cardinality-bounded, so at 100 TB this
+    * merge touches checkpoints, never raw history: the whole point of
+    * keeping additive state. */
+  def mergeAggState(a: DataFrame, b: DataFrame, keyCol: String = "event_type"): DataFrame = {
+    val bb = b.select(col(keyCol), col("n").as("_n2"), col("sum_micro").as("_s2"),
+      col("min_micro").as("_mn2"), col("max_micro").as("_mx2"))
+    a.join(bb, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_n2"), lit(0L))).as("n"),
+        (coalesce(col("sum_micro"), lit(0L)) + coalesce(col("_s2"), lit(0L)))
+          .as("sum_micro"),
+        least(col("min_micro"), col("_mn2")).as("min_micro"),
+        greatest(col("max_micro"), col("_mx2")).as("max_micro"))
+  }
 }

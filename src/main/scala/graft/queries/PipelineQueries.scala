@@ -1628,6 +1628,18 @@ object PipelineQueries {
     "p167_wow_growth" -> ((s, dir) =>
       graft.ops.EventsOps.wowGrowth(Tables(s, dir, "events"))),
 
+    // Incremental view maintenance: merge(state(evens), state(odds))
+    // must equal the oracle's FULL recompute — the checkpoint-merge
+    // invariant incremental pipelines rest on.
+    "p174_incremental_agg" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val sd = graft.ops.SnapshotDiff
+      sd.mergeAggState(
+          sd.aggState(ev.where(col("event_id") % 2 === 0)),
+          sd.aggState(ev.where(col("event_id") % 2 === 1)))
+        .orderBy("event_type")
+    }),
+
     // Conversion-rate error bars: Wilson score interval per 10-way
     // user cohort — never leaves [0,1], honest at small n.
     "p173_wilson_ci" -> ((s, dir) =>
@@ -3375,6 +3387,13 @@ object PipelineQueries {
         "UNION ALL SELECT 'value', n_rows, n_nonnull, n_distinct, m3.v, CAST(m3.n AS BIGINT), " +
         "CAST(m3.n * 1000000 // n_nonnull AS BIGINT) FROM s3 LEFT JOIN m3 ON TRUE " +
         "ORDER BY col_name"),
+    // the oracle IS the full recompute — hash equality proves the
+    // checkpoint merge loses nothing
+    "p174_incremental_agg" -> (
+      "WITH q AS (SELECT event_type, CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE value IS NOT NULL) " +
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sum_micro, " +
+        "MIN(v) AS min_micro, MAX(v) AS max_micro FROM q GROUP BY 1 ORDER BY 1"),
     // Wilson bounds with IDENTICAL float operand order; z = 1.96
     // literal on both sides; n, x, rate stay integer
     "p173_wilson_ci" -> (

@@ -90,4 +90,22 @@ class SnapshotDiffSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unknown status"))
   }
+
+  test("mergeAggState: merge of split batches equals full recompute; one-sided keys pass") {
+    import spark.implicits._
+    val all = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("c", 5.0)
+    ).toDF("event_type", "value")
+    import org.apache.spark.sql.functions.col
+    // split so that "b" is only in batch 1 and "c" only in batch 2
+    val b1 = all.where(col("value") <= 3.0 && col("event_type") === "a")
+      .union(all.where(col("event_type") === "b"))
+    val b2 = all.except(b1)
+    val merged = SnapshotDiff.mergeAggState(
+        SnapshotDiff.aggState(b1), SnapshotDiff.aggState(b2))
+      .orderBy("event_type").collect().map(_.toSeq)
+    val full = SnapshotDiff.aggState(all)
+      .orderBy("event_type").collect().map(_.toSeq)
+    assert(merged.toSeq == full.toSeq)
+  }
 }
