@@ -174,4 +174,24 @@ class EmptyInputSpec extends AnyFunSuite {
     val ku = Governance.keyUniqueness(noFk, Seq("fk")).collect()
     assert(ku.length == 1 && ku.head.getLong(1) == 0L && ku.head.isNullAt(5))
   }
+
+  test("stats-test and state-merge ops on empty input") {
+    import graft.ops.{EventsOps, Governance, SnapshotDiff}
+    assert(EventsOps.trimmedMean(noEvents).count() == 0)
+    assert(EventsOps.wilsonInterval(noEvents).count() == 0)
+    assert(EventsOps.quantileNormalize(noEvents, "click", "purchase").count() == 0)
+    assert(EventsOps.activityStreaks(noEvents).count() == 0)
+    assert(EventsOps.wowGrowth(noEvents).count() == 0)
+    // Mann–Whitney is a REPORT: one row, zero counts, NULL z
+    val mw = EventsOps.mannWhitneyU(noEvents, "view", "purchase").collect()
+    assert(mw.length == 1 && mw.head.getLong(2) == 0L && mw.head.isNullAt(6))
+    // Cramér's V report on empty input: one row, NULL V (no crash)
+    val cv = Governance.cramersV(noEvents, "event_type", "user_id").collect()
+    assert(cv.length == 1 && cv.head.isNullAt(6))
+    val np = Governance.nullPatterns(noEvents, Seq("value")).count()
+    assert(np == 0)
+    assert(SnapshotDiff.aggState(noEvents).count() == 0)
+    assert(SnapshotDiff.mergeAggState(
+      SnapshotDiff.aggState(noEvents), SnapshotDiff.aggState(noEvents)).count() == 0)
+  }
 }
