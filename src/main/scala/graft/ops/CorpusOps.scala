@@ -1569,4 +1569,51 @@ object CorpusOps {
       .orderBy(col("n_ab").desc, col("tok_a"), col("tok_b"))
       .limit(topK)
   }
+
+  /** CURRICULUM ORDER — a deterministic easy-to-hard training order
+    * with difficulty mixing: docs are scored by token count (short ≈
+    * easy — swap in any integer difficulty), cut into `nBuckets`
+    * difficulty tiers (ntile over the (score, doc_id) total order), and
+    * the final position round-robins ACROSS tiers —
+    * `pos = (rank_within_tier − 1) · nBuckets + tier` — so every
+    * consecutive stretch of the schedule touches every tier while still
+    * front-loading each tier's own easiest docs (the standard
+    * anti-curriculum-collapse interleave: pure sorted-by-difficulty
+    * training destabilizes early optimization). Within a tier the order
+    * is a content-seeded shuffle — md5 of the doc id, RNG-free like
+    * [[epochShuffle]] — so the schedule is reproducible on any engine
+    * and cluster layout.
+    *
+    * Shape: token counts are map-only; both windows partition on the
+    * TIER (first ntile's window is per-corpus but carries only (score,
+    * id) pairs — see caveat), so parallelism = nBuckets after a
+    * key-sized shuffle. Caveat for 100 TB honesty: ntile needs a total
+    * order, which Spark runs single-partition over the SLIM (score,
+    * id) projection; at extreme scale swap the ntile for the
+    * [[epochShuffle]] blocked-prefix-sum recipe over per-block count
+    * summaries — the contract (equal-sized tiers, same order) is
+    * unchanged. The schedule is corpus-row-sized, never wider.
+    *
+    * Returns (doc_id, n_tokens, tier 1-based, curriculum_pos 1-based)
+    * — curriculum_pos is a total order (dense in 1..n when tiers are
+    * equal-sized, gap-free per round-robin cycle otherwise). */
+  def curriculumOrder(
+      docs: DataFrame,
+      nBuckets: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 1, s"curriculumOrder: need nBuckets >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window.orderBy(col("n_tokens"), col(idCol))
+    val inTier = Window.partitionBy(col("tier"))
+      .orderBy(col("_h"), col(idCol))
+    docs
+      .select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("tier", ntile(nBuckets).over(byScore))
+      .withColumn("_h", md5(col(idCol).cast("string")))
+      .withColumn("curriculum_pos",
+        (row_number().over(inTier).cast("long") - 1L) * nBuckets + col("tier"))
+      .select(col(idCol), col("n_tokens"), col("tier"), col("curriculum_pos"))
+  }
 }

@@ -1907,4 +1907,140 @@ object EventsOps {
       })
       .orderBy("lag")
   }
+
+  /** TWAP — TIME-WEIGHTED average of a measure per key: each event's
+    * value "holds" from its second until the next event's second on the
+    * same key, so bursty seconds don't dominate the way a plain mean
+    * lets them (the market-data TWAP construction, equally the right
+    * average for any sampled gauge: queue depth, price, temperature).
+    * The plain mean rides along so the report shows the burst bias.
+    *
+    * Determinism/exactness: values quantized to BIGINT micro-units
+    * before anything else; hold durations come from `lead` over the
+    * (second, tieCol) TOTAL order (same-second bursts get zero weight
+    * except the last event of the second — a declared, reproducible
+    * convention); the value·duration products sum in DECIMAL(38,0) and
+    * divide last (integral `div`, operands non-negative by the micro
+    * floor of non-negative measures — callers with signed measures get
+    * floor-division semantics from Spark's `div` and must mirror it in
+    * any oracle). The last event per key has no successor and carries
+    * no weight — span and weight sums agree by construction.
+    *
+    * Shape: ONE hash exchange on the key; the lead window and the
+    * final fold reuse it (no second shuffle — the aggregate runs on
+    * the window's partitioning). At 100 TB parallelism = #keys and
+    * per-key work is a linear scan; nothing global exists.
+    *
+    * Returns (keyCol, n_events, span_sec, weighted_sec, mean_micro,
+    * twap_micro); twap NULL when every duration is zero. */
+  def twap(
+      ev: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    val d = DecimalType(38, 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_s"), col(tieCol))
+    ev.select(col(keyCol), col(tieCol),
+        epochSec(tsCol).as("_s"),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+      .withColumn("_w", coalesce(lead(col("_s"), 1).over(w) - col("_s"), lit(0L)))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("_s")) - min(col("_s"))).as("span_sec"),
+        sum(col("_w")).as("weighted_sec"),
+        sum(col("_v").cast(d)).as("_sv"),
+        sum(col("_v").cast(d) * col("_w").cast(d)).as("_svw"))
+      .select(col(keyCol), col("n_events"), col("span_sec"), col("weighted_sec"),
+        expr("CAST(_sv div CAST(n_events AS DECIMAL(38,0)) AS BIGINT)").as("mean_micro"),
+        when(col("weighted_sec") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(_svw div CAST(weighted_sec AS DECIMAL(38,0)) AS BIGINT)"))
+          .as("twap_micro"))
+  }
+
+  /** OHLC BARS — per key per fixed time bar: open/high/low/close of the
+    * measure plus count and volume, the candlestick aggregation every
+    * monitoring and market pipeline draws. Bar id is
+    * floor(epoch_s / barSeconds) (exact for pre-1970 via the
+    * floor(double) idiom shared with [[seasonalProfile]]).
+    *
+    * Open/close WITHOUT a window: `min(struct(sec, tie, v))` /
+    * `max(struct(sec, tie, v))` — struct ordering is lexicographic and
+    * (sec, tieCol) is a total order, so the first/last event per bar is
+    * unique and the whole op is ONE partial-agg'd hash aggregate (the
+    * map side collapses each partition to ≤ #bars rows; no per-bar sort,
+    * no window exchange). At 100 TB parallelism = #(key × bar) and a
+    * hot bar is exactly what the partial agg absorbs.
+    *
+    * Returns (keyCol, bar, bar_start_sec, n_events, open/high/low/
+    * close_micro, volume_micro), micro-quantized BIGINTs throughout. */
+  def ohlcBars(
+      ev: DataFrame,
+      barSeconds: Long = 3600L,
+      keyCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    require(barSeconds > 0, s"ohlcBars: need barSeconds > 0, got $barSeconds")
+    val d = DecimalType(38, 0)
+    val bar = floor(epochSec(tsCol).cast("double") / lit(barSeconds.toDouble)).cast("long")
+    ev.select(col(keyCol), bar.as("bar"),
+        epochSec(tsCol).as("_s"), col(tieCol).as("_t"),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+      .groupBy(col(keyCol), col("bar"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(struct(col("_s"), col("_t"), col("_v"))).as("_first"),
+        max(struct(col("_s"), col("_t"), col("_v"))).as("_last"),
+        max(col("_v")).as("high_micro"),
+        min(col("_v")).as("low_micro"),
+        sum(col("_v").cast(d)).cast("long").as("volume_micro"))
+      .select(col(keyCol), col("bar"),
+        (col("bar") * barSeconds).as("bar_start_sec"),
+        col("n_events"),
+        col("_first._v").as("open_micro"), col("high_micro"), col("low_micro"),
+        col("_last._v").as("close_micro"), col("volume_micro"))
+  }
+
+  /** HEAVY CHANGERS — the keys whose activity shifted most between the
+    * first and second half of the observed time range: count per key
+    * per half, delta = after − before, top-k by |delta| (delta-sketch
+    * "heavy changers" are the streaming cousin; this is the exact batch
+    * form). The midpoint is floor((min+max)/2) epoch seconds; an event
+    * at exactly the midpoint counts as AFTER (half = sec > mid ? 1 : 0,
+    * declared).
+    *
+    * Shape: one partial-agg count on (key, half) — map-side combine
+    * collapses to ≤ 2·#keys rows — then a key-sized pivot fold and
+    * TakeOrderedAndProject for the top-k (never a global sort of the
+    * key table; the driver holds k rows). The range bounds come from a
+    * 1-row aggregate broadcast-joined back, so the op stays lazy and
+    * single-pass over the data. Ordering is total: |delta| desc, then
+    * key asc. All-integer output.
+    *
+    * Returns topK rows of (keyCol, n_before, n_after, delta,
+    * abs_delta). */
+  def heavyChangers(
+      ev: DataFrame,
+      topK: Int = 20,
+      keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(topK >= 1, s"heavyChangers: need topK >= 1, got $topK")
+    val secs = ev.select(col(keyCol), epochSec(tsCol).as("_s"))
+    val mid = secs.agg(
+      floor((min(col("_s")) + max(col("_s"))).cast("double") / lit(2.0d))
+        .cast("long").as("_mid"))
+    secs
+      .crossJoin(broadcast(mid))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(when(col("_s") <= col("_mid"), 1L).otherwise(0L)).as("n_before"),
+        sum(when(col("_s") > col("_mid"), 1L).otherwise(0L)).as("n_after"))
+      .withColumn("delta", col("n_after") - col("n_before"))
+      .withColumn("abs_delta", abs(col("delta")))
+      .orderBy(col("abs_delta").desc, col(keyCol).asc)
+      .limit(topK)
+  }
 }

@@ -486,4 +486,72 @@ object Governance {
             .cast("long")).as("chi2_micro"))
       .orderBy("digit")
   }
+
+  /** L-DIVERSITY audit — the companion screen to [[kAnonymityAudit]]:
+    * a QI class can be large (k-anonymous) yet still leak if every
+    * member shares the SAME sensitive value; l-diversity requires ≥ l
+    * DISTINCT sensitive values per class (Machanavajjhala et al.'s
+    * distinct-l-diversity, the standard release criterion after
+    * k-anonymity). Reports EVERY class with its diversity and a meets
+    * flag — the violating subset is a filter away, and the full table
+    * is what a release review reads.
+    *
+    * Shape: distinct (QI, sensitive) first — one partial-agg'd
+    * aggregate whose map side collapses repeats — then a second
+    * |classes|-bounded fold counting distinct values and joining the
+    * class row counts (also |classes|-bounded). Nothing row-sized
+    * survives the first aggregate; at 100 TB parallelism = #classes.
+    *
+    * Returns (qiCols..., n_rows, l_diversity, meets_l), all-integer,
+    * one row per QI class. */
+  def lDiversity(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "lDiversity: need at least one quasi-identifier")
+    require(l >= 2, s"lDiversity: l < 2 holds trivially, got $l")
+    val qi = qiCols.map(col)
+    val sizes = df.groupBy(qi: _*).agg(count(lit(1)).as("n_rows"))
+    val distinctVals = df
+      .select((qiCols :+ sensitiveCol).map(col): _*)
+      .distinct()
+      .groupBy(qi: _*)
+      .agg(count(lit(1)).as("l_diversity"))
+    sizes.join(distinctVals, qiCols)
+      .withColumn("meets_l", col("l_diversity") >= l)
+  }
+
+  /** FRESHNESS report — per key: last-seen time, age versus the
+    * newest event anywhere in the snapshot, and a staleness bucket
+    * (floor(age / bucketSeconds)) — the data-SLA half of snapshot
+    * monitoring ([[nullDrift]] watches content, this watches
+    * recency; a key whose bucket keeps climbing is a dead producer).
+    *
+    * Shape: one partial-agg (max, count) on the key; the global
+    * high-water mark is a 1-row aggregate OF THE KEY TABLE (not a
+    * second data scan) broadcast-joined back, so the op is lazy and
+    * single-pass. Ages are non-negative by construction, so the
+    * bucket's integral `div` is a true floor. At 100 TB parallelism =
+    * #keys; the report is key-sized.
+    *
+    * Returns (keyCol, n_events, last_sec, age_sec, stale_bucket),
+    * all-integer. */
+  def freshnessReport(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String = "ts",
+      bucketSeconds: Long = 86400L): DataFrame = {
+    require(bucketSeconds > 0, s"freshnessReport: need bucketSeconds > 0, got $bucketSeconds")
+    val sec = floor(unix_micros(col(tsCol)).cast("double") / lit(1000000.0d)).cast("long")
+    val perKey = df
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), max(sec).as("last_sec"))
+    val hwm = perKey.agg(max(col("last_sec")).as("_hwm"))
+    perKey
+      .crossJoin(broadcast(hwm))
+      .select(col(keyCol), col("n_events"), col("last_sec"),
+        (col("_hwm") - col("last_sec")).as("age_sec"),
+        expr(s"CAST((_hwm - last_sec) div $bucketSeconds AS BIGINT)").as("stale_bucket"))
+  }
 }

@@ -121,4 +121,56 @@ object Stats {
     m.select(explode(array(rows: _*)).as("_r"))
       .select(col("_r.col_a"), col("_r.col_b"), col("_r.n"), col("_r.corr"))
   }
+
+  /** RANK REPORT — the full SQL ranking-function suite per group over a
+    * measure, INTEGER-EXACT: row_number / rank / dense_rank / ntile on
+    * the (value, tie) total order, plus cume_ppm — cume_dist re-derived
+    * as `count(*) OVER (ORDER BY value RANGE UNBOUNDED PRECEDING..
+    * CURRENT) * 1e6 div n` so the tie semantics (all peers share the
+    * count of rows ≤ their value) survive integer arithmetic instead of
+    * hiding in a float. percent_rank's numerator is `rank − 1` and its
+    * denominator `n − 1`, reported as ppm with the same integral div
+    * (NULL for 1-row groups, matching SQL's 0/0 convention being
+    * undefined — declared NULL here).
+    *
+    * Shape: ONE hash exchange on the group key; every window (rows
+    * frame, range frame, ntile, the group count) shares that partition
+    * + sort. The measure is micro-quantized BEFORE the windows so the
+    * RANGE frame compares BIGINTs. At 100 TB parallelism = #groups;
+    * the per-row frame updates are O(1) sliding-window ops, and no
+    * global sort exists — callers wanting a report ORDER BY add it on
+    * the (already small) result.
+    *
+    * Returns (groupCol, tieCol, value_micro, rn, rnk, dense_rnk,
+    * tile, cume_ppm, pct_rank_ppm). */
+  def rankReport(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCol: String,
+      nTiles: Int = 4): DataFrame = {
+    require(nTiles >= 1, s"rankReport: need nTiles >= 1, got $nTiles")
+    import org.apache.spark.sql.expressions.Window
+    val total = Window.partitionBy(col(groupCol)).orderBy(col("_v"), col(tieCol))
+    val byVal = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+    val cume = byVal.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val grp = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(tieCol),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+      .withColumn("rn", row_number().over(total))
+      .withColumn("rnk", rank().over(byVal))
+      .withColumn("dense_rnk", dense_rank().over(byVal))
+      .withColumn("tile", ntile(nTiles).over(total))
+      .withColumn("_le", count(lit(1)).over(cume))
+      .withColumn("_n", count(lit(1)).over(grp))
+      .select(col(groupCol), col(tieCol), col("_v").as("value_micro"),
+        col("rn"), col("rnk"), col("dense_rnk"), col("tile"),
+        expr("CAST(_le * 1000000 div _n AS BIGINT)").as("cume_ppm"),
+        when(col("_n") === 1, lit(null).cast("long"))
+          // rank() is 32-bit: widen BEFORE the ×1e6 or ranks past ~2147
+          // wrap negative
+          .otherwise(expr(
+            "CAST((CAST(rnk AS BIGINT) - 1) * 1000000 div (_n - 1) AS BIGINT)"))
+          .as("pct_rank_ppm"))
+  }
 }

@@ -1628,6 +1628,76 @@ object PipelineQueries {
     "p167_wow_growth" -> ((s, dir) =>
       graft.ops.EventsOps.wowGrowth(Tables(s, dir, "events"))),
 
+    // Time-weighted average per type: each value holds until the next
+    // event on its key; the plain mean rides along to show burst bias.
+    "p175_twap" -> ((s, dir) =>
+      graft.ops.EventsOps.twap(Tables(s, dir, "events"))
+        .orderBy("event_type")),
+
+    // Hourly OHLC candlesticks per type: open/close from ONE
+    // partial-agg'd min/max(struct(sec, tie, v)) — no window, no
+    // per-bar sort anywhere.
+    "p176_ohlc" -> ((s, dir) =>
+      graft.ops.EventsOps.ohlcBars(Tables(s, dir, "events"))
+        .orderBy("event_type", "bar")),
+
+    // Heavy changers: top-20 users by |count delta| between the two
+    // halves of the time range — key-sized fold + TakeOrdered.
+    "p177_heavy_changers" -> ((s, dir) =>
+      graft.ops.EventsOps.heavyChangers(Tables(s, dir, "events"), topK = 20)),
+
+    // l-diversity release audit: distinct sensitive values per QI
+    // class next to its k-anonymity row count, meets-l flagged.
+    "p178_l_diversity" -> ((s, dir) =>
+      graft.ops.Governance.lDiversity(Tables(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), "c_acctbal", l = 10L)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // Freshness SLA report: per-user last-seen, age vs the snapshot
+    // high-water mark, day-granular staleness bucket.
+    "p179_freshness" -> ((s, dir) =>
+      graft.ops.Governance.freshnessReport(Tables(s, dir, "events"), "user_id")
+        .orderBy("user_id")),
+
+    // Full ranking-function suite per priority over order totals —
+    // row_number/rank/dense_rank/ntile plus integer-exact cume and
+    // percent-rank ppm; ONE exchange feeds every window.
+    "p180_rank_suite" -> ((s, dir) =>
+      graft.ops.Stats.rankReport(Tables(s, dir, "orders"),
+          "o_orderpriority", "o_totalprice", "o_orderkey", nTiles = 4)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("value_micro"),
+          col("rn").cast("long").as("rn"), col("rnk").cast("long").as("rnk"),
+          col("dense_rnk").cast("long").as("dense_rnk"),
+          col("tile").cast("long").as("tile"), col("cume_ppm"), col("pct_rank_ppm"))
+        .orderBy("o_orderpriority", "rn")),
+
+    // Deterministic curriculum schedule: token-count difficulty tiers
+    // round-robin interleaved, md5-seeded order within tier.
+    "p181_curriculum" -> ((s, dir) =>
+      graft.ops.CorpusOps.curriculumOrder(Tables(s, dir, "documents"), nBuckets = 10)
+        .select(col("doc_id"), col("n_tokens"), col("tier").cast("long").as("tier"),
+          col("curriculum_pos"))
+        .orderBy("curriculum_pos", "doc_id")),
+
+    // Spark-native GROUPING SETS with grouping_id — the OLAP subtotal
+    // lattice without a cube's full blowup; NULLS FIRST pinned on both
+    // engines so subtotal rows collate identically.
+    "p182_grouping_sets" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          floor(col("l_quantity").cast("double") * lit(1000000.0d))
+            .cast("long").as("_q"))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty[org.apache.spark.sql.Column]),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("_q")).as("qty_micro"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("n"), col("qty_micro"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // Incremental view maintenance: merge(state(evens), state(odds))
     // must equal the oracle's FULL recompute — the checkpoint-merge
     // invariant incremental pipelines rest on.
@@ -3387,6 +3457,100 @@ object PipelineQueries {
         "UNION ALL SELECT 'value', n_rows, n_nonnull, n_distinct, m3.v, CAST(m3.n AS BIGINT), " +
         "CAST(m3.n * 1000000 // n_nonnull AS BIGINT) FROM s3 LEFT JOIN m3 ON TRUE " +
         "ORDER BY col_name"),
+    // hold durations from LEAD over the same (sec, tie) total order;
+    // all operands non-negative so // ≡ div
+    "p175_twap" -> (
+      "WITH e AS (SELECT event_type, event_id, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v FROM events), " +
+        "l AS (SELECT *, COALESCE(LEAD(s, 1) OVER (PARTITION BY event_type ORDER BY s, event_id) - s, 0) AS w FROM e), " +
+        "a AS (SELECT event_type, COUNT(*) AS n_events, MAX(s) - MIN(s) AS span_sec, " +
+        "SUM(w) AS weighted_sec, SUM(CAST(v AS HUGEINT)) AS sv, " +
+        "SUM(CAST(v AS HUGEINT) * w) AS svw FROM l GROUP BY 1) " +
+        "SELECT event_type, CAST(n_events AS BIGINT) AS n_events, " +
+        "CAST(span_sec AS BIGINT) AS span_sec, CAST(weighted_sec AS BIGINT) AS weighted_sec, " +
+        "CAST(sv // n_events AS BIGINT) AS mean_micro, " +
+        "CASE WHEN weighted_sec = 0 THEN NULL ELSE CAST(svw // weighted_sec AS BIGINT) END AS twap_micro " +
+        "FROM a ORDER BY event_type"),
+    // ordered-aggregate FIRST/LAST over the (sec, tie) total order ≡
+    // Spark's min/max(struct(sec, tie, v))
+    "p176_ohlc" -> (
+      "WITH e AS (SELECT event_type, " +
+        "CAST(floor(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) / 3600.0) AS BIGINT) AS bar, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s, event_id AS t, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v FROM events) " +
+        "SELECT event_type, bar, bar * 3600 AS bar_start_sec, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "FIRST(v ORDER BY s, t) AS open_micro, MAX(v) AS high_micro, MIN(v) AS low_micro, " +
+        "LAST(v ORDER BY s, t) AS close_micro, CAST(SUM(v) AS BIGINT) AS volume_micro " +
+        "FROM e GROUP BY 1, 2 ORDER BY event_type, bar"),
+    // midpoint = floor((min+max)/2.0) — double exact for epoch sums;
+    // total order (|delta| desc, user) makes the LIMIT deterministic
+    "p177_heavy_changers" -> (
+      "WITH e AS (SELECT user_id, CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s FROM events), " +
+        "m AS (SELECT CAST(floor((MIN(s) + MAX(s)) / 2.0) AS BIGINT) AS mid FROM e), " +
+        "c AS (SELECT user_id, SUM(CASE WHEN s <= mid THEN 1 ELSE 0 END) AS n_before, " +
+        "SUM(CASE WHEN s > mid THEN 1 ELSE 0 END) AS n_after FROM e, m GROUP BY 1) " +
+        "SELECT user_id, CAST(n_before AS BIGINT) AS n_before, CAST(n_after AS BIGINT) AS n_after, " +
+        "CAST(n_after - n_before AS BIGINT) AS delta, " +
+        "CAST(abs(n_after - n_before) AS BIGINT) AS abs_delta " +
+        "FROM c ORDER BY abs_delta DESC, user_id LIMIT 20"),
+    // class sizes and distinct-sensitive counts both fold over the
+    // |classes|-bounded tables
+    "p178_l_diversity" -> (
+      "WITH s AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows FROM customer GROUP BY 1, 2), " +
+        "d AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS l_diversity FROM " +
+        "(SELECT DISTINCT c_nationkey, c_mktsegment, c_acctbal FROM customer) GROUP BY 1, 2) " +
+        "SELECT s.c_nationkey, s.c_mktsegment, CAST(n_rows AS BIGINT) AS n_rows, " +
+        "CAST(l_diversity AS BIGINT) AS l_diversity, l_diversity >= 10 AS meets_l " +
+        "FROM s JOIN d USING (c_nationkey, c_mktsegment) ORDER BY c_nationkey, c_mktsegment"),
+    // high-water mark is a 1-row fold OF the key table; ages
+    // non-negative so // ≡ div
+    "p179_freshness" -> (
+      "WITH e AS (SELECT user_id, CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s FROM events), " +
+        "k AS (SELECT user_id, COUNT(*) AS n_events, MAX(s) AS last_sec FROM e GROUP BY 1), " +
+        "h AS (SELECT MAX(last_sec) AS hwm FROM k) " +
+        "SELECT user_id, CAST(n_events AS BIGINT) AS n_events, last_sec, " +
+        "hwm - last_sec AS age_sec, CAST((hwm - last_sec) // 86400 AS BIGINT) AS stale_bucket " +
+        "FROM k, h ORDER BY user_id"),
+    // identical window specs; cume re-derived from the RANGE count so
+    // tie semantics live in integers, not a float cume_dist
+    "p180_rank_suite" -> (
+      "WITH o AS (SELECT o_orderpriority AS g, o_orderkey AS t, " +
+        "CAST(floor(CAST(o_totalprice AS DOUBLE) * 1000000) AS BIGINT) AS v FROM orders), " +
+        "w AS (SELECT g, t, v, " +
+        "ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, t) AS rn, " +
+        "RANK() OVER (PARTITION BY g ORDER BY v) AS rnk, " +
+        "DENSE_RANK() OVER (PARTITION BY g ORDER BY v) AS dense_rnk, " +
+        "NTILE(4) OVER (PARTITION BY g ORDER BY v, t) AS tile, " +
+        "COUNT(*) OVER (PARTITION BY g ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le, " +
+        "COUNT(*) OVER (PARTITION BY g) AS n FROM o) " +
+        "SELECT g AS o_orderpriority, t AS o_orderkey, v AS value_micro, " +
+        "CAST(rn AS BIGINT) AS rn, CAST(rnk AS BIGINT) AS rnk, " +
+        "CAST(dense_rnk AS BIGINT) AS dense_rnk, CAST(tile AS BIGINT) AS tile, " +
+        "CAST(le * 1000000 // n AS BIGINT) AS cume_ppm, " +
+        "CASE WHEN n = 1 THEN NULL ELSE CAST((rnk - 1) * 1000000 // (n - 1) AS BIGINT) END AS pct_rank_ppm " +
+        "FROM w ORDER BY o_orderpriority, rn"),
+    // same tokenizer regex as p147; md5-of-id within-tier order and
+    // the round-robin position formula reproduced verbatim
+    "p181_curriculum" -> (
+      "WITH d AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens FROM documents), " +
+        "t AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "NTILE(10) OVER (ORDER BY n_tokens, doc_id) AS tier, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS h FROM d) " +
+        "SELECT doc_id, n_tokens, CAST(tier AS BIGINT) AS tier, " +
+        "(CAST(ROW_NUMBER() OVER (PARTITION BY tier ORDER BY h, doc_id) AS BIGINT) - 1) * 10 + tier AS curriculum_pos " +
+        "FROM t ORDER BY curriculum_pos, doc_id"),
+    // GROUPING(a, b) bit order matches Spark's grouping_id; NULLS
+    // FIRST pinned so subtotal rows collate identically
+    "p182_grouping_sets" -> (
+      "WITH q AS (SELECT l_returnflag, l_linestatus, " +
+        "CAST(floor(CAST(l_quantity AS DOUBLE) * 1000000) AS BIGINT) AS v FROM lineitem) " +
+        "SELECT l_returnflag, l_linestatus, " +
+        "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS qty_micro " +
+        "FROM q GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
+        "ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
     // the oracle IS the full recompute — hash equality proves the
     // checkpoint merge loses nothing
     "p174_incremental_agg" -> (

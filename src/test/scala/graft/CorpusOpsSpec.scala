@@ -742,4 +742,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(w2 == Set(("x", "y"), ("x", "z"), ("y", "z")))
     assert(w1 == Set(("x", "y"), ("y", "z")))
   }
+
+  test("curriculumOrder: difficulty tiers round-robin interleaved, total order") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.curriculumOrder(docs, nBuckets = 2)
+      .orderBy("curriculum_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // the two shortest docs land in tier 1, the two longest in tier 2
+    assert(out.filter(_._3 == 1).map(_._1).toSet == Set(1L, 2L))
+    assert(out.filter(_._3 == 2).map(_._1).toSet == Set(3L, 4L))
+    // positions are the dense total order 1..n, round-robin across
+    // tiers: odd positions from tier 1, even from tier 2
+    assert(out.map(_._4).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.map(t => (t._4 % 2, t._3.toLong)).forall {
+      case (1L, tier) => tier == 1L
+      case (0L, tier) => tier == 2L
+      case _ => false
+    })
+    // token counts are the whitespace tokenizer's
+    assert(out.map(t => t._1 -> t._2).toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
 }

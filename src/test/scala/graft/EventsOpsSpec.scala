@@ -675,4 +675,56 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(byLag(1)._2.contains(1.0))
     assert(!byLag(0)._2.contains(1.0))
   }
+
+  test("twap: hold-until-next weighting, burst convention, singleton NULL") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // "a": 10 held 10s, 20 held 20s, 30 unheld → twap 500e6/30
+      (1L, "a", at(0), 10.0), (2L, "a", at(10), 20.0), (3L, "a", at(30), 30.0),
+      // "b": single event → no held time → twap NULL, mean = value
+      (4L, "b", at(5), 7.0),
+      // "c": same-second burst — only the LAST event of the second
+      // carries the hold (ids order the burst)
+      (5L, "c", at(5), 1.0), (6L, "c", at(5), 9.0), (7L, "c", at(15), 9.0)
+    ).toDF("event_id", "event_type", "ts", "value")
+    val out = EventsOps.twap(ev).orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(out.toSeq == Seq(
+      ("a", 3L, 30L, 30L, 20000000L, Some(16666666L)),
+      ("b", 1L, 0L, 0L, 7000000L, None),
+      ("c", 3L, 10L, 10L, 6333333L, Some(9000000L))))
+  }
+
+  test("ohlcBars: open/close from the (sec, tie) total order, per-bar stats") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, "a", at(1), 5.0), (2L, "a", at(3), 8.0),   // bar 0
+      (3L, "a", at(12), 2.0),                         // bar 1
+      // same-second open tie broken by event_id: id 4 is the open
+      (4L, "b", at(20), 3.0), (5L, "b", at(20), 4.0)  // bar 2
+    ).toDF("event_id", "event_type", "ts", "value")
+    val out = EventsOps.ohlcBars(ev, barSeconds = 10L)
+      .orderBy("event_type", "bar").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(out.toSeq == Seq(
+      ("a", 0L, 0L, 2L, 5000000L, 8000000L, 5000000L, 8000000L, 13000000L),
+      ("a", 1L, 10L, 1L, 2000000L, 2000000L, 2000000L, 2000000L, 2000000L),
+      ("b", 2L, 20L, 2L, 3000000L, 4000000L, 3000000L, 4000000L, 7000000L)))
+  }
+
+  test("heavyChangers: midpoint split, |delta| ranking, key tie-break") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // range 0..100 → mid 50; midpoint event counts as BEFORE (s <= mid)
+    val ev = Seq(
+      (1L, 1L, at(0)), (2L, 1L, at(0)), (3L, 1L, at(100)),  // 2 before, 1 after
+      (4L, 2L, at(60)), (5L, 2L, at(80)),                   // 0 before, 2 after
+      (6L, 3L, at(50))                                      // exactly mid → before
+    ).toDF("event_id", "user_id", "ts")
+    val out = EventsOps.heavyChangers(ev, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // user 2 leads at |delta| 2; users 1 and 3 tie at 1 → key asc picks 1
+    assert(out.toSeq == Seq((2L, 0L, 2L, 2L), (1L, 2L, 1L, -1L)))
+  }
 }

@@ -201,4 +201,33 @@ class GovernanceSpec extends AnyFunSuite {
     // and a drifted pair is asymmetric in sign but positive in sum
     assert(out.map(_._4).sum > 0.0)
   }
+
+  test("lDiversity: distinct sensitive values per class, meets flag") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"),  // 3 rows, 2 distinct → meets l=2
+      ("b", "z"), ("b", "z"),              // 2 rows, 1 distinct → violates
+      ("c", null.asInstanceOf[String])     // NULL is a (single) value
+    ).toDF("qi", "sensitive")
+    val out = Governance.lDiversity(df, Seq("qi"), "sensitive", l = 2L)
+      .orderBy("qi").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      ("a", 3L, 2L, true), ("b", 2L, 1L, false), ("c", 1L, 1L, false)))
+  }
+
+  test("freshnessReport: age vs high-water mark, floor buckets") {
+    import spark.implicits._
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq(
+      ("a", at(95)), ("a", at(100)),  // newest key: age 0, bucket 0
+      ("b", at(90)),                  // age 10 → bucket 1 at width 10
+      ("c", at(81))                   // age 19 → still bucket 1
+    ).toDF("k", "ts")
+    val out = Governance.freshnessReport(df, "k", bucketSeconds = 10L)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("a", 2L, 100L, 0L, 0L), ("b", 1L, 90L, 10L, 1L), ("c", 1L, 81L, 19L, 1L)))
+  }
 }

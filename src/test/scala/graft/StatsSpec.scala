@@ -67,4 +67,24 @@ class StatsSpec extends AnyFunSuite {
       ("a", "b", 2L, Some(1.0)), ("a", "c", 2L, Some(-1.0)),
       ("b", "c", 2L, Some(-1.0))))
   }
+
+  test("rankReport: tie semantics of every rank flavor, singleton NULLs") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", 1L, 10.0), ("g", 2L, 10.0), ("g", 3L, 20.0),
+      ("h", 9L, 5.0)
+    ).toDF("grp", "id", "v")
+    val out = Stats.rankReport(df, "grp", "v", "id", nTiles = 2)
+      .orderBy("grp", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getLong(7),
+        if (r.isNullAt(8)) None else Some(r.getLong(8))))
+    assert(out.toSeq == Seq(
+      // peers at 10.0 share rank/dense/cume but split row_number/ntile
+      ("g", 1L, 10000000L, 1, 1, 1, 1, 666666L, Some(0L)),
+      ("g", 2L, 10000000L, 2, 1, 1, 1, 666666L, Some(0L)),
+      ("g", 3L, 20000000L, 3, 3, 2, 2, 1000000L, Some(1000000L)),
+      // 1-row group: cume 1.0, percent_rank NULL (0/0 undefined)
+      ("h", 9L, 5000000L, 1, 1, 1, 1, 1000000L, None)))
+  }
 }
