@@ -1290,6 +1290,110 @@ object EventsOps {
       .orderBy(col("n_conversions").desc, col("touch_type"))
   }
 
+  /** POSITION-BASED (U-shaped) multi-touch attribution — the 40/20/40
+    * model that completes the attribution family ([[lastTouchAttribution]]
+    * covers first/last): per conversion journey (a user's touches since
+    * their previous conversion), the FIRST touch gets 40% credit, the
+    * LAST 40%, and the middles split the remaining 20% evenly. Exact
+    * integer ppm with a declared remainder rule — each journey's credits
+    * sum to EXACTLY 1,000,000: 1-touch journeys take it all, 2-touch
+    * split 500k/500k, and with n ≥ 3 middles the indivisible remainder
+    * of `200000 div (n−2)` goes to the EARLIEST middle. Conversions
+    * with no preceding touch credit the "direct" bucket.
+    *
+    * Shape: journey ids are a running conversion count over the per-user
+    * (sec, tie) window; the per-journey position/size windows partition
+    * by (user, journey) — hash distribution by user already CLUSTERS
+    * (user, journey), so Spark inserts only a sort, never a second
+    * exchange. Credits fold per touch type (bounded). At 100 TB
+    * parallelism = #users; no journey array is ever materialized.
+    *
+    * Returns (touch_type, n_touches, credit_ppm) ordered by credit
+    * desc — Σ credit_ppm = 1,000,000 × #conversions. */
+  def positionAttribution(
+      ev: DataFrame,
+      convType: String = "purchase",
+      touchTypes: Seq[String] = Seq("view", "click"),
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(touchTypes.nonEmpty, "positionAttribution: need touch types")
+    require(!touchTypes.contains(convType),
+      s"positionAttribution: conversion '$convType' cannot also be a touch")
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(keyCol)).orderBy(col("_t"), col(tieCol))
+    val tagged = ev.select(col(keyCol), col(tieCol), col(typeCol).as("_et"),
+        epochSec(tsCol).as("_t"))
+      .where(col("_et").isin(convType +: touchTypes: _*))
+      // journey j = number of conversions STRICTLY before this row, so
+      // a conversion row closes its own journey
+      .withColumn("_j", coalesce(
+        sum(when(col("_et") === convType, 1L).otherwise(0L))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val convs = tagged.where(col("_et") === convType)
+      .select(col(keyCol), col("_j"))
+    val touches = tagged.where(col("_et") =!= convType)
+    val journeyW = Window.partitionBy(col(keyCol), col("_j"))
+    val credited = touches
+      .join(convs, Seq(keyCol, "_j"), "left_semi")
+      .withColumn("_rn", row_number().over(journeyW.orderBy(col("_t"), col(tieCol))))
+      .withColumn("_n", count(lit(1)).over(journeyW))
+      .withColumn("credit_ppm",
+        when(col("_n") === 1, lit(1000000L))
+          .when(col("_n") === 2, lit(500000L))
+          .when(col("_rn") === 1 || col("_rn") === col("_n"), lit(400000L))
+          // earliest middle absorbs the indivisible remainder
+          .when(col("_rn") === 2, expr(
+            "200000L div (_n - 2) + 200000L - (_n - 2) * (200000L div (_n - 2))"))
+          .otherwise(expr("200000L div (_n - 2)")))
+      .select(col("_et").as("touch_type"), col("credit_ppm"))
+    val direct = convs
+      .join(touches.select(col(keyCol), col("_j")).distinct(),
+        Seq(keyCol, "_j"), "left_anti")
+      .select(lit("direct").as("touch_type"), lit(1000000L).as("credit_ppm"))
+    credited.unionByName(direct)
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"), sum("credit_ppm").as("credit_ppm"))
+      .orderBy(col("credit_ppm").desc, col("touch_type"))
+  }
+
+  /** WEIGHTED MEDIAN per key — the smallest value whose cumulative
+    * weight reaches half the key's total (the lower weighted median,
+    * `2·cum ≥ total` so no division ever happens): the right center
+    * when observations carry importance — spend-weighted latency,
+    * volume-weighted price — where the plain median lets a thousand
+    * tiny rows outvote one heavy one. Integer-exact: values in BIGINT
+    * micro-units, weights as BIGINTs, the qualifying row picked by
+    * `min(struct(v))` over the filtered stream.
+    *
+    * Shape: ONE hash exchange on the key — the running-weight window,
+    * the total-weight window, and the final min/count fold all reuse
+    * it. Zero- or negative-weight rows are dropped up front (declared:
+    * weights must be positive to vote). At 100 TB parallelism = #keys.
+    *
+    * Returns (keyCol, n, total_w, wmedian_micro). */
+  def weightedMedian(
+      ev: DataFrame,
+      keyCol: String = "event_type",
+      valueCol: String = "value",
+      weightCol: String = "weight",
+      tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.partitionBy(col(keyCol)).orderBy(col("_v"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy(col(keyCol))
+    ev.select(col(keyCol), col(tieCol),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"),
+        col(weightCol).cast("long").as("_w"))
+      .where(col("_v").isNotNull && col("_w") > 0)
+      .withColumn("_cum", sum(col("_w")).over(run))
+      .withColumn("_tot", sum(col("_w")).over(whole))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), max(col("_tot")).as("total_w"),
+        min(when(col("_cum") * 2 >= col("_tot"), col("_v"))).as("wmedian_micro"))
+  }
+
   /** AUTOCORRELATION function per key at lags 1..`maxLag` over the
     * (ts, tie)-ordered value sequence — the seasonality/momentum
     * fingerprint ("does this metric echo itself one step later?") and
@@ -1969,10 +2073,13 @@ object EventsOps {
     * Open/close WITHOUT a window: `min(struct(sec, tie, v))` /
     * `max(struct(sec, tie, v))` — struct ordering is lexicographic and
     * (sec, tieCol) is a total order, so the first/last event per bar is
-    * unique and the whole op is ONE partial-agg'd hash aggregate (the
-    * map side collapses each partition to ≤ #bars rows; no per-bar sort,
-    * no window exchange). At 100 TB parallelism = #(key × bar) and a
-    * hot bar is exactly what the partial agg absorbs.
+    * unique and the whole op is ONE partial-agg'd aggregate pair over
+    * ONE hash exchange (struct buffers aren't hash-mutable so Spark
+    * plans SortAggregate, but the PARTIAL half still runs map-side —
+    * each partition collapses to ≤ #bars rows before the shuffle, and
+    * the sorts are per-partition spillable, never a global sort or a
+    * window). At 100 TB parallelism = #(key × bar) and a hot bar is
+    * exactly what the partial agg absorbs. PlanSpec pins the shape.
     *
     * Returns (keyCol, bar, bar_start_sec, n_events, open/high/low/
     * close_micro, volume_micro), micro-quantized BIGINTs throughout. */

@@ -487,6 +487,46 @@ object Governance {
       .orderBy("digit")
   }
 
+  /** SEQUENCE AUDIT — is a per-group sequence column dense 1..n? For
+    * each group: does `seqCol` start at 1, end at the group size, with
+    * no gaps and no duplicates (the invariant of line numbers, page
+    * numbers, retry attempts, version counters)? Reports ONE row per
+    * audited relation: group count, how many groups are perfectly
+    * dense, how many carry duplicates, how many gaps, and the worst
+    * span excess (max over groups of `span − distinct`, the size of
+    * the biggest hole) — the shape a data contract asserts on.
+    *
+    * Shape: one partial-agg fold on the group key (n, distinct, min,
+    * max per group — map-side combine), then every verdict folds over
+    * the |groups|-bounded table into a single row. Nothing row-sized
+    * survives the first aggregate; at 100 TB parallelism = #groups.
+    * All-integer output; NULL sequence values are excluded from
+    * min/max/distinct but counted in n_rows (they break density via
+    * the distinct-vs-n test). */
+  def sequenceAudit(
+      df: DataFrame,
+      groupCol: String,
+      seqCol: String,
+      label: String): DataFrame = {
+    val g = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("_n"),
+      countDistinct(col(seqCol)).as("_nd"),
+      min(col(seqCol)).cast("long").as("_mn"),
+      max(col(seqCol)).cast("long").as("_mx"))
+    g.agg(
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("_mn") === 1L && col("_mx") === col("_n") &&
+          col("_nd") === col("_n"), 1L).otherwise(0L)), lit(0L)).as("n_dense"),
+        coalesce(sum(when(col("_nd") < col("_n"), 1L).otherwise(0L)), lit(0L))
+          .as("n_with_dups"),
+        coalesce(sum(when(col("_mx") - col("_mn") + 1L > col("_nd"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_gapped"),
+        coalesce(max(col("_mx") - col("_mn") + 1L - col("_nd")), lit(0L))
+          .as("max_span_excess"))
+      .select(lit(label).as("audited"), col("n_groups"), col("n_dense"),
+        col("n_with_dups"), col("n_gapped"), col("max_span_excess"))
+  }
+
   /** L-DIVERSITY audit — the companion screen to [[kAnonymityAudit]]:
     * a QI class can be large (k-anonymous) yet still leak if every
     * member shares the SAME sensitive value; l-diversity requires ≥ l

@@ -1698,6 +1698,31 @@ object PipelineQueries {
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // U-shaped 40/20/40 multi-touch attribution — exact integer ppm
+    // with the earliest-middle remainder rule; credits sum to exactly
+    // 1e6 per conversion.
+    "p183_position_attribution" -> ((s, dir) =>
+      graft.ops.EventsOps.positionAttribution(Tables(s, dir, "events"))),
+
+    // Weighted median per type: value votes weighted by the JSON
+    // props' k — smallest value whose 2·cum-weight reaches the total.
+    "p184_weighted_median" -> ((s, dir) =>
+      graft.ops.EventsOps.weightedMedian(
+          graft.ops.EventsOps.parseProps(Tables(s, dir, "events"))
+            .withColumn("weight", col("prop_k")))
+        .orderBy("event_type")),
+
+    // Sequence density audit: lineitem line numbers are dense 1..n by
+    // construction; per-user event ids are the planted sparse case.
+    "p185_sequence_audit" -> ((s, dir) => {
+      val g = graft.ops.Governance
+      g.sequenceAudit(Tables(s, dir, "lineitem"),
+          "l_orderkey", "l_linenumber", "lineitem.l_linenumber")
+        .unionByName(g.sequenceAudit(Tables(s, dir, "events"),
+          "user_id", "event_id", "events.event_id"))
+        .orderBy("audited")
+    }),
+
     // Incremental view maintenance: merge(state(evens), state(odds))
     // must equal the oracle's FULL recompute — the checkpoint-merge
     // invariant incremental pipelines rest on.
@@ -3551,6 +3576,62 @@ object PipelineQueries {
         "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS qty_micro " +
         "FROM q GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
         "ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    // journey = running conversion count; the remainder formula is
+    // reproduced verbatim (all operands positive, // ≡ div)
+    "p183_position_attribution" -> (
+      "WITH t AS (SELECT user_id, event_id, event_type AS et, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s " +
+        "FROM events WHERE event_type IN ('purchase', 'view', 'click')), " +
+        "j AS (SELECT *, COALESCE(SUM(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END) OVER " +
+        "(PARTITION BY user_id ORDER BY s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jn FROM t), " +
+        "convs AS (SELECT user_id, jn FROM j WHERE et = 'purchase'), " +
+        "tch AS (SELECT j.* FROM j JOIN convs USING (user_id, jn) WHERE et <> 'purchase'), " +
+        "pos AS (SELECT et, ROW_NUMBER() OVER (PARTITION BY user_id, jn ORDER BY s, event_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY user_id, jn) AS n FROM tch), " +
+        "cr AS (SELECT et AS touch_type, CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000 " +
+        "WHEN rn = 1 OR rn = n THEN 400000 " +
+        "WHEN rn = 2 THEN 200000 // (n - 2) + 200000 - (n - 2) * (200000 // (n - 2)) " +
+        "ELSE 200000 // (n - 2) END AS credit FROM pos " +
+        "UNION ALL SELECT 'direct', 1000000 FROM convs c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM j WHERE j.user_id = c.user_id AND j.jn = c.jn AND j.et <> 'purchase')) " +
+        "SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches, " +
+        "CAST(SUM(credit) AS BIGINT) AS credit_ppm " +
+        "FROM cr GROUP BY 1 ORDER BY credit_ppm DESC, touch_type"),
+    // same (v, tie) running-weight ladder; positive weights only
+    "p184_weighted_median" -> (
+      "WITH e AS (SELECT event_type AS k, event_id AS tie, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v, " +
+        "CASE WHEN json_valid(props) AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT') " +
+        "THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS w FROM events), " +
+        "f AS (SELECT * FROM e WHERE v IS NOT NULL AND w > 0), " +
+        "c AS (SELECT k, v, w, SUM(w) OVER (PARTITION BY k ORDER BY v, tie " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "SUM(w) OVER (PARTITION BY k) AS tot FROM f) " +
+        "SELECT k AS event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(MAX(tot) AS BIGINT) AS total_w, " +
+        "MIN(CASE WHEN cum * 2 >= tot THEN v END) AS wmedian_micro " +
+        "FROM c GROUP BY k ORDER BY k"),
+    // per-group (n, distinct, min, max) fold, then group-bounded
+    // verdicts; NULL seq values break density via the distinct test
+    "p185_sequence_audit" -> (
+      "WITH g1 AS (SELECT l_orderkey, COUNT(*) AS n, COUNT(DISTINCT l_linenumber) AS nd, " +
+        "MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx FROM lineitem GROUP BY 1), " +
+        "a1 AS (SELECT COUNT(*) AS n_groups, " +
+        "SUM(CASE WHEN mn = 1 AND mx = n AND nd = n THEN 1 ELSE 0 END) AS n_dense, " +
+        "SUM(CASE WHEN nd < n THEN 1 ELSE 0 END) AS n_with_dups, " +
+        "SUM(CASE WHEN mx - mn + 1 > nd THEN 1 ELSE 0 END) AS n_gapped, " +
+        "MAX(mx - mn + 1 - nd) AS max_span_excess FROM g1), " +
+        "g2 AS (SELECT user_id, COUNT(*) AS n, COUNT(DISTINCT event_id) AS nd, " +
+        "MIN(event_id) AS mn, MAX(event_id) AS mx FROM events GROUP BY 1), " +
+        "a2 AS (SELECT COUNT(*), SUM(CASE WHEN mn = 1 AND mx = n AND nd = n THEN 1 ELSE 0 END), " +
+        "SUM(CASE WHEN nd < n THEN 1 ELSE 0 END), " +
+        "SUM(CASE WHEN mx - mn + 1 > nd THEN 1 ELSE 0 END), " +
+        "MAX(mx - mn + 1 - nd) FROM g2), " +
+        "u AS (SELECT 'lineitem.l_linenumber' AS audited, * FROM a1 " +
+        "UNION ALL SELECT 'events.event_id', * FROM a2) " +
+        "SELECT audited, CAST(n_groups AS BIGINT) AS n_groups, CAST(n_dense AS BIGINT) AS n_dense, " +
+        "CAST(n_with_dups AS BIGINT) AS n_with_dups, CAST(n_gapped AS BIGINT) AS n_gapped, " +
+        "CAST(max_span_excess AS BIGINT) AS max_span_excess FROM u ORDER BY audited"),
     // the oracle IS the full recompute — hash equality proves the
     // checkpoint merge loses nothing
     "p174_incremental_agg" -> (

@@ -177,6 +177,15 @@ object ScaledOps {
       time("acf") { sink(graft.ops.EventsOps.acfByKey(ev, maxLag = 3)) },
       time("lorenz") { sink(graft.ops.EventsOps.lorenzDeciles(ev)) },
       time("type_entropy") { sink(graft.ops.EventsOps.typeEntropy(ev)) },
+      // p175-p181 wave, corpus-sized members: TWAP's lead+fold on one
+      // key exchange, OHLC's partial-agg'd struct min/max, the full
+      // per-user ranking ladder, and the curriculum schedule (its slim
+      // single-partition ntile is the watched risk — see Scaladoc)
+      time("twap") { sink(graft.ops.EventsOps.twap(ev)) },
+      time("ohlc") { sink(graft.ops.EventsOps.ohlcBars(ev)) },
+      time("rank_suite") { sink(graft.ops.Stats.rankReport(
+        ev, "event_type", "value", "event_id", nTiles = 4)) },
+      time("curriculum") { sink(CorpusOps.curriculumOrder(docs)) },
       // billion-scale ANN headline at ×k: full train+search pipeline
       // (IVF coarse cells + PQ codebooks + ADC scan + exact refine),
       // the p79 gate's exact shape at scaled row count

@@ -727,4 +727,44 @@ class EventsOpsSpec extends AnyFunSuite {
     // user 2 leads at |delta| 2; users 1 and 3 tie at 1 → key asc picks 1
     assert(out.toSeq == Seq((2L, 0L, 2L, 2L), (1L, 2L, 1L, -1L)))
   }
+
+  test("positionAttribution: U-shaped credits, remainder rule, exact 1e6 per conversion") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // user 1 journey 0: view,click,view → 400k + 200k + 400k
+      (1L, 1L, "view", at(1)), (2L, 1L, "click", at(2)), (3L, 1L, "view", at(3)),
+      (4L, 1L, "purchase", at(4)),
+      // user 1 journey 1: single view → 1e6
+      (5L, 1L, "view", at(5)), (6L, 1L, "purchase", at(6)),
+      // user 2: conversion with no touches → direct 1e6
+      (7L, 2L, "purchase", at(1)),
+      // user 3: touch with no conversion → dropped entirely
+      (8L, 3L, "view", at(9)),
+      // user 4: five views → 400k + (66666+2) + 66666 + 66666 + 400k = 1e6
+      (9L, 4L, "view", at(1)), (10L, 4L, "view", at(2)), (11L, 4L, "view", at(3)),
+      (12L, 4L, "view", at(4)), (13L, 4L, "view", at(5)),
+      (14L, 4L, "purchase", at(6))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.positionAttribution(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("view", 8L, 2800000L), ("direct", 1L, 1000000L), ("click", 1L, 200000L)))
+    // the invariant the remainder rule exists for: 4 conversions → 4e6
+    assert(out.map(_._3).sum == 4000000L)
+  }
+
+  test("weightedMedian: heavy row outvotes, lower-median convention, weight filter") {
+    val ev = Seq(
+      // "a": cum weights 1,3,4 of 4 → first 2·cum ≥ tot at v=2
+      (1L, "a", 1.0, 1L), (2L, "a", 2.0, 2L), (3L, "a", 3.0, 1L),
+      // "b": even split → LOWER median (v=1)
+      (4L, "b", 1.0, 1L), (5L, "b", 2.0, 1L),
+      // "c": only non-positive weights → key absent
+      (6L, "c", 5.0, 0L), (7L, "c", 6.0, -2L)
+    ).toDF("event_id", "event_type", "value", "weight")
+    val out = EventsOps.weightedMedian(ev).orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", 3L, 4L, 2000000L), ("b", 2L, 2L, 1000000L)))
+  }
 }

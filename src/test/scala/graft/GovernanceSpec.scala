@@ -230,4 +230,18 @@ class GovernanceSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       ("a", 2L, 100L, 0L, 0L), ("b", 1L, 90L, 10L, 1L), ("c", 1L, 81L, 19L, 1L)))
   }
+
+  test("sequenceAudit: dense, duplicated, shifted, and gapped groups") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 1L), ("g1", 2L), ("g1", 3L),  // dense 1..3
+      ("g2", 1L), ("g2", 2L), ("g2", 2L),  // duplicate (span matches, not gapped)
+      ("g3", 2L), ("g3", 3L),              // shifted run: not dense, NOT gapped
+      ("g4", 1L), ("g4", 3L)               // internal hole → gapped, excess 1
+    ).toDF("grp", "seq")
+    val out = Governance.sequenceAudit(df, "grp", "seq", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(("t", 4L, 1L, 1L, 1L, 1L)))
+  }
 }

@@ -349,4 +349,51 @@ class PlanSpec extends AnyFunSuite {
       assert(firstExchange >= 0 && p.indexOf("HashAggregate", firstExchange) > 0, p)
     }
   }
+
+  test("p176: OHLC bars are ONE aggregate pair — no window, no global sort") {
+    val ev = graft.engine.Tables(spark, dir, "events")
+    val p = graft.ops.EventsOps.ohlcBars(ev)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    // struct min/max falls back to SortAggregate (struct buffers are
+    // not hash-mutable) but the PARTIAL half still runs below the one
+    // hash exchange — hot bars collapse map-side
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    assert(firstExchange >= 0, p)
+    assert(p.indexOf("partial_min", firstExchange) > 0, p)
+    assert(p.indexOf("Exchange hashpartitioning",
+      firstExchange + 1) < 0, "more than one hash exchange:\n" + p)
+  }
+
+  test("p175/p180: TWAP fold and every rank window share ONE key exchange") {
+    val ev = graft.engine.Tables(spark, dir, "events")
+    val or = graft.engine.Tables(spark, dir, "orders")
+    Seq(
+      graft.ops.EventsOps.twap(ev),
+      graft.ops.Stats.rankReport(or, "o_orderpriority", "o_totalprice", "o_orderkey")
+    ).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      val hashEx = "Exchange hashpartitioning"
+      val first = p.indexOf(hashEx)
+      assert(first >= 0, p)
+      assert(p.indexOf(hashEx, first + 1) < 0, "second key exchange:\n" + p)
+    }
+  }
+
+  test("p177/p179: range bounds / high-water mark join back via broadcast") {
+    val ev = graft.engine.Tables(spark, dir, "events")
+    Seq(
+      graft.ops.EventsOps.heavyChangers(ev),
+      graft.ops.Governance.freshnessReport(ev, "user_id")
+    ).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    }
+    // and the top-k is TakeOrdered, never a global sort
+    val hc = graft.ops.EventsOps.heavyChangers(ev)
+      .queryExecution.executedPlan.toString
+    assert(hc.contains("TakeOrderedAndProject"), hc)
+  }
 }
