@@ -1570,6 +1570,44 @@ object CorpusOps {
       .limit(topK)
   }
 
+  /** TOKENIZER SCORECARD per language — fertility (subwords per word)
+    * and compression (chars per subword), the two numbers every
+    * multilingual-tokenizer evaluation reports: a language whose
+    * fertility is far above the corpus mean is being over-segmented by
+    * the tokenizer (more sequence length per sentence → more compute,
+    * worse downstream quality — the standard argument for vocabulary
+    * rebalancing). Uses [[TextAnalysis.subwordTokens]] (the engine's
+    * deterministic pre-tokenizer stand-in) against whitespace words.
+    *
+    * Integer-exact ppm/micro by integral division; ONE map-only pass
+    * (both tokenizations are per-row expressions) into a partial-agg'd
+    * fold on the language key. At 100 TB this is the scan.
+    *
+    * Returns (lang, n_docs, n_chars, n_words, n_subwords,
+    * fertility_ppm, chars_per_subword_micro) ordered by lang. */
+  def tokenizerStats(
+      docs: DataFrame,
+      langCol: String = "lang",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(langCol),
+        length(col(textCol)).cast("long").as("_nc"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("_nw"),
+        size(TextAnalysis.subwordTokens(col(textCol))).cast("long").as("_ns"))
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nc")).as("n_chars"),
+        sum(col("_nw")).as("n_words"),
+        sum(col("_ns")).as("n_subwords"))
+      .select(col(langCol), col("n_docs"), col("n_chars"), col("n_words"),
+        col("n_subwords"),
+        when(col("n_words") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(n_subwords * 1000000 div n_words AS BIGINT)"))
+          .as("fertility_ppm"),
+        when(col("n_subwords") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(n_chars * 1000000 div n_subwords AS BIGINT)"))
+          .as("chars_per_subword_micro"))
+      .orderBy(col(langCol))
+
   /** CURRICULUM ORDER — a deterministic easy-to-hard training order
     * with difficulty mixing: docs are scored by token count (short ≈
     * easy — swap in any integer difficulty), cut into `nBuckets`

@@ -527,6 +527,47 @@ object Governance {
         col("n_with_dups"), col("n_gapped"), col("max_span_excess"))
   }
 
+  /** TABLE FINGERPRINT — order-independent bucket checksums for replica
+    * reconciliation (anti-entropy): render each row canonically
+    * (caller's `renderCol` — the contract is "same rendering on both
+    * replicas"), hash it, and fold per bucket a COMMUTATIVE sum of a
+    * 32-bit slice of the hash. Two replicas of the same table produce
+    * identical (bucket, n_rows, checksum) tables; any single-row
+    * difference flips its bucket's row — compare nBuckets rows instead
+    * of re-shipping the table, and re-sync only the buckets that
+    * disagree (the Merkle-lite recipe every replicated store uses).
+    *
+    * Engine-portable by construction: sha256 hex is the shared
+    * primitive; bucket = first-hex-digit mod nBuckets and the checksum
+    * slice is hex chars 1..8 parsed base-16 — both reproducible in any
+    * SQL engine. The sum is commutative so NO ordering exists anywhere:
+    * one partial-agg'd aggregate, parallelism = #buckets at 100 TB,
+    * checksums summed exactly in DECIMAL(38,0).
+    *
+    * Returns (bucket, n_rows, checksum) — nBuckets rows (present
+    * buckets only; an absent bucket is itself a signal). */
+  def tableFingerprint(
+      df: DataFrame,
+      renderCol: Column,
+      nBuckets: Int = 16): DataFrame = {
+    require(nBuckets >= 1 && nBuckets <= 16,
+      s"tableFingerprint: bucket comes from one hex digit, need 1..16, got $nBuckets")
+    import org.apache.spark.sql.types.DecimalType
+    val hx = sha2(renderCol, 256)
+    df.select(
+        pmod(conv(substring(hx, 1, 1), 16, 10).cast("int"), lit(nBuckets))
+          .as("bucket"),
+        conv(substring(hx, 2, 8), 16, 10).cast("long").as("_slice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        // exact DECIMAL sum folded into 63 bits so the checksum stays a
+        // BIGINT at any row count (operands non-negative: pmod ≡ %)
+        pmod(sum(col("_slice").cast(DecimalType(38, 0))),
+          lit(BigDecimal("9223372036854775808")).cast(DecimalType(38, 0)))
+          .cast("long").as("checksum"))
+      .orderBy("bucket")
+  }
+
   /** L-DIVERSITY audit — the companion screen to [[kAnonymityAudit]]:
     * a QI class can be large (k-anonymous) yet still leak if every
     * member shares the SAME sensitive value; l-diversity requires ≥ l

@@ -135,4 +135,45 @@ object SnapshotDiff {
         least(col("min_micro"), col("_mn2")).as("min_micro"),
         greatest(col("max_micro"), col("_mx2")).as("max_micro"))
   }
+
+  /** GOLDEN-RECORD survivorship — MDM-style best-record fusion: per key,
+    * take each column's value from the MOST RECENT version where that
+    * column is non-null ("latest non-null wins", the standard
+    * survivorship rule; a newer row with a null field does NOT erase an
+    * older field — that is [[scd2Apply]]'s overwrite semantics, not
+    * fusion).
+    *
+    * Per column: `max(when(v.isNotNull, struct(sec, tie, v)))` — the
+    * aggregate ignores the null-valued versions entirely and the
+    * (sec, tie) prefix makes the struct max the latest one; ONE
+    * partial-agg'd aggregate for ALL columns together, no window, no
+    * per-key sort (same struct-max recipe as [[EventsOps.ohlcBars]]).
+    * At 100 TB parallelism = #keys; hot keys collapse map-side.
+    *
+    * Returns (keyCol, n_versions, last_sec, <c>_golden per value col) —
+    * a `_golden` field is NULL only when every version had it null. */
+  def goldenRecord(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "goldenRecord: need at least one value column")
+    val sec = floor(unix_micros(col(tsCol)).cast("double") / lit(1000000.0d))
+      .cast("long")
+    val base = df.select(
+      (col(keyCol) +: sec.as("_s") +: col(tieCol).as("_tie") +:
+        valueCols.map(col)): _*)
+    val aggs =
+      count(lit(1)).as("n_versions") +:
+        max(col("_s")).as("last_sec") +:
+        valueCols.map(c =>
+          max(when(col(c).isNotNull, struct(col("_s"), col("_tie"), col(c))))
+            .as(s"_g_$c"))
+    base.groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        (col(keyCol) +: col("n_versions") +: col("last_sec") +:
+          valueCols.map(c => col(s"_g_$c").getField(c).as(s"${c}_golden"))): _*)
+  }
 }

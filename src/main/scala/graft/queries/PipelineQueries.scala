@@ -1723,6 +1723,40 @@ object PipelineQueries {
         .orderBy("audited")
     }),
 
+    // Multilingual tokenizer scorecard: fertility + compression per
+    // language under the deterministic pre-tokenizer.
+    "p186_tokenizer_stats" -> ((s, dir) =>
+      graft.ops.CorpusOps.tokenizerStats(Tables(s, dir, "documents"))),
+
+    // Golden-record survivorship: latest NON-NULL field per user under
+    // deterministic masking (value null on id%3=0, prop null on
+    // id%5=0) — a newer null never erases an older field.
+    "p187_golden_record" -> ((s, dir) => {
+      val ev = graft.ops.EventsOps.parseProps(Tables(s, dir, "events"))
+        .withColumn("value_micro",
+          when(pmod(col("event_id"), lit(3)) === 0, lit(null).cast("long"))
+            .otherwise(floor(col("value").cast("double") * lit(1000000.0d))
+              .cast("long")))
+        .withColumn("prop_k",
+          when(pmod(col("event_id"), lit(5)) === 0, lit(null).cast("long"))
+            .otherwise(col("prop_k")))
+      graft.ops.SnapshotDiff.goldenRecord(ev, "user_id", "ts", "event_id",
+          Seq("value_micro", "prop_k"))
+        .orderBy("user_id")
+    }),
+
+    // Replica-reconciliation fingerprint of orders: 16 bucket
+    // checksums from sha256 slices, commutative sums — no ordering
+    // anywhere.
+    "p188_table_fingerprint" -> ((s, dir) =>
+      graft.ops.Governance.tableFingerprint(
+        Tables(s, dir, "orders").select(concat_ws("|",
+          col("o_orderkey").cast("string"),
+          floor(col("o_totalprice").cast("double") * lit(1000000.0d))
+            .cast("long").cast("string"),
+          col("o_orderstatus")).as("_r")),
+        col("_r"), nBuckets = 16)),
+
     // Incremental view maintenance: merge(state(evens), state(odds))
     // must equal the oracle's FULL recompute — the checkpoint-merge
     // invariant incremental pipelines rest on.
@@ -3632,6 +3666,55 @@ object PipelineQueries {
         "SELECT audited, CAST(n_groups AS BIGINT) AS n_groups, CAST(n_dense AS BIGINT) AS n_dense, " +
         "CAST(n_with_dups AS BIGINT) AS n_with_dups, CAST(n_gapped AS BIGINT) AS n_gapped, " +
         "CAST(max_span_excess AS BIGINT) AS max_span_excess FROM u ORDER BY audited"),
+    // same pre-tokenizer regex, RE2 '\1' ≡ Java '$1'; \s is ASCII
+    // whitespace in both engines
+    "p186_tokenizer_stats" -> (
+      "WITH d AS (SELECT lang, CAST(length(text) AS BIGINT) AS nc, " +
+        "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS nw, " +
+        "CASE WHEN trim(regexp_replace(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', ' \\1 ', 'g')) = '' THEN 0 " +
+        "ELSE len(string_split_regex(trim(regexp_replace(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', ' \\1 ', 'g')), '\\s+')) END AS ns " +
+        "FROM documents), " +
+        "a AS (SELECT lang, COUNT(*) AS n_docs, SUM(nc) AS n_chars, " +
+        "SUM(nw) AS n_words, SUM(ns) AS n_subwords FROM d GROUP BY 1) " +
+        "SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_chars AS BIGINT) AS n_chars, " +
+        "CAST(n_words AS BIGINT) AS n_words, CAST(n_subwords AS BIGINT) AS n_subwords, " +
+        "CASE WHEN n_words = 0 THEN NULL ELSE CAST(n_subwords * 1000000 // n_words AS BIGINT) END AS fertility_ppm, " +
+        "CASE WHEN n_subwords = 0 THEN NULL ELSE CAST(n_chars * 1000000 // n_subwords AS BIGINT) END AS chars_per_subword_micro " +
+        "FROM a ORDER BY lang"),
+    // latest-non-null-wins via max_by over the (sec, tie) struct with a
+    // non-null FILTER — the aggregate form of survivorship
+    "p187_golden_record" -> (
+      "WITH e AS (SELECT user_id, event_id, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s, " +
+        "CASE WHEN event_id % 3 = 0 THEN NULL " +
+        "ELSE CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) END AS vm, " +
+        "CASE WHEN event_id % 5 = 0 THEN NULL " +
+        "WHEN json_valid(props) AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT') " +
+        "THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS pk FROM events) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_versions, MAX(s) AS last_sec, " +
+        "MAX_BY(vm, CAST(s AS HUGEINT) * 4294967296 + event_id) FILTER (WHERE vm IS NOT NULL) AS value_micro_golden, " +
+        "MAX_BY(pk, CAST(s AS HUGEINT) * 4294967296 + event_id) FILTER (WHERE pk IS NOT NULL) AS prop_k_golden " +
+        "FROM e GROUP BY 1 ORDER BY user_id"),
+    // sha256 hex is the shared primitive: bucket = hex digit 1,
+    // checksum slice = hex chars 2..9 parsed base-16, commutative sum
+    // folded into 63 bits
+    "p188_table_fingerprint" -> (
+      "WITH r AS (SELECT concat_ws('|', CAST(o_orderkey AS VARCHAR), " +
+        "CAST(CAST(floor(CAST(o_totalprice AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR), " +
+        "o_orderstatus) AS rr FROM orders), " +
+        "h AS (SELECT sha256(rr) AS hx FROM r), " +
+        "s AS (SELECT CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 16 AS INT) AS bucket, " +
+        "(strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 268435456 " +
+        "+ (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16777216 " +
+        "+ (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 1048576 " +
+        "+ (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 65536 " +
+        "+ (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 4096 " +
+        "+ (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 256 " +
+        "+ (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', substr(hx, 9, 1)) - 1) AS slice FROM h) " +
+        "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(CAST(slice AS HUGEINT)) % 9223372036854775808 AS BIGINT) AS checksum " +
+        "FROM s GROUP BY 1 ORDER BY bucket"),
     // the oracle IS the full recompute — hash equality proves the
     // checkpoint merge loses nothing
     "p174_incremental_agg" -> (

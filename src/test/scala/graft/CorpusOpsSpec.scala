@@ -765,4 +765,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.map(t => t._1 -> t._2).toMap ==
       Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
+
+  test("tokenizerStats: fertility and compression, hand-checked segmentation") {
+    val docs = Seq(
+      // "ab12cd." → subwords [ab, 12, cd, .] = 4; words = 1; chars = 7
+      (1L, "en", "ab12cd."),
+      // "hi there" → subwords [hi, there] = 2; words = 2; chars = 8
+      (2L, "en", "hi there"),
+      // empty text → zero everywhere, NULL ratios (de only has this doc)
+      (3L, "de", "")
+    ).toDF("doc_id", "lang", "text")
+    val out = CorpusOps.tokenizerStats(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    assert(out.toSeq == Seq(
+      ("de", 1L, 0L, 0L, 0L, None, None),
+      // en: 3 words, 6 subwords → fertility 2.0; 15 chars / 6 subwords
+      ("en", 2L, 15L, 3L, 6L, Some(2000000L), Some(2500000L))))
+  }
 }

@@ -244,4 +244,21 @@ class GovernanceSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5)))
     assert(out.toSeq == Seq(("t", 4L, 1L, 1L, 1L, 1L)))
   }
+
+  test("tableFingerprint: identical replicas agree; one changed row flips exactly its bucket") {
+    import spark.implicits._
+    def fp(rows: Seq[String]) = Governance.tableFingerprint(
+        rows.toDF("r"), col("r"), nBuckets = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val base = (1 to 40).map(i => s"row|$i")
+    val a = fp(base)
+    val b = fp(scala.util.Random.shuffle(base))  // order-independence
+    assert(a == b)
+    val mutated = fp(base.updated(7, "row|8-CHANGED"))
+    val diff = a.toSet.diff(mutated.toSet)
+    // the change moves/changes at most 2 buckets (its old and new one)
+    assert(diff.nonEmpty && diff.size <= 2, diff)
+    // untouched buckets are bit-identical
+    assert(a.toSet.intersect(mutated.toSet).size >= a.size - 2)
+  }
 }

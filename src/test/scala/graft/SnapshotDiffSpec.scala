@@ -108,4 +108,31 @@ class SnapshotDiffSpec extends AnyFunSuite {
       .orderBy("event_type").collect().map(_.toSeq)
     assert(merged.toSeq == full.toSeq)
   }
+
+  test("goldenRecord: latest non-null wins per column; newer null never erases") {
+    import spark.implicits._
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq(
+      // key 1: v set at t=1, nulled at t=2; name set at t=2
+      (1L, 1L, at(1), Option(10L), Option.empty[String]),
+      (2L, 1L, at(2), Option.empty[Long], Option("new")),
+      // key 2: both fields only in the OLDER version
+      (3L, 2L, at(5), Option(7L), Option("x")),
+      (4L, 2L, at(9), Option.empty[Long], Option.empty[String]),
+      // key 3: all null everywhere → golden NULLs
+      (5L, 3L, at(4), Option.empty[Long], Option.empty[String]),
+      // same-second versions: tie broken by the tie column (id 7 wins)
+      (6L, 4L, at(8), Option(1L), None), (7L, 4L, at(8), Option(2L), None)
+    ).toDF("id", "k", "ts", "v", "name")
+    val out = SnapshotDiff.goldenRecord(df, "k", "ts", "id", Seq("v", "name"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getString(4))))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, Some(10L), Some("new")),
+      (2L, 2L, 9L, Some(7L), Some("x")),
+      (3L, 1L, 4L, None, None),
+      (4L, 2L, 8L, Some(2L), None)))
+  }
 }
