@@ -1394,6 +1394,131 @@ object EventsOps {
         min(when(col("_cum") * 2 >= col("_tot"), col("_v"))).as("wmedian_micro"))
   }
 
+  /** RATIO-METRIC confidence interval per cohort — the A/B primitive
+    * [[wilsonInterval]] cannot cover: a metric that is a RATIO of two
+    * per-user counts (purchases per view, clicks per session), where
+    * users are the randomization unit and the naive binomial CI is
+    * wrong because both numerator and denominator vary per user. Uses
+    * the delta method on per-user (x, y): R = Σx/Σy and
+    * se = sqrt((Vx − 2R·Cxy + R²·Vy) / (n−1)) / Σy with the exact
+    * integer moments Vx = n·Σx²−(Σx)², Vy = n·Σy²−(Σy)²,
+    * Cxy = n·Σxy−Σx·Σy (the variance-of-a-ratio expansion; the n/(n−1)
+    * convention is declared by the formula).
+    *
+    * Engine-portability: every moment is an exact DECIMAL(38,0) from
+    * ONE partial-agg'd pass over the per-user count table; floats enter
+    * only in the final R/se expression with IDENTICAL operand order on
+    * both engines, rounded to 6 — the [[wilsonInterval]] policy. CI
+    * NULL when n < 2 or Σy = 0 or the bracket is negative-degenerate
+    * (clamped at 0 under the max).
+    *
+    * Returns (cohort, n_users, sum_num, sum_den, ratio, ci_lo, ci_hi)
+    * ordered by cohort. */
+  def ratioMetricCI(
+      ev: DataFrame,
+      numType: String = "purchase",
+      denType: String = "view",
+      nCohorts: Int = 10,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(nCohorts >= 1, s"ratioMetricCI: need nCohorts >= 1, got $nCohorts")
+    val d = DecimalType(38, 0)
+    val perUser = ev
+      .where(col(typeCol).isin(numType, denType))
+      .groupBy(pmod(col(keyCol), lit(nCohorts)).as("cohort"), col(keyCol))
+      .agg(
+        sum(when(col(typeCol) === numType, 1L).otherwise(0L)).as("_x"),
+        sum(when(col(typeCol) === denType, 1L).otherwise(0L)).as("_y"))
+    perUser.groupBy(col("cohort"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("_x")).as("sum_num"), sum(col("_y")).as("sum_den"),
+        sum(col("_x").cast(d) * col("_x").cast(d)).as("_sxx"),
+        sum(col("_y").cast(d) * col("_y").cast(d)).as("_syy"),
+        sum(col("_x").cast(d) * col("_y").cast(d)).as("_sxy"))
+      .selectExpr("cohort", "n_users", "sum_num", "sum_den",
+        "CASE WHEN sum_den = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE round(CAST(sum_num AS DOUBLE) / sum_den, 6) + 0.0 END AS ratio",
+        // Vx − 2R·Cxy + R²·Vy: moments exact, floats in fixed order
+        "CASE WHEN n_users < 2 OR sum_den = 0 THEN CAST(NULL AS DOUBLE) ELSE " +
+          "round(CAST(sum_num AS DOUBLE) / sum_den - 1.96 * " +
+          "(sqrt(greatest(CAST(n_users * _sxx - CAST(sum_num AS DECIMAL(38,0)) * sum_num AS DOUBLE) " +
+          "- 2.0 * (CAST(sum_num AS DOUBLE) / sum_den) * CAST(n_users * _sxy - CAST(sum_num AS DECIMAL(38,0)) * sum_den AS DOUBLE) " +
+          "+ (CAST(sum_num AS DOUBLE) / sum_den) * (CAST(sum_num AS DOUBLE) / sum_den) * CAST(n_users * _syy - CAST(sum_den AS DECIMAL(38,0)) * sum_den AS DOUBLE), 0.0) " +
+          "/ (CAST(n_users AS DOUBLE) - 1.0)) / sum_den), 6) + 0.0 END AS ci_lo",
+        "CASE WHEN n_users < 2 OR sum_den = 0 THEN CAST(NULL AS DOUBLE) ELSE " +
+          "round(CAST(sum_num AS DOUBLE) / sum_den + 1.96 * " +
+          "(sqrt(greatest(CAST(n_users * _sxx - CAST(sum_num AS DECIMAL(38,0)) * sum_num AS DOUBLE) " +
+          "- 2.0 * (CAST(sum_num AS DOUBLE) / sum_den) * CAST(n_users * _sxy - CAST(sum_num AS DECIMAL(38,0)) * sum_den AS DOUBLE) " +
+          "+ (CAST(sum_num AS DOUBLE) / sum_den) * (CAST(sum_num AS DOUBLE) / sum_den) * CAST(n_users * _syy - CAST(sum_den AS DECIMAL(38,0)) * sum_den AS DOUBLE), 0.0) " +
+          "/ (CAST(n_users AS DOUBLE) - 1.0)) / sum_den), 6) + 0.0 END AS ci_hi")
+      .orderBy("cohort")
+  }
+
+  /** MIX-SHIFT decomposition — why did the average move between two
+    * periods? Split each segment's contribution into a MIX effect (its
+    * share of traffic changed) and a RATE effect (its own average
+    * changed): with shares s and rates r (before b / after a),
+    * Δ = Σ_seg [(s_a − s_b)·r_b + s_a·(r_a − r_b)] — the standard
+    * share-first convention (declared; the other factorization moves
+    * the cross term). Periods split at the range midpoint, the
+    * [[heavyChangers]] convention (midpoint row counts as BEFORE).
+    *
+    * Integer-exact: shares in ppm off BIGINT counts, rates in
+    * micro-units; every division and every product-then-divide is the
+    * re-signed magnitude `div` (Spark div truncates, DuckDB // floors —
+    * identical only on non-negative magnitudes). A segment absent from
+    * one period contributes share 0 and rate 0 (declared; its whole
+    * movement shows up as the other period's effect).
+    *
+    * Shape: one partial-agg (count, sum) on (segment, half); totals are
+    * a 2-row fold broadcast back; everything after the first aggregate
+    * is |segments|-bounded. Returns (segment, n_before, n_after,
+    * share_before_ppm, share_after_ppm, rate_before_micro,
+    * rate_after_micro, mix_effect_micro, rate_effect_micro) ordered by
+    * segment. */
+  def mixShift(
+      ev: DataFrame,
+      segCol: String = "event_type",
+      valueCol: String = "value",
+      tsCol: String = "ts"): DataFrame = {
+    val base = ev.select(col(segCol).as("seg"), epochSec(tsCol).as("_s"),
+      floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+    val mid = base.agg(
+      floor((min(col("_s")) + max(col("_s"))).cast("double") / lit(2.0d))
+        .cast("long").as("_mid"))
+    val halves = base.crossJoin(broadcast(mid))
+      .withColumn("_h", when(col("_s") <= col("_mid"), lit(0)).otherwise(lit(1)))
+    val perSeg = halves.groupBy(col("seg"))
+      .agg(
+        sum(when(col("_h") === 0, 1L).otherwise(0L)).as("n_before"),
+        sum(when(col("_h") === 1, 1L).otherwise(0L)).as("n_after"),
+        sum(when(col("_h") === 0, col("_v")).otherwise(lit(0L))
+          .cast(DecimalType(38, 0))).as("_sb"),
+        sum(when(col("_h") === 1, col("_v")).otherwise(lit(0L))
+          .cast(DecimalType(38, 0))).as("_sa"))
+    val tot = perSeg.agg(sum(col("n_before")).as("_tb"), sum(col("n_after")).as("_ta"))
+    def resignedDiv(num: String, den: String): String =
+      s"CASE WHEN $den = 0 THEN 0 ELSE " +
+        s"CAST(CASE WHEN $num >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        s"CAST(abs($num) div CAST($den AS DECIMAL(38,0)) AS BIGINT) END"
+    perSeg.crossJoin(broadcast(tot))
+      .selectExpr("seg", "n_before", "n_after", "_sb", "_sa", "_tb", "_ta")
+      .selectExpr("seg", "n_before", "n_after",
+        "CAST(CASE WHEN _tb = 0 THEN 0 ELSE n_before * 1000000 div _tb END AS BIGINT) AS share_before_ppm",
+        "CAST(CASE WHEN _ta = 0 THEN 0 ELSE n_after * 1000000 div _ta END AS BIGINT) AS share_after_ppm",
+        resignedDiv("_sb", "n_before") + " AS rate_before_micro",
+        resignedDiv("_sa", "n_after") + " AS rate_after_micro")
+      .selectExpr("seg", "n_before", "n_after",
+        "share_before_ppm", "share_after_ppm",
+        "rate_before_micro", "rate_after_micro",
+        resignedDiv("(share_after_ppm - share_before_ppm) * rate_before_micro",
+          "1000000") + " AS mix_effect_micro",
+        resignedDiv("share_after_ppm * (rate_after_micro - rate_before_micro)",
+          "1000000") + " AS rate_effect_micro")
+      .orderBy("seg")
+  }
+
   /** AUTOCORRELATION function per key at lags 1..`maxLag` over the
     * (ts, tie)-ordered value sequence — the seasonality/momentum
     * fingerprint ("does this metric echo itself one step later?") and

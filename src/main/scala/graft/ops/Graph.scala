@@ -206,4 +206,61 @@ object Graph {
           org.apache.spark.sql.expressions.Window.partitionBy()) / 3L).cast("long"))
       .orderBy(col("n_triangles").desc, col("node"))
   }
+
+  /** MODULARITY of a node labeling over an undirected edge list — "how
+    * much denser are within-label edges than a degree-preserving random
+    * rewiring expects" (Newman's Q): the quantitative answer to "do my
+    * near-duplicates stay inside their language / source / cluster?".
+    * Q = Σ_c [e_c/m − (d_c/2m)²]; reported PER LABEL as the exact
+    * integer decomposition e_c, d_c plus the re-signed ppm contribution
+    * (4m·e_c − d_c²) / 4m² — summing q_contrib_ppm gives Q·1e6 up to
+    * per-term truncation. Nodes with no incident edge carry no degree
+    * and are excluded (they cannot affect Q); an edge whose endpoint is
+    * missing from `labels` groups under the NULL label rather than
+    * vanishing — a labeling hole should be loud.
+    *
+    * Shape: degrees are one partial-agg count off the exploded endpoint
+    * stream; labels join once per endpoint (broadcast when the label
+    * table is small, as a dim table usually is); every Q term folds
+    * over the |labels|-bounded summary against a 1-row broadcast m.
+    * At 100 TB the work is ∝ edges, parallelism = #nodes then #labels.
+    *
+    * Returns (label, n_nodes, degree_sum, intra_edges, q_contrib_ppm)
+    * ordered by label. */
+  def modularityByLabel(
+      edges: DataFrame,
+      labels: DataFrame,
+      nodeCol: String = "node",
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(38, 0)
+    val lab = labels.select(col(nodeCol).as("_n"), col(labelCol).as("_l"))
+    val la = lab.select(col("_n").as("a"), col("_l").as("_la"))
+    val lb = lab.select(col("_n").as("b"), col("_l").as("_lb"))
+    val e = edges.select("a", "b")
+      .join(la, Seq("a"), "left").join(lb, Seq("b"), "left")
+    val m = e.agg(count(lit(1)).cast(d).as("_m"))
+    val intra = e.where(col("_la") <=> col("_lb"))
+      .groupBy(col("_la").as("_l")).agg(count(lit(1)).as("intra_edges"))
+    val deg = e.select(explode(array(
+        struct(col("a").as("_n"), col("_la").as("_l")),
+        struct(col("b").as("_n"), col("_lb").as("_l")))).as("_e"))
+      .select(col("_e._n").as("_n"), col("_e._l").as("_l"))
+      .groupBy(col("_n"), col("_l")).agg(count(lit(1)).as("_d"))
+      .groupBy(col("_l"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("_d")).as("degree_sum"))
+    deg.join(intra, Seq("_l"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .selectExpr("_l AS label", "n_nodes", "degree_sum", "intra_edges",
+        // re-signed magnitude div: Spark div truncates, DuckDB // floors;
+        // they agree only on non-negative operands
+        "CAST(CASE WHEN 4 * _m * CAST(intra_edges AS DECIMAL(38,0)) - " +
+          "CAST(degree_sum AS DECIMAL(38,0)) * CAST(degree_sum AS DECIMAL(38,0)) >= 0 " +
+          "THEN 1 ELSE -1 END AS BIGINT) * " +
+          "CAST(abs(4 * _m * CAST(intra_edges AS DECIMAL(38,0)) - " +
+          "CAST(degree_sum AS DECIMAL(38,0)) * CAST(degree_sum AS DECIMAL(38,0))) * 1000000 " +
+          "div (4 * _m * _m) AS BIGINT) AS q_contrib_ppm")
+      .orderBy("label")
+  }
 }

@@ -1757,6 +1757,25 @@ object PipelineQueries {
           col("o_orderstatus")).as("_r")),
         col("_r"), nBuckets = 16)),
 
+    // Delta-method CI for the purchases-per-view ratio per cohort —
+    // the per-user-randomized A/B primitive Wilson can't cover.
+    "p189_ratio_ci" -> ((s, dir) =>
+      graft.ops.EventsOps.ratioMetricCI(Tables(s, dir, "events"))),
+
+    // Mix-shift decomposition across the range midpoint: per segment,
+    // how much of the average's move is traffic mix vs own rate.
+    "p190_mix_shift" -> ((s, dir) =>
+      graft.ops.EventsOps.mixShift(Tables(s, dir, "events"))),
+
+    // Modularity of the language partition over the near-dup graph:
+    // do near-duplicates stay inside their language? Edges are the
+    // shared memoized J≥4/5 pair pipeline.
+    "p191_modularity" -> ((s, dir) =>
+      graft.ops.Graph.modularityByLabel(
+        nearDupPairs45(s, dir).select("a", "b"),
+        Tables(s, dir, "documents").select(
+          col("doc_id").as("node"), col("lang").as("label")))),
+
     // Incremental view maintenance: merge(state(evens), state(odds))
     // must equal the oracle's FULL recompute — the checkpoint-merge
     // invariant incremental pipelines rest on.
@@ -3715,6 +3734,82 @@ object PipelineQueries {
         "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
         "CAST(SUM(CAST(slice AS HUGEINT)) % 9223372036854775808 AS BIGINT) AS checksum " +
         "FROM s GROUP BY 1 ORDER BY bucket"),
+    // exact HUGEINT moments; the R/se float tail in the identical
+    // operand order, round-6 + 0.0 (wilson policy)
+    "p189_ratio_ci" -> (
+      "WITH u AS (SELECT user_id % 10 AS cohort, user_id, " +
+        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x, " +
+        "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y " +
+        "FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1, 2), " +
+        "g AS (SELECT cohort, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, " +
+        "SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy, " +
+        "SUM(CAST(x AS HUGEINT) * y) AS sxy FROM u GROUP BY 1) " +
+        "SELECT cohort, CAST(n AS BIGINT) AS n_users, CAST(sx AS BIGINT) AS sum_num, " +
+        "CAST(sy AS BIGINT) AS sum_den, " +
+        "CASE WHEN sy = 0 THEN NULL ELSE round(CAST(sx AS DOUBLE) / sy, 6) + 0.0 END AS ratio, " +
+        "CASE WHEN n < 2 OR sy = 0 THEN NULL ELSE " +
+        "round(CAST(sx AS DOUBLE) / sy - 1.96 * " +
+        "(sqrt(greatest(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) " +
+        "- 2.0 * (CAST(sx AS DOUBLE) / sy) * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) " +
+        "+ (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy) * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE), 0.0) " +
+        "/ (CAST(n AS DOUBLE) - 1.0)) / sy), 6) + 0.0 END AS ci_lo, " +
+        "CASE WHEN n < 2 OR sy = 0 THEN NULL ELSE " +
+        "round(CAST(sx AS DOUBLE) / sy + 1.96 * " +
+        "(sqrt(greatest(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) " +
+        "- 2.0 * (CAST(sx AS DOUBLE) / sy) * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) " +
+        "+ (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy) * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE), 0.0) " +
+        "/ (CAST(n AS DOUBLE) - 1.0)) / sy), 6) + 0.0 END AS ci_hi " +
+        "FROM g ORDER BY cohort"),
+    // midpoint halves (≤ mid is BEFORE); every division is the
+    // re-signed magnitude //; share-first factorization
+    "p190_mix_shift" -> (
+      "WITH b AS (SELECT event_type AS seg, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v FROM events), " +
+        "m AS (SELECT CAST(floor((MIN(s) + MAX(s)) / 2.0) AS BIGINT) AS mid FROM b), " +
+        "h AS (SELECT seg, CASE WHEN s <= mid THEN 0 ELSE 1 END AS hh, v FROM b, m), " +
+        "p AS (SELECT seg, SUM(CASE WHEN hh = 0 THEN 1 ELSE 0 END) AS n_before, " +
+        "SUM(CASE WHEN hh = 1 THEN 1 ELSE 0 END) AS n_after, " +
+        "SUM(CASE WHEN hh = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb, " +
+        "SUM(CASE WHEN hh = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa FROM h GROUP BY 1), " +
+        "t AS (SELECT SUM(n_before) AS tb, SUM(n_after) AS ta FROM p), " +
+        "r AS (SELECT seg, n_before, n_after, " +
+        "CAST(CASE WHEN tb = 0 THEN 0 ELSE n_before * 1000000 // tb END AS BIGINT) AS share_before_ppm, " +
+        "CAST(CASE WHEN ta = 0 THEN 0 ELSE n_after * 1000000 // ta END AS BIGINT) AS share_after_ppm, " +
+        "CASE WHEN n_before = 0 THEN 0 ELSE CAST(CASE WHEN sb >= 0 THEN 1 ELSE -1 END AS BIGINT) * CAST(abs(sb) // n_before AS BIGINT) END AS rate_before_micro, " +
+        "CASE WHEN n_after = 0 THEN 0 ELSE CAST(CASE WHEN sa >= 0 THEN 1 ELSE -1 END AS BIGINT) * CAST(abs(sa) // n_after AS BIGINT) END AS rate_after_micro " +
+        "FROM p, t) " +
+        "SELECT seg, CAST(n_before AS BIGINT) AS n_before, CAST(n_after AS BIGINT) AS n_after, " +
+        "share_before_ppm, share_after_ppm, rate_before_micro, rate_after_micro, " +
+        "CAST(CASE WHEN (share_after_ppm - share_before_ppm) * rate_before_micro >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        "CAST(abs((share_after_ppm - share_before_ppm) * rate_before_micro) // 1000000 AS BIGINT) AS mix_effect_micro, " +
+        "CAST(CASE WHEN share_after_ppm * (rate_after_micro - rate_before_micro) >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        "CAST(abs(share_after_ppm * (rate_after_micro - rate_before_micro)) // 1000000 AS BIGINT) AS rate_effect_micro " +
+        "FROM r ORDER BY seg"),
+    // p03's exact pair truth as the edge list, then the per-label
+    // modularity decomposition with the re-signed magnitude //
+    "p191_modularity" -> (
+      "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
+        "e0 AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
+        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e0 a JOIN e0 b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
+        "pr AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
+        "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)), " +
+        "lab AS (SELECT doc_id, lang FROM documents), " +
+        "e AS (SELECT pr.a, pr.b, la.lang AS lla, lb.lang AS llb FROM pr " +
+        "LEFT JOIN lab la ON la.doc_id = pr.a LEFT JOIN lab lb ON lb.doc_id = pr.b), " +
+        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM e), " +
+        "intra AS (SELECT lla AS l, COUNT(*) AS intra_edges FROM e WHERE lla IS NOT DISTINCT FROM llb GROUP BY 1), " +
+        "nd AS (SELECT node, l, COUNT(*) AS d FROM (SELECT a AS node, lla AS l FROM e UNION ALL SELECT b, llb FROM e) GROUP BY 1, 2), " +
+        "deg AS (SELECT l, COUNT(*) AS n_nodes, SUM(d) AS degree_sum FROM nd GROUP BY 1) " +
+        "SELECT deg.l AS label, CAST(n_nodes AS BIGINT) AS n_nodes, " +
+        "CAST(degree_sum AS BIGINT) AS degree_sum, " +
+        "CAST(COALESCE(intra_edges, 0) AS BIGINT) AS intra_edges, " +
+        "CAST(CASE WHEN 4 * m.m * COALESCE(intra_edges, 0) - CAST(degree_sum AS HUGEINT) * degree_sum >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        "CAST(abs(4 * m.m * COALESCE(intra_edges, 0) - CAST(degree_sum AS HUGEINT) * degree_sum) * 1000000 // (4 * m.m * m.m) AS BIGINT) AS q_contrib_ppm " +
+        "FROM deg LEFT JOIN intra ON deg.l IS NOT DISTINCT FROM intra.l CROSS JOIN m ORDER BY label"),
     // the oracle IS the full recompute — hash equality proves the
     // checkpoint merge loses nothing
     "p174_incremental_agg" -> (

@@ -767,4 +767,47 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       ("a", 3L, 4L, 2000000L), ("b", 2L, 2L, 1000000L)))
   }
+
+  test("ratioMetricCI: degenerate and varying cohorts, independent float path") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // cohort 0 = users 0, 2: user 0 → (1 purchase, 2 views); user 2 →
+    // (0, 2). cohort 1 = user 1 alone → n < 2 → NULL CI.
+    val ev = Seq(
+      (1L, 0L, "purchase", at(1)), (2L, 0L, "view", at(2)), (3L, 0L, "view", at(3)),
+      (4L, 2L, "view", at(4)), (5L, 2L, "view", at(5)),
+      (6L, 1L, "view", at(6)), (7L, 1L, "error", at(7))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.ratioMetricCI(ev, nCohorts = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    // cohort 0: R = 1/4; independent re-derivation of the declared se:
+    // Vx = 2·1−1 = 1, Cxy = 2·2−1·4 = 0, Vy = 2·8−16 = 0 →
+    // se = sqrt(1/1)/4 = 0.25 → ci_lo = 0.25 − 1.96·0.25 = −0.24
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1L, 4L, Some(0.25), Some(-0.24)),
+      (1L, 1L, 0L, 1L, Some(0.0), None)))
+  }
+
+  test("mixShift: planted mix move, effects reconcile the declared identity") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // before (s ≤ 50): 2 a-events at 1.0, 2 b-events at 3.0
+    // after: 3 a-events at 1.0, 1 b-event at 5.0 — a's share grew,
+    // b's rate grew
+    val ev = Seq(
+      (1L, "a", 1.0, at(0)), (2L, "a", 1.0, at(1)),
+      (3L, "b", 3.0, at(2)), (4L, "b", 3.0, at(3)),
+      (5L, "a", 1.0, at(97)), (6L, "a", 1.0, at(98)), (7L, "a", 1.0, at(99)),
+      (8L, "b", 5.0, at(100))
+    ).toDF("event_id", "event_type", "value", "ts")
+    val out = EventsOps.mixShift(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(out.toSeq == Seq(
+      // a: share 500000→750000 at rate 1e6 → mix +250000, rate 0
+      ("a", 2L, 3L, 500000L, 750000L, 1000000L, 1000000L, 250000L, 0L),
+      // b: share 500000→250000 at rate 3e6 → mix −750000; rate
+      // (5e6−3e6)·250000/1e6 = +500000
+      ("b", 2L, 1L, 500000L, 250000L, 3000000L, 5000000L, -750000L, 500000L)))
+  }
 }

@@ -416,4 +416,28 @@ class RetailGraphSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       (1L, 3L, 1L, 3L, 119190L), (2L, 1L, 1L, 1L, 121220L)))
   }
+
+  test("modularityByLabel: two clean communities, hand-computed Q terms") {
+    import spark.implicits._
+    // edges: triangle {1,2,3} + triangle {4,5,6} + one bridge 3-4 → m=7
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, "x"), (2L, "x"), (3L, "x"),
+      (4L, "y"), (5L, "y"), (6L, "y")).toDF("node", "label")
+    val out = graft.ops.Graph.modularityByLabel(edges, labels).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // per community: e_c = 3, d_c = 7 → (4·7·3 − 49)·1e6 / (4·49) = 35e6/196
+    assert(out.toSeq == Seq(("x", 3L, 7L, 3L, 178571L), ("y", 3L, 7L, 3L, 178571L)))
+    // Q = Σ contrib ≈ 0.357 — positive: the partition beats random
+    assert(out.map(_._5).sum > 0)
+  }
+
+  test("modularityByLabel: single-label graph has Q ≈ 0 by construction") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val labels = Seq((1L, "z"), (2L, "z"), (3L, "z")).toDF("node", "label")
+    val out = graft.ops.Graph.modularityByLabel(edges, labels).collect()
+    // e_c = m = 2, d_c = 2m = 4 → 4m·e − d² = 16 − 16 = 0
+    assert(out.length == 1 && out.head.getLong(4) == 0L)
+  }
 }
