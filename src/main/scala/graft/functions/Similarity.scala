@@ -96,4 +96,62 @@ object Similarity {
   /** Register `similarity_ratio(a, b)` for SQL use. */
   def register(spark: SparkSession): Unit =
     spark.udf.register("similarity_ratio", ratio _)
+
+  /** JARO-WINKLER similarity — the record-linkage scorer alongside
+    * [[ratio]]: Jaro's windowed match/transposition count, boosted for
+    * up to 4 shared prefix characters by p = 0.1 ONLY when the base
+    * Jaro exceeds 0.7 (the standard boost-threshold formulation; same
+    * parameterization as DuckDB's `jaro_winkler_similarity`, C
+    * reference implementations, and the original census-linkage code).
+    * Empty or null input scores 0.0 — even two empties (the linkage
+    * convention: no evidence is not a match; DuckDB agrees).
+    *
+    * Elements are Unicode CODE POINTS (like [[ratio]]); engines that
+    * compare raw UTF-8 bytes (DuckDB) agree on ASCII and diverge on
+    * multibyte input — pin oracles to ASCII columns.
+    * O(|a|·|b| window) per call, zero allocation beyond two mark
+    * arrays: pair with blocking at scale, same as [[ratio]]. */
+  def jaroWinkler(a: String, b: String): Double = {
+    if (a == null || b == null) return 0.0
+    val ca = codePoints(a); val cb = codePoints(b)
+    val la = ca.length; val lb = cb.length
+    if (la == 0 || lb == 0) return 0.0
+    if (java.util.Arrays.equals(ca, cb)) return 1.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val aMatch = new Array[Boolean](la); val bMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!bMatch(j) && ca(i) == cb(j)) {
+          aMatch(i) = true; bMatch(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < la) {
+      if (aMatch(i)) {
+        while (!bMatch(k)) k += 1
+        if (ca(i) != cb(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val mt = t / 2
+    val jaro = (m.toDouble / la + m.toDouble / lb + (m - mt).toDouble / m) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      val maxL = math.min(4, math.min(la, lb))
+      var l = 0
+      while (l < maxL && ca(l) == cb(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    }
+  }
 }

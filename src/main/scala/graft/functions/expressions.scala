@@ -17,6 +17,9 @@ object ExprKernels {
   def similarity(a: UTF8String, b: UTF8String): Double =
     Similarity.ratio(a.toString, b.toString)
 
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double =
+    Similarity.jaroWinkler(a.toString, b.toString)
+
   def nfcClean(s: UTF8String): UTF8String = {
     val n = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC)
     val sb = new java.lang.StringBuilder(n.length)
@@ -58,6 +61,22 @@ case class SimilarityExpression(left: Expression, right: Expression)
   override def prettyName: String = "similarity_ratio"
 }
 
+/** `jaro_winkler(a, b)`: Jaro-Winkler similarity as a native
+  * expression — the record-linkage scorer next to `similarity_ratio`,
+  * boost threshold 0.7, prefix cap 4, p = 0.1 (DuckDB-parameterized;
+  * see [[graft.functions.Similarity.jaroWinkler]]). */
+case class JaroWinklerExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaroWinklerExpression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "jaro_winkler"
+}
+
 /** `nfc_clean(str)`: Unicode NFC composition + ISO-control strip (C0 +
   * C1, exactly `Character.isISOControl`) — canonical text cleanup before
   * fingerprinting/shingling so byte-different but canonically-equal
@@ -82,12 +101,15 @@ object GraftFunctions {
   def unaccent_native(c: Column): Column = column(UnaccentExpression(expression(c)))
   def similarity_native(a: Column, b: Column): Column =
     column(SimilarityExpression(expression(a), expression(b)))
+  def jaro_winkler(a: Column, b: Column): Column =
+    column(JaroWinklerExpression(expression(a), expression(b)))
   def nfc_clean(c: Column): Column = column(NfcCleanExpression(expression(c)))
 
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "unaccent" -> (exprs => UnaccentExpression(exprs.head)),
     "similarity_ratio" -> (exprs => SimilarityExpression(exprs(0), exprs(1))),
     "nfc_clean" -> (exprs => NfcCleanExpression(exprs.head)),
+    "jaro_winkler" -> (exprs => JaroWinklerExpression(exprs(0), exprs(1))),
     "misra_gries" -> (exprs => MisraGriesAgg(exprs(0),
       exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()))
 

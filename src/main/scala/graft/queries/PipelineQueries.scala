@@ -1776,6 +1776,22 @@ object PipelineQueries {
         Tables(s, dir, "documents").select(
           col("doc_id").as("node"), col("lang").as("label")))),
 
+    // Jaro-Winkler record-linkage scorer (native codegen expression)
+    // against DuckDB's own jaro_winkler_similarity: boosted, unboosted,
+    // and near-zero regimes in one scan; ASCII names pin the
+    // code-point-vs-byte question away.
+    "p192_jaro_winkler" -> ((s, dir) =>
+      Tables(s, dir, "customer").where(col("c_custkey") <= 200)
+        .select(col("c_custkey"),
+          round(graft.functions.GraftFunctions.jaro_winkler(
+            col("c_name"), regexp_replace(col("c_name"), "0", "O")), 6)
+            .as("jw_variant"),
+          round(graft.functions.GraftFunctions.jaro_winkler(
+            col("c_name"), reverse(col("c_name"))), 6).as("jw_reversed"),
+          round(graft.functions.GraftFunctions.jaro_winkler(
+            col("c_name"), lit("Customer#000000000")), 6).as("jw_const"))
+        .orderBy("c_custkey")),
+
     // Incremental view maintenance: merge(state(evens), state(odds))
     // must equal the oracle's FULL recompute — the checkpoint-merge
     // invariant incremental pipelines rest on.
@@ -3810,6 +3826,14 @@ object PipelineQueries {
         "CAST(CASE WHEN 4 * m.m * COALESCE(intra_edges, 0) - CAST(degree_sum AS HUGEINT) * degree_sum >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
         "CAST(abs(4 * m.m * COALESCE(intra_edges, 0) - CAST(degree_sum AS HUGEINT) * degree_sum) * 1000000 // (4 * m.m * m.m) AS BIGINT) AS q_contrib_ppm " +
         "FROM deg LEFT JOIN intra ON deg.l IS NOT DISTINCT FROM intra.l CROSS JOIN m ORDER BY label"),
+    // DuckDB's own jaro_winkler_similarity IS the oracle — ASCII
+    // input, round-6 on both sides
+    "p192_jaro_winkler" -> (
+      "SELECT c_custkey, " +
+        "round(jaro_winkler_similarity(c_name, replace(c_name, '0', 'O')), 6) AS jw_variant, " +
+        "round(jaro_winkler_similarity(c_name, reverse(c_name)), 6) AS jw_reversed, " +
+        "round(jaro_winkler_similarity(c_name, 'Customer#000000000'), 6) AS jw_const " +
+        "FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"),
     // the oracle IS the full recompute — hash equality proves the
     // checkpoint merge loses nothing
     "p174_incremental_agg" -> (

@@ -54,4 +54,38 @@ class SimilaritySpec extends AnyFunSuite {
       assert(math.abs(r - Similarity.ratio(b, a)) < 0.25)
     }
   }
+
+  test("jaroWinkler: census-linkage textbook values (DuckDB-probed)") {
+    def jw(a: String, b: String) =
+      BigDecimal(Similarity.jaroWinkler(a, b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(jw("MARTHA", "MARHTA") == 0.961111)   // jaro 0.944444, prefix 3
+    assert(jw("DIXON", "DICKSONX") == 0.813333)  // jaro 0.766667, prefix 2
+    assert(jw("DWAYNE", "DUANE") == 0.84)
+    assert(jw("abc", "abc") == 1.0)
+    // empty-side convention: 0.0, even for two empties (no evidence)
+    assert(Similarity.jaroWinkler("", "abc") == 0.0)
+    assert(Similarity.jaroWinkler("", "") == 0.0)
+    assert(Similarity.jaroWinkler(null, "x") == 0.0)
+    // the 0.7 boost threshold: same 1-char prefix, low jaro → NO boost
+    assert(jw("aXXXXX", "aYYYYY") == 0.444444)
+    assert(jw("abcdXXXX", "abcdYYYY") == 0.666667)
+    // above threshold the prefix caps at 4 even with 5 shared chars
+    assert(jw("abcdeX", "abcdeY") == 0.933333)
+    // disjoint-window characters never match
+    assert(Similarity.jaroWinkler("ab", "ba") == 0.0)
+  }
+
+  test("jaroWinkler property: range and symmetry (fully symmetric, unlike ratio)") {
+    val rnd = new scala.util.Random(7)
+    def randStr(): String =
+      (0 until rnd.nextInt(11)).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+    (1 to 500).foreach { _ =>
+      val a = randStr(); val b = randStr()
+      val r = Similarity.jaroWinkler(a, b)
+      assert(r >= 0.0 && r <= 1.0)
+      assert(r == Similarity.jaroWinkler(b, a))
+      if (a.nonEmpty) assert(Similarity.jaroWinkler(a, a) == 1.0)
+    }
+  }
 }
