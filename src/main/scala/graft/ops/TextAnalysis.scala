@@ -352,4 +352,59 @@ object TextAnalysis {
         lit(206835L) - expr("1015 * n_words div n_sentences") -
           expr("84600 * n_syllable_groups div n_words"))
   }
+
+  /** GOPHER QUALITY RULES (Rae et al. 2021, arXiv:2112.11446 §A1.1) —
+    * the composite document filter the individual screens here feed
+    * into, reported as per-rule booleans plus the overall verdict so a
+    * curation run can see WHICH rule kills a document (the paper's
+    * thresholds, integer-exact — every ratio test is cross-multiplied,
+    * no division anywhere):
+    *   1. 50 ≤ words ≤ 100,000
+    *   2. mean word length in [3, 10]    (3n ≤ Σlen ≤ 10n)
+    *   3. symbol-to-word ratio < 0.1     ('#' chars + '…'/'...' runs)
+    *   4. ≤ 10% of lines start with a bullet (-, *, •)
+    *   5. ≥ 80% of words contain an alphabetic character
+    *   6. ≥ 2 DISTINCT stop words of {the, be, to, of, and, that,
+    *      have, with} (the paper's list; distinct-count reading)
+    * Empty docs fail 1 (and the strict ratio tests), vacuously pass 2.
+    *
+    * Map-only — at 100 TB this is the scan; compose with
+    * [[CorpusOps.budgetSelect]] or a plain filter on `gopher_pass`.
+    * Returns (idCol, n_words, rule booleans ×6, gopher_pass). */
+  def gopherRules(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs
+      .withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_lines", split(col(textCol), "\n"))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_words"),
+        length(regexp_replace(col(textCol), "\\s", "")).cast("long").as("_wchars"),
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "#", ""))).cast("long").as("_hashes"),
+        size(regexp_extract_all(col(textCol), lit("\\.\\.\\.|…"), lit(0)))
+          .cast("long").as("_ellipses"),
+        size(col("_lines")).cast("long").as("_nlines"),
+        size(filter(col("_lines"), l => trim(l).rlike("^[-*•]")))
+          .cast("long").as("_bullets"),
+        size(filter(col("_toks"), t => t.rlike("[A-Za-z]")))
+          .cast("long").as("_alphaw"),
+        size(array_intersect(
+          array_distinct(transform(col("_toks"), t => lower(t))),
+          array(stops.map(lit): _*))).cast("long").as("_stophits"))
+      .select(col(idCol), col("n_words"),
+        (col("n_words") >= 50L && col("n_words") <= 100000L).as("word_count_ok"),
+        (lit(3L) * col("n_words") <= col("_wchars") &&
+          col("_wchars") <= lit(10L) * col("n_words")).as("mean_word_len_ok"),
+        (lit(10L) * (col("_hashes") + col("_ellipses")) < col("n_words"))
+          .as("symbol_ratio_ok"),
+        (lit(10L) * col("_bullets") <= col("_nlines")).as("bullet_lines_ok"),
+        (lit(10L) * col("_alphaw") >= lit(8L) * col("n_words")).as("alpha_words_ok"),
+        (col("_stophits") >= 2L).as("stop_words_ok"))
+      .withColumn("gopher_pass",
+        col("word_count_ok") && col("mean_word_len_ok") && col("symbol_ratio_ok") &&
+          col("bullet_lines_ok") && col("alpha_words_ok") && col("stop_words_ok"))
+  }
 }

@@ -1792,6 +1792,12 @@ object PipelineQueries {
             col("c_name"), lit("Customer#000000000")), 6).as("jw_const"))
         .orderBy("c_custkey")),
 
+    // Gopher quality rules, per-rule verdicts + composite pass —
+    // integer-exact cross-multiplied ratio tests, map-only.
+    "p193_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // Incremental view maintenance: merge(state(evens), state(odds))
     // must equal the oracle's FULL recompute — the checkpoint-merge
     // invariant incremental pipelines rest on.
@@ -3834,6 +3840,32 @@ object PipelineQueries {
         "round(jaro_winkler_similarity(c_name, reverse(c_name)), 6) AS jw_reversed, " +
         "round(jaro_winkler_similarity(c_name, 'Customer#000000000'), 6) AS jw_const " +
         "FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"),
+    // the paper's thresholds cross-multiplied; list lambdas mirror the
+    // Spark higher-order filters
+    "p193_gopher_rules" -> (
+      "WITH d AS (SELECT doc_id, text, " +
+        "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\\s+') END AS toks, " +
+        "string_split(text, chr(10)) AS lines FROM documents), " +
+        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, " +
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS wchars, " +
+        "CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes, " +
+        "CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT) AS ellipses, " +
+        "CAST(len(lines) AS BIGINT) AS nlines, " +
+        "CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS bullets, " +
+        "CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alphaw, " +
+        "CAST(len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))), " +
+        "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS stophits FROM d) " +
+        "SELECT doc_id, n_words, " +
+        "n_words >= 50 AND n_words <= 100000 AS word_count_ok, " +
+        "3 * n_words <= wchars AND wchars <= 10 * n_words AS mean_word_len_ok, " +
+        "10 * (hashes + ellipses) < n_words AS symbol_ratio_ok, " +
+        "10 * bullets <= nlines AS bullet_lines_ok, " +
+        "10 * alphaw >= 8 * n_words AS alpha_words_ok, " +
+        "stophits >= 2 AS stop_words_ok, " +
+        "(n_words >= 50 AND n_words <= 100000) AND (3 * n_words <= wchars AND wchars <= 10 * n_words) " +
+        "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
+        "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
+        "FROM m ORDER BY doc_id"),
     // the oracle IS the full recompute — hash equality proves the
     // checkpoint merge loses nothing
     "p174_incremental_agg" -> (

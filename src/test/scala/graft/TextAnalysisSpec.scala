@@ -120,4 +120,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     val out = TextAnalysis.c4LineClean(df, requireTerminalPunct = true).first()
     assert(out.getLong(1) == 2L && out.getLong(2) == 1L)
   }
+
+  test("gopherRules: each rule trips on its own planted violation") {
+    // a healthy 60-word doc: every rule passes
+    val good = (("the be to of and that have with " +
+      "alpha words everywhere ") * 5).trim  // 55 words, all alphabetic
+    val docs = Seq(
+      (1L, good),
+      (2L, "the be short"),                        // < 50 words
+      (3L, good + " " + Seq.fill(10)("#####").mkString(" ")), // symbol ratio
+      (4L, good.split(" ").map(w => s"- $w").mkString("\n")), // bullet lines
+      (5L, good + " " + Seq.fill(20)("12345").mkString(" ")), // alpha share
+      (6L, Seq.fill(60)("zq").mkString(" "))       // no stop words, len ok
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L) == ((1L, true, true, true, true, true, true, true)))
+    assert(!byId(2L)._2 && !byId(2L)._8)           // word count fails
+    assert(!byId(3L)._4 && !byId(3L)._8)           // symbol ratio fails
+    assert(!byId(4L)._5 && !byId(4L)._8)           // bullet lines fail
+    assert(!byId(5L)._6 && !byId(5L)._8)           // alpha share fails
+    assert(!byId(6L)._7 && !byId(6L)._8)           // stop words fail
+  }
 }
