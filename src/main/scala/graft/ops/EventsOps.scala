@@ -1394,6 +1394,44 @@ object EventsOps {
         min(when(col("_cum") * 2 >= col("_tot"), col("_v"))).as("wmedian_micro"))
   }
 
+  /** SLA PERCENTILES — the operations quartet (p50/p90/p95/p99) per
+    * key, EXACT: value at rank ⌈p·n/100⌉ over the (value, tie) total
+    * order (the lower-percentile convention — an SLA report must quote
+    * a value that actually occurred, not an interpolation). Integer
+    * micro-units; rank arithmetic is `(p·n + 99) div 100` (exact
+    * ceiling, non-negative operands).
+    *
+    * Shape: ONE hash exchange on the key — the rank window and the
+    * final conditional-min fold reuse it; nothing global. At 100 TB
+    * parallelism = #keys (same envelope as [[trimmedMean]]'s rank
+    * cuts). Returns (keyCol, n, p50_micro, p90_micro, p95_micro,
+    * p99_micro); empty keys simply don't appear. */
+  def slaPercentiles(
+      ev: DataFrame,
+      keyCol: String = "event_type",
+      valueCol: String = "value",
+      tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_v"), col(tieCol))
+    val n = Window.partitionBy(col(keyCol))
+    ev.where(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tieCol),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(n))
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("_n")).as("n"),
+        min(when(col("_rn") === expr("(50 * _n + 99) div 100"), col("_v")))
+          .as("p50_micro"),
+        min(when(col("_rn") === expr("(90 * _n + 99) div 100"), col("_v")))
+          .as("p90_micro"),
+        min(when(col("_rn") === expr("(95 * _n + 99) div 100"), col("_v")))
+          .as("p95_micro"),
+        min(when(col("_rn") === expr("(99 * _n + 99) div 100"), col("_v")))
+          .as("p99_micro"))
+  }
+
   /** RATIO-METRIC confidence interval per cohort — the A/B primitive
     * [[wilsonInterval]] cannot cover: a metric that is a RATIO of two
     * per-user counts (purchases per view, clicks per session), where

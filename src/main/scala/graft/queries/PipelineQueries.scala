@@ -1798,6 +1798,24 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // The operations SLA quartet per type — exact lower-percentile
+    // values at rank ceil(p·n/100), one key exchange.
+    "p194_sla_percentiles" -> ((s, dir) =>
+      graft.ops.EventsOps.slaPercentiles(Tables(s, dir, "events"))
+        .orderBy("event_type")),
+
+    // How good is the n-gram language-ID heuristic? Confusion matrix
+    // vs the ground-truth lang column, with per-true-class share.
+    "p195_langid_confusion" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("lang").as("lang_true"),
+          TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_ppm", expr(
+          "CAST(n * 1000000 div sum(n) OVER (PARTITION BY lang_true) AS BIGINT)"))
+        .orderBy("lang_true", "lang_pred")),
+
     // Incremental view maintenance: merge(state(evens), state(odds))
     // must equal the oracle's FULL recompute — the checkpoint-merge
     // invariant incremental pipelines rest on.
@@ -3866,6 +3884,36 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // identical rank ladder; ceiling by (p·n + 99) // 100 on
+    // non-negative ints
+    "p194_sla_percentiles" -> (
+      "WITH e AS (SELECT event_type AS k, event_id AS tie, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "r AS (SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v, tie) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY k) AS n FROM e) " +
+        "SELECT k AS event_type, CAST(MAX(n) AS BIGINT) AS n, " +
+        "MIN(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS p50_micro, " +
+        "MIN(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS p90_micro, " +
+        "MIN(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS p95_micro, " +
+        "MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS p99_micro " +
+        "FROM r GROUP BY k ORDER BY k"),
+    // p10's heuristic CASE grouped against the ground-truth column
+    "p195_langid_confusion" -> (
+      "WITH s AS (SELECT lang AS lang_true, " +
+        "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a|for)\\b')) AS en, " +
+        "len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|en|los|del)\\b')) AS es, " +
+        "len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht|mit|ein)\\b')) AS de, " +
+        "len(regexp_extract_all(lower(text), '\\b(le|les|des|est|une|dans|pour|que)\\b')) AS fr FROM documents), " +
+        "p AS (SELECT lang_true, CASE WHEN greatest(en, es, de, fr) = 0 THEN 'unknown' " +
+        "WHEN en = greatest(en, es, de, fr) THEN 'en' " +
+        "WHEN es = greatest(en, es, de, fr) THEN 'es' " +
+        "WHEN de = greatest(en, es, de, fr) THEN 'de' " +
+        "ELSE 'fr' END AS lang_pred FROM s), " +
+        "c AS (SELECT lang_true, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2) " +
+        "SELECT lang_true, lang_pred, CAST(n AS BIGINT) AS n, " +
+        "CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang_true) AS BIGINT) AS share_ppm " +
+        "FROM c ORDER BY lang_true, lang_pred"),
     // the oracle IS the full recompute — hash equality proves the
     // checkpoint merge loses nothing
     "p174_incremental_agg" -> (

@@ -810,4 +810,17 @@ class EventsOpsSpec extends AnyFunSuite {
       // (5e6−3e6)·250000/1e6 = +500000
       ("b", 2L, 1L, 500000L, 250000L, 3000000L, 5000000L, -750000L, 500000L)))
   }
+
+  test("slaPercentiles: exact lower-percentile ranks on a 100-value ladder") {
+    // values 1..100 → rank ceil(p·100/100) = p exactly: p50 = 50, p99 = 99
+    val ev = (1 to 100).map(i => (i.toLong, "g", i.toDouble)) :+ ((200L, "tiny", 7.0))
+    val out = EventsOps.slaPercentiles(ev.toDF("event_id", "event_type", "value"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("g", 100L, 50000000L, 90000000L, 95000000L, 99000000L),
+      // n = 1: every percentile is the single value (ceil(p/100) = 1)
+      ("tiny", 1L, 7000000L, 7000000L, 7000000L, 7000000L)))
+  }
 }
