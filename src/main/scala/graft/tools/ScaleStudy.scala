@@ -186,6 +186,21 @@ object ScaledOps {
       time("rank_suite") { sink(graft.ops.Stats.rankReport(
         ev, "event_type", "value", "event_id", nTiles = 4)) },
       time("curriculum") { sink(CorpusOps.curriculumOrder(docs)) },
+      // p183-p194 wave, corpus-sized members: journey credit windows,
+      // the weighted-median ladder, the map-only Gopher scan, the
+      // struct-max survivorship fold, and the SLA rank ladder
+      time("position_attr") { sink(graft.ops.EventsOps.positionAttribution(ev)) },
+      time("weighted_median") { sink(graft.ops.EventsOps.weightedMedian(
+        graft.ops.EventsOps.parseProps(ev).withColumn("weight", col("prop_k")))) },
+      time("gopher_rules") { sink(TextAnalysis.gopherRules(docs)) },
+      time("golden_record") { sink(graft.ops.SnapshotDiff.goldenRecord(
+        graft.ops.EventsOps.parseProps(ev)
+          .withColumn("value_micro",
+            when(pmod(col("event_id"), lit(3)) === 0, lit(null).cast("long"))
+              .otherwise(floor(col("value").cast("double") * lit(1000000.0d))
+                .cast("long"))),
+        "user_id", "ts", "event_id", Seq("value_micro", "prop_k"))) },
+      time("sla_percentiles") { sink(graft.ops.EventsOps.slaPercentiles(ev)) },
       // billion-scale ANN headline at ×k: full train+search pipeline
       // (IVF coarse cells + PQ codebooks + ADC scan + exact refine),
       // the p79 gate's exact shape at scaled row count
