@@ -1608,6 +1608,51 @@ object CorpusOps {
           .as("chars_per_subword_micro"))
       .orderBy(col(langCol))
 
+  /** CCNet-STYLE PERPLEXITY BUCKETS (Wenzek et al. 2020,
+    * arXiv:1911.00359) — split the corpus into head / middle / tail by
+    * language-model perplexity terciles, the curation convention CCNet
+    * introduced and RedPajama/CCNet-derived corpora publish: "head" is
+    * the cleanest third under the LM, "tail" the noisiest, and
+    * downstream mixing weights are chosen PER BUCKET. The LM here is
+    * the engine's own [[bigramSurprisal]] (add-one smoothed corpus
+    * bigram model, integer whole-bit scoring) instead of the paper's
+    * KenLM — same construction, engine-portable.
+    *
+    * Terciles are exact rank cuts over the (avg bits, doc id) total
+    * order: bucket b = ⌈3·rank/n⌉ via integer arithmetic (the ntile
+    * construction without its window function — rank and n come from
+    * the same single-exchange ladder, and `(3·rank + n − 1) div n`
+    * needs no per-bucket state). Docs with no bigram (|tokens| < 2)
+    * are excluded, like the model itself excludes them.
+    *
+    * Shape: [[bigramSurprisal]]'s two corpus passes + ONE slim global
+    * rank ladder over (bits_micro, doc_id) pairs — the same watched
+    * single-partition-window caveat as [[curriculumOrder]], with the
+    * same documented blocked-prefix-sum swap at cluster scale.
+    * Returns (doc_id, n_bigrams, bits, bucket 1..3, bucket_name)
+    * where 1=head (lowest surprisal). */
+  def ccnetBuckets(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramSurprisal(docs, idCol, textCol)
+      // integer sort key: total bits scaled by count — avg_bits without
+      // the float (a/b < c/d ⇔ a·d < c·b needs pairwise compares; the
+      // micro-quantized per-doc average is a stable portable proxy)
+      .withColumn("_k", expr("CAST(bits * 1000000 div n_bigrams AS BIGINT)"))
+    val w = Window.orderBy(col("_k"), col(idCol))
+    val n = Window.partitionBy()
+    scored
+      .withColumn("_rank", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(n))
+      .withColumn("bucket", expr("CAST((3 * _rank + _n - 1) div _n AS INT)"))
+      .select(col(idCol), col("n_bigrams"), col("bits"), col("bucket"),
+        when(col("bucket") === 1, lit("head"))
+          .when(col("bucket") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket_name"))
+  }
+
   /** CURRICULUM ORDER — a deterministic easy-to-hard training order
     * with difficulty mixing: docs are scored by token count (short ≈
     * easy — swap in any integer difficulty), cut into `nBuckets`

@@ -1798,6 +1798,12 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // CCNet head/middle/tail perplexity terciles under the engine's
+    // own bigram LM — the bucket labels mixing weights key on.
+    "p196_ccnet_buckets" -> ((s, dir) =>
+      graft.ops.CorpusOps.ccnetBuckets(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // The operations SLA quartet per type — exact lower-percentile
     // values at rank ceil(p·n/100), one key exchange.
     "p194_sla_percentiles" -> ((s, dir) =>
@@ -3884,6 +3890,32 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // p65's LM verbatim, then the ceil-tercile rank formula (NOT
+    // NTILE — the declared (3r+n−1)//n convention)
+    "p196_ccnet_buckets" -> (
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "bi AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i " +
+        "FROM t WHERE len(toks) >= 2), " +
+        "bp AS (SELECT doc_id, toks[CAST(i AS INT)] AS l, " +
+        "toks[CAST(i AS INT)] || chr(1) || toks[CAST(i AS INT) + 1] AS bg FROM bi), " +
+        "model AS (SELECT bg, COUNT(*) AS c12 FROM bp GROUP BY bg), " +
+        "lf AS (SELECT l, COUNT(*) AS c1 FROM bp GROUP BY l), " +
+        "v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t WHERE len(toks) >= 2)), " +
+        "sc AS (SELECT doc_id, c1 + v.v AS a, c12 + 1 AS b " +
+        "FROM bp JOIN model USING (bg) JOIN lf USING (l), v), " +
+        "k AS (SELECT doc_id, CASE WHEN a < (b << (length(bin(a)) - length(bin(b)))) " +
+        "THEN length(bin(a)) - length(bin(b)) - 1 " +
+        "ELSE length(bin(a)) - length(bin(b)) END AS bits FROM sc), " +
+        "doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(SUM(bits) AS BIGINT) AS bits FROM k GROUP BY doc_id), " +
+        "rk AS (SELECT *, CAST(bits * 1000000 // n_bigrams AS BIGINT) AS kk FROM doc), " +
+        "r2 AS (SELECT *, ROW_NUMBER() OVER (ORDER BY kk, doc_id) AS rnk, " +
+        "COUNT(*) OVER () AS n FROM rk) " +
+        "SELECT doc_id, n_bigrams, bits, CAST((3 * rnk + n - 1) // n AS INT) AS bucket, " +
+        "CASE WHEN (3 * rnk + n - 1) // n = 1 THEN 'head' " +
+        "WHEN (3 * rnk + n - 1) // n = 2 THEN 'middle' ELSE 'tail' END AS bucket_name " +
+        "FROM r2 ORDER BY doc_id"),
     // identical rank ladder; ceiling by (p·n + 99) // 100 on
     // non-negative ints
     "p194_sla_percentiles" -> (

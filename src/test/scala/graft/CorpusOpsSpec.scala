@@ -784,4 +784,23 @@ class CorpusOpsSpec extends AnyFunSuite {
       // en: 3 words, 6 subwords → fertility 2.0; 15 chars / 6 subwords
       ("en", 2L, 15L, 3L, 6L, Some(2000000L), Some(2500000L))))
   }
+
+  test("ccnetBuckets: repetitive docs land in head, novel ones in tail") {
+    // three identical highly-predictable docs (every bigram seen 3×)
+    // and three docs of unique words (every bigram a singleton)
+    val docs = (
+      (1L to 3L).map(i => (i, "x y x y x y x y")) ++
+      (4L to 6L).map(i => (i, s"u$i v$i w$i z$i q$i r$i"))
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.ccnetBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getString(4))).sortBy(_._1)
+    // 6 docs → terciles of 2: predictable docs fill head (+1 in middle)
+    val byBucket = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket(1).subsetOf(Set(1L, 2L, 3L)))
+    assert(byBucket(3).subsetOf(Set(4L, 5L, 6L)))
+    assert(out.map(_._3).toSet == Set("head", "middle", "tail"))
+    // ceil-tercile sizes for n=6: 2/2/2
+    assert(out.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map(1 -> 2, 2 -> 2, 3 -> 2))
+  }
 }
