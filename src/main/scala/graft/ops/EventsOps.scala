@@ -1394,6 +1394,45 @@ object EventsOps {
         min(when(col("_cum") * 2 >= col("_tot"), col("_v"))).as("wmedian_micro"))
   }
 
+  /** RECENCY-DECAYED engagement score per key — each event's value
+    * halves for every `halfLifeSeconds` of age at the snapshot's
+    * high-water mark: score = Σ v_micro div 2^(age div halfLife). The
+    * EXACT integer form of exponential decay (the float e^{-λt} version
+    * is [[ewmaSmooth]]'s territory): a power-of-two halving is a BIGINT
+    * division, so the score is reproducible to the last unit on any
+    * engine — the property a ranking signal feeding downstream joins
+    * actually needs. Ages ≥ 40 half-lives contribute 0 (declared cap;
+    * 2⁴⁰ ≈ 10¹² already zeroes any realistic micro value).
+    *
+    * Shape: the high-water mark is a 1-row fold broadcast back (lazy,
+    * single-pass — the [[graft.ops.Governance.freshnessReport]]
+    * recipe); the decay is map-only; one partial-agg'd fold on the key.
+    * At 100 TB this is the scan plus a key-sized aggregate. Returns
+    * (keyCol, n_events, score_micro, last_sec). */
+  def decayScore(
+      ev: DataFrame,
+      halfLifeSeconds: Long = 86400L,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    require(halfLifeSeconds > 0, s"decayScore: need halfLifeSeconds > 0, got $halfLifeSeconds")
+    val base = ev.select(col(keyCol),
+      epochSec(tsCol).as("_s"),
+      floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+    val hwm = base.agg(max(col("_s")).as("_hwm"))
+    base.crossJoin(broadcast(hwm))
+      .withColumn("_k", expr(s"(_hwm - _s) div $halfLifeSeconds"))
+      .withColumn("_dv",
+        when(col("_k") >= 40L, lit(0L))
+          // re-signed magnitude div (truncate vs floor on negatives)
+          .otherwise(expr("CASE WHEN _v >= 0 THEN _v div shiftleft(1L, CAST(_k AS INT)) " +
+            "ELSE -((-_v) div shiftleft(1L, CAST(_k AS INT))) END")))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("_dv")).as("score_micro"),
+        max(col("_s")).as("last_sec"))
+  }
+
   /** SLA PERCENTILES — the operations quartet (p50/p90/p95/p99) per
     * key, EXACT: value at rank ⌈p·n/100⌉ over the (value, tie) total
     * order (the lower-percentile convention — an SLA report must quote

@@ -568,6 +568,57 @@ object Governance {
       .orderBy("bucket")
   }
 
+  /** JOIN-CARDINALITY estimate WITHOUT executing the join: |A ⋈ B| on
+    * an equi-key is EXACTLY Σ_k n_A(k)·n_B(k), computable from the two
+    * key-count tables — the planning number that decides broadcast vs
+    * shuffle vs salting BEFORE a 100 TB join runs, plus the top hot
+    * keys by output contribution (the keys salting would split). This
+    * is the diagnostic twin of the AQE skew threshold: run it in CI
+    * against production key histograms and a quadratic join blowup is
+    * a report row, not a 3 a.m. page.
+    *
+    * Shape: one partial-agg count per side (map-side combine), an
+    * equi-join of the two key-bounded tables, a 1-row total plus a
+    * TakeOrdered top-k — nothing row-sized past the first aggregates.
+    * DECIMAL(38,0) products so hot keys cannot overflow. Returns
+    * topK+1 rows: ('TOTAL', NULL-key row with the full estimate) then
+    * the top keys by contribution desc, each (row_kind, key rendered
+    * as string, n_left, n_right, contribution). */
+  def joinCardinality(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"joinCardinality: need topK >= 1, got $topK")
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(38, 0)
+    val la = left.groupBy(col(leftKey).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val rb = right.groupBy(col(rightKey).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val contrib = la.join(rb, Seq("key"))
+      .withColumn("contribution",
+        (col("n_left").cast(d) * col("n_right").cast(d)).cast(d))
+    val total = contrib.agg(
+        coalesce(sum(col("n_left")), lit(0L)).as("n_left"),
+        coalesce(sum(col("n_right")), lit(0L)).as("n_right"),
+        coalesce(sum(col("contribution")), lit(0).cast(d)).as("contribution"))
+      .select(lit("TOTAL").as("row_kind"), lit(null).cast("string").as("key"),
+        col("n_left"), col("n_right"),
+        col("contribution").cast("decimal(38,0)").cast("string").as("contribution"))
+    val top = contrib
+      .orderBy(col("contribution").desc, col("key"))
+      .limit(topK)
+      .select(lit("HOT_KEY").as("row_kind"), col("key"),
+        col("n_left"), col("n_right"),
+        col("contribution").cast("string").as("contribution"))
+    total.unionByName(top)
+      // union order is not contractual — pin a total output order
+      .orderBy(col("row_kind"),
+        col("contribution").cast(d).desc, col("key"))
+  }
+
   /** L-DIVERSITY audit — the companion screen to [[kAnonymityAudit]]:
     * a QI class can be large (k-anonymous) yet still leak if every
     * member shares the SAME sensitive value; l-diversity requires ≥ l

@@ -1798,6 +1798,19 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Pre-flight join-size estimate from the two key histograms plus
+    // the hot keys salting would split — the join never runs.
+    "p197_join_cardinality" -> ((s, dir) =>
+      graft.ops.Governance.joinCardinality(
+        Tables(s, dir, "orders"), Tables(s, dir, "lineitem"),
+        "o_orderkey", "l_orderkey", topK = 10)),
+
+    // Exact power-of-two recency decay per user: value halves per day
+    // of age at the snapshot high-water mark; BIGINT to the last unit.
+    "p198_decay_score" -> ((s, dir) =>
+      graft.ops.EventsOps.decayScore(Tables(s, dir, "events"))
+        .orderBy("user_id")),
+
     // CCNet head/middle/tail perplexity terciles under the engine's
     // own bigram LM — the bucket labels mixing weights key on.
     "p196_ccnet_buckets" -> ((s, dir) =>
@@ -3890,6 +3903,36 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // Σ_k nA(k)·nB(k) off the two key histograms; HUGEINT products
+    // rendered as strings (the decimal-render-wobble dodge)
+    "p197_join_cardinality" -> (
+      "WITH la AS (SELECT CAST(o_orderkey AS VARCHAR) AS key, COUNT(*) AS n_left FROM orders GROUP BY 1), " +
+        "rb AS (SELECT CAST(l_orderkey AS VARCHAR) AS key, COUNT(*) AS n_right FROM lineitem GROUP BY 1), " +
+        "c AS (SELECT la.key, n_left, n_right, CAST(n_left AS HUGEINT) * n_right AS contribution " +
+        "FROM la JOIN rb USING (key)), " +
+        "tot AS (SELECT 'TOTAL' AS row_kind, CAST(NULL AS VARCHAR) AS key, " +
+        "CAST(COALESCE(SUM(n_left), 0) AS BIGINT) AS n_left, " +
+        "CAST(COALESCE(SUM(n_right), 0) AS BIGINT) AS n_right, " +
+        "CAST(COALESCE(SUM(contribution), 0) AS VARCHAR) AS contribution FROM c), " +
+        "top AS (SELECT 'HOT_KEY' AS row_kind, key, CAST(n_left AS BIGINT) AS n_left, " +
+        "CAST(n_right AS BIGINT) AS n_right, CAST(contribution AS VARCHAR) AS contribution " +
+        "FROM c ORDER BY c.contribution DESC, key LIMIT 10) " +
+        "SELECT * FROM (SELECT * FROM tot UNION ALL SELECT * FROM top) " +
+        "ORDER BY row_kind, CAST(contribution AS HUGEINT) DESC, key"),
+    // same hwm broadcast + shift ladder; re-signed // for negatives,
+    // identical 40-half-life zero cap
+    "p198_decay_score" -> (
+      "WITH b AS (SELECT user_id, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v FROM events), " +
+        "h AS (SELECT MAX(s) AS hwm FROM b), " +
+        "d AS (SELECT user_id, s, CASE WHEN (hwm - s) // 86400 >= 40 THEN 0 " +
+        "WHEN v >= 0 THEN v // (CAST(1 AS BIGINT) << CAST((hwm - s) // 86400 AS INT)) " +
+        "ELSE -((-v) // (CAST(1 AS BIGINT) << CAST((hwm - s) // 86400 AS INT))) END AS dv " +
+        "FROM b, h) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(SUM(dv) AS BIGINT) AS score_micro, MAX(s) AS last_sec " +
+        "FROM d GROUP BY 1 ORDER BY user_id"),
     // p65's LM verbatim, then the ceil-tercile rank formula (NOT
     // NTILE — the declared (3r+n−1)//n convention)
     "p196_ccnet_buckets" -> (

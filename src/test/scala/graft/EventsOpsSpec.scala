@@ -823,4 +823,18 @@ class EventsOpsSpec extends AnyFunSuite {
       // n = 1: every percentile is the single value (ceil(p/100) = 1)
       ("tiny", 1L, 7000000L, 7000000L, 7000000L, 7000000L)))
   }
+
+  test("decayScore: exact halving per half-life of age at the high-water mark") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val day = 86400L
+    val ev = Seq(
+      (1L, at(0), 4.0),        // 2 half-lives old → 4e6 / 4 = 1e6
+      (1L, at(day), 4.0),      // 1 half-life → 2e6
+      (2L, at(2 * day), 1.0)   // sets hwm; age 0 → full 1e6
+    ).toDF("user_id", "ts", "value")
+    val out = EventsOps.decayScore(ev).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 3000000L, day), (2L, 1L, 1000000L, 2 * day)))
+  }
 }

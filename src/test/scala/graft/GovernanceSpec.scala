@@ -261,4 +261,20 @@ class GovernanceSpec extends AnyFunSuite {
     // untouched buckets are bit-identical
     assert(a.toSet.intersect(mutated.toSet).size >= a.size - 2)
   }
+
+  test("joinCardinality: exact Σ nA·nB, hot key first, no join executed") {
+    import spark.implicits._
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")       // counts: 1→3, 2→1, 3→1
+    val b = Seq(1L, 1L, 2L, 9L).toDF("j")           // counts: 1→2, 2→1, 9→1
+    val out = Governance.joinCardinality(a, b, "k", "j", topK = 5).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    // true join size: 3·2 + 1·1 = 7; key 9 matches nothing
+    assert(out.toSeq == Seq(
+      ("HOT_KEY", Some("1"), 3L, 2L, "6"),
+      ("HOT_KEY", Some("2"), 1L, 1L, "1"),
+      ("TOTAL", None, 4L, 3L, "7")))
+    // and the real join agrees with the estimate
+    assert(a.join(b, col("k") === col("j")).count() == 7L)
+  }
 }
