@@ -1608,6 +1608,78 @@ object CorpusOps {
           .as("chars_per_subword_micro"))
       .orderBy(col(langCol))
 
+  /** HASHING-TRICK VECTORIZER (Weinberger et al. 2009) — text to a
+    * fixed-width sparse feature space with NO vocabulary pass: feature
+    * index = hash(token) mod dim, term frequency as the weight — the
+    * stateless featurizer linear classifiers/regressors train on at
+    * corpus scale (no vocab table to build, ship, or version; collisions
+    * are the accepted trade). Engine-portable hash: the first 8 hex
+    * chars of md5(token) parsed base-16 (the [[epochShuffle]] /
+    * table-fingerprint primitive), so any engine reproduces the exact
+    * same sparse matrix.
+    *
+    * Map-only explode + ONE partial-agg on (doc, idx) — at 100 TB this
+    * is the scan; output is (tokens)-sized, never (docs × dim).
+    * Returns (idCol, idx, tf) — one row per nonzero cell. */
+  def hashingVectorizer(
+      docs: DataFrame,
+      dim: Int = 1024,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(dim >= 2, s"hashingVectorizer: need dim >= 2, got $dim")
+    docs
+      .select(col(idCol),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("_t"))
+      .select(col(idCol),
+        pmod(expr("CAST(conv(substring(md5(_t), 1, 8), 16, 10) AS BIGINT)"),
+          lit(dim.toLong)).as("idx"))
+      .groupBy(col(idCol), col("idx"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** SMOOTHED TARGET ENCODING — the categorical-feature workhorse:
+    * replace a category with the shrunken mean of the target,
+    * `enc = (Σ_c target + m · global_mean) / (n_c + m)` — rare
+    * categories pull toward the global mean (m pseudo-observations,
+    * Micci-Barreca 2001), so a category seen twice cannot memorize its
+    * two labels. Integer-exact in micro-units: the global mean is
+    * itself the declared floored integer, and both divisions are
+    * re-signed magnitude divs (portable for negative targets).
+    *
+    * Shape: one partial-agg (n, Σ) on the category; the global mean is
+    * a 1-row fold OF the category table broadcast back — single data
+    * pass, category-bounded everything. Leakage note: this is the
+    * fit-on-train artifact — compute it on the TRAIN split (e.g.
+    * [[graft.ops.EventsOps.temporalSplit]]) and join it onto eval.
+    * Returns (catCol, n, raw_mean_micro, enc_micro). */
+  def targetEncoding(
+      df: DataFrame,
+      catCol: String,
+      valueCol: String,
+      m: Long = 10L): DataFrame = {
+    require(m >= 0, s"targetEncoding: need m >= 0, got $m")
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(38, 0)
+    val cats = df
+      .where(col(valueCol).isNotNull)
+      .select(col(catCol),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+      .groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"), sum(col("_v").cast(d)).as("_s"))
+    val glob = cats.agg(
+        (sum(col("n"))).as("_gn"), sum(col("_s")).as("_gs"))
+      .selectExpr(
+        "CASE WHEN _gn = 0 THEN 0 ELSE " +
+          "CAST(CASE WHEN _gs >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+          "CAST(abs(_gs) div CAST(_gn AS DECIMAL(38,0)) AS BIGINT) END AS _gmean")
+    cats.crossJoin(broadcast(glob))
+      .selectExpr(catCol, "n",
+        "CAST(CASE WHEN _s >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+          "CAST(abs(_s) div CAST(n AS DECIMAL(38,0)) AS BIGINT) AS raw_mean_micro",
+        s"CAST(CASE WHEN _s + $m * _gmean >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+          s"CAST(abs(_s + $m * _gmean) div CAST(n + $m AS DECIMAL(38,0)) AS BIGINT) AS enc_micro")
+  }
+
   /** CCNet-STYLE PERPLEXITY BUCKETS (Wenzek et al. 2020,
     * arXiv:1911.00359) — split the corpus into head / middle / tail by
     * language-model perplexity terciles, the curation convention CCNet

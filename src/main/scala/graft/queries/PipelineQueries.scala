@@ -1798,6 +1798,20 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Hashing-trick sparse features: md5-mod-256 indices, tf weights,
+    // no vocabulary pass anywhere.
+    "p199_hashing_vectorizer" -> ((s, dir) =>
+      graft.ops.CorpusOps.hashingVectorizer(
+          Tables(s, dir, "documents"), dim = 256)
+        .orderBy("doc_id", "idx")),
+
+    // Smoothed target encoding of event type against value — the
+    // shrunken category mean with m = 10 pseudo-observations.
+    "p200_target_encoding" -> ((s, dir) =>
+      graft.ops.CorpusOps.targetEncoding(
+          Tables(s, dir, "events"), "event_type", "value", m = 10L)
+        .orderBy("event_type")),
+
     // Pre-flight join-size estimate from the two key histograms plus
     // the hot keys salting would split — the join never runs.
     "p197_join_cardinality" -> ((s, dir) =>
@@ -3903,6 +3917,35 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // identical md5-prefix hash parsed base-16, mod dim
+    "p199_hashing_vectorizer" -> (
+      "WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "ix AS (SELECT doc_id, ((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 268435456 " +
+        "+ (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 16777216 " +
+        "+ (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 1048576 " +
+        "+ (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1) * 65536 " +
+        "+ (strpos('0123456789abcdef', substr(md5(t), 5, 1)) - 1) * 4096 " +
+        "+ (strpos('0123456789abcdef', substr(md5(t), 6, 1)) - 1) * 256 " +
+        "+ (strpos('0123456789abcdef', substr(md5(t), 7, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', substr(md5(t), 8, 1)) - 1)) % 256 AS idx FROM tk) " +
+        "SELECT doc_id, CAST(idx AS BIGINT) AS idx, CAST(COUNT(*) AS BIGINT) AS tf " +
+        "FROM ix GROUP BY 1, 2 ORDER BY doc_id, idx"),
+    // global mean is the declared floored integer; both divisions
+    // re-signed magnitude //
+    "p200_target_encoding" -> (
+      "WITH c AS (SELECT event_type, COUNT(*) AS n, " +
+        "SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)) AS s " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+        "g AS (SELECT CASE WHEN SUM(n) = 0 THEN 0 ELSE " +
+        "CAST(CASE WHEN SUM(s) >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        "CAST(abs(CAST(SUM(s) AS HUGEINT)) // SUM(n) AS BIGINT) END AS gmean FROM c) " +
+        "SELECT event_type, CAST(n AS BIGINT) AS n, " +
+        "CAST(CASE WHEN s >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        "CAST(abs(CAST(s AS HUGEINT)) // n AS BIGINT) AS raw_mean_micro, " +
+        "CAST(CASE WHEN s + 10 * gmean >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        "CAST(abs(CAST(s AS HUGEINT) + 10 * gmean) // (n + 10) AS BIGINT) AS enc_micro " +
+        "FROM c, g ORDER BY event_type"),
     // Σ_k nA(k)·nB(k) off the two key histograms; HUGEINT products
     // rendered as strings (the decimal-render-wobble dodge)
     "p197_join_cardinality" -> (

@@ -803,4 +803,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.groupBy(_._2).view.mapValues(_.length).toMap ==
       Map(1 -> 2, 2 -> 2, 3 -> 2))
   }
+
+  test("hashingVectorizer: stable indices, tf accumulation, bounded dim") {
+    val docs = Seq((1L, "a b a"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
+    val out = CorpusOps.hashingVectorizer(docs, dim = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall(t => t._2 >= 0 && t._2 < 16))
+    // same token → same index across docs; tf counts repeats
+    val aIdx1 = out.filter(t => t._1 == 1L && t._3 == 2L).map(_._2)
+    val doc2 = out.filter(_._1 == 2L)
+    assert(aIdx1.length == 1 && doc2.map(_._2).toSeq == aIdx1.toSeq)
+    assert(doc2.head._3 == 1L)
+    // empty doc emits nothing
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("targetEncoding: shrinkage pulls rare categories toward the global mean") {
+    val df = Seq(
+      ("common", 10.0), ("common", 10.0), ("common", 10.0), ("common", 10.0),
+      ("common", 10.0), ("common", 10.0), ("common", 10.0), ("common", 10.0),
+      ("rare", 100.0)
+    ).toDF("cat", "v")
+    val out = CorpusOps.targetEncoding(df, "cat", "v", m = 10L)
+      .orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // global mean = 180/9 = 20 → gmean 20e6
+    // common: (80e6 + 200e6)/18 = 15555555; rare: (100e6 + 200e6)/11
+    assert(out.toSeq == Seq(
+      ("common", 8L, 10000000L, 15555555L),
+      ("rare", 1L, 100000000L, 27272727L)))
+    // the rare category's encoding sits far closer to the global mean
+    assert(math.abs(out(1)._4 - 20000000L) < math.abs(out(1)._3 - 20000000L))
+  }
 }
