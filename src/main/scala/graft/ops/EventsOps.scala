@@ -1394,6 +1394,147 @@ object EventsOps {
         min(when(col("_cum") * 2 >= col("_tot"), col("_v"))).as("wmedian_micro"))
   }
 
+  /** WOE / IV — weight-of-evidence and information value per feature
+    * bucket, the credit-scoring/risk staple for "how predictive is
+    * this feature of the binary target": bucket the feature into value
+    * deciles, then per bucket WOE = ln(pos_share / neg_share) and the
+    * IV term (pos_share − neg_share)·WOE; Σ IV ≳ 0.3 reads "strong
+    * predictor". Zero cells are handled with half-count smoothing (the
+    * [[graft.ops.Governance.psiDrift]] convention): shares use
+    * (2·n + 1)/(2·N + k) so WOE is always finite.
+    *
+    * Exactness: bucket ranks, cell counts, and the smoothing rationals
+    * are all integers; float enters ONLY as one ln over the integer
+    * cross-ratio and the share subtraction, in a fixed operand order,
+    * round-6 (+0.0). The IV total is the window sum of the ROUNDED
+    * terms — deterministic on both engines.
+    *
+    * Shape: one rank ladder over (value, tie) — a single exchange, the
+    * [[slaPercentiles]] envelope — then everything is k-bucket-bounded.
+    * Returns (bucket 1..k, n, n_pos, n_neg, woe, iv_term, iv_total)
+    * ordered by bucket. */
+  def woeIv(
+      ev: DataFrame,
+      posType: String = "purchase",
+      nBuckets: Int = 10,
+      valueCol: String = "value",
+      typeCol: String = "event_type",
+      tieCol: String = "event_id"): DataFrame = {
+    require(nBuckets >= 2, s"woeIv: need nBuckets >= 2, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("_v"), col(tieCol))
+    val cells = ev.where(col(valueCol).isNotNull)
+      .select(col(tieCol),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"),
+        when(col(typeCol) === posType, 1L).otherwise(0L).as("_pos"))
+      .withColumn("bucket", ntile(nBuckets).over(w))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("_pos")).as("n_pos"),
+        (count(lit(1)) - sum(col("_pos"))).as("n_neg"))
+    val tot = cells.agg(
+      coalesce(sum(col("n_pos")), lit(0L)).as("_tp"),
+      coalesce(sum(col("n_neg")), lit(0L)).as("_tn"))
+    val k = nBuckets.toLong
+    cells.crossJoin(broadcast(tot))
+      .selectExpr("bucket", "n", "n_pos", "n_neg",
+        // ln of the integer cross-ratio — one float division inside
+        s"round(ln(CAST((2 * n_pos + 1) * (2 * _tn + $k) AS DOUBLE) / " +
+          s"CAST((2 * n_neg + 1) * (2 * _tp + $k) AS DOUBLE)), 6) + 0.0 AS woe",
+        s"round((CAST(2 * n_pos + 1 AS DOUBLE) / (2 * _tp + $k) - " +
+          s"CAST(2 * n_neg + 1 AS DOUBLE) / (2 * _tn + $k)) * " +
+          s"(ln(CAST((2 * n_pos + 1) * (2 * _tn + $k) AS DOUBLE) / " +
+          s"CAST((2 * n_neg + 1) * (2 * _tp + $k) AS DOUBLE))), 6) + 0.0 AS iv_term")
+      .withColumn("iv_total",
+        round(sum(col("iv_term")).over(Window.partitionBy()), 6) + lit(0.0d))
+      .orderBy("bucket")
+  }
+
+  /** BURSTINESS (Fano factor) per key over the dense hourly count
+    * series — variance-to-mean of counts INCLUDING silent hours: 1 ≈
+    * Poisson arrivals, ≫ 1 bursty (campaign spikes, retry storms),
+    * < 1 regular (heartbeat). Exactly integer: with S = Σc and n grid
+    * hours, F_ppm = (n·Σc² − S²)·1e6 div ((n−1)·S) — numerator
+    * non-negative (Cauchy-Schwarz), so the integral div is portable.
+    * The dense grid matters: skipping empty hours silently Poisson-izes
+    * every burst (the [[seasonalNaiveMase]] zero-fill lesson).
+    *
+    * Shape: hour-count partial agg, per-key bounds, per-key grid
+    * explode sized |hours| — everything after the first aggregate is
+    * grid-sized, exchanges on the key only. Returns (keyCol, n_hours,
+    * n_events, fano_ppm) — NULL fano for n < 2 or zero events. */
+  def burstiness(
+      ev: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val d = DecimalType(38, 0)
+    val hc = floor(epochSec(tsCol).cast("double") / lit(3600.0d)).cast("long")
+    val counts = ev.groupBy(col(keyCol), hc.as("_h"))
+      .agg(count(lit(1)).as("_c"))
+    val bounds = counts.groupBy(col(keyCol))
+      .agg(min(col("_h")).as("_lo"), max(col("_h")).as("_hi"))
+    bounds
+      .select(col(keyCol), explode(sequence(col("_lo"), col("_hi"))).as("_h"))
+      .join(counts, Seq(keyCol, "_h"), "left")
+      .select(col(keyCol), coalesce(col("_c"), lit(0L)).as("_c"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("_c")).as("n_events"),
+        sum(col("_c").cast(d) * col("_c").cast(d)).as("_ss"))
+      .selectExpr(keyCol, "n_hours", "n_events",
+        "CASE WHEN n_hours < 2 OR n_events = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+          "CAST((CAST(n_hours AS DECIMAL(38,0)) * _ss - " +
+          "CAST(n_events AS DECIMAL(38,0)) * n_events) * 1000000 div " +
+          "(CAST(n_hours - 1 AS DECIMAL(38,0)) * n_events) AS BIGINT) END AS fano_ppm")
+  }
+
+  /** DIFFERENCE-IN-DIFFERENCES — the two-group × two-period causal
+    * estimator: DiD = (treated_after − treated_before) −
+    * (control_after − control_before), removing both the group baseline
+    * and the common time trend. Periods split at the range midpoint
+    * (the [[heavyChangers]] convention); all four cell means are
+    * re-signed integral micro divisions, and the estimate is pure
+    * integer arithmetic over them. This is the point estimate — pair
+    * with [[ratioMetricCI]]-style moments when an error bar is needed.
+    *
+    * Returns ONE row: (n per cell ×4, mean micro ×4, did_micro). */
+  def diffInDiff(
+      ev: DataFrame,
+      treatedType: String = "purchase",
+      controlType: String = "view",
+      valueCol: String = "value",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val base = ev
+      .where(col(typeCol).isin(treatedType, controlType) && col(valueCol).isNotNull)
+      .select((col(typeCol) === treatedType).as("_t"), epochSec(tsCol).as("_s"),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+    val mid = base.agg(
+      floor((min(col("_s")) + max(col("_s"))).cast("double") / lit(2.0d))
+        .cast("long").as("_mid"))
+    def cell(t: Boolean, after: Boolean, suffix: String): Seq[org.apache.spark.sql.Column] = {
+      val in = col("_t") === t &&
+        (if (after) col("_s") > col("_mid") else col("_s") <= col("_mid"))
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$suffix"),
+        sum(when(in, col("_v")).otherwise(lit(0L))
+          .cast(DecimalType(38, 0))).as(s"_s_$suffix"))
+    }
+    def meanExpr(suffix: String): String =
+      s"CASE WHEN n_$suffix = 0 THEN 0 ELSE " +
+        s"CAST(CASE WHEN _s_$suffix >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        s"CAST(abs(_s_$suffix) div CAST(n_$suffix AS DECIMAL(38,0)) AS BIGINT) END AS mean_${suffix}_micro"
+    val aggs = cell(t = true, after = false, "tb") ++
+      cell(t = true, after = true, "ta") ++
+      cell(t = false, after = false, "cb") ++
+      cell(t = false, after = true, "ca")
+    base.crossJoin(broadcast(mid))
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_tb", "n_ta", "n_cb", "n_ca",
+        meanExpr("tb"), meanExpr("ta"), meanExpr("cb"), meanExpr("ca"))
+      .selectExpr("n_tb", "n_ta", "n_cb", "n_ca",
+        "mean_tb_micro", "mean_ta_micro", "mean_cb_micro", "mean_ca_micro",
+        "(mean_ta_micro - mean_tb_micro) - (mean_ca_micro - mean_cb_micro) AS did_micro")
+  }
+
   /** RECENCY-DECAYED engagement score per key — each event's value
     * halves for every `halfLifeSeconds` of age at the snapshot's
     * high-water mark: score = Σ v_micro div 2^(age div halfLife). The

@@ -1798,6 +1798,22 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // WOE/IV scorecard: value deciles vs the purchase target,
+    // half-count smoothed, one rank-ladder exchange.
+    "p201_woe_iv" -> ((s, dir) =>
+      graft.ops.EventsOps.woeIv(Tables(s, dir, "events"))),
+
+    // Traffic burstiness: Fano factor of hourly counts per type on the
+    // DENSE grid (silent hours are real zeros) — integer-exact ppm.
+    "p202_burstiness" -> ((s, dir) =>
+      graft.ops.EventsOps.burstiness(Tables(s, dir, "events"))
+        .orderBy("event_type")),
+
+    // Difference-in-differences across the range midpoint: purchase
+    // (treated) vs view (control) mean values, one-row estimate.
+    "p203_did" -> ((s, dir) =>
+      graft.ops.EventsOps.diffInDiff(Tables(s, dir, "events"))),
+
     // Hashing-trick sparse features: md5-mod-256 indices, tf weights,
     // no vocabulary pass anywhere.
     "p199_hashing_vectorizer" -> ((s, dir) =>
@@ -3917,6 +3933,71 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // identical ntile ladder; ln over the integer cross-ratio in the
+    // same operand order; iv_total sums the ROUNDED terms
+    "p201_woe_iv" -> (
+      "WITH b AS (SELECT event_id AS tie, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "t AS (SELECT *, NTILE(10) OVER (ORDER BY v, tie) AS bucket FROM b), " +
+        "c AS (SELECT bucket, COUNT(*) AS n, SUM(pos) AS n_pos, " +
+        "COUNT(*) - SUM(pos) AS n_neg FROM t GROUP BY 1), " +
+        "g AS (SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn FROM c), " +
+        "r AS (SELECT bucket, n, n_pos, n_neg, " +
+        "round(ln(CAST((2 * n_pos + 1) * (2 * tn + 10) AS DOUBLE) / " +
+        "CAST((2 * n_neg + 1) * (2 * tp + 10) AS DOUBLE)), 6) + 0.0 AS woe, " +
+        "round((CAST(2 * n_pos + 1 AS DOUBLE) / (2 * tp + 10) - " +
+        "CAST(2 * n_neg + 1 AS DOUBLE) / (2 * tn + 10)) * " +
+        "(ln(CAST((2 * n_pos + 1) * (2 * tn + 10) AS DOUBLE) / " +
+        "CAST((2 * n_neg + 1) * (2 * tp + 10) AS DOUBLE))), 6) + 0.0 AS iv_term " +
+        "FROM c, g) " +
+        "SELECT bucket, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos, " +
+        "CAST(n_neg AS BIGINT) AS n_neg, woe, iv_term, " +
+        "round(SUM(iv_term) OVER (), 6) + 0.0 AS iv_total " +
+        "FROM r ORDER BY bucket"),
+    // dense per-key hour grid; (nΣc²−S²)·1e6 // ((n−1)·S) — numerator
+    // non-negative by Cauchy-Schwarz
+    "p202_burstiness" -> (
+      "WITH c AS (SELECT event_type AS k, " +
+        "CAST(floor(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) / 3600.0) AS BIGINT) AS h, " +
+        "COUNT(*) AS c FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT k, MIN(h) AS lo, MAX(h) AS hi FROM c GROUP BY 1), " +
+        "g0 AS (SELECT k, unnest(generate_series(lo, hi)) AS h FROM b), " +
+        "g AS (SELECT g0.k, COALESCE(c.c, 0) AS c FROM g0 LEFT JOIN c ON c.k = g0.k AND c.h = g0.h), " +
+        "a AS (SELECT k, COUNT(*) AS n_hours, SUM(c) AS n_events, " +
+        "SUM(CAST(c AS HUGEINT) * c) AS ss FROM g GROUP BY 1) " +
+        "SELECT k AS event_type, CAST(n_hours AS BIGINT) AS n_hours, " +
+        "CAST(n_events AS BIGINT) AS n_events, " +
+        "CASE WHEN n_hours < 2 OR n_events = 0 THEN NULL ELSE " +
+        "CAST((CAST(n_hours AS HUGEINT) * ss - CAST(n_events AS HUGEINT) * n_events) * 1000000 // " +
+        "(CAST(n_hours - 1 AS HUGEINT) * n_events) AS BIGINT) END AS fano_ppm " +
+        "FROM a ORDER BY event_type"),
+    // four midpoint cells, re-signed mean divs, pure integer estimate
+    "p203_did" -> (
+      "WITH b AS (SELECT event_type = 'purchase' AS t, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL), " +
+        "m AS (SELECT CAST(floor((MIN(s) + MAX(s)) / 2.0) AS BIGINT) AS mid FROM b), " +
+        "a AS (SELECT " +
+        "SUM(CASE WHEN t AND s <= mid THEN 1 ELSE 0 END) AS n_tb, " +
+        "SUM(CASE WHEN t AND s > mid THEN 1 ELSE 0 END) AS n_ta, " +
+        "SUM(CASE WHEN NOT t AND s <= mid THEN 1 ELSE 0 END) AS n_cb, " +
+        "SUM(CASE WHEN NOT t AND s > mid THEN 1 ELSE 0 END) AS n_ca, " +
+        "SUM(CASE WHEN t AND s <= mid THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_tb, " +
+        "SUM(CASE WHEN t AND s > mid THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_ta, " +
+        "SUM(CASE WHEN NOT t AND s <= mid THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_cb, " +
+        "SUM(CASE WHEN NOT t AND s > mid THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_ca " +
+        "FROM b, m), " +
+        "r AS (SELECT CAST(n_tb AS BIGINT) AS n_tb, CAST(n_ta AS BIGINT) AS n_ta, " +
+        "CAST(n_cb AS BIGINT) AS n_cb, CAST(n_ca AS BIGINT) AS n_ca, " +
+        "CASE WHEN n_tb = 0 THEN 0 ELSE CAST(CASE WHEN s_tb >= 0 THEN 1 ELSE -1 END AS BIGINT) * CAST(abs(s_tb) // n_tb AS BIGINT) END AS mean_tb_micro, " +
+        "CASE WHEN n_ta = 0 THEN 0 ELSE CAST(CASE WHEN s_ta >= 0 THEN 1 ELSE -1 END AS BIGINT) * CAST(abs(s_ta) // n_ta AS BIGINT) END AS mean_ta_micro, " +
+        "CASE WHEN n_cb = 0 THEN 0 ELSE CAST(CASE WHEN s_cb >= 0 THEN 1 ELSE -1 END AS BIGINT) * CAST(abs(s_cb) // n_cb AS BIGINT) END AS mean_cb_micro, " +
+        "CASE WHEN n_ca = 0 THEN 0 ELSE CAST(CASE WHEN s_ca >= 0 THEN 1 ELSE -1 END AS BIGINT) * CAST(abs(s_ca) // n_ca AS BIGINT) END AS mean_ca_micro " +
+        "FROM a) " +
+        "SELECT *, (mean_ta_micro - mean_tb_micro) - (mean_ca_micro - mean_cb_micro) AS did_micro FROM r"),
     // identical md5-prefix hash parsed base-16, mod dim
     "p199_hashing_vectorizer" -> (
       "WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t " +

@@ -837,4 +837,46 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       (1L, 2L, 3000000L, day), (2L, 1L, 1000000L, 2 * day)))
   }
+
+  test("woeIv: hand-computed smoothed WOE/IV on a 2-bucket split") {
+    val ev = Seq(
+      (1L, "view", 1.0), (2L, "view", 2.0),
+      (3L, "purchase", 3.0), (4L, "purchase", 4.0)
+    ).toDF("event_id", "event_type", "value")
+    val out = EventsOps.woeIv(ev, nBuckets = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    // smoothing (2n+1)/(2N+k): low bucket ln((1·6)/(5·6)) = −ln 5
+    assert(out.toSeq == Seq(
+      (1, 2L, 0L, 2L, -1.609438, 1.072959, 2.145918),
+      (2, 2L, 2L, 0L, 1.609438, 1.072959, 2.145918)))
+  }
+
+  test("burstiness: dense-grid Fano with silent hours as real zeros") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // "p": hours 0,0,0 and 2 → grid (3,0,1): F = (3·10−16)/(2·4)
+      (1L, "p", at(10)), (2L, "p", at(20)), (3L, "p", at(30)),
+      (4L, "p", at(2 * 3600 + 5)),
+      (5L, "q", at(100))  // single hour → NULL
+    ).toDF("event_id", "event_type", "ts")
+    val out = EventsOps.burstiness(ev).orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.toSeq == Seq(
+      ("p", 3L, 4L, Some(1750000L)), ("q", 1L, 1L, None)))
+  }
+
+  test("diffInDiff: removes baseline and common trend exactly") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, "purchase", 2.0, at(0)), (2L, "purchase", 5.0, at(100)),
+      (3L, "view", 1.0, at(0)), (4L, "view", 3.0, at(100))
+    ).toDF("event_id", "event_type", "value", "ts")
+    val r = EventsOps.diffInDiff(ev).collect().head
+    // treated +3, control +2 → DiD = +1
+    assert(r.getLong(8) == 1000000L)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L, 1L)))
+    assert(r.getLong(5) - r.getLong(4) == 3000000L)
+  }
 }
