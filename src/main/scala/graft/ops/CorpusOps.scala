@@ -1680,6 +1680,38 @@ object CorpusOps {
           s"CAST(abs(_s + $m * _gmean) div CAST(n + $m AS DECIMAL(38,0)) AS BIGINT) AS enc_micro")
   }
 
+  /** RARE-LEVEL COLLAPSE — fold categorical levels seen fewer than
+    * `minCount` times into a single OTHER bucket: the feature-prep
+    * step before one-hot/target encoding that keeps the level table
+    * bounded and stops single-row levels from memorizing labels
+    * (companion to [[targetEncoding]]'s shrinkage). Reports the
+    * RECODED distribution — how many original levels folded into each
+    * surviving bucket and the row mass they carry.
+    *
+    * One partial-agg count on the level, then |levels|-bounded
+    * recode + fold. Returns (recoded, n_original_levels, n_rows,
+    * share_ppm) — NULL input levels recode to OTHER too (a null level
+    * is the rarest kind of rare). */
+  def rareLevelCollapse(
+      df: DataFrame,
+      catCol: String,
+      minCount: Long,
+      otherLabel: String = "OTHER"): DataFrame = {
+    require(minCount >= 1, s"rareLevelCollapse: need minCount >= 1, got $minCount")
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(col(catCol).as("_l"))
+      .agg(count(lit(1)).as("_n"))
+      .select(
+        when(col("_l").isNull || col("_n") < minCount, lit(otherLabel))
+          .otherwise(col("_l").cast("string")).as("recoded"),
+        col("_n"))
+      .groupBy(col("recoded"))
+      .agg(count(lit(1)).as("n_original_levels"), sum(col("_n")).as("n_rows"))
+      .withColumn("share_ppm", expr(
+        "CAST(n_rows * 1000000 div sum(n_rows) OVER () AS BIGINT)"))
+      .orderBy("recoded")
+  }
+
   /** CCNet-STYLE PERPLEXITY BUCKETS (Wenzek et al. 2020,
     * arXiv:1911.00359) — split the corpus into head / middle / tail by
     * language-model perplexity terciles, the curation convention CCNet

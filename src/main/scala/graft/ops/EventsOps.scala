@@ -1535,6 +1535,56 @@ object EventsOps {
         "(mean_ta_micro - mean_tb_micro) - (mean_ca_micro - mean_cb_micro) AS did_micro")
   }
 
+  /** Q-Q TABLE — empirical quantile-quantile comparison of a measure
+    * between two groups: decile d of group A beside decile d of group
+    * B plus their re-signed ratio — the distribution-shape diagnostic
+    * behind every "is treatment shifted OR reshaped?" question (a pure
+    * location shift moves all deciles equally; a tail effect moves only
+    * the top rows). Deciles are the exact lower-quantile rank cuts
+    * (⌈d·n/10⌉ over the (value, tie) total order — the
+    * [[slaPercentiles]] convention), so the table is integer-exact.
+    *
+    * One rank ladder per group on the same key exchange; the decile
+    * join is 10-row-bounded. Returns (decile 1..10, a_micro, b_micro,
+    * ratio_ppm), ratio NULL when the B decile is 0. */
+  def qqTable(
+      ev: DataFrame,
+      typeA: String = "view",
+      typeB: String = "purchase",
+      valueCol: String = "value",
+      typeCol: String = "event_type",
+      tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = ev
+      .where(col(typeCol).isin(typeA, typeB) && col(valueCol).isNotNull)
+      .select(col(typeCol).as("_g"), col(tieCol),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+      .withColumn("_rn", row_number()
+        .over(Window.partitionBy(col("_g")).orderBy(col("_v"), col(tieCol)))
+        .cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_g"))))
+    // ONE global conditional aggregate holds all 20 decile cuts — no
+    // per-decile re-scan, no group join; the 1-row result explodes to
+    // the 10-row table
+    val aggs = for {
+      (g, nm) <- Seq((typeA, "a"), (typeB, "b")); dd <- 1 to 10
+    } yield min(when(col("_g") === g &&
+        col("_rn") === expr(s"($dd * _n + 9) div 10"), col("_v")))
+      .as(s"_$nm$dd")
+    base.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array((1 to 10).map(dd =>
+        struct(lit(dd).as("decile"),
+          col(s"_a$dd").as("a_micro"), col(s"_b$dd").as("b_micro"))): _*)).as("_e"))
+      .select(col("_e.decile").as("decile"),
+        col("_e.a_micro").as("a_micro"), col("_e.b_micro").as("b_micro"))
+      .selectExpr("decile", "a_micro", "b_micro",
+        "CASE WHEN b_micro = 0 OR b_micro IS NULL OR a_micro IS NULL THEN CAST(NULL AS BIGINT) ELSE " +
+          "CAST(CASE WHEN a_micro >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+          "CAST(CASE WHEN b_micro >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+          "CAST(abs(a_micro) * 1000000 div abs(b_micro) AS BIGINT) END AS ratio_ppm")
+      .orderBy("decile")
+  }
+
   /** RECENCY-DECAYED engagement score per key — each event's value
     * halves for every `halfLifeSeconds` of age at the snapshot's
     * high-water mark: score = Σ v_micro div 2^(age div halfLife). The

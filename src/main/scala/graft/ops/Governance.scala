@@ -619,6 +619,45 @@ object Governance {
         col("contribution").cast(d).desc, col("key"))
   }
 
+  /** PARTITION-BALANCE forecast — how evenly would a hash partitioning
+    * on `keyCol` spread this table over `nParts` reducers? Simulates
+    * the exchange without running it: partition = md5-hash of the key
+    * mod nParts (engine-portable — the table-fingerprint primitive;
+    * Spark's real exchange uses Murmur3, but hash-mixing quality is
+    * equivalent for balance purposes and THIS one both engines can
+    * reproduce), then per-partition row counts plus the imbalance
+    * summary every AQE-skew conversation starts from: max/mean ppm and
+    * the largest partition's share. A 2× imbalance here is a salting
+    * decision made BEFORE the job runs, not after a straggler.
+    *
+    * One partial-agg count on the simulated partition id; the summary
+    * folds over ≤ nParts rows. Returns nParts-or-fewer rows
+    * (partition, n_rows, share_ppm, max_over_mean_ppm) ordered by
+    * partition. */
+  def partitionBalance(
+      df: DataFrame,
+      keyCol: String,
+      nParts: Int = 32): DataFrame = {
+    require(nParts >= 1, s"partitionBalance: need nParts >= 1, got $nParts")
+    import org.apache.spark.sql.expressions.Window
+    val sizes = df
+      .select(pmod(
+        expr(s"CAST(conv(substring(md5(CAST($keyCol AS STRING)), 1, 8), 16, 10) AS BIGINT)"),
+        lit(nParts.toLong)).as("partition"))
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("n_rows"))
+    val wAll = Window.partitionBy()
+    sizes
+      .withColumn("_tot", sum(col("n_rows")).over(wAll))
+      .withColumn("_max", max(col("n_rows")).over(wAll))
+      .withColumn("_np", count(lit(1)).over(wAll))
+      .selectExpr("partition", "n_rows",
+        "CAST(n_rows * 1000000 div _tot AS BIGINT) AS share_ppm",
+        // max/mean with mean = tot/np — cross-multiplied to stay integer
+        "CAST(_max * _np * 1000000 div _tot AS BIGINT) AS max_over_mean_ppm")
+      .orderBy("partition")
+  }
+
   /** L-DIVERSITY audit — the companion screen to [[kAnonymityAudit]]:
     * a QI class can be large (k-anonymous) yet still leak if every
     * member shares the SAME sensitive value; l-diversity requires ≥ l

@@ -1798,6 +1798,23 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Simulated hash-exchange balance on the lineitem part key — the
+    // pre-flight salting decision, 32 reducer bins.
+    "p204_partition_balance" -> ((s, dir) =>
+      graft.ops.Governance.partitionBalance(
+        Tables(s, dir, "lineitem"), "l_partkey", nParts = 32)),
+
+    // Empirical Q-Q deciles of view vs purchase values — shift or
+    // reshape, read straight off the ratio column.
+    "p205_qq_table" -> ((s, dir) =>
+      graft.ops.EventsOps.qqTable(Tables(s, dir, "events"))),
+
+    // Rare-level collapse of the customer key at threshold 15 (1,376
+    // of 1,500 levels fold) — the feature-prep level-table bound.
+    "p206_rare_levels" -> ((s, dir) =>
+      graft.ops.CorpusOps.rareLevelCollapse(
+        Tables(s, dir, "orders"), "o_custkey", minCount = 15L)),
+
     // WOE/IV scorecard: value deciles vs the purchase target,
     // half-count smoothed, one rank-ladder exchange.
     "p201_woe_iv" -> ((s, dir) =>
@@ -3933,6 +3950,52 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // same md5-prefix partition simulation; cross-multiplied
+    // max/mean stays integer
+    "p204_partition_balance" -> (
+      "WITH p AS (SELECT ((strpos('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1)) - 1) * 268435456 " +
+        "+ (strpos('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 2, 1)) - 1) * 16777216 " +
+        "+ (strpos('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 3, 1)) - 1) * 1048576 " +
+        "+ (strpos('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 4, 1)) - 1) * 65536 " +
+        "+ (strpos('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 5, 1)) - 1) * 4096 " +
+        "+ (strpos('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 6, 1)) - 1) * 256 " +
+        "+ (strpos('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 7, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), 8, 1)) - 1)) % 32 AS partition FROM lineitem), " +
+        "c AS (SELECT partition, COUNT(*) AS n_rows FROM p GROUP BY 1), " +
+        "t AS (SELECT *, SUM(n_rows) OVER () AS tot, MAX(n_rows) OVER () AS mx, COUNT(*) OVER () AS np FROM c) " +
+        "SELECT CAST(partition AS BIGINT) AS partition, CAST(n_rows AS BIGINT) AS n_rows, " +
+        "CAST(n_rows * 1000000 // tot AS BIGINT) AS share_ppm, " +
+        "CAST(mx * np * 1000000 // tot AS BIGINT) AS max_over_mean_ppm " +
+        "FROM t ORDER BY partition"),
+    // one conditional aggregate per engine; lower-decile rank cuts,
+    // double re-sign on the ratio
+    "p205_qq_table" -> (
+      "WITH b AS (SELECT event_type AS g, event_id AS tie, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL), " +
+        "r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, tie) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY g) AS n FROM b), " +
+        "d AS (SELECT unnest(generate_series(1, 10)) AS decile), " +
+        "q AS (SELECT d.decile, " +
+        "MIN(CASE WHEN r.g = 'view' AND r.rn = (d.decile * r.n + 9) // 10 THEN r.v END) AS a_micro, " +
+        "MIN(CASE WHEN r.g = 'purchase' AND r.rn = (d.decile * r.n + 9) // 10 THEN r.v END) AS b_micro " +
+        "FROM r JOIN d ON TRUE GROUP BY 1) " +
+        "SELECT decile, a_micro, b_micro, " +
+        "CASE WHEN b_micro = 0 OR b_micro IS NULL OR a_micro IS NULL THEN NULL ELSE " +
+        "CAST(CASE WHEN a_micro >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        "CAST(CASE WHEN b_micro >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        "CAST(abs(a_micro) * 1000000 // abs(b_micro) AS BIGINT) END AS ratio_ppm " +
+        "FROM q ORDER BY decile"),
+    // level counts, fold-below-threshold recode, recoded distribution
+    "p206_rare_levels" -> (
+      "WITH l AS (SELECT o_custkey AS lv, COUNT(*) AS n FROM orders GROUP BY 1), " +
+        "r AS (SELECT CASE WHEN lv IS NULL OR n < 15 THEN 'OTHER' " +
+        "ELSE CAST(lv AS VARCHAR) END AS recoded, n FROM l), " +
+        "a AS (SELECT recoded, COUNT(*) AS n_original_levels, SUM(n) AS n_rows FROM r GROUP BY 1) " +
+        "SELECT recoded, CAST(n_original_levels AS BIGINT) AS n_original_levels, " +
+        "CAST(n_rows AS BIGINT) AS n_rows, " +
+        "CAST(n_rows * 1000000 // SUM(n_rows) OVER () AS BIGINT) AS share_ppm " +
+        "FROM a ORDER BY recoded"),
     // identical ntile ladder; ln over the integer cross-ratio in the
     // same operand order; iv_total sums the ROUNDED terms
     "p201_woe_iv" -> (

@@ -835,4 +835,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     // the rare category's encoding sits far closer to the global mean
     assert(math.abs(out(1)._4 - 20000000L) < math.abs(out(1)._3 - 20000000L))
   }
+
+  test("rareLevelCollapse: below-threshold and NULL levels fold to OTHER") {
+    val df = Seq(Option("a"), Option("a"), Option("a"),
+      Option("b"), None, None).toDF("cat")
+    val out = CorpusOps.rareLevelCollapse(df, "cat", minCount = 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // "a" survives (3 rows); "b" (1 row) and NULL (2 rows — counted as
+    // one level) fold: OTHER carries 2 original levels, 3 rows
+    assert(out.toSeq == Seq(
+      ("OTHER", 2L, 3L, 500000L), ("a", 1L, 3L, 500000L)))
+  }
 }

@@ -879,4 +879,14 @@ class EventsOpsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L, 1L)))
     assert(r.getLong(5) - r.getLong(4) == 3000000L)
   }
+
+  test("qqTable: doubled distribution reads as a constant 0.5 ratio") {
+    val ev = ((1 to 10).map(i => (i.toLong, "view", i.toDouble)) ++
+      (1 to 10).map(i => (100L + i, "purchase", 2.0 * i))
+    ).toDF("event_id", "event_type", "value")
+    val out = EventsOps.qqTable(ev).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == (1 to 10).map(d =>
+      (d, d * 1000000L, 2L * d * 1000000L, 500000L)))
+  }
 }

@@ -277,4 +277,21 @@ class GovernanceSpec extends AnyFunSuite {
     // and the real join agrees with the estimate
     assert(a.join(b, col("k") === col("j")).count() == 7L)
   }
+
+  test("partitionBalance: simulated exchange conserves rows, integer imbalance") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => i % 10).toDF("k")  // 10 hot levels
+    val out = Governance.partitionBalance(df, "k", nParts = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).sum == 100L)
+    assert(out.forall(t => t._1 >= 0 && t._1 < 4))
+    // shares are the integral ppm of each partition
+    assert(out.forall(t => t._3 == t._2 * 1000000L / 100L))
+    // one global imbalance number, consistent with the declared formula
+    val mx = out.map(_._2).max; val np = out.length
+    assert(out.forall(_._4 == mx * np * 1000000L / 100L))
+    // determinism: same input → identical partitioning
+    assert(Governance.partitionBalance(df, "k", nParts = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == out.map(t => (t._1, t._2)).toSeq)
+  }
 }
