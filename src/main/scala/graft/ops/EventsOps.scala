@@ -1585,6 +1585,36 @@ object EventsOps {
       .orderBy("decile")
   }
 
+  /** CUMULATIVE UNIQUES — the growth curve: distinct users ever seen,
+    * by day. NOT a running count-distinct (quadratic in any engine):
+    * each user contributes on their FIRST day only — min(day) per user
+    * (one partial-agg'd exchange), first-seen counts per day, then a
+    * running sum over the |days|-bounded series. The classic exact
+    * decomposition that makes "uniques to date" linear.
+    *
+    * Returns (day, n_new, n_cumulative) ordered by day — days with no
+    * new users appear with n_new = 0 (dense grid, the
+    * [[seasonalNaiveMase]] zero-fill lesson: a flat week must show as
+    * flat, not absent). */
+  def cumulativeUniques(
+      ev: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = floor(epochSec(tsCol).cast("double") / lit(86400.0d)).cast("long")
+    val firstSeen = ev.select(col(keyCol), day.as("_d"))
+      .groupBy(col(keyCol)).agg(min(col("_d")).as("_first"))
+      .groupBy(col("_first").as("day")).agg(count(lit(1)).as("n_new"))
+    val bounds = firstSeen.agg(min(col("day")).as("_lo"), max(col("day")).as("_hi"))
+    bounds.select(explode(sequence(col("_lo"), col("_hi"))).as("day"))
+      .join(firstSeen, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_cumulative",
+        sum(col("n_new")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("day")
+  }
+
   /** RECENCY-DECAYED engagement score per key — each event's value
     * halves for every `halfLifeSeconds` of age at the snapshot's
     * high-water mark: score = Σ v_micro div 2^(age div halfLife). The

@@ -1798,6 +1798,28 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Percent-of-parent OLAP shares: each (flag, status) cell's share
+    // of its flag subtotal AND of the grand total, off ONE leaf
+    // aggregate — window sums over the cell-bounded table, no rollup
+    // re-scan.
+    "p207_share_of_parent" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          floor(col("l_quantity").cast("double") * lit(1000000.0d))
+            .cast("long").as("_q"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(col("_q")).as("qty_micro"))
+        .withColumn("share_of_flag_ppm", expr(
+          "CAST(qty_micro * 1000000 div sum(qty_micro) OVER (PARTITION BY l_returnflag) AS BIGINT)"))
+        .withColumn("share_of_total_ppm", expr(
+          "CAST(qty_micro * 1000000 div sum(qty_micro) OVER () AS BIGINT)"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Uniques-to-date growth curve: first-seen decomposition, dense
+    // day grid, running sum over the day-bounded series.
+    "p208_cumulative_uniques" -> ((s, dir) =>
+      graft.ops.EventsOps.cumulativeUniques(Tables(s, dir, "events"))),
+
     // Simulated hash-exchange balance on the lineitem part key — the
     // pre-flight salting decision, 32 reducer bins.
     "p204_partition_balance" -> ((s, dir) =>
@@ -3950,6 +3972,29 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // window sums over the cell-bounded aggregate; qty sums in
+    // HUGEINT, integral // on non-negatives
+    "p207_share_of_parent" -> (
+      "WITH c AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+        "SUM(CAST(floor(CAST(l_quantity AS DOUBLE) * 1000000) AS BIGINT)) AS qty_micro " +
+        "FROM lineitem GROUP BY 1, 2) " +
+        "SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n, " +
+        "CAST(qty_micro AS BIGINT) AS qty_micro, " +
+        "CAST(qty_micro * 1000000 // SUM(qty_micro) OVER (PARTITION BY l_returnflag) AS BIGINT) AS share_of_flag_ppm, " +
+        "CAST(qty_micro * 1000000 // SUM(qty_micro) OVER () AS BIGINT) AS share_of_total_ppm " +
+        "FROM c ORDER BY l_returnflag, l_linestatus"),
+    // min(day) per user, first-seen counts, dense grid running sum
+    "p208_cumulative_uniques" -> (
+      "WITH f AS (SELECT user_id, " +
+        "MIN(CAST(floor(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) / 86400.0) AS BIGINT)) AS d " +
+        "FROM events GROUP BY 1), " +
+        "c AS (SELECT d AS day, COUNT(*) AS n_new FROM f GROUP BY 1), " +
+        "b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c), " +
+        "g AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b) " +
+        "SELECT g.day, CAST(COALESCE(c.n_new, 0) AS BIGINT) AS n_new, " +
+        "CAST(SUM(COALESCE(c.n_new, 0)) OVER (ORDER BY g.day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cumulative " +
+        "FROM g LEFT JOIN c ON c.day = g.day ORDER BY g.day"),
     // same md5-prefix partition simulation; cross-multiplied
     // max/mean stays integer
     "p204_partition_balance" -> (

@@ -889,4 +889,18 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(out.toSeq == (1 to 10).map(d =>
       (d, d * 1000000L, 2L * d * 1000000L, 500000L)))
   }
+
+  test("cumulativeUniques: first-seen decomposition with dense silent days") {
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
+    val ev = Seq(
+      (1L, 10L, at(0)), (2L, 11L, at(0)),   // day 0: users 10, 11
+      (3L, 10L, at(1)),                     // day 1: only a RETURNING user
+      // day 2 silent; day 3: one new, one returning
+      (4L, 12L, at(3)), (5L, 11L, at(3))
+    ).toDF("event_id", "user_id", "ts")
+    val out = EventsOps.cumulativeUniques(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 2L), (1L, 0L, 2L), (2L, 0L, 2L), (3L, 1L, 3L)))
+  }
 }
