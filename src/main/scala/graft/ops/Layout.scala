@@ -98,4 +98,43 @@ object Layout {
       .write.mode("overwrite")
       .partitionBy(dateCol)
       .parquet(path)
+
+  /** SMALL-FILE COMPACTION — rewrite a parquet directory into
+    * ⌈bytes / targetBytes⌉ files: the maintenance job every streaming
+    * or per-batch writer eventually owes the table (ten thousand 100 KB
+    * files cost more in listing + task scheduling than the data costs
+    * to read; a 100 TB table's NameNode/manifest health depends on
+    * this running). Sizing comes from the CURRENT on-disk bytes — the
+    * compressed truth, not a row-count heuristic.
+    *
+    * One `repartition(n)` round-robin exchange — no key skew possible
+    * by construction. Writes to `outPath` (side-by-side then swap is
+    * the caller's atomicity policy; compacting in place would lose the
+    * table on a mid-write failure). Returns (files_before,
+    * files_after, bytes_before). */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String,
+      outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Long, Long, Long) = {
+    require(targetBytes > 0, s"compact: need targetBytes > 0, got $targetBytes")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
+    val before = parquetFiles(inPath)
+    val bytes = before.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    (before.size.toLong, parquetFiles(outPath).size.toLong, bytes)
+  }
 }

@@ -82,4 +82,35 @@ class LayoutSpec extends AnyFunSuite {
       assert(files == 1, s"$d has $files files")
     }
   }
+
+  test("compact: many small files fold to the byte-sized target, rows intact") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("compact_in").toString
+    val out = java.nio.file.Files.createTempDirectory("compact_out").toString
+    (1L to 1000L).toDF("id").repartition(20).write.mode("overwrite").parquet(in)
+    val (before, after, bytes) = graft.ops.Layout.compact(
+      spark, in, out, targetBytes = 1L << 30)
+    assert(before == 20L && after == 1L && bytes > 0L)
+    assert(spark.read.parquet(out).count() == 1000L)
+    // sizing follows the on-disk bytes: a tiny target forces a split
+    val out2 = java.nio.file.Files.createTempDirectory("compact_out2").toString
+    val (_, after2, _) = graft.ops.Layout.compact(
+      spark, in, out2, targetBytes = math.max(1L, bytes / 4))
+    assert(after2 >= 4L, s"expected >= 4 files, got $after2")
+    assert(spark.read.parquet(out2).count() == 1000L)
+  }
+
+  test("schema evolution: mergeSchema unions old and new file schemas") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/batch=1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "name", "score", "batch"))
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // the pre-evolution file reads with NULL in the new column
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", Some(9.5))))
+  }
 }
