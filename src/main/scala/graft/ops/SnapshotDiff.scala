@@ -136,6 +136,20 @@ object SnapshotDiff {
         greatest(col("max_micro"), col("_mx2")).as("max_micro"))
   }
 
+  /** TIME TRAVEL over an SCD2 history: the table AS OF batch `t` —
+    * rows whose validity interval covers t (`valid_from ≤ t` and
+    * `valid_to` open or `> t`), validity columns dropped. The read-side
+    * contract of [[scd2Apply]]: `asOf(apply(apply(∅, b1), b2), 1)`
+    * must equal snapshot 1 EXACTLY — which is precisely what the p209
+    * gate pins (its oracle is the original table itself).
+    * Map-only filter; at 100 TB this is a partition-prunable scan when
+    * history is stored partitioned by validity. */
+  def asOf(history: DataFrame, t: Long): DataFrame =
+    history
+      .where(col("valid_from") <= t &&
+        (col("valid_to").isNull || col("valid_to") > t))
+      .drop("valid_from", "valid_to")
+
   /** GOLDEN-RECORD survivorship — MDM-style best-record fusion: per key,
     * take each column's value from the MOST RECENT version where that
     * column is non-null ("latest non-null wins", the standard

@@ -143,6 +143,73 @@ object Stats {
     *
     * Returns (groupCol, tieCol, value_micro, rn, rnk, dense_rnk,
     * tile, cume_ppm, pct_rank_ppm). */
+  /** NEYMAN ALLOCATION — the survey-sampling optimum for a stratified
+    * sample of total size `totalN`: allocate ∝ N_h·S_h (stratum size ×
+    * stratum standard deviation), so volatile strata get the
+    * observations and near-constant strata stop wasting budget — the
+    * principled way to size per-source eval sets over a heterogeneous
+    * corpus. Largest-remainder rounding makes the allocations sum to
+    * EXACTLY totalN (remainder ties break by stratum name).
+    *
+    * Integer-exact throughout: the variance numerator n·Σv²−(Σv)² is
+    * DECIMAL(38,0); sd_micro is the exact floor integer square root of
+    * the (declared) integral-div sample variance — computed as an IEEE
+    * sqrt GUESS corrected by one integer comparison step, so engines
+    * with correctly-rounded sqrt agree bit-for-bit even where the
+    * float alone would misround. Singleton strata carry S = 0
+    * (declared: no variance evidence, minimal allocation).
+    *
+    * One partial-agg pass on the stratum; everything after is
+    * |strata|-bounded. Returns (stratumCol, n_rows, sd_micro,
+    * allocation) ordered by stratum; Σ allocation = totalN. */
+  def neymanAllocation(
+      df: DataFrame,
+      stratumCol: String,
+      valueCol: String,
+      totalN: Long): DataFrame = {
+    require(totalN >= 0, s"neymanAllocation: need totalN >= 0, got $totalN")
+    import org.apache.spark.sql.expressions.Window
+    val d = DecimalType(38, 0)
+    val stats = df
+      .where(col(valueCol).isNotNull)
+      .select(col(stratumCol),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("_v").cast(d)).as("_s"),
+        sum(col("_v").cast(d) * col("_v").cast(d)).as("_ss"))
+      // exact floor isqrt of the integral-div sample variance: IEEE
+      // sqrt guess ± one integer correction step
+      .selectExpr(stratumCol, "n_rows",
+        "CASE WHEN n_rows < 2 THEN CAST(0 AS DECIMAL(38,0)) ELSE " +
+          "(CAST(n_rows AS DECIMAL(38,0)) * _ss - _s * _s) div " +
+          "(CAST(n_rows AS DECIMAL(38,0)) * (n_rows - 1)) END AS _var")
+      .selectExpr(stratumCol, "n_rows", "_var",
+        "CAST(floor(sqrt(CAST(_var AS DOUBLE))) AS BIGINT) AS _g")
+      .selectExpr(stratumCol, "n_rows",
+        "CASE WHEN CAST(_g + 1 AS DECIMAL(38,0)) * (_g + 1) <= _var THEN _g + 1 " +
+          "WHEN CAST(_g AS DECIMAL(38,0)) * _g > _var THEN _g - 1 " +
+          "ELSE _g END AS sd_micro")
+    val wAll = Window.partitionBy()
+    val weighted = stats
+      .withColumn("_w", col("n_rows").cast(d) * col("sd_micro").cast(d))
+      .withColumn("_tw", sum(col("_w")).over(wAll))
+    val based = weighted
+      .selectExpr(stratumCol, "n_rows", "sd_micro", "_w", "_tw",
+        s"CASE WHEN _tw = 0 THEN 0 ELSE CAST($totalN * _w div _tw AS BIGINT) END AS _base",
+        // remainder as the exact numerator residue (no floats)
+        s"CASE WHEN _tw = 0 THEN CAST(0 AS DECIMAL(38,0)) " +
+          s"ELSE $totalN * _w - (CASE WHEN _tw = 0 THEN 0 ELSE CAST($totalN * _w div _tw AS BIGINT) END) * _tw END AS _rem")
+      .withColumn("_short", lit(totalN) - sum(col("_base")).over(wAll))
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("_rem").desc, col(stratumCol))))
+    based
+      .select(col(stratumCol), col("n_rows"), col("sd_micro"),
+        (col("_base") + when(col("_rk") <= col("_short"), 1L).otherwise(0L))
+          .as("allocation"))
+      .orderBy(stratumCol)
+  }
+
   def rankReport(
       df: DataFrame,
       groupCol: String,

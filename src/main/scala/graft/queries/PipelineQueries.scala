@@ -1798,6 +1798,38 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Time travel: rebuild the p72 two-batch SCD2 history, then read
+    // it AS OF batch 1 — which must equal the ORIGINAL snapshot, so
+    // the oracle is the documents table itself.
+    "p209_time_travel" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val content = Seq("text", "lang", "source", "n_chars")
+      val emptyHist = docs.limit(0)
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      val d1 = graft.ops.SnapshotDiff.diff(docs.limit(0), docs, "doc_id", content)
+      val c1 = d1.join(docs, Seq("doc_id"), "left").localCheckpoint()
+      val h1 = graft.ops.SnapshotDiff.scd2Apply(emptyHist, c1, "doc_id", batchId = 1L)
+      val changed = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("text", upper(col("text")))
+      val snap2 = docs
+        .where(pmod(col("doc_id"), lit(13)) =!= 0)
+        .where(pmod(col("doc_id"), lit(7)) =!= 0)
+        .unionByName(changed)
+      val d2 = graft.ops.SnapshotDiff.diff(docs, snap2, "doc_id", content)
+      val c2 = d2.join(snap2, Seq("doc_id"), "left").localCheckpoint()
+      val h2 = graft.ops.SnapshotDiff.scd2Apply(h1, c2, "doc_id", batchId = 2L)
+      graft.ops.SnapshotDiff.asOf(h2, 1L).orderBy("doc_id")
+    }),
+
+    // Neyman stratified allocation of a 1000-row eval budget across
+    // event types — ∝ N·S with exact isqrt and largest-remainder
+    // rounding (Σ = 1000 exactly).
+    "p210_neyman_allocation" -> ((s, dir) =>
+      graft.ops.Stats.neymanAllocation(
+        Tables(s, dir, "events"), "event_type", "value", totalN = 1000L)),
+
     // Percent-of-parent OLAP shares: each (flag, status) cell's share
     // of its flag subtotal AND of the grand total, off ONE leaf
     // aggregate — window sums over the cell-bounded table, no rollup
@@ -3972,6 +4004,35 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // as-of batch 1 must reproduce the source table EXACTLY — the
+    // strongest possible oracle: the table itself
+    "p209_time_travel" -> (
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"),
+    // same isqrt guess+correct (IEEE sqrt is correctly rounded on both
+    // engines, correction makes it exact); largest-remainder by the
+    // integer residue, ties by stratum
+    "p210_neyman_allocation" -> (
+      "WITH s AS (SELECT event_type, COUNT(*) AS n_rows, " +
+        "SUM(CAST(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS HUGEINT)) AS sv, " +
+        "SUM(CAST(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS HUGEINT) * " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)) AS ss " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+        "v AS (SELECT event_type, n_rows, CASE WHEN n_rows < 2 THEN 0 " +
+        "ELSE (n_rows * ss - sv * sv) // (CAST(n_rows AS HUGEINT) * (n_rows - 1)) END AS var FROM s), " +
+        "g AS (SELECT *, CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) AS gg FROM v), " +
+        "sd AS (SELECT event_type, n_rows, CASE " +
+        "WHEN CAST(gg + 1 AS HUGEINT) * (gg + 1) <= var THEN gg + 1 " +
+        "WHEN CAST(gg AS HUGEINT) * gg > var THEN gg - 1 ELSE gg END AS sd_micro FROM g), " +
+        "w AS (SELECT *, CAST(n_rows AS HUGEINT) * sd_micro AS wt, " +
+        "SUM(CAST(n_rows AS HUGEINT) * sd_micro) OVER () AS tw FROM sd), " +
+        "b AS (SELECT *, CASE WHEN tw = 0 THEN 0 ELSE CAST(1000 * wt // tw AS BIGINT) END AS base, " +
+        "CASE WHEN tw = 0 THEN 0 ELSE 1000 * wt - (CASE WHEN tw = 0 THEN 0 ELSE CAST(1000 * wt // tw AS BIGINT) END) * tw END AS rem FROM w), " +
+        "r AS (SELECT *, 1000 - SUM(base) OVER () AS short, " +
+        "ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS rk FROM b) " +
+        "SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows, " +
+        "CAST(sd_micro AS BIGINT) AS sd_micro, " +
+        "CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS allocation " +
+        "FROM r ORDER BY event_type"),
     // window sums over the cell-bounded aggregate; qty sums in
     // HUGEINT, integral // on non-negatives
     "p207_share_of_parent" -> (

@@ -135,4 +135,21 @@ class SnapshotDiffSpec extends AnyFunSuite {
       (3L, 1L, 4L, None, None),
       (4L, 2L, 8L, Some(2L), None)))
   }
+
+  test("asOf: validity-interval reconstruction at each batch boundary") {
+    import spark.implicits._
+    // key 1 inserted at 1, superseded at 2; key 2 inserted at 1 and
+    // closed (removed) at 2; key 3 inserted at 2
+    val hist = Seq(
+      (1L, "v1", 1L, Option(2L)), (1L, "v2", 2L, Option.empty[Long]),
+      (2L, "x", 1L, Option(2L)),
+      (3L, "y", 2L, Option.empty[Long])
+    ).toDF("k", "payload", "valid_from", "valid_to")
+    def at(t: Long) = SnapshotDiff.asOf(hist, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(at(1L).toSeq == Seq((1L, "v1"), (2L, "x")))
+    assert(at(2L).toSeq == Seq((1L, "v2"), (3L, "y")))
+    // before history begins: empty
+    assert(at(0L).isEmpty)
+  }
 }

@@ -87,4 +87,21 @@ class StatsSpec extends AnyFunSuite {
       // 1-row group: cume 1.0, percent_rank NULL (0/0 undefined)
       ("h", 9L, 5000000L, 1, 1, 1, 1, 1000000L, None)))
   }
+
+  test("neymanAllocation: volatile stratum takes the budget, exact sum") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 0.0), ("a", 2.0),   // var = 2e12 micro² → sd = isqrt = 1414213
+      ("b", 5.0), ("b", 5.0),   // constant → sd 0
+      ("c", 9.0)                // singleton → sd 0 (declared)
+    ).toDF("stratum", "v")
+    val out = Stats.neymanAllocation(df, "stratum", "v", totalN = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", 2L, 1414213L, 10L), ("b", 2L, 0L, 0L), ("c", 1L, 0L, 0L)))
+    assert(out.map(_._4).sum == 10L)
+    // exact isqrt: 1414213² ≤ 2e12 < 1414214²
+    assert(1414213L * 1414213L <= 2000000000000L)
+    assert(1414214L * 1414214L > 2000000000000L)
+  }
 }
