@@ -1164,6 +1164,74 @@ object EventsOps {
         (max(col("_t")) - min(col("_t"))).as("duration_seconds"))
   }
 
+  /** SESSION KPIs — the product-analytics headline numbers off the
+    * [[sessionize]] table, folded to ONE row: session count, bounce
+    * rate (single-event sessions — the metric every landing-page
+    * review opens with), events per session, and mean session duration
+    * — integer ppm/micro by integral division over exact sums. The
+    * gap-session table is corpus-sized; this fold is its partial-agg'd
+    * summary, so the whole op remains the sessionize exchange plus a
+    * scalar aggregate.
+    *
+    * Returns (n_sessions, n_bounces, bounce_ppm, events_per_session
+    * _micro, mean_duration_sec_micro). */
+  def sessionKpis(
+      ev: DataFrame,
+      gapSeconds: Long = 1800L,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val d = DecimalType(38, 0)
+    sessionize(ev, gapSeconds, keyCol, tsCol, tieCol)
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("n_events").cast(d)).as("_ne"),
+        sum(col("duration_seconds").cast(d)).as("_dur"))
+      .selectExpr("n_sessions", "n_bounces",
+        "CASE WHEN n_sessions = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(n_bounces * 1000000 div n_sessions AS BIGINT) END AS bounce_ppm",
+        "CASE WHEN n_sessions = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(_ne * 1000000 div CAST(n_sessions AS DECIMAL(38,0)) AS BIGINT) END AS events_per_session_micro",
+        "CASE WHEN n_sessions = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(_dur * 1000000 div CAST(n_sessions AS DECIMAL(38,0)) AS BIGINT) END AS mean_duration_sec_micro")
+  }
+
+  /** SLO BURN — the SRE error-budget ledger by hour: per-hour error
+    * share beside the CUMULATIVE error rate and the remaining budget
+    * against a declared objective (`sloPpm`, e.g. 10000 = 99% success
+    * SLO). `budget_remaining_ppm = sloPpm − cum_err·10⁶ div cum_total`
+    * goes negative exactly when the objective is burned — the page
+    * threshold IS a sign bit, no dashboard math. Integer-exact; the
+    * subtraction is of two non-negative integral divs, so both engines
+    * agree at every hour including the burn crossing.
+    *
+    * Shape: one (hour) partial-agg count pair, then running sums over
+    * the |hours|-bounded series. Returns (hour, n_total, n_errors,
+    * err_ppm, cum_err_ppm, budget_remaining_ppm) ordered by hour. */
+  def sloBurn(
+      ev: DataFrame,
+      sloPpm: Long = 10000L,
+      errorType: String = "error",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(sloPpm >= 0 && sloPpm <= 1000000L,
+      s"sloBurn: sloPpm must be in [0, 1e6], got $sloPpm")
+    import org.apache.spark.sql.expressions.Window
+    val hour = floor(epochSec(tsCol).cast("double") / lit(3600.0d)).cast("long")
+    val run = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.groupBy(hour.as("hour"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col(typeCol) === errorType, 1L).otherwise(0L)).as("n_errors"))
+      .withColumn("_ct", sum(col("n_total")).over(run))
+      .withColumn("_ce", sum(col("n_errors")).over(run))
+      .selectExpr("hour", "n_total", "n_errors",
+        "CAST(n_errors * 1000000 div n_total AS BIGINT) AS err_ppm",
+        "CAST(_ce * 1000000 div _ct AS BIGINT) AS cum_err_ppm",
+        s"$sloPpm - CAST(_ce * 1000000 div _ct AS BIGINT) AS budget_remaining_ppm")
+      .orderBy("hour")
+  }
+
   /** ORDERED FUNNEL: how many users completed step 1, then step 2
     * STRICTLY LATER, then step 3 strictly later than that, … — the
     * product-analytics conversion table ([[conversionLatency]] measures

@@ -1798,6 +1798,16 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Product-analytics headline: bounce rate, events/session, mean
+    // duration — one scalar fold over the gap-session table.
+    "p211_session_kpis" -> ((s, dir) =>
+      graft.ops.EventsOps.sessionKpis(Tables(s, dir, "events"))),
+
+    // SRE error-budget ledger by hour vs a 99% SLO — the remaining
+    // budget's sign IS the page.
+    "p212_slo_burn" -> ((s, dir) =>
+      graft.ops.EventsOps.sloBurn(Tables(s, dir, "events"))),
+
     // Time travel: rebuild the p72 two-batch SCD2 history, then read
     // it AS OF batch 1 — which must equal the ORIGINAL snapshot, so
     // the oracle is the documents table itself.
@@ -4004,6 +4014,36 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // same gap-session construction (lag + running new-session sum),
+    // scalar fold in HUGEINT
+    "p211_session_kpis" -> (
+      "WITH e AS (SELECT user_id, event_id, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS t FROM events), " +
+        "l AS (SELECT *, CASE WHEN LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > 1800 " +
+        "THEN 1 ELSE 0 END AS nw FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "s AS (SELECT user_id, SUM(nw) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid, t FROM l), " +
+        "g AS (SELECT user_id, sid, COUNT(*) AS n_events, MAX(t) - MIN(t) AS dur FROM s GROUP BY 1, 2), " +
+        "a AS (SELECT COUNT(*) AS n_sessions, " +
+        "SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces, " +
+        "SUM(CAST(n_events AS HUGEINT)) AS ne, SUM(CAST(dur AS HUGEINT)) AS dur FROM g) " +
+        "SELECT CAST(n_sessions AS BIGINT) AS n_sessions, CAST(n_bounces AS BIGINT) AS n_bounces, " +
+        "CASE WHEN n_sessions = 0 THEN NULL ELSE CAST(n_bounces * 1000000 // n_sessions AS BIGINT) END AS bounce_ppm, " +
+        "CASE WHEN n_sessions = 0 THEN NULL ELSE CAST(ne * 1000000 // n_sessions AS BIGINT) END AS events_per_session_micro, " +
+        "CASE WHEN n_sessions = 0 THEN NULL ELSE CAST(dur * 1000000 // n_sessions AS BIGINT) END AS mean_duration_sec_micro " +
+        "FROM a"),
+    // hourly counts + running sums; two non-negative integral divs
+    "p212_slo_burn" -> (
+      "WITH h AS (SELECT CAST(floor(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) / 3600.0) AS BIGINT) AS hour, " +
+        "COUNT(*) AS n_total, SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors " +
+        "FROM events GROUP BY 1), " +
+        "r AS (SELECT *, SUM(n_total) OVER w AS ct, SUM(n_errors) OVER w AS ce FROM h " +
+        "WINDOW w AS (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT hour, CAST(n_total AS BIGINT) AS n_total, CAST(n_errors AS BIGINT) AS n_errors, " +
+        "CAST(n_errors * 1000000 // n_total AS BIGINT) AS err_ppm, " +
+        "CAST(ce * 1000000 // ct AS BIGINT) AS cum_err_ppm, " +
+        "10000 - CAST(ce * 1000000 // ct AS BIGINT) AS budget_remaining_ppm " +
+        "FROM r ORDER BY hour"),
     // as-of batch 1 must reproduce the source table EXACTLY — the
     // strongest possible oracle: the table itself
     "p209_time_travel" -> (

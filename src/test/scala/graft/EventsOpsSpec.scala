@@ -903,4 +903,35 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       (0L, 2L, 2L), (1L, 0L, 2L), (2L, 0L, 2L), (3L, 1L, 3L)))
   }
+
+  test("sessionKpis: bounce accounting and exact means over the session table") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // user 1: one 3-event session lasting 100s, then a bounce later
+      (1L, 1L, at(0)), (2L, 1L, at(50)), (3L, 1L, at(100)),
+      (4L, 1L, at(10000)),
+      // user 2: a single bounce
+      (5L, 2L, at(500))
+    ).toDF("event_id", "user_id", "ts")
+    val r = EventsOps.sessionKpis(ev, gapSeconds = 1800L).collect().head
+    // 3 sessions, 2 bounces; events/session = 5/3; mean duration 100/3
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((3L, 2L, 666666L, 1666666L, 33333333L)))
+  }
+
+  test("sloBurn: budget crosses zero exactly when the SLO is burned") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // hour 0: 1 error in 100 (1% — exactly on a 99% SLO);
+    // hour 1: 3 errors in 100 → cumulative 2% → budget −10000
+    val h0 = (1 to 99).map(i => (i.toLong, "view", at(i))) :+ ((100L, "error", at(100)))
+    val h1 = (1 to 97).map(i => (200L + i, "view", at(3600 + i))) ++
+      Seq((301L, "error", at(3700)), (302L, "error", at(3701)), (303L, "error", at(3702)))
+    val out = EventsOps.sloBurn((h0 ++ h1).toDF("event_id", "event_type", "ts"),
+        sloPpm = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 10000L, 10000L, 0L),      // exactly on budget
+      (1L, 30000L, 20000L, -10000L)  // burned: sign flips
+    ))
+  }
 }
