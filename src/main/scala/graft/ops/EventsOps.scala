@@ -1477,8 +1477,12 @@ object EventsOps {
     * round-6 (+0.0). The IV total is the window sum of the ROUNDED
     * terms — deterministic on both engines.
     *
-    * Shape: one rank ladder over (value, tie) — a single exchange, the
-    * [[slaPercentiles]] envelope — then everything is k-bucket-bounded.
+    * Shape: one rank ladder over (value, tie), then everything is
+    * k-bucket-bounded. The ntile is a GLOBAL total order — Spark runs
+    * it single-partition over the slim (value, tie, pos) projection;
+    * at extreme scale swap it for pre-computed quantile cut points
+    * ([[slaPercentiles]]) + a map-only bucket assignment — the
+    * [[graft.ops.CorpusOps.curriculumOrder]] caveat, same remedy.
     * Returns (bucket 1..k, n, n_pos, n_neg, woe, iv_term, iv_total)
     * ordered by bucket. */
   def woeIv(
@@ -1612,9 +1616,12 @@ object EventsOps {
     * (⌈d·n/10⌉ over the (value, tie) total order — the
     * [[slaPercentiles]] convention), so the table is integer-exact.
     *
-    * One rank ladder per group on the same key exchange; the decile
-    * join is 10-row-bounded. Returns (decile 1..10, a_micro, b_micro,
-    * ratio_ppm), ratio NULL when the B decile is 0. */
+    * One rank ladder per group (parallelism = 2 groups — each group's
+    * ladder is a per-partition sort of its own rows; for corpus-sized
+    * groups swap exact ranks for the [[slaPercentiles]] cut-point
+    * recipe); the decile table is 10-row-bounded. Returns (decile
+    * 1..10, a_micro, b_micro, ratio_ppm), ratio NULL when the B decile
+    * is 0. */
   def qqTable(
       ev: DataFrame,
       typeA: String = "view",
