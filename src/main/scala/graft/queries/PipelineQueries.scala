@@ -1798,6 +1798,40 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Padding-waste forecast: for candidate context lengths, the ppm
+    // of compute lost to per-doc padding — the number that picks
+    // maxLen before anyone trains.
+    "p214_padding_waste" -> ((s, dir) => {
+      val lens = Seq(256, 512, 1024)
+      val toks = Tables(s, dir, "documents")
+        .select(TextAnalysis.tokenCount(col("text")).cast("long").as("_n"))
+        .where(col("_n") > 0)
+      val aggs = count(lit(1)).as("n_docs") +:
+        sum(col("_n")).as("n_tokens") +:
+        lens.map(L => sum(expr(s"((_n + $L - 1) div $L) * $L - _n")).as(s"_w$L"))
+      toks.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(lens.map(L =>
+          struct(lit(L.toLong).as("max_len"), col("n_docs"), col("n_tokens"),
+            col(s"_w$L").as("padding_tokens"))): _*)).as("_e"))
+        .select(col("_e.max_len"), col("_e.n_docs"), col("_e.n_tokens"),
+          col("_e.padding_tokens"))
+        .withColumn("waste_ppm", expr(
+          "CAST(padding_tokens * 1000000 div (n_tokens + padding_tokens) AS BIGINT)"))
+        .orderBy("max_len")
+    }),
+
+    // Cluster-size histogram over the near-dup graph: how duplication
+    // mass distributes (pairs vs long chains) — the number that says
+    // whether dedup will delete 2% or 40% of the corpus.
+    "p213_cluster_histogram" -> ((s, dir) =>
+      Dedup.dedupClusters(nearDupPairs45(s, dir).select("a", "b"))
+        .select("component", "cluster_size").distinct()
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("cluster_size").as("n_docs"),
+          (sum("cluster_size") - count(lit(1))).as("n_removable"))
+        .orderBy("cluster_size")),
+
     // Product-analytics headline: bounce rate, events/session, mean
     // duration — one scalar fold over the gap-session table.
     "p211_session_kpis" -> ((s, dir) =>
@@ -4014,6 +4048,44 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // ceil-division padding per doc, one scalar aggregate, waste as
+    // ppm of the padded total
+    "p214_padding_waste" -> (
+      "WITH t AS (SELECT CASE WHEN trim(text) = '' THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n FROM documents), " +
+        "f AS (SELECT n FROM t WHERE n > 0), " +
+        "a AS (SELECT COUNT(*) AS n_docs, SUM(n) AS n_tokens, " +
+        "SUM(((n + 255) // 256) * 256 - n) AS w256, " +
+        "SUM(((n + 511) // 512) * 512 - n) AS w512, " +
+        "SUM(((n + 1023) // 1024) * 1024 - n) AS w1024 FROM f), " +
+        "u AS (SELECT 256 AS max_len, n_docs, n_tokens, w256 AS padding_tokens FROM a " +
+        "UNION ALL SELECT 512, n_docs, n_tokens, w512 FROM a " +
+        "UNION ALL SELECT 1024, n_docs, n_tokens, w1024 FROM a) " +
+        "SELECT CAST(max_len AS BIGINT) AS max_len, CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST(n_tokens AS BIGINT) AS n_tokens, CAST(padding_tokens AS BIGINT) AS padding_tokens, " +
+        "CAST(padding_tokens * 1000000 // (n_tokens + padding_tokens) AS BIGINT) AS waste_ppm " +
+        "FROM u ORDER BY max_len"),
+    // p29's recursive-CTE closure, folded to the size histogram
+    "p213_cluster_histogram" -> (
+      "WITH RECURSIVE tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
+        "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
+        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
+        "p AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
+        "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)), " +
+        "ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
+        "nd AS (SELECT DISTINCT a AS id FROM ed), " +
+        "reach AS (SELECT id, id AS r FROM nd " +
+        "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
+        "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id), " +
+        "sz AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component) " +
+        "SELECT CAST(cluster_size AS BIGINT) AS cluster_size, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_clusters, " +
+        "CAST(SUM(cluster_size) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_removable " +
+        "FROM sz GROUP BY 1 ORDER BY cluster_size"),
     // same gap-session construction (lag + running new-session sum),
     // scalar fold in HUGEINT
     "p211_session_kpis" -> (

@@ -396,4 +396,31 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(hc.contains("TakeOrderedAndProject"), hc)
   }
+
+  test("p199/p197: vectorizer and histograms partial-agg below their first exchange") {
+    val docs = graft.engine.Tables(spark, dir, "documents")
+    val or = graft.engine.Tables(spark, dir, "orders")
+    val li = graft.engine.Tables(spark, dir, "lineitem")
+    Seq(
+      graft.ops.CorpusOps.hashingVectorizer(docs, dim = 64),
+      graft.ops.Governance.joinCardinality(or, li, "o_orderkey", "l_orderkey"),
+      graft.ops.Governance.partitionBalance(li, "l_partkey")
+    ).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      val firstExchange = p.indexOf("Exchange")
+      assert(firstExchange >= 0 && p.indexOf("HashAggregate", firstExchange) > 0, p)
+    }
+  }
+
+  test("p187/p198: survivorship and decay never plan a window or a sort-merge join") {
+    val ev = graft.engine.Tables(spark, dir, "events")
+    val gr = graft.ops.SnapshotDiff.goldenRecord(
+      graft.ops.EventsOps.parseProps(ev), "user_id", "ts", "event_id", Seq("prop_k"))
+    val pg = gr.queryExecution.executedPlan.toString
+    assert(!pg.contains("Window"), pg)
+    val ds = graft.ops.EventsOps.decayScore(ev)
+      .queryExecution.executedPlan.toString
+    assert(!ds.contains("SortMergeJoin"), ds)
+    assert(ds.contains("BroadcastNestedLoopJoin") || ds.contains("BroadcastHashJoin"), ds)
+  }
 }
