@@ -1164,6 +1164,90 @@ object EventsOps {
         (max(col("_t")) - min(col("_t"))).as("duration_seconds"))
   }
 
+  /** CUPED — the industry-standard experiment variance reduction
+    * (Deng et al. 2013): adjust the experiment-period metric Y by the
+    * PRE-period covariate X, `Y_adj = Y − θ(X − X̄)` with
+    * θ = cov(X,Y)/var(X); the achievable variance reduction is exactly
+    * ρ²(X,Y). Reported as ONE row: per-user X/Y from the midpoint
+    * split (the [[heavyChangers]] convention; a user absent from a
+    * half contributes 0 — declared), exact DECIMAL(38,0) moments, and
+    * the [[graft.ops.Stats.correlationMatrix]] float policy for the
+    * tails: θ and ρ round-6 in fixed operand order, the reduction ppm
+    * as `floor(ρ_rounded² · 10⁶)` — a deterministic function of the
+    * already-rounded ρ on any engine.
+    *
+    * Shape: one per-user aggregate (conditional sums over the
+    * broadcast midpoint), one 1-row moment fold. Returns (n_users,
+    * theta, rho, var_reduction_ppm); NULLs when either variance is 0
+    * or n < 2. */
+  def cuped(
+      ev: DataFrame,
+      keyCol: String = "user_id",
+      valueCol: String = "value",
+      tsCol: String = "ts"): DataFrame = {
+    val d = DecimalType(38, 0)
+    val base = ev.where(col(valueCol).isNotNull)
+      .select(col(keyCol), epochSec(tsCol).as("_s"),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+    val mid = base.agg(
+      floor((min(col("_s")) + max(col("_s"))).cast("double") / lit(2.0d))
+        .cast("long").as("_mid"))
+    val perUser = base.crossJoin(broadcast(mid))
+      .groupBy(col(keyCol))
+      .agg(sum(when(col("_s") <= col("_mid"), col("_v")).otherwise(lit(0L))).as("_x"),
+        sum(when(col("_s") > col("_mid"), col("_v")).otherwise(lit(0L))).as("_y"))
+    perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(col("_x").cast(d)).as("_sx"), sum(col("_y").cast(d)).as("_sy"),
+        sum(col("_x").cast(d) * col("_x").cast(d)).as("_sxx"),
+        sum(col("_y").cast(d) * col("_y").cast(d)).as("_syy"),
+        sum(col("_x").cast(d) * col("_y").cast(d)).as("_sxy"))
+      .selectExpr("n_users",
+        "CAST(n_users AS DECIMAL(38,0)) * _sxx - _sx * _sx AS _vx",
+        "CAST(n_users AS DECIMAL(38,0)) * _syy - _sy * _sy AS _vy",
+        "CAST(n_users AS DECIMAL(38,0)) * _sxy - _sx * _sy AS _cov")
+      .selectExpr("n_users",
+        "CASE WHEN n_users < 2 OR _vx = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE round(CAST(_cov AS DOUBLE) / CAST(_vx AS DOUBLE), 6) + 0.0 END AS theta",
+        "CASE WHEN n_users < 2 OR _vx = 0 OR _vy = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE round(CAST(_cov AS DOUBLE) / sqrt(CAST(_vx AS DOUBLE) * CAST(_vy AS DOUBLE)), 6) + 0.0 END AS rho")
+      .selectExpr("n_users", "theta", "rho",
+        "CASE WHEN rho IS NULL THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(floor(rho * rho * 1000000.0) AS BIGINT) END AS var_reduction_ppm")
+  }
+
+  /** SEASONAL CELL OUTLIERS — which (hour-of-week, week) cells deviate
+    * most from their slot's own average: per cell the seasonality
+    * index `obs · n_weeks · 10⁶ div slot_total` ([[seasonalProfile]]'s
+    * index at cell granularity), top-k by |index − 10⁶| — the
+    * "Tuesday 3 pm was 4× normal, which Tuesday?" question. Exact
+    * integers; total ordering (deviation desc, hour_of_week, week).
+    *
+    * Shape: one (slot, week) partial-agg count, slot totals off the
+    * slot-bounded table, TakeOrdered top-k. Returns topK rows of
+    * (hour_of_week, week, n, slot_weeks, index_ppm, dev_ppm). */
+  def seasonalOutliers(
+      ev: DataFrame,
+      topK: Int = 20,
+      tsCol: String = "ts"): DataFrame = {
+    require(topK >= 1, s"seasonalOutliers: need topK >= 1, got $topK")
+    val sec = epochSec(tsCol)
+    val hourAbs = floor(sec.cast("double") / lit(3600.0d)).cast("long")
+    val cells = ev
+      .select(pmod(hourAbs, lit(168L)).as("hour_of_week"),
+        floor(hourAbs.cast("double") / lit(168.0d)).cast("long").as("week"))
+      .groupBy(col("hour_of_week"), col("week"))
+      .agg(count(lit(1)).as("n"))
+    val slots = cells.groupBy(col("hour_of_week"))
+      .agg(sum(col("n")).as("_tot"), count(lit(1)).as("slot_weeks"))
+    cells.join(slots, Seq("hour_of_week"))
+      .selectExpr("hour_of_week", "week", "n", "slot_weeks",
+        "CAST(n * slot_weeks * 1000000 div _tot AS BIGINT) AS index_ppm")
+      .withColumn("dev_ppm", abs(col("index_ppm") - lit(1000000L)))
+      .orderBy(col("dev_ppm").desc, col("hour_of_week"), col("week"))
+      .limit(topK)
+  }
+
   /** SESSION KPIs — the product-analytics headline numbers off the
     * [[sessionize]] table, folded to ONE row: session count, bounce
     * rate (single-event sessions — the metric every landing-page

@@ -1798,6 +1798,16 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // CUPED variance reduction: pre-period covariate vs experiment
+    // metric from the midpoint split — θ, ρ, and the ρ² reduction.
+    "p215_cuped" -> ((s, dir) =>
+      graft.ops.EventsOps.cuped(Tables(s, dir, "events"))),
+
+    // Which (hour-of-week, week) cells broke their slot's pattern —
+    // top-20 seasonality-index deviations, integer-exact.
+    "p216_seasonal_outliers" -> ((s, dir) =>
+      graft.ops.EventsOps.seasonalOutliers(Tables(s, dir, "events"))),
+
     // Padding-waste forecast: for candidate context lengths, the ppm
     // of compute lost to per-doc padding — the number that picks
     // maxLen before anyone trains.
@@ -4048,6 +4058,41 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // exact HUGEINT moments; θ/ρ round-6 in fixed order; reduction =
+    // floor(ρ_rounded²·1e6) — deterministic off the rounded ρ
+    "p215_cuped" -> (
+      "WITH b AS (SELECT user_id, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "m AS (SELECT CAST(floor((MIN(s) + MAX(s)) / 2.0) AS BIGINT) AS mid FROM b), " +
+        "u AS (SELECT user_id, SUM(CASE WHEN s <= mid THEN v ELSE 0 END) AS x, " +
+        "SUM(CASE WHEN s > mid THEN v ELSE 0 END) AS y FROM b, m GROUP BY 1), " +
+        "a AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy, " +
+        "SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy, " +
+        "SUM(CAST(x AS HUGEINT) * y) AS sxy FROM u), " +
+        "v AS (SELECT n, n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy, " +
+        "n * sxy - sx * sy AS cov FROM a), " +
+        "r AS (SELECT CAST(n AS BIGINT) AS n_users, " +
+        "CASE WHEN n < 2 OR vx = 0 THEN NULL " +
+        "ELSE round(CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE), 6) + 0.0 END AS theta, " +
+        "CASE WHEN n < 2 OR vx = 0 OR vy = 0 THEN NULL " +
+        "ELSE round(CAST(cov AS DOUBLE) / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6) + 0.0 END AS rho FROM v) " +
+        "SELECT n_users, theta, rho, " +
+        "CASE WHEN rho IS NULL THEN NULL ELSE CAST(floor(rho * rho * 1000000.0) AS BIGINT) END AS var_reduction_ppm " +
+        "FROM r"),
+    // per-cell seasonality index vs the slot total; total order on
+    // (deviation desc, slot, week)
+    "p216_seasonal_outliers" -> (
+      "WITH h AS (SELECT CAST(floor(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) / 3600.0) AS BIGINT) AS ha FROM events), " +
+        "c AS (SELECT ((ha % 168) + 168) % 168 AS hour_of_week, " +
+        "CAST(floor(CAST(ha AS DOUBLE) / 168.0) AS BIGINT) AS week, COUNT(*) AS n FROM h GROUP BY 1, 2), " +
+        "s AS (SELECT hour_of_week, SUM(n) AS tot, COUNT(*) AS slot_weeks FROM c GROUP BY 1), " +
+        "j AS (SELECT c.hour_of_week, c.week, c.n, s.slot_weeks, " +
+        "CAST(c.n * s.slot_weeks * 1000000 // s.tot AS BIGINT) AS index_ppm FROM c JOIN s USING (hour_of_week)) " +
+        "SELECT hour_of_week, week, CAST(n AS BIGINT) AS n, CAST(slot_weeks AS BIGINT) AS slot_weeks, " +
+        "index_ppm, abs(index_ppm - 1000000) AS dev_ppm " +
+        "FROM j ORDER BY dev_ppm DESC, hour_of_week, week LIMIT 20"),
     // ceil-division padding per doc, one scalar aggregate, waste as
     // ppm of the padded total
     "p214_padding_waste" -> (

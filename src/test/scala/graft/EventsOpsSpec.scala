@@ -934,4 +934,42 @@ class EventsOpsSpec extends AnyFunSuite {
       (1L, 30000L, 20000L, -10000L)  // burned: sign flips
     ))
   }
+
+  test("cuped: perfectly-correlated pre/post gives rho 1 and full reduction") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // midpoint of [0, 100] = 50; per user: post = 2 × pre exactly
+    val ev = Seq(
+      (1L, 1L, at(0), 1.0), (2L, 1L, at(100), 2.0),
+      (3L, 2L, at(0), 2.0), (4L, 2L, at(100), 4.0),
+      (5L, 3L, at(0), 3.0), (6L, 3L, at(100), 6.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = EventsOps.cuped(ev).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 2.0)      // theta = cov/varX = 2
+    assert(r.getDouble(2) == 1.0)      // rho = 1
+    assert(r.getLong(3) == 1000000L)   // full variance elimination
+  }
+
+  test("cuped: zero pre-period variance yields NULL adjustments") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, 1L, at(0), 5.0), (2L, 1L, at(100), 1.0),
+      (3L, 2L, at(0), 5.0), (4L, 2L, at(100), 9.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = EventsOps.cuped(ev).collect().head
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("seasonalOutliers: the burst cell tops the deviation ranking") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // slot 0 in weeks 0..2: counts 1, 1, 10 → week 2 index 2.5e6
+    val ev = (Seq((1L, at(0)), (2L, at(168L * 3600))) ++
+      (1 to 10).map(i => (10L + i, at(2 * 168L * 3600 + i)))
+    ).toDF("event_id", "ts")
+    val out = EventsOps.seasonalOutliers(ev, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    // hour_of_week 0 has 12 events over 3 weeks → burst week index
+    // = 10·3·1e6/12 = 2.5e6, deviation 1.5e6 — the top row
+    assert(out.head == ((0L, 2L, 10L, 2500000L, 1500000L)))
+  }
 }
