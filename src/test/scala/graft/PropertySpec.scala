@@ -232,4 +232,85 @@ class PropertySpec extends AnyFunSuite {
       assert(shares.last == 1000000L)
     }
   }
+
+  test("positionAttribution: Σ credit = 1e6 × conversions on random journeys") {
+    import graft.ops.EventsOps
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    (1 to 3).foreach { trial =>
+      val r = new scala.util.Random(trial)
+      val types = Array("view", "click", "purchase")
+      val rows = (0 until 400).map { i =>
+        (i.toLong, r.nextInt(12).toLong, types(r.nextInt(3)), at(r.nextInt(5000).toLong))
+      }
+      val df = rows.toDF("event_id", "user_id", "event_type", "ts")
+      val out = EventsOps.positionAttribution(df).collect()
+      val credit = out.map(_.getLong(2)).sum
+      // conversions = purchases (every purchase closes a journey)
+      val nConv = rows.count(_._3 == "purchase").toLong
+      assert(credit == 1000000L * nConv, s"trial $trial: $credit vs $nConv conversions")
+    }
+  }
+
+  test("weightedMedian degenerates to the lower median under unit weights") {
+    import graft.ops.EventsOps
+    (1 to 3).foreach { trial =>
+      val r = new scala.util.Random(100 + trial)
+      val vals = (0 until 101).map(_ => r.nextInt(1000))
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, "g", v.toDouble, 1L)
+      }.toDF("event_id", "event_type", "value", "weight")
+      val got = EventsOps.weightedMedian(df).collect().head.getLong(3)
+      // odd n, unit weights → the true middle order statistic
+      val expect = vals.sorted.apply(50) * 1000000L
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("twap lies within [min, max] of the observed values") {
+    import graft.ops.EventsOps
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val r = new scala.util.Random(42)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, s"k${r.nextInt(4)}", at(r.nextInt(10000).toLong),
+        (r.nextInt(100000) + 1) / 100.0)
+    }
+    val df = rows.toDF("event_id", "event_type", "ts", "value")
+    EventsOps.twap(df).collect().foreach { row =>
+      val k = row.getString(0)
+      val vs = rows.filter(_._2 == k).map(t => math.floor(t._4 * 1e6).toLong)
+      if (!row.isNullAt(5)) {
+        val t = row.getLong(5)
+        assert(t >= vs.min && t <= vs.max, s"$k: $t outside [${vs.min}, ${vs.max}]")
+      }
+    }
+  }
+
+  test("slaPercentiles are monotone and drawn from the data") {
+    import graft.ops.EventsOps
+    val r = new scala.util.Random(9)
+    val rows = (0 until 500).map(i =>
+      (i.toLong, s"t${r.nextInt(3)}", r.nextInt(10000) / 10.0))
+    val df = rows.toDF("event_id", "event_type", "value")
+    EventsOps.slaPercentiles(df).collect().foreach { row =>
+      val k = row.getString(0)
+      val vs = rows.filter(_._2 == k).map(t => math.floor(t._3 * 1e6).toLong).toSet
+      val ps = Seq(row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+      assert(ps.sliding(2).forall(p => p(0) <= p(1)), s"$k not monotone: $ps")
+      ps.foreach(p => assert(vs.contains(p), s"$k percentile $p not an observed value"))
+    }
+  }
+
+  test("neymanAllocation sums to totalN for random strata shapes") {
+    import graft.ops.Stats
+    (1 to 3).foreach { trial =>
+      val r = new scala.util.Random(trial * 31)
+      val rows = (0 until 300).map(i =>
+        (s"s${r.nextInt(6)}", r.nextInt(1000) / 7.0))
+      val total = 37L + r.nextInt(500)
+      val out = Stats.neymanAllocation(
+        rows.toDF("stratum", "v"), "stratum", "v", total).collect()
+      assert(out.map(_.getLong(3)).sum == total, s"trial $trial")
+      assert(out.forall(_.getLong(3) >= 0L))
+    }
+  }
 }
