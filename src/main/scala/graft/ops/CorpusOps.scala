@@ -1608,6 +1608,39 @@ object CorpusOps {
           .as("chars_per_subword_micro"))
       .orderBy(col(langCol))
 
+  /** RECIPROCAL-RANK FUSION (Cormack et al. 2009) — merge two ranked
+    * lists into one hybrid ranking: each list contributes
+    * `1/(kRrf + rank)` for every id it ranked, summed over lists — the
+    * standard lexical × semantic hybrid-search combiner (BM25 list ⊕
+    * embedding list), robust precisely because it never compares the
+    * two lists' incomparable scores, only their ranks. Integer-exact:
+    * each term is `10⁶ div (kRrf + rank)` (declared micro floor), so
+    * the fused ordering is engine-portable with no float summation
+    * anywhere; ties break by id.
+    *
+    * Shape: full outer join of two ≤ list-length tables + a
+    * TakeOrdered — everything is candidate-bounded; the expensive part
+    * is whatever PRODUCED the rankings. Returns topK rows of
+    * (id, rank_a, rank_b, rrf_micro) by fused rank. */
+  def rrfFusion(
+      rankA: DataFrame,
+      rankB: DataFrame,
+      idCol: String = "doc_id",
+      rankCol: String = "rank",
+      kRrf: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(kRrf >= 1, s"rrfFusion: need kRrf >= 1, got $kRrf")
+    require(topK >= 1, s"rrfFusion: need topK >= 1, got $topK")
+    val a = rankA.select(col(idCol).as("id"), col(rankCol).cast("long").as("rank_a"))
+    val b = rankB.select(col(idCol).as("id"), col(rankCol).cast("long").as("rank_b"))
+    a.join(b, Seq("id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 div ($kRrf + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($kRrf + rank_b)"), lit(0L)))
+      .orderBy(col("rrf_micro").desc, col("id"))
+      .limit(topK)
+  }
+
   /** HASHING-TRICK VECTORIZER (Weinberger et al. 2009) — text to a
     * fixed-width sparse feature space with NO vocabulary pass: feature
     * index = hash(token) mod dim, term frequency as the weight — the

@@ -1798,6 +1798,18 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Hybrid search: BM25 lexical top-20 ⊕ embedding cosine top-20
+    // fused by integer reciprocal-rank — ranks only, never scores.
+    "p217_rrf_hybrid" -> ((s, dir) => {
+      val lex = graft.ops.CorpusOps.bm25TopK(
+        Tables(s, dir, "documents"), query = "hash join spark", k = 20)
+      val e = Tables(s, dir, "embeddings")
+      val sem = Ann.bruteTopK(e.where(col("vec_id") === 0), e,
+          "vec_id", "embedding", k = 20)
+        .select(col("nid").as("doc_id"), col("rank"))
+      graft.ops.CorpusOps.rrfFusion(lex, sem, topK = 10)
+    }),
+
     // CUPED variance reduction: pre-period covariate vs experiment
     // metric from the midpoint split — θ, ρ, and the ρ² reduction.
     "p215_cuped" -> ((s, dir) =>
@@ -4058,6 +4070,21 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // the p54 BM25 list and the p07 cosine list re-derived, fused by
+    // integer reciprocal rank (micro floor) — ranks, never scores
+    "p217_rrf_hybrid" -> (
+      "WITH la AS (" + bm25Sql + "), " +
+        "semscored AS (SELECT c.vec_id AS nid, " +
+        "ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) + 0.0 AS score " +
+        "FROM embeddings q JOIN embeddings c ON q.vec_id = 0 AND c.vec_id <> 0), " +
+        "semranked AS (SELECT nid AS doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, nid) AS rank FROM semscored), " +
+        "sem AS (SELECT doc_id, rank FROM semranked WHERE rank <= 20), " +
+        "f AS (SELECT COALESCE(la.doc_id, sem.doc_id) AS id, " +
+        "CAST(la.\"rank\" AS BIGINT) AS rank_a, CAST(sem.rank AS BIGINT) AS rank_b " +
+        "FROM la FULL OUTER JOIN sem ON la.doc_id = sem.doc_id) " +
+        "SELECT id, rank_a, rank_b, " +
+        "CAST(COALESCE(1000000 // (60 + rank_a), 0) + COALESCE(1000000 // (60 + rank_b), 0) AS BIGINT) AS rrf_micro " +
+        "FROM f ORDER BY rrf_micro DESC, id LIMIT 10"),
     // exact HUGEINT moments; θ/ρ round-6 in fixed order; reduction =
     // floor(ρ_rounded²·1e6) — deterministic off the rounded ρ
     "p215_cuped" -> (

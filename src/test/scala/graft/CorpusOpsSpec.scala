@@ -846,4 +846,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       ("OTHER", 2L, 3L, 500000L), ("a", 1L, 3L, 500000L)))
   }
+
+  test("rrfFusion: both-list ids dominate, single-list ids still rank") {
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("doc_id", "rank")
+    val b = Seq((11L, 1), (13L, 2)).toDF("doc_id", "rank")
+    val out = CorpusOps.rrfFusion(a, b, kRrf = 60, topK = 10).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3)))
+    // 11 in both lists: 1e6/62 + 1e6/61 = 16129 + 16393 = 32522
+    assert(out.head == ((11L, Some(2L), Some(1L), 32522L)))
+    // every id from either list appears; singles carry one term
+    assert(out.map(_._1).toSet == Set(10L, 11L, 12L, 13L))
+    assert(out.find(_._1 == 10L).get._4 == 1000000L / 61L)
+    assert(out.find(_._1 == 13L).get._4 == 1000000L / 62L)
+  }
 }
