@@ -658,6 +658,42 @@ object Governance {
       .orderBy("partition")
   }
 
+  /** MUTUAL INFORMATION between two categorical columns — the
+    * feature-selection companion to [[cramersV]]: per cell the
+    * pointwise term `p_ij · ln(p_ij / (p_i·p_j))` and the total
+    * I(A;B) = Σ terms (nats). V asks "associated at all?"; MI says how
+    * many nats of B one learns from A — directly comparable across
+    * candidate features. NULL is a category (`<=>` grouping).
+    *
+    * Float policy ([[graft.ops.EventsOps.woeIv]]'s): counts and
+    * marginals exact; each cell's term is one ln over the integer
+    * cross-ratio `(n_ij·n)/(r_i·c_j)` times the exact rational
+    * `n_ij/n`, in fixed operand order, round-6 (+0.0); `mi_total` sums
+    * the ROUNDED terms. Empty cells contribute nothing (lim x·ln x =
+    * 0 — absent cells are genuinely zero here, unlike the chi-square).
+    *
+    * One (a, b) partial-agg count; marginals and terms fold over the
+    * cell-bounded table. Returns (a, b, n_ij, mi_term, mi_total)
+    * ordered by (a, b). */
+  def mutualInformation(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n_ij"))
+    cells
+      .withColumn("_ra", sum(col("n_ij")).over(Window.partitionBy(col("a"))))
+      .withColumn("_cb", sum(col("n_ij")).over(Window.partitionBy(col("b"))))
+      .withColumn("_n", sum(col("n_ij")).over(Window.partitionBy()))
+      .selectExpr("a", "b", "n_ij",
+        "round((CAST(n_ij AS DOUBLE) / _n) * " +
+          "ln(CAST(n_ij AS DOUBLE) * _n / (CAST(_ra AS DOUBLE) * _cb)), 6) + 0.0 AS mi_term")
+      .withColumn("mi_total",
+        round(sum(col("mi_term")).over(Window.partitionBy()), 6) + lit(0.0d))
+      .orderBy("a", "b")
+  }
+
   /** L-DIVERSITY audit — the companion screen to [[kAnonymityAudit]]:
     * a QI class can be large (k-anonymous) yet still leak if every
     * member shares the SAME sensitive value; l-diversity requires ≥ l

@@ -1798,6 +1798,12 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Mutual information between order status and priority — nats of
+    // one column learned from the other, cell terms + total.
+    "p218_mutual_information" -> ((s, dir) =>
+      graft.ops.Governance.mutualInformation(
+        Tables(s, dir, "orders"), "o_orderstatus", "o_orderpriority")),
+
     // Hybrid search: BM25 lexical top-20 ⊕ embedding cosine top-20
     // fused by integer reciprocal-rank — ranks only, never scores.
     "p217_rrf_hybrid" -> ((s, dir) => {
@@ -4070,6 +4076,18 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // same cell/marginal folds; per-term ln in fixed operand order,
+    // total sums the ROUNDED terms
+    "p218_mutual_information" -> (
+      "WITH c AS (SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS n_ij " +
+        "FROM orders GROUP BY 1, 2), " +
+        "m AS (SELECT *, SUM(n_ij) OVER (PARTITION BY a) AS ra, " +
+        "SUM(n_ij) OVER (PARTITION BY b) AS cb, SUM(n_ij) OVER () AS n FROM c), " +
+        "t AS (SELECT a, b, CAST(n_ij AS BIGINT) AS n_ij, " +
+        "round((CAST(n_ij AS DOUBLE) / n) * " +
+        "ln(CAST(n_ij AS DOUBLE) * n / (CAST(ra AS DOUBLE) * cb)), 6) + 0.0 AS mi_term FROM m) " +
+        "SELECT a, b, n_ij, mi_term, round(SUM(mi_term) OVER (), 6) + 0.0 AS mi_total " +
+        "FROM t ORDER BY a, b"),
     // the p54 BM25 list and the p07 cosine list re-derived, fused by
     // integer reciprocal rank (micro floor) — ranks, never scores
     "p217_rrf_hybrid" -> (

@@ -294,4 +294,19 @@ class GovernanceSpec extends AnyFunSuite {
     assert(Governance.partitionBalance(df, "k", nParts = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == out.map(t => (t._1, t._2)).toSeq)
   }
+
+  test("mutualInformation: independence is 0, identity is H(A), per-cell terms") {
+    import spark.implicits._
+    // independent balanced 2×2 → every term ln(1) = 0
+    val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")).toDF("a", "b")
+    val i = Governance.mutualInformation(indep, "a", "b").collect()
+    assert(i.forall(_.getDouble(3) == 0.0) && i.head.getDouble(4) == 0.0)
+    // perfect dependence with balanced classes: MI = H(A) = ln 2
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")).toDF("a", "b")
+    val d = Governance.mutualInformation(dep, "a", "b").collect()
+    val ln2 = BigDecimal(0.5 * math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d.forall(_.getDouble(3) == ln2))
+    assert(math.abs(d.head.getDouble(4) - math.log(2.0)) < 2e-6)
+  }
 }
