@@ -1608,6 +1608,39 @@ object CorpusOps {
           .as("chars_per_subword_micro"))
       .orderBy(col(langCol))
 
+  /** VOCABULARY GROWTH (Heaps' law) curve — distinct types seen vs
+    * tokens processed, walking the corpus in doc-id order: the
+    * corpus-linguistics health curve (natural text grows ∝ n^β,
+    * β ≈ 0.5; template/boilerplate corpora flatten early, OCR noise
+    * never flattens). Same first-occurrence decomposition as
+    * [[graft.ops.EventsOps.cumulativeUniques]] — each type counts at
+    * its FIRST document, so no running count-distinct exists: one
+    * (token → min doc) aggregate, per-doc new-type counts, and a
+    * running sum over the |docs|-bounded ladder.
+    *
+    * Returns (doc_id, n_tokens, new_types, cum_tokens, cum_types)
+    * ordered by doc_id — docs with no tokens carry zeros. */
+  def vocabGrowth(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("_t"))
+    val firstSeen = toks.groupBy(col("_t")).agg(min(col(idCol)).as("_first"))
+      .groupBy(col("_first").as(idCol)).agg(count(lit(1)).as("new_types"))
+    val perDoc = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val run = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perDoc.join(firstSeen, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(run))
+      .withColumn("cum_types", sum(col("new_types")).over(run))
+      .orderBy(idCol)
+  }
+
   /** RECIPROCAL-RANK FUSION (Cormack et al. 2009) — merge two ranked
     * lists into one hybrid ranking: each list contributes
     * `1/(kRrf + rank)` for every id it ranked, summed over lists — the

@@ -1798,6 +1798,11 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Heaps'-law vocabulary growth in doc order — first-occurrence
+    // decomposition, never a running count-distinct.
+    "p219_vocab_growth" -> ((s, dir) =>
+      graft.ops.CorpusOps.vocabGrowth(Tables(s, dir, "documents"))),
+
     // Mutual information between order status and priority — nats of
     // one column learned from the other, cell terms + total.
     "p218_mutual_information" -> ((s, dir) =>
@@ -4076,6 +4081,22 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // token → min(doc) first-occurrence table, per-doc news, doc-
+    // bounded running sums
+    "p219_vocab_growth" -> (
+      "WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "fs AS (SELECT t, MIN(doc_id) AS fd FROM tk GROUP BY 1), " +
+        "nw AS (SELECT fd AS doc_id, COUNT(*) AS new_types FROM fs GROUP BY 1), " +
+        "pd AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens FROM documents) " +
+        "SELECT pd.doc_id, CAST(pd.n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(COALESCE(nw.new_types, 0) AS BIGINT) AS new_types, " +
+        "CAST(SUM(pd.n_tokens) OVER w AS BIGINT) AS cum_tokens, " +
+        "CAST(SUM(COALESCE(nw.new_types, 0)) OVER w AS BIGINT) AS cum_types " +
+        "FROM pd LEFT JOIN nw ON nw.doc_id = pd.doc_id " +
+        "WINDOW w AS (ORDER BY pd.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY pd.doc_id"),
     // same cell/marginal folds; per-term ln in fixed operand order,
     // total sums the ROUNDED terms
     "p218_mutual_information" -> (

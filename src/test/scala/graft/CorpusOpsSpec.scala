@@ -862,4 +862,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.find(_._1 == 10L).get._4 == 1000000L / 61L)
     assert(out.find(_._1 == 13L).get._4 == 1000000L / 62L)
   }
+
+  test("vocabGrowth: types count at first occurrence only, curve flattens") {
+    val d = Seq(
+      (1L, "a b c"),       // 3 new types
+      (2L, "a b d"),       // 1 new type (d)
+      (3L, ""),            // zero row survives with zeros
+      (4L, "a a a")        // nothing new
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.vocabGrowth(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, 3L, 3L),
+      (2L, 3L, 1L, 6L, 4L),
+      (3L, 0L, 0L, 6L, 4L),
+      (4L, 3L, 0L, 9L, 4L)))
+  }
 }
