@@ -1268,7 +1268,8 @@ object EventsOps {
     val d = DecimalType(38, 0)
     sessionize(ev, gapSeconds, keyCol, tsCol, tieCol)
       .agg(count(lit(1)).as("n_sessions"),
-        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        coalesce(sum(when(col("n_events") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_bounces"),
         sum(col("n_events").cast(d)).as("_ne"),
         sum(col("duration_seconds").cast(d)).as("_dur"))
       .selectExpr("n_sessions", "n_bounces",
@@ -1670,9 +1671,10 @@ object EventsOps {
     def cell(t: Boolean, after: Boolean, suffix: String): Seq[org.apache.spark.sql.Column] = {
       val in = col("_t") === t &&
         (if (after) col("_s") > col("_mid") else col("_s") <= col("_mid"))
-      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$suffix"),
-        sum(when(in, col("_v")).otherwise(lit(0L))
-          .cast(DecimalType(38, 0))).as(s"_s_$suffix"))
+      Seq(coalesce(sum(when(in, 1L).otherwise(0L)), lit(0L)).as(s"n_$suffix"),
+        coalesce(sum(when(in, col("_v")).otherwise(lit(0L))
+          .cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0)))
+          .as(s"_s_$suffix"))
     }
     def meanExpr(suffix: String): String =
       s"CASE WHEN n_$suffix = 0 THEN 0 ELSE " +
@@ -1736,6 +1738,9 @@ object EventsOps {
           col(s"_a$dd").as("a_micro"), col(s"_b$dd").as("b_micro"))): _*)).as("_e"))
       .select(col("_e.decile").as("decile"),
         col("_e.a_micro").as("a_micro"), col("_e.b_micro").as("b_micro"))
+      // empty input: the 1-row aggregate explodes to all-NULL deciles —
+      // suppress them (a one-sided decile still reports)
+      .where(col("a_micro").isNotNull || col("b_micro").isNotNull)
       .selectExpr("decile", "a_micro", "b_micro",
         "CASE WHEN b_micro = 0 OR b_micro IS NULL OR a_micro IS NULL THEN CAST(NULL AS BIGINT) ELSE " +
           "CAST(CASE WHEN a_micro >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +

@@ -194,4 +194,60 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(SnapshotDiff.mergeAggState(
       SnapshotDiff.aggState(noEvents), SnapshotDiff.aggState(noEvents)).count() == 0)
   }
+
+  test("p175-p219 wave ops on empty input") {
+    import graft.ops.{EventsOps, Governance, Stats}
+    assert(EventsOps.twap(noEvents).count() == 0)
+    assert(EventsOps.ohlcBars(noEvents).count() == 0)
+    assert(EventsOps.heavyChangers(noEvents).count() == 0)
+    assert(EventsOps.weightedMedian(
+      noEvents.withColumn("weight", lit(1L))).count() == 0)
+    assert(EventsOps.positionAttribution(noEvents).count() == 0)
+    assert(EventsOps.slaPercentiles(noEvents).count() == 0)
+    assert(EventsOps.decayScore(noEvents).count() == 0)
+    assert(EventsOps.cumulativeUniques(noEvents).count() == 0)
+    assert(EventsOps.sloBurn(noEvents).count() == 0)
+    assert(EventsOps.seasonalOutliers(noEvents).count() == 0)
+    assert(EventsOps.qqTable(noEvents).count() == 0)
+    assert(EventsOps.mixShift(noEvents).count() == 0)
+    assert(EventsOps.burstiness(noEvents).count() == 0)
+    assert(EventsOps.woeIv(noEvents).count() == 0)
+    // one-row REPORTS stay one-row with NULL/zero fields, never crash
+    val cd = EventsOps.cuped(noEvents).collect()
+    assert(cd.length == 1 && cd.head.getLong(0) == 0L && cd.head.isNullAt(2))
+    val rc = EventsOps.ratioMetricCI(noEvents).count()
+    assert(rc == 0)
+    val did = EventsOps.diffInDiff(noEvents).collect()
+    assert(did.length == 1 && did.head.getLong(0) == 0L && did.head.getLong(8) == 0L)
+    val kpi = EventsOps.sessionKpis(noEvents).collect()
+    assert(kpi.length == 1 && kpi.head.getLong(0) == 0L && kpi.head.isNullAt(2))
+    val sa = Governance.sequenceAudit(noEvents, "user_id", "event_id", "t").collect()
+    assert(sa.length == 1 && sa.head.getLong(1) == 0L)
+    assert(Governance.lDiversity(noEvents, Seq("event_type"), "user_id", 2L).count() == 0)
+    assert(Governance.freshnessReport(noEvents, "user_id").count() == 0)
+    assert(Governance.tableFingerprint(
+      noDocs.select(col("text").as("_r")), col("_r")).count() == 0)
+    assert(Governance.partitionBalance(noEvents, "user_id").count() == 0)
+    assert(Governance.mutualInformation(noEvents, "event_type", "user_id").count() == 0)
+    val jc = Governance.joinCardinality(noEvents, noEvents, "user_id", "user_id").collect()
+    assert(jc.length == 1 && jc.head.getString(4) == "0")
+    assert(Stats.rankReport(noEvents, "event_type", "value", "event_id").count() == 0)
+    assert(Stats.neymanAllocation(noEvents, "event_type", "value", 10L).count() == 0)
+    assert(CorpusOps.curriculumOrder(noDocs).count() == 0)
+    assert(CorpusOps.tokenizerStats(noDocs).count() == 0)
+    assert(CorpusOps.hashingVectorizer(noDocs).count() == 0)
+    assert(CorpusOps.targetEncoding(noEvents, "event_type", "value").count() == 0)
+    assert(CorpusOps.rareLevelCollapse(noEvents, "event_type", 2L).count() == 0)
+    assert(CorpusOps.vocabGrowth(noDocs).count() == 0)
+    assert(CorpusOps.rrfFusion(noPairs.select(col("a").as("doc_id"),
+        col("b").cast("int").as("rank")),
+      noPairs.select(col("a").as("doc_id"), col("b").cast("int").as("rank"))).count() == 0)
+    assert(CorpusOps.ccnetBuckets(noDocs).count() == 0)
+    assert(SnapshotDiff.goldenRecord(noEvents, "user_id", "ts", "event_id",
+      Seq("value")).count() == 0)
+    assert(SnapshotDiff.asOf(noEvents
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long")), 1L).count() == 0)
+    assert(TextAnalysis.gopherRules(noDocs).count() == 0)
+  }
 }
