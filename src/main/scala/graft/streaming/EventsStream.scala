@@ -160,6 +160,33 @@ object EventsStream {
       keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
 
+  /** OHLC candlesticks per (type, tumbling window) — the streaming form
+    * of [[graft.ops.EventsOps.ohlcBars]], same struct-min/max open/close
+    * trick (a pure aggregation, so it runs under watermarked
+    * `readStream` append mode with no extra state machinery; the batch
+    * twin on identical data must agree bar-for-bar — spec-pinned).
+    * Returns (w_start, event_type, n_events, open/high/low/close_micro,
+    * volume_micro), values in BIGINT micro-units. */
+  def streamingOhlc(events: DataFrame, windowLen: String = "1 hour"): DataFrame = {
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sec = floor(unix_micros(col("ts")).cast("double") / lit(1000000.0d)).cast("long")
+    events
+      .withColumn("_s", sec)
+      .withColumn("_v", floor(col("value").cast("double") * lit(1000000.0d)).cast("long"))
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("_s"), col("event_id").as("_t"), col("_v"))).as("_first"),
+        max(struct(col("_s"), col("event_id").as("_t"), col("_v"))).as("_last"),
+        max(col("_v")).as("high_micro"),
+        min(col("_v")).as("low_micro"),
+        sum(col("_v").cast(d)).cast("long").as("volume_micro"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n_events"),
+        col("_first._v").as("open_micro"), col("high_micro"),
+        col("low_micro"), col("_last._v").as("close_micro"), col("volume_micro"))
+  }
+
   case class UserEvent(user_id: Long, event_id: Long, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double, max_event: Long)
 

@@ -346,4 +346,28 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(got.toSeq == expected.toSeq)
     spark.sql("DROP TABLE IF EXISTS enrich_out")
   }
+
+  test("streaming OHLC bars match batch bar-for-bar under the watermark") {
+    import org.apache.spark.sql.streaming.Trigger
+    val batchEvents = Tables(spark, dir, "events")
+    val expected = EventsStream.streamingOhlc(batchEvents)
+      .orderBy("w_start", "event_type").collect()
+    val stage = java.nio.file.Files.createTempDirectory("ohlc_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(stage.toString))
+    val q = EventsStream.streamingOhlc(stream.withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("append").format("memory").queryName("ohlc_out")
+      .trigger(Trigger.AvailableNow()).start()
+    drain(q)
+    val got = spark.table("ohlc_out").collect()
+    assert(got.nonEmpty, "stream emitted no closed bars")
+    // every emitted (closed) bar is bit-identical to its batch twin
+    val expectedSet = expected.map(_.toSeq).toSet
+    got.foreach(r => assert(expectedSet.contains(r.toSeq), s"bar $r not in batch result"))
+    spark.sql("DROP TABLE IF EXISTS ohlc_out")
+  }
 }
