@@ -1164,6 +1164,39 @@ object EventsOps {
         (max(col("_t")) - min(col("_t"))).as("duration_seconds"))
   }
 
+  /** MAX DRAWDOWN per key — the largest peak-to-trough fall of the
+    * cumulative value series (the risk number every portfolio/quota/
+    * budget tracker reports): with C_t the running sum over the
+    * (sec, tie) total order and P_t its running max, drawdown =
+    * max_t (P_t − C_t). Integer micro-units end to end; ONE key
+    * exchange carries the cumulative window, the running-max window,
+    * and the final fold. Returns (keyCol, n_events, final_micro,
+    * peak_micro, max_drawdown_micro). */
+  def maxDrawdown(
+      ev: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_s"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.where(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tieCol), epochSec(tsCol).as("_s"),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+      .withColumn("_cum", sum(col("_v")).over(w))
+      .withColumn("_peak", max(col("_cum")).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        // the final cumulative IS the plain sum — no order-dependent
+        // last() anywhere
+        sum(col("_v")).as("final_micro"),
+        max(col("_cum")).as("peak_micro"),
+        max(col("_peak") - col("_cum")).as("max_drawdown_micro"))
+      .select(col(keyCol), col("n_events"), col("final_micro"),
+        col("peak_micro"), col("max_drawdown_micro"))
+  }
+
   /** CUPED — the industry-standard experiment variance reduction
     * (Deng et al. 2013): adjust the experiment-period metric Y by the
     * PRE-period covariate X, `Y_adj = Y − θ(X − X̄)` with

@@ -143,6 +143,42 @@ object Stats {
     *
     * Returns (groupCol, tieCol, value_micro, rn, rnk, dense_rnk,
     * tile, cume_ppm, pct_rank_ppm). */
+  /** PER-GROUP OLS SLOPE of y on x — the generic "does y move with x
+    * inside each group" screen ([[graft.ops.EventsOps.groupTrend]] is
+    * the time-x special case; this takes any numeric regressor —
+    * price sensitivity per product, dose-response per cohort). Exact
+    * DECIMAL(38,0) moments; slope reported as the re-signed ppm ratio
+    * `(nΣxy − ΣxΣy)·10⁶ div (nΣx² − (Σx)²)` — micro-y per micro-x
+    * scaled by 10⁶, NULL for degenerate x. Groups under `minN` rows
+    * are dropped (no slope evidence).
+    *
+    * One partial-agg pass on the group; everything after is
+    * group-bounded. Returns (keyCol, n, slope_ppm). */
+  def groupSlope(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String,
+      minN: Long = 2L): DataFrame = {
+    require(minN >= 2, s"groupSlope: need minN >= 2, got $minN")
+    val d = DecimalType(38, 0)
+    df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol),
+        floor(col(xCol).cast("double") * lit(1000000.0d)).cast("long").as("_x"),
+        floor(col(yCol).cast("double") * lit(1000000.0d)).cast("long").as("_y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x").cast(d)).as("_sx"), sum(col("_y").cast(d)).as("_sy"),
+        sum(col("_x").cast(d) * col("_y").cast(d)).as("_sxy"),
+        sum(col("_x").cast(d) * col("_x").cast(d)).as("_sxx"))
+      .where(col("n") >= minN)
+      .selectExpr(keyCol, "n",
+        "CASE WHEN CAST(n AS DECIMAL(38,0)) * _sxx - _sx * _sx = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+          "CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * _sxy - _sx * _sy >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+          "CAST(abs(CAST(n AS DECIMAL(38,0)) * _sxy - _sx * _sy) * 1000000 div " +
+          "(CAST(n AS DECIMAL(38,0)) * _sxx - _sx * _sx) AS BIGINT) END AS slope_ppm")
+  }
+
   /** NEYMAN ALLOCATION — the survey-sampling optimum for a stratified
     * sample of total size `totalN`: allocate ∝ N_h·S_h (stratum size ×
     * stratum standard deviation), so volatile strata get the

@@ -1798,6 +1798,19 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Max drawdown of each user's cumulative value — the worst
+    // peak-to-trough fall, one key exchange end to end.
+    "p220_max_drawdown" -> ((s, dir) =>
+      graft.ops.EventsOps.maxDrawdown(Tables(s, dir, "events"))
+        .orderBy("user_id")),
+
+    // Price-sensitivity screen: OLS slope of quantity on extended
+    // price per part (≥ 5 observations), exact moments.
+    "p221_price_sensitivity" -> ((s, dir) =>
+      graft.ops.Stats.groupSlope(Tables(s, dir, "lineitem"),
+          "l_partkey", "l_extendedprice", "l_quantity", minN = 5L)
+        .orderBy("l_partkey")),
+
     // Heaps'-law vocabulary growth in doc order — first-occurrence
     // decomposition, never a running count-distinct.
     "p219_vocab_growth" -> ((s, dir) =>
@@ -4081,6 +4094,37 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // running sum + running max over the same (sec, tie) order; final
+    // cum is the plain sum
+    "p220_max_drawdown" -> (
+      "WITH e AS (SELECT user_id, event_id, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "c0 AS (SELECT user_id, s, event_id, v, SUM(v) OVER " +
+        "(PARTITION BY user_id ORDER BY s, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM e), " +
+        "c AS (SELECT user_id, v, cum, MAX(cum) OVER " +
+        "(PARTITION BY user_id ORDER BY s, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM c0) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(SUM(v) AS BIGINT) AS final_micro, CAST(MAX(cum) AS BIGINT) AS peak_micro, " +
+        "CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_micro " +
+        "FROM c GROUP BY 1 ORDER BY user_id"),
+    // exact HUGEINT moments, re-signed ppm slope, min-n floor
+    "p221_price_sensitivity" -> (
+      "WITH b AS (SELECT l_partkey, " +
+        "CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1000000) AS BIGINT) AS x, " +
+        "CAST(floor(CAST(l_quantity AS DOUBLE) * 1000000) AS BIGINT) AS y " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL), " +
+        "a AS (SELECT l_partkey, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx, " +
+        "SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(x AS HUGEINT) * y) AS sxy, " +
+        "SUM(CAST(x AS HUGEINT) * x) AS sxx FROM b GROUP BY 1) " +
+        "SELECT l_partkey, CAST(n AS BIGINT) AS n, " +
+        "CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE " +
+        "CAST(CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        "CAST(abs(n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT) END AS slope_ppm " +
+        "FROM a WHERE n >= 5 ORDER BY l_partkey"),
     // token → min(doc) first-occurrence table, per-doc news, doc-
     // bounded running sums
     "p219_vocab_growth" -> (

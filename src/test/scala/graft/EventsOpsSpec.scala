@@ -972,4 +972,21 @@ class EventsOpsSpec extends AnyFunSuite {
     // = 10·3·1e6/12 = 2.5e6, deviation 1.5e6 — the top row
     assert(out.head == ((0L, 2L, 10L, 2500000L, 1500000L)))
   }
+
+  test("maxDrawdown: hand-walked peak-to-trough ladder") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // cumulative: 5, 8, 2, 4, 9 → peaks 5, 8, 8, 8, 9 → drawdowns
+    // 0, 0, 6, 4, 0 → max 6; final 9, peak 9
+    val ev = Seq(
+      (1L, 1L, at(1), 5.0), (2L, 1L, at(2), 3.0), (3L, 1L, at(3), -6.0),
+      (4L, 1L, at(4), 2.0), (5L, 1L, at(5), 5.0),
+      // user 2: monotone rise → zero drawdown
+      (6L, 2L, at(1), 1.0), (7L, 2L, at(2), 1.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventsOps.maxDrawdown(ev).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 9000000L, 9000000L, 6000000L),
+      (2L, 2L, 2000000L, 2000000L, 0L)))
+  }
 }

@@ -104,4 +104,21 @@ class StatsSpec extends AnyFunSuite {
     assert(1414213L * 1414213L <= 2000000000000L)
     assert(1414214L * 1414214L > 2000000000000L)
   }
+
+  test("groupSlope: exact slope ppm, degenerate x NULL, min-n floor") {
+    import spark.implicits._
+    val df = Seq(
+      // key a: y = 2x exactly → slope 2e6 ppm
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
+      // key b: constant x → NULL slope
+      ("b", 5.0, 1.0), ("b", 5.0, 9.0),
+      // key c: below minN → dropped
+      ("c", 1.0, 1.0)
+    ).toDF("k", "x", "y")
+    val out = Stats.groupSlope(df, "k", "x", "y", minN = 2L)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(out.toSeq == Seq(("a", 3L, Some(2000000L)), ("b", 2L, None)))
+  }
 }
