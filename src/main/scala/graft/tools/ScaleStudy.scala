@@ -201,6 +201,11 @@ object ScaledOps {
                 .cast("long"))),
         "user_id", "ts", "event_id", Seq("value_micro", "prop_k"))) },
       time("sla_percentiles") { sink(graft.ops.EventsOps.slaPercentiles(ev)) },
+      // p195+ wave corpus-sized members
+      time("max_drawdown") { sink(graft.ops.EventsOps.maxDrawdown(ev)) },
+      time("vocab_growth") { sink(CorpusOps.vocabGrowth(docs)) },
+      time("hashing_vectorizer") { sink(CorpusOps.hashingVectorizer(docs)) },
+      time("gopher_plus_ccnet") { sink(CorpusOps.ccnetBuckets(docs)) },
       // billion-scale ANN headline at ×k: full train+search pipeline
       // (IVF coarse cells + PQ codebooks + ADC scan + exact refine),
       // the p79 gate's exact shape at scaled row count
