@@ -1164,6 +1164,91 @@ object EventsOps {
         (max(col("_t")) - min(col("_t"))).as("duration_seconds"))
   }
 
+  /** COHEN'S d + required sample size — the effect-size / power-
+    * planning pair every experiment review wants next to the p-value:
+    * d = (x̄_A − x̄_B)/s_pooled, and the per-group n for a two-sample
+    * test at α = 0.05, power = 0.8 under the normal approximation,
+    * n = 2·(z_{α/2}+z_β)²·s²/δ² = 2·(1.959964+0.841621)²·s²/δ² (the
+    * standard planning formula; z literals pinned on both engines).
+    *
+    * Exact DECIMAL moments ([[ratioMetricCI]] recipe); floats only in
+    * the d / n tail with fixed operand order, d round-6, n as
+    * ceil(float) BIGINT — ceil of the same double on both engines.
+    * Returns ONE row (n_a, n_b, mean_a_micro, mean_b_micro, cohens_d,
+    * n_per_group); NULLs when a side is < 2 rows or pooled variance
+    * is 0. */
+  def effectSize(
+      ev: DataFrame,
+      typeA: String = "view",
+      typeB: String = "purchase",
+      valueCol: String = "value",
+      typeCol: String = "event_type"): DataFrame = {
+    val d = DecimalType(38, 0)
+    val base = ev
+      .where(col(typeCol).isin(typeA, typeB) && col(valueCol).isNotNull)
+      .select((col(typeCol) === typeA).as("_a"),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+    base.agg(
+        sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
+        coalesce(sum(when(col("_a"), col("_v")).otherwise(lit(0L)).cast(d)),
+          lit(0).cast(d)).as("_sa"),
+        coalesce(sum(when(!col("_a"), col("_v")).otherwise(lit(0L)).cast(d)),
+          lit(0).cast(d)).as("_sb"),
+        coalesce(sum(when(col("_a"), col("_v").cast(d) * col("_v").cast(d))
+          .otherwise(lit(0).cast(d))), lit(0).cast(d)).as("_ssa"),
+        coalesce(sum(when(!col("_a"), col("_v").cast(d) * col("_v").cast(d))
+          .otherwise(lit(0).cast(d))), lit(0).cast(d)).as("_ssb"))
+      .selectExpr("n_a", "n_b",
+        "CASE WHEN n_a = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+          "CAST(CASE WHEN _sa >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+          "CAST(abs(_sa) div CAST(n_a AS DECIMAL(38,0)) AS BIGINT) END AS mean_a_micro",
+        "CASE WHEN n_b = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+          "CAST(CASE WHEN _sb >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+          "CAST(abs(_sb) div CAST(n_b AS DECIMAL(38,0)) AS BIGINT) END AS mean_b_micro",
+        // pooled variance from the exact sum-of-squared-deviation
+        // numerators: SSD = Σv² − (Σv)²/n, folded as (n·Σv² − (Σv)²)/n
+        "CASE WHEN n_a < 2 OR n_b < 2 THEN CAST(NULL AS DOUBLE) ELSE " +
+          "(CAST(n_a * _ssa - _sa * _sa AS DOUBLE) / n_a " +
+          "+ CAST(n_b * _ssb - _sb * _sb AS DOUBLE) / n_b) / (n_a + n_b - 2) END AS _s2",
+        "CAST(_sa AS DOUBLE) AS _fsa", "CAST(_sb AS DOUBLE) AS _fsb",
+        "n_a AS _na", "n_b AS _nb")
+      .selectExpr("_na AS n_a", "_nb AS n_b", "mean_a_micro", "mean_b_micro",
+        "CASE WHEN _s2 IS NULL OR _s2 = 0.0 THEN CAST(NULL AS DOUBLE) ELSE " +
+          "round((_fsa / _na - _fsb / _nb) / sqrt(_s2), 6) + 0.0 END AS cohens_d",
+        "CASE WHEN _s2 IS NULL OR _s2 = 0.0 OR _fsa / _na = _fsb / _nb " +
+          "THEN CAST(NULL AS BIGINT) ELSE " +
+          "CAST(ceil(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621) * _s2 / " +
+          "((_fsa / _na - _fsb / _nb) * (_fsa / _na - _fsb / _nb))) AS BIGINT) END AS n_per_group")
+  }
+
+  /** SPC c-CHART — the statistical-process-control count chart over
+    * hourly event counts: center line c̄, upper/lower control limits
+    * c̄ ± 3√c̄, and the out-of-control flag per hour. The FLAG is
+    * integer-exact (no float boundary): c > UCL ⇔ (c·n − S)² > 9·n·S
+    * AND c·n > S (cross-multiplied, S = Σc over n hours); the limits
+    * themselves are display floats (round-6). The first alarm every
+    * on-call runbook plots.
+    *
+    * One hour-count partial agg + a 1-row fold broadcast back; the
+    * chart is |hours|-bounded. Returns (hour, n, ucl, lcl,
+    * out_of_control) ordered by hour. */
+  def cChart(
+      ev: DataFrame,
+      tsCol: String = "ts"): DataFrame = {
+    val hour = floor(epochSec(tsCol).cast("double") / lit(3600.0d)).cast("long")
+    val counts = ev.groupBy(hour.as("hour")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(count(lit(1)).as("_nh"), sum(col("n")).as("_s"))
+    counts.crossJoin(broadcast(tot))
+      .selectExpr("hour", "n",
+        "round(CAST(_s AS DOUBLE) / _nh + 3.0 * sqrt(CAST(_s AS DOUBLE) / _nh), 6) + 0.0 AS ucl",
+        "round(greatest(CAST(_s AS DOUBLE) / _nh - 3.0 * sqrt(CAST(_s AS DOUBLE) / _nh), 0.0), 6) + 0.0 AS lcl",
+        // integer-exact: |c·n − S| > 3·sqrt(n·S) ⇔ (c·n − S)² > 9·n·S
+        "(CAST(n AS DECIMAL(38,0)) * _nh - _s) * (CAST(n AS DECIMAL(38,0)) * _nh - _s) " +
+          "> CAST(9 AS DECIMAL(38,0)) * _nh * _s AS out_of_control")
+      .orderBy("hour")
+  }
+
   /** MAX DRAWDOWN per key — the largest peak-to-trough fall of the
     * cumulative value series (the risk number every portfolio/quota/
     * budget tracker reports): with C_t the running sum over the

@@ -1798,6 +1798,16 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Effect size + sample-size planning: Cohen's d between view and
+    // purchase values, and the n per group a follow-up test needs.
+    "p222_effect_size" -> ((s, dir) =>
+      graft.ops.EventsOps.effectSize(Tables(s, dir, "events"))),
+
+    // SPC c-chart over hourly counts: center ± 3√c̄ limits, integer-
+    // exact out-of-control flags.
+    "p223_c_chart" -> ((s, dir) =>
+      graft.ops.EventsOps.cChart(Tables(s, dir, "events"))),
+
     // Max drawdown of each user's cumulative value — the worst
     // peak-to-trough fall, one key exchange end to end.
     "p220_max_drawdown" -> ((s, dir) =>
@@ -4094,6 +4104,45 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // identical float tail order; z literals pinned; ceil of the same
+    // double on both engines
+    "p222_effect_size" -> (
+      "WITH b AS (SELECT event_type = 'view' AS a, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL), " +
+        "g AS (SELECT SUM(CASE WHEN a THEN 1 ELSE 0 END) AS n_a, " +
+        "SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS n_b, " +
+        "SUM(CASE WHEN a THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa, " +
+        "SUM(CASE WHEN NOT a THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb, " +
+        "SUM(CASE WHEN a THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS ssa, " +
+        "SUM(CASE WHEN NOT a THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS ssb FROM b), " +
+        "m AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, " +
+        "CASE WHEN n_a = 0 THEN NULL ELSE CAST(CASE WHEN sa >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        "CAST(abs(sa) // n_a AS BIGINT) END AS mean_a_micro, " +
+        "CASE WHEN n_b = 0 THEN NULL ELSE CAST(CASE WHEN sb >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        "CAST(abs(sb) // n_b AS BIGINT) END AS mean_b_micro, " +
+        "CASE WHEN n_a < 2 OR n_b < 2 THEN NULL ELSE " +
+        "(CAST(n_a * ssa - sa * sa AS DOUBLE) / n_a " +
+        "+ CAST(n_b * ssb - sb * sb AS DOUBLE) / n_b) / (n_a + n_b - 2) END AS s2, " +
+        "CAST(sa AS DOUBLE) AS fsa, CAST(sb AS DOUBLE) AS fsb FROM g) " +
+        "SELECT n_a, n_b, mean_a_micro, mean_b_micro, " +
+        "CASE WHEN s2 IS NULL OR s2 = 0.0 THEN NULL ELSE " +
+        "round((fsa / n_a - fsb / n_b) / sqrt(s2), 6) + 0.0 END AS cohens_d, " +
+        "CASE WHEN s2 IS NULL OR s2 = 0.0 OR fsa / n_a = fsb / n_b THEN NULL ELSE " +
+        "CAST(ceil(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621) * s2 / " +
+        "((fsa / n_a - fsb / n_b) * (fsa / n_a - fsb / n_b))) AS BIGINT) END AS n_per_group " +
+        "FROM m"),
+    // limits are display floats; the FLAG is the integer cross-
+    // multiplied |c·n − S|² > 9·n·S
+    "p223_c_chart" -> (
+      "WITH c AS (SELECT CAST(floor(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) / 3600.0) AS BIGINT) AS hour, " +
+        "COUNT(*) AS n FROM events GROUP BY 1), " +
+        "t AS (SELECT COUNT(*) AS nh, SUM(n) AS s FROM c) " +
+        "SELECT hour, CAST(n AS BIGINT) AS n, " +
+        "round(CAST(s AS DOUBLE) / nh + 3.0 * sqrt(CAST(s AS DOUBLE) / nh), 6) + 0.0 AS ucl, " +
+        "round(greatest(CAST(s AS DOUBLE) / nh - 3.0 * sqrt(CAST(s AS DOUBLE) / nh), 0.0), 6) + 0.0 AS lcl, " +
+        "(CAST(n AS HUGEINT) * nh - s) * (CAST(n AS HUGEINT) * nh - s) > 9 * CAST(nh AS HUGEINT) * s AS out_of_control " +
+        "FROM c, t ORDER BY hour"),
     // running sum + running max over the same (sec, tie) order; final
     // cum is the plain sum
     "p220_max_drawdown" -> (

@@ -989,4 +989,41 @@ class EventsOpsSpec extends AnyFunSuite {
       (1L, 5L, 9000000L, 9000000L, 6000000L),
       (2L, 2L, 2000000L, 2000000L, 0L)))
   }
+
+  test("effectSize: hand-computed d and planning n on a clean two-sample") {
+    // A: 1,2,3 (mean 2); B: 5,6,7 (mean 6); pooled s² = (2+2)/4 = 1
+    // → d = −4; n = ceil(2·(2.801585)²·1/16) = ceil(0.98...) = 1
+    val ev = Seq(
+      (1L, "view", 1.0), (2L, "view", 2.0), (3L, "view", 3.0),
+      (4L, "purchase", 5.0), (5L, "purchase", 6.0), (6L, "purchase", 7.0)
+    ).toDF("event_id", "event_type", "value")
+    val r = EventsOps.effectSize(ev).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    assert((r.getLong(2), r.getLong(3)) == ((2000000L, 6000000L)))
+    // NOTE micro scaling: s in micro too, d is scale-free = −4
+    assert(r.getDouble(4) == -4.0)
+    assert(r.getLong(5) == 1L)
+    // degenerate: identical values → NULL d and n
+    val flat = Seq((1L, "view", 2.0), (2L, "view", 2.0),
+      (3L, "purchase", 2.0), (4L, "purchase", 2.0))
+      .toDF("event_id", "event_type", "value")
+    val f = EventsOps.effectSize(flat).collect().head
+    assert(f.isNullAt(4) && f.isNullAt(5))
+  }
+
+  test("cChart: only the burst hour trips the integer control test") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // hours 0..3 with counts 4, 4, 4, 20 → c̄ = 8, 3√c̄ ≈ 8.49:
+    // |4−8| < 8.49 in-control, |20−8| = 12 > 8.49 out of control
+    val ev = (
+      (1 to 4).map(i => (i.toLong, at(i))) ++
+      (1 to 4).map(i => (10L + i, at(3600 + i))) ++
+      (1 to 4).map(i => (20L + i, at(7200 + i))) ++
+      (1 to 20).map(i => (30L + i, at(10800 + i)))
+    ).toDF("event_id", "ts")
+    val out = EventsOps.cChart(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (0L, 4L, false), (1L, 4L, false), (2L, 4L, false), (3L, 20L, true)))
+  }
 }
