@@ -1164,6 +1164,46 @@ object EventsOps {
         (max(col("_t")) - min(col("_t"))).as("duration_seconds"))
   }
 
+  /** COHORT LTV CURVES — cumulative value per signup cohort by age:
+    * the subscription-business chart ([[cohortMatrix]] counts heads;
+    * this sums money). Cohort = the user's FIRST week (first-seen
+    * decomposition — no scan of "signup" events needed, so it works on
+    * any event log); age = event week − cohort week; the curve is the
+    * running sum over age within cohort. Integer micro throughout.
+    *
+    * Shape: min-week per user (one partial agg) joined back ON THE
+    * USER KEY (broadcast at gate scale, hash at 100 TB), a
+    * (cohort, age) partial agg, and a running sum over the
+    * weeks²-bounded matrix. Returns (cohort_week, age_week,
+    * n_cohort_users, week_value_micro, cum_value_micro) ordered by
+    * (cohort, age). */
+  def cohortLtv(
+      ev: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val week = floor(epochSec(tsCol).cast("double") / lit(604800.0d)).cast("long")
+    val base = ev.where(col(valueCol).isNotNull)
+      .select(col(keyCol), week.as("_w"),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+    val cohorts = base.groupBy(col(keyCol))
+      .agg(min(col("_w")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort_users"))
+    val cells = base.join(cohorts, Seq(keyCol))
+      .groupBy(col("cohort_week"), (col("_w") - col("cohort_week")).as("age_week"))
+      .agg(sum(col("_v")).as("week_value_micro"))
+    cells.join(sizes, Seq("cohort_week"))
+      .withColumn("cum_value_micro",
+        sum(col("week_value_micro")).over(
+          Window.partitionBy(col("cohort_week")).orderBy(col("age_week"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("cohort_week"), col("age_week"), col("n_cohort_users"),
+        col("week_value_micro"), col("cum_value_micro"))
+      .orderBy("cohort_week", "age_week")
+  }
+
   /** COHEN'S d + required sample size — the effect-size / power-
     * planning pair every experiment review wants next to the p-value:
     * d = (x̄_A − x̄_B)/s_pooled, and the per-group n for a two-sample

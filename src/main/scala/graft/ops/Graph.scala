@@ -214,6 +214,45 @@ object Graph {
       .orderBy(col("n_triangles").desc, col("node"))
   }
 
+  /** DEGREE ASSORTATIVITY — the Pearson correlation of endpoint degrees
+    * over the (symmetrized) edge list: positive = hubs link to hubs
+    * (social graphs), negative = hubs link to leaves (the web,
+    * near-dup star clusters — which is why it pairs with
+    * [[modularityByLabel]] on dedup graphs: high modularity + negative
+    * assortativity reads "template hub with satellite variants").
+    * Newman 2002's r, computed over BOTH edge directions (the standard
+    * undirected convention).
+    *
+    * Integer degrees from one partial-agg count; the correlation uses
+    * exact DECIMAL(38,0) moments with the [[graft.ops.Stats
+    * .correlationMatrix]] float policy (round-6 tail, fixed operand
+    * order). Work ∝ edges; returns ONE row (n_edges, r). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(38, 0)
+    val und = edges.select(
+        least(col("a"), col("b")).as("_a"), greatest(col("a"), col("b")).as("_b"))
+      .where(col("_a") =!= col("_b")).distinct()
+    val deg = und.select(explode(array(col("_a"), col("_b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("_deg"))
+    val sym = und.select(col("_a").as("x"), col("_b").as("y"))
+      .unionByName(und.select(col("_b").as("x"), col("_a").as("y")))
+    sym
+      .join(deg.select(col("node").as("x"), col("_deg").as("_dx")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("_deg").as("_dy")), Seq("y"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_dx").cast(d)).as("_sx"), sum(col("_dy").cast(d)).as("_sy"),
+        sum(col("_dx").cast(d) * col("_dx").cast(d)).as("_sxx"),
+        sum(col("_dy").cast(d) * col("_dy").cast(d)).as("_syy"),
+        sum(col("_dx").cast(d) * col("_dy").cast(d)).as("_sxy"))
+      .selectExpr("CAST(_n div 2 AS BIGINT) AS n_edges",
+        "CASE WHEN CAST(_n AS DECIMAL(38,0)) * _sxx - _sx * _sx = 0 " +
+          "OR CAST(_n AS DECIMAL(38,0)) * _syy - _sy * _sy = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE round(CAST(CAST(_n AS DECIMAL(38,0)) * _sxy - _sx * _sy AS DOUBLE) / " +
+          "sqrt(CAST(CAST(_n AS DECIMAL(38,0)) * _sxx - _sx * _sx AS DOUBLE) * " +
+          "CAST(CAST(_n AS DECIMAL(38,0)) * _syy - _sy * _sy AS DOUBLE)), 6) + 0.0 END AS r")
+  }
+
   /** MODULARITY of a node labeling over an undirected edge list — "how
     * much denser are within-label edges than a degree-preserving random
     * rewiring expects" (Newman's Q): the quantitative answer to "do my

@@ -1798,6 +1798,16 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // LTV-by-cohort curves: first-seen week cohorts, value summed by
+    // age, running curve per cohort.
+    "p224_cohort_ltv" -> ((s, dir) =>
+      graft.ops.EventsOps.cohortLtv(Tables(s, dir, "events"))),
+
+    // Degree assortativity of the near-dup graph (shared memoized
+    // pairs) — hubs-to-leaves is the dedup-star signature.
+    "p225_assortativity" -> ((s, dir) =>
+      graft.ops.Graph.assortativity(nearDupPairs45(s, dir).select("a", "b"))),
+
     // Effect size + sample-size planning: Cohen's d between view and
     // purchase values, and the n per group a follow-up test needs.
     "p222_effect_size" -> ((s, dir) =>
@@ -4104,6 +4114,43 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // first-seen cohorts, (cohort, age) cells, per-cohort running sum
+    "p224_cohort_ltv" -> (
+      "WITH b AS (SELECT user_id, " +
+        "CAST(floor(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) / 604800.0) AS BIGINT) AS w, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "co AS (SELECT user_id, MIN(w) AS cohort_week FROM b GROUP BY 1), " +
+        "sz AS (SELECT cohort_week, COUNT(*) AS n_cohort_users FROM co GROUP BY 1), " +
+        "ce AS (SELECT co.cohort_week, b.w - co.cohort_week AS age_week, " +
+        "SUM(b.v) AS week_value_micro FROM b JOIN co USING (user_id) GROUP BY 1, 2) " +
+        "SELECT ce.cohort_week, ce.age_week, CAST(sz.n_cohort_users AS BIGINT) AS n_cohort_users, " +
+        "CAST(ce.week_value_micro AS BIGINT) AS week_value_micro, " +
+        "CAST(SUM(ce.week_value_micro) OVER (PARTITION BY ce.cohort_week ORDER BY ce.age_week " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_value_micro " +
+        "FROM ce JOIN sz USING (cohort_week) ORDER BY cohort_week, age_week"),
+    // p03's pair truth symmetrized; Newman r with the corr float policy
+    "p225_assortativity" -> (
+      "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
+        "e0 AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
+        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e0 a JOIN e0 b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
+        "pr AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
+        "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)), " +
+        "deg AS (SELECT node, COUNT(*) AS d FROM (SELECT a AS node FROM pr UNION ALL SELECT b FROM pr) GROUP BY 1), " +
+        "sym AS (SELECT a AS x, b AS y FROM pr UNION ALL SELECT b, a FROM pr), " +
+        "j AS (SELECT dx.d AS dx, dy.d AS dy FROM sym " +
+        "JOIN deg dx ON dx.node = sym.x JOIN deg dy ON dy.node = sym.y), " +
+        "m AS (SELECT COUNT(*) AS n, SUM(CAST(dx AS HUGEINT)) AS sx, SUM(CAST(dy AS HUGEINT)) AS sy, " +
+        "SUM(CAST(dx AS HUGEINT) * dx) AS sxx, SUM(CAST(dy AS HUGEINT) * dy) AS syy, " +
+        "SUM(CAST(dx AS HUGEINT) * dy) AS sxy FROM j) " +
+        "SELECT CAST(n // 2 AS BIGINT) AS n_edges, " +
+        "CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL " +
+        "ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) / " +
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0 END AS r " +
+        "FROM m"),
     // identical float tail order; z literals pinned; ceil of the same
     // double on both engines
     "p222_effect_size" -> (

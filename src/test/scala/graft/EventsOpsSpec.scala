@@ -1026,4 +1026,23 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       (0L, 4L, false), (1L, 4L, false), (2L, 4L, false), (3L, 20L, true)))
   }
+
+  test("cohortLtv: first-seen cohorts, curve accumulates by age") {
+    def at(week: Long, off: Long = 0L) =
+      new java.sql.Timestamp((week * 604800L + off) * 1000L)
+    val ev = Seq(
+      // user 1 joins week 0, spends 1.0 then 2.0 a week later
+      (1L, 1L, at(0), 1.0), (2L, 1L, at(1), 2.0),
+      // user 2 also week-0 cohort
+      (3L, 2L, at(0, 60), 5.0),
+      // user 3 joins week 1, single spend
+      (4L, 3L, at(1, 60), 7.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventsOps.cohortLtv(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L, 6000000L, 6000000L),
+      (0L, 1L, 2L, 2000000L, 8000000L),
+      (1L, 0L, 1L, 7000000L, 7000000L)))
+  }
 }

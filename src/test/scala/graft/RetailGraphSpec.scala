@@ -440,4 +440,16 @@ class RetailGraphSpec extends AnyFunSuite {
     // e_c = m = 2, d_c = 2m = 4 → 4m·e − d² = 16 − 16 = 0
     assert(out.length == 1 && out.head.getLong(4) == 0L)
   }
+
+  test("assortativity: star is maximally disassortative, clique has zero variance") {
+    import spark.implicits._
+    // star 0-{1,2,3}: every edge joins deg 3 to deg 1 → r = −1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val s = graft.ops.Graph.assortativity(star).collect().head
+    assert(s.getLong(0) == 3L && s.getDouble(1) == -1.0)
+    // triangle: all degrees equal → zero variance → NULL r
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val t = graft.ops.Graph.assortativity(tri).collect().head
+    assert(t.getLong(0) == 3L && t.isNullAt(1))
+  }
 }
