@@ -1164,6 +1164,79 @@ object EventsOps {
         (max(col("_t")) - min(col("_t"))).as("duration_seconds"))
   }
 
+  /** SPLIT-CONFORMAL INTERVAL per key — the distribution-free
+    * prediction interval (Vovk; the modern uncertainty wrapper): with
+    * the group mean as the point predictor, the interval is
+    * mean ± q, where q is the ⌈(n+1)(1−α)⌉-th smallest absolute
+    * residual — guaranteed ≥ 1−α coverage for a fresh draw with NO
+    * distributional assumption (what a z-interval can't promise).
+    * INTEGER-exact end to end: the mean is the declared floored micro
+    * integer, residuals are integer distances from it, and the rank
+    * cut is the [[slaPercentiles]] ladder — rank
+    * `least(n, (n+1)·(100−alphaPct) div 100)`.
+    *
+    * Shape: per-key mean fold broadcast back, one key-rank ladder, a
+    * conditional-min fold — two passes, one key exchange each.
+    * Returns (keyCol, n, mean_micro, q_micro, lo_micro, hi_micro). */
+  def conformalInterval(
+      ev: DataFrame,
+      alphaPct: Int = 10,
+      keyCol: String = "event_type",
+      valueCol: String = "value",
+      tieCol: String = "event_id"): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 50,
+      s"conformalInterval: need alphaPct in [1, 50], got $alphaPct")
+    import org.apache.spark.sql.expressions.Window
+    val base = ev.where(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tieCol),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+    val means = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_v").cast(DecimalType(38, 0))).as("_s"))
+      .selectExpr(keyCol, "n",
+        "CAST(CASE WHEN _s >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+          "CAST(abs(_s) div CAST(n AS DECIMAL(38,0)) AS BIGINT) AS mean_micro")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_r"), col(tieCol))
+    base.join(means, Seq(keyCol))
+      .withColumn("_r", abs(col("_v") - col("mean_micro")))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"), max(col("mean_micro")).as("mean_micro"),
+        min(when(col("_rn") ===
+          expr(s"least(n, (n + 1) * ${100 - alphaPct} div 100)"), col("_r")))
+          .as("q_micro"))
+      .selectExpr(keyCol, "n", "mean_micro", "q_micro",
+        "mean_micro - q_micro AS lo_micro", "mean_micro + q_micro AS hi_micro")
+  }
+
+  /** TIME IN STATE — per user, the share of their observed span spent
+    * in each event type, under hold-until-next semantics (the
+    * [[twap]] weighting aggregated the other way): each event's type
+    * "holds" until the user's next event; the last event holds
+    * nothing. The session-replay / UX question "where does the time
+    * actually go", integer ppm per (user, type).
+    *
+    * One user-key exchange (lead window + fold). Returns (keyCol,
+    * typeCol, n_events, held_sec, share_ppm) — share of the user's
+    * total held time, NULL for a span-less user (single event). */
+  def timeInState(
+      ev: DataFrame,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_s"), col(tieCol))
+    ev.select(col(keyCol), col(typeCol), col(tieCol), epochSec(tsCol).as("_s"))
+      .withColumn("_h", coalesce(lead(col("_s"), 1).over(w) - col("_s"), lit(0L)))
+      .groupBy(col(keyCol), col(typeCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("_h")).as("held_sec"))
+      .withColumn("share_ppm", expr(
+        "CASE WHEN sum(held_sec) OVER (PARTITION BY " + keyCol + ") = 0 " +
+          "THEN CAST(NULL AS BIGINT) ELSE CAST(held_sec * 1000000 div " +
+          "sum(held_sec) OVER (PARTITION BY " + keyCol + ") AS BIGINT) END"))
+  }
+
   /** COHORT LTV CURVES — cumulative value per signup cohort by age:
     * the subscription-business chart ([[cohortMatrix]] counts heads;
     * this sums money). Cohort = the user's FIRST week (first-seen

@@ -1798,6 +1798,18 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Distribution-free 90% prediction interval per type — split
+    // conformal with the mean predictor, exact rank cut.
+    "p226_conformal_interval" -> ((s, dir) =>
+      graft.ops.EventsOps.conformalInterval(Tables(s, dir, "events"))
+        .orderBy("event_type")),
+
+    // Where the time goes: hold-until-next dwell share per (user,
+    // state), integer ppm.
+    "p227_time_in_state" -> ((s, dir) =>
+      graft.ops.EventsOps.timeInState(Tables(s, dir, "events"))
+        .orderBy("user_id", "event_type")),
+
     // LTV-by-cohort curves: first-seen week cohorts, value summed by
     // age, running curve per cohort.
     "p224_cohort_ltv" -> ((s, dir) =>
@@ -4114,6 +4126,35 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // mean as floored integer, residual rank ladder, same
+    // least(n, (n+1)·90//100) cut
+    "p226_conformal_interval" -> (
+      "WITH b AS (SELECT event_type AS k, event_id AS tie, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "m AS (SELECT k, COUNT(*) AS n, " +
+        "CAST(CASE WHEN SUM(CAST(v AS HUGEINT)) >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        "CAST(abs(SUM(CAST(v AS HUGEINT))) // COUNT(*) AS BIGINT) AS mean_micro FROM b GROUP BY 1), " +
+        "r AS (SELECT b.k, abs(b.v - m.mean_micro) AS res, m.n, m.mean_micro, " +
+        "ROW_NUMBER() OVER (PARTITION BY b.k ORDER BY abs(b.v - m.mean_micro), b.tie) AS rn " +
+        "FROM b JOIN m ON m.k = b.k), " +
+        "q AS (SELECT k, MAX(n) AS n, MAX(mean_micro) AS mean_micro, " +
+        "MIN(CASE WHEN rn = least(n, (n + 1) * 90 // 100) THEN res END) AS q_micro " +
+        "FROM r GROUP BY 1) " +
+        "SELECT k AS event_type, CAST(n AS BIGINT) AS n, mean_micro, q_micro, " +
+        "mean_micro - q_micro AS lo_micro, mean_micro + q_micro AS hi_micro " +
+        "FROM q ORDER BY event_type"),
+    // identical lead-hold weighting, per-user ppm shares
+    "p227_time_in_state" -> (
+      "WITH e AS (SELECT user_id, event_type, event_id, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s FROM events), " +
+        "l AS (SELECT *, COALESCE(LEAD(s, 1) OVER (PARTITION BY user_id ORDER BY s, event_id) - s, 0) AS h FROM e), " +
+        "g AS (SELECT user_id, event_type, COUNT(*) AS n_events, SUM(h) AS held_sec FROM l GROUP BY 1, 2) " +
+        "SELECT user_id, event_type, CAST(n_events AS BIGINT) AS n_events, " +
+        "CAST(held_sec AS BIGINT) AS held_sec, " +
+        "CASE WHEN SUM(held_sec) OVER (PARTITION BY user_id) = 0 THEN NULL " +
+        "ELSE CAST(held_sec * 1000000 // SUM(held_sec) OVER (PARTITION BY user_id) AS BIGINT) END AS share_ppm " +
+        "FROM g ORDER BY user_id, event_type"),
     // first-seen cohorts, (cohort, age) cells, per-cohort running sum
     "p224_cohort_ltv" -> (
       "WITH b AS (SELECT user_id, " +

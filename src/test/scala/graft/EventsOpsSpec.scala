@@ -1045,4 +1045,40 @@ class EventsOpsSpec extends AnyFunSuite {
       (0L, 1L, 2L, 2000000L, 8000000L),
       (1L, 0L, 1L, 7000000L, 7000000L)))
   }
+
+  test("conformalInterval: exact rank-cut residual quantile brackets the data") {
+    // values 1..10 (mean 5.5 floors to 5.5e6? mean = 55/10 = 5.5 →
+    // micro 5500000); residuals |v−5.5|: 0.5..4.5 → rank ceil-cut
+    // least(10, 11·90//100 = 9) → 9th smallest residual = 4.0e6? sorted
+    // residuals (micro): 5e5,5e5,15e5,15e5,25e5,25e5,35e5,35e5,45e5,45e5
+    // → 9th = 4500000
+    val ev = (1 to 10).map(i => (i.toLong, "g", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val r = EventsOps.conformalInterval(ev).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((10L, 5500000L, 4500000L)))
+    assert((r.getLong(4), r.getLong(5)) == ((1000000L, 10000000L)))
+    // coverage property: at least 90% of the points fall inside
+    val inside = (1 to 10).count(i => i * 1000000L >= r.getLong(4) &&
+      i * 1000000L <= r.getLong(5))
+    assert(inside >= 9)
+  }
+
+  test("timeInState: hold-until-next shares, singleton user NULL") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // user 1: view holds 30s, click holds 70s, purchase holds 0
+      (1L, 1L, "view", at(0)), (2L, 1L, "click", at(30)),
+      (3L, 1L, "purchase", at(100)),
+      // user 2: single event → zero span → NULL share
+      (4L, 2L, "view", at(5))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.timeInState(ev).orderBy("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(out.toSeq == Seq(
+      (1L, "click", 70L, Some(700000L)),
+      (1L, "purchase", 0L, Some(0L)),
+      (1L, "view", 30L, Some(300000L)),
+      (2L, "view", 0L, None)))
+  }
 }
