@@ -1164,6 +1164,63 @@ object EventsOps {
         (max(col("_t")) - min(col("_t"))).as("duration_seconds"))
   }
 
+  /** MARKOV STATIONARY DISTRIBUTION — where the event-type chain
+    * settles: power iteration π' = πP over the per-user transition
+    * counts ([[markovNext]] reports the argmax edge; this gives the
+    * long-run occupancy that answers "what share of a session is spent
+    * where, asymptotically"). EXACT integer arithmetic: π carries ppm
+    * mass, each step's term is `(π_i · c_ij) div r_i` (count-weighted
+    * integral division, truncation declared — mass may leak a few ppm
+    * per step, it never invents any), `iters` fixed and unrolled.
+    * Types without outgoing transitions keep their mass (self-loop
+    * convention, declared).
+    *
+    * Shape: ONE corpus pass builds the types²-bounded transition
+    * matrix (lead over the user window); every iteration is a join of
+    * two ≤ types² tables. Returns (event_type, n_out, pi0_ppm,
+    * stationary_ppm) ordered by type. */
+  def markovStationary(
+      ev: DataFrame,
+      iters: Int = 3,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    require(iters >= 1, s"markovStationary: need iters >= 1, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_s"), col(tieCol))
+    val trans = ev.select(col(keyCol), col(typeCol).as("_from"),
+        epochSec(tsCol).as("_s"), col(tieCol))
+      .withColumn("_to", lead(col("_from"), 1).over(w))
+      .where(col("_to").isNotNull)
+      .groupBy(col("_from"), col("_to")).agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = trans.groupBy(col("_from")).agg(sum(col("_c")).as("_r"))
+    val states = ev.select(col(typeCol).as("state")).distinct()
+      .join(rows.select(col("_from").as("state"), col("_r")), Seq("state"), "left")
+    val nStates = Window.partitionBy()
+    val pi0 = states
+      .withColumn("_k", count(lit(1)).over(nStates))
+      .selectExpr("state", "_r", "CAST(1000000 div _k AS BIGINT) AS pi")
+    val stepped = (1 to iters).foldLeft(pi0) { (pi, _) =>
+      val moved = pi.where(col("_r").isNotNull)
+        .join(trans, col("state") === col("_from"))
+        .select(col("_to").as("state"),
+          expr("CAST(pi * _c div _r AS BIGINT)").as("_m"))
+        .groupBy(col("state")).agg(sum(col("_m")).as("_moved"))
+      val kept = pi.select(col("state"), col("_r"),
+        when(col("_r").isNull, col("pi")).otherwise(lit(0L)).as("_kept"))
+      kept.join(moved, Seq("state"), "left")
+        .select(col("state"), col("_r"),
+          (col("_kept") + coalesce(col("_moved"), lit(0L))).as("pi"))
+    }
+    pi0.select(col("state").as(typeCol), coalesce(col("_r"), lit(0L)).as("n_out"),
+        col("pi").as("pi0_ppm"))
+      .join(stepped.select(col("state").as(typeCol), col("pi").as("stationary_ppm")),
+        Seq(typeCol))
+      .orderBy(typeCol)
+  }
+
   /** SPLIT-CONFORMAL INTERVAL per key — the distribution-free
     * prediction interval (Vovk; the modern uncertainty wrapper): with
     * the group mean as the point predictor, the interval is

@@ -1798,6 +1798,11 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Long-run occupancy of the event-type chain: 3 exact integer
+    // power-iteration rounds over the types² transition matrix.
+    "p228_markov_stationary" -> ((s, dir) =>
+      graft.ops.EventsOps.markovStationary(Tables(s, dir, "events"))),
+
     // Distribution-free 90% prediction interval per type — split
     // conformal with the mean predictor, exact rank cut.
     "p226_conformal_interval" -> ((s, dir) =>
@@ -4126,6 +4131,34 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // three unrolled πP rounds; every term (π·c)//r in HUGEINT; the
+    // no-outgoing self-loop kept-term mirrored
+    "p228_markov_stationary" -> (
+      "WITH e AS (SELECT user_id, event_type AS f, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s, event_id AS t FROM events), " +
+        "tr AS (SELECT f, tt, COUNT(*) AS c FROM " +
+        "(SELECT f, LEAD(f, 1) OVER (PARTITION BY user_id ORDER BY s, t) AS tt FROM e) " +
+        "WHERE tt IS NOT NULL GROUP BY 1, 2), " +
+        "r AS (SELECT f, SUM(c) AS r FROM tr GROUP BY 1), " +
+        "st AS (SELECT DISTINCT event_type AS state FROM events), " +
+        "k AS (SELECT COUNT(*) AS k FROM st), " +
+        "p0 AS (SELECT state, CAST(1000000 // k AS BIGINT) AS pi FROM st, k), " +
+        "m1 AS (SELECT tr.tt AS state, SUM(CAST(p0.pi AS HUGEINT) * tr.c // r.r) AS pi " +
+        "FROM p0 JOIN tr ON tr.f = p0.state JOIN r ON r.f = p0.state GROUP BY 1), " +
+        "p1 AS (SELECT st.state, CAST(COALESCE(m1.pi, 0) + CASE WHEN r.f IS NULL THEN p0.pi ELSE 0 END AS BIGINT) AS pi " +
+        "FROM st LEFT JOIN m1 ON m1.state = st.state LEFT JOIN r ON r.f = st.state JOIN p0 ON p0.state = st.state), " +
+        "m2 AS (SELECT tr.tt AS state, SUM(CAST(p1.pi AS HUGEINT) * tr.c // r.r) AS pi " +
+        "FROM p1 JOIN tr ON tr.f = p1.state JOIN r ON r.f = p1.state GROUP BY 1), " +
+        "p2 AS (SELECT st.state, CAST(COALESCE(m2.pi, 0) + CASE WHEN r.f IS NULL THEN p1.pi ELSE 0 END AS BIGINT) AS pi " +
+        "FROM st LEFT JOIN m2 ON m2.state = st.state LEFT JOIN r ON r.f = st.state JOIN p1 ON p1.state = st.state), " +
+        "m3 AS (SELECT tr.tt AS state, SUM(CAST(p2.pi AS HUGEINT) * tr.c // r.r) AS pi " +
+        "FROM p2 JOIN tr ON tr.f = p2.state JOIN r ON r.f = p2.state GROUP BY 1), " +
+        "p3 AS (SELECT st.state, CAST(COALESCE(m3.pi, 0) + CASE WHEN r.f IS NULL THEN p2.pi ELSE 0 END AS BIGINT) AS pi " +
+        "FROM st LEFT JOIN m3 ON m3.state = st.state LEFT JOIN r ON r.f = st.state JOIN p2 ON p2.state = st.state) " +
+        "SELECT st.state AS event_type, CAST(COALESCE(r.r, 0) AS BIGINT) AS n_out, " +
+        "p0.pi AS pi0_ppm, p3.pi AS stationary_ppm " +
+        "FROM st LEFT JOIN r ON r.f = st.state JOIN p0 ON p0.state = st.state " +
+        "JOIN p3 ON p3.state = st.state ORDER BY event_type"),
     // mean as floored integer, residual rank ladder, same
     // least(n, (n+1)·90//100) cut
     "p226_conformal_interval" -> (

@@ -1081,4 +1081,25 @@ class EventsOpsSpec extends AnyFunSuite {
       (1L, "view", 30L, Some(300000L)),
       (2L, "view", 0L, None)))
   }
+
+  test("markovStationary: absorbing state gathers the mass; sinks keep theirs") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // chain a→b, b→b (absorbing): after 3 iters from (500000, 500000)
+    // all of a's mass has flowed into b
+    val ev = Seq(
+      (1L, 1L, "a", at(0)), (2L, 1L, "b", at(1)),
+      (3L, 1L, "b", at(2)), (4L, 1L, "b", at(3))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.markovStationary(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", 1L, 500000L, 0L), ("b", 2L, 500000L, 1000000L)))
+    // a pure sink with no outgoing transitions keeps its mass
+    val ev2 = Seq((1L, 1L, "x", at(0)), (2L, 2L, "y", at(0)),
+      (3L, 2L, "y", at(1))).toDF("event_id", "user_id", "event_type", "ts")
+    val out2 = EventsOps.markovStationary(ev2).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    // x has no transitions (singleton user) → keeps its 500000
+    assert(out2("x") == 500000L && out2("y") == 500000L)
+  }
 }
