@@ -1164,6 +1164,79 @@ object EventsOps {
         (max(col("_t")) - min(col("_t"))).as("duration_seconds"))
   }
 
+  /** LAG-FEATURE FRAME — the per-event ML feature row: value lags 1–2
+    * and the trailing-3 mean over the user's own history (the feature-
+    * store primitive behind churn/propensity models; every feature is
+    * strictly BACKWARD-looking, so the frame is leakage-free by
+    * construction — pair with [[horizonLabels]] for the target).
+    * Integer micro: lags exact, the trailing mean is the re-signed
+    * integral div of the exact 3-row sum. ONE user exchange carries
+    * all three windows. Returns (tieCol, keyCol, v_micro, lag1_micro,
+    * lag2_micro, trail3_mean_micro) — lags NULL before enough
+    * history. */
+  def lagFeatures(
+      ev: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_s"), col(tieCol))
+    val f3 = w.rowsBetween(-2, 0)
+    ev.where(col(valueCol).isNotNull)
+      .select(col(tieCol), col(keyCol), epochSec(tsCol).as("_s"),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("v_micro"))
+      .withColumn("lag1_micro", lag(col("v_micro"), 1).over(w))
+      .withColumn("lag2_micro", lag(col("v_micro"), 2).over(w))
+      .withColumn("_s3", sum(col("v_micro")).over(f3))
+      .withColumn("_n3", count(lit(1)).over(f3))
+      .selectExpr(tieCol, keyCol, "v_micro", "lag1_micro", "lag2_micro",
+        "CAST(CASE WHEN _s3 >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+          "CAST(abs(_s3) div _n3 AS BIGINT) AS trail3_mean_micro")
+  }
+
+  /** HORIZON LABELS — supervised-target generation: for every event,
+    * did the user produce a `targetType` event within `horizonSeconds`
+    * AFTER it (strictly later second)? The label every propensity /
+    * churn model trains on, generated leakage-consciously: the label
+    * looks only FORWARD, features ([[lagFeatures]]) only backward, and
+    * events in the last horizon of the observation window are flagged
+    * `censored` (their negative label is not trustworthy — the
+    * standard right-censoring caveat).
+    *
+    * Shape: target times per user are collected as a per-user REVERSE
+    * running MIN over the same (sec, tie) exchange — "the next target
+    * second at-or-after me", then shifted to strictly-after by
+    * excluding same-second self matches via the declared
+    * second-granularity rule (a target in the SAME second does not
+    * label — events within one second don't order). No self-join.
+    * Returns (tieCol, keyCol, sec, label, censored). */
+  def horizonLabels(
+      ev: DataFrame,
+      targetType: String = "purchase",
+      horizonSeconds: Long = 86400L,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(horizonSeconds > 0,
+      s"horizonLabels: need horizonSeconds > 0, got $horizonSeconds")
+    import org.apache.spark.sql.expressions.Window
+    val base = ev.select(col(tieCol), col(keyCol), col(typeCol).as("_et"),
+      epochSec(tsCol).as("sec"))
+    val fwd = Window.partitionBy(col(keyCol)).orderBy(col("sec"), col(tieCol))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val hwm = base.agg(max(col("sec")).as("_hwm"))
+    base
+      .withColumn("_nextT",
+        min(when(col("_et") === targetType, col("sec"))).over(fwd))
+      .crossJoin(broadcast(hwm))
+      .select(col(tieCol), col(keyCol), col("sec"),
+        (col("_nextT").isNotNull && col("_nextT") > col("sec") &&
+          col("_nextT") - col("sec") <= horizonSeconds).as("label"),
+        (col("_hwm") - col("sec") < horizonSeconds).as("censored"))
+  }
+
   /** MARKOV STATIONARY DISTRIBUTION — where the event-type chain
     * settles: power iteration π' = πP over the per-user transition
     * counts ([[markovNext]] reports the argmax edge; this gives the

@@ -1798,6 +1798,18 @@ object PipelineQueries {
       TextAnalysis.gopherRules(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Leakage-free ML feature frame: value lags + trailing mean, all
+    // strictly backward, one user exchange.
+    "p229_lag_features" -> ((s, dir) =>
+      graft.ops.EventsOps.lagFeatures(Tables(s, dir, "events"))
+        .orderBy("event_id")),
+
+    // Supervised target generation: purchase-within-24h labels with
+    // right-censoring flags — the propensity-model training target.
+    "p230_horizon_labels" -> ((s, dir) =>
+      graft.ops.EventsOps.horizonLabels(Tables(s, dir, "events"))
+        .orderBy("event_id")),
+
     // Long-run occupancy of the event-type chain: 3 exact integer
     // power-iteration rounds over the types² transition matrix.
     "p228_markov_stationary" -> ((s, dir) =>
@@ -4131,6 +4143,30 @@ object PipelineQueries {
         "AND (10 * (hashes + ellipses) < n_words) AND (10 * bullets <= nlines) " +
         "AND (10 * alphaw >= 8 * n_words) AND (stophits >= 2) AS gopher_pass " +
         "FROM m ORDER BY doc_id"),
+    // identical backward windows; trailing mean re-signed //
+    "p229_lag_features" -> (
+      "WITH b AS (SELECT event_id, user_id, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v_micro " +
+        "FROM events WHERE value IS NOT NULL) " +
+        "SELECT event_id, user_id, v_micro, " +
+        "LAG(v_micro, 1) OVER w AS lag1_micro, LAG(v_micro, 2) OVER w AS lag2_micro, " +
+        "CAST(CASE WHEN SUM(v_micro) OVER w3 >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        "CAST(abs(SUM(v_micro) OVER w3) // COUNT(*) OVER w3 AS BIGINT) AS trail3_mean_micro " +
+        "FROM b WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id), " +
+        "w3 AS (PARTITION BY user_id ORDER BY s, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
+    // forward running MIN of target seconds; strictly-later-second
+    // rule and the right-censoring flag mirrored
+    "p230_horizon_labels" -> (
+      "WITH b AS (SELECT event_id, user_id, event_type AS et, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS sec FROM events), " +
+        "n AS (SELECT *, MIN(CASE WHEN et = 'purchase' THEN sec END) OVER " +
+        "(PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt FROM b), " +
+        "h AS (SELECT MAX(sec) AS hwm FROM b) " +
+        "SELECT event_id, user_id, sec, " +
+        "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
+        "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
     // three unrolled πP rounds; every term (π·c)//r in HUGEINT; the
     // no-outgoing self-loop kept-term mirrored
     "p228_markov_stationary" -> (

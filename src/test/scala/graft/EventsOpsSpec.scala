@@ -1102,4 +1102,41 @@ class EventsOpsSpec extends AnyFunSuite {
     // x has no transitions (singleton user) → keeps its 500000
     assert(out2("x") == 500000L && out2("y") == 500000L)
   }
+
+  test("lagFeatures: strictly backward lags and trailing mean") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, 1L, at(1), 1.0), (2L, 1L, at(2), 2.0), (3L, 1L, at(3), 4.0),
+      (4L, 1L, at(4), 8.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventsOps.lagFeatures(ev).orderBy("event_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, None, None, 1000000L),
+      (2L, Some(1000000L), None, 1500000L),
+      (3L, Some(2000000L), Some(1000000L), 2333333L),
+      (4L, Some(4000000L), Some(2000000L), 4666666L)))
+  }
+
+  test("horizonLabels: in-horizon positive, same-second excluded, tail censored") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val day = 86400L
+    val ev = Seq(
+      (1L, 1L, "view", at(0)),            // purchase at 100 → label
+      (2L, 1L, "purchase", at(100)),      // next purchase 2 days out → no
+      (3L, 1L, "view", at(150)),          // purchase at 2·day+150 is > day away → no
+      (4L, 1L, "purchase", at(2 * day + 150)),
+      // user 2: purchase in the SAME second as the view → no label
+      (5L, 2L, "view", at(500)), (6L, 2L, "purchase", at(500))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.horizonLabels(ev).orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3), r.getBoolean(4)))
+    // hwm = 2·day+150; censored ⇔ hwm − sec < day
+    assert(out.toSeq == Seq(
+      (1L, true, false), (2L, false, false), (3L, false, false),
+      (4L, false, true), (5L, false, false), (6L, false, false)))
+  }
 }
