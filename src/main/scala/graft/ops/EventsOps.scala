@@ -3098,4 +3098,21 @@ object EventsOps {
       .orderBy(col("abs_delta").desc, col(keyCol).asc)
       .limit(topK)
   }
+
+  /** Robust per-user value trend — [[graft.ops.Stats.theilSenSlope]]
+    * over (epoch-second, value) with the shared ts idiom: the lower
+    * median of pairwise slopes shrugs off the single wild purchase that
+    * drags [[groupTrend]]'s OLS line. Per-user pair cost is O(g²) under
+    * the bounded-group contract (event series per user). Returns
+    * (user_id, n, n_pairs, slope_ppm). */
+  def theilSenTrend(
+      ev: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      minN: Long = 3L): DataFrame =
+    Stats.theilSenSlope(
+      ev.where(col(valueCol).isNotNull)
+        .select(col(userCol), epochSec(tsCol).as("_sec"), col(valueCol)),
+      userCol, "_sec", valueCol, minN)
 }

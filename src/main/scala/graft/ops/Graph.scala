@@ -309,4 +309,71 @@ object Graph {
           "div (4 * _m * _m) AS BIGINT) AS q_contrib_ppm")
       .orderBy("label")
   }
+
+  /** STRUCTURAL LINK PREDICTION over an undirected graph — for every
+    * unlinked node pair at distance 2, the three classic neighborhood
+    * scores (Liben-Nowell & Kleinberg 2003), all INTEGER so any engine
+    * replays them exactly:
+    *   - `cn`           — |N(a) ∩ N(b)|, common-neighbor count;
+    *   - `jaccard_ppm`  — cn·10⁶ div |N(a) ∪ N(b)|;
+    *   - `ra_ppm`       — Σ_{z ∈ common} (10⁶ div deg(z)), the
+    *     resource-allocation index with each reciprocal an INTEGRAL
+    *     division (no float sum-order hazard; a z shared via a huge hub
+    *     contributes 0, which is exactly RA's point).
+    *
+    * Shape: candidate pairs are generated ONLY through shared
+    * neighbors — adjacency self-joined on the center z (an equi-join;
+    * never all-pairs), partial-agg'd on (a, b). deg(z) rides the
+    * adjacency rows via one equi-join ON THE SAME KEY z, so AQE reuses
+    * the exchange into the wedge join. Linked pairs leave via a
+    * left-anti join on the canonical edge set; endpoint degrees come
+    * back through two node-keyed joins. Output is the top-`topK` by
+    * (cn desc, ra_ppm desc, a, b) — TakeOrdered, no global sort.
+    *
+    * 100 TB: a degree-D hub z emits D² wedge rows — the same quadratic
+    * a PPJoin prefix hits; the relief valve is a documented df-ceiling
+    * (drop centers with deg(z) > cap before the self-join: for ranking
+    * by RA the loss is bounded by cap⁻¹·10⁶ ppm per pair, and cn/
+    * jaccard become "among non-hub neighbors"). Not applied by
+    * default — gate graphs are hub-light.
+    *
+    * Returns (a, b, cn, deg_a, deg_b, jaccard_ppm, ra_ppm). */
+  def linkPrediction(
+      edges: DataFrame,
+      topK: Int = 50,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(topK >= 1, s"linkPrediction: need topK >= 1, got $topK")
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("_a"),
+        greatest(col(srcCol), col(dstCol)).as("_b"))
+      .where(col("_a") =!= col("_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // symmetric adjacency in one scan: explode both orientations
+    val adj = und.select(explode(array(
+        struct(col("_a").as("z"), col("_b").as("n")),
+        struct(col("_b").as("z"), col("_a").as("n")))).as("_e"))
+      .select(col("_e.z").as("z"), col("_e.n").as("n"))
+    val deg = adj.groupBy(col("z").as("node")).agg(count(lit(1)).as("deg"))
+    // deg(z) onto each adjacency row: same join key as the wedge join
+    val adjZ = adj.join(deg.withColumnRenamed("node", "z"), Seq("z"))
+    val cand = adjZ.as("x")
+      .join(adjZ.as("y"),
+        col("x.z") === col("y.z") && col("x.n") < col("y.n"))
+      .groupBy(col("x.n").as("_a"), col("y.n").as("_b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("CAST(1000000 div x.deg AS BIGINT)")).as("ra_ppm"))
+      .join(und, Seq("_a", "_b"), "left_anti")
+    cand
+      .join(deg.select(col("node").as("_a"), col("deg").as("deg_a")), Seq("_a"))
+      .join(deg.select(col("node").as("_b"), col("deg").as("deg_b")), Seq("_b"))
+      .select(col("_a").as("a"), col("_b").as("b"), col("cn"),
+        col("deg_a"), col("deg_b"),
+        expr("CAST(cn * 1000000 div (deg_a + deg_b - cn) AS BIGINT)")
+          .as("jaccard_ppm"),
+        col("ra_ppm"))
+      .orderBy(col("cn").desc, col("ra_ppm").desc, col("a"), col("b"))
+      .limit(topK)
+  }
 }

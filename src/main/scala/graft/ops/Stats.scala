@@ -276,4 +276,167 @@ object Stats {
             "CAST((CAST(rnk AS BIGINT) - 1) * 1000000 div (_n - 1) AS BIGINT)"))
           .as("pct_rank_ppm"))
   }
+
+  /** SPEARMAN RANK CORRELATION matrix — [[correlationMatrix]]'s Pearson
+    * machinery run over AVERAGE-RANK transforms, the monotone-association
+    * screen that survives outliers and nonlinear-but-monotone links the
+    * Pearson matrix understates.
+    *
+    * Integer-exact: the fractional average rank of a tied block (ties get
+    * the mean of the positions they span) is carried DOUBLED — for a
+    * value v with `less` rows strictly below and `c` ties, the doubled
+    * average rank is `2·less + c + 1`, always an integer — so the moment
+    * arithmetic stays in DECIMAL(38,0) and ρ is invariant under the ×2
+    * (and the downstream ×1e6) scaling.
+    *
+    * Shape: ONE partial agg per column collapses the corpus to its
+    * distinct-value counts; the strictly-before running sum is a window
+    * over that value-cardinality-bounded table (the [[paretoFrontier]]
+    * contract — swap in the [[Ffill]] blocked two-pass prefix sum if a
+    * column's cardinality is corpus-sized); ranks come back via one
+    * broadcast equi-join per column. The corpus is never globally
+    * sorted. Returns (col_a, col_b, n, rho) per unordered pair. */
+  def spearmanMatrix(
+      df: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"spearmanMatrix: need >= 2 columns, got $cols")
+    require(cols.distinct == cols, s"spearmanMatrix: duplicate columns in $cols")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.where(cols.map(col(_).isNotNull).reduce(_ && _))
+    val ranked = cols.foldLeft(base) { (acc, c) =>
+      val q = floor(col(c).cast("double") * lit(1000000.0d)).cast("long")
+      val withQ = acc.withColumn(s"_v_$c", q)
+      val counts = withQ.groupBy(col(s"_v_$c")).agg(count(lit(1)).as("_c"))
+      val w = Window.orderBy(col(s"_v_$c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranks = counts
+        .withColumn("_less", coalesce(sum(col("_c")).over(w), lit(0L)))
+        .select(col(s"_v_$c"),
+          (lit(2L) * col("_less") + col("_c") + lit(1L)).as(s"_dr_$c"))
+      withQ.join(broadcast(ranks), Seq(s"_v_$c"))
+    }
+    // doubled ranks are integers ≤ 2n+1; ×1e6 inside correlationMatrix
+    // keeps every moment exact in DECIMAL(38,0) for n well past 10⁹
+    val proj = ranked.select(
+      cols.map(c => col(s"_dr_$c").cast("double").as(c)): _*)
+    correlationMatrix(proj, cols).withColumnRenamed("corr", "rho")
+  }
+
+  /** THEIL–SEN ROBUST SLOPE per group — the lower median of all
+    * pairwise slopes (y_j−y_i)/(x_j−x_i) over distinct-x pairs, the
+    * outlier-proof trend line (breakdown point ~29%) that [[groupSlope]]'s
+    * OLS can't give: one wild row drags OLS arbitrarily, moves the
+    * pair-slope median not at all.
+    *
+    * Integer-exact: both axes micro-quantize; each pair slope is the
+    * re-signed integral ppm `sgn(Δy)·(|Δy|·10⁶ div Δx)` with Δx > 0 by
+    * construction (the join orders pairs by x, equal-x pairs are
+    * excluded — standard Theil–Sen). The median is the value at rank
+    * ⌈m/2⌉ of the slope order (LOWER median — an exact integer, never
+    * an average of two), picked by row_number; ties at the cut value
+    * make the PICKED VALUE deterministic regardless of peer order.
+    *
+    * Shape: ONE group-keyed self-equi-join (pairs never cross groups)
+    * then one group exchange for the count + rank windows. Per-group
+    * cost is O(g²) — the declared bounded-group contract (per-user
+    * event series, per-entity time series); for a pathological giant
+    * group, sample the group to √budget rows upstream (Theil–Sen on a
+    * subsample is still a consistent estimator) — documented, not
+    * silently applied. Returns (key, n, n_pairs, slope_ppm) for groups
+    * with ≥ `minN` rows and ≥ 1 distinct-x pair. */
+  def theilSenSlope(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String,
+      minN: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("_k"),
+        floor(col(xCol).cast("double") * lit(1000000.0d)).cast("long").as("_x"),
+        floor(col(yCol).cast("double") * lit(1000000.0d)).cast("long").as("_y"))
+    val n = b.groupBy(col("_k")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minN)
+    val pairs = b.as("l")
+      .join(b.as("r"), col("l._k") === col("r._k") && col("l._x") < col("r._x"))
+      .select(col("l._k").as("_k"),
+        (col("r._y") - col("l._y")).as("_dy"),
+        (col("r._x") - col("l._x")).as("_dx"))
+      .select(col("_k"),
+        (when(col("_dy") >= 0, lit(1L)).otherwise(lit(-1L)) *
+          expr("CAST(abs(_dy) * CAST(1000000 AS BIGINT) div _dx AS BIGINT)"))
+          .as("_s"))
+    val wCnt = Window.partitionBy(col("_k"))
+    val wRank = Window.partitionBy(col("_k")).orderBy(col("_s"))
+    pairs
+      .withColumn("_m", count(lit(1)).over(wCnt))
+      .withColumn("_rn", row_number().over(wRank))
+      .where(col("_rn") === expr("CAST((_m + 1) div 2 AS INT)"))
+      .join(n, Seq("_k"))
+      .select(col("_k").as(keyCol), col("n"), col("_m").as("n_pairs"),
+        col("_s").as("slope_ppm"))
+  }
+
+  /** KENDALL τ-b via the BOUNDED JOINT CONTINGENCY table — the ordinal
+    * concordance test, exact including the tie corrections, computed
+    * without ever forming row pairs: ONE partial agg collapses the
+    * corpus to (x, y, count) cells, and concordant/discordant mass is a
+    * cells×cells broadcast comparison (the declared bounded-side
+    * broadcast-NL scorer shape, |X|·|Y| cells — discounts × quantities,
+    * not rows). A corpus-cardinality x or y does not fit this operator;
+    * quantize to buckets upstream first.
+    *
+    * All pair counts are exact DECIMAL(38,0): C and D count unordered
+    * row pairs with x strictly ordered (each such pair hits exactly one
+    * ordered cell pair under the x2 > x1 restriction); tie terms n1/n2
+    * are Σ t(t−1)/2 over the marginal counts; τ-b =
+    * (C−D)/√((n0−n1)(n0−n2)) with float entering only at the final
+    * division, round-6, +0.0. Returns ONE row
+    * (n, concordant, discordant, tau_b). */
+  def kendallTau(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    def q(c: String): Column =
+      floor(col(c).cast("double") * lit(1000000.0d)).cast("long")
+    val cells = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(q(xCol).as("_x"), q(yCol).as("_y"))
+      .agg(count(lit(1)).as("_c"))
+    val a = cells.select(col("_x").as("_x1"), col("_y").as("_y1"),
+      col("_c").as("_c1"))
+    val b = cells.select(col("_x").as("_x2"), col("_y").as("_y2"),
+      col("_c").as("_c2"))
+    val cd = a.join(broadcast(b), col("_x2") > col("_x1"))
+      .agg(
+        sum(when(col("_y2") > col("_y1"),
+          col("_c1").cast(d) * col("_c2").cast(d)).otherwise(lit(0).cast(d)))
+          .as("_conc"),
+        sum(when(col("_y2") < col("_y1"),
+          col("_c1").cast(d) * col("_c2").cast(d)).otherwise(lit(0).cast(d)))
+          .as("_disc"))
+    val nRow = cells.agg(sum(col("_c")).as("_n"))
+    val tx = cells.groupBy(col("_x")).agg(sum(col("_c")).as("_t"))
+      .agg(sum(col("_t").cast(d) * (col("_t") - 1).cast(d)).as("_n1x2"))
+    val ty = cells.groupBy(col("_y")).agg(sum(col("_c")).as("_t"))
+      .agg(sum(col("_t").cast(d) * (col("_t") - 1).cast(d)).as("_n2x2"))
+    cd.crossJoin(nRow).crossJoin(tx).crossJoin(ty)
+      .select(
+        col("_n").cast("long").as("n"),
+        col("_conc").cast("long").as("concordant"),
+        col("_disc").cast("long").as("discordant"),
+        {
+          val n = col("_n").cast(d)
+          // doubled pair counts: n0·2 = n(n−1), tie terms already ×2
+          val n0x2 = n * (n - 1)
+          val denom = (n0x2 - col("_n1x2")) * (n0x2 - col("_n2x2"))
+          when(denom <= 0, lit(null).cast("double"))
+            .otherwise(round(
+              (col("_conc") - col("_disc")).cast("double") * lit(2.0d) /
+                sqrt(denom.cast("double")), 6) + lit(0.0d))
+            .as("tau_b")
+        })
+  }
 }

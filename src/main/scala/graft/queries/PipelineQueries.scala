@@ -1810,6 +1810,37 @@ object PipelineQueries {
       graft.ops.EventsOps.horizonLabels(Tables(s, dir, "events"))
         .orderBy("event_id")),
 
+    // Monotone-association screen: Spearman ρ over the four lineitem
+    // measures — doubled average ranks keep every moment integer.
+    "p231_spearman" -> ((s, dir) =>
+      graft.ops.Stats.spearmanMatrix(Tables(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")),
+
+    // Ordinal concordance: Kendall τ-b of quantity vs discount from the
+    // bounded joint contingency — no row pair ever materializes.
+    "p232_kendall" -> ((s, dir) =>
+      graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
+        "l_quantity", "l_discount")),
+
+    // Structural link prediction on the co-purchase graph: distance-2
+    // pairs scored by common-neighbor / Jaccard / resource-allocation,
+    // all integral; candidates only ever come from shared neighbors.
+    "p233_link_prediction" -> ((s, dir) => {
+      val pairs = Tables(s, dir, "lineitem").as("x")
+        .join(Tables(s, dir, "lineitem").as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.ops.Graph.linkPrediction(pairs, topK = 50)
+    }),
+
+    // Robust per-user value trend: Theil–Sen lower-median pair slope —
+    // group-keyed self-join, integral re-signed slopes, rank-picked cut.
+    "p234_theil_sen" -> ((s, dir) =>
+      graft.ops.EventsOps.theilSenTrend(Tables(s, dir, "events"))
+        .orderBy("user_id")),
+
     // Long-run occupancy of the event-type chain: 3 exact integer
     // power-iteration rounds over the types² transition matrix.
     "p228_markov_stationary" -> ((s, dir) =>
@@ -4167,6 +4198,106 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // wedge join on the shared neighbor only; RA reciprocals integral
+    // (1e6 // deg); anti-join removes linked pairs; full-key ORDER+LIMIT
+    "p233_link_prediction" -> (
+      "WITH e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b " +
+        "FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey " +
+        "AND x.l_partkey < y.l_partkey), " +
+        "adj AS (SELECT a AS z, b AS n FROM e0 UNION ALL SELECT b, a FROM e0), " +
+        "deg AS (SELECT z AS node, COUNT(*) AS deg FROM adj GROUP BY 1), " +
+        "az AS (SELECT adj.z, adj.n, deg.deg FROM adj JOIN deg ON deg.node = adj.z), " +
+        "cand AS (SELECT x.n AS a, y.n AS b, COUNT(*) AS cn, " +
+        "SUM(1000000 // x.deg) AS ra FROM az x JOIN az y " +
+        "ON x.z = y.z AND x.n < y.n GROUP BY 1, 2), " +
+        "c2 AS (SELECT cand.* FROM cand LEFT JOIN e0 " +
+        "ON e0.a = cand.a AND e0.b = cand.b WHERE e0.a IS NULL) " +
+        "SELECT c2.a, c2.b, cn, da.deg AS deg_a, db.deg AS deg_b, " +
+        "CAST(cn * 1000000 // (da.deg + db.deg - cn) AS BIGINT) AS jaccard_ppm, " +
+        "CAST(ra AS BIGINT) AS ra_ppm " +
+        "FROM c2 JOIN deg da ON da.node = c2.a JOIN deg db ON db.node = c2.b " +
+        "ORDER BY cn DESC, ra_ppm DESC, a, b LIMIT 50"),
+    // identical micro quantization both axes; non-negative // after the
+    // re-sign so floor == truncate; lower-median rank (m+1)//2
+    "p234_theil_sen" -> (
+      "WITH b AS (SELECT user_id AS k, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) * 1000000 AS x, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS y " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "nn AS (SELECT k, COUNT(*) AS n FROM b GROUP BY 1 HAVING COUNT(*) >= 3), " +
+        "p AS (SELECT l.k AS k, " +
+        "(CASE WHEN r.y - l.y >= 0 THEN 1 ELSE -1 END) * " +
+        "CAST(abs(r.y - l.y) * 1000000 // (r.x - l.x) AS BIGINT) AS s " +
+        "FROM b l JOIN b r ON l.k = r.k AND l.x < r.x), " +
+        "m AS (SELECT k, s, COUNT(*) OVER (PARTITION BY k) AS m, " +
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY s) AS rn FROM p) " +
+        "SELECT m.k AS user_id, nn.n, m.m AS n_pairs, m.s AS slope_ppm " +
+        "FROM m JOIN nn ON nn.k = m.k WHERE rn = (m + 1) // 2 " +
+        "ORDER BY user_id"),
+    // doubled average ranks (2·rank + ties − 1) ×1e6, then the p156
+    // HUGEINT moment machinery verbatim; float only at num/sqrt(d1·d2)
+    "p231_spearman" -> (
+      "WITH b AS (SELECT " +
+        "CAST(floor(CAST(l_discount AS DOUBLE) * 1000000) AS BIGINT) AS qd, " +
+        "CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1000000) AS BIGINT) AS qe, " +
+        "CAST(floor(CAST(l_quantity AS DOUBLE) * 1000000) AS BIGINT) AS qq, " +
+        "CAST(floor(CAST(l_tax AS DOUBLE) * 1000000) AS BIGINT) AS qt FROM lineitem " +
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL " +
+        "AND l_discount IS NOT NULL AND l_tax IS NOT NULL), " +
+        "rk AS (SELECT " +
+        "(2 * RANK() OVER (ORDER BY qd) + COUNT(*) OVER (PARTITION BY qd) - 1) * 1000000 AS vd, " +
+        "(2 * RANK() OVER (ORDER BY qe) + COUNT(*) OVER (PARTITION BY qe) - 1) * 1000000 AS ve, " +
+        "(2 * RANK() OVER (ORDER BY qq) + COUNT(*) OVER (PARTITION BY qq) - 1) * 1000000 AS vq, " +
+        "(2 * RANK() OVER (ORDER BY qt) + COUNT(*) OVER (PARTITION BY qt) - 1) * 1000000 AS vt FROM b), " +
+        "m AS (SELECT COUNT(*) AS n, " +
+        "SUM(CAST(vd AS HUGEINT)) AS sd, SUM(CAST(ve AS HUGEINT)) AS se, " +
+        "SUM(CAST(vq AS HUGEINT)) AS sq, SUM(CAST(vt AS HUGEINT)) AS st, " +
+        "SUM(CAST(vd AS HUGEINT) * vd) AS ssd, SUM(CAST(ve AS HUGEINT) * ve) AS sse, " +
+        "SUM(CAST(vq AS HUGEINT) * vq) AS ssq, SUM(CAST(vt AS HUGEINT) * vt) AS sst, " +
+        "SUM(CAST(vd AS HUGEINT) * ve) AS sde, SUM(CAST(vd AS HUGEINT) * vq) AS sdq, " +
+        "SUM(CAST(vd AS HUGEINT) * vt) AS sdt, SUM(CAST(ve AS HUGEINT) * vq) AS seq_, " +
+        "SUM(CAST(ve AS HUGEINT) * vt) AS set_, SUM(CAST(vq AS HUGEINT) * vt) AS sqt FROM rk), " +
+        "r AS (" +
+        "SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b, n, " +
+        "CAST(n AS HUGEINT) * sde - sd * se AS num, CAST(n AS HUGEINT) * ssd - sd * sd AS d1, " +
+        "CAST(n AS HUGEINT) * sse - se * se AS d2 FROM m " +
+        "UNION ALL SELECT 'l_discount', 'l_quantity', n, CAST(n AS HUGEINT) * sdq - sd * sq, " +
+        "CAST(n AS HUGEINT) * ssd - sd * sd, CAST(n AS HUGEINT) * ssq - sq * sq FROM m " +
+        "UNION ALL SELECT 'l_discount', 'l_tax', n, CAST(n AS HUGEINT) * sdt - sd * st, " +
+        "CAST(n AS HUGEINT) * ssd - sd * sd, CAST(n AS HUGEINT) * sst - st * st FROM m " +
+        "UNION ALL SELECT 'l_extendedprice', 'l_quantity', n, CAST(n AS HUGEINT) * seq_ - se * sq, " +
+        "CAST(n AS HUGEINT) * sse - se * se, CAST(n AS HUGEINT) * ssq - sq * sq FROM m " +
+        "UNION ALL SELECT 'l_extendedprice', 'l_tax', n, CAST(n AS HUGEINT) * set_ - se * st, " +
+        "CAST(n AS HUGEINT) * sse - se * se, CAST(n AS HUGEINT) * sst - st * st FROM m " +
+        "UNION ALL SELECT 'l_quantity', 'l_tax', n, CAST(n AS HUGEINT) * sqt - sq * st, " +
+        "CAST(n AS HUGEINT) * ssq - sq * sq, CAST(n AS HUGEINT) * sst - st * st FROM m) " +
+        "SELECT col_a, col_b, n, CASE WHEN d1 = 0 OR d2 = 0 THEN NULL ELSE " +
+        "round(CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)), 6) + 0.0 " +
+        "END AS rho FROM r ORDER BY col_a, col_b"),
+    // cells×cells under x2 > x1; doubled tie terms t(t−1); τ-b with the
+    // compensating ×2 on (C−D); float only inside the final sqrt ratio
+    "p232_kendall" -> (
+      "WITH c AS (SELECT " +
+        "CAST(floor(CAST(l_quantity AS DOUBLE) * 1000000) AS BIGINT) AS x, " +
+        "CAST(floor(CAST(l_discount AS DOUBLE) * 1000000) AS BIGINT) AS y, COUNT(*) AS c " +
+        "FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL GROUP BY 1, 2), " +
+        "cd AS (SELECT " +
+        "SUM(CASE WHEN b.y > a.y THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS conc, " +
+        "SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS disc " +
+        "FROM c a JOIN c b ON b.x > a.x), " +
+        "nn AS (SELECT SUM(c) AS n FROM c), " +
+        "t1 AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS n1x2 FROM " +
+        "(SELECT SUM(c) AS t FROM c GROUP BY x)), " +
+        "t2 AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS n2x2 FROM " +
+        "(SELECT SUM(c) AS t FROM c GROUP BY y)) " +
+        "SELECT CAST(nn.n AS BIGINT) AS n, CAST(conc AS BIGINT) AS concordant, " +
+        "CAST(disc AS BIGINT) AS discordant, " +
+        "CASE WHEN (CAST(nn.n AS HUGEINT) * (nn.n - 1) - n1x2) * " +
+        "(CAST(nn.n AS HUGEINT) * (nn.n - 1) - n2x2) <= 0 THEN NULL ELSE " +
+        "round(CAST(conc - disc AS DOUBLE) * 2.0 / " +
+        "sqrt(CAST((CAST(nn.n AS HUGEINT) * (nn.n - 1) - n1x2) * " +
+        "(CAST(nn.n AS HUGEINT) * (nn.n - 1) - n2x2) AS DOUBLE)), 6) + 0.0 " +
+        "END AS tau_b FROM cd, nn, t1, t2"),
     // three unrolled πP rounds; every term (π·c)//r in HUGEINT; the
     // no-outgoing self-loop kept-term mirrored
     "p228_markov_stationary" -> (

@@ -452,4 +452,31 @@ class RetailGraphSpec extends AnyFunSuite {
     val t = graft.ops.Graph.assortativity(tri).collect().head
     assert(t.getLong(0) == 3L && t.isNullAt(1))
   }
+
+  test("linkPrediction: distance-2 pairs only, hand-computed integral scores") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 3-4: the only unlinked distance-2
+    // pairs are (1,4) and (2,4), both through z=3 (deg 3)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = graft.ops.Graph.linkPrediction(edges, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      // cn=1, deg_a=2, deg_b=1 → union 2 → jaccard 500000; ra = 1e6 div 3
+      (1L, 4L, 1L, 2L, 1L, 500000L, 333333L),
+      (2L, 4L, 1L, 2L, 1L, 500000L, 333333L)))
+    // linked pairs never appear even when they share a neighbor
+    assert(!out.exists(r => (r._1, r._2) == ((1L, 2L))))
+  }
+
+  test("linkPrediction: duplicate and reversed edges fold before scoring") {
+    import spark.implicits._
+    val edges = Seq((1L, 3L), (3L, 1L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val out = graft.ops.Graph.linkPrediction(edges, topK = 10).collect()
+    // only (1,2) through z=3 (deg 2): ra = 500000, jaccard = 1e6/(1+1-1)
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5),
+      r.getLong(6)) == ((1L, 2L, 1L, 1000000L, 500000L)))
+  }
 }

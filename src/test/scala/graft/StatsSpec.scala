@@ -121,4 +121,61 @@ class StatsSpec extends AnyFunSuite {
         if (r.isNullAt(2)) None else Some(r.getLong(2))))
     assert(out.toSeq == Seq(("a", 3L, Some(2000000L)), ("b", 2L, None)))
   }
+
+  test("spearmanMatrix: monotone-nonlinear hits 1, average ranks under ties, hand value") {
+    import spark.implicits._
+    // y = x² is monotone → ρ = 1 even though Pearson < 1; z is a
+    // permuted column with ranks (1,3,2) against x's (1,2,3):
+    // cov 1, var 2 each → ρ = 0.5 exactly
+    val df = Seq(
+      (1.0, 1.0, 10.0), (2.0, 4.0, 30.0), (3.0, 9.0, 20.0)
+    ).toDF("x", "y", "z")
+    val out = Stats.spearmanMatrix(df, Seq("x", "y", "z"))
+      .orderBy("col_a", "col_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("x", "y", 3L, 1.0), ("x", "z", 3L, 0.5), ("y", "z", 3L, 0.5)))
+    // tied block takes the average of the positions it spans: doubled
+    // ranks stay integral so the perfect anti-monotone pair is exactly −1
+    val ties = Seq((1.0, 4.0), (2.0, 3.0), (2.0, 3.0), (3.0, 1.0))
+      .toDF("a", "b")
+    val r2 = Stats.spearmanMatrix(ties, Seq("a", "b")).collect()
+    assert(r2.length == 1 && r2(0).getDouble(3) == -1.0)
+  }
+
+  test("theilSenSlope: lower-median pair slope shrugs off the outlier") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: slopes {1.0, 4.5, 8.0} ppm-scaled → lower median 4.5e6;
+      // OLS on the same points would report 4.5 too — but pull y3 to
+      // 100 and OLS explodes while the pair-slope median barely moves
+      ("a", 1.0, 1.0), ("a", 2.0, 2.0), ("a", 3.0, 10.0),
+      // group b: all x equal → zero distinct-x pairs → absent
+      ("b", 5.0, 1.0), ("b", 5.0, 2.0), ("b", 5.0, 3.0),
+      // group c: below minN → absent
+      ("c", 1.0, 1.0), ("c", 2.0, 2.0)
+    ).toDF("k", "x", "y")
+    val out = Stats.theilSenSlope(df, "k", "x", "y", minN = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("a", 3L, 3L, 4500000L)))
+    // negative trend re-signs exactly: y = -2x → every slope −2e6
+    val neg = Seq(("n", 1.0, -2.0), ("n", 2.0, -4.0), ("n", 3.0, -6.0))
+      .toDF("k", "x", "y")
+    val n = Stats.theilSenSlope(neg, "k", "x", "y").collect()
+    assert(n.length == 1 && n(0).getLong(3) == -2000000L)
+  }
+
+  test("kendallTau: hand-counted concordance and the tie-corrected zero") {
+    import spark.implicits._
+    // (1,1),(2,3),(3,2): C=2, D=1, no ties → τ = 1/3
+    val df = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0)).toDF("x", "y")
+    val out = Stats.kendallTau(df, "x", "y").collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) == ((3L, 2L, 1L)))
+    assert(out.getDouble(3) == 0.333333)
+    // balanced 2×2 grid: one concordant, one discordant, x/y ties
+    // excluded from both → τ-b = 0 with the tie-corrected denominator
+    val grid = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 1.0), (2.0, 2.0)).toDF("x", "y")
+    val g = Stats.kendallTau(grid, "x", "y").collect()(0)
+    assert((g.getLong(1), g.getLong(2), g.getDouble(3)) == ((1L, 1L, 0.0)))
+  }
 }
