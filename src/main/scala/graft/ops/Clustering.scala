@@ -58,12 +58,29 @@ object Clustering {
     require(iters > 0, "kmeans: need at least one iteration")
     val q = vecs.select(col(idCol).as("_id"), quantized(col(vecCol)).as("_xq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val cents = lloydLoop(q, k, iters)
+    // the iterations (eager collects) are what the cache exists for; the
+    // final assignment recomputes the map-only lineage once so we can
+    // release the blocks before handing back a lazy result
+    q.unpersist(blocking = false)
+    q.withColumn("_a", nearest(col("_xq"), cents))
+      .select(col("_id").as(idCol),
+        col("_a")("cid").as("cluster"),
+        col("_a")("dist2").as("dist2"))
+  }
 
+  /** The Lloyd trajectory on a prepared (_id, _xq) frame: k-smallest-id
+    * seeds, `iters` rounds of map-only argmin + one k·dim partial agg,
+    * floor(sum/n) updates, empty clusters keep their centroid. Only the
+    * kilobyte centroid sums reach the driver each round. */
+  private def lloydLoop(
+      q: DataFrame,
+      k: Int,
+      iters: Int): Seq[Array[Long]] = {
     var cents: Seq[Array[Long]] = q.orderBy("_id").limit(k).collect()
       .map(_.getSeq[Long](1).toArray).toSeq
     require(cents.length == k, s"kmeans: need at least $k vectors")
     val dim = cents.head.length
-
     for (_ <- 1 to iters) {
       val sums = q
         .select(nearest(col("_xq"), cents)("cid").as("_cid"),
@@ -84,15 +101,93 @@ object Clustering {
         }
       }
     }
+    cents
+  }
 
-    // the iterations (eager collects) are what the cache exists for; the
-    // final assignment recomputes the map-only lineage once so we can
-    // release the blocks before handing back a lazy result
+  /** CLUSTER-QUALITY SCORECARD for the [[kmeans]] partition — the "is k
+    * right / did Lloyd converge somewhere sane" one-pager, computed
+    * WITHOUT any pairwise pass: the simplified silhouette (Hruschka et
+    * al.: centroid distances in place of mean pairwise distances — the
+    * only silhouette that exists at 100 TB) and the Davies–Bouldin
+    * per-cluster worst ratio.
+    *
+    * Per point, over the SAME exact integer micro² distances the Lloyd
+    * trajectory used: a² = nearest-centroid distance, b² = second
+    * nearest (sorted once). s = (√b²−√a²)·10⁶ / max(√a²,√b²), floored
+    * to ppm — sqrt/sub/div are single correctly-rounded IEEE ops, so
+    * any engine replays the integer exactly; s ≥ 0 by construction
+    * (b ≥ a), so plain integral division is floor-safe everywhere.
+    * Per cluster: n, mean silhouette ppm (Σs div n), mean centroid
+    * distance S in micro (Σ⌊√a²⌋ div n), and the Davies–Bouldin
+    * R_i = max_j (S_i+S_j)·10⁶ div ⌊√Σ(c_i−c_j)²⌋ over the k² (driver-
+    * side, kilobyte) centroid pair table — NULL if every other centroid
+    * collapsed onto this one.
+    *
+    * Shape: one map-only kernel (k literal centroids folded in — k·dim
+    * doubles as expression literals), ONE k-sized partial agg, then
+    * k-bounded joins. The corpus is touched once after the Lloyd loop.
+    * Returns (cluster, n, mean_sil_ppm, s_micro, max_r_ppm); empty
+    * clusters are absent (no members to score). */
+  def clusterQuality(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 2, "clusterQuality: need k >= 2 (silhouette undefined for k = 1)")
+    require(iters > 0, "clusterQuality: need at least one iteration")
+    val q = vecs.select(col(idCol).as("_id"), quantized(col(vecCol)).as("_xq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cents = lloydLoop(q, k, iters)
     q.unpersist(blocking = false)
-    q.withColumn("_a", nearest(col("_xq"), cents))
-      .select(col("_id").as(idCol),
-        col("_a")("cid").as("cluster"),
-        col("_a")("dist2").as("dist2"))
+    val dCols = cents.zipWithIndex.map { case (c, j) =>
+      aggregate(
+        zip_with(col("_xq"), typedLit(c.toSeq), (x, cc) => (x - cc) * (x - cc)),
+        lit(0L), (acc, e) => acc + e).as(s"_d$j")
+    }
+    val bestStructs = (0 until k).map(j =>
+      struct(col(s"_d$j").as("d"), lit(j).as("cid")))
+    val pt = q.select(col("_id") +: dCols: _*)
+      .withColumn("_sorted", array_sort(array((0 until k).map(j => col(s"_d$j")): _*)))
+      .select(
+        least(bestStructs: _*)("cid").as("cluster"),
+        element_at(col("_sorted"), 1).as("_a2"),
+        element_at(col("_sorted"), 2).as("_b2"))
+    val sa = sqrt(col("_a2").cast("double"))
+    val sb = sqrt(col("_b2").cast("double"))
+    val mx = greatest(sa, sb)
+    val scored = pt.select(col("cluster"),
+      when(mx === 0.0d, lit(0L))
+        .otherwise(floor((sb - sa) * lit(1000000.0d) / mx).cast("long"))
+        .as("_s"),
+      floor(sa).cast("long").as("_df"))
+    val st = scored.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum(col("_s")).as("_ssum"),
+        sum(col("_df")).as("_dsum"))
+      .select(col("cluster"), col("n"),
+        expr("CAST(_ssum div n AS BIGINT)").as("mean_sil_ppm"),
+        expr("CAST(_dsum div n AS BIGINT)").as("s_micro"))
+    // centroid pair distances: k² rows, exact integer micro (driver-side
+    // Long arithmetic, sqrt of an exactly-representable sum)
+    import vecs.sparkSession.implicits._
+    val pairRows = for {
+      i <- 0 until k; j <- 0 until k if i != j
+    } yield {
+      var s = 0L
+      var p = 0
+      while (p < cents(i).length) {
+        val dd = cents(i)(p) - cents(j)(p); s += dd * dd; p += 1
+      }
+      (i, j, math.floor(math.sqrt(s.toDouble)).toLong)
+    }
+    val cm = pairRows.toDF("_ci", "_cj", "_m")
+    val r = broadcast(cm.where(col("_m") > 0))
+      .join(st.select(col("cluster").as("_ci"), col("s_micro").as("_si")), Seq("_ci"))
+      .join(st.select(col("cluster").as("_cj"), col("s_micro").as("_sj")), Seq("_cj"))
+      .groupBy(col("_ci").as("cluster"))
+      .agg(max(expr("CAST((_si + _sj) * 1000000 div _m AS BIGINT)")).as("max_r_ppm"))
+    st.join(r, Seq("cluster"), "left")
+      .orderBy("cluster")
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

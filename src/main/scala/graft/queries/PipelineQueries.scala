@@ -1823,6 +1823,13 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Cluster-quality scorecard on the p64 Lloyd partition: simplified
+    // silhouette + Davies–Bouldin worst ratio, integral end to end —
+    // one map-only kernel after the trajectory, k-bounded everything.
+    "p235_cluster_quality" -> ((s, dir) =>
+      graft.ops.Clustering.clusterQuality(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 2)),
+
     // Structural link prediction on the co-purchase graph: distance-2
     // pairs scored by common-neighbor / Jaccard / resource-allocation,
     // all integral; candidates only ever come from shared neighbors.
@@ -4198,6 +4205,31 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // the p64 Lloyd replay, then per-point (a², b²) by rank over the
+    // a2 distances; sqrt/sub/div each one IEEE op, floored to ppm; DB
+    // ratio from the cd2 centroid table with plain // (all non-negative)
+    "p235_cluster_quality" -> (kmeansLloydA2Sql +
+      ", pt AS (SELECT vec_id, cid, d, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a2), " +
+        "ab AS (SELECT a.vec_id, a.cid AS cluster, a.d AS da, b.d AS db " +
+        "FROM pt a JOIN pt b ON b.vec_id = a.vec_id AND a.rn = 1 AND b.rn = 2), " +
+        "sp AS (SELECT cluster, CASE WHEN greatest(sqrt(CAST(da AS DOUBLE)), " +
+        "sqrt(CAST(db AS DOUBLE))) = 0 THEN 0 ELSE " +
+        "CAST(floor((sqrt(CAST(db AS DOUBLE)) - sqrt(CAST(da AS DOUBLE))) * 1000000 / " +
+        "greatest(sqrt(CAST(da AS DOUBLE)), sqrt(CAST(db AS DOUBLE)))) AS BIGINT) END AS s, " +
+        "CAST(floor(sqrt(CAST(da AS DOUBLE))) AS BIGINT) AS df_ FROM ab), " +
+        "cs AS (SELECT cluster, COUNT(*) AS n, SUM(s) AS ssum, SUM(df_) AS dsum " +
+        "FROM sp GROUP BY cluster), " +
+        "st AS (SELECT cluster, n, CAST(ssum // n AS BIGINT) AS mean_sil_ppm, " +
+        "CAST(dsum // n AS BIGINT) AS s_micro FROM cs), " +
+        "cm AS (SELECT i.cid AS ci, j.cid AS cj, " +
+        "CAST(floor(sqrt(CAST(SUM((i.c - j.c) * (i.c - j.c)) AS DOUBLE))) AS BIGINT) AS m " +
+        "FROM cd2 i JOIN cd2 j ON j.pos = i.pos AND i.cid <> j.cid GROUP BY i.cid, j.cid), " +
+        "r AS (SELECT ci AS cluster, MAX(CAST((si.s_micro + sj.s_micro) * 1000000 // m AS BIGINT)) AS max_r_ppm " +
+        "FROM cm JOIN st si ON si.cluster = cm.ci JOIN st sj ON sj.cluster = cm.cj " +
+        "WHERE m > 0 GROUP BY ci) " +
+        "SELECT st.cluster, st.n, st.mean_sil_ppm, st.s_micro, r.max_r_ppm " +
+        "FROM st LEFT JOIN r ON r.cluster = st.cluster ORDER BY st.cluster"),
     // wedge join on the shared neighbor only; RA reciprocals integral
     // (1e6 // deg); anti-join removes linked pairs; full-key ORDER+LIMIT
     "p233_link_prediction" -> (

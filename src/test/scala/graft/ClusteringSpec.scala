@@ -118,4 +118,33 @@ class ClusteringSpec extends AnyFunSuite {
       .orderBy("cluster", "rk").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("clusterQuality: hand-replayed silhouette and DB ratio on a 1-D pair of blobs") {
+    // seeds 0 and 200000 micro; after 2 Lloyd rounds centroids land at
+    // 100000 and 10100000 exactly (floor(sum/n) replayed by hand)
+    val vecs = Seq(
+      (1L, Array(0.0f)), (2L, Array(0.2f)),
+      (3L, Array(10.0f)), (4L, Array(10.2f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.clusterQuality(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // float32 0.2f/10.2f quantize to 200000/10199999 micro; the replay
+    // gives centroids 100000 and 10099999, per-point s ∈ {990099,
+    // 989898, 989899}, means 989998/989999, S 100000/99999 micro,
+    // M = 9999999 → R = 199999·1e6 div M = 19999
+    assert(out.toSeq == Seq(
+      (0, 2L, 989998L, 100000L, 19999L),
+      (1, 2L, 989999L, 99999L, 19999L)))
+  }
+
+  test("clusterQuality: point sitting on its centroid scores silhouette 1e6") {
+    val vecs = Seq(
+      (1L, Array(0.0f)), (2L, Array(4.0f))
+    ).toDF("vec_id", "embedding")
+    // singletons: each point IS its centroid → a = 0, b > 0 → s = 1e6
+    val out = Clustering.clusterQuality(vecs, "vec_id", "embedding", k = 2, iters = 1)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0, 1000000L, 0L), (1, 1000000L, 0L)))
+  }
 }
