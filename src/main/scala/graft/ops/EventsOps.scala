@@ -3099,6 +3099,48 @@ object EventsOps {
       .limit(topK)
   }
 
+  /** DAILY GROWTH ACCOUNTING — the canonical active-user flow ledger
+    * (new / retained / resurrected / churned) every growth team keeps:
+    * per observed day, `active = new + retained + resurrected` exactly,
+    * and `churned(d)` = users active on d−1 with no activity on d.
+    * Consecutive-day retention is the declared grain (the standard
+    * daily definition); a user skipping a day churns and later
+    * RESURRECTS, never silently "retains across the gap".
+    *
+    * Shape: the corpus collapses ONCE to the distinct (user, day)
+    * activity table — persisted, it feeds all four flows; first-seen is
+    * a user-keyed partial agg; retained/churned are (user, day)
+    * equi-joins of the table against its own day+1 shift (never a
+    * window over the full corpus, never a per-user array). Everything
+    * after the distinct is activity-table-sized. All counts integers.
+    *
+    * Returns (day, active, n_new, n_retained, n_resurrected,
+    * n_churned) for each observed active day, day-ordered. */
+  def growthAccounting(
+      ev: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val day = floor(epochSec(tsCol).cast("double") / lit(86400.0d)).cast("long")
+    val um = ev.select(col(userCol).as("_u"), day.as("_d")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = um.groupBy(col("_u")).agg(min(col("_d")).as("_fm"))
+    val prevAct = um.select(col("_u"), (col("_d") + 1).as("_d"))
+    val per = um
+      .join(first, Seq("_u"))
+      .join(prevAct.withColumn("_was", lit(1)), Seq("_u", "_d"), "left")
+      .groupBy(col("_d").as("day"))
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("_fm") === col("_d"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("_was").isNotNull, 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("_fm") < col("_d") && col("_was").isNull, 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    val churn = prevAct.join(um, Seq("_u", "_d"), "left_anti")
+      .groupBy(col("_d").as("day")).agg(count(lit(1)).as("n_churned"))
+    per.join(churn, Seq("day"), "left")
+      .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+      .orderBy("day")
+  }
+
   /** Robust per-user value trend — [[graft.ops.Stats.theilSenSlope]]
     * over (epoch-second, value) with the shared ts idiom: the lower
     * median of pairwise slopes shrugs off the single wild purchase that

@@ -161,4 +161,54 @@ object Retail {
         concat_ws("-", col("r"), col("f"), col("m")).as("rfm"))
       .orderBy("custkey")
   }
+
+  /** PRICE–VOLUME BRIDGE between two periods per segment — the FP&A
+    * revenue walk ("how much of the move was selling MORE vs selling
+    * DEARER"): for each segment with activity in both periods,
+    *   `vol_effect   = sgn·(|Δq|·r0 div q0)`  — the volume change
+    *     priced at the period-0 average (one re-signed integral
+    *     division, engine-portable),
+    *   `price_effect = (r1 − r0) − vol_effect` — the EXACT residual,
+    * so `vol_effect + price_effect = Δrevenue` holds to the micro by
+    * construction (no float identity to hope for; the rounding lives
+    * visibly inside the volume term, the convention every bridge
+    * chooses somewhere).
+    *
+    * Shape: ONE partial agg on (segment, period) collapses the corpus;
+    * the two-period pivot is a segment-keyed self-join of that bounded
+    * table. Segments active in only one period drop (no bridge exists —
+    * they belong in an entry/exit line, not a rate split).
+    *
+    * Returns (segment, r0_micro, r1_micro, q0, q1, vol_effect_micro,
+    * price_effect_micro), segment-ordered. */
+  def priceVolumeBridge(
+      df: DataFrame,
+      segCol: String,
+      periodCol: String,
+      qtyCol: String,
+      revCol: String,
+      period0: Long,
+      period1: Long): DataFrame = {
+    val base = df
+      .where(col(periodCol).isin(period0, period1) &&
+        col(qtyCol).isNotNull && col(revCol).isNotNull)
+      .groupBy(col(segCol).as("segment"), col(periodCol).as("_p"))
+      .agg(sum(col(qtyCol).cast("long")).as("_q"),
+        sum(floor(col(revCol).cast("double") * lit(1000000.0d)).cast("long"))
+          .as("_r"))
+    val p0 = base.where(col("_p") === period0)
+      .select(col("segment"), col("_q").as("q0"), col("_r").as("r0_micro"))
+    val p1 = base.where(col("_p") === period1)
+      .select(col("segment"), col("_q").as("q1"), col("_r").as("r1_micro"))
+    p0.join(p1, Seq("segment"))
+      .where(col("q0") > 0)
+      .withColumn("vol_effect_micro",
+        expr("CAST(CASE WHEN q1 >= q0 THEN 1 ELSE -1 END AS BIGINT) * " +
+          "CAST(CAST(abs(q1 - q0) AS DECIMAL(38,0)) * r0_micro div q0 AS BIGINT)"))
+      .withColumn("price_effect_micro",
+        col("r1_micro") - col("r0_micro") - col("vol_effect_micro"))
+      .select("segment", "r0_micro", "r1_micro", "q0", "q1",
+        "vol_effect_micro", "price_effect_micro")
+      .orderBy("segment")
+  }
 }

@@ -1823,6 +1823,28 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Growth-accounting ledger: new/retained/resurrected/churned per
+    // day; the corpus collapses once to distinct (user, day) and every
+    // flow is an equi-join of that table against its day+1 shift.
+    "p236_growth_accounting" -> ((s, dir) =>
+      graft.ops.EventsOps.growthAccounting(Tables(s, dir, "events"))),
+
+    // FP&A revenue walk 1996→1997 per nation: volume priced at the
+    // period-0 average (re-signed integral div), price as the exact
+    // residual — vol + price ≡ Δrevenue to the micro.
+    "p237_pvm_bridge" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem"); val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer"); val n = Tables(s, dir, "nation")
+      val df = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(n("n_name").as("seg"),
+          year(o("o_orderdate")).cast("long").as("yr"),
+          li("l_quantity"), li("l_extendedprice"))
+      graft.ops.Retail.priceVolumeBridge(df, "seg", "yr",
+        "l_quantity", "l_extendedprice", 1996L, 1997L)
+    }),
+
     // Cluster-quality scorecard on the p64 Lloyd partition: simplified
     // silhouette + Davies–Bouldin worst ratio, integral end to end —
     // one map-only kernel after the trajectory, k-bounded everything.
@@ -4205,6 +4227,47 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // distinct (user, day) table vs its own day+1 shift; flows by CASE
+    // sums; churn = anti-join, charged to observed days only
+    "p236_growth_accounting" -> (
+      "WITH um AS (SELECT DISTINCT user_id AS u, " +
+        "CAST(floor(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) / 86400) AS BIGINT) AS d " +
+        "FROM events), " +
+        "f AS (SELECT u, MIN(d) AS fm FROM um GROUP BY 1), " +
+        "pa AS (SELECT u, d + 1 AS d FROM um), " +
+        "per AS (SELECT um.d AS day, COUNT(*) AS active, " +
+        "CAST(SUM(CASE WHEN f.fm = um.d THEN 1 ELSE 0 END) AS BIGINT) AS n_new, " +
+        "CAST(SUM(CASE WHEN pa.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, " +
+        "CAST(SUM(CASE WHEN f.fm < um.d AND pa.u IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected " +
+        "FROM um JOIN f ON f.u = um.u LEFT JOIN pa ON pa.u = um.u AND pa.d = um.d " +
+        "GROUP BY um.d), " +
+        "ch AS (SELECT pa.d AS day, COUNT(*) AS n_churned FROM pa " +
+        "LEFT JOIN um ON um.u = pa.u AND um.d = pa.d WHERE um.u IS NULL GROUP BY pa.d) " +
+        "SELECT per.day, per.active, per.n_new, per.n_retained, per.n_resurrected, " +
+        "COALESCE(ch.n_churned, 0) AS n_churned " +
+        "FROM per LEFT JOIN ch ON ch.day = per.day ORDER BY per.day"),
+    // volume effect = sgn·(|Δq|·r0 // q0) in HUGEINT, price = exact
+    // residual; segments need both periods and q0 > 0
+    "p237_pvm_bridge" -> (
+      "WITH b AS (SELECT n.n_name AS segment, " +
+        "EXTRACT(YEAR FROM o.o_orderdate) AS yr, " +
+        "CAST(l.l_quantity AS BIGINT) AS q, " +
+        "CAST(floor(CAST(l.l_extendedprice AS DOUBLE) * 1000000) AS BIGINT) AS r " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+        "WHERE l.l_quantity IS NOT NULL AND l.l_extendedprice IS NOT NULL), " +
+        "g AS (SELECT segment, yr, CAST(SUM(q) AS BIGINT) AS q, " +
+        "CAST(SUM(r) AS BIGINT) AS r FROM b WHERE yr IN (1996, 1997) GROUP BY 1, 2), " +
+        "p0 AS (SELECT segment, q AS q0, r AS r0 FROM g WHERE yr = 1996), " +
+        "p1 AS (SELECT segment, q AS q1, r AS r1 FROM g WHERE yr = 1997), " +
+        "j AS (SELECT p0.segment, r0, r1, q0, q1, " +
+        "(CASE WHEN q1 >= q0 THEN 1 ELSE -1 END) * " +
+        "CAST(CAST(abs(q1 - q0) AS HUGEINT) * r0 // q0 AS BIGINT) AS ve " +
+        "FROM p0 JOIN p1 USING (segment) WHERE q0 > 0) " +
+        "SELECT segment, r0 AS r0_micro, r1 AS r1_micro, q0, q1, " +
+        "ve AS vol_effect_micro, r1 - r0 - ve AS price_effect_micro " +
+        "FROM j ORDER BY segment"),
     // the p64 Lloyd replay, then per-point (a², b²) by rank over the
     // a2 distances; sqrt/sub/div each one IEEE op, floored to ppm; DB
     // ratio from the cd2 centroid table with plain // (all non-negative)

@@ -1139,4 +1139,29 @@ class EventsOpsSpec extends AnyFunSuite {
       (1L, true, false), (2L, false, false), (3L, false, false),
       (4L, false, true), (5L, false, false), (6L, false, false)))
   }
+
+  test("growthAccounting: flows reconcile and a gap day churns then resurrects") {
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
+    val ev = Seq(
+      // u1: active d0, d1, d3 (skips d2 → churns into d2, resurrects d3)
+      (1L, 1L, "view", at(0)), (2L, 1L, "view", at(1)), (3L, 1L, "view", at(3)),
+      // u2: active d0 only (churns into d1)
+      (4L, 2L, "view", at(0)),
+      // u3: first seen d1, active d1 and d2
+      (5L, 3L, "view", at(1)), (6L, 3L, "view", at(2)),
+      // duplicate same-day events fold in the distinct
+      (7L, 1L, "click", at(0))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.growthAccounting(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      // day, active, new, retained, resurrected, churned
+      (0L, 2L, 2L, 0L, 0L, 0L),
+      (1L, 2L, 1L, 1L, 0L, 1L),   // u3 new, u1 retained; u2 churned
+      (2L, 1L, 0L, 1L, 0L, 1L),   // u3 retained; u1 churned into d2
+      (3L, 1L, 0L, 0L, 1L, 1L)))  // u1 resurrects; u3 churned
+    // identity: active = new + retained + resurrected on every row
+    assert(out.forall(r => r._2 == r._3 + r._4 + r._5))
+  }
 }

@@ -453,6 +453,28 @@ class RetailGraphSpec extends AnyFunSuite {
     assert(t.getLong(0) == 3L && t.isNullAt(1))
   }
 
+  test("priceVolumeBridge: exact micro identity, re-signed volume, one-period segments drop") {
+    import spark.implicits._
+    val df = Seq(
+      // seg A: q 10→15, unit price 2.0→2.0 → pure volume move
+      ("A", 1L, 10L, 20.0), ("A", 2L, 15L, 30.0),
+      // seg B: q 10→8 (negative Δq), rev 30→40 → price pulls up
+      ("B", 1L, 10L, 30.0), ("B", 2L, 8L, 40.0),
+      // seg C: only period 1 → dropped (no bridge)
+      ("C", 1L, 5L, 5.0)
+    ).toDF("seg", "p", "q", "rev")
+    val out = graft.ops.Retail.priceVolumeBridge(df, "seg", "p", "q", "rev", 1L, 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      // A: vol = 5·20e6/10 = 10e6; price = 10e6 − 10e6 = 0
+      ("A", 20000000L, 30000000L, 10L, 15L, 10000000L, 0L),
+      // B: vol = −(2·30e6 div 10) = −6e6; price = 10e6 + 6e6 = 16e6
+      ("B", 30000000L, 40000000L, 10L, 8L, -6000000L, 16000000L)))
+    // identity to the micro on every row
+    assert(out.forall(r => r._6 + r._7 == r._3 - r._2))
+  }
+
   test("linkPrediction: distance-2 pairs only, hand-computed integral scores") {
     import spark.implicits._
     // triangle 1-2-3 plus pendant 3-4: the only unlinked distance-2
