@@ -353,6 +353,40 @@ object Dedup {
       .select(col("id"), col("component"), col("cluster_size"))
   }
 
+  /** GROUP-AWARE K-FOLD assignment — the leakage-safe cross-validation
+    * split for near-duplicated corpora: every member of a near-dup
+    * cluster lands in the SAME fold (train/eval never see two copies of
+    * one document across the boundary — the p34 leakage rule, extended
+    * from one split to k folds). The fold is a pure content function —
+    * `sha256("fold|" + rep)` first two hex digits mod k, where rep is
+    * the cluster's canonical min id (singletons: the doc's own id) — so
+    * reshuffles, retries and engines all agree, and adding documents
+    * never moves existing folds (incremental-friendly, the p35
+    * property).
+    *
+    * Shape: the cluster labels are [[connectedComponents]] over the
+    * (≪ corpus) edge list; the corpus-sized work is ONE left join of
+    * ids against that bounded label table plus a map-only hash.
+    * Returns (idCol, rep, fold), id-ordered. */
+  def groupKFold(
+      docs: DataFrame,
+      pairs: DataFrame,
+      k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"groupKFold: need k >= 2, got $k")
+    val comp = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component"))
+    docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("component"), col(idCol)))
+      .withColumn("fold",
+        pmod(conv(substring(
+          sha2(concat(lit("fold|"), col("rep").cast("string")), 256), 1, 2),
+          16, 10).cast("long"), lit(k.toLong)))
+      .select(col(idCol), col("rep"), col("fold"))
+      .orderBy(idCol)
+  }
+
   /** Canonical survivor per near-dup cluster by QUALITY — production
     * dedup keeps the best copy, not the smallest id. `quality` supplies
     * (idCol, scoreCol); the keeper is the cluster's argmax score with id

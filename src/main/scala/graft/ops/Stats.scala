@@ -322,6 +322,61 @@ object Stats {
     correlationMatrix(proj, cols).withColumnRenamed("corr", "rho")
   }
 
+  /** 1-D DECISION STUMP by Gini purity — the exact best-threshold
+    * screen ("does this feature split the label at all, and where")
+    * that tree libraries answer per node; here as a standalone feature-
+    * triage operator. Candidate splits are `x ≤ t` for every distinct
+    * value t with a non-empty right side; the score is the CHILD PURITY
+    * `Σ_c (pos_c² + neg_c²)·10⁶ div n_c` (maximizing it minimizes
+    * weighted Gini — same argmax, no 1−… subtraction to round), an
+    * integral ppm so every engine picks the identical winner; ties
+    * break toward the smaller threshold.
+    *
+    * Shape: ONE partial agg collapses the corpus to per-distinct-x
+    * (n, pos) — after that everything is value-cardinality bounded:
+    * prefix counts are a window over the bounded table (the
+    * [[paretoFrontier]] contract; blocked two-pass prefix sums if x is
+    * corpus-cardinality), totals ride a broadcast. DECIMAL(38,0)
+    * squares — exact past 10⁹ rows per side.
+    *
+    * Returns the top-`topK` splits (threshold_micro, n_left, pos_left,
+    * n_right, pos_right, purity_ppm), best first. */
+  def giniSplit(
+      df: DataFrame,
+      xCol: String,
+      labelCol: String,
+      topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"giniSplit: need topK >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val per = df
+      .where(col(xCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(floor(col(xCol).cast("double") * lit(1000000.0d)).cast("long")
+        .as("_x"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("_p"))
+    val w = Window.orderBy(col("_x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum(col("_n")).as("_tn"), sum(col("_p")).as("_tp"))
+    per
+      .withColumn("_nl", sum(col("_n")).over(w))
+      .withColumn("_pl", sum(col("_p")).over(w))
+      .crossJoin(broadcast(tot))
+      .where(col("_nl") < col("_tn")) // right side must be non-empty
+      .select(col("_x").as("threshold_micro"),
+        col("_nl").as("n_left"), col("_pl").as("pos_left"),
+        (col("_tn") - col("_nl")).as("n_right"),
+        (col("_tp") - col("_pl")).as("pos_right"))
+      .withColumn("purity_ppm",
+        expr("CAST((CAST(pos_left AS DECIMAL(38,0)) * pos_left + " +
+          "CAST(n_left - pos_left AS DECIMAL(38,0)) * (n_left - pos_left)) " +
+          "* 1000000 div n_left AS BIGINT) + " +
+          "CAST((CAST(pos_right AS DECIMAL(38,0)) * pos_right + " +
+          "CAST(n_right - pos_right AS DECIMAL(38,0)) * (n_right - pos_right)) " +
+          "* 1000000 div n_right AS BIGINT)"))
+      .orderBy(col("purity_ppm").desc, col("threshold_micro"))
+      .limit(topK)
+  }
+
   /** THEIL–SEN ROBUST SLOPE per group — the lower median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i) over distinct-x pairs, the
     * outlier-proof trend line (breakdown point ~29%) that [[groupSlope]]'s

@@ -1823,6 +1823,23 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Feature-triage decision stump: exact best Gini thresholds of
+    // value predicting purchase — corpus collapses to per-distinct-x
+    // counts, then bounded prefix sums; integral purity ppm.
+    "p238_decision_stump" -> ((s, dir) =>
+      graft.ops.Stats.giniSplit(
+        Tables(s, dir, "events")
+          .where(col("event_type").isNotNull)
+          .select(col("value"), (col("event_type") === "purchase").as("lbl")),
+        "value", "lbl", topK = 5)),
+
+    // Leakage-safe k-fold: near-dup clusters (shared memoized pair
+    // pipeline) never straddle folds; fold = content hash of the
+    // cluster's canonical min id, reshuffle/engine/increment-stable.
+    "p239_group_kfold" -> ((s, dir) =>
+      graft.ops.Dedup.groupKFold(Tables(s, dir, "documents"),
+        nearDupPairs45(s, dir).select("a", "b"), k = 5)),
+
     // Growth-accounting ledger: new/retained/resurrected/churned per
     // day; the corpus collapses once to distinct (user, day) and every
     // flow is an equi-join of that table against its day+1 shift.
@@ -4227,6 +4244,47 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // per-distinct-x (n, pos) then windowed prefix sums; child purity in
+    // HUGEINT with // — maximizing it minimizes weighted Gini exactly
+    "p238_decision_stump" -> (
+      "WITH b AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS x, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
+        "FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL), " +
+        "per AS (SELECT x, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS p FROM b GROUP BY 1), " +
+        "pre AS (SELECT x, CAST(SUM(n) OVER w AS BIGINT) AS nl, " +
+        "CAST(SUM(p) OVER w AS BIGINT) AS pl FROM per " +
+        "WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(p) AS BIGINT) AS tp FROM per) " +
+        "SELECT x AS threshold_micro, nl AS n_left, pl AS pos_left, " +
+        "tn - nl AS n_right, tp - pl AS pos_right, " +
+        "CAST((CAST(pl AS HUGEINT) * pl + CAST(nl - pl AS HUGEINT) * (nl - pl)) " +
+        "* 1000000 // nl AS BIGINT) + " +
+        "CAST((CAST(tp - pl AS HUGEINT) * (tp - pl) + " +
+        "CAST((tn - nl) - (tp - pl) AS HUGEINT) * ((tn - nl) - (tp - pl))) " +
+        "* 1000000 // (tn - nl) AS BIGINT) AS purity_ppm " +
+        "FROM pre, t WHERE nl < tn ORDER BY purity_ppm DESC, threshold_micro LIMIT 5"),
+    // the p29 ground-truth cluster graph, then rep = COALESCE(component,
+    // own id) and fold = first-two-hex-digits of sha256('fold|'+rep) mod 5
+    "p239_group_kfold" -> (
+      "WITH RECURSIVE tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
+        "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
+        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
+        "p AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
+        "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)), " +
+        "ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
+        "nd AS (SELECT DISTINCT a AS id FROM ed), " +
+        "reach AS (SELECT id, id AS r FROM nd " +
+        "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
+        "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id), " +
+        "rp AS (SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS rep " +
+        "FROM documents d LEFT JOIN comp ON comp.id = d.doc_id), " +
+        "hx AS (SELECT doc_id, rep, sha256('fold|' || CAST(rep AS VARCHAR)) AS h FROM rp) " +
+        "SELECT doc_id, rep, CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 " +
+        "+ strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 5 AS BIGINT) AS fold " +
+        "FROM hx ORDER BY doc_id"),
     // distinct (user, day) table vs its own day+1 shift; flows by CASE
     // sums; churn = anti-join, charged to observed days only
     "p236_growth_accounting" -> (

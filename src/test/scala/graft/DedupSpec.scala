@@ -257,4 +257,25 @@ class DedupSpec extends AnyFunSuite {
     // the reverse direction 2→1 is correctly absent (8/18 < 0.9)
     assert(!out.exists(t => t._1 == 2L && t._2 == 1L))
   }
+
+  test("groupKFold: cluster members share a fold, singletons keyed by own id, content-stable") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // clusters {1,2,3} (chain) and {5,6}; 4 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val out = Dedup.groupKFold(docs, pairs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = out.map(t => t._1 -> (t._2, t._3)).toMap
+    // reps are cluster minima; singleton rep = own id
+    assert(byId(1L)._1 == 1L && byId(2L)._1 == 1L && byId(3L)._1 == 1L)
+    assert(byId(4L)._1 == 4L)
+    assert(byId(5L)._1 == 5L && byId(6L)._1 == 5L)
+    // same rep ⇒ same fold; folds in range
+    assert(byId(1L)._2 == byId(2L)._2 && byId(2L)._2 == byId(3L)._2)
+    assert(byId(5L)._2 == byId(6L)._2)
+    assert(out.forall(t => t._3 >= 0L && t._3 < 5L))
+    // adding an unrelated document never moves existing folds
+    val more = Dedup.groupKFold(docs.union(Seq(7L).toDF("doc_id")), pairs, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.forall(t => more(t._1) == t._3))
+  }
 }

@@ -143,6 +143,24 @@ class StatsSpec extends AnyFunSuite {
     assert(r2.length == 1 && r2(0).getDouble(3) == -1.0)
   }
 
+  test("giniSplit: perfect separator wins, hand-computed purity ladder, no empty right side") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, false), (2.0, false), (3.0, false), (10.0, true), (11.0, true)
+    ).toDF("x", "lbl")
+    val out = Stats.giniSplit(df, "x", "lbl", topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      // x ≤ 3 separates perfectly: purity 9/3 + 4/2 = 5e6 ppm
+      (3000000L, 3L, 0L, 2L, 2L, 5000000L),
+      (2000000L, 2L, 0L, 3L, 2L, 3666666L),
+      (10000000L, 4L, 1L, 1L, 1L, 3500000L),
+      (1000000L, 1L, 0L, 4L, 2L, 3000000L)))
+    // the max x never appears (its right side would be empty)
+    assert(!out.exists(_._1 == 11000000L))
+  }
+
   test("theilSenSlope: lower-median pair slope shrugs off the outlier") {
     import spark.implicits._
     val df = Seq(
