@@ -3141,6 +3141,63 @@ object EventsOps {
       .orderBy("day")
   }
 
+  /** CALIBRATION BACKTEST — does a rate model fitted on the train
+    * window still hold out of sample? The train period's per-bucket
+    * conversion rate is the "model"; each bucket's eval-period actual
+    * is the test; the eval-count-weighted mean absolute gap is the
+    * expected calibration error (ECE — the standard binned definition,
+    * with the bins scored out-of-time instead of in-sample, which is
+    * the honest version: in-sample binned calibration of empirical
+    * rates is zero by construction).
+    *
+    * Integer-exact: day-grain split at `minDay + trainDays` (the min
+    * rides a 1-row broadcast), buckets = value_micro div
+    * `bucketWidthMicro`, rates and gaps in integral ppm; buckets need
+    * `minTrainN` train rows (no rate evidence otherwise) and ≥ 1 eval
+    * row. ONE partial agg on (bucket, period) then bucket-bounded
+    * joins. Returns (bucket, n_train, rate_train_ppm, n_eval,
+    * rate_eval_ppm, gap_ppm, ece_ppm) — ece repeated per row (it is
+    * the table's headline), bucket-ordered. */
+  def calibrationBacktest(
+      ev: DataFrame,
+      trainDays: Long = 20L,
+      bucketWidthMicro: Long = 10000000L,
+      minTrainN: Long = 20L,
+      typeCol: String = "event_type",
+      valueCol: String = "value",
+      tsCol: String = "ts"): DataFrame = {
+    val day = floor(epochSec(tsCol).cast("double") / lit(86400.0d)).cast("long")
+    val base = ev
+      // value ≥ 0: the truncating `div` bucket matches DuckDB's floor
+      // `//` only on non-negative operands (the re-sign rule)
+      .where(col(valueCol).isNotNull && col(valueCol) >= 0 &&
+        col(typeCol).isNotNull)
+      .select(day.as("_d"),
+        expr(s"CAST(CAST(floor(CAST($valueCol AS DOUBLE) * 1000000) AS BIGINT) " +
+          s"div $bucketWidthMicro AS BIGINT)").as("bucket"),
+        (col(typeCol) === "purchase").as("_y"))
+    val cut = base.agg((min(col("_d")) + trainDays).as("_cut"))
+    val flagged = base.crossJoin(broadcast(cut))
+      .withColumn("_train", col("_d") < col("_cut"))
+    def rates(train: Boolean, nName: String, rName: String) =
+      flagged.where(col("_train") === train)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(nName),
+          sum(when(col("_y"), 1L).otherwise(0L)).as("_p"))
+        .withColumn(rName, expr(s"CAST(_p * 1000000 div $nName AS BIGINT)"))
+        .drop("_p")
+    val joined = rates(train = true, "n_train", "rate_train_ppm")
+      .where(col("n_train") >= minTrainN)
+      .join(rates(train = false, "n_eval", "rate_eval_ppm"), Seq("bucket"))
+      .withColumn("gap_ppm", abs(col("rate_train_ppm") - col("rate_eval_ppm")))
+    val ece = joined.agg(
+      expr("CAST(sum(n_eval * gap_ppm) div sum(n_eval) AS BIGINT)").as("ece_ppm"))
+    joined.crossJoin(broadcast(ece))
+      .select("bucket", "n_train", "rate_train_ppm", "n_eval",
+        "rate_eval_ppm", "gap_ppm", "ece_ppm")
+      .orderBy("bucket")
+  }
+
   /** Robust per-user value trend — [[graft.ops.Stats.theilSenSlope]]
     * over (epoch-second, value) with the shared ts idiom: the lower
     * median of pairwise slopes shrugs off the single wild purchase that

@@ -310,6 +310,47 @@ object Graph {
       .orderBy("label")
   }
 
+  /** K-CORE PEEL, `rounds` synchronous rounds — the dense-subgraph
+    * screen (community cores, bot rings, "real" co-purchase backbones):
+    * repeatedly drop every node whose degree among survivors is < k;
+    * the fixpoint is Seidman's k-core. `rounds` is author-sized
+    * (3–10) like [[pageRank]]'s iters: each round strictly shrinks or
+    * the fixpoint is already reached, and round r ≥ the true core —
+    * the result converges FROM ABOVE, never drops a true core member.
+    * The loop builds ONE plan (no driver-side data motion).
+    *
+    * Shape per round: one partial-agg degree count (node-sized) and two
+    * LEFT-SEMI joins restricting the edge list — both on the node key;
+    * survivors of the last round are re-counted once for the reported
+    * in-core degree. Work ∝ surviving edges per round, monotone
+    * non-increasing. Returns (node, deg) for nodes alive after
+    * `rounds` peels, node-ordered. */
+  def kCorePeel(
+      edges: DataFrame,
+      k: Int,
+      rounds: Int = 3,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"kCorePeel: need k >= 1, got $k")
+    require(rounds >= 1, s"kCorePeel: need rounds >= 1, got $rounds")
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).as("_a"),
+        greatest(col(srcCol), col(dstCol)).as("_b"))
+      .where(col("_a") =!= col("_b"))
+      .distinct()
+    for (_ <- 1 to rounds) {
+      val deg = e.select(explode(array(col("_a"), col("_b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("node")
+      e = e
+        .join(keep.withColumnRenamed("node", "_a"), Seq("_a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "_b"), Seq("_b"), "left_semi")
+    }
+    e.select(explode(array(col("_a"), col("_b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .orderBy("node")
+  }
+
   /** STRUCTURAL LINK PREDICTION over an undirected graph — for every
     * unlinked node pair at distance 2, the three classic neighborhood
     * scores (Liben-Nowell & Kleinberg 2003), all INTEGER so any engine

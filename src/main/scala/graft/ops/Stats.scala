@@ -322,6 +322,33 @@ object Stats {
     correlationMatrix(proj, cols).withColumnRenamed("corr", "rho")
   }
 
+  /** EFFECTIVE SAMPLE SIZE of an importance-weighted corpus — Kish's
+    * ESS = (Σw)²/Σw², the one number that says whether a reweighted
+    * dataset (DSIR, temperature sampling, inverse-propensity) still
+    * carries real evidence or has collapsed onto a handful of documents.
+    * `ess_ratio_ppm` = ESS/n in ppm: 10⁶ means uniform weights, → 0
+    * means degenerate.
+    *
+    * Weights must be positive integers (micro-quantize or power-of-two
+    * scale upstream; any common scale cancels in the ratio). ONE
+    * map-combined global aggregate over exact DECIMAL(38,0) moments;
+    * integral divisions only. Returns one row
+    * (n, sum_w, ess, ess_ratio_ppm). */
+  def effectiveSampleSize(
+      df: DataFrame,
+      weightCol: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .agg(count(lit(1)).as("n"),
+        sum(col(weightCol).cast(d)).as("_sw"),
+        sum(col(weightCol).cast(d) * col(weightCol).cast(d)).as("_sw2"))
+      .select(col("n"),
+        col("_sw").cast("long").as("sum_w"),
+        expr("CAST(_sw * _sw div _sw2 AS BIGINT)").as("ess"),
+        expr("CAST(_sw * _sw * 1000000 div (_sw2 * n) AS BIGINT)")
+          .as("ess_ratio_ppm"))
+  }
+
   /** 1-D DECISION STUMP by Gini purity — the exact best-threshold
     * screen ("does this feature split the label at all, and where")
     * that tree libraries answer per node; here as a standalone feature-

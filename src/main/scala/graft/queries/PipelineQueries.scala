@@ -1823,6 +1823,33 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Out-of-time calibration: train-window per-bucket purchase rates
+    // scored against eval-window actuals; ECE = eval-weighted |gap|.
+    "p241_calibration_backtest" -> ((s, dir) =>
+      graft.ops.EventsOps.calibrationBacktest(Tables(s, dir, "events"))),
+
+    // Kish effective sample size of the p83 DSIR weights (bits clipped
+    // to ±8, power-of-two weights via shift — scale cancels in ESS):
+    // the "did reweighting collapse the corpus" headline number.
+    "p242_ess" -> ((s, dir) => {
+      val w = graft.ops.CorpusOps.dsirWeights(Tables(s, dir, "documents"), "src0")
+        .select(expr("shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(greatest(-8, least(8, bits)) + 8 AS INT))").as("w"))
+      graft.ops.Stats.effectiveSampleSize(w, "w")
+    }),
+
+    // Dense co-purchase backbone: 3 synchronous k-core peel rounds
+    // (k = 95) — converges from above, each round one degree count +
+    // two semi-joins on the node key.
+    "p240_kcore" -> ((s, dir) => {
+      val pairs = Tables(s, dir, "lineitem").as("x")
+        .join(Tables(s, dir, "lineitem").as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.ops.Graph.kCorePeel(pairs, k = 95, rounds = 3)
+    }),
+
     // Feature-triage decision stump: exact best Gini thresholds of
     // value predicting purchase — corpus collapses to per-distinct-x
     // counts, then bounded prefix sums; integral purity ppm.
@@ -4244,6 +4271,70 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // day-grain min+20 cut on a 1-row CTE; rates and ECE in integral
+    // ppm; value >= 0 so // == truncation
+    "p241_calibration_backtest" -> (
+      "WITH b AS (SELECT " +
+        "CAST(floor(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) / 86400) AS BIGINT) AS d, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) // 10000000 AS bucket, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
+        "FROM events WHERE value IS NOT NULL AND value >= 0 AND event_type IS NOT NULL), " +
+        "c AS (SELECT MIN(d) + 20 AS cut FROM b), " +
+        "tr AS (SELECT bucket, COUNT(*) AS n_train, " +
+        "CAST(CAST(SUM(y) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS rate_train_ppm " +
+        "FROM b, c WHERE d < cut GROUP BY bucket HAVING COUNT(*) >= 20), " +
+        "ev AS (SELECT bucket, COUNT(*) AS n_eval, " +
+        "CAST(CAST(SUM(y) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS rate_eval_ppm " +
+        "FROM b, c WHERE d >= cut GROUP BY bucket), " +
+        "j AS (SELECT tr.bucket, n_train, rate_train_ppm, n_eval, rate_eval_ppm, " +
+        "abs(rate_train_ppm - rate_eval_ppm) AS gap_ppm FROM tr JOIN ev USING (bucket)), " +
+        "e AS (SELECT CAST(SUM(n_eval * gap_ppm) // SUM(n_eval) AS BIGINT) AS ece_ppm FROM j) " +
+        "SELECT j.bucket, j.n_train, j.rate_train_ppm, j.n_eval, j.rate_eval_ppm, " +
+        "j.gap_ppm, e.ece_ppm FROM j, e ORDER BY j.bucket"),
+    // the p83 bits table verbatim, clipped ±8, weights 1 << (bits+8);
+    // Kish ESS in HUGEINT with integral //
+    "p242_ess" -> (
+      "WITH t AS (SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS toks " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "uni AS (SELECT doc_id, source, unnest(toks) AS f FROM t), " +
+        "bi AS (SELECT doc_id, source, toks[CAST(i AS INT)] || chr(1) || toks[CAST(i AS INT) + 1] AS f " +
+        "FROM (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 1)) AS i " +
+        "FROM t WHERE len(toks) >= 2)), " +
+        "i AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), " +
+        "raw AS (SELECT f, COUNT(*) AS cr FROM i GROUP BY f), " +
+        "tgt AS (SELECT f, COUNT(*) AS ct FROM i WHERE source = 'src0' GROUP BY f), " +
+        "n AS (SELECT (SELECT SUM(cr) FROM raw) AS nr, " +
+        "(SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt, " +
+        "(SELECT COUNT(*) FROM raw) AS v), " +
+        "bt AS (SELECT raw.f, (length(bin(COALESCE(ct, 0) + 1)) + length(bin(nr + v))) " +
+        "- (length(bin(cr + 1)) + length(bin(nt + v))) AS bits " +
+        "FROM raw LEFT JOIN tgt USING (f), n), " +
+        "db AS (SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS bits FROM i JOIN bt USING (f) GROUP BY doc_id), " +
+        "w AS (SELECT CAST(1 AS BIGINT) << CAST(greatest(-8, least(8, bits)) + 8 AS INT) AS w FROM db), " +
+        "m AS (SELECT COUNT(*) AS n, SUM(CAST(w AS HUGEINT)) AS sw, " +
+        "SUM(CAST(w AS HUGEINT) * w) AS sw2 FROM w WHERE w > 0) " +
+        "SELECT n, CAST(sw AS BIGINT) AS sum_w, CAST(sw * sw // sw2 AS BIGINT) AS ess, " +
+        "CAST(sw * sw * 1000000 // (sw2 * n) AS BIGINT) AS ess_ratio_ppm FROM m"),
+    // three statically-unrolled peel rounds (the pagerank/markov oracle
+    // convention); final degree re-count over the surviving edge list
+    "p240_kcore" -> (
+      "WITH e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b " +
+        "FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey " +
+        "AND x.l_partkey < y.l_partkey), " +
+        "d0 AS (SELECT n, COUNT(*) AS deg FROM (SELECT a AS n FROM e0 " +
+        "UNION ALL SELECT b FROM e0) GROUP BY 1), " +
+        "k0 AS (SELECT n FROM d0 WHERE deg >= 95), " +
+        "e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT n FROM k0) AND b IN (SELECT n FROM k0)), " +
+        "d1 AS (SELECT n, COUNT(*) AS deg FROM (SELECT a AS n FROM e1 " +
+        "UNION ALL SELECT b FROM e1) GROUP BY 1), " +
+        "k1 AS (SELECT n FROM d1 WHERE deg >= 95), " +
+        "e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT n FROM k1) AND b IN (SELECT n FROM k1)), " +
+        "d2 AS (SELECT n, COUNT(*) AS deg FROM (SELECT a AS n FROM e2 " +
+        "UNION ALL SELECT b FROM e2) GROUP BY 1), " +
+        "k2 AS (SELECT n FROM d2 WHERE deg >= 95), " +
+        "e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT n FROM k2) AND b IN (SELECT n FROM k2)) " +
+        "SELECT n AS node, COUNT(*) AS deg FROM (SELECT a AS n FROM e3 " +
+        "UNION ALL SELECT b FROM e3) GROUP BY 1 ORDER BY node"),
     // per-distinct-x (n, pos) then windowed prefix sums; child purity in
     // HUGEINT with // — maximizing it minimizes weighted Gini exactly
     "p238_decision_stump" -> (

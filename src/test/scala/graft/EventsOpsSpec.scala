@@ -1140,6 +1140,25 @@ class EventsOpsSpec extends AnyFunSuite {
       (4L, false, true), (5L, false, false), (6L, false, false)))
   }
 
+  test("calibrationBacktest: out-of-time gap per bucket, thin train buckets and eval-only buckets drop") {
+    def at(day: Long, i: Long) = new java.sql.Timestamp((day * 86400L + i) * 1000L)
+    val ev = Seq(
+      // day 0 (train, trainDays = 1): bucket 0 → 4 rows, 2 purchases
+      (1L, 1L, "purchase", 5.0, at(0, 1)), (2L, 1L, "view", 5.0, at(0, 2)),
+      (3L, 2L, "purchase", 6.0, at(0, 3)), (4L, 2L, "view", 7.0, at(0, 4)),
+      // day 0: bucket 1 has only one train row → below minTrainN, drops
+      (5L, 3L, "purchase", 15.0, at(0, 5)),
+      // day 1 (eval): bucket 0 → 2 rows, 0 purchases; bucket 2 eval-only
+      (6L, 1L, "view", 5.0, at(1, 1)), (7L, 2L, "view", 8.0, at(1, 2)),
+      (8L, 3L, "view", 25.0, at(1, 3))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = EventsOps.calibrationBacktest(ev, trainDays = 1L, minTrainN = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // train rate 500000 ppm vs eval 0 → gap = ece = 500000
+    assert(out.toSeq == Seq((0L, 4L, 500000L, 2L, 0L, 500000L, 500000L)))
+  }
+
   test("growthAccounting: flows reconcile and a gap day churns then resurrects") {
     def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
     val ev = Seq(

@@ -491,6 +491,22 @@ class RetailGraphSpec extends AnyFunSuite {
     assert(!out.exists(r => (r._1, r._2) == ((1L, 2L))))
   }
 
+  test("kCorePeel: pendant drops, triangle survives, chain cascades to empty") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4—1: the 2-core is exactly the triangle
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
+    val out = graft.ops.Graph.kCorePeel(tri, k = 2, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // chain 1—2—3—4—5: true 2-core is empty; 2 rounds reach it
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    assert(graft.ops.Graph.kCorePeel(chain, k = 2, rounds = 2).count() == 0L)
+    // 1 round is the declared from-above truncation: {2,3,4} still alive
+    val partial = graft.ops.Graph.kCorePeel(chain, k = 2, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(partial.toSeq == Seq((2L, 1L), (3L, 2L), (4L, 1L)))
+  }
+
   test("linkPrediction: duplicate and reversed edges fold before scoring") {
     import spark.implicits._
     val edges = Seq((1L, 3L), (3L, 1L), (1L, 3L), (2L, 3L)).toDF("src", "dst")

@@ -143,6 +143,18 @@ class StatsSpec extends AnyFunSuite {
     assert(r2.length == 1 && r2(0).getDouble(3) == -1.0)
   }
 
+  test("effectiveSampleSize: uniform weights hit 1e6 ppm, one heavy weight collapses it") {
+    import spark.implicits._
+    val uniform = Seq(4L, 4L, 4L).toDF("w")
+    val u = Stats.effectiveSampleSize(uniform, "w").collect()(0)
+    assert((u.getLong(0), u.getLong(1), u.getLong(2), u.getLong(3)) ==
+      ((3L, 12L, 3L, 1000000L)))
+    // (1, 1, 1000): ESS = 1002²/1000002 = 1 — the corpus is one document
+    val degenerate = Seq(1L, 1L, 1000L, 0L).toDF("w") // zero weight ignored
+    val g = Stats.effectiveSampleSize(degenerate, "w").collect()(0)
+    assert((g.getLong(0), g.getLong(2), g.getLong(3)) == ((3L, 1L, 334667L)))
+  }
+
   test("giniSplit: perfect separator wins, hand-computed purity ladder, no empty right side") {
     import spark.implicits._
     val df = Seq(
