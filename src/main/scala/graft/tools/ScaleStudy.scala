@@ -220,6 +220,14 @@ object ScaledOps {
         tokenEdges(docs), iters = 3)) },
       time("triangles") { sink(graft.ops.Graph.triangleCount(
         tokenEdges(docs))) },
+      time("link_prediction") { sink(graft.ops.Graph.linkPrediction(
+        tokenEdges(docs), topK = 50)) },
+      time("kcore") { sink(graft.ops.Graph.kCorePeel(
+        tokenEdges(docs), k = 8, rounds = 3)) },
+      time("growth_accounting") { sink(graft.ops.EventsOps.growthAccounting(ev)) },
+      // per-user O(g²) under constant group size — the scaled tier
+      // checks the pair stage stays linear in #users
+      time("theil_sen") { sink(graft.ops.EventsOps.theilSenTrend(ev)) },
       annIvfPqRecall(spark.read.parquet(embPath)))
   }
 

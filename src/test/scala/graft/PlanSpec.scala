@@ -423,4 +423,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!ds.contains("SortMergeJoin"), ds)
     assert(ds.contains("BroadcastNestedLoopJoin") || ds.contains("BroadcastHashJoin"), ds)
   }
+
+  test("p233/p240: wedge join and peel are equi/semi-joins only — never all-pairs") {
+    import org.apache.spark.sql.functions._
+    val li = graft.engine.Tables(spark, dir, "lineitem")
+    val pairs = li.as("x")
+      .join(li.as("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+        col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    val lp = graft.ops.Graph.linkPrediction(pairs, topK = 50)
+      .queryExecution.executedPlan.toString
+    // candidates come ONLY through the shared-neighbor equi-join
+    assert(!lp.contains("BroadcastNestedLoopJoin") && !lp.contains("CartesianProduct"), lp)
+    val kc = graft.ops.Graph.kCorePeel(pairs, k = 5, rounds = 2)
+      .queryExecution.executedPlan.toString
+    assert(kc.contains("LeftSemi"), kc)
+    assert(!kc.contains("BroadcastNestedLoopJoin") && !kc.contains("CartesianProduct"), kc)
+  }
+
+  test("p231/p238: rank tables broadcast back; stump top-k is TakeOrdered, no global sort") {
+    val li = graft.engine.Tables(spark, dir, "lineitem")
+    val sp = graft.ops.Stats.spearmanMatrix(li,
+      Seq("l_quantity", "l_discount")).queryExecution.executedPlan.toString
+    // value-cardinality-bounded rank tables come back via broadcast,
+    // never a corpus sort-merge
+    assert(sp.contains("BroadcastHashJoin"), sp)
+    assert(!sp.contains("SortMergeJoin"), sp)
+    val ev = graft.engine.Tables(spark, dir, "events")
+    import org.apache.spark.sql.functions._
+    val gs = graft.ops.Stats.giniSplit(
+      ev.where(col("event_type").isNotNull)
+        .select(col("value"), (col("event_type") === "purchase").as("lbl")),
+      "value", "lbl", topK = 5).queryExecution.executedPlan.toString
+    assert(gs.contains("TakeOrderedAndProject"), gs)
+  }
 }
