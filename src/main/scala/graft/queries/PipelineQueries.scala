@@ -1823,6 +1823,12 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Apriori triple itemsets at support 2: lossless pair-level prune
+    // (260k pairs → 3.4k) before any triple materializes; the oracle is
+    // the NAIVE unpruned count — identical output pins losslessness.
+    "p243_triple_itemsets" -> ((s, dir) =>
+      graft.ops.Retail.tripleItemsets(Tables(s, dir, "lineitem"))),
+
     // Out-of-time calibration: train-window per-bucket purchase rates
     // scored against eval-window actuals; ECE = eval-weighted |gap|.
     "p241_calibration_backtest" -> ((s, dir) =>
@@ -4271,6 +4277,15 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // deliberately NAIVE (no prune): hash-identical output proves the
+    // Spark side's Apriori semi-joins are lossless
+    "p243_triple_itemsets" -> (
+      "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "tr AS (SELECT x.p AS a, y.p AS b, z.p AS c, COUNT(*) AS support " +
+        "FROM b x JOIN b y ON x.o = y.o AND x.p < y.p " +
+        "JOIN b z ON z.o = x.o AND z.p > y.p GROUP BY 1, 2, 3) " +
+        "SELECT a, b, c, support FROM tr WHERE support >= 2 " +
+        "ORDER BY support DESC, a, b, c"),
     // day-grain min+20 cut on a 1-row CTE; rates and ECE in integral
     // ppm; value >= 0 so // == truncation
     "p241_calibration_backtest" -> (

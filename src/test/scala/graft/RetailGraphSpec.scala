@@ -491,6 +491,27 @@ class RetailGraphSpec extends AnyFunSuite {
     assert(!out.exists(r => (r._1, r._2) == ((1L, 2L))))
   }
 
+  test("tripleItemsets: support counting, Apriori prune is invisible in the output") {
+    import spark.implicits._
+    val li = Seq(
+      // {1,2,3} twice → the only frequent triple
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      // {1,2,4}: pair (1,2) lifts to support 3 but (1,4)/(2,4) stay at 1
+      (12L, 1L), (12L, 2L), (12L, 4L),
+      // all pairs of {5,6,7} frequent, yet no basket holds all three —
+      // candidate survives the prune and dies on the triple count
+      (13L, 5L), (13L, 6L), (14L, 5L), (14L, 6L),
+      (15L, 5L), (15L, 7L), (16L, 5L), (16L, 7L),
+      (17L, 6L), (17L, 7L), (18L, 6L), (18L, 7L),
+      // duplicate line items fold in the basket distinct
+      (10L, 1L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = graft.ops.Retail.tripleItemsets(li, minSupport = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 3L, 2L)))
+  }
+
   test("kCorePeel: pendant drops, triangle survives, chain cascades to empty") {
     import spark.implicits._
     // triangle {1,2,3} + pendant 4—1: the 2-core is exactly the triangle
