@@ -72,6 +72,99 @@ object CorpusOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** TOKEN COLLOCATION EDGES — undirected (min, max)-keyed word pairs
+    * co-occurring within ±`window` positions ≥ `minCount` times
+    * corpus-wide, with tokens above the `dfCeiling` occurrence cap
+    * dropped BEFORE pairing: the stop-gram relief valve (standard
+    * collocation practice — a stopword hub adds O(df²) pairs and no
+    * signal; this is what keeps the downstream graph ops' complexity
+    * bounds honest instead of hub-degenerate). The edge substrate for
+    * [[graft.ops.Graph]] (PageRank, triangles, k-core, link
+    * prediction) over text corpora.
+    *
+    * Shape: one posexplode scan, a token-keyed semi-join against the
+    * (vocab-sized) ceiling survivors, a doc-keyed positional band
+    * self-join (never all-pairs — the band is ±window), one partial-agg
+    * count. Returns (src, dst) with src < dst. */
+  def collocationEdges(
+      docs: DataFrame,
+      window: Int = 2,
+      minCount: Long = 5L,
+      dfCeiling: Long = 10000L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"collocationEdges: need window >= 1, got $window")
+    val raw = docs.select(col(idCol).as("_doc"),
+      posexplode(TextAnalysis.tokens(lower(col(textCol)))).as(Seq("_p", "_t")))
+    val keep = raw.groupBy("_t").agg(count(lit(1)).as("_c"))
+      .where(col("_c") <= dfCeiling).select("_t")
+    val toks = raw.join(keep, Seq("_t"), "left_semi")
+    toks.as("x")
+      .join(toks.as("y"),
+        col("x._doc") === col("y._doc") &&
+          col("y._p") > col("x._p") && col("y._p") <= col("x._p") + window)
+      .select(least(col("x._t"), col("y._t")).as("src"),
+        greatest(col("x._t"), col("y._t")).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("_n"))
+      .where(col("_n") >= minCount)
+      .select("src", "dst")
+  }
+
+  /** NEGATIVE-SAMPLING TABLE (word2vec/Mikolov): per-token sampling
+    * weight ∝ count^(3/4), the unigram flattening every embedding
+    * trainer bakes in — EXACT, no libm pow: c^(3/4) = ⌊⁴√c³⌋ computed
+    * as isqrt(isqrt(c³)) with the [[graft.ops.Stats.neymanAllocation]]
+    * guess+correct recipe at each of the two square roots (IEEE sqrt
+    * is correctly rounded on every engine; ±1 integer correction makes
+    * the floor exact even past 2⁵³).
+    *
+    * Shape: explode → map-combined vocab count (shuffle ∝ |vocab|);
+    * the ⁴√ is map-only arithmetic on the vocab table; Σw rides a
+    * 1-row broadcast; the top-`k` cut is TakeOrdered; the cumulative
+    * CDF column is a window over the k-bounded result. Returns
+    * (token, n, w34, cum_w34, cum_ppm) — cum_ppm is the sampling CDF
+    * numerator ·10⁶ div the FULL-vocab Σw (so the table honestly shows
+    * how much probability mass the top-k holds), ordered
+    * (n desc, token). */
+  def negativeSamplingTable(
+      docs: DataFrame,
+      k: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"negativeSamplingTable: need k >= 1, got $k")
+    val vocab = docs
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val weighted = vocab
+      .selectExpr("token", "n",
+        "CAST(n AS DECIMAL(38,0)) * n * n AS _c3")
+      .selectExpr("token", "n", "_c3",
+        "CAST(floor(sqrt(CAST(_c3 AS DOUBLE))) AS BIGINT) AS _g1")
+      .selectExpr("token", "n",
+        "CASE WHEN CAST(_g1 + 1 AS DECIMAL(38,0)) * (_g1 + 1) <= _c3 THEN _g1 + 1 " +
+          "WHEN CAST(_g1 AS DECIMAL(38,0)) * _g1 > _c3 THEN _g1 - 1 " +
+          "ELSE _g1 END AS _r1")
+      .selectExpr("token", "n", "_r1",
+        "CAST(floor(sqrt(CAST(_r1 AS DOUBLE))) AS BIGINT) AS _g2")
+      .selectExpr("token", "n",
+        "CASE WHEN (_g2 + 1) * (_g2 + 1) <= _r1 THEN _g2 + 1 " +
+          "WHEN _g2 * _g2 > _r1 THEN _g2 - 1 " +
+          "ELSE _g2 END AS w34")
+    val total = weighted.agg(
+      sum(col("w34").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("_tw"))
+    val top = weighted
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top.crossJoin(broadcast(total))
+      .withColumn("cum_w34", sum(col("w34")).over(w))
+      .selectExpr("token", "n", "CAST(w34 AS BIGINT) AS w34",
+        "CAST(cum_w34 AS BIGINT) AS cum_w34",
+        "CAST(CAST(cum_w34 AS DECIMAL(38,0)) * 1000000 div _tw AS BIGINT) AS cum_ppm")
+  }
+
   /** BM25 retrieval: rank documents against a (small, constant) query
     * string — Lucene-style idf = ln(1 + (N−df+0.5)/(df+0.5)), k1/b term
     * saturation and length normalization. Shape at 100 TB: tokens are

@@ -1823,6 +1823,13 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // word2vec negative-sampling table: weight = exact ⌊c^(3/4)⌋ via
+    // nested guess+correct isqrt — no libm pow anywhere; CDF in ppm of
+    // the full-vocab mass.
+    "p244_negative_sampling" -> ((s, dir) =>
+      graft.ops.CorpusOps.negativeSamplingTable(
+        Tables(s, dir, "documents"), k = 50)),
+
     // Apriori triple itemsets at support 2: lossless pair-level prune
     // (260k pairs → 3.4k) before any triple materializes; the oracle is
     // the NAIVE unpruned count — identical output pins losslessness.
@@ -1902,17 +1909,16 @@ object PipelineQueries {
       graft.ops.Clustering.clusterQuality(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", k = 4, iters = 2)),
 
-    // Structural link prediction on the co-purchase graph: distance-2
-    // pairs scored by common-neighbor / Jaccard / resource-allocation,
-    // all integral; candidates only ever come from shared neighbors.
-    "p233_link_prediction" -> ((s, dir) => {
-      val pairs = Tables(s, dir, "lineitem").as("x")
-        .join(Tables(s, dir, "lineitem").as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-      graft.ops.Graph.linkPrediction(pairs, topK = 50)
-    }),
+    // Structural link prediction on the df-capped collocation graph:
+    // distance-2 pairs scored by common-neighbor / Jaccard / resource-
+    // allocation, all integral; candidates only via shared neighbors.
+    // (The dense co-purchase graph is deliberately NOT the gate input:
+    // avg degree ~115 makes wedges quadratic-dominant — the documented
+    // hub valve; the collocation builder applies it by construction.)
+    "p233_link_prediction" -> ((s, dir) =>
+      graft.ops.Graph.linkPrediction(
+        graft.ops.CorpusOps.collocationEdges(Tables(s, dir, "documents")),
+        topK = 50)),
 
     // Robust per-user value trend: Theil–Sen lower-median pair slope —
     // group-keyed self-join, integral re-signed slopes, rank-picked cut.
@@ -4277,6 +4283,27 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // the p27 tokenizer, then w34 = isqrt(isqrt(c³)) with the p210
+    // guess+correct at both roots; CDF window over the top-50 only,
+    // denominator = full-vocab Σw in HUGEINT
+    "p244_negative_sampling" -> (
+      "WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "v AS (SELECT token, COUNT(*) AS n FROM t WHERE token <> '' GROUP BY token), " +
+        "c3 AS (SELECT token, n, CAST(n AS HUGEINT) * n * n AS c3 FROM v), " +
+        "g1 AS (SELECT *, CAST(floor(sqrt(CAST(c3 AS DOUBLE))) AS BIGINT) AS g FROM c3), " +
+        "r1 AS (SELECT token, n, CASE WHEN CAST(g + 1 AS HUGEINT) * (g + 1) <= c3 THEN g + 1 " +
+        "WHEN CAST(g AS HUGEINT) * g > c3 THEN g - 1 ELSE g END AS r FROM g1), " +
+        "g2 AS (SELECT *, CAST(floor(sqrt(CAST(r AS DOUBLE))) AS BIGINT) AS g FROM r1), " +
+        "w AS (SELECT token, n, CASE WHEN (g + 1) * (g + 1) <= r THEN g + 1 " +
+        "WHEN g * g > r THEN g - 1 ELSE g END AS w34 FROM g2), " +
+        "tw AS (SELECT SUM(CAST(w34 AS HUGEINT)) AS tw FROM w), " +
+        "top AS (SELECT token, n, w34 FROM w ORDER BY n DESC, token ASC LIMIT 50), " +
+        "cum AS (SELECT token, n, w34, SUM(w34) OVER " +
+        "(ORDER BY n DESC, token ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM top) " +
+        "SELECT token, n, CAST(w34 AS BIGINT) AS w34, CAST(cw AS BIGINT) AS cum_w34, " +
+        "CAST(CAST(cw AS HUGEINT) * 1000000 // tw.tw AS BIGINT) AS cum_ppm " +
+        "FROM cum, tw ORDER BY n DESC, token ASC"),
     // deliberately NAIVE (no prune): hash-identical output proves the
     // Spark side's Apriori semi-joins are lossless
     "p243_triple_itemsets" -> (
@@ -4457,12 +4484,20 @@ object PipelineQueries {
         "WHERE m > 0 GROUP BY ci) " +
         "SELECT st.cluster, st.n, st.mean_sil_ppm, st.s_micro, r.max_r_ppm " +
         "FROM st LEFT JOIN r ON r.cluster = st.cluster ORDER BY st.cluster"),
-    // wedge join on the shared neighbor only; RA reciprocals integral
-    // (1e6 // deg); anti-join removes linked pairs; full-key ORDER+LIMIT
+    // collocation edges (±2 band, ≥5, df ≤ 10k) then the wedge join on
+    // the shared neighbor only; RA reciprocals integral (1e6 // deg);
+    // anti-join removes linked pairs; full-key ORDER+LIMIT
     "p233_link_prediction" -> (
-      "WITH e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b " +
-        "FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey " +
-        "AND x.l_partkey < y.l_partkey), " +
+      "WITH raw AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) AS INT) AS p, unnest(toks) AS t " +
+        "FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks " +
+        "FROM documents WHERE length(trim(text)) > 0)), " +
+        "keep AS (SELECT t FROM raw GROUP BY t HAVING COUNT(*) <= 10000), " +
+        "tk AS (SELECT raw.doc_id, raw.p, raw.t FROM raw JOIN keep USING (t)), " +
+        "pe AS (SELECT LEAST(x.t, y.t) AS src, GREATEST(x.t, y.t) AS dst " +
+        "FROM tk x JOIN tk y ON x.doc_id = y.doc_id AND y.p > x.p AND y.p <= x.p + 2), " +
+        "e0 AS (SELECT src AS a, dst AS b FROM " +
+        "(SELECT src, dst, COUNT(*) AS n FROM pe GROUP BY 1, 2) " +
+        "WHERE n >= 5 AND src <> dst), " +
         "adj AS (SELECT a AS z, b AS n FROM e0 UNION ALL SELECT b, a FROM e0), " +
         "deg AS (SELECT z AS node, COUNT(*) AS deg FROM adj GROUP BY 1), " +
         "az AS (SELECT adj.z, adj.n, deg.deg FROM adj JOIN deg ON deg.node = adj.z), " +

@@ -231,29 +231,11 @@ object ScaledOps {
       annIvfPqRecall(spark.read.parquet(embPath)))
   }
 
-  /** Token co-occurrence edges (the cooccurLift pair recipe without the
-    * top-k cut): undirected (min,max)-keyed word pairs within ±2
-    * positions occurring ≥ 5 times corpus-wide. Tokens above a 10k
-    * occurrence ceiling are dropped BEFORE pairing — the stop-gram
-    * relief valve (standard collocation practice; a stopword hub adds
-    * O(df²) wedges and no signal, and this keeps the triangle tier's
-    * m^1.5 bound honest instead of hub-degenerate). */
-  private def tokenEdges(docs: DataFrame): DataFrame = {
-    val raw = docs.select(col("doc_id").as("_doc"),
-      posexplode(TextAnalysis.tokens(lower(col("text")))).as(Seq("_p", "_t")))
-    val keep = raw.groupBy("_t").agg(count(lit(1)).as("_c"))
-      .where(col("_c") <= 10000L).select("_t")
-    val toks = raw.join(keep, Seq("_t"), "left_semi")
-    toks.as("x")
-      .join(toks.as("y"),
-        col("x._doc") === col("y._doc") &&
-          col("y._p") > col("x._p") && col("y._p") <= col("x._p") + 2)
-      .select(least(col("x._t"), col("y._t")).as("src"),
-        greatest(col("x._t"), col("y._t")).as("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("_n"))
-      .where(col("_n") >= 5L)
-      .select("src", "dst")
-  }
+  /** Token co-occurrence edges — now the public
+    * [[graft.ops.CorpusOps.collocationEdges]] (±2 window, ≥ 5
+    * occurrences, 10k df ceiling). */
+  private def tokenEdges(docs: DataFrame): DataFrame =
+    CorpusOps.collocationEdges(docs, window = 2, minCount = 5L, dfCeiling = 10000L)
 
   private def ivfPqPipeline(emb: DataFrame, k: Int): DataFrame = {
     val q = emb.where(col("vec_id") < 50)

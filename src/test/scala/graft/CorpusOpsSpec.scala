@@ -878,4 +878,18 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, 0L, 0L, 6L, 4L),
       (4L, 3L, 0L, 9L, 4L)))
   }
+
+  test("negativeSamplingTable: exact floor c^(3/4) weights and full-vocab CDF") {
+    import spark.implicits._
+    // counts: a×16, b×2, c×1 → w34 = ⌊⁴√c³⌋: 16→8 (exact), 2→⌊⁴√8⌋=1, 1→1
+    val docs = Seq(
+      (1L, ("a " * 16) + "b b c")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.negativeSamplingTable(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // total mass = 8 + 1 + 1 = 10; top-2 CDF stops at 9/10
+    assert(out.toSeq == Seq(
+      ("a", 16L, 8L, 8L, 800000L),
+      ("b", 2L, 1L, 9L, 900000L)))
+  }
 }
