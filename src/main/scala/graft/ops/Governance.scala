@@ -761,4 +761,55 @@ object Governance {
         (col("_hwm") - col("last_sec")).as("age_sec"),
         expr(s"CAST((_hwm - last_sec) div $bucketSeconds AS BIGINT)").as("stale_bucket"))
   }
+
+  /** T-CLOSENESS release audit (Li, Li & Venkatasubramanian 2007) — the
+    * third rung of the anonymization ladder after [[kAnonymityAudit]]
+    * and [[lDiversity]]: per quasi-identifier class, the variational
+    * distance between the class's sensitive-value distribution and the
+    * GLOBAL one (categorical EMD with uniform ground distance = ½Σ|p−q|),
+    * in EXACT integer arithmetic: t_num = Σ_i |c_i·N − g_i·n_b| over the
+    * full sensitive domain (absent values contribute g_i·n_b), and
+    * t_ppm = t_num·10⁶ div (2·N·n_b) — one integral division, no
+    * per-term rate rounding to accumulate. A class that mirrors the
+    * population scores 0; a class revealing a sensitive skew scores
+    * toward 10⁶. The sensitive column must be bounded-cardinality
+    * (bucket a continuous one upstream).
+    *
+    * Shape: ONE partial agg collapses the corpus to (QI, sensitive)
+    * cells; the full-domain grid is classes × sensitive values (both
+    * bounded) with a left join for the zero cells; the global
+    * distribution rides a broadcast. Returns (qiCols..., n_rows,
+    * t_ppm, meets_t), one row per class. */
+  def tCloseness(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      tPpm: Long): DataFrame = {
+    require(qiCols.nonEmpty, "tCloseness: need at least one quasi-identifier")
+    require(tPpm >= 0, s"tCloseness: need tPpm >= 0, got $tPpm")
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(38, 0)
+    val qi = qiCols.map(col)
+    val cells = df.groupBy(qi :+ col(sensitiveCol).as("_s"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val classes = cells.groupBy(qi: _*).agg(sum(col("_c")).as("n_rows"))
+    val global = cells.groupBy(col("_s")).agg(sum(col("_c")).as("_g"))
+    val total = global.agg(sum(col("_g")).as("_N"))
+    val grid = classes
+      .crossJoin(broadcast(global))
+      .join(cells, qiCols :+ "_s", "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+      .crossJoin(broadcast(total))
+    val perClass = grid
+      .withColumn("_term",
+        abs(col("_c").cast(d) * col("_N").cast(d) -
+          col("_g").cast(d) * col("n_rows").cast(d)))
+      .groupBy(qi :+ col("n_rows") :+ col("_N"): _*)
+      .agg(sum(col("_term")).as("_tnum"))
+    perClass
+      .withColumn("t_ppm",
+        expr("CAST(_tnum * 1000000 div (2 * CAST(_N AS DECIMAL(38,0)) * n_rows) AS BIGINT)"))
+      .withColumn("meets_t", col("t_ppm") <= tPpm)
+      .select(qi ++ Seq(col("n_rows"), col("t_ppm"), col("meets_t")): _*)
+  }
 }

@@ -1823,6 +1823,16 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // t-closeness completes the k-anon / l-div ladder: per-QI-class
+    // variational distance to the global sensitive distribution, one
+    // exact integral division per class (no per-rate rounding).
+    "p245_t_closeness" -> ((s, dir) =>
+      graft.ops.Governance.tCloseness(
+        Tables(s, dir, "customer").withColumn("bal_bucket",
+          floor(col("c_acctbal").cast("double") / lit(1000.0d)).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_bucket", tPpm = 250000L)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
     // word2vec negative-sampling table: weight = exact ⌊c^(3/4)⌋ via
     // nested guess+correct isqrt — no libm pow anywhere; CDF in ppm of
     // the full-vocab mass.
@@ -4283,6 +4293,26 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // classes × sensitive-domain grid with zero cells; t_num in HUGEINT,
+    // ONE // at the end — mirrors the Spark integral convention
+    "p245_t_closeness" -> (
+      "WITH b AS (SELECT c_nationkey, c_mktsegment, " +
+        "CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS s FROM customer), " +
+        "cells AS (SELECT c_nationkey, c_mktsegment, s, COUNT(*) AS c FROM b GROUP BY 1, 2, 3), " +
+        "cls AS (SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS n_rows FROM cells GROUP BY 1, 2), " +
+        "g AS (SELECT s, CAST(SUM(c) AS BIGINT) AS g FROM cells GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(g) AS BIGINT) AS n FROM g), " +
+        "grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.n_rows, g.s, g.g, " +
+        "COALESCE(cells.c, 0) AS c FROM cls CROSS JOIN g " +
+        "LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey " +
+        "AND cells.c_mktsegment = cls.c_mktsegment AND cells.s = g.s), " +
+        "pc AS (SELECT c_nationkey, c_mktsegment, n_rows, " +
+        "SUM(abs(CAST(c AS HUGEINT) * (SELECT n FROM t) - CAST(g AS HUGEINT) * n_rows)) AS tnum " +
+        "FROM grid GROUP BY 1, 2, 3) " +
+        "SELECT c_nationkey, c_mktsegment, n_rows, " +
+        "CAST(tnum * 1000000 // (2 * CAST((SELECT n FROM t) AS HUGEINT) * n_rows) AS BIGINT) AS t_ppm, " +
+        "tnum * 1000000 // (2 * CAST((SELECT n FROM t) AS HUGEINT) * n_rows) <= 250000 AS meets_t " +
+        "FROM pc ORDER BY c_nationkey, c_mktsegment"),
     // the p27 tokenizer, then w34 = isqrt(isqrt(c³)) with the p210
     // guess+correct at both roots; CDF window over the top-50 only,
     // denominator = full-vocab Σw in HUGEINT

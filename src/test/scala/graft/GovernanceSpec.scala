@@ -309,4 +309,27 @@ class GovernanceSpec extends AnyFunSuite {
     assert(d.forall(_.getDouble(3) == ln2))
     assert(math.abs(d.head.getDouble(4) - math.log(2.0)) < 2e-6)
   }
+
+  test("tCloseness: mirroring class scores 0, skewed classes exact 250000 ppm, zero cells counted") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "x"), ("B", "y"), ("B", "y"), ("B", "y"),
+      ("C", "x"), ("C", "x"), ("C", "y"), ("C", "y")
+    ).toDF("qi", "s")
+    val out = graft.ops.Governance.tCloseness(df, Seq("qi"), "s", tPpm = 200000L)
+      .orderBy("qi").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // global 6x/6y, N=12; A: |36−24|+|12−24| = 24 → 24e6/96 = 250000
+    assert(out.toSeq == Seq(
+      ("A", 4L, 250000L, false), ("B", 4L, 250000L, false),
+      ("C", 4L, 0L, true)))
+    // a class missing a sensitive value entirely pays the zero-cell term
+    val skew = Seq(("D", "x"), ("D", "x"), ("E", "y"), ("E", "y")).toDF("qi", "s")
+    val o2 = graft.ops.Governance.tCloseness(skew, Seq("qi"), "s", tPpm = 999999L)
+      .orderBy("qi").collect().map(r => (r.getString(0), r.getLong(2)))
+    // D holds only x vs global 50/50 → t = ½(|1−½|+|0−½|) = ½ → 500000
+    assert(o2.toSeq == Seq(("D", 500000L), ("E", 500000L)))
+  }
 }
