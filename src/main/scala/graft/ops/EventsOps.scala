@@ -3141,6 +3141,120 @@ object EventsOps {
       .orderBy("day")
   }
 
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. / the standard
+    * "Markov chain attribution" of marketing analytics) — how much
+    * conversion probability disappears if a channel is deleted from the
+    * journey graph? Unlike last-touch (p66) or position credits (p183),
+    * this prices a channel by its STRUCTURAL role: an assist channel
+    * that never finishes journeys still shows a large removal effect.
+    *
+    * Model: per user, the journey is the event sequence up to and
+    * including the FIRST conversion (the p41 first-conversion
+    * convention); states are START → touches → CONV/NULL absorbers.
+    * Conversion probability is `rounds` synchronous ppm power
+    * iterations (truncating integer division per move — deterministic
+    * on any engine; mass not yet absorbed after `rounds` is simply
+    * unreported, a declared lower-bound truncation, same convention as
+    * [[markovStationary]]). Channel removal deletes the channel's
+    * out-edges and redirects its in-edges to NULL (the standard
+    * removal-effect graph surgery). Effect = (P_base − P_removed)·10⁶
+    * div P_base.
+    *
+    * Shape: ONE user-keyed window pass builds the edge list; the edge
+    * table is (channels+1)·(channels+2)-bounded and the iteration runs
+    * driver-side on those few dozen integers (the bounded-collect
+    * precedent of the k-means centroid sums — kilobytes, exact BigInt
+    * arithmetic). Returns (channel, p_base_ppm, p_removed_ppm,
+    * removal_effect_ppm), channel-ordered. */
+  def markovAttribution(
+      ev: DataFrame,
+      channels: Seq[String],
+      convType: String = "purchase",
+      rounds: Int = 8,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    require(channels.nonEmpty, "markovAttribution: need at least one channel")
+    require(!channels.contains(convType),
+      s"markovAttribution: conversion type $convType cannot be a channel")
+    require(rounds >= 1, s"markovAttribution: need rounds >= 1, got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val START = "_START_"
+    val NUL = "_NULL_"
+    val base = ev.select(col(userCol).as("_u"), col(typeCol).as("_t"),
+      epochSec(tsCol).as("_s"), col(tieCol).as("_i"))
+    val firstConv = base.where(col("_t") === convType)
+      .groupBy(col("_u")).agg(min(struct(col("_s"), col("_i"))).as("_fc"))
+    val kept = base.join(firstConv, Seq("_u"), "left")
+      .where(col("_fc").isNull || struct(col("_s"), col("_i")) <= col("_fc"))
+    val w = Window.partitionBy(col("_u")).orderBy(col("_s"), col("_i"))
+    val seq = kept
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_next", lead(col("_t"), 1).over(w))
+    val edges = seq.where(col("_rn") === 1)
+      .select(lit(START).as("_f"), col("_t").as("_to"))
+      .unionByName(seq.where(col("_next").isNotNull)
+        .select(col("_t").as("_f"), col("_next").as("_to")))
+      .unionByName(seq.where(col("_next").isNull && col("_t") =!= convType)
+        .select(col("_t").as("_f"), lit(NUL).as("_to")))
+      .groupBy(col("_f"), col("_to")).agg(count(lit(1)).as("_c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def pConv(es: Map[(String, String), Long]): Long = {
+      val out = es.toSeq.groupBy(_._1._1).map { case (f, xs) => f -> xs.map(_._2).sum }
+      var pi = Map[String, BigInt](START -> BigInt(1000000L)).withDefaultValue(BigInt(0))
+      var conv = BigInt(0)
+      for (_ <- 1 to rounds) {
+        val next = scala.collection.mutable.Map[String, BigInt]().withDefaultValue(BigInt(0))
+        for (((f, t), c) <- es) {
+          val m = pi(f)
+          if (m > 0) {
+            val moved = m * c / out(f) // integer truncation, order-free sums
+            if (t == convType) conv += moved
+            else if (t == NUL) () // absorbed, unreported
+            else next(t) += moved
+          }
+        }
+        pi = next.toMap.withDefaultValue(BigInt(0))
+      }
+      conv.toLong
+    }
+    val pBase = pConv(edges)
+    val rows = channels.sorted.map { ch =>
+      val removed = edges
+        .filter { case ((f, _), _) => f != ch }
+        .groupBy { case ((f, t), _) => (f, if (t == ch) NUL else t) }
+        .map { case (k, xs) => k -> xs.values.sum }
+      val pR = pConv(removed)
+      // re-signed magnitude division: a truncation-rounding artifact can
+      // push pR a hair past pBase, and Scala / truncates where DuckDB
+      // // floors — they agree only on non-negative operands
+      val eff = if (pBase == 0) null
+        else {
+          val diff = pBase - pR
+          val sgn = if (diff >= 0) 1L else -1L
+          java.lang.Long.valueOf(sgn * (math.abs(diff) * 1000000L / pBase))
+        }
+      (ch, pBase, pR, eff)
+    }
+    ev.sparkSession.createDataFrame(
+      ev.sparkSession.sparkContext.parallelize(rows.map {
+        case (c, b, r, e) => org.apache.spark.sql.Row(c, b, r,
+          if (e == null) null else e.longValue())
+      }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("channel",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("p_base_ppm",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("p_removed_ppm",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("removal_effect_ppm",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+      .orderBy("channel")
+  }
+
   /** CALIBRATION BACKTEST — does a rate model fitted on the train
     * window still hold out of sample? The train period's per-bucket
     * conversion rate is the "model"; each bucket's eval-period actual

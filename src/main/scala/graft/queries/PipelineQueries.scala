@@ -1823,6 +1823,13 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Markov removal-effect attribution: channel value = conversion
+    // probability lost when the channel is surgically removed from the
+    // journey graph; 8 ppm power rounds on the bounded edge table.
+    "p246_markov_attribution" -> ((s, dir) =>
+      graft.ops.EventsOps.markovAttribution(Tables(s, dir, "events"),
+        channels = Seq("click", "error", "signup", "view"))),
+
     // t-closeness completes the k-anon / l-div ladder: per-QI-class
     // variational distance to the global sensitive distribution, one
     // exact integral division per class (no per-rate rounding).
@@ -2578,6 +2585,62 @@ object PipelineQueries {
     * float constant is CAST from the same decimal literal the Scala side
     * uses; k1+1 is the same IEEE addition, not the literal 2.2 (whose
     * nearest double differs from 1.2+1.0 by one ulp). */
+  /** p246's oracle, GENERATED: journey edges (first-conversion cut), then
+    * per variant (base + one per removed channel) 8 unrolled ppm power
+    * rounds where absorbing states (no out-edges) keep + accumulate mass
+    * — the exact Scala driver arithmetic replayed as CTEs. */
+  private val markovAttributionSql: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val rounds = 8
+    val prefix =
+      "WITH b AS (SELECT user_id AS u, event_type AS t, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s, event_id AS i FROM events), " +
+        "fc AS (SELECT u, s, i FROM (SELECT u, s, i, " +
+        "ROW_NUMBER() OVER (PARTITION BY u ORDER BY s, i) AS rn FROM b WHERE t = 'purchase') WHERE rn = 1), " +
+        "kept AS (SELECT b.u, b.t, b.s, b.i FROM b LEFT JOIN fc ON fc.u = b.u " +
+        "WHERE fc.u IS NULL OR b.s < fc.s OR (b.s = fc.s AND b.i <= fc.i)), " +
+        "sq AS (SELECT u, t, ROW_NUMBER() OVER win AS rn, LEAD(t) OVER win AS nx " +
+        "FROM kept WINDOW win AS (PARTITION BY u ORDER BY s, i)), " +
+        "e AS MATERIALIZED (SELECT '_START_' AS f, t AS tt, COUNT(*) AS c FROM sq WHERE rn = 1 GROUP BY 2 " +
+        "UNION ALL SELECT t, nx, COUNT(*) FROM sq WHERE nx IS NOT NULL GROUP BY 1, 2 " +
+        "UNION ALL SELECT t, '_NULL_', COUNT(*) FROM sq WHERE nx IS NULL AND t <> 'purchase' GROUP BY 1, 2)"
+    def variant(v: String, removed: Option[String]): String = {
+      // MATERIALIZED is load-bearing: each round references the previous
+      // π twice and the final SELECT references π_8 a dozen times — an
+      // inlined (default) CTE re-expands the whole chain per reference,
+      // exponentially re-opening the source parquet
+      val ev = removed match {
+        case None => s", e_$v AS MATERIALIZED (SELECT f, tt, c FROM e)"
+        case Some(ch) => s", e_$v AS MATERIALIZED (SELECT f, " +
+          s"CASE WHEN tt = '$ch' THEN '_NULL_' ELSE tt END AS tt, SUM(c) AS c " +
+          s"FROM e WHERE f <> '$ch' GROUP BY 1, 2)"
+      }
+      val out = s", o_$v AS MATERIALIZED (SELECT f, SUM(c) AS r FROM e_$v GROUP BY 1)"
+      val pi0 = s", pi_${v}_0 AS MATERIALIZED (SELECT '_START_' AS st, CAST(1000000 AS BIGINT) AS pi)"
+      val steps = (1 to rounds).map { k =>
+        s", pi_${v}_$k AS MATERIALIZED (SELECT st, CAST(SUM(pi) AS BIGINT) AS pi FROM (" +
+          s"SELECT e.tt AS st, CAST(p.pi * e.c // o.r AS BIGINT) AS pi " +
+          s"FROM pi_${v}_${k - 1} p JOIN e_$v e ON e.f = p.st JOIN o_$v o ON o.f = p.st " +
+          s"UNION ALL SELECT st, pi FROM pi_${v}_${k - 1} " +
+          s"WHERE st NOT IN (SELECT f FROM o_$v)) GROUP BY st)"
+      }.mkString
+      ev + out + pi0 + steps
+    }
+    val variants = variant("base", None) +
+      channels.map(ch => variant(ch, Some(ch))).mkString
+    def conv(v: String): String =
+      s"COALESCE((SELECT pi FROM pi_${v}_$rounds WHERE st = 'purchase'), 0)"
+    val rows = channels.map { ch =>
+      s"SELECT '$ch' AS channel, ${conv("base")} AS p_base_ppm, " +
+        s"${conv(ch)} AS p_removed_ppm, " +
+        s"CASE WHEN ${conv("base")} = 0 THEN NULL ELSE " +
+        s"(CASE WHEN ${conv("base")} - ${conv(ch)} >= 0 THEN 1 ELSE -1 END) * " +
+        s"CAST(abs(${conv("base")} - ${conv(ch)}) * 1000000 // ${conv("base")} AS BIGINT) " +
+        s"END AS removal_effect_ppm"
+    }.mkString(" UNION ALL ")
+    s"$prefix$variants SELECT * FROM ($rows) ORDER BY channel"
+  }
+
   /** p64/p102's shared oracle prefix: the full 2-iteration Lloyd replay
     * over `embeddings` (k = 4, k-smallest-id seeds), ending at the CTE
     * `a2` = every (vec_id, cid) squared distance after the second
@@ -4293,6 +4356,9 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // generated CTE ladder: journey edges, then per variant 8 unrolled
+    // ppm rounds; absorbing states keep + accumulate
+    "p246_markov_attribution" -> markovAttributionSql,
     // classes × sensitive-domain grid with zero cells; t_num in HUGEINT,
     // ONE // at the end — mirrors the Spark integral convention
     "p245_t_closeness" -> (

@@ -1140,6 +1140,25 @@ class EventsOpsSpec extends AnyFunSuite {
       (4L, false, true), (5L, false, false), (6L, false, false)))
   }
 
+  test("markovAttribution: hand-traced removal effects on a 3-user journey graph") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, 1L, "view", at(10)), (2L, 1L, "purchase", at(20)),
+      (3L, 2L, "view", at(10)), (4L, 2L, "click", at(20)), (5L, 2L, "purchase", at(30)),
+      (6L, 3L, "click", at(10)),
+      // post-conversion activity is cut from the journey
+      (7L, 1L, "view", at(99))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.markovAttribution(ev, channels = Seq("view", "click"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // base: conv = 333333 + 166666 + 166666 = 666665 ppm (truncating
+    // rounds); removing view leaves only the START→click path (166666);
+    // removing click keeps the direct view→purchase path (333333)
+    assert(out.toSeq == Seq(
+      ("click", 666665L, 333333L, 499999L),
+      ("view", 666665L, 166666L, 750000L)))
+  }
+
   test("calibrationBacktest: out-of-time gap per bucket, thin train buckets and eval-only buckets drop") {
     def at(day: Long, i: Long) = new java.sql.Timestamp((day * 86400L + i) * 1000L)
     val ev = Seq(
