@@ -353,6 +353,57 @@ object Dedup {
       .select(col("id"), col("component"), col("cluster_size"))
   }
 
+  /** JACCARD THRESHOLD SWEEP — the dedup-tuning diagnostic: how many
+    * near-dup pairs (and how many documents they touch) exist at each
+    * candidate threshold? Run BEFORE committing to a θ: a cliff between
+    * 70 and 80 means θ=0.8 is load-bearing; a flat curve means the
+    * corpus doesn't care.
+    *
+    * EXACT by construction: pairs come from the shared-shingle
+    * equi-join (any pair with J > 0 shares a gram — no LSH banding, so
+    * no recall falloff below the banding's design point, which is
+    * precisely what a sweep below θ_design needs). That makes this a
+    * DIAGNOSTIC-TIER op: Σ df(g)² work, meant for a corpus sample or a
+    * df-capped gram set at 100 TB (the PPJoin prefix filter at
+    * min(thresholds) is the exact-at-scale alternative when the sweep
+    * must run on everything). The pair table persists once and feeds
+    * every tier's two aggregates; thresholds compare as
+    * `i·100 ≥ t·u` — pure integers.
+    *
+    * Returns (threshold_pct, n_pairs, n_docs), threshold-ordered. */
+  def jaccardThresholdSweep(
+      docs: DataFrame,
+      thresholdsPct: Seq[Int] = Seq(50, 60, 70, 80, 90),
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleWords: Int = 3): DataFrame = {
+    require(thresholdsPct.nonEmpty, "jaccardThresholdSweep: need thresholds")
+    require(thresholdsPct.forall(t => t > 0 && t <= 100),
+      s"jaccardThresholdSweep: thresholds are percents in (0, 100], got $thresholdsPct")
+    val sh = withWordShingles(docs, idCol, textCol, shingleWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = sh.select(col(idCol).as("_id"), explode(col("_sh")).as("_g"))
+    val inter = e.as("x")
+      .join(e.as("y"), col("x._g") === col("y._g") && col("x._id") < col("y._id"))
+      .groupBy(col("x._id").as("_a"), col("y._id").as("_b"))
+      .agg(count(lit(1)).as("_i"))
+    val sizes = sh.select(col(idCol), size(col("_sh")).cast("long").as("_n"))
+    val pairs = inter
+      .join(sizes.select(col(idCol).as("_a"), col("_n").as("_na")), Seq("_a"))
+      .join(sizes.select(col(idCol).as("_b"), col("_n").as("_nb")), Seq("_b"))
+      .select(col("_a"), col("_b"), col("_i"),
+        (col("_na") + col("_nb") - col("_i")).as("_u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    thresholdsPct.sorted.map { t =>
+      val sel = pairs.where(col("_i") * 100 >= lit(t.toLong) * col("_u"))
+      sel.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(
+          sel.select(explode(array(col("_a"), col("_b"))).as("_d"))
+            .agg(countDistinct(col("_d")).as("n_docs")))
+        .select(lit(t).as("threshold_pct"), col("n_pairs"), col("n_docs"))
+    }.reduce(_ unionByName _).orderBy("threshold_pct")
+  }
+
   /** GROUP-AWARE K-FOLD assignment — the leakage-safe cross-validation
     * split for near-duplicated corpora: every member of a near-dup
     * cluster lands in the SAME fold (train/eval never see two copies of

@@ -762,6 +762,45 @@ object Governance {
         expr(s"CAST((_hwm - last_sec) div $bucketSeconds AS BIGINT)").as("stale_bucket"))
   }
 
+  /** McNEMAR PAIRED TEST — do two classifiers/labelers differ on the
+    * SAME items? The discordant-pair test ([[cohenKappa]] measures
+    * agreement; this decides whether the disagreement is one-sided):
+    * b = items only A gets right, c = items only B gets right,
+    * χ² = (b−c)²/(b+c). Statistic reported as integral ppm
+    * ((b−c)²·10⁶ div (b+c), NULL when b+c = 0 — no discordant
+    * evidence), and the α=0.05 verdict decided WITHOUT any CDF:
+    * χ² > 3.841459 ⇔ (b−c)²·10⁶ > 3841459·(b+c) — an exact integer
+    * cross-multiplication against the χ²₁ critical value, so no libm
+    * ever runs.
+    *
+    * ONE map-combined aggregate; DECIMAL(38,0) squares. Returns one
+    * row (n, both_right, both_wrong, a_only, b_only, chi2_ppm,
+    * significant_05). */
+  def mcnemar(
+      df: DataFrame,
+      truthCol: String,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val aR = col(aCol) === col(truthCol)
+    val bR = col(bCol) === col(truthCol)
+    df.where(col(truthCol).isNotNull && col(aCol).isNotNull && col(bCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(aR && bR, 1L).otherwise(0L)).as("both_right"),
+        sum(when(!aR && !bR, 1L).otherwise(0L)).as("both_wrong"),
+        sum(when(aR && !bR, 1L).otherwise(0L)).as("a_only"),
+        sum(when(!aR && bR, 1L).otherwise(0L)).as("b_only"))
+      .withColumn("chi2_ppm",
+        when(col("a_only") + col("b_only") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(CAST(a_only - b_only AS DECIMAL(38,0)) * (a_only - b_only) " +
+              "* 1000000 div (a_only + b_only) AS BIGINT)")))
+      .withColumn("significant_05",
+        when(col("a_only") + col("b_only") === 0, lit(null).cast("boolean"))
+          .otherwise(expr(
+            "CAST(a_only - b_only AS DECIMAL(38,0)) * (a_only - b_only) " +
+              "* 1000000 > CAST(3841459 AS DECIMAL(38,0)) * (a_only + b_only)")))
+  }
+
   /** T-CLOSENESS release audit (Li, Li & Venkatasubramanian 2007) — the
     * third rung of the anonymization ladder after [[kAnonymityAudit]]
     * and [[lDiversity]]: per quasi-identifier class, the variational

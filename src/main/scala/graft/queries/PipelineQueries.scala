@@ -1823,6 +1823,25 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Dedup threshold-sensitivity sweep: exact pair/doc counts at every
+    // candidate θ from the shared-gram join (no LSH recall falloff
+    // below the banding design point — the tuning diagnostic).
+    "p247_threshold_sweep" -> ((s, dir) =>
+      graft.ops.Dedup.jaccardThresholdSweep(Tables(s, dir, "documents"))),
+
+    // McNemar discordant-pair test between two synthetic labelers over
+    // the embeddings truth labels; α=0.05 decided by exact integer
+    // cross-multiplication against the χ²₁ critical value.
+    "p248_mcnemar" -> ((s, dir) =>
+      graft.ops.Governance.mcnemar(
+        Tables(s, dir, "embeddings").select(
+          col("label").as("t"),
+          when(col("vec_id") % 17 === 0, col("label") + 1000)
+            .otherwise(col("label")).as("a"),
+          when(col("vec_id") % 13 === 0, col("label") + 1000)
+            .otherwise(col("label")).as("b")),
+        "t", "a", "b")),
+
     // Markov removal-effect attribution: channel value = conversion
     // probability lost when the channel is surgically removed from the
     // journey graph; 8 ppm power rounds on the bounded edge table.
@@ -4356,6 +4375,46 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // the p29 exact gram-join pair table MATERIALIZED (15 references),
+    // per-tier COUNTs by pure integer compare i·100 >= t·u
+    "p247_threshold_sweep" -> (
+      "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
+        "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
+        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a " +
+        "JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
+        "p2 AS MATERIALIZED (SELECT i.a, i.b, i.i_size AS i, " +
+        "sa.n + sb.n - i.i_size AS u FROM i JOIN s sa ON sa.doc_id = i.a " +
+        "JOIN s sb ON sb.doc_id = i.b) " +
+        Seq(50, 60, 70, 80, 90).map { t =>
+          s"SELECT $t AS threshold_pct, " +
+            s"(SELECT COUNT(*) FROM p2 WHERE i * 100 >= $t * u) AS n_pairs, " +
+            s"(SELECT COUNT(DISTINCT d) FROM (SELECT a AS d FROM p2 WHERE i * 100 >= $t * u " +
+            s"UNION ALL SELECT b FROM p2 WHERE i * 100 >= $t * u)) AS n_docs"
+        }.mkString(" UNION ALL ") +
+        " ORDER BY threshold_pct"),
+    // one aggregate; χ² ppm by DECIMAL division; the 0.05 verdict via
+    // (b−c)²·1e6 > 3841459·(b+c) — no CDF, no libm
+    "p248_mcnemar" -> (
+      "WITH b AS (SELECT label AS t, " +
+        "CASE WHEN vec_id % 17 = 0 THEN label + 1000 ELSE label END AS a, " +
+        "CASE WHEN vec_id % 13 = 0 THEN label + 1000 ELSE label END AS bb " +
+        "FROM embeddings WHERE label IS NOT NULL), " +
+        "m AS (SELECT COUNT(*) AS n, " +
+        "CAST(SUM(CASE WHEN a = t AND bb = t THEN 1 ELSE 0 END) AS BIGINT) AS both_right, " +
+        "CAST(SUM(CASE WHEN a <> t AND bb <> t THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong, " +
+        "CAST(SUM(CASE WHEN a = t AND bb <> t THEN 1 ELSE 0 END) AS BIGINT) AS a_only, " +
+        "CAST(SUM(CASE WHEN a <> t AND bb = t THEN 1 ELSE 0 END) AS BIGINT) AS b_only FROM b) " +
+        "SELECT n, both_right, both_wrong, a_only, b_only, " +
+        "CASE WHEN a_only + b_only = 0 THEN NULL ELSE " +
+        "CAST(CAST(a_only - b_only AS HUGEINT) * (a_only - b_only) * 1000000 " +
+        "// (a_only + b_only) AS BIGINT) END AS chi2_ppm, " +
+        "CASE WHEN a_only + b_only = 0 THEN NULL ELSE " +
+        "CAST(a_only - b_only AS HUGEINT) * (a_only - b_only) * 1000000 > " +
+        "CAST(3841459 AS HUGEINT) * (a_only + b_only) END AS significant_05 " +
+        "FROM m"),
     // generated CTE ladder: journey edges, then per variant 8 unrolled
     // ppm rounds; absorbing states keep + accumulate
     "p246_markov_attribution" -> markovAttributionSql,

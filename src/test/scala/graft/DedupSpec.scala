@@ -258,6 +258,18 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.exists(t => t._1 == 2L && t._2 == 1L))
   }
 
+  test("jaccardThresholdSweep: cliff between tiers, boundary pair counted at exactly 50") {
+    val docs = Seq(
+      (1L, "x y z w"), (2L, "x y z w"),      // identical → J = 1 at every tier
+      (3L, "x y z q"),                        // J = 1/3 vs 1,2 → below all tiers
+      (5L, "m n o p q"), (6L, "m n o p r")    // i=2, u=4 → exactly 50%
+    ).toDF("doc_id", "text")
+    val out = Dedup.jaccardThresholdSweep(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (50, 2L, 4L), (60, 1L, 2L), (70, 1L, 2L), (80, 1L, 2L), (90, 1L, 2L)))
+  }
+
   test("groupKFold: cluster members share a fold, singletons keyed by own id, content-stable") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // clusters {1,2,3} (chain) and {5,6}; 4 is a singleton

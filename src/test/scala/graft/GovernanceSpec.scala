@@ -310,6 +310,27 @@ class GovernanceSpec extends AnyFunSuite {
     assert(math.abs(d.head.getDouble(4) - math.log(2.0)) < 2e-6)
   }
 
+  test("mcnemar: discordant counts, exact chi2 ppm, no-evidence NULLs") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, 1L, 1L),   // both right
+      (1L, 1L, 0L),   // a only
+      (1L, 1L, 0L),   // a only
+      (1L, 0L, 1L),   // b only
+      (1L, 0L, 0L)    // both wrong
+    ).toDF("t", "a", "b")
+    val r = graft.ops.Governance.mcnemar(df, "t", "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((5L, 1L, 1L, 2L, 1L)))
+    // χ² = (2−1)²/3 → 333333 ppm; far below the 3.841 critical value
+    assert(r.getLong(5) == 333333L && !r.getBoolean(6))
+    // perfectly concordant raters: no discordant evidence → NULLs
+    val conc = Seq((1L, 1L, 1L), (2L, 0L, 0L)).toDF("t", "a", "b")
+    val c = graft.ops.Governance.mcnemar(conc, "t", "a", "b").collect()(0)
+    assert(c.isNullAt(5) && c.isNullAt(6))
+  }
+
   test("tCloseness: mirroring class scores 0, skewed classes exact 250000 ppm, zero cells counted") {
     val spark2 = TestSpark.spark
     import spark2.implicits._
