@@ -162,6 +162,60 @@ object Retail {
       .orderBy("custkey")
   }
 
+  /** RECOMMENDATION BACKTEST — the honest evaluation loop every rec
+    * table needs before anyone trusts it: train the [[itemRecs]]
+    * co-occurrence model on pre-`cutDate` baskets only, recommend the
+    * top-k unseen co-items of each customer's training profile, and
+    * score against what the customer actually bought AFTER the cut
+    * (out-of-time, the p241 calibration convention). A customer counts
+    * as scored when the model produced ≥ 1 novel recommendation and
+    * they had post-cut activity; a hit is ≥ 1 recommended item among
+    * their post-cut purchases.
+    *
+    * Shape: one basket join per period, the bounded rec table
+    * broadcast-joins back onto customer profiles, every metric is a
+    * semi-join + count — no per-customer arrays, no collect. All
+    * counts integers; rate = integral ppm. Returns ONE row
+    * (n_eval_customers, n_scored, n_hits, hit_rate_ppm). */
+  def recBacktest(
+      lines: DataFrame,
+      orders: DataFrame,
+      cutDate: String = "1997-01-01",
+      minPairCount: Long = 2L,
+      k: Int = 3): DataFrame = {
+    val joined = lines.select(col("l_orderkey"), col("l_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("_b"), col("l_partkey").as("_i"),
+        col("o_custkey").as("_cust"), col("o_orderdate").as("_d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cut = lit(cutDate).cast("date")
+    val train = joined.where(col("_d") < cut)
+    val evalP = joined.where(col("_d") >= cut)
+    val recs = itemRecs(
+        train.select(col("_b").as("l_orderkey"), col("_i").as("l_partkey")),
+        "l_orderkey", "l_partkey", minPairCount, k)
+      .select(col("item"), col("rec"))
+    val prof = train.select(col("_cust"), col("_i").as("item")).distinct()
+    val custRecs = prof.join(broadcast(recs), Seq("item"))
+      .select(col("_cust"), col("rec")).distinct()
+      .join(prof.select(col("_cust"), col("item").as("rec")),
+        Seq("_cust", "rec"), "left_anti")
+    val evalItems = evalP.select(col("_cust"), col("_i").as("rec")).distinct()
+    val evalCusts = evalItems.select("_cust").distinct()
+      .join(prof.select("_cust").distinct(), Seq("_cust"), "left_semi")
+    val scoredCusts = custRecs.select("_cust").distinct()
+      .join(evalCusts, Seq("_cust"), "left_semi")
+    val hitCusts = custRecs.join(evalItems, Seq("_cust", "rec"), "left_semi")
+      .select("_cust").distinct()
+    evalCusts.agg(count(lit(1)).as("n_eval_customers"))
+      .crossJoin(scoredCusts.agg(count(lit(1)).as("n_scored")))
+      .crossJoin(hitCusts.agg(count(lit(1)).as("n_hits")))
+      .withColumn("hit_rate_ppm",
+        when(col("n_scored") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(n_hits * 1000000 div n_scored AS BIGINT)")))
+  }
+
   /** FREQUENT TRIPLE ITEMSETS (Apriori level 3) — the next rung above
     * [[basketLift]]'s pairs: {a, b, c} bought together ≥ `minSupport`
     * times, the bundle/planogram signal pair rules can't see.

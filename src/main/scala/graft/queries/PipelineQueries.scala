@@ -1823,6 +1823,12 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Out-of-time rec eval: co-occurrence model trained pre-1997,
+    // hit-rate@3 scored on post-cut purchases of profiled customers.
+    "p249_rec_backtest" -> ((s, dir) =>
+      graft.ops.Retail.recBacktest(
+        Tables(s, dir, "lineitem"), Tables(s, dir, "orders"))),
+
     // Dedup threshold-sensitivity sweep: exact pair/doc counts at every
     // candidate θ from the shared-gram join (no LSH recall falloff
     // below the banding design point — the tuning diagnostic).
@@ -4375,6 +4381,42 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // the p139 rec ladder on pre-cut baskets only, then profile-joined
+    // novel recs vs post-cut purchases; MATERIALIZED hubs (multi-ref)
+    "p249_rec_backtest" -> (
+      "WITH jo AS MATERIALIZED (SELECT l.l_orderkey AS b, l.l_partkey AS i, " +
+        "o.o_custkey AS cust, o.o_orderdate AS d " +
+        "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey), " +
+        "ti AS (SELECT DISTINCT b, i FROM jo WHERE d < DATE '1997-01-01'), " +
+        "nb AS (SELECT COUNT(DISTINCT b) AS n FROM ti), " +
+        "cnt AS (SELECT i, COUNT(*) AS c FROM ti GROUP BY 1), " +
+        "p AS (SELECT x.i AS item_a, y.i AS item_b, COUNT(*) AS n_ab FROM ti x " +
+        "JOIN ti y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2 HAVING COUNT(*) >= 2), " +
+        "j AS (SELECT item_a, item_b, n_ab, ca.c AS n_a, cb.c AS n_b, " +
+        "CAST(n_ab * nb.n * 1000000 // (ca.c * cb.c) AS BIGINT) AS lift_ppm " +
+        "FROM p JOIN cnt ca ON ca.i = p.item_a JOIN cnt cb ON cb.i = p.item_b, nb), " +
+        "dd AS (SELECT item_a AS item, item_b AS rec, n_ab, lift_ppm FROM j " +
+        "UNION ALL SELECT item_b, item_a, n_ab, lift_ppm FROM j), " +
+        "r AS (SELECT item, rec FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY item " +
+        "ORDER BY lift_ppm DESC, n_ab DESC, rec ASC) AS rank FROM dd) WHERE rank <= 3), " +
+        "prof AS MATERIALIZED (SELECT DISTINCT cust, i AS item FROM jo " +
+        "WHERE d < DATE '1997-01-01'), " +
+        "cr AS (SELECT DISTINCT prof.cust, r.rec FROM prof JOIN r ON r.item = prof.item), " +
+        "cr2 AS MATERIALIZED (SELECT cr.cust, cr.rec FROM cr " +
+        "LEFT JOIN prof ON prof.cust = cr.cust AND prof.item = cr.rec WHERE prof.cust IS NULL), " +
+        "ei AS MATERIALIZED (SELECT DISTINCT cust, i AS rec FROM jo " +
+        "WHERE d >= DATE '1997-01-01'), " +
+        "ec AS MATERIALIZED (SELECT DISTINCT ei.cust FROM ei " +
+        "JOIN (SELECT DISTINCT cust FROM prof) pc ON pc.cust = ei.cust), " +
+        "sc AS MATERIALIZED (SELECT DISTINCT cr2.cust FROM cr2 JOIN ec ON ec.cust = cr2.cust), " +
+        "h AS MATERIALIZED (SELECT DISTINCT cr2.cust FROM cr2 " +
+        "JOIN ei ON ei.cust = cr2.cust AND ei.rec = cr2.rec) " +
+        "SELECT (SELECT COUNT(*) FROM ec) AS n_eval_customers, " +
+        "(SELECT COUNT(*) FROM sc) AS n_scored, " +
+        "(SELECT COUNT(*) FROM h) AS n_hits, " +
+        "CASE WHEN (SELECT COUNT(*) FROM sc) = 0 THEN NULL ELSE " +
+        "CAST((SELECT COUNT(*) FROM h) * 1000000 // (SELECT COUNT(*) FROM sc) AS BIGINT) " +
+        "END AS hit_rate_ppm"),
     // the p29 exact gram-join pair table MATERIALIZED (15 references),
     // per-tier COUNTs by pure integer compare i·100 >= t·u
     "p247_threshold_sweep" -> (

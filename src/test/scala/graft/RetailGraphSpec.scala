@@ -491,6 +491,27 @@ class RetailGraphSpec extends AnyFunSuite {
     assert(!out.exists(r => (r._1, r._2) == ((1L, 2L))))
   }
 
+  test("recBacktest: novel-only recs, out-of-time scoring, profile-less eval customers excluded") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val orders = Seq(
+      (1L, 1L, d("1996-01-01")), (2L, 2L, d("1996-01-01")),
+      (5L, 4L, d("1996-02-01")),
+      (3L, 1L, d("1997-06-01")), (6L, 4L, d("1997-06-01")),
+      (4L, 3L, d("1997-06-01"))
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lines = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), // train: pair (10,20) ×2
+      (5L, 10L),                                   // cust 4 profile = {10}
+      (3L, 99L), (6L, 20L), (4L, 50L)              // eval purchases
+    ).toDF("l_orderkey", "l_partkey")
+    val r = graft.ops.Retail.recBacktest(lines, orders).collect()(0)
+    // cust 1 already owns both items (no novel rec), cust 4 gets 20 and
+    // buys it; cust 3 has no profile and never enters the denominator
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 1L, 1000000L)))
+  }
+
   test("tripleItemsets: support counting, Apriori prune is invisible in the output") {
     import spark.implicits._
     val li = Seq(
