@@ -72,6 +72,56 @@ object CorpusOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** DISTINCTIVE TERMS per source — the contrastive "what is IN this
+    * source" table a corpus card prints next to volumes: for each
+    * source, the terms whose in-source rate most exceeds their rate in
+    * the REST of the corpus. Pure count ratios, no libm:
+    * `lift_ppm = c_s·(N−n_s)·10⁶ div ((c_t−c_s+1)·n_s)` — occurrences
+    * in-source over occurrences elsewhere, each normalized by its
+    * token volume, +1 on the complement count (a term appearing ONLY
+    * here would otherwise divide by zero; the +1 is the declared
+    * smoothing, biasing exclusive terms down slightly rather than to
+    * infinity). Terms need `minCount` in-source occurrences.
+    *
+    * Shape: ONE token-count pass (vocab×sources partial agg), totals
+    * broadcast back, top-`k` per source via one window over the
+    * filtered vocab table. Returns (source, term, n_in_source,
+    * n_elsewhere, lift_ppm, rank), source/rank-ordered. */
+  def distinctiveTerms(
+      docs: DataFrame,
+      k: Int = 10,
+      minCount: Long = 5L,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"distinctiveTerms: need k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .where(col("term") =!= "")
+    val bySrc = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n_in_source"))
+    val srcTot = bySrc.groupBy(col("source")).agg(sum(col("n_in_source")).as("_ns"))
+    val byTerm = bySrc.groupBy(col("term")).agg(sum(col("n_in_source")).as("_ct"))
+    val nTot = srcTot.agg(sum(col("_ns")).as("_N"))
+    val scored = bySrc
+      .where(col("n_in_source") >= minCount)
+      .join(broadcast(srcTot), Seq("source"))
+      .join(byTerm, Seq("term"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("n_elsewhere", col("_ct") - col("n_in_source"))
+      .withColumn("lift_ppm", expr(
+        "CAST(CAST(n_in_source AS DECIMAL(38,0)) * (_N - _ns) * 1000000 " +
+          "div (CAST(n_elsewhere + 1 AS DECIMAL(38,0)) * _ns) AS BIGINT)"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift_ppm").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("source", "term", "n_in_source", "n_elsewhere", "lift_ppm", "rank")
+      .orderBy("source", "rank")
+  }
+
   /** TOKEN COLLOCATION EDGES — undirected (min, max)-keyed word pairs
     * co-occurring within ±`window` positions ≥ `minCount` times
     * corpus-wide, with tokens above the `dfCeiling` occurrence cap

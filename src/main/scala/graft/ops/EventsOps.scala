@@ -3141,6 +3141,62 @@ object EventsOps {
       .orderBy("day")
   }
 
+  /** PURCHASE-REGULARITY SEGMENTS — the repeat-behavior classifier CRM
+    * teams run: per user, the coefficient of variation of consecutive
+    * purchase gaps. CV ≈ 0 = clockwork subscriber; CV ≈ 1 = Poisson
+    * (memoryless); CV ≫ 1 = bursty. Segments cut at the declared ppm
+    * boundaries (< 0.5 `regular`, < 1.0 `variable`, else `bursty`).
+    *
+    * Integer-exact: gaps are epoch-second diffs from ONE user-keyed
+    * lag window; the sample variance is an integral division of
+    * DECIMAL(38,0) moments and sd its exact floor isqrt (the
+    * [[graft.ops.Stats.neymanAllocation]] guess+correct recipe);
+    * cv_ppm = sd·10⁶ div mean (mean > 0 — equal-second purchases
+    * collapse to gap 0 rows but a zero MEAN means a degenerate clock,
+    * declared NULL). Users need ≥ `minGaps` gaps. Returns (user_id,
+    * n_gaps, mean_gap_sec, sd_gap_sec, cv_ppm, segment), user-ordered. */
+  def purchaseRegularity(
+      ev: DataFrame,
+      minGaps: Long = 3L,
+      convType: String = "purchase",
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col("_s"), col(tieCol))
+    val gaps = ev.where(col(typeCol) === convType)
+      .select(col(userCol), epochSec(tsCol).as("_s"), col(tieCol))
+      .withColumn("_g", col("_s") - lag(col("_s"), 1).over(w))
+      .where(col("_g").isNotNull)
+    gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("_g").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("_sg"),
+        sum(col("_g").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("_g").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("_sg2"))
+      .where(col("n_gaps") >= minGaps)
+      .selectExpr("*",
+        "CAST(_sg div n_gaps AS BIGINT) AS mean_gap_sec",
+        "CASE WHEN n_gaps < 2 THEN CAST(0 AS DECIMAL(38,0)) ELSE " +
+          "(CAST(n_gaps AS DECIMAL(38,0)) * _sg2 - _sg * _sg) div " +
+          "(CAST(n_gaps AS DECIMAL(38,0)) * (n_gaps - 1)) END AS _var")
+      .selectExpr("*",
+        "CAST(floor(sqrt(CAST(_var AS DOUBLE))) AS BIGINT) AS _g0")
+      .selectExpr(userCol, "n_gaps", "mean_gap_sec",
+        "CASE WHEN CAST(_g0 + 1 AS DECIMAL(38,0)) * (_g0 + 1) <= _var THEN _g0 + 1 " +
+          "WHEN CAST(_g0 AS DECIMAL(38,0)) * _g0 > _var THEN _g0 - 1 " +
+          "ELSE _g0 END AS sd_gap_sec")
+      .withColumn("cv_ppm",
+        when(col("mean_gap_sec") <= 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(sd_gap_sec * 1000000 div mean_gap_sec AS BIGINT)")))
+      .withColumn("segment",
+        when(col("cv_ppm").isNull, lit("degenerate"))
+          .when(col("cv_ppm") < 500000L, lit("regular"))
+          .when(col("cv_ppm") < 1000000L, lit("variable"))
+          .otherwise(lit("bursty")))
+      .orderBy(userCol)
+  }
+
   /** MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. / the standard
     * "Markov chain attribution" of marketing analytics) — how much
     * conversion probability disappears if a channel is deleted from the

@@ -1823,6 +1823,16 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Corpus-card contrastive vocabulary: per-source top-10 terms by
+    // in-source vs rest-of-corpus rate lift, +1-smoothed, no libm.
+    "p250_distinctive_terms" -> ((s, dir) =>
+      graft.ops.CorpusOps.distinctiveTerms(Tables(s, dir, "documents"))),
+
+    // CRM repeat-behavior segments: per-user CV of purchase gaps via
+    // exact DECIMAL moments + floor isqrt; declared ppm segment cuts.
+    "p251_purchase_regularity" -> ((s, dir) =>
+      graft.ops.EventsOps.purchaseRegularity(Tables(s, dir, "events"))),
+
     // Out-of-time rec eval: co-occurrence model trained pre-1997,
     // hit-rate@3 scored on post-cut purchases of profiled customers.
     "p249_rec_backtest" -> ((s, dir) =>
@@ -4381,6 +4391,49 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // vocab×sources count table, rate lift in HUGEINT with the +1
+    // complement smoothing, top-10 window per source
+    "p250_distinctive_terms" -> (
+      "WITH t AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "t2 AS (SELECT * FROM t WHERE term <> ''), " +
+        "bs AS (SELECT source, term, COUNT(*) AS cis FROM t2 GROUP BY 1, 2), " +
+        "st AS (SELECT source, SUM(cis) AS ns FROM bs GROUP BY 1), " +
+        "bt AS (SELECT term, SUM(cis) AS ct FROM bs GROUP BY 1), " +
+        "nt AS (SELECT SUM(ns) AS n FROM st), " +
+        "sc AS (SELECT bs.source, bs.term, bs.cis, bt.ct - bs.cis AS ne, " +
+        "CAST(CAST(bs.cis AS HUGEINT) * (nt.n - st.ns) * 1000000 // " +
+        "(CAST(bt.ct - bs.cis + 1 AS HUGEINT) * st.ns) AS BIGINT) AS lift_ppm " +
+        "FROM bs JOIN st USING (source) JOIN bt USING (term), nt WHERE bs.cis >= 5), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source " +
+        "ORDER BY lift_ppm DESC, term ASC) AS rank FROM sc) " +
+        "SELECT source, term, CAST(cis AS BIGINT) AS n_in_source, " +
+        "CAST(ne AS BIGINT) AS n_elsewhere, lift_ppm, CAST(rank AS BIGINT) AS rank " +
+        "FROM r WHERE rank <= 10 ORDER BY source, rank"),
+    // lag gaps, sample variance by HUGEINT moments, guess+correct floor
+    // isqrt, declared ppm segment cuts
+    "p251_purchase_regularity" -> (
+      "WITH p AS (SELECT user_id, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s, event_id AS i " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "g AS (SELECT user_id, s - LAG(s) OVER (PARTITION BY user_id ORDER BY s, i) AS g FROM p), " +
+        "gg AS (SELECT user_id, g FROM g WHERE g IS NOT NULL), " +
+        "m AS (SELECT user_id, COUNT(*) AS n_gaps, SUM(CAST(g AS HUGEINT)) AS sg, " +
+        "SUM(CAST(g AS HUGEINT) * g) AS sg2 FROM gg GROUP BY 1 HAVING COUNT(*) >= 3), " +
+        "v AS (SELECT user_id, n_gaps, CAST(sg // n_gaps AS BIGINT) AS mean_gap_sec, " +
+        "CASE WHEN n_gaps < 2 THEN 0 ELSE (n_gaps * sg2 - sg * sg) // " +
+        "(CAST(n_gaps AS HUGEINT) * (n_gaps - 1)) END AS var FROM m), " +
+        "q AS (SELECT *, CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) AS g0 FROM v), " +
+        "sd AS (SELECT user_id, n_gaps, mean_gap_sec, " +
+        "CASE WHEN CAST(g0 + 1 AS HUGEINT) * (g0 + 1) <= var THEN g0 + 1 " +
+        "WHEN CAST(g0 AS HUGEINT) * g0 > var THEN g0 - 1 ELSE g0 END AS sd_gap_sec FROM q) " +
+        "SELECT user_id, n_gaps, mean_gap_sec, sd_gap_sec, " +
+        "CASE WHEN mean_gap_sec <= 0 THEN NULL ELSE " +
+        "CAST(sd_gap_sec * 1000000 // mean_gap_sec AS BIGINT) END AS cv_ppm, " +
+        "CASE WHEN mean_gap_sec <= 0 THEN 'degenerate' " +
+        "WHEN sd_gap_sec * 1000000 // mean_gap_sec < 500000 THEN 'regular' " +
+        "WHEN sd_gap_sec * 1000000 // mean_gap_sec < 1000000 THEN 'variable' " +
+        "ELSE 'bursty' END AS segment FROM sd ORDER BY user_id"),
     // the p139 rec ladder on pre-cut baskets only, then profile-joined
     // novel recs vs post-cut purchases; MATERIALIZED hubs (multi-ref)
     "p249_rec_backtest" -> (

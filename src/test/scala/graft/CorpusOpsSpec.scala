@@ -879,6 +879,22 @@ class CorpusOpsSpec extends AnyFunSuite {
       (4L, 3L, 0L, 9L, 4L)))
   }
 
+  test("distinctiveTerms: exclusive term lifts per source, shared and thin terms stay out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A", "apple apple apple apple apple common common"),
+      (2L, "B", "banana banana banana banana banana common common")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.ops.CorpusOps.distinctiveTerms(docs, k = 10, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // lift = 5·7·1e6 / (1·7) = 5e6 (the +1 smoothing absorbs the
+    // zero complement); 'common' (2 per source) is below minCount
+    assert(out.toSeq == Seq(
+      ("A", "apple", 5L, 0L, 5000000L, 1L),
+      ("B", "banana", 5L, 0L, 5000000L, 1L)))
+  }
+
   test("negativeSamplingTable: exact floor c^(3/4) weights and full-vocab CDF") {
     import spark.implicits._
     // counts: a×16, b×2, c×1 → w34 = ⌊⁴√c³⌋: 16→8 (exact), 2→⌊⁴√8⌋=1, 1→1

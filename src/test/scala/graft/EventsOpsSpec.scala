@@ -1140,6 +1140,28 @@ class EventsOpsSpec extends AnyFunSuite {
       (4L, false, true), (5L, false, false), (6L, false, false)))
   }
 
+  test("purchaseRegularity: clockwork scores CV 0, irregular buyer exact isqrt CV, thin users drop") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // u1: exact 100-second clock → CV 0, regular
+      (1L, 1L, "purchase", at(0)), (2L, 1L, "purchase", at(100)),
+      (3L, 1L, "purchase", at(200)), (4L, 1L, "purchase", at(300)),
+      // u2: gaps 100/300/600 → var 63333, sd 251, cv 753753 → variable
+      (5L, 2L, "purchase", at(0)), (6L, 2L, "purchase", at(100)),
+      (7L, 2L, "purchase", at(400)), (8L, 2L, "purchase", at(1000)),
+      // u3: only 2 purchases (1 gap) → below minGaps
+      (9L, 3L, "purchase", at(0)), (10L, 3L, "purchase", at(50)),
+      // non-purchase noise never enters
+      (11L, 1L, "view", at(150))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.purchaseRegularity(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 100L, 0L, 0L, "regular"),
+      (2L, 3L, 333L, 251L, 753753L, "variable")))
+  }
+
   test("markovAttribution: hand-traced removal effects on a 3-user journey graph") {
     def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val ev = Seq(
