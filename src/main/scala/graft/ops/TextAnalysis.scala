@@ -407,4 +407,48 @@ object TextAnalysis {
         col("word_count_ok") && col("mean_word_len_ok") && col("symbol_ratio_ok") &&
           col("bullet_lines_ok") && col("alpha_words_ok") && col("stop_words_ok"))
   }
+
+  /** MIXED-LANGUAGE SCREEN — per document, the share of lines whose
+    * detected language disagrees with the document's majority language:
+    * scraped pages glue navigation/boilerplate in one language onto
+    * body text in another, and a line-level disagreement share is the
+    * standard CCNet-style purity signal a doc-level langid misses
+    * entirely. Lines where [[langIdHeuristic]] says `unknown` (no
+    * stopword evidence — numbers, code, short fragments) vote for
+    * nobody and are excluded from numerator AND denominator.
+    *
+    * Majority = most detected lines, ties to the alphabetically first
+    * language (deterministic). Share is integral ppm. Shape: one line
+    * explode, one (doc, lang) partial agg, a doc-keyed majority window
+    * over the ≤ 5-langs-per-doc table. Only documents with ≥ 1
+    * detected line appear. Returns (idCol, n_lines, n_detected,
+    * majority_lang, n_disagree, mixed_ppm), id-ordered. */
+  def mixedLanguage(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs.select(col(idCol),
+      explode(split(col(textCol), "\n")).as("_line"))
+    val total = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    val det = lines
+      .withColumn("_lg", langIdHeuristic(col("_line")))
+      .where(col("_lg") =!= "unknown")
+      .groupBy(col(idCol), col("_lg")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_c").desc, col("_lg").asc)
+    val agg = det
+      .withColumn("_rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("n_detected"),
+        max(when(col("_rn") === 1, col("_lg"))).as("majority_lang"),
+        max(when(col("_rn") === 1, col("_c"))).as("_mc"))
+    agg.join(total, Seq(idCol))
+      .select(col(idCol), col("n_lines"), col("n_detected"),
+        col("majority_lang"),
+        (col("n_detected") - col("_mc")).as("n_disagree"),
+        expr("CAST((n_detected - _mc) * 1000000 div n_detected AS BIGINT)")
+          .as("mixed_ppm"))
+      .orderBy(idCol)
+  }
 }

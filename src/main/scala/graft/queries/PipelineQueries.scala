@@ -1823,6 +1823,11 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // CCNet-style purity: line-level langid disagreement share per doc;
+    // unknown lines vote for nobody.
+    "p252_mixed_language" -> ((s, dir) =>
+      graft.ops.TextAnalysis.mixedLanguage(Tables(s, dir, "documents"))),
+
     // Corpus-card contrastive vocabulary: per-source top-10 terms by
     // in-source vs rest-of-corpus rate lift, +1-smoothed, no libm.
     "p250_distinctive_terms" -> ((s, dir) =>
@@ -4391,6 +4396,32 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // the p10 langCase per LINE; majority by (count desc, lang) rank;
+    // unknown lines excluded from both sides of the share
+    "p252_mixed_language" -> {
+      def hits(words: Seq[String]) =
+        s"len(regexp_extract_all(lower(line), '\\b(${words.mkString("|")})\\b'))"
+      val en = hits(Seq("the", "and", "of", "to", "in", "is", "a", "for"))
+      val es = hits(Seq("el", "la", "de", "que", "y", "en", "los", "del"))
+      val de = hits(Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"))
+      val fr = hits(Seq("le", "les", "des", "est", "une", "dans", "pour", "que"))
+      "WITH ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents), " +
+        "tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM ln GROUP BY 1), " +
+        s"sc AS (SELECT doc_id, $en AS en, $es AS es, $de AS de, $fr AS fr FROM ln), " +
+        "lg AS (SELECT doc_id, CASE WHEN greatest(en, es, de, fr) = 0 THEN 'unknown' " +
+        "WHEN en = greatest(en, es, de, fr) THEN 'en' " +
+        "WHEN es = greatest(en, es, de, fr) THEN 'es' " +
+        "WHEN de = greatest(en, es, de, fr) THEN 'de' ELSE 'fr' END AS l FROM sc), " +
+        "dd AS (SELECT doc_id, l, COUNT(*) AS c FROM lg WHERE l <> 'unknown' GROUP BY 1, 2), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, l ASC) AS rn FROM dd), " +
+        "m AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_detected, " +
+        "MAX(CASE WHEN rn = 1 THEN l END) AS majority_lang, " +
+        "CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS mc FROM r GROUP BY doc_id) " +
+        "SELECT m.doc_id, tot.n_lines, m.n_detected, m.majority_lang, " +
+        "m.n_detected - m.mc AS n_disagree, " +
+        "CAST((m.n_detected - m.mc) * 1000000 // m.n_detected AS BIGINT) AS mixed_ppm " +
+        "FROM m JOIN tot ON tot.doc_id = m.doc_id ORDER BY m.doc_id"
+    },
     // vocab×sources count table, rate lift in HUGEINT with the +1
     // complement smoothing, top-10 window per source
     "p250_distinctive_terms" -> (

@@ -144,4 +144,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!byId(5L)._6 && !byId(5L)._8)           // alpha share fails
     assert(!byId(6L)._7 && !byId(6L)._8)           // stop words fail
   }
+
+  test("mixedLanguage: line-level disagreement share, unknown lines vote for nobody, tie to first lang") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val docs = Seq(
+      // 2 en lines + 1 es line + 1 unknown line → 1/3 disagree
+      (1L, "the cat is here\nthe dog and the fox\nel perro que corre y los gatos\n42"),
+      // en/es tie → majority 'en' (alphabetical), half disagree
+      (2L, "the cat is in the house\nel perro que ladra y los gatos"),
+      // all lines unknown → absent from the output
+      (3L, "12345\n67890")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.mixedLanguage(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 3L, "en", 1L, 333333L),
+      (2L, 2L, 2L, "en", 1L, 500000L)))
+  }
 }
