@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -160,6 +160,47 @@ object Retail {
         col("f").cast("long").as("f"), col("m").cast("long").as("m"),
         concat_ws("-", col("r"), col("f"), col("m")).as("rfm"))
       .orderBy("custkey")
+  }
+
+  /** FULFILLMENT-LAG LADDER by order priority — "do urgent orders
+    * actually ship faster?": calendar days from order date to the
+    * order's FIRST line shipment, summarized per priority as exact
+    * rank-based quantiles (value at rank ⌈q·n⌉ of the (lag, key) total
+    * order — the integer-exact lower quantile, no interpolation).
+    *
+    * Shape: one partial agg collapses lines to per-order first-ship;
+    * one order-keyed join; ONE priority exchange carries both the rank
+    * and count windows. Lag in whole epoch days (the shared floor
+    * idiom per timestamp, then integer difference). Returns
+    * (priority, n_orders, p50_days, p90_days, max_days),
+    * priority-ordered. */
+  def fulfillmentLag(
+      orders: DataFrame,
+      lines: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def epochDay(c: Column): Column =
+      floor(floor(unix_micros(c).cast("double") / lit(1000000.0d)) /
+        lit(86400.0d)).cast("long")
+    val firstShip = lines.groupBy(col("l_orderkey"))
+      .agg(min(col("l_shipdate")).as("_ship"))
+    val lag = orders
+      .join(firstShip, orders("o_orderkey") === firstShip("l_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        (epochDay(col("_ship")) - epochDay(col("o_orderdate"))).as("_lag"),
+        col("o_orderkey").as("_k"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("_lag"), col("_k"))
+    val wn = Window.partitionBy(col("priority"))
+    lag
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wn))
+      .groupBy(col("priority"))
+      .agg(max(col("_n")).as("n_orders"),
+        max(when(col("_rn") === expr("CAST((_n + 1) div 2 AS INT)"), col("_lag")))
+          .as("p50_days"),
+        max(when(col("_rn") === expr("CAST((9 * _n + 9) div 10 AS INT)"), col("_lag")))
+          .as("p90_days"),
+        max(col("_lag")).as("max_days"))
+      .orderBy("priority")
   }
 
   /** RECOMMENDATION BACKTEST — the honest evaluation loop every rec

@@ -1823,6 +1823,12 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Fulfillment-lag ladder: order date → first shipment, exact
+    // rank-based p50/p90 per order priority on one priority exchange.
+    "p253_fulfillment_lag" -> ((s, dir) =>
+      graft.ops.Retail.fulfillmentLag(
+        Tables(s, dir, "orders"), Tables(s, dir, "lineitem"))),
+
     // CCNet-style purity: line-level langid disagreement share per doc;
     // unknown lines vote for nobody.
     "p252_mixed_language" -> ((s, dir) =>
@@ -4396,6 +4402,20 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // per-order first-ship partial agg, one priority window pair,
+    // value-at-rank quantiles with (lag, key) total order
+    "p253_fulfillment_lag" -> (
+      "WITH fs AS (SELECT l_orderkey, MIN(l_shipdate) AS ship FROM lineitem GROUP BY 1), " +
+        "lg AS (SELECT o.o_orderpriority AS priority, " +
+        "CAST(floor(floor(CAST(epoch_us(fs.ship) AS DOUBLE) / 1000000) / 86400) AS BIGINT) - " +
+        "CAST(floor(floor(CAST(epoch_us(o.o_orderdate) AS DOUBLE) / 1000000) / 86400) AS BIGINT) AS lag, " +
+        "o.o_orderkey AS k FROM orders o JOIN fs ON fs.l_orderkey = o.o_orderkey), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY priority ORDER BY lag, k) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY priority) AS n FROM lg) " +
+        "SELECT priority, CAST(MAX(n) AS BIGINT) AS n_orders, " +
+        "MAX(CASE WHEN rn = (n + 1) // 2 THEN lag END) AS p50_days, " +
+        "MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN lag END) AS p90_days, " +
+        "MAX(lag) AS max_days FROM r GROUP BY priority ORDER BY priority"),
     // the p10 langCase per LINE; majority by (count desc, lang) rank;
     // unknown lines excluded from both sides of the share
     "p252_mixed_language" -> {

@@ -491,6 +491,27 @@ class RetailGraphSpec extends AnyFunSuite {
     assert(!out.exists(r => (r._1, r._2) == ((1L, 2L))))
   }
 
+  test("fulfillmentLag: first-ship lag, exact rank quantiles per priority") {
+    import spark.implicits._
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
+    val orders = Seq(
+      (1L, "1-URGENT", ts(0)), (2L, "1-URGENT", ts(0)),
+      (3L, "1-URGENT", ts(0)), (4L, "1-URGENT", ts(0)), (5L, "1-URGENT", ts(0)),
+      (6L, "2-HIGH", ts(10))
+    ).toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val lines = Seq(
+      // urgent lags: 1, 2, 3, 4, 5 days (first ship wins for order 1)
+      (1L, ts(1)), (1L, ts(9)), (2L, ts(2)), (3L, ts(3)), (4L, ts(4)), (5L, ts(5)),
+      (6L, ts(12))
+    ).toDF("l_orderkey", "l_shipdate")
+    val out = graft.ops.Retail.fulfillmentLag(orders, lines).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // n=5: p50 at rank 3 → 3; p90 at rank ceil(4.5)=5 → 5
+    assert(out.toSeq == Seq(
+      ("1-URGENT", 5L, 3L, 5L, 5L),
+      ("2-HIGH", 1L, 2L, 2L, 2L)))
+  }
+
   test("recBacktest: novel-only recs, out-of-time scoring, profile-less eval customers excluded") {
     import spark.implicits._
     def d(s: String) = java.sql.Date.valueOf(s)
