@@ -322,6 +322,108 @@ object Stats {
     correlationMatrix(proj, cols).withColumnRenamed("corr", "rho")
   }
 
+  /** ISOTONIC CALIBRATION (PAVA by the minimax closed form) — fit the
+    * best MONOTONE rate curve over ordered buckets: the calibration
+    * every threshold-based decision wants when the raw per-bucket rates
+    * wiggle ("a higher score must never mean a lower predicted rate").
+    * Uses the exact L2-isotonic identity fit(i) = max_{j≤i} min_{k≥i}
+    * avg(pos over buckets j..k) — no sequential pooling loop, so the
+    * whole fit is three bounded relational steps any engine replays.
+    *
+    * Integer convention: interval averages enter the minimax as
+    * integral ppm (`sum·10⁶ div n` — the declared micro-resolution;
+    * flooring before min/max keeps every comparison integer and the
+    * fit stays monotone because the max-over-prefixes structure is
+    * untouched). Buckets must be bounded-cardinality — the (j, i, k)
+    * triple space is O(B³) rows of a BOUNDED table (B ≈ dozens), never
+    * corpus-sized; the corpus is touched exactly once by the bucket
+    * count.
+    *
+    * Returns (bucket, n, pos, raw_rate_ppm, iso_rate_ppm),
+    * bucket-ordered; iso_rate_ppm is nondecreasing. */
+  def isotonicCalibration(
+      df: DataFrame,
+      xCol: String,
+      labelCol: String,
+      bucketWidthMicro: Long = 10000000L): DataFrame = {
+    require(bucketWidthMicro > 0,
+      s"isotonicCalibration: need bucketWidthMicro > 0, got $bucketWidthMicro")
+    import org.apache.spark.sql.expressions.Window
+    val b = df
+      .where(col(xCol).isNotNull && col(xCol) >= 0 && col(labelCol).isNotNull)
+      .groupBy(expr(s"CAST(CAST(floor(CAST($xCol AS DOUBLE) * 1000000) AS BIGINT) " +
+        s"div $bucketWidthMicro AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("pos"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = b
+      .withColumn("_cn", sum(col("n")).over(w))
+      .withColumn("_cp", sum(col("pos")).over(w))
+    // interval table (j ≤ k) over the bounded bucket set
+    val lo = pre.select(col("bucket").as("_j"),
+      (col("_cn") - col("n")).as("_cnj"), (col("_cp") - col("pos")).as("_cpj"))
+    val hi = pre.select(col("bucket").as("_k"),
+      col("_cn").as("_cnk"), col("_cp").as("_cpk"))
+    val ivl = lo.join(hi, col("_j") <= col("_k"))
+      .select(col("_j"), col("_k"),
+        expr("CAST((_cpk - _cpj) * 1000000 div (_cnk - _cnj) AS BIGINT)").as("_avg"))
+    // fit(i) = max over j ≤ i of (min over k ≥ i of avg[j,k])
+    val tri = ivl.join(b.select(col("bucket").as("_i")),
+        col("_j") <= col("_i") && col("_i") <= col("_k"))
+      .groupBy(col("_i"), col("_j")).agg(min(col("_avg")).as("_mn"))
+      .groupBy(col("_i")).agg(max(col("_mn")).as("iso_rate_ppm"))
+    b.join(tri, b("bucket") === tri("_i"))
+      .select(col("bucket"), col("n"), col("pos"),
+        expr("CAST(pos * 1000000 div n AS BIGINT)").as("raw_rate_ppm"),
+        col("iso_rate_ppm"))
+      .orderBy("bucket")
+  }
+
+  /** TWO-SAMPLE CRAMÉR–VON MISES drift statistic — the whole-curve
+    * companion to the KS max-gap (p135): T integrates the SQUARED CDF
+    * gap over the merged sample, so many small shifts that never break
+    * the KS max still register. Exact integers end to end: at each
+    * merged distinct value v, the gap numerator is `m·cum1 − n·cum2`
+    * (both cumulative counts), weighted by the merged point count at v;
+    * `t_ppm = Σ w·(m·cum1 − n·cum2)² · 10⁶ div (n·m·(n+m)²)` — the
+    * standard nm/(n+m)²·Σw(F1−F2)² scaling with ONE integral division
+    * at the end. DECIMAL(38,0) keeps every product exact past 10⁹ rows
+    * per side.
+    *
+    * Shape: one (value, side) partial agg, cumulative sums over the
+    * value-cardinality-bounded merged table, a 1-row broadcast of
+    * (n, m). Returns one row (n, m, t_ppm). */
+  def cvmDrift(
+      df: DataFrame,
+      valueCol: String,
+      sideCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = DecimalType(38, 0)
+    val per = df
+      .where(col(valueCol).isNotNull && col(sideCol).isNotNull)
+      .groupBy(floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long")
+        .as("_v"))
+      .agg(sum(when(col(sideCol).cast("boolean"), 1L).otherwise(0L)).as("_c1"),
+        sum(when(col(sideCol).cast("boolean"), 0L).otherwise(1L)).as("_c2"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum(col("_c1")).as("_n"), sum(col("_c2")).as("_m"))
+    per
+      .withColumn("_u1", sum(col("_c1")).over(w))
+      .withColumn("_u2", sum(col("_c2")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("_n"), col("_m"),
+        ((col("_c1") + col("_c2")).cast(d) *
+          (col("_m").cast(d) * col("_u1") - col("_n").cast(d) * col("_u2")) *
+          (col("_m").cast(d) * col("_u1") - col("_n").cast(d) * col("_u2")))
+          .as("_term"))
+      .groupBy(col("_n"), col("_m")).agg(sum(col("_term")).as("_num"))
+      .select(col("_n").as("n"), col("_m").as("m"),
+        expr("CAST(_num * 1000000 div (CAST(_n AS DECIMAL(38,0)) * _m * " +
+          "(_n + _m) * (_n + _m)) AS BIGINT)").as("t_ppm"))
+  }
+
   /** EFFECTIVE SAMPLE SIZE of an importance-weighted corpus — Kish's
     * ESS = (Σw)²/Σw², the one number that says whether a reweighted
     * dataset (DSIR, temperature sampling, inverse-propensity) still

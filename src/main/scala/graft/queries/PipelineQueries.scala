@@ -1823,6 +1823,23 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Monotone calibration: exact minimax isotonic fit of purchase
+    // rate vs value bucket — O(B³) on the bounded bucket table only.
+    "p254_isotonic" -> ((s, dir) =>
+      graft.ops.Stats.isotonicCalibration(
+        Tables(s, dir, "events")
+          .where(col("event_type").isNotNull)
+          .select(col("value"), (col("event_type") === "purchase").as("lbl")),
+        "value", "lbl")),
+
+    // Whole-curve drift: two-sample Cramér–von Mises between even/odd
+    // event-id halves — squared CDF gap, one integral division.
+    "p255_cvm_drift" -> ((s, dir) =>
+      graft.ops.Stats.cvmDrift(
+        Tables(s, dir, "events")
+          .select(col("value"), (col("event_id") % 2 === 0).as("side")),
+        "value", "side")),
+
     // Fulfillment-lag ladder: order date → first shipment, exact
     // rank-based p50/p90 per order priority on one priority exchange.
     "p253_fulfillment_lag" -> ((s, dir) =>
@@ -4402,6 +4419,42 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // fit(i) = max_{j<=i} min_{k>=i} (interval-sum·1e6 // interval-n);
+    // bounded bucket triple join, MATERIALIZED prefix table
+    "p254_isotonic" -> (
+      "WITH b AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) " +
+        "// 10000000 AS bucket, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
+        "FROM events WHERE value IS NOT NULL AND value >= 0 AND event_type IS NOT NULL), " +
+        "g AS (SELECT bucket, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos FROM b GROUP BY 1), " +
+        "pre AS MATERIALIZED (SELECT bucket, n, pos, " +
+        "CAST(SUM(n) OVER w AS BIGINT) AS cn, CAST(SUM(pos) OVER w AS BIGINT) AS cp " +
+        "FROM g WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "ivl AS MATERIALIZED (SELECT lo.bucket AS j, hi.bucket AS k, " +
+        "CAST((hi.cp - (lo.cp - lo.pos)) * 1000000 // (hi.cn - (lo.cn - lo.n)) AS BIGINT) AS a " +
+        "FROM pre lo JOIN pre hi ON lo.bucket <= hi.bucket), " +
+        "mn AS (SELECT i.bucket AS i, ivl.j, MIN(ivl.a) AS mn FROM ivl " +
+        "JOIN g i ON ivl.j <= i.bucket AND i.bucket <= ivl.k GROUP BY 1, 2), " +
+        "fit AS (SELECT i, MAX(mn) AS iso FROM mn GROUP BY 1) " +
+        "SELECT g.bucket, g.n, g.pos, " +
+        "CAST(g.pos * 1000000 // g.n AS BIGINT) AS raw_rate_ppm, " +
+        "fit.iso AS iso_rate_ppm FROM g JOIN fit ON fit.i = g.bucket ORDER BY g.bucket"),
+    // merged distinct-value cumulatives; Σ w·(m·cum1 − n·cum2)² in
+    // HUGEINT, ONE // by n·m·(n+m)²
+    "p255_cvm_drift" -> (
+      "WITH per AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v, " +
+        "CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+        "CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS c2 " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n, CAST(SUM(c2) AS BIGINT) AS m FROM per), " +
+        "cu AS (SELECT v, c1, c2, CAST(SUM(c1) OVER w AS BIGINT) AS u1, " +
+        "CAST(SUM(c2) OVER w AS BIGINT) AS u2 FROM per " +
+        "WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "s AS (SELECT t.n, t.m, SUM(CAST(c1 + c2 AS HUGEINT) * " +
+        "(CAST(t.m AS HUGEINT) * u1 - CAST(t.n AS HUGEINT) * u2) * " +
+        "(CAST(t.m AS HUGEINT) * u1 - CAST(t.n AS HUGEINT) * u2)) AS num " +
+        "FROM cu, t GROUP BY t.n, t.m) " +
+        "SELECT n, m, CAST(num * 1000000 // (CAST(n AS HUGEINT) * m * (n + m) * (n + m)) AS BIGINT) AS t_ppm FROM s"),
     // per-order first-ship partial agg, one priority window pair,
     // value-at-rank quantiles with (lag, key) total order
     "p253_fulfillment_lag" -> (

@@ -143,6 +143,35 @@ class StatsSpec extends AnyFunSuite {
     assert(r2.length == 1 && r2(0).getDouble(3) == -1.0)
   }
 
+  test("isotonicCalibration: violator pools with its left neighbor, fit matches hand PAVA") {
+    import spark.implicits._
+    // bucket rates 0.5 / 0.0 / 1.0 — PAVA pools the first two to 0.25
+    val rows =
+      Seq.fill(2)((5.0, true)) ++ Seq.fill(2)((5.0, false)) ++
+        Seq.fill(4)((15.0, false)) ++ Seq.fill(4)((25.0, true))
+    val out = Stats.isotonicCalibration(rows.toDF("x", "lbl"), "x", "lbl")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 4L, 2L, 500000L, 250000L),
+      (1L, 4L, 0L, 0L, 250000L),
+      (2L, 4L, 4L, 1000000L, 1000000L)))
+    // the fit is nondecreasing by construction
+    assert(out.map(_._5).sliding(2).forall(p => p.head <= p.last))
+  }
+
+  test("cvmDrift: hand value on a one-point shift, identical halves score 0") {
+    import spark.implicits._
+    val df = Seq((1.0, true), (2.0, true), (1.0, false), (3.0, false))
+      .toDF("v", "side")
+    val r = Stats.cvmDrift(df, "v", "side").collect()(0)
+    // num = 1·(2·2 − 2·1)² = 4 → 4e6 / (2·2·16) = 62500
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 62500L)))
+    val same = Seq((1.0, true), (2.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "side")
+    assert(Stats.cvmDrift(same, "v", "side").collect()(0).getLong(2) == 0L)
+  }
+
   test("effectiveSampleSize: uniform weights hit 1e6 ppm, one heavy weight collapses it") {
     import spark.implicits._
     val uniform = Seq(4L, 4L, 4L).toDF("w")
