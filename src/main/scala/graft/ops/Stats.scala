@@ -322,6 +322,62 @@ object Stats {
     correlationMatrix(proj, cols).withColumnRenamed("corr", "rho")
   }
 
+  /** GAINS / LIFT TABLE — the model-triage one-pager: rank by score
+    * descending, cut into `nTiles`, and report how much of the positive
+    * class each tile captures and its lift over the base rate. The
+    * campaign-targeting companion to [[giniSplit]] (which finds ONE
+    * threshold; this shows the whole targeting curve).
+    *
+    * Deterministic: tiles are `ntile` over the TOTAL order (score desc,
+    * then `tieCol`) — rank-based, engine-independent under ties. All
+    * integral: capture = cum_pos·10⁶ div P, lift = pos·N·10⁶ div
+    * (n·P), cumulative lift likewise, DECIMAL(38,0) products. NULL
+    * lift when the corpus has no positives.
+    *
+    * Shape: one corpus pass assigns tiles (unpartitioned ntile — the
+    * rfmSegments contract: beyond ~10⁸ rows swap for a percentile cut
+    * table, two passes, same buckets), one tile-bounded aggregate, and
+    * cumulative windows over the ≤ nTiles rows. Returns (tile, n, pos,
+    * capture_ppm, lift_ppm, cum_lift_ppm), tile-ordered. */
+  def gainsTable(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      tieCol: String,
+      nTiles: Int = 10): DataFrame = {
+    require(nTiles >= 2, s"gainsTable: need nTiles >= 2, got $nTiles")
+    import org.apache.spark.sql.expressions.Window
+    val d = DecimalType(38, 0)
+    val wOrd = Window.orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val tiles = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("tile", ntile(nTiles).over(wOrd).cast("long"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("pos"))
+    val wCum = Window.orderBy(col("tile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    tiles
+      .withColumn("_cn", sum(col("n")).over(wCum))
+      .withColumn("_cp", sum(col("pos")).over(wCum))
+      .withColumn("_N", sum(col("n")).over(wAll))
+      .withColumn("_P", sum(col("pos")).over(wAll))
+      .select(col("tile"), col("n"), col("pos"),
+        when(col("_P") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(_cp * 1000000 div _P AS BIGINT)"))
+          .as("capture_ppm"),
+        when(col("_P") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(CAST(pos AS DECIMAL(38,0)) * _N * 1000000 " +
+            "div (CAST(n AS DECIMAL(38,0)) * _P) AS BIGINT)"))
+          .as("lift_ppm"),
+        when(col("_P") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(CAST(_cp AS DECIMAL(38,0)) * _N * 1000000 " +
+            "div (CAST(_cn AS DECIMAL(38,0)) * _P) AS BIGINT)"))
+          .as("cum_lift_ppm"))
+      .orderBy("tile")
+  }
+
   /** ISOTONIC CALIBRATION (PAVA by the minimax closed form) — fit the
     * best MONOTONE rate curve over ordered buckets: the calibration
     * every threshold-based decision wants when the raw per-bucket rates

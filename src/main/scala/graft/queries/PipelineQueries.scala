@@ -1823,6 +1823,16 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Campaign-targeting gains table: decile capture and lift of
+    // purchase by value score, rank-based tiles, integral ppm.
+    "p256_gains_table" -> ((s, dir) =>
+      graft.ops.Stats.gainsTable(
+        Tables(s, dir, "events")
+          .where(col("event_type").isNotNull)
+          .select(col("value"), (col("event_type") === "purchase").as("lbl"),
+            col("event_id")),
+        "value", "lbl", "event_id")),
+
     // Monotone calibration: exact minimax isotonic fit of purchase
     // rate vs value bucket — O(B³) on the bounded bucket table only.
     "p254_isotonic" -> ((s, dir) =>
@@ -4419,6 +4429,25 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // NTILE over (value desc, event_id) — rank-based so engine-
+    // independent under ties; lifts in HUGEINT with a single // each
+    "p256_gains_table" -> (
+      "WITH t AS (SELECT NTILE(10) OVER (ORDER BY value DESC, event_id ASC) AS tile, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
+        "FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL), " +
+        "g AS (SELECT CAST(tile AS BIGINT) AS tile, COUNT(*) AS n, " +
+        "CAST(SUM(y) AS BIGINT) AS pos FROM t GROUP BY 1), " +
+        "c AS (SELECT *, CAST(SUM(n) OVER w AS BIGINT) AS cn, " +
+        "CAST(SUM(pos) OVER w AS BIGINT) AS cp, " +
+        "CAST(SUM(n) OVER () AS BIGINT) AS nn, CAST(SUM(pos) OVER () AS BIGINT) AS pp " +
+        "FROM g WINDOW w AS (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT tile, n, pos, " +
+        "CASE WHEN pp = 0 THEN NULL ELSE CAST(cp * 1000000 // pp AS BIGINT) END AS capture_ppm, " +
+        "CASE WHEN pp = 0 THEN NULL ELSE " +
+        "CAST(CAST(pos AS HUGEINT) * nn * 1000000 // (CAST(n AS HUGEINT) * pp) AS BIGINT) END AS lift_ppm, " +
+        "CASE WHEN pp = 0 THEN NULL ELSE " +
+        "CAST(CAST(cp AS HUGEINT) * nn * 1000000 // (CAST(cn AS HUGEINT) * pp) AS BIGINT) END AS cum_lift_ppm " +
+        "FROM c ORDER BY tile"),
     // fit(i) = max_{j<=i} min_{k>=i} (interval-sum·1e6 // interval-n);
     // bounded bucket triple join, MATERIALIZED prefix table
     "p254_isotonic" -> (

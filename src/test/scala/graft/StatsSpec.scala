@@ -143,6 +143,25 @@ class StatsSpec extends AnyFunSuite {
     assert(r2.length == 1 && r2(0).getDouble(3) == -1.0)
   }
 
+  test("gainsTable: top tile captures the positives, lifts reconcile to the base rate") {
+    import spark.implicits._
+    val df = (1 to 10).map { i =>
+      val score = 11.0 - i // 10 down to 1
+      (score, Set(10.0, 9.0, 6.0).contains(score), i.toLong)
+    }.toDF("score", "lbl", "id")
+    val out = Stats.gainsTable(df, "score", "lbl", "id", nTiles = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 666666L, 3333333L, 3333333L),
+      (2L, 2L, 0L, 666666L, 0L, 1666666L),
+      (3L, 2L, 1L, 1000000L, 1666666L, 1666666L),
+      (4L, 2L, 0L, 1000000L, 0L, 1250000L),
+      (5L, 2L, 0L, 1000000L, 0L, 1000000L)))
+    // the bottom row's cumulative lift is exactly the base rate (1e6)
+    assert(out.last._6 == 1000000L)
+  }
+
   test("isotonicCalibration: violator pools with its left neighbor, fit matches hand PAVA") {
     import spark.implicits._
     // bucket rates 0.5 / 0.0 / 1.0 — PAVA pools the first two to 0.25
