@@ -322,6 +322,48 @@ object Stats {
     correlationMatrix(proj, cols).withColumnRenamed("corr", "rho")
   }
 
+  /** EXACT AUC (ties-corrected, Mann–Whitney identity) — the
+    * probability a random positive outranks a random negative, THE
+    * scalar next to the [[gainsTable]] in every model report. Computed
+    * from rank sums with the [[spearmanMatrix]] doubled-average-rank
+    * trick so ties contribute their exact ½ credit in pure integers:
+    * `auc_ppm = (Σ_pos dr − n₁(n₁+1))·10⁶ div (2·n₁·n₀)` where dr is
+    * the doubled average rank (2·less + c + 1) of the row's score.
+    *
+    * Shape: ONE partial agg collapses the corpus to per-distinct-score
+    * (n, pos); the rank ladder is a window over that value-cardinality-
+    * bounded table; everything after is one scalar aggregate. NULL AUC
+    * when either class is empty. Returns one row
+    * (n, n_pos, n_neg, auc_ppm). */
+  def aucExact(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = DecimalType(38, 0)
+    val per = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(floor(col(scoreCol).cast("double") * lit(1000000.0d)).cast("long")
+        .as("_v"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("_p"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per
+      .withColumn("_less", coalesce(sum(col("_n")).over(w), lit(0L)))
+      .withColumn("_dr", lit(2L) * col("_less") + col("_n") + 1L)
+      .agg(sum(col("_n")).as("n"),
+        sum(col("_p")).as("n_pos"),
+        sum(col("_p").cast(d) * col("_dr").cast(d)).as("_r1x2"))
+      .select(col("n"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        when(col("n_pos") === 0 || col("n") === col("n_pos"),
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((_r1x2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000 " +
+              "div (CAST(2 AS DECIMAL(38,0)) * n_pos * (n - n_pos)) AS BIGINT)"))
+          .as("auc_ppm"))
+  }
+
   /** GAINS / LIFT TABLE — the model-triage one-pager: rank by score
     * descending, cut into `nTiles`, and report how much of the positive
     * class each tile captures and its lift over the base rate. The

@@ -1823,6 +1823,15 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Exact ties-corrected AUC of value predicting purchase — doubled
+    // average ranks, one scalar aggregate, NULL on a one-class corpus.
+    "p257_auc" -> ((s, dir) =>
+      graft.ops.Stats.aucExact(
+        Tables(s, dir, "events")
+          .where(col("event_type").isNotNull)
+          .select(col("value"), (col("event_type") === "purchase").as("lbl")),
+        "value", "lbl")),
+
     // Campaign-targeting gains table: decile capture and lift of
     // purchase by value score, rank-based tiles, integral ppm.
     "p256_gains_table" -> ((s, dir) =>
@@ -4429,6 +4438,20 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // doubled average ranks over the distinct-score ladder; the
+    // Mann-Whitney rank-sum identity with ONE // at the end
+    "p257_auc" -> (
+      "WITH per AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v, " +
+        "COUNT(*) AS n, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p " +
+        "FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1), " +
+        "rk AS (SELECT *, COALESCE(CAST(SUM(n) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS less FROM per), " +
+        "m AS (SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS n_pos, " +
+        "SUM(CAST(p AS HUGEINT) * (2 * less + n + 1)) AS r1x2 FROM rk) " +
+        "SELECT n, n_pos, n - n_pos AS n_neg, " +
+        "CASE WHEN n_pos = 0 OR n = n_pos THEN NULL ELSE " +
+        "CAST((r1x2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000 // " +
+        "(CAST(2 AS HUGEINT) * n_pos * (n - n_pos)) AS BIGINT) END AS auc_ppm FROM m"),
     // NTILE over (value desc, event_id) — rank-based so engine-
     // independent under ties; lifts in HUGEINT with a single // each
     "p256_gains_table" -> (

@@ -143,6 +143,21 @@ class StatsSpec extends AnyFunSuite {
     assert(r2.length == 1 && r2(0).getDouble(3) == -1.0)
   }
 
+  test("aucExact: perfect separation 1e6, tie pays exactly half credit, one-class NULL") {
+    import spark.implicits._
+    val perfect = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("s", "y")
+    assert(Stats.aucExact(perfect, "s", "y").collect()(0).getLong(3) == 1000000L)
+    // pairs: (1,1) tie ½, (1,2) 0, (3,1) 1, (3,2) 1 → 2.5/4 = 625000
+    val tied = Seq((1.0, true), (3.0, true), (1.0, false), (2.0, false))
+      .toDF("s", "y")
+    val t = Stats.aucExact(tied, "s", "y").collect()(0)
+    assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3)) ==
+      ((4L, 2L, 2L, 625000L)))
+    val oneClass = Seq((1.0, true), (2.0, true)).toDF("s", "y")
+    assert(Stats.aucExact(oneClass, "s", "y").collect()(0).isNullAt(3))
+  }
+
   test("gainsTable: top tile captures the positives, lifts reconcile to the base rate") {
     import spark.implicits._
     val df = (1 to 10).map { i =>
