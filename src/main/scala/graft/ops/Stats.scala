@@ -322,6 +322,67 @@ object Stats {
     correlationMatrix(proj, cols).withColumnRenamed("corr", "rho")
   }
 
+  /** QINI / UPLIFT TABLE — the incrementality ladder: rank by score,
+    * cut into tiles, and compare TREATED vs CONTROL outcome rates
+    * inside each tile. [[gainsTable]] asks "does the score find
+    * responders"; this asks the campaign question that actually pays —
+    * "does the score find people the treatment CHANGES". Qini(k) =
+    * cumulative treated positives minus control positives scaled to
+    * the treated volume — the uplift curve's running area numerator.
+    *
+    * Integral: uplift_ppm = p_t·10⁶ div n_t − p_c·10⁶ div n_c (each
+    * term its own non-negative division, the difference exact);
+    * qini_micro = cum_p_t·10⁶ − cum_p_c·cum_n_t·10⁶ div cum_n_c
+    * (DECIMAL products, one division). NULL where a tile (or prefix)
+    * has no control rows. Tiles are rank-based ntile over (score desc,
+    * tie) — the [[gainsTable]] determinism contract, including its
+    * at-scale percentile-cut swap note. Returns (tile, n_treat,
+    * pos_treat, n_ctrl, pos_ctrl, uplift_ppm, qini_micro),
+    * tile-ordered. */
+  def qiniTable(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      treatCol: String,
+      tieCol: String,
+      nTiles: Int = 10): DataFrame = {
+    require(nTiles >= 2, s"qiniTable: need nTiles >= 2, got $nTiles")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val tiles = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        col(treatCol).isNotNull)
+      .withColumn("tile", ntile(nTiles).over(wOrd).cast("long"))
+      .groupBy(col("tile"))
+      .agg(
+        sum(when(col(treatCol).cast("boolean"), 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col(treatCol).cast("boolean") && col(labelCol).cast("boolean"),
+          1L).otherwise(0L)).as("pos_treat"),
+        sum(when(!col(treatCol).cast("boolean"), 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(!col(treatCol).cast("boolean") && col(labelCol).cast("boolean"),
+          1L).otherwise(0L)).as("pos_ctrl"))
+    val wCum = Window.orderBy(col("tile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tiles
+      .withColumn("_cnt", sum(col("n_treat")).over(wCum))
+      .withColumn("_cpt", sum(col("pos_treat")).over(wCum))
+      .withColumn("_cnc", sum(col("n_ctrl")).over(wCum))
+      .withColumn("_cpc", sum(col("pos_ctrl")).over(wCum))
+      .select(col("tile"), col("n_treat"), col("pos_treat"),
+        col("n_ctrl"), col("pos_ctrl"),
+        when(col("n_treat") === 0 || col("n_ctrl") === 0, lit(null).cast("long"))
+          .otherwise(
+            expr("CAST(pos_treat * 1000000 div n_treat AS BIGINT) - " +
+              "CAST(pos_ctrl * 1000000 div n_ctrl AS BIGINT)"))
+          .as("uplift_ppm"),
+        when(col("_cnc") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(CAST(_cpt AS DECIMAL(38,0)) * 1000000 - " +
+              "CAST(_cpc AS DECIMAL(38,0)) * _cnt * 1000000 div _cnc AS BIGINT)"))
+          .as("qini_micro"))
+      .orderBy("tile")
+  }
+
   /** EXACT AUC (ties-corrected, Mann–Whitney identity) — the
     * probability a random positive outranks a random negative, THE
     * scalar next to the [[gainsTable]] in every model report. Computed

@@ -1823,6 +1823,16 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Qini/uplift ladder with the deterministic even-user treatment
+    // assignment — does the value score find CHANGEABLE users?
+    "p258_qini" -> ((s, dir) =>
+      graft.ops.Stats.qiniTable(
+        Tables(s, dir, "events")
+          .where(col("event_type").isNotNull)
+          .select(col("value"), (col("event_type") === "purchase").as("lbl"),
+            (col("user_id") % 2 === 0).as("treat"), col("event_id")),
+        "value", "lbl", "treat", "event_id")),
+
     // Exact ties-corrected AUC of value predicting purchase — doubled
     // average ranks, one scalar aggregate, NULL on a one-class corpus.
     "p257_auc" -> ((s, dir) =>
@@ -4438,6 +4448,30 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // same NTILE total order as p256; uplift as a difference of two
+    // non-negative //; qini in HUGEINT with one //
+    "p258_qini" -> (
+      "WITH t AS (SELECT NTILE(10) OVER (ORDER BY value DESC, event_id ASC) AS tile, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y, " +
+        "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS tr " +
+        "FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL), " +
+        "g AS (SELECT CAST(tile AS BIGINT) AS tile, " +
+        "CAST(SUM(tr) AS BIGINT) AS n_treat, CAST(SUM(tr * y) AS BIGINT) AS pos_treat, " +
+        "CAST(SUM(1 - tr) AS BIGINT) AS n_ctrl, CAST(SUM((1 - tr) * y) AS BIGINT) AS pos_ctrl " +
+        "FROM t GROUP BY 1), " +
+        "c AS (SELECT *, CAST(SUM(n_treat) OVER w AS BIGINT) AS cnt, " +
+        "CAST(SUM(pos_treat) OVER w AS BIGINT) AS cpt, " +
+        "CAST(SUM(n_ctrl) OVER w AS BIGINT) AS cnc, " +
+        "CAST(SUM(pos_ctrl) OVER w AS BIGINT) AS cpc " +
+        "FROM g WINDOW w AS (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT tile, n_treat, pos_treat, n_ctrl, pos_ctrl, " +
+        "CASE WHEN n_treat = 0 OR n_ctrl = 0 THEN NULL ELSE " +
+        "CAST(pos_treat * 1000000 // n_treat AS BIGINT) - " +
+        "CAST(pos_ctrl * 1000000 // n_ctrl AS BIGINT) END AS uplift_ppm, " +
+        "CASE WHEN cnc = 0 THEN NULL ELSE " +
+        "CAST(CAST(cpt AS HUGEINT) * 1000000 - " +
+        "CAST(cpc AS HUGEINT) * cnt * 1000000 // cnc AS BIGINT) END AS qini_micro " +
+        "FROM c ORDER BY tile"),
     // doubled average ranks over the distinct-score ladder; the
     // Mann-Whitney rank-sum identity with ONE // at the end
     "p257_auc" -> (

@@ -143,6 +143,25 @@ class StatsSpec extends AnyFunSuite {
     assert(r2.length == 1 && r2(0).getDouble(3) == -1.0)
   }
 
+  test("qiniTable: per-tile uplift signs and the cumulative qini collapse") {
+    import spark.implicits._
+    val df = Seq(
+      // tile 1: treated 1/2 convert, control 0/2
+      (8.0, true, true, 1L), (7.0, false, true, 2L),
+      (6.0, false, false, 3L), (5.0, false, false, 4L),
+      // tile 2: treated 0/2, control 1/2 — negative uplift
+      (4.0, false, true, 5L), (3.0, false, true, 6L),
+      (2.0, true, false, 7L), (1.0, false, false, 8L)
+    ).toDF("s", "y", "tr", "id")
+    val out = Stats.qiniTable(df, "s", "y", "tr", "id", nTiles = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 2L, 0L, 500000L, 1000000L),
+      // balanced overall: the full-corpus qini closes at exactly 0
+      (2L, 2L, 0L, 2L, 1L, -500000L, 0L)))
+  }
+
   test("aucExact: perfect separation 1e6, tie pays exactly half credit, one-class NULL") {
     import spark.implicits._
     val perfect = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
