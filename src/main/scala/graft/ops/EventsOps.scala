@@ -3141,6 +3141,104 @@ object EventsOps {
       .orderBy("day")
   }
 
+  /** INTERRUPTED TIME SERIES (segmented regression) — the
+    * release-impact reading: fit separate exact OLS lines to the daily
+    * value series BEFORE and AFTER a break day and report the slope
+    * change and the LEVEL JUMP AT THE BREAK — the two coefficients an
+    * ITS analysis reads (p203's DiD needs a control group; this is the
+    * single-series variant).
+    *
+    * Integer-exact: the series is the per-day mean value in micro
+    * (integral div of exact sums — day grain bounds the regression
+    * table); each segment's OLS prediction at the break is ONE rational
+    * `ŷ(b) = (Σy·Σxx − Σx·Σxy + (nΣxy − ΣxΣy)·b) div (nΣxx − (Σx)²)`
+    * — DECIMAL(38,0) moments, a single re-signed integral division per
+    * segment, no intermediate slope/intercept rounding compounding.
+    * Slopes are the [[graft.ops.Stats.groupSlope]] re-signed ppm.
+    * Segments need ≥ 2 distinct days. Returns ONE row
+    * (n_days_pre, n_days_post, slope_pre_ppm, slope_post_ppm,
+    * slope_change_ppm, level_pre_at_break_micro,
+    * level_post_at_break_micro, level_change_micro). */
+  def interruptedSeries(
+      ev: DataFrame,
+      breakAfterDays: Long = 15L,
+      valueCol: String = "value",
+      tsCol: String = "ts"): DataFrame = {
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val day = floor(epochSec(tsCol).cast("double") / lit(86400.0d)).cast("long")
+    // value ≥ 0 keeps the daily-mean `div` truncation == DuckDB's
+    // floor `//` (the re-sign rule); the moment arithmetic below is
+    // fully re-signed and sign-safe
+    val base = ev.where(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .select(day.as("_d"),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long").as("_v"))
+    val daily = base.groupBy(col("_d"))
+      .agg(expr("CAST(sum(CAST(_v AS DECIMAL(38,0))) div count(1) AS BIGINT)").as("_y"))
+    val cut = daily.agg((min(col("_d")) + breakAfterDays).as("_cut"))
+    val seg = daily.crossJoin(broadcast(cut))
+      .select((col("_d") - col("_cut")).as("_x"), col("_y"),
+        (col("_d") < col("_cut")).as("_pre"))
+    def fit(pre: Boolean, suffix: String) =
+      seg.where(col("_pre") === pre)
+        .agg(count(lit(1)).as(s"n_days_$suffix"),
+          sum(col("_x").cast(d)).as("_sx"),
+          sum(col("_y").cast(d)).as("_sy"),
+          sum(col("_x").cast(d) * col("_x").cast(d)).as("_sxx"),
+          sum(col("_x").cast(d) * col("_y").cast(d)).as("_sxy"))
+        .selectExpr(s"n_days_$suffix",
+          s"CAST(n_days_$suffix AS DECIMAL(38,0)) * _sxy - _sx * _sy AS _num",
+          s"CAST(n_days_$suffix AS DECIMAL(38,0)) * _sxx - _sx * _sx AS _den",
+          "_sy * _sxx - _sx * _sxy AS _lvlnum")
+        .selectExpr(s"n_days_$suffix",
+          s"CASE WHEN n_days_$suffix < 2 OR _den = 0 THEN NULL ELSE " +
+            "CAST(CASE WHEN _num >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+            s"CAST(abs(_num) * 1000000 div _den AS BIGINT) END AS slope_${suffix}_ppm",
+          // ŷ at the break (x = 0): _lvlnum div _den — the OLS intercept
+          s"CASE WHEN n_days_$suffix < 2 OR _den = 0 THEN NULL ELSE " +
+            "CAST(CASE WHEN _lvlnum >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+            s"CAST(abs(_lvlnum) div _den AS BIGINT) END AS level_${suffix}_at_break_micro")
+    fit(pre = true, "pre").crossJoin(fit(pre = false, "post"))
+      .withColumn("slope_change_ppm",
+        col("slope_post_ppm") - col("slope_pre_ppm"))
+      .withColumn("level_change_micro",
+        col("level_post_at_break_micro") - col("level_pre_at_break_micro"))
+      .select("n_days_pre", "n_days_post", "slope_pre_ppm", "slope_post_ppm",
+        "slope_change_ppm", "level_pre_at_break_micro",
+        "level_post_at_break_micro", "level_change_micro")
+  }
+
+  /** OVER-DISPERSION INDEX per event type — variance-to-mean ratio of
+    * the DAILY COUNT series (index of dispersion): 1.0 = Poisson
+    * arrivals, ≫ 1 = bursty/clumped, ≪ 1 = regularized — the one
+    * number that says whether rate alerts can assume Poisson noise.
+    * Population variance over the observed days, all DECIMAL(38,0)
+    * moments, ratio as ONE integral ppm division (variance numerator
+    * n·Σc² − (Σc)² over denominator n·Σc — mean > 0 by construction
+    * since every observed day has ≥ 1 event). Types need ≥ `minDays`
+    * observed days. Returns (event_type, n_days, total, dispersion_ppm),
+    * type-ordered. */
+  def dispersionIndex(
+      ev: DataFrame,
+      minDays: Long = 5L,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val day = floor(epochSec(tsCol).cast("double") / lit(86400.0d)).cast("long")
+    ev.where(col(typeCol).isNotNull)
+      .groupBy(col(typeCol), day.as("_d"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("_c")).as("total"),
+        sum(col("_c").cast(d) * col("_c").cast(d)).as("_sc2"))
+      .where(col("n_days") >= minDays)
+      .selectExpr(typeCol, "n_days", "total",
+        "CAST((CAST(n_days AS DECIMAL(38,0)) * _sc2 - " +
+          "CAST(total AS DECIMAL(38,0)) * total) * 1000000 div " +
+          "(CAST(n_days AS DECIMAL(38,0)) * total) AS BIGINT) AS dispersion_ppm")
+      .orderBy(typeCol)
+  }
+
   /** PURCHASE-REGULARITY SEGMENTS — the repeat-behavior classifier CRM
     * teams run: per user, the coefficient of variation of consecutive
     * purchase gaps. CV ≈ 0 = clockwork subscriber; CV ≈ 1 = Poisson

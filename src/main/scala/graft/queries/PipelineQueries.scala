@@ -1823,6 +1823,16 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Interrupted time series at day 15: pre/post exact OLS, slope
+    // change and the level jump at the break — single rational each.
+    "p259_its" -> ((s, dir) =>
+      graft.ops.EventsOps.interruptedSeries(Tables(s, dir, "events"))),
+
+    // Poisson check for rate alerting: variance-to-mean of daily
+    // counts per type, one integral ppm division.
+    "p260_dispersion" -> ((s, dir) =>
+      graft.ops.EventsOps.dispersionIndex(Tables(s, dir, "events"))),
+
     // Qini/uplift ladder with the deterministic even-user treatment
     // assignment — does the value score find CHANGEABLE users?
     "p258_qini" -> ((s, dir) =>
@@ -4448,6 +4458,51 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // daily means (non-negative // == div), x centered at the break,
+    // per-segment moments in HUGEINT, re-signed single divisions
+    "p259_its" -> (
+      "WITH b AS (SELECT CAST(floor(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) / 86400) AS BIGINT) AS dd, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE value IS NOT NULL AND value >= 0), " +
+        "daily AS (SELECT dd, CAST(SUM(CAST(v AS HUGEINT)) // COUNT(*) AS BIGINT) AS y " +
+        "FROM b GROUP BY 1), " +
+        "c AS (SELECT MIN(dd) + 15 AS cut FROM daily), " +
+        "seg AS (SELECT dd - c.cut AS x, y, dd < c.cut AS pre FROM daily, c), " +
+        "mp AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy, " +
+        "SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(x AS HUGEINT) * y) AS sxy FROM seg WHERE pre), " +
+        "mq AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy, " +
+        "SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(x AS HUGEINT) * y) AS sxy FROM seg WHERE NOT pre), " +
+        "fp AS (SELECT n AS n_days_pre, " +
+        "CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL ELSE " +
+        "(CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END) * " +
+        "CAST(abs(n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT) END AS slope_pre_ppm, " +
+        "CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL ELSE " +
+        "(CASE WHEN sy * sxx - sx * sxy >= 0 THEN 1 ELSE -1 END) * " +
+        "CAST(abs(sy * sxx - sx * sxy) // (n * sxx - sx * sx) AS BIGINT) END AS level_pre_at_break_micro FROM mp), " +
+        "fq AS (SELECT n AS n_days_post, " +
+        "CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL ELSE " +
+        "(CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END) * " +
+        "CAST(abs(n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT) END AS slope_post_ppm, " +
+        "CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL ELSE " +
+        "(CASE WHEN sy * sxx - sx * sxy >= 0 THEN 1 ELSE -1 END) * " +
+        "CAST(abs(sy * sxx - sx * sxy) // (n * sxx - sx * sx) AS BIGINT) END AS level_post_at_break_micro FROM mq) " +
+        "SELECT CAST(n_days_pre AS BIGINT) AS n_days_pre, CAST(n_days_post AS BIGINT) AS n_days_post, " +
+        "slope_pre_ppm, slope_post_ppm, slope_post_ppm - slope_pre_ppm AS slope_change_ppm, " +
+        "level_pre_at_break_micro, level_post_at_break_micro, " +
+        "level_post_at_break_micro - level_pre_at_break_micro AS level_change_micro " +
+        "FROM fp, fq"),
+    // (n·Σc² − (Σc)²)·1e6 // (n·Σc) in HUGEINT; every observed day has
+    // >= 1 event so the mean is positive
+    "p260_dispersion" -> (
+      "WITH dc AS (SELECT event_type, " +
+        "CAST(floor(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) / 86400) AS BIGINT) AS dd, " +
+        "COUNT(*) AS c FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, COUNT(*) AS n_days, CAST(SUM(c) AS BIGINT) AS total, " +
+        "SUM(CAST(c AS HUGEINT) * c) AS sc2 FROM dc GROUP BY 1 HAVING COUNT(*) >= 5) " +
+        "SELECT event_type, n_days, total, " +
+        "CAST((CAST(n_days AS HUGEINT) * sc2 - CAST(total AS HUGEINT) * total) * 1000000 // " +
+        "(CAST(n_days AS HUGEINT) * total) AS BIGINT) AS dispersion_ppm " +
+        "FROM m ORDER BY event_type"),
     // same NTILE total order as p256; uplift as a difference of two
     // non-negative //; qini in HUGEINT with one //
     "p258_qini" -> (

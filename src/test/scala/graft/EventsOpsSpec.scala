@@ -1140,6 +1140,38 @@ class EventsOpsSpec extends AnyFunSuite {
       (4L, false, true), (5L, false, false), (6L, false, false)))
   }
 
+  test("interruptedSeries: hand-fit slopes and the level jump at the break") {
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
+    val ev = Seq(
+      // pre (days 0-1): 10 → 20, slope +10/day, line hits 30 at the break
+      (1L, 1L, "view", 10.0, at(0)), (2L, 1L, "view", 20.0, at(1)),
+      // post (days 2-3): 50 → 40, slope −10/day, level 50 at the break
+      (3L, 1L, "view", 50.0, at(2)), (4L, 1L, "view", 40.0, at(3))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val r = EventsOps.interruptedSeries(ev, breakAfterDays = 2L).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getLong(2) == 10000000000000L && r.getLong(3) == -10000000000000L)
+    assert(r.getLong(4) == -20000000000000L)
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((30000000L, 50000000L, 20000000L)))
+  }
+
+  test("dispersionIndex: constant days score 0, a burst inflates var/mean, thin types drop") {
+    def at(day: Long, i: Long) = new java.sql.Timestamp((day * 86400L + i) * 1000L)
+    val rows =
+      (0L until 5L).flatMap(d => Seq(("a", d, 1L), ("a", d, 2L))) ++   // 2/day
+      (0L until 4L).map(d => ("b", d, 1L)) ++ Seq(("b", 4L, 1L), ("b", 4L, 2L),
+        ("b", 4L, 3L), ("b", 4L, 4L), ("b", 4L, 5L), ("b", 4L, 6L)) ++ // 1,1,1,1,6
+      (0L until 4L).map(d => ("c", d, 1L))                             // 4 days only
+    val ev = rows.zipWithIndex.map { case ((t, d, i), ix) =>
+      (ix.toLong, 1L, t, at(d, i))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.dispersionIndex(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // b: n=5, Σ=10, Σc²=40 → (200−100)·1e6/50 = 2e6
+    assert(out.toSeq == Seq(("a", 5L, 10L, 0L), ("b", 5L, 10L, 2000000L)))
+  }
+
   test("purchaseRegularity: clockwork scores CV 0, irregular buyer exact isqrt CV, thin users drop") {
     def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val ev = Seq(
