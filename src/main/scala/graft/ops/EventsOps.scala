@@ -3141,6 +3141,49 @@ object EventsOps {
       .orderBy("day")
   }
 
+  /** CHAIN ENTROPY RATE per state, FLOOR-BITS — how predictable is the
+    * next event given the current one? Complements [[markovStationary]]'s
+    * occupancy and the p153 argmax: a state with 0 bits is a corridor
+    * (one successor), log₂(k) bits is a fair die over k successors.
+    * Engine-portable by the p65 surprisal convention: each transition's
+    * surprisal is the INTEGER ⌊log₂(r/c)⌋ (bit-length gap with the
+    * overshoot correction — no libm log whose last ulp could differ),
+    * and the per-state rate is the count-weighted mean in milli-bits
+    * with ONE integral division `Σc·bits·1000 div r`. A floor at every
+    * term makes this a declared lower bound of the true Shannon rate —
+    * the ORDERING across states (what the screen is for) is what it
+    * preserves.
+    *
+    * Shape: one user-keyed lead window builds transitions; everything
+    * after is types²-bounded. Returns (event_type, n_out, n_targets,
+    * entropy_millibits), type-ordered. */
+  def chainEntropy(
+      ev: DataFrame,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_s"), col(tieCol))
+    val trans = ev.select(col(keyCol), col(typeCol).as("_from"),
+        epochSec(tsCol).as("_s"), col(tieCol))
+      .withColumn("_to", lead(col("_from"), 1).over(w))
+      .where(col("_to").isNotNull)
+      .groupBy(col("_from"), col("_to")).agg(count(lit(1)).as("_c"))
+    val outs = trans.groupBy(col("_from")).agg(sum(col("_c")).as("_r"),
+      count(lit(1)).as("n_targets"))
+    trans.join(outs, Seq("_from"))
+      .withColumn("_k0", (length(bin(col("_r"))) - length(bin(col("_c")))).cast("int"))
+      .withColumn("_bits",
+        when(col("_r") < expr("shiftleft(_c, _k0)"), col("_k0") - 1)
+          .otherwise(col("_k0")).cast("long"))
+      .groupBy(col("_from").as(typeCol))
+      .agg(max(col("_r")).as("n_out"), max(col("n_targets")).as("n_targets"),
+        expr("CAST(sum(_c * _bits) * 1000 div max(_r) AS BIGINT)")
+          .as("entropy_millibits"))
+      .orderBy(typeCol)
+  }
+
   /** INTERRUPTED TIME SERIES (segmented regression) — the
     * release-impact reading: fit separate exact OLS lines to the daily
     * value series BEFORE and AFTER a break day and report the slope

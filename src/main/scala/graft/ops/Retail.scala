@@ -162,6 +162,44 @@ object Retail {
       .orderBy("custkey")
   }
 
+  /** NEW-ITEM REVENUE SHARE per week — the assortment-freshness curve
+    * merchandising watches: how much of each week's revenue comes from
+    * items first sold THAT week? A share that never decays means the
+    * catalog churns; one that collapses to 0 means the long tail died.
+    *
+    * Integer-exact: weeks are ⌊epoch-day/7⌋ (the shared floor idiom),
+    * revenue in micro; an item's debut week is one partial agg MIN;
+    * the weekly roll-up joins sales to debuts on the item key and
+    * splits revenue by `week == debut`. share ppm = one integral
+    * division of non-negative sums. Returns (week, n_items, n_new_items,
+    * revenue_micro, new_revenue_micro, new_share_ppm), week-ordered. */
+  def newItemShare(
+      lines: DataFrame,
+      orders: DataFrame): DataFrame = {
+    def week(c: Column): Column =
+      floor(floor(floor(unix_micros(c).cast("double") / lit(1000000.0d)) /
+        lit(86400.0d)) / lit(7.0d)).cast("long")
+    val sales = lines
+      .select(col("l_orderkey"), col("l_partkey"),
+        floor(col("l_extendedprice").cast("double") * lit(1000000.0d))
+          .cast("long").as("_rev"))
+      .join(orders.select(col("o_orderkey"), week(col("o_orderdate")).as("_w")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("_p"), col("_w"), col("_rev"))
+    val debut = sales.groupBy(col("_p")).agg(min(col("_w")).as("_dw"))
+    sales.join(debut, Seq("_p"))
+      .groupBy(col("_w").as("week"))
+      .agg(countDistinct(col("_p")).as("n_items"),
+        countDistinct(when(col("_dw") === col("_w"), col("_p"))).as("n_new_items"),
+        sum(col("_rev")).as("revenue_micro"),
+        sum(when(col("_dw") === col("_w"), col("_rev")).otherwise(0L))
+          .as("new_revenue_micro"))
+      .withColumn("new_share_ppm", expr(
+        "CAST(CAST(new_revenue_micro AS DECIMAL(38,0)) * 1000000 " +
+          "div revenue_micro AS BIGINT)"))
+      .orderBy("week")
+  }
+
   /** FULFILLMENT-LAG LADDER by order priority — "do urgent orders
     * actually ship faster?": calendar days from order date to the
     * order's FIRST line shipment, summarized per priority as exact

@@ -1823,6 +1823,17 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Next-event predictability per state: floor-bits chain entropy
+    // rate on the types²-bounded transition table, no libm.
+    "p261_chain_entropy" -> ((s, dir) =>
+      graft.ops.EventsOps.chainEntropy(Tables(s, dir, "events"))),
+
+    // Assortment freshness: weekly revenue share of items debuting
+    // that week — debut MIN + one week roll-up, integral ppm.
+    "p262_new_item_share" -> ((s, dir) =>
+      graft.ops.Retail.newItemShare(
+        Tables(s, dir, "lineitem"), Tables(s, dir, "orders"))),
+
     // Interrupted time series at day 15: pre/post exact OLS, slope
     // change and the level jump at the break — single rational each.
     "p259_its" -> ((s, dir) =>
@@ -4458,6 +4469,37 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // p228's transition CTE; ⌊log2(r/c)⌋ = bit-length gap with the
+    // shiftleft overshoot correction (the p65 convention)
+    "p261_chain_entropy" -> (
+      "WITH e AS (SELECT user_id, event_type AS f, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s, event_id AS t FROM events), " +
+        "tr AS (SELECT f, tt, COUNT(*) AS c FROM " +
+        "(SELECT f, LEAD(f, 1) OVER (PARTITION BY user_id ORDER BY s, t) AS tt FROM e) " +
+        "WHERE tt IS NOT NULL GROUP BY 1, 2), " +
+        "o AS (SELECT f, CAST(SUM(c) AS BIGINT) AS r, COUNT(*) AS n_targets FROM tr GROUP BY 1), " +
+        "bt AS (SELECT tr.f, tr.c, o.r, o.n_targets, " +
+        "length(bin(o.r)) - length(bin(tr.c)) AS k0 FROM tr JOIN o ON o.f = tr.f), " +
+        "bb AS (SELECT f, c, r, n_targets, " +
+        "CASE WHEN r < (c << k0) THEN k0 - 1 ELSE k0 END AS bits FROM bt) " +
+        "SELECT f AS event_type, MAX(r) AS n_out, CAST(MAX(n_targets) AS BIGINT) AS n_targets, " +
+        "CAST(SUM(CAST(c AS HUGEINT) * bits) * 1000 // MAX(r) AS BIGINT) AS entropy_millibits " +
+        "FROM bb GROUP BY f ORDER BY event_type"),
+    // debut-week MIN per item; weekly split by week == debut; one //
+    "p262_new_item_share" -> (
+      "WITH s AS (SELECT l.l_partkey AS p, " +
+        "CAST(floor(floor(floor(CAST(epoch_us(o.o_orderdate) AS DOUBLE) / 1000000) / 86400) / 7) AS BIGINT) AS w, " +
+        "CAST(floor(CAST(l.l_extendedprice AS DOUBLE) * 1000000) AS BIGINT) AS rev " +
+        "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey), " +
+        "d AS (SELECT p, MIN(w) AS dw FROM s GROUP BY 1), " +
+        "g AS (SELECT s.w AS week, COUNT(DISTINCT s.p) AS n_items, " +
+        "COUNT(DISTINCT CASE WHEN d.dw = s.w THEN s.p END) AS n_new_items, " +
+        "CAST(SUM(s.rev) AS BIGINT) AS revenue_micro, " +
+        "CAST(SUM(CASE WHEN d.dw = s.w THEN s.rev ELSE 0 END) AS BIGINT) AS new_revenue_micro " +
+        "FROM s JOIN d ON d.p = s.p GROUP BY 1) " +
+        "SELECT week, n_items, n_new_items, revenue_micro, new_revenue_micro, " +
+        "CAST(CAST(new_revenue_micro AS HUGEINT) * 1000000 // revenue_micro AS BIGINT) AS new_share_ppm " +
+        "FROM g ORDER BY week"),
     // daily means (non-negative // == div), x centered at the break,
     // per-segment moments in HUGEINT, re-signed single divisions
     "p259_its" -> (

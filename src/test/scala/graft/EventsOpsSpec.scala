@@ -1140,6 +1140,19 @@ class EventsOpsSpec extends AnyFunSuite {
       (4L, false, true), (5L, false, false), (6L, false, false)))
   }
 
+  test("chainEntropy: fair-coin state reads 1000 millibits, corridors read 0") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // one user walks A,B,A,C,A,B,A,C → A splits 50/50, B and C corridor
+    val seqTypes = Seq("A", "B", "A", "C", "A", "B", "A", "C")
+    val ev = seqTypes.zipWithIndex.map { case (t, i) =>
+      (i.toLong, 1L, t, at(i * 10L))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.chainEntropy(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("A", 4L, 2L, 1000L), ("B", 2L, 1L, 0L), ("C", 1L, 1L, 0L)))
+  }
+
   test("interruptedSeries: hand-fit slopes and the level jump at the break") {
     def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
     val ev = Seq(

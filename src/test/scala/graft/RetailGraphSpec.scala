@@ -491,6 +491,24 @@ class RetailGraphSpec extends AnyFunSuite {
     assert(!out.exists(r => (r._1, r._2) == ((1L, 2L))))
   }
 
+  test("newItemShare: debut week takes full share, repeat items dilute the next") {
+    import spark.implicits._
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
+    val orders = Seq(
+      (1L, ts(0)), (2L, ts(7))
+    ).toDF("o_orderkey", "o_orderdate")
+    val lines = Seq(
+      (1L, 10L, 10.0), (1L, 20L, 20.0),          // week 0: both debut
+      (2L, 10L, 30.0), (2L, 30L, 10.0)           // week 1: repeat + one new
+    ).toDF("l_orderkey", "l_partkey", "l_extendedprice")
+    val out = graft.ops.Retail.newItemShare(lines, orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 2L, 30000000L, 30000000L, 1000000L),
+      (1L, 2L, 1L, 40000000L, 10000000L, 250000L)))
+  }
+
   test("fulfillmentLag: first-ship lag, exact rank quantiles per priority") {
     import spark.implicits._
     def ts(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
