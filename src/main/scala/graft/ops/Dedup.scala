@@ -353,6 +353,47 @@ object Dedup {
       .select(col("id"), col("component"), col("cluster_size"))
   }
 
+  /** EFFECTIVE TOKEN BUDGET after dedup — the headline a curation run
+    * reports upward: "the corpus claims N tokens; after near-dup
+    * removal the model actually sees E." Excess = per cluster, every
+    * member's tokens except the canonical keeper's (the cluster-min id,
+    * [[dedupClusters]]' convention — swap [[keepBest]] upstream for a
+    * quality keeper, same algebra).
+    *
+    * Shape: token counts are one map-only pass; cluster labels are the
+    * (≪ corpus) component table; the excess is a component-keyed
+    * partial agg over CLUSTERED rows only. Returns ONE row (n_docs,
+    * n_tokens, n_clusters, n_removable_docs, dup_excess_tokens,
+    * effective_tokens, savings_ppm). */
+  def effectiveTokens(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("_t"))
+    val comp = connectedComponents(pairs)
+    val perCluster = toks.join(comp, Seq("id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("_n"), sum(col("_t")).as("_sum"),
+        max(when(col("id") === col("component"), col("_t"))).as("_keep"))
+    val clusterTot = perCluster.agg(
+      count(lit(1)).as("n_clusters"),
+      sum(col("_n") - 1).as("n_removable_docs"),
+      sum(col("_sum") - col("_keep")).as("dup_excess_tokens"))
+    toks.agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("n_tokens"))
+      .crossJoin(broadcast(clusterTot))
+      .withColumn("n_clusters", coalesce(col("n_clusters"), lit(0L)))
+      .withColumn("n_removable_docs", coalesce(col("n_removable_docs"), lit(0L)))
+      .withColumn("dup_excess_tokens", coalesce(col("dup_excess_tokens"), lit(0L)))
+      .withColumn("effective_tokens", col("n_tokens") - col("dup_excess_tokens"))
+      .withColumn("savings_ppm",
+        when(col("n_tokens") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(dup_excess_tokens * 1000000 div n_tokens AS BIGINT)")))
+      .select("n_docs", "n_tokens", "n_clusters", "n_removable_docs",
+        "dup_excess_tokens", "effective_tokens", "savings_ppm")
+  }
+
   /** JACCARD THRESHOLD SWEEP — the dedup-tuning diagnostic: how many
     * near-dup pairs (and how many documents they touch) exist at each
     * candidate threshold? Run BEFORE committing to a θ: a cliff between

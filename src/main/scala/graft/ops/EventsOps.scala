@@ -3141,6 +3141,56 @@ object EventsOps {
       .orderBy("day")
   }
 
+  /** CHURN-DEFINITION SWEEP — every team argues over "inactive for N
+    * days = churned"; this table settles it with data: for each
+    * candidate threshold, how many users ever had a gap that long, and
+    * how many of THOSE came back anyway (the false-churn rate — a
+    * definition whose "churned" users mostly return is mislabeling
+    * dormancy). The [[jaccardThresholdSweep]] pattern applied to
+    * lifecycle policy.
+    *
+    * Per user the evidence is ONE pass: the MAX internal activity gap
+    * (from a day-distinct lag window) and the FINAL SILENCE (snapshot
+    * high-water mark minus last active day, right-censored). A user is
+    * flagged at threshold T when either exceeds T; they RETURNED when
+    * an internal gap exceeded T — every internal gap is followed by
+    * activity by construction, so `false_churn_ppm = returned·10⁶ div
+    * flagged` is exactly the share of T-flagged users history already
+    * contradicts. All counts integer, the per-user table persists once
+    * and serves every threshold. Returns (threshold_days, n_users,
+    * n_flagged, n_returned, false_churn_ppm), threshold-ordered. */
+  def churnDefinitionSweep(
+      ev: DataFrame,
+      thresholdsDays: Seq[Long] = Seq(3L, 7L, 14L),
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(thresholdsDays.nonEmpty, "churnDefinitionSweep: need thresholds")
+    import org.apache.spark.sql.expressions.Window
+    val day = floor(epochSec(tsCol).cast("double") / lit(86400.0d)).cast("long")
+    val ud = ev.select(col(userCol).as("_u"), day.as("_d")).distinct()
+    val w = Window.partitionBy(col("_u")).orderBy(col("_d"))
+    val per = ud
+      .withColumn("_g", col("_d") - lag(col("_d"), 1).over(w))
+      .groupBy(col("_u"))
+      .agg(max(coalesce(col("_g"), lit(0L))).as("_maxGap"),
+        max(col("_d")).as("_last"))
+    val hwm = per.agg(max(col("_last")).as("_hwm"))
+    val enriched = per.crossJoin(broadcast(hwm))
+      .select(col("_maxGap"), (col("_hwm") - col("_last")).as("_silence"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    thresholdsDays.sorted.map { t =>
+      enriched.agg(count(lit(1)).as("n_users"),
+        sum(when(col("_maxGap") > t || col("_silence") > t, 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(when(col("_maxGap") > t, 1L).otherwise(0L)).as("n_returned"))
+        .select(lit(t).as("threshold_days"), col("n_users"),
+          col("n_flagged"), col("n_returned"))
+        .withColumn("false_churn_ppm",
+          when(col("n_flagged") === 0, lit(null).cast("long"))
+            .otherwise(expr("CAST(n_returned * 1000000 div n_flagged AS BIGINT)")))
+    }.reduce(_ unionByName _)
+  }
+
   /** CHAIN ENTROPY RATE per state, FLOOR-BITS — how predictable is the
     * next event given the current one? Complements [[markovStationary]]'s
     * occupancy and the p153 argmax: a state with 0 bits is a corridor

@@ -1823,6 +1823,17 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Lifecycle-policy evidence: churn-definition sweep over 3/7/14-day
+    // inactivity thresholds with the historically-contradicted share.
+    "p263_churn_sweep" -> ((s, dir) =>
+      graft.ops.EventsOps.churnDefinitionSweep(Tables(s, dir, "events"))),
+
+    // Curation headline: the effective token budget after near-dup
+    // removal (shared memoized pair pipeline, min-id keepers).
+    "p264_effective_tokens" -> ((s, dir) =>
+      graft.ops.Dedup.effectiveTokens(Tables(s, dir, "documents"),
+        nearDupPairs45(s, dir).select("a", "b"))),
+
     // Next-event predictability per state: floor-bits chain entropy
     // rate on the types²-bounded transition table, no libm.
     "p261_chain_entropy" -> ((s, dir) =>
@@ -4469,6 +4480,56 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // per-user max internal gap + right-censored final silence vs the
+    // snapshot hwm; flagged = either > T, returned = internal > T
+    "p263_churn_sweep" -> (
+      "WITH ud AS (SELECT DISTINCT user_id AS u, " +
+        "CAST(floor(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) / 86400) AS BIGINT) AS d FROM events), " +
+        "g AS (SELECT u, d - LAG(d) OVER (PARTITION BY u ORDER BY d) AS gp, d FROM ud), " +
+        "per AS (SELECT u, MAX(COALESCE(gp, 0)) AS mg, MAX(d) AS last FROM g GROUP BY 1), " +
+        "h AS (SELECT MAX(last) AS hwm FROM per), " +
+        "e AS MATERIALIZED (SELECT mg, h.hwm - last AS sil FROM per, h), " +
+        "x AS (" +
+        Seq(3, 7, 14).map { t =>
+          s"SELECT $t AS threshold_days, (SELECT COUNT(*) FROM e) AS n_users, " +
+            s"(SELECT CAST(SUM(CASE WHEN mg > $t OR sil > $t THEN 1 ELSE 0 END) AS BIGINT) FROM e) AS n_flagged, " +
+            s"(SELECT CAST(SUM(CASE WHEN mg > $t THEN 1 ELSE 0 END) AS BIGINT) FROM e) AS n_returned"
+        }.mkString(" UNION ALL ") +
+        ") SELECT threshold_days, n_users, n_flagged, n_returned, " +
+        "CASE WHEN n_flagged = 0 THEN NULL ELSE " +
+        "CAST(n_returned * 1000000 // n_flagged AS BIGINT) END AS false_churn_ppm " +
+        "FROM x ORDER BY threshold_days"),
+    // p29's exact cluster graph + whitespace token counts; keeper = the
+    // component min id; one component-keyed excess aggregate
+    "p264_effective_tokens" -> (
+      "WITH RECURSIVE tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
+        "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
+        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
+        "p AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
+        "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)), " +
+        "ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
+        "nd AS (SELECT DISTINCT a AS id FROM ed), " +
+        "reach AS (SELECT id, id AS r FROM nd " +
+        "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
+        "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id), " +
+        "tc AS (SELECT doc_id AS id, CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS t FROM documents), " +
+        "pc AS (SELECT comp.component, COUNT(*) AS n, CAST(SUM(tc.t) AS BIGINT) AS st, " +
+        "CAST(MAX(CASE WHEN tc.id = comp.component THEN tc.t END) AS BIGINT) AS keep " +
+        "FROM comp JOIN tc ON tc.id = comp.id GROUP BY 1), " +
+        "ct AS (SELECT COUNT(*) AS n_clusters, CAST(SUM(n - 1) AS BIGINT) AS n_removable_docs, " +
+        "CAST(SUM(st - keep) AS BIGINT) AS dup_excess_tokens FROM pc), " +
+        "tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS n_tokens FROM tc) " +
+        "SELECT tot.n_docs, tot.n_tokens, COALESCE(ct.n_clusters, 0) AS n_clusters, " +
+        "COALESCE(ct.n_removable_docs, 0) AS n_removable_docs, " +
+        "COALESCE(ct.dup_excess_tokens, 0) AS dup_excess_tokens, " +
+        "tot.n_tokens - COALESCE(ct.dup_excess_tokens, 0) AS effective_tokens, " +
+        "CASE WHEN tot.n_tokens = 0 THEN NULL ELSE " +
+        "CAST(COALESCE(ct.dup_excess_tokens, 0) * 1000000 // tot.n_tokens AS BIGINT) END AS savings_ppm " +
+        "FROM tot, ct"),
     // p228's transition CTE; ⌊log2(r/c)⌋ = bit-length gap with the
     // shiftleft overshoot correction (the p65 convention)
     "p261_chain_entropy" -> (

@@ -258,6 +258,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.exists(t => t._1 == 2L && t._2 == 1L))
   }
 
+  test("effectiveTokens: cluster keeps the min-id member's tokens, singletons untouched") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d e f"), (3L, "x y z w v")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val r = Dedup.effectiveTokens(docs, pairs).collect()(0)
+    // excess = (4 + 6) − 4 = 6 of 15 tokens → 400000 ppm saved
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((3L, 15L, 1L, 1L, 6L, 9L, 400000L)))
+    // no pairs at all: zero clusters, zero savings, totals intact
+    val none = Dedup.effectiveTokens(docs, pairs.where(col("a") < 0)).collect()(0)
+    assert((none.getLong(2), none.getLong(4), none.getLong(5)) == ((0L, 0L, 15L)))
+  }
+
   test("jaccardThresholdSweep: cliff between tiers, boundary pair counted at exactly 50") {
     val docs = Seq(
       (1L, "x y z w"), (2L, "x y z w"),      // identical → J = 1 at every tier

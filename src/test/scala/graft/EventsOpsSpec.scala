@@ -1140,6 +1140,24 @@ class EventsOpsSpec extends AnyFunSuite {
       (4L, false, true), (5L, false, false), (6L, false, false)))
   }
 
+  test("churnDefinitionSweep: returned gaps vs censored silence split by threshold") {
+    def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
+    val ev = Seq(
+      // u1: 10-day internal gap, then returns — history contradicts churn
+      (1L, 1L, "view", at(0)), (2L, 1L, "view", at(10)),
+      // u2: one visit at day 5 → 5-day final silence vs hwm 10
+      (3L, 2L, "view", at(5)),
+      // u3: tight activity, never flagged
+      (4L, 3L, "view", at(8)), (5L, 3L, "view", at(10))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.churnDefinitionSweep(ev, thresholdsDays = Seq(3L, 7L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (3L, 3L, 2L, 1L, 500000L),    // u1 + u2 flagged, only u1 returned
+      (7L, 3L, 1L, 1L, 1000000L)))  // at 7 days the definition is pure noise
+  }
+
   test("chainEntropy: fair-coin state reads 1000 millibits, corridors read 0") {
     def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     // one user walks A,B,A,C,A,B,A,C → A splits 50/50, B and C corridor
