@@ -162,6 +162,48 @@ object Retail {
       .orderBy("custkey")
   }
 
+  /** ABC (PARETO) CLASSIFICATION — the inventory-policy workhorse:
+    * items ranked by revenue, classed A while the cumulative share
+    * stays ≤ `aCutPpm`, B to `bCutPpm`, else C (the first item whose
+    * cumulative share crosses a boundary lands in the NEXT class — the
+    * declared convention; conventions differ and hiding one in float
+    * comparisons is how two reports disagree).
+    *
+    * Integer-exact: revenue in micro, cumulative share as ONE integral
+    * ppm division per row over the (revenue desc, item) total order.
+    * The catalog-sized unpartitioned window follows the rfmSegments
+    * contract (swap for a two-pass prefix sum past ~10⁸ items).
+    * Returns (item, revenue_micro, cum_share_ppm, abc_class),
+    * rank-ordered. */
+  def abcClassification(
+      lines: DataFrame,
+      aCutPpm: Long = 800000L,
+      bCutPpm: Long = 950000L,
+      itemCol: String = "l_partkey",
+      revCol: String = "l_extendedprice"): DataFrame = {
+    require(0 < aCutPpm && aCutPpm < bCutPpm && bCutPpm <= 1000000L,
+      s"abcClassification: need 0 < aCut < bCut <= 1e6, got $aCutPpm/$bCutPpm")
+    val per = lines
+      .where(col(revCol).isNotNull)
+      .groupBy(col(itemCol).as("item"))
+      .agg(sum(floor(col(revCol).cast("double") * lit(1000000.0d)).cast("long"))
+        .as("revenue_micro"))
+    val wCum = Window.orderBy(col("revenue_micro").desc, col("item").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    per
+      .withColumn("_cum", sum(col("revenue_micro")).over(wCum))
+      .withColumn("_tot", sum(col("revenue_micro")).over(wAll))
+      .withColumn("cum_share_ppm", expr(
+        "CAST(CAST(_cum AS DECIMAL(38,0)) * 1000000 div _tot AS BIGINT)"))
+      .withColumn("abc_class",
+        when(col("cum_share_ppm") <= aCutPpm, "A")
+          .when(col("cum_share_ppm") <= bCutPpm, "B")
+          .otherwise("C"))
+      .select("item", "revenue_micro", "cum_share_ppm", "abc_class")
+      .orderBy(col("revenue_micro").desc, col("item").asc)
+  }
+
   /** NEW-ITEM REVENUE SHARE per week — the assortment-freshness curve
     * merchandising watches: how much of each week's revenue comes from
     * items first sold THAT week? A share that never decays means the

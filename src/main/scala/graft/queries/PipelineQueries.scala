@@ -1823,6 +1823,11 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Inventory ABC classes: cumulative revenue share cuts at 80/95%,
+    // boundary-crossers land in the next class (declared).
+    "p265_abc_classes" -> ((s, dir) =>
+      graft.ops.Retail.abcClassification(Tables(s, dir, "lineitem"))),
+
     // Lifecycle-policy evidence: churn-definition sweep over 3/7/14-day
     // inactivity thresholds with the historically-contradicted share.
     "p263_churn_sweep" -> ((s, dir) =>
@@ -4480,6 +4485,22 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // (revenue desc, item) cumulative window; one // per row; the
+    // boundary convention mirrored by <= comparisons
+    "p265_abc_classes" -> (
+      "WITH per AS (SELECT l_partkey AS item, " +
+        "CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS revenue_micro " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1), " +
+        "c AS (SELECT *, CAST(SUM(revenue_micro) OVER w AS BIGINT) AS cum, " +
+        "CAST(SUM(revenue_micro) OVER () AS BIGINT) AS tot FROM per " +
+        "WINDOW w AS (ORDER BY revenue_micro DESC, item ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT item, revenue_micro, " +
+        "CAST(CAST(cum AS HUGEINT) * 1000000 // tot AS BIGINT) AS cum_share_ppm, " +
+        "CASE WHEN CAST(CAST(cum AS HUGEINT) * 1000000 // tot AS BIGINT) <= 800000 THEN 'A' " +
+        "WHEN CAST(CAST(cum AS HUGEINT) * 1000000 // tot AS BIGINT) <= 950000 THEN 'B' " +
+        "ELSE 'C' END AS abc_class " +
+        "FROM c ORDER BY revenue_micro DESC, item ASC"),
     // per-user max internal gap + right-censored final silence vs the
     // snapshot hwm; flagged = either > T, returned = internal > T
     "p263_churn_sweep" -> (

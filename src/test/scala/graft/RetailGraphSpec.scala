@@ -491,6 +491,19 @@ class RetailGraphSpec extends AnyFunSuite {
     assert(!out.exists(r => (r._1, r._2) == ((1L, 2L))))
   }
 
+  test("abcClassification: cumulative cuts, boundary-crosser lands in the next class") {
+    import spark.implicits._
+    // revenues 50/30/15/5 of 100: cum 50/80/95/100 → A, A, B, C
+    val li = Seq(
+      (1L, 10L, 50.0), (2L, 20L, 30.0), (3L, 30L, 15.0), (4L, 40L, 5.0)
+    ).toDF("l_orderkey", "l_partkey", "l_extendedprice")
+    val out = graft.ops.Retail.abcClassification(li).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (10L, 500000L, "A"), (20L, 800000L, "A"),
+      (30L, 950000L, "B"), (40L, 1000000L, "C")))
+  }
+
   test("newItemShare: debut week takes full share, repeat items dilute the next") {
     import spark.implicits._
     def ts(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
