@@ -3141,6 +3141,70 @@ object EventsOps {
       .orderBy("day")
   }
 
+  /** DAU/MAU STICKINESS — the product-health ratio boards ask for
+    * daily: what fraction of the monthly audience shows up on a given
+    * day? Rides [[rollingActiveUsers]]' interval-contribution trick at
+    * a 28-day window (no windowed count-distinct, no day×user join),
+    * ratio as one integral ppm (mau ≥ dau ≥ 1 on observed days by
+    * construction). Returns (day, dau, mau, dau_mau_ppm), day-ordered. */
+  def stickiness(
+      ev: DataFrame,
+      windowDays: Int = 28,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame =
+    rollingActiveUsers(ev, windowDays, userCol, tsCol)
+      .withColumnRenamed("wau", "mau")
+      .withColumn("dau_mau_ppm",
+        expr("CAST(dau * 1000000 div mau AS BIGINT)"))
+      .orderBy("day")
+
+  /** MILESTONE VELOCITY — how fast do users reach their 1st, 2nd, 3rd
+    * conversion after first contact? The activation ladder growth teams
+    * instrument ("day-N to first purchase" etc.), exact: day of the
+    * n-th conversion (full (sec, tie) order decides WHICH event is
+    * n-th; the reported distance is calendar days) minus the user's
+    * first-activity day; per milestone the LOWER MEDIAN via
+    * value-at-rank over the (days, user) total order — an exact
+    * integer, never an interpolation.
+    *
+    * Shape: one user-keyed window ranks conversions, first contact is
+    * a user partial agg, then ONE milestone-keyed exchange (≤
+    * `maxMilestone` groups) carries the rank/count windows. Returns
+    * (milestone, n_users, median_days, max_days), milestone-ordered. */
+  def milestoneVelocity(
+      ev: DataFrame,
+      maxMilestone: Int = 3,
+      convType: String = "purchase",
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    require(maxMilestone >= 1, s"milestoneVelocity: need maxMilestone >= 1, got $maxMilestone")
+    import org.apache.spark.sql.expressions.Window
+    val day = floor(epochSec(tsCol).cast("double") / lit(86400.0d)).cast("long")
+    val first = ev.groupBy(col(userCol).as("_u")).agg(min(day).as("_f0"))
+    val wU = Window.partitionBy(col("_u")).orderBy(col("_s"), col(tieCol))
+    val conv = ev.where(col(typeCol) === convType)
+      .select(col(userCol).as("_u"), epochSec(tsCol).as("_s"),
+        day.as("_d"), col(tieCol))
+      .withColumn("milestone", row_number().over(wU).cast("long"))
+      .where(col("milestone") <= maxMilestone)
+      .join(first, Seq("_u"))
+      .select(col("milestone"), (col("_d") - col("_f0")).as("_days"), col("_u"))
+    val wRank = Window.partitionBy(col("milestone"))
+      .orderBy(col("_days"), col("_u"))
+    val wCnt = Window.partitionBy(col("milestone"))
+    conv
+      .withColumn("_rn", row_number().over(wRank))
+      .withColumn("_m", count(lit(1)).over(wCnt))
+      .groupBy(col("milestone"))
+      .agg(max(col("_m")).as("n_users"),
+        max(when(col("_rn") === expr("CAST((_m + 1) div 2 AS INT)"), col("_days")))
+          .as("median_days"),
+        max(col("_days")).as("max_days"))
+      .orderBy("milestone")
+  }
+
   /** CHURN-DEFINITION SWEEP — every team argues over "inactive for N
     * days = churned"; this table settles it with data: for each
     * candidate threshold, how many users ever had a gap that long, and

@@ -1823,6 +1823,16 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Product stickiness: DAU over 28-day MAU via the p104 interval
+    // contribution — no windowed count-distinct anywhere.
+    "p266_stickiness" -> ((s, dir) =>
+      graft.ops.EventsOps.stickiness(Tables(s, dir, "events"))),
+
+    // Activation ladder: exact lower-median days to the 1st/2nd/3rd
+    // purchase from first contact, one milestone exchange.
+    "p267_milestones" -> ((s, dir) =>
+      graft.ops.EventsOps.milestoneVelocity(Tables(s, dir, "events"))),
+
     // Inventory ABC classes: cumulative revenue share cuts at 80/95%,
     // boundary-crossers land in the next class (declared).
     "p265_abc_classes" -> ((s, dir) =>
@@ -4485,6 +4495,37 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // the p104 contribution-interval recipe at a 28-day window + one //
+    "p266_stickiness" -> (
+      "WITH p AS (SELECT DISTINCT user_id, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) // 86400 AS day " +
+        "FROM events), " +
+        "n AS (SELECT user_id, day, lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt FROM p), " +
+        "c AS (SELECT user_id, unnest(generate_series(day, " +
+        "LEAST(day + 27, COALESCE(nxt - 1, day + 27)))) AS d FROM n), " +
+        "w AS (SELECT d AS day, COUNT(*) AS mau FROM c GROUP BY d), " +
+        "a AS (SELECT day, COUNT(*) AS dau FROM p GROUP BY day) " +
+        "SELECT a.day, a.dau, w.mau, " +
+        "CAST(a.dau * 1000000 // w.mau AS BIGINT) AS dau_mau_ppm " +
+        "FROM a JOIN w USING (day) ORDER BY a.day"),
+    // (sec, id) order picks the n-th conversion; calendar-day distance
+    // from first contact; lower median by value-at-rank
+    "p267_milestones" -> (
+      "WITH f AS (SELECT user_id AS u, " +
+        "MIN(CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) // 86400) AS f0 " +
+        "FROM events GROUP BY 1), " +
+        "c AS (SELECT user_id AS u, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) AS s, " +
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000) AS BIGINT) // 86400 AS d, " +
+        "event_id AS i FROM events WHERE event_type = 'purchase'), " +
+        "r AS (SELECT u, d, ROW_NUMBER() OVER (PARTITION BY u ORDER BY s, i) AS milestone FROM c), " +
+        "j AS (SELECT r.milestone, r.d - f.f0 AS days, r.u FROM r " +
+        "JOIN f ON f.u = r.u WHERE r.milestone <= 3), " +
+        "k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY milestone ORDER BY days, u) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY milestone) AS m FROM j) " +
+        "SELECT CAST(milestone AS BIGINT) AS milestone, CAST(MAX(m) AS BIGINT) AS n_users, " +
+        "MAX(CASE WHEN rn = (m + 1) // 2 THEN days END) AS median_days, " +
+        "MAX(days) AS max_days FROM k GROUP BY milestone ORDER BY milestone"),
     // (revenue desc, item) cumulative window; one // per row; the
     // boundary convention mirrored by <= comparisons
     "p265_abc_classes" -> (

@@ -1140,6 +1140,27 @@ class EventsOpsSpec extends AnyFunSuite {
       (4L, false, true), (5L, false, false), (6L, false, false)))
   }
 
+  test("milestoneVelocity: exact lower-median ladder from first contact") {
+    def at(day: Long, i: Long) = new java.sql.Timestamp((day * 86400L + i) * 1000L)
+    val ev = Seq(
+      // u1: first contact day 0 (view), purchases on days 2 and 5
+      (1L, 1L, "view", at(0, 1)),
+      (2L, 1L, "purchase", at(2, 1)), (3L, 1L, "purchase", at(5, 1)),
+      // u2: first contact IS the purchase → milestone 1 at 0 days
+      (4L, 2L, "purchase", at(3, 1)),
+      // u3: purchases days 1, 2, 3, 4 after contact day 0 — milestone 4
+      // falls past maxMilestone
+      (5L, 3L, "view", at(0, 1)), (6L, 3L, "purchase", at(1, 1)),
+      (7L, 3L, "purchase", at(2, 1)), (8L, 3L, "purchase", at(3, 1)),
+      (9L, 3L, "purchase", at(4, 1))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventsOps.milestoneVelocity(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      // m1 days {2, 0, 1} → median 1, max 2; m2 {5, 2} → lower median 2
+      (1L, 3L, 1L, 2L), (2L, 2L, 2L, 5L), (3L, 1L, 3L, 3L)))
+  }
+
   test("churnDefinitionSweep: returned gaps vs censored silence split by threshold") {
     def at(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
     val ev = Seq(
