@@ -190,6 +190,79 @@ object Clustering {
       .orderBy("cluster")
   }
 
+  /** LABEL-SEPARATION GEOMETRY — the "are these classes even separable
+    * in this embedding space" audit a labeling effort runs before
+    * training anything: per label pair, the centroid distance against
+    * the two classes' internal scatter ([[clusterQuality]]'s
+    * Davies–Bouldin shape, driven by GIVEN labels instead of Lloyd
+    * assignments). sep_ratio ≫ 1 means a linear probe will work;
+    * ≈ 1 means the labels are tangled in this space.
+    *
+    * Exact integers throughout: micro-quantized vectors, label
+    * centroids by the k-means floor(sum/n) rule (computed
+    * distributedly, only the labels×dim table — kilobytes — reaches
+    * the driver, the bounded-collect precedent), per-point distances
+    * via one (label, pos)-keyed broadcast join, S = Σ⌊√d²⌋ div n in
+    * micro, M = ⌊√Σ(cᵢ−cⱼ)²⌋, ratio = M·10⁶ div (S_a + S_b) (NULL
+    * when both classes are points). Returns one row per unordered
+    * label pair (label_a, label_b, n_a, n_b, m_micro, s_a_micro,
+    * s_b_micro, sep_ratio_ppm), pair-ordered. */
+  def labelSeparation(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val q = vecs
+      .where(col(labelCol).isNotNull)
+      .select(col(idCol).as("_id"), col(labelCol).cast("long").as("_l"),
+        quantized(col(vecCol)).as("_xq"))
+    val byDim = q.select(col("_id"), col("_l"),
+      posexplode(col("_xq")).as(Seq("_pos", "_x")))
+    val cents = byDim.groupBy(col("_l"), col("_pos"))
+      .agg(expr("CAST(floor(CAST(sum(_x) AS DOUBLE) / count(1)) AS BIGINT)").as("_c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-point squared distance to the OWN centroid: one broadcast join
+    // on (label, dim) — the centroid table is labels×dim-bounded
+    val scatter = byDim.join(broadcast(cents), Seq("_l", "_pos"))
+      .groupBy(col("_l"), col("_id"))
+      .agg(sum(expr("CAST((_x - _c) AS DECIMAL(38,0)) * (_x - _c)")).as("_d2"))
+      .groupBy(col("_l"))
+      .agg(count(lit(1)).as("_n"),
+        sum(expr("CAST(floor(sqrt(CAST(_d2 AS DOUBLE))) AS BIGINT)")).as("_sd"))
+      .selectExpr("_l", "_n", "CAST(_sd div _n AS BIGINT) AS _s")
+    // centroid pair distances: labels×dim collect (kilobytes), exact
+    // Long arithmetic, one correctly-rounded sqrt per pair
+    val centRows = cents.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val labels = centRows.keys.map(_._1).toSeq.distinct.sorted
+    val dims = centRows.keys.map(_._2).toSeq.distinct.sorted
+    val pairRows = for {
+      i <- labels.indices; j <- (i + 1) until labels.size
+    } yield {
+      var s = BigInt(0)
+      dims.foreach { p =>
+        val dd = BigInt(centRows((labels(i), p)) - centRows((labels(j), p)))
+        s += dd * dd
+      }
+      (labels(i), labels(j), math.floor(math.sqrt(s.toDouble)).toLong)
+    }
+    import vecs.sparkSession.implicits._
+    val cm = pairRows.toDF("label_a", "label_b", "m_micro")
+    cm
+      .join(scatter.select(col("_l").as("label_a"), col("_n").as("n_a"),
+        col("_s").as("s_a_micro")), Seq("label_a"))
+      .join(scatter.select(col("_l").as("label_b"), col("_n").as("n_b"),
+        col("_s").as("s_b_micro")), Seq("label_b"))
+      .withColumn("sep_ratio_ppm",
+        when(col("s_a_micro") + col("s_b_micro") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(CAST(m_micro AS DECIMAL(38,0)) * 1000000 " +
+              "div (s_a_micro + s_b_micro) AS BIGINT)")))
+      .select("label_a", "label_b", "n_a", "n_b", "m_micro",
+        "s_a_micro", "s_b_micro", "sep_ratio_ppm")
+      .orderBy("label_a", "label_b")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication = cluster the embedding space, then prune
     * within-cluster pairs above a cosine threshold — the clusters bound

@@ -1823,6 +1823,13 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Label-geometry audit: per label pair, centroid distance over the
+    // two classes' internal scatter (Davies–Bouldin shape on GIVEN
+    // labels) — are the classes separable in this space at all?
+    "p268_label_separation" -> ((s, dir) =>
+      graft.ops.Clustering.labelSeparation(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")),
+
     // Product stickiness: DAU over 28-day MAU via the p104 interval
     // contribution — no windowed count-distinct anywhere.
     "p266_stickiness" -> ((s, dir) =>
@@ -4495,6 +4502,32 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // label centroids by floor(sum/n); scatter = Σ⌊√d²⌋ // n; pair
+    // distances from the MATERIALIZED centroid table; one // ratio
+    "p268_label_separation" -> (
+      "WITH q AS (SELECT vec_id, label, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq " +
+        "FROM embeddings WHERE label IS NOT NULL), " +
+        "bd AS (SELECT vec_id, CAST(label AS BIGINT) AS l, " +
+        "CAST(generate_subscripts(xq, 1) AS INT) AS pos, unnest(xq) AS x FROM q), " +
+        "ce AS MATERIALIZED (SELECT l, pos, " +
+        "CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c " +
+        "FROM bd GROUP BY 1, 2), " +
+        "d2 AS (SELECT bd.l, bd.vec_id, " +
+        "SUM(CAST(bd.x - ce.c AS HUGEINT) * (bd.x - ce.c)) AS d2 " +
+        "FROM bd JOIN ce ON ce.l = bd.l AND ce.pos = bd.pos GROUP BY 1, 2), " +
+        "sc AS MATERIALIZED (SELECT l, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT)) // COUNT(*) AS BIGINT) AS s " +
+        "FROM d2 GROUP BY 1), " +
+        "cm AS (SELECT a.l AS la, b.l AS lb, " +
+        "CAST(floor(sqrt(CAST(SUM(CAST(a.c - b.c AS HUGEINT) * (a.c - b.c)) AS DOUBLE))) AS BIGINT) AS m " +
+        "FROM ce a JOIN ce b ON a.pos = b.pos AND a.l < b.l GROUP BY 1, 2) " +
+        "SELECT cm.la AS label_a, cm.lb AS label_b, sa.n AS n_a, sb.n AS n_b, " +
+        "cm.m AS m_micro, sa.s AS s_a_micro, sb.s AS s_b_micro, " +
+        "CASE WHEN sa.s + sb.s = 0 THEN NULL ELSE " +
+        "CAST(CAST(cm.m AS HUGEINT) * 1000000 // (sa.s + sb.s) AS BIGINT) END AS sep_ratio_ppm " +
+        "FROM cm JOIN sc sa ON sa.l = cm.la JOIN sc sb ON sb.l = cm.lb " +
+        "ORDER BY label_a, label_b"),
     // the p104 contribution-interval recipe at a 28-day window + one //
     "p266_stickiness" -> (
       "WITH p AS (SELECT DISTINCT user_id, " +

@@ -138,6 +138,22 @@ class ClusteringSpec extends AnyFunSuite {
       (1, 2L, 989999L, 99999L, 19999L)))
   }
 
+  test("labelSeparation: hand-computed 1-D pair, scatter and ratio exact") {
+    val vecs = Seq(
+      (1L, Array(0.0f), 0L), (2L, Array(0.2f), 0L),
+      (3L, Array(10.0f), 1L), (4L, Array(10.2f), 1L)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Clustering.labelSeparation(vecs, "vec_id", "embedding", "label")
+      .collect()(0)
+    // float32 10.2f → 10199999 micro: centroid 10099999, S_1 = 99999;
+    // class 0: centroid 100000, S_0 = 100000; M = 9999999
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((0L, 1L, 2L, 2L)))
+    assert((r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((9999999L, 100000L, 99999L)))
+    assert(r.getLong(7) == 50000245L)
+  }
+
   test("clusterQuality: point sitting on its centroid scores silhouette 1e6") {
     val vecs = Seq(
       (1L, Array(0.0f)), (2L, Array(4.0f))
