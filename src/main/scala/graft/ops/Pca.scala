@@ -94,4 +94,39 @@ object Pca {
         zip_with(centered(col("_xq")), vLit, (x, d) => x * d),
         lit(0L), (acc, t) => acc + t).as("proj"))
   }
+
+  /** DIMENSION VARIANCE PROFILE — which embedding coordinates carry
+    * signal? The pre-flight audit for [[pcaTop1]], [[graft.ops.Pq]]
+    * subspace splits and feature pruning: per dimension, the exact
+    * population mean and variance of the micro-quantized coordinate,
+    * ranked by variance (a near-zero-variance dim is dead weight in
+    * every distance computation downstream).
+    *
+    * Integer-exact: mean as the re-signed integral micro division,
+    * variance as `(n·Σx² − (Σx)²) div n²` in DECIMAL(38,0) micro².
+    * ONE posexplode pass, a dim-bounded aggregate, one rank window
+    * over the dim-sized table. Returns (dim, n, mean_micro,
+    * var_micro2, var_rank), dim-ordered. */
+  def dimProfile(
+      vecs: DataFrame,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDim = vecs
+      .select(posexplode(transform(col(vecCol),
+        e => floor(e.cast("double") * lit(1000000.0d)).cast("long")))
+        .as(Seq("dim", "_x")))
+    val agg = byDim.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(_x AS DECIMAL(38,0))")).as("_sx"),
+        sum(expr("CAST(_x AS DECIMAL(38,0)) * _x")).as("_sxx"))
+      .selectExpr("dim", "n",
+        "CAST(CASE WHEN _sx >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+          "CAST(abs(_sx) div n AS BIGINT) AS mean_micro",
+        "CAST((CAST(n AS DECIMAL(38,0)) * _sxx - _sx * _sx) div " +
+          "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) AS var_micro2")
+    agg
+      .withColumn("var_rank", row_number().over(
+        Window.orderBy(col("var_micro2").desc, col("dim").asc)).cast("long"))
+      .orderBy("dim")
+  }
 }

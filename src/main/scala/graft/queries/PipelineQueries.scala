@@ -1823,6 +1823,11 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Embedding-space pre-flight: exact per-dimension mean/variance
+    // profile with a variance rank (dead-dim detector).
+    "p269_dim_profile" -> ((s, dir) =>
+      graft.ops.Pca.dimProfile(Tables(s, dir, "embeddings"), "embedding")),
+
     // Label-geometry audit: per label pair, centroid distance over the
     // two classes' internal scatter (Davies–Bouldin shape on GIVEN
     // labels) — are the classes separable in this space at all?
@@ -4502,6 +4507,20 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // 0-based dims to match posexplode; population variance numerator
+    // in HUGEINT, re-signed mean //
+    "p269_dim_profile" -> (
+      "WITH bd AS (SELECT CAST(generate_subscripts(xq, 1) - 1 AS INT) AS dim, unnest(xq) AS x " +
+        "FROM (SELECT list_transform(embedding, " +
+        "e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS xq FROM embeddings)), " +
+        "a AS (SELECT dim, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx, " +
+        "SUM(CAST(x AS HUGEINT) * x) AS sxx FROM bd GROUP BY 1), " +
+        "m AS (SELECT dim, n, " +
+        "(CASE WHEN sx >= 0 THEN 1 ELSE -1 END) * CAST(abs(sx) // n AS BIGINT) AS mean_micro, " +
+        "CAST((n * sxx - sx * sx) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_micro2 FROM a) " +
+        "SELECT dim, n, mean_micro, var_micro2, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY var_micro2 DESC, dim ASC) AS BIGINT) AS var_rank " +
+        "FROM m ORDER BY dim"),
     // label centroids by floor(sum/n); scatter = Σ⌊√d²⌋ // n; pair
     // distances from the MATERIALIZED centroid table; one // ratio
     "p268_label_separation" -> (

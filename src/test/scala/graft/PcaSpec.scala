@@ -41,4 +41,17 @@ class PcaSpec extends AnyFunSuite {
     val out = Pca.pcaTop1(const, "vec_id", "embedding").collect().map(_.getLong(1))
     assert(out.forall(_ == 0L))
   }
+
+  test("dimProfile: constant dim scores zero variance and the last rank") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, 2.0f)), (2L, Array(0.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Pca.dimProfile(vecs, "embedding").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // dim 1: mean 3e6 micro, var (2·2e13 − 3.6e13)/4 = 1e12 micro²
+    assert(out.toSeq == Seq(
+      (0, 2L, 0L, 0L, 2L),
+      (1, 2L, 3000000L, 1000000000000L, 1L)))
+  }
 }
