@@ -72,6 +72,93 @@ object CorpusOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** VOCABULARY TAIL MASS — what share of the corpus's TOKENS sit in
+    * types rarer than k? The tokenizer-coverage forecast: tail mass at
+    * the planned vocab floor is exactly the text a subword model will
+    * shatter into bytes. One vocab count pass; per-k ladders are CASE
+    * sums over the vocab-sized table (the corpus is never re-read).
+    * Returns (min_count, n_rare_types, tail_tokens, tail_ppm),
+    * ladder-ordered. */
+  def vocabTailMass(
+      docs: DataFrame,
+      ks: Seq[Long] = Seq(2L, 5L, 10L),
+      textCol: String = "text"): DataFrame = {
+    require(ks.nonEmpty, "vocabTailMass: need at least one k")
+    val vocab = docs
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ks.sorted.map { k =>
+      vocab.agg(
+        sum(when(col("_c") < k, 1L).otherwise(0L)).as("n_rare_types"),
+        sum(when(col("_c") < k, col("_c")).otherwise(0L)).as("tail_tokens"),
+        sum(col("_c")).as("_tot"))
+        .select(lit(k).as("min_count"), col("n_rare_types"), col("tail_tokens"),
+          expr("CAST(tail_tokens * 1000000 div _tot AS BIGINT)").as("tail_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** WATER-FILLING BUDGET ALLOCATION — the uniform-mix optimizer: given
+    * a total token budget, give every source an equal share, letting
+    * small sources keep only what they have and redistributing their
+    * slack to the rest (the classic water level). The closed form over
+    * the availability-sorted source table: a source is SATURATED iff
+    * its availability fits under the level computed as if every smaller
+    * source were saturated — `avail_i·(m_i) ≤ B − prefix_{i−1}` with
+    * m_i the sources from i on (saturation is prefix-monotone on the
+    * sorted order, the standard water-filling fact); unsaturated
+    * sources split the residue by integral division with the
+    * largest-remainder top-up going to the FIRST `rem` of them in
+    * source order (the p210 deterministic tie rule).
+    *
+    * Everything after the one token-count pass is source-cardinality
+    * bounded; all integers. If the budget exceeds total availability
+    * every source keeps its full supply (allocation never invents
+    * tokens). Returns (source, available_tokens, allocated_tokens),
+    * source-ordered; Σ allocated = min(budget, Σ available). */
+  def waterfillBudget(
+      docs: DataFrame,
+      budgetTokens: Long,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0, s"waterfillBudget: need budget >= 0, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val avail = docs
+      .select(col(sourceCol).as("source"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("_t"))
+      .groupBy("source").agg(sum(col("_t")).as("available_tokens"))
+    val wOrd = Window.orderBy(col("available_tokens"), col("source"))
+    val wAll = Window.partitionBy()
+    val ranked = avail
+      .withColumn("_i", row_number().over(wOrd))
+      .withColumn("_pre", coalesce(sum(col("available_tokens")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_k", count(lit(1)).over(wAll))
+      // saturated ⇔ avail·(k−i+1) ≤ B − prefix(i−1), integer compare
+      .withColumn("_sat",
+        col("available_tokens") * (col("_k") - col("_i") + 1) <=
+          lit(budgetTokens) - col("_pre"))
+    val unsat = ranked
+      .withColumn("_satSum",
+        coalesce(sum(when(col("_sat"), col("available_tokens"))).over(wAll), lit(0L)))
+      .withColumn("_m",
+        sum(when(!col("_sat"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("_resid", lit(budgetTokens) - col("_satSum"))
+      .withColumn("_lvl", expr("CAST(CASE WHEN _m = 0 THEN 0 ELSE _resid div _m END AS BIGINT)"))
+      .withColumn("_rem", expr("CAST(CASE WHEN _m = 0 THEN 0 ELSE _resid - _lvl * _m END AS BIGINT)"))
+      // largest-remainder top-up: the first _rem unsaturated sources in
+      // SOURCE order get +1
+      .withColumn("_urk", row_number().over(
+        Window.partitionBy(col("_sat")).orderBy(col("source"))))
+    unsat.select(col("source"), col("available_tokens"),
+        when(col("_sat"), col("available_tokens"))
+          .otherwise(col("_lvl") +
+            when(col("_urk") <= col("_rem"), 1L).otherwise(0L))
+          .as("allocated_tokens"))
+      .orderBy("source")
+  }
+
   /** DISTINCTIVE TERMS per source — the contrastive "what is IN this
     * source" table a corpus card prints next to volumes: for each
     * source, the terms whose in-source rate most exceeds their rate in

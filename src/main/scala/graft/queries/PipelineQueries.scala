@@ -1823,6 +1823,17 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Tokenizer-coverage forecast: token mass in types rarer than
+    // k ∈ {2, 5, 10} — one vocab pass, ladder by CASE sums.
+    "p270_tail_mass" -> ((s, dir) =>
+      graft.ops.CorpusOps.vocabTailMass(Tables(s, dir, "documents"))),
+
+    // Uniform-mix optimizer: water-filling 25k tokens across sources,
+    // closed form on the availability-sorted bounded table.
+    "p271_waterfill" -> ((s, dir) =>
+      graft.ops.CorpusOps.waterfillBudget(Tables(s, dir, "documents"),
+        budgetTokens = 25000L)),
+
     // Embedding-space pre-flight: exact per-dimension mean/variance
     // profile with a variance rank (dead-dim detector).
     "p269_dim_profile" -> ((s, dir) =>
@@ -4507,6 +4518,39 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // p27 tokenizer → vocab counts; ladder via CASE sums, one // per k
+    "p270_tail_mass" -> (
+      "WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "v AS MATERIALIZED (SELECT token, COUNT(*) AS c FROM t WHERE token <> '' GROUP BY 1) " +
+        Seq(2, 5, 10).map { k =>
+          s"SELECT $k AS min_count, " +
+            s"(SELECT CAST(SUM(CASE WHEN c < $k THEN 1 ELSE 0 END) AS BIGINT) FROM v) AS n_rare_types, " +
+            s"(SELECT CAST(SUM(CASE WHEN c < $k THEN c ELSE 0 END) AS BIGINT) FROM v) AS tail_tokens, " +
+            s"(SELECT CAST(SUM(CASE WHEN c < $k THEN c ELSE 0 END) * 1000000 // SUM(c) AS BIGINT) FROM v) AS tail_ppm"
+        }.mkString(" UNION ALL ") + " ORDER BY min_count"),
+    // availability-sorted closed form: saturated iff avail·(k−i+1) <=
+    // B − prefix; residue split by // with the first-rem top-up in
+    // source order (the p210 largest-remainder rule)
+    "p271_waterfill" -> (
+      "WITH av AS (SELECT source, CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS available_tokens " +
+        "FROM documents GROUP BY 1), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY available_tokens, source) AS i, " +
+        "COALESCE(CAST(SUM(available_tokens) OVER (ORDER BY available_tokens, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS pre, " +
+        "COUNT(*) OVER () AS k FROM av), " +
+        "s AS MATERIALIZED (SELECT *, " +
+        "available_tokens * (k - i + 1) <= 25000 - pre AS sat FROM r), " +
+        "g AS (SELECT COALESCE(SUM(CASE WHEN sat THEN available_tokens END), 0) AS satsum, " +
+        "CAST(SUM(CASE WHEN sat THEN 0 ELSE 1 END) AS BIGINT) AS m FROM s), " +
+        "l AS (SELECT satsum, m, CASE WHEN m = 0 THEN 0 ELSE (25000 - satsum) // m END AS lvl, " +
+        "CASE WHEN m = 0 THEN 0 ELSE (25000 - satsum) - ((25000 - satsum) // m) * m END AS rem FROM g), " +
+        "u AS (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY s.sat ORDER BY s.source) AS urk FROM s) " +
+        "SELECT u.source, u.available_tokens, " +
+        "CAST(CASE WHEN u.sat THEN u.available_tokens " +
+        "ELSE l.lvl + CASE WHEN u.urk <= l.rem THEN 1 ELSE 0 END END AS BIGINT) AS allocated_tokens " +
+        "FROM u, l ORDER BY u.source"),
     // 0-based dims to match posexplode; population variance numerator
     // in HUGEINT, re-signed mean //
     "p269_dim_profile" -> (

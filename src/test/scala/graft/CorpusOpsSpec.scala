@@ -879,6 +879,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       (4L, 3L, 0L, 9L, 4L)))
   }
 
+  test("vocabTailMass: ladder of rare-type token shares") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.vocabTailMass(docs, ks = Seq(2L, 5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (2L, 1L, 1L, 166666L),   // only c is a hapax
+      (5L, 3L, 6L, 1000000L))) // everything is rarer than 5
+  }
+
+  test("waterfillBudget: small source keeps its supply, the rest split the level, remainder to first") {
+    import spark.implicits._
+    def doc(id: Long, src: String, n: Int) = (id, src, Seq.fill(n)("w").mkString(" "))
+    val docs = Seq(doc(1, "A", 10), doc(2, "B", 20), doc(3, "C", 100))
+      .toDF("doc_id", "source", "text")
+    val even = graft.ops.CorpusOps.waterfillBudget(docs, budgetTokens = 40L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(even.toSeq == Seq(("A", 10L, 10L), ("B", 20L, 15L), ("C", 100L, 15L)))
+    assert(even.map(_._3).sum == 40L)
+    // indivisible residue: the first unsaturated source in name order +1
+    val odd = graft.ops.CorpusOps.waterfillBudget(docs, budgetTokens = 43L)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(odd.toSeq == Seq(("A", 10L), ("B", 17L), ("C", 16L)))
+    // budget above total: everyone keeps full supply
+    val all = graft.ops.CorpusOps.waterfillBudget(docs, budgetTokens = 1000L)
+      .collect().map(_.getLong(2)).sum
+    assert(all == 130L)
+  }
+
   test("distinctiveTerms: exclusive term lifts per source, shared and thin terms stay out") {
     import spark.implicits._
     val docs = Seq(
