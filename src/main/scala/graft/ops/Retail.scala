@@ -162,6 +162,56 @@ object Retail {
       .orderBy("custkey")
   }
 
+  /** NET / GROSS REVENUE RETENTION by quarter — the SaaS board metric
+    * pair: of the revenue customers generated LAST quarter, how much
+    * did the SAME customers generate this quarter (NRR — expansion
+    * counts), and how much survived without counting expansion (GRR —
+    * each customer capped at their previous level)? GRR ≤ GRR-cap ≤
+    * NRR by construction; NRR > 10⁶ means expansion outruns churn.
+    *
+    * Integer-exact: quarters are `year·4 + (month−1) div 3` (calendar
+    * integers both engines agree on), revenue micro; ONE (customer,
+    * quarter) partial agg, then a customer-keyed self-join onto
+    * quarter+1 (left — churned customers contribute 0), per-quarter
+    * sums, ratios as single integral ppm divisions. Returns
+    * (quarter, n_base_customers, base_rev_micro, retained_rev_micro,
+    * capped_rev_micro, nrr_ppm, grr_ppm) for each quarter with a
+    * preceding base, quarter-ordered. */
+  def revenueRetention(
+      orders: DataFrame,
+      custCol: String = "o_custkey",
+      dateCol: String = "o_orderdate",
+      amountCol: String = "o_totalprice"): DataFrame = {
+    val q = (year(col(dateCol)) * 4 +
+      expr(s"CAST((month($dateCol) - 1) div 3 AS INT)")).cast("long")
+    val cq = orders
+      .where(col(amountCol).isNotNull)
+      .groupBy(col(custCol).as("_c"), q.as("_q"))
+      .agg(sum(floor(col(amountCol).cast("double") * lit(1000000.0d))
+        .cast("long")).as("_rev"))
+    val prev = cq.select(col("_c"), (col("_q") + 1).as("quarter"),
+      col("_rev").as("_base"))
+    val cur = cq.select(col("_c"), col("_q").as("quarter"),
+      col("_rev").as("_cur"))
+    prev.join(cur, Seq("_c", "quarter"), "left")
+      .withColumn("_cur", coalesce(col("_cur"), lit(0L)))
+      // report only OBSERVED quarters — the snapshot's last quarter has
+      // no successor data, and a fake all-churn row would be noise
+      .join(cq.select(col("_q").as("quarter")).distinct(), Seq("quarter"), "left_semi")
+      .groupBy(col("quarter"))
+      .agg(count(lit(1)).as("n_base_customers"),
+        sum(col("_base")).as("base_rev_micro"),
+        sum(col("_cur")).as("retained_rev_micro"),
+        sum(least(col("_cur"), col("_base"))).as("capped_rev_micro"))
+      .withColumn("nrr_ppm", expr(
+        "CAST(CAST(retained_rev_micro AS DECIMAL(38,0)) * 1000000 " +
+          "div base_rev_micro AS BIGINT)"))
+      .withColumn("grr_ppm", expr(
+        "CAST(CAST(capped_rev_micro AS DECIMAL(38,0)) * 1000000 " +
+          "div base_rev_micro AS BIGINT)"))
+      .orderBy("quarter")
+  }
+
   /** ABC (PARETO) CLASSIFICATION — the inventory-policy workhorse:
     * items ranked by revenue, classed A while the cumulative share
     * stays ≤ `aCutPpm`, B to `bCutPpm`, else C (the first item whose

@@ -408,6 +408,36 @@ object TextAnalysis {
           col("bullet_lines_ok") && col("alpha_words_ok") && col("stop_words_ok"))
   }
 
+  /** GOPHER PASS-RATE MATRIX per source — [[gopherRules]] rolled up to
+    * the curation dashboard: which SOURCE fails which rule, and at what
+    * rate? The table that decides whether a source gets fixed upstream
+    * or dropped. One doc-keyed join of the rule flags back onto the
+    * source column, one source-bounded aggregate; every rate an
+    * integral ppm. Returns (source, n_docs, word_count_ppm,
+    * mean_word_len_ppm, symbol_ratio_ppm, bullet_lines_ppm,
+    * alpha_words_ppm, stop_words_ppm, pass_ppm), source-ordered. */
+  def gopherBySource(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val flags = gopherRules(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(sourceCol).as("source")), Seq(idCol))
+    val ruleCols = Seq("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+      "bullet_lines_ok", "alpha_words_ok", "stop_words_ok", "gopher_pass")
+    val aggs = count(lit(1)).as("n_docs") +:
+      ruleCols.map(c => sum(when(col(c), 1L).otherwise(0L)).as(s"_$c"))
+    val named = Seq("word_count_ppm", "mean_word_len_ppm", "symbol_ratio_ppm",
+      "bullet_lines_ppm", "alpha_words_ppm", "stop_words_ppm", "pass_ppm")
+    flags.groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("source") +: col("n_docs") +:
+        ruleCols.zip(named).map { case (c, n) =>
+          expr(s"CAST(_$c * 1000000 div n_docs AS BIGINT)").as(n)
+        }: _*)
+      .orderBy("source")
+  }
+
   /** MIXED-LANGUAGE SCREEN — per document, the share of lines whose
     * detected language disagrees with the document's majority language:
     * scraped pages glue navigation/boilerplate in one language onto

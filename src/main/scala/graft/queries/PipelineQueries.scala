@@ -1823,6 +1823,16 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // SaaS board metrics: quarterly NRR/GRR — same-customer revenue
+    // retention with and without expansion, observed quarters only.
+    "p272_nrr" -> ((s, dir) =>
+      graft.ops.Retail.revenueRetention(Tables(s, dir, "orders"))),
+
+    // Curation dashboard: Gopher rule pass-rate matrix per source —
+    // which source fails which rule, integral ppm.
+    "p273_gopher_by_source" -> ((s, dir) =>
+      graft.ops.TextAnalysis.gopherBySource(Tables(s, dir, "documents"))),
+
     // Tokenizer-coverage forecast: token mass in types rarer than
     // k ∈ {2, 5, 10} — one vocab pass, ladder by CASE sums.
     "p270_tail_mass" -> ((s, dir) =>
@@ -4518,6 +4528,56 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // (cust, quarter) partial agg, quarter+1 left self-join, churned
+    // customers contribute 0; GRR caps per customer with LEAST
+    "p272_nrr" -> (
+      "WITH cq AS (SELECT o_custkey AS c, " +
+        "CAST(EXTRACT(YEAR FROM o_orderdate) * 4 + (EXTRACT(MONTH FROM o_orderdate) - 1) // 3 AS BIGINT) AS q, " +
+        "CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS rev " +
+        "FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2), " +
+        "p AS (SELECT c, q + 1 AS quarter, rev AS base FROM cq), " +
+        "j AS (SELECT p.quarter, p.base, COALESCE(cur.rev, 0) AS cur FROM p " +
+        "LEFT JOIN cq cur ON cur.c = p.c AND cur.q = p.quarter), " +
+        "j2 AS (SELECT j.* FROM j JOIN (SELECT DISTINCT q AS quarter FROM cq) oq " +
+        "ON oq.quarter = j.quarter) " +
+        "SELECT quarter, COUNT(*) AS n_base_customers, " +
+        "CAST(SUM(base) AS BIGINT) AS base_rev_micro, " +
+        "CAST(SUM(cur) AS BIGINT) AS retained_rev_micro, " +
+        "CAST(SUM(LEAST(cur, base)) AS BIGINT) AS capped_rev_micro, " +
+        "CAST(CAST(SUM(cur) AS HUGEINT) * 1000000 // SUM(base) AS BIGINT) AS nrr_ppm, " +
+        "CAST(CAST(SUM(LEAST(cur, base)) AS HUGEINT) * 1000000 // SUM(base) AS BIGINT) AS grr_ppm " +
+        "FROM j2 GROUP BY quarter ORDER BY quarter"),
+    // the p193 flag recipe joined back onto source; rates by // over
+    // the source-bounded counts
+    "p273_gopher_by_source" -> (
+      "WITH d AS (SELECT doc_id, source, text, " +
+        "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\\s+') END AS toks, " +
+        "string_split(text, chr(10)) AS lines FROM documents), " +
+        "m AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_words, " +
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS wchars, " +
+        "CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes, " +
+        "CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT) AS ellipses, " +
+        "CAST(len(lines) AS BIGINT) AS nlines, " +
+        "CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS bullets, " +
+        "CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alphaw, " +
+        "CAST(len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))), " +
+        "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS stophits FROM d), " +
+        "f AS (SELECT source, " +
+        "CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS f1, " +
+        "CASE WHEN 3 * n_words <= wchars AND wchars <= 10 * n_words THEN 1 ELSE 0 END AS f2, " +
+        "CASE WHEN 10 * (hashes + ellipses) < n_words THEN 1 ELSE 0 END AS f3, " +
+        "CASE WHEN 10 * bullets <= nlines THEN 1 ELSE 0 END AS f4, " +
+        "CASE WHEN 10 * alphaw >= 8 * n_words THEN 1 ELSE 0 END AS f5, " +
+        "CASE WHEN stophits >= 2 THEN 1 ELSE 0 END AS f6 FROM m) " +
+        "SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(f1) * 1000000 // COUNT(*) AS BIGINT) AS word_count_ppm, " +
+        "CAST(SUM(f2) * 1000000 // COUNT(*) AS BIGINT) AS mean_word_len_ppm, " +
+        "CAST(SUM(f3) * 1000000 // COUNT(*) AS BIGINT) AS symbol_ratio_ppm, " +
+        "CAST(SUM(f4) * 1000000 // COUNT(*) AS BIGINT) AS bullet_lines_ppm, " +
+        "CAST(SUM(f5) * 1000000 // COUNT(*) AS BIGINT) AS alpha_words_ppm, " +
+        "CAST(SUM(f6) * 1000000 // COUNT(*) AS BIGINT) AS stop_words_ppm, " +
+        "CAST(SUM(f1 * f2 * f3 * f4 * f5 * f6) * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm " +
+        "FROM f GROUP BY source ORDER BY source"),
     // p27 tokenizer → vocab counts; ladder via CASE sums, one // per k
     "p270_tail_mass" -> (
       "WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +

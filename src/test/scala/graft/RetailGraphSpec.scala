@@ -491,6 +491,22 @@ class RetailGraphSpec extends AnyFunSuite {
     assert(!out.exists(r => (r._1, r._2) == ((1L, 2L))))
   }
 
+  test("revenueRetention: expansion, contraction and churn reconcile; first quarter absent") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val orders = Seq(
+      (1L, 1L, 100.0, d("1996-01-15")), (2L, 1L, 120.0, d("1996-04-15")),
+      (3L, 2L, 100.0, d("1996-01-15")), (4L, 2L, 50.0, d("1996-04-15")),
+      (5L, 3L, 100.0, d("1996-01-15"))  // churns
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val out = graft.ops.Retail.revenueRetention(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // base 300, NRR keeps the expansion (170), GRR caps c1 at 100 (150)
+    assert(out.toSeq == Seq(
+      (7985L, 3L, 300000000L, 170000000L, 150000000L, 566666L, 500000L)))
+  }
+
   test("abcClassification: cumulative cuts, boundary-crosser lands in the next class") {
     import spark.implicits._
     // revenues 50/30/15/5 of 100: cum 50/80/95/100 → A, A, B, C

@@ -145,6 +145,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!byId(6L)._7 && !byId(6L)._8)           // stop words fail
   }
 
+  test("gopherBySource: per-rule pass rates roll up per source") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val good = Seq.fill(8)("the fox and dog that have with jumped").mkString(" ")
+    val docs = Seq(
+      (1L, "A", good),   // passes every rule (64 words, stopwords, clean)
+      (2L, "A", "hi")    // fails word count, mean length, stop words
+    ).toDF("doc_id", "source", "text")
+    val r = graft.ops.TextAnalysis.gopherBySource(docs).collect()(0)
+    assert((r.getString(0), r.getLong(1)) == (("A", 2L)))
+    // (word, len, symbol, bullet, alpha, stop, pass)
+    assert((2 to 8).map(r.getLong).toSeq ==
+      Seq(500000L, 500000L, 1000000L, 1000000L, 1000000L, 500000L, 500000L))
+  }
+
   test("mixedLanguage: line-level disagreement share, unknown lines vote for nobody, tie to first lang") {
     val spark2 = TestSpark.spark
     import spark2.implicits._
