@@ -322,6 +322,49 @@ object Stats {
     correlationMatrix(proj, cols).withColumnRenamed("corr", "rho")
   }
 
+  /** ETA-SQUARED (variance explained by a categorical) — the
+    * feature-screen bridge between [[correlationMatrix]] (numeric ×
+    * numeric) and mutual information (categorical × categorical): what
+    * share of a numeric column's variance does group membership
+    * explain? η² = SS_between/SS_total, here as
+    * `(N·T − S²)·10⁶ div (N·Q − S²)` with T = Σ_g S_g·⌊S_g/n_g⌋ — the
+    * group mean floored to whole micro before the product (the ONE
+    * declared rounding, relative error ≤ n_g/S_g per group; crucially
+    * ⌊S/n⌋ is long-ranged, where ⌊S²/n⌋ would overflow Spark's
+    * long-valued integral division). Every other product is exact
+    * DECIMAL(38,0). 0 = the grouping tells you nothing; 10⁶ = group
+    * means explain everything.
+    *
+    * ONE partial agg on the group key, then a group-bounded fold.
+    * NULL when the column is constant (zero total variance). Returns
+    * one row (n, k_groups, eta_sq_ppm). */
+  def etaSquared(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val per = df
+      .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"),
+        sum(floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long")
+          .cast(d)).as("_s"),
+        sum(floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long")
+          .cast(d) *
+          floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long"))
+          .as("_q"))
+    per.agg(sum(col("_n")).as("n"), count(lit(1)).as("k_groups"),
+        sum(col("_s")).as("_S"), sum(col("_q")).as("_Q"),
+        sum(expr("_s * CAST(_s div _n AS DECIMAL(38,0))")).as("_T"))
+      .select(col("n"), col("k_groups"),
+        when(expr("CAST(n AS DECIMAL(38,0)) * _Q - _S * _S") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * _T - _S * _S) * 1000000 " +
+              "div (CAST(n AS DECIMAL(38,0)) * _Q - _S * _S) AS BIGINT)"))
+          .as("eta_sq_ppm"))
+  }
+
   /** QINI / UPLIFT TABLE — the incrementality ladder: rank by score,
     * cut into tiles, and compare TREATED vs CONTROL outcome rates
     * inside each tile. [[gainsTable]] asks "does the score find

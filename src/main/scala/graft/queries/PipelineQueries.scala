@@ -1823,6 +1823,12 @@ object PipelineQueries {
       graft.ops.Stats.kendallTau(Tables(s, dir, "lineitem"),
         "l_quantity", "l_discount")),
 
+    // Variance-explained screen: η² of event_type on value — the
+    // categorical→numeric feature bridge, one group agg + fold.
+    "p274_eta_squared" -> ((s, dir) =>
+      graft.ops.Stats.etaSquared(Tables(s, dir, "events"),
+        "event_type", "value")),
+
     // SaaS board metrics: quarterly NRR/GRR — same-customer revenue
     // retention with and without expansion, observed quarters only.
     "p272_nrr" -> ((s, dir) =>
@@ -4528,6 +4534,19 @@ object PipelineQueries {
         "SELECT event_id, user_id, sec, " +
         "nt IS NOT NULL AND nt > sec AND nt - sec <= 86400 AS label, " +
         "hwm - sec < 86400 AS censored FROM n, h ORDER BY event_id"),
+    // per-group HUGEINT moments; T = Σ S_g·(S_g // n_g) — the floored
+    // group mean (long-ranged; S² // n would overflow Spark's div)
+    "p274_eta_squared" -> (
+      "WITH b AS (SELECT event_type AS g, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
+        "FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL), " +
+        "per AS (SELECT g, COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS s, " +
+        "SUM(CAST(v AS HUGEINT) * v) AS q FROM b GROUP BY 1), " +
+        "m AS (SELECT CAST(SUM(n) AS BIGINT) AS n, COUNT(*) AS k_groups, " +
+        "SUM(s) AS ss, SUM(q) AS qq, SUM(s * (s // n)) AS t FROM per) " +
+        "SELECT n, k_groups, CASE WHEN CAST(n AS HUGEINT) * qq - ss * ss = 0 THEN NULL " +
+        "ELSE CAST((CAST(n AS HUGEINT) * t - ss * ss) * 1000000 // " +
+        "(CAST(n AS HUGEINT) * qq - ss * ss) AS BIGINT) END AS eta_sq_ppm FROM m"),
     // (cust, quarter) partial agg, quarter+1 left self-join, churned
     // customers contribute 0; GRR caps per customer with LEAST
     "p272_nrr" -> (

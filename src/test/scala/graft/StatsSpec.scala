@@ -143,6 +143,16 @@ class StatsSpec extends AnyFunSuite {
     assert(r2.length == 1 && r2(0).getDouble(3) == -1.0)
   }
 
+  test("etaSquared: perfect separation 1e6, identical groups 0, constant NULL") {
+    import spark.implicits._
+    val perfect = Seq(("a", 1.0), ("a", 1.0), ("b", 3.0), ("b", 3.0)).toDF("g", "v")
+    assert(Stats.etaSquared(perfect, "g", "v").collect()(0).getLong(2) == 1000000L)
+    val flat = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)).toDF("g", "v")
+    assert(Stats.etaSquared(flat, "g", "v").collect()(0).getLong(2) == 0L)
+    val const = Seq(("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    assert(Stats.etaSquared(const, "g", "v").collect()(0).isNullAt(2))
+  }
+
   test("qiniTable: per-tile uplift signs and the cumulative qini collapse") {
     import spark.implicits._
     val df = Seq(
