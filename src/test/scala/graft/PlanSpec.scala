@@ -441,6 +441,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!kc.contains("BroadcastNestedLoopJoin") && !kc.contains("CartesianProduct"), kc)
   }
 
+  test("p244/p264: sampling-table cut is TakeOrdered; the token budget never plans a window") {
+    val docs = graft.engine.Tables(spark, dir, "documents")
+    val ns = graft.ops.CorpusOps.negativeSamplingTable(docs, k = 10)
+      .queryExecution.executedPlan.toString
+    // the top-k cut must not global-sort the vocab
+    assert(ns.contains("TakeOrderedAndProject"), ns)
+    val pairs = docs.sparkSession.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType))))
+    val et = graft.ops.Dedup.effectiveTokens(docs, pairs)
+      .queryExecution.executedPlan.toString
+    // pure aggregate shape: no window operator anywhere
+    assert(!et.contains("Window"), et)
+  }
+
   test("p231/p238: rank tables broadcast back; stump top-k is TakeOrdered, no global sort") {
     val li = graft.engine.Tables(spark, dir, "lineitem")
     val sp = graft.ops.Stats.spearmanMatrix(li,
