@@ -173,10 +173,12 @@ object Clustering {
     val pairRows = for {
       i <- 0 until k; j <- 0 until k if i != j
     } yield {
-      var s = 0L
+      // BigInt accumulation (the labelSeparation idiom): a micro-unit
+      // coordinate gap above ~3e9 would silently overflow dd*dd in Long
+      var s = BigInt(0)
       var p = 0
       while (p < cents(i).length) {
-        val dd = cents(i)(p) - cents(j)(p); s += dd * dd; p += 1
+        val dd = BigInt(cents(i)(p) - cents(j)(p)); s += dd * dd; p += 1
       }
       (i, j, math.floor(math.sqrt(s.toDouble)).toLong)
     }

@@ -356,9 +356,13 @@ object Dedup {
   /** EFFECTIVE TOKEN BUDGET after dedup — the headline a curation run
     * reports upward: "the corpus claims N tokens; after near-dup
     * removal the model actually sees E." Excess = per cluster, every
-    * member's tokens except the canonical keeper's (the cluster-min id,
-    * [[dedupClusters]]' convention — swap [[keepBest]] upstream for a
-    * quality keeper, same algebra).
+    * member's tokens except the canonical keeper's — the min id AMONG
+    * MEMBERS PRESENT IN `docs` (the [[dedupClusters]] cluster-min when
+    * the canonical doc survives upstream filtering, the next-smallest
+    * present id when it was quality-filtered away — the same
+    * missing-member case [[leakageSafeSplit]] documents; a cluster with
+    * NO member in `docs` contributes nothing). Swap [[keepBest]]
+    * upstream for a quality keeper, same algebra.
     *
     * Shape: token counts are one map-only pass; cluster labels are the
     * (≪ corpus) component table; the excess is a component-keyed
@@ -376,7 +380,11 @@ object Dedup {
     val perCluster = toks.join(comp, Seq("id"))
       .groupBy(col("component"))
       .agg(count(lit(1)).as("_n"), sum(col("_t")).as("_sum"),
-        max(when(col("id") === col("component"), col("_t"))).as("_keep"))
+        // keeper = min id PRESENT in docs (struct min orders by id; ids
+        // are unique) — never NULL, so a cluster whose canonical min-id
+        // doc was filtered upstream still subtracts a real keeper
+        // instead of silently dropping its excess term
+        min(struct(col("id"), col("_t"))).getField("_t").as("_keep"))
     val clusterTot = perCluster.agg(
       count(lit(1)).as("n_clusters"),
       sum(col("_n") - 1).as("n_removable_docs"),

@@ -2,7 +2,7 @@ package graft.ops
 
 import java.math.{BigDecimal => JBigDecimal}
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, DecimalType, LongType, StructField, StructType}
 
@@ -106,8 +106,18 @@ object EventsOps {
     * gap are `dropped` (they could leak near-future information into
     * training). The cutoff is the exact `trainFrac` percentile of epoch
     * SECONDS (integer comparisons thereafter — no float boundary
-    * hazard); one scalar percentile aggregate, then a map-only label.
-    * Swap percentile_approx at 100 TB exactly as lengthQuantiles does. */
+    * hazard), computed WITHOUT the `percentile` aggregate's per-group
+    * value buffer (the 100 TB OOM class): epoch seconds collapse to a
+    * time-span-bounded (second → count) table, ranks come from a
+    * running sum over that bounded table, and the two bracketing order
+    * statistics fall out of conditional-min folds — the
+    * [[slaPercentiles]] rank recipe with [[rankInterpolatedPercentile]]
+    * reproducing Spark's interpolation bit-for-bit. The 1-row cut stays
+    * IN-PLAN via `crossJoin(broadcast(...))` (the [[conversionLatency]]
+    * idiom) — no Spark job fires at DataFrame construction. An empty
+    * input yields an empty output (nothing to split); rows with no
+    * usable timestamp anywhere (all-NULL ts) raise lazily via
+    * `raise_error` instead of silently labeling against a NULL cut. */
   def temporalSplit(
       ev: DataFrame,
       tsCol: String = "ts",
@@ -115,26 +125,58 @@ object EventsOps {
       gapSeconds: Long = 3600L): DataFrame = {
     require(trainFrac > 0 && trainFrac < 1, "temporalSplit: need 0 < trainFrac < 1")
     require(gapSeconds >= 0, "temporalSplit: gap must be non-negative")
+    import org.apache.spark.sql.expressions.Window
     val tSec = floor(unix_micros(col(tsCol)).cast("double") / lit(1000000.0d)).cast("long")
-    val cutRow = ev.select(tSec.as("_t"))
-      .agg(expr(s"CAST(floor(percentile(_t, ${trainFrac}D)) AS LONG)")).first()
-    require(!cutRow.isNullAt(0), "temporalSplit: empty input")
-    val cut = cutRow.getLong(0)
-    ev.withColumn("split",
-      when(tSec <= cut, "train")
-        .when(tSec > cut + gapSeconds, "eval")
-        .otherwise("dropped"))
+    // (second → count) partial agg: the corpus never sorts globally;
+    // the window runs over the time-span-bounded count table only.
+    val counts = ev.select(tSec.as("_t")).where(col("_t").isNotNull)
+      .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+    val ranked = counts
+      .withColumn("_cum", sum(col("_c")).over(Window.orderBy(col("_t"))))
+      .withColumn("_n", sum(col("_c")).over(
+        Window.orderBy(col("_t"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // multiset rank r lives at the first distinct value whose running
+    // count reaches r, so `min(_t | _cum >= r)` selects order statistics
+    val pos = (col("_n") - lit(1L)).cast("double") * lit(trainFrac)
+    val rLo = floor(pos) + lit(1L)
+    val rHi = ceil(pos) + lit(1L)
+    val cutTbl = ranked.agg(
+        min(when(col("_cum") >= rLo, col("_t"))).as("_vlo"),
+        min(when(col("_cum") >= rHi, col("_t"))).as("_vhi"),
+        max(pos).as("_pos"), max(floor(pos)).as("_lo"), max(ceil(pos)).as("_hi"))
+      .select(floor(
+        when(col("_hi") === col("_lo"), col("_vlo").cast("double"))
+          .when(col("_vhi") === col("_vlo"), col("_vlo").cast("double"))
+          .otherwise((col("_hi").cast("double") - col("_pos")) * col("_vlo").cast("double")
+            + (col("_pos") - col("_lo").cast("double")) * col("_vhi").cast("double")))
+        .cast("long").as("_cutRaw"))
+      // guard lives on the 1-row cut itself: rows-but-no-timestamps is
+      // refused when the broadcast side builds, never silently labeled
+      .select(coalesce(col("_cutRaw"),
+        expr("CAST(raise_error('temporalSplit: empty input — no usable timestamps') AS LONG)"))
+        .as("_cut"))
+    ev.crossJoin(broadcast(cutTbl))
+      .withColumn("split",
+        when(tSec <= col("_cut"), "train")
+          .when(tSec > col("_cut") + gapSeconds, "eval")
+          .otherwise("dropped"))
+      .drop("_cut")
   }
 
   /** Per-group winsorization (outlier capping): clamp each value into
     * its group's [lo, hi] exact-percentile envelope — the standard
     * robust-preprocessing step before training-statistics aggregation.
-    * One percentile aggregate down to |groups| rows (AQE broadcasts the
-    * bounds back), then a map-only clamp; output in floor micro-units
-    * so the gate hashes integers (the clamp bound is the engines'
-    * identical IEEE linear interpolation; original values pass through
-    * exactly). For 100 TB swap the exact percentile for
-    * `percentile_approx` exactly as `CorpusOps.lengthQuantiles` does. */
+    * The bounds are EXACT linear-interpolation percentiles computed
+    * WITHOUT the `percentile` aggregate's per-group value buffer (the
+    * 100 TB OOM class): the [[slaPercentiles]] rank ladder (one group
+    * exchange, spill-safe sort window) selects the bracketing order
+    * statistics by conditional-min fold, and the blend
+    * `(hi−pos)·v_lo + (pos−lo)·v_hi` reproduces Spark's `Percentile`
+    * interpolation bit-for-bit (same IEEE operand order, same two
+    * short-circuits). Bounds collapse to |groups| rows, broadcast back
+    * for the map-only clamp; output in floor micro-units so the gate
+    * hashes integers (original values pass through exactly). */
   def winsorize(
       ev: DataFrame,
       groupCol: String = "event_type",
@@ -143,10 +185,33 @@ object EventsOps {
       lo: Double = 0.05,
       hi: Double = 0.95): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, "winsorize: need 0 <= lo < hi <= 1")
-    val bounds = ev.groupBy(groupCol).agg(
-      expr(s"percentile($valueCol, ${lo}D)").as("_plo"),
-      expr(s"percentile($valueCol, ${hi}D)").as("_phi"))
-    ev.join(bounds, Seq(groupCol))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+    val nW = Window.partitionBy(col(groupCol))
+    // equal values interpolate identically, so rank ties need no
+    // tie-break — the (rank → value) map is deterministic regardless
+    val ranked = ev.where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("double").as("_v"))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(nW))
+    def posOf(p: Double): Column = (col("_n") - lit(1L)).cast("double") * lit(p)
+    def folds(p: Double, tag: String): Seq[Column] = Seq(
+      min(when(col("_rn") === floor(posOf(p)) + lit(1L), col("_v"))).as(s"_vlo$tag"),
+      min(when(col("_rn") === ceil(posOf(p)) + lit(1L), col("_v"))).as(s"_vhi$tag"),
+      max(posOf(p)).as(s"_pos$tag"),
+      max(floor(posOf(p))).as(s"_flo$tag"), max(ceil(posOf(p))).as(s"_fhi$tag"))
+    def blend(tag: String): Column =
+      when(col(s"_fhi$tag") === col(s"_flo$tag"), col(s"_vlo$tag"))
+        .when(col(s"_vhi$tag") === col(s"_vlo$tag"), col(s"_vlo$tag"))
+        .otherwise((col(s"_fhi$tag").cast("double") - col(s"_pos$tag")) * col(s"_vlo$tag")
+          + (col(s"_pos$tag") - col(s"_flo$tag").cast("double")) * col(s"_vhi$tag"))
+    val aggCols = folds(lo, "L") ++ folds(hi, "H")
+    val bounds = ranked.groupBy(col(groupCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col(groupCol), blend("L").as("_plo"), blend("H").as("_phi"))
+    // left join: a group whose values are all NULL has no bounds row —
+    // its rows clamp to NULL v_w, exactly as a NULL percentile would
+    ev.join(broadcast(bounds), Seq(groupCol), "left")
       .select(col(idCol), col(groupCol),
         floor(least(greatest(col(valueCol), col("_plo")), col("_phi")) * lit(1000000.0d))
           .cast("long").as("v_w"))
@@ -1302,8 +1367,11 @@ object EventsOps {
     * distributional assumption (what a z-interval can't promise).
     * INTEGER-exact end to end: the mean is the declared floored micro
     * integer, residuals are integer distances from it, and the rank
-    * cut is the [[slaPercentiles]] ladder — rank
-    * `least(n, (n+1)·(100−alphaPct) div 100)`.
+    * cut is the [[slaPercentiles]] ladder — the CEILING rank
+    * `least(n, ⌈(n+1)·(100−alphaPct)/100⌉)` =
+    * `least(n, ((n+1)·(100−alphaPct) + 99) div 100)` (the floor rank
+    * is one order statistic too low whenever 100 ∤ (n+1)(100−α) and
+    * breaks the coverage guarantee — e.g. n=10, α=10%: rank 10, not 9).
     *
     * Shape: per-key mean fold broadcast back, one key-rank ladder, a
     * conditional-min fold — two passes, one key exchange each.
@@ -1333,7 +1401,7 @@ object EventsOps {
       .groupBy(col(keyCol))
       .agg(max(col("n")).as("n"), max(col("mean_micro")).as("mean_micro"),
         min(when(col("_rn") ===
-          expr(s"least(n, (n + 1) * ${100 - alphaPct} div 100)"), col("_r")))
+          expr(s"least(n, ((n + 1) * ${100 - alphaPct} + 99) div 100)"), col("_r")))
           .as("q_micro"))
       .selectExpr(keyCol, "n", "mean_micro", "q_micro",
         "mean_micro - q_micro AS lo_micro", "mean_micro + q_micro AS hi_micro")

@@ -118,6 +118,11 @@ object Layout {
       outPath: String,
       targetBytes: Long = 128L * 1024 * 1024): (Long, Long, Long) = {
     require(targetBytes > 0, s"compact: need targetBytes > 0, got $targetBytes")
+    // mode("overwrite") deletes outPath before the lazy read of inPath
+    // completes — compacting in place would destroy the table, so the
+    // scaladoc's warning is enforced, not advisory
+    require(new org.apache.hadoop.fs.Path(inPath) != new org.apache.hadoop.fs.Path(outPath),
+      s"compact: outPath must differ from inPath (in-place compaction loses the table), got $inPath")
     val fs = new org.apache.hadoop.fs.Path(inPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def parquetFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {

@@ -87,13 +87,24 @@ object Stats {
       cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"correlationMatrix: need >= 2 columns, got $cols")
     require(cols.distinct == cols, s"correlationMatrix: duplicate columns in $cols")
-    val d = DecimalType(38, 0)
     val sorted = cols.sorted
     def q(c: String): Column =
       floor(col(c).cast("double") * lit(1000000.0d)).cast("long")
     val base = df
       .where(sorted.map(col(_).isNotNull).reduce(_ && _))
       .select(sorted.map(c => q(c).as(s"_q_$c")): _*)
+    pearsonOfLongs(base, sorted)
+  }
+
+  /** Shared Pearson kernel over pre-quantized BIGINT `_q_<col>`
+    * columns: exact DECIMAL(38,0) moments in ONE map-side-combined
+    * global aggregate, float only in the final `num / sqrt(d1·d2)`.
+    * [[correlationMatrix]] feeds micro-quantized values;
+    * [[spearmanMatrix]] feeds raw doubled ranks (already integers — no
+    * rescale, which is what keeps its moments inside DECIMAL(38,0) to
+    * n ≈ 2·10⁹). */
+  private def pearsonOfLongs(base: DataFrame, sorted: Seq[String]): DataFrame = {
+    val d = DecimalType(38, 0)
     val pairs = for {
       i <- sorted.indices; j <- (i + 1) until sorted.size
     } yield (sorted(i), sorted(j))
@@ -315,11 +326,14 @@ object Stats {
           (lit(2L) * col("_less") + col("_c") + lit(1L)).as(s"_dr_$c"))
       withQ.join(broadcast(ranks), Seq(s"_v_$c"))
     }
-    // doubled ranks are integers ≤ 2n+1; ×1e6 inside correlationMatrix
-    // keeps every moment exact in DECIMAL(38,0) for n well past 10⁹
-    val proj = ranked.select(
-      cols.map(c => col(s"_dr_$c").cast("double").as(c)): _*)
-    correlationMatrix(proj, cols).withColumnRenamed("corr", "rho")
+    // doubled ranks are integers ≤ 2n+1 and feed the Pearson kernel
+    // UNSCALED (no ×1e6 — that would overflow n·Σx² ~ (4/3)n⁴·10¹²
+    // past DECIMAL(38,0) at n ≈ 3·10⁶); raw ranks keep every moment
+    // exact to n ≈ 2·10⁹, and ρ is scale-invariant so the value is
+    // the same real number either way
+    val sortedCols = cols.sorted
+    val drBase = ranked.select(sortedCols.map(c => col(s"_dr_$c").as(s"_q_$c")): _*)
+    pearsonOfLongs(drBase, sortedCols).withColumnRenamed("corr", "rho")
   }
 
   /** ETA-SQUARED (variance explained by a categorical) — the

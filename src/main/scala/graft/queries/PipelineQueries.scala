@@ -5363,8 +5363,10 @@ object PipelineQueries {
         "SELECT m.k AS user_id, nn.n, m.m AS n_pairs, m.s AS slope_ppm " +
         "FROM m JOIN nn ON nn.k = m.k WHERE rn = (m + 1) // 2 " +
         "ORDER BY user_id"),
-    // doubled average ranks (2·rank + ties − 1) ×1e6, then the p156
-    // HUGEINT moment machinery verbatim; float only at num/sqrt(d1·d2)
+    // doubled average ranks (2·rank + ties − 1) UNSCALED (ranks are
+    // already integers; a ×1e6 rescale would burn 12 digits of moment
+    // headroom), then the p156 HUGEINT moment machinery verbatim;
+    // float only at num/sqrt(d1·d2)
     "p231_spearman" -> (
       "WITH b AS (SELECT " +
         "CAST(floor(CAST(l_discount AS DOUBLE) * 1000000) AS BIGINT) AS qd, " +
@@ -5374,10 +5376,10 @@ object PipelineQueries {
         "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL " +
         "AND l_discount IS NOT NULL AND l_tax IS NOT NULL), " +
         "rk AS (SELECT " +
-        "(2 * RANK() OVER (ORDER BY qd) + COUNT(*) OVER (PARTITION BY qd) - 1) * 1000000 AS vd, " +
-        "(2 * RANK() OVER (ORDER BY qe) + COUNT(*) OVER (PARTITION BY qe) - 1) * 1000000 AS ve, " +
-        "(2 * RANK() OVER (ORDER BY qq) + COUNT(*) OVER (PARTITION BY qq) - 1) * 1000000 AS vq, " +
-        "(2 * RANK() OVER (ORDER BY qt) + COUNT(*) OVER (PARTITION BY qt) - 1) * 1000000 AS vt FROM b), " +
+        "(2 * RANK() OVER (ORDER BY qd) + COUNT(*) OVER (PARTITION BY qd) - 1) AS vd, " +
+        "(2 * RANK() OVER (ORDER BY qe) + COUNT(*) OVER (PARTITION BY qe) - 1) AS ve, " +
+        "(2 * RANK() OVER (ORDER BY qq) + COUNT(*) OVER (PARTITION BY qq) - 1) AS vq, " +
+        "(2 * RANK() OVER (ORDER BY qt) + COUNT(*) OVER (PARTITION BY qt) - 1) AS vt FROM b), " +
         "m AS (SELECT COUNT(*) AS n, " +
         "SUM(CAST(vd AS HUGEINT)) AS sd, SUM(CAST(ve AS HUGEINT)) AS se, " +
         "SUM(CAST(vq AS HUGEINT)) AS sq, SUM(CAST(vt AS HUGEINT)) AS st, " +
@@ -5455,8 +5457,8 @@ object PipelineQueries {
         "p0.pi AS pi0_ppm, p3.pi AS stationary_ppm " +
         "FROM st LEFT JOIN r ON r.f = st.state JOIN p0 ON p0.state = st.state " +
         "JOIN p3 ON p3.state = st.state ORDER BY event_type"),
-    // mean as floored integer, residual rank ladder, same
-    // least(n, (n+1)·90//100) cut
+    // mean as floored integer, residual rank ladder, same CEILING
+    // least(n, ⌈(n+1)·90/100⌉) cut — the split-conformal rank
     "p226_conformal_interval" -> (
       "WITH b AS (SELECT event_type AS k, event_id AS tie, " +
         "CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v " +
@@ -5468,7 +5470,7 @@ object PipelineQueries {
         "ROW_NUMBER() OVER (PARTITION BY b.k ORDER BY abs(b.v - m.mean_micro), b.tie) AS rn " +
         "FROM b JOIN m ON m.k = b.k), " +
         "q AS (SELECT k, MAX(n) AS n, MAX(mean_micro) AS mean_micro, " +
-        "MIN(CASE WHEN rn = least(n, (n + 1) * 90 // 100) THEN res END) AS q_micro " +
+        "MIN(CASE WHEN rn = least(n, ((n + 1) * 90 + 99) // 100) THEN res END) AS q_micro " +
         "FROM r GROUP BY 1) " +
         "SELECT k AS event_type, CAST(n AS BIGINT) AS n, mean_micro, q_micro, " +
         "mean_micro - q_micro AS lo_micro, mean_micro + q_micro AS hi_micro " +

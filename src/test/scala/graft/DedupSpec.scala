@@ -273,6 +273,24 @@ class DedupSpec extends AnyFunSuite {
     assert((none.getLong(2), none.getLong(4), none.getLong(5)) == ((0L, 0L, 15L)))
   }
 
+  test("effectiveTokens: keeper falls back to the smallest PRESENT member when the canonical doc was filtered upstream") {
+    // cluster {1,2,3} but doc 1 (the component min) is not in `docs` —
+    // quality-filtered away. The keeper must be doc 2 (min PRESENT id),
+    // so excess = (6 + 5) − 6 = 5, and the totals stay consistent:
+    // n_clusters=1, n_removable=1 (2 present members − 1 keeper... the
+    // count is members-present − 1 via _n−1 over joined rows)
+    val docs = Seq(
+      (2L, "a b c d e f"), (3L, "p q r s t"), (9L, "solo doc")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val r = Dedup.effectiveTokens(docs, pairs).collect()(0)
+    // n_docs=3, n_tokens=6+5+2=13, n_clusters=1, n_removable=1,
+    // excess=(6+5)−6=5, effective=8, savings = 5e6 div 13
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((3L, 13L, 1L, 1L, 5L, 8L, 5L * 1000000L / 13L)))
+  }
+
   test("jaccardThresholdSweep: cliff between tiers, boundary pair counted at exactly 50") {
     val docs = Seq(
       (1L, "x y z w"), (2L, "x y z w"),      // identical → J = 1 at every tier

@@ -156,6 +156,85 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(out(7L) == 7000000L)
   }
 
+  test("temporalSplit/winsorize: rank-ladder percentiles reproduce Spark's exact percentile aggregate on real data") {
+    // the rewrite's contract: bit-for-bit the values the `percentile`
+    // value-buffer aggregate produced (same IEEE position/interpolation),
+    // without that aggregate anywhere in the plan
+    val ev = graft.engine.Tables(spark, "/root/testdata/sf0.001", "events")
+    val twinBounds = ev.groupBy("event_type").agg(
+      expr("percentile(value, 0.05D)").as("_plo"),
+      expr("percentile(value, 0.95D)").as("_phi"))
+    val twinW = ev.join(twinBounds, Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        floor(least(greatest(col("value"), col("_plo")), col("_phi")) * lit(1000000.0d))
+          .cast("long").as("v_w"))
+    val w = EventsOps.winsorize(ev)
+    assert(w.exceptAll(twinW).isEmpty && twinW.exceptAll(w).isEmpty)
+
+    val tSec = floor(unix_micros(col("ts")).cast("double") / lit(1000000.0d)).cast("long")
+    val cut = ev.select(tSec.as("_t"))
+      .agg(expr("CAST(floor(percentile(_t, 0.8D)) AS LONG)")).first().getLong(0)
+    val twinT = ev.select(col("event_id"),
+      when(tSec <= cut, "train").when(tSec > cut + 3600L, "eval")
+        .otherwise("dropped").as("split"))
+    val t = EventsOps.temporalSplit(ev).select("event_id", "split")
+    assert(t.exceptAll(twinT).isEmpty && twinT.exceptAll(t).isEmpty)
+  }
+
+  test("temporalSplit: no Spark job fires at DataFrame construction") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        seen.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val ev = (0 until 5).map(i => (i.toLong, ts(i * 100L)))
+        .toDF("event_id", "ts")
+      val df = EventsOps.temporalSplit(ev)
+      // flush marker: the listener bus is FIFO, so once this job's
+      // start event lands, any construction-time job would have too
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (seen.get() == 0 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(seen.get() == 1, s"expected only the flush job, saw ${seen.get()}")
+      // and the plan still executes correctly afterwards
+      assert(df.where(col("split") === "train").count() > 0)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("temporalSplit: empty input yields empty output; all-NULL ts raises lazily") {
+    val empty = Seq((1L, new java.sql.Timestamp(0L)))
+      .toDF("event_id", "ts").where(col("event_id") < 0)
+    assert(EventsOps.temporalSplit(empty).collect().isEmpty)
+    // rows exist but no usable timestamp → labeling against a NULL cut
+    // is refused in-plan, not silently mislabeled
+    val allNull = Seq((1L, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("event_id", "ts")
+    val df = EventsOps.temporalSplit(allNull) // must not throw here
+    val e = intercept[Exception] { df.collect() }
+    assert(e.toString.contains("empty input") ||
+      Option(e.getCause).exists(_.toString.contains("empty input")))
+  }
+
+  test("conformalInterval: ceiling rank where floor differs (distinct residuals)") {
+    // n = 10, α = 10%: ceil((n+1)(1−α)) = ceil(9.9) = 10, while the
+    // floor formula gives 9 — distinct residuals make the difference
+    // observable. values 2^i: mean = 2046/10 = 204.6 → floored micro
+    // 204600000; residuals |v−mean| are all distinct, the largest
+    // (1024 → 819400000) is the 10th order statistic.
+    val ev = (1 to 10).map(i => (i.toLong, "g", math.pow(2.0, i.toDouble)))
+      .toDF("event_id", "event_type", "value")
+    val r = EventsOps.conformalInterval(ev).collect().head
+    assert(r.getLong(1) == 10L)
+    val mean = r.getLong(2)
+    assert(mean == 204600000L)
+    // q = the LARGEST residual (rank 10), not the second-largest
+    assert(r.getLong(3) == 1024000000L - mean)
+  }
+
   test("interpolateLinear: hand-computed gap fill, edges stay NULL") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val ev = Seq(
@@ -1047,11 +1126,11 @@ class EventsOpsSpec extends AnyFunSuite {
   }
 
   test("conformalInterval: exact rank-cut residual quantile brackets the data") {
-    // values 1..10 (mean 5.5 floors to 5.5e6? mean = 55/10 = 5.5 →
-    // micro 5500000); residuals |v−5.5|: 0.5..4.5 → rank ceil-cut
-    // least(10, 11·90//100 = 9) → 9th smallest residual = 4.0e6? sorted
-    // residuals (micro): 5e5,5e5,15e5,15e5,25e5,25e5,35e5,35e5,45e5,45e5
-    // → 9th = 4500000
+    // values 1..10 (mean = 55/10 = 5.5 → micro 5500000); residuals
+    // |v−5.5| sorted (micro): 5e5,5e5,15e5,15e5,25e5,25e5,35e5,35e5,
+    // 45e5,45e5 → ceiling rank least(10, ⌈11·90/100⌉ = 10) → 10th =
+    // 4500000 (tied with the 9th here; the distinct-residual test
+    // below pins the floor-vs-ceil difference)
     val ev = (1 to 10).map(i => (i.toLong, "g", i.toDouble))
       .toDF("event_id", "event_type", "value")
     val r = EventsOps.conformalInterval(ev).collect().head

@@ -98,6 +98,12 @@ class LayoutSpec extends AnyFunSuite {
       spark, in, out2, targetBytes = math.max(1L, bytes / 4))
     assert(after2 >= 4L, s"expected >= 4 files, got $after2")
     assert(spark.read.parquet(out2).count() == 1000L)
+    // in-place compaction would delete the source mid-plan — refused
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Layout.compact(spark, in, in)
+    }
+    assert(e.getMessage.contains("must differ"))
+    assert(spark.read.parquet(in).count() == 1000L) // source untouched
   }
 
   test("schema evolution: mergeSchema unions old and new file schemas") {

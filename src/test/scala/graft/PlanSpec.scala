@@ -476,4 +476,19 @@ class PlanSpec extends AnyFunSuite {
       "value", "lbl", topK = 5).queryExecution.executedPlan.toString
     assert(gs.contains("TakeOrderedAndProject"), gs)
   }
+
+  test("p71/p74: no Percentile value-buffer aggregate anywhere in the plan") {
+    // the rank-ladder rewrite's 100 TB guarantee: exact percentiles
+    // without the per-group value multiset (the OOM class) — the
+    // `percentile` ImperativeAggregate must not reappear
+    for (name <- Seq("p71_winsorize", "p74_temporal_split")) {
+      val p = plan(name)
+      assert(!p.toLowerCase.contains("percentile"), s"$name: $p")
+    }
+    // and the winsorize bounds come back via broadcast, never a
+    // corpus-sized sort-merge join
+    val pw = plan("p71_winsorize")
+    assert(pw.contains("BroadcastHashJoin"), pw)
+    assert(!pw.contains("SortMergeJoin"), pw)
+  }
 }
