@@ -109,6 +109,52 @@ object PipelineQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** The dense part co-purchase edge list (parts sharing an order,
+    * src < dst, multiset) — shared front half of p134 (triangles) and
+    * p240 (k-core peel). The deliberately dense self-join is the
+    * suite's single most expensive stage; same recipe as
+    * [[nearDupPairs45]]: memoized per (session, sf dir) and persisted
+    * so a sequential Verify run builds it once, not twice. */
+  private val copurchaseMemo =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
+  private def copurchasePairs(s: SparkSession, dir: String): DataFrame =
+    copurchaseMemo.synchronized {
+      copurchaseMemo.getOrElseUpdate((s, dir),
+        Tables(s, dir, "lineitem").as("x")
+          .join(Tables(s, dir, "lineitem").as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** The part→supplier→nation edge union — shared by p131 (PageRank),
+    * p142 (personalized PageRank) and p145 (BFS). Memoized + persisted
+    * exactly like [[copurchasePairs]] so the three statically-unrolled
+    * fixed-point gates iterate over ONE materialized edge table instead
+    * of re-deriving it from the lineitem scan three times. */
+  private val psnEdgesMemo =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
+  private def psnEdges(s: SparkSession, dir: String): DataFrame =
+    psnEdgesMemo.synchronized {
+      psnEdgesMemo.getOrElseUpdate((s, dir), {
+        val li = Tables(s, dir, "lineitem").select(
+          concat(lit("p"), col("l_partkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        val sn = Tables(s, dir, "supplier").select(
+          concat(lit("s"), col("s_suppkey")).as("src"),
+          concat(lit("n"), col("s_nationkey")).as("dst"))
+        li.union(sn)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    }
+
+  /** p142/p145's shared seed set: every 50th part, in graph node ids. */
+  private def partSeeds(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
+      .where(col("p_partkey") % 50 === 0)
+      .select(concat(lit("p"), col("p_partkey")).as("node"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EP2/EP3 end-to-end: header identify + rules standardizer + typed
     // stages + fuzzy importer join + publish projection. The multi-stage
@@ -552,17 +598,11 @@ object PipelineQueries {
       graft.ops.Retail.rfmSegments(Tables(s, dir, "orders"))),
 
     // Fixed-point PageRank (3 iterations, damping 0.85) over the
-    // part→supplier→nation link graph — BIGINT micro-unit scores, the
-    // Pregel shuffle pair statically unrolled.
-    "p131_pagerank" -> ((s, dir) => {
-      val li = Tables(s, dir, "lineitem").select(
-        concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      val sn = Tables(s, dir, "supplier").select(
-        concat(lit("s"), col("s_suppkey")).as("src"),
-        concat(lit("n"), col("s_nationkey")).as("dst"))
-      graft.ops.Graph.pageRank(li.union(sn), iters = 3)
-    }),
+    // part→supplier→nation link graph (shared memoized edge table with
+    // p142/p145) — BIGINT micro-unit scores, the Pregel shuffle pair
+    // statically unrolled.
+    "p131_pagerank" -> ((s, dir) =>
+      graft.ops.Graph.pageRank(psnEdges(s, dir), iters = 3)),
 
     // Windowed co-occurrence lift (±3 tokens): doc-keyed band
     // self-join over the posexploded token stream, unordered pair
@@ -579,17 +619,12 @@ object PipelineQueries {
         gapSeconds = 1800L)
         .orderBy("user_id", "session_id")),
 
-    // Per-node triangle counts on the co-purchase graph (parts sharing
-    // an order): degree-ordered orientation caps wedge enumeration at
-    // O(m^1.5) — the plan that survives power-law hubs.
-    "p134_triangles" -> ((s, dir) => {
-      val pairs = Tables(s, dir, "lineitem").as("x")
-        .join(Tables(s, dir, "lineitem").as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-      graft.ops.Graph.triangleCount(pairs)
-    }),
+    // Per-node triangle counts on the co-purchase graph (shared
+    // memoized pair table with p240): degree-ordered orientation caps
+    // wedge enumeration at O(m^1.5) — the plan that survives power-law
+    // hubs.
+    "p134_triangles" -> ((s, dir) =>
+      graft.ops.Graph.triangleCount(copurchasePairs(s, dir))),
 
     // Per-source lexical diversity: type-token ratio + hapax share
     // from one (source, token) count table.
@@ -620,20 +655,12 @@ object PipelineQueries {
     "p144_survival" -> ((s, dir) =>
       graft.ops.EventsOps.survivalTable(Tables(s, dir, "events"))),
 
-    // BFS hop depths over the part→supplier→nation graph from the p142
-    // seed set: min-aggregate frontier rounds, statically unrolled.
-    "p145_bfs" -> ((s, dir) => {
-      val li = Tables(s, dir, "lineitem").select(
-        concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      val sn = Tables(s, dir, "supplier").select(
-        concat(lit("s"), col("s_suppkey")).as("src"),
-        concat(lit("n"), col("s_nationkey")).as("dst"))
-      val seeds = Tables(s, dir, "part")
-        .where(col("p_partkey") % 50 === 0)
-        .select(concat(lit("p"), col("p_partkey")).as("node"))
-      graft.ops.Graph.bfsDepths(li.union(sn), seeds, maxDepth = 3)
-    }),
+    // BFS hop depths over the part→supplier→nation graph (shared
+    // memoized edge table with p131/p142) from the p142 seed set:
+    // min-aggregate frontier rounds, statically unrolled.
+    "p145_bfs" -> ((s, dir) =>
+      graft.ops.Graph.bfsDepths(psnEdges(s, dir), partSeeds(s, dir),
+        maxDepth = 3)),
 
     // Audience-overlap Jaccard matrix over event-type user sets: one
     // distinct projection, user-keyed pair self-join, integer ppm.
@@ -657,20 +684,12 @@ object PipelineQueries {
       graft.ops.CorpusOps.fimTransform(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
-    // Personalized PageRank seeded at every 50th part: restart mass
-    // confined to the seeds, same integer fixed-point loop as p131.
-    "p142_ppr" -> ((s, dir) => {
-      val li = Tables(s, dir, "lineitem").select(
-        concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      val sn = Tables(s, dir, "supplier").select(
-        concat(lit("s"), col("s_suppkey")).as("src"),
-        concat(lit("n"), col("s_nationkey")).as("dst"))
-      val seeds = Tables(s, dir, "part")
-        .where(col("p_partkey") % 50 === 0)
-        .select(concat(lit("p"), col("p_partkey")).as("node"))
-      graft.ops.Graph.pageRank(li.union(sn), iters = 3, seeds = Some(seeds))
-    }),
+    // Personalized PageRank seeded at every 50th part (shared memoized
+    // edge table with p131/p145): restart mass confined to the seeds,
+    // same integer fixed-point loop as p131.
+    "p142_ppr" -> ((s, dir) =>
+      graft.ops.Graph.pageRank(psnEdges(s, dir), iters = 3,
+        seeds = Some(partSeeds(s, dir)))),
 
     // The funnel under a 1-hour per-step window: same strictly-later
     // MIN chaining with the gap bound conjoined into the step gate.
@@ -2047,16 +2066,12 @@ object PipelineQueries {
     }),
 
     // Dense co-purchase backbone: 3 synchronous k-core peel rounds
-    // (k = 95) — converges from above, each round one degree count +
-    // two semi-joins on the node key.
-    "p240_kcore" -> ((s, dir) => {
-      val pairs = Tables(s, dir, "lineitem").as("x")
-        .join(Tables(s, dir, "lineitem").as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-      graft.ops.Graph.kCorePeel(pairs, k = 95, rounds = 3)
-    }),
+    // (k = 95, shared memoized co-purchase pair table with p134) —
+    // converges from above, each round one degree count + two
+    // semi-joins on the node key.
+    "p240_kcore" -> ((s, dir) =>
+      graft.ops.Graph.kCorePeel(copurchasePairs(s, dir), k = 95,
+        rounds = 3)),
 
     // Feature-triage decision stump: exact best Gini thresholds of
     // value predicting purchase — corpus collapses to per-distinct-x
