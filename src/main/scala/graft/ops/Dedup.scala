@@ -687,11 +687,19 @@ object Dedup {
     * θ·|A|`, so probing only prefixes against the full inverted gram
     * index finds every qualifying pair — no recall loss. Rarity-first
     * ordering makes the candidate volume `Σ_g prefix_df(g)·df(g)`,
-    * dominated by RARE grams; a stop-gram cap on df (drop grams above a
-    * df ceiling from the index side) is the standard 100 TB relief
-    * valve if a corpus has mega-frequent boilerplate shingles.
-    * Verification reuses the sorted-hash merge kernel (8-byte payloads,
-    * O(n) per candidate). All integer arithmetic.
+    * dominated by RARE grams; the `dfCeiling` stop-gram cap (drop grams
+    * above a df ceiling from BOTH sides of the candidate join) is the
+    * standard 100 TB relief valve if a corpus has mega-frequent
+    * boilerplate shingles. The cap's loss contract: the prefix filter
+    * stays provably complete over the stop-gram-free gram universe, so
+    * the ONLY missable qualifying pairs are those whose containment
+    * restricted to sub-ceiling grams falls below θ — i.e. pairs whose
+    * evidence is boilerplate-only; surfaced pairs still score EXACTLY
+    * (the verify stage always runs on the full shingle sets). With a
+    * ceiling at or above every df the output is identical to the
+    * uncapped path (gated: p275). Verification reuses the sorted-hash
+    * merge kernel (8-byte payloads, O(n) per candidate). All integer
+    * arithmetic.
     *
     * Returns directed (a, b, i_size, size_a, size_b, cont_micro ≥ θ). */
   def containmentPairs(
@@ -699,22 +707,34 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       shingleSize: Int = 3,
-      thresholdMicro: Long = 900000L): DataFrame = {
+      thresholdMicro: Long = 900000L,
+      dfCeiling: Option[Long] = None): DataFrame = {
     require(thresholdMicro > 0 && thresholdMicro <= 1000000L,
       s"containmentPairs: threshold must be ppm in (0, 1e6], got $thresholdMicro")
+    require(dfCeiling.forall(_ >= 1L),
+      s"containmentPairs: dfCeiling must be >= 1, got $dfCeiling")
     val sh = withWordShingles(docs, idCol, textCol, shingleSize)
     val grams = sh.select(col(idCol), explode(col("_sh")).as("_g"))
     val dfreq = grams.groupBy("_g").agg(count(lit(1)).as("_df"))
+    // stop-gram cap: the kept-gram table drives BOTH the prefix windows
+    // (so _n / prefix length are consistent with the reduced universe —
+    // that consistency is what keeps the filter complete over it) and
+    // the inverted index side
+    val kept = dfCeiling.map(c => dfreq.where(col("_df") <= c)).getOrElse(dfreq)
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_df"), col("_g"))
     val wn = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-    val prefix = grams.join(dfreq, Seq("_g"))
+    val prefix = grams.join(kept, Seq("_g"))
       .select(col(idCol), col("_g"),
         row_number().over(wp).as("_rn"), count(lit(1)).over(wn).as("_n"))
       .where(col("_rn") <= expr(s"(_n * ${1000000L - thresholdMicro}) div 1000000") + 1)
       .select(col(idCol).as("a"), col("_g"))
+    val indexGrams = dfCeiling match {
+      case Some(_) => grams.join(kept.select("_g"), Seq("_g"))
+      case None => grams
+    }
     val cands = prefix
-      .join(grams.select(col(idCol).as("b"), col("_g")), Seq("_g"))
+      .join(indexGrams.select(col(idCol).as("b"), col("_g")), Seq("_g"))
       .where(col("a") =!= col("b"))
       .select("a", "b").distinct()
     val hashed = sh.select(col(idCol),

@@ -384,10 +384,15 @@ object Graph {
     * (cn desc, ra_ppm desc, a, b) — TakeOrdered, no global sort.
     *
     * 100 TB: a degree-D hub z emits D² wedge rows — the same quadratic
-    * a PPJoin prefix hits; the relief valve is a documented df-ceiling
-    * (drop centers with deg(z) > cap before the self-join: for ranking
-    * by RA the loss is bounded by cap⁻¹·10⁶ ppm per pair, and cn/
-    * jaccard become "among non-hub neighbors"). Not applied by
+    * a PPJoin prefix hits; the relief valve is the `degCap` ceiling
+    * (drop centers with deg(z) > cap before the self-join). Loss
+    * contract, pinned by spec on a planted hub: a dropped center z
+    * contributed exactly `10⁶ div deg(z) ≤ 10⁶/cap` to each of its
+    * pairs' ra_ppm — RA ranking loss ≤ cap⁻¹·10⁶ ppm per dropped hub —
+    * while cn/jaccard become "among sub-cap neighbors" (which is RA's
+    * own point: hub evidence is near-worthless). Endpoint degrees deg_a
+    * / deg_b stay UNCAPPED, so with a cap at or above every degree the
+    * output is identical to the unguarded path (gated: p276). Off by
     * default — gate graphs are hub-light.
     *
     * Returns (a, b, cn, deg_a, deg_b, jaccard_ppm, ra_ppm). */
@@ -395,8 +400,10 @@ object Graph {
       edges: DataFrame,
       topK: Int = 50,
       srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst",
+      degCap: Option[Long] = None): DataFrame = {
     require(topK >= 1, s"linkPrediction: need topK >= 1, got $topK")
+    require(degCap.forall(_ >= 1L), s"linkPrediction: degCap must be >= 1, got $degCap")
     val und = edges.select(
         least(col(srcCol), col(dstCol)).as("_a"),
         greatest(col(srcCol), col(dstCol)).as("_b"))
@@ -409,8 +416,11 @@ object Graph {
         struct(col("_b").as("z"), col("_a").as("n")))).as("_e"))
       .select(col("_e.z").as("z"), col("_e.n").as("n"))
     val deg = adj.groupBy(col("z").as("node")).agg(count(lit(1)).as("deg"))
-    // deg(z) onto each adjacency row: same join key as the wedge join
-    val adjZ = adj.join(deg.withColumnRenamed("node", "z"), Seq("z"))
+    // deg(z) onto each adjacency row: same join key as the wedge join;
+    // the degCap valve drops hub CENTERS here, before the self-join —
+    // endpoint degree reporting below stays uncapped
+    val adjZall = adj.join(deg.withColumnRenamed("node", "z"), Seq("z"))
+    val adjZ = degCap.map(c => adjZall.where(col("deg") <= c)).getOrElse(adjZall)
     val cand = adjZ.as("x")
       .join(adjZ.as("y"),
         col("x.z") === col("y.z") && col("x.n") < col("y.n"))

@@ -785,6 +785,18 @@ object PipelineQueries {
           shingleSize = 3, thresholdMicro = 900000L)
         .orderBy("a", "b")),
 
+    // The p112 path with the stop-gram relief valve ENGAGED but vacuous
+    // (ceiling above every df): the capped candidate generation —
+    // kept-gram prefix windows + filtered inverted index — must be
+    // output-identical to the uncapped path. The engaged-loss side
+    // (boilerplate-only evidence may be missed, scores stay exact) is
+    // spec-pinned on a planted-boilerplate fixture in DedupSpec.
+    "p275_containment_capped" -> ((s, dir) =>
+      graft.ops.Dedup.containmentPairs(Tables(s, dir, "documents"),
+          shingleSize = 3, thresholdMicro = 900000L,
+          dfCeiling = Some(1000000L))
+        .orderBy("a", "b")),
+
     // Join-key skew report over the orders fact table's customer key:
     // top-20 heavy keys with ppm share, skew multiple and the salt
     // factor saltedJoin would want. Partial-agg shuffle + TakeOrdered.
@@ -2130,6 +2142,16 @@ object PipelineQueries {
         graft.ops.CorpusOps.collocationEdges(Tables(s, dir, "documents")),
         topK = 50)),
 
+    // p233 with the hub deg-cap valve ENGAGED but vacuous (cap above
+    // every degree): identical output through the capped code path.
+    // The engaged-loss bound — a dropped hub z costs each of its pairs
+    // exactly 10⁶ div deg(z) ≤ 10⁶/cap of ra_ppm — is spec-pinned on a
+    // planted-hub fixture in RetailGraphSpec.
+    "p276_link_prediction_capped" -> ((s, dir) =>
+      graft.ops.Graph.linkPrediction(
+        graft.ops.CorpusOps.collocationEdges(Tables(s, dir, "documents")),
+        topK = 50, degCap = Some(1000000L))),
+
     // Robust per-user value trend: Theil–Sen lower-median pair slope —
     // group-keyed self-join, integral re-signed slopes, rank-picked cut.
     "p234_theil_sen" -> ((s, dir) =>
@@ -2929,6 +2951,50 @@ object PipelineQueries {
       "SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS \"rank\", " +
       "doc_id, n_terms, total_tf FROM scored ORDER BY score DESC, doc_id LIMIT 20"
   }
+
+  /** p112's containment oracle — shared verbatim by p275 (the capped
+    * path with a vacuous ceiling must be output-identical). */
+  private val containmentSql: String =
+      "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
+        "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
+        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a " +
+        "JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, len(gs) AS n FROM t) " +
+        "SELECT i.a, i.b, CAST(i.i_size AS INT) AS i_size, " +
+        "CAST(sa.n AS INT) AS size_a, CAST(sb.n AS INT) AS size_b, " +
+        "CAST((CAST(i.i_size AS BIGINT) * 1000000) // sa.n AS BIGINT) AS cont_micro " +
+        "FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
+        "WHERE CAST(i.i_size AS BIGINT) * 1000000 >= 900000 * CAST(sa.n AS BIGINT) " +
+        "ORDER BY a, b"
+
+  /** p233's link-prediction oracle — shared verbatim by p276 (the
+    * deg-capped path with a vacuous cap must be output-identical). */
+  private val linkPredictionSql: String =
+      "WITH raw AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) AS INT) AS p, unnest(toks) AS t " +
+        "FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks " +
+        "FROM documents WHERE length(trim(text)) > 0)), " +
+        "keep AS (SELECT t FROM raw GROUP BY t HAVING COUNT(*) <= 10000), " +
+        "tk AS (SELECT raw.doc_id, raw.p, raw.t FROM raw JOIN keep USING (t)), " +
+        "pe AS (SELECT LEAST(x.t, y.t) AS src, GREATEST(x.t, y.t) AS dst " +
+        "FROM tk x JOIN tk y ON x.doc_id = y.doc_id AND y.p > x.p AND y.p <= x.p + 2), " +
+        "e0 AS (SELECT src AS a, dst AS b FROM " +
+        "(SELECT src, dst, COUNT(*) AS n FROM pe GROUP BY 1, 2) " +
+        "WHERE n >= 5 AND src <> dst), " +
+        "adj AS (SELECT a AS z, b AS n FROM e0 UNION ALL SELECT b, a FROM e0), " +
+        "deg AS (SELECT z AS node, COUNT(*) AS deg FROM adj GROUP BY 1), " +
+        "az AS (SELECT adj.z, adj.n, deg.deg FROM adj JOIN deg ON deg.node = adj.z), " +
+        "cand AS (SELECT x.n AS a, y.n AS b, COUNT(*) AS cn, " +
+        "SUM(1000000 // x.deg) AS ra FROM az x JOIN az y " +
+        "ON x.z = y.z AND x.n < y.n GROUP BY 1, 2), " +
+        "c2 AS (SELECT cand.* FROM cand LEFT JOIN e0 " +
+        "ON e0.a = cand.a AND e0.b = cand.b WHERE e0.a IS NULL) " +
+        "SELECT c2.a, c2.b, cn, da.deg AS deg_a, db.deg AS deg_b, " +
+        "CAST(cn * 1000000 // (da.deg + db.deg - cn) AS BIGINT) AS jaccard_ppm, " +
+        "CAST(ra AS BIGINT) AS ra_ppm " +
+        "FROM c2 JOIN deg da ON da.node = c2.a JOIN deg db ON db.node = c2.b " +
+        "ORDER BY cn DESC, ra_ppm DESC, a, b LIMIT 50"
 
   val oracleSql: Map[String, String] = Map(
     "p13_multimodal" -> multimodalSql,
@@ -5337,30 +5403,8 @@ object PipelineQueries {
     // collocation edges (±2 band, ≥5, df ≤ 10k) then the wedge join on
     // the shared neighbor only; RA reciprocals integral (1e6 // deg);
     // anti-join removes linked pairs; full-key ORDER+LIMIT
-    "p233_link_prediction" -> (
-      "WITH raw AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) AS INT) AS p, unnest(toks) AS t " +
-        "FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks " +
-        "FROM documents WHERE length(trim(text)) > 0)), " +
-        "keep AS (SELECT t FROM raw GROUP BY t HAVING COUNT(*) <= 10000), " +
-        "tk AS (SELECT raw.doc_id, raw.p, raw.t FROM raw JOIN keep USING (t)), " +
-        "pe AS (SELECT LEAST(x.t, y.t) AS src, GREATEST(x.t, y.t) AS dst " +
-        "FROM tk x JOIN tk y ON x.doc_id = y.doc_id AND y.p > x.p AND y.p <= x.p + 2), " +
-        "e0 AS (SELECT src AS a, dst AS b FROM " +
-        "(SELECT src, dst, COUNT(*) AS n FROM pe GROUP BY 1, 2) " +
-        "WHERE n >= 5 AND src <> dst), " +
-        "adj AS (SELECT a AS z, b AS n FROM e0 UNION ALL SELECT b, a FROM e0), " +
-        "deg AS (SELECT z AS node, COUNT(*) AS deg FROM adj GROUP BY 1), " +
-        "az AS (SELECT adj.z, adj.n, deg.deg FROM adj JOIN deg ON deg.node = adj.z), " +
-        "cand AS (SELECT x.n AS a, y.n AS b, COUNT(*) AS cn, " +
-        "SUM(1000000 // x.deg) AS ra FROM az x JOIN az y " +
-        "ON x.z = y.z AND x.n < y.n GROUP BY 1, 2), " +
-        "c2 AS (SELECT cand.* FROM cand LEFT JOIN e0 " +
-        "ON e0.a = cand.a AND e0.b = cand.b WHERE e0.a IS NULL) " +
-        "SELECT c2.a, c2.b, cn, da.deg AS deg_a, db.deg AS deg_b, " +
-        "CAST(cn * 1000000 // (da.deg + db.deg - cn) AS BIGINT) AS jaccard_ppm, " +
-        "CAST(ra AS BIGINT) AS ra_ppm " +
-        "FROM c2 JOIN deg da ON da.node = c2.a JOIN deg db ON db.node = c2.b " +
-        "ORDER BY cn DESC, ra_ppm DESC, a, b LIMIT 50"),
+    "p233_link_prediction" -> linkPredictionSql,
+    "p276_link_prediction_capped" -> linkPredictionSql,
     // identical micro quantization both axes; non-negative // after the
     // re-sign so floor == truncate; lower-median rank (m+1)//2
     "p234_theil_sen" -> (
@@ -6483,20 +6527,8 @@ object PipelineQueries {
         "FROM d JOIN m2 USING (g) WHERE d.dev > 3 * m2.mad ORDER BY event_id"),
     // exact all-DIRECTED-pairs truth over the p03 word-shingle recipe;
     // integer cross-multiply threshold, cont in ppm by integer division
-    "p112_containment" -> (
-      "WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
-        "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
-        "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
-        "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
-        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a " +
-        "JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id GROUP BY 1, 2), " +
-        "s AS (SELECT doc_id, len(gs) AS n FROM t) " +
-        "SELECT i.a, i.b, CAST(i.i_size AS INT) AS i_size, " +
-        "CAST(sa.n AS INT) AS size_a, CAST(sb.n AS INT) AS size_b, " +
-        "CAST((CAST(i.i_size AS BIGINT) * 1000000) // sa.n AS BIGINT) AS cont_micro " +
-        "FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
-        "WHERE CAST(i.i_size AS BIGINT) * 1000000 >= 900000 * CAST(sa.n AS BIGINT) " +
-        "ORDER BY a, b"),
+    "p112_containment" -> containmentSql,
+    "p275_containment_capped" -> containmentSql,
     // all-integer skew arithmetic in HUGEINT; cnt ties break on key
     "p111_skew_report" -> (
       "WITH c AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1), " +

@@ -209,8 +209,12 @@ object ScaledOps {
       // billion-scale ANN headline at ×k: full train+search pipeline
       // (IVF coarse cells + PQ codebooks + ADC scan + exact refine),
       // the p79 gate's exact shape at scaled row count
+      // the 100 TB path: stop-gram ceiling engaged (drops boilerplate
+      // grams — here the replicas' shared originals — from candidate
+      // generation; surfaced pairs still score exactly)
       time("containment") { sink(Dedup.containmentPairs(docs,
-        shingleSize = 3, thresholdMicro = 900000L)) },
+        shingleSize = 3, thresholdMicro = 900000L,
+        dfCeiling = Some(10000L))) },
       time("ann_ivfpq") { sink(ivfPqPipeline(spark.read.parquet(embPath), k = 3)) },
       // iterative graph tier over the token co-occurrence graph of the
       // scaled corpus (±2 window, pairs seen ≥5×): real power-law

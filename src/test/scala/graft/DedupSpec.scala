@@ -273,6 +273,45 @@ class DedupSpec extends AnyFunSuite {
     assert((none.getLong(2), none.getLong(4), none.getLong(5)) == ((0L, 0L, 15L)))
   }
 
+  test("containmentPairs dfCeiling: vacuous cap identical; engaged cap loses ONLY boilerplate-only evidence, scores stay exact") {
+    // planted boilerplate: every doc opens with the same 8-token header
+    // (its 6 pure-header shingles have df = 5, the planted mega-grams).
+    // Docs 1/2 share real content beyond it; doc 5 is mostly header —
+    // its containment evidence is boilerplate-only.
+    val header = "terms of service apply to this document header"
+    val docs = Seq(
+      (1L, s"$header alpha beta gamma delta epsilon"),
+      (2L, s"$header alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, s"$header lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (4L, s"$header phi chi psi omega aleph bet gimel dalet he vav"),
+      (5L, s"$header one two")
+    ).toDF("doc_id", "text")
+    def run(ceiling: Option[Long]) =
+      Dedup.containmentPairs(docs, thresholdMicro = 500000L, dfCeiling = ceiling)
+        .select("a", "b", "i_size", "size_a").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val un = run(None)
+    // uncapped: the real pair both ways (1⊂2 fully at 11 shared
+    // shingles; 2 covers 11/16 of 1) plus every header-only pair the
+    // short docs 1 and 5 cross θ with (6 shared pure-header shingles
+    // over 11- resp. 8-shingle sets)
+    assert(un.map(t => (t._1, t._2)) ==
+      Set((1L, 2L), (2L, 1L),
+        (1L, 3L), (1L, 4L), (1L, 5L),
+        (5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L)))
+    // vacuous ceiling (above every df) → byte-identical output
+    assert(run(Some(1000L)) == un)
+    // engaged ceiling (df ≤ 3 drops the df-5 header grams): exactly the
+    // boilerplate-only pairs disappear; the real pair survives with the
+    // EXACT uncapped scores (verify always runs on full shingle sets)
+    val capped = run(Some(3L))
+    assert(capped.subsetOf(un))
+    assert(capped.map(t => (t._1, t._2)) == Set((1L, 2L), (2L, 1L)))
+    assert(capped.forall(_._3 == 11)) // exact full-set scores survive
+    // every dropped pair's entire evidence was the 6 header shingles
+    assert((un -- capped).forall(_._3 == 6))
+  }
+
   test("effectiveTokens: keeper falls back to the smallest PRESENT member when the canonical doc was filtered upstream") {
     // cluster {1,2,3} but doc 1 (the component min) is not in `docs` —
     // quality-filtered away. The keeper must be doc 2 (min PRESENT id),

@@ -491,6 +491,39 @@ class RetailGraphSpec extends AnyFunSuite {
     assert(!out.exists(r => (r._1, r._2) == ((1L, 2L))))
   }
 
+  test("linkPrediction degCap: vacuous cap identical; planted hub's RA loss bounded by 1e6/cap, endpoint degrees stay uncapped") {
+    import spark.implicits._
+    // planted hub 100 (deg 10: nodes 1, 2, and 8 pendants) plus a
+    // normal center 50 (deg 2: nodes 1, 2). Pair (1,2) is reachable
+    // through BOTH centers.
+    val edges = (Seq((50L, 1L), (50L, 2L), (100L, 1L), (100L, 2L)) ++
+      (201L to 208L).map(c => (100L, c))).toDF("src", "dst")
+    def run(cap: Option[Long]) =
+      graft.ops.Graph.linkPrediction(edges, topK = 100, degCap = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val un = run(None)
+    // vacuous cap (above every degree) → identical rows, same order
+    assert(run(Some(1000L)) == un)
+    // (1,2) uncapped: cn=2 (hub + normal center), ra = 1e6/2 + 1e6/10
+    val pairUn = un.find(t => (t._1, t._2) == ((1L, 2L))).get
+    assert((pairUn._3, pairUn._7) == ((2L, 600000L)))
+    // cap 5 drops the deg-10 hub as a CENTER: hub-only pairs (1–201,
+    // 201–202, …) vanish; (1,2) survives via the normal center, and the
+    // two centers' own pair (50,100) survives via the sub-cap nodes 1,2
+    val capped = run(Some(5L))
+    assert(capped.map(t => (t._1, t._2)) == Seq((50L, 100L), (1L, 2L)))
+    val pairC = capped.find(t => (t._1, t._2) == ((1L, 2L))).get
+    // RA loss is exactly the hub's reciprocal, within the documented
+    // 1e6/cap bound; cn becomes "among sub-cap neighbors"
+    assert(pairC._3 == 1L && pairC._7 == 500000L)
+    assert(pairUn._7 - pairC._7 == 100000L)
+    assert(pairUn._7 - pairC._7 <= 1000000L / 5L)
+    // endpoint degrees still count the hub edge (deg_a = deg_b = 2)
+    assert((pairC._4, pairC._5) == ((2L, 2L)))
+  }
+
   test("revenueRetention: expansion, contraction and churn reconcile; first quarter absent") {
     import spark.implicits._
     def d(s: String) = java.sql.Date.valueOf(s)
