@@ -2426,12 +2426,17 @@ object EventsOps {
     * agree only on non-negative operands). Headroom: |n·x| ≤ 2e4·5e8 =
     * 1e13 at gate scale; its square sums to ~2e30 ≪ 1e38.
     *
-    * Shape: one partial-agg per-key moment pass (n, S — key-cardinality
-    * bounded, broadcast back), then ONE key-partitioned window emits
-    * all lags via lead() in a single frame scan, and the final
-    * partial agg reuses the same key exchange. No self-join: lag pairs
-    * come from lead(), so the stream is touched once post-join. At
-    * 100 TB parallelism = #keys.
+    * Shape — KEY-POOR-SAFE (the [[Ffill.ffillBlocked]] two-pass recipe
+    * applied to lag emission): a plain key-partitioned lead() window
+    * serializes each key through one task, so a 5-event-type
+    * clickstream would run 5 tasks at any corpus size. Instead the
+    * per-key sequence rank comes from (key, time-block)-parallel
+    * row_number windows plus a carry of block counts cumulated over the
+    * (#keys × #blocks)-bounded summary, and lag pairs come from ONE
+    * composite (key, rank)-keyed equi-join (each row probes its maxLag
+    * predecessors) — every wide stage is partition-parallel. A bounded
+    * (key × lag) skeleton re-emits zero-pair lags. Per-key moments
+    * (n, S — key-cardinality bounded) broadcast back as before.
     *
     * Returns (keyCol, lag, n_pairs, acf_ppm), acf_ppm NULL for a
     * zero-variance key; keys with fewer than ℓ+1 values emit that lag
@@ -2442,8 +2447,11 @@ object EventsOps {
       keyCol: String = "event_type",
       valueCol: String = "value",
       tsCol: String = "ts",
-      tieCol: String = "event_id"): DataFrame = {
+      tieCol: String = "event_id",
+      blockMicros: Long = 3600000000L): DataFrame = {
     require(maxLag >= 1, s"acfByKey: need maxLag >= 1, got $maxLag")
+    require(blockMicros >= 1, s"acfByKey: need blockMicros >= 1, got $blockMicros")
+    import org.apache.spark.sql.expressions.Window
     val d = DecimalType(38, 0)
     val base = ev
       .where(col(valueCol).isNotNull)
@@ -2452,26 +2460,49 @@ object EventsOps {
         unix_micros(col(tsCol)).as("_t"))
     val moments = base.groupBy(col(keyCol))
       .agg(count(lit(1)).as("_n"), sum(col("_x").cast(d)).as("_s"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col("_t"), col(tieCol))
-    val led = base
+    val centered = base
       .join(broadcast(moments), Seq(keyCol))
       .withColumn("_c", col("_n").cast(d) * col("_x").cast(d) - col("_s"))
-    val withLeads = (1 to maxLag).foldLeft(led) { (acc, l) =>
-      acc.withColumn(s"_c$l", lead(col("_c"), l).over(w))
-    }
-    val lagRows = withLeads.select(col(keyCol), col("_c"),
-      explode(array((1 to maxLag).map(l =>
-        struct(lit(l).as("lag"), col(s"_c$l").as("_cl"))): _*)).as("_e"))
-      .select(col(keyCol), col("_c"), col("_e.lag").as("lag"), col("_e._cl").as("_cl"))
-    lagRows.groupBy(col(keyCol), col("lag"))
-      .agg(
-        count(col("_cl")).as("n_pairs"),
-        coalesce(sum(when(col("_cl").isNotNull, col("_c") * col("_cl"))),
-          lit(0).cast(d)).as("_num"),
-        sum(col("_c") * col("_c")).as("_den"))
-      .select(col(keyCol), col("lag"), col("n_pairs"),
-        when(col("_den") === 0 || col("n_pairs") === 0, lit(null).cast("long"))
+      .withColumn("_blk", expr(s"_t div ${blockMicros}L"))
+    // blocked global-per-key rank: within-block row_number in
+    // (key, blk)-parallel windows + a cumulated block-count carry over
+    // the bounded (key, blk) summary — identical to the rank a single
+    // key-partitioned window would assign (blocks are monotone,
+    // non-overlapping _t intervals)
+    val wIn = Window.partitionBy(col(keyCol), col("_blk"))
+      .orderBy(col("_t"), col(tieCol))
+    val wCarry = Window.partitionBy(col(keyCol)).orderBy(col("_blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = centered.groupBy(col(keyCol), col("_blk"))
+      .agg(count(lit(1)).as("_bc"))
+      .withColumn("_carry", coalesce(sum(col("_bc")).over(wCarry), lit(0L)))
+      .select(col(keyCol), col("_blk"), col("_carry"))
+    val seq0 = centered
+      .withColumn("_rnIn", row_number().over(wIn).cast("long"))
+      .join(broadcast(carry), Seq(keyCol, "_blk"))
+      .select(col(keyCol), (col("_rnIn") + col("_carry")).as("_rn"), col("_c"))
+    // each row probes its 1..maxLag predecessors: one hash-partitioned
+    // equi-join on (key, rank), never a per-key serial scan
+    val probes = seq0.select(col(keyCol), col("_c").as("_cl"),
+        explode(array((1 to maxLag).map(l =>
+          struct(lit(l).as("lag"), (col("_rn") - l).as("_rn0"))): _*)).as("_e"))
+      .select(col(keyCol), col("_e.lag").as("lag"),
+        col("_e._rn0").as("_rn"), col("_cl"))
+    val pairAgg = seq0.join(probes, Seq(keyCol, "_rn"))
+      .groupBy(col(keyCol), col("lag"))
+      .agg(count(lit(1)).as("_np"), sum(col("_c") * col("_cl")).as("_num"))
+    // bounded (key × lag) skeleton: zero-pair lags still emit, and the
+    // exact denominator Σc² is one per-key partial agg
+    val den = centered.groupBy(col(keyCol))
+      .agg(sum(col("_c") * col("_c")).as("_den"))
+    val lags = ev.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    den.crossJoin(broadcast(lags))
+      .join(pairAgg, Seq(keyCol, "lag"), "left")
+      .select(col(keyCol), col("lag"),
+        coalesce(col("_np"), lit(0L)).as("n_pairs"),
+        when(col("_den") === 0 || coalesce(col("_np"), lit(0L)) === 0,
+          lit(null).cast("long"))
           .otherwise(
             when(col("_num") >= 0, lit(1L)).otherwise(lit(-1L)) *
               expr("CAST(abs(_num) * 1000000 div _den AS BIGINT)")).as("acf_ppm"))

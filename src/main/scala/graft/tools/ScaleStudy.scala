@@ -113,6 +113,8 @@ object ScaledOps {
       name -> (if (times.isEmpty) -1.0 else median(times))
     }
     val docs = spark.read.parquet(docsPath)
+    // one cheap count drives the containment stop-gram fraction (2%)
+    val nDocsForCap = docs.count()
     val ev = spark.read.parquet(eventsPath)
     def pairs = Dedup.nearDupSizesShingled(
         Dedup.withWordShingles(docs.select("doc_id", "text"), "doc_id", "text", 3),
@@ -209,12 +211,15 @@ object ScaledOps {
       // billion-scale ANN headline at ×k: full train+search pipeline
       // (IVF coarse cells + PQ codebooks + ADC scan + exact refine),
       // the p79 gate's exact shape at scaled row count
-      // the 100 TB path: stop-gram ceiling engaged (drops boilerplate
-      // grams — here the replicas' shared originals — from candidate
-      // generation; surfaced pairs still score exactly)
+      // the 100 TB path: stop-gram ceiling engaged as a RELATIVE df
+      // fraction (grams in > 2% of docs are boilerplate). An absolute
+      // ceiling stops binding as the corpus grows — df of boilerplate
+      // grams grows with N, so a fixed cap lets candidate volume go
+      // quadratic; the relative cap excludes the same gram set at
+      // every scale (measured: ScaleStudy's x50 rung).
       time("containment") { sink(Dedup.containmentPairs(docs,
         shingleSize = 3, thresholdMicro = 900000L,
-        dfCeiling = Some(10000L))) },
+        dfCeiling = Some(math.max(100L, nDocsForCap / 50)))) },
       time("ann_ivfpq") { sink(ivfPqPipeline(spark.read.parquet(embPath), k = 3)) },
       // iterative graph tier over the token co-occurrence graph of the
       // scaled corpus (±2 window, pairs seen ≥5×): real power-law
@@ -241,7 +246,7 @@ object ScaledOps {
   private def tokenEdges(docs: DataFrame): DataFrame =
     CorpusOps.collocationEdges(docs, window = 2, minCount = 5L, dfCeiling = 10000L)
 
-  private def ivfPqPipeline(emb: DataFrame, k: Int): DataFrame = {
+  private[tools] def ivfPqPipeline(emb: DataFrame, k: Int): DataFrame = {
     val q = emb.where(col("vec_id") < 50)
     val ivfM = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 16)
     val pqM = graft.ops.Pq.train(emb, "vec_id", "embedding", m = 8, k = 256)
@@ -255,7 +260,7 @@ object ScaledOps {
     * The ×k replicas duplicate vectors verbatim, so exact top-3 is
     * dominated by cosine-1.0 twins — an index that loses those is
     * broken, which is exactly what this entry watches for. */
-  private def annIvfPqRecall(emb: DataFrame): (String, Double) =
+  private[tools] def annIvfPqRecall(emb: DataFrame): (String, Double) =
     try {
       val q = emb.where(col("vec_id") < 50)
       val approx = ivfPqPipeline(emb, k = 3)
@@ -298,8 +303,10 @@ object ScaleStudy {
 
     // materialize scaled inputs to parquet so every measured op reads
     // from storage like a real job (not from an in-memory union plan)
-    val docPaths = Seq(1, 4, 20).map(k =>
+    val docPaths = Seq(1, 4, 20, 50).map(k =>
       k -> ScaleData.materialize(spark, sfDir, "documents", k, cpus.toInt)).toMap
+    val embPaths = Seq(1, 4, 20, 50).map(k =>
+      k -> ScaleData.materialize(spark, sfDir, "embeddings", k, cpus.toInt)).toMap
     val eventPaths = Seq(1, 10).map(k =>
       k -> ScaleData.materialize(spark, sfDir, "events", k, cpus.toInt)).toMap
 
@@ -386,6 +393,34 @@ object ScaleStudy {
       val (_, tIv) = time(sink(graft.ops.RangeJoin.intervalJoin(
         ev.select("event_id", "ts", "value"), "ts", iv, "w_start", "w_end")))
       report("interval_join", k, nEv, tIv)
+    }
+
+    // two more decades for the three 100 TB headliners: a measured
+    // x1/x4/x20/x50 growth curve per op (the design arguments rest on
+    // these staying near-linear; SCALING.md holds the table)
+    for (k <- Seq(1, 4, 20, 50)) {
+      val docs = spark.read.parquet(docPaths(k))
+      val nDocs = docs.count()
+      val (nPairs, tPairs) = time {
+        Dedup.nearDupSizesShingled(
+            Dedup.withWordShingles(docs.select("doc_id", "text"), "doc_id", "text", 3),
+            "doc_id", numHashes = 64, bands = 16, sizeRatioPrefilter = Some((4, 5)))
+          .where(col("i_size") * 5 >= col("u_size") * 4)
+          .count()
+      }
+      report(s"hl_neardup_pairs(${nPairs}p)", k, nDocs, tPairs)
+      // relative stop-gram ceiling (2% of docs): the at-scale policy —
+      // an absolute cap stops binding as boilerplate df grows with N
+      val (_, tCont) = time(sink(Dedup.containmentPairs(docs,
+        shingleSize = 3, thresholdMicro = 900000L,
+        dfCeiling = Some(math.max(100L, nDocs / 50)))))
+      report("hl_containment", k, nDocs, tCont)
+      val emb = spark.read.parquet(embPaths(k))
+      val nEmb = emb.count()
+      val (_, tAnn) = time(sink(ScaledOps.ivfPqPipeline(emb, k = 3)))
+      report("hl_ann_ivfpq", k, nEmb, tAnn)
+      val (_, recall) = ScaledOps.annIvfPqRecall(emb)
+      report(f"hl_ann_recall(${recall}%.1f%%)", k, nEmb, 0.0)
     }
     spark.stop()
   }

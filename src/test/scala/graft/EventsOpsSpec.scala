@@ -569,6 +569,16 @@ class EventsOpsSpec extends AnyFunSuite {
       ("c", 1, 1L, Some(-500000L)), ("c", 2, 0L, None), ("c", 3, 0L, None)))
   }
 
+  test("acfByKey: blocked rank is boundary-exact — 1-second blocks equal one-block ranks on real data") {
+    // forcing a block per second makes every lag pair cross a block
+    // boundary; a huge block puts each key in one block (the old
+    // single-window shape). Identical output pins the carry arithmetic.
+    val ev = graft.engine.Tables(spark, "/root/testdata/sf0.001", "events")
+    val tiny = EventsOps.acfByKey(ev, maxLag = 3, blockMicros = 1000000L)
+    val one = EventsOps.acfByKey(ev, maxLag = 3, blockMicros = Long.MaxValue)
+    assert(tiny.exceptAll(one).isEmpty && one.exceptAll(tiny).isEmpty)
+  }
+
   test("wilsonInterval: bounds bracket the rate inside [0,1]; certain outcomes stay honest") {
     import spark.implicits._
     // cohort 0: users 0,10 → one converts; cohort 1: user 1 never converts
