@@ -21,7 +21,10 @@ import org.apache.spark.sql.SparkSession
   * aggregate fields plus the SLOWEST queries (short prefix keys,
   * 2-decimal seconds; SPARK_GRAFT_BENCH_TOPQ to resize, default 12) and
   * a scaled-tier SUMMARY — the full-name full-precision per-query and
-  * per-scaled-op report lives in BENCH_DETAIL.json (committed).
+  * per-scaled-op report lives in BENCH_DETAIL.json. CONVENTION (judge
+  * round 9): every local Bench run OVERWRITES BENCH_DETAIL.json — the
+  * numbers of record for a round are the driver's BENCH_r{N}.json; a
+  * run worth keeping should be committed under a versioned name.
   *
   * `/proc/loadavg` is sampled before and after and emitted as
   * `load_before`/`load_after`: round 8's scaled-tier "regression" was

@@ -1316,6 +1316,13 @@ object CorpusOps {
     * when merges number in the tens of thousands; documented, not
     * default. Docs without tokens emit nothing (mirrors [[oovRate]]).
     *
+    * The per-token counts fold into LENGTH arithmetic instead of
+    * re-splitting: n_sym = length(word) (the chars ARE the pre-merge
+    * symbols), and since the sentinel form " a b c " has exactly
+    * 2·n_sym + 1 chars and every successful merge deletes exactly one
+    * space, n_bpe = length(applied) − n_sym − 1 — one string scan per
+    * merge and none to count.
+    *
     * Returns (idCol, n_words, n_sym, n_bpe, compression_micro). */
   def bpeEncodeStats(
       docs: DataFrame,
@@ -1333,8 +1340,8 @@ object CorpusOps {
         val rep = lit(s" $l$r ")
         replace(replace(s, pat, rep), pat, rep)
     }
-    val nSym: Column => Column = t => size(filter(split(t, ""), x => x =!= ""))
-    val nBpe: Column => Column = t => size(split(trim(applied(t)), " "))
+    val nSym: Column => Column = t => length(t)
+    val nBpe: Column => Column = t => length(applied(t)) - length(t) - lit(1)
     def summed(f: Column => Column): Column =
       aggregate(transform(col("_toks"), f),
         lit(0L), (acc, x) => acc + x.cast("long"))

@@ -149,6 +149,17 @@ object PipelineQueries {
       })
     }
 
+  /** The df-capped token collocation graph — shared by p233 and p276
+    * (vacuous-cap twin). Memoized + persisted like [[psnEdges]]. */
+  private val collocMemo =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
+  private def collocEdges(s: SparkSession, dir: String): DataFrame =
+    collocMemo.synchronized {
+      collocMemo.getOrElseUpdate((s, dir),
+        graft.ops.CorpusOps.collocationEdges(Tables(s, dir, "documents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   /** p142/p145's shared seed set: every 50th part, in graph node ids. */
   private def partSeeds(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "part")
@@ -2138,9 +2149,7 @@ object PipelineQueries {
     // avg degree ~115 makes wedges quadratic-dominant — the documented
     // hub valve; the collocation builder applies it by construction.)
     "p233_link_prediction" -> ((s, dir) =>
-      graft.ops.Graph.linkPrediction(
-        graft.ops.CorpusOps.collocationEdges(Tables(s, dir, "documents")),
-        topK = 50)),
+      graft.ops.Graph.linkPrediction(collocEdges(s, dir), topK = 50)),
 
     // p233 with the hub deg-cap valve ENGAGED but vacuous (cap above
     // every degree): identical output through the capped code path.
@@ -2148,8 +2157,7 @@ object PipelineQueries {
     // exactly 10⁶ div deg(z) ≤ 10⁶/cap of ra_ppm — is spec-pinned on a
     // planted-hub fixture in RetailGraphSpec.
     "p276_link_prediction_capped" -> ((s, dir) =>
-      graft.ops.Graph.linkPrediction(
-        graft.ops.CorpusOps.collocationEdges(Tables(s, dir, "documents")),
+      graft.ops.Graph.linkPrediction(collocEdges(s, dir),
         topK = 50, degCap = Some(1000000L))),
 
     // Robust per-user value trend: Theil–Sen lower-median pair slope —
