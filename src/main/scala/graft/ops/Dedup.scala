@@ -721,16 +721,20 @@ object Dedup {
     // that consistency is what keeps the filter complete over it) and
     // the inverted index side
     val kept = dfCeiling.map(c => dfreq.where(col("_df") <= c)).getOrElse(dfreq)
+    // one (id, gram, df) join feeds BOTH the prefix windows and (in the
+    // capped case) the filtered inverted index — identical subplans so
+    // the exchange is reused instead of the join running twice
+    val withDf = grams.join(kept, Seq("_g"))
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_df"), col("_g"))
     val wn = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-    val prefix = grams.join(kept, Seq("_g"))
+    val prefix = withDf
       .select(col(idCol), col("_g"),
         row_number().over(wp).as("_rn"), count(lit(1)).over(wn).as("_n"))
       .where(col("_rn") <= expr(s"(_n * ${1000000L - thresholdMicro}) div 1000000") + 1)
       .select(col(idCol).as("a"), col("_g"))
     val indexGrams = dfCeiling match {
-      case Some(_) => grams.join(kept.select("_g"), Seq("_g"))
+      case Some(_) => withDf
       case None => grams
     }
     val cands = prefix
