@@ -163,6 +163,82 @@ object FuzzyJoin {
       .where(col("dist") <= 1)
       .select(col("a"), col("b"), col("dist"))
   }
+
+  /** FELLEGI–SUNTER probabilistic record linkage (Fellegi & Sunter
+    * 1969) over BLOCKED candidate pairs — the statistical upgrade of
+    * the deterministic fuzzy joins above: each field carries an
+    * (m, u) pair — P(agree | same entity) and P(agree | different
+    * entities) — and a candidate pair's evidence is the likelihood
+    * ratio Π over fields of m/u (agreement), (1−m)/(1−u)
+    * (disagreement), or 1 (either side missing — no information, the
+    * standard convention). Pairs classify by the two F-S thresholds:
+    * `match` at lr ≥ upper, `possible` (clerical review) at ≥ lower,
+    * else `non_match`.
+    *
+    * INTEGER-EXACT: m/u arrive as ppm, the ratio is carried as exact
+    * DECIMAL(38,0) numerator/denominator PRODUCTS (≤ 5 fields keeps
+    * Π ppm ≤ 10³⁰ and the final ×10⁶ inside 10³⁸ — require-guarded),
+    * and lr_ppm is one integral division at the end. No log-weights,
+    * no libm — both engines replay the arithmetic bit-for-bit.
+    *
+    * Scale shape: candidates come ONLY from the equality block join on
+    * `blockCol` (never all-pairs — the blocking key's group size is
+    * the knob, exactly [[Dedup.containmentPairs]]' df-ceiling class;
+    * salt hot blocks with [[SkewJoin]] at 100 TB). Scoring is map-only
+    * per candidate.
+    *
+    * `fields` = (column, m_ppm, u_ppm), columns present in both
+    * inputs. Returns (a, b, n_agree, n_disagree, lr_ppm, decision). */
+  def fellegiSunter(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      idColA: String,
+      idColB: String,
+      blockCol: String,
+      fields: Seq[(String, Long, Long)],
+      lowerPpm: Long = 1000000L,
+      upperPpm: Long = 1000000000L): DataFrame = {
+    require(fields.nonEmpty && fields.size <= 5,
+      s"fellegiSunter: need 1..5 fields (DECIMAL(38,0) headroom), got ${fields.size}")
+    require(fields.forall { case (_, m, u) =>
+      m >= 1 && m <= 999999L && u >= 1 && u <= 999999L },
+      s"fellegiSunter: every m_ppm/u_ppm must lie in [1, 999999], got $fields")
+    require(lowerPpm >= 0 && upperPpm >= lowerPpm,
+      s"fellegiSunter: need 0 <= lowerPpm <= upperPpm, got $lowerPpm/$upperPpm")
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val a = dfA.select(col(idColA).as("a") +: col(blockCol).as("_blk") +:
+      fields.map { case (f, _, _) => col(f).as(s"_a_$f") }: _*)
+    val b = dfB.select(col(idColB).as("b") +: col(blockCol).as("_blk") +:
+      fields.map { case (f, _, _) => col(f).as(s"_b_$f") }: _*)
+    val cand = a.join(b, Seq("_blk"))
+    val one = lit(1L).cast(d)
+    def factor(f: String, mPpm: Long, uPpm: Long): (Column, Column, Column) = {
+      val fa = col(s"_a_$f"); val fb = col(s"_b_$f")
+      val agree = fa.isNotNull && fb.isNotNull && fa === fb
+      val disagree = fa.isNotNull && fb.isNotNull && fa =!= fb
+      val num = when(agree, lit(mPpm).cast(d))
+        .when(disagree, lit(1000000L - mPpm).cast(d)).otherwise(one)
+      val den = when(agree, lit(uPpm).cast(d))
+        .when(disagree, lit(1000000L - uPpm).cast(d)).otherwise(one)
+      (num, den, agree.cast("int"))
+    }
+    val factors = fields.map { case (f, m, u) => factor(f, m, u) }
+    val num = factors.map(_._1).reduce(_ * _)
+    val den = factors.map(_._2).reduce(_ * _)
+    val nAgree = factors.map(_._3).reduce(_ + _).cast("long")
+    val nBoth = fields.map { case (f, _, _) =>
+      (col(s"_a_$f").isNotNull && col(s"_b_$f").isNotNull).cast("int")
+    }.reduce(_ + _).cast("long")
+    cand.select(col("a"), col("b"),
+        nAgree.as("n_agree"), (nBoth - nAgree).as("n_disagree"),
+        (num * lit(1000000L).cast(d)).as("_num6"), den.as("_den"))
+      .select(col("a"), col("b"), col("n_agree"), col("n_disagree"),
+        expr("CAST(_num6 div _den AS BIGINT)").as("lr_ppm"))
+      .withColumn("decision",
+        when(col("lr_ppm") >= upperPpm, "match")
+          .when(col("lr_ppm") >= lowerPpm, "possible")
+          .otherwise("non_match"))
+  }
 }
 
 /** J2+J1 composed: full importer standardization

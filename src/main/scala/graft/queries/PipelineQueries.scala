@@ -2160,6 +2160,35 @@ object PipelineQueries {
       graft.ops.Graph.linkPrediction(collocEdges(s, dir),
         topK = 50, degCap = Some(1000000L))),
 
+    // Fellegi–Sunter probabilistic record linkage: customers vs a
+    // deterministically perturbed copy (every 3rd keeps name+balance —
+    // a true duplicate; every 5th-mod-4 loses its segment — the
+    // missing-field convention; the rest scramble all three). Blocked
+    // on (nation, name digit suffix) — never all-pairs; likelihood
+    // ratios are exact DECIMAL rational products, one integral
+    // division at the end.
+    "p277_record_linkage" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val blk = concat(col("c_nationkey"), lit("_"),
+        substring(col("c_name"), 15, 4))
+      val left = c.select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"), blk.as("blk"))
+      val right = c.select(
+        (col("c_custkey") + 1000000L).as("c_custkey"),
+        when(col("c_custkey") % 3 === 0, col("c_name"))
+          .otherwise(concat(col("c_name"), lit("x"))).as("c_name"),
+        when(col("c_custkey") % 3 === 0, col("c_acctbal"))
+          .otherwise(-col("c_acctbal")).as("c_acctbal"),
+        when(col("c_custkey") % 5 === 4, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        blk.as("blk"))
+      graft.ops.FuzzyJoin.fellegiSunter(left, right,
+          "c_custkey", "c_custkey", "blk",
+          Seq(("c_name", 999000L, 1000L), ("c_acctbal", 990000L, 10000L),
+            ("c_mktsegment", 900000L, 200000L)))
+        .orderBy("a", "b")
+    }),
+
     // Robust per-user value trend: Theil–Sen lower-median pair slope —
     // group-keyed self-join, integral re-signed slopes, rank-picked cut.
     "p234_theil_sen" -> ((s, dir) =>
@@ -5413,6 +5442,38 @@ object PipelineQueries {
     // anti-join removes linked pairs; full-key ORDER+LIMIT
     "p233_link_prediction" -> linkPredictionSql,
     "p276_link_prediction_capped" -> linkPredictionSql,
+    // same perturbation rules, HUGEINT rational products (<= 1e36 for
+    // 3 fields), one integral // at the end — no log-weights anywhere
+    "p277_record_linkage" -> (
+      "WITH l AS (SELECT c_custkey AS a, c_name AS pa, c_acctbal AS aa, c_mktsegment AS sa, " +
+        "concat(c_nationkey, '_', substring(c_name, 15, 4)) AS blk FROM customer), " +
+        "r AS (SELECT c_custkey + 1000000 AS b, " +
+        "CASE WHEN c_custkey % 3 = 0 THEN c_name ELSE concat(c_name, 'x') END AS pb, " +
+        "CASE WHEN c_custkey % 3 = 0 THEN c_acctbal ELSE -c_acctbal END AS ab, " +
+        "CASE WHEN c_custkey % 5 = 4 THEN NULL ELSE c_mktsegment END AS sb, " +
+        "concat(c_nationkey, '_', substring(c_name, 15, 4)) AS blk FROM customer), " +
+        "c AS (SELECT a, b, pa, pb, aa, ab, sa, sb FROM l JOIN r USING (blk)), " +
+        "s AS (SELECT a, b, " +
+        "(CASE WHEN pa IS NOT NULL AND pb IS NOT NULL AND pa = pb THEN 1 ELSE 0 END) AS g1, " +
+        "(CASE WHEN aa IS NOT NULL AND ab IS NOT NULL AND aa = ab THEN 1 ELSE 0 END) AS g2, " +
+        "(CASE WHEN sa IS NOT NULL AND sb IS NOT NULL AND sa = sb THEN 1 ELSE 0 END) AS g3, " +
+        "(CASE WHEN pa IS NOT NULL AND pb IS NOT NULL THEN 1 ELSE 0 END) AS o1, " +
+        "(CASE WHEN aa IS NOT NULL AND ab IS NOT NULL THEN 1 ELSE 0 END) AS o2, " +
+        "(CASE WHEN sa IS NOT NULL AND sb IS NOT NULL THEN 1 ELSE 0 END) AS o3 FROM c), " +
+        "w AS (SELECT a, b, CAST(g1 + g2 + g3 AS BIGINT) AS n_agree, " +
+        "CAST((o1 + o2 + o3) - (g1 + g2 + g3) AS BIGINT) AS n_disagree, " +
+        "(CASE WHEN o1 = 0 THEN CAST(1 AS HUGEINT) WHEN g1 = 1 THEN 999000 ELSE 1000 END) * " +
+        "(CASE WHEN o2 = 0 THEN 1 WHEN g2 = 1 THEN 990000 ELSE 10000 END) * " +
+        "(CASE WHEN o3 = 0 THEN 1 WHEN g3 = 1 THEN 900000 ELSE 100000 END) AS num, " +
+        "(CASE WHEN o1 = 0 THEN CAST(1 AS HUGEINT) WHEN g1 = 1 THEN 1000 ELSE 999000 END) * " +
+        "(CASE WHEN o2 = 0 THEN 1 WHEN g2 = 1 THEN 10000 ELSE 990000 END) * " +
+        "(CASE WHEN o3 = 0 THEN 1 WHEN g3 = 1 THEN 200000 ELSE 800000 END) AS den FROM s) " +
+        "SELECT a, b, n_agree, n_disagree, " +
+        "CAST(num * 1000000 // den AS BIGINT) AS lr_ppm, " +
+        "CASE WHEN CAST(num * 1000000 // den AS BIGINT) >= 1000000000 THEN 'match' " +
+        "WHEN CAST(num * 1000000 // den AS BIGINT) >= 1000000 THEN 'possible' " +
+        "ELSE 'non_match' END AS decision " +
+        "FROM w ORDER BY a, b"),
     // identical micro quantization both axes; non-negative // after the
     // re-sign so floor == truncate; lower-median rank (m+1)//2
     "p234_theil_sen" -> (
