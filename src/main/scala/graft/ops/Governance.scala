@@ -126,6 +126,76 @@ object Governance {
           "(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) - _p) AS BIGINT) END AS kappa_ppm")
   }
 
+  /** KRIPPENDORFF'S α (nominal data) — multi-rater reliability with
+    * MISSING ratings, the generalization [[cohenKappa]] (exactly two
+    * columns, fully crossed) cannot cover: any number of raters, any
+    * unit rated by any subset of them. α = 1 − D_o/D_e over the
+    * coincidence matrix: each pairable unit u (n_u ≥ 2 ratings)
+    * contributes its discordant ordered pairs with weight 1/(n_u − 1);
+    * expected disagreement comes from the label marginals.
+    *
+    * INTEGER-EXACT despite the per-unit 1/(n_u − 1) weights: every
+    * term is pre-scaled by L = lcm(1 .. maxRatingsPerUnit − 1) — a
+    * CONSTANT ≤ 720720 — so `A_u · (L div (n_u − 1))` is an exact
+    * integer (the divisor always divides L; a unit exceeding the cap
+    * raises IN-PLAN rather than silently rounding). With
+    * A_u = n_u(n_u−1) − Σ_c c_uc(c_uc−1):
+    * α = 1 − (n−1)·Σ_u A_u/(n_u−1) / (n² − Σ_c n_c²), computed as one
+    * re-signed integral division of DECIMAL(38,0) L-scaled terms
+    * (headroom: n²·L·10⁶ ≤ 10³⁸ up to n ≈ 10¹³ pairable ratings).
+    *
+    * Shape: one (unit, label) partial agg, a unit-keyed fold, a
+    * label-marginal fold over the same count table, two scalar
+    * broadcasts. Corpus touched once. NULL labels are missing ratings
+    * (dropped); α NULL when D_e = 0 (single label or nothing
+    * pairable); α < 0 (systematic disagreement) keeps its sign via the
+    * [[cohenKappa]] re-sign recipe.
+    *
+    * Returns one row (n_units, n_values, n_labels, alpha_ppm). */
+  def krippendorffAlpha(
+      df: DataFrame,
+      unitCol: String,
+      labelCol: String,
+      maxRatingsPerUnit: Int = 16): DataFrame = {
+    require(maxRatingsPerUnit >= 2 && maxRatingsPerUnit <= 17,
+      s"krippendorffAlpha: need maxRatingsPerUnit in [2, 17] (L = lcm fits a " +
+        s"compile-time Long), got $maxRatingsPerUnit")
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(38, 0)
+    val L = (1 until maxRatingsPerUnit)
+      .foldLeft(BigInt(1))((a, b) => a * BigInt(b) / a.gcd(BigInt(b))).toLong
+    val base = df.select(col(unitCol).as("_u"), col(labelCol).as("_l"))
+      .where(col("_l").isNotNull)
+    val ul = base.groupBy(col("_u"), col("_l")).agg(count(lit(1)).as("_c"))
+    val per = ul.groupBy(col("_u"))
+      .agg(sum(col("_c")).as("_nu"),
+        sum(col("_c") * (col("_c") - 1)).as("_cc"))
+      .where(col("_nu") >= 2)
+    val term = expr(
+      s"(_nu * (_nu - 1) - _cc) * (CASE WHEN _nu <= $maxRatingsPerUnit " +
+        s"THEN $L div (_nu - 1) " +
+        "ELSE CAST(raise_error('krippendorffAlpha: a unit exceeds " +
+        "maxRatingsPerUnit — raise the cap') AS BIGINT) END)")
+    val totals = per.agg(
+      coalesce(sum(term.cast(d)), lit(0).cast(d)).as("_dol"),
+      coalesce(sum(col("_nu")), lit(0L)).as("_n"),
+      count(lit(1)).as("n_units"))
+    val marg = ul.join(per.select("_u"), Seq("_u"))
+      .groupBy(col("_l")).agg(sum(col("_c")).as("_nc"))
+      .agg(coalesce(sum(col("_nc").cast(d) * col("_nc").cast(d)), lit(0).cast(d))
+          .as("_snc2"),
+        count(lit(1)).as("n_labels"))
+    totals.crossJoin(broadcast(marg))
+      .selectExpr("n_units", "_n AS n_values", "n_labels",
+        // de = (n² − Σn_c²)·L; do = Σ L-scaled discordance · (n−1);
+        // α = (de − do)/de, re-signed for the engines' div/floor split
+        s"CASE WHEN (CAST(_n AS DECIMAL(38,0)) * CAST(_n AS DECIMAL(38,0)) - _snc2) * $L = 0 " +
+          "THEN CAST(NULL AS BIGINT) ELSE " +
+          s"CAST(CASE WHEN (CAST(_n AS DECIMAL(38,0)) * CAST(_n AS DECIMAL(38,0)) - _snc2) * $L - _dol * (_n - 1) >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+          s"CAST(abs((CAST(_n AS DECIMAL(38,0)) * CAST(_n AS DECIMAL(38,0)) - _snc2) * $L - _dol * (_n - 1)) * 1000000 div " +
+          s"((CAST(_n AS DECIMAL(38,0)) * CAST(_n AS DECIMAL(38,0)) - _snc2) * $L) AS BIGINT) END AS alpha_ppm")
+  }
+
   /** POPULATION STABILITY INDEX between a reference and a current
     * snapshot of one numeric column, over caller-fixed bucket edges:
     * `PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)` — the drift tripwire that

@@ -2160,6 +2160,15 @@ object PipelineQueries {
       graft.ops.Graph.linkPrediction(collocEdges(s, dir),
         topK = 50, degCap = Some(1000000L))),
 
+    // Krippendorff's α over 16-event blocks "rated" with their event
+    // types — multi-rater agreement with missing data, exact to the
+    // ppm via L-scaled coincidence weights (L = lcm(1..15)).
+    "p278_krippendorff" -> ((s, dir) =>
+      graft.ops.Governance.krippendorffAlpha(
+        Tables(s, dir, "events")
+          .select(expr("event_id div 16").as("unit"), col("event_type")),
+        "unit", "event_type")),
+
     // Fellegi–Sunter probabilistic record linkage: customers vs a
     // deterministically perturbed copy (every 3rd keeps name+balance —
     // a true duplicate; every 5th-mod-4 loses its segment — the
@@ -5442,6 +5451,24 @@ object PipelineQueries {
     // anti-join removes linked pairs; full-key ORDER+LIMIT
     "p233_link_prediction" -> linkPredictionSql,
     "p276_link_prediction_capped" -> linkPredictionSql,
+    // identical L-scaled coincidence arithmetic in HUGEINT; the only
+    // division is the final re-signed // (floor == truncate on the
+    // re-signed non-negative operands)
+    "p278_krippendorff" -> (
+      "WITH b AS (SELECT event_id // 16 AS u, event_type AS l FROM events WHERE event_type IS NOT NULL), " +
+        "ul AS (SELECT u, l, COUNT(*) AS c FROM b GROUP BY 1, 2), " +
+        "per AS (SELECT u, SUM(c) AS nu, SUM(c * (c - 1)) AS cc FROM ul GROUP BY 1 HAVING SUM(c) >= 2), " +
+        "tot AS (SELECT COALESCE(SUM(CAST((nu * (nu - 1) - cc) * (360360 // (nu - 1)) AS HUGEINT)), 0) AS dol, " +
+        "COALESCE(SUM(nu), 0) AS n, COUNT(*) AS n_units FROM per), " +
+        "mg AS (SELECT COALESCE(SUM(CAST(nc AS HUGEINT) * nc), 0) AS snc2, COUNT(*) AS n_labels FROM " +
+        "(SELECT ul.l, SUM(ul.c) AS nc FROM ul JOIN per USING (u) GROUP BY 1)) " +
+        "SELECT CAST(n_units AS BIGINT) AS n_units, CAST(n AS BIGINT) AS n_values, " +
+        "CAST(n_labels AS BIGINT) AS n_labels, " +
+        "CASE WHEN (CAST(n AS HUGEINT) * n - snc2) * 360360 = 0 THEN NULL " +
+        "ELSE CAST(CASE WHEN (CAST(n AS HUGEINT) * n - snc2) * 360360 - dol * (n - 1) >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        "CAST(abs((CAST(n AS HUGEINT) * n - snc2) * 360360 - dol * (n - 1)) * 1000000 // " +
+        "((CAST(n AS HUGEINT) * n - snc2) * 360360) AS BIGINT) END AS alpha_ppm " +
+        "FROM tot, mg"),
     // same perturbation rules, HUGEINT rational products (<= 1e36 for
     // 3 fields), one integral // at the end — no log-weights anywhere
     "p277_record_linkage" -> (

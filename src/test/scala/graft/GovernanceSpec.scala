@@ -158,6 +158,37 @@ class GovernanceSpec extends AnyFunSuite {
       ("y", 250000L, 0L, -250000L)))
   }
 
+  test("krippendorffAlpha: hand-computed 4/9, perfect 1e6, single-label NULL, unit cap raises") {
+    import spark.implicits._
+    // u1: [a,a], u2: [b,b], u3: [a,b] → n = 6, marginals 3/3,
+    // D_o = 2 (the one discordant unit, weight 1/(2−1)),
+    // α = 1 − (n−1)·D_o/(n² − Σn_c²) = 1 − 10/18 = 4/9 → 444444 ppm
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"), (3L, "a"), (3L, "b"))
+      .toDF("unit", "label")
+    val r = graft.ops.Governance.krippendorffAlpha(df, "unit", "label").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 6L, 2L, 444444L)))
+    // perfect agreement → exactly 1e6
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("unit", "label")
+    assert(graft.ops.Governance.krippendorffAlpha(perfect, "unit", "label")
+      .collect().head.getLong(3) == 1000000L)
+    // single label everywhere → D_e = 0 → NULL α (not spuriously 1)
+    val mono = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("unit", "label")
+    assert(graft.ops.Governance.krippendorffAlpha(mono, "unit", "label")
+      .collect().head.isNullAt(3))
+    // singleton units are unpairable and silently excluded; a unit past
+    // the cap refuses in-plan instead of rounding the 1/(n_u−1) weight
+    val over = (1 to 20).map(i => (1L, s"l$i")).toDF("unit", "label")
+    val e = intercept[Exception] {
+      graft.ops.Governance.krippendorffAlpha(over, "unit", "label", maxRatingsPerUnit = 4)
+        .collect()
+    }
+    assert(e.toString.contains("maxRatingsPerUnit") ||
+      Option(e.getCause).exists(_.toString.contains("maxRatingsPerUnit")))
+  }
+
   test("cohenKappa: hand-computed rational kappa, perfect/negative/undefined cases") {
     import spark.implicits._
     def kappa(pairs: Seq[(String, String)]): Option[Long] = {
