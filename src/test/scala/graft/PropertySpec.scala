@@ -300,6 +300,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winsorize rank-ladder bounds equal Spark's percentile aggregate on random group shapes") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.EventsOps
+    // adversarial shapes for the interpolation short-circuits: tiny
+    // groups (n = 1, 2), heavy duplicates (integral positions with
+    // equal bracket values), negatives, and plain randoms
+    (1 to 3).foreach { trial =>
+      val r = new scala.util.Random(trial * 101)
+      val rows = (0 until 400).map { i =>
+        val g = s"g${r.nextInt(7)}"
+        val v = r.nextInt(5) match {
+          case 0 => r.nextInt(3).toDouble            // duplicates
+          case 1 => -r.nextInt(50) / 3.0             // negatives
+          case _ => r.nextDouble() * 100.0
+        }
+        (i.toLong, g, v)
+      } ++ Seq((9001L, "solo", 42.0), (9002L, "duo", 1.0), (9003L, "duo", 2.0))
+      val ev = rows.toDF("event_id", "event_type", "value")
+      val twinBounds = ev.groupBy("event_type").agg(
+        expr("percentile(value, 0.05D)").as("_plo"),
+        expr("percentile(value, 0.95D)").as("_phi"))
+      val twin = ev.join(twinBounds, Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          floor(least(greatest(col("value"), col("_plo")), col("_phi")) * lit(1000000.0d))
+            .cast("long").as("v_w"))
+      val out = EventsOps.winsorize(ev)
+      assert(out.exceptAll(twin).isEmpty && twin.exceptAll(out).isEmpty, s"trial $trial")
+    }
+  }
+
+  test("acfByKey blocked ranks equal a key-window lead reference on random series") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.EventsOps
+    (1 to 3).foreach { trial =>
+      val r = new scala.util.Random(trial * 13)
+      val rows = (0 until 300).map { i =>
+        (i.toLong, s"k${r.nextInt(4)}", r.nextDouble() * 10 - 5,
+          new java.sql.Timestamp(r.nextInt(100000) * 1000L))
+      }
+      val ev = rows.toDF("event_id", "event_type", "value", "ts")
+      // tiny blocks force every lag pair across block boundaries;
+      // a huge block reproduces the single-window shape exactly
+      val tiny = EventsOps.acfByKey(ev, maxLag = 4, blockMicros = 500000L)
+      val one = EventsOps.acfByKey(ev, maxLag = 4, blockMicros = Long.MaxValue)
+      assert(tiny.exceptAll(one).isEmpty && one.exceptAll(tiny).isEmpty, s"trial $trial")
+    }
+  }
+
   test("neymanAllocation sums to totalN for random strata shapes") {
     import graft.ops.Stats
     (1 to 3).foreach { trial =>
