@@ -2074,15 +2074,18 @@ object CorpusOps {
     * [[epochShuffle]] — so the schedule is reproducible on any engine
     * and cluster layout.
     *
-    * Shape: token counts are map-only; both windows partition on the
-    * TIER (first ntile's window is per-corpus but carries only (score,
-    * id) pairs — see caveat), so parallelism = nBuckets after a
-    * key-sized shuffle. Caveat for 100 TB honesty: ntile needs a total
-    * order, which Spark runs single-partition over the SLIM (score,
-    * id) projection; at extreme scale swap the ntile for the
-    * [[epochShuffle]] blocked-prefix-sum recipe over per-block count
-    * summaries — the contract (equal-sized tiers, same order) is
-    * unchanged. The schedule is corpus-row-sized, never wider.
+    * Shape: token counts are map-only; the tier cut needs a GLOBAL
+    * rank over (score, id), which is computed with the blocked
+    * two-pass recipe ([[graft.ops.EventsOps.acfByKey]] /
+    * [[graft.ops.Ffill.ffillBlocked]]): score-range blocks
+    * (`n_tokens div blockTokens` — monotone, so blocks partition the
+    * sort order) rank in parallel windows and a carry over the bounded
+    * per-block count summary restores the global rank; Spark's exact
+    * ntile arithmetic (first n mod k buckets one row larger) is then
+    * replayed from (rank, n) in pure integers — NO single-partition
+    * corpus window anywhere. Within-tier windows partition on the
+    * tier. A pathologically constant-score corpus degrades to one
+    * block (the old envelope); compose a wider difficulty score there.
     *
     * Returns (doc_id, n_tokens, tier 1-based, curriculum_pos 1-based)
     * — curriculum_pos is a total order (dense in 1..n when tiers are
@@ -2091,16 +2094,38 @@ object CorpusOps {
       docs: DataFrame,
       nBuckets: Int = 10,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      blockTokens: Long = 64L): DataFrame = {
     require(nBuckets >= 1, s"curriculumOrder: need nBuckets >= 1, got $nBuckets")
+    require(blockTokens >= 1, s"curriculumOrder: need blockTokens >= 1, got $blockTokens")
     import org.apache.spark.sql.expressions.Window
-    val byScore = Window.orderBy(col("n_tokens"), col(idCol))
-    val inTier = Window.partitionBy(col("tier"))
-      .orderBy(col("_h"), col(idCol))
-    docs
+    val scored = docs
       .select(col(idCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .withColumn("tier", ntile(nBuckets).over(byScore))
+      .withColumn("_blk", expr(s"n_tokens div ${blockTokens}L"))
+    val wIn = Window.partitionBy(col("_blk")).orderBy(col("n_tokens"), col(idCol))
+    val wCarry = Window.orderBy(col("_blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("_blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val carry = scored.groupBy(col("_blk")).agg(count(lit(1)).as("_bc"))
+      .withColumn("_carry", coalesce(sum(col("_bc")).over(wCarry), lit(0L)))
+      .withColumn("_n", sum(col("_bc")).over(wAll))
+      .select(col("_blk"), col("_carry"), col("_n"))
+    // Spark's ntile, replayed: with q = n div k and m = n mod k the
+    // first m buckets hold q+1 rows; rank → bucket is two integral
+    // divisions (the q = 0 small-n case never reaches the ELSE branch)
+    val inTier = Window.partitionBy(col("tier"))
+      .orderBy(col("_h"), col(idCol))
+    scored
+      .withColumn("_rnIn", row_number().over(wIn).cast("long"))
+      .join(broadcast(carry), Seq("_blk"))
+      .withColumn("_rank", col("_rnIn") + col("_carry"))
+      .withColumn("tier", expr(
+        s"CAST(CASE WHEN _rank <= (_n % $nBuckets) * (_n div $nBuckets + 1) " +
+          s"THEN (_rank - 1) div (_n div $nBuckets + 1) + 1 " +
+          s"ELSE (_n % $nBuckets) + (_rank - (_n % $nBuckets) * (_n div $nBuckets + 1) - 1) " +
+          s"div (_n div $nBuckets) + 1 END AS INT)"))
       .withColumn("_h", md5(col(idCol).cast("string")))
       .withColumn("curriculum_pos",
         (row_number().over(inTier).cast("long") - 1L) * nBuckets + col("tier"))

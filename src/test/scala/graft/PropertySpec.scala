@@ -348,6 +348,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("curriculumOrder blocked tier cut equals a direct global ntile on random corpora") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.{CorpusOps, TextAnalysis}
+    (1 to 3).foreach { trial =>
+      val r = new scala.util.Random(trial * 17)
+      val docs = (0 until 250).map { i =>
+        (i.toLong, Seq.fill(1 + r.nextInt(40))("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      // 1-token blocks force maximal block fragmentation; a huge block
+      // reproduces the old single-window shape — both must agree
+      val tiny = CorpusOps.curriculumOrder(docs, nBuckets = 7, blockTokens = 1L)
+      val one = CorpusOps.curriculumOrder(docs, nBuckets = 7, blockTokens = 1L << 40)
+      assert(tiny.exceptAll(one).isEmpty && one.exceptAll(tiny).isEmpty, s"trial $trial")
+      // and the replayed arithmetic IS Spark's ntile
+      val ref = docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("tier_ref",
+          ntile(7).over(Window.orderBy(col("n_tokens"), col("doc_id"))))
+      val joined = tiny.join(ref.select("doc_id", "tier_ref"), Seq("doc_id"))
+      assert(joined.where(col("tier") =!= col("tier_ref")).count() == 0, s"trial $trial")
+    }
+  }
+
   test("neymanAllocation sums to totalN for random strata shapes") {
     import graft.ops.Stats
     (1 to 3).foreach { trial =>
