@@ -477,6 +477,17 @@ class PlanSpec extends AnyFunSuite {
     assert(gs.contains("TakeOrderedAndProject"), gs)
   }
 
+  test("p277/p278: linkage pairs only through the block equi-join; alpha is pure aggregation") {
+    val pl = plan("p277_record_linkage")
+    // candidates come from the blocking key join — never a cross product
+    assert(!pl.contains("CartesianProduct"), pl)
+    assert(!pl.contains("BroadcastNestedLoopJoin"), pl)
+    val pk = plan("p278_krippendorff")
+    // coincidence folds are partial-agg'd shuffles; no window anywhere
+    assert(!pk.contains("Window"), pk)
+    assert(!pk.contains("CartesianProduct"), pk)
+  }
+
   test("p71/p74: no Percentile value-buffer aggregate anywhere in the plan") {
     // the rank-ladder rewrite's 100 TB guarantee: exact percentiles
     // without the per-group value multiset (the OOM class) — the
