@@ -839,4 +839,66 @@ object Stats {
             .as("tau_b")
         })
   }
+
+  /** NEAREST-NEIGHBOR MATCHING with replacement + caliper — the
+    * matching estimator behind ATT readouts (Rosenbaum & Rubin's
+    * propensity matching, or any 1-D covariate index): every TREATED
+    * unit is paired with the closest CONTROL on a pre-quantized
+    * integer score, provided the gap is within `caliperMicro`;
+    * controls may be reused (with-replacement matching — the
+    * deterministic, embarrassingly-parallel variant; without
+    * replacement is inherently sequential and deliberately out).
+    * ATT = avg(dy_micro) over the returned table; treated units with
+    * no in-caliper control are simply absent (report them by anti-join
+    * on the result).
+    *
+    * INTEGER-EXACT and deterministic: scores and outcomes arrive as
+    * BIGINT micro (callers quantize with the p59 floor recipe or an
+    * integral mean); the best control is `min(struct(|Δ|, control
+    * id))` — total order, no RNG, no floats anywhere.
+    *
+    * Scale shape: candidates come ONLY from a banded equi-join on
+    * `score div caliperMicro` blocks (each treated probes its block
+    * ±1, which provably covers every |Δ| ≤ caliper) — never
+    * all-pairs; the fold is one partial agg on the treated id. A
+    * mass of controls at one popular score is a hot block — the
+    * [[graft.ops.SkewJoin]] salting case, same knob as every banded
+    * join here.
+    *
+    * Returns (treated_id, control_id, dist_micro, y_treated_micro,
+    * y_control_micro, dy_micro). */
+  def nnMatchAtt(
+      units: DataFrame,
+      idCol: String,
+      treatCol: String,
+      scoreMicroCol: String,
+      yMicroCol: String,
+      caliperMicro: Long = 100000L): DataFrame = {
+    require(caliperMicro >= 1, s"nnMatchAtt: need caliperMicro >= 1, got $caliperMicro")
+    val base = units.select(col(idCol).as("_id"),
+      col(treatCol).cast("boolean").as("_t"),
+      col(scoreMicroCol).cast("long").as("_s"),
+      col(yMicroCol).cast("long").as("_y"))
+      .where(col("_s").isNotNull)
+    val treated = base.where(col("_t"))
+      .select(col("_id").as("treated_id"), col("_s").as("_st"), col("_y").as("_yt"))
+      .withColumn("_blk", explode(array(
+        expr(s"_st div ${caliperMicro}L - 1"),
+        expr(s"_st div ${caliperMicro}L"),
+        expr(s"_st div ${caliperMicro}L + 1"))))
+    val controls = base.where(!col("_t"))
+      .select(col("_id").as("_cid"), col("_s").as("_sc"), col("_y").as("_yc"),
+        expr(s"_s div ${caliperMicro}L").as("_blk"))
+    treated.join(controls, Seq("_blk"))
+      .withColumn("_dist", abs(col("_st") - col("_sc")))
+      .where(col("_dist") <= caliperMicro)
+      .groupBy(col("treated_id"))
+      .agg(max(col("_st")).as("_stm"), max(col("_yt")).as("y_treated_micro"),
+        min(struct(col("_dist"), col("_cid"), col("_yc"))).as("_best"))
+      .select(col("treated_id"), col("_best._cid").as("control_id"),
+        col("_best._dist").as("dist_micro"),
+        col("y_treated_micro"), col("_best._yc").as("y_control_micro"),
+        (col("y_treated_micro") - col("_best._yc")).as("dy_micro"))
+  }
+
 }

@@ -2160,6 +2160,29 @@ object PipelineQueries {
       graft.ops.Graph.linkPrediction(collocEdges(s, dir),
         topK = 50, degCap = Some(1000000L))),
 
+    // Nearest-neighbor matching (with replacement, 0.5 caliper) on an
+    // integral per-user score: every even-id (treated) user pairs with
+    // its closest odd-id (control) user by mean event value; the match
+    // table is the ATT substrate. Banded block join — never all-pairs.
+    "p279_nn_match" -> ((s, dir) => {
+      val users = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(floor(col("value").cast("double") * lit(1000000.0d)).cast("long"))
+            .as("_sv"),
+          count(lit(1)).as("_n"),
+          sum(when(col("event_type") === "purchase",
+            floor(col("value").cast("double") * lit(1000000.0d)).cast("long"))
+            .otherwise(0L)).as("y_micro"))
+        .selectExpr("user_id",
+          "CAST(CASE WHEN _sv >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+            "CAST(abs(_sv) div _n AS BIGINT) AS score_micro",
+          "y_micro", "user_id % 2 = 0 AS treated")
+      graft.ops.Stats.nnMatchAtt(users, "user_id", "treated",
+          "score_micro", "y_micro", caliperMicro = 500000L)
+        .orderBy("treated_id")
+    }),
+
     // Krippendorff's α over 16-event blocks "rated" with their event
     // types — multi-rater agreement with missing data, exact to the
     // ppm via L-scaled coincidence weights (L = lcm(1..15)).
@@ -5451,6 +5474,24 @@ object PipelineQueries {
     // anti-join removes linked pairs; full-key ORDER+LIMIT
     "p233_link_prediction" -> linkPredictionSql,
     "p276_link_prediction_capped" -> linkPredictionSql,
+    // the oracle may go quadratic (it is DuckDB, not the engine): all
+    // treated × control pairs filtered to the caliper, rank-1 pick on
+    // the identical (dist, control id) total order
+    "p279_nn_match" -> (
+      "WITH u AS (SELECT user_id, " +
+        "CAST(CASE WHEN SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)) >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+        "CAST(abs(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT))) // COUNT(*) AS BIGINT) AS s, " +
+        "SUM(CASE WHEN event_type = 'purchase' THEN CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) ELSE 0 END) AS y " +
+        "FROM events GROUP BY user_id), " +
+        "tr AS (SELECT user_id AS tid, s AS st, y AS yt FROM u WHERE user_id % 2 = 0), " +
+        "co AS (SELECT user_id AS cid, s AS sc, y AS yc FROM u WHERE user_id % 2 <> 0), " +
+        "cand AS (SELECT tid, cid, abs(st - sc) AS dist, yt, yc FROM tr JOIN co " +
+        "ON abs(st - sc) <= 500000), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tid ORDER BY dist, cid) AS rn FROM cand) " +
+        "SELECT CAST(tid AS BIGINT) AS treated_id, CAST(cid AS BIGINT) AS control_id, " +
+        "CAST(dist AS BIGINT) AS dist_micro, CAST(yt AS BIGINT) AS y_treated_micro, " +
+        "CAST(yc AS BIGINT) AS y_control_micro, CAST(yt - yc AS BIGINT) AS dy_micro " +
+        "FROM r WHERE rn = 1 ORDER BY treated_id"),
     // identical L-scaled coincidence arithmetic in HUGEINT; the only
     // division is the final re-signed // (floor == truncate on the
     // re-signed non-negative operands)

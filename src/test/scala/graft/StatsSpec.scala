@@ -300,4 +300,32 @@ class StatsSpec extends AnyFunSuite {
     val g = Stats.kendallTau(grid, "x", "y").collect()(0)
     assert((g.getLong(1), g.getLong(2), g.getDouble(3)) == ((1L, 1L, 0.0)))
   }
+
+  test("nnMatchAtt: closest in-caliper control wins, id tie-break, out-of-caliper treated absent, controls reusable") {
+    import spark.implicits._
+    val units = Seq(
+      // (id, treated, score_micro, y_micro)
+      (1L, true, 100L, 1000L),   // best control: 11 (d20) over 10 (d50)
+      (2L, true, 900L, 500L),    // only 12 in caliper (d100)
+      (3L, true, 5000L, 0L),     // nothing within 200 → absent
+      (4L, true, 500L, 900L),    // tie d20 both sides → min control id 13
+      (5L, true, 130L, 600L),    // reuses 11 (d10) — with replacement
+      (10L, false, 150L, 800L),
+      (11L, false, 120L, 300L),
+      (12L, false, 1000L, 450L),
+      (13L, false, 480L, 100L),
+      (14L, false, 520L, 200L)
+    ).toDF("id", "treated", "score_micro", "y_micro")
+    val out = Stats.nnMatchAtt(units, "id", "treated", "score_micro", "y_micro",
+        caliperMicro = 200L)
+      .orderBy("treated_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 11L, 20L, 700L),
+      (2L, 12L, 100L, 50L),
+      (4L, 13L, 20L, 800L),
+      (5L, 11L, 10L, 300L)))
+    // ATT over the table: (700 + 50 + 800 + 300) / 4
+    assert(out.map(_._4).sum / out.length == 462L)
+  }
 }
