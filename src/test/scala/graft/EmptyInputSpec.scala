@@ -250,4 +250,20 @@ class EmptyInputSpec extends AnyFunSuite {
       .withColumn("valid_to", lit(null).cast("long")), 1L).count() == 0)
     assert(TextAnalysis.gopherRules(noDocs).count() == 0)
   }
+
+  test("round-10 additions on empty input") {
+    val noUnits = Seq.empty[(Long, String, String)].toDF("id", "blk", "f")
+    assert(graft.ops.FuzzyJoin.fellegiSunter(noUnits, noUnits, "id", "id", "blk",
+      Seq(("f", 900000L, 100000L))).count() == 0)
+    assert(graft.ops.Governance.krippendorffAlpha(
+      Seq.empty[(Long, String)].toDF("unit", "label"), "unit", "label")
+      // scalar-fold op: one row with zero counts and NULL alpha, not a crash
+      .collect().head.getLong(0) == 0L)
+    assert(graft.ops.Stats.nnMatchAtt(
+      Seq.empty[(Long, Boolean, Long, Long)].toDF("id", "t", "s", "y"),
+      "id", "t", "s", "y").count() == 0)
+    assert(graft.ops.EventsOps.temporalSplit(noEvents).count() == 0)
+    assert(graft.ops.EventsOps.winsorize(noEvents).count() == 0)
+    assert(graft.ops.EventsOps.acfByKey(noEvents).count() == 0)
+  }
 }

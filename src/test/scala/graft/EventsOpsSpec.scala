@@ -183,14 +183,20 @@ class EventsOpsSpec extends AnyFunSuite {
 
   test("temporalSplit: no Spark job fires at DataFrame construction") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val group = "tsplit-construction-probe"
     val seen = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        seen.incrementAndGet()
+        // count ONLY this test's job group — late-delivered events from
+        // earlier tests' jobs must not flake the count
+        if (Option(j.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group))
+          seen.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(l)
     try {
+      spark.sparkContext.setJobGroup(group, "construction probe")
       val ev = (0 until 5).map(i => (i.toLong, ts(i * 100L)))
         .toDF("event_id", "ts")
       val df = EventsOps.temporalSplit(ev)
@@ -202,7 +208,10 @@ class EventsOpsSpec extends AnyFunSuite {
       assert(seen.get() == 1, s"expected only the flush job, saw ${seen.get()}")
       // and the plan still executes correctly afterwards
       assert(df.where(col("split") === "train").count() > 0)
-    } finally spark.sparkContext.removeSparkListener(l)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
   }
 
   test("temporalSplit: empty input yields empty output; all-NULL ts raises lazily") {
