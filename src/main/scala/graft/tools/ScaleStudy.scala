@@ -234,6 +234,23 @@ object ScaledOps {
       time("kcore") { sink(graft.ops.Graph.kCorePeel(
         tokenEdges(docs), k = 8, rounds = 3)) },
       time("growth_accounting") { sink(graft.ops.EventsOps.growthAccounting(ev)) },
+      // round-10 additions at scale: the banded matching join (hot-block
+      // watch) and the L-scaled agreement fold (pure partial aggs)
+      time("nn_match") { sink(graft.ops.Stats.nnMatchAtt(
+        ev.groupBy(col("user_id"))
+          .agg(sum(floor(col("value").cast("double") * lit(1000000.0d)).cast("long")).as("_sv"),
+            count(lit(1)).as("_nn"),
+            sum(when(col("event_type") === "purchase",
+              floor(col("value").cast("double") * lit(1000000.0d)).cast("long"))
+              .otherwise(0L)).as("y_micro"))
+          .selectExpr("user_id",
+            "CAST(CASE WHEN _sv >= 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+              "CAST(abs(_sv) div _nn AS BIGINT) AS score_micro",
+            "y_micro", "user_id % 2 = 0 AS treated"),
+        "user_id", "treated", "score_micro", "y_micro", caliperMicro = 500000L)) },
+      time("krippendorff") { sink(graft.ops.Governance.krippendorffAlpha(
+        ev.select(expr("event_id div 16").as("unit"), col("event_type")),
+        "unit", "event_type")) },
       // per-user O(g²) under constant group size — the scaled tier
       // checks the pair stage stays linear in #users
       time("theil_sen") { sink(graft.ops.EventsOps.theilSenTrend(ev)) },
