@@ -634,9 +634,15 @@ object CorpusOps {
 
   /** Decile (or any-quantile) bucket assignment WITHOUT a global sort:
     * `ntile` needs a total order (single-partition window at scale);
-    * instead compute the 9 exact cut points in one tiny aggregate,
-    * collect the bounded scalar row to the driver (same precedent as the
-    * imputation means), and bin map-only with a literal comparison
+    * instead the cut points are EXACT interpolated percentiles computed
+    * by the [[graft.ops.RankLadder]] recipe — token counts collapse to
+    * a length-span-bounded (value → count) table, ranks come from a
+    * running sum over that bounded table only, and the bracketing order
+    * statistics fall out of conditional-min folds, bit-identical to
+    * Spark's `Percentile` without its corpus-sized value buffer (the
+    * 100 TB OOM class). The 1-row cut table stays IN-PLAN via
+    * `crossJoin(broadcast)` — fully lazy, no Spark job fires at
+    * DataFrame construction — and binning is a map-only comparison
     * ladder. bucket = 1 + #cuts ≤ value, so ties go to the upper bucket
     * deterministically on any engine. */
   def lengthDeciles(
@@ -645,17 +651,29 @@ object CorpusOps {
       textCol: String = "text",
       buckets: Int = 10): DataFrame = {
     require(buckets >= 2, "need at least 2 buckets")
+    import org.apache.spark.sql.expressions.Window
     val withN = docs.select(col(idCol),
       TextAnalysis.tokenCount(col(textCol)).cast("double").as("n_tokens"))
     val qs = (1 until buckets).map(_.toDouble / buckets)
-    val cuts = withN
-      .agg(expr(s"percentile(n_tokens, array(${qs.mkString("D,")}D))").as("c"))
-      .first().getSeq[Double](0)
-    val bucket = cuts.foldLeft(lit(1)) { (acc, c) =>
-      acc + when(col("n_tokens") >= c, 1).otherwise(0)
+    val counts = withN
+      .where(col("n_tokens").isNotNull)
+      .groupBy(col("n_tokens").as("_v")).agg(count(lit(1)).as("_c"))
+    val ranked = counts
+      .withColumn("_cum", sum(col("_c")).over(Window.orderBy(col("_v"))))
+      .withColumn("_n", sum(col("_c")).over(
+        Window.orderBy(col("_v"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val aggCols = qs.zipWithIndex.flatMap { case (p, i) =>
+      graft.ops.RankLadder.cumFolds(p, s"q$i") }
+    val cuts = ranked.agg(aggCols.head, aggCols.tail: _*)
+      .select(qs.indices.map(i =>
+        graft.ops.RankLadder.blend(s"q$i").as(s"_cut$i")): _*)
+    val bucket = qs.indices.foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col("n_tokens") >= col(s"_cut$i"), 1).otherwise(0)
     }
-    withN.select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
-      bucket.as("decile"))
+    withN.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        bucket.as("decile"))
   }
 
   /** Heavy hitters via the [[graft.functions.MisraGriesAgg]] native
@@ -927,8 +945,13 @@ object CorpusOps {
     * pair list a dedup pass already produced. All-integer output
     * (counts, floor'd median) — engine-portable with no float in the
     * hash. One pass over docs + a broadcast-sized join of dup doc ids;
-    * the percentile swaps to percentile_approx at 100 TB exactly like
-    * lengthQuantiles. */
+    * the per-source median is an EXACT interpolated percentile via the
+    * [[graft.ops.RankLadder]] recipe (per-source (length → count)
+    * partial agg, running-sum ranks over that bounded table,
+    * conditional-min folds) — no `percentile` value buffer anywhere, so
+    * a corpus-sized source can't OOM the aggregate at 100 TB. The
+    * source-bounded median table broadcast-joins back (null-safe, so a
+    * NULL source group keeps its median like the aggregate would). */
   def datasheet(
       docs: DataFrame,
       nearDupPairs: DataFrame,
@@ -936,11 +959,27 @@ object CorpusOps {
       textCol: String = "text",
       sourceCol: String = "source",
       langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dupIds = nearDupPairs
       .select(explode(array(col("a"), col("b"))).as(idCol)).distinct()
       .withColumn("_dup", lit(1L))
-    docs
+    val withNt = docs
       .withColumn("_nt", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    val counts = withNt
+      .where(col("_nt").isNotNull)
+      .groupBy(col(sourceCol), col("_nt").cast("double").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val ranked = counts
+      .withColumn("_cum", sum(col("_c")).over(
+        Window.partitionBy(col(sourceCol)).orderBy(col("_v"))))
+      .withColumn("_n", sum(col("_c")).over(
+        Window.partitionBy(col(sourceCol))))
+    val medFolds = graft.ops.RankLadder.cumFolds(0.5, "M")
+    val medians = ranked.groupBy(col(sourceCol))
+      .agg(medFolds.head, medFolds.tail: _*)
+      .select(col(sourceCol).as("_src50"),
+        floor(graft.ops.RankLadder.blend("M")).cast("long").as("p50_tokens"))
+    withNt
       .join(dupIds, Seq(idCol), "left")
       .groupBy(sourceCol)
       .agg(
@@ -948,8 +987,10 @@ object CorpusOps {
         sum(col("_nt")).as("n_tokens"),
         countDistinct(col(langCol)).as("n_langs"),
         sum(when(col("_dup").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"),
-        expr("CAST(floor(percentile(_nt, 0.5D)) AS LONG)").as("p50_tokens"),
         max(col("_nt")).as("max_tokens"))
+      .join(broadcast(medians), col(sourceCol) <=> col("_src50"), "left")
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_dup_docs"), col("p50_tokens"), col("max_tokens"))
   }
 
   /** INTEGER-EXACT TF-IDF keyword extraction: the top-`k` terms per
@@ -1094,31 +1135,63 @@ object CorpusOps {
   /** Per-group token-length quantiles (p50/p90/p99) + count — the
     * distribution profile behind length-cutoff filters.
     *
-    * `approx = false` (default): exact `percentile` — oracle-checkable,
-    * but the aggregation buffers every group's values. `approx = true`:
-    * `percentile_approx` (KLL-style sketch, bounded memory, single pass)
-    * — the 100 TB path; rank error ≤ 1/`accuracy`, gated within 5% of
-    * exact by p53 and CorpusOpsSpec. Same output shape either way. */
+    * `approx = false` (default): EXACT interpolated percentiles via the
+    * [[graft.ops.RankLadder]] recipe — oracle-checkable AND
+    * bounded-memory (per-group (length → count) partial agg,
+    * running-sum ranks over that length-span-bounded table,
+    * conditional-min folds; bit-identical to Spark's `Percentile`
+    * without its per-group value buffer, so the default survives
+    * 100 TB). `approx = true`: `percentile_approx` (KLL-style sketch,
+    * single pass, one aggregate instead of count-collapse + window) —
+    * rank error ≤ 1/`accuracy`, gated within 5% of exact by p53 and
+    * CorpusOpsSpec. Same output shape either way. */
   def lengthQuantiles(
       docs: DataFrame,
       groupCol: String = "lang",
       textCol: String = "text",
       approx: Boolean = false,
       accuracy: Int = 10000): DataFrame = {
-    def q(p: Double): Column = {
-      val e = if (approx) expr(s"percentile_approx(_n, ${p}D, $accuracy)")
-              else expr(s"percentile(_n, ${p}D)")
-      round(e.cast("double"), 4) + 0.0
+    val withN = docs.withColumn("_n", TextAnalysis.tokenCount(col(textCol)))
+    if (approx) {
+      def q(p: Double): Column =
+        round(expr(s"percentile_approx(_n, ${p}D, $accuracy)").cast("double"), 4) + 0.0
+      withN
+        .groupBy(col(groupCol))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          q(0.5).as("p50"),
+          q(0.9).as("p90"),
+          q(0.99).as("p99"))
+        .orderBy(groupCol)
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val counts = withN
+        .where(col("_n").isNotNull)
+        .groupBy(col(groupCol), col("_n").cast("double").as("_v"))
+        .agg(count(lit(1)).as("_c"))
+      val ranked = counts
+        .withColumn("_cum", sum(col("_c")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("_v"))))
+        .withColumn("_n", sum(col("_c")).over(
+          Window.partitionBy(col(groupCol))))
+      val ps = Seq(0.5 -> "a", 0.9 -> "b", 0.99 -> "c")
+      val aggCols = ps.flatMap { case (p, t) => graft.ops.RankLadder.cumFolds(p, t) }
+      val qtbl = ranked.groupBy(col(groupCol))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(col(groupCol).as("_grpq"),
+          (round(graft.ops.RankLadder.blend("a"), 4) + 0.0).as("p50"),
+          (round(graft.ops.RankLadder.blend("b"), 4) + 0.0).as("p90"),
+          (round(graft.ops.RankLadder.blend("c"), 4) + 0.0).as("p99"))
+      // null-safe broadcast join back so an all-NULL-length group keeps
+      // NULL quantiles and a NULL group key keeps its row — exactly the
+      // aggregate's semantics
+      withN
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_docs"))
+        .join(broadcast(qtbl), col(groupCol) <=> col("_grpq"), "left")
+        .select(col(groupCol), col("n_docs"), col("p50"), col("p90"), col("p99"))
+        .orderBy(groupCol)
     }
-    docs
-      .withColumn("_n", TextAnalysis.tokenCount(col(textCol)))
-      .groupBy(col(groupCol))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        q(0.5).as("p50"),
-        q(0.9).as("p90"),
-        q(0.99).as("p99"))
-      .orderBy(groupCol)
   }
 
   /** Bloom-filter decontamination — membership of each probe document's

@@ -568,11 +568,15 @@ object EventsOps {
     *
     * One shuffle: the first-`fromType` timestamp rides a key window,
     * the qualifying `toType` minimum reuses the same partitioning, and
-    * the decile cuts are one scalar exact-percentile aggregate
-    * broadcast-cross-joined back onto the latency rows (the
-    * `lengthDeciles` recipe — swap percentile_approx at 100 TB, same
-    * note). Fully LAZY — no driver action at construction time; the
-    * 1-row cut list rides the plan, and AQE reuses the latency
+    * the decile cuts are EXACT interpolated percentiles computed
+    * WITHOUT the `percentile` aggregate's value buffer (the 100 TB OOM
+    * class): latencies collapse to a latency-span-bounded
+    * (second → count) table, ranks come from a running sum over that
+    * bounded table only, and the bracketing order statistics fall out
+    * of conditional-min folds — the [[RankLadder]] recipe, reproducing
+    * Spark's `Percentile` interpolation bit-for-bit. Fully LAZY — no
+    * driver action at construction time; the 1-row cut array stays
+    * in-plan via `crossJoin(broadcast)`, and AQE reuses the latency
     * aggregate's exchange rather than recomputing it. Latencies are
     * integer epoch-second deltas.
     *
@@ -599,10 +603,21 @@ object EventsOps {
     val qs = (1 until buckets).map(_.toDouble / buckets)
     // 1-row cut list stays IN the plan (no .first() at construction) and
     // broadcast-cross-joins back — zero converters: lat is empty, so the
-    // cross join is empty too
-    val cuts = lat
-      .agg(expr(s"percentile(CAST(latency_s AS DOUBLE), array(${qs.mkString("D,")}D))")
-        .as("_cuts"))
+    // cross join is empty too. The global window rides the
+    // latency-span-bounded count table, never the corpus.
+    import org.apache.spark.sql.expressions.Window
+    val counts = lat
+      .select(col("latency_s").cast("double").as("_v"))
+      .where(col("_v").isNotNull)
+      .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+    val ranked = counts
+      .withColumn("_cum", sum(col("_c")).over(Window.orderBy(col("_v"))))
+      .withColumn("_n", sum(col("_c")).over(
+        Window.orderBy(col("_v"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val aggCols = qs.zipWithIndex.flatMap { case (p, i) => RankLadder.cumFolds(p, s"q$i") }
+    val cuts = ranked.agg(aggCols.head, aggCols.tail: _*)
+      .select(array(qs.indices.map(i => RankLadder.blend(s"q$i")): _*).as("_cuts"))
     lat.crossJoin(broadcast(cuts))
       .select(col(keyCol), col("latency_s"),
         (lit(1) + size(filter(col("_cuts"),

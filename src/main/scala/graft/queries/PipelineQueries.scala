@@ -1530,14 +1530,18 @@ object PipelineQueries {
             .as("within_5pct"))
         .orderBy("source")),
 
+    // The exact side rides CorpusOps.lengthQuantiles' rank ladder (no
+    // Percentile value buffer anywhere in the suite); its 1e-4 rounding
+    // is far inside the ≥1-token comparison tolerance.
     "p50_approx_quantiles" -> ((s, dir) =>
       Tables(s, dir, "documents")
         .withColumn("_n", TextAnalysis.tokenCount(col("text")).cast("double"))
         .groupBy("lang")
         .agg(expr("percentile_approx(_n, 0.5)").as("ap50"),
-          expr("percentile(_n, 0.5D)").as("ep50"),
-          expr("percentile_approx(_n, 0.9)").as("ap90"),
-          expr("percentile(_n, 0.9D)").as("ep90"))
+          expr("percentile_approx(_n, 0.9)").as("ap90"))
+        .join(broadcast(graft.ops.CorpusOps.lengthQuantiles(Tables(s, dir, "documents"))
+          .select(col("lang").as("_lg"), col("p50").as("ep50"), col("p90").as("ep90"))),
+          col("lang") <=> col("_lg"))
         .select(col("lang"),
           (abs(col("ap50") - col("ep50")) <= greatest(col("ep50") * 0.05, lit(1.0)))
             .as("p50_ok"),

@@ -211,6 +211,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byLen.sameElements(byLen.sorted))
   }
 
+  test("lengthDeciles: no Spark job fires at DataFrame construction") {
+    // the round-10 verdict's p52 finding: the old implementation ran
+    // `.first()` for the cut list while BUILDING the DataFrame; the
+    // rank-ladder rewrite must keep the cuts fully in-plan
+    val group = "ldec-construction-probe"
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        // count ONLY this test's job group — late-delivered events from
+        // earlier tests' jobs must not flake the count
+        if (Option(j.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group))
+          seen.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      spark.sparkContext.setJobGroup(group, "construction probe")
+      val d = (1L to 20L).map(i => (i, ("w " * i.toInt).trim)).toDF("doc_id", "text")
+      val df = CorpusOps.lengthDeciles(d)
+      // flush marker: the listener bus is FIFO, so once this job's
+      // start event lands, any construction-time job would have too
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (seen.get() == 0 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(seen.get() == 1, s"expected only the flush job, saw ${seen.get()}")
+      // and the plan still executes correctly afterwards
+      assert(df.count() == 20)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+  }
+
   test("mixSources: integer weights exact, zero drops, fractional in bounds") {
     val base = CorpusOps.mixSources(docs, Map.empty)
     assert(base.count() == docs.count()) // default ×1: identity

@@ -488,16 +488,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!pk.contains("CartesianProduct"), pk)
   }
 
-  test("p71/p74: no Percentile value-buffer aggregate anywhere in the plan") {
-    // the rank-ladder rewrite's 100 TB guarantee: exact percentiles
-    // without the per-group value multiset (the OOM class) — the
-    // `percentile` ImperativeAggregate must not reappear
-    for (name <- Seq("p71_winsorize", "p74_temporal_split")) {
-      val p = plan(name)
-      assert(!p.toLowerCase.contains("percentile"), s"$name: $p")
+  test("suite-wide: no exact Percentile value-buffer aggregate in ANY gate plan") {
+    // the rank-ladder rewrites' 100 TB guarantee, extended from p71/p74
+    // to the whole suite (round-10 verdict #1): exact percentiles never
+    // ride the `percentile` ImperativeAggregate's per-group value
+    // multiset (the OOM class — buffer grows with group size).
+    // `percentile_approx` (bounded KLL-style sketch) stays legal: it is
+    // the deliberate 100 TB sketch path gated by p50/p53.
+    val exactPercentile = "(?<!approx_)percentile\\(".r
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      exactPercentile.findFirstIn(plan(name).toLowerCase).isDefined
     }
-    // and the winsorize bounds come back via broadcast, never a
-    // corpus-sized sort-merge join
+    assert(offenders.isEmpty,
+      s"exact Percentile aggregate found in: ${offenders.mkString(", ")}")
+  }
+
+  test("p71: winsorize bounds broadcast back, never a corpus sort-merge join") {
     val pw = plan("p71_winsorize")
     assert(pw.contains("BroadcastHashJoin"), pw)
     assert(!pw.contains("SortMergeJoin"), pw)
