@@ -687,10 +687,22 @@ object Dedup {
     * θ·|A|`, so probing only prefixes against the full inverted gram
     * index finds every qualifying pair — no recall loss. Rarity-first
     * ordering makes the candidate volume `Σ_g prefix_df(g)·df(g)`,
-    * dominated by RARE grams; the `dfCeiling` stop-gram cap (drop grams
-    * above a df ceiling from BOTH sides of the candidate join) is the
-    * standard 100 TB relief valve if a corpus has mega-frequent
-    * boilerplate shingles. The cap's loss contract: the prefix filter
+    * dominated by RARE grams; the stop-gram cap (drop grams above a df
+    * ceiling from BOTH sides of the candidate join) is the standard
+    * 100 TB relief valve if a corpus has mega-frequent boilerplate
+    * shingles. The ceiling comes in two forms: `dfCeiling` (absolute
+    * df) and `dfCeilingFraction` (fraction of the corpus DOC COUNT,
+    * resolved in-plan via a 1-row count aggregate broadcast onto the
+    * gram-frequency table — no driver action). The ×50 scale study
+    * proved absolute ceilings ROT: boilerplate df grows ∝N, so a cap
+    * tuned at one scale stops engaging (quadratic candidates, measured
+    * 30.9 s vs 12.3 s at ×50) or over-engages at another, while a
+    * RELATIVE ceiling excludes the same gram SET at every replication
+    * factor (df/N is scale-free) — prefer the fraction form for any
+    * corpus whose size you don't control. When both are given the
+    * effective ceiling is their MAX (the absolute value acts as a
+    * small-corpus floor under the relative cap, so tiny test corpora
+    * don't cap away legitimate grams). The cap's loss contract: the prefix filter
     * stays provably complete over the stop-gram-free gram universe, so
     * the ONLY missable qualifying pairs are those whose containment
     * restricted to sub-ceiling grams falls below θ — i.e. pairs whose
@@ -708,19 +720,42 @@ object Dedup {
       textCol: String = "text",
       shingleSize: Int = 3,
       thresholdMicro: Long = 900000L,
-      dfCeiling: Option[Long] = None): DataFrame = {
+      dfCeiling: Option[Long] = None,
+      dfCeilingFraction: Option[Double] = None): DataFrame = {
     require(thresholdMicro > 0 && thresholdMicro <= 1000000L,
       s"containmentPairs: threshold must be ppm in (0, 1e6], got $thresholdMicro")
     require(dfCeiling.forall(_ >= 1L),
       s"containmentPairs: dfCeiling must be >= 1, got $dfCeiling")
+    require(dfCeilingFraction.forall(f => f > 0.0 && f <= 1.0),
+      s"containmentPairs: dfCeilingFraction must be in (0, 1], got $dfCeilingFraction")
+    val capped = dfCeiling.nonEmpty || dfCeilingFraction.nonEmpty
     val sh = withWordShingles(docs, idCol, textCol, shingleSize)
     val grams = sh.select(col(idCol), explode(col("_sh")).as("_g"))
     val dfreq = grams.groupBy("_g").agg(count(lit(1)).as("_df"))
     // stop-gram cap: the kept-gram table drives BOTH the prefix windows
     // (so _n / prefix length are consistent with the reduced universe —
     // that consistency is what keeps the filter complete over it) and
-    // the inverted index side
-    val kept = dfCeiling.map(c => dfreq.where(col("_df") <= c)).getOrElse(dfreq)
+    // the inverted index side. The relative ceiling resolves IN-PLAN:
+    // floor(fraction · n_docs) rides a 1-row broadcast cross join, so
+    // no Spark job fires at construction and the same plan serves every
+    // scale (the excluded gram set is replication-invariant: df and the
+    // ceiling both scale ∝N).
+    val kept =
+      if (!capped) dfreq
+      else {
+        val absFloor = lit(dfCeiling.getOrElse(1L))
+        val ceil = dfCeilingFraction match {
+          case None => absFloor
+          case Some(f) =>
+            greatest(absFloor, floor(lit(f) * col("_ndocs")).cast("long"))
+        }
+        val base = dfCeilingFraction match {
+          case None => dfreq
+          case Some(_) =>
+            dfreq.crossJoin(broadcast(docs.agg(count(lit(1)).as("_ndocs"))))
+        }
+        base.where(col("_df") <= ceil).select(col("_g"), col("_df"))
+      }
     // one (id, gram, df) join feeds BOTH the prefix windows and (in the
     // capped case) the filtered inverted index — identical subplans so
     // the exchange is reused instead of the join running twice
@@ -733,10 +768,7 @@ object Dedup {
         row_number().over(wp).as("_rn"), count(lit(1)).over(wn).as("_n"))
       .where(col("_rn") <= expr(s"(_n * ${1000000L - thresholdMicro}) div 1000000") + 1)
       .select(col(idCol).as("a"), col("_g"))
-    val indexGrams = dfCeiling match {
-      case Some(_) => withDf
-      case None => grams
-    }
+    val indexGrams = if (capped) withDf else grams
     val cands = prefix
       .join(indexGrams.select(col(idCol).as("b"), col("_g")), Seq("_g"))
       .where(col("a") =!= col("b"))

@@ -808,6 +808,21 @@ object PipelineQueries {
           dfCeiling = Some(1000000L))
         .orderBy("a", "b")),
 
+    // The p112 path with the RELATIVE stop-gram ceiling engaged but
+    // provably vacuous (shingles are set-semantics per doc, so df ≤
+    // n_docs and a 1.0 fraction keeps every gram): the in-plan
+    // fraction resolution — 1-row doc-count aggregate broadcast onto
+    // the gram-frequency table — must be output-identical to the
+    // uncapped path. The at-scale rationale (absolute ceilings rot as
+    // boilerplate df grows ∝N; the relative ceiling excludes the same
+    // gram SET at every scale) is spec-pinned in DedupSpec via a ×3
+    // replication fixture.
+    "p280_containment_frac_capped" -> ((s, dir) =>
+      graft.ops.Dedup.containmentPairs(Tables(s, dir, "documents"),
+          shingleSize = 3, thresholdMicro = 900000L,
+          dfCeilingFraction = Some(1.0))
+        .orderBy("a", "b")),
+
     // Join-key skew report over the orders fact table's customer key:
     // top-20 heavy keys with ppm share, skew multiple and the salt
     // factor saltedJoin would want. Partial-agg shuffle + TakeOrdered.
@@ -6670,6 +6685,7 @@ object PipelineQueries {
     // integer cross-multiply threshold, cont in ppm by integer division
     "p112_containment" -> containmentSql,
     "p275_containment_capped" -> containmentSql,
+    "p280_containment_frac_capped" -> containmentSql,
     // all-integer skew arithmetic in HUGEINT; cnt ties break on key
     "p111_skew_report" -> (
       "WITH c AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1), " +

@@ -113,8 +113,6 @@ object ScaledOps {
       name -> (if (times.isEmpty) -1.0 else median(times))
     }
     val docs = spark.read.parquet(docsPath)
-    // one cheap count drives the containment stop-gram fraction (2%)
-    val nDocsForCap = docs.count()
     val ev = spark.read.parquet(eventsPath)
     def pairs = Dedup.nearDupSizesShingled(
         Dedup.withWordShingles(docs.select("doc_id", "text"), "doc_id", "text", 3),
@@ -219,7 +217,7 @@ object ScaledOps {
       // every scale (measured: ScaleStudy's x50 rung).
       time("containment") { sink(Dedup.containmentPairs(docs,
         shingleSize = 3, thresholdMicro = 900000L,
-        dfCeiling = Some(math.max(100L, nDocsForCap / 50)))) },
+        dfCeiling = Some(100L), dfCeilingFraction = Some(0.02))) },
       time("ann_ivfpq") { sink(ivfPqPipeline(spark.read.parquet(embPath), k = 3)) },
       // iterative graph tier over the token co-occurrence graph of the
       // scaled corpus (±2 window, pairs seen ≥5×): real power-law
@@ -427,10 +425,12 @@ object ScaleStudy {
       }
       report(s"hl_neardup_pairs(${nPairs}p)", k, nDocs, tPairs)
       // relative stop-gram ceiling (2% of docs): the at-scale policy —
-      // an absolute cap stops binding as boilerplate df grows with N
+      // an absolute cap stops binding as boilerplate df grows with N.
+      // Now first-class: dfCeilingFraction resolves in-plan, with the
+      // absolute value as a small-corpus floor.
       val (_, tCont) = time(sink(Dedup.containmentPairs(docs,
         shingleSize = 3, thresholdMicro = 900000L,
-        dfCeiling = Some(math.max(100L, nDocs / 50)))))
+        dfCeiling = Some(100L), dfCeilingFraction = Some(0.02))))
       report("hl_containment", k, nDocs, tCont)
       val emb = spark.read.parquet(embPaths(k))
       val nEmb = emb.count()

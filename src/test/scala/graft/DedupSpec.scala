@@ -312,6 +312,70 @@ class DedupSpec extends AnyFunSuite {
     assert((un -- capped).forall(_._3 == 6))
   }
 
+  test("containmentPairs dfCeilingFraction: scale-invariant excluded grams, in-plan resolution, max-of-both semantics") {
+    // same planted-boilerplate fixture as the absolute-ceiling spec:
+    // 5 docs, the 6 pure-header shingles have df = 5, content grams
+    // df ≤ 2. A RELATIVE ceiling must engage identically at every
+    // corpus replication factor (df/N is scale-free) — the property the
+    // ×50 scale study showed absolute ceilings lack.
+    val header = "terms of service apply to this document header"
+    val base = Seq(
+      (1L, s"$header alpha beta gamma delta epsilon"),
+      (2L, s"$header alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, s"$header lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (4L, s"$header phi chi psi omega aleph bet gimel dalet he vav"),
+      (5L, s"$header one two"))
+    val docs = base.toDF("doc_id", "text")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    def run(d: org.apache.spark.sql.DataFrame, abs: Option[Long], frac: Option[Double]) =
+      key(Dedup.containmentPairs(d, thresholdMicro = 500000L,
+        dfCeiling = abs, dfCeilingFraction = frac)
+        .select("a", "b", "i_size", "size_a").collect())
+    // fraction 0.6 of 5 docs → ceiling 3, exactly the engaged absolute
+    // case: only the real pair survives, with exact full-set scores
+    val frac1 = run(docs, None, Some(0.6))
+    assert(frac1 == run(docs, Some(3L), None))
+    assert(frac1.map(t => (t._1, t._2)) == Set((1L, 2L), (2L, 1L)))
+    // replicate the corpus ×3 (remapped ids): every df triples AND the
+    // ceiling triples (floor(0.6·15) = 9), so the EXCLUDED GRAM SET is
+    // identical — the pairs among the original five docs come back
+    // bit-identical, scores included
+    val x3 = (base ++ base.map { case (i, t) => (i + 100L, t) }
+                   ++ base.map { case (i, t) => (i + 200L, t) }).toDF("doc_id", "text")
+    val frac3 = key(Dedup.containmentPairs(x3, thresholdMicro = 500000L,
+        dfCeilingFraction = Some(0.6))
+      .where(col("a") <= 5L && col("b") <= 5L)
+      .select("a", "b", "i_size", "size_a").collect())
+    assert(frac3 == frac1)
+    // max-of-both: a large absolute floor under the relative cap makes
+    // the ceiling vacuous → byte-identical to the uncapped path
+    assert(run(docs, Some(1000L), Some(0.6)) == run(docs, None, None))
+    // in-plan resolution: building the capped DataFrame fires no job
+    val probeGroup = "containment-frac-construction-probe"
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(j.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == probeGroup))
+          seen.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      spark.sparkContext.setJobGroup(probeGroup, "construction probe")
+      Dedup.containmentPairs(docs, thresholdMicro = 500000L,
+        dfCeilingFraction = Some(0.6))
+      spark.sparkContext.parallelize(Seq(1)).count() // flush marker
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (seen.get() == 0 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(seen.get() == 1, s"expected only the flush job, saw ${seen.get()}")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+  }
+
   test("effectiveTokens: keeper falls back to the smallest PRESENT member when the canonical doc was filtered upstream") {
     // cluster {1,2,3} but doc 1 (the component min) is not in `docs` —
     // quality-filtered away. The keeper must be doc 2 (min PRESENT id),
