@@ -52,6 +52,39 @@ object ScaleData {
         .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 40} DAYS"))
     }.reduce(_ union _)
 
+  /** Deterministic Zipf-attachment synthetic graph — the graph rung's
+    * size-parameterized input. Node `i` emits `avgDeg` directed edges
+    * whose targets follow P(t) ∝ 1/t via inverse-CDF over a hash
+    * uniform (t = ⌊exp(u·ln n)⌋, u = xxhash64(src, r, seed) mapped to
+    * (0,1)), so node 1 is a PLANTED MEGA-HUB holding ≈ E/ln(n) of all
+    * edge endpoints — the power-law skew that makes naive wedge joins
+    * quadratic and that the degree-ordered orientation / statically
+    * unrolled fixed-point designs claim to survive. Fully in-plan and
+    * seed-deterministic (hash, not RNG): the ×k graph is the same
+    * graph every run, and scaling n scales every hub proportionally. */
+  def plantedGraph(spark: SparkSession, n: Long, avgDeg: Int, seed: Long): DataFrame = {
+    require(n >= 2 && avgDeg >= 1)
+    spark.range(1L, n + 1L).toDF("src")
+      .select(col("src"), explode(expr(s"sequence(1, $avgDeg)")).as("_r"))
+      .withColumn("_u",
+        (pmod(xxhash64(col("src"), col("_r"), lit(seed)), lit(1000000000L))
+          .cast("double") + 0.5) / 1e9)
+      .withColumn("dst", floor(exp(col("_u") * log(lit(n.toDouble)))).cast("long"))
+      .where(col("dst") =!= col("src"))
+      .select("src", "dst")
+  }
+
+  /** Materialize the ×k planted graph under /tmp (idempotent; same
+    * `_SUCCESS`-marker contract as [[materialize]]). */
+  def materializeGraph(
+      spark: SparkSession, n: Long, avgDeg: Int, k: Int, parts: Int): String = {
+    val path = s"/tmp/graft_scale/graph_n${n * k}_d$avgDeg"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      plantedGraph(spark, n * k, avgDeg, seed = 42L)
+        .repartition(parts).write.mode("overwrite").parquet(path)
+    path
+  }
+
   /** Materialize the ×k table under /tmp (idempotent per sf+scale);
     * returns the parquet path. A bare directory is NOT proof of a
     * complete write (a run killed mid-write leaves partial parquet that
@@ -303,6 +336,9 @@ object ScaleStudy {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional section filter: docs | events | headliners | graph
+    val section = args.drop(1).headOption.getOrElse("all")
+    def on(s: String) = section == "all" || section == s
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -317,18 +353,19 @@ object ScaleStudy {
     spark.sparkContext.setLogLevel("WARN")
 
     // materialize scaled inputs to parquet so every measured op reads
-    // from storage like a real job (not from an in-memory union plan)
-    val docPaths = Seq(1, 4, 20, 50).map(k =>
+    // from storage like a real job (not from an in-memory union plan);
+    // lazy per-section so a filtered run only materializes what it uses
+    lazy val docPaths = Seq(1, 4, 20, 50).map(k =>
       k -> ScaleData.materialize(spark, sfDir, "documents", k, cpus.toInt)).toMap
-    val embPaths = Seq(1, 4, 20, 50).map(k =>
+    lazy val embPaths = Seq(1, 4, 20, 50).map(k =>
       k -> ScaleData.materialize(spark, sfDir, "embeddings", k, cpus.toInt)).toMap
-    val eventPaths = Seq(1, 10).map(k =>
+    lazy val eventPaths = Seq(1, 10).map(k =>
       k -> ScaleData.materialize(spark, sfDir, "events", k, cpus.toInt)).toMap
 
     def report(op: String, k: Int, rows: Long, sec: Double): Unit =
       println(f"[scale] $op%-22s x$k%-3d rows=$rows%-9d ${sec}%8.2f s")
 
-    for (k <- Seq(1, 4, 20)) {
+    if (on("docs")) for (k <- Seq(1, 4, 20)) {
       val docs = spark.read.parquet(docPaths(k))
       val nDocs = docs.count()
 
@@ -375,7 +412,7 @@ object ScaleStudy {
       report("snapshot_diff", k, nDocs, tDiff)
     }
 
-    for (k <- Seq(1, 10)) {
+    if (on("events")) for (k <- Seq(1, 10)) {
       val ev = spark.read.parquet(eventPaths(k))
         .withColumn("ts", to_timestamp(col("ts")))
       val nEv = ev.count()
@@ -413,7 +450,7 @@ object ScaleStudy {
     // two more decades for the three 100 TB headliners: a measured
     // x1/x4/x20/x50 growth curve per op (the design arguments rest on
     // these staying near-linear; SCALING.md holds the table)
-    for (k <- Seq(1, 4, 20, 50)) {
+    if (on("headliners")) for (k <- Seq(1, 4, 20, 50)) {
       val docs = spark.read.parquet(docPaths(k))
       val nDocs = docs.count()
       val (nPairs, tPairs) = time {
@@ -438,6 +475,28 @@ object ScaleStudy {
       report("hl_ann_ivfpq", k, nEmb, tAnn)
       val (_, recall) = ScaledOps.annIvfPqRecall(emb)
       report(f"hl_ann_recall(${recall}%.1f%%)", k, nEmb, 0.0)
+    }
+
+    // graph rung: the iterative family's 100 TB claims (degree-ordered
+    // triangle orientation, statically unrolled fixed-point, per-round
+    // persist+count peeling) measured on REAL hub skew — a planted
+    // Zipf-attachment graph whose top node holds ≈ E/ln(n) endpoints —
+    // instead of only the sf0.1 collocation graph's single size point.
+    // Node counts scale ×1/×4/×20 at constant avg degree, so edge
+    // volume scales linearly while the hub degree scales with it.
+    if (on("graph")) for (k <- Seq(1, 4, 20)) {
+      val path = ScaleData.materializeGraph(spark, 50000L, 8, k, cpus.toInt)
+      val edges = spark.read.parquet(path)
+      val nE = edges.count()
+      val hub = edges.select(explode(array(col("src"), col("dst"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .agg(max("d")).collect()(0).getLong(0)
+      val (_, tPr) = time(sink(graft.ops.Graph.pageRank(edges, iters = 3)))
+      report(s"gr_pagerank(hub=$hub)", k, nE, tPr)
+      val (_, tTri) = time(sink(graft.ops.Graph.triangleCount(edges)))
+      report("gr_triangles", k, nE, tTri)
+      val (_, tKc) = time(sink(graft.ops.Graph.kCorePeel(edges, k = 8, rounds = 3)))
+      report("gr_kcore", k, nE, tKc)
     }
     spark.stop()
   }
