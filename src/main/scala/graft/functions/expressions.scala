@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static JVM entry points for codegen — generated code calls these
@@ -19,6 +19,20 @@ object ExprKernels {
 
   def jaroWinkler(a: UTF8String, b: UTF8String): Double =
     Similarity.jaroWinkler(a.toString, b.toString)
+
+  /** Ceil integer square root, arbitrary precision (Newton floor-sqrt
+    * then bump) — the kernel behind [[OutlierThresholdExpression]]. */
+  def isqrtCeil(x: BigInt): BigInt = {
+    require(x >= 0)
+    if (x == 0) BigInt(0)
+    else {
+      var r = BigInt(1) << ((x.bitLength + 1) / 2) // >= sqrt(x)
+      var prev = BigInt(-1)
+      while (r != prev) { prev = r; r = (r + x / r) >> 1 } // floor sqrt
+      while (r * r < x) r += 1
+      r
+    }
+  }
 
   def nfcClean(s: UTF8String): UTF8String = {
     val n = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC)
@@ -94,6 +108,45 @@ case class NfcCleanExpression(child: Expression)
   override def prettyName: String = "nfc_clean"
 }
 
+/** `outlier_threshold(n, s, q)`: the exact 3-sigma threshold
+  * T = ceil(√(⌊9n(nq−s²)/(n−1)⌋ + 1)) over 1e-6-fixed-point group
+  * moments (n rows, s = Σx, q = Σx², all DECIMAL(38,0)) — see
+  * [[graft.ops.EventsOps.valueOutliers]] for the derivation. The
+  * INTERIOR arithmetic needs ~3·38 digits (9n(nq−s²) overflows any
+  * fixed DECIMAL), which is why this is a native expression with an
+  * arbitrary-precision BigInt kernel rather than column arithmetic:
+  * it runs per GROUP-STATS ROW inside the executors, so the threshold
+  * table never rounds-trips through the driver and group cardinality
+  * is unbounded. NULL for n < 2 (sample variance undefined) and for
+  * NULL moments (an all-NULL-measure group); a result that itself
+  * exceeds the exact DECIMAL(38,0) per-row comparison domain raises
+  * loudly rather than misclassifying. CodegenFallback: one row per
+  * group, never on the corpus-sized path. */
+case class OutlierThresholdExpression(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = DecimalType(38, 0)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(nAny: Any, sAny: Any, qAny: Any): Any = {
+    val n = BigInt(nAny.asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger)
+    if (n < 2) null
+    else {
+      val s = BigInt(sAny.asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger)
+      val q = BigInt(qAny.asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger)
+      val a = 9 * n * (n * q - s * s) // ≥ 0 (Cauchy–Schwarz)
+      val t = ExprKernels.isqrtCeil(a / (n - 1) + 1)
+      if (t.bitLength > 126)
+        throw new ArithmeticException(
+          "valueOutliers: threshold exceeds the exact DECIMAL(38,0) " +
+            "per-row comparison domain")
+      Decimal(scala.math.BigDecimal(t), 38, 0)
+    }
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): OutlierThresholdExpression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "outlier_threshold"
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -104,12 +157,16 @@ object GraftFunctions {
   def jaro_winkler(a: Column, b: Column): Column =
     column(JaroWinklerExpression(expression(a), expression(b)))
   def nfc_clean(c: Column): Column = column(NfcCleanExpression(expression(c)))
+  def outlier_threshold(n: Column, s: Column, q: Column): Column =
+    column(OutlierThresholdExpression(expression(n), expression(s), expression(q)))
 
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "unaccent" -> (exprs => UnaccentExpression(exprs.head)),
     "similarity_ratio" -> (exprs => SimilarityExpression(exprs(0), exprs(1))),
     "nfc_clean" -> (exprs => NfcCleanExpression(exprs.head)),
     "jaro_winkler" -> (exprs => JaroWinklerExpression(exprs(0), exprs(1))),
+    "outlier_threshold" -> (exprs =>
+      OutlierThresholdExpression(exprs(0), exprs(1), exprs(2))),
     "misra_gries" -> (exprs => MisraGriesAgg(exprs(0),
       exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()))
 

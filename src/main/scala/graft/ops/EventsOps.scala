@@ -1,8 +1,7 @@
 package graft.ops
 
-import java.math.{BigDecimal => JBigDecimal}
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, DecimalType, LongType, StructField, StructType}
 
@@ -268,19 +267,6 @@ object EventsOps {
         .as("v_interp"))
   }
 
-  /** ceil(sqrt(x)) for non-negative BigInt, exact (Newton + adjust). */
-  private def isqrtCeil(x: BigInt): BigInt = {
-    require(x >= 0)
-    if (x == 0) BigInt(0)
-    else {
-      var r = BigInt(1) << ((x.bitLength + 1) / 2) // >= sqrt(x)
-      var prev = BigInt(-1)
-      while (r != prev) { prev = r; r = (r + x / r) >> 1 } // floor sqrt
-      while (r * r < x) r += 1
-      r
-    }
-  }
-
   /** Per-group 3-sigma outlier counts over a double measure, computed in
     * EXACT integer arithmetic so the result is reproducible on any
     * engine and any aggregation order (float sums are order-dependent; a
@@ -297,9 +283,12 @@ object EventsOps {
     * both sides ~n³·max(x)², which blows past DECIMAL(38,0) around
     * n^1.5·max|x|·1e6 ≳ 5e18 and (non-ANSI) silently NULLs — counting
     * boundary rows as "not outliers" while an exact engine errors. Here
-    * T is computed ONCE PER GROUP on the driver in arbitrary-precision
-    * BigInt (the group-stats table is tiny — one row per group, already
-    * the broadcast side), and the distributed per-row test |x·n − s| ≥ T
+    * T is computed ONCE PER GROUP inside the plan by the native
+    * `outlier_threshold` expression (arbitrary-precision BigInt kernel
+    * over the group's DECIMAL(38,0) moments — the interior 9n(nq−s²)
+    * needs ~3×38 digits, which no fixed DECIMAL column holds), so the
+    * threshold table never visits the driver and GROUP CARDINALITY IS
+    * UNBOUNDED; the distributed per-row test |x·n − s| ≥ T
     * is only ~n·max|x|·1e6, exact through n·max|x| < 1e32. Every residual
     * overflow is LOUD, never a silent misclassification: the 1e-6
     * fixed-point cast (|x| ≥ 1e12), the s/q aggregation
@@ -312,7 +301,6 @@ object EventsOps {
       ev: DataFrame,
       groupCol: String = "event_type",
       valueCol: String = "value"): DataFrame = {
-    val spark = ev.sparkSession
     // 1e-6-unit integer value: DOUBLE → DECIMAL(18,6) is an exact
     // half-up rounding of the binary value on both Spark and DuckDB
     // (binary doubles are never exact ties at 6 decimals)
@@ -327,39 +315,23 @@ object EventsOps {
       count(col("v")).as("nv"),
       sum(col("v")).cast("decimal(38,0)").as("s"),
       sum((col("v") * col("v")).cast("decimal(38,0)")).cast("decimal(38,0)").as("q"))
-    // Exact per-group threshold on the driver: one tiny row per group.
-    val thr = stats.collect().map { r =>
-      val g = r.get(0)
-      val n = BigInt(r.getDecimal(1).toBigInteger)
-      val nv = r.getLong(2)
-      if (nv > 0 && (r.isNullAt(3) || r.isNullAt(4)))
-        throw new IllegalStateException(
-          s"valueOutliers: DECIMAL(38,0) overflow aggregating group '$g' " +
-            s"(n=$n): n·(max|value|·1e6)² exceeds 1e38")
-      if (n < 2 || nv == 0) Row(g, new JBigDecimal(n.bigInteger), null, null)
-      else {
-        val s = BigInt(r.getDecimal(3).toBigInteger)
-        val q = BigInt(r.getDecimal(4).toBigInteger)
-        val a = 9 * n * (n * q - s * s) // ≥ 0 (Cauchy–Schwarz, n ≥ nv)
-        val t = isqrtCeil(a / (n - 1) + 1)
-        if (t.bitLength > 126)
-          throw new IllegalStateException(
-            s"valueOutliers: threshold for group '$g' exceeds the exact " +
-              "DECIMAL(38,0) per-row comparison domain")
-        Row(g, new JBigDecimal(n.bigInteger),
-          new JBigDecimal(s.bigInteger), new JBigDecimal(t.bigInteger))
-      }
-    }
-    // n rides in thrDf (it is already on the driver per group) — joining
-    // the stats aggregate back would re-run the corpus-sized stats pass
-    val gType = ev.schema(groupCol).dataType
-    val thrDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(thr.toSeq, 1),
-      StructType(Seq(
-        StructField("g", gType),
-        StructField("n", DecimalType(38, 0)),
-        StructField("bs", DecimalType(38, 0)),
-        StructField("bt", DecimalType(38, 0)))))
+    // Exact per-group threshold IN-PLAN: the native outlier_threshold
+    // expression holds the >38-digit interior in BigInt, returns NULL
+    // for n < 2 / all-NULL groups, and raises on a threshold past the
+    // exact per-row comparison domain. The s/q aggregation's own
+    // (non-ANSI, silent) DECIMAL overflow is surfaced loudly first.
+    val aggOverflow = col("nv") > lit(0L) && (col("s").isNull || col("q").isNull)
+    val thrDf = stats.select(
+      col("g"), col("n"), col("s").as("bs"),
+      when(aggOverflow,
+        raise_error(concat(
+          lit("valueOutliers: DECIMAL(38,0) overflow aggregating group '"),
+          col("g").cast("string"),
+          lit("': n·(max|value|·1e6)² exceeds 1e38")))
+          .cast(DecimalType(38, 0)))
+        .otherwise(graft.functions.GraftFunctions.outlier_threshold(
+          col("n"), col("s"), col("q")))
+        .as("bt"))
     val d = col("v") * col("n") - col("bs")
     val out = when(col("bt").isNull || col("v").isNull, lit(false))
       .when(col("v").isNotNull && d.isNull,

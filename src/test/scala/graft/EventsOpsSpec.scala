@@ -59,6 +59,43 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 22L, 1L)))
   }
 
+  test("valueOutliers: unbounded group cardinality, fully lazy construction") {
+    // round-10 verdict #2: the old implementation collected one row per
+    // group to the driver at CONSTRUCTION time (both a job-at-build and
+    // a high-cardinality driver-memory hazard). The native
+    // outlier_threshold expression keeps the BigInt math in-plan, so
+    // (a) building the DataFrame fires no job, and (b) thousands of
+    // groups are just rows in the broadcast side.
+    val group = "voutliers-construction-probe"
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(j.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group))
+          seen.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      spark.sparkContext.setJobGroup(group, "construction probe")
+      // 2000 groups × 21 rows: one planted >3σ point per group
+      val rows = (0 until 2000).flatMap { g =>
+        Seq.fill(20)((s"g$g", 1.0)) :+ (s"g$g", 100.0)
+      }
+      val df = EventsOps.valueOutliers(rows.toDF("event_type", "value"))
+      spark.sparkContext.parallelize(Seq(1)).count() // flush marker
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (seen.get() == 0 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(seen.get() == 1, s"expected only the flush job, saw ${seen.get()}")
+      val out = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(out.length == 2000)
+      assert(out.forall { case (_, n, o) => n == 21L && o == 1L })
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+  }
+
   test("rollingStats: per-key bounded frame, micro-unit integer sums, total order") {
     val ev = Seq(
       // user 1: values 1,2,3,4 in ts order; frame 3
