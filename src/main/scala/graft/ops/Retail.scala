@@ -45,7 +45,13 @@ object Retail {
       itemCol: String = "l_partkey",
       minPairCount: Long = 2L): DataFrame = {
     require(minPairCount >= 1, s"basketLift: need minPairCount >= 1, got $minPairCount")
+    // persist: the distinct (basket, item) projection feeds FOUR
+    // consumers (both self-join sides, the item counts, the basket
+    // count) — uncached the distinct's shuffle re-runs per consumer
+    // (exchange reuse only covers the identical x/y subplans).
+    // Unpersisted by the action's GC, same idiom as tripleItemsets.
     val items = lines.select(col(basketCol).as("_b"), col(itemCol).as("_i")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBaskets = items.select(col("_b")).distinct()
       .agg(count(lit(1)).as("_n"))
     val itemCnt = items.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
@@ -367,12 +373,19 @@ object Retail {
         train.select(col("_b").as("l_orderkey"), col("_i").as("l_partkey")),
         "l_orderkey", "l_partkey", minPairCount, k)
       .select(col("item"), col("rec"))
+    // prof feeds three consumers (the rec join, the novelty anti-join,
+    // the eval-customer semi-join) and custRecs/evalItems two each —
+    // persist all three so the single final action computes each
+    // distinct shuffle once instead of per metric branch
     val prof = train.select(col("_cust"), col("_i").as("item")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val custRecs = prof.join(broadcast(recs), Seq("item"))
       .select(col("_cust"), col("rec")).distinct()
       .join(prof.select(col("_cust"), col("item").as("rec")),
         Seq("_cust", "rec"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalItems = evalP.select(col("_cust"), col("_i").as("rec")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalCusts = evalItems.select("_cust").distinct()
       .join(prof.select("_cust").distinct(), Seq("_cust"), "left_semi")
     val scoredCusts = custRecs.select("_cust").distinct()
