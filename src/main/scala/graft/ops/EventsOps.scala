@@ -113,10 +113,14 @@ object EventsOps {
     * [[slaPercentiles]] rank recipe with [[rankInterpolatedPercentile]]
     * reproducing Spark's interpolation bit-for-bit. The 1-row cut stays
     * IN-PLAN via `crossJoin(broadcast(...))` (the [[conversionLatency]]
-    * idiom) — no Spark job fires at DataFrame construction. An empty
-    * input yields an empty output (nothing to split); rows with no
-    * usable timestamp anywhere (all-NULL ts) raise lazily via
-    * `raise_error` instead of silently labeling against a NULL cut. */
+    * idiom) — no Spark job fires at DataFrame construction.
+    * STATICALLY-empty inputs (a LocalRelation the optimizer can prove
+    * empty, e.g. `where(lit(false))` on an in-memory frame) yield an
+    * empty output; otherwise an input with no usable timestamp — all
+    * NULL `ts`, INCLUDING a genuinely empty distributed scan such as an
+    * empty parquet directory, whose emptiness is a runtime fact — raises
+    * lazily via `raise_error` instead of silently labeling against a
+    * NULL cut (same behavior as the `require` it replaced). */
   def temporalSplit(
       ev: DataFrame,
       tsCol: String = "ts",
@@ -168,14 +172,22 @@ object EventsOps {
     * robust-preprocessing step before training-statistics aggregation.
     * The bounds are EXACT linear-interpolation percentiles computed
     * WITHOUT the `percentile` aggregate's per-group value buffer (the
-    * 100 TB OOM class): the [[slaPercentiles]] rank ladder (one group
-    * exchange, spill-safe sort window) selects the bracketing order
-    * statistics by conditional-min fold, and the blend
-    * `(hi−pos)·v_lo + (pos−lo)·v_hi` reproduces Spark's `Percentile`
-    * interpolation bit-for-bit (same IEEE operand order, same two
-    * short-circuits). Bounds collapse to |groups| rows, broadcast back
-    * for the map-only clamp; output in floor micro-units so the gate
-    * hashes integers (original values pass through exactly). */
+    * 100 TB OOM class): the shared [[RankLadder]] recipe — values
+    * collapse to a per-group (value → count) partial agg FIRST, ranks
+    * come from a running sum over that distinct-value-bounded table,
+    * and the conditional-min folds + blend reproduce Spark's
+    * `Percentile` interpolation bit-for-bit. Bounds collapse to
+    * |groups| rows, broadcast back for the map-only clamp; output in
+    * floor micro-units so the gate hashes integers (original values
+    * pass through exactly).
+    *
+    * Parallelism note: the ranking window sorts each group's DISTINCT
+    * values through one task — on fixed-decimal money or integer
+    * latencies that is a tiny fraction of the rows, but a truly
+    * continuous measure in a key-poor corpus degenerates to
+    * #groups-bounded parallelism (spill-safe — a memory-unbounded
+    * buffer never comes back; wall clock is bounded by the largest
+    * group's distinct-value sort). */
   def winsorize(
       ev: DataFrame,
       groupCol: String = "event_type",
@@ -185,29 +197,21 @@ object EventsOps {
       hi: Double = 0.95): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, "winsorize: need 0 <= lo < hi <= 1")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
-    val nW = Window.partitionBy(col(groupCol))
     // equal values interpolate identically, so rank ties need no
     // tie-break — the (rank → value) map is deterministic regardless
-    val ranked = ev.where(col(valueCol).isNotNull)
+    val counts = ev.where(col(valueCol).isNotNull)
       .select(col(groupCol), col(valueCol).cast("double").as("_v"))
-      .withColumn("_rn", row_number().over(w).cast("long"))
-      .withColumn("_n", count(lit(1)).over(nW))
-    def posOf(p: Double): Column = (col("_n") - lit(1L)).cast("double") * lit(p)
-    def folds(p: Double, tag: String): Seq[Column] = Seq(
-      min(when(col("_rn") === floor(posOf(p)) + lit(1L), col("_v"))).as(s"_vlo$tag"),
-      min(when(col("_rn") === ceil(posOf(p)) + lit(1L), col("_v"))).as(s"_vhi$tag"),
-      max(posOf(p)).as(s"_pos$tag"),
-      max(floor(posOf(p))).as(s"_flo$tag"), max(ceil(posOf(p))).as(s"_fhi$tag"))
-    def blend(tag: String): Column =
-      when(col(s"_fhi$tag") === col(s"_flo$tag"), col(s"_vlo$tag"))
-        .when(col(s"_vhi$tag") === col(s"_vlo$tag"), col(s"_vlo$tag"))
-        .otherwise((col(s"_fhi$tag").cast("double") - col(s"_pos$tag")) * col(s"_vlo$tag")
-          + (col(s"_pos$tag") - col(s"_flo$tag").cast("double")) * col(s"_vhi$tag"))
-    val aggCols = folds(lo, "L") ++ folds(hi, "H")
+      .groupBy(col(groupCol), col("_v")).agg(count(lit(1)).as("_c"))
+    val ranked = counts
+      .withColumn("_cum", sum(col("_c")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("_v"))))
+      .withColumn("_n", sum(col("_c")).over(
+        Window.partitionBy(col(groupCol))))
+    val aggCols = RankLadder.cumFolds(lo, "L") ++ RankLadder.cumFolds(hi, "H")
     val bounds = ranked.groupBy(col(groupCol))
       .agg(aggCols.head, aggCols.tail: _*)
-      .select(col(groupCol), blend("L").as("_plo"), blend("H").as("_phi"))
+      .select(col(groupCol),
+        RankLadder.blend("L").as("_plo"), RankLadder.blend("H").as("_phi"))
     // left join: a group whose values are all NULL has no bounds row —
     // its rows clamp to NULL v_w, exactly as a NULL percentile would
     ev.join(broadcast(bounds), Seq(groupCol), "left")

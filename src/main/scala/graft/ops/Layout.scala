@@ -120,11 +120,19 @@ object Layout {
     require(targetBytes > 0, s"compact: need targetBytes > 0, got $targetBytes")
     // mode("overwrite") deletes outPath before the lazy read of inPath
     // completes — compacting in place would destroy the table, so the
-    // scaladoc's warning is enforced, not advisory
-    require(new org.apache.hadoop.fs.Path(inPath) != new org.apache.hadoop.fs.Path(outPath),
-      s"compact: outPath must differ from inPath (in-place compaction loses the table), got $inPath")
-    val fs = new org.apache.hadoop.fs.Path(inPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // scaladoc's warning is enforced, not advisory. Compare FULLY
+    // QUALIFIED paths: raw Path equality passes aliases like
+    // 'file:/data/t' vs '/data/t' or './t' vs its absolute form, and
+    // the overwrite would still delete the source.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inP = new org.apache.hadoop.fs.Path(inPath)
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val fs = inP.getFileSystem(conf)
+    val inQ = fs.makeQualified(inP)
+    val outQ = outP.getFileSystem(conf).makeQualified(outP)
+    require(inQ != outQ,
+      s"compact: outPath must differ from inPath (in-place compaction " +
+        s"loses the table), got $inQ vs $outQ")
     def parquetFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
       val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]

@@ -893,7 +893,7 @@ object Stats {
       .withColumn("_dist", abs(col("_st") - col("_sc")))
       .where(col("_dist") <= caliperMicro)
       .groupBy(col("treated_id"))
-      .agg(max(col("_st")).as("_stm"), max(col("_yt")).as("y_treated_micro"),
+      .agg(max(col("_yt")).as("y_treated_micro"),
         min(struct(col("_dist"), col("_cid"), col("_yc"))).as("_best"))
       .select(col("treated_id"), col("_best._cid").as("control_id"),
         col("_best._dist").as("dist_micro"),

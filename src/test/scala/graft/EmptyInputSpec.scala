@@ -262,6 +262,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.ops.Stats.nnMatchAtt(
       Seq.empty[(Long, Boolean, Long, Long)].toDF("id", "t", "s", "y"),
       "id", "t", "s", "y").count() == 0)
+    // STATICALLY-empty only: this LocalRelation lets the optimizer prove
+    // emptiness. A genuinely empty distributed scan (e.g. empty parquet)
+    // is a runtime fact and raises "no usable timestamps" instead —
+    // documented in the scaladoc, same behavior as the old require()
     assert(graft.ops.EventsOps.temporalSplit(noEvents).count() == 0)
     assert(graft.ops.EventsOps.winsorize(noEvents).count() == 0)
     assert(graft.ops.EventsOps.acfByKey(noEvents).count() == 0)

@@ -104,6 +104,16 @@ class LayoutSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("must differ"))
     assert(spark.read.parquet(in).count() == 1000L) // source untouched
+    // ALIASED in-place spellings must be refused too: raw Path equality
+    // passes 'file:/x' vs '/x' and relative vs absolute, and the
+    // overwrite would still delete the source (qualified-path guard)
+    for (alias <- Seq(s"file:$in", in + "/../" + new java.io.File(in).getName)) {
+      val ea = intercept[IllegalArgumentException] {
+        graft.ops.Layout.compact(spark, in, alias)
+      }
+      assert(ea.getMessage.contains("must differ"), s"alias not caught: $alias")
+    }
+    assert(spark.read.parquet(in).count() == 1000L) // still untouched
   }
 
   test("schema evolution: mergeSchema unions old and new file schemas") {
