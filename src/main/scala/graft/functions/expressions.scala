@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, DoubleType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, Decimal, DecimalType, DoubleType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static JVM entry points for codegen — generated code calls these
@@ -147,6 +148,102 @@ case class OutlierThresholdExpression(first: Expression, second: Expression, thi
   override def prettyName: String = "outlier_threshold"
 }
 
+/** `mw_z2(d, n1, n2, sum_ties)`: the tie-corrected Mann–Whitney
+  * normal-approximation statistic and its α=0.05 decision, exact —
+  * d = 2·U₁ − n₁n₂ (the doubled centered statistic, an integer by
+  * construction), with
+  *
+  *   z² = 3·d²·n·(n−1) / (n₁·n₂·(n³ − n − Σ(t³−t)))
+  *
+  * (σ² from Mann & Whitney 1947 with the standard tie correction).
+  * The interior needs ~n⁶ — past any fixed DECIMAL at corpus scale —
+  * so like [[OutlierThresholdExpression]] this is a native expression
+  * with an arbitrary-precision BigInt kernel, running on the ONE
+  * aggregated stats row. Returns struct(z2_ppm DECIMAL(38,0),
+  * significant_05 BOOLEAN): z2_ppm is the floored ppm statistic; the
+  * decision is the EXACT cross-multiplication
+  * 10⁶·3·d²·n(n−1) > 3841459·n₁n₂(n³−n−ΣT) (χ²₁ at 0.05, the
+  * [[graft.ops.Governance.mcnemar]] convention — a boundary tie is
+  * not significant). NULL when either group is empty or the variance
+  * is zero (all values tied). */
+case class MannWhitneyZ2Expression(
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("z2_ppm", DecimalType(38, 0)),
+    StructField("significant_05", BooleanType)))
+  override def nullable: Boolean = true
+  override def nullSafeEval(dAny: Any, n1Any: Any, n2Any: Any, tAny: Any): Any = {
+    def big(a: Any): BigInt = BigInt(a.asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger)
+    val d = big(dAny); val n1 = big(n1Any); val n2 = big(n2Any); val sumT = big(tAny)
+    if (n1 < 1 || n2 < 1) null
+    else {
+      val n = n1 + n2
+      val den = n1 * n2 * (n * n * n - n - sumT)
+      if (den <= 0) null
+      else {
+        val num = 3 * d * d * n * (n - 1)
+        val z2ppm = num * 1000000 / den
+        if (z2ppm.bitLength > 126)
+          throw new ArithmeticException(
+            "mw_z2: z2_ppm exceeds the DECIMAL(38,0) output domain")
+        new GenericInternalRow(Array[Any](
+          Decimal(scala.math.BigDecimal(z2ppm), 38, 0),
+          num * 1000000 > BigInt(3841459) * den))
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): MannWhitneyZ2Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "mw_z2"
+}
+
+/** `ari_ppm(s2, a2, b2, n)`: the Adjusted Rand Index between two
+  * partitions of the same n items, exact to the floored ppm —
+  * s2 = Σᵢⱼ nᵢⱼ(nᵢⱼ−1) over the contingency cells, a2/b2 the same
+  * over the two marginals. Hubert & Arabia's permutation-model form
+  * clears to the integer rational
+  *
+  *   ari_ppm = 10⁶·2·(s2·N2 − a2·b2) div ((a2+b2)·N2 − 2·a2·b2),
+  *   N2 = n(n−1)
+  *
+  * whose interior is ~n⁴ — past DECIMAL(38,0) beyond n ≈ 2.6·10⁷, so
+  * the products live in this BigInt kernel (same rationale as
+  * [[MannWhitneyZ2Expression]]). Floored division truncates toward
+  * MINUS infinity (BigInt / truncates toward zero — adjusted for
+  * negative numerators) so chance-level indexes stay consistent with
+  * the `div`-everywhere convention. NULL when the denominator is 0
+  * (both partitions trivial: all-singletons or one block — ARI
+  * undefined). */
+case class AdjustedRandExpression(
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def dataType: DataType = DecimalType(38, 0)
+  override def nullable: Boolean = true
+  override def nullSafeEval(s2Any: Any, a2Any: Any, b2Any: Any, nAny: Any): Any = {
+    def big(a: Any): BigInt = BigInt(a.asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger)
+    val s2 = big(s2Any); val a2 = big(a2Any); val b2 = big(b2Any); val n = big(nAny)
+    if (n < 2) null
+    else {
+      val n2 = n * (n - 1)
+      val den = (a2 + b2) * n2 - 2 * a2 * b2
+      if (den == 0) null
+      else {
+        val num = BigInt(2000000) * (s2 * n2 - a2 * b2)
+        // floor division (BigInt / truncates toward zero)
+        val q = if (num.signum * den.signum >= 0) num / den
+                else -((-num + den.abs - 1) / den.abs)
+        Decimal(scala.math.BigDecimal(q), 38, 0)
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): AdjustedRandExpression =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "ari_ppm"
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -159,6 +256,12 @@ object GraftFunctions {
   def nfc_clean(c: Column): Column = column(NfcCleanExpression(expression(c)))
   def outlier_threshold(n: Column, s: Column, q: Column): Column =
     column(OutlierThresholdExpression(expression(n), expression(s), expression(q)))
+  def mw_z2(d: Column, n1: Column, n2: Column, sumTies: Column): Column =
+    column(MannWhitneyZ2Expression(
+      expression(d), expression(n1), expression(n2), expression(sumTies)))
+  def ari_ppm(s2: Column, a2: Column, b2: Column, n: Column): Column =
+    column(AdjustedRandExpression(
+      expression(s2), expression(a2), expression(b2), expression(n)))
 
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "unaccent" -> (exprs => UnaccentExpression(exprs.head)),

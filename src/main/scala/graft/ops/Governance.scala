@@ -921,4 +921,55 @@ object Governance {
       .withColumn("meets_t", col("t_ppm") <= tPpm)
       .select(qi ++ Seq(col("n_rows"), col("t_ppm"), col("meets_t")): _*)
   }
+
+  /** ADJUSTED RAND INDEX between two partitions of the same rows
+    * (Hubert & Arabie 1985) — the chance-corrected agreement score
+    * between two labelings (a clustering vs a gold label, two labeler
+    * runs, this week's segments vs last week's): 10⁶ = identical
+    * partitions, ~0 = chance-level, negative = worse than chance.
+    * Complements [[cohenKappa]]/[[krippendorffAlpha]], which compare
+    * labelings by VALUE — ARI compares by co-membership STRUCTURE, so
+    * renaming every cluster leaves it unchanged.
+    *
+    * EXACT to the floored ppm: the corpus collapses to the
+    * (|A|·|B|)-bounded contingency table in ONE partial agg; pair
+    * counts clear to the integer rational
+    * 10⁶·2·(S₂N₂ − A₂B₂) / ((A₂+B₂)N₂ − 2A₂B₂) with
+    * X₂ = Σx(x−1), N₂ = n(n−1), evaluated by the `ari_ppm` native
+    * kernel (arbitrary-precision BigInt — the interior is ~n⁴, past
+    * DECIMAL(38,0) beyond n ≈ 2.6·10⁷; floor division toward −∞ so
+    * below-chance scores stay consistent with the `div` convention).
+    * NULL when undefined (both partitions trivial — all singletons or
+    * one block — and n < 2). Rows with a NULL label on either side
+    * are excluded (no co-membership evidence).
+    *
+    * Returns ONE row (n_rows, ari_ppm); zero-count row on empty
+    * input (the [[krippendorffAlpha]] scalar-fold convention). */
+  def adjustedRand(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val rows = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("_a"), col(bCol).cast("string").as("_b"))
+    val cells = rows.groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_c"))
+    val s2 = cells.agg(
+      coalesce(sum((col("_c").cast(d38) * (col("_c") - lit(1L))).cast(d38)), lit(0L).cast(d38))
+        .cast(d38).as("_s2"))
+    val a2 = cells.groupBy(col("_a")).agg(sum(col("_c")).as("_ca"))
+      .agg(
+        coalesce(sum((col("_ca").cast(d38) * (col("_ca") - lit(1L))).cast(d38)), lit(0L).cast(d38))
+          .cast(d38).as("_a2"),
+        coalesce(sum(col("_ca")), lit(0L)).as("_n"))
+    val b2 = cells.groupBy(col("_b")).agg(sum(col("_c")).as("_cb"))
+      .agg(
+        coalesce(sum((col("_cb").cast(d38) * (col("_cb") - lit(1L))).cast(d38)), lit(0L).cast(d38))
+          .cast(d38).as("_b2"))
+    s2.crossJoin(a2).crossJoin(b2) // three 1-row aggregates
+      .select(
+        col("_n").as("n_rows"),
+        graft.functions.GraftFunctions.ari_ppm(
+          col("_s2"), col("_a2"), col("_b2"), col("_n").cast(d38))
+          .cast("long").as("ari_ppm"))
+  }
 }

@@ -901,4 +901,86 @@ object Stats {
         (col("y_treated_micro") - col("_best._yc")).as("dy_micro"))
   }
 
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) two-sample test — the standard
+    * nonparametric A/B decision for a non-normal metric (latency, spend),
+    * tie-corrected, INTEGER-EXACT end to end. Mann & Whitney 1947;
+    * normal approximation with the standard tie correction
+    * σ² = (n₁n₂/12)·[(n+1) − Σ(t³−t)/(n(n−1))].
+    *
+    * Exactness without a sort of the corpus: values collapse to a
+    * DISTINCT-VALUE-bounded (value → per-group count) table (the
+    * [[graft.ops.RankLadder]] shape), the running count over that
+    * bounded table gives every tie block's midrank DOUBLED
+    * (2·midrank = 2·cum_before + t + 1 — an odd integer, so rank sums
+    * stay integral), and the final z² and its α = 0.05 decision come
+    * from the `mw_z2` native kernel (arbitrary-precision BigInt — the
+    * interior is ~n⁶, past any fixed DECIMAL) by the exact
+    * cross-multiplication against χ²₁ = 3.841459 (the
+    * [[Governance.mcnemar]] convention; a boundary tie is NOT
+    * significant). z2_ppm is the floored ppm statistic.
+    *
+    * Contract: EXACTLY two distinct non-null groups among rows with a
+    * non-null value — anything else raises in-plan (never a silent
+    * one-sided answer); `group_a` is the lexicographically smaller
+    * label. Empty input → empty output. Doubled statistics (`u_a_x2`,
+    * `u_b_x2`) keep everything integer: u_a_x2 + u_b_x2 = 2·n_a·n_b
+    * by construction.
+    *
+    * Returns ONE row (group_a, group_b, n_a, n_b, u_a_x2, u_b_x2,
+    * sum_ties, z2_ppm, significant_05). */
+  def mannWhitney(
+      df: DataFrame,
+      groupCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("_g"),
+        col(valueCol).cast("double").as("_v"))
+    val perVG = rows.groupBy(col("_v"), col("_g")).agg(count(lit(1)).as("_c"))
+    // 1-row group frame: smallest label = group_a; the distinct-group
+    // count rides along so the 2-group contract can raise in-plan
+    val gAgg = perVG.agg(min(col("_g")).as("_gaN"), max(col("_g")).as("_gbN"),
+      countDistinct(col("_g")).as("_ng"))
+    val byV = perVG.crossJoin(broadcast(gAgg))
+      .groupBy(col("_v"))
+      .agg(
+        sum(when(col("_g") === col("_gaN"), col("_c")).otherwise(0L)).as("_c1"),
+        sum(when(col("_g") =!= col("_gaN"), col("_c")).otherwise(0L)).as("_c2"),
+        max(col("_ng")).as("_ng"),
+        max(col("_gaN")).as("_ga"), max(col("_gbN")).as("_gb"))
+      .withColumn("_ct", col("_c1") + col("_c2"))
+    // the global window rides the distinct-value-bounded table only
+    val ranked = byV
+      .withColumn("_cum", sum(col("_ct")).over(Window.orderBy(col("_v"))))
+      .withColumn("_mr2",
+        (lit(2L) * col("_cum") - col("_ct") + lit(1L)).cast(DecimalType(38, 0)))
+    val d38 = DecimalType(38, 0)
+    val stats = ranked
+      // grouping on the (constant) group labels keeps empty-in → empty-out
+      .groupBy(col("_ga"), col("_gb"))
+      .agg(
+        max(col("_ng")).as("_ng"),
+        sum(col("_c1")).as("_n1"),
+        sum(col("_c2")).as("_n2"),
+        sum((col("_c1").cast(d38) * col("_mr2")).cast(d38)).cast(d38).as("_twoR1"),
+        sum((col("_ct").cast(d38) * col("_ct") * col("_ct") - col("_ct")).cast(d38))
+          .cast(d38).as("_sumT"))
+    val twoU1 = (col("_twoR1") - col("_n1").cast(d38) * (col("_n1") + lit(1L))).cast(d38)
+    val dStat = (twoU1 - col("_n1").cast(d38) * col("_n2")).cast(d38)
+    val kernel = graft.functions.GraftFunctions.mw_z2(
+      dStat, col("_n1").cast(d38), col("_n2").cast(d38), col("_sumT"))
+    stats
+      .select(
+        when(col("_ng") =!= 2, raise_error(concat(
+          lit("mannWhitney: need exactly 2 groups with non-null values, got "),
+          col("_ng").cast("string")))).otherwise(col("_ga")).as("group_a"),
+        col("_gb").as("group_b"),
+        col("_n1").as("n_a"), col("_n2").as("n_b"),
+        twoU1.cast("long").as("u_a_x2"),
+        (lit(2L).cast(d38) * col("_n1") * col("_n2") - twoU1).cast("long").as("u_b_x2"),
+        col("_sumT").cast("long").as("sum_ties"),
+        kernel.getField("z2_ppm").cast("long").as("z2_ppm"),
+        kernel.getField("significant_05").as("significant_05"))
+  }
+
 }

@@ -2213,6 +2213,25 @@ object PipelineQueries {
         .orderBy("treated_id")
     }),
 
+    // Mann–Whitney U between click and purchase event values —
+    // tie-corrected, integer-exact: ranks from the distinct-value-
+    // bounded count table (doubled midranks stay integral), z² and the
+    // α=0.05 decision from the BigInt mw_z2 kernel by exact
+    // cross-multiplication against χ²₁ (the mcnemar convention).
+    "p281_mann_whitney" -> ((s, dir) =>
+      graft.ops.Stats.mannWhitney(
+        Tables(s, dir, "events")
+          .where(col("event_type").isin("click", "purchase")),
+        "event_type", "value")),
+
+    // Adjusted Rand Index between the documents' lang and source
+    // partitions — co-membership agreement, chance-corrected, exact to
+    // the floored ppm via the BigInt ari_ppm kernel over the bounded
+    // contingency table.
+    "p282_adjusted_rand" -> ((s, dir) =>
+      graft.ops.Governance.adjustedRand(
+        Tables(s, dir, "documents"), "lang", "source")),
+
     // Krippendorff's α over 16-event blocks "rated" with their event
     // types — multi-rater agreement with missing data, exact to the
     // ppm via L-scaled coincidence weights (L = lcm(1..15)).
@@ -5522,6 +5541,52 @@ object PipelineQueries {
         "CAST(dist AS BIGINT) AS dist_micro, CAST(yt AS BIGINT) AS y_treated_micro, " +
         "CAST(yc AS BIGINT) AS y_control_micro, CAST(yt - yc AS BIGINT) AS dy_micro " +
         "FROM r WHERE rn = 1 ORDER BY treated_id"),
+    // identical doubled-midrank construction over the per-value count
+    // table; HUGEINT holds the ~n⁶ interior at sf0.01 (the engine side
+    // uses the BigInt kernel, exact at any scale); decision by the same
+    // exact cross-multiplication against 3841459
+    "p281_mann_whitney" -> (
+      "WITH r0 AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events " +
+        "WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL), " +
+        "byv AS (SELECT v, SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS c1, " +
+        "SUM(CASE WHEN g <> 'click' THEN 1 ELSE 0 END) AS c2 FROM r0 GROUP BY v), " +
+        "rk AS (SELECT c1, c2, c1 + c2 AS ct, SUM(c1 + c2) OVER (ORDER BY v) AS cum FROM byv), " +
+        "ag AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2, " +
+        "SUM(CAST(c1 AS HUGEINT) * (2 * cum - ct + 1)) AS twoR1, " +
+        "SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS sumT FROM rk), " +
+        "st AS (SELECT n1, n2, twoR1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS twoU1, sumT, " +
+        "n1 + n2 AS n FROM ag), " +
+        "zz AS (SELECT n1, n2, twoU1, sumT, " +
+        "twoU1 - CAST(n1 AS HUGEINT) * n2 AS d, " +
+        "CAST(n1 AS HUGEINT) * n2 * (CAST(n AS HUGEINT) * n * n - n - sumT) AS den, n FROM st) " +
+        "SELECT 'click' AS group_a, 'purchase' AS group_b, " +
+        "CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b, " +
+        "CAST(twoU1 AS BIGINT) AS u_a_x2, " +
+        "CAST(2 * CAST(n1 AS HUGEINT) * n2 - twoU1 AS BIGINT) AS u_b_x2, " +
+        "CAST(sumT AS BIGINT) AS sum_ties, " +
+        "CASE WHEN den <= 0 THEN NULL ELSE " +
+        "CAST(3 * d * d * CAST(n AS HUGEINT) * (n - 1) * 1000000 // den AS BIGINT) END AS z2_ppm, " +
+        "CASE WHEN den <= 0 THEN NULL ELSE " +
+        "3 * d * d * CAST(n AS HUGEINT) * (n - 1) * 1000000 > 3841459 * den END AS significant_05 " +
+        "FROM zz"),
+    // same pair-count rational in HUGEINT; floor division toward -inf
+    // reproduced by the re-signed // on the (possibly negative) numerator
+    "p282_adjusted_rand" -> (
+      "WITH r0 AS (SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b " +
+        "FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL), " +
+        "cells AS (SELECT a, b, COUNT(*) AS c FROM r0 GROUP BY a, b), " +
+        "s AS (SELECT COALESCE(SUM(CAST(c AS HUGEINT) * (c - 1)), 0) AS s2 FROM cells), " +
+        "am AS (SELECT COALESCE(SUM(CAST(ca AS HUGEINT) * (ca - 1)), 0) AS a2, " +
+        "COALESCE(SUM(ca), 0) AS n FROM (SELECT a, SUM(c) AS ca FROM cells GROUP BY a)), " +
+        "bm AS (SELECT COALESCE(SUM(CAST(cb AS HUGEINT) * (cb - 1)), 0) AS b2 FROM " +
+        "(SELECT b, SUM(c) AS cb FROM cells GROUP BY b)), " +
+        "z AS (SELECT n, s2, a2, b2, CAST(n AS HUGEINT) * (n - 1) AS n2 FROM s, am, bm), " +
+        "f AS (SELECT n, 2000000 * (s2 * n2 - a2 * b2) AS num, " +
+        "(a2 + b2) * n2 - 2 * a2 * b2 AS den FROM z) " +
+        "SELECT CAST(n AS BIGINT) AS n_rows, " +
+        "CASE WHEN n < 2 OR den = 0 THEN NULL " +
+        "WHEN num >= 0 THEN CAST(num // den AS BIGINT) " +
+        "ELSE CAST(-((-num + den - 1) // den) AS BIGINT) END AS ari_ppm FROM f"),
     // identical L-scaled coincidence arithmetic in HUGEINT; the only
     // division is the final re-signed // (floor == truncate on the
     // re-signed non-negative operands)

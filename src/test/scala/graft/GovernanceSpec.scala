@@ -384,4 +384,29 @@ class GovernanceSpec extends AnyFunSuite {
     // D holds only x vs global 50/50 → t = ½(|1−½|+|0−½|) = ½ → 500000
     assert(o2.toSeq == Seq(("D", 500000L), ("E", 500000L)))
   }
+
+  test("adjustedRand: sklearn-checked value, identity = 1e6, trivial-vs-any = 0, undefined = NULL") {
+    import spark.implicits._
+    def ari(pairs: Seq[(String, String)]): (Long, Option[Long]) = {
+      val r = graft.ops.Governance.adjustedRand(pairs.toDF("a", "b"), "a", "b").collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    }
+    // sklearn.metrics.adjusted_rand_score([0,0,1,1],[0,0,1,2]) = 0.5714…
+    assert(ari(Seq(("0", "0"), ("0", "0"), ("1", "1"), ("1", "2"))) ==
+      ((4L, Some(571428L))))
+    // identical partitions → exactly 1e6; label names don't matter
+    assert(ari(Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"), ("z", "r"))) ==
+      ((5L, Some(1000000L))))
+    // one-block partition vs anything → 0 (chance level, the known result)
+    assert(ari(Seq(("k", "x"), ("k", "x"), ("k", "y"), ("k", "y"), ("k", "z"))) ==
+      ((5L, Some(0L))))
+    // both partitions all-singletons → denominator 0 → NULL (undefined)
+    assert(ari(Seq(("1", "a"), ("2", "b"), ("3", "c"))) == ((3L, None)))
+    // below-chance case floors toward -inf (negative ppm, never toward 0):
+    // A splits {1,2}{3,4}, B splits {1,3}{2,4} → ARI = -0.5
+    assert(ari(Seq(("p", "m"), ("p", "n"), ("q", "m"), ("q", "n"))) ==
+      ((4L, Some(-500000L))))
+    // empty input: zero-count row, NULL index (krippendorff convention)
+    assert(ari(Seq.empty) == ((0L, None)))
+  }
 }

@@ -328,4 +328,45 @@ class StatsSpec extends AnyFunSuite {
     // ATT over the table: (700 + 50 + 800 + 300) / 4
     assert(out.map(_._4).sum / out.length == 462L)
   }
+
+  test("mannWhitney: scipy-checked tie-corrected z², exact doubled statistics") {
+    import spark.implicits._
+    // a = [1,2,3,4], b = [3,5,6,7,8]: ranks 1,2,3.5,5 | 3.5,6,7,8,9
+    // R1 = 11.5, U1 = 1.5, ties: one block of 2 (ΣT = 6)
+    // scipy.stats.mannwhitneyu: z = -2.0909…, z² = 4.37143
+    val rows = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++
+      Seq(3.0, 5.0, 6.0, 7.0, 8.0).map(("b", _))).toDF("g", "v")
+    val r = Stats.mannWhitney(rows, "g", "v").collect()(0)
+    assert((r.getString(0), r.getString(1)) == (("a", "b")))
+    assert((r.getLong(2), r.getLong(3)) == ((4L, 5L)))         // n_a, n_b
+    assert((r.getLong(4), r.getLong(5)) == ((3L, 37L)))        // 2·U: 2·1.5, 2·18.5
+    assert(r.getLong(6) == 6L)                                 // Σ(t³−t)
+    assert(r.getLong(7) == 4371428L)                           // ⌊z²·1e6⌋
+    assert(r.getBoolean(8))                                    // 4.37 > 3.84
+    // u_a_x2 + u_b_x2 = 2·n_a·n_b invariant
+    assert(r.getLong(4) + r.getLong(5) == 2L * r.getLong(2) * r.getLong(3))
+  }
+
+  test("mannWhitney: identical distributions are not significant; all-tied is NULL variance") {
+    import spark.implicits._
+    val same = (Seq.fill(10)(("a", 5.0)) ++ Seq.fill(10)(("b", 5.0)) ++
+      Seq(("a", 1.0), ("b", 1.0), ("a", 9.0), ("b", 9.0))).toDF("g", "v")
+    val r = Stats.mannWhitney(same, "g", "v").collect()(0)
+    assert(r.getLong(4) == r.getLong(5))   // perfectly balanced → U_a = U_b
+    assert(r.getLong(7) == 0L && !r.getBoolean(8))
+    // every value identical → zero variance → NULL statistic, NULL decision
+    val tied = (Seq.fill(5)(("a", 2.0)) ++ Seq.fill(5)(("b", 2.0))).toDF("g", "v")
+    val t = Stats.mannWhitney(tied, "g", "v").collect()(0)
+    assert(t.isNullAt(7) && t.isNullAt(8))
+  }
+
+  test("mannWhitney: exactly-2-groups contract raises; empty input is empty") {
+    import spark.implicits._
+    val three = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("g", "v")
+    val e = intercept[Exception] { Stats.mannWhitney(three, "g", "v").collect() }
+    assert(e.toString.contains("exactly 2 groups") ||
+      Option(e.getCause).exists(_.toString.contains("exactly 2 groups")))
+    val empty = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(Stats.mannWhitney(empty, "g", "v").count() == 0)
+  }
 }
