@@ -508,4 +508,17 @@ class PlanSpec extends AnyFunSuite {
     assert(pw.contains("BroadcastHashJoin"), pw)
     assert(!pw.contains("SortMergeJoin"), pw)
   }
+
+  test("p281/p282: column-pruned scans, no corpus-sized join") {
+    // mannWhitney reads only (event_type, value); the sole joins are the
+    // 1-row group-frame broadcasts — never a corpus sort-merge join
+    val pm = plan("p281_mann_whitney")
+    assert(pm.contains("ReadSchema: struct<event_type:string,value:double>"), pm)
+    assert(!pm.contains("SortMergeJoin"), pm)
+    // adjustedRand reads only the two label columns; everything after
+    // the contingency partial agg is 1-row cross joins
+    val pa = plan("p282_adjusted_rand")
+    assert(pa.contains("ReadSchema: struct<lang:string,source:string>"), pa)
+    assert(!pa.contains("SortMergeJoin"), pa)
+  }
 }
