@@ -282,6 +282,14 @@ object ScaledOps {
       time("krippendorff") { sink(graft.ops.Governance.krippendorffAlpha(
         ev.select(expr("event_id div 16").as("unit"), col("event_type")),
         "unit", "event_type")) },
+      // round-11 additions at scale: both collapse the corpus to a
+      // bounded table in one partial agg (distinct values / contingency
+      // cells) before any window or kernel runs
+      time("mann_whitney") { sink(graft.ops.Stats.mannWhitney(
+        ev.where(col("event_type").isin("click", "purchase")),
+        "event_type", "value")) },
+      time("adjusted_rand") { sink(graft.ops.Governance.adjustedRand(
+        docs, "lang", "source")) },
       // per-user O(g²) under constant group size — the scaled tier
       // checks the pair stage stays linear in #users
       time("theil_sen") { sink(graft.ops.EventsOps.theilSenTrend(ev)) },
