@@ -270,4 +270,21 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.ops.EventsOps.winsorize(noEvents).count() == 0)
     assert(graft.ops.EventsOps.acfByKey(noEvents).count() == 0)
   }
+
+  test("round-11 additions on empty input") {
+    // mannWhitney: group-keyed final aggregate → empty, not a raise
+    assert(graft.ops.Stats.mannWhitney(
+      Seq.empty[(String, Double)].toDF("g", "v"), "g", "v").count() == 0)
+    // adjustedRand: scalar-fold → one zero-count row, NULL index
+    val ar = graft.ops.Governance.adjustedRand(
+      Seq.empty[(String, String)].toDF("a", "b"), "a", "b").collect().head
+    assert(ar.getLong(0) == 0L && ar.isNullAt(1))
+    // the relative stop-gram ceiling path on an empty corpus: the 1-row
+    // doc-count broadcast is 0, the ceiling resolves, output is empty
+    assert(graft.ops.Dedup.containmentPairs(noDocs,
+      dfCeilingFraction = Some(0.5)).count() == 0)
+    // valueOutliers' in-plan threshold on empty input: no stats rows,
+    // no raise, empty output (the old driver collect returned early)
+    assert(graft.ops.EventsOps.valueOutliers(noEvents).count() == 0)
+  }
 }
