@@ -492,7 +492,7 @@ object ScaleStudy {
     // instead of only the sf0.1 collocation graph's single size point.
     // Node counts scale ×1/×4/×20 at constant avg degree, so edge
     // volume scales linearly while the hub degree scales with it.
-    if (on("graph")) for (k <- Seq(1, 4, 20)) {
+    if (on("graph")) for (k <- Seq(1, 4, 20, 50)) {
       val path = ScaleData.materializeGraph(spark, 50000L, 8, k, cpus.toInt)
       val edges = spark.read.parquet(path)
       val nE = edges.count()
