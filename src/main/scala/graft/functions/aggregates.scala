@@ -517,3 +517,161 @@ case class BloomFilterAgg(
     copy(child = newChildren.head)
   override def prettyName: String = "bloom_build"
 }
+
+/** Bradley–Terry preference strengths as a native Catalyst aggregate —
+  * the bounded-kernel shape for an iterative fixed point over an
+  * item-bounded model: each partition folds its (winner, loser) rows
+  * into a ≤ items² win-count map (map-side combine — the corpus never
+  * shuffles), partials merge by addition, and [[eval]] runs the Hunter
+  * (2004) MM recursion `iterations` rounds in exact BigInt integer
+  * arithmetic (floored divisions, mean-10⁶ renormalization per round —
+  * bit-identical to the unrolled-SQL replay the p291 oracle runs).
+  *
+  * Compare the unrolled-DataFrame formulation this replaced: 12 rounds
+  * × ~5 exchanges of pure stage overhead on a 5-item table cost 14 s;
+  * the kernel is ONE exchange of ≤ items² counters. The `maxItems`
+  * contract raises LOUDLY from update/merge the moment the counter map
+  * exceeds maxItems² keys (memory bound) and from eval on the exact
+  * distinct-item count — the items² working set is the declared
+  * contract, not a hope. */
+case class BradleyTerryAgg(
+    winner: Expression,
+    loser: Expression,
+    iterations: Int,
+    maxItems: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[(String, String), Long]] {
+  require(iterations >= 1 && iterations <= 50,
+    "bradley_terry: iterations must be in [1, 50]")
+  require(maxItems >= 2 && maxItems <= 10000,
+    "bradley_terry: maxItems must be in [2, 10000]")
+
+  override def children: Seq[Expression] = Seq(winner, loser)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("wins", LongType, nullable = false),
+    StructField("comparisons", LongType, nullable = false),
+    StructField("strength_micro", LongType, nullable = false))),
+    containsNull = false)
+
+  private def boundCheck(buf: mutable.HashMap[(String, String), Long]): Unit =
+    if (buf.size > maxItems.toLong * maxItems)
+      throw new IllegalStateException(
+        s"bradleyTerry: more than $maxItems items — raise maxItems only " +
+          "with the items^2 working set in mind")
+
+  override def createAggregationBuffer(): mutable.HashMap[(String, String), Long] =
+    mutable.HashMap.empty
+
+  override def update(
+      buf: mutable.HashMap[(String, String), Long],
+      input: InternalRow): mutable.HashMap[(String, String), Long] = {
+    val w = winner.eval(input)
+    val l = loser.eval(input)
+    if (w != null && l != null) {
+      val key = (w.asInstanceOf[UTF8String].toString,
+        l.asInstanceOf[UTF8String].toString)
+      if (key._1 != key._2) {
+        buf.update(key, buf.getOrElse(key, 0L) + 1L)
+        boundCheck(buf)
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.HashMap[(String, String), Long],
+      other: mutable.HashMap[(String, String), Long])
+      : mutable.HashMap[(String, String), Long] = {
+    other.foreach { case (k, c) => buf.update(k, buf.getOrElse(k, 0L) + c) }
+    boundCheck(buf)
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[(String, String), Long]): Any = {
+    if (buf.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val items = (buf.keysIterator.map(_._1) ++ buf.keysIterator.map(_._2))
+      .toSeq.distinct.sorted
+    if (items.size > maxItems)
+      throw new IllegalStateException(
+        s"bradleyTerry: more than $maxItems items (${items.size}) — raise " +
+          "maxItems only with the items^2 working set in mind")
+    def w(i: String, j: String): Long = buf.getOrElse((i, j), 0L)
+    // symmetric neighbor sets off the observed keys only
+    val nbrs: Map[String, Seq[String]] = {
+      val m = mutable.HashMap.empty[String, mutable.TreeSet[String]]
+      buf.keysIterator.foreach { case (i, j) =>
+        m.getOrElseUpdate(i, mutable.TreeSet.empty) += j
+        m.getOrElseUpdate(j, mutable.TreeSet.empty) += i
+      }
+      m.view.mapValues(_.toSeq).toMap
+    }
+    val bigW = items.map(i => i -> nbrs(i).map(j => w(i, j)).sum).toMap
+    val ncmp = items.map(i => i -> nbrs(i).map(j => w(i, j) + w(j, i)).sum).toMap
+    val scale = BigInt("1000000000000")
+    val m = BigInt(items.size) * 1000000
+    var pi = items.map(_ -> BigInt(1000000)).toMap
+    var k = 0
+    while (k < iterations) {
+      val d = items.map { i =>
+        i -> nbrs(i).map { j =>
+          BigInt(w(i, j) + w(j, i)) * scale / (pi(i) + pi(j)).max(BigInt(1))
+        }.sum
+      }.toMap
+      val praw = items.map { i =>
+        i -> BigInt(bigW(i)) * scale / d(i).max(BigInt(1))
+      }.toMap
+      val s = praw.values.sum.max(BigInt(1))
+      pi = items.map(i => i -> praw(i) * m / s).toMap
+      k += 1
+    }
+    val rows = items
+      .map(i => (i, bigW(i), ncmp(i), pi(i).toLong))
+      .sortBy { case (i, _, _, p) => (-p, i) }
+      .map { case (i, wn, nc, p) =>
+        InternalRow(UTF8String.fromString(i), wn, nc, p)
+      }
+    new GenericArrayData(rows.toArray[Any])
+  }
+
+  override def serialize(
+      buf: mutable.HashMap[(String, String), Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case ((i, j), c) =>
+      val ib = i.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val jb = j.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(ib.length); out.write(ib)
+      out.writeInt(jb.length); out.write(jb)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(
+      bytes: Array[Byte]): mutable.HashMap[(String, String), Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[(String, String), Long]
+    (1 to n).foreach { _ =>
+      val ib = new Array[Byte](in.readInt()); in.readFully(ib)
+      val jb = new Array[Byte](in.readInt()); in.readFully(jb)
+      buf.update((new String(ib, java.nio.charset.StandardCharsets.UTF_8),
+        new String(jb, java.nio.charset.StandardCharsets.UTF_8)), in.readLong())
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BradleyTerryAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BradleyTerryAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(winner = newChildren(0), loser = newChildren(1))
+  override def prettyName: String = "bradley_terry"
+}

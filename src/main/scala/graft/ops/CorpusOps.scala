@@ -2204,4 +2204,163 @@ object CorpusOps {
         (row_number().over(inTier).cast("long") - 1L) * nBuckets + col("tier"))
       .select(col(idCol), col("n_tokens"), col("tier"), col("curriculum_pos"))
   }
+
+  /** JENSEN–SHANNON DIVERGENCE between the unigram distributions of two
+    * corpus slices — the symmetric, always-finite "how different are
+    * these two sources really" number (Lin 1991): JS(P,Q) =
+    * ½KL(P‖M) + ½KL(Q‖M) with M the even mixture. Unlike KL it never
+    * blows up on a token one side lacks (the mixture is nonzero
+    * wherever either side is), and it is bounded by ln 2 — directly
+    * comparable across source pairs. The pre-training read: a mixture
+    * weight decision ([[mixSources]]) or a drift alarm between two
+    * crawl snapshots starts from exactly this number; PSI/KS
+    * ([[graft.ops.Governance]]) watch one numeric column, this watches
+    * the whole vocabulary.
+    *
+    * Float policy ([[graft.ops.Governance.mutualInformation]]'s): token
+    * counts and totals exact; each token's two pointwise terms put the
+    * INTEGER cross-ratio `2·cā·n_b / (c_a·n_b + c_b·n_a)` inside one
+    * `ln` (operands cast to double in fixed order), weight `c/n` as an
+    * exact rational, round-6 per term; side sums add the ROUNDED terms
+    * and `js_nats` is round-6 of their half-sum. A token absent from a
+    * side contributes zero to that side (lim x·ln x = 0).
+    *
+    * Shape: one (token, side) conditional partial agg — the only
+    * corpus-sized stage — then windows and the final fold ride the
+    * vocabulary-bounded count table. Both slices must hold ≥ 1 token:
+    * one-sided input raises in-plan (a silent 0 or NaN would read as
+    * "identical"/"broken"). Empty input → empty output.
+    *
+    * Returns ONE row (group_a, group_b, tokens_a, tokens_b, vocab_size,
+    * js_nats). */
+  def jsDivergence(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    require(groupA != groupB, "jsDivergence: need two distinct slices")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .where(col(groupCol).isin(groupA, groupB) && col(textCol).isNotNull)
+      .select(col(groupCol).cast("string").as("_g"),
+        explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .where(col("_t") =!= "")
+    val cells = toks.groupBy(col("_t"))
+      .agg(sum(when(col("_g") === groupA, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_g") === groupB, 1L).otherwise(0L)).as("_cb"))
+    val wAll = Window.partitionBy()
+    val terms = cells
+      .withColumn("_na", sum(col("_ca")).over(wAll))
+      .withColumn("_nb", sum(col("_cb")).over(wAll))
+      .selectExpr("_na", "_nb",
+        "CASE WHEN _ca = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+          "round((CAST(_ca AS DOUBLE) / _na) * ln(2.0d * _ca * _nb / " +
+          "(CAST(_ca AS DOUBLE) * _nb + CAST(_cb AS DOUBLE) * _na)), 6) + 0.0 " +
+          "END AS _ta",
+        "CASE WHEN _cb = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+          "round((CAST(_cb AS DOUBLE) / _nb) * ln(2.0d * _cb * _na / " +
+          "(CAST(_ca AS DOUBLE) * _nb + CAST(_cb AS DOUBLE) * _na)), 6) + 0.0 " +
+          "END AS _tb")
+    terms
+      .groupBy(lit(groupA).as("group_a"), lit(groupB).as("group_b"))
+      .agg(max(col("_na")).as("_na"), max(col("_nb")).as("_nb"),
+        count(lit(1)).as("vocab_size"),
+        (round(sum(col("_ta")), 6) + lit(0.0d)).as("_sa"),
+        (round(sum(col("_tb")), 6) + lit(0.0d)).as("_sb"))
+      .select(col("group_a"), col("group_b"),
+        when(col("_na") === 0L || col("_nb") === 0L,
+          raise_error(lit("jsDivergence: both slices need at least one " +
+            "token"))).otherwise(col("_na")).as("tokens_a"),
+        col("_nb").as("tokens_b"), col("vocab_size"),
+        (round((col("_sa") + col("_sb")) / lit(2.0d), 6) + lit(0.0d))
+          .as("js_nats"))
+  }
+
+  /** ZIPF SLOPE — the discrete power-law exponent of the token
+    * frequency distribution by maximum likelihood:
+    * α̂ = 1 + n · [Σ ln(f_i / (xmin − ½))]⁻¹ over the n types with
+    * frequency ≥ xmin (Clauset, Shalizi & Newman 2009, eq. 3.7 — the
+    * continuous-MLE discrete approximation, accurate for xmin ≥ ~5),
+    * with the large-n standard error (α̂ − 1)/√n (eq. 3.2). Natural
+    * language sits near α ≈ 2 (Zipf's law: rank-frequency slope ≈ 1);
+    * a corpus that drifts far off is telling you something — α ≫ 2 is
+    * repetitive/templated text (mass concentrated in few types),
+    * α ≈ 1.6–1.8 is heavy boilerplate-free prose. The same number also
+    * prices the vocabulary tail ([[vocabTailMass]] measures it at one
+    * k; α extrapolates it).
+    *
+    * Float policy: frequencies exact; each type contributes one
+    * round-6 `ln(f / (xmin − 0.5))` (f integer, the literal half-offset
+    * the only non-integer operand), the sum adds ROUNDED terms,
+    * `alpha` is round-6 of `1 + n/sum` off the round-6 sum, and
+    * `alpha_se` is round-6 of `(alpha − 1)/√n` off the ROUNDED alpha —
+    * every downstream number derives from an already-pinned one.
+    *
+    * Shape: one token partial-agg count (the only corpus-sized stage);
+    * the MLE folds over the vocabulary-bounded frequency table. No type
+    * reaches xmin (or empty input) → EMPTY output — a fit on zero tail
+    * types has no estimator, and an absent row is honest where a NULL
+    * α would read as "computed, undefined".
+    *
+    * Returns ONE row (xmin, n_types, alpha, alpha_se). */
+  def zipfSlope(
+      df: DataFrame,
+      textCol: String = "text",
+      xmin: Long = 5L): DataFrame = {
+    require(xmin >= 1L, s"zipfSlope: xmin must be >= 1, got $xmin")
+    val freq = df
+      .where(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .where(col("_t") =!= "")
+      .groupBy(col("_t")).agg(count(lit(1)).as("_f"))
+      .where(col("_f") >= xmin)
+    freq
+      .groupBy(lit(xmin).as("xmin"))
+      .agg(count(lit(1)).as("n_types"),
+        (round(sum(round(log(col("_f").cast("double") / lit(xmin - 0.5d)), 6)
+          + lit(0.0d)), 6) + lit(0.0d)).as("_s"))
+      .withColumn("alpha",
+        round(lit(1.0d) + col("n_types").cast("double") / col("_s"), 6)
+          + lit(0.0d))
+      .select(col("xmin"), col("n_types"), col("alpha"),
+        (round((col("alpha") - lit(1.0d)) /
+          sqrt(col("n_types").cast("double")), 6) + lit(0.0d)).as("alpha_se"))
+  }
+
+  /** UNSEEN-VOCABULARY estimate — how much vocabulary has this corpus
+    * NOT seen yet? Two classical estimators off the singleton/doubleton
+    * counts, INTEGER-EXACT: Good–Turing sample coverage
+    * C = 1 − f₁/N (Gale & Sampson 1995 — the unseen-probability mass
+    * is the singleton share) and the bias-corrected Chao1 richness
+    * floor V + f₁(f₁−1)/(2(f₂+1)) (Chao 1984; the +1 form is defined
+    * at f₂ = 0 and is the EstimateS default). The curation read:
+    * coverage says whether another crawl of the same source can still
+    * pay ([[vocabGrowth]] draws the curve, this prices its asymptote),
+    * and Chao1 minus V is the expected novel-type yield.
+    *
+    * Both estimates are floored micro/ppm integral divisions of exact
+    * counts — no floats anywhere. Shape: one token partial-agg count
+    * (the only corpus-sized stage), then one fold over the
+    * vocabulary-bounded frequency table. Empty corpus → empty output.
+    *
+    * Returns ONE row (n_tokens, v_types, f1_singletons, f2_doubletons,
+    * chao1_est_micro, coverage_ppm). */
+  def vocabUnseen(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val freq = df
+      .where(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .where(col("_t") =!= "")
+      .groupBy(col("_t")).agg(count(lit(1)).as("_f"))
+    freq
+      .groupBy(lit(1).as("_one"))
+      .agg(sum(col("_f")).as("n_tokens"),
+        count(lit(1)).as("v_types"),
+        sum(when(col("_f") === 1L, 1L).otherwise(0L)).as("f1_singletons"),
+        sum(when(col("_f") === 2L, 1L).otherwise(0L)).as("f2_doubletons"))
+      .selectExpr("n_tokens", "v_types", "f1_singletons", "f2_doubletons",
+        "v_types * 1000000 + f1_singletons * (f1_singletons - 1) * 1000000 " +
+          "div (2 * (f2_doubletons + 1)) AS chao1_est_micro",
+        "1000000 - f1_singletons * 1000000 div n_tokens AS coverage_ppm")
+  }
 }

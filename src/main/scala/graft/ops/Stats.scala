@@ -983,4 +983,454 @@ object Stats {
         kernel.getField("significant_05").as("significant_05"))
   }
 
+  /** BENJAMINI–HOCHBERG step-up FDR control — the standard guard when a
+    * pipeline fires MANY hypothesis tests at once (per-segment A/B
+    * reads, per-feature drift screens, per-source quality deltas):
+    * naive per-test α=0.05 at m tests expects m/20 false alarms;
+    * BH bounds the FALSE DISCOVERY RATE at α instead (Benjamini &
+    * Hochberg 1995, JRSS-B). Step-up rule: sort p ascending, find the
+    * LARGEST rank k with p_(k) ≤ k·α/m, reject ranks 1..k (everything
+    * below the largest passing rank is rejected even if its own
+    * comparison fails — that is what "step-up" means and what a naive
+    * per-row filter gets wrong). Also reports the BH q-value
+    * q_(i) = min_{j≥i} p_(j)·m/j — the smallest FDR at which test i
+    * would still be rejected — as the suffix-min over the ranked table.
+    *
+    * INTEGER-EXACT: p-values arrive in micro units (the engine's own
+    * test ops emit integer statistics; callers mapping a double p
+    * pin the rounding), every BH comparison is the cross-multiplied
+    * `p_micro·m ≤ rank·alphaMicro` (no division), and q_micro is the
+    * floored `p_micro·m div rank` suffix-min capped at 1e6. Products
+    * stay in BIGINT for m up to ~9·10¹² tests.
+    *
+    * Scale shape: this op runs on the HYPOTHESIS table — one row per
+    * test, emitted by corpus-sized upstream aggregates ([[mannWhitney]],
+    * [[graft.ops.EventsOps.abTest]], [[graft.ops.Governance.mcnemar]]) —
+    * so the windows ride a #tests-bounded table and the corpus never
+    * enters. A null or out-of-range p raises in-plan (silently dropping
+    * a test changes m and every threshold). Empty input → empty output.
+    *
+    * Returns (test_id, p_micro, rank, m_tests, q_micro, reject)
+    * ordered by (rank). */
+  def bhFdr(
+      df: DataFrame,
+      testCol: String = "test_id",
+      pMicroCol: String = "p_micro",
+      alphaMicro: Long = 50000L): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro <= 1000000L,
+      s"bhFdr: alphaMicro must be in (0, 1e6], got $alphaMicro")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(
+      col(testCol).cast("string").as("test_id"),
+      when(col(pMicroCol).isNull ||
+          col(pMicroCol) < 0L || col(pMicroCol) > 1000000L,
+        raise_error(concat(lit("bhFdr: p_micro out of [0, 1e6] for test "),
+          col(testCol).cast("string"))))
+        .otherwise(col(pMicroCol).cast("long")).as("p_micro"))
+    val wAll = Window.partitionBy()
+    val wRank = Window.orderBy(col("p_micro"), col("test_id"))
+    // suffix min over ranks >= current: running min in DESCENDING rank order
+    val wSuffix = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = rows
+      .withColumn("m_tests", count(lit(1)).over(wAll))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("_qraw",
+        least(expr("p_micro * m_tests div rank"), lit(1000000L)))
+    ranked
+      .withColumn("q_micro", min(col("_qraw")).over(wSuffix))
+      .withColumn("_k", max(when(
+        col("p_micro") * col("m_tests") <= col("rank") * lit(alphaMicro),
+        col("rank"))).over(wAll))
+      .select(col("test_id"), col("p_micro"), col("rank"), col("m_tests"),
+        col("q_micro"),
+        (col("_k").isNotNull && col("rank") <= col("_k")).as("reject"))
+      .orderBy("rank")
+  }
+
+  /** POISSON BOOTSTRAP confidence interval for a mean — THE bootstrap
+    * that exists at 100 TB (Chamandy, Muralidharan, Najmi & Naidu 2012,
+    * "Estimating Uncertainty for Massive Data Streams", Google):
+    * classical resampling needs n draws WITH replacement per replicate —
+    * a global shuffle per replicate — but for large n the per-row
+    * resample count converges to independent Poisson(1), so every row
+    * can draw its B replicate weights locally and the whole procedure
+    * is ONE map + ONE B-bounded aggregate. Percentile CI off the ranked
+    * replicate means.
+    *
+    * DETERMINISTIC AND ENGINE-PORTABLE, no RNG: row r's weight in
+    * replicate b inverts the pinned cumulative-Poisson(1) table
+    * (floor-micro literals 367879, 735758, 919698, 981011, 996340,
+    * 999405, 999916, 999989, 999998; the ≥ 999998 tail collapses to 9)
+    * at u = portable-md5(id:b) mod 1e6 — exact draws from the
+    * 1e-6-quantized Poisson CDF, identical on every engine and every
+    * rerun ([[graft.ops.Governance.partitionBalance]]'s hash). Values
+    * enter as floor-micro integers; replicate means are re-signed
+    * integral divisions; Σw·v rides DECIMAL(38,0) (9·|v|·n headroom).
+    * CI ranks are exact ceil picks: lo = ⌈B_eff·(1−conf)/2⌉,
+    * hi = ⌈B_eff·(1+conf)/2⌉ over the means ranked (mean, replicate) —
+    * the [[graft.ops.EventsOps.slaPercentiles]] convention.
+    *
+    * A replicate whose weights all landed 0 (P ≈ e⁻ⁿ — only reachable
+    * on toy fixtures) is dropped and `n_replicates` reports the
+    * survivors. Null values are excluded up front. Empty input → empty
+    * output.
+    *
+    * Returns ONE row (n_rows, n_replicates, mean_micro, ci_lo_micro,
+    * ci_hi_micro). */
+  def poissonBootstrap(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      replicates: Int = 200,
+      confMicro: Long = 950000L): DataFrame = {
+    require(replicates >= 10 && replicates <= 10000,
+      s"poissonBootstrap: replicates must be in [10, 10000], got $replicates")
+    require(confMicro > 0L && confMicro < 1000000L,
+      s"poissonBootstrap: confMicro must be in (0, 1e6), got $confMicro")
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("_id"),
+        floor(col(valueCol).cast("double") * lit(1000000.0d))
+          .cast("long").as("_v"))
+    // 1-row total: the point estimate never re-scans via the replicates
+    val tot = base.agg(count(lit(1)).as("n_rows"),
+      sum(col("_v").cast(d38)).cast(d38).as("_sv"))
+    val rep = base
+      .select(col("_id"), col("_v"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("_b"))
+      .withColumn("_u", expr("CAST(conv(substring(md5(concat(_id, ':', " +
+        "CAST(_b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000"))
+      .withColumn("_w",
+        when(col("_u") < 367879L, 0L).when(col("_u") < 735758L, 1L)
+          .when(col("_u") < 919698L, 2L).when(col("_u") < 981011L, 3L)
+          .when(col("_u") < 996340L, 4L).when(col("_u") < 999405L, 5L)
+          .when(col("_u") < 999916L, 6L).when(col("_u") < 999989L, 7L)
+          .when(col("_u") < 999998L, 8L).otherwise(9L))
+    val means = rep.groupBy(col("_b"))
+      .agg(sum(col("_w")).as("_sw"),
+        sum((col("_w").cast(d38) * col("_v")).cast(d38)).cast(d38).as("_swv"))
+      .where(col("_sw") > 0L)
+      .select(col("_b"), expr("CAST(CASE WHEN _swv >= 0 THEN _swv div _sw " +
+        "ELSE -((-_swv) div _sw) END AS BIGINT)").as("_m"))
+    val ranked = means
+      .withColumn("_rank",
+        row_number().over(Window.orderBy(col("_m"), col("_b"))).cast("long"))
+      .withColumn("_beff", count(lit(1)).over(Window.partitionBy()))
+    val loRank = greatest(lit(1L),
+      expr(s"(_beff * ${1000000L - confMicro} + 1999999) div 2000000"))
+    val hiRank = least(col("_beff"),
+      expr(s"(_beff * ${1000000L + confMicro} + 1999999) div 2000000"))
+    ranked
+      .groupBy(lit(1).as("_one"))
+      .agg(max(col("_beff")).as("n_replicates"),
+        min(when(col("_rank") === loRank, col("_m"))).as("ci_lo_micro"),
+        min(when(col("_rank") === hiRank, col("_m"))).as("ci_hi_micro"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_rows"), col("n_replicates"),
+        expr("CAST(CASE WHEN _sv >= 0 THEN _sv div n_rows " +
+          "ELSE -((-_sv) div n_rows) END AS BIGINT)").as("mean_micro"),
+        col("ci_lo_micro"), col("ci_hi_micro"))
+  }
+
+  /** KAPLAN–MEIER survival estimator WITH right-censoring — the
+    * estimator [[graft.ops.EventsOps.survivalTable]] deliberately is
+    * not: that curve assumes every lifetime is fully observed, which a
+    * live product never grants (users active at the observation cutoff
+    * have not churned YET — counting them as dead biases every
+    * retention number down). KM (Kaplan & Meier 1958) handles it by
+    * product-limit: at each distinct duration t with d deaths among n
+    * still at risk, survival multiplies by (n−d)/n; censored subjects
+    * leave the risk set without contributing a death.
+    *
+    * Float policy (the [[graft.ops.CorpusOps.jsDivergence]] ln
+    * contract): each death time contributes one round-6
+    * `ln((n−d)/n)` with the INTEGER ratio inside the ln (operands cast
+    * to double in fixed order); the running sum adds ROUNDED terms in
+    * ascending-duration order; `km_survival` is round-6 of `exp` of the
+    * round-6 running sum. Once a time kills its whole risk set the
+    * curve is pinned to exactly 0.0 from there on (no ln(0) reaches the
+    * arithmetic). Censor-only times contribute a zero term — the curve
+    * is flat there but the row still reports the risk-set drop.
+    *
+    * Shape: ONE duration-keyed partial agg is the only corpus-sized
+    * stage; the at-risk suffix counts and the running product ride the
+    * |distinct durations|-bounded table (the value-cardinality-bounded
+    * window contract — durations are floor-days, bounded by the
+    * observation window). Empty input → empty output.
+    *
+    * Returns (duration, n_at_risk, n_events, n_censored, km_survival)
+    * ordered by duration. `eventCol`: 1 = event observed (churned),
+    * 0 = right-censored (still alive at cutoff); anything else raises
+    * in-plan. */
+  def kaplanMeier(
+      df: DataFrame,
+      durationCol: String = "duration",
+      eventCol: String = "event"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(
+      when(col(durationCol).isNull || col(durationCol) < 0,
+        raise_error(lit("kaplanMeier: duration must be a non-negative " +
+          "integer"))).otherwise(col(durationCol).cast("long")).as("_d"),
+      when(col(eventCol).isNull || !col(eventCol).cast("int").isin(0, 1),
+        raise_error(lit("kaplanMeier: event must be 0 (censored) or 1 " +
+          "(observed)"))).otherwise(col(eventCol).cast("int")).as("_e"))
+    val perT = rows.groupBy(col("_d"))
+      .agg(sum(when(col("_e") === 1, 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("_e") === 0, 1L).otherwise(0L)).as("n_censored"),
+        count(lit(1)).as("_nt"))
+    val wAll = Window.partitionBy()
+    val wPrev = Window.orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT
+      .withColumn("n_at_risk", sum(col("_nt")).over(wAll) -
+        coalesce(sum(col("_nt")).over(wPrev), lit(0L)))
+      .withColumn("_term",
+        when(col("n_events") === 0L || col("n_events") === col("n_at_risk"),
+          lit(0.0d))
+          .otherwise(round(log((col("n_at_risk") - col("n_events"))
+            .cast("double") / col("n_at_risk")), 6) + lit(0.0d)))
+      .withColumn("_dead",
+        max(when(col("n_events") === col("n_at_risk"), 1).otherwise(0))
+          .over(wRun))
+      .withColumn("km_survival",
+        when(col("_dead") === 1, lit(0.0d)).otherwise(
+          round(exp(round(sum(col("_term")).over(wRun), 6) + lit(0.0d)), 6)
+            + lit(0.0d)))
+      .select(col("_d").as("duration"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("km_survival"))
+      .orderBy("duration")
+  }
+
+  /** LOG-RANK TEST (Mantel 1966) — "are these two survival curves the
+    * same?", the censoring-aware companion to [[kaplanMeier]] and the
+    * standard A/B read on churn: at each death time the observed deaths
+    * in group A are compared with the expectation under the null
+    * (deaths distributed proportionally to the at-risk split), and the
+    * standardized sum is χ²(1 df).
+    *
+    * Per death time t: E_A = n_A·d/n and hypergeometric variance
+    * V = n_A·n_B·d·(n−d) / (n²·(n−1)), both as round-6 doubles off
+    * integer operands in pinned order; O_A, ΣE_A, ΣV sum ROUNDED terms;
+    * `chi2` is round-6 of (O_A−E_A)²/ΣV off the rounded sums, NULL when
+    * ΣV = 0 (no death time mixes the groups — a χ² of 0/0 is "no
+    * evidence", not "no difference"); `significant_05` compares the
+    * rounded χ² with the pinned 1-df critical value 3.841459.
+    *
+    * Exactly two groups with rows required — raises in-plan otherwise
+    * (the [[mannWhitney]] contract). Shape: one duration-keyed partial
+    * agg (corpus-sized), then suffix counts and sums over the
+    * |distinct durations|-bounded table. Empty input → empty output.
+    *
+    * Returns ONE row (group_a, group_b, n_a, n_b, events_a, events_b,
+    * expected_a, chi2, significant_05) — group_a is the
+    * lexicographically smaller label. */
+  def logRank(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.where(col(groupCol).isNotNull).select(
+      when(col(durationCol).isNull || col(durationCol) < 0,
+        raise_error(lit("logRank: duration must be a non-negative " +
+          "integer"))).otherwise(col(durationCol).cast("long")).as("_d"),
+      when(col(eventCol).isNull || !col(eventCol).cast("int").isin(0, 1),
+        raise_error(lit("logRank: event must be 0 (censored) or 1 " +
+          "(observed)"))).otherwise(col(eventCol).cast("int")).as("_e"),
+      col(groupCol).cast("string").as("_g"))
+    val gAgg = rows.agg(min(col("_g")).as("_gaN"), max(col("_g")).as("_gbN"),
+      countDistinct(col("_g")).as("_ng"))
+    val perT = rows.crossJoin(broadcast(gAgg)).groupBy(col("_d"))
+      .agg(
+        sum(when(col("_g") === col("_gaN"), 1L).otherwise(0L)).as("_r1"),
+        sum(when(col("_g") =!= col("_gaN"), 1L).otherwise(0L)).as("_r2"),
+        sum(when(col("_g") === col("_gaN") && col("_e") === 1, 1L)
+          .otherwise(0L)).as("_d1"),
+        sum(when(col("_g") =!= col("_gaN") && col("_e") === 1, 1L)
+          .otherwise(0L)).as("_d2"),
+        max(col("_ng")).as("_ng"), max(col("_gaN")).as("_ga"),
+        max(col("_gbN")).as("_gb"))
+    val wAll = Window.partitionBy()
+    val wPrev = Window.orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cells = perT
+      .withColumn("_n1", sum(col("_r1")).over(wAll) -
+        coalesce(sum(col("_r1")).over(wPrev), lit(0L)))
+      .withColumn("_n2", sum(col("_r2")).over(wAll) -
+        coalesce(sum(col("_r2")).over(wPrev), lit(0L)))
+      .withColumn("_n", col("_n1") + col("_n2"))
+      .withColumn("_dt", col("_d1") + col("_d2"))
+      .withColumn("_e1",
+        when(col("_dt") === 0L, lit(0.0d)).otherwise(
+          round(col("_n1").cast("double") * col("_dt") / col("_n"), 6)
+            + lit(0.0d)))
+      .withColumn("_v",
+        when(col("_dt") === 0L || col("_n") <= 1L, lit(0.0d)).otherwise(
+          round(col("_n1").cast("double") * col("_n2") * col("_dt") *
+            (col("_n") - col("_dt")) /
+            (col("_n").cast("double") * col("_n") * (col("_n") - 1L)), 6)
+            + lit(0.0d)))
+    val agg = cells.groupBy(col("_ga"), col("_gb"))
+      .agg(max(col("_ng")).as("_ngx"),
+        sum(col("_r1")).as("n_a"), sum(col("_r2")).as("n_b"),
+        sum(col("_d1")).as("events_a"), sum(col("_d2")).as("events_b"),
+        (round(sum(col("_e1")), 6) + lit(0.0d)).as("expected_a"),
+        (round(sum(col("_v")), 6) + lit(0.0d)).as("_V"))
+    val oMinusE = col("events_a").cast("double") - col("expected_a")
+    agg.select(
+      when(col("_ngx") =!= 2, raise_error(concat(
+        lit("logRank: need exactly 2 groups with rows, got "),
+        col("_ngx").cast("string")))).otherwise(col("_ga")).as("group_a"),
+      col("_gb").as("group_b"), col("n_a"), col("n_b"),
+      col("events_a"), col("events_b"), col("expected_a"),
+      when(col("_V") === 0.0d, lit(null).cast("double")).otherwise(
+        round(oMinusE * oMinusE / col("_V"), 6) + lit(0.0d)).as("chi2"),
+      coalesce(
+        when(col("_V") === 0.0d, lit(null).cast("double")).otherwise(
+          round(oMinusE * oMinusE / col("_V"), 6) + lit(0.0d))
+          > lit(3.841459d),
+        lit(false)).as("significant_05"))
+  }
+
+  /** INVERSE-PROPENSITY-WEIGHTED average treatment effect (Hájek /
+    * self-normalized IPW — Horvitz & Thompson 1952; Hirano, Imbens &
+    * Ridder 2003): each treated subject weighs 1/e, each control
+    * 1/(1−e), and the ATE is the difference of the two weighted means.
+    * The observational companion to [[nnMatchAtt]]: matching picks
+    * comparable units, IPW re-weights all of them — same propensity
+    * input, one aggregate instead of a join.
+    *
+    * INTEGER-EXACT end to end: propensity arrives in micro units
+    * (e.g. exact stratum shares `treated·10⁶ div n`), is clipped to
+    * [clipMicro, 10⁶−clipMicro] (the standard overlap trim — a
+    * propensity of 1 ppm would hand one subject a 10⁶× weight), and the
+    * weight is the floored integer `10¹² div e_micro` (resp. the
+    * 1−e side). Outcomes floor to micro; Σw·y rides DECIMAL(38,0)
+    * (weights ≤ 10¹², y_micro ~ 10¹², corpus 10¹⁰ rows → ~10³⁴ < 10³⁸);
+    * the two means are re-signed integral divisions and the ATE their
+    * exact difference. One arm empty raises in-plan — a one-armed "ATE"
+    * silently reading as a mean would be worse than failing.
+    *
+    * Shape: ONE scalar conditional aggregate over the subject table —
+    * map-side partials, no shuffle beyond the 1-row fold, nothing
+    * driver-side. Empty input → empty output.
+    *
+    * Returns ONE row (n_treated, n_control, mean_treated_micro,
+    * mean_control_micro, ate_micro). */
+  def ipwAte(
+      df: DataFrame,
+      treatCol: String,
+      outcomeCol: String,
+      propensityMicroCol: String,
+      clipMicro: Long = 10000L): DataFrame = {
+    require(clipMicro >= 0L && clipMicro < 500000L,
+      s"ipwAte: clipMicro must be in [0, 5e5), got $clipMicro")
+    val d38 = DecimalType(38, 0)
+    val base = df.where(col(outcomeCol).isNotNull).select(
+      when(col(treatCol).isNull || !col(treatCol).cast("int").isin(0, 1),
+        raise_error(lit("ipwAte: treatment must be 0 or 1")))
+        .otherwise(col(treatCol).cast("int")).as("_t"),
+      floor(col(outcomeCol).cast("double") * lit(1000000.0d)).cast("long")
+        .as("_y"),
+      when(col(propensityMicroCol).isNull || col(propensityMicroCol) <= 0 ||
+          col(propensityMicroCol) >= 1000000,
+        raise_error(lit("ipwAte: propensity_micro must be in (0, 1e6)")))
+        .otherwise(col(propensityMicroCol).cast("long")).as("_e"))
+      .withColumn("_ec", least(greatest(col("_e"), lit(clipMicro)),
+        lit(1000000L - clipMicro)))
+      .withColumn("_w", when(col("_t") === 1,
+        expr("1000000000000 div _ec"))
+        .otherwise(expr("1000000000000 div (1000000 - _ec)")))
+    base
+      .groupBy(lit(1).as("_one"))
+      .agg(
+        sum(when(col("_t") === 1, 1L).otherwise(0L)).as("n_treated"),
+        sum(when(col("_t") === 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("_t") === 1, col("_w")).otherwise(0L).cast(d38))
+          .cast(d38).as("_swt"),
+        sum(when(col("_t") === 0, col("_w")).otherwise(0L).cast(d38))
+          .cast(d38).as("_swc"),
+        sum(when(col("_t") === 1, col("_w").cast(d38) * col("_y"))
+          .otherwise(lit(0).cast(d38)).cast(d38)).cast(d38).as("_swyt"),
+        sum(when(col("_t") === 0, col("_w").cast(d38) * col("_y"))
+          .otherwise(lit(0).cast(d38)).cast(d38)).cast(d38).as("_swyc"))
+      .select(
+        when(col("n_treated") === 0L || col("n_control") === 0L,
+          raise_error(lit("ipwAte: both arms need at least one subject")))
+          .otherwise(col("n_treated")).as("n_treated"),
+        col("n_control"),
+        expr("CAST(CASE WHEN _swyt >= 0 THEN _swyt div _swt " +
+          "ELSE -((-_swyt) div _swt) END AS BIGINT)")
+          .as("mean_treated_micro"),
+        expr("CAST(CASE WHEN _swyc >= 0 THEN _swyc div _swc " +
+          "ELSE -((-_swyc) div _swc) END AS BIGINT)")
+          .as("mean_control_micro"))
+      .withColumn("ate_micro",
+        col("mean_treated_micro") - col("mean_control_micro"))
+  }
+
+  /** BRADLEY–TERRY strengths from pairwise preferences (Bradley &
+    * Terry 1952) via the Hunter (2004) MM iteration — the model behind
+    * reward-model preference data: given "i beat j" counts, strength
+    * π_i satisfies P(i beats j) = π_i/(π_i+π_j), and the MM update
+    * π_i ← W_i / Σ_j n_ij/(π_i+π_j) climbs the likelihood
+    * monotonically. Statically unrolled `iterations` rounds — the
+    * [[graft.ops.Graph.pageRank]] fixed-point idiom; the output is the
+    * pinned K-round iterate, bit-identical on any engine, not a
+    * convergence claim (K=12 is well past 1e-6 drift on
+    * gate-scale fixtures).
+    *
+    * INTEGER-EXACT, no floats anywhere: strengths live in micro units
+    * (mean 10⁶ after each round's renormalization — mean, not sum, so
+    * round-off never starves small strengths), each denominator term is
+    * the floored BigInt `n_ij·10¹² / (π_i+π_j)`, the update
+    * `W_i·10¹² / D_i`, and renormalization `π·m·10⁶ / Σπ`. An item
+    * that never won any comparison has the MLE at the boundary
+    * (π → 0): it lands on exactly 0 and stays — documented, not a bug.
+    * The `max(·, 1)` pin keeps a 0+0 denominator impossible in the
+    * same way on every engine.
+    *
+    * Shape: ONE [[graft.functions.BradleyTerryAgg]] exchange — each
+    * partition map-side-combines its rows into a ≤ items² win-count
+    * map, partials merge by addition, and the MM rounds run once in
+    * the kernel's exact BigInt arithmetic. (The first formulation
+    * unrolled the rounds as DataFrame joins: 12 rounds × ~5 exchanges
+    * of pure stage overhead on a 5-item table cost 14 s where the
+    * kernel costs one aggregate — an iterative fixed point over a
+    * BOUNDED model belongs in a mergeable kernel, not in the plan.)
+    * `maxItems` raises loudly on breach — items² is the working-set
+    * contract. Empty input → empty output.
+    *
+    * Returns (item, wins, comparisons, strength_micro) ordered by
+    * (strength_micro desc, item). */
+  def bradleyTerry(
+      df: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iterations: Int = 12,
+      maxItems: Int = 1000): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"bradleyTerry: iterations must be in [1, 50], got $iterations")
+    require(maxItems >= 2 && maxItems <= 10000,
+      s"bradleyTerry: maxItems must be in [2, 10000], got $maxItems")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    val wl = df.select(col(winnerCol).cast("string").as("_w"),
+        col(loserCol).cast("string").as("_l"))
+      .where(col("_w").isNotNull && col("_l").isNotNull &&
+        col("_w") =!= col("_l"))
+    wl
+      .agg(toCol(graft.functions.BradleyTerryAgg(
+        toExpr(col("_w")), toExpr(col("_l")), iterations, maxItems)
+        .toAggregateExpression()).as("_bt"))
+      .select(explode(col("_bt")).as("_r"))
+      .select(col("_r.item").as("item"), col("_r.wins").as("wins"),
+        col("_r.comparisons").as("comparisons"),
+        col("_r.strength_micro").as("strength_micro"))
+      .orderBy(col("strength_micro").desc, col("item"))
+  }
+
 }

@@ -177,6 +177,25 @@ object PipelineQueries {
       .where(col("p_partkey") % 50 === 0)
       .select(concat(lit("p"), col("p_partkey")).as("node"))
 
+  /** p288/p289's shared survival subjects: per-user lifetime in
+    * floor-days (first→last event) with right-censoring — a user still
+    * active within 7 days of the corpus end has NOT churned yet
+    * (event = 0), which is exactly the bias [[graft.ops.Stats
+    * .kaplanMeier]] exists to absorb and p144's fully-observed curve
+    * cannot. */
+  private def kmSubjects(s: SparkSession, dir: String): DataFrame = {
+    val t = floor(unix_micros(col("ts")).cast("double") / lit(1000000.0d))
+      .cast("long")
+    val u = Tables(s, dir, "events").select(col("user_id"), t.as("_t"))
+      .groupBy(col("user_id"))
+      .agg(min(col("_t")).as("_f"), max(col("_t")).as("_l"))
+    val gm = u.agg(max(col("_l")).as("_gm"))
+    u.crossJoin(broadcast(gm)).select(
+      col("user_id"),
+      expr("(_l - _f) div 86400").as("dur"),
+      when(col("_gm") - col("_l") > 604800L, 1).otherwise(0).as("ev"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EP2/EP3 end-to-end: header identify + rules standardizer + typed
     // stages + fuzzy importer join + publish projection. The multi-stage
@@ -2232,6 +2251,127 @@ object PipelineQueries {
       graft.ops.Governance.adjustedRand(
         Tables(s, dir, "documents"), "lang", "source")),
 
+    // Benjamini–Hochberg FDR over one synthetic hypothesis per
+    // (event_type, user bucket) cell: null cells draw p uniform from
+    // the portable md5 hash, signal cells (even buckets) square it
+    // (small p). Exercises the step-up rule + q-value suffix-min with
+    // cross-multiplied integer comparisons; real callers feed the
+    // p-emitting test ops instead.
+    "p283_bh_fdr" -> ((s, dir) => {
+      val cells = Tables(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 16).as("_b"))
+        .distinct()
+      val tests = cells
+        .select(
+          concat(col("event_type"), lit("_"), col("_b").cast("string"))
+            .as("test_id"),
+          (col("_b") % 2 === 0).as("_sig"))
+        .withColumn("_h",
+          expr("CAST(conv(substring(md5(test_id), 1, 8), 16, 10) AS BIGINT)" +
+            " % 1000001"))
+        .select(col("test_id"),
+          when(col("_sig"), expr("_h * _h div 1000000"))
+            .otherwise(col("_h")).as("p_micro"))
+      graft.ops.Stats.bhFdr(tests, "test_id", "p_micro", 50000L)
+    }),
+
+    // Jensen–Shannon divergence between the en and zh unigram
+    // distributions — symmetric, ln2-bounded source-vs-source
+    // distance; integer cross-ratios inside one ln per (token, side),
+    // round-6 pointwise terms over the vocabulary-bounded count table.
+    "p284_js_divergence" -> ((s, dir) =>
+      graft.ops.CorpusOps.jsDivergence(
+        Tables(s, dir, "documents"), "text", "lang", "en", "zh")),
+
+    // Zipf slope of the token frequency distribution — discrete
+    // power-law MLE (Clauset et al. 2009) over the ≥-xmin tail of the
+    // vocabulary-bounded frequency table; round-6 ln terms, alpha and
+    // its standard error derived off already-rounded numbers.
+    "p285_zipf_slope" -> ((s, dir) =>
+      graft.ops.CorpusOps.zipfSlope(
+        Tables(s, dir, "documents"), "text", 5L)),
+
+    // Poisson-bootstrap 95% CI for the mean purchase value — the
+    // at-scale bootstrap (Chamandy et al. 2012): per-(row, replicate)
+    // Poisson(1) weights from the portable md5 hash against the pinned
+    // quantized CDF, 200 replicate means via re-signed integral
+    // division, percentile CI by exact ceil rank picks.
+    "p286_poisson_bootstrap" -> ((s, dir) =>
+      graft.ops.Stats.poissonBootstrap(
+        Tables(s, dir, "events").where(col("event_type") === "purchase"),
+        "event_id", "value", 200, 950000L)),
+
+    // Good–Turing coverage + bias-corrected Chao1 richness off the
+    // singleton/doubleton counts — all-integer floored divisions over
+    // the vocabulary-bounded frequency table.
+    "p287_vocab_unseen" -> ((s, dir) =>
+      graft.ops.CorpusOps.vocabUnseen(Tables(s, dir, "documents"), "text")),
+
+    // Right-censored Kaplan–Meier over user lifetimes (floor-days
+    // first→last event; still active within 7 days of corpus end =
+    // censored) — the product-limit upgrade of p144's fully-observed
+    // curve: round-6 ln terms over the duration-bounded table.
+    "p288_kaplan_meier" -> ((s, dir) =>
+      graft.ops.Stats.kaplanMeier(kmSubjects(s, dir), "dur", "ev")),
+
+    // Log-rank test between even and odd user-id cohorts on the same
+    // censored lifetimes — O/E/V per death time off the suffix risk
+    // sets, χ²(1) against the pinned 3.841459 critical value. The
+    // parity split is null by construction, so this is also a
+    // false-positive canary.
+    "p289_log_rank" -> ((s, dir) =>
+      graft.ops.Stats.logRank(
+        kmSubjects(s, dir).withColumn("grp",
+          when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))),
+        "dur", "ev", "grp")),
+
+    // Hájek IPW average treatment effect: treatment = heavy clicker
+    // (≥14 clicks), outcome = lifetime purchase value in exact micro
+    // (integer-summed BEFORE the op — float sums are order-dependent),
+    // propensity = exact per-(user_id mod 8) stratum treated share.
+    // Weights are floored 1e12 div e integers; output units are
+    // micro-of-micro-value (the outcome is already micro).
+    "p290_ipw_ate" -> ((s, dir) => {
+      val users = Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("_clicks"),
+          sum(when(col("event_type") === "purchase",
+            floor(col("value").cast("double") * lit(1000000.0d))
+              .cast("long")).otherwise(0L)).as("_ym"))
+      val strat = users
+        .withColumn("_s", col("user_id") % 8)
+        .withColumn("_t", (col("_clicks") >= 14L).cast("int"))
+      val eTab = strat.groupBy(col("_s"))
+        .agg(sum(col("_t")).as("_tc"), count(lit(1)).as("_n"))
+        .select(col("_s"), greatest(lit(1L), least(lit(999999L),
+          expr("_tc * 1000000 div _n"))).as("_e"))
+      graft.ops.Stats.ipwAte(strat.join(broadcast(eTab), "_s"),
+        "_t", "_ym", "_e", 10000L)
+    }),
+
+    // Bradley–Terry strengths over event types from per-user revealed
+    // preferences (type done strictly more often beats the other) —
+    // 12 statically-unrolled integer MM rounds over the 5-item pair
+    // table; the preference extraction is the only corpus-sized stage.
+    "p291_bradley_terry" -> ((s, dir) => {
+      val cnt = Tables(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("_c"))
+      val prefs = cnt.as("a").join(cnt.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .where(col("a._c") =!= col("b._c"))
+        .select(
+          when(col("a._c") > col("b._c"), col("a.event_type"))
+            .otherwise(col("b.event_type")).as("winner"),
+          when(col("a._c") > col("b._c"), col("b.event_type"))
+            .otherwise(col("a.event_type")).as("loser"))
+      graft.ops.Stats.bradleyTerry(prefs, "winner", "loser",
+        iterations = 12, maxItems = 100)
+    }),
+
     // Krippendorff's α over 16-event blocks "rated" with their event
     // types — multi-rater agreement with missing data, exact to the
     // ppm via L-scaled coincidence weights (L = lcm(1..15)).
@@ -2811,6 +2951,56 @@ object PipelineQueries {
     * data, not policy — any recall drift (a seed change, a bucketing
     * bug, an index regression) hash-fails instead of sliding under a
     * boolean threshold. */
+  /** Shared p288/p289 oracle prefix: censored lifetime subjects —
+    * p144's epoch/day recipe + the 7-day still-active censor flag.
+    * Ends mid-WITH so the consumer appends its own CTEs. */
+  private val kmSubjectsSql: String =
+    "WITH q AS (SELECT user_id, " +
+      "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) AS t " +
+      "FROM events), " +
+      "u AS (SELECT user_id, MIN(t) AS f, MAX(t) AS l FROM q GROUP BY 1), " +
+      "g AS (SELECT MAX(l) AS gm FROM u), " +
+      "s AS (SELECT user_id, (l - f) // 86400 AS d, " +
+      "CASE WHEN gm - l > 604800 THEN 1 ELSE 0 END AS e FROM u, g), "
+
+  /** p291's oracle: the Bradley–Terry integer MM recursion statically
+    * unrolled to `iters` rounds (the p131 pagerank idiom) — HUGEINT
+    * floored // throughout, per-round renormalization to mean 1e6. */
+  private def btOracleSql(iters: Int): String = {
+    // MATERIALIZED on every multiply-referenced CTE: inlined, the
+    // unrolled rounds re-expand the parquet scan ~2^iters times and
+    // DuckDB runs out of file handles before it runs out of patience.
+    val head =
+      "WITH c AS MATERIALIZED (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2), " +
+        "pr AS (SELECT CASE WHEN a.c > b.c THEN a.event_type ELSE b.event_type END AS w, " +
+        "CASE WHEN a.c > b.c THEN b.event_type ELSE a.event_type END AS l " +
+        "FROM c a JOIN c b ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+        "WHERE a.c <> b.c), " +
+        "wn AS MATERIALIZED (SELECT w, l, COUNT(*) AS c FROM pr GROUP BY 1, 2), " +
+        "d AS MATERIALIZED (SELECT i, j, SUM(win) AS wij FROM (" +
+        "SELECT w AS i, l AS j, c AS win FROM wn " +
+        "UNION ALL SELECT l AS i, w AS j, 0 AS win FROM wn) dd GROUP BY 1, 2), " +
+        "pairs AS MATERIALIZED (SELECT a.i, a.j, a.wij, a.wij + b.wij AS nij " +
+        "FROM d a JOIN d b ON a.i = b.j AND a.j = b.i), " +
+        "it AS MATERIALIZED (SELECT i, SUM(wij) AS wns, SUM(nij) AS ncmp FROM pairs GROUP BY 1), " +
+        "p0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS pi FROM it), "
+    val rounds = (1 to iters).map { k =>
+      s"d$k AS (SELECT p.i, SUM(CAST(p.nij AS HUGEINT) * 1000000000000 // " +
+        s"GREATEST(pa.pi + pb.pi, 1)) AS dd FROM pairs p " +
+        s"JOIN p${k - 1} pa ON p.i = pa.i JOIN p${k - 1} pb ON p.j = pb.i GROUP BY 1), " +
+        s"r$k AS MATERIALIZED (SELECT it.i, CAST(it.wns AS HUGEINT) * 1000000000000 // " +
+        s"GREATEST(d$k.dd, 1) AS praw FROM it JOIN d$k ON it.i = d$k.i), " +
+        s"s$k AS (SELECT SUM(praw) AS s, COUNT(*) AS m FROM r$k), " +
+        s"p$k AS MATERIALIZED (SELECT i, praw * (m * 1000000) // GREATEST(s, 1) AS pi FROM r$k, s$k)"
+    }.mkString(", ")
+    head + rounds +
+      s" SELECT it.i AS item, CAST(it.wns AS BIGINT) AS wins, " +
+      s"CAST(it.ncmp AS BIGINT) AS comparisons, " +
+      s"CAST(p$iters.pi AS BIGINT) AS strength_micro " +
+      s"FROM it JOIN p$iters ON it.i = p$iters.i " +
+      "ORDER BY strength_micro DESC, item"
+  }
+
   private def annRecallSql(tiers: Map[Int, Seq[Int]]): String = {
     val branches = tiers.toSeq.sortBy(_._1).map { case (n, hits) =>
       val vals = hits.zipWithIndex.map { case (h, q) => s"($q,$h)" }.mkString(", ")
@@ -5587,6 +5777,190 @@ object PipelineQueries {
         "CASE WHEN n < 2 OR den = 0 THEN NULL " +
         "WHEN num >= 0 THEN CAST(num // den AS BIGINT) " +
         "ELSE CAST(-((-num + den - 1) // den) AS BIGINT) END AS ari_ppm FROM f"),
+    // same portable md5-hex arithmetic as p204; BH step-up + q-value
+    // suffix-min replayed with the identical cross-multiplied integer
+    // comparisons (// = div on the non-negative operands)
+    "p283_bh_fdr" -> (
+      "WITH cells AS (SELECT DISTINCT event_type, user_id % 16 AS b FROM events), " +
+        "t AS (SELECT event_type || '_' || CAST(b AS VARCHAR) AS test_id, " +
+        "b % 2 = 0 AS sig FROM cells), " +
+        "hx AS (SELECT test_id, sig, md5(test_id) AS x FROM t), " +
+        "h AS (SELECT test_id, sig, " +
+        "((strpos('0123456789abcdef', substr(x, 1, 1)) - 1) * 268435456 " +
+        "+ (strpos('0123456789abcdef', substr(x, 2, 1)) - 1) * 16777216 " +
+        "+ (strpos('0123456789abcdef', substr(x, 3, 1)) - 1) * 1048576 " +
+        "+ (strpos('0123456789abcdef', substr(x, 4, 1)) - 1) * 65536 " +
+        "+ (strpos('0123456789abcdef', substr(x, 5, 1)) - 1) * 4096 " +
+        "+ (strpos('0123456789abcdef', substr(x, 6, 1)) - 1) * 256 " +
+        "+ (strpos('0123456789abcdef', substr(x, 7, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', substr(x, 8, 1)) - 1)) % 1000001 AS hv FROM hx), " +
+        "p AS (SELECT test_id, CASE WHEN sig THEN hv * hv // 1000000 ELSE hv END AS p_micro FROM h), " +
+        "r AS (SELECT test_id, p_micro, ROW_NUMBER() OVER (ORDER BY p_micro, test_id) AS rank, " +
+        "COUNT(*) OVER () AS m FROM p), " +
+        "q AS (SELECT *, LEAST(p_micro * m // rank, 1000000) AS qraw FROM r), " +
+        "s AS (SELECT *, MIN(qraw) OVER (ORDER BY rank DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_micro, " +
+        "MAX(CASE WHEN p_micro * m <= rank * 50000 THEN rank END) OVER () AS k FROM q) " +
+        "SELECT test_id, CAST(p_micro AS BIGINT) AS p_micro, CAST(rank AS BIGINT) AS rank, " +
+        "CAST(m AS BIGINT) AS m_tests, CAST(q_micro AS BIGINT) AS q_micro, " +
+        "k IS NOT NULL AND rank <= k AS reject FROM s ORDER BY rank"),
+    // identical per-(token, side) round-6 pointwise terms with the
+    // integer cross-ratio inside ln; rounded-sum sides, round-6 half-sum
+    "p284_js_divergence" -> (
+      "WITH tk AS (SELECT lang AS g, unnest(string_split_regex(trim(text), '\\s+')) AS t " +
+        "FROM documents WHERE lang IN ('en', 'zh') AND text IS NOT NULL " +
+        "AND length(trim(text)) > 0), " +
+        "cells AS (SELECT t, SUM(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS ca, " +
+        "SUM(CASE WHEN g = 'zh' THEN 1 ELSE 0 END) AS cb FROM tk WHERE t <> '' GROUP BY t), " +
+        "w AS (SELECT *, SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM cells), " +
+        "tm AS (SELECT na, nb, " +
+        "CASE WHEN ca = 0 THEN 0.0 ELSE round((CAST(ca AS DOUBLE) / na) * " +
+        "ln(2.0 * ca * nb / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na)), 6) + 0.0 END AS ta, " +
+        "CASE WHEN cb = 0 THEN 0.0 ELSE round((CAST(cb AS DOUBLE) / nb) * " +
+        "ln(2.0 * cb * na / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na)), 6) + 0.0 END AS tb " +
+        "FROM w), " +
+        "ag AS (SELECT MAX(na) AS na, MAX(nb) AS nb, COUNT(*) AS vocab, " +
+        "round(SUM(ta), 6) + 0.0 AS sa, round(SUM(tb), 6) + 0.0 AS sb FROM tm) " +
+        "SELECT 'en' AS group_a, 'zh' AS group_b, CAST(na AS BIGINT) AS tokens_a, " +
+        "CAST(nb AS BIGINT) AS tokens_b, CAST(vocab AS BIGINT) AS vocab_size, " +
+        "round((sa + sb) / 2.0, 6) + 0.0 AS js_nats FROM ag"),
+    // identical round-6 ln terms over the >= xmin frequency tail;
+    // alpha and alpha_se chained off the rounded sum and rounded alpha
+    "p285_zipf_slope" -> (
+      "WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t " +
+        "FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), " +
+        "f AS (SELECT t, COUNT(*) AS f FROM tk WHERE t <> '' GROUP BY t " +
+        "HAVING COUNT(*) >= 5), " +
+        "ag AS (SELECT COUNT(*) AS n, " +
+        "round(SUM(round(ln(CAST(f AS DOUBLE) / 4.5), 6) + 0.0), 6) + 0.0 AS s FROM f) " +
+        "SELECT CAST(5 AS BIGINT) AS xmin, CAST(n AS BIGINT) AS n_types, " +
+        "round(1.0 + CAST(n AS DOUBLE) / s, 6) + 0.0 AS alpha, " +
+        "round((round(1.0 + CAST(n AS DOUBLE) / s, 6) + 0.0 - 1.0) / " +
+        "sqrt(CAST(n AS DOUBLE)), 6) + 0.0 AS alpha_se " +
+        "FROM ag WHERE n > 0"),
+    // identical portable-hash Poisson weights against the same pinned
+    // quantized CDF; HUGEINT weighted sums, re-signed // means, the
+    // same ceil rank picks over (mean, replicate) order
+    "p286_poisson_bootstrap" -> (
+      "WITH base AS (SELECT CAST(event_id AS VARCHAR) AS id, " +
+        "CAST(floor(value * 1000000) AS BIGINT) AS v FROM events " +
+        "WHERE event_type = 'purchase' AND value IS NOT NULL), " +
+        "g AS (SELECT SUM(CAST(v AS HUGEINT)) AS sv, COUNT(*) AS n FROM base), " +
+        "rep AS (SELECT id, v, b FROM base, (SELECT unnest(generate_series(0, 199)) AS b)), " +
+        "hx AS (SELECT v, b, md5(id || ':' || CAST(b AS VARCHAR)) AS x FROM rep), " +
+        "u AS (SELECT v, b, " +
+        "((strpos('0123456789abcdef', substr(x, 1, 1)) - 1) * 268435456 " +
+        "+ (strpos('0123456789abcdef', substr(x, 2, 1)) - 1) * 16777216 " +
+        "+ (strpos('0123456789abcdef', substr(x, 3, 1)) - 1) * 1048576 " +
+        "+ (strpos('0123456789abcdef', substr(x, 4, 1)) - 1) * 65536 " +
+        "+ (strpos('0123456789abcdef', substr(x, 5, 1)) - 1) * 4096 " +
+        "+ (strpos('0123456789abcdef', substr(x, 6, 1)) - 1) * 256 " +
+        "+ (strpos('0123456789abcdef', substr(x, 7, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', substr(x, 8, 1)) - 1)) % 1000000 AS u FROM hx), " +
+        "w AS (SELECT b, v, CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1 " +
+        "WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3 WHEN u < 996340 THEN 4 " +
+        "WHEN u < 999405 THEN 5 WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7 " +
+        "WHEN u < 999998 THEN 8 ELSE 9 END AS w FROM u), " +
+        "rs AS (SELECT b, SUM(w) AS sw, SUM(CAST(w AS HUGEINT) * v) AS swv " +
+        "FROM w GROUP BY b), " +
+        "means AS (SELECT b, CASE WHEN swv >= 0 THEN swv // sw " +
+        "ELSE -((-swv) // sw) END AS m FROM rs WHERE sw > 0), " +
+        "rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rank, " +
+        "COUNT(*) OVER () AS beff FROM means), " +
+        "ci AS (SELECT MIN(beff) AS beff, " +
+        "MIN(CASE WHEN rank = GREATEST(1, (beff * 50000 + 1999999) // 2000000) THEN m END) AS lo, " +
+        "MIN(CASE WHEN rank = LEAST(beff, (beff * 1950000 + 1999999) // 2000000) THEN m END) AS hi " +
+        "FROM rk) " +
+        "SELECT CAST(n AS BIGINT) AS n_rows, CAST(beff AS BIGINT) AS n_replicates, " +
+        "CAST(CASE WHEN sv >= 0 THEN sv // n ELSE -((-sv) // n) END AS BIGINT) AS mean_micro, " +
+        "CAST(lo AS BIGINT) AS ci_lo_micro, CAST(hi AS BIGINT) AS ci_hi_micro " +
+        "FROM g, ci WHERE n > 0"),
+    // identical all-integer singleton/doubleton estimators
+    "p287_vocab_unseen" -> (
+      "WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t " +
+        "FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), " +
+        "f AS (SELECT t, COUNT(*) AS f FROM tk WHERE t <> '' GROUP BY t), " +
+        "ag AS (SELECT SUM(f) AS n, COUNT(*) AS v, " +
+        "SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS f1, " +
+        "SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS f2 FROM f) " +
+        "SELECT CAST(n AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS v_types, " +
+        "CAST(f1 AS BIGINT) AS f1_singletons, CAST(f2 AS BIGINT) AS f2_doubletons, " +
+        "CAST(v * 1000000 + f1 * (f1 - 1) * 1000000 // (2 * (f2 + 1)) AS BIGINT) AS chao1_est_micro, " +
+        "CAST(1000000 - f1 * 1000000 // n AS BIGINT) AS coverage_ppm " +
+        "FROM ag WHERE n > 0"),
+    // p144's epoch/day recipe + the identical round-6 ln/exp
+    // product-limit ladder over the duration-bounded table
+    "p288_kaplan_meier" -> (kmSubjectsSql +
+      "p AS (SELECT d, SUM(e) AS n_events, SUM(1 - e) AS n_censored, " +
+      "COUNT(*) AS nt FROM s GROUP BY 1), " +
+      "w AS (SELECT *, SUM(nt) OVER () - COALESCE(SUM(nt) OVER (ORDER BY d " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk FROM p), " +
+      "tm AS (SELECT *, CASE WHEN n_events = 0 OR n_events = n_at_risk THEN 0.0 " +
+      "ELSE round(ln(CAST(n_at_risk - n_events AS DOUBLE) / n_at_risk), 6) + 0.0 END AS term FROM w), " +
+      "r AS (SELECT *, MAX(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END) " +
+      "OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead, " +
+      "round(SUM(term) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS cum FROM tm) " +
+      "SELECT d AS duration, CAST(n_at_risk AS BIGINT) AS n_at_risk, " +
+      "CAST(n_events AS BIGINT) AS n_events, CAST(n_censored AS BIGINT) AS n_censored, " +
+      "CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(cum), 6) + 0.0 END AS km_survival " +
+      "FROM r ORDER BY duration"),
+    // same subjects + parity cohorts; O/E/V per death time off suffix
+    // risk sets, round-6 terms and rounded sums, pinned 3.841459 cut
+    "p289_log_rank" -> (kmSubjectsSql +
+      "sg AS (SELECT *, CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp FROM s), " +
+      "p AS (SELECT d, SUM(CASE WHEN grp = 'even' THEN 1 ELSE 0 END) AS r1, " +
+      "SUM(CASE WHEN grp <> 'even' THEN 1 ELSE 0 END) AS r2, " +
+      "SUM(CASE WHEN grp = 'even' AND e = 1 THEN 1 ELSE 0 END) AS d1, " +
+      "SUM(CASE WHEN grp <> 'even' AND e = 1 THEN 1 ELSE 0 END) AS d2 FROM sg GROUP BY 1), " +
+      "w AS (SELECT *, SUM(r1) OVER () - COALESCE(SUM(r1) OVER (ORDER BY d " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1, " +
+      "SUM(r2) OVER () - COALESCE(SUM(r2) OVER (ORDER BY d " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2 FROM p), " +
+      "c AS (SELECT *, n1 + n2 AS n, d1 + d2 AS dt FROM w), " +
+      "tm AS (SELECT *, CASE WHEN dt = 0 THEN 0.0 " +
+      "ELSE round(CAST(n1 AS DOUBLE) * dt / n, 6) + 0.0 END AS e1, " +
+      "CASE WHEN dt = 0 OR n <= 1 THEN 0.0 " +
+      "ELSE round(CAST(n1 AS DOUBLE) * n2 * dt * (n - dt) / " +
+      "(CAST(n AS DOUBLE) * n * (n - 1)), 6) + 0.0 END AS v FROM c), " +
+      "ag AS (SELECT SUM(r1) AS n_a, SUM(r2) AS n_b, SUM(d1) AS events_a, " +
+      "SUM(d2) AS events_b, round(SUM(e1), 6) + 0.0 AS expected_a, " +
+      "round(SUM(v), 6) + 0.0 AS vv FROM tm) " +
+      "SELECT 'even' AS group_a, 'odd' AS group_b, CAST(n_a AS BIGINT) AS n_a, " +
+      "CAST(n_b AS BIGINT) AS n_b, CAST(events_a AS BIGINT) AS events_a, " +
+      "CAST(events_b AS BIGINT) AS events_b, expected_a, " +
+      "CASE WHEN vv = 0 THEN NULL ELSE round((CAST(events_a AS DOUBLE) - expected_a) * " +
+      "(CAST(events_a AS DOUBLE) - expected_a) / vv, 6) + 0.0 END AS chi2, " +
+      "COALESCE((CASE WHEN vv = 0 THEN NULL ELSE round((CAST(events_a AS DOUBLE) - expected_a) * " +
+      "(CAST(events_a AS DOUBLE) - expected_a) / vv, 6) + 0.0 END) > 3.841459, FALSE) AS significant_05 " +
+      "FROM ag WHERE n_a + n_b > 0"),
+    // identical integer stratum shares, [1e4, 99e4] clip, floored
+    // 1e12 // e weights and re-signed // means in HUGEINT
+    "p290_ipw_ate" -> (
+      "WITH u AS (SELECT user_id, " +
+      "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks, " +
+      "SUM(CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 1000000) AS BIGINT) ELSE 0 END) AS ym " +
+      "FROM events GROUP BY 1), " +
+      "s AS (SELECT user_id % 8 AS st, CASE WHEN clicks >= 14 THEN 1 ELSE 0 END AS t, ym FROM u), " +
+      "e AS (SELECT st, GREATEST(1, LEAST(999999, SUM(t) * 1000000 // COUNT(*))) AS ep FROM s GROUP BY 1), " +
+      "j AS (SELECT t, ym * 1000000 AS y, LEAST(GREATEST(ep, 10000), 990000) AS ec " +
+      "FROM s JOIN e USING (st)), " +
+      "w AS (SELECT t, y, CASE WHEN t = 1 THEN 1000000000000 // ec " +
+      "ELSE 1000000000000 // (1000000 - ec) END AS w FROM j), " +
+      "ag AS (SELECT SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS n_treated, " +
+      "SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS n_control, " +
+      "SUM(CASE WHEN t = 1 THEN CAST(w AS HUGEINT) ELSE 0 END) AS swt, " +
+      "SUM(CASE WHEN t = 0 THEN CAST(w AS HUGEINT) ELSE 0 END) AS swc, " +
+      "SUM(CASE WHEN t = 1 THEN CAST(w AS HUGEINT) * y ELSE 0 END) AS swyt, " +
+      "SUM(CASE WHEN t = 0 THEN CAST(w AS HUGEINT) * y ELSE 0 END) AS swyc FROM w) " +
+      "SELECT CAST(n_treated AS BIGINT) AS n_treated, CAST(n_control AS BIGINT) AS n_control, " +
+      "CAST(CASE WHEN swyt >= 0 THEN swyt // swt ELSE -((-swyt) // swt) END AS BIGINT) AS mean_treated_micro, " +
+      "CAST(CASE WHEN swyc >= 0 THEN swyc // swc ELSE -((-swyc) // swc) END AS BIGINT) AS mean_control_micro, " +
+      "CAST((CASE WHEN swyt >= 0 THEN swyt // swt ELSE -((-swyt) // swt) END) - " +
+      "(CASE WHEN swyc >= 0 THEN swyc // swc ELSE -((-swyc) // swc) END) AS BIGINT) AS ate_micro " +
+      "FROM ag WHERE n_treated + n_control > 0"),
+    // the identical integer MM recursion, statically unrolled like
+    // p131's pagerank: HUGEINT // everywhere, mean-1e6 renorm per round
+    "p291_bradley_terry" -> btOracleSql(12),
     // identical L-scaled coincidence arithmetic in HUGEINT; the only
     // division is the final re-signed // (floor == truncate on the
     // re-signed non-negative operands)

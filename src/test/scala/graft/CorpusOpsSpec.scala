@@ -971,4 +971,74 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("a", 16L, 8L, 8L, 800000L),
       ("b", 2L, 1L, 9L, 900000L)))
   }
+
+  test("jsDivergence: hand-computed pointwise terms; identical slices diverge by zero") {
+    val df = Seq(("x x y", "A"), ("x z z", "B")).toDF("text", "src")
+    val out = CorpusOps.jsDivergence(df, "text", "src", "A", "B").collect()
+    assert(out.length == 1)
+    val r = out.head
+    // A: {x:2, y:1} n=3; B: {x:1, z:2} n=3; vocab {x,y,z}
+    // ta(x)=(2/3)ln(4/3)=.191788  tb(x)=(1/3)ln(2/3)=-.135155
+    // ta(y)=(1/3)ln2=.231049     tb(z)=(2/3)ln2=.462098
+    // js = (.422837 + .326943)/2 = .37489
+    assert(r.getAs[Long]("tokens_a") == 3L && r.getAs[Long]("tokens_b") == 3L)
+    assert(r.getAs[Long]("vocab_size") == 3L)
+    assert(r.getAs[Double]("js_nats") == 0.37489)
+    val same = Seq(("x y", "A"), ("x y", "B")).toDF("text", "src")
+    assert(CorpusOps.jsDivergence(same, "text", "src", "A", "B")
+      .collect().head.getAs[Double]("js_nats") == 0.0)
+  }
+
+  test("zipfSlope: matches the Clauset MLE replayed on hand-built frequencies; below-xmin tail is empty") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // frequencies: a=8, b=4, c=2, d=1; xmin=2 keeps {a,b,c}
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val df = Seq(text).toDF("text")
+    val out = CorpusOps.zipfSlope(df, "text", 2L).collect()
+    assert(out.length == 1)
+    val row = out.head
+    val s = r6(Seq(8L, 4L, 2L).map(f => r6(math.log(f / 1.5))).sum)
+    val alpha = r6(1.0 + 3.0 / s)
+    assert(row.getAs[Long]("xmin") == 2L)
+    assert(row.getAs[Long]("n_types") == 3L)
+    assert(row.getAs[Double]("alpha") == alpha)
+    assert(row.getAs[Double]("alpha_se") == r6((alpha - 1.0) / math.sqrt(3.0)))
+    // nothing reaches xmin -> empty output, not a NULL fit
+    assert(CorpusOps.zipfSlope(df, "text", 100L).count() == 0)
+    assert(CorpusOps.zipfSlope(
+      Seq.empty[String].toDF("text"), "text", 2L).count() == 0)
+  }
+
+  test("vocabUnseen: hand-counted Chao1 and Good–Turing coverage; empty corpus is empty") {
+    // a×3 b×1 c×1 d×2: N=7, V=4, f1=2, f2=1
+    // chao1 = 4e6 + 2·1·1e6 div (2·2) = 4_500_000
+    // coverage = 1e6 − 2e6 div 7 = 1e6 − 285714 = 714286
+    val df = Seq("a a a b", "c d d").toDF("text")
+    val r = CorpusOps.vocabUnseen(df, "text").collect().head
+    assert(r.getAs[Long]("n_tokens") == 7L)
+    assert(r.getAs[Long]("v_types") == 4L)
+    assert(r.getAs[Long]("f1_singletons") == 2L)
+    assert(r.getAs[Long]("f2_doubletons") == 1L)
+    assert(r.getAs[Long]("chao1_est_micro") == 4500000L)
+    assert(r.getAs[Long]("coverage_ppm") == 714286L)
+    // all-singleton corpus: f2=0 stays defined (the +1 bias correction)
+    val single = Seq("x y z").toDF("text")
+    val s = CorpusOps.vocabUnseen(single, "text").collect().head
+    assert(s.getAs[Long]("chao1_est_micro") == 3L * 1000000L + 3L * 2L * 1000000L / 2L)
+    assert(s.getAs[Long]("coverage_ppm") == 0L)
+    assert(CorpusOps.vocabUnseen(Seq.empty[String].toDF("text"), "text").count() == 0)
+  }
+
+  test("jsDivergence: one-sided input raises; empty input is empty") {
+    val oneSided = Seq(("x y", "A")).toDF("text", "src")
+    val e = intercept[Exception] {
+      CorpusOps.jsDivergence(oneSided, "text", "src", "A", "B").collect()
+    }
+    assert(e.toString.contains("both slices") ||
+      Option(e.getCause).exists(_.toString.contains("both slices")))
+    val empty = Seq.empty[(String, String)].toDF("text", "src")
+    assert(CorpusOps.jsDivergence(empty, "text", "src", "A", "B").count() == 0)
+  }
 }

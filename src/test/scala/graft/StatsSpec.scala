@@ -369,4 +369,208 @@ class StatsSpec extends AnyFunSuite {
     val empty = Seq.empty[(String, Double)].toDF("g", "v")
     assert(Stats.mannWhitney(empty, "g", "v").count() == 0)
   }
+
+  test("bhFdr: step-up rejects below the largest passing rank; q-values are suffix mins") {
+    import spark.implicits._
+    // sorted p (micro), m = 10, alpha = 0.05 -> threshold rank*5000:
+    // ranks 1,2,4 pass their own comparison, rank 3 does NOT
+    // (16500 > 15000) — yet step-up (k = 4) rejects it anyway.
+    val p = Seq(100L, 8000L, 16500L, 19000L, 70000L,
+      200000L, 350000L, 500000L, 750000L, 999999L)
+    val df = p.zipWithIndex.map { case (v, i) => (f"t$i%02d", v) }
+      .toDF("test_id", "p_micro")
+    val out = Stats.bhFdr(df, "test_id", "p_micro", 50000L)
+      .select(col("rank"), col("p_micro"), col("q_micro"), col("reject"))
+      .as[(Int, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == p)
+    assert(out.map(_._3).toSeq == Seq(1000L, 40000L, 47500L, 47500L,
+      140000L, 333333L, 500000L, 625000L, 833333L, 999999L))
+    assert(out.map(_._4).toSeq ==
+      Seq(true, true, true, true, false, false, false, false, false, false))
+  }
+
+  test("bhFdr: no passing rank rejects nothing; empty input empty; bad p raises") {
+    import spark.implicits._
+    val none = Seq(("a", 60000L), ("b", 900000L)).toDF("test_id", "p_micro")
+    val out = Stats.bhFdr(none, "test_id", "p_micro", 50000L)
+      .select(col("q_micro"), col("reject")).as[(Long, Boolean)]
+      .collect().toSeq
+    assert(out == Seq((120000L, false), (900000L, false)))
+    val empty = Seq.empty[(String, Long)].toDF("test_id", "p_micro")
+    assert(Stats.bhFdr(empty, "test_id", "p_micro").count() == 0)
+    val bad = Seq(("a", -1L)).toDF("test_id", "p_micro")
+    val e = intercept[Exception] { Stats.bhFdr(bad, "test_id", "p_micro").collect() }
+    assert(e.toString.contains("out of [0, 1e6]") ||
+      Option(e.getCause).exists(_.toString.contains("out of [0, 1e6]")))
+  }
+
+  test("poissonBootstrap: constant data collapses the CI to the exact mean") {
+    import spark.implicits._
+    // every replicate mean of a constant column IS the constant,
+    // whatever the weights — the CI must be a point, exactly
+    val df = (1L to 50L).map(i => (i, 7.25)).toDF("id", "v")
+    val out = Stats.poissonBootstrap(df, "id", "v", replicates = 50)
+      .collect().head
+    assert(out.getAs[Long]("n_rows") == 50L)
+    assert(out.getAs[Long]("n_replicates") == 50L)
+    assert(out.getAs[Long]("mean_micro") == 7250000L)
+    assert(out.getAs[Long]("ci_lo_micro") == 7250000L)
+    assert(out.getAs[Long]("ci_hi_micro") == 7250000L)
+  }
+
+  test("poissonBootstrap: deterministic, brackets the mean, and widens with spread") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val a = Stats.poissonBootstrap(df, "id", "v", replicates = 100).collect().head
+    val b = Stats.poissonBootstrap(df, "id", "v", replicates = 100).collect().head
+    assert(a == b) // no RNG anywhere — bit-identical reruns
+    val mean = a.getAs[Long]("mean_micro")
+    assert(mean == 100500000L) // exact integral mean of 1..200 in micro
+    assert(a.getAs[Long]("ci_lo_micro") <= mean && mean <= a.getAs[Long]("ci_hi_micro"))
+    assert(a.getAs[Long]("ci_lo_micro") < a.getAs[Long]("ci_hi_micro"))
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(Stats.poissonBootstrap(empty, "id", "v").count() == 0)
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("kaplanMeier: product-limit replayed by hand; censoring flattens, full kill pins zero") {
+    import spark.implicits._
+    // (duration, event): deaths at 1 (x2) and 3; censored at 2 and 4
+    val df = Seq((1L, 1), (1L, 1), (2L, 0), (3L, 1), (4L, 0))
+      .toDF("duration", "event")
+    val out = Stats.kaplanMeier(df, "duration", "event")
+      .select(col("duration"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("km_survival"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val s1 = r6(math.exp(r6(r6(math.log(3.0 / 5.0)))))
+    val s3 = r6(math.exp(r6(r6(math.log(3.0 / 5.0)) + r6(math.log(1.0 / 2.0)))))
+    assert(out == Seq(
+      (1L, 5L, 2L, 0L, s1),   // S = 3/5
+      (2L, 3L, 0L, 1L, s1),   // censor-only: risk set drops, curve flat
+      (3L, 2L, 1L, 0L, s3),   // S = 3/5 * 1/2
+      (4L, 1L, 0L, 1L, s3)))
+    assert(s1 == 0.6 && s3 == 0.3) // the round-6 policy recovers the rationals
+    // a time that kills its whole risk set pins the curve to exactly 0
+    val kill = Seq((1L, 1), (1L, 1)).toDF("duration", "event")
+    val k = Stats.kaplanMeier(kill, "duration", "event").collect()
+    assert(k.length == 1 && k.head.getAs[Double]("km_survival") == 0.0)
+    assert(Stats.kaplanMeier(
+      Seq.empty[(Long, Int)].toDF("duration", "event"),
+      "duration", "event").count() == 0)
+  }
+
+  test("logRank: hand-computed O/E/V ladder; degenerate and contract cases") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", 1L, 1), ("A", 2L, 1), ("A", 3L, 0),
+      ("B", 3L, 1), ("B", 4L, 1), ("B", 5L, 0)).toDF("g", "d", "e")
+    val out = Stats.logRank(df, "d", "e", "g").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("group_a") == "A" && r.getAs[String]("group_b") == "B")
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("events_a") == 2L && r.getAs[Long]("events_b") == 2L)
+    // t=1: E=3*1/6=.5 V=3*3*1*5/(36*5)=.25 | t=2: E=2/5=.4 V=2*3*4/(25*4)=.24
+    // t=3: E=1/4=.25 V=1*3*3/(16*3)=.1875 | t=4: E=0 V=0
+    assert(r.getAs[Double]("expected_a") == 1.15)
+    assert(r.getAs[Double]("chi2") == r6((2.0 - 1.15) * (2.0 - 1.15) / 0.6775))
+    assert(!r.getAs[Boolean]("significant_05"))
+    // all deaths in one arm at early times: large chi2, significant
+    val sep = ((1 to 20).map(i => ("A", i.toLong, 1)) ++
+      (1 to 20).map(i => ("B", 100L + i, 1))).toDF("g", "d", "e")
+    val s = Stats.logRank(sep, "d", "e", "g").collect().head
+    assert(s.getAs[Boolean]("significant_05"))
+    val three = Seq(("A", 1L, 1), ("B", 1L, 1), ("C", 1L, 1)).toDF("g", "d", "e")
+    val err = intercept[Exception] { Stats.logRank(three, "d", "e", "g").collect() }
+    assert(err.toString.contains("exactly 2 groups") ||
+      Option(err.getCause).exists(_.toString.contains("exactly 2 groups")))
+    assert(Stats.logRank(Seq.empty[(String, Long, Int)].toDF("g", "d", "e"),
+      "d", "e", "g").count() == 0)
+  }
+
+  test("ipwAte: hand-computed Hajek means with exact integer weights; clipping; one-arm raise") {
+    import spark.implicits._
+    // (t, y, e_micro): weights 1e12 div e (treated) / 1e12 div (1e6-e)
+    val df = Seq(
+      (1, 10.0, 500000L), (0, 5.0, 500000L),   // w = 2e6 both
+      (1, 20.0, 250000L),                       // w = 4e6
+      (0, 0.0, 250000L)                         // w = 1e12 div 75e4 = 1333333
+    ).toDF("t", "y", "e")
+    val r = Stats.ipwAte(df, "t", "y", "e", clipMicro = 0L).collect().head
+    assert(r.getAs[Long]("n_treated") == 2L && r.getAs[Long]("n_control") == 2L)
+    // swyt = 2e6*1e7 + 4e6*2e7 = 1e14; swt = 6e6 -> 16666666
+    assert(r.getAs[Long]("mean_treated_micro") == 16666666L)
+    // swyc = 2e6*5e6; swc = 3333333 -> 3000000
+    assert(r.getAs[Long]("mean_control_micro") == 3000000L)
+    assert(r.getAs[Long]("ate_micro") == 13666666L)
+    // clipping: e = 1 would weigh 1e12; clip 10000 pins w to 1e8
+    val ext = Seq((1, 1.0, 1L), (0, 1.0, 999999L)).toDF("t", "y", "e")
+    val c = Stats.ipwAte(ext, "t", "y", "e", clipMicro = 10000L).collect().head
+    assert(c.getAs[Long]("mean_treated_micro") == 1000000L)
+    assert(c.getAs[Long]("ate_micro") == 0L)
+    val oneArm = Seq((1, 1.0, 500000L)).toDF("t", "y", "e")
+    val err = intercept[Exception] { Stats.ipwAte(oneArm, "t", "y", "e").collect() }
+    assert(err.toString.contains("both arms") ||
+      Option(err.getCause).exists(_.toString.contains("both arms")))
+    assert(Stats.ipwAte(Seq.empty[(Int, Double, Long)].toDF("t", "y", "e"),
+      "t", "y", "e").count() == 0)
+  }
+
+  test("bradleyTerry: matches the BigInt MM replay; zero-win boundary; dominance order; empty") {
+    import spark.implicits._
+    // a beats b 3x, b beats a 1x, a beats c 2x, c beats b 2x, b beats c 1x
+    val prefs = (Seq.fill(3)(("a", "b")) ++ Seq(("b", "a")) ++
+      Seq.fill(2)(("a", "c")) ++ Seq.fill(2)(("c", "b")) ++ Seq(("b", "c")))
+      .toDF("w", "l")
+    val out = Stats.bradleyTerry(prefs, "w", "l", iterations = 12)
+      .select(col("item"), col("wins"), col("comparisons"), col("strength_micro"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // replay the exact integer MM
+    val wij = Map(("a", "b") -> 3L, ("b", "a") -> 1L, ("a", "c") -> 2L,
+      ("c", "a") -> 0L, ("c", "b") -> 2L, ("b", "c") -> 1L)
+    val items = Seq("a", "b", "c")
+    val nij = wij.map { case ((i, j), w) => (i, j) -> (w + wij((j, i))) }
+    val bigW = items.map(i => i -> wij.collect {
+      case ((`i`, _), w) => w }.sum).toMap
+    var pi = items.map(_ -> BigInt(1000000)).toMap
+    for (_ <- 1 to 12) {
+      val d = items.map { i =>
+        i -> nij.collect { case ((`i`, j), n) =>
+          BigInt(n) * BigInt("1000000000000") / (pi(i) + pi(j)).max(BigInt(1))
+        }.sum
+      }.toMap
+      val praw = items.map { i =>
+        i -> BigInt(bigW(i)) * BigInt("1000000000000") / d(i).max(BigInt(1))
+      }.toMap
+      val s = praw.values.sum.max(BigInt(1))
+      pi = items.map(i => i -> praw(i) * (BigInt(3) * 1000000) / s).toMap
+    }
+    val expect = items.map(i =>
+      (i, bigW(i), nij.collect { case ((`i`, _), n) => n }.sum, pi(i).toLong))
+      .sortBy(t => (-t._4, t._1))
+    assert(out == expect)
+    assert(out.head._1 == "a") // the dominant item ranks first
+    // an item that never won sits at the boundary: exactly 0
+    val shut = (Seq.fill(4)(("x", "y")) ++ Seq.fill(2)(("z", "y")))
+      .toDF("w", "l")
+    val sOut = Stats.bradleyTerry(shut, "w", "l").collect()
+      .map(r => r.getAs[String]("item") -> r.getAs[Long]("strength_micro"))
+      .toMap
+    assert(sOut("y") == 0L && sOut("x") > 0L && sOut("z") > 0L)
+    assert(Stats.bradleyTerry(
+      Seq.empty[(String, String)].toDF("w", "l"), "w", "l").count() == 0)
+  }
+
+  test("bradleyTerry: maxItems raises in-plan on breach") {
+    import spark.implicits._
+    val many = (1 to 12).flatMap(i => (1 to 12).filter(_ != i)
+      .map(j => (s"i$i", s"i$j"))).toDF("w", "l")
+    val err = intercept[Exception] {
+      Stats.bradleyTerry(many, "w", "l", iterations = 1, maxItems = 5).collect()
+    }
+    assert(err.toString.contains("more than 5 items") ||
+      Option(err.getCause).exists(_.toString.contains("more than 5 items")))
+  }
 }
