@@ -1205,6 +1205,57 @@ object Stats {
       .orderBy("duration")
   }
 
+  /** RESTRICTED MEAN SURVIVAL TIME — the area under the [[kaplanMeier]]
+    * curve up to a horizon τ (Royston & Parmar 2013): "expected days
+    * survived in the first τ days", the single-number survival summary
+    * that stays defined under heavy censoring where the median does
+    * not, and the standard effect scale when proportional hazards is
+    * not worth defending. RMST(τ) = Σ S(t_{i-1})·(min(t_i,τ) −
+    * min(t_{i-1},τ)) over the KM step intervals plus the
+    * S(t_last)·(τ − t_last) tail.
+    *
+    * Float policy: interval widths are exact integers; each term is
+    * round-6 of (round-6 KM survival) × width in pinned order; the
+    * total adds ROUNDED terms and is round-6 again. Pre-first-event
+    * survival is exactly 1.0.
+    *
+    * Shape: [[kaplanMeier]]'s one corpus-sized partial agg, then a lag
+    * and a scalar fold over the |distinct durations|-bounded curve.
+    * Empty input → empty output.
+    *
+    * Returns ONE row (tau, n_subjects, rmst) — rmst in the duration
+    * column's own units. */
+  def rmst(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String,
+      tau: Long): DataFrame = {
+    require(tau > 0L, s"rmst: tau must be positive, got $tau")
+    import org.apache.spark.sql.expressions.Window
+    val km = kaplanMeier(df, durationCol, eventCol)
+    val wAsc = Window.orderBy(col("duration"))
+    val cut = least(col("duration"), lit(tau))
+    // coalesce INSIDE the least: least() skips NULL operands (Spark and
+    // DuckDB alike), so least(lag(...), τ) on the first row would yield
+    // τ, not NULL — the outer coalesce would never fire
+    val prevCut = least(
+      coalesce(lag(col("duration"), 1).over(wAsc), lit(0L)), lit(tau))
+    val prevS = coalesce(lag(col("km_survival"), 1).over(wAsc), lit(1.0d))
+    km
+      .withColumn("_n0", col("n_at_risk"))
+      .withColumn("_term",
+        round(prevS * (cut - prevCut).cast("double"), 6) + lit(0.0d))
+      .withColumn("_tail",
+        when(col("duration") === max(col("duration")).over(
+          Window.partitionBy()),
+          round(col("km_survival") *
+            (lit(tau) - cut).cast("double"), 6) + lit(0.0d))
+          .otherwise(lit(0.0d)))
+      .groupBy(lit(tau).as("tau"))
+      .agg(max(col("_n0")).as("n_subjects"),
+        (round(sum(col("_term") + col("_tail")), 6) + lit(0.0d)).as("rmst"))
+  }
+
   /** LOG-RANK TEST (Mantel 1966) — "are these two survival curves the
     * same?", the censoring-aware companion to [[kaplanMeier]] and the
     * standard A/B read on churn: at each death time the observed deaths
@@ -1293,6 +1344,96 @@ object Stats {
         when(col("_V") === 0.0d, lit(null).cast("double")).otherwise(
           round(oMinusE * oMinusE / col("_V"), 6) + lit(0.0d))
           > lit(3.841459d),
+        lit(false)).as("significant_05"))
+  }
+
+  /** COCHRAN–MANTEL–HAENSZEL stratified 2×2 test + Mantel–Haenszel
+    * common odds ratio (Mantel & Haenszel 1959; Cochran 1954) — "does
+    * treatment associate with outcome AFTER controlling for the
+    * stratifying confounder?", the contingency-table companion to
+    * [[ipwAte]]: same stratum structure, but a test instead of an
+    * effect estimate, and no propensity model at all. Per stratum k
+    * with treated/control sizes n1/n2, successes m1 and treated
+    * successes a: E(a) = n1·m1/n, V = n1·n2·m1·(n−m1)/(n²(n−1));
+    * CMH χ²(1) = (Σa − ΣE)²/ΣV (no continuity correction — the
+    * uncorrected form is what converges to the χ² reference). The MH
+    * pooled odds ratio is Σ(a·d/n) / Σ(b·c/n).
+    *
+    * Float policy (the [[logRank]] contract): E, V and the two OR
+    * terms are round-6 doubles off integer cells in pinned operand
+    * order; sums add ROUNDED terms; χ² and the OR are round-6 off the
+    * rounded sums. ΣV = 0 → NULL χ² and false significance (no
+    * mixed-stratum evidence ≠ no association); a zero OR denominator →
+    * NULL odds ratio. `significant_05` compares against the pinned
+    * χ²(1) critical value 3.841459. Treatment/outcome outside {0, 1}
+    * raise in-plan.
+    *
+    * Shape: ONE stratum-keyed conditional partial agg is the only
+    * corpus-sized stage; everything after folds the #strata-bounded
+    * cell table. Empty input → empty output.
+    *
+    * Returns ONE row (n_strata, n_total, sum_a, expected_a, chi2,
+    * or_mh, significant_05). */
+  def cmhTest(
+      df: DataFrame,
+      stratumCol: String,
+      treatCol: String,
+      outcomeCol: String): DataFrame = {
+    val rows = df.where(col(stratumCol).isNotNull).select(
+      col(stratumCol).cast("string").as("_s"),
+      when(col(treatCol).isNull || !col(treatCol).cast("int").isin(0, 1),
+        raise_error(lit("cmhTest: treatment must be 0 or 1")))
+        .otherwise(col(treatCol).cast("int")).as("_t"),
+      when(col(outcomeCol).isNull || !col(outcomeCol).cast("int").isin(0, 1),
+        raise_error(lit("cmhTest: outcome must be 0 or 1")))
+        .otherwise(col(outcomeCol).cast("int")).as("_y"))
+    val cells = rows.groupBy(col("_s")).agg(
+      sum(when(col("_t") === 1 && col("_y") === 1, 1L).otherwise(0L)).as("_a"),
+      sum(when(col("_t") === 1 && col("_y") === 0, 1L).otherwise(0L)).as("_b"),
+      sum(when(col("_t") === 0 && col("_y") === 1, 1L).otherwise(0L)).as("_c"),
+      sum(when(col("_t") === 0 && col("_y") === 0, 1L).otherwise(0L)).as("_d"))
+      .withColumn("_n1", col("_a") + col("_b"))
+      .withColumn("_n2", col("_c") + col("_d"))
+      .withColumn("_m1", col("_a") + col("_c"))
+      .withColumn("_n", col("_n1") + col("_n2"))
+    val terms = cells
+      .withColumn("_e",
+        when(col("_n") === 0L, lit(0.0d)).otherwise(
+          round(col("_n1").cast("double") * col("_m1") / col("_n"), 6)
+            + lit(0.0d)))
+      .withColumn("_v",
+        when(col("_n") <= 1L, lit(0.0d)).otherwise(
+          round(col("_n1").cast("double") * col("_n2") * col("_m1") *
+            (col("_n") - col("_m1")) /
+            (col("_n").cast("double") * col("_n") * (col("_n") - 1L)), 6)
+            + lit(0.0d)))
+      .withColumn("_rnum",
+        when(col("_n") === 0L, lit(0.0d)).otherwise(
+          round(col("_a").cast("double") * col("_d") / col("_n"), 6)
+            + lit(0.0d)))
+      .withColumn("_rden",
+        when(col("_n") === 0L, lit(0.0d)).otherwise(
+          round(col("_b").cast("double") * col("_c") / col("_n"), 6)
+            + lit(0.0d)))
+    val agg = terms.groupBy(lit(1).as("_one")).agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("_n")).as("n_total"),
+      sum(col("_a")).as("sum_a"),
+      (round(sum(col("_e")), 6) + lit(0.0d)).as("expected_a"),
+      (round(sum(col("_v")), 6) + lit(0.0d)).as("_V"),
+      (round(sum(col("_rnum")), 6) + lit(0.0d)).as("_SN"),
+      (round(sum(col("_rden")), 6) + lit(0.0d)).as("_SD"))
+    val dev = col("sum_a").cast("double") - col("expected_a")
+    agg.select(
+      col("n_strata"), col("n_total"), col("sum_a"), col("expected_a"),
+      when(col("_V") === 0.0d, lit(null).cast("double"))
+        .otherwise(round(dev * dev / col("_V"), 6) + lit(0.0d)).as("chi2"),
+      when(col("_SD") === 0.0d, lit(null).cast("double"))
+        .otherwise(round(col("_SN") / col("_SD"), 6) + lit(0.0d))
+        .as("or_mh"),
+      coalesce(
+        when(col("_V") === 0.0d, lit(null).cast("double")).otherwise(
+          round(dev * dev / col("_V"), 6) + lit(0.0d)) > lit(3.841459d),
         lit(false)).as("significant_05"))
   }
 

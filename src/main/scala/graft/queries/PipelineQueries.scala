@@ -2372,6 +2372,27 @@ object PipelineQueries {
         iterations = 12, maxItems = 100)
     }),
 
+    // Restricted mean survival time at a 30-day horizon on the same
+    // censored lifetimes — expected days survived in the first 30,
+    // the area under p288's KM steps plus the S·(τ−t_last) tail.
+    "p292_rmst" -> ((s, dir) =>
+      graft.ops.Stats.rmst(kmSubjects(s, dir), "dur", "ev", 30L)),
+
+    // Cochran–Mantel–Haenszel stratified 2×2: heavy clicker ×
+    // heavy purchaser association controlled for the user_id mod 8
+    // stratum — round-6 E/V per stratum, MH pooled odds ratio,
+    // pinned χ²(1) cut. Near-null by construction (the stratum is
+    // noise), so also a false-positive canary.
+    "p293_cmh" -> ((s, dir) => {
+      val users = Tables(s, dir, "events").groupBy(col("user_id")).agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("_ck"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("_pc"))
+      graft.ops.Stats.cmhTest(users.select(
+        (col("user_id") % 8).cast("string").as("_s"),
+        (col("_ck") >= 14L).cast("int").as("_t"),
+        (col("_pc") >= 14L).cast("int").as("_y")), "_s", "_t", "_y")
+    }),
+
     // Krippendorff's α over 16-event blocks "rated" with their event
     // types — multi-rater agreement with missing data, exact to the
     // ppm via L-scaled coincidence weights (L = lcm(1..15)).
@@ -5961,6 +5982,59 @@ object PipelineQueries {
     // the identical integer MM recursion, statically unrolled like
     // p131's pagerank: HUGEINT // everywhere, mean-1e6 renorm per round
     "p291_bradley_terry" -> btOracleSql(12),
+    // p288's KM ladder + the identical lag/tail trapezoid in round-6
+    "p292_rmst" -> (kmSubjectsSql +
+      "p AS (SELECT d, SUM(e) AS n_events, COUNT(*) AS nt FROM s GROUP BY 1), " +
+      "w AS (SELECT *, SUM(nt) OVER () - COALESCE(SUM(nt) OVER (ORDER BY d " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk FROM p), " +
+      "tm AS (SELECT *, CASE WHEN n_events = 0 OR n_events = n_at_risk THEN 0.0 " +
+      "ELSE round(ln(CAST(n_at_risk - n_events AS DOUBLE) / n_at_risk), 6) + 0.0 END AS term FROM w), " +
+      "r AS (SELECT *, MAX(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END) " +
+      "OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead, " +
+      "round(SUM(term) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS cum FROM tm), " +
+      "km AS (SELECT d AS duration, n_at_risk, " +
+      "CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(cum), 6) + 0.0 END AS sv FROM r), " +
+      "x AS (SELECT duration, n_at_risk, sv, LEAST(duration, 30) AS cut, " +
+      "LEAST(COALESCE(LAG(duration) OVER (ORDER BY duration), 0), 30) AS pcut, " +
+      "COALESCE(LAG(sv) OVER (ORDER BY duration), 1.0) AS ps, " +
+      "MAX(duration) OVER () AS mx FROM km), " +
+      "t AS (SELECT n_at_risk, round(ps * CAST(cut - pcut AS DOUBLE), 6) + 0.0 AS term, " +
+      "CASE WHEN duration = mx THEN round(sv * CAST(30 - cut AS DOUBLE), 6) + 0.0 " +
+      "ELSE 0.0 END AS tail FROM x) " +
+      "SELECT CAST(30 AS BIGINT) AS tau, CAST(MAX(n_at_risk) AS BIGINT) AS n_subjects, " +
+      "round(SUM(term + tail), 6) + 0.0 AS rmst FROM t HAVING COUNT(*) > 0"),
+    // identical round-6 E/V/OR terms per stratum off integer cells in
+    // pinned operand order; chi2 and OR off the rounded sums
+    "p293_cmh" -> (
+      "WITH u AS (SELECT user_id, " +
+      "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ck, " +
+      "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pc " +
+      "FROM events GROUP BY 1), " +
+      "s AS (SELECT CAST(user_id % 8 AS VARCHAR) AS st, " +
+      "CASE WHEN ck >= 14 THEN 1 ELSE 0 END AS t, " +
+      "CASE WHEN pc >= 14 THEN 1 ELSE 0 END AS y FROM u), " +
+      "cells AS (SELECT st, SUM(CASE WHEN t = 1 AND y = 1 THEN 1 ELSE 0 END) AS a, " +
+      "SUM(CASE WHEN t = 1 AND y = 0 THEN 1 ELSE 0 END) AS b, " +
+      "SUM(CASE WHEN t = 0 AND y = 1 THEN 1 ELSE 0 END) AS c, " +
+      "SUM(CASE WHEN t = 0 AND y = 0 THEN 1 ELSE 0 END) AS d FROM s GROUP BY 1), " +
+      "w AS (SELECT *, a + b AS n1, c + d AS n2, a + c AS m1, a + b + c + d AS n FROM cells), " +
+      "tm AS (SELECT *, CASE WHEN n = 0 THEN 0.0 " +
+      "ELSE round(CAST(n1 AS DOUBLE) * m1 / n, 6) + 0.0 END AS e, " +
+      "CASE WHEN n <= 1 THEN 0.0 ELSE round(CAST(n1 AS DOUBLE) * n2 * m1 * (n - m1) / " +
+      "(CAST(n AS DOUBLE) * n * (n - 1)), 6) + 0.0 END AS v, " +
+      "CASE WHEN n = 0 THEN 0.0 ELSE round(CAST(a AS DOUBLE) * d / n, 6) + 0.0 END AS rnum, " +
+      "CASE WHEN n = 0 THEN 0.0 ELSE round(CAST(b AS DOUBLE) * c / n, 6) + 0.0 END AS rden FROM w), " +
+      "ag AS (SELECT COUNT(*) AS n_strata, SUM(n) AS n_total, SUM(a) AS sum_a, " +
+      "round(SUM(e), 6) + 0.0 AS expected_a, round(SUM(v), 6) + 0.0 AS vv, " +
+      "round(SUM(rnum), 6) + 0.0 AS sn, round(SUM(rden), 6) + 0.0 AS sd FROM tm) " +
+      "SELECT CAST(n_strata AS BIGINT) AS n_strata, CAST(n_total AS BIGINT) AS n_total, " +
+      "CAST(sum_a AS BIGINT) AS sum_a, expected_a, " +
+      "CASE WHEN vv = 0 THEN NULL ELSE round((CAST(sum_a AS DOUBLE) - expected_a) * " +
+      "(CAST(sum_a AS DOUBLE) - expected_a) / vv, 6) + 0.0 END AS chi2, " +
+      "CASE WHEN sd = 0 THEN NULL ELSE round(sn / sd, 6) + 0.0 END AS or_mh, " +
+      "COALESCE((CASE WHEN vv = 0 THEN NULL ELSE round((CAST(sum_a AS DOUBLE) - expected_a) * " +
+      "(CAST(sum_a AS DOUBLE) - expected_a) / vv, 6) + 0.0 END) > 3.841459, FALSE) AS significant_05 " +
+      "FROM ag WHERE n_strata > 0"),
     // identical L-scaled coincidence arithmetic in HUGEINT; the only
     // division is the final re-signed // (floor == truncate on the
     // re-signed non-negative operands)

@@ -461,6 +461,55 @@ class StatsSpec extends AnyFunSuite {
       "duration", "event").count() == 0)
   }
 
+  test("rmst: area under the KM steps replayed by hand; tau truncation; full-kill floor") {
+    import spark.implicits._
+    // KM from the kaplanMeier spec: S(1)=.6, S(2)=.6, S(3)=.3, S(4)=.3
+    val df = Seq((1L, 1), (1L, 1), (2L, 0), (3L, 1), (4L, 0))
+      .toDF("duration", "event")
+    val far = Stats.rmst(df, "duration", "event", 10L).collect().head
+    assert(far.getAs[Long]("tau") == 10L)
+    assert(far.getAs[Long]("n_subjects") == 5L)
+    // 1.0*1 + .6*1 + .6*1 + .3*1 + tail .3*(10-4)=1.8
+    assert(far.getAs[Double]("rmst") == 4.3)
+    val near = Stats.rmst(df, "duration", "event", 2L).collect().head
+    assert(near.getAs[Double]("rmst") == 1.6) // 1.0*1 + .6*1, rest clipped
+    val kill = Seq((1L, 1), (1L, 1)).toDF("duration", "event")
+    val k = Stats.rmst(kill, "duration", "event", 5L).collect().head
+    assert(k.getAs[Double]("rmst") == 1.0) // 1 day alive, then S pinned 0
+    assert(Stats.rmst(Seq.empty[(Long, Int)].toDF("duration", "event"),
+      "duration", "event", 5L).count() == 0)
+  }
+
+  test("cmhTest: hand-computed stratified chi2 and MH odds ratio; degenerate stratum; raises") {
+    import spark.implicits._
+    def subjects(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, 1, 1)) ++ Seq.fill(b)((s, 1, 0)) ++
+        Seq.fill(c)((s, 0, 1)) ++ Seq.fill(d)((s, 0, 0))
+    val df = (subjects("s1", 4, 1, 1, 4) ++ subjects("s2", 3, 2, 2, 3))
+      .toDF("st", "t", "y")
+    val r = Stats.cmhTest(df, "st", "t", "y").collect().head
+    assert(r.getAs[Long]("n_strata") == 2L && r.getAs[Long]("n_total") == 20L)
+    assert(r.getAs[Long]("sum_a") == 7L)
+    // per stratum: E = 5*5/10 = 2.5, V = 5*5*5*5/(100*9) = .694444
+    assert(r.getAs[Double]("expected_a") == 5.0)
+    assert(r.getAs[Double]("chi2") ==
+      r6(2.0 * 2.0 / r6(r6(625.0 / 900.0) + r6(625.0 / 900.0))))
+    // OR = (4*4/10 + 3*3/10) / (1*1/10 + 2*2/10) = 2.5 / 0.5
+    assert(r.getAs[Double]("or_mh") == 5.0)
+    assert(!r.getAs[Boolean]("significant_05"))
+    // one stratum, no controls: V = 0 -> NULL chi2, false flag, NULL OR
+    val oneArm = subjects("s1", 3, 2, 0, 0).toDF("st", "t", "y")
+    val o = Stats.cmhTest(oneArm, "st", "t", "y").collect().head
+    assert(o.isNullAt(o.fieldIndex("chi2")) && o.isNullAt(o.fieldIndex("or_mh")))
+    assert(!o.getAs[Boolean]("significant_05"))
+    val bad = Seq(("s1", 2, 1)).toDF("st", "t", "y")
+    val err = intercept[Exception] { Stats.cmhTest(bad, "st", "t", "y").collect() }
+    assert(err.toString.contains("treatment must be 0 or 1") ||
+      Option(err.getCause).exists(_.toString.contains("treatment must be 0 or 1")))
+    assert(Stats.cmhTest(Seq.empty[(String, Int, Int)].toDF("st", "t", "y"),
+      "st", "t", "y").count() == 0)
+  }
+
   test("logRank: hand-computed O/E/V ladder; degenerate and contract cases") {
     import spark.implicits._
     val df = Seq(
