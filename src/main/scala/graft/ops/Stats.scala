@@ -1347,6 +1347,131 @@ object Stats {
         lit(false)).as("significant_05"))
   }
 
+  /** mSPRT — mixture sequential probability ratio test (Johari,
+    * Koomen, Pekelis & Walsh 2017, "Peeking at A/B Tests"): the
+    * ALWAYS-VALID p-value that an experimenter may read every day and
+    * stop on, without the peeking inflation a fixed-horizon t-test
+    * suffers. Against a N(0, τ²) mixture alternative the likelihood
+    * ratio at day n is ln Λ = ½·ln(V/(V+τ²)) + θ̂²τ²/(2V(V+τ²)) with
+    * θ̂ the mean difference and V the summed per-arm variance-of-mean;
+    * p_n = min over days so far of min(1, e^{−ln Λ}) is valid at every
+    * stopping time.
+    *
+    * Float policy: daily per-arm counts, micro sums and micro² sums of
+    * squares are EXACT (DECIMAL(38,0)); every scalar is ONE division
+    * of exact integer moments in pinned operand order — θ̂ =
+    * (s_a·c_b − s_b·c_a)/(c_a·c_b·10⁶), per-arm variance-of-mean
+    * (ss·c − s²)/(c²·(c−1)·10¹²) — each round-6 in NATURAL units (the
+    * micro²-scale intermediate a naive formula would round is ~10¹²,
+    * where round-6 sits below the double ulp and absorbs nothing);
+    * ln Λ sums two round-6 terms; the p term is round-6 of
+    * min(1, exp(−ln Λ)) and `p_always` its running min. Days where
+    * either arm has < 2 observations (or V ≤ 0) contribute the
+    * conservative p term 1.0 — no evidence, never NULL-poisoned.
+    *
+    * Exactly two groups required — raises in-plan (the [[mannWhitney]]
+    * contract). Shape: one (day, arm) partial agg is the only
+    * corpus-sized stage; cumulative moments, Λ and the running min
+    * ride the |days|-bounded pivot. Empty input → empty output.
+    *
+    * Returns one row per day (day, n_a, n_b, theta, v, ln_lambda,
+    * p_always, reject) ordered by day — `reject` is
+    * p_always ≤ alphaMicro/10⁶. */
+  def msprt(
+      ev: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      valueCol: String,
+      tauMicro: Long = 500000L,
+      alphaMicro: Long = 50000L): DataFrame = {
+    require(tauMicro > 0L, s"msprt: tauMicro must be positive, got $tauMicro")
+    require(alphaMicro > 0L && alphaMicro < 1000000L,
+      s"msprt: alphaMicro must be in (0, 1e6), got $alphaMicro")
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val tau2 = tauMicro.toDouble * tauMicro / 1.0e12
+    val alpha = alphaMicro.toDouble / 1.0e6
+    val rows = ev
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(
+        expr(s"CAST(floor(unix_micros(CAST(`$tsCol` AS TIMESTAMP)) / " +
+          "1000000.0d) AS BIGINT) div 86400").as("_day"),
+        col(groupCol).cast("string").as("_g"),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long")
+          .as("_v"))
+    val gAgg = rows.agg(min(col("_g")).as("_gaN"), max(col("_g")).as("_gbN"),
+      countDistinct(col("_g")).as("_ng"))
+    val daily = rows.crossJoin(broadcast(gAgg)).groupBy(col("_day"))
+      .agg(
+        sum(when(col("_g") === col("_gaN"), 1L).otherwise(0L)).as("_dca"),
+        sum(when(col("_g") =!= col("_gaN"), 1L).otherwise(0L)).as("_dcb"),
+        sum(when(col("_g") === col("_gaN"), col("_v")).otherwise(0L)
+          .cast(d38)).cast(d38).as("_dsa"),
+        sum(when(col("_g") =!= col("_gaN"), col("_v")).otherwise(0L)
+          .cast(d38)).cast(d38).as("_dsb"),
+        sum(when(col("_g") === col("_gaN"),
+          col("_v").cast(d38) * col("_v")).otherwise(lit(0).cast(d38))
+          .cast(d38)).cast(d38).as("_dqa"),
+        sum(when(col("_g") =!= col("_gaN"),
+          col("_v").cast(d38) * col("_v")).otherwise(lit(0).cast(d38))
+          .cast(d38)).cast(d38).as("_dqb"),
+        max(col("_ng")).as("_ng"))
+    val wRun = Window.orderBy(col("_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("_ca", sum(col("_dca")).over(wRun))
+      .withColumn("_cb", sum(col("_dcb")).over(wRun))
+      .withColumn("_sa", sum(col("_dsa")).over(wRun).cast(d38))
+      .withColumn("_sb", sum(col("_dsb")).over(wRun).cast(d38))
+      .withColumn("_qa", sum(col("_dqa")).over(wRun).cast(d38))
+      .withColumn("_qb", sum(col("_dqb")).over(wRun).cast(d38))
+    // every scalar: ONE division of exact integer moments, round-6 in
+    // natural units, fixed operand order
+    val scal = cum
+      .withColumn("_theta",
+        when(col("_ca") === 0L || col("_cb") === 0L,
+          lit(null).cast("double")).otherwise(
+          round(expr("CAST(_sa * _cb - _sb * _ca AS DOUBLE)") /
+            (col("_ca").cast("double") * col("_cb") * lit(1.0e6d)), 6)
+            + lit(0.0d)))
+      .withColumn("_va",
+        when(col("_ca") < 2L, lit(null).cast("double")).otherwise(
+          round(expr("CAST(_qa * _ca - _sa * _sa AS DOUBLE)") /
+            (col("_ca").cast("double") * col("_ca") * (col("_ca") - 1L) *
+              lit(1.0e12d)), 6) + lit(0.0d)))
+      .withColumn("_vb",
+        when(col("_cb") < 2L, lit(null).cast("double")).otherwise(
+          round(expr("CAST(_qb * _cb - _sb * _sb AS DOUBLE)") /
+            (col("_cb").cast("double") * col("_cb") * (col("_cb") - 1L) *
+              lit(1.0e12d)), 6) + lit(0.0d)))
+      .withColumn("_vv",
+        when(col("_va").isNull || col("_vb").isNull,
+          lit(null).cast("double"))
+          .otherwise(round(col("_va") + col("_vb"), 6) + lit(0.0d)))
+      .withColumn("_lnl",
+        when(col("_vv").isNull || col("_vv") <= 0.0d,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (round(lit(0.5d) * log(col("_vv") / (col("_vv") + lit(tau2))),
+              6) + lit(0.0d)) +
+              (round(col("_theta") * col("_theta") * lit(tau2) /
+                (lit(2.0d) * col("_vv") * (col("_vv") + lit(tau2))), 6)
+                + lit(0.0d)), 6) + lit(0.0d)))
+      .withColumn("_pterm",
+        when(col("_lnl").isNull, lit(1.0d)).otherwise(
+          round(least(lit(1.0d), exp(-col("_lnl"))), 6) + lit(0.0d)))
+      .withColumn("p_always", min(col("_pterm")).over(wRun))
+    scal.select(
+      when(col("_ng") =!= 2, raise_error(concat(
+        lit("msprt: need exactly 2 groups with non-null values, got "),
+        col("_ng").cast("string")))).otherwise(col("_day")).as("day"),
+      col("_ca").as("n_a"), col("_cb").as("n_b"),
+      col("_theta").as("theta"), col("_vv").as("v"),
+      col("_lnl").as("ln_lambda"), col("p_always"),
+      (col("p_always") <= lit(alpha)).as("reject"))
+      .orderBy("day")
+  }
+
   /** COCHRAN–MANTEL–HAENSZEL stratified 2×2 test + Mantel–Haenszel
     * common odds ratio (Mantel & Haenszel 1959; Cochran 1954) — "does
     * treatment associate with outcome AFTER controlling for the

@@ -2393,6 +2393,18 @@ object PipelineQueries {
         (col("_pc") >= 14L).cast("int").as("_y")), "_s", "_t", "_y")
     }),
 
+    // Always-valid sequential A/B p-value (mSPRT) on daily purchase
+    // values between the parity cohorts — the peeking-proof test an
+    // experimenter reads every day; null by construction, so the
+    // always-valid p staying high is itself the assertion.
+    "p294_msprt" -> ((s, dir) =>
+      graft.ops.Stats.msprt(
+        Tables(s, dir, "events")
+          .where(col("event_type") === "purchase")
+          .withColumn("grp",
+            when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))),
+        "ts", "grp", "value", tauMicro = 500000L, alphaMicro = 50000L)),
+
     // Krippendorff's α over 16-event blocks "rated" with their event
     // types — multi-rater agreement with missing data, exact to the
     // ppm via L-scaled coincidence weights (L = lcm(1..15)).
@@ -6035,6 +6047,46 @@ object PipelineQueries {
       "COALESCE((CASE WHEN vv = 0 THEN NULL ELSE round((CAST(sum_a AS DOUBLE) - expected_a) * " +
       "(CAST(sum_a AS DOUBLE) - expected_a) / vv, 6) + 0.0 END) > 3.841459, FALSE) AS significant_05 " +
       "FROM ag WHERE n_strata > 0"),
+    // identical exact HUGEINT moments; every scalar ONE division of
+    // integer moments round-6 in natural units; tau^2 = 0.25 pinned
+    "p294_msprt" -> (
+      "WITH r AS (SELECT CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) // 86400 AS day, " +
+      "CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g, " +
+      "CAST(floor(value * 1000000) AS BIGINT) AS v FROM events " +
+      "WHERE event_type = 'purchase' AND value IS NOT NULL), " +
+      "d AS (SELECT day, SUM(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS dca, " +
+      "SUM(CASE WHEN g <> 'even' THEN 1 ELSE 0 END) AS dcb, " +
+      "SUM(CASE WHEN g = 'even' THEN CAST(v AS HUGEINT) ELSE 0 END) AS dsa, " +
+      "SUM(CASE WHEN g <> 'even' THEN CAST(v AS HUGEINT) ELSE 0 END) AS dsb, " +
+      "SUM(CASE WHEN g = 'even' THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS dqa, " +
+      "SUM(CASE WHEN g <> 'even' THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS dqb " +
+      "FROM r GROUP BY 1), " +
+      "c AS (SELECT day, " +
+      "SUM(dca) OVER w AS ca, SUM(dcb) OVER w AS cb, " +
+      "SUM(dsa) OVER w AS sa, SUM(dsb) OVER w AS sb, " +
+      "SUM(dqa) OVER w AS qa, SUM(dqb) OVER w AS qb FROM d " +
+      "WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "sc AS (SELECT day, ca, cb, " +
+      "CASE WHEN ca = 0 OR cb = 0 THEN NULL ELSE " +
+      "round(CAST(sa * cb - sb * ca AS DOUBLE) / (CAST(ca AS DOUBLE) * cb * 1000000.0), 6) + 0.0 END AS theta, " +
+      "CASE WHEN ca < 2 THEN NULL ELSE " +
+      "round(CAST(qa * ca - sa * sa AS DOUBLE) / (CAST(ca AS DOUBLE) * ca * (ca - 1) * 1000000000000.0), 6) + 0.0 END AS va, " +
+      "CASE WHEN cb < 2 THEN NULL ELSE " +
+      "round(CAST(qb * cb - sb * sb AS DOUBLE) / (CAST(cb AS DOUBLE) * cb * (cb - 1) * 1000000000000.0), 6) + 0.0 END AS vb " +
+      "FROM c), " +
+      "vv AS (SELECT day, ca, cb, theta, " +
+      "CASE WHEN va IS NULL OR vb IS NULL THEN NULL ELSE round(va + vb, 6) + 0.0 END AS v FROM sc), " +
+      "ll AS (SELECT day, ca, cb, theta, v, " +
+      "CASE WHEN v IS NULL OR v <= 0 THEN NULL ELSE " +
+      "round((round(0.5 * ln(v / (v + 0.25)), 6) + 0.0) + " +
+      "(round(theta * theta * 0.25 / (2.0 * v * (v + 0.25)), 6) + 0.0), 6) + 0.0 END AS lnl FROM vv), " +
+      "pt AS (SELECT *, CASE WHEN lnl IS NULL THEN 1.0 " +
+      "ELSE round(LEAST(1.0, exp(-lnl)), 6) + 0.0 END AS pterm FROM ll) " +
+      "SELECT day, CAST(ca AS BIGINT) AS n_a, CAST(cb AS BIGINT) AS n_b, " +
+      "theta, v, lnl AS ln_lambda, " +
+      "MIN(pterm) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_always, " +
+      "MIN(pterm) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 0.05 AS reject " +
+      "FROM pt ORDER BY day"),
     // identical L-scaled coincidence arithmetic in HUGEINT; the only
     // division is the final re-signed // (floor == truncate on the
     // re-signed non-negative operands)

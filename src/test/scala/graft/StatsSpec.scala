@@ -461,6 +461,75 @@ class StatsSpec extends AnyFunSuite {
       "duration", "event").count() == 0)
   }
 
+  test("msprt: replayed mixture likelihood ladder; thin days stay conservative; contract raise") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day * 86400000L)
+    // day 0: one lone A observation -> no variance -> p term 1.0
+    // day 1: A {1, 2}, B {1, 1}; day 2: A +3, B +1
+    val df = Seq(
+      (ts(0), "A", 5.0),
+      (ts(1), "A", 1.0), (ts(1), "A", 2.0), (ts(1), "B", 1.0), (ts(1), "B", 1.0),
+      (ts(2), "A", 3.0), (ts(2), "B", 1.0)).toDF("ts", "g", "v")
+    val out = Stats.msprt(df, "ts", "g", "v", tauMicro = 500000L)
+      .select(col("day"), col("n_a"), col("n_b"), col("theta"), col("v"),
+        col("p_always"), col("reject")).collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_a") == 1L && out(0).isNullAt(4))
+    assert(out(0).getAs[Double]("p_always") == 1.0)
+    // replay the exact pinned arithmetic for the cumulative day rows
+    def replay(ca: Long, cb: Long, sa: Long, sb: Long, qa: BigInt, qb: BigInt)
+        : (Double, Double, Double) = {
+      val tau2 = 0.25
+      val theta = r6((BigInt(sa) * cb - BigInt(sb) * ca).toDouble /
+        (ca.toDouble * cb * 1.0e6))
+      val va = r6((qa * ca - BigInt(sa) * sa).toDouble /
+        (ca.toDouble * ca * (ca - 1) * 1.0e12))
+      val vb = r6((qb * cb - BigInt(sb) * sb).toDouble /
+        (cb.toDouble * cb * (cb - 1) * 1.0e12))
+      val vv = r6(va + vb)
+      val lnl = r6(r6(0.5 * math.log(vv / (vv + tau2))) +
+        r6(theta * theta * tau2 / (2.0 * vv * (vv + tau2))))
+      (theta, vv, r6(math.min(1.0, math.exp(-lnl))))
+    }
+    val (t1, v1, p1) = replay(3, 2, 8000000L, 2000000L,
+      BigInt("30000000000000"), BigInt("2000000000000"))
+    assert(out(1).getAs[Double]("theta") == t1)
+    assert(out(1).getAs[Double]("v") == v1)
+    assert(out(1).getAs[Double]("p_always") == math.min(1.0, p1))
+    val (t2, v2, p2) = replay(4, 3, 11000000L, 3000000L,
+      BigInt("39000000000000"), BigInt("3000000000000"))
+    assert(out(2).getAs[Double]("theta") == t2)
+    assert(out(2).getAs[Double]("v") == v2)
+    assert(out(2).getAs[Double]("p_always") ==
+      math.min(math.min(1.0, p1), p2))
+    assert(!out(2).getAs[Boolean]("reject"))
+    val three = Seq((ts(1), "A", 1.0), (ts(1), "B", 1.0), (ts(1), "C", 1.0))
+      .toDF("ts", "g", "v")
+    val err = intercept[Exception] { Stats.msprt(three, "ts", "g", "v").collect() }
+    assert(err.toString.contains("exactly 2 groups") ||
+      Option(err.getCause).exists(_.toString.contains("exactly 2 groups")))
+    assert(Stats.msprt(Seq.empty[(Timestamp, String, Double)]
+      .toDF("ts", "g", "v"), "ts", "g", "v").count() == 0)
+  }
+
+  test("msprt: a real separation drives the always-valid p to rejection") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 30 days x 10 obs/arm/day, A ~ 2.0 + jitter, B ~ 1.0 + jitter
+    val rows = for {
+      d <- 0 until 30; i <- 0 until 10
+      (g, base) <- Seq(("A", 2.0), ("B", 1.0))
+    } yield (new Timestamp(d * 86400000L), g,
+      base + ((d * 10 + i) % 7) * 0.01)
+    val out = Stats.msprt(rows.toDF("ts", "g", "v"), "ts", "g", "v",
+      tauMicro = 500000L).orderBy(col("day")).collect()
+    assert(out.last.getAs[Boolean]("reject"))
+    // always-valid p is non-increasing by construction
+    val ps = out.map(_.getAs[Double]("p_always")).toSeq
+    assert(ps == ps.scanLeft(1.0)(math.min).tail)
+  }
+
   test("rmst: area under the KM steps replayed by hand; tau truncation; full-kill floor") {
     import spark.implicits._
     // KM from the kaplanMeier spec: S(1)=.6, S(2)=.6, S(3)=.3, S(4)=.3
