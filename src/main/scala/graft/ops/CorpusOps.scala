@@ -2222,7 +2222,14 @@ object CorpusOps {
     * INTEGER cross-ratio `2·cā·n_b / (c_a·n_b + c_b·n_a)` inside one
     * `ln` (operands cast to double in fixed order), weight `c/n` as an
     * exact rational, round-6 per term; side sums add the ROUNDED terms
-    * and `js_nats` is round-6 of their half-sum. A token absent from a
+    * and `js_nats_micro` is the FLOORED
+    * micro half-sum `floor((sa+sb)·5×10⁵)` — a pure function of the
+    * shared double. (Rounding the half-sum instead would sit exactly on
+    * a .5×10⁻⁶ boundary whenever the two round-6 grid sums are an odd
+    * micro apart, where Spark's decimal-string HALF_UP and DuckDB's
+    * binary-double rounding disagree — measured on the p295 fr–zh cell.
+    * The floor may land one ulp below the exact integer; deterministic
+    * on every engine, which is the contract.) A token absent from a
     * side contributes zero to that side (lim x·ln x = 0).
     *
     * Shape: one (token, side) conditional partial agg — the only
@@ -2232,7 +2239,7 @@ object CorpusOps {
     * "identical"/"broken"). Empty input → empty output.
     *
     * Returns ONE row (group_a, group_b, tokens_a, tokens_b, vocab_size,
-    * js_nats). */
+    * js_nats_micro). */
   def jsDivergence(
       df: DataFrame,
       textCol: String,
@@ -2273,8 +2280,93 @@ object CorpusOps {
           raise_error(lit("jsDivergence: both slices need at least one " +
             "token"))).otherwise(col("_na")).as("tokens_a"),
         col("_nb").as("tokens_b"), col("vocab_size"),
-        (round((col("_sa") + col("_sb")) / lit(2.0d), 6) + lit(0.0d))
-          .as("js_nats"))
+        floor((col("_sa") + col("_sb")) * lit(500000.0d)).cast("long")
+          .as("js_nats_micro"))
+  }
+
+  /** PAIRWISE JENSEN–SHANNON MATRIX over ALL slices of `groupCol` —
+    * [[jsDivergence]] for every unordered pair at once, the
+    * mixture-design table: sources with near-zero mutual JS are
+    * redundant (dedup or down-weight one), the far-from-everything
+    * source is the diversity you cannot replace. Every cell is
+    * BIT-IDENTICAL to the 2-slice op on the same pair (the per-token
+    * round-6 terms are the same expressions — spec-pinned), so the
+    * matrix is the batch form, not an approximation.
+    *
+    * Shape: ONE (group, token) partial agg is the only corpus-sized
+    * stage. Each of its rows is then replicated to the ≤ G−1 pairs
+    * containing its group via two broadcast joins against the
+    * pair list — the working set is vocab × G(G−1)/2 cells, which is
+    * why `maxGroups` (default 20) raises in-plan on breach: the G²
+    * fan-out is the declared contract, exactly the
+    * [[graft.ops.Stats.bradleyTerry]] items² idiom. Windows and folds
+    * ride the cell table only. Empty input → empty output; a group
+    * with zero tokens simply has no rows, so every emitted pair has
+    * both sides non-empty by construction (no in-plan raise needed —
+    * contrast the 2-slice op, where a named-but-absent slice must fail
+    * loudly).
+    *
+    * Returns one row per pair (group_a, group_b, tokens_a, tokens_b,
+    * vocab_size, js_nats_micro) ordered by (group_a, group_b),
+    * group_a < group_b lexicographically. */
+  def jsDivergenceMatrix(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      maxGroups: Int = 20): DataFrame = {
+    require(maxGroups >= 2 && maxGroups <= 100,
+      s"jsDivergenceMatrix: maxGroups must be in [2, 100], got $maxGroups")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .where(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).cast("string").as("_g"),
+        explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .where(col("_t") =!= "")
+      .groupBy(col("_g"), col("_t")).agg(count(lit(1)).as("_c"))
+    val groups = counts.select(col("_g")).distinct()
+    val gGuard = groups.agg(count(lit(1)).as("_ng"))
+    val gl = groups.crossJoin(broadcast(gGuard))
+      .select(when(col("_ng") > maxGroups, raise_error(concat(
+        lit(s"jsDivergenceMatrix: more than $maxGroups groups ("),
+        col("_ng").cast("string"),
+        lit(") — the G^2 pair fan-out is the working-set contract"))))
+        .otherwise(col("_g")).as("_g"))
+    val pairs = gl.as("x").join(gl.as("y"),
+        col("x._g") < col("y._g"))
+      .select(col("x._g").as("_ga"), col("y._g").as("_gb"))
+    val sideA = counts.join(broadcast(pairs), col("_g") === col("_ga"))
+      .select(col("_ga"), col("_gb"), col("_t"),
+        col("_c").as("_ca"), lit(0L).as("_cb"))
+    val sideB = counts.join(broadcast(pairs), col("_g") === col("_gb"))
+      .select(col("_ga"), col("_gb"), col("_t"),
+        lit(0L).as("_ca"), col("_c").as("_cb"))
+    val cells = sideA.unionByName(sideB)
+      .groupBy(col("_ga"), col("_gb"), col("_t"))
+      .agg(sum(col("_ca")).as("_ca"), sum(col("_cb")).as("_cb"))
+    val wPair = Window.partitionBy(col("_ga"), col("_gb"))
+    val terms = cells
+      .withColumn("_na", sum(col("_ca")).over(wPair))
+      .withColumn("_nb", sum(col("_cb")).over(wPair))
+      .selectExpr("_ga", "_gb", "_na", "_nb",
+        "CASE WHEN _ca = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+          "round((CAST(_ca AS DOUBLE) / _na) * ln(2.0d * _ca * _nb / " +
+          "(CAST(_ca AS DOUBLE) * _nb + CAST(_cb AS DOUBLE) * _na)), 6) + 0.0 " +
+          "END AS _ta",
+        "CASE WHEN _cb = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+          "round((CAST(_cb AS DOUBLE) / _nb) * ln(2.0d * _cb * _na / " +
+          "(CAST(_ca AS DOUBLE) * _nb + CAST(_cb AS DOUBLE) * _na)), 6) + 0.0 " +
+          "END AS _tb")
+    terms
+      .groupBy(col("_ga").as("group_a"), col("_gb").as("group_b"))
+      .agg(max(col("_na")).as("tokens_a"), max(col("_nb")).as("tokens_b"),
+        count(lit(1)).as("vocab_size"),
+        (round(sum(col("_ta")), 6) + lit(0.0d)).as("_sa"),
+        (round(sum(col("_tb")), 6) + lit(0.0d)).as("_sb"))
+      .select(col("group_a"), col("group_b"), col("tokens_a"),
+        col("tokens_b"), col("vocab_size"),
+        floor((col("_sa") + col("_sb")) * lit(500000.0d)).cast("long")
+          .as("js_nats_micro"))
+      .orderBy("group_a", "group_b")
   }
 
   /** ZIPF SLOPE — the discrete power-law exponent of the token

@@ -2393,6 +2393,13 @@ object PipelineQueries {
         (col("_pc") >= 14L).cast("int").as("_y")), "_s", "_t", "_y")
     }),
 
+    // Pairwise JS-divergence matrix over all five language slices —
+    // the batch mixture-design table; each of the 10 cells is
+    // bit-identical to the p284 2-slice op (spec-pinned).
+    "p295_js_matrix" -> ((s, dir) =>
+      graft.ops.CorpusOps.jsDivergenceMatrix(
+        Tables(s, dir, "documents"), "text", "lang")),
+
     // Always-valid sequential A/B p-value (mSPRT) on daily purchase
     // values between the parity cohorts — the peeking-proof test an
     // experimenter reads every day; null by construction, so the
@@ -5856,7 +5863,7 @@ object PipelineQueries {
         "round(SUM(ta), 6) + 0.0 AS sa, round(SUM(tb), 6) + 0.0 AS sb FROM tm) " +
         "SELECT 'en' AS group_a, 'zh' AS group_b, CAST(na AS BIGINT) AS tokens_a, " +
         "CAST(nb AS BIGINT) AS tokens_b, CAST(vocab AS BIGINT) AS vocab_size, " +
-        "round((sa + sb) / 2.0, 6) + 0.0 AS js_nats FROM ag"),
+        "CAST(floor((sa + sb) * 500000.0) AS BIGINT) AS js_nats_micro FROM ag"),
     // identical round-6 ln terms over the >= xmin frequency tail;
     // alpha and alpha_se chained off the rounded sum and rounded alpha
     "p285_zipf_slope" -> (
@@ -6047,6 +6054,33 @@ object PipelineQueries {
       "COALESCE((CASE WHEN vv = 0 THEN NULL ELSE round((CAST(sum_a AS DOUBLE) - expected_a) * " +
       "(CAST(sum_a AS DOUBLE) - expected_a) / vv, 6) + 0.0 END) > 3.841459, FALSE) AS significant_05 " +
       "FROM ag WHERE n_strata > 0"),
+    // p284's per-(token, side) round-6 terms replayed per pair: each
+    // (group, token) count row fans out to its pairs, one-sided tokens
+    // enter with 0 on the absent side
+    "p295_js_matrix" -> (
+      "WITH tk AS (SELECT lang AS g, unnest(string_split_regex(trim(text), '\\s+')) AS t " +
+      "FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL " +
+      "AND length(trim(text)) > 0), " +
+      "c AS (SELECT g, t, COUNT(*) AS c FROM tk WHERE t <> '' GROUP BY 1, 2), " +
+      "gs AS (SELECT DISTINCT g FROM c), " +
+      "pr AS (SELECT x.g AS ga, y.g AS gb FROM gs x JOIN gs y ON x.g < y.g), " +
+      "cells AS (SELECT ga, gb, t, SUM(ca) AS ca, SUM(cb) AS cb FROM (" +
+      "SELECT pr.ga, pr.gb, c.t, c.c AS ca, 0 AS cb FROM c JOIN pr ON c.g = pr.ga " +
+      "UNION ALL SELECT pr.ga, pr.gb, c.t, 0 AS ca, c.c AS cb FROM c JOIN pr ON c.g = pr.gb) u " +
+      "GROUP BY 1, 2, 3), " +
+      "w AS (SELECT *, SUM(ca) OVER (PARTITION BY ga, gb) AS na, " +
+      "SUM(cb) OVER (PARTITION BY ga, gb) AS nb FROM cells), " +
+      "tm AS (SELECT ga, gb, na, nb, " +
+      "CASE WHEN ca = 0 THEN 0.0 ELSE round((CAST(ca AS DOUBLE) / na) * " +
+      "ln(2.0 * ca * nb / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na)), 6) + 0.0 END AS ta, " +
+      "CASE WHEN cb = 0 THEN 0.0 ELSE round((CAST(cb AS DOUBLE) / nb) * " +
+      "ln(2.0 * cb * na / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na)), 6) + 0.0 END AS tb " +
+      "FROM w), " +
+      "ag AS (SELECT ga, gb, MAX(na) AS na, MAX(nb) AS nb, COUNT(*) AS vocab, " +
+      "round(SUM(ta), 6) + 0.0 AS sa, round(SUM(tb), 6) + 0.0 AS sb FROM tm GROUP BY 1, 2) " +
+      "SELECT ga AS group_a, gb AS group_b, CAST(na AS BIGINT) AS tokens_a, " +
+      "CAST(nb AS BIGINT) AS tokens_b, CAST(vocab AS BIGINT) AS vocab_size, " +
+      "CAST(floor((sa + sb) * 500000.0) AS BIGINT) AS js_nats_micro FROM ag ORDER BY group_a, group_b"),
     // identical exact HUGEINT moments; every scalar ONE division of
     // integer moments round-6 in natural units; tau^2 = 0.25 pinned
     "p294_msprt" -> (

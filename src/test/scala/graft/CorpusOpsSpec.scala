@@ -980,13 +980,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     // A: {x:2, y:1} n=3; B: {x:1, z:2} n=3; vocab {x,y,z}
     // ta(x)=(2/3)ln(4/3)=.191788  tb(x)=(1/3)ln(2/3)=-.135155
     // ta(y)=(1/3)ln2=.231049     tb(z)=(2/3)ln2=.462098
-    // js = (.422837 + .326943)/2 = .37489
+    // js_micro = floor((.422837 + .326943) * 5e5) — the floored micro
+    // half-sum, replayed with the identical double expression
     assert(r.getAs[Long]("tokens_a") == 3L && r.getAs[Long]("tokens_b") == 3L)
     assert(r.getAs[Long]("vocab_size") == 3L)
-    assert(r.getAs[Double]("js_nats") == 0.37489)
+    assert(r.getAs[Long]("js_nats_micro") ==
+      math.floor((0.422837 + 0.326943) * 500000.0).toLong)
+    assert(math.abs(r.getAs[Long]("js_nats_micro") - 374890L) <= 1)
     val same = Seq(("x y", "A"), ("x y", "B")).toDF("text", "src")
     assert(CorpusOps.jsDivergence(same, "text", "src", "A", "B")
-      .collect().head.getAs[Double]("js_nats") == 0.0)
+      .collect().head.getAs[Long]("js_nats_micro") == 0L)
   }
 
   test("zipfSlope: matches the Clauset MLE replayed on hand-built frequencies; below-xmin tail is empty") {
@@ -1029,6 +1032,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(s.getAs[Long]("chao1_est_micro") == 3L * 1000000L + 3L * 2L * 1000000L / 2L)
     assert(s.getAs[Long]("coverage_ppm") == 0L)
     assert(CorpusOps.vocabUnseen(Seq.empty[String].toDF("text"), "text").count() == 0)
+  }
+
+  test("jsDivergenceMatrix: every cell bit-identical to the 2-slice op; ordering; guard; empty") {
+    val df = Seq(
+      ("x x y", "A"), ("x z z", "B"), ("y y w", "C"), ("x w", "A"))
+      .toDF("text", "src")
+    val m = CorpusOps.jsDivergenceMatrix(df, "text", "src")
+      .collect().map(r => (r.getAs[String]("group_a"),
+        r.getAs[String]("group_b")) -> r).toMap
+    assert(m.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    for (((a, b), row) <- m) {
+      val two = CorpusOps.jsDivergence(df, "text", "src", a, b).collect().head
+      assert(row.getAs[Long]("tokens_a") == two.getAs[Long]("tokens_a"))
+      assert(row.getAs[Long]("tokens_b") == two.getAs[Long]("tokens_b"))
+      assert(row.getAs[Long]("vocab_size") == two.getAs[Long]("vocab_size"))
+      assert(row.getAs[Long]("js_nats_micro") ==
+        two.getAs[Long]("js_nats_micro"))
+    }
+    val many = (1 to 5).map(i => (s"t$i", s"g$i")).toDF("text", "src")
+    val err = intercept[Exception] {
+      CorpusOps.jsDivergenceMatrix(many, "text", "src", maxGroups = 3).collect()
+    }
+    assert(err.toString.contains("more than 3 groups") ||
+      Option(err.getCause).exists(_.toString.contains("more than 3 groups")))
+    assert(CorpusOps.jsDivergenceMatrix(
+      Seq.empty[(String, String)].toDF("text", "src"), "text", "src")
+      .count() == 0)
   }
 
   test("jsDivergence: one-sided input raises; empty input is empty") {
