@@ -2317,12 +2317,17 @@ object CorpusOps {
     require(maxGroups >= 2 && maxGroups <= 100,
       s"jsDivergenceMatrix: maxGroups must be in [2, 100], got $maxGroups")
     import org.apache.spark.sql.expressions.Window
+    // persisted: three consumers (group list + both join sides) would
+    // otherwise re-run the corpus-sized token aggregation each — the
+    // only corpus-sized stage, measured 2× the op's cost at ×20 docs.
+    // Vocabulary × G rows; the pageRank persist lifecycle (GC-released).
     val counts = df
       .where(col(groupCol).isNotNull && col(textCol).isNotNull)
       .select(col(groupCol).cast("string").as("_g"),
         explode(TextAnalysis.tokens(col(textCol))).as("_t"))
       .where(col("_t") =!= "")
       .groupBy(col("_g"), col("_t")).agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = counts.select(col("_g")).distinct()
     val gGuard = groups.agg(count(lit(1)).as("_ng"))
     val gl = groups.crossJoin(broadcast(gGuard))

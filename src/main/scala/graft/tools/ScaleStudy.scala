@@ -506,6 +506,64 @@ object ScaleStudy {
       val (_, tKc) = time(sink(graft.ops.Graph.kCorePeel(edges, k = 8, rounds = 3)))
       report("gr_kcore", k, nE, tKc)
     }
+
+    // round-11 estimator rung: the new family's scale risks, measured.
+    // poisson_bootstrap is the one with a real fan-out (rows × B
+    // replicate weights before the B-bounded fold); msprt/kaplan_meier/
+    // log_rank collapse to day-/duration-bounded tables after one
+    // partial agg; bradley_terry is ONE kernel exchange (items²
+    // counters per partition, rows never shuffle); js_matrix fans the
+    // (group, token) table to G(G−1)/2 pairs.
+    if (on("stats")) {
+      for (k <- Seq(1, 10)) {
+        val ev = spark.read.parquet(eventPaths(k))
+          .withColumn("ts", to_timestamp(col("ts")))
+        val nEv = ev.count()
+        val purch = ev.where(col("event_type") === "purchase")
+        val (_, tBoot) = time(sink(graft.ops.Stats.poissonBootstrap(
+          purch, "event_id", "value", replicates = 200)))
+        report("st_poisson_boot", k, nEv, tBoot)
+        val grp = purch.withColumn("grp",
+          when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd")))
+        val (_, tMs) = time(sink(graft.ops.Stats.msprt(
+          grp, "ts", "grp", "value")))
+        report("st_msprt", k, nEv, tMs)
+        val t = floor(unix_micros(col("ts")).cast("double") / lit(1000000.0d))
+          .cast("long")
+        val subjBase = ev.select(col("user_id"), t.as("_t"))
+          .groupBy(col("user_id"))
+          .agg(min(col("_t")).as("_f"), max(col("_t")).as("_l"))
+        val subj = subjBase.crossJoin(
+            broadcast(subjBase.agg(max(col("_l")).as("_gm"))))
+          .select(col("user_id"), expr("(_l - _f) div 86400").as("dur"),
+            when(col("_gm") - col("_l") > 604800L, 1).otherwise(0).as("ev"))
+        val (_, tKm) = time(sink(graft.ops.Stats.kaplanMeier(subj, "dur", "ev")))
+        report("st_kaplan_meier", k, nEv, tKm)
+        val cnt = ev.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("_c"))
+        val prefs = cnt.as("a").join(cnt.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .where(col("a._c") =!= col("b._c"))
+          .select(
+            when(col("a._c") > col("b._c"), col("a.event_type"))
+              .otherwise(col("b.event_type")).as("w"),
+            when(col("a._c") > col("b._c"), col("b.event_type"))
+              .otherwise(col("a.event_type")).as("l"))
+        val (_, tBt) = time(sink(graft.ops.Stats.bradleyTerry(
+          prefs, "w", "l", iterations = 12, maxItems = 100)))
+        report("st_bradley_terry", k, nEv, tBt)
+      }
+      for (k <- Seq(1, 4, 20)) {
+        val docs = spark.read.parquet(docPaths(k))
+        val nDocs = docs.count()
+        val (_, tJm) = time(sink(graft.ops.CorpusOps.jsDivergenceMatrix(
+          docs, "text", "lang")))
+        report("st_js_matrix", k, nDocs, tJm)
+        val (_, tVu) = time(sink(graft.ops.CorpusOps.vocabUnseen(docs)))
+        report("st_vocab_unseen", k, nDocs, tVu)
+      }
+    }
     spark.stop()
   }
 }
