@@ -1347,6 +1347,77 @@ object Stats {
         lit(false)).as("significant_05"))
   }
 
+  /** QUANTILE TREATMENT EFFECTS — the distributional companion to
+    * [[ipwAte]]'s single mean: QTE(p) = q_T(p) − q_C(p) per requested
+    * percentile (Doksum 1974; the standard first look at WHERE in the
+    * distribution an effect lives — a mean shift from whales looks
+    * nothing like a median shift, and the mean alone cannot tell them
+    * apart).
+    *
+    * INTEGER-EXACT: values floor to micro; each group quantile is the
+    * exact order statistic at rank ⌈p·n/100⌉ (the
+    * [[graft.ops.EventsOps.slaPercentiles]] ceil-rank convention) and
+    * the QTE is their exact difference. No interpolation — two engines
+    * can disagree on an interpolated quantile, never on an order
+    * statistic.
+    *
+    * Shape: ONE (group, value) partial agg collapses the corpus to the
+    * distinct-value-bounded count table (the [[mannWhitney]] recipe —
+    * never a per-row rank); cumulative ranks ride group-partitioned
+    * windows over that table, and the |pcts|-fold explode multiplies
+    * only the bounded table. Exactly two groups required — raises
+    * in-plan. Empty input → empty output.
+    *
+    * Returns one row per requested percentile (pct, n_a, n_b,
+    * q_a_micro, q_b_micro, qte_micro) ordered by pct — group_a is the
+    * lexicographically smaller label and qte = q_b − q_a (treatment
+    * minus control when control sorts first). */
+  def quantileTreatmentEffect(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"quantileTreatmentEffect: pcts must be in [1, 100], got $pcts")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("_g"),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long")
+          .as("_v"))
+    val perVG = rows.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+    val gAgg = perVG.agg(min(col("_g")).as("_gaN"), max(col("_g")).as("_gbN"),
+      countDistinct(col("_g")).as("_ng"))
+    val wCum = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("_g"))
+    val cum = perVG.crossJoin(broadcast(gAgg))
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wG))
+    val picks = cum
+      .select(col("_g"), col("_v"), col("_cum"), col("_n"),
+        col("_gaN"), col("_gbN"), col("_ng"),
+        explode(array(pcts.distinct.sorted.map(p => lit(p)): _*)).as("pct"))
+      .withColumn("_rank", expr("(pct * _n + 99) div 100"))
+    picks
+      .groupBy(col("pct"))
+      .agg(
+        max(col("_ng")).as("_ngx"),
+        max(when(col("_g") === col("_gaN"), col("_n"))).as("n_a"),
+        max(when(col("_g") =!= col("_gaN"), col("_n"))).as("n_b"),
+        min(when(col("_g") === col("_gaN") && col("_cum") >= col("_rank"),
+          col("_v"))).as("q_a_micro"),
+        min(when(col("_g") =!= col("_gaN") && col("_cum") >= col("_rank"),
+          col("_v"))).as("q_b_micro"))
+      .select(
+        when(col("_ngx") =!= 2, raise_error(concat(
+          lit("quantileTreatmentEffect: need exactly 2 groups with " +
+            "non-null values, got "), col("_ngx").cast("string"))))
+          .otherwise(col("pct")).as("pct"),
+        col("n_a"), col("n_b"), col("q_a_micro"), col("q_b_micro"),
+        (col("q_b_micro") - col("q_a_micro")).as("qte_micro"))
+      .orderBy("pct")
+  }
+
   /** mSPRT — mixture sequential probability ratio test (Johari,
     * Koomen, Pekelis & Walsh 2017, "Peeking at A/B Tests"): the
     * ALWAYS-VALID p-value that an experimenter may read every day and

@@ -2393,6 +2393,17 @@ object PipelineQueries {
         (col("_pc") >= 14L).cast("int").as("_y")), "_s", "_t", "_y")
     }),
 
+    // Quantile treatment effects on purchase values between the parity
+    // cohorts — exact ⌈p·n/100⌉ order statistics per group off the
+    // distinct-value-bounded count table, QTE their exact difference.
+    "p296_qte" -> ((s, dir) =>
+      graft.ops.Stats.quantileTreatmentEffect(
+        Tables(s, dir, "events")
+          .where(col("event_type") === "purchase")
+          .withColumn("grp",
+            when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))),
+        "grp", "value", Seq(25, 50, 75, 90))),
+
     // Pairwise JS-divergence matrix over all five language slices —
     // the batch mixture-design table; each of the 10 cells is
     // bit-identical to the p284 2-slice op (spec-pinned).
@@ -6054,6 +6065,28 @@ object PipelineQueries {
       "COALESCE((CASE WHEN vv = 0 THEN NULL ELSE round((CAST(sum_a AS DOUBLE) - expected_a) * " +
       "(CAST(sum_a AS DOUBLE) - expected_a) / vv, 6) + 0.0 END) > 3.841459, FALSE) AS significant_05 " +
       "FROM ag WHERE n_strata > 0"),
+    // identical ceil-rank order-statistic picks off the per-group
+    // cumulative count table; all-integer
+    "p296_qte" -> (
+      "WITH r AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g, " +
+      "CAST(floor(value * 1000000) AS BIGINT) AS v FROM events " +
+      "WHERE event_type = 'purchase' AND value IS NOT NULL), " +
+      "c AS (SELECT g, v, COUNT(*) AS c FROM r GROUP BY 1, 2), " +
+      "w AS (SELECT *, SUM(c) OVER (PARTITION BY g ORDER BY v " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "SUM(c) OVER (PARTITION BY g) AS n FROM c), " +
+      "e AS (SELECT w.*, p.pct, (p.pct * n + 99) // 100 AS rnk " +
+      "FROM w, (SELECT unnest([25, 50, 75, 90]) AS pct) p), " +
+      "ag AS (SELECT pct, " +
+      "MAX(CASE WHEN g = 'even' THEN n END) AS n_a, " +
+      "MAX(CASE WHEN g <> 'even' THEN n END) AS n_b, " +
+      "MIN(CASE WHEN g = 'even' AND cum >= rnk THEN v END) AS qa, " +
+      "MIN(CASE WHEN g <> 'even' AND cum >= rnk THEN v END) AS qb " +
+      "FROM e GROUP BY 1) " +
+      "SELECT CAST(pct AS INTEGER) AS pct, CAST(n_a AS BIGINT) AS n_a, " +
+      "CAST(n_b AS BIGINT) AS n_b, CAST(qa AS BIGINT) AS q_a_micro, " +
+      "CAST(qb AS BIGINT) AS q_b_micro, CAST(qb - qa AS BIGINT) AS qte_micro " +
+      "FROM ag ORDER BY pct"),
     // p284's per-(token, side) round-6 terms replayed per pair: each
     // (group, token) count row fans out to its pairs, one-sided tokens
     // enter with 0 on the absent side

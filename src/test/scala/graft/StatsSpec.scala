@@ -461,6 +461,38 @@ class StatsSpec extends AnyFunSuite {
       "duration", "event").count() == 0)
   }
 
+  test("quantileTreatmentEffect: exact ceil-rank order statistics pivot; shift; ties; raises") {
+    import spark.implicits._
+    // B is A shifted by exactly +5 -> QTE = 5e6 at every percentile
+    val df = ((1 to 10).map(i => ("A", i.toDouble)) ++
+      (1 to 10).map(i => ("B", i + 5.0))).toDF("g", "v")
+    val out = Stats.quantileTreatmentEffect(df, "g", "v")
+      .select(col("pct"), col("n_a"), col("n_b"), col("q_a_micro"),
+        col("q_b_micro"), col("qte_micro"))
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    // ceil ranks on n=10: p25->3, p50->5, p75->8, p90->9
+    assert(out == Seq(
+      (25, 10L, 10L, 3000000L, 8000000L, 5000000L),
+      (50, 10L, 10L, 5000000L, 10000000L, 5000000L),
+      (75, 10L, 10L, 8000000L, 13000000L, 5000000L),
+      (90, 10L, 10L, 9000000L, 14000000L, 5000000L)))
+    // ties collapse into the count table, ranks still exact
+    val ties = (Seq.fill(3)(("A", 1.0)) ++ Seq(("A", 9.0)) ++
+      Seq.fill(4)(("B", 2.0))).toDF("g", "v")
+    val t = Stats.quantileTreatmentEffect(ties, "g", "v", Seq(50))
+      .collect().head
+    assert(t.getAs[Long]("q_a_micro") == 1000000L) // rank 2 of {1,1,1,9}
+    assert(t.getAs[Long]("q_b_micro") == 2000000L)
+    val three = Seq(("A", 1.0), ("B", 1.0), ("C", 1.0)).toDF("g", "v")
+    val err = intercept[Exception] {
+      Stats.quantileTreatmentEffect(three, "g", "v").collect()
+    }
+    assert(err.toString.contains("exactly 2 groups") ||
+      Option(err.getCause).exists(_.toString.contains("exactly 2 groups")))
+    assert(Stats.quantileTreatmentEffect(
+      Seq.empty[(String, Double)].toDF("g", "v"), "g", "v").count() == 0)
+  }
+
   test("msprt: replayed mixture likelihood ladder; thin days stay conservative; contract raise") {
     import spark.implicits._
     import java.sql.Timestamp
