@@ -2393,6 +2393,20 @@ object PipelineQueries {
         (col("_pc") >= 14L).cast("int").as("_y")), "_s", "_t", "_y")
     }),
 
+    // In-engine logistic-regression trainer: classify lang='en' from
+    // two document stats (chars/1000, tokens/100) — 6 pinned
+    // gradient-ascent steps, exact integer trajectory (micro features,
+    // round-6 logits, floored micro sigmoids, DECIMAL gradients).
+    "p297_logistic" -> ((s, dir) => {
+      val feats = Tables(s, dir, "documents").select(
+        (col("lang") === "en").cast("int").as("y"),
+        array(col("n_chars").cast("double") / lit(1000.0d),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("double") /
+            lit(100.0d)).as("x"))
+      graft.ops.Glm.logisticFit(feats, "x", "y",
+        iters = 6, lrMicro = 500000L)
+    }),
+
     // Quantile treatment effects on purchase values between the parity
     // cohorts — exact ⌈p·n/100⌉ order statistics per group off the
     // distinct-value-bounded count table, QTE their exact difference.
@@ -3013,6 +3027,43 @@ object PipelineQueries {
       "g AS (SELECT MAX(l) AS gm FROM u), " +
       "s AS (SELECT user_id, (l - f) // 86400 AS d, " +
       "CASE WHEN gm - l > 604800 THEN 1 ELSE 0 END AS e FROM u, g), "
+
+  /** p297's oracle: the logistic gradient-ascent trajectory statically
+    * unrolled to `iters` steps — HUGEINT dot products and gradients,
+    * round-6 logits, floored micro sigmoids, re-signed floored weight
+    * updates; MATERIALIZED on every multiply-referenced CTE. */
+  private def lrOracleSql(iters: Int): String = {
+    val head =
+      "WITH f AS MATERIALIZED (SELECT doc_id, " +
+        "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y, " +
+        "CAST(floor(CAST(n_chars AS DOUBLE) / 1000.0 * 1000000.0) AS BIGINT) AS x1, " +
+        s"CAST(floor(CAST($nTokensSql AS DOUBLE) / 100.0 * 1000000.0) AS BIGINT) AS x2 " +
+        "FROM documents), " +
+        "xr AS MATERIALIZED (SELECT doc_id, 0 AS pos, CAST(1000000 AS HUGEINT) AS x FROM f " +
+        "UNION ALL SELECT doc_id, 1, CAST(x1 AS HUGEINT) FROM f " +
+        "UNION ALL SELECT doc_id, 2, CAST(x2 AS HUGEINT) FROM f), " +
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM f), " +
+        "w0 AS MATERIALIZED (SELECT CAST(pos AS INTEGER) AS pos, CAST(w AS HUGEINT) AS w " +
+        "FROM (VALUES (0, 0), (1, 0), (2, 0)) t(pos, w)), "
+    val rounds = (1 to iters).map { k =>
+      s"z$k AS (SELECT xr.doc_id, round(CAST(SUM(xr.x * w.w) AS DOUBLE) / " +
+        s"1000000000000.0, 6) + 0.0 AS z FROM xr JOIN w${k - 1} w " +
+        "ON xr.pos = w.pos GROUP BY xr.doc_id), " +
+        s"r$k AS MATERIALIZED (SELECT f.doc_id, f.y * 1000000 - " +
+        s"CAST(floor(1000000.0 / (1.0 + exp(-z.z))) AS BIGINT) AS r " +
+        s"FROM f JOIN z$k z ON f.doc_id = z.doc_id), " +
+        s"g$k AS (SELECT xr.pos, SUM(CAST(r$k.r AS HUGEINT) * xr.x) AS g " +
+        s"FROM xr JOIN r$k ON xr.doc_id = r$k.doc_id GROUP BY xr.pos), " +
+        s"w$k AS MATERIALIZED (SELECT w.pos, w.w + (CASE WHEN g.g >= 0 " +
+        "THEN (500000 * g.g) // (1000000000000 * nn.n) " +
+        "ELSE -((500000 * -g.g) // (1000000000000 * nn.n)) END) AS w " +
+        s"FROM w${k - 1} w JOIN g$k g ON w.pos = g.pos, nn)"
+    }.mkString(", ")
+    head + rounds +
+      s" SELECT CAST(w$iters.pos AS INTEGER) AS idx, " +
+      s"CAST(w$iters.w AS BIGINT) AS weight_micro, " +
+      s"CAST(nn.n AS BIGINT) AS n_rows FROM w$iters, nn ORDER BY idx"
+  }
 
   /** p291's oracle: the Bradley–Terry integer MM recursion statically
     * unrolled to `iters` rounds (the p131 pagerank idiom) — HUGEINT
@@ -6065,6 +6116,10 @@ object PipelineQueries {
       "COALESCE((CASE WHEN vv = 0 THEN NULL ELSE round((CAST(sum_a AS DOUBLE) - expected_a) * " +
       "(CAST(sum_a AS DOUBLE) - expected_a) / vv, 6) + 0.0 END) > 3.841459, FALSE) AS significant_05 " +
       "FROM ag WHERE n_strata > 0"),
+    // the identical integer gradient-ascent trajectory, statically
+    // unrolled: HUGEINT dots/gradients, round-6 logits, floored micro
+    // sigmoids, re-signed floored updates
+    "p297_logistic" -> lrOracleSql(6),
     // identical ceil-rank order-statistic picks off the per-group
     // cumulative count table; all-integer
     "p296_qte" -> (
