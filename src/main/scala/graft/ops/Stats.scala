@@ -1205,6 +1205,66 @@ object Stats {
       .orderBy("duration")
   }
 
+  /** GROUPED KAPLAN–MEIER — one [[kaplanMeier]] curve per slice of
+    * `groupCol` in a single pass: the table behind every "retention by
+    * cohort / churn by plan" comparison plot, and the curves the
+    * [[logRank]] χ² summarizes into one number. Identical arithmetic
+    * to the ungrouped op (round-6 ln terms, running product as exp of
+    * the rounded running sum, full-kill pins exact 0.0) with every
+    * window additionally partitioned by group — so the working set per
+    * window partition is that group's |distinct durations|, and groups
+    * parallelize instead of queueing.
+    *
+    * Shape: ONE (group, duration) partial agg is the only corpus-sized
+    * stage. NULL groups are dropped (a curve for "unknown cohort" is a
+    * modeling decision, not a default). Empty input → empty output.
+    *
+    * Returns (group, duration, n_at_risk, n_events, n_censored,
+    * km_survival) ordered by (group, duration). */
+  def kaplanMeierByGroup(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.where(col(groupCol).isNotNull).select(
+      col(groupCol).cast("string").as("group"),
+      when(col(durationCol).isNull || col(durationCol) < 0,
+        raise_error(lit("kaplanMeierByGroup: duration must be a " +
+          "non-negative integer")))
+        .otherwise(col(durationCol).cast("long")).as("_d"),
+      when(col(eventCol).isNull || !col(eventCol).cast("int").isin(0, 1),
+        raise_error(lit("kaplanMeierByGroup: event must be 0 (censored) " +
+          "or 1 (observed)"))).otherwise(col(eventCol).cast("int")).as("_e"))
+    val perT = rows.groupBy(col("group"), col("_d"))
+      .agg(sum(when(col("_e") === 1, 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("_e") === 0, 1L).otherwise(0L)).as("n_censored"),
+        count(lit(1)).as("_nt"))
+    val wG = Window.partitionBy(col("group"))
+    val wPrev = Window.partitionBy(col("group")).orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("group")).orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT
+      .withColumn("n_at_risk", sum(col("_nt")).over(wG) -
+        coalesce(sum(col("_nt")).over(wPrev), lit(0L)))
+      .withColumn("_term",
+        when(col("n_events") === 0L || col("n_events") === col("n_at_risk"),
+          lit(0.0d))
+          .otherwise(round(log((col("n_at_risk") - col("n_events"))
+            .cast("double") / col("n_at_risk")), 6) + lit(0.0d)))
+      .withColumn("_dead",
+        max(when(col("n_events") === col("n_at_risk"), 1).otherwise(0))
+          .over(wRun))
+      .withColumn("km_survival",
+        when(col("_dead") === 1, lit(0.0d)).otherwise(
+          round(exp(round(sum(col("_term")).over(wRun), 6) + lit(0.0d)), 6)
+            + lit(0.0d)))
+      .select(col("group"), col("_d").as("duration"), col("n_at_risk"),
+        col("n_events"), col("n_censored"), col("km_survival"))
+      .orderBy("group", "duration")
+  }
+
   /** RESTRICTED MEAN SURVIVAL TIME — the area under the [[kaplanMeier]]
     * curve up to a horizon τ (Royston & Parmar 2013): "expected days
     * survived in the first τ days", the single-number survival summary

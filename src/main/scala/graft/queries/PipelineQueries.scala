@@ -2314,6 +2314,15 @@ object PipelineQueries {
     "p288_kaplan_meier" -> ((s, dir) =>
       graft.ops.Stats.kaplanMeier(kmSubjects(s, dir), "dur", "ev")),
 
+    // Kaplan–Meier per parity cohort in one pass — the curves behind
+    // p289's one-number χ²; group-partitioned windows, same round-6
+    // product-limit arithmetic as p288.
+    "p298_km_by_group" -> ((s, dir) =>
+      graft.ops.Stats.kaplanMeierByGroup(
+        kmSubjects(s, dir).withColumn("grp",
+          when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))),
+        "dur", "ev", "grp")),
+
     // Log-rank test between even and odd user-id cohorts on the same
     // censored lifetimes — O/E/V per death time off the suffix risk
     // sets, χ²(1) against the pinned 3.841459 critical value. The
@@ -6006,6 +6015,22 @@ object PipelineQueries {
       "CAST(n_events AS BIGINT) AS n_events, CAST(n_censored AS BIGINT) AS n_censored, " +
       "CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(cum), 6) + 0.0 END AS km_survival " +
       "FROM r ORDER BY duration"),
+    // p288's product-limit ladder with every window PARTITION BY grp
+    "p298_km_by_group" -> (kmSubjectsSql +
+      "sg AS (SELECT *, CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp FROM s), " +
+      "p AS (SELECT grp, d, SUM(e) AS n_events, SUM(1 - e) AS n_censored, " +
+      "COUNT(*) AS nt FROM sg GROUP BY 1, 2), " +
+      "w AS (SELECT *, SUM(nt) OVER (PARTITION BY grp) - COALESCE(SUM(nt) OVER " +
+      "(PARTITION BY grp ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk FROM p), " +
+      "tm AS (SELECT *, CASE WHEN n_events = 0 OR n_events = n_at_risk THEN 0.0 " +
+      "ELSE round(ln(CAST(n_at_risk - n_events AS DOUBLE) / n_at_risk), 6) + 0.0 END AS term FROM w), " +
+      "r AS (SELECT *, MAX(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END) " +
+      "OVER (PARTITION BY grp ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead, " +
+      "round(SUM(term) OVER (PARTITION BY grp ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS cum FROM tm) " +
+      "SELECT grp AS \"group\", d AS duration, CAST(n_at_risk AS BIGINT) AS n_at_risk, " +
+      "CAST(n_events AS BIGINT) AS n_events, CAST(n_censored AS BIGINT) AS n_censored, " +
+      "CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(cum), 6) + 0.0 END AS km_survival " +
+      "FROM r ORDER BY \"group\", duration"),
     // same subjects + parity cohorts; O/E/V per death time off suffix
     // risk sets, round-6 terms and rounded sums, pinned 3.841459 cut
     "p289_log_rank" -> (kmSubjectsSql +

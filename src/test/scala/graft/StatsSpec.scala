@@ -562,6 +562,30 @@ class StatsSpec extends AnyFunSuite {
     assert(ps == ps.scanLeft(1.0)(math.min).tail)
   }
 
+  test("kaplanMeierByGroup: each group's curve equals the ungrouped op on that slice") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", 1L, 1), ("A", 1L, 1), ("A", 2L, 0), ("A", 3L, 1), ("A", 4L, 0),
+      ("B", 2L, 1), ("B", 5L, 0), ("B", 5L, 1),
+      (null.asInstanceOf[String], 9L, 1)).toDF("g", "d", "e")
+    val grouped = Stats.kaplanMeierByGroup(df, "d", "e", "g").collect()
+      .groupBy(_.getAs[String]("group"))
+    assert(grouped.keySet == Set("A", "B")) // NULL group dropped
+    for (g <- Seq("A", "B")) {
+      val single = Stats.kaplanMeier(df.where(col("g") === g), "d", "e")
+        .collect().map(r => (r.getAs[Long]("duration"),
+          r.getAs[Long]("n_at_risk"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_censored"), r.getAs[Double]("km_survival"))).toSeq
+      val multi = grouped(g).map(r => (r.getAs[Long]("duration"),
+        r.getAs[Long]("n_at_risk"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_censored"), r.getAs[Double]("km_survival"))).toSeq
+      assert(multi == single, s"group $g")
+    }
+    assert(Stats.kaplanMeierByGroup(
+      Seq.empty[(String, Long, Int)].toDF("g", "d", "e"),
+      "d", "e", "g").count() == 0)
+  }
+
   test("rmst: area under the KM steps replayed by hand; tau truncation; full-kill floor") {
     import spark.implicits._
     // KM from the kaplanMeier spec: S(1)=.6, S(2)=.6, S(3)=.3, S(4)=.3
