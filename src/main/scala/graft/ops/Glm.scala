@@ -108,4 +108,43 @@ object Glm {
     (0 until d).map(j => (j, w(j), n)).toDF("idx", "weight_micro", "n_rows")
       .orderBy("idx")
   }
+
+  /** Score rows with a fitted [[logisticFit]] weight vector — the
+    * map-only inference half of the trainer: appends `score_micro`,
+    * the floored micro sigmoid of the round-6 logit, computed with the
+    * EXACT arithmetic of the training pass (micro-quantized features,
+    * DECIMAL dot, one pinned division) so a row scores identically at
+    * train and serve time on any engine. Lazy, no shuffle, no state —
+    * at 100 TB this is the scan itself.
+    *
+    * `weights` is the `weight_micro` column of [[logisticFit]] in idx
+    * order (collect it — it is ≤ maxDim rows by contract). Rows whose
+    * feature vector is NULL or of the wrong length raise in-plan. */
+  def logisticScore(
+      df: DataFrame,
+      featuresCol: String,
+      weights: Seq[Long],
+      addIntercept: Boolean = true): DataFrame = {
+    require(weights.nonEmpty && weights.length <= 256,
+      s"logisticScore: need 1..256 weights, got ${weights.length}")
+    val d = weights.length
+    val rawX = Clustering.quantized(col(featuresCol))
+    val xq = if (addIntercept) concat(array(lit(1000000L)), rawX) else rawX
+    df
+      .withColumn("_xq",
+        when(col(featuresCol).isNull,
+          raise_error(lit("logisticScore: NULL feature vector")))
+          .otherwise(xq))
+      .withColumn("_xq",
+        when(size(col("_xq")) =!= d, raise_error(concat(
+          lit(s"logisticScore: expected $d features (incl. intercept), got "),
+          size(col("_xq")).cast("string")))).otherwise(col("_xq")))
+      .withColumn("_w", typedLit(weights))
+      .withColumn("score_micro", expr(
+        "CAST(floor(1000000.0 / (1.0 + exp(-(round(CAST(aggregate(" +
+          "zip_with(_xq, _w, (x, wj) -> CAST(x AS DECIMAL(38,0)) * wj), " +
+          "CAST(0 AS DECIMAL(38,0)), (acc, t) -> acc + t) AS DOUBLE) / " +
+          "1000000000000.0, 6) + 0.0)))) AS BIGINT)"))
+      .drop("_xq", "_w")
+  }
 }

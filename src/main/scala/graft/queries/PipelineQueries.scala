@@ -2416,6 +2416,29 @@ object PipelineQueries {
         iters = 6, lrMicro = 500000L)
     }),
 
+    // Train-then-serve round trip: p297's fit scores every document
+    // with the training arithmetic (map-only inference), aggregated
+    // per language — n, exact integral mean score, ≥0.5 predictions.
+    "p299_logistic_score" -> ((s, dir) => {
+      val feats = Tables(s, dir, "documents").select(
+        col("lang"),
+        (col("lang") === "en").cast("int").as("y"),
+        array(col("n_chars").cast("double") / lit(1000.0d),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("double") /
+            lit(100.0d)).as("x"))
+      val w = graft.ops.Glm.logisticFit(feats, "x", "y",
+          iters = 6, lrMicro = 500000L)
+        .orderBy("idx").collect().map(_.getLong(1)).toSeq
+      graft.ops.Glm.logisticScore(feats, "x", w)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(sum(score_micro) div count(1) AS BIGINT)")
+            .as("mean_score_micro"),
+          sum(when(col("score_micro") >= 500000L, 1L).otherwise(0L))
+            .as("n_pred_en"))
+        .orderBy("lang")
+    }),
+
     // Quantile treatment effects on purchase values between the parity
     // cohorts — exact ⌈p·n/100⌉ order statistics per group off the
     // distinct-value-bounded count table, QTE their exact difference.
@@ -3037,13 +3060,14 @@ object PipelineQueries {
       "s AS (SELECT user_id, (l - f) // 86400 AS d, " +
       "CASE WHEN gm - l > 604800 THEN 1 ELSE 0 END AS e FROM u, g), "
 
-  /** p297's oracle: the logistic gradient-ascent trajectory statically
-    * unrolled to `iters` steps — HUGEINT dot products and gradients,
-    * round-6 logits, floored micro sigmoids, re-signed floored weight
-    * updates; MATERIALIZED on every multiply-referenced CTE. */
-  private def lrOracleSql(iters: Int): String = {
+  /** p297/p299's shared oracle prefix: the logistic gradient-ascent
+    * trajectory statically unrolled to `iters` steps — HUGEINT dot
+    * products and gradients, round-6 logits, floored micro sigmoids,
+    * re-signed floored weight updates; MATERIALIZED on every
+    * multiply-referenced CTE. Ends after `w{iters}`, mid-WITH. */
+  private def lrOracleCore(iters: Int): String = {
     val head =
-      "WITH f AS MATERIALIZED (SELECT doc_id, " +
+      "WITH f AS MATERIALIZED (SELECT doc_id, lang, " +
         "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y, " +
         "CAST(floor(CAST(n_chars AS DOUBLE) / 1000.0 * 1000000.0) AS BIGINT) AS x1, " +
         s"CAST(floor(CAST($nTokensSql AS DOUBLE) / 100.0 * 1000000.0) AS BIGINT) AS x2 " +
@@ -3068,11 +3092,28 @@ object PipelineQueries {
         "ELSE -((500000 * -g.g) // (1000000000000 * nn.n)) END) AS w " +
         s"FROM w${k - 1} w JOIN g$k g ON w.pos = g.pos, nn)"
     }.mkString(", ")
-    head + rounds +
+    head + rounds
+  }
+
+  private def lrOracleSql(iters: Int): String =
+    lrOracleCore(iters) +
       s" SELECT CAST(w$iters.pos AS INTEGER) AS idx, " +
       s"CAST(w$iters.w AS BIGINT) AS weight_micro, " +
       s"CAST(nn.n AS BIGINT) AS n_rows FROM w$iters, nn ORDER BY idx"
-  }
+
+  /** p299's oracle: the fitted w{iters} scores every document with the
+    * training arithmetic, aggregated per language. */
+  private def lrScoreOracleSql(iters: Int): String =
+    lrOracleCore(iters) +
+      s", zs AS (SELECT xr.doc_id, round(CAST(SUM(xr.x * w.w) AS DOUBLE) / " +
+      s"1000000000000.0, 6) + 0.0 AS z FROM xr JOIN w$iters w " +
+      "ON xr.pos = w.pos GROUP BY xr.doc_id), " +
+      "sc AS (SELECT f.lang, CAST(floor(1000000.0 / (1.0 + exp(-zs.z))) AS BIGINT) AS sm " +
+      "FROM f JOIN zs ON f.doc_id = zs.doc_id) " +
+      "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(sm) // COUNT(*) AS BIGINT) AS mean_score_micro, " +
+      "CAST(SUM(CASE WHEN sm >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en " +
+      "FROM sc GROUP BY lang ORDER BY lang"
 
   /** p291's oracle: the Bradley–Terry integer MM recursion statically
     * unrolled to `iters` rounds (the p131 pagerank idiom) — HUGEINT
@@ -6145,6 +6186,9 @@ object PipelineQueries {
     // unrolled: HUGEINT dots/gradients, round-6 logits, floored micro
     // sigmoids, re-signed floored updates
     "p297_logistic" -> lrOracleSql(6),
+    // the same unrolled trajectory, then w6 scores every doc and the
+    // per-language fold uses exact integral means
+    "p299_logistic_score" -> lrScoreOracleSql(6),
     // identical ceil-rank order-statistic picks off the per-group
     // cumulative count table; all-integer
     "p296_qte" -> (

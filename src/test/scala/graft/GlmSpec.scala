@@ -68,6 +68,27 @@ class GlmSpec extends AnyFunSuite {
     assert(score(Seq(0.9, 0.5)) > score(Seq(0.1, 0.5)))
   }
 
+  test("logisticScore: serve-time scores replay the training arithmetic exactly; contracts") {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w = Seq(-100000L, 2000000L, -500000L) // intercept + 2 features
+    val data = Seq(Seq(0.9, 0.2), Seq(0.1, 0.6), Seq(0.5, 0.5))
+    val out = Glm.logisticScore(data.map(Tuple1(_)).toDF("x"), "x", w)
+      .select(col("score_micro")).collect().map(_.getLong(0)).toSeq
+    val expect = data.map { xs =>
+      val xq = 1000000L +: xs.map(x => math.floor(x * 1000000.0).toLong)
+      val dot = xq.zip(w).map { case (x, wj) => BigInt(x) * wj }.sum
+      val z = r6(dot.toDouble / 1.0e12)
+      math.floor(1000000.0 / (1.0 + math.exp(-z))).toLong
+    }
+    assert(out == expect)
+    val short = Glm.logisticScore(Seq(Tuple1(Seq(1.0))).toDF("x"), "x", w)
+    val err = intercept[Exception] { short.collect() }
+    assert(err.toString.contains("expected 3 features") ||
+      Option(err.getCause).exists(_.toString.contains("expected 3 features")))
+  }
+
   test("logisticFit: n_rows and intercept-only fit; loud contracts; empty input") {
     import spark.implicits._
     // no intercept, single feature, all-positive labels: weight climbs
