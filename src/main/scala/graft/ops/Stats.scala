@@ -1316,6 +1316,72 @@ object Stats {
         (round(sum(col("_term") + col("_tail")), 6) + lit(0.0d)).as("rmst"))
   }
 
+  /** RMST DIFFERENCE — the censoring-robust effect size on the
+    * survival scale: ΔRMST(τ) = RMST_B(τ) − RMST_A(τ), "expected days
+    * survived in the first τ, gained by being in cohort B" (Royston &
+    * Parmar 2013; the estimand regulators ask for when proportional
+    * hazards is doubtful — [[logRank]] answers IS there a difference,
+    * this answers HOW MUCH in days). Same per-group product-limit and
+    * trapezoid arithmetic as [[kaplanMeierByGroup]] + [[rmst]], with
+    * every window group-partitioned; the difference subtracts two
+    * round-6 values (grid-safe — near the .0 boundary of digit 7,
+    * never the .5).
+    *
+    * Exactly two groups required — raises in-plan (the [[mannWhitney]]
+    * contract). Shape: one (group, duration) partial agg, then lags
+    * and folds over the two duration-bounded curves. Empty input →
+    * empty output.
+    *
+    * Returns ONE row (tau, group_a, group_b, n_a, n_b, rmst_a, rmst_b,
+    * rmst_diff) — group_a is the lexicographically smaller label,
+    * rmst_diff = rmst_b − rmst_a. */
+  def rmstDiff(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String,
+      groupCol: String,
+      tau: Long): DataFrame = {
+    require(tau > 0L, s"rmstDiff: tau must be positive, got $tau")
+    import org.apache.spark.sql.expressions.Window
+    val km = kaplanMeierByGroup(df, durationCol, eventCol, groupCol)
+    val wAsc = Window.partitionBy(col("group")).orderBy(col("duration"))
+    val wG = Window.partitionBy(col("group"))
+    val cut = least(col("duration"), lit(tau))
+    val prevCut = least(
+      coalesce(lag(col("duration"), 1).over(wAsc), lit(0L)), lit(tau))
+    val prevS = coalesce(lag(col("km_survival"), 1).over(wAsc), lit(1.0d))
+    val perG = km
+      .withColumn("_term",
+        round(prevS * (cut - prevCut).cast("double"), 6) + lit(0.0d))
+      .withColumn("_tail",
+        when(col("duration") === max(col("duration")).over(wG),
+          round(col("km_survival") * (lit(tau) - cut).cast("double"), 6)
+            + lit(0.0d))
+          .otherwise(lit(0.0d)))
+      .groupBy(col("group"))
+      .agg(max(col("n_at_risk")).as("_n"),
+        (round(sum(col("_term") + col("_tail")), 6) + lit(0.0d)).as("_rmst"))
+    val gAgg = perG.agg(min(col("group")).as("_gaN"),
+      max(col("group")).as("_gbN"), count(lit(1)).as("_ng"))
+    perG.crossJoin(broadcast(gAgg))
+      .groupBy(lit(tau).as("tau"))
+      .agg(
+        max(col("_ng")).as("_ngx"),
+        max(col("_gaN")).as("_ga"), max(col("_gbN")).as("_gb"),
+        max(when(col("group") === col("_gaN"), col("_n"))).as("n_a"),
+        max(when(col("group") =!= col("_gaN"), col("_n"))).as("n_b"),
+        max(when(col("group") === col("_gaN"), col("_rmst"))).as("rmst_a"),
+        max(when(col("group") =!= col("_gaN"), col("_rmst"))).as("rmst_b"))
+      .select(
+        when(col("_ngx") =!= 2, raise_error(concat(
+          lit("rmstDiff: need exactly 2 groups with rows, got "),
+          col("_ngx").cast("string")))).otherwise(col("tau")).as("tau"),
+        col("_ga").as("group_a"), col("_gb").as("group_b"),
+        col("n_a"), col("n_b"), col("rmst_a"), col("rmst_b"),
+        (round(col("rmst_b") - col("rmst_a"), 6) + lit(0.0d))
+          .as("rmst_diff"))
+  }
+
   /** LOG-RANK TEST (Mantel 1966) — "are these two survival curves the
     * same?", the censoring-aware companion to [[kaplanMeier]] and the
     * standard A/B read on churn: at each death time the observed deaths

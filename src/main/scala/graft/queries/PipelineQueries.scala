@@ -2323,6 +2323,15 @@ object PipelineQueries {
           when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))),
         "dur", "ev", "grp")),
 
+    // RMST difference at the 30-day horizon between the parity
+    // cohorts — "days of lifetime gained", the effect size p289's χ²
+    // only tests the existence of; null by construction.
+    "p300_rmst_diff" -> ((s, dir) =>
+      graft.ops.Stats.rmstDiff(
+        kmSubjects(s, dir).withColumn("grp",
+          when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))),
+        "dur", "ev", "grp", tau = 30L)),
+
     // Log-rank test between even and odd user-id cohorts on the same
     // censored lifetimes — O/E/V per death time off the suffix risk
     // sets, χ²(1) against the pinned 3.841459 critical value. The
@@ -6056,6 +6065,37 @@ object PipelineQueries {
       "CAST(n_events AS BIGINT) AS n_events, CAST(n_censored AS BIGINT) AS n_censored, " +
       "CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(cum), 6) + 0.0 END AS km_survival " +
       "FROM r ORDER BY duration"),
+    // p298's group-partitioned KM ladder + p292's lag/tail trapezoid
+    // per group, then the two-row pivot
+    "p300_rmst_diff" -> (kmSubjectsSql +
+      "sg AS (SELECT *, CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp FROM s), " +
+      "p AS (SELECT grp, d, SUM(e) AS n_events, COUNT(*) AS nt FROM sg GROUP BY 1, 2), " +
+      "w AS (SELECT *, SUM(nt) OVER (PARTITION BY grp) - COALESCE(SUM(nt) OVER " +
+      "(PARTITION BY grp ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk FROM p), " +
+      "tm AS (SELECT *, CASE WHEN n_events = 0 OR n_events = n_at_risk THEN 0.0 " +
+      "ELSE round(ln(CAST(n_at_risk - n_events AS DOUBLE) / n_at_risk), 6) + 0.0 END AS term FROM w), " +
+      "r AS (SELECT *, MAX(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END) " +
+      "OVER (PARTITION BY grp ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead, " +
+      "round(SUM(term) OVER (PARTITION BY grp ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS cum FROM tm), " +
+      "km AS (SELECT grp, d AS duration, n_at_risk, " +
+      "CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(cum), 6) + 0.0 END AS sv FROM r), " +
+      "x AS (SELECT grp, duration, n_at_risk, sv, LEAST(duration, 30) AS cut, " +
+      "LEAST(COALESCE(LAG(duration) OVER (PARTITION BY grp ORDER BY duration), 0), 30) AS pcut, " +
+      "COALESCE(LAG(sv) OVER (PARTITION BY grp ORDER BY duration), 1.0) AS ps, " +
+      "MAX(duration) OVER (PARTITION BY grp) AS mx FROM km), " +
+      "t AS (SELECT grp, n_at_risk, round(ps * CAST(cut - pcut AS DOUBLE), 6) + 0.0 AS term, " +
+      "CASE WHEN duration = mx THEN round(sv * CAST(30 - cut AS DOUBLE), 6) + 0.0 " +
+      "ELSE 0.0 END AS tail FROM x), " +
+      "pg AS (SELECT grp, MAX(n_at_risk) AS n, round(SUM(term + tail), 6) + 0.0 AS rm " +
+      "FROM t GROUP BY 1) " +
+      "SELECT CAST(30 AS BIGINT) AS tau, 'even' AS group_a, 'odd' AS group_b, " +
+      "CAST(MAX(CASE WHEN grp = 'even' THEN n END) AS BIGINT) AS n_a, " +
+      "CAST(MAX(CASE WHEN grp <> 'even' THEN n END) AS BIGINT) AS n_b, " +
+      "MAX(CASE WHEN grp = 'even' THEN rm END) AS rmst_a, " +
+      "MAX(CASE WHEN grp <> 'even' THEN rm END) AS rmst_b, " +
+      "round(MAX(CASE WHEN grp <> 'even' THEN rm END) - " +
+      "MAX(CASE WHEN grp = 'even' THEN rm END), 6) + 0.0 AS rmst_diff " +
+      "FROM pg HAVING COUNT(*) > 0"),
     // p288's product-limit ladder with every window PARTITION BY grp
     "p298_km_by_group" -> (kmSubjectsSql +
       "sg AS (SELECT *, CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp FROM s), " +

@@ -635,6 +635,32 @@ class StatsSpec extends AnyFunSuite {
       "st", "t", "y").count() == 0)
   }
 
+  test("rmstDiff: per-group areas equal the single-group op; the diff is their subtraction") {
+    import spark.implicits._
+    val a = Seq((1L, 1), (1L, 1), (2L, 0), (3L, 1), (4L, 0))
+    val b = Seq((2L, 1), (5L, 0), (5L, 1))
+    val df = (a.map { case (d, e) => ("A", d, e) } ++
+      b.map { case (d, e) => ("B", d, e) }).toDF("g", "d", "e")
+    val out = Stats.rmstDiff(df, "d", "e", "g", tau = 10L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val ra = Stats.rmst(a.toDF("d", "e"), "d", "e", 10L)
+      .collect().head.getAs[Double]("rmst")
+    val rb = Stats.rmst(b.toDF("d", "e"), "d", "e", 10L)
+      .collect().head.getAs[Double]("rmst")
+    assert(r.getAs[String]("group_a") == "A" && r.getAs[String]("group_b") == "B")
+    assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("rmst_a") == ra)
+    assert(r.getAs[Double]("rmst_b") == rb)
+    assert(r.getAs[Double]("rmst_diff") == r6(rb - ra))
+    val one = a.map { case (d, e) => ("A", d, e) }.toDF("g", "d", "e")
+    val err = intercept[Exception] { Stats.rmstDiff(one, "d", "e", "g", 10L).collect() }
+    assert(err.toString.contains("exactly 2 groups") ||
+      Option(err.getCause).exists(_.toString.contains("exactly 2 groups")))
+    assert(Stats.rmstDiff(Seq.empty[(String, Long, Int)].toDF("g", "d", "e"),
+      "d", "e", "g", 10L).count() == 0)
+  }
+
   test("logRank: hand-computed O/E/V ladder; degenerate and contract cases") {
     import spark.implicits._
     val df = Seq(
