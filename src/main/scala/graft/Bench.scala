@@ -132,7 +132,16 @@ object Bench {
     // and turn late queries into spill-bound outliers (round 5 measured
     // p29 at 56 s in-suite vs 2.3 s isolated; the ops were never slow,
     // the JVM was). Not timed: a real cluster job gets a fresh app.
+    // ORDER MATTERS: the shared query-family memos are dropped FIRST via
+    // their DataFrame handles (unpersisting their RDDs directly clears
+    // the storage level permanently while the CacheManager keeps routing
+    // through the dead InMemoryRelation — every post-reap reference then
+    // recomputes with NO re-cache; round 11's p134 driver iterations
+    // [44.5, 44.3, 7.1] were exactly this: each "warm" iteration re-ran
+    // the co-purchase self-join once per reference). The raw-RDD sweep
+    // after catches only what no memo owns.
     def reapBlocks(): Unit = {
+      graft.queries.PipelineQueries.reapMemos(spark)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
     }
@@ -184,6 +193,26 @@ object Bench {
       System.err.println(s"[bench] WARNING: ${hiload.length} queries measured " +
         "with > 1 external CPU core busy — medians suspect: " +
         hiload.take(8).mkString(","))
+    // Iteration-variance tag: ext_cores only sees EXTERNAL load; in-JVM
+    // interference (cache thrash, GC, a cold memo rebuild) is invisible
+    // to it (round 11's three worst medians carried ext_cores 0.0 and
+    // were all cache-rebuild artifacts). max/min iteration spread > 3
+    // catches both classes — the detail carries each query's MIN next
+    // to the median so a reader can adjudicate a suspect median without
+    // re-running: the min is the code's demonstrated cost, the spread
+    // is the environment's.
+    val qmins = perQuery.collect { case (name, med, recs, _) if med >= 0 =>
+      name -> recs.map(_._1).min
+    }.toMap
+    val varied = perQuery.collect {
+      case (name, med, recs, _)
+          if med >= 0 && recs.length >= 2 && recs.map(_._1).min > 0 &&
+            recs.map(_._1).max / recs.map(_._1).min > 3.0 => name
+    }
+    if (varied.nonEmpty)
+      System.err.println(s"[bench] WARNING: ${varied.length} queries with " +
+        "> 3x iteration spread (in-JVM or external interference) — " +
+        "read min, not median: " + varied.take(8).mkString(","))
     // Scaled tier: the ~10 headline data-shaped operators at ×SCALE docs
     // / ×(SCALE/2) events (defaults 20/10, matching SCALING.md's study) —
     // the sf0.1 suite is plan-overhead-dominated (median query ~0.4 s),
@@ -233,7 +262,7 @@ object Bench {
       .take(topQ)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + s2(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.length},"queries":$shortQs,"failed":$failed,"hiload":${hiload.length},"iterations":$iterations,"sf":"$sfDir","detail":"BENCH_DETAIL.json"$loadJson$scaledLineJson}"""
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.length},"queries":$shortQs,"failed":$failed,"hiload":${hiload.length},"varied":${varied.length},"iterations":$iterations,"sf":"$sfDir","detail":"BENCH_DETAIL.json"$loadJson$scaledLineJson}"""
     // full-name, full-precision report for humans/the judge
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // per-iteration (sec, loadavg-at-start) pairs + per-query external
@@ -246,8 +275,12 @@ object Bench {
     val extQs = perQuery.map { case (k, _, _, ext) =>
       "\"" + k + "\":" + s2(ext)
     }.mkString("{", ",", "}")
+    val minQs = qmins.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + s3(v)
+    }.mkString("{", ",", "}")
     val hiloadJson = hiload.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$fullQs,"query_iters":$iterQs,"query_ext_cores":$extQs,"hiload":$hiloadJson,"failed":$failed,"iterations":$iterations,"sf":"$sfDir"$loadJson$scaledDetailJson}"""
+    val variedJson = varied.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$fullQs,"query_min":$minQs,"query_iters":$iterQs,"query_ext_cores":$extQs,"hiload":$hiloadJson,"varied":$variedJson,"failed":$failed,"iterations":$iterations,"sf":"$sfDir"$loadJson$scaledDetailJson}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.println(detail) finally w.close()

@@ -37,8 +37,10 @@ object Glm {
     * gradient cells reach the driver per step — the corpus never does.
     * Eager by design: a trainer runs its loop when called (the Lloyd
     * precedent), then hands back a lazy, bounded result. Ragged
-    * feature vectors and labels outside {0, 1} fail loudly. Empty
-    * input → empty output.
+    * feature vectors, NULL feature vectors and labels outside {0, 1}
+    * all fail loudly (the train/serve symmetry: any frame that trains
+    * is a frame [[logisticScore]] will serve). Empty input → empty
+    * output.
     *
     * Returns one row per coefficient (idx, weight_micro, n_rows)
     * ordered by idx — idx 0 is the intercept when `addIntercept`. */
@@ -60,13 +62,17 @@ object Glm {
     import spark.implicits._
     val rawX = Clustering.quantized(col(featuresCol))
     val xq = if (addIntercept) concat(array(lit(1000000L)), rawX) else rawX
+    // NULL feature vectors raise in-plan, matching [[logisticScore]] —
+    // a silent drop would shrink the gradient denominator without trace
+    // and let a frame that trains cleanly fail at serve time
     val q = df
-      .where(col(featuresCol).isNotNull)
       .select(
         when(col(labelCol).isNull || !col(labelCol).cast("int").isin(0, 1),
           raise_error(lit("logisticFit: label must be 0 or 1")))
           .otherwise(col(labelCol).cast("long")).as("_y"),
-        xq.as("_xq"))
+        when(col(featuresCol).isNull,
+          raise_error(lit("logisticFit: NULL feature vector")))
+          .otherwise(xq).as("_xq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val head = q.agg(count(lit(1)).as("n"), min(size(col("_xq"))).as("dmin"),
       max(size(col("_xq"))).as("dmax")).collect()(0)

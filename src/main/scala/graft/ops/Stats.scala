@@ -1772,7 +1772,11 @@ object Stats {
     * [clipMicro, 10⁶−clipMicro] (the standard overlap trim — a
     * propensity of 1 ppm would hand one subject a 10⁶× weight), and the
     * weight is the floored integer `10¹² div e_micro` (resp. the
-    * 1−e side). Outcomes floor to micro; Σw·y rides DECIMAL(38,0)
+    * 1−e side). Outcomes floor to micro — EXACTLY for integral outcome
+    * columns (a DECIMAL ×10⁶, never through a double: an already-micro
+    * BIGINT outcome past 2⁵³/10⁶ would silently lose ulps on the
+    * float path, reachable at scaled-study corpus sizes); doubles take
+    * the usual floor(×10⁶) quantization. Σw·y rides DECIMAL(38,0)
     * (weights ≤ 10¹², y_micro ~ 10¹², corpus 10¹⁰ rows → ~10³⁴ < 10³⁸);
     * the two means are re-signed integral divisions and the ATE their
     * exact difference. One arm empty raises in-plan — a one-armed "ATE"
@@ -1793,12 +1797,19 @@ object Stats {
     require(clipMicro >= 0L && clipMicro < 500000L,
       s"ipwAte: clipMicro must be in [0, 5e5), got $clipMicro")
     val d38 = DecimalType(38, 0)
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val yMicro = df.schema(outcomeCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (col(outcomeCol).cast(d38) * lit(1000000L)).cast(d38)
+      case _ =>
+        floor(col(outcomeCol).cast("double") * lit(1000000.0d)).cast("long")
+          .cast(d38)
+    }
     val base = df.where(col(outcomeCol).isNotNull).select(
       when(col(treatCol).isNull || !col(treatCol).cast("int").isin(0, 1),
         raise_error(lit("ipwAte: treatment must be 0 or 1")))
         .otherwise(col(treatCol).cast("int")).as("_t"),
-      floor(col(outcomeCol).cast("double") * lit(1000000.0d)).cast("long")
-        .as("_y"),
+      yMicro.as("_y"),
       when(col(propensityMicroCol).isNull || col(propensityMicroCol) <= 0 ||
           col(propensityMicroCol) >= 1000000,
         raise_error(lit("ipwAte: propensity_micro must be in (0, 1e6)")))

@@ -171,30 +171,68 @@ object PipelineQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** Bench's between-query reap hook: drop every memo entry for this
+    * session AND unpersist it through the DataFrame API. Bench used to
+    * unpersist the underlying RDDs directly
+    * (`sparkContext.getPersistentRDDs`), which clears the cached RDD's
+    * storage level FOR GOOD while the CacheManager still routes the
+    * plan through the now-never-cached InMemoryRelation — after one
+    * reap, every reference recomputed the memo's whole lineage with no
+    * re-cache (p134's triangle gate references the co-purchase pairs
+    * three times → round-11's driver measured two 44 s "warm"
+    * iterations that were each three cold self-joins). Dropping the
+    * map entry instead lets the next consumer rebuild AND re-persist:
+    * first iteration cold (honest — the query pays its own build),
+    * later iterations warm. Verify never calls this — a sequential
+    * correctness run still shares each memo across its gate family. */
+  def reapMemos(s: SparkSession): Unit =
+    Seq(pairsMemo, bpeMemo, basketMemo, copurchaseMemo, psnEdgesMemo,
+        collocMemo, kmMemo).foreach { m =>
+      m.synchronized {
+        m.keys.filter(_._1 eq s).toList.foreach { k =>
+          m.remove(k).foreach(_.unpersist(false))
+        }
+      }
+    }
+
   /** p142/p145's shared seed set: every 50th part, in graph node ids. */
   private def partSeeds(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "part")
       .where(col("p_partkey") % 50 === 0)
       .select(concat(lit("p"), col("p_partkey")).as("node"))
 
-  /** p288/p289's shared survival subjects: per-user lifetime in
-    * floor-days (first→last event) with right-censoring — a user still
-    * active within 7 days of the corpus end has NOT churned yet
-    * (event = 0), which is exactly the bias [[graft.ops.Stats
-    * .kaplanMeier]] exists to absorb and p144's fully-observed curve
-    * cannot. */
-  private def kmSubjects(s: SparkSession, dir: String): DataFrame = {
-    val t = floor(unix_micros(col("ts")).cast("double") / lit(1000000.0d))
-      .cast("long")
-    val u = Tables(s, dir, "events").select(col("user_id"), t.as("_t"))
-      .groupBy(col("user_id"))
-      .agg(min(col("_t")).as("_f"), max(col("_t")).as("_l"))
-    val gm = u.agg(max(col("_l")).as("_gm"))
-    u.crossJoin(broadcast(gm)).select(
-      col("user_id"),
-      expr("(_l - _f) div 86400").as("dur"),
-      when(col("_gm") - col("_l") > 604800L, 1).otherwise(0).as("ev"))
-  }
+  /** The survival family's shared censored subjects (p288/p289/p292/
+    * p298/p300): per-user lifetime in floor-days with right-censoring —
+    * a user still active within 7 days of the corpus end has NOT
+    * churned yet (event = 0), which is exactly the bias [[graft.ops
+    * .Stats.kaplanMeier]] exists to absorb and p144's fully-observed
+    * curve cannot. CENSORING CONVENTION: an observed churn's duration
+    * runs first→LAST event; a censored subject's time-at-risk runs
+    * first event→OBSERVATION END (the corpus max timestamp) — censoring
+    * at last activity would understate time-at-risk and reintroduce a
+    * milder form of the very bias KM absorbs. Memoized + persisted like
+    * [[copurchasePairs]] so the five gates derive the subject table
+    * once, not five times. */
+  private val kmMemo =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
+  private def kmSubjects(s: SparkSession, dir: String): DataFrame =
+    kmMemo.synchronized {
+      kmMemo.getOrElseUpdate((s, dir), {
+        val t = floor(unix_micros(col("ts")).cast("double") / lit(1000000.0d))
+          .cast("long")
+        val u = Tables(s, dir, "events").select(col("user_id"), t.as("_t"))
+          .groupBy(col("user_id"))
+          .agg(min(col("_t")).as("_f"), max(col("_t")).as("_l"))
+        val gm = u.agg(max(col("_l")).as("_gm"))
+        u.crossJoin(broadcast(gm)).select(
+            col("user_id"),
+            when(col("_gm") - col("_l") > 604800L,
+              expr("(_l - _f) div 86400"))
+              .otherwise(expr("(_gm - _f) div 86400")).as("dur"),
+            when(col("_gm") - col("_l") > 604800L, 1).otherwise(0).as("ev"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EP2/EP3 end-to-end: header identify + rules standardizer + typed
@@ -3057,16 +3095,20 @@ object PipelineQueries {
     * data, not policy — any recall drift (a seed change, a bucketing
     * bug, an index regression) hash-fails instead of sliding under a
     * boolean threshold. */
-  /** Shared p288/p289 oracle prefix: censored lifetime subjects —
+  /** Shared survival-family oracle prefix: censored lifetime subjects —
     * p144's epoch/day recipe + the 7-day still-active censor flag.
-    * Ends mid-WITH so the consumer appends its own CTEs. */
+    * Mirrors [[kmSubjects]]'s censoring convention: observed churns run
+    * first→last event, censored subjects run first event→observation
+    * end. Ends mid-WITH so the consumer appends its own CTEs. */
   private val kmSubjectsSql: String =
     "WITH q AS (SELECT user_id, " +
       "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) AS t " +
       "FROM events), " +
       "u AS (SELECT user_id, MIN(t) AS f, MAX(t) AS l FROM q GROUP BY 1), " +
       "g AS (SELECT MAX(l) AS gm FROM u), " +
-      "s AS (SELECT user_id, (l - f) // 86400 AS d, " +
+      "s AS (SELECT user_id, " +
+      "CASE WHEN gm - l > 604800 THEN (l - f) // 86400 " +
+      "ELSE (gm - f) // 86400 END AS d, " +
       "CASE WHEN gm - l > 604800 THEN 1 ELSE 0 END AS e FROM u, g), "
 
   /** p297/p299's shared oracle prefix: the logistic gradient-ascent
