@@ -1062,11 +1062,18 @@ object Stats {
     * replicate b inverts the pinned cumulative-Poisson(1) table
     * (floor-micro literals 367879, 735758, 919698, 981011, 996340,
     * 999405, 999916, 999989, 999998; the ≥ 999998 tail collapses to 9)
-    * at u = portable-md5(id:b) mod 1e6 — exact draws from the
-    * 1e-6-quantized Poisson CDF, identical on every engine and every
-    * rerun ([[graft.ops.Governance.partitionBalance]]'s hash). Values
-    * enter as floor-micro integers; replicate means are re-signed
-    * integral divisions; Σw·v rides DECIMAL(38,0) (9·|v|·n headroom).
+    * at a uniform u derived from ONE portable md5 per ROW — not per
+    * (row, replicate): at B = 200 the per-cell hash was 200 full md5
+    * passes over the corpus and the suite's third-highest idle cost.
+    * The row's 32-bit digest prefix seeds a per-replicate Lehmer
+    * scramble, u_b = minstd(minstd((seed + b·1000003) mod p)) mod 1e6
+    * with p = 2³¹−1 and the MINSTD multiplier 48271 (Park–Miller
+    * 1988; Lemire 2017 reviews the constants) — pure BIGINT products
+    * < 2⁴⁷, identical on every engine and every rerun
+    * ([[graft.ops.Governance.partitionBalance]]'s hash for the seed,
+    * integer arithmetic after). Values enter as floor-micro integers;
+    * replicate means are re-signed integral divisions; Σw·v rides
+    * DECIMAL(38,0) (9·|v|·n headroom).
     * CI ranks are exact ceil picks: lo = ⌈B_eff·(1−conf)/2⌉,
     * hi = ⌈B_eff·(1+conf)/2⌉ over the means ranked (mean, replicate) —
     * the [[graft.ops.EventsOps.slaPercentiles]] convention.
@@ -1098,10 +1105,13 @@ object Stats {
     val tot = base.agg(count(lit(1)).as("n_rows"),
       sum(col("_v").cast(d38)).cast(d38).as("_sv"))
     val rep = base
-      .select(col("_id"), col("_v"),
+      .withColumn("_seed", expr(
+        "CAST(conv(substring(md5(_id), 1, 8), 16, 10) AS BIGINT) % 2147483647"))
+      .select(col("_v"), col("_seed"),
         explode(sequence(lit(0), lit(replicates - 1))).as("_b"))
-      .withColumn("_u", expr("CAST(conv(substring(md5(concat(_id, ':', " +
-        "CAST(_b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000"))
+      .withColumn("_u", expr(
+        "((((_seed + _b * 1000003) % 2147483647) * 48271 % 2147483647) " +
+          "* 48271 % 2147483647) % 1000000"))
       .withColumn("_w",
         when(col("_u") < 367879L, 0L).when(col("_u") < 735758L, 1L)
           .when(col("_u") < 919698L, 2L).when(col("_u") < 981011L, 3L)

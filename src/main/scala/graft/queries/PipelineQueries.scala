@@ -6041,25 +6041,28 @@ object PipelineQueries {
         "round((round(1.0 + CAST(n AS DOUBLE) / s, 6) + 0.0 - 1.0) / " +
         "sqrt(CAST(n AS DOUBLE)), 6) + 0.0 AS alpha_se " +
         "FROM ag WHERE n > 0"),
-    // identical portable-hash Poisson weights against the same pinned
-    // quantized CDF; HUGEINT weighted sums, re-signed // means, the
-    // same ceil rank picks over (mean, replicate) order
+    // identical one-md5-per-row seed + Lehmer/MINSTD replicate scramble
+    // against the same pinned quantized CDF; HUGEINT weighted sums,
+    // re-signed // means, the same ceil rank picks over (mean,
+    // replicate) order
     "p286_poisson_bootstrap" -> (
-      "WITH base AS (SELECT CAST(event_id AS VARCHAR) AS id, " +
+      "WITH b0 AS (SELECT CAST(event_id AS VARCHAR) AS id, " +
         "CAST(floor(value * 1000000) AS BIGINT) AS v FROM events " +
         "WHERE event_type = 'purchase' AND value IS NOT NULL), " +
+        "base AS (SELECT v, " +
+        "((strpos('0123456789abcdef', substr(md5(id), 1, 1)) - 1) * 268435456 " +
+        "+ (strpos('0123456789abcdef', substr(md5(id), 2, 1)) - 1) * 16777216 " +
+        "+ (strpos('0123456789abcdef', substr(md5(id), 3, 1)) - 1) * 1048576 " +
+        "+ (strpos('0123456789abcdef', substr(md5(id), 4, 1)) - 1) * 65536 " +
+        "+ (strpos('0123456789abcdef', substr(md5(id), 5, 1)) - 1) * 4096 " +
+        "+ (strpos('0123456789abcdef', substr(md5(id), 6, 1)) - 1) * 256 " +
+        "+ (strpos('0123456789abcdef', substr(md5(id), 7, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', substr(md5(id), 8, 1)) - 1)) % 2147483647 AS seed FROM b0), " +
         "g AS (SELECT SUM(CAST(v AS HUGEINT)) AS sv, COUNT(*) AS n FROM base), " +
-        "rep AS (SELECT id, v, b FROM base, (SELECT unnest(generate_series(0, 199)) AS b)), " +
-        "hx AS (SELECT v, b, md5(id || ':' || CAST(b AS VARCHAR)) AS x FROM rep), " +
+        "rep AS (SELECT v, seed, b FROM base, (SELECT unnest(generate_series(0, 199)) AS b)), " +
         "u AS (SELECT v, b, " +
-        "((strpos('0123456789abcdef', substr(x, 1, 1)) - 1) * 268435456 " +
-        "+ (strpos('0123456789abcdef', substr(x, 2, 1)) - 1) * 16777216 " +
-        "+ (strpos('0123456789abcdef', substr(x, 3, 1)) - 1) * 1048576 " +
-        "+ (strpos('0123456789abcdef', substr(x, 4, 1)) - 1) * 65536 " +
-        "+ (strpos('0123456789abcdef', substr(x, 5, 1)) - 1) * 4096 " +
-        "+ (strpos('0123456789abcdef', substr(x, 6, 1)) - 1) * 256 " +
-        "+ (strpos('0123456789abcdef', substr(x, 7, 1)) - 1) * 16 " +
-        "+ (strpos('0123456789abcdef', substr(x, 8, 1)) - 1)) % 1000000 AS u FROM hx), " +
+        "((((seed + b * 1000003) % 2147483647) * 48271 % 2147483647) " +
+        "* 48271 % 2147483647) % 1000000 AS u FROM rep), " +
         "w AS (SELECT b, v, CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1 " +
         "WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3 WHEN u < 996340 THEN 4 " +
         "WHEN u < 999405 THEN 5 WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7 " +
