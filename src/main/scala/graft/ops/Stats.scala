@@ -1499,10 +1499,17 @@ object Stats {
     *
     * Shape: ONE (group, value) partial agg collapses the corpus to the
     * distinct-value-bounded count table (the [[mannWhitney]] recipe —
-    * never a per-row rank); cumulative ranks ride group-partitioned
-    * windows over that table, and the |pcts|-fold explode multiplies
-    * only the bounded table. Exactly two groups required — raises
-    * in-plan. Empty input → empty output.
+    * never a per-row rank); cumulative ranks over that table use the
+    * BLOCKED two-pass form ([[graft.ops.CorpusOps.curriculumOrder]]'s
+    * recipe): value-range blocks (`_v div blockMicro` — monotone, so
+    * blocks partition each group's sort order) run their prefix sums in
+    * parallel, and only the (group × block)-bounded summary table sees
+    * a per-group ordered window — WITHOUT the blocks, a truly
+    * continuous measure puts each arm's ~n/2 distinct values through
+    * ONE window task, and the 2-group contract makes that the plan's
+    * parallelism ceiling. The |pcts|-fold explode multiplies only the
+    * bounded table. Exactly two groups required — raises in-plan.
+    * Empty input → empty output.
     *
     * Returns one row per requested percentile (pct, n_a, n_b,
     * q_a_micro, q_b_micro, qte_micro) ordered by pct — group_a is the
@@ -1512,9 +1519,12 @@ object Stats {
       df: DataFrame,
       groupCol: String,
       valueCol: String,
-      pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+      pcts: Seq[Int] = Seq(25, 50, 75, 90),
+      blockMicro: Long = 1048576L): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"quantileTreatmentEffect: pcts must be in [1, 100], got $pcts")
+    require(blockMicro >= 1L,
+      s"quantileTreatmentEffect: blockMicro must be >= 1, got $blockMicro")
     import org.apache.spark.sql.expressions.Window
     val rows = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("_g"),
@@ -1523,12 +1533,27 @@ object Stats {
     val perVG = rows.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
     val gAgg = perVG.agg(min(col("_g")).as("_gaN"), max(col("_g")).as("_gbN"),
       countDistinct(col("_g")).as("_ng"))
-    val wCum = Window.partitionBy(col("_g")).orderBy(col("_v"))
+    // blocked two-pass cumulative count: `div` truncates toward zero,
+    // which still yields contiguous blocks ordered by _v (block 0 just
+    // spans (−blockMicro, blockMicro)) — within-block prefix sums run
+    // (groups × blocks)-parallel, the per-(group, block) carry rides
+    // the value-range-bounded summary window
+    val pv = perVG.withColumn("_blk", expr(s"_v div ${blockMicro}L"))
+    val wIn = Window.partitionBy(col("_g"), col("_blk")).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wG = Window.partitionBy(col("_g"))
-    val cum = perVG.crossJoin(broadcast(gAgg))
-      .withColumn("_cum", sum(col("_c")).over(wCum))
-      .withColumn("_n", sum(col("_c")).over(wG))
+    val wCarry = Window.partitionBy(col("_g")).orderBy(col("_blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wGn = Window.partitionBy(col("_g"))
+    val carry = pv.groupBy(col("_g"), col("_blk"))
+      .agg(sum(col("_c")).as("_bc"))
+      .withColumn("_base", coalesce(sum(col("_bc")).over(wCarry), lit(0L)))
+      .withColumn("_n", sum(col("_bc")).over(wGn))
+      .select(col("_g"), col("_blk"), col("_base"), col("_n"))
+    val cum = pv
+      .withColumn("_wcum", sum(col("_c")).over(wIn))
+      .join(carry, Seq("_g", "_blk"))
+      .withColumn("_cum", col("_base") + col("_wcum"))
+      .crossJoin(broadcast(gAgg))
     val picks = cum
       .select(col("_g"), col("_v"), col("_cum"), col("_n"),
         col("_gaN"), col("_gbN"), col("_ng"),

@@ -491,6 +491,19 @@ class StatsSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.toString.contains("exactly 2 groups")))
     assert(Stats.quantileTreatmentEffect(
       Seq.empty[(String, Double)].toDF("g", "v"), "g", "v").count() == 0)
+    // BLOCK-EQUIVALENCE PIN: the blocked two-pass rank is a pure
+    // parallelism rewrite — any blockMicro yields identical output,
+    // including values straddling block boundaries and negatives
+    // spanning the truncate-toward-zero block 0
+    val mixed = ((1 to 7).map(i => ("A", i - 4.0)) ++
+      (1 to 9).map(i => ("B", i * 1.5 - 5.0))).toDF("g", "v")
+    val wide = Stats.quantileTreatmentEffect(mixed, "g", "v",
+      Seq(10, 50, 90), blockMicro = Long.MaxValue).collect().toSeq
+    val narrow = Stats.quantileTreatmentEffect(mixed, "g", "v",
+      Seq(10, 50, 90), blockMicro = 1L).collect().toSeq
+    val mid = Stats.quantileTreatmentEffect(mixed, "g", "v",
+      Seq(10, 50, 90), blockMicro = 1500000L).collect().toSeq
+    assert(wide == narrow && wide == mid)
   }
 
   test("msprt: replayed mixture likelihood ladder; thin days stay conservative; contract raise") {
