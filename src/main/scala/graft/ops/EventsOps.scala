@@ -2680,9 +2680,13 @@ object EventsOps {
     * declared float tail: one sqrt, round-3.
     *
     * Shape: one partial-agg count on (value, side) — the tied-rank
-    * ladder is value-cardinality-bounded — and every statistic folds
-    * over that bounded table; corpus rows are touched once. Returns
-    * ONE row: (key_a, key_b, n_a, n_b, u2_a, u2_b, z). */
+    * ladder is THE shared [[graft.ops.Stats.mwTiedRankLadder]] kernel
+    * (one implementation engine-wide; this surface and [[graft.ops
+    * .Stats.mannWhitney]] are intentional dual API — caller-keyed
+    * U + float z here, lexicographic 2-group integer-exact z² there) —
+    * and every statistic folds over that value-cardinality-bounded
+    * table; corpus rows are touched once. Returns ONE row:
+    * (key_a, key_b, n_a, n_b, u2_a, u2_b, z). */
   def mannWhitneyU(
       ev: DataFrame,
       keyA: String,
@@ -2695,21 +2699,16 @@ object EventsOps {
       .select(floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long")
         .as("_v"), col(keyCol).as("_k"))
       .groupBy(col("_v"))
-      .agg(sum(when(col("_k") === keyA, 1L).otherwise(0L)).as("_ca"),
-        sum(when(col("_k") === keyB, 1L).otherwise(0L)).as("_cb"))
-      .withColumn("_t", col("_ca") + col("_cb"))
-    val wv = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      .agg(sum(when(col("_k") === keyA, 1L).otherwise(0L)).as("_c1"),
+        sum(when(col("_k") === keyB, 1L).otherwise(0L)).as("_c2"))
     // 2·avg_rank of a tied run = 2·before + t + 1 (min+max rank)
-    val ranked = counts
-      .withColumn("_before", coalesce(sum(col("_t")).over(wv), lit(0L)))
-      .withColumn("_r2", lit(2L) * col("_before") + col("_t") + lit(1L))
+    val ranked = graft.ops.Stats.mwTiedRankLadder(counts)
     ranked.agg(
-        sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"),
-        coalesce(sum(col("_ca").cast(d) * col("_r2").cast(d)), lit(0).cast(d))
+        sum(col("_c1")).as("n_a"), sum(col("_c2")).as("n_b"),
+        coalesce(sum(col("_c1").cast(d) * col("_mr2").cast(d)), lit(0).cast(d))
           .as("_ra2"),
-        coalesce(sum(col("_t").cast(d) * col("_t").cast(d) * col("_t").cast(d) -
-          col("_t").cast(d)), lit(0).cast(d)).as("_tie3"))
+        coalesce(sum(col("_ct").cast(d) * col("_ct").cast(d) * col("_ct").cast(d) -
+          col("_ct").cast(d)), lit(0).cast(d)).as("_tie3"))
       // 2·U_a = 2·R_a − n_a(n_a+1) = _ra2 − n_a(n_a+1): U itself is a
       // half-integer when the cross-side tie count is odd, so the ×2
       // scale is the exact integer form; 2U_a + 2U_b = 2·n_a·n_b

@@ -928,11 +928,31 @@ object Stats {
     *
     * Returns ONE row (group_a, group_b, n_a, n_b, u_a_x2, u_b_x2,
     * sum_ties, z2_ppm, significant_05). */
+  /** The ONE Mann–Whitney tied-rank ladder, shared by [[mannWhitney]]
+    * (p281's integer-exact z² surface) and [[graft.ops.EventsOps
+    * .mannWhitneyU]] (p171's caller-keyed U + float-z surface — the two
+    * surfaces are intentional API: different output contracts on the
+    * same statistic, one rank kernel underneath). Input: a
+    * DISTINCT-VALUE count table with `_v` (any orderable type) and the
+    * two sides' counts `_c1`/`_c2` (plus any passthrough columns);
+    * appends the tie-block total `_ct` and the DOUBLED midrank
+    * `_mr2 = 2·cum_before + ct + 1` (min rank + max rank of the tied
+    * run — an odd integer, so rank sums stay integral). The global
+    * window rides only the value-cardinality-bounded table. */
+  private[ops] def mwTiedRankLadder(byV: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byV.withColumn("_ct", col("_c1") + col("_c2"))
+      .withColumn("_mr2",
+        lit(2L) * coalesce(sum(col("_ct")).over(wPrev), lit(0L)) +
+          col("_ct") + lit(1L))
+  }
+
   def mannWhitney(
       df: DataFrame,
       groupCol: String = "event_type",
       valueCol: String = "value"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rows = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("_g"),
         col(valueCol).cast("double").as("_v"))
@@ -948,12 +968,9 @@ object Stats {
         sum(when(col("_g") =!= col("_gaN"), col("_c")).otherwise(0L)).as("_c2"),
         max(col("_ng")).as("_ng"),
         max(col("_gaN")).as("_ga"), max(col("_gbN")).as("_gb"))
-      .withColumn("_ct", col("_c1") + col("_c2"))
-    // the global window rides the distinct-value-bounded table only
-    val ranked = byV
-      .withColumn("_cum", sum(col("_ct")).over(Window.orderBy(col("_v"))))
-      .withColumn("_mr2",
-        (lit(2L) * col("_cum") - col("_ct") + lit(1L)).cast(DecimalType(38, 0)))
+    // the shared ladder's global window rides the distinct-value-
+    // bounded table only
+    val ranked = mwTiedRankLadder(byV)
     val d38 = DecimalType(38, 0)
     val stats = ranked
       // grouping on the (constant) group labels keeps empty-in → empty-out
