@@ -153,4 +153,59 @@ object Glm {
           "1000000000000.0, 6) + 0.0)))) AS BIGINT)"))
       .drop("_xq", "_w")
   }
+
+  /** CALIBRATION REPORT + per-bin Brier score for a probability
+    * scorer — the standard audit of [[logisticScore]]'s output (and of
+    * any score in micro units): bucket rows by predicted probability,
+    * compare the bucket's mean prediction to its OBSERVED event rate
+    * (a calibrated model's reliability diagram hugs the diagonal —
+    * DeGroot & Fienberg 1983), and report the per-bin Brier score
+    * (Brier 1950), whose n-weighted mean is the corpus Brier.
+    *
+    * INTEGER-EXACT end to end: scores arrive in micro ([0, 10⁶] —
+    * anything else raises in-plan, as does a label outside {0, 1});
+    * bin = min(bins−1, score·bins div 10⁶); mean_score_micro and
+    * event_rate_ppm are floored integral divisions; per-row squared
+    * error (score − y·10⁶)² ≤ 10¹² rides DECIMAL(38,0) (10¹⁰-row
+    * corpus → ≤ 10²² total) and brier_micro = Σerr² div (n·10⁶) —
+    * micro units of the [0,1]-scale Brier.
+    *
+    * Shape: ONE bins-bounded partial agg over the corpus; the report
+    * IS the group-by. Empty input → empty output.
+    *
+    * Returns one row per non-empty bin (bin, n, mean_score_micro,
+    * event_rate_ppm, brier_micro) ordered by bin. */
+  def calibrationReport(
+      df: DataFrame,
+      scoreMicroCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000,
+      s"calibrationReport: bins must be in [2, 1000], got $bins")
+    val d38 = DecimalType(38, 0)
+    val rows = df.select(
+      when(col(scoreMicroCol).isNull || col(scoreMicroCol) < 0 ||
+          col(scoreMicroCol) > 1000000L,
+        raise_error(lit("calibrationReport: score_micro must be in " +
+          "[0, 1e6]"))).otherwise(col(scoreMicroCol).cast("long")).as("_s"),
+      when(col(labelCol).isNull || !col(labelCol).cast("int").isin(0, 1),
+        raise_error(lit("calibrationReport: label must be 0 or 1")))
+        .otherwise(col(labelCol).cast("long")).as("_y"))
+    rows
+      .withColumn("bin", least(lit(bins - 1L),
+        expr(s"_s * $bins div 1000000")))
+      .withColumn("_err", col("_s") - col("_y") * lit(1000000L))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_s")).as("_ss"),
+        sum(col("_y")).as("_sy"),
+        sum((col("_err").cast(d38) * col("_err")).cast(d38)).cast(d38)
+          .as("_se2"))
+      .select(col("bin"), col("n"),
+        expr("_ss div n").as("mean_score_micro"),
+        expr("_sy * 1000000 div n").as("event_rate_ppm"),
+        expr("CAST(_se2 div (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
+          .as("brier_micro"))
+      .orderBy("bin")
+  }
 }

@@ -1000,6 +1000,105 @@ object Stats {
         kernel.getField("significant_05").as("significant_05"))
   }
 
+  /** COHEN'S D standardized effect size (+ the Hedges g small-sample
+    * correction) between two groups — the number a significance test
+    * deliberately is not: [[mannWhitney]] says whether arms differ,
+    * this says by HOW MUCH in pooled-standard-deviation units (Cohen
+    * 1988; Hedges 1981), the scale meta-analyses and power planning
+    * run on. d = (m̄_a − m̄_b)/s_pooled with s²_pooled =
+    * ((n_a−1)s²_a + (n_b−1)s²_b)/(n_a+n_b−2);
+    * g = d·(1 − 3/(4(n_a+n_b)−9)).
+    *
+    * Float policy (the [[msprt]] moment contract): per-arm counts,
+    * micro sums and micro² sums of squares are EXACT DECIMAL(38,0)
+    * partials; every scalar is ONE round-6 division of exact integer
+    * moments in pinned operand order, in NATURAL units (means
+    * ÷ n·10⁶, variances ÷ n(n−1)·10¹²); pooled variance, d and g are
+    * round-6 folds of already-rounded scalars. An arm with < 2
+    * observations or a zero pooled variance yields NULL d/g — never a
+    * division blow-up. Exactly two groups required — raises in-plan
+    * (the [[mannWhitney]] contract; `group_a` is the lexicographically
+    * smaller label and d is a-minus-b).
+    *
+    * Shape: ONE conditional scalar aggregate over the corpus —
+    * map-side partials, a 1-row fold, nothing driver-side. Empty
+    * input → empty output.
+    *
+    * Returns ONE row (group_a, group_b, n_a, n_b, mean_a, mean_b,
+    * sd_pooled, cohens_d, hedges_g). */
+  def cohensD(
+      df: DataFrame,
+      groupCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val rows = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("_g"),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long")
+          .as("_v"))
+    val gAgg = rows.agg(min(col("_g")).as("_gaN"), max(col("_g")).as("_gbN"),
+      countDistinct(col("_g")).as("_ng"))
+    val m = rows.crossJoin(broadcast(gAgg))
+      .groupBy(col("_gaN").as("_ga"), col("_gbN").as("_gb"))
+      .agg(
+        max(col("_ng")).as("_ngx"),
+        sum(when(col("_g") === col("_gaN"), 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_g") =!= col("_gaN"), 1L).otherwise(0L)).as("_cb"),
+        sum(when(col("_g") === col("_gaN"), col("_v").cast(d38))
+          .otherwise(lit(0).cast(d38)).cast(d38)).cast(d38).as("_sa"),
+        sum(when(col("_g") =!= col("_gaN"), col("_v").cast(d38))
+          .otherwise(lit(0).cast(d38)).cast(d38)).cast(d38).as("_sb"),
+        sum(when(col("_g") === col("_gaN"),
+          col("_v").cast(d38) * col("_v")).otherwise(lit(0).cast(d38))
+          .cast(d38)).cast(d38).as("_qa"),
+        sum(when(col("_g") =!= col("_gaN"),
+          col("_v").cast(d38) * col("_v")).otherwise(lit(0).cast(d38))
+          .cast(d38)).cast(d38).as("_qb"))
+    val scal = m
+      .withColumn("mean_a",
+        round(expr("CAST(_sa AS DOUBLE)") /
+          (col("_ca").cast("double") * lit(1.0e6d)), 6) + lit(0.0d))
+      .withColumn("mean_b",
+        round(expr("CAST(_sb AS DOUBLE)") /
+          (col("_cb").cast("double") * lit(1.0e6d)), 6) + lit(0.0d))
+      .withColumn("_va",
+        when(col("_ca") < 2L, lit(null).cast("double")).otherwise(
+          round(expr("CAST(_qa * _ca - _sa * _sa AS DOUBLE)") /
+            (col("_ca").cast("double") * (col("_ca") - 1L) *
+              lit(1.0e12d)), 6) + lit(0.0d)))
+      .withColumn("_vb",
+        when(col("_cb") < 2L, lit(null).cast("double")).otherwise(
+          round(expr("CAST(_qb * _cb - _sb * _sb AS DOUBLE)") /
+            (col("_cb").cast("double") * (col("_cb") - 1L) *
+              lit(1.0e12d)), 6) + lit(0.0d)))
+      .withColumn("_vp",
+        when(col("_va").isNull || col("_vb").isNull,
+          lit(null).cast("double")).otherwise(
+          round(((col("_ca") - 1L).cast("double") * col("_va") +
+            (col("_cb") - 1L).cast("double") * col("_vb")) /
+            (col("_ca") + col("_cb") - 2L).cast("double"), 6) + lit(0.0d)))
+      .withColumn("sd_pooled",
+        when(col("_vp").isNull, lit(null).cast("double"))
+          .otherwise(round(sqrt(col("_vp")), 6) + lit(0.0d)))
+      .withColumn("cohens_d",
+        when(col("sd_pooled").isNull || col("sd_pooled") <= 0.0d,
+          lit(null).cast("double")).otherwise(
+          round((col("mean_a") - col("mean_b")) / col("sd_pooled"), 6)
+            + lit(0.0d)))
+      .withColumn("hedges_g",
+        when(col("cohens_d").isNull, lit(null).cast("double")).otherwise(
+          round(col("cohens_d") * (lit(1.0d) - lit(3.0d) /
+            (lit(4.0d) * (col("_ca") + col("_cb")).cast("double")
+              - lit(9.0d))), 6) + lit(0.0d)))
+    scal.select(
+      when(col("_ngx") =!= 2, raise_error(concat(
+        lit("cohensD: need exactly 2 groups with non-null values, got "),
+        col("_ngx").cast("string")))).otherwise(col("_ga")).as("group_a"),
+      col("_gb").as("group_b"),
+      col("_ca").as("n_a"), col("_cb").as("n_b"),
+      col("mean_a"), col("mean_b"), col("sd_pooled"),
+      col("cohens_d"), col("hedges_g"))
+  }
+
   /** BENJAMINI–HOCHBERG step-up FDR control — the standard guard when a
     * pipeline fires MANY hypothesis tests at once (per-segment A/B
     * reads, per-feature drift screens, per-source quality deltas):
@@ -1161,6 +1260,83 @@ object Stats {
         col("ci_lo_micro"), col("ci_hi_micro"))
   }
 
+  /** PAIRED PERMUTATION TEST for a mean difference — the exact-logic
+    * nonparametric companion to [[poissonBootstrap]] (Fisher 1935; the
+    * randomization test Good 2000 ch. 3 standardizes): under H₀ each
+    * pair's difference is symmetric around 0, so every sign assignment
+    * is equally likely; the p-value is the fraction of sign-flipped
+    * replicates whose |ΣT| reaches the observed |ΣT|, with the
+    * standard +1 guard p = (#{|T_b| ≥ |T_obs|} + 1)/(B+1) so p is
+    * never an impossible 0.
+    *
+    * THE permutation test that exists at 100 TB: a classical
+    * permutation shuffles labels globally — a shuffle per replicate —
+    * but sign flips are per-ROW decisions, so all B replicates ride
+    * ONE local map (the [[poissonBootstrap]] draw recipe: one portable
+    * md5 per row seeds the Lehmer/MINSTD chain, replicate b's sign is
+    * u_b ≥ 5·10⁵) and ONE B-bounded aggregate. No RNG, deterministic
+    * on every engine and rerun.
+    *
+    * INTEGER-EXACT: each side quantizes to micro — EXACTLY (DECIMAL
+    * ×10⁶) for integral columns, the [[ipwAte]] passthrough, so a
+    * caller handing in already-micro sums never rides a double past
+    * 2⁵³ — and the difference, T_obs and every T_b ride DECIMAL(38,0);
+    * the comparison is |T_b| ≥ |T_obs| on exact decimals and p_micro
+    * the floored integer (10⁶·(n_extreme+1)) div (B+1). Rows with
+    * either side NULL are excluded up front. Empty input → empty
+    * output.
+    *
+    * Returns ONE row (n_pairs, n_replicates, t_obs_micro, n_extreme,
+    * p_micro, significant_05). */
+  def pairedPermutationTest(
+      df: DataFrame,
+      idCol: String,
+      valueACol: String,
+      valueBCol: String,
+      replicates: Int = 200): DataFrame = {
+    require(replicates >= 10 && replicates <= 10000,
+      s"pairedPermutationTest: replicates must be in [10, 10000], got $replicates")
+    val d38 = DecimalType(38, 0)
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    def sideMicro(c: String) = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (col(c).cast(d38) * lit(1000000L)).cast(d38)
+      case _ =>
+        floor(col(c).cast("double") * lit(1000000.0d)).cast("long").cast(d38)
+    }
+    val base = df
+      .where(col(valueACol).isNotNull && col(valueBCol).isNotNull)
+      .select(col(idCol).cast("string").as("_id"),
+        (sideMicro(valueACol) - sideMicro(valueBCol)).cast(d38).as("_dd"))
+    val tot = base.agg(count(lit(1)).as("n_pairs"),
+      sum(col("_dd").cast(d38)).cast(d38).as("_tobs"))
+    val reps = base
+      .withColumn("_seed", expr(
+        "CAST(conv(substring(md5(_id), 1, 8), 16, 10) AS BIGINT) % 2147483647"))
+      .select(col("_dd"), col("_seed"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("_b"))
+      .withColumn("_u", expr(
+        "((((_seed + _b * 1000003) % 2147483647) * 48271 % 2147483647) " +
+          "* 48271 % 2147483647) % 1000000"))
+      .withColumn("_sd",
+        when(col("_u") >= 500000L, col("_dd")).otherwise(-col("_dd")))
+      .groupBy(col("_b"))
+      .agg(sum(col("_sd").cast(d38)).cast(d38).as("_tb"))
+    reps
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n_pairs"), col("_tobs"))
+      .agg(count(lit(1)).as("n_replicates"),
+        sum(when(abs(col("_tb")) >= abs(col("_tobs")), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .select(col("n_pairs"),
+        col("n_replicates"),
+        col("_tobs").cast("long").as("t_obs_micro"),
+        col("n_extreme"),
+        expr("(1000000 * (n_extreme + 1)) div (n_replicates + 1)")
+          .as("p_micro"))
+      .withColumn("significant_05", col("p_micro") <= 50000L)
+  }
+
   /** KAPLAN–MEIER survival estimator WITH right-censoring — the
     * estimator [[graft.ops.EventsOps.survivalTable]] deliberately is
     * not: that curve assumes every lifetime is fully observed, which a
@@ -1290,6 +1466,150 @@ object Stats {
       .select(col("group"), col("_d").as("duration"), col("n_at_risk"),
         col("n_events"), col("n_censored"), col("km_survival"))
       .orderBy("group", "duration")
+  }
+
+  /** NELSON–AALEN cumulative hazard — the nonparametric hazard-scale
+    * companion to [[kaplanMeier]]'s survival curve (Nelson 1972; Aalen
+    * 1978): H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over event times, plus the
+    * Fleming–Harrington survival transform S̃(t) = e^{−H(t)} — the
+    * estimator of choice when hazard RATES are the readout (is churn
+    * risk accelerating?) and the better-behaved small-risk-set
+    * alternative to KM: a time that kills its whole risk set
+    * contributes hazard exactly 1.0, never a −∞ log.
+    *
+    * Float policy (the [[kaplanMeier]] contract): each duration
+    * contributes one round-6 dᵢ/nᵢ with the INTEGER ratio inside
+    * (operands cast to double in pinned order); `na_cum_hazard` adds
+    * ROUNDED terms in ascending-duration order and is round-6 again;
+    * `na_survival` is round-6 of exp(−cum).
+    *
+    * Shape: identical to [[kaplanMeier]] — ONE duration-keyed partial
+    * agg is the only corpus-sized stage; risk sets and the running sum
+    * ride the |distinct durations|-bounded table. Empty input → empty
+    * output.
+    *
+    * Returns (duration, n_at_risk, n_events, n_censored,
+    * na_cum_hazard, na_survival) ordered by duration. */
+  def nelsonAalen(
+      df: DataFrame,
+      durationCol: String = "duration",
+      eventCol: String = "event"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(
+      when(col(durationCol).isNull || col(durationCol) < 0,
+        raise_error(lit("nelsonAalen: duration must be a non-negative " +
+          "integer"))).otherwise(col(durationCol).cast("long")).as("_d"),
+      when(col(eventCol).isNull || !col(eventCol).cast("int").isin(0, 1),
+        raise_error(lit("nelsonAalen: event must be 0 (censored) or 1 " +
+          "(observed)"))).otherwise(col(eventCol).cast("int")).as("_e"))
+    val perT = rows.groupBy(col("_d"))
+      .agg(sum(when(col("_e") === 1, 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("_e") === 0, 1L).otherwise(0L)).as("n_censored"),
+        count(lit(1)).as("_nt"))
+    val wAll = Window.partitionBy()
+    val wPrev = Window.orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT
+      .withColumn("n_at_risk", sum(col("_nt")).over(wAll) -
+        coalesce(sum(col("_nt")).over(wPrev), lit(0L)))
+      .withColumn("_term",
+        when(col("n_events") === 0L, lit(0.0d))
+          .otherwise(round(col("n_events").cast("double") /
+            col("n_at_risk"), 6) + lit(0.0d)))
+      .withColumn("na_cum_hazard",
+        round(sum(col("_term")).over(wRun), 6) + lit(0.0d))
+      .withColumn("na_survival",
+        round(exp(-col("na_cum_hazard")), 6) + lit(0.0d))
+      .select(col("_d").as("duration"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("na_cum_hazard"), col("na_survival"))
+      .orderBy("duration")
+  }
+
+  /** KAPLAN–MEIER with the GREENWOOD variance band — [[kaplanMeier]]'s
+    * curve plus the standard error and normal-approximation confidence
+    * interval every survival PLOT draws (Greenwood 1926):
+    * Var(Ŝ(t)) = Ŝ(t)² · Σ_{tᵢ≤t} dᵢ/(nᵢ(nᵢ−dᵢ)), CI = Ŝ ± z·se
+    * clamped to [0, 1]. A curve without its band invites reading noise
+    * as signal exactly where censoring has thinned the risk set.
+    *
+    * Float policy: each Greenwood term is round-6 of the integer ratio
+    * dᵢ/(nᵢ·(nᵢ−dᵢ)) with the product formed in DOUBLE (nᵢ² would
+    * overflow BIGINT near 10¹⁰ subjects; the double product of two
+    * exact integers is identical on every engine); the running sum
+    * adds ROUNDED terms ascending; se = round-6(Ŝ·√cum); the margin is
+    * round-6(z·se) off the pinned z literal (zMicro/10⁶, default
+    * 1.959964), and the clamped bounds are round-6 of Ŝ ∓ margin. A
+    * full-kill time pins survival, se and both bounds to exactly 0.0
+    * from there on.
+    *
+    * Shape: [[kaplanMeier]]'s — one duration-keyed partial agg, ladder
+    * on the bounded table. Empty input → empty output.
+    *
+    * Returns (duration, n_at_risk, n_events, n_censored, km_survival,
+    * km_se, km_lo, km_hi) ordered by duration. */
+  def kaplanMeierCi(
+      df: DataFrame,
+      durationCol: String = "duration",
+      eventCol: String = "event",
+      zMicro: Long = 1959964L): DataFrame = {
+    require(zMicro > 0L && zMicro <= 10000000L,
+      s"kaplanMeierCi: zMicro must be in (0, 1e7], got $zMicro")
+    import org.apache.spark.sql.expressions.Window
+    val z = zMicro / 1e6
+    val rows = df.select(
+      when(col(durationCol).isNull || col(durationCol) < 0,
+        raise_error(lit("kaplanMeierCi: duration must be a non-negative " +
+          "integer"))).otherwise(col(durationCol).cast("long")).as("_d"),
+      when(col(eventCol).isNull || !col(eventCol).cast("int").isin(0, 1),
+        raise_error(lit("kaplanMeierCi: event must be 0 (censored) or 1 " +
+          "(observed)"))).otherwise(col(eventCol).cast("int")).as("_e"))
+    val perT = rows.groupBy(col("_d"))
+      .agg(sum(when(col("_e") === 1, 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("_e") === 0, 1L).otherwise(0L)).as("n_censored"),
+        count(lit(1)).as("_nt"))
+    val wAll = Window.partitionBy()
+    val wPrev = Window.orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val laddered = perT
+      .withColumn("n_at_risk", sum(col("_nt")).over(wAll) -
+        coalesce(sum(col("_nt")).over(wPrev), lit(0L)))
+      .withColumn("_term",
+        when(col("n_events") === 0L || col("n_events") === col("n_at_risk"),
+          lit(0.0d))
+          .otherwise(round(log((col("n_at_risk") - col("n_events"))
+            .cast("double") / col("n_at_risk")), 6) + lit(0.0d)))
+      .withColumn("_gterm",
+        when(col("n_events") === 0L || col("n_events") === col("n_at_risk"),
+          lit(0.0d))
+          .otherwise(round(col("n_events").cast("double") /
+            (col("n_at_risk").cast("double") *
+              (col("n_at_risk") - col("n_events")).cast("double")), 6)
+            + lit(0.0d)))
+      .withColumn("_dead",
+        max(when(col("n_events") === col("n_at_risk"), 1).otherwise(0))
+          .over(wRun))
+      .withColumn("km_survival",
+        when(col("_dead") === 1, lit(0.0d)).otherwise(
+          round(exp(round(sum(col("_term")).over(wRun), 6) + lit(0.0d)), 6)
+            + lit(0.0d)))
+      .withColumn("_gcum",
+        round(sum(col("_gterm")).over(wRun), 6) + lit(0.0d))
+      .withColumn("km_se",
+        when(col("_dead") === 1, lit(0.0d)).otherwise(
+          round(col("km_survival") * sqrt(col("_gcum")), 6) + lit(0.0d)))
+      .withColumn("_m", round(lit(z) * col("km_se"), 6) + lit(0.0d))
+    laddered
+      .select(col("_d").as("duration"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("km_survival"), col("km_se"),
+        (round(greatest(lit(0.0d), col("km_survival") - col("_m")), 6)
+          + lit(0.0d)).as("km_lo"),
+        (round(least(lit(1.0d), col("km_survival") + col("_m")), 6)
+          + lit(0.0d)).as("km_hi"))
+      .orderBy("duration")
   }
 
   /** RESTRICTED MEAN SURVIVAL TIME — the area under the [[kaplanMeier]]

@@ -2994,6 +2994,67 @@ object PipelineQueries {
       graft.ops.Ffill.ffillBlocked(ev, "event_id", Seq("_src"), blockSize = 512)
         .select(col("event_id"), col("_src").as("ff"))
         .orderBy("event_id")
+    }),
+
+    // Nelson–Aalen cumulative hazard on the shared censored lifetimes —
+    // the hazard-scale reading of p288's curve: round-6 d/n terms,
+    // rounded running sum, survival as exp(−H).
+    "p301_nelson_aalen" -> ((s, dir) =>
+      graft.ops.Stats.nelsonAalen(kmSubjects(s, dir), "dur", "ev")),
+
+    // Greenwood variance band for the KM curve — p288 plus the se and
+    // the pinned-z 95% CI every survival plot draws.
+    "p302_km_greenwood" -> ((s, dir) =>
+      graft.ops.Stats.kaplanMeierCi(kmSubjects(s, dir), "dur", "ev")),
+
+    // Cohen's d / Hedges g between the parity cohorts' purchase values —
+    // the effect SIZE companion to p281's significance answer, exact
+    // DECIMAL moments in, round-6 scalars out.
+    "p303_cohens_d" -> ((s, dir) =>
+      graft.ops.Stats.cohensD(
+        Tables(s, dir, "events")
+          .where(col("event_type") === "purchase")
+          .withColumn("grp",
+            when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))),
+        "grp", "value")),
+
+    // Paired permutation test: per user, even-epoch-day spend vs
+    // odd-epoch-day spend (micro-summed BEFORE the op — float sums are
+    // order-dependent) — sign flips from the p286 hash chain, one map
+    // + one B-bounded agg, exact DECIMAL sums, +1-guarded p.
+    "p304_perm_test" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val day = expr("CAST(floor(CAST(unix_micros(ts) AS DOUBLE) " +
+        "/ 1000000.0) AS BIGINT) div 86400")
+      val vMicro = floor(col("value").cast("double") * lit(1000000.0d))
+        .cast("long")
+      val perUser = ev
+        .where(col("value").isNotNull)
+        .select(col("user_id"), day.as("_day"), vMicro.as("_vm"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("_day") % 2 === 0, col("_vm")).otherwise(0L)).as("_a"),
+          sum(when(col("_day") % 2 =!= 0, col("_vm")).otherwise(0L)).as("_b"))
+      graft.ops.Stats.pairedPermutationTest(perUser, "user_id", "_a", "_b", 200)
+    }),
+
+    // Calibration + Brier audit of the p297/p299 scorer: centile bins
+    // (the gate-scale scores cluster within ~3 centiles — deciles would
+    // collapse to one row) of the served score vs observed lang='en'
+    // rate, all-integer report.
+    "p305_calibration" -> ((s, dir) => {
+      val feats = Tables(s, dir, "documents").select(
+        col("lang"),
+        (col("lang") === "en").cast("int").as("y"),
+        array(col("n_chars").cast("double") / lit(1000.0d),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("double") /
+            lit(100.0d)).as("x"))
+      val w = graft.ops.Glm.logisticFit(feats, "x", "y",
+          iters = 6, lrMicro = 500000L)
+        .orderBy("idx").collect().map(_.getLong(1)).toSeq
+      graft.ops.Glm.calibrationReport(
+        graft.ops.Glm.logisticScore(feats, "x", w), "score_micro", "y",
+        bins = 100)
     })
   )
 
@@ -7970,6 +8031,129 @@ object PipelineQueries {
         "FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id), " +
         "ranked AS (SELECT qid, nid, score, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank FROM scored) " +
         "SELECT r.qid, CAST(r.rank AS INT) AS rank, r.nid, r.score, d.lang, d.source " +
-        "FROM ranked r JOIN documents d ON d.doc_id = r.nid WHERE r.rank <= 2 ORDER BY r.qid, r.rank")
+        "FROM ranked r JOIN documents d ON d.doc_id = r.nid WHERE r.rank <= 2 ORDER BY r.qid, r.rank"),
+
+    // p288's subjects + the identical round-6 d/n hazard ladder;
+    // survival = round-6 exp(−cum)
+    "p301_nelson_aalen" -> (kmSubjectsSql +
+      "p AS (SELECT d, SUM(e) AS n_events, SUM(1 - e) AS n_censored, " +
+      "COUNT(*) AS nt FROM s GROUP BY 1), " +
+      "w AS (SELECT *, SUM(nt) OVER () - COALESCE(SUM(nt) OVER (ORDER BY d " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk FROM p), " +
+      "tm AS (SELECT *, CASE WHEN n_events = 0 THEN 0.0 " +
+      "ELSE round(CAST(n_events AS DOUBLE) / n_at_risk, 6) + 0.0 END AS term FROM w), " +
+      "r AS (SELECT *, round(SUM(term) OVER (ORDER BY d " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS cum FROM tm) " +
+      "SELECT d AS duration, CAST(n_at_risk AS BIGINT) AS n_at_risk, " +
+      "CAST(n_events AS BIGINT) AS n_events, CAST(n_censored AS BIGINT) AS n_censored, " +
+      "cum AS na_cum_hazard, round(exp(-cum), 6) + 0.0 AS na_survival " +
+      "FROM r ORDER BY duration"),
+
+    // p288's KM ladder + the round-6 Greenwood d/(n(n−d)) terms, se =
+    // round-6 S·√cum, margin off the pinned 1.959964 z, clamped bounds
+    "p302_km_greenwood" -> (kmSubjectsSql +
+      "p AS (SELECT d, SUM(e) AS n_events, SUM(1 - e) AS n_censored, " +
+      "COUNT(*) AS nt FROM s GROUP BY 1), " +
+      "w AS (SELECT *, SUM(nt) OVER () - COALESCE(SUM(nt) OVER (ORDER BY d " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk FROM p), " +
+      "tm AS (SELECT *, CASE WHEN n_events = 0 OR n_events = n_at_risk THEN 0.0 " +
+      "ELSE round(ln(CAST(n_at_risk - n_events AS DOUBLE) / n_at_risk), 6) + 0.0 END AS term, " +
+      "CASE WHEN n_events = 0 OR n_events = n_at_risk THEN 0.0 " +
+      "ELSE round(CAST(n_events AS DOUBLE) / (CAST(n_at_risk AS DOUBLE) * " +
+      "CAST(n_at_risk - n_events AS DOUBLE)), 6) + 0.0 END AS gterm FROM w), " +
+      "r AS (SELECT *, MAX(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END) " +
+      "OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead, " +
+      "round(SUM(term) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS cum, " +
+      "round(SUM(gterm) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS gcum FROM tm), " +
+      "km AS (SELECT d, n_at_risk, n_events, n_censored, gcum, dead, " +
+      "CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(cum), 6) + 0.0 END AS sv FROM r), " +
+      "s2 AS (SELECT *, CASE WHEN dead = 1 THEN 0.0 " +
+      "ELSE round(sv * sqrt(gcum), 6) + 0.0 END AS se FROM km), " +
+      "s3 AS (SELECT *, round(1.959964 * se, 6) + 0.0 AS m FROM s2) " +
+      "SELECT d AS duration, CAST(n_at_risk AS BIGINT) AS n_at_risk, " +
+      "CAST(n_events AS BIGINT) AS n_events, CAST(n_censored AS BIGINT) AS n_censored, " +
+      "sv AS km_survival, se AS km_se, " +
+      "round(GREATEST(0.0, sv - m), 6) + 0.0 AS km_lo, " +
+      "round(LEAST(1.0, sv + m), 6) + 0.0 AS km_hi FROM s3 ORDER BY duration"),
+
+    // identical HUGEINT moments, round-6 scalars in pinned operand
+    // order (the msprt convention), pooled var off rounded vars
+    "p303_cohens_d" -> (
+      "WITH r AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g, " +
+      "CAST(floor(value * 1000000) AS BIGINT) AS v FROM events " +
+      "WHERE event_type = 'purchase' AND value IS NOT NULL), " +
+      "m AS (SELECT SUM(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS ca, " +
+      "SUM(CASE WHEN g <> 'even' THEN 1 ELSE 0 END) AS cb, " +
+      "SUM(CASE WHEN g = 'even' THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa, " +
+      "SUM(CASE WHEN g <> 'even' THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb, " +
+      "SUM(CASE WHEN g = 'even' THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qa, " +
+      "SUM(CASE WHEN g <> 'even' THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS qb FROM r), " +
+      "sc AS (SELECT ca, cb, " +
+      "round(CAST(sa AS DOUBLE) / (CAST(ca AS DOUBLE) * 1000000.0), 6) + 0.0 AS mean_a, " +
+      "round(CAST(sb AS DOUBLE) / (CAST(cb AS DOUBLE) * 1000000.0), 6) + 0.0 AS mean_b, " +
+      "CASE WHEN ca < 2 THEN NULL ELSE round(CAST(qa * ca - sa * sa AS DOUBLE) / " +
+      "(CAST(ca AS DOUBLE) * (ca - 1) * 1000000000000.0), 6) + 0.0 END AS va, " +
+      "CASE WHEN cb < 2 THEN NULL ELSE round(CAST(qb * cb - sb * sb AS DOUBLE) / " +
+      "(CAST(cb AS DOUBLE) * (cb - 1) * 1000000000000.0), 6) + 0.0 END AS vb FROM m), " +
+      "sp AS (SELECT *, CASE WHEN va IS NULL OR vb IS NULL THEN NULL " +
+      "ELSE round((CAST(ca - 1 AS DOUBLE) * va + CAST(cb - 1 AS DOUBLE) * vb) / " +
+      "CAST(ca + cb - 2 AS DOUBLE), 6) + 0.0 END AS vp FROM sc), " +
+      "sd AS (SELECT *, CASE WHEN vp IS NULL THEN NULL " +
+      "ELSE round(sqrt(vp), 6) + 0.0 END AS sdp FROM sp), " +
+      "dd AS (SELECT *, CASE WHEN sdp IS NULL OR sdp <= 0.0 THEN NULL " +
+      "ELSE round((mean_a - mean_b) / sdp, 6) + 0.0 END AS cd FROM sd) " +
+      "SELECT 'even' AS group_a, 'odd' AS group_b, CAST(ca AS BIGINT) AS n_a, " +
+      "CAST(cb AS BIGINT) AS n_b, mean_a, mean_b, sdp AS sd_pooled, " +
+      "cd AS cohens_d, CASE WHEN cd IS NULL THEN NULL " +
+      "ELSE round(cd * (1.0 - 3.0 / (4.0 * CAST(ca + cb AS DOUBLE) - 9.0)), 6) + 0.0 END AS hedges_g " +
+      "FROM dd WHERE ca + cb > 0"),
+
+    // identical per-user micro day-parity sums, one-md5 seed + the
+    // p286 MINSTD chain for the sign flips, HUGEINT T sums, +1 guard
+    "p304_perm_test" -> (
+      "WITH ue AS (SELECT user_id, " +
+      "CAST(floor(CAST(epoch_us(date_trunc('microseconds', ts)) AS DOUBLE) / 1000000) AS BIGINT) // 86400 AS day, " +
+      "CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events WHERE value IS NOT NULL), " +
+      "u AS (SELECT user_id, SUM(CASE WHEN day % 2 = 0 THEN vm ELSE 0 END) AS a, " +
+      "SUM(CASE WHEN day % 2 <> 0 THEN vm ELSE 0 END) AS b FROM ue GROUP BY 1), " +
+      "dd AS (SELECT CAST(user_id AS VARCHAR) AS id, " +
+      "CAST(a AS HUGEINT) * 1000000 - CAST(b AS HUGEINT) * 1000000 AS d FROM u), " +
+      "sd AS (SELECT d, " +
+      "((strpos('0123456789abcdef', substr(md5(id), 1, 1)) - 1) * 268435456 " +
+      "+ (strpos('0123456789abcdef', substr(md5(id), 2, 1)) - 1) * 16777216 " +
+      "+ (strpos('0123456789abcdef', substr(md5(id), 3, 1)) - 1) * 1048576 " +
+      "+ (strpos('0123456789abcdef', substr(md5(id), 4, 1)) - 1) * 65536 " +
+      "+ (strpos('0123456789abcdef', substr(md5(id), 5, 1)) - 1) * 4096 " +
+      "+ (strpos('0123456789abcdef', substr(md5(id), 6, 1)) - 1) * 256 " +
+      "+ (strpos('0123456789abcdef', substr(md5(id), 7, 1)) - 1) * 16 " +
+      "+ (strpos('0123456789abcdef', substr(md5(id), 8, 1)) - 1)) % 2147483647 AS seed FROM dd), " +
+      "rep AS (SELECT d, seed, b FROM sd, (SELECT unnest(generate_series(0, 199)) AS b)), " +
+      "u2 AS (SELECT d, b, ((((seed + b * 1000003) % 2147483647) * 48271 % 2147483647) " +
+      "* 48271 % 2147483647) % 1000000 AS u FROM rep), " +
+      "tb AS (SELECT b, SUM(CASE WHEN u >= 500000 THEN d ELSE -d END) AS t FROM u2 GROUP BY 1), " +
+      "g AS (SELECT COUNT(*) AS np, SUM(d) AS tobs FROM dd), " +
+      "ag AS (SELECT COUNT(*) AS nr, " +
+      "SUM(CASE WHEN abs(t) >= abs(tobs) THEN 1 ELSE 0 END) AS ne FROM tb, g) " +
+      "SELECT CAST(np AS BIGINT) AS n_pairs, CAST(nr AS BIGINT) AS n_replicates, " +
+      "CAST(tobs AS BIGINT) AS t_obs_micro, CAST(ne AS BIGINT) AS n_extreme, " +
+      "CAST((1000000 * (ne + 1)) // (nr + 1) AS BIGINT) AS p_micro, " +
+      "((1000000 * (ne + 1)) // (nr + 1)) <= 50000 AS significant_05 " +
+      "FROM ag, g WHERE np > 0"),
+
+    // p299's replayed trajectory + score, bucketed into the identical
+    // integer decile bins; HUGEINT squared-error sums
+    "p305_calibration" -> (lrOracleCore(6) +
+      ", zs AS (SELECT xr.doc_id, round(CAST(SUM(xr.x * w.w) AS DOUBLE) / " +
+      "1000000000000.0, 6) + 0.0 AS z FROM xr JOIN w6 w " +
+      "ON xr.pos = w.pos GROUP BY xr.doc_id), " +
+      "sc AS (SELECT f.y, CAST(floor(1000000.0 / (1.0 + exp(-zs.z))) AS BIGINT) AS sm " +
+      "FROM f JOIN zs ON f.doc_id = zs.doc_id), " +
+      "bn AS (SELECT LEAST(99, sm * 100 // 1000000) AS bin, sm, y FROM sc) " +
+      "SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(sm) // COUNT(*) AS BIGINT) AS mean_score_micro, " +
+      "CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS event_rate_ppm, " +
+      "CAST(SUM(CAST(sm - y * 1000000 AS HUGEINT) * (sm - y * 1000000)) // " +
+      "(COUNT(*) * 1000000) AS BIGINT) AS brier_micro " +
+      "FROM bn GROUP BY bin ORDER BY bin")
   )
 }

@@ -146,6 +146,9 @@ object ScaledOps {
       name -> (if (times.isEmpty) -1.0 else median(times))
     }
     val docs = spark.read.parquet(docsPath)
+    // pre-counted OUTSIDE any timed block: the graph tier's relative
+    // df ceiling needs the corpus size (parquet metadata count, ~ms)
+    val nDocsForEdges = docs.count()
     val ev = spark.read.parquet(eventsPath)
     def pairs = Dedup.nearDupSizesShingled(
         Dedup.withWordShingles(docs.select("doc_id", "text"), "doc_id", "text", 3),
@@ -257,13 +260,13 @@ object ScaledOps {
       // degrees — "the" is a hub — so these exercise exactly the
       // persist + orientation machinery the 100 TB story rests on
       time("pagerank") { sink(graft.ops.Graph.pageRank(
-        tokenEdges(docs), iters = 3)) },
+        tokenEdges(docs, nDocsForEdges), iters = 3)) },
       time("triangles") { sink(graft.ops.Graph.triangleCount(
-        tokenEdges(docs))) },
+        tokenEdges(docs, nDocsForEdges))) },
       time("link_prediction") { sink(graft.ops.Graph.linkPrediction(
-        tokenEdges(docs), topK = 50)) },
+        tokenEdges(docs, nDocsForEdges), topK = 50)) },
       time("kcore") { sink(graft.ops.Graph.kCorePeel(
-        tokenEdges(docs), k = 8, rounds = 3)) },
+        tokenEdges(docs, nDocsForEdges), k = 8, rounds = 3)) },
       time("growth_accounting") { sink(graft.ops.EventsOps.growthAccounting(ev)) },
       // round-10 additions at scale: the banded matching join (hot-block
       // watch) and the L-scaled agreement fold (pure partial aggs)
@@ -296,11 +299,19 @@ object ScaledOps {
       annIvfPqRecall(spark.read.parquet(embPath)))
   }
 
-  /** Token co-occurrence edges — now the public
+  /** Token co-occurrence edges — the public
     * [[graft.ops.CorpusOps.collocationEdges]] (±2 window, ≥ 5
-    * occurrences, 10k df ceiling). */
-  private def tokenEdges(docs: DataFrame): DataFrame =
-    CorpusOps.collocationEdges(docs, window = 2, minCount = 5L, dfCeiling = 10000L)
+    * occurrences). The df ceiling is RELATIVE to the corpus
+    * (4 × doc count — never binds, the ×1 semantics at every scale):
+    * the old absolute 10k ceiling exceeded every possible df at ×1 but
+    * excluded EVERY common token at ×20 (60k docs), silently collapsing
+    * the ×20 collocation graph to ~1 edge — the scaled graph timings
+    * were measuring an empty input (round-12 find; the planted-graph
+    * rung was never affected). `nDocs` must be pre-counted OUTSIDE the
+    * timed block. */
+  private def tokenEdges(docs: DataFrame, nDocs: Long): DataFrame =
+    CorpusOps.collocationEdges(docs, window = 2, minCount = 5L,
+      dfCeiling = math.max(10000L, 4L * nDocs))
 
   private[tools] def ivfPqPipeline(emb: DataFrame, k: Int): DataFrame = {
     val q = emb.where(col("vec_id") < 50)
@@ -535,10 +546,57 @@ object ScaleStudy {
           .agg(min(col("_t")).as("_f"), max(col("_t")).as("_l"))
         val subj = subjBase.crossJoin(
             broadcast(subjBase.agg(max(col("_l")).as("_gm"))))
-          .select(col("user_id"), expr("(_l - _f) div 86400").as("dur"),
+          .select(col("user_id"),
+            when(col("_gm") - col("_l") > 604800L,
+              expr("(_l - _f) div 86400"))
+              .otherwise(expr("(_gm - _f) div 86400")).as("dur"),
             when(col("_gm") - col("_l") > 604800L, 1).otherwise(0).as("ev"))
+          .persist()
         val (_, tKm) = time(sink(graft.ops.Stats.kaplanMeier(subj, "dur", "ev")))
         report("st_kaplan_meier", k, nEv, tKm)
+        // round-12 additions: the rest of the survival/causal family —
+        // each collapses to a duration-/stratum-/value-bounded table in
+        // one corpus-sized partial agg, so ×10 should be ~flat
+        val subjG = subj.withColumn("grp",
+          when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd")))
+        val (_, tLr) = time(sink(graft.ops.Stats.logRank(
+          subjG, "dur", "ev", "grp")))
+        report("st_log_rank", k, nEv, tLr)
+        val (_, tRm) = time(sink(graft.ops.Stats.rmst(subj, "dur", "ev", 30L)))
+        report("st_rmst", k, nEv, tRm)
+        subj.unpersist(blocking = false)
+        // IPW-ATE: p290's exact stratum-share recipe (integer micro
+        // outcome exercises the new DECIMAL passthrough at scale)
+        val users = ev.groupBy(col("user_id"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("_clicks"),
+            sum(when(col("event_type") === "purchase",
+              floor(col("value").cast("double") * lit(1000000.0d))
+                .cast("long")).otherwise(0L)).as("_ym"))
+        val strat = users
+          .withColumn("_s", col("user_id") % 8)
+          .withColumn("_t", (col("_clicks") >= 14L).cast("int"))
+        val eTab = strat.groupBy(col("_s"))
+          .agg(sum(col("_t")).as("_tc"), count(lit(1)).as("_n"))
+          .select(col("_s"), greatest(lit(1L), least(lit(999999L),
+            expr("_tc * 1000000 div _n"))).as("_e"))
+        val (_, tIpw) = time(sink(graft.ops.Stats.ipwAte(
+          strat.join(broadcast(eTab), "_s"), "_t", "_ym", "_e", 10000L)))
+        report("st_ipw_ate", k, nEv, tIpw)
+        val (_, tQte) = time(sink(graft.ops.Stats.quantileTreatmentEffect(
+          grp, "grp", "value", Seq(25, 50, 75, 90))))
+        report("st_qte", k, nEv, tQte)
+        val cmhIn = ev.groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("_ck"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("_pc"))
+          .select(col("user_id").cast("string"),
+            (col("user_id") % 8).cast("string").as("st"),
+            (col("_ck") >= 14L).cast("int").as("tr"),
+            (col("_pc") >= 3L).cast("int").as("oc"))
+        val (_, tCmh) = time(sink(graft.ops.Stats.cmhTest(
+          cmhIn, "st", "tr", "oc")))
+        report("st_cmh", k, nEv, tCmh)
         val cnt = ev.groupBy(col("user_id"), col("event_type"))
           .agg(count(lit(1)).as("_c"))
         val prefs = cnt.as("a").join(cnt.as("b"),
@@ -562,6 +620,25 @@ object ScaleStudy {
         report("st_js_matrix", k, nDocs, tJm)
         val (_, tVu) = time(sink(graft.ops.CorpusOps.vocabUnseen(docs)))
         report("st_vocab_unseen", k, nDocs, tVu)
+        // round-12: the in-engine trainer at scale — iters full-batch
+        // passes over the persisted feature frame (p297's recipe), then
+        // the map-only serve half over the same corpus
+        // scaled docs carry no n_chars column — length(text) is the
+        // same single-column map for the timing's purposes
+        val feats = docs.select(
+          (col("lang") === "en").cast("int").as("y"),
+          array(length(col("text")).cast("double") / lit(1000.0d),
+            graft.ops.TextAnalysis.tokenCount(col("text")).cast("double") /
+              lit(100.0d)).as("x"))
+        val (wts, tFit) = time {
+          graft.ops.Glm.logisticFit(feats, "x", "y",
+              iters = 6, lrMicro = 500000L)
+            .orderBy("idx").collect().map(_.getLong(1)).toSeq
+        }
+        report("st_logistic_fit", k, nDocs, tFit)
+        val (_, tScore) = time(sink(
+          graft.ops.Glm.logisticScore(feats, "x", wts)))
+        report("st_logistic_score", k, nDocs, tScore)
       }
     }
     spark.stop()

@@ -1,0 +1,205 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SCALED correctness pins — the gate the sf0.01 DuckDB oracle cannot
+  * be: scale-DEPENDENT wrongness (an overflow past a `require`
+  * boundary, a df-cap engaging and changing survivors, an AQE plan
+  * flip reordering a non-deterministic reduction) passes every
+  * base-scale gate by construction. This main runs a dozen
+  * DETERMINISTIC operators against the ×20-docs / ×10-events / ×20-
+  * embeddings corpora (the bench scaled tier's exact inputs) and
+  * fingerprints each result: `(row count, order-independent sum of
+  * per-row xxhash64 over every column)`. Fingerprints are compared to
+  * the committed pins in `SCALED_PINS.txt` and the verdict written to
+  * `SCALED_CORRECTNESS.json`; with no pin file the run BOOTSTRAPS the
+  * pins instead (commit them — a later drift is then a hash-fail, not
+  * a shrug).
+  *
+  * Only ops with engine-deterministic output qualify: integer/micro
+  * arithmetic end to end (pageRank, IPW, QTE, bootstrap, Mann–Whitney,
+  * KM ladders), hash-ordered sampling (quotaSample), or pure set
+  * results (dedup pairs/clusters, containment survivors, BPE merges).
+  * Anything whose result legitimately depends on partial-aggregation
+  * order (raw double sums) is banned here by design.
+  *
+  * `runMain graft.tools.ScaledCheck [sfDir]` — ~2 min at local[32].
+  */
+object ScaledCheck {
+
+  /** Order-independent fingerprint: row count + wrapping Long sum of
+    * per-row xxhash64 over all columns cast to string (NULL → a
+    * sentinel concat_ws would otherwise drop, making (a,NULL,b) and
+    * (a,b,NULL) collide). */
+  private def fingerprint(df: DataFrame): (Long, Long) = {
+    val cols = df.columns.map(c => coalesce(col(c).cast("string"), lit("§")))
+    val r = df.select(count(lit(1)).as("n"),
+      sum(xxhash64(concat_ws("|", cols.toSeq: _*))).as("h")).collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val pinPath = args.drop(1).headOption.getOrElse("SCALED_PINS.txt")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docsPath = ScaleData.materialize(spark, sfDir, "documents", 20, cpus.toInt)
+    val eventsPath = ScaleData.materialize(spark, sfDir, "events", 10, cpus.toInt)
+    val embPath = ScaleData.materialize(spark, sfDir, "embeddings", 20, cpus.toInt)
+    val docs = spark.read.parquet(docsPath)
+    val ev = spark.read.parquet(eventsPath)
+      .withColumn("ts", to_timestamp(col("ts")))
+    val emb = spark.read.parquet(embPath)
+
+    def pairs = graft.ops.Dedup.nearDupSizesShingled(
+        graft.ops.Dedup.withWordShingles(
+          docs.select("doc_id", "text"), "doc_id", "text", 3),
+        "doc_id", numHashes = 64, bands = 16,
+        sizeRatioPrefilter = Some((4, 5)))
+      .where(col("i_size") * 5 >= col("u_size") * 4)
+
+    val purch = ev.where(col("event_type") === "purchase")
+    val grp = purch.withColumn("grp",
+      when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd")))
+    val t = floor(unix_micros(col("ts")).cast("double") / lit(1000000.0d))
+      .cast("long")
+    val subjBase = ev.select(col("user_id"), t.as("_t"))
+      .groupBy(col("user_id"))
+      .agg(min(col("_t")).as("_f"), max(col("_t")).as("_l"))
+    val subj = subjBase.crossJoin(
+        broadcast(subjBase.agg(max(col("_l")).as("_gm"))))
+      .select(col("user_id"),
+        when(col("_gm") - col("_l") > 604800L, expr("(_l - _f) div 86400"))
+          .otherwise(expr("(_gm - _f) div 86400")).as("dur"),
+        when(col("_gm") - col("_l") > 604800L, 1).otherwise(0).as("ev"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("_clicks"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value").cast("double") * lit(1000000.0d)).cast("long"))
+          .otherwise(0L)).as("_ym"))
+    val strat = users.withColumn("_s", col("user_id") % 8)
+      .withColumn("_t", (col("_clicks") >= 14L).cast("int"))
+    val eTab = strat.groupBy(col("_s"))
+      .agg(sum(col("_t")).as("_tc"), count(lit(1)).as("_n"))
+      .select(col("_s"), greatest(lit(1L), least(lit(999999L),
+        expr("_tc * 1000000 div _n"))).as("_e"))
+
+    val checks: Seq[(String, () => (Long, Long))] = Seq(
+      // ---- x20 documents ------------------------------------------
+      "neardup_pairs" -> (() => fingerprint(pairs.select("a", "b"))),
+      "dedup_clusters" -> (() => fingerprint(
+        graft.ops.Dedup.dedupClusters(pairs.select("a", "b")))),
+      // the relative df ceiling IS the scale-dependent policy under
+      // test: cap engagement changing survivors would show here first
+      "containment_pairs" -> (() => fingerprint(
+        graft.ops.Dedup.containmentPairs(docs, shingleSize = 3,
+          thresholdMicro = 900000L, dfCeiling = Some(100L),
+          dfCeilingFraction = Some(0.02)))),
+      "bpe_merges" -> (() => fingerprint(
+        graft.ops.CorpusOps.bpeMerges(docs, nMerges = 3))),
+      "quota_sample" -> (() => fingerprint(
+        graft.ops.CorpusOps.quotaSample(docs, quota = 30))),
+      // integer-micro fixed point over the ×4 planted Zipf graph (1.6M
+      // edges, 90k-degree hub): scores are exact micro integers — an
+      // AQE flip cannot move them. (NOT the collocation graph: an
+      // absolute df ceiling excludes every common token at ×20 and
+      // collapses that graph to ~1 edge — a vacuous pin.)
+      "pagerank_planted" -> (() => fingerprint(graft.ops.Graph.pageRank(
+        spark.read.parquet(
+          ScaleData.materializeGraph(spark, 50000L, 8, 4, cpus.toInt)),
+        iters = 3))),
+      // ---- x10 events ----------------------------------------------
+      "kaplan_meier" -> (() => fingerprint(
+        graft.ops.Stats.kaplanMeier(subj, "dur", "ev"))),
+      "msprt" -> (() => fingerprint(
+        graft.ops.Stats.msprt(grp, "ts", "grp", "value"))),
+      "poisson_bootstrap" -> (() => fingerprint(
+        graft.ops.Stats.poissonBootstrap(purch, "event_id", "value", 200))),
+      "mann_whitney" -> (() => fingerprint(graft.ops.Stats.mannWhitney(
+        ev.where(col("event_type").isin("click", "purchase")),
+        "event_type", "value"))),
+      // the integral-outcome DECIMAL path past the float-exact 2^53
+      // boundary is exactly what this rung exists to catch
+      "ipw_ate" -> (() => fingerprint(graft.ops.Stats.ipwAte(
+        strat.join(broadcast(eTab), "_s"), "_t", "_ym", "_e", 10000L))),
+      "qte" -> (() => fingerprint(graft.ops.Stats.quantileTreatmentEffect(
+        grp, "grp", "value", Seq(25, 50, 75, 90)))),
+      // ---- x20 embeddings ------------------------------------------
+      // recall vs exact top-3 as (hits, total): index quality at scale
+      "ann_ivfpq_hits" -> (() => {
+        val q = emb.where(col("vec_id") < 50)
+        val approx = ScaledOps.ivfPqPipeline(emb, k = 3)
+        val exact = graft.ops.Ann.bruteTopK(q, emb, "vec_id", "embedding", k = 3)
+        val hits = approx.join(exact.select("qid", "nid"),
+          Seq("qid", "nid"), "left_semi").count()
+        (exact.count(), hits)
+      }))
+
+    val results = checks.map { case (name, f) =>
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      val t0 = System.nanoTime()
+      val out = try {
+        val (n, h) = f()
+        (n, h, null: String)
+      } catch {
+        case e: Throwable => (-1L, 0L, String.valueOf(e.getMessage).take(200))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scaled-check] $name%-20s rows=${out._1}%-9d hash=${out._2}%-21d ${sec}%6.1f s" +
+        (if (out._3 != null) s"  ERR ${out._3}" else ""))
+      (name, out._1, out._2, out._3, sec)
+    }
+
+    // pins: one `name rows hash` line each
+    val pinFile = new java.io.File(pinPath)
+    val pins: Map[String, (Long, Long)] =
+      if (!pinFile.exists()) Map.empty
+      else {
+        val src = scala.io.Source.fromFile(pinFile)
+        try src.getLines().filter(_.trim.nonEmpty).map { l =>
+          val p = l.trim.split("\\s+")
+          p(0) -> (p(1).toLong, p(2).toLong)
+        }.toMap finally src.close()
+      }
+
+    if (pins.isEmpty) {
+      val w = new java.io.PrintWriter(pinFile, "UTF-8")
+      try results.foreach { case (n, r, h, err, _) =>
+        if (err == null) w.println(s"$n $r $h")
+      } finally w.close()
+      println(s"[scaled-check] BOOTSTRAPPED ${results.count(_._4 == null)} pins -> $pinPath (commit it)")
+    }
+
+    val rows = results.map { case (n, r, h, err, sec) =>
+      val pin = pins.get(n)
+      val ok = err == null && pin.forall(p => p._1 == r && p._2 == h)
+      val pinJson = pin.map(p => s""","pin_rows":${p._1},"pin_hash":${p._2}""").getOrElse("")
+      val errJson = if (err == null) "" else s""","err":${"\"" + err.replace("\"", "'") + "\""}"""
+      s""""$n":{"rows":$r,"hash":$h,"sec":${f"$sec%.1f"},"match":$ok$pinJson$errJson}"""
+    }
+    val nOk = results.zip(checks).count { case ((n, r, h, err, _), _) =>
+      err == null && pins.get(n).forall(p => p._1 == r && p._2 == h)
+    }
+    val mode = if (pins.isEmpty) "bootstrap" else "compare"
+    val json = s"""{"mode":"$mode","docs_x":20,"events_x":10,"emb_x":20,"sf":"$sfDir","n_ok":$nOk,"n_checks":${results.length},"checks":{${rows.mkString(",")}}}"""
+    val w2 = new java.io.PrintWriter("SCALED_CORRECTNESS.json", "UTF-8")
+    try w2.println(json) finally w2.close()
+    println(s"[scaled-check] $nOk/${results.length} ok ($mode) -> SCALED_CORRECTNESS.json")
+    spark.stop()
+    if (nOk != results.length) sys.exit(2)
+  }
+}

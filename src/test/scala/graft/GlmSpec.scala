@@ -105,5 +105,41 @@ class GlmSpec extends AnyFunSuite {
     assert(e2.toString.contains("ragged"))
     assert(Glm.logisticFit(Seq.empty[(Int, Seq[Double])].toDF("y", "x"),
       "x", "y").count() == 0)
+    // NULL feature vectors raise (train/serve symmetry with
+    // logisticScore), never a silent drop that shrinks the gradient n
+    val withNull = Seq((1, Seq(1.0)), (0, null: Seq[Double])).toDF("y", "x")
+    val e3 = intercept[Exception] { Glm.logisticFit(withNull, "x", "y", iters = 1) }
+    assert(e3.toString.contains("NULL feature vector") ||
+      Option(e3.getCause).exists(_.toString.contains("NULL feature vector")))
+  }
+
+  test("calibrationReport: exact integer bins, rates and Brier; contracts") {
+    import spark.implicits._
+    // scores pinned by hand: bin = min(bins-1, s*4 div 1e6) at bins=4
+    val rows = Seq(
+      (100000L, 0), (200000L, 0),  // bin 0: mean 150000, rate 0, brier (1e10+4e10)/(2e6)=25000
+      (600000L, 1), (700000L, 0),  // bin 2: mean 650000, rate 500000ppm
+      (1000000L, 1))               // s*4 div 1e6 = 4 -> clamped to bin 3; perfect -> brier 0
+      .toDF("s", "y")
+    val out = Glm.calibrationReport(rows, "s", "y", bins = 4)
+      .select("bin", "n", "mean_score_micro", "event_rate_ppm", "brier_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // bin2 brier: (0.6-1)^2 + (0.7-0)^2 = (16e10 + 49e10)/(2e6) = 325000
+    assert(out == Seq(
+      (0L, 2L, 150000L, 0L, 25000L),
+      (2L, 2L, 650000L, 500000L, 325000L),
+      (3L, 1L, 1000000L, 1000000L, 0L)))
+    val e1 = intercept[Exception] {
+      Glm.calibrationReport(Seq((1000001L, 1)).toDF("s", "y"), "s", "y").collect()
+    }
+    assert(e1.toString.contains("score_micro") ||
+      Option(e1.getCause).exists(_.toString.contains("score_micro")))
+    val e2 = intercept[Exception] {
+      Glm.calibrationReport(Seq((5000L, 7)).toDF("s", "y"), "s", "y").collect()
+    }
+    assert(e2.toString.contains("label must be 0 or 1") ||
+      Option(e2.getCause).exists(_.toString.contains("label must be 0 or 1")))
+    assert(Glm.calibrationReport(
+      Seq.empty[(Long, Int)].toDF("s", "y"), "s", "y").count() == 0)
   }
 }

@@ -786,4 +786,110 @@ class StatsSpec extends AnyFunSuite {
     assert(err.toString.contains("more than 5 items") ||
       Option(err.getCause).exists(_.toString.contains("more than 5 items")))
   }
+
+  test("nelsonAalen: round-6 d/n hazard ladder; full-kill finite; empty") {
+    import spark.implicits._
+    val df = Seq((1L, 1), (1L, 0), (2L, 1), (3L, 0)).toDF("duration", "event")
+    val out = Stats.nelsonAalen(df, "duration", "event")
+      .select(col("duration"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("na_cum_hazard"), col("na_survival"))
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // t=1: 1/4 -> 0.25; t=2: 1/2 -> cum 0.75; t=3: censor-only, flat
+    assert(out == Seq(
+      (1L, 4L, 1L, 1L, 0.25, 0.778801),
+      (2L, 2L, 1L, 0L, 0.75, 0.472367),
+      (3L, 1L, 0L, 1L, 0.75, 0.472367)))
+    // a full-kill time contributes hazard exactly 1.0, never a blow-up
+    val kill = Seq((1L, 1), (1L, 1)).toDF("duration", "event")
+    val k = Stats.nelsonAalen(kill, "duration", "event").collect().head
+    assert(k.getAs[Double]("na_cum_hazard") == 1.0 &&
+      k.getAs[Double]("na_survival") == 0.367879)
+    assert(Stats.nelsonAalen(Seq.empty[(Long, Int)].toDF("duration", "event"),
+      "duration", "event").count() == 0)
+  }
+
+  test("kaplanMeierCi: Greenwood band replays the rounded ladder; kill pins zeros; clamps") {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq((1L, 1), (1L, 0), (2L, 1), (3L, 0)).toDF("duration", "event")
+    val out = Stats.kaplanMeierCi(df, "duration", "event")
+      .select(col("duration"), col("km_survival"), col("km_se"),
+        col("km_lo"), col("km_hi"))
+      .as[(Long, Double, Double, Double, Double)].collect().toSeq
+    // replay: S and Greenwood cum off round-6 terms in ladder order
+    val s1 = r6(math.exp(r6(math.log(3.0 / 4.0))))
+    val g1 = r6(1.0 / (4.0 * 3.0))
+    val se1 = r6(s1 * math.sqrt(g1))
+    val m1 = r6(1.959964 * se1)
+    val s2 = r6(math.exp(r6(r6(math.log(3.0 / 4.0)) + r6(math.log(1.0 / 2.0)))))
+    val g2 = r6(g1 + r6(1.0 / (2.0 * 1.0)))
+    val se2 = r6(s2 * math.sqrt(g2))
+    val m2 = r6(1.959964 * se2)
+    assert(out == Seq(
+      (1L, s1, se1, r6(math.max(0.0, s1 - m1)), r6(math.min(1.0, s1 + m1))),
+      (2L, s2, se2, r6(math.max(0.0, s2 - m2)), r6(math.min(1.0, s2 + m2))),
+      (3L, s2, se2, r6(math.max(0.0, s2 - m2)), r6(math.min(1.0, s2 + m2)))))
+    // full kill: survival, se and both bounds pin to exactly 0.0 after
+    val kill = Seq((1L, 1), (2L, 1), (2L, 1)).toDF("duration", "event")
+    val kRows = Stats.kaplanMeierCi(kill, "duration", "event").collect()
+    val last = kRows.last
+    assert(last.getAs[Double]("km_survival") == 0.0 &&
+      last.getAs[Double]("km_se") == 0.0 &&
+      last.getAs[Double]("km_lo") == 0.0 && last.getAs[Double]("km_hi") == 0.0)
+    assert(Stats.kaplanMeierCi(Seq.empty[(Long, Int)].toDF("duration", "event"),
+      "duration", "event").count() == 0)
+  }
+
+  test("cohensD: hand-pinned pooled effect size; contracts") {
+    import spark.implicits._
+    // A = {1,2,3} (var 1), B = {2,4,6} (var 4): pooled var 2.5,
+    // d = -2/sqrt(2.5), g = d * (1 - 3/(4*6-9)) = 0.8 d
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0).map(("b", _))).toDF("g", "v")
+    val r = Stats.cohensD(df, "g", "v").collect().head
+    assert(r.getAs[String]("group_a") == "a" && r.getAs[Long]("n_a") == 3L)
+    assert(r.getAs[Double]("mean_a") == 1.0 + 1.0) // 2.0
+    assert(r.getAs[Double]("mean_b") == 4.0)
+    assert(r.getAs[Double]("sd_pooled") == 1.581139) // sqrt(2.5) r6
+    assert(r.getAs[Double]("cohens_d") == -1.264911)
+    assert(r.getAs[Double]("hedges_g") == -1.011929)
+    // single-observation arm: NULL effect, never a blow-up
+    val thin = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val t = Stats.cohensD(thin, "g", "v").collect().head
+    assert(t.isNullAt(t.fieldIndex("cohens_d")))
+    val three = Seq(("a", 1.0), ("b", 1.0), ("c", 1.0)).toDF("g", "v")
+    val err = intercept[Exception] { Stats.cohensD(three, "g", "v").collect() }
+    assert(err.toString.contains("exactly 2 groups") ||
+      Option(err.getCause).exists(_.toString.contains("exactly 2 groups")))
+    assert(Stats.cohensD(
+      Seq.empty[(String, Double)].toDF("g", "v"), "g", "v").count() == 0)
+  }
+
+  test("pairedPermutationTest: exact T sums; degenerate and one-sided behavior") {
+    import spark.implicits._
+    // all-zero diffs: every |T_b| = |T_obs| = 0 -> p = 1e6 exactly
+    val zero = (1 to 8).map(i => (s"u$i", 5.0, 5.0)).toDF("id", "a", "b")
+    val z = Stats.pairedPermutationTest(zero, "id", "a", "b", 50).collect().head
+    assert(z.getAs[Long]("n_pairs") == 8L &&
+      z.getAs[Long]("t_obs_micro") == 0L &&
+      z.getAs[Long]("n_extreme") == 50L &&
+      z.getAs[Long]("p_micro") == 1000000L &&
+      !z.getAs[Boolean]("significant_05"))
+    // strongly one-sided: 12 pairs all +1 -> T_obs = 12e6; a replicate
+    // reaches |T_obs| only on an all-same-sign draw (~2^-11 each)
+    val pos = (1 to 12).map(i => (s"u$i", 2.0, 1.0)).toDF("id", "a", "b")
+    val p = Stats.pairedPermutationTest(pos, "id", "a", "b", 200).collect().head
+    assert(p.getAs[Long]("t_obs_micro") == 12000000L)
+    assert(p.getAs[Long]("p_micro") <= 50000L &&
+      p.getAs[Boolean]("significant_05"))
+    // NULL sides are excluded up front
+    val withNull = Seq(("u1", Some(1.0), Some(2.0)), ("u2", None, Some(3.0)))
+      .toDF("id", "a", "b")
+    assert(Stats.pairedPermutationTest(withNull, "id", "a", "b", 50)
+      .collect().head.getAs[Long]("n_pairs") == 1L)
+    assert(Stats.pairedPermutationTest(
+      Seq.empty[(String, Double, Double)].toDF("id", "a", "b"),
+      "id", "a", "b").count() == 0)
+  }
 }
