@@ -972,4 +972,57 @@ object Governance {
           col("_s2"), col("_a2"), col("_b2"), col("_n").cast(d38))
           .cast("long").as("ari_ppm"))
   }
+
+  /** DISPARATE-IMPACT audit — the four-fifths rule (EEOC Uniform
+    * Guidelines 1978; Feldman et al. 2015 "Certifying and Removing
+    * Disparate Impact" for the ML framing): per protected group, the
+    * positive-outcome rate and its ratio to the HIGHEST-rate group;
+    * any group under 80% of the reference fails the rule. The
+    * selection audit a training-data pipeline owes its quality/keep
+    * flags before they become a model's labels.
+    *
+    * INTEGER-EXACT: per-group rates are floored ppm divisions; the
+    * reference rate is their exact max (the reported `ref_group` is
+    * the lexicographically smallest holder on ties); `ratio_vs_ref_ppm`
+    * is the floored cross-ratio rate·10⁶ div ref_rate — NULL (never a
+    * blow-up) when nothing is positive anywhere, with the fail flag
+    * conservatively false. A NULL group or a label outside {0, 1}
+    * raises in-plan.
+    *
+    * Shape: ONE group-keyed partial agg over the corpus; the max and
+    * the reference label ride the |groups|-bounded table broadcast
+    * back. Empty input → empty output.
+    *
+    * Returns (group, n, n_pos, rate_ppm, ref_group, ratio_vs_ref_ppm,
+    * four_fifths_fail) ordered by group. */
+  def disparateImpact(
+      df: DataFrame,
+      groupCol: String,
+      positiveCol: String): DataFrame = {
+    val rows = df.select(
+      when(col(groupCol).isNull,
+        raise_error(lit("disparateImpact: NULL protected group")))
+        .otherwise(col(groupCol).cast("string")).as("_g"),
+      when(col(positiveCol).isNull ||
+          !col(positiveCol).cast("int").isin(0, 1),
+        raise_error(lit("disparateImpact: positive flag must be 0 or 1")))
+        .otherwise(col(positiveCol).cast("long")).as("_y"))
+    val perG = rows.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"))
+      .withColumn("rate_ppm", expr("n_pos * 1000000 div n"))
+    val ref = perG
+      .agg(max(col("rate_ppm")).as("_mr"))
+      .crossJoin(perG.select(col("_g"), col("rate_ppm")))
+      .where(col("rate_ppm") === col("_mr"))
+      .agg(max(col("_mr")).as("_mr"), min(col("_g")).as("ref_group"))
+    perG.crossJoin(broadcast(ref))
+      .select(col("_g").as("group"), col("n"), col("n_pos"),
+        col("rate_ppm"), col("ref_group"),
+        when(col("_mr") === 0L, lit(null).cast("long"))
+          .otherwise(expr("rate_ppm * 1000000 div _mr"))
+          .as("ratio_vs_ref_ppm"))
+      .withColumn("four_fifths_fail",
+        coalesce(col("ratio_vs_ref_ppm") < 800000L, lit(false)))
+      .orderBy("group")
+  }
 }

@@ -1612,6 +1612,99 @@ object Stats {
       .orderBy("duration")
   }
 
+  /** COMPETING-RISKS cumulative incidence (Aalen–Johansen 1978; the
+    * estimator Gooley et al. 1999 insist on): when subjects can exit
+    * by MORE than one cause (churn-to-competitor vs churn-to-inactive;
+    * conversion vs deletion), "1 − KM per cause" over-counts — a
+    * subject taken by cause A was never available to cause B. The CIF
+    * fixes it: CIF_k(t) = Σ_{tᵢ≤t} Ŝ(tᵢ₋₁)·d_{k,i}/nᵢ with Ŝ the
+    * ALL-CAUSE KM survival, so Σ_k CIF_k + S = 1 up to rounding.
+    *
+    * `eventCol`: 0 = censored, 1..K = cause of the observed event
+    * (anything else raises in-plan; K ≤ `maxCauses` raises in-plan on
+    * breach — the dense duration×cause grid is the working set).
+    *
+    * Float policy: the all-cause Ŝ is [[kaplanMeier]]'s round-6 ln/exp
+    * ladder verbatim (full-kill pins 0.0); each CIF term is round-6 of
+    * (lagged round-6 Ŝ)·d_k/n in pinned operand order; each cause's
+    * running sum adds ROUNDED terms ascending and is round-6 again.
+    *
+    * Shape: ONE duration-keyed and ONE (duration, cause)-keyed partial
+    * agg are the corpus-sized stages; the ladder and the dense grid
+    * (durations × causes, both bounded) ride broadcast joins. Empty
+    * input → empty output.
+    *
+    * Returns one row per (cause, duration) — dense: censor-only times
+    * appear with n_events 0 and a flat CIF — as (duration, cause,
+    * n_at_risk, n_events, cif) ordered by (cause, duration). */
+  def competingRisks(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String,
+      maxCauses: Int = 16): DataFrame = {
+    require(maxCauses >= 1 && maxCauses <= 64,
+      s"competingRisks: maxCauses must be in [1, 64], got $maxCauses")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(
+      when(col(durationCol).isNull || col(durationCol) < 0,
+        raise_error(lit("competingRisks: duration must be a non-negative " +
+          "integer"))).otherwise(col(durationCol).cast("long")).as("_d"),
+      when(col(eventCol).isNull || col(eventCol).cast("int") < 0,
+        raise_error(lit("competingRisks: event must be 0 (censored) or a " +
+          "positive cause id"))).otherwise(col(eventCol).cast("int")).as("_e"))
+    val perT = rows.groupBy(col("_d"))
+      .agg(sum(when(col("_e") > 0, 1L).otherwise(0L)).as("_dt"),
+        count(lit(1)).as("_nt"))
+    val wAll = Window.partitionBy()
+    val wPrev = Window.orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val km = perT
+      .withColumn("n_at_risk", sum(col("_nt")).over(wAll) -
+        coalesce(sum(col("_nt")).over(wPrev), lit(0L)))
+      .withColumn("_term",
+        when(col("_dt") === 0L || col("_dt") === col("n_at_risk"), lit(0.0d))
+          .otherwise(round(log((col("n_at_risk") - col("_dt"))
+            .cast("double") / col("n_at_risk")), 6) + lit(0.0d)))
+      .withColumn("_dead",
+        max(when(col("_dt") === col("n_at_risk"), 1).otherwise(0)).over(wRun))
+      .withColumn("_sv",
+        when(col("_dead") === 1, lit(0.0d)).otherwise(
+          round(exp(round(sum(col("_term")).over(wRun), 6) + lit(0.0d)), 6)
+            + lit(0.0d)))
+      .withColumn("_sprev",
+        coalesce(lag(col("_sv"), 1).over(Window.orderBy(col("_d"))),
+          lit(1.0d)))
+      .select(col("_d"), col("n_at_risk"), col("_sprev"))
+    val causes = rows.where(col("_e") > 0).select(col("_e").as("cause"))
+      .distinct()
+    val nCauses = broadcast(causes.agg(count(lit(1)).as("_nc")))
+    val dk = rows.where(col("_e") > 0)
+      .groupBy(col("_d"), col("_e").as("cause"))
+      .agg(count(lit(1)).as("_dc"))
+    val grid = km
+      .crossJoin(broadcast(causes))
+      .join(dk, Seq("_d", "cause"), "left")
+      .withColumn("_dc", coalesce(col("_dc"), lit(0L)))
+      .crossJoin(nCauses)
+      .withColumn("cause",
+        when(col("_nc") > maxCauses, raise_error(concat(
+          lit(s"competingRisks: more than $maxCauses causes: "),
+          col("_nc").cast("string")))).otherwise(col("cause")))
+    val wCause = Window.partitionBy(col("cause")).orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("_t2",
+        when(col("_dc") === 0L, lit(0.0d))
+          .otherwise(round(col("_sprev") * col("_dc").cast("double") /
+            col("n_at_risk"), 6) + lit(0.0d)))
+      .withColumn("cif", round(sum(col("_t2")).over(wCause), 6) + lit(0.0d))
+      .select(col("_d").as("duration"), col("cause"), col("n_at_risk"),
+        col("_dc").as("n_events"), col("cif"))
+      .orderBy("cause", "duration")
+  }
+
   /** RESTRICTED MEAN SURVIVAL TIME — the area under the [[kaplanMeier]]
     * curve up to a horizon τ (Royston & Parmar 2013): "expected days
     * survived in the first τ days", the single-number survival summary

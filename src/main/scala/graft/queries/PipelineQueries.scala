@@ -203,8 +203,10 @@ object PipelineQueries {
 
   /** The survival family's shared censored subjects (p288/p289/p292/
     * p298/p300): per-user lifetime in floor-days with right-censoring —
-    * a user still active within 7 days of the corpus end has NOT
-    * churned yet (event = 0), which is exactly the bias [[graft.ops
+    * a user still active within 1 day of the corpus end has NOT
+    * churned yet (event = 0; the gate fixture spans ~30 days, so a
+    * 7-day window would leave the driver-scale curve event-FREE — a
+    * vacuous ladder), which is exactly the bias [[graft.ops
     * .Stats.kaplanMeier]] exists to absorb and p144's fully-observed
     * curve cannot. CENSORING CONVENTION: an observed churn's duration
     * runs first→LAST event; a censored subject's time-at-risk runs
@@ -226,10 +228,10 @@ object PipelineQueries {
         val gm = u.agg(max(col("_l")).as("_gm"))
         u.crossJoin(broadcast(gm)).select(
             col("user_id"),
-            when(col("_gm") - col("_l") > 604800L,
+            when(col("_gm") - col("_l") > 86400L,
               expr("(_l - _f) div 86400"))
               .otherwise(expr("(_gm - _f) div 86400")).as("dur"),
-            when(col("_gm") - col("_l") > 604800L, 1).otherwise(0).as("ev"))
+            when(col("_gm") - col("_l") > 86400L, 1).otherwise(0).as("ev"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
     }
@@ -2346,7 +2348,7 @@ object PipelineQueries {
       graft.ops.CorpusOps.vocabUnseen(Tables(s, dir, "documents"), "text")),
 
     // Right-censored Kaplan–Meier over user lifetimes (floor-days
-    // first→last event; still active within 7 days of corpus end =
+    // first→last event; still active within 1 day of corpus end =
     // censored) — the product-limit upgrade of p144's fully-observed
     // curve: round-6 ln terms over the duration-bounded table.
     "p288_kaplan_meier" -> ((s, dir) =>
@@ -3055,7 +3057,45 @@ object PipelineQueries {
       graft.ops.Glm.calibrationReport(
         graft.ops.Glm.logisticScore(feats, "x", w), "score_micro", "y",
         bins = 100)
-    })
+    }),
+
+    // Exact ROC/PR operating curve of the p297/p299 scorer — one row
+    // per distinct served score, suffix confusion counts, floored ppm
+    // rates; completes the in-engine model report (train p297, serve
+    // p299, calibrate p305, operating curve here).
+    "p306_roc_curve" -> ((s, dir) => {
+      val feats = Tables(s, dir, "documents").select(
+        (col("lang") === "en").cast("int").as("y"),
+        array(col("n_chars").cast("double") / lit(1000.0d),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("double") /
+            lit(100.0d)).as("x"))
+      val w = graft.ops.Glm.logisticFit(feats, "x", "y",
+          iters = 6, lrMicro = 500000L)
+        .orderBy("idx").collect().map(_.getLong(1)).toSeq
+      graft.ops.Eval.rocPrCurve(
+        graft.ops.Glm.logisticScore(feats, "x", w), "score_micro", "y")
+    }),
+
+    // Four-fifths-rule disparate-impact audit of a keep/quality flag
+    // (n_chars ≥ 200) across language groups — per-group ppm rates,
+    // exact max reference, floored cross-ratio.
+    "p307_disparate_impact" -> ((s, dir) =>
+      graft.ops.Governance.disparateImpact(
+        Tables(s, dir, "documents")
+          .where(col("lang").isNotNull)
+          .withColumn("kept", (col("n_chars") >= 200).cast("int")),
+        "lang", "kept")),
+
+    // Aalen–Johansen cumulative incidence on the shared censored
+    // lifetimes with churn split into two competing causes by user
+    // parity — Σ CIF + S = 1 up to rounding; the "1 − KM per cause"
+    // overcount is exactly what this estimator exists to avoid.
+    "p308_competing_risks" -> ((s, dir) =>
+      graft.ops.Stats.competingRisks(
+        kmSubjects(s, dir).select(col("dur"),
+          when(col("ev") === 1, lit(1) + (col("user_id") % 2).cast("int"))
+            .otherwise(lit(0)).as("cev")),
+        "dur", "cev"))
   )
 
   private val langCase: String = {
@@ -3157,7 +3197,7 @@ object PipelineQueries {
     * bug, an index regression) hash-fails instead of sliding under a
     * boolean threshold. */
   /** Shared survival-family oracle prefix: censored lifetime subjects —
-    * p144's epoch/day recipe + the 7-day still-active censor flag.
+    * p144's epoch/day recipe + the 1-day still-active censor flag.
     * Mirrors [[kmSubjects]]'s censoring convention: observed churns run
     * first→last event, censored subjects run first event→observation
     * end. Ends mid-WITH so the consumer appends its own CTEs. */
@@ -3168,9 +3208,9 @@ object PipelineQueries {
       "u AS (SELECT user_id, MIN(t) AS f, MAX(t) AS l FROM q GROUP BY 1), " +
       "g AS (SELECT MAX(l) AS gm FROM u), " +
       "s AS (SELECT user_id, " +
-      "CASE WHEN gm - l > 604800 THEN (l - f) // 86400 " +
+      "CASE WHEN gm - l > 86400 THEN (l - f) // 86400 " +
       "ELSE (gm - f) // 86400 END AS d, " +
-      "CASE WHEN gm - l > 604800 THEN 1 ELSE 0 END AS e FROM u, g), "
+      "CASE WHEN gm - l > 86400 THEN 1 ELSE 0 END AS e FROM u, g), "
 
   /** p297/p299's shared oracle prefix: the logistic gradient-ascent
     * trajectory statically unrolled to `iters` steps — HUGEINT dot
@@ -8154,6 +8194,74 @@ object PipelineQueries {
       "CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS event_rate_ppm, " +
       "CAST(SUM(CAST(sm - y * 1000000 AS HUGEINT) * (sm - y * 1000000)) // " +
       "(COUNT(*) * 1000000) AS BIGINT) AS brier_micro " +
-      "FROM bn GROUP BY bin ORDER BY bin")
+      "FROM bn GROUP BY bin ORDER BY bin"),
+
+    // p299's replayed score + identical suffix confusion counts per
+    // distinct score, floored ppm rates
+    "p306_roc_curve" -> (lrOracleCore(6) +
+      ", zs AS (SELECT xr.doc_id, round(CAST(SUM(xr.x * w.w) AS DOUBLE) / " +
+      "1000000000000.0, 6) + 0.0 AS z FROM xr JOIN w6 w " +
+      "ON xr.pos = w.pos GROUP BY xr.doc_id), " +
+      "sc AS (SELECT f.y, CAST(floor(1000000.0 / (1.0 + exp(-zs.z))) AS BIGINT) AS sm " +
+      "FROM f JOIN zs ON f.doc_id = zs.doc_id), " +
+      "rocc AS (SELECT sm, SUM(y) AS np, SUM(1 - y) AS nn FROM sc GROUP BY 1), " +
+      "roct AS (SELECT SUM(np) AS p, SUM(nn) AS nneg FROM rocc), " +
+      "rocw AS (SELECT sm, SUM(np) OVER (ORDER BY sm DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp, " +
+      "SUM(nn) OVER (ORDER BY sm DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp FROM rocc) " +
+      "SELECT sm AS threshold_micro, CAST(tp AS BIGINT) AS n_pos_ge, " +
+      "CAST(fp AS BIGINT) AS n_neg_ge, " +
+      "CAST(tp * 1000000 // p AS BIGINT) AS tpr_ppm, " +
+      "CAST(fp * 1000000 // nneg AS BIGINT) AS fpr_ppm, " +
+      "CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm " +
+      "FROM rocw, roct ORDER BY threshold_micro DESC"),
+
+    // identical ppm rates, exact max reference with lexicographic-min
+    // tiebreak, floored cross-ratio, conservative flag
+    "p307_disparate_impact" -> (
+      "WITH g AS (SELECT lang AS grp, COUNT(*) AS n, " +
+      "SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS np " +
+      "FROM documents WHERE lang IS NOT NULL GROUP BY 1), " +
+      "r AS (SELECT *, np * 1000000 // n AS rate FROM g), " +
+      "mx AS (SELECT MAX(rate) AS mr FROM r), " +
+      "rg AS (SELECT MIN(grp) AS ref_group FROM r, mx WHERE rate = mr) " +
+      "SELECT grp AS \"group\", CAST(n AS BIGINT) AS n, " +
+      "CAST(np AS BIGINT) AS n_pos, CAST(rate AS BIGINT) AS rate_ppm, " +
+      "ref_group, CAST(CASE WHEN mr = 0 THEN NULL " +
+      "ELSE rate * 1000000 // mr END AS BIGINT) AS ratio_vs_ref_ppm, " +
+      "COALESCE((CASE WHEN mr = 0 THEN NULL ELSE rate * 1000000 // mr END) " +
+      "< 800000, FALSE) AS four_fifths_fail " +
+      "FROM r, mx, rg ORDER BY \"group\""),
+
+    // p288's subjects with parity-split causes; the identical all-cause
+    // round-6 KM ladder, lagged S, round-6 S·d_k/n terms and per-cause
+    // rounded running sums over the dense duration×cause grid
+    "p308_competing_risks" -> (kmSubjectsSql +
+      "sc AS (SELECT d, CASE WHEN e = 1 THEN 1 + CAST(user_id % 2 AS INT) " +
+      "ELSE 0 END AS c FROM s), " +
+      "p AS (SELECT d, COUNT(*) AS nt, " +
+      "SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS dt FROM sc GROUP BY 1), " +
+      "w AS (SELECT *, SUM(nt) OVER () - COALESCE(SUM(nt) OVER (ORDER BY d " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nr FROM p), " +
+      "tm AS (SELECT *, CASE WHEN dt = 0 OR dt = nr THEN 0.0 " +
+      "ELSE round(ln(CAST(nr - dt AS DOUBLE) / nr), 6) + 0.0 END AS term FROM w), " +
+      "r AS (SELECT *, MAX(CASE WHEN dt = nr THEN 1 ELSE 0 END) " +
+      "OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead, " +
+      "round(SUM(term) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS cum FROM tm), " +
+      "km AS (SELECT d, nr, CASE WHEN dead = 1 THEN 0.0 " +
+      "ELSE round(exp(cum), 6) + 0.0 END AS sv FROM r), " +
+      "kp AS (SELECT d, nr, COALESCE(LAG(sv) OVER (ORDER BY d), 1.0) AS sprev FROM km), " +
+      "cs AS (SELECT DISTINCT c FROM sc WHERE c > 0), " +
+      "dk AS (SELECT d, c, COUNT(*) AS dc FROM sc WHERE c > 0 GROUP BY 1, 2), " +
+      "grid AS (SELECT kp.d, cs.c, kp.nr, kp.sprev, COALESCE(dk.dc, 0) AS dc " +
+      "FROM kp CROSS JOIN cs LEFT JOIN dk ON dk.d = kp.d AND dk.c = cs.c), " +
+      "tm2 AS (SELECT d, c, nr, dc, CASE WHEN dc = 0 THEN 0.0 " +
+      "ELSE round(sprev * dc / nr, 6) + 0.0 END AS t2 FROM grid) " +
+      "SELECT d AS duration, CAST(c AS INT) AS cause, " +
+      "CAST(nr AS BIGINT) AS n_at_risk, CAST(dc AS BIGINT) AS n_events, " +
+      "round(SUM(t2) OVER (PARTITION BY c ORDER BY d " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS cif " +
+      "FROM tm2 ORDER BY cause, duration")
   )
 }

@@ -409,4 +409,35 @@ class GovernanceSpec extends AnyFunSuite {
     // empty input: zero-count row, NULL index (krippendorff convention)
     assert(ari(Seq.empty) == ((0L, None)))
   }
+
+  test("disparateImpact: ppm rates, max reference with lexicographic tiebreak, 80% rule") {
+    import spark.implicits._
+    // rates: a 3/4 = 750000, b 1/2 = 500000, c 3/4 = 750000
+    // ref rate 750000, ref group 'a' (lexicographic among ties);
+    // b ratio = 500000*1e6 div 750000 = 666666 -> fails four-fifths
+    val df = (Seq.fill(3)(("a", 1)) ++ Seq(("a", 0)) ++
+      Seq(("b", 1), ("b", 0)) ++
+      Seq.fill(3)(("c", 1)) ++ Seq(("c", 0))).toDF("g", "y")
+    val out = Governance.disparateImpact(df, "g", "y")
+      .select("group", "n", "n_pos", "rate_ppm", "ref_group",
+        "ratio_vs_ref_ppm", "four_fifths_fail")
+      .as[(String, Long, Long, Long, String, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("a", 4L, 3L, 750000L, "a", 1000000L, false),
+      ("b", 2L, 1L, 500000L, "a", 666666L, true),
+      ("c", 4L, 3L, 750000L, "a", 1000000L, false)))
+    // nothing positive anywhere: NULL ratios, conservative false flags
+    val zero = Seq(("a", 0), ("b", 0)).toDF("g", "y")
+    val z = Governance.disparateImpact(zero, "g", "y").collect()
+    assert(z.forall(r => r.isNullAt(r.fieldIndex("ratio_vs_ref_ppm")) &&
+      !r.getAs[Boolean]("four_fifths_fail")))
+    val badLabel = Seq(("a", 2)).toDF("g", "y")
+    val err = intercept[Exception] {
+      Governance.disparateImpact(badLabel, "g", "y").collect()
+    }
+    assert(err.toString.contains("positive flag") ||
+      Option(err.getCause).exists(_.toString.contains("positive flag")))
+    assert(Governance.disparateImpact(
+      Seq.empty[(String, Int)].toDF("g", "y"), "g", "y").count() == 0)
+  }
 }

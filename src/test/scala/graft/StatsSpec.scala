@@ -866,6 +866,47 @@ class StatsSpec extends AnyFunSuite {
       Seq.empty[(String, Double)].toDF("g", "v"), "g", "v").count() == 0)
   }
 
+  test("competingRisks: CIF replays the lagged all-cause ladder; sums with S to ~1; dense grid") {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // t=1: cause-1 death among 5 at risk; t=2: cause-2 death among 4;
+    // t=3: censor only; t=4: cause-1 death among 2
+    val df = Seq((1L, 1), (2L, 2), (3L, 0), (4L, 1), (4L, 0))
+      .toDF("dur", "cev")
+    val out = Stats.competingRisks(df, "dur", "cev")
+      .select("duration", "cause", "n_at_risk", "n_events", "cif")
+      .as[(Long, Int, Long, Long, Double)].collect().toSeq
+    val s1 = r6(math.exp(r6(math.log(4.0 / 5.0))))
+    val s2 = r6(math.exp(r6(r6(math.log(4.0 / 5.0)) + r6(math.log(3.0 / 4.0)))))
+    val c1t1 = r6(1.0 / 5.0)                    // S_prev = 1
+    val c1t4 = r6(c1t1 + r6(s2 * 1.0 / 2.0))    // S_prev at t=4 is S(3)=S(2)
+    val c2t2 = r6(s1 * 1.0 / 4.0)
+    assert(out == Seq(
+      (1L, 1, 5L, 1L, c1t1), (2L, 1, 4L, 0L, c1t1), (3L, 1, 3L, 0L, c1t1),
+      (4L, 1, 2L, 1L, c1t4),
+      (1L, 2, 5L, 0L, 0.0), (2L, 2, 4L, 1L, c2t2), (3L, 2, 3L, 0L, c2t2),
+      (4L, 2, 2L, 0L, c2t2)))
+    // conservation: Σ_k CIF_k(t_max) + S(t_max) = 1 up to round-6 noise
+    val s4 = r6(math.exp(r6(r6(math.log(4.0 / 5.0)) + r6(math.log(3.0 / 4.0))
+      + r6(math.log(1.0 / 2.0)))))
+    assert(math.abs(c1t4 + c2t2 + s4 - 1.0) < 2e-5)
+    val err = intercept[Exception] {
+      Stats.competingRisks(Seq((1L, -1)).toDF("dur", "cev"), "dur", "cev")
+        .collect()
+    }
+    assert(err.toString.contains("positive cause") ||
+      Option(err.getCause).exists(_.toString.contains("positive cause")))
+    val many = (1 to 20).map(i => (i.toLong, i)).toDF("dur", "cev")
+    val e2 = intercept[Exception] {
+      Stats.competingRisks(many, "dur", "cev", maxCauses = 4).collect()
+    }
+    assert(e2.toString.contains("more than 4 causes") ||
+      Option(e2.getCause).exists(_.toString.contains("more than 4 causes")))
+    assert(Stats.competingRisks(
+      Seq.empty[(Long, Int)].toDF("dur", "cev"), "dur", "cev").count() == 0)
+  }
+
   test("pairedPermutationTest: exact T sums; degenerate and one-sided behavior") {
     import spark.implicits._
     // all-zero diffs: every |T_b| = |T_obs| = 0 -> p = 1e6 exactly
