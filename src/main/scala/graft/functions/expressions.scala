@@ -244,6 +244,113 @@ case class AdjustedRandExpression(
   override def prettyName: String = "ari_ppm"
 }
 
+/** `kw_h(r2s, ns, sum_ties)`: the tie-corrected Kruskal–Wallis H in
+  * floored ppm, exact by a PINNED composition — per-group floor-micro
+  * rank-sum terms S = Σ_g ⌊10⁶·R2_g²/(4·n_g)⌋ (R2_g the DOUBLED rank
+  * sum from the shared tied-rank ladder, so every input is an exact
+  * integer), then
+  *
+  *   h_ppm = ⌊(⌊12·S / (N(N+1))⌋ − 3·10⁶·(N+1)) · (N³−N) / (N³−N−ΣT)⌋
+  *
+  * (Kruskal & Wallis 1952; the standard tie correction divides by
+  * 1 − ΣT/(N³−N)). The composition of floors is the DEFINITION the
+  * gates pin — deterministic on any engine, within k·10⁻⁶ of the real
+  * H. The interior is ~N⁴ (R2_g² alone passes DECIMAL(38,0) beyond
+  * ~10⁹ rows), so like [[MannWhitneyZ2Expression]] the arithmetic
+  * lives in an arbitrary-precision BigInt kernel on the ONE aggregated
+  * stats row. Array inputs carry the ≤ |groups| per-group moments.
+  * Returns struct(h_ppm DECIMAL(38,0), df INT); NULL when N < 2, any
+  * group is empty, or the tie-corrected variance is zero (all values
+  * tied). */
+case class KruskalWallisHExpression(
+    first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType = StructType(Seq(
+    StructField("h_ppm", DecimalType(38, 0)),
+    StructField("df", IntegerType)))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(r2Any: Any, nAny: Any, tAny: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def bigs(a: Any): Array[BigInt] =
+      a.asInstanceOf[ArrayData].toObjectArray(DecimalType(38, 0))
+        .map(d => BigInt(d.asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger))
+    val r2s = bigs(r2Any); val ns = bigs(nAny)
+    val sumT = BigInt(tAny.asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger)
+    if (r2s.length != ns.length || r2s.isEmpty || ns.exists(_ < 1)) null
+    else {
+      val n = ns.sum
+      val den = n * n * n - n - sumT
+      if (n < 2 || den <= 0) null
+      else {
+        val s = r2s.zip(ns).map { case (r2, ng) =>
+          1000000 * r2 * r2 / (4 * ng)
+        }.sum
+        val hraw = 12 * s / (n * (n + 1)) - 3000000 * (n + 1)
+        val num = hraw * (n * n * n - n)
+        val h = if (num.signum >= 0) num / den else -((-num) / den)
+        if (h.bitLength > 126)
+          throw new ArithmeticException(
+            "kw_h: h_ppm exceeds the DECIMAL(38,0) output domain")
+        new GenericInternalRow(Array[Any](
+          Decimal(scala.math.BigDecimal(h), 38, 0), ns.length - 1))
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): KruskalWallisHExpression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "kw_h"
+}
+
+/** `trend_z2(moments)`: the Cochran–Armitage trend test (Cochran 1954;
+  * Armitage 1955) for a dose-ordered binary outcome, exact — moments
+  * is the 5-element array of exact DECIMAL corpus sums
+  * [A = Σsᵢyᵢ, B = Σsᵢ, R = Σyᵢ, N, Q = Σsᵢ²] with s the integer dose
+  * score and y ∈ {0,1}, and
+  *
+  *   z² = N·(N·A − R·B)² / (R·(N−R)·(N·Q − B²)).
+  *
+  * The interior is ~N²·(N·A)² — past any fixed DECIMAL at corpus
+  * scale — so the products live in this BigInt kernel (the
+  * [[MannWhitneyZ2Expression]] rationale). Returns struct(z2_ppm
+  * DECIMAL(38,0), significant_05 BOOLEAN) with the decision by exact
+  * cross-multiplication against χ²₁ = 3.841459 (a boundary tie is not
+  * significant); NULL when the outcome or the dose is degenerate
+  * (R = 0, R = N, or zero score variance). */
+case class TrendZ2Expression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("z2_ppm", DecimalType(38, 0)),
+    StructField("significant_05", BooleanType)))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(mAny: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val m = mAny.asInstanceOf[ArrayData].toObjectArray(DecimalType(38, 0))
+      .map(d => BigInt(d.asInstanceOf[Decimal].toJavaBigDecimal.toBigInteger))
+    if (m.length != 5) null
+    else {
+      val a = m(0); val b = m(1); val r = m(2); val n = m(3); val q = m(4)
+      val den = r * (n - r) * (n * q - b * b)
+      if (n < 2 || den <= 0) null
+      else {
+        val dev = n * a - r * b
+        val num = n * dev * dev
+        val z2ppm = num * 1000000 / den
+        if (z2ppm.bitLength > 126)
+          throw new ArithmeticException(
+            "trend_z2: z2_ppm exceeds the DECIMAL(38,0) output domain")
+        new GenericInternalRow(Array[Any](
+          Decimal(scala.math.BigDecimal(z2ppm), 38, 0),
+          num * 1000000 > BigInt(3841459) * den))
+      }
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): TrendZ2Expression =
+    copy(child = c)
+  override def prettyName: String = "trend_z2"
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -262,6 +369,11 @@ object GraftFunctions {
   def ari_ppm(s2: Column, a2: Column, b2: Column, n: Column): Column =
     column(AdjustedRandExpression(
       expression(s2), expression(a2), expression(b2), expression(n)))
+  def kw_h(r2s: Column, ns: Column, sumTies: Column): Column =
+    column(KruskalWallisHExpression(
+      expression(r2s), expression(ns), expression(sumTies)))
+  def trend_z2(moments: Column): Column =
+    column(TrendZ2Expression(expression(moments)))
 
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "unaccent" -> (exprs => UnaccentExpression(exprs.head)),

@@ -1099,6 +1099,203 @@ object Stats {
       col("cohens_d"), col("hedges_g"))
   }
 
+  /** KRUSKAL–WALLIS rank test across K groups — [[mannWhitney]]'s
+    * k-group generalization (Kruskal & Wallis 1952), the nonparametric
+    * one-way "do these k sources/segments draw from the same value
+    * distribution" answer. Built on THE SAME [[mwTiedRankLadder]]
+    * kernel: the two-sided ladder runs with all mass on one side
+    * (`_c1 = ct, _c2 = 0`), the doubled midranks join back to the
+    * per-(group, value) count table for exact integer doubled rank
+    * sums, and the tie-corrected H evaluates in the [[graft.functions
+    * .GraftFunctions.kw_h]] BigInt kernel (pinned floor-micro
+    * composition — see its Scaladoc; the interior is ~N⁴, past any
+    * fixed DECIMAL).
+    *
+    * At least 2 groups required — raises in-plan. No significance
+    * column: the χ² critical value depends on df = k−1, so the
+    * decision belongs to the caller against their pinned cut. Empty
+    * input → empty output.
+    *
+    * Shape: ONE (value, group) partial agg collapses the corpus; the
+    * ladder, the per-group fold and the ≤ |groups| arrays ride bounded
+    * tables. Returns ONE row (n_groups, n_total, sum_ties, h_ppm, df). */
+  def kruskalWallis(
+      df: DataFrame,
+      groupCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val rows = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("_g"),
+        col(valueCol).cast("double").as("_v"))
+    val perVG = rows.groupBy(col("_v"), col("_g")).agg(count(lit(1)).as("_c"))
+    val byV = perVG.groupBy(col("_v"))
+      .agg(sum(col("_c")).as("_c1"))
+      .withColumn("_c2", lit(0L))
+    val ranked = mwTiedRankLadder(byV).select(col("_v"), col("_ct"), col("_mr2"))
+    val perG = perVG.join(ranked, Seq("_v"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_ng"),
+        sum((col("_c").cast(d38) * col("_mr2")).cast(d38)).cast(d38).as("_r2"))
+    val ties = ranked.agg(
+      coalesce(sum((col("_ct").cast(d38) * col("_ct") * col("_ct") -
+        col("_ct")).cast(d38)), lit(0).cast(d38)).cast(d38).as("_sumT"))
+    val gathered = perG
+      .groupBy(lit(1).as("_one"))
+      .agg(count(lit(1)).cast("int").as("n_groups"),
+        sum(col("_ng")).as("n_total"),
+        expr("transform(sort_array(collect_list(struct(_g, _r2, _ng))), " +
+          "x -> CAST(x._r2 AS DECIMAL(38,0)))").as("_r2s"),
+        expr("transform(sort_array(collect_list(struct(_g, _r2, _ng))), " +
+          "x -> CAST(x._ng AS DECIMAL(38,0)))").as("_ns"))
+      .crossJoin(broadcast(ties))
+    val kernel = graft.functions.GraftFunctions.kw_h(
+      col("_r2s"), col("_ns"), col("_sumT"))
+    gathered.select(
+      when(col("n_groups") < 2, raise_error(concat(
+        lit("kruskalWallis: need at least 2 groups with non-null values, " +
+          "got "), col("n_groups").cast("string"))))
+        .otherwise(col("n_groups")).as("n_groups"),
+      col("n_total"),
+      col("_sumT").cast("long").as("sum_ties"),
+      kernel.getField("h_ppm").cast("long").as("h_ppm"),
+      kernel.getField("df").as("df"))
+  }
+
+  /** COCHRAN–ARMITAGE trend test — "does the outcome rate RISE with
+    * the dose" for an ordinal exposure and a binary outcome (Cochran
+    * 1954; Armitage 1955): more powerful than the unordered χ² exactly
+    * when the alternative is monotone (engagement tier → conversion,
+    * exposure bucket → churn). The statistic is
+    * z² = N(NA − RB)²/(R(N−R)(NQ − B²)) over the five exact corpus
+    * sums A = Σsy, B = Σs, R = Σy, N, Q = Σs² — evaluated in the
+    * [[graft.functions.GraftFunctions.trend_z2]] BigInt kernel
+    * (interior ~N⁴) with the exact cross-multiplied χ²₁ = 3.841459
+    * decision. Degenerate outcome or dose (R = 0, R = N, zero score
+    * variance) yields NULL, never a division blow-up.
+    *
+    * `scoreCol` must be an integer dose (raises in-plan on NULL or
+    * negative — signed doses would work mathematically, but a negative
+    * "dose" is almost always an upstream bug); `outcomeCol` ∈ {0, 1}.
+    *
+    * Shape: ONE scalar aggregate over the corpus — map-side partials,
+    * a 1-row fold, the kernel on the single stats row. Empty input →
+    * empty output. Returns ONE row (n, n_cases, z2_ppm,
+    * significant_05). */
+  def cochranArmitage(
+      df: DataFrame,
+      scoreCol: String,
+      outcomeCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val rows = df.select(
+      when(col(scoreCol).isNull || col(scoreCol).cast("long") < 0,
+        raise_error(lit("cochranArmitage: dose score must be a " +
+          "non-negative integer"))).otherwise(col(scoreCol).cast("long"))
+        .as("_s"),
+      when(col(outcomeCol).isNull || !col(outcomeCol).cast("int").isin(0, 1),
+        raise_error(lit("cochranArmitage: outcome must be 0 or 1")))
+        .otherwise(col(outcomeCol).cast("long")).as("_y"))
+    val m = rows
+      .groupBy(lit(1).as("_one"))
+      .agg(
+        count(lit(1)).cast(d38).as("_n"),
+        sum(col("_y")).cast(d38).as("_r"),
+        sum(col("_s")).cast(d38).as("_b"),
+        sum((col("_s") * col("_y")).cast(d38)).cast(d38).as("_a"),
+        sum((col("_s").cast(d38) * col("_s")).cast(d38)).cast(d38).as("_q"))
+    val kernel = graft.functions.GraftFunctions.trend_z2(
+      array(col("_a"), col("_b"), col("_r"), col("_n"), col("_q")))
+    m.select(
+      col("_n").cast("long").as("n"),
+      col("_r").cast("long").as("n_cases"),
+      kernel.getField("z2_ppm").cast("long").as("z2_ppm"),
+      kernel.getField("significant_05").as("significant_05"))
+  }
+
+  /** CRONBACH'S ALPHA internal-consistency reliability (Cronbach 1951)
+    * — "do these k item scores measure one construct": the per-rater /
+    * per-metric reliability audit that complements [[graft.ops
+    * .Governance.krippendorffAlpha]]'s agreement coefficient.
+    * α = k/(k−1) · (1 − Σᵢvar(itemᵢ)/var(total)) over subjects'
+    * complete k-item score vectors.
+    *
+    * The input is LONG format (subject, item, value); subjects missing
+    * any item are EXCLUDED (listwise deletion — the textbook
+    * convention; densify with zeros upstream if absence means zero).
+    * Duplicate (subject, item) rows raise in-plan.
+    *
+    * Float policy (the [[msprt]] moment contract): per-item and
+    * total-score micro moments are exact DECIMAL(38,0); each variance
+    * is ONE round-6 division of exact integers in NATURAL units
+    * (÷ n(n−1)·10¹²); Σᵢvarᵢ adds the ≤ k round-6 item variances and
+    * is round-6 again; α is round-6 of the final fold. Fewer than 2
+    * items, < 2 complete subjects, or zero total variance → NULL α.
+    *
+    * Shape: ONE (subject, item) partial agg is the only corpus-sized
+    * stage; item moments ride the k-bounded table, subject totals one
+    * subject-keyed agg. Empty input → empty output. Returns ONE row
+    * (n_subjects, k_items, sum_item_var, var_total, cronbach_alpha). */
+  def cronbachAlpha(
+      df: DataFrame,
+      subjectCol: String,
+      itemCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val cells = df
+      .where(col(valueCol).isNotNull && col(itemCol).isNotNull &&
+        col(subjectCol).isNotNull)
+      .groupBy(col(subjectCol).cast("string").as("_u"),
+        col(itemCol).cast("string").as("_i"))
+      .agg(count(lit(1)).as("_dup"),
+        sum(floor(col(valueCol).cast("double") * lit(1000000.0d))
+          .cast("long")).as("_v"))
+      .select(col("_u"), col("_i"),
+        when(col("_dup") > 1L, raise_error(
+          lit("cronbachAlpha: duplicate (subject, item) rows")))
+          .otherwise(col("_v")).as("_v"))
+    val k1 = cells.agg(countDistinct(col("_i")).as("_k"))
+    // listwise deletion: keep subjects holding ALL k items
+    val complete = cells
+      .withColumn("_nu", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_u"))))
+      .crossJoin(broadcast(k1))
+      .where(col("_nu") === col("_k"))
+    val itemVar = complete.groupBy(col("_i"))
+      .agg(count(lit(1)).as("_c"),
+        sum(col("_v").cast(d38)).cast(d38).as("_s"),
+        sum((col("_v").cast(d38) * col("_v")).cast(d38)).cast(d38).as("_q"))
+      .withColumn("_var",
+        when(col("_c") < 2L, lit(null).cast("double")).otherwise(
+          round(expr("CAST(_q * _c - _s * _s AS DOUBLE)") /
+            (col("_c").cast("double") * (col("_c") - 1L) * lit(1.0e12d)), 6)
+            + lit(0.0d)))
+      // listwise deletion gives every item the SAME subject count, so
+      // either all item variances are defined (n ≥ 2) or var_total is
+      // NULL too — no per-item NULL handling needed here
+      .agg(count(lit(1)).cast("int").as("k_items"),
+        (round(sum(col("_var")), 6) + lit(0.0d)).as("sum_item_var"))
+    val totals = complete.groupBy(col("_u"))
+      .agg(sum(col("_v")).as("_t"))
+      .agg(count(lit(1)).as("_ct"),
+        sum(col("_t").cast(d38)).cast(d38).as("_st"),
+        sum((col("_t").cast(d38) * col("_t")).cast(d38)).cast(d38).as("_qt"))
+      .withColumn("var_total",
+        when(col("_ct") < 2L, lit(null).cast("double")).otherwise(
+          round(expr("CAST(_qt * _ct - _st * _st AS DOUBLE)") /
+            (col("_ct").cast("double") * (col("_ct") - 1L) * lit(1.0e12d)), 6)
+            + lit(0.0d)))
+    itemVar.crossJoin(broadcast(totals))
+      .where(col("_ct") > 0L) // empty input → empty output
+      .select(col("_ct").as("n_subjects"), col("k_items"),
+        col("sum_item_var"), col("var_total"),
+        when(col("k_items") < 2 || col("var_total").isNull ||
+            col("var_total") <= 0.0d || col("sum_item_var").isNull,
+          lit(null).cast("double")).otherwise(
+          round((col("k_items").cast("double") /
+            (col("k_items") - 1).cast("double")) *
+            (lit(1.0d) - col("sum_item_var") / col("var_total")), 6)
+            + lit(0.0d)).as("cronbach_alpha"))
+  }
+
   /** BENJAMINI–HOCHBERG step-up FDR control — the standard guard when a
     * pipeline fires MANY hypothesis tests at once (per-segment A/B
     * reads, per-feature drift screens, per-source quality deltas):

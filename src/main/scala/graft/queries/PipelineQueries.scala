@@ -3095,7 +3095,44 @@ object PipelineQueries {
         kmSubjects(s, dir).select(col("dur"),
           when(col("ev") === 1, lit(1) + (col("user_id") % 2).cast("int"))
             .otherwise(lit(0)).as("cev")),
-        "dur", "cev"))
+        "dur", "cev")),
+
+    // Kruskal–Wallis across all five event types' value distributions
+    // — the k-group generalization of p281 on the SAME tied-rank
+    // ladder; H evaluated in the kw_h BigInt kernel (pinned
+    // floor-micro composition).
+    "p309_kruskal_wallis" -> ((s, dir) =>
+      graft.ops.Stats.kruskalWallis(
+        Tables(s, dir, "events"), "event_type", "value")),
+
+    // Cochran–Armitage trend: ordinal dose = user_id mod 4, outcome =
+    // repeat purchaser (≥ 3 purchases) — near-null by construction
+    // (the dose is noise), a false-positive canary like p293.
+    "p310_trend_test" -> ((s, dir) => {
+      val u = Tables(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("_pc"))
+      graft.ops.Stats.cochranArmitage(
+        u.select((col("user_id") % 4).as("dose"),
+          (col("_pc") >= 3L).cast("int").as("y")),
+        "dose", "y")
+    }),
+
+    // Cronbach's alpha over users' per-event-type activity counts —
+    // "do the five event-type intensities measure one engagement
+    // construct"; the per-type count matrix is densified with zeros
+    // (absence = zero activity) before the op's listwise contract.
+    "p311_cronbach" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val cnt = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("_c"))
+      val users = ev.select(col("user_id")).distinct()
+      val types = ev.select(col("event_type")).distinct()
+      val dense = users.crossJoin(broadcast(types))
+        .join(cnt, Seq("user_id", "event_type"), "left")
+        .withColumn("_c", coalesce(col("_c"), lit(0L)))
+      graft.ops.Stats.cronbachAlpha(dense, "user_id", "event_type", "_c")
+    })
   )
 
   private val langCase: String = {
@@ -8262,6 +8299,82 @@ object PipelineQueries {
       "CAST(nr AS BIGINT) AS n_at_risk, CAST(dc AS BIGINT) AS n_events, " +
       "round(SUM(t2) OVER (PARTITION BY c ORDER BY d " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS cif " +
-      "FROM tm2 ORDER BY cause, duration")
+      "FROM tm2 ORDER BY cause, duration"),
+
+    // the identical tied-rank ladder (one-sided), HUGEINT doubled rank
+    // sums, and the same pinned floor-micro H composition (re-signed
+    // floors mirror the kernel's truncate-toward-zero)
+    "p309_kruskal_wallis" -> (
+      "WITH r AS (SELECT event_type AS g, value AS v FROM events " +
+      "WHERE value IS NOT NULL AND event_type IS NOT NULL), " +
+      "pv AS (SELECT v, g, COUNT(*) AS c FROM r GROUP BY 1, 2), " +
+      "bv AS (SELECT v, SUM(c) AS ct FROM pv GROUP BY 1), " +
+      "lad AS (SELECT v, ct, 2 * COALESCE(SUM(ct) OVER (ORDER BY v " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + ct + 1 AS mr2 FROM bv), " +
+      "pg AS (SELECT g, SUM(c) AS ng, SUM(CAST(c AS HUGEINT) * mr2) AS r2 " +
+      "FROM pv JOIN lad USING (v) GROUP BY 1), " +
+      "tt AS (SELECT SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS sumt FROM lad), " +
+      "ag AS (SELECT COUNT(*) AS k, SUM(ng) AS n, " +
+      "SUM((CAST(r2 AS HUGEINT) * r2 * 1000000) // (4 * ng)) AS s FROM pg), " +
+      "hh AS (SELECT k, n, sumt, " +
+      "((12 * s) // (CAST(n AS HUGEINT) * (n + 1)) - 3000000 * (CAST(n AS HUGEINT) + 1)) AS hraw, " +
+      "CAST(n AS HUGEINT) * n * n - n AS n3n FROM ag, tt) " +
+      "SELECT CAST(k AS INT) AS n_groups, CAST(n AS BIGINT) AS n_total, " +
+      "CAST(sumt AS BIGINT) AS sum_ties, " +
+      "CAST(CASE WHEN n3n - sumt <= 0 THEN NULL " +
+      "WHEN hraw >= 0 THEN (hraw * n3n) // (n3n - sumt) " +
+      "ELSE -((-(hraw * n3n)) // (n3n - sumt)) END AS BIGINT) AS h_ppm, " +
+      "CAST(k - 1 AS INT) AS df FROM hh WHERE n > 0"),
+
+    // identical five exact sums; z² and the decision by the same
+    // HUGEINT cross-multiplication against the pinned 3.841459 cut
+    "p310_trend_test" -> (
+      "WITH u AS (SELECT user_id, " +
+      "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pc " +
+      "FROM events GROUP BY 1), " +
+      "s AS (SELECT CAST(user_id % 4 AS BIGINT) AS sc, " +
+      "CASE WHEN pc >= 3 THEN 1 ELSE 0 END AS y FROM u), " +
+      "m AS (SELECT COUNT(*) AS n, SUM(y) AS r, SUM(sc) AS b, " +
+      "SUM(sc * y) AS a, SUM(CAST(sc AS HUGEINT) * sc) AS q FROM s), " +
+      "d AS (SELECT n, r, " +
+      "CAST(r AS HUGEINT) * (n - r) * (CAST(n AS HUGEINT) * q - CAST(b AS HUGEINT) * b) AS den, " +
+      "CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * a - CAST(r AS HUGEINT) * b) " +
+      "* (CAST(n AS HUGEINT) * a - CAST(r AS HUGEINT) * b) AS num FROM m) " +
+      "SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_cases, " +
+      "CAST(CASE WHEN n < 2 OR den <= 0 THEN NULL " +
+      "ELSE (num * 1000000) // den END AS BIGINT) AS z2_ppm, " +
+      "CASE WHEN n < 2 OR den <= 0 THEN CAST(NULL AS BOOLEAN) " +
+      "ELSE num * 1000000 > 3841459 * den END AS significant_05 " +
+      "FROM d WHERE n > 0"),
+
+    // identical zero-densified count matrix, HUGEINT micro moments,
+    // round-6 item/total variances in the same pinned operand order
+    "p311_cronbach" -> (
+      "WITH cnt AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2), " +
+      "us AS (SELECT DISTINCT user_id FROM events), " +
+      "ty AS (SELECT DISTINCT event_type FROM events), " +
+      "dense AS (SELECT us.user_id, ty.event_type, " +
+      "CAST(floor(COALESCE(c, 0) * 1000000) AS BIGINT) AS v " +
+      "FROM us CROSS JOIN ty LEFT JOIN cnt " +
+      "ON cnt.user_id = us.user_id AND cnt.event_type = ty.event_type), " +
+      "iv AS (SELECT event_type, COUNT(*) AS c2, SUM(CAST(v AS HUGEINT)) AS s, " +
+      "SUM(CAST(v AS HUGEINT) * v) AS q FROM dense GROUP BY 1), " +
+      "ivr AS (SELECT CASE WHEN c2 < 2 THEN NULL " +
+      "ELSE round(CAST(q * c2 - s * s AS DOUBLE) / " +
+      "(CAST(c2 AS DOUBLE) * (c2 - 1) * 1000000000000.0), 6) + 0.0 END AS var FROM iv), " +
+      "sv AS (SELECT CAST(COUNT(*) AS INT) AS k_items, " +
+      "round(SUM(var), 6) + 0.0 AS siv FROM ivr), " +
+      "ut AS (SELECT user_id, SUM(v) AS t FROM dense GROUP BY 1), " +
+      "tv AS (SELECT COUNT(*) AS ct, SUM(CAST(t AS HUGEINT)) AS st, " +
+      "SUM(CAST(t AS HUGEINT) * t) AS qt FROM ut), " +
+      "vt AS (SELECT ct, CASE WHEN ct < 2 THEN NULL " +
+      "ELSE round(CAST(qt * ct - st * st AS DOUBLE) / " +
+      "(CAST(ct AS DOUBLE) * (ct - 1) * 1000000000000.0), 6) + 0.0 END AS var_total FROM tv) " +
+      "SELECT CAST(ct AS BIGINT) AS n_subjects, k_items, siv AS sum_item_var, " +
+      "var_total, CASE WHEN k_items < 2 OR var_total IS NULL OR var_total <= 0.0 " +
+      "OR siv IS NULL THEN NULL " +
+      "ELSE round((CAST(k_items AS DOUBLE) / (k_items - 1)) * " +
+      "(1.0 - siv / var_total), 6) + 0.0 END AS cronbach_alpha " +
+      "FROM sv, vt WHERE ct > 0")
   )
 }

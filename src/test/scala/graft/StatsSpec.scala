@@ -907,6 +907,81 @@ class StatsSpec extends AnyFunSuite {
       Seq.empty[(Long, Int)].toDF("dur", "cev"), "dur", "cev").count() == 0)
   }
 
+  test("kruskalWallis: hand-pinned floor-micro H; degenerate ties; contract") {
+    import spark.implicits._
+    // A={1,2} B={3,4} C={5,6}: ranks 1..6, R2 = 6/14/22,
+    // S = (36+196+484)e6/8 = 89_500_000; H = 12*89.5/42 - 21 = 4.571428...
+    val df = (Seq(1.0, 2.0).map(("A", _)) ++ Seq(3.0, 4.0).map(("B", _)) ++
+      Seq(5.0, 6.0).map(("C", _))).toDF("g", "v")
+    val r = Stats.kruskalWallis(df, "g", "v").collect().head
+    assert(r.getAs[Int]("n_groups") == 3 && r.getAs[Long]("n_total") == 6L)
+    assert(r.getAs[Long]("sum_ties") == 0L)
+    assert(r.getAs[Long]("h_ppm") == 4571428L)
+    assert(r.getAs[Int]("df") == 2)
+    // all values tied: tie-corrected variance is zero -> NULL H
+    val tied = Seq(("A", 1.0), ("A", 1.0), ("B", 1.0), ("B", 1.0))
+      .toDF("g", "v")
+    val t = Stats.kruskalWallis(tied, "g", "v").collect().head
+    assert(t.isNullAt(t.fieldIndex("h_ppm")))
+    val one = Seq(("A", 1.0), ("A", 2.0)).toDF("g", "v")
+    val err = intercept[Exception] { Stats.kruskalWallis(one, "g", "v").collect() }
+    assert(err.toString.contains("at least 2 groups") ||
+      Option(err.getCause).exists(_.toString.contains("at least 2 groups")))
+    assert(Stats.kruskalWallis(
+      Seq.empty[(String, Double)].toDF("g", "v"), "g", "v").count() == 0)
+  }
+
+  test("cochranArmitage: hand-pinned z2; degenerate NULL; dose contract") {
+    import spark.implicits._
+    // doses 0,0,1,1,2,2 with y 0,0,0,1,1,1:
+    // N=6 R=3 B=6 A=5 Q=10 -> z2 = 6*(30-18)^2 / (3*3*24) = 4.0
+    val df = Seq((0L, 0), (0L, 0), (1L, 0), (1L, 1), (2L, 1), (2L, 1))
+      .toDF("dose", "y")
+    val r = Stats.cochranArmitage(df, "dose", "y").collect().head
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("n_cases") == 3L)
+    assert(r.getAs[Long]("z2_ppm") == 4000000L)
+    assert(r.getAs[Boolean]("significant_05")) // 4.0 > 3.841459
+    // degenerate outcome (all cases): NULL, never a division blow-up
+    val allCase = Seq((0L, 1), (1L, 1)).toDF("dose", "y")
+    val a = Stats.cochranArmitage(allCase, "dose", "y").collect().head
+    assert(a.isNullAt(a.fieldIndex("z2_ppm")))
+    val neg = Seq((-1L, 0)).toDF("dose", "y")
+    val err = intercept[Exception] { Stats.cochranArmitage(neg, "dose", "y").collect() }
+    assert(err.toString.contains("non-negative") ||
+      Option(err.getCause).exists(_.toString.contains("non-negative")))
+    assert(Stats.cochranArmitage(
+      Seq.empty[(Long, Int)].toDF("dose", "y"), "dose", "y").count() == 0)
+  }
+
+  test("cronbachAlpha: perfectly consistent items; listwise deletion; contracts") {
+    import spark.implicits._
+    // two items in lockstep across 4 subjects -> alpha = 1.0
+    val df = (1 to 4).flatMap(i =>
+      Seq((s"u$i", "a", i.toDouble), (s"u$i", "b", i.toDouble)))
+      .toDF("u", "i", "v")
+    val r = Stats.cronbachAlpha(df, "u", "i", "v").collect().head
+    assert(r.getAs[Long]("n_subjects") == 4L && r.getAs[Int]("k_items") == 2)
+    assert(r.getAs[Double]("sum_item_var") == 3.333334)
+    assert(r.getAs[Double]("var_total") == 6.666667)
+    assert(r.getAs[Double]("cronbach_alpha") == 1.0)
+    // a subject missing an item is listwise-deleted, not zero-filled
+    val withHole = df.union(Seq(("u5", "a", 9.0)).toDF("u", "i", "v"))
+    val h = Stats.cronbachAlpha(withHole, "u", "i", "v").collect().head
+    assert(h.getAs[Long]("n_subjects") == 4L)
+    // duplicate (subject, item) raises
+    val dup = df.union(Seq(("u1", "a", 2.0)).toDF("u", "i", "v"))
+    val err = intercept[Exception] { Stats.cronbachAlpha(dup, "u", "i", "v").collect() }
+    assert(err.toString.contains("duplicate") ||
+      Option(err.getCause).exists(_.toString.contains("duplicate")))
+    // a single item: alpha undefined -> NULL
+    val single = (1 to 3).map(i => (s"u$i", "a", i.toDouble)).toDF("u", "i", "v")
+    val s1 = Stats.cronbachAlpha(single, "u", "i", "v").collect().head
+    assert(s1.isNullAt(s1.fieldIndex("cronbach_alpha")))
+    assert(Stats.cronbachAlpha(
+      Seq.empty[(String, String, Double)].toDF("u", "i", "v"),
+      "u", "i", "v").count() == 0)
+  }
+
   test("pairedPermutationTest: exact T sums; degenerate and one-sided behavior") {
     import spark.implicits._
     // all-zero diffs: every |T_b| = |T_obs| = 0 -> p = 1e6 exactly
