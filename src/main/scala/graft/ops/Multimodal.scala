@@ -147,6 +147,65 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** HEADER TRIAGE: container format + CLAIMED dimensions from the
+    * first bytes only ([[graft.functions.ImageDimsExpression]] — PNG /
+    * GIF / BMP / JPEG-SOF magic dispatch, junk → ("unknown", −1, −1)).
+    * The 100 TB point: a corpus triage pass ("what formats, what
+    * resolutions, what's junk") must not DECODE every payload —
+    * [[ImageIoDecoder]] reads every pixel, this reads ≤ a few dozen
+    * bytes per row, map-only. Appends format/width/height. */
+  def imageHeaderScan(df: DataFrame, bytesCol: String): DataFrame = {
+    val dims = graft.functions.MediaFunctions.image_dims(col(bytesCol))
+    df.withColumn("_dims", dims)
+      .withColumn("format", col("_dims").getField("format"))
+      .withColumn("width", col("_dims").getField("width"))
+      .withColumn("height", col("_dims").getField("height"))
+      .drop("_dims")
+  }
+
+  /** Deterministic header-bytes fixture: builds REAL container headers
+    * (PNG IHDR, GIF89a logical screen, BMP BITMAPINFOHEADER, minimal
+    * JPEG SOI+SOF0) with dimensions derived from the id — width
+    * id % 640 + 32, height id % 480 + 32, format cycling by id % 5
+    * with the fifth slot JUNK bytes (triage must map them to unknown,
+    * never die). The p312 harness input: the oracle recomputes the
+    * dims arithmetically, so any parser drift hash-fails. */
+  def headerBytesFromIds(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .map { id =>
+        val w = (id % 640 + 32).toInt
+        val h = (id % 480 + 32).toInt
+        val bytes = (id % 5) match {
+          case 0 => // PNG signature + IHDR chunk
+            Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+              be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(w) ++ be32(h) ++
+              Array[Byte](8, 6, 0, 0, 0)
+          case 1 => // GIF89a logical screen descriptor
+            "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++
+              Array[Byte](0, 0, 0)
+          case 2 => // BM + file header + BITMAPINFOHEADER prefix
+            "BM".getBytes("US-ASCII") ++ le32(0) ++ le32(0) ++ le32(54) ++
+              le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24)
+          case 3 => // SOI + SOF0 (len 17, precision 8, h, w, 3 comps)
+            Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xc0.toByte,
+              0x00, 0x11, 0x08) ++ be16(h) ++ be16(w) ++ Array[Byte](3)
+          case _ => // junk: must triage to unknown
+            s"notanimage:$id".getBytes("US-ASCII")
+        }
+        (id, bytes)
+      }
+      .toDF("media_id", "bytes")
+  }
+
   /** End-to-end multimodal profile: media table → batched decode →
     * per-row feature digest; the driver-surface query. The feature is
     * surfaced as the INTEGER bucket-0 byte count (recovered exactly from

@@ -3132,7 +3132,20 @@ object PipelineQueries {
         .join(cnt, Seq("user_id", "event_type"), "left")
         .withColumn("_c", coalesce(col("_c"), lit(0L)))
       graft.ops.Stats.cronbachAlpha(dense, "user_id", "event_type", "_c")
-    })
+    }),
+
+    // Image-header triage over REAL container headers (PNG IHDR /
+    // GIF89a / BMP INFOHEADER / JPEG SOF0, built from doc_id-derived
+    // dims, fifth slot junk): the map-only header sniffer recovers
+    // format + claimed dims WITHOUT decoding; the oracle recomputes
+    // the dims arithmetically, so any parser drift hash-fails.
+    "p312_image_header_scan" -> ((s, dir) =>
+      graft.ops.Multimodal.imageHeaderScan(
+        graft.ops.Multimodal.headerBytesFromIds(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "bytes")
+        .select(col("media_id"), col("format"), col("width"), col("height"))
+        .orderBy("media_id"))
   )
 
   private val langCase: String = {
@@ -8375,6 +8388,16 @@ object PipelineQueries {
       "OR siv IS NULL THEN NULL " +
       "ELSE round((CAST(k_items AS DOUBLE) / (k_items - 1)) * " +
       "(1.0 - siv / var_total), 6) + 0.0 END AS cronbach_alpha " +
-      "FROM sv, vt WHERE ct > 0")
+      "FROM sv, vt WHERE ct > 0"),
+
+    // the oracle recomputes the id-derived dims the harness embedded —
+    // the parser must recover them from the real header bytes
+    "p312_image_header_scan" -> (
+      "SELECT doc_id AS media_id, " +
+      "CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' " +
+      "WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' ELSE 'unknown' END AS format, " +
+      "CAST(CASE WHEN doc_id % 5 = 4 THEN -1 ELSE doc_id % 640 + 32 END AS INT) AS width, " +
+      "CAST(CASE WHEN doc_id % 5 = 4 THEN -1 ELSE doc_id % 480 + 32 END AS INT) AS height " +
+      "FROM documents ORDER BY media_id")
   )
 }

@@ -82,4 +82,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(one.nonEmpty)
     assert(one.map(_.getInt(1)).forall(_ % 2 == 0))
   }
+
+  test("imageHeaderScan recovers dims from ENCODER-produced headers, not just hand-built ones") {
+    import spark.implicits._
+    // real javax.imageio encoder output for png/bmp/gif — the sniffer
+    // must agree with the JDK's own containers, proving the parser
+    // against genuine files rather than the harness's synthesized bytes
+    // jpg exercises the segment-skipping SOF scan (real encoder output
+    // leads with APP0/DQT/DHT segments before the SOF marker)
+    val rows = Seq("png", "bmp", "gif", "jpg").zipWithIndex.map { case (fmt, i) =>
+      (i.toLong, if (fmt == "jpg") "jpeg" else fmt, makeImage(40 + i, 20 + i, fmt))
+    }
+    val df = rows.toDF("media_id", "expected", "bytes")
+    val out = Multimodal.imageHeaderScan(df, "bytes")
+      .select("media_id", "expected", "format", "width", "height")
+      .as[(Long, String, String, Int, Int)].collect().sortBy(_._1)
+    out.foreach { case (i, expected, fmt, w, h) =>
+      assert(fmt == expected, s"format sniff for $expected")
+      assert(w == 40 + i && h == 20 + i, s"dims for $expected")
+    }
+    // junk and truncated payloads triage to unknown, never throw
+    val junk = Seq((0L, "x".getBytes), (1L, Array[Byte](0x89.toByte, 'P')),
+      (2L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)))
+      .toDF("media_id", "bytes")
+    val j = Multimodal.imageHeaderScan(junk, "bytes")
+      .select("format", "width").as[(String, Int)].collect()
+    assert(j.forall(r => r._1 == "unknown" && r._2 == -1))
+  }
 }
