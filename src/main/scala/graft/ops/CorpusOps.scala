@@ -502,6 +502,93 @@ object CorpusOps {
       .select(col(idCol), col(groupCol), col("rk"))
   }
 
+  /** NEYMAN-ALLOCATION stratified sampling (Neyman 1934) — the
+    * variance-optimal survey design: stratum h gets n_h ∝ N_h·σ_h of
+    * the `totalN` budget, so high-variance strata are oversampled and
+    * homogeneous ones barely touched — the minimum-variance estimator
+    * of the population mean under a fixed budget, and the principled
+    * upgrade of proportional allocation for eval-set construction.
+    *
+    * Deterministic end to end: per-stratum σ is the round-6 sample sd
+    * off exact DECIMAL micro moments (the [[graft.ops.Stats.cohensD]]
+    * recipe); the weight is the floored micro integer ⌊N_h·σ_h·10⁶⌋;
+    * the budget splits by floored shares + LARGEST-REMAINDER
+    * apportionment (the [[temperatureSample]] recipe — ties broken by
+    * stratum label), each quota capped at the stratum size; rows are
+    * picked in (sha-256-of-id, id) order — RNG-free, reshuffle-stable,
+    * replayable on any engine. Singleton strata (sd undefined) carry
+    * weight 0 and can only be reached by remainder crumbs. If NO
+    * stratum has measurable variance the allocation is undefined —
+    * raises in-plan (use proportional/[[quotaSample]] instead).
+    *
+    * Shape: one stratum-keyed moment agg (bounded table), the
+    * apportionment on |strata|-bounded windows, one per-stratum rank
+    * window for the pick. Empty input → empty output.
+    *
+    * Returns (idCol, stratumCol, rk) — the sampled rows with their
+    * within-stratum pick rank. */
+  def neymanSample(
+      df: DataFrame,
+      stratumCol: String,
+      valueCol: String,
+      idCol: String,
+      totalN: Long): DataFrame = {
+    require(totalN > 0, s"neymanSample: totalN must be positive, got $totalN")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = df.where(col(valueCol).isNotNull && col(stratumCol).isNotNull)
+    val m = rows
+      .select(col(stratumCol).cast("string").as("_h"),
+        floor(col(valueCol).cast("double") * lit(1000000.0d)).cast("long")
+          .as("_v"))
+      .groupBy(col("_h"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_v").cast(d38)).cast(d38).as("_s"),
+        sum((col("_v").cast(d38) * col("_v")).cast(d38)).cast(d38).as("_q"))
+      .withColumn("_var",
+        when(col("_n") < 2L, lit(null).cast("double")).otherwise(
+          round(expr("CAST(_q * _n - _s * _s AS DOUBLE)") /
+            (col("_n").cast("double") * (col("_n") - 1L) * lit(1.0e12d)), 6)
+            + lit(0.0d)))
+      .withColumn("_sd",
+        when(col("_var").isNull, lit(0.0d))
+          .otherwise(round(sqrt(col("_var")), 6) + lit(0.0d)))
+      .withColumn("_w",
+        floor(col("_n").cast("double") * col("_sd") * lit(1000000.0d))
+          .cast("long"))
+    val g = m.agg(sum("_w").as("_wt"), sum("_n").as("_nn"))
+    val q0 = m.crossJoin(broadcast(g))
+      .withColumn("_wt",
+        when(col("_wt") <= 0L, raise_error(lit(
+          "neymanSample: no stratum has measurable variance — Neyman " +
+            "allocation undefined; use proportional allocation")))
+          .otherwise(col("_wt")))
+      .withColumn("_t", least(lit(totalN), col("_nn")))
+      .withColumn("_base", expr("_t * _w div _wt"))
+      .withColumn("_rem", expr("(_t * _w) % _wt"))
+    val byRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_rem").desc, col("_h").asc)
+    val quotas = q0
+      .withColumn("_extras", col("_t") - sum("_base").over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("_quota", least(
+        col("_base") + when(row_number().over(byRem) <= col("_extras"), 1L)
+          .otherwise(0L),
+        col("_n")))
+      .select(col("_h").as(stratumCol), col("_quota"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("_fp"), col(idCol))
+    rows
+      .withColumn(stratumCol, col(stratumCol).cast("string"))
+      .withColumn("_fp",
+        substring(sha2(col(idCol).cast("string"), 256), 1, 16))
+      .withColumn("rk", row_number().over(rankW).cast("long"))
+      .join(broadcast(quotas), Seq(stratumCol))
+      .where(col("rk") <= col("_quota"))
+      .select(col(idCol), col(stratumCol), col("rk"))
+  }
+
   /** Source-weighted mixing (domain up/down-sampling): emit ⌊w⌋ copies
     * of every doc from a source with weight w, plus one more decided by
     * a DETERMINISTIC content-hash draw with probability frac(w) — the

@@ -3145,7 +3145,19 @@ object PipelineQueries {
           Tables(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "bytes")
         .select(col("media_id"), col("format"), col("width"), col("height"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // Neyman-allocation stratified sample: 500 purchase events split
+    // across user-mod-8 strata ∝ N_h·σ_h (round-6 sd off exact micro
+    // moments, floored micro weights, largest-remainder apportionment,
+    // sha-256-of-id picks) — the variance-optimal eval-set draw.
+    "p313_neyman_sample" -> ((s, dir) =>
+      graft.ops.CorpusOps.neymanSample(
+        Tables(s, dir, "events")
+          .where(col("event_type") === "purchase")
+          .withColumn("strat", col("user_id") % 8),
+        "strat", "value", "event_id", 500L)
+        .orderBy("strat", "rk"))
   )
 
   private val langCase: String = {
@@ -8398,6 +8410,30 @@ object PipelineQueries {
       "WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' ELSE 'unknown' END AS format, " +
       "CAST(CASE WHEN doc_id % 5 = 4 THEN -1 ELSE doc_id % 640 + 32 END AS INT) AS width, " +
       "CAST(CASE WHEN doc_id % 5 = 4 THEN -1 ELSE doc_id % 480 + 32 END AS INT) AS height " +
-      "FROM documents ORDER BY media_id")
+      "FROM documents ORDER BY media_id"),
+
+    // identical round-6 sd off HUGEINT moments, floored micro weights,
+    // p85's largest-remainder ladder, sha-256-of-id pick order
+    "p313_neyman_sample" -> (
+      "WITH r AS (SELECT CAST(user_id % 8 AS VARCHAR) AS h, event_id, " +
+      "CAST(floor(value * 1000000) AS BIGINT) AS v FROM events " +
+      "WHERE event_type = 'purchase' AND value IS NOT NULL), " +
+      "m AS (SELECT h, COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS s, " +
+      "SUM(CAST(v AS HUGEINT) * v) AS q FROM r GROUP BY 1), " +
+      "v2 AS (SELECT h, n, CASE WHEN n < 2 THEN 0.0 " +
+      "ELSE round(sqrt(round(CAST(q * n - s * s AS DOUBLE) / " +
+      "(CAST(n AS DOUBLE) * (n - 1) * 1000000000000.0), 6) + 0.0), 6) + 0.0 END AS sd FROM m), " +
+      "w AS (SELECT h, n, CAST(floor(CAST(n AS DOUBLE) * sd * 1000000.0) AS BIGINT) AS w FROM v2), " +
+      "g AS (SELECT SUM(w) AS wt, LEAST(500, SUM(n)) AS t FROM w), " +
+      "q0 AS (SELECT h, n, w, (t * w) // wt AS base, (t * w) % wt AS rem, t FROM w, g), " +
+      "ex AS (SELECT MAX(t) - SUM(base) AS extras FROM q0), " +
+      "qq AS (SELECT h, LEAST(base + (CASE WHEN ROW_NUMBER() OVER " +
+      "(ORDER BY rem DESC, h ASC) <= extras THEN 1 ELSE 0 END), n) AS quota FROM q0, ex), " +
+      "f AS (SELECT event_id, h, " +
+      "substring(sha256(CAST(event_id AS VARCHAR)), 1, 16) AS fp FROM r), " +
+      "rk AS (SELECT event_id, h, ROW_NUMBER() OVER (PARTITION BY h " +
+      "ORDER BY fp, event_id) AS rk FROM f) " +
+      "SELECT rk.event_id, rk.h AS strat, CAST(rk.rk AS BIGINT) AS rk " +
+      "FROM rk JOIN qq USING (h) WHERE rk.rk <= qq.quota ORDER BY strat, rk")
   )
 }

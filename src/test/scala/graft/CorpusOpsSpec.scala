@@ -512,6 +512,44 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, 1L, 0L, 1.0)))
   }
 
+  test("neymanSample: N·sd allocation by hand; zero-variance strata starve; contract") {
+    import spark.implicits._
+    // A: 4 rows sd 0 (all 5.0) -> w = 0; B: 4 rows of {1,2,3,4} ->
+    // var 1.666667, sd 1.290995, w = floor(4*1.290995*1e6) = 5163980;
+    // C: 2 rows {0, 10} -> var 50.0, sd 7.071068, w = floor(2*7.071068e6)
+    // = 14142136. T = min(6, 10) = 6: base = 6w/W -> B: 1 (rem...), C: 4;
+    // extras = 1 -> larger remainder wins.
+    val df = ((1 to 4).map(i => (i.toLong, "A", 5.0)) ++
+      Seq((5L, "B", 1.0), (6L, "B", 2.0), (7L, "B", 3.0), (8L, "B", 4.0)) ++
+      Seq((9L, "C", 0.0), (10L, "C", 10.0))).toDF("id", "h", "v")
+    val out = CorpusOps.neymanSample(df, "h", "v", "id", 6L)
+      .collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // W = 19306116; base B = 6*5163980/W = 1, base C = 6*14142136/W = 4
+    // (84852816/19306116 = 4.39 -> 4); extras = 6-5 = 1 -> goes to the
+    // larger remainder; C capped at n=2 regardless
+    assert(out.getOrElse("A", 0) == 0) // zero-variance stratum starves
+    assert(out("B") + out.getOrElse("C", 0) <= 6)
+    assert(out.getOrElse("C", 0) <= 2) // capped at stratum size
+    assert(out("B") >= 1)
+    // determinism: identical picks across reruns
+    val a = CorpusOps.neymanSample(df, "h", "v", "id", 6L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    val b = CorpusOps.neymanSample(df, "h", "v", "id", 6L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b && a.nonEmpty)
+    // all-zero variance: allocation undefined -> raises
+    val flat = Seq((1L, "A", 2.0), (2L, "A", 2.0), (3L, "B", 7.0),
+      (4L, "B", 7.0)).toDF("id", "h", "v")
+    val err = intercept[Exception] {
+      CorpusOps.neymanSample(flat, "h", "v", "id", 2L).collect()
+    }
+    assert(err.toString.contains("measurable variance") ||
+      Option(err.getCause).exists(_.toString.contains("measurable variance")))
+    assert(CorpusOps.neymanSample(
+      Seq.empty[(Long, String, Double)].toDF("id", "h", "v"),
+      "h", "v", "id", 5L).count() == 0)
+  }
+
   test("temperatureSample: sqrt shares + largest remainder, by hand") {
     // A:9 B:4 C:1 -> w = 3,2,1 (W=6), N=14, T=7
     // base = 3,2,1 (rem 3,2,1), extras = 1 -> A gets it
