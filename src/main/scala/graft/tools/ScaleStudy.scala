@@ -122,14 +122,19 @@ object ScaledOps {
       spark: SparkSession,
       docsPath: String,
       eventsPath: String,
-      embPath: String): Seq[(String, Double)] = {
+      embPath: String,
+      only: Option[Seq[String]] = None): Seq[(String, Double)] = {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_ITERS", "3").toInt
     def sink(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
+    // entries run EAGERLY while the Seq below is constructed, so the
+    // ScaledTier dev-loop filter must apply here, not on the result
+    def selected(name: String): Boolean = only.forall(_.exists(name.contains))
     def time(name: String)(f: => Unit): (String, Double) = {
+      if (!selected(name)) return (name, Double.NaN)
       // same block hygiene as Bench's per-query loop: leftovers from the
       // previous op must not bill this one (untimed)
       val times = (1 to iters).flatMap { _ =>
@@ -146,9 +151,6 @@ object ScaledOps {
       name -> (if (times.isEmpty) -1.0 else median(times))
     }
     val docs = spark.read.parquet(docsPath)
-    // pre-counted OUTSIDE any timed block: the graph tier's relative
-    // df ceiling needs the corpus size (parquet metadata count, ~ms)
-    val nDocsForEdges = docs.count()
     val ev = spark.read.parquet(eventsPath)
     def pairs = Dedup.nearDupSizesShingled(
         Dedup.withWordShingles(docs.select("doc_id", "text"), "doc_id", "text", 3),
@@ -255,18 +257,29 @@ object ScaledOps {
         shingleSize = 3, thresholdMicro = 900000L,
         dfCeiling = Some(100L), dfCeilingFraction = Some(0.02))) },
       time("ann_ivfpq") { sink(ivfPqPipeline(spark.read.parquet(embPath), k = 3)) },
-      // iterative graph tier over the token co-occurrence graph of the
-      // scaled corpus (±2 window, pairs seen ≥5×): real power-law
-      // degrees — "the" is a hub — so these exercise exactly the
-      // persist + orientation machinery the 100 TB story rests on
+      // iterative graph tier over the PLANTED Zipf-attachment graph
+      // (50k nodes, ~400k edges, hub ≈ 26k — materialized parquet, so
+      // the timing is the graph algorithm, not input derivation).
+      // Rounds 8-12 ran these on the scaled CORPUS's token collocation
+      // graph — but the synthetic corpus's vocabulary saturates, so at
+      // ×20 that graph is ~500 edges regardless of the df ceiling: the
+      // entries were measuring tokenization + per-round plan overhead
+      // on a toy graph. The planted graph is the same input family as
+      // SCALING.md's measured ×1/×4/×20/×50 rung.
       time("pagerank") { sink(graft.ops.Graph.pageRank(
-        tokenEdges(docs, nDocsForEdges), iters = 3)) },
+        plantedEdges(spark, cpusForGraph(spark)), iters = 3)) },
       time("triangles") { sink(graft.ops.Graph.triangleCount(
-        tokenEdges(docs, nDocsForEdges))) },
+        plantedEdges(spark, cpusForGraph(spark)))) },
+      // degCap engaged: the planted 26k-endpoint hub makes UNCAPPED
+      // wedge candidates ~deg² ≈ 7·10⁸ per iteration — the degCap
+      // valve (drop hub CENTERS before the self-join; "everyone's
+      // neighbor" carries no link signal) is the documented at-scale
+      // posture, and this entry measures it engaged
       time("link_prediction") { sink(graft.ops.Graph.linkPrediction(
-        tokenEdges(docs, nDocsForEdges), topK = 50)) },
+        plantedEdges(spark, cpusForGraph(spark)), topK = 50,
+        degCap = Some(256L))) },
       time("kcore") { sink(graft.ops.Graph.kCorePeel(
-        tokenEdges(docs, nDocsForEdges), k = 8, rounds = 3)) },
+        plantedEdges(spark, cpusForGraph(spark)), k = 8, rounds = 3)) },
       time("growth_accounting") { sink(graft.ops.EventsOps.growthAccounting(ev)) },
       // round-10 additions at scale: the banded matching join (hot-block
       // watch) and the L-scaled agreement fold (pure partial aggs)
@@ -296,7 +309,10 @@ object ScaledOps {
       // per-user O(g²) under constant group size — the scaled tier
       // checks the pair stage stays linear in #users
       time("theil_sen") { sink(graft.ops.EventsOps.theilSenTrend(ev)) },
-      annIvfPqRecall(spark.read.parquet(embPath)))
+      (if (selected("ann_ivfpq_recall_pct"))
+        annIvfPqRecall(spark.read.parquet(embPath))
+      else ("ann_ivfpq_recall_pct", Double.NaN)))
+      .filterNot(_._2.isNaN)
   }
 
   /** Token co-occurrence edges — the public
@@ -307,11 +323,23 @@ object ScaledOps {
     * excluded EVERY common token at ×20 (60k docs), silently collapsing
     * the ×20 collocation graph to ~1 edge — the scaled graph timings
     * were measuring an empty input (round-12 find; the planted-graph
-    * rung was never affected). `nDocs` must be pre-counted OUTSIDE the
-    * timed block. */
+    * rung was never affected). Even fixed, the synthetic corpus's
+    * vocabulary saturates (~500 edges at ×20), so the scaled graph
+    * entries now run on [[plantedEdges]] instead; this stays for any
+    * collocation-derivation probe. `nDocs` must be pre-counted OUTSIDE
+    * the timed block. */
   private def tokenEdges(docs: DataFrame, nDocs: Long): DataFrame =
     CorpusOps.collocationEdges(docs, window = 2, minCount = 5L,
       dfCeiling = math.max(10000L, 4L * nDocs))
+
+  /** The ×1 planted Zipf graph (50k nodes, avg out-degree 8, hub ≈ 26k
+    * endpoints), materialized to parquet once per box — the scaled
+    * tier's graph input. */
+  private def plantedEdges(spark: SparkSession, parts: Int): DataFrame =
+    spark.read.parquet(ScaleData.materializeGraph(spark, 50000L, 8, 1, parts))
+
+  private def cpusForGraph(spark: SparkSession): Int =
+    spark.sparkContext.defaultParallelism
 
   private[tools] def ivfPqPipeline(emb: DataFrame, k: Int): DataFrame = {
     val q = emb.where(col("vec_id") < 50)
