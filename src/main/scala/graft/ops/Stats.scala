@@ -1099,6 +1099,94 @@ object Stats {
       col("cohens_d"), col("hedges_g"))
   }
 
+  /** TWO-SAMPLE ANDERSON–DARLING test — the distribution-equality test
+    * with TAIL sensitivity (Pettitt 1976; the tie-aware A²_akN form of
+    * Scholz & Stephens 1987 eq. 7 with midrank cumulatives): KS sees
+    * the biggest CDF gap, Cramér–von Mises the average, AD weights the
+    * tails by 1/(F(1−F)) — the test that catches "same median,
+    * different extremes", which is exactly where value distributions
+    * drift first. Completes the in-engine KS (p135) / CvM (p242) /
+    * AD trio on THE SAME [[mwTiedRankLadder]] kernel.
+    *
+    * Arithmetic: the ladder's doubled midrank cumulatives keep every
+    * B/M quantity integer (2B = 2·cumℓ − ℓ, 2Mᵢ = 2·cumᵢ − cᵢ); each
+    * distinct value contributes per-sample round-6 terms
+    * ℓ·(N·2Mᵢ − nᵢ·2B)²/4 ÷ (N·nᵢ·(2B(2N−2B) − 4Nℓ)/4) computed as
+    * ONE division of exact DECIMAL integer products cast to double in
+    * pinned order; A² is round-6 of (N−1)/N times the round-6 term
+    * sum. `significant_05` compares round-6 A² against the asymptotic
+    * upper-5% point 2.492 (Pettitt 1976, table 1 — the two-sample A²
+    * shares the one-sample limit law). A degenerate pooled sample
+    * (single distinct value) yields A² = 0. Exactly two groups
+    * required — raises in-plan.
+    *
+    * Shape: ONE (value, group) partial agg collapses the corpus; the
+    * ladder and term fold ride the distinct-value-bounded table.
+    * Empty input → empty output. Returns ONE row (group_a, group_b,
+    * n_a, n_b, a2, significant_05). */
+  def andersonDarling(
+      df: DataFrame,
+      groupCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val rows = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("_g"),
+        col(valueCol).cast("double").as("_v"))
+    val perVG = rows.groupBy(col("_v"), col("_g")).agg(count(lit(1)).as("_c"))
+    val gAgg = perVG.agg(min(col("_g")).as("_gaN"), max(col("_g")).as("_gbN"),
+      countDistinct(col("_g")).as("_ng"))
+    val byV = perVG.crossJoin(broadcast(gAgg))
+      .groupBy(col("_v"))
+      .agg(
+        sum(when(col("_g") === col("_gaN"), col("_c")).otherwise(0L)).as("_c1"),
+        sum(when(col("_g") =!= col("_gaN"), col("_c")).otherwise(0L)).as("_c2"),
+        max(col("_ng")).as("_ng"),
+        max(col("_gaN")).as("_ga"), max(col("_gbN")).as("_gb"))
+    val wRun = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val laddered = mwTiedRankLadder(byV)
+      .withColumn("_cum1", sum(col("_c1")).over(wRun))
+      .withColumn("_cumT", sum(col("_ct")).over(wRun))
+      .withColumn("_n1", sum(col("_c1")).over(wAll))
+      .withColumn("_n2", sum(col("_c2")).over(wAll))
+      .withColumn("_nn", col("_n1") + col("_n2"))
+      // doubled midrank cumulatives: integers by construction
+      .withColumn("_b2", (lit(2L) * col("_cumT") - col("_ct")).cast(d38))
+      .withColumn("_m21", (lit(2L) * col("_cum1") - col("_c1")).cast(d38))
+      .withColumn("_m22", (lit(2L) * (col("_cumT") - col("_cum1")) -
+        (col("_ct") - col("_c1"))).cast(d38))
+      // 4·(B(N−B) − Nℓ/4), exact DECIMAL
+      .withColumn("_den4", (col("_b2") * (lit(2L) * col("_nn") - col("_b2")) -
+        lit(4L) * col("_nn") * col("_ct")).cast(d38))
+    def term(m2: Column, ni: Column): Column = {
+      val num = (col("_nn").cast(d38) * m2 - ni.cast(d38) * col("_b2")).cast(d38)
+      when(col("_den4") <= 0L || ni === 0L, lit(0.0d)).otherwise(
+        round((col("_ct").cast("double") * num.cast("double") *
+          num.cast("double")) /
+          (col("_nn").cast("double") * ni.cast("double") *
+            col("_den4").cast("double")), 6) + lit(0.0d))
+    }
+    val terms = laddered
+      .withColumn("_t", term(col("_m21"), col("_n1")) +
+        term(col("_m22"), col("_n2")))
+    val agg = terms.groupBy(col("_ga"), col("_gb"))
+      .agg(max(col("_ng")).as("_ngx"),
+        max(col("_n1")).as("n_a"), max(col("_n2")).as("n_b"),
+        max(col("_nn")).as("_nt"),
+        (round(sum(col("_t")), 6) + lit(0.0d)).as("_s"))
+    agg.select(
+      when(col("_ngx") =!= 2, raise_error(concat(
+        lit("andersonDarling: need exactly 2 groups with non-null " +
+          "values, got "), col("_ngx").cast("string"))))
+        .otherwise(col("_ga")).as("group_a"),
+      col("_gb").as("group_b"), col("n_a"), col("n_b"),
+      (round((col("_nt") - 1L).cast("double") / col("_nt") * col("_s"), 6)
+        + lit(0.0d)).as("a2"))
+      .withColumn("significant_05", col("a2") > lit(2.492d))
+  }
+
   /** KRUSKAL–WALLIS rank test across K groups — [[mannWhitney]]'s
     * k-group generalization (Kruskal & Wallis 1952), the nonparametric
     * one-way "do these k sources/segments draw from the same value

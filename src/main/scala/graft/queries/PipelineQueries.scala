@@ -3157,7 +3157,16 @@ object PipelineQueries {
           .where(col("event_type") === "purchase")
           .withColumn("strat", col("user_id") % 8),
         "strat", "value", "event_id", 500L)
-        .orderBy("strat", "rk"))
+        .orderBy("strat", "rk")),
+
+    // Two-sample Anderson–Darling between click and purchase value
+    // distributions — the tail-weighted member of the KS/CvM/AD trio,
+    // on the shared Mann–Whitney tied-rank ladder.
+    "p314_anderson_darling" -> ((s, dir) =>
+      graft.ops.Stats.andersonDarling(
+        Tables(s, dir, "events")
+          .where(col("event_type").isin("click", "purchase")),
+        "event_type", "value"))
   )
 
   private val langCase: String = {
@@ -8434,6 +8443,40 @@ object PipelineQueries {
       "rk AS (SELECT event_id, h, ROW_NUMBER() OVER (PARTITION BY h " +
       "ORDER BY fp, event_id) AS rk FROM f) " +
       "SELECT rk.event_id, rk.h AS strat, CAST(rk.rk AS BIGINT) AS rk " +
-      "FROM rk JOIN qq USING (h) WHERE rk.rk <= qq.quota ORDER BY strat, rk")
+      "FROM rk JOIN qq USING (h) WHERE rk.rk <= qq.quota ORDER BY strat, rk"),
+
+    // the identical doubled-midrank ladder, HUGEINT B/M/den4 integers,
+    // round-6 per-value terms in pinned operand order, pinned 2.492 cut
+    "p314_anderson_darling" -> (
+      "WITH r AS (SELECT event_type AS g, value AS v FROM events " +
+      "WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')), " +
+      "pv AS (SELECT v, g, COUNT(*) AS c FROM r GROUP BY 1, 2), " +
+      "bv AS (SELECT v, SUM(CASE WHEN g = 'click' THEN c ELSE 0 END) AS c1, " +
+      "SUM(CASE WHEN g <> 'click' THEN c ELSE 0 END) AS c2 FROM pv GROUP BY 1), " +
+      "g2 AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM bv), " +
+      "lad AS (SELECT v, c1, c2, c1 + c2 AS ct, " +
+      "SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1, " +
+      "SUM(c1 + c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt FROM bv), " +
+      "t AS (SELECT lad.*, n1, n2, n1 + n2 AS nn, " +
+      "CAST(2 * cumt - ct AS HUGEINT) AS b2, " +
+      "CAST(2 * cum1 - c1 AS HUGEINT) AS m21, " +
+      "CAST(2 * (cumt - cum1) - (ct - c1) AS HUGEINT) AS m22 FROM lad, g2), " +
+      "d AS (SELECT *, b2 * (2 * nn - b2) - 4 * CAST(nn AS HUGEINT) * ct AS den4, " +
+      "CAST(nn AS HUGEINT) * m21 - CAST(n1 AS HUGEINT) * b2 AS nu1, " +
+      "CAST(nn AS HUGEINT) * m22 - CAST(n2 AS HUGEINT) * b2 AS nu2 FROM t), " +
+      "tm AS (SELECT nn, n1, n2, " +
+      "(CASE WHEN den4 <= 0 OR n1 = 0 THEN 0.0 " +
+      "ELSE round((CAST(ct AS DOUBLE) * CAST(nu1 AS DOUBLE) * CAST(nu1 AS DOUBLE)) / " +
+      "(CAST(nn AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(den4 AS DOUBLE)), 6) + 0.0 END) + " +
+      "(CASE WHEN den4 <= 0 OR n2 = 0 THEN 0.0 " +
+      "ELSE round((CAST(ct AS DOUBLE) * CAST(nu2 AS DOUBLE) * CAST(nu2 AS DOUBLE)) / " +
+      "(CAST(nn AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(den4 AS DOUBLE)), 6) + 0.0 END) AS tt FROM d), " +
+      "ag AS (SELECT MAX(nn) AS nt, MAX(n1) AS na, MAX(n2) AS nb, " +
+      "round(SUM(tt), 6) + 0.0 AS s FROM tm) " +
+      "SELECT 'click' AS group_a, 'purchase' AS group_b, " +
+      "CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+      "round(CAST(nt - 1 AS DOUBLE) / nt * s, 6) + 0.0 AS a2, " +
+      "(round(CAST(nt - 1 AS DOUBLE) / nt * s, 6) + 0.0) > 2.492 AS significant_05 " +
+      "FROM ag WHERE nt > 0")
   )
 }

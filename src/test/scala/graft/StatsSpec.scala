@@ -907,6 +907,58 @@ class StatsSpec extends AnyFunSuite {
       Seq.empty[(Long, Int)].toDF("dur", "cev"), "dur", "cev").count() == 0)
   }
 
+  test("andersonDarling: replayed midrank ladder; shifted tail detected; degenerate 0; contract") {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // replay of the pinned arithmetic over an arbitrary tied fixture
+    def replay(a: Seq[Double], b: Seq[Double]): Double = {
+      val n1 = a.length.toLong; val n2 = b.length.toLong; val nn = n1 + n2
+      val vs = (a ++ b).distinct.sorted
+      var cum1 = 0L; var cumT = 0L; var s = 0.0
+      vs.foreach { v =>
+        val c1 = a.count(_ == v).toLong; val c2 = b.count(_ == v).toLong
+        val ct = c1 + c2
+        cum1 += c1; cumT += ct
+        val b2 = 2 * cumT - ct
+        val m21 = 2 * cum1 - c1
+        val m22 = 2 * (cumT - cum1) - (ct - c1)
+        val den4 = b2 * (2 * nn - b2) - 4 * nn * ct
+        def term(m2: Long, ni: Long): Double = {
+          val nu = nn * m2 - ni * b2
+          if (den4 <= 0 || ni == 0) 0.0
+          else r6(ct.toDouble * nu * nu / (nn.toDouble * ni * den4))
+        }
+        s += term(m21, n1) + term(m22, n2)
+      }
+      r6((nn - 1).toDouble / nn * r6(s))
+    }
+    val a = Seq(1.0, 2.0, 2.0, 3.0, 5.0)
+    val b = Seq(2.0, 4.0, 6.0, 9.0)
+    val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+    val r = Stats.andersonDarling(df, "g", "v").collect().head
+    assert(r.getAs[String]("group_a") == "A" && r.getAs[Long]("n_a") == 5L)
+    assert(r.getAs[Double]("a2") == replay(a, b))
+    // a gross location shift IS detected (rank space: magnitude-free)
+    val base = (1 to 40).map(_.toDouble)
+    val shifted = (21 to 60).map(_.toDouble)
+    val sTest = Stats.andersonDarling(
+      (base.map(("A", _)) ++ shifted.map(("B", _))).toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(sTest.getAs[Double]("a2") == replay(base, shifted))
+    assert(sTest.getAs[Boolean]("significant_05"))
+    // single pooled distinct value: A² pinned to exactly 0
+    val flat = Seq(("A", 1.0), ("A", 1.0), ("B", 1.0)).toDF("g", "v")
+    assert(Stats.andersonDarling(flat, "g", "v").collect()
+      .head.getAs[Double]("a2") == 0.0)
+    val three = Seq(("A", 1.0), ("B", 1.0), ("C", 1.0)).toDF("g", "v")
+    val err = intercept[Exception] { Stats.andersonDarling(three, "g", "v").collect() }
+    assert(err.toString.contains("exactly 2 groups") ||
+      Option(err.getCause).exists(_.toString.contains("exactly 2 groups")))
+    assert(Stats.andersonDarling(
+      Seq.empty[(String, Double)].toDF("g", "v"), "g", "v").count() == 0)
+  }
+
   test("kruskalWallis: hand-pinned floor-micro H; degenerate ties; contract") {
     import spark.implicits._
     // A={1,2} B={3,4} C={5,6}: ranks 1..6, R2 = 6/14/22,
