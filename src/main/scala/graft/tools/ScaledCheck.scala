@@ -137,6 +137,31 @@ object ScaledCheck {
         strat.join(broadcast(eTab), "_s"), "_t", "_ym", "_e", 10000L))),
       "qte" -> (() => fingerprint(graft.ops.Stats.quantileTreatmentEffect(
         grp, "grp", "value", Seq(25, 50, 75, 90)))),
+      // round-12 estimator family at scale: the BigInt kernels (kw_h)
+      // and doubled-midrank ladders whose interiors grow ~N⁴
+      "anderson_darling" -> (() => fingerprint(
+        graft.ops.Stats.andersonDarling(
+          ev.where(col("event_type").isin("click", "purchase")),
+          "event_type", "value"))),
+      "kruskal_wallis" -> (() => fingerprint(
+        graft.ops.Stats.kruskalWallis(ev, "event_type", "value"))),
+      "cohens_d" -> (() => fingerprint(
+        graft.ops.Stats.cohensD(grp, "grp", "value"))),
+      "perm_test" -> (() => fingerprint({
+        val day = expr("CAST(floor(CAST(unix_micros(ts) AS DOUBLE) " +
+          "/ 1000000.0) AS BIGINT) div 86400")
+        val vm = floor(col("value").cast("double") * lit(1000000.0d))
+          .cast("long")
+        val perUser = ev.where(col("value").isNotNull)
+          .select(col("user_id"), day.as("_day"), vm.as("_vm"))
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("_day") % 2 === 0, col("_vm")).otherwise(0L))
+            .as("_a"),
+            sum(when(col("_day") % 2 =!= 0, col("_vm")).otherwise(0L))
+              .as("_b"))
+        graft.ops.Stats.pairedPermutationTest(
+          perUser, "user_id", "_a", "_b", 200)
+      })),
       // ---- x20 embeddings ------------------------------------------
       // recall vs exact top-3 as (hits, total): index quality at scale
       "ann_ivfpq_hits" -> (() => {
@@ -176,12 +201,20 @@ object ScaledCheck {
         }.toMap finally src.close()
       }
 
-    if (pins.isEmpty) {
-      val w = new java.io.PrintWriter(pinFile, "UTF-8")
-      try results.foreach { case (n, r, h, err, _) =>
-        if (err == null) w.println(s"$n $r $h")
-      } finally w.close()
-      println(s"[scaled-check] BOOTSTRAPPED ${results.count(_._4 == null)} pins -> $pinPath (commit it)")
+    // bootstrap when no pin file; APPEND pins for checks added after
+    // the original bootstrap (a new check without a pin would otherwise
+    // pass vacuously forever)
+    val missing = results.filter { case (n, _, _, err, _) =>
+      err == null && !pins.contains(n)
+    }
+    if (pins.isEmpty || missing.nonEmpty) {
+      val w = new java.io.PrintWriter(
+        new java.io.FileWriter(pinFile, pins.nonEmpty)) // append if pins exist
+      try (if (pins.isEmpty) results.filter(_._4 == null) else missing)
+        .foreach { case (n, r, h, _, _) => w.println(s"$n $r $h") }
+      finally w.close()
+      println(s"[scaled-check] pinned ${if (pins.isEmpty) results.count(_._4 == null) else missing.length} " +
+        s"new fingerprints -> $pinPath (commit it)")
     }
 
     val rows = results.map { case (n, r, h, err, sec) =>
