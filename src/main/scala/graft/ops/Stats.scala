@@ -1249,6 +1249,104 @@ object Stats {
       kernel.getField("df").as("df"))
   }
 
+  /** FRIEDMAN TEST for k treatments over n blocks (Friedman 1937;
+    * Conover 1999's tie-corrected T1) — the repeated-measures
+    * complement to [[kruskalWallis]]: KW compares INDEPENDENT groups,
+    * Friedman ranks treatments WITHIN each subject so between-subject
+    * variation never pollutes the comparison (per-user variant
+    * rankings, per-document scorer comparisons). With within-block
+    * average-rank ties,
+    *
+    *   T1 = (k−1)·Σⱼ(Rⱼ − n(k+1)/2)² / (Σᵢⱼ r²ᵢⱼ − nk(k+1)²/4)
+    *
+    * which in DOUBLED ranks (2·avgrank = 2·minrank + t − 1, an
+    * integer) clears to the pure integer rational
+    * (k−1)·ΣD²ⱼ / (Σ r2² − nk(k+1)²) with Dⱼ = R2ⱼ − n(k+1) — exact
+    * DECIMAL end to end (interior ≤ ~4n²k³, inside DECIMAL(38,0) for
+    * any real corpus since k ≤ maxTreatments), `t1_ppm` the floored
+    * ppm statistic. No significance column: the χ² cut depends on
+    * df = k−1 (the [[kruskalWallis]] convention).
+    *
+    * Contract: complete blocks only — subjects missing any treatment
+    * are LISTWISE-DROPPED (the Friedman requirement; densify upstream
+    * if absence means zero), duplicate (subject, treatment) rows raise
+    * in-plan, ≥ 2 treatments required, > `maxTreatments` raises.
+    * All-tied blocks everywhere → NULL (zero denominator). Empty
+    * input → empty output.
+    *
+    * Shape: ranks ride windows PARTITIONED BY SUBJECT (each partition
+    * is one k-bounded block — millions of tiny partitions, the
+    * scalable shape); everything after is treatment-bounded. Returns
+    * ONE row (n_subjects, k_treatments, t1_ppm, df). */
+  def friedman(
+      df: DataFrame,
+      subjectCol: String,
+      treatmentCol: String,
+      valueCol: String,
+      maxTreatments: Int = 64): DataFrame = {
+    require(maxTreatments >= 2 && maxTreatments <= 1024,
+      s"friedman: maxTreatments must be in [2, 1024], got $maxTreatments")
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val cells = df
+      .where(col(valueCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(subjectCol).isNotNull)
+      .groupBy(col(subjectCol).cast("string").as("_u"),
+        col(treatmentCol).cast("string").as("_j"))
+      .agg(count(lit(1)).as("_dup"), max(col(valueCol).cast("double")).as("_v"))
+      .select(col("_u"), col("_j"),
+        when(col("_dup") > 1L, raise_error(
+          lit("friedman: duplicate (subject, treatment) rows")))
+          .otherwise(col("_v")).as("_v"))
+    val k1 = cells.agg(countDistinct(col("_j")).as("_k"))
+    val complete = cells
+      .withColumn("_nu", count(lit(1)).over(Window.partitionBy(col("_u"))))
+      .crossJoin(broadcast(k1))
+      .where(col("_nu") === col("_k"))
+      .withColumn("_k",
+        when(col("_k") > maxTreatments, raise_error(concat(
+          lit(s"friedman: more than $maxTreatments treatments: "),
+          col("_k").cast("string")))).otherwise(col("_k")))
+    // doubled average rank within the block: 2·minrank + ties − 1
+    val wBlk = Window.partitionBy(col("_u")).orderBy(col("_v"))
+    val wTie = Window.partitionBy(col("_u"), col("_v"))
+    val ranked = complete
+      .withColumn("_r2",
+        lit(2L) * rank().over(wBlk) + count(lit(1)).over(wTie) - lit(1L))
+    val perJ = ranked.groupBy(col("_j"))
+      .agg(sum(col("_r2")).cast(d38).as("_R2"),
+        count(lit(1)).as("_n"),
+        sum((col("_r2").cast(d38) * col("_r2")).cast(d38)).cast(d38)
+          .as("_sq"),
+        max(col("_k")).as("_kk"))
+    perJ
+      .groupBy(lit(1).as("_one"))
+      .agg(max(col("_n")).as("n_subjects"),
+        count(lit(1)).cast("int").as("k_treatments"),
+        max(col("_kk")).as("_k"),
+        sum(col("_sq")).cast(d38).as("_sumsq"),
+        sum(((col("_R2") - col("_n").cast(d38) * (col("_kk") + 1L)) *
+          (col("_R2") - col("_n").cast(d38) * (col("_kk") + 1L))).cast(d38))
+          .cast(d38).as("_sumD2"))
+      .select(
+        col("n_subjects"),
+        when(col("k_treatments") < 2, raise_error(concat(
+          lit("friedman: need at least 2 treatments, got "),
+          col("k_treatments").cast("string"))))
+          .otherwise(col("k_treatments")).as("k_treatments"),
+        {
+          val den = (col("_sumsq") -
+            col("n_subjects").cast(d38) * col("_k") * (col("_k") + 1L) *
+              (col("_k") + 1L)).cast(d38)
+          when(den <= 0L, lit(null).cast("long")).otherwise(
+            expr("CAST((1000000 * (k_treatments - 1) * _sumD2) div " +
+              "(_sumsq - CAST(n_subjects AS DECIMAL(38,0)) * _k * " +
+              "(_k + 1) * (_k + 1)) AS BIGINT)"))
+            .as("t1_ppm")
+        },
+        (col("k_treatments") - 1).as("df"))
+  }
+
   /** COCHRAN–ARMITAGE trend test — "does the outcome rate RISE with
     * the dose" for an ordinal exposure and a binary outcome (Cochran
     * 1954; Armitage 1955): more powerful than the unordered χ² exactly

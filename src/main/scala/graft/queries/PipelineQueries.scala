@@ -3166,7 +3166,22 @@ object PipelineQueries {
       graft.ops.Stats.andersonDarling(
         Tables(s, dir, "events")
           .where(col("event_type").isin("click", "purchase")),
-        "event_type", "value"))
+        "event_type", "value")),
+
+    // Friedman test over the same dense per-user activity matrix as
+    // p311: "do users rank the five event types consistently" — ranks
+    // within each user block, Conover's tie-corrected T1 as a pure
+    // integer rational in doubled ranks.
+    "p315_friedman" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val cnt = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("_c"))
+      val dense = ev.select(col("user_id")).distinct()
+        .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+        .join(cnt, Seq("user_id", "event_type"), "left")
+        .withColumn("_c", coalesce(col("_c"), lit(0L)))
+      graft.ops.Stats.friedman(dense, "user_id", "event_type", "_c")
+    })
   )
 
   private val langCase: String = {
@@ -8477,6 +8492,30 @@ object PipelineQueries {
       "CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
       "round(CAST(nt - 1 AS DOUBLE) / nt * s, 6) + 0.0 AS a2, " +
       "(round(CAST(nt - 1 AS DOUBLE) / nt * s, 6) + 0.0) > 2.492 AS significant_05 " +
-      "FROM ag WHERE nt > 0")
+      "FROM ag WHERE nt > 0"),
+
+    // identical zero-densified matrix, within-block doubled ranks
+    // (2·RANK + ties − 1), and the same all-HUGEINT T1 rational
+    "p315_friedman" -> (
+      "WITH cnt AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2), " +
+      "us AS (SELECT DISTINCT user_id FROM events), " +
+      "ty AS (SELECT DISTINCT event_type FROM events), " +
+      "dense AS (SELECT us.user_id, ty.event_type, COALESCE(c, 0) AS v " +
+      "FROM us CROSS JOIN ty LEFT JOIN cnt " +
+      "ON cnt.user_id = us.user_id AND cnt.event_type = ty.event_type), " +
+      "rk AS (SELECT user_id, event_type, " +
+      "2 * RANK() OVER (PARTITION BY user_id ORDER BY v) + " +
+      "COUNT(*) OVER (PARTITION BY user_id, v) - 1 AS r2 FROM dense), " +
+      "pj AS (SELECT event_type, SUM(CAST(r2 AS HUGEINT)) AS R2, COUNT(*) AS n, " +
+      "SUM(CAST(r2 AS HUGEINT) * r2) AS sq FROM rk GROUP BY 1), " +
+      "kk AS (SELECT COUNT(*) AS k FROM pj), " +
+      "ag AS (SELECT MAX(n) AS n, MAX(k) AS k, SUM(sq) AS sumsq, " +
+      "SUM((R2 - CAST(n AS HUGEINT) * (k + 1)) * (R2 - CAST(n AS HUGEINT) * (k + 1))) AS sumd2 " +
+      "FROM pj, kk) " +
+      "SELECT CAST(n AS BIGINT) AS n_subjects, CAST(k AS INT) AS k_treatments, " +
+      "CAST(CASE WHEN sumsq - CAST(n AS HUGEINT) * k * (k + 1) * (k + 1) <= 0 THEN NULL " +
+      "ELSE (1000000 * (k - 1) * sumd2) // " +
+      "(sumsq - CAST(n AS HUGEINT) * k * (k + 1) * (k + 1)) END AS BIGINT) AS t1_ppm, " +
+      "CAST(k - 1 AS INT) AS df FROM ag WHERE n > 0")
   )
 }

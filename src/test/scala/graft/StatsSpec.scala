@@ -1005,6 +1005,51 @@ class StatsSpec extends AnyFunSuite {
       Seq.empty[(Long, Int)].toDF("dose", "y"), "dose", "y").count() == 0)
   }
 
+  test("friedman: hand-pinned blocked-rank T1; ties; listwise deletion; contracts") {
+    import spark.implicits._
+    // 3 subjects x 3 treatments, no ties:
+    // R = {A:4, B:8, C:6} -> sum D^2 (undoubled) = 8 -> classic
+    // 12*8/(3*3*4) = 2.666667 -> t1_ppm = 2666666 (floored)
+    val df = Seq(
+      ("u1", "A", 1.0), ("u1", "B", 2.0), ("u1", "C", 3.0),
+      ("u2", "A", 2.0), ("u2", "B", 3.0), ("u2", "C", 1.0),
+      ("u3", "A", 1.0), ("u3", "B", 3.0), ("u3", "C", 2.0))
+      .toDF("u", "j", "v")
+    val r = Stats.friedman(df, "u", "j", "v").collect().head
+    assert(r.getAs[Long]("n_subjects") == 3L &&
+      r.getAs[Int]("k_treatments") == 3)
+    assert(r.getAs[Long]("t1_ppm") == 2666666L)
+    assert(r.getAs[Int]("df") == 2)
+    // within-block ties take average ranks (doubled stays integral)
+    val tied = Seq(
+      ("u1", "A", 1.0), ("u1", "B", 1.0), ("u1", "C", 2.0),
+      ("u2", "A", 1.0), ("u2", "B", 2.0), ("u2", "C", 3.0))
+      .toDF("u", "j", "v")
+    val t = Stats.friedman(tied, "u", "j", "v").collect().head
+    assert(t.getAs[Long]("n_subjects") == 2L)
+    assert(!t.isNullAt(t.fieldIndex("t1_ppm")))
+    // an incomplete subject is listwise-dropped
+    val hole = df.union(Seq(("u4", "A", 9.0)).toDF("u", "j", "v"))
+    assert(Stats.friedman(hole, "u", "j", "v").collect()
+      .head.getAs[Long]("n_subjects") == 3L)
+    // every block fully tied: zero denominator -> NULL
+    val flat = Seq(("u1", "A", 1.0), ("u1", "B", 1.0),
+      ("u2", "A", 2.0), ("u2", "B", 2.0)).toDF("u", "j", "v")
+    val f = Stats.friedman(flat, "u", "j", "v").collect().head
+    assert(f.isNullAt(f.fieldIndex("t1_ppm")))
+    val dup = df.union(Seq(("u1", "A", 5.0)).toDF("u", "j", "v"))
+    val err = intercept[Exception] { Stats.friedman(dup, "u", "j", "v").collect() }
+    assert(err.toString.contains("duplicate") ||
+      Option(err.getCause).exists(_.toString.contains("duplicate")))
+    val one = Seq(("u1", "A", 1.0), ("u2", "A", 2.0)).toDF("u", "j", "v")
+    val e2 = intercept[Exception] { Stats.friedman(one, "u", "j", "v").collect() }
+    assert(e2.toString.contains("at least 2 treatments") ||
+      Option(e2.getCause).exists(_.toString.contains("at least 2 treatments")))
+    assert(Stats.friedman(
+      Seq.empty[(String, String, Double)].toDF("u", "j", "v"),
+      "u", "j", "v").count() == 0)
+  }
+
   test("cronbachAlpha: perfectly consistent items; listwise deletion; contracts") {
     import spark.implicits._
     // two items in lockstep across 4 subjects -> alpha = 1.0
