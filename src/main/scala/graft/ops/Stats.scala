@@ -1502,6 +1502,15 @@ object Stats {
     * floored `p_micro·m div rank` suffix-min capped at 1e6. Products
     * stay in BIGINT for m up to ~9·10¹² tests.
     *
+    * `dependence = true` applies the BENJAMINI–YEKUTIELI correction
+    * (Benjamini & Yekutieli 2001) — FDR control under ARBITRARY test
+    * dependence (overlapping segments, correlated metrics) at the cost
+    * of dividing α by the harmonic number c(m) = Σ1/i. c(m) is pinned
+    * as the PPM-CEILING sum Σ⌈10⁶/i⌉ over the ranked table — an exact
+    * integer ≥ 10⁶·c(m), so the correction errs CONSERVATIVE (≤ m ppm
+    * over) and the comparison stays a cross-multiplication (in
+    * DECIMAL: the triple product passes BIGINT near 10⁶ tests).
+    *
     * Scale shape: this op runs on the HYPOTHESIS table — one row per
     * test, emitted by corpus-sized upstream aggregates ([[mannWhitney]],
     * [[graft.ops.EventsOps.abTest]], [[graft.ops.Governance.mcnemar]]) —
@@ -1515,7 +1524,8 @@ object Stats {
       df: DataFrame,
       testCol: String = "test_id",
       pMicroCol: String = "p_micro",
-      alphaMicro: Long = 50000L): DataFrame = {
+      alphaMicro: Long = 50000L,
+      dependence: Boolean = false): DataFrame = {
     require(alphaMicro > 0L && alphaMicro <= 1000000L,
       s"bhFdr: alphaMicro must be in (0, 1e6], got $alphaMicro")
     import org.apache.spark.sql.expressions.Window
@@ -1531,16 +1541,36 @@ object Stats {
     // suffix min over ranks >= current: running min in DESCENDING rank order
     val wSuffix = Window.orderBy(col("rank").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = rows
+    val base = rows
       .withColumn("m_tests", count(lit(1)).over(wAll))
       .withColumn("rank", row_number().over(wRank))
-      .withColumn("_qraw",
-        least(expr("p_micro * m_tests div rank"), lit(1000000L)))
+    val ranked =
+      if (!dependence)
+        base
+          .withColumn("_qraw",
+            least(expr("p_micro * m_tests div rank"), lit(1000000L)))
+          .withColumn("_lhs", expr("CAST(p_micro * m_tests AS DECIMAL(38,0))"))
+          .withColumn("_rhs", expr(s"CAST(rank * $alphaMicro AS DECIMAL(38,0))"))
+      else
+        base
+          // ppm-ceiling harmonic number over the ranked table: exact,
+          // >= 1e6·c(m), conservative by <= m ppm
+          .withColumn("_cppm",
+            sum(expr("(1000000 + rank - 1) div rank")).over(wAll))
+          .withColumn("_qraw",
+            least(expr("CAST(CAST(p_micro AS DECIMAL(38,0)) * m_tests * " +
+              "_cppm div (CAST(rank AS DECIMAL(38,0)) * 1000000) AS BIGINT)"),
+              lit(1000000L)))
+          .withColumn("_lhs",
+            expr("CAST(CAST(p_micro AS DECIMAL(38,0)) * m_tests * _cppm " +
+              "AS DECIMAL(38,0))"))
+          .withColumn("_rhs",
+            expr(s"CAST(CAST(rank AS DECIMAL(38,0)) * $alphaMicro * 1000000 " +
+              "AS DECIMAL(38,0))"))
     ranked
       .withColumn("q_micro", min(col("_qraw")).over(wSuffix))
-      .withColumn("_k", max(when(
-        col("p_micro") * col("m_tests") <= col("rank") * lit(alphaMicro),
-        col("rank"))).over(wAll))
+      .withColumn("_k",
+        max(when(col("_lhs") <= col("_rhs"), col("rank"))).over(wAll))
       .select(col("test_id"), col("p_micro"), col("rank"), col("m_tests"),
         col("q_micro"),
         (col("_k").isNotNull && col("rank") <= col("_k")).as("reject"))

@@ -3181,6 +3181,28 @@ object PipelineQueries {
         .join(cnt, Seq("user_id", "event_type"), "left")
         .withColumn("_c", coalesce(col("_c"), lit(0L)))
       graft.ops.Stats.friedman(dense, "user_id", "event_type", "_c")
+    }),
+
+    // Benjamini–Yekutieli step-up on p283's hypothesis table — FDR
+    // under arbitrary dependence: the α/c(m) correction with the exact
+    // ppm-ceiling harmonic, everything still a cross-multiplication.
+    "p316_by_fdr" -> ((s, dir) => {
+      val cells = Tables(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 16).as("_b"))
+        .distinct()
+      val tests = cells
+        .select(
+          concat(col("event_type"), lit("_"), col("_b").cast("string"))
+            .as("test_id"),
+          (col("_b") % 2 === 0).as("_sig"))
+        .withColumn("_h",
+          expr("CAST(conv(substring(md5(test_id), 1, 8), 16, 10) AS BIGINT)" +
+            " % 1000001"))
+        .select(col("test_id"),
+          when(col("_sig"), expr("_h * _h div 1000000"))
+            .otherwise(col("_h")).as("p_micro"))
+      graft.ops.Stats.bhFdr(tests, "test_id", "p_micro", 50000L,
+        dependence = true)
     })
   )
 
@@ -8516,6 +8538,36 @@ object PipelineQueries {
       "CAST(CASE WHEN sumsq - CAST(n AS HUGEINT) * k * (k + 1) * (k + 1) <= 0 THEN NULL " +
       "ELSE (1000000 * (k - 1) * sumd2) // " +
       "(sumsq - CAST(n AS HUGEINT) * k * (k + 1) * (k + 1)) END AS BIGINT) AS t1_ppm, " +
-      "CAST(k - 1 AS INT) AS df FROM ag WHERE n > 0")
+      "CAST(k - 1 AS INT) AS df FROM ag WHERE n > 0"),
+
+    // p283's recipe with the BY ppm-ceiling harmonic: the identical
+    // HUGEINT triple-product cross-multiplications
+    "p316_by_fdr" -> (
+      "WITH cells AS (SELECT DISTINCT event_type, user_id % 16 AS b FROM events), " +
+        "t AS (SELECT event_type || '_' || CAST(b AS VARCHAR) AS test_id, " +
+        "b % 2 = 0 AS sig FROM cells), " +
+        "hx AS (SELECT test_id, sig, md5(test_id) AS x FROM t), " +
+        "h AS (SELECT test_id, sig, " +
+        "((strpos('0123456789abcdef', substr(x, 1, 1)) - 1) * 268435456 " +
+        "+ (strpos('0123456789abcdef', substr(x, 2, 1)) - 1) * 16777216 " +
+        "+ (strpos('0123456789abcdef', substr(x, 3, 1)) - 1) * 1048576 " +
+        "+ (strpos('0123456789abcdef', substr(x, 4, 1)) - 1) * 65536 " +
+        "+ (strpos('0123456789abcdef', substr(x, 5, 1)) - 1) * 4096 " +
+        "+ (strpos('0123456789abcdef', substr(x, 6, 1)) - 1) * 256 " +
+        "+ (strpos('0123456789abcdef', substr(x, 7, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', substr(x, 8, 1)) - 1)) % 1000001 AS hv FROM hx), " +
+        "p AS (SELECT test_id, CASE WHEN sig THEN hv * hv // 1000000 ELSE hv END AS p_micro FROM h), " +
+        "r AS (SELECT test_id, p_micro, ROW_NUMBER() OVER (ORDER BY p_micro, test_id) AS rank, " +
+        "COUNT(*) OVER () AS m FROM p), " +
+        "c AS (SELECT SUM((1000000 + rank - 1) // rank) AS cppm FROM r), " +
+        "q AS (SELECT r.*, cppm, LEAST(CAST(p_micro AS HUGEINT) * m * cppm // " +
+        "(CAST(rank AS HUGEINT) * 1000000), 1000000) AS qraw FROM r, c), " +
+        "s AS (SELECT *, MIN(qraw) OVER (ORDER BY rank DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_micro, " +
+        "MAX(CASE WHEN CAST(p_micro AS HUGEINT) * m * cppm <= " +
+        "CAST(rank AS HUGEINT) * 50000 * 1000000 THEN rank END) OVER () AS k FROM q) " +
+        "SELECT test_id, CAST(p_micro AS BIGINT) AS p_micro, CAST(rank AS BIGINT) AS rank, " +
+        "CAST(m AS BIGINT) AS m_tests, CAST(q_micro AS BIGINT) AS q_micro, " +
+        "k IS NOT NULL AND rank <= k AS reject FROM s ORDER BY rank")
   )
 }

@@ -389,6 +389,25 @@ class StatsSpec extends AnyFunSuite {
       Seq(true, true, true, true, false, false, false, false, false, false))
   }
 
+  test("bhFdr dependence=true: BY harmonic correction, hand-pinned") {
+    import spark.implicits._
+    // same fixture as the BH test; c_ppm = sum ceil(1e6/i), i=1..10
+    // = 2_928_971; threshold p*10*c <= rank*5e10 passes only rank 1
+    val p = Seq(100L, 8000L, 16500L, 19000L, 70000L,
+      200000L, 350000L, 500000L, 750000L, 999999L)
+    val df = p.zipWithIndex.map { case (v, i) => (f"t$i%02d", v) }
+      .toDF("test_id", "p_micro")
+    val out = Stats.bhFdr(df, "test_id", "p_micro", 50000L,
+        dependence = true)
+      .select(col("rank"), col("q_micro"), col("reject"))
+      .as[(Int, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._3).toSeq ==
+      (true +: Seq.fill(9)(false)))
+    // floored q = p*m*c_ppm div (rank*1e6), suffix-min'd, capped
+    assert(out.map(_._2).toSeq == Seq(2928L, 117158L, 139126L, 139126L,
+      410055L, 976323L, 1000000L, 1000000L, 1000000L, 1000000L))
+  }
+
   test("bhFdr: no passing rank rejects nothing; empty input empty; bad p raises") {
     import spark.implicits._
     val none = Seq(("a", 60000L), ("b", 900000L)).toDF("test_id", "p_micro")
