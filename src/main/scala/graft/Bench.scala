@@ -253,6 +253,11 @@ object Bench {
     }
 
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // sum-of-min beside the median-sum headline: the demonstrated cost
+    // on a box whose ambient load varies mid-run — lets round-over-round
+    // comparisons adjudicate environment noise without re-running
+    val totalMin =
+      results.collect { case (k, v) if v >= 0 => qmins.getOrElse(k, v) }.sum
     val loadAfter = loadAvg()
     val loadJson = s""","load_before":${s2(loadBefore)},"load_after":${s2(loadAfter)}"""
     // the line carries only the slowest queries (failures first, value
@@ -262,7 +267,7 @@ object Bench {
       .take(topQ)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + s2(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.length},"queries":$shortQs,"failed":$failed,"hiload":${hiload.length},"varied":${varied.length},"iterations":$iterations,"sf":"$sfDir","detail":"BENCH_DETAIL.json"$loadJson$scaledLineJson}"""
+    val line = s"""{"metric":"total","value":${s3(total)},"total_min":${s3(totalMin)},"unit":"sec","n_queries":${results.length},"queries":$shortQs,"failed":$failed,"hiload":${hiload.length},"varied":${varied.length},"iterations":$iterations,"sf":"$sfDir","detail":"BENCH_DETAIL.json"$loadJson$scaledLineJson}"""
     // full-name, full-precision report for humans/the judge
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // per-iteration (sec, loadavg-at-start) pairs + per-query external
@@ -280,7 +285,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val hiloadJson = hiload.map("\"" + _ + "\"").mkString("[", ",", "]")
     val variedJson = varied.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$fullQs,"query_min":$minQs,"query_iters":$iterQs,"query_ext_cores":$extQs,"hiload":$hiloadJson,"varied":$variedJson,"failed":$failed,"iterations":$iterations,"sf":"$sfDir"$loadJson$scaledDetailJson}"""
+    val detail = s"""{"metric":"total","value":$total,"total_min":$totalMin,"unit":"sec","n_queries":${results.length},"queries":$fullQs,"query_min":$minQs,"query_iters":$iterQs,"query_ext_cores":$extQs,"hiload":$hiloadJson,"varied":$variedJson,"failed":$failed,"iterations":$iterations,"sf":"$sfDir"$loadJson$scaledDetailJson}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.println(detail) finally w.close()

@@ -1111,7 +1111,7 @@ object Stats {
     * Arithmetic: the ladder's doubled midrank cumulatives keep every
     * B/M quantity integer (2B = 2·cumℓ − ℓ, 2Mᵢ = 2·cumᵢ − cᵢ); each
     * distinct value contributes per-sample round-6 terms
-    * ℓ·(N·2Mᵢ − nᵢ·2B)²/4 ÷ (N·nᵢ·(2B(2N−2B) − 4Nℓ)/4) computed as
+    * ℓ·(N·2Mᵢ − nᵢ·2B)²/4 ÷ (N·nᵢ·(2B(2N−2B) − Nℓ)/4) computed as
     * ONE division of exact DECIMAL integer products cast to double in
     * pinned order; A² is round-6 of (N−1)/N times the round-6 term
     * sum. `significant_05` compares round-6 A² against the asymptotic
@@ -1159,7 +1159,7 @@ object Stats {
         (col("_ct") - col("_c1"))).cast(d38))
       // 4·(B(N−B) − Nℓ/4), exact DECIMAL
       .withColumn("_den4", (col("_b2") * (lit(2L) * col("_nn") - col("_b2")) -
-        lit(4L) * col("_nn") * col("_ct")).cast(d38))
+        col("_nn") * col("_ct")).cast(d38))
     def term(m2: Column, ni: Column): Column = {
       val num = (col("_nn").cast(d38) * m2 - ni.cast(d38) * col("_b2")).cast(d38)
       when(col("_den4") <= 0L || ni === 0L, lit(0.0d)).otherwise(
@@ -1699,6 +1699,14 @@ object Stats {
     * either side NULL are excluded up front. Empty input → empty
     * output.
     *
+    * UNIT NOTE: `t_obs_micro` is Σ(a−b) scaled ×10⁶ relative to the
+    * INPUT units. For double inputs that is micro-units of the raw
+    * value; for integral inputs (the already-quantized passthrough,
+    * e.g. micro sums) it is input-units ×10⁶ — divide by 10⁶ before
+    * comparing against other micro quantities. The factor is common to
+    * T_obs and every T_b, so n_extreme, p_micro and significant_05 are
+    * unaffected by which path quantized the sides.
+    *
     * Returns ONE row (n_pairs, n_replicates, t_obs_micro, n_extreme,
     * p_micro, significant_05). */
   def pairedPermutationTest(
@@ -1786,7 +1794,8 @@ object Stats {
       eventCol: String = "event"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = df.select(
-      when(col(durationCol).isNull || col(durationCol) < 0,
+      when(col(durationCol).isNull || col(durationCol) < 0 ||
+          col(durationCol) =!= floor(col(durationCol)),
         raise_error(lit("kaplanMeier: duration must be a non-negative " +
           "integer"))).otherwise(col(durationCol).cast("long")).as("_d"),
       when(col(eventCol).isNull || !col(eventCol).cast("int").isin(0, 1),
@@ -1845,7 +1854,8 @@ object Stats {
     import org.apache.spark.sql.expressions.Window
     val rows = df.where(col(groupCol).isNotNull).select(
       col(groupCol).cast("string").as("group"),
-      when(col(durationCol).isNull || col(durationCol) < 0,
+      when(col(durationCol).isNull || col(durationCol) < 0 ||
+          col(durationCol) =!= floor(col(durationCol)),
         raise_error(lit("kaplanMeierByGroup: duration must be a " +
           "non-negative integer")))
         .otherwise(col(durationCol).cast("long")).as("_d"),
@@ -1909,7 +1919,8 @@ object Stats {
       eventCol: String = "event"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = df.select(
-      when(col(durationCol).isNull || col(durationCol) < 0,
+      when(col(durationCol).isNull || col(durationCol) < 0 ||
+          col(durationCol) =!= floor(col(durationCol)),
         raise_error(lit("nelsonAalen: duration must be a non-negative " +
           "integer"))).otherwise(col(durationCol).cast("long")).as("_d"),
       when(col(eventCol).isNull || !col(eventCol).cast("int").isin(0, 1),
@@ -1972,7 +1983,8 @@ object Stats {
     import org.apache.spark.sql.expressions.Window
     val z = zMicro / 1e6
     val rows = df.select(
-      when(col(durationCol).isNull || col(durationCol) < 0,
+      when(col(durationCol).isNull || col(durationCol) < 0 ||
+          col(durationCol) =!= floor(col(durationCol)),
         raise_error(lit("kaplanMeierCi: duration must be a non-negative " +
           "integer"))).otherwise(col(durationCol).cast("long")).as("_d"),
       when(col(eventCol).isNull || !col(eventCol).cast("int").isin(0, 1),
@@ -2059,7 +2071,8 @@ object Stats {
       s"competingRisks: maxCauses must be in [1, 64], got $maxCauses")
     import org.apache.spark.sql.expressions.Window
     val rows = df.select(
-      when(col(durationCol).isNull || col(durationCol) < 0,
+      when(col(durationCol).isNull || col(durationCol) < 0 ||
+          col(durationCol) =!= floor(col(durationCol)),
         raise_error(lit("competingRisks: duration must be a non-negative " +
           "integer"))).otherwise(col(durationCol).cast("long")).as("_d"),
       when(col(eventCol).isNull || col(eventCol).cast("int") < 0,
@@ -2265,7 +2278,8 @@ object Stats {
       groupCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = df.where(col(groupCol).isNotNull).select(
-      when(col(durationCol).isNull || col(durationCol) < 0,
+      when(col(durationCol).isNull || col(durationCol) < 0 ||
+          col(durationCol) =!= floor(col(durationCol)),
         raise_error(lit("logRank: duration must be a non-negative " +
           "integer"))).otherwise(col(durationCol).cast("long")).as("_d"),
       when(col(eventCol).isNull || !col(eventCol).cast("int").isin(0, 1),

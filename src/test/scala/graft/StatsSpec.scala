@@ -478,6 +478,19 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.kaplanMeier(
       Seq.empty[(Long, Int)].toDF("duration", "event"),
       "duration", "event").count() == 0)
+    // fractional durations RAISE (never silently floor-truncate: two
+    // engines could bucket 1.9 days differently upstream)
+    val frac = Seq((1.9d, 1)).toDF("duration", "event")
+    val fe = intercept[Exception] {
+      Stats.kaplanMeier(frac, "duration", "event").collect()
+    }
+    assert(fe.toString.contains("non-negative integer") ||
+      Option(fe.getCause).exists(_.toString.contains("non-negative integer")))
+    val fe2 = intercept[Exception] {
+      Stats.nelsonAalen(frac, "duration", "event").collect()
+    }
+    assert(fe2.toString.contains("non-negative integer") ||
+      Option(fe2.getCause).exists(_.toString.contains("non-negative integer")))
   }
 
   test("quantileTreatmentEffect: exact ceil-rank order statistics pivot; shift; ties; raises") {
@@ -942,7 +955,7 @@ class StatsSpec extends AnyFunSuite {
         val b2 = 2 * cumT - ct
         val m21 = 2 * cum1 - c1
         val m22 = 2 * (cumT - cum1) - (ct - c1)
-        val den4 = b2 * (2 * nn - b2) - 4 * nn * ct
+        val den4 = b2 * (2 * nn - b2) - nn * ct
         def term(m2: Long, ni: Long): Double = {
           val nu = nn * m2 - ni * b2
           if (den4 <= 0 || ni == 0) 0.0
@@ -958,6 +971,12 @@ class StatsSpec extends AnyFunSuite {
     val r = Stats.andersonDarling(df, "g", "v").collect().head
     assert(r.getAs[String]("group_a") == "A" && r.getAs[Long]("n_a") == 5L)
     assert(r.getAs[Double]("a2") == replay(a, b))
+    // INDEPENDENT pin (not the replay): Scholz–Stephens 1987 eq. 7
+    // computed by hand for this fixture (and matching scipy
+    // anderson_ksamp midrank A²akN): exact Σterms = 1.712453…,
+    // A² = 8/9 · 1.712453 = 1.522180. A replay-only check cannot
+    // catch a formula error shared by both sides — this can.
+    assert(r.getAs[Double]("a2") == 1.522180)
     // a gross location shift IS detected (rank space: magnitude-free)
     val base = (1 to 40).map(_.toDouble)
     val shifted = (21 to 60).map(_.toDouble)
