@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -11,29 +11,35 @@ import org.apache.spark.unsafe.types.UTF8String
 /** `image_dims(bytes)`: container-format sniff + dimensions from the
   * HEADER BYTES ONLY — PNG (IHDR), GIF87a/89a (logical screen), BMP
   * (BITMAPINFOHEADER), JPEG (first SOF0/1/2/3/5/6/7/9/10/11/13/14/15
-  * marker scan). At 100 TB this is the point: a corpus triage pass
-  * ("what formats, what resolutions, what's junk") must not DECODE
-  * every payload — it reads ≤ a few dozen bytes per row where
-  * [[graft.ops.Multimodal.ImageIoDecoder]] reads them all. The same
-  * container-magic dispatch discipline as the workbook readers
+  * marker scan), WEBP (RIFF container: VP8 lossy frame tag / VP8L
+  * lossless signature / VP8X canvas), TIFF (II/MM byte order + bounded
+  * IFD walk for tags 256/257). At 100 TB this is the point: a corpus
+  * triage pass ("what formats, what resolutions, what's junk") must
+  * not DECODE every payload — it reads ≤ a few dozen bytes per row
+  * where [[graft.ops.Multimodal.ImageIoDecoder]] reads them all. The
+  * same container-magic dispatch discipline as the workbook readers
   * (`sources/OrderedScan.scala`). Unrecognized, truncated or
   * non-image payloads return ("unknown", -1, -1) — a triage scan must
   * never kill the task on junk bytes. Returns struct(format STRING,
   * width INT, height INT); dimensions are what the header CLAIMS
   * (hostile headers lie — pair with a decode stage before trusting
-  * them downstream). */
-case class ImageDimsExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * them downstream).
+  *
+  * Codegen: native `doGenCode` (whole-stage codegen emits one static
+  * call into the branch-free sniffer — no interpreted `eval` chain,
+  * no ScalaUDF row boxing), keeping the repo's "no CodegenFallback on
+  * hot paths" contract. */
+case class ImageDimsExpression(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("format", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false)))
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val b = input.asInstanceOf[Array[Byte]]
-    val (f, w, h) = ImageDimsExpression.sniff(b)
-    InternalRow(UTF8String.fromString(f), w, h)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    ImageDimsExpression.evalRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ImageDimsExpression.evalRow($c);")
   override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
   override def prettyName: String = "image_dims"
 }
@@ -42,10 +48,18 @@ object ImageDimsExpression {
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le24(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
   private def be32(b: Array[Byte], i: Int): Int =
     (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
   private def le32(b: Array[Byte], i: Int): Int =
     u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  /** Codegen entry point: one static call per row. */
+  def evalRow(b: Array[Byte]): InternalRow = {
+    val (f, w, h) = sniff(b)
+    InternalRow(UTF8String.fromString(f), w, h)
+  }
 
   /** (format, width, height); ("unknown", -1, -1) when unrecognized. */
   def sniff(b: Array[Byte]): (String, Int, Int) = {
@@ -62,6 +76,55 @@ object ImageDimsExpression {
     // BMP: BITMAPINFOHEADER; height may be negative (top-down rows)
     if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
       return ("bmp", le32(b, 18), math.abs(le32(b, 22)))
+    // WEBP: RIFF container, first payload chunk carries the dims —
+    // VP8 (lossy: 3-byte frame tag, 9D 01 2A sync, 14-bit dims),
+    // VP8L (lossless: 2F signature, 14-bit dims packed LE), or
+    // VP8X (extended: 24-bit canvas size minus one)
+    if (b.length >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P') {
+      if (b.length >= 30 && b(12) == 'V' && b(13) == 'P' && b(14) == '8' &&
+          b(15) == ' ' && u8(b, 23) == 0x9d && u8(b, 24) == 0x01 &&
+          u8(b, 25) == 0x2a)
+        return ("webp", le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff)
+      if (b.length >= 25 && b(12) == 'V' && b(13) == 'P' && b(14) == '8' &&
+          b(15) == 'L' && u8(b, 20) == 0x2f) {
+        val bits = le32(b, 21)
+        return ("webp", (bits & 0x3fff) + 1, ((bits >>> 14) & 0x3fff) + 1)
+      }
+      if (b.length >= 30 && b(12) == 'V' && b(13) == 'P' && b(14) == '8' &&
+          b(15) == 'X')
+        return ("webp", le24(b, 24) + 1, le24(b, 27) + 1)
+      return ("unknown", -1, -1)
+    }
+    // TIFF: II (LE) / MM (BE) byte order + magic 42, then a BOUNDED
+    // IFD walk for ImageWidth(256)/ImageLength(257); only inline
+    // SHORT/LONG values count — dims behind an out-of-buffer offset
+    // stay unknown (a header triage never chases file offsets)
+    if (b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && u8(b, 2) == 0x2a && u8(b, 3) == 0) ||
+         (b(0) == 'M' && b(1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 0x2a))) {
+      val le = b(0) == 'I'
+      def r16(i: Int): Int = if (le) le16(b, i) else be16(b, i)
+      def r32(i: Int): Int = if (le) le32(b, i) else be32(b, i)
+      val ifd = r32(4)
+      if (ifd >= 8 && ifd + 2 <= b.length) {
+        val n = r16(ifd)
+        var w = -1; var h = -1; var k = 0
+        while (k < n && ifd + 2 + 12 * (k + 1) <= b.length) {
+          val e = ifd + 2 + 12 * k
+          val tag = r16(e); val typ = r16(e + 2); val cnt = r32(e + 4)
+          if (cnt == 1 && (typ == 3 || typ == 4)) {
+            // value left-justified in the 4-byte field for both orders
+            val v = if (typ == 3) r16(e + 8) else r32(e + 8)
+            if (tag == 256) w = v else if (tag == 257) h = v
+          }
+          k += 1
+        }
+        if (w > 0 && h > 0) return ("tiff", w, h)
+      }
+      return ("unknown", -1, -1)
+    }
     // JPEG: scan segments for the first SOF marker
     if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
       var i = 2
@@ -88,6 +151,85 @@ object ImageDimsExpression {
   }
 }
 
+/** `audio_meta(bytes)`: [[ImageDimsExpression]]'s audio sibling —
+  * container format + CLAIMED stream parameters from the header bytes
+  * only. WAV (RIFF/WAVE + bounded chunk walk to `fmt `: channels,
+  * sample rate, bits per sample) and FLAC (fLaC + the mandatory
+  * first-block STREAMINFO bit-packed fields). Junk, truncated or
+  * non-audio payloads → ("unknown", -1, -1, -1); same
+  * never-kill-the-task triage discipline as `image_dims`, same native
+  * `doGenCode`. Returns struct(format STRING, channels INT,
+  * sample_rate INT, bits_per_sample INT). */
+case class AudioMetaExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    AudioMetaExpression.evalRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.AudioMetaExpression.evalRow($c);")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "audio_meta"
+}
+
+object AudioMetaExpression {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  /** Codegen entry point: one static call per row. */
+  def evalRow(b: Array[Byte]): InternalRow = {
+    val (f, ch, rate, bits) = sniff(b)
+    InternalRow(UTF8String.fromString(f), ch, rate, bits)
+  }
+
+  /** (format, channels, sample_rate, bits_per_sample);
+    * ("unknown", -1, -1, -1) when unrecognized. */
+  def sniff(b: Array[Byte]): (String, Int, Int, Int) = {
+    if (b == null) return ("unknown", -1, -1, -1)
+    // WAV: RIFF/WAVE + even-padded chunk walk to the `fmt ` chunk
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E') {
+      var p = 12
+      while (p + 8 <= b.length) {
+        val sz = le32(b, p + 4)
+        if (sz < 0) return ("unknown", -1, -1, -1)
+        if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' &&
+            b(p + 3) == ' ') {
+          if (sz >= 16 && p + 8 + 16 <= b.length) {
+            val ch = le16(b, p + 10)
+            val rate = le32(b, p + 12)
+            val bits = le16(b, p + 22)
+            if (ch > 0 && rate > 0 && bits > 0) return ("wav", ch, rate, bits)
+          }
+          return ("unknown", -1, -1, -1)
+        }
+        p += 8 + sz + (sz & 1)
+      }
+      return ("unknown", -1, -1, -1)
+    }
+    // FLAC: fLaC magic; STREAMINFO is the mandatory FIRST metadata
+    // block (type 0) — sample rate 20 bits, channels-1 3 bits,
+    // bits-per-sample-1 5 bits, packed big-endian from byte 18
+    if (b.length >= 22 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+        b(3) == 'C' && (u8(b, 4) & 0x7f) == 0) {
+      val rate = (u8(b, 18) << 12) | (u8(b, 19) << 4) | (u8(b, 20) >>> 4)
+      val ch = ((u8(b, 20) >>> 1) & 0x7) + 1
+      val bits = (((u8(b, 20) & 1) << 4) | (u8(b, 21) >>> 4)) + 1
+      if (rate > 0) return ("flac", ch, rate, bits)
+      return ("unknown", -1, -1, -1)
+    }
+    ("unknown", -1, -1, -1)
+  }
+}
+
 object MediaFunctions {
   def image_dims(c: Column): Column = column(ImageDimsExpression(expression(c)))
+  def audio_meta(c: Column): Column = column(AudioMetaExpression(expression(c)))
 }

@@ -206,6 +206,127 @@ object Multimodal {
       .toDF("media_id", "bytes")
   }
 
+  /** AUDIO header triage: container format + CLAIMED stream parameters
+    * from the first bytes only ([[graft.functions.AudioMetaExpression]]
+    * — WAV `fmt ` chunk walk + FLAC STREAMINFO, junk →
+    * ("unknown", −1, −1, −1)). Same ≤-a-few-dozen-bytes-per-row
+    * map-only shape as [[imageHeaderScan]]. Appends
+    * format/channels/sample_rate/bits_per_sample. */
+  def audioHeaderScan(df: DataFrame, bytesCol: String): DataFrame = {
+    val meta = graft.functions.MediaFunctions.audio_meta(col(bytesCol))
+    df.withColumn("_meta", meta)
+      .withColumn("format", col("_meta").getField("format"))
+      .withColumn("channels", col("_meta").getField("channels"))
+      .withColumn("sample_rate", col("_meta").getField("sample_rate"))
+      .withColumn("bits_per_sample", col("_meta").getField("bits_per_sample"))
+      .drop("_meta")
+  }
+
+  /** Deterministic WEBP/TIFF header fixture — [[headerBytesFromIds]]'s
+    * round-13 sibling covering the formats a modern crawl actually
+    * carries: id % 6 cycles WEBP-VP8 (lossy frame tag + 9D012A sync),
+    * WEBP-VP8L (lossless bit-packed dims), WEBP-VP8X (24-bit canvas),
+    * TIFF little-endian and TIFF big-endian (2-entry IFD, SHORT
+    * width/LONG height to exercise both value widths), and JUNK. Same
+    * dim arithmetic as p312 (width id % 640 + 32, height
+    * id % 480 + 32 — both < 2¹⁴, inside VP8's 14-bit fields), so the
+    * oracle recomputes everything arithmetically. */
+  def webpTiffBytesFromIds(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le24(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def riff(fourcc: String, payload: Array[Byte]) =
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + payload.length) ++
+        "WEBP".getBytes("US-ASCII") ++ fourcc.getBytes("US-ASCII") ++
+        le32(payload.length) ++ payload
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .map { id =>
+        val w = (id % 640 + 32).toInt
+        val h = (id % 480 + 32).toInt
+        val bytes = (id % 6) match {
+          case 0 => // VP8 lossy: frame tag + sync + 14-bit dims
+            riff("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++
+              le16(w) ++ le16(h))
+          case 1 => // VP8L lossless: 2F + (w-1 | (h-1)<<14) LE
+            riff("VP8L", Array[Byte](0x2f) ++
+              le32((w - 1) | ((h - 1) << 14)))
+          case 2 => // VP8X extended: 4 flag bytes + 24-bit canvas-1
+            riff("VP8X", Array[Byte](0, 0, 0, 0) ++ le24(w - 1) ++ le24(h - 1))
+          case 3 => // TIFF LE: IFD at 8, SHORT width + LONG height
+            "II".getBytes("US-ASCII") ++ Array[Byte](0x2a, 0) ++ le32(8) ++
+              le16(2) ++
+              le16(256) ++ le16(3) ++ le32(1) ++ le16(w) ++ le16(0) ++
+              le16(257) ++ le16(4) ++ le32(1) ++ le32(h) ++
+              le32(0)
+          case 4 => // TIFF BE: same IFD, big-endian, value left-justified
+            "MM".getBytes("US-ASCII") ++ Array[Byte](0, 0x2a) ++ be32(8) ++
+              be16(2) ++
+              be16(256) ++ be16(3) ++ be32(1) ++ be16(w) ++ be16(0) ++
+              be16(257) ++ be16(4) ++ be32(1) ++ be32(h) ++
+              be32(0)
+          case _ => // junk: must triage to unknown
+            s"notanimage:$id".getBytes("US-ASCII")
+        }
+        (id, bytes)
+      }
+      .toDF("media_id", "bytes")
+  }
+
+  /** Deterministic audio header fixture: id % 3 cycles a REAL WAV
+    * (RIFF/WAVE with a leading JUNK chunk on every other row to
+    * exercise the chunk walk, PCM `fmt `), a REAL FLAC (fLaC +
+    * STREAMINFO with bit-packed rate/channels/bits), and JUNK bytes.
+    * Parameters derive from the id — sample rate (id % 12 + 2)·4000
+    * (< 2²⁰, inside FLAC's 20-bit field), channels id % 2 + 1, bits
+    * (id % 4 + 1)·8 for WAV / id % 24 + 8 for FLAC (≤ 31, inside the
+    * 5-bit bits-1 field) — so the oracle recomputes them
+    * arithmetically and any parser drift hash-fails. */
+  def audioBytesFromIds(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .map { id =>
+        val rate = ((id % 12 + 2) * 4000).toInt
+        val ch = (id % 2 + 1).toInt
+        val bytes = (id % 3) match {
+          case 0 =>
+            val bits = ((id % 4 + 1) * 8).toInt
+            val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+              le16(1) ++ le16(ch) ++ le32(rate) ++
+              le32(rate * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits)
+            val lead = if (id % 2 == 0)
+              "JUNK".getBytes("US-ASCII") ++ le32(4) ++ Array[Byte](0, 0, 0, 0)
+            else Array.emptyByteArray
+            "RIFF".getBytes("US-ASCII") ++ le32(4 + lead.length + fmt.length) ++
+              "WAVE".getBytes("US-ASCII") ++ lead ++ fmt
+          case 1 =>
+            val bits = (id % 24 + 8).toInt
+            val si = new Array[Byte](34)
+            si(10) = (rate >>> 12).toByte
+            si(11) = ((rate >>> 4) & 0xff).toByte
+            si(12) = (((rate & 0xf) << 4) | ((ch - 1) << 1) |
+              ((bits - 1) >>> 4)).toByte
+            si(13) = (((bits - 1) & 0xf) << 4).toByte
+            "fLaC".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 34) ++ si
+          case _ =>
+            s"notaudio:$id".getBytes("US-ASCII")
+        }
+        (id, bytes)
+      }
+      .toDF("media_id", "bytes")
+  }
+
   /** End-to-end multimodal profile: media table → batched decode →
     * per-row feature digest; the driver-surface query. The feature is
     * surfaced as the INTEGER bucket-0 byte count (recovered exactly from

@@ -3226,7 +3226,31 @@ object PipelineQueries {
             .otherwise(col("_h")).as("p_micro"))
       graft.ops.Stats.bhFdr(tests, "test_id", "p_micro", 50000L,
         dependence = true)
-    })
+    }),
+
+    // WEBP/TIFF header triage — p312's crawl-reality extension: REAL
+    // VP8/VP8L/VP8X and II/MM-IFD headers built from doc_id-derived
+    // dims, sixth slot junk; the oracle recomputes everything
+    // arithmetically so any parser drift hash-fails.
+    "p317_webp_tiff_scan" -> ((s, dir) =>
+      graft.ops.Multimodal.imageHeaderScan(
+        graft.ops.Multimodal.webpTiffBytesFromIds(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "bytes")
+        .select(col("media_id"), col("format"), col("width"), col("height"))
+        .orderBy("media_id")),
+
+    // Audio header triage — REAL WAV (chunk walk past a JUNK chunk)
+    // and FLAC (bit-packed STREAMINFO) headers with id-derived
+    // rate/channels/bits, third slot junk; arithmetic oracle.
+    "p318_audio_header_scan" -> ((s, dir) =>
+      graft.ops.Multimodal.audioHeaderScan(
+        graft.ops.Multimodal.audioBytesFromIds(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "bytes")
+        .select(col("media_id"), col("format"), col("channels"),
+          col("sample_rate"), col("bits_per_sample"))
+        .orderBy("media_id"))
   )
 
   private val langCase: String = {
@@ -8591,6 +8615,26 @@ object PipelineQueries {
         "CAST(rank AS HUGEINT) * 50000 * 1000000 THEN rank END) OVER () AS k FROM q) " +
         "SELECT test_id, CAST(p_micro AS BIGINT) AS p_micro, CAST(rank AS BIGINT) AS rank, " +
         "CAST(m AS BIGINT) AS m_tests, CAST(q_micro AS BIGINT) AS q_micro, " +
-        "k IS NOT NULL AND rank <= k AS reject FROM s ORDER BY rank")
+        "k IS NOT NULL AND rank <= k AS reject FROM s ORDER BY rank"),
+
+    // p312's arithmetic-oracle recipe: the fixture derives every claim
+    // from the id, so the oracle recomputes them without any parsing
+    "p317_webp_tiff_scan" -> (
+      "SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 6 <= 2 THEN 'webp' WHEN doc_id % 6 <= 4 " +
+      "THEN 'tiff' ELSE 'unknown' END AS format, " +
+      "CAST(CASE WHEN doc_id % 6 = 5 THEN -1 ELSE doc_id % 640 + 32 END AS INT) AS width, " +
+      "CAST(CASE WHEN doc_id % 6 = 5 THEN -1 ELSE doc_id % 480 + 32 END AS INT) AS height " +
+      "FROM documents ORDER BY media_id"),
+
+    "p318_audio_header_scan" -> (
+      "SELECT doc_id AS media_id, " +
+      "CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' " +
+      "ELSE 'unknown' END AS format, " +
+      "CAST(CASE WHEN doc_id % 3 = 2 THEN -1 ELSE doc_id % 2 + 1 END AS INT) AS channels, " +
+      "CAST(CASE WHEN doc_id % 3 = 2 THEN -1 ELSE (doc_id % 12 + 2) * 4000 END AS INT) AS sample_rate, " +
+      "CAST(CASE WHEN doc_id % 3 = 2 THEN -1 WHEN doc_id % 3 = 0 " +
+      "THEN (doc_id % 4 + 1) * 8 ELSE doc_id % 24 + 8 END AS INT) AS bits_per_sample " +
+      "FROM documents ORDER BY media_id")
   )
 }

@@ -109,4 +109,69 @@ class MultimodalSpec extends AnyFunSuite {
       .select("format", "width").as[(String, Int)].collect()
     assert(j.forall(r => r._1 == "unknown" && r._2 == -1))
   }
+
+  test("webp/tiff sniff: all three VP8 flavors + both TIFF byte orders; junk unknown") {
+    import spark.implicits._
+    // the fixture builder emits REAL containers; ids chosen to hit
+    // every id % 6 slot with distinct dims
+    val ids = (0L to 11L).toDF("doc_id")
+    val out = Multimodal.imageHeaderScan(
+        Multimodal.webpTiffBytesFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "format", "width", "height")
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    out.foreach { case (id, fmt, w, h) =>
+      val expected = (id % 6) match {
+        case 0 | 1 | 2 => "webp"
+        case 3 | 4     => "tiff"
+        case _         => "unknown"
+      }
+      assert(fmt == expected, s"format for id=$id")
+      if (expected == "unknown") assert(w == -1 && h == -1)
+      else assert(w == (id % 640 + 32).toInt && h == (id % 480 + 32).toInt,
+        s"dims for id=$id ($fmt)")
+    }
+    // truncated WEBP/TIFF prefixes triage to unknown, never throw
+    val junk = Seq(
+      (0L, "RIFF1234WEBP".getBytes("US-ASCII")),
+      (1L, "RIFF1234WEBPVP8 ".getBytes("US-ASCII")),
+      (2L, Array[Byte](0x49, 0x49, 0x2a, 0)),
+      (3L, Array[Byte](0x4d, 0x4d, 0, 0x2a, 0, 0, 0, 99)))
+      .toDF("media_id", "bytes")
+    val j = Multimodal.imageHeaderScan(junk, "bytes")
+      .select("format", "width").as[(String, Int)].collect()
+    assert(j.forall(r => r._1 == "unknown" && r._2 == -1))
+  }
+
+  test("audio_meta: WAV chunk walk (incl. leading JUNK chunk) + FLAC STREAMINFO bit unpack") {
+    import spark.implicits._
+    val ids = (0L to 11L).toDF("doc_id")
+    val out = Multimodal.audioHeaderScan(
+        Multimodal.audioBytesFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "format", "channels", "sample_rate", "bits_per_sample")
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1)
+    out.foreach { case (id, fmt, ch, rate, bits) =>
+      (id % 3) match {
+        case 0 =>
+          assert(fmt == "wav" && ch == (id % 2 + 1).toInt &&
+            rate == ((id % 12 + 2) * 4000).toInt &&
+            bits == ((id % 4 + 1) * 8).toInt, s"wav id=$id")
+        case 1 =>
+          assert(fmt == "flac" && ch == (id % 2 + 1).toInt &&
+            rate == ((id % 12 + 2) * 4000).toInt &&
+            bits == (id % 24 + 8).toInt, s"flac id=$id")
+        case _ =>
+          assert(fmt == "unknown" && ch == -1 && rate == -1 && bits == -1)
+      }
+    }
+    // truncated/hostile payloads triage to unknown, never throw
+    val junk = Seq(
+      (0L, "RIFF1234WAVE".getBytes("US-ASCII")),
+      (1L, "RIFF1234WAVEfmt ".getBytes("US-ASCII")),
+      (2L, "fLaC".getBytes("US-ASCII")),
+      (3L, Array[Byte]()))
+      .toDF("media_id", "bytes")
+    val j = Multimodal.audioHeaderScan(junk, "bytes")
+      .select("format", "channels").as[(String, Int)].collect()
+    assert(j.forall(r => r._1 == "unknown" && r._2 == -1))
+  }
 }
