@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `url_normalize(url)`: canonical URL form for crawl-scale dedup —
+  * the FIRST key a web corpus dedups on, before any content hash
+  * (CCNet/C4 pipelines are URL-keyed first; see `sources/Warc.scala`
+  * for the ingest this feeds). RFC 3986 §6 syntax-based normalization
+  * plus the crawl-standard tracker strip:
+  *
+  *  - scheme and host lowercased; default ports stripped (http:80,
+  *    https:443) along with empty `:`;
+  *  - percent-escapes of UNRESERVED bytes (ALPHA / DIGIT / - . _ ~)
+  *    decoded; all other escapes uppercased (%2f → %2F) — reserved
+  *    bytes stay escaped because decoding them would change the parse;
+  *  - dot-segments removed from the path (RFC 3986 §5.2.4); an empty
+  *    path becomes "/";
+  *  - query parameters: tracking params dropped (utm_* prefix, gclid,
+  *    dclid, fbclid, msclkid, mc_cid, mc_eid, igshid, _ga), the rest
+  *    percent-normalized and SORTED byte-wise (param order never
+  *    distinguishes documents); an emptied query drops its "?";
+  *  - the fragment is dropped (never sent to the server).
+  *
+  * Strings without a `scheme://` prefix pass through UNCHANGED — the
+  * triage discipline: a malformed row must map to itself, not kill the
+  * task or silently collide on an error sentinel. NULL → NULL.
+  * Idempotent: normalize(normalize(x)) == normalize(x) (spec-pinned).
+  *
+  * Native `doGenCode` (one static call per row inside whole-stage
+  * codegen — no ScalaUDF boxing): a 100 TB crawl runs this on every
+  * record, so it must fuse into the scan stage. */
+case class UrlNormalizeExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UrlNormalizeExpression.evalUtf8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.UrlNormalizeExpression.evalUtf8($c);")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "url_normalize"
+}
+
+object UrlNormalizeExpression {
+
+  /** Codegen entry point: one static call per row. */
+  def evalUtf8(u: UTF8String): UTF8String =
+    UTF8String.fromString(normalize(u.toString))
+
+  private val trackerExact = Set(
+    "gclid", "dclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "igshid",
+    "_ga")
+  private def isTracker(name: String): Boolean =
+    name.startsWith("utm_") || trackerExact.contains(name)
+
+  private def isUnreserved(c: Int): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** Percent-normalization: decode unreserved escapes, uppercase the
+    * rest, pass invalid escapes through untouched. */
+  private def pctNormalize(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length && hexVal(s.charAt(i + 1)) >= 0 &&
+          hexVal(s.charAt(i + 2)) >= 0) {
+        val v = (hexVal(s.charAt(i + 1)) << 4) | hexVal(s.charAt(i + 2))
+        if (isUnreserved(v)) sb.append(v.toChar)
+        else {
+          sb.append('%')
+          sb.append(Character.toUpperCase(s.charAt(i + 1)))
+          sb.append(Character.toUpperCase(s.charAt(i + 2)))
+        }
+        i += 3
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments over a percent-normalized
+    * path. */
+  private def removeDotSegments(path: String): String = {
+    if (path.isEmpty) return path
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    // split keeping the leading-slash structure; -1 keeps trailing ""
+    val segs = path.split("/", -1)
+    var i = 0
+    while (i < segs.length) {
+      segs(i) match {
+        case "."  => // skip; a trailing "." still implies a trailing slash
+          if (i == segs.length - 1) out += ""
+        case ".." =>
+          if (out.nonEmpty && out.last != "") out.remove(out.length - 1)
+          if (i == segs.length - 1) out += ""
+        case s => out += s
+      }
+      i += 1
+    }
+    val joined = out.mkString("/")
+    if (path.startsWith("/") && !joined.startsWith("/")) "/" + joined
+    else joined
+  }
+
+  /** Canonicalize one URL; non-`scheme://` strings return unchanged. */
+  def normalize(url: String): String = {
+    if (url == null) return null
+    val sep = url.indexOf("://")
+    if (sep <= 0) return url
+    var k = 0
+    var schemeOk = true
+    while (k < sep && schemeOk) {
+      val c = url.charAt(k)
+      schemeOk = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
+      k += 1
+    }
+    if (!schemeOk) return url
+    val scheme = url.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    val rest = url.substring(sep + 3)
+    // authority ends at the first /, ? or #
+    var authEnd = rest.length
+    var j = 0
+    while (j < rest.length && authEnd == rest.length) {
+      val c = rest.charAt(j)
+      if (c == '/' || c == '?' || c == '#') authEnd = j
+      j += 1
+    }
+    val auth = rest.substring(0, authEnd)
+    val tail = rest.substring(authEnd)
+    // userinfo kept verbatim; host lowercased; default/empty port stripped
+    val at = auth.lastIndexOf('@')
+    val userinfo = if (at >= 0) auth.substring(0, at + 1) else ""
+    val hostport = if (at >= 0) auth.substring(at + 1) else auth
+    // IPv6 literals carry ':' inside brackets — port is after the ']'
+    val colon =
+      if (hostport.startsWith("[")) {
+        val close = hostport.indexOf(']')
+        if (close >= 0 && close + 1 < hostport.length &&
+            hostport.charAt(close + 1) == ':') close + 1 else -1
+      } else hostport.indexOf(':')
+    val (host0, port) =
+      if (colon >= 0) (hostport.substring(0, colon), hostport.substring(colon + 1))
+      else (hostport, null)
+    val host = host0.toLowerCase(java.util.Locale.ROOT)
+    val keepPort = port != null && port.nonEmpty &&
+      !(scheme == "http" && port == "80") &&
+      !(scheme == "https" && port == "443")
+    val authority = userinfo + host + (if (keepPort) ":" + port else "")
+    // split tail into path / query / fragment (fragment dropped)
+    val hashAt = tail.indexOf('#')
+    val noFrag = if (hashAt >= 0) tail.substring(0, hashAt) else tail
+    val qAt = noFrag.indexOf('?')
+    val rawPath = if (qAt >= 0) noFrag.substring(0, qAt) else noFrag
+    val rawQuery = if (qAt >= 0) noFrag.substring(qAt + 1) else null
+    val path0 = removeDotSegments(pctNormalize(rawPath))
+    val path = if (path0.isEmpty) "/" else path0
+    val query =
+      if (rawQuery == null || rawQuery.isEmpty) null
+      else {
+        val kept = rawQuery.split("&", -1).toSeq
+          .filter(_.nonEmpty)
+          .map(pctNormalize)
+          .filterNot { p =>
+            val eq = p.indexOf('=')
+            isTracker(if (eq >= 0) p.substring(0, eq) else p)
+          }
+          .sorted
+        if (kept.isEmpty) null else kept.mkString("&")
+      }
+    scheme + "://" + authority + path +
+      (if (query == null) "" else "?" + query)
+  }
+}
+
+object UrlFunctions {
+  def url_normalize(c: Column): Column =
+    column(UrlNormalizeExpression(expression(c)))
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -259,7 +259,10 @@ object PipelineQueries {
       })
     }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ urlQueries
+
+  private lazy val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EP2/EP3 end-to-end: header identify + rules standardizer + typed
     // stages + fuzzy importer join + publish projection. The multi-stage
     // pipeline is not expressible as one DuckDB query, so the oracle
@@ -3251,6 +3254,65 @@ object PipelineQueries {
         .select(col("media_id"), col("format"), col("channels"),
           col("sample_rate"), col("bits_per_sample"))
         .orderBy("media_id"))
+  )
+
+  /** Messy-URL fixture expression shared by p319/p320/p321: six
+    * id-derived spellings exercising every normalization rule (case,
+    * default port, unreserved/reserved escapes, dot segments, tracker
+    * params + query sort, fragment, non-URL passthrough); the oracle
+    * recomputes BOTH the messy and the canonical form arithmetically
+    * from the id, so any normalizer drift hash-fails. */
+  private def messyUrl(id: Column): Column =
+    when(id % 6 === 0, concat(lit("HTTP://EXample.COM:80/a/"), id,
+        lit("?utm_source=x&b="), id % 7, lit("&a=1#frag")))
+      .when(id % 6 === 1, concat(lit("https://Site"), id % 50,
+        lit(".ORG:443/p%61th/"), id))
+      .when(id % 6 === 2, concat(lit("http://h.net/x/./y/../z"), id))
+      .when(id % 6 === 3, concat(lit("https://a.b.c/"), id,
+        lit("?gclid=1&fbclid=9&q=t"), id % 13))
+      .when(id % 6 === 4, concat(lit("http://e.com/a%2fb/"), id))
+      .otherwise(concat(lit("not a url "), id))
+
+  private lazy val urlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // URL canonicalization — the first key a crawl corpus dedups on
+    // (CCNet/C4 are URL-keyed before content-keyed).
+    "p319_url_normalize" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val url = messyUrl(col("doc_id"))
+      docs.select(col("doc_id"), url.as("url"),
+          graft.ops.UrlOps.urlNormalize(url).as("canonical_url"))
+        .orderBy("doc_id")
+    }),
+
+    // Keep-best per canonical URL: three spellings of the same
+    // canonical (case/port/dot-segment/tracker/fragment variants)
+    // collapse to one winner — max byte length, ties to smallest id.
+    "p320_url_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val g = expr("doc_id div 3")
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("https://DUP.example:443/g/./"), g, lit("?utm_campaign=x")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://dup.EXAMPLE/g/"), g, lit("#top")))
+        .otherwise(concat(lit("https://dup.example/g/"), g))
+      graft.ops.UrlOps.urlDedup(
+          docs.select(col("doc_id"), octet_length(col("text")).as("_len"),
+            url.as("url")),
+          "url", "doc_id", "_len")
+        .orderBy("canonical_url")
+    }),
+
+    // Per-domain crawl accounting: page count, distinct canonical
+    // URLs, duplicate fraction in ppm — the domain-budget view. The
+    // div-20 URL key against the mod-10 host cycle plants REAL
+    // duplicates (~500000 ppm), so the interesting branch fires.
+    "p321_domain_stats" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val url = concat(lit("http://H"), col("doc_id") % 10,
+        lit(".NET/p/"), expr("doc_id div 20"))
+      graft.ops.UrlOps.domainStats(docs.select(url.as("url")), "url")
+        .orderBy("host")
+    })
   )
 
   private val langCase: String = {
@@ -8635,6 +8697,43 @@ object PipelineQueries {
       "CAST(CASE WHEN doc_id % 3 = 2 THEN -1 ELSE (doc_id % 12 + 2) * 4000 END AS INT) AS sample_rate, " +
       "CAST(CASE WHEN doc_id % 3 = 2 THEN -1 WHEN doc_id % 3 = 0 " +
       "THEN (doc_id % 4 + 1) * 8 ELSE doc_id % 24 + 8 END AS INT) AS bits_per_sample " +
-      "FROM documents ORDER BY media_id")
+      "FROM documents ORDER BY media_id"),
+
+    // both the messy and the canonical spelling recomputed from the id
+    "p319_url_normalize" -> (
+      "SELECT doc_id, " +
+      "CASE doc_id % 6 " +
+      "WHEN 0 THEN 'HTTP://EXample.COM:80/a/' || doc_id || '?utm_source=x&b=' || (doc_id % 7) || '&a=1#frag' " +
+      "WHEN 1 THEN 'https://Site' || (doc_id % 50) || '.ORG:443/p%61th/' || doc_id " +
+      "WHEN 2 THEN 'http://h.net/x/./y/../z' || doc_id " +
+      "WHEN 3 THEN 'https://a.b.c/' || doc_id || '?gclid=1&fbclid=9&q=t' || (doc_id % 13) " +
+      "WHEN 4 THEN 'http://e.com/a%2fb/' || doc_id " +
+      "ELSE 'not a url ' || doc_id END AS url, " +
+      "CASE doc_id % 6 " +
+      "WHEN 0 THEN 'http://example.com/a/' || doc_id || '?a=1&b=' || (doc_id % 7) " +
+      "WHEN 1 THEN 'https://site' || (doc_id % 50) || '.org/path/' || doc_id " +
+      "WHEN 2 THEN 'http://h.net/x/z' || doc_id " +
+      "WHEN 3 THEN 'https://a.b.c/' || doc_id || '?q=t' || (doc_id % 13) " +
+      "WHEN 4 THEN 'http://e.com/a%2Fb/' || doc_id " +
+      "ELSE 'not a url ' || doc_id END AS canonical_url " +
+      "FROM documents ORDER BY doc_id"),
+
+    // keep-best replay: byte-length quality, smallest-id tie-break
+    "p320_url_dedup" -> (
+      "WITH d AS (SELECT doc_id, strlen(text) AS q, doc_id // 3 AS g FROM documents), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY q DESC, doc_id ASC) AS rn FROM d), " +
+      "c AS (SELECT g, COUNT(*) AS n_dups FROM d GROUP BY g) " +
+      "SELECT 'https://dup.example/g/' || r.g AS canonical_url, " +
+      "'dup.example' AS host, c.n_dups AS n_dups, r.doc_id AS kept_id " +
+      "FROM r JOIN c ON r.g = c.g WHERE rn = 1 ORDER BY canonical_url"),
+
+    "p321_domain_stats" -> (
+      "WITH d AS (SELECT 'h' || (doc_id % 10) || '.net' AS host, " +
+      "doc_id // 20 AS u FROM documents), " +
+      "a AS (SELECT host, COUNT(*) AS n_pages, COUNT(DISTINCT u) AS n_urls " +
+      "FROM d GROUP BY host) " +
+      "SELECT host, n_pages, n_urls, " +
+      "(n_pages - n_urls) * 1000000 // n_pages AS dup_ppm " +
+      "FROM a ORDER BY host")
   )
 }
