@@ -128,6 +128,7 @@ object CorpusOps {
       .select(col(sourceCol).as("source"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("_t"))
       .groupBy("source").agg(sum(col("_t")).as("available_tokens"))
+    // |sources|-bounded ladder (post-aggregate, not corpus rows)
     val wOrd = Window.orderBy(col("available_tokens"), col("source"))
     val wAll = Window.partitionBy()
     val ranked = avail
@@ -745,7 +746,7 @@ object CorpusOps {
     val counts = withN
       .where(col("n_tokens").isNotNull)
       .groupBy(col("n_tokens").as("_v")).agg(count(lit(1)).as("_c"))
-    val ranked = counts
+    val ranked = counts // distinct-token-count-bounded ladder (winsorize contract)
       .withColumn("_cum", sum(col("_c")).over(Window.orderBy(col("_v"))))
       .withColumn("_n", sum(col("_c")).over(
         Window.orderBy(col("_v"))
@@ -1579,6 +1580,7 @@ object CorpusOps {
     val within = withBlk.withColumn("_local_off",
       coalesce(sum(col(tokensCol)).over(wIn), lit(0L)))
     val sums = withBlk.groupBy(col("_blk")).agg(sum(col(tokensCol)).as("_s"))
+    // #blocks-bounded carry ladder (rows div blockSize — Packing contract)
     val wCarry = Window.orderBy(col("_blk")).rowsBetween(Window.unboundedPreceding, -1)
     val bases = sums.withColumn("_base", coalesce(sum(col("_s")).over(wCarry), lit(0L)))
       .select(col("_blk"), col("_base"))
@@ -2028,6 +2030,8 @@ object CorpusOps {
       .groupBy(col("_first").as(idCol)).agg(count(lit(1)).as("new_types"))
     val perDoc = docs.select(col(idCol),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // |docs|-bounded ladder (see Scaladoc: the vocab-growth curve is
+    // inherently a sequential prefix over doc order)
     val run = Window.orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     perDoc.join(firstSeen, Seq(idCol), "left")
@@ -2208,6 +2212,8 @@ object CorpusOps {
       // the float (a/b < c/d ⇔ a·d < c·b needs pairwise compares; the
       // micro-quantized per-doc average is a stable portable proxy)
       .withColumn("_k", expr("CAST(bits * 1000000 div n_bigrams AS BIGINT)"))
+    // GLOBAL per-doc order — see this op's Scaladoc caveat: swap for
+    // percentile cut points at 100 TB (the woeIv/gainsTable remedy)
     val w = Window.orderBy(col("_k"), col(idCol))
     val n = Window.partitionBy()
     scored
@@ -2264,6 +2270,7 @@ object CorpusOps {
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("_blk", expr(s"n_tokens div ${blockTokens}L"))
     val wIn = Window.partitionBy(col("_blk")).orderBy(col("n_tokens"), col(idCol))
+    // #blocks-bounded ladders (n_tokens div blockTokens distinct blocks)
     val wCarry = Window.orderBy(col("_blk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.orderBy(col("_blk"))

@@ -51,6 +51,8 @@ object Eval {
       .agg(sum(col("_y")).as("_np"),
         sum(lit(1L) - col("_y")).as("_nn"))
     val tot = perS.agg(sum(col("_np")).as("_p"), sum(col("_nn")).as("_n"))
+    // unpartitioned cum ladder over the distinct-score table: ≤ 10⁶+1
+    // rows by the [0, 1e6] micro contract RAISED above — never corpus
     val wDesc = Window.orderBy(col("_s").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perS

@@ -134,7 +134,7 @@ object EventsOps {
     // the window runs over the time-span-bounded count table only.
     val counts = ev.select(tSec.as("_t")).where(col("_t").isNotNull)
       .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
-    val ranked = counts
+    val ranked = counts // distinct-second-bounded ladder (observation window)
       .withColumn("_cum", sum(col("_c")).over(Window.orderBy(col("_t"))))
       .withColumn("_n", sum(col("_c")).over(
         Window.orderBy(col("_t"))
@@ -586,7 +586,7 @@ object EventsOps {
       .select(col("latency_s").cast("double").as("_v"))
       .where(col("_v").isNotNull)
       .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
-    val ranked = counts
+    val ranked = counts // distinct-micro-value-bounded ladder (winsorize contract)
       .withColumn("_cum", sum(col("_c")).over(Window.orderBy(col("_v"))))
       .withColumn("_n", sum(col("_c")).over(
         Window.orderBy(col("_v"))
@@ -859,6 +859,7 @@ object EventsOps {
       .select(col("_v"),
         coalesce(col("_ca"), lit(0L)).as("_ca"),
         coalesce(col("_cb"), lit(0L)).as("_cb"))
+    // distinct-micro-value-bounded ladder (winsorize doc contract)
     val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
@@ -1723,6 +1724,7 @@ object EventsOps {
       s"sloBurn: sloPpm must be in [0, 1e6], got $sloPpm")
     import org.apache.spark.sql.expressions.Window
     val hour = floor(epochSec(tsCol).cast("double") / lit(3600.0d)).cast("long")
+    // hour-bounded ladder (observation window div 3600, never corpus)
     val run = Window.orderBy(col("hour"))
       .rowsBetween(Window.unboundedPreceding, 0)
     ev.groupBy(hour.as("hour"))
@@ -1999,6 +2001,8 @@ object EventsOps {
       tieCol: String = "event_id"): DataFrame = {
     require(nBuckets >= 2, s"woeIv: need nBuckets >= 2, got $nBuckets")
     import org.apache.spark.sql.expressions.Window
+    // GLOBAL total order — see Scaladoc caveat: swap for precomputed
+    // quantile cut points + map-only bucket assignment at scale
     val w = Window.orderBy(col("_v"), col(tieCol))
     val cells = ev.where(col(valueCol).isNotNull)
       .select(col(tieCol),
@@ -2193,7 +2197,7 @@ object EventsOps {
     bounds.select(explode(sequence(col("_lo"), col("_hi"))).as("day"))
       .join(firstSeen, Seq("day"), "left")
       .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"))
-      .withColumn("n_cumulative",
+      .withColumn("n_cumulative", // day-bounded ladder (observation window)
         sum(col("n_new")).over(Window.orderBy(col("day"))
           .rowsBetween(Window.unboundedPreceding, 0)))
       .orderBy("day")
@@ -2767,6 +2771,8 @@ object EventsOps {
     def side(k: String) = ev
       .where(col(keyCol) === k && col(valueCol).isNotNull)
       .select(col(idCol).as("_id"), q.as("_v"))
+    // GLOBAL per-row order — see Scaladoc: the blocked two-pass rank
+    // swap (the QTE recipe) applies at 100 TB
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("_v"), col("_id"))
     val a = side(fromKey).withColumn("_r", row_number().over(w))
     val b = side(toKey).withColumn("_r", row_number().over(w))

@@ -125,7 +125,7 @@ object Pca {
         "CAST((CAST(n AS DECIMAL(38,0)) * _sxx - _sx * _sx) div " +
           "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) AS var_micro2")
     agg
-      .withColumn("var_rank", row_number().over(
+      .withColumn("var_rank", row_number().over( // dim-bounded ladder
         Window.orderBy(col("var_micro2").desc, col("dim").asc)).cast("long"))
       .orderBy("dim")
   }

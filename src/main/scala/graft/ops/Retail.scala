@@ -155,6 +155,8 @@ object Retail {
     val globalLast = perCust.agg(max(col("_last")).as("_gmax"))
     perCust.crossJoin(globalLast)
       .withColumn("recency_days", col("_gmax") - col("_last"))
+      // #customers-bounded aggregate rides these three global ntiles;
+      // Scaladoc contract: beyond ~1e8 customers swap for quantile cuts
       .withColumn("r", ntile(4).over(
         Window.orderBy(col("recency_days").asc, col("custkey").asc)))
       .withColumn("f", ntile(4).over(
@@ -244,6 +246,7 @@ object Retail {
       .groupBy(col(itemCol).as("item"))
       .agg(sum(floor(col(revCol).cast("double") * lit(1000000.0d)).cast("long"))
         .as("revenue_micro"))
+    // |items|-bounded cum ladder (post-aggregate, not corpus rows)
     val wCum = Window.orderBy(col("revenue_micro").desc, col("item").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()

@@ -248,7 +248,7 @@ object Stats {
         s"CASE WHEN _tw = 0 THEN CAST(0 AS DECIMAL(38,0)) " +
           s"ELSE $totalN * _w - (CASE WHEN _tw = 0 THEN 0 ELSE CAST($totalN * _w div _tw AS BIGINT) END) * _tw END AS _rem")
       .withColumn("_short", lit(totalN) - sum(col("_base")).over(wAll))
-      .withColumn("_rk", row_number().over(
+      .withColumn("_rk", row_number().over( // |strata|-bounded ladder
         Window.orderBy(col("_rem").desc, col(stratumCol))))
     based
       .select(col(stratumCol), col("n_rows"), col("sd_micro"),
@@ -318,6 +318,7 @@ object Stats {
       val q = floor(col(c).cast("double") * lit(1000000.0d)).cast("long")
       val withQ = acc.withColumn(s"_v_$c", q)
       val counts = withQ.groupBy(col(s"_v_$c")).agg(count(lit(1)).as("_c"))
+      // distinct-micro-value-bounded rank ladder (winsorize contract)
       val w = Window.orderBy(col(s"_v_$c"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val ranks = counts
@@ -405,6 +406,8 @@ object Stats {
       nTiles: Int = 10): DataFrame = {
     require(nTiles >= 2, s"qiniTable: need nTiles >= 2, got $nTiles")
     import org.apache.spark.sql.expressions.Window
+    // GLOBAL rank order (single task over the slim projection) — the
+    // Scaladoc's at-scale contract applies: swap for percentile cuts
     val wOrd = Window.orderBy(col(scoreCol).desc, col(tieCol).asc)
     val tiles = df
       .where(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
@@ -418,7 +421,7 @@ object Stats {
         sum(when(!col(treatCol).cast("boolean"), 1L).otherwise(0L)).as("n_ctrl"),
         sum(when(!col(treatCol).cast("boolean") && col(labelCol).cast("boolean"),
           1L).otherwise(0L)).as("pos_ctrl"))
-    val wCum = Window.orderBy(col("tile"))
+    val wCum = Window.orderBy(col("tile")) // nTiles-bounded cum ladder
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tiles
       .withColumn("_cnt", sum(col("n_treat")).over(wCum))
@@ -465,6 +468,8 @@ object Stats {
         .as("_v"))
       .agg(count(lit(1)).as("_n"),
         sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("_p"))
+    // unpartitioned ladder bounded by |distinct micro values| (≤ 10⁶+1
+    // under the micro quantization — the winsorize doc-contract bound)
     val w = Window.orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     per
@@ -508,6 +513,8 @@ object Stats {
     require(nTiles >= 2, s"gainsTable: need nTiles >= 2, got $nTiles")
     import org.apache.spark.sql.expressions.Window
     val d = DecimalType(38, 0)
+    // GLOBAL rank order (single task over the slim projection) — the
+    // Scaladoc's at-scale contract applies: swap for percentile cuts
     val wOrd = Window.orderBy(col(scoreCol).desc, col(tieCol).asc)
     val tiles = df
       .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
@@ -515,7 +522,7 @@ object Stats {
       .groupBy(col("tile"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("pos"))
-    val wCum = Window.orderBy(col("tile"))
+    val wCum = Window.orderBy(col("tile")) // nTiles-bounded cum ladder
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
     tiles
@@ -571,6 +578,7 @@ object Stats {
         s"div $bucketWidthMicro AS BIGINT)").as("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("pos"))
+    // bucket-bounded ladder: ≤ 10⁶ div bucketWidthMicro + 1 rows
     val w = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pre = b
@@ -622,6 +630,8 @@ object Stats {
         .as("_v"))
       .agg(sum(when(col(sideCol).cast("boolean"), 1L).otherwise(0L)).as("_c1"),
         sum(when(col(sideCol).cast("boolean"), 0L).otherwise(1L)).as("_c2"))
+    // unpartitioned ladder bounded by |distinct micro values| (≤ 10⁶+1
+    // under the micro quantization — the winsorize doc-contract bound)
     val w = Window.orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = per.agg(sum(col("_c1")).as("_n"), sum(col("_c2")).as("_m"))
@@ -699,6 +709,7 @@ object Stats {
         .as("_x"))
       .agg(count(lit(1)).as("_n"),
         sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("_p"))
+    // distinct-micro-value-bounded ladder (winsorize doc contract)
     val w = Window.orderBy(col("_x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = per.agg(sum(col("_n")).as("_tn"), sum(col("_p")).as("_tp"))
@@ -1143,6 +1154,7 @@ object Stats {
         sum(when(col("_g") =!= col("_gaN"), col("_c")).otherwise(0L)).as("_c2"),
         max(col("_ng")).as("_ng"),
         max(col("_gaN")).as("_ga"), max(col("_gbN")).as("_gb"))
+    // distinct-value-bounded ladder (the mwTiedRankLadder contract)
     val wRun = Window.orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
@@ -1537,6 +1549,8 @@ object Stats {
           col(testCol).cast("string"))))
         .otherwise(col(pMicroCol).cast("long")).as("p_micro"))
     val wAll = Window.partitionBy()
+    // |tests|-bounded ladders: one row per test id (the m of the
+    // multiple-testing correction), never per corpus row
     val wRank = Window.orderBy(col("p_micro"), col("test_id"))
     // suffix min over ranks >= current: running min in DESCENDING rank order
     val wSuffix = Window.orderBy(col("rank").desc)
@@ -1654,7 +1668,7 @@ object Stats {
       .select(col("_b"), expr("CAST(CASE WHEN _swv >= 0 THEN _swv div _sw " +
         "ELSE -((-_swv) div _sw) END AS BIGINT)").as("_m"))
     val ranked = means
-      .withColumn("_rank",
+      .withColumn("_rank", // B-bounded ladder (replicates ≤ 10⁴ by require)
         row_number().over(Window.orderBy(col("_m"), col("_b"))).cast("long"))
       .withColumn("_beff", count(lit(1)).over(Window.partitionBy()))
     val loRank = greatest(lit(1L),
@@ -1806,6 +1820,8 @@ object Stats {
         sum(when(col("_e") === 0, 1L).otherwise(0L)).as("n_censored"),
         count(lit(1)).as("_nt"))
     val wAll = Window.partitionBy()
+    // unpartitioned ladders bounded by |distinct floor-day durations|
+    // inside the observation window (the winsorize doc-contract bound)
     val wPrev = Window.orderBy(col("_d"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.orderBy(col("_d"))
@@ -1931,6 +1947,8 @@ object Stats {
         sum(when(col("_e") === 0, 1L).otherwise(0L)).as("n_censored"),
         count(lit(1)).as("_nt"))
     val wAll = Window.partitionBy()
+    // unpartitioned ladders bounded by |distinct floor-day durations|
+    // inside the observation window (the winsorize doc-contract bound)
     val wPrev = Window.orderBy(col("_d"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.orderBy(col("_d"))
@@ -1995,6 +2013,8 @@ object Stats {
         sum(when(col("_e") === 0, 1L).otherwise(0L)).as("n_censored"),
         count(lit(1)).as("_nt"))
     val wAll = Window.partitionBy()
+    // unpartitioned ladders bounded by |distinct floor-day durations|
+    // inside the observation window (the winsorize doc-contract bound)
     val wPrev = Window.orderBy(col("_d"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.orderBy(col("_d"))
@@ -2082,6 +2102,8 @@ object Stats {
       .agg(sum(when(col("_e") > 0, 1L).otherwise(0L)).as("_dt"),
         count(lit(1)).as("_nt"))
     val wAll = Window.partitionBy()
+    // unpartitioned ladders bounded by |distinct floor-day durations|
+    // inside the observation window (the winsorize doc-contract bound)
     val wPrev = Window.orderBy(col("_d"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.orderBy(col("_d"))
@@ -2159,6 +2181,7 @@ object Stats {
     require(tau > 0L, s"rmst: tau must be positive, got $tau")
     import org.apache.spark.sql.expressions.Window
     val km = kaplanMeier(df, durationCol, eventCol)
+    // duration-bounded ladder (KM output rows, not corpus rows)
     val wAsc = Window.orderBy(col("duration"))
     val cut = least(col("duration"), lit(tau))
     // coalesce INSIDE the least: least() skips NULL operands (Spark and
@@ -2299,6 +2322,8 @@ object Stats {
         max(col("_ng")).as("_ng"), max(col("_gaN")).as("_ga"),
         max(col("_gbN")).as("_gb"))
     val wAll = Window.partitionBy()
+    // unpartitioned ladders bounded by |distinct floor-day durations|
+    // inside the observation window (the winsorize doc-contract bound)
     val wPrev = Window.orderBy(col("_d"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cells = perT
@@ -2505,6 +2530,7 @@ object Stats {
           col("_v").cast(d38) * col("_v")).otherwise(lit(0).cast(d38))
           .cast(d38)).cast(d38).as("_dqb"),
         max(col("_ng")).as("_ng"))
+    // day-bounded ladder (observation window in days, not corpus rows)
     val wRun = Window.orderBy(col("_day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = daily
