@@ -592,7 +592,42 @@ object ScaleStudy {
         report("st_log_rank", k, nEv, tLr)
         val (_, tRm) = time(sink(graft.ops.Stats.rmst(subj, "dur", "ev", 30L)))
         report("st_rmst", k, nEv, tRm)
+        // round-13 additions: the remaining duration-bounded ladders
+        val (_, tNa) = time(sink(graft.ops.Stats.nelsonAalen(
+          subj, "dur", "ev")))
+        report("st_nelson_aalen", k, nEv, tNa)
+        val (_, tCr) = time(sink(graft.ops.Stats.competingRisks(
+          subj.select(col("dur"),
+            when(col("ev") === 1, (col("user_id") % 3 + 1).cast("int"))
+              .otherwise(0).as("cev")),
+          "dur", "cev")))
+        report("st_competing_risks", k, nEv, tCr)
         subj.unpersist(blocking = false)
+        // round-13 additions: blocked-rank T1 + BY-FDR ladder at scale
+        val fcnt = ev.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("_c0"))
+        val fdense = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+          .join(fcnt, Seq("user_id", "event_type"), "left")
+          .withColumn("_c0", coalesce(col("_c0"), lit(0L)))
+        val (_, tFr) = time(sink(graft.ops.Stats.friedman(
+          fdense, "user_id", "event_type", "_c0")))
+        report("st_friedman", k, nEv, tFr)
+        val ftests = ev
+          .select(col("event_type"), (col("user_id") % 16).as("_b"))
+          .distinct()
+          .select(concat(col("event_type"), lit("_"),
+            col("_b").cast("string")).as("test_id"),
+            (col("_b") % 2 === 0).as("_sig"))
+          .withColumn("_h", expr(
+            "CAST(conv(substring(md5(test_id), 1, 8), 16, 10) AS BIGINT)" +
+              " % 1000001"))
+          .select(col("test_id"),
+            when(col("_sig"), expr("_h * _h div 1000000"))
+              .otherwise(col("_h")).as("p_micro"))
+        val (_, tBy) = time(sink(graft.ops.Stats.bhFdr(
+          ftests, "test_id", "p_micro", 50000L, dependence = true)))
+        report("st_by_fdr", k, nEv, tBy)
         // IPW-ATE: p290's exact stratum-share recipe (integer micro
         // outcome exercises the new DECIMAL passthrough at scale)
         val users = ev.groupBy(col("user_id"))

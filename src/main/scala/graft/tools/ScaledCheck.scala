@@ -25,6 +25,21 @@ import org.apache.spark.sql.functions._
   * order (raw double sums) is banned here by design.
   *
   * `runMain graft.tools.ScaledCheck [sfDir]` — ~2 min at local[32].
+  *
+  * ORACLE UPGRADE (round 13): the fingerprints alone are trust-on-
+  * first-run — they catch drift, not wrongness-at-pin-time. For every
+  * estimator gate whose DuckDB `oracleSql` exists, the SAME oracle now
+  * also runs against the materialized scaled parquet:
+  * {{{
+  *   # lay out a scaled sf dir (events ×10, docs ×20, emb ×20 from
+  *   # /tmp/graft_scale, other tables symlinked to sf0.1), then:
+  *   SPARK_GRAFT_VERIFY_ONLY=p281_…,p314_… \
+  *     sbt "runMain graft.Verify /tmp/graft_scaled_sf /tmp/out_scaled"
+  *   python3 tools/scaled_oracle.py /tmp/graft_scaled_sf /tmp/out_scaled
+  * }}}
+  * which hash-compares exactly like the sf0.01 driver gate and merges
+  * per-gate `"mode":"oracle"` verdicts into `SCALED_CORRECTNESS.json`
+  * (round-13 run: 24/24 green at ×10 events).
   */
 object ScaledCheck {
 
@@ -161,6 +176,42 @@ object ScaledCheck {
               .as("_b"))
         graft.ops.Stats.pairedPermutationTest(
           perUser, "user_id", "_a", "_b", 200)
+      })),
+      // round-13 additions: the remaining ladder family at ×10 —
+      // duration-bounded hazard/CIF ladders, the blocked-rank T1, and
+      // the BY harmonic-ceiling FDR ladder
+      "nelson_aalen" -> (() => fingerprint(
+        graft.ops.Stats.nelsonAalen(subj, "dur", "ev"))),
+      "competing_risks" -> (() => fingerprint(
+        graft.ops.Stats.competingRisks(
+          subj.select(col("dur"),
+            when(col("ev") === 1, (col("user_id") % 3 + 1).cast("int"))
+              .otherwise(0).as("cev")),
+          "dur", "cev"))),
+      "friedman" -> (() => fingerprint({
+        val cnt = ev.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("_c"))
+        val dense = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+          .join(cnt, Seq("user_id", "event_type"), "left")
+          .withColumn("_c", coalesce(col("_c"), lit(0L)))
+        graft.ops.Stats.friedman(dense, "user_id", "event_type", "_c")
+      })),
+      "by_fdr" -> (() => fingerprint({
+        val tests = ev
+          .select(col("event_type"), (col("user_id") % 16).as("_b"))
+          .distinct()
+          .select(concat(col("event_type"), lit("_"),
+            col("_b").cast("string")).as("test_id"),
+            (col("_b") % 2 === 0).as("_sig"))
+          .withColumn("_h", expr(
+            "CAST(conv(substring(md5(test_id), 1, 8), 16, 10) AS BIGINT)" +
+              " % 1000001"))
+          .select(col("test_id"),
+            when(col("_sig"), expr("_h * _h div 1000000"))
+              .otherwise(col("_h")).as("p_micro"))
+        graft.ops.Stats.bhFdr(tests, "test_id", "p_micro", 50000L,
+          dependence = true)
       })),
       // ---- x20 embeddings ------------------------------------------
       // recall vs exact top-3 as (hits, total): index quality at scale
