@@ -154,12 +154,15 @@ object ImageDimsExpression {
 /** `audio_meta(bytes)`: [[ImageDimsExpression]]'s audio sibling —
   * container format + CLAIMED stream parameters from the header bytes
   * only. WAV (RIFF/WAVE + bounded chunk walk to `fmt `: channels,
-  * sample rate, bits per sample) and FLAC (fLaC + the mandatory
-  * first-block STREAMINFO bit-packed fields). Junk, truncated or
-  * non-audio payloads → ("unknown", -1, -1, -1); same
-  * never-kill-the-task triage discipline as `image_dims`, same native
-  * `doGenCode`. Returns struct(format STRING, channels INT,
-  * sample_rate INT, bits_per_sample INT). */
+  * sample rate, bits per sample), FLAC (fLaC + the mandatory
+  * first-block STREAMINFO bit-packed fields), and MP3 (first frame
+  * header after an optional ID3v2 envelope: version/layer validity,
+  * sample-rate table, mono/stereo mode; bits_per_sample is −1 —
+  * lossy streams have none). Junk, truncated or non-audio payloads →
+  * ("unknown", -1, -1, -1); same never-kill-the-task triage
+  * discipline as `image_dims`, same native `doGenCode`. Returns
+  * struct(format STRING, channels INT, sample_rate INT,
+  * bits_per_sample INT). */
 case class AudioMetaExpression(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("format", StringType, nullable = false),
@@ -223,6 +226,30 @@ object AudioMetaExpression {
       val ch = ((u8(b, 20) >>> 1) & 0x7) + 1
       val bits = (((u8(b, 20) & 1) << 4) | (u8(b, 21) >>> 4)) + 1
       if (rate > 0) return ("flac", ch, rate, bits)
+      return ("unknown", -1, -1, -1)
+    }
+    // MP3: first frame header, optionally behind an ID3v2 tag whose
+    // syncsafe length we skip (never scan the whole payload — triage
+    // reads a bounded prefix). Frame sync = 11 set bits; version/layer/
+    // sample-rate-index reserved values → unknown.
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+      off = 10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+    if (off >= 0 && b.length >= off + 4 && u8(b, off) == 0xff &&
+        (u8(b, off + 1) & 0xe0) == 0xe0) {
+      val ver = (u8(b, off + 1) >>> 3) & 3   // 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+      val layer = (u8(b, off + 1) >>> 1) & 3 // 0 reserved
+      val srIdx = (u8(b, off + 2) >>> 2) & 3 // 3 reserved
+      if (ver != 1 && layer != 0 && srIdx != 3) {
+        val rate = (ver, srIdx) match {
+          case (3, 0) => 44100; case (3, 1) => 48000; case (3, 2) => 32000
+          case (2, 0) => 22050; case (2, 1) => 24000; case (2, 2) => 16000
+          case (_, 0) => 11025; case (_, 1) => 12000; case _ => 8000
+        }
+        val ch = if ((u8(b, off + 3) >>> 6) == 3) 1 else 2
+        return ("mp3", ch, rate, -1)
+      }
       return ("unknown", -1, -1, -1)
     }
     ("unknown", -1, -1, -1)

@@ -279,15 +279,19 @@ object Multimodal {
       .toDF("media_id", "bytes")
   }
 
-  /** Deterministic audio header fixture: id % 3 cycles a REAL WAV
-    * (RIFF/WAVE with a leading JUNK chunk on every other row to
+  /** Deterministic audio header fixture: id % 4 cycles a REAL WAV
+    * (RIFF/WAVE with a leading JUNK chunk on every third row to
     * exercise the chunk walk, PCM `fmt `), a REAL FLAC (fLaC +
-    * STREAMINFO with bit-packed rate/channels/bits), and JUNK bytes.
-    * Parameters derive from the id — sample rate (id % 12 + 2)·4000
-    * (< 2²⁰, inside FLAC's 20-bit field), channels id % 2 + 1, bits
-    * (id % 4 + 1)·8 for WAV / id % 24 + 8 for FLAC (≤ 31, inside the
-    * 5-bit bits-1 field) — so the oracle recomputes them
-    * arithmetically and any parser drift hash-fails. */
+    * STREAMINFO with bit-packed rate/channels/bits), a REAL MP3 frame
+    * header (MPEG1 Layer III, behind an ID3v2 envelope on every third
+    * row), and JUNK bytes. Parameters derive from the id so every
+    * branch genuinely VARIES within its slot (the vacuous-fixture
+    * trap): channels (id div 4) % 2 + 1; WAV/FLAC rate
+    * (id % 12 + 2)·4000 (< 2²⁰, inside FLAC's 20-bit field); WAV bits
+    * ((id div 4) % 4 + 1)·8, FLAC bits id % 24 + 8 (≤ 31, inside the
+    * 5-bit bits-1 field); MP3 rate from the (MPEG1, id % 3) table —
+    * the oracle recomputes all of it arithmetically, so any parser
+    * drift hash-fails. */
   def audioBytesFromIds(ids: DataFrame, idCol: String): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
@@ -298,14 +302,14 @@ object Multimodal {
       .as[Long]
       .map { id =>
         val rate = ((id % 12 + 2) * 4000).toInt
-        val ch = (id % 2 + 1).toInt
-        val bytes = (id % 3) match {
+        val ch = ((id / 4) % 2 + 1).toInt
+        val bytes = (id % 4) match {
           case 0 =>
-            val bits = ((id % 4 + 1) * 8).toInt
+            val bits = (((id / 4) % 4 + 1) * 8).toInt
             val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
               le16(1) ++ le16(ch) ++ le32(rate) ++
               le32(rate * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits)
-            val lead = if (id % 2 == 0)
+            val lead = if ((id / 4) % 3 == 0)
               "JUNK".getBytes("US-ASCII") ++ le32(4) ++ Array[Byte](0, 0, 0, 0)
             else Array.emptyByteArray
             "RIFF".getBytes("US-ASCII") ++ le32(4 + lead.length + fmt.length) ++
@@ -319,6 +323,16 @@ object Multimodal {
               ((bits - 1) >>> 4)).toByte
             si(13) = (((bits - 1) & 0xf) << 4).toByte
             "fLaC".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 34) ++ si
+          case 2 =>
+            val r = (id % 3).toInt // MPEG1 table: 44100 / 48000 / 32000
+            val frame = Array[Byte](0xff.toByte, 0xfb.toByte,
+              (0x90 | (r << 2)).toByte,
+              (if (ch == 1) 0xc0 else 0x40).toByte)
+            val id3 = if ((id / 4) % 3 == 0)
+              "ID3".getBytes("US-ASCII") ++
+                Array[Byte](4, 0, 0, 0, 0, 0, 8) ++ new Array[Byte](8)
+            else Array.emptyByteArray
+            id3 ++ frame
           case _ =>
             s"notaudio:$id".getBytes("US-ASCII")
         }

@@ -55,6 +55,39 @@ object UrlOps {
         col("n_dups"), col("kept_id"))
   }
 
+  /** The crawl chain's URL-keyed front door: WARC responses
+    * ([[graft.sources.Warc.responses]]) → HTML→text
+    * ([[graft.ops.TextAnalysis.htmlText]]) → canonical-URL keep-best.
+    * One row per canonical URL: (canonical_url, record_id, text,
+    * n_dups), winner = longest extracted text (byte length), ties to
+    * the smallest record id — deterministic across engines and reruns.
+    * Same ONE-partial-agg shape as [[urlDedup]]; the winning text rides
+    * the struct-min payload, so no second join back. */
+  def crawlDedup(
+      responses: DataFrame,
+      urlCol: String = "target_uri",
+      idCol: String = "record_id",
+      bodyCol: String = "body"): DataFrame = {
+    val base = responses
+      .where(col(urlCol).isNotNull)
+      .select(
+        urlNormalize(col(urlCol)).as("canonical_url"),
+        col(idCol).cast("string").as("_id"),
+        graft.ops.TextAnalysis.htmlText(col(bodyCol)).as("_text"))
+      .withColumn("_q", octet_length(col("_text")).cast("long"))
+    base
+      .groupBy(col("canonical_url"))
+      .agg(
+        count(lit(1)).as("n_dups"),
+        // lexicographic struct MIN = (max quality via -q, then min id);
+        // text rides as payload — ids are unique so it never compares
+        min(struct((lit(0L) - coalesce(col("_q"), lit(Long.MinValue)))
+          .as("nq"), col("_id").as("id"), col("_text").as("text")))
+          .as("_w"))
+      .select(col("canonical_url"), col("_w.id").as("record_id"),
+        col("_w.text").as("text"), col("n_dups"))
+  }
+
   /** Per-domain crawl accounting over canonical URLs: one row per
     * host — page count, distinct canonical URLs, and the duplicate
     * fraction in ppm (integer; cross-engine exact). The budget view a

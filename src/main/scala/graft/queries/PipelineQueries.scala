@@ -3249,9 +3249,10 @@ object PipelineQueries {
         .select(col("media_id"), col("format"), col("width"), col("height"))
         .orderBy("media_id")),
 
-    // Audio header triage — REAL WAV (chunk walk past a JUNK chunk)
-    // and FLAC (bit-packed STREAMINFO) headers with id-derived
-    // rate/channels/bits, third slot junk; arithmetic oracle.
+    // Audio header triage — REAL WAV (chunk walk past a JUNK chunk),
+    // FLAC (bit-packed STREAMINFO) and MP3 (frame header behind an
+    // ID3v2 envelope) headers with id-derived rate/channels/bits,
+    // fourth slot junk; arithmetic oracle.
     "p318_audio_header_scan" -> ((s, dir) =>
       graft.ops.Multimodal.audioHeaderScan(
         graft.ops.Multimodal.audioBytesFromIds(
@@ -8697,12 +8698,16 @@ object PipelineQueries {
 
     "p318_audio_header_scan" -> (
       "SELECT doc_id AS media_id, " +
-      "CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' " +
-      "ELSE 'unknown' END AS format, " +
-      "CAST(CASE WHEN doc_id % 3 = 2 THEN -1 ELSE doc_id % 2 + 1 END AS INT) AS channels, " +
-      "CAST(CASE WHEN doc_id % 3 = 2 THEN -1 ELSE (doc_id % 12 + 2) * 4000 END AS INT) AS sample_rate, " +
-      "CAST(CASE WHEN doc_id % 3 = 2 THEN -1 WHEN doc_id % 3 = 0 " +
-      "THEN (doc_id % 4 + 1) * 8 ELSE doc_id % 24 + 8 END AS INT) AS bits_per_sample " +
+      "CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' " +
+      "WHEN 2 THEN 'mp3' ELSE 'unknown' END AS format, " +
+      "CAST(CASE WHEN doc_id % 4 = 3 THEN -1 " +
+      "ELSE (doc_id // 4) % 2 + 1 END AS INT) AS channels, " +
+      "CAST(CASE WHEN doc_id % 4 = 3 THEN -1 WHEN doc_id % 4 = 2 THEN " +
+      "(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END) " +
+      "ELSE (doc_id % 12 + 2) * 4000 END AS INT) AS sample_rate, " +
+      "CAST(CASE WHEN doc_id % 4 IN (2, 3) THEN -1 WHEN doc_id % 4 = 0 " +
+      "THEN ((doc_id // 4) % 4 + 1) * 8 " +
+      "ELSE doc_id % 24 + 8 END AS INT) AS bits_per_sample " +
       "FROM documents ORDER BY media_id"),
 
     // both the messy and the canonical spelling recomputed from the id

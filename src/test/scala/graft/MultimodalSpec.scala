@@ -142,23 +142,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(j.forall(r => r._1 == "unknown" && r._2 == -1))
   }
 
-  test("audio_meta: WAV chunk walk (incl. leading JUNK chunk) + FLAC STREAMINFO bit unpack") {
+  test("audio_meta: WAV chunk walk (incl. JUNK chunk), FLAC STREAMINFO, MP3 frame (incl. ID3)") {
     import spark.implicits._
-    val ids = (0L to 11L).toDF("doc_id")
+    val ids = (0L to 23L).toDF("doc_id")
     val out = Multimodal.audioHeaderScan(
         Multimodal.audioBytesFromIds(ids, "doc_id"), "bytes")
       .select("media_id", "format", "channels", "sample_rate", "bits_per_sample")
       .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1)
     out.foreach { case (id, fmt, ch, rate, bits) =>
-      (id % 3) match {
+      val expCh = ((id / 4) % 2 + 1).toInt
+      (id % 4) match {
         case 0 =>
-          assert(fmt == "wav" && ch == (id % 2 + 1).toInt &&
+          assert(fmt == "wav" && ch == expCh &&
             rate == ((id % 12 + 2) * 4000).toInt &&
-            bits == ((id % 4 + 1) * 8).toInt, s"wav id=$id")
+            bits == (((id / 4) % 4 + 1) * 8).toInt, s"wav id=$id got ($fmt,$ch,$rate,$bits)")
         case 1 =>
-          assert(fmt == "flac" && ch == (id % 2 + 1).toInt &&
+          assert(fmt == "flac" && ch == expCh &&
             rate == ((id % 12 + 2) * 4000).toInt &&
-            bits == (id % 24 + 8).toInt, s"flac id=$id")
+            bits == (id % 24 + 8).toInt, s"flac id=$id got ($fmt,$ch,$rate,$bits)")
+        case 2 =>
+          val expRate = (id % 3) match {
+            case 0 => 44100; case 1 => 48000; case _ => 32000
+          }
+          assert(fmt == "mp3" && ch == expCh && rate == expRate &&
+            bits == -1, s"mp3 id=$id got ($fmt,$ch,$rate,$bits)")
         case _ =>
           assert(fmt == "unknown" && ch == -1 && rate == -1 && bits == -1)
       }
@@ -168,7 +175,14 @@ class MultimodalSpec extends AnyFunSuite {
       (0L, "RIFF1234WAVE".getBytes("US-ASCII")),
       (1L, "RIFF1234WAVEfmt ".getBytes("US-ASCII")),
       (2L, "fLaC".getBytes("US-ASCII")),
-      (3L, Array[Byte]()))
+      (3L, Array[Byte]()),
+      // ID3 envelope claiming a size past the buffer end
+      (4L, "ID3".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f)),
+      // frame sync with reserved version+layer bits
+      (5L, Array[Byte](0xff.toByte, 0xe0.toByte, 0x00, 0x00)),
+      // frame sync with reserved sample-rate index
+      (6L, Array[Byte](0xff.toByte, 0xfb.toByte, 0x9c.toByte, 0x40)))
       .toDF("media_id", "bytes")
     val j = Multimodal.audioHeaderScan(junk, "bytes")
       .select("format", "channels").as[(String, Int)].collect()

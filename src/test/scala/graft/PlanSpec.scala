@@ -521,4 +521,33 @@ class PlanSpec extends AnyFunSuite {
     assert(pa.contains("ReadSchema: struct<lang:string,source:string>"), pa)
     assert(!pa.contains("SortMergeJoin"), pa)
   }
+
+  test("media + url triage expressions run INSIDE whole-stage codegen, no ScalaUDF") {
+    import org.apache.spark.sql.functions._
+    // the README claim "native doGenCode, no interpreted expressions on
+    // hot paths" for the round-13 expressions. Probed over an
+    // exchange-free range plan because AQE hides the '*(n)' codegen
+    // markers on un-executed exchanged plans; collect() forces Janino
+    // compilation so a silent interpreted fallback cannot pass.
+    val junk = encode(concat(lit("junkbytes"), col("id")), "UTF-8")
+    for ((marker, c) <- Seq(
+        ("image_dims", graft.functions.MediaFunctions.image_dims(junk)),
+        ("audio_meta", graft.functions.MediaFunctions.audio_meta(junk)),
+        ("url_normalize", graft.functions.UrlFunctions.url_normalize(
+          concat(lit("HTTP://X.org:80/a/"), col("id")))))) {
+      val df = spark.range(8).select(c.as("out"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("ScalaUDF"), s"$marker: $p")
+      val line = p.linesIterator.find(_.contains(marker))
+      assert(line.isDefined, s"$marker not in plan\n$p")
+      assert(line.get.trim.startsWith("*("),
+        s"$marker evaluated OUTSIDE WholeStageCodegen:\n$p")
+      assert(df.collect().length == 8)
+    }
+    // and the gate plans carry no ScalaUDF anywhere
+    for (name <- Seq("p312_image_header_scan", "p317_webp_tiff_scan",
+        "p318_audio_header_scan", "p319_url_normalize")) {
+      assert(!plan(name).contains("ScalaUDF"), name)
+    }
+  }
 }

@@ -50,4 +50,27 @@ class WarcSpec extends AnyFunSuite {
       ("http://example.org/a", "A alpha & beta"),
       ("http://example.org/b", "Ünïcode — 中文 páge b")))
   }
+
+  test("crawlDedup: WARC responses → canonical-URL keep-best, longest text wins") {
+    import spark.implicits._
+    // plant a duplicate spelling of /a (case + default port + tracker)
+    // carrying a SHORTER body: the original must win on byte length
+    val dup = Seq(("<urn:uuid:dup-1>",
+        "HTTP://EXAMPLE.ORG:80/a?utm_source=feed",
+        "<html><body>short</body></html>"))
+      .toDF("record_id", "target_uri", "body")
+    val out = graft.ops.UrlOps.crawlDedup(
+        Warc.responses(spark, path)
+          .select("record_id", "target_uri", "body")
+          .unionByName(dup))
+      .orderBy("canonical_url")
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      ("http://example.org/a",
+        "<urn:uuid:00000000-0000-0000-0000-000000000003>",
+        "A alpha & beta", 2L),
+      ("http://example.org/b",
+        "<urn:uuid:00000000-0000-0000-0000-000000000004>",
+        "Ünïcode — 中文 páge b", 1L)))
+  }
 }
