@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# Oracle-at-scale runbook: verify the estimator gates against DuckDB at
+# x10 events / x20 docs (the ScaledCheck corpora). One command:
+#
+#   bash tools/run_scaled_oracle.sh [sfDir]
+#
+# 1. materializes the scaled tables if absent (ScaledCheck side effect),
+# 2. lays out /tmp/graft_scaled_sf as an sf-dir of symlinks whose
+#    events/documents/embeddings point at the scaled copies,
+# 3. runs graft.Verify for the event-based estimator gates against it,
+# 4. runs tools/scaled_oracle.py (same DuckDB hash-compare as the
+#    driver's sf0.01 gate) and merges mode=oracle rows into
+#    SCALED_CORRECTNESS.json.
+#
+# p306_roc_curve is excluded: the scaled docs copy carries only
+# (doc_id, text, lang, source) and that gate needs n_chars.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.1}
+SFNAME=$(basename "$SF")
+LAYOUT=/tmp/graft_scaled_sf
+
+sbt -batch "runMain graft.tools.ScaledCheck $SF"
+
+mkdir -p "$LAYOUT"
+for t in region nation customer supplier part orders lineitem; do
+  ln -sfn "$SF/$t.parquet" "$LAYOUT/$t.parquet"
+done
+ln -sfn "/tmp/graft_scale/${SFNAME}_events_x10" "$LAYOUT/events.parquet"
+ln -sfn "/tmp/graft_scale/${SFNAME}_documents_x20" "$LAYOUT/documents.parquet"
+ln -sfn "/tmp/graft_scale/${SFNAME}_embeddings_x20" "$LAYOUT/embeddings.parquet"
+
+GATES=p281_mann_whitney,p283_bh_fdr,p286_poisson_bootstrap,p288_kaplan_meier
+GATES=$GATES,p289_log_rank,p290_ipw_ate,p292_rmst,p293_cmh,p294_msprt,p296_qte
+GATES=$GATES,p298_km_by_group,p300_rmst_diff,p301_nelson_aalen,p302_km_greenwood
+GATES=$GATES,p303_cohens_d,p304_perm_test,p308_competing_risks,p309_kruskal_wallis
+GATES=$GATES,p310_trend_test,p311_cronbach,p313_neyman_sample,p314_anderson_darling
+GATES=$GATES,p315_friedman,p316_by_fdr
+
+SPARK_GRAFT_VERIFY_ONLY=$GATES \
+  sbt -batch "runMain graft.Verify $LAYOUT /tmp/out_scaled"
+python3 tools/scaled_oracle.py "$LAYOUT" /tmp/out_scaled
