@@ -213,6 +213,28 @@ object ScaledCheck {
         graft.ops.Stats.bhFdr(tests, "test_id", "p_micro", 50000L,
           dependence = true)
       })),
+      // round-13 URL family at ×20 docs: id-derived messy spellings →
+      // canonical keep-best; the div-3 grouping interacts with the
+      // id-offset replicas, so the dup structure is genuinely
+      // scale-dependent (a cap/overflow would move survivors here)
+      "url_dedup" -> (() => fingerprint({
+        val g = expr("doc_id div 3")
+        val u = when(col("doc_id") % 3 === 0,
+            concat(lit("https://DUP.example:443/g/./"), g,
+              lit("?utm_campaign=x")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("https://dup.EXAMPLE/g/"), g, lit("#top")))
+          .otherwise(concat(lit("https://dup.example/g/"), g))
+        graft.ops.UrlOps.urlDedup(
+          docs.select(col("doc_id"), octet_length(col("text")).as("_len"),
+            u.as("url")),
+          "url", "doc_id", "_len")
+      })),
+      "domain_stats" -> (() => fingerprint(
+        graft.ops.UrlOps.domainStats(
+          docs.select(concat(lit("http://H"), col("doc_id") % 10,
+            lit(".NET/p/"), expr("doc_id div 20")).as("url")),
+          "url"))),
       // ---- x20 embeddings ------------------------------------------
       // recall vs exact top-3 as (hits, total): index quality at scale
       "ann_ivfpq_hits" -> (() => {
@@ -279,7 +301,19 @@ object ScaledCheck {
       err == null && pins.get(n).forall(p => p._1 == r && p._2 == h)
     }
     val mode = if (pins.isEmpty) "bootstrap" else "compare"
-    val json = s"""{"mode":"$mode","docs_x":20,"events_x":10,"emb_x":20,"sf":"$sfDir","n_ok":$nOk,"n_checks":${results.length},"checks":{${rows.mkString(",")}}}"""
+    // splice the oracle-at-scale verdicts back in from the sidecar
+    // tools/scaled_oracle.py maintains — a fingerprint re-run must not
+    // clobber the independently-verified section
+    val oracleJson = {
+      val f = new java.io.File("SCALED_ORACLE.json")
+      if (!f.exists()) ""
+      else {
+        val src = scala.io.Source.fromFile(f)
+        val body = try src.mkString.trim finally src.close()
+        if (body.isEmpty) "" else s""","oracle":$body"""
+      }
+    }
+    val json = s"""{"mode":"$mode","docs_x":20,"events_x":10,"emb_x":20,"sf":"$sfDir","n_ok":$nOk,"n_checks":${results.length},"checks":{${rows.mkString(",")}}$oracleJson}"""
     val w2 = new java.io.PrintWriter("SCALED_CORRECTNESS.json", "UTF-8")
     try w2.println(json) finally w2.close()
     println(s"[scaled-check] $nOk/${results.length} ok ($mode) -> SCALED_CORRECTNESS.json")

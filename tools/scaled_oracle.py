@@ -87,17 +87,21 @@ ok = sum(1 for r in results.values() if r.get("hash_match"))
 print(json.dumps(results, indent=1, default=str))
 print(f"\n{ok}/{len(results)} oracle hash-match at scale")
 
+# write the durable sidecar (ScaledCheck re-splices it on every
+# fingerprint re-run, so the oracle verdicts survive pin refreshes) and
 # merge into SCALED_CORRECTNESS.json beside the fingerprint pins
+sidecar = {"sf": sf_dir, "n_ok": ok, "n_checks": len(results),
+           "checks": results}
+with open("SCALED_ORACLE.json", "w") as f:
+    json.dump(sidecar, f, indent=0, default=str)
+    f.write("\n")
 sc_path = "SCALED_CORRECTNESS.json"
 try:
     sc = json.load(open(sc_path))
 except Exception:
     sc = {}
-sc["oracle_checks"] = results
-sc["oracle_sf"] = sf_dir
-sc["n_oracle_ok"] = ok
-sc["n_oracle"] = len(results)
+sc["oracle"] = sidecar
 with open(sc_path, "w") as f:
     json.dump(sc, f, indent=0, default=str)
     f.write("\n")
-print(f"merged into {sc_path}")
+print(f"wrote SCALED_ORACLE.json and merged into {sc_path}")
