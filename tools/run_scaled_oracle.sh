@@ -36,6 +36,11 @@ GATES=$GATES,p298_km_by_group,p300_rmst_diff,p301_nelson_aalen,p302_km_greenwood
 GATES=$GATES,p303_cohens_d,p304_perm_test,p308_competing_risks,p309_kruskal_wallis
 GATES=$GATES,p310_trend_test,p311_cronbach,p313_neyman_sample,p314_anderson_darling
 GATES=$GATES,p315_friedman,p316_by_fdr
+# text family at x20 docs (documents-only inputs; p22 also reads the
+# x20 embeddings, whose id offsets match the docs')
+GATES=$GATES,p22_doc_similarity,p27_vocab_topk,p30_repetition,p31_decontaminate
+GATES=$GATES,p32_pii_redact,p54_bm25,p65_bigram_surprisal,p76_tfidf_keywords
+GATES=$GATES,p85_temperature_sample,p270_tail_mass,p271_waterfill,p285_zipf_slope
 
 SPARK_GRAFT_VERIFY_ONLY=$GATES \
   sbt -batch "runMain graft.Verify $LAYOUT /tmp/out_scaled"
