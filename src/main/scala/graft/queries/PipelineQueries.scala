@@ -3319,6 +3319,34 @@ object PipelineQueries {
         lit(".NET/p/"), expr("doc_id div 20"))
       graft.ops.UrlOps.domainStats(docs.select(url.as("url")), "url")
         .orderBy("host")
+    }),
+
+    // robots.txt crawl-politeness filter: per-host bodies exercising
+    // exact-group exclusivity (hosts 0-1 carry a graftbot group whose
+    // selection IGNORES the * rules), * fallback (hosts 2-3), and the
+    // longest-prefix-match allow override; the oracle recomputes the
+    // verdict from the same arithmetic, no parsing.
+    "p322_robots_filter" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val h = col("doc_id") % 4
+      val bodyA = "User-agent: *\nDisallow: /priv\n\n# policy\n" +
+        "User-agent: graftbot\nDisallow: /bot\nAllow: /bot/ok\n"
+      val bodyB = "User-agent: *\nDisallow: /priv\nAllow: /priv/open\n"
+      val robots = docs.select(h.as("_h")).distinct()
+        .select(concat(lit("h"), col("_h"), lit(".example")).as("host"),
+          when(col("_h") < 2, lit(bodyA)).otherwise(lit(bodyB)).as("body"))
+      val m = col("doc_id") % 5
+      val path = when(m === 0, concat(lit("/pub/"), col("doc_id")))
+        .when(m === 1, concat(lit("/priv/x"), col("doc_id")))
+        .when(m === 2, concat(lit("/bot/y"), col("doc_id")))
+        .when(m === 3, concat(lit("/bot/ok"), col("doc_id")))
+        .otherwise(concat(lit("/priv/open"), col("doc_id")))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("http://h"), h, lit(".example"), path).as("url"))
+      graft.ops.UrlOps.robotsAllowed(urls,
+          graft.ops.UrlOps.robotsRules(robots), "graftbot")
+        .select(col("doc_id"), col("url"), col("host"), col("allowed"))
+        .orderBy("doc_id")
     })
   )
 
@@ -8746,5 +8774,21 @@ object PipelineQueries {
       "SELECT host, n_pages, n_urls, " +
       "(n_pages - n_urls) * 1000000 // n_pages AS dup_ppm " +
       "FROM a ORDER BY host")
+  ,
+    // the robots verdict recomputed from the fixture arithmetic:
+    // m=1 blocked only under the * fallback (hosts >= 2), m=2 blocked
+    // only under the exact graftbot group (hosts < 2); allow overrides
+    // (m=3 /bot/ok, m=4 /priv/open) and no-match paths stay allowed
+    "p322_robots_filter" -> (
+      "SELECT doc_id, " +
+      "'http://h' || (doc_id % 4) || '.example' || " +
+      "CASE doc_id % 5 WHEN 0 THEN '/pub/' || doc_id " +
+      "WHEN 1 THEN '/priv/x' || doc_id WHEN 2 THEN '/bot/y' || doc_id " +
+      "WHEN 3 THEN '/bot/ok' || doc_id " +
+      "ELSE '/priv/open' || doc_id END AS url, " +
+      "'h' || (doc_id % 4) || '.example' AS host, " +
+      "NOT ((doc_id % 5 = 1 AND doc_id % 4 >= 2) " +
+      "OR (doc_id % 5 = 2 AND doc_id % 4 < 2)) AS allowed " +
+      "FROM documents ORDER BY doc_id")
   )
 }

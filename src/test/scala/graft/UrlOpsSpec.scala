@@ -85,6 +85,45 @@ class UrlOpsSpec extends AnyFunSuite {
       ("https://solo.example/x", "solo.example", 1L, 4L)))
   }
 
+  test("robots: group parsing, exact-group exclusivity, * fallback, longest-match allow wins") {
+    import spark.implicits._
+    val bodyA = Seq(
+      "# crawl policy", "User-agent: *", "Disallow: /priv", "",
+      "user-Agent: GraftBot", "Disallow: /bot", "Allow: /bot/ok",
+      "Disallow:").mkString("\n")
+    val bodyB = Seq(
+      "User-agent: *", "Disallow: /priv", "Allow: /priv/open").mkString("\n")
+    val bodyC = Seq( // stacked agents share one group
+      "User-agent: graftbot", "User-agent: otherbot",
+      "Disallow: /x").mkString("\n")
+    val robots = Seq(("a.example", bodyA), ("b.example", bodyB),
+      ("c.example", bodyC)).toDF("host", "body")
+    val rules = UrlOps.robotsRules(robots)
+    val got = rules.as[(String, String, String, String)].collect().toSet
+    assert(got == Set(
+      ("a.example", "*", "disallow", "/priv"),
+      ("a.example", "graftbot", "disallow", "/bot"),
+      ("a.example", "graftbot", "allow", "/bot/ok"),
+      ("b.example", "*", "disallow", "/priv"),
+      ("b.example", "*", "allow", "/priv/open"),
+      ("c.example", "graftbot", "disallow", "/x"),
+      ("c.example", "otherbot", "disallow", "/x")))
+    val urls = Seq(
+      (1L, "http://a.example/priv/x"),      // exact group governs: * rules ignored
+      (2L, "http://a.example/bot/x"),       // disallowed by the exact group
+      (3L, "http://a.example/bot/ok/x"),    // allow wins on longest match
+      (4L, "http://b.example/priv/x"),      // no exact group -> * fallback
+      (5L, "http://b.example/priv/open/x"), // allow wins on longest match
+      (6L, "http://c.example/x/y"),         // stacked-agent group applies
+      (7L, "http://d.example/anything"))    // no robots -> allowed
+      .toDF("id", "url")
+    val out = UrlOps.robotsAllowed(urls, rules, "GraftBot")
+      .orderBy("id").select("id", "allowed")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, true), (2L, false), (3L, true), (4L, false),
+      (5L, true), (6L, false), (7L, true)))
+  }
+
   test("domainStats: duplicate fraction in ppm per host") {
     import spark.implicits._
     val df = Seq(
