@@ -130,7 +130,9 @@ object UrlOps {
       .where(col("_ua") === 0 && col("_grp") > 0 && col("_v") =!= "")
       .select(col("host"), col("_grp"), col("_f").as("kind"),
         col("_v").as("path"))
-    agents.join(rules, Seq("host", "_grp"))
+    // both sides are robots-body-sized (KB/host) — broadcast so the
+    // rule derivation never sorts or range-shuffles
+    agents.join(broadcast(rules), Seq("host", "_grp"))
       .select(col("host"), col("agent"), col("kind"), col("path"))
   }
 
@@ -161,7 +163,7 @@ object UrlOps {
     val appl = rules.where(col("agent").isin(agentLc, "*"))
     val hostHasExact = appl.groupBy(col("host"))
       .agg(max((col("agent") === agentLc).cast("int")).as("_he"))
-    val perHost = appl.join(hostHasExact, "host")
+    val perHost = appl.join(broadcast(hostHasExact), "host")
       .where((col("agent") === agentLc).cast("int") === col("_he"))
       .groupBy(col("host"))
       .agg(collect_list(struct(col("path"), col("kind"))).as("_rules"))

@@ -550,4 +550,19 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan(name).contains("ScalaUDF"), name)
     }
   }
+
+  test("p320/p322: URL dedup is one agg without a window; robots rules broadcast") {
+    // keep-best per canonical URL must stay a struct-max partial agg —
+    // a Window/self-join here would serialize the corpus
+    val dedup = plan("p320_url_dedup")
+    assert(!dedup.contains("WindowExec") && !dedup.contains("Window ["), dedup)
+    assert(!dedup.contains("SortMergeJoin"), dedup)
+    // the per-host rule arrays must reach the fact table via broadcast,
+    // never a shuffled join (rules are KB per host; the fact side is
+    // the 100 TB crawl)
+    val robots = plan("p322_robots_filter")
+    assert(robots.contains("BroadcastHashJoin") ||
+      robots.contains("BroadcastExchange"), robots)
+    assert(!robots.contains("SortMergeJoin"), robots)
+  }
 }
