@@ -226,7 +226,7 @@ object Bench {
     // scaledOps non-empty ⇒ the tier ran; summary + full map are derived
     // from the same Seq so line and detail can never disagree
     var scaledMeta = ""
-    val scaledOps: Seq[(String, Double)] = if (only.nonEmpty) Seq.empty else try {
+    val scaledOps: Seq[graft.tools.ScaledOps.ScaledRec] = if (only.nonEmpty) Seq.empty else try {
       // env parse inside the try: a malformed SPARK_GRAFT_BENCH_SCALE must
       // not throw after every query already ran and lose the JSON line
       val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "20").toInt
@@ -237,7 +237,7 @@ object Bench {
         val eventsPath = graft.tools.ScaleData.materialize(spark, sfDir, "events", evScale, cpus.toInt)
         val embPath = graft.tools.ScaleData.materialize(spark, sfDir, "embeddings", scale, cpus.toInt)
         val ops = graft.tools.ScaledOps.run(spark, docsPath, eventsPath, embPath)
-        failed += ops.count(_._2 < 0)
+        failed += ops.count(_.median < 0)
         scaledMeta = s""""docs_x":$scale,"events_x":$evScale,"""
         ops
       }
@@ -247,14 +247,23 @@ object Bench {
         failed += 1
         Seq.empty
     }
-    // the line gets the tier's total + op count; the detail file gets the map
+    // the line gets the tier's total + op count + self-adjudication
+    // aggregates (sum-of-min and the varied count — the scaled twin of
+    // the suite's total_min/varied; a round-over-round scaled comparison
+    // is unreadable without them); the detail file gets the full maps
     val scaledLineJson = if (scaledOps.isEmpty) "" else {
-      val t = scaledOps.collect { case (k, v) if v >= 0 && !k.endsWith("_pct") => v }.sum
-      s""","scaled":{$scaledMeta"total":${s3(t)},"n_ops":${scaledOps.length}}"""
+      val timed = scaledOps.filter(r => r.median >= 0 && !r.name.endsWith("_pct"))
+      val t = timed.map(_.median).sum
+      val tMin = timed.map(_.min).sum
+      val nVaried = timed.count(_.varied)
+      s""","scaled":{$scaledMeta"total":${s3(t)},"total_min":${s3(tMin)},"varied":$nVaried,"n_ops":${scaledOps.length}}"""
     }
     val scaledDetailJson = if (scaledOps.isEmpty) "" else {
-      val opsJson = scaledOps.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
-      s""","scaled":{$scaledMeta"ops":$opsJson}"""
+      val opsJson = scaledOps.map(r => "\"" + r.name + "\":" + s3(r.median)).mkString("{", ",", "}")
+      val minJson = scaledOps.map(r => "\"" + r.name + "\":" + s3(r.min)).mkString("{", ",", "}")
+      val variedJson = scaledOps.collect { case r if r.varied => "\"" + r.name + "\"" }
+        .mkString("[", ",", "]")
+      s""","scaled":{$scaledMeta"ops":$opsJson,"ops_min":$minJson,"varied":$variedJson}"""
     }
 
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

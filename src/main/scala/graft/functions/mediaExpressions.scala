@@ -108,7 +108,9 @@ object ImageDimsExpression {
       def r16(i: Int): Int = if (le) le16(b, i) else be16(b, i)
       def r32(i: Int): Int = if (le) le32(b, i) else be32(b, i)
       val ifd = r32(4)
-      if (ifd >= 8 && ifd + 2 <= b.length) {
+      // `ifd + 2 <= b.length` wraps for ifd near Int.MaxValue; the
+      // subtraction form cannot overflow (b.length >= 8 here)
+      if (ifd >= 8 && ifd <= b.length - 2) {
         val n = r16(ifd)
         var w = -1; var h = -1; var k = 0
         while (k < n && ifd + 2 + 12 * (k + 1) <= b.length) {
@@ -213,6 +215,11 @@ object AudioMetaExpression {
           }
           return ("unknown", -1, -1, -1)
         }
+        // a hostile sz near Int.MaxValue would wrap `p + 8 + sz`
+        // negative and alias back into the buffer — compare against the
+        // remaining bytes instead of advancing, so adversarial length
+        // fields triage to unknown, never throw
+        if (sz > b.length - p - 8) return ("unknown", -1, -1, -1)
         p += 8 + sz + (sz & 1)
       }
       return ("unknown", -1, -1, -1)

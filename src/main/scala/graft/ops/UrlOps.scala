@@ -19,6 +19,22 @@ object UrlOps {
   def urlNormalize(c: Column): Column =
     graft.functions.UrlFunctions.url_normalize(c)
 
+  /** Default host-count ceiling for broadcasting the per-host robots
+    * rule dim. Rule arrays are KB-sized per host, so 100k hosts is
+    * ~100 MB — inside Spark's broadcast comfort zone. A CommonCrawl-
+    * scale corpus carries tens of MILLIONS of hosts; broadcasting that
+    * unconditionally is a driver-OOM scale-killer, so above the
+    * ceiling the rule joins fall back to a shuffled hash join on
+    * `host` (never sort-merge — the dim side always hash-builds). */
+  val DefaultBroadcastMaxHosts: Long = 100000L
+
+  /** Bounded small-side probe: true iff `df` has at most `max` rows.
+    * `limit(max+1).count()` stops the scan early instead of counting a
+    * crawl-scale table end to end — the probe's cost is bounded by the
+    * threshold, not the input. */
+  private def atMostRows(df: DataFrame, max: Long): Boolean =
+    df.limit(math.min(max, Int.MaxValue - 1L).toInt + 1).count() <= max
+
   /** KEEP-BEST per canonical URL: collapse every spelling of the same
     * canonical URL to one winner — highest `qualityCol` (e.g. text
     * length, a quality score), ties broken by SMALLEST `idCol` so
@@ -80,8 +96,12 @@ object UrlOps {
       .agg(
         count(lit(1)).as("n_dups"),
         // lexicographic struct MIN = (max quality via -q, then min id);
-        // text rides as payload — ids are unique so it never compares
-        min(struct((lit(0L) - coalesce(col("_q"), lit(Long.MinValue)))
+        // text rides as payload — ids are unique so it never compares.
+        // Negate FIRST, then coalesce NULL to the LOSING end (MaxValue):
+        // coalescing _q to MinValue before the negation would wrap
+        // (0 - Long.MinValue == Long.MinValue in non-ANSI mode) and a
+        // null-body row would beat every real-text duplicate
+        min(struct(coalesce(lit(0L) - col("_q"), lit(Long.MaxValue))
           .as("nq"), col("_id").as("id"), col("_text").as("text")))
           .as("_w"))
       .select(col("canonical_url"), col("_w.id").as("record_id"),
@@ -103,7 +123,8 @@ object UrlOps {
   def robotsRules(
       robots: DataFrame,
       hostCol: String = "host",
-      bodyCol: String = "body"): DataFrame = {
+      bodyCol: String = "body",
+      broadcastMaxHosts: Long = DefaultBroadcastMaxHosts): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = robots
       .select(col(hostCol).cast("string").as("host"),
@@ -130,10 +151,17 @@ object UrlOps {
       .where(col("_ua") === 0 && col("_grp") > 0 && col("_v") =!= "")
       .select(col("host"), col("_grp"), col("_f").as("kind"),
         col("_v").as("path"))
-    // both sides are robots-body-sized (KB/host) — broadcast so the
-    // rule derivation never sorts or range-shuffles
-    agents.join(broadcast(rules), Seq("host", "_grp"))
-      .select(col("host"), col("agent"), col("kind"), col("path"))
+    // SIZE-ADAPTIVE: below the host ceiling both sides are KB×hosts —
+    // broadcast so the rule derivation never shuffles at all; above it
+    // (tens of millions of hosts) a broadcast would OOM the driver, so
+    // hash-join on (host, _grp) — SHUFFLE_HASH, never sort-merge: the
+    // per-group sides are small and uniform, a sort buys nothing
+    val joined =
+      if (atMostRows(robots.select(col(hostCol)), broadcastMaxHosts))
+        agents.join(broadcast(rules), Seq("host", "_grp"))
+      else
+        agents.join(rules.hint("SHUFFLE_HASH"), Seq("host", "_grp"))
+    joined.select(col("host"), col("agent"), col("kind"), col("path"))
   }
 
   /** Apply a [[robotsRules]] table to a URL column: RFC 9309 group
@@ -145,25 +173,33 @@ object UrlOps {
     * nothing. Matching is against the CANONICAL path
     * ([[urlNormalize]]), query and fragment excluded.
     *
-    * Shape: the governing rules collapse to ONE array row per host and
-    * broadcast (robots bodies are KB-sized — millions of hosts is
-    * still a broadcast-sized dim next to a crawl fact table); the
-    * longest-match evaluation is a map-only higher-order fold over the
-    * per-host array, so the fact table never fans out, never
-    * re-aggregates, and duplicate input rows survive untouched. The
-    * per-element lambdas are interpreted, but bounded by
-    * rules-per-host, not corpus size. Appends
+    * Shape: the governing rules collapse to ONE array row per host;
+    * SIZE-ADAPTIVE delivery to the fact table — below
+    * `broadcastMaxHosts` the dim broadcasts (KB/host ⇒ ~100 MB at the
+    * default ceiling), above it (a real crawl's tens of millions of
+    * hosts = multi-GB, past broadcast comfort) it hash-joins on
+    * `host` with the dim as the SHUFFLE_HASH build side — never a
+    * sort-merge, and the fact side is shuffled once, never fanned out
+    * or re-aggregated. The longest-match evaluation is a map-only
+    * higher-order fold over the per-host array; the per-element
+    * lambdas are interpreted, but bounded by rules-per-host, not
+    * corpus size. Duplicate input rows survive untouched. Appends
     * (canonical_url, host, allowed). */
   def robotsAllowed(
       urls: DataFrame,
       rules: DataFrame,
       agent: String,
-      urlCol: String = "url"): DataFrame = {
+      urlCol: String = "url",
+      broadcastMaxHosts: Long = DefaultBroadcastMaxHosts): DataFrame = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val appl = rules.where(col("agent").isin(agentLc, "*"))
     val hostHasExact = appl.groupBy(col("host"))
       .agg(max((col("agent") === agentLc).cast("int")).as("_he"))
-    val perHost = appl.join(broadcast(hostHasExact), "host")
+    // rules-per-host is a small constant (robots bodies are KB-sized),
+    // so |rules| tracks |hosts| — one bounded probe sizes both joins
+    val small = atMostRows(rules.select(col("host")), broadcastMaxHosts)
+    val perHost = (if (small) appl.join(broadcast(hostHasExact), "host")
+                   else appl.join(hostHasExact.hint("SHUFFLE_HASH"), "host"))
       .where((col("agent") === agentLc).cast("int") === col("_he"))
       .groupBy(col("host"))
       .agg(collect_list(struct(col("path"), col("kind"))).as("_rules"))
@@ -173,7 +209,8 @@ object UrlOps {
         lower(parse_url(col("canonical_url"), lit("HOST"))))
       .withColumn("_upath",
         coalesce(parse_url(col("canonical_url"), lit("PATH")), lit("/")))
-    u.join(broadcast(perHost), Seq("host"), "left")
+    u.join(if (small) broadcast(perHost) else perHost.hint("SHUFFLE_HASH"),
+        Seq("host"), "left")
       .withColumn("_w", array_max(transform(
         filter(col("_rules"),
           r => col("_upath").startsWith(r.getField("path"))),

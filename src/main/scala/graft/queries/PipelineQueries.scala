@@ -134,9 +134,12 @@ object PipelineQueries {
     * ~3× the steady-state triangle query, so paying it after EVERY
     * bench reap made p134's first iteration ~18 s and its median a
     * function of reap order. Post-reap consumers re-read the snapshot
-    * (seconds) and re-persist; the input fingerprint (total length +
-    * max mtime of the lineitem files) keys the path so a regenerated
-    * sf dir can never serve a stale edge list. Pure (src, dst) longs —
+    * (seconds) and re-persist; the input fingerprint (SHA-256 over the
+    * sorted (name, length, mtime) tuples of the lineitem files — an
+    * order-insensitive DIGEST, not a commutative sum, so compensating
+    * length/mtime changes or files swapped between parts can't collide)
+    * keys the path so a regenerated sf dir can never serve a stale
+    * edge list. Pure (src, dst) longs —
     * the parquet round-trip is lossless, so correctness is untouched.
     * Bench calls this UNTIMED before its query loop (the scaled tier's
     * materialize precedent) so the one-time build is setup, not a
@@ -145,8 +148,11 @@ object PipelineQueries {
     val liFile = new java.io.File(dir, "lineitem.parquet")
     val parts =
       if (liFile.isDirectory) liFile.listFiles().toSeq else Seq(liFile)
-    val fp = java.lang.Long.toHexString(
-      parts.map(f => f.length() + f.lastModified()).sum)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    parts.map(f => s"${f.getName} ${f.length()} ${f.lastModified()}\n")
+      .sorted
+      .foreach(t => md.update(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val fp = md.digest().take(8).map(b => f"$b%02x").mkString
     val snap = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_copurchase_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fp)

@@ -29,8 +29,9 @@ object ScaledTier {
     val eventsPath = ScaleData.materialize(spark, sfDir, "events", evScale, cpus.toInt)
     val embPath = ScaleData.materialize(spark, sfDir, "embeddings", scale, cpus.toInt)
     val ops = ScaledOps.run(spark, docsPath, eventsPath, embPath, only)
-    ops.foreach { case (k, v) =>
-      println(f"[scaled-tier] $k%-22s ${v}%8.3f")
+    ops.foreach { r =>
+      val tag = if (r.varied) "  VARIED>3x" else ""
+      println(f"[scaled-tier] ${r.name}%-22s med=${r.median}%8.3f min=${r.min}%8.3f$tag")
     }
     spark.stop()
   }

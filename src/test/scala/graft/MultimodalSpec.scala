@@ -135,7 +135,11 @@ class MultimodalSpec extends AnyFunSuite {
       (0L, "RIFF1234WEBP".getBytes("US-ASCII")),
       (1L, "RIFF1234WEBPVP8 ".getBytes("US-ASCII")),
       (2L, Array[Byte](0x49, 0x49, 0x2a, 0)),
-      (3L, Array[Byte](0x4d, 0x4d, 0, 0x2a, 0, 0, 0, 99)))
+      (3L, Array[Byte](0x4d, 0x4d, 0, 0x2a, 0, 0, 0, 99)),
+      // hostile TIFF: IFD offset near Int.MaxValue — `ifd + 2` once
+      // wrapped negative and passed the bounds check; must triage clean
+      (4L, Array[Byte](0x49, 0x49, 0x2a, 0,
+        0xfe.toByte, 0xff.toByte, 0xff.toByte, 0x7f)))
       .toDF("media_id", "bytes")
     val j = Multimodal.imageHeaderScan(junk, "bytes")
       .select("format", "width").as[(String, Int)].collect()
@@ -182,7 +186,13 @@ class MultimodalSpec extends AnyFunSuite {
       // frame sync with reserved version+layer bits
       (5L, Array[Byte](0xff.toByte, 0xe0.toByte, 0x00, 0x00)),
       // frame sync with reserved sample-rate index
-      (6L, Array[Byte](0xff.toByte, 0xfb.toByte, 0x9c.toByte, 0x40)))
+      (6L, Array[Byte](0xff.toByte, 0xfb.toByte, 0x9c.toByte, 0x40)),
+      // hostile WAV: a JUNK chunk claiming size 0x7FFFFFF0 in a ~30-byte
+      // payload — `p + 8 + sz` once wrapped Int-negative and aliased
+      // back into the buffer (ArrayIndexOutOfBounds); must triage clean
+      (7L, "RIFF$   WAVEJUNK".getBytes("US-ASCII") ++
+        Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7f) ++
+        Array.fill[Byte](10)(0)))
       .toDF("media_id", "bytes")
     val j = Multimodal.audioHeaderScan(junk, "bytes")
       .select("format", "channels").as[(String, Int)].collect()

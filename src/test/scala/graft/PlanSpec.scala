@@ -565,4 +565,35 @@ class PlanSpec extends AnyFunSuite {
       robots.contains("BroadcastExchange"), robots)
     assert(!robots.contains("SortMergeJoin"), robots)
   }
+
+  test("robots large mode: above the host ceiling the rule joins hash-shuffle, never sort-merge or broadcast") {
+    // a CommonCrawl-scale corpus carries tens of millions of hosts ×
+    // KB-sized rule arrays — an unconditional broadcast is a driver-OOM
+    // scale-killer. With the ceiling forced to 0 the dim must reach the
+    // fact table via a ShuffledHashJoin (the dim side hash-builds; a
+    // sort-merge would sort the 100 TB fact side for nothing).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val robots = Seq(
+      ("a.example", "User-agent: *\nDisallow: /priv\nAllow: /priv/open"),
+      ("b.example", "User-agent: graftbot\nDisallow: /x")).toDF("host", "body")
+    val urls = Seq((1L, "http://a.example/priv/q"),
+      (2L, "http://a.example/priv/open/q"), (3L, "http://b.example/x/y"),
+      (4L, "http://c.example/free")).toDF("id", "url")
+    val rulesBig = graft.ops.UrlOps.robotsRules(robots, broadcastMaxHosts = 0L)
+    val big = graft.ops.UrlOps.robotsAllowed(urls, rulesBig, "graftbot",
+      broadcastMaxHosts = 0L)
+    val p = big.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // both modes return byte-identical verdicts
+    val small = graft.ops.UrlOps.robotsAllowed(urls,
+      graft.ops.UrlOps.robotsRules(robots), "graftbot")
+    val got = big.orderBy("id").select("id", "allowed")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(got == small.orderBy("id").select("id", "allowed")
+      .as[(Long, Boolean)].collect().toSeq)
+    assert(got == Seq((1L, false), (2L, true), (3L, false), (4L, true)))
+  }
 }

@@ -54,10 +54,14 @@ class WarcSpec extends AnyFunSuite {
   test("crawlDedup: WARC responses → canonical-URL keep-best, longest text wins") {
     import spark.implicits._
     // plant a duplicate spelling of /a (case + default port + tracker)
-    // carrying a SHORTER body: the original must win on byte length
-    val dup = Seq(("<urn:uuid:dup-1>",
-        "HTTP://EXAMPLE.ORG:80/a?utm_source=feed",
-        "<html><body>short</body></html>"))
+    // carrying a SHORTER body, and a NULL-body duplicate: the original
+    // must win on byte length — in particular the NULL-text row must
+    // LOSE (a 0 - Long.MinValue coalesce wrap once made it win the
+    // struct-min and keep NULL text; pinned here so it can't return)
+    val dup = Seq(
+      ("<urn:uuid:dup-1>", "HTTP://EXAMPLE.ORG:80/a?utm_source=feed",
+        "<html><body>short</body></html>"),
+      ("<urn:uuid:dup-0>", "http://example.org/a#frag", null))
       .toDF("record_id", "target_uri", "body")
     val out = graft.ops.UrlOps.crawlDedup(
         Warc.responses(spark, path)
@@ -68,7 +72,7 @@ class WarcSpec extends AnyFunSuite {
     assert(out == Seq(
       ("http://example.org/a",
         "<urn:uuid:00000000-0000-0000-0000-000000000003>",
-        "A alpha & beta", 2L),
+        "A alpha & beta", 3L),
       ("http://example.org/b",
         "<urn:uuid:00000000-0000-0000-0000-000000000004>",
         "Ünïcode — 中文 páge b", 1L)))
