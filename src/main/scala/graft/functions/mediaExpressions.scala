@@ -263,7 +263,196 @@ object AudioMetaExpression {
   }
 }
 
+/** `video_meta(bytes)`: the video sibling of [[ImageDimsExpression]] /
+  * [[AudioMetaExpression]] — container format + CLAIMED track
+  * dimensions from the header bytes only, covering the two containers
+  * a modern crawl actually carries:
+  *
+  *  - MP4/ISO-BMFF (ISO 14496-12): bounded top-level box walk (32-bit
+  *    and 64-bit `largesize` boxes, size-0 extends-to-EOF) to
+  *    `moov` → `trak` → `tkhd`, whose version-0/version-1 layouts put
+  *    the 16.16 fixed-point presentation width/height at payload
+  *    offset 76 / 88. Detection keys on the mandatory leading `ftyp`.
+  *  - WebM / Matroska (EBML, RFC 8794): vint-ID walk through
+  *    EBML-header → DocType, then Segment → Tracks → TrackEntry →
+  *    Video → PixelWidth/PixelHeight; unknown-size elements (all value
+  *    bits set — common on live-remuxed Segments) extend to the end of
+  *    the sniffed prefix. DocType "webm" → webm, "matroska" (or
+  *    absent — the spec default) → mkv.
+  *
+  * All offset arithmetic runs in Long so hostile 32-bit box sizes /
+  * 56-bit vint sizes triage to ("unknown", −1, −1) instead of wrapping
+  * into an ArrayIndexOutOfBounds — the same never-kill-the-task
+  * discipline as the image/audio walks, same native `doGenCode`.
+  * Dimensions are what the header CLAIMS. Returns
+  * struct(format STRING, width INT, height INT). */
+case class VideoMetaExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    VideoMetaExpression.evalRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VideoMetaExpression.evalRow($c);")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "video_meta"
+}
+
+object VideoMetaExpression {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def be32u(b: Array[Byte], i: Int): Long = be32(b, i) & 0xffffffffL
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32u(b, i) << 32) | be32u(b, i + 4)
+  private def fourcc(b: Array[Byte], i: Int): Int = be32(b, i)
+
+  private val Moov = 0x6d6f6f76 // "moov"
+  private val Trak = 0x7472616b // "trak"
+  private val Tkhd = 0x746b6864 // "tkhd"
+
+  /** Codegen entry point: one static call per row. */
+  def evalRow(b: Array[Byte]): InternalRow = {
+    val (f, w, h) = sniff(b)
+    InternalRow(UTF8String.fromString(f), w, h)
+  }
+
+  /** First child box of type `typ` in [from, to); (payloadStart,
+    * boxEnd) or null. Long arithmetic throughout: a hostile size field
+    * (32-bit 0xFFFFFFF0, or a 64-bit largesize) must compare, not
+    * wrap. */
+  private def findBox(b: Array[Byte], from: Long, to: Long, typ: Int): (Long, Long) = {
+    var p = from
+    while (p + 8 <= to) {
+      var sz = be32u(b, p.toInt)
+      var hdr = 8L
+      if (sz == 1L) { // 64-bit largesize follows the type
+        if (p + 16 > to) return null
+        sz = be64(b, (p + 8).toInt); hdr = 16L
+      } else if (sz == 0L) sz = to - p // box extends to EOF
+      if (sz < hdr || sz > to - p) return null // malformed / truncated
+      if (fourcc(b, (p + 4).toInt) == typ) return (p + hdr, p + sz)
+      p += sz
+    }
+    null
+  }
+
+  /** EBML vint at `p`: (value, byteLength) or null. `keepMarker` for
+    * element IDs (stored with the length-marker bit, matching the
+    * spec's ID constants); cleared for sizes. */
+  private def vint(b: Array[Byte], p: Long, end: Long, keepMarker: Boolean): (Long, Int) = {
+    if (p >= end) return null
+    val first = u8(b, p.toInt)
+    if (first == 0) return null // length > 8: triage never chases those
+    val n = java.lang.Integer.numberOfLeadingZeros(first) - 23
+    if (p + n > end) return null
+    var v: Long = if (keepMarker) first.toLong
+      else (first & ((1 << (8 - n)) - 1)).toLong
+    var i = 1
+    while (i < n) { v = (v << 8) | u8(b, (p + i).toInt); i += 1 }
+    (v, n)
+  }
+
+  /** First child element with ID `want` in [from, to); (contentStart,
+    * contentEnd) or null. An unknown-size element (all value bits set)
+    * extends to `to` when it IS the wanted one and ends the walk
+    * otherwise (its extent is undecidable without schema knowledge —
+    * a bounded triage stops there). Walk capped at 64 siblings. */
+  private def findEbml(b: Array[Byte], from: Long, to: Long, want: Long): (Long, Long) = {
+    var p = from
+    var guard = 0
+    while (p < to && guard < 64) {
+      guard += 1
+      val id = vint(b, p, to, keepMarker = true)
+      if (id == null) return null
+      val sz = vint(b, p + id._2, to, keepMarker = false)
+      if (sz == null) return null
+      val cs = p + id._2 + sz._2
+      val unknownSz = sz._1 == (1L << (7 * sz._2)) - 1
+      val ce = if (unknownSz) to else cs + sz._1
+      if (ce < cs || ce > to) return null // hostile size: triage out
+      if (id._1 == want) return (cs, ce)
+      if (unknownSz) return null
+      p = ce
+    }
+    null
+  }
+
+  /** Unsigned big-endian integer element content; -1 when absent,
+    * empty, oversized, or out of Int range. */
+  private def ebmlUint(b: Array[Byte], bounds: (Long, Long)): Int = {
+    if (bounds == null) return -1
+    val n = bounds._2 - bounds._1
+    if (n < 1 || n > 8) return -1
+    var v = 0L
+    var i = bounds._1
+    while (i < bounds._2) { v = (v << 8) | u8(b, i.toInt); i += 1 }
+    if (v > 0 && v <= Int.MaxValue) v.toInt else -1
+  }
+
+  /** (format, width, height); ("unknown", -1, -1) when unrecognized. */
+  def sniff(b: Array[Byte]): (String, Int, Int) = {
+    if (b == null) return ("unknown", -1, -1)
+    val len = b.length.toLong
+    // ISO-BMFF: the mandatory ftyp leads; walk to moov/trak/tkhd
+    if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+        b(7) == 'p') {
+      val moov = findBox(b, 0L, len, Moov)
+      if (moov == null) return ("unknown", -1, -1)
+      val trak = findBox(b, moov._1, moov._2, Trak)
+      if (trak == null) return ("unknown", -1, -1)
+      val tkhd = findBox(b, trak._1, trak._2, Tkhd)
+      if (tkhd == null) return ("unknown", -1, -1)
+      val q = tkhd._1
+      if (q >= tkhd._2) return ("unknown", -1, -1)
+      // v0: 4 (ver/flags) + 20 (times/id/reserved/duration) + 16
+      // (reserved/layer/group/volume/reserved) + 36 (matrix) = 76;
+      // v1 widens the three time fields to 64-bit: + 12
+      val off = if (u8(b, q.toInt) == 1) 88L else 76L
+      if (q + off + 8 <= tkhd._2) {
+        val w = be32(b, (q + off).toInt) >>> 16 // 16.16 fixed-point
+        val h = be32(b, (q + off + 4).toInt) >>> 16
+        if (w > 0 && h > 0) return ("mp4", w, h)
+      }
+      return ("unknown", -1, -1)
+    }
+    // EBML (WebM/Matroska): 0x1A45DFA3 header magic
+    if (b.length >= 4 && u8(b, 0) == 0x1a && u8(b, 1) == 0x45 &&
+        u8(b, 2) == 0xdf && u8(b, 3) == 0xa3) {
+      val hdr = findEbml(b, 0L, len, 0x1a45dfa3L)
+      if (hdr == null) return ("unknown", -1, -1)
+      val docType = {
+        val dt = findEbml(b, hdr._1, hdr._2, 0x4282L)
+        if (dt == null) null
+        else new String(b, dt._1.toInt, (dt._2 - dt._1).toInt, "US-ASCII")
+      }
+      val fmt = docType match {
+        case "webm"            => "webm"
+        case "matroska" | null => "mkv" // spec default DocType
+        case _                 => return ("unknown", -1, -1)
+      }
+      val seg = findEbml(b, hdr._2, len, 0x18538067L)
+      if (seg == null) return ("unknown", -1, -1)
+      val tracks = findEbml(b, seg._1, seg._2, 0x1654ae6bL)
+      if (tracks == null) return ("unknown", -1, -1)
+      val entry = findEbml(b, tracks._1, tracks._2, 0xaeL)
+      if (entry == null) return ("unknown", -1, -1)
+      val video = findEbml(b, entry._1, entry._2, 0xe0L)
+      if (video == null) return ("unknown", -1, -1)
+      val w = ebmlUint(b, findEbml(b, video._1, video._2, 0xb0L))
+      val h = ebmlUint(b, findEbml(b, video._1, video._2, 0xbaL))
+      if (w > 0 && h > 0) return (fmt, w, h)
+      return ("unknown", -1, -1)
+    }
+    ("unknown", -1, -1)
+  }
+}
+
 object MediaFunctions {
   def image_dims(c: Column): Column = column(ImageDimsExpression(expression(c)))
   def audio_meta(c: Column): Column = column(AudioMetaExpression(expression(c)))
+  def video_meta(c: Column): Column = column(VideoMetaExpression(expression(c)))
 }

@@ -279,6 +279,85 @@ object Multimodal {
       .toDF("media_id", "bytes")
   }
 
+  /** VIDEO header triage: container format + CLAIMED track dimensions
+    * from the first bytes only ([[graft.functions.VideoMetaExpression]]
+    * — ISO-BMFF box walk to `tkhd`, EBML walk to PixelWidth/Height;
+    * junk → ("unknown", −1, −1)). Same ≤-a-few-dozen-bytes-per-row
+    * map-only shape as [[imageHeaderScan]]. Appends
+    * format/width/height. */
+  def videoHeaderScan(df: DataFrame, bytesCol: String): DataFrame = {
+    val meta = graft.functions.MediaFunctions.video_meta(col(bytesCol))
+    df.withColumn("_meta", meta)
+      .withColumn("format", col("_meta").getField("format"))
+      .withColumn("width", col("_meta").getField("width"))
+      .withColumn("height", col("_meta").getField("height"))
+      .drop("_meta")
+  }
+
+  /** Deterministic video header fixture — the p323 harness input.
+    * id % 6 cycles: a REAL MP4 (ftyp + moov/trak/tkhd) with a
+    * version-0 tkhd, a version-1 tkhd (64-bit time fields — the other
+    * width offset), the same v0 MP4 behind a leading `free` box (the
+    * top-level walk must skip it), a WebM (EBML header with DocType
+    * "webm" + Segment/Tracks/TrackEntry/Video/PixelWidth+Height), a
+    * Matroska whose Segment claims UNKNOWN size (all-ones vint — the
+    * live-remux shape, must extend to EOF), and JUNK. Same dim
+    * arithmetic as p312/p317 (width id % 640 + 32, height
+    * id % 480 + 32), so the oracle recomputes everything
+    * arithmetically and any walker drift hash-fails. */
+  def videoBytesFromIds(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]) =
+      be32(payload.length + 8) ++ typ.getBytes("US-ASCII") ++ payload
+    // single-byte EBML size vint (content < 127 bytes in this fixture)
+    def el(id: Array[Byte], content: Array[Byte]) =
+      id ++ Array((0x80 | content.length).toByte) ++ content
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .map { id =>
+        val w = (id % 640 + 32).toInt
+        val h = (id % 480 + 32).toInt
+        def mp4(v1: Boolean, leadingFree: Boolean): Array[Byte] = {
+          val tkhd = box("tkhd",
+            Array[Byte](if (v1) 1 else 0, 0, 0, 0) ++
+              new Array[Byte](if (v1) 32 else 20) ++ // times/id/reserved/duration
+              new Array[Byte](16) ++ // reserved/layer/group/volume/reserved
+              new Array[Byte](36) ++ // identity-less matrix: zeros fine for triage
+              be32(w << 16) ++ be32(h << 16)) // 16.16 fixed-point
+          val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+          val free = if (leadingFree) box("free", new Array[Byte](4))
+            else Array.emptyByteArray
+          ftyp ++ free ++ box("moov", box("trak", tkhd))
+        }
+        def ebml(docType: String, unknownSegSize: Boolean): Array[Byte] = {
+          val header = el(Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte),
+            el(Array(0x42, 0x82).map(_.toByte), docType.getBytes("US-ASCII")))
+          val video = el(Array(0xe0.toByte),
+            el(Array(0xb0.toByte), be16(w)) ++ el(Array(0xba.toByte), be16(h)))
+          val tracks = el(Array(0x16, 0x54, 0xae, 0x6b).map(_.toByte),
+            el(Array(0xae.toByte), video))
+          val segId = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte)
+          val seg = if (unknownSegSize) segId ++ Array(0xff.toByte) ++ tracks
+            else el(segId, tracks)
+          header ++ seg
+        }
+        val bytes = (id % 6) match {
+          case 0 => mp4(v1 = false, leadingFree = false)
+          case 1 => mp4(v1 = true, leadingFree = false)
+          case 2 => mp4(v1 = false, leadingFree = true)
+          case 3 => ebml("webm", unknownSegSize = false)
+          case 4 => ebml("matroska", unknownSegSize = true)
+          case _ => s"notavideo:$id".getBytes("US-ASCII")
+        }
+        (id, bytes)
+      }
+      .toDF("media_id", "bytes")
+  }
+
   /** Deterministic audio header fixture: id % 4 cycles a REAL WAV
     * (RIFF/WAVE with a leading JUNK chunk on every third row to
     * exercise the chunk walk, PCM `fmt `), a REAL FLAC (fLaC +

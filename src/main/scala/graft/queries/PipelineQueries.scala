@@ -3266,6 +3266,17 @@ object PipelineQueries {
         "bytes")
         .select(col("media_id"), col("format"), col("channels"),
           col("sample_rate"), col("bits_per_sample"))
+        .orderBy("media_id")),
+
+    // Video container triage over id-derived MP4 (tkhd v0/v1, leading
+    // free box) / WebM / unknown-size-Segment Matroska headers, sixth
+    // slot junk; arithmetic oracle.
+    "p323_video_header_scan" -> ((s, dir) =>
+      graft.ops.Multimodal.videoHeaderScan(
+        graft.ops.Multimodal.videoBytesFromIds(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "bytes")
+        .select(col("media_id"), col("format"), col("width"), col("height"))
         .orderBy("media_id"))
   )
 
@@ -8742,6 +8753,14 @@ object PipelineQueries {
       "CAST(CASE WHEN doc_id % 4 IN (2, 3) THEN -1 WHEN doc_id % 4 = 0 " +
       "THEN ((doc_id // 4) % 4 + 1) * 8 " +
       "ELSE doc_id % 24 + 8 END AS INT) AS bits_per_sample " +
+      "FROM documents ORDER BY media_id"),
+
+    "p323_video_header_scan" -> (
+      "SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 6 <= 2 THEN 'mp4' WHEN doc_id % 6 = 3 THEN 'webm' " +
+      "WHEN doc_id % 6 = 4 THEN 'mkv' ELSE 'unknown' END AS format, " +
+      "CAST(CASE WHEN doc_id % 6 = 5 THEN -1 ELSE doc_id % 640 + 32 END AS INT) AS width, " +
+      "CAST(CASE WHEN doc_id % 6 = 5 THEN -1 ELSE doc_id % 480 + 32 END AS INT) AS height " +
       "FROM documents ORDER BY media_id"),
 
     // both the messy and the canonical spelling recomputed from the id

@@ -421,7 +421,7 @@ object ScaleStudy {
       k -> ScaleData.materialize(spark, sfDir, "documents", k, cpus.toInt)).toMap
     lazy val embPaths = Seq(1, 4, 20, 50).map(k =>
       k -> ScaleData.materialize(spark, sfDir, "embeddings", k, cpus.toInt)).toMap
-    lazy val eventPaths = Seq(1, 10).map(k =>
+    lazy val eventPaths = Seq(1, 10, 50).map(k =>
       k -> ScaleData.materialize(spark, sfDir, "events", k, cpus.toInt)).toMap
 
     def report(op: String, k: Int, rows: Long, sec: Double): Unit =
@@ -568,8 +568,12 @@ object ScaleStudy {
     // partial agg; bradley_terry is ONE kernel exchange (items²
     // counters per partition, rows never shuffle); js_matrix fans the
     // (group, token) table to G(G−1)/2 pairs.
+    // ×50 (round-14): the estimator family's flat-scaling claim gets
+    // the same evidence depth as the dedup/graph headliners — every op
+    // here collapses to a bounded table in one corpus-sized partial
+    // agg, so the 5M-row rung should grow ~linearly in scan time only
     if (on("stats")) {
-      for (k <- Seq(1, 10)) {
+      for (k <- Seq(1, 10, 50)) {
         val ev = spark.read.parquet(eventPaths(k))
           .withColumn("ts", to_timestamp(col("ts")))
         val nEv = ev.count()

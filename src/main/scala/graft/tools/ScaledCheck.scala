@@ -136,6 +136,21 @@ object ScaledCheck {
         spark.read.parquet(
           ScaleData.materializeGraph(spark, 50000L, 8, 4, cpus.toInt)),
         iters = 3))),
+      // round-14: the rest of the planted-graph family — all-integer
+      // (BFS min-depths, peel survivors, triangle counts), so the
+      // fingerprints are engine-deterministic; tools/graph_oracle.py
+      // replays all four in DuckDB (mode="oracle" beside these pins)
+      "bfs_planted" -> (() => fingerprint(graft.ops.Graph.bfsDepths(
+        spark.read.parquet(
+          ScaleData.materializeGraph(spark, 50000L, 8, 4, cpus.toInt)),
+        spark.range(1L, 2L).toDF("node"), maxDepth = 3))),
+      "kcore_planted" -> (() => fingerprint(graft.ops.Graph.kCorePeel(
+        spark.read.parquet(
+          ScaleData.materializeGraph(spark, 50000L, 8, 4, cpus.toInt)),
+        k = 8, rounds = 3))),
+      "triangles_planted" -> (() => fingerprint(graft.ops.Graph.triangleCount(
+        spark.read.parquet(
+          ScaleData.materializeGraph(spark, 50000L, 8, 4, cpus.toInt))))),
       // ---- x10 events ----------------------------------------------
       "kaplan_meier" -> (() => fingerprint(
         graft.ops.Stats.kaplanMeier(subj, "dur", "ev"))),
@@ -303,14 +318,39 @@ object ScaledCheck {
     val mode = if (pins.isEmpty) "bootstrap" else "compare"
     // splice the oracle-at-scale verdicts back in from the sidecar
     // tools/scaled_oracle.py maintains — a fingerprint re-run must not
-    // clobber the independently-verified section
+    // clobber the independently-verified section. The sidecar is (a)
+    // VALIDATED as JSON before splicing (a truncated file must not
+    // corrupt the report) and (b) tagged stale when its recorded
+    // git_rev differs from HEAD — verdicts recorded against an older
+    // build are still shown, but never presented as current.
     val oracleJson = {
       val f = new java.io.File("SCALED_ORACLE.json")
       if (!f.exists()) ""
       else {
         val src = scala.io.Source.fromFile(f)
         val body = try src.mkString.trim finally src.close()
-        if (body.isEmpty) "" else s""","oracle":$body"""
+        if (body.isEmpty) ""
+        else try {
+          val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+          val recRev = Option(tree.get("git_rev")).map(_.asText()).getOrElse("")
+          val headRev = try {
+            val head = java.nio.file.Files.readString(
+              java.nio.file.Paths.get(".git/HEAD")).trim
+            if (head.startsWith("ref: ")) {
+              val refPath = java.nio.file.Paths.get(".git/" + head.drop(5))
+              if (java.nio.file.Files.exists(refPath))
+                java.nio.file.Files.readString(refPath).trim
+              else "" // fresh ref only in packed-refs: treat as unknown
+            } else head
+          } catch { case _: Throwable => "" }
+          val stale = recRev.isEmpty || headRev.isEmpty || recRev != headRev
+          s""","oracle_stale":$stale,"oracle":$body"""
+        } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[scaled-check] SCALED_ORACLE.json unparseable, skipping splice: ${e.getMessage}")
+            ""
+        }
       }
     }
     val json = s"""{"mode":"$mode","docs_x":20,"events_x":10,"emb_x":20,"sf":"$sfDir","n_ok":$nOk,"n_checks":${results.length},"checks":{${rows.mkString(",")}}$oracleJson}"""

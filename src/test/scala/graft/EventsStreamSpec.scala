@@ -167,6 +167,85 @@ class EventsStreamSpec extends AnyFunSuite {
       s"restart re-processed already-committed files (${emitted.size} emissions)")
   }
 
+  test("stateful tumbling agg over a FILE source: watermark state survives a checkpoint restart, sink stays exactly-once") {
+    import org.apache.spark.sql.functions._
+    // the memory-source restart test (above) covers foreachBatch; this
+    // one pins the production shape — file source, parquet sink, REAL
+    // watermark state (an open window's partial counts) carried across
+    // a query kill + restart through the checkpoint.
+    val batchEvents = Tables(spark, dir, "events")
+    // split by TIME, not by hash: after the restart the watermark is
+    // restored at max(half1.ts) - 10min, so a hash split would make
+    // half2's older rows late (dropped) and the comparison meaningless.
+    // The cut is the MIN ts inside the EARLIEST hour window with >= 2
+    // distinct timestamps — by construction that window has rows on
+    // both sides of the cut (a percentile cut can land on a window
+    // boundary and leave nothing straddling), and being earliest it is
+    // certainly closed by the final watermark.
+    val cutMicros = batchEvents
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("ts")).as("_nts"),
+        min(unix_micros(col("ts"))).as("_min"))
+      .where(col("_nts") >= 2)
+      .orderBy(col("window.start"))
+      .select("_min").first().getLong(0)
+    val half1 = batchEvents.where(unix_micros(col("ts")) <= cutMicros)
+    val half2 = batchEvents.where(unix_micros(col("ts")) > cutMicros)
+    assert(half1.count() > 0 && half2.count() > 0)
+
+    val stage = java.nio.file.Files.createTempDirectory("file_restart_src").toString
+    val sink = java.nio.file.Files.createTempDirectory("file_restart_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("file_restart_ckpt").toString
+    half1.write.mode("append").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+
+    def runUntilDrained(): Unit = {
+      val q = EventsStream.streamingTumbling(
+          spark.readStream.schema(schema).parquet(stage))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      drain(q)
+    }
+    runUntilDrained() // processes half1, then STOPS (simulated kill)
+    half2.write.mode("append").parquet(stage)
+    runUntilDrained() // fresh query, same checkpoint → state + file log restored
+
+    // the file-sink metadata log makes the read exactly-once-visible
+    val got = spark.read.parquet(sink).collect()
+    // 1. exactly-once per window across the two runs: a lost/ignored
+    // checkpoint would re-emit half1's closed windows in run 2
+    val keys = got.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.length == keys.distinct.length,
+      "a (window, event_type) emitted twice across the restart")
+    // 2. every emitted row matches the batch twin exactly — in
+    // particular the window STRADDLING the cut, whose first half lived
+    // only in checkpointed state when the query was killed
+    val batch = EventsStream.tumblingCounts(batchEvents).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.nonEmpty, "stream emitted no closed windows")
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      val (n, total) = batch.getOrElse(k, fail(s"emitted $k not in batch result"))
+      assert(r.getLong(2) == n, s"count for $k: got ${r.getLong(2)}, batch $n")
+      assert(math.abs(r.getDouble(3) - total) < 1e-6, s"total for $k")
+    }
+    // 3. the straddling window must exist, be closed, and be whole —
+    // this is the state-restoration proof (state lost ⇒ its count
+    // covers only half2's rows and assertion 2 already failed; this
+    // pins that the discriminating window was actually emitted)
+    val cutWindows = EventsStream.tumblingCounts(
+        batchEvents.where(unix_micros(col("ts")) <= cutMicros))
+      .select("w_start").collect().map(_.getString(0)).toSet
+    val straddling = EventsStream.tumblingCounts(half2)
+      .select("w_start").collect().map(_.getString(0)).toSet
+      .intersect(cutWindows)
+    assert(straddling.nonEmpty, "time split landed on a window boundary")
+    assert(straddling.subsetOf(got.map(_.getString(0)).toSet),
+      "straddling window was never emitted")
+  }
+
   test("funnel: hand-computed entries and conversions within the horizon") {
     import spark.implicits._
     val ev = Seq(

@@ -198,4 +198,57 @@ class MultimodalSpec extends AnyFunSuite {
       .select("format", "channels").as[(String, Int)].collect()
     assert(j.forall(r => r._1 == "unknown" && r._2 == -1))
   }
+
+  test("video_meta: MP4 tkhd v0/v1 + leading free box, WebM, unknown-size Matroska; junk unknown") {
+    import spark.implicits._
+    val ids = (0L to 11L).toDF("doc_id")
+    val out = Multimodal.videoHeaderScan(
+        Multimodal.videoBytesFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "format", "width", "height")
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    out.foreach { case (id, fmt, w, h) =>
+      val expected = (id % 6) match {
+        case 0 | 1 | 2 => "mp4"
+        case 3         => "webm"
+        case 4         => "mkv"
+        case _         => "unknown"
+      }
+      assert(fmt == expected, s"format for id=$id got $fmt")
+      if (expected == "unknown") assert(w == -1 && h == -1)
+      else assert(w == (id % 640 + 32).toInt && h == (id % 480 + 32).toInt,
+        s"dims for id=$id ($fmt): got ($w,$h)")
+    }
+    // truncated/hostile payloads triage to unknown, never throw
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val junk = Seq(
+      // bare ftyp, no moov
+      (0L, be32(16) ++ "ftypisom".getBytes("US-ASCII") ++ be32(0)),
+      // hostile box size 0xFFFFFFF0 (reads as huge unsigned; `p + sz`
+      // in Int would wrap) — must compare in Long and triage clean
+      (1L, be32(16) ++ "ftypisom".getBytes("US-ASCII") ++ be32(0) ++
+        Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xf0.toByte) ++
+        "moov".getBytes("US-ASCII")),
+      // largesize marker (size==1) with a truncated 64-bit field
+      (2L, be32(16) ++ "ftypisom".getBytes("US-ASCII") ++ be32(0) ++
+        be32(1) ++ "moov".getBytes("US-ASCII") ++ Array[Byte](0, 0)),
+      // moov/trak present but tkhd truncated before the dims
+      (3L, be32(16) ++ "ftypisom".getBytes("US-ASCII") ++ be32(0) ++
+        be32(32) ++ "moov".getBytes("US-ASCII") ++
+        be32(24) ++ "trak".getBytes("US-ASCII") ++
+        be32(16) ++ "tkhd".getBytes("US-ASCII") ++ be32(0) ++ be32(0)),
+      // EBML magic alone
+      (4L, Array[Byte](0x1a, 0x45, 0xdf.toByte, 0xa3.toByte)),
+      // EBML header whose size vint claims 2^35 bytes
+      (5L, Array[Byte](0x1a, 0x45, 0xdf.toByte, 0xa3.toByte,
+        0x0c, 0, 0, 0, 0)),
+      // zero first byte where a vint ID must start (invalid: len > 8)
+      (6L, Array[Byte](0x1a, 0x45, 0xdf.toByte, 0xa3.toByte, 0x84.toByte,
+        0, 0, 0, 0)),
+      (7L, Array[Byte]()))
+      .toDF("media_id", "bytes")
+    val j = Multimodal.videoHeaderScan(junk, "bytes")
+      .select("format", "width").as[(String, Int)].collect()
+    assert(j.forall(r => r._1 == "unknown" && r._2 == -1), j.mkString(","))
+  }
 }

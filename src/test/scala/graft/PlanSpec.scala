@@ -533,6 +533,7 @@ class PlanSpec extends AnyFunSuite {
     for ((marker, c) <- Seq(
         ("image_dims", graft.functions.MediaFunctions.image_dims(junk)),
         ("audio_meta", graft.functions.MediaFunctions.audio_meta(junk)),
+        ("video_meta", graft.functions.MediaFunctions.video_meta(junk)),
         ("url_normalize", graft.functions.UrlFunctions.url_normalize(
           concat(lit("HTTP://X.org:80/a/"), col("id")))))) {
       val df = spark.range(8).select(c.as("out"))
@@ -546,7 +547,8 @@ class PlanSpec extends AnyFunSuite {
     }
     // and the gate plans carry no ScalaUDF anywhere
     for (name <- Seq("p312_image_header_scan", "p317_webp_tiff_scan",
-        "p318_audio_header_scan", "p319_url_normalize")) {
+        "p318_audio_header_scan", "p323_video_header_scan",
+        "p319_url_normalize")) {
       assert(!plan(name).contains("ScalaUDF"), name)
     }
   }

@@ -41,7 +41,21 @@ GATES=$GATES,p315_friedman,p316_by_fdr
 GATES=$GATES,p22_doc_similarity,p27_vocab_topk,p30_repetition,p31_decontaminate
 GATES=$GATES,p32_pii_redact,p54_bm25,p65_bigram_surprisal,p76_tfidf_keywords
 GATES=$GATES,p85_temperature_sample,p270_tail_mass,p271_waterfill,p285_zipf_slope
+# URL family at x20 docs (arithmetic oracles, id-derived; p320 also
+# reads text for the byte-length quality)
+GATES=$GATES,p319_url_normalize,p320_url_dedup,p321_domain_stats,p322_robots_filter
+# media triage at x20 docs (id-derived headers, arithmetic oracles)
+GATES=$GATES,p312_image_header_scan,p317_webp_tiff_scan,p318_audio_header_scan
+GATES=$GATES,p323_video_header_scan
 
 SPARK_GRAFT_VERIFY_ONLY=$GATES \
   sbt -batch "runMain graft.Verify $LAYOUT /tmp/out_scaled"
 python3 tools/scaled_oracle.py "$LAYOUT" /tmp/out_scaled
+
+# graph family: Spark dumps the planted-graph results (x4 — the pinned
+# configuration), DuckDB replays them with unrolled-iteration SQL
+sbt -batch "runMain graft.tools.GraphOracleDump /tmp/out_graph 4"
+python3 tools/graph_oracle.py /tmp/out_graph
+
+# re-splice the (now rev-stamped) sidecar beside fresh fingerprints
+sbt -batch "runMain graft.tools.ScaledCheck $SF"

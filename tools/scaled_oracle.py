@@ -18,7 +18,7 @@ Usage: scaled_oracle.py <scaledSfDir> <verifyOutDir>
 
 Merges per-gate verdicts into SCALED_CORRECTNESS.json under
 "oracle_checks" with mode="oracle"."""
-import sys, json, glob, os, hashlib
+import sys, json, glob, os, hashlib, subprocess
 import duckdb
 import pandas as pd
 
@@ -89,9 +89,18 @@ print(f"\n{ok}/{len(results)} oracle hash-match at scale")
 
 # write the durable sidecar (ScaledCheck re-splices it on every
 # fingerprint re-run, so the oracle verdicts survive pin refreshes) and
-# merge into SCALED_CORRECTNESS.json beside the fingerprint pins
-sidecar = {"sf": sf_dir, "n_ok": ok, "n_checks": len(results),
-           "checks": results}
+# merge into SCALED_CORRECTNESS.json beside the fingerprint pins.
+# git_rev stamps WHICH build the verdicts were recorded against —
+# ScaledCheck compares it to HEAD at splice time and tags the section
+# stale when they differ, so an old sidecar can't masquerade as a
+# verdict on the current tree.
+try:
+    git_rev = subprocess.check_output(
+        ["git", "rev-parse", "HEAD"], text=True).strip()
+except Exception:
+    git_rev = "unknown"
+sidecar = {"sf": sf_dir, "git_rev": git_rev, "n_ok": ok,
+           "n_checks": len(results), "checks": results}
 with open("SCALED_ORACLE.json", "w") as f:
     json.dump(sidecar, f, indent=0, default=str)
     f.write("\n")
