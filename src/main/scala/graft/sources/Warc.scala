@@ -42,13 +42,47 @@ object Warc {
     * are matched case-insensitively (the spec allows any case). */
   def records(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("lineSep", Boundary).text(path)
-    raw
+    parse(raw
       // the file's first record has no preceding boundary — normalize
       .select(regexp_replace(col("value"), "\\A(?:WARC/1\\.0\\r\\n)", "").as("_rec"))
       .where(length(trim(col("_rec"))) > 0)
       // the final record keeps the file-terminating CRLF CRLF — fold it
       // into the boundary rather than the payload
-      .select(regexp_replace(col("_rec"), "(?:\\r\\n\\r\\n)\\z", "").as("_rec"))
+      .select(regexp_replace(col("_rec"), "(?:\\r\\n\\r\\n)\\z", "").as("_rec")))
+  }
+
+  /** [[records]] over the LOSSLESS splittable reader
+    * ([[WarcInputFormat]] — walks Content-Length from each split
+    * boundary instead of text-splitting on the inter-record sequence).
+    * Same schema, drop-in: a payload embedding the boundary bytes
+    * parses whole here (`length_ok = true`) where the text path
+    * false-splits it. `maxSplitBytes` forces smaller input splits
+    * (tests; tuning against small files) — production leaves it None
+    * and splits at block size. */
+  def recordsLossless(
+      spark: SparkSession,
+      path: String,
+      maxSplitBytes: Option[Long] = None): DataFrame = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    maxSplitBytes.foreach(b =>
+      conf.setLong("mapreduce.input.fileinputformat.split.maxsize", b))
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+        path, classOf[WarcInputFormat],
+        classOf[org.apache.hadoop.io.NullWritable],
+        classOf[org.apache.hadoop.io.BytesWritable], conf)
+      .map(_._2.copyBytes())
+    parse(spark.createDataset(rdd)(org.apache.spark.sql.Encoders.BINARY)
+      .toDF("_bytes")
+      // same UTF-8 replacement-decode policy as the text path: binary
+      // payloads belong to the multimodal path, not this reader
+      .select(decode(col("_bytes"), "UTF-8").as("_rec")))
+  }
+
+  /** Shared column parser over `_rec` = header block + CRLF CRLF +
+    * payload (version line already stripped by the reader). */
+  private def parse(recs: DataFrame): DataFrame = {
+    recs
       .select(
         // headers end at the first blank line; payload is the rest
         regexp_extract(col("_rec"), "(?s)\\A(.*?)\\r\\n\\r\\n", 1).as("_hdrs"),

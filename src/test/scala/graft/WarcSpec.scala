@@ -51,6 +51,63 @@ class WarcSpec extends AnyFunSuite {
       ("http://example.org/b", "Ünïcode — 中文 páge b")))
   }
 
+  test("recordsLossless: the pathological boundary-embedding record parses WHOLE") {
+    val rows = Warc.recordsLossless(spark, path).collect()
+    // the text-split path yields 6 rows (evil split into 2 fragments,
+    // both length_ok=false); the Content-Length walk yields exactly the
+    // 5 real records, every one length-valid — including evil
+    assert(rows.length == 5)
+    assert(rows.forall(_.getBoolean(7)), rows.mkString("\n"))
+    val evil = rows.find(r =>
+      r.getString(1) == "<urn:uuid:00000000-0000-0000-0000-000000000005>").get
+    assert(evil.getString(6).contains("\r\n\r\nWARC/1.0\r\n"),
+      "evil payload must come back intact, boundary bytes and all")
+    // same schema, drop-in: column-for-column equal to the text path
+    assert(rows.head.schema == Warc.records(spark, path).schema)
+  }
+
+  test("recordsLossless: forced multi-split read recovers every record exactly once") {
+    val crlf = "\r\n"
+    def rec(i: Int): String = {
+      // every 5th payload embeds the inter-record byte sequence — the
+      // split-resync scan must step over it, not duplicate or drop
+      val body =
+        if (i % 5 == 0) s"evil $i pre$crlf${crlf}WARC/1.0${crlf}WARC-Type: fake$crlf$i post"
+        else s"plain payload $i " + ("x" * (i % 97))
+      val b = body.getBytes("UTF-8")
+      Seq("WARC/1.0",
+        "WARC-Type: response",
+        s"WARC-Record-ID: <urn:uuid:rec-$i>",
+        s"WARC-Target-URI: http://example.org/$i",
+        s"Content-Length: ${b.length}").mkString(crlf) +
+        crlf + crlf + body + crlf + crlf
+    }
+    val n = 300
+    val tmp = java.nio.file.Files.createTempDirectory("warc_splits")
+      .resolve("big.warc")
+    java.nio.file.Files.write(tmp,
+      (0 until n).map(rec).mkString.getBytes("UTF-8"))
+
+    val df = Warc.recordsLossless(spark, tmp.toString, maxSplitBytes = Some(4096L))
+    assert(df.rdd.getNumPartitions > 4,
+      s"expected >4 input splits, got ${df.rdd.getNumPartitions}")
+    val rows = df.collect()
+    assert(rows.length == n, s"expected $n records, got ${rows.length}")
+    assert(rows.forall(_.getBoolean(7)), "every record must length-validate")
+    val ids = rows.map(_.getString(1)).sorted.toSeq
+    assert(ids == (0 until n).map(i => s"<urn:uuid:rec-$i>").sorted,
+      "exactly-once per record id across splits")
+    // payload spot-integrity: the boundary-embedding ones came back whole
+    rows.filter(_.getString(1) == "<urn:uuid:rec-25>").foreach { r =>
+      assert(r.getString(6) ==
+        s"evil 25 pre$crlf${crlf}WARC/1.0${crlf}WARC-Type: fake${crlf}25 post")
+    }
+    // and the whole read equals the single-split read row-for-row
+    val one = Warc.recordsLossless(spark, tmp.toString).collect()
+      .map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == one)
+  }
+
   test("crawlDedup: WARC responses → canonical-URL keep-best, longest text wins") {
     import spark.implicits._
     // plant a duplicate spelling of /a (case + default port + tracker)

@@ -30,43 +30,43 @@ con.execute(f"CREATE VIEW edges AS SELECT * FROM read_parquet('{edges_glob}')")
 # 3 unrolled integer mass-passes; score'(v) = 150000 + sum over distinct
 # edges u->v of score(u)*850000 // (1000000*outdeg(u)); scores start 1e6
 PAGERANK = """
-WITH e AS (SELECT DISTINCT src AS s, dst AS d FROM edges),
-nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
-od AS (SELECT s AS node, COUNT(*) AS od FROM e GROUP BY 1),
-ind AS (SELECT d AS node, COUNT(*) AS id FROM e GROUP BY 1),
-s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS sc FROM nodes),
-i1 AS (SELECT e.d AS node, CAST(SUM(s0.sc * 850000 // (1000000 * od.od)) AS BIGINT) AS m
+WITH e AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d FROM edges),
+nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT d FROM e),
+od AS MATERIALIZED (SELECT s AS node, COUNT(*) AS od FROM e GROUP BY 1),
+ind AS MATERIALIZED (SELECT d AS node, COUNT(*) AS id FROM e GROUP BY 1),
+s0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS sc FROM nodes),
+i1 AS MATERIALIZED (SELECT e.d AS node, CAST(SUM(s0.sc * 850000 // (1000000 * od.od)) AS BIGINT) AS m
        FROM s0 JOIN od ON s0.node = od.node JOIN e ON e.s = s0.node GROUP BY 1),
-s1 AS (SELECT n.node, CAST(150000 + COALESCE(i1.m, 0) AS BIGINT) AS sc
+s1 AS MATERIALIZED (SELECT n.node, CAST(150000 + COALESCE(i1.m, 0) AS BIGINT) AS sc
        FROM nodes n LEFT JOIN i1 ON n.node = i1.node),
-i2 AS (SELECT e.d AS node, CAST(SUM(s1.sc * 850000 // (1000000 * od.od)) AS BIGINT) AS m
+i2 AS MATERIALIZED (SELECT e.d AS node, CAST(SUM(s1.sc * 850000 // (1000000 * od.od)) AS BIGINT) AS m
        FROM s1 JOIN od ON s1.node = od.node JOIN e ON e.s = s1.node GROUP BY 1),
-s2 AS (SELECT n.node, CAST(150000 + COALESCE(i2.m, 0) AS BIGINT) AS sc
+s2 AS MATERIALIZED (SELECT n.node, CAST(150000 + COALESCE(i2.m, 0) AS BIGINT) AS sc
        FROM nodes n LEFT JOIN i2 ON n.node = i2.node),
-i3 AS (SELECT e.d AS node, CAST(SUM(s2.sc * 850000 // (1000000 * od.od)) AS BIGINT) AS m
+i3 AS MATERIALIZED (SELECT e.d AS node, CAST(SUM(s2.sc * 850000 // (1000000 * od.od)) AS BIGINT) AS m
        FROM s2 JOIN od ON s2.node = od.node JOIN e ON e.s = s2.node GROUP BY 1),
-s3 AS (SELECT n.node, CAST(150000 + COALESCE(i3.m, 0) AS BIGINT) AS sc
+s3 AS MATERIALIZED (SELECT n.node, CAST(150000 + COALESCE(i3.m, 0) AS BIGINT) AS sc
        FROM nodes n LEFT JOIN i3 ON n.node = i3.node)
 SELECT s3.node, s3.sc AS score_micro,
        CAST(COALESCE(ind.id, 0) AS BIGINT) AS in_deg,
        CAST(COALESCE(od.od, 0) AS BIGINT) AS out_deg
 FROM s3 LEFT JOIN ind ON s3.node = ind.node LEFT JOIN od ON s3.node = od.node
-ORDER BY score_micro DESC, node
+ORDER BY score_micro DESC, s3.node
 """
 
 # 3 min-relaxation rounds from seed {1}; unreached nodes absent
 BFS = """
-WITH e AS (SELECT DISTINCT src AS s, dst AS d FROM edges),
-d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth),
-d1 AS (SELECT node, MIN(depth) AS depth FROM (
+WITH e AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d FROM edges),
+d0 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth),
+d1 AS MATERIALIZED (SELECT node, MIN(depth) AS depth FROM (
          SELECT node, depth FROM d0
          UNION ALL SELECT e.d, d0.depth + 1 FROM d0 JOIN e ON e.s = d0.node
        ) GROUP BY node),
-d2 AS (SELECT node, MIN(depth) AS depth FROM (
+d2 AS MATERIALIZED (SELECT node, MIN(depth) AS depth FROM (
          SELECT node, depth FROM d1
          UNION ALL SELECT e.d, d1.depth + 1 FROM d1 JOIN e ON e.s = d1.node
        ) GROUP BY node),
-d3 AS (SELECT node, MIN(depth) AS depth FROM (
+d3 AS MATERIALIZED (SELECT node, MIN(depth) AS depth FROM (
          SELECT node, depth FROM d2
          UNION ALL SELECT e.d, d2.depth + 1 FROM d2 JOIN e ON e.s = d2.node
        ) GROUP BY node)
@@ -75,19 +75,19 @@ SELECT node, CAST(depth AS BIGINT) AS depth FROM d3 ORDER BY depth, node
 
 # 3 peel rounds at k=8 over canonical undirected pairs
 KCORE = """
-WITH e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+WITH e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
             FROM edges WHERE src <> dst),
-g0 AS (SELECT node FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+g0 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
        GROUP BY node HAVING COUNT(*) >= 8),
-e1 AS (SELECT e0.a, e0.b FROM e0
+e1 AS MATERIALIZED (SELECT e0.a, e0.b FROM e0
        JOIN g0 x ON e0.a = x.node JOIN g0 y ON e0.b = y.node),
-g1 AS (SELECT node FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+g1 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
        GROUP BY node HAVING COUNT(*) >= 8),
-e2 AS (SELECT e1.a, e1.b FROM e1
+e2 AS MATERIALIZED (SELECT e1.a, e1.b FROM e1
        JOIN g1 x ON e1.a = x.node JOIN g1 y ON e1.b = y.node),
-g2 AS (SELECT node FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+g2 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
        GROUP BY node HAVING COUNT(*) >= 8),
-e3 AS (SELECT e2.a, e2.b FROM e2
+e3 AS MATERIALIZED (SELECT e2.a, e2.b FROM e2
        JOIN g2 x ON e2.a = x.node JOIN g2 y ON e2.b = y.node)
 SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
 FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
@@ -98,18 +98,18 @@ GROUP BY node ORDER BY node
 # triangle closes exactly once as (a->b, a->c, b->c), b before c in
 # (deg, node) key order
 TRIANGLES = """
-WITH und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+WITH und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
              FROM edges WHERE src <> dst),
-deg AS (SELECT node, COUNT(*) AS dg
+deg AS MATERIALIZED (SELECT node, COUNT(*) AS dg
         FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
-o AS (SELECT CASE WHEN (da.dg, u.a) < (db.dg, u.b) THEN u.a ELSE u.b END AS src,
+o AS MATERIALIZED (SELECT CASE WHEN (da.dg, u.a) < (db.dg, u.b) THEN u.a ELSE u.b END AS src,
              CASE WHEN (da.dg, u.a) < (db.dg, u.b) THEN u.b ELSE u.a END AS dst,
              CASE WHEN (da.dg, u.a) < (db.dg, u.b) THEN db.dg ELSE da.dg END AS dd
       FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
-w AS (SELECT x.src AS a, x.dst AS b, y.dst AS c
+w AS MATERIALIZED (SELECT x.src AS a, x.dst AS b, y.dst AS c
       FROM o x JOIN o y ON x.src = y.src AND (x.dd, x.dst) < (y.dd, y.dst)),
-t AS (SELECT w.a, w.b, w.c FROM w JOIN o z ON w.b = z.src AND w.c = z.dst),
-pern AS (SELECT node, COUNT(*) AS n_triangles
+t AS MATERIALIZED (SELECT w.a, w.b, w.c FROM w JOIN o z ON w.b = z.src AND w.c = z.dst),
+pern AS MATERIALIZED (SELECT node, COUNT(*) AS n_triangles
          FROM (SELECT a AS node FROM t UNION ALL SELECT b FROM t
                UNION ALL SELECT c FROM t) GROUP BY 1)
 SELECT node, CAST(n_triangles AS BIGINT) AS n_triangles,

@@ -47,6 +47,12 @@ GATES=$GATES,p319_url_normalize,p320_url_dedup,p321_domain_stats,p322_robots_fil
 # media triage at x20 docs (id-derived headers, arithmetic oracles)
 GATES=$GATES,p312_image_header_scan,p317_webp_tiff_scan,p318_audio_header_scan
 GATES=$GATES,p323_video_header_scan
+# events family at x10 events: windows/sessions/funnels/as-of/ffill —
+# the corpus-sized window-op shapes, hash-compared on 1M-row outputs
+GATES=$GATES,p14_events_window,p15_sessionize,p16_dedup_first_per_user
+GATES=$GATES,p17_ffill_blocked,p26_asof_join,p37_sliding_window,p38_retention
+GATES=$GATES,p41_funnel,p59_rolling_stats,p77_rolling_range,p100_ewma
+GATES=$GATES,p175_twap,p176_ohlc
 
 SPARK_GRAFT_VERIFY_ONLY=$GATES \
   sbt -batch "runMain graft.Verify $LAYOUT /tmp/out_scaled"

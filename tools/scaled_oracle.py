@@ -99,8 +99,20 @@ try:
         ["git", "rev-parse", "HEAD"], text=True).strip()
 except Exception:
     git_rev = "unknown"
-sidecar = {"sf": sf_dir, "git_rev": git_rev, "n_ok": ok,
-           "n_checks": len(results), "checks": results}
+# ADDITIVE merge (same policy as graph_oracle.py): a gate-subset re-run
+# must not drop the graph family's verdicts — or vice versa; the
+# git_rev restamp + ScaledCheck's stale tag cover verdicts that outlive
+# their build
+try:
+    sidecar = json.load(open("SCALED_ORACLE.json"))
+except Exception:
+    sidecar = {"checks": {}}
+sidecar.setdefault("checks", {}).update(results)
+sidecar["sf"] = sf_dir
+sidecar["git_rev"] = git_rev
+sidecar["n_ok"] = sum(1 for r in sidecar["checks"].values()
+                      if r.get("hash_match"))
+sidecar["n_checks"] = len(sidecar["checks"])
 with open("SCALED_ORACLE.json", "w") as f:
     json.dump(sidecar, f, indent=0, default=str)
     f.write("\n")
