@@ -187,7 +187,108 @@ object UrlNormalizeExpression {
   }
 }
 
+/** `robots_match(path, pattern)`: RFC 9309 §2.2.2 path-pattern match —
+  * `*` matches any span of octets (including none), a TRAILING `$`
+  * anchors the match at the end of the path, anything else (including
+  * an interior `$`) is literal; without the anchor the pattern must
+  * match a PREFIX of the path. Matching is over UTF-8 OCTETS (the
+  * RFC's unit — multi-byte characters never half-match).
+  *
+  * Algorithm: split on `*` and scan segments leftmost-greedy — the
+  * first segment pins to position 0, middle segments take their
+  * earliest occurrence (optimal for existence), the last segment pins
+  * to the path end when anchored. Linear in |path|·|segments|, no
+  * regex compilation — this runs inside the per-rule fold of
+  * [[graft.ops.UrlOps.robotsAllowed]] on every crawl row, where a
+  * per-row `rlike` would pay a regex compile per (row, rule). */
+case class RobotsMatchExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override protected def nullSafeEval(path: Any, pattern: Any): Any =
+    RobotsMatchExpression.matches(
+      path.asInstanceOf[UTF8String], pattern.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, q) =>
+      s"${ev.value} = graft.functions.RobotsMatchExpression.matches($p, $q);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression) =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "robots_match"
+}
+
+object RobotsMatchExpression {
+  def matches(path: UTF8String, pattern: UTF8String): Boolean =
+    matchesBytes(path.getBytes, pattern.getBytes)
+
+  private def indexOf(t: Array[Byte], seg: Array[Byte], segFrom: Int,
+      segLen: Int, from: Int): Int = {
+    if (segLen == 0) return from
+    var i = from
+    val last = t.length - segLen
+    while (i <= last) {
+      var k = 0
+      while (k < segLen && t(i + k) == seg(segFrom + k)) k += 1
+      if (k == segLen) return i
+      i += 1
+    }
+    -1
+  }
+
+  def matchesBytes(t: Array[Byte], p0: Array[Byte]): Boolean = {
+    val anchored = p0.nonEmpty && p0(p0.length - 1) == '$'
+    val pLen = if (anchored) p0.length - 1 else p0.length
+    // split positions of '*' within p0[0, pLen)
+    var segStart = 0
+    var pos = 0 // current match position in t
+    var first = true
+    var i = 0
+    while (i <= pLen) {
+      if (i == pLen || p0(i) == '*') {
+        val segLen = i - segStart
+        val isLast = i == pLen
+        if (first) {
+          // first segment pins to the path start
+          if (segLen > t.length) return false
+          var k = 0
+          while (k < segLen) {
+            if (t(k) != p0(segStart + k)) return false
+            k += 1
+          }
+          pos = segLen
+          first = false
+        } else if (isLast && anchored) {
+          // last segment pins to the path END (preceded by a '*')
+          val at = t.length - segLen
+          if (at < pos) return false
+          var k = 0
+          while (k < segLen) {
+            if (t(at + k) != p0(segStart + k)) return false
+            k += 1
+          }
+          pos = t.length
+        } else {
+          val at = indexOf(t, p0, segStart, segLen, pos)
+          if (at < 0) return false
+          pos = at + segLen
+        }
+        if (isLast) {
+          // anchored: the tail was pinned to the path end above (a
+          // trailing '*' pins an empty segment there — absorbs the
+          // rest). Un-anchored: prefix semantics — pattern exhausted
+          // means match.
+          return !anchored || pos == t.length
+        }
+        segStart = i + 1
+      }
+      i += 1
+    }
+    false // unreachable
+  }
+}
+
 object UrlFunctions {
   def url_normalize(c: Column): Column =
     column(UrlNormalizeExpression(expression(c)))
+  def robots_match(path: Column, pattern: Column): Column =
+    column(RobotsMatchExpression(expression(path), expression(pattern)))
 }

@@ -110,12 +110,11 @@ object UrlOps {
 
   /** Parse robots.txt bodies into a (host, agent, kind, path) rule
     * table — the crawl-politeness side of the URL front door
-    * (RFC 9309 Robots Exclusion Protocol, the DOCUMENTED SUBSET:
-    * user-agent groups with consecutive `User-agent` lines sharing one
-    * group, `Allow`/`Disallow` PREFIX rules; `*`/`$` path wildcards
-    * are not interpreted — a path containing them simply prefix-
-    * matches literally, the conservative reading for a filter that
-    * gates what we keep, not what we fetch). Comments (`#…`) and
+    * (RFC 9309 Robots Exclusion Protocol: user-agent groups with
+    * consecutive `User-agent` lines sharing one group,
+    * `Allow`/`Disallow` path patterns kept RAW here — `*`/`$`
+    * wildcard semantics are applied at match time by
+    * [[graft.functions.RobotsMatchExpression]]). Comments (`#…`) and
     * blank lines drop; field names match case-insensitively; an empty
     * `Disallow:` value is the spec's "no restriction" no-op and emits
     * no rule. Per-host windows only — a robots body is KB-sized, so
@@ -166,9 +165,11 @@ object UrlOps {
 
   /** Apply a [[robotsRules]] table to a URL column: RFC 9309 group
     * selection (a host with a group matching `agent` exactly uses ONLY
-    * that group; otherwise the `*` group applies) + longest-PREFIX-
-    * match rule evaluation with the allow-wins tie (the least-
-    * restrictive reading the RFC mandates). URLs whose host carries no
+    * that group; otherwise the `*` group applies) + most-specific-match
+    * rule evaluation — full `*`/`$` pattern semantics
+    * ([[graft.functions.RobotsMatchExpression]]), specificity = pattern
+    * octet length, with the allow-wins tie (the least-restrictive
+    * reading the RFC mandates). URLs whose host carries no
     * applicable rule are allowed — absence of robots restricts
     * nothing. Matching is against the CANONICAL path
     * ([[urlNormalize]]), query and fragment excluded.
@@ -213,7 +214,8 @@ object UrlOps {
         Seq("host"), "left")
       .withColumn("_w", array_max(transform(
         filter(col("_rules"),
-          r => col("_upath").startsWith(r.getField("path"))),
+          r => graft.functions.UrlFunctions.robots_match(
+            col("_upath"), r.getField("path"))),
         r => struct(length(r.getField("path")).as("l"),
           (r.getField("kind") === "allow").cast("int").as("a")))))
       .withColumn("allowed", col("_w").isNull || col("_w.a") === 1)

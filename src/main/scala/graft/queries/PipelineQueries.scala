@@ -3364,6 +3364,33 @@ object PipelineQueries {
           graft.ops.UrlOps.robotsRules(robots), "graftbot")
         .select(col("doc_id"), col("url"), col("host"), col("allowed"))
         .orderBy("doc_id")
+    }),
+
+    // RFC 9309 wildcard semantics: `*` spans, `$` end-anchor,
+    // most-specific (longest-pattern) wins — the fixture plants a
+    // disallow-by-extension rule, a LONGER allow carve-out under it, a
+    // bare `*` prefix rule, and an anchor-miss path; the oracle
+    // recomputes every verdict from the id arithmetic, no matching.
+    "p324_robots_wildcards" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val body = "User-agent: *\nDisallow: /*.php$\n" +
+        "Allow: /files/*.php$\nDisallow: /tmp*\n"
+      val robots = docs.select((col("doc_id") % 2).as("_h")).distinct()
+        .select(concat(lit("w"), col("_h"), lit(".example")).as("host"),
+          lit(body).as("body"))
+      val m = col("doc_id") % 5
+      val path = when(m === 0, concat(lit("/page"), col("doc_id"), lit(".php")))
+        .when(m === 1, concat(lit("/page"), col("doc_id"), lit(".phpx")))
+        .when(m === 2, concat(lit("/files/f"), col("doc_id"), lit(".php")))
+        .when(m === 3, concat(lit("/tmp"), col("doc_id"), lit("/x")))
+        .otherwise(concat(lit("/ok/"), col("doc_id")))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("http://w"), col("doc_id") % 2, lit(".example"), path)
+          .as("url"))
+      graft.ops.UrlOps.robotsAllowed(urls,
+          graft.ops.UrlOps.robotsRules(robots), "graftbot")
+        .select(col("doc_id"), col("url"), col("host"), col("allowed"))
+        .orderBy("doc_id")
     })
   )
 
@@ -8814,6 +8841,21 @@ object PipelineQueries {
       "'h' || (doc_id % 4) || '.example' AS host, " +
       "NOT ((doc_id % 5 = 1 AND doc_id % 4 >= 2) " +
       "OR (doc_id % 5 = 2 AND doc_id % 4 < 2)) AS allowed " +
+      "FROM documents ORDER BY doc_id")
+  ,
+    // wildcard verdicts replayed arithmetically: m=0 blocked by
+    // /*.php$, m=2 rescued by the longer /files/*.php$ allow, m=3
+    // blocked by /tmp*; m=1 (.phpx — anchor miss) and m=4 allowed
+    "p324_robots_wildcards" -> (
+      "SELECT doc_id, " +
+      "'http://w' || (doc_id % 2) || '.example' || " +
+      "CASE doc_id % 5 WHEN 0 THEN '/page' || doc_id || '.php' " +
+      "WHEN 1 THEN '/page' || doc_id || '.phpx' " +
+      "WHEN 2 THEN '/files/f' || doc_id || '.php' " +
+      "WHEN 3 THEN '/tmp' || doc_id || '/x' " +
+      "ELSE '/ok/' || doc_id END AS url, " +
+      "'w' || (doc_id % 2) || '.example' AS host, " +
+      "NOT (doc_id % 5 IN (0, 3)) AS allowed " +
       "FROM documents ORDER BY doc_id")
   )
 }

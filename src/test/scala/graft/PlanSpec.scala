@@ -548,7 +548,7 @@ class PlanSpec extends AnyFunSuite {
     // and the gate plans carry no ScalaUDF anywhere
     for (name <- Seq("p312_image_header_scan", "p317_webp_tiff_scan",
         "p318_audio_header_scan", "p323_video_header_scan",
-        "p319_url_normalize")) {
+        "p319_url_normalize", "p324_robots_wildcards")) {
       assert(!plan(name).contains("ScalaUDF"), name)
     }
   }

@@ -124,6 +124,59 @@ class UrlOpsSpec extends AnyFunSuite {
       (5L, true), (6L, false), (7L, true)))
   }
 
+  test("robots_match: RFC 9309 * and $ semantics, hand-pinned table") {
+    import graft.functions.RobotsMatchExpression.matchesBytes
+    def m(path: String, pattern: String): Boolean =
+      matchesBytes(path.getBytes("UTF-8"), pattern.getBytes("UTF-8"))
+    // plain prefix (no specials) — unchanged semantics
+    assert(m("/priv/x", "/priv") && !m("/pub/x", "/priv"))
+    assert(m("/priv", "/priv") && !m("/pri", "/priv"))
+    // '*' spans any octets, including none
+    assert(m("/page7.php", "/*.php"))
+    assert(m("/a/b/c.php?x", "/*.php")) // prefix: match may end mid-path
+    assert(m("/x.php", "/*.php") && m("/.php", "/*.php"))
+    assert(!m("/x.phx", "/*.php"))
+    // trailing '$' anchors at the end
+    assert(m("/page7.php", "/*.php$"))
+    assert(!m("/page7.phpx", "/*.php$"))
+    assert(!m("/page7.php/more", "/*.php$"))
+    // longest-match carve-out shape: both patterns match the file path
+    assert(m("/files/f1.php", "/files/*.php$") && m("/files/f1.php", "/*.php$"))
+    // multiple stars with backtracking-ish structure (leftmost-greedy)
+    assert(m("/aXbYc", "/a*b*c"))
+    assert(m("/abbc", "/a*b*c") && !m("/ac", "/a*b*c"))
+    // star at the end; star absorbing to an anchored end
+    assert(m("/tmp123/x", "/tmp*") && m("/tmp", "/tmp*"))
+    assert(m("/tmp123", "/tmp*$") && m("/tmp", "/tmp*$"))
+    // '$' alone and '/$' (root-only rule)
+    assert(m("/", "/$") && !m("/a", "/$"))
+    // interior '$' is literal
+    assert(m("/a$b/c", "/a$b") && !m("/ab", "/a$b"))
+    // multibyte path octets never half-match
+    assert(m("/páge", "/p*e") && !m("/páge", "/pa*"))
+    // empty pattern = empty prefix: matches anything
+    assert(m("/whatever", ""))
+  }
+
+  test("robots wildcards end-to-end: extension block, longer allow carve-out, anchor miss") {
+    import spark.implicits._
+    val body = Seq("User-agent: *", "Disallow: /*.php$",
+      "Allow: /files/*.php$", "Disallow: /tmp*").mkString("\n")
+    val robots = Seq(("w.example", body)).toDF("host", "body")
+    val urls = Seq(
+      (1L, "http://w.example/page1.php"),     // /*.php$ blocks
+      (2L, "http://w.example/page2.phpx"),    // anchor miss -> allowed
+      (3L, "http://w.example/files/f3.php"),  // longer allow rescues
+      (4L, "http://w.example/tmp4/x"),        // /tmp* blocks
+      (5L, "http://w.example/ok/5"))          // nothing matches
+      .toDF("id", "url")
+    val out = UrlOps.robotsAllowed(urls, UrlOps.robotsRules(robots), "graftbot")
+      .orderBy("id").select("id", "allowed")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, false), (2L, true), (3L, true), (4L, false),
+      (5L, true)))
+  }
+
   test("domainStats: duplicate fraction in ppm per host") {
     import spark.implicits._
     val df = Seq(
