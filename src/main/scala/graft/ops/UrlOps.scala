@@ -222,6 +222,65 @@ object UrlOps {
       .drop("_rules", "_w", "_upath")
   }
 
+  /** `Sitemap:` directives from robots.txt bodies (RFC 9309 §2.2.4
+    * allows other records; sitemaps.org specifies this one) — the
+    * crawl seed list robots carries. One row per directive:
+    * (host, sitemap_url). Map-only line extraction; directives live
+    * OUTSIDE user-agent groups, so no group logic applies. */
+  def robotsSitemaps(
+      robots: DataFrame,
+      hostCol: String = "host",
+      bodyCol: String = "body"): DataFrame =
+    robots
+      .select(col(hostCol).cast("string").as("host"),
+        explode(split(col(bodyCol), "\r?\n")).as("_raw"))
+      .select(col("host"),
+        trim(regexp_extract(trim(regexp_replace(col("_raw"), "#.*$", "")),
+          "(?i)^sitemap:(.*)$", 1)).as("sitemap_url"))
+      .where(col("sitemap_url") =!= "")
+
+  /** Sitemap / sitemap-index XML (sitemaps.org) → one row per entry:
+    * (loc, lastmod, changefreq, priority_ppm, is_index). A sitemap is
+    * spec-bounded (≤ 50k URLs / 50 MB uncompressed), so per-row
+    * regexp block extraction is bounded work — map-only, no shuffle;
+    * a 100 TB crawl's sitemap corpus fans out by ROW. `<url>` blocks
+    * parse with is_index = false, `<sitemap>` blocks (an index file
+    * pointing at child sitemaps) with is_index = true. `loc` is
+    * XML-unescaped (the five predefined entities — sitemaps must
+    * escape `&` in query strings); `priority` surfaces as integer ppm
+    * (cross-engine exact), absent tags as NULL. Input columns pass
+    * through. */
+  def sitemapUrls(df: DataFrame, bodyCol: String = "body"): DataFrame = {
+    def tag(block: Column, t: String): Column =
+      nullif(trim(regexp_extract(block,
+        s"(?s)<$t[^>]*>(.*?)</$t>", 1)), lit(""))
+    def unescapeXml(c: Column): Column = {
+      // &amp; LAST so "&amp;lt;" decodes to the literal "&lt;"
+      val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&apos;" -> "'", "&amp;" -> "&")
+      steps.foldLeft(c) { case (acc, (from, to)) =>
+        regexp_replace(acc, java.util.regex.Pattern.quote(from), to)
+      }
+    }
+    val blocks = concat(
+      transform(regexp_extract_all(col(bodyCol),
+        lit("(?s)<url>(.*?)</url>"), lit(1)),
+        b => struct(b.as("b"), lit(false).as("idx"))),
+      transform(regexp_extract_all(col(bodyCol),
+        lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1)),
+        b => struct(b.as("b"), lit(true).as("idx"))))
+    df.withColumn("_e", explode(blocks))
+      .select(col("*"),
+        unescapeXml(tag(col("_e.b"), "loc")).as("loc"),
+        tag(col("_e.b"), "lastmod").as("lastmod"),
+        tag(col("_e.b"), "changefreq").as("changefreq"),
+        (tag(col("_e.b"), "priority").cast("decimal(8,6)") * 1000000L)
+          .cast("long").as("priority_ppm"),
+        col("_e.idx").as("is_index"))
+      .where(col("loc").isNotNull)
+      .drop("_e", bodyCol)
+  }
+
   /** Per-domain crawl accounting over canonical URLs: one row per
     * host — page count, distinct canonical URLs, and the duplicate
     * fraction in ppm (integer; cross-engine exact). The budget view a

@@ -3391,6 +3391,31 @@ object PipelineQueries {
           graft.ops.UrlOps.robotsRules(robots), "graftbot")
         .select(col("doc_id"), col("url"), col("host"), col("allowed"))
         .orderBy("doc_id")
+    }),
+
+    // Sitemap XML parsing: per-doc urlset bodies (two <url> entries —
+    // one with an &amp;-escaped query + lastmod + priority, one with
+    // changefreq only) and every fifth doc a sitemapindex instead; the
+    // oracle reconstructs every row arithmetically, no XML parsing.
+    "p325_sitemap_parse" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val h = col("doc_id") % 7
+      val freq = when(col("doc_id") % 3 === 0, "daily")
+        .when(col("doc_id") % 3 === 1, "weekly").otherwise("monthly")
+      val urlset = concat(lit("<?xml version=\"1.0\"?><urlset>"),
+        lit("<url><loc> http://s"), h, lit(".example/p/"), col("doc_id"),
+        lit("?a="), col("doc_id"), lit("&amp;b=1 </loc><lastmod>2024-01-0"),
+        col("doc_id") % 9 + 1, lit("</lastmod><priority>0."),
+        col("doc_id") % 10, lit("</priority></url><url><loc>http://s"),
+        h, lit(".example/q/"), col("doc_id"), lit("</loc><changefreq>"),
+        freq, lit("</changefreq></url></urlset>"))
+      val index = concat(lit("<sitemapindex><sitemap><loc>http://s"), h,
+        lit(".example/sm/"), col("doc_id"),
+        lit(".xml</loc><lastmod>2024-02-02</lastmod></sitemap></sitemapindex>"))
+      graft.ops.UrlOps.sitemapUrls(
+          docs.select(col("doc_id"),
+            when(col("doc_id") % 5 === 4, index).otherwise(urlset).as("body")))
+        .orderBy("doc_id", "loc")
     })
   )
 
@@ -8857,5 +8882,25 @@ object PipelineQueries {
       "'w' || (doc_id % 2) || '.example' AS host, " +
       "NOT (doc_id % 5 IN (0, 3)) AS allowed " +
       "FROM documents ORDER BY doc_id")
+  ,
+    // every sitemap row reconstructed from the id arithmetic: the
+    // &-escaped loc unescaped, priority as exact ppm, index rows last
+    "p325_sitemap_parse" -> (
+      "WITH a AS (" +
+      "SELECT doc_id, 'http://s' || (doc_id % 7) || '.example/p/' || doc_id " +
+      "|| '?a=' || doc_id || '&b=1' AS loc, " +
+      "'2024-01-0' || (doc_id % 9 + 1) AS lastmod, " +
+      "CAST(NULL AS VARCHAR) AS changefreq, " +
+      "CAST((doc_id % 10) * 100000 AS BIGINT) AS priority_ppm, " +
+      "FALSE AS is_index FROM documents WHERE doc_id % 5 < 4 " +
+      "UNION ALL " +
+      "SELECT doc_id, 'http://s' || (doc_id % 7) || '.example/q/' || doc_id, " +
+      "NULL, CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly' " +
+      "ELSE 'monthly' END, NULL, FALSE FROM documents WHERE doc_id % 5 < 4 " +
+      "UNION ALL " +
+      "SELECT doc_id, 'http://s' || (doc_id % 7) || '.example/sm/' || doc_id " +
+      "|| '.xml', '2024-02-02', NULL, NULL, TRUE " +
+      "FROM documents WHERE doc_id % 5 = 4) " +
+      "SELECT * FROM a ORDER BY doc_id, loc")
   )
 }

@@ -109,4 +109,29 @@ object Warc {
       .where(col("warc_type") === "response" && col("length_ok"))
       .select(col("record_id"), col("target_uri"), col("warc_date"),
         regexp_replace(col("payload"), "(?s)\\A.*?\\r\\n\\r\\n", "").as("body"))
+
+  /** [[responses]] plus the HTTP-message triage columns a crawl
+    * curation pass filters on BEFORE extracting text: `http_status`
+    * (from the status line; NULL when the payload is not an HTTP
+    * message), `mime_type` (Content-Type up to any ';', lowercased)
+    * and `charset` (the Content-Type charset parameter, lowercased) —
+    * the standard keep-gate is `http_status = 200 AND mime_type LIKE
+    * 'text/%'`. Header names match case-insensitively; all map-only
+    * regexp work over the KB-sized HTTP head, fused into the scan. */
+  def httpResponses(spark: SparkSession, path: String): DataFrame = {
+    val head = regexp_extract(col("payload"), "(?s)\\A(.*?)\\r\\n\\r\\n", 1)
+    val ctype = nullif(lower(regexp_extract(head,
+      "(?mi)^Content-Type:\\s*([^\\r\\n]*)", 1)), lit(""))
+    records(spark, path)
+      .where(col("warc_type") === "response" && col("length_ok"))
+      .select(col("record_id"), col("target_uri"), col("warc_date"),
+        nullif(regexp_extract(col("payload"),
+          "\\AHTTP/[0-9.]+\\s+(\\d{3})", 1), lit("")).cast("int")
+          .as("http_status"),
+        nullif(trim(regexp_extract(ctype, "\\A([^;]*)", 1)), lit(""))
+          .as("mime_type"),
+        nullif(regexp_extract(ctype, "charset=\"?([^\"';\\s]+)", 1), lit(""))
+          .as("charset"),
+        regexp_replace(col("payload"), "(?s)\\A.*?\\r\\n\\r\\n", "").as("body"))
+  }
 }

@@ -177,6 +177,40 @@ class UrlOpsSpec extends AnyFunSuite {
       (5L, true)))
   }
 
+  test("sitemapUrls: urlset + index blocks, entity unescape, absent tags NULL") {
+    import spark.implicits._
+    val urlset =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc> http://e.com/a?x=1&amp;y=2 </loc>
+        |    <lastmod>2024-03-01</lastmod><priority>0.8</priority></url>
+        |  <url><loc>http://e.com/b</loc><changefreq>daily</changefreq></url>
+        |</urlset>""".stripMargin
+    val index =
+      """<sitemapindex><sitemap><loc>http://e.com/sm1.xml</loc>
+        |<lastmod>2024-04-01</lastmod></sitemap></sitemapindex>""".stripMargin
+    val out = UrlOps.sitemapUrls(
+        Seq((1L, urlset), (2L, index)).toDF("id", "body"))
+      .orderBy("id", "loc")
+      .as[(Long, String, Option[String], Option[String], Option[Long], Boolean)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, "http://e.com/a?x=1&y=2", Some("2024-03-01"), None, Some(800000L), false),
+      (1L, "http://e.com/b", None, Some("daily"), None, false),
+      (2L, "http://e.com/sm1.xml", Some("2024-04-01"), None, None, true)))
+  }
+
+  test("robotsSitemaps: Sitemap directives extracted outside group logic") {
+    import spark.implicits._
+    val body = Seq("User-agent: *", "Disallow: /x",
+      "Sitemap: http://e.com/sitemap.xml", "# note",
+      "sitemap:   http://e.com/sm2.xml  ").mkString("\n")
+    val out = UrlOps.robotsSitemaps(Seq(("e.com", body)).toDF("host", "body"))
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("e.com", "http://e.com/sitemap.xml"),
+      ("e.com", "http://e.com/sm2.xml")))
+  }
+
   test("domainStats: duplicate fraction in ppm per host") {
     import spark.implicits._
     val df = Seq(

@@ -108,6 +108,43 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSet == one)
   }
 
+  test("recordsLossless: gzip input auto-detected, read whole-file, identical rows") {
+    val gz = java.nio.file.Files.createTempDirectory("warc_gz")
+      .resolve("fixture_crawl.warc.gz")
+    val in = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    out.write(in); out.close()
+    val got = Warc.recordsLossless(spark, gz.toString).collect()
+      .map(_.toSeq).toSet
+    val plain = Warc.recordsLossless(spark, path).collect()
+      .map(_.toSeq).toSet
+    assert(got == plain && got.size == 5)
+  }
+
+  test("httpResponses: status / mime / charset triage columns") {
+    import spark.implicits._
+    val out = Warc.httpResponses(spark, path)
+      .select("target_uri", "http_status", "mime_type", "charset")
+      .as[(String, Option[Int], String, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("http://example.org/a", Some(200), "text/html", "utf-8"),
+      ("http://example.org/b", Some(200), "text/html", "utf-8")))
+    // the evil record is length-invalid on the text path — excluded;
+    // on the LOSSLESS path it parses whole, so the same triage over a
+    // lossless-read frame keeps it and reads its text/plain type.
+    // (httpResponses composes over `records`; this pins the column
+    // derivation itself against the lossless rows too)
+    val lossless = Warc.recordsLossless(spark, path)
+      .where(col("warc_type") === "response")
+    val head = regexp_extract(col("payload"), "(?s)\\A(.*?)\\r\\n\\r\\n", 1)
+    val types = lossless.select(lower(regexp_extract(head,
+        "(?mi)^Content-Type:\\s*([^\\r\\n;]*)", 1)).as("t"))
+      .as[String].collect().sorted.toSeq
+    assert(types == Seq("text/html", "text/html", "text/plain"))
+  }
+
   test("crawlDedup: WARC responses → canonical-URL keep-best, longest text wins") {
     import spark.implicits._
     // plant a duplicate spelling of /a (case + default port + tracker)
