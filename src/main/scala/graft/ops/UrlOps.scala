@@ -119,11 +119,16 @@ object UrlOps {
     * `Disallow:` value is the spec's "no restriction" no-op and emits
     * no rule. Per-host windows only — a robots body is KB-sized, so
     * the line ladder is bounded per host. */
-  def robotsRules(
+  /** Shared group walk for robots bodies: split into directive lines,
+    * assign each to its user-agent GROUP (a user-agent line after a
+    * non-user-agent line starts one; consecutive user-agent lines
+    * stack), keeping only `fields`. Per-host windows — bodies are
+    * KB-sized. Returns (host, _grp, _f, _v, _ua). */
+  private def robotsGroups(
       robots: DataFrame,
-      hostCol: String = "host",
-      bodyCol: String = "body",
-      broadcastMaxHosts: Long = DefaultBroadcastMaxHosts): DataFrame = {
+      hostCol: String,
+      bodyCol: String,
+      fields: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = robots
       .select(col(hostCol).cast("string").as("host"),
@@ -134,16 +139,23 @@ object UrlOps {
       .select(col("host"), col("_i"),
         lower(trim(regexp_extract(col("_l"), "^([^:]+):", 1))).as("_f"),
         trim(regexp_extract(col("_l"), "^[^:]+:(.*)$", 1)).as("_v"))
-      .where(col("_f").isin("user-agent", "allow", "disallow"))
-    // a user-agent line following a non-user-agent line STARTS a group;
-    // consecutive user-agent lines stack onto the same group
+      .where(col("_f").isin("user-agent" +: fields: _*))
     val w = Window.partitionBy(col("host")).orderBy(col("_i"))
-    val grouped = lines
+    lines
       .withColumn("_ua", (col("_f") === "user-agent").cast("int"))
       .withColumn("_start",
         (col("_ua") === 1 &&
           coalesce(lag(col("_ua"), 1).over(w), lit(0)) === 0).cast("int"))
       .withColumn("_grp", sum(col("_start")).over(w))
+  }
+
+  def robotsRules(
+      robots: DataFrame,
+      hostCol: String = "host",
+      bodyCol: String = "body",
+      broadcastMaxHosts: Long = DefaultBroadcastMaxHosts): DataFrame = {
+    val grouped = robotsGroups(robots, hostCol, bodyCol,
+      Seq("allow", "disallow"))
     val agents = grouped.where(col("_ua") === 1)
       .select(col("host"), col("_grp"), lower(col("_v")).as("agent"))
     val rules = grouped
@@ -220,6 +232,78 @@ object UrlOps {
           (r.getField("kind") === "allow").cast("int").as("a")))))
       .withColumn("allowed", col("_w").isNull || col("_w.a") === 1)
       .drop("_rules", "_w", "_upath")
+  }
+
+  /** `Crawl-delay:` directives (the de-facto politeness record; RFC
+    * 9309 §2.2.4 other-records) per user-agent group, value converted
+    * seconds → integral milliseconds (fractional values like `0.5`
+    * supported; unparseable values drop). Returns
+    * (host, agent, delay_ms). */
+  def robotsCrawlDelay(
+      robots: DataFrame,
+      hostCol: String = "host",
+      bodyCol: String = "body",
+      broadcastMaxHosts: Long = DefaultBroadcastMaxHosts): DataFrame = {
+    val grouped = robotsGroups(robots, hostCol, bodyCol, Seq("crawl-delay"))
+    val agents = grouped.where(col("_ua") === 1)
+      .select(col("host"), col("_grp"), lower(col("_v")).as("agent"))
+    val delays = grouped
+      .where(col("_ua") === 0 && col("_grp") > 0)
+      .select(col("host"), col("_grp"),
+        (col("_v").cast("decimal(12,3)") * 1000L).cast("long").as("delay_ms"))
+      .where(col("delay_ms").isNotNull && col("delay_ms") >= 0L)
+    // same size-adaptive contract as robotsRules: both sides track
+    // |hosts|, so an unconditional broadcast is a crawl-scale OOM
+    (if (atMostRows(robots.select(col(hostCol)), broadcastMaxHosts))
+       agents.join(broadcast(delays), Seq("host", "_grp"))
+     else agents.join(delays.hint("SHUFFLE_HASH"), Seq("host", "_grp")))
+      .select(col("host"), col("agent"), col("delay_ms"))
+  }
+
+  /** PER-HOST fetch schedule honoring crawl-delay — the politeness
+    * plan a crawl frontier executes: the i-th URL of a host (0-based,
+    * ordered by `idCol` for determinism) gets
+    * `fetch_offset_ms = i × delay_ms`, so each host's fetches
+    * serialize at its own delay while hosts proceed in parallel.
+    * Group selection per RFC 9309: a host with a delay for `agent`
+    * exactly uses it; otherwise the `*` group's; hosts with neither
+    * get `defaultDelayMs`. Multiple applicable delays take the MAX
+    * (the conservative, politest reading).
+    *
+    * Shape: delay dim delivered size-adaptively (broadcast under the
+    * host ceiling, SHUFFLE_HASH above — [[robotsAllowed]]'s contract);
+    * the rank is one row_number per host — per-host partitions are the
+    * natural parallel unit of a crawl, never a global sort. Appends
+    * (canonical_url, host, fetch_seq, fetch_offset_ms). */
+  def politenessSchedule(
+      urls: DataFrame,
+      crawlDelays: DataFrame,
+      agent: String,
+      urlCol: String = "url",
+      idCol: String = "doc_id",
+      defaultDelayMs: Long = 1000L,
+      broadcastMaxHosts: Long = DefaultBroadcastMaxHosts): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val appl = crawlDelays.where(col("agent").isin(agentLc, "*"))
+    val perHost = appl.groupBy(col("host"))
+      .agg(
+        max(when(col("agent") === agentLc, col("delay_ms"))).as("_de"),
+        max(when(col("agent") === "*", col("delay_ms"))).as("_dw"))
+      .select(col("host"), coalesce(col("_de"), col("_dw")).as("_delay"))
+    val small = atMostRows(crawlDelays.select(col("host")), broadcastMaxHosts)
+    val u = urls
+      .withColumn("canonical_url", urlNormalize(col(urlCol)))
+      .withColumn("host",
+        lower(parse_url(col("canonical_url"), lit("HOST"))))
+    u.join(if (small) broadcast(perHost) else perHost.hint("SHUFFLE_HASH"),
+        Seq("host"), "left")
+      .withColumn("fetch_seq",
+        row_number().over(Window.partitionBy(col("host"))
+          .orderBy(col(idCol))) - 1)
+      .withColumn("fetch_offset_ms",
+        col("fetch_seq") * coalesce(col("_delay"), lit(defaultDelayMs)))
+      .drop("_delay")
   }
 
   /** `Sitemap:` directives from robots.txt bodies (RFC 9309 §2.2.4

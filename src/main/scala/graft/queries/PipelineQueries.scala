@@ -3416,6 +3416,29 @@ object PipelineQueries {
           docs.select(col("doc_id"),
             when(col("doc_id") % 5 === 4, index).otherwise(urlset).as("body")))
         .orderBy("doc_id", "loc")
+    }),
+
+    // Crawl-delay politeness schedule: hosts 0-1 carry an exact
+    // graftbot delay (h+1 s) that must beat their * group's 9 s, host
+    // 2 has only a FRACTIONAL * delay (2.5 s), host 3 no robots at all
+    // (default 1 s); the oracle recomputes rank-within-host and offset
+    // arithmetically from dense doc ids.
+    "p326_politeness_schedule" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val h = col("doc_id") % 4
+      val robots = docs.select(h.as("_h")).distinct().where(col("_h") < 3)
+        .select(concat(lit("cd"), col("_h"), lit(".example")).as("host"),
+          when(col("_h") < 2,
+            concat(lit("User-agent: graftbot\nCrawl-delay: "),
+              col("_h") + 1, lit("\n\nUser-agent: *\nCrawl-delay: 9\n")))
+            .otherwise(lit("User-agent: *\nCrawl-delay: 2.5\n")).as("body"))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("http://cd"), h, lit(".example/p/"), col("doc_id")).as("url"))
+      graft.ops.UrlOps.politenessSchedule(urls,
+          graft.ops.UrlOps.robotsCrawlDelay(robots), "graftbot")
+        .select(col("doc_id"), col("host"), col("fetch_seq"),
+          col("fetch_offset_ms"))
+        .orderBy("doc_id")
     })
   )
 
@@ -8902,5 +8925,20 @@ object PipelineQueries {
       "|| '.xml', '2024-02-02', NULL, NULL, TRUE " +
       "FROM documents WHERE doc_id % 5 = 4) " +
       "SELECT * FROM a ORDER BY doc_id, loc")
+  ,
+    // rank within host replayed as a DuckDB window (NOT doc_id // 4:
+    // the x20 scaled corpus carries replica-offset ids, so ranks are
+    // order-dependent, not arithmetic); exact agent delay beats *,
+    // fractional seconds to ms, robots-less host gets the 1000 ms
+    // default
+    "p326_politeness_schedule" -> (
+      "WITH r AS (SELECT doc_id, " +
+      "ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) - 1 AS seq " +
+      "FROM documents) " +
+      "SELECT doc_id, 'cd' || (doc_id % 4) || '.example' AS host, " +
+      "CAST(seq AS INT) AS fetch_seq, " +
+      "CAST(seq * (CASE doc_id % 4 WHEN 0 THEN 1000 " +
+      "WHEN 1 THEN 2000 WHEN 2 THEN 2500 ELSE 1000 END) AS BIGINT) " +
+      "AS fetch_offset_ms FROM r ORDER BY doc_id")
   )
 }

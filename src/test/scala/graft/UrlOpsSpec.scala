@@ -211,6 +211,32 @@ class UrlOpsSpec extends AnyFunSuite {
       ("e.com", "http://e.com/sm2.xml")))
   }
 
+  test("robotsCrawlDelay + politenessSchedule: group selection, fractional seconds, default") {
+    import spark.implicits._
+    val robots = Seq(
+      ("a.example", "User-agent: graftbot\nCrawl-delay: 2\n\nUser-agent: *\nCrawl-delay: 9"),
+      ("b.example", "User-agent: *\nCrawl-delay: 0.5"),
+      ("c.example", "User-agent: *\nDisallow: /x")) // no delay record
+      .toDF("host", "body")
+    val delays = UrlOps.robotsCrawlDelay(robots)
+    assert(delays.as[(String, String, Long)].collect().toSet == Set(
+      ("a.example", "graftbot", 2000L), ("a.example", "*", 9000L),
+      ("b.example", "*", 500L)))
+    val urls = Seq(
+      (10L, "http://a.example/1"), (11L, "http://a.example/2"),
+      (12L, "http://a.example/3"),
+      (20L, "http://b.example/1"), (21L, "http://b.example/2"),
+      (30L, "http://c.example/1"), (31L, "http://c.example/2"))
+      .toDF("doc_id", "url")
+    val out = UrlOps.politenessSchedule(urls, delays, "GraftBot")
+      .select("doc_id", "fetch_seq", "fetch_offset_ms")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (10L, 0, 0L), (11L, 1, 2000L), (12L, 2, 4000L), // exact beats *
+      (20L, 0, 0L), (21L, 1, 500L),                   // fractional * delay
+      (30L, 0, 0L), (31L, 1, 1000L)))                 // default fallback
+  }
+
   test("domainStats: duplicate fraction in ppm per host") {
     import spark.implicits._
     val df = Seq(

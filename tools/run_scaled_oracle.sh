@@ -44,7 +44,7 @@ GATES=$GATES,p85_temperature_sample,p270_tail_mass,p271_waterfill,p285_zipf_slop
 # URL family at x20 docs (arithmetic oracles, id-derived; p320 also
 # reads text for the byte-length quality)
 GATES=$GATES,p319_url_normalize,p320_url_dedup,p321_domain_stats,p322_robots_filter
-GATES=$GATES,p324_robots_wildcards,p325_sitemap_parse
+GATES=$GATES,p324_robots_wildcards,p325_sitemap_parse,p326_politeness_schedule
 # media triage at x20 docs (id-derived headers, arithmetic oracles)
 GATES=$GATES,p312_image_header_scan,p317_webp_tiff_scan,p318_audio_header_scan
 GATES=$GATES,p323_video_header_scan
