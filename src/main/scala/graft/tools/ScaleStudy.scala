@@ -322,6 +322,36 @@ object ScaledOps {
       // per-user O(g²) under constant group size — the scaled tier
       // checks the pair stage stays linear in #users
       time("theil_sen") { sink(graft.ops.EventsOps.theilSenTrend(ev)) },
+      // round-14 URL/crawl family at ×20 docs: the keep-best partial
+      // agg, the wildcard-rule fold behind the size-adaptive dim join,
+      // and the per-host politeness window — the three shapes a crawl
+      // front door runs on every record
+      time("url_dedup") { sink(graft.ops.UrlOps.urlDedup(
+        docs.select(col("doc_id"),
+          octet_length(col("text")).as("_len"),
+          concat(lit("https://DUP.example:443/g/./"), expr("doc_id div 3"),
+            lit("?utm_campaign=x")).as("url")),
+        "url", "doc_id", "_len")) },
+      time("robots_filter") { sink({
+        val body = "User-agent: *\nDisallow: /*.php$\n" +
+          "Allow: /files/*.php$\nDisallow: /tmp*\n"
+        val robots = docs.select((col("doc_id") % 64).as("_h")).distinct()
+          .select(concat(lit("w"), col("_h"), lit(".example")).as("host"),
+            lit(body).as("body"))
+        val urls = docs.select(col("doc_id"),
+          concat(lit("http://w"), col("doc_id") % 64, lit(".example/files/f"),
+            col("doc_id"), lit(".php")).as("url"))
+        graft.ops.UrlOps.robotsAllowed(urls,
+          graft.ops.UrlOps.robotsRules(robots), "graftbot")
+      }) },
+      time("politeness_schedule") { sink(graft.ops.UrlOps.politenessSchedule(
+        docs.select(col("doc_id"),
+          concat(lit("http://cd"), col("doc_id") % 64, lit(".example/p/"),
+            col("doc_id")).as("url")),
+        spark.range(0, 64).select(concat(lit("cd"), col("id"),
+          lit(".example")).as("host"), lit("*").as("agent"),
+          (col("id") % 5 * 100 + 100).as("delay_ms")),
+        "graftbot")) },
       (if (selected("ann_ivfpq_recall_pct")) {
         val (n, pct) = annIvfPqRecall(spark.read.parquet(embPath))
         ScaledRec(n, pct, pct, varied = false) // a score, not a timing

@@ -45,6 +45,10 @@ GATES=$GATES,p85_temperature_sample,p270_tail_mass,p271_waterfill,p285_zipf_slop
 # reads text for the byte-length quality)
 GATES=$GATES,p319_url_normalize,p320_url_dedup,p321_domain_stats,p322_robots_filter
 GATES=$GATES,p324_robots_wildcards,p325_sitemap_parse,p326_politeness_schedule
+# dedup family members whose oracles are id-set-agnostic and linear
+# (p04/p06 plant +100000-shifted twins — their id arithmetic collides
+# with the x20 replica offsets, so they stay fingerprint-pinned)
+GATES=$GATES,p02_dedup_exact,p05_ngram_jaccard
 # media triage at x20 docs (id-derived headers, arithmetic oracles)
 GATES=$GATES,p312_image_header_scan,p317_webp_tiff_scan,p318_audio_header_scan
 GATES=$GATES,p323_video_header_scan
