@@ -71,12 +71,15 @@ object Warc {
         path, classOf[WarcInputFormat],
         classOf[org.apache.hadoop.io.NullWritable],
         classOf[org.apache.hadoop.io.BytesWritable], conf)
-      .map(_._2.copyBytes())
-    parse(spark.createDataset(rdd)(org.apache.spark.sql.Encoders.BINARY)
-      .toDF("_bytes")
-      // same UTF-8 replacement-decode policy as the text path: binary
-      // payloads belong to the multimodal path, not this reader
-      .select(decode(col("_bytes"), "UTF-8").as("_rec")))
+      // REPLACEMENT-decode in the map, NOT SQL decode(): Spark 4's
+      // decode is strict (MALFORMED_CHARACTER_CODING kills the task on
+      // the first binary payload — found by the split-resync fuzz);
+      // java.lang.String replaces malformed bytes, matching the text
+      // path's policy. Binary payloads belong to the multimodal path.
+      .map(r => new String(r._2.copyBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+    parse(spark.createDataset(rdd)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("_rec"))
   }
 
   /** Shared column parser over `_rec` = header block + CRLF CRLF +

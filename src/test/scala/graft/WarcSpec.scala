@@ -108,6 +108,45 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSet == one)
   }
 
+  test("recordsLossless: split-resync fuzz — random payloads with planted magics, three split sizes, sets identical") {
+    // the resync scan at a split boundary must reject payload bytes
+    // that LOOK like a record start (magic + junk that never yields a
+    // Content-Length header block) and land on the next real record —
+    // ground truth is the single-split read; seeded, so reproducible
+    val rnd = new java.util.Random(1234)
+    val crlf = "\r\n"
+    def rec(i: Int): Array[Byte] = {
+      val body = new java.io.ByteArrayOutputStream()
+      val n = rnd.nextInt(300)
+      val junk = new Array[Byte](n); rnd.nextBytes(junk)
+      body.write(junk)
+      if (i % 3 == 0) // planted magic mid-payload, then more junk
+        body.write(s"${crlf}${crlf}WARC/1.0${crlf}garbage no headers".getBytes("UTF-8"))
+      if (i % 7 == 0) // CRLFCRLF inside the payload (parser splits on FIRST)
+        body.write(s"$crlf$crlf more".getBytes("UTF-8"))
+      val b = body.toByteArray
+      val hdr = Seq("WARC/1.0", "WARC-Type: resource",
+        s"WARC-Record-ID: <urn:uuid:fz-$i>",
+        s"Content-Length: ${b.length}").mkString(crlf) + crlf + crlf
+      hdr.getBytes("UTF-8") ++ b ++ (crlf + crlf).getBytes("UTF-8")
+    }
+    val n = 120
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until n).foreach(i => out.write(rec(i)))
+    val tmp = java.nio.file.Files.createTempDirectory("warc_fuzz")
+      .resolve("fuzz.warc")
+    java.nio.file.Files.write(tmp, out.toByteArray)
+
+    val truth = Warc.recordsLossless(spark, tmp.toString).collect()
+      .map(_.toSeq).toSet
+    assert(truth.size == n)
+    for (split <- Seq(512L, 2048L, 7777L)) {
+      val got = Warc.recordsLossless(spark, tmp.toString,
+        maxSplitBytes = Some(split)).collect().map(_.toSeq).toSet
+      assert(got == truth, s"split=$split: ${got.size} vs ${truth.size}")
+    }
+  }
+
   test("recordsLossless: gzip input auto-detected, read whole-file, identical rows") {
     val gz = java.nio.file.Files.createTempDirectory("warc_gz")
       .resolve("fixture_crawl.warc.gz")
