@@ -3277,7 +3277,42 @@ object PipelineQueries {
           Tables(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "bytes")
         .select(col("media_id"), col("format"), col("width"), col("height"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // The media triage family on REAL crawl bytes: the committed
+    // binary WARC fixture (tools/make_warc_binary_fixture.py — 60
+    // resource records whose PNG/GIF/BMP/JPEG, WAV/FLAC/MP3 and
+    // MP4/WebM/MKV payloads reuse the id-derived byte recipes of
+    // p312/p318/p323) read through the LOSSLESS binary reader
+    // (Warc.recordsBinary → BinaryType payload), then triaged per id
+    // range. The oracle replays every claim arithmetically over
+    // generate_series — reader drift OR parser drift hash-fails.
+    "p327_warc_media" -> ((s, dir) => {
+      val recs = graft.sources.Warc.recordsBinary(s,
+          "/root/repo/src/test/resources/fixture_media.warc")
+        .where(col("warc_type") === "resource" && col("length_ok"))
+        .select(regexp_extract(col("target_uri"), "media://[a-z]+/([0-9]+)", 1)
+          .cast("long").as("media_id"), col("payload"))
+      val img = graft.ops.Multimodal.imageHeaderScan(
+          recs.where(col("media_id") < 20), "payload")
+        .select(col("media_id"), lit("image").as("kind"), col("format"),
+          col("width").cast("int").as("d1"),
+          col("height").cast("int").as("d2"),
+          lit(-1).as("d3"))
+      val aud = graft.ops.Multimodal.audioHeaderScan(
+          recs.where(col("media_id") >= 20 && col("media_id") < 40), "payload")
+        .select(col("media_id"), lit("audio").as("kind"), col("format"),
+          col("channels").cast("int").as("d1"),
+          col("sample_rate").cast("int").as("d2"),
+          col("bits_per_sample").cast("int").as("d3"))
+      val vid = graft.ops.Multimodal.videoHeaderScan(
+          recs.where(col("media_id") >= 40), "payload")
+        .select(col("media_id"), lit("video").as("kind"), col("format"),
+          col("width").cast("int").as("d1"),
+          col("height").cast("int").as("d2"),
+          lit(-1).as("d3"))
+      img.unionByName(aud).unionByName(vid).orderBy("media_id")
+    })
   )
 
   /** Messy-URL fixture expression shared by p319/p320/p321: six
@@ -8837,6 +8872,38 @@ object PipelineQueries {
       "CAST(CASE WHEN doc_id % 6 = 5 THEN -1 ELSE doc_id % 640 + 32 END AS INT) AS width, " +
       "CAST(CASE WHEN doc_id % 6 = 5 THEN -1 ELSE doc_id % 480 + 32 END AS INT) AS height " +
       "FROM documents ORDER BY media_id"),
+
+    // p327: the committed binary WARC fixture's triage claims replayed
+    // arithmetically — the fixture's ids and byte recipes are the same
+    // id-derived generators the p312/p318/p323 oracles already pin, so
+    // generate_series reproduces the whole expected table without
+    // touching the fixture bytes
+    "p327_warc_media" -> (
+      "WITH ids AS (SELECT range AS id FROM range(0, 60)), " +
+      "img AS (SELECT id AS media_id, 'image' AS kind, " +
+      "CASE id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp' " +
+      "WHEN 3 THEN 'jpeg' ELSE 'unknown' END AS format, " +
+      "CAST(CASE WHEN id % 5 = 4 THEN -1 ELSE id % 640 + 32 END AS INT) AS d1, " +
+      "CAST(CASE WHEN id % 5 = 4 THEN -1 ELSE id % 480 + 32 END AS INT) AS d2, " +
+      "CAST(-1 AS INT) AS d3 FROM ids WHERE id < 20), " +
+      "aud AS (SELECT id AS media_id, 'audio' AS kind, " +
+      "CASE id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3' " +
+      "ELSE 'unknown' END AS format, " +
+      "CAST(CASE WHEN id % 4 = 3 THEN -1 ELSE (id // 4) % 2 + 1 END AS INT) AS d1, " +
+      "CAST(CASE WHEN id % 4 = 3 THEN -1 WHEN id % 4 = 2 THEN " +
+      "(CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END) " +
+      "ELSE (id % 12 + 2) * 4000 END AS INT) AS d2, " +
+      "CAST(CASE WHEN id % 4 IN (2, 3) THEN -1 WHEN id % 4 = 0 " +
+      "THEN ((id // 4) % 4 + 1) * 8 ELSE id % 24 + 8 END AS INT) AS d3 " +
+      "FROM ids WHERE id >= 20 AND id < 40), " +
+      "vid AS (SELECT id AS media_id, 'video' AS kind, " +
+      "CASE WHEN id % 6 <= 2 THEN 'mp4' WHEN id % 6 = 3 THEN 'webm' " +
+      "WHEN id % 6 = 4 THEN 'mkv' ELSE 'unknown' END AS format, " +
+      "CAST(CASE WHEN id % 6 = 5 THEN -1 ELSE id % 640 + 32 END AS INT) AS d1, " +
+      "CAST(CASE WHEN id % 6 = 5 THEN -1 ELSE id % 480 + 32 END AS INT) AS d2, " +
+      "CAST(-1 AS INT) AS d3 FROM ids WHERE id >= 40) " +
+      "SELECT * FROM (SELECT * FROM img UNION ALL SELECT * FROM aud " +
+      "UNION ALL SELECT * FROM vid) ORDER BY media_id"),
 
     // both the messy and the canonical spelling recomputed from the id
     "p319_url_normalize" -> (
