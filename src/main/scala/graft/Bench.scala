@@ -259,11 +259,16 @@ object Bench {
       s""","scaled":{$scaledMeta"total":${s3(t)},"total_min":${s3(tMin)},"varied":$nVaried,"n_ops":${scaledOps.length}}"""
     }
     val scaledDetailJson = if (scaledOps.isEmpty) "" else {
-      val opsJson = scaledOps.map(r => "\"" + r.name + "\":" + s3(r.median)).mkString("{", ",", "}")
-      val minJson = scaledOps.map(r => "\"" + r.name + "\":" + s3(r.min)).mkString("{", ",", "}")
-      val variedJson = scaledOps.collect { case r if r.varied => "\"" + r.name + "\"" }
+      // `ops`/`ops_min` are SECONDS-ONLY; score entries (`_pct` recall
+      // scorecards — percentages, not timings) live in `scores` so a
+      // reader summing the maps never mixes units
+      val (scoreRecs, timedRecs) = scaledOps.partition(_.name.endsWith("_pct"))
+      val opsJson = timedRecs.map(r => "\"" + r.name + "\":" + s3(r.median)).mkString("{", ",", "}")
+      val minJson = timedRecs.map(r => "\"" + r.name + "\":" + s3(r.min)).mkString("{", ",", "}")
+      val scoresJson = scoreRecs.map(r => "\"" + r.name + "\":" + s3(r.median)).mkString("{", ",", "}")
+      val variedJson = timedRecs.collect { case r if r.varied => "\"" + r.name + "\"" }
         .mkString("[", ",", "]")
-      s""","scaled":{$scaledMeta"ops":$opsJson,"ops_min":$minJson,"varied":$variedJson}"""
+      s""","scaled":{$scaledMeta"ops":$opsJson,"ops_min":$minJson,"scores":$scoresJson,"varied":$variedJson}"""
     }
 
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

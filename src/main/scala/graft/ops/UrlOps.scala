@@ -31,9 +31,22 @@ object UrlOps {
   /** Bounded small-side probe: true iff `df` has at most `max` rows.
     * `limit(max+1).count()` stops the scan early instead of counting a
     * crawl-scale table end to end — the probe's cost is bounded by the
-    * threshold, not the input. */
+    * threshold, not the input. Public as [[hostDimIsSmall]] so callers
+    * holding the RAW robots frame can size the dim WINDOW-FREE and
+    * hand the verdict to [[robotsAllowed]]/[[politenessSchedule]]
+    * (whose own fallback probe must execute the rule-derivation
+    * lineage — one window pass — just to count hosts). */
   private def atMostRows(df: DataFrame, max: Long): Boolean =
     df.limit(math.min(max, Int.MaxValue - 1L).toInt + 1).count() <= max
+
+  /** Size-class probe over the RAW robots frame (or any window-free
+    * host-count proxy): pass the result as `smallDim` to the rule
+    * APPLICATION ops so they skip probing their derived-rules lineage. */
+  def hostDimIsSmall(
+      robots: DataFrame,
+      hostCol: String = "host",
+      broadcastMaxHosts: Long = DefaultBroadcastMaxHosts): Boolean =
+    atMostRows(robots.select(col(hostCol)), broadcastMaxHosts)
 
   /** KEEP-BEST per canonical URL: collapse every spelling of the same
     * canonical URL to one winner — highest `qualityCol` (e.g. text
@@ -203,14 +216,19 @@ object UrlOps {
       rules: DataFrame,
       agent: String,
       urlCol: String = "url",
-      broadcastMaxHosts: Long = DefaultBroadcastMaxHosts): DataFrame = {
+      broadcastMaxHosts: Long = DefaultBroadcastMaxHosts,
+      smallDim: Option[Boolean] = None): DataFrame = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val appl = rules.where(col("agent").isin(agentLc, "*"))
     val hostHasExact = appl.groupBy(col("host"))
       .agg(max((col("agent") === agentLc).cast("int")).as("_he"))
     // rules-per-host is a small constant (robots bodies are KB-sized),
-    // so |rules| tracks |hosts| — one bounded probe sizes both joins
-    val small = atMostRows(rules.select(col("host")), broadcastMaxHosts)
+    // so |rules| tracks |hosts| — one bounded probe sizes both joins.
+    // Callers holding the raw robots frame should pre-probe it with
+    // [[hostDimIsSmall]] (window-free) and pass `smallDim`; the
+    // fallback probe here must execute the rules lineage once
+    val small = smallDim.getOrElse(
+      atMostRows(rules.select(col("host")), broadcastMaxHosts))
     val perHost = (if (small) appl.join(broadcast(hostHasExact), "host")
                    else appl.join(hostHasExact.hint("SHUFFLE_HASH"), "host"))
       .where((col("agent") === agentLc).cast("int") === col("_he"))
@@ -228,7 +246,10 @@ object UrlOps {
         filter(col("_rules"),
           r => graft.functions.UrlFunctions.robots_match(
             col("_upath"), r.getField("path"))),
-        r => struct(length(r.getField("path")).as("l"),
+        // specificity key: OCTET length (RFC 9309 most-specific-match
+        // counts octets; character length under-weights multibyte
+        // UTF-8 patterns and can flip an allow/disallow tie)
+        r => struct(octet_length(r.getField("path")).as("l"),
           (r.getField("kind") === "allow").cast("int").as("a")))))
       .withColumn("allowed", col("_w").isNull || col("_w.a") === 1)
       .drop("_rules", "_w", "_upath")
@@ -282,7 +303,8 @@ object UrlOps {
       urlCol: String = "url",
       idCol: String = "doc_id",
       defaultDelayMs: Long = 1000L,
-      broadcastMaxHosts: Long = DefaultBroadcastMaxHosts): DataFrame = {
+      broadcastMaxHosts: Long = DefaultBroadcastMaxHosts,
+      smallDim: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val appl = crawlDelays.where(col("agent").isin(agentLc, "*"))
@@ -291,7 +313,8 @@ object UrlOps {
         max(when(col("agent") === agentLc, col("delay_ms"))).as("_de"),
         max(when(col("agent") === "*", col("delay_ms"))).as("_dw"))
       .select(col("host"), coalesce(col("_de"), col("_dw")).as("_delay"))
-    val small = atMostRows(crawlDelays.select(col("host")), broadcastMaxHosts)
+    val small = smallDim.getOrElse(
+      atMostRows(crawlDelays.select(col("host")), broadcastMaxHosts))
     val u = urls
       .withColumn("canonical_url", urlNormalize(col(urlCol)))
       .withColumn("host",

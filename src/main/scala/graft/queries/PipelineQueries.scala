@@ -3395,8 +3395,12 @@ object PipelineQueries {
         .otherwise(concat(lit("/priv/open"), col("doc_id")))
       val urls = docs.select(col("doc_id"),
         concat(lit("http://h"), h, lit(".example"), path).as("url"))
+      // size the dim WINDOW-FREE off the raw robots frame, then hand
+      // the verdict down — the caller pattern that keeps the rule
+      // application from re-executing the rules lineage just to count
       graft.ops.UrlOps.robotsAllowed(urls,
-          graft.ops.UrlOps.robotsRules(robots), "graftbot")
+          graft.ops.UrlOps.robotsRules(robots), "graftbot",
+          smallDim = Some(graft.ops.UrlOps.hostDimIsSmall(robots)))
         .select(col("doc_id"), col("url"), col("host"), col("allowed"))
         .orderBy("doc_id")
     }),
@@ -3423,7 +3427,8 @@ object PipelineQueries {
         concat(lit("http://w"), col("doc_id") % 2, lit(".example"), path)
           .as("url"))
       graft.ops.UrlOps.robotsAllowed(urls,
-          graft.ops.UrlOps.robotsRules(robots), "graftbot")
+          graft.ops.UrlOps.robotsRules(robots), "graftbot",
+          smallDim = Some(graft.ops.UrlOps.hostDimIsSmall(robots)))
         .select(col("doc_id"), col("url"), col("host"), col("allowed"))
         .orderBy("doc_id")
     }),
@@ -3470,7 +3475,8 @@ object PipelineQueries {
       val urls = docs.select(col("doc_id"),
         concat(lit("http://cd"), h, lit(".example/p/"), col("doc_id")).as("url"))
       graft.ops.UrlOps.politenessSchedule(urls,
-          graft.ops.UrlOps.robotsCrawlDelay(robots), "graftbot")
+          graft.ops.UrlOps.robotsCrawlDelay(robots), "graftbot",
+          smallDim = Some(graft.ops.UrlOps.hostDimIsSmall(robots)))
         .select(col("doc_id"), col("host"), col("fetch_seq"),
           col("fetch_offset_ms"))
         .orderBy("doc_id")

@@ -341,8 +341,11 @@ object ScaledOps {
         val urls = docs.select(col("doc_id"),
           concat(lit("http://w"), col("doc_id") % 64, lit(".example/files/f"),
             col("doc_id"), lit(".php")).as("url"))
+        // 64-host dim, statically known small: the hint skips the
+        // size probe that would otherwise re-execute the rules lineage
         graft.ops.UrlOps.robotsAllowed(urls,
-          graft.ops.UrlOps.robotsRules(robots), "graftbot")
+          graft.ops.UrlOps.robotsRules(robots), "graftbot",
+          smallDim = Some(true))
       }) },
       time("politeness_schedule") { sink(graft.ops.UrlOps.politenessSchedule(
         docs.select(col("doc_id"),
@@ -351,7 +354,7 @@ object ScaledOps {
         spark.range(0, 64).select(concat(lit("cd"), col("id"),
           lit(".example")).as("host"), lit("*").as("agent"),
           (col("id") % 5 * 100 + 100).as("delay_ms")),
-        "graftbot")) },
+        "graftbot", smallDim = Some(true))) },
       (if (selected("ann_ivfpq_recall_pct")) {
         val (n, pct) = annIvfPqRecall(spark.read.parquet(embPath))
         ScaledRec(n, pct, pct, varied = false) // a score, not a timing

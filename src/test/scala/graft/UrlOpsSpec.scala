@@ -177,6 +177,29 @@ class UrlOpsSpec extends AnyFunSuite {
       (5L, true)))
   }
 
+  test("robots specificity is OCTET length: multibyte pattern ties an equal-octet ASCII pattern") {
+    import spark.implicits._
+    // "/p/é" = 4 chars / 5 octets; "/p/*z" = 5 chars / 5 octets.
+    // "/p/éz" matches both. RFC 9309 most-specific-match counts
+    // OCTETS: a 5-5 tie, so allow wins the tie-break → allowed.
+    // Character-length specificity (the pre-round-15 bug) scored the
+    // multibyte allow 4 < 5 and let the disallow win.
+    val body = Seq("User-agent: *", "Allow: /p/é",
+      "Disallow: /p/*z").mkString("\n")
+    val robots = Seq(("m.example", body)).toDF("host", "body")
+    val urls = Seq((1L, "http://m.example/p/éz")).toDF("id", "url")
+    val out = UrlOps.robotsAllowed(urls, UrlOps.robotsRules(robots),
+        "graftbot")
+      .select("id", "allowed").as[(Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, true)),
+      "octet-length specificity must tie 5=5 and let allow win")
+    // and the explicit smallDim hint changes nothing but the probe
+    val hinted = UrlOps.robotsAllowed(urls, UrlOps.robotsRules(robots),
+        "graftbot", smallDim = Some(UrlOps.hostDimIsSmall(robots)))
+      .select("id", "allowed").as[(Long, Boolean)].collect().toSeq
+    assert(hinted == out)
+  }
+
   test("sitemapUrls: urlset + index blocks, entity unescape, absent tags NULL") {
     import spark.implicits._
     val urlset =
