@@ -449,4 +449,56 @@ class EventsStreamSpec extends AnyFunSuite {
     got.foreach(r => assert(expectedSet.contains(r.toSeq), s"bar $r not in batch result"))
     spark.sql("DROP TABLE IF EXISTS ohlc_out")
   }
+
+  test("rate source (UNBOUNDED): watermark drops late rows and bounds state") {
+    import org.apache.spark.sql.functions._
+    // The file-source specs can't pin late-row semantics — a file
+    // source ends, so every row eventually arrives "on time". The rate
+    // source never ends: rows ride the clock forward except every
+    // 10th, which is shifted back ONE HOUR — far past the 10-second
+    // watermark — so from the second batch on the state operator must
+    // (a) count them in numRowsDroppedByWatermark, never aggregate
+    // them, and (b) evict closed windows: state stays at the handful
+    // of 5-second windows inside the watermark horizon, not one per
+    // window ever seen (the unbounded-state failure mode).
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", 200).load()
+    val withTs = rate.select(
+      when(col("value") % 10 === 7,
+        col("timestamp") - expr("INTERVAL 1 HOUR"))
+        .otherwise(col("timestamp")).as("ts"))
+    val agg = withTs.withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "5 seconds"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("rate_wm")
+      .outputMode("update").start()
+    try {
+      val seen = scala.collection.mutable.Set[Long]()
+      var dropped = 0L
+      var maxState = 0L
+      var batches = 0
+      var waited = 0
+      while ((dropped == 0 || batches < 3) && waited < 90) {
+        Thread.sleep(1000); waited += 1
+        for (p <- q.recentProgress if seen.add(p.batchId);
+             so <- p.stateOperators) {
+          batches += 1
+          dropped += so.numRowsDroppedByWatermark
+          maxState = math.max(maxState, so.numRowsTotal)
+        }
+      }
+      assert(dropped > 0,
+        s"late rows (1 h behind a 10 s watermark) were never dropped " +
+          s"($batches state batches in $waited s)")
+      // horizon = watermark 10 s + window 5 s ⇒ a few live windows;
+      // 24 allows generous trigger jitter, while one-window-per-batch
+      // leakage at 1 h of backdated windows would blow far past it
+      assert(maxState <= 24L,
+        s"state grew to $maxState windows — closed windows not evicted")
+      assert(spark.sql("SELECT * FROM rate_wm").count() > 0)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS rate_wm")
+    }
+  }
 }
