@@ -3719,7 +3719,11 @@ object PipelineQueries {
     2000 -> Seq(
       3, 3, 2, 3, 2, 3, 1, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 2, 3,
       3, 3, 2, 3, 3, 3, 2, 3, 3, 3, 3, 3, 3, 3, 2, 2, 3, 3, 3, 3,
-      3, 3, 3, 3, 3, 3, 3, 2, 3, 3))
+      3, 3, 3, 3, 3, 3, 3, 2, 3, 3),
+    // x20 scaled corpus (round-15, RecallPin at /tmp/graft_scaled_sf):
+    // replicas duplicate vectors verbatim, so exact top-3 is all
+    // cosine-1.0 twins and every index keeps 150/150
+    40000 -> Seq.fill(50)(3))
   private val ivfHits: Map[Int, Seq[Int]] = Map(
     500 -> Seq(
       3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 2, 3,
@@ -3728,7 +3732,11 @@ object PipelineQueries {
     2000 -> Seq(
       3, 3, 3, 3, 3, 3, 2, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3,
       2, 3, 3, 3, 3, 3, 2, 3, 3, 3, 3, 3, 3, 2, 3, 2, 2, 3, 3, 3,
-      3, 3, 3, 3, 3, 3, 3, 2, 3, 2))
+      3, 3, 3, 3, 3, 3, 3, 2, 3, 2),
+    // x20 scaled corpus (round-15, RecallPin at /tmp/graft_scaled_sf):
+    // replicas duplicate vectors verbatim, so exact top-3 is all
+    // cosine-1.0 twins and every index keeps 150/150
+    40000 -> Seq.fill(50)(3))
   /** PQ m=8 k=256 + refine=32 exact rerank: 147/150 (0.98) at sf0.01,
     * 130/150 (0.867) at sf0.1 — the uniform-sphere corpus is PQ's worst
     * case (tiny top-3 distance gaps vs quantization distortion); raw
@@ -3742,7 +3750,11 @@ object PipelineQueries {
     2000 -> Seq(
       3, 3, 2, 3, 3, 3, 3, 3, 3, 2, 3, 2, 3, 3, 3, 2, 3, 3, 3, 2,
       3, 3, 3, 2, 3, 3, 1, 2, 1, 2, 3, 3, 2, 3, 3, 2, 3, 3, 3, 2,
-      2, 2, 3, 3, 2, 2, 3, 3, 3, 2))
+      2, 2, 3, 3, 2, 2, 3, 3, 3, 2),
+    // x20 scaled corpus (round-15, RecallPin at /tmp/graft_scaled_sf):
+    // replicas duplicate vectors verbatim, so exact top-3 is all
+    // cosine-1.0 twins and every index keeps 150/150
+    40000 -> Seq.fill(50)(3))
   /** IVF-PQ (k=16 cells nProbe=12, PQ m=8 k=256, refine=32): 142/150
     * (0.947) at sf0.01, 126/150 (0.84) at sf0.1 — ≤ the PQ-flat numbers
     * by exactly the neighbors living in unprobed cells, as expected. */
@@ -3754,7 +3766,11 @@ object PipelineQueries {
     2000 -> Seq(
       3, 3, 2, 3, 3, 3, 2, 3, 3, 2, 3, 2, 3, 3, 3, 2, 3, 3, 3, 2,
       2, 3, 3, 2, 3, 3, 1, 2, 1, 2, 3, 3, 2, 2, 3, 1, 2, 3, 3, 2,
-      2, 3, 3, 3, 3, 2, 3, 2, 3, 2))
+      2, 3, 3, 3, 3, 2, 3, 2, 3, 2),
+    // x20 scaled corpus (round-15, RecallPin at /tmp/graft_scaled_sf):
+    // replicas duplicate vectors verbatim, so exact top-3 is all
+    // cosine-1.0 twins and every index keeps 150/150
+    40000 -> Seq.fill(50)(3))
 
   /** p01/p18 oracle: the committed golden expectation (values derived and
     * pinned row-by-row in HomologationSpec / GoldenReplaySpec). */
@@ -4048,11 +4064,14 @@ object PipelineQueries {
         "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
         "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
         "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
-        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "i AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
         "p AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
         "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)), " +
-        "ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
+        // MATERIALIZED: a recursive closure below re-references ed each
+        // step; left inline, DuckDB re-evaluates the ~1.1e9-row gram
+        // join per iteration and spills the disk away at x20 (round-15)
+        "ed AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
         "nd AS (SELECT DISTINCT a AS id FROM ed), " +
         "reach AS (SELECT id, id AS r FROM nd " +
         "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
@@ -4211,11 +4230,14 @@ object PipelineQueries {
         "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
         "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
         "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
-        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "i AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
         "p AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
         "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)), " +
-        "ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
+        // MATERIALIZED: a recursive closure below re-references ed each
+        // step; left inline, DuckDB re-evaluates the ~1.1e9-row gram
+        // join per iteration and spills the disk away at x20 (round-15)
+        "ed AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
         "nd AS (SELECT DISTINCT a AS id FROM ed), " +
         "reach AS (SELECT id, id AS r FROM nd " +
         "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
@@ -4229,11 +4251,14 @@ object PipelineQueries {
         "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
         "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
         "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
-        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "i AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
         "p AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
         "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)), " +
-        "ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
+        // MATERIALIZED: a recursive closure below re-references ed each
+        // step; left inline, DuckDB re-evaluates the ~1.1e9-row gram
+        // join per iteration and spills the disk away at x20 (round-15)
+        "ed AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
         "nd AS (SELECT DISTINCT a AS id FROM ed), " +
         "reach AS (SELECT id, id AS r FROM nd " +
         "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
@@ -4288,11 +4313,14 @@ object PipelineQueries {
         "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
         "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
         "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
-        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "i AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
         "p AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
         "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)), " +
-        "ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
+        // MATERIALIZED: a recursive closure below re-references ed each
+        // step; left inline, DuckDB re-evaluates the ~1.1e9-row gram
+        // join per iteration and spills the disk away at x20 (round-15)
+        "ed AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
         "nd AS (SELECT DISTINCT a AS id FROM ed), " +
         "reach AS (SELECT id, id AS r FROM nd " +
         "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
@@ -5821,11 +5849,14 @@ object PipelineQueries {
         "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
         "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
         "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
-        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "i AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
         "p AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
         "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)), " +
-        "ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
+        // MATERIALIZED: a recursive closure below re-references ed each
+        // step; left inline, DuckDB re-evaluates the ~1.1e9-row gram
+        // join per iteration and spills the disk away at x20 (round-15)
+        "ed AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
         "nd AS (SELECT DISTINCT a AS id FROM ed), " +
         "reach AS (SELECT id, id AS r FROM nd " +
         "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
@@ -6316,11 +6347,14 @@ object PipelineQueries {
         "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
         "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
         "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
-        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "i AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
         "p AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
         "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)), " +
-        "ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
+        // MATERIALIZED: a recursive closure below re-references ed each
+        // step; left inline, DuckDB re-evaluates the ~1.1e9-row gram
+        // join per iteration and spills the disk away at x20 (round-15)
+        "ed AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
         "nd AS (SELECT DISTINCT a AS id FROM ed), " +
         "reach AS (SELECT id, id AS r FROM nd " +
         "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
@@ -7247,11 +7281,14 @@ object PipelineQueries {
         "t AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
         "ELSE list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks) - 2)]) END AS gs FROM tk), " +
         "e AS (SELECT doc_id, unnest(gs) AS g FROM t), " +
-        "i AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "i AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i_size FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "s AS (SELECT doc_id, len(gs) AS n FROM t), " +
         "p AS (SELECT i.a, i.b FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b " +
         "WHERE 5 * i.i_size >= 4 * (sa.n + sb.n - i.i_size)), " +
-        "ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
+        // MATERIALIZED: a recursive closure below re-references ed each
+        // step; left inline, DuckDB re-evaluates the ~1.1e9-row gram
+        // join per iteration and spills the disk away at x20 (round-15)
+        "ed AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
         "nd AS (SELECT DISTINCT a AS id FROM ed), " +
         "reach AS (SELECT id, id AS r FROM nd " +
         "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +

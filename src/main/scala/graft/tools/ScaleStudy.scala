@@ -594,6 +594,51 @@ object ScaleStudy {
       report("gr_kcore", k, nE, tKc)
     }
 
+    // URL/crawl family rung to ×50 (round-15): the three per-record
+    // crawl-front-door shapes — keep-best partial agg, wildcard rule
+    // fold behind the size-adaptive dim join, per-host politeness
+    // window — at the same evidence depth as the dedup/graph
+    // headliners. 3 iterations per (op, k): iteration 1 is codegen/JIT
+    // warmup (the ×20 study's measured pattern), the min is the
+    // data-shaped cost. All three are map-only + one bounded exchange,
+    // so the curve should track scan time ~linearly.
+    if (on("url")) for (k <- Seq(1, 4, 20, 50)) {
+      val docs = spark.read.parquet(docPaths(k))
+      val nDocs = docs.count()
+      for (it <- 1 to 3) {
+        val (_, tU) = time(sink(graft.ops.UrlOps.urlDedup(
+          docs.select(col("doc_id"),
+            octet_length(col("text")).as("_len"),
+            concat(lit("https://DUP.example:443/g/./"), expr("doc_id div 3"),
+              lit("?utm_campaign=x")).as("url")),
+          "url", "doc_id", "_len")))
+        report(s"url_dedup#$it", k, nDocs, tU)
+        val (_, tR) = time(sink({
+          val body = "User-agent: *\nDisallow: /*.php$\n" +
+            "Allow: /files/*.php$\nDisallow: /tmp*\n"
+          val robots = docs.select((col("doc_id") % 64).as("_h")).distinct()
+            .select(concat(lit("w"), col("_h"), lit(".example")).as("host"),
+              lit(body).as("body"))
+          val urls = docs.select(col("doc_id"),
+            concat(lit("http://w"), col("doc_id") % 64, lit(".example/files/f"),
+              col("doc_id"), lit(".php")).as("url"))
+          graft.ops.UrlOps.robotsAllowed(urls,
+            graft.ops.UrlOps.robotsRules(robots), "graftbot",
+            smallDim = Some(true))
+        }))
+        report(s"robots_filter#$it", k, nDocs, tR)
+        val (_, tP) = time(sink(graft.ops.UrlOps.politenessSchedule(
+          docs.select(col("doc_id"),
+            concat(lit("http://cd"), col("doc_id") % 64, lit(".example/p/"),
+              col("doc_id")).as("url")),
+          spark.range(0, 64).select(concat(lit("cd"), col("id"),
+            lit(".example")).as("host"), lit("*").as("agent"),
+            (col("id") % 5 * 100 + 100).as("delay_ms")),
+          "graftbot", smallDim = Some(true))))
+        report(s"politeness#$it", k, nDocs, tP)
+      }
+    }
+
     // round-11 estimator rung: the new family's scale risks, measured.
     // poisson_bootstrap is the one with a real fan-out (rows × B
     // replicate weights before the B-bounded fold); msprt/kaplan_meier/

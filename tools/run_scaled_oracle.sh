@@ -49,6 +49,16 @@ GATES=$GATES,p324_robots_wildcards,p325_sitemap_parse,p326_politeness_schedule
 # (p04/p06 plant +100000-shifted twins — their id arithmetic collides
 # with the x20 replica offsets, so they stay fingerprint-pinned)
 GATES=$GATES,p02_dedup_exact,p05_ngram_jaccard
+# round-15: the last fingerprint-only families get the oracle too.
+# p03/p29 replay exact all-pairs (+ recursive-CTE closure) over the
+# x20 gram stream — the heavy DuckDB rows (~15 min each: the gram
+# join is sum(df^2) ~= 1.1e9 at x20); p280 is the containment recipe
+# with the vacuous 1.0 fraction cap (output-identical to uncapped, so
+# containmentSql is its exact oracle); p93/p33 are deterministic
+# integer replays (p93 ~6 min: 3 unrolled BPE rounds over 40M
+# symbols); p79's scorecard carries a measured 40000-vec branch
+GATES=$GATES,p03_dedup_minhash,p29_dedup_clusters,p280_containment_frac_capped
+GATES=$GATES,p93_bpe_merges,p33_quota_sample,p79_ann_ivfpq
 # media triage at x20 docs (id-derived headers, arithmetic oracles)
 GATES=$GATES,p312_image_header_scan,p317_webp_tiff_scan,p318_audio_header_scan
 GATES=$GATES,p323_video_header_scan
