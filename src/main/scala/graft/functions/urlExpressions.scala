@@ -94,7 +94,7 @@ object UrlNormalizeExpression {
 
   /** RFC 3986 §5.2.4 remove_dot_segments over a percent-normalized
     * path. */
-  private def removeDotSegments(path: String): String = {
+  private[functions] def removeDotSegments(path: String): String = {
     if (path.isEmpty) return path
     val out = new scala.collection.mutable.ArrayBuffer[String]()
     // split keeping the leading-slash structure; -1 keeps trailing ""
@@ -286,9 +286,172 @@ object RobotsMatchExpression {
   }
 }
 
+/** `url_resolve(base, ref)`: RFC 3986 §5.2 relative-reference
+  * resolution — the step between "extracted an `href`" and "have a
+  * fetchable URL" in a crawl frontier. Strict per §5.2.2: a reference
+  * carrying its own scheme is returned verbatim (so `http:g` →
+  * `http:g`, the strict row of the §5.4.2 table), `//host/p` adopts
+  * only the base scheme, `/p` the base authority, `p` merges onto the
+  * base path (§5.2.3) with dot segments removed (§5.2.4), `?q` keeps
+  * the base path, the empty reference returns the base without its
+  * fragment, and the reference's fragment (if any) is carried through.
+  * Returns NULL when the base is not an absolute hierarchical URI
+  * (`scheme://…`) — a row-level data problem, never an exception.
+  *
+  * Codegen: one static call per row (same discipline as
+  * [[UrlNormalizeExpression]]) so link-extraction stays inside
+  * whole-stage codegen at crawl scale. */
+case class UrlResolveExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(base: Any, ref: Any): Any =
+    UrlResolveExpression.evalUtf8(
+      base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val resolved = ctx.freshName("resolved")
+    nullSafeCodeGen(ctx, ev, (b, r) => s"""
+      org.apache.spark.unsafe.types.UTF8String $resolved =
+        graft.functions.UrlResolveExpression.evalUtf8($b, $r);
+      if ($resolved == null) { ${ev.isNull} = true; } else { ${ev.value} = $resolved; }
+    """)
+  }
+  override def nullable: Boolean = true
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression) =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "url_resolve"
+}
+
+object UrlResolveExpression {
+
+  /** Codegen entry point; null = unresolvable (non-hierarchical base). */
+  def evalUtf8(base: UTF8String, ref: UTF8String): UTF8String = {
+    val r = resolve(base.toString, ref.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  /** True iff `s.substring(0, colon)` is a valid RFC 3986 scheme
+    * (ALPHA *( ALPHA / DIGIT / "+" / "-" / "." )). */
+  private def validScheme(s: String, colon: Int): Boolean = {
+    if (colon <= 0) return false
+    val c0 = s.charAt(0)
+    if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z'))) return false
+    var i = 1
+    while (i < colon) {
+      val c = s.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Position of the scheme-terminating ':' — the first ':' occurring
+    * before any '/', '?' or '#' — or -1 if the string is scheme-less
+    * (so `./g:h` is a path reference, `g:h` is not). */
+  private def schemeColon(s: String): Int = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ':') return i
+      if (c == '/' || c == '?' || c == '#') return -1
+      i += 1
+    }
+    -1
+  }
+
+  /** Split `s` (a reference without scheme/authority) into
+    * (path, query|null, fragment|null) — null means "not present",
+    * distinct from present-but-empty (`g?` has query ""). */
+  private def splitPqf(s: String): (String, String, String) = {
+    val hashAt = s.indexOf('#')
+    val frag = if (hashAt >= 0) s.substring(hashAt + 1) else null
+    val noFrag = if (hashAt >= 0) s.substring(0, hashAt) else s
+    val qAt = noFrag.indexOf('?')
+    val query = if (qAt >= 0) noFrag.substring(qAt + 1) else null
+    val path = if (qAt >= 0) noFrag.substring(0, qAt) else noFrag
+    (path, query, frag)
+  }
+
+  /** RFC 3986 §5.3 component recomposition. */
+  private def recompose(scheme: String, authority: String, path: String,
+      query: String, fragment: String): String = {
+    val sb = new java.lang.StringBuilder(scheme.length + path.length + 16)
+    sb.append(scheme).append(':')
+    if (authority != null) sb.append("//").append(authority)
+    sb.append(path)
+    if (query != null) sb.append('?').append(query)
+    if (fragment != null) sb.append('#').append(fragment)
+    sb.toString
+  }
+
+  /** Resolve `ref` against `base` per RFC 3986 §5.2.2 (strict).
+    * Returns null if `base` is not `scheme://…`. */
+  def resolve(base: String, ref: String): String = {
+    if (base == null || ref == null) return null
+    // A reference with its own scheme is already absolute (§5.2.2
+    // strict: no same-scheme backward-compat rewrite, so http:g stays).
+    val refColon = schemeColon(ref)
+    if (refColon > 0 && validScheme(ref, refColon)) return ref
+    // Base must be an absolute hierarchical URI: scheme "://" authority.
+    val baseColon = schemeColon(base)
+    if (baseColon <= 0 || !validScheme(base, baseColon)) return null
+    if (base.length < baseColon + 3 || base.charAt(baseColon + 1) != '/' ||
+        base.charAt(baseColon + 2) != '/') return null
+    val scheme = base.substring(0, baseColon)
+    val afterSs = base.substring(baseColon + 3)
+    var authEnd = afterSs.length
+    var i = 0
+    while (i < afterSs.length && authEnd == afterSs.length) {
+      val c = afterSs.charAt(i)
+      if (c == '/' || c == '?' || c == '#') authEnd = i
+      i += 1
+    }
+    val baseAuth = afterSs.substring(0, authEnd)
+    val (basePath, baseQuery, _) = splitPqf(afterSs.substring(authEnd))
+    // Network-path reference: adopt only the base scheme.
+    if (ref.startsWith("//")) {
+      val rest = ref.substring(2)
+      var aEnd = rest.length
+      var j = 0
+      while (j < rest.length && aEnd == rest.length) {
+        val c = rest.charAt(j)
+        if (c == '/' || c == '?' || c == '#') aEnd = j
+        j += 1
+      }
+      val (p, q, f) = splitPqf(rest.substring(aEnd))
+      return recompose(scheme, rest.substring(0, aEnd),
+        UrlNormalizeExpression.removeDotSegments(p), q, f)
+    }
+    val (refPath, refQuery, refFrag) = splitPqf(ref)
+    if (refPath.isEmpty) {
+      // Same document / query-only reference: keep the base path.
+      val q = if (refQuery != null) refQuery else baseQuery
+      recompose(scheme, baseAuth, basePath, q, refFrag)
+    } else if (refPath.charAt(0) == '/') {
+      recompose(scheme, baseAuth,
+        UrlNormalizeExpression.removeDotSegments(refPath), refQuery, refFrag)
+    } else {
+      // §5.2.3 merge: an authority with an empty path merges onto "/";
+      // otherwise onto the base path's directory (up to the last '/').
+      val merged =
+        if (basePath.isEmpty) "/" + refPath
+        else {
+          val cut = basePath.lastIndexOf('/')
+          if (cut < 0) refPath else basePath.substring(0, cut + 1) + refPath
+        }
+      recompose(scheme, baseAuth,
+        UrlNormalizeExpression.removeDotSegments(merged), refQuery, refFrag)
+    }
+  }
+}
+
 object UrlFunctions {
   def url_normalize(c: Column): Column =
     column(UrlNormalizeExpression(expression(c)))
   def robots_match(path: Column, pattern: Column): Column =
     column(RobotsMatchExpression(expression(path), expression(pattern)))
+  def url_resolve(base: Column, ref: Column): Column =
+    column(UrlResolveExpression(expression(base), expression(ref)))
 }

@@ -3480,6 +3480,129 @@ object PipelineQueries {
         .select(col("doc_id"), col("host"), col("fetch_seq"),
           col("fetch_offset_ms"))
         .orderBy("doc_id")
+    }),
+
+    // RFC 3986 §5.2 relative-reference resolution: one ref shape per
+    // id class — path-relative, dot-relative, parent climb, absolute
+    // path, network-path, query-only, fragment-only, scheme'd opaque —
+    // each resolved against an id-derived base; the oracle recomputes
+    // all three strings from the same arithmetic, no resolver.
+    "p328_url_resolve" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val d = col("doc_id")
+      val base = concat(lit("http://b"), d % 5, lit(".example/dir"), d % 7,
+        lit("/x/page.html?q0=1"))
+      val ref = when(d % 8 === 0, concat(lit("g"), d))
+        .when(d % 8 === 1, concat(lit("./h"), d))
+        .when(d % 8 === 2, concat(lit("../up"), d))
+        .when(d % 8 === 3, concat(lit("/abs/"), d))
+        .when(d % 8 === 4, concat(lit("//other"), d % 3, lit(".example/p"), d))
+        .when(d % 8 === 5, concat(lit("?q="), d))
+        .when(d % 8 === 6, concat(lit("#f"), d))
+        .otherwise(concat(lit("x-s:opaque"), d))
+      docs.select(d.as("doc_id"), base.as("base"), ref.as("ref"),
+          graft.functions.UrlFunctions.url_resolve(base, ref).as("resolved"))
+        .orderBy("doc_id")
+    }),
+
+    // HTML link extraction end to end: synthesized pages exercising a
+    // <base href> tag, all three href quote styles, an &amp;-escaped
+    // query (decoded, then tracker-stripped by canonicalization), and
+    // two never-fetch drops (javascript:, fragment-only). The oracle
+    // rebuilds every surviving (pos, href, dst) row arithmetically.
+    "p329_link_extract" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val d = col("doc_id")
+      val html = concat(
+        lit("<html><head><base href=\"/base"), d % 4, lit("/\"></head><body>"),
+        lit("<a href=\"rel"), d, lit(".html\">x</a>"),
+        lit("<A HREF='/top/"), d, lit("'>y</A>"),
+        lit("<a id=\"k\" href=bare"), d, lit(">z</a>"),
+        lit("<a href=\"?only="), d, lit("\">q</a>"),
+        lit("<a href=\"https://e"), d % 6,
+        lit(".example/p?utm_source=z&amp;id="), d, lit("\">e</a>"),
+        lit("<a href=\"javascript:void(0)\">j</a>"),
+        lit("<a href=\"#s\">f</a></body></html>"))
+      val url = concat(lit("http://w"), d % 9, lit(".example/p/"), d,
+        lit("/index.html"))
+      graft.ops.LinkOps.extractLinks(
+          docs.select(d.as("doc_id"), url.as("url"), html.as("html")))
+        .select(col("doc_id"), col("link_pos"), col("href"), col("dst_url"))
+        .orderBy("doc_id", "link_pos")
+    }),
+
+    // Crawl-frontier discovery: paired ids share a target (so inlink
+    // counts come from the data, not the fixture), every fifth target
+    // is already fetched (anti-joined away), survivors rank per host
+    // by inlinks and cap at 7; the oracle replays the same aggregate +
+    // anti join + window in DuckDB.
+    "p330_crawl_frontier" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val d = col("doc_id")
+      val g = expr("doc_id div 2")
+      val dst = concat(lit("http://f"), g % 6, lit(".example/page/"), g)
+      val links = docs.select(
+        concat(lit("http://src.example/p/"), d).as("url"), dst.as("dst_url"))
+      val crawled = docs.where(g % 5 === 0).select(dst.as("url")).distinct()
+      graft.ops.LinkOps.frontierDiscover(links, crawled, maxPerHost = 7)
+        .select(col("dst_url"), col("host"), col("n_inlinks"), col("host_rank"))
+        .orderBy("host", "host_rank")
+    }),
+
+    // Host-level link graph: id-derived src/dst hosts with repeated
+    // src pages, so n_links and n_src_pages genuinely differ; intra
+    // marks site-internal edges. One aggregate, |hosts|² keys.
+    "p331_host_link_graph" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val d = col("doc_id")
+      val links = docs.select(
+        concat(lit("http://g"), d % 5, lit(".example/p/"), expr("doc_id div 3"))
+          .as("url"),
+        concat(lit("http://g"), (d * 2 + 1) % 5, lit(".example/q/"), d % 11)
+          .as("dst_url"))
+      graft.ops.LinkOps.hostLinkGraph(links)
+        .select(col("src_host"), col("dst_host"), col("n_links"),
+          col("n_src_pages"), col("intra"))
+        .orderBy("src_host", "dst_host")
+    }),
+
+    // WARC -> links end to end on REAL crawl bytes: the committed
+    // fixture (tools/make_warc_html_fixture.py — 40 HTTP 200 text/html
+    // responses whose bodies are byte-identical to the p329 recipe,
+    // plus a 404 and an image/png the keep-gate must drop) read
+    // through the text-split reader, triaged by status+mime, then
+    // link-extracted; the oracle replays p329's arithmetic over
+    // range(0, 40) — reader drift, keep-gate drift OR extractor drift
+    // hash-fails.
+    "p332_warc_links" -> ((s, dir) => {
+      val pages = graft.sources.Warc.httpResponses(s,
+          "/root/repo/src/test/resources/fixture_links.warc")
+        .where(col("http_status") === 200 && col("mime_type") === "text/html")
+        .select(regexp_extract(col("target_uri"), "/p/([0-9]+)/", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri").as("url"), col("body").as("html"))
+      graft.ops.LinkOps.extractLinks(pages)
+        .select(col("doc_id"), col("link_pos"), col("href"), col("dst_url"))
+        .orderBy("doc_id", "link_pos")
+    }),
+
+    // Host authority: the link family composed into the graph family —
+    // id-derived links (an edge-existence condition keeps the DISTINCT
+    // host graph non-uniform, so PageRank mass genuinely varies) ->
+    // hostLinkGraph -> 3 integer-micro PageRank passes; the oracle
+    // unrolls the same three mass passes over the arithmetic edge set.
+    "p333_host_authority" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val d = col("doc_id")
+      val b = (d % 7) % 5
+      val links = docs.where(((d % 5) + b) % 3 =!= 0).select(
+        concat(lit("http://g"), d % 5, lit(".example/p/"), d).as("url"),
+        concat(lit("http://g"), b, lit(".example/q/"), d % 13).as("dst_url"))
+      graft.ops.Graph.pageRank(graft.ops.LinkOps.hostLinkGraph(links),
+          iters = 3, srcCol = "src_host", dstCol = "dst_host")
+        .select(col("node").as("host"), col("score_micro"), col("in_deg"),
+          col("out_deg"))
+        .orderBy(col("score_micro").desc, col("host"))
     })
   )
 
@@ -9050,5 +9173,133 @@ object PipelineQueries {
       "CAST(seq * (CASE doc_id % 4 WHEN 0 THEN 1000 " +
       "WHEN 1 THEN 2000 WHEN 2 THEN 2500 ELSE 1000 END) AS BIGINT) " +
       "AS fetch_offset_ms FROM r ORDER BY doc_id")
+  ,
+    // every RFC 3986 resolution replayed as pure string arithmetic:
+    // merge-onto-directory (m 0/1), parent climb (2), absolute path
+    // (3), network-path (4), query replace (5), fragment-on-base (6),
+    // scheme'd reference verbatim (7)
+    "p328_url_resolve" -> (
+      "SELECT doc_id, " +
+      "'http://b' || (doc_id % 5) || '.example/dir' || (doc_id % 7) || '/x/page.html?q0=1' AS base, " +
+      "CASE doc_id % 8 " +
+      "WHEN 0 THEN 'g' || doc_id " +
+      "WHEN 1 THEN './h' || doc_id " +
+      "WHEN 2 THEN '../up' || doc_id " +
+      "WHEN 3 THEN '/abs/' || doc_id " +
+      "WHEN 4 THEN '//other' || (doc_id % 3) || '.example/p' || doc_id " +
+      "WHEN 5 THEN '?q=' || doc_id " +
+      "WHEN 6 THEN '#f' || doc_id " +
+      "ELSE 'x-s:opaque' || doc_id END AS ref, " +
+      "CASE doc_id % 8 " +
+      "WHEN 0 THEN 'http://b' || (doc_id % 5) || '.example/dir' || (doc_id % 7) || '/x/g' || doc_id " +
+      "WHEN 1 THEN 'http://b' || (doc_id % 5) || '.example/dir' || (doc_id % 7) || '/x/h' || doc_id " +
+      "WHEN 2 THEN 'http://b' || (doc_id % 5) || '.example/dir' || (doc_id % 7) || '/up' || doc_id " +
+      "WHEN 3 THEN 'http://b' || (doc_id % 5) || '.example/abs/' || doc_id " +
+      "WHEN 4 THEN 'http://other' || (doc_id % 3) || '.example/p' || doc_id " +
+      "WHEN 5 THEN 'http://b' || (doc_id % 5) || '.example/dir' || (doc_id % 7) || '/x/page.html?q=' || doc_id " +
+      "WHEN 6 THEN 'http://b' || (doc_id % 5) || '.example/dir' || (doc_id % 7) || '/x/page.html?q0=1#f' || doc_id " +
+      "ELSE 'x-s:opaque' || doc_id END AS resolved " +
+      "FROM documents ORDER BY doc_id")
+  ,
+    // the five surviving anchors per page rebuilt arithmetically —
+    // base-tag-relative (0, 2), absolute-path (1), query-only (3),
+    // external with the &amp; decoded and utm_source stripped by
+    // canonicalization (4); javascript: and #fragment anchors dropped
+    "p329_link_extract" -> (
+      "WITH k AS (" +
+      "SELECT doc_id, CAST(0 AS INT) AS link_pos, " +
+      "'rel' || doc_id || '.html' AS href, " +
+      "'http://w' || (doc_id % 9) || '.example/base' || (doc_id % 4) || '/rel' || doc_id || '.html' AS dst_url " +
+      "FROM documents UNION ALL " +
+      "SELECT doc_id, CAST(1 AS INT), '/top/' || doc_id, " +
+      "'http://w' || (doc_id % 9) || '.example/top/' || doc_id FROM documents " +
+      "UNION ALL " +
+      "SELECT doc_id, CAST(2 AS INT), 'bare' || doc_id, " +
+      "'http://w' || (doc_id % 9) || '.example/base' || (doc_id % 4) || '/bare' || doc_id FROM documents " +
+      "UNION ALL " +
+      "SELECT doc_id, CAST(3 AS INT), '?only=' || doc_id, " +
+      "'http://w' || (doc_id % 9) || '.example/base' || (doc_id % 4) || '/?only=' || doc_id FROM documents " +
+      "UNION ALL " +
+      "SELECT doc_id, CAST(4 AS INT), " +
+      "'https://e' || (doc_id % 6) || '.example/p?utm_source=z&id=' || doc_id, " +
+      "'https://e' || (doc_id % 6) || '.example/p?id=' || doc_id FROM documents) " +
+      "SELECT doc_id, link_pos, href, dst_url FROM k ORDER BY doc_id, link_pos")
+  ,
+    // aggregate + anti join + per-host window replayed in DuckDB: dst
+    // is a function of doc_id//2, so inlink counts fall out of the
+    // GROUP BY; fetched groups (g%5=0) drop; rank caps at 7 per host
+    "p330_crawl_frontier" -> (
+      "WITH l AS (SELECT doc_id, doc_id // 2 AS g, " +
+      "'http://f' || ((doc_id // 2) % 6) || '.example/page/' || (doc_id // 2) AS dst " +
+      "FROM documents), " +
+      "a AS (SELECT dst, g, COUNT(*) AS n FROM l GROUP BY dst, g), " +
+      "f AS (SELECT dst, n, 'f' || (g % 6) || '.example' AS host FROM a WHERE g % 5 <> 0), " +
+      "r AS (SELECT dst AS dst_url, host, n AS n_inlinks, " +
+      "ROW_NUMBER() OVER (PARTITION BY host ORDER BY n DESC, dst) AS host_rank FROM f) " +
+      "SELECT dst_url, host, n_inlinks, CAST(host_rank AS INT) AS host_rank " +
+      "FROM r WHERE host_rank <= 7 ORDER BY host, host_rank")
+  ,
+    // |hosts|²-keyed aggregate: link count vs distinct linking pages
+    // (src pages repeat via doc_id//3), intra = same-host edge
+    "p331_host_link_graph" -> (
+      "WITH l AS (SELECT 'g' || (doc_id % 5) || '.example' AS src_host, " +
+      "'g' || ((doc_id * 2 + 1) % 5) || '.example' AS dst_host, " +
+      "'http://g' || (doc_id % 5) || '.example/p/' || (doc_id // 3) AS src " +
+      "FROM documents) " +
+      "SELECT src_host, dst_host, COUNT(*) AS n_links, " +
+      "COUNT(DISTINCT src) AS n_src_pages, " +
+      "CAST(src_host = dst_host AS INT) AS intra " +
+      "FROM l GROUP BY src_host, dst_host ORDER BY src_host, dst_host")
+  ,
+    // p332: the committed HTML WARC fixture's expected links — the
+    // p329 arithmetic over range(0, 40); the 404 and image/png records
+    // contribute nothing by construction
+    "p332_warc_links" -> (
+      "WITH ids AS (SELECT range AS doc_id FROM range(0, 40)), " +
+      "k AS (" +
+      "SELECT doc_id, CAST(0 AS INT) AS link_pos, " +
+      "'rel' || doc_id || '.html' AS href, " +
+      "'http://w' || (doc_id % 9) || '.example/base' || (doc_id % 4) || '/rel' || doc_id || '.html' AS dst_url " +
+      "FROM ids UNION ALL " +
+      "SELECT doc_id, CAST(1 AS INT), '/top/' || doc_id, " +
+      "'http://w' || (doc_id % 9) || '.example/top/' || doc_id FROM ids " +
+      "UNION ALL " +
+      "SELECT doc_id, CAST(2 AS INT), 'bare' || doc_id, " +
+      "'http://w' || (doc_id % 9) || '.example/base' || (doc_id % 4) || '/bare' || doc_id FROM ids " +
+      "UNION ALL " +
+      "SELECT doc_id, CAST(3 AS INT), '?only=' || doc_id, " +
+      "'http://w' || (doc_id % 9) || '.example/base' || (doc_id % 4) || '/?only=' || doc_id FROM ids " +
+      "UNION ALL " +
+      "SELECT doc_id, CAST(4 AS INT), " +
+      "'https://e' || (doc_id % 6) || '.example/p?utm_source=z&id=' || doc_id, " +
+      "'https://e' || (doc_id % 6) || '.example/p?id=' || doc_id FROM ids) " +
+      "SELECT doc_id, link_pos, href, dst_url FROM k ORDER BY doc_id, link_pos")
+  ,
+    // p333: three PageRank mass passes unrolled over the arithmetic
+    // DISTINCT host-edge set, all in BIGINT floor-division micro units
+    // (integer-identical to Spark's `div`); scores start at 1e6, each
+    // pass is 150000 restart + damped in-neighbor mass
+    "p333_host_authority" -> (
+      "WITH e AS (SELECT DISTINCT 'g' || (doc_id % 5) || '.example' AS s, " +
+      "'g' || ((doc_id % 7) % 5) || '.example' AS t FROM documents " +
+      "WHERE ((doc_id % 5) + ((doc_id % 7) % 5)) % 3 <> 0), " +
+      "n AS (SELECT s AS node FROM e UNION SELECT t FROM e), " +
+      "od AS (SELECT s AS node, COUNT(*) AS out_deg FROM e GROUP BY s), " +
+      "idg AS (SELECT t AS node, COUNT(*) AS in_deg FROM e GROUP BY t), " +
+      "s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS sc FROM n), " +
+      "s1 AS (SELECT n.node, CAST(150000 + COALESCE(SUM(s0.sc * 850000 // (1000000 * od.out_deg)), 0) AS BIGINT) AS sc " +
+      "FROM n LEFT JOIN e ON e.t = n.node LEFT JOIN s0 ON s0.node = e.s " +
+      "LEFT JOIN od ON od.node = e.s GROUP BY n.node), " +
+      "s2 AS (SELECT n.node, CAST(150000 + COALESCE(SUM(s1.sc * 850000 // (1000000 * od.out_deg)), 0) AS BIGINT) AS sc " +
+      "FROM n LEFT JOIN e ON e.t = n.node LEFT JOIN s1 ON s1.node = e.s " +
+      "LEFT JOIN od ON od.node = e.s GROUP BY n.node), " +
+      "s3 AS (SELECT n.node, CAST(150000 + COALESCE(SUM(s2.sc * 850000 // (1000000 * od.out_deg)), 0) AS BIGINT) AS sc " +
+      "FROM n LEFT JOIN e ON e.t = n.node LEFT JOIN s2 ON s2.node = e.s " +
+      "LEFT JOIN od ON od.node = e.s GROUP BY n.node) " +
+      "SELECT n.node AS host, s3.sc AS score_micro, " +
+      "COALESCE(idg.in_deg, 0) AS in_deg, COALESCE(od.out_deg, 0) AS out_deg " +
+      "FROM n JOIN s3 ON s3.node = n.node " +
+      "LEFT JOIN idg ON idg.node = n.node LEFT JOIN od ON od.node = n.node " +
+      "ORDER BY score_micro DESC, host")
   )
 }

@@ -355,6 +355,37 @@ object ScaledOps {
           lit(".example")).as("host"), lit("*").as("agent"),
           (col("id") % 5 * 100 + 100).as("delay_ms")),
         "graftbot", smallDim = Some(true))) },
+      // round-15 link family at ×20 docs: the map+generate extraction
+      // kernel (regexp normalize + RFC 3986 resolve + canonicalize per
+      // anchor), the frontier's agg + anti-join + bounded host window,
+      // and the host-graph + 3-pass PageRank composition
+      time("link_extract") { sink(graft.ops.LinkOps.extractLinks(
+        docs.select(col("doc_id"),
+          concat(lit("http://w"), col("doc_id") % 64, lit(".example/p/"),
+            col("doc_id"), lit("/index.html")).as("url"),
+          concat(lit("<html><head><base href=\"/base"), col("doc_id") % 4,
+            lit("/\"></head><body><a href=\"rel"), col("doc_id"),
+            lit(".html\">x</a><A HREF='/top/"), col("doc_id"),
+            lit("'>y</A><a href=bare"), col("doc_id"),
+            lit(">z</a><a href=\"https://e"), col("doc_id") % 6,
+            lit(".example/p?utm_source=z&amp;id="), col("doc_id"),
+            lit("\">e</a><a href=\"#s\">f</a></body></html>")).as("html")))) },
+      time("crawl_frontier") { sink(graft.ops.LinkOps.frontierDiscover(
+        docs.select(
+          concat(lit("http://src.example/p/"), col("doc_id")).as("url"),
+          concat(lit("http://f"), expr("(doc_id div 2) % 64"),
+            lit(".example/page/"), expr("doc_id div 2")).as("dst_url")),
+        docs.where(expr("(doc_id div 2) % 5 = 0")).select(
+          concat(lit("http://f"), expr("(doc_id div 2) % 64"),
+            lit(".example/page/"), expr("doc_id div 2")).as("url")),
+        maxPerHost = 1000, smallCrawled = Some(false))) },
+      time("host_authority") { sink(graft.ops.Graph.pageRank(
+        graft.ops.LinkOps.hostLinkGraph(docs.select(
+          concat(lit("http://g"), col("doc_id") % 64, lit(".example/p/"),
+            col("doc_id")).as("url"),
+          concat(lit("http://g"), col("doc_id") % 97 % 64, lit(".example/q/"),
+            col("doc_id") % 13).as("dst_url"))),
+        iters = 3, srcCol = "src_host", dstCol = "dst_host")) },
       (if (selected("ann_ivfpq_recall_pct")) {
         val (n, pct) = annIvfPqRecall(spark.read.parquet(embPath))
         ScaledRec(n, pct, pct, varied = false) // a score, not a timing

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.LinkOps
+
+class LinkOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val page =
+    """<html><head><base href="/root/"><title>t</title></head><body>
+      |<a href="rel.html">r</a>
+      |<A HREF='/abs/page'>a</A>
+      |<a class="c" href=bare1>b</a>
+      |<a href="?q=2">q</a>
+      |<a href="https://ext.example/e?utm_source=x&amp;id=7">e</a>
+      |<a href="javascript:void(0)">j</a>
+      |<a href="#frag">f</a>
+      |<a href="mailto:x@y.z">m</a>
+      |<a href="//proto.example/pp">p</a>
+      |</body></html>""".stripMargin
+
+  test("extractLinks: quote styles, base tag, entity decode, drops") {
+    val pages = Seq((1L, "http://w.example/d/index.html", page))
+      .toDF("doc_id", "url", "html")
+    val got = LinkOps.extractLinks(pages)
+      .orderBy("link_pos")
+      .select("link_pos", "dst_url")
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq(
+      0 -> "http://w.example/root/rel.html",
+      1 -> "http://w.example/abs/page",
+      2 -> "http://w.example/root/bare1",
+      3 -> "http://w.example/root/?q=2",
+      4 -> "https://ext.example/e?id=7",
+      8 -> "http://proto.example/pp"))
+  }
+
+  test("extractLinks: no base tag resolves against the page URL; no anchors -> no rows") {
+    val pages = Seq(
+      (1L, "http://h.example/a/b.html", """<p><a href="x.html">x</a></p>"""),
+      (2L, "http://h.example/plain", "<p>no links at all</p>"))
+      .toDF("doc_id", "url", "html")
+    val got = LinkOps.extractLinks(pages)
+      .select("doc_id", "dst_url").as[(Long, String)].collect().toSeq
+    assert(got == Seq(1L -> "http://h.example/a/x.html"))
+  }
+
+  test("extractLinks: map-only plan, no shuffle") {
+    val pages = Seq((1L, "http://h.example/", page)).toDF("doc_id", "url", "html")
+    val plan = LinkOps.extractLinks(pages).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"link extraction must not shuffle:\n$plan")
+  }
+
+  test("frontierDiscover: inlink ranking, host cap, anti join vs crawled") {
+    val links = Seq(
+      ("http://s.example/1", "http://t.example/a"),
+      ("http://s.example/2", "http://t.example/a"),
+      ("http://s.example/3", "http://t.example/b"),
+      ("http://s.example/1", "http://t.example/c"),
+      ("http://s.example/1", "http://u.example/z"),
+      ("http://s.example/2", "http://t.example/seen"))
+      .toDF("url", "dst_url")
+    val crawled = Seq("http://t.example/seen").toDF("url")
+    def run(small: Option[Boolean]) = LinkOps
+      .frontierDiscover(links, crawled, maxPerHost = 2, smallCrawled = small)
+      .orderBy("host", "host_rank")
+      .select("dst_url", "host", "n_inlinks", "host_rank")
+      .as[(String, String, Long, Int)].collect().toSeq
+    val want = Seq(
+      ("http://t.example/a", "t.example", 2L, 1),
+      ("http://t.example/b", "t.example", 1L, 2), // /c tied, /b wins on URL
+      ("http://u.example/z", "u.example", 1L, 1))
+    assert(run(Some(true)) == want)
+    // forced large-crawled mode: identical rows through SHUFFLE_HASH
+    assert(run(Some(false)) == want)
+  }
+
+  test("frontierDiscover: size-adaptive join modes are plan-pinned") {
+    val links = Seq(("http://s.example/1", "http://t.example/a")).toDF("url", "dst_url")
+    val crawled = Seq("http://x.example/c").toDF("url")
+    val small = LinkOps.frontierDiscover(links, crawled, smallCrawled = Some(true))
+      .queryExecution.executedPlan.toString
+    val large = LinkOps.frontierDiscover(links, crawled, smallCrawled = Some(false))
+      .queryExecution.executedPlan.toString
+    assert(small.contains("BroadcastHashJoin") && small.contains("LeftAnti"),
+      s"small mode must broadcast the fetched set:\n$small")
+    assert(large.contains("ShuffledHashJoin") && large.contains("LeftAnti") &&
+      !large.contains("SortMergeJoin"),
+      s"large mode must shuffle-hash, never sort-merge:\n$large")
+  }
+
+  test("extractLinks is batch-agnostic: identical rows under a streaming source") {
+    // stateless map+generate => runs unchanged in append mode
+    val stage = java.nio.file.Files.createTempDirectory("links_stream")
+    val pages = Seq(
+      (1L, "http://h.example/a/b.html",
+        """<a href="x.html">x</a><a href='/y'>y</a><a href="#s">s</a>"""))
+      .toDF("doc_id", "url", "html")
+    pages.write.mode("overwrite").parquet(stage.toString)
+    val stream = spark.readStream.schema(pages.schema).parquet(stage.toString)
+    val q = graft.ops.LinkOps.extractLinks(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("links_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("links_out").orderBy("link_pos")
+      .select("link_pos", "dst_url").as[(Int, String)].collect().toSeq
+    assert(got == Seq(
+      0 -> "http://h.example/a/x.html",
+      1 -> "http://h.example/y"))
+    spark.sql("DROP TABLE IF EXISTS links_out")
+  }
+
+  test("hostLinkGraph: edge counts, distinct pages, intra flag") {
+    val links = Seq(
+      ("http://A.example/p1", "http://b.example/x"),
+      ("http://a.example/p1", "http://b.example/y"),
+      ("http://a.example/p2", "http://b.example/x"),
+      ("http://a.example/p1", "http://a.example/p2"))
+      .toDF("url", "dst_url")
+    val got = LinkOps.hostLinkGraph(links)
+      .orderBy("src_host", "dst_host")
+      .select("src_host", "dst_host", "n_links", "n_src_pages", "intra")
+      .as[(String, String, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      ("a.example", "a.example", 1L, 1L, 1),
+      ("a.example", "b.example", 3L, 3L, 0)))
+  }
+}

@@ -45,6 +45,10 @@ GATES=$GATES,p85_temperature_sample,p270_tail_mass,p271_waterfill,p285_zipf_slop
 # reads text for the byte-length quality)
 GATES=$GATES,p319_url_normalize,p320_url_dedup,p321_domain_stats,p322_robots_filter
 GATES=$GATES,p324_robots_wildcards,p325_sitemap_parse,p326_politeness_schedule
+# round-15 link family (arithmetic/id-derived oracles; p332 is a
+# committed-fixture gate — scale-independent, so it stays at sf0.01)
+GATES=$GATES,p328_url_resolve,p329_link_extract,p330_crawl_frontier
+GATES=$GATES,p331_host_link_graph,p333_host_authority
 # dedup family members whose oracles are id-set-agnostic and linear
 # (p04/p06 plant +100000-shifted twins — their id arithmetic collides
 # with the x20 replica offsets, so they stay fingerprint-pinned)
