@@ -102,6 +102,140 @@ object LinkOps {
       .where(col("dst_url").isNotNull)
   }
 
+  /** [[extractLinks]] plus the two per-anchor signals a training-data
+    * pipeline wants from links: the ANCHOR TEXT (the strongest public
+    * relevance label the web carries for a target page — anchor-text
+    * corpora are a standard retrieval/quality training input) and the
+    * `rel="nofollow"` flag (kept as a COLUMN, not a drop — follow
+    * policy is the caller's, and nofollow density is itself a spam
+    * signal). Anchor text is the block's inner HTML through
+    * [[graft.ops.TextAnalysis.htmlText]] (nested tags stripped,
+    * entities decoded, whitespace collapsed).
+    *
+    * Returns (idCol, urlCol, anchor_pos, href, anchor_text, nofollow,
+    * dst_url). Same drop rules as [[extractLinks]]; same shape —
+    * map-only regexp + one posexplode, NO shuffle at any scale. */
+  def extractAnchors(
+      pages: DataFrame,
+      idCol: String = "doc_id",
+      urlCol: String = "url",
+      htmlCol: String = "html",
+      dropSchemes: Seq[String] = DefaultDropSchemes): DataFrame = {
+    require(dropSchemes.forall(_.nonEmpty), "extractAnchors: empty scheme")
+    val html = col(htmlCol)
+    // normalize href AND rel quoting so one pattern sees every form.
+    // TWO passes per form: the pattern re-anchors at the tag start, so
+    // one regexp_replace scan rewrites only the FIRST matching
+    // attribute per tag (the scan resumes after the match) — a tag
+    // with href AND rel both single-quoted/bare needs the second pass.
+    val p1 = "(?is)(<(?:a|base)\\b[^>]*?\\s(?:href|rel)\\s*=\\s*)'([^']*)'"
+    val p2 = "(?is)(<(?:a|base)\\b[^>]*?\\s(?:href|rel)\\s*=\\s*)([^\"'\\s>][^\\s>]*)"
+    val q1 = regexp_replace(regexp_replace(html, p1, "$1\"$2\""), p1, "$1\"$2\"")
+    val q2 = regexp_replace(regexp_replace(q1, p2, "$1\"$2\""), p2, "$1\"$2\"")
+    val blocks = regexp_extract_all(q2, lit("(?is)<a\\b[^>]*>.*?</a>"), lit(0))
+    val baseHref = regexp_extract(q2,
+      "(?is)<base\\b[^>]*?\\shref\\s*=\\s*\"([^\"]*)\"", 1)
+    val effBase = when(length(baseHref) > 0,
+      url_resolve(col(urlCol), attrDecode(baseHref)))
+      .otherwise(col(urlCol))
+    val exploded = pages
+      .select(col(idCol), col(urlCol), effBase.as("_base"),
+        posexplode_outer(blocks).as(Seq("anchor_pos", "_blk")))
+    val hrefOf = regexp_extract(col("_blk"),
+      "(?is)\\A<a\\b[^>]*?\\shref\\s*=\\s*\"([^\"]*)\"", 1)
+    val inner = regexp_replace(col("_blk"), "(?is)\\A<a\\b[^>]*>|</a>\\z", "")
+    val anchors = exploded
+      .select(col(idCol), col(urlCol), col("anchor_pos"),
+        attrDecode(hrefOf).as("href"),
+        graft.ops.TextAnalysis.htmlText(inner).as("anchor_text"),
+        col("_blk").rlike("(?is)\\A<a\\b[^>]*?\\srel\\s*=\\s*\"[^\"]*\\bnofollow\\b")
+          .cast("int").as("nofollow"),
+        col("_base"))
+    val schemeOf = lower(regexp_extract(col("href"), "^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    anchors
+      .where(col("href").isNotNull && length(col("href")) > 0 &&
+        !col("href").startsWith("#") &&
+        !schemeOf.isin(dropSchemes: _*))
+      .select(col(idCol), col(urlCol), col("anchor_pos"), col("href"),
+        col("anchor_text"), col("nofollow"),
+        url_normalize(url_resolve(col("_base"), col("href"))).as("dst_url"))
+      .where(col("dst_url").isNotNull)
+  }
+
+  /** Anchor-text aggregation per target URL — "what the web calls this
+    * page": follow-able anchor count, distinct-text count, and the
+    * MOST COMMON anchor text (ties broken toward the lexicographically
+    * LARGEST text — a struct-max rides one partial aggregate, and the
+    * tie direction is documented so engines agree). Empty anchor texts
+    * (image links) and nofollow anchors are excluded.
+    *
+    * Shape: two aggregates — (dst, text) counts, then ONE struct-max
+    * per dst. Both map-side combine; no window over the corpus. */
+  def anchorTextAgg(
+      anchors: DataFrame,
+      dstCol: String = "dst_url",
+      textCol: String = "anchor_text",
+      nofollowCol: String = "nofollow"): DataFrame =
+    anchors
+      .where(col(nofollowCol) === 0 && length(col(textCol)) > 0)
+      .groupBy(col(dstCol).as("dst_url"), col(textCol).as("_t"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col("dst_url"))
+      .agg(sum(col("_n")).as("n_anchors"),
+        count(lit(1)).as("n_texts"),
+        max(struct(col("_n"), col("_t"))).as("_top"))
+      .select(col("dst_url"), col("n_anchors"), col("n_texts"),
+        col("_top._t").as("top_text"), col("_top._n").as("top_text_n"))
+
+  /** Redirect-chain resolution: follow HTTP 3xx `Location` edges to
+    * the terminal URL, `maxHops` statically-unrolled pointer-chase
+    * rounds (crawlers cap redirect depth at 5–10, so a linear unroll —
+    * one hash join per hop on a redirect-only edge table, orders of
+    * magnitude smaller than the corpus — beats pointer-doubling's
+    * extra shuffles at real depths). A chain still unresolved after
+    * `maxHops` hops (deeper than the cap, or a redirect LOOP — the
+    * 6↔7 two-cycle case) reports `resolved = false` with the cursor
+    * where it stopped; loops never hang the job.
+    *
+    * `redirects` is one edge per source URL (src → Location target);
+    * duplicate sources collapse to the SMALLEST target
+    * (deterministic). Returns (url, final_url, hops, resolved).
+    *
+    * Shape: edge dedup is one partial agg; each round is one equi-join
+    * against the persisted edge table + map-only fold. */
+  def redirectChains(
+      redirects: DataFrame,
+      maxHops: Int = 5,
+      srcCol: String = "url",
+      dstCol: String = "location"): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32,
+      s"redirectChains: need 1 <= maxHops <= 32, got $maxHops")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges0 = redirects
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .groupBy(col(srcCol).as("_es"))
+      .agg(min(col(dstCol)).as("_ed"))
+    val edges = if (maxHops > 1) edges0.persist(lvl) else edges0
+    var state = edges.select(col("_es").as("url"), col("_ed").as("_cur"),
+      lit(1).as("hops"))
+    for (_ <- 2 to maxHops + 1) {
+      // one more hop for every cursor that still sits on a redirect;
+      // the (maxHops+1)-th round only PROBES — any advance it would
+      // make proves the chain exceeds the cap, flagged below via _nx
+      state = state
+        .join(edges, state("_cur") === edges("_es"), "left")
+        .select(col("url"),
+          coalesce(col("_ed"), col("_cur")).as("_cur"),
+          (col("hops") + when(col("_ed").isNotNull, 1).otherwise(0)).as("hops"))
+    }
+    val probe = edges.select(col("_es").as("_ps"))
+    state
+      .join(probe, state("_cur") === probe("_ps"), "left")
+      .select(col("url"), col("_cur").as("final_url"),
+        least(col("hops"), lit(maxHops)).as("hops"),
+        (col("_ps").isNull && col("hops") <= maxHops).as("resolved"))
+  }
+
   /** Crawl-frontier discovery: canonical link targets not yet in the
     * fetched set, ranked per host by in-link count (OPIC-flavored
     * priority — pages many fetched pages point at get fetched first)

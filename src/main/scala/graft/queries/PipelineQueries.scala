@@ -3603,6 +3603,68 @@ object PipelineQueries {
         .select(col("node").as("host"), col("score_micro"), col("in_deg"),
           col("out_deg"))
         .orderBy(col("score_micro").desc, col("host"))
+    }),
+
+    // Anchor extraction with text + rel=nofollow: four anchors per
+    // page (nested-tag text, double/single-quoted nofollow, an
+    // &amp;-entity text) plus a fragment drop; the oracle rebuilds
+    // every (pos, dst, text, nofollow) row arithmetically.
+    "p334_anchor_extract" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val d = col("doc_id")
+      val html = concat(
+        lit("<html><body><a href=\"/p/"), d, lit("\">Page <b>"), d,
+        lit("</b></a><a href=\"/q/"), d % 7,
+        lit("\" rel=\"nofollow\">ad "), d,
+        lit("</a><a href='/r/"), d % 3,
+        lit("' rel='ugc nofollow'>ugc</a><a href=\"/s/"), d % 5,
+        lit("\">shared &amp; common</a>"),
+        lit("<a href=\"#x\">skip</a></body></html>"))
+      val url = concat(lit("http://a"), d % 4, lit(".example/base/page"))
+      graft.ops.LinkOps.extractAnchors(
+          docs.select(d.as("doc_id"), url.as("url"), html.as("html")))
+        .select(col("doc_id"), col("anchor_pos"), col("dst_url"),
+          col("anchor_text"), col("nofollow"))
+        .orderBy("doc_id", "anchor_pos")
+    }),
+
+    // Anchor-text aggregation per target: the p334 fixture's follow
+    // anchors — singleton 'Page N' targets plus (host, slot)-shared
+    // '/s/' targets whose counts fall out of a GROUP BY; nofollow
+    // anchors must not count. Struct-max top text, documented
+    // larger-text tie-break.
+    "p335_anchor_text_agg" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val d = col("doc_id")
+      val html = concat(
+        lit("<html><body><a href=\"/p/"), d, lit("\">Page <b>"), d,
+        lit("</b></a><a href=\"/q/"), d % 7,
+        lit("\" rel=\"nofollow\">ad "), d,
+        lit("</a><a href=\"/s/"), d % 5,
+        lit("\">shared &amp; common</a></body></html>"))
+      val url = concat(lit("http://a"), d % 4, lit(".example/base/page"))
+      graft.ops.LinkOps.anchorTextAgg(
+          graft.ops.LinkOps.extractAnchors(
+            docs.select(d.as("doc_id"), url.as("url"), html.as("html"))))
+        .orderBy("dst_url")
+    }),
+
+    // Redirect-chain resolution over an arithmetic functional graph:
+    // id classes 0-3 chain forward (terminating at a non-source), 6/7
+    // form a two-cycle the hop cap must break; the oracle replays the
+    // SAME five pointer-chase rounds as SQL left joins (boundary-safe
+    // under any id set — a CASE oracle would mispredict chains that
+    // run off a replica's id range).
+    "p336_redirect_chains" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val d = col("doc_id")
+      val k = d % 8
+      val edges = docs.where(k < 4 || k >= 6).select(
+        concat(lit("http://r.example/u/"), d).as("url"),
+        concat(lit("http://r.example/u/"),
+          when(k === 7, d - 1).otherwise(d + 1)).as("location"))
+      graft.ops.LinkOps.redirectChains(edges, maxHops = 5)
+        .orderBy("url")
     })
   )
 
@@ -9301,5 +9363,62 @@ object PipelineQueries {
       "FROM n JOIN s3 ON s3.node = n.node " +
       "LEFT JOIN idg ON idg.node = n.node LEFT JOIN od ON od.node = n.node " +
       "ORDER BY score_micro DESC, host")
+  ,
+    // p334: all four surviving anchors rebuilt arithmetically — the
+    // nested <b> collapses into the text, entities decode, both
+    // nofollow spellings flag, the #fragment anchor drops
+    "p334_anchor_extract" -> (
+      "WITH k AS (" +
+      "SELECT doc_id, CAST(0 AS INT) AS anchor_pos, " +
+      "'http://a' || (doc_id % 4) || '.example/p/' || doc_id AS dst_url, " +
+      "'Page ' || doc_id AS anchor_text, CAST(0 AS INT) AS nofollow FROM documents " +
+      "UNION ALL SELECT doc_id, CAST(1 AS INT), " +
+      "'http://a' || (doc_id % 4) || '.example/q/' || (doc_id % 7), " +
+      "'ad ' || doc_id, CAST(1 AS INT) FROM documents " +
+      "UNION ALL SELECT doc_id, CAST(2 AS INT), " +
+      "'http://a' || (doc_id % 4) || '.example/r/' || (doc_id % 3), " +
+      "'ugc', CAST(1 AS INT) FROM documents " +
+      "UNION ALL SELECT doc_id, CAST(3 AS INT), " +
+      "'http://a' || (doc_id % 4) || '.example/s/' || (doc_id % 5), " +
+      "'shared & common', CAST(0 AS INT) FROM documents) " +
+      "SELECT doc_id, anchor_pos, dst_url, anchor_text, nofollow " +
+      "FROM k ORDER BY doc_id, anchor_pos")
+  ,
+    // p335: singleton 'Page N' targets union the (host, slot)-grouped
+    // '/s/' targets; the nofollow '/q/' anchors contribute nothing
+    "p335_anchor_text_agg" -> (
+      "WITH s AS (SELECT 'http://a' || (doc_id % 4) || '.example/s/' || (doc_id % 5) AS dst_url, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_anchors, CAST(1 AS BIGINT) AS n_texts, " +
+      "'shared & common' AS top_text, CAST(COUNT(*) AS BIGINT) AS top_text_n " +
+      "FROM documents GROUP BY doc_id % 4, doc_id % 5), " +
+      "p AS (SELECT 'http://a' || (doc_id % 4) || '.example/p/' || doc_id AS dst_url, " +
+      "CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'Page ' || doc_id, CAST(1 AS BIGINT) " +
+      "FROM documents) " +
+      "SELECT * FROM (SELECT * FROM s UNION ALL SELECT * FROM p) " +
+      "ORDER BY dst_url")
+  ,
+    // p336: the op's five pointer-chase rounds replayed as SQL left
+    // joins over the arithmetic edge table — boundary-safe under any
+    // id set, loop rows exceed the cap and report resolved = false
+    "p336_redirect_chains" -> (
+      "WITH e0 AS (SELECT 'http://r.example/u/' || doc_id AS s, " +
+      "'http://r.example/u/' || (CASE WHEN doc_id % 8 = 7 THEN doc_id - 1 ELSE doc_id + 1 END) AS t " +
+      "FROM documents WHERE doc_id % 8 < 4 OR doc_id % 8 >= 6), " +
+      "e AS (SELECT s, MIN(t) AS t FROM e0 GROUP BY s), " +
+      "h1 AS (SELECT s AS url, t AS cur, 1 AS hops FROM e), " +
+      "h2 AS (SELECT h1.url, COALESCE(e.t, h1.cur) AS cur, h1.hops + " +
+      "CASE WHEN e.t IS NULL THEN 0 ELSE 1 END AS hops FROM h1 LEFT JOIN e ON e.s = h1.cur), " +
+      "h3 AS (SELECT h2.url, COALESCE(e.t, h2.cur) AS cur, h2.hops + " +
+      "CASE WHEN e.t IS NULL THEN 0 ELSE 1 END AS hops FROM h2 LEFT JOIN e ON e.s = h2.cur), " +
+      "h4 AS (SELECT h3.url, COALESCE(e.t, h3.cur) AS cur, h3.hops + " +
+      "CASE WHEN e.t IS NULL THEN 0 ELSE 1 END AS hops FROM h3 LEFT JOIN e ON e.s = h3.cur), " +
+      "h5 AS (SELECT h4.url, COALESCE(e.t, h4.cur) AS cur, h4.hops + " +
+      "CASE WHEN e.t IS NULL THEN 0 ELSE 1 END AS hops FROM h4 LEFT JOIN e ON e.s = h4.cur), " +
+      "h6 AS (SELECT h5.url, COALESCE(e.t, h5.cur) AS cur, h5.hops + " +
+      "CASE WHEN e.t IS NULL THEN 0 ELSE 1 END AS hops FROM h5 LEFT JOIN e ON e.s = h5.cur) " +
+      "SELECT h6.url, h6.cur AS final_url, CAST(LEAST(h6.hops, 5) AS INT) AS hops, " +
+      "(p.s IS NULL AND h6.hops <= 5) AS resolved " +
+      "FROM h6 LEFT JOIN (SELECT DISTINCT s FROM e) p ON p.s = h6.cur " +
+      "ORDER BY h6.url")
   )
 }

@@ -113,6 +113,82 @@ class LinkOpsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS links_out")
   }
 
+  test("extractAnchors: anchor text, nofollow forms, nested tags, entities") {
+    val html =
+      """<html><body>
+        |<a href="/a" rel="nofollow">skip me</a>
+        |<a href='/b' rel='external nofollow'>also skip</a>
+        |<a rel=nofollow href="/c">unquoted rel</a>
+        |<a href="/d"><b>Bold</b> &amp; nested</a>
+        |<a href="/e"><img src="i.png"></a>
+        |<a href="#top">frag</a>
+        |</body></html>""".stripMargin
+    val pages = Seq((1L, "http://h.example/p", html)).toDF("doc_id", "url", "html")
+    val got = graft.ops.LinkOps.extractAnchors(pages)
+      .orderBy("anchor_pos")
+      .select("anchor_pos", "dst_url", "anchor_text", "nofollow")
+      .as[(Int, String, String, Int)].collect().toSeq
+    assert(got == Seq(
+      (0, "http://h.example/a", "skip me", 1),
+      (1, "http://h.example/b", "also skip", 1),
+      (2, "http://h.example/c", "unquoted rel", 1),
+      (3, "http://h.example/d", "Bold & nested", 0),
+      (4, "http://h.example/e", "", 0)))
+  }
+
+  test("anchorTextAgg: follow-only counts, most-common text, documented tie-break") {
+    val anchors = Seq(
+      ("http://t/x", "alpha", 0),
+      ("http://t/x", "alpha", 0),
+      ("http://t/x", "beta", 0),
+      ("http://t/x", "gamma", 1), // nofollow: excluded
+      ("http://t/x", "", 0),      // empty: excluded
+      ("http://t/y", "a", 0),
+      ("http://t/y", "b", 0))     // 1-1 tie -> lexicographically larger wins
+      .toDF("dst_url", "anchor_text", "nofollow")
+    val got = graft.ops.LinkOps.anchorTextAgg(anchors)
+      .orderBy("dst_url")
+      .select("dst_url", "n_anchors", "n_texts", "top_text", "top_text_n")
+      .as[(String, Long, Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("http://t/x", 3L, 2L, "alpha", 2L),
+      ("http://t/y", 2L, 2L, "b", 1L)))
+  }
+
+  test("redirectChains: terminal chains, exact-cap, over-cap, loops, dup sources") {
+    def u(i: Int) = s"http://r/$i"
+    val edges = Seq(
+      // chain 0->1->2->3 (3 hops, terminal)
+      u(0) -> u(1), u(1) -> u(2), u(2) -> u(3),
+      // chain of exactly 5 hops: 10->11->12->13->14->15
+      u(10) -> u(11), u(11) -> u(12), u(12) -> u(13), u(13) -> u(14),
+      u(14) -> u(15),
+      // chain of 6 hops (over the cap): 20..26
+      u(20) -> u(21), u(21) -> u(22), u(22) -> u(23), u(23) -> u(24),
+      u(24) -> u(25), u(25) -> u(26),
+      // 2-cycle and self-loop
+      u(30) -> u(31), u(31) -> u(30),
+      u(40) -> u(40),
+      // duplicate source: smallest target wins
+      u(50) -> u(52), u(50) -> u(51))
+      .toDF("url", "location")
+    val got = graft.ops.LinkOps.redirectChains(edges, maxHops = 5)
+      .orderBy("url")
+      .select("url", "final_url", "hops", "resolved")
+      .as[(String, String, Int, Boolean)].collect().toSeq
+    assert(got.filter(_._1 == u(0)) == Seq((u(0), u(3), 3, true)))
+    assert(got.filter(_._1 == u(1)) == Seq((u(1), u(3), 2, true)))
+    assert(got.filter(_._1 == u(10)) == Seq((u(10), u(15), 5, true)))
+    // 6 hops from u(20): deeper than the cap -> unresolved at the cap
+    val g20 = got.filter(_._1 == u(20)).head
+    assert(!g20._4 && g20._3 == 5)
+    // loops never resolve, never hang
+    assert(got.filter(_._1 == u(30)).head._4 == false)
+    assert(got.filter(_._1 == u(40)).head._4 == false)
+    // dup source collapsed to min target; u(51) is terminal
+    assert(got.filter(_._1 == u(50)) == Seq((u(50), u(51), 1, true)))
+  }
+
   test("hostLinkGraph: edge counts, distinct pages, intra flag") {
     val links = Seq(
       ("http://A.example/p1", "http://b.example/x"),
