@@ -162,6 +162,54 @@ object LinkOps {
       .where(col("dst_url").isNotNull)
   }
 
+  /** Page-level index/dedup signals from the HTML head — the THREE
+    * flags a crawl curation pass reads before any content work:
+    * `canonical_url` (`<link rel="canonical" href>` resolved against
+    * the page URL and canonicalized — the author's own dedup vote;
+    * NULL when absent), and `meta_noindex` / `meta_nofollow` (from
+    * `<meta name="robots" content="…">` — noindex pages leave the
+    * corpus, nofollow pages contribute no frontier links; `none`
+    * implies both, per the public robots-meta convention). Quote
+    * styles normalized as in [[extractAnchors]]; attribute order
+    * inside both tags is free.
+    *
+    * Returns (idCol, urlCol, canonical_url, meta_noindex,
+    * meta_nofollow). Map-only regexp — NO shuffle at any scale. */
+  def pageMeta(
+      pages: DataFrame,
+      idCol: String = "doc_id",
+      urlCol: String = "url",
+      htmlCol: String = "html"): DataFrame = {
+    val html = col(htmlCol)
+    val p1 = "(?is)(<(?:link|meta)\\b[^>]*?\\s(?:href|rel|name|content)\\s*=\\s*)'([^']*)'"
+    val p2 = "(?is)(<(?:link|meta)\\b[^>]*?\\s(?:href|rel|name|content)\\s*=\\s*)([^\"'\\s>][^\\s>]*)"
+    // up to two quote-normalization passes per attribute pair (see
+    // extractAnchors: the pattern re-anchors at the tag start)
+    val q1 = regexp_replace(regexp_replace(html, p1, "$1\"$2\""), p1, "$1\"$2\"")
+    val q2 = regexp_replace(regexp_replace(q1, p2, "$1\"$2\""), p2, "$1\"$2\"")
+    // <link rel="canonical" href="..."> — either attribute order
+    val canonA = regexp_extract(q2,
+      "(?is)<link\\b[^>]*?\\srel\\s*=\\s*\"canonical\"[^>]*?\\shref\\s*=\\s*\"([^\"]*)\"", 1)
+    val canonB = regexp_extract(q2,
+      "(?is)<link\\b[^>]*?\\shref\\s*=\\s*\"([^\"]*)\"[^>]*?\\srel\\s*=\\s*\"canonical\"", 1)
+    val canonHref = when(length(canonA) > 0, canonA)
+      .when(length(canonB) > 0, canonB)
+    // <meta name="robots" content="..."> — either attribute order
+    val contentA = regexp_extract(q2,
+      "(?is)<meta\\b[^>]*?\\sname\\s*=\\s*\"robots\"[^>]*?\\scontent\\s*=\\s*\"([^\"]*)\"", 1)
+    val contentB = regexp_extract(q2,
+      "(?is)<meta\\b[^>]*?\\scontent\\s*=\\s*\"([^\"]*)\"[^>]*?\\sname\\s*=\\s*\"robots\"", 1)
+    val directives = lower(when(length(contentA) > 0, contentA)
+      .when(length(contentB) > 0, contentB).otherwise(lit("")))
+    val noindex = directives.rlike("(?:^|[\\s,])(?:noindex|none)(?:$|[\\s,])")
+    val nofollow = directives.rlike("(?:^|[\\s,])(?:nofollow|none)(?:$|[\\s,])")
+    pages.select(col(idCol), col(urlCol),
+      url_normalize(url_resolve(col(urlCol), attrDecode(canonHref)))
+        .as("canonical_url"),
+      noindex.cast("int").as("meta_noindex"),
+      nofollow.cast("int").as("meta_nofollow"))
+  }
+
   /** Anchor-text aggregation per target URL — "what the web calls this
     * page": follow-able anchor count, distinct-text count, and the
     * MOST COMMON anchor text (ties broken toward the lexicographically

@@ -3665,6 +3665,33 @@ object PipelineQueries {
           when(k === 7, d - 1).otherwise(d + 1)).as("location"))
       graft.ops.LinkOps.redirectChains(edges, maxHops = 5)
         .orderBy("url")
+    }),
+
+    // Page-level index/dedup signals: canonical links in both
+    // attribute orders (one of them single-quoted) with a relative
+    // href resolved+canonicalized, robots-meta directives including
+    // the 'none' shorthand; the oracle replays every flag from the id
+    // arithmetic.
+    "p337_page_meta" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val d = col("doc_id")
+      val canon = when(d % 3 === 0,
+          concat(lit("<link rel=\"canonical\" href=\"/canon/"),
+            expr("doc_id div 3"), lit("\">")))
+        .when(d % 3 === 1,
+          concat(lit("<link href='/canon/"), expr("doc_id div 3"),
+            lit("' rel='canonical'>")))
+        .otherwise(lit(""))
+      val robots = when(d % 4 === 0, lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+        .when(d % 4 === 1, lit("<meta content='NOFOLLOW' name='robots'>"))
+        .when(d % 4 === 2, lit("<meta name=\"robots\" content=\"none\">"))
+        .otherwise(lit(""))
+      val html = concat(lit("<html><head>"), canon, robots,
+        lit("</head><body>x</body></html>"))
+      val url = concat(lit("http://m"), d % 5, lit(".example/p/"), d)
+      graft.ops.LinkOps.pageMeta(
+          docs.select(d.as("doc_id"), url.as("url"), html.as("html")))
+        .orderBy("doc_id")
     })
   )
 
@@ -9420,5 +9447,16 @@ object PipelineQueries {
       "(p.s IS NULL AND h6.hops <= 5) AS resolved " +
       "FROM h6 LEFT JOIN (SELECT DISTINCT s FROM e) p ON p.s = h6.cur " +
       "ORDER BY h6.url")
+  ,
+    // p337: canonical target and both robots-meta flags from the id
+    // arithmetic ('none' sets both, absent tag sets neither)
+    "p337_page_meta" -> (
+      "SELECT doc_id, 'http://m' || (doc_id % 5) || '.example/p/' || doc_id AS url, " +
+      "CASE WHEN doc_id % 3 < 2 THEN " +
+      "'http://m' || (doc_id % 5) || '.example/canon/' || (doc_id // 3) " +
+      "ELSE NULL END AS canonical_url, " +
+      "CAST(doc_id % 4 IN (0, 2) AS INT) AS meta_noindex, " +
+      "CAST(doc_id % 4 IN (1, 2) AS INT) AS meta_nofollow " +
+      "FROM documents ORDER BY doc_id")
   )
 }

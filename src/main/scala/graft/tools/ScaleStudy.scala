@@ -670,6 +670,49 @@ object ScaleStudy {
       }
     }
 
+    // round-15 link rung: extraction is map-only regexp + generate
+    // (should track scan+regex time linearly), the frontier is one
+    // partial agg + SHUFFLE_HASH anti join + a 64-host-bounded window,
+    // host_authority is the |hosts|²-bounded aggregate + 3 PageRank
+    // passes over a 64-node graph (per-pass plan overhead dominates —
+    // expect ~flat). Same 3-iteration JIT discipline as the URL rung.
+    if (on("link")) for (k <- Seq(1, 4, 20, 50)) {
+      val docs = spark.read.parquet(docPaths(k))
+      val nDocs = docs.count()
+      val d = col("doc_id")
+      for (it <- 1 to 3) {
+        val (_, tE) = time(sink(graft.ops.LinkOps.extractLinks(
+          docs.select(d.as("doc_id"),
+            concat(lit("http://w"), d % 64, lit(".example/p/"), d,
+              lit("/index.html")).as("url"),
+            concat(lit("<html><head><base href=\"/base"), d % 4,
+              lit("/\"></head><body><a href=\"rel"), d,
+              lit(".html\">x</a><A HREF='/top/"), d,
+              lit("'>y</A><a href=bare"), d,
+              lit(">z</a><a href=\"https://e"), d % 6,
+              lit(".example/p?utm_source=z&amp;id="), d,
+              lit("\">e</a><a href=\"#s\">f</a></body></html>")).as("html")))))
+        report(s"link_extract#$it", k, nDocs, tE)
+        val (_, tF) = time(sink(graft.ops.LinkOps.frontierDiscover(
+          docs.select(
+            concat(lit("http://src.example/p/"), d).as("url"),
+            concat(lit("http://f"), expr("(doc_id div 2) % 64"),
+              lit(".example/page/"), expr("doc_id div 2")).as("dst_url")),
+          docs.where(expr("(doc_id div 2) % 5 = 0")).select(
+            concat(lit("http://f"), expr("(doc_id div 2) % 64"),
+              lit(".example/page/"), expr("doc_id div 2")).as("url")),
+          maxPerHost = 1000, smallCrawled = Some(false))))
+        report(s"crawl_frontier#$it", k, nDocs, tF)
+        val (_, tA) = time(sink(graft.ops.Graph.pageRank(
+          graft.ops.LinkOps.hostLinkGraph(docs.select(
+            concat(lit("http://g"), d % 64, lit(".example/p/"), d).as("url"),
+            concat(lit("http://g"), d % 97 % 64, lit(".example/q/"),
+              d % 13).as("dst_url"))),
+          iters = 3, srcCol = "src_host", dstCol = "dst_host")))
+        report(s"host_authority#$it", k, nDocs, tA)
+      }
+    }
+
     // round-11 estimator rung: the new family's scale risks, measured.
     // poisson_bootstrap is the one with a real fan-out (rows × B
     // replicate weights before the B-bounded fold); msprt/kaplan_meier/

@@ -189,6 +189,35 @@ class LinkOpsSpec extends AnyFunSuite {
     assert(got.filter(_._1 == u(50)) == Seq((u(50), u(51), 1, true)))
   }
 
+  test("pageMeta: canonical link (both attr orders), robots meta, none implies both") {
+    val pages = Seq(
+      (1L, "http://h.example/a/p1",
+        """<head><link rel="canonical" href="/canon/1">
+          |<meta name="robots" content="noindex, follow"></head>""".stripMargin),
+      (2L, "http://h.example/a/p2",
+        """<head><link href='canon2.html' rel='canonical'>
+          |<meta content='NOFOLLOW' name='robots'></head>""".stripMargin),
+      (3L, "http://h.example/a/p3",
+        """<head><meta name="robots" content="none"></head>"""),
+      (4L, "http://h.example/a/p4", "<head><title>nothing</title></head>"))
+      .toDF("doc_id", "url", "html")
+    val got = graft.ops.LinkOps.pageMeta(pages)
+      .orderBy("doc_id")
+      .select("doc_id", "canonical_url", "meta_noindex", "meta_nofollow")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getInt(2), r.getInt(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "http://h.example/canon/1", 1, 0),
+      (2L, "http://h.example/a/canon2.html", 0, 1),
+      (3L, null, 1, 1),
+      (4L, null, 0, 0)))
+    val plan = graft.ops.LinkOps.pageMeta(pages)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pageMeta must not shuffle:\n$plan")
+  }
+
   test("hostLinkGraph: edge counts, distinct pages, intra flag") {
     val links = Seq(
       ("http://A.example/p1", "http://b.example/x"),

@@ -48,7 +48,8 @@ GATES=$GATES,p324_robots_wildcards,p325_sitemap_parse,p326_politeness_schedule
 # round-15 link family (arithmetic/id-derived oracles; p332 is a
 # committed-fixture gate — scale-independent, so it stays at sf0.01)
 GATES=$GATES,p328_url_resolve,p329_link_extract,p330_crawl_frontier
-GATES=$GATES,p331_host_link_graph,p333_host_authority
+GATES=$GATES,p331_host_link_graph,p333_host_authority,p334_anchor_extract
+GATES=$GATES,p335_anchor_text_agg,p336_redirect_chains,p337_page_meta
 # dedup family members whose oracles are id-set-agnostic and linear
 # (p04/p06 plant +100000-shifted twins — their id arithmetic collides
 # with the x20 replica offsets, so they stay fingerprint-pinned)
