@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `image_dims(bytes)`: container-format sniff + dimensions from the
@@ -451,8 +451,83 @@ object VideoMetaExpression {
   }
 }
 
+/** `dhash64(bytes)`: perceptual difference-hash over an UNCOMPRESSED
+  * 24-bit BMP (the one mainstream raster format whose pixels are
+  * readable without a codec — the honest offline scope; compressed
+  * formats route through the decode seam first and can emit BMP).
+  * Samples a 9×8 grid by nearest neighbor — 72 pixel reads per image
+  * REGARDLESS of image size, so a 100-megapixel scan costs the same as
+  * a thumbnail — takes integer Rec.601 luma per sample, and packs
+  * bit(r, c) = lum(r, c) < lum(r, c+1) into a 64-bit key (bit index
+  * r·8+c). The standard public dHash construction (difference hash,
+  * as popularized by Krawetz): near-identical images land within a few
+  * Hamming bits, which [[graft.ops.Dedup.hashNearDups]] turns into a
+  * banded join. NULL for anything that is not a plain bottom-up or
+  * top-down BI_RGB 24-bpp BMP with in-bounds pixel data (never an
+  * exception — hostile bytes are data). All offset arithmetic in Long
+  * (crawl-scale lesson: 32-bit offset math overflows on multi-GB
+  * claimed sizes). */
+case class DHash64Expression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    DHash64Expression.evalRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("dh")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long $boxed = graft.functions.DHash64Expression.evalRow($c);
+      if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "dhash64"
+}
+
+object DHash64Expression {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  /** Codegen entry point: one static call per row; null = not a plain
+    * 24-bpp BMP (or pixel data out of bounds). */
+  def evalRow(b: Array[Byte]): java.lang.Long = {
+    if (b == null || b.length < 54) return null
+    if (b(0) != 'B' || b(1) != 'M') return null
+    val off = le32(b, 10)
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val bpp = le16(b, 28)
+    val comp = le32(b, 30)
+    if (w < 1 || hRaw == 0 || bpp != 24 || comp != 0) return null
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val stride = ((w.toLong * 3L + 3L) / 4L) * 4L
+    if (off < 54 || off.toLong + stride * h > b.length) return null
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      val y = if (h == 1) 0 else ((h - 1).toLong * r / 7L).toInt
+      val row = if (topDown) y else h - 1 - y
+      var prev = 0
+      var c = 0
+      while (c <= 8) {
+        val x = if (w == 1) 0 else ((w - 1).toLong * c / 8L).toInt
+        val p = (off.toLong + row * stride + x * 3L).toInt
+        val lum = (u8(b, p + 2) * 299 + u8(b, p + 1) * 587 + u8(b, p) * 114) / 1000
+        if (c > 0 && prev < lum) hash |= 1L << (r * 8 + (c - 1))
+        prev = lum
+        c += 1
+      }
+      r += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+}
+
 object MediaFunctions {
   def image_dims(c: Column): Column = column(ImageDimsExpression(expression(c)))
   def audio_meta(c: Column): Column = column(AudioMetaExpression(expression(c)))
   def video_meta(c: Column): Column = column(VideoMetaExpression(expression(c)))
+  def dhash64(c: Column): Column = column(DHash64Expression(expression(c)))
 }

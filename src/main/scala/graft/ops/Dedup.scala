@@ -227,6 +227,38 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** GENERIC banded Hamming near-dup join over ANY 64-bit perceptual
+    * key — the [[simHashNearDups]] candidate discipline factored out so
+    * image dHash ([[graft.ops.Multimodal.imageDHashScan]]), audio
+    * chromaprints or any future 64-bit fingerprint reuses it: band the
+    * hash into 4×16-bit chunks (pigeonhole: Hamming ≤ 3 ⇒ at least one
+    * chunk agrees exactly — candidate generation is COMPLETE at the
+    * default threshold), bucket-join, verify true Hamming via the SWAR
+    * popcount. NULL hashes (undecodable members) drop out before the
+    * join. Returns (a, b, hamming) with a < b. */
+  def hashNearDups(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"hashNearDups: 4x16 banding is complete only to Hamming 3, got $maxHamming")
+    val src = df.where(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol).cast("long").as("_h"))
+    val chunks = (0 until 4).map(i =>
+      struct(lit(i).as("band"),
+        shiftright(col("_h"), i * 16).bitwiseAND(lit(0xffffL)).as("sig")))
+    val banded = src.select(col(idCol), col("_h"), explode(array(chunks: _*)).as("bk"))
+      .select(col(idCol), col("_h"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val a = banded.select(col("band"), col("sig"), col(idCol).as("a"), col("_h").as("_ha"))
+    val b = banded.select(col("band"), col("sig"), col(idCol).as("b"), col("_h").as("_hb"))
+    a.join(b, Seq("band", "sig"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), popcount64(expr("_ha ^ _hb")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Incremental ingestion dedup: classify each doc of a NEW batch
     * against an EXISTING corpus — `exact` (identical normalized content
     * fingerprint), `near` (word-shingle Jaccard ≥ jNum/jDen via an LSH

@@ -80,14 +80,19 @@ object LinkOps {
     val q2 = regexp_replace(q1,
       "(?is)(<(?:a|base)\\b[^>]*?\\shref\\s*=\\s*)([^\"'\\s>][^\\s>]*)",
       "$1\"$2\"")
-    val hrefs = regexp_extract_all(q2,
+    // materialize the normalized html ONCE: q2 feeds both the anchor
+    // extraction and the <base> lookup, and CollapseProject would
+    // otherwise inline the whole replace chain into each consumer
+    // (measured ~3x the per-row cost)
+    val staged = pages.select(col(idCol), col(urlCol), q2.as("_q"))
+    val hrefs = regexp_extract_all(col("_q"),
       lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*\"([^\"]*)\""), lit(1))
-    val baseHref = regexp_extract(q2,
+    val baseHref = regexp_extract(col("_q"),
       "(?is)<base\\b[^>]*?\\shref\\s*=\\s*\"([^\"]*)\"", 1)
     val effBase = when(length(baseHref) > 0,
       url_resolve(col(urlCol), attrDecode(baseHref)))
       .otherwise(col(urlCol))
-    val withLinks = pages
+    val withLinks = staged
       .select(col(idCol), col(urlCol), effBase.as("_base"),
         posexplode_outer(hrefs).as(Seq("link_pos", "_href_raw")))
       .select(col(idCol), col(urlCol), col("link_pos"),
@@ -132,13 +137,17 @@ object LinkOps {
     val p2 = "(?is)(<(?:a|base)\\b[^>]*?\\s(?:href|rel)\\s*=\\s*)([^\"'\\s>][^\\s>]*)"
     val q1 = regexp_replace(regexp_replace(html, p1, "$1\"$2\""), p1, "$1\"$2\"")
     val q2 = regexp_replace(regexp_replace(q1, p2, "$1\"$2\""), p2, "$1\"$2\"")
-    val blocks = regexp_extract_all(q2, lit("(?is)<a\\b[^>]*>.*?</a>"), lit(0))
-    val baseHref = regexp_extract(q2,
+    // materialize the normalized html once (see extractLinks: the
+    // replace chain must not inline into every consumer)
+    val staged = pages.select(col(idCol), col(urlCol), q2.as("_q"))
+    val blocks = regexp_extract_all(col("_q"),
+      lit("(?is)<a\\b[^>]*>.*?</a>"), lit(0))
+    val baseHref = regexp_extract(col("_q"),
       "(?is)<base\\b[^>]*?\\shref\\s*=\\s*\"([^\"]*)\"", 1)
     val effBase = when(length(baseHref) > 0,
       url_resolve(col(urlCol), attrDecode(baseHref)))
       .otherwise(col(urlCol))
-    val exploded = pages
+    val exploded = staged
       .select(col(idCol), col(urlCol), effBase.as("_base"),
         posexplode_outer(blocks).as(Seq("anchor_pos", "_blk")))
     val hrefOf = regexp_extract(col("_blk"),
@@ -187,23 +196,27 @@ object LinkOps {
     // extractAnchors: the pattern re-anchors at the tag start)
     val q1 = regexp_replace(regexp_replace(html, p1, "$1\"$2\""), p1, "$1\"$2\"")
     val q2 = regexp_replace(regexp_replace(q1, p2, "$1\"$2\""), p2, "$1\"$2\"")
+    // materialize the normalized html once — FOUR extracts read it
+    // below, and inlining the replace chain into each would 4x the
+    // per-row cost (see extractLinks)
+    val staged = pages.select(col(idCol), col(urlCol), q2.as("_q"))
     // <link rel="canonical" href="..."> — either attribute order
-    val canonA = regexp_extract(q2,
+    val canonA = regexp_extract(col("_q"),
       "(?is)<link\\b[^>]*?\\srel\\s*=\\s*\"canonical\"[^>]*?\\shref\\s*=\\s*\"([^\"]*)\"", 1)
-    val canonB = regexp_extract(q2,
+    val canonB = regexp_extract(col("_q"),
       "(?is)<link\\b[^>]*?\\shref\\s*=\\s*\"([^\"]*)\"[^>]*?\\srel\\s*=\\s*\"canonical\"", 1)
     val canonHref = when(length(canonA) > 0, canonA)
       .when(length(canonB) > 0, canonB)
     // <meta name="robots" content="..."> — either attribute order
-    val contentA = regexp_extract(q2,
+    val contentA = regexp_extract(col("_q"),
       "(?is)<meta\\b[^>]*?\\sname\\s*=\\s*\"robots\"[^>]*?\\scontent\\s*=\\s*\"([^\"]*)\"", 1)
-    val contentB = regexp_extract(q2,
+    val contentB = regexp_extract(col("_q"),
       "(?is)<meta\\b[^>]*?\\scontent\\s*=\\s*\"([^\"]*)\"[^>]*?\\sname\\s*=\\s*\"robots\"", 1)
     val directives = lower(when(length(contentA) > 0, contentA)
       .when(length(contentB) > 0, contentB).otherwise(lit("")))
     val noindex = directives.rlike("(?:^|[\\s,])(?:noindex|none)(?:$|[\\s,])")
     val nofollow = directives.rlike("(?:^|[\\s,])(?:nofollow|none)(?:$|[\\s,])")
-    pages.select(col(idCol), col(urlCol),
+    staged.select(col(idCol), col(urlCol),
       url_normalize(url_resolve(col(urlCol), attrDecode(canonHref)))
         .as("canonical_url"),
       noindex.cast("int").as("meta_noindex"),

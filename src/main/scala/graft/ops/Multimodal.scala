@@ -163,6 +163,72 @@ object Multimodal {
       .drop("_dims")
   }
 
+  /** Perceptual-hash scan: appends `dhash` — the 64-bit difference
+    * hash over real BMP pixel bytes ([[graft.functions
+    * .DHash64Expression]]: 72 bounded pixel reads per image regardless
+    * of size, NULL for non-BMP/hostile bytes). Map-only; feed the
+    * result to [[Dedup.hashNearDups]] for banded Hamming dedup. */
+  def imageDHashScan(df: DataFrame, bytesCol: String): DataFrame =
+    df.withColumn("dhash", graft.functions.MediaFunctions.dhash64(col(bytesCol)))
+
+  /** Deterministic PIXEL-carrying BMP fixture: full 9×8 bottom-up
+    * 24-bpp BMPs (278 bytes) whose per-cell luma follows an
+    * LCG-mixed id arithmetic — SQL-replayable, so the dHash oracle
+    * recomputes every bit. `idOffset` shifts the emitted id (planted
+    * near-dup twins keep the BASE id's pixels); `bumpCell` perturbs
+    * the single cell (x=3, y=2) by +bump mod 256 — a one-cell edit
+    * moves at most 2 dHash bits, the planted near-dup signal. Every
+    * (seed % 10 == 9) row is JUNK bytes (triage must yield NULL,
+    * never die). */
+  def bmpPixelsFromIds(
+      ids: DataFrame,
+      idCol: String,
+      idOffset: Long = 0L,
+      bumpCell: Int = 0): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
+      val bytes =
+        if (seed % 10 == 9) s"notabitmap:$seed".getBytes("US-ASCII")
+        else {
+          def lum(x: Int, y: Int): Int = {
+            val base = (((1103515245L * ((seed * 72 + y * 9 + x) % 100000L) +
+              12345L) % 2147483648L) / 65536L % 256L).toInt
+            if (bumpCell != 0 && x == 3 && y == 2) (base + bumpCell) % 256
+            else base
+          }
+          val stride = 28 // ((9*3 + 3) / 4) * 4
+          val out = new Array[Byte](54 + stride * 8)
+          Array[Byte]('B', 'M').copyToArray(out, 0)
+          le32(out.length).copyToArray(out, 2)
+          le32(54).copyToArray(out, 10)
+          le32(40).copyToArray(out, 14)
+          le32(9).copyToArray(out, 18)
+          le32(8).copyToArray(out, 22) // positive height = bottom-up
+          le16(1).copyToArray(out, 26)
+          le16(24).copyToArray(out, 28)
+          // comp/sizeImage/ppm/clr fields stay zero
+          var fr = 0
+          while (fr < 8) {
+            val y = 7 - fr // bottom-up storage
+            var x = 0
+            while (x < 9) {
+              val v = lum(x, y).toByte
+              val p = 54 + fr * stride + x * 3
+              out(p) = v; out(p + 1) = v; out(p + 2) = v
+              x += 1
+            }
+            fr += 1
+          }
+          out
+        }
+      (seed + idOffset, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
   /** Deterministic header-bytes fixture: builds REAL container headers
     * (PNG IHDR, GIF89a logical screen, BMP BITMAPINFOHEADER, minimal
     * JPEG SOI+SOF0) with dimensions derived from the id — width

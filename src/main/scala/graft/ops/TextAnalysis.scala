@@ -152,6 +152,82 @@ object TextAnalysis {
       htmlText(col(htmlCol)).as("text"))
       .withColumn("n_text", length(col("text")).cast("long"))
 
+  /** MAIN-CONTENT extraction — the jusText/boilerpipe-family upgrade
+    * over whole-page tag stripping ([[htmlText]] keeps nav/footer
+    * boilerplate; this drops it): the page splits into fragments at
+    * block-level tag boundaries, each fragment scores (text length,
+    * link-text length), and a fragment survives iff it carries at
+    * least `minChars` of text AND its LINK DENSITY (anchor text /
+    * total text) stays at or under `maxLinkDensityPct` — navigation,
+    * footers and link farms are link-dense by construction, article
+    * bodies are not. Script/style/comment blocks strip BEFORE the
+    * split (a pair spanning fragments would otherwise leak). This is
+    * the public text-density heuristic (Kohlschütter et al.
+    * boilerpipe / Pomikálek jusText), not a port of either.
+    *
+    * Returns (idCol, n_blocks, n_kept, main_text, n_main_chars).
+    * Map-only: split + per-fragment regexp — NO shuffle at any
+    * scale; cost is linear in HTML bytes. */
+  def mainContent(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      htmlCol: String = "html",
+      minChars: Int = 20,
+      maxLinkDensityPct: Int = 33): DataFrame = {
+    require(minChars >= 0, s"mainContent: minChars=$minChars")
+    require(maxLinkDensityPct >= 0 && maxLinkDensityPct <= 100,
+      s"mainContent: maxLinkDensityPct=$maxLinkDensityPct")
+    val noBlockPair = regexp_replace(col(htmlCol),
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val clean = regexp_replace(noBlockPair, "(?s)<!--.*?-->", " ")
+    val blockTag = "(?i)</?(?:p|div|section|article|main|header|footer|nav|" +
+      "aside|table|tr|td|th|ul|ol|li|h[1-6]|blockquote|pre|form|br|hr)\\b[^>]*>"
+    val blocks = split(clean, blockTag)
+    val scored = transform(blocks, b => {
+      val txt = htmlText(b)
+      val linkTxt = htmlText(concat_ws(" ",
+        regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))))
+      struct(txt.as("txt"), length(txt).as("n"), length(linkTxt).as("nl"))
+    })
+    // stage the scored array, then the kept array: both feed multiple
+    // consumers, and letting CollapseProject inline the per-block
+    // regexp work into each reference would multiply the per-row cost
+    val staged = df.select(col(idCol), scored.as("_sc"))
+    val kept = filter(col("_sc"), s =>
+      s.getField("n") >= minChars &&
+        s.getField("nl") * 100 <= s.getField("n") * maxLinkDensityPct)
+    staged
+      .select(col(idCol), size(col("_sc")).cast("long").as("n_blocks"),
+        kept.as("_k"))
+      .select(col(idCol), col("n_blocks"),
+        size(col("_k")).cast("long").as("n_kept"),
+        array_join(transform(col("_k"), s => s.getField("txt")), " ")
+          .as("main_text"))
+      .withColumn("n_main_chars", length(col("main_text")).cast("long"))
+  }
+
+  /** Template fingerprint: truncated SHA-256 over the page's OPENING-
+    * tag sequence — pages generated from the same template share it
+    * regardless of content, which makes it the blocking key for
+    * template-family dedup and boilerplate accounting (same DuckDB-
+    * replayable construction as the corpus fingerprints: sha2 hex is
+    * engine-portable). */
+  def templateFingerprint(c: Column, len: Int = 16): Column =
+    substring(sha2(array_join(regexp_extract_all(lower(c),
+      lit("(?s)<([a-z][a-z0-9]*)[\\s/>]"), lit(1)), ">"), 256), 1, len)
+
+  /** Template clusters: one row per distinct template fingerprint with
+    * the page count and the smallest id as the deterministic exemplar.
+    * ONE map-side-combined aggregate keyed by |templates| — orders of
+    * magnitude below |pages| on real crawls. */
+  def templateClusters(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      htmlCol: String = "html"): DataFrame =
+    df.select(col(idCol), templateFingerprint(col(htmlCol)).as("template_fp"))
+      .groupBy("template_fp")
+      .agg(count(lit(1)).as("n_pages"), min(col(idCol)).as("exemplar_id"))
+
   /** Per-doc PII profile: match counts (pre-redaction) + redacted text. */
   def piiStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val c = col(textCol)

@@ -3692,6 +3692,79 @@ object PipelineQueries {
       graft.ops.LinkOps.pageMeta(
           docs.select(d.as("doc_id"), url.as("url"), html.as("html")))
         .orderBy("doc_id")
+    }),
+
+    // Main-content extraction: a script block, a link-dense nav, the
+    // article body (with one short inline anchor under the density
+    // cap), an under-threshold fragment and a link-dense footer — only
+    // the body survives; the oracle rebuilds the kept text and counts
+    // arithmetically.
+    "p338_main_content" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val d = col("doc_id")
+      val html = concat(
+        lit("<html><body><script>var x = "), d, lit(";</script>"),
+        lit("<div><a href=\"/1\">Navigation link one "), d,
+        lit("</a> <a href=\"/2\">Navigation link two "), d,
+        lit("</a></div><p>Article body text number "), d,
+        lit(" with enough characters to pass the threshold easily. "),
+        lit("<a href=\"/more\">read more</a></p>"),
+        lit("<div>short</div>"),
+        lit("<footer><a href=\"/about\">About us page</a> "),
+        lit("<a href=\"/terms\">Terms of service</a></footer>"),
+        lit("</body></html>"))
+      graft.ops.TextAnalysis.mainContent(
+          docs.select(d.as("doc_id"), html.as("html")))
+        .orderBy("doc_id")
+    }),
+
+    // Template clusters: three id-derived page templates with varying
+    // content; the fingerprint is a DuckDB-replayable sha256 over the
+    // opening-tag sequence, so the oracle regroups with the same hash.
+    "p339_template_clusters" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val d = col("doc_id")
+      val html = when(d % 3 === 0,
+          concat(lit("<html><body><div><p>text"), d,
+            lit("</p></div></body></html>")))
+        .when(d % 3 === 1,
+          concat(lit("<html><body><div><ul><li>item"), d,
+            lit("</li></ul></div></body></html>")))
+        .otherwise(concat(lit("<html><body><table><tr><td>cell"), d,
+          lit("</td></tr></table></body></html>")))
+      graft.ops.TextAnalysis.templateClusters(
+          docs.select(d.as("doc_id"), html.as("html")))
+        .orderBy("template_fp")
+    }),
+
+    // Perceptual dHash over REAL BMP pixel bytes: 9×8 grids whose luma
+    // is LCG-mixed id arithmetic, every tenth member junk (NULL, never
+    // a kill); the oracle recomputes all 64 comparison bits per image
+    // and packs them in HUGEINT, re-signing to BIGINT.
+    "p340_image_dhash" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      graft.ops.Multimodal.imageDHashScan(
+          graft.ops.Multimodal.bmpPixelsFromIds(docs, "doc_id"), "bytes")
+        .select(col("media_id"), col("dhash"))
+        .orderBy("media_id")
+    }),
+
+    // Image near-dup dedup on pixel bytes end to end: planted twins
+    // (+10000000 ids, ONE luma cell bumped — at most 2 dHash bits
+    // move) must pair with their base through the banded Hamming join;
+    // the oracle recomputes every hash and verifies ALL pairs exactly
+    // (the 4×16 banding is complete at Hamming ≤ 3, so the join's
+    // output must equal the exhaustive answer).
+    "p341_image_neardup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val base = graft.ops.Multimodal.bmpPixelsFromIds(docs, "doc_id")
+      val twins = graft.ops.Multimodal.bmpPixelsFromIds(
+        docs.where(col("doc_id") % 4 === 0), "doc_id",
+        idOffset = 10000000L, bumpCell = 40)
+      graft.ops.Dedup.hashNearDups(
+          graft.ops.Multimodal.imageDHashScan(base.unionByName(twins), "bytes"),
+          "media_id", "dhash", maxHamming = 3)
+        .orderBy("a", "b")
     })
   )
 
@@ -9458,5 +9531,64 @@ object PipelineQueries {
       "CAST(doc_id % 4 IN (0, 2) AS INT) AS meta_noindex, " +
       "CAST(doc_id % 4 IN (1, 2) AS INT) AS meta_nofollow " +
       "FROM documents ORDER BY doc_id")
+  ,
+    // p338: nine fragments (8 block-tag separators), exactly one
+    // surviving — the article body with its inline anchor folded in
+    "p338_main_content" -> (
+      "SELECT doc_id, CAST(9 AS BIGINT) AS n_blocks, CAST(1 AS BIGINT) AS n_kept, " +
+      "'Article body text number ' || doc_id || " +
+      "' with enough characters to pass the threshold easily. read more' AS main_text, " +
+      "CAST(length('Article body text number ' || doc_id || " +
+      "' with enough characters to pass the threshold easily. read more') AS BIGINT) AS n_main_chars " +
+      "FROM documents ORDER BY doc_id")
+  ,
+    // p339: the same opening-tag-sequence sha256 regrouped in DuckDB
+    "p339_template_clusters" -> (
+      "WITH f AS (SELECT doc_id, substring(sha256(CASE doc_id % 3 " +
+      "WHEN 0 THEN 'html>body>div>p' " +
+      "WHEN 1 THEN 'html>body>div>ul>li' " +
+      "ELSE 'html>body>table>tr>td' END), 1, 16) AS template_fp FROM documents) " +
+      "SELECT template_fp, COUNT(*) AS n_pages, MIN(doc_id) AS exemplar_id " +
+      "FROM f GROUP BY template_fp ORDER BY template_fp")
+  ,
+    // p340: all 64 dHash comparison bits recomputed from the LCG luma
+    // arithmetic, packed in HUGEINT and re-signed to the engine's
+    // two's-complement BIGINT; junk members NULL
+    "p340_image_dhash" -> (
+      "WITH g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM documents, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h ORDER BY media_id")
+  ,
+    // p341: every image's hash recomputed (twins bump cell x=3,y=2 by
+    // +40 mod 256), then the EXHAUSTIVE pair check — banded candidate
+    // generation is complete at Hamming <= 3, so the engine's join
+    // must equal the all-pairs answer
+    "p341_image_neardup" -> (
+      "WITH imgs AS (SELECT doc_id AS media_id, doc_id AS seed, 0 AS bump " +
+      "FROM documents WHERE doc_id % 10 <> 9 " +
+      "UNION ALL SELECT doc_id + 10000000, doc_id, 40 FROM documents " +
+      "WHERE doc_id % 4 = 0 AND doc_id % 10 <> 9), " +
+      "g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l0 AS (SELECT media_id, bump, r, c, " +
+      "((1103515245 * ((seed * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS base " +
+      "FROM imgs, g), " +
+      "l AS (SELECT media_id, r, c, CASE WHEN bump > 0 AND c = 3 AND r = 2 " +
+      "THEN (base + 40) % 256 ELSE base END AS lum FROM l0), " +
+      "bits AS (SELECT a.media_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.media_id = a.media_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT media_id, SUM(v) AS v FROM bits GROUP BY media_id), " +
+      "hb AS (SELECT media_id, CAST(CASE WHEN v >= 9223372036854775808::HUGEINT " +
+      "THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS hv FROM h) " +
+      "SELECT a.media_id AS a, b.media_id AS b, " +
+      "CAST(bit_count(xor(a.hv, b.hv)) AS BIGINT) AS hamming " +
+      "FROM hb a JOIN hb b ON a.media_id < b.media_id " +
+      "WHERE bit_count(xor(a.hv, b.hv)) <= 3 ORDER BY a, b")
   )
 }

@@ -12,6 +12,69 @@ import graft.ops.Multimodal
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("dhash64: bit semantics, top-down parity, junk/truncation to NULL") {
+    import graft.functions.DHash64Expression.evalRow
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    // build a 9x8 24bpp BMP from a luma grid (top-origin y)
+    def bmp(lum: (Int, Int) => Int, topDown: Boolean): Array[Byte] = {
+      val stride = 28
+      val out = new Array[Byte](54 + stride * 8)
+      Array[Byte]('B', 'M').copyToArray(out, 0)
+      le32(out.length).copyToArray(out, 2)
+      le32(54).copyToArray(out, 10)
+      le32(40).copyToArray(out, 14)
+      le32(9).copyToArray(out, 18)
+      le32(if (topDown) -8 else 8).copyToArray(out, 22)
+      le16(1).copyToArray(out, 26)
+      le16(24).copyToArray(out, 28)
+      for (fr <- 0 until 8; x <- 0 until 9) {
+        val y = if (topDown) fr else 7 - fr
+        val v = lum(x, y).toByte
+        val p = 54 + fr * stride + x * 3
+        out(p) = v; out(p + 1) = v; out(p + 2) = v
+      }
+      out
+    }
+    // strictly increasing luma left-to-right => all 64 bits set
+    val allUp = bmp((x, _) => x * 20, topDown = false)
+    assert(evalRow(allUp) == -1L)
+    // strictly decreasing => no bits set
+    assert(evalRow(bmp((x, _) => 200 - x * 20, topDown = false)) == 0L)
+    // one rising edge at column 4 on every row => bits c=4 of each row
+    val oneEdge = bmp((x, _) => if (x > 4) 90 else 10, topDown = false)
+    val want = (0 until 8).map(r => 1L << (r * 8 + 4)).reduce(_ | _)
+    assert(evalRow(oneEdge) == want)
+    // top-down storage of the same visual image hashes identically
+    assert(evalRow(bmp((x, y) => (x * 13 + y * 29) % 256, topDown = true)) ==
+      evalRow(bmp((x, y) => (x * 13 + y * 29) % 256, topDown = false)))
+    // junk, truncated pixels, wrong bpp -> NULL, never a throw
+    assert(evalRow("notabitmap".getBytes("US-ASCII")) == null)
+    assert(evalRow(allUp.take(100)) == null)
+    val wrongBpp = allUp.clone(); le16(32).copyToArray(wrongBpp, 28)
+    assert(evalRow(wrongBpp) == null)
+    assert(evalRow(null) == null)
+  }
+
+  test("hashNearDups: planted twin found, 3-bit spread found, 4-bit pair excluded") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, 0L),                                  // base
+      (2L, 1L << 5),                             // hamming 1 vs base
+      (3L, (1L << 0) | (1L << 16) | (1L << 32)), // 3 bits across 3 bands
+      (4L, (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)), // +band-3 bit
+      (5L, -1L))                                 // far from everything
+      .toDF("media_id", "dhash")
+    val got = graft.ops.Dedup.hashNearDups(rows, "media_id", "dhash")
+      .orderBy("a", "b")
+      .select("a", "b", "hamming").as[(Long, Long, Long)].collect().toSeq
+    // (1,2)=1; (1,3)=3 via the untouched band 3; (3,4)=1; the
+    // hamming-4 (2,3) candidate verifies and is EXCLUDED by threshold
+    assert(got == Seq((1L, 2L, 1L), (1L, 3L, 3L), (3L, 4L, 1L)))
+  }
+
   private lazy val media = Multimodal.mediaFromDocuments(
     spark, Tables(spark, "/root/testdata/sf0.001", "documents"))
 

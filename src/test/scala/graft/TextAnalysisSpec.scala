@@ -25,6 +25,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(edge.toSeq == Seq("no markup at all", "", "a"))
   }
 
+  test("mainContent: link-dense blocks drop, article body survives, script pre-strips") {
+    val html =
+      """<html><body><script>var nav = "<div>decoy</div>";</script>
+        |<div><a href="/a">Navigation link alpha here</a> <a href="/b">Navigation link beta here</a></div>
+        |<p>This is the real article body with plenty of prose characters.
+        |<a href="/more">more</a></p>
+        |<div>tiny</div>
+        |<footer><a href="/about">About us page link</a> <a href="/terms">Terms of service link</a></footer>
+        |</body></html>""".stripMargin
+    val got = graft.ops.TextAnalysis.mainContent(
+        Seq((1L, html)).toDF("doc_id", "html"))
+      .select("n_kept", "main_text").as[(Long, String)].head()
+    assert(got._1 == 1L)
+    assert(got._2 ==
+      "This is the real article body with plenty of prose characters. more")
+    // the script's embedded "<div>decoy</div>" must not create blocks:
+    // stripping happens BEFORE the block split
+    assert(!got._2.contains("decoy"))
+    // density boundary: exactly at the cap keeps, just above drops
+    val boundary = Seq(
+      // 23 base chars + L link chars: keep iff 100L <= 33(23+L), i.e.
+      // L <= 11.3 — so 12 link chars drop...
+      (2L, """<p>abcdefghijklmnopqrst u <a href="/x">linklinklink</a></p>"""),
+      // ...and 11 keep
+      (3L, """<p>abcdefghijklmnopqrst u <a href="/x">linklinklin</a></p>"""))
+      .toDF("doc_id", "html")
+    val b = graft.ops.TextAnalysis.mainContent(boundary)
+      .orderBy("doc_id").select("n_kept").as[Long].collect().toSeq
+    assert(b == Seq(0L, 1L))
+    // map-only plan
+    val plan = graft.ops.TextAnalysis.mainContent(boundary)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mainContent must not shuffle:\n$plan")
+  }
+
+  test("templateFingerprint/templateClusters: same tags same fp, content-blind") {
+    val pages = Seq(
+      (5L, "<html><body><div><p>alpha</p></div></body></html>"),
+      (2L, "<HTML><BODY><DIV><P>totally different words</P></DIV></BODY></HTML>"),
+      (3L, "<html><body><ul><li>x</li></ul></body></html>"))
+      .toDF("doc_id", "html")
+    val got = graft.ops.TextAnalysis.templateClusters(pages)
+      .orderBy("exemplar_id")
+      .select("n_pages", "exemplar_id").as[(Long, Long)].collect().toSeq
+    // docs 5 and 2 share the template (case-insensitive tags), doc 3 differs
+    assert(got == Seq((2L, 2L), (1L, 3L)))
+  }
+
   test("token counts: whitespace and subword") {
     val df = Seq("hello world", "  a  b   c ", "", "can't stop-me v2.0").toDF("t")
     val out = df.select(

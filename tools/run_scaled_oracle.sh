@@ -50,6 +50,10 @@ GATES=$GATES,p324_robots_wildcards,p325_sitemap_parse,p326_politeness_schedule
 GATES=$GATES,p328_url_resolve,p329_link_extract,p330_crawl_frontier
 GATES=$GATES,p331_host_link_graph,p333_host_authority,p334_anchor_extract
 GATES=$GATES,p335_anchor_text_agg,p336_redirect_chains,p337_page_meta
+# round-15 HTML curation + image perceptual-hash families (p341's
+# oracle is an EXHAUSTIVE all-pairs check — fine at sf0.01's 625
+# images, quadratic at x20, so it stays at the base scale)
+GATES=$GATES,p338_main_content,p339_template_clusters,p340_image_dhash
 # dedup family members whose oracles are id-set-agnostic and linear
 # (p04/p06 plant +100000-shifted twins — their id arithmetic collides
 # with the x20 replica offsets, so they stay fingerprint-pinned)
