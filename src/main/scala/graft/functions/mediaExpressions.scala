@@ -525,9 +525,104 @@ object DHash64Expression {
   }
 }
 
+/** `audio_pcm_stats(bytes)`: EXACT integer signal statistics over real
+  * 16-bit PCM WAV bytes — the audio sibling of [[DHash64Expression]]'s
+  * real-pixel scope (PCM is the one mainstream audio encoding readable
+  * without a codec). Walks the RIFF chunks to `fmt ` (must be
+  * format 1, 16-bit) and `data`, then measures the FIRST `maxFrames`
+  * frames only — bounded work per record regardless of file length,
+  * the corpus-triage discipline ([[AudioMetaExpression]] reads
+  * headers; this reads a bounded sample window). Emits exact integers
+  * (no float RMS — `sum_sq`/`n_measured` lets the caller derive any
+  * loudness measure while staying engine-portable): (sample_rate,
+  * channels, n_frames, n_measured frames, sum_sq, peak, clipped
+  * full-scale sample count). NULL for anything not a well-formed
+  * 16-bit PCM WAV — hostile bytes are data, never an exception; all
+  * chunk arithmetic guards the wrap-around cases the round-13 fuzz
+  * taught. */
+case class AudioPcmStatsExpression(child: Expression, maxFrames: Int)
+    extends UnaryExpression {
+  require(maxFrames > 0, s"audio_pcm_stats: maxFrames=$maxFrames")
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("n_measured", IntegerType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("clipped", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    AudioPcmStatsExpression.evalRow(input.asInstanceOf[Array[Byte]], maxFrames)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("pcm")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      InternalRow $r = graft.functions.AudioPcmStatsExpression.evalRow($c, $maxFrames);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "audio_pcm_stats"
+}
+
+object AudioPcmStatsExpression {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def s16(b: Array[Byte], i: Int): Int = (le16(b, i) << 16) >> 16
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  /** Codegen entry point; null = not a 16-bit PCM WAV. */
+  def evalRow(b: Array[Byte], maxFrames: Int): InternalRow = {
+    if (b == null || b.length < 12) return null
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
+    var p = 12
+    var rate = -1; var ch = -1; var bits = -1; var fmtCode = -1
+    var dataOff = -1; var dataLen = -1L
+    while (p + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+      val sz = le32(b, p + 4)
+      if (sz < 0 || sz > b.length - p - 8) return null
+      if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
+        if (sz < 16) return null
+        fmtCode = le16(b, p + 8)
+        ch = le16(b, p + 10)
+        rate = le32(b, p + 12)
+        bits = le16(b, p + 22)
+      } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' &&
+          b(p + 3) == 'a') {
+        dataOff = p + 8
+        dataLen = sz.toLong
+      }
+      p += 8 + sz + (sz & 1)
+    }
+    if (fmtCode != 1 || bits != 16 || ch <= 0 || rate <= 0 || dataOff < 0)
+      return null
+    val blockAlign = ch.toLong * 2L
+    val nFrames = dataLen / blockAlign
+    val m = math.min(nFrames, maxFrames.toLong).toInt
+    var sumSq = 0L
+    var peak = 0
+    var clipped = 0
+    var i = 0
+    val nSamples = m * ch
+    while (i < nSamples) {
+      val s = s16(b, dataOff + i * 2)
+      sumSq += s.toLong * s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      if (s == 32767 || s == -32768) clipped += 1
+      i += 1
+    }
+    InternalRow(rate, ch, nFrames, m, sumSq, peak, clipped)
+  }
+}
+
 object MediaFunctions {
   def image_dims(c: Column): Column = column(ImageDimsExpression(expression(c)))
   def audio_meta(c: Column): Column = column(AudioMetaExpression(expression(c)))
   def video_meta(c: Column): Column = column(VideoMetaExpression(expression(c)))
   def dhash64(c: Column): Column = column(DHash64Expression(expression(c)))
+  def audio_pcm_stats(c: Column, maxFrames: Int = 4096): Column =
+    column(AudioPcmStatsExpression(expression(c), maxFrames))
 }

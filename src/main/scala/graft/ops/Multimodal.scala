@@ -229,6 +229,68 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** PCM signal scan: appends the exact-integer stats struct from
+    * [[graft.functions.AudioPcmStatsExpression]] over real 16-bit PCM
+    * WAV bytes (bounded `maxFrames` window per record; NULL for
+    * non-PCM/hostile bytes). Map-only. */
+  def audioPcmScan(df: DataFrame, bytesCol: String, maxFrames: Int = 4096): DataFrame =
+    df.withColumn("_pcm",
+        graft.functions.MediaFunctions.audio_pcm_stats(col(bytesCol), maxFrames))
+      .withColumn("sample_rate", col("_pcm").getField("sample_rate"))
+      .withColumn("channels", col("_pcm").getField("channels"))
+      .withColumn("n_frames", col("_pcm").getField("n_frames"))
+      .withColumn("n_measured", col("_pcm").getField("n_measured"))
+      .withColumn("sum_sq", col("_pcm").getField("sum_sq"))
+      .withColumn("peak", col("_pcm").getField("peak"))
+      .withColumn("clipped", col("_pcm").getField("clipped"))
+      .drop("_pcm")
+
+  /** Deterministic PCM-carrying WAV fixture: 64-frame 16-bit PCM WAVs
+    * (mono for even seeds, stereo for odd) whose samples follow a
+    * SQL-replayable arithmetic (v = (seed·37 + j·11) mod 2003 − 1001),
+    * with a planted FULL-SCALE sample (32767 at index 5) on every
+    * seed % 7 == 0 member and JUNK bytes on every seed % 10 == 9. */
+  def wavPcmFromIds(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
+      val bytes =
+        if (seed % 10 == 9) s"notawav:$seed".getBytes("US-ASCII")
+        else {
+          val ch = 1 + (seed % 2).toInt
+          val frames = 64
+          val nSamples = frames * ch
+          val dataLen = nSamples * 2
+          val out = new Array[Byte](44 + dataLen)
+          Array[Byte]('R', 'I', 'F', 'F').copyToArray(out, 0)
+          le32(36 + dataLen).copyToArray(out, 4)
+          Array[Byte]('W', 'A', 'V', 'E', 'f', 'm', 't', ' ').copyToArray(out, 8)
+          le32(16).copyToArray(out, 16)
+          le16(1).copyToArray(out, 20) // PCM
+          le16(ch).copyToArray(out, 22)
+          le32(16000).copyToArray(out, 24)
+          le32(16000 * ch * 2).copyToArray(out, 28)
+          le16(ch * 2).copyToArray(out, 32)
+          le16(16).copyToArray(out, 34)
+          Array[Byte]('d', 'a', 't', 'a').copyToArray(out, 36)
+          le32(dataLen).copyToArray(out, 40)
+          var j = 0
+          while (j < nSamples) {
+            val v =
+              if (seed % 7 == 0 && j == 5) 32767
+              else (((seed * 37 + j * 11) % 2003) - 1001).toInt
+            le16(v & 0xffff).copyToArray(out, 44 + j * 2)
+            j += 1
+          }
+          out
+        }
+      (seed, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
   /** Deterministic header-bytes fixture: builds REAL container headers
     * (PNG IHDR, GIF89a logical screen, BMP BITMAPINFOHEADER, minimal
     * JPEG SOI+SOF0) with dimensions derived from the id — width

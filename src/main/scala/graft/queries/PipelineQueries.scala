@@ -3765,6 +3765,20 @@ object PipelineQueries {
           graft.ops.Multimodal.imageDHashScan(base.unionByName(twins), "bytes"),
           "media_id", "dhash", maxHamming = 3)
         .orderBy("a", "b")
+    }),
+
+    // Exact-integer PCM signal stats over real 16-bit WAV bytes:
+    // arithmetic samples (mono/stereo by id parity), a planted
+    // full-scale clip on every seventh member, junk every tenth; the
+    // oracle replays every sample and aggregates exactly.
+    "p342_audio_pcm" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      graft.ops.Multimodal.audioPcmScan(
+          graft.ops.Multimodal.wavPcmFromIds(docs, "doc_id"), "bytes")
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("n_measured"), col("sum_sq"), col("peak"),
+          col("clipped"))
+        .orderBy("media_id")
     })
   )
 
@@ -9590,5 +9604,27 @@ object PipelineQueries {
       "CAST(bit_count(xor(a.hv, b.hv)) AS BIGINT) AS hamming " +
       "FROM hb a JOIN hb b ON a.media_id < b.media_id " +
       "WHERE bit_count(xor(a.hv, b.hv)) <= 3 ORDER BY a, b")
+  ,
+    // p342: every PCM sample replayed arithmetically (planted clip at
+    // sample index 5 on id % 7 == 0), exact integer aggregates
+    "p342_audio_pcm" -> (
+      "WITH ids AS (SELECT doc_id, 1 + CAST(doc_id % 2 AS INT) AS ch FROM documents), " +
+      "s AS (SELECT doc_id, ch, j.range AS j, " +
+      "CASE WHEN doc_id % 7 = 0 AND j.range = 5 THEN 32767 " +
+      "ELSE ((doc_id * 37 + j.range * 11) % 2003) - 1001 END AS v " +
+      "FROM ids, range(0, 128) j WHERE j.range < 64 * ch), " +
+      "a AS (SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS sum_sq, " +
+      "CAST(MAX(abs(v)) AS INT) AS peak, " +
+      "CAST(SUM(CASE WHEN v IN (32767, -32768) THEN 1 ELSE 0 END) AS INT) AS clipped " +
+      "FROM s GROUP BY doc_id) " +
+      "SELECT i.doc_id AS media_id, " +
+      "CASE WHEN i.doc_id % 10 = 9 THEN NULL ELSE 16000 END AS sample_rate, " +
+      "CASE WHEN i.doc_id % 10 = 9 THEN NULL ELSE i.ch END AS channels, " +
+      "CASE WHEN i.doc_id % 10 = 9 THEN NULL ELSE CAST(64 AS BIGINT) END AS n_frames, " +
+      "CASE WHEN i.doc_id % 10 = 9 THEN NULL ELSE 64 END AS n_measured, " +
+      "CASE WHEN i.doc_id % 10 = 9 THEN NULL ELSE a.sum_sq END AS sum_sq, " +
+      "CASE WHEN i.doc_id % 10 = 9 THEN NULL ELSE a.peak END AS peak, " +
+      "CASE WHEN i.doc_id % 10 = 9 THEN NULL ELSE a.clipped END AS clipped " +
+      "FROM ids i JOIN a ON a.doc_id = i.doc_id ORDER BY media_id")
   )
 }

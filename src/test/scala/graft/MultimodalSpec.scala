@@ -57,6 +57,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(evalRow(null) == null)
   }
 
+  test("audio_pcm_stats: exact sums, clip count, bounded window, hostile to NULL") {
+    import graft.functions.AudioPcmStatsExpression.evalRow
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def wav(ch: Int, samples: Seq[Int], fmtCode: Int = 1, bits: Int = 16): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val out = new Array[Byte](44 + dataLen)
+      Array[Byte]('R', 'I', 'F', 'F').copyToArray(out, 0)
+      le32(36 + dataLen).copyToArray(out, 4)
+      Array[Byte]('W', 'A', 'V', 'E', 'f', 'm', 't', ' ').copyToArray(out, 8)
+      le32(16).copyToArray(out, 16)
+      le16(fmtCode).copyToArray(out, 20)
+      le16(ch).copyToArray(out, 22)
+      le32(16000).copyToArray(out, 24)
+      le32(16000 * ch * 2).copyToArray(out, 28)
+      le16(ch * 2).copyToArray(out, 32)
+      le16(bits).copyToArray(out, 34)
+      Array[Byte]('d', 'a', 't', 'a').copyToArray(out, 36)
+      le32(dataLen).copyToArray(out, 40)
+      samples.zipWithIndex.foreach { case (v, j) =>
+        le16(v & 0xffff).copyToArray(out, 44 + j * 2)
+      }
+      out
+    }
+    // mono, 2 frames: sum_sq = 9 + 16 = 25, peak 4
+    val r = evalRow(wav(1, Seq(3, -4)), 4096)
+    assert(r.getInt(0) == 16000 && r.getInt(1) == 1 && r.getLong(2) == 2L &&
+      r.getInt(3) == 2 && r.getLong(4) == 25L && r.getInt(5) == 4 &&
+      r.getInt(6) == 0)
+    // full-scale samples count as clipped, both polarities
+    val c = evalRow(wav(1, Seq(32767, -32768, 0)), 4096)
+    assert(c.getLong(4) == 32767L * 32767 + 32768L * 32768 &&
+      c.getInt(5) == 32768 && c.getInt(6) == 2)
+    // stereo frame accounting: 4 samples = 2 frames
+    val st = evalRow(wav(2, Seq(1, 2, 3, 4)), 4096)
+    assert(st.getInt(1) == 2 && st.getLong(2) == 2L && st.getLong(4) == 30L)
+    // bounded window: maxFrames=1 measures only the first frame
+    val b1 = evalRow(wav(1, Seq(3, -4)), 1)
+    assert(b1.getInt(3) == 1 && b1.getLong(4) == 9L && b1.getLong(2) == 2L)
+    // non-PCM fmt code, non-16-bit, junk, null -> NULL
+    assert(evalRow(wav(1, Seq(1), fmtCode = 3), 4096) == null)
+    assert(evalRow(wav(1, Seq(1), bits = 8), 4096) == null)
+    assert(evalRow("notawav".getBytes("US-ASCII"), 4096) == null)
+    assert(evalRow(null, 4096) == null)
+  }
+
   test("hashNearDups: planted twin found, 3-bit spread found, 4-bit pair excluded") {
     val s = spark
     import s.implicits._
