@@ -3779,6 +3779,23 @@ object PipelineQueries {
           col("n_frames"), col("n_measured"), col("sum_sq"), col("peak"),
           col("clipped"))
         .orderBy("media_id")
+    }),
+
+    // WARC -> binary payload -> perceptual hash on REAL crawl bytes:
+    // the committed pixel-BMP fixture (tools/make_warc_bmp_fixture.py,
+    // byte-identical to the bmpPixelsFromIds recipe) read through the
+    // LOSSLESS binary reader, then dHashed; the oracle replays the
+    // p340 bit arithmetic over range(0, 20) — reader drift OR hash
+    // drift fails.
+    "p343_warc_dhash" -> ((s, dir) => {
+      val recs = graft.sources.Warc.recordsBinary(s,
+          "/root/repo/src/test/resources/fixture_bmp.warc")
+        .where(col("warc_type") === "resource" && col("length_ok"))
+        .select(regexp_extract(col("target_uri"), "media://bmp/([0-9]+)", 1)
+          .cast("long").as("media_id"), col("payload"))
+      graft.ops.Multimodal.imageDHashScan(recs, "payload")
+        .select(col("media_id"), col("dhash"))
+        .orderBy("media_id")
     })
   )
 
@@ -9626,5 +9643,21 @@ object PipelineQueries {
       "CASE WHEN i.doc_id % 10 = 9 THEN NULL ELSE a.peak END AS peak, " +
       "CASE WHEN i.doc_id % 10 = 9 THEN NULL ELSE a.clipped END AS clipped " +
       "FROM ids i JOIN a ON a.doc_id = i.doc_id ORDER BY media_id")
+  ,
+    // p343: the p340 dHash arithmetic replayed over the committed
+    // fixture's id range — the fixture bytes follow the same LCG
+    // recipe, so no fixture parsing is needed
+    "p343_warc_dhash" -> (
+      "WITH ids AS (SELECT range AS doc_id FROM range(0, 20)), " +
+      "g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM ids, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h ORDER BY media_id")
   )
 }
