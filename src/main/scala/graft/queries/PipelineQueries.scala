@@ -3796,6 +3796,48 @@ object PipelineQueries {
       graft.ops.Multimodal.imageDHashScan(recs, "payload")
         .select(col("media_id"), col("dhash"))
         .orderBy("media_id")
+    }),
+
+    // The WHOLE crawl front door as ONE lazy chain: HTML link
+    // extraction -> frontier discovery (inlink agg + anti join vs the
+    // fetched set) -> RFC 9309 robots filter -> crawl-delay politeness
+    // schedule. Pages link cross-host (so inlink counts come from the
+    // data), host t0 disallows the target path, t1 carries a 2 s
+    // crawl delay, t2 gets the default; the oracle replays the full
+    // composition in DuckDB.
+    "p344_crawl_loop" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val d = col("doc_id")
+      val g = expr("doc_id div 2")
+      val html = concat(lit("<html><body><a href=\"http://t"), g % 3,
+        lit(".example/page/"), g, lit("\">next</a></body></html>"))
+      val pages = docs.select(d.as("doc_id"),
+        concat(lit("http://src"), d % 4, lit(".example/p/"), d).as("url"),
+        html.as("html"))
+      val links = graft.ops.LinkOps.extractLinks(pages)
+      val crawled = docs.where(g % 5 === 0)
+        .select(concat(lit("http://t"), g % 3, lit(".example/page/"), g)
+          .as("url")).distinct()
+      val frontier = graft.ops.LinkOps
+        .frontierDiscover(links, crawled, maxPerHost = 1000)
+        .select(col("dst_url"), col("n_inlinks"))
+      val robots = docs.select((g % 3).as("_h")).distinct().select(
+        concat(lit("t"), col("_h"), lit(".example")).as("host"),
+        when(col("_h") === 0, lit("User-agent: *\nDisallow: /page/\n"))
+          .when(col("_h") === 1, lit("User-agent: *\nCrawl-delay: 2\n"))
+          .otherwise(lit("User-agent: *\n")).as("body"))
+      val small = Some(graft.ops.UrlOps.hostDimIsSmall(robots))
+      val allowed = graft.ops.UrlOps.robotsAllowed(frontier,
+          graft.ops.UrlOps.robotsRules(robots), "graftbot",
+          urlCol = "dst_url", smallDim = small)
+        .where(col("allowed"))
+        .select(col("dst_url"), col("n_inlinks"))
+      graft.ops.UrlOps.politenessSchedule(allowed,
+          graft.ops.UrlOps.robotsCrawlDelay(robots), "graftbot",
+          urlCol = "dst_url", idCol = "dst_url", smallDim = small)
+        .select(col("host"), col("dst_url"), col("n_inlinks"),
+          col("fetch_seq"), col("fetch_offset_ms"))
+        .orderBy("host", "fetch_seq")
     })
   )
 
@@ -9659,5 +9701,22 @@ object PipelineQueries {
       "SELECT doc_id AS media_id, CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
       "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
       "FROM h ORDER BY media_id")
+  ,
+    // p344: the full front-door composition replayed — inlink counts
+    // from the GROUP BY, fetched groups dropped, host t0 robots-blocked,
+    // per-host rank over dst string order, delay 2 s / default 1 s
+    "p344_crawl_loop" -> (
+      "WITH l AS (SELECT doc_id // 2 AS g FROM documents), " +
+      "a AS (SELECT g, COUNT(*) AS n FROM l GROUP BY g), " +
+      "f AS (SELECT 'http://t' || (g % 3) || '.example/page/' || g AS dst, " +
+      "g % 3 AS th, n FROM a WHERE g % 5 <> 0), " +
+      "r AS (SELECT dst, th, n FROM f WHERE th >= 1), " +
+      "p AS (SELECT 't' || th || '.example' AS host, dst AS dst_url, " +
+      "n AS n_inlinks, " +
+      "ROW_NUMBER() OVER (PARTITION BY th ORDER BY dst) - 1 AS seq, " +
+      "CASE WHEN th = 1 THEN 2000 ELSE 1000 END AS delay FROM r) " +
+      "SELECT host, dst_url, n_inlinks, CAST(seq AS INT) AS fetch_seq, " +
+      "CAST(seq * delay AS BIGINT) AS fetch_offset_ms " +
+      "FROM p ORDER BY host, fetch_seq")
   )
 }
