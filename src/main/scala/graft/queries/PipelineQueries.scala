@@ -9703,14 +9703,19 @@ object PipelineQueries {
       "FROM h ORDER BY media_id")
   ,
     // p344: the full front-door composition replayed — inlink counts
-    // from the GROUP BY, fetched groups dropped, host t0 robots-blocked,
-    // per-host rank over dst string order, delay 2 s / default 1 s
+    // from the GROUP BY, fetched groups dropped, the frontier's
+    // 1000-per-host cap replayed as the same (n DESC, dst) window
+    // (it binds at the x20 scaled corpus — the row this oracle first
+    // caught), host t0 robots-blocked, per-host rank over dst string
+    // order, delay 2 s / default 1 s
     "p344_crawl_loop" -> (
       "WITH l AS (SELECT doc_id // 2 AS g FROM documents), " +
       "a AS (SELECT g, COUNT(*) AS n FROM l GROUP BY g), " +
       "f AS (SELECT 'http://t' || (g % 3) || '.example/page/' || g AS dst, " +
       "g % 3 AS th, n FROM a WHERE g % 5 <> 0), " +
-      "r AS (SELECT dst, th, n FROM f WHERE th >= 1), " +
+      "rk AS (SELECT dst, th, n, ROW_NUMBER() OVER (PARTITION BY th " +
+      "ORDER BY n DESC, dst) AS hr FROM f), " +
+      "r AS (SELECT dst, th, n FROM rk WHERE hr <= 1000 AND th >= 1), " +
       "p AS (SELECT 't' || th || '.example' AS host, dst AS dst_url, " +
       "n AS n_inlinks, " +
       "ROW_NUMBER() OVER (PARTITION BY th ORDER BY dst) - 1 AS seq, " +
