@@ -348,6 +348,38 @@ object LinkOps {
       .where(col("host_rank") <= maxPerHost)
   }
 
+  /** Authority-proportional CRAWL BUDGET allocation: split a total
+    * fetch budget across hosts proportionally to an authority score
+    * (e.g. [[graft.ops.Graph.pageRank]] over [[hostLinkGraph]]), with
+    * a floor so no known host starves. Exact integer arithmetic:
+    * `budget = minPerHost + floor((total − minPerHost·H) · score / Σ
+    * score)` — conservative floors mean the allocation never EXCEEDS
+    * `total` (the remainder stays unspent; deterministic, and two
+    * engines agree without largest-remainder tie games). Requires
+    * `total ≥ minPerHost · |hosts|`, enforced at runtime as a row
+    * guard (NULL budgets rather than a driver-side count action).
+    *
+    * Shape: one scalar aggregate (Σ score, H) broadcast back as
+    * literals via a cross join of one row — the host table is already
+    * |hosts|-sized. */
+  def crawlBudget(
+      authority: DataFrame,
+      totalBudget: Long,
+      minPerHost: Long = 1L,
+      hostCol: String = "host",
+      scoreCol: String = "score_micro"): DataFrame = {
+    require(totalBudget > 0, s"crawlBudget: totalBudget=$totalBudget")
+    require(minPerHost >= 0, s"crawlBudget: minPerHost=$minPerHost")
+    val totals = authority.agg(
+      sum(col(scoreCol)).as("_ssum"), count(lit(1)).as("_h"))
+    authority.crossJoin(broadcast(totals))
+      .select(col(hostCol).as("host"), col(scoreCol).as("score_micro"),
+        when(col("_ssum") > 0 && lit(totalBudget) >= col("_h") * minPerHost,
+          lit(minPerHost) +
+            expr(s"($totalBudget - _h * $minPerHost) * $scoreCol div _ssum"))
+          .as("budget"))
+  }
+
   /** Host-level link graph: one edge per (src_host, dst_host) with the
     * link count and the number of distinct linking pages — the input
     * [[Graph]]'s PageRank/authority ops take directly. `intra` marks

@@ -329,6 +329,46 @@ object UrlOps {
       .drop("_delay")
   }
 
+  /** URL PATH-PATTERN mining — the crawler-trap detector: generalize
+    * each path by folding long hex runs (≥ 8 chars — session ids,
+    * content hashes) to `{h}` and digit runs to `{n}`, then count URLs
+    * per (host, pattern). A host where one generated pattern carries
+    * most of the URL mass (calendar pages, session-id echoes, infinite
+    * facet grids) is a TRAP — its pattern share exceeds
+    * `trapSharePpm` with at least `trapMinUrls` URLs, and a frontier
+    * should demote it. Returns (host, pattern, n_urls, host_total,
+    * share_ppm, trap) — exact integer ppm.
+    *
+    * Shape: map-only pattern fold + ONE (host, pattern) aggregate +
+    * one per-host window over the |patterns|-sized result (orders of
+    * magnitude below |URLs|). */
+  def urlPatternStats(
+      urls: DataFrame,
+      urlCol: String = "url",
+      trapSharePpm: Long = 500000L,
+      trapMinUrls: Long = 100L): DataFrame = {
+    require(trapSharePpm > 0 && trapSharePpm <= 1000000L,
+      s"urlPatternStats: trapSharePpm=$trapSharePpm")
+    import org.apache.spark.sql.expressions.Window
+    val host = lower(parse_url(col(urlCol), lit("HOST")))
+    val path = coalesce(parse_url(col(urlCol), lit("PATH")), lit("/"))
+    val pattern = regexp_replace(
+      regexp_replace(path, "[0-9a-f]{8,}", "{h}"), "[0-9]+", "{n}")
+    val counts = urls
+      .select(host.as("host"), pattern.as("pattern"))
+      .where(col("host").isNotNull)
+      .groupBy("host", "pattern")
+      .agg(count(lit(1)).as("n_urls"))
+    val w = Window.partitionBy(col("host"))
+    counts
+      .withColumn("host_total", sum(col("n_urls")).over(w))
+      .withColumn("share_ppm",
+        expr("n_urls * 1000000 div host_total"))
+      .withColumn("trap",
+        (col("share_ppm") >= trapSharePpm &&
+          col("n_urls") >= trapMinUrls).cast("int"))
+  }
+
   /** `Sitemap:` directives from robots.txt bodies (RFC 9309 §2.2.4
     * allows other records; sitemaps.org specifies this one) — the
     * crawl seed list robots carries. One row per directive:

@@ -3838,6 +3838,45 @@ object PipelineQueries {
         .select(col("host"), col("dst_url"), col("n_inlinks"),
           col("fetch_seq"), col("fetch_offset_ms"))
         .orderBy("host", "fetch_seq")
+    }),
+
+    // Crawler-trap detection by path-pattern mining: 70% of each
+    // host's URLs share one digit-generalized pattern (the planted
+    // trap), plus a calendar pattern, a hex-session pattern and a
+    // static page; the oracle regroups the same folded patterns.
+    "p345_url_patterns" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val d = col("doc_id")
+      val m = d % 10
+      val path = when(m <= 6, concat(lit("/item/"), d))
+        .when(m === 7, concat(lit("/cal/2024/"), d % 12 + 1, lit("/"), d % 28 + 1))
+        .when(m === 8, concat(lit("/s/deadbeefcafe"), d))
+        .otherwise(lit("/about"))
+      graft.ops.UrlOps.urlPatternStats(
+          docs.select(concat(lit("http://u"), d % 5, lit(".example"), path)
+            .as("url")),
+          trapSharePpm = 500000L, trapMinUrls = 10L)
+        .orderBy("host", "pattern")
+    }),
+
+    // Authority-proportional crawl budget: the p333 host-authority
+    // composition extended one stage — PageRank scores split a fetch
+    // budget with a per-host floor, exact integer floor division; the
+    // oracle replays the three mass passes AND the allocation.
+    "p346_crawl_budget" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val d = col("doc_id")
+      val b = (d % 7) % 5
+      val links = docs.where(((d % 5) + b) % 3 =!= 0).select(
+        concat(lit("http://g"), d % 5, lit(".example/p/"), d).as("url"),
+        concat(lit("http://g"), b, lit(".example/q/"), d % 13).as("dst_url"))
+      val auth = graft.ops.Graph.pageRank(
+          graft.ops.LinkOps.hostLinkGraph(links),
+          iters = 3, srcCol = "src_host", dstCol = "dst_host")
+        .select(col("node").as("host"), col("score_micro"))
+      graft.ops.LinkOps.crawlBudget(auth, totalBudget = 100000L,
+          minPerHost = 10L)
+        .orderBy("host")
     })
   )
 
@@ -9723,5 +9762,44 @@ object PipelineQueries {
       "SELECT host, dst_url, n_inlinks, CAST(seq AS INT) AS fetch_seq, " +
       "CAST(seq * delay AS BIGINT) AS fetch_offset_ms " +
       "FROM p ORDER BY host, fetch_seq")
+  ,
+    // p345: the same digit/hex pattern folds regrouped — /item/{n}
+    // carries 70% of every host and traps; the rest stay clean
+    "p345_url_patterns" -> (
+      "WITH u AS (SELECT 'u' || (doc_id % 5) || '.example' AS host, " +
+      "CASE WHEN doc_id % 10 <= 6 THEN '/item/{n}' " +
+      "WHEN doc_id % 10 = 7 THEN '/cal/{n}/{n}/{n}' " +
+      "WHEN doc_id % 10 = 8 THEN '/s/{h}' " +
+      "ELSE '/about' END AS pattern FROM documents), " +
+      "c AS (SELECT host, pattern, COUNT(*) AS n_urls FROM u GROUP BY host, pattern), " +
+      "t AS (SELECT host, CAST(SUM(n_urls) AS BIGINT) AS host_total FROM c GROUP BY host) " +
+      "SELECT c.host, c.pattern, c.n_urls, t.host_total, " +
+      "CAST(c.n_urls * 1000000 // t.host_total AS BIGINT) AS share_ppm, " +
+      "CAST(c.n_urls * 1000000 // t.host_total >= 500000 AND c.n_urls >= 10 AS INT) AS trap " +
+      "FROM c JOIN t ON t.host = c.host ORDER BY c.host, c.pattern")
+  ,
+    // p346: the p333 PageRank replay extended with the exact
+    // floor-division budget split over (Sigma score, host count)
+    "p346_crawl_budget" -> (
+      "WITH e AS (SELECT DISTINCT 'g' || (doc_id % 5) || '.example' AS s, " +
+      "'g' || ((doc_id % 7) % 5) || '.example' AS t FROM documents " +
+      "WHERE ((doc_id % 5) + ((doc_id % 7) % 5)) % 3 <> 0), " +
+      "n AS (SELECT s AS node FROM e UNION SELECT t FROM e), " +
+      "od AS (SELECT s AS node, COUNT(*) AS out_deg FROM e GROUP BY s), " +
+      "s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS sc FROM n), " +
+      "s1 AS (SELECT n.node, CAST(150000 + COALESCE(SUM(s0.sc * 850000 // (1000000 * od.out_deg)), 0) AS BIGINT) AS sc " +
+      "FROM n LEFT JOIN e ON e.t = n.node LEFT JOIN s0 ON s0.node = e.s " +
+      "LEFT JOIN od ON od.node = e.s GROUP BY n.node), " +
+      "s2 AS (SELECT n.node, CAST(150000 + COALESCE(SUM(s1.sc * 850000 // (1000000 * od.out_deg)), 0) AS BIGINT) AS sc " +
+      "FROM n LEFT JOIN e ON e.t = n.node LEFT JOIN s1 ON s1.node = e.s " +
+      "LEFT JOIN od ON od.node = e.s GROUP BY n.node), " +
+      "s3 AS (SELECT n.node, CAST(150000 + COALESCE(SUM(s2.sc * 850000 // (1000000 * od.out_deg)), 0) AS BIGINT) AS sc " +
+      "FROM n LEFT JOIN e ON e.t = n.node LEFT JOIN s2 ON s2.node = e.s " +
+      "LEFT JOIN od ON od.node = e.s GROUP BY n.node), " +
+      "b AS (SELECT node AS host, sc AS score_micro FROM s3), " +
+      "tt AS (SELECT CAST(SUM(score_micro) AS BIGINT) AS ssum, COUNT(*) AS h FROM b) " +
+      "SELECT b.host, b.score_micro, " +
+      "CAST(10 + (100000 - tt.h * 10) * b.score_micro // tt.ssum AS BIGINT) AS budget " +
+      "FROM b, tt ORDER BY host")
   )
 }

@@ -218,6 +218,23 @@ class LinkOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"pageMeta must not shuffle:\n$plan")
   }
 
+  test("crawlBudget: proportional floor-division split never exceeds the total") {
+    val auth = Seq(("a", 600000L), ("b", 300000L), ("c", 100000L))
+      .toDF("host", "score_micro")
+    val got = graft.ops.LinkOps.crawlBudget(auth, totalBudget = 1000L,
+        minPerHost = 10L)
+      .orderBy("host").select("host", "budget")
+      .as[(String, Long)].collect().toSeq
+    // pool = 1000 - 30 = 970: floors 582 + 291 + 97 = 970, +3x10 = 1000
+    assert(got == Seq("a" -> 592L, "b" -> 301L, "c" -> 107L))
+    assert(got.map(_._2).sum <= 1000L)
+    // infeasible floor (total < minPerHost * H) -> NULL budgets, no throw
+    val bad = graft.ops.LinkOps.crawlBudget(auth, totalBudget = 20L,
+        minPerHost = 10L)
+      .select("budget").collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
+
   test("hostLinkGraph: edge counts, distinct pages, intra flag") {
     val links = Seq(
       ("http://A.example/p1", "http://b.example/x"),

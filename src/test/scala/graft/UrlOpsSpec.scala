@@ -260,6 +260,26 @@ class UrlOpsSpec extends AnyFunSuite {
       (30L, 0, 0L), (31L, 1, 1000L)))                 // default fallback
   }
 
+  test("urlPatternStats: digit/hex folds, exact ppm shares, trap flag") {
+    val s = spark
+    import s.implicits._
+    val urls = (Seq.tabulate(8)(i => s"http://h.example/item/$i") ++
+      Seq("http://h.example/s/deadbeefcafe42",
+        "http://h.example/about",
+        "http://q.example/x/1"))
+      .toDF("url")
+    val got = graft.ops.UrlOps.urlPatternStats(urls,
+        trapSharePpm = 500000L, trapMinUrls = 5L)
+      .orderBy("host", "pattern")
+      .select("host", "pattern", "n_urls", "host_total", "share_ppm", "trap")
+      .as[(String, String, Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      ("h.example", "/about", 1L, 10L, 100000L, 0),
+      ("h.example", "/item/{n}", 8L, 10L, 800000L, 1),
+      ("h.example", "/s/{h}", 1L, 10L, 100000L, 0),
+      ("q.example", "/x/{n}", 1L, 1L, 1000000L, 0))) // share 100% but < 5 urls
+  }
+
   test("domainStats: duplicate fraction in ppm per host") {
     import spark.implicits._
     val df = Seq(

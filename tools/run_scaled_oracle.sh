@@ -54,7 +54,7 @@ GATES=$GATES,p335_anchor_text_agg,p336_redirect_chains,p337_page_meta
 # oracle is an EXHAUSTIVE all-pairs check — fine at sf0.01's 625
 # images, quadratic at x20, so it stays at the base scale)
 GATES=$GATES,p338_main_content,p339_template_clusters,p340_image_dhash
-GATES=$GATES,p342_audio_pcm,p344_crawl_loop
+GATES=$GATES,p342_audio_pcm,p344_crawl_loop,p345_url_patterns,p346_crawl_budget
 # dedup family members whose oracles are id-set-agnostic and linear
 # (p04/p06 plant +100000-shifted twins — their id arithmetic collides
 # with the x20 replica offsets, so they stay fingerprint-pinned)
