@@ -352,8 +352,13 @@ object UrlOps {
     import org.apache.spark.sql.expressions.Window
     val host = lower(parse_url(col(urlCol), lit("HOST")))
     val path = coalesce(parse_url(col(urlCol), lit("PATH")), lit("/"))
+    // the hex fold must contain at least one LETTER (lookahead pins
+    // the >= 8 length) — a bare [0-9a-f]{8,} swallows 8-digit NUMERIC
+    // ids into {h}, which the x20 scaled oracle caught on first run
+    // (replica ids are >= 8 digits while base-corpus ids are not)
     val pattern = regexp_replace(
-      regexp_replace(path, "[0-9a-f]{8,}", "{h}"), "[0-9]+", "{n}")
+      regexp_replace(path, "(?=[0-9a-f]{8})[0-9a-f]*[a-f][0-9a-f]*", "{h}"),
+      "[0-9]+", "{n}")
     val counts = urls
       .select(host.as("host"), pattern.as("pattern"))
       .where(col("host").isNotNull)

@@ -3847,7 +3847,9 @@ object PipelineQueries {
     "p345_url_patterns" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").select(col("doc_id"))
       val d = col("doc_id")
-      val m = d % 10
+      // class decoupled from the host modulus so every host carries
+      // all four patterns at a 70/10/10/10 split
+      val m = expr("doc_id div 5") % 10
       val path = when(m <= 6, concat(lit("/item/"), d))
         .when(m === 7, concat(lit("/cal/2024/"), d % 12 + 1, lit("/"), d % 28 + 1))
         .when(m === 8, concat(lit("/s/deadbeefcafe"), d))
@@ -9767,9 +9769,9 @@ object PipelineQueries {
     // carries 70% of every host and traps; the rest stay clean
     "p345_url_patterns" -> (
       "WITH u AS (SELECT 'u' || (doc_id % 5) || '.example' AS host, " +
-      "CASE WHEN doc_id % 10 <= 6 THEN '/item/{n}' " +
-      "WHEN doc_id % 10 = 7 THEN '/cal/{n}/{n}/{n}' " +
-      "WHEN doc_id % 10 = 8 THEN '/s/{h}' " +
+      "CASE WHEN (doc_id // 5) % 10 <= 6 THEN '/item/{n}' " +
+      "WHEN (doc_id // 5) % 10 = 7 THEN '/cal/{n}/{n}/{n}' " +
+      "WHEN (doc_id // 5) % 10 = 8 THEN '/s/{h}' " +
       "ELSE '/about' END AS pattern FROM documents), " +
       "c AS (SELECT host, pattern, COUNT(*) AS n_urls FROM u GROUP BY host, pattern), " +
       "t AS (SELECT host, CAST(SUM(n_urls) AS BIGINT) AS host_total FROM c GROUP BY host) " +

@@ -266,7 +266,10 @@ class UrlOpsSpec extends AnyFunSuite {
     val urls = (Seq.tabulate(8)(i => s"http://h.example/item/$i") ++
       Seq("http://h.example/s/deadbeefcafe42",
         "http://h.example/about",
-        "http://q.example/x/1"))
+        "http://q.example/x/1",
+        // an 8+-digit NUMERIC id is {n}, not a hex fold (the fold
+        // requires a letter — the x20 replica-id lesson)
+        "http://n.example/item/10000123"))
       .toDF("url")
     val got = graft.ops.UrlOps.urlPatternStats(urls,
         trapSharePpm = 500000L, trapMinUrls = 5L)
@@ -277,6 +280,7 @@ class UrlOpsSpec extends AnyFunSuite {
       ("h.example", "/about", 1L, 10L, 100000L, 0),
       ("h.example", "/item/{n}", 8L, 10L, 800000L, 1),
       ("h.example", "/s/{h}", 1L, 10L, 100000L, 0),
+      ("n.example", "/item/{n}", 1L, 1L, 1000000L, 0),
       ("q.example", "/x/{n}", 1L, 1L, 1000000L, 0))) // share 100% but < 5 urls
   }
 
