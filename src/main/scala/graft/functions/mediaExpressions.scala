@@ -451,20 +451,25 @@ object VideoMetaExpression {
   }
 }
 
-/** `dhash64(bytes)`: perceptual difference-hash over an UNCOMPRESSED
-  * 24-bit BMP (the one mainstream raster format whose pixels are
-  * readable without a codec — the honest offline scope; compressed
-  * formats route through the decode seam first and can emit BMP).
-  * Samples a 9×8 grid by nearest neighbor — 72 pixel reads per image
-  * REGARDLESS of image size, so a 100-megapixel scan costs the same as
-  * a thumbnail — takes integer Rec.601 luma per sample, and packs
+/** `dhash64(bytes)`: perceptual difference-hash over raster images —
+  * uncompressed 24-bit BMP (direct pixel reads), PNG (streaming
+  * RFC 2083 decode: zlib inflate + the five filter types,
+  * [[PngLuma]]), and baseline JPEG (ITU T.81 Huffman decode, luma DC
+  * coefficients = the ⅛-scale thumbnail, [[JpegDcLuma]]). All three
+  * sample the same 9×8 nearest-neighbor luma grid — for BMP that is
+  * 72 pixel reads per image REGARDLESS of size; for PNG/JPEG the
+  * decode is linear in true pixel count and CAPPED
+  * ([[PngLuma.MaxPixels]]) so one crafted header can't buy unbounded
+  * work — takes integer Rec.601 luma per sample, and packs
   * bit(r, c) = lum(r, c) < lum(r, c+1) into a 64-bit key (bit index
   * r·8+c). The standard public dHash construction (difference hash,
   * as popularized by Krawetz): near-identical images land within a few
   * Hamming bits, which [[graft.ops.Dedup.hashNearDups]] turns into a
-  * banded join. NULL for anything that is not a plain bottom-up or
-  * top-down BI_RGB 24-bpp BMP with in-bounds pixel data (never an
-  * exception — hostile bytes are data). All offset arithmetic in Long
+  * banded join. A BMP, a PNG and a blockwise-constant baseline JPEG of
+  * the same pixels hash IDENTICALLY (spec-pinned), so cross-format
+  * near-dups pair up. NULL for anything else — junk, truncation,
+  * hostile headers, unsupported variants (interlaced PNG, progressive
+  * JPEG) — never an exception. All offset arithmetic in Long
   * (crawl-scale lesson: 32-bit offset math overflows on multi-GB
   * claimed sizes). */
 case class DHash64Expression(child: Expression) extends UnaryExpression {
@@ -489,21 +494,58 @@ object DHash64Expression {
   private def le32(b: Array[Byte], i: Int): Int =
     u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
 
-  /** Codegen entry point: one static call per row; null = not a plain
-    * 24-bpp BMP (or pixel data out of bounds). */
+  /** Pack a 72-sample luma grid (8 rows × 9 cols row-major) into the
+    * 64-bit difference hash: bit(r,c) = lum(r,c) < lum(r,c+1). */
+  def packGrid(g: Array[Int]): java.lang.Long = {
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r * 9 + c) < g(r * 9 + c + 1)) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  /** Codegen entry point: one static call per row; null = not a
+    * decodable BMP/PNG/baseline-JPEG (or pixel data out of bounds). */
   def evalRow(b: Array[Byte]): java.lang.Long = {
-    if (b == null || b.length < 54) return null
+    if (b == null) return null
+    // PNG: signature dispatch, streaming decode to the sample grid
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G') {
+      val g = PngLuma.sampleGrid(b)
+      return if (g == null) null else packGrid(g)
+    }
+    // baseline JPEG: DC-thumbnail decode to the sample grid
+    if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      val g = JpegDcLuma.sampleGrid(b)
+      return if (g == null) null else packGrid(g)
+    }
+    if (b.length < 54) return null
     if (b(0) != 'B' || b(1) != 'M') return null
     val off = le32(b, 10)
     val w = le32(b, 18)
     val hRaw = le32(b, 22)
     val bpp = le16(b, 28)
     val comp = le32(b, 30)
-    if (w < 1 || hRaw == 0 || bpp != 24 || comp != 0) return null
+    // hRaw == Int.MinValue survives the != 0 gate but math.abs keeps it
+    // negative (two's complement); reject it explicitly or the pixel
+    // loop walks negative rows
+    if (w < 1 || hRaw == 0 || hRaw == Int.MinValue || bpp != 24 || comp != 0)
+      return null
     val h = math.abs(hRaw)
     val topDown = hRaw < 0
     val stride = ((w.toLong * 3L + 3L) / 4L) * 4L
-    if (off < 54 || off.toLong + stride * h > b.length) return null
+    // division form: `off + stride * h > b.length` overflows Long for
+    // w,h both near 2^31 (stride*h ~ 1.4e19), silently skipping the
+    // guard and truncating pixel offsets to garbage Ints. stride >= 4
+    // here so the division is safe and exact enough (flooring only
+    // ADMITS h values whose full product still fits the buffer).
+    if (off < 54 || h.toLong > (b.length - off) / stride) return null
     var hash = 0L
     var r = 0
     while (r < 8) {

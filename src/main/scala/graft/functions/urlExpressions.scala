@@ -391,9 +391,32 @@ object UrlResolveExpression {
   def resolve(base: String, ref: String): String = {
     if (base == null || ref == null) return null
     // A reference with its own scheme is already absolute (§5.2.2
-    // strict: no same-scheme backward-compat rewrite, so http:g stays).
+    // strict: no same-scheme backward-compat rewrite, so http:g stays
+    // http:g) — but §5.2.2 still sets T.path =
+    // remove_dot_segments(R.path), so http://h/a/../b → http://h/b.
     val refColon = schemeColon(ref)
-    if (refColon > 0 && validScheme(ref, refColon)) return ref
+    if (refColon > 0 && validScheme(ref, refColon)) {
+      val afterColon = ref.substring(refColon + 1)
+      if (afterColon.startsWith("//")) {
+        val rest = afterColon.substring(2)
+        var aEnd = rest.length
+        var j = 0
+        while (j < rest.length && aEnd == rest.length) {
+          val c = rest.charAt(j)
+          if (c == '/' || c == '?' || c == '#') aEnd = j
+          j += 1
+        }
+        val (p, q, f) = splitPqf(rest.substring(aEnd))
+        return recompose(ref.substring(0, refColon), rest.substring(0, aEnd),
+          UrlNormalizeExpression.removeDotSegments(p), q, f)
+      }
+      // No authority: rootless/opaque path — §5.2.4 still applies
+      // (removes a/../b), and is a no-op for genuinely opaque
+      // payloads (mailto:, urn:) that carry no dot segments.
+      val (p, q, f) = splitPqf(afterColon)
+      return recompose(ref.substring(0, refColon), null,
+        UrlNormalizeExpression.removeDotSegments(p), q, f)
+    }
     // Base must be an absolute hierarchical URI: scheme "://" authority.
     val baseColon = schemeColon(base)
     if (baseColon <= 0 || !validScheme(base, baseColon)) return null

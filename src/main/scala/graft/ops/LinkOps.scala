@@ -41,6 +41,19 @@ object LinkOps {
   val DefaultDropSchemes: Seq[String] =
     Seq("javascript", "mailto", "tel", "data", "about", "ftp")
 
+  /** Strip `<script>`/`<style>` payloads and `<!-- comments -->`
+    * before any attribute work — the same pre-strip
+    * [[graft.ops.TextAnalysis.mainContent]] runs. Without it,
+    * commented-out anchors and anchor markup inside script strings
+    * (`document.write('<a href=…')`) are extracted, pollute
+    * `link_pos` numbering and feed phantom URLs into
+    * [[frontierDiscover]]. */
+  private def stripInert(html: Column): Column =
+    regexp_replace(
+      regexp_replace(html,
+        "(?is)<(script|style)[^>]*>.*?</(script|style)>", " "),
+      "(?s)<!--.*?-->", " ")
+
   /** Extract every `<a href>` from raw HTML and resolve it to a
     * canonical absolute URL. Honors a `<base href>` tag (itself
     * resolved against the page URL) as the effective resolution base —
@@ -69,7 +82,7 @@ object LinkOps {
       htmlCol: String = "html",
       dropSchemes: Seq[String] = DefaultDropSchemes): DataFrame = {
     require(dropSchemes.forall(_.nonEmpty), "extractLinks: empty scheme")
-    val html = col(htmlCol)
+    val html = stripInert(col(htmlCol))
     // Normalize href quoting to double quotes so ONE extract pass
     // sees every anchor: 'x' -> "x", then bare -> "x" (the leading
     // char class excludes quotes, so already-quoted values are
@@ -127,7 +140,7 @@ object LinkOps {
       htmlCol: String = "html",
       dropSchemes: Seq[String] = DefaultDropSchemes): DataFrame = {
     require(dropSchemes.forall(_.nonEmpty), "extractAnchors: empty scheme")
-    val html = col(htmlCol)
+    val html = stripInert(col(htmlCol))
     // normalize href AND rel quoting so one pattern sees every form.
     // TWO passes per form: the pattern re-anchors at the tag start, so
     // one regexp_replace scan rewrites only the FIRST matching
@@ -189,7 +202,7 @@ object LinkOps {
       idCol: String = "doc_id",
       urlCol: String = "url",
       htmlCol: String = "html"): DataFrame = {
-    val html = col(htmlCol)
+    val html = stripInert(col(htmlCol))
     val p1 = "(?is)(<(?:link|meta)\\b[^>]*?\\s(?:href|rel|name|content)\\s*=\\s*)'([^']*)'"
     val p2 = "(?is)(<(?:link|meta)\\b[^>]*?\\s(?:href|rel|name|content)\\s*=\\s*)([^\"'\\s>][^\\s>]*)"
     // up to two quote-normalization passes per attribute pair (see

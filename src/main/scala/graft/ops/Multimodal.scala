@@ -229,6 +229,190 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** Deterministic PNG fixture carrying the SAME LCG luma grid as
+    * [[bmpPixelsFromIds]], encoded as a real 9×8 grayscale PNG
+    * (color type 0, bit depth 8, filter 0 rows, one zlib-deflated
+    * IDAT) — so a PNG and a BMP of the same id dHash IDENTICALLY and
+    * the p340 oracle arithmetic replays verbatim. `filterMode` > 0
+    * exercises the decoder's unfilter paths without changing pixels:
+    * 1 = Sub on every row, 2 = Up, 3 = Average, 4 = Paeth (encoders
+    * pick filters per row; a decoder must take them all); −1 picks
+    * seed % 5, so one fixture exercises every unfilter path. Junk on
+    * seed % 10 == 9, twins via idOffset/bumpCell as in the BMP
+    * builder. */
+  def pngPixelsFromIds(
+      ids: DataFrame,
+      idCol: String,
+      idOffset: Long = 0L,
+      bumpCell: Int = 0,
+      filterMode: Int = -1): DataFrame = {
+    require(filterMode >= -1 && filterMode <= 4,
+      s"pngPixelsFromIds: filterMode=$filterMode")
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
+      val filt = if (filterMode >= 0) filterMode else (seed % 5).toInt
+      val bytes =
+        if (seed % 10 == 9) s"notapng:$seed".getBytes("US-ASCII")
+        else {
+          def lum(x: Int, y: Int): Int = {
+            val base = (((1103515245L * ((seed * 72 + y * 9 + x) % 100000L) +
+              12345L) % 2147483648L) / 65536L % 256L).toInt
+            if (bumpCell != 0 && x == 3 && y == 2) (base + bumpCell) % 256
+            else base
+          }
+          // raw scanlines: filter byte + 9 gray bytes per row, the
+          // chosen filter applied so the decoder must invert it
+          val raw = new Array[Byte](8 * 10)
+          var y = 0
+          while (y < 8) {
+            raw(y * 10) = filt.toByte
+            var x = 0
+            while (x < 9) {
+              val v = lum(x, y)
+              val enc = filt match {
+                case 0 => v
+                case 1 => v - (if (x > 0) lum(x - 1, y) else 0) // Sub
+                case 2 => v - (if (y > 0) lum(x, y - 1) else 0) // Up
+                case 3 => // Average
+                  val l = if (x > 0) lum(x - 1, y) else 0
+                  val u = if (y > 0) lum(x, y - 1) else 0
+                  v - ((l + u) >> 1)
+                case 4 => // Paeth
+                  val a = if (x > 0) lum(x - 1, y) else 0
+                  val b = if (y > 0) lum(x, y - 1) else 0
+                  val c = if (x > 0 && y > 0) lum(x - 1, y - 1) else 0
+                  val p = a + b - c
+                  val pa = math.abs(p - a); val pb = math.abs(p - b)
+                  val pc = math.abs(p - c)
+                  val pred = if (pa <= pb && pa <= pc) a
+                    else if (pb <= pc) b else c
+                  v - pred
+              }
+              raw(y * 10 + 1 + x) = enc.toByte
+              x += 1
+            }
+            y += 1
+          }
+          val deflater = new java.util.zip.Deflater()
+          deflater.setInput(raw); deflater.finish()
+          val comp = new Array[Byte](raw.length + 64)
+          val compLen = deflater.deflate(comp)
+          deflater.end()
+          val out = new java.io.ByteArrayOutputStream(128)
+          def be32(v: Int) = Array[Byte](
+            (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+          def chunk(typ: String, payload: Array[Byte]): Unit = {
+            out.write(be32(payload.length))
+            val t = typ.getBytes("US-ASCII")
+            val crc = new java.util.zip.CRC32()
+            crc.update(t); crc.update(payload)
+            out.write(t); out.write(payload); out.write(be32(crc.getValue.toInt))
+          }
+          out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+          chunk("IHDR", be32(9) ++ be32(8) ++ Array[Byte](8, 0, 0, 0, 0))
+          chunk("IDAT", comp.take(compLen))
+          chunk("IEND", Array.emptyByteArray)
+          out.toByteArray
+        }
+      (seed + idOffset, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
+  /** Deterministic baseline-JPEG fixture carrying the SAME LCG luma
+    * grid: a 72×64 grayscale JPEG whose 8×8 blocks are each CONSTANT
+    * at lum(bx, by) — the FDCT of a constant block is pure DC, and
+    * with q00 = 8 the quantized DC is exactly v − 128, so the DC
+    * thumbnail decodes LOSSLESSLY back to the 9×8 grid and the p340
+    * oracle arithmetic replays verbatim (ITU T.81 sequential, minimal
+    * custom Huffman tables, FF byte stuffing). Junk on
+    * seed % 10 == 9, twins via idOffset/bumpCell. */
+  def jpegDcFromIds(
+      ids: DataFrame,
+      idCol: String,
+      idOffset: Long = 0L,
+      bumpCell: Int = 0): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
+      val bytes =
+        if (seed % 10 == 9) s"notajpeg:$seed".getBytes("US-ASCII")
+        else {
+          def lum(x: Int, y: Int): Int = {
+            val base = (((1103515245L * ((seed * 72 + y * 9 + x) % 100000L) +
+              12345L) % 2147483648L) / 65536L % 256L).toInt
+            if (bumpCell != 0 && x == 3 && y == 2) (base + bumpCell) % 256
+            else base
+          }
+          val out = new java.io.ByteArrayOutputStream(512)
+          def w8(v: Int): Unit = out.write(v & 0xff)
+          def w16(v: Int): Unit = { w8(v >>> 8); w8(v) }
+          w16(0xffd8) // SOI
+          // DQT: table 0, q[0]=8 (lossless DC for our blocks), rest 16
+          w16(0xffdb); w16(2 + 1 + 64); w8(0x00)
+          w8(8); (1 until 64).foreach(_ => w8(16))
+          // SOF0: 8-bit, 64 rows × 72 cols, 1 component (1,1) q0
+          w16(0xffc0); w16(2 + 6 + 3)
+          w8(8); w16(64); w16(72); w8(1)
+          w8(1); w8(0x11); w8(0)
+          // DHT DC0: 9 symbols (categories 0..8), all length 4 —
+          // canonical codes 0000..1000, a valid prefix code
+          w16(0xffc4); w16(2 + 17 + 9); w8(0x00)
+          val dcCounts = Array(0, 0, 0, 9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+          dcCounts.foreach(w8); (0 to 8).foreach(w8)
+          // DHT AC0: single symbol EOB (0x00) at length 1 — code '0'
+          w16(0xffc4); w16(2 + 17 + 1); w8(0x10)
+          w8(1); (1 until 16).foreach(_ => w8(0)); w8(0x00)
+          // SOS: component 1 uses DC0/AC0
+          w16(0xffda); w16(2 + 1 + 2 + 3)
+          w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0)
+          // entropy stream: bit writer with FF 00 stuffing
+          var acc = 0; var nAcc = 0
+          def putBits(v: Int, n: Int): Unit = {
+            var i = n - 1
+            while (i >= 0) {
+              acc = (acc << 1) | ((v >>> i) & 1); nAcc += 1
+              if (nAcc == 8) {
+                w8(acc)
+                if ((acc & 0xff) == 0xff) w8(0x00)
+                acc = 0; nAcc = 0
+              }
+              i -= 1
+            }
+          }
+          var pred = 0
+          var by = 0
+          while (by < 8) {
+            var bx = 0
+            while (bx < 9) {
+              val dc = lum(bx, by) - 128
+              var diff = dc - pred
+              pred = dc
+              // category = bit length of |diff| (0..8 here)
+              var t = 0; var a = math.abs(diff)
+              while (a > 0) { t += 1; a >>= 1 }
+              putBits(t, 4) // DC code for category t is t itself, 4 bits
+              if (t > 0) {
+                if (diff < 0) diff += (1 << t) - 1
+                putBits(diff, t)
+              }
+              putBits(0, 1) // AC EOB: code '0'
+              bx += 1
+            }
+            by += 1
+          }
+          if (nAcc > 0) { // pad the final byte with 1s (T.81 F.1.2.3)
+            acc = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
+            w8(acc)
+            if ((acc & 0xff) == 0xff) w8(0x00)
+          }
+          w16(0xffd9) // EOI
+          out.toByteArray
+        }
+      (seed + idOffset, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
   /** PCM signal scan: appends the exact-integer stats struct from
     * [[graft.functions.AudioPcmStatsExpression]] over real 16-bit PCM
     * WAV bytes (bounded `maxFrames` window per record; NULL for

@@ -193,9 +193,13 @@ object TextAnalysis {
     // consumers, and letting CollapseProject inline the per-block
     // regexp work into each reference would multiply the per-row cost
     val staged = df.select(col(idCol), scored.as("_sc"))
+    // link-density test in Long: IntegerType lengths × 100 overflow
+    // Int past ~21.4M chars, flipping the sign and letting a huge
+    // link farm through the density gate
     val kept = filter(col("_sc"), s =>
       s.getField("n") >= minChars &&
-        s.getField("nl") * 100 <= s.getField("n") * maxLinkDensityPct)
+        s.getField("nl").cast("long") * 100 <=
+          s.getField("n").cast("long") * maxLinkDensityPct)
     staged
       .select(col(idCol), size(col("_sc")).cast("long").as("n_blocks"),
         kept.as("_k"))

@@ -355,9 +355,13 @@ object UrlOps {
     // the hex fold must contain at least one LETTER (lookahead pins
     // the >= 8 length) — a bare [0-9a-f]{8,} swallows 8-digit NUMERIC
     // ids into {h}, which the x20 scaled oracle caught on first run
-    // (replica ids are >= 8 digits while base-corpus ids are not)
+    // (replica ids are >= 8 digits while base-corpus ids are not).
+    // Case-insensitive: uppercase/mixed-case session ids
+    // (/S/DEADBEEF01234567) must fold too, or case defeats the trap
+    // share threshold one distinct id at a time.
     val pattern = regexp_replace(
-      regexp_replace(path, "(?=[0-9a-f]{8})[0-9a-f]*[a-f][0-9a-f]*", "{h}"),
+      regexp_replace(path,
+        "(?=[0-9a-fA-F]{8})[0-9a-fA-F]*[a-fA-F][0-9a-fA-F]*", "{h}"),
       "[0-9]+", "{n}")
     val counts = urls
       .select(host.as("host"), pattern.as("pattern"))

@@ -149,7 +149,7 @@ object PipelineQueries {
     val parts =
       if (liFile.isDirectory) liFile.listFiles().toSeq else Seq(liFile)
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    parts.map(f => s"${f.getName} ${f.length()} ${f.lastModified()}\n")
+    parts.map(f => s"${f.getName}\u0000${f.length()}\u0000${f.lastModified()}\n")
       .sorted
       .foreach(t => md.update(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     val fp = md.digest().take(8).map(b => f"$b%02x").mkString
@@ -3879,6 +3879,51 @@ object PipelineQueries {
       graft.ops.LinkOps.crawlBudget(auth, totalBudget = 100000L,
           minPerHost = 10L)
         .orderBy("host")
+    }),
+
+    // Perceptual dHash over REAL PNG bytes: the same LCG luma grid as
+    // p340 encoded as genuine 9×8 grayscale PNGs (zlib IDAT, filter
+    // type seed % 5 — one gate exercises None/Sub/Up/Average/Paeth
+    // unfilters), decoded by the streaming RFC 2083 path; junk every
+    // tenth member. Pixels equal the BMP fixture's, so the oracle is
+    // the p340 bit arithmetic verbatim — decoder drift hash-fails.
+    "p347_png_dhash" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      graft.ops.Multimodal.imageDHashScan(
+          graft.ops.Multimodal.pngPixelsFromIds(docs, "doc_id"), "bytes")
+        .select(col("media_id"), col("dhash"))
+        .orderBy("media_id")
+    }),
+
+    // Perceptual dHash over REAL baseline-JPEG bytes: the same grid as
+    // 72×64 blockwise-constant JPEGs (T.81 Huffman entropy stream,
+    // q00 = 8 so the DC thumbnail decodes losslessly), decoded by the
+    // DC-only path — no IDCT, luma DC per 8×8 block. Oracle = the
+    // p340 arithmetic verbatim.
+    "p348_jpeg_dhash" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      graft.ops.Multimodal.imageDHashScan(
+          graft.ops.Multimodal.jpegDcFromIds(docs, "doc_id"), "bytes")
+        .select(col("media_id"), col("dhash"))
+        .orderBy("media_id")
+    }),
+
+    // CROSS-FORMAT image near-dup: PNG originals vs JPEG re-encodes
+    // (the classic crawl duplicate — same image, different codec) with
+    // one luma cell bumped on the twins; the banded Hamming join must
+    // pair every JPEG twin with its PNG base exactly as the p341
+    // all-pairs oracle predicts. Formats hashing identically for the
+    // same pixels is the property that makes this work.
+    "p349_cross_format_neardup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val base = graft.ops.Multimodal.pngPixelsFromIds(docs, "doc_id")
+      val twins = graft.ops.Multimodal.jpegDcFromIds(
+        docs.where(col("doc_id") % 4 === 0), "doc_id",
+        idOffset = 10000000L, bumpCell = 40)
+      graft.ops.Dedup.hashNearDups(
+          graft.ops.Multimodal.imageDHashScan(base.unionByName(twins), "bytes"),
+          "media_id", "dhash", maxHamming = 3)
+        .orderBy("a", "b")
     })
   )
 
@@ -9803,5 +9848,57 @@ object PipelineQueries {
       "SELECT b.host, b.score_micro, " +
       "CAST(10 + (100000 - tt.h * 10) * b.score_micro // tt.ssum AS BIGINT) AS budget " +
       "FROM b, tt ORDER BY host")
+  ,
+    // p347/p348: the PNG and JPEG fixtures carry the SAME LCG luma
+    // grid as the BMP fixture (spec-pinned: all three formats hash
+    // identically), so both oracles are the p340 bit arithmetic
+    // verbatim — any decode drift hash-fails
+    "p347_png_dhash" -> (
+      "WITH g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM documents, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h ORDER BY media_id")
+  ,
+    "p348_jpeg_dhash" -> (
+      "WITH g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM documents, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h ORDER BY media_id")
+  ,
+    // p349: the p341 exhaustive near-dup answer — PNG bases and JPEG
+    // twins decode to the same grids the BMP arithmetic predicts, so
+    // the cross-format pairs are exactly the all-pairs Hamming <= 3 set
+    "p349_cross_format_neardup" -> (
+      "WITH imgs AS (SELECT doc_id AS media_id, doc_id AS seed, 0 AS bump " +
+      "FROM documents WHERE doc_id % 10 <> 9 " +
+      "UNION ALL SELECT doc_id + 10000000, doc_id, 40 FROM documents " +
+      "WHERE doc_id % 4 = 0 AND doc_id % 10 <> 9), " +
+      "g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l0 AS (SELECT media_id, bump, r, c, " +
+      "((1103515245 * ((seed * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS base " +
+      "FROM imgs, g), " +
+      "l AS (SELECT media_id, r, c, CASE WHEN bump > 0 AND c = 3 AND r = 2 " +
+      "THEN (base + 40) % 256 ELSE base END AS lum FROM l0), " +
+      "bits AS (SELECT a.media_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.media_id = a.media_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT media_id, SUM(v) AS v FROM bits GROUP BY media_id), " +
+      "hb AS (SELECT media_id, CAST(CASE WHEN v >= 9223372036854775808::HUGEINT " +
+      "THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS hv FROM h) " +
+      "SELECT a.media_id AS a, b.media_id AS b, " +
+      "CAST(bit_count(xor(a.hv, b.hv)) AS BIGINT) AS hamming " +
+      "FROM hb a JOIN hb b ON a.media_id < b.media_id " +
+      "WHERE bit_count(xor(a.hv, b.hv)) <= 3 ORDER BY a, b")
   )
 }

@@ -48,6 +48,40 @@ class LinkOpsSpec extends AnyFunSuite {
     assert(got == Seq(1L -> "http://h.example/a/x.html"))
   }
 
+  test("extractLinks/extractAnchors/pageMeta ignore comments and script/style blocks") {
+    val html =
+      """<html><head>
+        |<!-- <base href="/wrong/"> <a href="/commented">c</a> -->
+        |<script>document.write('<a href="/phantom1">p</a>');
+        |var s = "<a href=/phantom2>q</a>";</script>
+        |<style>a[href="/styled"] { color: red }</style>
+        |<!-- <link rel="canonical" href="/fake-canon"> -->
+        |<!-- <meta name="robots" content="noindex"> -->
+        |</head><body>
+        |<a href="/real1">one</a>
+        |<!-- split <a href="/phantom3">x</a> comment -->
+        |<a href="/real2">two</a>
+        |</body></html>""".stripMargin
+    val pages = Seq((1L, "http://h.example/p", html)).toDF("doc_id", "url", "html")
+    // phantom anchors contribute neither rows NOR link positions
+    val links = LinkOps.extractLinks(pages)
+      .select("link_pos", "dst_url").as[(Int, String)].collect().toSeq.sorted
+    assert(links == Seq(
+      0 -> "http://h.example/real1",
+      1 -> "http://h.example/real2"))
+    val anchors = LinkOps.extractAnchors(pages)
+      .select("anchor_pos", "dst_url", "anchor_text")
+      .as[(Int, String, String)].collect().toSeq.sorted
+    assert(anchors == Seq(
+      (0, "http://h.example/real1", "one"),
+      (1, "http://h.example/real2", "two")))
+    // commented-out canonical/robots tags are inert
+    val meta = LinkOps.pageMeta(pages)
+      .select("canonical_url", "meta_noindex", "meta_nofollow")
+      .as[(Option[String], Int, Int)].collect().head
+    assert(meta == ((None, 0, 0)))
+  }
+
   test("extractLinks: map-only plan, no shuffle") {
     val pages = Seq((1L, "http://h.example/", page)).toDF("doc_id", "url", "html")
     val plan = LinkOps.extractLinks(pages).queryExecution.executedPlan.toString

@@ -55,6 +55,22 @@ class MultimodalSpec extends AnyFunSuite {
     val wrongBpp = allUp.clone(); le16(32).copyToArray(wrongBpp, 28)
     assert(evalRow(wrongBpp) == null)
     assert(evalRow(null) == null)
+    // hostile headers that used to bypass the bounds guard: height =
+    // Int.MinValue survives the != 0 gate and math.abs keeps it
+    // negative; and w,h both near 2^31 overflow stride*h past Long —
+    // either way the pixel loop would read garbage indices. NULL, no
+    // throw (one crafted ~54-byte record must not kill a crawl task).
+    val minH = allUp.clone(); le32(Int.MinValue).copyToArray(minH, 22)
+    assert(evalRow(minH) == null)
+    val hugeWh = allUp.clone()
+    le32(0x7ffffff0).copyToArray(hugeWh, 18)
+    le32(0x7ffffff0).copyToArray(hugeWh, 22)
+    assert(evalRow(hugeWh) == null)
+    val hugeW = allUp.clone(); le32(Int.MaxValue).copyToArray(hugeW, 18)
+    assert(evalRow(hugeW) == null)
+    // negative claimed pixel-data offset must also triage clean
+    val negOff = allUp.clone(); le32(-54).copyToArray(negOff, 10)
+    assert(evalRow(negOff) == null)
   }
 
   test("audio_pcm_stats: exact sums, clip count, bounded window, hostile to NULL") {
@@ -300,7 +316,7 @@ class MultimodalSpec extends AnyFunSuite {
       // hostile WAV: a JUNK chunk claiming size 0x7FFFFFF0 in a ~30-byte
       // payload — `p + 8 + sz` once wrapped Int-negative and aliased
       // back into the buffer (ArrayIndexOutOfBounds); must triage clean
-      (7L, "RIFF$   WAVEJUNK".getBytes("US-ASCII") ++
+      (7L, "RIFF$\u0000\u0000\u0000WAVEJUNK".getBytes("US-ASCII") ++
         Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7f) ++
         Array.fill[Byte](10)(0)))
       .toDF("media_id", "bytes")

@@ -1,0 +1,236 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{DHash64Expression, JpegDcLuma, PngLuma}
+import graft.ops.Multimodal
+
+/** The compressed-raster decode path feeding dhash64: PNG (RFC 2083
+  * streaming inflate + unfilter) and baseline-JPEG (T.81 DC
+  * thumbnail). Two kinds of evidence: (1) FORMAT AGREEMENT — a PNG, a
+  * JPEG and a BMP of the same luma grid hash identically, which is
+  * what makes cross-format near-dup work and what lets the DuckDB
+  * oracle replay one arithmetic for all three; (2) DIFFERENTIAL vs a
+  * REAL codec — javax.imageio encodes random images and the decoders
+  * must agree with ImageIO's own decode, pixel-for-pixel (PNG) or
+  * block-mean (JPEG). Plus the never-throw fuzz the triage contract
+  * demands. */
+class RasterDecodeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def lcgLum(seed: Long)(x: Int, y: Int): Int =
+    (((1103515245L * ((seed * 72 + y * 9 + x) % 100000L) + 12345L)
+      % 2147483648L) / 65536L % 256L).toInt
+
+  test("PNG/JPEG/BMP of the same luma grid dHash identically (all PNG filter modes)") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 3L, 7L, 11L, 42L, 1234L).toDF("doc_id")
+    val bmp = Multimodal.imageDHashScan(
+        Multimodal.bmpPixelsFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    for (fm <- 0 to 4) {
+      val png = Multimodal.imageDHashScan(
+          Multimodal.pngPixelsFromIds(ids, "doc_id", filterMode = fm), "bytes")
+        .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+      assert(png == bmp, s"filterMode=$fm")
+    }
+    val jpg = Multimodal.imageDHashScan(
+        Multimodal.jpegDcFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    assert(jpg == bmp)
+  }
+
+  test("junk members (seed % 10 == 9) yield NULL dhash for PNG and JPEG builders") {
+    import spark.implicits._
+    val ids = Seq(9L, 19L, 29L).toDF("doc_id")
+    val png = Multimodal.imageDHashScan(
+        Multimodal.pngPixelsFromIds(ids, "doc_id"), "bytes")
+      .select("dhash").collect()
+    assert(png.forall(_.isNullAt(0)))
+    val jpg = Multimodal.imageDHashScan(
+        Multimodal.jpegDcFromIds(ids, "doc_id"), "bytes")
+      .select("dhash").collect()
+    assert(jpg.forall(_.isNullAt(0)))
+  }
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"ImageIO has no $fmt writer")
+    bos.toByteArray
+  }
+
+  private def rec601(rgb: Int): Int =
+    (((rgb >>> 16) & 0xff) * 299 + ((rgb >>> 8) & 0xff) * 587 +
+      (rgb & 0xff) * 114) / 1000
+
+  test("PNG differential vs ImageIO: gray, RGB, RGBA, indexed — exact grid agreement") {
+    val rnd = new java.util.Random(20260816L)
+    val types = Seq(
+      BufferedImage.TYPE_BYTE_GRAY,   // color type 0
+      BufferedImage.TYPE_INT_RGB,     // color type 2
+      BufferedImage.TYPE_4BYTE_ABGR,  // color type 6
+      BufferedImage.TYPE_BYTE_INDEXED, // color type 3 (palette)
+      BufferedImage.TYPE_BYTE_BINARY) // 1-bit depth
+    for (t <- types; trial <- 0 until 6) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val img = new BufferedImage(w, h, t)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, rnd.nextInt() | 0xff000000)
+      val png = encode(img, "png")
+      val got = PngLuma.sampleGrid(png)
+      assert(got != null, s"type=$t ${w}x$h decode failed")
+      // the expectation comes from ImageIO's own decode of those
+      // bytes. Gray rasters must be read as RAW samples — getRGB
+      // gamma-expands CS_GRAY into sRGB, which neither the PNG bytes
+      // nor the decoder ever see.
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val grayRef = ref.getColorModel.getNumColorComponents == 1 &&
+        !ref.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+      for (r <- 0 until 8; c <- 0 until 9) {
+        val y = if (h == 1) 0 else ((h - 1).toLong * r / 7).toInt
+        val x = if (w == 1) 0 else ((w - 1).toLong * c / 8).toInt
+        val want =
+          if (grayRef) {
+            val bits = ref.getColorModel.getComponentSize(0)
+            ref.getRaster.getSample(x, y, 0) * 255 / ((1 << bits) - 1)
+          } else rec601(ref.getRGB(x, y))
+        val v = got(r * 9 + c)
+        // sub-byte gray scaling can differ by one count from AWT's
+        assert(math.abs(v - want) <= 1,
+          s"type=$t ${w}x$h at ($x,$y): got $v want $want")
+      }
+    }
+  }
+
+  test("JPEG differential vs ImageIO: DC thumbnail tracks real-codec block means") {
+    val rnd = new java.util.Random(7L)
+    for (gray <- Seq(true, false); trial <- 0 until 4) {
+      val w = 24 + rnd.nextInt(120)
+      val h = 24 + rnd.nextInt(120)
+      val img = new BufferedImage(w, h,
+        if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_INT_RGB)
+      // smooth gradient + low noise: keeps per-block variance small so
+      // the block mean is a tight reference
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = math.min(255, math.max(0,
+          (x * 2 + y) % 256 / 8 * 8 + rnd.nextInt(3)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val jpg = encode(img, "jpg")
+      val got = JpegDcLuma.sampleGrid(jpg)
+      assert(got != null, s"gray=$gray ${w}x$h decode failed")
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      val grayRef = ref.getColorModel.getNumColorComponents == 1
+      val wT = (w + 7) / 8; val hT = (h + 7) / 8
+      for (r <- 0 until 8; c <- 0 until 9) {
+        val byT = if (hT == 1) 0 else ((hT - 1).toLong * r / 7).toInt
+        val bxT = if (wT == 1) 0 else ((wT - 1).toLong * c / 8).toInt
+        // mean luma of the real decoded block (raw samples for gray:
+        // getRGB gamma-expands CS_GRAY — see the PNG differential)
+        var sum = 0L; var n = 0
+        for (y <- byT * 8 until math.min(h, byT * 8 + 8);
+             x <- bxT * 8 until math.min(w, bxT * 8 + 8)) {
+          sum += (if (grayRef) ref.getRaster.getSample(x, y, 0)
+                  else rec601(ref.getRGB(x, y)))
+          n += 1
+        }
+        val want = (sum / n).toInt
+        val v = got(r * 9 + c)
+        // DC quantization + edge-block padding + YCbCr rounding
+        assert(math.abs(v - want) <= 12,
+          s"gray=$gray ${w}x$h block ($bxT,$byT): got $v want $want")
+      }
+    }
+  }
+
+  test("interlaced PNG and progressive JPEG triage to NULL, not garbage") {
+    import spark.implicits._
+    val ids = Seq(1L).toDF("doc_id")
+    val png = Multimodal.pngPixelsFromIds(ids, "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    val interlaced = png.clone()
+    interlaced(28) = 1 // IHDR interlace flag (CRC now wrong — irrelevant)
+    assert(PngLuma.sampleGrid(interlaced) == null)
+    // progressive JPEG: flip the SOF0 marker to SOF2
+    val jpg = Multimodal.jpegDcFromIds(ids, "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    val prog = jpg.clone()
+    var i = 0
+    var flipped = false
+    while (i + 1 < prog.length && !flipped) {
+      if ((prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0) {
+        prog(i + 1) = 0xc2.toByte; flipped = true
+      }
+      i += 1
+    }
+    assert(flipped)
+    assert(JpegDcLuma.sampleGrid(prog) == null)
+  }
+
+  test("hostile-byte fuzz: magic-prefixed junk, truncations and mutations never throw") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L).toDF("doc_id")
+    val validPng = Multimodal.pngPixelsFromIds(ids, "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    val validJpg = Multimodal.jpegDcFromIds(ids, "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    val rnd = new java.util.Random(16L)
+    // random tails behind the magic: field arithmetic fuzz
+    (1 to 8000).foreach { _ =>
+      val n = rnd.nextInt(200)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      if (n >= 8 && rnd.nextBoolean())
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+          .copyToArray(b, 0)
+      else if (n >= 3)
+        Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte).copyToArray(b, 0)
+      DHash64Expression.evalRow(b) // must not throw; value is free
+    }
+    // every truncation of a valid file
+    (0 until validPng.length).foreach(k =>
+      DHash64Expression.evalRow(validPng.take(k)))
+    (0 until validJpg.length).foreach(k =>
+      DHash64Expression.evalRow(validJpg.take(k)))
+    // single-byte mutations of valid files (all positions, 3 values)
+    for (src <- Seq(validPng, validJpg); pos <- src.indices;
+         v <- Seq(0x00, 0xff, 0x80)) {
+      val m = src.clone(); m(pos) = v.toByte
+      DHash64Expression.evalRow(m)
+    }
+    // zip-bomb shape: a PNG header claiming huge true dims is capped
+    val bomb = validPng.clone()
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    be32(1 << 19).copyToArray(bomb, 16) // w
+    be32(1 << 19).copyToArray(bomb, 20) // h: 2^38 px > MaxPixels
+    assert(PngLuma.sampleGrid(bomb) == null)
+  }
+
+  test("column path: dhash64 over a mixed PNG/JPEG/BMP/junk frame, codegen plan") {
+    import spark.implicits._
+    val ids = spark.range(0, 30).toDF("doc_id")
+    val mixed = Multimodal.bmpPixelsFromIds(ids.where($"doc_id" % 3 === 0), "doc_id")
+      .unionByName(Multimodal.pngPixelsFromIds(ids.where($"doc_id" % 3 === 1), "doc_id"))
+      .unionByName(Multimodal.jpegDcFromIds(ids.where($"doc_id" % 3 === 2), "doc_id"))
+    val got = Multimodal.imageDHashScan(mixed, "bytes")
+      .select("media_id", "dhash").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got.size == 30)
+    // junk ids NULL, everything else carries the LCG-grid hash
+    for ((id, hv) <- got) {
+      if (id % 10 == 9) assert(hv.isEmpty, s"id=$id")
+      else {
+        var want = 0L
+        for (r <- 0 until 8; c <- 0 until 8)
+          if (lcgLum(id)(c, r) < lcgLum(id)(c + 1, r)) want |= 1L << (r * 8 + c)
+        assert(hv.contains(want), s"id=$id")
+      }
+    }
+  }
+}

@@ -60,6 +60,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"mainContent must not shuffle:\n$plan")
   }
 
+  test("mainContent: link-density test survives 32-bit overflow on huge blocks") {
+    // a ~22M-char pure link farm: nl * 100 overflows Int (2.2e9),
+    // flipping the sign and passing the density gate before the Long
+    // cast — the block must DROP (100% link density). Built inside the
+    // expression (repeat), not on the driver.
+    val farm = Seq((9L, 11000000)).toDF("doc_id", "n")
+      .select($"doc_id", concat(
+        lit("""<p><a href="/f">"""),
+        expr("repeat('xy', n)"),
+        lit("</a></p><p>This short real block of prose text survives fine.</p>"))
+        .as("html"))
+    val got = graft.ops.TextAnalysis.mainContent(farm)
+      .select("n_blocks", "n_kept", "main_text").as[(Long, Long, String)].head()
+    assert(got._2 == 1L, s"overflowing link farm leaked: $got")
+    assert(got._3 == "This short real block of prose text survives fine.")
+  }
+
   test("templateFingerprint/templateClusters: same tags same fp, content-blind") {
     val pages = Seq(
       (5L, "<html><body><div><p>alpha</p></div></body></html>"),

@@ -284,6 +284,27 @@ class UrlOpsSpec extends AnyFunSuite {
       ("q.example", "/x/{n}", 1L, 1L, 1000000L, 0))) // share 100% but < 5 urls
   }
 
+  test("urlPatternStats: uppercase/mixed-case hex session ids fold to {h}") {
+    val s = spark
+    import s.implicits._
+    // 6 distinct UPPERCASE session ids on one host — case must not
+    // defeat the fold, or each id stays its own pattern and the trap
+    // share never crosses the threshold
+    val urls = (Seq.tabulate(6)(i => f"http://t.example/S/DEADBEEF${i}%08d") ++
+      Seq("http://t.example/about",
+        "http://t.example/s/aBcDeF0012345"))
+      .toDF("url")
+    val got = graft.ops.UrlOps.urlPatternStats(urls,
+        trapSharePpm = 500000L, trapMinUrls = 5L)
+      .orderBy("host", "pattern")
+      .select("pattern", "n_urls", "trap")
+      .as[(String, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      ("/S/{h}", 6L, 1),
+      ("/about", 1L, 0),
+      ("/s/{h}", 1L, 0)))
+  }
+
   test("domainStats: duplicate fraction in ppm per host") {
     import spark.implicits._
     val df = Seq(

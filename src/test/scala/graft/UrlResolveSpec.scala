@@ -96,6 +96,23 @@ class UrlResolveSpec extends AnyFunSuite {
     assert(resolve(B, "HTTPS://x/y") == "HTTPS://x/y")
   }
 
+  test("scheme'd refs still get §5.2.2 remove_dot_segments on the path") {
+    // T.path = remove_dot_segments(R.path) applies even when R.scheme
+    // is defined — an absolute ref is not returned verbatim
+    assert(resolve(B, "http://h/a/../b") == "http://h/b")
+    assert(resolve(B, "http://h/./x/./y") == "http://h/x/y")
+    assert(resolve(B, "https://h/a/b/../../c?q#f") == "https://h/c?q#f")
+    // rootless scheme'd path: dot segments removed there too
+    assert(resolve(B, "x-s:a/../b") == "x-s:b")
+    // strict §5.4.2 row is untouched (no dot segments to remove)
+    assert(resolve(B, "http:g") == "http:g")
+    // genuinely opaque payloads pass through unchanged
+    assert(resolve(B, "mailto:user@h.example") == "mailto:user@h.example")
+    assert(resolve(B, "urn:isbn:0451450523") == "urn:isbn:0451450523")
+    // authority-only ref with dotted path and empty authority parse
+    assert(resolve(B, "http://h") == "http://h")
+  }
+
   test("differential fuzz vs java.net.URI on the JDK-conformant subset") {
     val rnd = new scala.util.Random(20260816L)
     val seg = () => {
