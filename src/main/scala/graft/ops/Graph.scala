@@ -112,6 +112,16 @@ object Graph {
     * probes it); unlike PageRank each round's frontier table only
     * GROWS to #reachable-nodes, never corpus-sized.
     *
+    * Each round's depth table feeds TWO consumers (the expansion join
+    * AND the union), so every round persists + materializes and the
+    * previous round's cache drops once its successor is built — the
+    * kCorePeel discipline. Without it the logical plan doubles per
+    * round (2^maxDepth subtrees); Spark's ReuseExchange happens to
+    * collapse the duplicates at execution today, but plan growth must
+    * be linear BY CONSTRUCTION, not by optimizer courtesy — the final
+    * plan is now the SAME constant shape for any maxDepth
+    * (PlanSpec-pinned).
+    *
     * Returns (node, depth) ordered by (depth, node). */
   def bfsDepths(
       edges: DataFrame,
@@ -125,12 +135,23 @@ object Graph {
     val e = if (maxDepth > 1) e0.persist(lvl) else e0
     var depths = seeds.select(col(seeds.columns.head).as("node")).distinct()
       .select(col("node"), lit(0L).as("depth"))
+    var prevCached: DataFrame = null
     for (_ <- 1 to maxDepth) {
-      val next = depths.join(e, col("node") === col("_s"))
+      val cur = depths.persist(lvl)
+      // materialize THIS round (reading the previous round's cache)
+      // before dropping that cache — otherwise the unpersist forces a
+      // full lineage replay on the next action
+      cur.count()
+      if (prevCached != null) prevCached.unpersist(blocking = false)
+      prevCached = cur
+      val next = cur.join(e, col("node") === col("_s"))
         .select(col("_d").as("node"), (col("depth") + 1L).as("depth"))
-      depths = depths.union(next)
+      depths = cur.union(next)
         .groupBy("node").agg(min(col("depth")).as("depth"))
     }
+    // the last round's cache is still read by the returned lazy plan;
+    // the harness clears persistent RDDs between queries (same
+    // contract as the persisted edge table above)
     depths.orderBy("depth", "node")
   }
 

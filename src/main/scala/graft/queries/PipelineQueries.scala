@@ -3924,6 +3924,51 @@ object PipelineQueries {
           graft.ops.Multimodal.imageDHashScan(base.unionByName(twins), "bytes"),
           "media_id", "dhash", maxHamming = 3)
         .orderBy("a", "b")
+    }),
+
+    // WARC-rooted curation END TO END through the LOSSLESS charset-
+    // aware reader (the text-path reader's known blind spot — a
+    // latin-1 page fails its post-decode octet check and silently
+    // drops): fixture_curation.warc carries ISO-8859-1 French members
+    // whose accents must survive to the output, plus planted exact
+    // dups and Gopher failures. ONE lazy chain: httpResponsesLossless
+    // -> status/mime keep-gate -> mainContent boilerplate strip ->
+    // langid -> Gopher rules (carried as a column, not a drop) ->
+    // fingerprint dedup keep-smallest -> per-language quota sample.
+    // The oracle rebuilds every main_text string (accents included)
+    // and replays dedup + quota in DuckDB.
+    "p350_warc_curation" -> ((s, dir) => {
+      val pages = graft.sources.Warc.httpResponsesLossless(s,
+          "/root/repo/src/test/resources/fixture_curation.warc")
+        .where(col("http_status") === 200 && col("mime_type") === "text/html")
+        .select(regexp_extract(col("target_uri"), "/doc/([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          col("body").as("html"), col("charset"), col("decode_lossy"))
+      val main = graft.ops.TextAnalysis.mainContent(pages)
+        .select(col("doc_id"), col("main_text"))
+      val gopher = graft.ops.TextAnalysis
+        .gopherRules(main, textCol = "main_text")
+        .select(col("doc_id"), col("gopher_pass"))
+      val scored = main
+        .withColumn("lang",
+          graft.ops.TextAnalysis.langIdHeuristic(col("main_text")))
+      // exact dedup on the content fingerprint, smallest id survives
+      val keepIds = scored
+        .withColumn("_fp", graft.ops.TextAnalysis.fingerprint(col("main_text")))
+        .groupBy("_fp").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val deduped = scored.join(keepIds, Seq("doc_id"), "left_semi")
+      val picked = graft.ops.CorpusOps.quotaSample(deduped, quota = 10,
+        groupCol = "lang", idCol = "doc_id", textCol = "main_text")
+      picked
+        .join(deduped.select(col("doc_id"), col("main_text")), Seq("doc_id"))
+        .join(gopher, Seq("doc_id"))
+        .join(pages.select(col("doc_id"), col("charset"),
+          col("decode_lossy")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("charset"),
+          col("decode_lossy"), col("gopher_pass"), col("pick_rank"),
+          col("main_text"))
+        .orderBy("doc_id")
     })
   )
 
@@ -9900,5 +9945,35 @@ object PipelineQueries {
       "CAST(bit_count(xor(a.hv, b.hv)) AS BIGINT) AS hamming " +
       "FROM hb a JOIN hb b ON a.media_id < b.media_id " +
       "WHERE bit_count(xor(a.hv, b.hv)) <= 3 ORDER BY a, b")
+  ,
+    // p350: the whole curation chain replayed from the fixture's id
+    // arithmetic — the article strings rebuilt EXACTLY (accents
+    // included: the latin-1 members decode to these UTF-8 strings or
+    // the hash fails), per-class langid/charset/Gopher verdicts baked
+    // from the generator's rule replay
+    // (tools/make_warc_curation_fixture.py prints them), dedup as a
+    // min-id GROUP BY on the text, quota as the same
+    // (fingerprint, id) window
+    "p350_warc_curation" -> (
+      "WITH ids AS (SELECT range AS d FROM range(0, 40)), " +
+      "cls AS (SELECT d, CASE WHEN d % 8 = 3 THEN 'latin' " +
+      "WHEN d % 8 = 7 THEN 'short' WHEN d % 8 = 5 THEN 'dup' " +
+      "ELSE 'std' END AS c FROM ids), " +
+      "txt AS (SELECT d, c, CASE " +
+      "WHEN c = 'short' THEN 'short text block only here now' " +
+      "WHEN c = 'latin' THEN trim(repeat('le café est une boisson dans les rues et le chat est près du mur numéro ' || d || '. ', 8)) " +
+      "WHEN c = 'dup' THEN trim(repeat('the quick brown fox jumps over the lazy dog and then it runs away again number ' || (d - 4) || '. ', 8)) " +
+      "ELSE trim(repeat('the quick brown fox jumps over the lazy dog and then it runs away again number ' || d || '. ', 8)) END AS text FROM cls), " +
+      "ded AS (SELECT text, MIN(d) AS keep_d FROM txt GROUP BY text), " +
+      "kept AS (SELECT t.d, t.c, t.text FROM txt t JOIN ded ON ded.keep_d = t.d AND ded.text = t.text), " +
+      "lab AS (SELECT d, c, text, " +
+      "CASE c WHEN 'latin' THEN 'fr' WHEN 'short' THEN 'unknown' ELSE 'en' END AS lang, " +
+      "CASE c WHEN 'latin' THEN 'iso-8859-1' ELSE 'utf-8' END AS charset, " +
+      "c IN ('std', 'dup') AS gopher_pass, " +
+      "substring(sha256(text), 1, 16) AS fp FROM kept), " +
+      "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY fp, d) AS rn FROM lab) " +
+      "SELECT d AS doc_id, lang, charset, FALSE AS decode_lossy, " +
+      "gopher_pass, CAST(rn AS INT) AS pick_rank, text AS main_text " +
+      "FROM rk WHERE rn <= 10 ORDER BY doc_id")
   )
 }

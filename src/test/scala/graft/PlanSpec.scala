@@ -285,6 +285,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bfsDepths: plan growth is linear by construction — final plan shape is maxDepth-invariant") {
+    // each round persists + materializes, so the RETURNED plan always
+    // reads (last round cache) ∪ (last round cache ⋈ edge cache) —
+    // the same constant shape at depth 3 and depth 6. Before the
+    // per-round persist the logical plan doubled per round and only
+    // ReuseExchange kept execution sane.
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    def shape(depth: Int): Int = {
+      spark.sharedState.cacheManager.clearCache()
+      graft.ops.Graph.bfsDepths(edges, seeds, maxDepth = depth)
+        .queryExecution.optimizedPlan.collectLeaves().size
+    }
+    val s3 = shape(3)
+    val s6 = shape(6)
+    assert(s3 == s6, s"plan leaves grew with maxDepth: $s3 vs $s6")
+    // and the leaf count is the constant 2-cache shape, not 2^depth
+    assert(s6 <= 4, s"expected the constant union∪join shape, got $s6 leaves")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("p127/p130: funnel and RFM partial-agg below their first exchange") {
     Seq("p127_funnel", "p130_rfm").foreach { name =>
       val p = plan(name)

@@ -120,6 +120,13 @@ FROM pern ORDER BY n_triangles DESC, node
 ORACLES = {"pagerank_planted": PAGERANK, "bfs_planted": BFS,
            "kcore_planted": KCORE, "triangles_planted": TRIANGLES}
 
+# sidecar keys: the pinned x4 configuration keeps the bare names; any
+# other scale records additively under a _x{k} suffix so depth rungs
+# (x20 = 8M edges) coexist with the x4 rows instead of replacing them
+def sidecar_key(name, k):
+    return name if k == 4 else f"{name}_x{k}"
+
+
 
 def canon(df):
     df = df[sorted(df.columns)]
@@ -148,19 +155,20 @@ for name, sql in ORACLES.items():
         schema = sorted(map(str.lower, spark_df.columns)) == \
                  sorted(map(str.lower, duck_df.columns))
         h = canon(spark_df) == canon(duck_df) if rows and schema else False
-        results[name] = {"mode": "oracle", "rows_match": rows,
-                         "schema_match": schema, "hash_match": h,
-                         "n_spark": len(spark_df), "n_duck": len(duck_df)}
+        results[sidecar_key(name, meta["k"])] = {
+            "mode": "oracle", "rows_match": rows,
+            "schema_match": schema, "hash_match": h,
+            "n_spark": len(spark_df), "n_duck": len(duck_df)}
         if not h and rows and schema:
             s = spark_df[sorted(spark_df.columns)]
             d = duck_df[sorted(duck_df.columns)]
             for i in range(min(len(s), len(d))):
                 if canon(s.iloc[[i]]) != canon(d.iloc[[i]]):
-                    results[name]["first_diff"] = {"row": i,
+                    results[sidecar_key(name, meta["k"])]["first_diff"] = {"row": i,
                         "spark": s.iloc[i].tolist(), "duck": d.iloc[i].tolist()}
                     break
     except Exception as e:
-        results[name] = {"mode": "oracle", "error": str(e)[:300]}
+        results[sidecar_key(name, meta["k"])] = {"mode": "oracle", "error": str(e)[:300]}
 
 ok = sum(1 for r in results.values() if r.get("hash_match"))
 print(json.dumps(results, indent=1, default=str))
@@ -178,7 +186,10 @@ try:
         ["git", "rev-parse", "HEAD"], text=True).strip()
 except Exception:
     sidecar["git_rev"] = "unknown"
-sidecar["graph_edges"] = meta["edges"]
+if meta["k"] == 4:
+    sidecar["graph_edges"] = meta["edges"]
+else:
+    sidecar[f"graph_edges_x{meta['k']}"] = meta["edges"]
 sidecar["n_ok"] = sum(1 for r in sidecar["checks"].values()
                       if r.get("hash_match"))
 sidecar["n_checks"] = len(sidecar["checks"])
