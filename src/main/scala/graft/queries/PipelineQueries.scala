@@ -3969,6 +3969,25 @@ object PipelineQueries {
           col("decode_lossy"), col("gopher_pass"), col("pick_rank"),
           col("main_text"))
         .orderBy("doc_id")
+    }),
+
+    // WARC -> binary payload -> PNG DECODE -> perceptual hash on REAL
+    // crawl bytes: the committed PNG fixture
+    // (tools/make_warc_png_fixture.py — genuine zlib IDATs, filter
+    // type id % 5, same LCG pixels as the BMP fixture) read through
+    // the lossless binary reader, then dHashed through the streaming
+    // RFC 2083 decode path; the oracle replays the p340 bit
+    // arithmetic over range(0, 20) — reader drift, inflate/unfilter
+    // drift OR hash drift fails.
+    "p351_warc_png_dhash" -> ((s, dir) => {
+      val recs = graft.sources.Warc.recordsBinary(s,
+          "/root/repo/src/test/resources/fixture_png.warc")
+        .where(col("warc_type") === "resource" && col("length_ok"))
+        .select(regexp_extract(col("target_uri"), "media://png/([0-9]+)", 1)
+          .cast("long").as("media_id"), col("payload"))
+      graft.ops.Multimodal.imageDHashScan(recs, "payload")
+        .select(col("media_id"), col("dhash"))
+        .orderBy("media_id")
     })
   )
 
@@ -9975,5 +9994,21 @@ object PipelineQueries {
       "SELECT d AS doc_id, lang, charset, FALSE AS decode_lossy, " +
       "gopher_pass, CAST(rn AS INT) AS pick_rank, text AS main_text " +
       "FROM rk WHERE rn <= 10 ORDER BY doc_id")
+  ,
+    // p351: the p340/p343 dHash arithmetic replayed over the PNG
+    // fixture's id range — the fixture pixels follow the same LCG
+    // recipe, so no fixture parsing is needed
+    "p351_warc_png_dhash" -> (
+      "WITH ids AS (SELECT range AS doc_id FROM range(0, 20)), " +
+      "g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM ids, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h ORDER BY media_id")
   )
 }

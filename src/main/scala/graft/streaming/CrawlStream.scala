@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.UrlOps
+
+/** INCREMENTAL CRAWL-FRONTIER maintenance — the streaming closure of
+  * the batch crawl loop (p344): fetch results arrive as a stream of
+  * (url, html) pages, each micro-batch extracts their links
+  * ([[graft.ops.LinkOps.extractLinks]], spec-pinned batch-agnostic),
+  * folds the new in-link counts into a persistent counts store, and
+  * re-derives the politeness-ranked frontier snapshot. A real
+  * crawler's frontier is a living structure — this is the composition
+  * that keeps it alive under Structured Streaming's restart semantics.
+  *
+  * Scale shape per micro-batch: link extraction is map-only over the
+  * BATCH; the fold is one aggregate-merge against the counts store —
+  * O(|distinct targets|), NOT O(all links ever seen) (an
+  * append-a-link-log-and-rescan design re-reads unbounded history per
+  * batch; the counts store is the bounded-state form, the same
+  * reasoning as watermarked agg state). The crawled set is
+  * append-only distinct URLs.
+  *
+  * EXACTLY-ONCE fold: foreachBatch may re-deliver a batch after a
+  * checkpoint-restart kill. Each fold writes counts generation
+  * `counts_b<id>` from its committed predecessor and marks it with a
+  * `_committed` file as the LAST step — a re-delivered batch either
+  * sees the marker (skip, already folded) or recomputes the whole
+  * generation deterministically from the predecessor, so in-link
+  * counts never double no matter where the previous attempt died
+  * (spec-pinned across a kill+restart). A production deployment gets
+  * the same effect from a transactional table format. */
+object CrawlStream {
+
+  private def committedGens(stateDir: String): Seq[Long] = {
+    val d = new java.io.File(stateDir)
+    val fs = Option(d.listFiles()).getOrElse(Array.empty)
+    fs.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("counts_b") &&
+        new java.io.File(f, "_committed").exists())
+      .map(_.getName.stripPrefix("counts_b").toLong)
+      .sorted
+  }
+
+  /** Fold ONE batch of fetched pages into the frontier state and
+    * rewrite `<stateDir>/frontier`. Exposed for direct testing — the
+    * streaming query calls exactly this per micro-batch. */
+  def foldBatch(
+      batch: DataFrame,
+      batchId: Long,
+      stateDir: String,
+      maxPerHost: Int,
+      delays: Option[DataFrame],
+      agent: String): Unit = {
+    val s = batch.sparkSession
+    val gens = committedGens(stateDir)
+    if (!gens.contains(batchId)) {
+      val prev = gens.filter(_ < batchId).lastOption
+      // the stream contract is (url, html); extractLinks wants a page
+      // id — the URL hash serves (collisions only mislabel link_pos
+      // provenance, which the counts fold never reads)
+      val newCounts = graft.ops.LinkOps
+        .extractLinks(batch.withColumn("doc_id", xxhash64(col("url"))))
+        .groupBy(col("dst_url")).agg(count(lit(1)).as("n_inlinks"))
+      val merged = prev match {
+        case None => newCounts
+        case Some(p) => s.read.parquet(s"$stateDir/counts_b$p")
+          .unionByName(newCounts)
+          .groupBy("dst_url").agg(sum(col("n_inlinks")).as("n_inlinks"))
+      }
+      merged.write.mode("overwrite").parquet(s"$stateDir/counts_b$batchId")
+      // crawled set: append-only; duplicates are harmless (distincted
+      // below), so re-delivery needs no marker of its own
+      batch.select(graft.functions.UrlFunctions.url_normalize(col("url"))
+        .as("url")).distinct()
+        .write.mode("append").parquet(s"$stateDir/crawled")
+      // the commit point: everything above is deterministic from the
+      // predecessor, so a crash anywhere before this line makes the
+      // re-delivered batch recompute, never double-count
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(s"$stateDir/counts_b$batchId", "_committed"))
+    }
+    val cur = committedGens(stateDir).last
+    val counts = s.read.parquet(s"$stateDir/counts_b$cur")
+    val crawled = s.read.parquet(s"$stateDir/crawled")
+    // frontierDiscover's aggregate counts RAW link rows; the store is
+    // already aggregated, so its anti-join + per-host ranking are
+    // applied here directly over the counts table
+    val fresh = counts.join(
+      crawled.select(col("url").as("dst_url")).distinct().hint("SHUFFLE_HASH"),
+      Seq("dst_url"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("n_inlinks").desc, col("dst_url"))
+    val frontier = fresh
+      .select(col("dst_url"),
+        lower(parse_url(col("dst_url"), lit("HOST"))).as("host"),
+        col("n_inlinks"))
+      .withColumn("host_rank", row_number().over(w))
+      .where(col("host_rank") <= maxPerHost)
+    val ranked = delays match {
+      case Some(d) =>
+        UrlOps.politenessSchedule(frontier, d, agent,
+          urlCol = "dst_url", idCol = "dst_url", smallDim = Some(true))
+      case None => frontier
+    }
+    ranked.write.mode("overwrite").parquet(s"$stateDir/frontier")
+  }
+
+  /** Start the frontier-maintenance query over a STREAMING pages frame
+    * ((url, html) columns). AvailableNow trigger: drains what is
+    * staged, then stops — the file-source smoke shape; a live crawler
+    * runs the same writer with a processing-time trigger. */
+  def frontierStream(
+      pages: DataFrame,
+      stateDir: String,
+      checkpoint: String,
+      maxPerHost: Int = 1000,
+      delays: Option[DataFrame] = None,
+      agent: String = "graftbot"): StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        foldBatch(batch, id, stateDir, maxPerHost, delays, agent)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
