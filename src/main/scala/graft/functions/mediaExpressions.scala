@@ -454,8 +454,9 @@ object VideoMetaExpression {
 /** `dhash64(bytes)`: perceptual difference-hash over raster images —
   * uncompressed 24-bit BMP (direct pixel reads), PNG (streaming
   * RFC 2083 decode: zlib inflate + the five filter types,
-  * [[PngLuma]]), and baseline JPEG (ITU T.81 Huffman decode, luma DC
-  * coefficients = the ⅛-scale thumbnail, [[JpegDcLuma]]). All three
+  * [[PngLuma]]), baseline JPEG (ITU T.81 Huffman decode, luma DC
+  * coefficients = the ⅛-scale thumbnail, [[JpegDcLuma]]), and GIF
+  * (first-frame LZW decode, [[GifLuma]]). All four
   * sample the same 9×8 nearest-neighbor luma grid — for BMP that is
   * 72 pixel reads per image REGARDLESS of size; for PNG/JPEG the
   * decode is linear in true pixel count and CAPPED
@@ -523,6 +524,11 @@ object DHash64Expression {
     // baseline JPEG: DC-thumbnail decode to the sample grid
     if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
       val g = JpegDcLuma.sampleGrid(b)
+      return if (g == null) null else packGrid(g)
+    }
+    // GIF: LZW decode of the first frame to the sample grid
+    if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') {
+      val g = GifLuma.sampleGrid(b)
       return if (g == null) null else packGrid(g)
     }
     if (b.length < 54) return null

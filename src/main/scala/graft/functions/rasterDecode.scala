@@ -610,3 +610,200 @@ object JpegDcLuma {
     samples
   }
 }
+
+/** GIF luma sampler (GIF87a/89a, public spec): LZW-decodes the FIRST
+  * image frame to palette indices, maps through the active color
+  * table, and samples the same 9×8 dHash grid. Handles global and
+  * local color tables, extension blocks (skipped by sub-block
+  * grammar), interlaced frames (the 4-pass row order), and the
+  * deferred-clear dictionary discipline real encoders use. Animated
+  * GIFs hash their first frame — the standard thumbnail convention.
+  * Same contract as [[PngLuma]]: hostile bytes are data (null, never
+  * a throw), work capped by [[PngLuma.MaxPixels]]. */
+object GifLuma {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+  def sampleGrid(b: Array[Byte]): Array[Int] = {
+    try sampleGridUnsafe(b)
+    catch {
+      case _: ArrayIndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+      case _: OutOfMemoryError => null
+    }
+  }
+
+  private def sampleGridUnsafe(b: Array[Byte]): Array[Int] = {
+    if (b == null || b.length < 13) return null
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return null
+    val packed = u8(b, 10)
+    var p = 13
+    var gct: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (p + 3 * n > b.length) return null
+      gct = new Array[Int](n)
+      var k = 0
+      while (k < n) {
+        gct(k) = (u8(b, p + 3 * k) * 299 + u8(b, p + 3 * k + 1) * 587 +
+          u8(b, p + 3 * k + 2) * 114) / 1000
+        k += 1
+      }
+      p += 3 * n
+    }
+    // block walk to the first image descriptor
+    var w = -1; var h = -1; var interlaced = false
+    var table: Array[Int] = null
+    var dataAt = -1
+    while (dataAt < 0) {
+      if (p >= b.length) return null
+      u8(b, p) match {
+        case 0x21 => // extension: label + sub-blocks
+          p += 2
+          while (p < b.length && u8(b, p) != 0) p += 1 + u8(b, p)
+          if (p >= b.length) return null
+          p += 1 // terminator
+        case 0x2c => // image descriptor
+          if (p + 10 > b.length) return null
+          w = le16(b, p + 5); h = le16(b, p + 7)
+          val ip = u8(b, p + 9)
+          interlaced = (ip & 0x40) != 0
+          p += 10
+          if ((ip & 0x80) != 0) { // local color table
+            val n = 2 << (ip & 7)
+            if (p + 3 * n > b.length) return null
+            table = new Array[Int](n)
+            var k = 0
+            while (k < n) {
+              table(k) = (u8(b, p + 3 * k) * 299 + u8(b, p + 3 * k + 1) * 587 +
+                u8(b, p + 3 * k + 2) * 114) / 1000
+              k += 1
+            }
+            p += 3 * n
+          } else table = gct
+          dataAt = p
+        case 0x3b => return null // trailer before any image
+        case _ => return null    // unknown block type: not a GIF we trust
+      }
+    }
+    if (table == null || w < 1 || h < 1) return null
+    if (w.toLong * h > PngLuma.MaxPixels) return null
+    if (dataAt >= b.length) return null
+
+    // LZW decode (GIF variant: variable 3..12-bit codes, clear/EOI)
+    val minCode = u8(b, dataAt)
+    if (minCode < 2 || minCode > 8) return null
+    var q = dataAt + 1
+    val nPix = w * h
+    val pixels = new Array[Byte](nPix)
+    var out = 0
+    val clearCode = 1 << minCode
+    val eoiCode = clearCode + 1
+    // dictionary as prefix/suffix arrays (classic GIF LZW layout)
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var dictSize = eoiCode + 1
+    var codeBits = minCode + 1
+    var prevCode = -1
+    var acc = 0
+    var nAcc = 0
+    var subLeft = 0
+    var done = false
+    while (!done && out < nPix) {
+      // refill bits from the sub-block stream
+      while (nAcc < codeBits && !done) {
+        if (subLeft == 0) {
+          if (q >= b.length) return null
+          subLeft = u8(b, q); q += 1
+          if (subLeft == 0) { done = true }
+        }
+        if (!done) {
+          if (q >= b.length) return null
+          acc |= u8(b, q) << nAcc
+          nAcc += 8; q += 1; subLeft -= 1
+        }
+      }
+      if (nAcc < codeBits) return null // stream ended mid-code
+      if (!done) {
+        val code = acc & ((1 << codeBits) - 1)
+        acc >>>= codeBits; nAcc -= codeBits
+        if (code == clearCode) {
+          dictSize = eoiCode + 1
+          codeBits = minCode + 1
+          prevCode = -1
+        } else if (code == eoiCode) {
+          done = true
+        } else {
+          if (code > dictSize || (code == dictSize && prevCode < 0)) return null
+          // expand `code` (or the KwKwK case) onto the stack
+          var sp = 0
+          var cur = code
+          if (code == dictSize) {
+            // KwKwK: current code not yet defined — prev + first(prev)
+            cur = prevCode
+            stack(sp) = 0; sp += 1 // placeholder, patched after walk
+          }
+          while (cur >= clearCode + 2) {
+            stack(sp) = suffix(cur); sp += 1
+            cur = prefix(cur)
+            if (sp > 4096) return null // corrupt chain loop
+          }
+          val first = cur.toByte
+          stack(sp) = first; sp += 1
+          if (code == dictSize) stack(0) = first // patch the KwKwK tail
+          // define the new dictionary entry
+          if (prevCode >= 0 && dictSize < 4096) {
+            prefix(dictSize) = prevCode
+            suffix(dictSize) = first
+            dictSize += 1
+            if (dictSize == (1 << codeBits) && codeBits < 12) codeBits += 1
+          }
+          prevCode = code
+          // pop the stack into the pixel buffer
+          while (sp > 0 && out < nPix) {
+            sp -= 1
+            pixels(out) = stack(sp)
+            out += 1
+          }
+        }
+      }
+    }
+    if (out < nPix) return null // truncated image data
+
+    // row order: interlaced GIFs store rows in 4 passes
+    // (starts 0/4/2/1, steps 8/8/4/2); inv maps display row -> stored row
+    val rowOf: Int => Int =
+      if (!interlaced) identity
+      else {
+        val order = new Array[Int](h)
+        var idx = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+          var y = start
+          while (y < h) { order(idx) = y; idx += 1; y += step }
+        }
+        val inv = new Array[Int](h)
+        var i = 0
+        while (i < h) { inv(order(i)) = i; i += 1 }
+        (y: Int) => inv(y)
+      }
+
+    val samples = new Array[Int](72)
+    var r = 0
+    while (r < 8) {
+      val y = if (h == 1) 0 else ((h - 1).toLong * r / 7).toInt
+      val srcRow = rowOf(y)
+      var c = 0
+      while (c < 9) {
+        val x = if (w == 1) 0 else ((w - 1).toLong * c / 8).toInt
+        val idx = pixels(srcRow * w + x) & 0xff
+        samples(r * 9 + c) = if (idx < table.length) table(idx) else 0
+        c += 1
+      }
+      r += 1
+    }
+    samples
+  }
+}

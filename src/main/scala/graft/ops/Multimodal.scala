@@ -319,6 +319,66 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** Deterministic GIF fixture carrying the SAME LCG luma grid: a 9×8
+    * GIF89a with a 256-entry grayscale global color table (palette
+    * index k maps to luma k, so pixel index = luma) and a REAL LZW
+    * stream — leading CLEAR, 72 literal codes, EOI, 9-bit codes
+    * (the dictionary grows 71 entries, never reaching the 512-code
+    * width bump) — so a GIF, PNG, JPEG and BMP of the same id dHash
+    * identically and the p340 oracle arithmetic replays verbatim.
+    * Junk on seed % 10 == 9, twins via idOffset/bumpCell. */
+  def gifPixelsFromIds(
+      ids: DataFrame,
+      idCol: String,
+      idOffset: Long = 0L,
+      bumpCell: Int = 0): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
+      val bytes =
+        if (seed % 10 == 9) s"notagif:$seed".getBytes("US-ASCII")
+        else {
+          def lum(x: Int, y: Int): Int = {
+            val base = (((1103515245L * ((seed * 72 + y * 9 + x) % 100000L) +
+              12345L) % 2147483648L) / 65536L % 256L).toInt
+            if (bumpCell != 0 && x == 3 && y == 2) (base + bumpCell) % 256
+            else base
+          }
+          val out = new java.io.ByteArrayOutputStream(1024)
+          def w8(v: Int): Unit = out.write(v & 0xff)
+          def w16(v: Int): Unit = { w8(v); w8(v >>> 8) }
+          out.write("GIF89a".getBytes("US-ASCII"))
+          w16(9); w16(8)
+          w8(0xf7) // GCT present, 256 entries, 8-bit color resolution
+          w8(0); w8(0) // background, aspect
+          (0 until 256).foreach { k => w8(k); w8(k); w8(k) } // gray GCT
+          w8(0x2c) // image descriptor
+          w16(0); w16(0); w16(9); w16(8); w8(0) // no LCT, not interlaced
+          w8(8) // LZW min code size
+          // 9-bit literal codes, LSB-first: CLEAR, 72 pixels, EOI
+          val codes = 256 +: (for (y <- 0 until 8; x <- 0 until 9)
+            yield lum(x, y)) :+ 257
+          val data = new java.io.ByteArrayOutputStream(96)
+          var acc = 0; var nAcc = 0
+          codes.foreach { c =>
+            acc |= c << nAcc; nAcc += 9
+            while (nAcc >= 8) { data.write(acc & 0xff); acc >>>= 8; nAcc -= 8 }
+          }
+          if (nAcc > 0) data.write(acc & 0xff)
+          val d = data.toByteArray
+          var i = 0
+          while (i < d.length) { // 255-byte sub-blocks
+            val n = math.min(255, d.length - i)
+            w8(n); out.write(d, i, n); i += n
+          }
+          w8(0)    // sub-block terminator
+          w8(0x3b) // trailer
+          out.toByteArray
+        }
+      (seed + idOffset, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
   /** Deterministic baseline-JPEG fixture carrying the SAME LCG luma
     * grid: a 72×64 grayscale JPEG whose 8×8 blocks are each CONSTANT
     * at lum(bx, by) — the FDCT of a constant block is pure DC, and

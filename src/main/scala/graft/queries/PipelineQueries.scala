@@ -3988,6 +3988,20 @@ object PipelineQueries {
       graft.ops.Multimodal.imageDHashScan(recs, "payload")
         .select(col("media_id"), col("dhash"))
         .orderBy("media_id")
+    }),
+
+    // Perceptual dHash over REAL GIF bytes: the same LCG grid as 9×8
+    // GIF89a files with a genuine LZW stream (clear + literals + EOI)
+    // and a 256-gray global color table, decoded by the first-frame
+    // LZW path; junk every tenth member. Oracle = the p340 bit
+    // arithmetic verbatim (fourth format over one arithmetic — BMP,
+    // PNG, JPEG, GIF all hash identically for the same pixels).
+    "p352_gif_dhash" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      graft.ops.Multimodal.imageDHashScan(
+          graft.ops.Multimodal.gifPixelsFromIds(docs, "doc_id"), "bytes")
+        .select(col("media_id"), col("dhash"))
+        .orderBy("media_id")
     })
   )
 
@@ -10004,6 +10018,20 @@ object PipelineQueries {
       "l AS (SELECT doc_id, r, c, " +
       "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
       "FROM ids, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h ORDER BY media_id")
+  ,
+    // p352: the p340 arithmetic again — the GIF fixture carries the
+    // same LCG pixels (spec-pinned cross-format agreement)
+    "p352_gif_dhash" -> (
+      "WITH g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM documents, g), " +
       "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
       "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
       "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +

@@ -148,6 +148,93 @@ class RasterDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("GIF of the same luma grid dHashes identically to BMP; junk members NULL") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 3L, 7L, 11L, 42L, 1234L).toDF("doc_id")
+    val bmp = Multimodal.imageDHashScan(
+        Multimodal.bmpPixelsFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    val gif = Multimodal.imageDHashScan(
+        Multimodal.gifPixelsFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    assert(gif == bmp)
+    val junk = Multimodal.imageDHashScan(
+        Multimodal.gifPixelsFromIds(Seq(9L, 19L).toDF("doc_id"), "doc_id"), "bytes")
+      .select("dhash").collect()
+    assert(junk.forall(_.isNullAt(0)))
+  }
+
+  test("GIF differential vs ImageIO: gray and indexed images decode to the same grid") {
+    val rnd = new java.util.Random(99L)
+    for (t <- Seq(BufferedImage.TYPE_BYTE_GRAY, BufferedImage.TYPE_BYTE_INDEXED);
+         trial <- 0 until 6) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val img = new BufferedImage(w, h, t)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, rnd.nextInt() | 0xff000000)
+      val gif = encode(img, "gif")
+      val got = graft.functions.GifLuma.sampleGrid(gif)
+      assert(got != null, s"type=$t ${w}x$h decode failed")
+      // truth is the ORIGINAL image (already palette-quantized by
+      // setRGB), not ImageIO's reader: the JDK writer emits INTERLACED
+      // GIFs and the JDK reader then loses rows on heights below the
+      // pass strides (verified: a 10x2 interlaced round-trip comes
+      // back with row 1 black) — our decoder must beat that, not
+      // match it
+      for (r <- 0 until 8; c <- 0 until 9) {
+        val y = if (h == 1) 0 else ((h - 1).toLong * r / 7).toInt
+        val x = if (w == 1) 0 else ((w - 1).toLong * c / 8).toInt
+        // gray rasters read as RAW samples (getRGB gamma-expands
+        // CS_GRAY — the PNG differential's lesson); the GIF writer
+        // copies those samples into a linear 256-gray palette
+        val want =
+          if (t == BufferedImage.TYPE_BYTE_GRAY)
+            img.getRaster.getSample(x, y, 0)
+          else rec601(img.getRGB(x, y))
+        val v = got(r * 9 + c)
+        assert(v == want, s"type=$t ${w}x$h at ($x,$y): got $v want $want")
+      }
+    }
+  }
+
+  test("interlaced GIF: 4-pass row order decodes to the same grid as sequential") {
+    import spark.implicits._
+    val seq = Multimodal.gifPixelsFromIds(Seq(5L).toDF("doc_id"), "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    val seqGrid = graft.functions.GifLuma.sampleGrid(seq)
+    // hand-build the interlaced twin: same pixels, rows stored in the
+    // GIF 4-pass order [0,4,2,6,1,3,5,7], interlace flag set
+    def lum(seed: Long)(x: Int, y: Int): Int = lcgLum(seed)(x, y)
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >>> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    w16(9); w16(8); w8(0xf7); w8(0); w8(0)
+    (0 until 256).foreach { k => w8(k); w8(k); w8(k) }
+    w8(0x2c); w16(0); w16(0); w16(9); w16(8)
+    w8(0x40) // interlaced, no LCT
+    w8(8)
+    val storedRows = Seq(0, 4, 2, 6, 1, 3, 5, 7)
+    val codes = 256 +: (for (y <- storedRows; x <- 0 until 9)
+      yield lum(5L)(x, y)) :+ 257
+    val data = new java.io.ByteArrayOutputStream(96)
+    var acc = 0; var nAcc = 0
+    codes.foreach { c =>
+      acc |= c << nAcc; nAcc += 9
+      while (nAcc >= 8) { data.write(acc & 0xff); acc >>>= 8; nAcc -= 8 }
+    }
+    if (nAcc > 0) data.write(acc & 0xff)
+    val d = data.toByteArray
+    var i = 0
+    while (i < d.length) {
+      val n = math.min(255, d.length - i); w8(n); out.write(d, i, n); i += n
+    }
+    w8(0); w8(0x3b)
+    val gotGrid = graft.functions.GifLuma.sampleGrid(out.toByteArray)
+    assert(gotGrid != null && gotGrid.toSeq == seqGrid.toSeq)
+  }
+
   test("interlaced PNG and progressive JPEG triage to NULL, not garbage") {
     import spark.implicits._
     val ids = Seq(1L).toDF("doc_id")
@@ -179,26 +266,28 @@ class RasterDecodeSpec extends AnyFunSuite {
       .select("bytes").as[Array[Byte]].head()
     val validJpg = Multimodal.jpegDcFromIds(ids, "doc_id")
       .select("bytes").as[Array[Byte]].head()
+    val validGif = Multimodal.gifPixelsFromIds(ids, "doc_id")
+      .select("bytes").as[Array[Byte]].head()
     val rnd = new java.util.Random(16L)
     // random tails behind the magic: field arithmetic fuzz
-    (1 to 8000).foreach { _ =>
+    (1 to 9000).foreach { i =>
       val n = rnd.nextInt(200)
       val b = new Array[Byte](n)
       rnd.nextBytes(b)
-      if (n >= 8 && rnd.nextBoolean())
+      if (n >= 8 && i % 3 == 0)
         Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
           .copyToArray(b, 0)
+      else if (n >= 6 && i % 3 == 1)
+        "GIF89a".getBytes("US-ASCII").copyToArray(b, 0)
       else if (n >= 3)
         Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte).copyToArray(b, 0)
       DHash64Expression.evalRow(b) // must not throw; value is free
     }
     // every truncation of a valid file
-    (0 until validPng.length).foreach(k =>
-      DHash64Expression.evalRow(validPng.take(k)))
-    (0 until validJpg.length).foreach(k =>
-      DHash64Expression.evalRow(validJpg.take(k)))
+    for (src <- Seq(validPng, validJpg, validGif); k <- 0 until src.length)
+      DHash64Expression.evalRow(src.take(k))
     // single-byte mutations of valid files (all positions, 3 values)
-    for (src <- Seq(validPng, validJpg); pos <- src.indices;
+    for (src <- Seq(validPng, validJpg, validGif); pos <- src.indices;
          v <- Seq(0x00, 0xff, 0x80)) {
       val m = src.clone(); m(pos) = v.toByte
       DHash64Expression.evalRow(m)

@@ -55,6 +55,11 @@ GATES=$GATES,p335_anchor_text_agg,p336_redirect_chains,p337_page_meta
 # images, quadratic at x20, so it stays at the base scale)
 GATES=$GATES,p338_main_content,p339_template_clusters,p340_image_dhash
 GATES=$GATES,p342_audio_pcm,p344_crawl_loop,p345_url_patterns,p346_crawl_budget
+# round-16 compressed-raster decode at x20 docs (100k real PNG/JPEG
+# payloads built + decoded per run; arithmetic oracles = p340's bit
+# replay). p349's oracle is all-pairs like p341 — base scale only.
+# p350/p351 are committed-fixture gates — scale-independent.
+GATES=$GATES,p347_png_dhash,p348_jpeg_dhash,p352_gif_dhash
 # dedup family members whose oracles are id-set-agnostic and linear
 # (p04/p06 plant +100000-shifted twins — their id arithmetic collides
 # with the x20 replica offsets, so they stay fingerprint-pinned)
