@@ -386,6 +386,17 @@ object ScaledOps {
           concat(lit("http://g"), col("doc_id") % 97 % 64, lit(".example/q/"),
             col("doc_id") % 13).as("dst_url"))),
         iters = 3, srcCol = "src_host", dstCol = "dst_host")) },
+      // round-16 raster-decode family at ×20 docs (100k rows): each op
+      // ENCODES a real compressed image per row (Deflater / T.81
+      // entropy stream / LZW) then decodes it through the dhash64
+      // dispatch — an end-to-end cost ceiling for the decode kernels
+      // (a real crawl pays only the decode half)
+      time("png_dhash") { sink(graft.ops.Multimodal.imageDHashScan(
+        graft.ops.Multimodal.pngPixelsFromIds(docs, "doc_id"), "bytes")) },
+      time("jpeg_dhash") { sink(graft.ops.Multimodal.imageDHashScan(
+        graft.ops.Multimodal.jpegDcFromIds(docs, "doc_id"), "bytes")) },
+      time("gif_dhash") { sink(graft.ops.Multimodal.imageDHashScan(
+        graft.ops.Multimodal.gifPixelsFromIds(docs, "doc_id"), "bytes")) },
       (if (selected("ann_ivfpq_recall_pct")) {
         val (n, pct) = annIvfPqRecall(spark.read.parquet(embPath))
         ScaledRec(n, pct, pct, varied = false) // a score, not a timing
