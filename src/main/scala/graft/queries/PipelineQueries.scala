@@ -4002,6 +4002,39 @@ object PipelineQueries {
           graft.ops.Multimodal.gifPixelsFromIds(docs, "doc_id"), "bytes")
         .select(col("media_id"), col("dhash"))
         .orderBy("media_id")
+    }),
+
+    // IMAGE CURATION end to end — the image analog of the p344 crawl
+    // loop and p350 text curation: every document exists as FOUR real
+    // encodings of the same pixels (BMP / PNG / JPEG / GIF, distinct
+    // id ranges), the classic crawl-duplicate shape. One lazy chain:
+    // decode-hash all four -> banded EXACT-hash pairs (Hamming 0 —
+    // identical pixels hash identically across formats; the synthetic
+    // LCG grid space is near-collision dense, so the <= 3 tier chains
+    // into one giant component and pins nothing) -> connected-
+    // component clustering -> per-cluster keep-best roll-up (exemplar
+    // = min id, member count, distinct format count; cross-doc exact
+    // collisions merge quadruplets, which the oracle reproduces). The
+    // oracle recomputes every hash from the LCG arithmetic, replays
+    // the all-pairs Hamming-0 definition, and closes components with a
+    // recursive CTE.
+    "p353_image_curation" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val members = graft.ops.Multimodal.bmpPixelsFromIds(docs, "doc_id")
+        .unionByName(graft.ops.Multimodal.pngPixelsFromIds(docs, "doc_id",
+          idOffset = 10000000L))
+        .unionByName(graft.ops.Multimodal.jpegDcFromIds(docs, "doc_id",
+          idOffset = 20000000L))
+        .unionByName(graft.ops.Multimodal.gifPixelsFromIds(docs, "doc_id",
+          idOffset = 30000000L))
+      val pairs = graft.ops.Dedup.hashNearDups(
+        graft.ops.Multimodal.imageDHashScan(members, "bytes"),
+        "media_id", "dhash", maxHamming = 0)
+      graft.ops.Dedup.dedupClusters(pairs.select("a", "b"))
+        .groupBy("component")
+        .agg(max(col("cluster_size")).as("cluster_size"),
+          countDistinct(expr("id div 10000000")).as("n_formats"))
+        .orderBy("component")
     })
   )
 
@@ -10024,6 +10057,34 @@ object PipelineQueries {
       "SELECT doc_id AS media_id, CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
       "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
       "FROM h ORDER BY media_id")
+  ,
+    // p353: hashes from the LCG arithmetic over all four id ranges,
+    // exact all-pairs Hamming <= 3 (banding is complete there), then
+    // the p29-style recursive-CTE component closure + keep-best rollup
+    "p353_image_curation" -> (
+      "WITH RECURSIVE " +
+      "offs(off) AS (VALUES (0), (10000000), (20000000), (30000000)), " +
+      "imgs AS (SELECT doc_id + off AS media_id, doc_id AS seed " +
+      "FROM documents, offs WHERE doc_id % 10 <> 9), " +
+      "g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT media_id, r, c, " +
+      "((1103515245 * ((seed * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM imgs, g), " +
+      "bits AS (SELECT a.media_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.media_id = a.media_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT media_id, SUM(v) AS v FROM bits GROUP BY media_id), " +
+      "hb AS MATERIALIZED (SELECT media_id, CAST(CASE WHEN v >= 9223372036854775808::HUGEINT " +
+      "THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS hv FROM h), " +
+      "p AS (SELECT a.media_id AS a, b.media_id AS b FROM hb a JOIN hb b " +
+      "ON a.media_id < b.media_id AND a.hv = b.hv), " +
+      "ed AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
+      "nd AS (SELECT DISTINCT a AS id FROM ed), " +
+      "reach AS (SELECT id, id AS r FROM nd " +
+      "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
+      "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id) " +
+      "SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size, " +
+      "CAST(COUNT(DISTINCT id // 10000000) AS BIGINT) AS n_formats " +
+      "FROM comp GROUP BY component ORDER BY component")
   ,
     // p352: the p340 arithmetic again — the GIF fixture carries the
     // same LCG pixels (spec-pinned cross-format agreement)
