@@ -666,11 +666,184 @@ object AudioPcmStatsExpression {
   }
 }
 
+/** `exif_meta(bytes)`: EXIF privacy triage from the header bytes — a
+  * multimodal crawl's GOVERNANCE scan. Walks a JPEG's segment table to
+  * the first APP1 `Exif\0\0` payload (or takes a bare TIFF buffer) and
+  * reads IFD0 with the same bounded-walk discipline as
+  * [[ImageDimsExpression]]'s TIFF path: `orientation` (tag 274 —
+  * needed to hash rotated near-dups consistently downstream) and
+  * `has_gps` (tag 34853, the GPS-IFD pointer — embedded GPS
+  * coordinates are PII, and a training-data pipeline must FLAG them
+  * before any image ships). Presence only — the GPS IFD itself is
+  * never chased (a triage reads pointers, not payloads). Junk,
+  * truncated or EXIF-less payloads → (0, −1, 0); never a throw.
+  * Returns struct(has_exif INT, orientation INT, has_gps INT). */
+case class ExifMetaExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("has_exif", IntegerType, nullable = false),
+    StructField("orientation", IntegerType, nullable = false),
+    StructField("has_gps", IntegerType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    ExifMetaExpression.evalRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ExifMetaExpression.evalRow($c);")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "exif_meta"
+}
+
+object ExifMetaExpression {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+  /** Codegen entry point: one static call per row. */
+  def evalRow(b: Array[Byte]): InternalRow = {
+    val (e, o, g) = scan(b)
+    InternalRow(e, o, g)
+  }
+
+  /** (has_exif, orientation, has_gps); (0, -1, 0) when absent. */
+  def scan(b: Array[Byte]): (Int, Int, Int) = {
+    if (b == null || b.length < 8) return (0, -1, 0)
+    // bare TIFF buffer: parse directly
+    if ((b(0) == 'I' && b(1) == 'I' && u8(b, 2) == 0x2a && u8(b, 3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 0x2a))
+      return tiffIfd0(b, 0, b.length)
+    if (!(u8(b, 0) == 0xff && u8(b, 1) == 0xd8)) return (0, -1, 0)
+    var p = 2
+    while (p + 3 < b.length) {
+      if (u8(b, p) != 0xff) return (0, -1, 0)
+      while (p < b.length && u8(b, p) == 0xff) p += 1
+      if (p >= b.length) return (0, -1, 0)
+      val m = u8(b, p); p += 1
+      if (m == 0xd9 || m == 0xda) return (0, -1, 0) // EOI / scan data
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        // standalone marker: no length
+      } else {
+        if (p + 2 > b.length) return (0, -1, 0)
+        val len = be16(b, p)
+        if (len < 2 || len > b.length - p) return (0, -1, 0)
+        if (m == 0xe1 && len >= 2 + 6 + 8 &&
+            b(p + 2) == 'E' && b(p + 3) == 'x' && b(p + 4) == 'i' &&
+            b(p + 5) == 'f' && b(p + 6) == 0 && b(p + 7) == 0)
+          return tiffIfd0(b, p + 8, p + len)
+        p += len
+      }
+    }
+    (0, -1, 0)
+  }
+
+  /** Bounded IFD0 read of the TIFF at [base, end): orientation (274)
+    * and the GPS-IFD pointer's presence (34853). */
+  private def tiffIfd0(b: Array[Byte], base: Int, end: Int): (Int, Int, Int) = {
+    if (base + 8 > end) return (0, -1, 0)
+    val le =
+      if (b(base) == 'I' && b(base + 1) == 'I' && u8(b, base + 2) == 0x2a &&
+        u8(b, base + 3) == 0) true
+      else if (b(base) == 'M' && b(base + 1) == 'M' && u8(b, base + 2) == 0 &&
+        u8(b, base + 3) == 0x2a) false
+      else return (0, -1, 0)
+    def r16(i: Int): Int =
+      if (le) u8(b, i) | (u8(b, i + 1) << 8) else (u8(b, i) << 8) | u8(b, i + 1)
+    def r32(i: Int): Long =
+      if (le) (r16(i) | (r16(i + 2).toLong << 16)) & 0xffffffffL
+      else ((r16(i).toLong << 16) | r16(i + 2)) & 0xffffffffL
+    val ifdOff = r32(base + 4)
+    // subtraction form: a hostile 32-bit offset must compare, not wrap
+    if (ifdOff < 8 || ifdOff > (end - base - 2).toLong) return (0, -1, 0)
+    val ifd = base + ifdOff.toInt
+    val n = r16(ifd)
+    var orientation = -1
+    var gps = 0
+    var k = 0
+    while (k < n && ifd + 2 + 12 * (k + 1) <= end) {
+      val e = ifd + 2 + 12 * k
+      val tag = r16(e); val typ = r16(e + 2); val cnt = r32(e + 4)
+      if (tag == 274 && typ == 3 && cnt == 1L) orientation = r16(e + 8)
+      else if (tag == 34853) gps = 1
+      k += 1
+    }
+    (1, orientation, gps)
+  }
+}
+
+/** `jpeg_strip_exif(bytes)`: the REDACTION half of [[ExifMetaExpression]]
+  * — remove every APP1 `Exif\0\0` segment from a JPEG, leaving pixels
+  * byte-identical (spec-pinned: the stripped file's dhash64 equals the
+  * original's). The standard crawl-pipeline privacy move: EXIF carries
+  * GPS coordinates, timestamps and serial numbers a training corpus
+  * must not ship. Non-JPEG / junk / structurally malformed input
+  * returns UNCHANGED — a redaction pass must never corrupt what it
+  * cannot parse. Map-only byte surgery; the walk stops at SOS and
+  * copies the entropy stream verbatim (EXIF only legally precedes
+  * it). */
+case class JpegStripExifExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    JpegStripExifExpression.evalRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.JpegStripExifExpression.evalRow($c);")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "jpeg_strip_exif"
+}
+
+object JpegStripExifExpression {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+  /** Codegen entry point: one static call per row. */
+  def evalRow(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 4) return b
+    if (!(u8(b, 0) == 0xff && u8(b, 1) == 0xd8)) return b
+    // first pass: locate the EXIF APP1 spans (marker byte .. segment end)
+    var spans: List[(Int, Int)] = Nil
+    var p = 2
+    var walking = true
+    while (walking && p + 1 < b.length) {
+      if (u8(b, p) != 0xff) return b // malformed: hands off
+      val mStart = p
+      while (p < b.length && u8(b, p) == 0xff) p += 1
+      if (p >= b.length) return b
+      val m = u8(b, p); p += 1
+      if (m == 0xda || m == 0xd9) {
+        walking = false // entropy stream / EOI onward copies verbatim
+      } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        // standalone
+      } else {
+        if (p + 2 > b.length) return b
+        val len = be16(b, p)
+        if (len < 2 || len > b.length - p) return b
+        if (m == 0xe1 && len >= 8 &&
+            b(p + 2) == 'E' && b(p + 3) == 'x' && b(p + 4) == 'i' &&
+            b(p + 5) == 'f' && b(p + 6) == 0 && b(p + 7) == 0)
+          spans = (mStart, p + len) :: spans
+        p += len
+      }
+    }
+    if (spans.isEmpty) return b
+    val drop = spans.map { case (s, e) => e - s }.sum
+    val out = new Array[Byte](b.length - drop)
+    var src = 0
+    var dst = 0
+    spans.reverse.foreach { case (s, e) =>
+      System.arraycopy(b, src, out, dst, s - src)
+      dst += s - src
+      src = e
+    }
+    System.arraycopy(b, src, out, dst, b.length - src)
+    out
+  }
+}
+
 object MediaFunctions {
   def image_dims(c: Column): Column = column(ImageDimsExpression(expression(c)))
   def audio_meta(c: Column): Column = column(AudioMetaExpression(expression(c)))
   def video_meta(c: Column): Column = column(VideoMetaExpression(expression(c)))
   def dhash64(c: Column): Column = column(DHash64Expression(expression(c)))
+  def exif_meta(c: Column): Column = column(ExifMetaExpression(expression(c)))
+  def jpeg_strip_exif(c: Column): Column =
+    column(JpegStripExifExpression(expression(c)))
   def audio_pcm_stats(c: Column, maxFrames: Int = 4096): Column =
     column(AudioPcmStatsExpression(expression(c), maxFrames))
 }

@@ -473,6 +473,84 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** [[jpegDcFromIds]] with a PLANTED EXIF APP1 segment spliced after
+    * the SOI — the governance-triage fixture: orientation cycles
+    * seed % 8 + 1 (the eight valid EXIF orientations), a GPS-IFD
+    * pointer is present iff seed % 3 == 0 (the PII flag
+    * [[graft.functions.ExifMetaExpression]] must raise), every third
+    * EXIF block big-endian (MM — both byte orders must parse), and a
+    * Make tag pads IFD0 so tag-order walking is exercised. Pixels are
+    * untouched — the EXIF fixture dHashes identically to the plain DC
+    * fixture (the strip-then-hash gate relies on it). Junk on
+    * seed % 10 == 9 as everywhere. */
+  def jpegExifFromIds(
+      ids: DataFrame,
+      idCol: String,
+      idOffset: Long = 0L): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    jpegDcFromIds(ids, idCol, idOffset).as[(Long, Array[Byte])].map {
+      case (id, b) =>
+        val seed = id - idOffset
+        val isJpeg = b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+        val bytes =
+          if (!isJpeg) b // junk member: pass through
+          else {
+            val app1 = exifApp1(
+              orientation = (seed % 8 + 1).toInt,
+              gps = seed % 3 == 0,
+              bigEndian = seed % 3 == 2)
+            val out = new Array[Byte](b.length + app1.length)
+            out(0) = b(0); out(1) = b(1)
+            app1.copyToArray(out, 2)
+            System.arraycopy(b, 2, out, 2 + app1.length, b.length - 2)
+            out
+          }
+        (id, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
+  /** One APP1 `Exif\0\0` segment: TIFF header + IFD0 with Make (271,
+    * ASCII), Orientation (274, SHORT) and optionally GPSInfo (34853,
+    * LONG → an empty GPS IFD), entries in tag order per TIFF 6.0. */
+  private def exifApp1(orientation: Int, gps: Boolean, bigEndian: Boolean): Array[Byte] = {
+    val make = "graftcam\u0000".getBytes("US-ASCII") // 9 bytes incl. NUL
+    val nEntries = if (gps) 3 else 2
+    // TIFF layout: hdr(8) + count(2) + entries(12·n) + next(4) + make
+    // + [gps IFD: count(2) + next(4)]
+    val makeOff = 8 + 2 + 12 * nEntries + 4
+    val gpsOff = makeOff + make.length
+    val tiffLen = gpsOff + (if (gps) 6 else 0)
+    val t = new Array[Byte](tiffLen)
+    def w16(i: Int, v: Int): Unit =
+      if (bigEndian) { t(i) = (v >>> 8).toByte; t(i + 1) = v.toByte }
+      else { t(i) = v.toByte; t(i + 1) = (v >>> 8).toByte }
+    def w32(i: Int, v: Int): Unit =
+      if (bigEndian) { w16(i, v >>> 16); w16(i + 2, v & 0xffff) }
+      else { w16(i, v & 0xffff); w16(i + 2, v >>> 16) }
+    if (bigEndian) { t(0) = 'M'; t(1) = 'M' } else { t(0) = 'I'; t(1) = 'I' }
+    w16(2, 42); w32(4, 8)
+    w16(8, nEntries)
+    var e = 10
+    def entry(tag: Int, typ: Int, cnt: Int)(value: Int => Unit): Unit = {
+      w16(e, tag); w16(e + 2, typ); w32(e + 4, cnt); value(e + 8); e += 12
+    }
+    entry(271, 2, make.length)(off => w32(off, makeOff)) // Make → offset
+    entry(274, 3, 1)(off => w16(off, orientation))       // SHORT in situ
+    if (gps) entry(34853, 4, 1)(off => w32(off, gpsOff)) // GPS IFD ptr
+    w32(e, 0) // next-IFD
+    make.copyToArray(t, makeOff)
+    if (gps) { w16(gpsOff, 0); w32(gpsOff + 2, 0) } // empty GPS IFD
+    val out = new Array[Byte](4 + 6 + tiffLen)
+    out(0) = 0xff.toByte; out(1) = 0xe1.toByte
+    val segLen = 2 + 6 + tiffLen
+    out(2) = (segLen >>> 8).toByte; out(3) = segLen.toByte
+    "Exif".getBytes("US-ASCII").copyToArray(out, 4)
+    // out(8), out(9) stay 0
+    t.copyToArray(out, 10)
+    out
+  }
+
   /** PCM signal scan: appends the exact-integer stats struct from
     * [[graft.functions.AudioPcmStatsExpression]] over real 16-bit PCM
     * WAV bytes (bounded `maxFrames` window per record; NULL for

@@ -4035,6 +4035,40 @@ object PipelineQueries {
         .agg(max(col("cluster_size")).as("cluster_size"),
           countDistinct(expr("id div 10000000")).as("n_formats"))
         .orderBy("component")
+    }),
+
+    // EXIF governance triage: real JPEGs with a planted APP1 — the
+    // eight valid orientations cycling, a GPS-IFD pointer (the PII
+    // flag) on every third member, every third EXIF block big-endian;
+    // junk every tenth. The oracle replays every flag arithmetically.
+    "p354_exif_triage" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val jpgs = graft.ops.Multimodal.jpegExifFromIds(docs, "doc_id")
+      jpgs.select(col("media_id"),
+          graft.functions.MediaFunctions.exif_meta(col("bytes")).as("_m"))
+        .select(col("media_id"), col("_m.has_exif").as("has_exif"),
+          col("_m.orientation").as("orientation"),
+          col("_m.has_gps").as("has_gps"))
+        .orderBy("media_id")
+    }),
+
+    // EXIF REDACTION end to end: strip the APP1, then PROVE both
+    // halves of the contract in one output — the metadata is gone
+    // (has_exif/has_gps drop to zero) AND the pixels are untouched
+    // (the stripped file's dhash64 still matches the p340 bit
+    // arithmetic). The pipeline shape every image corpus ships:
+    // triage -> redact -> re-verify.
+    "p355_exif_strip" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val jpgs = graft.ops.Multimodal.jpegExifFromIds(docs, "doc_id")
+      val stripped = jpgs.select(col("media_id"),
+        graft.functions.MediaFunctions.jpeg_strip_exif(col("bytes")).as("bytes"))
+      stripped.select(col("media_id"),
+          graft.functions.MediaFunctions.exif_meta(col("bytes")).as("_m"),
+          graft.functions.MediaFunctions.dhash64(col("bytes")).as("dhash"))
+        .select(col("media_id"), col("_m.has_exif").as("has_exif"),
+          col("_m.has_gps").as("has_gps"), col("dhash"))
+        .orderBy("media_id")
     })
   )
 
@@ -10085,6 +10119,30 @@ object PipelineQueries {
       "SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size, " +
       "CAST(COUNT(DISTINCT id // 10000000) AS BIGINT) AS n_formats " +
       "FROM comp GROUP BY component ORDER BY component")
+  ,
+    // p354: every EXIF flag is pure id arithmetic
+    "p354_exif_triage" -> (
+      "SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 10 = 9 THEN 0 ELSE 1 END AS has_exif, " +
+      "CASE WHEN doc_id % 10 = 9 THEN -1 ELSE CAST(doc_id % 8 + 1 AS INT) END AS orientation, " +
+      "CASE WHEN doc_id % 10 = 9 THEN 0 " +
+      "WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS has_gps " +
+      "FROM documents ORDER BY media_id")
+  ,
+    // p355: metadata zeroed by the strip, pixels still the p340 bit
+    // arithmetic — redaction must not touch the image
+    "p355_exif_strip" -> (
+      "WITH g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM documents, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, 0 AS has_exif, 0 AS has_gps, " +
+      "CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h ORDER BY media_id")
   ,
     // p352: the p340 arithmetic again — the GIF fixture carries the
     // same LCG pixels (spec-pinned cross-format agreement)
