@@ -60,6 +60,9 @@ GATES=$GATES,p342_audio_pcm,p344_crawl_loop,p345_url_patterns,p346_crawl_budget
 # replay). p349's oracle is all-pairs like p341 — base scale only.
 # p350/p351 are committed-fixture gates — scale-independent.
 GATES=$GATES,p347_png_dhash,p348_jpeg_dhash,p352_gif_dhash
+# p353's oracle is all-pairs over 4 formats (6.5e10 comparisons at
+# x20) - base scale only; p354/p355 are arithmetic and linear
+GATES=$GATES,p354_exif_triage,p355_exif_strip
 # dedup family members whose oracles are id-set-agnostic and linear
 # (p04/p06 plant +100000-shifted twins — their id arithmetic collides
 # with the x20 replica offsets, so they stay fingerprint-pinned)
