@@ -576,6 +576,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("raster-decode + EXIF gates: hash/triage stages are shuffle-free past the fixture build") {
+    // the decode-hash scan itself must be map-only: the only exchange
+    // any of these plans may carry is the final orderBy's range
+    // partitioning (and p354/p355's, same); a hash exchange would mean
+    // the scan stage shuffled
+    for (name <- Seq("p347_png_dhash", "p348_jpeg_dhash", "p352_gif_dhash",
+        "p354_exif_triage", "p355_exif_strip")) {
+      val p = plan(name)
+      assert(!p.contains("ScalaUDF"), s"$name: ScalaUDF in\n$p")
+      val hashExchanges = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning"))
+      assert(hashExchanges == 0, s"$name: decode scan shuffled\n$p")
+    }
+  }
+
   test("p320/p322: URL dedup is one agg without a window; robots rules broadcast") {
     // keep-best per canonical URL must stay a struct-max partial agg —
     // a Window/self-join here would serialize the corpus
