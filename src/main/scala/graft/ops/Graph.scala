@@ -122,6 +122,15 @@ object Graph {
     * plan is now the SAME constant shape for any maxDepth
     * (PlanSpec-pinned).
     *
+    * EAGER + CACHED contract: CONSTRUCTING this DataFrame runs
+    * `maxDepth` Spark jobs (the per-round materializations) and leaves
+    * the final round's table and the edge table persisted — the
+    * returned plan reads them, so they cannot drop here. The gate
+    * harness clears persistent RDDs between queries; a library caller
+    * invoking bfsDepths repeatedly should do the same
+    * (`spark.catalog.clearCache()` or unpersist after the final
+    * action) or the round caches accumulate.
+    *
     * Returns (node, depth) ordered by (depth, node). */
   def bfsDepths(
       edges: DataFrame,

@@ -47,11 +47,16 @@ object LinkOps {
     * commented-out anchors and anchor markup inside script strings
     * (`document.write('<a href=…')`) are extracted, pollute
     * `link_pos` numbering and feed phantom URLs into
-    * [[frontierDiscover]]. */
+    * [[frontierDiscover]]. The closer is anchored to its opener with a
+    * backreference (`</\1>`): a `</style>` must not close a `<script>`
+    * block, which would truncate the strip early on hostile pages.
+    * (DuckDB oracles replaying this strip use the unanchored
+    * alternation — RE2 has no backreferences — identical on the
+    * well-formed fixture HTML both engines see.) */
   private def stripInert(html: Column): Column =
     regexp_replace(
       regexp_replace(html,
-        "(?is)<(script|style)[^>]*>.*?</(script|style)>", " "),
+        "(?is)<(script|style)[^>]*>.*?</\\1\\s*>", " "),
       "(?s)<!--.*?-->", " ")
 
   /** Extract every `<a href>` from raw HTML and resolve it to a

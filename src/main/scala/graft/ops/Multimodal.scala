@@ -296,8 +296,13 @@ object Multimodal {
           }
           val deflater = new java.util.zip.Deflater()
           deflater.setInput(raw); deflater.finish()
+          // deflate() does not guarantee completion in one call — drain
+          // until finished() or a larger fixture silently truncates IDAT
           val comp = new Array[Byte](raw.length + 64)
-          val compLen = deflater.deflate(comp)
+          var compLen = 0
+          while (!deflater.finished() && compLen < comp.length)
+            compLen += deflater.deflate(comp, compLen, comp.length - compLen)
+          require(deflater.finished(), "pngPixelsFromIds: IDAT buffer too small")
           deflater.end()
           val out = new java.io.ByteArrayOutputStream(128)
           def be32(v: Int) = Array[Byte](

@@ -161,9 +161,11 @@ object TextAnalysis {
     * total text) stays at or under `maxLinkDensityPct` — navigation,
     * footers and link farms are link-dense by construction, article
     * bodies are not. Script/style/comment blocks strip BEFORE the
-    * split (a pair spanning fragments would otherwise leak). This is
-    * the public text-density heuristic (Kohlschütter et al.
-    * boilerpipe / Pomikálek jusText), not a port of either.
+    * split (a pair spanning fragments would otherwise leak); the
+    * closer is anchored to its opener with a backreference so a
+    * `</style>` cannot close a `<script>` block early on hostile
+    * pages. This is the public text-density heuristic (Kohlschütter
+    * et al. boilerpipe / Pomikálek jusText), not a port of either.
     *
     * Returns (idCol, n_blocks, n_kept, main_text, n_main_chars).
     * Map-only: split + per-fragment regexp — NO shuffle at any
@@ -178,7 +180,7 @@ object TextAnalysis {
     require(maxLinkDensityPct >= 0 && maxLinkDensityPct <= 100,
       s"mainContent: maxLinkDensityPct=$maxLinkDensityPct")
     val noBlockPair = regexp_replace(col(htmlCol),
-      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+      "(?is)<(script|style)[^>]*>.*?</\\1\\s*>", " ")
     val clean = regexp_replace(noBlockPair, "(?s)<!--.*?-->", " ")
     val blockTag = "(?i)</?(?:p|div|section|article|main|header|footer|nav|" +
       "aside|table|tr|td|th|ul|ol|li|h[1-6]|blockquote|pre|form|br|hr)\\b[^>]*>"

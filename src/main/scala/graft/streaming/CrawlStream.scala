@@ -31,7 +31,12 @@ import graft.ops.UrlOps
   * generation deterministically from the predecessor, so in-link
   * counts never double no matter where the previous attempt died
   * (spec-pinned across a kill+restart). A production deployment gets
-  * the same effect from a transactional table format. */
+  * the same effect from a transactional table format.
+  *
+  * DISK is bounded too, not just compute: after each commit the fold
+  * prunes committed generations older than the predecessor (keeping
+  * two — current + the re-delivery window), so a long-running crawl
+  * holds at most two counts snapshots at any time (spec-pinned). */
 object CrawlStream {
 
   private def committedGens(stateDir: String): Seq[Long] = {
@@ -81,6 +86,18 @@ object CrawlStream {
       // re-delivered batch recompute, never double-count
       java.nio.file.Files.createFile(
         java.nio.file.Paths.get(s"$stateDir/counts_b$batchId", "_committed"))
+      // prune: keep the two NEWEST committed generations (current +
+      // predecessor — the re-delivery window needs the predecessor to
+      // recompute a crashed successor) and delete the rest. Without
+      // this a long-running crawl accumulates one full cumulative
+      // counts snapshot PER MICRO-BATCH: compute was bounded, disk
+      // was not. Delete is post-commit, so a crash mid-prune only
+      // leaves extra generations — never removes a needed one.
+      committedGens(stateDir).dropRight(2).foreach { g =>
+        val dir = new java.io.File(s"$stateDir/counts_b$g")
+        Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        dir.delete()
+      }
     }
     val cur = committedGens(stateDir).last
     val counts = s.read.parquet(s"$stateDir/counts_b$cur")

@@ -100,6 +100,31 @@ class CrawlStreamSpec extends AnyFunSuite {
     assert(snapshot(state) != first)
   }
 
+  test("committed generations prune: at most 2 counts snapshots on disk") {
+    val state = java.nio.file.Files.createTempDirectory("crawl_prune").toString
+    for (b <- 0 until 5)
+      CrawlStream.foldBatch(pages(b * 10L until (b + 1) * 10L), b.toLong,
+        state, 1000, None, "graftbot")
+    def gens(): Seq[String] =
+      Option(new java.io.File(state).listFiles()).getOrElse(Array.empty)
+        .toSeq.map(_.getName).filter(_.startsWith("counts_b")).sorted
+    assert(gens() == Seq("counts_b3", "counts_b4"),
+      s"disk must hold exactly the last two generations, got ${gens()}")
+    // the re-delivery window survives the prune: re-deliver batch 4
+    // (its predecessor counts_b3 is still on disk) — state unchanged
+    val before = snapshot(state)
+    CrawlStream.foldBatch(pages(40L until 50L), 4L, state, 1000, None, "graftbot")
+    assert(snapshot(state) == before, "re-delivery after prune changed state")
+    // and a crash-shaped re-delivery: batch 5 written but UNcommitted
+    // (simulated by folding it normally — determinism from counts_b4
+    // is what the marker protocol relies on), then re-delivered
+    CrawlStream.foldBatch(pages(50L until 60L), 5L, state, 1000, None, "graftbot")
+    val after5 = snapshot(state)
+    CrawlStream.foldBatch(pages(50L until 60L), 5L, state, 1000, None, "graftbot")
+    assert(snapshot(state) == after5)
+    assert(gens() == Seq("counts_b4", "counts_b5"))
+  }
+
   test("per-host cap and politeness ranking hold on every snapshot") {
     import spark.implicits._
     val state = java.nio.file.Files.createTempDirectory("crawl_cap").toString
