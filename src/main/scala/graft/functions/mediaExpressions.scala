@@ -453,14 +453,17 @@ object VideoMetaExpression {
 
 /** `dhash64(bytes)`: perceptual difference-hash over raster images —
   * uncompressed 24-bit BMP (direct pixel reads), PNG (streaming
-  * RFC 2083 decode: zlib inflate + the five filter types,
-  * [[PngLuma]]), baseline JPEG (ITU T.81 Huffman decode, luma DC
-  * coefficients = the ⅛-scale thumbnail, [[JpegDcLuma]]), and GIF
-  * (first-frame LZW decode, [[GifLuma]]). All four
+  * RFC 2083 decode: zlib inflate + the five filter types, sequential
+  * AND Adam7 interlaced, [[PngLuma]]), JPEG (ITU T.81 Huffman decode,
+  * luma DC coefficients = the ⅛-scale thumbnail — baseline,
+  * multi-scan sequential AND progressive SOF2, [[JpegDcLuma]]), GIF
+  * (first-frame LZW decode, [[GifLuma]]), and WebP VP8L lossless
+  * ([[WebpLuma]]). All five
   * sample the same 9×8 nearest-neighbor luma grid — for BMP that is
-  * 72 pixel reads per image REGARDLESS of size; for PNG/JPEG the
-  * decode is linear in true pixel count and CAPPED
-  * ([[PngLuma.MaxPixels]]) so one crafted header can't buy unbounded
+  * 72 pixel reads per image REGARDLESS of size; for the compressed
+  * formats the decode is linear in true pixel count and CAPPED
+  * ([[PngLuma.MaxPixels]] / [[WebpLuma.MaxPixelsVp8l]]) so one
+  * crafted header can't buy unbounded
   * work — takes integer Rec.601 luma per sample, and packs
   * bit(r, c) = lum(r, c) < lum(r, c+1) into a 64-bit key (bit index
   * r·8+c). The standard public dHash construction (difference hash,
@@ -469,7 +472,7 @@ object VideoMetaExpression {
   * banded join. A BMP, a PNG and a blockwise-constant baseline JPEG of
   * the same pixels hash IDENTICALLY (spec-pinned), so cross-format
   * near-dups pair up. NULL for anything else — junk, truncation,
-  * hostile headers, unsupported variants (interlaced PNG, progressive
+  * hostile headers, unsupported variants (lossy-VP8 WebP, arithmetic
   * JPEG) — never an exception. All offset arithmetic in Long
   * (crawl-scale lesson: 32-bit offset math overflows on multi-GB
   * claimed sizes). */
@@ -531,6 +534,13 @@ object DHash64Expression {
       val g = GifLuma.sampleGrid(b)
       return if (g == null) null else packGrid(g)
     }
+    // WebP: VP8L lossless decode (lossy VP8 is the documented null)
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P') {
+      val g = WebpLuma.sampleGrid(b)
+      return if (g == null) null else packGrid(g)
+    }
     if (b.length < 54) return null
     if (b(0) != 'B' || b(1) != 'M') return null
     val off = le32(b, 10)
@@ -570,6 +580,46 @@ object DHash64Expression {
       r += 1
     }
     java.lang.Long.valueOf(hash)
+  }
+}
+
+/** `dhash64_oriented(bytes)`: [[DHash64Expression]] normalized by the
+  * EXIF orientation tag — the hash of the image AS DISPLAYED. A phone
+  * camera stores the sensor raster and sets tag 274; the same photo
+  * re-saved by an editor is stored upright with no tag. Under the
+  * plain dHash those two land ≫3 Hamming bits apart and never pair;
+  * here the tag-274 transform is applied to the 72-sample grid BEFORE
+  * hashing (grid-cell index mapping — zero pixel work), so rotated /
+  * mirrored duplicates collide exactly. JPEG-only by construction
+  * (EXIF travels in JPEG APP1 here); other formats hash as
+  * [[DHash64Expression]]. Missing or garbage orientation values mean
+  * "as stored", matching every renderer's fallback. */
+case class DHash64OrientedExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    DHash64OrientedExpression.evalRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("dho")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long $boxed = graft.functions.DHash64OrientedExpression.evalRow($c);
+      if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "dhash64_oriented"
+}
+
+object DHash64OrientedExpression {
+  /** Codegen entry point: one static call per row. */
+  def evalRow(b: Array[Byte]): java.lang.Long = {
+    if (b == null) return null
+    if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      val o = ExifMetaExpression.scan(b)._2 // -1 when absent
+      val g = JpegDcLuma.sampleGrid(b, o)
+      return if (g == null) null else DHash64Expression.packGrid(g)
+    }
+    DHash64Expression.evalRow(b) // no EXIF channel in PNG/GIF/BMP here
   }
 }
 
@@ -841,6 +891,8 @@ object MediaFunctions {
   def audio_meta(c: Column): Column = column(AudioMetaExpression(expression(c)))
   def video_meta(c: Column): Column = column(VideoMetaExpression(expression(c)))
   def dhash64(c: Column): Column = column(DHash64Expression(expression(c)))
+  def dhash64_oriented(c: Column): Column =
+    column(DHash64OrientedExpression(expression(c)))
   def exif_meta(c: Column): Column = column(ExifMetaExpression(expression(c)))
   def jpeg_strip_exif(c: Column): Column =
     column(JpegStripExifExpression(expression(c)))

@@ -36,18 +36,25 @@ object PngLuma {
     * dHash grid over the decoded image, or null when the payload is
     * not a decodable PNG under the caps. Supports bit depth 8 and 16
     * (high byte) for color types 0/2/4/6 and bit depth 1/2/4/8 for
-    * type 0 (grayscale) and type 3 (palette); interlaced (Adam7)
-    * images return null (a triage pass does not reorder subimages —
-    * rare on crawls and cheap to revisit). */
+    * type 0 (grayscale) and type 3 (palette), BOTH interlace methods:
+    * sequential and Adam7 (the 7 sub-image passes, each independently
+    * filtered — decoded with the same two-row streaming window; the
+    * grid positions each belong to exactly one pass, so interlaced
+    * decode harvests them in pass order without buffering the
+    * image). */
   def sampleGrid(b: Array[Byte]): Array[Int] = {
     try sampleGridUnsafe(b)
     catch {
       // belt over suspenders: any slip in the bounds reasoning must
-      // degrade to "not an image", never kill the task
+      // degrade to "not an image", never kill the task. OutOfMemoryError
+      // is deliberately NOT caught: every allocation here is capped by
+      // MaxPixels/MaxWidth, so an OOME means global executor pressure —
+      // swallowing it would turn a decodable image into a
+      // nondeterministic NULL hash (a silent wrong row) instead of a
+      // loud task failure.
       case _: ArrayIndexOutOfBoundsException => null
       case _: NegativeArraySizeException => null
       case _: DataFormatException => null
-      case _: OutOfMemoryError => null
     }
   }
 
@@ -67,7 +74,7 @@ object PngLuma {
     val filterMethod = u8(b, 27)
     val interlace = u8(b, 28)
     if (w < 1 || h < 1 || w > MaxWidth || compression != 0 ||
-        filterMethod != 0 || interlace != 0) return null
+        filterMethod != 0 || interlace > 1) return null
     if (w.toLong * h > MaxPixels) return null
     // channels per pixel by color type; palette is 1 index channel
     val channels = colorType match {
@@ -114,7 +121,8 @@ object PngLuma {
     if (idatOff.isEmpty) return null
     if (colorType == 3 && palette == null) return null
 
-    // streaming inflate, two-row window: prev + cur scanlines
+    // streaming inflate, two-row window: prev + cur scanlines (the
+    // window resets per Adam7 pass — each pass filters independently)
     val inflater = new Inflater()
     try {
       var chunkIdx = 0
@@ -123,12 +131,12 @@ object PngLuma {
       val cur = new Array[Byte](rowBytes)
       val rowWithFilter = new Array[Byte](rowBytes + 1)
 
-      /** Fill `out` completely from the inflate stream; false = the
-        * stream ended / went bad before `out` filled. */
-      def fill(out: Array[Byte]): Boolean = {
+      /** Fill `out(0 until len)` from the inflate stream; false = the
+        * stream ended / went bad before `len` bytes arrived. */
+      def fill(out: Array[Byte], len: Int): Boolean = {
         var got = 0
-        while (got < out.length) {
-          val n = inflater.inflate(out, got, out.length - got)
+        while (got < len) {
+          val n = inflater.inflate(out, got, len - got)
           if (n > 0) got += n
           else if (inflater.finished()) return false
           else if (inflater.needsInput()) {
@@ -198,76 +206,118 @@ object PngLuma {
       }
 
       val xs = Array.tabulate(9)(c => if (w == 1) 0 else ((w - 1).toLong * c / 8).toInt)
-      java.util.Arrays.fill(prev, 0.toByte)
-      var y = 0
-      while (y < h) {
-        if (!fill(rowWithFilter)) return null
-        val ft = rowWithFilter(0) & 0xff
-        // unfilter into cur (spec filters 0-4)
-        var i = 0
-        ft match {
-          case 0 =>
-            System.arraycopy(rowWithFilter, 1, cur, 0, rowBytes)
-          case 1 => // Sub
-            while (i < rowBytes) {
-              val left = if (i >= bppBytes) cur(i - bppBytes) & 0xff else 0
-              cur(i) = ((rowWithFilter(i + 1) & 0xff) + left).toByte
-              i += 1
-            }
-          case 2 => // Up
-            while (i < rowBytes) {
-              cur(i) = ((rowWithFilter(i + 1) & 0xff) + (prev(i) & 0xff)).toByte
-              i += 1
-            }
-          case 3 => // Average
-            while (i < rowBytes) {
-              val left = if (i >= bppBytes) cur(i - bppBytes) & 0xff else 0
-              cur(i) = ((rowWithFilter(i + 1) & 0xff) +
-                ((left + (prev(i) & 0xff)) >> 1)).toByte
-              i += 1
-            }
-          case 4 => // Paeth
-            while (i < rowBytes) {
-              val left = if (i >= bppBytes) cur(i - bppBytes) & 0xff else 0
-              val ul = if (i >= bppBytes) prev(i - bppBytes) & 0xff else 0
-              cur(i) = ((rowWithFilter(i + 1) & 0xff) +
-                paeth(left, prev(i) & 0xff, ul)).toByte
-              i += 1
-            }
-          case _ => return null // invalid filter type: not a PNG we trust
+
+      // pass table: sequential = one full pass; Adam7 = the 7 spec
+      // passes (xStart, xStep, yStart, yStep). The pass grids
+      // PARTITION the plane, so each sampled pixel belongs to exactly
+      // one (pass, rowInPass, colInPass) — precomputed here, harvested
+      // as that pass row streams by.
+      val passes: Array[(Int, Int, Int, Int)] =
+        if (interlace == 0) Array((0, 1, 0, 1))
+        else Array((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+          (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+      val tgtPass = new Array[Int](72)
+      val tgtRow = new Array[Int](72)
+      val tgtCol = new Array[Int](72)
+      var gi = 0
+      while (gi < 72) {
+        val gx = xs(gi % 9); val gy = ys(gi / 9)
+        var pi = 0
+        var found = -1
+        while (pi < passes.length && found < 0) {
+          val (x0, dx, y0, dy) = passes(pi)
+          if (gx >= x0 && (gx - x0) % dx == 0 && gy >= y0 && (gy - y0) % dy == 0)
+            found = pi
+          pi += 1
         }
-        // harvest every grid row that lands on this y (ys can repeat)
-        var r = 0
-        while (r < 8) {
-          if (ys(r) == y) {
-            var c = 0
-            while (c < 9) {
-              samples(r * 9 + c) = lumaAt(cur, xs(c))
-              c += 1
+        if (found < 0) return null // cannot happen: the passes partition
+        tgtPass(gi) = found
+        tgtRow(gi) = (gy - passes(found)._3) / passes(found)._4
+        tgtCol(gi) = (gx - passes(found)._1) / passes(found)._2
+        gi += 1
+      }
+
+      var pass = 0
+      while (pass < passes.length) {
+        val (x0, dx, y0, dy) = passes(pass)
+        val wP = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val hP = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        if (wP > 0 && hP > 0) { // empty passes carry NO scanlines
+          val rowBytesP = ((wP.toLong * bitsPerPixel + 7) / 8).toInt
+          java.util.Arrays.fill(prev, 0, rowBytesP, 0.toByte)
+          var y = 0
+          while (y < hP) {
+            if (!fill(rowWithFilter, rowBytesP + 1)) return null
+            val ft = rowWithFilter(0) & 0xff
+            // unfilter into cur (spec filters 0-4)
+            var i = 0
+            ft match {
+              case 0 =>
+                System.arraycopy(rowWithFilter, 1, cur, 0, rowBytesP)
+              case 1 => // Sub
+                while (i < rowBytesP) {
+                  val left = if (i >= bppBytes) cur(i - bppBytes) & 0xff else 0
+                  cur(i) = ((rowWithFilter(i + 1) & 0xff) + left).toByte
+                  i += 1
+                }
+              case 2 => // Up
+                while (i < rowBytesP) {
+                  cur(i) = ((rowWithFilter(i + 1) & 0xff) + (prev(i) & 0xff)).toByte
+                  i += 1
+                }
+              case 3 => // Average
+                while (i < rowBytesP) {
+                  val left = if (i >= bppBytes) cur(i - bppBytes) & 0xff else 0
+                  cur(i) = ((rowWithFilter(i + 1) & 0xff) +
+                    ((left + (prev(i) & 0xff)) >> 1)).toByte
+                  i += 1
+                }
+              case 4 => // Paeth
+                while (i < rowBytesP) {
+                  val left = if (i >= bppBytes) cur(i - bppBytes) & 0xff else 0
+                  val ul = if (i >= bppBytes) prev(i - bppBytes) & 0xff else 0
+                  cur(i) = ((rowWithFilter(i + 1) & 0xff) +
+                    paeth(left, prev(i) & 0xff, ul)).toByte
+                  i += 1
+                }
+              case _ => return null // invalid filter type: not a PNG we trust
             }
+            // harvest every grid cell living on this pass row
+            gi = 0
+            while (gi < 72) {
+              if (tgtPass(gi) == pass && tgtRow(gi) == y)
+                samples(gi) = lumaAt(cur, tgtCol(gi))
+              gi += 1
+            }
+            System.arraycopy(cur, 0, prev, 0, rowBytesP)
+            y += 1
           }
-          r += 1
         }
-        System.arraycopy(cur, 0, prev, 0, rowBytes)
-        y += 1
+        pass += 1
       }
       samples
     } finally inflater.end()
   }
 }
 
-/** Baseline-JPEG DC-thumbnail sampler (ITU T.81, sequential DCT,
-  * Huffman): decodes the entropy stream far enough to recover every
-  * LUMA block's DC coefficient — the block's pixel mean — which is
-  * exactly the ⅛-scale grayscale thumbnail dHash wants. No IDCT, no
-  * AC dequantization (AC coefficients are Huffman-decoded only to
-  * advance the bitstream; T.81 gives no way to skip them blind).
+/** JPEG DC-thumbnail sampler (ITU T.81, Huffman): decodes the entropy
+  * stream far enough to recover every LUMA block's DC coefficient —
+  * the block's pixel mean — which is exactly the ⅛-scale grayscale
+  * thumbnail dHash wants. No IDCT, no AC dequantization.
   *
-  * Scope: SOF0/SOF1 (Huffman sequential) with 8-bit precision, one
-  * interleaved scan covering all components, optional restart
-  * markers. Progressive (SOF2), arithmetic coding (SOF9+), 12-bit
-  * precision and multi-scan files return null — the triage contract,
-  * not an error. Same hostile-bytes-are-data discipline as
+  * Scope: SOF0/SOF1 (sequential) AND SOF2 (progressive), 8-bit
+  * precision, any scan structure — interleaved or not, luma-only or
+  * multi-component, optional restart markers. The DC-only goal makes
+  * progressive EASIER than baseline, not harder: in progressive the
+  * DC coefficients live in their own scans (the first scan is DC-only
+  * per T.81 G.1.1.1.1, refined one bit at a time by successive-
+  * approximation scans), so the AC scans — the bulk of the file — are
+  * SKIPPED bytewise without any Huffman work ([[skipEntropy]]); in
+  * sequential files AC must be entropy-decoded to advance the stream,
+  * but scans not covering luma (multi-scan sequential chroma scans)
+  * skip bytewise too. Arithmetic coding (SOF9+), hierarchical, 12-bit
+  * precision and DNL-deferred heights return null — the triage
+  * contract, not an error. Same hostile-bytes-are-data discipline as
   * [[PngLuma]]: every return path is null, work capped by
   * [[PngLuma.MaxPixels]]. */
 object JpegDcLuma {
@@ -376,16 +426,50 @@ object JpegDcLuma {
 
   /** 72 luma samples (8 rows × 9 cols) of the dHash grid over the
     * DC thumbnail, or null. */
-  def sampleGrid(b: Array[Byte]): Array[Int] = {
-    try sampleGridUnsafe(b)
+  def sampleGrid(b: Array[Byte]): Array[Int] = sampleGrid(b, 1)
+
+  /** As [[sampleGrid]], but samples the grid in DISPLAY space: the
+    * EXIF tag-274 `orientation` transform is applied by mapping each
+    * display-grid position back to its stored-thumbnail cell — the
+    * grid-level form of "rotate before hashing", zero pixel work. A
+    * camera-rotated duplicate (orientations 3/6/8 are ubiquitous on
+    * crawls) then hashes IDENTICALLY to its upright twin. Values
+    * outside 1..8 mean "no/garbage tag" and sample as stored. */
+  def sampleGrid(b: Array[Byte], orientation: Int): Array[Int] = {
+    try sampleGridUnsafe(b, orientation)
     catch {
+      // OOME not caught: allocations are MaxPixels-capped (see PngLuma)
       case _: ArrayIndexOutOfBoundsException => null
       case _: NegativeArraySizeException => null
-      case _: OutOfMemoryError => null
     }
   }
 
-  private def sampleGridUnsafe(b: Array[Byte]): Array[Int] = {
+  /** Scan PAST an entropy-coded segment without decoding it: from
+    * `from`, advance over stuffed FF00s, fill FFs and restart markers
+    * to the next true marker. Returns the position of that marker's
+    * FF, or -1 when the data ends first. This is what makes
+    * progressive cheap here: AC scans (the bulk of the file) and
+    * chroma-only scans cost a byte scan, zero Huffman work. */
+  private def skipEntropy(b: Array[Byte], from: Int): Int = {
+    var p = from
+    while (p + 1 < b.length) {
+      if (u8(b, p) == 0xff) {
+        val m = u8(b, p + 1)
+        if (m == 0x00) p += 2 // stuffed FF: entropy data
+        else if (m == 0xff) p += 1 // fill byte
+        else if (m >= 0xd0 && m <= 0xd7) p += 2 // RST: still in-scan
+        else return p
+      } else p += 1
+    }
+    -1
+  }
+
+  /** After a decoded scan, resync to the next marker from wherever the
+    * bit reader stopped (possibly mid-byte in entropy padding). */
+  private def afterScan(b: Array[Byte], reader: BitReader): Int =
+    skipEntropy(b, reader.pos)
+
+  private def sampleGridUnsafe(b: Array[Byte], orientation: Int): Array[Int] = {
     if (b == null || b.length < 4) return null
     if (u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return null
     var p = 2
@@ -394,24 +478,28 @@ object JpegDcLuma {
     val acTables = new Array[Huff](4)
     var w = -1; var h = -1
     var nComp = 0
+    var progressive = false
     var compH: Array[Int] = null; var compV: Array[Int] = null
     var compQ: Array[Int] = null; var compId: Array[Int] = null
     var restartInterval = 0
+    var hMax = 1; var vMax = 1
+    var mcusX = 0; var mcusY = 0
+    var lumaBlocksX = 0; var lumaBlocksY = 0
+    var dcPlane: Array[Int] = null // luma DC accumulators (refined in place)
+    var lumaDcSeen = false
+    var eoi = false
 
-    // segment walk to SOS
-    var sosAt = -1
-    var scanDc: Array[Int] = null
-    var scanAc: Array[Int] = null
-    var scanCompOrder: Array[Int] = null
-    while (sosAt < 0) {
+    // segment walk over the WHOLE file (progressive DC refinements can
+    // follow AC scans in any order, so every scan must be visited)
+    while (!eoi) {
       // find the next marker (skip fill FFs)
       if (p + 1 >= b.length) return null
       if (u8(b, p) != 0xff) return null
       while (p < b.length && u8(b, p) == 0xff) p += 1
       if (p >= b.length) return null
       val m = u8(b, p); p += 1
-      if (m == 0xd9) return null // EOI before SOS
-      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+      if (m == 0xd9) eoi = true // EOI
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
         // standalone markers: no length
       } else {
         if (p + 2 > b.length) return null
@@ -419,6 +507,7 @@ object JpegDcLuma {
         if (len < 2 || len > b.length - p) return null
         val seg = p + 2
         val segEnd = p + len
+        var nextP = segEnd
         m match {
           case 0xdb => // DQT
             var q = seg
@@ -437,11 +526,14 @@ object JpegDcLuma {
               qtables(tq) = tab
               q += 1 + n
             }
-          case 0xc0 | 0xc1 => // SOF0 / SOF1 (Huffman sequential)
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 sequential, SOF2 progressive
+            if (compId != null) return null // one frame per file
+            progressive = m == 0xc2
             if (seg + 6 > segEnd) return null
             if (u8(b, seg) != 8) return null // 8-bit precision only
             h = be16(b, seg + 1); w = be16(b, seg + 3)
             nComp = u8(b, seg + 5)
+            // h == 0 is the DNL-deferred-height form: out of scope
             if (w < 1 || h < 1 || nComp < 1 || nComp > 4) return null
             if (w.toLong * h > PngLuma.MaxPixels) return null
             if (seg + 6 + 3 * nComp > segEnd) return null
@@ -459,9 +551,21 @@ object JpegDcLuma {
               if (compQ(k) > 3) return null
               k += 1
             }
-          case 0xc2 => return null // progressive: out of scope
+            // geometry once per frame; luma = first SOF component
+            k = 0
+            while (k < nComp) {
+              if (compH(k) > hMax) hMax = compH(k)
+              if (compV(k) > vMax) vMax = compV(k)
+              k += 1
+            }
+            mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            lumaBlocksX = mcusX * compH(0)
+            lumaBlocksY = mcusY * compV(0)
+            if (lumaBlocksX.toLong * lumaBlocksY > PngLuma.MaxPixels) return null
+            dcPlane = new Array[Int](lumaBlocksX * lumaBlocksY)
           case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
-            return null // other SOF flavors: out of scope
+            return null // lossless / arithmetic / hierarchical: out of scope
           case 0xc4 => // DHT
             var q = seg
             while (q < segEnd) {
@@ -484,121 +588,108 @@ object JpegDcLuma {
           case 0xdd => // DRI
             if (len != 4) return null
             restartInterval = be16(b, seg)
-          case 0xda => // SOS
-            if (compId == null) return null
+          case 0xda => // SOS: decode if it carries luma DC, else skip bytewise
+            if (compId == null || dcPlane == null) return null
             val ns = u8(b, seg)
-            if (ns != nComp) return null // single interleaved scan only
+            if (ns < 1 || ns > nComp) return null
             if (seg + 1 + 2 * ns + 3 > segEnd) return null
-            scanDc = new Array[Int](nComp)
-            scanAc = new Array[Int](nComp)
-            scanCompOrder = new Array[Int](ns)
+            val scanComp = new Array[Int](ns)
+            val scanDcT = new Array[Int](ns)
+            val scanAcT = new Array[Int](ns)
             var k = 0
+            var hasLuma = false
             while (k < ns) {
               val cs = u8(b, seg + 1 + 2 * k)
               val ci = compId.indexOf(cs)
               if (ci < 0) return null
-              scanCompOrder(k) = ci
-              scanDc(ci) = u8(b, seg + 2 + 2 * k) >>> 4
-              scanAc(ci) = u8(b, seg + 2 + 2 * k) & 15
+              scanComp(k) = ci
+              if (ci == 0) hasLuma = true
+              scanDcT(k) = u8(b, seg + 2 + 2 * k) >>> 4
+              scanAcT(k) = u8(b, seg + 2 + 2 * k) & 15
               k += 1
             }
-            sosAt = segEnd
-          case _ => // APPn / COM / others: skip
+            val ss = u8(b, seg + 1 + 2 * ns)
+            val se = u8(b, seg + 2 + 2 * ns)
+            val ahal = u8(b, seg + 3 + 2 * ns)
+            val ah = ahal >>> 4
+            val al = ahal & 15
+            if (progressive) {
+              if (ss == 0 && se != 0) return null // DC scans are DC-only (G.1.1.1.1)
+              if (ss == 0 && hasLuma) {
+                if (al > 13) return null // DC magnitude is 11 bits + shift headroom
+                nextP =
+                  if (ah == 0)
+                    dcFirstScan(b, segEnd, ns, scanComp, scanDcT, dcTables,
+                      compH, compV, mcusX, mcusY, lumaBlocksX, w, h,
+                      hMax, vMax, restartInterval, al, dcPlane)
+                  else {
+                    if (ah != al + 1) return null // refinement steps one bit
+                    dcRefineScan(b, segEnd, ns, scanComp, compH, compV,
+                      mcusX, mcusY, lumaBlocksX, w, h, hMax, vMax,
+                      restartInterval, al, dcPlane)
+                  }
+                if (nextP < 0) return null
+                if (ah == 0) lumaDcSeen = true
+              } else {
+                // AC scan, or a chroma-only DC scan: skip bytewise
+                nextP = skipEntropy(b, segEnd)
+                if (nextP < 0) return null
+              }
+            } else {
+              if (hasLuma) {
+                nextP = sequentialScan(b, segEnd, ns, scanComp, scanDcT,
+                  scanAcT, dcTables, acTables, compH, compV, mcusX, mcusY,
+                  lumaBlocksX, w, h, hMax, vMax, restartInterval, dcPlane)
+                if (nextP < 0) return null
+                lumaDcSeen = true
+              } else {
+                // multi-scan sequential chroma scan: skip bytewise
+                nextP = skipEntropy(b, segEnd)
+                if (nextP < 0) return null
+              }
+            }
+          case _ => // APPn / COM / DNL / others: skip
         }
-        p = segEnd
+        p = nextP
       }
     }
-
-    // sampling geometry
-    var hMax = 1; var vMax = 1
-    var k = 0
-    while (k < nComp) {
-      if (compH(k) > hMax) hMax = compH(k)
-      if (compV(k) > vMax) vMax = compV(k)
-      k += 1
-    }
-    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
-    // luma = first SOF component (JFIF convention)
-    val lumaBlocksX = mcusX * compH(0)
-    val lumaBlocksY = mcusY * compV(0)
-    if (lumaBlocksX.toLong * lumaBlocksY > PngLuma.MaxPixels) return null
+    if (!lumaDcSeen || dcPlane == null) return null
     val q0 = qtables(compQ(0))
     if (q0 == null) return null
     val dcQ = q0(0)
-    val dcPlane = new Array[Int](lumaBlocksX * lumaBlocksY)
-
-    val reader = new BitReader(b, sosAt)
-    val pred = new Array[Int](nComp)
-    var mcu = 0
-    val nMcus = mcusX.toLong * mcusY
-    while (mcu < nMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        if (!reader.restart()) return null
-        java.util.Arrays.fill(pred, 0)
-      }
-      val mx = (mcu % mcusX).toInt
-      val my = (mcu / mcusX).toInt
-      var sk = 0
-      while (sk < nComp) {
-        val ci = scanCompOrder(sk)
-        val dcT = dcTables(scanDc(ci))
-        val acT = acTables(scanAc(ci))
-        if (dcT == null || acT == null) return null
-        var v = 0
-        while (v < compV(ci)) {
-          var hh = 0
-          while (hh < compH(ci)) {
-            // DC
-            val t = reader.decodeHuff(dcT)
-            if (t < 0 || t > 15) return null
-            val diffBits = reader.receive(t)
-            if (diffBits == Int.MinValue) return null
-            pred(ci) += extend(diffBits, t)
-            if (ci == 0) {
-              val bx = mx * compH(0) + hh
-              val by = my * compV(0) + v
-              dcPlane(by * lumaBlocksX + bx) = pred(0)
-            }
-            // AC: decode to advance the stream, values discarded
-            var kk = 1
-            var eob = false
-            while (kk < 64 && !eob) {
-              val s = reader.decodeHuff(acT)
-              if (s < 0) return null
-              val r = s >>> 4
-              val sz = s & 15
-              if (sz == 0) {
-                if (r == 15) kk += 16 // ZRL
-                else eob = true // EOB
-              } else {
-                kk += r
-                if (kk > 63) return null
-                if (reader.receive(sz) == Int.MinValue) return null
-                kk += 1
-              }
-            }
-            hh += 1
-          }
-          v += 1
-        }
-        sk += 1
-      }
-      mcu += 1
-    }
 
     // DC thumbnail: block mean = DC·q00/8 + 128 (T.81 DCT norm), the
-    // shift floors like the fixture arithmetic; clamp to byte range
+    // shift floors like the fixture arithmetic; clamp to byte range.
+    // The grid is sampled in DISPLAY space: orientations 5..8 swap the
+    // displayed axes, and each display cell maps back to its stored
+    // cell by the inverse of the EXIF tag-274 transform.
     val wT = (w * compH(0) + 8 * hMax - 1) / (8 * hMax) // luma blocks covering real pixels
     val hT = (h * compV(0) + 8 * vMax - 1) / (8 * vMax)
+    val o = if (orientation >= 1 && orientation <= 8) orientation else 1
+    val wD = if (o >= 5) hT else wT
+    val hD = if (o >= 5) wT else hT
     val samples = new Array[Int](72)
-    val ysT = Array.tabulate(8)(r => if (hT == 1) 0 else ((hT - 1).toLong * r / 7).toInt)
-    val xsT = Array.tabulate(9)(c => if (wT == 1) 0 else ((wT - 1).toLong * c / 8).toInt)
     var r = 0
     while (r < 8) {
+      val yd = if (hD == 1) 0 else ((hD - 1).toLong * r / 7).toInt
       var c = 0
       while (c < 9) {
-        val dc = dcPlane(ysT(r) * lumaBlocksX + xsT(c))
+        val xd = if (wD == 1) 0 else ((wD - 1).toLong * c / 8).toInt
+        // stored cell showing at display (xd, yd) — TIFF 6.0 tag 274:
+        // 1 normal, 2 flip-H, 3 rot180, 4 flip-V, 5 transpose,
+        // 6 rot90CW, 7 transverse, 8 rot270CW (stored -> display)
+        var x = xd; var y = yd
+        o match {
+          case 1 => ()
+          case 2 => x = wT - 1 - xd
+          case 3 => x = wT - 1 - xd; y = hT - 1 - yd
+          case 4 => y = hT - 1 - yd
+          case 5 => x = yd; y = xd
+          case 6 => x = yd; y = hT - 1 - xd
+          case 7 => x = wT - 1 - yd; y = hT - 1 - xd
+          case _ => x = wT - 1 - yd; y = xd // 8
+        }
+        val dc = dcPlane(y * lumaBlocksX + x)
         var lum = ((dc * dcQ) >> 3) + 128
         if (lum < 0) lum = 0
         if (lum > 255) lum = 255
@@ -608,6 +699,235 @@ object JpegDcLuma {
       r += 1
     }
     samples
+  }
+
+  /** DC FIRST scan (sequential-free DC pass, T.81 G.2): Huffman DC
+    * diffs, point-transformed left by `al`. Decodes EVERY component in
+    * the scan (their bits interleave), stores only luma. Returns the
+    * next marker position, or -1 on malformed data. */
+  private def dcFirstScan(
+      b: Array[Byte], from: Int, ns: Int,
+      scanComp: Array[Int], scanDcT: Array[Int], dcTables: Array[Huff],
+      compH: Array[Int], compV: Array[Int], mcusX: Int, mcusY: Int,
+      lumaBlocksX: Int, w: Int, h: Int, hMax: Int, vMax: Int,
+      restartInterval: Int, al: Int, dcPlane: Array[Int]): Int = {
+    val reader = new BitReader(b, from)
+    val pred = new Array[Int](ns)
+    if (ns == 1) {
+      // non-interleaved: the unit is ONE block over the component's
+      // own block grid (T.81 A.2.2), restart interval counts blocks
+      val ci = scanComp(0)
+      val dcT = dcTables(scanDcT(0))
+      if (dcT == null) return -1
+      val cw = (w * compH(ci) + hMax - 1) / hMax
+      val ch = (h * compV(ci) + vMax - 1) / vMax
+      val bw = (cw + 7) / 8
+      val n = bw.toLong * ((ch + 7) / 8)
+      var i = 0L
+      while (i < n) {
+        if (restartInterval > 0 && i > 0 && i % restartInterval == 0) {
+          if (!reader.restart()) return -1
+          pred(0) = 0
+        }
+        val t = reader.decodeHuff(dcT)
+        if (t < 0 || t > 15) return -1
+        val diffBits = reader.receive(t)
+        if (diffBits == Int.MinValue) return -1
+        pred(0) += extend(diffBits, t)
+        if (ci == 0)
+          dcPlane((i / bw).toInt * lumaBlocksX + (i % bw).toInt) = pred(0) << al
+        i += 1
+      }
+    } else {
+      var mcu = 0L
+      val nMcus = mcusX.toLong * mcusY
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!reader.restart()) return -1
+          java.util.Arrays.fill(pred, 0)
+        }
+        val mx = (mcu % mcusX).toInt
+        val my = (mcu / mcusX).toInt
+        var sk = 0
+        while (sk < ns) {
+          val ci = scanComp(sk)
+          val dcT = dcTables(scanDcT(sk))
+          if (dcT == null) return -1
+          var v = 0
+          while (v < compV(ci)) {
+            var hh = 0
+            while (hh < compH(ci)) {
+              val t = reader.decodeHuff(dcT)
+              if (t < 0 || t > 15) return -1
+              val diffBits = reader.receive(t)
+              if (diffBits == Int.MinValue) return -1
+              pred(sk) += extend(diffBits, t)
+              if (ci == 0)
+                dcPlane((my * compV(0) + v) * lumaBlocksX +
+                  mx * compH(0) + hh) = pred(sk) << al
+              hh += 1
+            }
+            v += 1
+          }
+          sk += 1
+        }
+        mcu += 1
+      }
+    }
+    afterScan(b, reader)
+  }
+
+  /** DC REFINEMENT scan (successive approximation, T.81 G.1.2.1): one
+    * raw bit per block per scan component — sets bit `al` of the
+    * coefficient. Works in two's complement: the stored value is a
+    * multiple of 2^(al+1), so OR-ing the bit in is exact for negative
+    * coefficients too. */
+  private def dcRefineScan(
+      b: Array[Byte], from: Int, ns: Int, scanComp: Array[Int],
+      compH: Array[Int], compV: Array[Int], mcusX: Int, mcusY: Int,
+      lumaBlocksX: Int, w: Int, h: Int, hMax: Int, vMax: Int,
+      restartInterval: Int, al: Int, dcPlane: Array[Int]): Int = {
+    val reader = new BitReader(b, from)
+    if (ns == 1) {
+      val ci = scanComp(0)
+      val cw = (w * compH(ci) + hMax - 1) / hMax
+      val ch = (h * compV(ci) + vMax - 1) / vMax
+      val bw = (cw + 7) / 8
+      val n = bw.toLong * ((ch + 7) / 8)
+      var i = 0L
+      while (i < n) {
+        if (restartInterval > 0 && i > 0 && i % restartInterval == 0) {
+          if (!reader.restart()) return -1
+        }
+        val bit = reader.bit()
+        if (bit < 0) return -1
+        if (ci == 0 && bit == 1)
+          dcPlane((i / bw).toInt * lumaBlocksX + (i % bw).toInt) |= 1 << al
+        i += 1
+      }
+    } else {
+      var mcu = 0L
+      val nMcus = mcusX.toLong * mcusY
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!reader.restart()) return -1
+        }
+        val mx = (mcu % mcusX).toInt
+        val my = (mcu / mcusX).toInt
+        var sk = 0
+        while (sk < ns) {
+          val ci = scanComp(sk)
+          var v = 0
+          while (v < compV(ci)) {
+            var hh = 0
+            while (hh < compH(ci)) {
+              val bit = reader.bit()
+              if (bit < 0) return -1
+              if (ci == 0 && bit == 1)
+                dcPlane((my * compV(0) + v) * lumaBlocksX +
+                  mx * compH(0) + hh) |= 1 << al
+              hh += 1
+            }
+            v += 1
+          }
+          sk += 1
+        }
+        mcu += 1
+      }
+    }
+    afterScan(b, reader)
+  }
+
+  /** SEQUENTIAL scan carrying luma: full DC + AC entropy decode (AC
+    * values discarded — T.81 gives no way to skip them blind inside
+    * one scan). Handles interleaved (ns > 1) and single-component
+    * scans, so multi-scan sequential files decode too. */
+  private def sequentialScan(
+      b: Array[Byte], from: Int, ns: Int,
+      scanComp: Array[Int], scanDcT: Array[Int], scanAcT: Array[Int],
+      dcTables: Array[Huff], acTables: Array[Huff],
+      compH: Array[Int], compV: Array[Int], mcusX: Int, mcusY: Int,
+      lumaBlocksX: Int, w: Int, h: Int, hMax: Int, vMax: Int,
+      restartInterval: Int, dcPlane: Array[Int]): Int = {
+    val reader = new BitReader(b, from)
+    val pred = new Array[Int](ns)
+
+    /** One block of component slot `sk`: DC into dcPlane (luma), AC
+      * walked and discarded. False on malformed data. */
+    def block(sk: Int, bx: Int, by: Int): Boolean = {
+      val ci = scanComp(sk)
+      val dcT = dcTables(scanDcT(sk))
+      val acT = acTables(scanAcT(sk))
+      if (dcT == null || acT == null) return false
+      val t = reader.decodeHuff(dcT)
+      if (t < 0 || t > 15) return false
+      val diffBits = reader.receive(t)
+      if (diffBits == Int.MinValue) return false
+      pred(sk) += extend(diffBits, t)
+      if (ci == 0) dcPlane(by * lumaBlocksX + bx) = pred(sk)
+      var kk = 1
+      var eob = false
+      while (kk < 64 && !eob) {
+        val s = reader.decodeHuff(acT)
+        if (s < 0) return false
+        val r = s >>> 4
+        val sz = s & 15
+        if (sz == 0) {
+          if (r == 15) kk += 16 // ZRL
+          else eob = true // EOB
+        } else {
+          kk += r
+          if (kk > 63) return false
+          if (reader.receive(sz) == Int.MinValue) return false
+          kk += 1
+        }
+      }
+      true
+    }
+
+    if (ns == 1) {
+      val ci = scanComp(0)
+      val cw = (w * compH(ci) + hMax - 1) / hMax
+      val ch = (h * compV(ci) + vMax - 1) / vMax
+      val bw = (cw + 7) / 8
+      val n = bw.toLong * ((ch + 7) / 8)
+      var i = 0L
+      while (i < n) {
+        if (restartInterval > 0 && i > 0 && i % restartInterval == 0) {
+          if (!reader.restart()) return -1
+          pred(0) = 0
+        }
+        if (!block(0, (i % bw).toInt, (i / bw).toInt)) return -1
+        i += 1
+      }
+    } else {
+      var mcu = 0L
+      val nMcus = mcusX.toLong * mcusY
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!reader.restart()) return -1
+          java.util.Arrays.fill(pred, 0)
+        }
+        val mx = (mcu % mcusX).toInt
+        val my = (mcu / mcusX).toInt
+        var sk = 0
+        while (sk < ns) {
+          val ci = scanComp(sk)
+          var v = 0
+          while (v < compV(ci)) {
+            var hh = 0
+            while (hh < compH(ci)) {
+              if (!block(sk, mx * compH(ci) + hh, my * compV(ci) + v)) return -1
+              hh += 1
+            }
+            v += 1
+          }
+          sk += 1
+        }
+        mcu += 1
+      }
+    }
+    afterScan(b, reader)
   }
 }
 
@@ -628,9 +948,9 @@ object GifLuma {
   def sampleGrid(b: Array[Byte]): Array[Int] = {
     try sampleGridUnsafe(b)
     catch {
+      // OOME not caught: allocations are MaxPixels-capped (see PngLuma)
       case _: ArrayIndexOutOfBoundsException => null
       case _: NegativeArraySizeException => null
-      case _: OutOfMemoryError => null
     }
   }
 

@@ -239,13 +239,17 @@ object Multimodal {
     * pick filters per row; a decoder must take them all); −1 picks
     * seed % 5, so one fixture exercises every unfilter path. Junk on
     * seed % 10 == 9, twins via idOffset/bumpCell as in the BMP
-    * builder. */
+    * builder. `interlaced = true` stores the SAME pixels in Adam7
+    * order (IHDR interlace 1, the 7 passes each independently
+    * filtered against their own pass-local neighbors — the layout
+    * real interlaced encoders emit). */
   def pngPixelsFromIds(
       ids: DataFrame,
       idCol: String,
       idOffset: Long = 0L,
       bumpCell: Int = 0,
-      filterMode: Int = -1): DataFrame = {
+      filterMode: Int = -1,
+      interlaced: Boolean = false): DataFrame = {
     require(filterMode >= -1 && filterMode <= 4,
       s"pngPixelsFromIds: filterMode=$filterMode")
     val spark = ids.sparkSession
@@ -261,39 +265,46 @@ object Multimodal {
             if (bumpCell != 0 && x == 3 && y == 2) (base + bumpCell) % 256
             else base
           }
-          // raw scanlines: filter byte + 9 gray bytes per row, the
-          // chosen filter applied so the decoder must invert it
-          val raw = new Array[Byte](8 * 10)
-          var y = 0
-          while (y < 8) {
-            raw(y * 10) = filt.toByte
-            var x = 0
-            while (x < 9) {
-              val v = lum(x, y)
-              val enc = filt match {
-                case 0 => v
-                case 1 => v - (if (x > 0) lum(x - 1, y) else 0) // Sub
-                case 2 => v - (if (y > 0) lum(x, y - 1) else 0) // Up
-                case 3 => // Average
-                  val l = if (x > 0) lum(x - 1, y) else 0
-                  val u = if (y > 0) lum(x, y - 1) else 0
-                  v - ((l + u) >> 1)
-                case 4 => // Paeth
-                  val a = if (x > 0) lum(x - 1, y) else 0
-                  val b = if (y > 0) lum(x, y - 1) else 0
-                  val c = if (x > 0 && y > 0) lum(x - 1, y - 1) else 0
-                  val p = a + b - c
-                  val pa = math.abs(p - a); val pb = math.abs(p - b)
-                  val pc = math.abs(p - c)
-                  val pred = if (pa <= pb && pa <= pc) a
-                    else if (pb <= pc) b else c
-                  v - pred
+          // raw scanlines: filter byte + gray bytes per row, the
+          // chosen filter applied so the decoder must invert it.
+          // Filtering is PASS-LOCAL: left/up neighbors step by the
+          // pass strides (for the sequential "pass" that is 1/1).
+          val passes: Seq[(Int, Int, Int, Int)] =
+            if (!interlaced) Seq((0, 1, 0, 1))
+            else Seq((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+              (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+          val rawOut = new java.io.ByteArrayOutputStream(128)
+          for ((px0, pdx, py0, pdy) <- passes) {
+            val wP = if (9 > px0) (9 - px0 + pdx - 1) / pdx else 0
+            val hP = if (8 > py0) (8 - py0 + pdy - 1) / pdy else 0
+            for (ry <- 0 until hP; if wP > 0) {
+              rawOut.write(filt)
+              val y = py0 + ry * pdy
+              for (rx <- 0 until wP) {
+                val x = px0 + rx * pdx
+                val v = lum(x, y)
+                def left = if (rx > 0) lum(x - pdx, y) else 0
+                def up = if (ry > 0) lum(x, y - pdy) else 0
+                def upLeft = if (rx > 0 && ry > 0) lum(x - pdx, y - pdy) else 0
+                val enc = filt match {
+                  case 0 => v
+                  case 1 => v - left // Sub
+                  case 2 => v - up // Up
+                  case 3 => v - ((left + up) >> 1) // Average
+                  case 4 => // Paeth
+                    val a = left; val b = up; val c = upLeft
+                    val p = a + b - c
+                    val pa = math.abs(p - a); val pb = math.abs(p - b)
+                    val pc = math.abs(p - c)
+                    val pred = if (pa <= pb && pa <= pc) a
+                      else if (pb <= pc) b else c
+                    v - pred
+                }
+                rawOut.write(enc & 0xff)
               }
-              raw(y * 10 + 1 + x) = enc.toByte
-              x += 1
             }
-            y += 1
           }
+          val raw = rawOut.toByteArray
           val deflater = new java.util.zip.Deflater()
           deflater.setInput(raw); deflater.finish()
           // deflate() does not guarantee completion in one call — drain
@@ -315,7 +326,8 @@ object Multimodal {
             out.write(t); out.write(payload); out.write(be32(crc.getValue.toInt))
           }
           out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
-          chunk("IHDR", be32(9) ++ be32(8) ++ Array[Byte](8, 0, 0, 0, 0))
+          chunk("IHDR", be32(9) ++ be32(8) ++
+            Array[Byte](8, 0, 0, 0, if (interlaced) 1 else 0))
           chunk("IDAT", comp.take(compLen))
           chunk("IEND", Array.emptyByteArray)
           out.toByteArray
@@ -409,29 +421,196 @@ object Multimodal {
             if (bumpCell != 0 && x == 3 && y == 2) (base + bumpCell) % 256
             else base
           }
-          val out = new java.io.ByteArrayOutputStream(512)
+          jpegBaselineGray(lum, 9, 8)
+        }
+      (seed + idOffset, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
+  /** Baseline grayscale encoder shared by the JPEG fixtures: a
+    * (bw·8)×(bh·8) SOF0 file whose 8×8 blocks are each CONSTANT at
+    * dc(bx, by) — the FDCT of a constant block is pure DC, and with
+    * q00 = 8 the quantized DC is exactly v − 128, so the DC thumbnail
+    * decodes LOSSLESSLY (ITU T.81 sequential, minimal custom Huffman
+    * tables, FF byte stuffing). */
+  private def jpegBaselineGray(dc: (Int, Int) => Int, bw: Int, bh: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(512)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >>> 8); w8(v) }
+    w16(0xffd8) // SOI
+    // DQT: table 0, q[0]=8 (lossless DC for our blocks), rest 16
+    w16(0xffdb); w16(2 + 1 + 64); w8(0x00)
+    w8(8); (1 until 64).foreach(_ => w8(16))
+    // SOF0: 8-bit, bh·8 rows × bw·8 cols, 1 component (1,1) q0
+    w16(0xffc0); w16(2 + 6 + 3)
+    w8(8); w16(bh * 8); w16(bw * 8); w8(1)
+    w8(1); w8(0x11); w8(0)
+    // DHT DC0: 9 symbols (categories 0..8), all length 4 —
+    // canonical codes 0000..1000, a valid prefix code
+    w16(0xffc4); w16(2 + 17 + 9); w8(0x00)
+    val dcCounts = Array(0, 0, 0, 9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    dcCounts.foreach(w8); (0 to 8).foreach(w8)
+    // DHT AC0: single symbol EOB (0x00) at length 1 — code '0'
+    w16(0xffc4); w16(2 + 17 + 1); w8(0x10)
+    w8(1); (1 until 16).foreach(_ => w8(0)); w8(0x00)
+    // SOS: component 1 uses DC0/AC0
+    w16(0xffda); w16(2 + 1 + 2 + 3)
+    w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0)
+    // entropy stream: bit writer with FF 00 stuffing
+    var acc = 0; var nAcc = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >>> i) & 1); nAcc += 1
+        if (nAcc == 8) {
+          w8(acc)
+          if ((acc & 0xff) == 0xff) w8(0x00)
+          acc = 0; nAcc = 0
+        }
+        i -= 1
+      }
+    }
+    var pred = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val v = dc(bx, by) - 128
+        var diff = v - pred
+        pred = v
+        // category = bit length of |diff| (0..8 here)
+        var t = 0; var a = math.abs(diff)
+        while (a > 0) { t += 1; a >>= 1 }
+        putBits(t, 4) // DC code for category t is t itself, 4 bits
+        if (t > 0) {
+          if (diff < 0) diff += (1 << t) - 1
+          putBits(diff, t)
+        }
+        putBits(0, 1) // AC EOB: code '0'
+        bx += 1
+      }
+      by += 1
+    }
+    if (nAcc > 0) { // pad the final byte with 1s (T.81 F.1.2.3)
+      acc = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
+      w8(acc)
+      if ((acc & 0xff) == 0xff) w8(0x00)
+    }
+    w16(0xffd9) // EOI
+    out.toByteArray
+  }
+
+  /** Camera-rotation fixture for the ORIENTATION-NORMALIZED hash
+    * ([[graft.functions.DHash64OrientedExpression]]): each member
+    * STORES the base LCG grid transformed by EXIF orientation
+    * seed % 8 + 1 (orientations 5–8 transpose the canvas to 64×72)
+    * and carries the matching tag-274 APP1 — exactly what a phone
+    * camera emits. Display-normalizing recovers the base grid, so
+    * every member's oriented hash equals the UPRIGHT member's p340
+    * arithmetic hash, whatever its stored rotation. Junk on
+    * seed % 10 == 9, twins via idOffset/bumpCell. */
+  def jpegOrientedFromIds(
+      ids: DataFrame,
+      idCol: String,
+      idOffset: Long = 0L,
+      bumpCell: Int = 0): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
+      val bytes =
+        if (seed % 10 == 9) s"notarotjpeg:$seed".getBytes("US-ASCII")
+        else {
+          def base(x: Int, y: Int): Int = {
+            val v = (((1103515245L * ((seed * 72 + y * 9 + x) % 100000L) +
+              12345L) % 2147483648L) / 65536L % 256L).toInt
+            if (bumpCell != 0 && x == 3 && y == 2) (v + bumpCell) % 256
+            else v
+          }
+          val o = (seed % 8 + 1).toInt
+          // stored(x, y) = base(display position it shows at) — the
+          // forward tag-274 map over a 9×8 display grid
+          val (bw, bh) = if (o >= 5) (8, 9) else (9, 8)
+          def stored(x: Int, y: Int): Int = o match {
+            case 1 => base(x, y)
+            case 2 => base(8 - x, y)
+            case 3 => base(8 - x, 7 - y)
+            case 4 => base(x, 7 - y)
+            case 5 => base(y, x)
+            case 6 => base(8 - y, x)
+            case 7 => base(8 - y, 7 - x)
+            case _ => base(y, 7 - x) // 8
+          }
+          val jpg = jpegBaselineGray(stored, bw, bh)
+          val app1 = exifApp1(orientation = o, gps = false,
+            bigEndian = seed % 3 == 2)
+          val out = new Array[Byte](jpg.length + app1.length)
+          out(0) = jpg(0); out(1) = jpg(1)
+          app1.copyToArray(out, 2)
+          System.arraycopy(jpg, 2, out, 2 + app1.length, jpg.length - 2)
+          out
+        }
+      (seed + idOffset, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
+  /** [[imageDHashScan]]'s display-space sibling: appends `dhash` from
+    * [[graft.functions.DHash64OrientedExpression]] — the EXIF
+    * tag-274 transform applied to the sample grid before hashing, so
+    * camera-rotated duplicates pair with their upright twins.
+    * Map-only, same contract otherwise. */
+  def imageDHashOrientedScan(df: DataFrame, bytesCol: String): DataFrame =
+    df.withColumn("dhash",
+      graft.functions.MediaFunctions.dhash64_oriented(col(bytesCol)))
+
+  /** Deterministic PROGRESSIVE-JPEG fixture carrying the SAME LCG luma
+    * grid as [[jpegDcFromIds]]: a 72×64 grayscale SOF2 file whose DC
+    * coefficients arrive the way real progressive encoders ship them —
+    * a DC FIRST scan at successive-approximation Al=1 (each block's
+    * quantized DC arithmetic-shifted right one bit, Huffman-coded as
+    * diffs), then a genuine AC first scan (Ss=1..63, per-block EOB —
+    * the decoder must SKIP it bytewise), then a DC REFINEMENT scan
+    * (Ah=1, Al=0: one raw bit per block restoring bit 0) — so the
+    * refined DC thumbnail decodes LOSSLESSLY back to the 9×8 grid and
+    * the p340 oracle arithmetic replays verbatim. Junk on
+    * seed % 10 == 9, twins via idOffset/bumpCell. */
+  def jpegProgressiveFromIds(
+      ids: DataFrame,
+      idCol: String,
+      idOffset: Long = 0L,
+      bumpCell: Int = 0): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
+      val bytes =
+        if (seed % 10 == 9) s"notaprogjpeg:$seed".getBytes("US-ASCII")
+        else {
+          def lum(x: Int, y: Int): Int = {
+            val base = (((1103515245L * ((seed * 72 + y * 9 + x) % 100000L) +
+              12345L) % 2147483648L) / 65536L % 256L).toInt
+            if (bumpCell != 0 && x == 3 && y == 2) (base + bumpCell) % 256
+            else base
+          }
+          val out = new java.io.ByteArrayOutputStream(640)
           def w8(v: Int): Unit = out.write(v & 0xff)
           def w16(v: Int): Unit = { w8(v >>> 8); w8(v) }
           w16(0xffd8) // SOI
           // DQT: table 0, q[0]=8 (lossless DC for our blocks), rest 16
           w16(0xffdb); w16(2 + 1 + 64); w8(0x00)
           w8(8); (1 until 64).foreach(_ => w8(16))
-          // SOF0: 8-bit, 64 rows × 72 cols, 1 component (1,1) q0
-          w16(0xffc0); w16(2 + 6 + 3)
+          // SOF2: progressive, 8-bit, 64 rows × 72 cols, 1 comp (1,1) q0
+          w16(0xffc2); w16(2 + 6 + 3)
           w8(8); w16(64); w16(72); w8(1)
           w8(1); w8(0x11); w8(0)
-          // DHT DC0: 9 symbols (categories 0..8), all length 4 —
-          // canonical codes 0000..1000, a valid prefix code
+          // DHT DC0: categories 0..8, all code length 4 (canonical)
           w16(0xffc4); w16(2 + 17 + 9); w8(0x00)
           val dcCounts = Array(0, 0, 0, 9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
           dcCounts.foreach(w8); (0 to 8).foreach(w8)
           // DHT AC0: single symbol EOB (0x00) at length 1 — code '0'
           w16(0xffc4); w16(2 + 17 + 1); w8(0x10)
           w8(1); (1 until 16).foreach(_ => w8(0)); w8(0x00)
-          // SOS: component 1 uses DC0/AC0
-          w16(0xffda); w16(2 + 1 + 2 + 3)
-          w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0)
-          // entropy stream: bit writer with FF 00 stuffing
+
+          // per-scan entropy bit writer with FF 00 stuffing; each scan
+          // byte-aligns at start and pads its last byte with 1s
           var acc = 0; var nAcc = 0
           def putBits(v: Int, n: Int): Unit = {
             var i = n - 1
@@ -445,34 +624,286 @@ object Multimodal {
               i -= 1
             }
           }
-          var pred = 0
-          var by = 0
-          while (by < 8) {
-            var bx = 0
-            while (bx < 9) {
-              val dc = lum(bx, by) - 128
-              var diff = dc - pred
-              pred = dc
-              // category = bit length of |diff| (0..8 here)
-              var t = 0; var a = math.abs(diff)
-              while (a > 0) { t += 1; a >>= 1 }
-              putBits(t, 4) // DC code for category t is t itself, 4 bits
-              if (t > 0) {
-                if (diff < 0) diff += (1 << t) - 1
-                putBits(diff, t)
-              }
-              putBits(0, 1) // AC EOB: code '0'
-              bx += 1
-            }
-            by += 1
-          }
-          if (nAcc > 0) { // pad the final byte with 1s (T.81 F.1.2.3)
+          def flushScan(): Unit = if (nAcc > 0) { // pad with 1s (F.1.2.3)
             acc = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
             w8(acc)
             if ((acc & 0xff) == 0xff) w8(0x00)
+            acc = 0; nAcc = 0
           }
+          def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+            w16(0xffda); w16(2 + 1 + 2 + 3)
+            w8(1); w8(1); w8(0x00); w8(ss); w8(se); w8((ah << 4) | al)
+          }
+
+          // SCAN 1 — DC first, Al=1: diffs of (dc >> 1), arithmetic
+          // shift (the T.81 DC point transform)
+          sos(0, 0, 0, 1)
+          var pred = 0
+          for (by <- 0 until 8; bx <- 0 until 9) {
+            val dcApprox = (lum(bx, by) - 128) >> 1
+            var diff = dcApprox - pred
+            pred = dcApprox
+            var t = 0; var a = math.abs(diff)
+            while (a > 0) { t += 1; a >>= 1 }
+            putBits(t, 4) // DC code for category t is t itself, 4 bits
+            if (t > 0) {
+              if (diff < 0) diff += (1 << t) - 1
+              putBits(diff, t)
+            }
+          }
+          flushScan()
+
+          // SCAN 2 — AC first (Ss=1..63, Ah=Al=0): every block EOB
+          // (all ACs are zero for constant blocks); a DC-only decoder
+          // skips these bytes without Huffman work
+          sos(1, 63, 0, 0)
+          for (_ <- 0 until 72) putBits(0, 1)
+          flushScan()
+
+          // SCAN 3 — DC refinement (Ah=1, Al=0): bit 0 of each dc
+          sos(0, 0, 1, 0)
+          for (by <- 0 until 8; bx <- 0 until 9)
+            putBits((lum(bx, by) - 128) & 1, 1)
+          flushScan()
+
           w16(0xffd9) // EOI
           out.toByteArray
+        }
+      (seed + idOffset, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
+  /** LSB-first bit writer for VP8L payload synthesis ([[webpVp8lFromIds]]
+    * and the decode specs): `bits` packs little-endian as the format
+    * reads them; `code` emits a canonical prefix code MSB-first (each
+    * stream bit extends the code from the left — the DEFLATE-style
+    * convention VP8L decodes with). */
+  private[graft] final class Vp8lBits {
+    private val out = new java.io.ByteArrayOutputStream(256)
+    private var acc = 0L
+    private var n = 0
+    def bits(v: Int, k: Int): Unit = {
+      acc |= (v.toLong & ((1L << k) - 1)) << n
+      n += k
+      while (n >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; n -= 8 }
+    }
+    def code(c: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { bits((c >>> i) & 1, 1); i -= 1 }
+    }
+    def bytes: Array[Byte] = {
+      if (n > 0) { out.write((acc & 0xff).toInt); acc = 0; n = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** Emit a 1-symbol SIMPLE prefix code (zero bits per decode). */
+  private[graft] def vp8lSimple1(bw: Vp8lBits, sym: Int): Unit = {
+    bw.bits(1, 1); bw.bits(0, 1)
+    if (sym >= 2) { bw.bits(1, 1); bw.bits(sym, 8) }
+    else { bw.bits(0, 1); bw.bits(sym, 1) }
+  }
+
+  /** Emit a 2-symbol SIMPLE prefix code (one bit per decode; the
+    * smaller symbol decodes from bit 0). */
+  private[graft] def vp8lSimple2(bw: Vp8lBits, s0: Int, s1: Int): Unit = {
+    bw.bits(1, 1); bw.bits(1, 1)
+    if (s0 >= 2) { bw.bits(1, 1); bw.bits(s0, 8) }
+    else { bw.bits(0, 1); bw.bits(s0, 1) }
+    bw.bits(s1, 8)
+  }
+
+  /** Emit the NORMAL-form "all 8-bit" code: symbols 0..255 at length
+    * 8 (canonical code of symbol s is s itself), the rest of the
+    * alphabet zero — transmitted through the 19-symbol code-length
+    * code with 16/18 repeat tokens, the full decode path real
+    * encoders exercise. */
+  private[graft] def vp8lAll8(bw: Vp8lBits, alphabetSize: Int): Unit = {
+    bw.bits(0, 1) // normal form
+    // code-length code: symbol 8 -> len 1 (code 0), 16 -> len 2
+    // (code 2), 18 -> len 2 (code 3); slot order per spec
+    bw.bits(19 - 4, 4)
+    val order = Array(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12,
+      13, 14, 15, 16)
+    for (sym <- order)
+      bw.bits(if (sym == 8) 1 else if (sym == 16 || sym == 18) 2 else 0, 3)
+    bw.bits(0, 1) // no explicit token count: positions cover the alphabet
+    // tokens: literal '8', then repeat-previous to 256 (42×6 + 1×3),
+    // then one zero-run for the tail of the alphabet
+    bw.code(0, 1) // symbol 8
+    for (_ <- 0 until 42) { bw.code(2, 2); bw.bits(3, 2) } // 16, rep 6
+    bw.code(2, 2); bw.bits(0, 2) // 16, rep 3 -> position 256
+    if (alphabetSize > 256) {
+      val zeros = alphabetSize - 256
+      require(zeros >= 11 && zeros <= 138, s"vp8lAll8: tail $zeros")
+      bw.code(3, 2); bw.bits(zeros - 11, 7) // 18, rep zeros
+    }
+  }
+
+  /** Emit a NORMAL-form code with exactly two 1-bit symbols `sA < sB`
+    * — the way to give a code to symbols ≥ 256 (length / color-cache
+    * symbols), which the SIMPLE form's 8-bit fields cannot reach. */
+  private[graft] def vp8lPair(bw: Vp8lBits, alphabetSize: Int, sA: Int, sB: Int): Unit = {
+    require(sA < sB && sB < alphabetSize, s"vp8lPair: $sA $sB / $alphabetSize")
+    bw.bits(0, 1) // normal form
+    // code-length code over {0, 1, 17, 18}, all length 2 (canonical
+    // codes 0..3 in symbol order); slots 17,18,0,1 are the first four
+    bw.bits(4 - 4, 4)
+    bw.bits(2, 3); bw.bits(2, 3); bw.bits(2, 3); bw.bits(2, 3)
+    bw.bits(0, 1) // explicit tokens cover the whole alphabet
+    var pos = 0
+    def zeros(k: Int): Unit = {
+      var left = k
+      while (left > 0) {
+        if (left >= 11) { val rep = math.min(left, 138)
+          bw.code(3, 2); bw.bits(rep - 11, 7); left -= rep }
+        else if (left >= 3) { bw.code(2, 2); bw.bits(left - 3, 3); left -= left }
+        else { bw.code(0, 2); left -= 1 }
+      }
+    }
+    zeros(sA); bw.code(1, 2); pos = sA + 1
+    zeros(sB - pos); bw.code(1, 2); pos = sB + 1
+    zeros(alphabetSize - pos)
+  }
+
+  /** Wrap a VP8L payload in its RIFF container. */
+  private[graft] def vp8lContainer(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length + 32)
+    def le32(v: Int): Unit =
+      { out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+        out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff) }
+    out.write("RIFF".getBytes("US-ASCII"))
+    le32(4 + 8 + payload.length + (payload.length & 1))
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write("VP8L".getBytes("US-ASCII"))
+    le32(payload.length)
+    out.write(payload, 0, payload.length)
+    if ((payload.length & 1) == 1) out.write(0) // chunk padding
+    out.toByteArray
+  }
+
+  /** Deterministic WebP VP8L fixture carrying the SAME LCG luma grid:
+    * real RFC 9649 lossless bitstreams over the 9×8 gray image, the
+    * encoding strategy cycling by seed % 4 the way real encoders mix
+    * their tools — 0: plain ARGB literals; 1: SUBTRACT-GREEN (red and
+    * blue collapse to zero-bit codes); 2: PREDICTOR transform (two
+    * 8-px blocks, modes L and T, residual-coded); 3: COLOR-INDEXING
+    * (delta-coded palette of the image's distinct grays). Every
+    * variant decodes to the same pixels, so the p340 oracle arithmetic
+    * replays verbatim over a fifth container format. Junk on
+    * seed % 10 == 9, twins via idOffset/bumpCell. */
+  def webpVp8lFromIds(
+      ids: DataFrame,
+      idCol: String,
+      idOffset: Long = 0L,
+      bumpCell: Int = 0): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
+      val bytes =
+        if (seed % 10 == 9) s"notawebp:$seed".getBytes("US-ASCII")
+        else {
+          def lum(x: Int, y: Int): Int = {
+            val base = (((1103515245L * ((seed * 72 + y * 9 + x) % 100000L) +
+              12345L) % 2147483648L) / 65536L % 256L).toInt
+            if (bumpCell != 0 && x == 3 && y == 2) (base + bumpCell) % 256
+            else base
+          }
+          val bw = new Vp8lBits
+          bw.bits(0x2f, 8) // signature
+          bw.bits(9 - 1, 14); bw.bits(8 - 1, 14) // dims
+          bw.bits(0, 1) // alpha hint
+          bw.bits(0, 3) // version
+          (seed % 4).toInt match {
+            case 0 => // plain literals
+              bw.bits(0, 1) // no transforms
+              bw.bits(0, 1); bw.bits(0, 1) // no meta codes, no cache
+              vp8lAll8(bw, 280) // green
+              vp8lAll8(bw, 256); vp8lAll8(bw, 256) // red, blue
+              vp8lSimple1(bw, 255) // alpha
+              vp8lSimple1(bw, 0) // distance (unused)
+              for (y <- 0 until 8; x <- 0 until 9) {
+                val v = lum(x, y)
+                bw.code(v, 8); bw.code(v, 8); bw.code(v, 8)
+              }
+            case 1 => // subtract-green
+              bw.bits(1, 1); bw.bits(2, 2) // transform: subtract green
+              bw.bits(0, 1) // no more transforms
+              bw.bits(0, 1); bw.bits(0, 1)
+              vp8lAll8(bw, 280) // green carries the value
+              vp8lSimple1(bw, 0); vp8lSimple1(bw, 0) // red, blue residual 0
+              vp8lSimple1(bw, 255); vp8lSimple1(bw, 0)
+              for (y <- 0 until 8; x <- 0 until 9) bw.code(lum(x, y), 8)
+            case 2 => // predictor transform: block 8 -> modes (L | T)
+              bw.bits(1, 1); bw.bits(0, 2)
+              bw.bits(3 - 2, 3) // size_bits: blocks of 8
+              // 2x1 mode image (level > 0: no meta codes)
+              bw.bits(0, 1) // no cache
+              vp8lSimple2(bw, 1, 2) // green: mode 1 then mode 2
+              vp8lSimple1(bw, 0); vp8lSimple1(bw, 0); vp8lSimple1(bw, 0)
+              vp8lSimple1(bw, 0)
+              bw.bits(0, 1) // mode image px 0: symbol 1 (code 0)
+              bw.bits(1, 1) // mode image px 1: symbol 2 (code 1)
+              bw.bits(0, 1) // no more transforms
+              bw.bits(0, 1); bw.bits(0, 1)
+              vp8lAll8(bw, 280); vp8lAll8(bw, 256); vp8lAll8(bw, 256)
+              vp8lSimple1(bw, 0) // alpha residual is 0 everywhere
+              vp8lSimple1(bw, 0)
+              for (y <- 0 until 8; x <- 0 until 9) {
+                // mirror the decoder's overrides: (0,0) black, first
+                // row L, first col T; else block mode (x<8: L, x=8: T)
+                val pred =
+                  if (x == 0 && y == 0) 0
+                  else if (y == 0) lum(x - 1, y)
+                  else if (x == 0) lum(x, y - 1)
+                  else if (x < 8) lum(x - 1, y)
+                  else lum(x, y - 1)
+                val res = (lum(x, y) - pred) & 0xff
+                bw.code(res, 8); bw.code(res, 8); bw.code(res, 8)
+              }
+            case _ => // color indexing: delta-coded gray palette
+              val grays = (for (y <- 0 until 8; x <- 0 until 9)
+                yield lum(x, y)).distinct.sorted
+              // pad to >16 entries so no pixel bundling kicks in (the
+              // bundled path is spec-pinned in the unit tests instead)
+              val pal = (grays ++ (0 until math.max(0, 17 - grays.size))
+                .map(k => 256 + k)).toArray // filler entries never referenced
+              val n = pal.length
+              val idxOf = grays.zipWithIndex.toMap
+              bw.bits(1, 1); bw.bits(3, 2) // transform: color indexing
+              bw.bits(n - 1, 8)
+              // palette image (n x 1), delta-coded per channel; filler
+              // entries use red=1 so their gray delta stays in range
+              bw.bits(0, 1) // no cache
+              vp8lAll8(bw, 280) // green deltas
+              vp8lAll8(bw, 256); vp8lAll8(bw, 256) // red, blue deltas
+              vp8lSimple2(bw, 0, 255) // alpha deltas: 255 then 0s
+              vp8lSimple1(bw, 0)
+              var prev = 0
+              for (k <- 0 until n) {
+                val v = pal(k)
+                val (r, g, b2) =
+                  if (v < 256) (v, v, v)
+                  else (v - 256, 0, 0) // filler: arbitrary, never used
+                val cur = (255 << 24) | (r << 16) | (g << 8) | b2
+                val dg = ((cur >>> 8) - (prev >>> 8)) & 0xff
+                val dr = ((cur >>> 16) - (prev >>> 16)) & 0xff
+                val db = (cur - prev) & 0xff
+                val da = ((cur >>> 24) - (prev >>> 24)) & 0xff
+                bw.code(dg, 8); bw.code(dr, 8); bw.code(db, 8)
+                bw.bits(if (da == 0) 0 else 1, 1) // simple2(0,255)
+                prev = cur
+              }
+              bw.bits(0, 1) // no more transforms
+              // spatial image: palette indices in green
+              bw.bits(0, 1); bw.bits(0, 1)
+              vp8lAll8(bw, 280)
+              vp8lSimple1(bw, 0); vp8lSimple1(bw, 0); vp8lSimple1(bw, 0)
+              vp8lSimple1(bw, 0)
+              for (y <- 0 until 8; x <- 0 until 9)
+                bw.code(idxOf(lum(x, y)), 8)
+          }
+          vp8lContainer(bw.bytes)
         }
       (seed + idOffset, bytes)
     }.toDF("media_id", "bytes")

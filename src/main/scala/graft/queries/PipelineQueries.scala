@@ -4037,6 +4037,66 @@ object PipelineQueries {
         .orderBy("component")
     }),
 
+    // Perceptual dHash over REAL PROGRESSIVE-JPEG bytes (SOF2 — the
+    // large CDN/optimizer share of crawl JPEGs the baseline-only path
+    // nulled out): DC first scan at Al=1, a genuine AC scan the
+    // decoder must SKIP bytewise, then the DC refinement scan. The
+    // refined thumbnail is lossless for the fixture's constant
+    // blocks, so the oracle is the p340 bit arithmetic verbatim.
+    "p356_progressive_jpeg_dhash" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      graft.ops.Multimodal.imageDHashScan(
+          graft.ops.Multimodal.jpegProgressiveFromIds(docs, "doc_id"), "bytes")
+        .select(col("media_id"), col("dhash"))
+        .orderBy("media_id")
+    }),
+
+    // Perceptual dHash over ADAM7-INTERLACED PNG bytes: the same LCG
+    // grid stored in the 7-pass sub-image layout (each pass
+    // independently filtered, filter = seed % 5 so every unfilter
+    // path runs interlaced too), decoded by the pass-partition
+    // streaming path — two-row window per pass, no full-image buffer.
+    // Oracle = the p340 bit arithmetic verbatim.
+    "p359_adam7_png_dhash" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      graft.ops.Multimodal.imageDHashScan(
+          graft.ops.Multimodal.pngPixelsFromIds(docs, "doc_id",
+            interlaced = true), "bytes")
+        .select(col("media_id"), col("dhash"))
+        .orderBy("media_id")
+    }),
+
+    // Perceptual dHash over REAL WebP VP8L bytes — the modern-crawl
+    // format (RFC 9649 lossless): genuine bitstreams whose encoding
+    // strategy cycles by seed % 4 (plain literals / subtract-green /
+    // predictor transform / delta-coded palette), all decoding to the
+    // same LCG grid through canonical prefix codes + inverse
+    // transforms. Oracle = the p340 bit arithmetic verbatim (sixth
+    // format over one arithmetic). Lossy VP8 members stay out by
+    // design — the documented-null boundary.
+    "p358_webp_vp8l_dhash" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      graft.ops.Multimodal.imageDHashScan(
+          graft.ops.Multimodal.webpVp8lFromIds(docs, "doc_id"), "bytes")
+        .select(col("media_id"), col("dhash"))
+        .orderBy("media_id")
+    }),
+
+    // ORIENTATION-NORMALIZED perceptual hash: every member stores the
+    // base grid camera-rotated by EXIF orientation seed % 8 + 1
+    // (orientations 5-8 transpose the canvas) with the matching
+    // tag-274 APP1; dhash64_oriented applies the transform to the
+    // sample grid before hashing, so every member hashes as its
+    // UPRIGHT self and the oracle is the p340 arithmetic verbatim —
+    // the property that makes camera-rotated duplicates pair.
+    "p357_exif_oriented_dhash" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      graft.ops.Multimodal.imageDHashOrientedScan(
+          graft.ops.Multimodal.jpegOrientedFromIds(docs, "doc_id"), "bytes")
+        .select(col("media_id"), col("dhash"))
+        .orderBy("media_id")
+    }),
+
     // EXIF governance triage: real JPEGs with a planted APP1 — the
     // eight valid orientations cycling, a GPS-IFD pointer (the PII
     // flag) on every third member, every third EXIF block big-endian;
@@ -10141,6 +10201,64 @@ object PipelineQueries {
       "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
       "SELECT doc_id AS media_id, 0 AS has_exif, 0 AS has_gps, " +
       "CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h ORDER BY media_id")
+  ,
+    // p356: the p340 arithmetic once more — the progressive fixture
+    // carries the same LCG pixels and the DC refinement restores the
+    // thumbnail losslessly (fifth format/coding over one arithmetic)
+    "p356_progressive_jpeg_dhash" -> (
+      "WITH g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM documents, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h ORDER BY media_id")
+  ,
+    // p357: the p340 arithmetic once more — every stored rotation
+    // display-normalizes back to the base grid, so ONE oracle covers
+    // all eight orientations (seed % 8 cycles them)
+    "p357_exif_oriented_dhash" -> (
+      "WITH g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM documents, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h ORDER BY media_id")
+  ,
+    // p359: the p340 arithmetic once more — Adam7 stores the same
+    // pixels in pass order, so the hash is layout-invariant
+    "p359_adam7_png_dhash" -> (
+      "WITH g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM documents, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h ORDER BY media_id")
+  ,
+    // p358: the p340 arithmetic once more — all four VP8L encoding
+    // strategies reconstruct the same pixels
+    "p358_webp_vp8l_dhash" -> (
+      "WITH g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM documents, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
       "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
       "FROM h ORDER BY media_id")
   ,

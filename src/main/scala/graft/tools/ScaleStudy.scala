@@ -397,6 +397,19 @@ object ScaledOps {
         graft.ops.Multimodal.jpegDcFromIds(docs, "doc_id"), "bytes")) },
       time("gif_dhash") { sink(graft.ops.Multimodal.imageDHashScan(
         graft.ops.Multimodal.gifPixelsFromIds(docs, "doc_id"), "bytes")) },
+      // round-17 decoder rungs: progressive JPEG (multi-scan walk +
+      // DC refinement), EXIF-oriented hash (APP1 parse + display-space
+      // sampling), WebP VP8L (prefix codes + transforms), Adam7 PNG
+      // (7-pass streaming decode) — each encode+decode per row
+      time("progressive_jpeg_dhash") { sink(graft.ops.Multimodal.imageDHashScan(
+        graft.ops.Multimodal.jpegProgressiveFromIds(docs, "doc_id"), "bytes")) },
+      time("oriented_dhash") { sink(graft.ops.Multimodal.imageDHashOrientedScan(
+        graft.ops.Multimodal.jpegOrientedFromIds(docs, "doc_id"), "bytes")) },
+      time("webp_vp8l_dhash") { sink(graft.ops.Multimodal.imageDHashScan(
+        graft.ops.Multimodal.webpVp8lFromIds(docs, "doc_id"), "bytes")) },
+      time("adam7_png_dhash") { sink(graft.ops.Multimodal.imageDHashScan(
+        graft.ops.Multimodal.pngPixelsFromIds(docs, "doc_id",
+          interlaced = true), "bytes")) },
       (if (selected("ann_ivfpq_recall_pct")) {
         val (n, pct) = annIvfPqRecall(spark.read.parquet(embPath))
         ScaledRec(n, pct, pct, varied = false) // a score, not a timing

@@ -582,6 +582,8 @@ class PlanSpec extends AnyFunSuite {
     // partitioning (and p354/p355's, same); a hash exchange would mean
     // the scan stage shuffled
     for (name <- Seq("p347_png_dhash", "p348_jpeg_dhash", "p352_gif_dhash",
+        "p356_progressive_jpeg_dhash", "p357_exif_oriented_dhash",
+        "p358_webp_vp8l_dhash", "p359_adam7_png_dhash",
         "p354_exif_triage", "p355_exif_strip")) {
       val p = plan(name)
       assert(!p.contains("ScalaUDF"), s"$name: ScalaUDF in\n$p")

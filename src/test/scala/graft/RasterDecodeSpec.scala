@@ -235,15 +235,209 @@ class RasterDecodeSpec extends AnyFunSuite {
     assert(gotGrid != null && gotGrid.toSeq == seqGrid.toSeq)
   }
 
-  test("interlaced PNG and progressive JPEG triage to NULL, not garbage") {
+  test("progressive JPEG fixture dHashes identically to BMP; junk members NULL") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 3L, 7L, 11L, 42L, 1234L).toDF("doc_id")
+    val bmp = Multimodal.imageDHashScan(
+        Multimodal.bmpPixelsFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    val prog = Multimodal.imageDHashScan(
+        Multimodal.jpegProgressiveFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    assert(prog == bmp)
+    // the fixture genuinely is progressive: SOF2 present, SOF0 absent
+    val raw = Multimodal.jpegProgressiveFromIds(Seq(5L).toDF("doc_id"), "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    def hasMarker(m: Int) = raw.indices.dropRight(1).exists(i =>
+      (raw(i) & 0xff) == 0xff && (raw(i + 1) & 0xff) == m)
+    assert(hasMarker(0xc2) && !hasMarker(0xc0))
+    val junk = Multimodal.imageDHashScan(
+        Multimodal.jpegProgressiveFromIds(Seq(9L, 19L).toDF("doc_id"), "doc_id"), "bytes")
+      .select("dhash").collect()
+    assert(junk.forall(_.isNullAt(0)))
+  }
+
+  test("progressive JPEG differential vs ImageIO's REAL progressive encoder") {
+    val rnd = new java.util.Random(17L)
+    for (gray <- Seq(true, false); trial <- 0 until 3) {
+      val w = 24 + rnd.nextInt(120)
+      val h = 24 + rnd.nextInt(120)
+      val img = new BufferedImage(w, h,
+        if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = math.min(255, math.max(0,
+          (x * 2 + y) % 256 / 8 * 8 + rnd.nextInt(3)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      // encode with the JDK writer's progressive mode — a real
+      // multi-scan SOF2 file (libjpeg-style scan script: interleaved
+      // DC first scan with successive approximation, AC scans to skip,
+      // DC refinement)
+      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      val jpg = bos.toByteArray
+      assert(jpg.indices.dropRight(1).exists(i =>
+        (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc2),
+        "writer did not emit SOF2")
+      val got = JpegDcLuma.sampleGrid(jpg)
+      assert(got != null, s"gray=$gray ${w}x$h progressive decode failed")
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      val grayRef = ref.getColorModel.getNumColorComponents == 1
+      val wT = (w + 7) / 8; val hT = (h + 7) / 8
+      for (r <- 0 until 8; c <- 0 until 9) {
+        val byT = if (hT == 1) 0 else ((hT - 1).toLong * r / 7).toInt
+        val bxT = if (wT == 1) 0 else ((wT - 1).toLong * c / 8).toInt
+        // edge-partial blocks excluded: the encoder pads them by edge
+        // replication, so their DC is the PADDED-block mean — on this
+        // wrapping gradient that legitimately diverges from the
+        // real-pixel mean the reference below computes
+        if ((bxT + 1) * 8 <= w && (byT + 1) * 8 <= h) {
+          var sum = 0L; var n = 0
+          for (y <- byT * 8 until byT * 8 + 8; x <- bxT * 8 until bxT * 8 + 8) {
+            sum += (if (grayRef) ref.getRaster.getSample(x, y, 0)
+                    else rec601(ref.getRGB(x, y)))
+            n += 1
+          }
+          val want = (sum / n).toInt
+          val v = got(r * 9 + c)
+          assert(math.abs(v - want) <= 12,
+            s"gray=$gray ${w}x$h block ($bxT,$byT): got $v want $want")
+        }
+      }
+    }
+  }
+
+  test("oriented dHash: all 8 EXIF rotations hash as their upright self") {
+    import spark.implicits._
+    // seeds 0..7 cycle orientations 1..8 (and 2,5 exercise big-endian
+    // EXIF); none are junk members
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 16L, 23L).toDF("doc_id")
+    val bmp = Multimodal.imageDHashScan(
+        Multimodal.bmpPixelsFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    val rot = Multimodal.jpegOrientedFromIds(ids, "doc_id")
+    val oriented = Multimodal.imageDHashOrientedScan(rot, "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    assert(oriented == bmp)
+    // and the PLAIN hash genuinely differs for every rotated member —
+    // the normalization is doing work, not passing through
+    val plain = Multimodal.imageDHashScan(rot, "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    for ((id, hv) <- plain) {
+      if (id % 8 == 0) assert(hv == bmp(id), s"id=$id upright must agree")
+      else assert(hv != bmp(id), s"id=$id orientation ${id % 8 + 1} " +
+        "stored rotation hashed as upright under the PLAIN hash")
+    }
+    // junk members still NULL through the oriented path
+    val junk = Multimodal.imageDHashOrientedScan(
+        Multimodal.jpegOrientedFromIds(Seq(9L, 19L).toDF("doc_id"), "doc_id"), "bytes")
+      .select("dhash").collect()
+    assert(junk.forall(_.isNullAt(0)))
+  }
+
+  test("camera-rotated near-dup twins pair with their upright base under the oriented hash") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).toDF("doc_id")
+    val bases = Multimodal.jpegDcFromIds(ids, "doc_id")
+    val twins = Multimodal.jpegOrientedFromIds(ids, "doc_id",
+      idOffset = 1000L, bumpCell = 40)
+    val pairs = graft.ops.Dedup.hashNearDups(
+        Multimodal.imageDHashOrientedScan(bases.unionByName(twins), "bytes"),
+        "media_id", "dhash", maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // every twin pairs with its base (one bumped cell moves <= 2 bits)
+    for (id <- 1L to 8L)
+      assert(pairs.contains((id, id + 1000L)),
+        s"rotated twin of $id (orientation ${id % 8 + 1}) did not pair")
+  }
+
+  test("Adam7 interlaced PNG decodes to the same grid as sequential (all filters)") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 3L, 7L, 11L, 42L, 1234L).toDF("doc_id")
+    val bmp = Multimodal.imageDHashScan(
+        Multimodal.bmpPixelsFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    for (fm <- 0 to 4) {
+      val adam7 = Multimodal.imageDHashScan(
+          Multimodal.pngPixelsFromIds(ids, "doc_id", filterMode = fm,
+            interlaced = true), "bytes")
+        .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+      assert(adam7 == bmp, s"filterMode=$fm")
+    }
+    // genuinely interlaced: IHDR interlace byte is 1
+    val raw = Multimodal.pngPixelsFromIds(Seq(5L).toDF("doc_id"), "doc_id",
+        interlaced = true)
+      .select("bytes").as[Array[Byte]].head()
+    assert(raw(28) == 1)
+    val junk = Multimodal.imageDHashScan(
+        Multimodal.pngPixelsFromIds(Seq(9L, 19L).toDF("doc_id"), "doc_id",
+          interlaced = true), "bytes")
+      .select("dhash").collect()
+    assert(junk.forall(_.isNullAt(0)))
+  }
+
+  test("Adam7 differential vs ImageIO's REAL interlaced encoder: exact grid agreement") {
+    val rnd = new java.util.Random(20260817L)
+    val types = Seq(BufferedImage.TYPE_BYTE_GRAY, BufferedImage.TYPE_INT_RGB,
+      BufferedImage.TYPE_4BYTE_ABGR)
+    for (t <- types; trial <- 0 until 4) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val img = new BufferedImage(w, h, t)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, rnd.nextInt() | 0xff000000)
+      val writer = ImageIO.getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      val png = bos.toByteArray
+      assert(png(28) == 1, "writer did not emit Adam7")
+      val got = PngLuma.sampleGrid(png)
+      assert(got != null, s"type=$t ${w}x$h interlaced decode failed")
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val grayRef = ref.getColorModel.getNumColorComponents == 1 &&
+        !ref.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+      for (r <- 0 until 8; c <- 0 until 9) {
+        val y = if (h == 1) 0 else ((h - 1).toLong * r / 7).toInt
+        val x = if (w == 1) 0 else ((w - 1).toLong * c / 8).toInt
+        val want =
+          if (grayRef) {
+            val bits = ref.getColorModel.getComponentSize(0)
+            ref.getRaster.getSample(x, y, 0) * 255 / ((1 << bits) - 1)
+          } else rec601(ref.getRGB(x, y))
+        val v = got(r * 9 + c)
+        assert(math.abs(v - want) <= 1,
+          s"type=$t ${w}x$h at ($x,$y): got $v want $want")
+      }
+    }
+  }
+
+  test("interlace-flagged sequential data and INVALID progressive scans triage to NULL") {
     import spark.implicits._
     val ids = Seq(1L).toDF("doc_id")
     val png = Multimodal.pngPixelsFromIds(ids, "doc_id")
       .select("bytes").as[Array[Byte]].head()
+    // flipping the IHDR interlace flag WITHOUT re-laying-out the data:
+    // the Adam7 passes need more scanline bytes than the sequential
+    // stream carries, so the decode runs dry — null, never garbage
     val interlaced = png.clone()
-    interlaced(28) = 1 // IHDR interlace flag (CRC now wrong — irrelevant)
+    interlaced(28) = 1
     assert(PngLuma.sampleGrid(interlaced) == null)
-    // progressive JPEG: flip the SOF0 marker to SOF2
+    // flipping a BASELINE file's SOF0 marker to SOF2 leaves its single
+    // scan claiming Ss=0..Se=63 — invalid for progressive (DC scans
+    // are DC-only per G.1.1.1.1); decoding it as DC-only would read
+    // the interleaved AC bits as DC codes and hash garbage, so the
+    // decoder must reject the scan header instead
     val jpg = Multimodal.jpegDcFromIds(ids, "doc_id")
       .select("bytes").as[Array[Byte]].head()
     val prog = jpg.clone()
@@ -266,6 +460,10 @@ class RasterDecodeSpec extends AnyFunSuite {
       .select("bytes").as[Array[Byte]].head()
     val validJpg = Multimodal.jpegDcFromIds(ids, "doc_id")
       .select("bytes").as[Array[Byte]].head()
+    val validProg = Multimodal.jpegProgressiveFromIds(ids, "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    val validAdam7 = Multimodal.pngPixelsFromIds(ids, "doc_id", interlaced = true)
+      .select("bytes").as[Array[Byte]].head()
     val validGif = Multimodal.gifPixelsFromIds(ids, "doc_id")
       .select("bytes").as[Array[Byte]].head()
     val rnd = new java.util.Random(16L)
@@ -284,11 +482,12 @@ class RasterDecodeSpec extends AnyFunSuite {
       DHash64Expression.evalRow(b) // must not throw; value is free
     }
     // every truncation of a valid file
-    for (src <- Seq(validPng, validJpg, validGif); k <- 0 until src.length)
+    for (src <- Seq(validPng, validJpg, validProg, validAdam7, validGif);
+         k <- 0 until src.length)
       DHash64Expression.evalRow(src.take(k))
     // single-byte mutations of valid files (all positions, 3 values)
-    for (src <- Seq(validPng, validJpg, validGif); pos <- src.indices;
-         v <- Seq(0x00, 0xff, 0x80)) {
+    for (src <- Seq(validPng, validJpg, validProg, validAdam7, validGif);
+         pos <- src.indices; v <- Seq(0x00, 0xff, 0x80)) {
       val m = src.clone(); m(pos) = v.toByte
       DHash64Expression.evalRow(m)
     }

@@ -1,0 +1,288 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{DHash64Expression, WebpLuma}
+import graft.ops.Multimodal
+import graft.ops.Multimodal.{Vp8lBits, vp8lAll8, vp8lContainer, vp8lPair, vp8lSimple1, vp8lSimple2}
+
+/** The WebP VP8L decode path feeding dhash64 (RFC 9649, hand-built
+  * from the public spec). Evidence: (1) FORMAT AGREEMENT — all four
+  * fixture encoding strategies (literals / subtract-green / predictor
+  * / palette) hash identically to the BMP of the same grid; (2)
+  * hand-encoded streams exercising the paths the fixture doesn't:
+  * LZ77 backward references through BOTH distance mappings
+  * (close-neighborhood plane code and plain distance), the color
+  * cache, sub-byte palette bundling, the color transform, and meta
+  * prefix-code groups; (3) the lossy-VP8 documented-null boundary and
+  * the never-throw fuzz. No WebP codec exists in this container, so
+  * unlike PNG/JPEG/GIF there is no third-party differential — the
+  * spec-pinned evidence is fixture round-trips whose expected pixels
+  * are computed OUTSIDE the decoder. */
+class WebpDecodeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def lcgLum(seed: Long)(x: Int, y: Int): Int =
+    (((1103515245L * ((seed * 72 + y * 9 + x) % 100000L) + 12345L)
+      % 2147483648L) / 65536L % 256L).toInt
+
+  test("all four VP8L encoding strategies dHash identically to BMP; junk NULL") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // seeds cover every seed % 4 strategy, none junk
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 42L, 1234L).toDF("doc_id")
+    val bmp = Multimodal.imageDHashScan(
+        Multimodal.bmpPixelsFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    val webp = Multimodal.imageDHashScan(
+        Multimodal.webpVp8lFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    assert(webp == bmp)
+    val junk = Multimodal.imageDHashScan(
+        Multimodal.webpVp8lFromIds(Seq(9L, 19L).toDF("doc_id"), "doc_id"), "bytes")
+      .select("dhash").collect()
+    assert(junk.forall(_.isNullAt(0)))
+    // and the container is genuinely VP8L
+    val raw = Multimodal.webpVp8lFromIds(Seq(5L).toDF("doc_id"), "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    assert(new String(raw.slice(12, 16), "US-ASCII") == "VP8L")
+  }
+
+  /** Start a 9×2 gray VP8L payload: header + no transforms + no meta /
+    * cache, with a 2-symbol NORMAL green code {gray, lenSym} (length
+    * symbols live above 255, out of the SIMPLE form's 8-bit reach)
+    * and simple codes elsewhere. */
+  private def lz77Header(gray: Int, lenSym: Int, distSym: Int): Vp8lBits = {
+    val bw = new Vp8lBits
+    bw.bits(0x2f, 8)
+    bw.bits(9 - 1, 14); bw.bits(2 - 1, 14)
+    bw.bits(0, 1); bw.bits(0, 3)
+    bw.bits(0, 1) // no transforms
+    bw.bits(0, 1); bw.bits(0, 1) // no meta, no cache
+    vp8lPair(bw, 280, gray, lenSym) // green: the literal + the length symbol
+    vp8lSimple1(bw, gray) // red
+    vp8lSimple1(bw, gray) // blue
+    vp8lSimple1(bw, 255) // alpha
+    vp8lSimple1(bw, distSym) // distance: one fixed symbol
+    bw
+  }
+
+  test("LZ77 backward reference: row copy via the (0,1) neighborhood plane code") {
+    // row 0: nine literals of gray 77; row 1: one backref, length 9,
+    // distance code 1 -> plane (0,1) -> dist = xsize
+    val gray = 77
+    val lenSym = 256 + 6 // prefix code 6 covers lengths 9..12 (2 extra bits)
+    val bw = lz77Header(gray, lenSym, 0) // distance symbol 0 -> code value 1
+    // pair-code canonical: the smaller symbol (the gray) is bit 0
+    for (_ <- 0 until 9) bw.bits(0, 1)
+    bw.bits(1, 1) // length symbol
+    bw.bits(0, 2) // extra bits: length = 9 + 0
+    // distance: simple1 reads zero bits; prefixValue(0) = 1 -> (0,1)
+    val grid = WebpLuma.sampleGrid(vp8lContainer(bw.bytes))
+    assert(grid != null, "LZ77 neighborhood decode failed")
+    assert(grid.forall(_ == gray), grid.toSeq)
+  }
+
+  test("LZ77 backward reference: row copy via a plain distance code") {
+    // same image; distance symbol 14 covers values 129..192 (6 extra
+    // bits), value 129 -> plain dist = 129 - 120 = 9 = xsize
+    val gray = 190
+    val lenSym = 256 + 6
+    val bw = lz77Header(gray, lenSym, 14)
+    for (_ <- 0 until 9) bw.bits(0, 1) // literal = bit 0
+    bw.bits(1, 1) // length symbol
+    bw.bits(0, 2) // length = 9
+    bw.bits(0, 6) // distance extra bits: 129
+    val grid = WebpLuma.sampleGrid(vp8lContainer(bw.bytes))
+    assert(grid != null, "LZ77 plain-distance decode failed")
+    assert(grid.forall(_ == gray), grid.toSeq)
+  }
+
+  test("color cache: repeated colors round-trip through cache hits") {
+    // 9×2 solid image: first pixel is a literal, the other 17 are
+    // cache hits at the color's hash slot (cache bits 4)
+    val gray = 101
+    val argb = (255 << 24) | (gray << 16) | (gray << 8) | gray
+    val slot = ((0x1e35a7bd * argb) >>> (32 - 4)).toInt
+    val bw = new Vp8lBits
+    bw.bits(0x2f, 8)
+    bw.bits(9 - 1, 14); bw.bits(2 - 1, 14)
+    bw.bits(0, 1); bw.bits(0, 3)
+    bw.bits(0, 1) // no transforms
+    bw.bits(0, 1) // no meta
+    bw.bits(1, 1); bw.bits(4, 4) // color cache, 4 bits
+    val cacheSym = 280 + slot
+    vp8lPair(bw, 280 + 16, gray, cacheSym) // green: literal + cache symbol
+    vp8lSimple1(bw, gray); vp8lSimple1(bw, gray)
+    vp8lSimple1(bw, 255); vp8lSimple1(bw, 0)
+    bw.bits(0, 1) // literal (the smaller pair symbol)
+    for (_ <- 0 until 17) bw.bits(1, 1) // cache hits
+    val grid = WebpLuma.sampleGrid(vp8lContainer(bw.bytes))
+    assert(grid != null, "color-cache decode failed")
+    assert(grid.forall(_ == gray), grid.toSeq)
+  }
+
+  test("palette bundling: 4 gray levels pack 4 indices per green byte") {
+    // 9×8 image over grays {40, 90, 140, 190}: palette size 4 ->
+    // widthBits 2, packed width ceil(9/4) = 3; lum(x,y) cycles the 4
+    // levels so every packed slot position is exercised
+    def lum(x: Int, y: Int): Int = 40 + 50 * ((x + y) % 4)
+    val pal = Array(40, 90, 140, 190)
+    val bw = new Vp8lBits
+    bw.bits(0x2f, 8)
+    bw.bits(9 - 1, 14); bw.bits(8 - 1, 14)
+    bw.bits(0, 1); bw.bits(0, 3)
+    bw.bits(1, 1); bw.bits(3, 2) // color indexing
+    bw.bits(4 - 1, 8)
+    // palette image (4×1), delta-coded; deltas are all +50 except the
+    // first entry, so simple 2-symbol codes suffice per channel
+    bw.bits(0, 1) // no cache
+    vp8lSimple2(bw, 40, 50) // green deltas: 40 then 50,50,50
+    vp8lSimple2(bw, 40, 50) // red deltas
+    vp8lSimple2(bw, 40, 50) // blue deltas
+    vp8lSimple2(bw, 0, 255) // alpha deltas: 255 then 0s
+    vp8lSimple1(bw, 0)
+    for (k <- 0 until 4) {
+      val first = k == 0
+      bw.bits(if (first) 0 else 1, 1) // green delta 40 / 50
+      bw.bits(if (first) 0 else 1, 1) // red
+      bw.bits(if (first) 0 else 1, 1) // blue
+      bw.bits(if (first) 1 else 0, 1) // alpha 255 / 0
+    }
+    bw.bits(0, 1) // no more transforms
+    // spatial image at PACKED width 3: green byte bundles 4 indices
+    bw.bits(0, 1); bw.bits(0, 1)
+    // packed greens take many values -> the all-8 normal code
+    vp8lAll8(bw, 280)
+    vp8lSimple1(bw, 0); vp8lSimple1(bw, 0); vp8lSimple1(bw, 0)
+    vp8lSimple1(bw, 0)
+    for (y <- 0 until 8; px <- 0 until 3) {
+      var packed = 0
+      for (slot <- 0 until 4) {
+        val x = px * 4 + slot
+        val idx = if (x < 9) (x + y) % 4 else 0
+        packed |= idx << (slot * 2)
+      }
+      bw.code(packed, 8)
+    }
+    val grid = WebpLuma.sampleGrid(vp8lContainer(bw.bytes))
+    assert(grid != null, "bundled palette decode failed")
+    for (r <- 0 until 8; c <- 0 until 9) {
+      // 9×8 grid positions are the identity here
+      assert(grid(r * 9 + c) == lum(c, r), s"($c,$r)")
+    }
+    // sanity: out-of-table indices in a hostile stream map to 0, not a throw
+    assert(pal.length == 4)
+  }
+
+  test("color transform: forward-encoded deltas invert exactly") {
+    // 2×1 image, one transform block with nonzero signed elements;
+    // the encoder applies the FORWARD transform (subtract deltas), the
+    // decoder must restore the original channels bit-exactly
+    val g2r = 0x90; val g2b = 0x23; val r2b = 0xf1 // signed 3.5 fixed-point
+    def delta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+    val pixels = Array((200, 100, 50), (13, 250, 127)) // (r, g, b)
+    val bw = new Vp8lBits
+    bw.bits(0x2f, 8)
+    bw.bits(2 - 1, 14); bw.bits(1 - 1, 14)
+    bw.bits(0, 1); bw.bits(0, 3)
+    bw.bits(1, 1); bw.bits(1, 2) // color transform
+    bw.bits(3 - 2, 3) // blocks of 8 -> one block
+    // 1×1 transform image: cte pixel blue=g2r, green=g2b, red=r2b
+    bw.bits(0, 1)
+    vp8lSimple1(bw, g2b) // green
+    vp8lSimple1(bw, r2b) // red
+    vp8lSimple1(bw, g2r) // blue
+    vp8lSimple1(bw, 0); vp8lSimple1(bw, 0)
+    // zero-bit codes: the single transform pixel costs no bits
+    bw.bits(0, 1) // no more transforms
+    bw.bits(0, 1); bw.bits(0, 1)
+    vp8lAll8(bw, 280); vp8lAll8(bw, 256); vp8lAll8(bw, 256)
+    vp8lSimple1(bw, 255); vp8lSimple1(bw, 0)
+    for ((r, g, b) <- pixels) {
+      val rEnc = (r - delta(g2r, g)) & 0xff
+      val bEnc = (b - delta(g2b, g) - delta(r2b, r)) & 0xff
+      bw.code(g, 8); bw.code(rEnc, 8); bw.code(bEnc, 8)
+    }
+    val grid = WebpLuma.sampleGrid(vp8lContainer(bw.bytes))
+    assert(grid != null, "color-transform decode failed")
+    // w=2: grid col c samples x = (w-1)*c/8 = c/8 — only col 8 hits x=1
+    val want = pixels.map { case (r, g, b) => (r * 299 + g * 587 + b * 114) / 1000 }
+    for (c <- 0 until 9)
+      assert(grid(c) == want(c / 8), s"col $c: ${grid.toSeq}")
+  }
+
+  test("meta prefix codes: two groups selected by the meta image") {
+    // 16×1 image, meta blocks of 8: group 0 paints gray 60, group 1
+    // paints gray 200 — the group LOOKUP is what's under test
+    val bw = new Vp8lBits
+    bw.bits(0x2f, 8)
+    bw.bits(16 - 1, 14); bw.bits(1 - 1, 14)
+    bw.bits(0, 1); bw.bits(0, 3)
+    bw.bits(0, 1) // no transforms
+    bw.bits(1, 1) // meta prefix codes present
+    bw.bits(3 - 2, 3) // meta blocks of 8 -> meta image 2×1
+    // meta image: (red<<8 | green) = group index: 0 then 1
+    bw.bits(0, 1) // no cache in the meta image
+    vp8lSimple2(bw, 0, 1) // green: group ids
+    vp8lSimple1(bw, 0); vp8lSimple1(bw, 0); vp8lSimple1(bw, 0)
+    vp8lSimple1(bw, 0)
+    bw.bits(0, 1); bw.bits(1, 1) // groups 0, 1
+    bw.bits(0, 1) // no cache in the spatial image
+    // group 0: everything zero-bit, gray 60
+    vp8lSimple1(bw, 60); vp8lSimple1(bw, 60); vp8lSimple1(bw, 60)
+    vp8lSimple1(bw, 255); vp8lSimple1(bw, 0)
+    // group 1: gray 200
+    vp8lSimple1(bw, 200); vp8lSimple1(bw, 200); vp8lSimple1(bw, 200)
+    vp8lSimple1(bw, 255); vp8lSimple1(bw, 0)
+    // all 16 pixels decode with zero bits — the stream ends here
+    val grid = WebpLuma.sampleGrid(vp8lContainer(bw.bytes))
+    assert(grid != null, "meta prefix decode failed")
+    // cols 0..8 sample x = 15*c/8: x<8 -> 60, x>=8 -> 200
+    for (c <- 0 until 9) {
+      val x = 15 * c / 8
+      assert(grid(c) == (if (x < 8) 60 else 200), s"col $c: ${grid.toSeq}")
+    }
+  }
+
+  test("lossy VP8 and VP8X-wrapped payloads are the documented NULL") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the p317 header fixture builds real VP8/VP8X/VP8L headers
+    val rows = Multimodal.webpTiffBytesFromIds(
+        spark.range(0, 12).toDF("doc_id"), "doc_id")
+      .select("media_id", "bytes").as[(Long, Array[Byte])].collect()
+    for ((id, b) <- rows if id % 6 == 0 || id % 6 == 2) // VP8 lossy, VP8X
+      assert(DHash64Expression.evalRow(b) == null, s"id=$id")
+  }
+
+  test("hostile-byte fuzz: junk tails, truncations and mutations never throw") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val valid = Multimodal.webpVp8lFromIds(ids, "doc_id")
+      .select("bytes").as[Array[Byte]].collect()
+    val rnd = new java.util.Random(58L)
+    (1 to 4000).foreach { _ =>
+      val n = 20 + rnd.nextInt(200)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      "RIFF".getBytes("US-ASCII").copyToArray(b, 0)
+      "WEBPVP8L".getBytes("US-ASCII").copyToArray(b, 8)
+      DHash64Expression.evalRow(b) // must not throw
+    }
+    for (src <- valid; k <- 0 until src.length)
+      DHash64Expression.evalRow(src.take(k))
+    for (src <- valid; pos <- src.indices; v <- Seq(0x00, 0xff, 0x80)) {
+      val m = src.clone(); m(pos) = v.toByte
+      DHash64Expression.evalRow(m)
+    }
+    // dimension bomb: header claiming the 14-bit max on both axes
+    // (268M px) must cap before any allocation
+    val bomb = new Vp8lBits
+    bomb.bits(0x2f, 8)
+    bomb.bits(0x3fff, 14); bomb.bits(0x3fff, 14)
+    bomb.bits(0, 1); bomb.bits(0, 3)
+    bomb.bits(0, 1); bomb.bits(0, 1); bomb.bits(0, 1)
+    assert(WebpLuma.sampleGrid(vp8lContainer(bomb.bytes)) == null)
+  }
+}

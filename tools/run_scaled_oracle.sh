@@ -60,6 +60,11 @@ GATES=$GATES,p342_audio_pcm,p344_crawl_loop,p345_url_patterns,p346_crawl_budget
 # replay). p349's oracle is all-pairs like p341 — base scale only.
 # p350/p351 are committed-fixture gates — scale-independent.
 GATES=$GATES,p347_png_dhash,p348_jpeg_dhash,p352_gif_dhash
+# round-17 decoder rungs at x20 docs (100k real images each, same
+# arithmetic oracle): progressive JPEG, EXIF-orientation-normalized
+# hash, WebP VP8L, Adam7 interlaced PNG
+GATES=$GATES,p356_progressive_jpeg_dhash,p357_exif_oriented_dhash
+GATES=$GATES,p358_webp_vp8l_dhash,p359_adam7_png_dhash
 # p353's oracle is all-pairs over 4 formats (6.5e10 comparisons at
 # x20) - base scale only; p354/p355 are arithmetic and linear
 GATES=$GATES,p354_exif_triage,p355_exif_strip
