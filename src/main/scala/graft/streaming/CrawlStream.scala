@@ -51,7 +51,17 @@ object CrawlStream {
 
   /** Fold ONE batch of fetched pages into the frontier state and
     * rewrite `<stateDir>/frontier`. Exposed for direct testing — the
-    * streaming query calls exactly this per micro-batch. */
+    * streaming query calls exactly this per micro-batch.
+    *
+    * The frontier derivation is INCREMENTAL: a batch can only change
+    * the frontier of hosts it touched (hosts of its extracted link
+    * targets — their counts moved — and hosts of its fetched pages —
+    * their rows may leave). Those hosts re-rank from the counts store
+    * through a pushed `host IN (...)` scan filter; every other host's
+    * rows are reused from the previous snapshot verbatim. A long
+    * crawl's per-batch cost is then O(batch's hosts' rows), not
+    * O(counts store) — the full re-rank of early rounds was
+    * quadratic-ish over the crawl's lifetime. */
   def foldBatch(
       batch: DataFrame,
       batchId: Long,
@@ -69,11 +79,12 @@ object CrawlStream {
       val newCounts = graft.ops.LinkOps
         .extractLinks(batch.withColumn("doc_id", xxhash64(col("url"))))
         .groupBy(col("dst_url")).agg(count(lit(1)).as("n_inlinks"))
+        .withColumn("host", lower(parse_url(col("dst_url"), lit("HOST"))))
       val merged = prev match {
         case None => newCounts
         case Some(p) => s.read.parquet(s"$stateDir/counts_b$p")
           .unionByName(newCounts)
-          .groupBy("dst_url").agg(sum(col("n_inlinks")).as("n_inlinks"))
+          .groupBy("dst_url", "host").agg(sum(col("n_inlinks")).as("n_inlinks"))
       }
       merged.write.mode("overwrite").parquet(s"$stateDir/counts_b$batchId")
       // crawled set: append-only; duplicates are harmless (distincted
@@ -94,27 +105,42 @@ object CrawlStream {
       // was not. Delete is post-commit, so a crash mid-prune only
       // leaves extra generations — never removes a needed one.
       committedGens(stateDir).dropRight(2).foreach { g =>
-        val dir = new java.io.File(s"$stateDir/counts_b$g")
-        Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-        dir.delete()
+        deleteDir(new java.io.File(s"$stateDir/counts_b$g"))
       }
     }
     val cur = committedGens(stateDir).last
     val counts = s.read.parquet(s"$stateDir/counts_b$cur")
     val crawled = s.read.parquet(s"$stateDir/crawled")
-    // frontierDiscover's aggregate counts RAW link rows; the store is
-    // already aggregated, so its anti-join + per-host ranking are
-    // applied here directly over the counts table
-    val fresh = counts.join(
+
+    // hosts this batch touched: its link targets (counts moved) and
+    // its fetched pages (rows may leave the frontier). Batch-bounded,
+    // so the collect is a micro-batch's host set — never corpus-sized
+    // — and the literal IN list is what pushes into the counts scan.
+    val touched: Array[String] = graft.ops.LinkOps
+      .extractLinks(batch.withColumn("doc_id", xxhash64(col("url"))))
+      .select(lower(parse_url(col("dst_url"), lit("HOST"))).as("host"))
+      .unionByName(batch.select(lower(parse_url(
+        graft.functions.UrlFunctions.url_normalize(col("url")),
+        lit("HOST"))).as("host")))
+      .where(col("host").isNotNull).distinct()
+      .collect().map(_.getString(0))
+
+    val prevSnap = new java.io.File(s"$stateDir/frontier")
+    val incremental = prevSnap.exists() && touched.nonEmpty
+    // a missing snapshot (first batch, or a crash between swap steps)
+    // falls back to the full re-rank — the incremental form is an
+    // optimization, never load-bearing for correctness
+    val scoped =
+      if (incremental) counts.where(col("host").isin(touched.toSeq: _*))
+      else counts
+    val fresh = scoped.join(
       crawled.select(col("url").as("dst_url")).distinct().hint("SHUFFLE_HASH"),
       Seq("dst_url"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host"))
       .orderBy(col("n_inlinks").desc, col("dst_url"))
     val frontier = fresh
-      .select(col("dst_url"),
-        lower(parse_url(col("dst_url"), lit("HOST"))).as("host"),
-        col("n_inlinks"))
+      .select(col("dst_url"), col("host"), col("n_inlinks"))
       .withColumn("host_rank", row_number().over(w))
       .where(col("host_rank") <= maxPerHost)
     val ranked = delays match {
@@ -123,7 +149,27 @@ object CrawlStream {
           urlCol = "dst_url", idCol = "dst_url", smallDim = Some(true))
       case None => frontier
     }
-    ranked.write.mode("overwrite").parquet(s"$stateDir/frontier")
+    // politeness is per-host (dense fetch_seq from 0 within each
+    // host), so splicing re-ranked touched hosts beside reused
+    // untouched rows is exactly the full re-rank's answer
+    val snapshot =
+      if (incremental)
+        s.read.parquet(s"$stateDir/frontier")
+          .where(!col("host").isin(touched.toSeq: _*))
+          .unionByName(ranked)
+      else ranked
+    // the previous snapshot feeds the new plan, so write to a side
+    // directory and swap — never overwrite what is being read
+    val tmp = s"$stateDir/frontier_next"
+    snapshot.write.mode("overwrite").parquet(tmp)
+    deleteDir(prevSnap)
+    if (!new java.io.File(tmp).renameTo(prevSnap))
+      throw new java.io.IOException(s"frontier swap failed: $tmp")
+  }
+
+  private def deleteDir(d: java.io.File): Unit = {
+    Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    d.delete()
   }
 
   /** Start the frontier-maintenance query over a STREAMING pages frame

@@ -14,20 +14,22 @@ import graft.SparkEntry
   *
   * `runMain graft.tools.FloorCheck <sfDir> [iters]` — floors pinned at
   * sf0.1, local[32]; run anything else and the ratios are meaningless.
-  * The JSON carries /proc/loadavg before and after: a 1-minute load
-  * above ~2 means the run itself was contaminated — rerun, don't pin.
+  * The JSON carries /proc/loadavg stamps: `load_before` above ~2 means
+  * the box was NOT idle — rerun, don't pin. (`load_after` rises to
+  * tens naturally: the local[32] run itself is the load.)
   */
 object FloorCheck {
 
-  /** gate -> pinned idle floor seconds (SCALING.md, round-16 table:
-    * min of 4 idle iterations at sf0.1, local[32], HEAD r16). */
+  /** gate -> pinned idle floor seconds (SCALING.md round-17 table:
+    * min of 4 idle iterations at sf0.1, local[32], load_before 0.95 —
+    * update this constant and the SCALING.md table TOGETHER). */
   val Pinned: Seq[(String, Double)] = Seq(
-    "p134_triangles" -> 5.46,
-    "p145_bfs" -> 1.59,
-    "p142_ppr" -> 2.85,
-    "p131_pagerank" -> 2.35,
-    "p240_kcore" -> 4.37,
-    "p01_hom_pipeline" -> 1.64)
+    "p134_triangles" -> 5.69,
+    "p145_bfs" -> 1.48,
+    "p142_ppr" -> 2.45,
+    "p131_pagerank" -> 1.97,
+    "p240_kcore" -> 3.57,
+    "p01_hom_pipeline" -> 1.20)
 
   private def load1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString

@@ -100,6 +100,51 @@ class CrawlStreamSpec extends AnyFunSuite {
     assert(snapshot(state) != first)
   }
 
+  test("incremental re-rank equals the full re-rank on a multi-batch run") {
+    import spark.implicits._
+    // multi-batch incremental run: batches share some hosts (doc_id/2
+    // cycles 3 target hosts) and introduce disjoint targets, so every
+    // batch touches a strict subset of hosts once counts accumulate
+    val state = java.nio.file.Files.createTempDirectory("crawl_incr").toString
+    for (b <- 0 until 4)
+      CrawlStream.foldBatch(pages(b * 15L until (b + 1) * 15L), b.toLong,
+        state, 1000, None, "graftbot")
+    // reference: ONE batch over everything = the full re-rank answer
+    assert(snapshot(state) == batchReference(0L until 60L, 1000),
+      "incremental multi-batch end state diverged from the full re-rank")
+    // and with a per-host cap + politeness, same equality
+    val state2 = java.nio.file.Files.createTempDirectory("crawl_incr2").toString
+    val delays = Seq(("t0.example", "*", 2000L), ("t1.example", "*", 1000L),
+      ("t2.example", "*", 1000L)).toDF("host", "agent", "delay_ms")
+    for (b <- 0 until 4)
+      CrawlStream.foldBatch(pages(b * 15L until (b + 1) * 15L), b.toLong,
+        state2, 3, Some(delays), "graftbot")
+    val oneShot = java.nio.file.Files.createTempDirectory("crawl_incr3").toString
+    CrawlStream.foldBatch(pages(0L until 60L), 0L, oneShot, 3,
+      Some(delays), "graftbot")
+    def full(dir: String): Set[(String, Int, Long)] =
+      spark.read.parquet(s"$dir/frontier")
+        .select("dst_url", "fetch_seq", "fetch_offset_ms")
+        .as[(String, Int, Long)].collect().toSet
+    assert(full(state2) == full(oneShot),
+      "incremental politeness schedule diverged from the one-shot run")
+  }
+
+  test("the incremental counts scan is host-pruned: IN filter pushed to parquet") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("crawl_push").toString
+    CrawlStream.foldBatch(pages(0L until 30L), 0L, state, 1000, None, "graftbot")
+    // the mechanism foldBatch uses for touched hosts: a literal isin
+    // over the host column must reach the scan as a pushed filter —
+    // otherwise every batch reads the whole counts store again
+    val counts = spark.read.parquet(s"$state/counts_b0")
+      .where(org.apache.spark.sql.functions.col("host")
+        .isin("t0.example", "t1.example"))
+    val plan = counts.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(host"),
+      s"host IN not pushed:\n$plan")
+  }
+
   test("committed generations prune: at most 2 counts snapshots on disk") {
     val state = java.nio.file.Files.createTempDirectory("crawl_prune").toString
     for (b <- 0 until 5)
