@@ -422,6 +422,170 @@ class RasterDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-scan SEQUENTIAL JPEG: luma scan decodes, chroma scans skip bytewise") {
+    // a 3-component SOF0 file with THREE ns=1 scans (Y, then Cb, then
+    // Cr — the non-interleaved layout T.81 allows and some encoders
+    // emit): the old single-scan walk rejected ns != nComp outright;
+    // now the Y scan must decode and the chroma scans must be skipped
+    // without Huffman work. Blockwise-constant planes, q00 = 8, so the
+    // DC thumbnail equals the LCG grid exactly.
+    val seed = 7L
+    def lum(x: Int, y: Int): Int = lcgLum(seed)(x, y)
+    val out = new ByteArrayOutputStream(1024)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >>> 8); w8(v) }
+    w16(0xffd8)
+    // DQT 0 (luma, q00=8) and DQT 1 (chroma, flat 16)
+    w16(0xffdb); w16(2 + 2 * 65)
+    w8(0x00); w8(8); (1 until 64).foreach(_ => w8(16))
+    w8(0x01); (0 until 64).foreach(_ => w8(16))
+    // SOF0: 3 components, all (1,1); ids 1,2,3; Y->q0, chroma->q1
+    w16(0xffc0); w16(2 + 6 + 9)
+    w8(8); w16(64); w16(72); w8(3)
+    w8(1); w8(0x11); w8(0)
+    w8(2); w8(0x11); w8(1)
+    w8(3); w8(0x11); w8(1)
+    // DHT DC0 (categories 0..8 at length 4) + AC0 (EOB at length 1),
+    // duplicated as DC1/AC1 for the chroma scans
+    for (th <- 0 to 1) {
+      w16(0xffc4); w16(2 + 17 + 9); w8(th)
+      val dcCounts = Array(0, 0, 0, 9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      dcCounts.foreach(w8); (0 to 8).foreach(w8)
+      w16(0xffc4); w16(2 + 17 + 1); w8(0x10 | th)
+      w8(1); (1 until 16).foreach(_ => w8(0)); w8(0x00)
+    }
+    var acc = 0; var nAcc = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >>> i) & 1); nAcc += 1
+        if (nAcc == 8) { w8(acc); if ((acc & 0xff) == 0xff) w8(0x00); acc = 0; nAcc = 0 }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nAcc > 0) {
+      acc = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
+      w8(acc); if ((acc & 0xff) == 0xff) w8(0x00); acc = 0; nAcc = 0
+    }
+    def scan(compId: Int, tables: Int, dc: (Int, Int) => Int): Unit = {
+      w16(0xffda); w16(2 + 1 + 2 + 3)
+      w8(1); w8(compId); w8(tables); w8(0); w8(63); w8(0)
+      var pred = 0
+      for (by <- 0 until 8; bx <- 0 until 9) {
+        val v = dc(bx, by) - 128
+        var diff = v - pred
+        pred = v
+        var t = 0; var a = math.abs(diff)
+        while (a > 0) { t += 1; a >>= 1 }
+        putBits(t, 4)
+        if (t > 0) { if (diff < 0) diff += (1 << t) - 1; putBits(diff, t) }
+        putBits(0, 1) // AC EOB
+      }
+      flush()
+    }
+    scan(1, 0x00, lum) // Y: decoded
+    scan(2, 0x11, (_, _) => 128) // Cb: skipped bytewise
+    scan(3, 0x11, (_, _) => 128) // Cr: skipped bytewise
+    w16(0xffd9)
+    val got = JpegDcLuma.sampleGrid(out.toByteArray)
+    assert(got != null, "multi-scan sequential decode failed")
+    for (r <- 0 until 8; c <- 0 until 9)
+      assert(got(r * 9 + c) == lum(c, r), s"($c,$r): ${got.toSeq}")
+  }
+
+  test("restart markers: DRI honored in sequential AND progressive DC/refinement scans") {
+    val seed = 11L
+    def lum(x: Int, y: Int): Int = lcgLum(seed)(x, y)
+    def build(progressive: Boolean): Array[Byte] = {
+      val out = new ByteArrayOutputStream(1024)
+      def w8(v: Int): Unit = out.write(v & 0xff)
+      def w16(v: Int): Unit = { w8(v >>> 8); w8(v) }
+      w16(0xffd8)
+      w16(0xffdb); w16(2 + 1 + 64); w8(0x00)
+      w8(8); (1 until 64).foreach(_ => w8(16))
+      w16(if (progressive) 0xffc2 else 0xffc0); w16(2 + 6 + 3)
+      w8(8); w16(64); w16(72); w8(1); w8(1); w8(0x11); w8(0)
+      w16(0xffc4); w16(2 + 17 + 9); w8(0x00)
+      val dcCounts = Array(0, 0, 0, 9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      dcCounts.foreach(w8); (0 to 8).foreach(w8)
+      w16(0xffc4); w16(2 + 17 + 1); w8(0x10)
+      w8(1); (1 until 16).foreach(_ => w8(0)); w8(0x00)
+      w16(0xffdd); w16(4); w16(16) // DRI: restart every 16 blocks
+      var acc = 0; var nAcc = 0
+      def putBits(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((v >>> i) & 1); nAcc += 1
+          if (nAcc == 8) { w8(acc); if ((acc & 0xff) == 0xff) w8(0x00); acc = 0; nAcc = 0 }
+          i -= 1
+        }
+      }
+      def flush(): Unit = if (nAcc > 0) {
+        acc = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
+        w8(acc); if ((acc & 0xff) == 0xff) w8(0x00); acc = 0; nAcc = 0
+      }
+      var rst = 0
+      def maybeRestart(i: Int): Unit = if (i > 0 && i % 16 == 0) {
+        flush(); w16(0xffd0 + (rst % 8)); rst += 1
+      }
+      def dcBits(v: Int): Unit = {
+        var t = 0; var a = math.abs(v)
+        while (a > 0) { t += 1; a >>= 1 }
+        putBits(t, 4)
+        if (t > 0) { var d = v; if (d < 0) d += (1 << t) - 1; putBits(d, t) }
+      }
+      if (!progressive) {
+        w16(0xffda); w16(2 + 1 + 2 + 3)
+        w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0)
+        var pred = 0
+        var i = 0
+        for (by <- 0 until 8; bx <- 0 until 9) {
+          maybeRestart(i)
+          if (i % 16 == 0) pred = 0 // restart resets the DC predictor
+          val v = lum(bx, by) - 128
+          dcBits(v - pred); pred = v
+          putBits(0, 1) // AC EOB
+          i += 1
+        }
+        flush()
+      } else {
+        // DC first scan at Al=1 with restarts
+        w16(0xffda); w16(2 + 1 + 2 + 3)
+        w8(1); w8(1); w8(0x00); w8(0); w8(0); w8(0x01)
+        var pred = 0
+        var i = 0
+        for (by <- 0 until 8; bx <- 0 until 9) {
+          maybeRestart(i)
+          if (i % 16 == 0) pred = 0
+          val v = (lum(bx, by) - 128) >> 1
+          dcBits(v - pred); pred = v
+          i += 1
+        }
+        flush()
+        // DC refinement with restarts (one raw bit per block)
+        rst = 0
+        w16(0xffda); w16(2 + 1 + 2 + 3)
+        w8(1); w8(1); w8(0x00); w8(0); w8(0); w8(0x10)
+        i = 0
+        for (by <- 0 until 8; bx <- 0 until 9) {
+          maybeRestart(i)
+          putBits((lum(bx, by) - 128) & 1, 1)
+          i += 1
+        }
+        flush()
+      }
+      w16(0xffd9)
+      out.toByteArray
+    }
+    for (progressive <- Seq(false, true)) {
+      val got = JpegDcLuma.sampleGrid(build(progressive))
+      assert(got != null, s"progressive=$progressive DRI decode failed")
+      for (r <- 0 until 8; c <- 0 until 9)
+        assert(got(r * 9 + c) == lum(c, r),
+          s"progressive=$progressive ($c,$r): ${got.toSeq}")
+    }
+  }
+
   test("interlace-flagged sequential data and INVALID progressive scans triage to NULL") {
     import spark.implicits._
     val ids = Seq(1L).toDF("doc_id")
