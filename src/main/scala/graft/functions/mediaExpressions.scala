@@ -619,6 +619,13 @@ object DHash64OrientedExpression {
       val g = JpegDcLuma.sampleGrid(b, o)
       return if (g == null) null else DHash64Expression.packGrid(g)
     }
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P') {
+      // VP8X containers carry EXIF chunks — same normalization
+      val g = WebpLuma.sampleGrid(b, WebpLuma.exifOrientation(b))
+      return if (g == null) null else DHash64Expression.packGrid(g)
+    }
     DHash64Expression.evalRow(b) // no EXIF channel in PNG/GIF/BMP here
   }
 }
@@ -782,6 +789,11 @@ object ExifMetaExpression {
     }
     (0, -1, 0)
   }
+
+  /** Orientation (tag 274) alone from a bare TIFF at [base, end), or
+    * -1 — the slice entry point the WebP EXIF-chunk walk uses. */
+  def tiffOrientation(b: Array[Byte], base: Int, end: Int): Int =
+    tiffIfd0(b, base, end)._2
 
   /** Bounded IFD0 read of the TIFF at [base, end): orientation (274)
     * and the GPS-IFD pointer's presence (34853). */

@@ -230,8 +230,15 @@ object WebpLuma {
       if (d < 1) 1 else d
     }
 
-  def sampleGrid(b: Array[Byte]): Array[Int] = {
-    try sampleGridUnsafe(b)
+  def sampleGrid(b: Array[Byte]): Array[Int] = sampleGrid(b, 1)
+
+  /** As [[sampleGrid]], but samples the grid in DISPLAY space under
+    * the EXIF tag-274 `orientation` (the VP8X container carries EXIF
+    * chunks; camera-rotated WebP duplicates must hash as their
+    * upright selves — the same grid-level normalization as
+    * [[JpegDcLuma]]). Values outside 1..8 sample as stored. */
+  def sampleGrid(b: Array[Byte], orientation: Int): Array[Int] = {
+    try sampleGridUnsafe(b, orientation)
     catch {
       // OOME not caught: allocations are MaxPixelsVp8l-capped
       case _: ArrayIndexOutOfBoundsException => null
@@ -239,7 +246,32 @@ object WebpLuma {
     }
   }
 
-  private def sampleGridUnsafe(b: Array[Byte]): Array[Int] = {
+  /** EXIF orientation (tag 274) from a WebP container's EXIF chunk, or
+    * -1: chunk walk to fourcc `EXIF`, optional `Exif\0\0` prefix
+    * skipped, then the same bounded TIFF IFD0 read the JPEG path
+    * uses. */
+  def exifOrientation(b: Array[Byte]): Int = {
+    if (b == null || b.length < 20) return -1
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return -1
+    var p = 12
+    while (p + 8 <= b.length) {
+      val sz = le32(b, p + 4)
+      if (sz > b.length - p - 8) return -1
+      if (b(p) == 'E' && b(p + 1) == 'X' && b(p + 2) == 'I' && b(p + 3) == 'F') {
+        var base = p + 8
+        val end = base + sz.toInt
+        if (end - base >= 6 && b(base) == 'E' && b(base + 1) == 'x' &&
+            b(base + 2) == 'i' && b(base + 3) == 'f' && b(base + 4) == 0 &&
+            b(base + 5) == 0) base += 6
+        return ExifMetaExpression.tiffOrientation(b, base, end)
+      }
+      p += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    -1
+  }
+
+  private def sampleGridUnsafe(b: Array[Byte], orientation: Int): Array[Int] = {
     if (b == null || b.length < 20) return null
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return null
@@ -362,14 +394,30 @@ object WebpLuma {
     if (pix.length != w * h) return null
 
     // the shared 9×8 grid, Rec.601 integer luma (alpha ignored — the
-    // same convention as PNG RGBA)
+    // same convention as PNG RGBA), sampled in DISPLAY space: each
+    // display cell maps back to its stored pixel by the inverse of the
+    // EXIF tag-274 transform (orientations 5..8 swap the axes)
+    val o = if (orientation >= 1 && orientation <= 8) orientation else 1
+    val wD = if (o >= 5) h else w
+    val hD = if (o >= 5) w else h
     val samples = new Array[Int](72)
     var r = 0
     while (r < 8) {
-      val y = if (h == 1) 0 else ((h - 1).toLong * r / 7).toInt
+      val yd = if (hD == 1) 0 else ((hD - 1).toLong * r / 7).toInt
       var c = 0
       while (c < 9) {
-        val x = if (w == 1) 0 else ((w - 1).toLong * c / 8).toInt
+        val xd = if (wD == 1) 0 else ((wD - 1).toLong * c / 8).toInt
+        var x = xd; var y = yd
+        o match {
+          case 1 => ()
+          case 2 => x = w - 1 - xd
+          case 3 => x = w - 1 - xd; y = h - 1 - yd
+          case 4 => y = h - 1 - yd
+          case 5 => x = yd; y = xd
+          case 6 => x = yd; y = h - 1 - xd
+          case 7 => x = w - 1 - yd; y = h - 1 - xd
+          case _ => x = w - 1 - yd; y = xd // 8
+        }
         val v = pix(y * w + x)
         samples(r * 9 + c) = (((v >>> 16) & 0xff) * 299 +
           ((v >>> 8) & 0xff) * 587 + (v & 0xff) * 114) / 1000

@@ -782,6 +782,105 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Plain-literal VP8L payload over an arbitrary gray grid: no
+    * transforms, all-8-bit ARGB literal codes — the generalized form
+    * of [[webpVp8lFromIds]]'s strategy 0 (which stays inline there so
+    * the four-strategy cycle reads as one piece). */
+  private[graft] def vp8lGrayPayload(lum: (Int, Int) => Int, w: Int, h: Int): Array[Byte] = {
+    val bw = new Vp8lBits
+    bw.bits(0x2f, 8) // signature
+    bw.bits(w - 1, 14); bw.bits(h - 1, 14) // dims
+    bw.bits(0, 1) // alpha hint
+    bw.bits(0, 3) // version
+    bw.bits(0, 1) // no transforms
+    bw.bits(0, 1); bw.bits(0, 1) // no meta codes, no cache
+    vp8lAll8(bw, 280) // green
+    vp8lAll8(bw, 256); vp8lAll8(bw, 256) // red, blue
+    vp8lSimple1(bw, 255) // alpha
+    vp8lSimple1(bw, 0) // distance (unused)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = lum(x, y)
+      bw.code(v, 8); bw.code(v, 8); bw.code(v, 8)
+    }
+    bw.bytes
+  }
+
+  /** Extended-format container: RIFF/WEBP with a VP8X header (EXIF
+    * flag set, 24-bit canvas dims), the VP8L payload, then the EXIF
+    * chunk wrapping a bare TIFF — the layout a camera-aware encoder
+    * emits (metadata chunks follow the image data per the spec). */
+  private[graft] def vp8xExifContainer(
+      payload: Array[Byte], tiff: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length + tiff.length + 64)
+    def le32(v: Int): Unit =
+      { out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+        out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff) }
+    def le24(v: Int): Unit =
+      { out.write(v & 0xff); out.write((v >>> 8) & 0xff); out.write((v >>> 16) & 0xff) }
+    def chunk(fourcc: String, body: => Unit, bodyLen: Int): Unit = {
+      out.write(fourcc.getBytes("US-ASCII")); le32(bodyLen); body
+      if ((bodyLen & 1) == 1) out.write(0)
+    }
+    val vp8xLen = 10
+    val riffLen = 4 + (8 + vp8xLen) +
+      (8 + payload.length + (payload.length & 1)) +
+      (8 + tiff.length + (tiff.length & 1))
+    out.write("RIFF".getBytes("US-ASCII")); le32(riffLen)
+    out.write("WEBP".getBytes("US-ASCII"))
+    chunk("VP8X", { out.write(0x08) // flags: EXIF present
+      out.write(0); out.write(0); out.write(0) // reserved
+      le24(w - 1); le24(h - 1) }, vp8xLen)
+    chunk("VP8L", out.write(payload, 0, payload.length), payload.length)
+    chunk("EXIF", out.write(tiff, 0, tiff.length), tiff.length)
+    out.toByteArray
+  }
+
+  /** [[jpegOrientedFromIds]]'s WebP sibling: each member is a VP8X
+    * container whose VP8L payload STORES the base LCG grid transformed
+    * by EXIF orientation seed % 8 + 1 (orientations 5–8 transpose the
+    * canvas to 8×9) and whose EXIF chunk carries the matching tag-274
+    * TIFF — the modern-crawl shape of the camera-rotation problem.
+    * Display-normalizing recovers the base grid, so every member's
+    * oriented hash equals the upright p340 arithmetic. Junk on
+    * seed % 10 == 9, twins via idOffset/bumpCell. */
+  def webpOrientedFromIds(
+      ids: DataFrame,
+      idCol: String,
+      idOffset: Long = 0L,
+      bumpCell: Int = 0): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
+      val bytes =
+        if (seed % 10 == 9) s"notarotwebp:$seed".getBytes("US-ASCII")
+        else {
+          def base(x: Int, y: Int): Int = {
+            val v = (((1103515245L * ((seed * 72 + y * 9 + x) % 100000L) +
+              12345L) % 2147483648L) / 65536L % 256L).toInt
+            if (bumpCell != 0 && x == 3 && y == 2) (v + bumpCell) % 256
+            else v
+          }
+          val o = (seed % 8 + 1).toInt
+          val (bw, bh) = if (o >= 5) (8, 9) else (9, 8)
+          def stored(x: Int, y: Int): Int = o match {
+            case 1 => base(x, y)
+            case 2 => base(8 - x, y)
+            case 3 => base(8 - x, 7 - y)
+            case 4 => base(x, 7 - y)
+            case 5 => base(y, x)
+            case 6 => base(8 - y, x)
+            case 7 => base(8 - y, 7 - x)
+            case _ => base(y, 7 - x) // 8
+          }
+          vp8xExifContainer(
+            vp8lGrayPayload(stored, bw, bh),
+            exifTiff(orientation = o, gps = false, bigEndian = seed % 3 == 2),
+            bw, bh)
+        }
+      (seed + idOffset, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
   /** Deterministic WebP VP8L fixture carrying the SAME LCG luma grid:
     * real RFC 9649 lossless bitstreams over the 9×8 gray image, the
     * encoding strategy cycling by seed % 4 the way real encoders mix
@@ -946,10 +1045,24 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
-  /** One APP1 `Exif\0\0` segment: TIFF header + IFD0 with Make (271,
-    * ASCII), Orientation (274, SHORT) and optionally GPSInfo (34853,
-    * LONG → an empty GPS IFD), entries in tag order per TIFF 6.0. */
+  /** One APP1 `Exif\0\0` segment wrapping [[exifTiff]]. */
   private def exifApp1(orientation: Int, gps: Boolean, bigEndian: Boolean): Array[Byte] = {
+    val t = exifTiff(orientation, gps, bigEndian)
+    val out = new Array[Byte](4 + 6 + t.length)
+    out(0) = 0xff.toByte; out(1) = 0xe1.toByte
+    val segLen = 2 + 6 + t.length
+    out(2) = (segLen >>> 8).toByte; out(3) = segLen.toByte
+    "Exif".getBytes("US-ASCII").copyToArray(out, 4)
+    // out(8), out(9) stay 0
+    t.copyToArray(out, 10)
+    out
+  }
+
+  /** Bare TIFF with IFD0: Make (271, ASCII), Orientation (274, SHORT)
+    * and optionally GPSInfo (34853, LONG → an empty GPS IFD), entries
+    * in tag order per TIFF 6.0 — the JPEG APP1 segment and the WebP
+    * EXIF chunk both wrap exactly this. */
+  private def exifTiff(orientation: Int, gps: Boolean, bigEndian: Boolean): Array[Byte] = {
     val make = "graftcam\u0000".getBytes("US-ASCII") // 9 bytes incl. NUL
     val nEntries = if (gps) 3 else 2
     // TIFF layout: hdr(8) + count(2) + entries(12·n) + next(4) + make
@@ -977,14 +1090,7 @@ object Multimodal {
     w32(e, 0) // next-IFD
     make.copyToArray(t, makeOff)
     if (gps) { w16(gpsOff, 0); w32(gpsOff + 2, 0) } // empty GPS IFD
-    val out = new Array[Byte](4 + 6 + tiffLen)
-    out(0) = 0xff.toByte; out(1) = 0xe1.toByte
-    val segLen = 2 + 6 + tiffLen
-    out(2) = (segLen >>> 8).toByte; out(3) = segLen.toByte
-    "Exif".getBytes("US-ASCII").copyToArray(out, 4)
-    // out(8), out(9) stay 0
-    t.copyToArray(out, 10)
-    out
+    t
   }
 
   /** PCM signal scan: appends the exact-integer stats struct from

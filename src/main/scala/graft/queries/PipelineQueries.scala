@@ -4005,10 +4005,10 @@ object PipelineQueries {
     }),
 
     // IMAGE CURATION end to end — the image analog of the p344 crawl
-    // loop and p350 text curation: every document exists as FOUR real
-    // encodings of the same pixels (BMP / PNG / JPEG / GIF, distinct
-    // id ranges), the classic crawl-duplicate shape. One lazy chain:
-    // decode-hash all four -> banded EXACT-hash pairs (Hamming 0 —
+    // loop and p350 text curation: every document exists as FIVE real
+    // encodings of the same pixels (BMP / PNG / JPEG / GIF / WebP-VP8L,
+    // distinct id ranges), the classic crawl-duplicate shape. One lazy
+    // chain: decode-hash all five -> banded EXACT-hash pairs (Hamming 0 —
     // identical pixels hash identically across formats; the synthetic
     // LCG grid space is near-collision dense, so the <= 3 tier chains
     // into one giant component and pins nothing) -> connected-
@@ -4027,6 +4027,8 @@ object PipelineQueries {
           idOffset = 20000000L))
         .unionByName(graft.ops.Multimodal.gifPixelsFromIds(docs, "doc_id",
           idOffset = 30000000L))
+        .unionByName(graft.ops.Multimodal.webpVp8lFromIds(docs, "doc_id",
+          idOffset = 40000000L))
       val pairs = graft.ops.Dedup.hashNearDups(
         graft.ops.Multimodal.imageDHashScan(members, "bytes"),
         "media_id", "dhash", maxHamming = 0)
@@ -4093,6 +4095,18 @@ object PipelineQueries {
       val docs = Tables(s, dir, "documents").select(col("doc_id"))
       graft.ops.Multimodal.imageDHashOrientedScan(
           graft.ops.Multimodal.jpegOrientedFromIds(docs, "doc_id"), "bytes")
+        .select(col("media_id"), col("dhash"))
+        .orderBy("media_id")
+    }),
+
+    // p357's WebP sibling: VP8X containers whose VP8L payload stores
+    // the rotated pixels and whose EXIF chunk carries tag 274 — the
+    // oriented hash must recover the upright grid from the modern
+    // container format too (same oracle arithmetic as p357).
+    "p360_webp_oriented_dhash" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      graft.ops.Multimodal.imageDHashOrientedScan(
+          graft.ops.Multimodal.webpOrientedFromIds(docs, "doc_id"), "bytes")
         .select(col("media_id"), col("dhash"))
         .orderBy("media_id")
     }),
@@ -10157,7 +10171,7 @@ object PipelineQueries {
     // the p29-style recursive-CTE component closure + keep-best rollup
     "p353_image_curation" -> (
       "WITH RECURSIVE " +
-      "offs(off) AS (VALUES (0), (10000000), (20000000), (30000000)), " +
+      "offs(off) AS (VALUES (0), (10000000), (20000000), (30000000), (40000000)), " +
       "imgs AS (SELECT doc_id + off AS media_id, doc_id AS seed " +
       "FROM documents, offs WHERE doc_id % 10 <> 9), " +
       "g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
@@ -10223,6 +10237,20 @@ object PipelineQueries {
     // display-normalizes back to the base grid, so ONE oracle covers
     // all eight orientations (seed % 8 cycles them)
     "p357_exif_oriented_dhash" -> (
+      "WITH g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM documents, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h ORDER BY media_id")
+  ,
+    // p360: identical oracle to p357 — whatever rotation the VP8X
+    // container stores, the oriented hash is the upright grid's
+    "p360_webp_oriented_dhash" -> (
       "WITH g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
       "l AS (SELECT doc_id, r, c, " +
       "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +

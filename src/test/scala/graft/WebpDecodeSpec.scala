@@ -256,6 +256,48 @@ class WebpDecodeSpec extends AnyFunSuite {
       assert(DHash64Expression.evalRow(b) == null, s"id=$id")
   }
 
+  test("VP8X+EXIF orientation: all 8 rotations hash as the upright grid") {
+    import spark.implicits._
+    // seeds 0..7 cycle every orientation (seed % 8 + 1); seed 10 adds
+    // a second lap; all avoid the % 10 == 9 junk slot
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 10L, 13L).toDF("doc_id")
+    val upright = Multimodal.imageDHashScan(
+        Multimodal.bmpPixelsFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    val oriented = Multimodal.imageDHashOrientedScan(
+        Multimodal.webpOrientedFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    assert(oriented == upright)
+    // the container really is VP8X-extended with an EXIF chunk, and
+    // the chunk walk reads the planted orientation (incl. big-endian
+    // TIFFs: seed % 3 == 2)
+    val raws = Multimodal.webpOrientedFromIds(ids, "doc_id")
+      .select("media_id", "bytes").as[(Long, Array[Byte])].collect()
+    for ((id, b) <- raws) {
+      assert(new String(b.slice(12, 16), "US-ASCII") == "VP8X", s"id=$id")
+      assert(WebpLuma.exifOrientation(b) == (id % 8 + 1).toInt, s"id=$id")
+    }
+    // without the orientation the stored (rotated) grids hash DIFFERENTLY
+    // for every non-identity orientation — the normalization is load-bearing
+    val stored = Multimodal.imageDHashScan(
+        Multimodal.webpOrientedFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    for (id <- Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+      assert(stored(id) != upright(id), s"orientation ${id % 8 + 1} was a no-op")
+  }
+
+  test("exifOrientation: absent chunk, bare VP8L and junk all yield -1") {
+    import spark.implicits._
+    val plain = Multimodal.webpVp8lFromIds(Seq(3L).toDF("doc_id"), "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    assert(WebpLuma.exifOrientation(plain) == -1)
+    assert(WebpLuma.exifOrientation(null) == -1)
+    assert(WebpLuma.exifOrientation("notawebp".getBytes("US-ASCII")) == -1)
+    // oriented hash still works on EXIF-less WebP (samples as stored)
+    assert(graft.functions.DHash64OrientedExpression.evalRow(plain) ==
+      DHash64Expression.evalRow(plain))
+  }
+
   test("hostile-byte fuzz: junk tails, truncations and mutations never throw") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
@@ -275,6 +317,15 @@ class WebpDecodeSpec extends AnyFunSuite {
     for (src <- valid; pos <- src.indices; v <- Seq(0x00, 0xff, 0x80)) {
       val m = src.clone(); m(pos) = v.toByte
       DHash64Expression.evalRow(m)
+    }
+    // the ORIENTED path walks VP8X + EXIF chunks too — same contract
+    val vp8x = Multimodal.webpOrientedFromIds(ids, "doc_id")
+      .select("bytes").as[Array[Byte]].collect()
+    for (src <- vp8x; k <- 0 until src.length)
+      graft.functions.DHash64OrientedExpression.evalRow(src.take(k))
+    for (src <- vp8x; pos <- src.indices; v <- Seq(0x00, 0xff, 0x80)) {
+      val m = src.clone(); m(pos) = v.toByte
+      graft.functions.DHash64OrientedExpression.evalRow(m)
     }
     // dimension bomb: header claiming the 14-bit max on both axes
     // (268M px) must cap before any allocation
