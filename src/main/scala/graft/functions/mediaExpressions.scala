@@ -766,6 +766,12 @@ object ExifMetaExpression {
     if ((b(0) == 'I' && b(1) == 'I' && u8(b, 2) == 0x2a && u8(b, 3) == 0) ||
         (b(0) == 'M' && b(1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 0x2a))
       return tiffIfd0(b, 0, b.length)
+    // WebP container: chunk walk to the EXIF chunk (VP8X extended
+    // files carry EXIF/XMP as RIFF chunks after the image data)
+    if (b.length >= 20 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P')
+      return webpExif(b)
     if (!(u8(b, 0) == 0xff && u8(b, 1) == 0xd8)) return (0, -1, 0)
     var p = 2
     while (p + 3 < b.length) {
@@ -794,6 +800,28 @@ object ExifMetaExpression {
     * -1 — the slice entry point the WebP EXIF-chunk walk uses. */
   def tiffOrientation(b: Array[Byte], base: Int, end: Int): Int =
     tiffIfd0(b, base, end)._2
+
+  /** The WebP arm of [[scan]]: RIFF chunk walk to fourcc `EXIF`,
+    * optional `Exif\0\0` prefix skipped (both layouts occur in the
+    * wild), then the same bounded TIFF IFD0 read. */
+  private def webpExif(b: Array[Byte]): (Int, Int, Int) = {
+    var p = 12
+    while (p + 8 <= b.length) {
+      val sz = (u8(b, p + 4) | (u8(b, p + 5) << 8) | (u8(b, p + 6) << 16) |
+        (u8(b, p + 7).toLong << 24)) & 0xffffffffL
+      if (sz > b.length - p - 8) return (0, -1, 0)
+      if (b(p) == 'E' && b(p + 1) == 'X' && b(p + 2) == 'I' && b(p + 3) == 'F') {
+        var base = p + 8
+        val end = base + sz.toInt
+        if (end - base >= 6 && b(base) == 'E' && b(base + 1) == 'x' &&
+            b(base + 2) == 'i' && b(base + 3) == 'f' && b(base + 4) == 0 &&
+            b(base + 5) == 0) base += 6
+        return tiffIfd0(b, base, end)
+      }
+      p += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    (0, -1, 0)
+  }
 
   /** Bounded IFD0 read of the TIFF at [base, end): orientation (274)
     * and the GPS-IFD pointer's presence (34853). */
@@ -898,6 +926,73 @@ object JpegStripExifExpression {
   }
 }
 
+/** `webp_strip_exif(bytes)`: [[JpegStripExifExpression]]'s WebP
+  * sibling — remove every `EXIF` chunk from the RIFF container, clear
+  * the VP8X header's EXIF flag, and rewrite the RIFF length; the image
+  * chunks are untouched (spec-pinned: the stripped file's dhash64
+  * equals the original's). Non-WebP / junk / structurally malformed
+  * input returns UNCHANGED — a redaction pass must never corrupt what
+  * it cannot parse. Map-only byte surgery. */
+case class WebpStripExifExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    WebpStripExifExpression.evalRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WebpStripExifExpression.evalRow($c);")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "webp_strip_exif"
+}
+
+object WebpStripExifExpression {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  /** Codegen entry point: one static call per row. */
+  def evalRow(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 20) return b
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return b
+    // first pass: EXIF chunk spans (header .. padded end) + the VP8X
+    // payload offset (to clear its EXIF flag in the copy)
+    var spans: List[(Int, Int)] = Nil
+    var vp8x = -1
+    var p = 12
+    while (p + 8 <= b.length) {
+      val sz = (u8(b, p + 4) | (u8(b, p + 5) << 8) | (u8(b, p + 6) << 16) |
+        (u8(b, p + 7).toLong << 24)) & 0xffffffffL
+      if (sz > b.length - p - 8) return b // malformed: hands off
+      val next = p + 8 + sz.toInt + (sz.toInt & 1)
+      if (b(p) == 'E' && b(p + 1) == 'X' && b(p + 2) == 'I' && b(p + 3) == 'F')
+        spans = (p, math.min(next, b.length)) :: spans
+      else if (b(p) == 'V' && b(p + 1) == 'P' && b(p + 2) == '8' &&
+          b(p + 3) == 'X' && sz >= 1) vp8x = p + 8
+      p = next
+    }
+    if (spans.isEmpty) return b
+    val drop = spans.map { case (s, e) => e - s }.sum
+    val out = new Array[Byte](b.length - drop)
+    var src = 0
+    var dst = 0
+    spans.reverse.foreach { case (s, e) =>
+      System.arraycopy(b, src, out, dst, s - src)
+      dst += s - src
+      src = e
+    }
+    System.arraycopy(b, src, out, dst, b.length - src)
+    // RIFF length: bytes after the 8-byte RIFF header
+    val riffLen = out.length - 8
+    out(4) = riffLen.toByte; out(5) = (riffLen >>> 8).toByte
+    out(6) = (riffLen >>> 16).toByte; out(7) = (riffLen >>> 24).toByte
+    // VP8X EXIF flag off (the chunk precedes EXIF, so its copy offset
+    // is unchanged — spans are all at or after the first EXIF chunk,
+    // and VP8X is the FIRST chunk in any well-formed extended file)
+    if (vp8x >= 0 && vp8x < out.length &&
+        out(vp8x - 8) == 'V' && out(vp8x - 5) == 'X')
+      out(vp8x) = (out(vp8x) & ~0x08).toByte
+    out
+  }
+}
+
 object MediaFunctions {
   def image_dims(c: Column): Column = column(ImageDimsExpression(expression(c)))
   def audio_meta(c: Column): Column = column(AudioMetaExpression(expression(c)))
@@ -908,6 +1003,8 @@ object MediaFunctions {
   def exif_meta(c: Column): Column = column(ExifMetaExpression(expression(c)))
   def jpeg_strip_exif(c: Column): Column =
     column(JpegStripExifExpression(expression(c)))
+  def webp_strip_exif(c: Column): Column =
+    column(WebpStripExifExpression(expression(c)))
   def audio_pcm_stats(c: Column, maxFrames: Int = 4096): Column =
     column(AudioPcmStatsExpression(expression(c), maxFrames))
 }

@@ -247,36 +247,24 @@ object WebpLuma {
   }
 
   /** EXIF orientation (tag 274) from a WebP container's EXIF chunk, or
-    * -1: chunk walk to fourcc `EXIF`, optional `Exif\0\0` prefix
-    * skipped, then the same bounded TIFF IFD0 read the JPEG path
-    * uses. */
+    * -1: [[ExifMetaExpression.scan]]'s WebP arm (the shared bounded
+    * chunk walk + TIFF IFD0 read). */
   def exifOrientation(b: Array[Byte]): Int = {
     if (b == null || b.length < 20) return -1
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return -1
-    var p = 12
-    while (p + 8 <= b.length) {
-      val sz = le32(b, p + 4)
-      if (sz > b.length - p - 8) return -1
-      if (b(p) == 'E' && b(p + 1) == 'X' && b(p + 2) == 'I' && b(p + 3) == 'F') {
-        var base = p + 8
-        val end = base + sz.toInt
-        if (end - base >= 6 && b(base) == 'E' && b(base + 1) == 'x' &&
-            b(base + 2) == 'i' && b(base + 3) == 'f' && b(base + 4) == 0 &&
-            b(base + 5) == 0) base += 6
-        return ExifMetaExpression.tiffOrientation(b, base, end)
-      }
-      p += 8 + sz.toInt + (sz.toInt & 1)
-    }
-    -1
+    ExifMetaExpression.scan(b)._2
   }
 
   private def sampleGridUnsafe(b: Array[Byte], orientation: Int): Array[Int] = {
     if (b == null || b.length < 20) return null
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return null
-    // chunk walk to VP8L (possibly behind VP8X/ICCP/ANIM metadata);
-    // a lossy "VP8 " payload is the documented null
+    // chunk walk to VP8L (possibly behind VP8X/ICCP/ANIM metadata).
+    // Animated files carry their frames inside ANMF chunks — the
+    // FIRST frame's VP8L payload decodes (the GIF convention: an
+    // animation hashes as its first frame); a lossy "VP8 " payload,
+    // top-level or in-frame, is the documented null
     var p = 12
     var off = -1
     var end = -1
@@ -285,6 +273,20 @@ object WebpLuma {
       if (sz > b.length - p - 8) return null
       if (b(p) == 'V' && b(p + 1) == 'P' && b(p + 2) == '8' && b(p + 3) == 'L') {
         off = p + 8; end = p + 8 + sz.toInt
+      } else if (b(p) == 'A' && b(p + 1) == 'N' && b(p + 2) == 'M' &&
+          b(p + 3) == 'F' && sz >= 16) {
+        // frame header is 16 bytes (x/y/w-1/h-1/duration/flags), then
+        // the frame's own chunk list — scan it for the VP8L payload
+        var q = p + 8 + 16
+        val frameEnd = p + 8 + sz.toInt
+        while (off < 0 && q + 8 <= frameEnd) {
+          val fsz = le32(b, q + 4)
+          if (fsz > frameEnd - q - 8) return null
+          if (b(q) == 'V' && b(q + 1) == 'P' && b(q + 2) == '8' && b(q + 3) == 'L') {
+            off = q + 8; end = q + 8 + fsz.toInt
+          }
+          q += 8 + fsz.toInt + (fsz.toInt & 1)
+        }
       }
       p += 8 + sz.toInt + (sz.toInt & 1) // chunks are 2-byte aligned
     }

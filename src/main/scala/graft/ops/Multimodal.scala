@@ -805,34 +805,119 @@ object Multimodal {
     bw.bytes
   }
 
-  /** Extended-format container: RIFF/WEBP with a VP8X header (EXIF
-    * flag set, 24-bit canvas dims), the VP8L payload, then the EXIF
-    * chunk wrapping a bare TIFF — the layout a camera-aware encoder
-    * emits (metadata chunks follow the image data per the spec). */
-  private[graft] def vp8xExifContainer(
-      payload: Array[Byte], tiff: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(payload.length + tiff.length + 64)
+  /** Extended-format container: RIFF/WEBP opening with a VP8X header
+    * (given feature flags, 24-bit canvas dims) followed by the named
+    * chunks in order — the general builder behind the EXIF and
+    * animation fixtures. Flags per spec byte 0: 0x08 = EXIF present,
+    * 0x02 = animation. */
+  private[graft] def vp8xContainer(
+      w: Int, h: Int, flags: Int, chunks: (String, Array[Byte])*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      chunks.map(_._2.length + 9).sum + 32)
     def le32(v: Int): Unit =
       { out.write(v & 0xff); out.write((v >>> 8) & 0xff)
         out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff) }
-    def le24(v: Int): Unit =
-      { out.write(v & 0xff); out.write((v >>> 8) & 0xff); out.write((v >>> 16) & 0xff) }
-    def chunk(fourcc: String, body: => Unit, bodyLen: Int): Unit = {
-      out.write(fourcc.getBytes("US-ASCII")); le32(bodyLen); body
-      if ((bodyLen & 1) == 1) out.write(0)
+    def chunk(fourcc: String, body: Array[Byte]): Unit = {
+      out.write(fourcc.getBytes("US-ASCII")); le32(body.length)
+      out.write(body, 0, body.length)
+      if ((body.length & 1) == 1) out.write(0)
     }
     val vp8xLen = 10
     val riffLen = 4 + (8 + vp8xLen) +
-      (8 + payload.length + (payload.length & 1)) +
-      (8 + tiff.length + (tiff.length & 1))
+      chunks.map { case (_, b) => 8 + b.length + (b.length & 1) }.sum
     out.write("RIFF".getBytes("US-ASCII")); le32(riffLen)
     out.write("WEBP".getBytes("US-ASCII"))
-    chunk("VP8X", { out.write(0x08) // flags: EXIF present
-      out.write(0); out.write(0); out.write(0) // reserved
-      le24(w - 1); le24(h - 1) }, vp8xLen)
-    chunk("VP8L", out.write(payload, 0, payload.length), payload.length)
-    chunk("EXIF", out.write(tiff, 0, tiff.length), tiff.length)
+    val vp8x = new java.io.ByteArrayOutputStream(vp8xLen)
+    vp8x.write(flags); vp8x.write(0); vp8x.write(0); vp8x.write(0)
+    def le24b(v: Int): Unit =
+      { vp8x.write(v & 0xff); vp8x.write((v >>> 8) & 0xff); vp8x.write((v >>> 16) & 0xff) }
+    le24b(w - 1); le24b(h - 1)
+    chunk("VP8X", vp8x.toByteArray)
+    chunks.foreach { case (f, b) => chunk(f, b) }
     out.toByteArray
+  }
+
+  /** [[vp8xContainer]] with a VP8L payload and an EXIF chunk wrapping
+    * a bare TIFF — the layout a camera-aware encoder emits (metadata
+    * chunks follow the image data per the spec). */
+  private[graft] def vp8xExifContainer(
+      payload: Array[Byte], tiff: Array[Byte], w: Int, h: Int): Array[Byte] =
+    vp8xContainer(w, h, 0x08, "VP8L" -> payload, "EXIF" -> tiff)
+
+  /** [[jpegExifFromIds]]'s WebP sibling — the governance-triage
+    * fixture for the modern container: upright VP8L pixels (the same
+    * LCG grid, so the dHash is the p340 arithmetic) in a VP8X
+    * container whose EXIF chunk plants orientation seed % 8 + 1, a
+    * GPS-IFD pointer iff seed % 3 == 0 (the PII flag), every third
+    * TIFF big-endian, and a Make tag padding IFD0. Junk on
+    * seed % 10 == 9. */
+  def webpExifFromIds(
+      ids: DataFrame,
+      idCol: String,
+      idOffset: Long = 0L): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
+      val bytes =
+        if (seed % 10 == 9) s"notanexifwebp:$seed".getBytes("US-ASCII")
+        else {
+          def lum(x: Int, y: Int): Int =
+            (((1103515245L * ((seed * 72 + y * 9 + x) % 100000L) +
+              12345L) % 2147483648L) / 65536L % 256L).toInt
+          vp8xExifContainer(
+            vp8lGrayPayload(lum, 9, 8),
+            exifTiff(orientation = (seed % 8 + 1).toInt, gps = seed % 3 == 0,
+              bigEndian = seed % 3 == 2),
+            9, 8)
+        }
+      (seed + idOffset, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
+  /** ANIMATED WebP fixture: a VP8X container (animation flag) with an
+    * ANIM chunk (background + loop count) and ONE ANMF frame whose
+    * 16-byte frame header wraps the VP8L payload of the base LCG grid
+    * — an animation must hash as its first frame (the GIF convention),
+    * so the p340 arithmetic replays. Junk on seed % 10 == 9, twins via
+    * idOffset/bumpCell. */
+  def webpAnimFromIds(
+      ids: DataFrame,
+      idCol: String,
+      idOffset: Long = 0L,
+      bumpCell: Int = 0): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
+      val bytes =
+        if (seed % 10 == 9) s"notananimwebp:$seed".getBytes("US-ASCII")
+        else {
+          def lum(x: Int, y: Int): Int = {
+            val base = (((1103515245L * ((seed * 72 + y * 9 + x) % 100000L) +
+              12345L) % 2147483648L) / 65536L % 256L).toInt
+            if (bumpCell != 0 && x == 3 && y == 2) (base + bumpCell) % 256
+            else base
+          }
+          val payload = vp8lGrayPayload(lum, 9, 8)
+          // ANIM: 4-byte background ARGB + 2-byte loop count
+          val anim = Array[Byte](0, 0, 0, 0, 1, 0)
+          // ANMF: x/2, y/2, w-1, h-1 (24-bit LE each), duration (24),
+          // flags (1: dispose-to-background | blend), then the frame's
+          // own VP8L chunk
+          val f = new java.io.ByteArrayOutputStream(payload.length + 32)
+          def le24(v: Int): Unit =
+            { f.write(v & 0xff); f.write((v >>> 8) & 0xff); f.write((v >>> 16) & 0xff) }
+          def le32(v: Int): Unit = { le24(v); f.write((v >>> 24) & 0xff) }
+          le24(0); le24(0) // frame x/2, y/2
+          le24(9 - 1); le24(8 - 1) // frame dims - 1
+          le24(100) // duration ms
+          f.write(1) // dispose to background
+          f.write("VP8L".getBytes("US-ASCII")); le32(payload.length)
+          f.write(payload, 0, payload.length)
+          if ((payload.length & 1) == 1) f.write(0)
+          vp8xContainer(9, 8, 0x02, "ANIM" -> anim, "ANMF" -> f.toByteArray)
+        }
+      (seed + idOffset, bytes)
+    }.toDF("media_id", "bytes")
   }
 
   /** [[jpegOrientedFromIds]]'s WebP sibling: each member is a VP8X

@@ -584,7 +584,9 @@ class PlanSpec extends AnyFunSuite {
     for (name <- Seq("p347_png_dhash", "p348_jpeg_dhash", "p352_gif_dhash",
         "p356_progressive_jpeg_dhash", "p357_exif_oriented_dhash",
         "p358_webp_vp8l_dhash", "p359_adam7_png_dhash",
-        "p354_exif_triage", "p355_exif_strip")) {
+        "p360_webp_oriented_dhash", "p363_webp_anim_dhash",
+        "p354_exif_triage", "p355_exif_strip",
+        "p361_webp_exif_triage", "p362_webp_exif_strip")) {
       val p = plan(name)
       assert(!p.contains("ScalaUDF"), s"$name: ScalaUDF in\n$p")
       val hashExchanges = p.linesIterator.count(l =>

@@ -286,6 +286,73 @@ class WebpDecodeSpec extends AnyFunSuite {
       assert(stored(id) != upright(id), s"orientation ${id % 8 + 1} was a no-op")
   }
 
+  test("exif_meta on WebP: planted flags read through the chunk walk, both byte orders") {
+    import spark.implicits._
+    val ids = (0L to 8L).toDF("doc_id") // seeds 0..8: all orientations, LE+BE
+    val rows = Multimodal.webpExifFromIds(ids, "doc_id")
+      .select("media_id", "bytes").as[(Long, Array[Byte])].collect()
+    for ((id, b) <- rows) {
+      val (e, o, g) = graft.functions.ExifMetaExpression.scan(b)
+      assert(e == 1, s"id=$id")
+      assert(o == (id % 8 + 1).toInt, s"id=$id")
+      assert(g == (if (id % 3 == 0) 1 else 0), s"id=$id")
+    }
+    // junk member and EXIF-less plain VP8L both triage to absent
+    val junk = Multimodal.webpExifFromIds(Seq(9L).toDF("doc_id"), "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    assert(graft.functions.ExifMetaExpression.scan(junk) == ((0, -1, 0)))
+    val plain = Multimodal.webpVp8lFromIds(Seq(3L).toDF("doc_id"), "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    assert(graft.functions.ExifMetaExpression.scan(plain) == ((0, -1, 0)))
+  }
+
+  test("webp_strip_exif: metadata gone, pixels byte-identical, unparseable unchanged") {
+    import spark.implicits._
+    val ids = (0L to 8L).toDF("doc_id")
+    val rows = Multimodal.webpExifFromIds(ids, "doc_id")
+      .select("media_id", "bytes").as[(Long, Array[Byte])].collect()
+    for ((id, b) <- rows) {
+      val s = graft.functions.WebpStripExifExpression.evalRow(b)
+      // metadata gone, VP8X EXIF flag cleared, RIFF length consistent
+      assert(graft.functions.ExifMetaExpression.scan(s) == ((0, -1, 0)), s"id=$id")
+      assert((s(20) & 0x08) == 0, s"id=$id: VP8X EXIF flag survives")
+      val riffLen = (s(4) & 0xff) | ((s(5) & 0xff) << 8) |
+        ((s(6) & 0xff) << 16) | ((s(7) & 0xff) << 24)
+      assert(riffLen == s.length - 8, s"id=$id")
+      // pixels untouched: same dHash as the original
+      assert(DHash64Expression.evalRow(s) == DHash64Expression.evalRow(b), s"id=$id")
+      // idempotent: a second strip is the identity (eq, not just ==)
+      assert(graft.functions.WebpStripExifExpression.evalRow(s) eq s, s"id=$id")
+    }
+    // non-WebP and junk pass through untouched (reference equality)
+    val junk = "notawebp".getBytes("US-ASCII")
+    assert(graft.functions.WebpStripExifExpression.evalRow(junk) eq junk)
+    val jpeg = Multimodal.jpegExifFromIds(Seq(0L).toDF("doc_id"), "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    assert(graft.functions.WebpStripExifExpression.evalRow(jpeg) eq jpeg)
+  }
+
+  test("animated WebP: the first ANMF frame's VP8L decodes; hash == still") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L, 42L).toDF("doc_id")
+    val still = Multimodal.imageDHashScan(
+        Multimodal.bmpPixelsFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    val anim = Multimodal.imageDHashScan(
+        Multimodal.webpAnimFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    assert(anim == still)
+    // the container really is animated: VP8X anim flag + an ANMF chunk
+    val raw = Multimodal.webpAnimFromIds(Seq(1L).toDF("doc_id"), "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    assert((raw(20) & 0x02) != 0, "VP8X animation flag")
+    assert(new String(raw, "ISO-8859-1").contains("ANMF"))
+    val junk = Multimodal.imageDHashScan(
+        Multimodal.webpAnimFromIds(Seq(9L).toDF("doc_id"), "doc_id"), "bytes")
+      .select("dhash").collect()
+    assert(junk.forall(_.isNullAt(0)))
+  }
+
   test("exifOrientation: absent chunk, bare VP8L and junk all yield -1") {
     import spark.implicits._
     val plain = Multimodal.webpVp8lFromIds(Seq(3L).toDF("doc_id"), "doc_id")
@@ -326,6 +393,18 @@ class WebpDecodeSpec extends AnyFunSuite {
     for (src <- vp8x; pos <- src.indices; v <- Seq(0x00, 0xff, 0x80)) {
       val m = src.clone(); m(pos) = v.toByte
       graft.functions.DHash64OrientedExpression.evalRow(m)
+    }
+    // the strip and the ANMF walk share it: truncate + mutate both
+    val anim = Multimodal.webpAnimFromIds(ids, "doc_id")
+      .select("bytes").as[Array[Byte]].collect()
+    for (src <- vp8x ++ anim; k <- 0 until src.length) {
+      graft.functions.WebpStripExifExpression.evalRow(src.take(k))
+      DHash64Expression.evalRow(src.take(k))
+    }
+    for (src <- anim; pos <- src.indices; v <- Seq(0x00, 0xff, 0x80)) {
+      val m = src.clone(); m(pos) = v.toByte
+      graft.functions.WebpStripExifExpression.evalRow(m)
+      DHash64Expression.evalRow(m)
     }
     // dimension bomb: header claiming the 14-bit max on both axes
     // (268M px) must cap before any allocation
