@@ -626,7 +626,13 @@ object DHash64OrientedExpression {
       val g = WebpLuma.sampleGrid(b, WebpLuma.exifOrientation(b))
       return if (g == null) null else DHash64Expression.packGrid(g)
     }
-    DHash64Expression.evalRow(b) // no EXIF channel in PNG/GIF/BMP here
+    if (b.length >= 45 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G') {
+      // PNG Third Edition's eXIf chunk — same normalization
+      val g = PngLuma.sampleGrid(b, ExifMetaExpression.scan(b)._2)
+      return if (g == null) null else DHash64Expression.packGrid(g)
+    }
+    DHash64Expression.evalRow(b) // no EXIF channel in GIF/BMP
   }
 }
 
@@ -772,6 +778,12 @@ object ExifMetaExpression {
         b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
         b(11) == 'P')
       return webpExif(b)
+    // PNG: chunk walk to the eXIf chunk (PNG Third Edition), which
+    // carries the same bare TIFF as a JPEG APP1
+    if (b.length >= 45 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G' && u8(b, 4) == 0x0d && u8(b, 5) == 0x0a &&
+        u8(b, 6) == 0x1a && u8(b, 7) == 0x0a)
+      return pngExif(b)
     if (!(u8(b, 0) == 0xff && u8(b, 1) == 0xd8)) return (0, -1, 0)
     var p = 2
     while (p + 3 < b.length) {
@@ -819,6 +831,23 @@ object ExifMetaExpression {
         return tiffIfd0(b, base, end)
       }
       p += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    (0, -1, 0)
+  }
+
+  /** The PNG arm of [[scan]]: chunk walk to `eXIf`, whose payload is
+    * the bare TIFF; stops at IEND. */
+  private def pngExif(b: Array[Byte]): (Int, Int, Int) = {
+    var p = 8
+    while (p + 8 <= b.length) {
+      val len = (be16(b, p) << 16) | be16(b, p + 2)
+      if (len < 0 || len > b.length - p - 12) return (0, -1, 0)
+      if (b(p + 4) == 'e' && b(p + 5) == 'X' && b(p + 6) == 'I' &&
+          b(p + 7) == 'f')
+        return tiffIfd0(b, p + 8, p + 8 + len)
+      if (b(p + 4) == 'I' && b(p + 5) == 'E' && b(p + 6) == 'N' &&
+          b(p + 7) == 'D') return (0, -1, 0)
+      p += 12 + len
     }
     (0, -1, 0)
   }
@@ -993,6 +1022,62 @@ object WebpStripExifExpression {
   }
 }
 
+/** `png_strip_exif(bytes)`: [[JpegStripExifExpression]]'s PNG sibling
+  * — remove every `eXIf` chunk (PNG Third Edition) from the chunk
+  * table; the image chunks are untouched (spec-pinned: the stripped
+  * file's dhash64 equals the original's — PNG chunks are
+  * self-describing, so no header rewrite is needed). Non-PNG / junk /
+  * structurally malformed input returns UNCHANGED. Map-only byte
+  * surgery. */
+case class PngStripExifExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    PngStripExifExpression.evalRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PngStripExifExpression.evalRow($c);")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "png_strip_exif"
+}
+
+object PngStripExifExpression {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+  /** Codegen entry point: one static call per row. */
+  def evalRow(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 45) return b
+    if (!(u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a &&
+        u8(b, 7) == 0x0a)) return b
+    var spans: List[(Int, Int)] = Nil
+    var p = 8
+    var walking = true
+    while (walking && p + 8 <= b.length) {
+      val len = (be16(b, p) << 16) | be16(b, p + 2)
+      if (len < 0 || len > b.length - p - 12) return b // malformed: hands off
+      if (b(p + 4) == 'e' && b(p + 5) == 'X' && b(p + 6) == 'I' &&
+          b(p + 7) == 'f')
+        spans = (p, p + 12 + len) :: spans
+      if (b(p + 4) == 'I' && b(p + 5) == 'E' && b(p + 6) == 'N' &&
+          b(p + 7) == 'D') walking = false
+      p += 12 + len
+    }
+    if (spans.isEmpty) return b
+    val drop = spans.map { case (s, e) => e - s }.sum
+    val out = new Array[Byte](b.length - drop)
+    var src = 0
+    var dst = 0
+    spans.reverse.foreach { case (s, e) =>
+      System.arraycopy(b, src, out, dst, s - src)
+      dst += s - src
+      src = e
+    }
+    System.arraycopy(b, src, out, dst, b.length - src)
+    out
+  }
+}
+
 object MediaFunctions {
   def image_dims(c: Column): Column = column(ImageDimsExpression(expression(c)))
   def audio_meta(c: Column): Column = column(AudioMetaExpression(expression(c)))
@@ -1005,6 +1090,8 @@ object MediaFunctions {
     column(JpegStripExifExpression(expression(c)))
   def webp_strip_exif(c: Column): Column =
     column(WebpStripExifExpression(expression(c)))
+  def png_strip_exif(c: Column): Column =
+    column(PngStripExifExpression(expression(c)))
   def audio_pcm_stats(c: Column, maxFrames: Int = 4096): Column =
     column(AudioPcmStatsExpression(expression(c), maxFrames))
 }

@@ -42,8 +42,17 @@ object PngLuma {
     * grid positions each belong to exactly one pass, so interlaced
     * decode harvests them in pass order without buffering the
     * image). */
-  def sampleGrid(b: Array[Byte]): Array[Int] = {
-    try sampleGridUnsafe(b)
+  def sampleGrid(b: Array[Byte]): Array[Int] = sampleGrid(b, 1)
+
+  /** As [[sampleGrid]], but samples the grid in DISPLAY space under
+    * the EXIF tag-274 `orientation` (PNG Third Edition's `eXIf` chunk
+    * carries the same TIFF payload as a JPEG APP1) — the same
+    * grid-level normalization as [[JpegDcLuma]]: orientations 5..8
+    * swap the display axes, and each display cell maps back to its
+    * stored pixel, so camera-rotated duplicates hash as their upright
+    * selves. Values outside 1..8 sample as stored. */
+  def sampleGrid(b: Array[Byte], orientation: Int): Array[Int] = {
+    try sampleGridUnsafe(b, orientation)
     catch {
       // belt over suspenders: any slip in the bounds reasoning must
       // degrade to "not an image", never kill the task. OutOfMemoryError
@@ -58,7 +67,7 @@ object PngLuma {
     }
   }
 
-  private def sampleGridUnsafe(b: Array[Byte]): Array[Int] = {
+  private def sampleGridUnsafe(b: Array[Byte], orientation: Int): Array[Int] = {
     if (b == null || b.length < 45) return null // sig + IHDR + IEND minimum
     if (!(u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
         u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a &&
@@ -148,8 +157,6 @@ object PngLuma {
         true
       }
 
-      // the 8 sampled grid rows (may repeat when h < 8)
-      val ys = Array.tabulate(8)(r => if (h == 1) 0 else ((h - 1).toLong * r / 7).toInt)
       val samples = new Array[Int](72)
 
       def paeth(a: Int, bb: Int, c: Int): Int = {
@@ -205,7 +212,12 @@ object PngLuma {
         }
       }
 
-      val xs = Array.tabulate(9)(c => if (w == 1) 0 else ((w - 1).toLong * c / 8).toInt)
+      // grid targets in DISPLAY space (orientations 5..8 swap the
+      // axes), each mapped back to its STORED pixel by the inverse
+      // tag-274 transform — identity when orientation is 1/absent
+      val o = if (orientation >= 1 && orientation <= 8) orientation else 1
+      val wD = if (o >= 5) h else w
+      val hD = if (o >= 5) w else h
 
       // pass table: sequential = one full pass; Adam7 = the 7 spec
       // passes (xStart, xStep, yStart, yStep). The pass grids
@@ -221,7 +233,19 @@ object PngLuma {
       val tgtCol = new Array[Int](72)
       var gi = 0
       while (gi < 72) {
-        val gx = xs(gi % 9); val gy = ys(gi / 9)
+        val yd = if (hD == 1) 0 else ((hD - 1).toLong * (gi / 9) / 7).toInt
+        val xd = if (wD == 1) 0 else ((wD - 1).toLong * (gi % 9) / 8).toInt
+        var gx = xd; var gy = yd
+        o match {
+          case 1 => ()
+          case 2 => gx = w - 1 - xd
+          case 3 => gx = w - 1 - xd; gy = h - 1 - yd
+          case 4 => gy = h - 1 - yd
+          case 5 => gx = yd; gy = xd
+          case 6 => gx = yd; gy = h - 1 - xd
+          case 7 => gx = w - 1 - yd; gy = h - 1 - xd
+          case _ => gx = w - 1 - yd; gy = xd // 8
+        }
         var pi = 0
         var found = -1
         while (pi < passes.length && found < 0) {

@@ -265,72 +265,150 @@ object Multimodal {
             if (bumpCell != 0 && x == 3 && y == 2) (base + bumpCell) % 256
             else base
           }
-          // raw scanlines: filter byte + gray bytes per row, the
-          // chosen filter applied so the decoder must invert it.
-          // Filtering is PASS-LOCAL: left/up neighbors step by the
-          // pass strides (for the sequential "pass" that is 1/1).
-          val passes: Seq[(Int, Int, Int, Int)] =
-            if (!interlaced) Seq((0, 1, 0, 1))
-            else Seq((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
-              (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
-          val rawOut = new java.io.ByteArrayOutputStream(128)
-          for ((px0, pdx, py0, pdy) <- passes) {
-            val wP = if (9 > px0) (9 - px0 + pdx - 1) / pdx else 0
-            val hP = if (8 > py0) (8 - py0 + pdy - 1) / pdy else 0
-            for (ry <- 0 until hP; if wP > 0) {
-              rawOut.write(filt)
-              val y = py0 + ry * pdy
-              for (rx <- 0 until wP) {
-                val x = px0 + rx * pdx
-                val v = lum(x, y)
-                def left = if (rx > 0) lum(x - pdx, y) else 0
-                def up = if (ry > 0) lum(x, y - pdy) else 0
-                def upLeft = if (rx > 0 && ry > 0) lum(x - pdx, y - pdy) else 0
-                val enc = filt match {
-                  case 0 => v
-                  case 1 => v - left // Sub
-                  case 2 => v - up // Up
-                  case 3 => v - ((left + up) >> 1) // Average
-                  case 4 => // Paeth
-                    val a = left; val b = up; val c = upLeft
-                    val p = a + b - c
-                    val pa = math.abs(p - a); val pb = math.abs(p - b)
-                    val pc = math.abs(p - c)
-                    val pred = if (pa <= pb && pa <= pc) a
-                      else if (pb <= pc) b else c
-                    v - pred
-                }
-                rawOut.write(enc & 0xff)
-              }
-            }
+          pngGrayBytes(lum, 9, 8, filt, interlaced, null)
+        }
+      (seed + idOffset, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
+  /** 8-bit grayscale PNG over an arbitrary grid: raw scanlines with
+    * the chosen filter applied (pass-local for Adam7), streaming
+    * deflate, CRC-correct chunks; an optional `eXIf` chunk (PNG Third
+    * Edition — the bare TIFF payload) lands between IHDR and IDAT. */
+  private[graft] def pngGrayBytes(
+      lum: (Int, Int) => Int, w: Int, h: Int, filt: Int,
+      interlaced: Boolean, exif: Array[Byte]): Array[Byte] = {
+    // raw scanlines: filter byte + gray bytes per row, the
+    // chosen filter applied so the decoder must invert it.
+    // Filtering is PASS-LOCAL: left/up neighbors step by the
+    // pass strides (for the sequential "pass" that is 1/1).
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (!interlaced) Seq((0, 1, 0, 1))
+      else Seq((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+        (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+    val rawOut = new java.io.ByteArrayOutputStream(128)
+    for ((px0, pdx, py0, pdy) <- passes) {
+      val wP = if (w > px0) (w - px0 + pdx - 1) / pdx else 0
+      val hP = if (h > py0) (h - py0 + pdy - 1) / pdy else 0
+      for (ry <- 0 until hP; if wP > 0) {
+        rawOut.write(filt)
+        val y = py0 + ry * pdy
+        for (rx <- 0 until wP) {
+          val x = px0 + rx * pdx
+          val v = lum(x, y)
+          def left = if (rx > 0) lum(x - pdx, y) else 0
+          def up = if (ry > 0) lum(x, y - pdy) else 0
+          def upLeft = if (rx > 0 && ry > 0) lum(x - pdx, y - pdy) else 0
+          val enc = filt match {
+            case 0 => v
+            case 1 => v - left // Sub
+            case 2 => v - up // Up
+            case 3 => v - ((left + up) >> 1) // Average
+            case 4 => // Paeth
+              val a = left; val b = up; val c = upLeft
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              val pred = if (pa <= pb && pa <= pc) a
+                else if (pb <= pc) b else c
+              v - pred
           }
-          val raw = rawOut.toByteArray
-          val deflater = new java.util.zip.Deflater()
-          deflater.setInput(raw); deflater.finish()
-          // deflate() does not guarantee completion in one call — drain
-          // until finished() or a larger fixture silently truncates IDAT
-          val comp = new Array[Byte](raw.length + 64)
-          var compLen = 0
-          while (!deflater.finished() && compLen < comp.length)
-            compLen += deflater.deflate(comp, compLen, comp.length - compLen)
-          require(deflater.finished(), "pngPixelsFromIds: IDAT buffer too small")
-          deflater.end()
-          val out = new java.io.ByteArrayOutputStream(128)
-          def be32(v: Int) = Array[Byte](
-            (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
-          def chunk(typ: String, payload: Array[Byte]): Unit = {
-            out.write(be32(payload.length))
-            val t = typ.getBytes("US-ASCII")
-            val crc = new java.util.zip.CRC32()
-            crc.update(t); crc.update(payload)
-            out.write(t); out.write(payload); out.write(be32(crc.getValue.toInt))
+          rawOut.write(enc & 0xff)
+        }
+      }
+    }
+    val raw = rawOut.toByteArray
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    // deflate() does not guarantee completion in one call — drain
+    // until finished() or a larger fixture silently truncates IDAT
+    val comp = new Array[Byte](raw.length + 64)
+    var compLen = 0
+    while (!deflater.finished() && compLen < comp.length)
+      compLen += deflater.deflate(comp, compLen, comp.length - compLen)
+    require(deflater.finished(), "pngGrayBytes: IDAT buffer too small")
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream(128)
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, payload: Array[Byte]): Unit = {
+      out.write(be32(payload.length))
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(payload)
+      out.write(t); out.write(payload); out.write(be32(crc.getValue.toInt))
+    }
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    chunk("IHDR", be32(w) ++ be32(h) ++
+      Array[Byte](8, 0, 0, 0, if (interlaced) 1 else 0))
+    if (exif != null) chunk("eXIf", exif)
+    chunk("IDAT", comp.take(compLen))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** [[jpegExifFromIds]]'s PNG sibling: upright pixels (the p340
+    * arithmetic) with a planted `eXIf` chunk — orientation cycles
+    * seed % 8 + 1, GPS-IFD pointer iff seed % 3 == 0, every third
+    * TIFF big-endian. Junk on seed % 10 == 9. */
+  def pngExifFromIds(
+      ids: DataFrame,
+      idCol: String,
+      idOffset: Long = 0L): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
+      val bytes =
+        if (seed % 10 == 9) s"notanexifpng:$seed".getBytes("US-ASCII")
+        else {
+          def lum(x: Int, y: Int): Int =
+            (((1103515245L * ((seed * 72 + y * 9 + x) % 100000L) +
+              12345L) % 2147483648L) / 65536L % 256L).toInt
+          pngGrayBytes(lum, 9, 8, (seed % 5).toInt, interlaced = false,
+            exifTiff(orientation = (seed % 8 + 1).toInt, gps = seed % 3 == 0,
+              bigEndian = seed % 3 == 2))
+        }
+      (seed + idOffset, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
+  /** [[jpegOrientedFromIds]]'s PNG sibling: the stored scanlines carry
+    * the base LCG grid transformed by EXIF orientation seed % 8 + 1
+    * (orientations 5–8 transpose the canvas to 8×9) and the `eXIf`
+    * chunk carries the matching tag-274 TIFF. Display-normalizing
+    * recovers the base grid. Junk on seed % 10 == 9, twins via
+    * idOffset/bumpCell. */
+  def pngOrientedFromIds(
+      ids: DataFrame,
+      idCol: String,
+      idOffset: Long = 0L,
+      bumpCell: Int = 0): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
+      val bytes =
+        if (seed % 10 == 9) s"notarotpng:$seed".getBytes("US-ASCII")
+        else {
+          def base(x: Int, y: Int): Int = {
+            val v = (((1103515245L * ((seed * 72 + y * 9 + x) % 100000L) +
+              12345L) % 2147483648L) / 65536L % 256L).toInt
+            if (bumpCell != 0 && x == 3 && y == 2) (v + bumpCell) % 256
+            else v
           }
-          out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
-          chunk("IHDR", be32(9) ++ be32(8) ++
-            Array[Byte](8, 0, 0, 0, if (interlaced) 1 else 0))
-          chunk("IDAT", comp.take(compLen))
-          chunk("IEND", Array.emptyByteArray)
-          out.toByteArray
+          val o = (seed % 8 + 1).toInt
+          val (bw, bh) = if (o >= 5) (8, 9) else (9, 8)
+          def stored(x: Int, y: Int): Int = o match {
+            case 1 => base(x, y)
+            case 2 => base(8 - x, y)
+            case 3 => base(8 - x, 7 - y)
+            case 4 => base(x, 7 - y)
+            case 5 => base(y, x)
+            case 6 => base(8 - y, x)
+            case 7 => base(8 - y, 7 - x)
+            case _ => base(y, 7 - x) // 8
+          }
+          pngGrayBytes(stored, bw, bh, (seed % 5).toInt, interlaced = false,
+            exifTiff(orientation = o, gps = false, bigEndian = seed % 3 == 2))
         }
       (seed + idOffset, bytes)
     }.toDF("media_id", "bytes")

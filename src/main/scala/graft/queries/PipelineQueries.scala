@@ -4153,6 +4153,46 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // p354's PNG sibling: exif_meta walks the chunk table to the
+    // Third-Edition eXIf chunk — the governance scan now covers every
+    // raster format that carries EXIF (JPEG / WebP / PNG).
+    "p364_png_exif_triage" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val pngs = graft.ops.Multimodal.pngExifFromIds(docs, "doc_id")
+      pngs.select(col("media_id"),
+          graft.functions.MediaFunctions.exif_meta(col("bytes")).as("_m"))
+        .select(col("media_id"), col("_m.has_exif").as("has_exif"),
+          col("_m.orientation").as("orientation"),
+          col("_m.has_gps").as("has_gps"))
+        .orderBy("media_id")
+    }),
+
+    // p355's PNG sibling: splice the eXIf chunks out, then prove
+    // metadata gone AND pixels untouched in one output.
+    "p365_png_exif_strip" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val pngs = graft.ops.Multimodal.pngExifFromIds(docs, "doc_id")
+      val stripped = pngs.select(col("media_id"),
+        graft.functions.MediaFunctions.png_strip_exif(col("bytes")).as("bytes"))
+      stripped.select(col("media_id"),
+          graft.functions.MediaFunctions.exif_meta(col("bytes")).as("_m"),
+          graft.functions.MediaFunctions.dhash64(col("bytes")).as("dhash"))
+        .select(col("media_id"), col("_m.has_exif").as("has_exif"),
+          col("_m.has_gps").as("has_gps"), col("dhash"))
+        .orderBy("media_id")
+    }),
+
+    // p357's PNG sibling: stored-rotated scanlines + the eXIf tag-274
+    // — the oriented hash recovers the upright grid from the PNG
+    // container too (same oracle arithmetic).
+    "p366_png_oriented_dhash" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      graft.ops.Multimodal.imageDHashOrientedScan(
+          graft.ops.Multimodal.pngOrientedFromIds(docs, "doc_id"), "bytes")
+        .select(col("media_id"), col("dhash"))
+        .orderBy("media_id")
+    }),
+
     // EXIF governance triage: real JPEGs with a planted APP1 — the
     // eight valid orientations cycling, a GPS-IFD pointer (the PII
     // flag) on every third member, every third EXIF block big-endian;
@@ -10318,6 +10358,45 @@ object PipelineQueries {
     // p363: the p340 arithmetic — an animation hashes as its first
     // frame, and the first ANMF frame carries the base grid
     "p363_webp_anim_dhash" -> (
+      "WITH g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM documents, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h ORDER BY media_id")
+  ,
+    // p364: p354's arithmetic verbatim — the PNG fixture plants the
+    // same flag cycle in an eXIf chunk
+    "p364_png_exif_triage" -> (
+      "SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 10 = 9 THEN 0 ELSE 1 END AS has_exif, " +
+      "CASE WHEN doc_id % 10 = 9 THEN -1 ELSE CAST(doc_id % 8 + 1 AS INT) END AS orientation, " +
+      "CASE WHEN doc_id % 10 = 9 THEN 0 " +
+      "WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS has_gps " +
+      "FROM documents ORDER BY media_id")
+  ,
+    // p365: p355's contract over the PNG chunk table — metadata zeroed
+    // by the chunk splice, pixels still the p340 bit arithmetic
+    "p365_png_exif_strip" -> (
+      "WITH g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM documents, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, 0 AS has_exif, 0 AS has_gps, " +
+      "CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h ORDER BY media_id")
+  ,
+    // p366: identical oracle to p357 — whatever rotation the PNG
+    // stores, the oriented hash is the upright grid's
+    "p366_png_oriented_dhash" -> (
       "WITH g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
       "l AS (SELECT doc_id, r, c, " +
       "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +

@@ -586,7 +586,9 @@ class PlanSpec extends AnyFunSuite {
         "p358_webp_vp8l_dhash", "p359_adam7_png_dhash",
         "p360_webp_oriented_dhash", "p363_webp_anim_dhash",
         "p354_exif_triage", "p355_exif_strip",
-        "p361_webp_exif_triage", "p362_webp_exif_strip")) {
+        "p361_webp_exif_triage", "p362_webp_exif_strip",
+        "p364_png_exif_triage", "p365_png_exif_strip",
+        "p366_png_oriented_dhash")) {
       val p = plan(name)
       assert(!p.contains("ScalaUDF"), s"$name: ScalaUDF in\n$p")
       val hashExchanges = p.linesIterator.count(l =>

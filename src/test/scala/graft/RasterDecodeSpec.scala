@@ -617,6 +617,56 @@ class RasterDecodeSpec extends AnyFunSuite {
     assert(JpegDcLuma.sampleGrid(prog) == null)
   }
 
+  test("PNG eXIf: triage reads the planted flags; strip removes them, pixels untouched") {
+    import spark.implicits._
+    val ids = (0L to 8L).toDF("doc_id") // all orientations, LE+BE, GPS cycle
+    val rows = Multimodal.pngExifFromIds(ids, "doc_id")
+      .select("media_id", "bytes").as[(Long, Array[Byte])].collect()
+    for ((id, b) <- rows) {
+      val (e, o, g) = graft.functions.ExifMetaExpression.scan(b)
+      assert(e == 1, s"id=$id")
+      assert(o == (id % 8 + 1).toInt, s"id=$id")
+      assert(g == (if (id % 3 == 0) 1 else 0), s"id=$id")
+      val s = graft.functions.PngStripExifExpression.evalRow(b)
+      assert(graft.functions.ExifMetaExpression.scan(s) == ((0, -1, 0)), s"id=$id")
+      assert(DHash64Expression.evalRow(s) == DHash64Expression.evalRow(b), s"id=$id")
+      // idempotent: a second strip is the identity (eq, not just ==)
+      assert(graft.functions.PngStripExifExpression.evalRow(s) eq s, s"id=$id")
+      assert(!new String(s, "ISO-8859-1").contains("eXIf"), s"id=$id")
+    }
+    // eXIf-less PNG and non-PNG pass through untouched (reference eq)
+    val plain = Multimodal.pngPixelsFromIds(Seq(0L).toDF("doc_id"), "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    assert(graft.functions.ExifMetaExpression.scan(plain) == ((0, -1, 0)))
+    assert(graft.functions.PngStripExifExpression.evalRow(plain) eq plain)
+    val junk = "notapng".getBytes("US-ASCII")
+    assert(graft.functions.PngStripExifExpression.evalRow(junk) eq junk)
+  }
+
+  test("PNG eXIf orientation: all 8 rotations hash as the upright grid") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 10L, 13L).toDF("doc_id")
+    val upright = Multimodal.imageDHashScan(
+        Multimodal.bmpPixelsFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    val oriented = Multimodal.imageDHashOrientedScan(
+        Multimodal.pngOrientedFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    assert(oriented == upright)
+    // the normalization is load-bearing: the PLAIN hash differs on
+    // every rotated member
+    val stored = Multimodal.imageDHashScan(
+        Multimodal.pngOrientedFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    for (id <- Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+      assert(stored(id) != upright(id), s"orientation ${id % 8 + 1} was a no-op")
+    // and on an eXIf-less PNG the oriented hash equals the plain one
+    val plain = Multimodal.pngPixelsFromIds(Seq(3L).toDF("doc_id"), "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    assert(graft.functions.DHash64OrientedExpression.evalRow(plain) ==
+      DHash64Expression.evalRow(plain))
+  }
+
   test("hostile-byte fuzz: magic-prefixed junk, truncations and mutations never throw") {
     import spark.implicits._
     val ids = Seq(1L, 2L).toDF("doc_id")
@@ -654,6 +704,20 @@ class RasterDecodeSpec extends AnyFunSuite {
          pos <- src.indices; v <- Seq(0x00, 0xff, 0x80)) {
       val m = src.clone(); m(pos) = v.toByte
       DHash64Expression.evalRow(m)
+    }
+    // the eXIf paths share the contract: truncate + mutate through
+    // the ORIENTED hash (chunk walk + display-space sampling) and the
+    // strip (which must also never corrupt what it cannot parse)
+    val validExif = Multimodal.pngExifFromIds(ids, "doc_id")
+      .select("bytes").as[Array[Byte]].head()
+    for (src <- Seq(validExif); k <- 0 until src.length) {
+      graft.functions.DHash64OrientedExpression.evalRow(src.take(k))
+      graft.functions.PngStripExifExpression.evalRow(src.take(k))
+    }
+    for (src <- Seq(validExif); pos <- src.indices; v <- Seq(0x00, 0xff, 0x80)) {
+      val m = src.clone(); m(pos) = v.toByte
+      graft.functions.DHash64OrientedExpression.evalRow(m)
+      graft.functions.PngStripExifExpression.evalRow(m)
     }
     // zip-bomb shape: a PNG header claiming huge true dims is capped
     val bomb = validPng.clone()
