@@ -1078,6 +1078,37 @@ object PngStripExifExpression {
   }
 }
 
+/** `strip_exif(bytes)`: container-dispatching redaction — routes on
+  * the magic bytes to [[JpegStripExifExpression]],
+  * [[WebpStripExifExpression]] or [[PngStripExifExpression]]; any
+  * other payload returns UNCHANGED. The one-call shape a mixed-format
+  * crawl column wants: triage → `strip_exif` → re-verify, without
+  * splitting the frame by format first. */
+case class StripExifExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    StripExifExpression.evalRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.StripExifExpression.evalRow($c);")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "strip_exif"
+}
+
+object StripExifExpression {
+  /** Codegen entry point: one static call per row. */
+  def evalRow(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 4) return b
+    if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      return JpegStripExifExpression.evalRow(b)
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+      return WebpStripExifExpression.evalRow(b)
+    if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      return PngStripExifExpression.evalRow(b)
+    b
+  }
+}
+
 object MediaFunctions {
   def image_dims(c: Column): Column = column(ImageDimsExpression(expression(c)))
   def audio_meta(c: Column): Column = column(AudioMetaExpression(expression(c)))
@@ -1092,6 +1123,8 @@ object MediaFunctions {
     column(WebpStripExifExpression(expression(c)))
   def png_strip_exif(c: Column): Column =
     column(PngStripExifExpression(expression(c)))
+  def strip_exif(c: Column): Column =
+    column(StripExifExpression(expression(c)))
   def audio_pcm_stats(c: Column, maxFrames: Int = 4096): Column =
     column(AudioPcmStatsExpression(expression(c), maxFrames))
 }

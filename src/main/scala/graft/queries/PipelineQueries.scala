@@ -4153,6 +4153,32 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // MIXED-FORMAT governance end to end: one column carrying JPEG,
+    // WebP and PNG members (distinct id ranges, same planted flags),
+    // ONE pass — triage (the PII flag BEFORE), container-dispatched
+    // strip_exif, re-verify (flags AFTER + the pixels' dhash) — the
+    // shape a real crawl ships, where the redactor cannot assume a
+    // format per row.
+    "p367_mixed_exif_redact" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val members = graft.ops.Multimodal.jpegExifFromIds(docs, "doc_id")
+        .unionByName(graft.ops.Multimodal.webpExifFromIds(docs, "doc_id",
+          idOffset = 10000000L))
+        .unionByName(graft.ops.Multimodal.pngExifFromIds(docs, "doc_id",
+          idOffset = 20000000L))
+      members.select(col("media_id"),
+          graft.functions.MediaFunctions.exif_meta(col("bytes"))
+            .getField("has_gps").as("pre_gps"),
+          graft.functions.MediaFunctions.strip_exif(col("bytes")).as("bytes"))
+        .select(col("media_id"), col("pre_gps"),
+          graft.functions.MediaFunctions.exif_meta(col("bytes")).as("_m"),
+          graft.functions.MediaFunctions.dhash64(col("bytes")).as("dhash"))
+        .select(col("media_id"), col("pre_gps"),
+          col("_m.has_exif").as("has_exif"),
+          col("_m.has_gps").as("has_gps"), col("dhash"))
+        .orderBy("media_id")
+    }),
+
     // p354's PNG sibling: exif_meta walks the chunk table to the
     // Third-Edition eXIf chunk — the governance scan now covers every
     // raster format that carries EXIF (JPEG / WebP / PNG).
@@ -10368,6 +10394,25 @@ object PipelineQueries {
       "SELECT doc_id AS media_id, CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
       "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
       "FROM h ORDER BY media_id")
+  ,
+    // p367: the p354 flag arithmetic + the p340 pixel arithmetic over
+    // all three container offsets — one replay covers the mixed frame
+    "p367_mixed_exif_redact" -> (
+      "WITH offs(off) AS (VALUES (0), (10000000), (20000000)), " +
+      "g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM documents, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id + off AS media_id, " +
+      "CASE WHEN doc_id % 10 = 9 THEN 0 " +
+      "WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS pre_gps, " +
+      "0 AS has_exif, 0 AS has_gps, " +
+      "CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h, offs ORDER BY media_id")
   ,
     // p364: p354's arithmetic verbatim — the PNG fixture plants the
     // same flag cycle in an eXIf chunk

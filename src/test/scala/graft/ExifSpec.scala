@@ -82,6 +82,32 @@ class ExifSpec extends AnyFunSuite {
     assert(JpegStripExifExpression.evalRow(null) == null)
   }
 
+  test("strip_exif dispatcher: routes JPEG/WebP/PNG by magic, leaves the rest alone") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L).toDF("doc_id")
+    def one(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.select("bytes").as[Array[Byte]].head()
+    val jpeg = one(Multimodal.jpegExifFromIds(ids, "doc_id"))
+    val webp = one(Multimodal.webpExifFromIds(ids, "doc_id"))
+    val png = one(Multimodal.pngExifFromIds(ids, "doc_id"))
+    for (b <- Seq(jpeg, webp, png)) {
+      val s = graft.functions.StripExifExpression.evalRow(b)
+      assert(ExifMetaExpression.scan(s) == ((0, -1, 0)))
+      assert(DHash64Expression.evalRow(s) == DHash64Expression.evalRow(b))
+      // same result as the format-specific strip, byte for byte
+      val direct =
+        if ((b(0) & 0xff) == 0xff) JpegStripExifExpression.evalRow(b)
+        else if (b(0) == 'R') graft.functions.WebpStripExifExpression.evalRow(b)
+        else graft.functions.PngStripExifExpression.evalRow(b)
+      assert(java.util.Arrays.equals(s, direct))
+    }
+    // non-image payloads pass through by reference
+    val junk = "not an image at all".getBytes("US-ASCII")
+    assert(graft.functions.StripExifExpression.evalRow(junk) eq junk)
+    val gif = one(Multimodal.gifPixelsFromIds(ids, "doc_id"))
+    assert(graft.functions.StripExifExpression.evalRow(gif) eq gif)
+  }
+
   test("hostile fuzz: exif_meta and strip never throw; strip never corrupts") {
     import spark.implicits._
     val valid = Multimodal.jpegExifFromIds(Seq(3L).toDF("doc_id"), "doc_id")

@@ -70,6 +70,8 @@ GATES=$GATES,p360_webp_oriented_dhash
 GATES=$GATES,p361_webp_exif_triage,p362_webp_exif_strip,p363_webp_anim_dhash
 # PNG eXIf governance (arithmetic oracles, linear)
 GATES=$GATES,p364_png_exif_triage,p365_png_exif_strip,p366_png_oriented_dhash
+# mixed-format redaction composition (arithmetic, linear, 3x rows)
+GATES=$GATES,p367_mixed_exif_redact
 # p353's oracle is all-pairs over 4 formats (6.5e10 comparisons at
 # x20) - base scale only; p354/p355 are arithmetic and linear
 GATES=$GATES,p354_exif_triage,p355_exif_strip
