@@ -13,7 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (BITMAPINFOHEADER), JPEG (first SOF0/1/2/3/5/6/7/9/10/11/13/14/15
   * marker scan), WEBP (RIFF container: VP8 lossy frame tag / VP8L
   * lossless signature / VP8X canvas), TIFF (II/MM byte order + bounded
-  * IFD walk for tags 256/257). At 100 TB this is the point: a corpus
+  * IFD walk for tags 256/257), and ISOBMFF — AVIF/HEIC/HEIF via the
+  * `ftyp` brand list + a bounded box walk to the `ispe` pixel dims
+  * (largest wins when thumbnails/aux images carry their own).
+  * At 100 TB this is the point: a corpus
   * triage pass ("what formats, what resolutions, what's junk") must
   * not DECODE every payload — it reads ≤ a few dozen bytes per row
   * where [[graft.ops.Multimodal.ImageIoDecoder]] reads them all. The
@@ -127,6 +130,12 @@ object ImageDimsExpression {
       }
       return ("unknown", -1, -1)
     }
+    // ISOBMFF (AVIF / HEIC / HEIF): a top-level `ftyp` box, brands
+    // deciding the format, then a bounded box walk meta → iprp →
+    // ipco → ispe for the claimed pixel dims
+    if (b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+        b(7) == 'p')
+      return isobmff(b)
     // JPEG: scan segments for the first SOF marker
     if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
       var i = 2
@@ -150,6 +159,71 @@ object ImageDimsExpression {
       return ("unknown", -1, -1)
     }
     ("unknown", -1, -1)
+  }
+
+  /** ISOBMFF triage (AVIF/HEIC/HEIF): the `ftyp` brand list names the
+    * format; dims come from the `ispe` property boxes under
+    * meta → iprp → ipco. When several `ispe` exist (thumbnails, alpha
+    * aux images), the LARGEST area is reported — the primary item in
+    * practice; full `ipma` association resolution is a decode concern,
+    * not a triage one. Box sizes 0 (to-end) and 1 (64-bit largesize,
+    * accepted only when it fits the buffer) handled; the walk is
+    * bounded (≤64 children per level, fixed depth), never chases
+    * offsets past the buffer. A recognized brand without a readable
+    * `ispe` reports (format, -1, -1). */
+  private def isobmff(b: Array[Byte]): (String, Int, Int) = {
+    val L = b.length
+    val ftypSize = be32(b, 0)
+    if (ftypSize < 16 || ftypSize > L) return ("unknown", -1, -1)
+    var isAvif = false; var isHeic = false; var isHeif = false
+    var i = 8
+    while (i + 4 <= ftypSize) {
+      if (i != 12) { // offset 12 is minor_version, not a brand
+        be32(b, i) match {
+          case 0x61766966 | 0x61766973 => isAvif = true // avif avis
+          case 0x68656963 | 0x68656978 | 0x68657663 => isHeic = true // heic heix hevc
+          case 0x6d696631 | 0x6d736631 | 0x68656966 => isHeif = true // mif1 msf1 heif
+          case _ => ()
+        }
+      }
+      i += 4
+    }
+    if (!isAvif && !isHeic && !isHeif) return ("unknown", -1, -1)
+    val fmt = if (isAvif) "avif" else if (isHeic) "heic" else "heif"
+    var bestArea = -1L; var bw = -1; var bh = -1
+    // one box level: invoke f(fourcc, payloadStart, boxEnd) per child
+    def children(start: Int, end: Int, f: (Int, Int, Int) => Unit): Unit = {
+      var p = start
+      var guard = 0
+      while (p + 8 <= end && guard < 64) {
+        guard += 1
+        var size = be32(b, p).toLong & 0xffffffffL
+        var hdr = 8
+        if (size == 1) {
+          if (p + 16 > end) return
+          if (be32(b, p + 8) != 0) return // >4 GiB cannot fit the buffer
+          size = be32(b, p + 12).toLong & 0xffffffffL
+          hdr = 16
+        } else if (size == 0) size = (end - p).toLong
+        if (size < hdr || size > end - p) return
+        f(be32(b, p + 4), p + hdr, p + size.toInt)
+        p += size.toInt
+      }
+    }
+    children(0, L, (t1, s1, e1) =>
+      if (t1 == 0x6d657461 && e1 - s1 >= 4) // meta (FullBox)
+        children(s1 + 4, e1, (t2, s2, e2) =>
+          if (t2 == 0x69707270) // iprp
+            children(s2, e2, (t3, s3, e3) =>
+              if (t3 == 0x6970636f) // ipco
+                children(s3, e3, (t4, s4, e4) =>
+                  if (t4 == 0x69737065 && e4 - s4 >= 12) { // ispe (FullBox)
+                    val w = be32(b, s4 + 4); val h = be32(b, s4 + 8)
+                    if (w > 0 && h > 0 && w.toLong * h > bestArea) {
+                      bestArea = w.toLong * h; bw = w; bh = h
+                    }
+                  }))))
+    (fmt, bw, bh)
   }
 }
 

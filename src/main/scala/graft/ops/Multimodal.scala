@@ -1386,6 +1386,54 @@ object Multimodal {
     * dim arithmetic as p312 (width id % 640 + 32, height
     * id % 480 + 32 — both < 2¹⁴, inside VP8's 14-bit fields), so the
     * oracle recomputes everything arithmetically. */
+  /** ISOBMFF (AVIF/HEIC) header fixture for the dims triage: real
+    * `ftyp` + `meta`→`iprp`→`ipco`→`ispe` box trees with id-derived
+    * dims (the p317 arithmetic), cycling by id % 6 — 0: avif major
+    * brand; 1: heic major; 2: generic `mif1` major with avif in the
+    * COMPATIBLE list (the common libavif layout); 3: avif with TWO
+    * ispe properties, thumbnail first (largest-area must win); 4: avif
+    * whose meta box uses the 64-bit largesize header; 5: junk. */
+  def isobmffBytesFromIds(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]) =
+      be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    def fullbox(typ: String, payload: Array[Byte]) =
+      box(typ, Array[Byte](0, 0, 0, 0) ++ payload)
+    def ispe(w: Int, h: Int) = fullbox("ispe", be32(w) ++ be32(h))
+    def tree(ispes: Array[Byte]) =
+      fullbox("meta", box("iprp", box("ipco", ispes)))
+    def ftyp(major: String, compat: String*) =
+      box("ftyp", major.getBytes("US-ASCII") ++ be32(0) ++
+        compat.flatMap(_.getBytes("US-ASCII")).toArray)
+    val mdat = box("mdat", Array[Byte](1, 2, 3, 4))
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .map { id =>
+        val w = (id % 640 + 32).toInt
+        val h = (id % 480 + 32).toInt
+        val bytes = (id % 6) match {
+          case 0 => ftyp("avif", "mif1") ++ tree(ispe(w, h)) ++ mdat
+          case 1 => ftyp("heic", "mif1") ++ tree(ispe(w, h)) ++ mdat
+          case 2 => ftyp("mif1", "miaf", "avif") ++ tree(ispe(w, h)) ++ mdat
+          case 3 => // thumbnail ispe first: the primary (larger) wins
+            ftyp("avif", "mif1") ++
+              tree(ispe(w / 4 + 1, h / 4 + 1) ++ ispe(w, h)) ++ mdat
+          case 4 => // meta via the 64-bit largesize header
+            val inner = Array[Byte](0, 0, 0, 0) ++
+              box("iprp", box("ipco", ispe(w, h)))
+            ftyp("avif", "mif1") ++
+              (be32(1) ++ "meta".getBytes("US-ASCII") ++
+                be32(0) ++ be32(16 + inner.length) ++ inner) ++ mdat
+          case _ => s"notanisobmff:$id".getBytes("US-ASCII")
+        }
+        (id, bytes)
+      }
+      .toDF("media_id", "bytes")
+  }
+
   def webpTiffBytesFromIds(ids: DataFrame, idCol: String): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._

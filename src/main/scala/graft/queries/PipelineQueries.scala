@@ -3255,6 +3255,18 @@ object PipelineQueries {
         .select(col("media_id"), col("format"), col("width"), col("height"))
         .orderBy("media_id")),
 
+    // ISOBMFF header triage — AVIF/HEIC/HEIF via ftyp brands + the
+    // meta->iprp->ipco->ispe box walk: major-brand and
+    // compatible-brand dispatch, thumbnail-vs-primary largest-area
+    // pick, and the 64-bit largesize header; sixth slot junk.
+    "p368_isobmff_header_scan" -> ((s, dir) =>
+      graft.ops.Multimodal.imageHeaderScan(
+        graft.ops.Multimodal.isobmffBytesFromIds(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "bytes")
+        .select(col("media_id"), col("format"), col("width"), col("height"))
+        .orderBy("media_id")),
+
     // Audio header triage — REAL WAV (chunk walk past a JUNK chunk),
     // FLAC (bit-packed STREAMINFO) and MP3 (frame header behind an
     // ID3v2 envelope) headers with id-derived rate/channels/bits,
@@ -9661,6 +9673,14 @@ object PipelineQueries {
       "SELECT doc_id AS media_id, " +
       "CASE WHEN doc_id % 6 <= 2 THEN 'webp' WHEN doc_id % 6 <= 4 " +
       "THEN 'tiff' ELSE 'unknown' END AS format, " +
+      "CAST(CASE WHEN doc_id % 6 = 5 THEN -1 ELSE doc_id % 640 + 32 END AS INT) AS width, " +
+      "CAST(CASE WHEN doc_id % 6 = 5 THEN -1 ELSE doc_id % 480 + 32 END AS INT) AS height " +
+      "FROM documents ORDER BY media_id"),
+
+    "p368_isobmff_header_scan" -> (
+      "SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 6 = 1 THEN 'heic' WHEN doc_id % 6 = 5 " +
+      "THEN 'unknown' ELSE 'avif' END AS format, " +
       "CAST(CASE WHEN doc_id % 6 = 5 THEN -1 ELSE doc_id % 640 + 32 END AS INT) AS width, " +
       "CAST(CASE WHEN doc_id % 6 = 5 THEN -1 ELSE doc_id % 480 + 32 END AS INT) AS height " +
       "FROM documents ORDER BY media_id"),

@@ -272,6 +272,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(j.forall(r => r._1 == "unknown" && r._2 == -1))
   }
 
+  test("isobmff sniff: avif/heic brands, compat-list dispatch, largest ispe, largesize; junk unknown") {
+    import spark.implicits._
+    val ids = (0L to 11L).toDF("doc_id")
+    val out = Multimodal.imageHeaderScan(
+        Multimodal.isobmffBytesFromIds(ids, "doc_id"), "bytes")
+      .select("media_id", "format", "width", "height")
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    out.foreach { case (id, fmt, w, h) =>
+      val expected = (id % 6) match {
+        case 1 => "heic"
+        case 5 => "unknown"
+        case _ => "avif" // 0 major, 2 compat-list, 3 two-ispe, 4 largesize
+      }
+      assert(fmt == expected, s"format for id=$id (got $fmt)")
+      if (expected == "unknown") assert(w == -1 && h == -1)
+      else assert(w == (id % 640 + 32).toInt && h == (id % 480 + 32).toInt,
+        s"dims for id=$id ($fmt): $w x $h")
+    }
+    // truncated/hostile ISOBMFF prefixes triage clean, never throw
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val brandsNoMeta = be32(16) ++ "ftypavif".getBytes("US-ASCII") ++ be32(0)
+    val unknownBrands = be32(16) ++ "ftypzzzz".getBytes("US-ASCII") ++ be32(0)
+    val lyingSize = be32(999) ++ "ftypavif".getBytes("US-ASCII") ++ be32(0)
+    val junk = Seq(
+      (0L, "ab".getBytes("US-ASCII") ++ "ftyp".getBytes("US-ASCII")),
+      (1L, brandsNoMeta), // brands ok, no meta: avif with -1 dims
+      (2L, unknownBrands),
+      (3L, lyingSize)) // ftyp size past the buffer: hands off
+      .toDF("media_id", "bytes")
+    val j = Multimodal.imageHeaderScan(junk, "bytes")
+      .select("media_id", "format", "width").as[(Long, String, Int)].collect()
+      .sortBy(_._1)
+    assert(j(0)._2 == "unknown")
+    assert(j(1)._2 == "avif" && j(1)._3 == -1)
+    assert(j(2)._2 == "unknown")
+    assert(j(3)._2 == "unknown")
+  }
+
   test("audio_meta: WAV chunk walk (incl. JUNK chunk), FLAC STREAMINFO, MP3 frame (incl. ID3)") {
     import spark.implicits._
     val ids = (0L to 23L).toDF("doc_id")

@@ -91,7 +91,7 @@ GATES=$GATES,p03_dedup_minhash,p29_dedup_clusters,p280_containment_frac_capped
 GATES=$GATES,p93_bpe_merges,p33_quota_sample,p79_ann_ivfpq
 # media triage at x20 docs (id-derived headers, arithmetic oracles)
 GATES=$GATES,p312_image_header_scan,p317_webp_tiff_scan,p318_audio_header_scan
-GATES=$GATES,p323_video_header_scan
+GATES=$GATES,p323_video_header_scan,p368_isobmff_header_scan
 # events family at x10 events: windows/sessions/funnels/as-of/ffill —
 # the corpus-sized window-op shapes, hash-compared on 1M-row outputs
 GATES=$GATES,p14_events_window,p15_sessionize,p16_dedup_first_per_user
