@@ -803,6 +803,124 @@ object AudioPcmStatsExpression {
   }
 }
 
+/** `audio_fingerprint(bytes, maxFrames)`: a 61-bit ENERGY-DELTA
+  * fingerprint over PCM WAV audio — the audio analogue of the image
+  * dHash, built so the SAME RECORDING survives the transcodes a crawl
+  * actually carries. The signal is folded to one channel (per-frame
+  * channel SUM — a uniform scale, see below), split into 32
+  * equal-TIME windows, and each window's integer energy Σs² is
+  * compared to its neighbours: bits 0–30 are adjacent-window deltas
+  * (`e_w ≻ e_{w+1}`), bits 31–60 skip-one deltas (`e_w ≻ e_{w+2}`,
+  * a coarser envelope that keeps Hamming distance meaningful when one
+  * window boundary lands differently). Every comparison is
+  * CROSS-MULTIPLIED against the window frame counts
+  * (`e_a·n_b > e_b·n_a`) so the fingerprint is invariant under the
+  * three transcode axes, exactly:
+  *  - bit depth: 8-bit unsigned PCM decodes as `(u−128)·256`, the
+  *    16-bit quantization ladder — same energies, same bits;
+  *  - channel layout: a mono source duplicated to stereo doubles the
+  *    channel sum, scaling every window energy by 4 uniformly —
+  *    cross-multiplied comparisons are scale-free;
+  *  - sample rate: equal-TIME windows mean a resampled copy scales
+  *    every window's energy AND count together.
+  * Fingerprints feed the same banded near-dup join as the image
+  * hashes ([[graft.ops.Dedup.hashNearDups]]) — map-only here, one
+  * banded equi-join there, never an all-pairs comparison. Junk,
+  * truncated, compressed (non-PCM fmt), 24/32-bit, or >8-channel
+  * payloads → NULL, never a throw. Bounds: `maxFrames ≤ 2^18` keeps
+  * every cross-product under 2^62 (n ≤ 2^13 per window, channel sum
+  * ≤ 2^18, so e·n ≤ 2^13·2^36·2^13). */
+case class AudioFingerprintExpression(child: Expression, maxFrames: Int)
+    extends UnaryExpression {
+  require(maxFrames >= 32 && maxFrames <= (1 << 18),
+    s"audio_fingerprint: maxFrames must be in [32, 262144], got $maxFrames")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    AudioFingerprintExpression.evalLong(input.asInstanceOf[Array[Byte]], maxFrames)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("afp")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long $boxed = graft.functions.AudioFingerprintExpression.evalLong($c, $maxFrames);
+      if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "audio_fingerprint"
+}
+
+object AudioFingerprintExpression {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def s16(b: Array[Byte], i: Int): Int = (le16(b, i) << 16) >> 16
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  private final val Windows = 32
+
+  /** Codegen entry point; null = not an 8/16-bit PCM WAV. */
+  def evalLong(b: Array[Byte], maxFrames: Int): java.lang.Long = {
+    if (b == null || b.length < 12) return null
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
+    var p = 12
+    var rate = -1; var ch = -1; var bits = -1; var fmtCode = -1
+    var dataOff = -1; var dataLen = -1L
+    while (p + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+      val sz = le32(b, p + 4)
+      if (sz < 0 || sz > b.length - p - 8) return null
+      if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
+        if (sz < 16) return null
+        fmtCode = le16(b, p + 8)
+        ch = le16(b, p + 10)
+        rate = le32(b, p + 12)
+        bits = le16(b, p + 22)
+      } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' &&
+          b(p + 3) == 'a') {
+        dataOff = p + 8
+        dataLen = sz.toLong
+      }
+      p += 8 + sz + (sz & 1)
+    }
+    if (fmtCode != 1 || (bits != 8 && bits != 16) || ch <= 0 || ch > 8 ||
+        rate <= 0 || dataOff < 0) return null
+    val bytesPer = bits / 8
+    val blockAlign = ch * bytesPer
+    val nFrames = dataLen / blockAlign
+    if (nFrames <= 0) return null
+    val m = math.min(nFrames, maxFrames.toLong).toInt
+    val e = new Array[Long](Windows)
+    val n = new Array[Int](Windows)
+    var j = 0
+    while (j < m) {
+      var s = 0
+      var k = 0
+      val base = dataOff + j * blockAlign
+      while (k < ch) {
+        val off = base + k * bytesPer
+        s += (if (bits == 16) s16(b, off) else (u8(b, off) - 128) << 8)
+        k += 1
+      }
+      val w = (j.toLong * Windows / m).toInt
+      e(w) += s.toLong * s
+      n(w) += 1
+      j += 1
+    }
+    var fp = 0L
+    var w = 0
+    while (w < Windows - 1) {
+      if (e(w) * n(w + 1) > e(w + 1) * n(w)) fp |= 1L << w
+      w += 1
+    }
+    w = 0
+    while (w < Windows - 2) {
+      if (e(w) * n(w + 2) > e(w + 2) * n(w)) fp |= 1L << (31 + w)
+      w += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+}
+
 /** `exif_meta(bytes)`: EXIF privacy triage from the header bytes — a
   * multimodal crawl's GOVERNANCE scan. Walks a JPEG's segment table to
   * the first APP1 `Exif\0\0` payload (or takes a bare TIFF buffer) and
@@ -1201,4 +1319,6 @@ object MediaFunctions {
     column(StripExifExpression(expression(c)))
   def audio_pcm_stats(c: Column, maxFrames: Int = 4096): Column =
     column(AudioPcmStatsExpression(expression(c), maxFrames))
+  def audio_fingerprint(c: Column, maxFrames: Int = 65536): Column =
+    column(AudioFingerprintExpression(expression(c), maxFrames))
 }

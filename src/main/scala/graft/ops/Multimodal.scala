@@ -1318,6 +1318,104 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** AUDIO fingerprint scan: appends the 61-bit energy-delta
+    * fingerprint from [[graft.functions.AudioFingerprintExpression]]
+    * (NULL for non-PCM/hostile bytes). Map-only — the scan side of
+    * the audio near-dup pipeline; pair it with
+    * [[graft.ops.Dedup.hashNearDups]] for the banded join. */
+  def audioFingerprintScan(df: DataFrame, bytesCol: String): DataFrame =
+    df.withColumn("afp",
+      graft.functions.MediaFunctions.audio_fingerprint(col(bytesCol)))
+
+  /** Deterministic TRANSCODE-FAMILY WAV fixture: the same recording
+    * written the four ways a crawl actually delivers it. The base
+    * signal is 128 mono frames whose quantized amplitude follows a
+    * SQL-replayable xorshift-multiply hash of the frame index —
+    * idx = (seed·128 + j) mod 10^6, x = idx·2654435761 mod 2^32,
+    * x ^= x≫16, x = x·1103515245 mod 2^32, q = (x≫16 mod 256) − 128 —
+    * stored as the 16-bit sample q·256. The NONLINEAR scramble
+    * matters: any linear recipe (the raster fixtures' LCG included)
+    * makes consecutive samples an arithmetic progression whose window
+    * energies collapse to a small envelope family, flooding the
+    * near-dup join with accidental collisions; the xor step breaks
+    * linearity and measured cross-seed near-pairs to zero through
+    * 10k seeds. Each `encoding` re-encodes that EXACT signal:
+    *  - 0: 16-bit mono 16 kHz (the base),
+    *  - 1: 8-bit unsigned mono 16 kHz (samples q+128 — the same
+    *    ladder the 16-bit file quantizes),
+    *  - 2: 16-bit stereo 16 kHz (the mono signal duplicated to both
+    *    channels),
+    *  - 3: 16-bit mono 32 kHz (each frame written twice — the
+    *    duplicate-sample upsample).
+    * [[graft.functions.AudioFingerprintExpression]] must hash all
+    * four IDENTICALLY — that invariance is the near-dup property the
+    * p370 gate pins. JUNK bytes on every seed % 10 == 9 member (the
+    * fingerprint must NULL them, never die). `idOffset` keeps twin
+    * member ids disjoint from the base range. */
+  def wavEncodedFromIds(
+      ids: DataFrame,
+      idCol: String,
+      encoding: Int,
+      idOffset: Long = 0L): DataFrame = {
+    require(encoding >= 0 && encoding <= 3,
+      s"wavEncodedFromIds: encoding must be 0..3, got $encoding")
+    val spark = ids.sparkSession
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
+      val bytes =
+        if (seed % 10 == 9) s"notawav:$seed:$encoding".getBytes("US-ASCII")
+        else {
+          def q(j: Int): Int = {
+            val idx = (seed * 128 + j) % 1000000
+            var x = (idx * 2654435761L) % 4294967296L
+            x ^= x >>> 16
+            x = (x * 1103515245L) % 4294967296L
+            ((x >>> 16) % 256).toInt - 128
+          }
+          val baseFrames = 128
+          val (ch, bits, rate, frames) = encoding match {
+            case 0 => (1, 16, 16000, baseFrames)
+            case 1 => (1, 8, 16000, baseFrames)
+            case 2 => (2, 16, 16000, baseFrames)
+            case _ => (1, 16, 32000, baseFrames * 2)
+          }
+          val blockAlign = ch * bits / 8
+          val dataLen = frames * blockAlign
+          val out = new Array[Byte](44 + dataLen)
+          Array[Byte]('R', 'I', 'F', 'F').copyToArray(out, 0)
+          le32(36 + dataLen).copyToArray(out, 4)
+          Array[Byte]('W', 'A', 'V', 'E', 'f', 'm', 't', ' ').copyToArray(out, 8)
+          le32(16).copyToArray(out, 16)
+          le16(1).copyToArray(out, 20) // PCM
+          le16(ch).copyToArray(out, 22)
+          le32(rate).copyToArray(out, 24)
+          le32(rate * blockAlign).copyToArray(out, 28)
+          le16(blockAlign).copyToArray(out, 32)
+          le16(bits).copyToArray(out, 34)
+          Array[Byte]('d', 'a', 't', 'a').copyToArray(out, 36)
+          le32(dataLen).copyToArray(out, 40)
+          var j = 0
+          while (j < frames) {
+            // encoding 3 plays each base frame twice (j/2); others 1:1
+            val v = q(if (encoding == 3) j / 2 else j)
+            var k = 0
+            while (k < ch) {
+              val off = 44 + j * blockAlign + k * (bits / 8)
+              if (bits == 16) le16((v * 256) & 0xffff).copyToArray(out, off)
+              else out(off) = (v + 128).toByte
+              k += 1
+            }
+            j += 1
+          }
+          out
+        }
+      (seed + idOffset, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
   /** Deterministic header-bytes fixture: builds REAL container headers
     * (PNG IHDR, GIF89a logical screen, BMP BITMAPINFOHEADER, minimal
     * JPEG SOI+SOF0) with dimensions derived from the id — width

@@ -3267,6 +3267,44 @@ object PipelineQueries {
         .select(col("media_id"), col("format"), col("width"), col("height"))
         .orderBy("media_id")),
 
+    // AUDIO FINGERPRINT over real 16-bit PCM WAV bytes: the 61-bit
+    // energy-delta envelope (32 equal-time windows, adjacent + skip-one
+    // deltas) whose arithmetic the oracle replays sample-by-sample —
+    // the audio analogue of the p340 dHash bit replay. Junk members
+    // must NULL.
+    "p369_audio_fingerprint" -> ((s, dir) =>
+      graft.ops.Multimodal.audioFingerprintScan(
+        graft.ops.Multimodal.wavEncodedFromIds(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id",
+          encoding = 0),
+        "bytes")
+        .select(col("media_id"), col("afp"))
+        .orderBy("media_id")),
+
+    // TRANSCODED-AUDIO NEAR-DUP end to end: every recording appears
+    // twice — the 16-bit mono base plus ONE transcode (8-bit by
+    // seed % 3 == 0, stereo by 1, 2x-resampled by 2) — and the
+    // fingerprint's exact transcode invariance makes each pair collide
+    // at Hamming 0, found by the SAME banded join the image hashes
+    // use (never all-pairs). The oracle recomputes every fingerprint
+    // from the sample arithmetic and replays the Hamming-<=2 join.
+    "p370_audio_neardup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val base = graft.ops.Multimodal.wavEncodedFromIds(docs, "doc_id", 0)
+      val dep8 = graft.ops.Multimodal.wavEncodedFromIds(
+        docs.where(col("doc_id") % 3 === 0), "doc_id", 1, idOffset = 10000000L)
+      val ster = graft.ops.Multimodal.wavEncodedFromIds(
+        docs.where(col("doc_id") % 3 === 1), "doc_id", 2, idOffset = 20000000L)
+      val up2x = graft.ops.Multimodal.wavEncodedFromIds(
+        docs.where(col("doc_id") % 3 === 2), "doc_id", 3, idOffset = 30000000L)
+      graft.ops.Dedup.hashNearDups(
+          graft.ops.Multimodal.audioFingerprintScan(
+            base.unionByName(dep8).unionByName(ster).unionByName(up2x),
+            "bytes"),
+          "media_id", "afp", maxHamming = 2)
+        .orderBy("a", "b")
+    }),
+
     // Audio header triage — REAL WAV (chunk walk past a JUNK chunk),
     // FLAC (bit-packed STREAMINFO) and MP3 (frame header behind an
     // ID3v2 envelope) headers with id-derived rate/channels/bits,
@@ -9684,6 +9722,64 @@ object PipelineQueries {
       "CAST(CASE WHEN doc_id % 6 = 5 THEN -1 ELSE doc_id % 640 + 32 END AS INT) AS width, " +
       "CAST(CASE WHEN doc_id % 6 = 5 THEN -1 ELSE doc_id % 480 + 32 END AS INT) AS height " +
       "FROM documents ORDER BY media_id"),
+
+    // p369: the fingerprint replayed from the fixture's sample
+    // arithmetic — the xorshift-multiply hash of idx = seed*128 + j
+    // mod 10^6 (see wavEncodedFromIds: the nonlinearity is what keeps
+    // cross-seed envelopes decorrelated), q stored as q*256, window
+    // energies over 4-frame windows (128 frames / 32 windows),
+    // adjacent (bits 0..30) + skip-one (bits 31..60) strict-greater
+    // deltas; 61 bits fit BIGINT with no sign wrap. Every intermediate
+    // stays under 2^63 (max product 2^32 * 1103515245 < 2^63).
+    "p369_audio_fingerprint" -> (
+      "WITH x1 AS (SELECT doc_id AS seed, j.range AS j, " +
+      "(((doc_id * 128 + j.range) % 1000000) * 2654435761) " +
+      "% 4294967296 AS x FROM documents, range(0, 128) j), " +
+      "f AS (SELECT seed, j, " +
+      "((xor(x, x // 65536) * 1103515245) % 4294967296 // 65536 " +
+      "% 256 - 128) * 256 AS v FROM x1), " +
+      "w AS (SELECT seed, CAST(j // 4 AS INT) AS w, " +
+      "SUM(CAST(v AS BIGINT) * v) AS e FROM f GROUP BY 1, 2), " +
+      "b AS (SELECT a.seed, CASE WHEN a.e > b.e THEN 1::BIGINT << a.w " +
+      "ELSE 0 END AS v FROM w a JOIN w b ON b.seed = a.seed " +
+      "AND b.w = a.w + 1 WHERE a.w < 31 " +
+      "UNION ALL SELECT a.seed, CASE WHEN a.e > b.e " +
+      "THEN 1::BIGINT << (31 + a.w) ELSE 0 END AS v " +
+      "FROM w a JOIN w b ON b.seed = a.seed AND b.w = a.w + 2 " +
+      "WHERE a.w < 30), " +
+      "h AS (SELECT seed, SUM(v) AS v FROM b GROUP BY seed) " +
+      "SELECT seed AS media_id, CASE WHEN seed % 10 = 9 THEN NULL " +
+      "ELSE CAST(v AS BIGINT) END AS afp FROM h ORDER BY media_id"),
+
+    // p370: fingerprints recomputed per seed (transcodes are exact
+    // twins, so one fingerprint per seed serves all members), members
+    // = base id + the one twin id, then the Hamming-<=2 pair join
+    // replayed all-pairs (cross-seed envelope near-misses, if any,
+    // appear identically in both engines).
+    "p370_audio_neardup" -> (
+      "WITH x1 AS (SELECT doc_id AS seed, j.range AS j, " +
+      "(((doc_id * 128 + j.range) % 1000000) * 2654435761) " +
+      "% 4294967296 AS x FROM documents, range(0, 128) j " +
+      "WHERE doc_id % 10 <> 9), " +
+      "fj AS (SELECT seed, j, " +
+      "((xor(x, x // 65536) * 1103515245) % 4294967296 // 65536 " +
+      "% 256 - 128) * 256 AS v FROM x1), " +
+      "w AS (SELECT seed, CAST(j // 4 AS INT) AS w, " +
+      "SUM(CAST(v AS BIGINT) * v) AS e FROM fj GROUP BY 1, 2), " +
+      "b AS (SELECT a.seed, CASE WHEN a.e > b.e THEN 1::BIGINT << a.w " +
+      "ELSE 0 END AS v FROM w a JOIN w b ON b.seed = a.seed " +
+      "AND b.w = a.w + 1 WHERE a.w < 31 " +
+      "UNION ALL SELECT a.seed, CASE WHEN a.e > b.e " +
+      "THEN 1::BIGINT << (31 + a.w) ELSE 0 END AS v " +
+      "FROM w a JOIN w b ON b.seed = a.seed AND b.w = a.w + 2 " +
+      "WHERE a.w < 30), " +
+      "h AS (SELECT seed, CAST(SUM(v) AS BIGINT) AS v FROM b GROUP BY seed), " +
+      "mem AS (SELECT seed AS media_id, v FROM h " +
+      "UNION ALL SELECT seed + 10000000 + (seed % 3) * 10000000, v FROM h) " +
+      "SELECT a.media_id AS a, b.media_id AS b, " +
+      "CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming " +
+      "FROM mem a JOIN mem b ON a.media_id < b.media_id " +
+      "WHERE bit_count(xor(a.v, b.v)) <= 2 ORDER BY a, b"),
 
     "p318_audio_header_scan" -> (
       "SELECT doc_id AS media_id, " +

@@ -597,6 +597,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("audio fingerprint gates: map-only scan, banded near-dup join, no ScalaUDF") {
+    // p369 is a pure scan + orderBy: no ScalaUDF, no hash exchange
+    val p369 = plan("p369_audio_fingerprint")
+    assert(!p369.contains("ScalaUDF"), s"p369: ScalaUDF in\n$p369")
+    assert(p369.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      s"p369: fingerprint scan shuffled\n$p369")
+    // p370's pair generation must be the banded equi-join — never a
+    // cartesian/broadcast-nested-loop all-pairs comparison
+    val p370 = plan("p370_audio_neardup")
+    assert(!p370.contains("ScalaUDF"), s"p370: ScalaUDF in\n$p370")
+    assert(!p370.contains("CartesianProduct"), s"p370: all-pairs join\n$p370")
+    assert(!p370.contains("BroadcastNestedLoopJoin"), s"p370: all-pairs join\n$p370")
+  }
+
   test("p320/p322: URL dedup is one agg without a window; robots rules broadcast") {
     // keep-best per canonical URL must stay a struct-max partial agg —
     // a Window/self-join here would serialize the corpus
