@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `image_dims(bytes)`: container-format sniff + dimensions from the
@@ -921,6 +921,56 @@ object AudioFingerprintExpression {
   }
 }
 
+/** `video_frame_hashes(bytes, maxFrames)`: per-frame perceptual
+  * hashes for animated media — the FRAME-SAMPLE rung of the video
+  * pipeline made real. Decodes an animated GIF frame by frame
+  * ([[GifFrames]]: LZW + rect compositing + GCE transparency), hashes
+  * each composited frame with the same 64-bit dHash the still-image
+  * path uses, and returns the hash SEQUENCE — the unit video dedup,
+  * scene sampling, and frame-level curation all key on. Map-only and
+  * bounded: frame count is capped by `maxFrames` (a hostile
+  * million-frame file spends nothing past the cap), pixel work by
+  * [[PngLuma.MaxPixels]] from the header. Non-GIF containers (MP4,
+  * WebM — entropy-coded video needs a real codec) and hostile bytes
+  * → NULL, the same documented-null contract the raster decoders use
+  * for out-of-scope codecs. */
+case class VideoFrameHashesExpression(child: Expression, maxFrames: Int)
+    extends UnaryExpression {
+  require(maxFrames >= 1 && maxFrames <= 1024,
+    s"video_frame_hashes: maxFrames must be in [1, 1024], got $maxFrames")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    VideoFrameHashesExpression.evalArray(input.asInstanceOf[Array[Byte]], maxFrames)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arr = ctx.freshName("fh")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $arr =
+        graft.functions.VideoFrameHashesExpression.evalArray($c, $maxFrames);
+      if ($arr == null) { ${ev.isNull} = true; } else { ${ev.value} = $arr; }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "video_frame_hashes"
+}
+
+object VideoFrameHashesExpression {
+  /** Codegen entry point; null = not a decodable animated GIF. */
+  def evalArray(b: Array[Byte], maxFrames: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (b == null || b.length < 6) return null
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F')) return null
+    val grids = GifFrames.frameGrids(b, maxFrames)
+    if (grids == null) return null
+    val hashes = new Array[Long](grids.length)
+    var i = 0
+    while (i < grids.length) {
+      hashes(i) = DHash64Expression.packGrid(grids(i)).longValue()
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(hashes)
+  }
+}
+
 /** `exif_meta(bytes)`: EXIF privacy triage from the header bytes — a
   * multimodal crawl's GOVERNANCE scan. Walks a JPEG's segment table to
   * the first APP1 `Exif\0\0` payload (or takes a bare TIFF buffer) and
@@ -1321,4 +1371,6 @@ object MediaFunctions {
     column(AudioPcmStatsExpression(expression(c), maxFrames))
   def audio_fingerprint(c: Column, maxFrames: Int = 65536): Column =
     column(AudioFingerprintExpression(expression(c), maxFrames))
+  def video_frame_hashes(c: Column, maxFrames: Int = 32): Column =
+    column(VideoFrameHashesExpression(expression(c), maxFrames))
 }

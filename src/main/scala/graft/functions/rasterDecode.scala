@@ -1036,86 +1036,9 @@ object GifLuma {
     if (w.toLong * h > PngLuma.MaxPixels) return null
     if (dataAt >= b.length) return null
 
-    // LZW decode (GIF variant: variable 3..12-bit codes, clear/EOI)
-    val minCode = u8(b, dataAt)
-    if (minCode < 2 || minCode > 8) return null
-    var q = dataAt + 1
     val nPix = w * h
     val pixels = new Array[Byte](nPix)
-    var out = 0
-    val clearCode = 1 << minCode
-    val eoiCode = clearCode + 1
-    // dictionary as prefix/suffix arrays (classic GIF LZW layout)
-    val prefix = new Array[Int](4096)
-    val suffix = new Array[Byte](4096)
-    val stack = new Array[Byte](4097)
-    var dictSize = eoiCode + 1
-    var codeBits = minCode + 1
-    var prevCode = -1
-    var acc = 0
-    var nAcc = 0
-    var subLeft = 0
-    var done = false
-    while (!done && out < nPix) {
-      // refill bits from the sub-block stream
-      while (nAcc < codeBits && !done) {
-        if (subLeft == 0) {
-          if (q >= b.length) return null
-          subLeft = u8(b, q); q += 1
-          if (subLeft == 0) { done = true }
-        }
-        if (!done) {
-          if (q >= b.length) return null
-          acc |= u8(b, q) << nAcc
-          nAcc += 8; q += 1; subLeft -= 1
-        }
-      }
-      if (nAcc < codeBits) return null // stream ended mid-code
-      if (!done) {
-        val code = acc & ((1 << codeBits) - 1)
-        acc >>>= codeBits; nAcc -= codeBits
-        if (code == clearCode) {
-          dictSize = eoiCode + 1
-          codeBits = minCode + 1
-          prevCode = -1
-        } else if (code == eoiCode) {
-          done = true
-        } else {
-          if (code > dictSize || (code == dictSize && prevCode < 0)) return null
-          // expand `code` (or the KwKwK case) onto the stack
-          var sp = 0
-          var cur = code
-          if (code == dictSize) {
-            // KwKwK: current code not yet defined — prev + first(prev)
-            cur = prevCode
-            stack(sp) = 0; sp += 1 // placeholder, patched after walk
-          }
-          while (cur >= clearCode + 2) {
-            stack(sp) = suffix(cur); sp += 1
-            cur = prefix(cur)
-            if (sp > 4096) return null // corrupt chain loop
-          }
-          val first = cur.toByte
-          stack(sp) = first; sp += 1
-          if (code == dictSize) stack(0) = first // patch the KwKwK tail
-          // define the new dictionary entry
-          if (prevCode >= 0 && dictSize < 4096) {
-            prefix(dictSize) = prevCode
-            suffix(dictSize) = first
-            dictSize += 1
-            if (dictSize == (1 << codeBits) && codeBits < 12) codeBits += 1
-          }
-          prevCode = code
-          // pop the stack into the pixel buffer
-          while (sp > 0 && out < nPix) {
-            sp -= 1
-            pixels(out) = stack(sp)
-            out += 1
-          }
-        }
-      }
-    }
-    if (out < nPix) return null // truncated image data
+    if (GifLzw.decode(b, dataAt, nPix, pixels) < 0) return null
 
     // row order: interlaced GIFs store rows in 4 passes
     // (starts 0/4/2/1, steps 8/8/4/2); inv maps display row -> stored row
@@ -1149,5 +1072,272 @@ object GifLuma {
       r += 1
     }
     samples
+  }
+}
+
+/** GIF LZW stream decoder, shared by [[GifLuma]] (first frame) and
+  * [[GifFrames]] (animation walk — that caller needs the end offset
+  * to continue to the next block). GIF flavor per GIF89a appendix F:
+  * variable 3..12-bit codes LSB-first across 255-byte data sub-blocks,
+  * CLEAR/EOI, KwKwK, deferred-clear dictionary growth. */
+private[functions] object GifLzw {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  /** Decode one image's LZW data (starting at the min-code-size byte
+    * `dataAt`) into exactly `nPix` pixel indices, then consume any
+    * remaining data sub-blocks through the 0 terminator. Returns the
+    * offset just past the terminator, or -1 for corrupt/truncated
+    * streams. */
+  def decode(b: Array[Byte], dataAt: Int, nPix: Int, pixels: Array[Byte]): Int = {
+    if (dataAt >= b.length) return -1
+    val minCode = u8(b, dataAt)
+    if (minCode < 2 || minCode > 8) return -1
+    var q = dataAt + 1
+    var out = 0
+    val clearCode = 1 << minCode
+    val eoiCode = clearCode + 1
+    // dictionary as prefix/suffix arrays (classic GIF LZW layout)
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var dictSize = eoiCode + 1
+    var codeBits = minCode + 1
+    var prevCode = -1
+    var acc = 0
+    var nAcc = 0
+    var subLeft = 0
+    var done = false
+    var termSeen = false
+    while (!done && out < nPix) {
+      // refill bits from the sub-block stream
+      while (nAcc < codeBits && !done) {
+        if (subLeft == 0) {
+          if (q >= b.length) return -1
+          subLeft = u8(b, q); q += 1
+          if (subLeft == 0) { done = true; termSeen = true }
+        }
+        if (!done) {
+          if (q >= b.length) return -1
+          acc |= u8(b, q) << nAcc
+          nAcc += 8; q += 1; subLeft -= 1
+        }
+      }
+      if (nAcc < codeBits) return -1 // stream ended mid-code
+      if (!done) {
+        val code = acc & ((1 << codeBits) - 1)
+        acc >>>= codeBits; nAcc -= codeBits
+        if (code == clearCode) {
+          dictSize = eoiCode + 1
+          codeBits = minCode + 1
+          prevCode = -1
+        } else if (code == eoiCode) {
+          done = true
+        } else {
+          if (code > dictSize || (code == dictSize && prevCode < 0)) return -1
+          // expand `code` (or the KwKwK case) onto the stack
+          var sp = 0
+          var cur = code
+          if (code == dictSize) {
+            // KwKwK: current code not yet defined — prev + first(prev)
+            cur = prevCode
+            stack(sp) = 0; sp += 1 // placeholder, patched after walk
+          }
+          while (cur >= clearCode + 2) {
+            stack(sp) = suffix(cur); sp += 1
+            cur = prefix(cur)
+            if (sp > 4096) return -1 // corrupt chain loop
+          }
+          val first = cur.toByte
+          stack(sp) = first; sp += 1
+          if (code == dictSize) stack(0) = first // patch the KwKwK tail
+          // define the new dictionary entry
+          if (prevCode >= 0 && dictSize < 4096) {
+            prefix(dictSize) = prevCode
+            suffix(dictSize) = first
+            dictSize += 1
+            if (dictSize == (1 << codeBits) && codeBits < 12) codeBits += 1
+          }
+          prevCode = code
+          // pop the stack into the pixel buffer
+          while (sp > 0 && out < nPix) {
+            sp -= 1
+            pixels(out) = stack(sp)
+            out += 1
+          }
+        }
+      }
+    }
+    if (out < nPix) return -1 // truncated image data
+    // consume to the data terminator (the decoder may stop mid-block
+    // once the pixel buffer fills, or on an EOI with blocks after it)
+    if (!termSeen) {
+      q += subLeft
+      while (q < b.length && u8(b, q) != 0) q += 1 + u8(b, q)
+      if (q >= b.length) return -1
+      q += 1
+    }
+    q
+  }
+}
+
+/** Animated-GIF frame decoder: the video-kind rung of the multimodal
+  * pipeline. Walks every image block, LZW-decodes it, and COMPOSITES
+  * it onto the logical-screen canvas at its (left, top) rect —
+  * honoring the Graphic Control Extension's transparency index (the
+  * mechanism real animations use for partial-frame updates), frame-
+  * local color tables, and per-frame interlacing — then samples the
+  * canvas into the same 9×8 luma grid every raster decoder feeds, one
+  * grid PER FRAME. Disposal methods are treated as draw-over (method
+  * 1, the common case); restore-to-background/previous animations
+  * composite approximately — a documented simplification, not a crash
+  * path. Frame count is capped (`MaxFrames`) so a hostile million-
+  * frame file cannot make one record expensive; canvas and per-frame
+  * rects are `MaxPixels`-capped from the HEADER before any LZW work.
+  * Junk, truncated, or non-GIF bytes → null, never a throw. */
+object GifFrames {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+  val MaxFrames = 32
+
+  def frameGrids(b: Array[Byte]): Array[Array[Int]] = frameGrids(b, MaxFrames)
+
+  def frameGrids(b: Array[Byte], maxFrames: Int): Array[Array[Int]] = {
+    try frameGridsUnsafe(b, maxFrames)
+    catch {
+      // OOME not caught: allocations are MaxPixels-capped (see PngLuma)
+      case _: ArrayIndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+    }
+  }
+
+  private def lumaTable(b: Array[Byte], p: Int, n: Int): Array[Int] = {
+    val t = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      t(k) = (u8(b, p + 3 * k) * 299 + u8(b, p + 3 * k + 1) * 587 +
+        u8(b, p + 3 * k + 2) * 114) / 1000
+      k += 1
+    }
+    t
+  }
+
+  private def frameGridsUnsafe(b: Array[Byte], maxFrames: Int): Array[Array[Int]] = {
+    if (b == null || b.length < 13 || maxFrames < 1) return null
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return null
+    val cw = le16(b, 6)
+    val ch = le16(b, 8)
+    if (cw < 1 || ch < 1) return null
+    if (cw.toLong * ch > PngLuma.MaxPixels) return null
+    val packed = u8(b, 10)
+    var p = 13
+    var gct: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (p + 3 * n > b.length) return null
+      gct = lumaTable(b, p, n)
+      p += 3 * n
+    }
+    val canvas = new Array[Int](cw * ch)
+    // pre-frame canvas: the background color's luma when a GCT names
+    // one (renderers vary here; the first frame almost always covers
+    // the canvas, making this visible only to pathological files)
+    if (gct != null) {
+      val bg = u8(b, 11)
+      if (bg < gct.length && gct(bg) != 0)
+        java.util.Arrays.fill(canvas, gct(bg))
+    }
+    val grids = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    var transIdx = -1 // from the GCE, applies to the NEXT image only
+    var eof = false
+    while (!eof && grids.length < maxFrames) {
+      if (p >= b.length) return null // missing trailer
+      u8(b, p) match {
+        case 0x3b => eof = true
+        case 0x21 => // extension: label + sub-blocks
+          if (p + 2 > b.length) return null
+          val label = u8(b, p + 1)
+          if (label == 0xf9 && p + 7 <= b.length && u8(b, p + 2) == 4) {
+            // GCE: size(4), packed, delay lo/hi, transparent index
+            val flags = u8(b, p + 3)
+            transIdx = if ((flags & 1) != 0) u8(b, p + 6) else -1
+          }
+          p += 2
+          while (p < b.length && u8(b, p) != 0) p += 1 + u8(b, p)
+          if (p >= b.length) return null
+          p += 1 // terminator
+        case 0x2c => // image descriptor
+          if (p + 10 > b.length) return null
+          val fx = le16(b, p + 1); val fy = le16(b, p + 3)
+          val fw = le16(b, p + 5); val fh = le16(b, p + 7)
+          val ip = u8(b, p + 9)
+          val interlaced = (ip & 0x40) != 0
+          p += 10
+          var table = gct
+          if ((ip & 0x80) != 0) { // local color table
+            val n = 2 << (ip & 7)
+            if (p + 3 * n > b.length) return null
+            table = lumaTable(b, p, n)
+            p += 3 * n
+          }
+          if (table == null) return null
+          if (fw < 1 || fh < 1) return null
+          if (fx.toLong + fw > cw || fy.toLong + fh > ch) return null
+          if (fw.toLong * fh > PngLuma.MaxPixels) return null
+          val nPix = fw * fh
+          val pixels = new Array[Byte](nPix)
+          val after = GifLzw.decode(b, p, nPix, pixels)
+          if (after < 0) return null
+          p = after
+          // display row -> stored row, per-frame interlace
+          val rowOf: Int => Int =
+            if (!interlaced) identity
+            else {
+              val order = new Array[Int](fh)
+              var idx = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+                var y = start
+                while (y < fh) { order(idx) = y; idx += 1; y += step }
+              }
+              val inv = new Array[Int](fh)
+              var i = 0
+              while (i < fh) { inv(order(i)) = i; i += 1 }
+              (y: Int) => inv(y)
+            }
+          // composite the rect over the canvas, transparency-aware
+          var y = 0
+          while (y < fh) {
+            val src = rowOf(y)
+            var x = 0
+            while (x < fw) {
+              val idx = pixels(src * fw + x) & 0xff
+              if (idx != transIdx)
+                canvas((fy + y) * cw + fx + x) =
+                  if (idx < table.length) table(idx) else 0
+              x += 1
+            }
+            y += 1
+          }
+          transIdx = -1
+          // sample the composited canvas into this frame's grid
+          val g = new Array[Int](72)
+          var r = 0
+          while (r < 8) {
+            val yy = if (ch == 1) 0 else ((ch - 1).toLong * r / 7).toInt
+            var c = 0
+            while (c < 9) {
+              val xx = if (cw == 1) 0 else ((cw - 1).toLong * c / 8).toInt
+              g(r * 9 + c) = canvas(yy * cw + xx)
+              c += 1
+            }
+            r += 1
+          }
+          grids += g
+        case _ => return null // unknown block type: not a GIF we trust
+      }
+    }
+    if (grids.isEmpty) null else grids.toArray
   }
 }

@@ -1416,6 +1416,122 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** VIDEO frame sampling over animated GIFs: one row per sampled
+    * frame — (media_id, frame_no, dhash) — via
+    * [[graft.functions.VideoFrameHashesExpression]] + `posexplode`.
+    * `stride` keeps every strideth frame (stride 1 = all frames).
+    * Map-only + one generator; rows with undecodable payloads vanish
+    * (posexplode of NULL), the triage-not-crash contract. */
+  def videoFrameSample(df: DataFrame, bytesCol: String, stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"videoFrameSample: stride must be >= 1, got $stride")
+    df.select(col("media_id"),
+        posexplode(graft.functions.MediaFunctions.video_frame_hashes(col(bytesCol)))
+          .as(Seq("frame_no", "dhash")))
+      .where(col("frame_no") % stride === 0)
+  }
+
+  /** VIDEO near-dup: two videos pair when they share >= `minShared`
+    * distinct frame hashes — the sampled-frame containment test that
+    * catches re-encodes, trims and extended cuts of the same clip.
+    * Candidate generation is an EQUI-JOIN on the frame hash (each
+    * shared frame is a band key), never an all-pairs comparison;
+    * dedup to distinct (video, hash) first so a clip looping one
+    * frame cannot vote itself past the threshold. */
+  def videoNearDups(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      minShared: Int = 2): DataFrame = {
+    val frames = df.select(col(idCol),
+        explode(graft.functions.MediaFunctions.video_frame_hashes(col(bytesCol)))
+          .as("fh"))
+      .distinct()
+    val a = frames.select(col(idCol).as("a"), col("fh"))
+    val b = frames.select(col(idCol).as("b"), col("fh"))
+    a.join(b, Seq("fh"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
+  /** Deterministic ANIMATED-GIF fixture: seed % 3 + 2 frames on a 9×8
+    * canvas with a 256-entry grayscale GCT. Frame 0 is the full p340
+    * LCG grid (so frame 0's hash replays the p352 arithmetic
+    * verbatim); each later frame t is a PARTIAL update — a
+    * one-row rect at top = t behind a Graphic Control Extension whose
+    * transparency index (254) is planted at column c == t, so the
+    * compositor must both place the rect and let the frame-0 pixel
+    * show through the hole. Row pixels follow lcg((seed + t·131)·72 +
+    * c mod 100000) mod 254 (the mod 254 keeps payload indices clear
+    * of the transparency index). `extraFrame` appends one more
+    * update (row F) — the twin shape the p372 near-dup gate pairs:
+    * an EXTENDED CUT sharing every base frame. JUNK bytes on every
+    * seed % 10 == 9 member. */
+  def gifAnimFromIds(
+      ids: DataFrame,
+      idCol: String,
+      idOffset: Long = 0L,
+      extraFrame: Boolean = false): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
+      val bytes =
+        if (seed % 10 == 9) s"notanim:$seed".getBytes("US-ASCII")
+        else {
+          def lcg(i: Long): Int =
+            (((1103515245L * (i % 100000L) + 12345L) % 2147483648L) /
+              65536L % 256L).toInt
+          val out = new java.io.ByteArrayOutputStream(2048)
+          def w8(v: Int): Unit = out.write(v & 0xff)
+          def w16(v: Int): Unit = { w8(v); w8(v >>> 8) }
+          def writeCodes(px: Seq[Int]): Unit = {
+            w8(8) // LZW min code size
+            val codes = 256 +: px :+ 257 // CLEAR, literals, EOI (9-bit)
+            val data = new java.io.ByteArrayOutputStream(96)
+            var acc = 0; var nAcc = 0
+            codes.foreach { c =>
+              acc |= c << nAcc; nAcc += 9
+              while (nAcc >= 8) { data.write(acc & 0xff); acc >>>= 8; nAcc -= 8 }
+            }
+            if (nAcc > 0) data.write(acc & 0xff)
+            val d = data.toByteArray
+            var i = 0
+            while (i < d.length) {
+              val n = math.min(255, d.length - i)
+              w8(n); out.write(d, i, n); i += n
+            }
+            w8(0) // sub-block terminator
+          }
+          out.write("GIF89a".getBytes("US-ASCII"))
+          w16(9); w16(8)
+          w8(0xf7); w8(0); w8(0) // 256-entry GCT, background 0, aspect
+          (0 until 256).foreach { k => w8(k); w8(k); w8(k) } // gray GCT
+          // frame 0: the full p340 grid, no GCE
+          w8(0x2c); w16(0); w16(0); w16(9); w16(8); w8(0)
+          writeCodes(for (y <- 0 until 8; x <- 0 until 9)
+            yield lcg(seed * 72 + y * 9 + x))
+          // frames 1..F-1 (+ the extra): one-row rects with a
+          // transparent hole at column t
+          val last = (seed % 3 + 2).toInt - 1 + (if (extraFrame) 1 else 0)
+          for (t <- 1 to last) {
+            w8(0x21); w8(0xf9); w8(4) // GCE
+            w8(1)                     // transparency flag on
+            w16(0)                    // delay
+            w8(254)                   // transparent index
+            w8(0)                     // terminator
+            w8(0x2c); w16(0); w16(t); w16(9); w16(1); w8(0)
+            writeCodes((0 until 9).map { c =>
+              if (c == t) 254
+              else lcg((seed + t * 131L) * 72 + c) % 254
+            })
+          }
+          w8(0x3b) // trailer
+          out.toByteArray
+        }
+      (seed + idOffset, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
   /** Deterministic header-bytes fixture: builds REAL container headers
     * (PNG IHDR, GIF89a logical screen, BMP BITMAPINFOHEADER, minimal
     * JPEG SOI+SOF0) with dimensions derived from the id — width

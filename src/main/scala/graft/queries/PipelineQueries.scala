@@ -3305,6 +3305,40 @@ object PipelineQueries {
         .orderBy("a", "b")
     }),
 
+    // VIDEO FRAME SAMPLING made real: animated GIFs decoded frame by
+    // frame — LZW, partial-rect compositing, GCE transparency holes —
+    // each composited canvas dHashed; one row per frame. The oracle
+    // replays every composited pixel arithmetically (frame 0 is the
+    // p352 grid verbatim; later frames are one-row updates whose
+    // transparent hole must show frame 0 through).
+    "p371_video_frame_sample" -> ((s, dir) =>
+      graft.ops.Multimodal.videoFrameSample(
+        graft.ops.Multimodal.gifAnimFromIds(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "bytes")
+        .orderBy("media_id", "frame_no")),
+
+    // VIDEO NEAR-DUP: every seed % 4 == 0 clip also appears as an
+    // EXTENDED CUT (same frames + one more); two videos pair when
+    // they share >= 2 distinct frame hashes, candidates generated by
+    // an equi-join on the frame hash (each shared frame is a band
+    // key) — never all-pairs. Oracle recomputes every frame hash and
+    // replays the containment join. All 125 planted twins pair; the
+    // result also carries cross-seed pairs from the LCG grid space's
+    // known near-periodicity (dHash collisions at seed deltas like
+    // 243 — the same collision-dense property p353 documents), which
+    // both engines reproduce identically.
+    "p372_video_neardup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val base = graft.ops.Multimodal.gifAnimFromIds(docs, "doc_id")
+      val twins = graft.ops.Multimodal.gifAnimFromIds(
+        docs.where(col("doc_id") % 4 === 0), "doc_id",
+        idOffset = 10000000L, extraFrame = true)
+      graft.ops.Multimodal.videoNearDups(
+          base.unionByName(twins), "media_id", "bytes", minShared = 2)
+        .orderBy("a", "b")
+    }),
+
     // Audio header triage — REAL WAV (chunk walk past a JUNK chunk),
     // FLAC (bit-packed STREAMINFO) and MP3 (frame header behind an
     // ID3v2 envelope) headers with id-derived rate/channels/bits,
@@ -9780,6 +9814,60 @@ object PipelineQueries {
       "CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming " +
       "FROM mem a JOIN mem b ON a.media_id < b.media_id " +
       "WHERE bit_count(xor(a.v, b.v)) <= 2 ORDER BY a, b"),
+
+    // p371: composited-canvas pixels per (seed, frame) — frame 0 is
+    // the p340/p352 LCG grid; row r in 1..f shows the frame-r update
+    // (mod 254) except the transparency hole at c == r, which shows
+    // frame 0's pixel — then the standard dHash bit join per frame
+    "p371_video_frame_sample" -> (
+      "WITH ids AS (SELECT doc_id AS seed, doc_id % 3 + 2 AS nf " +
+      "FROM documents WHERE doc_id % 10 <> 9), " +
+      "fr AS (SELECT seed, f.range AS f FROM ids, range(0, 4) f " +
+      "WHERE f.range < nf), " +
+      "g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT seed, f, r, c, " +
+      "CASE WHEN r >= 1 AND r <= f THEN (CASE WHEN c = r " +
+      "THEN ((1103515245 * ((seed * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 " +
+      "ELSE (((1103515245 * (((seed + r * 131) * 72 + c) % 100000) + 12345) % 2147483648) // 65536 % 256) % 254 END) " +
+      "ELSE ((1103515245 * ((seed * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 END AS lum " +
+      "FROM fr, g), " +
+      "bits AS (SELECT a.seed, a.f, CASE WHEN a.lum < b.lum " +
+      "THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.seed = a.seed AND b.f = a.f " +
+      "AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT seed, f, SUM(v) AS v FROM bits GROUP BY 1, 2) " +
+      "SELECT seed AS media_id, CAST(f AS INT) AS frame_no, " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT " +
+      "THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS dhash " +
+      "FROM h ORDER BY media_id, frame_no"),
+
+    // p372: frame hashes per (seed, f) through f = nf (the extended
+    // cut's extra frame), members = base (f < nf) + twin (all f,
+    // seed % 4 = 0), distinct (video, hash), equi-join on hash,
+    // count >= 2
+    "p372_video_neardup" -> (
+      "WITH ids AS (SELECT doc_id AS seed, doc_id % 3 + 2 AS nf " +
+      "FROM documents WHERE doc_id % 10 <> 9), " +
+      "fr AS (SELECT seed, nf, f.range AS f FROM ids, range(0, 5) f " +
+      "WHERE f.range <= nf), " +
+      "g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT seed, nf, f, r, c, " +
+      "CASE WHEN r >= 1 AND r <= f THEN (CASE WHEN c = r " +
+      "THEN ((1103515245 * ((seed * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 " +
+      "ELSE (((1103515245 * (((seed + r * 131) * 72 + c) % 100000) + 12345) % 2147483648) // 65536 % 256) % 254 END) " +
+      "ELSE ((1103515245 * ((seed * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 END AS lum " +
+      "FROM fr, g), " +
+      "bits AS (SELECT a.seed, a.nf, a.f, CASE WHEN a.lum < b.lum " +
+      "THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.seed = a.seed AND b.f = a.f " +
+      "AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT seed, nf, f, SUM(v) AS v FROM bits GROUP BY 1, 2, 3), " +
+      "mem AS (SELECT seed AS vid, v FROM h WHERE f < nf " +
+      "UNION ALL SELECT seed + 10000000, v FROM h WHERE seed % 4 = 0), " +
+      "mm AS (SELECT DISTINCT vid, v FROM mem) " +
+      "SELECT a.vid AS a, b.vid AS b, CAST(COUNT(*) AS BIGINT) AS shared " +
+      "FROM mm a JOIN mm b ON a.v = b.v AND a.vid < b.vid " +
+      "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b"),
 
     "p318_audio_header_scan" -> (
       "SELECT doc_id AS media_id, " +

@@ -611,6 +611,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p370.contains("BroadcastNestedLoopJoin"), s"p370: all-pairs join\n$p370")
   }
 
+  test("video frame gates: generator scan stays map-only, near-dup is hash equi-join") {
+    val p371 = plan("p371_video_frame_sample")
+    assert(!p371.contains("ScalaUDF"), s"p371: ScalaUDF in\n$p371")
+    assert(p371.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      s"p371: frame scan shuffled\n$p371")
+    val p372 = plan("p372_video_neardup")
+    assert(!p372.contains("ScalaUDF"), s"p372: ScalaUDF in\n$p372")
+    assert(!p372.contains("CartesianProduct"), s"p372: all-pairs join\n$p372")
+    assert(!p372.contains("BroadcastNestedLoopJoin"), s"p372: all-pairs join\n$p372")
+  }
+
   test("p320/p322: URL dedup is one agg without a window; robots rules broadcast") {
     // keep-best per canonical URL must stay a struct-max partial agg —
     // a Window/self-join here would serialize the corpus
