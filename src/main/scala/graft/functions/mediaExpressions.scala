@@ -615,6 +615,13 @@ object DHash64Expression {
       val g = WebpLuma.sampleGrid(b)
       return if (g == null) null else packGrid(g)
     }
+    // TIFF: uncompressed strips are random access — 72 direct reads
+    if (b.length >= 8 && ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 &&
+        b(3) == 0) || (b(0) == 'M' && b(1) == 'M' && b(2) == 0 &&
+        b(3) == 42))) {
+      val g = TiffLuma.sampleGrid(b)
+      return if (g == null) null else packGrid(g)
+    }
     if (b.length < 54) return null
     if (b(0) != 'B' || b(1) != 'M') return null
     val off = le32(b, 10)
@@ -704,6 +711,13 @@ object DHash64OrientedExpression {
         b(2) == 'N' && b(3) == 'G') {
       // PNG Third Edition's eXIf chunk — same normalization
       val g = PngLuma.sampleGrid(b, ExifMetaExpression.scan(b)._2)
+      return if (g == null) null else DHash64Expression.packGrid(g)
+    }
+    if (b.length >= 8 && ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 &&
+        b(3) == 0) || (b(0) == 'M' && b(1) == 'M' && b(2) == 0 &&
+        b(3) == 42))) {
+      // TIFF carries tag 274 natively in IFD0 (exif_meta's bare-TIFF path)
+      val g = TiffLuma.sampleGrid(b, ExifMetaExpression.scan(b)._2)
       return if (g == null) null else DHash64Expression.packGrid(g)
     }
     DHash64Expression.evalRow(b) // no EXIF channel in GIF/BMP

@@ -1341,3 +1341,200 @@ object GifFrames {
     if (grids.isEmpty) null else grids.toArray
   }
 }
+
+/** TIFF raster decoder for the perceptual-hash path: baseline
+  * uncompressed TIFF per the TIFF 6.0 specification — II/MM byte
+  * orders, IFD0 tag walk (the same bounded discipline as
+  * [[ExifMetaExpression]], which reads the SAME container for its
+  * governance triage), 8-bit grayscale (PhotometricInterpretation
+  * 0/1), chunky RGB (2, extra samples tolerated as alpha), and
+  * palette-color (3, ColorMap tag 320), assembled across multiple
+  * strips (RowsPerStrip/StripOffsets/StripByteCounts).
+  *
+  * Uncompressed TIFF is RANDOM ACCESS — the decoder never
+  * materializes the image: each of the 72 grid samples is one direct
+  * strip read (strip = y / rowsPerStrip, row-in-strip arithmetic), so
+  * per-record work is O(72) regardless of image size. Strip extents
+  * are validated against StripByteCounts before any read; compressed,
+  * tiled, planar, or non-8-bit files and hostile bytes → null, never
+  * a throw. */
+object TiffLuma {
+
+  def sampleGrid(b: Array[Byte]): Array[Int] = sampleGrid(b, 1)
+
+  /** As [[sampleGrid]], but samples in DISPLAY space under EXIF
+    * tag-274 `orientation` — TIFF carries the tag natively in the
+    * same IFD0 the pixel tags live in. Values outside 1..8 sample as
+    * stored. */
+  def sampleGrid(b: Array[Byte], orientation: Int): Array[Int] = {
+    try sampleGridUnsafe(b, orientation)
+    catch {
+      // OOME not caught: allocations are tag-count-bounded (see PngLuma)
+      case _: ArrayIndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+    }
+  }
+
+  private def sampleGridUnsafe(b: Array[Byte], orientation: Int): Array[Int] = {
+    if (b == null || b.length < 8) return null
+    val le =
+      if (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) true
+      else if (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42) false
+      else return null
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int =
+      if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (le) (u16(i) | (u16(i + 2).toLong << 16)) & 0xffffffffL
+      else ((u16(i).toLong << 16) | u16(i + 2)) & 0xffffffffL
+    val ifd0 = u32(4)
+    if (ifd0 < 8 || ifd0 + 2 > b.length) return null
+    val ifd = ifd0.toInt
+    val n = u16(ifd)
+    if (n < 1 || n > 512) return null
+    if (ifd + 2 + n * 12 > b.length) return null
+
+    // TIFF value fields: inline when total size <= 4, else an offset;
+    // SHORT(3)/LONG(4)/BYTE(1) scalars and SHORT/LONG arrays suffice
+    // for the baseline tag set
+    def scalar(e: Int, typ: Int): Long = typ match {
+      case 1 => u8(e + 8)
+      case 3 => u16(e + 8)
+      case 4 => u32(e + 8)
+      case _ => -1L
+    }
+    def arrBase(e: Int, typ: Int, cnt: Long): Int = {
+      val unit = if (typ == 3) 2 else if (typ == 4) 4 else return -1
+      if (unit * cnt <= 4) e + 8
+      else {
+        val off = u32(e + 8)
+        if (off < 8 || off + unit * cnt > b.length) -1 else off.toInt
+      }
+    }
+    def arrVal(base: Int, typ: Int, idx: Int): Long =
+      if (typ == 3) u16(base + idx * 2) else u32(base + idx * 4)
+
+    var w = -1L; var h = -1L
+    var comp = 1L; var photo = -1L; var spp = 1L
+    var rowsPerStrip = 0xffffffffL // spec default: all rows, one strip
+    var planar = 1L
+    var bitsOk = true
+    var soType = 0; var soCnt = 0; var soBase = -1
+    var scType = 0; var scCnt = 0; var scBase = -1
+    var cmBase = -1; var cmCnt = 0L
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + i * 12
+      val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4)
+      tag match {
+        case 256 => w = scalar(e, typ)
+        case 257 => h = scalar(e, typ)
+        case 258 =>
+          if (cnt == 1) bitsOk = scalar(e, typ) == 8
+          else {
+            val base = arrBase(e, typ, cnt)
+            if (base < 0 || typ != 3) return null
+            var k = 0
+            while (k < cnt) {
+              if (u16(base + k * 2) != 8) bitsOk = false
+              k += 1
+            }
+          }
+        case 259 => comp = scalar(e, typ)
+        case 262 => photo = scalar(e, typ)
+        case 273 =>
+          soType = typ; soCnt = cnt.toInt; soBase = arrBase(e, typ, cnt)
+        case 277 => spp = scalar(e, typ)
+        case 278 => rowsPerStrip = scalar(e, typ)
+        case 279 =>
+          scType = typ; scCnt = cnt.toInt; scBase = arrBase(e, typ, cnt)
+        case 284 => planar = scalar(e, typ)
+        case 320 =>
+          cmCnt = cnt
+          cmBase = arrBase(e, typ, cnt)
+          if (typ != 3) return null
+        case _ => ()
+      }
+      i += 1
+    }
+    if (comp != 1 || planar != 1 || !bitsOk) return null
+    if (w < 1 || h < 1 || w > PngLuma.MaxWidth || w * h > PngLuma.MaxPixels)
+      return null
+    val channels = photo match {
+      case 0 | 1 => if (spp != 1) return null else 1
+      case 2 => if (spp < 3) return null else spp.toInt // extras = alpha
+      case 3 =>
+        if (spp != 1) return null
+        if (cmBase < 0 || cmCnt != 3 * 256) return null
+        1
+      case _ => return null
+    }
+    if (soBase < 0 || soCnt < 1) return null
+    val rps = math.min(rowsPerStrip, h)
+    if (rps < 1) return null
+    val nStrips = ((h + rps - 1) / rps).toInt
+    if (soCnt < nStrips) return null
+    if (scBase >= 0 && scCnt < nStrips) return null
+    val rowBytes = w * channels
+    // validate every strip's extent BEFORE any pixel read: the strip
+    // must hold its rows and sit inside the buffer
+    val stripOff = new Array[Long](nStrips)
+    var s = 0
+    while (s < nStrips) {
+      val off = arrVal(soBase, soType, s)
+      val rowsIn = math.min(rps, h - s * rps)
+      val need = rowsIn * rowBytes
+      val have =
+        if (scBase >= 0) arrVal(scBase, scType, s)
+        else b.length - off // no byte counts: bound by the buffer
+      if (off < 8 || need > have || off + need > b.length) return null
+      stripOff(s) = off
+      s += 1
+    }
+
+    def lumaAt(gx: Int, gy: Int): Int = {
+      val strip = (gy / rps).toInt
+      val off = (stripOff(strip) + (gy - strip * rps) * rowBytes +
+        gx.toLong * channels).toInt
+      photo match {
+        case 0 => 255 - u8(off) // WhiteIsZero
+        case 1 => u8(off)
+        case 2 =>
+          (u8(off) * 299 + u8(off + 1) * 587 + u8(off + 2) * 114) / 1000
+        case _ => // palette: ColorMap is all reds, all greens, all blues
+          val idx = u8(off)
+          val r = u16(cmBase + idx * 2) >> 8
+          val g = u16(cmBase + 512 + idx * 2) >> 8
+          val bb = u16(cmBase + 1024 + idx * 2) >> 8
+          (r * 299 + g * 587 + bb * 114) / 1000
+      }
+    }
+
+    // grid targets in DISPLAY space, mapped back to stored pixels by
+    // the inverse tag-274 transform (identity when orientation 1/absent)
+    val o = if (orientation >= 1 && orientation <= 8) orientation else 1
+    val wi = w.toInt; val hi = h.toInt
+    val wD = if (o >= 5) hi else wi
+    val hD = if (o >= 5) wi else hi
+    val samples = new Array[Int](72)
+    var gi = 0
+    while (gi < 72) {
+      val yd = if (hD == 1) 0 else ((hD - 1).toLong * (gi / 9) / 7).toInt
+      val xd = if (wD == 1) 0 else ((wD - 1).toLong * (gi % 9) / 8).toInt
+      var gx = xd; var gy = yd
+      o match {
+        case 1 => ()
+        case 2 => gx = wi - 1 - xd
+        case 3 => gx = wi - 1 - xd; gy = hi - 1 - yd
+        case 4 => gy = hi - 1 - yd
+        case 5 => gx = yd; gy = xd
+        case 6 => gx = yd; gy = hi - 1 - xd
+        case 7 => gx = wi - 1 - yd; gy = hi - 1 - xd
+        case _ => gx = wi - 1 - yd; gy = xd // 8
+      }
+      samples(gi) = lumaAt(gx, gy)
+      gi += 1
+    }
+    samples
+  }
+}

@@ -1532,6 +1532,107 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** Deterministic TIFF fixture: REAL baseline uncompressed TIFF 6.0
+    * files — 8-bit grayscale, MULTI-STRIP (RowsPerStrip 4, so strip
+    * arithmetic is exercised, not just single-strip), external
+    * StripOffsets/StripByteCounts LONG arrays, byte order II for even
+    * seeds and MM for odd (both orders must parse) — whose pixels
+    * follow the standard p340 LCG grid, so the dHash oracle replays
+    * the same arithmetic as every other raster fixture. With
+    * `oriented = true` the file stores the grid camera-rotated by
+    * orientation seed % 8 + 1 and carries tag 274 IN IFD0 (TIFF needs
+    * no APP1 wrapper — the pixel IFD is the EXIF IFD), the input
+    * shape for the orientation-normalized hash. JUNK bytes on every
+    * seed % 10 == 9 member. */
+  def tiffPixelsFromIds(
+      ids: DataFrame,
+      idCol: String,
+      idOffset: Long = 0L,
+      oriented: Boolean = false,
+      bumpCell: Int = 0): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
+      val bytes =
+        if (seed % 10 == 9) s"notatiff:$seed".getBytes("US-ASCII")
+        else {
+          def base(x: Int, y: Int): Int = {
+            val v = (((1103515245L * ((seed * 72 + y * 9 + x) % 100000L) +
+              12345L) % 2147483648L) / 65536L % 256L).toInt
+            if (bumpCell != 0 && x == 3 && y == 2) (v + bumpCell) % 256
+            else v
+          }
+          val o = if (oriented) (seed % 8 + 1).toInt else 0
+          val (bw, bh) = if (o >= 5) (8, 9) else (9, 8)
+          def stored(x: Int, y: Int): Int = o match {
+            case 0 | 1 => base(x, y)
+            case 2 => base(8 - x, y)
+            case 3 => base(8 - x, 7 - y)
+            case 4 => base(x, 7 - y)
+            case 5 => base(y, x)
+            case 6 => base(8 - y, x)
+            case 7 => base(8 - y, 7 - x)
+            case _ => base(y, 7 - x) // 8
+          }
+          val be = seed % 2 == 1
+          val rps = 4
+          val nStrips = (bh + rps - 1) / rps
+          val nEntries = if (o > 0) 10 else 9
+          val soOff = 8 + 2 + nEntries * 12 + 4
+          val scOff = soOff + 4 * nStrips
+          val dataOff = scOff + 4 * nStrips
+          val out = new Array[Byte](dataOff + bw * bh)
+          def w16(i: Int, v: Int): Unit =
+            if (be) { out(i) = (v >>> 8).toByte; out(i + 1) = v.toByte }
+            else { out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte }
+          def w32(i: Int, v: Int): Unit =
+            if (be) { w16(i, v >>> 16); w16(i + 2, v & 0xffff) }
+            else { w16(i, v & 0xffff); w16(i + 2, v >>> 16) }
+          out(0) = if (be) 'M' else 'I'
+          out(1) = out(0)
+          w16(2, 42)
+          w32(4, 8) // IFD0 right after the header
+          var p = 8
+          w16(p, nEntries); p += 2
+          def entry(tag: Int, typ: Int, cnt: Int, value: Int): Unit = {
+            w16(p, tag); w16(p + 2, typ); w32(p + 4, cnt)
+            if (typ == 3) { w16(p + 8, value); w16(p + 10, 0) }
+            else w32(p + 8, value)
+            p += 12
+          }
+          entry(256, 3, 1, bw)
+          entry(257, 3, 1, bh)
+          entry(258, 3, 1, 8)
+          entry(259, 3, 1, 1) // uncompressed
+          entry(262, 3, 1, 1) // BlackIsZero
+          entry(273, 4, nStrips, soOff)
+          if (o > 0) entry(274, 3, 1, o)
+          entry(277, 3, 1, 1)
+          entry(278, 3, 1, rps)
+          entry(279, 4, nStrips, scOff)
+          w32(p, 0) // no next IFD
+          var s = 0
+          while (s < nStrips) {
+            val rowsIn = math.min(rps, bh - s * rps)
+            w32(soOff + 4 * s, dataOff + s * rps * bw)
+            w32(scOff + 4 * s, rowsIn * bw)
+            s += 1
+          }
+          var y = 0
+          while (y < bh) {
+            var x = 0
+            while (x < bw) {
+              out(dataOff + y * bw + x) = stored(x, y).toByte
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+      (seed + idOffset, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
   /** Deterministic header-bytes fixture: builds REAL container headers
     * (PNG IHDR, GIF89a logical screen, BMP BITMAPINFOHEADER, minimal
     * JPEG SOI+SOF0) with dimensions derived from the id — width

@@ -3339,6 +3339,33 @@ object PipelineQueries {
         .orderBy("a", "b")
     }),
 
+    // TIFF RASTER DECODE, the sixth dHash format: baseline
+    // uncompressed TIFF 6.0 — II and MM byte orders (alternating by
+    // seed), multi-strip assembly, external LONG offset arrays — and
+    // because uncompressed strips are random access, the decoder
+    // reads exactly the 72 grid pixels per record regardless of
+    // image size. Oracle = the p340 bit replay verbatim.
+    "p373_tiff_dhash" -> ((s, dir) =>
+      graft.ops.Multimodal.imageDHashScan(
+        graft.ops.Multimodal.tiffPixelsFromIds(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "bytes")
+        .select(col("media_id"), col("dhash"))
+        .orderBy("media_id")),
+
+    // p357's TIFF sibling: tag 274 lives NATIVELY in the pixel IFD
+    // (no APP1 wrapper), each member stores the grid camera-rotated
+    // by seed % 8 + 1; the oriented hash must recover the upright
+    // grid (same oracle arithmetic as p357).
+    "p374_tiff_oriented_dhash" -> ((s, dir) =>
+      graft.ops.Multimodal.imageDHashOrientedScan(
+        graft.ops.Multimodal.tiffPixelsFromIds(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id",
+          oriented = true),
+        "bytes")
+        .select(col("media_id"), col("dhash"))
+        .orderBy("media_id")),
+
     // Audio header triage — REAL WAV (chunk walk past a JUNK chunk),
     // FLAC (bit-packed STREAMINFO) and MP3 (frame header behind an
     // ID3v2 envelope) headers with id-derived rate/channels/bits,
@@ -4089,10 +4116,10 @@ object PipelineQueries {
     }),
 
     // IMAGE CURATION end to end — the image analog of the p344 crawl
-    // loop and p350 text curation: every document exists as FIVE real
-    // encodings of the same pixels (BMP / PNG / JPEG / GIF / WebP-VP8L,
-    // distinct id ranges), the classic crawl-duplicate shape. One lazy
-    // chain: decode-hash all five -> banded EXACT-hash pairs (Hamming 0 —
+    // loop and p350 text curation: every document exists as SIX real
+    // encodings of the same pixels (BMP / PNG / JPEG / GIF / WebP-VP8L
+    // / TIFF, distinct id ranges), the classic crawl-duplicate shape.
+    // One lazy chain: decode-hash all six -> banded EXACT-hash pairs (Hamming 0 —
     // identical pixels hash identically across formats; the synthetic
     // LCG grid space is near-collision dense, so the <= 3 tier chains
     // into one giant component and pins nothing) -> connected-
@@ -4113,6 +4140,8 @@ object PipelineQueries {
           idOffset = 30000000L))
         .unionByName(graft.ops.Multimodal.webpVp8lFromIds(docs, "doc_id",
           idOffset = 40000000L))
+        .unionByName(graft.ops.Multimodal.tiffPixelsFromIds(docs, "doc_id",
+          idOffset = 50000000L))
       val pairs = graft.ops.Dedup.hashNearDups(
         graft.ops.Multimodal.imageDHashScan(members, "bytes"),
         "media_id", "dhash", maxHamming = 0)
@@ -9869,6 +9898,32 @@ object PipelineQueries {
       "FROM mm a JOIN mm b ON a.v = b.v AND a.vid < b.vid " +
       "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b"),
 
+    // p373/p374: the p340 bit replay verbatim (p374's rotations are
+    // normalized away by construction, so both share the oracle shape)
+    "p373_tiff_dhash" -> (
+      "WITH g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM documents, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h ORDER BY media_id"),
+
+    "p374_tiff_oriented_dhash" -> (
+      "WITH g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM documents, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h ORDER BY media_id"),
+
     "p318_audio_header_scan" -> (
       "SELECT doc_id AS media_id, " +
       "CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' " +
@@ -10483,7 +10538,7 @@ object PipelineQueries {
     // the p29-style recursive-CTE component closure + keep-best rollup
     "p353_image_curation" -> (
       "WITH RECURSIVE " +
-      "offs(off) AS (VALUES (0), (10000000), (20000000), (30000000), (40000000)), " +
+      "offs(off) AS (VALUES (0), (10000000), (20000000), (30000000), (40000000), (50000000)), " +
       "imgs AS (SELECT doc_id + off AS media_id, doc_id AS seed " +
       "FROM documents, offs WHERE doc_id % 10 <> 9), " +
       "g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +

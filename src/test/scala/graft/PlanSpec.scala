@@ -588,7 +588,8 @@ class PlanSpec extends AnyFunSuite {
         "p354_exif_triage", "p355_exif_strip",
         "p361_webp_exif_triage", "p362_webp_exif_strip",
         "p364_png_exif_triage", "p365_png_exif_strip",
-        "p366_png_oriented_dhash", "p367_mixed_exif_redact")) {
+        "p366_png_oriented_dhash", "p367_mixed_exif_redact",
+        "p373_tiff_dhash", "p374_tiff_oriented_dhash")) {
       val p = plan(name)
       assert(!p.contains("ScalaUDF"), s"$name: ScalaUDF in\n$p")
       val hashExchanges = p.linesIterator.count(l =>
