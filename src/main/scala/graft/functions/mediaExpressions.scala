@@ -935,6 +935,105 @@ object AudioFingerprintExpression {
   }
 }
 
+/** `wav_resample(bytes, outRate)`: REAL PCM sample-rate conversion —
+  * the "resize" rung of the audio pipeline (the byte-domain
+  * `Multimodal.resample` stub stays for non-audio kinds; this one
+  * understands frames). Parses the WAV (8/16-bit PCM, up to 8
+  * channels), maps every output frame to its nearest source frame
+  * (`src = ⌊j·inRate/outRate⌋` — exact duplication for integer
+  * upsampling, exact decimation for integer downsampling), and emits
+  * a CANONICAL 44-byte-header WAV at the new rate with bit depth and
+  * channel layout preserved. Composes with
+  * [[AudioFingerprintExpression]]: integer-ratio resamples of a
+  * recording fingerprint IDENTICALLY (the invariance p369/p376 pin).
+  * Output length is capped (a 1 kHz→384 kHz blowup cannot allocate
+  * unbounded memory); non-PCM/hostile bytes → NULL. */
+case class WavResampleExpression(child: Expression, outRate: Int)
+    extends UnaryExpression {
+  require(outRate >= 1000 && outRate <= 384000,
+    s"wav_resample: outRate must be in [1000, 384000], got $outRate")
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    WavResampleExpression.evalBytes(input.asInstanceOf[Array[Byte]], outRate)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val out = ctx.freshName("rs")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      byte[] $out = graft.functions.WavResampleExpression.evalBytes($c, $outRate);
+      if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "wav_resample"
+}
+
+object WavResampleExpression {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  /** Output-frame ceiling: bounds the allocation a hostile low-rate
+    * header could otherwise inflate (4M frames ≈ 64 MB stereo-16). */
+  val MaxOutFrames: Long = 1L << 22
+
+  /** Codegen entry point; null = not an 8/16-bit PCM WAV. */
+  def evalBytes(b: Array[Byte], outRate: Int): Array[Byte] = {
+    if (b == null || b.length < 12) return null
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
+    var p = 12
+    var rate = -1; var ch = -1; var bits = -1; var fmtCode = -1
+    var dataOff = -1; var dataLen = -1L
+    while (p + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+      val sz = le32(b, p + 4)
+      if (sz < 0 || sz > b.length - p - 8) return null
+      if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
+        if (sz < 16) return null
+        fmtCode = le16(b, p + 8)
+        ch = le16(b, p + 10)
+        rate = le32(b, p + 12)
+        bits = le16(b, p + 22)
+      } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' &&
+          b(p + 3) == 'a') {
+        dataOff = p + 8
+        dataLen = sz.toLong
+      }
+      p += 8 + sz + (sz & 1)
+    }
+    if (fmtCode != 1 || (bits != 8 && bits != 16) || ch <= 0 || ch > 8 ||
+        rate <= 0 || dataOff < 0) return null
+    val blockAlign = ch * (bits / 8)
+    val inFrames = dataLen / blockAlign
+    if (inFrames <= 0) return null
+    val outFrames = inFrames * outRate / rate
+    if (outFrames < 1 || outFrames > MaxOutFrames) return null
+    val nOut = outFrames.toInt
+    val outLen = nOut * blockAlign
+    val out = new Array[Byte](44 + outLen)
+    def w16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+    }
+    def w32(i: Int, v: Int): Unit = { w16(i, v & 0xffff); w16(i + 2, v >>> 16) }
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    w32(4, 36 + outLen)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    w32(16, 16); w16(20, 1); w16(22, ch); w32(24, outRate)
+    w32(28, outRate * blockAlign); w16(32, blockAlign); w16(34, bits)
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    w32(40, outLen)
+    var j = 0
+    while (j < nOut) {
+      val src = (j.toLong * rate / outRate).toInt
+      System.arraycopy(b, dataOff + src * blockAlign,
+        out, 44 + j * blockAlign, blockAlign)
+      j += 1
+    }
+    out
+  }
+}
+
 /** `video_frame_hashes(bytes, maxFrames)`: per-frame perceptual
   * hashes for animated media — the FRAME-SAMPLE rung of the video
   * pipeline made real. Decodes an animated GIF frame by frame
@@ -1387,4 +1486,6 @@ object MediaFunctions {
     column(AudioFingerprintExpression(expression(c), maxFrames))
   def video_frame_hashes(c: Column, maxFrames: Int = 32): Column =
     column(VideoFrameHashesExpression(expression(c), maxFrames))
+  def wav_resample(c: Column, outRate: Int): Column =
+    column(WavResampleExpression(expression(c), outRate))
 }

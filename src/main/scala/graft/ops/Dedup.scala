@@ -192,7 +192,7 @@ object Dedup {
       .select(col(idCol),
         graft.functions.ShingleFunctions.simhash(col("_toks")).as("simhash"))
 
-  private def popcount64(c: Column): Column = {
+  private[ops] def popcount64(c: Column): Column = {
     // SWAR popcount as Catalyst expressions (no UDF)
     val m1 = lit(0x5555555555555555L); val m2 = lit(0x3333333333333333L)
     val m4 = lit(0x0f0f0f0f0f0f0f0fL); val h01 = lit(0x0101010101010101L)

@@ -1454,6 +1454,32 @@ object Multimodal {
       .where(col("shared") >= minShared)
   }
 
+  /** VIDEO scene-cut detection: a frame starts a new scene when its
+    * perceptual hash lands >= `minHamming` bits from the previous
+    * frame's — the frame-sample primitive that turns "sample every
+    * Nth frame" into "sample every SCENE", the shape video curation
+    * actually wants (uniform stride oversamples static shots and
+    * misses fast cuts). One generator + one per-video window (the
+    * only exchange; frame counts are MaxFrames-bounded so no window
+    * partition can be large). Emits (media_id, frame_no, hamming)
+    * for cut frames. */
+  def videoSceneCuts(
+      df: DataFrame,
+      bytesCol: String,
+      minHamming: Int = 4): DataFrame = {
+    require(minHamming >= 1 && minHamming <= 64,
+      s"videoSceneCuts: minHamming must be in [1, 64], got $minHamming")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_no")
+    videoFrameSample(df, bytesCol)
+      .withColumn("_prev", lag(col("dhash"), 1).over(w))
+      .where(col("_prev").isNotNull)
+      .withColumn("hamming",
+        graft.ops.Dedup.popcount64(expr("dhash ^ _prev")))
+      .where(col("hamming") >= minHamming)
+      .select(col("media_id"), col("frame_no"), col("hamming"))
+  }
+
   /** Deterministic ANIMATED-GIF fixture: seed % 3 + 2 frames on a 9×8
     * canvas with a 256-entry grayscale GCT. Frame 0 is the full p340
     * LCG grid (so frame 0's hash replays the p352 arithmetic

@@ -3339,6 +3339,37 @@ object PipelineQueries {
         .orderBy("a", "b")
     }),
 
+    // REAL PCM RESAMPLE composition: every recording through
+    // wav_resample 16k->32k (exact frame duplication) then 32k->16k
+    // (exact decimation back), fingerprinted. The round trip is
+    // byte-exact and the fingerprint is resample-invariant BY
+    // CONSTRUCTION, so the oracle is p369's bit replay verbatim —
+    // two real resampler passes that must not move a single bit.
+    "p376_audio_resample" -> ((s, dir) => {
+      val base = graft.ops.Multimodal.wavEncodedFromIds(
+        Tables(s, dir, "documents").select(col("doc_id")), "doc_id",
+        encoding = 0)
+      val up = graft.functions.MediaFunctions.wav_resample(col("bytes"), 32000)
+      val down = graft.functions.MediaFunctions.wav_resample(up, 16000)
+      graft.ops.Multimodal.audioFingerprintScan(
+          base.withColumn("bytes", down), "bytes")
+        .select(col("media_id"), col("afp"))
+        .orderBy("media_id")
+    }),
+
+    // VIDEO SCENE-CUT detection: a frame opens a new scene when its
+    // hash lands >= 4 bits from the previous frame's — sampling every
+    // SCENE instead of every Nth frame. One window per video (the
+    // anim fixture's one-row frame updates flip 0..8 row bits, so
+    // some transitions cut and some do not — the oracle replays the
+    // per-transition Hamming arithmetic either way).
+    "p375_video_scene_cuts" -> ((s, dir) =>
+      graft.ops.Multimodal.videoSceneCuts(
+        graft.ops.Multimodal.gifAnimFromIds(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "bytes", minHamming = 4)
+        .orderBy("media_id", "frame_no")),
+
     // TIFF RASTER DECODE, the sixth dHash format: baseline
     // uncompressed TIFF 6.0 — II and MM byte orders (alternating by
     // seed), multi-strip assembly, external LONG offset arrays — and
@@ -9897,6 +9928,56 @@ object PipelineQueries {
       "SELECT a.vid AS a, b.vid AS b, CAST(COUNT(*) AS BIGINT) AS shared " +
       "FROM mm a JOIN mm b ON a.v = b.v AND a.vid < b.vid " +
       "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b"),
+
+    // p376: the p369 bit replay verbatim (the resample round trip is
+    // byte-exact, so the fingerprint oracle is unchanged)
+    "p376_audio_resample" -> (
+      "WITH x1 AS (SELECT doc_id AS seed, j.range AS j, " +
+      "(((doc_id * 128 + j.range) % 1000000) * 2654435761) " +
+      "% 4294967296 AS x FROM documents, range(0, 128) j), " +
+      "f AS (SELECT seed, j, " +
+      "((xor(x, x // 65536) * 1103515245) % 4294967296 // 65536 " +
+      "% 256 - 128) * 256 AS v FROM x1), " +
+      "w AS (SELECT seed, CAST(j // 4 AS INT) AS w, " +
+      "SUM(CAST(v AS BIGINT) * v) AS e FROM f GROUP BY 1, 2), " +
+      "b AS (SELECT a.seed, CASE WHEN a.e > b.e THEN 1::BIGINT << a.w " +
+      "ELSE 0 END AS v FROM w a JOIN w b ON b.seed = a.seed " +
+      "AND b.w = a.w + 1 WHERE a.w < 31 " +
+      "UNION ALL SELECT a.seed, CASE WHEN a.e > b.e " +
+      "THEN 1::BIGINT << (31 + a.w) ELSE 0 END AS v " +
+      "FROM w a JOIN w b ON b.seed = a.seed AND b.w = a.w + 2 " +
+      "WHERE a.w < 30), " +
+      "h AS (SELECT seed, SUM(v) AS v FROM b GROUP BY seed) " +
+      "SELECT seed AS media_id, CASE WHEN seed % 10 = 9 THEN NULL " +
+      "ELSE CAST(v AS BIGINT) END AS afp FROM h ORDER BY media_id"),
+
+    // p375: the p371 frame-hash arithmetic + a LAG window — a cut is
+    // any transition whose hashes differ in >= 4 bits
+    "p375_video_scene_cuts" -> (
+      "WITH ids AS (SELECT doc_id AS seed, doc_id % 3 + 2 AS nf " +
+      "FROM documents WHERE doc_id % 10 <> 9), " +
+      "fr AS (SELECT seed, f.range AS f FROM ids, range(0, 4) f " +
+      "WHERE f.range < nf), " +
+      "g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT seed, f, r, c, " +
+      "CASE WHEN r >= 1 AND r <= f THEN (CASE WHEN c = r " +
+      "THEN ((1103515245 * ((seed * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 " +
+      "ELSE (((1103515245 * (((seed + r * 131) * 72 + c) % 100000) + 12345) % 2147483648) // 65536 % 256) % 254 END) " +
+      "ELSE ((1103515245 * ((seed * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 END AS lum " +
+      "FROM fr, g), " +
+      "bits AS (SELECT a.seed, a.f, CASE WHEN a.lum < b.lum " +
+      "THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.seed = a.seed AND b.f = a.f " +
+      "AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT seed, f, SUM(v) AS v FROM bits GROUP BY 1, 2), " +
+      "hb AS (SELECT seed, f, CAST(CASE WHEN v >= 9223372036854775808::HUGEINT " +
+      "THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS hv FROM h), " +
+      "lagd AS (SELECT seed, f, hv, " +
+      "LAG(hv) OVER (PARTITION BY seed ORDER BY f) AS pv FROM hb) " +
+      "SELECT seed AS media_id, CAST(f AS INT) AS frame_no, " +
+      "CAST(bit_count(xor(hv, pv)) AS BIGINT) AS hamming " +
+      "FROM lagd WHERE pv IS NOT NULL AND bit_count(xor(hv, pv)) >= 4 " +
+      "ORDER BY media_id, frame_no"),
 
     // p373/p374: the p340 bit replay verbatim (p374's rotations are
     // normalized away by construction, so both share the oracle shape)

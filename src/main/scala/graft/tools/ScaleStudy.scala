@@ -410,6 +410,16 @@ object ScaledOps {
       time("adam7_png_dhash") { sink(graft.ops.Multimodal.imageDHashScan(
         graft.ops.Multimodal.pngPixelsFromIds(docs, "doc_id",
           interlaced = true), "bytes")) },
+      // round-17 multimodal rungs: TIFF (random-access strip reads —
+      // the cheapest decode by construction), audio fingerprint
+      // (WAV encode + 32-window energy fold per row), video frames
+      // (animated-GIF encode + multi-frame LZW decode + compositing)
+      time("tiff_dhash") { sink(graft.ops.Multimodal.imageDHashScan(
+        graft.ops.Multimodal.tiffPixelsFromIds(docs, "doc_id"), "bytes")) },
+      time("audio_fingerprint") { sink(graft.ops.Multimodal.audioFingerprintScan(
+        graft.ops.Multimodal.wavEncodedFromIds(docs, "doc_id", 0), "bytes")) },
+      time("video_frame_hashes") { sink(graft.ops.Multimodal.videoFrameSample(
+        graft.ops.Multimodal.gifAnimFromIds(docs, "doc_id"), "bytes")) },
       (if (selected("ann_ivfpq_recall_pct")) {
         val (n, pct) = annIvfPqRecall(spark.read.parquet(embPath))
         ScaledRec(n, pct, pct, varied = false) // a score, not a timing

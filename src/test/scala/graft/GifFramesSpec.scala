@@ -95,6 +95,29 @@ class GifFramesSpec extends AnyFunSuite {
     assert(VideoFrameHashesExpression.evalArray("RIFFxxxxWEBP".getBytes, 32) == null)
   }
 
+  test("scene cuts flag exactly the transitions whose hashes differ in >= minHamming bits") {
+    import spark.implicits._
+    val seeds = (0L until 40L)
+    val df = Multimodal.gifAnimFromIds(seeds.toDF("doc_id"), "doc_id")
+    val got = Multimodal.videoSceneCuts(df, "bytes", minHamming = 4)
+      .as[(Long, Int, Long)].collect().toSet
+    // recompute expectations straight from the frame-hash expression
+    val expected = df.select("media_id", "bytes")
+      .as[(Long, Array[Byte])].collect().flatMap { case (id, bytes) =>
+        val arr = graft.functions.VideoFrameHashesExpression.evalArray(bytes, 32)
+        if (arr == null) Nil
+        else (1 until arr.numElements()).flatMap { f =>
+          val h = java.lang.Long.bitCount(arr.getLong(f) ^ arr.getLong(f - 1))
+          if (h >= 4) Some((id, f, h.toLong)) else None
+        }
+      }.toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture produced no cuts — threshold miscalibrated")
+    // and some transitions must NOT be cuts, or the threshold is vacuous
+    val allTransitions = seeds.filter(_ % 10 != 9).map(s => (s % 3 + 1)).sum
+    assert(expected.size < allTransitions)
+  }
+
   test("a full-canvas interlaced frame composites identically to sequential") {
     val good = anim(Seq(6L))(6L)
     val frames = GifFrames.frameGrids(good)

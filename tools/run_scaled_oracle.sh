@@ -72,6 +72,16 @@ GATES=$GATES,p361_webp_exif_triage,p362_webp_exif_strip,p363_webp_anim_dhash
 GATES=$GATES,p364_png_exif_triage,p365_png_exif_strip,p366_png_oriented_dhash
 # mixed-format redaction composition (arithmetic, linear, 3x rows)
 GATES=$GATES,p367_mixed_exif_redact
+# round-17 multimodal rungs at x20 docs: TIFF decode (p373/p374,
+# arithmetic p340 replays), audio fingerprint (p369 bit replay;
+# p370's pair oracle is all-pairs over ~18k 61-bit fingerprints =
+# 1.6e8 xors — seconds in DuckDB, unlike the p349/p353 image spaces
+# whose 400k+ members rule theirs out), video frame sampling (p371
+# composited-pixel replay; p372's join is hash-equality, not
+# all-pairs)
+GATES=$GATES,p369_audio_fingerprint,p370_audio_neardup
+GATES=$GATES,p371_video_frame_sample,p372_video_neardup
+GATES=$GATES,p373_tiff_dhash,p374_tiff_oriented_dhash
 # p353's oracle is all-pairs over 4 formats (6.5e10 comparisons at
 # x20) - base scale only; p354/p355 are arithmetic and linear
 GATES=$GATES,p354_exif_triage,p355_exif_strip
