@@ -935,6 +935,221 @@ object AudioFingerprintExpression {
   }
 }
 
+/** `audio_meta_gov(bytes)`: audio METADATA governance triage — the
+  * audio mirror of [[ExifMetaExpression]]. Audio files carry PII in
+  * their tag channels the way images carry it in EXIF: ID3v2 frames
+  * (artist/comment/GEOB geotags), ID3v1 trailers, WAV `LIST`/`INFO`
+  * chunks, FLAC `VORBIS_COMMENT` blocks. This reads container magic
+  * and walks ONLY the framing (sizes and block types — tag payloads
+  * are never parsed: a triage reads envelopes, not contents),
+  * reporting what is present and how many bytes it occupies — the
+  * pre-redaction census a corpus governance pass needs. Junk or
+  * truncated framing → ("unknown", 0, 0, 0, 0); never a throw.
+  * Returns struct(container STRING, has_id3v2 INT, has_id3v1 INT,
+  * has_comment INT, meta_bytes INT). */
+case class AudioMetaGovExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("container", StringType, nullable = false),
+    StructField("has_id3v2", IntegerType, nullable = false),
+    StructField("has_id3v1", IntegerType, nullable = false),
+    StructField("has_comment", IntegerType, nullable = false),
+    StructField("meta_bytes", IntegerType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    AudioMetaGovExpression.evalRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.AudioMetaGovExpression.evalRow($c);")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "audio_meta_gov"
+}
+
+object AudioMetaGovExpression {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  private val Unknown = InternalRow(UTF8String.fromString("unknown"), 0, 0, 0, 0)
+
+  /** (id3v2 envelope length incl. optional footer, or 0). */
+  private[functions] def id3v2Len(b: Array[Byte]): Int = {
+    if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3') return 0
+    // syncsafe 28-bit size; reject set high bits (corrupt framing)
+    if ((u8(b, 6) | u8(b, 7) | u8(b, 8) | u8(b, 9)) >= 0x80) return 0
+    val size = (u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9)
+    val footer = if ((u8(b, 5) & 0x10) != 0) 10 else 0
+    val total = 10 + size + footer
+    if (total > b.length) 0 else total
+  }
+
+  /** True when the file ends with an ID3v1 "TAG" trailer. */
+  private[functions] def hasId3v1(b: Array[Byte]): Boolean =
+    b.length >= 128 && b(b.length - 128) == 'T' &&
+      b(b.length - 127) == 'A' && b(b.length - 126) == 'G'
+
+  def evalRow(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 4) return Unknown
+    // WAV: walk chunks, count LIST/INFO envelopes
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E') {
+      var p = 12
+      var comment = 0
+      var meta = 0
+      while (p + 8 <= b.length) {
+        val sz = le32(b, p + 4)
+        if (sz < 0 || sz > b.length - p - 8) return Unknown
+        if (b(p) == 'L' && b(p + 1) == 'I' && b(p + 2) == 'S' &&
+            b(p + 3) == 'T' && sz >= 4 && b(p + 8) == 'I' &&
+            b(p + 9) == 'N' && b(p + 10) == 'F' && b(p + 11) == 'O') {
+          comment = 1
+          meta += 8 + sz + (sz & 1)
+        }
+        p += 8 + sz + (sz & 1)
+      }
+      return InternalRow(UTF8String.fromString("wav"), 0, 0, comment, meta)
+    }
+    // FLAC: metadata block walk, count VORBIS_COMMENT blocks
+    if (b.length >= 8 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+        b(3) == 'C') {
+      var p = 4
+      var comment = 0
+      var meta = 0
+      var last = false
+      while (!last && p + 4 <= b.length) {
+        val h = u8(b, p)
+        last = (h & 0x80) != 0
+        val typ = h & 0x7f
+        val len = (u8(b, p + 1) << 16) | (u8(b, p + 2) << 8) | u8(b, p + 3)
+        if (len > b.length - p - 4) return Unknown
+        if (typ == 4) { comment = 1; meta += 4 + len }
+        p += 4 + len
+      }
+      return InternalRow(UTF8String.fromString("flac"), 0, 0, comment, meta)
+    }
+    // MP3: leading ID3v2 envelope and/or a frame sync; trailing ID3v1
+    val v2 = id3v2Len(b)
+    val syncAt = v2
+    val isMp3 = v2 > 0 ||
+      (b.length >= 2 && u8(b, 0) == 0xff && (u8(b, 1) & 0xe0) == 0xe0)
+    if (isMp3 && (v2 == 0 || (syncAt + 2 <= b.length &&
+        u8(b, syncAt) == 0xff && (u8(b, syncAt + 1) & 0xe0) == 0xe0))) {
+      val v1 = hasId3v1(b)
+      val meta = v2 + (if (v1) 128 else 0)
+      return InternalRow(UTF8String.fromString("mp3"),
+        if (v2 > 0) 1 else 0, if (v1) 1 else 0, 0, meta)
+    }
+    Unknown
+  }
+}
+
+/** `audio_strip_meta(bytes)`: audio metadata REDACTION — the audio
+  * mirror of [[StripExifExpression]], dispatching on container magic:
+  * MP3 ID3v2 envelopes (header + syncsafe payload + optional footer)
+  * and ID3v1 trailers spliced off, WAV `LIST`/`INFO` chunks removed
+  * with the RIFF size rewritten, FLAC `VORBIS_COMMENT` blocks removed
+  * with the last-metadata-block flag repaired on the new final block.
+  * The AUDIO STREAM is byte-identical — only tag envelopes move, so
+  * fingerprints and PCM stats are unchanged (the p378 gate pins
+  * exactly that). Unparseable input is returned UNCHANGED (the strip
+  * family's contract: never corrupt what you cannot parse). */
+case class AudioStripMetaExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    AudioStripMetaExpression.evalBytes(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.AudioStripMetaExpression.evalBytes($c);")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "audio_strip_meta"
+}
+
+object AudioStripMetaExpression {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  def evalBytes(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 4) return b
+    // WAV: rebuild without LIST/INFO chunks, rewrite the RIFF size
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E') {
+      var p = 12
+      val keep = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var dropped = 0
+      while (p + 8 <= b.length) {
+        val sz = le32(b, p + 4)
+        if (sz < 0 || sz > b.length - p - 8) return b // unparseable: unchanged
+        val span = 8 + sz + (sz & 1)
+        val isInfo = b(p) == 'L' && b(p + 1) == 'I' && b(p + 2) == 'S' &&
+          b(p + 3) == 'T' && sz >= 4 && b(p + 8) == 'I' && b(p + 9) == 'N' &&
+          b(p + 10) == 'F' && b(p + 11) == 'O'
+        if (isInfo) dropped += span else keep += ((p, span))
+        p += span
+      }
+      if (dropped == 0) return b
+      val out = new Array[Byte](b.length - dropped)
+      System.arraycopy(b, 0, out, 0, 12)
+      var q = 12
+      keep.foreach { case (off, span) =>
+        System.arraycopy(b, off, out, q, span); q += span
+      }
+      val riffLen = out.length - 8
+      out(4) = riffLen.toByte; out(5) = (riffLen >>> 8).toByte
+      out(6) = (riffLen >>> 16).toByte; out(7) = (riffLen >>> 24).toByte
+      return out
+    }
+    // FLAC: rebuild without VORBIS_COMMENT blocks, repair the last flag
+    if (b.length >= 8 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+        b(3) == 'C') {
+      var p = 4
+      val keep = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var dropped = 0
+      var last = false
+      while (!last && p + 4 <= b.length) {
+        val h = u8(b, p)
+        last = (h & 0x80) != 0
+        val typ = h & 0x7f
+        val len = (u8(b, p + 1) << 16) | (u8(b, p + 2) << 8) | u8(b, p + 3)
+        if (len > b.length - p - 4) return b
+        if (typ == 4) dropped += 4 + len else keep += ((p, 4 + len))
+        p += 4 + len
+      }
+      if (dropped == 0) return b
+      if (keep.isEmpty) return b // a comment-only stream has no valid strip
+      val audioFrom = p // frames (if any) follow the metadata table
+      val out = new Array[Byte](b.length - dropped)
+      System.arraycopy(b, 0, out, 0, 4)
+      var q = 4
+      var lastQ = -1
+      keep.foreach { case (off, span) =>
+        System.arraycopy(b, off, out, q, span); lastQ = q; q += span
+      }
+      // every kept header's last-flag clears except the new final block
+      keep.indices.foreach { i =>
+        val at = 4 + keep.take(i).map(_._2).sum
+        out(at) = (out(at) & 0x7f).toByte
+      }
+      out(lastQ) = (out(lastQ) | 0x80).toByte
+      System.arraycopy(b, audioFrom, out, q, b.length - audioFrom)
+      return out
+    }
+    // MP3: splice the ID3v2 envelope and the ID3v1 trailer
+    val v2 = AudioMetaGovExpression.id3v2Len(b)
+    val hasSync = v2 + 2 <= b.length && u8(b, v2) == 0xff &&
+      (u8(b, v2 + 1) & 0xe0) == 0xe0
+    if ((v2 > 0 || (b.length >= 2 && u8(b, 0) == 0xff &&
+        (u8(b, 1) & 0xe0) == 0xe0)) && hasSync) {
+      val v1 = AudioMetaGovExpression.hasId3v1(b)
+      val end = b.length - (if (v1) 128 else 0)
+      if (v2 == 0 && !v1) return b
+      if (end <= v2) return b
+      return java.util.Arrays.copyOfRange(b, v2, end)
+    }
+    b
+  }
+}
+
 /** `wav_resample(bytes, outRate)`: REAL PCM sample-rate conversion —
   * the "resize" rung of the audio pipeline (the byte-domain
   * `Multimodal.resample` stub stays for non-audio kinds; this one
@@ -1488,4 +1703,8 @@ object MediaFunctions {
     column(VideoFrameHashesExpression(expression(c), maxFrames))
   def wav_resample(c: Column, outRate: Int): Column =
     column(WavResampleExpression(expression(c), outRate))
+  def audio_meta_gov(c: Column): Column =
+    column(AudioMetaGovExpression(expression(c)))
+  def audio_strip_meta(c: Column): Column =
+    column(AudioStripMetaExpression(expression(c)))
 }

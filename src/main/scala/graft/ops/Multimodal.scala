@@ -1902,6 +1902,105 @@ object Multimodal {
       .toDF("media_id", "bytes")
   }
 
+  /** AUDIO metadata governance scan: appends container + tag-channel
+    * presence flags + envelope byte counts from
+    * [[graft.functions.AudioMetaGovExpression]]. Map-only. */
+  def audioMetaGovScan(df: DataFrame, bytesCol: String): DataFrame =
+    df.withColumn("_gov",
+        graft.functions.MediaFunctions.audio_meta_gov(col(bytesCol)))
+      .withColumn("container", col("_gov").getField("container"))
+      .withColumn("has_id3v2", col("_gov").getField("has_id3v2"))
+      .withColumn("has_id3v1", col("_gov").getField("has_id3v1"))
+      .withColumn("has_comment", col("_gov").getField("has_comment"))
+      .withColumn("meta_bytes", col("_gov").getField("meta_bytes"))
+      .drop("_gov")
+
+  /** Deterministic TAGGED-audio fixture for the governance pair:
+    * id % 4 cycles WAV / FLAC / MP3 / junk, each (where planted —
+    * (id/4) % 2 == 0) carrying its container's metadata channel with
+    * id-derived envelope sizes, so the triage AND the post-strip
+    * lengths replay arithmetically:
+    *  - WAV: `LIST`/`INFO` chunk with one `IART` entry of
+    *    (id%6)·2+4 bytes, between the fmt chunk and a REAL 64-frame
+    *    16-bit PCM data chunk whose samples follow the p369 xorshift
+    *    recipe (the strip must leave them byte-identical);
+    *  - FLAC: STREAMINFO (rate (id%12+2)·4000) + a VORBIS_COMMENT
+    *    block of (id%7)·3+8 payload bytes carrying the last-block
+    *    flag (the strip must repair the flag onto STREAMINFO);
+    *  - MP3: ID3v2 envelope with syncsafe payload (id%9)+4 ahead of
+    *    the frame header (rate table id%3), plus an ID3v1 128-byte
+    *    trailer on planted members. */
+  def audioTaggedFromIds(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    ids.select(col(idCol).cast("long").as("media_id")).as[Long].map { id =>
+      val planted = (id / 4) % 2 == 0
+      val rate = ((id % 12 + 2) * 4000).toInt
+      val bytes = (id % 4) match {
+        case 0 =>
+          val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+            le16(1) ++ le16(1) ++ le32(rate) ++ le32(rate * 2) ++
+            le16(2) ++ le16(16)
+          val artLen = ((id % 6) * 2 + 4).toInt
+          val info = if (planted)
+            "LIST".getBytes("US-ASCII") ++ le32(12 + artLen) ++
+              "INFOIART".getBytes("US-ASCII") ++ le32(artLen) ++
+              Array.fill[Byte](artLen)('a')
+          else Array.emptyByteArray
+          val data = new Array[Byte](8 + 128)
+          "data".getBytes("US-ASCII").copyToArray(data, 0)
+          le32(128).copyToArray(data, 4)
+          var j = 0
+          while (j < 64) {
+            val idx = (id * 128 + j) % 1000000
+            var x = (idx * 2654435761L) % 4294967296L
+            x ^= x >>> 16
+            x = (x * 1103515245L) % 4294967296L
+            val v = (((x >>> 16) % 256).toInt - 128) * 256
+            data(8 + j * 2) = v.toByte
+            data(8 + j * 2 + 1) = (v >>> 8).toByte
+            j += 1
+          }
+          "RIFF".getBytes("US-ASCII") ++
+            le32(4 + fmt.length + info.length + data.length) ++
+            "WAVE".getBytes("US-ASCII") ++ fmt ++ info ++ data
+        case 1 =>
+          val si = new Array[Byte](34)
+          si(10) = (rate >>> 12).toByte
+          si(11) = ((rate >>> 4) & 0xff).toByte
+          si(12) = (((rate & 0xf) << 4) | 0x00).toByte // mono, bits-1 high 0
+          si(13) = (15 << 4).toByte // bits 16
+          val vcLen = ((id % 7) * 3 + 8).toInt
+          if (planted)
+            "fLaC".getBytes("US-ASCII") ++
+              Array[Byte](0, 0, 0, 34) ++ si ++
+              Array[Byte]((0x80 | 4).toByte, 0, 0, vcLen.toByte) ++
+              Array.fill[Byte](vcLen)('c')
+          else
+            "fLaC".getBytes("US-ASCII") ++
+              Array[Byte](0x80.toByte, 0, 0, 34) ++ si
+        case 2 =>
+          val r = (id % 3).toInt
+          val frame = Array[Byte](0xff.toByte, 0xfb.toByte,
+            (0x90 | (r << 2)).toByte, 0x40.toByte)
+          if (planted) {
+            val tagSize = ((id % 9) + 4).toInt
+            val v1 = new Array[Byte](128)
+            v1(0) = 'T'; v1(1) = 'A'; v1(2) = 'G'
+            "ID3".getBytes("US-ASCII") ++
+              Array[Byte](4, 0, 0, 0, 0, 0, tagSize.toByte) ++
+              new Array[Byte](tagSize) ++ frame ++ v1
+          } else frame
+        case _ =>
+          s"notameta:$id".getBytes("US-ASCII")
+      }
+      (id, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
   /** Deterministic audio header fixture: id % 4 cycles a REAL WAV
     * (RIFF/WAVE with a leading JUNK chunk on every third row to
     * exercise the chunk walk, PCM `fmt `), a REAL FLAC (fLaC +

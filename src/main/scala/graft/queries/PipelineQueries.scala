@@ -3339,6 +3339,41 @@ object PipelineQueries {
         .orderBy("a", "b")
     }),
 
+    // AUDIO METADATA GOVERNANCE triage — the audio mirror of the EXIF
+    // census: ID3v2 envelopes / ID3v1 trailers / WAV LIST-INFO chunks
+    // / FLAC VORBIS_COMMENT blocks flagged with their envelope byte
+    // counts, payloads never parsed. Every size derives from the id,
+    // so the oracle replays the census arithmetically.
+    "p377_audio_meta_triage" -> ((s, dir) =>
+      graft.ops.Multimodal.audioMetaGovScan(
+        graft.ops.Multimodal.audioTaggedFromIds(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "bytes")
+        .select(col("media_id"), col("container"), col("has_id3v2"),
+          col("has_id3v1"), col("has_comment"), col("meta_bytes"))
+        .orderBy("media_id")),
+
+    // AUDIO METADATA REDACTION end to end: strip -> re-triage (every
+    // flag must zero, container preserved) + post-strip byte length
+    // (arithmetic: pre minus the planted envelopes) + the WAV rows'
+    // post-strip PCM sum-of-squares (the p369 xorshift samples must
+    // be byte-identical through the strip — redaction must never
+    // touch the audio stream).
+    "p378_audio_meta_strip" -> ((s, dir) => {
+      val stripped = graft.ops.Multimodal.audioTaggedFromIds(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+        .withColumn("bytes",
+          graft.functions.MediaFunctions.audio_strip_meta(col("bytes")))
+      graft.ops.Multimodal.audioMetaGovScan(stripped, "bytes")
+        .withColumn("post_len", length(col("bytes")).cast("int"))
+        .withColumn("pcm_sum_sq", graft.functions.MediaFunctions
+          .audio_pcm_stats(col("bytes")).getField("sum_sq"))
+        .select(col("media_id"), col("container"), col("has_id3v2"),
+          col("has_id3v1"), col("has_comment"), col("meta_bytes"),
+          col("post_len"), col("pcm_sum_sq"))
+        .orderBy("media_id")
+    }),
+
     // REAL PCM RESAMPLE composition: every recording through
     // wav_resample 16k->32k (exact frame duplication) then 32k->16k
     // (exact decimation back), fingerprinted. The round trip is
@@ -9928,6 +9963,48 @@ object PipelineQueries {
       "SELECT a.vid AS a, b.vid AS b, CAST(COUNT(*) AS BIGINT) AS shared " +
       "FROM mm a JOIN mm b ON a.v = b.v AND a.vid < b.vid " +
       "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b"),
+
+    // p377: the tag census replayed arithmetically — envelope sizes
+    // derive from the id (LIST = 20 + artLen, VC = 4 + vcLen,
+    // ID3 = 10 + tagSize + 128), planted on every (id//4) % 2 = 0
+    "p377_audio_meta_triage" -> (
+      "SELECT doc_id AS media_id, " +
+      "CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' " +
+      "WHEN 2 THEN 'mp3' ELSE 'unknown' END AS container, " +
+      "CAST(CASE WHEN doc_id % 4 = 2 AND (doc_id // 4) % 2 = 0 " +
+      "THEN 1 ELSE 0 END AS INT) AS has_id3v2, " +
+      "CAST(CASE WHEN doc_id % 4 = 2 AND (doc_id // 4) % 2 = 0 " +
+      "THEN 1 ELSE 0 END AS INT) AS has_id3v1, " +
+      "CAST(CASE WHEN doc_id % 4 IN (0, 1) AND (doc_id // 4) % 2 = 0 " +
+      "THEN 1 ELSE 0 END AS INT) AS has_comment, " +
+      "CAST(CASE WHEN (doc_id // 4) % 2 <> 0 THEN 0 " +
+      "WHEN doc_id % 4 = 0 THEN 20 + (doc_id % 6) * 2 + 4 " +
+      "WHEN doc_id % 4 = 1 THEN 4 + (doc_id % 7) * 3 + 8 " +
+      "WHEN doc_id % 4 = 2 THEN 10 + (doc_id % 9) + 4 + 128 " +
+      "ELSE 0 END AS INT) AS meta_bytes " +
+      "FROM documents ORDER BY media_id"),
+
+    // p378: post-strip census (all zeros, container preserved), byte
+    // lengths (wav 172 / flac 42 / mp3 4 / junk unchanged), and the
+    // WAV PCM sum-of-squares replayed from the p369 xorshift samples
+    "p378_audio_meta_strip" -> (
+      "WITH sq AS (SELECT doc_id, SUM(v * v) AS ss FROM " +
+      "(SELECT doc_id, ((xor(x, x // 65536) * 1103515245) " +
+      "% 4294967296 // 65536 % 256 - 128) * 256 AS v FROM " +
+      "(SELECT doc_id, (((doc_id * 128 + j.range) % 1000000) " +
+      "* 2654435761) % 4294967296 AS x " +
+      "FROM documents, range(0, 64) j)) GROUP BY doc_id) " +
+      "SELECT d.doc_id AS media_id, " +
+      "CASE d.doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' " +
+      "WHEN 2 THEN 'mp3' ELSE 'unknown' END AS container, " +
+      "CAST(0 AS INT) AS has_id3v2, CAST(0 AS INT) AS has_id3v1, " +
+      "CAST(0 AS INT) AS has_comment, CAST(0 AS INT) AS meta_bytes, " +
+      "CAST(CASE d.doc_id % 4 WHEN 0 THEN 172 WHEN 1 THEN 42 " +
+      "WHEN 2 THEN 4 " +
+      "ELSE 9 + LENGTH(CAST(d.doc_id AS VARCHAR)) END AS INT) AS post_len, " +
+      "CASE WHEN d.doc_id % 4 = 0 THEN sq.ss ELSE NULL END AS pcm_sum_sq " +
+      "FROM documents d LEFT JOIN sq ON sq.doc_id = d.doc_id " +
+      "ORDER BY media_id"),
 
     // p376: the p369 bit replay verbatim (the resample round trip is
     // byte-exact, so the fingerprint oracle is unchanged)

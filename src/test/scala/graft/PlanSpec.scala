@@ -599,11 +599,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("audio fingerprint gates: map-only scan, banded near-dup join, no ScalaUDF") {
-    // p369 is a pure scan + orderBy: no ScalaUDF, no hash exchange
-    val p369 = plan("p369_audio_fingerprint")
-    assert(!p369.contains("ScalaUDF"), s"p369: ScalaUDF in\n$p369")
-    assert(p369.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
-      s"p369: fingerprint scan shuffled\n$p369")
+    // pure scan + orderBy gates: no ScalaUDF, no hash exchange
+    for (name <- Seq("p369_audio_fingerprint", "p376_audio_resample",
+        "p377_audio_meta_triage", "p378_audio_meta_strip")) {
+      val p = plan(name)
+      assert(!p.contains("ScalaUDF"), s"$name: ScalaUDF in\n$p")
+      assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+        s"$name: scan shuffled\n$p")
+    }
     // p370's pair generation must be the banded equi-join — never a
     // cartesian/broadcast-nested-loop all-pairs comparison
     val p370 = plan("p370_audio_neardup")
