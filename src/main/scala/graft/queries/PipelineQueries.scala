@@ -3339,6 +3339,52 @@ object PipelineQueries {
         .orderBy("a", "b")
     }),
 
+    // AUDIO CURATION end to end — the audio analog of p353's image
+    // curation: every recording exists as the base plus ONE transcode
+    // (the p370 member set), ONE lazy chain fingerprints them, pairs
+    // via the banded Hamming-<=2 join, closes connected components,
+    // and rolls up keep-best (cluster size + distinct-encoding
+    // count). The oracle recomputes every fingerprint, replays the
+    // pair join, and closes components with a recursive CTE.
+    "p379_audio_curation" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val members = graft.ops.Multimodal.wavEncodedFromIds(docs, "doc_id", 0)
+        .unionByName(graft.ops.Multimodal.wavEncodedFromIds(
+          docs.where(col("doc_id") % 3 === 0), "doc_id", 1, idOffset = 10000000L))
+        .unionByName(graft.ops.Multimodal.wavEncodedFromIds(
+          docs.where(col("doc_id") % 3 === 1), "doc_id", 2, idOffset = 20000000L))
+        .unionByName(graft.ops.Multimodal.wavEncodedFromIds(
+          docs.where(col("doc_id") % 3 === 2), "doc_id", 3, idOffset = 30000000L))
+      val pairs = graft.ops.Dedup.hashNearDups(
+        graft.ops.Multimodal.audioFingerprintScan(members, "bytes"),
+        "media_id", "afp", maxHamming = 2)
+      graft.ops.Dedup.dedupClusters(pairs.select("a", "b"))
+        .groupBy("component")
+        .agg(max(col("cluster_size")).as("cluster_size"),
+          countDistinct(expr("id div 10000000")).as("n_encodings"))
+        .orderBy("component")
+    }),
+
+    // VIDEO CURATION end to end: the p372 member set (clips + their
+    // extended cuts) through shared-frame pairing, component closure,
+    // and keep-best roll-up — the video analog of p353. Cross-seed
+    // hash collisions from the LCG grid's near-periodicity chain into
+    // the components exactly as the oracle replays them.
+    "p380_video_curation" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val members = graft.ops.Multimodal.gifAnimFromIds(docs, "doc_id")
+        .unionByName(graft.ops.Multimodal.gifAnimFromIds(
+          docs.where(col("doc_id") % 4 === 0), "doc_id",
+          idOffset = 10000000L, extraFrame = true))
+      val pairs = graft.ops.Multimodal.videoNearDups(
+        members, "media_id", "bytes", minShared = 2)
+      graft.ops.Dedup.dedupClusters(pairs.select("a", "b"))
+        .groupBy("component")
+        .agg(max(col("cluster_size")).as("cluster_size"),
+          countDistinct(expr("id div 10000000")).as("n_tiers"))
+        .orderBy("component")
+    }),
+
     // AUDIO METADATA GOVERNANCE triage — the audio mirror of the EXIF
     // census: ID3v2 envelopes / ID3v1 trailers / WAV LIST-INFO chunks
     // / FLAC VORBIS_COMMENT blocks flagged with their envelope byte
@@ -9963,6 +10009,76 @@ object PipelineQueries {
       "SELECT a.vid AS a, b.vid AS b, CAST(COUNT(*) AS BIGINT) AS shared " +
       "FROM mm a JOIN mm b ON a.v = b.v AND a.vid < b.vid " +
       "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b"),
+
+    // p379: the p370 fingerprint/pair replay + p353's recursive
+    // component closure and keep-best roll-up
+    "p379_audio_curation" -> (
+      "WITH RECURSIVE " +
+      "x1 AS (SELECT doc_id AS seed, j.range AS j, " +
+      "(((doc_id * 128 + j.range) % 1000000) * 2654435761) " +
+      "% 4294967296 AS x FROM documents, range(0, 128) j " +
+      "WHERE doc_id % 10 <> 9), " +
+      "fj AS (SELECT seed, j, " +
+      "((xor(x, x // 65536) * 1103515245) % 4294967296 // 65536 " +
+      "% 256 - 128) * 256 AS v FROM x1), " +
+      "w AS (SELECT seed, CAST(j // 4 AS INT) AS w, " +
+      "SUM(CAST(v AS BIGINT) * v) AS e FROM fj GROUP BY 1, 2), " +
+      "b AS (SELECT a.seed, CASE WHEN a.e > b.e THEN 1::BIGINT << a.w " +
+      "ELSE 0 END AS v FROM w a JOIN w b ON b.seed = a.seed " +
+      "AND b.w = a.w + 1 WHERE a.w < 31 " +
+      "UNION ALL SELECT a.seed, CASE WHEN a.e > b.e " +
+      "THEN 1::BIGINT << (31 + a.w) ELSE 0 END AS v " +
+      "FROM w a JOIN w b ON b.seed = a.seed AND b.w = a.w + 2 " +
+      "WHERE a.w < 30), " +
+      "h AS (SELECT seed, CAST(SUM(v) AS BIGINT) AS v FROM b GROUP BY seed), " +
+      "mem AS MATERIALIZED (SELECT seed AS media_id, v FROM h " +
+      "UNION ALL SELECT seed + 10000000 + (seed % 3) * 10000000, v FROM h), " +
+      "p AS (SELECT a.media_id AS a, b.media_id AS b FROM mem a JOIN mem b " +
+      "ON a.media_id < b.media_id " +
+      "WHERE bit_count(xor(a.v, b.v)) <= 2), " +
+      "ed AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
+      "nd AS (SELECT DISTINCT a AS id FROM ed), " +
+      "reach AS (SELECT id, id AS r FROM nd " +
+      "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
+      "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id) " +
+      "SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size, " +
+      "CAST(COUNT(DISTINCT id // 10000000) AS BIGINT) AS n_encodings " +
+      "FROM comp GROUP BY component ORDER BY component"),
+
+    // p380: the p372 frame-hash/pair replay + recursive closure and
+    // keep-best roll-up
+    "p380_video_curation" -> (
+      "WITH RECURSIVE " +
+      "ids AS (SELECT doc_id AS seed, doc_id % 3 + 2 AS nf " +
+      "FROM documents WHERE doc_id % 10 <> 9), " +
+      "fr AS (SELECT seed, nf, f.range AS f FROM ids, range(0, 5) f " +
+      "WHERE f.range <= nf), " +
+      "g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT seed, nf, f, r, c, " +
+      "CASE WHEN r >= 1 AND r <= f THEN (CASE WHEN c = r " +
+      "THEN ((1103515245 * ((seed * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 " +
+      "ELSE (((1103515245 * (((seed + r * 131) * 72 + c) % 100000) + 12345) % 2147483648) // 65536 % 256) % 254 END) " +
+      "ELSE ((1103515245 * ((seed * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 END AS lum " +
+      "FROM fr, g), " +
+      "bits AS (SELECT a.seed, a.nf, a.f, CASE WHEN a.lum < b.lum " +
+      "THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.seed = a.seed AND b.f = a.f " +
+      "AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT seed, nf, f, SUM(v) AS v FROM bits GROUP BY 1, 2, 3), " +
+      "mem AS (SELECT seed AS vid, v FROM h WHERE f < nf " +
+      "UNION ALL SELECT seed + 10000000, v FROM h WHERE seed % 4 = 0), " +
+      "mm AS MATERIALIZED (SELECT DISTINCT vid, v FROM mem), " +
+      "p AS (SELECT a.vid AS a, b.vid AS b " +
+      "FROM mm a JOIN mm b ON a.v = b.v AND a.vid < b.vid " +
+      "GROUP BY 1, 2 HAVING COUNT(*) >= 2), " +
+      "ed AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), " +
+      "nd AS (SELECT DISTINCT a AS id FROM ed), " +
+      "reach AS (SELECT id, id AS r FROM nd " +
+      "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
+      "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id) " +
+      "SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size, " +
+      "CAST(COUNT(DISTINCT id // 10000000) AS BIGINT) AS n_tiers " +
+      "FROM comp GROUP BY component ORDER BY component"),
 
     // p377: the tag census replayed arithmetically — envelope sizes
     // derive from the id (LIST = 20 + artLen, VC = 4 + vcLen,

@@ -607,12 +607,15 @@ class PlanSpec extends AnyFunSuite {
       assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
         s"$name: scan shuffled\n$p")
     }
-    // p370's pair generation must be the banded equi-join — never a
+    // pair generation must be the banded equi-join — never a
     // cartesian/broadcast-nested-loop all-pairs comparison
-    val p370 = plan("p370_audio_neardup")
-    assert(!p370.contains("ScalaUDF"), s"p370: ScalaUDF in\n$p370")
-    assert(!p370.contains("CartesianProduct"), s"p370: all-pairs join\n$p370")
-    assert(!p370.contains("BroadcastNestedLoopJoin"), s"p370: all-pairs join\n$p370")
+    for (name <- Seq("p370_audio_neardup", "p379_audio_curation",
+        "p380_video_curation")) {
+      val p = plan(name)
+      assert(!p.contains("ScalaUDF"), s"$name: ScalaUDF in\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: all-pairs join\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: all-pairs join\n$p")
+    }
   }
 
   test("video frame gates: generator scan stays map-only, near-dup is hash equi-join") {
