@@ -1283,11 +1283,19 @@ case class VideoFrameHashesExpression(child: Expression, maxFrames: Int)
 }
 
 object VideoFrameHashesExpression {
-  /** Codegen entry point; null = not a decodable animated GIF. */
+  /** Codegen entry point; null = not a decodable animated GIF or
+    * (VP8L-coded) animated WebP — the two containers produce the SAME
+    * hash sequence for the same frames, so cross-container video
+    * dedup needs no per-format handling downstream. */
   def evalArray(b: Array[Byte], maxFrames: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    if (b == null || b.length < 6) return null
-    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F')) return null
-    val grids = GifFrames.frameGrids(b, maxFrames)
+    if (b == null || b.length < 12) return null
+    val grids =
+      if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+        GifFrames.frameGrids(b, maxFrames)
+      else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')
+        WebpFrames.frameGrids(b, maxFrames)
+      else null
     if (grids == null) return null
     val hashes = new Array[Long](grids.length)
     var i = 0

@@ -290,7 +290,22 @@ object WebpLuma {
       }
       p += 8 + sz.toInt + (sz.toInt & 1) // chunks are 2-byte aligned
     }
-    if (off < 0 || end - off < 5) return null
+    if (off < 0) return null
+    val img = decodeVp8lArgb(b, off, end)
+    if (img == null) return null
+    gridFromArgb(img.pix, img.w, img.h, orientation)
+  }
+
+  /** A decoded VP8L frame: ARGB pixels, row-major. */
+  private[functions] final class Vp8lImage(
+      val w: Int, val h: Int, val pix: Array[Int])
+
+  /** Decode one VP8L payload (`b(off until end)`) to ARGB pixels —
+    * the still-image path and the per-ANMF-frame path
+    * ([[WebpFrames]]) share this. Null on malformed data. */
+  private[functions] def decodeVp8lArgb(
+      b: Array[Byte], off: Int, end: Int): Vp8lImage = {
+    if (end - off < 5) return null
     if (u8(b, off) != 0x2f) return null
     val rd = new Br(b, off + 1, end)
     val w = rd.bits(14) + 1
@@ -394,11 +409,15 @@ object WebpLuma {
         codedW = w
     }
     if (pix.length != w * h) return null
+    new Vp8lImage(w, h, pix)
+  }
 
-    // the shared 9×8 grid, Rec.601 integer luma (alpha ignored — the
-    // same convention as PNG RGBA), sampled in DISPLAY space: each
-    // display cell maps back to its stored pixel by the inverse of the
-    // EXIF tag-274 transform (orientations 5..8 swap the axes)
+  /** The shared 9×8 grid, Rec.601 integer luma (alpha ignored — the
+    * same convention as PNG RGBA), sampled in DISPLAY space: each
+    * display cell maps back to its stored pixel by the inverse of the
+    * EXIF tag-274 transform (orientations 5..8 swap the axes). */
+  private[functions] def gridFromArgb(
+      pix: Array[Int], w: Int, h: Int, orientation: Int): Array[Int] = {
     val o = if (orientation >= 1 && orientation <= 8) orientation else 1
     val wD = if (o >= 5) h else w
     val hD = if (o >= 5) w else h
@@ -645,5 +664,149 @@ object WebpLuma {
       y += 1
     }
     pix
+  }
+}
+
+/** Animated-WebP frame decoder: the WebP arm of the video pipeline.
+  * Walks the VP8X container's ANMF frame list, decodes each frame's
+  * VP8L payload ([[WebpLuma.decodeVp8lArgb]] — lossy VP8 frames are
+  * the documented null), and COMPOSITES it onto the canvas at its
+  * (2·x, 2·y) offset honoring the per-frame blending method (alpha
+  * blending or overwrite) and dispose-to-background, then samples the
+  * canvas into the same 9×8 luma grid every raster decoder feeds —
+  * one grid PER FRAME, the same contract as [[GifFrames]], so the
+  * SAME clip crawled as animated GIF and animated WebP produces the
+  * SAME frame-hash sequence and cross-container video dedup works.
+  * A still (no ANMF) decodes as one frame. Frame count capped by
+  * `maxFrames`, canvas and frame rects by [[WebpLuma]]'s pixel caps;
+  * junk/truncated/lossy bytes → null, never a throw. */
+object WebpFrames {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le24(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (le24(b, i).toLong | (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+
+  def frameGrids(b: Array[Byte]): Array[Array[Int]] =
+    frameGrids(b, GifFrames.MaxFrames)
+
+  def frameGrids(b: Array[Byte], maxFrames: Int): Array[Array[Int]] = {
+    try frameGridsUnsafe(b, maxFrames)
+    catch {
+      // allocations are pixel-capped (see PngLuma on OOME)
+      case _: ArrayIndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+    }
+  }
+
+  private def frameGridsUnsafe(b: Array[Byte], maxFrames: Int): Array[Array[Int]] = {
+    if (b == null || b.length < 20 || maxFrames < 1) return null
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return null
+    // first pass: canvas dims (VP8X), background (ANIM), frame spans
+    var p = 12
+    var cw = -1; var ch = -1
+    var bg = 0
+    var stillOff = -1; var stillEnd = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    while (p + 8 <= b.length) {
+      val sz = le32(b, p + 4)
+      if (sz > b.length - p - 8) return null
+      if (b(p) == 'V' && b(p + 1) == 'P' && b(p + 2) == '8' && b(p + 3) == 'X') {
+        if (sz < 10) return null
+        cw = le24(b, p + 12) + 1
+        ch = le24(b, p + 15) + 1
+      } else if (b(p) == 'A' && b(p + 1) == 'N' && b(p + 2) == 'I' &&
+          b(p + 3) == 'M') {
+        if (sz < 6) return null
+        // spec byte order: Blue, Green, Red, Alpha
+        bg = (u8(b, p + 11) << 24) | (u8(b, p + 10) << 16) |
+          (u8(b, p + 9) << 8) | u8(b, p + 8)
+      } else if (b(p) == 'A' && b(p + 1) == 'N' && b(p + 2) == 'M' &&
+          b(p + 3) == 'F') {
+        if (sz < 16) return null
+        frames += ((p + 8, p + 8 + sz.toInt))
+      } else if (b(p) == 'V' && b(p + 1) == 'P' && b(p + 2) == '8' &&
+          b(p + 3) == 'L' && stillOff < 0) {
+        stillOff = p + 8; stillEnd = p + 8 + sz.toInt
+      }
+      p += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (frames.isEmpty) {
+      // a still: one frame, the existing single-image contract
+      if (stillOff < 0) return null
+      val img = WebpLuma.decodeVp8lArgb(b, stillOff, stillEnd)
+      if (img == null) return null
+      return Array(WebpLuma.gridFromArgb(img.pix, img.w, img.h, 1))
+    }
+    if (cw < 1 || ch < 1) return null
+    if (cw.toLong * ch > WebpLuma.MaxPixelsVp8l) return null
+    val canvas = Array.fill(cw * ch)(bg)
+    val grids = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    var fi = 0
+    while (fi < frames.length && grids.length < maxFrames) {
+      val (fOff, fEnd) = frames(fi)
+      if (fEnd - fOff < 16) return null
+      val fx = le24(b, fOff) * 2
+      val fy = le24(b, fOff + 3) * 2
+      val fw = le24(b, fOff + 6) + 1
+      val fh = le24(b, fOff + 9) + 1
+      val flags = u8(b, fOff + 15)
+      val blend = (flags & 0x02) == 0 // bit 1 clear = alpha blending
+      val dispose = (flags & 0x01) != 0
+      if (fx.toLong + fw > cw || fy.toLong + fh > ch) return null
+      // the frame's own chunk list: find its VP8L payload
+      var q = fOff + 16
+      var off = -1; var end = -1
+      while (off < 0 && q + 8 <= fEnd) {
+        val sz = le32(b, q + 4)
+        if (sz > fEnd - q - 8) return null
+        if (b(q) == 'V' && b(q + 1) == 'P' && b(q + 2) == '8' && b(q + 3) == 'L') {
+          off = q + 8; end = q + 8 + sz.toInt
+        }
+        q += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      if (off < 0) return null // lossy VP8 frame: the documented null
+      val img = WebpLuma.decodeVp8lArgb(b, off, end)
+      if (img == null || img.w != fw || img.h != fh) return null
+      var y = 0
+      while (y < fh) {
+        var x = 0
+        while (x < fw) {
+          val src = img.pix(y * fw + x)
+          val at = (fy + y) * cw + fx + x
+          if (!blend) canvas(at) = src
+          else {
+            val sa = src >>> 24
+            if (sa == 255) canvas(at) = src
+            else if (sa != 0) {
+              // integer src-over: out = (sa*src + (255-sa)*dst + 127)/255
+              val dst = canvas(at)
+              def ch(s: Int, d: Int): Int = (sa * s + (255 - sa) * d + 127) / 255
+              val da = dst >>> 24
+              canvas(at) = (math.min(255, sa + da * (255 - sa) / 255) << 24) |
+                (ch((src >>> 16) & 0xff, (dst >>> 16) & 0xff) << 16) |
+                (ch((src >>> 8) & 0xff, (dst >>> 8) & 0xff) << 8) |
+                ch(src & 0xff, dst & 0xff)
+            } // sa == 0: keep dst (the transparency hole)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      grids += WebpLuma.gridFromArgb(canvas, cw, ch, 1)
+      if (dispose) {
+        // dispose-to-background clears the frame rect AFTER rendering
+        var yy = 0
+        while (yy < fh) {
+          var xx = 0
+          while (xx < fw) { canvas((fy + yy) * cw + fx + xx) = bg; xx += 1 }
+          yy += 1
+        }
+      }
+      fi += 1
+    }
+    if (grids.isEmpty) null else grids.toArray
   }
 }

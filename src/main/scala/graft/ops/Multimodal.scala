@@ -845,6 +845,89 @@ object Multimodal {
   }
 
   /** Wrap a VP8L payload in its RIFF container. */
+  /** [[vp8lGrayPayload]] with PER-PIXEL alpha from {0, 255} (a 1-bit
+    * prefix code over the two symbols): the encoding animated frames
+    * need for transparency holes. */
+  private[graft] def vp8lGrayAlphaPayload(
+      lum: (Int, Int) => Int, alpha: (Int, Int) => Int,
+      w: Int, h: Int): Array[Byte] = {
+    val bw = new Vp8lBits
+    bw.bits(0x2f, 8) // signature
+    bw.bits(w - 1, 14); bw.bits(h - 1, 14) // dims
+    bw.bits(1, 1) // alpha hint
+    bw.bits(0, 3) // version
+    bw.bits(0, 1) // no transforms
+    bw.bits(0, 1); bw.bits(0, 1) // no meta codes, no cache
+    vp8lAll8(bw, 280) // green
+    vp8lAll8(bw, 256); vp8lAll8(bw, 256) // red, blue
+    vp8lPair(bw, 256, 0, 255) // alpha: {0, 255} -> canonical 1-bit code
+    vp8lSimple1(bw, 0) // distance (unused)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = lum(x, y)
+      bw.code(v, 8); bw.code(v, 8); bw.code(v, 8)
+      bw.code(if (alpha(x, y) == 0) 0 else 1, 1)
+    }
+    bw.bytes
+  }
+
+  /** MULTI-FRAME animated-WebP fixture producing the SAME composited
+    * frame sequence as [[gifAnimFromIds]] for the same seed — the
+    * cross-container twin the p382 near-dup gate pairs. ANMF offsets
+    * are stored halved (even-only), so the odd-row updates the GIF
+    * fixture plants cannot be 1-row WebP frames; instead frame t is a
+    * rect at y = 0 of height t+1 whose rows below t are FULLY
+    * transparent (alpha 0, the blending no-op) and whose row t
+    * carries the GIF frame's pixels with the same alpha-0 hole at
+    * column t — compositing lands identically. Frame 0 overwrites
+    * (blend bit set); later frames alpha-blend. */
+  def webpAnimMultiFromIds(
+      ids: DataFrame,
+      idCol: String,
+      idOffset: Long = 0L,
+      extraFrame: Boolean = false): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
+      val bytes =
+        if (seed % 10 == 9) s"notanimwebp:$seed:m".getBytes("US-ASCII")
+        else {
+          def lcg(i: Long): Int =
+            (((1103515245L * (i % 100000L) + 12345L) % 2147483648L) /
+              65536L % 256L).toInt
+          def anmf(x: Int, y: Int, w: Int, h: Int, flags: Int,
+              payload: Array[Byte]): Array[Byte] = {
+            val f = new java.io.ByteArrayOutputStream(payload.length + 32)
+            def le24(v: Int): Unit = { f.write(v & 0xff)
+              f.write((v >>> 8) & 0xff); f.write((v >>> 16) & 0xff) }
+            def le32(v: Int): Unit = { le24(v); f.write((v >>> 24) & 0xff) }
+            le24(x / 2); le24(y / 2)
+            le24(w - 1); le24(h - 1)
+            le24(100) // duration ms
+            f.write(flags)
+            f.write("VP8L".getBytes("US-ASCII")); le32(payload.length)
+            f.write(payload, 0, payload.length)
+            if ((payload.length & 1) == 1) f.write(0)
+            f.toByteArray
+          }
+          val frame0 = anmf(0, 0, 9, 8, 0x02, // no-blend (overwrite)
+            vp8lGrayPayload((x, y) => lcg(seed * 72 + y * 9 + x), 9, 8))
+          val last = (seed % 3 + 2).toInt - 1 + (if (extraFrame) 1 else 0)
+          val updates = (1 to last).map { t =>
+            anmf(0, 0, 9, t + 1, 0x00, // alpha-blend, keep
+              vp8lGrayAlphaPayload(
+                (x, y) => if (y == t) lcg((seed + t * 131L) * 72 + x) % 254 else 0,
+                (x, y) => if (y == t && x != t) 255 else 0,
+                9, t + 1))
+          }
+          val anim = Array[Byte](0, 0, 0, 0, 1, 0)
+          vp8xContainer(9, 8, 0x12,
+            (("ANIM" -> anim) +: ("ANMF" -> frame0) +:
+              updates.map("ANMF" -> _)): _*)
+        }
+      (seed + idOffset, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
   private[graft] def vp8lContainer(payload: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(payload.length + 32)
     def le32(v: Int): Unit =

@@ -3339,6 +3339,34 @@ object PipelineQueries {
         .orderBy("a", "b")
     }),
 
+    // ANIMATED-WEBP FRAME SAMPLING: the p371 contract over the modern
+    // container — ANMF walk, per-frame VP8L decode, alpha-blend
+    // compositing with transparency holes (ANMF offsets are even-only,
+    // so the odd-row updates ride taller fully-transparent rects).
+    // The fixture composites to the SAME frames as the GIF fixture,
+    // so the oracle is p371's arithmetic verbatim.
+    "p381_webp_anim_frames" -> ((s, dir) =>
+      graft.ops.Multimodal.videoFrameSample(
+        graft.ops.Multimodal.webpAnimMultiFromIds(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "bytes")
+        .orderBy("media_id", "frame_no")),
+
+    // CROSS-CONTAINER VIDEO NEAR-DUP: the same clip crawled as
+    // animated GIF and animated WebP — both decoders feed the same
+    // 9x8 grid, so the frame-hash sequences are IDENTICAL and the
+    // shared-frame containment join pairs them with no per-format
+    // handling (the video analog of p349's cross-format image dedup).
+    "p382_cross_container_video_neardup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val gifs = graft.ops.Multimodal.gifAnimFromIds(docs, "doc_id")
+      val webps = graft.ops.Multimodal.webpAnimMultiFromIds(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", idOffset = 10000000L)
+      graft.ops.Multimodal.videoNearDups(
+          gifs.unionByName(webps), "media_id", "bytes", minShared = 2)
+        .orderBy("a", "b")
+    }),
+
     // AUDIO CURATION end to end — the audio analog of p353's image
     // curation: every recording exists as the base plus ONE transcode
     // (the p370 member set), ONE lazy chain fingerprints them, pairs
@@ -10005,6 +10033,56 @@ object PipelineQueries {
       "h AS (SELECT seed, nf, f, SUM(v) AS v FROM bits GROUP BY 1, 2, 3), " +
       "mem AS (SELECT seed AS vid, v FROM h WHERE f < nf " +
       "UNION ALL SELECT seed + 10000000, v FROM h WHERE seed % 4 = 0), " +
+      "mm AS (SELECT DISTINCT vid, v FROM mem) " +
+      "SELECT a.vid AS a, b.vid AS b, CAST(COUNT(*) AS BIGINT) AS shared " +
+      "FROM mm a JOIN mm b ON a.v = b.v AND a.vid < b.vid " +
+      "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b"),
+
+    // p381: p371's composited-pixel replay verbatim (the WebP fixture
+    // composites to the same frames)
+    "p381_webp_anim_frames" -> (
+      "WITH ids AS (SELECT doc_id AS seed, doc_id % 3 + 2 AS nf " +
+      "FROM documents WHERE doc_id % 10 <> 9), " +
+      "fr AS (SELECT seed, f.range AS f FROM ids, range(0, 4) f " +
+      "WHERE f.range < nf), " +
+      "g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT seed, f, r, c, " +
+      "CASE WHEN r >= 1 AND r <= f THEN (CASE WHEN c = r " +
+      "THEN ((1103515245 * ((seed * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 " +
+      "ELSE (((1103515245 * (((seed + r * 131) * 72 + c) % 100000) + 12345) % 2147483648) // 65536 % 256) % 254 END) " +
+      "ELSE ((1103515245 * ((seed * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 END AS lum " +
+      "FROM fr, g), " +
+      "bits AS (SELECT a.seed, a.f, CASE WHEN a.lum < b.lum " +
+      "THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.seed = a.seed AND b.f = a.f " +
+      "AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT seed, f, SUM(v) AS v FROM bits GROUP BY 1, 2) " +
+      "SELECT seed AS media_id, CAST(f AS INT) AS frame_no, " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT " +
+      "THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS dhash " +
+      "FROM h ORDER BY media_id, frame_no"),
+
+    // p382: p372's frame-hash + containment replay with the WebP twin
+    // membership (seed % 2 = 0, same frame set, no extra frame)
+    "p382_cross_container_video_neardup" -> (
+      "WITH ids AS (SELECT doc_id AS seed, doc_id % 3 + 2 AS nf " +
+      "FROM documents WHERE doc_id % 10 <> 9), " +
+      "fr AS (SELECT seed, nf, f.range AS f FROM ids, range(0, 5) f " +
+      "WHERE f.range < nf), " +
+      "g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT seed, nf, f, r, c, " +
+      "CASE WHEN r >= 1 AND r <= f THEN (CASE WHEN c = r " +
+      "THEN ((1103515245 * ((seed * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 " +
+      "ELSE (((1103515245 * (((seed + r * 131) * 72 + c) % 100000) + 12345) % 2147483648) // 65536 % 256) % 254 END) " +
+      "ELSE ((1103515245 * ((seed * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 END AS lum " +
+      "FROM fr, g), " +
+      "bits AS (SELECT a.seed, a.nf, a.f, CASE WHEN a.lum < b.lum " +
+      "THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.seed = a.seed AND b.f = a.f " +
+      "AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT seed, nf, f, SUM(v) AS v FROM bits GROUP BY 1, 2, 3), " +
+      "mem AS (SELECT seed AS vid, v FROM h " +
+      "UNION ALL SELECT seed + 10000000, v FROM h WHERE seed % 2 = 0), " +
       "mm AS (SELECT DISTINCT vid, v FROM mem) " +
       "SELECT a.vid AS a, b.vid AS b, CAST(COUNT(*) AS BIGINT) AS shared " +
       "FROM mm a JOIN mm b ON a.v = b.v AND a.vid < b.vid " +

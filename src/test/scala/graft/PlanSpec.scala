@@ -619,14 +619,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("video frame gates: generator scan stays map-only, near-dup is hash equi-join") {
-    val p371 = plan("p371_video_frame_sample")
-    assert(!p371.contains("ScalaUDF"), s"p371: ScalaUDF in\n$p371")
-    assert(p371.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
-      s"p371: frame scan shuffled\n$p371")
-    val p372 = plan("p372_video_neardup")
-    assert(!p372.contains("ScalaUDF"), s"p372: ScalaUDF in\n$p372")
-    assert(!p372.contains("CartesianProduct"), s"p372: all-pairs join\n$p372")
-    assert(!p372.contains("BroadcastNestedLoopJoin"), s"p372: all-pairs join\n$p372")
+    for (name <- Seq("p371_video_frame_sample", "p381_webp_anim_frames")) {
+      val p = plan(name)
+      assert(!p.contains("ScalaUDF"), s"$name: ScalaUDF in\n$p")
+      assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+        s"$name: frame scan shuffled\n$p")
+    }
+    for (name <- Seq("p372_video_neardup", "p382_cross_container_video_neardup")) {
+      val p = plan(name)
+      assert(!p.contains("ScalaUDF"), s"$name: ScalaUDF in\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: all-pairs join\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: all-pairs join\n$p")
+    }
   }
 
   test("p320/p322: URL dedup is one agg without a window; robots rules broadcast") {

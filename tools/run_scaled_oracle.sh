@@ -82,6 +82,13 @@ GATES=$GATES,p367_mixed_exif_redact
 GATES=$GATES,p369_audio_fingerprint,p370_audio_neardup
 GATES=$GATES,p371_video_frame_sample,p372_video_neardup
 GATES=$GATES,p373_tiff_dhash,p374_tiff_oriented_dhash
+# scene cuts (LAG replay), resample round trip (p369 replay), audio
+# governance pair (linear census arithmetic), and the two curation
+# compositions (recursive closures over the pair replays)
+GATES=$GATES,p375_video_scene_cuts,p376_audio_resample
+GATES=$GATES,p377_audio_meta_triage,p378_audio_meta_strip
+GATES=$GATES,p379_audio_curation,p380_video_curation
+GATES=$GATES,p381_webp_anim_frames,p382_cross_container_video_neardup
 # p353's oracle is all-pairs over 4 formats (6.5e10 comparisons at
 # x20) - base scale only; p354/p355 are arithmetic and linear
 GATES=$GATES,p354_exif_triage,p355_exif_strip
