@@ -1563,6 +1563,71 @@ object Multimodal {
       .select(col("media_id"), col("frame_no"), col("hamming"))
   }
 
+  /** SUBTITLE cue extraction: SRT/WebVTT caption payloads exploded to
+    * one row per cue — (media_id, cue_no, start_ms, end_ms, text) —
+    * the bridge from the video pipeline into langid / quality /
+    * dedup. Map-only + one generator; unparseable payloads vanish
+    * (posexplode of NULL). */
+  def subtitleCueScan(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("media_id"),
+        posexplode(graft.functions.SubtitleFunctions.subtitle_cues(col(textCol)))
+          .as(Seq("_pos", "cue")))
+      .select(col("media_id"), col("cue.cue_no").as("cue_no"),
+        col("cue.start_ms").as("start_ms"), col("cue.end_ms").as("end_ms"),
+        col("cue.text").as("text"))
+
+  /** Per-video CAPTION statistics: cue count, total speech time,
+    * caption characters, and the integer reading rate (chars/sec) —
+    * the quality numbers a caption-curation pass filters on. One
+    * partial agg over the exploded cues. */
+  def captionStats(df: DataFrame, textCol: String): DataFrame =
+    subtitleCueScan(df, textCol)
+      .groupBy("media_id")
+      .agg(count(lit(1)).cast("int").as("n_cues"),
+        sum(col("end_ms") - col("start_ms")).as("speech_ms"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .withColumn("chars_per_sec",
+        (col("n_chars") * 1000L / col("speech_ms")).cast("long"))
+
+  /** Deterministic SUBTITLE fixture: id % 3 cycles SRT (index lines +
+    * comma millis), WebVTT (magic + dot millis, cue-identifier lines
+    * on odd ids, a NOTE block up front), and JUNK prose (no cues —
+    * must parse to NULL). Cue k of n = id % 4 + 1 starts at
+    * (id % 50 + 10k) s, lasts k+1 s, and reads "cue <id> <k>" — all
+    * SQL-replayable. */
+  def subtitlesFromIds(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("media_id")).as[Long].map { id =>
+      def ts(ms: Long, comma: Boolean): String = {
+        val s = ms / 1000
+        f"${s / 3600}%02d:${s / 60 % 60}%02d:${s % 60}%02d" +
+          (if (comma) f",${ms % 1000}%03d" else f".${ms % 1000}%03d")
+      }
+      val n = (id % 4 + 1).toInt
+      val cues = (0 until n).map { k =>
+        val start = (id % 50 + k * 10) * 1000
+        val end = start + (k + 1) * 1000
+        (start, end, s"cue $id $k")
+      }
+      val text = (id % 3) match {
+        case 0 => // SRT
+          cues.zipWithIndex.map { case ((s0, e0, t), k) =>
+            s"${k + 1}\n${ts(s0, comma = true)} --> ${ts(e0, comma = true)}\n$t\n"
+          }.mkString("\n")
+        case 1 => // WebVTT
+          "WEBVTT\n\nNOTE generated fixture\n\n" +
+            cues.zipWithIndex.map { case ((s0, e0, t), k) =>
+              val ident = if (id % 2 == 1) s"c$k\n" else ""
+              s"$ident${ts(s0, comma = false)} --> ${ts(e0, comma = false)}\n$t\n"
+            }.mkString("\n")
+        case _ =>
+          s"just some prose about item $id with no timestamps at all"
+      }
+      (id, text)
+    }.toDF("media_id", "text")
+  }
+
   /** Deterministic ANIMATED-GIF fixture: seed % 3 + 2 frames on a 9×8
     * canvas with a 256-entry grayscale GCT. Frame 0 is the full p340
     * LCG grid (so frame 0's hash replays the p352 arithmetic

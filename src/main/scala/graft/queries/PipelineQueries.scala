@@ -3339,6 +3339,29 @@ object PipelineQueries {
         .orderBy("a", "b")
     }),
 
+    // SUBTITLE EXTRACTION — the video pipeline's bridge into the text
+    // one: SRT (comma millis, index lines) and WebVTT (dot millis,
+    // cue identifiers, NOTE blocks) parse to one row per cue; junk
+    // prose parses to nothing. The oracle rebuilds every cue
+    // arithmetically.
+    "p383_subtitle_cues" -> ((s, dir) =>
+      graft.ops.Multimodal.subtitleCueScan(
+        graft.ops.Multimodal.subtitlesFromIds(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "text")
+        .orderBy("media_id", "cue_no")),
+
+    // CAPTION QUALITY STATS: per-video cue count, speech time,
+    // character mass, and integer reading rate — the numbers a
+    // caption-curation pass thresholds on. One partial agg over the
+    // exploded cues.
+    "p384_caption_stats" -> ((s, dir) =>
+      graft.ops.Multimodal.captionStats(
+        graft.ops.Multimodal.subtitlesFromIds(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "text")
+        .orderBy("media_id")),
+
     // ANIMATED-WEBP FRAME SAMPLING: the p371 contract over the modern
     // container — ANMF walk, per-frame VP8L decode, alpha-blend
     // compositing with transparency holes (ANMF offsets are even-only,
@@ -10037,6 +10060,32 @@ object PipelineQueries {
       "SELECT a.vid AS a, b.vid AS b, CAST(COUNT(*) AS BIGINT) AS shared " +
       "FROM mm a JOIN mm b ON a.v = b.v AND a.vid < b.vid " +
       "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b"),
+
+    // p383: every cue rebuilt arithmetically — start (id%50 + 10k) s,
+    // duration k+1 s, text 'cue <id> <k>'; junk members (id%3=2)
+    // contribute no rows
+    "p383_subtitle_cues" -> (
+      "WITH ids AS (SELECT doc_id AS media_id, doc_id % 4 + 1 AS n " +
+      "FROM documents WHERE doc_id % 3 < 2), " +
+      "cues AS (SELECT media_id, CAST(k.range AS INT) AS cue_no, " +
+      "(media_id % 50 + k.range * 10) * 1000 AS start_ms, " +
+      "(media_id % 50 + k.range * 10) * 1000 + (k.range + 1) * 1000 AS end_ms, " +
+      "'cue ' || media_id || ' ' || k.range AS text " +
+      "FROM ids, range(0, 4) k WHERE k.range < n) " +
+      "SELECT media_id, cue_no, CAST(start_ms AS BIGINT) AS start_ms, " +
+      "CAST(end_ms AS BIGINT) AS end_ms, text FROM cues " +
+      "ORDER BY media_id, cue_no"),
+
+    // p384: the same cue arithmetic folded — speech = 1000*n(n+1)/2,
+    // chars = n*(6 + len(id)), rate = chars*1000/speech integer-div
+    "p384_caption_stats" -> (
+      "SELECT doc_id AS media_id, " +
+      "CAST(doc_id % 4 + 1 AS INT) AS n_cues, " +
+      "CAST(1000 * (doc_id % 4 + 1) * (doc_id % 4 + 2) // 2 AS BIGINT) AS speech_ms, " +
+      "CAST((doc_id % 4 + 1) * (6 + LENGTH(CAST(doc_id AS VARCHAR))) AS BIGINT) AS n_chars, " +
+      "CAST((doc_id % 4 + 1) * (6 + LENGTH(CAST(doc_id AS VARCHAR))) * 1000 " +
+      "// (1000 * (doc_id % 4 + 1) * (doc_id % 4 + 2) // 2) AS BIGINT) AS chars_per_sec " +
+      "FROM documents WHERE doc_id % 3 < 2 ORDER BY media_id"),
 
     // p381: p371's composited-pixel replay verbatim (the WebP fixture
     // composites to the same frames)
