@@ -935,6 +935,87 @@ object AudioFingerprintExpression {
   }
 }
 
+/** `tiff_strip_gps(bytes)`: GPS-PII redaction for BARE TIFF files —
+  * the one container the APP1-splice family cannot serve, because a
+  * TIFF's EXIF directory IS its pixel directory: removing bytes would
+  * shift every absolute offset (strip offsets, value pointers) in
+  * the file. So the redaction is IN-PLACE: the tag-34853 GPS-IFD
+  * pointer entry is retagged as padding (tag 0xEA1C, type UNDEFINED,
+  * count/value 0 — readers skip it) and the GPS IFD it pointed at is
+  * ZEROED wholesale (entry table + next-IFD pointer), so the
+  * coordinates are gone from the bytes, not merely unreachable.
+  * Pixels, orientation, and every other tag are byte-identical — the
+  * p385 gate pins the oriented hash through the redaction.
+  * Unparseable input returned unchanged (the strip family's
+  * contract); GPS-less files pass through by reference. */
+case class TiffStripGpsExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    TiffStripGpsExpression.evalBytes(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TiffStripGpsExpression.evalBytes($c);")
+  override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+  override def prettyName: String = "tiff_strip_gps"
+}
+
+object TiffStripGpsExpression {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  def evalBytes(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 8) return b
+    val le =
+      if (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) true
+      else if (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42) false
+      else return b
+    def u16(i: Int): Int =
+      if (le) u8(b, i) | (u8(b, i + 1) << 8) else (u8(b, i) << 8) | u8(b, i + 1)
+    def u32(i: Int): Long =
+      if (le) (u16(i) | (u16(i + 2).toLong << 16)) & 0xffffffffL
+      else ((u16(i).toLong << 16) | u16(i + 2)) & 0xffffffffL
+    val ifd0 = u32(4)
+    if (ifd0 < 8 || ifd0 + 2 > b.length) return b
+    val ifd = ifd0.toInt
+    val n = u16(ifd)
+    if (n < 1 || n > 512 || ifd + 2 + n * 12 > b.length) return b
+    var gpsEntry = -1
+    var gpsOff = -1L
+    var i = 0
+    while (i < n && gpsEntry < 0) {
+      val e = ifd + 2 + i * 12
+      if (u16(e) == 34853) {
+        gpsEntry = e
+        val typ = u16(e + 2)
+        gpsOff = if (typ == 3) u16(e + 8) else u32(e + 8)
+      }
+      i += 1
+    }
+    if (gpsEntry < 0) return b // no GPS channel: pass through
+    val out = b.clone()
+    def w16(i: Int, v: Int): Unit =
+      if (le) { out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte }
+      else { out(i) = (v >>> 8).toByte; out(i + 1) = v.toByte }
+    // zero the pointed-at GPS IFD (entry table + next-IFD pointer),
+    // bounded by the buffer — the coordinates leave the bytes
+    if (gpsOff >= 8 && gpsOff + 2 <= b.length) {
+      val g = gpsOff.toInt
+      val n2 = u16(g)
+      if (n2 <= 512) {
+        val end = math.min(b.length.toLong, gpsOff + 2 + n2 * 12 + 4).toInt
+        java.util.Arrays.fill(out, g, end, 0.toByte)
+      }
+    }
+    // retag the pointer entry as padding: readers skip, triage clears
+    w16(gpsEntry, 0xea1c)
+    w16(gpsEntry + 2, 7) // UNDEFINED
+    out(gpsEntry + 4) = 0; out(gpsEntry + 5) = 0
+    out(gpsEntry + 6) = 0; out(gpsEntry + 7) = 0
+    out(gpsEntry + 8) = 0; out(gpsEntry + 9) = 0
+    out(gpsEntry + 10) = 0; out(gpsEntry + 11) = 0
+    out
+  }
+}
+
 /** `audio_meta_gov(bytes)`: audio METADATA governance triage — the
   * audio mirror of [[ExifMetaExpression]]. Audio files carry PII in
   * their tag channels the way images carry it in EXIF: ID3v2 frames
@@ -1713,6 +1794,8 @@ object MediaFunctions {
     column(WavResampleExpression(expression(c), outRate))
   def audio_meta_gov(c: Column): Column =
     column(AudioMetaGovExpression(expression(c)))
+  def tiff_strip_gps(c: Column): Column =
+    column(TiffStripGpsExpression(expression(c)))
   def audio_strip_meta(c: Column): Column =
     column(AudioStripMetaExpression(expression(c)))
 }

@@ -1723,7 +1723,8 @@ object Multimodal {
       idCol: String,
       idOffset: Long = 0L,
       oriented: Boolean = false,
-      bumpCell: Int = 0): DataFrame = {
+      bumpCell: Int = 0,
+      gps: Boolean = false): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
     ids.select(col(idCol).cast("long").as("_id")).as[Long].map { seed =>
@@ -1751,10 +1752,15 @@ object Multimodal {
           val be = seed % 2 == 1
           val rps = 4
           val nStrips = (bh + rps - 1) / rps
-          val nEntries = if (o > 0) 10 else 9
+          // GPS planted on every gps-fixture seed % 3 == 0 member: a
+          // tag-34853 pointer to a one-entry GPS IFD (the PII channel
+          // the p385 redaction gate must find, wipe, and re-verify)
+          val hasGps = gps && seed % 3 == 0
+          val nEntries = (if (o > 0) 10 else 9) + (if (hasGps) 1 else 0)
           val soOff = 8 + 2 + nEntries * 12 + 4
           val scOff = soOff + 4 * nStrips
-          val dataOff = scOff + 4 * nStrips
+          val gpsOff = scOff + 4 * nStrips
+          val dataOff = gpsOff + (if (hasGps) 18 else 0)
           val out = new Array[Byte](dataOff + bw * bh)
           def w16(i: Int, v: Int): Unit =
             if (be) { out(i) = (v >>> 8).toByte; out(i + 1) = v.toByte }
@@ -1784,7 +1790,16 @@ object Multimodal {
           entry(277, 3, 1, 1)
           entry(278, 3, 1, rps)
           entry(279, 4, nStrips, scOff)
+          if (hasGps) entry(34853, 4, 1, gpsOff)
           w32(p, 0) // no next IFD
+          if (hasGps) {
+            // GPS IFD: one GPSLatitudeRef entry ("N"), no next IFD
+            w16(gpsOff, 1)
+            w16(gpsOff + 2, 1); w16(gpsOff + 4, 2) // tag 1, ASCII
+            w32(gpsOff + 6, 2) // count
+            out(gpsOff + 10) = 'N'; out(gpsOff + 11) = 0
+            w32(gpsOff + 14, 0)
+          }
           var s = 0
           while (s < nStrips) {
             val rowsIn = math.min(rps, bh - s * rps)

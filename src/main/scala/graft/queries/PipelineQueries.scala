@@ -3339,6 +3339,28 @@ object PipelineQueries {
         .orderBy("a", "b")
     }),
 
+    // BARE-TIFF GPS REDACTION — the one container the APP1-splice
+    // family cannot serve (a TIFF's EXIF directory IS its pixel
+    // directory; removing bytes would shift every absolute offset):
+    // the tag-34853 entry is retagged as padding IN-PLACE and the GPS
+    // IFD it pointed at is zeroed wholesale. Triage-before, redact,
+    // re-verify, and the ORIENTED hash must ride through unchanged.
+    "p385_tiff_gps_redact" -> ((s, dir) => {
+      val tagged = graft.ops.Multimodal.tiffPixelsFromIds(
+        Tables(s, dir, "documents").select(col("doc_id")), "doc_id",
+        oriented = true, gps = true)
+      val post = graft.functions.MediaFunctions.tiff_strip_gps(col("bytes"))
+      tagged.select(col("media_id"),
+        graft.functions.MediaFunctions.exif_meta(col("bytes"))
+          .getField("has_gps").as("pre_gps"),
+        graft.functions.MediaFunctions.exif_meta(post)
+          .getField("has_gps").as("post_gps"),
+        graft.functions.MediaFunctions.exif_meta(post)
+          .getField("orientation").as("orientation"),
+        graft.functions.MediaFunctions.dhash64_oriented(post).as("dhash"))
+        .orderBy("media_id")
+    }),
+
     // SUBTITLE EXTRACTION — the video pipeline's bridge into the text
     // one: SRT (comma millis, index lines) and WebVTT (dot millis,
     // cue identifiers, NOTE blocks) parse to one row per cue; junk
@@ -10060,6 +10082,26 @@ object PipelineQueries {
       "SELECT a.vid AS a, b.vid AS b, CAST(COUNT(*) AS BIGINT) AS shared " +
       "FROM mm a JOIN mm b ON a.v = b.v AND a.vid < b.vid " +
       "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b"),
+
+    // p385: flags arithmetic + the p340 bit replay on the REDACTED
+    // bytes (the oriented hash normalizes the stored rotation away)
+    "p385_tiff_gps_redact" -> (
+      "WITH g AS (SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 9) c), " +
+      "l AS (SELECT doc_id, r, c, " +
+      "((1103515245 * ((doc_id * 72 + r * 9 + c) % 100000) + 12345) % 2147483648) // 65536 % 256 AS lum " +
+      "FROM documents, g), " +
+      "bits AS (SELECT a.doc_id, CASE WHEN a.lum < b.lum THEN 1::HUGEINT << (a.r * 8 + a.c) ELSE 0::HUGEINT END AS v " +
+      "FROM l a JOIN l b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
+      "h AS (SELECT doc_id, SUM(v) AS v FROM bits GROUP BY doc_id) " +
+      "SELECT doc_id AS media_id, " +
+      "CAST(CASE WHEN doc_id % 10 = 9 THEN 0 " +
+      "WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS pre_gps, " +
+      "CAST(0 AS INT) AS post_gps, " +
+      "CAST(CASE WHEN doc_id % 10 = 9 THEN -1 " +
+      "ELSE doc_id % 8 + 1 END AS INT) AS orientation, " +
+      "CASE WHEN doc_id % 10 = 9 THEN NULL ELSE " +
+      "CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) END AS dhash " +
+      "FROM h ORDER BY media_id"),
 
     // p383: every cue rebuilt arithmetically — start (id%50 + 10k) s,
     // duration k+1 s, text 'cue <id> <k>'; junk members (id%3=2)

@@ -420,6 +420,10 @@ object ScaledOps {
         graft.ops.Multimodal.wavEncodedFromIds(docs, "doc_id", 0), "bytes")) },
       time("video_frame_hashes") { sink(graft.ops.Multimodal.videoFrameSample(
         graft.ops.Multimodal.gifAnimFromIds(docs, "doc_id"), "bytes")) },
+      time("webp_anim_frames") { sink(graft.ops.Multimodal.videoFrameSample(
+        graft.ops.Multimodal.webpAnimMultiFromIds(docs, "doc_id"), "bytes")) },
+      time("subtitle_cues") { sink(graft.ops.Multimodal.subtitleCueScan(
+        graft.ops.Multimodal.subtitlesFromIds(docs, "doc_id"), "text")) },
       (if (selected("ann_ivfpq_recall_pct")) {
         val (n, pct) = annIvfPqRecall(spark.read.parquet(embPath))
         ScaledRec(n, pct, pct, varied = false) // a score, not a timing

@@ -91,6 +91,42 @@ class TiffLumaSpec extends AnyFunSuite {
     }
   }
 
+  test("GPS redaction: pointer retagged, GPS IFD zeroed, pixels and orientation intact") {
+    import spark.implicits._
+    import graft.functions.{ExifMetaExpression, TiffStripGpsExpression}
+    val seeds = (0L until 24L).filter(_ % 10 != 9)
+    val tagged = Multimodal.tiffPixelsFromIds(seeds.toDF("doc_id"), "doc_id",
+      oriented = true, gps = true)
+      .select("media_id", "bytes").as[(Long, Array[Byte])].collect().toMap
+    val upright = fixture(seeds)
+    for (s <- seeds) {
+      val pre = tagged(s)
+      val (_, _, preGps) = ExifMetaExpression.scan(pre)
+      assert(preGps == (if (s % 3 == 0) 1 else 0), s"seed=$s")
+      val post = TiffStripGpsExpression.evalBytes(pre)
+      val (_, o, postGps) = ExifMetaExpression.scan(post)
+      assert(postGps == 0 && o == (s % 8 + 1).toInt, s"seed=$s")
+      if (s % 3 == 0) {
+        assert(!(post eq pre), s"planted member must copy, seed=$s")
+        // the GPS IFD region no longer contains the latitude ref: the
+        // position holding 'N' pre-redaction must read zero after
+        assert((0 until pre.length).exists(i => pre(i) == 'N' && post(i) == 0),
+          s"GPS payload survived, seed=$s")
+        assert(post.length == pre.length, s"in-place contract, seed=$s")
+      } else assert(post eq pre, s"GPS-less member passes by reference, seed=$s")
+      // the oriented hash is unchanged through the redaction
+      assert(DHash64OrientedExpression.evalRow(post) ==
+        DHash64Expression.evalRow(upright(s)), s"seed=$s")
+      // idempotent
+      assert(java.util.Arrays.equals(
+        TiffStripGpsExpression.evalBytes(post), post) ||
+        (TiffStripGpsExpression.evalBytes(post) eq post), s"seed=$s")
+    }
+    // junk passes through untouched
+    val junk = "notatiff:9".getBytes
+    assert(TiffStripGpsExpression.evalBytes(junk) eq junk)
+  }
+
   test("differential vs ImageIO: the JDK TIFF reader agrees on the sampled grid") {
     val seeds = (0L until 10L).filter(_ % 10 != 9)
     val tif = fixture(seeds)

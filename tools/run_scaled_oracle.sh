@@ -89,7 +89,7 @@ GATES=$GATES,p375_video_scene_cuts,p376_audio_resample
 GATES=$GATES,p377_audio_meta_triage,p378_audio_meta_strip
 GATES=$GATES,p379_audio_curation,p380_video_curation
 GATES=$GATES,p381_webp_anim_frames,p382_cross_container_video_neardup
-GATES=$GATES,p383_subtitle_cues,p384_caption_stats
+GATES=$GATES,p383_subtitle_cues,p384_caption_stats,p385_tiff_gps_redact
 # p353's oracle is all-pairs over 4 formats (6.5e10 comparisons at
 # x20) - base scale only; p354/p355 are arithmetic and linear
 GATES=$GATES,p354_exif_triage,p355_exif_strip
