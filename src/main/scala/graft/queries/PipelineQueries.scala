@@ -3292,11 +3292,11 @@ object PipelineQueries {
       val docs = Tables(s, dir, "documents").select(col("doc_id"))
       val base = graft.ops.Multimodal.wavEncodedFromIds(docs, "doc_id", 0)
       val dep8 = graft.ops.Multimodal.wavEncodedFromIds(
-        docs.where(col("doc_id") % 3 === 0), "doc_id", 1, idOffset = 10000000L)
+        docs.where(col("doc_id") % 3 === 0), "doc_id", 1, idOffset = 1000000000L)
       val ster = graft.ops.Multimodal.wavEncodedFromIds(
-        docs.where(col("doc_id") % 3 === 1), "doc_id", 2, idOffset = 20000000L)
+        docs.where(col("doc_id") % 3 === 1), "doc_id", 2, idOffset = 2000000000L)
       val up2x = graft.ops.Multimodal.wavEncodedFromIds(
-        docs.where(col("doc_id") % 3 === 2), "doc_id", 3, idOffset = 30000000L)
+        docs.where(col("doc_id") % 3 === 2), "doc_id", 3, idOffset = 3000000000L)
       graft.ops.Dedup.hashNearDups(
           graft.ops.Multimodal.audioFingerprintScan(
             base.unionByName(dep8).unionByName(ster).unionByName(up2x),
@@ -3333,7 +3333,7 @@ object PipelineQueries {
       val base = graft.ops.Multimodal.gifAnimFromIds(docs, "doc_id")
       val twins = graft.ops.Multimodal.gifAnimFromIds(
         docs.where(col("doc_id") % 4 === 0), "doc_id",
-        idOffset = 10000000L, extraFrame = true)
+        idOffset = 1000000000L, extraFrame = true)
       graft.ops.Multimodal.videoNearDups(
           base.unionByName(twins), "media_id", "bytes", minShared = 2)
         .orderBy("a", "b")
@@ -3406,7 +3406,7 @@ object PipelineQueries {
       val docs = Tables(s, dir, "documents").select(col("doc_id"))
       val gifs = graft.ops.Multimodal.gifAnimFromIds(docs, "doc_id")
       val webps = graft.ops.Multimodal.webpAnimMultiFromIds(
-        docs.where(col("doc_id") % 2 === 0), "doc_id", idOffset = 10000000L)
+        docs.where(col("doc_id") % 2 === 0), "doc_id", idOffset = 1000000000L)
       graft.ops.Multimodal.videoNearDups(
           gifs.unionByName(webps), "media_id", "bytes", minShared = 2)
         .orderBy("a", "b")
@@ -3423,18 +3423,18 @@ object PipelineQueries {
       val docs = Tables(s, dir, "documents").select(col("doc_id"))
       val members = graft.ops.Multimodal.wavEncodedFromIds(docs, "doc_id", 0)
         .unionByName(graft.ops.Multimodal.wavEncodedFromIds(
-          docs.where(col("doc_id") % 3 === 0), "doc_id", 1, idOffset = 10000000L))
+          docs.where(col("doc_id") % 3 === 0), "doc_id", 1, idOffset = 1000000000L))
         .unionByName(graft.ops.Multimodal.wavEncodedFromIds(
-          docs.where(col("doc_id") % 3 === 1), "doc_id", 2, idOffset = 20000000L))
+          docs.where(col("doc_id") % 3 === 1), "doc_id", 2, idOffset = 2000000000L))
         .unionByName(graft.ops.Multimodal.wavEncodedFromIds(
-          docs.where(col("doc_id") % 3 === 2), "doc_id", 3, idOffset = 30000000L))
+          docs.where(col("doc_id") % 3 === 2), "doc_id", 3, idOffset = 3000000000L))
       val pairs = graft.ops.Dedup.hashNearDups(
         graft.ops.Multimodal.audioFingerprintScan(members, "bytes"),
         "media_id", "afp", maxHamming = 2)
       graft.ops.Dedup.dedupClusters(pairs.select("a", "b"))
         .groupBy("component")
         .agg(max(col("cluster_size")).as("cluster_size"),
-          countDistinct(expr("id div 10000000")).as("n_encodings"))
+          countDistinct(expr("id div 1000000000")).as("n_encodings"))
         .orderBy("component")
     }),
 
@@ -3448,13 +3448,13 @@ object PipelineQueries {
       val members = graft.ops.Multimodal.gifAnimFromIds(docs, "doc_id")
         .unionByName(graft.ops.Multimodal.gifAnimFromIds(
           docs.where(col("doc_id") % 4 === 0), "doc_id",
-          idOffset = 10000000L, extraFrame = true))
+          idOffset = 1000000000L, extraFrame = true))
       val pairs = graft.ops.Multimodal.videoNearDups(
         members, "media_id", "bytes", minShared = 2)
       graft.ops.Dedup.dedupClusters(pairs.select("a", "b"))
         .groupBy("component")
         .agg(max(col("cluster_size")).as("cluster_size"),
-          countDistinct(expr("id div 10000000")).as("n_tiers"))
+          countDistinct(expr("id div 1000000000")).as("n_tiers"))
         .orderBy("component")
     }),
 
@@ -10023,7 +10023,7 @@ object PipelineQueries {
       "WHERE a.w < 30), " +
       "h AS (SELECT seed, CAST(SUM(v) AS BIGINT) AS v FROM b GROUP BY seed), " +
       "mem AS (SELECT seed AS media_id, v FROM h " +
-      "UNION ALL SELECT seed + 10000000 + (seed % 3) * 10000000, v FROM h) " +
+      "UNION ALL SELECT seed + 1000000000 + (seed % 3) * 1000000000, v FROM h) " +
       "SELECT a.media_id AS a, b.media_id AS b, " +
       "CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming " +
       "FROM mem a JOIN mem b ON a.media_id < b.media_id " +
@@ -10077,7 +10077,7 @@ object PipelineQueries {
       "AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
       "h AS (SELECT seed, nf, f, SUM(v) AS v FROM bits GROUP BY 1, 2, 3), " +
       "mem AS (SELECT seed AS vid, v FROM h WHERE f < nf " +
-      "UNION ALL SELECT seed + 10000000, v FROM h WHERE seed % 4 = 0), " +
+      "UNION ALL SELECT seed + 1000000000, v FROM h WHERE seed % 4 = 0), " +
       "mm AS (SELECT DISTINCT vid, v FROM mem) " +
       "SELECT a.vid AS a, b.vid AS b, CAST(COUNT(*) AS BIGINT) AS shared " +
       "FROM mm a JOIN mm b ON a.v = b.v AND a.vid < b.vid " +
@@ -10173,7 +10173,7 @@ object PipelineQueries {
       "AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
       "h AS (SELECT seed, nf, f, SUM(v) AS v FROM bits GROUP BY 1, 2, 3), " +
       "mem AS (SELECT seed AS vid, v FROM h " +
-      "UNION ALL SELECT seed + 10000000, v FROM h WHERE seed % 2 = 0), " +
+      "UNION ALL SELECT seed + 1000000000, v FROM h WHERE seed % 2 = 0), " +
       "mm AS (SELECT DISTINCT vid, v FROM mem) " +
       "SELECT a.vid AS a, b.vid AS b, CAST(COUNT(*) AS BIGINT) AS shared " +
       "FROM mm a JOIN mm b ON a.v = b.v AND a.vid < b.vid " +
@@ -10201,7 +10201,7 @@ object PipelineQueries {
       "WHERE a.w < 30), " +
       "h AS (SELECT seed, CAST(SUM(v) AS BIGINT) AS v FROM b GROUP BY seed), " +
       "mem AS MATERIALIZED (SELECT seed AS media_id, v FROM h " +
-      "UNION ALL SELECT seed + 10000000 + (seed % 3) * 10000000, v FROM h), " +
+      "UNION ALL SELECT seed + 1000000000 + (seed % 3) * 1000000000, v FROM h), " +
       "p AS (SELECT a.media_id AS a, b.media_id AS b FROM mem a JOIN mem b " +
       "ON a.media_id < b.media_id " +
       "WHERE bit_count(xor(a.v, b.v)) <= 2), " +
@@ -10211,7 +10211,7 @@ object PipelineQueries {
       "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
       "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id) " +
       "SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size, " +
-      "CAST(COUNT(DISTINCT id // 10000000) AS BIGINT) AS n_encodings " +
+      "CAST(COUNT(DISTINCT id // 1000000000) AS BIGINT) AS n_encodings " +
       "FROM comp GROUP BY component ORDER BY component"),
 
     // p380: the p372 frame-hash/pair replay + recursive closure and
@@ -10235,7 +10235,7 @@ object PipelineQueries {
       "AND b.r = a.r AND b.c = a.c + 1 WHERE a.c < 8), " +
       "h AS (SELECT seed, nf, f, SUM(v) AS v FROM bits GROUP BY 1, 2, 3), " +
       "mem AS (SELECT seed AS vid, v FROM h WHERE f < nf " +
-      "UNION ALL SELECT seed + 10000000, v FROM h WHERE seed % 4 = 0), " +
+      "UNION ALL SELECT seed + 1000000000, v FROM h WHERE seed % 4 = 0), " +
       "mm AS MATERIALIZED (SELECT DISTINCT vid, v FROM mem), " +
       "p AS (SELECT a.vid AS a, b.vid AS b " +
       "FROM mm a JOIN mm b ON a.v = b.v AND a.vid < b.vid " +
@@ -10246,7 +10246,7 @@ object PipelineQueries {
       "UNION SELECT reach.id, ed.b AS r FROM reach JOIN ed ON ed.a = reach.r), " +
       "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id) " +
       "SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size, " +
-      "CAST(COUNT(DISTINCT id // 10000000) AS BIGINT) AS n_tiers " +
+      "CAST(COUNT(DISTINCT id // 1000000000) AS BIGINT) AS n_tiers " +
       "FROM comp GROUP BY component ORDER BY component"),
 
     // p377: the tag census replayed arithmetically — envelope sizes
