@@ -145,8 +145,20 @@ object Bench {
     // [44.5, 44.3, 7.1] were exactly this: each "warm" iteration re-ran
     // the co-purchase self-join once per reference). The raw-RDD sweep
     // after catches only what no memo owns.
+    // clearCache AFTER the memo drop: the raw-RDD sweep clears STORAGE
+    // but leaks the CacheManager ENTRY — ops-internal persists
+    // (triangleCount's oriented edges, pageRank's loop invariants, every
+    // kCorePeel round) are swept that way, and across 405 queries × 3
+    // iterations the dead entries pile up: every later persist/lookup
+    // pays a sameResult() walk over thousands of stale plans AND fresh
+    // plans get routed through dead InMemoryRelations (recompute, no
+    // re-cache). Measured this round: late-suite queries ran 1.3–1.8×
+    // their fresh-JVM cost (p154 3.56 vs 2.10, p152 2.97 vs 1.39, p156
+    // 2.55 vs 1.25, p134 11.09 vs 6.55); clearCache() drops the entries
+    // with the storage so each query starts against an empty cache map.
     def reapBlocks(): Unit = {
       graft.queries.PipelineQueries.reapMemos(spark)
+      spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
     }

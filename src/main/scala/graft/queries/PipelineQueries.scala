@@ -129,33 +129,32 @@ object PipelineQueries {
   private val copurchaseMemo =
     scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
 
+  /** Root for this PROCESS's co-purchase snapshots: a fresh random temp
+    * directory per JVM, so nothing is ever reused across runs — every
+    * bench/oracle invocation recomputes the edge list from the parquet
+    * inputs (the round-17 optimization rules forbid intermediates keyed
+    * on the test-data dir surviving across runs; the previous
+    * fingerprint-keyed java.io.tmpdir snapshot did exactly that).
+    * Within one run the snapshot still serves every post-reap consumer. */
+  private lazy val snapshotRoot: java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("graft_copurchase_").toFile
+    d.deleteOnExit()
+    d
+  }
+
   /** SNAPSHOT the co-purchase self-join to local parquet ONCE per
-    * (sf dir, lineitem fingerprint): the deliberately dense build is
+    * process and sf dir: the deliberately dense build is
     * ~3× the steady-state triangle query, so paying it after EVERY
     * bench reap made p134's first iteration ~18 s and its median a
     * function of reap order. Post-reap consumers re-read the snapshot
-    * (seconds) and re-persist; the input fingerprint (SHA-256 over the
-    * sorted (name, length, mtime) tuples of the lineitem files — an
-    * order-insensitive DIGEST, not a commutative sum, so compensating
-    * length/mtime changes or files swapped between parts can't collide)
-    * keys the path so a regenerated sf dir can never serve a stale
-    * edge list. Pure (src, dst) longs —
+    * (seconds) and re-persist. Pure (src, dst) longs —
     * the parquet round-trip is lossless, so correctness is untouched.
     * Bench calls this UNTIMED before its query loop (the scaled tier's
     * materialize precedent) so the one-time build is setup, not a
     * charge against whichever graph query happens to run first. */
   def snapshotCopurchase(s: SparkSession, dir: String): String = {
-    val liFile = new java.io.File(dir, "lineitem.parquet")
-    val parts =
-      if (liFile.isDirectory) liFile.listFiles().toSeq else Seq(liFile)
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    parts.map(f => s"${f.getName}\u0000${f.length()}\u0000${f.lastModified()}\n")
-      .sorted
-      .foreach(t => md.update(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    val fp = md.digest().take(8).map(b => f"$b%02x").mkString
-    val snap = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_copurchase_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fp)
+    val snap = new java.io.File(snapshotRoot,
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"))
     if (!new java.io.File(snap, "_SUCCESS").exists()) {
       Tables(s, dir, "lineitem").as("x")
         .join(Tables(s, dir, "lineitem").as("y"),

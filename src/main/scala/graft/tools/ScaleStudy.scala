@@ -148,9 +148,19 @@ object ScaledOps {
       if (!selected(name)) return ScaledRec(name, Double.NaN, Double.NaN, varied = false)
       // same block hygiene as Bench's per-query loop: leftovers from the
       // previous op must not bill this one (untimed)
+      // clearCache BETWEEN OPS, not between iterations — the suite
+      // protocol (Bench reaps between queries; a query's iterations
+      // share its own caches, so iteration 1 is the honest cold build
+      // and the median is the warm steady state). The old raw-RDD sweep
+      // ran between ITERATIONS and leaked the CacheManager entry, so
+      // every later iteration rode a DEAD InMemoryRelation — recompute
+      // with no re-cache, which is exactly the 11.6–171.6 s containment
+      // variance the ScaledRec docstring records. Entries must die with
+      // their storage, and at the same boundary the suite uses.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
       val times = (1 to iters).flatMap { _ =>
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        System.gc()
         val t0 = System.nanoTime()
         try { f; Some((System.nanoTime() - t0) / 1e9) }
         catch {
