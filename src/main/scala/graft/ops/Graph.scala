@@ -113,23 +113,24 @@ object Graph {
     * GROWS to #reachable-nodes, never corpus-sized.
     *
     * Each round's depth table feeds TWO consumers (the expansion join
-    * AND the union), so every round persists + materializes and the
-    * previous round's cache drops once its successor is built — the
-    * kCorePeel discipline. Without it the logical plan doubles per
-    * round (2^maxDepth subtrees); Spark's ReuseExchange happens to
-    * collapse the duplicates at execution today, but plan growth must
-    * be linear BY CONSTRUCTION, not by optimizer courtesy — the final
-    * plan is now the SAME constant shape for any maxDepth
-    * (PlanSpec-pinned).
+    * AND the union), so every round persists — the kCorePeel
+    * discipline. Without it the logical plan doubles per round
+    * (2^maxDepth subtrees); Spark's ReuseExchange happens to collapse
+    * the duplicates at execution today, but plan growth must be linear
+    * BY CONSTRUCTION, not by optimizer courtesy — the final plan is
+    * the SAME constant shape for any maxDepth (PlanSpec-pinned).
+    * Registration alone achieves that (the CacheManager substitutes
+    * the round's InMemoryRelation into downstream plans at planning
+    * time), so no round is eagerly materialized: the terminal action
+    * computes each round's cache exactly once, on demand — round 17
+    * dropped the per-round count() jobs that used to run inside the
+    * timed query.
     *
-    * EAGER + CACHED contract: CONSTRUCTING this DataFrame runs
-    * `maxDepth` Spark jobs (the per-round materializations) and leaves
-    * the final round's table and the edge table persisted — the
-    * returned plan reads them, so they cannot drop here. The gate
-    * harness clears persistent RDDs between queries; a library caller
-    * invoking bfsDepths repeatedly should do the same
-    * (`spark.catalog.clearCache()` or unpersist after the final
-    * action) or the round caches accumulate.
+    * CACHED contract: the returned plan reads the per-round caches and
+    * the edge cache — they cannot drop here. The gate harness clears
+    * the cache between queries; a library caller invoking bfsDepths
+    * repeatedly should do the same (`spark.catalog.clearCache()` or
+    * unpersist after the final action) or the round caches accumulate.
     *
     * Returns (node, depth) ordered by (depth, node). */
   def bfsDepths(
@@ -144,15 +145,18 @@ object Graph {
     val e = if (maxDepth > 1) e0.persist(lvl) else e0
     var depths = seeds.select(col(seeds.columns.head).as("node")).distinct()
       .select(col("node"), lit(0L).as("depth"))
-    var prevCached: DataFrame = null
     for (_ <- 1 to maxDepth) {
+      // persist WITHOUT an eager count: registration alone makes the
+      // CacheManager substitute the round's InMemoryRelation into every
+      // downstream plan, so plan shape stays constant per round (the
+      // PlanSpec pin) while the terminal action materializes each
+      // round's cache exactly once, on demand. The old eager
+      // count-per-round ran maxDepth extra Spark jobs INSIDE the timed
+      // query (their only purpose was to let the previous round
+      // unpersist safely); keeping all rounds cached until the harness
+      // reap costs #reachable-nodes × maxDepth rows of storage and
+      // saves the barriers.
       val cur = depths.persist(lvl)
-      // materialize THIS round (reading the previous round's cache)
-      // before dropping that cache — otherwise the unpersist forces a
-      // full lineage replay on the next action
-      cur.count()
-      if (prevCached != null) prevCached.unpersist(blocking = false)
-      prevCached = cur
       val next = cur.join(e, col("node") === col("_s"))
         .select(col("_d").as("node"), (col("depth") + 1L).as("depth"))
       depths = cur.union(next)
@@ -216,23 +220,28 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("_deg"))
     // orient by (deg, node): src = smaller key. Each side carries its
     // key so wedge endpoints can be ordered without another deg join.
+    // The (deg, node) key rides as TWO primitive columns, not a struct:
+    // the wedge join's non-equi condition runs once per same-src pair —
+    // Σ outdeg² ≈ 143M evaluations at sf0.1 — and a lexicographic pair
+    // of primitive comparisons codegens to plain long compares where
+    // the struct LessThan went through the generic ordering.
+    val aFirst = struct(col("_da"), col("_a")) < struct(col("_db"), col("_b"))
     val oriented0 = und
       .join(deg.select(col("node").as("_a"), col("_deg").as("_da")), Seq("_a"))
       .join(deg.select(col("node").as("_b"), col("_deg").as("_db")), Seq("_b"))
       .select(
-        when(struct(col("_da"), col("_a")) < struct(col("_db"), col("_b")),
-          struct(col("_a").as("n"), col("_da").as("d")))
-          .otherwise(struct(col("_b").as("n"), col("_db").as("d"))).as("s"),
-        when(struct(col("_da"), col("_a")) < struct(col("_db"), col("_b")),
-          struct(col("_b").as("n"), col("_db").as("d")))
-          .otherwise(struct(col("_a").as("n"), col("_da").as("d"))).as("t"))
-      .select(col("s.n").as("src"), col("t.n").as("dst"),
-        struct(col("t.d"), col("t.n")).as("dkey"))
+        when(aFirst, col("_a")).otherwise(col("_b")).as("src"),
+        when(aFirst, col("_b")).otherwise(col("_a")).as("dst"),
+        when(aFirst, col("_db")).otherwise(col("_da")).as("_dd"))
     val oriented = oriented0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (x._dd, x.dst) < (y._dd, y.dst) — the same total order the struct
+    // key gave, spelled as primitive comparisons
     val wedges = oriented.as("x")
       .join(oriented.as("y"),
-        col("x.src") === col("y.src") && col("x.dkey") < col("y.dkey"))
+        col("x.src") === col("y.src") &&
+          (col("x._dd") < col("y._dd") ||
+            (col("x._dd") === col("y._dd") && col("x.dst") < col("y.dst"))))
       .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
     val tris = wedges.join(
       oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
@@ -377,15 +386,20 @@ object Graph {
       val deg = e.select(explode(array(col("_a"), col("_b"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val keep = deg.where(col("deg") >= k).select("node")
-      val prev = e
+      // persist WITHOUT the eager count-then-unpersist: registration
+      // alone routes both of next round's consumers (the degree count
+      // and the semi-join restriction) through this round's
+      // InMemoryRelation, and the terminal action materializes each
+      // round once, on demand. The old eager count ran `rounds` extra
+      // Spark jobs INSIDE the timed query purely so the previous
+      // round's cache could drop early; keeping all rounds cached
+      // until the harness reap costs ≤ rounds × |edges| rows of
+      // storage (monotone non-increasing per round) and saves the
+      // per-round job barriers.
       e = e
         .join(keep.withColumnRenamed("node", "_a"), Seq("_a"), "left_semi")
         .join(keep.withColumnRenamed("node", "_b"), Seq("_b"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materialize the round before dropping its input (otherwise the
-      // unpersist would force a full lineage replay next round anyway)
-      e.count()
-      prev.unpersist(blocking = false)
     }
     val out = e.select(explode(array(col("_a"), col("_b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
