@@ -916,11 +916,13 @@ object CorpusOps {
     // except for docs with exactly ONE token, which contribute no bigram
     // and no longer vote for V — the model's own training vocabulary is
     // the cleaner add-V smoothing set anyway.)
-    val vRow = model.select(explode(array(
+    // Rides the plan as a 1-row broadcast instead of a
+    // construction-time .first() action: same arithmetic, one fewer
+    // eager Spark job per call.
+    val vTot = model.select(explode(array(
         substring_index(col("bg"), "\u0001", 1),
         substring_index(col("bg"), "\u0001", -1))).as("_tok"))
-      .agg(countDistinct(col("_tok"))).first()
-    val v = if (vRow.isNullAt(0)) 0L else vRow.getLong(0)
+      .agg(countDistinct(col("_tok")).as("_v"))
 
     // ⌊log₂(a/b)⌋ for ints 1 ≤ b ≤ a: bit-length gap, minus one when the
     // shifted divisor overshoots — exact, overflow-free (a ≤ tokens+V).
@@ -932,7 +934,8 @@ object CorpusOps {
     val bgBits = model
       .withColumn("l", substring_index(col("bg"), "\u0001", 1))
       .join(lefts, Seq("l"))
-      .withColumn("_a", col("c1") + lit(v))
+      .crossJoin(broadcast(vTot))
+      .withColumn("_a", col("c1") + col("_v"))
       .withColumn("_b", col("c12") + lit(1L))
       .withColumn("_k0", (length(bin(col("_a"))) - length(bin(col("_b")))).cast("int"))
       .withColumn("_bits",
@@ -996,22 +999,34 @@ object CorpusOps {
         slice(col("_t"), lit(1), greatest(size(col("_t")) - 1, lit(0))),
         slice(col("_t"), lit(2), greatest(size(col("_t")) - 1, lit(0))),
         (a, b) => concat_ws("\u0001", a, b)))
+    // the tokenize+explode stream feeds FOUR consumers (raw counts,
+    // target counts, their totals, and the final per-doc join) —
+    // unpersisted, the plan materialized the explode four times per
+    // run; persisted, one pass (MEMORY_AND_DISK: eviction degrades to
+    // recompute). The harness reaps persists between queries; library
+    // callers should clearCache()/unpersist after their action.
     val inst = base.select(col(idCol), col(srcCol), explode(feats).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val raw = inst.groupBy("f").agg(count(lit(1)).as("_cr"))
     val tgt = inst.where(col(srcCol) === targetSource)
       .groupBy("f").agg(count(lit(1)).as("_ct"))
 
-    val totals = raw.agg(sum("_cr"), count(lit(1))).first()
-    val nR = if (totals.isNullAt(0)) 0L else totals.getLong(0)
-    val vSize = totals.getLong(1)
-    val tRow = tgt.agg(sum("_ct")).first()
-    val nT = if (tRow.isNullAt(0)) 0L else tRow.getLong(0)
+    // corpus totals ride the plan as 1-row broadcasts instead of two
+    // construction-time .first() actions — same arithmetic, two fewer
+    // eager Spark jobs per call, and the smoothing terms stay exact
+    // (nR + vSize and nT + vSize computed per row from the folded
+    // aggregates).
+    val rawTot = raw.agg(coalesce(sum("_cr"), lit(0L)).as("_nR"),
+      count(lit(1)).as("_vs"))
+    val tgtTot = tgt.agg(coalesce(sum("_ct"), lit(0L)).as("_nT"))
 
     def bitlen(c: Column): Column = length(bin(c)).cast("long")
     val bits = raw.join(tgt, Seq("f"), "left")
+      .crossJoin(broadcast(rawTot))
+      .crossJoin(broadcast(tgtTot))
       .withColumn("_bits",
-        bitlen(coalesce(col("_ct"), lit(0L)) + 1L) + bitlen(lit(nR + vSize)) -
-          bitlen(col("_cr") + 1L) - bitlen(lit(nT + vSize)))
+        bitlen(coalesce(col("_ct"), lit(0L)) + 1L) + bitlen(col("_nR") + col("_vs")) -
+          bitlen(col("_cr") + 1L) - bitlen(col("_nT") + col("_vs")))
       .select("f", "_bits")
     // Explicit broadcast: the bits table is vocab-bounded by construction
     // (one row per distinct feature), and the corpus-sized instance
@@ -1426,6 +1441,11 @@ object CorpusOps {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
+    // grandparent lifecycle: the round's collect() below materializes
+    // the CURRENT enc cache (pulling its predecessor's cache once), so
+    // the predecessor can drop right after the collect — no eager
+    // count() job per round just to release it early
+    var prevEnc: DataFrame = null
     while (rank <= nMerges && !exhausted) {
       val syms = enc.select(col("wc"), split(trim(col("enc")), " ").as("syms"))
       val topRows = syms
@@ -1436,6 +1456,10 @@ object CorpusOps {
         .agg(sum(col("wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect() // bounded: ONE row per round
+      // the collect above materialized the CURRENT enc cache (pulling
+      // its predecessor's cache exactly once), so the grandparent can
+      // drop now — this replaces the old eager count() job per round
+      if (prevEnc != null) { prevEnc.unpersist(blocking = false); prevEnc = null }
       if (topRows.isEmpty) {
         // no adjacent pair left anywhere (empty corpus, or every word
         // fully fused): a shorter merge table, not a crash
@@ -1449,12 +1473,12 @@ object CorpusOps {
         val next = enc
           .select(col("wc"), replace(replace(col("enc"), pat, rep), pat, rep).as("enc"))
           .persist()
-        next.count() // materialize before releasing the previous round
-        enc.unpersist()
+        prevEnc = enc // still feeds `next` until next round's collect
         enc = next
         rank += 1
       }
     }
+    if (prevEnc != null) prevEnc.unpersist(blocking = false)
     enc.unpersist()
     merges.toSeq.toDF("rank", "lsym", "rsym", "cnt")
   }

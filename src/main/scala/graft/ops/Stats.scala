@@ -313,11 +313,21 @@ object Stats {
     require(cols.size >= 2, s"spearmanMatrix: need >= 2 columns, got $cols")
     require(cols.distinct == cols, s"spearmanMatrix: duplicate columns in $cols")
     import org.apache.spark.sql.expressions.Window
+    // quantize every column ONCE up front, and derive each column's
+    // count table from this narrow base — NOT from the accumulated join
+    // chain: counts over column c are identical either way (each rank
+    // join is inner on a key set that covers every base row, so it is
+    // lossless and leaves other columns untouched), but folding counts
+    // off the accumulator replayed the whole join lineage per column —
+    // the executed plan carried 16 parquet scans for 4 columns (4 scans
+    // would be: one per single-column count + the main chain)
     val base = df.where(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(c =>
+        floor(col(c).cast("double") * lit(1000000.0d)).cast("long")
+          .as(s"_v_$c")): _*)
     val ranked = cols.foldLeft(base) { (acc, c) =>
-      val q = floor(col(c).cast("double") * lit(1000000.0d)).cast("long")
-      val withQ = acc.withColumn(s"_v_$c", q)
-      val counts = withQ.groupBy(col(s"_v_$c")).agg(count(lit(1)).as("_c"))
+      val counts = base.select(col(s"_v_$c"))
+        .groupBy(col(s"_v_$c")).agg(count(lit(1)).as("_c"))
       // distinct-micro-value-bounded rank ladder (winsorize contract)
       val w = Window.orderBy(col(s"_v_$c"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -325,7 +335,7 @@ object Stats {
         .withColumn("_less", coalesce(sum(col("_c")).over(w), lit(0L)))
         .select(col(s"_v_$c"),
           (lit(2L) * col("_less") + col("_c") + lit(1L)).as(s"_dr_$c"))
-      withQ.join(broadcast(ranks), Seq(s"_v_$c"))
+      acc.join(broadcast(ranks), Seq(s"_v_$c"))
     }
     // doubled ranks are integers ≤ 2n+1 and feed the Pearson kernel
     // UNSCALED (no ×1e6 — that would overflow n·Σx² ~ (4/3)n⁴·10¹²
