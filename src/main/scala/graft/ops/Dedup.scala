@@ -341,42 +341,41 @@ object Dedup {
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // localCheckpoint(eager), NOT persist: the union below references
+      // `labels` twice, so without LINEAGE TRUNCATION the logical plan
+      // doubles per round, and with data-dependent round counts
+      // (~diameter, unbounded) the per-round analysis/AQE-planning cost
+      // explodes — replacing these checkpoints with lazy persists was
+      // tried this round and made the cluster-composition gates 2–4×
+      // SLOWER (p380 3.6 s → 14.9 s median; its explain dump grew to
+      // 201k lines). The statically-bounded loops (kCorePeel, bfsDepths,
+      // 3 rounds by construction) are where the lazy-persist trick pays;
+      // a diameter-bounded-by-data loop is where it does not.
+      // (Pointer doubling — label(label(v)) folded into the same min —
+      // was also tried and reverted: gate graphs are low-diameter twin
+      // clusters, so it saved at most one round while adding a
+      // label-keyed self-join shuffle to every round; p29 measured
+      // 1.7 s → 4.5 s with it.)
       var labels = sym.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("component"))
-        .persist(lvl)
-      var prevLabels: DataFrame = null
+        .localCheckpoint(true)
       var changed = 1L
       var it = 0
       while (changed > 0 && it < maxIter) {
         val msgs = sym.join(labels.select(col("id").as("src"), col("component")), Seq("src"))
           .select(col("dst").as("id"), col("component"))
-        // (pointer doubling — label(label(v)) folded into the same min —
-        // was tried and REVERTED: gate graphs are low-diameter twin
-        // clusters, so it saved at most one round while adding a
-        // label-keyed self-join shuffle to every round; p29 measured
-        // 1.7 s → 4.5 s with it.)
         // carry each node's OWN (previous) label through the same
         // aggregation that computes the new min, so convergence needs no
-        // separate join-with-old-labels job per round. The round's ONE
-        // action is the changed count below: it materializes this
-        // round's cache (persist registration routes every consumer of
-        // `labels` through the previous round's InMemoryRelation), where
-        // the old eager localCheckpoint ran a separate materialization
-        // job per round before the count — two jobs per round, now one.
+        // separate join-with-old-labels job per round — the changed count
+        // is a trivial scan of the just-checkpointed blocks
         val next = labels.select(col("id"), col("component"), lit(true).as("_own"))
           .union(msgs.select(col("id"), col("component"), lit(false).as("_own")))
           .groupBy("id").agg(
             min("component").as("component"),
             min(when(col("_own"), col("component"))).as("_prev"))
           .select(col("id"), col("component"), (col("component") < col("_prev")).as("_changed"))
-          .persist(lvl)
+          .localCheckpoint(true)
         changed = next.where(col("_changed")).count()
-        // the count materialized `next`, so the grandparent's cache can
-        // drop; `labels` itself still backs the RETURNED plan on the
-        // last round, so it only drops once a successor is materialized
-        if (prevLabels != null) prevLabels.unpersist(blocking = false)
-        prevLabels = labels
         labels = next.select("id", "component")
         it += 1
       }
@@ -386,9 +385,6 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still changing) — the graph diameter exceeds " +
           s"maxIter; raise maxIter (propagation needs ~diameter rounds)")
-      // the last round's cache is materialized and backs the returned
-      // plan; its predecessor is no longer referenced
-      if (prevLabels != null) prevLabels.unpersist(blocking = false)
       labels
     } finally sym.unpersist()
   }
