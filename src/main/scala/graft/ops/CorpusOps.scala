@@ -982,7 +982,7 @@ object CorpusOps {
     * per-feature bits fold into that table once, and the corpus-sized
     * instance stream shuffles ONCE on feature (broadcast the bits table
     * when the vocab is bounded) plus the per-doc aggregate. The three
-    * scalars (N_t, N_r, V) are a bounded driver collect off the
+    * scalars (N_t, N_r, V) are 1-row broadcast folds off the
     * vocab-sized aggregate — same envelope as [[bigramSurprisal]]'s V. */
   def dsirWeights(
       docs: DataFrame,

@@ -363,7 +363,16 @@ object Graph {
     * survivors of the last round are re-counted once for the reported
     * in-core degree. Work ∝ surviving edges per round, monotone
     * non-increasing. Returns (node, deg) for nodes alive after
-    * `rounds` peels, node-ordered. */
+    * `rounds` peels, node-ordered.
+    *
+    * LINEAGE NOTE: rounds persist lazily (no eager materialization —
+    * the terminal action computes each round's cache once, on demand),
+    * so the LOGICAL plan references the previous round ~3× per round
+    * and grows 3^rounds before cache substitution. Fine at the
+    * author-sized 3–5 rounds this engine ships; a caller pushing
+    * `rounds` past that should checkpoint every few rounds (see
+    * connectedComponents for the data-dependent-round protocol and the
+    * measured cost of getting this wrong). */
   def kCorePeel(
       edges: DataFrame,
       k: Int,

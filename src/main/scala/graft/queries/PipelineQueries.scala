@@ -138,7 +138,16 @@ object PipelineQueries {
     * Within one run the snapshot still serves every post-reap consumer. */
   private lazy val snapshotRoot: java.io.File = {
     val d = java.nio.file.Files.createTempDirectory("graft_copurchase_").toFile
-    d.deleteOnExit()
+    // deleteOnExit cannot remove a non-empty directory — walk it
+    // children-first at shutdown so runs leave nothing behind
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(d)
+    }))
     d
   }
 

@@ -20,16 +20,17 @@ import graft.SparkEntry
   */
 object FloorCheck {
 
-  /** gate -> pinned idle floor seconds (SCALING.md round-17 table:
-    * min of 4 idle iterations at sf0.1, local[32], load_before 0.95 —
-    * update this constant and the SCALING.md table TOGETHER). */
+  /** gate -> pinned idle floor seconds (SCALING.md round-17
+    * OPTIMIZATION restamp: min of 4 idle iterations at sf0.1,
+    * local[32], load_before 0.45 — update this constant and the
+    * SCALING.md table TOGETHER). */
   val Pinned: Seq[(String, Double)] = Seq(
-    "p134_triangles" -> 5.69,
-    "p145_bfs" -> 1.48,
-    "p142_ppr" -> 2.45,
-    "p131_pagerank" -> 1.97,
-    "p240_kcore" -> 3.57,
-    "p01_hom_pipeline" -> 1.20)
+    "p134_triangles" -> 4.74,
+    "p145_bfs" -> 0.78,
+    "p142_ppr" -> 2.30,
+    "p131_pagerank" -> 2.40,
+    "p240_kcore" -> 0.70,
+    "p01_hom_pipeline" -> 1.29)
 
   private def load1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString
