@@ -116,9 +116,14 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     // one-time co-purchase snapshot build is SETUP (the scaled tier's
     // materialize precedent): post-reap graph queries read it back in
-    // seconds instead of paying the suite's densest self-join
+    // seconds instead of paying the suite's densest self-join. Its cost
+    // is TIMED and reported as `setup_sec` (round-17 verdict: the graph
+    // family's end-to-end cost must be visible even though the build is
+    // outside every per-query median).
+    val setupT0 = System.nanoTime()
     try graft.queries.PipelineQueries.snapshotCopurchase(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] snapshot failed: ${e.getMessage}") }
+    val setupSec = (System.nanoTime() - setupT0) / 1e9
 
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq.filter(_.nonEmpty))
@@ -176,8 +181,27 @@ object Bench {
     // are tagged `hiload` (suspect medians) in both artifacts; the
     // per-iteration (sec, loadavg) pairs stay in the detail as raw
     // context.
+    // Per-query WARM-UP (round-17 verdict item 1a, declared in
+    // OPTIMIZATION_r18.md): one untimed run after the reap so the timed
+    // median measures the operator at steady state, not the C2/codegen
+    // warm-up slope — p134's iterations decayed 14 → 9 → 9.5 → 4.9 →
+    // 4.7 → 4.6 s and the old 3-iteration median landed on the slope,
+    // making the suite's biggest number a JIT artifact. The warm-up also
+    // absorbs each query's one-time internal cache build (iterations
+    // were already warm for caches from iteration 2 on — same boundary,
+    // now uniform from iteration 1). SPARK_GRAFT_BENCH_WARMUP=0 restores
+    // the old protocol; the JSON line carries `warmup` so every artifact
+    // self-identifies which protocol produced it. Additions-only: the
+    // timed region, sink, iteration count and median are unchanged.
+    val warmups =
+      try sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
+      catch { case _: Throwable => 1 }
     val perQuery = selected.map { case (name, fn) =>
       reapBlocks()
+      (1 to warmups).foreach { _ =>
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () } // timed loop reports the failure
+      }
       val (tb0, sj0) = cpuJiffies()
       val tq0 = System.nanoTime()
       val iterRecs = (1 to iterations).flatMap { _ =>
@@ -298,7 +322,7 @@ object Bench {
       .take(topQ)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + s2(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${s3(total)},"total_min":${s3(totalMin)},"unit":"sec","n_queries":${results.length},"queries":$shortQs,"failed":$failed,"hiload":${hiload.length},"varied":${varied.length},"iterations":$iterations,"sf":"$sfDir","detail":"BENCH_DETAIL.json"$loadJson$scaledLineJson}"""
+    val line = s"""{"metric":"total","value":${s3(total)},"total_min":${s3(totalMin)},"unit":"sec","n_queries":${results.length},"queries":$shortQs,"failed":$failed,"hiload":${hiload.length},"varied":${varied.length},"iterations":$iterations,"warmup":$warmups,"setup_sec":${s2(setupSec)},"sf":"$sfDir","detail":"BENCH_DETAIL.json"$loadJson$scaledLineJson}"""
     // full-name, full-precision report for humans/the judge
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // per-iteration (sec, loadavg-at-start) pairs + per-query external
@@ -316,7 +340,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val hiloadJson = hiload.map("\"" + _ + "\"").mkString("[", ",", "]")
     val variedJson = varied.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":$total,"total_min":$totalMin,"unit":"sec","n_queries":${results.length},"queries":$fullQs,"query_min":$minQs,"query_iters":$iterQs,"query_ext_cores":$extQs,"hiload":$hiloadJson,"varied":$variedJson,"failed":$failed,"iterations":$iterations,"sf":"$sfDir"$loadJson$scaledDetailJson}"""
+    val detail = s"""{"metric":"total","value":$total,"total_min":$totalMin,"unit":"sec","n_queries":${results.length},"queries":$fullQs,"query_min":$minQs,"query_iters":$iterQs,"query_ext_cores":$extQs,"hiload":$hiloadJson,"varied":$variedJson,"failed":$failed,"iterations":$iterations,"warmup":$warmups,"setup_sec":$setupSec,"sf":"$sfDir"$loadJson$scaledDetailJson}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.println(detail) finally w.close()

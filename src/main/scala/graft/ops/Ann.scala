@@ -280,15 +280,25 @@ object Ann {
       df: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // Explode the RAW cast array and divide per exploded element —
+    // never posexplode a derived expensive array (round-18): Catalyst
+    // infers `size(child) > 0 AND isnotnull(child)` from the Generate
+    // and pushes it below the projections, SUBSTITUTING the aliases —
+    // the old `_nv = transform(_dv, x/_norm)` generator child arrived
+    // at the scan-side Filter with `_norm`'s aggregate inlined INSIDE
+    // the transform lambda (re-evaluated per element: O(d²) per row),
+    // twice (size + isnotnull), all CodegenFallback-interpreted with no
+    // subexpression elimination. Measured 1.46 s → ~0.15 s-class for a
+    // map-only op at sf0.1. The inferred filter over `_dv` is one cheap
+    // cast; `_norm` stays a per-row projection below the Generate.
     val n = df
       .withColumn("_dv", col(vecCol).cast("array<double>"))
       .withColumn("_norm",
         sqrt(aggregate(col("_dv"), lit(0.0d), (acc, x) => acc + x * x)))
-      .withColumn("_nv",
-        when(col("_norm") === 0.0, col("_dv"))
-          .otherwise(transform(col("_dv"), x => x / col("_norm"))))
-    n.select(col(idCol), posexplode(col("_nv")))
-      .select(col(idCol), col("pos"), (round(col("col"), 6) + 0.0).as("v"))
+    n.select(col(idCol), col("_norm"), posexplode(col("_dv")))
+      .select(col(idCol), col("pos"),
+        (round(when(col("_norm") === 0.0, col("col"))
+          .otherwise(col("col") / col("_norm")), 6) + 0.0).as("v"))
   }
 
   /** Symmetric per-vector int8 quantization — the storage-scale move for
@@ -305,15 +315,24 @@ object Ann {
       df: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // Same Generate-inferred-filter discipline as [[l2Normalize]]
+    // (round-18): explode the RAW cast array and quantize per exploded
+    // element — posexploding the derived `_q` array pushed a filter to
+    // the scan with `_mx`'s array_max inlined inside the transform
+    // lambda (O(d²) interpreted per row, twice). Row set and values are
+    // unchanged: `_q` had `_dv`'s length and its null/empty cases
+    // emitted nothing, exactly as exploding `_dv` does; per element the
+    // zero-max case emits the same 0L and the general case the same
+    // floor(x·127/max + 0.5).
     val q = df
       .withColumn("_dv", col(vecCol).cast("array<double>"))
       .withColumn("_mx", array_max(transform(col("_dv"), x => abs(x))))
-      .withColumn("_q",
-        when(col("_mx") === 0.0, transform(col("_dv"), _ => lit(0L)))
-          .otherwise(transform(col("_dv"),
-            x => floor(x * lit(127.0) / col("_mx") + lit(0.5)))))
-    q.select(col(idCol), (col("_mx") / 127.0).as("scale"), posexplode(col("_q")))
-      .select(col(idCol), col("pos"), col("col").as("q"), col("scale"))
+    q.select(col(idCol), col("_mx"), posexplode(col("_dv")))
+      .select(col(idCol), col("pos"),
+        when(col("_mx") === 0.0, lit(0L))
+          .otherwise(floor(col("col") * lit(127.0) / col("_mx") + lit(0.5)))
+          .as("q"),
+        (col("_mx") / 127.0).as("scale"))
   }
 
   /** Deterministic Johnson–Lindenstrauss sign projection to `r`
@@ -330,22 +349,33 @@ object Ann {
       vecCol: String,
       r: Int): DataFrame = {
     require(r > 0, "randomProjection: r must be positive")
-    val xq = graft.ops.Clustering.quantized(col(vecCol))
-    val comps = (0 until r).map { k =>
-      aggregate(
-        transform(xq, (x, i) => {
-          // bit 31 of the low 32 bits of a multiplicative hash — the
-          // well-mixed middle; a plain parity of k+i would be a
-          // degenerate checkerboard
-          val bit = shiftright(
-            pmod((lit(k.toLong) * lit(1000003L) + i.cast("long")) * lit(2654435761L),
-              lit(4294967296L)), 31)
-          when(bit === 0, x).otherwise(-x)
-        }),
-        lit(0L), (acc, v) => acc + v)
-    }
+    // Generate-inferred-filter discipline (see [[l2Normalize]],
+    // round-18): posexploding array(comp_0..comp_{r-1}) — r aggregate-
+    // over-transform expressions — made Catalyst push a size/isnotnull
+    // filter to the scan with ALL r interpreted components inlined, so
+    // every row paid the full projection twice. Exploding the CONSTANT
+    // index sequence instead (its inferred filter constant-folds away)
+    // and computing the one component expression per (row, k) does the
+    // same r·d signed adds once: k rides as a column inside the lambda,
+    // the quantized input is projected ONCE per row below the Generate.
+    // Output rows, k values (0..r−1) and the exact BIGINT sums are
+    // unchanged.
+    val kL = col("k").cast("long")
+    val comp = aggregate(
+      transform(col("_xq"), (x, i) => {
+        // bit 31 of the low 32 bits of a multiplicative hash — the
+        // well-mixed middle; a plain parity of k+i would be a
+        // degenerate checkerboard
+        val bit = shiftright(
+          pmod((kL * lit(1000003L) + i.cast("long")) * lit(2654435761L),
+            lit(4294967296L)), 31)
+        when(bit === 0, x).otherwise(-x)
+      }),
+      lit(0L), (acc, v) => acc + v)
     vecs.select(col(idCol),
-        posexplode(array(comps.toIndexedSeq: _*)).as(Seq("k", "c")))
-      .select(col(idCol), col("k"), col("c"))
+        graft.ops.Clustering.quantized(col(vecCol)).as("_xq"))
+      .select(col(idCol), col("_xq"),
+        explode(sequence(lit(0), lit(r - 1))).as("k"))
+      .select(col(idCol), col("k"), comp.as("c"))
   }
 }

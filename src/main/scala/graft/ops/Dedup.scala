@@ -776,7 +776,18 @@ object Dedup {
     require(dfCeilingFraction.forall(f => f > 0.0 && f <= 1.0),
       s"containmentPairs: dfCeilingFraction must be in (0, 1], got $dfCeilingFraction")
     val capped = dfCeiling.nonEmpty || dfCeilingFraction.nonEmpty
+    // persist the shingled corpus (round-18): the tokenize+shingle
+    // derivation feeds SEVEN consumers (gram df, the prefix windows, the
+    // inverted index, the two size prefilter sides and the two verify
+    // sides) and nothing below it shares an exchange they could reuse —
+    // the round-17 executed plan carried 14 parquet scans, each paying
+    // the regex tokenization again, and AQE re-estimated the join sides
+    // from scratch per scan (the scaled tier's med ≈ 2× min variance).
+    // MEMORY_AND_DISK: eviction degrades to recompute; the harness reaps
+    // between queries. Storage ∝ the shingle corpus — the same bound the
+    // downstream joins already carry.
     val sh = withWordShingles(docs, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = sh.select(col(idCol), explode(col("_sh")).as("_g"))
     val dfreq = grams.groupBy("_g").agg(count(lit(1)).as("_df"))
     // stop-gram cap: the kept-gram table drives BOTH the prefix windows

@@ -325,16 +325,32 @@ object Stats {
       .select(cols.map(c =>
         floor(col(c).cast("double") * lit(1000000.0d)).cast("long")
           .as(s"_v_$c")): _*)
-    val ranked = cols.foldLeft(base) { (acc, c) =>
-      val counts = base.select(col(s"_v_$c"))
-        .groupBy(col(s"_v_$c")).agg(count(lit(1)).as("_c"))
-      // distinct-micro-value-bounded rank ladder (winsorize contract)
-      val w = Window.orderBy(col(s"_v_$c"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranks = counts
-        .withColumn("_less", coalesce(sum(col("_c")).over(w), lit(0L)))
-        .select(col(s"_v_$c"),
-          (lit(2L) * col("_less") + col("_c") + lit(1L)).as(s"_dr_$c"))
+    // ONE unpivoted rank pass for ALL columns (round-18): the per-column
+    // fold ran k sequential single-partition windows, each fed by its
+    // own narrow corpus scan — k+1 corpus passes and a serial rank
+    // ladder per column (the round-17 scaling block measured p231 flat
+    // from 8 → 32 cores: the ladders are the serial fraction). Stacking
+    // (column ordinal, value) via posexplode computes every ladder off
+    // ONE corpus pass and ONE shuffle, and the window partitioned by
+    // ordinal runs the k ladders in parallel. Values are identical: per
+    // (column, value) the count and the strictly-less running sum are
+    // unchanged, so each doubled rank 2·less + c + 1 is the same
+    // integer. The ladder table (Σ per-column distinct values — the
+    // winsorize cardinality contract) is persisted so the k broadcast
+    // builds read it instead of re-running the pass per column.
+    val stacked = base.select(
+      posexplode(array(cols.map(c => col(s"_v_$c")): _*)).as(Seq("_ci", "_v")))
+    val w = Window.partitionBy(col("_ci")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ladders = stacked
+      .groupBy(col("_ci"), col("_v")).agg(count(lit(1)).as("_c"))
+      .withColumn("_less", coalesce(sum(col("_c")).over(w), lit(0L)))
+      .select(col("_ci"), col("_v"),
+        (lit(2L) * col("_less") + col("_c") + lit(1L)).as("_dr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = cols.zipWithIndex.foldLeft(base) { case (acc, (c, i)) =>
+      val ranks = ladders.where(col("_ci") === i)
+        .select(col("_v").as(s"_v_$c"), col("_dr").as(s"_dr_$c"))
       acc.join(broadcast(ranks), Seq(s"_v_$c"))
     }
     // doubled ranks are integers ≤ 2n+1 and feed the Pearson kernel
