@@ -187,14 +187,16 @@ object Graph {
     *
     * Shape: two partial-agg passes for degrees, one equi-join to
     * orient, the wedge self-join on the oriented source key, and one
-    * semi-ish equi-join of wedges against oriented edges to close
-    * them; per-triangle attribution explodes 3 rows and partial-aggs
-    * on the node. All joins are equi-joins on node keys — shuffle or
-    * broadcast by AQE's choice, skew-splittable. The oriented edge
-    * set is consumed THREE times (both wedge sides + the closing
-    * probe) on two different join keys, so it is persisted
-    * (MEMORY_AND_DISK — eviction degrades to recompute): without it
-    * the raw-edge distinct + degree joins re-run per consumer.
+    * single-long-key equi-join (xxhash64(b,c), equality-verified) of
+    * wedges against oriented edges to close them; per-triangle
+    * attribution explodes 3 rows and partial-aggs on the node. All
+    * joins are equi-joins on node keys — shuffle or broadcast by AQE's
+    * choice, skew-splittable. The oriented edge set is consumed THREE
+    * times (both wedge sides + the closing probe), so it is persisted
+    * (MEMORY_AND_DISK — eviction degrades to recompute) pre-partitioned
+    * and sorted on the wedge key: without it the raw-edge distinct +
+    * degree joins re-run per consumer, and without the pre-shape every
+    * run pays two exchanges + two sorts to feed the self-join.
     *
     * Returns (node, n_triangles, n_total) for triangle-participating
     * nodes, n_total the global triangle count (one window over the
@@ -233,8 +235,18 @@ object Graph {
         when(aFirst, col("_a")).otherwise(col("_b")).as("src"),
         when(aFirst, col("_b")).otherwise(col("_a")).as("dst"),
         when(aFirst, col("_db")).otherwise(col("_da")).as("_dd"))
-    val oriented = oriented0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist PRE-SHAPED for the wedge self-join (round-18): hash-
+    // partitioned and sorted by src, so both SMJ sides read the cached
+    // layout with NO exchange and NO sort per consumer (guide §2.4 —
+    // two operations keyed the same way share one partitioning; with
+    // `canChangeCachedPlanOutputPartitioning` at its default the cached
+    // plan's partitioning is stable and advertised). One extra exchange
+    // at cache-build time replaces two exchanges + two sorts on every
+    // execution — at scale that is a full edge-set shuffle per run.
+    val oriented = oriented0
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (x._dd, x.dst) < (y._dd, y.dst) — the same total order the struct
     // key gave, spelled as primitive comparisons
     val wedges = oriented.as("x")
@@ -243,8 +255,27 @@ object Graph {
           (col("x._dd") < col("y._dd") ||
             (col("x._dd") === col("y._dd") && col("x.dst") < col("y.dst"))))
       .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
-    val tris = wedges.join(
-      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    // Closing probe on ONE long key (round-18): joining on Seq("b","c")
+    // built a generic two-column UnsafeHashedRelation, and the ~41M-
+    // wedge probe stream (sf0.1) spent ~3.5 of the op's 4.7 s hashing
+    // and chain-comparing two-field row keys — measured by stage: the
+    // wedge SMJ alone is ~1.1 s, attribution ~0.1 s, the probe the
+    // rest. Keying the join on xxhash64(b, c) gives a dense
+    // LongHashedRelation; exactness is restored by the equality verify
+    // on (b, c) — wrapped in coalesce(..., false) so the planner keeps
+    // it a post-join filter instead of folding it back into the key
+    // extraction (both sides are non-null by construction: they come
+    // from inner joins over the distinct edge set). Hash collisions
+    // only cost a filtered row, never a wrong count. A/B: 4.7 → 3.3 s
+    // warm, byte-identical output.
+    val closing = oriented.select(
+      xxhash64(col("src"), col("dst")).as("_hk"),
+      col("src").as("_cb"), col("dst").as("_cc"))
+    val tris = wedges.join(closing,
+        xxhash64(col("b"), col("c")) === col("_hk") &&
+          coalesce(col("b") === col("_cb"), lit(false)) &&
+          coalesce(col("c") === col("_cc"), lit(false)))
+      .select(col("a"), col("b"), col("c"))
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
       .withColumn("n_total",
