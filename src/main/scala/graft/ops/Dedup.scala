@@ -202,19 +202,44 @@ object Dedup {
     shiftright(x3 * h01, 56).bitwiseAND(lit(0x7fL))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit chunks
-    * (any pair within Hamming distance ≤ 3 of the full hash must agree
-    * exactly on at least one chunk — pigeonhole), bucket-join on chunks,
-    * verify true Hamming distance. */
+  /** Pigeonhole-minimal band chunks for a 64-bit hash at Hamming ≤ h:
+    * h+1 disjoint chunks covering all 64 bits — a pair within distance
+    * h differs in ≤ h chunks, so at least one chunk agrees exactly.
+    * Round-18: the chunk count now FOLLOWS the threshold instead of a
+    * fixed 4×16 — at h = 0 the single band is the full hash, so
+    * candidate volume collapses from Σ(16-bit-bucket)² to exact-equal
+    * groups (p353's collision-dense fixture spent 4.8 of its 7.8 s
+    * emitting and re-filtering 16-bit-band candidates that the full-
+    * hash band never generates); at h = 2 three ~21-bit chunks both
+    * shrink the explode ×4→×3 and widen each signature. h = 3 keeps
+    * the historical 4×16 exactly. Candidates shrink, the verified
+    * output is UNCHANGED (completeness holds per threshold; the final
+    * popcount filter is the same). */
+  private def hashBandChunks(h: Column, maxHamming: Int): Seq[Column] = {
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    (0 until nBands).map { i =>
+      val lo = i * width
+      val w = if (i == nBands - 1) 64 - lo else width
+      val sig = if (w >= 64) h else
+        shiftright(h, lo).bitwiseAND(lit((1L << w) - 1L))
+      struct(lit(i).as("band"), sig.as("sig"))
+    }
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit hash into maxHamming+1
+    * disjoint chunks (any pair within Hamming distance ≤ maxHamming of
+    * the full hash must agree exactly on at least one chunk —
+    * pigeonhole), bucket-join on chunks, verify true Hamming distance. */
   def simHashNearDups(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simHashNearDups: banding covers Hamming 0..3, got $maxHamming")
     val sh = simHash(df, idCol, textCol)
-    val chunks = (0 until 4).map(i =>
-      struct(lit(i).as("band"),
-        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("sig")))
+    val chunks = hashBandChunks(col("simhash"), maxHamming)
     val banded = sh.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.sig").as("sig"))
     val a = banded.select(col("band"), col("sig"), col(idCol).as("a"), col("simhash").as("_ha"))
@@ -223,31 +248,34 @@ object Dedup {
       .where(col("a") < col("b"))
       .select(col("a"), col("b"),
         popcount64(expr("_ha ^ _hb")).as("hamming"))
-      .distinct()
+      // verify BEFORE the dedup aggregate: dropping over-distance
+      // candidates first shrinks the distinct's shuffle (same output —
+      // hamming is a function of the (a, b) hashes)
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** GENERIC banded Hamming near-dup join over ANY 64-bit perceptual
     * key — the [[simHashNearDups]] candidate discipline factored out so
     * image dHash ([[graft.ops.Multimodal.imageDHashScan]]), audio
     * chromaprints or any future 64-bit fingerprint reuses it: band the
-    * hash into 4×16-bit chunks (pigeonhole: Hamming ≤ 3 ⇒ at least one
-    * chunk agrees exactly — candidate generation is COMPLETE at the
-    * default threshold), bucket-join, verify true Hamming via the SWAR
-    * popcount. NULL hashes (undecodable members) drop out before the
-    * join. Returns (a, b, hamming) with a < b. */
+    * hash into maxHamming+1 disjoint chunks (pigeonhole: Hamming ≤
+    * maxHamming ⇒ at least one chunk agrees exactly — candidate
+    * generation is COMPLETE at the requested threshold; see
+    * [[hashBandChunks]] for why the chunk count follows the threshold),
+    * bucket-join, verify true Hamming via the SWAR popcount. NULL
+    * hashes (undecodable members) drop out before the join. Returns
+    * (a, b, hamming) with a < b. */
   def hashNearDups(
       df: DataFrame,
       idCol: String,
       hashCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"hashNearDups: 4x16 banding is complete only to Hamming 3, got $maxHamming")
+      s"hashNearDups: banding covers Hamming 0..3, got $maxHamming")
     val src = df.where(col(hashCol).isNotNull)
       .select(col(idCol), col(hashCol).cast("long").as("_h"))
-    val chunks = (0 until 4).map(i =>
-      struct(lit(i).as("band"),
-        shiftright(col("_h"), i * 16).bitwiseAND(lit(0xffffL)).as("sig")))
+    val chunks = hashBandChunks(col("_h"), maxHamming)
     val banded = src.select(col(idCol), col("_h"), explode(array(chunks: _*)).as("bk"))
       .select(col(idCol), col("_h"), col("bk.band").as("band"), col("bk.sig").as("sig"))
     val a = banded.select(col("band"), col("sig"), col(idCol).as("a"), col("_h").as("_ha"))
@@ -255,8 +283,8 @@ object Dedup {
     a.join(b, Seq("band", "sig"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"), popcount64(expr("_ha ^ _hb")).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Incremental ingestion dedup: classify each doc of a NEW batch

@@ -138,6 +138,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 1L), (1L, 3L, 3L), (3L, 4L, 1L)))
   }
 
+  test("hashNearDups threshold-sized banding: h=0 exact groups only; h=2 three-chunk completeness") {
+    val s = spark
+    import s.implicits._
+    // h = 0: ONE band = the full hash — only exact-equal hashes pair
+    val exact = Seq((1L, 42L), (2L, 42L), (3L, 42L | (1L << 63)))
+      .toDF("media_id", "dhash")
+    val g0 = graft.ops.Dedup.hashNearDups(exact, "media_id", "dhash", maxHamming = 0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(g0 == Set((1L, 2L)))
+    // h = 2: chunks are bits [0,21), [21,42), [42,64). A 2-bit pair
+    // straddling chunks 0 and 1 is found via untouched chunk 2; a
+    // 3-bit pair hitting ALL three chunks never shares a band — and is
+    // correctly over-threshold anyway
+    val rows = Seq(
+      (1L, 0L),
+      (2L, (1L << 3) | (1L << 25)),              // bits in chunks 0,1 — hamming 2
+      (3L, (1L << 3) | (1L << 25) | (1L << 50))) // one bit per chunk vs 1 — hamming 3
+      .toDF("media_id", "dhash")
+    val g2 = graft.ops.Dedup.hashNearDups(rows, "media_id", "dhash", maxHamming = 2)
+      .select("a", "b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(g2 == Set((1L, 2L, 2L), (2L, 3L, 1L)))
+  }
+
   private lazy val media = Multimodal.mediaFromDocuments(
     spark, Tables(spark, "/root/testdata/sf0.001", "documents"))
 
