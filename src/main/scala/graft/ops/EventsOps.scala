@@ -1329,9 +1329,19 @@ object EventsOps {
     val states = ev.select(col(typeCol).as("state")).distinct()
       .join(rows.select(col("_from").as("state"), col("_r")), Seq("state"), "left")
     val nStates = Window.partitionBy()
+    // every round references its predecessor TWICE (the moved-mass join
+    // and the kept-mass projection), so without persist registration
+    // the logical plan doubled per round — 1410 formatted-plan lines at
+    // iters = 3, each analysis/AQE pass replaying the whole tree
+    // (round-18; the round-17 boundary rule: statically-bounded rounds
+    // take LAZY persist, no eager action — rounds here are `iters` by
+    // construction). The π tables are ≤ |event types| rows; the
+    // harness reaps between queries.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pi0 = states
       .withColumn("_k", count(lit(1)).over(nStates))
       .selectExpr("state", "_r", "CAST(1000000 div _k AS BIGINT) AS pi")
+      .persist(lvl)
     val stepped = (1 to iters).foldLeft(pi0) { (pi, _) =>
       val moved = pi.where(col("_r").isNotNull)
         .join(trans, col("state") === col("_from"))
@@ -1343,6 +1353,7 @@ object EventsOps {
       kept.join(moved, Seq("state"), "left")
         .select(col("state"), col("_r"),
           (col("_kept") + coalesce(col("_moved"), lit(0L))).as("pi"))
+        .persist(lvl)
     }
     pi0.select(col("state").as(typeCol), coalesce(col("_r"), lit(0L)).as("n_out"),
         col("pi").as("pi0_ppm"))
