@@ -20,17 +20,17 @@ import graft.SparkEntry
   */
 object FloorCheck {
 
-  /** gate -> pinned idle floor seconds (SCALING.md round-17
-    * OPTIMIZATION restamp: min of 4 idle iterations at sf0.1,
-    * local[32], load_before 0.45 — update this constant and the
+  /** gate -> pinned idle floor seconds (SCALING.md round-18
+    * OPTIMIZATION restamp: min of 5 idle iterations at sf0.1,
+    * local[32], load_before 0.82 — update this constant and the
     * SCALING.md table TOGETHER). */
   val Pinned: Seq[(String, Double)] = Seq(
-    "p134_triangles" -> 4.74,
-    "p145_bfs" -> 0.78,
-    "p142_ppr" -> 2.30,
-    "p131_pagerank" -> 2.40,
-    "p240_kcore" -> 0.70,
-    "p01_hom_pipeline" -> 1.29)
+    "p134_triangles" -> 3.47,
+    "p145_bfs" -> 0.62,
+    "p142_ppr" -> 2.44,
+    "p131_pagerank" -> 2.23,
+    "p240_kcore" -> 0.88,
+    "p01_hom_pipeline" -> 1.42)
 
   private def load1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString

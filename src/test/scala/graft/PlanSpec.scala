@@ -491,6 +491,12 @@ class PlanSpec extends AnyFunSuite {
     // never a corpus sort-merge
     assert(sp.contains("BroadcastHashJoin"), sp)
     assert(!sp.contains("SortMergeJoin"), sp)
+    // round-18: ALL rank ladders ride ONE window over the stacked
+    // (column ordinal, value) counts, materialized once as a persisted
+    // ladder table that every per-column broadcast reads — the cache
+    // scan is the structural pin (the plan string re-renders the
+    // cached child per broadcast, so a bare Window count can't be)
+    assert(sp.contains("InMemoryTableScan"), sp)
     val ev = graft.engine.Tables(spark, dir, "events")
     import org.apache.spark.sql.functions._
     val gs = graft.ops.Stats.giniSplit(
