@@ -258,14 +258,28 @@ object Dedup {
   /** GENERIC banded Hamming near-dup join over ANY 64-bit perceptual
     * key — the [[simHashNearDups]] candidate discipline factored out so
     * image dHash ([[graft.ops.Multimodal.imageDHashScan]]), audio
-    * chromaprints or any future 64-bit fingerprint reuses it: band the
-    * hash into maxHamming+1 disjoint chunks (pigeonhole: Hamming ≤
-    * maxHamming ⇒ at least one chunk agrees exactly — candidate
-    * generation is COMPLETE at the requested threshold; see
-    * [[hashBandChunks]] for why the chunk count follows the threshold),
-    * bucket-join, verify true Hamming via the SWAR popcount. NULL
+    * chromaprints or any future 64-bit fingerprint reuses it. NULL
     * hashes (undecodable members) drop out before the join. Returns
-    * (a, b, hamming) with a < b. */
+    * (a, b, hamming) with a < b.
+    *
+    * Round-18 shape — the LSH citizens are DISTINCT hashes, not
+    * members: crawl-duplicate corpora carry many members per identical
+    * hash (the p349 fixture: 6,250 members, 86 distinct hashes), and a
+    * member-level band join multiplies every bucket quadratically —
+    * the same candidate is popcount-verified |group_a|·|group_b| times
+    * (measured: 2.9 s of p349's pair stage). So: dedup to distinct
+    * hashes, band THOSE into maxHamming+1 disjoint chunks (pigeonhole:
+    * Hamming ≤ maxHamming ⇒ at least one chunk agrees — candidate
+    * generation stays COMPLETE; see [[hashBandChunks]]), verify the
+    * true Hamming once per HASH pair via the SWAR popcount, then
+    * expand the surviving hash pairs back through the (id, hash)
+    * membership table — each member pair materializes exactly once, so
+    * no distinct is needed. Same-hash member pairs (Hamming 0) come
+    * from one self-equi-join on the hash. The tiny (id, hash)
+    * projection is persisted so the hash derivation (often a full
+    * media decode) runs once, not once per consumer — the guide-§8
+    * move: decide on small proxies, attach the decision to the members
+    * in one pass. */
   def hashNearDups(
       df: DataFrame,
       idCol: String,
@@ -275,16 +289,34 @@ object Dedup {
       s"hashNearDups: banding covers Hamming 0..3, got $maxHamming")
     val src = df.where(col(hashCol).isNotNull)
       .select(col(idCol), col(hashCol).cast("long").as("_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = hashBandChunks(col("_h"), maxHamming)
-    val banded = src.select(col(idCol), col("_h"), explode(array(chunks: _*)).as("bk"))
-      .select(col(idCol), col("_h"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val a = banded.select(col("band"), col("sig"), col(idCol).as("a"), col("_h").as("_ha"))
-    val b = banded.select(col("band"), col("sig"), col(idCol).as("b"), col("_h").as("_hb"))
-    a.join(b, Seq("band", "sig"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"), popcount64(expr("_ha ^ _hb")).as("hamming"))
+    val reps = src.select(col("_h")).distinct()
+    val banded = reps.select(col("_h"), explode(array(chunks: _*)).as("bk"))
+      .select(col("_h"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val hashPairs = banded.select(col("band"), col("sig"), col("_h").as("_ha"))
+      .join(banded.select(col("band"), col("sig"), col("_h").as("_hb")),
+        Seq("band", "sig"))
+      .where(col("_ha") < col("_hb"))
+      .select(col("_ha"), col("_hb"), popcount64(expr("_ha ^ _hb")).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+    // cross-group expansion: each unordered hash pair appears once
+    // (_ha < _hb), so each member pair appears once — least/greatest
+    // restores the a < b contract whatever the id distribution
+    val cross = hashPairs
+      .join(src.select(col(idCol).as("_ia"), col("_h").as("_ha")), Seq("_ha"))
+      .join(src.select(col(idCol).as("_ib"), col("_h").as("_hb")), Seq("_hb"))
+      .select(least(col("_ia"), col("_ib")).as("a"),
+        greatest(col("_ia"), col("_ib")).as("b"), col("hamming"))
+    // within-group pairs: identical hashes are Hamming 0 ≤ any threshold
+    val same = src.as("x")
+      .join(src.as("y"),
+        col("x._h") === col("y._h") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(same)
   }
 
   /** Incremental ingestion dedup: classify each doc of a NEW batch
